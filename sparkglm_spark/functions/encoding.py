@@ -1,0 +1,107 @@
+"""Design-matrix encoding operators — parity with the reference's
+`modelMatrix.scala` / `utils.scala`, re-expressed as pure Catalyst column
+expressions (no RDDs, no driver data movement beyond tiny level lists).
+
+Reference semantics reproduced exactly:
+- StringType columns are categorical; they expand to k-1 dummy columns for
+  the sorted distinct levels minus the first (baseline) level, named
+  ``<col>_<level>`` (modelMatrix.scala:56-58,71-75).
+- All other columns are cast to double (modelMatrix.scala:79-85).
+- ``match_cols`` backfills predictor columns absent from scoring data with
+  0.0 (utils.scala:21-33); novel scoring-time categories silently get
+  all-zero dummies (SURVEY §2.13.8 — preserved).
+
+Scale notes: `get_levels` is the only action — a distinct on one column
+(partial hash-agg, tiny shuffle); at 100 TB this is a cheap column-pruned
+scan. Dummy projection is a lazy select that fuses into whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+MAX_LEVELS = 1000  # guardrail: categorical with more levels is a user error
+
+
+def get_levels(df: DataFrame, col: str, max_levels: int = MAX_LEVELS) -> list[str]:
+    """Sorted distinct levels of a string column (reference:
+    modelMatrix.scala:56-58 sorts and relies on small cardinality)."""
+    rows = (
+        df.select(col)
+        .where(F.col(col).isNotNull())
+        .distinct()
+        .orderBy(col)
+        .limit(max_levels + 1)
+        .collect()
+    )
+    if len(rows) > max_levels:
+        raise ValueError(
+            f"column {col!r} has >{max_levels} distinct levels; "
+            "not a categorical column"
+        )
+    return [r[0] for r in rows]
+
+
+def dummy_columns(col: str, levels: list[str]) -> list[Column]:
+    """k-1 dummy indicator expressions for sorted `levels` (drop first =
+    baseline; reference: modelMatrix.scala:61-75 `createDummies`)."""
+    return [
+        F.when(F.col(col) == lvl, 1.0).otherwise(0.0).alias(f"{col}_{lvl}")
+        for lvl in levels[1:]
+    ]
+
+
+def model_matrix(
+    df: DataFrame,
+    levels: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """Expand string columns to k-1 sorted-level dummies and cast everything
+    to double (reference: modelMatrix.scala:18-30).
+
+    `levels` lets a fitted model re-apply its training-time encoding at
+    scoring time (then no Spark job runs at all — fully lazy projection).
+    Returns a DataFrame whose column order matches the reference: each input
+    column in order, string columns replaced in-place by their dummy block.
+    """
+    str_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, StringType)]
+    if levels is None:
+        levels = {c: get_levels(df, c) for c in str_cols}
+
+    out: list[Column] = []
+    for field in df.schema.fields:
+        if field.name in levels and isinstance(field.dataType, StringType):
+            out.extend(dummy_columns(field.name, levels[field.name]))
+        else:
+            out.append(F.col(field.name).cast("double").alias(field.name))
+    return df.select(*out)
+
+
+def model_matrix_levels(df: DataFrame) -> dict[str, list[str]]:
+    """The levels map `model_matrix` would compute — exposed so models can
+    persist their encoding."""
+    str_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, StringType)]
+    return {c: get_levels(df, c) for c in str_cols}
+
+
+def match_cols(df: DataFrame, expected: list[str]) -> DataFrame:
+    """Align `df` to the expected predictor columns: missing columns are
+    zero-filled, extras dropped, order normalized (reference:
+    utils.scala:21-33 `matchCols`)."""
+    have = set(df.columns)
+    cols = [
+        (F.col(c) if c in have else F.lit(0.0).cast("double").alias(c)).alias(c)
+        for c in expected
+    ]
+    return df.select(*cols)
+
+
+def cast_all(df: DataFrame, dtype: str = "double") -> DataFrame:
+    """Cast every column to `dtype` (reference: modelMatrix.scala:79-85)."""
+    return df.select(*[F.col(c).cast(dtype).alias(c) for c in df.columns])
+
+
+def omit_na(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Drop rows with any null (reference: R/pkg/R/utils.R:24-27)."""
+    return df.na.drop("any", subset=cols)

@@ -1,0 +1,313 @@
+"""OLS linear model — the reference's LM.scala re-expressed Spark-first.
+
+Reference behavior reproduced (cited file:line into /root/reference):
+- fit via normal equations X'X, X'y (LM.scala:142-155,191-214) — here a
+  single declarative Gram aggregation (see plans/gram.py) + a k×k driver
+  solve (Cholesky via numpy, not an explicit inverse — SURVEY §2.13.4).
+- stats: σ² = SSE/(n−k); stdErr = √(σ²·diag((X'X)⁻¹)) (LM.scala:260-263);
+  R² = ESS/TSS (LM.scala:185,206); F = ((TSS−SSE)/(k−1))/(SSE/(n−k))
+  (LM.scala:186,207); adjR² / dfm / dfe / t / p as in SummaryLM
+  (LM.scala:68-90).
+- predict keeps the input rows and appends a `prediction` column (a pure
+  Catalyst linear-combination expression — no RDD round-trip, unlike
+  LM.scala:39-61); `predict_indexed` offers the reference's positional
+  (index, value) surface (LM.scala:27,41,54-60).
+
+Scale: fit = 1 aggregation job in "moments" mode (default) or 2 in "exact"
+mode (residual pass). No collect of row data, no caching requirement, no
+partition-count dispatch — the same plan at any scale.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sparkglm_spark.formula import expand_dot, parse_formula
+from sparkglm_spark.functions.encoding import (
+    model_matrix,
+    model_matrix_levels,
+    omit_na,
+)
+from sparkglm_spark.functions.special import t_pvalue_two_sided
+from sparkglm_spark.plans.gram import gram_aggregate
+
+
+def solve_normal(xtx: np.ndarray, xty: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Solve X'X β = X'y by Cholesky; return (β, (X'X)⁻¹).
+
+    The reference uses an explicit Breeze `inv` (LM.scala:197,225); Cholesky
+    is numerically better on the same normal equations. Falls back to
+    pseudo-inverse for rank-deficient designs.
+    """
+    try:
+        c, low = np.linalg.cholesky(xtx), True
+        coefs = np.linalg.solve(xtx, xty)
+        # invert from the Cholesky factor: X'X = L L' → inv = L'^-1 L^-1
+        linv = np.linalg.inv(c)
+        xtxi = linv.T @ linv
+    except np.linalg.LinAlgError:
+        xtxi = np.linalg.pinv(xtx)
+        coefs = xtxi @ xty
+    return coefs, xtxi
+
+
+def linear_combination(x_cols: list[str], coefs: np.ndarray) -> Column:
+    """Σ βᵢ·xᵢ as one Catalyst expression (whole-stage-codegen friendly)."""
+    expr = F.lit(float(coefs[0])) * F.col(x_cols[0])
+    for c, b in zip(x_cols[1:], coefs[1:]):
+        expr = expr + F.lit(float(b)) * F.col(c)
+    return expr
+
+
+def scoring_feature_exprs(
+    xnames: list[str], levels: dict[str, list[str]], df_columns: list[str]
+) -> list[Column]:
+    """Feature expressions over a RAW scoring DataFrame, one per model
+    column, without touching any other column:
+    - already-encoded / numeric predictor → cast to double
+    - 'intercept' absent from the data → lit(1.0)
+    - '<col>_<level>' dummy for a known categorical → when/otherwise
+    - anything else → lit(0.0)  (match_cols zero-backfill,
+      utils.scala:21-33; novel levels get all-zero dummies, SURVEY §2.13.8)
+    """
+    have = set(df_columns)
+    dummy_of: dict[str, tuple[str, str]] = {
+        f"{c}_{lvl}": (c, lvl) for c, lvls in levels.items() for lvl in lvls[1:]
+    }
+    out: list[Column] = []
+    for name in xnames:
+        if name in have:
+            out.append(F.col(name).cast("double").alias(name))
+        elif name == "intercept":
+            out.append(F.lit(1.0).alias(name))
+        elif name in dummy_of and dummy_of[name][0] in have:
+            c, lvl = dummy_of[name]
+            out.append(F.when(F.col(c) == lvl, 1.0).otherwise(0.0).alias(name))
+        else:
+            out.append(F.lit(0.0).alias(name))
+    return out
+
+
+def prediction_over_raw(
+    xnames: list[str],
+    coefs: np.ndarray,
+    levels: dict[str, list[str]],
+    df_columns: list[str],
+) -> Column:
+    """Σ βᵢ·featureᵢ directly over raw columns — one projection, no
+    intermediate encoding pass."""
+    feats = scoring_feature_exprs(xnames, levels, df_columns)
+    expr = F.lit(float(coefs[0])) * feats[0]
+    for f_expr, b in zip(feats[1:], coefs[1:]):
+        expr = expr + F.lit(float(b)) * f_expr
+    return expr
+
+
+@dataclass
+class LM:
+    """Fitted OLS model (reference: class LM, LM.scala:16-25)."""
+
+    xnames: list[str]
+    yname: str
+    coefs: np.ndarray
+    std_err: np.ndarray
+    sigma: float
+    r2: float
+    f_stat: float
+    nrow: int
+    levels: dict[str, list[str]] = field(default_factory=dict)
+    call: str = ""
+
+    # ---- fitting ----------------------------------------------------------
+
+    @staticmethod
+    def fit(
+        x: DataFrame,
+        y_col: str,
+        x_cols: list[str] | None = None,
+        sse_mode: str = "moments",
+    ) -> "LM":
+        """Fit OLS where `x` holds both predictors and the label column —
+        single-DataFrame surface replacing the reference's fragile
+        two-aligned-DataFrames contract (SURVEY §1.4).
+
+        sse_mode:
+          "moments" — one pass; SSE/ESS/TSS from the same Gram aggregates
+                      (SSE = y'y − 2β'X'y + β'X'Xβ).
+          "exact"   — adds a residual pass (matches LM.scala:160-188 shape).
+        """
+        x_cols = x_cols or [c for c in x.columns if c != y_col]
+        g = gram_aggregate(x, x_cols, y_col=y_col)
+        coefs, xtxi = solve_normal(g.xtx, g.xty)
+        n, k = g.n, len(x_cols)
+        y_mean = g.sum_y / n
+
+        if sse_mode == "moments":
+            sse = float(g.sum_y2 - 2.0 * coefs @ g.xty + coefs @ g.xtx @ coefs)
+            tss = g.sum_y2 - n * y_mean * y_mean
+            # ESS = Σ(ŷ−ȳ)² = β'X'Xβ − 2ȳ·β'(X'1) + n·ȳ²; X'1 (column sums)
+            # is the intercept row of the Gram matrix when an intercept
+            # column is present, else fall back to TSS−SSE (exact with
+            # intercept, approximation without).
+            if "intercept" in x_cols:
+                i0 = x_cols.index("intercept")
+                x1 = g.xtx[:, i0]
+                ess = float(coefs @ g.xtx @ coefs - 2.0 * y_mean * (coefs @ x1) + n * y_mean**2)
+            else:
+                ess = tss - sse
+        else:
+            pred = linear_combination(x_cols, coefs)
+            y = F.col(y_col)
+            row = x.agg(
+                F.sum((y - pred) * (y - pred)).alias("sse"),
+                F.sum((pred - F.lit(y_mean)) * (pred - F.lit(y_mean))).alias("ess"),
+                F.sum((y - F.lit(y_mean)) * (y - F.lit(y_mean))).alias("tss"),
+            ).collect()[0]
+            sse, ess, tss = float(row["sse"]), float(row["ess"]), float(row["tss"])
+
+        r2 = ess / tss  # reference: top/bot, LM.scala:185,206
+        # LM.scala:186,207 — IEEE semantics (k=1 → ±inf, like Scala doubles)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            f_stat = float(
+                (np.float64(tss - sse) / np.float64(k - 1.0))
+                / (np.float64(sse) / np.float64(n - k))
+            )
+        sig2 = sse / (n - k)  # LM.scala:260
+        std_err = np.sqrt(sig2 * np.diag(xtxi))  # LM.scala:262-263
+
+        return LM(
+            xnames=list(x_cols),
+            yname=y_col,
+            coefs=np.asarray(coefs, dtype=np.float64),
+            std_err=std_err,
+            sigma=float(np.sqrt(sig2)),
+            r2=float(r2),
+            f_stat=float(f_stat),
+            nrow=n,
+        )
+
+    # ---- scoring ----------------------------------------------------------
+
+    def prediction_expr(self) -> Column:
+        return linear_combination(self.xnames, self.coefs)
+
+    def predict(self, df: DataFrame, output_col: str = "prediction") -> DataFrame:
+        """Score: keep input rows untouched, append the prediction column.
+        Training-time encoding (dummies, intercept, zero-backfill) is applied
+        inline as expressions over only the needed source columns (reference
+        predict + matchCols semantics, LM.scala:29-37, utils.scala:21-33)."""
+        expr = prediction_over_raw(self.xnames, self.coefs, self.levels, df.columns)
+        return df.withColumn(output_col, expr)
+
+    def predict_indexed(self, df: DataFrame) -> DataFrame:
+        """Reference-parity output shape: (index, value) with a positional
+        index (LM.scala:27,41,54-60). Index is a contiguous 0-based ordinal
+        in the DataFrame's partition order."""
+        expr = prediction_over_raw(self.xnames, self.coefs, self.levels, df.columns)
+        pred = df.select(expr.alias("value"))
+        rdd = pred.rdd.zipWithIndex().map(lambda t: (int(t[1]), float(t[0][0])))
+        return pred.sparkSession.createDataFrame(rdd, "index: long, value: double")
+
+    # ---- summary ----------------------------------------------------------
+
+    def summary(self) -> "LMSummary":
+        return LMSummary(self)
+
+
+@dataclass
+class LMSummary:
+    """reference: SummaryLM (LM.scala:66-137)."""
+
+    model: LM
+
+    @property
+    def adj_r2(self) -> float:  # LM.scala:68-70
+        m = self.model
+        p = len(m.xnames)
+        return 1.0 - ((1.0 - m.r2) * (m.nrow - 1.0)) / (m.nrow - p - 1.0)
+
+    @property
+    def dfm(self) -> float:  # LM.scala:72-74
+        return len(self.model.xnames) - 1
+
+    @property
+    def dfe(self) -> float:  # LM.scala:76-78
+        return self.model.nrow - len(self.model.xnames)
+
+    @property
+    def t_vals(self) -> np.ndarray:  # LM.scala:84-86
+        return self.model.coefs / self.model.std_err
+
+    @property
+    def p_vals(self) -> np.ndarray:  # LM.scala:88-90
+        return np.array([t_pvalue_two_sided(t, self.dfe) for t in self.t_vals])
+
+    @property
+    def formula(self) -> str:  # LM.scala:92-98
+        return f"{self.model.yname} ~ " + " + ".join(self.model.xnames)
+
+    def as_dict(self) -> dict:
+        """The R front-end's summary record (call, coefficients, RSE, R2,
+        Fstat) — reference: LM.R:118-128."""
+        m = self.model
+        return {
+            "call": m.call or self.formula,
+            "coefficients": {
+                name: {
+                    "estimate": float(c),
+                    "std_error": float(s),
+                    "t_value": float(t),
+                    "p_value": float(p),
+                }
+                for name, c, s, t, p in zip(
+                    m.xnames, m.coefs, m.std_err, self.t_vals, self.p_vals
+                )
+            },
+            "RSE": m.sigma,
+            "R2": m.r2,
+            "adj_R2": self.adj_r2,
+            "Fstat": m.f_stat,
+            "df": (self.dfm, self.dfe),
+            "n": m.nrow,
+        }
+
+    def __str__(self) -> str:
+        m = self.model
+        lines = ["Model:", self.formula, "", "Coefficients:"]
+        lines.append(f"{'':<24}{'Estimate':>14}{'Std. Error':>14}{'t value':>12}{'Pr(>|t|)':>12}")
+        for name, c, s, t, p in zip(m.xnames, m.coefs, m.std_err, self.t_vals, self.p_vals):
+            lines.append(f"{name:<24}{c:>14.6g}{s:>14.6g}{t:>12.4f}{p:>12.4g}")
+        lines.append("")
+        lines.append(f"Residual standard error: {m.sigma:.6g} on {self.dfe:.0f} degrees of freedom")
+        lines.append(f"Multiple R-Squared: {m.r2:.4f}, Adjusted R-Squared: {self.adj_r2:.4f}")
+        lines.append(f"F-statistic: {m.f_stat:.5g} on {self.dfm:.0f} and {self.dfe:.0f} DF")
+        return "\n".join(lines)
+
+
+def lm(df: DataFrame, formula: str, na_action: str = "omit", sse_mode: str = "moments") -> LM:
+    """Formula front-end (reference: sparkLM, R/pkg/R/LM.R:24-72):
+    parse → drop NAs → encode categoricals → inject intercept → fit."""
+    parsed = expand_dot(parse_formula(formula), df.columns)
+    cols = [parsed.target, *parsed.predictors]
+    data = df.select(*cols)
+    if na_action == "omit":
+        data = omit_na(data)
+    levels = model_matrix_levels(data.select(*parsed.predictors))
+    encoded = model_matrix(data, levels=levels)
+    x_cols: list[str] = []
+    if parsed.intercept:
+        encoded = encoded.withColumn("intercept", F.lit(1.0))
+        x_cols.append("intercept")
+    for p in parsed.predictors:
+        if p in levels:
+            x_cols.extend(f"{p}_{lvl}" for lvl in levels[p][1:])
+        else:
+            x_cols.append(p)
+    model = LM.fit(encoded, y_col=parsed.target, x_cols=x_cols, sse_mode=sse_mode)
+    model.levels = levels
+    model.call = f"lm({formula})"
+    return model

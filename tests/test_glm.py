@@ -1,0 +1,165 @@
+"""GLM numeric oracle tests — the reference has ZERO GLM tests
+(SURVEY §5.1); our oracle is an independent driver-side numpy IRLS with the
+same reference formulas (GLM.scala:254-315), run on collected data."""
+
+import numpy as np
+import pytest
+
+from sparkglm_spark.functions.links import LINKS
+from sparkglm_spark.operators.glm import GLM, glm
+
+
+def numpy_irls(X, y, link_name="logit", m=None, offset=None, tol=1e-6, max_iter=50):
+    """Driver-side mirror of fitSingleBinomial (GLM.scala:254-315)."""
+    lnk = LINKS[link_name]
+    n, k = X.shape
+    m = np.ones(n) if m is None else m
+    offset = np.zeros(n) if offset is None else offset
+
+    def dev(mu):
+        my = m - y
+        t1 = np.where(y == 0, 0.0, y * np.log(np.maximum(y, 1.0) / mu))
+        t2 = np.where(my == 0, 0.0, my * np.log(np.maximum(my, 1.0) / (m - mu)))
+        return 2.0 * float(np.sum(t1 + t2))
+
+    if np.all(m == 1.0):
+        mu = np.full(n, y.mean())
+    else:
+        mu = m * (y + 0.5) / (m + 1.0)  # R glm binomial mustart
+    eta = lnk.link_np(mu, m)
+    d = dev(mu)
+    null_dev = d
+    deltad, it = 1.0, 0
+    beta = None
+    xtwxi = None
+    while abs(deltad) > tol and it < max_iter:
+        grad = lnk.lprime_np(mu, m)
+        var = mu * (1.0 - mu / m)
+        w = 1.0 / (var * grad**2)
+        z = eta + (y - mu) * grad - offset
+        XtW = X.T * w
+        xtwxi = np.linalg.inv(XtW @ X)
+        beta = xtwxi @ (XtW @ z)
+        eta = X @ beta + offset
+        mu = lnk.unlink_np(eta, m)
+        d_old = d
+        d = dev(mu)
+        deltad = d - d_old
+        it += 1
+    se = np.sqrt(np.diag(xtwxi))
+    var = mu * (1.0 - mu / m)
+    pearson = float(np.sum((y - mu) ** 2 / var))
+    return {
+        "coef": beta, "se": se, "deviance": d, "null_deviance": null_dev,
+        "iter": it, "pearson": pearson, "mu": mu,
+    }
+
+
+@pytest.fixture(scope="module")
+def logistic_data(spark):
+    """Deterministic separable-ish logistic data, k=3."""
+    rng = np.random.default_rng(11)
+    n = 400
+    x1 = rng.normal(0, 1, n)
+    x2 = rng.normal(0, 1, n)
+    eta = -0.5 + 1.2 * x1 - 0.8 * x2
+    p = 1 / (1 + np.exp(-eta))
+    y = (rng.uniform(0, 1, n) < p).astype(float)
+    rows = [(float(a), 1.0, float(b), float(c)) for a, b, c in zip(y, x1, x2)]
+    df = spark.createDataFrame(rows, "y double, intercept double, x1 double, x2 double")
+    X = np.column_stack([np.ones(n), x1, x2])
+    return df, X, y
+
+
+@pytest.mark.parametrize("link", ["logit", "probit", "cloglog"])
+def test_glm_matches_numpy_irls(logistic_data, link):
+    df, X, y = logistic_data
+    model = GLM.fit(df, y_col="y", x_cols=["intercept", "x1", "x2"], link=link)
+    oracle = numpy_irls(X, y, link_name=link)
+    np.testing.assert_allclose(model.coefs, oracle["coef"], rtol=1e-6)
+    np.testing.assert_allclose(model.std_err, oracle["se"], rtol=1e-6)
+    assert model.deviance == pytest.approx(oracle["deviance"], rel=1e-8)
+    assert model.null_deviance == pytest.approx(oracle["null_deviance"], rel=1e-8)
+    assert model.iter == oracle["iter"]
+    assert model.pearson == pytest.approx(oracle["pearson"], rel=1e-6)
+
+
+def test_glm_partition_invariance(logistic_data):
+    df, X, y = logistic_data
+    ref = None
+    for nparts in [1, 8]:
+        model = GLM.fit(
+            df.repartition(nparts), y_col="y", x_cols=["intercept", "x1", "x2"]
+        )
+        if ref is None:
+            ref = model
+        else:
+            np.testing.assert_allclose(model.coefs, ref.coefs, rtol=1e-8)
+            assert model.iter == ref.iter
+
+
+def test_glm_loglik_aic_bernoulli(logistic_data):
+    df, X, y = logistic_data
+    model = GLM.fit(df, y_col="y", x_cols=["intercept", "x1", "x2"])
+    oracle = numpy_irls(X, y)
+    mu = oracle["mu"]
+    ll = float(np.sum(y * np.log(mu) + (1 - y) * np.log(1 - mu)))
+    assert model.loglik == pytest.approx(ll, rel=1e-8)
+    assert model.aic == pytest.approx(-2 * ll + 2 * 3, rel=1e-8)
+    assert model.df_residual == len(y) - 3
+    assert model.df_null == len(y) - 1
+    assert model.p_dispersion == pytest.approx(oracle["pearson"] / (len(y) - 3), rel=1e-6)
+
+
+def test_glm_with_offset_and_m(spark):
+    """Offset + grouped m in the DISTRIBUTED path — the reference silently
+    falls back to single-partition here (SURVEY §2.13.2); we support it."""
+    rng = np.random.default_rng(5)
+    n = 300
+    x = rng.normal(0, 1, n)
+    m = rng.integers(1, 10, n).astype(float)
+    off = rng.normal(0, 0.2, n)
+    eta = 0.3 + 0.9 * x + off
+    p = 1 / (1 + np.exp(-eta))
+    y = np.array([rng.binomial(int(mi), pi) for mi, pi in zip(m, p)], dtype=float)
+    rows = [
+        (float(a), 1.0, float(b), float(c), float(d))
+        for a, b, c, d in zip(y, x, m, off)
+    ]
+    df = spark.createDataFrame(
+        rows, "y double, intercept double, x double, m double, off double"
+    ).repartition(6)
+    model = GLM.fit(
+        df, y_col="y", x_cols=["intercept", "x"], m_col="m", offset_col="off"
+    )
+    X = np.column_stack([np.ones(n), x])
+    oracle = numpy_irls(X, y, m=m, offset=off)
+    np.testing.assert_allclose(model.coefs, oracle["coef"], rtol=1e-6)
+    assert model.deviance == pytest.approx(oracle["deviance"], rel=1e-7)
+    assert model.iter == oracle["iter"]
+
+
+def test_glm_formula_on_orders(orders):
+    """GLM on real testdata: P(o_orderstatus = 'F') ~ totalprice."""
+    from pyspark.sql import functions as F
+
+    df = orders.withColumn(
+        "is_f", F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0)
+    )
+    model = glm(df, "is_f ~ o_totalprice")
+    assert model.xnames == ["intercept", "o_totalprice"]
+    pdf = df.select("is_f", "o_totalprice").toPandas()
+    X = np.column_stack([np.ones(len(pdf)), pdf["o_totalprice"].to_numpy()])
+    oracle = numpy_irls(X, pdf["is_f"].to_numpy())
+    np.testing.assert_allclose(model.coefs, oracle["coef"], rtol=1e-5)
+    s = model.summary().as_dict()
+    assert set(s) >= {"coefficients", "deviance", "null_deviance", "aic", "iter"}
+
+
+def test_glm_predict_response(logistic_data):
+    df, X, y = logistic_data
+    model = GLM.fit(df, y_col="y", x_cols=["intercept", "x1", "x2"])
+    scored = model.predict(df)
+    preds = np.array([r["prediction"] for r in scored.collect()])
+    assert np.all((preds > 0) & (preds < 1))
+    assert scored.count() == len(y)

@@ -1,0 +1,148 @@
+"""LM numeric oracle tests — the reference's Scala tests assert only shape
+(lmPredict$Test.scala); we add the numeric oracle SURVEY §5.2 calls for,
+via numpy lstsq refits on collected data (small fixtures only)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sparkglm_spark.operators.lm import LM, lm
+
+
+def numpy_ols(X: np.ndarray, y: np.ndarray):
+    coef, _, _, _ = np.linalg.lstsq(X, y, rcond=None)
+    resid = y - X @ coef
+    sse = float(resid @ resid)
+    n, k = X.shape
+    ybar = y.mean()
+    tss = float(((y - ybar) ** 2).sum())
+    pred = X @ coef
+    ess = float(((pred - ybar) ** 2).sum())
+    sig2 = sse / (n - k)
+    xtxi = np.linalg.inv(X.T @ X)
+    se = np.sqrt(sig2 * np.diag(xtxi))
+    return {
+        "coef": coef, "se": se, "sigma": np.sqrt(sig2),
+        "r2": ess / tss,
+        "f": ((tss - sse) / (k - 1)) / (sse / (n - k)),
+    }
+
+
+@pytest.fixture(scope="module")
+def simple_reg(spark):
+    """F3-style 50-row fixture: y = 3 + 2x + noise, deterministic."""
+    rng = np.random.default_rng(7)
+    x = np.arange(1, 51) * 1.1
+    y = 3.0 + 2.0 * x + rng.normal(0, 5.0, 50)
+    rows = [(1.0, float(xi), float(yi)) for xi, yi in zip(x, y)]
+    df = spark.createDataFrame(rows, "intercept double, x double, y double")
+    return df, np.column_stack([np.ones(50), x]), y
+
+
+def test_fit_matches_numpy(simple_reg):
+    df, X, y = simple_reg
+    model = LM.fit(df, y_col="y", x_cols=["intercept", "x"])
+    oracle = numpy_ols(X, y)
+    np.testing.assert_allclose(model.coefs, oracle["coef"], rtol=1e-8)
+    np.testing.assert_allclose(model.std_err, oracle["se"], rtol=1e-8)
+    assert model.r2 == pytest.approx(oracle["r2"], rel=1e-8)
+    assert model.f_stat == pytest.approx(oracle["f"], rel=1e-8)
+    assert model.sigma == pytest.approx(oracle["sigma"], rel=1e-8)
+    assert model.nrow == 50
+
+
+def test_moments_vs_exact_sse(simple_reg):
+    df, _, _ = simple_reg
+    m1 = LM.fit(df, y_col="y", x_cols=["intercept", "x"], sse_mode="moments")
+    m2 = LM.fit(df, y_col="y", x_cols=["intercept", "x"], sse_mode="exact")
+    assert m1.r2 == pytest.approx(m2.r2, rel=1e-9)
+    assert m1.sigma == pytest.approx(m2.sigma, rel=1e-9)
+    assert m1.f_stat == pytest.approx(m2.f_stat, rel=1e-9)
+
+
+def test_partition_invariance(simple_reg):
+    """Reference's own single/multi split makes this the highest-value
+    property (SURVEY §5.2.3): identical results at npart ∈ {1, 4, 16}."""
+    df, X, y = simple_reg
+    ref = None
+    for nparts in [1, 4, 16]:
+        model = LM.fit(df.repartition(nparts), y_col="y", x_cols=["intercept", "x"])
+        if ref is None:
+            ref = model
+        else:
+            np.testing.assert_allclose(model.coefs, ref.coefs, rtol=1e-9)
+            assert model.r2 == pytest.approx(ref.r2, rel=1e-9)
+
+
+def test_predict_keeps_rows_and_matches(simple_reg):
+    df, X, y = simple_reg
+    model = LM.fit(df, y_col="y", x_cols=["intercept", "x"])
+    scored = model.predict(df)
+    assert "prediction" in scored.columns
+    assert scored.count() == 50
+    got = np.array([r["prediction"] for r in scored.orderBy("x").collect()])
+    order = np.argsort(X[:, 1])
+    np.testing.assert_allclose(got, (X @ model.coefs)[order], rtol=1e-10)
+
+
+def test_predict_indexed_parity_surface(simple_reg):
+    # reference shape: (index, value), max(index) == n-1 (lmPredict$Test.scala:21,34)
+    df, _, _ = simple_reg
+    model = LM.fit(df, y_col="y", x_cols=["intercept", "x"])
+    out = model.predict_indexed(df)
+    assert out.columns == ["index", "value"]
+    assert out.count() == 50
+    assert out.agg(F.max("index")).collect()[0][0] == 49
+
+
+def test_formula_end_to_end_iris(iris_df):
+    """Flagship query (test_LM.R:10-45): Sepal_Width ~ Petal_Length +
+    Petal_Width + Species, vs numpy oracle with identical encoding."""
+    model = lm(iris_df, "Sepal_Width ~ Petal_Length + Petal_Width + Species")
+    assert model.xnames == [
+        "intercept", "Petal_Length", "Petal_Width",
+        "Species_versicolor", "Species_virginica",
+    ]
+    pdf = iris_df.toPandas()
+    X = np.column_stack([
+        np.ones(len(pdf)),
+        pdf["Petal_Length"], pdf["Petal_Width"],
+        (pdf["Species"] == "versicolor").astype(float),
+        (pdf["Species"] == "virginica").astype(float),
+    ])
+    oracle = numpy_ols(X, pdf["Sepal_Width"].to_numpy())
+    np.testing.assert_allclose(model.coefs, oracle["coef"], rtol=1e-7)
+    np.testing.assert_allclose(model.std_err, oracle["se"], rtol=1e-7)
+    # predict on raw (unencoded) data auto-applies the stored encoding
+    assert model.predict(iris_df).count() == 150
+    s = model.summary().as_dict()
+    assert set(s) >= {"call", "coefficients", "RSE", "R2", "Fstat"}
+    assert 0 <= s["R2"] <= 1
+
+
+def test_no_intercept_formula(simple_reg):
+    df, X, y = simple_reg
+    model = lm(df.select("x", "y"), "y ~ x - 1")
+    assert model.xnames == ["x"]
+    oracle_coef = float(np.linalg.lstsq(X[:, 1:], y, rcond=None)[0][0])
+    assert model.coefs[0] == pytest.approx(oracle_coef, rel=1e-9)
+
+
+def test_lm_on_lineitem_scale(lineitem):
+    """Multi-feature fit on real testdata vs numpy oracle."""
+    feats = ["l_quantity", "l_discount", "l_tax"]
+    model = lm(lineitem, "l_extendedprice ~ l_quantity + l_discount + l_tax")
+    pdf = lineitem.select("l_extendedprice", *feats).toPandas()
+    X = np.column_stack([np.ones(len(pdf))] + [pdf[c] for c in feats])
+    oracle = numpy_ols(X, pdf["l_extendedprice"].to_numpy())
+    np.testing.assert_allclose(model.coefs, oracle["coef"], rtol=1e-6)
+    assert model.r2 == pytest.approx(oracle["r2"], rel=1e-6)
+
+
+def test_summary_p_values(simple_reg):
+    df, X, y = simple_reg
+    s = LM.fit(df, y_col="y", x_cols=["intercept", "x"]).summary()
+    # slope of a strong linear signal: p ~ 0; intercept p in (0,1)
+    assert s.p_vals[1] < 1e-20
+    assert 0 <= s.p_vals[0] <= 1
+    assert s.dfe == 48 and s.dfm == 1

@@ -1,0 +1,61 @@
+"""Special-function accuracy vs math-module / known values."""
+
+import math
+
+import numpy as np
+import pytest
+
+from sparkglm_spark.functions import special
+
+
+def test_norm_cdf_known_values():
+    assert special.norm_cdf(0.0) == pytest.approx(0.5, abs=1e-15)
+    assert float(special.norm_cdf(1.959963984540054)) == pytest.approx(0.975, abs=1e-12)
+    assert float(special.norm_cdf(-1.959963984540054)) == pytest.approx(0.025, abs=1e-12)
+
+
+def test_norm_ppf_roundtrip():
+    p = np.linspace(1e-10, 1 - 1e-10, 10001)
+    x = special.norm_ppf(p)
+    back = special.norm_cdf(x)
+    assert np.max(np.abs(back - p)) < 1e-12
+
+
+def test_norm_ppf_known():
+    assert float(special.norm_ppf(np.array(0.975))) == pytest.approx(
+        1.959963984540054, abs=1e-12
+    )
+    assert float(special.norm_ppf(np.array(0.5))) == pytest.approx(0.0, abs=1e-15)
+
+
+def test_t_sf_matches_normal_at_high_df():
+    # T with huge df ≈ normal
+    for t in [0.5, 1.0, 2.0, 3.0]:
+        assert special.t_sf(t, 1e7) == pytest.approx(
+            float(special.norm_sf(t)), rel=1e-4
+        )
+
+
+def test_t_sf_known_values():
+    # classic table values: P(T_10 > 2.228139) = 0.025
+    assert special.t_sf(2.2281388519649385, 10) == pytest.approx(0.025, abs=1e-8)
+    # df=1 is Cauchy: P(T_1 > 1) = 0.25
+    assert special.t_sf(1.0, 1) == pytest.approx(0.25, abs=1e-12)
+    # symmetry
+    assert special.t_sf(-1.3, 7) == pytest.approx(1 - special.t_sf(1.3, 7), abs=1e-12)
+
+
+def test_binom_logpmf():
+    # Binomial(10, 0.3).pmf(3) = C(10,3)·0.3³·0.7⁷
+    expect = math.log(120 * 0.3**3 * 0.7**7)
+    assert float(special.binom_logpmf(3, 10, 0.3)) == pytest.approx(expect, rel=1e-12)
+    # Bernoulli edge: y=0 and y=1
+    assert float(special.binom_logpmf(1, 1, 0.25)) == pytest.approx(math.log(0.25), rel=1e-12)
+    assert float(special.binom_logpmf(0, 1, 0.25)) == pytest.approx(math.log(0.75), rel=1e-12)
+
+
+def test_betainc_symmetry():
+    assert special.betainc(2.0, 3.0, 0.4) == pytest.approx(
+        1.0 - special.betainc(3.0, 2.0, 0.6), abs=1e-12
+    )
+    assert special.betainc(0.5, 0.5, 0.5) == pytest.approx(0.5, abs=1e-12)
