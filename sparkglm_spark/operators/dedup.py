@@ -1,0 +1,337 @@
+"""Deduplication operators for training-data pipelines, designed shuffle-
+first for 100 TB:
+
+- exact_dedup       hash-groupBy keep-min-key (one shuffle on the dedup key)
+- shingle/jaccard   inverted index (shingle → docs) self-join; frequent-
+                    shingle cap bounds the pair blow-up (standard prefix-
+                    filtering trick)
+- minhash_lsh       explode-shingles → 1 groupBy for signatures → band
+                    bucket join for candidates → exact-Jaccard verification
+- simhash           64-bit sign-aggregated token-hash signature, JVM-side
+                    (64 sum aggs), chunk-banded candidate join for
+                    Hamming ≤ 3
+
+All stages are DataFrame ops (hash partial aggs, AQE-sized shuffles,
+broadcastable small sides). No Python in any row loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from sparkglm_spark.operators.text import fingerprint_expr
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, cols: list[str], key_col: str) -> DataFrame:
+    """Keep, per duplicate group over `cols`, the row with the smallest
+    `key_col` (deterministic winner). One shuffle on `cols`.
+
+    At 100 TB prefer `exact_dedup_hashed` (shuffles an 8-byte fingerprint
+    instead of full text)."""
+    w = Window.partitionBy(*cols).orderBy(F.col(key_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def exact_dedup_hashed(df: DataFrame, text_col: str, key_col: str) -> DataFrame:
+    """Exact text dedup shuffling only (fingerprint, key): group by content
+    fingerprint, keep min key, semi-join winners back. Collision-safe:
+    within a fingerprint group ties are resolved by full equality via the
+    window over (fingerprint, text)."""
+    fp = fingerprint_expr(F.col(text_col)).alias("__fp")
+    with_fp = df.withColumn("__fp", fp)
+    w = Window.partitionBy("__fp", text_col).orderBy(F.col(key_col).asc())
+    return (
+        with_fp.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "__fp")
+    )
+
+
+def duplicate_groups(df: DataFrame, cols: list[str], key_col: str) -> DataFrame:
+    """Summary of duplicate groups: canonical key + group size (only groups
+    with >1 member). Pure groupBy — partial aggregation applies."""
+    return (
+        df.groupBy(*cols)
+        .agg(F.min(key_col).alias("canonical_id"), F.count(F.lit(1)).alias("group_size"))
+        .where(F.col("group_size") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# character shingles + exact n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, lowercase: bool = True
+) -> DataFrame:
+    """Distinct character n-gram shingles per doc: (id, shingle)."""
+    t = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    # sequence 1..len-n+1 → substr positions; transform is JVM-side
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(0))),
+        lambda i: t.substr(i, F.lit(n)),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_docs_per_shingle: int | None = None,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with n-gram Jaccard ≥ threshold.
+
+    Plan shape: explode→distinct (1 shuffle), optional hot-shingle cap,
+    self-join on shingle (AQE-skew-handled), pair-count aggregation,
+    broadcast-join of per-doc sizes. Jaccard = |∩| / (|A|+|B|−|∩|) — exact
+    integer counts, single final division.
+    """
+    sh = shingles(df, id_col, text_col, n=n)
+    if max_docs_per_shingle is not None:
+        # drop shingles present in too many docs (stopword-grams): they add
+        # candidate pairs but little similarity signal at scale
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_cnt"))
+            .where(F.col("df_cnt") > max_docs_per_shingle)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sh = sh.persist()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_a = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    out = (
+        common.join(F.broadcast(sz_a), "id_a")
+        .join(F.broadcast(sz_b), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_MERSENNE_P = (1 << 61) - 1
+
+
+def _perm_params(num_perm: int, seed: int) -> tuple[list[int], list[int]]:
+    # a < 2^29 and h < 2^32 keep a·h + b < 2^63 (ANSI-safe, no overflow)
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 1 << 29, size=num_perm, dtype=np.int64).tolist()
+    b = rng.integers(0, _MERSENNE_P, size=num_perm, dtype=np.int64).tolist()
+    return a, b
+
+
+def minhash_signatures(
+    sh: DataFrame, num_perm: int = 128, seed: int = 42
+) -> DataFrame:
+    """MinHash signature per id from a (id, shingle) DataFrame: ONE groupBy
+    with num_perm min-aggregations (partial agg map-side → tiny shuffle).
+
+    h_i(s) = (a_i · h32(s) + b_i) mod p  (p = 2^61−1, h32 = xxhash64 folded
+    to 32 bits), min over the doc's shingles. xxhash64 is Spark-builtin and
+    deterministic across runs/executors."""
+    a, b = _perm_params(num_perm, seed)
+    h32 = F.pmod(F.xxhash64(F.col("shingle")), F.lit(1 << 32))
+    aggs = [
+        F.min((h32 * F.lit(a[i]) + F.lit(b[i])) % F.lit(_MERSENNE_P)).alias(f"mh_{i}")
+        for i in range(num_perm)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    sig: DataFrame, num_perm: int = 128, bands: int = 32
+) -> DataFrame:
+    """Band the signature (bands × rows_per_band = num_perm), bucket-join:
+    docs sharing any band bucket are candidates. Pairs via self-join on
+    (band, bucket) — the classic LSH plan; bucket key is a hash of the band
+    slice so the shuffle carries 16 bytes, not the slice."""
+    r = num_perm // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.xxhash64(*[F.col(f"mh_{bi * r + j}") for j in range(r)]).alias("bucket"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    buckets = sig.select("id", F.explode(band_structs).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 128,
+    bands: int = 32,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """End-to-end near-dup pairs: shingle → minhash → LSH candidates →
+    exact-Jaccard verification of candidates only. With (128, 32) params,
+    P(miss) at j=0.8 is ≈5e-8 → output ≡ exact jaccard_pairs, at a fraction
+    of the pair-comparison cost (verification touches only candidates)."""
+    sh = shingles(df, id_col, text_col, n=n).persist()
+    sig = minhash_signatures(sh, num_perm=num_perm, seed=seed)
+    cand = minhash_lsh_candidates(sig, num_perm=num_perm, bands=bands)
+
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(F.broadcast(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"})), "id_a")
+        .join(F.broadcast(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"})), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash over whitespace tokens: per bit, sum ±1 of each
+    token-hash's bit; sign → signature bit. One explode + one groupBy with
+    `bits` integer sums (all JVM-side)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
+    )
+    h = F.xxhash64(F.col("tok"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b_{i}")
+        for i in range(bits)
+    ]
+    sums = toks.groupBy("id").agg(*aggs)
+
+    def bit_value(i: int):
+        # bit 63 of a signed int64 is the sign bit: its two's-complement
+        # contribution is -2^63 (1 << 63 would overflow F.lit)
+        v = (1 << i) if i < 63 else -(1 << 63)
+        return F.when(F.col(f"b_{i}") > 0, F.lit(v)).otherwise(F.lit(0).cast("bigint"))
+
+    sig = sums.select(
+        "id",
+        sum([bit_value(i) for i in range(1, bits)], bit_value(0)).alias("simhash"),
+    )
+    return sig
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming via 4×16-bit
+    chunk banding (pigeonhole: ≤3 differing bits → ≥1 identical chunk).
+    Candidates join on chunk equality; exact popcount verifies."""
+    sig = simhash_signatures(df, id_col, text_col).persist()
+    chunks = sig.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftright(F.col("simhash"), 16 * c)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("id", "simhash", F.col("cc.chunk_id").alias("chunk_id"), F.col("cc.chunk").alias("chunk"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,207 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two execution strategies, one semantic:
+- brute-force top-k — broadcast the query side, JVM-side dot products via
+  F.aggregate/zip_with, per-query top-k via window. Exact; the baseline and
+  the verifier for the approximate path.
+- LSH-bucketed (random hyperplane signatures) — signature via one
+  Arrow-batched pandas UDF (matrix multiply per batch), band-bucket join for
+  candidates, exact re-rank of candidates only. The 100 TB path: candidate
+  generation is a hash-partitioned equi-join instead of a cross product.
+
+(Reference repo has no similarity ops; these are north-star extensions —
+BASELINE.json. Public grounding: random-hyperplane LSH, Charikar 2002.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ — JVM-side left-to-right fold (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v)
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (excluding self-matches).
+    Plan: broadcast(queries) nested-loop join — scans the corpus ONCE
+    regardless of query count; per-query top-k via window over the hash-
+    partitioned query key. Ties broken by corpus id (deterministic)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast(ArrayType(DoubleType())).alias("qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast(ArrayType(DoubleType())).alias("cv"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """All pairs (a < b) with cosine ≥ threshold — embedding-based near-dup
+    detection. Self-join; at scale use `lsh_near_dup_pairs`."""
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).cast(ArrayType(DoubleType())).alias("va"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).cast(ArrayType(DoubleType())).alias("vb"),
+    )
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine_expr(F.col("va"), F.col("vb")).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH (approximate path)
+# ---------------------------------------------------------------------------
+
+
+def hyperplane_signatures(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """sign(R·v) packed into n_bits/16 16-bit bucket chunks. One pandas UDF
+    (Arrow batch → numpy matmul) — the only Python in the pipeline, O(n·d·b)
+    flops done by BLAS."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType as AT, LongType
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_bits))
+    n_chunks = n_bits // 16
+    weights = (1 << np.arange(16, dtype=np.int64))
+
+    def _sig_fn(vecs):
+        M = np.vstack(vecs.to_numpy())  # batch × dim
+        bits = (M @ planes) > 0  # batch × n_bits
+        chunks = [
+            (bits[:, c * 16 : (c + 1) * 16] @ weights).astype(np.int64)
+            for c in range(n_chunks)
+        ]
+        return pd.Series(list(np.stack(chunks, axis=1)))
+
+    _sig = pandas_udf(_sig_fn, returnType=AT(LongType()))
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        _sig(F.col(vec_col)).alias("chunks"),
+    )
+
+
+def lsh_near_dup_pairs(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_bits: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine near-dup: candidates share ≥1 signature chunk
+    (16 random hyperplanes agreeing → cos likely high); exact cosine
+    re-rank keeps only true pairs ≥ threshold. Recall for θ=0.95
+    (angle ≈ 18°): P(chunk match) = (1−18/180)^16 ≈ 0.19 per chunk,
+    ≥1-of-4 ≈ 0.57 — raise n_bits/chunks for higher recall; exact re-rank
+    keeps precision at 1.0."""
+    sig = hyperplane_signatures(df, dim, id_col, vec_col, n_bits, seed)
+    n_chunks = n_bits // 16
+    exploded = sig.select(
+        "id",
+        "vec",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.col("chunks")[c].alias("chunk"),
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("cc"),
+    ).select("id", "vec", "cc.chunk_id", "cc.chunk")
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.vec").alias("va"),
+            F.col("b.vec").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            cosine_expr(
+                F.col("va").cast(ArrayType(DoubleType())),
+                F.col("vb").cast(ArrayType(DoubleType())),
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,152 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+tokenization, quality scoring, language ID, fingerprinting.
+
+All hot paths are pure Spark SQL expressions (whole-stage codegen; no Python
+in the row loop). Every operator has an exactly-equivalent ANSI-SQL oracle
+(see __spark_entry__.oracle_sql) — expressions avoid engine-specific
+semantics (regex classes are spelled out, hashes are explicit polynomial
+arithmetic, ratios are single divisions of exact integer counts).
+
+These extend the reference's surface (it has no text ops) per the north star
+(BASELINE.json: "LLM-data-pipeline operators ... designed for 100 TB scale").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small per-language stopword profiles (public common words). Deterministic
+# language-ID heuristic: most stopword hits wins, ties broken by language
+# code order.
+LANG_PROFILES: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu"],
+    "en": ["the", "a", "and", "is", "not", "with", "of", "to", "in", "it"],
+    "es": ["el", "la", "los", "las", "es", "no", "con", "una", "que", "de"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "avec", "une", "que", "des"],
+    "zh": ["de", "shi", "bu", "le", "zai", "ren", "you", "wo", "ta", "zhe"],
+}
+
+EN_STOPWORDS = ["the", "a", "an", "and", "or", "is", "are", "was", "to", "of",
+                "in", "on", "it", "that", "this", "with", "for", "as", "be"]
+
+_WS = r"\s+"
+
+
+def tokens_expr(text: Column) -> Column:
+    """Whitespace tokenization of trimmed text → array<string>."""
+    return F.split(F.trim(text), _WS)
+
+
+def token_count_expr(text: Column) -> Column:
+    """Token count; empty/blank text counts 0."""
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
+        F.size(tokens_expr(text))
+    )
+
+
+def stopword_hits_expr(text: Column, words: list[str]) -> Column:
+    """# tokens (lowercased) that are in `words` — an integer, so the
+    downstream ratio is a single exact division."""
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens_expr(F.lower(text)), lambda t: F.array_contains(arr, t)))
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality metrics (one projection, no shuffle):
+    n_chars, n_tokens, avg_token_len, stopword_ratio, alpha_ratio,
+    digit_ratio, space_ratio."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = token_count_expr(t)
+    # character-class counts via length-difference (engine-portable)
+    n_digit = n_chars - F.length(F.regexp_replace(t, "[0-9]", ""))
+    n_alpha = n_chars - F.length(F.regexp_replace(t, "[a-zA-Z]", ""))
+    n_space = n_chars - F.length(F.regexp_replace(t, " ", ""))
+    hits = stopword_hits_expr(t, EN_STOPWORDS)
+
+    def ratio(num: Column, den: Column) -> Column:
+        # NULL on zero denominator — ANSI-safe in Spark, matches
+        # `num / nullif(den, 0)` in the DuckDB oracle
+        return F.when(den == 0, F.lit(None).cast("double")).otherwise(
+            num.cast("double") / den
+        )
+
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("bigint").alias("n_chars"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        ratio(n_chars, n_tokens).alias("avg_token_len"),
+        ratio(hits, n_tokens).alias("stopword_ratio"),
+        ratio(n_alpha, n_chars).alias("alpha_ratio"),
+        ratio(n_digit, n_chars).alias("digit_ratio"),
+        ratio(n_space, n_chars).alias("space_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Composite 0-1 quality score: penalize very short docs, low alpha
+    ratio, low stopword ratio. Weights are fixed, arithmetic exact given the
+    stats (oracle-checkable)."""
+    s = text_stats(df, text_col, id_col)
+    len_score = F.least(F.col("n_tokens").cast("double") / F.lit(50.0), F.lit(1.0))
+    score = (
+        F.lit(0.4) * len_score
+        + F.lit(0.3) * F.coalesce(F.col("alpha_ratio"), F.lit(0.0))
+        + F.lit(0.3)
+        * F.least(F.coalesce(F.col("stopword_ratio"), F.lit(0.0)) * F.lit(5.0), F.lit(1.0))
+    )
+    return s.select(id_col, "n_tokens", score.alias("quality_score"))
+
+
+def language_id(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    profiles: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """N-gram/stopword-profile language ID: hits per language profile,
+    argmax with deterministic lang-code tie-break. Integer scores →
+    engine-portable."""
+    profiles = profiles or LANG_PROFILES
+    t = F.col(text_col)
+    hit_cols = [
+        stopword_hits_expr(t, words).alias(f"hits_{lang}")
+        for lang, words in sorted(profiles.items())
+    ]
+    scored = df.select(F.col(id_col), *hit_cols)
+    langs = sorted(profiles)
+    # argmax via greatest + chained when (first lang in sorted order wins ties)
+    best = F.greatest(*[F.col(f"hits_{lg}") for lg in langs])
+    pick = F.when(F.col(f"hits_{langs[0]}") == best, langs[0])
+    for lg in langs[1:]:
+        pick = pick.when(F.col(f"hits_{lg}") == best, lg)
+    return scored.select(
+        id_col,
+        pick.alias("detected_lang"),
+        best.cast("bigint").alias("lang_score"),
+    )
+
+
+# Polynomial rolling-hash fingerprint: h = Σ h*31 + code(char) (mod 1e9+7).
+# M chosen so acc*31 + 65535 < 2^63 (no overflow under ANSI arithmetic in
+# either engine); implementable verbatim in DuckDB via list_reduce.
+_FP_MOD = 1_000_000_007
+
+
+def fingerprint_expr(text: Column) -> Column:
+    """Deterministic content fingerprint (rolling hash over characters)."""
+    chars = F.split(text, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("bigint"),
+        lambda acc, ch: (acc * F.lit(31) + F.ascii(ch)) % F.lit(_FP_MOD),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc rolling-hash fingerprint — the exact-dedup / shard-assignment
+    key for 100 TB pipelines (content-addressed, no text shuffle needed)."""
+    return df.select(
+        F.col(id_col), fingerprint_expr(F.col(text_col)).alias("fingerprint")
+    )

@@ -47,7 +47,21 @@ def get_spark(app_name: str = "sparkglm", master: str | None = None) -> SparkSes
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Read one testdata table. The `events` table carries nanosecond
+    parquet timestamps (unsupported natively): read nanos as long and
+    convert to a microsecond timestamp column."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        return df
+    return spark.read.parquet(path)
 
 
 def read_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

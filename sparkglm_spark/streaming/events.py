@@ -1,0 +1,97 @@
+"""Event-stream operators: the same declarative core serves batch
+(testdata `events` table) and Structured Streaming (readStream + watermark).
+
+The transformation is a function DataFrame→DataFrame; in streaming mode the
+caller supplies `readStream` input and gets watermark + append-mode-safe
+windowed aggregation — identical results to the batch run over the same
+data (event-time semantics, not arrival-time).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_event_stats(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str | None = None,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling-window per-event-type stats: count, distinct users, value
+    sum/mean. Batch: plain window agg. Streaming: pass `watermark` (e.g.
+    '2 hours') — late rows beyond it are dropped, enabling append output.
+
+    distinct users uses approx_count_distinct in streaming mode (exact
+    distinct needs the whole window state); exact in batch.
+    """
+    df = events
+    streaming = df.isStreaming
+    if streaming:
+        if watermark is None:
+            watermark = "2 hours"
+        df = df.withWatermark(ts_col, watermark)
+    uniq = (
+        F.approx_count_distinct("user_id")
+        if streaming
+        else F.count_distinct("user_id")
+    )
+    return (
+        df.groupBy(
+            F.window(F.col(ts_col), window).alias("win"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            uniq.alias("n_users"),
+            F.sum("value").alias("value_sum"),
+            F.avg("value").alias("value_avg"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "n_users",
+            "value_sum",
+            "value_avg",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Session aggregation with a dynamic gap window (session_window) —
+    works in batch and streaming (streaming requires a watermark set by the
+    caller)."""
+    return (
+        events.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("sess"),
+            F.col(user_col),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("value_sum"),
+        )
+        .select(
+            F.col(user_col),
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def stream_from_events_table(spark, sf_dir: str):
+    """Streaming source over the events parquet (file micro-batches) — used
+    by tests to prove the same core runs under readStream."""
+    import os
+
+    batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return spark.readStream.schema(batch.schema).parquet(sf_dir + "/events.parquet")

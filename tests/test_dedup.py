@@ -1,0 +1,119 @@
+"""Dedup operators vs pure-Python oracles."""
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkglm_spark.operators import dedup as D
+
+
+def py_shingles(s, n=3):
+    s = s.lower()
+    return {s[i : i + n] for i in range(len(s) - n + 1)}
+
+
+def py_jaccard(a, b):
+    i = len(a & b)
+    return i / (len(a) + len(b) - i) if (a or b) else 0.0
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base + " extra"),  # near dup of 0
+        (3, "a completely different text about spark dataframes and shuffles"),
+        (4, "a completely different text about spark dataframes and shuffle"),  # near dup of 3
+        (5, "yet another unrelated document mentioning nothing similar"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(dup_docs):
+    out = D.exact_dedup(dup_docs, ["text"], "doc_id")
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [0, 2, 3, 4, 5]  # doc 1 removed, doc 0 kept (min id)
+
+
+def test_exact_dedup_hashed_same_result(dup_docs):
+    out = D.exact_dedup_hashed(dup_docs, "text", "doc_id")
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [0, 2, 3, 4, 5]
+
+
+def test_duplicate_groups(dup_docs):
+    out = D.duplicate_groups(dup_docs, ["text"], "doc_id").collect()
+    assert len(out) == 1
+    assert out[0]["canonical_id"] == 0 and out[0]["group_size"] == 2
+
+
+def test_shingles_match_python(dup_docs):
+    sh = D.shingles(dup_docs, "doc_id", "text", n=3)
+    got = {}
+    for r in sh.collect():
+        got.setdefault(r["id"], set()).add(r["shingle"])
+    for r in dup_docs.collect():
+        assert got.get(r["doc_id"], set()) == py_shingles(r["text"]), r["doc_id"]
+
+
+def test_jaccard_pairs_match_python(dup_docs):
+    texts = {r["doc_id"]: r["text"] for r in dup_docs.collect()}
+    expected = {}
+    for a, b in itertools.combinations(sorted(texts), 2):
+        j = py_jaccard(py_shingles(texts[a]), py_shingles(texts[b]))
+        if j >= 0.5:
+            expected[(a, b)] = j
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.jaccard_pairs(dup_docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert set(got) == set(expected)
+    for k in got:
+        assert got[k] == pytest.approx(expected[k], rel=1e-12)
+
+
+def test_minhash_equals_exact_jaccard(dup_docs):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in D.jaccard_pairs(dup_docs, "doc_id", "text", threshold=0.8).collect()
+    }
+    mh = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_dedup_pairs(
+            dup_docs, "doc_id", "text", threshold=0.8
+        ).collect()
+    }
+    assert mh == exact  # P(miss) ≈ 5e-8 at these params
+
+
+def test_minhash_on_documents_table(documents):
+    """Real corpus: minhash-verified pairs ≡ exact pairs (recall check)."""
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.jaccard_pairs(documents, "doc_id", "text", threshold=0.8).collect()
+    }
+    mh = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.minhash_dedup_pairs(documents, "doc_id", "text", threshold=0.8).collect()
+    }
+    assert set(mh) == set(exact)
+    for k in mh:
+        assert mh[k] == pytest.approx(exact[k], rel=1e-12)
+
+
+def test_simhash_near_dups(dup_docs):
+    out = D.simhash_near_dup_pairs(dup_docs, "doc_id", "text", max_hamming=3)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (0, 1) in pairs  # identical docs → hamming 0
+    hams = {(r["id_a"], r["id_b"]): r["hamming"] for r in out.collect()}
+    assert hams[(0, 1)] == 0
+
+
+def test_simhash_signature_deterministic(dup_docs):
+    s1 = {r["id"]: r["simhash"] for r in D.simhash_signatures(dup_docs, "doc_id", "text").collect()}
+    s2 = {r["id"]: r["simhash"] for r in D.simhash_signatures(dup_docs, "doc_id", "text").collect()}
+    assert s1 == s2
+    assert s1[0] == s1[1]  # identical text → identical signature

@@ -1,0 +1,57 @@
+"""Multimodal plumbing: schema, dedup-before-decode, Arrow feature
+extraction with the deterministic fake decoder."""
+
+import numpy as np
+import pytest
+
+from sparkglm_spark.operators import multimodal as MM
+
+
+@pytest.fixture(scope="module")
+def media(documents):
+    return MM.synth_media_from_documents(documents).persist()
+
+
+def test_media_schema(media):
+    assert [f.name for f in media.schema.fields] == ["media_id", "kind", "payload", "meta"]
+    assert media.schema["payload"].dataType.typeName() == "binary"
+    meta_fields = [f.name for f in media.schema["meta"].dataType.fields]
+    assert meta_fields == ["width", "height", "duration_ms", "codec"]
+
+
+def test_content_dedup(media, spark):
+    n = media.count()
+    deduped = MM.media_content_dedup(media)
+    assert deduped.count() == n  # corpus has no payload dups
+    # inject a duplicate payload → removed, min id wins
+    one = media.limit(1).collect()[0]
+    dup = spark.createDataFrame(
+        [(999999, one["kind"], one["payload"], one["meta"])], media.schema
+    )
+    with_dup = media.unionByName(dup)
+    after = MM.media_content_dedup(with_dup)
+    assert after.count() == n
+    assert after.where("media_id = 999999").count() == 0
+
+
+def test_extract_features_matches_local(media, documents):
+    feats = {r["media_id"]: r["features"] for r in MM.extract_features(media).collect()}
+    for r in documents.limit(20).collect():
+        local = MM.fake_decode_features(r["text"].encode("utf-8"))
+        np.testing.assert_allclose(np.array(feats[r["doc_id"]]), local, rtol=1e-12)
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        MM.decode_image(b"\xff\xd8\xff")
+
+
+def test_frame_sample_plan(documents):
+    media = MM.synth_media_from_documents(documents, kind="video")
+    plan = MM.frame_sample_plan(media, every_ms=1000)
+    rows = plan.limit(50).collect()
+    assert all(r["ts_ms"] == r["frame_idx"] * 1000 for r in rows)
+    one = media.limit(1).collect()[0]
+    expect_frames = max(one["meta"]["duration_ms"] // 1000, 1)
+    got = plan.where(f"media_id = {one['media_id']}").count()
+    assert got == expect_frames

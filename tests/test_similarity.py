@@ -1,0 +1,99 @@
+"""Similarity search vs numpy brute-force oracle on the embeddings table."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sparkglm_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def emb_np(embeddings):
+    rows = embeddings.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    M = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    return ids[order], M[order]
+
+
+def np_cosine_matrix(M):
+    norms = np.linalg.norm(M, axis=1)
+    return (M @ M.T) / np.outer(norms, norms)
+
+
+def test_cosine_topk_matches_numpy(embeddings, emb_np):
+    ids, M = emb_np
+    k = 5
+    queries = embeddings.limit(20)
+    got = S.cosine_topk(embeddings, queries, k=k).collect()
+    C = np_cosine_matrix(M)
+    id_to_idx = {int(v): i for i, v in enumerate(ids)}
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        assert len(rows) == k
+        qi = id_to_idx[qid]
+        sims = C[qi].copy()
+        sims[qi] = -np.inf  # exclude self
+        # oracle top-k with (cos desc, id asc) tie-break
+        order = sorted(range(len(ids)), key=lambda j: (-sims[j], ids[j]))[:k]
+        expect_ids = [int(ids[j]) for j in order]
+        got_ids = [r["neighbor_id"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert got_ids == expect_ids
+        for r in rows:
+            assert r["cosine"] == pytest.approx(C[qi, id_to_idx[r["neighbor_id"]]], rel=1e-9)
+
+
+def test_cosine_near_dup_pairs(embeddings, emb_np):
+    ids, M = emb_np
+    C = np_cosine_matrix(M)
+    thr = 0.9
+    expect = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if C[i, j] >= thr:
+                expect.add((int(ids[i]), int(ids[j])))
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in S.cosine_near_dup_pairs(embeddings, threshold=thr).collect()
+    }
+    assert got == expect
+
+
+def test_lsh_near_dup_subset_of_exact_with_recall(embeddings, emb_np):
+    """LSH output ⊆ exact pairs (precision 1.0 by construction via re-rank);
+    recall measured and bounded below."""
+    ids, M = emb_np
+    C = np_cosine_matrix(M)
+    thr = 0.9
+    exact = {
+        (int(ids[i]), int(ids[j]))
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if C[i, j] >= thr
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in S.lsh_near_dup_pairs(
+            embeddings, dim=M.shape[1], threshold=thr, n_bits=256
+        ).collect()
+    }
+    assert got <= exact
+    if exact:
+        recall = len(got) / len(exact)
+        assert recall >= 0.5, f"recall {recall}"
+
+
+def test_dot_norm_exprs(spark):
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 3.0], [4.0, 5.0, 6.0])], "a array<double>, b array<double>"
+    )
+    r = df.select(
+        S.dot_expr(F.col("a"), F.col("b")).alias("d"),
+        S.norm_expr(F.col("a")).alias("na"),
+        S.cosine_expr(F.col("a"), F.col("b")).alias("c"),
+    ).collect()[0]
+    assert r["d"] == pytest.approx(32.0)
+    assert r["na"] == pytest.approx(np.sqrt(14.0))
+    assert r["c"] == pytest.approx(32.0 / (np.sqrt(14) * np.sqrt(77)), rel=1e-12)

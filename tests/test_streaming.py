@@ -1,0 +1,98 @@
+"""Streaming: the same windowed core in batch and under readStream, with
+watermark semantics."""
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkglm_spark.streaming.events import (
+    sessionize,
+    windowed_event_stats,
+)
+
+
+from sparkglm_spark.session import read_table
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return read_table(spark, sf_dir, "events")
+
+
+def test_windowed_stats_batch_matches_sql(spark, events, sf_dir):
+    got = windowed_event_stats(events, window="1 hour")
+    events.createOrReplaceTempView("ev")
+    expect = spark.sql(
+        """
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+               sum(value) AS value_sum
+        FROM ev GROUP BY 1, 2
+        """
+    )
+    g = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["n_users"])
+        for r in got.collect()
+    }
+    e = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["n_users"])
+        for r in expect.collect()
+    }
+    assert g == e
+
+
+def test_windowed_stats_streaming_equals_batch(spark, events, sf_dir):
+    """Run the SAME core under readStream (file source, availableNow) and
+    compare with the batch result — event-time equivalence."""
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))  # ts as long (nanos)
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        os.makedirs(src)
+        os.symlink(
+            os.path.join(sf_dir, "events.parquet"), os.path.join(src, "events.parquet")
+        )
+        stream_in = (
+            spark.readStream.schema(raw.schema)
+            .parquet(src)
+            .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        )
+        out = windowed_event_stats(stream_in, window="1 hour", watermark="100 days")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("win_stats")
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("SELECT * FROM win_stats").collect()
+    batch = windowed_event_stats(events, window="1 hour").collect()
+    key = lambda r: (r["window_start"], r["event_type"])
+    g = {key(r): r["n_events"] for r in got}
+    b = {key(r): r["n_events"] for r in batch}
+    assert g == b
+    assert len(g) > 0
+
+
+def test_sessionize_basic(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00", 1.0),
+        (1, "2024-01-01 00:10:00", 2.0),  # same session (gap 30m)
+        (1, "2024-01-01 02:00:00", 3.0),  # new session
+        (2, "2024-01-01 00:05:00", 4.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string, value double").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = sessionize(df, gap="30 minutes").collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert len(by_user[1]) == 2
+    assert len(by_user[2]) == 1
+    s1 = sorted(by_user[1], key=lambda r: r["session_start"])
+    assert s1[0]["n_events"] == 2 and s1[0]["value_sum"] == 3.0
+    assert s1[1]["n_events"] == 1
