@@ -1,38 +1,913 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` — flagship query smoke check on sf0.001.
+`queries()` — one entry per implemented operator from SURVEY.md §2 plus the
+north-star extension ops; each callable (spark, sf_dir) → DataFrame.
+`oracle_sql()` — equivalent DuckDB ANSI SQL per query (omitted only for
+genuinely non-SQL-expressible ops: GLM IRLS fit, pandas-UDF feature
+extraction → rows-only checks).
+
+Determinism strategy (Spark vs DuckDB value-hash):
+- money-style aggregates run in DECIMAL (exact, engine-independent), final
+  CAST to DOUBLE → bit-identical;
+- integer counts/ratios are exact; single double divisions are IEEE-
+  deterministic;
+- transcendental per-row kernels (log/exp) are rounded to 6 decimals
+  (both engines within ulps — rounding margin ≫ divergence);
+- fitted coefficients are rounded to the digit where numpy-solve vs SQL
+  closed-form agree (documented per query).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkglm_spark.session import read_table
+
+DEC = "decimal(18,6)"  # product = decimal(37,12): exact, fits both engines
+
+
+def _dec(c):
+    return F.col(c).cast(DEC) if isinstance(c, str) else c.cast(DEC)
+
+
+def _sum_dec(expr) -> F.Column:
+    return F.sum(expr).cast("double")
+
+
+# ===========================================================================
+# §2.2 projections / encoding (reference: modelMatrix.scala, utils.scala)
+# ===========================================================================
+
+
+def q_model_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1/P3/P5: model_matrix on lineitem categoricals + numerics
+    (modelMatrix.scala:18-30)."""
+    from sparkglm_spark.functions.encoding import model_matrix
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_linestatus"
+    )
+    return model_matrix(
+        li, levels={"l_returnflag": ["A", "N", "R"], "l_linestatus": ["F", "O"]}
+    )
+
+
+SQL_MODEL_MATRIX_LINEITEM = """
+SELECT CAST(l_orderkey AS DOUBLE) AS l_orderkey,
+       CAST(l_linenumber AS DOUBLE) AS l_linenumber,
+       CAST(l_quantity AS DOUBLE) AS l_quantity,
+       CASE WHEN l_returnflag = 'N' THEN 1.0 ELSE 0.0 END AS l_returnflag_N,
+       CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS l_returnflag_R,
+       CASE WHEN l_linestatus = 'O' THEN 1.0 ELSE 0.0 END AS l_linestatus_O
+FROM lineitem
+"""
+
+
+def q_match_cols_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: match_cols zero-backfill of a predictor column absent from the
+    data (utils.scala:21-33)."""
+    from sparkglm_spark.functions.encoding import match_cols, model_matrix
+
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal", "c_mktsegment")
+    enc = model_matrix(
+        cust,
+        levels={
+            "c_mktsegment": ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+        },
+    )
+    return match_cols(
+        enc,
+        ["c_custkey", "c_acctbal", "c_mktsegment_BUILDING", "c_mktsegment_MISSING"],
+    )
+
+
+SQL_MATCH_COLS_CUSTOMER = """
+SELECT CAST(c_custkey AS DOUBLE) AS c_custkey,
+       CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+       CASE WHEN c_mktsegment = 'BUILDING' THEN 1.0 ELSE 0.0 END AS c_mktsegment_BUILDING,
+       0.0 AS c_mktsegment_MISSING
+FROM customer
+"""
+
+
+def q_distinct_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9/O1: sorted distinct category levels (modelMatrix.scala:56-58)."""
+    from sparkglm_spark.functions.encoding import get_levels
+
+    li = read_table(spark, sf_dir, "lineitem")
+    rows = [("l_returnflag", lvl) for lvl in get_levels(li, "l_returnflag")] + [
+        ("l_linestatus", lvl) for lvl in get_levels(li, "l_linestatus")
+    ]
+    return spark.createDataFrame(rows, "col string, level string")
+
+
+SQL_DISTINCT_LEVELS = """
+SELECT 'l_returnflag' AS col, l_returnflag AS level FROM lineitem GROUP BY 2
+UNION ALL
+SELECT 'l_linestatus' AS col, l_linestatus AS level FROM lineitem GROUP BY 2
+"""
+
+
+def q_omit_na_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/P4: omit_na + cast_all (utils.R:24-27, modelMatrix.scala:79-85)."""
+    from sparkglm_spark.functions.encoding import cast_all, omit_na
+
+    sup = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey", "s_acctbal")
+    return cast_all(omit_na(sup))
+
+
+SQL_OMIT_NA_CAST = """
+SELECT CAST(s_suppkey AS DOUBLE) AS s_suppkey,
+       CAST(s_nationkey AS DOUBLE) AS s_nationkey,
+       CAST(s_acctbal AS DOUBLE) AS s_acctbal
+FROM supplier
+WHERE s_suppkey IS NOT NULL AND s_nationkey IS NOT NULL AND s_acctbal IS NOT NULL
+"""
+
+
+# ===========================================================================
+# §2.4 aggregations: Gram matrices (reference: LM.scala:142-155,
+# utils.scala:83-100 — partial-agg + tree-reduce → here one SQL agg)
+# ===========================================================================
+
+_GRAM_COLS = ["l_quantity", "l_discount", "l_tax", "l_extendedprice"]
+
+
+def q_gram_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A3: Gram matrix upper triangle (X'X with y appended) in exact
+    decimal, long format (term, value)."""
+    from sparkglm_spark.plans.gram import gram_query
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return gram_query(li, _GRAM_COLS[:3], y_col=_GRAM_COLS[3], decimal=True)
+
+
+def _sql_gram(cols: list[str]) -> str:
+    parts = []
+    for i in range(len(cols)):
+        for j in range(i, len(cols)):
+            a, b = cols[i], cols[j]
+            parts.append(
+                f"SELECT '{a}__{b}' AS term, "
+                f"CAST(CAST(SUM(CAST({a} AS DECIMAL(19,6)) * CAST({b} AS DECIMAL(19,6))) AS DECIMAL(38,6)) AS VARCHAR) AS value "
+                f"FROM lineitem"
+            )
+    return " UNION ALL ".join(parts) + " ORDER BY term"
+
+
+SQL_GRAM_LINEITEM = _sql_gram(_GRAM_COLS)
+
+
+def q_gram_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: weighted Gram (X'WX core of WLS — utils.scala:83-100), weight =
+    l_quantity, exact decimal (9,3)·(12,4)·(12,4) → (35,11) fits 38."""
+    li = read_table(spark, sf_dir, "lineitem")
+    w = F.col("l_quantity").cast("decimal(9,3)")
+    cols = ["l_discount", "l_tax", "l_extendedprice"]
+    aggs, names = [], []
+    for i in range(len(cols)):
+        for j in range(i, len(cols)):
+            a = F.col(cols[i]).cast("decimal(12,4)")
+            b = F.col(cols[j]).cast("decimal(12,4)")
+            nm = f"{cols[i]}__{cols[j]}"
+            aggs.append(
+                F.sum(w * a * b).cast("decimal(38,6)").cast("string").alias(nm)
+            )
+            names.append(nm)
+    wide = li.agg(*aggs)
+    stack = "stack({n}, {args}) as (term, value)".format(
+        n=len(names), args=", ".join(f"'{nm}', {nm}" for nm in names)
+    )
+    return wide.selectExpr(stack).orderBy("term")
+
+
+def _sql_gram_weighted() -> str:
+    cols = ["l_discount", "l_tax", "l_extendedprice"]
+    parts = []
+    for i in range(len(cols)):
+        for j in range(i, len(cols)):
+            a, b = cols[i], cols[j]
+            parts.append(
+                f"SELECT '{a}__{b}' AS term, "
+                f"CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,3)) * CAST({a} AS DECIMAL(19,4)) * CAST({b} AS DECIMAL(19,4))) AS DECIMAL(38,6)) AS VARCHAR) AS value "
+                f"FROM lineitem"
+            )
+    return " UNION ALL ".join(parts) + " ORDER BY term"
+
+
+SQL_GRAM_WEIGHTED = _sql_gram_weighted()
+
+
+def q_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/A10/A11: count / sum / mean / min / max (LM.scala:167-168,247;
+    GLM.scala:420-423)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
+
+    def dstr(c):
+        return F.sum(_dec(c)).cast("decimal(38,6)").cast("string")
+
+    return li.agg(
+        n.alias("n_rows"),
+        dstr("l_quantity").alias("sum_qty"),
+        F.round(F.sum(_dec("l_quantity")).cast("double") / n, 6).alias("mean_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        dstr("l_extendedprice").alias("sum_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+SQL_COLUMN_STATS = """
+SELECT count(*) AS n_rows,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))) AS DECIMAL(38,6)) AS VARCHAR) AS sum_qty,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) / count(*), 6) AS mean_qty,
+       MIN(l_quantity) AS min_qty,
+       MAX(l_quantity) AS max_qty,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6))) AS DECIMAL(38,6)) AS VARCHAR) AS sum_price,
+       MAX(l_extendedprice) AS max_price
+FROM lineitem
+"""
+
+
+# ===========================================================================
+# §2.11 LM (reference: LM.scala) — fit, stats, predict
+# ===========================================================================
+
+
+def q_lm_fit_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2: OLS l_extendedprice ~ l_quantity via the engine's Gram+solve
+    path. Oracle: closed-form Cramer from exact decimal sums. Both rounded
+    to 1 decimal (double-sum vs decimal-sum Gram divergence ≲1e-4 abs at
+    this conditioning; rounding margin 0.05 ≫)."""
+    from sparkglm_spark.operators.lm import lm
+
+    li = read_table(spark, sf_dir, "lineitem")
+    model = lm(li, "l_extendedprice ~ l_quantity")
+    rows = [(name, round(float(c), 1)) for name, c in zip(model.xnames, model.coefs)]
+    return spark.createDataFrame(rows, "term string, coef double").orderBy("term")
+
+
+SQL_LM_FIT_SIMPLE = """
+WITH s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS sxy
+  FROM lineitem)
+SELECT 'intercept' AS term, ROUND((sy * sxx - sx * sxy) / (n * sxx - sx * sx), 1) AS coef FROM s
+UNION ALL
+SELECT 'l_quantity' AS term, ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 1) AS coef FROM s
+ORDER BY term
+"""
+
+
+def q_lm_fit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2/M4: R² and n from the same fit (LM.scala:185,206-207), R² rounded
+    to 5 (divergence ≲1e-9)."""
+    from sparkglm_spark.operators.lm import lm
+
+    li = read_table(spark, sf_dir, "lineitem")
+    model = lm(li, "l_extendedprice ~ l_quantity")
+    return spark.createDataFrame(
+        [(round(model.r2, 5), model.nrow)], "r2 double, n_rows bigint"
+    )
+
+
+SQL_LM_FIT_STATS = """
+WITH s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, count(*) AS n_rows,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS syy
+  FROM lineitem)
+SELECT ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 5) AS r2,
+       n_rows
+FROM s
+"""
+
+
+def q_lm_predict_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3: predict as a pure Catalyst linear combination with fixed
+    coefficients (LM.scala:29-61 surface, no RDD round-trip). Bit-exact:
+    identical left-associated double arithmetic in both engines."""
+    import numpy as np
+
+    from sparkglm_spark.operators.lm import LM
+
+    li = read_table(spark, sf_dir, "lineitem")
+    model = LM(
+        xnames=["intercept", "l_quantity", "l_discount"],
+        yname="l_extendedprice",
+        coefs=np.array([-1000.0, 150.0, 2000.0]),
+        std_err=np.zeros(3),
+        sigma=0.0,
+        r2=0.0,
+        f_stat=0.0,
+        nrow=0,
+    )
+    return model.predict(li).select("l_orderkey", "l_linenumber", "prediction")
+
+
+SQL_LM_PREDICT_FIXED = """
+SELECT l_orderkey, l_linenumber,
+       -1000.0 * 1.0 + 150.0 * CAST(l_quantity AS DOUBLE) + 2000.0 * CAST(l_discount AS DOUBLE) AS prediction
+FROM lineitem
+"""
+
+
+# ===========================================================================
+# §2.11 GLM (reference: GLM.scala) — kernels oracle-checked; full IRLS fit
+# is iterative (rows-only check)
+# ===========================================================================
+
+_GB0, _GB1 = -0.4, 2.0e-6  # fixed beta for kernel queries
+
+
+def q_glm_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F4 + IRLS z/w (GLM.scala:125-129,190-204,282-290): logit-link
+    kernels at fixed β over orders; per-row transcendentals rounded to 6."""
+    from sparkglm_spark.functions.links import Logit, variance_binomial
+
+    od = read_table(spark, sf_dir, "orders")
+    y = F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0)
+    m = F.lit(1.0)
+    eta = F.lit(_GB0) + F.lit(_GB1) * F.col("o_totalprice")
+    lnk = Logit()
+    mu = lnk.unlink(eta, m)
+    grad = lnk.lprime(mu, m)
+    w = F.lit(1.0) / (variance_binomial(mu, m) * grad * grad)
+    z = eta + (y - mu) * grad
+    return od.select(
+        "o_orderkey",
+        F.round(mu, 6).alias("mu"),
+        F.round(w, 6).alias("w"),
+        F.round(z, 6).alias("z"),
+    )
+
+
+SQL_GLM_KERNELS = f"""
+WITH base AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y,
+         {_GB0} + {_GB1} * o_totalprice AS eta
+  FROM orders),
+k AS (
+  SELECT o_orderkey, y, eta,
+         1.0 / (1.0 + exp(-eta)) AS mu
+  FROM base),
+k2 AS (
+  SELECT o_orderkey, y, eta, mu,
+         mu * (1.0 - mu / 1.0) AS var,
+         1.0 / (mu * (1.0 - mu)) AS grad
+  FROM k)
+SELECT o_orderkey,
+       ROUND(mu, 6) AS mu,
+       ROUND(1.0 / (var * grad * grad), 6) AS w,
+       ROUND(eta + (y - mu) * grad, 6) AS z
+FROM k2
+"""
+
+
+def q_glm_deviance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 deviance aggregate at fixed β (devBinomial, GLM.scala:162-170),
+    rounded to 3 (ulp-sum divergence ≪ 1e-6)."""
+    from sparkglm_spark.functions.links import Logit, deviance_binomial_expr
+
+    od = read_table(spark, sf_dir, "orders")
+    y = F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0)
+    m = F.lit(1.0)
+    eta = F.lit(_GB0) + F.lit(_GB1) * F.col("o_totalprice")
+    mu = Logit().unlink(eta, m)
+    return od.agg(
+        F.round(F.lit(2.0) * F.sum(deviance_binomial_expr(y, mu, m)), 3).alias("deviance")
+    )
+
+
+SQL_GLM_DEVIANCE = f"""
+WITH k AS (
+  SELECT CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y,
+         1.0 / (1.0 + exp(-({_GB0} + {_GB1} * o_totalprice))) AS mu
+  FROM orders)
+SELECT ROUND(2.0 * SUM(
+         (CASE WHEN y = 0 THEN 0.0 ELSE y * ln(greatest(y, 1.0) / mu) END)
+       + (CASE WHEN 1.0 - y = 0 THEN 0.0 ELSE (1.0 - y) * ln(greatest(1.0 - y, 1.0) / (1.0 - mu)) END)
+       ), 3) AS deviance
+FROM k
+"""
+
+
+def q_glm_fit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7-M9: full binomial IRLS fit (iterative — rows-only check; numeric
+    oracle lives in tests/test_glm.py against driver-side IRLS)."""
+    from sparkglm_spark.operators.glm import glm
+
+    od = read_table(spark, sf_dir, "orders").withColumn(
+        "is_f", F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0)
+    )
+    model = glm(od, "is_f ~ o_totalprice", family="binomial", link="logit")
+    rows = [
+        (name, round(float(c), 6)) for name, c in zip(model.xnames, model.coefs)
+    ] + [
+        ("deviance", round(model.deviance, 3)),
+        ("null_deviance", round(model.null_deviance, 3)),
+        ("aic", round(model.aic, 3)),
+        ("iterations", float(model.iter)),
+    ]
+    return spark.createDataFrame(rows, "stat string, value double").orderBy("stat")
+
+
+# ===========================================================================
+# Relational coverage (joins/agg/sort/limit — free from Spark SQL, declared
+# for the harness; reference aligns tables positionally instead, SURVEY §2.3)
+# ===========================================================================
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: group-agg with decimal-exact sums."""
+    li = read_table(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    n = F.count(F.lit(1))
+
+    def dstr(e):
+        return F.sum(e).cast("decimal(38,6)").cast("string")
+
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2001-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dstr(_dec("l_quantity")).alias("sum_qty"),
+            dstr(_dec("l_extendedprice")).alias("sum_base_price"),
+            dstr(disc_price).alias("sum_disc_price"),
+            F.round(F.sum(_dec("l_quantity")).cast("double") / n, 6).alias("avg_qty"),
+            F.round(F.sum(_dec("l_discount")).cast("double") / n, 6).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))) AS DECIMAL(38,6)) AS VARCHAR) AS sum_qty,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6))) AS DECIMAL(38,6)) AS VARCHAR) AS sum_base_price,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6)) * (CAST(1 AS DECIMAL(19,6)) - CAST(l_discount AS DECIMAL(19,6)))) AS DECIMAL(38,6)) AS VARCHAR) AS sum_disc_price,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) / count(*), 6) AS avg_qty,
+       ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(19,6))) AS DOUBLE) / count(*), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: 3-way join + group + top-10 by revenue (broadcast
+    the dimension side; deterministic tie-break by key)."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(cust.where(F.col("c_mktsegment") == "BUILDING")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .where(F.col("o_orderdate") < F.lit("1998-01-01"))
+        .groupBy("l_orderkey")
+        .agg(F.sum(revenue).cast("decimal(38,6)").alias("rev_d"))
+        .orderBy(F.col("rev_d").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select("l_orderkey", F.col("rev_d").cast("string").alias("revenue"))
+    )
+
+
+SQL_TOP_ORDERS = """
+WITH agg AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6)) * (CAST(1 AS DECIMAL(19,6)) - CAST(l_discount AS DECIMAL(19,6)))) AS DECIMAL(38,6)) AS rev_d
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_orderkey)
+SELECT l_orderkey, CAST(rev_d AS VARCHAR) AS revenue
+FROM agg ORDER BY rev_d DESC, l_orderkey ASC LIMIT 10
+"""
+
+
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style: 5-way star join → revenue per nation (all dims
+    broadcast; one fact-table shuffle for the final group)."""
+    region = read_table(spark, sf_dir, "region")
+    nation = read_table(spark, sf_dir, "nation")
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .where(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("decimal(38,6)").alias("rev_d"))
+        .orderBy(F.col("rev_d").desc(), F.col("n_name"))
+        .select("n_name", F.col("rev_d").cast("string").alias("revenue"))
+    )
+
+
+SQL_REGION_REVENUE = """
+WITH agg AS (
+  SELECT n_name,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6)) * (CAST(1 AS DECIMAL(19,6)) - CAST(l_discount AS DECIMAL(19,6)))) AS DECIMAL(38,6)) AS rev_d
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+  GROUP BY n_name)
+SELECT n_name, CAST(rev_d AS VARCHAR) AS revenue
+FROM agg ORDER BY rev_d DESC, n_name
+"""
+
+
+# ===========================================================================
+# North-star extensions: dedup / similarity / text / multimodal / events
+# ===========================================================================
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    from sparkglm_spark.operators.dedup import exact_dedup_hashed
+
+    return exact_dedup_hashed(docs, "text", "doc_id").select("doc_id", "source")
+
+
+SQL_DEDUP_EXACT = """
+SELECT min(doc_id) AS doc_id, arg_min(source, doc_id) AS source
+FROM documents GROUP BY text
+"""
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    from sparkglm_spark.operators.dedup import jaccard_pairs
+
+    out = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+SQL_DEDUP_JACCARD = """
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct([substring(lower(text), i, 3) FOR i IN range(1, length(text) - 1)])) AS shingle
+  FROM documents),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
+"""
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH (128 perms, 32 bands) + exact verification — output
+    equals exact Jaccard pairs (P(miss at j≥0.8) ≈ 5e-8), so the exact
+    oracle applies."""
+    docs = read_table(spark, sf_dir, "documents")
+    from sparkglm_spark.operators.dedup import minhash_dedup_pairs
+
+    out = minhash_dedup_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+SQL_DEDUP_MINHASH = SQL_DEDUP_JACCARD
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    from sparkglm_spark.operators.similarity import cosine_topk
+
+    queries = emb.where(F.col("vec_id") < 50)
+    out = cosine_topk(emb, queries, k=3)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+SQL_SIMILARITY_TOPK = """
+WITH pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+           / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))) AS cosine
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 50 AND q.vec_id <> c.vec_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM pairs)
+SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine, rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+def q_similarity_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    from sparkglm_spark.operators.similarity import cosine_near_dup_pairs
+
+    out = cosine_near_dup_pairs(emb, threshold=0.35)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+SQL_SIMILARITY_NEARDUP = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+         / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cosine
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+      / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+         * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.35
+"""
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    from sparkglm_spark.operators.text import text_stats
+
+    return text_stats(docs)
+
+
+SQL_TEXT_STATS = r"""
+WITH t AS (
+  SELECT doc_id, text,
+         length(text) AS n_chars,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+         length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS n_alpha,
+         length(text) - length(replace(text, ' ', '')) AS n_space,
+         len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             x -> list_contains(['the','a','an','and','or','is','are','was','to','of','in','on','it','that','this','with','for','as','be'], x))) AS hits
+  FROM documents)
+SELECT doc_id, n_chars, n_tokens,
+       CAST(n_chars AS DOUBLE) / nullif(n_tokens, 0) AS avg_token_len,
+       CAST(hits AS DOUBLE) / nullif(n_tokens, 0) AS stopword_ratio,
+       CAST(n_alpha AS DOUBLE) / nullif(n_chars, 0) AS alpha_ratio,
+       CAST(n_digit AS DOUBLE) / nullif(n_chars, 0) AS digit_ratio,
+       CAST(n_space AS DOUBLE) / nullif(n_chars, 0) AS space_ratio
+FROM t
+"""
+
+
+def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    from sparkglm_spark.operators.text import language_id
+
+    return language_id(docs)
+
+
+def _sql_language_id() -> str:
+    from sparkglm_spark.operators.text import LANG_PROFILES
+
+    langs = sorted(LANG_PROFILES)
+    hits = ",\n         ".join(
+        "len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), "
+        f"x -> list_contains({LANG_PROFILES[lg]!r}, x))) AS hits_{lg}".replace("'", "'")
+        for lg in langs
+    )
+    hit_list = ", ".join(f"hits_{lg}" for lg in langs)
+    pick = "CASE " + " ".join(
+        f"WHEN hits_{lg} = best THEN '{lg}'" for lg in langs
+    ) + " END"
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         {hits}
+  FROM documents),
+b AS (SELECT doc_id, {hit_list}, greatest({hit_list}) AS best FROM t)
+SELECT doc_id, {pick} AS detected_lang, CAST(best AS BIGINT) AS lang_score FROM b
+"""
+
+
+SQL_TEXT_LANGUAGE_ID = _sql_language_id()
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    from sparkglm_spark.operators.text import fingerprint
+
+    return fingerprint(docs)
+
+
+SQL_TEXT_FINGERPRINT = """
+SELECT doc_id,
+       CASE WHEN length(text) = 0 THEN 0
+            ELSE list_reduce([CAST(ord(c) AS BIGINT) FOR c IN split(text, '')],
+                             (a, b) -> (a * 31 + b) % 1000000007) END AS fingerprint
+FROM documents
+"""
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    from sparkglm_spark.streaming.events import windowed_event_stats
+
+    out = windowed_event_stats(ev, window="1 hour")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type",
+        "n_events",
+        "n_users",
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    from sparkglm_spark.streaming.events import sessionize
+
+    out = sessionize(ev, gap="30 minutes")
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        "n_events",
+    )
+
+
+SQL_EVENTS_SESSIONIZE = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM marked)
+SELECT user_id,
+       strftime(date_trunc('second', min(ts)), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events
+FROM sess
+GROUP BY user_id, sess_id
+"""
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    from sparkglm_spark.operators.multimodal import (
+        frame_sample_plan,
+        synth_media_from_documents,
+    )
+
+    media = synth_media_from_documents(docs, kind="video")
+    return frame_sample_plan(media, every_ms=1000)
+
+
+SQL_FRAME_SAMPLE = """
+SELECT doc_id AS media_id,
+       unnest(range(0, greatest(CAST(floor((n_chars * 10) / 1000.0) AS BIGINT), 1))) AS frame_idx,
+       unnest(range(0, greatest(CAST(floor((n_chars * 10) / 1000.0) AS BIGINT), 1))) * 1000 AS ts_ms
+FROM documents
+"""
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow mapInPandas feature extraction over binary payloads (decode
+    stubbed — deterministic fake; rows-only check)."""
+    docs = read_table(spark, sf_dir, "documents")
+    from sparkglm_spark.operators.multimodal import (
+        extract_features,
+        synth_media_from_documents,
+    )
+
+    return extract_features(synth_media_from_documents(docs))
+
+
+# ===========================================================================
+# driver surface
+# ===========================================================================
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: formula-driven OLS with
+    categorical encoding on lineitem (the reference's sparkLM flagship path,
+    LM.R:24-72), returning the coefficient table."""
+    from sparkglm_spark.operators.lm import lm
+
+    sf_dir = "/root/testdata/sf0.001"
+    li = read_table(spark, sf_dir, "lineitem")
+    model = lm(
+        li, "l_extendedprice ~ l_quantity + l_discount + l_returnflag + l_linestatus"
+    )
+    s = model.summary()
+    rows = [
+        (n, float(c), float(se), float(t), float(p))
+        for n, c, se, t, p in zip(
+            model.xnames, model.coefs, model.std_err, s.t_vals, s.p_vals
+        )
+    ]
+    return spark.createDataFrame(
+        rows, "term string, estimate double, std_error double, t_value double, p_value double"
+    )
+
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "model_matrix_lineitem": q_model_matrix_lineitem,
+    "match_cols_customer": q_match_cols_customer,
+    "distinct_levels": q_distinct_levels,
+    "omit_na_cast": q_omit_na_cast,
+    "gram_lineitem": q_gram_lineitem,
+    "gram_weighted": q_gram_weighted,
+    "column_stats": q_column_stats,
+    "lm_fit_simple": q_lm_fit_simple,
+    "lm_fit_stats": q_lm_fit_stats,
+    "lm_predict_fixed": q_lm_predict_fixed,
+    "glm_kernels": q_glm_kernels,
+    "glm_deviance": q_glm_deviance,
+    "glm_fit_orders": q_glm_fit_orders,
+    "pricing_summary": q_pricing_summary,
+    "top_orders": q_top_orders,
+    "region_revenue": q_region_revenue,
+    "dedup_exact": q_dedup_exact,
+    "dedup_jaccard": q_dedup_jaccard,
+    "dedup_minhash": q_dedup_minhash,
+    "similarity_topk": q_similarity_topk,
+    "similarity_neardup": q_similarity_neardup,
+    "text_stats": q_text_stats,
+    "text_language_id": q_text_language_id,
+    "text_fingerprint": q_text_fingerprint,
+    "events_hourly": q_events_hourly,
+    "events_sessionize": q_events_sessionize,
+    "frame_sample": q_frame_sample,
+    "multimodal_features": q_multimodal_features,
+}
+
+_ORACLES: dict[str, str] = {
+    "model_matrix_lineitem": SQL_MODEL_MATRIX_LINEITEM,
+    "match_cols_customer": SQL_MATCH_COLS_CUSTOMER,
+    "distinct_levels": SQL_DISTINCT_LEVELS,
+    "omit_na_cast": SQL_OMIT_NA_CAST,
+    "gram_lineitem": SQL_GRAM_LINEITEM,
+    "gram_weighted": SQL_GRAM_WEIGHTED,
+    "column_stats": SQL_COLUMN_STATS,
+    "lm_fit_simple": SQL_LM_FIT_SIMPLE,
+    "lm_fit_stats": SQL_LM_FIT_STATS,
+    "lm_predict_fixed": SQL_LM_PREDICT_FIXED,
+    "glm_kernels": SQL_GLM_KERNELS,
+    "glm_deviance": SQL_GLM_DEVIANCE,
+    # glm_fit_orders: iterative IRLS — rows-only
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "top_orders": SQL_TOP_ORDERS,
+    "region_revenue": SQL_REGION_REVENUE,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_jaccard": SQL_DEDUP_JACCARD,
+    "dedup_minhash": SQL_DEDUP_MINHASH,
+    "similarity_topk": SQL_SIMILARITY_TOPK,
+    "similarity_neardup": SQL_SIMILARITY_NEARDUP,
+    "text_stats": SQL_TEXT_STATS,
+    "text_language_id": SQL_TEXT_LANGUAGE_ID,
+    "text_fingerprint": SQL_TEXT_FINGERPRINT,
+    "events_hourly": SQL_EVENTS_HOURLY,
+    "events_sessionize": SQL_EVENTS_SESSIONIZE,
+    "frame_sample": SQL_FRAME_SAMPLE,
+    # multimodal_features: pandas-UDF extraction — rows-only
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLES)

@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Benchmark the headline operators at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Workloads per BASELINE.md (B1-B4) + north-star extension headliners.
+Results are forced with a noop write (full computation, no driver collect
+of row data).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sparkglm_spark.session import get_spark, read_table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    spark = get_spark("sparkglm-bench")
+
+    li = read_table(spark, SF_DIR, "lineitem")
+    orders = read_table(spark, SF_DIR, "orders")
+    docs = read_table(spark, SF_DIR, "documents")
+    emb = read_table(spark, SF_DIR, "embeddings")
+    ev = read_table(spark, SF_DIR, "events")
+
+    # JVM/codegen warmup (not timed)
+    li.limit(10).count()
+
+    timings: dict[str, float] = {}
+
+    def bench(name, fn):
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # B1: model_matrix encode (2 categoricals + numerics)
+    from sparkglm_spark.functions.encoding import model_matrix
+
+    bench("encode", lambda: force(model_matrix(li.drop("l_shipdate"))))
+
+    # B2: LM fit, k=7 (intercept + 3 numerics + 3 dummies)
+    from sparkglm_spark.operators.lm import lm
+
+    model_holder = {}
+
+    def fit_lm():
+        model_holder["m"] = lm(
+            li,
+            "l_extendedprice ~ l_quantity + l_discount + l_tax"
+            " + l_returnflag + l_linestatus",
+        )
+
+    bench("lm_fit", fit_lm)
+
+    # B3: LM predict (keeps rows, adds prediction)
+    bench("lm_predict", lambda: force(model_holder["m"].predict(li)))
+
+    # B4: GLM binomial logit fit
+    from sparkglm_spark.operators.glm import glm
+
+    od = orders.withColumn(
+        "is_f", F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0)
+    )
+    bench(
+        "glm_fit",
+        lambda: glm(od, "is_f ~ o_totalprice + o_orderpriority"),
+    )
+
+    # extension headliners
+    from sparkglm_spark.operators.dedup import minhash_dedup_pairs
+    from sparkglm_spark.operators.similarity import cosine_topk
+    from sparkglm_spark.operators.text import fingerprint, text_stats
+
+    bench(
+        "dedup_minhash",
+        lambda: force(minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.8)),
+    )
+    bench(
+        "similarity_topk",
+        lambda: force(cosine_topk(emb, emb.limit(100), k=10)),
+    )
+    bench("text_stats", lambda: force(text_stats(docs)))
+    bench("text_fingerprint", lambda: force(fingerprint(docs)))
+
+    # relational headliners
+    import __spark_entry__ as E
+
+    bench("pricing_summary", lambda: force(E.q_pricing_summary(spark, SF_DIR)))
+    bench("top_orders", lambda: force(E.q_top_orders(spark, SF_DIR)))
+    bench("region_revenue", lambda: force(E.q_region_revenue(spark, SF_DIR)))
+    bench("events_hourly", lambda: force(E.q_events_hourly(spark, SF_DIR)))
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_headline_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

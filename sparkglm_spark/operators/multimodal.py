@@ -144,7 +144,8 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one output row per sampled timestamp
     (explode over the sample grid from metadata). Decode of each frame is
     the stubbed kernel; the row multiplication & partitioning are real."""
-    n_frames = (F.col("meta.duration_ms") / every_ms).cast("long")
+    # floor (not cast) — engine-portable truncation semantics
+    n_frames = F.floor(F.col("meta.duration_ms") / every_ms)
     return (
         media.where(F.col("kind") == "video")
         .select(

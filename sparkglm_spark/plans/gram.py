@@ -94,8 +94,10 @@ def gram_query(
     """The Gram aggregation as a long-format DataFrame (term_i, term_j, value)
     — used for oracle-checked correctness queries. ``decimal=True`` runs the
     sums in DECIMAL(18,6) (product DECIMAL(37,12) — exact, fits the 38-digit
-    cap in both Spark and DuckDB) and casts the final result to double, so
-    Spark and DuckDB agree bit-for-bit."""
+    cap in both Spark and DuckDB) and emits the result as a STRING of the
+    exact DECIMAL(38,6) value: decimal→string is bit-identical across
+    engines, whereas the final decimal→double cast can differ by 1 ulp
+    (DuckDB converts unscaled-int→double then divides — two roundings)."""
     k = len(x_cols)
     cols = list(x_cols) + ([y_col] if y_col else [])
 
@@ -112,7 +114,8 @@ def gram_query(
         for j in range(i, len(cols)):
             e = F.sum(prod(i, j))
             if decimal:
-                e = e.cast("double")
+                # inputs carry ≤6 decimal digits → (38,6) is exact
+                e = e.cast("decimal(38,6)").cast("string")
             name = f"{cols[i]}__{cols[j]}"
             aggs.append(e.alias(name))
             names.append(name)
