@@ -207,6 +207,87 @@ def minhash_lsh_candidates(
     )
 
 
+def _verify_pairs_by_shingle_join(
+    cand: DataFrame, sh: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification via the inverted index: candidate pairs ⋈
+    shingles. Cost ∝ |candidates| × shingles/doc — the scalable path when
+    LSH prunes well (large-vocab corpora: candidates ≈ output)."""
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(F.broadcast(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"})), "id_a")
+        .join(F.broadcast(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"})), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _verify_pairs_by_bitmap(
+    cand: DataFrame, sh: DataFrame, vocab_size: int, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification via per-doc shingle bitmaps: when the
+    shingle vocabulary is small (≤ a few thousand), each doc's shingle set
+    packs into ceil(V/64) longs, and |A∩B| is a handful of AND+popcount ops
+    per pair — no join explosion, no per-pair hash set. Decisive on highly
+    self-similar corpora where millions of candidate pairs sit just under
+    the threshold and every one needs exact verification."""
+    L = (vocab_size + 63) // 64
+    vocab = (
+        sh.select("shingle")
+        .distinct()
+        .withColumn("idx", F.row_number().over(Window.orderBy("shingle")) - 1)
+    )
+    bm = (
+        sh.join(F.broadcast(vocab), "shingle")
+        .groupBy("id")
+        .agg(F.collect_set("idx").alias("idxs"))
+        .selectExpr(
+            "id",
+            "size(idxs) AS sz",
+            f"transform(sequence(0, {L - 1}), w -> aggregate("
+            "  filter(idxs, i -> int(i / 64) = w),"
+            "  0L, (acc, i) -> acc | shiftleft(1L, int(i % 64)))) AS bm",
+        )
+    )
+    a = bm.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), F.col("bm").alias("bm_a"))
+    b = bm.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), F.col("bm").alias("bm_b"))
+    # unrolled (L known at plan build): stays in whole-stage codegen, no
+    # per-pair array allocation the interpreted zip_with/aggregate pair incurs
+    inter = F.expr(
+        " + ".join(f"bit_count(bm_a[{i}] & bm_b[{i}])" for i in range(L))
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("inter", inter)
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# vocab sizes up to this pack into ≤64 longs per doc: bitmap verification is
+# strictly faster than joining candidates against the inverted index
+_BITMAP_MAX_VOCAB = 4096
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     id_col: str,
@@ -220,32 +301,21 @@ def minhash_dedup_pairs(
     """End-to-end near-dup pairs: shingle → minhash → LSH candidates →
     exact-Jaccard verification of candidates only. With (128, 32) params,
     P(miss) at j=0.8 is ≈5e-8 → output ≡ exact jaccard_pairs, at a fraction
-    of the pair-comparison cost (verification touches only candidates)."""
+    of the pair-comparison cost (verification touches only candidates).
+
+    Verification adapts to the corpus: small shingle vocabularies (character
+    n-grams over a narrow charset) use per-doc bitmaps (AND+popcount per
+    pair); large vocabularies use the candidate ⋈ inverted-index join whose
+    cost scales with |candidates|, which LSH keeps near |output| on
+    natural corpora."""
     sh = shingles(df, id_col, text_col, n=n).persist()
     sig = minhash_signatures(sh, num_perm=num_perm, seed=seed)
     cand = minhash_lsh_candidates(sig, num_perm=num_perm, bands=bands)
 
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col("id").alias("id_a"), "shingle")
-    b = sh.select(F.col("id").alias("id_b"), "shingle")
-    inter = (
-        cand.join(a, "id_a")
-        .join(b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    out = (
-        inter.join(F.broadcast(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"})), "id_a")
-        .join(F.broadcast(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"})), "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("inter").cast("double")
-            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
-    return out
+    vocab_size = sh.select("shingle").distinct().count()
+    if vocab_size <= _BITMAP_MAX_VOCAB:
+        return _verify_pairs_by_bitmap(cand, sh, vocab_size, threshold)
+    return _verify_pairs_by_shingle_join(cand, sh, threshold)
 
 
 # ---------------------------------------------------------------------------

@@ -40,6 +40,29 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
+def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """Σ aᵢ·bᵢ unrolled over a known dimension: stays in whole-stage codegen
+    (the zip_with/aggregate fold is interpreted per element). Left-associated
+    like the fold → bit-identical result."""
+    out = a[0].cast("double") * b[0].cast("double")
+    for i in range(1, dim):
+        out = out + a[i].cast("double") * b[i].cast("double")
+    return out
+
+
+def norm_unrolled(a: Column, dim: int) -> Column:
+    out = a[0].cast("double") * a[0].cast("double")
+    for i in range(1, dim):
+        out = out + a[i].cast("double") * a[i].cast("double")
+    return F.sqrt(out)
+
+
+def _vec_dim(df: DataFrame, vec_col: str) -> int:
+    """Probe the (fixed) embedding dimension — one 1-row job."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    return int(row["d"])
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -51,21 +74,22 @@ def cosine_topk(
     Plan: broadcast(queries) nested-loop join — scans the corpus ONCE
     regardless of query count; per-query top-k via window over the hash-
     partitioned query key. Ties broken by corpus id (deterministic)."""
+    dim = _vec_dim(corpus, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast(ArrayType(DoubleType())).alias("qv"),
-    )
+    ).withColumn("qn", norm_unrolled(F.col("qv"), dim))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast(ArrayType(DoubleType())).alias("cv"),
-    )
+    ).withColumn("cn", norm_unrolled(F.col("cv"), dim))
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"),
+            (dot_unrolled(F.col("qv"), F.col("cv"), dim) / (F.col("qn") * F.col("cn"))).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -86,18 +110,23 @@ def cosine_near_dup_pairs(
 ) -> DataFrame:
     """All pairs (a < b) with cosine ≥ threshold — embedding-based near-dup
     detection. Self-join; at scale use `lsh_near_dup_pairs`."""
+    dim = _vec_dim(df, vec_col)
     a = df.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).cast(ArrayType(DoubleType())).alias("va"),
-    )
+    ).withColumn("na", norm_unrolled(F.col("va"), dim))
     b = df.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).cast(ArrayType(DoubleType())).alias("vb"),
-    )
+    ).withColumn("nb", norm_unrolled(F.col("vb"), dim))
     return (
         a.crossJoin(b)
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine_expr(F.col("va"), F.col("vb")).alias("cosine"))
+        .select(
+            "id_a",
+            "id_b",
+            (dot_unrolled(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb"))).alias("cosine"),
+        )
         .where(F.col("cosine") >= threshold)
     )
 
