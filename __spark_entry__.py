@@ -426,6 +426,112 @@ def q_glm_fit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "stat string, value double").orderBy("stat")
 
 
+def q_wls_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5/M6: weighted least squares (utils.wlsSingle/wlsMultiple,
+    utils.scala:70-80,103-112), weight = l_quantity. Oracle: closed-form
+    weighted Cramer from exact decimal sums; both rounded to 1 decimal."""
+    from sparkglm_spark.operators.lm import wls
+
+    li = read_table(spark, sf_dir, "lineitem")
+    model = wls(li, "l_extendedprice ~ l_discount", weight_col="l_quantity")
+    rows = [(name, round(float(c), 1)) for name, c in zip(model.xnames, model.coefs)]
+    return spark.createDataFrame(rows, "term string, coef double").orderBy("term")
+
+
+SQL_WLS_FIT = """
+WITH s AS (
+  SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sw,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_discount AS DECIMAL(19,6))) AS DOUBLE) AS swx,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS swy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_discount AS DECIMAL(19,6)) * CAST(l_discount AS DECIMAL(19,6))) AS DOUBLE) AS swxx,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_discount AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS swxy
+  FROM lineitem)
+SELECT 'intercept' AS term,
+       ROUND((swy - ((sw * swxy - swx * swy) / (sw * swxx - swx * swx)) * swx) / sw, 1) AS coef FROM s
+UNION ALL
+SELECT 'l_discount' AS term,
+       ROUND((sw * swxy - swx * swy) / (sw * swxx - swx * swx), 1) AS coef FROM s
+ORDER BY term
+"""
+
+
+def q_glm_gaussian_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Family plug-in (SURVEY §2.13.1): gaussian/identity GLM ≡ OLS — the
+    IRLS path collapses to one normal-equations solve, so the closed-form
+    OLS oracle applies. Coefs rounded to 1 decimal (same conditioning as
+    lm_fit_simple)."""
+    from sparkglm_spark.operators.glm import glm
+
+    li = read_table(spark, sf_dir, "lineitem")
+    model = glm(li, "l_extendedprice ~ l_quantity", family="gaussian")
+    rows = [(name, round(float(c), 1)) for name, c in zip(model.xnames, model.coefs)]
+    return spark.createDataFrame(rows, "term string, coef double").orderBy("term")
+
+
+SQL_GLM_GAUSSIAN_FIT = SQL_LM_FIT_SIMPLE
+
+
+def q_glm_poisson_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson/log GLM on counts (iterative IRLS — rows-only check; numeric
+    oracle lives in tests/test_glm.py against driver-side numpy IRLS)."""
+    from sparkglm_spark.operators.glm import glm
+
+    li = read_table(spark, sf_dir, "lineitem")
+    model = glm(li, "l_quantity ~ l_discount + l_tax", family="poisson")
+    rows = [
+        (name, round(float(c), 6)) for name, c in zip(model.xnames, model.coefs)
+    ] + [
+        ("deviance", round(model.deviance, 3)),
+        ("iterations", float(model.iter)),
+    ]
+    return spark.createDataFrame(rows, "stat string, value double").orderBy("stat")
+
+
+def q_glm_cloglog_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8-F10: cloglog link kernels at fixed β over orders (GLM.scala:
+    237-251); per-row transcendentals rounded to 6."""
+    from sparkglm_spark.functions.links import Cloglog, variance_binomial
+
+    od = read_table(spark, sf_dir, "orders")
+    y = F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0)
+    m = F.lit(1.0)
+    eta = F.lit(_GB0) + F.lit(_GB1) * F.col("o_totalprice")
+    lnk = Cloglog()
+    mu = lnk.unlink(eta, m)
+    grad = lnk.lprime(mu, m)
+    w = F.lit(1.0) / (variance_binomial(mu, m) * grad * grad)
+    z = eta + (y - mu) * grad
+    return od.select(
+        "o_orderkey",
+        F.round(mu, 6).alias("mu"),
+        F.round(w, 6).alias("w"),
+        F.round(z, 6).alias("z"),
+    )
+
+
+SQL_GLM_CLOGLOG_KERNELS = f"""
+WITH base AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y,
+         {_GB0} + {_GB1} * o_totalprice AS eta
+  FROM orders),
+k AS (
+  SELECT o_orderkey, y, eta,
+         1.0 - exp(-exp(eta)) AS mu
+  FROM base),
+k2 AS (
+  SELECT o_orderkey, y, eta, mu,
+         mu * (1.0 - mu / 1.0) AS var,
+         1.0 / ((mu - 1.0) * ln(1.0 - mu)) AS grad
+  FROM k)
+SELECT o_orderkey,
+       ROUND(mu, 6) AS mu,
+       ROUND(1.0 / (var * grad * grad), 6) AS w,
+       ROUND(eta + (y - mu) * grad, 6) AS z
+FROM k2
+"""
+
+
 # ===========================================================================
 # Relational coverage (joins/agg/sort/limit — free from Spark SQL, declared
 # for the harness; reference aligns tables positionally instead, SURVEY §2.3)
@@ -561,6 +667,42 @@ SQL_DEDUP_EXACT = """
 SELECT min(doc_id) AS doc_id, arg_min(source, doc_id) AS source
 FROM documents GROUP BY text
 """
+
+
+def q_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-group summary: canonical key + group size for groups >1
+    (pure groupBy — partial aggregation)."""
+    docs = read_table(spark, sf_dir, "documents")
+    from sparkglm_spark.operators.dedup import duplicate_groups
+
+    return duplicate_groups(docs, ["text"], "doc_id").select(
+        "canonical_id", "group_size"
+    )
+
+
+SQL_DUPLICATE_GROUPS = """
+SELECT min(doc_id) AS canonical_id, count(*) AS group_size
+FROM documents GROUP BY text HAVING count(*) > 1
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, Hamming ≤ 3 (rows-only: the 64-bit signature
+    hinges on Spark's xxhash64, which DuckDB lacks)."""
+    docs = read_table(spark, sf_dir, "documents")
+    from sparkglm_spark.operators.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH near-dup (rows-only: approximate candidate set;
+    the exact re-rank keeps precision 1 but recall < 1 by design)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    from sparkglm_spark.operators.similarity import lsh_near_dup_pairs
+
+    out = lsh_near_dup_pairs(emb, dim=64, threshold=0.35, n_bits=64)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -714,6 +856,60 @@ SELECT doc_id, {pick} AS detected_lang, CAST(best AS BIGINT) AS lang_score FROM 
 SQL_TEXT_LANGUAGE_ID = _sql_language_id()
 
 
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish regex pre-tokenizer."""
+    docs = read_table(spark, sf_dir, "documents")
+    from sparkglm_spark.operators.text import bpe_token_count
+
+    return bpe_token_count(docs)
+
+
+SQL_TEXT_TOKENS = r"""
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens_ws,
+       len(list_filter(
+           regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+', 0),
+           x -> length(trim(x)) > 0)) AS n_tokens_bpe
+FROM documents
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score over the text stats (fixed weights; IEEE
+    double arithmetic in identical order in both engines, rounded to 6)."""
+    docs = read_table(spark, sf_dir, "documents")
+    from sparkglm_spark.operators.text import quality_score
+
+    out = quality_score(docs)
+    return out.select(
+        "doc_id", "n_tokens", F.round("quality_score", 6).alias("quality_score")
+    )
+
+
+SQL_TEXT_QUALITY = r"""
+WITH t AS (
+  SELECT doc_id, text,
+         length(text) AS n_chars,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+         length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS n_alpha,
+         len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             x -> list_contains(['the','a','an','and','or','is','are','was','to','of','in','on','it','that','this','with','for','as','be'], x))) AS hits
+  FROM documents),
+r AS (
+  SELECT doc_id, n_tokens,
+         coalesce(CAST(n_alpha AS DOUBLE) / nullif(n_chars, 0), 0.0) AS alpha_ratio,
+         coalesce(CAST(hits AS DOUBLE) / nullif(n_tokens, 0), 0.0) AS stopword_ratio
+  FROM t)
+SELECT doc_id, n_tokens,
+       ROUND(0.4 * least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
+           + 0.3 * alpha_ratio
+           + 0.3 * least(stopword_ratio * 5.0, 1.0), 6) AS quality_score
+FROM r
+"""
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     from sparkglm_spark.operators.text import fingerprint
@@ -853,19 +1049,28 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_fit_simple": q_lm_fit_simple,
     "lm_fit_stats": q_lm_fit_stats,
     "lm_predict_fixed": q_lm_predict_fixed,
+    "wls_fit": q_wls_fit,
     "glm_kernels": q_glm_kernels,
+    "glm_cloglog_kernels": q_glm_cloglog_kernels,
     "glm_deviance": q_glm_deviance,
     "glm_fit_orders": q_glm_fit_orders,
+    "glm_gaussian_fit": q_glm_gaussian_fit,
+    "glm_poisson_fit": q_glm_poisson_fit,
     "pricing_summary": q_pricing_summary,
     "top_orders": q_top_orders,
     "region_revenue": q_region_revenue,
     "dedup_exact": q_dedup_exact,
+    "duplicate_groups": q_duplicate_groups,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
     "similarity_topk": q_similarity_topk,
     "similarity_neardup": q_similarity_neardup,
+    "similarity_lsh": q_similarity_lsh,
     "text_stats": q_text_stats,
     "text_language_id": q_text_language_id,
+    "text_tokens": q_text_tokens,
+    "text_quality": q_text_quality,
     "text_fingerprint": q_text_fingerprint,
     "events_hourly": q_events_hourly,
     "events_sessionize": q_events_sessionize,
@@ -884,19 +1089,27 @@ _ORACLES: dict[str, str] = {
     "lm_fit_simple": SQL_LM_FIT_SIMPLE,
     "lm_fit_stats": SQL_LM_FIT_STATS,
     "lm_predict_fixed": SQL_LM_PREDICT_FIXED,
+    "wls_fit": SQL_WLS_FIT,
     "glm_kernels": SQL_GLM_KERNELS,
+    "glm_cloglog_kernels": SQL_GLM_CLOGLOG_KERNELS,
     "glm_deviance": SQL_GLM_DEVIANCE,
-    # glm_fit_orders: iterative IRLS — rows-only
+    "glm_gaussian_fit": SQL_GLM_GAUSSIAN_FIT,
+    # glm_fit_orders, glm_poisson_fit: iterative IRLS — rows-only
     "pricing_summary": SQL_PRICING_SUMMARY,
     "top_orders": SQL_TOP_ORDERS,
     "region_revenue": SQL_REGION_REVENUE,
     "dedup_exact": SQL_DEDUP_EXACT,
+    "duplicate_groups": SQL_DUPLICATE_GROUPS,
     "dedup_jaccard": SQL_DEDUP_JACCARD,
+    # dedup_simhash: xxhash64-based signature — rows-only
+    # similarity_lsh: approximate recall by design — rows-only
     "dedup_minhash": SQL_DEDUP_MINHASH,
     "similarity_topk": SQL_SIMILARITY_TOPK,
     "similarity_neardup": SQL_SIMILARITY_NEARDUP,
     "text_stats": SQL_TEXT_STATS,
     "text_language_id": SQL_TEXT_LANGUAGE_ID,
+    "text_tokens": SQL_TEXT_TOKENS,
+    "text_quality": SQL_TEXT_QUALITY,
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,

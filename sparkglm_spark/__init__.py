@@ -20,7 +20,7 @@ from sparkglm_spark.functions.encoding import (
     model_matrix,
     omit_na,
 )
-from sparkglm_spark.operators.lm import LM, LMSummary, lm
+from sparkglm_spark.operators.lm import LM, LMSummary, lm, wls
 from sparkglm_spark.operators.glm import GLM, GLMSummary, glm
 
 __all__ = [
@@ -33,6 +33,7 @@ __all__ = [
     "LM",
     "LMSummary",
     "lm",
+    "wls",
     "GLM",
     "GLMSummary",
     "glm",

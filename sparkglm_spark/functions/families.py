@@ -1,0 +1,82 @@
+"""GLM family plug-in interface.
+
+The reference dispatches on a family string but every branch runs binomial
+(GLM.scala:486-490,508-512,...; SURVEY §2.13.1). Here the family is a real
+plug-in: variance function, unit deviance, loglik strategy, and the set of
+valid links. Binomial reproduces the reference exactly; gaussian and poisson
+are the SURVEY §2.13.1 stretch families.
+
+Each family provides Catalyst column expressions (JVM-side, codegen) —
+loglik falls back to an Arrow-batched pandas UDF only where lgamma is
+required (grouped binomial, poisson).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from sparkglm_spark.functions.links import (
+    deviance_binomial_expr,
+    variance_binomial,
+)
+
+
+class Binomial:
+    """reference: GLM.scala (the only family the reference implements)."""
+
+    name = "binomial"
+    links = ("logit", "probit", "cloglog")
+    default_link = "logit"
+    supports_m = True
+
+    def variance(self, mu: Column, m: Column) -> Column:
+        return variance_binomial(mu, m)  # μ·(1−μ/m), GLM.scala:125-129
+
+    def deviance_term(self, y: Column, mu: Column, m: Column) -> Column:
+        return deviance_binomial_expr(y, mu, m)  # GLM.scala:162-170
+
+
+class Gaussian:
+    """Normal errors; identity link → IRLS solves OLS in one step."""
+
+    name = "gaussian"
+    links = ("identity",)
+    default_link = "identity"
+    supports_m = False
+
+    def variance(self, mu: Column, m: Column) -> Column:
+        return F.lit(1.0)
+
+    def deviance_term(self, y: Column, mu: Column, m: Column) -> Column:
+        # unit deviance (y−μ)²; engine sums and doubles → use half here so
+        # 2·Σ gives the conventional Σ(y−μ)² residual sum of squares
+        return (y - mu) * (y - mu) / F.lit(2.0)
+
+
+class Poisson:
+    """Poisson counts, log link."""
+
+    name = "poisson"
+    links = ("log",)
+    default_link = "log"
+    supports_m = False
+
+    def variance(self, mu: Column, m: Column) -> Column:
+        return mu
+
+    def deviance_term(self, y: Column, mu: Column, m: Column) -> Column:
+        # ½·unit deviance: y·log(y/μ) − (y−μ); y=0 → the limit is μ
+        return F.when(y == 0, mu).otherwise(y * F.log(y / mu) - (y - mu))
+
+
+FAMILIES = {"binomial": Binomial(), "gaussian": Gaussian(), "poisson": Poisson()}
+
+
+def get_family(name: str):
+    try:
+        return FAMILIES[name.lower()]
+    except KeyError:
+        raise ValueError(
+            f"unknown family {name!r}; supported: {sorted(FAMILIES)}"
+        ) from None

@@ -115,7 +115,61 @@ class Probit:
         return np.asarray(m) * special.norm_cdf(np.asarray(eta))
 
 
-LINKS = {"logit": Logit(), "probit": Probit(), "cloglog": Cloglog()}
+class Identity:
+    """η = μ (gaussian default; m is ignored — non-binomial families)."""
+
+    name = "identity"
+
+    def link(self, mu: Column, m: Column) -> Column:
+        return mu
+
+    def lprime(self, mu: Column, m: Column) -> Column:
+        return F.lit(1.0)
+
+    def unlink(self, eta: Column, m: Column) -> Column:
+        return eta
+
+    def link_np(self, mu, m):
+        return np.asarray(mu, dtype=np.float64)
+
+    def lprime_np(self, mu, m):
+        return np.ones_like(np.asarray(mu, dtype=np.float64))
+
+    def unlink_np(self, eta, m):
+        return np.asarray(eta, dtype=np.float64)
+
+
+class Log:
+    """η = log μ (poisson default; m is ignored — non-binomial families)."""
+
+    name = "log"
+
+    def link(self, mu: Column, m: Column) -> Column:
+        return F.log(mu)
+
+    def lprime(self, mu: Column, m: Column) -> Column:
+        return F.lit(1.0) / mu
+
+    def unlink(self, eta: Column, m: Column) -> Column:
+        return F.exp(eta)
+
+    def link_np(self, mu, m):
+        return np.log(mu)
+
+    def lprime_np(self, mu, m):
+        return 1.0 / np.asarray(mu, dtype=np.float64)
+
+    def unlink_np(self, eta, m):
+        return np.exp(eta)
+
+
+LINKS = {
+    "logit": Logit(),
+    "probit": Probit(),
+    "cloglog": Cloglog(),
+    "identity": Identity(),
+    "log": Log(),
+}
 
 
 def get_link(name: str):

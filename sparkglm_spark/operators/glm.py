@@ -36,11 +36,8 @@ from sparkglm_spark.functions.encoding import (
     model_matrix_levels,
     omit_na,
 )
-from sparkglm_spark.functions.links import (
-    deviance_binomial_expr,
-    get_link,
-    variance_binomial,
-)
+from sparkglm_spark.functions.families import get_family
+from sparkglm_spark.functions.links import get_link
 from sparkglm_spark.operators.lm import (
     linear_combination,
     prediction_over_raw,
@@ -77,19 +74,23 @@ class GLM:
         y_col: str,
         x_cols: list[str],
         family: str = "binomial",
-        link: str = "logit",
+        link: str | None = None,
         m_col: str | None = None,
         offset_col: str | None = None,
         tol: float = 1e-6,
         max_iter: int = 50,
         verbose: bool = False,
     ) -> "GLM":
-        if family.lower() != "binomial":
+        fam = get_family(family)
+        if link is None:
+            link = fam.default_link
+        if link.lower() not in fam.links:
             raise ValueError(
-                "only the binomial family is implemented (matches the "
-                "reference, whose non-binomial branches also run binomial — "
-                "GLM.scala:486-490)"
+                f"link {link!r} is not valid for family {fam.name!r}; "
+                f"supported: {fam.links}"
             )
+        if m_col and not fam.supports_m:
+            raise ValueError(f"m_col is only meaningful for the binomial family")
         lnk = get_link(link)
         k = len(x_cols)
 
@@ -119,7 +120,7 @@ class GLM:
             return lnk.unlink(linear_combination(x_cols, beta) + offset, m)
 
         def dev_agg_expr(beta: np.ndarray | None) -> Column:
-            return (F.lit(2.0) * F.sum(deviance_binomial_expr(y, mu_expr(beta), m))).alias("dev")
+            return (F.lit(2.0) * F.sum(fam.deviance_term(y, mu_expr(beta), m))).alias("dev")
 
         def zw_gram_aggs(beta: np.ndarray | None) -> list[Column]:
             """Weighted-Gram aggregation expressions for the CURRENT β —
@@ -130,7 +131,7 @@ class GLM:
                 linear_combination(x_cols, beta) + offset
             )
             grad = lnk.lprime(mu, m)
-            w = F.lit(1.0) / (variance_binomial(mu, m) * grad * grad)
+            w = F.lit(1.0) / (fam.variance(mu, m) * grad * grad)
             z = eta + (y - mu) * grad - offset
             xs = [F.col(c) for c in x_cols]
             aggs: list[Column] = []
@@ -177,21 +178,15 @@ class GLM:
 
         # ---- final stats: one more fused pass ---------------------------
         mu = mu_expr(beta)
-        var = variance_binomial(mu, m)
+        var = fam.variance(mu, m)
         pearson_e = (y - mu) * (y - mu) / var  # GLM.scala:89-101
-        if m_col is None:
+        if fam.name == "binomial" and m_col is None:
             # Bernoulli: log C(1,y) = 0 → pure SQL loglik (GLM.scala:132-143)
             p = mu / m
             ll_e = F.when(y > 0, y * F.log(p)).otherwise(F.lit(0.0)) + F.when(
                 m - y > 0, (m - y) * F.log(F.lit(1.0) - p)
             ).otherwise(F.lit(0.0))
-            stat_row = work.agg(
-                F.sum(pearson_e).alias("pearson"),
-                F.sum(ll_e).alias("ll"),
-                dev_agg_expr(beta),
-            ).collect()[0]
-            ll = float(stat_row["ll"])
-        else:
+        elif fam.name == "binomial":
             # grouped binomial: needs lgamma → Arrow-batched pandas UDF
             from pyspark.sql.functions import pandas_udf
 
@@ -203,15 +198,40 @@ class GLM:
                     )
                 )
 
-            stat_row = work.agg(
-                F.sum(pearson_e).alias("pearson"),
-                F.sum(_logpmf(y, m, mu)).alias("ll"),
-                dev_agg_expr(beta),
-            ).collect()[0]
-            ll = float(stat_row["ll"])
+            ll_e = _logpmf(y, m, mu)
+        elif fam.name == "poisson":
+            # y·log μ − μ − log(y!): lgamma → Arrow-batched pandas UDF
+            from pyspark.sql.functions import pandas_udf
+
+            @pandas_udf("double")
+            def _pois_ll(yv: pd.Series, muv: pd.Series) -> pd.Series:
+                yv, muv = yv.to_numpy(), muv.to_numpy()
+                return pd.Series(
+                    np.where(yv > 0, yv * np.log(muv), 0.0)
+                    - muv
+                    - special.lgamma(yv + 1.0)
+                )
+
+            ll_e = _pois_ll(y, mu)
+        else:  # gaussian: ll derives from the deviance on the driver
+            ll_e = F.lit(0.0)
+        stat_row = work.agg(
+            F.sum(pearson_e).alias("pearson"),
+            F.sum(ll_e).alias("ll"),
+            dev_agg_expr(beta),
+        ).collect()[0]
         pearson = float(stat_row["pearson"])
         deviance = float(stat_row["dev"])
         work.unpersist()
+
+        if fam.name == "gaussian":
+            # MLE σ² = deviance/n; R's logLik.glm convention; σ counts as a
+            # parameter in the AIC
+            ll = -0.5 * n * (np.log(2.0 * np.pi * deviance / n) + 1.0)
+            aic = -2.0 * ll + 2.0 * (k + 1)
+        else:
+            ll = float(stat_row["ll"])
+            aic = -2.0 * ll + 2.0 * k  # GLM.scala:70
 
         std_err = np.sqrt(np.diag(xtwxi))  # utils.scala:78,110 (unscaled)
         df_residual = n - k  # GLM.scala:67
@@ -227,9 +247,9 @@ class GLM:
             p_dispersion=pearson / df_residual,  # GLM.scala:69
             pearson=pearson,
             loglik=ll,
-            family="binomial",
+            family=fam.name,
             link=lnk.name,
-            aic=-2.0 * ll + 2.0 * k,  # GLM.scala:70
+            aic=aic,
             iter=n_iter,
             nrow=n,
         )
@@ -322,7 +342,7 @@ def glm(
     df: DataFrame,
     formula: str,
     family: str = "binomial",
-    link: str = "logit",
+    link: str | None = None,
     m_col: str | None = None,
     offset_col: str | None = None,
     tol: float = 1e-6,

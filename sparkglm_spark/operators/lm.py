@@ -130,42 +130,51 @@ class LM:
         y_col: str,
         x_cols: list[str] | None = None,
         sse_mode: str = "moments",
+        weight_col: str | None = None,
     ) -> "LM":
         """Fit OLS where `x` holds both predictors and the label column —
         single-DataFrame surface replacing the reference's fragile
         two-aligned-DataFrames contract (SURVEY §1.4).
+
+        `weight_col` → WLS: β = (X'WX)⁻¹X'Wy (reference: utils.wlsSingle /
+        wlsMultiple, utils.scala:70-80,103-112 — SURVEY §2.11 M5/M6); all
+        moments (SSE/TSS/R²/σ²) become w-weighted, ȳ the w-weighted mean.
+        stdErr is √(σ̂²·diag((X'WX)⁻¹)); the reference's WLSObj.diagDesign is
+        the unscaled √diag (used inside IRLS where W is the information).
 
         sse_mode:
           "moments" — one pass; SSE/ESS/TSS from the same Gram aggregates
                       (SSE = y'y − 2β'X'y + β'X'Xβ).
           "exact"   — adds a residual pass (matches LM.scala:160-188 shape).
         """
-        x_cols = x_cols or [c for c in x.columns if c != y_col]
-        g = gram_aggregate(x, x_cols, y_col=y_col)
+        x_cols = x_cols or [c for c in x.columns if c not in (y_col, weight_col)]
+        g = gram_aggregate(x, x_cols, y_col=y_col, weight_col=weight_col)
         coefs, xtxi = solve_normal(g.xtx, g.xty)
         n, k = g.n, len(x_cols)
-        y_mean = g.sum_y / n
+        n_w = g.sum_w if weight_col else float(n)  # Σw (= n unweighted)
+        y_mean = g.sum_y / n_w
 
         if sse_mode == "moments":
             sse = float(g.sum_y2 - 2.0 * coefs @ g.xty + coefs @ g.xtx @ coefs)
-            tss = g.sum_y2 - n * y_mean * y_mean
-            # ESS = Σ(ŷ−ȳ)² = β'X'Xβ − 2ȳ·β'(X'1) + n·ȳ²; X'1 (column sums)
-            # is the intercept row of the Gram matrix when an intercept
-            # column is present, else fall back to TSS−SSE (exact with
-            # intercept, approximation without).
+            tss = g.sum_y2 - n_w * y_mean * y_mean
+            # ESS = Σw(ŷ−ȳ)² = β'X'WXβ − 2ȳ·β'(X'W1) + Σw·ȳ²; X'W1 (weighted
+            # column sums) is the intercept row of the Gram matrix when an
+            # intercept column is present, else fall back to TSS−SSE (exact
+            # with intercept, approximation without).
             if "intercept" in x_cols:
                 i0 = x_cols.index("intercept")
                 x1 = g.xtx[:, i0]
-                ess = float(coefs @ g.xtx @ coefs - 2.0 * y_mean * (coefs @ x1) + n * y_mean**2)
+                ess = float(coefs @ g.xtx @ coefs - 2.0 * y_mean * (coefs @ x1) + n_w * y_mean**2)
             else:
                 ess = tss - sse
         else:
             pred = linear_combination(x_cols, coefs)
             y = F.col(y_col)
+            w = F.col(weight_col) if weight_col else F.lit(1.0)
             row = x.agg(
-                F.sum((y - pred) * (y - pred)).alias("sse"),
-                F.sum((pred - F.lit(y_mean)) * (pred - F.lit(y_mean))).alias("ess"),
-                F.sum((y - F.lit(y_mean)) * (y - F.lit(y_mean))).alias("tss"),
+                F.sum(w * (y - pred) * (y - pred)).alias("sse"),
+                F.sum(w * (pred - F.lit(y_mean)) * (pred - F.lit(y_mean))).alias("ess"),
+                F.sum(w * (y - F.lit(y_mean)) * (y - F.lit(y_mean))).alias("tss"),
             ).collect()[0]
             sse, ess, tss = float(row["sse"]), float(row["ess"]), float(row["tss"])
 
@@ -288,11 +297,17 @@ class LMSummary:
         return "\n".join(lines)
 
 
-def lm(df: DataFrame, formula: str, na_action: str = "omit", sse_mode: str = "moments") -> LM:
+def lm(
+    df: DataFrame,
+    formula: str,
+    na_action: str = "omit",
+    sse_mode: str = "moments",
+    weight_col: str | None = None,
+) -> LM:
     """Formula front-end (reference: sparkLM, R/pkg/R/LM.R:24-72):
     parse → drop NAs → encode categoricals → inject intercept → fit."""
     parsed = expand_dot(parse_formula(formula), df.columns)
-    cols = [parsed.target, *parsed.predictors]
+    cols = [parsed.target, *parsed.predictors] + ([weight_col] if weight_col else [])
     data = df.select(*cols)
     if na_action == "omit":
         data = omit_na(data)
@@ -307,7 +322,19 @@ def lm(df: DataFrame, formula: str, na_action: str = "omit", sse_mode: str = "mo
             x_cols.extend(f"{p}_{lvl}" for lvl in levels[p][1:])
         else:
             x_cols.append(p)
-    model = LM.fit(encoded, y_col=parsed.target, x_cols=x_cols, sse_mode=sse_mode)
+    model = LM.fit(
+        encoded,
+        y_col=parsed.target,
+        x_cols=x_cols,
+        sse_mode=sse_mode,
+        weight_col=weight_col,
+    )
     model.levels = levels
-    model.call = f"lm({formula})"
+    model.call = f"lm({formula})" if not weight_col else f"wls({formula}, w={weight_col})"
     return model
+
+
+def wls(df: DataFrame, formula: str, weight_col: str, **kwargs) -> LM:
+    """Weighted least squares (reference: utils.wlsSingle/wlsMultiple,
+    utils.scala:70-80,103-112) — `lm` with a weight column."""
+    return lm(df, formula, weight_col=weight_col, **kwargs)

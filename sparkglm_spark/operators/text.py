@@ -128,6 +128,32 @@ def language_id(
     )
 
 
+# GPT-2-style pre-tokenizer pattern (public BPE pre-tokenization shape):
+# contractions, letter runs, digit runs, punctuation runs — each optionally
+# preceded by one space. No lookaheads (portable across Java regex and RE2);
+# pure-whitespace matches are filtered out of the count.
+BPE_SPLIT_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def bpe_token_count_expr(text: Column) -> Column:
+    """# BPE-style pre-tokens — the LLM-pipeline token-budget estimator
+    (whitespace token_count_expr underestimates subword counts)."""
+    pieces = F.regexp_extract_all(text, F.lit(BPE_SPLIT_PATTERN), 0)
+    return F.size(F.filter(pieces, lambda p: F.length(F.trim(p)) > 0))
+
+
+def bpe_token_count(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc whitespace + BPE-ish token counts (one projection)."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        token_count_expr(t).cast("bigint").alias("n_tokens_ws"),
+        bpe_token_count_expr(t).cast("bigint").alias("n_tokens_bpe"),
+    )
+
+
 # Polynomial rolling-hash fingerprint: h = Σ h*31 + code(char) (mod 1e9+7).
 # M chosen so acc*31 + 65535 < 2^63 (no overflow under ANSI arithmetic in
 # either engine); implementable verbatim in DuckDB via list_reduce.

@@ -163,3 +163,94 @@ def test_glm_predict_response(logistic_data):
     preds = np.array([r["prediction"] for r in scored.collect()])
     assert np.all((preds > 0) & (preds < 1))
     assert scored.count() == len(y)
+
+
+# ---------------------------------------------------------------------------
+# family plug-in (SURVEY §2.13.1): gaussian ≡ OLS; poisson vs numpy IRLS
+# ---------------------------------------------------------------------------
+
+
+def test_glm_gaussian_identity_equals_ols(spark):
+    rng = np.random.default_rng(7)
+    n = 300
+    x = rng.normal(0, 2, n)
+    y = 3.0 + 1.5 * x + rng.normal(0, 0.5, n)
+    df = spark.createDataFrame(
+        [(float(a), 1.0, float(b)) for a, b in zip(y, x)],
+        "y double, intercept double, x double",
+    )
+    model = GLM.fit(df, y_col="y", x_cols=["intercept", "x"], family="gaussian")
+    X = np.column_stack([np.ones(n), x])
+    beta = np.linalg.solve(X.T @ X, X.T @ y)
+    np.testing.assert_allclose(model.coefs, beta, rtol=1e-10)
+    resid = y - X @ beta
+    sse = float(resid @ resid)
+    assert model.deviance == pytest.approx(sse, rel=1e-10)
+    assert model.null_deviance == pytest.approx(float(np.sum((y - y.mean()) ** 2)), rel=1e-10)
+    # R logLik.glm convention: MLE sigma^2 = SSE/n, sigma counts in AIC
+    ll = -0.5 * n * (np.log(2 * np.pi * sse / n) + 1.0)
+    assert model.loglik == pytest.approx(ll, rel=1e-10)
+    assert model.aic == pytest.approx(-2 * ll + 2 * 3, rel=1e-10)
+    assert model.family == "gaussian" and model.link == "identity"
+
+
+def numpy_irls_poisson(X, y, tol=1e-6, max_iter=50):
+    n, k = X.shape
+    mu = np.full(n, y.mean())
+    eta = np.log(mu)
+
+    def dev(mu):
+        t = np.where(y == 0, mu, y * np.log(y / mu) - (y - mu))
+        return 2.0 * float(np.sum(t))
+
+    d = dev(mu)
+    null_dev = d
+    deltad, it = 1.0, 0
+    beta = xtwxi = None
+    while abs(deltad) > tol and it < max_iter:
+        w = mu  # 1/(V(mu)*g'(mu)^2) = 1/(mu * (1/mu)^2)
+        z = eta + (y - mu) / mu
+        XtW = X.T * w
+        xtwxi = np.linalg.inv(XtW @ X)
+        beta = xtwxi @ (XtW @ z)
+        eta = X @ beta
+        mu = np.exp(eta)
+        d_old, d = d, dev(mu)
+        deltad = d - d_old
+        it += 1
+    return {"coef": beta, "deviance": d, "null_deviance": null_dev, "iter": it,
+            "se": np.sqrt(np.diag(xtwxi)), "mu": mu}
+
+
+def test_glm_poisson_log_matches_numpy_irls(spark):
+    rng = np.random.default_rng(13)
+    n = 400
+    x = rng.normal(0, 1, n)
+    mu_true = np.exp(0.8 + 0.5 * x)
+    y = rng.poisson(mu_true).astype(float)
+    df = spark.createDataFrame(
+        [(float(a), 1.0, float(b)) for a, b in zip(y, x)],
+        "y double, intercept double, x double",
+    ).repartition(5)
+    model = GLM.fit(df, y_col="y", x_cols=["intercept", "x"], family="poisson")
+    oracle = numpy_irls_poisson(np.column_stack([np.ones(n), x]), y)
+    np.testing.assert_allclose(model.coefs, oracle["coef"], rtol=1e-8)
+    np.testing.assert_allclose(model.std_err, oracle["se"], rtol=1e-6)
+    assert model.deviance == pytest.approx(oracle["deviance"], rel=1e-8)
+    assert model.null_deviance == pytest.approx(oracle["null_deviance"], rel=1e-8)
+    assert model.iter == oracle["iter"]
+    mu = oracle["mu"]
+    from sparkglm_spark.functions.special import lgamma
+    ll = float(np.sum(np.where(y > 0, y * np.log(mu), 0.0) - mu - lgamma(y + 1)))
+    assert model.loglik == pytest.approx(ll, rel=1e-8)
+    assert model.aic == pytest.approx(-2 * ll + 2 * 2, rel=1e-8)
+
+
+def test_glm_family_link_validation(spark):
+    df = spark.createDataFrame([(1.0, 1.0)], "y double, intercept double")
+    with pytest.raises(ValueError, match="not valid for family"):
+        GLM.fit(df, y_col="y", x_cols=["intercept"], family="poisson", link="logit")
+    with pytest.raises(ValueError, match="unknown family"):
+        GLM.fit(df, y_col="y", x_cols=["intercept"], family="gamma")
+    with pytest.raises(ValueError, match="m_col"):
+        GLM.fit(df, y_col="y", x_cols=["intercept"], family="gaussian", m_col="y")

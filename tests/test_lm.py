@@ -146,3 +146,50 @@ def test_summary_p_values(simple_reg):
     assert s.p_vals[1] < 1e-20
     assert 0 <= s.p_vals[0] <= 1
     assert s.dfe == 48 and s.dfm == 1
+
+
+# ---------------------------------------------------------------------------
+# WLS (reference: utils.wlsSingle/wlsMultiple — SURVEY §2.11 M5/M6)
+# ---------------------------------------------------------------------------
+
+
+def test_wls_matches_numpy(spark):
+    import numpy as np
+    from sparkglm_spark.operators.lm import wls
+
+    rng = np.random.default_rng(21)
+    n = 250
+    x = rng.normal(0, 1, n)
+    w = rng.uniform(0.5, 3.0, n)
+    y = 2.0 - 0.7 * x + rng.normal(0, 1.0 / np.sqrt(w))
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(y, x, w)],
+        "y double, x double, w double",
+    ).repartition(4)
+    model = wls(df, "y ~ x", weight_col="w")
+    X = np.column_stack([np.ones(n), x])
+    XtW = X.T * w
+    xtwxi = np.linalg.inv(XtW @ X)
+    beta = xtwxi @ (XtW @ y)
+    np.testing.assert_allclose(model.coefs, beta, rtol=1e-9)
+    resid = y - X @ beta
+    sse = float(np.sum(w * resid**2))
+    sig2 = sse / (n - 2)
+    np.testing.assert_allclose(model.std_err, np.sqrt(sig2 * np.diag(xtwxi)), rtol=1e-8)
+    ybar_w = float(np.sum(w * y) / np.sum(w))
+    tss = float(np.sum(w * (y - ybar_w) ** 2))
+    ess = float(np.sum(w * (X @ beta - ybar_w) ** 2))
+    assert model.r2 == pytest.approx(ess / tss, rel=1e-8)
+    assert model.nrow == n
+
+
+def test_wls_unit_weights_equals_ols(lineitem):
+    from pyspark.sql import functions as F
+    from sparkglm_spark.operators.lm import lm, wls
+
+    li = lineitem.withColumn("one", F.lit(1.0))
+    a = lm(li, "l_extendedprice ~ l_quantity + l_discount")
+    b = wls(li, "l_extendedprice ~ l_quantity + l_discount", weight_col="one")
+    import numpy as np
+    np.testing.assert_allclose(a.coefs, b.coefs, rtol=1e-12)
+    assert a.r2 == pytest.approx(b.r2, rel=1e-10)
