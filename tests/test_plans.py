@@ -1,0 +1,75 @@
+"""Physical-plan regression tests: the scale properties this engine relies
+on must be visible in `.explain` — predicate pushdown and column pruning at
+the parquet scan, map-side partial aggregation for the Gram reduction, and
+broadcast (not shuffle) joins for dimension tables. A refactor that silently
+loses one of these is a 100 TB regression even if results stay correct."""
+
+import contextlib
+import io
+
+import pytest
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_pricing_summary_pushes_filter_down(spark, sf_dir):
+    import __spark_entry__ as E
+
+    plan = plan_of(E.q_pricing_summary(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_model_matrix_prunes_scan_columns(spark, sf_dir):
+    import __spark_entry__ as E
+
+    plan = plan_of(E.q_model_matrix_lineitem(spark, sf_dir))
+    # scan must read exactly the 5 used columns, not the full table
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_quantity" in read and "l_returnflag" in read
+    for unused in ("l_extendedprice", "l_shipdate", "l_tax", "l_discount"):
+        assert unused not in read
+
+
+def test_gram_aggregate_is_partial_final(spark, lineitem):
+    from sparkglm_spark.plans.gram import gram_query
+
+    plan = plan_of(gram_query(lineitem, ["l_quantity", "l_discount"]))
+    # partial (map-side) + final hash aggregation around one tiny exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan
+    # no SortAggregate fallback, no per-row shuffle of the fact table
+    assert "SortAggregate" not in plan
+
+
+def test_top_orders_broadcasts_dimensions(spark, sf_dir):
+    import __spark_entry__ as E
+
+    plan = plan_of(E.q_top_orders(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_lm_predict_stays_in_codegen(spark, lineitem):
+    """Prediction is a pure Catalyst projection: no UDF, no RDD round-trip,
+    fully inside WholeStageCodegen."""
+    from sparkglm_spark.operators.lm import lm
+
+    model = lm(lineitem, "l_extendedprice ~ l_quantity + l_returnflag")
+    plan = plan_of(model.predict(lineitem))
+    assert "codegen id" in plan  # formatted explain marks codegen stages so
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan  # scoring is shuffle-free
+
+
+def test_minhash_signatures_partial_agg(spark, documents):
+    from sparkglm_spark.operators.dedup import minhash_signatures, shingles
+
+    sh = shingles(documents, "doc_id", "text")
+    plan = plan_of(minhash_signatures(sh, num_perm=16))
+    # the 16 min-aggregations must combine map-side before the shuffle
+    assert "partial_min" in plan
