@@ -949,6 +949,27 @@ GROUP BY 1, 2
 """
 
 
+def q_events_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lifetime totals — the batch core of the stateful streaming
+    operator (applyInPandasWithState); decimal-exact value sums."""
+    ev = read_table(spark, sf_dir, "events")
+    from sparkglm_spark.streaming.events import user_running_totals
+
+    out = user_running_totals(ev.withColumn("value", _dec("value")))
+    return out.select(
+        "user_id",
+        "n_events",
+        F.col("value_sum").cast("decimal(38,6)").cast("string").alias("value_sum"),
+    )
+
+
+SQL_EVENTS_USER_TOTALS = """
+SELECT user_id, count(*) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS VARCHAR) AS value_sum
+FROM events GROUP BY user_id
+"""
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     from sparkglm_spark.streaming.events import sessionize
@@ -977,6 +998,83 @@ SELECT user_id,
 FROM sess
 GROUP BY user_id, sess_id
 """
+
+
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus prep (exact dedup → quality ≥ 0.5 →
+    language = en → MinHash near-dup removal). Full-pipeline exact oracle:
+    every stage is deterministic and the LSH stage has recall ≈ 1 at the
+    threshold (see q_dedup_minhash)."""
+    docs = read_table(spark, sf_dir, "documents")
+    from sparkglm_spark.operators.pipeline import prepare_training_corpus
+
+    out = prepare_training_corpus(docs)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_tokens_bpe",
+        F.round("quality_score", 6).alias("quality_score"),
+        "detected_lang",
+    )
+
+
+def _sql_corpus_prep() -> str:
+    from sparkglm_spark.operators.text import LANG_PROFILES
+
+    langs = sorted(LANG_PROFILES)
+    hits = ",\n         ".join(
+        "len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), "
+        f"x -> list_contains({LANG_PROFILES[lg]!r}, x))) AS hits_{lg}"
+        for lg in langs
+    )
+    hit_list = ", ".join(f"hits_{lg}" for lg in langs)
+    pick = "CASE " + " ".join(
+        f"WHEN hits_{lg} = greatest({hit_list}) THEN '{lg}'" for lg in langs
+    ) + " END"
+    return rf"""
+WITH s1 AS (  -- exact dedup: min id per content
+  SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+st AS (
+  SELECT doc_id, text,
+         length(text) AS n_chars,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+         len(list_filter(
+             regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+', 0),
+             x -> length(trim(x)) > 0)) AS n_tokens_bpe,
+         length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS n_alpha,
+         len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             x -> list_contains(['the','a','an','and','or','is','are','was','to','of','in','on','it','that','this','with','for','as','be'], x))) AS sw_hits,
+         {hits}
+  FROM s1),
+s2 AS (
+  SELECT doc_id, text, n_tokens, n_tokens_bpe,
+         0.4 * least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
+       + 0.3 * (CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_alpha AS DOUBLE) / n_chars END)
+       + 0.3 * least((CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(sw_hits AS DOUBLE) / n_tokens END) * 5.0, 1.0)
+           AS quality_score,
+         {pick} AS detected_lang
+  FROM st),
+s3 AS (
+  SELECT * FROM s2 WHERE quality_score >= 0.5 AND detected_lang = 'en'),
+sh AS (
+  SELECT doc_id, unnest(list_distinct([substring(lower(text), i, 3) FOR i IN range(1, length(text) - 1)])) AS shingle
+  FROM s3),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+drops AS (
+  SELECT DISTINCT id_b AS doc_id
+  FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8)
+SELECT doc_id, n_tokens, n_tokens_bpe, ROUND(quality_score, 6) AS quality_score, detected_lang
+FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+"""
+
+
+SQL_CORPUS_PREP = _sql_corpus_prep()
 
 
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1073,7 +1171,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "text_fingerprint": q_text_fingerprint,
     "events_hourly": q_events_hourly,
+    "events_user_totals": q_events_user_totals,
     "events_sessionize": q_events_sessionize,
+    "corpus_prep": q_corpus_prep,
     "frame_sample": q_frame_sample,
     "multimodal_features": q_multimodal_features,
 }
@@ -1112,7 +1212,9 @@ _ORACLES: dict[str, str] = {
     "text_quality": SQL_TEXT_QUALITY,
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
     "events_hourly": SQL_EVENTS_HOURLY,
+    "events_user_totals": SQL_EVENTS_USER_TOTALS,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
+    "corpus_prep": SQL_CORPUS_PREP,
     "frame_sample": SQL_FRAME_SAMPLE,
     # multimodal_features: pandas-UDF extraction — rows-only
 }

@@ -22,6 +22,7 @@ from sparkglm_spark.functions.encoding import (
 )
 from sparkglm_spark.operators.lm import LM, LMSummary, lm, wls
 from sparkglm_spark.operators.glm import GLM, GLMSummary, glm
+from sparkglm_spark.persist import load_model, save_model
 
 __all__ = [
     "parse_formula",
@@ -37,6 +38,8 @@ __all__ = [
     "GLM",
     "GLMSummary",
     "glm",
+    "save_model",
+    "load_model",
 ]
 
 __version__ = "0.1.0"

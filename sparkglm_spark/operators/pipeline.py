@@ -1,0 +1,94 @@
+"""End-to-end training-corpus preparation — the composition the individual
+operators exist for, as one declarative DataFrame chain:
+
+  1. exact dedup        content-fingerprint groupBy (keep min id)
+  2. quality filter     composite quality score ≥ threshold (pure projection)
+  3. language filter    stopword-profile language ID ∈ allowed set
+  4. near-dup removal   MinHash+LSH pairs on the SURVIVOR set; of each
+                        duplicate pair (id_a < id_b) the larger id is dropped
+
+Every stage is shuffle-minimal: stages 2-3 are projections fused into one
+scan, stage 1 shuffles (fingerprint, id) not text, stage 4 touches only LSH
+candidates. The whole pipeline has an exact DuckDB oracle
+(__spark_entry__.q_corpus_prep) — including the near-dup stage, since the
+MinHash parameters make candidate recall ≈ 1 at the threshold.
+
+Single-hop near-dup semantics: a doc is dropped iff it is the larger id of
+at least one qualifying pair. This is the standard cheap policy (no
+transitive closure — connected components would need an iterative join);
+canonical docs are exactly those with no smaller near-duplicate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sparkglm_spark.operators.dedup import exact_dedup_hashed, minhash_dedup_pairs
+from sparkglm_spark.operators.text import (
+    EN_STOPWORDS,
+    bpe_token_count_expr,
+    stopword_hits_expr,
+    token_count_expr,
+)
+
+
+def _quality_and_lang_cols(df: DataFrame, text_col: str) -> DataFrame:
+    """Append n_tokens / quality_score / detected_lang as expressions (one
+    projection, no joins, no shuffle) — same formulas as text.quality_score
+    and text.language_id."""
+    from sparkglm_spark.operators.text import LANG_PROFILES
+
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = token_count_expr(t)
+    n_alpha = n_chars - F.length(F.regexp_replace(t, "[a-zA-Z]", ""))
+    hits = stopword_hits_expr(t, EN_STOPWORDS)
+    alpha_ratio = F.when(n_chars == 0, F.lit(0.0)).otherwise(
+        n_alpha.cast("double") / n_chars
+    )
+    stop_ratio = F.when(n_tokens == 0, F.lit(0.0)).otherwise(
+        hits.cast("double") / n_tokens
+    )
+    score = (
+        F.lit(0.4) * F.least(n_tokens.cast("double") / F.lit(50.0), F.lit(1.0))
+        + F.lit(0.3) * alpha_ratio
+        + F.lit(0.3) * F.least(stop_ratio * F.lit(5.0), F.lit(1.0))
+    )
+    langs = sorted(LANG_PROFILES)
+    lang_hits = {lg: stopword_hits_expr(t, LANG_PROFILES[lg]) for lg in langs}
+    best = F.greatest(*lang_hits.values())
+    pick = F.when(lang_hits[langs[0]] == best, langs[0])
+    for lg in langs[1:]:
+        pick = pick.when(lang_hits[lg] == best, lg)
+    return df.withColumns(
+        {
+            "n_tokens": n_tokens.cast("bigint"),
+            "n_tokens_bpe": bpe_token_count_expr(t).cast("bigint"),
+            "quality_score": score,
+            "detected_lang": pick,
+        }
+    )
+
+
+def prepare_training_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.5,
+    languages: tuple[str, ...] | None = ("en",),
+    neardup_threshold: float = 0.8,
+) -> DataFrame:
+    """The full corpus-prep chain; returns surviving docs with
+    n_tokens / n_tokens_bpe / quality_score / detected_lang appended."""
+    d1 = exact_dedup_hashed(docs, text_col, id_col)
+    d2 = _quality_and_lang_cols(d1, text_col).where(
+        F.col("quality_score") >= min_quality
+    )
+    if languages:
+        d2 = d2.where(F.col("detected_lang").isin(list(languages)))
+    pairs = minhash_dedup_pairs(
+        d2, id_col, text_col, threshold=neardup_threshold
+    )
+    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return d2.join(drop, id_col, "left_anti")

@@ -1,0 +1,97 @@
+"""Model persistence: MLWriter-style JSON for LM/GLM (SURVEY §1.5).
+
+The reference has no persistence at all (models live as JVM objects); here
+fitted models round-trip through a single JSON document — coefficients and
+stats are O(k), so a plain file is the right weight. Works with any
+fsspec-like local path; on a cluster, write the JSON string wherever your
+artifact store lives.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+from sparkglm_spark.operators.glm import GLM
+from sparkglm_spark.operators.lm import LM
+
+_FORMAT_VERSION = 1
+
+
+def _arr(x) -> list[float]:
+    return [float(v) for v in np.asarray(x).ravel()]
+
+
+def model_to_dict(model: LM | GLM) -> dict:
+    kind = "lm" if isinstance(model, LM) else "glm"
+    d = {
+        "format_version": _FORMAT_VERSION,
+        "kind": kind,
+        "xnames": list(model.xnames),
+        "yname": model.yname,
+        "coefs": _arr(model.coefs),
+        "std_err": _arr(model.std_err),
+        "nrow": int(model.nrow),
+        "levels": {k: list(v) for k, v in model.levels.items()},
+        "call": model.call,
+    }
+    if kind == "lm":
+        d.update(sigma=model.sigma, r2=model.r2, f_stat=model.f_stat)
+    else:
+        d.update(
+            family=model.family,
+            link=model.link,
+            deviance=model.deviance,
+            null_deviance=model.null_deviance,
+            df_residual=model.df_residual,
+            df_null=model.df_null,
+            p_dispersion=model.p_dispersion,
+            pearson=model.pearson,
+            loglik=model.loglik,
+            aic=model.aic,
+            iter=int(model.iter),
+        )
+    return d
+
+
+def model_from_dict(d: dict) -> LM | GLM:
+    if d.get("format_version") != _FORMAT_VERSION:
+        raise ValueError(f"unsupported model format {d.get('format_version')!r}")
+    common = dict(
+        xnames=list(d["xnames"]),
+        yname=d["yname"],
+        coefs=np.asarray(d["coefs"], dtype=np.float64),
+        std_err=np.asarray(d["std_err"], dtype=np.float64),
+        nrow=int(d["nrow"]),
+        levels={k: list(v) for k, v in d.get("levels", {}).items()},
+        call=d.get("call", ""),
+    )
+    if d["kind"] == "lm":
+        return LM(sigma=d["sigma"], r2=d["r2"], f_stat=d["f_stat"], **common)
+    if d["kind"] == "glm":
+        return GLM(
+            family=d["family"],
+            link=d["link"],
+            deviance=d["deviance"],
+            null_deviance=d["null_deviance"],
+            df_residual=d["df_residual"],
+            df_null=d["df_null"],
+            p_dispersion=d["p_dispersion"],
+            pearson=d["pearson"],
+            loglik=d["loglik"],
+            aic=d["aic"],
+            iter=int(d["iter"]),
+            **common,
+        )
+    raise ValueError(f"unknown model kind {d['kind']!r}")
+
+
+def save_model(model: LM | GLM, path: str) -> None:
+    with open(path, "w") as f:
+        json.dump(model_to_dict(model), f, indent=1)
+
+
+def load_model(path: str) -> LM | GLM:
+    with open(path) as f:
+        return model_from_dict(json.load(f))

@@ -88,6 +88,50 @@ def sessionize(
     )
 
 
+def user_running_totals(events: DataFrame, user_col: str = "user_id") -> DataFrame:
+    """Per-user lifetime totals. Batch: plain groupBy aggregation (partial +
+    final hash agg). For the streaming equivalent with explicit state, see
+    `user_running_totals_stream`."""
+    return events.groupBy(user_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("value_sum"),
+    )
+
+
+def user_running_totals_stream(events: DataFrame, user_col: str = "user_id") -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState: keeps
+    (n_events, value_sum) per user across micro-batches and emits the
+    updated running totals each batch (output mode 'update').
+
+    State is O(1) per user (two numbers), Arrow-batched per group — the
+    pattern for any custom accumulator Structured Streaming's built-in aggs
+    can't express. Converges to the batch `user_running_totals` result once
+    the stream drains."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if not events.isStreaming:
+        raise ValueError("input must be a streaming DataFrame (readStream)")
+
+    def update(key, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "value_sum": [s]}
+        )
+
+    return events.select(user_col, "value").groupBy(user_col).applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, value_sum double",
+        stateStructType="n long, s double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_from_events_table(spark, sf_dir: str):
     """Streaming source over the events parquet (file micro-batches) — used
     by tests to prove the same core runs under readStream."""

@@ -193,3 +193,38 @@ def test_wls_unit_weights_equals_ols(lineitem):
     import numpy as np
     np.testing.assert_allclose(a.coefs, b.coefs, rtol=1e-12)
     assert a.r2 == pytest.approx(b.r2, rel=1e-10)
+
+
+def test_model_persistence_roundtrip(lineitem, tmp_path):
+    """save/load JSON round-trip preserves scoring behavior exactly."""
+    import numpy as np
+    from sparkglm_spark.operators.lm import lm
+    from sparkglm_spark.persist import load_model, save_model
+
+    m = lm(lineitem, "l_extendedprice ~ l_quantity + l_returnflag")
+    p = str(tmp_path / "m.json")
+    save_model(m, p)
+    m2 = load_model(p)
+    np.testing.assert_array_equal(m.coefs, m2.coefs)
+    assert m.xnames == m2.xnames and m.levels == m2.levels
+    a = m.predict(lineitem).select("prediction").limit(20).collect()
+    b = m2.predict(lineitem).select("prediction").limit(20).collect()
+    assert [r[0] for r in a] == [r[0] for r in b]
+
+
+def test_glm_persistence_roundtrip(orders, tmp_path):
+    import numpy as np
+    from pyspark.sql import functions as F
+    from sparkglm_spark.operators.glm import glm
+    from sparkglm_spark.persist import load_model, save_model
+
+    od = orders.withColumn(
+        "is_f", F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0)
+    )
+    g = glm(od, "is_f ~ o_totalprice", family="binomial", link="logit")
+    p = str(tmp_path / "g.json")
+    save_model(g, p)
+    g2 = load_model(p)
+    np.testing.assert_array_equal(g.coefs, g2.coefs)
+    assert (g2.family, g2.link, g2.iter) == (g.family, g.link, g.iter)
+    assert g2.aic == g.aic

@@ -96,3 +96,49 @@ def test_sessionize_basic(spark):
     s1 = sorted(by_user[1], key=lambda r: r["session_start"])
     assert s1[0]["n_events"] == 2 and s1[0]["value_sum"] == 3.0
     assert s1[1]["n_events"] == 1
+
+
+def test_user_running_totals_stateful_stream(spark, sf_dir):
+    """applyInPandasWithState custom stateful op: streaming running totals
+    equal the batch groupBy aggregation once the stream drains."""
+    from sparkglm_spark.streaming.events import (
+        user_running_totals,
+        user_running_totals_stream,
+    )
+
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        os.makedirs(src)
+        os.symlink(
+            os.path.join(sf_dir, "events.parquet"), os.path.join(src, "events.parquet")
+        )
+        stream_in = spark.readStream.schema(raw.schema).parquet(src)
+        out = user_running_totals_stream(stream_in)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("running_totals")
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql(
+            "SELECT user_id, max_by(n_events, n_events) AS n_events,"
+            " max_by(value_sum, n_events) AS value_sum"
+            " FROM running_totals GROUP BY user_id"
+        ).collect()
+    from sparkglm_spark.session import read_table
+
+    batch = user_running_totals(read_table(spark, sf_dir, "events")).collect()
+    g = {r["user_id"]: (r["n_events"], round(r["value_sum"], 6)) for r in got}
+    b = {r["user_id"]: (r["n_events"], round(r["value_sum"], 6)) for r in batch}
+    assert g == b and len(g) > 0
+
+
+def test_user_running_totals_stream_requires_streaming_df(spark, events):
+    from sparkglm_spark.streaming.events import user_running_totals_stream
+
+    with pytest.raises(ValueError, match="streaming"):
+        user_running_totals_stream(events)
