@@ -77,15 +77,17 @@ def shingles(
 ) -> DataFrame:
     """Distinct character n-gram shingles per doc: (id, shingle)."""
     t = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
-    # sequence 1..len-n+1 → substr positions; transform is JVM-side
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(0))),
-        lambda i: t.substr(i, F.lit(n)),
+    # sequence 1..len-n+1 → substr positions; transform is JVM-side.
+    # Per-doc dedup happens BEFORE the explode (array_distinct) — the set is
+    # per-document, so a global .distinct() (a full shuffle of every
+    # (id, shingle) row) would be pure waste.
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(0))),
+            lambda i: t.substr(i, F.lit(n)),
+        )
     )
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
-        .distinct()
-    )
+    return df.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
 
 
 def jaccard_pairs(
