@@ -773,6 +773,20 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with full probing (n_probe = n_lists): exhaustive search
+    through the inverted-file plan — must equal the brute-force oracle
+    exactly. (Partial-probe recall is covered in tests/test_similarity.py.)"""
+    emb = read_table(spark, sf_dir, "embeddings")
+    from sparkglm_spark.operators.similarity import ivf_topk
+
+    queries = emb.where(F.col("vec_id") < 50)
+    out = ivf_topk(emb, queries, k=3, n_lists=8, n_probe=8)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
 def q_similarity_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     from sparkglm_spark.operators.similarity import cosine_near_dup_pairs
@@ -1163,6 +1177,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "similarity_topk": q_similarity_topk,
+    "similarity_ivf": q_similarity_ivf,
     "similarity_neardup": q_similarity_neardup,
     "similarity_lsh": q_similarity_lsh,
     "text_stats": q_text_stats,
@@ -1205,6 +1220,7 @@ _ORACLES: dict[str, str] = {
     # similarity_lsh: approximate recall by design — rows-only
     "dedup_minhash": SQL_DEDUP_MINHASH,
     "similarity_topk": SQL_SIMILARITY_TOPK,
+    "similarity_ivf": SQL_SIMILARITY_TOPK,
     "similarity_neardup": SQL_SIMILARITY_NEARDUP,
     "text_stats": SQL_TEXT_STATS,
     "text_language_id": SQL_TEXT_LANGUAGE_ID,

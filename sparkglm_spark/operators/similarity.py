@@ -132,6 +132,110 @@ def cosine_near_dup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# IVF (inverted-file) approximate top-k
+# ---------------------------------------------------------------------------
+
+
+def _train_centroids_sample(
+    df: DataFrame, vec_col: str, n_lists: int, seed: int, sample_cap: int = 20000
+) -> np.ndarray:
+    """K-means centroids (unit-normalized, for cosine) trained on a
+    driver-collected sample — centroids are O(n_lists·d) model state, like
+    coefficients; the full corpus is never collected. Deterministic:
+    seeded init, fixed iteration count, ties to lowest index."""
+    frac_rows = df.select(vec_col).limit(sample_cap).collect()
+    M = np.array([r[0] for r in frac_rows], dtype=np.float64)
+    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    C = M[rng.choice(len(M), size=min(n_lists, len(M)), replace=False)]
+    for _ in range(10):
+        assign = np.argmax(M @ C.T, axis=1)
+        for j in range(len(C)):
+            members = M[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                C[j] = c / max(np.linalg.norm(c), 1e-12)
+    return C
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k cosine via an inverted file: corpus rows are
+    assigned to their nearest centroid list (one Arrow-batched matmul
+    projection); each query probes its `n_probe` nearest lists; exact
+    cosine re-ranks within the probed lists.
+
+    The cross product of `cosine_topk` becomes a hash-partitioned equi-join
+    on `list_id` — candidate count ≈ corpus × n_probe/n_lists. Recall < 1
+    by design (tested ≥ 0.9 at 4/16 on the driver corpus); precision is 1
+    (exact re-rank)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import IntegerType
+
+    dim = _vec_dim(corpus, vec_col)
+    C = _train_centroids_sample(corpus, vec_col, n_lists, seed)
+
+    def _assign_fn(vecs):
+        M = np.vstack(vecs.to_numpy()).astype(np.float64)
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(M @ C.T, axis=1).astype(np.int32))
+
+    _assign = pandas_udf(_assign_fn, returnType=IntegerType())
+
+    n_probe = min(n_probe, len(C))
+
+    def _probes_fn(vecs):
+        M = np.vstack(vecs.to_numpy()).astype(np.float64)
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(M @ C.T), axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(order))
+
+    _probes = pandas_udf(_probes_fn, returnType=ArrayType(IntegerType()))
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast(ArrayType(DoubleType())).alias("cv"),
+        _assign(F.col(vec_col)).alias("list_id"),
+    ).withColumn("cn", norm_unrolled(F.col("cv"), dim))
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast(ArrayType(DoubleType())).alias("qv"),
+            _probes(F.col(vec_col)).alias("probe_lists"),
+        )
+        .withColumn("qn", norm_unrolled(F.col("qv"), dim))
+        .withColumn("list_id", F.explode("probe_lists"))
+        .drop("probe_lists")
+    )
+    scored = (
+        c.join(q, "list_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot_unrolled(F.col("qv"), F.col("cv"), dim) / (F.col("qn") * F.col("cn"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Random-hyperplane LSH (approximate path)
 # ---------------------------------------------------------------------------
 

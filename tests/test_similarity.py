@@ -97,3 +97,39 @@ def test_dot_norm_exprs(spark):
     assert r["d"] == pytest.approx(32.0)
     assert r["na"] == pytest.approx(np.sqrt(14.0))
     assert r["c"] == pytest.approx(32.0 / (np.sqrt(14) * np.sqrt(77)), rel=1e-12)
+
+
+def test_ivf_full_probe_equals_brute_force(spark, embeddings):
+    """Probing every list is exhaustive search: IVF must reproduce the
+    brute-force top-k exactly (same pairs, same cosines)."""
+    from sparkglm_spark.operators.similarity import cosine_topk, ivf_topk
+
+    queries = embeddings.limit(40)
+    exact = cosine_topk(embeddings, queries, k=5)
+    full = ivf_topk(embeddings, queries, k=5, n_lists=8, n_probe=8)
+    e = sorted((r["query_id"], r["neighbor_id"], round(r["cosine"], 9)) for r in exact.collect())
+    f = sorted((r["query_id"], r["neighbor_id"], round(r["cosine"], 9)) for r in full.collect())
+    assert e == f and len(e) > 0
+
+
+def test_ivf_partial_probe_recall_floor(spark, embeddings):
+    """4/16 probes on the (weakly clustered) driver corpus: recall well
+    above the n_probe/n_lists=0.25 baseline, precision 1 by construction."""
+    from sparkglm_spark.operators.similarity import cosine_topk, ivf_topk
+
+    queries = embeddings.limit(40)
+    exact = cosine_topk(embeddings, queries, k=5)
+    approx = ivf_topk(embeddings, queries, k=5, n_lists=16, n_probe=4)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"recall {recall:.3f}"
+
+
+def test_ivf_topk_deterministic(spark, embeddings):
+    from sparkglm_spark.operators.similarity import ivf_topk
+
+    q = embeddings.limit(10)
+    a = sorted(map(tuple, ivf_topk(embeddings, q, k=3).collect()))
+    b = sorted(map(tuple, ivf_topk(embeddings, q, k=3).collect()))
+    assert a == b

@@ -59,3 +59,20 @@ def test_betainc_symmetry():
         1.0 - special.betainc(3.0, 2.0, 0.6), abs=1e-12
     )
     assert special.betainc(0.5, 0.5, 0.5) == pytest.approx(0.5, abs=1e-12)
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    import os
+    from sparkglm_spark.plans.skew import salted_join
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    plain = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "o_orderkey", "c_custkey"
+    )
+    salted = salted_join(
+        orders.withColumnRenamed("o_custkey", "c_custkey"), cust, on=["c_custkey"]
+    ).select("o_orderkey", "c_custkey")
+    a = sorted(map(tuple, plain.collect()))
+    b = sorted(map(tuple, salted.collect()))
+    assert a == b and len(a) > 0
