@@ -98,6 +98,15 @@ def main() -> None:
     bench("text_stats", lambda: force(text_stats(docs)))
     bench("text_fingerprint", lambda: force(fingerprint(docs)))
 
+    from sparkglm_spark.operators.pipeline import prepare_training_corpus
+    from sparkglm_spark.operators.similarity import ivf_topk
+
+    bench("corpus_prep", lambda: force(prepare_training_corpus(docs)))
+    bench(
+        "similarity_ivf",
+        lambda: force(ivf_topk(emb, emb.limit(100), k=10, n_lists=16, n_probe=4)),
+    )
+
     # relational headliners
     import __spark_entry__ as E
 

@@ -140,6 +140,52 @@ def extract_features(media: DataFrame, batch_decoder=fake_decode_features) -> Da
     return media.mapInPandas(run, FEATURES_SCHEMA)
 
 
+def fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for an image resize kernel (real impl:
+    PIL/turbojpeg). Truncates/pads the payload to width·height bytes so the
+    output size contract (payload length = target pixel count) is real."""
+    target = max(int(width) * int(height), 1)
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    if arr.size >= target:
+        return arr[:target].tobytes()
+    return np.pad(arr, (0, target - arr.size)).tobytes()
+
+
+def resize_images(
+    media: DataFrame, width: int, height: int, batch_resizer=fake_resize
+) -> DataFrame:
+    """mapInPandas image resize: Arrow batches of (id, payload) in, resized
+    payload + updated meta out. Only image rows pass through the Python
+    stage — the filter happens JVM-side before any byte crosses to Arrow."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": [batch_resizer(p, width, height) for p in pdf["payload"]],
+                    "width": np.full(len(pdf), width, dtype=np.int64),
+                    "height": np.full(len(pdf), height, dtype=np.int64),
+                }
+            )
+
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("kind", StringType()),
+            StructField("payload", BinaryType()),
+            StructField("width", LongType()),
+            StructField("height", LongType()),
+        ]
+    )
+    return (
+        media.where(F.col("kind") == "image")
+        .select("media_id", "kind", "payload")
+        .mapInPandas(run, out_schema)
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one output row per sampled timestamp
     (explode over the sample grid from metadata). Decode of each frame is

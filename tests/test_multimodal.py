@@ -55,3 +55,22 @@ def test_frame_sample_plan(documents):
     expect_frames = max(one["meta"]["duration_ms"] // 1000, 1)
     got = plan.where(f"media_id = {one['media_id']}").count()
     assert got == expect_frames
+
+
+def test_resize_images_contract(spark, documents):
+    from pyspark.sql import functions as F
+    from sparkglm_spark.operators.multimodal import (
+        resize_images,
+        synth_media_from_documents,
+    )
+
+    media = synth_media_from_documents(documents, kind="image")
+    out = resize_images(media, width=8, height=4)
+    rows = out.limit(20).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert len(r["payload"]) == 8 * 4
+        assert (r["width"], r["height"]) == (8, 4)
+    # non-image rows are filtered JVM-side
+    vid = synth_media_from_documents(documents, kind="video")
+    assert resize_images(vid, 8, 4).count() == 0
