@@ -195,6 +195,11 @@ def minhash_lsh_candidates(
     buckets = sig.select("id", F.explode(band_structs).alias("bb")).select(
         "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
+    # materialize before the self-join: otherwise BOTH join sides recompute
+    # the full signature aggregation (the most expensive upstream stage).
+    # The bucket table is tiny — bands × docs rows of (id, band, bucket).
+    buckets = buckets.persist()
+    buckets.count()
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
