@@ -487,6 +487,22 @@ def q_glm_poisson_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "stat string, value double").orderBy("stat")
 
 
+def q_glm_gamma_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gamma/log GLM on positive amounts (iterative IRLS — rows-only;
+    numeric oracle in tests/test_glm.py vs driver-side numpy IRLS)."""
+    from sparkglm_spark.operators.glm import glm
+
+    li = read_table(spark, sf_dir, "lineitem")
+    model = glm(li, "l_extendedprice ~ l_quantity", family="gamma")
+    rows = [
+        (name, round(float(c), 6)) for name, c in zip(model.xnames, model.coefs)
+    ] + [
+        ("deviance", round(model.deviance, 3)),
+        ("iterations", float(model.iter)),
+    ]
+    return spark.createDataFrame(rows, "stat string, value double").orderBy("stat")
+
+
 def q_glm_cloglog_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F8-F10: cloglog link kernels at fixed β over orders (GLM.scala:
     237-251); per-row transcendentals rounded to 6."""
@@ -1168,6 +1184,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "glm_fit_orders": q_glm_fit_orders,
     "glm_gaussian_fit": q_glm_gaussian_fit,
     "glm_poisson_fit": q_glm_poisson_fit,
+    "glm_gamma_fit": q_glm_gamma_fit,
     "pricing_summary": q_pricing_summary,
     "top_orders": q_top_orders,
     "region_revenue": q_region_revenue,

@@ -37,6 +37,8 @@ def parse_formula(formula: str) -> ParsedFormula:
 
     intercept = True
     rhs = rhs.strip()
+    if not rhs:
+        raise ValueError(f"formula has an empty right-hand side: {formula!r}")
     # '- 1' anywhere on the RHS drops the intercept (reference: utils.R:14-18)
     if re.search(r"-\s*1\b", rhs):
         intercept = False
@@ -52,6 +54,8 @@ def parse_formula(formula: str) -> ParsedFormula:
                 f"unsupported formula term {t!r}: interactions/transforms are "
                 "not in the supported subset (matches reference parseFormula)"
             )
+        if t != "." and not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_.]*", t):
+            raise ValueError(f"invalid predictor name {t!r} in formula {formula!r}")
     if not predictors and not intercept:
         raise ValueError(f"formula has no predictors: {formula!r}")
     return ParsedFormula(target=target, predictors=predictors, intercept=intercept)

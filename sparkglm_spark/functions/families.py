@@ -70,7 +70,28 @@ class Poisson:
         return F.when(y == 0, mu).otherwise(y * F.log(y / mu) - (y - mu))
 
 
-FAMILIES = {"binomial": Binomial(), "gaussian": Gaussian(), "poisson": Poisson()}
+class Gamma:
+    """Gamma errors; log link default (inverse = canonical also valid)."""
+
+    name = "gamma"
+    links = ("log", "inverse")
+    default_link = "log"
+    supports_m = False
+
+    def variance(self, mu: Column, m: Column) -> Column:
+        return mu * mu
+
+    def deviance_term(self, y: Column, mu: Column, m: Column) -> Column:
+        # ½·unit deviance: −log(y/μ) + (y−μ)/μ   (y > 0 required)
+        return -F.log(y / mu) + (y - mu) / mu
+
+
+FAMILIES = {
+    "binomial": Binomial(),
+    "gaussian": Gaussian(),
+    "poisson": Poisson(),
+    "gamma": Gamma(),
+}
 
 
 def get_family(name: str):

@@ -163,12 +163,38 @@ class Log:
         return np.exp(eta)
 
 
+class Inverse:
+    """η = 1/μ (gamma canonical link; m is ignored — non-binomial)."""
+
+    name = "inverse"
+
+    def link(self, mu: Column, m: Column) -> Column:
+        return F.lit(1.0) / mu
+
+    def lprime(self, mu: Column, m: Column) -> Column:
+        return F.lit(-1.0) / (mu * mu)
+
+    def unlink(self, eta: Column, m: Column) -> Column:
+        return F.lit(1.0) / eta
+
+    def link_np(self, mu, m):
+        return 1.0 / np.asarray(mu, dtype=np.float64)
+
+    def lprime_np(self, mu, m):
+        mu = np.asarray(mu, dtype=np.float64)
+        return -1.0 / (mu * mu)
+
+    def unlink_np(self, eta, m):
+        return 1.0 / np.asarray(eta, dtype=np.float64)
+
+
 LINKS = {
     "logit": Logit(),
     "probit": Probit(),
     "cloglog": Cloglog(),
     "identity": Identity(),
     "log": Log(),
+    "inverse": Inverse(),
 }
 
 

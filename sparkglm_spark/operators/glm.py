@@ -213,7 +213,8 @@ class GLM:
                 )
 
             ll_e = _pois_ll(y, mu)
-        else:  # gaussian: ll derives from the deviance on the driver
+        else:  # gaussian/gamma: ll derives from the deviance (driver side /
+            # one extra SQL pass with the estimated dispersion)
             ll_e = F.lit(0.0)
         stat_row = work.agg(
             F.sum(pearson_e).alias("pearson"),
@@ -222,16 +223,33 @@ class GLM:
         ).collect()[0]
         pearson = float(stat_row["pearson"])
         deviance = float(stat_row["dev"])
-        work.unpersist()
 
         if fam.name == "gaussian":
             # MLE σ² = deviance/n; R's logLik.glm convention; σ counts as a
             # parameter in the AIC
             ll = -0.5 * n * (np.log(2.0 * np.pi * deviance / n) + 1.0)
             aic = -2.0 * ll + 2.0 * (k + 1)
+        elif fam.name == "gamma":
+            # R's aic.Gamma convention: dispersion = deviance/n, then
+            # ll = Σ log dgamma(y; shape=1/disp, scale=μ·disp). lgamma(shape)
+            # is constant → the per-row part is pure SQL.
+            disp = deviance / n
+            shape = 1.0 / disp
+            import math
+
+            ll_row = work.agg(
+                F.sum(
+                    (F.lit(shape - 1.0)) * F.log(y)
+                    - y / (mu * F.lit(disp))
+                    - F.lit(shape) * F.log(mu * F.lit(disp))
+                ).alias("llp")
+            ).collect()[0]
+            ll = float(ll_row["llp"]) - n * math.lgamma(shape)
+            aic = -2.0 * ll + 2.0 * (k + 1)  # dispersion counts as a param
         else:
             ll = float(stat_row["ll"])
             aic = -2.0 * ll + 2.0 * k  # GLM.scala:70
+        work.unpersist()
 
         std_err = np.sqrt(np.diag(xtwxi))  # utils.scala:78,110 (unscaled)
         df_residual = n - k  # GLM.scala:67

@@ -251,6 +251,81 @@ def test_glm_family_link_validation(spark):
     with pytest.raises(ValueError, match="not valid for family"):
         GLM.fit(df, y_col="y", x_cols=["intercept"], family="poisson", link="logit")
     with pytest.raises(ValueError, match="unknown family"):
-        GLM.fit(df, y_col="y", x_cols=["intercept"], family="gamma")
+        GLM.fit(df, y_col="y", x_cols=["intercept"], family="tweedie")
     with pytest.raises(ValueError, match="m_col"):
         GLM.fit(df, y_col="y", x_cols=["intercept"], family="gaussian", m_col="y")
+
+
+def numpy_irls_gamma(X, y, link="log", tol=1e-6, max_iter=50):
+    n, k = X.shape
+    mu = np.full(n, y.mean())
+    eta = np.log(mu) if link == "log" else 1.0 / mu
+
+    def dev(mu):
+        return 2.0 * float(np.sum(-np.log(y / mu) + (y - mu) / mu))
+
+    d = dev(mu)
+    null_dev = d
+    deltad, it = 1.0, 0
+    beta = xtwxi = None
+    while abs(deltad) > tol and it < max_iter:
+        if link == "log":
+            grad = 1.0 / mu
+        else:
+            grad = -1.0 / mu**2
+        w = 1.0 / (mu**2 * grad**2)
+        z = eta + (y - mu) * grad
+        XtW = X.T * w
+        xtwxi = np.linalg.inv(XtW @ X)
+        beta = xtwxi @ (XtW @ z)
+        eta = X @ beta
+        mu = np.exp(eta) if link == "log" else 1.0 / eta
+        d_old, d = d, dev(mu)
+        deltad = d - d_old
+        it += 1
+    return {"coef": beta, "deviance": d, "null_deviance": null_dev, "iter": it,
+            "se": np.sqrt(np.diag(xtwxi)), "mu": mu}
+
+
+def test_glm_gamma_log_matches_numpy_irls(spark):
+    rng = np.random.default_rng(17)
+    n = 400
+    x = rng.normal(0, 1, n)
+    mu_true = np.exp(1.2 + 0.4 * x)
+    shape_true = 5.0
+    y = rng.gamma(shape_true, mu_true / shape_true)
+    df = spark.createDataFrame(
+        [(float(a), 1.0, float(b)) for a, b in zip(y, x)],
+        "y double, intercept double, x double",
+    ).repartition(3)
+    model = GLM.fit(df, y_col="y", x_cols=["intercept", "x"], family="gamma")
+    oracle = numpy_irls_gamma(np.column_stack([np.ones(n), x]), y)
+    np.testing.assert_allclose(model.coefs, oracle["coef"], rtol=1e-8)
+    assert model.deviance == pytest.approx(oracle["deviance"], rel=1e-8)
+    assert model.iter == oracle["iter"]
+    # loglik per R's aic.Gamma convention: disp = dev/n
+    import math
+    disp = oracle["deviance"] / n
+    shape = 1.0 / disp
+    mu = oracle["mu"]
+    ll = float(np.sum((shape - 1) * np.log(y) - y / (mu * disp)
+                      - shape * np.log(mu * disp))) - n * math.lgamma(shape)
+    assert model.loglik == pytest.approx(ll, rel=1e-8)
+    assert model.aic == pytest.approx(-2 * ll + 2 * 3, rel=1e-8)
+    assert model.family == "gamma" and model.link == "log"
+
+
+def test_glm_gamma_inverse_link(spark):
+    rng = np.random.default_rng(19)
+    n = 300
+    x = rng.uniform(0.5, 1.5, n)
+    mu_true = 1.0 / (0.8 + 0.5 * x)
+    y = rng.gamma(8.0, mu_true / 8.0)
+    df = spark.createDataFrame(
+        [(float(a), 1.0, float(b)) for a, b in zip(y, x)],
+        "y double, intercept double, x double",
+    )
+    model = GLM.fit(df, y_col="y", x_cols=["intercept", "x"], family="gamma", link="inverse")
+    oracle = numpy_irls_gamma(np.column_stack([np.ones(n), x]), y, link="inverse")
+    np.testing.assert_allclose(model.coefs, oracle["coef"], rtol=1e-7)
+    assert model.iter == oracle["iter"]

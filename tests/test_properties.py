@@ -1,0 +1,120 @@
+"""Property-based tests (hypothesis): the Spark expressions must agree with
+independent pure-Python mirrors on arbitrary inputs — catching encoding/
+hash/tokenization edge cases example-based tests miss."""
+
+import string
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from sparkglm_spark.formula import parse_formula
+
+# ---------------------------------------------------------------------------
+# formula parser (pure python — fast hypothesis loop)
+# ---------------------------------------------------------------------------
+
+ident = st.text(alphabet=string.ascii_lowercase + "_", min_size=1, max_size=8)
+
+
+@given(y=ident, xs=st.lists(ident, min_size=1, max_size=5, unique=True))
+def test_formula_roundtrip(y, xs):
+    parsed = parse_formula(f"{y} ~ {' + '.join(xs)}")
+    assert parsed.target == y
+    assert list(parsed.predictors) == xs
+    assert parsed.intercept is True
+
+
+@given(y=ident, xs=st.lists(ident, min_size=1, max_size=4, unique=True))
+def test_formula_no_intercept(y, xs):
+    parsed = parse_formula(f"{y} ~ {' + '.join(xs)} - 1")
+    assert parsed.intercept is False
+    assert list(parsed.predictors) == xs
+
+
+@given(bad=st.sampled_from(["a ~ b : c", "a ~ b * c", "a ~~ b", "~ b", "a ~"]))
+def test_formula_rejects_unsupported(bad):
+    with pytest.raises(ValueError):
+        parse_formula(bad)
+
+
+# ---------------------------------------------------------------------------
+# fingerprint: Spark expression vs pure-python rolling hash
+# ---------------------------------------------------------------------------
+
+_MOD = 1_000_000_007
+
+
+def py_fingerprint(text: str) -> int:
+    h = 0
+    for ch in text:
+        h = (h * 31 + ord(ch)) % _MOD
+    return h
+
+
+texts = st.lists(
+    st.text(
+        alphabet=string.ascii_letters + string.digits + " .,!?'",
+        min_size=0,
+        max_size=60,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(batch=texts)
+def test_fingerprint_matches_python(spark, batch):
+    from sparkglm_spark.operators.text import fingerprint
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(batch)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["fingerprint"] for r in fingerprint(df).collect()}
+    want = {i: py_fingerprint(t) for i, t in enumerate(batch)}
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# jaccard: Spark inverted-index plan vs pure-python set arithmetic
+# ---------------------------------------------------------------------------
+
+
+def py_jaccard_pairs(docs, n=3, threshold=0.0):
+    sets = {
+        i: {t.lower()[j : j + n] for j in range(max(len(t) - n + 1, 0))}
+        for i, t in docs
+    }
+    out = {}
+    ids = sorted(sets)
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            sa, sb = sets[ids[a]], sets[ids[b]]
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            if inter == 0:
+                continue
+            j = inter / (len(sa) + len(sb) - inter)
+            if j >= threshold:
+                out[(ids[a], ids[b])] = round(j, 9)
+    return out
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    batch=st.lists(
+        st.text(alphabet="abcd ", min_size=3, max_size=30), min_size=2, max_size=6
+    )
+)
+def test_jaccard_matches_python(spark, batch):
+    from sparkglm_spark.operators.dedup import jaccard_pairs
+
+    docs = [(i, t) for i, t in enumerate(batch)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.0).collect()
+    }
+    assert got == py_jaccard_pairs(docs)
