@@ -73,3 +73,32 @@ def test_minhash_signatures_partial_agg(spark, documents):
     plan = plan_of(minhash_signatures(sh, num_perm=16))
     # the 16 min-aggregations must combine map-side before the shuffle
     assert "partial_min" in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path_factory):
+    """Both sides written bucketed on the join key -> the join plan has no
+    shuffle (Exchange) on either side."""
+    import os
+
+    from sparkglm_spark.plans.bucketing import bucketed_join, write_bucketed
+
+    warehouse = str(tmp_path_factory.mktemp("warehouse"))
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    od = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    write_bucketed(
+        li.withColumnRenamed("l_orderkey", "orderkey"), "b_lineitem", ["orderkey"], 8,
+        path=os.path.join(warehouse, "b_lineitem"),
+    )
+    write_bucketed(
+        od.withColumnRenamed("o_orderkey", "orderkey"), "b_orders", ["orderkey"], 8,
+        path=os.path.join(warehouse, "b_orders"),
+    )
+    joined = bucketed_join(spark, "b_lineitem", "b_orders", on=["orderkey"])
+    plan = plan_of(joined)
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning" not in plan  # no shuffle on either side
+    # and it computes the right thing
+    expect = li.join(od, li.l_orderkey == od.o_orderkey).count()
+    assert joined.count() == expect
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
