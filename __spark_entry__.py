@@ -667,6 +667,105 @@ FROM agg ORDER BY rev_d DESC, n_name
 """
 
 
+def q_customer_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window function coverage: per-customer running order-value total in
+    order-date order (rows-unbounded-preceding frame; deterministic
+    tie-break by orderkey). Decimal-exact running sums."""
+    od = read_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return od.where(F.col("o_custkey") < 200).select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_dec("o_totalprice")).over(w).cast("decimal(38,6)").cast("string").alias("running_total"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+SQL_CUSTOMER_RUNNING_TOTAL = """
+SELECT o_custkey, o_orderkey,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS VARCHAR) AS running_total,
+       row_number() OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS order_seq
+FROM orders WHERE o_custkey < 200
+"""
+
+
+def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style: group-HAVING on an aggregate (orders whose total
+    lineitem quantity exceeds a threshold)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).cast("decimal(38,6)").alias("qty_d"))
+        .where(F.col("qty_d") > 150)
+        .select("l_orderkey", F.col("qty_d").cast("string").alias("total_qty"))
+    )
+
+
+SQL_BIG_ORDERS = """
+SELECT l_orderkey,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS VARCHAR) AS total_qty
+FROM lineitem
+GROUP BY l_orderkey
+HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 150
+"""
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join coverage: customers with no orders (left_anti on the
+    broadcast fact keys)."""
+    cust = read_table(spark, sf_dir, "customer")
+    od = read_table(spark, sf_dir, "orders")
+    return (
+        cust.join(od, cust.c_custkey == od.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey, c_mktsegment
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+def q_nation_region_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op coverage: union + except over key sets (nations present in
+    supplier vs customer)."""
+    sup = read_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    both = sup.intersect(cust).withColumn("which", F.lit("both"))
+    sup_only = sup.distinct().exceptAll(cust.distinct()).withColumn(
+        "which", F.lit("supplier_only")
+    )
+    return both.unionByName(sup_only)
+
+
+SQL_NATION_REGION_SETOPS = """
+SELECT nationkey, 'both' AS which FROM (
+  SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+  INTERSECT
+  SELECT DISTINCT c_nationkey AS nationkey FROM customer)
+UNION ALL
+SELECT nationkey, 'supplier_only' AS which FROM (
+  SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+  EXCEPT
+  SELECT DISTINCT c_nationkey AS nationkey FROM customer)
+"""
+
+
 # ===========================================================================
 # North-star extensions: dedup / similarity / text / multimodal / events
 # ===========================================================================
@@ -1188,6 +1287,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "top_orders": q_top_orders,
     "region_revenue": q_region_revenue,
+    "customer_running_total": q_customer_running_total,
+    "big_orders": q_big_orders,
+    "customers_without_orders": q_customers_without_orders,
+    "nation_setops": q_nation_region_setops,
     "dedup_exact": q_dedup_exact,
     "duplicate_groups": q_duplicate_groups,
     "dedup_jaccard": q_dedup_jaccard,
@@ -1230,6 +1333,10 @@ _ORACLES: dict[str, str] = {
     "pricing_summary": SQL_PRICING_SUMMARY,
     "top_orders": SQL_TOP_ORDERS,
     "region_revenue": SQL_REGION_REVENUE,
+    "customer_running_total": SQL_CUSTOMER_RUNNING_TOTAL,
+    "big_orders": SQL_BIG_ORDERS,
+    "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
+    "nation_setops": SQL_NATION_REGION_SETOPS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "duplicate_groups": SQL_DUPLICATE_GROUPS,
     "dedup_jaccard": SQL_DEDUP_JACCARD,

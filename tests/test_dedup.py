@@ -117,3 +117,31 @@ def test_simhash_signature_deterministic(dup_docs):
     s2 = {r["id"]: r["simhash"] for r in D.simhash_signatures(dup_docs, "doc_id", "text").collect()}
     assert s1 == s2
     assert s1[0] == s1[1]  # identical text → identical signature
+
+
+def test_minhash_pairs_partition_invariant(spark, documents):
+    """Deterministic hashes + exact verification => identical output at any
+    partitioning (the reference's single/multi split made this the
+    highest-value property — SURVEY §5.2)."""
+    from sparkglm_spark.operators.dedup import minhash_dedup_pairs
+
+    def pairs(df):
+        return sorted(
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in minhash_dedup_pairs(df, "doc_id", "text", threshold=0.8).collect()
+        )
+
+    a = pairs(documents.repartition(2))
+    b = pairs(documents.repartition(12))
+    assert a == b and len(a) >= 0
+
+
+def test_exact_dedup_partition_invariant(spark, documents):
+    from sparkglm_spark.operators.dedup import exact_dedup_hashed
+
+    def winners(df):
+        return sorted(
+            r["doc_id"] for r in exact_dedup_hashed(df, "text", "doc_id").collect()
+        )
+
+    assert winners(documents.repartition(3)) == winners(documents.repartition(9))
