@@ -45,6 +45,10 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     def bench(name, fn):
+        # isolate workloads: drop caches persisted by the previous operator
+        # (minhash/corpus pipelines cache intermediates) so later timings
+        # don't absorb their GC/memory pressure
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         fn()
         timings[name] = round(time.perf_counter() - t0, 3)

@@ -116,7 +116,10 @@ def jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    # materialize before the self-join so both sides read the cache instead
+    # of racing to recompute the shingle projection
     sh = sh.persist()
+    sh.count()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
 
     a = sh.alias("a")
@@ -372,6 +375,7 @@ def simhash_near_dup_pairs(
     chunk banding (pigeonhole: ≤3 differing bits → ≥1 identical chunk).
     Candidates join on chunk equality; exact popcount verifies."""
     sig = simhash_signatures(df, id_col, text_col).persist()
+    sig.count()  # materialize: the chunk self-join reads sig twice
     chunks = sig.select(
         "id",
         "simhash",
