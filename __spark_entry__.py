@@ -667,6 +667,61 @@ FROM agg ORDER BY rev_d DESC, n_name
 """
 
 
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-set coverage: ROLLUP over (returnflag, linestatus) with
+    decimal-exact revenue; NULL group keys mapped to 'ALL' for a stable
+    hash."""
+    li = read_table(spark, sf_dir, "lineitem")
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(revenue).cast("decimal(38,6)").cast("string").alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "revenue",
+            "n_rows",
+        )
+    )
+
+
+SQL_ROLLUP_REVENUE = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS VARCHAR) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile aggregation per group (linear interpolation — the
+    same definition as DuckDB quantile_cont), rounded to 6."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("p90"),
+            F.round(F.expr("percentile(l_quantity, 0.99)"), 6).alias("p99"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SQL_QUANTITY_PERCENTILES = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50,
+       ROUND(quantile_cont(l_quantity, 0.9), 6) AS p90,
+       ROUND(quantile_cont(l_quantity, 0.99), 6) AS p99
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def q_customer_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window function coverage: per-customer running order-value total in
     order-date order (rows-unbounded-preceding frame; deterministic
@@ -1287,6 +1342,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "top_orders": q_top_orders,
     "region_revenue": q_region_revenue,
+    "rollup_revenue": q_rollup_revenue,
+    "quantity_percentiles": q_quantity_percentiles,
     "customer_running_total": q_customer_running_total,
     "big_orders": q_big_orders,
     "customers_without_orders": q_customers_without_orders,
@@ -1333,6 +1390,8 @@ _ORACLES: dict[str, str] = {
     "pricing_summary": SQL_PRICING_SUMMARY,
     "top_orders": SQL_TOP_ORDERS,
     "region_revenue": SQL_REGION_REVENUE,
+    "rollup_revenue": SQL_ROLLUP_REVENUE,
+    "quantity_percentiles": SQL_QUANTITY_PERCENTILES,
     "customer_running_total": SQL_CUSTOMER_RUNNING_TOTAL,
     "big_orders": SQL_BIG_ORDERS,
     "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,

@@ -294,6 +294,8 @@ def lsh_near_dup_pairs(
     ≥1-of-4 ≈ 0.57 — raise n_bits/chunks for higher recall; exact re-rank
     keeps precision at 1.0."""
     sig = hyperplane_signatures(df, dim, id_col, vec_col, n_bits, seed)
+    sig = sig.persist()
+    sig.count()  # materialize: the chunk self-join reads sig twice (pandas UDF)
     n_chunks = n_bits // 16
     exploded = sig.select(
         "id",
