@@ -1184,6 +1184,20 @@ GROUP BY user_id, sess_id
 """
 
 
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-invariant hash split (rows-only: assignment hinges on
+    Spark's xxhash64; determinism/disjointness proven in tests/test_split.py)."""
+    docs = read_table(spark, sf_dir, "documents")
+    from sparkglm_spark.operators.split import with_split_column
+
+    return (
+        with_split_column(docs, "doc_id", {"train": 0.8, "test": 0.2})
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split")
+    )
+
+
 def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus prep (exact dedup → quality ≥ 0.5 →
     language = en → MinHash near-dup removal). Full-pipeline exact oracle:
@@ -1365,6 +1379,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly": q_events_hourly,
     "events_user_totals": q_events_user_totals,
     "events_sessionize": q_events_sessionize,
+    "train_test_split": q_train_test_split,
     "corpus_prep": q_corpus_prep,
     "frame_sample": q_frame_sample,
     "multimodal_features": q_multimodal_features,

@@ -1,0 +1,81 @@
+"""Deterministic dataset splitting and shard-shuffling for training
+pipelines.
+
+`randomSplit`/`sample` depend on partitioning (same seed, different
+partition layout → different rows), which breaks reproducibility across
+cluster sizes. These operators derive assignment from a content hash of a
+stable key instead: the split of a given row is a pure function of
+(key, seed) — identical at any partitioning, any cluster size, any engine
+restart. That property is load-bearing for 100 TB training pipelines where
+the same split must be recomputable months later.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 1_000_000  # split resolution: 1e-6 of weight
+
+
+def _bucket(id_col: str, seed: int) -> F.Column:
+    return F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(_BUCKETS))
+
+
+def hash_split(
+    df: DataFrame, id_col: str, weights: dict[str, float], seed: int = 42
+) -> dict[str, DataFrame]:
+    """Partition-invariant split: {'train': 0.8, 'test': 0.2} → dict of
+    disjoint DataFrames covering every row, assignment a pure function of
+    (id, seed). Splits are filters over one hash expression — each split
+    scans with a pushed-down predicate, no shuffle, no materialized
+    assignment table."""
+    total = sum(weights.values())
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    b = _bucket(id_col, seed)
+    out: dict[str, DataFrame] = {}
+    lo = 0.0
+    items = list(weights.items())
+    for i, (name, w) in enumerate(items):
+        hi = lo + (w / total) * _BUCKETS
+        lower = F.lit(int(round(lo)))
+        upper = F.lit(_BUCKETS if i == len(items) - 1 else int(round(hi)))
+        out[name] = df.where((b >= lower) & (b < upper))
+        lo = hi
+    return out
+
+
+def with_split_column(
+    df: DataFrame, id_col: str, weights: dict[str, float], seed: int = 42
+) -> DataFrame:
+    """Same assignment as `hash_split`, as a labeled column (for writing one
+    partitioned-by-split dataset instead of filtering per split)."""
+    total = sum(weights.values())
+    b = _bucket(id_col, seed)
+    expr = None
+    lo = 0.0
+    items = list(weights.items())
+    for i, (name, w) in enumerate(items):
+        hi = lo + (w / total) * _BUCKETS
+        upper = _BUCKETS if i == len(items) - 1 else int(round(hi))
+        cond = b < F.lit(upper)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo = hi
+    return df.withColumn("split", expr)
+
+
+def shard_and_shuffle(
+    df: DataFrame, id_col: str, n_shards: int, seed: int = 42
+) -> DataFrame:
+    """Deterministic global shuffle into shards: shard = hash(id, seed) mod
+    n, order within shard by a second hash. One repartition-by-shard +
+    in-partition sort (`sortWithinPartitions` — no global sort barrier);
+    output order is a pure function of (ids, seed)."""
+    shard = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(n_shards))
+    order = F.xxhash64(F.col(id_col), F.lit(seed + 1))
+    return (
+        df.withColumn("shard", shard)
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", order.asc(), F.col(id_col).asc())
+    )

@@ -1,0 +1,69 @@
+"""Deterministic split/shuffle: partition invariance is the load-bearing
+property (Spark's randomSplit does NOT have it)."""
+
+import pytest
+
+
+def test_hash_split_disjoint_and_complete(spark, documents):
+    from sparkglm_spark.operators.split import hash_split
+
+    parts = hash_split(documents, "doc_id", {"train": 0.8, "test": 0.2})
+    n = documents.count()
+    ids_train = {r["doc_id"] for r in parts["train"].select("doc_id").collect()}
+    ids_test = {r["doc_id"] for r in parts["test"].select("doc_id").collect()}
+    assert ids_train.isdisjoint(ids_test)
+    assert len(ids_train) + len(ids_test) == n
+    # approximately proportional (hash uniformity)
+    assert 0.7 <= len(ids_train) / n <= 0.9
+
+
+def test_hash_split_partition_invariant(spark, documents):
+    from sparkglm_spark.operators.split import hash_split
+
+    def train_ids(df):
+        return sorted(
+            r["doc_id"]
+            for r in hash_split(df, "doc_id", {"train": 0.8, "test": 0.2})["train"]
+            .select("doc_id")
+            .collect()
+        )
+
+    assert train_ids(documents.repartition(2)) == train_ids(documents.repartition(16))
+
+
+def test_with_split_column_matches_hash_split(spark, documents):
+    from sparkglm_spark.operators.split import hash_split, with_split_column
+
+    labeled = with_split_column(documents, "doc_id", {"train": 0.8, "test": 0.2})
+    by_label = {
+        r["doc_id"]: r["split"] for r in labeled.select("doc_id", "split").collect()
+    }
+    parts = hash_split(documents, "doc_id", {"train": 0.8, "test": 0.2})
+    for name in ("train", "test"):
+        for r in parts[name].select("doc_id").collect():
+            assert by_label[r["doc_id"]] == name
+
+
+def test_shard_and_shuffle_deterministic(spark, documents):
+    from sparkglm_spark.operators.split import shard_and_shuffle
+
+    def order(df):
+        out = shard_and_shuffle(df, "doc_id", n_shards=4)
+        return [
+            (r["shard"], r["doc_id"])
+            for r in out.select("shard", "doc_id").toLocalIterator()
+        ]
+
+    a = order(documents.repartition(3))
+    b = order(documents.repartition(11))
+    assert a == b
+    shards = {s for s, _ in a}
+    assert shards == {0, 1, 2, 3}
+
+
+def test_hash_split_seed_changes_assignment(spark, documents):
+    from sparkglm_spark.operators.split import hash_split
+
+    a = {r["doc_id"] for r in hash_split(documents, "doc_id", {"x": 0.5, "y": 0.5}, seed=1)["x"].collect()}
+    b = {r["doc_id"] for r in hash_split(documents, "doc_id", {"x": 0.5, "y": 0.5}, seed=2)["x"].collect()}
+    assert a != b
