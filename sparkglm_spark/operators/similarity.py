@@ -1,16 +1,34 @@
 """Similarity search over embedding columns (array<float>).
 
-Two execution strategies, one semantic:
-- brute-force top-k — broadcast the query side, JVM-side dot products via
-  F.aggregate/zip_with, per-query top-k via window. Exact; the baseline and
-  the verifier for the approximate path.
+Execution strategies, one semantic:
+
+- brute-force top-k (`cosine_topk`) — the query side (small by contract,
+  like a broadcast-join build side) is collected to one numpy matrix and
+  broadcast; the corpus is scanned ONCE by an Arrow-batched `mapInPandas`
+  that BLAS-matmuls each batch against the query matrix and emits only the
+  per-batch top-k candidates per query (ties included). A final window
+  top-k over this tiny candidate set is exact. At 1000 executors the only
+  shuffle carries ≈ |queries|·k rows per input split — the corpus itself
+  never moves, and the per-row cost is a dgemm, not an interpreted
+  expression tree. Exact; the baseline and the verifier for the
+  approximate paths.
+
+- IVF (`ivf_topk`) — k-means centroids (driver-trained on a sample, like
+  model coefficients) partition the corpus into lists; each query probes
+  its `n_probe` nearest lists. Executed with ZERO corpus shuffle: the same
+  single `mapInPandas` scan assigns each batch row to its list and scores
+  it only against the queries probing that list — work drops to
+  ≈ n_probe/n_lists of brute force while the plan shape is unchanged.
+
 - LSH-bucketed (random hyperplane signatures) — signature via one
-  Arrow-batched pandas UDF (matrix multiply per batch), band-bucket join for
-  candidates, exact re-rank of candidates only. The 100 TB path: candidate
-  generation is a hash-partitioned equi-join instead of a cross product.
+  Arrow-batched pandas UDF (matrix multiply per batch), band-bucket join
+  for candidates, exact re-rank of candidates only. The all-pairs path for
+  corpora where neither side is small: candidate generation is a
+  hash-partitioned equi-join instead of a cross product.
 
 (Reference repo has no similarity ops; these are north-star extensions —
-BASELINE.json. Public grounding: random-hyperplane LSH, Charikar 2002.)
+BASELINE.json. Public grounding: random-hyperplane LSH, Charikar 2002;
+IVF, Sivic & Zisserman 2003 "Video Google".)
 """
 
 from __future__ import annotations
@@ -18,7 +36,13 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, DoubleType
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    StructField,
+    StructType,
+)
 
 
 def dot_expr(a: Column, b: Column) -> Column:
@@ -40,27 +64,68 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
-def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
-    """Σ aᵢ·bᵢ unrolled over a known dimension: stays in whole-stage codegen
-    (the zip_with/aggregate fold is interpreted per element). Left-associated
-    like the fold → bit-identical result."""
-    out = a[0].cast("double") * b[0].cast("double")
-    for i in range(1, dim):
-        out = out + a[i].cast("double") * b[i].cast("double")
-    return out
-
-
-def norm_unrolled(a: Column, dim: int) -> Column:
-    out = a[0].cast("double") * a[0].cast("double")
-    for i in range(1, dim):
-        out = out + a[i].cast("double") * a[i].cast("double")
-    return F.sqrt(out)
-
-
 def _vec_dim(df: DataFrame, vec_col: str) -> int:
     """Probe the (fixed) embedding dimension — one 1-row job."""
     row = df.select(F.size(F.col(vec_col)).alias("d")).first()
     return int(row["d"])
+
+
+def _collect_query_matrix(queries: DataFrame, id_col: str, vec_col: str):
+    """Driver-collect the small side as (ids, unit-normalized matrix).
+    O(|queries|·d) driver/broadcast state — the same contract as the build
+    side of a broadcast join. The corpus side is never collected."""
+    rows = queries.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows])
+    if len(rows) == 0:
+        return ids, np.zeros((0, 0), dtype=np.float64)
+    Q = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    return ids, Q
+
+
+def _ensure_parallel(df: DataFrame) -> DataFrame:
+    """Tiny inputs arrive as one parquet split → one task. Fan out to the
+    session's parallelism so the scan-side matmul uses every core. At real
+    scale the input has >> cores splits and this is a no-op (no shuffle)."""
+    ncores = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < ncores:
+        return df.repartition(ncores)
+    return df
+
+
+def _topk_with_ties(S: np.ndarray, k: int):
+    """Row-wise boolean mask selecting every score ≥ the k-th largest
+    (ties inclusive — the global window pass resolves them exactly).
+    Non-finite scores (masked self-matches) are never selected."""
+    kk = min(k, S.shape[1])
+    thresh = -np.partition(-S, kk - 1, axis=1)[:, kk - 1]
+    mask = S >= thresh[:, None]
+    mask &= np.isfinite(S)
+    return mask
+
+
+def _empty_topk(spark, qid_type, nid_type) -> DataFrame:
+    schema = StructType(
+        [
+            StructField("query_id", qid_type),
+            StructField("neighbor_id", nid_type),
+            StructField("cosine", DoubleType()),
+            StructField("rank", IntegerType()),
+        ]
+    )
+    return spark.createDataFrame([], schema)
+
+
+def _finalize_topk(cand: DataFrame, k: int) -> DataFrame:
+    """Exact global top-k over the (tiny) per-partition candidate set."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
 
 
 def cosine_topk(
@@ -71,35 +136,52 @@ def cosine_topk(
     k: int = 10,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query (excluding self-matches).
-    Plan: broadcast(queries) nested-loop join — scans the corpus ONCE
-    regardless of query count; per-query top-k via window over the hash-
-    partitioned query key. Ties broken by corpus id (deterministic)."""
-    dim = _vec_dim(corpus, vec_col)
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast(ArrayType(DoubleType())).alias("qv"),
-    ).withColumn("qn", norm_unrolled(F.col("qv"), dim))
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast(ArrayType(DoubleType())).alias("cv"),
-    ).withColumn("cn", norm_unrolled(F.col("cv"), dim))
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            (dot_unrolled(F.col("qv"), F.col("cv"), dim) / (F.col("qn") * F.col("cn"))).alias("cosine"),
-        )
+
+    Plan: broadcast(query matrix) → single corpus scan → per-Arrow-batch
+    dgemm + local top-k (ties kept) → window over ≈ |q|·k·splits candidate
+    rows. Ties broken by corpus id (deterministic, partition-invariant)."""
+    spark = corpus.sparkSession
+    qids, Qn = _collect_query_matrix(queries, id_col, vec_col)
+    qid_type = queries.schema[id_col].dataType
+    nid_type = corpus.schema[id_col].dataType
+    if len(qids) == 0:
+        return _empty_topk(spark, qid_type, nid_type)
+    bq = spark.sparkContext.broadcast((qids, Qn))
+
+    cand_schema = StructType(
+        [
+            StructField("query_id", qid_type),
+            StructField("neighbor_id", nid_type),
+            StructField("cosine", DoubleType()),
+        ]
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
+
+    def gen(batches):
+        import pandas as pd
+
+        q_ids, Q = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            M = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            S = Q @ M.T  # |q| × batch
+            S[q_ids[:, None] == ids[None, :]] = -np.inf  # self-matches
+            mask = _topk_with_ties(S, k)
+            qi, ci = np.nonzero(mask)
+            yield pd.DataFrame(
+                {
+                    "query_id": q_ids[qi],
+                    "neighbor_id": ids[ci],
+                    "cosine": S[qi, ci],
+                }
+            )
+
+    cand = _ensure_parallel(corpus.select(id_col, vec_col)).mapInPandas(
+        gen, cand_schema
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _finalize_topk(cand, k)
 
 
 def cosine_near_dup_pairs(
@@ -109,25 +191,48 @@ def cosine_near_dup_pairs(
     threshold: float = 0.95,
 ) -> DataFrame:
     """All pairs (a < b) with cosine ≥ threshold — embedding-based near-dup
-    detection. Self-join; at scale use `lsh_near_dup_pairs`."""
-    dim = _vec_dim(df, vec_col)
-    a = df.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).cast(ArrayType(DoubleType())).alias("va"),
-    ).withColumn("na", norm_unrolled(F.col("va"), dim))
-    b = df.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).cast(ArrayType(DoubleType())).alias("vb"),
-    ).withColumn("nb", norm_unrolled(F.col("vb"), dim))
-    return (
-        a.crossJoin(b)
-        .where(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            (dot_unrolled(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb"))).alias("cosine"),
-        )
-        .where(F.col("cosine") >= threshold)
+    detection, exact. One side is broadcast as a numpy matrix (O(n·d)
+    driver state), the other side streams through a single mapInPandas
+    dgemm scan. Exact-but-quadratic by nature: at corpus sizes where n·d
+    no longer broadcasts, use `lsh_near_dup_pairs` (equi-join candidates,
+    same re-rank semantics)."""
+    spark = df.sparkSession
+    ids_all, Xn = _collect_query_matrix(df, id_col, vec_col)
+    id_type = df.schema[id_col].dataType
+    out_schema = StructType(
+        [
+            StructField("id_a", id_type),
+            StructField("id_b", id_type),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+    if len(ids_all) == 0:
+        return spark.createDataFrame([], out_schema)
+    bx = spark.sparkContext.broadcast((ids_all, Xn))
+
+    def gen(batches):
+        import pandas as pd
+
+        a_ids, A = bx.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            M = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            S = A @ M.T  # all × batch
+            keep = (S >= threshold) & (a_ids[:, None] < ids[None, :])
+            ai, bi = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "id_a": a_ids[ai],
+                    "id_b": ids[bi],
+                    "cosine": S[ai, bi],
+                }
+            )
+
+    return _ensure_parallel(df.select(id_col, vec_col)).mapInPandas(
+        gen, out_schema
     )
 
 
@@ -144,7 +249,7 @@ def _train_centroids_sample(
     coefficients; the full corpus is never collected. Deterministic:
     seeded init, fixed iteration count, ties to lowest index."""
     frac_rows = df.select(vec_col).limit(sample_cap).collect()
-    M = np.array([r[0] for r in frac_rows], dtype=np.float64)
+    M = np.array([list(r[0]) for r in frac_rows], dtype=np.float64)
     M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
     C = M[rng.choice(len(M), size=min(n_lists, len(M)), replace=False)]
@@ -168,71 +273,79 @@ def ivf_topk(
     n_probe: int = 4,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k cosine via an inverted file: corpus rows are
-    assigned to their nearest centroid list (one Arrow-batched matmul
-    projection); each query probes its `n_probe` nearest lists; exact
-    cosine re-ranks within the probed lists.
+    """Approximate top-k cosine via an inverted file, with ZERO corpus
+    shuffle: one mapInPandas scan assigns each batch row to its nearest
+    centroid list (numpy argmax — deterministic, partition-invariant) and
+    scores it ONLY against the queries probing that list. Scoring work ≈
+    brute force × n_probe/n_lists; the emitted candidate set (≈ |q|·k per
+    split) feeds the same exact window top-k.
 
-    The cross product of `cosine_topk` becomes a hash-partitioned equi-join
-    on `list_id` — candidate count ≈ corpus × n_probe/n_lists. Recall < 1
-    by design (tested ≥ 0.9 at 4/16 on the driver corpus); precision is 1
-    (exact re-rank)."""
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import IntegerType
-
-    dim = _vec_dim(corpus, vec_col)
+    Recall < 1 by design (tested ≥ 0.9 at 4/16 on the driver corpus);
+    precision is 1 (exact scoring of every emitted candidate). With
+    n_probe = n_lists every pair is scored → identical to `cosine_topk`."""
+    spark = corpus.sparkSession
     C = _train_centroids_sample(corpus, vec_col, n_lists, seed)
-
-    def _assign_fn(vecs):
-        M = np.vstack(vecs.to_numpy()).astype(np.float64)
-        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-        return pd.Series(np.argmax(M @ C.T, axis=1).astype(np.int32))
-
-    _assign = pandas_udf(_assign_fn, returnType=IntegerType())
+    qids, Qn = _collect_query_matrix(queries, id_col, vec_col)
+    qid_type = queries.schema[id_col].dataType
+    nid_type = corpus.schema[id_col].dataType
+    if len(qids) == 0:
+        return _empty_topk(spark, qid_type, nid_type)
 
     n_probe = min(n_probe, len(C))
+    # probe lists per query (driver: |q| × n_lists matmul)
+    order = np.argsort(-(Qn @ C.T), kind="stable", axis=1)[:, :n_probe]
+    # invert: list_id -> row indices of the queries probing it
+    probes = {
+        j: np.nonzero((order == j).any(axis=1))[0] for j in range(len(C))
+    }
+    probes = {j: sel for j, sel in probes.items() if len(sel)}
+    bq = spark.sparkContext.broadcast((qids, Qn, C, probes))
 
-    def _probes_fn(vecs):
-        M = np.vstack(vecs.to_numpy()).astype(np.float64)
-        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-        order = np.argsort(-(M @ C.T), axis=1)[:, :n_probe].astype(np.int32)
-        return pd.Series(list(order))
+    cand_schema = StructType(
+        [
+            StructField("query_id", qid_type),
+            StructField("neighbor_id", nid_type),
+            StructField("cosine", DoubleType()),
+        ]
+    )
 
-    _probes = pandas_udf(_probes_fn, returnType=ArrayType(IntegerType()))
+    def gen(batches):
+        import pandas as pd
 
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast(ArrayType(DoubleType())).alias("cv"),
-        _assign(F.col(vec_col)).alias("list_id"),
-    ).withColumn("cn", norm_unrolled(F.col("cv"), dim))
-    q = (
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).cast(ArrayType(DoubleType())).alias("qv"),
-            _probes(F.col(vec_col)).alias("probe_lists"),
-        )
-        .withColumn("qn", norm_unrolled(F.col("qv"), dim))
-        .withColumn("list_id", F.explode("probe_lists"))
-        .drop("probe_lists")
+        q_ids, Q, cents, probe_map = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            M = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            assign = np.argmax(M @ cents.T, axis=1)
+            frames = []
+            for j in np.unique(assign):
+                qsel = probe_map.get(int(j))
+                if qsel is None:
+                    continue
+                msel = np.nonzero(assign == j)[0]
+                S = Q[qsel] @ M[msel].T  # probing queries × list members
+                S[q_ids[qsel][:, None] == ids[msel][None, :]] = -np.inf
+                mask = _topk_with_ties(S, k)
+                qi, ci = np.nonzero(mask)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": q_ids[qsel][qi],
+                            "neighbor_id": ids[msel][ci],
+                            "cosine": S[qi, ci],
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    cand = _ensure_parallel(corpus.select(id_col, vec_col)).mapInPandas(
+        gen, cand_schema
     )
-    scored = (
-        c.join(q, "list_id")
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            (dot_unrolled(F.col("qv"), F.col("cv"), dim) / (F.col("qn") * F.col("cn"))).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _finalize_topk(cand, k)
 
 
 # ---------------------------------------------------------------------------
