@@ -76,7 +76,14 @@ def shingles(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, lowercase: bool = True
 ) -> DataFrame:
     """Distinct character n-gram shingles per doc: (id, shingle)."""
-    t = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    # Lowercase ONCE in a projection below the transform: referencing
+    # lower(text) inside the lambda re-evaluates it per position (no CSE
+    # across lambda scopes) — O(len²) per doc, measured 3× slower.
+    pre = df.select(
+        F.col(id_col).alias("id"),
+        (F.lower(F.col(text_col)) if lowercase else F.col(text_col)).alias("__t"),
+    )
+    t = F.col("__t")
     # sequence 1..len-n+1 → substr positions; transform is JVM-side.
     # Per-doc dedup happens BEFORE the explode (array_distinct) — the set is
     # per-document, so a global .distinct() (a full shuffle of every
@@ -87,7 +94,7 @@ def shingles(
             lambda i: t.substr(i, F.lit(n)),
         )
     )
-    return df.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
+    return pre.select("id", F.explode(grams).alias("shingle"))
 
 
 def jaccard_pairs(
@@ -170,21 +177,31 @@ def minhash_signatures(
     to 32 bits), min over the doc's shingles. xxhash64 is Spark-builtin and
     deterministic across runs/executors."""
     a, b = _perm_params(num_perm, seed)
-    h32 = F.pmod(F.xxhash64(F.col("shingle")), F.lit(1 << 32))
+    # hash once per row in a projection; the num_perm aggs reuse the column
+    # (inlining h32 into every agg re-hashes num_perm× per row)
+    pre = sh.select(
+        "id", F.pmod(F.xxhash64(F.col("shingle")), F.lit(1 << 32)).alias("__h32")
+    )
     aggs = [
-        F.min((h32 * F.lit(a[i]) + F.lit(b[i])) % F.lit(_MERSENNE_P)).alias(f"mh_{i}")
+        F.min((F.col("__h32") * F.lit(a[i]) + F.lit(b[i])) % F.lit(_MERSENNE_P)).alias(
+            f"mh_{i}"
+        )
         for i in range(num_perm)
     ]
-    return sh.groupBy("id").agg(*aggs)
+    return pre.groupBy("id").agg(*aggs)
 
 
 def minhash_lsh_candidates(
-    sig: DataFrame, num_perm: int = 128, bands: int = 32
+    sig: DataFrame, num_perm: int = 128, bands: int = 32, distinct: bool = True
 ) -> DataFrame:
     """Band the signature (bands × rows_per_band = num_perm), bucket-join:
     docs sharing any band bucket are candidates. Pairs via self-join on
     (band, bucket) — the classic LSH plan; bucket key is a hash of the band
-    slice so the shuffle carries 16 bytes, not the slice."""
+    slice so the shuffle carries 16 bytes, not the slice.
+
+    `distinct=False` skips the cross-band pair dedup shuffle — correct (and
+    much cheaper) when the downstream verifier is a map-side filter that
+    dedups its (tiny) output instead of its (huge) input."""
     r = num_perm // bands
     band_structs = F.array(
         *[
@@ -205,7 +222,7 @@ def minhash_lsh_candidates(
     buckets.count()
     a = buckets.alias("a")
     b = buckets.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -213,8 +230,8 @@ def minhash_lsh_candidates(
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
     )
+    return pairs.distinct() if distinct else pairs
 
 
 def _verify_pairs_by_shingle_join(
@@ -246,14 +263,24 @@ def _verify_pairs_by_shingle_join(
 
 
 def _verify_pairs_by_bitmap(
-    cand: DataFrame, sh: DataFrame, vocab_size: int, threshold: float
+    cand: DataFrame,
+    sh: DataFrame,
+    vocab_size: int,
+    threshold: float,
+    broadcast_bitmaps: bool = False,
 ) -> DataFrame:
     """Exact-Jaccard verification via per-doc shingle bitmaps: when the
     shingle vocabulary is small (≤ a few thousand), each doc's shingle set
     packs into ceil(V/64) longs, and |A∩B| is a handful of AND+popcount ops
     per pair — no join explosion, no per-pair hash set. Decisive on highly
     self-similar corpora where millions of candidate pairs sit just under
-    the threshold and every one needs exact verification."""
+    the threshold and every one needs exact verification.
+
+    With `broadcast_bitmaps` (doc count small enough that the bitmap table
+    broadcasts) the whole verification is map-side: candidates stream
+    through two broadcast hash joins + a codegen popcount filter, and the
+    pair dedup happens on the (tiny) OUTPUT — so the caller can skip the
+    cross-band candidate `distinct` shuffle entirely."""
     L = (vocab_size + 63) // 64
     vocab = (
         sh.select("shingle")
@@ -274,12 +301,14 @@ def _verify_pairs_by_bitmap(
     )
     a = bm.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), F.col("bm").alias("bm_a"))
     b = bm.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), F.col("bm").alias("bm_b"))
+    if broadcast_bitmaps:
+        a, b = F.broadcast(a), F.broadcast(b)
     # unrolled (L known at plan build): stays in whole-stage codegen, no
     # per-pair array allocation the interpreted zip_with/aggregate pair incurs
     inter = F.expr(
         " + ".join(f"bit_count(bm_a[{i}] & bm_b[{i}])" for i in range(L))
     )
-    return (
+    out = (
         cand.join(a, "id_a")
         .join(b, "id_b")
         .withColumn("inter", inter)
@@ -291,11 +320,18 @@ def _verify_pairs_by_bitmap(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    if broadcast_bitmaps:
+        out = out.dropDuplicates(["id_a", "id_b"])
+    return out
 
 
 # vocab sizes up to this pack into ≤64 longs per doc: bitmap verification is
 # strictly faster than joining candidates against the inverted index
 _BITMAP_MAX_VOCAB = 4096
+
+# doc counts up to this broadcast the bitmap table (≤ ~70 bytes/doc at max
+# vocab → ≤ 70 MB), making verification fully map-side
+_BITMAP_BROADCAST_MAX_DOCS = 1_000_000
 
 
 def minhash_dedup_pairs(
@@ -320,11 +356,19 @@ def minhash_dedup_pairs(
     natural corpora."""
     sh = shingles(df, id_col, text_col, n=n).persist()
     sig = minhash_signatures(sh, num_perm=num_perm, seed=seed)
-    cand = minhash_lsh_candidates(sig, num_perm=num_perm, bands=bands)
 
     vocab_size = sh.select("shingle").distinct().count()
     if vocab_size <= _BITMAP_MAX_VOCAB:
-        return _verify_pairs_by_bitmap(cand, sh, vocab_size, threshold)
+        small_corpus = df.count() <= _BITMAP_BROADCAST_MAX_DOCS
+        # broadcast verify is map-side → skip the candidate distinct shuffle
+        # and dedup the (tiny) verified output instead
+        cand = minhash_lsh_candidates(
+            sig, num_perm=num_perm, bands=bands, distinct=not small_corpus
+        )
+        return _verify_pairs_by_bitmap(
+            cand, sh, vocab_size, threshold, broadcast_bitmaps=small_corpus
+        )
+    cand = minhash_lsh_candidates(sig, num_perm=num_perm, bands=bands)
     return _verify_pairs_by_shingle_join(cand, sh, threshold)
 
 
