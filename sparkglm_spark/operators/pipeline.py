@@ -87,6 +87,10 @@ def prepare_training_corpus(
     )
     if languages:
         d2 = d2.where(F.col("detected_lang").isin(list(languages)))
+    # the survivor set is read 3× downstream (doc count, shingle scan, final
+    # anti-join) — persist so the exact-dedup window + regexp-heavy quality
+    # projections run once, not per consumer
+    d2 = d2.persist()
     pairs = minhash_dedup_pairs(
         d2, id_col, text_col, threshold=neardup_threshold
     )
