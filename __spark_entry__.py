@@ -1184,6 +1184,88 @@ GROUP BY user_id, sess_id
 """
 
 
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each click joined to the user's most recent purchase at-or-before it
+    (kdb/pandas `merge_asof` semantics). Executed as union + ONE window
+    pass — both sides shuffle once on user_id, no join explosion
+    (operators/asof.py). Purchases are pre-deduped per (user, ts) so the
+    tie-winner is engine-independent."""
+    ev = read_table(spark, sf_dir, "events")
+    from sparkglm_spark.operators.asof import asof_join
+
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purch = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = asof_join(clicks, purch, on="user_id", left_ts="ts", how="inner")
+    return out.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.date_format("ts_right", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.round("purchase_value_right", 6).alias("purchase_value"),
+    )
+
+
+SQL_EVENTS_ASOF_JOIN = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+purch AS (
+  SELECT user_id, ts, max(value) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+SELECT c.event_id,
+       strftime(date_trunc('second', c.ts), '%Y-%m-%d %H:%M:%S') AS click_ts,
+       strftime(date_trunc('second', p.ts), '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       ROUND(p.purchase_value, 6) AS purchase_value
+FROM clicks c
+ASOF JOIN purch p ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clicks landing inside [signup, signup + 1h] per user, counted per
+    signup — a point-in-interval range join executed as interval-bucket
+    explode + hash equi-join (each point hits exactly one bucket → every
+    true pair once, no θ-join cross product; operators/asof.py)."""
+    ev = read_table(spark, sf_dir, "events")
+    from sparkglm_spark.operators.asof import range_join_points
+
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts")
+    )
+    signups = ev.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        F.col("ts").alias("s_ts"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("e_ts"),
+    )
+    pairs = range_join_points(
+        clicks,
+        signups,
+        point_ts="cts",
+        start_col="s_ts",
+        end_col="e_ts",
+        on="user_id",
+        bucket_seconds=3600,
+    )
+    return pairs.groupBy("signup_id").agg(F.count(F.lit(1)).alias("n_clicks"))
+
+
+SQL_EVENTS_RANGE_JOIN = """
+WITH clicks AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+s AS (SELECT event_id AS signup_id, user_id, ts
+      FROM events WHERE event_type = 'signup')
+SELECT s.signup_id, count(*) AS n_clicks
+FROM s JOIN clicks c
+  ON c.user_id = s.user_id
+ AND c.ts BETWEEN s.ts AND s.ts + INTERVAL 1 HOUR
+GROUP BY 1
+"""
+
+
 def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-invariant hash split (rows-only: assignment hinges on
     Spark's xxhash64; determinism/disjointness proven in tests/test_split.py)."""
@@ -1379,6 +1461,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly": q_events_hourly,
     "events_user_totals": q_events_user_totals,
     "events_sessionize": q_events_sessionize,
+    "events_asof_join": q_events_asof_join,
+    "events_range_join": q_events_range_join,
     "train_test_split": q_train_test_split,
     "corpus_prep": q_corpus_prep,
     "frame_sample": q_frame_sample,
@@ -1428,6 +1512,8 @@ _ORACLES: dict[str, str] = {
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_user_totals": SQL_EVENTS_USER_TOTALS,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
+    "events_asof_join": SQL_EVENTS_ASOF_JOIN,
+    "events_range_join": SQL_EVENTS_RANGE_JOIN,
     "corpus_prep": SQL_CORPUS_PREP,
     "frame_sample": SQL_FRAME_SAMPLE,
     # multimodal_features: pandas-UDF extraction — rows-only

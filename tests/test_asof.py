@@ -1,0 +1,159 @@
+"""asof_join / range_join_points vs pandas merge_asof and naive θ-join."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sparkglm_spark.operators.asof import asof_join, range_join_points
+
+
+@pytest.fixture(scope="module")
+def trades_quotes(spark):
+    rng = np.random.default_rng(11)
+    n_t, n_q = 400, 300
+    trades = pd.DataFrame(
+        {
+            "sym": rng.choice(["A", "B", "C"], size=n_t),
+            "t": rng.integers(0, 10_000, size=n_t).astype("int64"),
+            "qty": rng.integers(1, 100, size=n_t).astype("int64"),
+        }
+    )
+    quotes = pd.DataFrame(
+        {
+            "sym": rng.choice(["A", "B", "C"], size=n_q),
+            "t": rng.integers(0, 10_000, size=n_q).astype("int64"),
+            "px": rng.uniform(10, 20, size=n_q).round(4),
+        }
+    )
+    # make (sym, t) unique on the right so merge_asof's tie choice is moot
+    quotes = quotes.drop_duplicates(["sym", "t"])
+    return spark.createDataFrame(trades), spark.createDataFrame(quotes), trades, quotes
+
+
+def _pd_asof(trades, quotes, direction, tolerance=None):
+    kw = {} if tolerance is None else {"tolerance": tolerance}
+    exp = pd.merge_asof(
+        trades.sort_values(["t", "sym", "qty"]).reset_index(drop=True),
+        quotes.sort_values("t").reset_index(drop=True),
+        on="t",
+        by="sym",
+        direction=direction,
+        suffixes=("", "_right"),
+        **kw,
+    )
+    return {
+        (r.sym, r.t, r.qty, None if pd.isna(r.px) else round(r.px, 4))
+        for r in exp.itertuples()
+    }
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_matches_pandas(trades_quotes, direction):
+    sdf_t, sdf_q, trades, quotes = trades_quotes
+    got = asof_join(
+        sdf_t, sdf_q, on="sym", left_ts="t", direction=direction, how="left"
+    )
+    got_set = {
+        (r["sym"], r["t"], r["qty"], None if r["px_right"] is None else round(r["px_right"], 4))
+        for r in got.collect()
+    }
+    assert got_set == _pd_asof(trades, quotes, direction)
+
+
+def test_asof_tolerance(trades_quotes):
+    sdf_t, sdf_q, trades, quotes = trades_quotes
+    got = asof_join(
+        sdf_t, sdf_q, on="sym", left_ts="t", direction="backward",
+        tolerance_seconds=100, how="left",
+    )
+    got_set = {
+        (r["sym"], r["t"], r["qty"], None if r["px_right"] is None else round(r["px_right"], 4))
+        for r in got.collect()
+    }
+    assert got_set == _pd_asof(trades, quotes, "backward", tolerance=100)
+
+
+def test_asof_inner_drops_unmatched(trades_quotes):
+    sdf_t, sdf_q, trades, quotes = trades_quotes
+    left = asof_join(sdf_t, sdf_q, on="sym", left_ts="t", how="left")
+    inner = asof_join(sdf_t, sdf_q, on="sym", left_ts="t", how="inner")
+    assert inner.count() == left.where(F.col("px_right").isNotNull()).count()
+    assert inner.where(F.col("px_right").isNull()).count() == 0
+
+
+def test_asof_exact_ts_match_included(spark):
+    left = spark.createDataFrame([("A", 100, 1)], ["sym", "t", "qty"])
+    right = spark.createDataFrame([("A", 100, 42.0)], ["sym", "t", "px"])
+    for direction in ("backward", "forward"):
+        out = asof_join(left, right, on="sym", left_ts="t", direction=direction)
+        assert out.collect()[0]["px_right"] == 42.0
+
+
+def test_asof_partition_invariance(trades_quotes):
+    sdf_t, sdf_q, _, _ = trades_quotes
+    a = sorted(map(tuple, asof_join(sdf_t, sdf_q, on="sym", left_ts="t").collect()))
+    b = sorted(
+        map(
+            tuple,
+            asof_join(
+                sdf_t.repartition(7), sdf_q.repartition(3), on="sym", left_ts="t"
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_range_join_matches_naive(spark):
+    rng = np.random.default_rng(5)
+    pts = pd.DataFrame(
+        {
+            "u": rng.choice([1, 2, 3], size=300),
+            "t": rng.integers(0, 5_000, size=300).astype("int64"),
+            "pid": np.arange(300, dtype="int64"),
+        }
+    )
+    starts = rng.integers(0, 4_500, size=60).astype("int64")
+    iv = pd.DataFrame(
+        {
+            "u": rng.choice([1, 2, 3], size=60),
+            "s": starts,
+            "e": starts + rng.integers(0, 800, size=60),
+            "iid": np.arange(60, dtype="int64"),
+        }
+    )
+    sp, si = spark.createDataFrame(pts), spark.createDataFrame(iv)
+    got = {
+        (r["pid"], r["iid"])
+        for r in range_join_points(
+            sp, si, point_ts="t", start_col="s", end_col="e", on="u",
+            bucket_seconds=250,
+        ).collect()
+    }
+    naive = {
+        (r["pid"], r["iid"])
+        for r in sp.join(si, ["u"]).where(
+            (F.col("t") >= F.col("s")) & (F.col("t") <= F.col("e"))
+        ).collect()
+    }
+    assert got == naive and len(naive) > 0
+
+
+def test_range_join_no_keys(spark):
+    pts = spark.createDataFrame([(i, i * 10) for i in range(50)], ["pid", "t"])
+    iv = spark.createDataFrame([(0, 95, 205), (1, 300, 310)], ["iid", "s", "e"])
+    got = {
+        (r["pid"], r["iid"])
+        for r in range_join_points(
+            pts, iv, point_ts="t", start_col="s", end_col="e", bucket_seconds=50
+        ).collect()
+    }
+    naive = {
+        (p, i)
+        for p in range(50)
+        for i, (s, e) in enumerate([(95, 205), (300, 310)])
+        if s <= p * 10 <= e
+    }
+    assert got == naive
