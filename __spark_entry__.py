@@ -1184,6 +1184,41 @@ GROUP BY user_id, sess_id
 """
 
 
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON extraction from the `props` payload column (from_json
+    with an explicit schema — JVM-side parsing, codegen-friendly; the
+    reference has no JSON functions, SURVEY §2.8) aggregated per event
+    type."""
+    ev = read_table(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "k", F.from_json(F.col("props"), "k BIGINT").getField("k")
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_EVENTS_JSON_PROPS = """
+SELECT event_type,
+       count(*) AS n_events,
+       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       ROUND(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 6) AS avg_k,
+       min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each click joined to the user's most recent purchase at-or-before it
     (kdb/pandas `merge_asof` semantics). Executed as union + ONE window
@@ -1463,6 +1498,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize": q_events_sessionize,
     "events_asof_join": q_events_asof_join,
     "events_range_join": q_events_range_join,
+    "events_json_props": q_events_json_props,
     "train_test_split": q_train_test_split,
     "corpus_prep": q_corpus_prep,
     "frame_sample": q_frame_sample,
@@ -1514,6 +1550,7 @@ _ORACLES: dict[str, str] = {
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "events_asof_join": SQL_EVENTS_ASOF_JOIN,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
+    "events_json_props": SQL_EVENTS_JSON_PROPS,
     "corpus_prep": SQL_CORPUS_PREP,
     "frame_sample": SQL_FRAME_SAMPLE,
     # multimodal_features: pandas-UDF extraction — rows-only

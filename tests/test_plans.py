@@ -102,3 +102,62 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path_factory):
     assert joined.count() == expect
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
     spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_asof_join_single_shuffle_no_join_node(spark):
+    """The as-of join is union + one window: exactly one hash exchange on
+    the key, and NO join operator at all (a SortMergeJoin/NLJ plan here
+    would be the θ-join blow-up this operator exists to avoid)."""
+    from sparkglm_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("A", 1, 10)], ["sym", "t", "qty"])
+    right = spark.createDataFrame([("A", 1, 5.0)], ["sym", "t", "px"])
+    plan = plan_of(asof_join(left, right, on="sym", left_ts="t"))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    # formatted mode lists each node twice (tree + detail): one Exchange
+    assert plan.count("Exchange") == 2
+    assert "hashpartitioning(sym" in plan
+    assert "Window" in plan
+
+
+def test_range_join_is_equi_join_not_cartesian(spark):
+    """The bucket trick must surface as a hash equi-join (broadcast or
+    shuffled), never a nested-loop/cartesian θ-join."""
+    from sparkglm_spark.operators.asof import range_join_points
+
+    pts = spark.createDataFrame([(1, 100)], ["pid", "t"])
+    iv = spark.createDataFrame([(1, 50, 150)], ["iid", "s", "e"])
+    plan = plan_of(
+        range_join_points(pts, iv, point_ts="t", start_col="s", end_col="e",
+                          bucket_seconds=60)
+    )
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
+
+
+def test_cosine_topk_corpus_never_shuffles(spark):
+    """The BLAS top-k scan: with a well-partitioned corpus the only
+    exchange in the plan is the (tiny) candidate window — the corpus
+    itself must stream scan → mapInPandas with no repartition."""
+    from sparkglm_spark.operators.similarity import cosine_topk
+
+    ncores = spark.sparkContext.defaultParallelism
+    emb = (
+        spark.range(200)
+        .selectExpr(
+            "id AS vec_id",
+            "transform(sequence(1, 8), i -> cast(id % 7 + i as double)) AS embedding",
+        )
+        .repartition(ncores)
+    )
+    plan = plan_of(cosine_topk(emb, emb.limit(4), k=2))
+    # two physical exchanges only (each listed twice in formatted mode):
+    # the input repartition we asked for + the candidate window — no
+    # full-corpus shuffle between scan and MapInPandas
+    assert plan.count("Exchange") == 4
+    assert "MapInPandas" in plan
