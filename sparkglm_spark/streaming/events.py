@@ -132,6 +132,49 @@ def user_running_totals_stream(events: DataFrame, user_col: str = "user_id") -> 
     )
 
 
+def clicks_within_window_of_signup(
+    clicks: DataFrame,
+    signups: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Interval join: each click paired with the same user's signup when the
+    click lands in [signup_ts, signup_ts + window] (closed). The SAME
+    declarative join serves batch and stream-stream: with two streaming
+    inputs, watermarks on both event-time columns bound the join state, so
+    Spark can discard a signup once no click within `window` can still
+    arrive — the state-cleanup contract a stream-stream join needs at scale.
+
+    Batch twin of `operators/asof.range_join_points` on the same condition
+    (equivalence asserted in tests/test_streaming.py)."""
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    s = signups.select(
+        F.col("event_id").alias("signup_id"),
+        F.col("user_id").alias("s_user"),
+        F.col("ts").alias("signup_ts"),
+    )
+    if c.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+    if s.isStreaming:
+        s = s.withWatermark("signup_ts", watermark)
+    cond = (
+        (F.col("c_user") == F.col("s_user"))
+        & (F.col("click_ts") >= F.col("signup_ts"))
+        & (F.col("click_ts") <= F.col("signup_ts") + F.expr(f"INTERVAL {window}"))
+    )
+    return c.join(s, cond, "inner").select(
+        "click_id",
+        "signup_id",
+        F.col("c_user").alias("user_id"),
+        "click_ts",
+        "signup_ts",
+    )
+
+
 def stream_from_events_table(spark, sf_dir: str):
     """Streaming source over the events parquet (file micro-batches) — used
     by tests to prove the same core runs under readStream."""

@@ -142,3 +142,74 @@ def test_user_running_totals_stream_requires_streaming_df(spark, events):
 
     with pytest.raises(ValueError, match="streaming"):
         user_running_totals_stream(events)
+
+
+def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
+    """The interval join runs as a genuine stream-stream join (two
+    readStream inputs, watermark-bounded state) and, once drained, equals
+    the batch result of the same condition AND the bucket-exploded
+    range_join_points plan."""
+    from sparkglm_spark.operators.asof import range_join_points
+    from sparkglm_spark.streaming.events import clicks_within_window_of_signup
+
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        os.makedirs(src)
+        os.symlink(
+            os.path.join(sf_dir, "events.parquet"), os.path.join(src, "events.parquet")
+        )
+
+        def stream():
+            return (
+                spark.readStream.schema(raw.schema)
+                .parquet(src)
+                .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+            )
+
+        clicks_s = stream().where(F.col("event_type") == "click")
+        signups_s = stream().where(F.col("event_type") == "signup")
+        out = clicks_within_window_of_signup(
+            clicks_s, signups_s, window="1 hour", watermark="100 days"
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("ssj")
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["click_id"], r["signup_id"])
+            for r in spark.sql("SELECT * FROM ssj").collect()
+        }
+
+    ev = read_table(spark, sf_dir, "events")
+    batch = {
+        (r["click_id"], r["signup_id"])
+        for r in clicks_within_window_of_signup(
+            ev.where(F.col("event_type") == "click"),
+            ev.where(F.col("event_type") == "signup"),
+            window="1 hour",
+        ).collect()
+    }
+    pts = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("cts")
+    )
+    iv = ev.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        F.col("ts").alias("s_ts"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("e_ts"),
+    )
+    ranged = {
+        (r["click_id"], r["signup_id"])
+        for r in range_join_points(
+            pts, iv, point_ts="cts", start_col="s_ts", end_col="e_ts",
+            on="user_id", bucket_seconds=3600,
+        ).collect()
+    }
+    assert got == batch == ranged
+    assert len(got) > 0
