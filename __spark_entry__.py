@@ -774,6 +774,37 @@ HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 150
 """
 
 
+def q_late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style correlated EXISTS (reference has no joins — SURVEY §2.3):
+    count orders per priority having at least one lineitem shipped more than
+    60 days after the order date. Spark expresses the EXISTS as a left-semi
+    join with a compound condition (key equality + correlated date predicate);
+    the semi-join never fans out order rows, and AQE picks broadcast when the
+    probe side is small."""
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (orders["o_orderkey"] == li["l_orderkey"]) & (
+        li["l_shipdate"] > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_LATE_ORDER_PRIORITY = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-join coverage: customers with no orders (left_anti on the
     broadcast fact keys)."""
@@ -1477,6 +1508,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantity_percentiles": q_quantity_percentiles,
     "customer_running_total": q_customer_running_total,
     "big_orders": q_big_orders,
+    "late_order_priority": q_late_order_priority,
     "customers_without_orders": q_customers_without_orders,
     "nation_setops": q_nation_region_setops,
     "dedup_exact": q_dedup_exact,
@@ -1529,6 +1561,7 @@ _ORACLES: dict[str, str] = {
     "quantity_percentiles": SQL_QUANTITY_PERCENTILES,
     "customer_running_total": SQL_CUSTOMER_RUNNING_TOTAL,
     "big_orders": SQL_BIG_ORDERS,
+    "late_order_priority": SQL_LATE_ORDER_PRIORITY,
     "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
     "nation_setops": SQL_NATION_REGION_SETOPS,
     "dedup_exact": SQL_DEDUP_EXACT,
