@@ -1454,6 +1454,111 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(synth_media_from_documents(docs))
 
 
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style: cross-nation shipping volume by year. The nation
+    dim is filtered to the two nations of interest BEFORE the join (625×
+    selectivity applied at the broadcast build side); lineitem⋈orders stays
+    a shuffle join — at 100 TB neither fact side is broadcastable, and the
+    date filter pushes to the lineitem scan."""
+    nation = read_table(spark, sf_dir, "nation")
+    supp = read_table(spark, sf_dir, "supplier")
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    pair = ["NATION_1", "NATION_2"]
+    n1 = nation.where(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.where(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    vol = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    return (
+        li.where(F.col("l_shipdate").between("1996-01-01", "1997-12-31"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.sum(vol).cast("decimal(38,6)").cast("string").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+SQL_NATION_TRADE_VOLUME = """
+SELECT supp_nation, cust_nation, l_year, CAST(rev AS VARCHAR) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) *
+                  (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))))
+              AS DECIMAL(38,6)) AS rev
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+    AND n2.n_name IN ('NATION_1', 'NATION_2')
+    AND n1.n_name <> n2.n_name
+    AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+  GROUP BY 1, 2, 3)
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_priority_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (absent from the reference; SURVEY §2.4 note):
+    per-priority exact distinct customers + order stats. Catalyst plans
+    count(distinct) as a two-stage expand/partial-agg — the distinct key
+    shuffle is per-group, not global."""
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("decimal(38,6)").cast("string").alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_PRIORITY_DISTINCT_CUSTOMERS = """
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       COUNT(*) AS n_orders,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS VARCHAR) AS total_price
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_events_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch profile (rows-only: HLL/quantile-sketch estimates are
+    engine-specific): exact count + approx_count_distinct (HyperLogLog++,
+    O(1) state, map-side mergeable) + approx median/p95 (KLL-style). The
+    only shapes that profile a 100 TB key column without shuffling it;
+    accuracy vs exact is asserted in tests/test_sources.py."""
+    from sparkglm_spark.sources.io import approx_table_stats
+
+    ev = read_table(spark, sf_dir, "events")
+    stats = approx_table_stats(ev, ["user_id", "event_type"])
+    pct = ev.agg(
+        F.percentile_approx("value", 0.5).alias("median_value"),
+        F.percentile_approx("value", 0.95).alias("p95_value"),
+    )
+    return stats.crossJoin(pct)
+
+
 # ===========================================================================
 # driver surface
 # ===========================================================================
@@ -1511,6 +1616,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "late_order_priority": q_late_order_priority,
     "customers_without_orders": q_customers_without_orders,
     "nation_setops": q_nation_region_setops,
+    "nation_trade_volume": q_nation_trade_volume,
+    "priority_distinct_customers": q_priority_distinct_customers,
+    "events_approx_profile": q_events_approx_profile,
     "dedup_exact": q_dedup_exact,
     "duplicate_groups": q_duplicate_groups,
     "dedup_jaccard": q_dedup_jaccard,
@@ -1564,6 +1672,10 @@ _ORACLES: dict[str, str] = {
     "late_order_priority": SQL_LATE_ORDER_PRIORITY,
     "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
     "nation_setops": SQL_NATION_REGION_SETOPS,
+    "nation_trade_volume": SQL_NATION_TRADE_VOLUME,
+    "priority_distinct_customers": SQL_PRIORITY_DISTINCT_CUSTOMERS,
+    # events_approx_profile: sketch estimates are engine-specific — rows-only
+    #   (accuracy vs exact asserted in tests/test_sources.py)
     "dedup_exact": SQL_DEDUP_EXACT,
     "duplicate_groups": SQL_DUPLICATE_GROUPS,
     "dedup_jaccard": SQL_DEDUP_JACCARD,

@@ -175,6 +175,24 @@ def clicks_within_window_of_signup(
     )
 
 
+def dedup_events_within_watermark(
+    events: DataFrame,
+    id_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """At-least-once → effectively-once: drop replayed events by id, keeping
+    only ids first seen within the watermark horizon
+    (`dropDuplicatesWithinWatermark`). State is one entry per id per
+    watermark window and is EVICTED as the watermark advances — a plain
+    streaming `dropDuplicates` would grow state forever on an unbounded
+    stream. Works identically on a batch DataFrame (plain dedup), so batch
+    and streaming share the core."""
+    id_cols = id_cols or ["event_id"]
+    out = events.withWatermark(ts_col, watermark)
+    return out.dropDuplicatesWithinWatermark(id_cols)
+
+
 def stream_from_events_table(spark, sf_dir: str):
     """Streaming source over the events parquet (file micro-batches) — used
     by tests to prove the same core runs under readStream."""

@@ -1,0 +1,117 @@
+"""Sources & sinks: explicit-schema readers (no inference job), partitioned
+sinks with directory-level pruning at read time, sketch-profile accuracy,
+and watermark-bounded streaming dedup."""
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkglm_spark.session import read_table
+from sparkglm_spark.sources.io import (
+    approx_table_stats,
+    csv_roundtrip_options,
+    read_with_schema,
+    table_schema,
+    write_partitioned,
+)
+
+
+@pytest.fixture(scope="module")
+def lineitem_df(spark, sf_dir):
+    return read_table(spark, sf_dir, "lineitem")
+
+
+def test_parquet_read_with_declared_schema_matches(spark, sf_dir, lineitem_df):
+    got = read_with_schema(
+        spark, os.path.join(sf_dir, "lineitem.parquet"), table_schema("lineitem")
+    )
+    assert got.schema == table_schema("lineitem")
+    assert got.count() == lineitem_df.count()
+
+
+def test_csv_roundtrip_with_schema(spark, lineitem_df):
+    """CSV written then read back with the declared schema carries values
+    and types faithfully — and the read plans no inference scan."""
+    sample = lineitem_df.limit(200)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "li_csv")
+        opts = csv_roundtrip_options()
+        sample.write.mode("overwrite").options(**opts).csv(path)
+        back = read_with_schema(
+            spark, path, table_schema("lineitem"), fmt="csv", **opts
+        )
+        assert back.schema == table_schema("lineitem")
+        a = {tuple(r) for r in sample.collect()}
+        b = {tuple(r) for r in back.collect()}
+        assert a == b
+
+
+def test_partitioned_sink_prunes_at_read(spark, lineitem_df):
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "li_part")
+        write_partitioned(
+            lineitem_df, path, ["l_returnflag"], max_records_per_file=100_000
+        )
+        # hive layout: one directory per value
+        dirs = sorted(
+            e for e in os.listdir(path) if e.startswith("l_returnflag=")
+        )
+        assert dirs == ["l_returnflag=A", "l_returnflag=N", "l_returnflag=R"]
+
+        back = spark.read.parquet(path)
+        pruned = back.where(F.col("l_returnflag") == "A")
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        # the predicate lands in PartitionFilters (directory pruning), not
+        # a post-scan Filter over all rows
+        assert "PartitionFilters" in plan and "l_returnflag" in plan.split(
+            "PartitionFilters", 1
+        )[1].split("]", 1)[0]
+        expect = lineitem_df.where(F.col("l_returnflag") == "A").count()
+        assert pruned.count() == expect
+
+
+def test_approx_stats_close_to_exact(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events")
+    row = approx_table_stats(ev, ["user_id", "event_type"]).collect()[0]
+    exact_users = ev.select("user_id").distinct().count()
+    exact_types = ev.select("event_type").distinct().count()
+    assert row["n_rows"] == ev.count()
+    assert abs(row["approx_distinct_user_id"] - exact_users) <= 0.05 * exact_users
+    assert abs(row["approx_distinct_event_type"] - exact_types) <= max(
+        1, 0.05 * exact_types
+    )
+
+
+def test_streaming_dedup_within_watermark(spark, sf_dir):
+    """Replayed events (duplicate ids) are dropped under readStream with
+    bounded state; result equals batch distinct-by-id."""
+    from sparkglm_spark.streaming.events import dedup_events_within_watermark
+
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        os.makedirs(src)
+        # write the table twice = every event replayed once
+        raw.write.mode("append").parquet(src)
+        raw.write.mode("append").parquet(src)
+        stream_in = (
+            spark.readStream.schema(raw.schema)
+            .parquet(src)
+            .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        )
+        out = dedup_events_within_watermark(stream_in, watermark="100 days")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("dedup_ev")
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_ev").collect()[0]
+    n_ids = raw.select("event_id").distinct().count()
+    assert got["n"] == n_ids  # every id exactly once
+    assert got["d"] == n_ids
