@@ -1542,6 +1542,56 @@ ORDER BY o_orderpriority
 """
 
 
+def q_lm_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped OLS — one model per l_returnflag segment, fully distributed:
+    one Gram groupBy (O(G·k²) on the wire) + per-group numpy solve inside
+    mapInPandas (no driver collect; G unbounded). Oracle: per-group
+    closed-form Cramer from exact decimal sums; coefs rounded to 1 decimal,
+    r2 to 5 (same margins as lm_fit_simple / lm_fit_stats)."""
+    from sparkglm_spark.operators.lm import lm_grouped
+
+    li = read_table(spark, sf_dir, "lineitem")
+    out = lm_grouped(li, "l_extendedprice ~ l_quantity", ["l_returnflag"])
+    return (
+        out.select(
+            "l_returnflag",
+            "term",
+            F.round(F.col("estimate"), 1).alias("coef"),
+            "n_rows",
+            F.round(F.col("r2"), 5).alias("r2"),
+        )
+        .orderBy("l_returnflag", "term")
+    )
+
+
+SQL_LM_PER_GROUP = """
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS DOUBLE) AS n, count(*) AS n_rows,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag),
+r AS (
+  SELECT l_returnflag, n, n_rows, sx, sy, sxx, sxy,
+         ROUND(((n*sxy - sx*sy)*(n*sxy - sx*sy))
+               / ((n*sxx - sx*sx)*(n*syy - sy*sy)), 5) AS r2
+  FROM s)
+SELECT l_returnflag, 'intercept' AS term,
+       ROUND((sy * sxx - sx * sxy) / (n * sxx - sx * sx), 1) AS coef,
+       n_rows, r2
+FROM r
+UNION ALL
+SELECT l_returnflag, 'l_quantity' AS term,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 1) AS coef,
+       n_rows, r2
+FROM r
+ORDER BY l_returnflag, term
+"""
+
+
 def q_events_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch profile (rows-only: HLL/quantile-sketch estimates are
     engine-specific): exact count + approx_count_distinct (HyperLogLog++,
@@ -1599,6 +1649,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_fit_stats": q_lm_fit_stats,
     "lm_predict_fixed": q_lm_predict_fixed,
     "wls_fit": q_wls_fit,
+    "lm_per_group": q_lm_per_group,
     "glm_kernels": q_glm_kernels,
     "glm_cloglog_kernels": q_glm_cloglog_kernels,
     "glm_deviance": q_glm_deviance,
@@ -1657,6 +1708,7 @@ _ORACLES: dict[str, str] = {
     "lm_fit_stats": SQL_LM_FIT_STATS,
     "lm_predict_fixed": SQL_LM_PREDICT_FIXED,
     "wls_fit": SQL_WLS_FIT,
+    "lm_per_group": SQL_LM_PER_GROUP,
     "glm_kernels": SQL_GLM_KERNELS,
     "glm_cloglog_kernels": SQL_GLM_CLOGLOG_KERNELS,
     "glm_deviance": SQL_GLM_DEVIANCE,

@@ -20,7 +20,7 @@ from sparkglm_spark.functions.encoding import (
     model_matrix,
     omit_na,
 )
-from sparkglm_spark.operators.lm import LM, LMSummary, lm, wls
+from sparkglm_spark.operators.lm import LM, LMSummary, lm, lm_grouped, wls
 from sparkglm_spark.operators.glm import GLM, GLMSummary, glm
 from sparkglm_spark.persist import load_model, save_model
 
@@ -34,6 +34,7 @@ __all__ = [
     "LM",
     "LMSummary",
     "lm",
+    "lm_grouped",
     "wls",
     "GLM",
     "GLMSummary",

@@ -338,3 +338,135 @@ def wls(df: DataFrame, formula: str, weight_col: str, **kwargs) -> LM:
     """Weighted least squares (reference: utils.wlsSingle/wlsMultiple,
     utils.scala:70-80,103-112) — `lm` with a weight column."""
     return lm(df, formula, weight_col=weight_col, **kwargs)
+
+
+def lm_grouped(
+    df: DataFrame,
+    formula: str,
+    group_cols: list[str],
+    na_action: str = "omit",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """One OLS fit per group — LM.fit scaled out to millions of segments
+    with no per-group driver work at all.
+
+    Stage 1 (the only shuffle): `groupBy(group_cols)` over the k(k+1)/2+k+3
+    Gram sum expressions — partial map-side aggregation, so the wire carries
+    O(G·k²) doubles (G = #groups), never rows.
+    Stage 2: each group's k×k normal-equation solve runs DISTRIBUTED via an
+    Arrow-batched `mapInPandas` over the G-row Gram table (numpy Cholesky
+    per group). The driver never sees data or models, so G is unbounded —
+    the pattern the reference cannot express at all (its fit is one model
+    per driver, LM.scala:241-254).
+
+    Encoding levels are computed once on the WHOLE input, so every group
+    shares the same design columns (a group missing a level just gets zero
+    dummies there).
+
+    Returns long format: group_cols…, term, estimate, n_rows, r2. Groups
+    with n < k or a numerically singular Gram get NULL estimate/r2 (the
+    pinv fallback is not used per-group: silent least-norm coefficients on
+    a degenerate segment would be misleading output).
+    """
+    from pyspark.sql import types as T
+
+    parsed = expand_dot(
+        parse_formula(formula),
+        [c for c in df.columns if c not in group_cols],
+    )
+    sel = [*group_cols, parsed.target, *parsed.predictors]
+    if weight_col:
+        sel.append(weight_col)
+    data = df.select(*sel)
+    if na_action == "omit":
+        data = omit_na(data, cols=[c for c in sel if c not in group_cols])
+
+    levels = model_matrix_levels(data.select(*parsed.predictors))
+    exprs: list[Column] = [F.col(c) for c in group_cols]
+    x_cols: list[str] = []
+    if parsed.intercept:
+        exprs.append(F.lit(1.0).alias("intercept"))
+        x_cols.append("intercept")
+    for p in parsed.predictors:
+        if p in levels:
+            from sparkglm_spark.functions.encoding import dummy_columns
+
+            exprs.extend(dummy_columns(p, levels[p]))
+            x_cols.extend(f"{p}_{lvl}" for lvl in levels[p][1:])
+        else:
+            exprs.append(F.col(p).cast("double").alias(p))
+            x_cols.append(p)
+    exprs.append(F.col(parsed.target).cast("double").alias(parsed.target))
+    if weight_col:
+        exprs.append(F.col(weight_col).cast("double").alias(weight_col))
+    encoded = data.select(*exprs)
+
+    k = len(x_cols)
+    w = F.col(weight_col) if weight_col else None
+
+    def wgt(e: Column) -> Column:
+        return e if w is None else e * w
+
+    xs = [F.col(c) for c in x_cols]
+    y = F.col(parsed.target)
+    aggs: list[Column] = []
+    for i in range(k):
+        for j in range(i, k):
+            aggs.append(F.sum(wgt(xs[i] * xs[j])).alias(f"__g_{i}_{j}"))
+    for i in range(k):
+        aggs.append(F.sum(wgt(xs[i] * y)).alias(f"__xy_{i}"))
+    aggs.append(F.sum(wgt(y)).alias("__sy"))
+    aggs.append(F.sum(wgt(y * y)).alias("__syy"))
+    aggs.append(F.count(F.lit(1)).alias("__n"))
+    aggs.append((F.sum(w) if w is not None else F.count(F.lit(1)).cast("double")).alias("__sw"))
+    gram = encoded.groupBy(*group_cols).agg(*aggs)
+
+    out_schema = T.StructType(
+        [df.schema[c] for c in group_cols]
+        + [
+            T.StructField("term", T.StringType()),
+            T.StructField("estimate", T.DoubleType()),
+            T.StructField("n_rows", T.LongType()),
+            T.StructField("r2", T.DoubleType()),
+        ]
+    )
+    names = list(x_cols)
+    gcols = list(group_cols)
+
+    def solve_groups(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            cols: dict[str, list] = {c: [] for c in gcols}
+            cols.update(term=[], estimate=[], n_rows=[], r2=[])
+            # (not itertuples: namedtuples positionally rename the
+            # underscore-prefixed Gram columns)
+            for r in pdf.to_dict("records"):
+                n = int(r["__n"])
+                xtx = np.empty((k, k))
+                for i in range(k):
+                    for j in range(i, k):
+                        xtx[i, j] = xtx[j, i] = r[f"__g_{i}_{j}"]
+                xty = np.array([r[f"__xy_{i}"] for i in range(k)])
+                coefs, r2_val = None, None
+                if n >= k:
+                    try:
+                        c_ = np.linalg.cholesky(xtx)
+                        coefs = np.linalg.solve(xtx, xty)
+                        sw = float(r["__sw"])
+                        ybar = r["__sy"] / sw
+                        sse = float(r["__syy"] - 2.0 * coefs @ xty + coefs @ xtx @ coefs)
+                        tss = float(r["__syy"] - sw * ybar * ybar)
+                        r2_val = 1.0 - sse / tss if tss > 0 else None
+                    except np.linalg.LinAlgError:
+                        coefs = None
+                for i, name in enumerate(names):
+                    for c in gcols:
+                        cols[c].append(r[c])
+                    cols["term"].append(name)
+                    cols["estimate"].append(float(coefs[i]) if coefs is not None else None)
+                    cols["n_rows"].append(n)
+                    cols["r2"].append(r2_val)
+            yield pd.DataFrame(cols)
+
+    return gram.mapInPandas(solve_groups, out_schema)

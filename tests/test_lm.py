@@ -228,3 +228,70 @@ def test_glm_persistence_roundtrip(orders, tmp_path):
     np.testing.assert_array_equal(g.coefs, g2.coefs)
     assert (g2.family, g2.link, g2.iter) == (g.family, g.link, g.iter)
     assert g2.aic == g.aic
+
+
+def test_lm_grouped_matches_per_group_numpy(spark, lineitem):
+    """lm_grouped ≡ an independent numpy lstsq per segment (incl. a
+    categorical predictor encoded with GLOBAL levels)."""
+    import numpy as np
+    from sparkglm_spark.operators.lm import lm_grouped
+
+    out = (
+        lm_grouped(
+            lineitem, "l_extendedprice ~ l_quantity + l_linestatus", ["l_returnflag"]
+        )
+        .toPandas()
+        .sort_values(["l_returnflag", "term"])
+    )
+    raw = lineitem.select(
+        "l_returnflag", "l_extendedprice", "l_quantity", "l_linestatus"
+    ).toPandas()
+    assert set(out.l_returnflag) == set(raw.l_returnflag)
+    for g, sub in raw.groupby("l_returnflag"):
+        X = np.column_stack(
+            [
+                np.ones(len(sub)),
+                (sub.l_linestatus == "O").astype(float),
+                sub.l_quantity,
+            ]
+        )  # column order = sorted terms: intercept, l_linestatus_O, l_quantity
+        y = sub.l_extendedprice.to_numpy()
+        beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+        mine = out[out.l_returnflag == g]
+        np.testing.assert_allclose(mine.estimate.to_numpy(), beta, rtol=1e-6)
+        resid = y - X @ beta
+        r2 = 1.0 - resid @ resid / ((y - y.mean()) @ (y - y.mean()))
+        assert mine.r2.iloc[0] == pytest.approx(r2, rel=1e-6)
+        assert int(mine.n_rows.iloc[0]) == len(sub)
+
+
+def test_lm_grouped_degenerate_group_yields_null(spark):
+    """A group with fewer rows than features (or a singular design) gets
+    NULL estimates instead of least-norm garbage."""
+    from sparkglm_spark.operators.lm import lm_grouped
+
+    rows = [
+        ("a", 1.0, 2.0), ("a", 2.0, 3.5), ("a", 3.0, 5.0), ("a", 4.0, 6.1),
+        ("b", 7.0, 9.0),  # 1 row < k=2
+    ]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = lm_grouped(df, "y ~ x", ["g"]).toPandas().sort_values(["g", "term"])
+    a = out[out.g == "a"]
+    assert a.estimate.notna().all()
+    b = out[out.g == "b"]
+    assert b.estimate.isna().all() and b.r2.isna().all()
+    assert set(b.term) == {"intercept", "x"}
+
+
+def test_lm_grouped_partition_invariance(spark, lineitem):
+    import numpy as np
+    from sparkglm_spark.operators.lm import lm_grouped
+
+    f = "l_extendedprice ~ l_quantity"
+    a = lm_grouped(lineitem.repartition(1), f, ["l_returnflag"]).toPandas()
+    b = lm_grouped(lineitem.repartition(16), f, ["l_returnflag"]).toPandas()
+    a = a.sort_values(["l_returnflag", "term"]).reset_index(drop=True)
+    b = b.sort_values(["l_returnflag", "term"]).reset_index(drop=True)
+    np.testing.assert_allclose(
+        a.estimate.to_numpy(), b.estimate.to_numpy(), rtol=1e-9
+    )
