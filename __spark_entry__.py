@@ -1609,6 +1609,76 @@ def q_events_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.crossJoin(pct)
 
 
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 keyword search over documents (operators/text.py
+    bm25_search): one corpus pass, query-term filter BEFORE the tf shuffle,
+    broadcast idf. Score rounded to 6 (pure arithmetic over exact integer
+    tf/df/dl counts — both engines within ulps)."""
+    from sparkglm_spark.operators.text import bm25_search
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = bm25_search(docs, ["spark", "join", "window"], top_k=20)
+    return out.select(
+        "doc_id", F.round(F.col("score"), 6).alias("score"), "dl"
+    ).orderBy(F.col("score").desc(), "doc_id")
+
+
+SQL_TEXT_BM25 = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), s -> s <> '')) AS term,
+         len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), s -> s <> '')) AS dl
+  FROM documents),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         AVG(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), s -> s <> ''))) AS avgdl
+  FROM documents),
+hits AS (
+  SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+  FROM toks WHERE term IN ('spark', 'join', 'window')
+  GROUP BY doc_id, term),
+idf AS (SELECT term, CAST(count(*) AS BIGINT) AS dfreq FROM hits GROUP BY term),
+scored AS (
+  SELECT doc_id,
+         SUM( ln((n - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+              * (tf * 2.2)
+              / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) ) AS score,
+         min(dl) AS dl
+  FROM hits JOIN idf USING (term) CROSS JOIN stats
+  GROUP BY doc_id)
+SELECT doc_id, ROUND(score, 6) AS score, dl
+FROM scored
+ORDER BY score DESC, doc_id
+LIMIT 20
+"""
+
+
+def q_lineitem_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA (operators/pca.py): covariance from ONE Gram pass,
+    driver 4×4 eigh, deterministic sign convention. Rows-only (no SQL
+    eigendecomposition); loadings verified vs numpy in tests/test_pca.py.
+    Output: per-component explained variance + loadings, rounded 6."""
+    from sparkglm_spark.operators.pca import pca_fit
+
+    li = read_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    m = pca_fit(li, cols, n_components=2)
+    rows = []
+    for i in range(2):
+        rows.append(
+            (
+                i + 1,
+                round(float(m.explained_variance[i]), 4),
+                round(float(m.explained_variance_ratio[i]), 6),
+                *[round(float(v), 6) for v in m.components[i]],
+            )
+        )
+    schema = "component int, variance double, variance_ratio double, " + ", ".join(
+        f"load_{c} double" for c in cols
+    )
+    return spark.createDataFrame(rows, schema)
+
+
 # ===========================================================================
 # driver surface
 # ===========================================================================
@@ -1684,6 +1754,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_tokens": q_text_tokens,
     "text_quality": q_text_quality,
     "text_fingerprint": q_text_fingerprint,
+    "text_bm25": q_text_bm25,
+    "lineitem_pca": q_lineitem_pca,
     "events_hourly": q_events_hourly,
     "events_user_totals": q_events_user_totals,
     "events_sessionize": q_events_sessionize,
@@ -1742,6 +1814,9 @@ _ORACLES: dict[str, str] = {
     "text_tokens": SQL_TEXT_TOKENS,
     "text_quality": SQL_TEXT_QUALITY,
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
+    "text_bm25": SQL_TEXT_BM25,
+    # lineitem_pca: eigendecomposition — no SQL oracle; numpy oracle in
+    #   tests/test_pca.py (rows-only here)
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_user_totals": SQL_EVENTS_USER_TOTALS,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,

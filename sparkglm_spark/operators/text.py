@@ -176,3 +176,89 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.select(
         F.col(id_col), fingerprint_expr(F.col(text_col)).alias("fingerprint")
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword search
+# ---------------------------------------------------------------------------
+
+
+def bm25_tokens_expr(text: Column) -> Column:
+    """Search tokenization: lowercase, split on non-alphanumeric runs, drop
+    empties. Spelled out so a SQL oracle can reproduce it verbatim
+    (string_split_regex + unnest + filter in DuckDB)."""
+    return F.filter(
+        F.split(F.lower(text), "[^a-z0-9]+"), lambda s: s != F.lit("")
+    )
+
+
+def bm25_search(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> DataFrame:
+    """Okapi BM25 ranking of documents for a bag of query terms.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)   (Robertson/Lucene form).
+
+    Scale shape — ONE pass over the corpus, two tiny follow-ups:
+    - doc lengths come from `size(tokens)` (a projection, no explode);
+      N and avgdl reduce to two driver scalars (O(1) state).
+    - the explode is filtered to the query terms BEFORE the tf groupBy, so
+      the only shuffle carries (doc, query-term) hits — corpus text never
+      moves. idf joins back as a broadcast; doc-length joins hit only the
+      matching docs.
+    Returns (id_col, score, dl) for the top_k docs, score descending with
+    deterministic id tie-break.
+    """
+    t = F.col(text_col)
+    toks = bm25_tokens_expr(t)
+    base = df.select(F.col(id_col).alias("id"), toks.alias("__toks")).select(
+        "id", F.explode("__toks").alias("term"), F.size("__toks").alias("dl")
+    )
+    # doc-length stats: projection-only pass (no explode needed for dl, but
+    # dl rides along with the hits below so matching docs need no extra join)
+    stats = (
+        df.select(F.size(toks).alias("dl"))
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+        .collect()[0]
+    )
+    n_docs, avgdl = float(stats["n"]), float(stats["avgdl"])
+
+    hits = (
+        base.where(F.col("term").isin(list(query_terms)))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    idf = dfreq.withColumn(
+        "idf",
+        F.log(
+            (F.lit(n_docs) - F.col("dfreq") + F.lit(0.5))
+            / (F.col("dfreq") + F.lit(0.5))
+            + F.lit(1.0)
+        ),
+    )
+    scored = (
+        hits.join(F.broadcast(idf), "term")
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+            ),
+        )
+        .groupBy("id")
+        .agg(F.sum("term_score").alias("score"), F.first("dl").alias("dl"))
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(top_k)
+    )
+    return scored.select(F.col("id").alias(id_col), "score", "dl")
