@@ -1240,7 +1240,7 @@ def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_EVENTS_JSON_PROPS = """
 SELECT event_type,
        count(*) AS n_events,
-       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        ROUND(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 6) AS avg_k,
        min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
        max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
@@ -1592,6 +1592,73 @@ ORDER BY l_returnflag, term
 """
 
 
+def q_lm_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass k-fold CV via Gram additivity (train stats = total − fold):
+    the entire CV is a single groupBy(fold) aggregation + driver algebra.
+    Oracle: per-fold Cramer closed form over exact decimal fold-sums, with
+    training statistics derived by subtraction exactly as the engine does.
+    rmse rounded to 2, r2 to 5 (cancellation analysis: divergence ≲1e-9)."""
+    from sparkglm_spark.operators.lm import lm_cross_validate
+
+    li = read_table(spark, sf_dir, "lineitem")
+    out = lm_cross_validate(
+        li,
+        "l_extendedprice ~ l_quantity",
+        F.pmod(F.col("l_orderkey"), F.lit(4)),
+        n_folds=4,
+    )
+    return out.select(
+        "fold",
+        "n_train",
+        "n_val",
+        F.round("rmse_val", 2).alias("rmse_val"),
+        F.round("r2_val", 5).alias("r2_val"),
+    ).orderBy("fold")
+
+
+SQL_LM_CV_FOLDS = """
+WITH s AS (
+  SELECT CAST(l_orderkey % 4 AS INT) AS fold,
+         CAST(count(*) AS DOUBLE) AS n, count(*) AS n_rows,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY 1),
+tot AS (
+  SELECT SUM(n) AS n, CAST(SUM(n_rows) AS BIGINT) AS n_rows, SUM(sx) AS sx,
+         SUM(sy) AS sy, SUM(sxx) AS sxx, SUM(sxy) AS sxy, SUM(syy) AS syy
+  FROM s),
+tr AS (
+  SELECT s.fold,
+         t.n - s.n AS n_t, CAST(t.n_rows - s.n_rows AS BIGINT) AS n_train,
+         t.sx - s.sx AS sx_t, t.sy - s.sy AS sy_t,
+         t.sxx - s.sxx AS sxx_t, t.sxy - s.sxy AS sxy_t,
+         s.n AS n_v, s.n_rows AS n_val, s.sx AS sx_v, s.sy AS sy_v,
+         s.sxx AS sxx_v, s.sxy AS sxy_v, s.syy AS syy_v
+  FROM s CROSS JOIN tot t),
+m AS (
+  SELECT *,
+         (n_t * sxy_t - sx_t * sy_t) / (n_t * sxx_t - sx_t * sx_t) AS b1
+  FROM tr),
+m2 AS (
+  SELECT *, (sy_t - b1 * sx_t) / n_t AS b0 FROM m),
+e AS (
+  SELECT fold, n_train, n_val,
+         syy_v - 2.0 * (b0 * sy_v + b1 * sxy_v)
+               + (b0 * b0 * n_v + 2.0 * b0 * b1 * sx_v + b1 * b1 * sxx_v) AS sse_v,
+         syy_v - sy_v * sy_v / n_v AS tss_v,
+         n_v
+  FROM m2)
+SELECT fold, n_train, n_val,
+       ROUND(SQRT(sse_v / n_v), 2) AS rmse_val,
+       ROUND(1.0 - sse_v / tss_v, 5) AS r2_val
+FROM e
+ORDER BY fold
+"""
+
+
 def q_events_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch profile (rows-only: HLL/quantile-sketch estimates are
     engine-specific): exact count + approx_count_distinct (HyperLogLog++,
@@ -1720,6 +1787,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_predict_fixed": q_lm_predict_fixed,
     "wls_fit": q_wls_fit,
     "lm_per_group": q_lm_per_group,
+    "lm_cv_folds": q_lm_cv_folds,
     "glm_kernels": q_glm_kernels,
     "glm_cloglog_kernels": q_glm_cloglog_kernels,
     "glm_deviance": q_glm_deviance,
@@ -1781,6 +1849,7 @@ _ORACLES: dict[str, str] = {
     "lm_predict_fixed": SQL_LM_PREDICT_FIXED,
     "wls_fit": SQL_WLS_FIT,
     "lm_per_group": SQL_LM_PER_GROUP,
+    "lm_cv_folds": SQL_LM_CV_FOLDS,
     "glm_kernels": SQL_GLM_KERNELS,
     "glm_cloglog_kernels": SQL_GLM_CLOGLOG_KERNELS,
     "glm_deviance": SQL_GLM_DEVIANCE,

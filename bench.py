@@ -111,6 +111,32 @@ def main() -> None:
         lambda: force(ivf_topk(emb, emb.limit(100), k=10, n_lists=16, n_probe=4)),
     )
 
+    # grouped modeling / search / linear algebra headliners
+    from sparkglm_spark.operators.lm import lm_grouped
+    from sparkglm_spark.operators.pca import pca_project
+    from sparkglm_spark.operators.text import bm25_search
+
+    bench(
+        "lm_grouped",
+        lambda: force(
+            lm_grouped(
+                li, "l_extendedprice ~ l_quantity + l_discount", ["l_returnflag"]
+            )
+        ),
+    )
+    bench(
+        "text_bm25",
+        lambda: force(bm25_search(docs, ["spark", "join", "window"], top_k=20)),
+    )
+    bench(
+        "pca_project",
+        lambda: force(
+            pca_project(
+                li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"], 2
+            )
+        ),
+    )
+
     # relational headliners
     import __spark_entry__ as E
 

@@ -20,7 +20,14 @@ from sparkglm_spark.functions.encoding import (
     model_matrix,
     omit_na,
 )
-from sparkglm_spark.operators.lm import LM, LMSummary, lm, lm_grouped, wls
+from sparkglm_spark.operators.lm import (
+    LM,
+    LMSummary,
+    lm,
+    lm_cross_validate,
+    lm_grouped,
+    wls,
+)
 from sparkglm_spark.operators.glm import GLM, GLMSummary, glm
 from sparkglm_spark.persist import load_model, save_model
 
@@ -35,6 +42,7 @@ __all__ = [
     "LMSummary",
     "lm",
     "lm_grouped",
+    "lm_cross_validate",
     "wls",
     "GLM",
     "GLMSummary",

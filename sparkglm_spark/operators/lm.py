@@ -340,6 +340,50 @@ def wls(df: DataFrame, formula: str, weight_col: str, **kwargs) -> LM:
     return lm(df, formula, weight_col=weight_col, **kwargs)
 
 
+def _design(
+    df: DataFrame,
+    formula: str,
+    keep_cols: list[str],
+    na_action: str = "omit",
+    weight_col: str | None = None,
+):
+    """Shared encoding for the segmented/fold fitters: parse the formula
+    (excluding `keep_cols` from `.` expansion), drop NAs on the modeling
+    columns only, expand categoricals with GLOBAL levels, inject the
+    intercept. Returns (encoded_df, x_cols, target) with `keep_cols`
+    passed through untouched."""
+    parsed = expand_dot(
+        parse_formula(formula),
+        [c for c in df.columns if c not in keep_cols],
+    )
+    sel = [*keep_cols, parsed.target, *parsed.predictors]
+    if weight_col:
+        sel.append(weight_col)
+    data = df.select(*sel)
+    if na_action == "omit":
+        data = omit_na(data, cols=[c for c in sel if c not in keep_cols])
+
+    levels = model_matrix_levels(data.select(*parsed.predictors))
+    exprs: list[Column] = [F.col(c) for c in keep_cols]
+    x_cols: list[str] = []
+    if parsed.intercept:
+        exprs.append(F.lit(1.0).alias("intercept"))
+        x_cols.append("intercept")
+    for p in parsed.predictors:
+        if p in levels:
+            from sparkglm_spark.functions.encoding import dummy_columns
+
+            exprs.extend(dummy_columns(p, levels[p]))
+            x_cols.extend(f"{p}_{lvl}" for lvl in levels[p][1:])
+        else:
+            exprs.append(F.col(p).cast("double").alias(p))
+            x_cols.append(p)
+    exprs.append(F.col(parsed.target).cast("double").alias(parsed.target))
+    if weight_col:
+        exprs.append(F.col(weight_col).cast("double").alias(weight_col))
+    return data.select(*exprs), x_cols, parsed.target
+
+
 def lm_grouped(
     df: DataFrame,
     formula: str,
@@ -370,37 +414,9 @@ def lm_grouped(
     """
     from pyspark.sql import types as T
 
-    parsed = expand_dot(
-        parse_formula(formula),
-        [c for c in df.columns if c not in group_cols],
+    encoded, x_cols, target = _design(
+        df, formula, group_cols, na_action=na_action, weight_col=weight_col
     )
-    sel = [*group_cols, parsed.target, *parsed.predictors]
-    if weight_col:
-        sel.append(weight_col)
-    data = df.select(*sel)
-    if na_action == "omit":
-        data = omit_na(data, cols=[c for c in sel if c not in group_cols])
-
-    levels = model_matrix_levels(data.select(*parsed.predictors))
-    exprs: list[Column] = [F.col(c) for c in group_cols]
-    x_cols: list[str] = []
-    if parsed.intercept:
-        exprs.append(F.lit(1.0).alias("intercept"))
-        x_cols.append("intercept")
-    for p in parsed.predictors:
-        if p in levels:
-            from sparkglm_spark.functions.encoding import dummy_columns
-
-            exprs.extend(dummy_columns(p, levels[p]))
-            x_cols.extend(f"{p}_{lvl}" for lvl in levels[p][1:])
-        else:
-            exprs.append(F.col(p).cast("double").alias(p))
-            x_cols.append(p)
-    exprs.append(F.col(parsed.target).cast("double").alias(parsed.target))
-    if weight_col:
-        exprs.append(F.col(weight_col).cast("double").alias(weight_col))
-    encoded = data.select(*exprs)
-
     k = len(x_cols)
     w = F.col(weight_col) if weight_col else None
 
@@ -408,7 +424,7 @@ def lm_grouped(
         return e if w is None else e * w
 
     xs = [F.col(c) for c in x_cols]
-    y = F.col(parsed.target)
+    y = F.col(target)
     aggs: list[Column] = []
     for i in range(k):
         for j in range(i, k):
@@ -470,3 +486,99 @@ def lm_grouped(
             yield pd.DataFrame(cols)
 
     return gram.mapInPandas(solve_groups, out_schema)
+
+
+def lm_cross_validate(
+    df: DataFrame,
+    formula: str,
+    fold_expr: Column | str,
+    n_folds: int = 5,
+    na_action: str = "omit",
+) -> DataFrame:
+    """K-fold cross-validation for OLS in ONE pass over the data.
+
+    Gram sufficient statistics are additive, so a single
+    `groupBy(fold)` aggregation yields every fold's (X'X, X'y, y'y, …);
+    fold i's TRAINING statistics are (total − fold_i), its model solves on
+    the driver (k×k, n_folds of them), and its HELD-OUT error evaluates
+    from the same fold statistics:
+        SSE_i = (y'y)_i − 2β_i'(X'y)_i + β_i'(X'X)_i β_i.
+    No second scan, no per-fold jobs, no prediction materialization — the
+    whole CV costs exactly one aggregation job at any data size (the shape
+    a naive per-fold refit-and-score loop cannot afford at 100 TB).
+
+    `fold_expr`: integer column/expression in [0, n_folds) assigning rows
+    to folds (e.g. `F.pmod(F.xxhash64("id"), F.lit(5))` for a
+    partition-invariant hash fold, or a modulo on a key for an
+    SQL-reproducible one).
+
+    Returns one row per fold: fold, n_train, n_val, rmse_train, rmse_val,
+    r2_val (NULL r2 when a fold's validation variance is zero).
+    """
+    keep: list[str] = []
+    if isinstance(fold_expr, str):
+        fold_expr = F.col(fold_expr)
+    encoded, x_cols, target = _design(
+        df.withColumn("__fold", fold_expr.cast("int")),
+        formula,
+        ["__fold"],
+        na_action=na_action,
+    )
+    k = len(x_cols)
+    xs = [F.col(c) for c in x_cols]
+    y = F.col(target)
+    aggs: list[Column] = []
+    for i in range(k):
+        for j in range(i, k):
+            aggs.append(F.sum(xs[i] * xs[j]).alias(f"g_{i}_{j}"))
+    for i in range(k):
+        aggs.append(F.sum(xs[i] * y).alias(f"xy_{i}"))
+    aggs.append(F.sum(y).alias("sy"))
+    aggs.append(F.sum(y * y).alias("syy"))
+    aggs.append(F.count(F.lit(1)).alias("n"))
+    rows = encoded.groupBy("__fold").agg(*aggs).collect()  # n_folds tiny rows
+
+    def unpack(r):
+        xtx = np.empty((k, k))
+        for i in range(k):
+            for j in range(i, k):
+                xtx[i, j] = xtx[j, i] = r[f"g_{i}_{j}"]
+        xty = np.array([r[f"xy_{i}"] for i in range(k)])
+        return xtx, xty, float(r["sy"]), float(r["syy"]), int(r["n"])
+
+    folds = {int(r["__fold"]): unpack(r) for r in rows}
+    tot_xtx = sum(v[0] for v in folds.values())
+    tot_xty = sum(v[1] for v in folds.values())
+    tot_sy = sum(v[2] for v in folds.values())
+    tot_syy = sum(v[3] for v in folds.values())
+    tot_n = sum(v[4] for v in folds.values())
+
+    out = []
+    for f in range(n_folds):
+        if f not in folds:
+            continue
+        xtx_v, xty_v, sy_v, syy_v, n_v = folds[f]
+        xtx_t, xty_t = tot_xtx - xtx_v, tot_xty - xty_v
+        syy_t, n_t = tot_syy - syy_v, tot_n - n_v
+        if n_t < k:
+            continue
+        beta, _ = solve_normal(xtx_t, xty_t)
+        sse_t = float(syy_t - 2.0 * beta @ xty_t + beta @ xtx_t @ beta)
+        sse_v = float(syy_v - 2.0 * beta @ xty_v + beta @ xtx_v @ beta)
+        ybar_v = sy_v / n_v
+        tss_v = syy_v - n_v * ybar_v * ybar_v
+        out.append(
+            (
+                f,
+                n_t,
+                n_v,
+                float(np.sqrt(max(sse_t, 0.0) / n_t)),
+                float(np.sqrt(max(sse_v, 0.0) / n_v)),
+                float(1.0 - sse_v / tss_v) if tss_v > 0 else None,
+            )
+        )
+    return df.sparkSession.createDataFrame(
+        out,
+        "fold int, n_train bigint, n_val bigint, "
+        "rmse_train double, rmse_val double, r2_val double",
+    )

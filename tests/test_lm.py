@@ -295,3 +295,45 @@ def test_lm_grouped_partition_invariance(spark, lineitem):
     np.testing.assert_allclose(
         a.estimate.to_numpy(), b.estimate.to_numpy(), rtol=1e-9
     )
+
+
+def test_lm_cross_validate_matches_numpy(spark, lineitem):
+    """One-pass CV (Gram additivity) ≡ explicit per-fold refit + held-out
+    scoring in numpy."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from sparkglm_spark.operators.lm import lm_cross_validate
+
+    got = (
+        lm_cross_validate(
+            lineitem,
+            "l_extendedprice ~ l_quantity + l_discount",
+            F.pmod(F.col("l_orderkey"), F.lit(3)),
+            n_folds=3,
+        )
+        .toPandas()
+        .sort_values("fold")
+        .reset_index(drop=True)
+    )
+    raw = lineitem.select(
+        "l_orderkey", "l_extendedprice", "l_quantity", "l_discount"
+    ).toPandas()
+    fold = (raw.l_orderkey % 3).to_numpy()
+    X = np.column_stack(
+        [np.ones(len(raw)), raw.l_quantity.to_numpy(), raw.l_discount.to_numpy()]
+    )
+    y = raw.l_extendedprice.to_numpy()
+    for f in range(3):
+        tr, va = fold != f, fold == f
+        beta, *_ = np.linalg.lstsq(X[tr], y[tr], rcond=None)
+        pred_v = X[va] @ beta
+        rmse_v = float(np.sqrt(np.mean((y[va] - pred_v) ** 2)))
+        rmse_t = float(np.sqrt(np.mean((y[tr] - X[tr] @ beta) ** 2)))
+        r2_v = 1.0 - ((y[va] - pred_v) ** 2).sum() / (
+            (y[va] - y[va].mean()) ** 2
+        ).sum()
+        row = got[got.fold == f].iloc[0]
+        assert row.n_train == tr.sum() and row.n_val == va.sum()
+        assert row.rmse_val == pytest.approx(rmse_v, rel=1e-6)
+        assert row.rmse_train == pytest.approx(rmse_t, rel=1e-6)
+        assert row.r2_val == pytest.approx(r2_v, rel=1e-6, abs=1e-9)
