@@ -1746,6 +1746,77 @@ def q_lineitem_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def q_customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic lag(): days between a customer's consecutive orders,
+    summarized per priority of the later order. Deterministic window order
+    via (o_orderdate, o_orderkey) tie-break; gaps are exact day integers so
+    only the final avg needs rounding."""
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        "o_orderpriority",
+        F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).alias("gap"),
+    ).where(F.col("gap").isNotNull())
+    return (
+        gaps.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.avg("gap"), 6).alias("avg_gap_days"),
+            F.max("gap").cast("long").alias("max_gap_days"),
+            F.count(F.lit(1)).alias("n_gaps"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_CUSTOMER_ORDER_GAPS = """
+WITH g AS (
+  SELECT o_orderpriority,
+         date_diff('day',
+                   lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey),
+                   o_orderdate) AS gap
+  FROM orders)
+SELECT o_orderpriority,
+       ROUND(AVG(gap), 6) AS avg_gap_days,
+       CAST(MAX(gap) AS BIGINT) AS max_gap_days,
+       COUNT(*) AS n_gaps
+FROM g
+WHERE gap IS NOT NULL
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_orders_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% key-hash sample (operators/split.py::hash_sample):
+    engine-portable affine hash, so the oracle reproduces the EXACT sample
+    — the property TABLESAMPLE/rand() can never give. Output: summary of
+    the sampled subset (exact decimal sum)."""
+    from sparkglm_spark.operators.split import hash_sample
+
+    orders = read_table(spark, sf_dir, "orders")
+    s = hash_sample(orders, "o_orderkey", 0.10)
+    return s.agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum(_dec("o_totalprice")).cast("decimal(38,6)").cast("string").alias("total_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+SQL_ORDERS_HASH_SAMPLE = """
+SELECT count(*) AS n_sampled,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS VARCHAR) AS total_price,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key
+FROM orders
+WHERE ((o_orderkey % 4294967296) * 536870923 + 976369154383)
+      % 2305843009213693951 % 1000000 < 100000
+"""
+
+
 # ===========================================================================
 # driver surface
 # ===========================================================================
@@ -1801,6 +1872,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_revenue": q_rollup_revenue,
     "quantity_percentiles": q_quantity_percentiles,
     "customer_running_total": q_customer_running_total,
+    "customer_order_gaps": q_customer_order_gaps,
     "big_orders": q_big_orders,
     "late_order_priority": q_late_order_priority,
     "customers_without_orders": q_customers_without_orders,
@@ -1831,6 +1903,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_range_join": q_events_range_join,
     "events_json_props": q_events_json_props,
     "train_test_split": q_train_test_split,
+    "orders_hash_sample": q_orders_hash_sample,
     "corpus_prep": q_corpus_prep,
     "frame_sample": q_frame_sample,
     "multimodal_features": q_multimodal_features,
@@ -1861,6 +1934,7 @@ _ORACLES: dict[str, str] = {
     "rollup_revenue": SQL_ROLLUP_REVENUE,
     "quantity_percentiles": SQL_QUANTITY_PERCENTILES,
     "customer_running_total": SQL_CUSTOMER_RUNNING_TOTAL,
+    "customer_order_gaps": SQL_CUSTOMER_ORDER_GAPS,
     "big_orders": SQL_BIG_ORDERS,
     "late_order_priority": SQL_LATE_ORDER_PRIORITY,
     "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
@@ -1892,6 +1966,7 @@ _ORACLES: dict[str, str] = {
     "events_asof_join": SQL_EVENTS_ASOF_JOIN,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
     "events_json_props": SQL_EVENTS_JSON_PROPS,
+    "orders_hash_sample": SQL_ORDERS_HASH_SAMPLE,
     "corpus_prep": SQL_CORPUS_PREP,
     "frame_sample": SQL_FRAME_SAMPLE,
     # multimodal_features: pandas-UDF extraction — rows-only

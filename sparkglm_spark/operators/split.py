@@ -79,3 +79,40 @@ def shard_and_shuffle(
         .repartition(n_shards, "shard")
         .sortWithinPartitions("shard", order.asc(), F.col(id_col).asc())
     )
+
+
+# Affine hash constants chosen for ANSI-safe int64 arithmetic in ANY SQL
+# engine (so a DuckDB/warehouse oracle can reproduce the sample bit-for-bit):
+# (key mod 2^32) · A + B with A < 2^29 keeps every intermediate < 2^62.
+_AFFINE_A = 536_870_923          # prime < 2^29
+_AFFINE_B = 976_369_154_383      # arbitrary fixed offset
+_AFFINE_P = (1 << 61) - 1        # Mersenne modulus
+
+
+def hash_sample_expr(key, salt: int = 0) -> F.Column:
+    """Uniform bucket in [0, _BUCKETS) from an integer key — engine-portable
+    arithmetic only (mod/mul/add), unlike xxhash64. `salt` (0 ≤ salt <
+    100000) changes the MULTIPLIER, giving a different permutation — an
+    additive salt would only shift every bucket by a constant, making
+    "different" samples near-copies. A_salt stays < 2^30, so the product
+    stays < 2^62 (ANSI-safe in any engine)."""
+    if not 0 <= salt < 100_000:
+        raise ValueError("salt must be in [0, 100000)")
+    key = F.col(key) if isinstance(key, str) else key
+    a_salt = _AFFINE_A + 2 * 1009 * salt  # stays odd, < 2^30
+    h = (
+        F.pmod(key.cast("long"), F.lit(1 << 32)) * F.lit(a_salt)
+        + F.lit(_AFFINE_B)
+    ) % F.lit(_AFFINE_P)
+    return F.pmod(h, F.lit(_BUCKETS))
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: int = 0
+) -> DataFrame:
+    """Deterministic ~`fraction` sample by key hash: partition-invariant,
+    re-runnable, and reproducible in plain SQL (the oracle property —
+    `sample`/TABLESAMPLE are engine- and partitioning-dependent). Keys,
+    not rows, are sampled: every row of a kept key survives, so sampling
+    joins/groups stays consistent across tables sharing the key."""
+    return df.where(hash_sample_expr(key_col, salt) < F.lit(int(round(fraction * _BUCKETS))))

