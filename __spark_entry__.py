@@ -1817,6 +1817,104 @@ WHERE ((o_orderkey % 4294967296) * 536870923 + 976369154383)
 """
 
 
+def q_lineitem_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation of 4 measures from ONE Gram pass
+    (operators/stats.py::corr_matrix). Oracle: closed form from exact
+    decimal sums; rounded to 6 (cancellation analysis: divergence ≲1e-10)."""
+    from sparkglm_spark.operators.stats import corr_matrix
+
+    li = read_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    out = corr_matrix(li, cols)
+    return out.select(
+        "col_a", "col_b", F.round("corr", 6).alias("corr")
+    ).orderBy("col_a", "col_b")
+
+
+def _corr_sql_pair(a: str, b: str, ia: int, ib: int) -> str:
+    return (
+        f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+        f"ROUND((n * m{ia}{ib} - s{ia} * s{ib}) / "
+        f"SQRT((n * m{ia}{ia} - s{ia} * s{ia}) * (n * m{ib}{ib} - s{ib} * s{ib})), 6) AS corr "
+        "FROM s"
+    )
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_CORR_SUMS = ", ".join(
+    f"CAST(SUM(CAST({c} AS DECIMAL(18,6))) AS DOUBLE) AS s{i + 1}"
+    for i, c in enumerate(_CORR_COLS)
+)
+_CORR_MOMS = ", ".join(
+    f"CAST(SUM(CAST({_CORR_COLS[i]} AS DECIMAL(19,6)) * CAST({_CORR_COLS[j]} AS DECIMAL(19,6))) AS DOUBLE) AS m{i + 1}{j + 1}"
+    for i in range(4)
+    for j in range(i, 4)
+)
+SQL_LINEITEM_CORR = (
+    "WITH s AS (SELECT CAST(count(*) AS DOUBLE) AS n, "
+    + _CORR_SUMS
+    + ", "
+    + _CORR_MOMS
+    + " FROM lineitem) "
+    + " UNION ALL ".join(
+        _corr_sql_pair(_CORR_COLS[i], _CORR_COLS[j], i + 1, j + 1)
+        for i in range(4)
+        for j in range(i + 1, 4)
+    )
+    + " ORDER BY col_a, col_b"
+)
+
+
+def q_lineitem_standardized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score standardization (operators/stats.py::standardize): one
+    2k-scalar agg + codegen projection, rows untouched. Full-row oracle:
+    (x − avg)/stddev_samp, rounded to 6."""
+    from sparkglm_spark.operators.stats import standardize
+
+    li = read_table(spark, sf_dir, "lineitem")
+    out = standardize(li, ["l_quantity", "l_extendedprice"])
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_quantity_z", 6).alias("l_quantity_z"),
+        F.round("l_extendedprice_z", 6).alias("l_extendedprice_z"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+SQL_LINEITEM_STANDARDIZED = """
+WITH s AS (
+  SELECT AVG(l_quantity) AS mq, STDDEV_SAMP(l_quantity) AS sq,
+         AVG(l_extendedprice) AS mp, STDDEV_SAMP(l_extendedprice) AS sp
+  FROM lineitem)
+SELECT l_orderkey, l_linenumber,
+       ROUND((l_quantity - mq) / sq, 6) AS l_quantity_z,
+       ROUND((l_extendedprice - mp) / sp, 6) AS l_extendedprice_z
+FROM lineitem CROSS JOIN s
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+def q_glm_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped logistic regression — one IRLS fit per order priority via
+    applyInPandas (rows-only: iterative fit; per-group numeric oracle vs
+    numpy IRLS lives in tests/test_glm.py)."""
+    from sparkglm_spark.operators.glm import glm_grouped
+
+    orders = read_table(spark, sf_dir, "orders")
+    od = orders.withColumn(
+        "is_f", F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0)
+    )
+    out = glm_grouped(od, "is_f ~ o_totalprice", ["o_orderpriority"])
+    return out.select(
+        "o_orderpriority",
+        "term",
+        F.round("estimate", 6).alias("estimate"),
+        F.round("deviance", 3).alias("deviance"),
+        "iterations",
+        "n_rows",
+    ).orderBy("o_orderpriority", "term")
+
+
 # ===========================================================================
 # driver surface
 # ===========================================================================
@@ -1859,6 +1957,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wls_fit": q_wls_fit,
     "lm_per_group": q_lm_per_group,
     "lm_cv_folds": q_lm_cv_folds,
+    "lineitem_corr": q_lineitem_corr,
+    "lineitem_standardized": q_lineitem_standardized,
     "glm_kernels": q_glm_kernels,
     "glm_cloglog_kernels": q_glm_cloglog_kernels,
     "glm_deviance": q_glm_deviance,
@@ -1866,6 +1966,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "glm_gaussian_fit": q_glm_gaussian_fit,
     "glm_poisson_fit": q_glm_poisson_fit,
     "glm_gamma_fit": q_glm_gamma_fit,
+    "glm_per_segment": q_glm_per_segment,
     "pricing_summary": q_pricing_summary,
     "top_orders": q_top_orders,
     "region_revenue": q_region_revenue,
@@ -1923,6 +2024,8 @@ _ORACLES: dict[str, str] = {
     "wls_fit": SQL_WLS_FIT,
     "lm_per_group": SQL_LM_PER_GROUP,
     "lm_cv_folds": SQL_LM_CV_FOLDS,
+    "lineitem_corr": SQL_LINEITEM_CORR,
+    "lineitem_standardized": SQL_LINEITEM_STANDARDIZED,
     "glm_kernels": SQL_GLM_KERNELS,
     "glm_cloglog_kernels": SQL_GLM_CLOGLOG_KERNELS,
     "glm_deviance": SQL_GLM_DEVIANCE,

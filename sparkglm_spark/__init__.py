@@ -28,7 +28,7 @@ from sparkglm_spark.operators.lm import (
     lm_grouped,
     wls,
 )
-from sparkglm_spark.operators.glm import GLM, GLMSummary, glm
+from sparkglm_spark.operators.glm import GLM, GLMSummary, glm, glm_grouped
 from sparkglm_spark.persist import load_model, save_model
 
 __all__ = [
@@ -47,6 +47,7 @@ __all__ = [
     "GLM",
     "GLMSummary",
     "glm",
+    "glm_grouped",
     "save_model",
     "load_model",
 ]

@@ -399,3 +399,125 @@ def glm(
     model.levels = levels
     model.call = f"glm({formula}, family={family}, link={link})"
     return model
+
+
+def glm_grouped(
+    df: DataFrame,
+    formula: str,
+    group_cols: list[str],
+    family: str = "binomial",
+    link: str | None = None,
+    tol: float = 1e-6,
+    max_iter: int = 50,
+    na_action: str = "omit",
+) -> DataFrame:
+    """One GLM per group — IRLS per segment, distributed via
+    `applyInPandas` (numpy Fisher scoring inside each group's Arrow batch).
+
+    Unlike `lm_grouped` (pure sufficient statistics), IRLS re-weights every
+    iteration, so each group's rows DO materialize in its worker's pandas
+    frame — the right trade for the "millions of medium segments" shape
+    (per-ad-campaign logistic models, per-tenant rates). For one huge
+    segment use `glm()` itself, whose per-iteration aggregation never
+    materializes rows. Supported: binomial/logit, poisson/log,
+    gaussian/identity. Degenerate groups (n < k, singular/non-converged
+    fits) yield NULL estimates.
+
+    Returns long format: group_cols…, term, estimate, deviance,
+    iterations, n_rows.
+    """
+    from pyspark.sql import types as T
+
+    from sparkglm_spark.operators.lm import _design
+
+    link = link or {"binomial": "logit", "poisson": "log", "gaussian": "identity"}[
+        family
+    ]
+    if (family, link) not in {
+        ("binomial", "logit"),
+        ("poisson", "log"),
+        ("gaussian", "identity"),
+    }:
+        raise ValueError(f"glm_grouped supports logit/log/identity, got {family}/{link}")
+
+    encoded, x_cols, target = _design(df, formula, group_cols, na_action=na_action)
+    k = len(x_cols)
+    out_schema = T.StructType(
+        [df.schema[c] for c in group_cols]
+        + [
+            T.StructField("term", T.StringType()),
+            T.StructField("estimate", T.DoubleType()),
+            T.StructField("deviance", T.DoubleType()),
+            T.StructField("iterations", T.IntegerType()),
+            T.StructField("n_rows", T.LongType()),
+        ]
+    )
+    names = list(x_cols)
+    gcols = list(group_cols)
+    fam = family
+
+    def fit_group(pdf):
+        import pandas as pd
+
+        X = pdf[names].to_numpy(dtype=np.float64)
+        y = pdf[target].to_numpy(dtype=np.float64)
+        n = len(y)
+        beta, dev, it = None, None, 0
+        if n >= k:
+            try:
+                if fam == "gaussian":
+                    beta = np.linalg.solve(X.T @ X, X.T @ y)
+                    dev = float(((y - X @ beta) ** 2).sum())
+                    it = 1
+                else:
+                    if fam == "binomial":
+                        mu = np.clip((y + 0.5) / 2.0, 1e-10, 1 - 1e-10)
+                    else:
+                        mu = y + 0.5
+                    eta = (
+                        np.log(mu / (1 - mu)) if fam == "binomial" else np.log(mu)
+                    )
+                    dev_old, delta = 1e308, 1.0
+                    while abs(delta) > tol and it < max_iter:
+                        if fam == "binomial":
+                            w = mu * (1 - mu)
+                        else:
+                            w = mu
+                        z = eta + (y - mu) / w
+                        Xw = X * w[:, None]
+                        beta = np.linalg.solve(X.T @ Xw, Xw.T @ z)
+                        eta = X @ beta
+                        if fam == "binomial":
+                            mu = 1.0 / (1.0 + np.exp(-eta))
+                            mu = np.clip(mu, 1e-10, 1 - 1e-10)
+                            with np.errstate(divide="ignore", invalid="ignore"):
+                                t1 = np.where(y > 0, y * np.log(y / mu), 0.0)
+                                t2 = np.where(
+                                    y < 1, (1 - y) * np.log((1 - y) / (1 - mu)), 0.0
+                                )
+                            dev = float(2.0 * (t1 + t2).sum())
+                        else:
+                            mu = np.exp(eta)
+                            with np.errstate(divide="ignore", invalid="ignore"):
+                                t1 = np.where(y > 0, y * np.log(y / mu), 0.0)
+                            dev = float(2.0 * (t1 - (y - mu)).sum())
+                        it += 1
+                        delta = dev - dev_old
+                        dev_old = dev
+                    if it >= max_iter:
+                        beta = None
+            except np.linalg.LinAlgError:
+                beta = None
+        cols = {c: [] for c in gcols}
+        cols.update(term=[], estimate=[], deviance=[], iterations=[], n_rows=[])
+        for i, name in enumerate(names):
+            for c in gcols:
+                cols[c].append(pdf[c].iloc[0])
+            cols["term"].append(name)
+            cols["estimate"].append(float(beta[i]) if beta is not None else None)
+            cols["deviance"].append(dev if beta is not None else None)
+            cols["iterations"].append(it)
+            cols["n_rows"].append(n)
+        return pd.DataFrame(cols)
+
+    return encoded.groupBy(*gcols).applyInPandas(fit_group, out_schema)

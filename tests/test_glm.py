@@ -329,3 +329,47 @@ def test_glm_gamma_inverse_link(spark):
     oracle = numpy_irls_gamma(np.column_stack([np.ones(n), x]), y, link="inverse")
     np.testing.assert_allclose(model.coefs, oracle["coef"], rtol=1e-7)
     assert model.iter == oracle["iter"]
+
+
+def test_glm_grouped_matches_per_group_numpy_irls(spark, orders):
+    """glm_grouped ≡ the module-level numpy IRLS run independently per
+    segment (binomial/logit)."""
+    from pyspark.sql import functions as F
+    from sparkglm_spark.operators.glm import glm_grouped
+
+    od = orders.withColumn(
+        "is_f", F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0)
+    )
+    got = (
+        glm_grouped(od, "is_f ~ o_totalprice", ["o_orderpriority"])
+        .toPandas()
+        .sort_values(["o_orderpriority", "term"])
+    )
+    raw = od.select("o_orderpriority", "is_f", "o_totalprice").toPandas()
+    for g, sub in raw.groupby("o_orderpriority"):
+        X = np.column_stack([np.ones(len(sub)), sub.o_totalprice.to_numpy()])
+        ref = numpy_irls(X, sub.is_f.to_numpy(), "logit")
+        mine = got[got.o_orderpriority == g]
+        np.testing.assert_allclose(
+            mine.estimate.to_numpy(), ref["coef"], rtol=1e-6
+        )  # term order: intercept, o_totalprice (sorted = design order here)
+        assert mine.deviance.iloc[0] == pytest.approx(ref["deviance"], rel=1e-8)
+        assert int(mine.n_rows.iloc[0]) == len(sub)
+
+
+def test_glm_grouped_poisson(spark, lineitem):
+    from sparkglm_spark.operators.glm import glm_grouped
+
+    got = (
+        glm_grouped(
+            lineitem, "l_quantity ~ l_discount", ["l_returnflag"], family="poisson"
+        )
+        .toPandas()
+        .sort_values(["l_returnflag", "term"])
+    )
+    raw = lineitem.select("l_returnflag", "l_quantity", "l_discount").toPandas()
+    for g, sub in raw.groupby("l_returnflag"):
+        X = np.column_stack([np.ones(len(sub)), sub.l_discount.to_numpy()])
+        ref = numpy_irls_poisson(X, sub.l_quantity.to_numpy())
+        mine = got[got.l_returnflag == g]
+        np.testing.assert_allclose(mine.estimate.to_numpy(), ref["coef"], rtol=1e-5)
