@@ -1915,6 +1915,37 @@ def q_glm_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderpriority", "term")
 
 
+def q_totalprice_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals: integer bucket arithmetic
+    (exact in both engines), one partial+final aggregation — the
+    distributed histogram shape (driver sees only bucket counts)."""
+    orders = read_table(spark, sf_dir, "orders")
+    w = 25_000.0
+    bucket = F.least(F.floor(F.col("o_totalprice") / F.lit(w)), F.lit(19)).cast(
+        "int"
+    )
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
+SQL_TOTALPRICE_HISTOGRAM = """
+SELECT CAST(LEAST(FLOOR(o_totalprice / 25000.0), 19) AS INT) AS bucket,
+       COUNT(*) AS n_orders,
+       ROUND(MIN(o_totalprice), 2) AS min_price,
+       ROUND(MAX(o_totalprice), 2) AS max_price
+FROM orders
+GROUP BY 1
+ORDER BY bucket
+"""
+
+
 # ===========================================================================
 # driver surface
 # ===========================================================================
@@ -1972,6 +2003,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "region_revenue": q_region_revenue,
     "rollup_revenue": q_rollup_revenue,
     "quantity_percentiles": q_quantity_percentiles,
+    "totalprice_histogram": q_totalprice_histogram,
     "customer_running_total": q_customer_running_total,
     "customer_order_gaps": q_customer_order_gaps,
     "big_orders": q_big_orders,
@@ -2036,6 +2068,7 @@ _ORACLES: dict[str, str] = {
     "region_revenue": SQL_REGION_REVENUE,
     "rollup_revenue": SQL_ROLLUP_REVENUE,
     "quantity_percentiles": SQL_QUANTITY_PERCENTILES,
+    "totalprice_histogram": SQL_TOTALPRICE_HISTOGRAM,
     "customer_running_total": SQL_CUSTOMER_RUNNING_TOTAL,
     "customer_order_gaps": SQL_CUSTOMER_ORDER_GAPS,
     "big_orders": SQL_BIG_ORDERS,
