@@ -131,6 +131,7 @@ class LM:
         x_cols: list[str] | None = None,
         sse_mode: str = "moments",
         weight_col: str | None = None,
+        l2: float = 0.0,
     ) -> "LM":
         """Fit OLS where `x` holds both predictors and the label column —
         single-DataFrame surface replacing the reference's fragile
@@ -149,7 +150,16 @@ class LM:
         """
         x_cols = x_cols or [c for c in x.columns if c not in (y_col, weight_col)]
         g = gram_aggregate(x, x_cols, y_col=y_col, weight_col=weight_col)
-        coefs, xtxi = solve_normal(g.xtx, g.xty)
+        xtx = g.xtx
+        if l2 > 0.0:
+            # ridge: λ on the raw (unnormalized) Gram diagonal, intercept
+            # unpenalized — the distributed plan is unchanged (same single
+            # aggregation job); only the driver k×k solve shifts.
+            pen = np.full(len(x_cols), float(l2))
+            if "intercept" in x_cols:
+                pen[x_cols.index("intercept")] = 0.0
+            xtx = g.xtx + np.diag(pen)
+        coefs, xtxi = solve_normal(xtx, g.xty)
         n, k = g.n, len(x_cols)
         n_w = g.sum_w if weight_col else float(n)  # Σw (= n unweighted)
         y_mean = g.sum_y / n_w
@@ -303,9 +313,11 @@ def lm(
     na_action: str = "omit",
     sse_mode: str = "moments",
     weight_col: str | None = None,
+    l2: float = 0.0,
 ) -> LM:
     """Formula front-end (reference: sparkLM, R/pkg/R/LM.R:24-72):
-    parse → drop NAs → encode categoricals → inject intercept → fit."""
+    parse → drop NAs → encode categoricals → inject intercept → fit.
+    `l2 > 0` → ridge (Tikhonov) on the raw Gram, intercept unpenalized."""
     parsed = expand_dot(parse_formula(formula), df.columns)
     cols = [parsed.target, *parsed.predictors] + ([weight_col] if weight_col else [])
     data = df.select(*cols)
@@ -328,9 +340,15 @@ def lm(
         x_cols=x_cols,
         sse_mode=sse_mode,
         weight_col=weight_col,
+        l2=l2,
     )
     model.levels = levels
-    model.call = f"lm({formula})" if not weight_col else f"wls({formula}, w={weight_col})"
+    if l2 > 0.0:
+        model.call = f"ridge({formula}, l2={l2})"
+    elif weight_col:
+        model.call = f"wls({formula}, w={weight_col})"
+    else:
+        model.call = f"lm({formula})"
     return model
 
 
@@ -338,6 +356,13 @@ def wls(df: DataFrame, formula: str, weight_col: str, **kwargs) -> LM:
     """Weighted least squares (reference: utils.wlsSingle/wlsMultiple,
     utils.scala:70-80,103-112) — `lm` with a weight column."""
     return lm(df, formula, weight_col=weight_col, **kwargs)
+
+
+def ridge(df: DataFrame, formula: str, l2: float, **kwargs) -> LM:
+    """L2-regularized OLS: β = (X'X + λI)⁻¹X'y, intercept unpenalized.
+    Same one-job Gram plan as `lm` — the penalty is a driver-side O(k)
+    diagonal shift, so the 100 TB cost profile is identical to OLS."""
+    return lm(df, formula, l2=l2, **kwargs)
 
 
 def _design(

@@ -1,0 +1,86 @@
+"""Time-series utilities over event tables: fixed-grid resampling with
+gap fill, and frame-based moving aggregates.
+
+The reference has no temporal operators (SURVEY §2.5/§2.9 — none); these
+are north-star extensions for event/telemetry pipelines. Both are built
+from declarative primitives so Catalyst keeps pushdown/pruning:
+
+- `resample_counts` — two aggregations over the same shuffle key family
+  (the raw table is shuffled ONCE, on (group, bucket); the per-group
+  bounds aggregate runs over the already-reduced bucket table, which is
+  O(groups × buckets), not O(rows)). The dense grid is generated with
+  `sequence()` + `explode` — per GROUP, not per row — and the counts
+  re-attach with a join on the grid side (tiny relation at any data
+  scale: 1000 event types × 10 years of hours ≈ 9e7 rows, independent
+  of the 100 TB fact table).
+- `moving_aggregate` — one window pass with a RANGE frame over an
+  integer day index; runs over a pre-aggregated daily table, so state
+  per partition is bounded by the frame width.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_UNIT_SECONDS = {"hour": 3600, "day": 86400, "minute": 60}
+
+
+def resample_counts(
+    df: DataFrame,
+    ts_col: str,
+    group_cols: list[str],
+    unit: str = "hour",
+) -> DataFrame:
+    """Per-group counts on a fixed `unit` grid with missing buckets
+    zero-filled over each group's own [min, max] span.
+
+    Output: group_cols + `bucket` (timestamp) + `n_events` (0 for gaps).
+    """
+    if unit not in _UNIT_SECONDS:
+        raise ValueError(f"unsupported unit {unit!r}; use {sorted(_UNIT_SECONDS)}")
+    bucket = F.date_trunc(unit, F.col(ts_col)).alias("bucket")
+    counts = df.groupBy(*group_cols, bucket).agg(F.count(F.lit(1)).alias("n_events"))
+    bounds = counts.groupBy(*group_cols).agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    grid = bounds.select(
+        *group_cols,
+        F.explode(F.expr(f"sequence(lo, hi, interval 1 {unit})")).alias("bucket"),
+    )
+    return grid.join(counts, on=[*group_cols, "bucket"], how="left").select(
+        *group_cols,
+        "bucket",
+        F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+    )
+
+
+def moving_aggregate(
+    daily: DataFrame,
+    day_col: str,
+    value_col: str,
+    window_days: int = 7,
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """Trailing `window_days`-day moving sum/avg via a RANGE frame over an
+    integer day index (gap-aware: a RANGE frame over days-since-epoch sees
+    calendar days, not physical rows, so date gaps shrink the window
+    instead of silently widening it like a ROWS frame would).
+
+    `daily` must already be one row per (day) — aggregate first so the
+    window pass streams a small relation.
+    """
+    day_num = F.datediff(F.col(day_col), F.lit("1970-01-01")).cast("long")
+    base = (
+        Window.partitionBy(*partition_cols) if partition_cols else Window.partitionBy()
+    )
+    w = base.orderBy(day_num.asc()).rangeBetween(
+        -(window_days - 1), Window.currentRow
+    )
+    return daily.select(
+        "*",
+        F.sum(value_col).over(w).alias(f"{value_col}_mov_sum"),
+        F.avg(value_col).over(w).alias(f"{value_col}_mov_avg"),
+        F.count(F.lit(1)).over(w).alias("days_in_window"),
+    )
