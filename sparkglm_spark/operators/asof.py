@@ -26,12 +26,19 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import NumericType, TimestampType
+from pyspark.sql.types import NumericType, TimestampNTZType, TimestampType
+
+_TS_TYPES = (TimestampType, TimestampNTZType)
+_NTZ_EPOCH = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
 
 
 def _ts_num(c: Column, dtype) -> Column:
     """Timestamp-or-numeric → comparable numeric (µs for timestamps;
-    numerics untouched — no precision-losing cast)."""
+    numerics untouched — no precision-losing cast). NTZ converts via
+    timestampdiff from the NTZ epoch — timezone-independent, unlike a
+    cast through TIMESTAMP_LTZ."""
+    if isinstance(dtype, TimestampNTZType):
+        return F.timestamp_diff("MICROSECOND", F.expr(_NTZ_EPOCH), c)
     if isinstance(dtype, TimestampType):
         return F.unix_micros(c)
     return c
@@ -117,7 +124,7 @@ def asof_join(
 
     if tolerance_seconds is not None:
         mt = _ts_num(F.col("__m.__ts"), rt_type)
-        scale = 1e6 if isinstance(lt_type, TimestampType) else 1.0
+        scale = 1e6 if isinstance(lt_type, _TS_TYPES) else 1.0
         dist = (F.col("__t") - mt) if direction == "backward" else (mt - F.col("__t"))
         out = out.withColumn(
             "__m",
@@ -151,10 +158,10 @@ def range_join_points(
     keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
     pt_type = points.schema[point_ts].dataType
     st_type = intervals.schema[start_col].dataType
-    if not isinstance(pt_type, (TimestampType, NumericType)):
+    if not isinstance(pt_type, (*_TS_TYPES, NumericType)):
         raise ValueError(f"unsupported point_ts type: {pt_type}")
 
-    scale = 1e6 if isinstance(pt_type, TimestampType) else 1.0
+    scale = 1e6 if isinstance(pt_type, _TS_TYPES) else 1.0
     width = float(bucket_seconds) * scale
 
     p_num = _ts_num(F.col(point_ts), pt_type)

@@ -32,6 +32,7 @@ def get_spark(app_name: str = "sparkglm", master: str | None = None) -> SparkSes
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -47,9 +48,10 @@ def get_spark(app_name: str = "sparkglm", master: str | None = None) -> SparkSes
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one testdata table. The `events` table carries nanosecond
-    parquet timestamps (unsupported natively): read nanos as long and
-    convert to a microsecond timestamp column."""
+    """Read one testdata table. The `events` table's `ts` reads natively
+    as TIMESTAMP_NTZ (parquet timestamp[us], isAdjustedToUTC=false); older
+    testdata generations carried timestamp[ns], which Spark lacks — for
+    those, read nanos as long and convert to a microsecond timestamp."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         from pyspark.sql import functions as F

@@ -88,13 +88,9 @@ TABLE_SCHEMAS: dict[str, T.StructType] = {
         ("l_linestatus", _STR),
         ("l_shipdate", _TS_NTZ),
     ),
-    # events.parquet carries timestamp[ns], which Spark has no native type
-    # for (session.read_table reads nanos-as-long and converts to µs
-    # TimestampType); this is the post-conversion logical contract used by
-    # every non-parquet carrier of the table.
     "events": _struct(
         ("event_id", _LONG),
-        ("ts", T.TimestampType()),
+        ("ts", _TS_NTZ),
         ("user_id", _LONG),
         ("event_type", _STR),
         ("value", _DOUBLE),

@@ -9,8 +9,24 @@ data (event-time semantics, not arrival-time).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType
+
+
+def _watermark_time(df: DataFrame, ts_col: str) -> Column:
+    """Structured Streaming watermarks require TIMESTAMP (LTZ). Testdata
+    event times are TIMESTAMP_NTZ; map NTZ wall-clock to the UTC instant
+    with the same wall clock via pure µs arithmetic — timezone-independent,
+    unlike a cast through the session zone."""
+    c = F.col(ts_col)
+    if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
+        return F.timestamp_micros(
+            F.timestamp_diff(
+                "MICROSECOND", F.expr("TIMESTAMP_NTZ '1970-01-01 00:00:00'"), c
+            )
+        )
+    return c
 
 
 def windowed_event_stats(
@@ -31,6 +47,7 @@ def windowed_event_stats(
     if streaming:
         if watermark is None:
             watermark = "2 hours"
+        df = df.withColumn(ts_col, _watermark_time(df, ts_col))
         df = df.withWatermark(ts_col, watermark)
     uniq = (
         F.approx_count_distinct("user_id")
@@ -158,8 +175,10 @@ def clicks_within_window_of_signup(
         F.col("ts").alias("signup_ts"),
     )
     if c.isStreaming:
+        c = c.withColumn("click_ts", _watermark_time(c, "click_ts"))
         c = c.withWatermark("click_ts", watermark)
     if s.isStreaming:
+        s = s.withColumn("signup_ts", _watermark_time(s, "signup_ts"))
         s = s.withWatermark("signup_ts", watermark)
     cond = (
         (F.col("c_user") == F.col("s_user"))
@@ -189,7 +208,10 @@ def dedup_events_within_watermark(
     stream. Works identically on a batch DataFrame (plain dedup), so batch
     and streaming share the core."""
     id_cols = id_cols or ["event_id"]
-    out = events.withWatermark(ts_col, watermark)
+    out = events
+    if out.isStreaming:
+        out = out.withColumn(ts_col, _watermark_time(out, ts_col))
+    out = out.withWatermark(ts_col, watermark)
     return out.dropDuplicatesWithinWatermark(id_cols)
 
 

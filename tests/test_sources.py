@@ -96,11 +96,7 @@ def test_streaming_dedup_within_watermark(spark, sf_dir):
         # write the table twice = every event replayed once
         raw.write.mode("append").parquet(src)
         raw.write.mode("append").parquet(src)
-        stream_in = (
-            spark.readStream.schema(raw.schema)
-            .parquet(src)
-            .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
-        )
+        stream_in = spark.readStream.schema(raw.schema).parquet(src)
         out = dedup_events_within_watermark(stream_in, watermark="100 days")
         q = (
             out.writeStream.format("memory")

@@ -46,18 +46,14 @@ def test_windowed_stats_batch_matches_sql(spark, events, sf_dir):
 def test_windowed_stats_streaming_equals_batch(spark, events, sf_dir):
     """Run the SAME core under readStream (file source, availableNow) and
     compare with the batch result — event-time equivalence."""
-    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))  # ts as long (nanos)
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     with tempfile.TemporaryDirectory() as d:
         src = os.path.join(d, "src")
         os.makedirs(src)
         os.symlink(
             os.path.join(sf_dir, "events.parquet"), os.path.join(src, "events.parquet")
         )
-        stream_in = (
-            spark.readStream.schema(raw.schema)
-            .parquet(src)
-            .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
-        )
+        stream_in = spark.readStream.schema(raw.schema).parquet(src)
         out = windowed_event_stats(stream_in, window="1 hour", watermark="100 days")
         q = (
             out.writeStream.format("memory")
@@ -161,11 +157,7 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
         )
 
         def stream():
-            return (
-                spark.readStream.schema(raw.schema)
-                .parquet(src)
-                .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
-            )
+            return spark.readStream.schema(raw.schema).parquet(src)
 
         clicks_s = stream().where(F.col("event_type") == "click")
         signups_s = stream().where(F.col("event_type") == "signup")
