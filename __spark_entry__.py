@@ -594,14 +594,16 @@ ORDER BY l_returnflag, l_linestatus
 
 
 def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3-style: 3-way join + group + top-10 by revenue (broadcast
-    the dimension side; deterministic tie-break by key)."""
+    """TPC-H Q3-style: 3-way join + group + top-10 by revenue. Only the
+    segment-filtered customer dim is broadcast; lineitem⋈orders is fact⋈fact
+    (both grow with SF) so the join strategy is left to AQE — at 100 TB a
+    forced broadcast of orders would OOM every executor."""
     cust = read_table(spark, sf_dir, "customer")
     orders = read_table(spark, sf_dir, "orders")
     li = read_table(spark, sf_dir, "lineitem")
     revenue = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(
             F.broadcast(cust.where(F.col("c_mktsegment") == "BUILDING")),
             orders.o_custkey == F.col("c_custkey"),
@@ -630,8 +632,10 @@ FROM agg ORDER BY rev_d DESC, l_orderkey ASC LIMIT 10
 
 
 def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5-style: 5-way star join → revenue per nation (all dims
-    broadcast; one fact-table shuffle for the final group)."""
+    """TPC-H Q5-style: 5-way star join → revenue per nation. True dims
+    (region, nation) are broadcast; customer and orders are facts that grow
+    with SF, so those joins are left to AQE (shuffle join at scale,
+    runtime-broadcast when a filtered side turns out small)."""
     region = read_table(spark, sf_dir, "region")
     nation = read_table(spark, sf_dir, "nation")
     cust = read_table(spark, sf_dir, "customer")
@@ -639,8 +643,8 @@ def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     revenue = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .where(F.col("r_name") == "ASIA")
@@ -1475,10 +1479,10 @@ def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
     return (
         li.where(F.col("l_shipdate").between("1996-01-01", "1997-12-31"))
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
         .where(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy(

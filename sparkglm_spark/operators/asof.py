@@ -44,6 +44,23 @@ def _ts_num(c: Column, dtype) -> Column:
     return c
 
 
+def _check_same_ts_class(a_name: str, a_type, b_name: str, b_type) -> None:
+    """NTZ maps to wall-clock µs, LTZ to instant µs — mixing the two puts
+    the sides in different frames and silently mismatches for any non-UTC
+    data/session zone, so reject the combination outright."""
+    a_ntz = isinstance(a_type, TimestampNTZType)
+    b_ntz = isinstance(b_type, TimestampNTZType)
+    a_ltz = isinstance(a_type, TimestampType)
+    b_ltz = isinstance(b_type, TimestampType)
+    if (a_ntz and b_ltz) or (a_ltz and b_ntz):
+        raise TypeError(
+            f"timestamp class mismatch: {a_name} is "
+            f"{'TIMESTAMP_NTZ' if a_ntz else 'TIMESTAMP(LTZ)'} but {b_name} is "
+            f"{'TIMESTAMP_NTZ' if b_ntz else 'TIMESTAMP(LTZ)'}; cast both to "
+            "one class first (to_timestamp_ntz / to_utc_timestamp)"
+        )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -80,6 +97,7 @@ def asof_join(
 
     lt_type = left.schema[left_ts].dataType
     rt_type = right.schema[right_ts].dataType
+    _check_same_ts_class(f"left.{left_ts}", lt_type, f"right.{right_ts}", rt_type)
 
     # each side carries its payload as ONE struct column so the union is
     # narrow: (keys, ts, right-payload | left-row)
@@ -158,8 +176,11 @@ def range_join_points(
     keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
     pt_type = points.schema[point_ts].dataType
     st_type = intervals.schema[start_col].dataType
+    et_type = intervals.schema[end_col].dataType
     if not isinstance(pt_type, (*_TS_TYPES, NumericType)):
         raise ValueError(f"unsupported point_ts type: {pt_type}")
+    _check_same_ts_class(f"points.{point_ts}", pt_type, f"intervals.{start_col}", st_type)
+    _check_same_ts_class(f"points.{point_ts}", pt_type, f"intervals.{end_col}", et_type)
 
     scale = 1e6 if isinstance(pt_type, _TS_TYPES) else 1.0
     width = float(bucket_seconds) * scale

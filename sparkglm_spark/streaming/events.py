@@ -29,6 +29,18 @@ def _watermark_time(df: DataFrame, ts_col: str) -> Column:
     return c
 
 
+def _ntz_restore(col) -> Column:
+    """Inverse of `_watermark_time`: LTZ instant → TIMESTAMP_NTZ carrying the
+    instant's UTC wall clock (pure µs arithmetic, session-zone independent).
+    Applied AFTER the stateful op so streaming outputs keep the batch NTZ
+    type/values — without it, collected LTZ values render in the driver's OS
+    zone and batch/stream results diverge on non-UTC hosts."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.timestamp_add(
+        "MICROSECOND", F.unix_micros(c), F.expr("TIMESTAMP_NTZ '1970-01-01 00:00:00'")
+    )
+
+
 def windowed_event_stats(
     events: DataFrame,
     window: str = "1 hour",
@@ -54,6 +66,10 @@ def windowed_event_stats(
         if streaming
         else F.count_distinct("user_id")
     )
+    # in streaming mode event time ran through the LTZ watermark mapping;
+    # restore NTZ on the way out so both modes emit identical types/values
+    start = F.col("win.start") if not streaming else _ntz_restore(F.col("win.start"))
+    end = F.col("win.end") if not streaming else _ntz_restore(F.col("win.end"))
     return (
         df.groupBy(
             F.window(F.col(ts_col), window).alias("win"),
@@ -66,8 +82,8 @@ def windowed_event_stats(
             F.avg("value").alias("value_avg"),
         )
         .select(
-            F.col("win.start").alias("window_start"),
-            F.col("win.end").alias("window_end"),
+            start.alias("window_start"),
+            end.alias("window_end"),
             "event_type",
             "n_events",
             "n_users",
@@ -185,12 +201,14 @@ def clicks_within_window_of_signup(
         & (F.col("click_ts") >= F.col("signup_ts"))
         & (F.col("click_ts") <= F.col("signup_ts") + F.expr(f"INTERVAL {window}"))
     )
+    click_out = _ntz_restore("click_ts") if c.isStreaming else F.col("click_ts")
+    signup_out = _ntz_restore("signup_ts") if s.isStreaming else F.col("signup_ts")
     return c.join(s, cond, "inner").select(
         "click_id",
         "signup_id",
         F.col("c_user").alias("user_id"),
-        "click_ts",
-        "signup_ts",
+        click_out.alias("click_ts"),
+        signup_out.alias("signup_ts"),
     )
 
 
@@ -205,14 +223,20 @@ def dedup_events_within_watermark(
     (`dropDuplicatesWithinWatermark`). State is one entry per id per
     watermark window and is EVICTED as the watermark advances — a plain
     streaming `dropDuplicates` would grow state forever on an unbounded
-    stream. Works identically on a batch DataFrame (plain dedup), so batch
-    and streaming share the core."""
+    stream. On a batch DataFrame the watermark API is unsupported
+    (`dropDuplicatesWithinWatermark` raises in batch mode), so the batch
+    twin is a plain `dropDuplicates(id_cols)` — same keep-one-per-id
+    semantics over the full (bounded) input."""
     id_cols = id_cols or ["event_id"]
     out = events
-    if out.isStreaming:
-        out = out.withColumn(ts_col, _watermark_time(out, ts_col))
+    if not out.isStreaming:
+        return out.dropDuplicates(id_cols)
+    out = out.withColumn(ts_col, _watermark_time(out, ts_col))
     out = out.withWatermark(ts_col, watermark)
-    return out.dropDuplicatesWithinWatermark(id_cols)
+    out = out.dropDuplicatesWithinWatermark(id_cols)
+    if isinstance(events.schema[ts_col].dataType, TimestampNTZType):
+        out = out.withColumn(ts_col, _ntz_restore(ts_col))
+    return out
 
 
 def stream_from_events_table(spark, sf_dir: str):

@@ -157,3 +157,24 @@ def test_range_join_no_keys(spark):
         if s <= p * 10 <= e
     }
     assert got == naive
+
+
+def test_asof_join_rejects_mixed_timestamp_classes(spark):
+    """NTZ vs LTZ sides live in different µs frames — must raise, not
+    silently mismatch (ADVICE r01)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sparkglm_spark.operators.asof import asof_join, range_join_points
+
+    left = spark.sql(
+        "SELECT 'A' AS sym, TIMESTAMP_NTZ '2024-01-01 00:00:00' AS ts, 1 AS qty"
+    )
+    right = spark.sql(
+        "SELECT 'A' AS sym, TIMESTAMP '2024-01-01 00:00:00' AS ts, 5.0 AS px"
+    )
+    with pytest.raises(TypeError, match="timestamp class mismatch"):
+        asof_join(left, right, on="sym", left_ts="ts")
+    iv = right.select("sym", F.col("ts").alias("s"), F.col("ts").alias("e"))
+    with pytest.raises(TypeError, match="timestamp class mismatch"):
+        range_join_points(left, iv, point_ts="ts", start_col="s", end_col="e")

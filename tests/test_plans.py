@@ -46,12 +46,49 @@ def test_gram_aggregate_is_partial_final(spark, lineitem):
     assert "SortAggregate" not in plan
 
 
-def test_top_orders_broadcasts_dimensions(spark, sf_dir):
+def test_top_orders_broadcasts_only_dimensions(spark, sf_dir):
+    """Only the filtered customer dim carries a broadcast hint; the
+    lineitem⋈orders fact join is left to the optimizer (at 100 TB a forced
+    broadcast of orders OOMs). With auto-broadcast disabled, every
+    BroadcastHashJoin left in the plan comes from an explicit hint."""
     import __spark_entry__ as E
 
-    plan = plan_of(E.q_top_orders(spark, sf_dir))
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(E.q_top_orders(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan  # hinted: filtered customer dim
+        assert "SortMergeJoin" in plan  # un-hinted: lineitem ⋈ orders
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_region_revenue_facts_not_broadcast(spark, sf_dir):
+    """region/nation are hinted broadcasts; customer and orders joins must
+    stay optimizer-chosen (shuffle join once data outgrows the threshold)."""
+    import __spark_entry__ as E
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(E.q_region_revenue(spark, sf_dir))
+        # two hinted dims -> broadcast joins survive; both fact joins do
+        # not (formatted explain lists each node twice: tree + detail)
+        assert plan.count("BroadcastHashJoin") == 4
+        assert plan.count("SortMergeJoin") == 4
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_nation_trade_volume_facts_not_broadcast(spark, sf_dir):
+    import __spark_entry__ as E
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(E.q_nation_trade_volume(spark, sf_dir))
+        # only the two filtered nation dims are hinted (nodes listed twice)
+        assert plan.count("BroadcastHashJoin") == 4
+        assert plan.count("SortMergeJoin") == 6  # supp, orders, cust joins
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
 
 
 def test_lm_predict_stays_in_codegen(spark, lineitem):

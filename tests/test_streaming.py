@@ -205,3 +205,18 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
     }
     assert got == batch == ranged
     assert len(got) > 0
+
+
+def test_dedup_events_batch_path(spark, sf_dir):
+    """Batch twin of the watermark dedup: plain dropDuplicates on the id
+    (dropDuplicatesWithinWatermark is streaming-only in Spark 4.x)."""
+    import os
+
+    from sparkglm_spark.streaming.events import dedup_events_within_watermark
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    doubled = ev.unionAll(ev)
+    out = dedup_events_within_watermark(doubled, id_cols=["event_id"])
+    assert out.count() == ev.select("event_id").distinct().count()
+    # event-time column keeps its batch type (NTZ) untouched
+    assert dict(out.dtypes)["ts"] == dict(ev.dtypes)["ts"]
