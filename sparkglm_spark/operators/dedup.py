@@ -103,14 +103,21 @@ def jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
-    max_docs_per_shingle: int | None = None,
+    max_docs_per_shingle: int | None = 1000,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with n-gram Jaccard ≥ threshold.
 
-    Plan shape: explode→distinct (1 shuffle), optional hot-shingle cap,
-    self-join on shingle (AQE-skew-handled), pair-count aggregation,
-    broadcast-join of per-doc sizes. Jaccard = |∩| / (|A|+|B|−|∩|) — exact
-    integer counts, single final division.
+    Plan shape: explode→distinct (1 shuffle), hot-shingle cap, self-join on
+    shingle (AQE-skew-handled), pair-count aggregation, broadcast-join of
+    per-doc sizes. Jaccard = |∩| / (|A|+|B|−|∩|) — exact integer counts,
+    single final division.
+
+    `max_docs_per_shingle` (default 1000) drops shingles shared by more
+    docs than the cap BEFORE the self-join: a shingle in d docs contributes
+    d² candidate pairs, so one stop-gram on a 10⁹-doc corpus is an
+    unrunnable join. Dropped shingles are logged at INFO (the count is
+    only computed when that level is enabled — it costs a job). Pass None
+    for the exact uncapped semantics on small/curated corpora.
     """
     sh = shingles(df, id_col, text_col, n=n)
     if max_docs_per_shingle is not None:
@@ -122,6 +129,17 @@ def jaccard_pairs(
             .where(F.col("df_cnt") > max_docs_per_shingle)
             .select("shingle")
         )
+        import logging
+
+        log = logging.getLogger(__name__)
+        if log.isEnabledFor(logging.INFO):
+            n_hot = hot.count()
+            if n_hot:
+                log.info(
+                    "jaccard_pairs: dropping %d shingles shared by > %d docs",
+                    n_hot,
+                    max_docs_per_shingle,
+                )
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     # materialize before the self-join so both sides read the cache instead
     # of racing to recompute the shingle projection
@@ -282,13 +300,18 @@ def _verify_pairs_by_bitmap(
     pair dedup happens on the (tiny) OUTPUT — so the caller can skip the
     cross-band candidate `distinct` shuffle entirely."""
     L = (vocab_size + 63) // 64
-    vocab = (
-        sh.select("shingle")
-        .distinct()
-        .withColumn("idx", F.row_number().over(Window.orderBy("shingle")) - 1)
+    # the vocab is gated tiny (≤ _BITMAP_MAX_VOCAB rows): collect + index it
+    # on the driver instead of a no-partition global window (which plans a
+    # single-partition WindowExec and floods the log with warnings)
+    spark = sh.sparkSession
+    vocab_rows = sorted(r[0] for r in sh.select("shingle").distinct().collect())
+    vocab = F.broadcast(
+        spark.createDataFrame(
+            [(s, i) for i, s in enumerate(vocab_rows)], "shingle string, idx int"
+        )
     )
     bm = (
-        sh.join(F.broadcast(vocab), "shingle")
+        sh.join(vocab, "shingle")
         .groupBy("id")
         .agg(F.collect_set("idx").alias("idxs"))
         .selectExpr(
@@ -357,9 +380,13 @@ def minhash_dedup_pairs(
     sh = shingles(df, id_col, text_col, n=n).persist()
     sig = minhash_signatures(sh, num_perm=num_perm, seed=seed)
 
-    vocab_size = sh.select("shingle").distinct().count()
+    # one fused job decides both the verification strategy inputs (vocab
+    # size → bitmap vs inverted index; doc count → broadcastability)
+    vocab_size, n_docs = sh.agg(
+        F.countDistinct("shingle"), F.countDistinct("id")
+    ).first()
     if vocab_size <= _BITMAP_MAX_VOCAB:
-        small_corpus = df.count() <= _BITMAP_BROADCAST_MAX_DOCS
+        small_corpus = n_docs <= _BITMAP_BROADCAST_MAX_DOCS
         # broadcast verify is map-side → skip the candidate distinct shuffle
         # and dedup the (tiny) verified output instead
         cand = minhash_lsh_candidates(

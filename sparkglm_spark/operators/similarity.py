@@ -189,14 +189,24 @@ def cosine_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    max_collect_rows: int = 2_000_000,
 ) -> DataFrame:
     """All pairs (a < b) with cosine ≥ threshold — embedding-based near-dup
     detection, exact. One side is broadcast as a numpy matrix (O(n·d)
     driver state), the other side streams through a single mapInPandas
-    dgemm scan. Exact-but-quadratic by nature: at corpus sizes where n·d
-    no longer broadcasts, use `lsh_near_dup_pairs` (equi-join candidates,
-    same re-rank semantics)."""
+    dgemm scan. Exact-but-quadratic by nature: SIZE-GATED at
+    `max_collect_rows` (default 2M rows ≈ 1 GB at d=64 — the broadcast-join
+    build-side contract). Beyond the gate this raises instead of OOMing the
+    driver; use `lsh_near_dup_pairs` (equi-join candidates, same exact
+    re-rank) — the scale path."""
     spark = df.sparkSession
+    over = df.select(id_col).limit(max_collect_rows + 1).count()
+    if over > max_collect_rows:
+        raise ValueError(
+            f"cosine_near_dup_pairs: corpus exceeds max_collect_rows="
+            f"{max_collect_rows} (exact all-pairs requires driver-collecting "
+            "one side); use lsh_near_dup_pairs for corpora this large"
+        )
     ids_all, Xn = _collect_query_matrix(df, id_col, vec_col)
     id_type = df.schema[id_col].dataType
     out_schema = StructType(

@@ -145,3 +145,15 @@ def test_exact_dedup_partition_invariant(spark, documents):
         )
 
     assert winners(documents.repartition(3)) == winners(documents.repartition(9))
+
+
+def test_jaccard_hot_shingle_cap_default_preserves_testdata_result(spark, documents):
+    """Default cap (1000 docs/shingle) must not change results on corpora
+    where no shingle is that hot — capped and uncapped agree here."""
+    from sparkglm_spark.operators.dedup import jaccard_pairs
+
+    capped = jaccard_pairs(documents, "doc_id", "text", n=3, threshold=0.8)
+    uncapped = jaccard_pairs(
+        documents, "doc_id", "text", n=3, threshold=0.8, max_docs_per_shingle=None
+    )
+    assert sorted(map(tuple, capped.collect())) == sorted(map(tuple, uncapped.collect()))

@@ -133,3 +133,14 @@ def test_ivf_topk_deterministic(spark, embeddings):
     a = sorted(map(tuple, ivf_topk(embeddings, q, k=3).collect()))
     b = sorted(map(tuple, ivf_topk(embeddings, q, k=3).collect()))
     assert a == b
+
+
+def test_cosine_near_dup_size_gate(spark, embeddings):
+    """The exact all-pairs path must refuse to driver-collect an unbounded
+    corpus (VERDICT r01: scale-killer) and point at the LSH path."""
+    import pytest
+
+    from sparkglm_spark.operators.similarity import cosine_near_dup_pairs
+
+    with pytest.raises(ValueError, match="lsh_near_dup_pairs"):
+        cosine_near_dup_pairs(embeddings, threshold=0.35, max_collect_rows=10)
