@@ -404,24 +404,78 @@ def minhash_dedup_pairs(
 # ---------------------------------------------------------------------------
 
 
+# Portable-hash parameters for SimHash: four independent 16-bit channels,
+# each a char-polynomial hash mod the Mersenne prime 2^31-1. acc < 2^31 and
+# M < 2^20 keep every product < 2^51 (ANSI-safe int64 in any engine), so a
+# SQL oracle (DuckDB list_reduce) reproduces the signature bit-for-bit —
+# unlike xxhash64, which only Spark implements.
+_SIMHASH_P = 2_147_483_647
+_SIMHASH_M = (1_000_003, 999_983, 999_979, 999_961)
+_SIMHASH_SEED = (12_345_701, 98_765_431, 55_555_333, 77_777_477)
+
+
+def _portable_token_hash(tok: Column, channel: int) -> Column:
+    """(…((seed·M + c₀)·M + c₁)…) mod P, folded over the token's chars,
+    then taken mod 2^16 — one 16-bit hash channel."""
+    chars = F.split(tok, "")
+    h = F.aggregate(
+        chars,
+        F.lit(_SIMHASH_SEED[channel]).cast("bigint"),
+        lambda acc, ch: (acc * F.lit(_SIMHASH_M[channel]) + F.ascii(ch))
+        % F.lit(_SIMHASH_P),
+    )
+    return h % F.lit(65536)
+
+
 def simhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, bits: int = 64
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """64-bit SimHash over whitespace tokens: per bit, sum ±1 of each
     token-hash's bit; sign → signature bit. One explode + one groupBy with
-    `bits` integer sums (all JVM-side)."""
+    `bits` integer sums (all JVM-side).
+
+    hash_fn='xxhash64' (default): Spark's builtin — fastest, JVM-only.
+    hash_fn='portable': four 16-bit char-polynomial channels (engine-
+    portable arithmetic, reproducible in plain SQL — the oracle mode).
+    Empty tokens are dropped in both modes."""
     toks = df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("tok"),
     )
-    h = F.xxhash64(F.col("tok"))
-    aggs = [
-        F.sum(
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b_{i}")
-        for i in range(bits)
-    ]
-    sums = toks.groupBy("id").agg(*aggs)
+    if hash_fn == "portable":
+        if bits != 64:
+            raise ValueError("portable simhash is fixed at 64 bits (4×16)")
+        pre = toks.select(
+            "id", *[_portable_token_hash(F.col("tok"), c).alias(f"h{c}") for c in range(4)]
+        )
+        aggs = [
+            F.sum(
+                F.when(
+                    F.shiftright(F.col(f"h{j // 16}"), j % 16).bitwiseAND(F.lit(1)) == 1,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"b_{j}")
+            for j in range(bits)
+        ]
+        sums = pre.groupBy("id").agg(*aggs)
+    else:
+        h = F.xxhash64(F.col("tok"))
+        aggs = [
+            F.sum(
+                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b_{i}")
+            for i in range(bits)
+        ]
+        sums = toks.groupBy("id").agg(*aggs)
 
     def bit_value(i: int):
         # bit 63 of a signed int64 is the sign bit: its two's-complement
@@ -441,11 +495,12 @@ def simhash_near_dup_pairs(
     id_col: str,
     text_col: str,
     max_hamming: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming via 4×16-bit
     chunk banding (pigeonhole: ≤3 differing bits → ≥1 identical chunk).
     Candidates join on chunk equality; exact popcount verifies."""
-    sig = simhash_signatures(df, id_col, text_col).persist()
+    sig = simhash_signatures(df, id_col, text_col, hash_fn=hash_fn).persist()
     sig.count()  # materialize: the chunk self-join reads sig twice
     chunks = sig.select(
         "id",

@@ -80,7 +80,12 @@ class GLM:
         tol: float = 1e-6,
         max_iter: int = 50,
         verbose: bool = False,
+        exact_iterations: int | None = None,
     ) -> "GLM":
+        """`exact_iterations`: run EXACTLY that many IRLS solves (no
+        convergence test, no warning) — makes the whole trajectory a
+        deterministic closed-form function of the data, which is what the
+        driver's fixed-iteration SQL oracles replay (VERDICT r01 #1)."""
         fam = get_family(family)
         if link is None:
             link = fam.default_link
@@ -150,12 +155,18 @@ class GLM:
         null_dev: float | None = None
         n_iter = 0
         converged = False
+        if exact_iterations is not None:
+            max_iter = exact_iterations
         while n_iter < max_iter:
             agg_row = work.agg(*zw_gram_aggs(beta)).collect()[0]
             dev_cur = float(agg_row["dev"])  # deviance of CURRENT β's μ
             if null_dev is None:
                 null_dev = dev_cur  # deviance at μ = ȳ (GLM.scala:271-272,443-444)
-            if dev_prev is not None and abs(dev_cur - dev_prev) <= tol:
+            if (
+                exact_iterations is None
+                and dev_prev is not None
+                and abs(dev_cur - dev_prev) <= tol
+            ):
                 converged = True
                 break
             xtwx = np.empty((k, k), dtype=np.float64)
@@ -170,7 +181,7 @@ class GLM:
             n_iter += 1
             if verbose:
                 print(f"iter {n_iter}: deviance={dev_cur:.10g}")
-        if not converged and n_iter >= max_iter:
+        if not converged and n_iter >= max_iter and exact_iterations is None:
             import warnings
 
             warnings.warn(f"IRLS did not converge in {max_iter} iterations")
@@ -366,6 +377,7 @@ def glm(
     tol: float = 1e-6,
     max_iter: int = 50,
     na_action: str = "omit",
+    exact_iterations: int | None = None,
 ) -> GLM:
     """Formula front-end mirroring the LM one (reference overload explosion
     GLM.scala:475-995 collapses to keyword args — SURVEY §2.11 M7)."""
@@ -395,6 +407,7 @@ def glm(
         offset_col=offset_col,
         tol=tol,
         max_iter=max_iter,
+        exact_iterations=exact_iterations,
     )
     model.levels = levels
     model.call = f"glm({formula}, family={family}, link={link})"
@@ -410,6 +423,7 @@ def glm_grouped(
     tol: float = 1e-6,
     max_iter: int = 50,
     na_action: str = "omit",
+    exact_iterations: int | None = None,
 ) -> DataFrame:
     """One GLM per group — IRLS per segment, distributed via
     `applyInPandas` (numpy Fisher scoring inside each group's Arrow batch).
@@ -455,6 +469,9 @@ def glm_grouped(
     names = list(x_cols)
     gcols = list(group_cols)
     fam = family
+    # fixed-iteration mode: run exactly N solves per group (deterministic
+    # trajectory for the driver's SQL oracle); convergence logic disabled
+    n_exact = exact_iterations
 
     def fit_group(pdf):
         import pandas as pd
@@ -478,7 +495,10 @@ def glm_grouped(
                         np.log(mu / (1 - mu)) if fam == "binomial" else np.log(mu)
                     )
                     dev_old, delta = 1e308, 1.0
-                    while abs(delta) > tol and it < max_iter:
+                    it_cap = n_exact if n_exact is not None else max_iter
+                    while (
+                        n_exact is not None or abs(delta) > tol
+                    ) and it < it_cap:
                         if fam == "binomial":
                             w = mu * (1 - mu)
                         else:
@@ -504,7 +524,7 @@ def glm_grouped(
                         it += 1
                         delta = dev - dev_old
                         dev_old = dev
-                    if it >= max_iter:
+                    if n_exact is None and it >= max_iter:
                         beta = None
             except np.linalg.LinAlgError:
                 beta = None

@@ -83,12 +83,84 @@ def media_content_dedup(media: DataFrame) -> DataFrame:
     )
 
 
+def encode_bmp_gray(gray: np.ndarray) -> bytes:
+    """Encode a (H, W) uint8 grayscale array as an uncompressed 24-bit BMP
+    (r = g = b). Pure python/numpy — the synthetic-payload generator for
+    pipelines tested in codec-less containers."""
+    import struct
+
+    h, w = gray.shape
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    img_size = (row_bytes + pad) * h
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + img_size, 0, 0, 54
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up row order
+        row = np.repeat(gray[y], 3).astype(np.uint8).tobytes()  # B=G=R=v
+        rows.append(row + b"\x00" * pad)
+    return header + b"".join(rows)
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """STUB — real impl would be PIL/turbojpeg decode. Raises by contract;
-    `fake_decode_features` is the deterministic test double."""
-    raise NotImplementedError(
-        "image decoding requires codec libraries not present in this "
-        "container; use fake_decode_features for plumbing tests"
+    """REAL pure-python image decoder (no codec libraries needed): BMP
+    (uncompressed 24/32-bit, bottom-up or top-down) and binary PPM (P6).
+    Returns an (H, W, 3) uint8 RGB array. Formats outside this set raise
+    ValueError — swap in PIL/turbojpeg for JPEG/PNG without changing any
+    plan shape."""
+    import struct
+
+    if payload[:2] == b"BM":
+        if len(payload) < 54:
+            raise ValueError("truncated BMP header")
+        data_off = struct.unpack_from("<I", payload, 10)[0]
+        hdr_size = struct.unpack_from("<I", payload, 14)[0]
+        if hdr_size < 40:
+            raise ValueError(f"unsupported BMP header size {hdr_size}")
+        w, h_raw = struct.unpack_from("<ii", payload, 18)
+        planes, bpp = struct.unpack_from("<HH", payload, 26)
+        compression = struct.unpack_from("<I", payload, 30)[0]
+        if compression != 0 or bpp not in (24, 32):
+            raise ValueError(f"unsupported BMP: bpp={bpp} compression={compression}")
+        top_down = h_raw < 0
+        h = abs(h_raw)
+        nch = bpp // 8
+        row_bytes = w * nch
+        stride = row_bytes + ((-row_bytes) % 4)
+        out = np.empty((h, w, 3), dtype=np.uint8)
+        for i in range(h):
+            y = i if top_down else h - 1 - i
+            off = data_off + i * stride
+            row = np.frombuffer(payload, dtype=np.uint8, count=row_bytes, offset=off)
+            px = row.reshape(w, nch)
+            out[y, :, 0] = px[:, 2]  # BMP stores BGR(A)
+            out[y, :, 1] = px[:, 1]
+            out[y, :, 2] = px[:, 0]
+        return out
+    if payload[:2] == b"P6":
+        # P6\n<w> <h>\n<maxval>\n<binary rgb>
+        parts = []
+        idx = 2
+        while len(parts) < 3:
+            while idx < len(payload) and payload[idx : idx + 1].isspace():
+                idx += 1
+            if payload[idx : idx + 1] == b"#":  # comment line
+                idx = payload.index(b"\n", idx) + 1
+                continue
+            start = idx
+            while idx < len(payload) and not payload[idx : idx + 1].isspace():
+                idx += 1
+            parts.append(int(payload[start:idx]))
+        idx += 1  # single whitespace after maxval
+        w, h, maxval = parts
+        if maxval > 255:
+            raise ValueError("16-bit PPM not supported")
+        arr = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=idx)
+        return arr.reshape(h, w, 3).copy()
+    raise ValueError(
+        "unsupported image format (BMP 24/32-bit and PPM P6 are built in; "
+        "JPEG/PNG need codec libraries not present in this container)"
     )
 
 
@@ -138,6 +210,82 @@ def extract_features(media: DataFrame, batch_decoder=fake_decode_features) -> Da
             )
 
     return media.mapInPandas(run, FEATURES_SCHEMA)
+
+
+def synth_bmp_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL-format media table from the documents testdata:
+    payload is a valid 24-bit BMP whose pixels follow a closed-form pattern
+    (gray at row-major index t = (doc_id·7 + t) mod 256, width =
+    n_chars mod 24 + 4, height = n_chars mod 16 + 4) — so decoded features
+    (dims, mean, corner pixel) are SQL-computable from (doc_id, n_chars)
+    alone, giving the decode path an exact oracle."""
+    gen_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("kind", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                w = int(n_chars) % 24 + 4
+                h = int(n_chars) % 16 + 4
+                t = np.arange(w * h, dtype=np.int64)
+                gray = ((int(doc_id) * 7 + t) % 256).astype(np.uint8).reshape(h, w)
+                payloads.append(encode_bmp_gray(gray))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": ["image"] * len(pdf),
+                    "payload": payloads,
+                }
+            )
+
+    return docs.select("doc_id", "n_chars").mapInPandas(gen, gen_schema)
+
+
+IMAGE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("mean_pixel", DoubleType()),
+        StructField("px00", LongType()),
+    ]
+)
+
+
+def image_features(media: DataFrame) -> DataFrame:
+    """Decode + feature-extract through the REAL decoder: Arrow batches of
+    payload bytes in, (width, height, mean gray, top-left gray) out. The
+    mean is an exact integer sum / n (deterministic double), and px00
+    proves the decoder reconstructs row order, not just byte statistics."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w_l, h_l, mean_l, px_l = [], [], [], []
+            for payload in pdf["payload"]:
+                rgb = decode_image(bytes(payload))
+                gray = rgb.astype(np.int64).sum(axis=2) // 3  # r=g=b → exact
+                h, w = gray.shape
+                w_l.append(w)
+                h_l.append(h)
+                mean_l.append(float(gray.sum()) / (w * h))
+                px_l.append(int(gray[0, 0]))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": w_l,
+                    "height": h_l,
+                    "mean_pixel": mean_l,
+                    "px00": px_l,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, IMAGE_FEATURES_SCHEMA)
 
 
 def fake_resize(payload: bytes, width: int, height: int) -> bytes:

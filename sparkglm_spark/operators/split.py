@@ -18,22 +18,31 @@ from pyspark.sql import functions as F
 _BUCKETS = 1_000_000  # split resolution: 1e-6 of weight
 
 
-def _bucket(id_col: str, seed: int) -> F.Column:
+def _bucket(id_col: str, seed: int, portable: bool = False) -> F.Column:
+    if portable:
+        # engine-portable affine hash (integer keys): the assignment is
+        # reproducible in plain SQL — the property the driver oracle needs
+        return hash_sample_expr(id_col, salt=seed % 100_000)
     return F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(_BUCKETS))
 
 
 def hash_split(
-    df: DataFrame, id_col: str, weights: dict[str, float], seed: int = 42
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    seed: int = 42,
+    portable: bool = False,
 ) -> dict[str, DataFrame]:
     """Partition-invariant split: {'train': 0.8, 'test': 0.2} → dict of
     disjoint DataFrames covering every row, assignment a pure function of
     (id, seed). Splits are filters over one hash expression — each split
     scans with a pushed-down predicate, no shuffle, no materialized
-    assignment table."""
+    assignment table. `portable=True` swaps xxhash64 for the affine hash
+    (integer keys only; reproducible in any SQL engine)."""
     total = sum(weights.values())
     if total <= 0:
         raise ValueError("weights must sum to a positive value")
-    b = _bucket(id_col, seed)
+    b = _bucket(id_col, seed, portable)
     out: dict[str, DataFrame] = {}
     lo = 0.0
     items = list(weights.items())
@@ -47,12 +56,16 @@ def hash_split(
 
 
 def with_split_column(
-    df: DataFrame, id_col: str, weights: dict[str, float], seed: int = 42
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """Same assignment as `hash_split`, as a labeled column (for writing one
     partitioned-by-split dataset instead of filtering per split)."""
     total = sum(weights.values())
-    b = _bucket(id_col, seed)
+    b = _bucket(id_col, seed, portable)
     expr = None
     lo = 0.0
     items = list(weights.items())

@@ -178,6 +178,57 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def text_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The full per-document text profile in ONE projection (no joins, no
+    shuffle): stats + BPE token count + quality score + language ID +
+    fingerprint. At 100 TB this is the shape that matters — five separate
+    operators each re-scanning the corpus would quintuple the I/O; every
+    column here fuses into a single whole-stage-codegen pass."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = token_count_expr(t)
+    n_digit = n_chars - F.length(F.regexp_replace(t, "[0-9]", ""))
+    n_alpha = n_chars - F.length(F.regexp_replace(t, "[a-zA-Z]", ""))
+    n_space = n_chars - F.length(F.regexp_replace(t, " ", ""))
+    hits = stopword_hits_expr(t, EN_STOPWORDS)
+
+    def ratio(num: Column, den: Column) -> Column:
+        return F.when(den == 0, F.lit(None).cast("double")).otherwise(
+            num.cast("double") / den
+        )
+
+    alpha_ratio = ratio(n_alpha, n_chars)
+    stop_ratio = ratio(hits, n_tokens)
+    quality = (
+        F.lit(0.4) * F.least(n_tokens.cast("double") / F.lit(50.0), F.lit(1.0))
+        + F.lit(0.3) * F.coalesce(alpha_ratio, F.lit(0.0))
+        + F.lit(0.3) * F.least(F.coalesce(stop_ratio, F.lit(0.0)) * F.lit(5.0), F.lit(1.0))
+    )
+    langs = sorted(LANG_PROFILES)
+    lang_hits = {lg: stopword_hits_expr(t, LANG_PROFILES[lg]) for lg in langs}
+    best = F.greatest(*lang_hits.values())
+    pick = F.when(lang_hits[langs[0]] == best, langs[0])
+    for lg in langs[1:]:
+        pick = pick.when(lang_hits[lg] == best, lg)
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("bigint").alias("n_chars"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        ratio(n_chars, n_tokens).alias("avg_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        ratio(n_digit, n_chars).alias("digit_ratio"),
+        ratio(n_space, n_chars).alias("space_ratio"),
+        bpe_token_count_expr(t).cast("bigint").alias("n_tokens_bpe"),
+        quality.alias("quality_score"),
+        pick.alias("detected_lang"),
+        best.cast("bigint").alias("lang_score"),
+        fingerprint_expr(t).alias("fingerprint"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # BM25 keyword search
 # ---------------------------------------------------------------------------

@@ -68,13 +68,24 @@ def moving_aggregate(
     calendar days, not physical rows, so date gaps shrink the window
     instead of silently widening it like a ROWS frame would).
 
-    `daily` must already be one row per (day) — aggregate first so the
-    window pass streams a small relation.
+    `daily` must already be one row per (partition…, day) — aggregate first
+    so the window pass streams a small relation.
+
+    `partition_cols` is required: a windowed pass with no partition key
+    plans a single-partition WindowExec — every row through one task, the
+    100 TB anti-pattern. For a genuinely global series, pre-aggregate to
+    one row per day first (the result is then tiny) and pass
+    `partition_cols=[]` explicitly to acknowledge the single-partition run.
     """
-    day_num = F.datediff(F.col(day_col), F.lit("1970-01-01")).cast("long")
+    if partition_cols is None:
+        raise ValueError(
+            "moving_aggregate requires partition_cols (pass [] explicitly "
+            "for a pre-aggregated global series — single-partition window)"
+        )
     base = (
         Window.partitionBy(*partition_cols) if partition_cols else Window.partitionBy()
     )
+    day_num = F.datediff(F.col(day_col), F.lit("1970-01-01")).cast("long")
     w = base.orderBy(day_num.asc()).rangeBetween(
         -(window_days - 1), Window.currentRow
     )

@@ -41,8 +41,18 @@ def test_extract_features_matches_local(media, documents):
         np.testing.assert_allclose(np.array(feats[r["doc_id"]]), local, rtol=1e-12)
 
 
-def test_decode_stub_raises():
-    with pytest.raises(NotImplementedError):
+def test_decode_real_codec_roundtrip():
+    """decode_image is a REAL pure-python codec now (BMP 24/32-bit + PPM
+    P6); JPEG magic bytes raise ValueError (codec libs absent)."""
+    import numpy as np
+
+    gray = (np.arange(5 * 7, dtype=np.int64) * 13 % 256).astype(np.uint8).reshape(5, 7)
+    rgb = MM.decode_image(MM.encode_bmp_gray(gray))
+    assert rgb.shape == (5, 7, 3)
+    assert np.array_equal(rgb[:, :, 1], gray)
+    ppm = b"P6\n7 5\n255\n" + bytes(range(105))
+    assert MM.decode_image(ppm).shape == (5, 7, 3)
+    with pytest.raises(ValueError):
         MM.decode_image(b"\xff\xd8\xff")
 
 
