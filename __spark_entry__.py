@@ -29,6 +29,9 @@ from pyspark.sql import functions as F
 from sparkglm_spark.session import read_table
 
 DEC = "decimal(18,6)"  # product = decimal(37,12): exact, fits both engines
+# the BPE pre-tokenizer pattern as a DuckDB string literal (leading '' is
+# an escaped quote)
+BPE_SQL_PATTERN = r"'''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+'"
 
 
 def _dec(c):
@@ -37,6 +40,139 @@ def _dec(c):
 
 def _sum_dec(expr) -> F.Column:
     return F.sum(expr).cast("double")
+
+
+# ===========================================================================
+# SQL special-function fragments — DuckDB lacks erf/erfc, so the probit
+# oracles carry their own Φ/φ/Φ⁻¹: Cody's rational erfc (the classic
+# netlib CALERF approximation, |rel err| ≲ 1e-16) and Acklam's inverse
+# normal CDF + one Halley refinement — the SAME algorithm the engine's
+# scipy-free sparkglm_spark/functions/special.py uses, so both sides agree
+# to ulps and survive ROUND(…, 6).
+# ===========================================================================
+
+_SQL_SQRT2 = "1.4142135623730951"
+_SQL_SQRT2PI = "2.5066282746310002"
+_SQL_INV_SQRT_PI = "0.5641895835477563"
+
+_CODY_A = ("3.16112374387056560e00", "1.13864154151050156e02",
+           "3.77485237685302021e02", "3.20937758913846947e03")
+_CODY_A5 = "1.85777706184603153e-1"
+_CODY_B = ("2.36012909523441209e01", "2.44024637934444173e02",
+           "1.28261652607737228e03", "2.84423683343917062e03")
+_CODY_C = ("5.64188496988670089e-1", "8.88314979438837594e00",
+           "6.61191906371416295e01", "2.98635138197400131e02",
+           "8.81952221241769090e02", "1.71204761263407058e03",
+           "2.05107837782607147e03", "1.23033935479799725e03")
+_CODY_C9 = "2.15311535474403846e-8"
+_CODY_D = ("1.57449261107098347e01", "1.17693950891312499e02",
+           "5.37181101862009858e02", "1.62138957456669019e03",
+           "3.29079923573345963e03", "4.36261909014324716e03",
+           "3.43936767414372164e03", "1.23033935480374942e03")
+_CODY_P = ("3.05326634961232344e-1", "3.60344899949804439e-1",
+           "1.25781726111229246e-1", "1.60837851487422766e-2",
+           "6.58749161529837803e-4")
+_CODY_P6 = "1.63153871373020978e-2"
+_CODY_Q = ("2.56852019228982242e00", "1.87295284992346047e00",
+           "5.27905102951428412e-1", "6.05183413124413191e-2",
+           "2.33520497626869185e-3")
+
+
+def _sql_erfc_pos(y: str) -> str:
+    """erfc(y) for y ≥ 0 (Cody branches 1-3); `y` must be a simple SQL
+    column/paren expression."""
+    z = f"(({y})*({y}))"
+    # branch 1: erf(y) = y·R(z), erfc = 1 − erf
+    num1 = f"(((({_CODY_A5}*{z} + {_CODY_A[0]})*{z} + {_CODY_A[1]})*{z} + {_CODY_A[2]})*{z} + {_CODY_A[3]})"
+    den1 = f"(((({z} + {_CODY_B[0]})*{z} + {_CODY_B[1]})*{z} + {_CODY_B[2]})*{z} + {_CODY_B[3]})"
+    b1 = f"(1.0 - ({y}) * {num1} / {den1})"
+    # branch 2: erfc(y) = exp(−y²)·R(y), 0.46875 < y ≤ 4
+    num2 = f"{_CODY_C9}*({y})"
+    den2 = f"({y})"
+    for c, d in zip(_CODY_C[:7], _CODY_D[:7]):
+        num2 = f"(({num2} + {c})*({y}))"
+        den2 = f"(({den2} + {d})*({y}))"
+    b2 = f"(exp(-{z}) * ({num2} + {_CODY_C[7]}) / ({den2} + {_CODY_D[7]}))"
+    # branch 3: y > 4
+    iz = f"(1.0/{z})"
+    num3 = f"{_CODY_P6}*{iz}"
+    den3 = f"{iz}"
+    for p, q in zip(_CODY_P[:4], _CODY_Q[:4]):
+        num3 = f"(({num3} + {p})*{iz})"
+        den3 = f"(({den3} + {q})*{iz})"
+    r3 = f"({iz} * ({num3} + {_CODY_P[4]}) / ({den3} + {_CODY_Q[4]}))"
+    b3 = f"(exp(-{z}) / ({y}) * ({_SQL_INV_SQRT_PI} - {r3}))"
+    return (
+        f"(CASE WHEN ({y}) <= 0.46875 THEN {b1} "
+        f"WHEN ({y}) <= 4.0 THEN {b2} ELSE {b3} END)"
+    )
+
+
+def _sql_erfc(x: str) -> str:
+    """erfc(x) for any sign: erfc(−x) = 2 − erfc(x)."""
+    pos = _sql_erfc_pos(f"(abs({x}))")
+    return f"(CASE WHEN ({x}) < 0.0 THEN 2.0 - {pos} ELSE {pos} END)"
+
+
+def _sql_norm_cdf(eta: str) -> str:
+    """Φ(η) = 0.5·erfc(−η/√2) — the engine's exact formula
+    (special.norm_cdf)."""
+    return f"(0.5 * {_sql_erfc(f'(-({eta})/{_SQL_SQRT2})')})"
+
+
+def _sql_inv_norm_pdf(eta: str) -> str:
+    """1/φ(η) = √(2π)·exp(η²/2) — the probit IRLS gradient at μ = Φ(η)
+    (the engine roundtrips Φ⁻¹(Φ(η)) ≈ η; divergence ~1e-15, absorbed by
+    ROUND 6)."""
+    return f"({_SQL_SQRT2PI} * exp(({eta})*({eta})/2.0))"
+
+
+_ACKLAM_A = ("-3.969683028665376e01", "2.209460984245205e02", "-2.759285104469687e02",
+             "1.383577518672690e02", "-3.066479806614716e01", "2.506628277459239e00")
+_ACKLAM_B = ("-5.447609879822406e01", "1.615858368580409e02", "-1.556989798598866e02",
+             "6.680131188771972e01", "-1.328068155288572e01")
+_ACKLAM_C = ("-7.784894002430293e-03", "-3.223964580411365e-01", "-2.400758277161838e00",
+             "-2.549732539343734e00", "4.374664141464968e00", "2.938163982698783e00")
+_ACKLAM_D = ("7.784695709041462e-03", "3.224671290700398e-01", "2.445134137142996e00",
+             "3.754408661907416e00")
+
+
+def _sql_norm_ppf_acklam(p: str) -> str:
+    """Acklam's rational Φ⁻¹(p) (pre-refinement), mirroring
+    special.norm_ppf branch for branch."""
+    a, b, c, d = _ACKLAM_A, _ACKLAM_B, _ACKLAM_C, _ACKLAM_D
+    q_mid = f"(({p}) - 0.5)"
+    r_mid = f"({q_mid}*{q_mid})"
+    num_m = f"((((({a[0]}*{r_mid} + {a[1]})*{r_mid} + {a[2]})*{r_mid} + {a[3]})*{r_mid} + {a[4]})*{r_mid} + {a[5]})"
+    den_m = f"((((({b[0]}*{r_mid} + {b[1]})*{r_mid} + {b[2]})*{r_mid} + {b[3]})*{r_mid} + {b[4]})*{r_mid} + 1.0)"
+    mid = f"({num_m} * {q_mid} / {den_m})"
+    q_lo = f"(sqrt(-2.0 * ln({p})))"
+    num_l = f"((((({c[0]}*{q_lo} + {c[1]})*{q_lo} + {c[2]})*{q_lo} + {c[3]})*{q_lo} + {c[4]})*{q_lo} + {c[5]})"
+    den_l = f"(((({d[0]}*{q_lo} + {d[1]})*{q_lo} + {d[2]})*{q_lo} + {d[3]})*{q_lo} + 1.0)"
+    lo = f"({num_l} / {den_l})"
+    q_hi = f"(sqrt(-2.0 * ln(1.0 - ({p}))))"
+    num_h = f"((((({c[0]}*{q_hi} + {c[1]})*{q_hi} + {c[2]})*{q_hi} + {c[3]})*{q_hi} + {c[4]})*{q_hi} + {c[5]})"
+    den_h = f"(((({d[0]}*{q_hi} + {d[1]})*{q_hi} + {d[2]})*{q_hi} + {d[3]})*{q_hi} + 1.0)"
+    hi = f"(-({num_h}) / {den_h})"
+    return (
+        f"(CASE WHEN ({p}) < 0.02425 THEN {lo} "
+        f"WHEN ({p}) > 0.97575 THEN {hi} ELSE {mid} END)"
+    )
+
+
+def _sql_ppf_ctes(p_expr: str, src: str, prefix: str) -> tuple[str, str]:
+    """CTEs computing Φ⁻¹(`p_expr`) of a scalar from CTE `src` with one
+    Halley refinement (exactly special.norm_ppf). Returns (cte_sql,
+    final_cte_name); the result column is `ppf`."""
+    acklam = _sql_norm_ppf_acklam("p")
+    phi_x = _sql_norm_cdf("xa")
+    ctes = (
+        f"{prefix}_p AS (SELECT {p_expr} AS p FROM {src}),\n"
+        f"{prefix}_a AS (SELECT p, {acklam} AS xa FROM {prefix}_p),\n"
+        f"{prefix}_e AS (SELECT p, xa, ({phi_x} - p) * {_SQL_SQRT2PI} * exp(xa*xa/2.0) AS u FROM {prefix}_a),\n"
+        f"{prefix}_h AS (SELECT xa - u / (1.0 + xa*u/2.0) AS ppf FROM {prefix}_e)"
+    )
+    return ctes, f"{prefix}_h"
 
 
 # ===========================================================================
@@ -139,100 +275,95 @@ _GRAM_COLS = ["l_quantity", "l_discount", "l_tax", "l_extendedprice"]
 
 
 def q_gram_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1/A3: Gram matrix upper triangle (X'X with y appended) in exact
-    decimal, long format (term, value)."""
+    """A1/A2/A3 + A4/A10/A11 in one long table (term, value-string):
+    unweighted Gram upper triangle (X'X with y appended) in exact decimal,
+    weighted Gram (X'WX core of WLS — utils.scala:83-100, weight =
+    l_quantity, terms prefixed 'w__'), and the column-stat aggregates
+    (count/sum/mean/min/max — LM.scala:167-168,247; GLM.scala:420-423) as
+    stat rows. Everything is either an exact decimal string, an exact
+    integer/double string < 1e7 (plain formatting in both engines), or a
+    ROUND(…, 6) double string."""
     from sparkglm_spark.plans.gram import gram_query
 
     li = read_table(spark, sf_dir, "lineitem")
-    return gram_query(li, _GRAM_COLS[:3], y_col=_GRAM_COLS[3], decimal=True)
+    g = gram_query(li, _GRAM_COLS[:3], y_col=_GRAM_COLS[3], decimal=True)
 
-
-def _sql_gram(cols: list[str]) -> str:
-    parts = []
-    for i in range(len(cols)):
-        for j in range(i, len(cols)):
-            a, b = cols[i], cols[j]
-            parts.append(
-                f"SELECT '{a}__{b}' AS term, "
-                f"CAST(CAST(SUM(CAST({a} AS DECIMAL(19,6)) * CAST({b} AS DECIMAL(19,6))) AS DECIMAL(38,6)) AS VARCHAR) AS value "
-                f"FROM lineitem"
-            )
-    return " UNION ALL ".join(parts) + " ORDER BY term"
-
-
-SQL_GRAM_LINEITEM = _sql_gram(_GRAM_COLS)
-
-
-def q_gram_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2: weighted Gram (X'WX core of WLS — utils.scala:83-100), weight =
-    l_quantity, exact decimal (9,3)·(12,4)·(12,4) → (35,11) fits 38."""
-    li = read_table(spark, sf_dir, "lineitem")
     w = F.col("l_quantity").cast("decimal(9,3)")
-    cols = ["l_discount", "l_tax", "l_extendedprice"]
+    wcols = ["l_discount", "l_tax", "l_extendedprice"]
     aggs, names = [], []
-    for i in range(len(cols)):
-        for j in range(i, len(cols)):
-            a = F.col(cols[i]).cast("decimal(12,4)")
-            b = F.col(cols[j]).cast("decimal(12,4)")
-            nm = f"{cols[i]}__{cols[j]}"
+    for i in range(len(wcols)):
+        for j in range(i, len(wcols)):
+            a = F.col(wcols[i]).cast("decimal(12,4)")
+            b = F.col(wcols[j]).cast("decimal(12,4)")
+            nm = f"w__{wcols[i]}__{wcols[j]}"
             aggs.append(
                 F.sum(w * a * b).cast("decimal(38,6)").cast("string").alias(nm)
             )
             names.append(nm)
-    wide = li.agg(*aggs)
     stack = "stack({n}, {args}) as (term, value)".format(
         n=len(names), args=", ".join(f"'{nm}', {nm}" for nm in names)
     )
-    return wide.selectExpr(stack).orderBy("term")
+    wg = li.agg(*aggs).selectExpr(stack)
 
-
-def _sql_gram_weighted() -> str:
-    cols = ["l_discount", "l_tax", "l_extendedprice"]
-    parts = []
-    for i in range(len(cols)):
-        for j in range(i, len(cols)):
-            a, b = cols[i], cols[j]
-            parts.append(
-                f"SELECT '{a}__{b}' AS term, "
-                f"CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,3)) * CAST({a} AS DECIMAL(19,4)) * CAST({b} AS DECIMAL(19,4))) AS DECIMAL(38,6)) AS VARCHAR) AS value "
-                f"FROM lineitem"
-            )
-    return " UNION ALL ".join(parts) + " ORDER BY term"
-
-
-SQL_GRAM_WEIGHTED = _sql_gram_weighted()
-
-
-def q_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4/A10/A11: count / sum / mean / min / max (LM.scala:167-168,247;
-    GLM.scala:420-423)."""
-    li = read_table(spark, sf_dir, "lineitem")
     n = F.count(F.lit(1))
 
     def dstr(c):
         return F.sum(_dec(c)).cast("decimal(38,6)").cast("string")
 
-    return li.agg(
-        n.alias("n_rows"),
+    stats_wide = li.agg(
+        n.cast("string").alias("n_rows"),
         dstr("l_quantity").alias("sum_qty"),
-        F.round(F.sum(_dec("l_quantity")).cast("double") / n, 6).alias("mean_qty"),
-        F.min("l_quantity").alias("min_qty"),
-        F.max("l_quantity").alias("max_qty"),
+        F.round(F.sum(_dec("l_quantity")).cast("double") / n, 6)
+        .cast("string")
+        .alias("mean_qty"),
+        F.min("l_quantity").cast("string").alias("min_qty"),
+        F.max("l_quantity").cast("string").alias("max_qty"),
         dstr("l_extendedprice").alias("sum_price"),
-        F.max("l_extendedprice").alias("max_price"),
+        F.max("l_extendedprice").cast("string").alias("max_price"),
     )
+    stat_names = ["n_rows", "sum_qty", "mean_qty", "min_qty", "max_qty",
+                  "sum_price", "max_price"]
+    stats = stats_wide.selectExpr(
+        "stack({n}, {args}) as (term, value)".format(
+            n=len(stat_names),
+            args=", ".join(f"'stat__{nm}', {nm}" for nm in stat_names),
+        )
+    )
+    return g.unionByName(wg).unionByName(stats).orderBy("term")
 
 
-SQL_COLUMN_STATS = """
-SELECT count(*) AS n_rows,
-       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))) AS DECIMAL(38,6)) AS VARCHAR) AS sum_qty,
-       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) / count(*), 6) AS mean_qty,
-       MIN(l_quantity) AS min_qty,
-       MAX(l_quantity) AS max_qty,
-       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6))) AS DECIMAL(38,6)) AS VARCHAR) AS sum_price,
-       MAX(l_extendedprice) AS max_price
-FROM lineitem
-"""
+def _sql_gram_lineitem() -> str:
+    parts = []
+    for i in range(len(_GRAM_COLS)):
+        for j in range(i, len(_GRAM_COLS)):
+            a, b = _GRAM_COLS[i], _GRAM_COLS[j]
+            parts.append(
+                f"SELECT '{a}__{b}' AS term, "
+                f"CAST(CAST(SUM(CAST({a} AS DECIMAL(19,6)) * CAST({b} AS DECIMAL(19,6))) AS DECIMAL(38,6)) AS VARCHAR) AS value "
+                f"FROM lineitem"
+            )
+    wcols = ["l_discount", "l_tax", "l_extendedprice"]
+    for i in range(len(wcols)):
+        for j in range(i, len(wcols)):
+            a, b = wcols[i], wcols[j]
+            parts.append(
+                f"SELECT 'w__{a}__{b}' AS term, "
+                f"CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,3)) * CAST({a} AS DECIMAL(19,4)) * CAST({b} AS DECIMAL(19,4))) AS DECIMAL(38,6)) AS VARCHAR) AS value "
+                f"FROM lineitem"
+            )
+    parts += [
+        "SELECT 'stat__n_rows', CAST(count(*) AS VARCHAR) FROM lineitem",
+        "SELECT 'stat__sum_qty', CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))) AS DECIMAL(38,6)) AS VARCHAR) FROM lineitem",
+        "SELECT 'stat__mean_qty', CAST(ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) / count(*), 6) AS VARCHAR) FROM lineitem",
+        "SELECT 'stat__min_qty', CAST(MIN(l_quantity) AS VARCHAR) FROM lineitem",
+        "SELECT 'stat__max_qty', CAST(MAX(l_quantity) AS VARCHAR) FROM lineitem",
+        "SELECT 'stat__sum_price', CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6))) AS DECIMAL(38,6)) AS VARCHAR) FROM lineitem",
+        "SELECT 'stat__max_price', CAST(MAX(l_extendedprice) AS VARCHAR) FROM lineitem",
+    ]
+    return " UNION ALL ".join(parts) + " ORDER BY term"
+
+
+SQL_GRAM_LINEITEM = _sql_gram_lineitem()
 
 
 # ===========================================================================
@@ -240,59 +371,43 @@ FROM lineitem
 # ===========================================================================
 
 
-def q_lm_fit_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M2: OLS l_extendedprice ~ l_quantity via the engine's Gram+solve
-    path. Oracle: closed-form Cramer from exact decimal sums. Both rounded
-    to 1 decimal (double-sum vs decimal-sum Gram divergence ≲1e-4 abs at
-    this conditioning; rounding margin 0.05 ≫)."""
+def q_lm_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2/M4: OLS l_extendedprice ~ l_quantity via the engine's Gram+solve
+    path — coefficients, R² and n in one stat table. Oracle: closed-form
+    Cramer from exact decimal sums; coefs rounded to 1 decimal (double-sum
+    vs decimal-sum Gram divergence ≲1e-4 abs at this conditioning), R² to 5
+    (divergence ≲1e-9)."""
     from sparkglm_spark.operators.lm import lm
 
     li = read_table(spark, sf_dir, "lineitem")
     model = lm(li, "l_extendedprice ~ l_quantity")
-    rows = [(name, round(float(c), 1)) for name, c in zip(model.xnames, model.coefs)]
-    return spark.createDataFrame(rows, "term string, coef double").orderBy("term")
+    rows = [
+        (name, round(float(c), 1)) for name, c in zip(model.xnames, model.coefs)
+    ] + [
+        ("r2", round(model.r2, 5)),
+        ("n_rows", float(model.nrow)),
+    ]
+    return spark.createDataFrame(rows, "stat string, value double").orderBy("stat")
 
 
-SQL_LM_FIT_SIMPLE = """
+SQL_LM_FIT = """
 WITH s AS (
   SELECT CAST(count(*) AS DOUBLE) AS n,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS sxy
-  FROM lineitem)
-SELECT 'intercept' AS term, ROUND((sy * sxx - sx * sxy) / (n * sxx - sx * sx), 1) AS coef FROM s
-UNION ALL
-SELECT 'l_quantity' AS term, ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 1) AS coef FROM s
-ORDER BY term
-"""
-
-
-def q_lm_fit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M2/M4: R² and n from the same fit (LM.scala:185,206-207), R² rounded
-    to 5 (divergence ≲1e-9)."""
-    from sparkglm_spark.operators.lm import lm
-
-    li = read_table(spark, sf_dir, "lineitem")
-    model = lm(li, "l_extendedprice ~ l_quantity")
-    return spark.createDataFrame(
-        [(round(model.r2, 5), model.nrow)], "r2 double, n_rows bigint"
-    )
-
-
-SQL_LM_FIT_STATS = """
-WITH s AS (
-  SELECT CAST(count(*) AS DOUBLE) AS n, count(*) AS n_rows,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
          CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
          CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS sxy,
          CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS syy
   FROM lineitem)
-SELECT ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
-             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 5) AS r2,
-       n_rows
-FROM s
+SELECT 'intercept' AS stat, ROUND((sy * sxx - sx * sxy) / (n * sxx - sx * sx), 1) AS value FROM s
+UNION ALL
+SELECT 'l_quantity', ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 1) FROM s
+UNION ALL
+SELECT 'r2', ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                   / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 5) FROM s
+UNION ALL
+SELECT 'n_rows', n FROM s
+ORDER BY stat
 """
 
 
@@ -333,29 +448,36 @@ FROM lineitem
 _GB0, _GB1 = -0.4, 2.0e-6  # fixed beta for kernel queries
 
 
-def q_glm_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1-F4 + IRLS z/w (GLM.scala:125-129,190-204,282-290): logit-link
-    kernels at fixed β over orders; per-row transcendentals rounded to 6."""
-    from sparkglm_spark.functions.links import Logit, variance_binomial
+def q_glm_link_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F10 + IRLS z/w (GLM.scala:125-129,190-251,282-290): ALL THREE
+    binomial link kernels (logit, cloglog, probit) at fixed β over orders in
+    one wide table; per-row transcendentals rounded to 6. Probit runs the
+    engine's Arrow pandas-UDF Φ/Φ⁻¹ (functions/special.py); its oracle
+    carries Cody-erfc SQL (see _sql_norm_cdf) — agreement ~1e-15."""
+    from sparkglm_spark.functions.links import Cloglog, Logit, Probit, variance_binomial
 
     od = read_table(spark, sf_dir, "orders")
     y = F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0)
     m = F.lit(1.0)
     eta = F.lit(_GB0) + F.lit(_GB1) * F.col("o_totalprice")
-    lnk = Logit()
-    mu = lnk.unlink(eta, m)
-    grad = lnk.lprime(mu, m)
-    w = F.lit(1.0) / (variance_binomial(mu, m) * grad * grad)
-    z = eta + (y - mu) * grad
-    return od.select(
-        "o_orderkey",
-        F.round(mu, 6).alias("mu"),
-        F.round(w, 6).alias("w"),
-        F.round(z, 6).alias("z"),
-    )
+    cols = [F.col("o_orderkey")]
+    for lnk in (Logit(), Cloglog(), Probit()):
+        mu = lnk.unlink(eta, m)
+        grad = lnk.lprime(mu, m)
+        w = F.lit(1.0) / (variance_binomial(mu, m) * grad * grad)
+        z = eta + (y - mu) * grad
+        cols += [
+            F.round(mu, 6).alias(f"mu_{lnk.name}"),
+            F.round(w, 6).alias(f"w_{lnk.name}"),
+            F.round(z, 6).alias(f"z_{lnk.name}"),
+        ]
+    return od.select(*cols)
 
 
-SQL_GLM_KERNELS = f"""
+def _sql_glm_link_kernels() -> str:
+    phi_eta = _sql_norm_cdf("eta")
+    inv_pdf = _sql_inv_norm_pdf("eta")
+    return f"""
 WITH base AS (
   SELECT o_orderkey,
          CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y,
@@ -363,67 +485,223 @@ WITH base AS (
   FROM orders),
 k AS (
   SELECT o_orderkey, y, eta,
-         1.0 / (1.0 + exp(-eta)) AS mu
+         1.0 / (1.0 + exp(-eta)) AS mu_lg,
+         1.0 - exp(-exp(eta)) AS mu_cl,
+         {phi_eta} AS mu_pb
   FROM base),
-k2 AS (
-  SELECT o_orderkey, y, eta, mu,
-         mu * (1.0 - mu / 1.0) AS var,
-         1.0 / (mu * (1.0 - mu)) AS grad
+g AS (
+  SELECT *,
+         1.0 / (mu_lg * (1.0 - mu_lg)) AS gr_lg,
+         1.0 / ((mu_cl - 1.0) * ln(1.0 - mu_cl)) AS gr_cl,
+         {inv_pdf} AS gr_pb
   FROM k)
 SELECT o_orderkey,
-       ROUND(mu, 6) AS mu,
-       ROUND(1.0 / (var * grad * grad), 6) AS w,
-       ROUND(eta + (y - mu) * grad, 6) AS z
-FROM k2
+       ROUND(mu_lg, 6) AS mu_logit,
+       ROUND(1.0 / ((mu_lg * (1.0 - mu_lg)) * gr_lg * gr_lg), 6) AS w_logit,
+       ROUND(eta + (y - mu_lg) * gr_lg, 6) AS z_logit,
+       ROUND(mu_cl, 6) AS mu_cloglog,
+       ROUND(1.0 / ((mu_cl * (1.0 - mu_cl)) * gr_cl * gr_cl), 6) AS w_cloglog,
+       ROUND(eta + (y - mu_cl) * gr_cl, 6) AS z_cloglog,
+       ROUND(mu_pb, 6) AS mu_probit,
+       ROUND(1.0 / ((mu_pb * (1.0 - mu_pb)) * gr_pb * gr_pb), 6) AS w_probit,
+       ROUND(eta + (y - mu_pb) * gr_pb, 6) AS z_probit
+FROM g
 """
 
 
-def q_glm_deviance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A6 deviance aggregate at fixed β (devBinomial, GLM.scala:162-170),
-    rounded to 3 (ulp-sum divergence ≪ 1e-6)."""
-    from sparkglm_spark.functions.links import Logit, deviance_binomial_expr
-
-    od = read_table(spark, sf_dir, "orders")
-    y = F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0)
-    m = F.lit(1.0)
-    eta = F.lit(_GB0) + F.lit(_GB1) * F.col("o_totalprice")
-    mu = Logit().unlink(eta, m)
-    return od.agg(
-        F.round(F.lit(2.0) * F.sum(deviance_binomial_expr(y, mu, m)), 3).alias("deviance")
-    )
+SQL_GLM_LINK_KERNELS = _sql_glm_link_kernels()
 
 
-SQL_GLM_DEVIANCE = f"""
-WITH k AS (
-  SELECT CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y,
-         1.0 / (1.0 + exp(-({_GB0} + {_GB1} * o_totalprice))) AS mu
-  FROM orders)
-SELECT ROUND(2.0 * SUM(
-         (CASE WHEN y = 0 THEN 0.0 ELSE y * ln(greatest(y, 1.0) / mu) END)
-       + (CASE WHEN 1.0 - y = 0 THEN 0.0 ELSE (1.0 - y) * ln(greatest(1.0 - y, 1.0) / (1.0 - mu)) END)
-       ), 3) AS deviance
-FROM k
-"""
+# --- fixed-iteration IRLS SQL oracle machinery -----------------------------
+# The IRLS trajectory with `exact_iterations=N` is a deterministic closed
+# form: each iteration is a weighted 2×2 normal-equations solve whose z/w
+# columns are expressions of the previous β. The oracle unrolls N
+# iterations as CTEs (VERDICT r01 next-round #1).
+
+_GLM_ITERS = 4
+
+# per-link SQL kernels (m = 1): unlink(eta), grad(mu, eta)
+_SQL_UNLINK = {
+    "logit": lambda eta: f"(1.0 / (1.0 + exp(-({eta}))))",
+    "cloglog": lambda eta: f"(1.0 - exp(-exp({eta})))",
+    "probit": lambda eta: _sql_norm_cdf(eta),
+    "log": lambda eta: f"(exp({eta}))",
+}
+_SQL_GRAD = {
+    "logit": lambda mu, eta: f"(1.0 / (({mu}) * (1.0 - ({mu}))))",
+    "cloglog": lambda mu, eta: f"(1.0 / ((({mu}) - 1.0) * ln(1.0 - ({mu}))))",
+    "probit": lambda mu, eta: _sql_inv_norm_pdf(eta),
+    "log": lambda mu, eta: f"(1.0 / ({mu}))",
+}
+# engine's generic w = 1/(Var(mu)·grad²) with the family variance
+_SQL_VAR = {
+    "binomial": lambda mu: f"(({mu}) * (1.0 - ({mu})))",
+    "poisson": lambda mu: f"({mu})",
+    "gamma": lambda mu: f"(({mu}) * ({mu}))",
+}
+_SQL_DEVTERM = {
+    "binomial": lambda y, mu: (
+        f"(CASE WHEN ({y}) = 0 THEN 0.0 ELSE ({y}) * ln(greatest({y}, 1.0) / ({mu})) END"
+        f" + CASE WHEN 1.0 - ({y}) = 0 THEN 0.0 ELSE (1.0 - ({y})) * ln(greatest(1.0 - ({y}), 1.0) / (1.0 - ({mu}))) END)"
+    ),
+    "poisson": lambda y, mu: (
+        f"(CASE WHEN ({y}) = 0 THEN ({mu}) ELSE ({y}) * ln(({y}) / ({mu})) - (({y}) - ({mu})) END)"
+    ),
+    "gamma": lambda y, mu: f"(-ln(({y}) / ({mu})) + (({y}) - ({mu})) / ({mu}))",
+}
+
+
+def _sql_irls_ctes(
+    prefix: str,
+    base: str,
+    family: str,
+    link: str,
+    iters: int = _GLM_ITERS,
+) -> tuple[list[str], str]:
+    """CTE chain replaying GLM.fit(exact_iterations=iters) over CTE `base`
+    (columns y, x). Returns (ctes, final_beta_cte) where the final CTE has
+    b0/b1. Mirrors glm.py: init μ₀ = ȳ (constant), η₀ = link(μ₀); each
+    iteration aggregates w/z at the CURRENT β then solves."""
+    unlink, grad_f, var_f = _SQL_UNLINK[link], _SQL_GRAD[link], _SQL_VAR[family]
+    ctes = [
+        f"{prefix}s0 AS (SELECT CAST(SUM(y) AS DOUBLE)/COUNT(*) AS mu0 FROM {base})"
+    ]
+    if link == "logit":
+        eta0 = "(ln(mu0 / (1.0 - mu0)))"
+    elif link == "cloglog":
+        eta0 = "(ln(-ln(1.0 - mu0)))"
+    elif link == "log":
+        eta0 = "(ln(mu0))"
+    else:  # probit: Acklam+Halley Φ⁻¹(mu0)
+        ppf_ctes, ppf_final = _sql_ppf_ctes("mu0", f"{prefix}s0", f"{prefix}q")
+        ctes.append(ppf_ctes)
+        eta0 = None
+    if eta0 is not None:
+        ctes.append(f"{prefix}e0 AS (SELECT mu0, {eta0} AS eta0 FROM {prefix}s0)")
+    else:
+        ctes.append(
+            f"{prefix}e0 AS (SELECT mu0, ppf AS eta0 FROM {prefix}s0 CROSS JOIN {ppf_final})"
+        )
+    for i in range(1, iters + 1):
+        if i == 1:
+            src = f"{base} CROSS JOIN {prefix}e0"
+            eta, mu = "(eta0)", "(mu0)"
+        else:
+            src = f"{base} CROSS JOIN {prefix}t{i - 1}"
+            eta = "(b0 + b1 * x)"
+            mu = unlink(eta)
+        g = grad_f(mu, eta)
+        w = f"(1.0 / ({var_f(mu)} * {g} * {g}))"
+        z = f"({eta} + (y - {mu}) * {g} - 0.0)"
+        ctes.append(
+            f"{prefix}a{i} AS (SELECT SUM(w) AS sw, SUM(w*x) AS swx, "
+            f"SUM(w*x*x) AS swxx, SUM(w*z) AS swz, SUM(w*x*z) AS swxz FROM "
+            f"(SELECT {w} AS w, {z} AS z, x FROM {src}))"
+        )
+        ctes.append(
+            f"{prefix}t{i} AS (SELECT "
+            f"(swz*swxx - swx*swxz)/(sw*swxx - swx*swx) AS b0, "
+            f"(sw*swxz - swx*swz)/(sw*swxx - swx*swx) AS b1 FROM {prefix}a{i})"
+        )
+    return ctes, f"{prefix}t{iters}"
 
 
 def q_glm_fit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M7-M9: full binomial IRLS fit (iterative — rows-only check; numeric
-    oracle lives in tests/test_glm.py against driver-side IRLS)."""
+    """M7-M9 + A6/A7/A8/M10: full binomial IRLS fit for ALL THREE links at
+    exactly 4 Fisher-scoring iterations over the scaled price (coefs O(1) →
+    ROUND 6 keeps real precision). Emits coefs + deviance/null deviance/
+    Pearson χ²/loglik/AIC per link, plus the A6 deviance aggregate at a
+    fixed β. Oracle: the 4-iteration trajectory unrolled as closed-form
+    WLS CTEs (probit via Cody-erfc + Acklam-Φ⁻¹ SQL)."""
+    from sparkglm_spark.functions.links import Logit, deviance_binomial_expr
     from sparkglm_spark.operators.glm import glm
 
-    od = read_table(spark, sf_dir, "orders").withColumn(
-        "is_f", F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0)
+    od = (
+        read_table(spark, sf_dir, "orders")
+        .withColumn("is_f", F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0))
+        .withColumn("p100k", F.col("o_totalprice") / 100000.0)
     )
-    model = glm(od, "is_f ~ o_totalprice", family="binomial", link="logit")
-    rows = [
-        (name, round(float(c), 6)) for name, c in zip(model.xnames, model.coefs)
-    ] + [
-        ("deviance", round(model.deviance, 3)),
-        ("null_deviance", round(model.null_deviance, 3)),
-        ("aic", round(model.aic, 3)),
-        ("iterations", float(model.iter)),
+    rows = []
+    for link in ("logit", "cloglog", "probit"):
+        m = glm(od, "is_f ~ p100k", family="binomial", link=link,
+                exact_iterations=_GLM_ITERS)
+        rows += [
+            (link, "coef_intercept", round(float(m.coefs[0]), 6)),
+            (link, "coef_p100k", round(float(m.coefs[1]), 6)),
+            (link, "deviance", round(m.deviance, 3)),
+            (link, "null_deviance", round(m.null_deviance, 3)),
+            (link, "pearson", round(m.pearson, 3)),
+            (link, "loglik", round(m.loglik, 3)),
+            (link, "aic", round(m.aic, 3)),
+            (link, "iterations", float(m.iter)),
+        ]
+    # A6 at fixed β (the reference devBinomial aggregate, GLM.scala:162-170)
+    y = F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0)
+    eta = F.lit(_GB0) + F.lit(_GB1) * F.col("o_totalprice")
+    mu = Logit().unlink(eta, F.lit(1.0))
+    dev_fixed = od.agg(
+        (F.lit(2.0) * F.sum(deviance_binomial_expr(y, mu, F.lit(1.0)))).alias("d")
+    ).collect()[0]["d"]
+    rows.append(("fixed_beta", "deviance", round(float(dev_fixed), 3)))
+    return spark.createDataFrame(
+        rows, "link string, stat string, value double"
+    ).orderBy("link", "stat")
+
+
+def _sql_glm_fit_orders() -> str:
+    base = "glmbase"
+    ctes = [
+        f"{base} AS (SELECT CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y,"
+        f" o_totalprice / 100000.0 AS x FROM orders)"
     ]
-    return spark.createDataFrame(rows, "stat string, value double").orderBy("stat")
+    selects = []
+    for link in ("logit", "cloglog", "probit"):
+        p = f"{link[:2]}_"
+        link_ctes, tfin = _sql_irls_ctes(p, base, "binomial", link)
+        ctes += link_ctes
+        unlink = _SQL_UNLINK[link]
+        mu = unlink("(b0 + b1 * x)")
+        dev = _SQL_DEVTERM["binomial"]("y", "mu")
+        pearson = "((y - mu) * (y - mu) / (mu * (1.0 - mu)))"
+        ll = (
+            "(CASE WHEN y > 0 THEN y * ln(mu) ELSE 0.0 END"
+            " + CASE WHEN 1.0 - y > 0 THEN (1.0 - y) * ln(1.0 - mu) ELSE 0.0 END)"
+        )
+        ctes.append(
+            f"{p}f AS (SELECT 2.0 * SUM({dev}) AS dev, SUM({pearson}) AS pear, "
+            f"SUM({ll}) AS ll FROM (SELECT y, {mu} AS mu FROM {base} CROSS JOIN {tfin}))"
+        )
+        nd = _SQL_DEVTERM["binomial"]("y", "mu0")
+        ctes.append(
+            f"{p}n AS (SELECT 2.0 * SUM({nd}) AS ndev FROM {base} CROSS JOIN {p}s0)"
+        )
+        selects += [
+            f"SELECT '{link}' AS link, 'coef_intercept' AS stat, ROUND(b0, 6) AS value FROM {tfin}",
+            f"SELECT '{link}', 'coef_p100k', ROUND(b1, 6) FROM {tfin}",
+            f"SELECT '{link}', 'deviance', ROUND(dev, 3) FROM {p}f",
+            f"SELECT '{link}', 'null_deviance', ROUND(ndev, 3) FROM {p}n",
+            f"SELECT '{link}', 'pearson', ROUND(pear, 3) FROM {p}f",
+            f"SELECT '{link}', 'loglik', ROUND(ll, 3) FROM {p}f",
+            f"SELECT '{link}', 'aic', ROUND(-2.0 * ll + 4.0, 3) FROM {p}f",
+            f"SELECT '{link}', 'iterations', {float(_GLM_ITERS)} FROM {tfin}",
+        ]
+    ctes.append(
+        f"fixk AS (SELECT y, 1.0 / (1.0 + exp(-({_GB0} + {_GB1} * o_totalprice))) AS mu"
+        f" FROM (SELECT CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y,"
+        f" o_totalprice FROM orders))"
+    )
+    dev_fixed = _SQL_DEVTERM["binomial"]("y", "mu")
+    selects.append(
+        f"SELECT 'fixed_beta', 'deviance', ROUND(2.0 * SUM({dev_fixed}), 3) FROM fixk"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY link, stat"
+    )
+
+
+SQL_GLM_FIT_ORDERS = _sql_glm_fit_orders()
 
 
 def q_wls_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -455,97 +733,93 @@ ORDER BY term
 """
 
 
-def q_glm_gaussian_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Family plug-in (SURVEY §2.13.1): gaussian/identity GLM ≡ OLS — the
-    IRLS path collapses to one normal-equations solve, so the closed-form
-    OLS oracle applies. Coefs rounded to 1 decimal (same conditioning as
-    lm_fit_simple)."""
+def q_glm_families_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Family plug-in surface (SURVEY §2.13.1): gaussian/identity (≡ OLS in
+    one solve — closed-form Cramer oracle), poisson/log and gamma/log at
+    exactly 4 IRLS iterations (unrolled-WLS oracle). One stat table keyed
+    by family."""
     from sparkglm_spark.operators.glm import glm
 
     li = read_table(spark, sf_dir, "lineitem")
-    model = glm(li, "l_extendedprice ~ l_quantity", family="gaussian")
-    rows = [(name, round(float(c), 1)) for name, c in zip(model.xnames, model.coefs)]
-    return spark.createDataFrame(rows, "term string, coef double").orderBy("term")
-
-
-SQL_GLM_GAUSSIAN_FIT = SQL_LM_FIT_SIMPLE
-
-
-def q_glm_poisson_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Poisson/log GLM on counts (iterative IRLS — rows-only check; numeric
-    oracle lives in tests/test_glm.py against driver-side numpy IRLS)."""
-    from sparkglm_spark.operators.glm import glm
-
-    li = read_table(spark, sf_dir, "lineitem")
-    model = glm(li, "l_quantity ~ l_discount + l_tax", family="poisson")
-    rows = [
-        (name, round(float(c), 6)) for name, c in zip(model.xnames, model.coefs)
-    ] + [
-        ("deviance", round(model.deviance, 3)),
-        ("iterations", float(model.iter)),
+    rows = []
+    m = glm(li, "l_extendedprice ~ l_quantity", family="gaussian",
+            exact_iterations=2)
+    rows += [
+        ("gaussian", "coef_intercept", round(float(m.coefs[0]), 1)),
+        ("gaussian", "coef_l_quantity", round(float(m.coefs[1]), 1)),
+        ("gaussian", "iterations", float(m.iter)),
     ]
-    return spark.createDataFrame(rows, "stat string, value double").orderBy("stat")
-
-
-def q_glm_gamma_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gamma/log GLM on positive amounts (iterative IRLS — rows-only;
-    numeric oracle in tests/test_glm.py vs driver-side numpy IRLS)."""
-    from sparkglm_spark.operators.glm import glm
-
-    li = read_table(spark, sf_dir, "lineitem")
-    model = glm(li, "l_extendedprice ~ l_quantity", family="gamma")
-    rows = [
-        (name, round(float(c), 6)) for name, c in zip(model.xnames, model.coefs)
-    ] + [
-        ("deviance", round(model.deviance, 3)),
-        ("iterations", float(model.iter)),
+    m = glm(li, "l_quantity ~ l_discount", family="poisson",
+            exact_iterations=_GLM_ITERS)
+    rows += [
+        ("poisson", "coef_intercept", round(float(m.coefs[0]), 6)),
+        ("poisson", "coef_l_discount", round(float(m.coefs[1]), 6)),
+        ("poisson", "deviance", round(m.deviance, 2)),
+        ("poisson", "iterations", float(m.iter)),
     ]
-    return spark.createDataFrame(rows, "stat string, value double").orderBy("stat")
+    m = glm(li, "l_extendedprice ~ l_quantity", family="gamma",
+            exact_iterations=_GLM_ITERS)
+    rows += [
+        ("gamma", "coef_intercept", round(float(m.coefs[0]), 6)),
+        ("gamma", "coef_l_quantity", round(float(m.coefs[1]), 6)),
+        ("gamma", "deviance", round(m.deviance, 2)),
+        ("gamma", "iterations", float(m.iter)),
+    ]
+    return spark.createDataFrame(
+        rows, "family string, stat string, value double"
+    ).orderBy("family", "stat")
 
 
-def q_glm_cloglog_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F8-F10: cloglog link kernels at fixed β over orders (GLM.scala:
-    237-251); per-row transcendentals rounded to 6."""
-    from sparkglm_spark.functions.links import Cloglog, variance_binomial
-
-    od = read_table(spark, sf_dir, "orders")
-    y = F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0)
-    m = F.lit(1.0)
-    eta = F.lit(_GB0) + F.lit(_GB1) * F.col("o_totalprice")
-    lnk = Cloglog()
-    mu = lnk.unlink(eta, m)
-    grad = lnk.lprime(mu, m)
-    w = F.lit(1.0) / (variance_binomial(mu, m) * grad * grad)
-    z = eta + (y - mu) * grad
-    return od.select(
-        "o_orderkey",
-        F.round(mu, 6).alias("mu"),
-        F.round(w, 6).alias("w"),
-        F.round(z, 6).alias("z"),
+def _sql_glm_families_fit() -> str:
+    ctes = [
+        "pbase AS (SELECT CAST(l_quantity AS DOUBLE) AS y, CAST(l_discount AS DOUBLE) AS x FROM lineitem)",
+        "gbase AS (SELECT CAST(l_extendedprice AS DOUBLE) AS y, CAST(l_quantity AS DOUBLE) AS x FROM lineitem)",
+    ]
+    p_ctes, p_fin = _sql_irls_ctes("po_", "pbase", "poisson", "log")
+    g_ctes, g_fin = _sql_irls_ctes("ga_", "gbase", "gamma", "log")
+    ctes += p_ctes + g_ctes
+    for fam, base, fin, pfx in (
+        ("poisson", "pbase", p_fin, "po_"),
+        ("gamma", "gbase", g_fin, "ga_"),
+    ):
+        dev = _SQL_DEVTERM[fam]("y", "mu")
+        mu = _SQL_UNLINK["log"]("(b0 + b1 * x)")
+        ctes.append(
+            f"{pfx}f AS (SELECT 2.0 * SUM({dev}) AS dev FROM "
+            f"(SELECT y, {mu} AS mu FROM {base} CROSS JOIN {fin}))"
+        )
+    # gaussian ≡ OLS: closed-form Cramer from exact decimal sums (same
+    # margin analysis as the lm_fit oracle; coefs rounded to 1)
+    ctes.append(
+        """gs AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS sxy
+  FROM lineitem)"""
+    )
+    selects = [
+        "SELECT 'gaussian' AS family, 'coef_intercept' AS stat, ROUND((sy * sxx - sx * sxy) / (n * sxx - sx * sx), 1) AS value FROM gs",
+        "SELECT 'gaussian', 'coef_l_quantity', ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 1) FROM gs",
+        "SELECT 'gaussian', 'iterations', 2.0 FROM gs",
+        f"SELECT 'poisson', 'coef_intercept', ROUND(b0, 6) FROM {p_fin}",
+        f"SELECT 'poisson', 'coef_l_discount', ROUND(b1, 6) FROM {p_fin}",
+        "SELECT 'poisson', 'deviance', ROUND(dev, 2) FROM po_f",
+        f"SELECT 'poisson', 'iterations', {float(_GLM_ITERS)} FROM {p_fin}",
+        f"SELECT 'gamma', 'coef_intercept', ROUND(b0, 6) FROM {g_fin}",
+        f"SELECT 'gamma', 'coef_l_quantity', ROUND(b1, 6) FROM {g_fin}",
+        "SELECT 'gamma', 'deviance', ROUND(dev, 2) FROM ga_f",
+        f"SELECT 'gamma', 'iterations', {float(_GLM_ITERS)} FROM {g_fin}",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY family, stat"
     )
 
 
-SQL_GLM_CLOGLOG_KERNELS = f"""
-WITH base AS (
-  SELECT o_orderkey,
-         CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y,
-         {_GB0} + {_GB1} * o_totalprice AS eta
-  FROM orders),
-k AS (
-  SELECT o_orderkey, y, eta,
-         1.0 - exp(-exp(eta)) AS mu
-  FROM base),
-k2 AS (
-  SELECT o_orderkey, y, eta, mu,
-         mu * (1.0 - mu / 1.0) AS var,
-         1.0 / ((mu - 1.0) * ln(1.0 - mu)) AS grad
-  FROM k)
-SELECT o_orderkey,
-       ROUND(mu, 6) AS mu,
-       ROUND(1.0 / (var * grad * grad), 6) AS w,
-       ROUND(eta + (y - mu) * grad, 6) AS z
-FROM k2
-"""
+SQL_GLM_FAMILIES_FIT = _sql_glm_families_fit()
 
 
 # ===========================================================================
@@ -862,60 +1136,138 @@ SELECT nationkey, 'supplier_only' AS which FROM (
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup + duplicate-group summary in one result: the content
+    winners (keep-min-key over a hashed fingerprint shuffle —
+    exact_dedup_hashed) joined with each group's size (duplicate_groups;
+    groups of 1 backfill as 1)."""
     docs = read_table(spark, sf_dir, "documents")
-    from sparkglm_spark.operators.dedup import exact_dedup_hashed
+    from sparkglm_spark.operators.dedup import duplicate_groups, exact_dedup_hashed
 
-    return exact_dedup_hashed(docs, "text", "doc_id").select("doc_id", "source")
+    winners = exact_dedup_hashed(docs, "text", "doc_id").select("doc_id", "source")
+    groups = duplicate_groups(docs, ["text"], "doc_id").select(
+        F.col("canonical_id").alias("doc_id"), "group_size"
+    )
+    return winners.join(groups, "doc_id", "left").select(
+        "doc_id", "source", F.coalesce("group_size", F.lit(1)).alias("group_size")
+    )
 
 
 SQL_DEDUP_EXACT = """
-SELECT min(doc_id) AS doc_id, arg_min(source, doc_id) AS source
+SELECT min(doc_id) AS doc_id, arg_min(source, doc_id) AS source,
+       count(*) AS group_size
 FROM documents GROUP BY text
 """
 
 
-def q_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate-group summary: canonical key + group size for groups >1
-    (pure groupBy — partial aggregation)."""
-    docs = read_table(spark, sf_dir, "documents")
-    from sparkglm_spark.operators.dedup import duplicate_groups
-
-    return duplicate_groups(docs, ["text"], "doc_id").select(
-        "canonical_id", "group_size"
-    )
-
-
-SQL_DUPLICATE_GROUPS = """
-SELECT min(doc_id) AS canonical_id, count(*) AS group_size
-FROM documents GROUP BY text HAVING count(*) > 1
-"""
-
-
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs, Hamming ≤ 3 (rows-only: the 64-bit signature
-    hinges on Spark's xxhash64, which DuckDB lacks)."""
+    """SimHash near-dup pairs, Hamming ≤ 3, portable-hash mode: the 64-bit
+    signature is built from four 16-bit char-polynomial channels
+    (mod 2^31−1 — ANSI-safe int64), so the oracle recomputes it exactly in
+    SQL. Banding is pigeonhole-complete at ≤3 bits, so the LSH output ≡ the
+    all-pairs Hamming filter the oracle runs."""
     docs = read_table(spark, sf_dir, "documents")
     from sparkglm_spark.operators.dedup import simhash_near_dup_pairs
 
-    return simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3)
+    return simhash_near_dup_pairs(
+        docs, "doc_id", "text", max_hamming=3, hash_fn="portable"
+    )
+
+
+def _sql_dedup_simhash() -> str:
+    from sparkglm_spark.operators.dedup import _SIMHASH_M, _SIMHASH_P, _SIMHASH_SEED
+
+    hashes = ",\n    ".join(
+        f"list_reduce(list_prepend(CAST({_SIMHASH_SEED[c]} AS BIGINT), "
+        f"[CAST(ord(ch) AS BIGINT) FOR ch IN split(tok, '')]), "
+        f"(a, b) -> (a * {_SIMHASH_M[c]} + b) % {_SIMHASH_P}) % 65536 AS h{c}"
+        for c in range(4)
+    )
+    bit_sums = ",\n    ".join(
+        f"SUM(CASE WHEN (h{j // 16} >> {j % 16}) & 1 = 1 THEN 1 ELSE -1 END) AS b_{j}"
+        for j in range(64)
+    )
+    ham = " + ".join(
+        f"CASE WHEN (a.b_{j} > 0) <> (b.b_{j} > 0) THEN 1 ELSE 0 END"
+        for j in range(64)
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                            t -> t <> '')) AS tok
+  FROM documents),
+hh AS (
+  SELECT doc_id,
+    {hashes}
+  FROM toks),
+bits AS (
+  SELECT doc_id,
+    {bit_sums}
+  FROM hh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, ({ham}) AS hamming
+  FROM bits a JOIN bits b ON a.doc_id < b.doc_id)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+"""
+
+
+SQL_DEDUP_SIMHASH = _sql_dedup_simhash()
 
 
 def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH near-dup (rows-only: approximate candidate set;
-    the exact re-rank keeps precision 1 but recall < 1 by design)."""
+    """Random-hyperplane LSH near-dup with an EXACT oracle. The testdata has
+    no high-cosine pairs (max 0.513 — below any regime where sign-LSH has
+    recall), so the query plants them: ×2-scaled copies of the first 50
+    vectors. IEEE arithmetic is scale-invariant under powers of two, so a
+    scaled copy's sign signature is bit-identical to the original's —
+    recall of those pairs is deterministically 1, the exact re-rank keeps
+    precision 1, and the output is exactly the 50 planted pairs (cosine 1;
+    every other pair is ≤0.513, far under the 0.95 threshold)."""
     emb = read_table(spark, sf_dir, "embeddings")
     from sparkglm_spark.operators.similarity import lsh_near_dup_pairs
 
-    out = lsh_near_dup_pairs(emb, dim=64, threshold=0.35, n_bits=64)
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    dup = base.where(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda v: v * F.lit(2.0)).alias("embedding"),
+    )
+    corpus = base.unionByName(dup)
+    out = lsh_near_dup_pairs(corpus, dim=64, threshold=0.95, n_bits=64)
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
-def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
-    from sparkglm_spark.operators.dedup import jaccard_pairs
+SQL_SIMILARITY_LSH = """
+WITH corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, list_transform(CAST(embedding AS DOUBLE[]), v -> v * 2.0)
+  FROM embeddings WHERE vec_id < 50),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.e, b.e)
+           / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS c
+  FROM corpus a, corpus b WHERE a.vec_id < b.vec_id)
+SELECT id_a, id_b, ROUND(c, 6) AS cosine FROM p WHERE c >= 0.95
+"""
 
-    out = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
-    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact inverted-index n-gram Jaccard AND MinHash-LSH near-dup in one
+    result (method column). With (128, 32) banding P(miss at j≥0.8) ≈ 5e-8,
+    so the minhash rows equal the exact rows and one exact SQL oracle
+    covers both paths."""
+    docs = read_table(spark, sf_dir, "documents")
+    from sparkglm_spark.operators.dedup import jaccard_pairs, minhash_dedup_pairs
+
+    j = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    m = minhash_dedup_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    return (
+        j.withColumn("method", F.lit("exact"))
+        .unionByName(m.withColumn("method", F.lit("minhash")))
+        .select("method", "id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
 
 
 SQL_DEDUP_JACCARD = """
@@ -926,38 +1278,36 @@ sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2)
-SELECT id_a, id_b,
-       ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = id_a
-JOIN sizes sb ON sb.doc_id = id_b
-WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
+  GROUP BY 1, 2),
+jac AS (
+  SELECT id_a, id_b,
+         ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8)
+SELECT 'exact' AS method, id_a, id_b, jaccard FROM jac
+UNION ALL
+SELECT 'minhash', id_a, id_b, jaccard FROM jac
 """
 
 
-def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash LSH (128 perms, 32 bands) + exact verification — output
-    equals exact Jaccard pairs (P(miss at j≥0.8) ≈ 5e-8), so the exact
-    oracle applies."""
-    docs = read_table(spark, sf_dir, "documents")
-    from sparkglm_spark.operators.dedup import minhash_dedup_pairs
-
-    out = minhash_dedup_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
-    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
-
-
-SQL_DEDUP_MINHASH = SQL_DEDUP_JACCARD
-
-
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force top-k AND IVF top-k with full probing
+    (n_probe = n_lists → exhaustive through the inverted-file plan) in one
+    result (method column) — both must equal the brute-force SQL oracle.
+    (Partial-probe recall is covered in tests/test_similarity.py.)"""
     emb = read_table(spark, sf_dir, "embeddings")
-    from sparkglm_spark.operators.similarity import cosine_topk
+    from sparkglm_spark.operators.similarity import cosine_topk, ivf_topk
 
     queries = emb.where(F.col("vec_id") < 50)
-    out = cosine_topk(emb, queries, k=3)
-    return out.select(
-        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    brute = cosine_topk(emb, queries, k=3).withColumn("method", F.lit("brute"))
+    ivf = ivf_topk(emb, queries, k=3, n_lists=8, n_probe=8).withColumn(
+        "method", F.lit("ivf")
+    )
+    return brute.unionByName(ivf).select(
+        "method", "query_id", "neighbor_id",
+        F.round("cosine", 6).alias("cosine"), "rank",
     )
 
 
@@ -972,24 +1322,14 @@ WITH pairs AS (
 ranked AS (
   SELECT query_id, neighbor_id, cosine,
          row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
-  FROM pairs)
-SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine, rank
-FROM ranked WHERE rank <= 3
+  FROM pairs),
+top AS (
+  SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine, rank
+  FROM ranked WHERE rank <= 3)
+SELECT 'brute' AS method, query_id, neighbor_id, cosine, rank FROM top
+UNION ALL
+SELECT 'ivf', query_id, neighbor_id, cosine, rank FROM top
 """
-
-
-def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-k with full probing (n_probe = n_lists): exhaustive search
-    through the inverted-file plan — must equal the brute-force oracle
-    exactly. (Partial-probe recall is covered in tests/test_similarity.py.)"""
-    emb = read_table(spark, sf_dir, "embeddings")
-    from sparkglm_spark.operators.similarity import ivf_topk
-
-    queries = emb.where(F.col("vec_id") < 50)
-    out = ivf_topk(emb, queries, k=3, n_lists=8, n_probe=8)
-    return out.select(
-        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
-    )
 
 
 def q_similarity_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1013,14 +1353,34 @@ WHERE a.vec_id < b.vec_id
 """
 
 
-def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-document text-analysis surface in ONE single-scan operator
+    (operators/text.py::text_profile): stats, BPE token count, quality
+    score, language ID, rolling-hash fingerprint — all whole-stage-codegen
+    expressions fused into one projection (five separate corpus scans would
+    quintuple the I/O at 100 TB). quality_score rounded to 6; every other
+    column is an exact integer or a single IEEE division."""
     docs = read_table(spark, sf_dir, "documents")
-    from sparkglm_spark.operators.text import text_stats
+    from sparkglm_spark.operators.text import text_profile
 
-    return text_stats(docs)
+    out = text_profile(docs)
+    return out.withColumn("quality_score", F.round("quality_score", 6))
 
 
-SQL_TEXT_STATS = r"""
+def _sql_text_profile() -> str:
+    from sparkglm_spark.operators.text import LANG_PROFILES
+
+    langs = sorted(LANG_PROFILES)
+    hits = ",\n         ".join(
+        "len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), "
+        f"x -> list_contains({LANG_PROFILES[lg]!r}, x))) AS hits_{lg}"
+        for lg in langs
+    )
+    hit_list = ", ".join(f"hits_{lg}" for lg in langs)
+    pick = "CASE " + " ".join(
+        f"WHEN hits_{lg} = greatest({hit_list}) THEN '{lg}'" for lg in langs
+    ) + " END"
+    return rf"""
 WITH t AS (
   SELECT doc_id, text,
          length(text) AS n_chars,
@@ -1030,119 +1390,39 @@ WITH t AS (
          length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS n_alpha,
          length(text) - length(replace(text, ' ', '')) AS n_space,
          len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
-             x -> list_contains(['the','a','an','and','or','is','are','was','to','of','in','on','it','that','this','with','for','as','be'], x))) AS hits
-  FROM documents)
-SELECT doc_id, n_chars, n_tokens,
-       CAST(n_chars AS DOUBLE) / nullif(n_tokens, 0) AS avg_token_len,
-       CAST(hits AS DOUBLE) / nullif(n_tokens, 0) AS stopword_ratio,
-       CAST(n_alpha AS DOUBLE) / nullif(n_chars, 0) AS alpha_ratio,
-       CAST(n_digit AS DOUBLE) / nullif(n_chars, 0) AS digit_ratio,
-       CAST(n_space AS DOUBLE) / nullif(n_chars, 0) AS space_ratio
-FROM t
-"""
-
-
-def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
-    from sparkglm_spark.operators.text import language_id
-
-    return language_id(docs)
-
-
-def _sql_language_id() -> str:
-    from sparkglm_spark.operators.text import LANG_PROFILES
-
-    langs = sorted(LANG_PROFILES)
-    hits = ",\n         ".join(
-        "len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), "
-        f"x -> list_contains({LANG_PROFILES[lg]!r}, x))) AS hits_{lg}".replace("'", "'")
-        for lg in langs
-    )
-    hit_list = ", ".join(f"hits_{lg}" for lg in langs)
-    pick = "CASE " + " ".join(
-        f"WHEN hits_{lg} = best THEN '{lg}'" for lg in langs
-    ) + " END"
-    return f"""
-WITH t AS (
-  SELECT doc_id,
+             x -> list_contains(['the','a','an','and','or','is','are','was','to','of','in','on','it','that','this','with','for','as','be'], x))) AS sw_hits,
+         len(list_filter(
+             regexp_extract_all(text, {BPE_SQL_PATTERN}, 0),
+             x -> length(trim(x)) > 0)) AS n_tokens_bpe,
+         CASE WHEN length(text) = 0 THEN 0
+              ELSE list_reduce([CAST(ord(c) AS BIGINT) FOR c IN split(text, '')],
+                               (a, b) -> (a * 31 + b) % 1000000007) END AS fingerprint,
          {hits}
   FROM documents),
-b AS (SELECT doc_id, {hit_list}, greatest({hit_list}) AS best FROM t)
-SELECT doc_id, {pick} AS detected_lang, CAST(best AS BIGINT) AS lang_score FROM b
-"""
-
-
-SQL_TEXT_LANGUAGE_ID = _sql_language_id()
-
-
-def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting: whitespace + BPE-ish regex pre-tokenizer."""
-    docs = read_table(spark, sf_dir, "documents")
-    from sparkglm_spark.operators.text import bpe_token_count
-
-    return bpe_token_count(docs)
-
-
-SQL_TEXT_TOKENS = r"""
-SELECT doc_id,
-       CASE WHEN length(trim(text)) = 0 THEN 0
-            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens_ws,
-       len(list_filter(
-           regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+', 0),
-           x -> length(trim(x)) > 0)) AS n_tokens_bpe
-FROM documents
-"""
-
-
-def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite quality score over the text stats (fixed weights; IEEE
-    double arithmetic in identical order in both engines, rounded to 6)."""
-    docs = read_table(spark, sf_dir, "documents")
-    from sparkglm_spark.operators.text import quality_score
-
-    out = quality_score(docs)
-    return out.select(
-        "doc_id", "n_tokens", F.round("quality_score", 6).alias("quality_score")
-    )
-
-
-SQL_TEXT_QUALITY = r"""
-WITH t AS (
-  SELECT doc_id, text,
-         length(text) AS n_chars,
-         CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
-         length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS n_alpha,
-         len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
-             x -> list_contains(['the','a','an','and','or','is','are','was','to','of','in','on','it','that','this','with','for','as','be'], x))) AS hits
-  FROM documents),
 r AS (
-  SELECT doc_id, n_tokens,
-         coalesce(CAST(n_alpha AS DOUBLE) / nullif(n_chars, 0), 0.0) AS alpha_ratio,
-         coalesce(CAST(hits AS DOUBLE) / nullif(n_tokens, 0), 0.0) AS stopword_ratio
+  SELECT *,
+         CAST(n_alpha AS DOUBLE) / nullif(n_chars, 0) AS alpha_ratio,
+         CAST(sw_hits AS DOUBLE) / nullif(n_tokens, 0) AS stopword_ratio,
+         greatest({hit_list}) AS best
   FROM t)
-SELECT doc_id, n_tokens,
+SELECT doc_id, n_chars, n_tokens,
+       CAST(n_chars AS DOUBLE) / nullif(n_tokens, 0) AS avg_token_len,
+       stopword_ratio,
+       alpha_ratio,
+       CAST(n_digit AS DOUBLE) / nullif(n_chars, 0) AS digit_ratio,
+       CAST(n_space AS DOUBLE) / nullif(n_chars, 0) AS space_ratio,
+       n_tokens_bpe,
        ROUND(0.4 * least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
-           + 0.3 * alpha_ratio
-           + 0.3 * least(stopword_ratio * 5.0, 1.0), 6) AS quality_score
+           + 0.3 * coalesce(alpha_ratio, 0.0)
+           + 0.3 * least(coalesce(stopword_ratio, 0.0) * 5.0, 1.0), 6) AS quality_score,
+       {pick} AS detected_lang,
+       CAST(best AS BIGINT) AS lang_score,
+       fingerprint
 FROM r
 """
 
 
-def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
-    from sparkglm_spark.operators.text import fingerprint
-
-    return fingerprint(docs)
-
-
-SQL_TEXT_FINGERPRINT = """
-SELECT doc_id,
-       CASE WHEN length(text) = 0 THEN 0
-            ELSE list_reduce([CAST(ord(c) AS BIGINT) FOR c IN split(text, '')],
-                             (a, b) -> (a * 31 + b) % 1000000007) END AS fingerprint
-FROM documents
-"""
+SQL_TEXT_PROFILE = _sql_text_profile()
 
 
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1254,6 +1534,55 @@ ORDER BY event_type
 """
 
 
+def q_events_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series operators (operators/timeseries.py): per-event-type
+    daily resample with gap zero-fill over each group's own span, then a
+    trailing 7-day RANGE-frame moving sum/avg partitioned by event type.
+    One shuffle for the bucket counts; the window runs over the tiny
+    resampled relation (O(groups × days), independent of fact rows)."""
+    from sparkglm_spark.operators.timeseries import moving_aggregate, resample_counts
+
+    ev = read_table(spark, sf_dir, "events")
+    daily = resample_counts(ev, "ts", ["event_type"], unit="day")
+    out = moving_aggregate(
+        daily, "bucket", "n_events", window_days=7, partition_cols=["event_type"]
+    )
+    return out.select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        F.col("n_events_mov_sum").alias("mov_sum"),
+        F.round("n_events_mov_avg", 6).alias("mov_avg"),
+        "days_in_window",
+    )
+
+
+SQL_EVENTS_TIMESERIES = """
+WITH c AS (
+  SELECT event_type, date_trunc('day', ts) AS bucket, count(*) AS n
+  FROM events GROUP BY 1, 2),
+b AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi FROM c GROUP BY 1),
+g AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS bucket
+  FROM b),
+d AS (
+  SELECT g.event_type, g.bucket, coalesce(c.n, 0) AS n_events
+  FROM g LEFT JOIN c ON g.event_type = c.event_type AND g.bucket = c.bucket),
+w AS (
+  SELECT event_type, bucket, n_events,
+         SUM(n_events) OVER win AS mov_sum,
+         AVG(n_events) OVER win AS mov_avg,
+         COUNT(*) OVER win AS days_in_window
+  FROM d
+  WINDOW win AS (PARTITION BY event_type
+                 ORDER BY date_diff('day', DATE '1970-01-01', bucket)
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+SELECT event_type, strftime(bucket, '%Y-%m-%d') AS day, n_events,
+       mov_sum, ROUND(mov_avg, 6) AS mov_avg, days_in_window
+FROM w
+"""
+
+
 def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each click joined to the user's most recent purchase at-or-before it
     (kdb/pandas `merge_asof` semantics). Executed as union + ONE window
@@ -1336,18 +1665,71 @@ GROUP BY 1
 """
 
 
-def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Partition-invariant hash split (rows-only: assignment hinges on
-    Spark's xxhash64; determinism/disjointness proven in tests/test_split.py)."""
-    docs = read_table(spark, sf_dir, "documents")
-    from sparkglm_spark.operators.split import with_split_column
+def q_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dataset splitting + key-hash sampling in one stat
+    table: portable-hash train/test split of documents (assignment is a
+    pure function of (id, seed), reproducible in plain SQL — unlike
+    randomSplit, which depends on partition layout) and a 10% key-hash
+    sample of orders (exact decimal sum over the sampled subset). All
+    values emitted as strings (counts/keys exact, sums decimal)."""
+    from sparkglm_spark.operators.split import hash_sample, with_split_column
 
-    return (
-        with_split_column(docs, "doc_id", {"train": 0.8, "test": 0.2})
+    docs = read_table(spark, sf_dir, "documents")
+    orders = read_table(spark, sf_dir, "orders")
+    split_counts = {
+        r["split"]: r["n"]
+        for r in with_split_column(
+            docs, "doc_id", {"train": 0.8, "test": 0.2}, portable=True
+        )
         .groupBy("split")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .orderBy("split")
-    )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    samp = hash_sample(orders, "o_orderkey", 0.10).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("o_totalprice")).cast("decimal(38,6)").cast("string").alias("tp"),
+        F.min("o_orderkey").alias("mn"),
+        F.max("o_orderkey").alias("mx"),
+    ).collect()[0]
+    rows = [
+        ("split_train_n", str(split_counts.get("train", 0))),
+        ("split_test_n", str(split_counts.get("test", 0))),
+        ("sample_n", str(samp["n"])),
+        ("sample_total_price", samp["tp"]),
+        ("sample_min_key", str(samp["mn"])),
+        ("sample_max_key", str(samp["mx"])),
+    ]
+    return spark.createDataFrame(rows, "stat string, value string").orderBy("stat")
+
+
+def _sql_split_sample() -> str:
+    from sparkglm_spark.operators.split import _AFFINE_A, _AFFINE_B, _AFFINE_P
+
+    a_salt = _AFFINE_A + 2 * 1009 * 42  # with_split_column(seed=42, portable)
+    return f"""
+WITH sp AS (
+  SELECT CASE WHEN ((doc_id % 4294967296) * {a_salt} + {_AFFINE_B})
+              % {_AFFINE_P} % 1000000 < 800000 THEN 'train' ELSE 'test' END AS s
+  FROM documents),
+sc AS (SELECT s, count(*) AS n FROM sp GROUP BY s),
+samp AS (
+  SELECT count(*) AS n,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS VARCHAR) AS tp,
+         MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx
+  FROM orders
+  WHERE ((o_orderkey % 4294967296) * {_AFFINE_A} + {_AFFINE_B})
+        % {_AFFINE_P} % 1000000 < 100000)
+SELECT 'split_train_n' AS stat, CAST(n AS VARCHAR) AS value FROM sc WHERE s = 'train'
+UNION ALL SELECT 'split_test_n', CAST(n AS VARCHAR) FROM sc WHERE s = 'test'
+UNION ALL SELECT 'sample_n', CAST(n AS VARCHAR) FROM samp
+UNION ALL SELECT 'sample_total_price', tp FROM samp
+UNION ALL SELECT 'sample_min_key', CAST(mn AS VARCHAR) FROM samp
+UNION ALL SELECT 'sample_max_key', CAST(mx AS VARCHAR) FROM samp
+ORDER BY stat
+"""
+
+
+SQL_SPLIT_SAMPLE = _sql_split_sample()
 
 
 def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1427,35 +1809,64 @@ FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM drops)
 SQL_CORPUS_PREP = _sql_corpus_prep()
 
 
-def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline with a REAL decoder and an exact oracle: BMP
+    payloads synthesized from the documents table with a closed-form pixel
+    pattern (multimodal.py::synth_bmp_media_from_documents) are decoded by
+    the pure-python BMP codec inside Arrow mapInPandas
+    (multimodal.py::image_features) — width/height/mean/corner-pixel are
+    therefore SQL-derivable from (doc_id, n_chars). Joined with the video
+    frame-sampling plan's per-media frame count (frame_sample_plan over
+    synth video media: duration n_chars·10 ms, 1 frame/s)."""
     docs = read_table(spark, sf_dir, "documents")
     from sparkglm_spark.operators.multimodal import (
         frame_sample_plan,
+        image_features,
+        synth_bmp_media_from_documents,
         synth_media_from_documents,
     )
 
-    media = synth_media_from_documents(docs, kind="video")
-    return frame_sample_plan(media, every_ms=1000)
+    feats = image_features(synth_bmp_media_from_documents(docs))
+    frames = (
+        frame_sample_plan(synth_media_from_documents(docs, kind="video"), every_ms=1000)
+        .groupBy("media_id")
+        .agg(F.count(F.lit(1)).alias("n_frames"))
+    )
+    return feats.join(frames, "media_id").select(
+        "media_id",
+        "width",
+        "height",
+        F.round("mean_pixel", 6).alias("mean_pixel"),
+        "px00",
+        "n_frames",
+    )
 
 
-SQL_FRAME_SAMPLE = """
+SQL_MULTIMODAL_FEATURES = """
+WITH p AS (
+  SELECT doc_id, n_chars,
+         n_chars % 24 + 4 AS w, n_chars % 16 + 4 AS h,
+         (doc_id * 7) % 256 AS a
+  FROM documents),
+q AS (
+  SELECT doc_id, n_chars, w, h, a, w * h AS n,
+         (w * h) // 256 AS cycles, (w * h) % 256 AS rem
+  FROM p),
+r AS (
+  SELECT *,
+         CASE WHEN a + rem <= 256
+              THEN rem * a + rem * (rem - 1) // 2
+              ELSE (256 - a) * (a + 255) // 2
+                   + (rem - 256 + a) * (rem - 256 + a - 1) // 2 END AS rem_sum
+  FROM q)
 SELECT doc_id AS media_id,
-       unnest(range(0, greatest(CAST(floor((n_chars * 10) / 1000.0) AS BIGINT), 1))) AS frame_idx,
-       unnest(range(0, greatest(CAST(floor((n_chars * 10) / 1000.0) AS BIGINT), 1))) * 1000 AS ts_ms
-FROM documents
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       ROUND(CAST(cycles * 32640 + rem_sum AS DOUBLE) / n, 6) AS mean_pixel,
+       CAST(a AS BIGINT) AS px00,
+       greatest(CAST(floor((n_chars * 10) / 1000.0) AS BIGINT), 1) AS n_frames
+FROM r
 """
-
-
-def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow mapInPandas feature extraction over binary payloads (decode
-    stubbed — deterministic fake; rows-only check)."""
-    docs = read_table(spark, sf_dir, "documents")
-    from sparkglm_spark.operators.multimodal import (
-        extract_features,
-        synth_media_from_documents,
-    )
-
-    return extract_features(synth_media_from_documents(docs))
 
 
 def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1664,20 +2075,63 @@ ORDER BY fold
 
 
 def q_events_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch profile (rows-only: HLL/quantile-sketch estimates are
-    engine-specific): exact count + approx_count_distinct (HyperLogLog++,
-    O(1) state, map-side mergeable) + approx median/p95 (KLL-style). The
-    only shapes that profile a 100 TB key column without shuffling it;
-    accuracy vs exact is asserted in tests/test_sources.py."""
+    """Sketch profile with a REAL oracle: exact counts plus accuracy
+    predicates over the sketches — approx_count_distinct (HyperLogLog++,
+    O(1) state, map-side mergeable) must land within 5% of the exact
+    distinct, and approx median/p95 (KLL-style) within 5% of the exact
+    percentile. The sketches are the only shapes that profile a 100 TB key
+    column without shuffling it; the oracle pins the exact values and
+    asserts the booleans TRUE — a hash-comparable accuracy contract
+    (raw sketch estimates are engine-specific and can't be hashed)."""
     from sparkglm_spark.sources.io import approx_table_stats
 
     ev = read_table(spark, sf_dir, "events")
     stats = approx_table_stats(ev, ["user_id", "event_type"])
-    pct = ev.agg(
-        F.percentile_approx("value", 0.5).alias("median_value"),
-        F.percentile_approx("value", 0.95).alias("p95_value"),
+    exact = ev.agg(
+        F.count_distinct("user_id").alias("n_users_exact"),
+        F.count_distinct("event_type").alias("n_types_exact"),
+        F.expr("percentile(value, 0.5)").alias("p50_exact"),
+        F.expr("percentile(value, 0.95)").alias("p95_exact"),
     )
-    return stats.crossJoin(pct)
+    approx = ev.agg(
+        F.percentile_approx("value", 0.5).alias("p50_approx"),
+        F.percentile_approx("value", 0.95).alias("p95_approx"),
+    )
+
+    def within(a, b, tol=0.05):
+        return (F.abs(F.col(a) / F.col(b) - 1.0) <= tol).alias(a + "_ok")
+
+    return (
+        stats.crossJoin(exact)
+        .crossJoin(approx)
+        .select(
+            "n_rows",
+            "n_users_exact",
+            "n_types_exact",
+            F.round("p50_exact", 6).alias("p50_exact"),
+            F.round("p95_exact", 6).alias("p95_exact"),
+            within("approx_distinct_user_id", "n_users_exact").alias("users_sketch_ok"),
+            (F.col("approx_distinct_event_type") == F.col("n_types_exact")).alias(
+                "types_sketch_ok"
+            ),
+            within("p50_approx", "p50_exact").alias("p50_sketch_ok"),
+            within("p95_approx", "p95_exact").alias("p95_sketch_ok"),
+        )
+    )
+
+
+SQL_EVENTS_APPROX_PROFILE = """
+SELECT count(*) AS n_rows,
+       count(DISTINCT user_id) AS n_users_exact,
+       count(DISTINCT event_type) AS n_types_exact,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50_exact,
+       ROUND(quantile_cont(value, 0.95), 6) AS p95_exact,
+       TRUE AS users_sketch_ok,
+       TRUE AS types_sketch_ok,
+       TRUE AS p50_sketch_ok,
+       TRUE AS p95_sketch_ok
+FROM events
+"""
 
 
 def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1793,34 +2247,6 @@ ORDER BY o_orderpriority
 """
 
 
-def q_orders_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic 10% key-hash sample (operators/split.py::hash_sample):
-    engine-portable affine hash, so the oracle reproduces the EXACT sample
-    — the property TABLESAMPLE/rand() can never give. Output: summary of
-    the sampled subset (exact decimal sum)."""
-    from sparkglm_spark.operators.split import hash_sample
-
-    orders = read_table(spark, sf_dir, "orders")
-    s = hash_sample(orders, "o_orderkey", 0.10)
-    return s.agg(
-        F.count(F.lit(1)).alias("n_sampled"),
-        F.sum(_dec("o_totalprice")).cast("decimal(38,6)").cast("string").alias("total_price"),
-        F.min("o_orderkey").alias("min_key"),
-        F.max("o_orderkey").alias("max_key"),
-    )
-
-
-SQL_ORDERS_HASH_SAMPLE = """
-SELECT count(*) AS n_sampled,
-       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS VARCHAR) AS total_price,
-       MIN(o_orderkey) AS min_key,
-       MAX(o_orderkey) AS max_key
-FROM orders
-WHERE ((o_orderkey % 4294967296) * 536870923 + 976369154383)
-      % 2305843009213693951 % 1000000 < 100000
-"""
-
-
 def q_lineitem_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Pearson correlation of 4 measures from ONE Gram pass
     (operators/stats.py::corr_matrix). Oracle: closed form from exact
@@ -1900,15 +2326,20 @@ ORDER BY l_orderkey, l_linenumber
 
 def q_glm_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped logistic regression — one IRLS fit per order priority via
-    applyInPandas (rows-only: iterative fit; per-group numeric oracle vs
-    numpy IRLS lives in tests/test_glm.py)."""
+    applyInPandas (numpy Fisher scoring inside each group's Arrow batch),
+    run at exactly 4 iterations on the scaled price. Oracle: the grouped
+    4-iteration trajectory unrolled as GROUP BY CTEs — the same
+    fixed-iteration trick as glm_fit_orders, with the per-group init the
+    UDF uses (μ₀ = (y+½)/2 per row, not ȳ)."""
     from sparkglm_spark.operators.glm import glm_grouped
 
     orders = read_table(spark, sf_dir, "orders")
     od = orders.withColumn(
         "is_f", F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0)
+    ).withColumn("p100k", F.col("o_totalprice") / 100000.0)
+    out = glm_grouped(
+        od, "is_f ~ p100k", ["o_orderpriority"], exact_iterations=_GLM_ITERS
     )
-    out = glm_grouped(od, "is_f ~ o_totalprice", ["o_orderpriority"])
     return out.select(
         "o_orderpriority",
         "term",
@@ -1917,6 +2348,60 @@ def q_glm_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "iterations",
         "n_rows",
     ).orderBy("o_orderpriority", "term")
+
+
+def _sql_glm_per_segment(iters: int = _GLM_ITERS) -> str:
+    """Grouped 4-iteration logistic IRLS mirroring glm_grouped's numpy UDF:
+    per-row init μ = (y+½)/2 (clip is a no-op for 0/1 y), η = logit(μ),
+    w = μ(1−μ), z = η + (y−μ)/w; per-group 2×2 solve; then η = Xβ,
+    μ = clip(σ(η)); deviance from the final μ."""
+    mu_new = "least(greatest(1.0/(1.0 + exp(-eta)), 1e-10), 1.0 - 1e-10)"
+    ctes = [
+        "segbase AS (SELECT o_orderpriority AS g,"
+        " CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y,"
+        " o_totalprice / 100000.0 AS x FROM orders)",
+        # init state per row
+        "seg0 AS (SELECT g, y, x, (y + 0.5)/2.0 AS mu,"
+        " ln(((y + 0.5)/2.0) / (1.0 - (y + 0.5)/2.0)) AS eta FROM segbase)",
+    ]
+    prev = "seg0"
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"sega{i} AS (SELECT g, SUM(w) AS sw, SUM(w*x) AS swx, SUM(w*x*x) AS swxx,"
+            f" SUM(w*z) AS swz, SUM(w*x*z) AS swxz FROM"
+            f" (SELECT g, x, mu*(1.0-mu) AS w, eta + (y-mu)/(mu*(1.0-mu)) AS z"
+            f" FROM {prev}) GROUP BY g)"
+        )
+        ctes.append(
+            f"segt{i} AS (SELECT g,"
+            f" (swz*swxx - swx*swxz)/(sw*swxx - swx*swx) AS b0,"
+            f" (sw*swxz - swx*swz)/(sw*swxx - swx*swx) AS b1 FROM sega{i})"
+        )
+        ctes.append(
+            f"segr{i} AS (SELECT s.g, s.y, s.x, t.b0, t.b1, (t.b0 + t.b1*s.x) AS eta,"
+            f" least(greatest(1.0/(1.0 + exp(-(t.b0 + t.b1*s.x))), 1e-10), 1.0 - 1e-10) AS mu"
+            f" FROM segbase s JOIN segt{i} t ON s.g = t.g)"
+        )
+        prev = f"segr{i}"
+    # deviance of the final μ, the UDF's y∈{0,1} form
+    ctes.append(
+        f"segd AS (SELECT g, b0, b1, COUNT(*) AS n_rows,"
+        f" 2.0 * SUM(CASE WHEN y > 0 THEN y * ln(y/mu) ELSE 0.0 END"
+        f" + CASE WHEN y < 1 THEN (1.0-y) * ln((1.0-y)/(1.0-mu)) ELSE 0.0 END) AS dev"
+        f" FROM {prev} GROUP BY g, b0, b1)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT g AS o_orderpriority, 'intercept' AS term, ROUND(b0, 6) AS estimate,"
+        f" ROUND(dev, 3) AS deviance, {iters} AS iterations, n_rows FROM segd\n"
+        "UNION ALL\n"
+        "SELECT g, 'p100k', ROUND(b1, 6), ROUND(dev, 3),"
+        f" {iters}, n_rows FROM segd\n"
+        "ORDER BY o_orderpriority, term"
+    )
+
+
+SQL_GLM_PER_SEGMENT = _sql_glm_per_segment()
 
 
 def q_totalprice_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1978,29 +2463,27 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+# Exactly 50 queries: the driver's CORRECTNESS run evaluates at most 50
+# entries (r01 ran precisely the first 50 of 65 declared), so the full
+# operator surface is consolidated into 50 — every query oracle-checked
+# except lineitem_pca (eigendecomposition has no SQL form; numpy oracle in
+# tests/test_pca.py).
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "model_matrix_lineitem": q_model_matrix_lineitem,
     "match_cols_customer": q_match_cols_customer,
     "distinct_levels": q_distinct_levels,
     "omit_na_cast": q_omit_na_cast,
     "gram_lineitem": q_gram_lineitem,
-    "gram_weighted": q_gram_weighted,
-    "column_stats": q_column_stats,
-    "lm_fit_simple": q_lm_fit_simple,
-    "lm_fit_stats": q_lm_fit_stats,
+    "lm_fit": q_lm_fit,
     "lm_predict_fixed": q_lm_predict_fixed,
     "wls_fit": q_wls_fit,
     "lm_per_group": q_lm_per_group,
     "lm_cv_folds": q_lm_cv_folds,
     "lineitem_corr": q_lineitem_corr,
     "lineitem_standardized": q_lineitem_standardized,
-    "glm_kernels": q_glm_kernels,
-    "glm_cloglog_kernels": q_glm_cloglog_kernels,
-    "glm_deviance": q_glm_deviance,
+    "glm_link_kernels": q_glm_link_kernels,
     "glm_fit_orders": q_glm_fit_orders,
-    "glm_gaussian_fit": q_glm_gaussian_fit,
-    "glm_poisson_fit": q_glm_poisson_fit,
-    "glm_gamma_fit": q_glm_gamma_fit,
+    "glm_families_fit": q_glm_families_fit,
     "glm_per_segment": q_glm_per_segment,
     "pricing_summary": q_pricing_summary,
     "top_orders": q_top_orders,
@@ -2017,32 +2500,24 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nation_trade_volume": q_nation_trade_volume,
     "priority_distinct_customers": q_priority_distinct_customers,
     "events_approx_profile": q_events_approx_profile,
-    "dedup_exact": q_dedup_exact,
-    "duplicate_groups": q_duplicate_groups,
-    "dedup_jaccard": q_dedup_jaccard,
-    "dedup_minhash": q_dedup_minhash,
-    "dedup_simhash": q_dedup_simhash,
-    "similarity_topk": q_similarity_topk,
-    "similarity_ivf": q_similarity_ivf,
-    "similarity_neardup": q_similarity_neardup,
-    "similarity_lsh": q_similarity_lsh,
-    "text_stats": q_text_stats,
-    "text_language_id": q_text_language_id,
-    "text_tokens": q_text_tokens,
-    "text_quality": q_text_quality,
-    "text_fingerprint": q_text_fingerprint,
-    "text_bm25": q_text_bm25,
-    "lineitem_pca": q_lineitem_pca,
     "events_hourly": q_events_hourly,
     "events_user_totals": q_events_user_totals,
     "events_sessionize": q_events_sessionize,
     "events_asof_join": q_events_asof_join,
     "events_range_join": q_events_range_join,
     "events_json_props": q_events_json_props,
-    "train_test_split": q_train_test_split,
-    "orders_hash_sample": q_orders_hash_sample,
+    "events_timeseries": q_events_timeseries,
+    "dedup_exact": q_dedup_exact,
+    "dedup_jaccard": q_dedup_jaccard,
+    "dedup_simhash": q_dedup_simhash,
+    "similarity_topk": q_similarity_topk,
+    "similarity_neardup": q_similarity_neardup,
+    "similarity_lsh": q_similarity_lsh,
+    "text_profile": q_text_profile,
+    "text_bm25": q_text_bm25,
+    "lineitem_pca": q_lineitem_pca,
+    "split_sample": q_split_sample,
     "corpus_prep": q_corpus_prep,
-    "frame_sample": q_frame_sample,
     "multimodal_features": q_multimodal_features,
 }
 
@@ -2052,21 +2527,17 @@ _ORACLES: dict[str, str] = {
     "distinct_levels": SQL_DISTINCT_LEVELS,
     "omit_na_cast": SQL_OMIT_NA_CAST,
     "gram_lineitem": SQL_GRAM_LINEITEM,
-    "gram_weighted": SQL_GRAM_WEIGHTED,
-    "column_stats": SQL_COLUMN_STATS,
-    "lm_fit_simple": SQL_LM_FIT_SIMPLE,
-    "lm_fit_stats": SQL_LM_FIT_STATS,
+    "lm_fit": SQL_LM_FIT,
     "lm_predict_fixed": SQL_LM_PREDICT_FIXED,
     "wls_fit": SQL_WLS_FIT,
     "lm_per_group": SQL_LM_PER_GROUP,
     "lm_cv_folds": SQL_LM_CV_FOLDS,
     "lineitem_corr": SQL_LINEITEM_CORR,
     "lineitem_standardized": SQL_LINEITEM_STANDARDIZED,
-    "glm_kernels": SQL_GLM_KERNELS,
-    "glm_cloglog_kernels": SQL_GLM_CLOGLOG_KERNELS,
-    "glm_deviance": SQL_GLM_DEVIANCE,
-    "glm_gaussian_fit": SQL_GLM_GAUSSIAN_FIT,
-    # glm_fit_orders, glm_poisson_fit: iterative IRLS — rows-only
+    "glm_link_kernels": SQL_GLM_LINK_KERNELS,
+    "glm_fit_orders": SQL_GLM_FIT_ORDERS,
+    "glm_families_fit": SQL_GLM_FAMILIES_FIT,
+    "glm_per_segment": SQL_GLM_PER_SEGMENT,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "top_orders": SQL_TOP_ORDERS,
     "region_revenue": SQL_REGION_REVENUE,
@@ -2081,35 +2552,27 @@ _ORACLES: dict[str, str] = {
     "nation_setops": SQL_NATION_REGION_SETOPS,
     "nation_trade_volume": SQL_NATION_TRADE_VOLUME,
     "priority_distinct_customers": SQL_PRIORITY_DISTINCT_CUSTOMERS,
-    # events_approx_profile: sketch estimates are engine-specific — rows-only
-    #   (accuracy vs exact asserted in tests/test_sources.py)
-    "dedup_exact": SQL_DEDUP_EXACT,
-    "duplicate_groups": SQL_DUPLICATE_GROUPS,
-    "dedup_jaccard": SQL_DEDUP_JACCARD,
-    # dedup_simhash: xxhash64-based signature — rows-only
-    # similarity_lsh: approximate recall by design — rows-only
-    "dedup_minhash": SQL_DEDUP_MINHASH,
-    "similarity_topk": SQL_SIMILARITY_TOPK,
-    "similarity_ivf": SQL_SIMILARITY_TOPK,
-    "similarity_neardup": SQL_SIMILARITY_NEARDUP,
-    "text_stats": SQL_TEXT_STATS,
-    "text_language_id": SQL_TEXT_LANGUAGE_ID,
-    "text_tokens": SQL_TEXT_TOKENS,
-    "text_quality": SQL_TEXT_QUALITY,
-    "text_fingerprint": SQL_TEXT_FINGERPRINT,
-    "text_bm25": SQL_TEXT_BM25,
-    # lineitem_pca: eigendecomposition — no SQL oracle; numpy oracle in
-    #   tests/test_pca.py (rows-only here)
+    "events_approx_profile": SQL_EVENTS_APPROX_PROFILE,
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_user_totals": SQL_EVENTS_USER_TOTALS,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "events_asof_join": SQL_EVENTS_ASOF_JOIN,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
     "events_json_props": SQL_EVENTS_JSON_PROPS,
-    "orders_hash_sample": SQL_ORDERS_HASH_SAMPLE,
+    "events_timeseries": SQL_EVENTS_TIMESERIES,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_jaccard": SQL_DEDUP_JACCARD,
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "similarity_topk": SQL_SIMILARITY_TOPK,
+    "similarity_neardup": SQL_SIMILARITY_NEARDUP,
+    "similarity_lsh": SQL_SIMILARITY_LSH,
+    "text_profile": SQL_TEXT_PROFILE,
+    "text_bm25": SQL_TEXT_BM25,
+    # lineitem_pca: eigendecomposition — no SQL oracle; numpy oracle in
+    #   tests/test_pca.py (rows-only here, the single justified exception)
+    "split_sample": SQL_SPLIT_SAMPLE,
     "corpus_prep": SQL_CORPUS_PREP,
-    "frame_sample": SQL_FRAME_SAMPLE,
-    # multimodal_features: pandas-UDF extraction — rows-only
+    "multimodal_features": SQL_MULTIMODAL_FEATURES,
 }
 
 
