@@ -65,6 +65,19 @@ def pca_fit(df: DataFrame, cols: list[str], n_components: int = 2) -> PCAModel:
     raw = g.xtx[1:, 1:]            # X'X
     means = sums / n
     cov = (raw - n * np.outer(means, means)) / (n - 1.0)
+    return pca_from_covariance(cols, means, cov, n_components)
+
+
+def pca_from_covariance(
+    cols: list[str], means, cov, n_components: int = 2
+) -> PCAModel:
+    """Eigen-solve a precomputed k×k covariance into a PCAModel.
+
+    Split out of `pca_fit` so callers that derive the covariance from
+    exact-decimal sufficient statistics (driver oracle queries) share the
+    identical eigh + deterministic-sign path."""
+    means = np.asarray(means, dtype=float)
+    cov = np.asarray(cov, dtype=float)
     evals, evecs = np.linalg.eigh(cov)       # ascending
     order = np.argsort(evals)[::-1][:n_components]
     comps = evecs[:, order].T                # n_components × k
