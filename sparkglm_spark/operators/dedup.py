@@ -79,7 +79,11 @@ def shingles(
     # Lowercase ONCE in a projection below the transform: referencing
     # lower(text) inside the lambda re-evaluates it per position (no CSE
     # across lambda scopes) — O(len²) per doc, measured 3× slower.
-    pre = df.select(
+    from sparkglm_spark.plans.partitioning import ensure_parallel
+
+    # tiny inputs arrive as one split → the whole shingle/signature chain
+    # would run on one core; fan out first (no-op at real scale)
+    pre = ensure_parallel(df).select(
         F.col(id_col).alias("id"),
         (F.lower(F.col(text_col)) if lowercase else F.col(text_col)).alias("__t"),
     )
@@ -280,29 +284,13 @@ def _verify_pairs_by_shingle_join(
     )
 
 
-def _verify_pairs_by_bitmap(
-    cand: DataFrame,
-    sh: DataFrame,
-    vocab_size: int,
-    threshold: float,
-    broadcast_bitmaps: bool = False,
-) -> DataFrame:
-    """Exact-Jaccard verification via per-doc shingle bitmaps: when the
-    shingle vocabulary is small (≤ a few thousand), each doc's shingle set
-    packs into ceil(V/64) longs, and |A∩B| is a handful of AND+popcount ops
-    per pair — no join explosion, no per-pair hash set. Decisive on highly
-    self-similar corpora where millions of candidate pairs sit just under
-    the threshold and every one needs exact verification.
-
-    With `broadcast_bitmaps` (doc count small enough that the bitmap table
-    broadcasts) the whole verification is map-side: candidates stream
-    through two broadcast hash joins + a codegen popcount filter, and the
-    pair dedup happens on the (tiny) OUTPUT — so the caller can skip the
-    cross-band candidate `distinct` shuffle entirely."""
+def _bitmap_table(sh: DataFrame, vocab_size: int) -> tuple[DataFrame, int]:
+    """Per-doc shingle-set bitmaps: (id, sz, bm: array<long> of ceil(V/64)
+    words). The vocab is gated tiny (≤ _BITMAP_MAX_VOCAB rows): collect +
+    index it on the driver instead of a no-partition global window (which
+    plans a single-partition WindowExec and floods the log with
+    warnings)."""
     L = (vocab_size + 63) // 64
-    # the vocab is gated tiny (≤ _BITMAP_MAX_VOCAB rows): collect + index it
-    # on the driver instead of a no-partition global window (which plans a
-    # single-partition WindowExec and floods the log with warnings)
     spark = sh.sparkSession
     vocab_rows = sorted(r[0] for r in sh.select("shingle").distinct().collect())
     vocab = F.broadcast(
@@ -322,15 +310,145 @@ def _verify_pairs_by_bitmap(
             "  0L, (acc, i) -> acc | shiftleft(1L, int(i % 64)))) AS bm",
         )
     )
+    return bm, L
+
+
+def _popcount_inter_expr(L: int) -> Column:
+    """|A∩B| for two packed bitmaps bm_a/bm_b — unrolled AND+popcount that
+    stays inside whole-stage codegen (no per-pair array allocation)."""
+    return F.expr(" + ".join(f"bit_count(bm_a[{i}] & bm_b[{i}])" for i in range(L)))
+
+
+def _py_shingle_set(text, n: int):
+    """Python twin of `shingles()` for the small-corpus brute path: distinct
+    lowercase character n-grams. Must stay semantically identical to the JVM
+    expression chain (lower → substr positions 1..len−n+1 → distinct)."""
+    if text is None:
+        return set()
+    t = text.lower()
+    return {t[i : i + n] for i in range(len(t) - n + 1)}
+
+
+def _collect_small_vocab(
+    df: DataFrame, id_col: str, text_col: str, n: int, limit: int
+) -> list[str] | None:
+    """Distinct shingle vocabulary IF it is small: per-partition distinct in
+    an Arrow batch pass, global distinct capped at limit+1 rows. Returns
+    None when the vocab exceeds `limit` (large-vocab corpora take the LSH
+    plan; driver memory stays bounded either way)."""
+    from sparkglm_spark.plans.partitioning import ensure_parallel
+
+    def part_vocab(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            vocab = set()
+            for t in pdf[text_col]:
+                vocab |= _py_shingle_set(t, n)
+            yield pd.DataFrame({"shingle": sorted(vocab)})
+
+    vocab_df = ensure_parallel(df.select(text_col)).mapInPandas(
+        part_vocab, "shingle string"
+    )
+    rows = vocab_df.distinct().limit(limit + 1).collect()
+    if len(rows) > limit:
+        return None
+    return sorted(r[0] for r in rows)
+
+
+def _allpairs_by_bitmap_from_text(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    threshold: float,
+    vocab: list[str],
+) -> DataFrame:
+    """EXACT all-pairs Jaccard — the cost-based plan when LSH banding
+    degenerates. On a tiny shingle vocabulary the possible shingle sets are
+    few, docs collide in nearly every band, and LSH candidate generation
+    EXCEEDS the full pair count (measured on the sf0.1 documents corpus,
+    vocab=377: 59.2M LSH candidate pairs vs 12.5M total pairs). All-pairs
+    is then strictly cheaper AND exact.
+
+    Bitmaps are built straight from the text in ONE Arrow batch pass (no
+    shingle explode, no shuffle): each doc's distinct n-gram set packs into
+    ceil(V/64) longs against the driver-collected vocab. Pairing is a
+    broadcast nested-loop join with a codegen AND+popcount filter — the
+    whole operator is shuffle-free. Docs with no shingles (len < n) are
+    excluded, matching the explode-based path."""
+    from sparkglm_spark.plans.partitioning import ensure_parallel
+
+    L = (len(vocab) + 63) // 64
+    index = {s: i for i, s in enumerate(vocab)}
+
+    def to_bitmaps(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, szs, bms = [], [], []
+            for doc_id, t in zip(pdf[id_col], pdf[text_col]):
+                ss = _py_shingle_set(t, n)
+                if not ss:
+                    continue
+                words = [0] * L
+                for s in ss:
+                    i = index[s]
+                    words[i >> 6] |= 1 << (i & 63)
+                ids.append(doc_id)
+                szs.append(len(ss))
+                # numpy int64 is signed: fold bit 63 into the sign bit
+                bms.append([w - (1 << 64) if w >= (1 << 63) else w for w in words])
+            yield pd.DataFrame({"id": ids, "sz": szs, "bm": bms})
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    bm = ensure_parallel(df.select(id_col, text_col)).mapInPandas(
+        to_bitmaps, f"id {id_type}, sz int, bm array<long>"
+    )
+    a = bm.select(
+        F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), F.col("bm").alias("bm_a")
+    )
+    b = bm.select(
+        F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), F.col("bm").alias("bm_b")
+    )
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .withColumn("inter", _popcount_inter_expr(L))
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _verify_pairs_by_bitmap(
+    cand: DataFrame,
+    sh: DataFrame,
+    vocab_size: int,
+    threshold: float,
+    broadcast_bitmaps: bool = False,
+) -> DataFrame:
+    """Exact-Jaccard verification via per-doc shingle bitmaps: when the
+    shingle vocabulary is small (≤ a few thousand), each doc's shingle set
+    packs into ceil(V/64) longs, and |A∩B| is a handful of AND+popcount ops
+    per pair — no join explosion, no per-pair hash set. Decisive on highly
+    self-similar corpora where millions of candidate pairs sit just under
+    the threshold and every one needs exact verification.
+
+    With `broadcast_bitmaps` (doc count small enough that the bitmap table
+    broadcasts) the whole verification is map-side: candidates stream
+    through two broadcast hash joins + a codegen popcount filter, and the
+    pair dedup happens on the (tiny) OUTPUT — so the caller can skip the
+    cross-band candidate `distinct` shuffle entirely."""
+    bm, L = _bitmap_table(sh, vocab_size)
     a = bm.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), F.col("bm").alias("bm_a"))
     b = bm.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), F.col("bm").alias("bm_b"))
     if broadcast_bitmaps:
         a, b = F.broadcast(a), F.broadcast(b)
-    # unrolled (L known at plan build): stays in whole-stage codegen, no
-    # per-pair array allocation the interpreted zip_with/aggregate pair incurs
-    inter = F.expr(
-        " + ".join(f"bit_count(bm_a[{i}] & bm_b[{i}])" for i in range(L))
-    )
+    inter = _popcount_inter_expr(L)
     out = (
         cand.join(a, "id_a")
         .join(b, "id_b")
@@ -356,6 +474,16 @@ _BITMAP_MAX_VOCAB = 4096
 # vocab → ≤ 70 MB), making verification fully map-side
 _BITMAP_BROADCAST_MAX_DOCS = 1_000_000
 
+# below this doc count, tiny-vocab corpora skip LSH entirely: a tiny vocab
+# admits few distinct shingle sets, docs collide in nearly every band, and
+# LSH emits MORE pairs than brute force (measured: 59.2M candidates vs
+# 12.5M all-pairs on 5k docs / vocab 377) — exact all-pairs popcount over
+# broadcast bitmaps is strictly cheaper and shuffle-free
+_BRUTE_ALLPAIRS_MAX_DOCS = 32_768
+# …and the all-pairs plan must also fit an op budget: n²/2 pair-evals ×
+# ceil(V/64) popcount words ≤ ~4e9 keeps it in low seconds on ~32 cores
+_BRUTE_ALLPAIRS_OPS_BUDGET = 4_000_000_000
+
 
 def minhash_dedup_pairs(
     df: DataFrame,
@@ -372,19 +500,36 @@ def minhash_dedup_pairs(
     P(miss) at j=0.8 is ≈5e-8 → output ≡ exact jaccard_pairs, at a fraction
     of the pair-comparison cost (verification touches only candidates).
 
-    Verification adapts to the corpus: small shingle vocabularies (character
-    n-grams over a narrow charset) use per-doc bitmaps (AND+popcount per
-    pair); large vocabularies use the candidate ⋈ inverted-index join whose
-    cost scales with |candidates|, which LSH keeps near |output| on
-    natural corpora."""
-    sh = shingles(df, id_col, text_col, n=n).persist()
-    sig = minhash_signatures(sh, num_perm=num_perm, seed=seed)
+    The physical strategy is cost-based on corpus statistics (one fused
+    stats job over the shingle table):
+      - tiny vocab AND small corpus → EXACT all-pairs popcount over
+        broadcast bitmaps, no LSH: with few possible shingle sets docs
+        collide in nearly every band and LSH candidate generation exceeds
+        the full pair count (see _allpairs_by_bitmap) — the exact plan is
+        cheaper and shuffle-free;
+      - tiny vocab, large corpus → LSH candidates + bitmap verification;
+      - large vocab → LSH candidates + candidate ⋈ inverted-index join,
+        whose cost scales with |candidates| ≈ |output| on natural corpora.
+    All three produce the same pairs (candidate recall ≈ 1 at threshold,
+    verification exact)."""
+    # cheap planner probe: doc count (parquet metadata / cached input)
+    n_docs = df.count()
+    if n_docs <= _BRUTE_ALLPAIRS_MAX_DOCS:
+        vocab = _collect_small_vocab(df, id_col, text_col, n, _BITMAP_MAX_VOCAB)
+        L = None if vocab is None else (len(vocab) + 63) // 64
+        # all-pairs cost ≈ n²/2 · L word-ops; stay under a few-second budget
+        if vocab is not None and n_docs * n_docs * L <= _BRUTE_ALLPAIRS_OPS_BUDGET:
+            return _allpairs_by_bitmap_from_text(
+                df, id_col, text_col, n, threshold, vocab
+            )
 
-    # one fused job decides both the verification strategy inputs (vocab
-    # size → bitmap vs inverted index; doc count → broadcastability)
+    sh = shingles(df, id_col, text_col, n=n).persist()
+    # one fused job decides the verification strategy (vocab size → bitmap
+    # vs inverted index; doc count → broadcastability)
     vocab_size, n_docs = sh.agg(
         F.countDistinct("shingle"), F.countDistinct("id")
     ).first()
+    sig = minhash_signatures(sh, num_perm=num_perm, seed=seed)
     if vocab_size <= _BITMAP_MAX_VOCAB:
         small_corpus = n_docs <= _BITMAP_BROADCAST_MAX_DOCS
         # broadcast verify is map-side → skip the candidate distinct shuffle
