@@ -106,7 +106,12 @@ class GLM:
         base_cols = [y_col, *x_cols] + ([m_col] if m_col else []) + (
             [offset_col] if offset_col else []
         )
-        work = df.select(*base_cols).persist()
+        from sparkglm_spark.plans.partitioning import ensure_parallel
+
+        # single-split inputs would otherwise run EVERY IRLS aggregation on
+        # one core; the cached working frame is re-read each iteration, so
+        # fan it out once up front (no-op when the input is already split)
+        work = ensure_parallel(df.select(*base_cols)).persist()
 
         # ---- init: μ = ȳ (GLM.scala:263,420-424), η = g(μ) --------------
         row = work.agg(F.sum(y).alias("sy"), F.count(F.lit(1)).alias("n")).collect()[0]
@@ -127,10 +132,17 @@ class GLM:
         def dev_agg_expr(beta: np.ndarray | None) -> Column:
             return (F.lit(2.0) * F.sum(fam.deviance_term(y, mu_expr(beta), m))).alias("dev")
 
-        def zw_gram_aggs(beta: np.ndarray | None) -> list[Column]:
-            """Weighted-Gram aggregation expressions for the CURRENT β —
-            z/w per GLM.scala:282-290,359-395, fused with the deviance of
-            the current μ so each iteration is one job."""
+        def zw_gram_frame(beta: np.ndarray | None) -> DataFrame:
+            """ONE job per IRLS iteration: a projection computes z/w/μ
+            (GLM.scala:282-290,359-395) once per row, then the weighted-Gram
+            ⊕ deviance aggregation runs over those plain columns. Splitting
+            projection from aggregation keeps the link/family transcendentals
+            out of the 28 aggregate expressions — the generated code is ~k²
+            products over 3 columns instead of k² copies of the μ chain,
+            which cuts both the per-iteration codegen compile (β literals
+            change every iteration, so every iteration recompiles) and the
+            per-row work. Arithmetic per value is unchanged (w·xᵢ·xⱼ
+            associates identically), so results are bit-identical."""
             mu = mu_expr(beta)
             eta = lnk.link(mu_expr(None), m) if beta is None else (
                 linear_combination(x_cols, beta) + offset
@@ -138,15 +150,22 @@ class GLM:
             grad = lnk.lprime(mu, m)
             w = F.lit(1.0) / (fam.variance(mu, m) * grad * grad)
             z = eta + (y - mu) * grad - offset
+            proj = work.select(
+                *[F.col(c) for c in x_cols],
+                w.alias("__w"),
+                z.alias("__z"),
+                fam.deviance_term(y, mu, m).alias("__devt"),
+            )
             xs = [F.col(c) for c in x_cols]
+            w_c, z_c = F.col("__w"), F.col("__z")
             aggs: list[Column] = []
             for i in range(k):
                 for j in range(i, k):
-                    aggs.append(F.sum(w * xs[i] * xs[j]).alias(f"g_{i}_{j}"))
+                    aggs.append(F.sum(w_c * xs[i] * xs[j]).alias(f"g_{i}_{j}"))
             for i in range(k):
-                aggs.append(F.sum(w * xs[i] * z).alias(f"xz_{i}"))
-            aggs.append(dev_agg_expr(beta))
-            return aggs
+                aggs.append(F.sum(w_c * xs[i] * z_c).alias(f"xz_{i}"))
+            aggs.append((F.lit(2.0) * F.sum(F.col("__devt"))).alias("dev"))
+            return proj.agg(*aggs)
 
         # ---- IRLS loop: ONE job per iteration ---------------------------
         beta: np.ndarray | None = None
@@ -158,7 +177,7 @@ class GLM:
         if exact_iterations is not None:
             max_iter = exact_iterations
         while n_iter < max_iter:
-            agg_row = work.agg(*zw_gram_aggs(beta)).collect()[0]
+            agg_row = zw_gram_frame(beta).collect()[0]
             dev_cur = float(agg_row["dev"])  # deviance of CURRENT β's μ
             if null_dev is None:
                 null_dev = dev_cur  # deviance at μ = ȳ (GLM.scala:271-272,443-444)
