@@ -28,20 +28,32 @@ MAX_LEVELS = 1000  # guardrail: categorical with more levels is a user error
 def get_levels(df: DataFrame, col: str, max_levels: int = MAX_LEVELS) -> list[str]:
     """Sorted distinct levels of a string column (reference:
     modelMatrix.scala:56-58 sorts and relies on small cardinality)."""
-    rows = (
-        df.select(col)
-        .where(F.col(col).isNotNull())
-        .distinct()
-        .orderBy(col)
-        .limit(max_levels + 1)
-        .collect()
-    )
-    if len(rows) > max_levels:
-        raise ValueError(
-            f"column {col!r} has >{max_levels} distinct levels; "
-            "not a categorical column"
-        )
-    return [r[0] for r in rows]
+    return get_levels_multi(df, [col], max_levels)[col]
+
+
+def get_levels_multi(
+    df: DataFrame, cols: list[str], max_levels: int = MAX_LEVELS
+) -> dict[str, list[str]]:
+    """Sorted distinct levels for SEVERAL string columns in ONE aggregation
+    job (collect_set per column, partial aggregation map-side) instead of
+    one distinct scan per column. Sort order is Spark's binary UTF8
+    comparison — identical to orderBy on a string column, so the level
+    order (and hence the dummy layout) matches the per-column path."""
+    if not cols:
+        return {}
+    row = df.agg(
+        *[F.array_sort(F.collect_set(F.col(c))).alias(c) for c in cols]
+    ).first()
+    out: dict[str, list[str]] = {}
+    for c in cols:
+        lv = list(row[c])
+        if len(lv) > max_levels:
+            raise ValueError(
+                f"column {c!r} has >{max_levels} distinct levels; "
+                "not a categorical column"
+            )
+        out[c] = lv
+    return out
 
 
 def dummy_columns(col: str, levels: list[str]) -> list[Column]:
@@ -67,7 +79,7 @@ def model_matrix(
     """
     str_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, StringType)]
     if levels is None:
-        levels = {c: get_levels(df, c) for c in str_cols}
+        levels = get_levels_multi(df, str_cols)
 
     out: list[Column] = []
     for field in df.schema.fields:
@@ -82,7 +94,7 @@ def model_matrix_levels(df: DataFrame) -> dict[str, list[str]]:
     """The levels map `model_matrix` would compute — exposed so models can
     persist their encoding."""
     str_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, StringType)]
-    return {c: get_levels(df, c) for c in str_cols}
+    return get_levels_multi(df, str_cols)
 
 
 def match_cols(df: DataFrame, expected: list[str]) -> DataFrame:
