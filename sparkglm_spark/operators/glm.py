@@ -132,6 +132,27 @@ class GLM:
         def dev_agg_expr(beta: np.ndarray | None) -> Column:
             return (F.lit(2.0) * F.sum(fam.deviance_term(y, mu_expr(beta), m))).alias("dev")
 
+        # per-row loglik as a pure-SQL function of μ, when expressible:
+        # Bernoulli binomial (log C(1,y) = 0, GLM.scala:132-143); gaussian/
+        # gamma derive ll from the deviance so a zero placeholder suffices.
+        # Grouped binomial / poisson need lgamma (Arrow pandas UDF) and keep
+        # the separate stats pass instead of paying the UDF per iteration.
+        if fam.name == "binomial" and m_col is None:
+
+            def sql_ll_expr(mu: Column) -> Column:
+                p = mu / m
+                return F.when(y > 0, y * F.log(p)).otherwise(F.lit(0.0)) + F.when(
+                    m - y > 0, (m - y) * F.log(F.lit(1.0) - p)
+                ).otherwise(F.lit(0.0))
+
+        elif fam.name in ("gaussian", "gamma"):
+
+            def sql_ll_expr(mu: Column) -> Column:
+                return F.lit(0.0)
+
+        else:
+            sql_ll_expr = None
+
         def zw_gram_frame(beta: np.ndarray | None) -> DataFrame:
             """ONE job per IRLS iteration: a projection computes z/w/μ
             (GLM.scala:282-290,359-395) once per row, then the weighted-Gram
@@ -150,11 +171,17 @@ class GLM:
             grad = lnk.lprime(mu, m)
             w = F.lit(1.0) / (fam.variance(mu, m) * grad * grad)
             z = eta + (y - mu) * grad - offset
+            extra = [
+                (((y - mu) * (y - mu)) / fam.variance(mu, m)).alias("__pear")
+            ]
+            if sql_ll_expr is not None:
+                extra.append(sql_ll_expr(mu).alias("__ll"))
             proj = work.select(
                 *[F.col(c) for c in x_cols],
                 w.alias("__w"),
                 z.alias("__z"),
                 fam.deviance_term(y, mu, m).alias("__devt"),
+                *extra,
             )
             xs = [F.col(c) for c in x_cols]
             w_c, z_c = F.col("__w"), F.col("__z")
@@ -165,6 +192,13 @@ class GLM:
             for i in range(k):
                 aggs.append(F.sum(w_c * xs[i] * z_c).alias(f"xz_{i}"))
             aggs.append((F.lit(2.0) * F.sum(F.col("__devt"))).alias("dev"))
+            # piggyback the model-stats sums (Pearson χ², pure-SQL loglik):
+            # when the loop exits via convergence, the breaking aggregation
+            # already evaluated them at the FINAL β, so no extra stats job
+            # runs (GLM.scala:89-101,132-143 semantics, one pass earlier)
+            aggs.append(F.sum(F.col("__pear")).alias("pearson"))
+            if sql_ll_expr is not None:
+                aggs.append(F.sum(F.col("__ll")).alias("ll"))
             return proj.agg(*aggs)
 
         # ---- IRLS loop: ONE job per iteration ---------------------------
@@ -206,8 +240,16 @@ class GLM:
             warnings.warn(f"IRLS did not converge in {max_iter} iterations")
         deviance = dev_prev if dev_prev is not None else float(null_dev)
 
-        # ---- final stats: one more fused pass ---------------------------
+        # ---- final stats ------------------------------------------------
+        # convergence exit: the breaking aggregation already evaluated the
+        # piggybacked Pearson/loglik sums at the FINAL β — reuse that row
+        # and run no extra stats job. Fixed-iteration / UDF-loglik paths
+        # still run one fused stats pass at the final β.
         mu = mu_expr(beta)
+        if converged and sql_ll_expr is not None:
+            stat_row = agg_row
+        else:
+            stat_row = None
         var = fam.variance(mu, m)
         pearson_e = (y - mu) * (y - mu) / var  # GLM.scala:89-101
         if fam.name == "binomial" and m_col is None:
@@ -246,11 +288,12 @@ class GLM:
         else:  # gaussian/gamma: ll derives from the deviance (driver side /
             # one extra SQL pass with the estimated dispersion)
             ll_e = F.lit(0.0)
-        stat_row = work.agg(
-            F.sum(pearson_e).alias("pearson"),
-            F.sum(ll_e).alias("ll"),
-            dev_agg_expr(beta),
-        ).collect()[0]
+        if stat_row is None:
+            stat_row = work.agg(
+                F.sum(pearson_e).alias("pearson"),
+                F.sum(ll_e).alias("ll"),
+                dev_agg_expr(beta),
+            ).collect()[0]
         pearson = float(stat_row["pearson"])
         deviance = float(stat_row["dev"])
 
