@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from sparkglm_spark.plans.partitioning import ensure_parallel
+
 # Small per-language stopword profiles (public common words). Deterministic
 # language-ID heuristic: most stopword hits wins, ties broken by language
 # code order.
@@ -56,6 +58,9 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     """Per-document quality metrics (one projection, no shuffle):
     n_chars, n_tokens, avg_token_len, stopword_ratio, alpha_ratio,
     digit_ratio, space_ratio."""
+    # fan out single-split inputs: these are per-row compute-dense
+    # projections (no-op at real scale)
+    df = ensure_parallel(df)
     t = F.col(text_col)
     n_chars = F.length(t)
     n_tokens = token_count_expr(t)
@@ -88,6 +93,9 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     """Composite 0-1 quality score: penalize very short docs, low alpha
     ratio, low stopword ratio. Weights are fixed, arithmetic exact given the
     stats (oracle-checkable)."""
+    # fan out single-split inputs: these are per-row compute-dense
+    # projections (no-op at real scale)
+    df = ensure_parallel(df)
     s = text_stats(df, text_col, id_col)
     len_score = F.least(F.col("n_tokens").cast("double") / F.lit(50.0), F.lit(1.0))
     score = (
@@ -108,6 +116,9 @@ def language_id(
     """N-gram/stopword-profile language ID: hits per language profile,
     argmax with deterministic lang-code tie-break. Integer scores →
     engine-portable."""
+    # fan out single-split inputs: these are per-row compute-dense
+    # projections (no-op at real scale)
+    df = ensure_parallel(df)
     profiles = profiles or LANG_PROFILES
     t = F.col(text_col)
     hit_cols = [
@@ -146,6 +157,9 @@ def bpe_token_count(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Per-doc whitespace + BPE-ish token counts (one projection)."""
+    # fan out single-split inputs: these are per-row compute-dense
+    # projections (no-op at real scale)
+    df = ensure_parallel(df)
     t = F.col(text_col)
     return df.select(
         F.col(id_col),
@@ -173,6 +187,9 @@ def fingerprint_expr(text: Column) -> Column:
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-doc rolling-hash fingerprint — the exact-dedup / shard-assignment
     key for 100 TB pipelines (content-addressed, no text shuffle needed)."""
+    # fan out single-split inputs: these are per-row compute-dense
+    # projections (no-op at real scale)
+    df = ensure_parallel(df)
     return df.select(
         F.col(id_col), fingerprint_expr(F.col(text_col)).alias("fingerprint")
     )
@@ -186,6 +203,9 @@ def text_profile(
     fingerprint. At 100 TB this is the shape that matters — five separate
     operators each re-scanning the corpus would quintuple the I/O; every
     column here fuses into a single whole-stage-codegen pass."""
+    # fan out single-split inputs: these are per-row compute-dense
+    # projections (no-op at real scale)
+    df = ensure_parallel(df)
     t = F.col(text_col)
     n_chars = F.length(t)
     n_tokens = token_count_expr(t)
@@ -267,6 +287,9 @@ def bm25_search(
     Returns (id_col, score, dl) for the top_k docs, score descending with
     deterministic id tie-break.
     """
+    # fan out single-split inputs: these are per-row compute-dense
+    # projections (no-op at real scale)
+    df = ensure_parallel(df)
     t = F.col(text_col)
     toks = bm25_tokens_expr(t)
     base = df.select(F.col(id_col).alias("id"), toks.alias("__toks")).select(

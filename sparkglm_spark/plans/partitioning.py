@@ -15,7 +15,10 @@ from pyspark.sql import DataFrame
 
 def ensure_parallel(df: DataFrame) -> DataFrame:
     """Repartition up to the session's default parallelism when the input
-    has fewer partitions (tiny local inputs); no-op otherwise."""
+    has fewer partitions (tiny local inputs); no-op otherwise. Streaming
+    frames are returned untouched (no .rdd access on a streaming plan)."""
+    if df.isStreaming:
+        return df
     ncores = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < ncores:
         return df.repartition(ncores)
