@@ -268,3 +268,24 @@ def test_bm25_filters_terms_before_shuffle_and_broadcasts_idf(spark, documents):
     # find a Filter node mentioning the isin values
     assert "spark" in body and "join" in body
     assert "SortMergeJoin" not in body
+
+
+def test_brute_neardup_plan_is_shuffle_free(spark, documents):
+    """The cost-based exact all-pairs plan (tiny vocab + small corpus) must
+    be completely shuffle-free: bitmaps come from one Arrow batch pass over
+    the (fanned-out) input, pairing is a broadcast nested-loop join with a
+    codegen popcount filter. Any Exchange other than the initial
+    round-robin fan-out / broadcast is a scale regression."""
+    from sparkglm_spark.operators.dedup import minhash_dedup_pairs
+
+    out = minhash_dedup_pairs(documents, "doc_id", "text", threshold=0.8)
+    plan = plan_of(out)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "bit_count" in plan
+    # no hash/range repartitioning anywhere: the only exchanges are the
+    # round-robin input fan-out and the broadcast of the bitmap side
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+    # and no aggregation/sort at all — the operator is scan → join → filter
+    assert "HashAggregate" not in plan
+    assert "SortMergeJoin" not in plan
