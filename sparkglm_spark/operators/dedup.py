@@ -144,7 +144,9 @@ def jaccard_pairs(
                     n_hot,
                     max_docs_per_shingle,
                 )
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        # no broadcast hint: the hot-shingle list is usually tiny but is
+        # not bounded by construction — AQE broadcasts it when it is small
+        sh = sh.join(hot, "shingle", "left_anti")
     # materialize before the self-join so both sides read the cache instead
     # of racing to recompute the shingle projection
     sh = sh.persist()
@@ -161,8 +163,10 @@ def jaccard_pairs(
     sz_a = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
     sz_b = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
     out = (
-        common.join(F.broadcast(sz_a), "id_a")
-        .join(F.broadcast(sz_b), "id_b")
+        # per-doc size tables grow with the corpus (facts, not dims):
+        # leave the join strategy to AQE instead of forcing a broadcast
+        common.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
         .withColumn(
             "jaccard",
             F.col("inter").cast("double")
@@ -272,8 +276,9 @@ def _verify_pairs_by_shingle_join(
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     return (
-        inter.join(F.broadcast(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"})), "id_a")
-        .join(F.broadcast(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"})), "id_b")
+        # per-doc sizes are corpus-sized: no forced broadcast (AQE decides)
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
         .withColumn(
             "jaccard",
             F.col("inter").cast("double")
@@ -470,9 +475,10 @@ def _verify_pairs_by_bitmap(
 # strictly faster than joining candidates against the inverted index
 _BITMAP_MAX_VOCAB = 4096
 
-# doc counts up to this broadcast the bitmap table (≤ ~70 bytes/doc at max
-# vocab → ≤ 70 MB), making verification fully map-side
-_BITMAP_BROADCAST_MAX_DOCS = 1_000_000
+# byte budget for broadcasting the bitmap table (verification becomes
+# fully map-side); per-doc cost is ~24 bytes + 8·ceil(V/64), so the doc
+# cap is derived from the actual vocab size rather than a fixed count
+_BITMAP_BROADCAST_MAX_BYTES = 64 * 1024 * 1024
 
 # below this doc count, tiny-vocab corpora skip LSH entirely: a tiny vocab
 # admits few distinct shingle sets, docs collide in nearly every band, and
@@ -531,7 +537,8 @@ def minhash_dedup_pairs(
     ).first()
     sig = minhash_signatures(sh, num_perm=num_perm, seed=seed)
     if vocab_size <= _BITMAP_MAX_VOCAB:
-        small_corpus = n_docs <= _BITMAP_BROADCAST_MAX_DOCS
+        bm_bytes_per_doc = 24 + 8 * ((vocab_size + 63) // 64)
+        small_corpus = n_docs * bm_bytes_per_doc <= _BITMAP_BROADCAST_MAX_BYTES
         # broadcast verify is map-side → skip the candidate distinct shuffle
         # and dedup the (tiny) verified output instead
         cand = minhash_lsh_candidates(
