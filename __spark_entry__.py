@@ -1815,30 +1815,44 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern (multimodal.py::synth_bmp_media_from_documents) are decoded by
     the pure-python BMP codec inside Arrow mapInPandas
     (multimodal.py::image_features) — width/height/mean/corner-pixel are
-    therefore SQL-derivable from (doc_id, n_chars). Joined with the video
-    frame-sampling plan's per-media frame count (frame_sample_plan over
-    synth video media: duration n_chars·10 ms, 1 frame/s)."""
+    therefore SQL-derivable from (doc_id, n_chars). Same pattern for the
+    AUDIO modality: closed-form PCM-16 WAV payloads decoded by the pure-
+    python RIFF parser (synth_wav_media_from_documents / audio_features).
+    Joined with the video frame-sampling plan's per-media frame count
+    (frame_sample_plan over synth video media: duration n_chars·10 ms,
+    1 frame/s) — all three modalities in one oracle-checked row set."""
     docs = read_table(spark, sf_dir, "documents")
     from sparkglm_spark.operators.multimodal import (
+        audio_features,
         frame_sample_plan,
         image_features,
         synth_bmp_media_from_documents,
         synth_media_from_documents,
+        synth_wav_media_from_documents,
     )
 
     feats = image_features(synth_bmp_media_from_documents(docs))
+    audio = audio_features(synth_wav_media_from_documents(docs))
     frames = (
         frame_sample_plan(synth_media_from_documents(docs, kind="video"), every_ms=1000)
         .groupBy("media_id")
         .agg(F.count(F.lit(1)).alias("n_frames"))
     )
-    return feats.join(frames, "media_id").select(
-        "media_id",
-        "width",
-        "height",
-        F.round("mean_pixel", 6).alias("mean_pixel"),
-        "px00",
-        "n_frames",
+    return (
+        feats.join(frames, "media_id")
+        .join(audio, "media_id")
+        .select(
+            "media_id",
+            "width",
+            "height",
+            F.round("mean_pixel", 6).alias("mean_pixel"),
+            "px00",
+            "n_frames",
+            "n_samples",
+            "sample_rate",
+            F.round("mean_sample", 6).alias("mean_sample"),
+            "s0",
+        )
     )
 
 
@@ -1846,25 +1860,37 @@ SQL_MULTIMODAL_FEATURES = """
 WITH p AS (
   SELECT doc_id, n_chars,
          n_chars % 24 + 4 AS w, n_chars % 16 + 4 AS h,
-         (doc_id * 7) % 256 AS a
+         (doc_id * 7) % 256 AS a,
+         (doc_id * 11) % 256 AS aa,
+         n_chars % 256 + 16 AS ns
   FROM documents),
 q AS (
-  SELECT doc_id, n_chars, w, h, a, w * h AS n,
-         (w * h) // 256 AS cycles, (w * h) % 256 AS rem
+  SELECT doc_id, n_chars, w, h, a, aa, ns, w * h AS n,
+         (w * h) // 256 AS cycles, (w * h) % 256 AS rem,
+         ns // 256 AS acycles, ns % 256 AS arem
   FROM p),
 r AS (
   SELECT *,
          CASE WHEN a + rem <= 256
               THEN rem * a + rem * (rem - 1) // 2
               ELSE (256 - a) * (a + 255) // 2
-                   + (rem - 256 + a) * (rem - 256 + a - 1) // 2 END AS rem_sum
+                   + (rem - 256 + a) * (rem - 256 + a - 1) // 2 END AS rem_sum,
+         CASE WHEN aa + arem <= 256
+              THEN arem * aa + arem * (arem - 1) // 2
+              ELSE (256 - aa) * (aa + 255) // 2
+                   + (arem - 256 + aa) * (arem - 256 + aa - 1) // 2 END AS arem_sum
   FROM q)
 SELECT doc_id AS media_id,
        CAST(w AS BIGINT) AS width,
        CAST(h AS BIGINT) AS height,
        ROUND(CAST(cycles * 32640 + rem_sum AS DOUBLE) / n, 6) AS mean_pixel,
        CAST(a AS BIGINT) AS px00,
-       greatest(CAST(floor((n_chars * 10) / 1000.0) AS BIGINT), 1) AS n_frames
+       greatest(CAST(floor((n_chars * 10) / 1000.0) AS BIGINT), 1) AS n_frames,
+       CAST(ns AS BIGINT) AS n_samples,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       ROUND(CAST(16 * (acycles * 32640 + arem_sum - 128 * ns) AS DOUBLE) / ns, 6)
+         AS mean_sample,
+       CAST((aa % 256 - 128) * 16 AS BIGINT) AS s0
 FROM r
 """
 

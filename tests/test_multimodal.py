@@ -84,3 +84,47 @@ def test_resize_images_contract(spark, documents):
     # non-image rows are filtered JVM-side
     vid = synth_media_from_documents(documents, kind="video")
     assert resize_images(vid, 8, 4).count() == 0
+
+
+def test_wav_roundtrip_and_features():
+    import numpy as np
+
+    from sparkglm_spark.operators.multimodal import decode_audio, encode_wav_pcm16
+
+    rng = np.random.default_rng(7)
+    samples = rng.integers(-32768, 32767, size=501, dtype=np.int16)
+    payload = encode_wav_pcm16(samples, 16000)
+    out, rate, channels = decode_audio(payload)
+    assert rate == 16000 and channels == 1
+    assert out.shape == (501, 1)
+    assert np.array_equal(out[:, 0], samples)
+
+
+def test_decode_audio_rejects_non_wav():
+    import pytest as _pytest
+
+    from sparkglm_spark.operators.multimodal import decode_audio
+
+    with _pytest.raises(ValueError):
+        decode_audio(b"ID3\x04this is an mp3, not pcm")
+
+
+def test_audio_features_match_closed_form(spark, documents):
+    import numpy as np
+
+    from sparkglm_spark.operators.multimodal import (
+        audio_features,
+        synth_wav_media_from_documents,
+    )
+
+    rows = audio_features(synth_wav_media_from_documents(documents.limit(50))).collect()
+    assert len(rows) == 50
+    docs = {r.doc_id: r.n_chars for r in documents.limit(50).collect()}
+    for r in rows:
+        a = (r.media_id * 11) % 256
+        n = docs[r.media_id] % 256 + 16
+        t = np.arange(n, dtype=np.int64)
+        samples = ((a + t) % 256 - 128) * 16
+        assert r.n_samples == n and r.sample_rate == 8000 and r.channels == 1
+        assert r.s0 == samples[0]
+        assert abs(r.mean_sample - samples.sum() / n) < 1e-12
