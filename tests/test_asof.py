@@ -178,3 +178,48 @@ def test_asof_join_rejects_mixed_timestamp_classes(spark):
     iv = right.select("sym", F.col("ts").alias("s"), F.col("ts").alias("e"))
     with pytest.raises(TypeError, match="timestamp class mismatch"):
         range_join_points(left, iv, point_ts="ts", start_col="s", end_col="e")
+
+
+def test_resample_counts_fills_gaps(spark):
+    from sparkglm_spark.operators.timeseries import resample_counts
+
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 00:10:00"), ("a", "2024-01-01 00:20:00"),
+         ("a", "2024-01-01 03:05:00"), ("b", "2024-01-01 01:00:00")],
+        "g string, ts string",
+    ).selectExpr("g", "CAST(ts AS TIMESTAMP) AS ts")
+    out = resample_counts(df, "ts", ["g"], unit="hour").collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r.g, []).append((str(r.bucket), r.n_events))
+    a = sorted(by_g["a"])
+    # group a spans 00..03 → 4 buckets, hours 1 and 2 zero-filled
+    assert len(a) == 4
+    assert [n for _, n in a] == [2, 0, 0, 1]
+    assert len(by_g["b"]) == 1
+
+
+def test_moving_aggregate_range_frame_is_gap_aware(spark):
+    from sparkglm_spark.operators.timeseries import moving_aggregate
+
+    daily = spark.createDataFrame(
+        [("k", "2024-01-01", 1.0), ("k", "2024-01-02", 2.0),
+         ("k", "2024-01-10", 10.0)],
+        "g string, d string, v double",
+    ).selectExpr("g", "CAST(d AS DATE) AS d", "v")
+    rows = {str(r.d): r for r in moving_aggregate(
+        daily, "d", "v", window_days=7, partition_cols=["g"]).collect()}
+    # Jan 10 is >7 days after Jan 1/2 → its trailing window sees only itself
+    assert rows["2024-01-10"].v_mov_sum == 10.0
+    assert rows["2024-01-10"].days_in_window == 1
+    assert rows["2024-01-02"].v_mov_sum == 3.0
+
+
+def test_moving_aggregate_requires_partition_cols(spark):
+    import pytest as _pytest
+
+    from sparkglm_spark.operators.timeseries import moving_aggregate
+
+    daily = spark.createDataFrame([("2024-01-01", 1.0)], "d string, v double")
+    with _pytest.raises(ValueError):
+        moving_aggregate(daily, "d", "v")
