@@ -55,12 +55,11 @@ def _quality_and_lang_cols(df: DataFrame, text_col: str) -> DataFrame:
         + F.lit(0.3) * alpha_ratio
         + F.lit(0.3) * F.least(stop_ratio * F.lit(5.0), F.lit(1.0))
     )
+    from sparkglm_spark.operators.text import _lang_argmax_struct
+
     langs = sorted(LANG_PROFILES)
-    lang_hits = {lg: stopword_hits_expr(t, LANG_PROFILES[lg]) for lg in langs}
-    best = F.greatest(*lang_hits.values())
-    pick = F.when(lang_hits[langs[0]] == best, langs[0])
-    for lg in langs[1:]:
-        pick = pick.when(lang_hits[lg] == best, lg)
+    best = _lang_argmax_struct(t, LANG_PROFILES)
+    pick = F.element_at(F.lit(langs), (-best["nidx"] + 1).cast("int"))
     return df.withColumns(
         {
             "n_tokens": n_tokens.cast("bigint"),
@@ -81,15 +80,24 @@ def prepare_training_corpus(
 ) -> DataFrame:
     """The full corpus-prep chain; returns surviving docs with
     n_tokens / n_tokens_bpe / quality_score / detected_lang appended."""
-    d1 = exact_dedup_hashed(docs, text_col, id_col)
-    d2 = _quality_and_lang_cols(d1, text_col).where(
+    from sparkglm_spark.plans.partitioning import ensure_parallel
+
+    # quality/language are pure per-row functions of the text, so every
+    # member of an identical-text duplicate group passes or fails together:
+    # filter-then-dedup ≡ dedup-then-filter, EXACTLY. Run the regexp-heavy
+    # projection on the (fanned-out) scan side — BEFORE the dedup shuffle —
+    # so it parallelizes across input splits instead of the post-shuffle
+    # partitioning (which AQE coalesces to one task on small inputs), and
+    # the dedup window shuffles only quality survivors.
+    q = _quality_and_lang_cols(ensure_parallel(docs), text_col).where(
         F.col("quality_score") >= min_quality
     )
     if languages:
-        d2 = d2.where(F.col("detected_lang").isin(list(languages)))
+        q = q.where(F.col("detected_lang").isin(list(languages)))
+    d2 = exact_dedup_hashed(q, text_col, id_col)
     # the survivor set is read 3× downstream (doc count, shingle scan, final
-    # anti-join) — persist so the exact-dedup window + regexp-heavy quality
-    # projections run once, not per consumer
+    # anti-join) — persist so the dedup window + quality projections run
+    # once, not per consumer
     d2 = d2.persist()
     pairs = minhash_dedup_pairs(
         d2, id_col, text_col, threshold=neardup_threshold

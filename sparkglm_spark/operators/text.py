@@ -121,22 +121,34 @@ def language_id(
     df = ensure_parallel(df)
     profiles = profiles or LANG_PROFILES
     t = F.col(text_col)
-    hit_cols = [
-        stopword_hits_expr(t, words).alias(f"hits_{lang}")
-        for lang, words in sorted(profiles.items())
-    ]
-    scored = df.select(F.col(id_col), *hit_cols)
+    best = _lang_argmax_struct(t, profiles)
     langs = sorted(profiles)
-    # argmax via greatest + chained when (first lang in sorted order wins ties)
-    best = F.greatest(*[F.col(f"hits_{lg}") for lg in langs])
-    pick = F.when(F.col(f"hits_{langs[0]}") == best, langs[0])
-    for lg in langs[1:]:
-        pick = pick.when(F.col(f"hits_{lg}") == best, lg)
-    return scored.select(
-        id_col,
-        pick.alias("detected_lang"),
-        best.cast("bigint").alias("lang_score"),
+    return df.select(
+        F.col(id_col),
+        F.element_at(F.lit(langs), (-best["nidx"] + 1).cast("int")).alias(
+            "detected_lang"
+        ),
+        best["h"].cast("bigint").alias("lang_score"),
     )
+
+
+def _lang_argmax_struct(t: Column, profiles: dict[str, list[str]]) -> Column:
+    """max over array<struct(h, nidx)> — each language's stopword-filter
+    machinery appears exactly ONCE in the expression tree. The previous
+    greatest + chained-when argmax referenced every hit count ~3× and
+    whole-stage codegen inlines each reference, which dominated the
+    first-use compile time of the text pipeline. Ordering: max hits, ties →
+    max nidx = −index → FIRST language in sorted order, identical to the
+    when-chain's tie-break."""
+    langs = sorted(profiles)
+    entries = [
+        F.struct(
+            stopword_hits_expr(t, profiles[lg]).alias("h"),
+            F.lit(-i).alias("nidx"),
+        )
+        for i, lg in enumerate(langs)
+    ]
+    return F.array_max(F.array(*entries))
 
 
 # GPT-2-style pre-tokenizer pattern (public BPE pre-tokenization shape):
