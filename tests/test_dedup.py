@@ -157,3 +157,30 @@ def test_jaccard_hot_shingle_cap_default_preserves_testdata_result(spark, docume
         documents, "doc_id", "text", n=3, threshold=0.8, max_docs_per_shingle=None
     )
     assert sorted(map(tuple, capped.collect())) == sorted(map(tuple, uncapped.collect()))
+
+
+def test_minhash_planner_strategies_agree(spark, documents, monkeypatch):
+    """The cost-based planner picks between three physical strategies
+    (exact all-pairs bitmaps / LSH + bitmap verify / LSH + inverted-index
+    verify). They implement ONE contract — force each path on the same
+    corpus and require identical pairs."""
+    import sparkglm_spark.operators.dedup as D
+
+    docs = documents.limit(120)
+
+    def pairs():
+        return {
+            (r.id_a, r.id_b): round(r.jaccard, 9)
+            for r in D.minhash_dedup_pairs(
+                docs, "doc_id", "text", threshold=0.8
+            ).collect()
+        }
+
+    brute = pairs()  # small corpus + tiny vocab → all-pairs plan
+    monkeypatch.setattr(D, "_BRUTE_ALLPAIRS_MAX_DOCS", 0)
+    lsh_bitmap = pairs()  # LSH candidates + bitmap popcount verify
+    monkeypatch.setattr(D, "_BITMAP_MAX_VOCAB", 0)
+    lsh_inverted = pairs()  # LSH candidates + inverted-index join verify
+    assert brute, "fixture produced no near-dup pairs; test is vacuous"
+    assert brute == lsh_bitmap
+    assert brute == lsh_inverted
