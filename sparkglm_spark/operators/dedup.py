@@ -489,6 +489,9 @@ _BRUTE_ALLPAIRS_MAX_DOCS = 32_768
 # …and the all-pairs plan must also fit an op budget: n²/2 pair-evals ×
 # ceil(V/64) popcount words ≤ ~4e9 keeps it in low seconds on ~32 cores
 _BRUTE_ALLPAIRS_OPS_BUDGET = 4_000_000_000
+# inputs with more splits than this are certainly over the doc cap —
+# don't even run the count probe (it would scan a derived frame at scale)
+_BRUTE_PROBE_MAX_PARTITIONS = 256
 
 
 def minhash_dedup_pairs(
@@ -518,8 +521,16 @@ def minhash_dedup_pairs(
         whose cost scales with |candidates| ≈ |output| on natural corpora.
     All three produce the same pairs (candidate recall ≈ 1 at threshold,
     verification exact)."""
-    # cheap planner probe: doc count (parquet metadata / cached input)
-    n_docs = df.count()
+    # planner probe: a corpus spread over many splits is certainly beyond
+    # the all-pairs budget — skip even the count job there, so huge derived
+    # inputs never pay a probe scan. (getNumPartitions builds the plan but
+    # runs nothing.)
+    n_docs = (
+        df.count()
+        if not df.isStreaming
+        and df.rdd.getNumPartitions() <= _BRUTE_PROBE_MAX_PARTITIONS
+        else _BRUTE_ALLPAIRS_MAX_DOCS + 1
+    )
     if n_docs <= _BRUTE_ALLPAIRS_MAX_DOCS:
         vocab = _collect_small_vocab(df, id_col, text_col, n, _BITMAP_MAX_VOCAB)
         L = None if vocab is None else (len(vocab) + 63) // 64
