@@ -144,6 +144,24 @@ def main() -> None:
     bench("top_orders", lambda: force(E.q_top_orders(spark, SF_DIR)))
     bench("region_revenue", lambda: force(E.q_region_revenue(spark, SF_DIR)))
     bench("events_hourly", lambda: force(E.q_events_hourly(spark, SF_DIR)))
+    bench("events_sessionize", lambda: force(E.q_events_sessionize(spark, SF_DIR)))
+
+    # multimodal: synth real-format payloads (BMP + WAV) → pure-python
+    # decode inside Arrow mapInPandas → feature tables
+    from sparkglm_spark.operators.multimodal import (
+        audio_features,
+        image_features,
+        synth_bmp_media_from_documents,
+        synth_wav_media_from_documents,
+    )
+
+    bench(
+        "multimodal_decode",
+        lambda: (
+            force(image_features(synth_bmp_media_from_documents(docs))),
+            force(audio_features(synth_wav_media_from_documents(docs))),
+        ),
+    )
 
     total = round(sum(timings.values()), 3)
     print(
