@@ -398,7 +398,13 @@ def _allpairs_by_bitmap_from_text(
                     continue
                 words = [0] * L
                 for s in ss:
-                    i = index[s]
+                    i = index.get(s)
+                    if i is None:
+                        raise ValueError(
+                            "shingle absent from the planner's vocab scan — "
+                            "the input DataFrame changed between evaluations "
+                            "(nondeterministic source?); persist it first"
+                        )
                     words[i >> 6] |= 1 << (i & 63)
                 ids.append(doc_id)
                 szs.append(len(ss))
