@@ -1261,7 +1261,12 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     from sparkglm_spark.operators.dedup import jaccard_pairs, minhash_dedup_pairs
 
-    j = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    # cap pinned to None: the oracle computes UNCAPPED Jaccard, and the
+    # default hot-shingle cap (a scale guard) would change values on any
+    # corpus where a shingle exceeds 1000 docs (true at sf ≥ 0.1)
+    j = jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8, max_docs_per_shingle=None
+    )
     m = minhash_dedup_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
     return (
         j.withColumn("method", F.lit("exact"))

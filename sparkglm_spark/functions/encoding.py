@@ -41,8 +41,16 @@ def get_levels_multi(
     order (and hence the dummy layout) matches the per-column path."""
     if not cols:
         return {}
+    # slice to max_levels+1 BEFORE collecting: a mistyped high-cardinality
+    # column (ids, free text) must raise the error below, not ship millions
+    # of values to the driver. (The executor-side set is still built — the
+    # price of the one-pass plan; the old per-column distinct+limit bounded
+    # that too but cost one job per column.)
     row = df.agg(
-        *[F.array_sort(F.collect_set(F.col(c))).alias(c) for c in cols]
+        *[
+            F.slice(F.array_sort(F.collect_set(F.col(c))), 1, max_levels + 1).alias(c)
+            for c in cols
+        ]
     ).first()
     out: dict[str, list[str]] = {}
     for c in cols:

@@ -89,15 +89,22 @@ def shingles(
     )
     t = F.col("__t")
     # sequence 1..len-n+1 → substr positions; transform is JVM-side.
+    # Texts shorter than n yield NO shingles (the when-guard matters:
+    # sequence(1, 0) is DESCENDING [1, 0] in Spark, which would emit
+    # partial shingles for short texts — diverging from the Python twin
+    # _py_shingle_set and the DuckDB range() oracles).
     # Per-doc dedup happens BEFORE the explode (array_distinct) — the set is
     # per-document, so a global .distinct() (a full shuffle of every
     # (id, shingle) row) would be pure waste.
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(0))),
-            lambda i: t.substr(i, F.lit(n)),
-        )
-    )
+    grams = F.when(
+        F.length(t) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(t) - (n - 1)),
+                lambda i: t.substr(i, F.lit(n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return pre.select("id", F.explode(grams).alias("shingle"))
 
 
@@ -350,7 +357,8 @@ def _collect_small_vocab(
             vocab = set()
             for t in pdf[text_col]:
                 vocab |= _py_shingle_set(t, n)
-            yield pd.DataFrame({"shingle": sorted(vocab)})
+            if vocab:
+                yield pd.DataFrame({"shingle": sorted(vocab)})
 
     vocab_df = ensure_parallel(df.select(text_col)).mapInPandas(
         part_vocab, "shingle string"
@@ -384,6 +392,14 @@ def _allpairs_by_bitmap_from_text(
     excluded, matching the explode-based path."""
     from sparkglm_spark.plans.partitioning import ensure_parallel
 
+    if not vocab:
+        # no doc has any shingle (all texts shorter than n) → no pairs;
+        # L = 0 would otherwise build an empty popcount expression
+        spark = df.sparkSession
+        id_t = df.schema[id_col].dataType.simpleString()
+        return spark.createDataFrame(
+            [], f"id_a {id_t}, id_b {id_t}, jaccard double"
+        )
     L = (len(vocab) + 63) // 64
     index = {s: i for i, s in enumerate(vocab)}
 
@@ -410,7 +426,8 @@ def _allpairs_by_bitmap_from_text(
                 szs.append(len(ss))
                 # numpy int64 is signed: fold bit 63 into the sign bit
                 bms.append([w - (1 << 64) if w >= (1 << 63) else w for w in words])
-            yield pd.DataFrame({"id": ids, "sz": szs, "bm": bms})
+            if ids:  # an empty frame's bm column loses its list dtype
+                yield pd.DataFrame({"id": ids, "sz": szs, "bm": bms})
 
     id_type = df.schema[id_col].dataType.simpleString()
     bm = ensure_parallel(df.select(id_col, text_col)).mapInPandas(
@@ -527,17 +544,16 @@ def minhash_dedup_pairs(
         whose cost scales with |candidates| ≈ |output| on natural corpora.
     All three produce the same pairs (candidate recall ≈ 1 at threshold,
     verification exact)."""
-    # planner probe: a corpus spread over many splits is certainly beyond
-    # the all-pairs budget — skip even the count job there, so huge derived
-    # inputs never pay a probe scan. (getNumPartitions builds the plan but
-    # runs nothing.)
-    n_docs = (
-        df.count()
-        if not df.isStreaming
-        and df.rdd.getNumPartitions() <= _BRUTE_PROBE_MAX_PARTITIONS
-        else _BRUTE_ALLPAIRS_MAX_DOCS + 1
-    )
-    if n_docs <= _BRUTE_ALLPAIRS_MAX_DOCS:
+    # planner probe, bounded two ways: many-split inputs skip it outright,
+    # and the count itself runs under a limit so a large DERIVED corpus
+    # (post-shuffle frames report spark.sql.shuffle.partitions regardless
+    # of row count) stops counting at cap+1 instead of scanning everything.
+    cap = _BRUTE_ALLPAIRS_MAX_DOCS
+    if df.rdd.getNumPartitions() <= _BRUTE_PROBE_MAX_PARTITIONS:
+        n_docs = df.limit(cap + 1).count()
+    else:
+        n_docs = cap + 1
+    if n_docs <= cap:
         vocab = _collect_small_vocab(df, id_col, text_col, n, _BITMAP_MAX_VOCAB)
         L = None if vocab is None else (len(vocab) + 63) // 64
         # all-pairs cost ≈ n²/2 · L word-ops; stay under a few-second budget
@@ -610,7 +626,10 @@ def simhash_signatures(
     hash_fn='xxhash64' (default): Spark's builtin — fastest, JVM-only.
     hash_fn='portable': four 16-bit char-polynomial channels (engine-
     portable arithmetic, reproducible in plain SQL — the oracle mode).
-    Empty tokens are dropped in both modes."""
+    Empty tokens are dropped in both modes; consequently docs whose text is
+    empty/whitespace-only have NO tokens, get no signature row, and never
+    appear in near-dup pairs (deliberate: a signature of nothing carries no
+    similarity information — pin-tested in tests/test_dedup.py)."""
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(

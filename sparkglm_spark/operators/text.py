@@ -122,12 +122,9 @@ def language_id(
     profiles = profiles or LANG_PROFILES
     t = F.col(text_col)
     best = _lang_argmax_struct(t, profiles)
-    langs = sorted(profiles)
     return df.select(
         F.col(id_col),
-        F.element_at(F.lit(langs), (-best["nidx"] + 1).cast("int")).alias(
-            "detected_lang"
-        ),
+        _lang_pick_expr(best, profiles).alias("detected_lang"),
         best["h"].cast("bigint").alias("lang_score"),
     )
 
@@ -149,6 +146,19 @@ def _lang_argmax_struct(t: Column, profiles: dict[str, list[str]]) -> Column:
         for i, lg in enumerate(langs)
     ]
     return F.array_max(F.array(*entries))
+
+
+def _lang_pick_expr(best: Column, profiles: dict[str, list[str]]) -> Column:
+    """Language name for an argmax struct — NULL when the hit count is NULL
+    (null text), matching the legacy when-chain, which never matched a
+    branch on null input. Without the guard the struct comparison falls
+    through to the index tie-break and null-text rows would be confidently
+    labeled with the first sorted language."""
+    langs = sorted(profiles)
+    return F.when(
+        best["h"].isNotNull(),
+        F.element_at(F.lit(langs), (-best["nidx"] + 1).cast("int")),
+    )
 
 
 # GPT-2-style pre-tokenizer pattern (public BPE pre-tokenization shape):
@@ -238,12 +248,8 @@ def text_profile(
         + F.lit(0.3) * F.coalesce(alpha_ratio, F.lit(0.0))
         + F.lit(0.3) * F.least(F.coalesce(stop_ratio, F.lit(0.0)) * F.lit(5.0), F.lit(1.0))
     )
-    langs = sorted(LANG_PROFILES)
-    lang_hits = {lg: stopword_hits_expr(t, LANG_PROFILES[lg]) for lg in langs}
-    best = F.greatest(*lang_hits.values())
-    pick = F.when(lang_hits[langs[0]] == best, langs[0])
-    for lg in langs[1:]:
-        pick = pick.when(lang_hits[lg] == best, lg)
+    best = _lang_argmax_struct(t, LANG_PROFILES)
+    pick = _lang_pick_expr(best, LANG_PROFILES)
     return df.select(
         F.col(id_col),
         n_chars.cast("bigint").alias("n_chars"),
@@ -256,7 +262,7 @@ def text_profile(
         bpe_token_count_expr(t).cast("bigint").alias("n_tokens_bpe"),
         quality.alias("quality_score"),
         pick.alias("detected_lang"),
-        best.cast("bigint").alias("lang_score"),
+        best["h"].cast("bigint").alias("lang_score"),
         fingerprint_expr(t).alias("fingerprint"),
     )
 

@@ -56,6 +56,7 @@ def windowed_event_stats(
     """
     df = events
     streaming = df.isStreaming
+    was_ntz = isinstance(df.schema[ts_col].dataType, TimestampNTZType)
     if streaming:
         if watermark is None:
             watermark = "2 hours"
@@ -66,10 +67,13 @@ def windowed_event_stats(
         if streaming
         else F.count_distinct("user_id")
     )
-    # in streaming mode event time ran through the LTZ watermark mapping;
-    # restore NTZ on the way out so both modes emit identical types/values
-    start = F.col("win.start") if not streaming else _ntz_restore(F.col("win.start"))
-    end = F.col("win.end") if not streaming else _ntz_restore(F.col("win.end"))
+    # an NTZ input ran through the LTZ watermark mapping in streaming mode;
+    # restore NTZ on the way out so both modes emit identical types/values.
+    # An already-LTZ input needs NO restore — converting it would flip the
+    # output type to NTZ and diverge from the batch twin.
+    restore = streaming and was_ntz
+    start = _ntz_restore(F.col("win.start")) if restore else F.col("win.start")
+    end = _ntz_restore(F.col("win.end")) if restore else F.col("win.end")
     return (
         df.groupBy(
             F.window(F.col(ts_col), window).alias("win"),
@@ -190,6 +194,12 @@ def clicks_within_window_of_signup(
         F.col("user_id").alias("s_user"),
         F.col("ts").alias("signup_ts"),
     )
+    c_restore = c.isStreaming and isinstance(
+        c.schema["click_ts"].dataType, TimestampNTZType
+    )
+    s_restore = s.isStreaming and isinstance(
+        s.schema["signup_ts"].dataType, TimestampNTZType
+    )
     if c.isStreaming:
         c = c.withColumn("click_ts", _watermark_time(c, "click_ts"))
         c = c.withWatermark("click_ts", watermark)
@@ -201,8 +211,9 @@ def clicks_within_window_of_signup(
         & (F.col("click_ts") >= F.col("signup_ts"))
         & (F.col("click_ts") <= F.col("signup_ts") + F.expr(f"INTERVAL {window}"))
     )
-    click_out = _ntz_restore("click_ts") if c.isStreaming else F.col("click_ts")
-    signup_out = _ntz_restore("signup_ts") if s.isStreaming else F.col("signup_ts")
+    # restore NTZ only for inputs that WERE NTZ (see windowed_event_stats)
+    click_out = _ntz_restore("click_ts") if c_restore else F.col("click_ts")
+    signup_out = _ntz_restore("signup_ts") if s_restore else F.col("signup_ts")
     return c.join(s, cond, "inner").select(
         "click_id",
         "signup_id",

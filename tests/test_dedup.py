@@ -184,3 +184,51 @@ def test_minhash_planner_strategies_agree(spark, documents, monkeypatch):
     assert brute, "fixture produced no near-dup pairs; test is vacuous"
     assert brute == lsh_bitmap
     assert brute == lsh_inverted
+
+
+def test_short_and_empty_texts_yield_no_shingles_any_strategy(spark):
+    """Texts shorter than n have no n-grams: the JVM shingles() (guarded
+    against Spark's descending sequence(1,0)), the Python brute-path twin,
+    and the DuckDB range() oracles must all agree those docs produce no
+    shingles and no pairs."""
+    import sparkglm_spark.operators.dedup as D
+
+    docs = spark.createDataFrame(
+        [(1, "ab"), (2, "ab"), (3, ""), (4, ""), (5, None),
+         (6, "abcabc"), (7, "abcabc")],
+        "doc_id long, text string",
+    )
+    sh = {(r.id, r.shingle) for r in D.shingles(docs, "doc_id", "text", n=3).collect()}
+    assert {i for i, _ in sh} == {6, 7}
+    # brute plan (default for this tiny corpus)
+    brute = {(r.id_a, r.id_b) for r in
+             D.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.8).collect()}
+    assert brute == {(6, 7)}
+    # jaccard inverted-index plan agrees
+    jac = {(r.id_a, r.id_b) for r in
+           D.jaccard_pairs(docs, "doc_id", "text", threshold=0.8).collect()}
+    assert jac == {(6, 7)}
+
+
+def test_brute_plan_handles_empty_vocab(spark):
+    import sparkglm_spark.operators.dedup as D
+
+    docs = spark.createDataFrame(
+        [(1, "ab"), (2, ""), (3, None)], "doc_id long, text string"
+    )
+    out = D.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.8)
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == ["id_a", "id_b", "jaccard"]
+
+
+def test_simhash_excludes_empty_docs(spark):
+    from sparkglm_spark.operators.dedup import simhash_signatures
+
+    docs = spark.createDataFrame(
+        [(1, "the same text"), (2, "the same text"), (3, ""), (4, "   ")],
+        "doc_id long, text string",
+    )
+    for mode in ("xxhash64", "portable"):
+        ids = {r.id for r in simhash_signatures(docs, "doc_id", "text",
+                                                hash_fn=mode).collect()}
+        assert ids == {1, 2}, mode

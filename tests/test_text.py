@@ -76,3 +76,18 @@ def test_fingerprint_distinguishes_and_repeats(documents):
 def test_quality_score_range(documents):
     rows = T.quality_score(documents).collect()
     assert all(0.0 <= r["quality_score"] <= 1.0 for r in rows)
+
+
+def test_language_id_null_text_is_null(spark):
+    from sparkglm_spark.operators.text import language_id, text_profile
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "the cat is on the mat and it is not a dog")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in language_id(docs).collect()}
+    assert rows[1].detected_lang is None and rows[1].lang_score is None
+    assert rows[2].detected_lang == "en"
+    prof = {r.doc_id: r for r in text_profile(docs).collect()}
+    assert prof[1].detected_lang is None
+    assert prof[2].detected_lang == "en"
