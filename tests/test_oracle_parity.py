@@ -74,6 +74,14 @@ def test_query_matches_oracle(spark, sf_dir, ddb, name):
     assert_frames_match(name, got, want)
 
 
+def test_every_declared_query_has_an_oracle():
+    """Every queries() entry carries an exact oracle_sql() twin — the
+    driver's hard hash-match signal covers the whole declared surface.
+    If a genuinely SQL-inexpressible operator is ever added, remove it
+    from this assertion WITH a written justification."""
+    assert ROWS_ONLY == []
+
+
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_queries_run(spark, sf_dir, name):
     df = entrymod.queries()[name](spark, sf_dir)
