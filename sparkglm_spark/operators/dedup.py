@@ -119,8 +119,9 @@ def jaccard_pairs(
     """All pairs (id_a < id_b) with n-gram Jaccard ≥ threshold.
 
     Plan shape: explode→distinct (1 shuffle), hot-shingle cap, self-join on
-    shingle (AQE-skew-handled), pair-count aggregation, broadcast-join of
-    per-doc sizes. Jaccard = |∩| / (|A|+|B|−|∩|) — exact integer counts,
+    shingle (AQE-skew-handled), pair-count aggregation, then joins of the
+    per-doc size table (strategy left to AQE — corpus-sized, never a forced
+    broadcast). Jaccard = |∩| / (|A|+|B|−|∩|) — exact integer counts,
     single final division.
 
     `max_docs_per_shingle` (default 1000) drops shingles shared by more
@@ -537,7 +538,7 @@ def minhash_dedup_pairs(
       - tiny vocab AND small corpus → EXACT all-pairs popcount over
         broadcast bitmaps, no LSH: with few possible shingle sets docs
         collide in nearly every band and LSH candidate generation exceeds
-        the full pair count (see _allpairs_by_bitmap) — the exact plan is
+        the full pair count (see _allpairs_by_bitmap_from_text) — the exact plan is
         cheaper and shuffle-free;
       - tiny vocab, large corpus → LSH candidates + bitmap verification;
       - large vocab → LSH candidates + candidate ⋈ inverted-index join,
