@@ -334,12 +334,14 @@ def _popcount_inter_expr(L: int) -> Column:
 
 def _py_shingle_set(text, n: int):
     """Python twin of `shingles()` for the small-corpus brute path: distinct
-    lowercase character n-grams. Must stay semantically identical to the JVM
-    expression chain (lower → substr positions 1..len−n+1 → distinct)."""
+    character n-grams of ALREADY-LOWERCASED text. Lowercasing happens
+    JVM-side (F.lower) in the feeding projection, never here — Python
+    str.lower() and Spark's lower() disagree on Unicode edge cases
+    (İ, ẞ, locale-free full case mapping), and the planner's strategies
+    must be byte-identical."""
     if text is None:
         return set()
-    t = text.lower()
-    return {t[i : i + n] for i in range(len(t) - n + 1)}
+    return {text[i : i + n] for i in range(len(text) - n + 1)}
 
 
 def _collect_small_vocab(
@@ -361,9 +363,9 @@ def _collect_small_vocab(
             if vocab:
                 yield pd.DataFrame({"shingle": sorted(vocab)})
 
-    vocab_df = ensure_parallel(df.select(text_col)).mapInPandas(
-        part_vocab, "shingle string"
-    )
+    vocab_df = ensure_parallel(
+        df.select(F.lower(F.col(text_col)).alias(text_col))
+    ).mapInPandas(part_vocab, "shingle string")
     rows = vocab_df.distinct().limit(limit + 1).collect()
     if len(rows) > limit:
         return None
@@ -431,9 +433,9 @@ def _allpairs_by_bitmap_from_text(
                 yield pd.DataFrame({"id": ids, "sz": szs, "bm": bms})
 
     id_type = df.schema[id_col].dataType.simpleString()
-    bm = ensure_parallel(df.select(id_col, text_col)).mapInPandas(
-        to_bitmaps, f"id {id_type}, sz int, bm array<long>"
-    )
+    bm = ensure_parallel(
+        df.select(F.col(id_col), F.lower(F.col(text_col)).alias(text_col))
+    ).mapInPandas(to_bitmaps, f"id {id_type}, sz int, bm array<long>")
     a = bm.select(
         F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), F.col("bm").alias("bm_a")
     )

@@ -232,3 +232,22 @@ def test_simhash_excludes_empty_docs(spark):
         ids = {r.id for r in simhash_signatures(docs, "doc_id", "text",
                                                 hash_fn=mode).collect()}
         assert ids == {1, 2}, mode
+
+
+def test_unicode_lowercasing_identical_across_strategies(spark):
+    """Lowercasing must happen in exactly one implementation (JVM F.lower)
+    for every physical strategy: Python str.lower() full-maps İ→i+combining
+    dot and ẞ→ß where JVM semantics can differ, which would make the brute
+    bitmap plan disagree with the inverted-index plan on non-ASCII text."""
+    import sparkglm_spark.operators.dedup as D
+
+    texts = ["İSTANBUL ẞETA ΣΙΣΥΦΟΣ okay", "Fußball STRASSE ÄÖÜ here",
+             "ΑΒΓΔΕΖΗΘΙΚΛΜΝΞ mixed CASE"]
+    rows = [(i * 2 + j, t) for i, t in enumerate(texts) for j in (0, 1)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    brute = {(r.id_a, r.id_b): round(r.jaccard, 9) for r in
+             D.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.8).collect()}
+    jac = {(r.id_a, r.id_b): round(r.jaccard, 9) for r in
+           D.jaccard_pairs(docs, "doc_id", "text", threshold=0.8).collect()}
+    assert brute == jac
+    assert {(0, 1), (2, 3), (4, 5)} <= set(brute)
