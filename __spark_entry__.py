@@ -1575,7 +1575,7 @@ d AS (
   FROM g LEFT JOIN c ON g.event_type = c.event_type AND g.bucket = c.bucket),
 w AS (
   SELECT event_type, bucket, n_events,
-         SUM(n_events) OVER win AS mov_sum,
+         CAST(SUM(n_events) OVER win AS BIGINT) AS mov_sum,
          AVG(n_events) OVER win AS mov_avg,
          COUNT(*) OVER win AS days_in_window
   FROM d

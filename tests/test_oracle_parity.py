@@ -31,29 +31,44 @@ def ddb(sf_dir):
     return con
 
 
-def normalize(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.reindex(sorted(df.columns), axis=1)
-    for c in df.columns:
-        if pd.api.types.is_integer_dtype(df[c]):
-            df[c] = df[c].astype("int64")
-        elif pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].astype("float64")
-        elif pd.api.types.is_datetime64_any_dtype(df[c]):
-            df[c] = df[c].astype(str)
-    return df.sort_values(by=list(df.columns), ignore_index=True)
+def _cell(v):
+    """One cell -> the string the driver would hash. Dtype-SENSITIVE on
+    int-vs-float (int 231 -> "231", float 231.0 -> "231.0") because that is
+    exactly how the driver's value hash behaves — r2's events_timeseries
+    shipped red when DuckDB HUGEINT came back as float64 and the old
+    numpy-``==`` comparison here couldn't see it. Width-INsensitive
+    (int32 5 and int64 5 both -> "5"), matching the driver: r2 queries
+    returning Spark int32 vs DuckDB BIGINT hashed green."""
+    if v is None:
+        return "§"
+    if isinstance(v, (float, np.floating)):
+        return "§nan" if math.isnan(v) else repr(float(v))
+    if isinstance(v, (bool, np.bool_)):
+        return repr(bool(v))
+    if isinstance(v, (int, np.integer)):
+        return repr(int(v))
+    if isinstance(v, pd.Timestamp):
+        return str(v)
+    try:
+        if pd.isna(v):
+            return "§"
+    except (TypeError, ValueError):  # arrays: pd.isna is elementwise
+        pass
+    return str(v)
+
+
+def serialize(df: pd.DataFrame) -> pd.DataFrame:
+    out = pd.DataFrame({c: df[c].map(_cell) for c in sorted(df.columns)})
+    return out.sort_values(by=list(out.columns), ignore_index=True)
 
 
 def assert_frames_match(name, got: pd.DataFrame, want: pd.DataFrame):
     assert sorted(got.columns) == sorted(want.columns), f"{name}: columns differ"
     assert len(got) == len(want), f"{name}: row count {len(got)} != {len(want)}"
-    g, w = normalize(got), normalize(want)
+    g, w = serialize(got), serialize(want)
     for c in g.columns:
         gv, wv = g[c].to_numpy(), w[c].to_numpy()
-        if gv.dtype.kind == "f":
-            both_nan = pd.isna(gv) & pd.isna(wv)
-            eq = (gv == wv) | both_nan
-        else:
-            eq = (pd.Series(gv).fillna("§") == pd.Series(wv).fillna("§")).to_numpy()
+        eq = gv == wv
         if not eq.all():
             bad = int(np.argmax(~eq))
             raise AssertionError(
@@ -72,6 +87,27 @@ def test_query_matches_oracle(spark, sf_dir, ddb, name):
     got = entrymod.queries()[name](spark, sf_dir).toPandas()
     want = ddb.execute(entrymod.oracle_sql()[name]).fetchdf()
     assert_frames_match(name, got, want)
+
+
+def test_no_oracle_declares_pandas_lossy_types(ddb):
+    """DuckDB HUGEINT (e.g. SUM over BIGINT) fetches into pandas as float64,
+    so the driver hashes "231.0" against Spark's "231" — identical values,
+    red row (r2's events_timeseries). Bind (don't execute) every oracle and
+    reject lossy declared types up front; the fix is CAST(... AS BIGINT)."""
+    lossy = {"HUGEINT", "UHUGEINT"}
+    offenders = {}
+    for name in ORACLE_NAMES:
+        rel = ddb.sql(entrymod.oracle_sql()[name])
+        bad = [
+            (c, str(t))
+            for c, t in zip(rel.columns, rel.types)
+            if str(t).upper() in lossy
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        f"oracles declaring pandas-lossy DuckDB types (CAST them): {offenders}"
+    )
 
 
 def test_every_declared_query_has_an_oracle():
