@@ -41,11 +41,24 @@ def get_levels_multi(
     order (and hence the dummy layout) matches the per-column path."""
     if not cols:
         return {}
-    # slice to max_levels+1 BEFORE collecting: a mistyped high-cardinality
-    # column (ids, free text) must raise the error below, not ship millions
-    # of values to the driver. (The executor-side set is still built — the
-    # price of the one-pass plan; the old per-column distinct+limit bounded
-    # that too but cost one job per column.)
+    # Pre-guard (one cheap HLL pass over a column-pruned scan): a mistyped
+    # high-cardinality column (ids, free text) must fail BEFORE the fused
+    # collect_set job — otherwise the unbounded per-executor set can OOM an
+    # executor before the exact >max_levels check below ever runs. 1.5×
+    # headroom absorbs HLL error (default rsd 5%); estimates between
+    # max_levels and the headroom fall through to the exact check on a
+    # harmlessly small collected set.
+    est = df.agg(
+        *[F.approx_count_distinct(F.col(c)).alias(c) for c in cols]
+    ).first()
+    too_big = {c: int(est[c]) for c in cols if est[c] > max_levels * 1.5}
+    if too_big:
+        raise ValueError(
+            f"columns with far more than max_levels={max_levels} distinct "
+            f"values (approx counts: {too_big}); not categorical columns"
+        )
+    # slice to max_levels+1 BEFORE collecting: bounds what ships to the
+    # driver even when the estimate squeaked under the guard.
     row = df.agg(
         *[
             F.slice(F.array_sort(F.collect_set(F.col(c))), 1, max_levels + 1).alias(c)

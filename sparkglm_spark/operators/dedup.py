@@ -114,22 +114,25 @@ def jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
-    max_docs_per_shingle: int | None = 1000,
+    max_docs_per_shingle: int | None = None,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with n-gram Jaccard ≥ threshold.
 
-    Plan shape: explode→distinct (1 shuffle), hot-shingle cap, self-join on
-    shingle (AQE-skew-handled), pair-count aggregation, then joins of the
-    per-doc size table (strategy left to AQE — corpus-sized, never a forced
-    broadcast). Jaccard = |∩| / (|A|+|B|−|∩|) — exact integer counts,
-    single final division.
+    Plan shape: explode→distinct (1 shuffle), optional hot-shingle cap,
+    self-join on shingle (AQE-skew-handled), pair-count aggregation, then
+    joins of the per-doc size table (strategy left to AQE — corpus-sized,
+    never a forced broadcast). Jaccard = |∩| / (|A|+|B|−|∩|) — exact
+    integer counts, single final division.
 
-    `max_docs_per_shingle` (default 1000) drops shingles shared by more
-    docs than the cap BEFORE the self-join: a shingle in d docs contributes
-    d² candidate pairs, so one stop-gram on a 10⁹-doc corpus is an
-    unrunnable join. Dropped shingles are logged at INFO (the count is
-    only computed when that level is enabled — it costs a job). Pass None
-    for the exact uncapped semantics on small/curated corpora.
+    `max_docs_per_shingle` (default None = exact: the contract above holds
+    for EVERY pair) drops shingles shared by more docs than the cap BEFORE
+    the self-join: a shingle in d docs contributes d² candidate pairs, so
+    one stop-gram on a 10⁹-doc corpus is an unrunnable join. The cap is
+    opt-in because it silently weakens the ≥-threshold contract to
+    approximate; callers at scale should set it (1000 is a good value) and
+    accept the WARNING log emitted whenever shingles are actually dropped
+    (the count costs one bounded aggregation job — you already paid for
+    the cap scan).
     """
     sh = shingles(df, id_col, text_col, n=n)
     if max_docs_per_shingle is not None:
@@ -143,15 +146,15 @@ def jaccard_pairs(
         )
         import logging
 
-        log = logging.getLogger(__name__)
-        if log.isEnabledFor(logging.INFO):
-            n_hot = hot.count()
-            if n_hot:
-                log.info(
-                    "jaccard_pairs: dropping %d shingles shared by > %d docs",
-                    n_hot,
-                    max_docs_per_shingle,
-                )
+        n_hot = hot.count()
+        if n_hot:
+            logging.getLogger(__name__).warning(
+                "jaccard_pairs: dropping %d shingles shared by > %d docs — "
+                "output is approximate (pairs whose overlap was only in "
+                "dropped shingles may be missed)",
+                n_hot,
+                max_docs_per_shingle,
+            )
         # no broadcast hint: the hot-shingle list is usually tiny but is
         # not bounded by construction — AQE broadcasts it when it is small
         sh = sh.join(hot, "shingle", "left_anti")

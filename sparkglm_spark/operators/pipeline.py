@@ -50,16 +50,21 @@ def _quality_and_lang_cols(df: DataFrame, text_col: str) -> DataFrame:
     stop_ratio = F.when(n_tokens == 0, F.lit(0.0)).otherwise(
         hits.cast("double") / n_tokens
     )
-    score = (
+    score = F.when(
+        # Explicit null-text guard: least() SKIPS nulls in both Spark and
+        # DuckDB, so without it the len term silently becomes 1.0 for null
+        # text and only the (null) alpha term saves the sum. Null score →
+        # the >= min_quality filter drops the row, same as the oracle.
+        t.isNotNull(),
         F.lit(0.4) * F.least(n_tokens.cast("double") / F.lit(50.0), F.lit(1.0))
         + F.lit(0.3) * alpha_ratio
-        + F.lit(0.3) * F.least(stop_ratio * F.lit(5.0), F.lit(1.0))
+        + F.lit(0.3) * F.least(stop_ratio * F.lit(5.0), F.lit(1.0)),
     )
-    from sparkglm_spark.operators.text import _lang_argmax_struct
+    from sparkglm_spark.operators.text import _lang_argmax_struct, _lang_pick_expr
 
-    langs = sorted(LANG_PROFILES)
     best = _lang_argmax_struct(t, LANG_PROFILES)
-    pick = F.element_at(F.lit(langs), (-best["nidx"] + 1).cast("int"))
+    # guarded pick: null text → NULL lang, not the first sorted language
+    pick = _lang_pick_expr(best, LANG_PROFILES)
     return df.withColumns(
         {
             "n_tokens": n_tokens.cast("bigint"),

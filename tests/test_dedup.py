@@ -147,16 +147,34 @@ def test_exact_dedup_partition_invariant(spark, documents):
     assert winners(documents.repartition(3)) == winners(documents.repartition(9))
 
 
-def test_jaccard_hot_shingle_cap_default_preserves_testdata_result(spark, documents):
-    """Default cap (1000 docs/shingle) must not change results on corpora
-    where no shingle is that hot — capped and uncapped agree here."""
+def test_jaccard_hot_shingle_cap_opt_in_preserves_testdata_result(spark, documents):
+    """The cap is opt-in (default None = exact contract); on corpora where
+    no shingle exceeds the cap, capped and default agree exactly."""
     from sparkglm_spark.operators.dedup import jaccard_pairs
 
-    capped = jaccard_pairs(documents, "doc_id", "text", n=3, threshold=0.8)
-    uncapped = jaccard_pairs(
-        documents, "doc_id", "text", n=3, threshold=0.8, max_docs_per_shingle=None
+    capped = jaccard_pairs(
+        documents, "doc_id", "text", n=3, threshold=0.8, max_docs_per_shingle=1000
     )
-    assert sorted(map(tuple, capped.collect())) == sorted(map(tuple, uncapped.collect()))
+    exact = jaccard_pairs(documents, "doc_id", "text", n=3, threshold=0.8)
+    assert sorted(map(tuple, capped.collect())) == sorted(map(tuple, exact.collect()))
+
+
+def test_jaccard_hot_shingle_cap_warns_on_drop(spark, caplog):
+    """When the opt-in cap actually drops shingles the result is approximate
+    — that must surface as an unconditional WARNING, not an opt-in INFO."""
+    import logging
+
+    from sparkglm_spark.operators.dedup import jaccard_pairs
+
+    # 4 docs sharing shingle "abc" -> df_cnt 4 > cap 2 -> dropped + warn
+    docs = spark.createDataFrame(
+        [(i, "abcd" + "xyz"[i % 3]) for i in range(4)], ["doc_id", "text"]
+    )
+    with caplog.at_level(logging.WARNING, logger="sparkglm_spark.operators.dedup"):
+        jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.1, max_docs_per_shingle=2
+        ).collect()
+    assert any("approximate" in r.message for r in caplog.records)
 
 
 def test_minhash_planner_strategies_agree(spark, documents, monkeypatch):

@@ -93,6 +93,31 @@ def test_scoring_encoding_stable_under_novel_levels(one_less_df, dummy_df):
     assert row_c["strField_b"] == 0.0  # novel level c → all-zero dummies
 
 
+def test_high_cardinality_column_rejected_before_collect(spark):
+    """A mistyped id column must be rejected by the cheap HLL pre-guard
+    (ValueError) rather than building a million-entry collect_set."""
+    from sparkglm_spark.functions.encoding import get_levels_multi
+
+    ids = spark.range(5000).select(
+        F.concat(F.lit("id_"), F.col("id")).alias("k")
+    )
+    with pytest.raises(ValueError, match="approx"):
+        get_levels_multi(ids, ["k"], max_levels=100)
+
+
+def test_cardinality_near_boundary_uses_exact_check(spark):
+    """Estimates under the 1.5× headroom fall through to the exact check:
+    exactly max_levels levels must still succeed."""
+    from sparkglm_spark.functions.encoding import get_levels_multi
+
+    df = spark.range(100).select(
+        F.concat(F.lit("v"), F.format_string("%03d", F.col("id"))).alias("k")
+    )
+    out = get_levels_multi(df, ["k"], max_levels=100)
+    assert len(out["k"]) == 100
+    assert out["k"] == sorted(out["k"])
+
+
 def test_model_matrix_lineitem_scale(lineitem):
     out = model_matrix(
         lineitem.select("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice")
