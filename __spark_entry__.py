@@ -1338,10 +1338,15 @@ SELECT 'ivf', query_id, neighbor_id, cosine, rank FROM top
 
 
 def q_similarity_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup through the auto-routing planner
+    (operators/similarity.py::near_dup_pairs): within the exact gate the
+    corpus runs the broadcast-matrix dgemm all-pairs plan (the case here
+    and the one the oracle mirrors); past the gate the SAME call degrades
+    to hyperplane-LSH candidates + exact re-rank instead of raising."""
     emb = read_table(spark, sf_dir, "embeddings")
-    from sparkglm_spark.operators.similarity import cosine_near_dup_pairs
+    from sparkglm_spark.operators.similarity import near_dup_pairs
 
-    out = cosine_near_dup_pairs(emb, threshold=0.35)
+    out = near_dup_pairs(emb, threshold=0.35)
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 

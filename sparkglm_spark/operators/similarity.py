@@ -197,16 +197,25 @@ def cosine_near_dup_pairs(
     dgemm scan. Exact-but-quadratic by nature: SIZE-GATED at
     `max_collect_rows` (default 2M rows ≈ 1 GB at d=64 — the broadcast-join
     build-side contract). Beyond the gate this raises instead of OOMing the
-    driver; use `lsh_near_dup_pairs` (equi-join candidates, same exact
-    re-rank) — the scale path."""
-    spark = df.sparkSession
+    driver; `near_dup_pairs` is the auto-routing entry point that degrades
+    to `lsh_near_dup_pairs` (equi-join candidates, same exact re-rank)
+    instead of raising."""
     over = df.select(id_col).limit(max_collect_rows + 1).count()
     if over > max_collect_rows:
         raise ValueError(
             f"cosine_near_dup_pairs: corpus exceeds max_collect_rows="
             f"{max_collect_rows} (exact all-pairs requires driver-collecting "
-            "one side); use lsh_near_dup_pairs for corpora this large"
+            "one side); use near_dup_pairs / lsh_near_dup_pairs for corpora "
+            "this large"
         )
+    return _cosine_all_pairs_broadcast(df, id_col, vec_col, threshold)
+
+
+def _cosine_all_pairs_broadcast(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float
+) -> DataFrame:
+    """The exact all-pairs plan body (no size gate — callers gate)."""
+    spark = df.sparkSession
     ids_all, Xn = _collect_query_matrix(df, id_col, vec_col)
     id_type = df.schema[id_col].dataType
     out_schema = StructType(
@@ -462,4 +471,51 @@ def lsh_near_dup_pairs(
             ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
+    )
+
+
+# inputs with more splits than this are certainly past the exact gate —
+# skip the count probe entirely (same guard shape as dedup.minhash planner:
+# post-shuffle frames report spark.sql.shuffle.partitions regardless of
+# row count, so the probe runs under a limit and only on few-split inputs)
+_NEARDUP_PROBE_MAX_PARTITIONS = 256
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    exact_max_rows: int = 2_000_000,
+    n_bits: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs with a size-probing physical planner — ONE
+    entry point, two plans (the `minhash_dedup_pairs` planner shape):
+
+    - corpus within `exact_max_rows` → exact all-pairs: broadcast matrix +
+      single mapInPandas dgemm scan (`cosine_near_dup_pairs`' plan);
+    - larger → hyperplane-LSH bucket join + exact cosine re-rank
+      (`lsh_near_dup_pairs`): recall < 1 by construction (1.0 for exact
+      duplicates — identical vectors share every signature chunk),
+      precision exactly 1 (every emitted pair is re-scored).
+
+    The probe is bounded: a limit-capped count, skipped outright (assume
+    large) for many-split inputs. Same output columns either way
+    (id_a, id_b, cosine with id_a < id_b)."""
+    cap = exact_max_rows
+    if df.rdd.getNumPartitions() <= _NEARDUP_PROBE_MAX_PARTITIONS:
+        n_rows = df.select(id_col).limit(cap + 1).count()
+    else:
+        n_rows = cap + 1
+    if n_rows <= cap:
+        return _cosine_all_pairs_broadcast(df, id_col, vec_col, threshold)
+    return lsh_near_dup_pairs(
+        df,
+        _vec_dim(df, vec_col),
+        id_col,
+        vec_col,
+        threshold=threshold,
+        n_bits=n_bits,
+        seed=seed,
     )

@@ -144,3 +144,53 @@ def test_cosine_near_dup_size_gate(spark, embeddings):
 
     with pytest.raises(ValueError, match="lsh_near_dup_pairs"):
         cosine_near_dup_pairs(embeddings, threshold=0.35, max_collect_rows=10)
+
+
+def test_near_dup_router_exact_route_matches_direct(spark, embeddings):
+    """Within the gate the router must produce exactly the direct exact
+    plan's pairs."""
+    from sparkglm_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+        near_dup_pairs,
+    )
+
+    direct = sorted(
+        (r["id_a"], r["id_b"], round(r["cosine"], 9))
+        for r in cosine_near_dup_pairs(embeddings, threshold=0.35).collect()
+    )
+    routed = sorted(
+        (r["id_a"], r["id_b"], round(r["cosine"], 9))
+        for r in near_dup_pairs(embeddings, threshold=0.35).collect()
+    )
+    assert routed == direct
+
+
+def test_near_dup_router_degrades_to_lsh_past_gate(spark, embeddings):
+    """Past the gate the router must RUN (no raise) via the LSH plan:
+    subset of exact pairs, precision 1, and recall 1 on exact duplicates
+    (identical vectors share every signature chunk)."""
+    from pyspark.sql import functions as F
+
+    from sparkglm_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+        near_dup_pairs,
+    )
+
+    # corpus with guaranteed exact duplicates: each vector duplicated under
+    # vec_id + 10_000
+    base = embeddings.select("vec_id", "embedding")
+    dup = base.select((F.col("vec_id") + 10_000).alias("vec_id"), "embedding")
+    corpus = base.unionByName(dup)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_dup_pairs(corpus, threshold=0.999).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in near_dup_pairs(
+            corpus, threshold=0.999, exact_max_rows=10, n_bits=256
+        ).collect()
+    }
+    assert got <= exact  # precision 1 (every emitted pair is truly >= thr)
+    dup_pairs = {p for p in exact if p[1] - p[0] == 10_000}
+    assert dup_pairs <= got  # recall 1 on exact duplicates
