@@ -1820,48 +1820,77 @@ SQL_CORPUS_PREP = _sql_corpus_prep()
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal pipeline with a REAL decoder and an exact oracle: BMP
-    payloads synthesized from the documents table with a closed-form pixel
-    pattern (multimodal.py::synth_bmp_media_from_documents) are decoded by
-    the pure-python BMP codec inside Arrow mapInPandas
-    (multimodal.py::image_features) — width/height/mean/corner-pixel are
-    therefore SQL-derivable from (doc_id, n_chars). Same pattern for the
-    AUDIO modality: closed-form PCM-16 WAV payloads decoded by the pure-
-    python RIFF parser (synth_wav_media_from_documents / audio_features).
-    Joined with the video frame-sampling plan's per-media frame count
-    (frame_sample_plan over synth video media: duration n_chars·10 ms,
-    1 frame/s) — all three modalities in one oracle-checked row set."""
+    """Multimodal pipeline, ALL REAL decode kernels, one exact oracle row
+    set per media id:
+    - IMAGE: closed-form BMP payloads (synth_bmp_media_from_documents)
+      decoded by the pure-python BMP codec (image_features) — dims, mean,
+      corner pixels SQL-derivable from (doc_id, n_chars);
+    - RESIZE: the same BMPs through the real nearest-neighbor resize
+      (resize_images → decode → floor-index resample → re-encode BMP) and
+      decoded AGAIN — resized mean/corner follow the same closed form;
+    - AUDIO: closed-form PCM-16 WAV payloads through the RIFF parser
+      (audio_features);
+    - VIDEO: closed-form RVID raw-frame payloads through the video decoder,
+      both whole-video (video_features) and per-sampled-frame
+      (sample_frames at 2000 ms, fps 1 — frames 0, 2, …), aggregated.
+    Five decode paths, one hash-checked row per document."""
     docs = read_table(spark, sf_dir, "documents")
     from sparkglm_spark.operators.multimodal import (
         audio_features,
-        frame_sample_plan,
         image_features,
+        resize_images,
+        sample_frames,
         synth_bmp_media_from_documents,
-        synth_media_from_documents,
+        synth_video_media_from_documents,
         synth_wav_media_from_documents,
+        video_features,
     )
 
-    feats = image_features(synth_bmp_media_from_documents(docs))
+    bmp = synth_bmp_media_from_documents(docs)
+    feats = image_features(bmp)
+    resized = image_features(resize_images(bmp, width=8, height=6)).select(
+        "media_id",
+        F.round("mean_pixel", 6).alias("r_mean_pixel"),
+        F.col("pxhw").alias("r_pxhw"),
+    )
     audio = audio_features(synth_wav_media_from_documents(docs))
-    frames = (
-        frame_sample_plan(synth_media_from_documents(docs, kind="video"), every_ms=1000)
+    vid = synth_video_media_from_documents(docs)
+    v = video_features(vid)
+    vs = (
+        sample_frames(vid, every_ms=2000)
         .groupBy("media_id")
-        .agg(F.count(F.lit(1)).alias("n_frames"))
+        .agg(
+            F.count(F.lit(1)).alias("vs_n_sampled"),
+            F.round(F.avg("frame_mean"), 6).alias("vs_mean_sampled"),
+            F.sum("fpx00").alias("vs_px_sum"),
+        )
     )
     return (
-        feats.join(frames, "media_id")
+        feats.join(resized, "media_id")
         .join(audio, "media_id")
+        .join(v, "media_id")
+        .join(vs, "media_id")
         .select(
             "media_id",
             "width",
             "height",
             F.round("mean_pixel", 6).alias("mean_pixel"),
             "px00",
-            "n_frames",
+            "pxhw",
+            "r_mean_pixel",
+            "r_pxhw",
             "n_samples",
             "sample_rate",
             F.round("mean_sample", 6).alias("mean_sample"),
             "s0",
+            F.col("v_frames").alias("n_frames"),
+            "v_width",
+            "v_height",
+            F.round("v_mean_pixel", 6).alias("v_mean_pixel"),
+            "v_px000",
+            "vs_n_sampled",
+            "vs_mean_sampled",
+            "vs_px_sum",
         )
     )
 
@@ -1872,12 +1901,16 @@ WITH p AS (
          n_chars % 24 + 4 AS w, n_chars % 16 + 4 AS h,
          (doc_id * 7) % 256 AS a,
          (doc_id * 11) % 256 AS aa,
-         n_chars % 256 + 16 AS ns
+         n_chars % 256 + 16 AS ns,
+         n_chars % 12 + 4 AS vw, n_chars % 8 + 4 AS vh,
+         n_chars % 6 + 2 AS vnf,
+         (doc_id * 13) % 256 AS av
   FROM documents),
 q AS (
   SELECT doc_id, n_chars, w, h, a, aa, ns, w * h AS n,
          (w * h) // 256 AS cycles, (w * h) % 256 AS rem,
-         ns // 256 AS acycles, ns % 256 AS arem
+         ns // 256 AS acycles, ns % 256 AS arem,
+         vw, vh, vnf, av, vw * vh AS vm
   FROM p),
 r AS (
   SELECT *,
@@ -1889,19 +1922,78 @@ r AS (
               THEN arem * aa + arem * (arem - 1) // 2
               ELSE (256 - aa) * (aa + 255) // 2
                    + (arem - 256 + aa) * (arem - 256 + aa - 1) // 2 END AS arem_sum
-  FROM q)
-SELECT doc_id AS media_id,
+  FROM q),
+-- resized image (8×6 nearest-neighbor, floor index map): pixel (y2,x2) =
+-- (a + (y2·h//6)·w + (x2·w//8)) mod 256 — the decode→resample→re-encode→
+-- re-decode chain reduces to this closed form
+rz AS (
+  SELECT doc_id, a, w, h, unnest(range(0, 6)) AS y2 FROM q),
+rz2 AS (
+  SELECT doc_id, a, w, h, y2, unnest(range(0, 8)) AS x2 FROM rz),
+ragg AS (
+  SELECT doc_id,
+         ROUND(CAST(sum((a + (y2 * h // 6) * w + (x2 * w // 8)) % 256) AS DOUBLE)
+               / 48.0, 6) AS r_mean_pixel
+  FROM rz2 GROUP BY doc_id),
+-- whole-video mean: frame f starts at (av + 17f) mod 256; vm = vw·vh < 256
+-- so each frame sum is the 2-case wrap-around arithmetic series
+vf AS (
+  SELECT doc_id, vm, vnf, (av + 17 * unnest(range(0, vnf))) % 256 AS sf FROM q),
+vfs AS (
+  SELECT doc_id, vm, vnf,
+         CASE WHEN sf + vm <= 256
+              THEN vm * sf + vm * (vm - 1) // 2
+              ELSE (256 - sf) * (sf + 255) // 2
+                   + (vm - 256 + sf) * (vm - 256 + sf - 1) // 2 END AS fsum
+  FROM vf),
+vagg AS (
+  SELECT doc_id,
+         ROUND(CAST(sum(fsum) AS DOUBLE) / (max(vnf) * max(vm)), 6) AS v_mean_pixel
+  FROM vfs GROUP BY doc_id),
+-- sampled frames at 2000 ms (fps 1, duration vnf·1000): k = max(vnf//2, 1)
+-- samples, sampled frame index = 2s
+sf_ AS (
+  SELECT doc_id, vm,
+         (av + 17 * least(2 * unnest(range(0, greatest(vnf // 2, 1))), vnf - 1)) % 256 AS sf
+  FROM q),
+sfs AS (
+  SELECT doc_id, vm, sf,
+         CASE WHEN sf + vm <= 256
+              THEN vm * sf + vm * (vm - 1) // 2
+              ELSE (256 - sf) * (sf + 255) // 2
+                   + (vm - 256 + sf) * (vm - 256 + sf - 1) // 2 END AS fsum
+  FROM sf_),
+sagg AS (
+  SELECT doc_id,
+         count(*) AS vs_n_sampled,
+         ROUND(avg(CAST(fsum AS DOUBLE) / vm), 6) AS vs_mean_sampled,
+         CAST(sum(sf) AS BIGINT) AS vs_px_sum
+  FROM sfs GROUP BY doc_id)
+SELECT r.doc_id AS media_id,
        CAST(w AS BIGINT) AS width,
        CAST(h AS BIGINT) AS height,
        ROUND(CAST(cycles * 32640 + rem_sum AS DOUBLE) / n, 6) AS mean_pixel,
        CAST(a AS BIGINT) AS px00,
-       greatest(CAST(floor((n_chars * 10) / 1000.0) AS BIGINT), 1) AS n_frames,
+       CAST((a + n - 1) % 256 AS BIGINT) AS pxhw,
+       ragg.r_mean_pixel,
+       CAST((a + (5 * h // 6) * w + (7 * w // 8)) % 256 AS BIGINT) AS r_pxhw,
        CAST(ns AS BIGINT) AS n_samples,
        CAST(8000 AS BIGINT) AS sample_rate,
        ROUND(CAST(16 * (acycles * 32640 + arem_sum - 128 * ns) AS DOUBLE) / ns, 6)
          AS mean_sample,
-       CAST((aa % 256 - 128) * 16 AS BIGINT) AS s0
+       CAST((aa % 256 - 128) * 16 AS BIGINT) AS s0,
+       CAST(vnf AS BIGINT) AS n_frames,
+       CAST(vw AS BIGINT) AS v_width,
+       CAST(vh AS BIGINT) AS v_height,
+       vagg.v_mean_pixel,
+       CAST(av AS BIGINT) AS v_px000,
+       sagg.vs_n_sampled,
+       sagg.vs_mean_sampled,
+       sagg.vs_px_sum
 FROM r
+JOIN ragg ON ragg.doc_id = r.doc_id
+JOIN vagg ON vagg.doc_id = r.doc_id
+JOIN sagg ON sagg.doc_id = r.doc_id
 """
 
 

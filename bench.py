@@ -146,13 +146,15 @@ def main() -> None:
     bench("events_hourly", lambda: force(E.q_events_hourly(spark, SF_DIR)))
     bench("events_sessionize", lambda: force(E.q_events_sessionize(spark, SF_DIR)))
 
-    # multimodal: synth real-format payloads (BMP + WAV) → pure-python
-    # decode inside Arrow mapInPandas → feature tables
+    # multimodal: synth real-format payloads (BMP + WAV + RVID) →
+    # pure-python decode inside Arrow mapInPandas → feature tables
     from sparkglm_spark.operators.multimodal import (
         audio_features,
         image_features,
         synth_bmp_media_from_documents,
+        synth_video_media_from_documents,
         synth_wav_media_from_documents,
+        video_features,
     )
 
     bench(
@@ -160,6 +162,7 @@ def main() -> None:
         lambda: (
             force(image_features(synth_bmp_media_from_documents(docs))),
             force(audio_features(synth_wav_media_from_documents(docs))),
+            force(video_features(synth_video_media_from_documents(docs))),
         ),
     )
 

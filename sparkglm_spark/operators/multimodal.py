@@ -2,11 +2,13 @@
 with typed metadata, processed through Arrow-batched mapInPandas.
 
 Decode kernels are REAL for the container-friendly formats — BMP 24/32-bit
-and PPM P6 images (`decode_image`), RIFF/WAV PCM-16 audio (`decode_audio`)
-— implemented in pure python/numpy (no codec libraries). Compressed formats
-(JPEG/PNG/MP3/H.264) would slot into the same one-function bodies without
-changing any plan shape; the remaining stand-ins (`fake_decode_features`,
-`fake_resize`, per-frame video decode) are explicit and documented.
+and PPM P6 images (`decode_image`/`encode_bmp_rgb`), RIFF/WAV PCM-16 audio
+(`decode_audio`), and RVID raw-frame video (`decode_video`) — implemented
+in pure python/numpy (no codec libraries), as are the nearest-neighbor
+resize (`resize_image_nn`) and per-frame sampling decode (`sample_frames`).
+Compressed formats (JPEG/PNG/MP3/H.264) would slot into the same
+one-function bodies without changing any plan shape. `payload_byte_stats`
+is the only non-decoding path and is explicitly opt-in for opaque formats.
 
 Design for 100 TB of media:
 - payloads never leave the JVM→Arrow batch path as Python objects per row;
@@ -84,13 +86,13 @@ def media_content_dedup(media: DataFrame) -> DataFrame:
     )
 
 
-def encode_bmp_gray(gray: np.ndarray) -> bytes:
-    """Encode a (H, W) uint8 grayscale array as an uncompressed 24-bit BMP
-    (r = g = b). Pure python/numpy — the synthetic-payload generator for
-    pipelines tested in codec-less containers."""
+def encode_bmp_rgb(rgb: np.ndarray) -> bytes:
+    """Encode a (H, W, 3) uint8 RGB array as an uncompressed 24-bit BMP
+    (BGR byte order, bottom-up rows, 4-byte-aligned strides). Pure
+    python/numpy — the encoder half of the real BMP codec."""
     import struct
 
-    h, w = gray.shape
+    h, w = rgb.shape[:2]
     row_bytes = w * 3
     pad = (-row_bytes) % 4
     img_size = (row_bytes + pad) * h
@@ -99,9 +101,15 @@ def encode_bmp_gray(gray: np.ndarray) -> bytes:
     ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
     rows = []
     for y in range(h - 1, -1, -1):  # bottom-up row order
-        row = np.repeat(gray[y], 3).astype(np.uint8).tobytes()  # B=G=R=v
-        rows.append(row + b"\x00" * pad)
+        rows.append(rgb[y, :, ::-1].astype(np.uint8).tobytes() + b"\x00" * pad)
     return header + b"".join(rows)
+
+
+def encode_bmp_gray(gray: np.ndarray) -> bytes:
+    """Encode a (H, W) uint8 grayscale array as an uncompressed 24-bit BMP
+    (r = g = b). Pure python/numpy — the synthetic-payload generator for
+    pipelines tested in codec-less containers."""
+    return encode_bmp_rgb(np.stack([gray, gray, gray], axis=-1))
 
 
 def decode_image(payload: bytes) -> np.ndarray:
@@ -212,10 +220,54 @@ def decode_audio(payload: bytes) -> tuple[np.ndarray, int, int]:
     return samples.reshape(-1, channels), rate, channels
 
 
-def fake_decode_features(payload: bytes, n_features: int = 8) -> np.ndarray:
-    """Deterministic stand-in for decode+feature-extract: statistics of the
-    payload bytes. Same signature/shape a real extractor would have."""
+# ---------------------------------------------------------------------------
+# Raw-frame video container ("RVID"): the trivial uncompressed format that
+# lets the video path run REAL decode in codec-less containers — header
+# b"RVID" + <HHHH>(width, height, n_frames, fps), then n_frames grayscale
+# frames of height·width bytes each (row-major, top-down). H.264/VP9 would
+# slot into the same decode_video body via ffmpeg without changing any plan.
+# ---------------------------------------------------------------------------
+
+
+def encode_rawvideo(frames: np.ndarray, fps: int = 1) -> bytes:
+    """Encode (n_frames, H, W) uint8 grayscale frames as an RVID payload."""
+    import struct
+
+    n, h, w = frames.shape
+    return (
+        b"RVID"
+        + struct.pack("<HHHH", w, h, n, fps)
+        + frames.astype(np.uint8).tobytes()
+    )
+
+
+def decode_video(payload: bytes) -> tuple[np.ndarray, int]:
+    """REAL pure-python video decoder for the RVID raw-frame container:
+    returns ((n_frames, H, W) uint8 grayscale frames, fps). Compressed
+    codecs raise ValueError — swap in ffmpeg for H.264/VP9 without changing
+    any plan shape."""
+    import struct
+
+    if payload[:4] != b"RVID":
+        raise ValueError(
+            "unsupported video format (RVID raw-frame container built in; "
+            "H.264/VP9 need codec libraries not present in this container)"
+        )
+    w, h, n, fps = struct.unpack_from("<HHHH", payload, 4)
+    need = n * h * w
+    arr = np.frombuffer(payload, dtype=np.uint8, count=need, offset=12)
+    return arr.reshape(n, h, w).copy(), fps
+
+
+def payload_byte_stats(payload: bytes, n_features: int = 8) -> np.ndarray:
+    """Statistics of the RAW payload bytes — the honest fallback for opaque
+    formats whose codec is not built in. NOT a decoder: byte statistics of
+    an encoded payload are not content features. Prefer `decode_features`."""
     arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+    return _stats_vector(arr, n_features)
+
+
+def _stats_vector(arr: np.ndarray, n_features: int = 8) -> np.ndarray:
     if arr.size == 0:
         return np.zeros(n_features)
     return np.array(
@@ -232,6 +284,29 @@ def fake_decode_features(payload: bytes, n_features: int = 8) -> np.ndarray:
     )
 
 
+def decode_features(payload: bytes, n_features: int = 8) -> np.ndarray:
+    """REAL decode + feature-extract: sniffs the container magic, decodes
+    with the matching pure-python codec, and returns statistics of the
+    DECODED content (gray pixels / PCM samples / frame pixels) — not of the
+    encoded bytes. Unknown formats raise ValueError; use
+    `payload_byte_stats` explicitly for opaque payloads."""
+    payload = bytes(payload)
+    if payload[:2] in (b"BM", b"P6"):
+        rgb = decode_image(payload)
+        gray = rgb.astype(np.int64).sum(axis=2) // 3
+        return _stats_vector(gray.ravel().astype(np.float64), n_features)
+    if payload[:4] == b"RIFF":
+        samples, _rate, _channels = decode_audio(payload)
+        return _stats_vector(samples.ravel().astype(np.float64), n_features)
+    if payload[:4] == b"RVID":
+        frames, _fps = decode_video(payload)
+        return _stats_vector(frames.ravel().astype(np.float64), n_features)
+    raise ValueError(
+        "unknown media container (BMP/PPM, RIFF/WAV, RVID built in); "
+        "pass batch_decoder=payload_byte_stats for opaque payloads"
+    )
+
+
 FEATURES_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -241,10 +316,12 @@ FEATURES_SCHEMA = StructType(
 )
 
 
-def extract_features(media: DataFrame, batch_decoder=fake_decode_features) -> DataFrame:
+def extract_features(media: DataFrame, batch_decoder=decode_features) -> DataFrame:
     """mapInPandas feature extraction: Arrow batches in, payload column
     dropped on output (decoded features are ~KB where payloads are ~MB —
-    never carry both through a shuffle)."""
+    never carry both through a shuffle). The default decoder is the REAL
+    magic-sniffing `decode_features`; pass `payload_byte_stats` for opaque
+    formats with no built-in codec."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -380,19 +457,21 @@ IMAGE_FEATURES_SCHEMA = StructType(
         StructField("height", LongType()),
         StructField("mean_pixel", DoubleType()),
         StructField("px00", LongType()),
+        StructField("pxhw", LongType()),
     ]
 )
 
 
 def image_features(media: DataFrame) -> DataFrame:
     """Decode + feature-extract through the REAL decoder: Arrow batches of
-    payload bytes in, (width, height, mean gray, top-left gray) out. The
-    mean is an exact integer sum / n (deterministic double), and px00
-    proves the decoder reconstructs row order, not just byte statistics."""
+    payload bytes in, (width, height, mean gray, corner grays) out. The
+    mean is an exact integer sum / n (deterministic double); px00 (top-left)
+    and pxhw (bottom-right) prove the decoder reconstructs row order and
+    extent, not just byte statistics."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            w_l, h_l, mean_l, px_l = [], [], [], []
+            w_l, h_l, mean_l, px_l, pc_l = [], [], [], [], []
             for payload in pdf["payload"]:
                 rgb = decode_image(bytes(payload))
                 gray = rgb.astype(np.int64).sum(axis=2) // 3  # r=g=b → exact
@@ -401,6 +480,7 @@ def image_features(media: DataFrame) -> DataFrame:
                 h_l.append(h)
                 mean_l.append(float(gray.sum()) / (w * h))
                 px_l.append(int(gray[0, 0]))
+                pc_l.append(int(gray[-1, -1]))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -408,29 +488,34 @@ def image_features(media: DataFrame) -> DataFrame:
                     "height": h_l,
                     "mean_pixel": mean_l,
                     "px00": px_l,
+                    "pxhw": pc_l,
                 }
             )
 
     return media.select("media_id", "payload").mapInPandas(run, IMAGE_FEATURES_SCHEMA)
 
 
-def fake_resize(payload: bytes, width: int, height: int) -> bytes:
-    """Deterministic stand-in for an image resize kernel (real impl:
-    PIL/turbojpeg). Truncates/pads the payload to width·height bytes so the
-    output size contract (payload length = target pixel count) is real."""
-    target = max(int(width) * int(height), 1)
-    arr = np.frombuffer(payload, dtype=np.uint8)
-    if arr.size >= target:
-        return arr[:target].tobytes()
-    return np.pad(arr, (0, target - arr.size)).tobytes()
+def resize_image_nn(payload: bytes, width: int, height: int) -> bytes:
+    """REAL image resize: decode (BMP/PPM codec), nearest-neighbor resample
+    with floor index mapping (src_y = y·H//height, src_x = x·W//width —
+    engine-portable integer arithmetic, so resized pixels are closed-form
+    functions of the source pattern), re-encode as 24-bit BMP."""
+    rgb = decode_image(bytes(payload))
+    h, w = rgb.shape[:2]
+    ys = (np.arange(int(height)) * h) // int(height)
+    xs = (np.arange(int(width)) * w) // int(width)
+    return encode_bmp_rgb(rgb[ys][:, xs])
 
 
 def resize_images(
-    media: DataFrame, width: int, height: int, batch_resizer=fake_resize
+    media: DataFrame, width: int, height: int, batch_resizer=resize_image_nn
 ) -> DataFrame:
     """mapInPandas image resize: Arrow batches of (id, payload) in, resized
     payload + updated meta out. Only image rows pass through the Python
-    stage — the filter happens JVM-side before any byte crosses to Arrow."""
+    stage — the filter happens JVM-side before any byte crosses to Arrow.
+    Default kernel is the REAL decode → nearest-neighbor → re-encode path
+    (`resize_image_nn`); output payloads are valid BMPs of the target
+    dimensions, so the result feeds straight back into `image_features`."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -461,9 +546,10 @@ def resize_images(
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Video frame-sampling *plan*: one output row per sampled timestamp
-    (explode over the sample grid from metadata). Decode of each frame is
-    the stubbed kernel; the row multiplication & partitioning are real."""
+    """Video frame-sampling PLAN from metadata alone: one output row per
+    sampled timestamp (explode over the grid) — no payload bytes touched,
+    so it prunes to the meta struct at scan time. Pair with
+    `sample_frames` when the sampled frames should actually be decoded."""
     # floor (not cast) — engine-portable truncation semantics
     n_frames = F.floor(F.col("meta.duration_ms") / every_ms)
     return (
@@ -475,4 +561,152 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             ).alias("frame_idx"),
         )
         .withColumn("ts_ms", F.col("frame_idx") * every_ms)
+    )
+
+
+def synth_video_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL-format video table from the documents testdata:
+    payload is a valid RVID raw-frame container whose frames follow a
+    closed-form pattern (frame f, row-major pixel t: gray =
+    (doc_id·13 + f·17 + t) mod 256; width = n_chars mod 12 + 4, height =
+    n_chars mod 8 + 4, n_frames = n_chars mod 6 + 2, fps = 1) — so decoded
+    features (dims, frame count, per-frame and whole-video means, corner
+    pixels) are SQL-computable from (doc_id, n_chars) alone, giving the
+    video decode path an exact oracle (same mod-256 arithmetic-series sums
+    as the BMP/WAV patterns). meta.duration_ms = n_frames·1000 (fps 1)."""
+    gen_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("kind", StringType()),
+            StructField("payload", BinaryType()),
+            StructField(
+                "meta",
+                StructType(
+                    [
+                        StructField("width", LongType()),
+                        StructField("height", LongType()),
+                        StructField("duration_ms", LongType()),
+                        StructField("codec", StringType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            payloads, metas = [], []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                w = int(n_chars) % 12 + 4
+                h = int(n_chars) % 8 + 4
+                nf = int(n_chars) % 6 + 2
+                a = (int(doc_id) * 13) % 256
+                f = np.arange(nf, dtype=np.int64)[:, None]
+                t = np.arange(h * w, dtype=np.int64)[None, :]
+                frames = ((a + 17 * f + t) % 256).astype(np.uint8).reshape(nf, h, w)
+                payloads.append(encode_rawvideo(frames, fps=1))
+                metas.append(
+                    {
+                        "width": w,
+                        "height": h,
+                        "duration_ms": nf * 1000,
+                        "codec": "rawvideo",
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": ["video"] * len(pdf),
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return docs.select("doc_id", "n_chars").mapInPandas(gen, gen_schema)
+
+
+VIDEO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("v_frames", LongType()),
+        StructField("v_width", LongType()),
+        StructField("v_height", LongType()),
+        StructField("v_mean_pixel", DoubleType()),
+        StructField("v_px000", LongType()),
+    ]
+)
+
+
+def video_features(media: DataFrame) -> DataFrame:
+    """Whole-video decode + feature-extract through the REAL RVID decoder:
+    (frame count, dims, exact mean over every frame's pixels, first pixel
+    of frame 0). v_px000 proves frame order and layout, not statistics."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            nf_l, w_l, h_l, m_l, p_l = [], [], [], [], []
+            for payload in pdf["payload"]:
+                frames, _fps = decode_video(bytes(payload))
+                nf, h, w = frames.shape
+                nf_l.append(nf)
+                w_l.append(w)
+                h_l.append(h)
+                m_l.append(float(frames.astype(np.int64).sum()) / (nf * h * w))
+                p_l.append(int(frames[0, 0, 0]))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "v_frames": nf_l,
+                    "v_width": w_l,
+                    "v_height": h_l,
+                    "v_mean_pixel": m_l,
+                    "v_px000": p_l,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, VIDEO_FEATURES_SCHEMA)
+
+
+FRAME_SAMPLE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("ts_ms", LongType()),
+        StructField("frame_mean", DoubleType()),
+        StructField("fpx00", LongType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame sampling WITH real per-frame decode: each video payload is
+    decoded ONCE inside the Arrow batch (no join back to bytes, no repeat
+    decode per sample) and one row per sampled timestamp is emitted with
+    that frame's exact mean and first pixel. Sample grid matches
+    `frame_sample_plan`: timestamps 0, every_ms, … while < duration_ms
+    (at least one); frame index = min(ts·fps/1000, n_frames−1)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "frame_idx", "ts_ms", "frame_mean", "fpx00")}
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames, fps = decode_video(bytes(payload))
+                nf, h, w = frames.shape
+                duration_ms = (nf * 1000) // max(fps, 1)
+                k = max(duration_ms // every_ms, 1)
+                for s in range(int(k)):
+                    ts = s * every_ms
+                    fi = min((ts * fps) // 1000, nf - 1)
+                    frame = frames[fi].astype(np.int64)
+                    rows["media_id"].append(int(media_id))
+                    rows["frame_idx"].append(int(fi))
+                    rows["ts_ms"].append(int(ts))
+                    rows["frame_mean"].append(float(frame.sum()) / (h * w))
+                    rows["fpx00"].append(int(frame[0, 0]))
+            yield pd.DataFrame(rows)
+
+    return (
+        media.where(F.col("kind") == "video")
+        .select("media_id", "payload")
+        .mapInPandas(run, FRAME_SAMPLE_SCHEMA)
     )

@@ -1,5 +1,5 @@
 """Multimodal plumbing: schema, dedup-before-decode, Arrow feature
-extraction with the deterministic fake decoder."""
+extraction through the real pure-python codecs (BMP/PPM, WAV, RVID)."""
 
 import numpy as np
 import pytest
@@ -34,11 +34,32 @@ def test_content_dedup(media, spark):
     assert after.where("media_id = 999999").count() == 0
 
 
-def test_extract_features_matches_local(media, documents):
-    feats = {r["media_id"]: r["features"] for r in MM.extract_features(media).collect()}
-    for r in documents.limit(20).collect():
-        local = MM.fake_decode_features(r["text"].encode("utf-8"))
-        np.testing.assert_allclose(np.array(feats[r["doc_id"]]), local, rtol=1e-12)
+def test_extract_features_default_is_real_decode(documents):
+    """extract_features' default decoder sniffs the container and computes
+    stats of DECODED content — spot-check against local decode on BMPs."""
+    bmp = MM.synth_bmp_media_from_documents(documents.limit(20))
+    feats = {r["media_id"]: r["features"] for r in MM.extract_features(bmp).collect()}
+    local_payloads = {
+        r["media_id"]: bytes(r["payload"]) for r in bmp.collect()
+    }
+    assert len(feats) == 20
+    for mid, payload in local_payloads.items():
+        np.testing.assert_allclose(
+            np.array(feats[mid]), MM.decode_features(payload), rtol=1e-12
+        )
+
+
+def test_extract_features_opaque_payloads_opt_in(media):
+    """Opaque (non-container) payloads: the default decoder raises; the
+    byte-stats fallback is explicit."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    with _pytest.raises(Exception):
+        MM.extract_features(media.limit(2)).collect()
+    out = MM.extract_features(media.limit(5), batch_decoder=MM.payload_byte_stats)
+    rows = out.collect()
+    assert len(rows) == 5 and all(len(r["features"]) == 8 for r in rows)
 
 
 def test_decode_real_codec_roundtrip():
@@ -67,23 +88,84 @@ def test_frame_sample_plan(documents):
     assert got == expect_frames
 
 
-def test_resize_images_contract(spark, documents):
-    from pyspark.sql import functions as F
+def test_resize_images_real_nn_kernel(spark, documents):
+    """Default resize is the REAL decode→NN-resample→re-encode path: output
+    payloads are valid BMPs of the target dims whose pixels equal numpy
+    fancy-indexing of the decoded source."""
     from sparkglm_spark.operators.multimodal import (
+        decode_image,
         resize_images,
+        synth_bmp_media_from_documents,
         synth_media_from_documents,
     )
 
-    media = synth_media_from_documents(documents, kind="image")
+    media = synth_bmp_media_from_documents(documents.limit(10))
+    src = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
     out = resize_images(media, width=8, height=4)
-    rows = out.limit(20).collect()
-    assert len(rows) > 0
+    rows = out.collect()
+    assert len(rows) == 10
     for r in rows:
-        assert len(r["payload"]) == 8 * 4
         assert (r["width"], r["height"]) == (8, 4)
+        got = decode_image(bytes(r["payload"]))
+        assert got.shape == (4, 8, 3)
+        rgb = decode_image(src[r["media_id"]])
+        h, w = rgb.shape[:2]
+        ys = (np.arange(4) * h) // 4
+        xs = (np.arange(8) * w) // 8
+        assert np.array_equal(got, rgb[ys][:, xs])
     # non-image rows are filtered JVM-side
     vid = synth_media_from_documents(documents, kind="video")
     assert resize_images(vid, 8, 4).count() == 0
+
+
+def test_rawvideo_roundtrip():
+    rng = np.random.default_rng(11)
+    frames = rng.integers(0, 256, size=(4, 6, 9), dtype=np.uint8)
+    out, fps = MM.decode_video(MM.encode_rawvideo(frames, fps=2))
+    assert fps == 2
+    assert np.array_equal(out, frames)
+    with pytest.raises(ValueError):
+        MM.decode_video(b"\x00\x00\x01\xba mpeg-ps, not raw")
+
+
+def test_video_features_match_closed_form(documents):
+    vids = MM.synth_video_media_from_documents(documents.limit(30))
+    rows = {r["media_id"]: r for r in MM.video_features(vids).collect()}
+    docs = {r.doc_id: r.n_chars for r in documents.limit(30).collect()}
+    assert len(rows) == 30
+    for mid, nc in docs.items():
+        r = rows[mid]
+        w, h, nf = nc % 12 + 4, nc % 8 + 4, nc % 6 + 2
+        a = (mid * 13) % 256
+        f = np.arange(nf)[:, None]
+        t = np.arange(h * w)[None, :]
+        frames = (a + 17 * f + t) % 256
+        assert (r["v_width"], r["v_height"], r["v_frames"]) == (w, h, nf)
+        assert r["v_px000"] == a
+        assert abs(r["v_mean_pixel"] - frames.sum() / frames.size) < 1e-12
+
+
+def test_sample_frames_decodes_sampled_grid(documents):
+    """sample_frames at 2000 ms over fps-1 RVID: sampled frame indices are
+    0, 2, …; per-frame means match the closed form."""
+    vids = MM.synth_video_media_from_documents(documents.limit(20))
+    got = {}
+    for r in MM.sample_frames(vids, every_ms=2000).collect():
+        got.setdefault(r["media_id"], []).append(r)
+    docs = {r.doc_id: r.n_chars for r in documents.limit(20).collect()}
+    for mid, nc in docs.items():
+        w, h, nf = nc % 12 + 4, nc % 8 + 4, nc % 6 + 2
+        a = (mid * 13) % 256
+        k = max(nf // 2, 1)
+        rows = sorted(got[mid], key=lambda r: r["ts_ms"])
+        assert len(rows) == k
+        for s, r in enumerate(rows):
+            fi = min(2 * s, nf - 1)
+            assert r["frame_idx"] == fi and r["ts_ms"] == s * 2000
+            t = np.arange(h * w)
+            frame = (a + 17 * fi + t) % 256
+            assert r["fpx00"] == frame[0]
+            assert abs(r["frame_mean"] - frame.sum() / frame.size) < 1e-12
 
 
 def test_wav_roundtrip_and_features():
