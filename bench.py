@@ -2,17 +2,26 @@
 """Benchmark the headline operators at $SPARK_GRAFT_SF_DIR (default sf0.1)
 on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
   {"metric": "...", "value": total_sec, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ...}
+   "queries": {name: median_sec, ...}, "queries_min": {...},
+   "n_runs": N, "sf": ...}
 
 Workloads per BASELINE.md (B1-B4) + north-star extension headliners.
 Results are forced with a noop write (full computation, no driver collect
 of row data).
+
+Protocol: every workload runs $SPARK_GRAFT_BENCH_RUNS times (default 3)
+in interleaved round-robin rounds — round 1 pays codegen/JIT warmup for
+everyone, later rounds are warm — and the reported per-query number is
+the MEDIAN (plus min for reference). Single cold runs on this box vary
+±50%, which made round-over-round deltas unattributable; medians make
+them meaningful.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -23,6 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from sparkglm_spark.session import get_spark, read_table
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_RUNS = max(int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")), 1)
 
 
 def force(df) -> None:
@@ -37,26 +47,19 @@ def main() -> None:
     orders = read_table(spark, SF_DIR, "orders")
     docs = read_table(spark, SF_DIR, "documents")
     emb = read_table(spark, SF_DIR, "embeddings")
-    ev = read_table(spark, SF_DIR, "events")
 
-    # JVM/codegen warmup (not timed)
+    # JVM warmup (not timed)
     li.limit(10).count()
 
-    timings: dict[str, float] = {}
+    workloads: list[tuple[str, object]] = []
 
-    def bench(name, fn):
-        # isolate workloads: drop caches persisted by the previous operator
-        # (minhash/corpus pipelines cache intermediates) so later timings
-        # don't absorb their GC/memory pressure
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    def W(name, fn):
+        workloads.append((name, fn))
 
     # B1: model_matrix encode (2 categoricals + numerics)
     from sparkglm_spark.functions.encoding import model_matrix
 
-    bench("encode", lambda: force(model_matrix(li.drop("l_shipdate"))))
+    W("encode", lambda: force(model_matrix(li.drop("l_shipdate"))))
 
     # B2: LM fit, k=7 (intercept + 3 numerics + 3 dummies)
     from sparkglm_spark.operators.lm import lm
@@ -70,10 +73,10 @@ def main() -> None:
             " + l_returnflag + l_linestatus",
         )
 
-    bench("lm_fit", fit_lm)
+    W("lm_fit", fit_lm)
 
     # B3: LM predict (keeps rows, adds prediction)
-    bench("lm_predict", lambda: force(model_holder["m"].predict(li)))
+    W("lm_predict", lambda: force(model_holder["m"].predict(li)))
 
     # B4: GLM binomial logit fit
     from sparkglm_spark.operators.glm import glm
@@ -81,32 +84,26 @@ def main() -> None:
     od = orders.withColumn(
         "is_f", F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0)
     )
-    bench(
-        "glm_fit",
-        lambda: glm(od, "is_f ~ o_totalprice + o_orderpriority"),
-    )
+    W("glm_fit", lambda: glm(od, "is_f ~ o_totalprice + o_orderpriority"))
 
     # extension headliners
     from sparkglm_spark.operators.dedup import minhash_dedup_pairs
     from sparkglm_spark.operators.similarity import cosine_topk
     from sparkglm_spark.operators.text import fingerprint, text_stats
 
-    bench(
+    W(
         "dedup_minhash",
         lambda: force(minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.8)),
     )
-    bench(
-        "similarity_topk",
-        lambda: force(cosine_topk(emb, emb.limit(100), k=10)),
-    )
-    bench("text_stats", lambda: force(text_stats(docs)))
-    bench("text_fingerprint", lambda: force(fingerprint(docs)))
+    W("similarity_topk", lambda: force(cosine_topk(emb, emb.limit(100), k=10)))
+    W("text_stats", lambda: force(text_stats(docs)))
+    W("text_fingerprint", lambda: force(fingerprint(docs)))
 
     from sparkglm_spark.operators.pipeline import prepare_training_corpus
     from sparkglm_spark.operators.similarity import ivf_topk
 
-    bench("corpus_prep", lambda: force(prepare_training_corpus(docs)))
-    bench(
+    W("corpus_prep", lambda: force(prepare_training_corpus(docs)))
+    W(
         "similarity_ivf",
         lambda: force(ivf_topk(emb, emb.limit(100), k=10, n_lists=16, n_probe=4)),
     )
@@ -116,7 +113,7 @@ def main() -> None:
     from sparkglm_spark.operators.pca import pca_project
     from sparkglm_spark.operators.text import bm25_search
 
-    bench(
+    W(
         "lm_grouped",
         lambda: force(
             lm_grouped(
@@ -124,11 +121,11 @@ def main() -> None:
             )
         ),
     )
-    bench(
+    W(
         "text_bm25",
         lambda: force(bm25_search(docs, ["spark", "join", "window"], top_k=20)),
     )
-    bench(
+    W(
         "pca_project",
         lambda: force(
             pca_project(
@@ -140,11 +137,11 @@ def main() -> None:
     # relational headliners
     import __spark_entry__ as E
 
-    bench("pricing_summary", lambda: force(E.q_pricing_summary(spark, SF_DIR)))
-    bench("top_orders", lambda: force(E.q_top_orders(spark, SF_DIR)))
-    bench("region_revenue", lambda: force(E.q_region_revenue(spark, SF_DIR)))
-    bench("events_hourly", lambda: force(E.q_events_hourly(spark, SF_DIR)))
-    bench("events_sessionize", lambda: force(E.q_events_sessionize(spark, SF_DIR)))
+    W("pricing_summary", lambda: force(E.q_pricing_summary(spark, SF_DIR)))
+    W("top_orders", lambda: force(E.q_top_orders(spark, SF_DIR)))
+    W("region_revenue", lambda: force(E.q_region_revenue(spark, SF_DIR)))
+    W("events_hourly", lambda: force(E.q_events_hourly(spark, SF_DIR)))
+    W("events_sessionize", lambda: force(E.q_events_sessionize(spark, SF_DIR)))
 
     # multimodal: synth real-format payloads (BMP + WAV + RVID) →
     # pure-python decode inside Arrow mapInPandas → feature tables
@@ -157,7 +154,7 @@ def main() -> None:
         video_features,
     )
 
-    bench(
+    W(
         "multimodal_decode",
         lambda: (
             force(image_features(synth_bmp_media_from_documents(docs))),
@@ -166,14 +163,29 @@ def main() -> None:
         ),
     )
 
-    total = round(sum(timings.values()), 3)
+    runs: dict[str, list[float]] = {name: [] for name, _ in workloads}
+    for _ in range(N_RUNS):
+        for name, fn in workloads:
+            # isolate workloads: drop caches persisted by the previous
+            # operator (minhash/corpus pipelines cache intermediates) so
+            # later timings don't absorb their GC/memory pressure
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn()
+            runs[name].append(time.perf_counter() - t0)
+
+    medians = {name: round(statistics.median(ts), 3) for name, ts in runs.items()}
+    mins = {name: round(min(ts), 3) for name, ts in runs.items()}
+    total = round(sum(medians.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "e2e_headline_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": medians,
+                "queries_min": mins,
+                "n_runs": N_RUNS,
                 "sf": float(sf),
             }
         )
