@@ -538,8 +538,12 @@ def minhash_dedup_pairs(
     P(miss) at j=0.8 is ≈5e-8 → output ≡ exact jaccard_pairs, at a fraction
     of the pair-comparison cost (verification touches only candidates).
 
-    The physical strategy is cost-based on corpus statistics (one fused
-    stats job over the shingle table):
+    The physical strategy is cost-based on corpus statistics, with probe
+    results reused so no job runs twice: small corpora decide everything
+    from the bounded doc-count + vocab probes; unprobed (at-scale) corpora
+    pay one cheap HLL pass, and the exact fused stats job runs ONLY when
+    the estimate leaves the bitmap plan plausible (its exact vocab size is
+    a correctness input to the bitmap packer). Strategies:
       - tiny vocab AND small corpus → EXACT all-pairs popcount over
         broadcast bitmaps, no LSH: with few possible shingle sets docs
         collide in nearly every band and LSH candidate generation exceeds
@@ -559,7 +563,9 @@ def minhash_dedup_pairs(
         n_docs = df.limit(cap + 1).count()
     else:
         n_docs = cap + 1
-    if n_docs <= cap:
+    probed = n_docs <= cap
+    vocab = None
+    if probed:
         vocab = _collect_small_vocab(df, id_col, text_col, n, _BITMAP_MAX_VOCAB)
         L = None if vocab is None else (len(vocab) + 63) // 64
         # all-pairs cost ≈ n²/2 · L word-ops; stay under a few-second budget
@@ -569,11 +575,27 @@ def minhash_dedup_pairs(
             )
 
     sh = shingles(df, id_col, text_col, n=n).persist()
-    # one fused job decides the verification strategy (vocab size → bitmap
-    # vs inverted index; doc count → broadcastability)
-    vocab_size, n_docs = sh.agg(
-        F.countDistinct("shingle"), F.countDistinct("id")
-    ).first()
+    if probed:
+        # the bounded probes already ran — reuse them instead of a stats
+        # job: vocab None ⇒ size is KNOWN to exceed _BITMAP_MAX_VOCAB,
+        # else len(vocab) is the exact size. Probe n_docs counts ALL docs
+        # (≥ docs with ≥1 shingle), a safe over-count for the broadcast
+        # byte budget below.
+        vocab_size = (_BITMAP_MAX_VOCAB + 1) if vocab is None else len(vocab)
+    else:
+        # unprobed (at-scale) corpus: one cheap HLL pass first; only a
+        # bitmap-plausible estimate pays the exact fused stats job — the
+        # exact vocab size is a correctness input to the bitmap packer
+        # (it sizes the long array), so an estimate is never trusted for
+        # it, but a large estimate (1.2× headroom ≈ 4σ at rsd 5%) safely
+        # rules the bitmap plan out without an exact distinct count.
+        est_vocab = sh.agg(F.approx_count_distinct("shingle")).first()[0]
+        if est_vocab > _BITMAP_MAX_VOCAB * 1.2:
+            vocab_size = int(est_vocab)
+        else:
+            vocab_size, n_docs = sh.agg(
+                F.countDistinct("shingle"), F.countDistinct("id")
+            ).first()
     sig = minhash_signatures(sh, num_perm=num_perm, seed=seed)
     if vocab_size <= _BITMAP_MAX_VOCAB:
         bm_bytes_per_doc = 24 + 8 * ((vocab_size + 63) // 64)

@@ -195,13 +195,18 @@ def test_minhash_planner_strategies_agree(spark, documents, monkeypatch):
         }
 
     brute = pairs()  # small corpus + tiny vocab → all-pairs plan
-    monkeypatch.setattr(D, "_BRUTE_ALLPAIRS_MAX_DOCS", 0)
-    lsh_bitmap = pairs()  # LSH candidates + bitmap popcount verify
     monkeypatch.setattr(D, "_BITMAP_MAX_VOCAB", 0)
-    lsh_inverted = pairs()  # LSH candidates + inverted-index join verify
+    # probed corpus whose vocab probe maxes out → stats job skipped,
+    # straight to the inverted-index plan
+    lsh_inverted_probed = pairs()
+    monkeypatch.setattr(D, "_BRUTE_ALLPAIRS_MAX_DOCS", 0)
+    lsh_inverted = pairs()  # unprobed + large-vocab estimate → inverted
+    monkeypatch.setattr(D, "_BITMAP_MAX_VOCAB", 4096)
+    lsh_bitmap = pairs()  # unprobed + small vocab → exact stats + bitmap
     assert brute, "fixture produced no near-dup pairs; test is vacuous"
     assert brute == lsh_bitmap
     assert brute == lsh_inverted
+    assert brute == lsh_inverted_probed
 
 
 def test_short_and_empty_texts_yield_no_shingles_any_strategy(spark):
