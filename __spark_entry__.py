@@ -1846,7 +1846,10 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         video_features,
     )
 
-    bmp = synth_bmp_media_from_documents(docs)
+    # bmp feeds two branches (direct features + resize), vid feeds two
+    # (whole-video + sampled frames): persist so each payload table's
+    # Python synth pass runs once, not per consumer
+    bmp = synth_bmp_media_from_documents(docs).persist()
     feats = image_features(bmp)
     resized = image_features(resize_images(bmp, width=8, height=6)).select(
         "media_id",
@@ -1854,7 +1857,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pxhw").alias("r_pxhw"),
     )
     audio = audio_features(synth_wav_media_from_documents(docs))
-    vid = synth_video_media_from_documents(docs)
+    vid = synth_video_media_from_documents(docs).persist()
     v = video_features(vid)
     vs = (
         sample_frames(vid, every_ms=2000)

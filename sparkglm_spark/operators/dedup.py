@@ -146,6 +146,10 @@ def jaccard_pairs(
         )
         import logging
 
+        # the cap makes hot small by construction; persist so the count
+        # below and the anti-join read one computed result, not two full
+        # shingle-count aggregations
+        hot = hot.persist()
         n_hot = hot.count()
         if n_hot:
             logging.getLogger(__name__).warning(
@@ -309,6 +313,17 @@ def _bitmap_table(sh: DataFrame, vocab_size: int) -> tuple[DataFrame, int]:
     L = (vocab_size + 63) // 64
     spark = sh.sparkSession
     vocab_rows = sorted(r[0] for r in sh.select("shingle").distinct().collect())
+    if len(vocab_rows) > vocab_size:
+        # vocab_size sizes the packed-long array; indices past L·64 would
+        # be SILENTLY dropped by the packer below. A planner that probed
+        # the vocab Python-side can only under-size it if the input frame
+        # changed between evaluations — fail loudly instead.
+        raise ValueError(
+            f"bitmap packer sized for {vocab_size} shingles but the table "
+            f"has {len(vocab_rows)} — the input DataFrame changed between "
+            "the planner's probe and execution (nondeterministic source?); "
+            "persist it first"
+        )
     vocab = F.broadcast(
         spark.createDataFrame(
             [(s, i) for i, s in enumerate(vocab_rows)], "shingle string, idx int"
@@ -554,15 +569,12 @@ def minhash_dedup_pairs(
         whose cost scales with |candidates| ≈ |output| on natural corpora.
     All three produce the same pairs (candidate recall ≈ 1 at threshold,
     verification exact)."""
-    # planner probe, bounded two ways: many-split inputs skip it outright,
-    # and the count itself runs under a limit so a large DERIVED corpus
-    # (post-shuffle frames report spark.sql.shuffle.partitions regardless
-    # of row count) stops counting at cap+1 instead of scanning everything.
+    from sparkglm_spark.plans.partitioning import bounded_row_probe
+
     cap = _BRUTE_ALLPAIRS_MAX_DOCS
-    if df.rdd.getNumPartitions() <= _BRUTE_PROBE_MAX_PARTITIONS:
-        n_docs = df.limit(cap + 1).count()
-    else:
-        n_docs = cap + 1
+    n_docs = bounded_row_probe(
+        df, cap, max_partitions=_BRUTE_PROBE_MAX_PARTITIONS
+    )
     probed = n_docs <= cap
     vocab = None
     if probed:

@@ -248,7 +248,7 @@ def decode_video(payload: bytes) -> tuple[np.ndarray, int]:
     any plan shape."""
     import struct
 
-    if payload[:4] != b"RVID":
+    if payload[:4] != b"RVID" or len(payload) < 12:
         raise ValueError(
             "unsupported video format (RVID raw-frame container built in; "
             "H.264/VP9 need codec libraries not present in this container)"
@@ -651,6 +651,10 @@ def video_features(media: DataFrame) -> DataFrame:
                 nf_l.append(nf)
                 w_l.append(w)
                 h_l.append(h)
+                if nf == 0:  # valid zero-frame container: no pixel stats
+                    m_l.append(None)
+                    p_l.append(None)
+                    continue
                 m_l.append(float(frames.astype(np.int64).sum()) / (nf * h * w))
                 p_l.append(int(frames[0, 0, 0]))
             yield pd.DataFrame(
@@ -683,8 +687,9 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     decoded ONCE inside the Arrow batch (no join back to bytes, no repeat
     decode per sample) and one row per sampled timestamp is emitted with
     that frame's exact mean and first pixel. Sample grid matches
-    `frame_sample_plan`: timestamps 0, every_ms, … while < duration_ms
-    (at least one); frame index = min(ts·fps/1000, n_frames−1)."""
+    `frame_sample_plan`: floor(duration_ms/every_ms) samples (min 1) at
+    timestamps 0, every_ms, …; frame index = min(ts·fps/1000, n_frames−1).
+    Zero-frame videos emit no rows."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -692,6 +697,8 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 frames, fps = decode_video(bytes(payload))
                 nf, h, w = frames.shape
+                if nf == 0:
+                    continue
                 duration_ms = (nf * 1000) // max(fps, 1)
                 k = max(duration_ms // every_ms, 1)
                 for s in range(int(k)):

@@ -200,7 +200,13 @@ def cosine_near_dup_pairs(
     driver; `near_dup_pairs` is the auto-routing entry point that degrades
     to `lsh_near_dup_pairs` (equi-join candidates, same exact re-rank)
     instead of raising."""
-    over = df.select(id_col).limit(max_collect_rows + 1).count()
+    from sparkglm_spark.plans.partitioning import bounded_row_probe
+
+    # max_partitions=None: this gate's contract REQUIRES the count (it
+    # must raise past the gate, not guess)
+    over = bounded_row_probe(
+        df.select(id_col), max_collect_rows, max_partitions=None
+    )
     if over > max_collect_rows:
         raise ValueError(
             f"cosine_near_dup_pairs: corpus exceeds max_collect_rows="
@@ -474,13 +480,6 @@ def lsh_near_dup_pairs(
     )
 
 
-# inputs with more splits than this are certainly past the exact gate —
-# skip the count probe entirely (same guard shape as dedup.minhash planner:
-# post-shuffle frames report spark.sql.shuffle.partitions regardless of
-# row count, so the probe runs under a limit and only on few-split inputs)
-_NEARDUP_PROBE_MAX_PARTITIONS = 256
-
-
 def near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -498,18 +497,37 @@ def near_dup_pairs(
     - larger → hyperplane-LSH bucket join + exact cosine re-rank
       (`lsh_near_dup_pairs`): recall < 1 by construction (1.0 for exact
       duplicates — identical vectors share every signature chunk),
-      precision exactly 1 (every emitted pair is re-scored).
+      precision exactly 1 (every emitted pair is re-scored). Routing to
+      the approximate plan is logged at WARNING, with the recall math —
+      never a silent degradation (same contract as jaccard_pairs' cap).
 
-    The probe is bounded: a limit-capped count, skipped outright (assume
-    large) for many-split inputs. Same output columns either way
-    (id_a, id_b, cosine with id_a < id_b)."""
+    The probe is bounded (`plans.partitioning.bounded_row_probe`): a
+    limit-capped count, skipped outright (assume large) for many-split
+    inputs. Same output columns either way (id_a, id_b, cosine with
+    id_a < id_b)."""
+    from sparkglm_spark.plans.partitioning import bounded_row_probe
+
     cap = exact_max_rows
-    if df.rdd.getNumPartitions() <= _NEARDUP_PROBE_MAX_PARTITIONS:
-        n_rows = df.select(id_col).limit(cap + 1).count()
-    else:
-        n_rows = cap + 1
+    n_rows = bounded_row_probe(df.select(id_col), cap)
     if n_rows <= cap:
         return _cosine_all_pairs_broadcast(df, id_col, vec_col, threshold)
+    import logging
+    import math as _math
+
+    n_chunks = n_bits // 16
+    p_chunk = (1.0 - _math.acos(min(max(threshold, -1.0), 1.0)) / _math.pi) ** 16
+    recall = 1.0 - (1.0 - p_chunk) ** n_chunks
+    logging.getLogger(__name__).warning(
+        "near_dup_pairs: corpus exceeds exact_max_rows=%d (or arrived with "
+        "too many partitions to probe) — degrading to hyperplane-LSH: "
+        "precision stays 1.0 but expected recall at threshold %.3f with "
+        "%d bits is ≈%.2f (1.0 for exact duplicates). Raise n_bits for "
+        "higher recall, or call cosine_near_dup_pairs for the exact plan.",
+        cap,
+        threshold,
+        n_bits,
+        recall,
+    )
     return lsh_near_dup_pairs(
         df,
         _vec_dim(df, vec_col),

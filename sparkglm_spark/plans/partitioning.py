@@ -23,3 +23,24 @@ def ensure_parallel(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < ncores:
         return df.repartition(ncores)
     return df
+
+
+def bounded_row_probe(
+    df: DataFrame, cap: int, max_partitions: int | None = 256
+) -> int:
+    """Row count for cost-based planners, bounded two ways: the count runs
+    under limit(cap+1) so a huge input stops counting at cap+1 instead of
+    scanning everything, and inputs with more partitions than
+    `max_partitions` skip the probe outright and report cap+1 — derived
+    (post-shuffle) frames report spark.sql.shuffle.partitions regardless of
+    row count, and at real scale even a limit-capped count pays the full
+    upstream computation. Pass max_partitions=None to always count (for
+    callers whose contract REQUIRES the answer, e.g. a hard size gate).
+    Returns the exact count when it is ≤ cap, and any value > cap means
+    "larger than cap"."""
+    if (
+        max_partitions is not None
+        and df.rdd.getNumPartitions() > max_partitions
+    ):
+        return cap + 1
+    return df.limit(cap + 1).count()

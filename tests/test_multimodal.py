@@ -210,3 +210,28 @@ def test_audio_features_match_closed_form(spark, documents):
         assert r.n_samples == n and r.sample_rate == 8000 and r.channels == 1
         assert r.s0 == samples[0]
         assert abs(r.mean_sample - samples.sum() / n) < 1e-12
+
+
+def test_zero_frame_video_is_handled(spark):
+    """A valid zero-frame RVID payload: video_features emits null pixel
+    stats, sample_frames emits no rows, decode_features returns zeros —
+    no IndexError/ZeroDivisionError inside the Arrow UDFs."""
+    payload = MM.encode_rawvideo(np.zeros((0, 4, 4), dtype=np.uint8), fps=1)
+    frames, fps = MM.decode_video(payload)
+    assert frames.shape == (0, 4, 4) and fps == 1
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(payload))],
+        "media_id bigint, kind string, payload binary",
+    )
+    row = MM.video_features(media).collect()[0]
+    assert row["v_frames"] == 0
+    assert row["v_mean_pixel"] is None and row["v_px000"] is None
+    assert MM.sample_frames(media).count() == 0
+
+
+def test_truncated_rvid_raises_valueerror():
+    """Truncated payloads starting with the magic must raise the documented
+    ValueError (not struct.error) so fallback-on-ValueError callers work."""
+    for bad in (b"RVID", b"RVID\x04\x00\x02"):
+        with pytest.raises(ValueError):
+            MM.decode_video(bad)

@@ -194,3 +194,21 @@ def test_near_dup_router_degrades_to_lsh_past_gate(spark, embeddings):
     assert got <= exact  # precision 1 (every emitted pair is truly >= thr)
     dup_pairs = {p for p in exact if p[1] - p[0] == 10_000}
     assert dup_pairs <= got  # recall 1 on exact duplicates
+
+
+def test_near_dup_router_warns_when_degrading(spark, embeddings, caplog):
+    """Routing to the approximate LSH plan must be loud (WARNING with the
+    recall math), mirroring jaccard_pairs' cap warning."""
+    import logging
+
+    from sparkglm_spark.operators.similarity import near_dup_pairs
+
+    with caplog.at_level(
+        logging.WARNING, logger="sparkglm_spark.operators.similarity"
+    ):
+        near_dup_pairs(
+            embeddings.select("vec_id", "embedding"),
+            threshold=0.95,
+            exact_max_rows=10,
+        ).count()
+    assert any("degrading to hyperplane-LSH" in r.message for r in caplog.records)
