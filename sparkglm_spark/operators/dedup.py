@@ -362,41 +362,57 @@ def _py_shingle_set(text, n: int):
     return {text[i : i + n] for i in range(len(text) - n + 1)}
 
 
-def _collect_small_vocab(
-    df: DataFrame, id_col: str, text_col: str, n: int, limit: int
-) -> list[str] | None:
-    """Distinct shingle vocabulary IF it is small: per-partition distinct in
-    an Arrow batch pass, global distinct capped at limit+1 rows. Returns
-    None when the vocab exceeds `limit` (large-vocab corpora take the LSH
-    plan; driver memory stays bounded either way)."""
+def _shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, shingles array<string>) — each doc's distinct lowercased
+    n-gram set, extracted in ONE Arrow batch pass. The probed planner
+    persists this frame and derives BOTH the vocab probe and the bitmap
+    table from it, so the Python shingling work runs once, not once per
+    consumer. Docs with no shingles (len < n) are excluded, matching the
+    explode-based `shingles` path."""
     from sparkglm_spark.plans.partitioning import ensure_parallel
 
-    def part_vocab(batches):
+    def gen(batches):
         import pandas as pd
 
         for pdf in batches:
-            vocab = set()
-            for t in pdf[text_col]:
-                vocab |= _py_shingle_set(t, n)
-            if vocab:
-                yield pd.DataFrame({"shingle": sorted(vocab)})
+            ids, sets = [], []
+            for doc_id, t in zip(pdf[id_col], pdf[text_col]):
+                ss = _py_shingle_set(t, n)
+                if ss:
+                    ids.append(doc_id)
+                    sets.append(sorted(ss))
+            if ids:  # an empty frame's list column loses its dtype
+                yield pd.DataFrame({"id": ids, "shingles": sets})
 
-    vocab_df = ensure_parallel(
-        df.select(F.lower(F.col(text_col)).alias(text_col))
-    ).mapInPandas(part_vocab, "shingle string")
-    rows = vocab_df.distinct().limit(limit + 1).collect()
+    id_type = df.schema[id_col].dataType.simpleString()
+    return ensure_parallel(
+        df.select(F.col(id_col), F.lower(F.col(text_col)).alias(text_col))
+    ).mapInPandas(gen, f"id {id_type}, shingles array<string>")
+
+
+def _vocab_from_sets(sets: DataFrame, limit: int) -> list[str] | None:
+    """Distinct shingle vocabulary from a `_shingle_sets` frame IF it is
+    small: JVM-side explode + distinct, capped at limit+1 rows. Returns
+    None when the vocab exceeds `limit` (large-vocab corpora take the LSH
+    plan; driver memory stays bounded either way). Collecting here also
+    MATERIALIZES the persisted sets frame, so every later consumer reads
+    the cache."""
+    rows = (
+        sets.select(F.explode("shingles").alias("shingle"))
+        .distinct()
+        .limit(limit + 1)
+        .collect()
+    )
     if len(rows) > limit:
         return None
     return sorted(r[0] for r in rows)
 
 
-def _allpairs_by_bitmap_from_text(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    n: int,
+def _allpairs_by_bitmap_from_sets(
+    sets: DataFrame,
     threshold: float,
     vocab: list[str],
+    id_type: str,
 ) -> DataFrame:
     """EXACT all-pairs Jaccard — the cost-based plan when LSH banding
     degenerates. On a tiny shingle vocabulary the possible shingle sets are
@@ -405,21 +421,16 @@ def _allpairs_by_bitmap_from_text(
     vocab=377: 59.2M LSH candidate pairs vs 12.5M total pairs). All-pairs
     is then strictly cheaper AND exact.
 
-    Bitmaps are built straight from the text in ONE Arrow batch pass (no
-    shingle explode, no shuffle): each doc's distinct n-gram set packs into
-    ceil(V/64) longs against the driver-collected vocab. Pairing is a
-    broadcast nested-loop join with a codegen AND+popcount filter — the
-    whole operator is shuffle-free. Docs with no shingles (len < n) are
-    excluded, matching the explode-based path."""
-    from sparkglm_spark.plans.partitioning import ensure_parallel
-
+    Bitmaps pack each doc's (already-extracted, cached) shingle set into
+    ceil(V/64) longs against the driver-collected vocab — no shuffle.
+    Pairing is a broadcast nested-loop join with a codegen AND+popcount
+    filter — the whole operator is shuffle-free."""
     if not vocab:
         # no doc has any shingle (all texts shorter than n) → no pairs;
         # L = 0 would otherwise build an empty popcount expression
-        spark = df.sparkSession
-        id_t = df.schema[id_col].dataType.simpleString()
+        spark = sets.sparkSession
         return spark.createDataFrame(
-            [], f"id_a {id_t}, id_b {id_t}, jaccard double"
+            [], f"id_a {id_type}, id_b {id_type}, jaccard double"
         )
     L = (len(vocab) + 63) // 64
     index = {s: i for i, s in enumerate(vocab)}
@@ -429,10 +440,7 @@ def _allpairs_by_bitmap_from_text(
 
         for pdf in batches:
             ids, szs, bms = [], [], []
-            for doc_id, t in zip(pdf[id_col], pdf[text_col]):
-                ss = _py_shingle_set(t, n)
-                if not ss:
-                    continue
+            for doc_id, ss in zip(pdf["id"], pdf["shingles"]):
                 words = [0] * L
                 for s in ss:
                     i = index.get(s)
@@ -450,10 +458,7 @@ def _allpairs_by_bitmap_from_text(
             if ids:  # an empty frame's bm column loses its list dtype
                 yield pd.DataFrame({"id": ids, "sz": szs, "bm": bms})
 
-    id_type = df.schema[id_col].dataType.simpleString()
-    bm = ensure_parallel(
-        df.select(F.col(id_col), F.lower(F.col(text_col)).alias(text_col))
-    ).mapInPandas(to_bitmaps, f"id {id_type}, sz int, bm array<long>")
+    bm = sets.mapInPandas(to_bitmaps, f"id {id_type}, sz int, bm array<long>")
     a = bm.select(
         F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), F.col("bm").alias("bm_a")
     )
@@ -578,15 +583,20 @@ def minhash_dedup_pairs(
     probed = n_docs <= cap
     vocab = None
     if probed:
-        vocab = _collect_small_vocab(df, id_col, text_col, n, _BITMAP_MAX_VOCAB)
+        # one Python shingling pass, persisted: the vocab probe (JVM
+        # explode+distinct over it) materializes the cache, and whichever
+        # plan wins — bitmap all-pairs or LSH — reads the same cache
+        # instead of re-shingling the corpus
+        sets = _shingle_sets(df, id_col, text_col, n).persist()
+        vocab = _vocab_from_sets(sets, _BITMAP_MAX_VOCAB)
         L = None if vocab is None else (len(vocab) + 63) // 64
         # all-pairs cost ≈ n²/2 · L word-ops; stay under a few-second budget
         if vocab is not None and n_docs * n_docs * L <= _BRUTE_ALLPAIRS_OPS_BUDGET:
-            return _allpairs_by_bitmap_from_text(
-                df, id_col, text_col, n, threshold, vocab
-            )
-
-    sh = shingles(df, id_col, text_col, n=n).persist()
+            id_type = df.schema[id_col].dataType.simpleString()
+            return _allpairs_by_bitmap_from_sets(sets, threshold, vocab, id_type)
+        sh = sets.select("id", F.explode("shingles").alias("shingle")).persist()
+    else:
+        sh = shingles(df, id_col, text_col, n=n).persist()
     if probed:
         # the bounded probes already ran — reuse them instead of a stats
         # job: vocab None ⇒ size is KNOWN to exceed _BITMAP_MAX_VOCAB,
