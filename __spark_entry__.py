@@ -1819,6 +1819,166 @@ FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM drops)
 SQL_CORPUS_PREP = _sql_corpus_prep()
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → CLUSTERS via distributed connected components
+    (min-label propagation + pointer jumping, O(log n) rounds —
+    operators/cluster.py). Every doc gets (cluster_id = min doc id in its
+    component, cluster_size, is_duplicate); transitive closure means
+    A~B, B~C clusters {A,B,C} even when A≁C directly. The pair graph is
+    the MinHash output at threshold 0.8, which equals the exact Jaccard
+    pair set on this corpus (see q_dedup_jaccard), so the oracle can
+    rebuild the same edges and close them with a recursive CTE."""
+    docs = read_table(spark, sf_dir, "documents")
+    from sparkglm_spark.operators.cluster import near_dup_clusters
+    from sparkglm_spark.operators.dedup import minhash_dedup_pairs
+
+    pairs = minhash_dedup_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    return near_dup_clusters(docs, pairs, "doc_id")
+
+
+SQL_DEDUP_CLUSTERS = r"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, unnest(list_distinct([substring(lower(text), i, 3) FOR i IN range(1, length(text) - 1)])) AS shingle
+  FROM documents),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+jac AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM jac
+  UNION ALL
+  SELECT id_b, id_a FROM jac),
+reach(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+comp AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u),
+assign AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c USING (doc_id)),
+szs AS (SELECT cluster_id, count(*) AS cluster_size FROM assign GROUP BY cluster_id)
+SELECT a.doc_id, a.cluster_id, s.cluster_size,
+       a.doc_id <> a.cluster_id AS is_duplicate
+FROM assign a JOIN szs s USING (cluster_id)
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (rebalance a skewed corpus:
+    keep all of a rare stratum, downsample the rest) — pure filter over
+    the portable key hash, per-stratum thresholds, nested samples by
+    construction. Output: per-stratum kept count + exact decimal price
+    sum + key range."""
+    orders = read_table(spark, sf_dir, "orders")
+    from sparkglm_spark.operators.split import stratified_hash_sample
+
+    samp = stratified_hash_sample(
+        orders,
+        "o_orderkey",
+        "o_orderpriority",
+        {"1-URGENT": 1.0, "2-HIGH": 0.5},
+        default_fraction=0.1,
+    )
+    return samp.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("o_totalprice"))
+        .cast("decimal(38,6)")
+        .cast("string")
+        .alias("total_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+def _sql_stratified_sample() -> str:
+    from sparkglm_spark.operators.split import _AFFINE_A, _AFFINE_B, _AFFINE_P
+
+    return f"""
+SELECT o_orderpriority, count(*) AS n,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS VARCHAR) AS total_price,
+       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+FROM orders
+WHERE ((o_orderkey % 4294967296) * {_AFFINE_A} + {_AFFINE_B}) % {_AFFINE_P} % 1000000
+      < CASE o_orderpriority WHEN '1-URGENT' THEN 1000000
+                             WHEN '2-HIGH' THEN 500000
+                             ELSE 100000 END
+GROUP BY o_orderpriority
+"""
+
+
+SQL_STRATIFIED_SAMPLE = _sql_stratified_sample()
+
+
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing for training batches
+    (operators/pack.py): docs hash-routed to 4 independent bucket
+    streams, cut at 512-token boundaries of the running whitespace-token
+    count (concat-then-chunk regime). One shuffle + per-bucket window;
+    the whole plan is JVM codegen, which is what makes it SQL-oracle-able
+    bit for bit. Output: per-pack doc count, token total, doc-id range."""
+    docs = read_table(spark, sf_dir, "documents")
+    from sparkglm_spark.operators.pack import pack_cumulative, pack_stats
+
+    return pack_stats(pack_cumulative(docs, budget=512, n_buckets=4))
+
+
+def _sql_sequence_pack() -> str:
+    from sparkglm_spark.operators.split import _AFFINE_A, _AFFINE_B, _AFFINE_P
+
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+         ((doc_id % 4294967296) * {_AFFINE_A} + {_AFFINE_B}) % {_AFFINE_P}
+           % 1000000 % 4 AS bucket
+  FROM documents),
+packed AS (
+  SELECT doc_id, bucket, n_tokens,
+         CAST(FLOOR(CAST(COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY bucket ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+           / 512) AS BIGINT) AS pack_id
+  FROM toks)
+SELECT bucket, pack_id, count(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM packed GROUP BY bucket, pack_id
+"""
+
+
+SQL_SEQUENCE_PACK = _sql_sequence_pack()
+
+
+def q_skew_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe exact distinct counting (operators/stats.py
+    distinct_count_salted): COUNT(DISTINCT user_id) per event_type with
+    the distinct set salted across 16 reducers per key — the plan that
+    survives one event_type dominating the stream (a plain per-key
+    distinct serializes the hot key on one core). Exact by construction:
+    each distinct value lands in exactly one salt bucket."""
+    ev = read_table(spark, sf_dir, "events")
+    from sparkglm_spark.operators.stats import distinct_count_salted
+
+    users = distinct_count_salted(
+        ev, ["event_type"], "user_id", n_salts=16, alias="n_users"
+    )
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    return counts.join(users, "event_type")
+
+
+SQL_SKEW_DISTINCT_COUNT = """
+SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline, ALL REAL decode kernels, one exact oracle row
     set per media id:
@@ -2796,6 +2956,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bm25": q_text_bm25,
     "lineitem_pca": q_lineitem_pca,
     "split_sample": q_split_sample,
+    "stratified_sample": q_stratified_sample,
+    "sequence_pack": q_sequence_pack,
+    "skew_distinct_count": q_skew_distinct_count,
+    "dedup_clusters": q_dedup_clusters,
     "corpus_prep": q_corpus_prep,
     "multimodal_features": q_multimodal_features,
 }
@@ -2849,6 +3013,10 @@ _ORACLES: dict[str, str] = {
     "text_bm25": SQL_TEXT_BM25,
     "lineitem_pca": SQL_LINEITEM_PCA,
     "split_sample": SQL_SPLIT_SAMPLE,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "sequence_pack": SQL_SEQUENCE_PACK,
+    "skew_distinct_count": SQL_SKEW_DISTINCT_COUNT,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "corpus_prep": SQL_CORPUS_PREP,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
 }

@@ -1,0 +1,161 @@
+"""Connected components over near-duplicate pair graphs.
+
+Dedup pipelines need cluster REPRESENTATIVES, not just pairs: "keep one
+doc per near-dup cluster" is a transitive-closure problem (A~B, B~C ⇒
+{A,B,C} is one cluster even if A≁C directly). This module turns a pair
+table — the output of `minhash_dedup_pairs` / `jaccard_pairs` /
+`simhash_near_dup_pairs` / `lsh_near_dup_pairs` — into a
+(node, component) assignment where the component id is the MINIMUM node
+id in the component (deterministic, engine-reproducible).
+
+Algorithm: distributed min-label propagation with POINTER JUMPING
+(the hook + shortcut shape of Shiloach-Vishkin / hash-to-min):
+
+    per round:  l(v) <- min(l(v), min_{u in N(v)} l(u))   # edge hop
+                l(v) <- min(l(v), l(l(v)))                # pointer jump
+
+The edge hop alone converges in O(diameter) rounds — fine for typical
+near-dup clusters (templated copies, diameter 1-2) but O(n) on an
+adversarial chain A~B~C~...; the pointer-jump join doubles the label
+graph's compression every round, bounding convergence at O(log n) rounds
+for ANY topology. Each round is two shuffles over the LABELS table
+(|endpoints| rows, 2 longs each) plus one over the symmetric edge list;
+the working set is labels + edges, never payloads. `localCheckpoint`
+after every round truncates the iterative lineage (same discipline as
+the IRLS loop in operators/glm.py).
+
+Scale notes (100 TB corpus => billions of nodes, edges ~ O(nodes) for
+near-dup graphs): all state is distributed; the driver sees only the
+per-round changed-count (one long). Labels are always node ids of the
+same component (min over member labels), so the pointer-jump self-join
+always finds its target row. Singleton docs never enter the loop: the
+iteration runs over edge ENDPOINTS only, and nodes without edges are
+backfilled with their own id afterward (at near-dup thresholds worth
+running, endpoints are a small fraction of the corpus).
+
+Reference parity: the reference (alteryx/sparkGLM) has no graph
+operators; this extends the dedup surface (SURVEY.md §2 extension ops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    nodes: DataFrame | None = None,
+    id_col: str = "id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components of the undirected graph given by `edges`.
+
+    Returns (``id_col``, ``component``) — component = min node id in the
+    component. If `nodes` is given (one column ``id_col``), every node
+    appears in the output; nodes absent from `edges` map to themselves.
+
+    `max_iter` is a backstop, not a tuning knob: pointer jumping reaches
+    the fixpoint in O(log n) rounds, so 50 covers any graph that fits on
+    a cluster. Hitting it raises rather than returning a partial merge —
+    a silently-unconverged dedup would drop the wrong documents.
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    # symmetric view, deduped: multi-edges add no information, only join fanout
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    sym = sym.persist()
+
+    labels = (
+        sym.select(F.col("u").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint()
+    )
+
+    converged = False
+    for _ in range(max_iter):
+        # edge hop: min label over the neighborhood
+        nbr = (
+            sym.join(labels.withColumnRenamed("id", "v"), "v")
+            .groupBy(F.col("u").alias("id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        hopped = (
+            labels.join(nbr, "id", "left")
+            .select(
+                "id",
+                F.col("label").alias("prev"),
+                F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
+            )
+        )
+        # pointer jump: follow the label one step (label values are node ids,
+        # so the self-join always matches)
+        jump = hopped.select(
+            F.col("id").alias("jid"), F.col("label").alias("jlabel")
+        )
+        new_labels = (
+            hopped.join(jump, hopped["label"] == jump["jid"])
+            .select(
+                "id", "prev", F.least(hopped["label"], "jlabel").alias("label")
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.where(F.col("label") != F.col("prev")).limit(1).count()
+        labels = new_labels.select("id", "label")
+        if changed == 0:
+            converged = True
+            break
+    sym.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "refusing to return a partially-merged clustering"
+        )
+
+    out = labels.select(
+        F.col("id").alias(id_col), F.col("label").alias("component")
+    )
+    if nodes is not None:
+        out = (
+            nodes.select(F.col(id_col).cast("long").alias(id_col))
+            .join(out, id_col, "left")
+            .select(
+                id_col, F.coalesce("component", F.col(id_col)).alias("component")
+            )
+        )
+    return out
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Cluster assignment for every document given a near-dup pair table:
+    (id_col, cluster_id, cluster_size, is_duplicate).
+
+    cluster_id = min doc id in the cluster; is_duplicate marks the rows a
+    keep-one-per-cluster dedup would drop (everything but the minimum).
+    The size join shuffles (cluster_id, count) — O(#clusters) rows."""
+    comp = connected_components(pairs, src=src, dst=dst, nodes=docs, id_col=id_col)
+    sizes = comp.groupBy(F.col("component").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        comp.select(id_col, F.col("component").alias("cluster_id"))
+        .join(sizes, "cluster_id")
+        .select(
+            id_col,
+            "cluster_id",
+            "cluster_size",
+            (F.col(id_col) != F.col("cluster_id")).alias("is_duplicate"),
+        )
+    )

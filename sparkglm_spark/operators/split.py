@@ -120,6 +120,41 @@ def hash_sample_expr(key, salt: int = 0) -> F.Column:
     return F.pmod(h, F.lit(_BUCKETS))
 
 
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic stratified sampling: per-stratum keep fractions over
+    the same portable key hash (rebalancing a skewed corpus — e.g. keep
+    100% of a rare language, 5% of the dominant one). A pure filter:
+    no shuffle, the predicate pushes below everything, and the kept set
+    for a stratum at fraction f is a SUBSET of the kept set at f' > f
+    (nested samples — growing a stratum's budget later only ADDS rows,
+    it never resamples). Strata not in `fractions` keep
+    `default_fraction`."""
+    for s, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for stratum {s!r} must be in [0, 1]")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError("default_fraction must be in [0, 1]")
+    b = hash_sample_expr(key_col, salt)
+    thresh = None
+    for s, f in fractions.items():
+        t = F.lit(int(round(f * _BUCKETS)))
+        cond = F.col(strata_col) == F.lit(s)
+        thresh = F.when(cond, t) if thresh is None else thresh.when(cond, t)
+    thresh = (
+        F.lit(int(round(default_fraction * _BUCKETS)))
+        if thresh is None
+        else thresh.otherwise(F.lit(int(round(default_fraction * _BUCKETS))))
+    )
+    return df.where(b < thresh)
+
+
 def hash_sample(
     df: DataFrame, key_col: str, fraction: float, salt: int = 0
 ) -> DataFrame:

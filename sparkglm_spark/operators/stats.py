@@ -43,6 +43,37 @@ def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     )
 
 
+def distinct_count_salted(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    n_salts: int = 64,
+    alias: str = "n_distinct",
+) -> DataFrame:
+    """Exact COUNT(DISTINCT value) per key group without a per-key
+    distinct hotspot. A plain distinct-count shuffles every (key, value)
+    row to ONE reducer per key — a single hot key (the power-law norm in
+    events/token data) serializes the whole stage. Salting by
+    hash(value) % n_salts splits each key across n_salts reducers; since
+    a given distinct value always lands in exactly one salt bucket, the
+    per-bucket distinct counts SUM to the exact global count (unlike
+    salting a mean/percentile, which would need a merge step).
+
+    Two shuffles: (keys, salt) distinct-count, then an O(keys × n_salts)
+    rollup — the second stage's input is tiny regardless of row count.
+    At 1000 executors, set n_salts ≳ cores so one hot key saturates the
+    cluster instead of one core."""
+    if n_salts < 1:
+        raise ValueError("n_salts must be >= 1")
+    salt = F.pmod(F.xxhash64(F.col(value_col)), F.lit(n_salts))
+    return (
+        df.groupBy(*keys, salt.alias("__salt"))
+        .agg(F.count_distinct(F.col(value_col)).alias("__partial"))
+        .groupBy(*keys)
+        .agg(F.sum("__partial").alias(alias))
+    )
+
+
 def standardize_exprs(
     stats: dict[str, tuple[float, float]], suffix: str = "_z"
 ) -> list[Column]:

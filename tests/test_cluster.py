@@ -1,0 +1,75 @@
+"""Connected components (operators/cluster.py): correctness on known
+topologies, the pointer-jumping convergence bound, and the near-dup
+cluster assignment surface."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkglm_spark.operators.cluster import connected_components, near_dup_clusters
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "id_a long, id_b long")
+
+
+def _comp_map(df):
+    return {r["id"]: r["component"] for r in df.collect()}
+
+
+def test_two_components_and_transitivity(spark):
+    # {1,2,3} via 1-2, 2-3 (no 1-3 edge) and {10,11}
+    out = _comp_map(
+        connected_components(_edges(spark, [(2, 1), (2, 3), (10, 11)]))
+    )
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_chain_converges_in_log_rounds(spark):
+    # path 0-1-2-...-40: diameter 40; pointer jumping must close it well
+    # under plain label propagation's 40 rounds
+    n = 41
+    chain = _edges(spark, [(i, i + 1) for i in range(n - 1)])
+    out = _comp_map(connected_components(chain, max_iter=8))
+    assert out == {i: 0 for i in range(n)}
+
+
+def test_duplicate_and_reversed_edges_are_harmless(spark):
+    out = _comp_map(
+        connected_components(_edges(spark, [(1, 2), (2, 1), (1, 2), (2, 3)]))
+    )
+    assert out == {1: 1, 2: 1, 3: 1}
+
+
+def test_self_loops_ignored_and_empty_edges(spark):
+    nodes = spark.range(5).select(F.col("id").alias("doc_id"))
+    out = connected_components(
+        _edges(spark, [(3, 3)]), nodes=nodes, id_col="doc_id"
+    )
+    got = {r["doc_id"]: r["component"] for r in out.collect()}
+    assert got == {i: i for i in range(5)}
+
+
+def test_max_iter_backstop_raises(spark):
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(_edges(spark, [(1, 2)]), max_iter=0)
+
+
+def test_partition_invariance(spark):
+    pairs = [(i, i + 1) for i in range(0, 30, 3)] + [(5, 20), (100, 101)]
+    e = _edges(spark, pairs)
+    a = _comp_map(connected_components(e.repartition(1)))
+    b = _comp_map(connected_components(e.repartition(7)))
+    assert a == b
+
+
+def test_near_dup_clusters_assignment(spark):
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = _edges(spark, [(0, 4), (4, 5)])  # cluster {0,4,5}; 1,2,3 singles
+    out = {r["doc_id"]: r for r in near_dup_clusters(docs, pairs).collect()}
+    assert all(out[i]["cluster_id"] == 0 for i in (0, 4, 5))
+    assert all(out[i]["cluster_size"] == 3 for i in (0, 4, 5))
+    assert [out[i]["is_duplicate"] for i in (0, 4, 5)] == [False, True, True]
+    for i in (1, 2, 3):
+        assert out[i]["cluster_id"] == i
+        assert out[i]["cluster_size"] == 1
+        assert not out[i]["is_duplicate"]

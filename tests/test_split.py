@@ -97,3 +97,40 @@ def test_hash_sample_fraction_and_invariance(spark, sf_dir):
     )
     overlap = len(set(a) & c) / max(len(c), 1)
     assert 0.05 < overlap < 0.5  # ~independent: expected ≈0.2 of the keys
+
+
+def test_stratified_sample_nesting_and_fractions(spark, orders):
+    from sparkglm_spark.operators.split import stratified_hash_sample
+
+    frs = {"1-URGENT": 1.0, "2-HIGH": 0.5}
+    samp = stratified_hash_sample(
+        orders, "o_orderkey", "o_orderpriority", frs, default_fraction=0.1
+    )
+    # fraction 1.0 keeps the whole stratum
+    n_urgent = orders.where("o_orderpriority = '1-URGENT'").count()
+    assert samp.where("o_orderpriority = '1-URGENT'").count() == n_urgent
+    # nesting: kept keys at 0.2 are a subset of kept keys at 0.5
+    lo = stratified_hash_sample(
+        orders, "o_orderkey", "o_orderpriority", {"2-HIGH": 0.2}
+    )
+    hi = stratified_hash_sample(
+        orders, "o_orderkey", "o_orderpriority", {"2-HIGH": 0.5}
+    )
+    lo_keys = {r[0] for r in lo.select("o_orderkey").collect()}
+    hi_keys = {r[0] for r in hi.select("o_orderkey").collect()}
+    assert lo_keys <= hi_keys
+    # default 0.0 drops unlisted strata entirely
+    assert lo.where("o_orderpriority <> '2-HIGH'").count() == 0
+
+
+def test_stratified_sample_validates_fractions(spark, orders):
+    from sparkglm_spark.operators.split import stratified_hash_sample
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        stratified_hash_sample(orders, "o_orderkey", "o_orderpriority", {"x": 1.5})
+    with _pytest.raises(ValueError):
+        stratified_hash_sample(
+            orders, "o_orderkey", "o_orderpriority", {}, default_fraction=-0.1
+        )

@@ -32,3 +32,30 @@ def test_standardize_rejects_constant_column(spark):
     df = spark.createDataFrame([(1.0, 5.0), (2.0, 5.0)], "x double, c double")
     with pytest.raises(ValueError, match="zero variance"):
         standardize(df, ["c"])
+
+
+def test_distinct_count_salted_exact(spark, orders):
+    from sparkglm_spark.operators.stats import distinct_count_salted
+    from pyspark.sql import functions as F
+
+    want = {
+        r["o_orderpriority"]: r["n"]
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.count_distinct("o_custkey").alias("n"))
+        .collect()
+    }
+    for n_salts in (1, 16, 257):
+        got = {
+            r["o_orderpriority"]: r["n_distinct"]
+            for r in distinct_count_salted(
+                orders, ["o_orderpriority"], "o_custkey", n_salts=n_salts
+            ).collect()
+        }
+        assert got == want, n_salts
+
+
+def test_distinct_count_salted_validates(spark, orders):
+    from sparkglm_spark.operators.stats import distinct_count_salted
+
+    with pytest.raises(ValueError):
+        distinct_count_salted(orders, ["o_orderpriority"], "o_custkey", n_salts=0)
