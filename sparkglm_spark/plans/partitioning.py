@@ -16,12 +16,25 @@ from pyspark.sql import DataFrame
 def ensure_parallel(df: DataFrame) -> DataFrame:
     """Repartition up to the session's default parallelism when the input
     has fewer partitions (tiny local inputs); no-op otherwise. Streaming
-    frames are returned untouched (no .rdd access on a streaming plan)."""
+    frames are returned untouched (no .rdd access on a streaming plan).
+
+    The repartition is followed by a LAZY materialization barrier
+    (`localCheckpoint(eager=False)`): a bare `repartition(n)` is
+    pushdown-transparent, so Catalyst moves any downstream deterministic
+    filter BELOW the exchange — right back onto the under-split scan,
+    where its expressions (quality scoring, language ID, term matching)
+    serialize on one core; the exchange then only fans out the survivors
+    whose heavy columns get recomputed above. Measured on the corpus
+    pipeline: the entire quality+language filter ran as 1 task at 32
+    cores. The checkpoint pins the plan boundary (filters evaluate on the
+    fanned-out partitions) at the cost of materializing the SMALL input
+    once — and at real scale this whole function is a no-op, so neither
+    the exchange nor the barrier exists."""
     if df.isStreaming:
         return df
     ncores = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < ncores:
-        return df.repartition(ncores)
+        return df.repartition(ncores).localCheckpoint(eager=False)
     return df
 
 
