@@ -1956,6 +1956,104 @@ FROM packed GROUP BY bucket, pack_id
 SQL_SEQUENCE_PACK = _sql_sequence_pack()
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-window document chunking
+    (operators/corpus.py::chunk_documents): 120-char windows at stride 90
+    (30-char overlap), the shape that feeds an embedding/tokenizer stage.
+    Pure projection + posexplode — zero shuffles, zero Python; chunk
+    identity is (doc_id, start offset), a pure function of the text, so
+    the chunk table is reproducible across partitionings and engines."""
+    docs = read_table(spark, sf_dir, "documents")
+    from sparkglm_spark.operators.corpus import chunk_documents
+
+    return chunk_documents(docs, chunk_size=120, stride=90)
+
+
+SQL_DOC_CHUNKS = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         unnest(range(0, CAST(floor((length(text) - 1) / 90) AS BIGINT) + 1))
+           AS chunk_id
+  FROM documents WHERE length(text) >= 1)
+SELECT doc_id, chunk_id,
+       chunk_id * 90 + 1 AS chunk_start,
+       substring(text, CAST(chunk_id * 90 + 1 AS INTEGER), 120) AS chunk_text,
+       CAST(length(substring(text, CAST(chunk_id * 90 + 1 AS INTEGER), 120))
+            AS BIGINT) AS chunk_len
+FROM base
+"""
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary (operators/corpus.py): top-100 terms by corpus
+    frequency with document frequency, the tokenizer-training /
+    stopword-mining primitive. Two-level aggregation — explode →
+    (term, doc) partial agg → term agg — so the wire carries distinct
+    (term, doc) rows, not raw tokens; the top-k compiles to
+    TakeOrderedAndProject (no global sort). Ties break on term ascending:
+    fully deterministic."""
+    docs = read_table(spark, sf_dir, "documents")
+    from sparkglm_spark.operators.corpus import top_terms
+
+    return top_terms(docs, k=100)
+
+
+SQL_VOCAB_TOPK = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents WHERE length(trim(text)) > 0),
+per_doc AS (
+  SELECT term, doc_id, count(*) AS cnt FROM toks WHERE term <> ''
+  GROUP BY 1, 2)
+SELECT term, CAST(SUM(cnt) AS BIGINT) AS corpus_freq,
+       CAST(COUNT(*) AS BIGINT) AS doc_freq
+FROM per_doc GROUP BY term
+ORDER BY corpus_freq DESC, term ASC LIMIT 100
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/corpus.py
+    contamination_scores): word 5-gram overlap of every candidate doc
+    against an eval set (docs with doc_id % 23 == 0 stand in for the
+    benchmark). The benchmark's distinct shingles broadcast (eval sets
+    are small by construction — the hint makes a mis-sized benchmark fail
+    loudly); per-doc totals come from the pre-explode array size, so the
+    only shuffle is the hit-count groupBy over benchmark-matching
+    shingles. Near-dups of benchmark docs surface with high scores;
+    clean docs score 0."""
+    docs = read_table(spark, sf_dir, "documents")
+    from sparkglm_spark.operators.corpus import contamination_scores
+
+    bench = docs.where(F.col("doc_id") % 23 == 0)
+    cand = docs.where(F.col("doc_id") % 23 != 0)
+    out = contamination_scores(cand, bench, n=5)
+    return out.withColumn("contamination", F.round("contamination", 6))
+
+
+SQL_DECONTAMINATE = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+  FROM documents WHERE length(trim(text)) > 0),
+grams AS (
+  SELECT doc_id,
+         unnest(list_distinct([array_to_string(ts[i:i+4], ' ')
+                               FOR i IN range(1, len(ts) - 3)])) AS g
+  FROM toks WHERE len(ts) >= 5),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 23 = 0),
+cand  AS (SELECT doc_id, g FROM grams WHERE doc_id % 23 <> 0),
+tot   AS (SELECT doc_id, count(*) AS n_shingles FROM cand GROUP BY 1),
+hits  AS (SELECT c.doc_id, count(*) AS n_hits
+          FROM cand c JOIN bench b USING (g) GROUP BY 1)
+SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+       CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+       ROUND(CAST(coalesce(n_hits, 0) AS DOUBLE) / n_shingles, 6)
+         AS contamination
+FROM tot LEFT JOIN hits USING (doc_id)
+"""
+
+
 def q_skew_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe exact distinct counting (operators/stats.py
     distinct_count_salted): COUNT(DISTINCT user_id) per event_type with
@@ -2960,6 +3058,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sequence_pack": q_sequence_pack,
     "skew_distinct_count": q_skew_distinct_count,
     "dedup_clusters": q_dedup_clusters,
+    "doc_chunks": q_doc_chunks,
+    "vocab_topk": q_vocab_topk,
+    "decontaminate": q_decontaminate,
     "corpus_prep": q_corpus_prep,
     "multimodal_features": q_multimodal_features,
 }
@@ -3017,6 +3118,9 @@ _ORACLES: dict[str, str] = {
     "sequence_pack": SQL_SEQUENCE_PACK,
     "skew_distinct_count": SQL_SKEW_DISTINCT_COUNT,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "doc_chunks": SQL_DOC_CHUNKS,
+    "vocab_topk": SQL_VOCAB_TOPK,
+    "decontaminate": SQL_DECONTAMINATE,
     "corpus_prep": SQL_CORPUS_PREP,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
 }

@@ -1,0 +1,190 @@
+"""Corpus-level training-data operators: chunking, vocabulary statistics,
+and benchmark decontamination.
+
+These cover the corpus-wide (cross-document) half of the text surface —
+`operators/text.py` owns the per-document half. All three are built so the
+hot path stays in whole-stage codegen and the shuffles carry the minimum
+possible payload:
+
+- `chunk_documents` — overlapping fixed-size windows over the text. Pure
+  projection + posexplode: ZERO shuffles, output streams straight to the
+  sink. At 100 TB this is the op that feeds an embedding or tokenizer
+  stage, so anything but a scan-shaped plan would be wrong.
+- `vocab_stats` — term → (corpus_freq, doc_freq). Classic two-level
+  aggregation: explode → groupBy(term, doc) partial-agg (map-side combine
+  collapses each document's repeats before the wire) → groupBy(term).
+  The second shuffle carries one row per distinct (term, doc) — already
+  sublinear in token count; the final table is one row per distinct term.
+  A top-k over it compiles to TakeOrderedAndProject, not a global sort.
+- `contamination_scores` — fraction of each candidate document's word
+  n-gram shingles that appear in a benchmark (eval-set) corpus: the
+  standard train/test decontamination check (long n-grams ⇒ chance
+  collisions are rare; hits mean copied text). The benchmark side is an
+  eval set — tiny by construction — so its distinct shingles BROADCAST;
+  the corpus side computes its per-doc shingle count from the pre-explode
+  array (`size(array_distinct(...))` — a projection, not an aggregation),
+  so the only shuffle in the whole plan is the hit-count groupBy, keyed by
+  doc id over benchmark-intersecting shingles only.
+
+The reference (alteryx/sparkGLM) has no corpus surface; these are
+LLM-data-pipeline extension ops (SURVEY.md §7 phase 4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sparkglm_spark.plans.partitioning import ensure_parallel
+
+_WS = r"\s+"
+
+
+def word_ngrams_expr(text: Column, n: int) -> Column:
+    """DISTINCT word n-grams of lowercased, whitespace-tokenized text as an
+    array; texts with fewer than `n` tokens (incl. null/blank) yield an
+    empty array. Engine-portable: split/slice/concat only, so the DuckDB
+    oracle reproduces it token for token."""
+    toks = F.split(F.trim(F.lower(text)), _WS)
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(n))),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 512,
+    stride: int | None = None,
+) -> DataFrame:
+    """Split each document into fixed-size character windows starting at
+    1, 1+stride, 1+2·stride, … (stride < chunk_size ⇒ overlapping
+    windows). Returns (id, chunk_id, chunk_start, chunk_len, chunk_text);
+    the last chunk may be shorter; empty/null text yields no chunks.
+
+    Plan shape: one generate (posexplode) over a sequence projection — no
+    shuffle, no Python. Chunk identity is (doc id, start offset), a pure
+    function of the text length: re-running the job on re-partitioned
+    input produces the identical chunk table (the audit property a 100 TB
+    chunking job needs)."""
+    if chunk_size <= 0:
+        raise ValueError("chunk_size must be positive")
+    stride = chunk_size if stride is None else stride
+    if stride <= 0:
+        raise ValueError("stride must be positive")
+    t = F.col(text_col)
+    # chunk starts: i*stride for i in 0 .. floor((len-1)/stride)
+    idx = F.when(
+        F.length(t) >= 1,
+        F.sequence(F.lit(0), F.floor((F.length(t) - 1) / stride).cast("long")),
+    ).otherwise(F.array().cast("array<long>"))
+    return (
+        ensure_parallel(df)
+        .select(F.col(id_col), t.alias("__t"), F.explode(idx).alias("chunk_id"))
+        .select(
+            id_col,
+            "chunk_id",
+            (F.col("chunk_id") * stride + 1).alias("chunk_start"),
+            F.col("__t")
+            .substr(
+                (F.col("chunk_id") * stride + 1).cast("int"), F.lit(chunk_size)
+            )
+            .alias("chunk_text"),
+        )
+        .withColumn("chunk_len", F.length("chunk_text").cast("bigint"))
+    )
+
+
+def vocab_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Vocabulary table (term, corpus_freq, doc_freq) over lowercased
+    whitespace tokens. Two-level aggregation (see module docstring); the
+    empty token from blank text is dropped on the scan side."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), _WS)
+    return (
+        ensure_parallel(df)
+        .where(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col).alias("__doc"), F.explode(toks).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term", "__doc")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .groupBy("term")
+        .agg(
+            F.sum("__cnt").alias("corpus_freq"),
+            F.count(F.lit(1)).alias("doc_freq"),
+        )
+    )
+
+
+def top_terms(
+    df: DataFrame, k: int = 100, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Top-k vocabulary terms by corpus frequency (ties → term ascending —
+    fully deterministic). Compiles to TakeOrderedAndProject over the vocab
+    aggregation: no global sort materializes."""
+    return (
+        vocab_stats(df, id_col, text_col)
+        .orderBy(F.desc("corpus_freq"), F.asc("term"))
+        .limit(k)
+    )
+
+
+def contamination_scores(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Per-document benchmark contamination: the fraction of the doc's
+    distinct word n-grams that appear anywhere in `benchmark`'s text.
+    Returns (id, n_shingles, n_hits, contamination) for every doc with at
+    least one shingle (docs shorter than n tokens are out of scope — they
+    cannot carry an n-gram match).
+
+    Scale shape: `benchmark` is an eval set (thousands of rows, not
+    billions) ⇒ its distinct-shingle table broadcasts — asserted by hint,
+    deliberate: if the "benchmark" is accidentally a 100 TB corpus the job
+    should fail loudly rather than silently plan a terabyte-scale
+    broadcast. n_shingles comes from the pre-explode array size, so the
+    corpus side never aggregates over its full shingle explosion; only
+    shingles that MATCH the broadcast set reach the hit-count shuffle."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    bench_grams = (
+        benchmark.select(F.explode(word_ngrams_expr(F.col(text_col), n)).alias("g"))
+        .distinct()
+    )
+    with_grams = ensure_parallel(docs).select(
+        F.col(id_col),
+        word_ngrams_expr(F.col(text_col), n).alias("__grams"),
+    )
+    totals = with_grams.select(
+        id_col, F.size("__grams").cast("bigint").alias("n_shingles")
+    ).where(F.col("n_shingles") > 0)
+    hits = (
+        with_grams.select(F.col(id_col), F.explode("__grams").alias("g"))
+        .join(F.broadcast(bench_grams), "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        totals.join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_shingles",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            (
+                F.coalesce("n_hits", F.lit(0)).cast("double")
+                / F.col("n_shingles")
+            ).alias("contamination"),
+        )
+    )

@@ -1,0 +1,193 @@
+"""Corpus operators: chunking, vocabulary, contamination — vs plain-Python
+twins on hand-built fixtures, plus the edge cases (empty/null/short text,
+exact boundaries) and partition invariance."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# chunk_documents
+# ---------------------------------------------------------------------------
+
+
+def _py_chunks(text, size, stride):
+    if not text:
+        return []
+    out = []
+    i, start = 0, 0
+    while start < len(text):
+        out.append((i, start + 1, text[start : start + size]))
+        i, start = i + 1, start + stride
+    return out
+
+
+@pytest.mark.parametrize("size,stride", [(10, 10), (10, 7), (5, 3), (100, 60)])
+def test_chunks_match_python(spark, size, stride):
+    from sparkglm_spark.operators.corpus import chunk_documents
+
+    rows = [
+        (1, "abcdefghijklmnopqrstuvwxyz0123456789"),
+        (2, "short"),
+        (3, "x" * size),          # exactly one chunk
+        (4, "y" * (size + 1)),    # boundary +1
+        (5, ""),                  # no chunks
+        (6, None),                # no chunks
+    ]
+    got = {
+        (r.doc_id, r.chunk_id): (r.chunk_start, r.chunk_text, r.chunk_len)
+        for r in chunk_documents(
+            _docs(spark, rows), chunk_size=size, stride=stride
+        ).collect()
+    }
+    want = {}
+    for doc_id, text in rows:
+        for cid, start, chunk in _py_chunks(text, size, stride):
+            want[(doc_id, cid)] = (start, chunk, len(chunk))
+    assert got == want
+
+
+def test_chunks_cover_text_with_overlap(spark):
+    from sparkglm_spark.operators.corpus import chunk_documents
+
+    text = "the quick brown fox jumps over the lazy dog" * 3
+    out = (
+        chunk_documents(_docs(spark, [(1, text)]), chunk_size=20, stride=15)
+        .orderBy("chunk_id")
+        .collect()
+    )
+    # stitching chunks at stride offsets reconstructs the document exactly
+    rebuilt = ""
+    for r in out:
+        rebuilt = rebuilt[: r.chunk_start - 1] + r.chunk_text
+    assert rebuilt == text
+    # every chunk except possibly the last is full-size
+    assert all(r.chunk_len == 20 for r in out[:-1])
+
+
+def test_chunks_validation(spark):
+    from sparkglm_spark.operators.corpus import chunk_documents
+
+    with pytest.raises(ValueError):
+        chunk_documents(_docs(spark, [(1, "x")]), chunk_size=0)
+    with pytest.raises(ValueError):
+        chunk_documents(_docs(spark, [(1, "x")]), chunk_size=5, stride=0)
+
+
+# ---------------------------------------------------------------------------
+# vocab_stats / top_terms
+# ---------------------------------------------------------------------------
+
+
+def test_vocab_matches_python(spark):
+    from sparkglm_spark.operators.corpus import top_terms, vocab_stats
+
+    rows = [
+        (1, "The cat sat on the   mat"),
+        (2, "the dog ate the cat food"),
+        (3, "  "),
+        (4, None),
+        (5, "cat"),
+    ]
+    corpus, docfreq = {}, {}
+    for _, text in rows:
+        if not text or not text.strip():
+            continue
+        toks = re.split(r"\s+", text.strip().lower())
+        for t in toks:
+            corpus[t] = corpus.get(t, 0) + 1
+        for t in set(toks):
+            docfreq[t] = docfreq.get(t, 0) + 1
+    got = {
+        r.term: (r.corpus_freq, r.doc_freq)
+        for r in vocab_stats(_docs(spark, rows)).collect()
+    }
+    assert got == {t: (corpus[t], docfreq[t]) for t in corpus}
+    top = top_terms(_docs(spark, rows), k=2).collect()
+    assert [(r.term, r.corpus_freq) for r in top] == [("the", 4), ("cat", 3)]
+
+
+def test_vocab_partition_invariant(spark):
+    from sparkglm_spark.operators.corpus import vocab_stats
+
+    rows = [(i, f"tok{i % 7} tok{i % 3} shared") for i in range(200)]
+    df = _docs(spark, rows)
+    a = sorted(map(tuple, vocab_stats(df.coalesce(1)).collect()))
+    b = sorted(map(tuple, vocab_stats(df.repartition(16)).collect()))
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# contamination_scores
+# ---------------------------------------------------------------------------
+
+
+def _py_ngrams(text, n):
+    if not text or not text.strip():
+        return set()
+    toks = re.split(r"\s+", text.strip().lower())
+    if len(toks) < n:
+        return set()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_contamination_matches_python(spark):
+    from sparkglm_spark.operators.corpus import contamination_scores
+
+    bench_rows = [(100, "alpha beta gamma delta epsilon zeta")]
+    doc_rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta"),  # heavy overlap
+        (2, "one two three four five six seven"),        # no overlap
+        (3, "x alpha beta gamma delta epsilon y"),       # partial
+        (4, "too short"),                                # < n tokens: excluded
+        (5, None),                                       # excluded
+    ]
+    bench_grams = set()
+    for _, t in bench_rows:
+        bench_grams |= _py_ngrams(t, 3)
+    want = {}
+    for doc_id, t in doc_rows:
+        grams = _py_ngrams(t, 3)
+        if grams:
+            hits = len(grams & bench_grams)
+            want[doc_id] = (len(grams), hits, hits / len(grams))
+    got = {
+        r.doc_id: (r.n_shingles, r.n_hits, r.contamination)
+        for r in contamination_scores(
+            _docs(spark, doc_rows), _docs(spark, bench_rows), n=3
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][:2] == want[k][:2]
+        assert got[k][2] == pytest.approx(want[k][2], abs=1e-12)
+
+
+def test_contamination_identical_doc_scores_one(spark):
+    from sparkglm_spark.operators.corpus import contamination_scores
+
+    text = "a b c d e f g h i j"
+    out = contamination_scores(
+        _docs(spark, [(1, text)]), _docs(spark, [(2, text)]), n=5
+    ).collect()
+    assert len(out) == 1 and out[0].contamination == 1.0
+
+
+def test_contamination_plan_broadcasts_benchmark(spark):
+    from sparkglm_spark.operators.corpus import contamination_scores
+
+    plan = contamination_scores(
+        _docs(spark, [(1, "a b c d e")]), _docs(spark, [(2, "a b c d e")]), n=3
+    )._jdf.queryExecution().executedPlan().toString()
+    # the shingle-hit join against the benchmark set must be broadcast
+    assert "BroadcastHashJoin [g" in plan
+    # the only sort-merge join allowed is the final per-doc totals-vs-hits
+    # LeftOuter (AQE broadcasts it at runtime when the hit side is small)
+    smj = [ln for ln in plan.splitlines() if "SortMergeJoin" in ln]
+    assert all("LeftOuter" in ln for ln in smj)
