@@ -61,7 +61,17 @@ def connected_components(
     the fixpoint in O(log n) rounds, so 50 covers any graph that fits on
     a cluster. Hitting it raises rather than returning a partial merge —
     a silently-unconverged dedup would drop the wrong documents.
+
+    Ids must be integral (min-label arithmetic is defined over integer
+    ids); string ids raise at plan time with the remedy in the message
+    rather than degrading to NULL edges and an empty clustering.
     """
+    from sparkglm_spark.plans.partitioning import require_integral_id
+
+    require_integral_id(edges, src, "connected_components")
+    require_integral_id(edges, dst, "connected_components")
+    if nodes is not None:
+        require_integral_id(nodes, id_col, "connected_components")
     e = edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     ).where(F.col("u") != F.col("v"))

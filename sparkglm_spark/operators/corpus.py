@@ -46,8 +46,10 @@ def word_ngrams_expr(text: Column, n: int) -> Column:
     empty array. Engine-portable: split/slice/concat only, so the DuckDB
     oracle reproduces it token for token."""
     toks = F.split(F.trim(F.lower(text)), _WS)
+    # the explicit blank guard matters at n=1: split('') is [''], size 1,
+    # which would otherwise emit a phantom empty-string "gram"
     return F.when(
-        F.size(toks) >= n,
+        (F.length(F.trim(text)) > 0) & (F.size(toks) >= n),
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(1), F.size(toks) - (n - 1)),
@@ -154,37 +156,36 @@ def contamination_scores(
     billions) ⇒ its distinct-shingle table broadcasts — asserted by hint,
     deliberate: if the "benchmark" is accidentally a 100 TB corpus the job
     should fail loudly rather than silently plan a terabyte-scale
-    broadcast. n_shingles comes from the pre-explode array size, so the
-    corpus side never aggregates over its full shingle explosion; only
-    shingles that MATCH the broadcast set reach the hit-count shuffle."""
+    broadcast. The corpus side is shingled ONCE: explode → broadcast left
+    join (marks benchmark membership per shingle) → one groupBy(doc)
+    counting rows and marks together. The shuffle carries one partial-agg
+    row per (doc, map partition) — two longs — regardless of shingle
+    volume, and the n-gram transform (the heaviest expression in the
+    plan) is never evaluated twice."""
     if n < 1:
         raise ValueError("n must be >= 1")
     bench_grams = (
         benchmark.select(F.explode(word_ngrams_expr(F.col(text_col), n)).alias("g"))
         .distinct()
+        .withColumn("__hit", F.lit(1))
     )
-    with_grams = ensure_parallel(docs).select(
+    exploded = ensure_parallel(docs).select(
         F.col(id_col),
-        word_ngrams_expr(F.col(text_col), n).alias("__grams"),
-    )
-    totals = with_grams.select(
-        id_col, F.size("__grams").cast("bigint").alias("n_shingles")
-    ).where(F.col("n_shingles") > 0)
-    hits = (
-        with_grams.select(F.col(id_col), F.explode("__grams").alias("g"))
-        .join(F.broadcast(bench_grams), "g")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+        F.explode(word_ngrams_expr(F.col(text_col), n)).alias("g"),
     )
     return (
-        totals.join(hits, id_col, "left")
+        exploded.join(F.broadcast(bench_grams), "g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("__hit").alias("n_hits"),
+        )
         .select(
             id_col,
             "n_shingles",
-            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
-            (
-                F.coalesce("n_hits", F.lit(0)).cast("double")
-                / F.col("n_shingles")
-            ).alias("contamination"),
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.col("n_shingles")).alias(
+                "contamination"
+            ),
         )
     )

@@ -23,6 +23,31 @@ from pyspark.sql import functions as F
 
 from sparkglm_spark.operators.text import fingerprint_expr
 
+# Caches persisted by the pair-finding operators for intra-plan reuse
+# (probe → strategy → verification all read the same shingle scan). They
+# cannot be unpersisted inside the operator — the RETURNED frame is lazy
+# and still reads them — so each TOP-LEVEL operator invocation releases
+# the previous invocation's caches instead. A long-lived session calling
+# these in a loop therefore holds at most one invocation's caches; an
+# earlier result consumed after a later call just recomputes (correct,
+# uncached) rather than pinning executor storage forever.
+_OP_CACHES: list[DataFrame] = []
+
+
+def _op_persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _OP_CACHES.append(df)
+    return df
+
+
+def _release_prior_caches() -> None:
+    while _OP_CACHES:
+        cached = _OP_CACHES.pop()
+        try:
+            cached.unpersist()
+        except Exception:
+            pass  # owning session already stopped — nothing to release
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -134,6 +159,7 @@ def jaccard_pairs(
     (the count costs one bounded aggregation job — you already paid for
     the cap scan).
     """
+    _release_prior_caches()
     sh = shingles(df, id_col, text_col, n=n)
     if max_docs_per_shingle is not None:
         # drop shingles present in too many docs (stopword-grams): they add
@@ -149,7 +175,7 @@ def jaccard_pairs(
         # the cap makes hot small by construction; persist so the count
         # below and the anti-join read one computed result, not two full
         # shingle-count aggregations
-        hot = hot.persist()
+        hot = _op_persist(hot)
         n_hot = hot.count()
         if n_hot:
             logging.getLogger(__name__).warning(
@@ -164,7 +190,7 @@ def jaccard_pairs(
         sh = sh.join(hot, "shingle", "left_anti")
     # materialize before the self-join so both sides read the cache instead
     # of racing to recompute the shingle projection
-    sh = sh.persist()
+    sh = _op_persist(sh)
     sh.count()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
 
@@ -259,7 +285,7 @@ def minhash_lsh_candidates(
     # materialize before the self-join: otherwise BOTH join sides recompute
     # the full signature aggregation (the most expensive upstream stage).
     # The bucket table is tiny — bands × docs rows of (id, band, bucket).
-    buckets = buckets.persist()
+    buckets = _op_persist(buckets)
     buckets.count()
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -576,6 +602,7 @@ def minhash_dedup_pairs(
     verification exact)."""
     from sparkglm_spark.plans.partitioning import bounded_row_probe
 
+    _release_prior_caches()
     cap = _BRUTE_ALLPAIRS_MAX_DOCS
     n_docs = bounded_row_probe(
         df, cap, max_partitions=_BRUTE_PROBE_MAX_PARTITIONS
@@ -587,16 +614,16 @@ def minhash_dedup_pairs(
         # explode+distinct over it) materializes the cache, and whichever
         # plan wins — bitmap all-pairs or LSH — reads the same cache
         # instead of re-shingling the corpus
-        sets = _shingle_sets(df, id_col, text_col, n).persist()
+        sets = _op_persist(_shingle_sets(df, id_col, text_col, n))
         vocab = _vocab_from_sets(sets, _BITMAP_MAX_VOCAB)
         L = None if vocab is None else (len(vocab) + 63) // 64
         # all-pairs cost ≈ n²/2 · L word-ops; stay under a few-second budget
         if vocab is not None and n_docs * n_docs * L <= _BRUTE_ALLPAIRS_OPS_BUDGET:
             id_type = df.schema[id_col].dataType.simpleString()
             return _allpairs_by_bitmap_from_sets(sets, threshold, vocab, id_type)
-        sh = sets.select("id", F.explode("shingles").alias("shingle")).persist()
+        sh = _op_persist(sets.select("id", F.explode("shingles").alias("shingle")))
     else:
-        sh = shingles(df, id_col, text_col, n=n).persist()
+        sh = _op_persist(shingles(df, id_col, text_col, n=n))
     if probed:
         # the bounded probes already ran — reuse them instead of a stats
         # job: vocab None ⇒ size is KNOWN to exceed _BITMAP_MAX_VOCAB,
@@ -738,7 +765,8 @@ def simhash_near_dup_pairs(
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming via 4×16-bit
     chunk banding (pigeonhole: ≤3 differing bits → ≥1 identical chunk).
     Candidates join on chunk equality; exact popcount verifies."""
-    sig = simhash_signatures(df, id_col, text_col, hash_fn=hash_fn).persist()
+    _release_prior_caches()
+    sig = _op_persist(simhash_signatures(df, id_col, text_col, hash_fn=hash_fn))
     sig.count()  # materialize: the chunk self-join reads sig twice
     chunks = sig.select(
         "id",

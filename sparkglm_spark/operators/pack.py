@@ -39,8 +39,6 @@ from pyspark.sql import functions as F
 from sparkglm_spark.operators.split import hash_sample_expr
 from sparkglm_spark.operators.text import token_count_expr
 
-_BUCKETS = 1_000_000  # hash_sample_expr's bucket space
-
 
 def _with_tokens_and_bucket(
     df: DataFrame,
@@ -49,6 +47,12 @@ def _with_tokens_and_bucket(
     token_count_col: str | None,
     n_buckets: int,
 ) -> DataFrame:
+    # bucket routing and pack ordering are defined over integer ids; a
+    # string id would NULL-route every doc into one bucket (or fail deep
+    # in the job under ANSI) — fail at plan time instead
+    from sparkglm_spark.plans.partitioning import require_integral_id
+
+    require_integral_id(df, id_col, "sequence packing")
     tokens = (
         F.col(token_count_col)
         if token_count_col

@@ -38,6 +38,27 @@ def ensure_parallel(df: DataFrame) -> DataFrame:
     return df
 
 
+_INTEGRAL_TYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
+def require_integral_id(df: DataFrame, col: str, op_name: str) -> None:
+    """Raise a clear plan-time error when `col` is not an integral type.
+
+    Operators whose arithmetic is defined over integer ids (bucket routing,
+    min-label components) would otherwise cast strings/doubles with
+    engine-mode-dependent results: under ANSI a bad cast fails deep inside
+    a running job; with ANSI off it silently NULLs every id — an empty
+    clustering or a single NULL bucket with no error. Failing here, with
+    the remedy in the message, is the only mode-independent behavior."""
+    t = df.schema[col].dataType.simpleString()
+    if t not in _INTEGRAL_TYPES:
+        raise TypeError(
+            f"{op_name} requires an integral id column; {col!r} has type "
+            f"{t}. Map non-integer ids to stable longs first (e.g. "
+            f"F.xxhash64(col) for hashing, or a precomputed dense id)."
+        )
+
+
 def bounded_row_probe(
     df: DataFrame, cap: int, max_partitions: int | None = 256
 ) -> int:

@@ -73,3 +73,13 @@ def test_near_dup_clusters_assignment(spark):
         assert out[i]["cluster_id"] == i
         assert out[i]["cluster_size"] == 1
         assert not out[i]["is_duplicate"]
+
+
+def test_string_ids_raise_at_plan_time(spark):
+    from sparkglm_spark.operators.cluster import connected_components
+
+    edges = spark.createDataFrame(
+        [("doc-1", "doc-2")], "id_a string, id_b string"
+    )
+    with pytest.raises(TypeError, match="integral id"):
+        connected_components(edges)

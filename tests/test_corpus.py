@@ -185,9 +185,17 @@ def test_contamination_plan_broadcasts_benchmark(spark):
     plan = contamination_scores(
         _docs(spark, [(1, "a b c d e")]), _docs(spark, [(2, "a b c d e")]), n=3
     )._jdf.queryExecution().executedPlan().toString()
-    # the shingle-hit join against the benchmark set must be broadcast
+    # single-pass plan: the shingle join against the benchmark set is
+    # broadcast, and nothing sort-merges — totals and hits come out of ONE
+    # groupBy over the joined explode
     assert "BroadcastHashJoin [g" in plan
-    # the only sort-merge join allowed is the final per-doc totals-vs-hits
-    # LeftOuter (AQE broadcasts it at runtime when the hit side is small)
-    smj = [ln for ln in plan.splitlines() if "SortMergeJoin" in ln]
-    assert all("LeftOuter" in ln for ln in smj)
+    assert "SortMergeJoin" not in plan
+
+
+def test_ngrams_blank_text_yields_nothing_at_n1(spark):
+    from sparkglm_spark.operators.corpus import word_ngrams_expr
+
+    df = spark.createDataFrame(
+        [("",), ("   ",), (None,), ("one",)], "text string"
+    ).select(F.size(word_ngrams_expr(F.col("text"), 1)).alias("n"))
+    assert [r.n for r in df.collect()] == [0, 0, 0, 1]

@@ -274,3 +274,24 @@ def test_unicode_lowercasing_identical_across_strategies(spark):
            D.jaccard_pairs(docs, "doc_id", "text", threshold=0.8).collect()}
     assert brute == jac
     assert {(0, 1), (2, 3), (4, 5)} <= set(brute)
+
+
+def test_repeated_invocations_do_not_accumulate_caches(spark, documents):
+    """The planner persists shingle frames for intra-plan reuse; each new
+    top-level invocation must release the previous one's caches (a corpus-
+    shard loop would otherwise pin executor storage without bound)."""
+    from sparkglm_spark.operators.dedup import minhash_dedup_pairs, _OP_CACHES
+
+    minhash_dedup_pairs(documents, "doc_id", "text").count()
+    first = len(_OP_CACHES)
+    assert first > 0  # the planner did register its reuse caches
+    prior = list(_OP_CACHES)
+    for _ in range(3):
+        minhash_dedup_pairs(documents, "doc_id", "text").count()
+    assert len(_OP_CACHES) == first  # releases balance registrations
+    # every frame from the first invocation is actually uncached now
+    # (ensure_parallel's localCheckpoint RDDs are separate and reclaimed
+    # by the ContextCleaner once unreferenced — not asserted here)
+    for cached in prior:
+        lvl = cached.storageLevel
+        assert not (lvl.useMemory or lvl.useDisk)

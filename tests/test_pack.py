@@ -115,3 +115,11 @@ def test_precomputed_token_col(spark):
         df, token_count_col="n_tok", budget=10, n_buckets=1
     ).collect()
     assert {r["doc_id"]: r["n_tokens"] for r in out} == {1: 7, 2: 9}
+
+
+def test_string_ids_raise_at_plan_time(spark):
+    from sparkglm_spark.operators.pack import pack_cumulative
+
+    df = spark.createDataFrame([("doc-1", "a b c")], "doc_id string, text string")
+    with pytest.raises(TypeError, match="integral id"):
+        pack_cumulative(df)
