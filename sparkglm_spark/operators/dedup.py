@@ -23,30 +23,15 @@ from pyspark.sql import functions as F
 
 from sparkglm_spark.operators.text import fingerprint_expr
 
+from sparkglm_spark.plans.caching import CacheRegistry
+
 # Caches persisted by the pair-finding operators for intra-plan reuse
-# (probe → strategy → verification all read the same shingle scan). They
-# cannot be unpersisted inside the operator — the RETURNED frame is lazy
-# and still reads them — so each TOP-LEVEL operator invocation releases
-# the previous invocation's caches instead. A long-lived session calling
-# these in a loop therefore holds at most one invocation's caches; an
-# earlier result consumed after a later call just recomputes (correct,
-# uncached) rather than pinning executor storage forever.
-_OP_CACHES: list[DataFrame] = []
-
-
-def _op_persist(df: DataFrame) -> DataFrame:
-    df = df.persist()
-    _OP_CACHES.append(df)
-    return df
-
-
-def _release_prior_caches() -> None:
-    while _OP_CACHES:
-        cached = _OP_CACHES.pop()
-        try:
-            cached.unpersist()
-        except Exception:
-            pass  # owning session already stopped — nothing to release
+# (probe → strategy → verification all read the same shingle scan); each
+# top-level operator invocation releases the previous one's — see
+# plans/caching.py for the lifecycle rationale.
+_CACHES = CacheRegistry()
+_op_persist = _CACHES.persist
+_begin_invocation = _CACHES.begin
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -159,7 +144,7 @@ def jaccard_pairs(
     (the count costs one bounded aggregation job — you already paid for
     the cap scan).
     """
-    _release_prior_caches()
+    _begin_invocation()
     sh = shingles(df, id_col, text_col, n=n)
     if max_docs_per_shingle is not None:
         # drop shingles present in too many docs (stopword-grams): they add
@@ -602,7 +587,7 @@ def minhash_dedup_pairs(
     verification exact)."""
     from sparkglm_spark.plans.partitioning import bounded_row_probe
 
-    _release_prior_caches()
+    _begin_invocation()
     cap = _BRUTE_ALLPAIRS_MAX_DOCS
     n_docs = bounded_row_probe(
         df, cap, max_partitions=_BRUTE_PROBE_MAX_PARTITIONS
@@ -765,7 +750,7 @@ def simhash_near_dup_pairs(
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming via 4×16-bit
     chunk banding (pigeonhole: ≤3 differing bits → ≥1 identical chunk).
     Candidates join on chunk equality; exact popcount verifies."""
-    _release_prior_caches()
+    _begin_invocation()
     sig = _op_persist(simhash_signatures(df, id_col, text_col, hash_fn=hash_fn))
     sig.count()  # materialize: the chunk self-join reads sig twice
     chunks = sig.select(

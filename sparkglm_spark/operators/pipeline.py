@@ -24,6 +24,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sparkglm_spark.plans.caching import CacheRegistry
+
+_CACHES = CacheRegistry()
+
 from sparkglm_spark.operators.dedup import exact_dedup_hashed, minhash_dedup_pairs
 from sparkglm_spark.operators.text import (
     EN_STOPWORDS,
@@ -102,8 +106,10 @@ def prepare_training_corpus(
     d2 = exact_dedup_hashed(q, text_col, id_col)
     # the survivor set is read 3× downstream (doc count, shingle scan, final
     # anti-join) — persist so the dedup window + quality projections run
-    # once, not per consumer
-    d2 = d2.persist()
+    # once, not per consumer; the next pipeline invocation releases it
+    # (plans/caching.py)
+    _CACHES.begin()
+    d2 = _CACHES.persist(d2)
     pairs = minhash_dedup_pairs(
         d2, id_col, text_col, threshold=neardup_threshold
     )

@@ -36,6 +36,12 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from sparkglm_spark.plans.caching import CacheRegistry
+
+# signature-table cache, released at the next lsh_near_dup_pairs call
+# (see plans/caching.py for the lifecycle rationale)
+_CACHES = CacheRegistry()
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
@@ -431,8 +437,9 @@ def lsh_near_dup_pairs(
     (angle ≈ 18°): P(chunk match) = (1−18/180)^16 ≈ 0.19 per chunk,
     ≥1-of-4 ≈ 0.57 — raise n_bits/chunks for higher recall; exact re-rank
     keeps precision at 1.0."""
+    _CACHES.begin()
     sig = hyperplane_signatures(df, dim, id_col, vec_col, n_bits, seed)
-    sig = sig.persist()
+    sig = _CACHES.persist(sig)
     sig.count()  # materialize: the chunk self-join reads sig twice (pandas UDF)
     n_chunks = n_bits // 16
     exploded = sig.select(

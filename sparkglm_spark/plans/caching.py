@@ -1,0 +1,63 @@
+"""Invocation-scoped cache registries for planner-style operators.
+
+Operators that probe/verify over a shared intermediate (shingle scans,
+signature tables, dedup survivor sets) persist it for intra-plan reuse.
+Those caches cannot be unpersisted inside the operator — the RETURNED
+frame is lazy and still reads them — so the registry groups caches by
+top-level invocation and releases groups older than the last
+`keep_last`. A long-lived session calling an operator in a loop (per
+corpus shard, per bench round) therefore holds at most `keep_last`
+invocations' caches instead of accumulating them until driver GC; an
+older result consumed later just recomputes (correct, uncached) rather
+than pinning executor storage forever.
+
+`keep_last` defaults to 2, not 1: composed queries legitimately build
+TWO pair-finders into one returned frame (e.g. exact-Jaccard unioned
+with MinHash over the same corpus for a side-by-side check) — the second
+finder's entry must not uncache the first's just-materialized frames
+before the union is collected.
+
+One registry per operator FAMILY, not a global: prepare_training_corpus
+persists its survivor set and then calls minhash_dedup_pairs — with a
+shared registry the inner call would count as the outer's next
+invocation and age its cache out early.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+from pyspark.sql import DataFrame
+
+
+class CacheRegistry:
+    """Groups persisted frames by invocation; `begin()` at operator entry
+    starts a group and releases groups older than the last `keep_last`."""
+
+    def __init__(self, keep_last: int = 2) -> None:
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        self._groups: deque[list[DataFrame]] = deque()
+        self._keep = keep_last
+
+    def begin(self) -> None:
+        self._groups.append([])
+        while len(self._groups) > self._keep:
+            for cached in self._groups.popleft():
+                try:
+                    cached.unpersist()
+                except Exception:
+                    pass  # owning session already stopped — nothing to release
+
+    def persist(self, df: DataFrame) -> DataFrame:
+        if not self._groups:
+            self._groups.append([])
+        df = df.persist()
+        self._groups[-1].append(df)
+        return df
+
+    def __len__(self) -> int:
+        return sum(len(g) for g in self._groups)
+
+    def frames(self) -> list[DataFrame]:
+        return [df for g in self._groups for df in g]

@@ -280,16 +280,17 @@ def test_repeated_invocations_do_not_accumulate_caches(spark, documents):
     """The planner persists shingle frames for intra-plan reuse; each new
     top-level invocation must release the previous one's caches (a corpus-
     shard loop would otherwise pin executor storage without bound)."""
-    from sparkglm_spark.operators.dedup import minhash_dedup_pairs, _OP_CACHES
+    from sparkglm_spark.operators.dedup import _CACHES, minhash_dedup_pairs
 
     minhash_dedup_pairs(documents, "doc_id", "text").count()
-    first = len(_OP_CACHES)
+    first = len(_CACHES)
     assert first > 0  # the planner did register its reuse caches
-    prior = list(_OP_CACHES)
+    prior = _CACHES.frames()
     for _ in range(3):
         minhash_dedup_pairs(documents, "doc_id", "text").count()
-    assert len(_OP_CACHES) == first  # releases balance registrations
-    # every frame from the first invocation is actually uncached now
+    # live caches bounded at keep_last (=2) invocations' worth
+    assert len(_CACHES) <= 2 * first
+    # every frame from the FIRST invocation is actually uncached now
     # (ensure_parallel's localCheckpoint RDDs are separate and reclaimed
     # by the ContextCleaner once unreferenced — not asserted here)
     for cached in prior:
