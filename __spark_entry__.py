@@ -2054,6 +2054,103 @@ FROM tot LEFT JOIN hits USING (doc_id)
 """
 
 
+def q_orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-scalar-subquery shape: orders priced above their own
+    customer's average. The Spark plan is the single-shuffle form — one
+    window AVG over o_custkey and a filter — where the naive correlated
+    subquery would re-aggregate per outer row; the oracle keeps the
+    textbook correlated form (DuckDB decorrelates it itself). A customer
+    with one order equals its average exactly in both engines (sum of
+    one), so the strict > excludes it identically."""
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        orders.withColumn("__avg", F.avg("o_totalprice").over(w))
+        .where(F.col("o_totalprice") > F.col("__avg"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.round("__avg", 6).alias("cust_avg"),
+        )
+    )
+
+
+SQL_ORDERS_ABOVE_CUSTOMER_AVG = """
+SELECT o_orderkey, o_custkey, o_totalprice,
+       ROUND((SELECT AVG(o2.o_totalprice) FROM orders o2
+              WHERE o2.o_custkey = o.o_custkey), 6) AS cust_avg
+FROM orders o
+WHERE o_totalprice > (SELECT AVG(o2.o_totalprice) FROM orders o2
+                      WHERE o2.o_custkey = o.o_custkey)
+"""
+
+
+def q_events_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog compaction (operators/timeseries.py::latest_state): the
+    current row per user from the event log via groupBy + max_by over a
+    (ts, event_id) ordering struct — a PARTIAL-AGGREGABLE single shuffle
+    (one candidate row per key per map partition on the wire), where the
+    row_number() window the oracle uses would sort every key's full
+    history. event_id breaks ts ties deterministically."""
+    ev = read_table(spark, sf_dir, "events")
+    from sparkglm_spark.operators.timeseries import latest_state
+
+    out = latest_state(
+        ev,
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        value_cols=["event_type", "value"],
+    )
+    return out.select(
+        "user_id", "event_id", "ts", "event_type", F.round("value", 6).alias("value")
+    )
+
+
+SQL_EVENTS_LATEST_STATE = """
+WITH ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+SELECT user_id, event_id, ts, event_type, ROUND(value, 6) AS value
+FROM ranked WHERE rn = 1
+"""
+
+
+def q_events_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day per-event window
+    (operators/timeseries.py::rolling_event_window): for every event, the
+    count and value-sum of the same user's events in [ts − 7d, ts]. RANGE
+    frame over exact epoch microseconds — integer frame arithmetic both
+    engines reproduce bit-for-bit (float-second epochs would truncate
+    sub-second timestamps differently)."""
+    ev = read_table(spark, sf_dir, "events")
+    from sparkglm_spark.operators.timeseries import rolling_event_window
+
+    out = rolling_event_window(
+        ev, "ts", ["user_id"], "value", window_seconds=7 * 86400
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("n_window").cast("bigint").alias("n_window"),
+        F.round("sum_window", 6).alias("sum_window"),
+    )
+
+
+SQL_EVENTS_ROLLING_7D = """
+SELECT event_id, user_id, ts,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_window,
+       ROUND(SUM(value) OVER w, 6) AS sum_window
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_skew_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe exact distinct counting (operators/stats.py
     distinct_count_salted): COUNT(DISTINCT user_id) per event_type with
@@ -3058,6 +3155,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sequence_pack": q_sequence_pack,
     "skew_distinct_count": q_skew_distinct_count,
     "dedup_clusters": q_dedup_clusters,
+    "orders_above_customer_avg": q_orders_above_customer_avg,
+    "events_latest_state": q_events_latest_state,
+    "events_rolling_7d": q_events_rolling_7d,
     "doc_chunks": q_doc_chunks,
     "vocab_topk": q_vocab_topk,
     "decontaminate": q_decontaminate,
@@ -3118,6 +3218,9 @@ _ORACLES: dict[str, str] = {
     "sequence_pack": SQL_SEQUENCE_PACK,
     "skew_distinct_count": SQL_SKEW_DISTINCT_COUNT,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "orders_above_customer_avg": SQL_ORDERS_ABOVE_CUSTOMER_AVG,
+    "events_latest_state": SQL_EVENTS_LATEST_STATE,
+    "events_rolling_7d": SQL_EVENTS_ROLLING_7D,
     "doc_chunks": SQL_DOC_CHUNKS,
     "vocab_topk": SQL_VOCAB_TOPK,
     "decontaminate": SQL_DECONTAMINATE,

@@ -95,3 +95,61 @@ def moving_aggregate(
         F.avg(value_col).over(w).alias(f"{value_col}_mov_avg"),
         F.count(F.lit(1)).over(w).alias("days_in_window"),
     )
+
+
+def latest_state(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_cols: list[str],
+) -> DataFrame:
+    """Changelog compaction: the most recent row per key, "most recent" =
+    lexicographic max over `order_cols` (include a unique tiebreaker, e.g.
+    an event id, to make the winner deterministic).
+
+    Plan shape: groupBy(key).agg(max_by(struct(values), struct(order))) —
+    a PARTIAL-AGGREGABLE single shuffle. The alternative row_number()
+    window needs a full sort of every key's history; max_by reduces
+    map-side, so the wire carries one candidate row per (key, map
+    partition) no matter how long each key's changelog is — the right
+    plan for compacting a 100 TB event log into current state."""
+    ord_struct = F.struct(*[F.col(c) for c in order_cols])
+    val_struct = F.struct(*[F.col(c) for c in order_cols + value_cols])
+    agg = df.groupBy(*key_cols).agg(
+        F.max_by(val_struct, ord_struct).alias("__latest")
+    )
+    return agg.select(
+        *key_cols,
+        *[F.col(f"__latest.{c}").alias(c) for c in order_cols + value_cols],
+    )
+
+
+def rolling_event_window(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    value_col: str,
+    window_seconds: int,
+) -> DataFrame:
+    """Per-event trailing-window aggregates: for every event, the count
+    and value-sum of the SAME key's events in the closed interval
+    [ts − window, ts]. One window pass with a RANGE frame over exact
+    epoch MICROSECONDS (integer arithmetic — engine-portable, no
+    float-second truncation), state per partition bounded by the frame
+    width. Appends `n_window` and `sum_window`."""
+    from sparkglm_spark.operators.asof import _ts_num
+
+    if window_seconds <= 0:
+        raise ValueError("window_seconds must be positive")
+    # NTZ-safe epoch-µs ordering key (timezone-independent; see asof.py)
+    micros = _ts_num(F.col(ts_col), df.schema[ts_col].dataType)
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(micros)
+        .rangeBetween(-window_seconds * 1_000_000, 0)
+    )
+    return df.select(
+        "*",
+        F.count(F.lit(1)).over(w).alias("n_window"),
+        F.sum(value_col).over(w).alias("sum_window"),
+    )

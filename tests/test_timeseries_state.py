@@ -1,0 +1,94 @@
+"""latest_state (changelog compaction) and rolling_event_window vs
+plain-Python twins, plus the plan properties that make them scale."""
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+BASE = datetime(2024, 1, 1, 12, 0, 0)
+
+
+@pytest.fixture(scope="module")
+def changelog(spark):
+    rows = []
+    eid = 0
+    for user in range(5):
+        for k in range(user + 1):  # ragged histories, incl. single-row
+            rows.append((eid, BASE + timedelta(hours=k, seconds=user), user,
+                         f"state{k}", float(k) * 1.5))
+            eid += 1
+    # ts tie inside user 4: two rows at the same timestamp, event_id breaks it
+    rows.append((eid, BASE + timedelta(hours=4, seconds=4), 4, "tie", 99.0))
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double"
+    )
+
+
+def test_latest_state_matches_python(changelog):
+    from sparkglm_spark.operators.timeseries import latest_state
+
+    got = {
+        r.user_id: (r.event_id, r.event_type, r.value)
+        for r in latest_state(
+            changelog, ["user_id"], ["ts", "event_id"], ["event_type", "value"]
+        ).collect()
+    }
+    want = {}
+    for r in changelog.collect():
+        cur = want.get(r.user_id)
+        if cur is None or (r.ts, r.event_id) > (cur[0], cur[1]):
+            want[r.user_id] = (r.ts, r.event_id, r.event_type, r.value)
+    assert got == {u: (v[1], v[2], v[3]) for u, v in want.items()}
+    # the ts tie resolved to the HIGHER event_id
+    assert got[4][1] == "tie"
+
+
+def test_latest_state_plan_is_partial_aggregable(changelog):
+    from sparkglm_spark.operators.timeseries import latest_state
+
+    plan = (
+        latest_state(changelog, ["user_id"], ["ts", "event_id"], ["value"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # partial + final aggregate, no Window sort of the full history
+    assert "partial_max_by" in plan or "partial" in plan
+    assert "Window" not in plan
+
+
+def test_rolling_event_window_matches_python(changelog):
+    from sparkglm_spark.operators.timeseries import rolling_event_window
+
+    win_s = 2 * 3600  # 2 hours
+    out = rolling_event_window(changelog, "ts", ["user_id"], "value", win_s)
+    got = {r.event_id: (r.n_window, r.sum_window) for r in out.collect()}
+    rows = changelog.collect()
+    for r in rows:
+        peers = [
+            x for x in rows
+            if x.user_id == r.user_id
+            and r.ts - timedelta(seconds=win_s) <= x.ts <= r.ts
+        ]
+        assert got[r.event_id][0] == len(peers), r.event_id
+        assert got[r.event_id][1] == pytest.approx(
+            sum(x.value for x in peers), rel=1e-12
+        )
+
+
+def test_rolling_window_partition_invariant(changelog):
+    from sparkglm_spark.operators.timeseries import rolling_event_window
+
+    def run(df):
+        return sorted(
+            (r.event_id, r.n_window, round(r.sum_window, 9))
+            for r in rolling_event_window(df, "ts", ["user_id"], "value", 3600).collect()
+        )
+
+    assert run(changelog.coalesce(1)) == run(changelog.repartition(8))
+
+
+def test_rolling_window_validation(changelog):
+    from sparkglm_spark.operators.timeseries import rolling_event_window
+
+    with pytest.raises(ValueError):
+        rolling_event_window(changelog, "ts", ["user_id"], "value", 0)
