@@ -2054,6 +2054,51 @@ FROM tot LEFT JOIN hits USING (doc_id)
 """
 
 
+def q_events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event counts and value sums widened over the five
+    event types. The pivot values are EXPLICIT — `pivot(col)` without
+    them runs a blocking distinct job over the fact table first and can
+    explode the schema on high-cardinality keys. With the list, the plan
+    is two partial-aggregable levels: the fact table reduces on
+    (user, type) in one shuffle, and the pivotfirst widening runs over
+    that already-reduced O(users × 5) table — both map-side combinable,
+    no extra job. The oracle is the equivalent conditional-aggregation
+    SQL."""
+    ev = read_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("val"),
+        )
+    )
+    # pivot emits NULL for (user, type) cells with no rows; count semantics
+    # want 0 there (the oracle's COUNT(*) FILTER does the same)
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(f"{t}_n"), F.lit(0)).alias(f"{t}_n") for t in types],
+        *[F.col(f"{t}_val").alias(f"{t}_val") for t in types],
+    )
+
+
+SQL_EVENTS_TYPE_PIVOT = """
+SELECT user_id,
+       CAST(COUNT(*) FILTER (event_type = 'click')    AS BIGINT) AS click_n,
+       CAST(COUNT(*) FILTER (event_type = 'error')    AS BIGINT) AS error_n,
+       CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase_n,
+       CAST(COUNT(*) FILTER (event_type = 'signup')   AS BIGINT) AS signup_n,
+       CAST(COUNT(*) FILTER (event_type = 'view')     AS BIGINT) AS view_n,
+       ROUND(SUM(value) FILTER (event_type = 'click'), 6)    AS click_val,
+       ROUND(SUM(value) FILTER (event_type = 'error'), 6)    AS error_val,
+       ROUND(SUM(value) FILTER (event_type = 'purchase'), 6) AS purchase_val,
+       ROUND(SUM(value) FILTER (event_type = 'signup'), 6)   AS signup_val,
+       ROUND(SUM(value) FILTER (event_type = 'view'), 6)     AS view_val
+FROM events GROUP BY user_id
+"""
+
+
 def q_orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated-scalar-subquery shape: orders priced above their own
     customer's average. The Spark plan is the single-shuffle form — one
@@ -3155,6 +3200,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sequence_pack": q_sequence_pack,
     "skew_distinct_count": q_skew_distinct_count,
     "dedup_clusters": q_dedup_clusters,
+    "events_type_pivot": q_events_type_pivot,
     "orders_above_customer_avg": q_orders_above_customer_avg,
     "events_latest_state": q_events_latest_state,
     "events_rolling_7d": q_events_rolling_7d,
@@ -3218,6 +3264,7 @@ _ORACLES: dict[str, str] = {
     "sequence_pack": SQL_SEQUENCE_PACK,
     "skew_distinct_count": SQL_SKEW_DISTINCT_COUNT,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "events_type_pivot": SQL_EVENTS_TYPE_PIVOT,
     "orders_above_customer_avg": SQL_ORDERS_ABOVE_CUSTOMER_AVG,
     "events_latest_state": SQL_EVENTS_LATEST_STATE,
     "events_rolling_7d": SQL_EVENTS_ROLLING_7D,
