@@ -2019,10 +2019,10 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     against an eval set (docs with doc_id % 23 == 0 stand in for the
     benchmark). The benchmark's distinct shingles broadcast (eval sets
     are small by construction — the hint makes a mis-sized benchmark fail
-    loudly); per-doc totals come from the pre-explode array size, so the
-    only shuffle is the hit-count groupBy over benchmark-matching
-    shingles. Near-dups of benchmark docs surface with high scores;
-    clean docs score 0."""
+    loudly); the corpus is shingled ONCE and totals + hits come out of a
+    single groupBy over the membership-marked explode, so the one shuffle
+    carries a partial-agg row per (doc, map partition). Near-dups of
+    benchmark docs surface with high scores; clean docs score 0."""
     docs = read_table(spark, sf_dir, "documents")
     from sparkglm_spark.operators.corpus import contamination_scores
 
@@ -2071,32 +2071,38 @@ def q_events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("event_type", types)
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 6).alias("val"),
+            F.sum(_dec("value")).alias("val"),
         )
     )
     # pivot emits NULL for (user, type) cells with no rows; count semantics
-    # want 0 there (the oracle's COUNT(*) FILTER does the same)
+    # want 0 there (the oracle's COUNT(*) FILTER does the same). Value sums
+    # are decimal-exact (the customer_running_total convention) — empty
+    # cells stay NULL in both engines.
     return out.select(
         "user_id",
         *[F.coalesce(F.col(f"{t}_n"), F.lit(0)).alias(f"{t}_n") for t in types],
-        *[F.col(f"{t}_val").alias(f"{t}_val") for t in types],
+        *[
+            F.col(f"{t}_val").cast("decimal(38,6)").cast("string").alias(f"{t}_val")
+            for t in types
+        ],
     )
 
 
-SQL_EVENTS_TYPE_PIVOT = """
-SELECT user_id,
-       CAST(COUNT(*) FILTER (event_type = 'click')    AS BIGINT) AS click_n,
-       CAST(COUNT(*) FILTER (event_type = 'error')    AS BIGINT) AS error_n,
-       CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase_n,
-       CAST(COUNT(*) FILTER (event_type = 'signup')   AS BIGINT) AS signup_n,
-       CAST(COUNT(*) FILTER (event_type = 'view')     AS BIGINT) AS view_n,
-       ROUND(SUM(value) FILTER (event_type = 'click'), 6)    AS click_val,
-       ROUND(SUM(value) FILTER (event_type = 'error'), 6)    AS error_val,
-       ROUND(SUM(value) FILTER (event_type = 'purchase'), 6) AS purchase_val,
-       ROUND(SUM(value) FILTER (event_type = 'signup'), 6)   AS signup_val,
-       ROUND(SUM(value) FILTER (event_type = 'view'), 6)     AS view_val
-FROM events GROUP BY user_id
-"""
+def _sql_events_type_pivot() -> str:
+    types = ["click", "error", "purchase", "signup", "view"]
+    n_cols = ",\n".join(
+        f"       CAST(COUNT(*) FILTER (event_type = '{t}') AS BIGINT) AS {t}_n"
+        for t in types
+    )
+    v_cols = ",\n".join(
+        f"       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6)))"
+        f" FILTER (event_type = '{t}') AS DECIMAL(38,6)) AS VARCHAR) AS {t}_val"
+        for t in types
+    )
+    return f"SELECT user_id,\n{n_cols},\n{v_cols}\nFROM events GROUP BY user_id"
+
+
+SQL_EVENTS_TYPE_PIVOT = _sql_events_type_pivot()
 
 
 def q_orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2111,25 +2117,40 @@ def q_orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = read_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey")
+    # decimal-exact comparison: price·n > Σprice avoids BOTH the division
+    # and the float accumulation-order hazard (a raw double AVG can differ
+    # by an ulp between engines and flip strict-> rows on the knife edge);
+    # the displayed average divides the exact decimal sum as a double —
+    # the same IEEE operands in both engines
+    csum = F.sum(_dec("o_totalprice")).over(w).cast("decimal(38,6)")
+    cnt = F.count(F.lit(1)).over(w)
     return (
-        orders.withColumn("__avg", F.avg("o_totalprice").over(w))
-        .where(F.col("o_totalprice") > F.col("__avg"))
+        orders.withColumn("__csum", csum)
+        .withColumn("__cnt", cnt)
+        .where(_dec("o_totalprice") * F.col("__cnt").cast("decimal(10,0)") > F.col("__csum"))
         .select(
             "o_orderkey",
             "o_custkey",
             "o_totalprice",
-            F.round("__avg", 6).alias("cust_avg"),
+            F.round(F.col("__csum").cast("double") / F.col("__cnt"), 6).alias("cust_avg"),
         )
     )
 
 
 SQL_ORDERS_ABOVE_CUSTOMER_AVG = """
 SELECT o_orderkey, o_custkey, o_totalprice,
-       ROUND((SELECT AVG(o2.o_totalprice) FROM orders o2
-              WHERE o2.o_custkey = o.o_custkey), 6) AS cust_avg
+       ROUND(CAST((SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,6)))
+                        AS DECIMAL(38,6))
+                   FROM orders o2 WHERE o2.o_custkey = o.o_custkey) AS DOUBLE)
+             / (SELECT COUNT(*) FROM orders o2
+                WHERE o2.o_custkey = o.o_custkey), 6) AS cust_avg
 FROM orders o
-WHERE o_totalprice > (SELECT AVG(o2.o_totalprice) FROM orders o2
-                      WHERE o2.o_custkey = o.o_custkey)
+WHERE CAST(o_totalprice AS DECIMAL(18,6))
+      * CAST((SELECT COUNT(*) FROM orders o2
+              WHERE o2.o_custkey = o.o_custkey) AS DECIMAL(10,0))
+      > (SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,6)))
+              AS DECIMAL(38,6))
+         FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
 """
 
 
@@ -2174,22 +2195,30 @@ def q_events_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     from sparkglm_spark.operators.timeseries import rolling_event_window
 
+    # decimal-exact window sums (the customer_running_total convention):
+    # double window sums can differ in the last ulp between engines
+    # (segment-tree vs sequential accumulation) and flip a 6-digit round
     out = rolling_event_window(
-        ev, "ts", ["user_id"], "value", window_seconds=7 * 86400
+        ev.withColumn("value", _dec("value")),
+        "ts",
+        ["user_id"],
+        "value",
+        window_seconds=7 * 86400,
     )
     return out.select(
         "event_id",
         "user_id",
         "ts",
         F.col("n_window").cast("bigint").alias("n_window"),
-        F.round("sum_window", 6).alias("sum_window"),
+        F.col("sum_window").cast("decimal(38,6)").cast("string").alias("sum_window"),
     )
 
 
 SQL_EVENTS_ROLLING_7D = """
 SELECT event_id, user_id, ts,
        CAST(COUNT(*) OVER w AS BIGINT) AS n_window,
-       ROUND(SUM(value) OVER w, 6) AS sum_window
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DECIMAL(38,6))
+            AS VARCHAR) AS sum_window
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
              RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)

@@ -21,10 +21,10 @@ possible payload:
   standard train/test decontamination check (long n-grams ⇒ chance
   collisions are rare; hits mean copied text). The benchmark side is an
   eval set — tiny by construction — so its distinct shingles BROADCAST;
-  the corpus side computes its per-doc shingle count from the pre-explode
-  array (`size(array_distinct(...))` — a projection, not an aggregation),
-  so the only shuffle in the whole plan is the hit-count groupBy, keyed by
-  doc id over benchmark-intersecting shingles only.
+  the corpus side is shingled ONCE (explode → broadcast left join marking
+  benchmark membership → one groupBy(doc) counting rows and marks
+  together), and the single shuffle carries one partial-agg row per
+  (doc, map partition) — two longs — regardless of shingle volume.
 
 The reference (alteryx/sparkGLM) has no corpus surface; these are
 LLM-data-pipeline extension ops (SURVEY.md §7 phase 4).

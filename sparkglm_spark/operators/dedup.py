@@ -31,7 +31,6 @@ from sparkglm_spark.plans.caching import CacheRegistry
 # plans/caching.py for the lifecycle rationale.
 _CACHES = CacheRegistry()
 _op_persist = _CACHES.persist
-_begin_invocation = _CACHES.begin
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -118,6 +117,7 @@ def shingles(
     return pre.select("id", F.explode(grams).alias("shingle"))
 
 
+@_CACHES.scoped
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -144,7 +144,6 @@ def jaccard_pairs(
     (the count costs one bounded aggregation job — you already paid for
     the cap scan).
     """
-    _begin_invocation()
     sh = shingles(df, id_col, text_col, n=n)
     if max_docs_per_shingle is not None:
         # drop shingles present in too many docs (stopword-grams): they add
@@ -243,6 +242,7 @@ def minhash_signatures(
     return pre.groupBy("id").agg(*aggs)
 
 
+@_CACHES.scoped
 def minhash_lsh_candidates(
     sig: DataFrame, num_perm: int = 128, bands: int = 32, distinct: bool = True
 ) -> DataFrame:
@@ -554,6 +554,7 @@ _BRUTE_ALLPAIRS_OPS_BUDGET = 4_000_000_000
 _BRUTE_PROBE_MAX_PARTITIONS = 256
 
 
+@_CACHES.scoped
 def minhash_dedup_pairs(
     df: DataFrame,
     id_col: str,
@@ -587,7 +588,6 @@ def minhash_dedup_pairs(
     verification exact)."""
     from sparkglm_spark.plans.partitioning import bounded_row_probe
 
-    _begin_invocation()
     cap = _BRUTE_ALLPAIRS_MAX_DOCS
     n_docs = bounded_row_probe(
         df, cap, max_partitions=_BRUTE_PROBE_MAX_PARTITIONS
@@ -740,6 +740,7 @@ def simhash_signatures(
     return sig
 
 
+@_CACHES.scoped
 def simhash_near_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -750,7 +751,6 @@ def simhash_near_dup_pairs(
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming via 4×16-bit
     chunk banding (pigeonhole: ≤3 differing bits → ≥1 identical chunk).
     Candidates join on chunk equality; exact popcount verifies."""
-    _begin_invocation()
     sig = _op_persist(simhash_signatures(df, id_col, text_col, hash_fn=hash_fn))
     sig.count()  # materialize: the chunk self-join reads sig twice
     chunks = sig.select(

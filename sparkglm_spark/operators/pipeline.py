@@ -79,6 +79,7 @@ def _quality_and_lang_cols(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+@_CACHES.scoped
 def prepare_training_corpus(
     docs: DataFrame,
     text_col: str = "text",
@@ -108,7 +109,6 @@ def prepare_training_corpus(
     # anti-join) — persist so the dedup window + quality projections run
     # once, not per consumer; the next pipeline invocation releases it
     # (plans/caching.py)
-    _CACHES.begin()
     d2 = _CACHES.persist(d2)
     pairs = minhash_dedup_pairs(
         d2, id_col, text_col, threshold=neardup_threshold

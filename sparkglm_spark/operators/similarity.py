@@ -422,6 +422,7 @@ def hyperplane_signatures(
     )
 
 
+@_CACHES.scoped
 def lsh_near_dup_pairs(
     df: DataFrame,
     dim: int,
@@ -437,7 +438,6 @@ def lsh_near_dup_pairs(
     (angle ≈ 18°): P(chunk match) = (1−18/180)^16 ≈ 0.19 per chunk,
     ≥1-of-4 ≈ 0.57 — raise n_bits/chunks for higher recall; exact re-rank
     keeps precision at 1.0."""
-    _CACHES.begin()
     sig = hyperplane_signatures(df, dim, id_col, vec_col, n_bits, seed)
     sig = _CACHES.persist(sig)
     sig.count()  # materialize: the chunk self-join reads sig twice (pandas UDF)

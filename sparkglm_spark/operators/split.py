@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sparkglm_spark.plans.partitioning import require_integral_id
+
 _BUCKETS = 1_000_000  # split resolution: 1e-6 of weight
 
 
@@ -42,6 +44,10 @@ def hash_split(
     total = sum(weights.values())
     if total <= 0:
         raise ValueError("weights must sum to a positive value")
+    if portable:
+        # the affine hash casts to long: a string key would NULL every
+        # bucket (empty splits) with no error — fail at plan time
+        require_integral_id(df, id_col, "hash_split(portable=True)")
     b = _bucket(id_col, seed, portable)
     out: dict[str, DataFrame] = {}
     lo = 0.0
@@ -65,6 +71,8 @@ def with_split_column(
     """Same assignment as `hash_split`, as a labeled column (for writing one
     partitioned-by-split dataset instead of filtering per split)."""
     total = sum(weights.values())
+    if portable:
+        require_integral_id(df, id_col, "with_split_column(portable=True)")
     b = _bucket(id_col, seed, portable)
     expr = None
     lo = 0.0
@@ -141,6 +149,7 @@ def stratified_hash_sample(
             raise ValueError(f"fraction for stratum {s!r} must be in [0, 1]")
     if not 0.0 <= default_fraction <= 1.0:
         raise ValueError("default_fraction must be in [0, 1]")
+    require_integral_id(df, key_col, "stratified_hash_sample")
     b = hash_sample_expr(key_col, salt)
     thresh = None
     for s, f in fractions.items():
@@ -163,4 +172,5 @@ def hash_sample(
     `sample`/TABLESAMPLE are engine- and partitioning-dependent). Keys,
     not rows, are sampled: every row of a kept key survives, so sampling
     joins/groups stays consistent across tables sharing the key."""
+    require_integral_id(df, key_col, "hash_sample")
     return df.where(hash_sample_expr(key_col, salt) < F.lit(int(round(fraction * _BUCKETS))))

@@ -136,17 +136,24 @@ def rolling_event_window(
     [ts − window, ts]. One window pass with a RANGE frame over exact
     epoch MICROSECONDS (integer arithmetic — engine-portable, no
     float-second truncation), state per partition bounded by the frame
-    width. Appends `n_window` and `sum_window`."""
-    from sparkglm_spark.operators.asof import _ts_num
+    width. Appends `n_window` and `sum_window`.
+
+    A NUMERIC `ts_col` is taken in its own units (the frame offset is
+    `window_seconds` unscaled) — the same convention as asof_join's
+    tolerance; only timestamp columns get the µs scaling."""
+    from sparkglm_spark.operators.asof import _TS_TYPES, _ts_num
 
     if window_seconds <= 0:
         raise ValueError("window_seconds must be positive")
-    # NTZ-safe epoch-µs ordering key (timezone-independent; see asof.py)
-    micros = _ts_num(F.col(ts_col), df.schema[ts_col].dataType)
+    dtype = df.schema[ts_col].dataType
+    # NTZ-safe epoch-µs ordering key (timezone-independent; see asof.py);
+    # numeric ts columns pass through, so their frame must NOT be scaled
+    micros = _ts_num(F.col(ts_col), dtype)
+    scale = 1_000_000 if isinstance(dtype, _TS_TYPES) else 1
     w = (
         Window.partitionBy(*key_cols)
         .orderBy(micros)
-        .rangeBetween(-window_seconds * 1_000_000, 0)
+        .rangeBetween(-window_seconds * scale, 0)
     )
     return df.select(
         "*",

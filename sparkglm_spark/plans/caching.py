@@ -26,19 +26,48 @@ invocation and age its cache out early.
 from __future__ import annotations
 
 from collections import deque
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 
 
 class CacheRegistry:
     """Groups persisted frames by invocation; `begin()` at operator entry
-    starts a group and releases groups older than the last `keep_last`."""
+    starts a group and releases groups older than the last `keep_last`.
+
+    Prefer wrapping operator bodies in `with registry.invocation():` —
+    it begins a group only at the OUTERMOST operator, so a public
+    stage function (e.g. LSH candidate generation) is leak-bounded when
+    called directly but does not age out its caller's caches when
+    composed inside a larger operator."""
 
     def __init__(self, keep_last: int = 2) -> None:
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         self._groups: deque[list[DataFrame]] = deque()
         self._keep = keep_last
+        self._depth = 0
+
+    @contextmanager
+    def invocation(self):
+        if self._depth == 0:
+            self.begin()
+        self._depth += 1
+        try:
+            yield
+        finally:
+            self._depth -= 1
+
+    def scoped(self, fn):
+        """Decorator form of `invocation()` for operator entry points."""
+        import functools
+
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            with self.invocation():
+                return fn(*args, **kwargs)
+
+        return wrapper
 
     def begin(self) -> None:
         self._groups.append([])

@@ -296,3 +296,22 @@ def test_repeated_invocations_do_not_accumulate_caches(spark, documents):
     for cached in prior:
         lvl = cached.storageLevel
         assert not (lvl.useMemory or lvl.useDisk)
+
+
+def test_direct_lsh_candidates_calls_are_cache_bounded(spark, documents):
+    """minhash_lsh_candidates is public API; called directly in a loop it
+    must age out its own cache groups like the other top-level ops."""
+    from sparkglm_spark.operators.dedup import (
+        _CACHES, minhash_lsh_candidates, minhash_signatures, shingles,
+    )
+
+    sh = shingles(documents.limit(50), "doc_id", "text")
+    sig = minhash_signatures(sh)
+    # identical plans re-persist into the SAME CacheManager entry, so an
+    # old frame's storageLevel can look live after a newer call re-caches
+    # it — boundedness shows in the persistent-RDD count instead
+    minhash_lsh_candidates(sig).count()
+    n_after_first = spark.sparkContext._jsc.getPersistentRDDs().size()
+    for _ in range(4):
+        minhash_lsh_candidates(sig).count()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() <= n_after_first

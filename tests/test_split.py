@@ -134,3 +134,27 @@ def test_stratified_sample_validates_fractions(spark, orders):
         stratified_hash_sample(
             orders, "o_orderkey", "o_orderpriority", {}, default_fraction=-0.1
         )
+
+
+def test_portable_paths_reject_string_keys(spark):
+    """The affine hash casts keys to long; a string key would NULL every
+    bucket and silently return empty samples/splits — plan-time TypeError
+    instead (xxhash64-based paths accept any type and are unaffected)."""
+    import pytest
+
+    from sparkglm_spark.operators.split import (
+        hash_sample, hash_split, stratified_hash_sample, with_split_column,
+    )
+
+    df = spark.createDataFrame([("a", "x")], "doc_id string, strata string")
+    for call in [
+        lambda: hash_sample(df, "doc_id", 0.5),
+        lambda: stratified_hash_sample(df, "doc_id", "strata", {"x": 1.0}),
+        lambda: hash_split(df, "doc_id", {"train": 0.8, "test": 0.2}, portable=True),
+        lambda: with_split_column(df, "doc_id", {"train": 0.8, "test": 0.2}, portable=True),
+    ]:
+        with pytest.raises(TypeError, match="integral id"):
+            call()
+    # non-portable split still works on string keys (xxhash64)
+    parts = hash_split(df, "doc_id", {"train": 0.5, "test": 0.5})
+    assert sum(p.count() for p in parts.values()) == 1

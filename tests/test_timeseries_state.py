@@ -51,8 +51,10 @@ def test_latest_state_plan_is_partial_aggregable(changelog):
         latest_state(changelog, ["user_id"], ["ts", "event_id"], ["value"])
         ._jdf.queryExecution().executedPlan().toString()
     )
-    # partial + final aggregate, no Window sort of the full history
-    assert "partial_max_by" in plan or "partial" in plan
+    # partial + final aggregate, no Window sort of the full history —
+    # pin the actual partial_max_by marker (a bare "partial" matches any
+    # two-phase aggregate and would let a non-combinable rewrite slip by)
+    assert "partial_max_by" in plan
     assert "Window" not in plan
 
 
@@ -92,3 +94,17 @@ def test_rolling_window_validation(changelog):
 
     with pytest.raises(ValueError):
         rolling_event_window(changelog, "ts", ["user_id"], "value", 0)
+
+
+def test_rolling_window_numeric_ts_uses_raw_units(spark):
+    """A numeric ts column is taken in its own units — the frame must NOT
+    get the microsecond scaling (a 1e6x-too-wide window would silently
+    aggregate each key's entire history)."""
+    from sparkglm_spark.operators.timeseries import rolling_event_window
+
+    rows = [(i, float(t), 1, 1.0) for i, t in enumerate([0, 10, 25, 100])]
+    df = spark.createDataFrame(rows, "event_id long, ts double, user_id long, value double")
+    out = {r.event_id: r.n_window for r in
+           rolling_event_window(df, "ts", ["user_id"], "value", 20).collect()}
+    # window [t-20, t]: t=0 ->1, t=10 ->2, t=25 ->2 (10,25), t=100 ->1
+    assert out == {0: 1, 1: 2, 2: 2, 3: 1}
