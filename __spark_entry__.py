@@ -2054,6 +2054,62 @@ FROM tot LEFT JOIN hits USING (doc_id)
 """
 
 
+def q_embeddings_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization (operators/similarity.py::quantize_int8)
+    summarized per vector: the quantized values' exact integer sums plus
+    the reconstruction MSE. Zero-shuffle projection; q is bit-identical
+    across engines (plain IEEE double ops), so the integer checksums are
+    exact and only the MSE needs the repo's round-6 float convention."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    from sparkglm_spark.operators.similarity import quantize_int8
+
+    qd = quantize_int8(emb)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    joined = qd.join(emb.select("vec_id", v.alias("__v")), "vec_id")
+    err = F.zip_with(
+        F.col("__v"),
+        F.col("q"),
+        lambda x, qi: (x - qi.cast("double") * F.col("scale"))
+        * (x - qi.cast("double") * F.col("scale")),
+    )
+    return joined.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale"),
+        F.aggregate("q", F.lit(0).cast("bigint"), lambda a, b: a + b).alias("q_sum"),
+        F.aggregate(
+            "q", F.lit(0).cast("bigint"), lambda a, b: a + F.abs(b)
+        ).alias("q_abs_sum"),
+        F.round(
+            F.aggregate(err, F.lit(0.0), lambda a, b: a + b), 6
+        ).alias("mse_x1"),
+    )
+
+
+SQL_EMBEDDINGS_QUANTIZE = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+s AS (
+  SELECT vec_id, x,
+         list_max(list_transform(x, a -> abs(a))) / 127.0 AS scale
+  FROM v),
+q AS (
+  SELECT vec_id, x, scale,
+         CASE WHEN scale > 0
+              THEN list_transform(x, a -> CAST(round(a / scale) AS INTEGER))
+              ELSE list_transform(x, a -> 0) END AS qv
+  FROM s)
+SELECT vec_id, ROUND(scale, 9) AS scale,
+       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+       CAST(list_sum(list_transform(qv, a -> abs(a))) AS BIGINT) AS q_abs_sum,
+       ROUND(list_reduce(
+           list_concat([CAST(0.0 AS DOUBLE)],
+                       list_transform(list_zip(x, qv),
+                           p -> (p[1] - p[2] * scale) * (p[1] - p[2] * scale))),
+           (acc, e) -> acc + e), 6) AS mse_x1
+FROM q
+"""
+
+
 def q_events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: per-user event counts and value sums widened over the five
     event types. The pivot values are EXPLICIT — `pivot(col)` without
@@ -3229,6 +3285,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sequence_pack": q_sequence_pack,
     "skew_distinct_count": q_skew_distinct_count,
     "dedup_clusters": q_dedup_clusters,
+    "embeddings_quantize": q_embeddings_quantize,
     "events_type_pivot": q_events_type_pivot,
     "orders_above_customer_avg": q_orders_above_customer_avg,
     "events_latest_state": q_events_latest_state,
@@ -3293,6 +3350,7 @@ _ORACLES: dict[str, str] = {
     "sequence_pack": SQL_SEQUENCE_PACK,
     "skew_distinct_count": SQL_SKEW_DISTINCT_COUNT,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "embeddings_quantize": SQL_EMBEDDINGS_QUANTIZE,
     "events_type_pivot": SQL_EVENTS_TYPE_PIVOT,
     "orders_above_customer_avg": SQL_ORDERS_ABOVE_CUSTOMER_AVG,
     "events_latest_state": SQL_EVENTS_LATEST_STATE,

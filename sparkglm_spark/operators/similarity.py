@@ -544,3 +544,32 @@ def near_dup_pairs(
         n_bits=n_bits,
         seed=seed,
     )
+
+
+def quantize_int8(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the standard 4× embedding
+    compression before an ANN index: scale = max|x|/127, q_i = round(x_i/
+    scale) ∈ [−127, 127]. Returns (id, scale, q) with q as array<int>.
+
+    A pure projection: zero shuffles, whole-stage codegen, streams at scan
+    speed over any corpus size. `scale` is computed in a projection BELOW
+    the transform — referencing it inside the lambda would re-evaluate
+    the array_max per element (no CSE across lambda scopes; same lesson
+    as the shingle lowercasing). All-zero vectors get scale 0 and an
+    all-zero q. Arithmetic is plain IEEE double (cast from float32 input
+    first), so any engine reproduces q bit-for-bit."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    pre = df.select(
+        F.col(id_col),
+        v.alias("__v"),
+        (F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)).alias(
+            "scale"
+        ),
+    )
+    q = F.when(
+        F.col("scale") > 0,
+        F.transform(F.col("__v"), lambda x: F.round(x / F.col("scale")).cast("int")),
+    ).otherwise(F.transform(F.col("__v"), lambda x: F.lit(0)))
+    return pre.select(id_col, "scale", q.alias("q"))

@@ -212,3 +212,42 @@ def test_near_dup_router_warns_when_degrading(spark, embeddings, caplog):
             exact_max_rows=10,
         ).count()
     assert any("degrading to hyperplane-LSH" in r.message for r in caplog.records)
+
+
+def test_quantize_int8_reconstruction_and_edges(spark):
+    import numpy as np
+
+    from sparkglm_spark.operators.similarity import quantize_int8
+
+    rows = [
+        (0, [1.0, -0.5, 0.25, 127.0]),
+        (1, [0.0, 0.0, 0.0, 0.0]),          # zero vector -> scale 0, q all 0
+        (2, [-3.5, 2.0, 0.001, -0.0009]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: (r.scale, r.q) for r in quantize_int8(df).collect()}
+    for vid, vec in rows:
+        x = np.array(vec)
+        scale, q = got[vid]
+        if np.abs(x).max() == 0:
+            assert scale == 0.0 and q == [0, 0, 0, 0]
+            continue
+        assert scale == pytest.approx(np.abs(x).max() / 127.0, rel=0)
+        assert max(abs(v) for v in q) <= 127
+        # reconstruction error bounded by scale/2 per element
+        recon = np.array(q, dtype=float) * scale
+        assert np.abs(recon - x).max() <= scale / 2 + 1e-15
+
+
+def test_quantize_int8_partition_invariant_and_no_shuffle(spark):
+    from sparkglm_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [(i, [float(i) * 0.1, float(-i), 1.5]) for i in range(100)],
+        "vec_id long, embedding array<double>",
+    )
+    a = sorted(map(str, quantize_int8(df.coalesce(1)).collect()))
+    b = sorted(map(str, quantize_int8(df.repartition(8)).collect()))
+    assert a == b
+    plan = quantize_int8(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure projection
