@@ -2057,46 +2057,49 @@ FROM tot LEFT JOIN hits USING (doc_id)
 def q_embeddings_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 embedding quantization (operators/similarity.py::quantize_int8)
     summarized per vector: the quantized values' exact integer sums plus
-    the reconstruction MSE. Zero-shuffle projection; q is bit-identical
+    the reconstruction SSE (sum of squared errors — dimension-scaled, not
+    divided by length). One zero-shuffle projection: keep_vec=True
+    returns the double-cast input alongside q, so the error terms come
+    from the same scan instead of a re-scan + join. q is bit-identical
     across engines (plain IEEE double ops), so the integer checksums are
-    exact and only the MSE needs the repo's round-6 float convention."""
+    exact; only the SSE needs the repo's round-6 float convention."""
     emb = read_table(spark, sf_dir, "embeddings")
     from sparkglm_spark.operators.similarity import quantize_int8
 
-    qd = quantize_int8(emb)
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    joined = qd.join(emb.select("vec_id", v.alias("__v")), "vec_id")
+    qd = quantize_int8(emb, keep_vec=True)
     err = F.zip_with(
-        F.col("__v"),
+        F.col("vec"),
         F.col("q"),
         lambda x, qi: (x - qi.cast("double") * F.col("scale"))
         * (x - qi.cast("double") * F.col("scale")),
     )
-    return joined.select(
+    return qd.select(
         "vec_id",
         F.round("scale", 9).alias("scale"),
-        F.aggregate("q", F.lit(0).cast("bigint"), lambda a, b: a + b).alias("q_sum"),
         F.aggregate(
-            "q", F.lit(0).cast("bigint"), lambda a, b: a + F.abs(b)
+            "q", F.lit(0).cast("bigint"), lambda a, b: a + b.cast("bigint")
+        ).alias("q_sum"),
+        F.aggregate(
+            "q", F.lit(0).cast("bigint"), lambda a, b: a + F.abs(b).cast("bigint")
         ).alias("q_abs_sum"),
-        F.round(
-            F.aggregate(err, F.lit(0.0), lambda a, b: a + b), 6
-        ).alias("mse_x1"),
+        F.round(F.aggregate(err, F.lit(0.0), lambda a, b: a + b), 6).alias("sse"),
     )
 
 
 SQL_EMBEDDINGS_QUANTIZE = """
 WITH v AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+  WHERE len(embedding) > 0),
 s AS (
   SELECT vec_id, x,
          list_max(list_transform(x, a -> abs(a))) / 127.0 AS scale
   FROM v),
 q AS (
   SELECT vec_id, x, scale,
-         CASE WHEN scale > 0
-              THEN list_transform(x, a -> CAST(round(a / scale) AS INTEGER))
-              ELSE list_transform(x, a -> 0) END AS qv
+         CASE WHEN isnan(scale) OR isinf(scale) THEN NULL
+              WHEN scale > 0
+              THEN list_transform(x, a -> CAST(round(a / scale) AS TINYINT))
+              ELSE list_transform(x, a -> CAST(0 AS TINYINT)) END AS qv
   FROM s)
 SELECT vec_id, ROUND(scale, 9) AS scale,
        CAST(list_sum(qv) AS BIGINT) AS q_sum,
@@ -2105,7 +2108,7 @@ SELECT vec_id, ROUND(scale, 9) AS scale,
            list_concat([CAST(0.0 AS DOUBLE)],
                        list_transform(list_zip(x, qv),
                            p -> (p[1] - p[2] * scale) * (p[1] - p[2] * scale))),
-           (acc, e) -> acc + e), 6) AS mse_x1
+           (acc, e) -> acc + e), 6) AS sse
 FROM q
 """
 

@@ -547,29 +547,54 @@ def near_dup_pairs(
 
 
 def quantize_int8(
-    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Symmetric per-vector int8 quantization — the standard 4× embedding
     compression before an ANN index: scale = max|x|/127, q_i = round(x_i/
-    scale) ∈ [−127, 127]. Returns (id, scale, q) with q as array<int>.
+    scale) ∈ [−127, 127]. Returns (id, scale, q) with q as array<tinyint>
+    — one BYTE per element, so the column really is 4× smaller than the
+    float32 input on disk and on the shuffle wire. `keep_vec=True` also
+    returns the double-cast input as `vec` (for reconstruction-error
+    checks in the same projection — no re-scan + join to recover it).
 
     A pure projection: zero shuffles, whole-stage codegen, streams at scan
     speed over any corpus size. `scale` is computed in a projection BELOW
     the transform — referencing it inside the lambda would re-evaluate
     the array_max per element (no CSE across lambda scopes; same lesson
-    as the shingle lowercasing). All-zero vectors get scale 0 and an
-    all-zero q. Arithmetic is plain IEEE double (cast from float32 input
-    first), so any engine reproduces q bit-for-bit."""
+    as the shingle lowercasing). Edge semantics: all-zero vectors get
+    scale 0 and an all-zero q; NULL or EMPTY vectors are dropped (no
+    elements → nothing to quantize, and engines disagree on empty-list
+    aggregates); a non-finite scale (NaN/Inf element — corrupt data)
+    yields q = NULL rather than a silent zero mask. Finite arithmetic is
+    plain IEEE double (cast from float32 input first), so any engine
+    reproduces q bit-for-bit."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    pre = df.select(
+    pre = df.where(F.size(F.col(vec_col)) > 0).select(
         F.col(id_col),
         v.alias("__v"),
         (F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)).alias(
             "scale"
         ),
     )
-    q = F.when(
-        F.col("scale") > 0,
-        F.transform(F.col("__v"), lambda x: F.round(x / F.col("scale")).cast("int")),
-    ).otherwise(F.transform(F.col("__v"), lambda x: F.lit(0)))
-    return pre.select(id_col, "scale", q.alias("q"))
+    finite = ~F.isnan("scale") & (F.col("scale") < F.lit(float("inf")))
+    q = (
+        F.when(
+            finite & (F.col("scale") > 0),
+            F.transform(
+                F.col("__v"),
+                lambda x: F.round(x / F.col("scale")).cast("tinyint"),
+            ),
+        )
+        .when(
+            finite,  # scale == 0: the all-zero vector
+            F.transform(F.col("__v"), lambda x: F.lit(0).cast("tinyint")),
+        )
+        .otherwise(F.lit(None).cast("array<tinyint>"))
+    )
+    cols = [F.col(id_col), F.col("scale"), q.alias("q")]
+    if keep_vec:
+        cols.append(F.col("__v").alias("vec"))
+    return pre.select(*cols)

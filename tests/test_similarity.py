@@ -224,8 +224,15 @@ def test_quantize_int8_reconstruction_and_edges(spark):
         (1, [0.0, 0.0, 0.0, 0.0]),          # zero vector -> scale 0, q all 0
         (2, [-3.5, 2.0, 0.001, -0.0009]),
     ]
-    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    got = {r.vec_id: (r.scale, r.q) for r in quantize_int8(df).collect()}
+    edge = [(3, []), (4, None), (5, [1.0, float("nan")])]
+    df = spark.createDataFrame(rows + edge, "vec_id long, embedding array<double>")
+    out = quantize_int8(df).collect()
+    got = {r.vec_id: (r.scale, r.q) for r in out}
+    # empty/null vectors are dropped; a NaN element yields q NULL (corrupt
+    # data stays visible), and q is BYTES (tinyint) - real 4x compression
+    assert set(got) == {0, 1, 2, 5}
+    assert got[5][1] is None
+    assert dict(quantize_int8(df).dtypes)["q"] == "array<tinyint>"
     for vid, vec in rows:
         x = np.array(vec)
         scale, q = got[vid]
