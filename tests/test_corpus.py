@@ -199,3 +199,53 @@ def test_ngrams_blank_text_yields_nothing_at_n1(spark):
         [("",), ("   ",), (None,), ("one",)], "text string"
     ).select(F.size(word_ngrams_expr(F.col("text"), 1)).alias("n"))
     assert [r.n for r in df.collect()] == [0, 0, 0, 1]
+
+
+def test_chunks_random_corpus_matches_python(spark):
+    """Seeded-random widening of the chunk twin: 60 docs of random length
+    (0..400) and alphabet incl. whitespace/unicode, three (size, stride)
+    shapes, all compared in ONE Spark job per shape."""
+    import random
+
+    from sparkglm_spark.operators.corpus import chunk_documents
+
+    rng = random.Random(20260814)
+    alphabet = "ab c\nd-éñ🙂 xyz"
+    rows = [
+        (i, "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 401))))
+        for i in range(60)
+    ]
+    df = _docs(spark, rows)
+    for size, stride in [(64, 64), (50, 37), (7, 3)]:
+        got = {
+            (r.doc_id, r.chunk_id): (r.chunk_start, r.chunk_text)
+            for r in chunk_documents(df, chunk_size=size, stride=stride).collect()
+        }
+        want = {}
+        for doc_id, text in rows:
+            for cid, start, chunk in _py_chunks(text, size, stride):
+                want[(doc_id, cid)] = (start, chunk)
+        assert got == want, (size, stride)
+
+
+def test_ngrams_random_corpus_matches_python(spark):
+    import random
+
+    from sparkglm_spark.operators.corpus import word_ngrams_expr
+
+    rng = random.Random(4077)
+    words = ["alpha", "beta", "Gamma", "δ", "x1", ""]
+    rows = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randrange(0, 12))))
+        for i in range(80)
+    ]
+    df = _docs(spark, rows)
+    for n in [1, 2, 5]:
+        got = {
+            r.doc_id: set(r.g)
+            for r in df.select(
+                "doc_id", word_ngrams_expr(F.col("text"), n).alias("g")
+            ).collect()
+        }
+        for doc_id, text in rows:
+            assert got[doc_id] == _py_ngrams(text, n), (doc_id, n)
