@@ -3203,6 +3203,410 @@ ORDER BY bucket
 
 
 # ===========================================================================
+# consolidated queries — the driver's CORRECTNESS gate checks at most 50
+# registry entries, so kin operators share one union-row-set query (the
+# gram_lineitem / multimodal_features pattern): each constituent keeps its
+# own exact oracle semantics, tagged by an `op` column and normalized onto
+# a shared schema. Every merged constituent below still runs its ORIGINAL
+# operator code path — consolidation changes verification placement only.
+# ===========================================================================
+
+
+def q_corpus_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus toolkit union row-set: document chunking + vocabulary top-k +
+    benchmark decontamination (operators/corpus.py — see the constituent
+    q_doc_chunks / q_vocab_topk / q_decontaminate docstrings for the plan
+    arguments; each runs unchanged). Normalized onto
+    (op, k, a, b, s, x): chunk rows key on doc:chunk, vocab rows on term,
+    decontamination rows on doc — one driver row-set covers all three."""
+    chunks = q_doc_chunks(spark, sf_dir).select(
+        F.lit("chunk").alias("op"),
+        F.concat_ws(
+            ":", F.col("doc_id").cast("string"), F.col("chunk_id").cast("string")
+        ).alias("k"),
+        F.col("chunk_start").cast("bigint").alias("a"),
+        F.col("chunk_len").cast("bigint").alias("b"),
+        F.col("chunk_text").alias("s"),
+        F.lit(None).cast("double").alias("x"),
+    )
+    vocab = q_vocab_topk(spark, sf_dir).select(
+        F.lit("vocab").alias("op"),
+        F.col("term").alias("k"),
+        F.col("corpus_freq").cast("bigint").alias("a"),
+        F.col("doc_freq").cast("bigint").alias("b"),
+        F.lit(None).cast("string").alias("s"),
+        F.lit(None).cast("double").alias("x"),
+    )
+    decon = q_decontaminate(spark, sf_dir).select(
+        F.lit("decon").alias("op"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("n_shingles").cast("bigint").alias("a"),
+        F.col("n_hits").cast("bigint").alias("b"),
+        F.lit(None).cast("string").alias("s"),
+        F.col("contamination").alias("x"),
+    )
+    return chunks.unionByName(vocab).unionByName(decon)
+
+
+SQL_CORPUS_OPS = f"""
+SELECT 'chunk' AS op,
+       CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_id AS VARCHAR) AS k,
+       CAST(chunk_start AS BIGINT) AS a, chunk_len AS b, chunk_text AS s,
+       CAST(NULL AS DOUBLE) AS x
+FROM ({SQL_DOC_CHUNKS}) chunks
+UNION ALL
+SELECT 'vocab', term, corpus_freq, doc_freq, NULL, NULL
+FROM ({SQL_VOCAB_TOPK}) vocab
+UNION ALL
+SELECT 'decon', CAST(doc_id AS VARCHAR), n_shingles, n_hits, NULL, contamination
+FROM ({SQL_DECONTAMINATE}) decon
+"""
+
+
+def q_events_timeseries_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series union row-set: daily resample + trailing-7-day moving agg
+    (the original q_events_timeseries), changelog compaction
+    (q_events_latest_state) and the per-event trailing 7-day RANGE window
+    (q_events_rolling_7d) — each constituent's operator and determinism
+    conventions unchanged (see their docstrings). Normalized onto
+    (op, k1, k2, n1, n2, v1, x); timestamps travel as exact epoch
+    microseconds (integer — both engines bit-identical)."""
+    resample = q_events_timeseries(spark, sf_dir).select(
+        F.lit("resample").alias("op"),
+        F.col("event_type").alias("k1"),
+        F.col("day").alias("k2"),
+        F.col("n_events").cast("bigint").alias("n1"),
+        F.col("days_in_window").cast("bigint").alias("n2"),
+        F.col("mov_sum").cast("string").alias("v1"),
+        F.col("mov_avg").alias("x"),
+    )
+    # NTZ-safe epoch-µs (the asof.py convention): timestampdiff from the
+    # NTZ epoch is timezone-independent; unix_micros rejects TIMESTAMP_NTZ
+    micros = F.timestamp_diff(
+        "MICROSECOND", F.expr("TIMESTAMP_NTZ '1970-01-01 00:00:00'"), F.col("ts")
+    )
+    latest = q_events_latest_state(spark, sf_dir).select(
+        F.lit("latest").alias("op"),
+        F.col("user_id").cast("string").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.col("event_id").cast("bigint").alias("n1"),
+        micros.alias("n2"),
+        F.col("event_type").alias("v1"),
+        F.col("value").alias("x"),
+    )
+    rolling = q_events_rolling_7d(spark, sf_dir).select(
+        F.lit("rolling7d").alias("op"),
+        F.col("user_id").cast("string").alias("k1"),
+        F.col("event_id").cast("string").alias("k2"),
+        F.col("n_window").cast("bigint").alias("n1"),
+        F.lit(None).cast("bigint").alias("n2"),
+        F.col("sum_window").alias("v1"),
+        F.lit(None).cast("double").alias("x"),
+    )
+    return resample.unionByName(latest).unionByName(rolling)
+
+
+SQL_EVENTS_TIMESERIES_OPS = f"""
+SELECT 'resample' AS op, event_type AS k1, day AS k2,
+       n_events AS n1, days_in_window AS n2,
+       CAST(mov_sum AS VARCHAR) AS v1, mov_avg AS x
+FROM ({SQL_EVENTS_TIMESERIES}) r
+UNION ALL
+SELECT 'latest', CAST(user_id AS VARCHAR), NULL, event_id, epoch_us(ts),
+       event_type, value
+FROM ({SQL_EVENTS_LATEST_STATE}) l
+UNION ALL
+SELECT 'rolling7d', CAST(user_id AS VARCHAR), CAST(event_id AS VARCHAR),
+       n_window, NULL, sum_window, NULL
+FROM ({SQL_EVENTS_ROLLING_7D}) w
+"""
+
+
+def q_events_user_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lifetime totals (streaming/events.py user_running_totals —
+    the stateful-streaming batch core) WIDENED by the explicit-values pivot
+    (q_events_type_pivot's plan: no blocking distinct job, two
+    partial-aggregable levels). Same user_id grain on both sides, so the
+    merge is an equi-join of two already-reduced O(users) relations —
+    AQE broadcasts one side; no extra fact-table scan semantics change."""
+    totals = q_events_user_totals(spark, sf_dir)
+    pivot = q_events_type_pivot(spark, sf_dir)
+    return totals.join(pivot, "user_id")
+
+
+def _sql_events_user_pivot() -> str:
+    types = ["click", "error", "purchase", "signup", "view"]
+    n_cols = ",\n".join(
+        f"       CAST(COUNT(*) FILTER (event_type = '{t}') AS BIGINT) AS {t}_n"
+        for t in types
+    )
+    v_cols = ",\n".join(
+        f"       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6)))"
+        f" FILTER (event_type = '{t}') AS DECIMAL(38,6)) AS VARCHAR) AS {t}_val"
+        for t in types
+    )
+    return f"""
+SELECT user_id, count(*) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS VARCHAR) AS value_sum,
+{n_cols},
+{v_cols}
+FROM events GROUP BY user_id
+"""
+
+
+SQL_EVENTS_USER_PIVOT = _sql_events_user_pivot()
+
+
+def q_customer_running_total_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window coverage on one scan: per-customer running order-value total
+    (rows-unbounded frame, decimal-exact) PLUS the correlated-scalar-
+    subquery shape (order priced above its own customer's average —
+    q_orders_above_customer_avg's decimal-exact knife-edge convention).
+    The filter is on the partition key itself (o_custkey < 200), so each
+    customer's window sees exactly the rows the unfiltered correlated
+    subquery would — semantics identical, one window shuffle total."""
+    od = read_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wp = Window.partitionBy("o_custkey")
+    csum = F.sum(_dec("o_totalprice")).over(wp).cast("decimal(38,6)")
+    cnt = F.count(F.lit(1)).over(wp)
+    return od.where(F.col("o_custkey") < 200).select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_dec("o_totalprice"))
+        .over(w)
+        .cast("decimal(38,6)")
+        .cast("string")
+        .alias("running_total"),
+        F.row_number().over(w).alias("order_seq"),
+        F.round(csum.cast("double") / cnt, 6).alias("cust_avg"),
+        (_dec("o_totalprice") * cnt.cast("decimal(10,0)") > csum)
+        .cast("int")
+        .alias("above_cust_avg"),
+    )
+
+
+SQL_CUSTOMER_RUNNING_TOTAL_EXT = """
+SELECT o_custkey, o_orderkey,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS VARCHAR) AS running_total,
+       row_number() OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS order_seq,
+       ROUND(CAST((SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,6)))
+                        AS DECIMAL(38,6))
+                   FROM orders o2 WHERE o2.o_custkey = o.o_custkey) AS DOUBLE)
+             / (SELECT COUNT(*) FROM orders o2
+                WHERE o2.o_custkey = o.o_custkey), 6) AS cust_avg,
+       CAST(CAST(o_totalprice AS DECIMAL(18,6))
+            * CAST((SELECT COUNT(*) FROM orders o2
+                    WHERE o2.o_custkey = o.o_custkey) AS DECIMAL(10,0))
+            > (SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,6)))
+                    AS DECIMAL(38,6))
+               FROM orders o2 WHERE o2.o_custkey = o.o_custkey) AS INT)
+         AS above_cust_avg
+FROM orders o WHERE o_custkey < 200
+"""
+
+
+def q_distinct_count_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count union row-set: Catalyst's two-stage expand/partial-agg
+    COUNT(DISTINCT) per order priority (q_priority_distinct_customers) +
+    the skew-safe salted exact distinct count per event type
+    (q_skew_distinct_count — operators/stats.py, 16 salt reducers per hot
+    key). Normalized onto (op, key, n_distinct, n, total)."""
+    pri = q_priority_distinct_customers(spark, sf_dir).select(
+        F.lit("orders_priority").alias("op"),
+        F.col("o_orderpriority").alias("key"),
+        F.col("n_customers").cast("bigint").alias("n_distinct"),
+        F.col("n_orders").cast("bigint").alias("n"),
+        F.col("total_price").alias("total"),
+    )
+    ev = q_skew_distinct_count(spark, sf_dir).select(
+        F.lit("events_type").alias("op"),
+        F.col("event_type").alias("key"),
+        F.col("n_users").cast("bigint").alias("n_distinct"),
+        F.col("n_events").cast("bigint").alias("n"),
+        F.lit(None).cast("string").alias("total"),
+    )
+    return pri.unionByName(ev)
+
+
+SQL_DISTINCT_COUNT_OPS = f"""
+SELECT 'orders_priority' AS op, o_orderpriority AS key,
+       n_customers AS n_distinct, n_orders AS n, total_price AS total
+FROM ({SQL_PRIORITY_DISTINCT_CUSTOMERS}) p
+UNION ALL
+SELECT 'events_type', event_type, n_users, n_events, NULL
+FROM ({SQL_SKEW_DISTINCT_COUNT}) e
+"""
+
+
+def q_similarity_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity union row-set: exact brute-force top-k + full-probe IVF
+    (q_similarity_topk, both equal to the brute oracle) + int8 embedding
+    quantization checksums (q_embeddings_quantize — exact integer sums,
+    round-6 SSE). Normalized onto (op, k1, k2, v1, n1, n2, x)."""
+    topk = q_similarity_topk(spark, sf_dir).select(
+        F.col("method").alias("op"),
+        F.col("query_id").cast("bigint").alias("k1"),
+        F.col("neighbor_id").cast("bigint").alias("k2"),
+        F.col("cosine").alias("v1"),
+        F.col("rank").cast("bigint").alias("n1"),
+        F.lit(None).cast("bigint").alias("n2"),
+        F.lit(None).cast("double").alias("x"),
+    )
+    quant = q_embeddings_quantize(spark, sf_dir).select(
+        F.lit("quantize").alias("op"),
+        F.col("vec_id").cast("bigint").alias("k1"),
+        F.lit(None).cast("bigint").alias("k2"),
+        F.col("scale").alias("v1"),
+        F.col("q_sum").alias("n1"),
+        F.col("q_abs_sum").alias("n2"),
+        F.col("sse").alias("x"),
+    )
+    return topk.unionByName(quant)
+
+
+SQL_SIMILARITY_OPS = f"""
+SELECT method AS op, query_id AS k1, neighbor_id AS k2, cosine AS v1,
+       CAST(rank AS BIGINT) AS n1, CAST(NULL AS BIGINT) AS n2,
+       CAST(NULL AS DOUBLE) AS x
+FROM ({SQL_SIMILARITY_TOPK}) t
+UNION ALL
+SELECT 'quantize', vec_id, NULL, scale, q_sum, q_abs_sum, sse
+FROM ({SQL_EMBEDDINGS_QUANTIZE}) q
+"""
+
+
+def q_similarity_neardup_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair union row-set: the auto-routing planner's exact
+    broadcast-dgemm branch (q_similarity_neardup) + the explicit
+    random-hyperplane LSH path on the planted-duplicate corpus
+    (q_similarity_lsh — deterministic recall 1 by scale invariance).
+    Both emit (id_a, id_b, cosine); a method tag separates them."""
+    planner = q_similarity_neardup(spark, sf_dir).withColumn(
+        "method", F.lit("planner")
+    )
+    lsh = q_similarity_lsh(spark, sf_dir).withColumn("method", F.lit("lsh"))
+    return planner.unionByName(lsh).select("method", "id_a", "id_b", "cosine")
+
+
+SQL_SIMILARITY_NEARDUP_OPS = f"""
+SELECT 'planner' AS method, id_a, id_b, cosine FROM ({SQL_SIMILARITY_NEARDUP}) p
+UNION ALL
+SELECT 'lsh', id_a, id_b, cosine FROM ({SQL_SIMILARITY_LSH}) l
+"""
+
+
+def q_sampling_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling union stat-table: portable-hash train/test split + 10%
+    key-hash sample (q_split_sample) UNION the per-stratum stats of the
+    deterministic stratified sample (q_stratified_sample) unpivoted onto
+    the same (stat, value) shape — all values exact strings."""
+    base = q_split_sample(spark, sf_dir)
+    strat = q_stratified_sample(spark, sf_dir).selectExpr(
+        "o_orderpriority",
+        "stack(4, 'n', cast(n as string), 'total_price', total_price,"
+        " 'min_key', cast(min_key as string),"
+        " 'max_key', cast(max_key as string)) as (m, value)",
+    ).select(
+        F.concat(F.lit("strat_"), F.col("o_orderpriority"), F.lit("_"), F.col("m")).alias(
+            "stat"
+        ),
+        "value",
+    )
+    return base.unionByName(strat)
+
+
+SQL_SAMPLING_OPS = f"""
+SELECT stat, value FROM ({SQL_SPLIT_SAMPLE}) sp
+UNION ALL
+SELECT 'strat_' || o_orderpriority || '_' || m AS stat, value
+FROM (
+  SELECT o_orderpriority, 'n' AS m, CAST(n AS VARCHAR) AS value FROM ({SQL_STRATIFIED_SAMPLE}) s1
+  UNION ALL
+  SELECT o_orderpriority, 'total_price', total_price FROM ({SQL_STRATIFIED_SAMPLE}) s2
+  UNION ALL
+  SELECT o_orderpriority, 'min_key', CAST(min_key AS VARCHAR) FROM ({SQL_STRATIFIED_SAMPLE}) s3
+  UNION ALL
+  SELECT o_orderpriority, 'max_key', CAST(max_key AS VARCHAR) FROM ({SQL_STRATIFIED_SAMPLE}) s4
+) strat
+"""
+
+
+def q_orders_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution union row-set: exact linear-interpolation percentiles
+    per return flag (q_quantity_percentiles) + the fixed-width
+    total-price histogram (q_totalprice_histogram — integer bucket
+    arithmetic, partial+final agg). Normalized onto (op, key, n, v1..v3)."""
+    pct = q_quantity_percentiles(spark, sf_dir).select(
+        F.lit("quantity_pct").alias("op"),
+        F.col("l_returnflag").alias("key"),
+        F.lit(None).cast("bigint").alias("n"),
+        F.col("p50").alias("v1"),
+        F.col("p90").alias("v2"),
+        F.col("p99").alias("v3"),
+    )
+    hist = q_totalprice_histogram(spark, sf_dir).select(
+        F.lit("price_hist").alias("op"),
+        F.col("bucket").cast("string").alias("key"),
+        F.col("n_orders").cast("bigint").alias("n"),
+        F.col("min_price").alias("v1"),
+        F.col("max_price").alias("v2"),
+        F.lit(None).cast("double").alias("v3"),
+    )
+    return pct.unionByName(hist)
+
+
+SQL_ORDERS_DISTRIBUTIONS = f"""
+SELECT 'quantity_pct' AS op, l_returnflag AS key, CAST(NULL AS BIGINT) AS n,
+       p50 AS v1, p90 AS v2, p99 AS v3
+FROM ({SQL_QUANTITY_PERCENTILES}) p
+UNION ALL
+SELECT 'price_hist', CAST(bucket AS VARCHAR), n_orders,
+       min_price, max_price, NULL
+FROM ({SQL_TOTALPRICE_HISTOGRAM}) h
+"""
+
+
+def q_order_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-on-aggregate union row-set: group-HAVING (q_big_orders,
+    TPC-H Q18 shape) + correlated EXISTS as a compound-condition left-semi
+    join (q_late_order_priority, TPC-H Q4 shape). Normalized onto
+    (op, key, n, v)."""
+    big = q_big_orders(spark, sf_dir).select(
+        F.lit("big_order").alias("op"),
+        F.col("l_orderkey").cast("string").alias("key"),
+        F.lit(None).cast("bigint").alias("n"),
+        F.col("total_qty").alias("v"),
+    )
+    late = q_late_order_priority(spark, sf_dir).select(
+        F.lit("late_priority").alias("op"),
+        F.col("o_orderpriority").alias("key"),
+        F.col("n_orders").cast("bigint").alias("n"),
+        F.lit(None).cast("string").alias("v"),
+    )
+    return big.unionByName(late)
+
+
+SQL_ORDER_FILTERS = f"""
+SELECT 'big_order' AS op, CAST(l_orderkey AS VARCHAR) AS key,
+       CAST(NULL AS BIGINT) AS n, total_qty AS v
+FROM ({SQL_BIG_ORDERS}) b
+UNION ALL
+SELECT 'late_priority', o_orderpriority, n_orders, NULL
+FROM ({SQL_LATE_ORDER_PRIORITY}) l
+"""
+
+
+# ===========================================================================
 # driver surface
 # ===========================================================================
 
@@ -3230,11 +3634,13 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-# Exactly 50 queries: the driver's CORRECTNESS run evaluates at most 50
-# entries (r01 ran precisely the first 50 of 65 declared), so the full
-# operator surface is consolidated into 50 — every query oracle-checked,
-# including lineitem_pca (closed-form 3×3 symmetric eigen-solve in SQL over
-# exact-decimal sufficient statistics; see SQL_LINEITEM_PCA).
+# Exactly 50 queries — HARD CAP. The driver's CORRECTNESS run evaluates at
+# most the FIRST 50 entries (r01 ran precisely the first 50 of 65 declared;
+# r03 shipped 62 and the last 12 went unchecked), so the full operator
+# surface is consolidated into 50 union-row-set queries — every operator
+# oracle-checked. tests/test_oracle_parity.py asserts len(_QUERIES) == 50;
+# to add a query, MERGE it into a kin entry (the *_ops pattern above), do
+# not append a 51st.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "model_matrix_lineitem": q_model_matrix_lineitem,
     "match_cols_customer": q_match_cols_customer,
@@ -3256,46 +3662,34 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_orders": q_top_orders,
     "region_revenue": q_region_revenue,
     "rollup_revenue": q_rollup_revenue,
-    "quantity_percentiles": q_quantity_percentiles,
-    "totalprice_histogram": q_totalprice_histogram,
-    "customer_running_total": q_customer_running_total,
+    "orders_distributions": q_orders_distributions,
+    "customer_running_total": q_customer_running_total_ext,
     "customer_order_gaps": q_customer_order_gaps,
-    "big_orders": q_big_orders,
-    "late_order_priority": q_late_order_priority,
+    "order_filters": q_order_filters,
     "customers_without_orders": q_customers_without_orders,
     "nation_setops": q_nation_region_setops,
     "nation_trade_volume": q_nation_trade_volume,
-    "priority_distinct_customers": q_priority_distinct_customers,
+    "distinct_count_ops": q_distinct_count_ops,
     "events_approx_profile": q_events_approx_profile,
     "events_hourly": q_events_hourly,
-    "events_user_totals": q_events_user_totals,
+    "events_user_pivot": q_events_user_pivot,
     "events_sessionize": q_events_sessionize,
     "events_asof_join": q_events_asof_join,
     "events_range_join": q_events_range_join,
     "events_json_props": q_events_json_props,
-    "events_timeseries": q_events_timeseries,
+    "events_timeseries": q_events_timeseries_ops,
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_simhash": q_dedup_simhash,
-    "similarity_topk": q_similarity_topk,
-    "similarity_neardup": q_similarity_neardup,
-    "similarity_lsh": q_similarity_lsh,
+    "dedup_clusters": q_dedup_clusters,
+    "similarity_ops": q_similarity_ops,
+    "similarity_neardup": q_similarity_neardup_ops,
     "text_profile": q_text_profile,
     "text_bm25": q_text_bm25,
     "lineitem_pca": q_lineitem_pca,
-    "split_sample": q_split_sample,
-    "stratified_sample": q_stratified_sample,
+    "sampling_ops": q_sampling_ops,
     "sequence_pack": q_sequence_pack,
-    "skew_distinct_count": q_skew_distinct_count,
-    "dedup_clusters": q_dedup_clusters,
-    "embeddings_quantize": q_embeddings_quantize,
-    "events_type_pivot": q_events_type_pivot,
-    "orders_above_customer_avg": q_orders_above_customer_avg,
-    "events_latest_state": q_events_latest_state,
-    "events_rolling_7d": q_events_rolling_7d,
-    "doc_chunks": q_doc_chunks,
-    "vocab_topk": q_vocab_topk,
-    "decontaminate": q_decontaminate,
+    "corpus_ops": q_corpus_ops,
     "corpus_prep": q_corpus_prep,
     "multimodal_features": q_multimodal_features,
 }
@@ -3321,46 +3715,34 @@ _ORACLES: dict[str, str] = {
     "top_orders": SQL_TOP_ORDERS,
     "region_revenue": SQL_REGION_REVENUE,
     "rollup_revenue": SQL_ROLLUP_REVENUE,
-    "quantity_percentiles": SQL_QUANTITY_PERCENTILES,
-    "totalprice_histogram": SQL_TOTALPRICE_HISTOGRAM,
-    "customer_running_total": SQL_CUSTOMER_RUNNING_TOTAL,
+    "orders_distributions": SQL_ORDERS_DISTRIBUTIONS,
+    "customer_running_total": SQL_CUSTOMER_RUNNING_TOTAL_EXT,
     "customer_order_gaps": SQL_CUSTOMER_ORDER_GAPS,
-    "big_orders": SQL_BIG_ORDERS,
-    "late_order_priority": SQL_LATE_ORDER_PRIORITY,
+    "order_filters": SQL_ORDER_FILTERS,
     "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
     "nation_setops": SQL_NATION_REGION_SETOPS,
     "nation_trade_volume": SQL_NATION_TRADE_VOLUME,
-    "priority_distinct_customers": SQL_PRIORITY_DISTINCT_CUSTOMERS,
+    "distinct_count_ops": SQL_DISTINCT_COUNT_OPS,
     "events_approx_profile": SQL_EVENTS_APPROX_PROFILE,
     "events_hourly": SQL_EVENTS_HOURLY,
-    "events_user_totals": SQL_EVENTS_USER_TOTALS,
+    "events_user_pivot": SQL_EVENTS_USER_PIVOT,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "events_asof_join": SQL_EVENTS_ASOF_JOIN,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
     "events_json_props": SQL_EVENTS_JSON_PROPS,
-    "events_timeseries": SQL_EVENTS_TIMESERIES,
+    "events_timeseries": SQL_EVENTS_TIMESERIES_OPS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_jaccard": SQL_DEDUP_JACCARD,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
-    "similarity_topk": SQL_SIMILARITY_TOPK,
-    "similarity_neardup": SQL_SIMILARITY_NEARDUP,
-    "similarity_lsh": SQL_SIMILARITY_LSH,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "similarity_ops": SQL_SIMILARITY_OPS,
+    "similarity_neardup": SQL_SIMILARITY_NEARDUP_OPS,
     "text_profile": SQL_TEXT_PROFILE,
     "text_bm25": SQL_TEXT_BM25,
     "lineitem_pca": SQL_LINEITEM_PCA,
-    "split_sample": SQL_SPLIT_SAMPLE,
-    "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "sampling_ops": SQL_SAMPLING_OPS,
     "sequence_pack": SQL_SEQUENCE_PACK,
-    "skew_distinct_count": SQL_SKEW_DISTINCT_COUNT,
-    "dedup_clusters": SQL_DEDUP_CLUSTERS,
-    "embeddings_quantize": SQL_EMBEDDINGS_QUANTIZE,
-    "events_type_pivot": SQL_EVENTS_TYPE_PIVOT,
-    "orders_above_customer_avg": SQL_ORDERS_ABOVE_CUSTOMER_AVG,
-    "events_latest_state": SQL_EVENTS_LATEST_STATE,
-    "events_rolling_7d": SQL_EVENTS_ROLLING_7D,
-    "doc_chunks": SQL_DOC_CHUNKS,
-    "vocab_topk": SQL_VOCAB_TOPK,
-    "decontaminate": SQL_DECONTAMINATE,
+    "corpus_ops": SQL_CORPUS_OPS,
     "corpus_prep": SQL_CORPUS_PREP,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
 }

@@ -13,7 +13,7 @@ property that makes a 100 TB packing job re-runnable and auditable):
   total may overshoot the budget by (last doc − 1) tokens — the standard
   concat-then-chunk regime where the tokenizer stream is split at the
   context-window boundary downstream.
-- `pack_greedy` — strict-cap greedy first-fit (never exceeds the budget
+- `pack_greedy` — strict-cap greedy next-fit (never exceeds the budget
   unless a single doc alone does), sequential per bucket inside an
   Arrow-batched `applyInPandas`. Use when packs must be hard-capped
   (padding-based batching without truncation).
@@ -120,10 +120,13 @@ def pack_greedy(
     budget: int = 2048,
     n_buckets: int = 8,
 ) -> DataFrame:
-    """Strict-cap greedy first-fit packing: scan the bucket's id-ordered
-    docs, close the open pack whenever adding the next doc would exceed
-    `budget`; an oversized doc (> budget) gets a pack of its own. Returns
-    (id, bucket, n_tokens, pack_id).
+    """Strict-cap greedy NEXT-fit packing: scan the bucket's id-ordered
+    docs keeping a single open pack, close it whenever adding the next doc
+    would exceed `budget`; an oversized doc (> budget) gets a pack of its
+    own. Earlier packs with leftover capacity are never revisited (that
+    would be first-fit — denser, but order-destroying and state-heavy;
+    next-fit preserves doc order within packs, the property training
+    pipelines want). Returns (id, bucket, n_tokens, pack_id).
 
     Sequential by construction, so it runs per bucket inside
     `applyInPandas` (Arrow batches; only (id, tokens, bucket) rows reach

@@ -21,6 +21,18 @@ One registry per operator FAMILY, not a global: prepare_training_corpus
 persists its survivor set and then calls minhash_dedup_pairs — with a
 shared registry the inner call would count as the outer's next
 invocation and age its cache out early.
+
+CONTRACT — single-threaded driver, collect-soon results:
+- The registry is NOT thread-safe (`_depth` and the group deque are
+  unguarded). Spark drivers submit from one thread in this engine's
+  usage; wrap registry access in a lock before sharing operators across
+  driver threads.
+- Eviction is age-based, not ref-counted: calling a scoped operator
+  `keep_last`+ more times before collecting an earlier invocation's lazy
+  result silently degrades that result to full recomputation — correct,
+  but the most expensive upstream stages (shingling, signatures) run
+  again. Collect or checkpoint a result before issuing more than
+  `keep_last` further invocations if recompute cost matters.
 """
 
 from __future__ import annotations

@@ -75,6 +75,50 @@ def test_near_dup_clusters_assignment(spark):
         assert not out[i]["is_duplicate"]
 
 
+def _union_find(n_nodes, pairs):
+    """Reference twin: classic union-find with path compression, then
+    relabel every component by its MINIMUM member — the same canonical
+    label connected_components promises."""
+    parent = list(range(n_nodes))
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    comp_min = {}
+    for v in range(n_nodes):
+        r = find(v)
+        comp_min[r] = min(comp_min.get(r, v), v)
+    return {v: comp_min[find(v)] for v in range(n_nodes)}
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_edges", [(7, 60, 45), (23, 80, 100), (99, 50, 20)])
+def test_random_graphs_match_union_find(spark, seed, n_nodes, n_edges):
+    """Seeded Erdős–Rényi-ish graphs (sparse → many components, dense →
+    one giant component) against the union-find twin: the distributed
+    min-label propagation must agree node-for-node."""
+    import random
+
+    rng = random.Random(seed)
+    pairs = [
+        (rng.randrange(n_nodes), rng.randrange(n_nodes)) for _ in range(n_edges)
+    ]
+    nodes = spark.range(n_nodes)
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(_edges(spark, pairs), nodes=nodes).collect()
+    }
+    assert got == _union_find(n_nodes, pairs)
+
+
 def test_string_ids_raise_at_plan_time(spark):
     from sparkglm_spark.operators.cluster import connected_components
 

@@ -110,6 +110,15 @@ def test_no_oracle_declares_pandas_lossy_types(ddb):
     )
 
 
+def test_registry_holds_the_50_query_cap():
+    """The driver's CORRECTNESS gate evaluates at most the FIRST 50 registry
+    entries — r03 shipped 62 and the last 12 (including two previously
+    driver-green queries) silently went unchecked. A 51st entry must fail
+    CI loudly: merge new queries into a kin entry (the *_ops union-row-set
+    pattern) instead of appending."""
+    assert len(entrymod.queries()) == 50
+
+
 def test_every_declared_query_has_an_oracle():
     """Every queries() entry carries an exact oracle_sql() twin — the
     driver's hard hash-match signal covers the whole declared surface.
