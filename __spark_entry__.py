@@ -1137,9 +1137,10 @@ SELECT nationkey, 'supplier_only' AS which FROM (
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup + duplicate-group summary in one result: the content
-    winners (keep-min-key over a hashed fingerprint shuffle —
-    exact_dedup_hashed) joined with each group's size (duplicate_groups;
-    groups of 1 backfill as 1)."""
+    winners (sha2-fingerprint groupBy-min keeper selection + broadcast
+    anti-join — exact_dedup_hashed; the text column never enters an
+    exchange) joined with each group's size (duplicate_groups; groups of 1
+    backfill as 1)."""
     docs = read_table(spark, sf_dir, "documents")
     from sparkglm_spark.operators.dedup import duplicate_groups, exact_dedup_hashed
 

@@ -1,7 +1,9 @@
 """Deduplication operators for training-data pipelines, designed shuffle-
 first for 100 TB:
 
-- exact_dedup       hash-groupBy keep-min-key (one shuffle on the dedup key)
+- exact_dedup       sha2-256 fingerprint projection → groupBy-min keeper →
+                    broadcast anti-join of loser keys (the content column
+                    never enters an exchange)
 - shingle/jaccard   inverted index (shingle → docs) self-join; frequent-
                     shingle cap bounds the pair blow-up (standard prefix-
                     filtering trick)
@@ -18,10 +20,8 @@ broadcastable small sides). No Python in any row loop.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-
-from sparkglm_spark.operators.text import fingerprint_expr
 
 from sparkglm_spark.plans.caching import CacheRegistry
 
@@ -37,42 +37,103 @@ _op_persist = _CACHES.persist
 # ---------------------------------------------------------------------------
 
 
-def exact_dedup(df: DataFrame, cols: list[str], key_col: str) -> DataFrame:
+def _content_fp(cols: list[Column]) -> Column:
+    """Collision-proof 256-bit content fingerprint. sha2-256, NOT xxhash64:
+    64-bit fingerprints birthday-collide near 2³² rows, which is exactly
+    the regime a 100 TB corpus lives in; 256 bits make hash-equality a safe
+    stand-in for value-equality, so no stage downstream ever has to touch
+    the raw content again. Multi-column inputs go through to_json(struct)
+    (injective per fixed schema: values escape, null fields drop out
+    deterministically)."""
+    payload = cols[0] if len(cols) == 1 else F.to_json(F.struct(*cols))
+    return F.sha2(payload, 256)
+
+
+def _dedup_drop_list(
+    df: DataFrame, fp: Column, key_col: str
+) -> DataFrame:
+    """The (tiny) list of keys to DROP: every member of a duplicate
+    fingerprint group except the min-key winner.
+
+    Every exchange here carries ~40-byte (fingerprint, key) rows — never
+    the content. Plan: project (fp, key) off the scan → partial-aggregable
+    groupBy(fp).min(key) → re-join the projection to the >1-member groups
+    on fp (both sides are the tiny projection; the groupBy's exchange is
+    reused) → keep keys ≠ winner."""
+    proj = df.select(fp.alias("__fp"), F.col(key_col).alias("__k"))
+    dup_groups = (
+        proj.groupBy("__fp")
+        .agg(F.min("__k").alias("__keep"), F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > 1)
+        .select("__fp", "__keep")
+    )
+    return (
+        proj.join(dup_groups, "__fp")
+        .where(F.col("__k") != F.col("__keep"))
+        .select(F.col("__k").alias(key_col))
+    )
+
+
+def _drop_keys(df: DataFrame, drop: DataFrame, key_col: str, broadcast_drop_list: bool) -> DataFrame:
+    side = F.broadcast(drop) if broadcast_drop_list else drop
+    return df.join(side, key_col, "left_anti")
+
+
+def exact_dedup(
+    df: DataFrame,
+    cols: list[str],
+    key_col: str,
+    broadcast_drop_list: bool = True,
+) -> DataFrame:
     """Keep, per duplicate group over `cols`, the row with the smallest
-    `key_col` (deterministic winner). One shuffle on `cols`.
+    `key_col` (deterministic winner; `key_col` must be unique — an id).
 
-    At 100 TB prefer `exact_dedup_hashed` (shuffles an 8-byte fingerprint
-    instead of full text)."""
-    w = Window.partitionBy(*cols).orderBy(F.col(key_col).asc())
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    No full rows ever cross the wire: a (sha2-256 fingerprint, key)
+    projection is what shuffles (groupBy-min keeper selection —
+    `_dedup_drop_list`), and the loser keys come back as a broadcast
+    anti-join, so the corpus itself never exchanges. With
+    `broadcast_drop_list=False` (corpora whose duplicate count outgrows
+    the driver) the anti-join becomes a shuffled join — the unavoidable
+    cost of an arbitrarily large drop list; prefer re-running per
+    partition-pruned slice at that scale."""
+    drop = _dedup_drop_list(df, _content_fp([F.col(c) for c in cols]), key_col)
+    return _drop_keys(df, drop, key_col, broadcast_drop_list)
 
 
-def exact_dedup_hashed(df: DataFrame, text_col: str, key_col: str) -> DataFrame:
-    """Exact text dedup shuffling only (fingerprint, key): group by content
-    fingerprint, keep min key, semi-join winners back. Collision-safe:
-    within a fingerprint group ties are resolved by full equality via the
-    window over (fingerprint, text)."""
-    fp = fingerprint_expr(F.col(text_col)).alias("__fp")
-    with_fp = df.withColumn("__fp", fp)
-    w = Window.partitionBy("__fp", text_col).orderBy(F.col(key_col).asc())
-    return (
-        with_fp.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn", "__fp")
-    )
+def exact_dedup_hashed(
+    df: DataFrame,
+    text_col: str,
+    key_col: str,
+    broadcast_drop_list: bool = True,
+) -> DataFrame:
+    """Exact text dedup shuffling only (fingerprint, key): sha2-256 the
+    text, groupBy(fp).min(key) picks the keeper, and the loser keys return
+    as a broadcast anti-join — the text column never enters an exchange
+    (plan-asserted in tests/test_plans.py). Same winners as `exact_dedup`
+    on the text column; `key_col` must be unique."""
+    drop = _dedup_drop_list(df, _content_fp([F.col(text_col)]), key_col)
+    return _drop_keys(df, drop, key_col, broadcast_drop_list)
 
 
 def duplicate_groups(df: DataFrame, cols: list[str], key_col: str) -> DataFrame:
-    """Summary of duplicate groups: canonical key + group size (only groups
-    with >1 member). Pure groupBy — partial aggregation applies."""
-    return (
-        df.groupBy(*cols)
-        .agg(F.min(key_col).alias("canonical_id"), F.count(F.lit(1)).alias("group_size"))
+    """Summary of duplicate groups: the group's `cols` values + canonical
+    (min) key + group size, only groups with >1 member.
+
+    The aggregation runs over the (fingerprint, key) projection — partial
+    aggregation applies and the content never shuffles; the `cols` values
+    are recovered by a broadcast join of the (small) duplicate-group list
+    back onto the corpus at the canonical row."""
+    fp = _content_fp([F.col(c) for c in cols])
+    groups = (
+        df.select(fp.alias("__fp"), F.col(key_col).alias("__k"))
+        .groupBy("__fp")
+        .agg(F.min("__k").alias("canonical_id"), F.count(F.lit(1)).alias("group_size"))
         .where(F.col("group_size") > 1)
+        .select("canonical_id", "group_size")
+    )
+    return (
+        df.join(F.broadcast(groups), df[key_col] == groups["canonical_id"])
+        .select(*cols, "canonical_id", "group_size")
     )
 
 

@@ -14,7 +14,8 @@ Design for 100 TB of media:
 - payloads never leave the JVM→Arrow batch path as Python objects per row;
 - metadata (dims, duration, codec) lives in a struct column so filters on
   it prune parquet row groups without touching payload bytes;
-- content-hash (xxhash64 of bytes) dedups payloads BEFORE any decode.
+- content-hash (sha2-256 of bytes) dedups payloads BEFORE any decode, and
+  the dedup exchanges carry (hash, id) rows only — never payload bytes.
 """
 
 from __future__ import annotations
@@ -72,18 +73,19 @@ def synth_media_from_documents(docs: DataFrame, kind: str = "image") -> DataFram
     )
 
 
-def media_content_dedup(media: DataFrame) -> DataFrame:
-    """Content-hash dedup BEFORE decode: group identical payloads by
-    xxhash64(payload), keep min media_id. Shuffles (hash, id), not bytes."""
-    from pyspark.sql import Window
+def media_content_dedup(
+    media: DataFrame, broadcast_drop_list: bool = True
+) -> DataFrame:
+    """Content-hash dedup BEFORE decode: sha2-256 the payload bytes,
+    groupBy(hash).min(media_id) picks the keeper, loser ids come back as a
+    broadcast anti-join. The exchanges carry only (32-byte hash, id) rows —
+    payload bytes never cross the wire (plan-asserted: no BinaryType in any
+    exchange, tests/test_plans.py). With media, that matters more than for
+    text: payloads dominate row size."""
+    from sparkglm_spark.operators.dedup import _dedup_drop_list, _drop_keys
 
-    h = F.xxhash64(F.col("payload"))
-    w = Window.partitionBy(h).orderBy(F.col("media_id").asc())
-    return (
-        media.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    drop = _dedup_drop_list(media, F.sha2(F.col("payload"), 256), "media_id")
+    return _drop_keys(media, drop, "media_id", broadcast_drop_list)
 
 
 def encode_bmp_rgb(rgb: np.ndarray) -> bytes:

@@ -95,10 +95,11 @@ def prepare_training_corpus(
     # quality/language are pure per-row functions of the text, so every
     # member of an identical-text duplicate group passes or fails together:
     # filter-then-dedup ≡ dedup-then-filter, EXACTLY. Run the regexp-heavy
-    # projection on the (fanned-out) scan side — BEFORE the dedup shuffle —
-    # so it parallelizes across input splits instead of the post-shuffle
-    # partitioning (which AQE coalesces to one task on small inputs), and
-    # the dedup window shuffles only quality survivors.
+    # projection on the (fanned-out) scan side so it parallelizes across
+    # input splits instead of the post-shuffle partitioning (which AQE
+    # coalesces to one task on small inputs); the dedup stage itself then
+    # shuffles only (fingerprint, id) rows over quality survivors — the
+    # text never enters its exchanges.
     q = _quality_and_lang_cols(ensure_parallel(docs), text_col).where(
         F.col("quality_score") >= min_quality
     )
@@ -114,4 +115,7 @@ def prepare_training_corpus(
         d2, id_col, text_col, threshold=neardup_threshold
     )
     drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    return d2.join(drop, id_col, "left_anti")
+    # broadcast the (tiny) near-dup loser ids: without the hint the static
+    # plan is a sort-merge anti-join that exchanges the full survivor rows
+    # (text included) on id — the one shuffle this pipeline must not do
+    return d2.join(F.broadcast(drop), id_col, "left_anti")

@@ -115,8 +115,10 @@ def test_registry_holds_the_50_query_cap():
     entries — r03 shipped 62 and the last 12 (including two previously
     driver-green queries) silently went unchecked. A 51st entry must fail
     CI loudly: merge new queries into a kin entry (the *_ops union-row-set
-    pattern) instead of appending."""
-    assert len(entrymod.queries()) == 50
+    pattern) instead of appending. ≤ 50 is the safety property (fewer
+    entries are safe under the driver's first-50 cap — removing a query
+    only leaves capacity unused)."""
+    assert len(entrymod.queries()) <= 50
 
 
 def test_every_declared_query_has_an_oracle():
@@ -125,13 +127,6 @@ def test_every_declared_query_has_an_oracle():
     If a genuinely SQL-inexpressible operator is ever added, remove it
     from this assertion WITH a written justification."""
     assert ROWS_ONLY == []
-
-
-@pytest.mark.parametrize("name", ROWS_ONLY)
-def test_rows_only_queries_run(spark, sf_dir, name):
-    df = entrymod.queries()[name](spark, sf_dir)
-    assert df.count() >= 0
-    assert len(df.columns) > 0
 
 
 def test_entry_smoke(spark):

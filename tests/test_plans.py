@@ -289,3 +289,77 @@ def test_brute_neardup_plan_is_shuffle_free(spark, documents):
     # and no aggregation/sort at all — the operator is scan → join → filter
     assert "HashAggregate" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def _exchange_inputs(plan: str, skip_round_robin: bool = False) -> list[str]:
+    """The `Input [...]` line of every Exchange / BroadcastExchange node in
+    a formatted explain — i.e. the exact schemas that cross the wire. With
+    `skip_round_robin`, exchanges whose Arguments are RoundRobinPartitioning
+    are exempt: those are the tiny-input fan-outs (`ensure_parallel`) that
+    vanish at real scale, not a keyed shuffle of the data."""
+    import re
+
+    lines = plan.splitlines()
+    out = []
+    for i, line in enumerate(lines):
+        if re.match(r"^\(\d+\) (Broadcast)?Exchange\b", line.strip()):
+            inp = args = None
+            for j in range(i + 1, min(i + 6, len(lines))):
+                s = lines[j].strip()
+                if s.startswith("Input"):
+                    inp = lines[j]
+                elif s.startswith("Arguments"):
+                    args = s
+            if skip_round_robin and args and "RoundRobinPartitioning" in args:
+                continue
+            if inp is not None:
+                out.append(inp)
+    return out
+
+
+def test_exact_dedup_exchanges_carry_no_text(spark, documents):
+    """100 TB contract of the exact-dedup family: every exchange moves
+    (fingerprint, id) rows — the text column must never cross the wire.
+    (Round-4 verdict: the old window-based keeper selection exchanged full
+    corpus rows while claiming otherwise.)"""
+    from sparkglm_spark.operators import dedup as D
+
+    for df in (
+        D.exact_dedup_hashed(documents, "text", "doc_id"),
+        D.exact_dedup(documents, ["text"], "doc_id"),
+        D.duplicate_groups(documents, ["text"], "doc_id"),
+    ):
+        plan = plan_of(df)
+        exchanges = _exchange_inputs(plan)
+        assert exchanges, "expected at least one exchange in the dedup plan"
+        for line in exchanges:
+            assert "text" not in line, f"text column crosses the wire: {line}"
+
+
+def test_media_dedup_exchanges_carry_no_binary(spark, documents):
+    """Same contract for media: payload bytes (BinaryType) must never enter
+    an exchange — only (sha2 hash, media_id) rows shuffle."""
+    from sparkglm_spark.operators.multimodal import (
+        media_content_dedup,
+        synth_media_from_documents,
+    )
+
+    media = synth_media_from_documents(documents)
+    plan = plan_of(media_content_dedup(media))
+    exchanges = _exchange_inputs(plan)
+    assert exchanges, "expected at least one exchange in the media dedup plan"
+    for line in exchanges:
+        assert "payload" not in line, f"payload bytes cross the wire: {line}"
+
+
+def test_corpus_prep_dedup_stage_carries_no_text(spark, documents):
+    """The production path (prepare_training_corpus) inherits the same
+    guarantee: its exact-dedup stage must not exchange text. Only the
+    near-dup MinHash stage may shuffle (id, shingle) rows — never whole
+    documents."""
+    from sparkglm_spark.operators.pipeline import prepare_training_corpus
+
+    out = prepare_training_corpus(documents, min_quality=0.3)
+    plan = plan_of(out)
+    for line in _exchange_inputs(plan, skip_round_robin=True):
+        assert "text#" not in line, f"text column crosses the wire: {line}"
