@@ -76,10 +76,32 @@ def _vec_dim(df: DataFrame, vec_col: str) -> int:
     return int(row["d"])
 
 
-def _collect_query_matrix(queries: DataFrame, id_col: str, vec_col: str):
+def _collect_query_matrix(
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    max_collect_rows: int = 2_000_000,
+):
     """Driver-collect the small side as (ids, unit-normalized matrix).
     O(|queries|·d) driver/broadcast state — the same contract as the build
-    side of a broadcast join. The corpus side is never collected."""
+    side of a broadcast join. The corpus side is never collected.
+
+    SIZE-GATED like `cosine_near_dup_pairs`: an oversized queries frame
+    raises (naming the scale alternatives) instead of OOMing the driver."""
+    from sparkglm_spark.plans.partitioning import bounded_row_probe
+
+    # max_partitions=None: this gate's contract REQUIRES the count (it
+    # must raise past the gate, not guess)
+    over = bounded_row_probe(
+        queries.select(id_col), max_collect_rows, max_partitions=None
+    )
+    if over > max_collect_rows:
+        raise ValueError(
+            f"top-k similarity: queries frame exceeds max_collect_rows="
+            f"{max_collect_rows} (the query matrix is driver-collected and "
+            "broadcast); batch the queries, or for corpus-vs-corpus "
+            "matching use near_dup_pairs / lsh_near_dup_pairs"
+        )
     rows = queries.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows])
     if len(rows) == 0:
@@ -140,14 +162,17 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
+    max_collect_rows: int = 2_000_000,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query (excluding self-matches).
 
     Plan: broadcast(query matrix) → single corpus scan → per-Arrow-batch
     dgemm + local top-k (ties kept) → window over ≈ |q|·k·splits candidate
-    rows. Ties broken by corpus id (deterministic, partition-invariant)."""
+    rows. Ties broken by corpus id (deterministic, partition-invariant).
+    The queries frame is driver-collected and therefore size-gated at
+    `max_collect_rows` — past the gate this raises rather than OOMs."""
     spark = corpus.sparkSession
-    qids, Qn = _collect_query_matrix(queries, id_col, vec_col)
+    qids, Qn = _collect_query_matrix(queries, id_col, vec_col, max_collect_rows)
     qid_type = queries.schema[id_col].dataType
     nid_type = corpus.schema[id_col].dataType
     if len(qids) == 0:
@@ -303,6 +328,7 @@ def ivf_topk(
     n_lists: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    max_collect_rows: int = 2_000_000,
 ) -> DataFrame:
     """Approximate top-k cosine via an inverted file, with ZERO corpus
     shuffle: one mapInPandas scan assigns each batch row to its nearest
@@ -316,7 +342,7 @@ def ivf_topk(
     n_probe = n_lists every pair is scored → identical to `cosine_topk`."""
     spark = corpus.sparkSession
     C = _train_centroids_sample(corpus, vec_col, n_lists, seed)
-    qids, Qn = _collect_query_matrix(queries, id_col, vec_col)
+    qids, Qn = _collect_query_matrix(queries, id_col, vec_col, max_collect_rows)
     qid_type = queries.schema[id_col].dataType
     nid_type = corpus.schema[id_col].dataType
     if len(qids) == 0:

@@ -258,3 +258,18 @@ def test_quantize_int8_partition_invariant_and_no_shuffle(spark):
     assert a == b
     plan = quantize_int8(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # pure projection
+
+
+def test_topk_query_side_collect_is_size_gated(spark, embeddings):
+    """cosine_topk / ivf_topk driver-collect the QUERY side; an oversized
+    queries frame must raise (naming the scale alternatives) instead of
+    OOMing the driver — the same contract as cosine_near_dup_pairs."""
+    import pytest
+
+    from sparkglm_spark.operators.similarity import cosine_topk, ivf_topk
+
+    q = embeddings.limit(20)
+    with pytest.raises(ValueError, match="near_dup_pairs"):
+        cosine_topk(embeddings, q, k=3, max_collect_rows=10)
+    with pytest.raises(ValueError, match="near_dup_pairs"):
+        ivf_topk(embeddings, q, k=3, max_collect_rows=10)
