@@ -112,7 +112,11 @@ def latest_state(
     window needs a full sort of every key's history; max_by reduces
     map-side, so the wire carries one candidate row per (key, map
     partition) no matter how long each key's changelog is — the right
-    plan for compacting a 100 TB event log into current state."""
+    plan for compacting a 100 TB event log into current state.
+
+    Streaming twin: `streaming.events.latest_state_stream` (O(1)-state
+    applyInPandasWithState; last update per key converges to this batch
+    result — equivalence asserted in tests/test_streaming.py)."""
     ord_struct = F.struct(*[F.col(c) for c in order_cols])
     val_struct = F.struct(*[F.col(c) for c in order_cols + value_cols])
     agg = df.groupBy(*key_cols).agg(
@@ -140,7 +144,20 @@ def rolling_event_window(
 
     A NUMERIC `ts_col` is taken in its own units (the frame offset is
     `window_seconds` unscaled) — the same convention as asof_join's
-    tolerance; only timestamp columns get the µs scaling."""
+    tolerance; only timestamp columns get the µs scaling.
+
+    BATCH-ONLY BY CONTRACT. Per-event trailing aggregates are not exactly
+    computable under Structured Streaming's no-retraction model: an event
+    arriving late (but inside the watermark) falls inside the trailing
+    window of events whose rows were ALREADY emitted, so their n/sum would
+    need retraction — exactly what update/append sinks cannot do. Any
+    streaming "twin" is therefore either wrong on late data or a different
+    operator. The streaming-native alternatives are
+    `streaming.events.windowed_event_stats` (tumbling windows + watermark,
+    one row per window — emitted once the watermark closes it) and
+    `streaming.events.latest_state_stream` (per-key champion state); for
+    true per-event trailing aggregates, run this operator in batch over the
+    landed event log."""
     from sparkglm_spark.operators.asof import _TS_TYPES, _ts_num
 
     if window_seconds <= 0:

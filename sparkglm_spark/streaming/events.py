@@ -169,6 +169,97 @@ def user_running_totals_stream(events: DataFrame, user_col: str = "user_id") -> 
     )
 
 
+def latest_state_stream(
+    events: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_cols: list[str],
+) -> DataFrame:
+    """Streaming twin of `operators.timeseries.latest_state` (changelog
+    compaction) via applyInPandasWithState.
+
+    Per key the state is ONLY the current champion's order tuple —
+    timestamps stored as epoch micros, so state stays a flat long/primitive
+    struct. Each micro-batch reduces its rows to the batch champion
+    (pandas lexicographic sort, the same max_by(struct) semantics as the
+    batch twin), compares against state, and EMITS ONLY WHEN THE CHAMPION
+    ADVANCES (output mode 'update'); the last update per key therefore
+    equals the batch `latest_state` once the stream drains
+    (stream-equivalence asserted in tests/test_streaming.py). No watermark
+    is needed: champion advancement is monotone, so late rows can lose but
+    never corrupt state; state is O(1) per key and never evicted —
+    compaction state is the live-key set by definition.
+
+    Order-column values must be non-null (same determinism contract as the
+    batch twin: include a unique tiebreaker)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    if not events.isStreaming:
+        raise ValueError("input must be a streaming DataFrame (readStream)")
+
+    in_fields = {f.name: f for f in events.schema.fields}
+    out_cols = list(dict.fromkeys(key_cols + order_cols + value_cols))
+    out_schema = StructType([in_fields[c] for c in out_cols])
+    ts_like = (TimestampType, TimestampNTZType)
+    is_ts = [isinstance(in_fields[c].dataType, ts_like) for c in order_cols]
+    state_schema = StructType(
+        [
+            StructField(
+                f"o{i}",
+                LongType() if is_ts[i] else in_fields[c].dataType,
+            )
+            for i, c in enumerate(order_cols)
+        ]
+    )
+
+    def _cmp_tuple(row) -> tuple:
+        out = []
+        for c, ts in zip(order_cols, is_ts):
+            v = row[c]
+            out.append(int(pd.Timestamp(v).value // 1000) if ts else v)
+        return tuple(out)
+
+    def update(key, pdfs, state: GroupState):
+        best = None  # (cmp_tuple, row) champion within this batch
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            cand = pdf.sort_values(order_cols, kind="stable").iloc[-1]
+            t = _cmp_tuple(cand)
+            if best is None or t > best[0]:
+                best = (t, cand)
+        if best is None:
+            return
+        prev = tuple(state.get) if state.exists else None
+        if prev is not None and best[0] <= prev:
+            return  # champion did not advance — emit nothing
+        state.update(best[0])
+        row = best[1]
+        data = {}
+        for i, c in enumerate(out_cols):
+            data[c] = [key[key_cols.index(c)] if c in key_cols else row[c]]
+        yield pd.DataFrame(data)
+
+    return (
+        events.select(*out_cols)
+        .groupBy(*key_cols)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def clicks_within_window_of_signup(
     clicks: DataFrame,
     signups: DataFrame,
