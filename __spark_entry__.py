@@ -3300,7 +3300,10 @@ def q_events_timeseries_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").cast("string").alias("k1"),
         F.col("event_id").cast("string").alias("k2"),
         F.col("n_window").cast("bigint").alias("n1"),
-        F.lit(None).cast("bigint").alias("n2"),
+        # r4 ADVICE: carry this branch's ts (epoch µs) in the otherwise-
+        # unused n2 slot so its raw-timestamp round-trip stays under the
+        # oracle hash (previously only `latest` ts was hash-checked)
+        micros.alias("n2"),
         F.col("sum_window").alias("v1"),
         F.lit(None).cast("double").alias("x"),
     )
@@ -3318,7 +3321,7 @@ SELECT 'latest', CAST(user_id AS VARCHAR), NULL, event_id, epoch_us(ts),
 FROM ({SQL_EVENTS_LATEST_STATE}) l
 UNION ALL
 SELECT 'rolling7d', CAST(user_id AS VARCHAR), CAST(event_id AS VARCHAR),
-       n_window, NULL, sum_window, NULL
+       n_window, epoch_us(ts), sum_window, NULL
 FROM ({SQL_EVENTS_ROLLING_7D}) w
 """
 
@@ -3363,9 +3366,12 @@ def q_customer_running_total_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rows-unbounded frame, decimal-exact) PLUS the correlated-scalar-
     subquery shape (order priced above its own customer's average —
     q_orders_above_customer_avg's decimal-exact knife-edge convention).
-    The filter is on the partition key itself (o_custkey < 200), so each
-    customer's window sees exactly the rows the unfiltered correlated
-    subquery would — semantics identical, one window shuffle total."""
+    The filter is on the partition key itself (o_custkey % 7 < 2 — a
+    SCATTERED ~2/7 slice across the whole custkey range, per r4 ADVICE:
+    a low-prefix slice exercised the strict-> knife edge on only the
+    first couple hundred customers), so each customer's window sees
+    exactly the rows the unfiltered correlated subquery would —
+    semantics identical, one window shuffle total."""
     od = read_table(spark, sf_dir, "orders")
     from pyspark.sql import Window
 
@@ -3377,7 +3383,7 @@ def q_customer_running_total_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
     wp = Window.partitionBy("o_custkey")
     csum = F.sum(_dec("o_totalprice")).over(wp).cast("decimal(38,6)")
     cnt = F.count(F.lit(1)).over(wp)
-    return od.where(F.col("o_custkey") < 200).select(
+    return od.where(F.col("o_custkey") % 7 < 2).select(
         "o_custkey",
         "o_orderkey",
         F.sum(_dec("o_totalprice"))
@@ -3412,7 +3418,7 @@ SELECT o_custkey, o_orderkey,
                     AS DECIMAL(38,6))
                FROM orders o2 WHERE o2.o_custkey = o.o_custkey) AS INT)
          AS above_cust_avg
-FROM orders o WHERE o_custkey < 200
+FROM orders o WHERE o_custkey % 7 < 2
 """
 
 
@@ -3527,18 +3533,15 @@ def q_sampling_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_SAMPLING_OPS = f"""
+WITH strat AS ({SQL_STRATIFIED_SAMPLE})
 SELECT stat, value FROM ({SQL_SPLIT_SAMPLE}) sp
 UNION ALL
-SELECT 'strat_' || o_orderpriority || '_' || m AS stat, value
-FROM (
-  SELECT o_orderpriority, 'n' AS m, CAST(n AS VARCHAR) AS value FROM ({SQL_STRATIFIED_SAMPLE}) s1
-  UNION ALL
-  SELECT o_orderpriority, 'total_price', total_price FROM ({SQL_STRATIFIED_SAMPLE}) s2
-  UNION ALL
-  SELECT o_orderpriority, 'min_key', CAST(min_key AS VARCHAR) FROM ({SQL_STRATIFIED_SAMPLE}) s3
-  UNION ALL
-  SELECT o_orderpriority, 'max_key', CAST(max_key AS VARCHAR) FROM ({SQL_STRATIFIED_SAMPLE}) s4
-) strat
+SELECT 'strat_' || s.o_orderpriority || '_' || u.m AS stat, u.value
+FROM strat s CROSS JOIN LATERAL (VALUES
+    ('n', CAST(s.n AS VARCHAR)),
+    ('total_price', s.total_price),
+    ('min_key', CAST(s.min_key AS VARCHAR)),
+    ('max_key', CAST(s.max_key AS VARCHAR))) AS u(m, value)
 """
 
 

@@ -134,6 +134,40 @@ def main() -> None:
         ),
     )
 
+    # r3 operator families (r3/r4 verdict ask: give each a headline so
+    # round-over-round deltas are attributable)
+    from sparkglm_spark.operators.cluster import near_dup_clusters
+    from sparkglm_spark.operators.corpus import contamination_scores
+    from sparkglm_spark.operators.pack import pack_cumulative, pack_greedy
+    from sparkglm_spark.operators.similarity import quantize_int8
+
+    W(
+        "near_dup_clusters",
+        lambda: force(
+            near_dup_clusters(
+                docs,
+                minhash_dedup_pairs(docs, "doc_id", "text", n=3, threshold=0.8),
+                "doc_id",
+            )
+        ),
+    )
+    W(
+        "pack_cumulative",
+        lambda: force(pack_cumulative(docs, budget=512, n_buckets=4)),
+    )
+    W("pack_greedy", lambda: force(pack_greedy(docs, budget=512, n_buckets=4)))
+    W(
+        "contamination_scores",
+        lambda: force(
+            contamination_scores(
+                docs.where(F.col("doc_id") % 23 != 0),
+                docs.where(F.col("doc_id") % 23 == 0),
+                n=5,
+            )
+        ),
+    )
+    W("quantize_int8", lambda: force(quantize_int8(emb)))
+
     # relational headliners
     import __spark_entry__ as E
 
@@ -177,11 +211,26 @@ def main() -> None:
     medians = {name: round(statistics.median(ts), 3) for name, ts in runs.items()}
     mins = {name: round(min(ts), 3) for name, ts in runs.items()}
     total = round(sum(medians.values()), 3)
+    # r5 added 5 headline lines (near_dup_clusters, pack_*, contamination,
+    # quantize) — value_r4_set keeps an apples-to-apples e2e over the query
+    # set every round since r1-r4 has numbers for, so the e2e trend stays
+    # attributable while "value" covers the full current surface.
+    r5_new = {
+        "near_dup_clusters",
+        "pack_cumulative",
+        "pack_greedy",
+        "contamination_scores",
+        "quantize_int8",
+    }
+    total_r4_set = round(
+        sum(v for k, v in medians.items() if k not in r5_new), 3
+    )
     print(
         json.dumps(
             {
                 "metric": "e2e_headline_seconds",
                 "value": total,
+                "value_r4_set": total_r4_set,
                 "unit": "sec",
                 "queries": medians,
                 "queries_min": mins,

@@ -28,7 +28,7 @@ from sparkglm_spark.plans.caching import CacheRegistry
 
 _CACHES = CacheRegistry()
 
-from sparkglm_spark.operators.dedup import exact_dedup_hashed, minhash_dedup_pairs
+from sparkglm_spark.operators.dedup import minhash_dedup_pairs
 from sparkglm_spark.operators.text import (
     EN_STOPWORDS,
     bpe_token_count_expr,
@@ -105,12 +105,21 @@ def prepare_training_corpus(
     )
     if languages:
         q = q.where(F.col("detected_lang").isin(list(languages)))
-    d2 = exact_dedup_hashed(q, text_col, id_col)
-    # the survivor set is read 3× downstream (doc count, shingle scan, final
-    # anti-join) — persist so the dedup window + quality projections run
-    # once, not per consumer; the next pipeline invocation releases it
-    # (plans/caching.py)
-    d2 = _CACHES.persist(d2)
+    # Persist the QUALITY SURVIVORS, not the dedup output: the fingerprint
+    # keeper selection reads its input twice (drop-list pass + anti-join
+    # side), and downstream the survivor set feeds the shingle scan and the
+    # final anti-join — without the cache the regexp-heavy quality
+    # projection would recompute per consumer. The (tiny) exact-dup drop
+    # list is persisted too, so each consumer of `d2` pays only a broadcast
+    # anti-join over the cached survivors — one corpus-sized cache total
+    # instead of caching both q and the dedup output.
+    q = _CACHES.persist(q)
+    from sparkglm_spark.operators.dedup import _content_fp, _dedup_drop_list, _drop_keys
+
+    exact_drop = _CACHES.persist(
+        _dedup_drop_list(q, _content_fp([F.col(text_col)]), id_col)
+    )
+    d2 = _drop_keys(q, exact_drop, id_col, broadcast_drop_list=True)
     pairs = minhash_dedup_pairs(
         d2, id_col, text_col, threshold=neardup_threshold
     )
