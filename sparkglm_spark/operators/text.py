@@ -16,7 +16,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from sparkglm_spark.plans.caching import CacheRegistry
 from sparkglm_spark.plans.partitioning import ensure_parallel
+
+# bm25's compact (id, dl, tf…) frame is persisted for its two readers
+# (stats reduction + scoring); the registry bounds cache lifetime across
+# repeated searches — see plans/caching.py
+_CACHES = CacheRegistry()
 
 # Small per-language stopword profiles (public common words). Deterministic
 # language-ID heuristic: most stopword hits wins, ties broken by language
@@ -281,6 +287,7 @@ def bm25_tokens_expr(text: Column) -> Column:
     )
 
 
+@_CACHES.scoped
 def bm25_search(
     df: DataFrame,
     query_terms: list[str],
@@ -295,62 +302,79 @@ def bm25_search(
     score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
     idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)   (Robertson/Lucene form).
 
-    Scale shape — ONE pass over the corpus, two tiny follow-ups:
-    - doc lengths come from `size(tokens)` (a projection, no explode);
-      N and avgdl reduce to two driver scalars (O(1) state).
-    - the explode is filtered to the query terms BEFORE the tf groupBy, so
-      the only shuffle carries (doc, query-term) hits — corpus text never
-      moves. idf joins back as a broadcast; doc-length joins hit only the
-      matching docs.
-    Returns (id_col, score, dl) for the top_k docs, score descending with
-    deterministic id tie-break.
+    Scale shape — the corpus is TOKENIZED EXACTLY ONCE (the r4 profile
+    showed the old explode plan paying the regex tokenizer twice: once for
+    the dl stats pass, once for the hit explode — that double scan was the
+    whole 1.4× regression vs r1). One codegen projection reduces each doc
+    to (id, dl, tf per query term) — `size(filter(tokens, = term))`, no
+    explode, no (doc, term) shuffle at all; that tiny numeric frame is
+    persisted and read twice:
+    - N / avgdl / per-term document frequencies reduce to ONE partial-agg
+      row (O(k) driver scalars), idf is then plain driver arithmetic;
+    - scoring is a zero-shuffle projection over the same cached frame
+      (zero-tf terms contribute an exact 0.0, matching the old hits-only
+      sum), then a top_k TakeOrdered.
+    Returns (id_col, score, dl) for the top_k matching docs, score
+    descending with deterministic id tie-break.
     """
+    import math
+
+    terms = list(dict.fromkeys(query_terms))
     # fan out single-split inputs: these are per-row compute-dense
     # projections (no-op at real scale)
     df = ensure_parallel(df)
-    t = F.col(text_col)
-    toks = bm25_tokens_expr(t)
-    base = df.select(F.col(id_col).alias("id"), toks.alias("__toks")).select(
-        "id", F.explode("__toks").alias("term"), F.size("__toks").alias("dl")
-    )
-    # doc-length stats: projection-only pass (no explode needed for dl, but
-    # dl rides along with the hits below so matching docs need no extra join)
-    stats = (
-        df.select(F.size(toks).alias("dl"))
-        .agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
-        .collect()[0]
-    )
-    n_docs, avgdl = float(stats["n"]), float(stats["avgdl"])
+    toks = bm25_tokens_expr(F.col(text_col))
+    def _eq(term: str):
+        # a closure, NOT a default-arg lambda: F.filter inspects the
+        # callable's arity, and a second (defaulted) parameter would make
+        # it pass the array INDEX as _t
+        return lambda s: s == F.lit(term)
 
-    hits = (
-        base.where(F.col("term").isin(list(query_terms)))
-        .groupBy("id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    tf_cols = [
+        F.size(F.filter(F.col("__toks"), _eq(term))).alias(f"__tf{i}")
+        for i, term in enumerate(terms)
+    ]
+    compact = (
+        df.select(F.col(id_col).alias("id"), toks.alias("__toks"))
+        .select("id", F.size("__toks").alias("dl"), *tf_cols)
     )
-    dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
-    idf = dfreq.withColumn(
-        "idf",
-        F.log(
-            (F.lit(n_docs) - F.col("dfreq") + F.lit(0.5))
-            / (F.col("dfreq") + F.lit(0.5))
-            + F.lit(1.0)
-        ),
-    )
-    scored = (
-        hits.join(F.broadcast(idf), "term")
-        .withColumn(
-            "term_score",
-            F.col("idf")
-            * (F.col("tf") * F.lit(k1 + 1.0))
-            / (
-                F.col("tf")
-                + F.lit(k1)
-                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
-            ),
+    if not terms:
+        return compact.where(F.lit(False)).select(
+            F.col("id").alias(id_col),
+            F.lit(None).cast("double").alias("score"),
+            "dl",
         )
-        .groupBy("id")
-        .agg(F.sum("term_score").alias("score"), F.first("dl").alias("dl"))
-        .orderBy(F.col("score").desc(), F.col("id").asc())
+    compact = _CACHES.persist(compact)
+    row = compact.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"__tf{i}") > 0).cast("long")).alias(f"__df{i}")
+            for i in range(len(terms))
+        ],
+    ).collect()[0]
+    n_docs, avgdl = float(row["n"]), float(row["avgdl"] or 0.0)
+    idf = [
+        math.log(
+            (n_docs - row[f"__df{i}"] + 0.5) / (row[f"__df{i}"] + 0.5) + 1.0
+        )
+        for i in range(len(terms))
+    ]
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl)
+    )
+    score = sum(
+        (
+            F.lit(idf[i])
+            * (F.col(f"__tf{i}") * F.lit(k1 + 1.0))
+            / (F.col(f"__tf{i}") + norm)
+        )
+        for i in range(len(terms))
+    )
+    any_hit = sum(F.col(f"__tf{i}") for i in range(len(terms))) > 0
+    return (
+        compact.where(any_hit)
+        .select(F.col("id").alias(id_col), score.alias("score"), "dl")
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(top_k)
     )
-    return scored.select(F.col("id").alias(id_col), "score", "dl")

@@ -256,18 +256,19 @@ def test_pca_projection_no_shuffle_no_python(spark, lineitem):
     assert "codegen id" in plan  # projection runs inside WholeStageCodegen
 
 
-def test_bm25_filters_terms_before_shuffle_and_broadcasts_idf(spark, documents):
-    """The tf groupBy must see only query-term hits (isin filter below the
-    exchange) and idf must come back as a broadcast join."""
+def test_bm25_is_joinless_single_tokenize_topk(spark, documents):
+    """r5 plan: one tokenize projection reduces each doc to (id, dl, tf…),
+    idf is driver arithmetic — so the scored plan must have NO joins, NO
+    explode (Generate), and end in a TakeOrdered top-k. The corpus text
+    enters no exchange (the compact frame is numeric)."""
     from sparkglm_spark.operators.text import bm25_search
 
     plan = plan_of(bm25_search(documents, ["spark", "join"], top_k=10))
-    assert "BroadcastHashJoin" in plan
-    body = plan.split("===== Subqueries =====")[0]
-    # the term filter appears below (later in the tree than) every Exchange:
-    # find a Filter node mentioning the isin values
-    assert "spark" in body and "join" in body
-    assert "SortMergeJoin" not in body
+    assert "TakeOrderedAndProject" in plan
+    for bad in ("BroadcastHashJoin", "SortMergeJoin", "Generate", "HashAggregate"):
+        assert bad not in plan, f"unexpected {bad} in bm25 plan"
+    for line in _exchange_inputs(plan, skip_round_robin=True):
+        assert "text" not in line, f"text crosses the wire: {line}"
 
 
 def test_brute_neardup_plan_is_shuffle_free(spark, documents):
