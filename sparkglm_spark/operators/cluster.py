@@ -43,6 +43,37 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _components_driver(e: DataFrame) -> DataFrame:
+    """Transitive closure of a SMALL edge list on the driver: min-rooted
+    union-find with path compression over collected (u, v) longs. Same
+    output contract as the distributed loop (component = min member id),
+    bit-identical and trivially partition-invariant. Callers gate the
+    collect (`driver_max_edges`) — this is the broadcast-build-side
+    contract, not an unbounded collect."""
+    spark = e.sparkSession
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in e.collect():
+        u, v = r["u"], r["v"]
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # min id stays the root, so find() yields the component min
+            if ru < rv:
+                parent[rv] = ru
+            else:
+                parent[ru] = rv
+    data = [(n, find(n)) for n in parent]
+    return spark.createDataFrame(data, "id long, label long")
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
@@ -50,12 +81,23 @@ def connected_components(
     nodes: DataFrame | None = None,
     id_col: str = "id",
     max_iter: int = 50,
+    driver_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """Connected components of the undirected graph given by `edges`.
 
     Returns (``id_col``, ``component``) — component = min node id in the
     component. If `nodes` is given (one column ``id_col``), every node
     appears in the output; nodes absent from `edges` map to themselves.
+
+    Cost-based physical strategy (the minhash-planner discipline): the
+    near-dup pair graph is usually TINY relative to the corpus, and the
+    iterative loop pays multiple jobs per round regardless of size — so
+    when a bounded probe shows ≤ `driver_max_edges` edges (default 2M ≈
+    32 MB of longs, the broadcast-build-side contract), the closure runs
+    as driver-side min-rooted union-find: one collect of (u, v) longs,
+    zero rounds, identical output. Larger graphs take the distributed
+    min-label-propagation + pointer-jumping loop below (O(log n) rounds,
+    labels-only shuffles). `driver_max_edges=0` forces the loop.
 
     `max_iter` is a backstop, not a tuning knob: pointer jumping reaches
     the fixpoint in O(log n) rounds, so 50 covers any graph that fits on
@@ -66,7 +108,10 @@ def connected_components(
     ids); string ids raise at plan time with the remedy in the message
     rather than degrading to NULL edges and an empty clustering.
     """
-    from sparkglm_spark.plans.partitioning import require_integral_id
+    from sparkglm_spark.plans.partitioning import (
+        bounded_row_probe,
+        require_integral_id,
+    )
 
     require_integral_id(edges, src, "connected_components")
     require_integral_id(edges, dst, "connected_components")
@@ -75,6 +120,14 @@ def connected_components(
     e = edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     ).where(F.col("u") != F.col("v"))
+
+    if driver_max_edges and (
+        bounded_row_probe(e.select("u"), driver_max_edges, max_partitions=None)
+        <= driver_max_edges
+    ):
+        labels = _components_driver(e)
+        return _components_output(labels, nodes, id_col)
+
     # symmetric view, deduped: multi-edges add no information, only join fanout
     sym = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -127,7 +180,14 @@ def connected_components(
             f"connected_components did not converge in {max_iter} rounds; "
             "refusing to return a partially-merged clustering"
         )
+    return _components_output(labels, nodes, id_col)
 
+
+def _components_output(
+    labels: DataFrame, nodes: DataFrame | None, id_col: str
+) -> DataFrame:
+    """(id, label) endpoint assignments → final (id_col, component), with
+    edge-less nodes backfilled as their own singleton component."""
     out = labels.select(
         F.col("id").alias(id_col), F.col("label").alias("component")
     )

@@ -46,7 +46,12 @@ def _content_fp(cols: list[Column]) -> Column:
     (injective per fixed schema: values escape, null fields drop out
     deterministically)."""
     payload = cols[0] if len(cols) == 1 else F.to_json(F.struct(*cols))
-    return F.sha2(payload, 256)
+    # NULL content must dedup as ONE group (GROUP BY / window-partition
+    # semantics treat NULLs as equal) but sha2(NULL) is NULL and the
+    # drop-list equi-join would never match it — every NULL-content
+    # duplicate would survive. A non-hex sentinel cannot collide with a
+    # real 64-hex-char digest. (Caught by the random-corpus twin test.)
+    return F.coalesce(F.sha2(payload, 256), F.lit("<NULL>"))
 
 
 def _dedup_drop_list(

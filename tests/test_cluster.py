@@ -51,7 +51,11 @@ def test_self_loops_ignored_and_empty_edges(spark):
 
 def test_max_iter_backstop_raises(spark):
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(_edges(spark, [(1, 2)]), max_iter=0)
+        # driver_max_edges=0 forces the iterative path (the driver
+        # union-find has no rounds to run out of)
+        connected_components(
+            _edges(spark, [(1, 2)]), max_iter=0, driver_max_edges=0
+        )
 
 
 def test_partition_invariance(spark):
@@ -127,3 +131,26 @@ def test_string_ids_raise_at_plan_time(spark):
     )
     with pytest.raises(TypeError, match="integral id"):
         connected_components(edges)
+
+
+def test_driver_and_distributed_paths_agree(spark):
+    """The cost-based gate (driver union-find below `driver_max_edges`,
+    min-label loop above) must be invisible in results: both paths produce
+    identical components on a seeded random graph, singletons included."""
+    import random
+
+    from sparkglm_spark.operators.cluster import connected_components
+
+    rng = random.Random(77)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(45)]
+    e = spark.createDataFrame(edges, "id_a long, id_b long")
+    nodes = spark.createDataFrame([(i,) for i in range(80)], "id long")
+    fast = {
+        (r["id"], r["component"])
+        for r in connected_components(e, nodes=nodes).collect()
+    }
+    loop = {
+        (r["id"], r["component"])
+        for r in connected_components(e, nodes=nodes, driver_max_edges=0).collect()
+    }
+    assert fast == loop and len(fast) == 80

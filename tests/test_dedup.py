@@ -315,3 +315,60 @@ def test_direct_lsh_candidates_calls_are_cache_bounded(spark, documents):
     for _ in range(4):
         minhash_lsh_candidates(sig).count()
     assert spark.sparkContext._jsc.getPersistentRDDs().size() <= n_after_first
+
+
+def test_exact_dedup_random_corpora_match_python_twin(spark):
+    """Seeded random corpora with heavy duplication: the fingerprint
+    keeper selection (winners AND group summary) must equal a pure-python
+    dict oracle — including multi-column keys, null texts, and the
+    non-broadcast fallback path."""
+    import random
+
+    rng = random.Random(1205)
+    vocab = ["alpha", "beta", "gamma", "delta", None]
+    rows = []
+    for i in range(300):
+        # ~40% duplicates by construction; ids shuffled so min-key winners
+        # are not simply the first-seen row
+        t = rng.choice(vocab) if rng.random() < 0.3 else f"doc body {rng.randrange(40)}"
+        lang = rng.choice(["en", "de"])
+        rows.append((i * 7 % 2099, t, lang))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    def py_winners(key_of):
+        best = {}
+        for did, t, lang in rows:
+            k = key_of(t, lang)
+            if k not in best or did < best[k]:
+                best[k] = did
+        return sorted(best.values())
+
+    from sparkglm_spark.operators import dedup as D
+
+    got = sorted(r["doc_id"] for r in D.exact_dedup_hashed(df, "text", "doc_id").collect())
+    assert got == py_winners(lambda t, lang: t)
+
+    got_nb = sorted(
+        r["doc_id"]
+        for r in D.exact_dedup_hashed(
+            df, "text", "doc_id", broadcast_drop_list=False
+        ).collect()
+    )
+    assert got_nb == got
+
+    got2 = sorted(
+        r["doc_id"] for r in D.exact_dedup(df, ["text", "lang"], "doc_id").collect()
+    )
+    assert got2 == py_winners(lambda t, lang: (t, lang))
+
+    groups = {}
+    for did, t, lang in rows:
+        groups.setdefault(t, []).append(did)
+    want_groups = sorted(
+        (min(ids), len(ids)) for ids in groups.values() if len(ids) > 1
+    )
+    got_groups = sorted(
+        (r["canonical_id"], r["group_size"])
+        for r in D.duplicate_groups(df, ["text"], "doc_id").collect()
+    )
+    assert got_groups == want_groups
