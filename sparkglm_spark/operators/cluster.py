@@ -117,15 +117,21 @@ def connected_components(
     require_integral_id(edges, dst, "connected_components")
     if nodes is not None:
         require_integral_id(nodes, id_col, "connected_components")
+    # persist the 2-long edge projection: the upstream pair pipeline (LSH /
+    # bitmap verification) is expensive, and it is consumed twice here —
+    # by the size probe and then by either the driver collect or the
+    # symmetric-view construction. Released as soon as a materialized
+    # downstream (driver labels / persisted sym) no longer reads it.
     e = edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
-    ).where(F.col("u") != F.col("v"))
+    ).where(F.col("u") != F.col("v")).persist()
 
     if driver_max_edges and (
         bounded_row_probe(e.select("u"), driver_max_edges, max_partitions=None)
         <= driver_max_edges
     ):
         labels = _components_driver(e)
+        e.unpersist()
         return _components_output(labels, nodes, id_col)
 
     # symmetric view, deduped: multi-edges add no information, only join fanout
@@ -138,8 +144,9 @@ def connected_components(
         sym.select(F.col("u").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("label"))
-        .localCheckpoint()
+        .localCheckpoint()  # eager — materializes sym, so e can release
     )
+    e.unpersist()
 
     converged = False
     for _ in range(max_iter):

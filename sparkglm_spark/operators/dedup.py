@@ -441,30 +441,36 @@ def _py_shingle_set(text, n: int):
 
 def _shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(id, shingles array<string>) — each doc's distinct lowercased
-    n-gram set, extracted in ONE Arrow batch pass. The probed planner
-    persists this frame and derives BOTH the vocab probe and the bitmap
-    table from it, so the Python shingling work runs once, not once per
-    consumer. Docs with no shingles (len < n) are excluded, matching the
-    explode-based `shingles` path."""
+    n-gram set, in ONE whole-stage-codegen projection (same
+    sequence→substr→array_distinct expression as `shingles`, minus the
+    explode; r5 replaced the original Arrow/Python pass — pure-Python
+    slicing over the whole corpus owned most of the minhash runtime and
+    JVM codegen does the identical set ~5× faster). Sorted for
+    deterministic array order; docs with no shingles (len < n) are
+    excluded, matching the explode-based `shingles` path. The probed
+    planner persists this frame and derives BOTH the vocab probe and the
+    bitmap table from it, so the shingling runs once, not once per
+    consumer."""
     from sparkglm_spark.plans.partitioning import ensure_parallel
 
-    def gen(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            ids, sets = [], []
-            for doc_id, t in zip(pdf[id_col], pdf[text_col]):
-                ss = _py_shingle_set(t, n)
-                if ss:
-                    ids.append(doc_id)
-                    sets.append(sorted(ss))
-            if ids:  # an empty frame's list column loses its dtype
-                yield pd.DataFrame({"id": ids, "shingles": sets})
-
-    id_type = df.schema[id_col].dataType.simpleString()
-    return ensure_parallel(
-        df.select(F.col(id_col), F.lower(F.col(text_col)).alias(text_col))
-    ).mapInPandas(gen, f"id {id_type}, shingles array<string>")
+    pre = ensure_parallel(df).select(
+        F.col(id_col).alias("id"), F.lower(F.col(text_col)).alias("__t")
+    )
+    t = F.col("__t")
+    # see `shingles` for the when-guard (sequence(1, 0) descends) and the
+    # pre-lowered projection (no CSE across lambda scopes)
+    grams = F.when(
+        F.length(t) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(t) - (n - 1)),
+                lambda i: t.substr(i, F.lit(n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return pre.select("id", F.sort_array(grams).alias("shingles")).where(
+        F.size("shingles") > 0
+    )
 
 
 def _vocab_from_sets(sets: DataFrame, limit: int) -> list[str] | None:
