@@ -32,22 +32,38 @@ from sparkglm_spark.operators.dedup import minhash_dedup_pairs
 from sparkglm_spark.operators.text import (
     EN_STOPWORDS,
     bpe_token_count_expr,
-    stopword_hits_expr,
-    token_count_expr,
 )
 
 
 def _quality_and_lang_cols(df: DataFrame, text_col: str) -> DataFrame:
-    """Append n_tokens / quality_score / detected_lang as expressions (one
-    projection, no joins, no shuffle) — same formulas as text.quality_score
-    and text.language_id."""
-    from sparkglm_spark.operators.text import LANG_PROFILES
+    """Append n_tokens / quality_score / detected_lang (no joins, no
+    shuffle) — same formulas, hence bit-identical values, as
+    text.quality_score and text.language_id.
+
+    The lowered token array is computed ONCE in a sub-projection and every
+    count (n_tokens, EN stopword hits, all 5 language profiles) reads it —
+    previously `split(trim(lower(text)))` appeared ~7× in the expression
+    tree and only codegen subexpression elimination kept it from running
+    7× per row. Sharing it explicitly makes the single-tokenize property
+    structural instead of optimizer-dependent (measured A/B: warm runtime
+    equal — CSE was indeed firing — so this is robustness, not a local
+    speedup). CollapseProject keeps the shared array in its own Project
+    because it is non-cheap and multiply referenced. Token boundaries are
+    whitespace, so lowering first changes no count."""
+    from sparkglm_spark.operators.text import LANG_PROFILES, tokens_expr
 
     t = F.col(text_col)
+    df = df.withColumn("__lt", tokens_expr(F.lower(t)))
+    lt = F.col("__lt")
+
+    def lt_hits(words: list[str]) -> Column:
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(lt, lambda x: F.array_contains(arr, x)))
+
     n_chars = F.length(t)
-    n_tokens = token_count_expr(t)
+    n_tokens = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(F.size(lt))
     n_alpha = n_chars - F.length(F.regexp_replace(t, "[a-zA-Z]", ""))
-    hits = stopword_hits_expr(t, EN_STOPWORDS)
+    hits = lt_hits(EN_STOPWORDS)
     alpha_ratio = F.when(n_chars == 0, F.lit(0.0)).otherwise(
         n_alpha.cast("double") / n_chars
     )
@@ -64,9 +80,22 @@ def _quality_and_lang_cols(df: DataFrame, text_col: str) -> DataFrame:
         + F.lit(0.3) * alpha_ratio
         + F.lit(0.3) * F.least(stop_ratio * F.lit(5.0), F.lit(1.0)),
     )
-    from sparkglm_spark.operators.text import _lang_argmax_struct, _lang_pick_expr
+    from sparkglm_spark.operators.text import _lang_pick_expr
 
-    best = _lang_argmax_struct(t, LANG_PROFILES)
+    # same argmax struct as text._lang_argmax_struct, but each language's
+    # hit count reads the shared token array instead of re-tokenizing
+    langs = sorted(LANG_PROFILES)
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    lt_hits(LANG_PROFILES[lg]).alias("h"),
+                    F.lit(-i).alias("nidx"),
+                )
+                for i, lg in enumerate(langs)
+            ]
+        )
+    )
     # guarded pick: null text → NULL lang, not the first sorted language
     pick = _lang_pick_expr(best, LANG_PROFILES)
     return df.withColumns(
@@ -76,7 +105,7 @@ def _quality_and_lang_cols(df: DataFrame, text_col: str) -> DataFrame:
             "quality_score": score,
             "detected_lang": pick,
         }
-    )
+    ).drop("__lt")
 
 
 @_CACHES.scoped
