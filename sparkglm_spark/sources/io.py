@@ -181,3 +181,54 @@ def approx_table_stats(df: DataFrame, key_cols: list[str]) -> DataFrame:
     for c in key_cols:
         aggs.append(F.approx_count_distinct(c).alias(f"approx_distinct_{c}"))
     return df.agg(*aggs)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Deterministic hash-sharded training sink — the dataloader handoff:
+    shard = portable-affine-hash(id) % n_shards (operators/split.py — the
+    same engine-reproducible arithmetic as the split/sample operators, so a
+    shard assignment can be re-derived in ANY engine, not just Spark), one
+    directory per shard, rows id-sorted within each shard's files.
+
+    Plan: ONE shuffle (repartition on the shard column so each task writes
+    to one directory — no small-files explosion at 1000 tasks × n_shards)
+    + in-task sort; directory layout means a reader filtering on `shard`
+    prunes at the directory level. Returns the manifest as a DataFrame
+    (shard, n_rows, min/max id) computed from the same projection — the
+    per-shard accounting a training job checks before reading.
+
+    Deterministic end to end: same input rows → same shard membership and
+    same in-file order regardless of input partitioning."""
+    from sparkglm_spark.operators.split import hash_sample_expr
+    from sparkglm_spark.plans.partitioning import require_integral_id
+
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    require_integral_id(df, id_col, "write_training_shards")
+    sharded = df.withColumn(
+        "shard", F.pmod(hash_sample_expr(id_col), F.lit(n_shards)).cast("int")
+    )
+    (
+        sharded.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", id_col)
+        .write.format(fmt)
+        .mode(mode)
+        .partitionBy("shard")
+        .save(path)
+    )
+    return (
+        sharded.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(id_col).alias("min_id"),
+            F.max(id_col).alias("max_id"),
+        )
+        .orderBy("shard")
+    )

@@ -111,3 +111,44 @@ def test_streaming_dedup_within_watermark(spark, sf_dir):
     n_ids = raw.select("event_id").distinct().count()
     assert got["n"] == n_ids  # every id exactly once
     assert got["d"] == n_ids
+
+
+def test_write_training_shards_roundtrip(spark, sf_dir, tmp_path):
+    """Sharded sink: membership is the portable hash, files are id-sorted,
+    the union round-trips, and the manifest accounts for every row."""
+    from pyspark.sql import functions as F
+
+    from sparkglm_spark.operators.split import hash_sample_expr
+    from sparkglm_spark.session import read_table
+    from sparkglm_spark.sources.io import write_training_shards
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "shards")
+    manifest = write_training_shards(docs, out, n_shards=4).collect()
+
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    # membership: every row sits in the shard its id hashes to
+    mismatch = back.where(
+        F.col("shard") != F.pmod(hash_sample_expr("doc_id"), F.lit(4)).cast("int")
+    ).count()
+    assert mismatch == 0
+    # manifest accounts for every row
+    assert sum(r["n_rows"] for r in manifest) == docs.count()
+    # in-file order: ids ascending within each shard's files
+    import glob
+    import pyarrow.parquet as pq
+
+    for shard_dir in glob.glob(out + "/shard=*"):
+        for f in glob.glob(shard_dir + "/*.parquet"):
+            ids = pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist()
+            assert ids == sorted(ids), f
+    # reader filtering on shard prunes at the directory level
+    plan_df = back.where(F.col("shard") == 2)
+    import contextlib
+    import io as _io
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        plan_df.explain("formatted")
+    assert "PartitionFilters" in buf.getvalue()
