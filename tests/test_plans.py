@@ -364,3 +364,22 @@ def test_corpus_prep_dedup_stage_carries_no_text(spark, documents):
     plan = plan_of(out)
     for line in _exchange_inputs(plan, skip_round_robin=True):
         assert "text#" not in line, f"text column crosses the wire: {line}"
+
+
+def test_latest_state_is_partial_agg_no_window(spark, sf_dir):
+    """latest_state's claim (timeseries.py): max_by compaction is a
+    PARTIAL-AGGREGABLE single shuffle — map-side reduction, no window sort
+    of each key's full history. A refactor to row_number() would pass value
+    tests but ship the full changelog through a sort exchange."""
+    from sparkglm_spark.operators.timeseries import latest_state
+    from sparkglm_spark.session import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    plan = plan_of(latest_state(ev, ["user_id"], ["ts", "event_id"], ["value"]))
+    # map-side combine: one candidate row per (key, map partition) on the
+    # wire (struct-ordered max_by plans as SortAggregate — the sort is
+    # map-LOCAL; the partial_max_by is what bounds the exchange)
+    assert "partial_max_by" in plan
+    assert "Window" not in plan
+    # exactly one exchange (formatted explain lists nodes twice)
+    assert plan.count("Exchange") == 2
