@@ -120,14 +120,23 @@ def exact_dedup_hashed(
     return _drop_keys(df, drop, key_col, broadcast_drop_list)
 
 
-def duplicate_groups(df: DataFrame, cols: list[str], key_col: str) -> DataFrame:
+def duplicate_groups(
+    df: DataFrame,
+    cols: list[str],
+    key_col: str,
+    broadcast_groups: bool = True,
+) -> DataFrame:
     """Summary of duplicate groups: the group's `cols` values + canonical
     (min) key + group size, only groups with >1 member.
 
     The aggregation runs over the (fingerprint, key) projection — partial
     aggregation applies and the content never shuffles; the `cols` values
-    are recovered by a broadcast join of the (small) duplicate-group list
-    back onto the corpus at the canonical row."""
+    are recovered by joining the duplicate-group list back onto the corpus
+    at the canonical row. `broadcast_groups=True` (default) hints that
+    join — right for the usual small dup-group count; set False for
+    corpora whose duplicate-group list outgrows the driver (the join then
+    shuffles, which is the unavoidable cost of recovering content for an
+    arbitrarily large group list)."""
     fp = _content_fp([F.col(c) for c in cols])
     groups = (
         df.select(fp.alias("__fp"), F.col(key_col).alias("__k"))
@@ -136,8 +145,9 @@ def duplicate_groups(df: DataFrame, cols: list[str], key_col: str) -> DataFrame:
         .where(F.col("group_size") > 1)
         .select("canonical_id", "group_size")
     )
+    side = F.broadcast(groups) if broadcast_groups else groups
     return (
-        df.join(F.broadcast(groups), df[key_col] == groups["canonical_id"])
+        df.join(side, df[key_col] == groups["canonical_id"])
         .select(*cols, "canonical_id", "group_size")
     )
 
