@@ -269,3 +269,68 @@ def test_latest_state_stream_requires_streaming_df(spark, events):
 
     with pytest.raises(ValueError, match="streaming"):
         latest_state_stream(events, ["user_id"], ["ts"], ["value"])
+
+
+def test_sessionize_streaming_equals_batch(spark, sf_dir):
+    """session_window under readStream: a ZERO-delay watermark (append mode
+    only emits sessions the watermark has passed, so a generous delay would
+    emit nothing for a bounded replay) plus a far-future sentinel event
+    (the watermark stops AT the max event time, so the session holding it
+    would otherwise stay open forever — the sentinel pushes the watermark
+    past every real session) drains to exactly the batch sessionize result
+    (compared as per-user session multisets — the NTZ→LTZ watermark
+    mapping shifts displayed timestamps, not session composition)."""
+    from collections import Counter
+
+    from sparkglm_spark.streaming.events import _watermark_time, sessionize
+
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        os.makedirs(src)
+        os.symlink(
+            os.path.join(sf_dir, "events.parquet"), os.path.join(src, "events.parquet")
+        )
+        sentinel = raw.orderBy(F.col("ts").desc()).limit(1).select(
+            F.lit(-1).cast("long").alias("event_id"),
+            (F.col("ts") + F.expr("INTERVAL 3650 DAYS")).alias("ts"),
+            F.lit(-999).cast("long").alias("user_id"),
+            F.lit("sentinel").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        )
+        # write the sentinel OUTSIDE src (events.parquet is a symlink into
+        # read-only testdata), then copy its part file in as a second input
+        import glob as _glob
+        import shutil
+
+        sent_dir = os.path.join(d, "sent")
+        sentinel.coalesce(1).write.parquet(sent_dir)
+        shutil.copy(
+            _glob.glob(os.path.join(sent_dir, "part-*.parquet"))[0],
+            os.path.join(src, "sentinel.parquet"),
+        )
+        stream_in = spark.readStream.schema(raw.schema).parquet(src)
+        stream_in = stream_in.withColumn(
+            "ts", _watermark_time(stream_in, "ts")
+        ).withWatermark("ts", "0 seconds")
+        out = sessionize(stream_in, gap="30 minutes")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("sess_stream")
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql(
+            "SELECT user_id, n_events, value_sum FROM sess_stream"
+            " WHERE user_id != -999"
+        ).collect()
+    from sparkglm_spark.session import read_table
+
+    batch = sessionize(read_table(spark, sf_dir, "events"), gap="30 minutes").collect()
+    g = Counter((r["user_id"], r["n_events"], round(r["value_sum"], 6)) for r in got)
+    b = Counter((r["user_id"], r["n_events"], round(r["value_sum"], 6)) for r in batch)
+    assert len(g) > 0 and g == b
