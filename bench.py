@@ -9,12 +9,12 @@ Workloads per BASELINE.md (B1-B4) + north-star extension headliners.
 Results are forced with a noop write (full computation, no driver collect
 of row data).
 
-Protocol: every workload runs $SPARK_GRAFT_BENCH_RUNS times (default 3)
-in interleaved round-robin rounds — round 1 pays codegen/JIT warmup for
-everyone, later rounds are warm — and the reported per-query number is
-the MEDIAN (plus min for reference). Single cold runs on this box vary
-±50%, which made round-over-round deltas unattributable; medians make
-them meaningful.
+Protocol: every workload runs $SPARK_GRAFT_BENCH_RUNS times (default 5;
+r5 raised it from 3 — this virtualized box swings ±30-50% run-to-run on
+multi-second queries, and 3-run medians still wobbled) in interleaved
+round-robin rounds — round 1 pays codegen/JIT warmup for everyone, later
+rounds are warm — and the reported per-query number is the MEDIAN (plus
+min for reference).
 """
 
 from __future__ import annotations
@@ -32,7 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from sparkglm_spark.session import get_spark, read_table
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-N_RUNS = max(int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")), 1)
+N_RUNS = max(int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")), 1)
 
 
 def force(df) -> None:
