@@ -59,8 +59,9 @@ def _components_driver(e: DataFrame) -> DataFrame:
             x = parent[x]
         return x
 
-    for r in e.collect():
-        u, v = r["u"], r["v"]
+    pdf = e.toPandas()  # Arrow transfer — far cheaper than Row objects
+    # at the 2M-edge gate boundary
+    for u, v in zip(pdf["u"].to_numpy().tolist(), pdf["v"].to_numpy().tolist()):
         parent.setdefault(u, u)
         parent.setdefault(v, v)
         ru, rv = find(u), find(v)
