@@ -223,3 +223,51 @@ def test_moving_aggregate_requires_partition_cols(spark):
     daily = spark.createDataFrame([("2024-01-01", 1.0)], "d string, v double")
     with _pytest.raises(ValueError):
         moving_aggregate(daily, "d", "v")
+
+
+@pytest.mark.parametrize("seed", [3, 17, 91])
+def test_asof_randomized_sweep_matches_pandas(spark, seed):
+    """Seeded random sweep over the config space (direction × tolerance ×
+    key skew, with duplicate left timestamps and keys missing from one
+    side) — the fixed fixture can't reach every tie/boundary case."""
+    rng = np.random.default_rng(seed)
+    syms_l = rng.choice(["A", "B", "C", "D", "only_left"], size=120)
+    syms_r = rng.choice(["A", "B", "C", "only_right"], size=90)
+    trades = pd.DataFrame(
+        {
+            "sym": syms_l,
+            # small t range → plenty of duplicate timestamps
+            "t": rng.integers(0, 60, size=120).astype("int64"),
+            "qty": np.arange(120).astype("int64"),  # unique row id
+        }
+    )
+    quotes = pd.DataFrame(
+        {
+            "sym": syms_r,
+            "t": rng.integers(0, 60, size=90).astype("int64"),
+            "px": rng.uniform(1, 2, size=90).round(4),
+        }
+    ).drop_duplicates(["sym", "t"])
+    sdf_t = spark.createDataFrame(trades)
+    sdf_q = spark.createDataFrame(quotes)
+    for direction in ("backward", "forward"):
+        for tol in (None, 5, 0):
+            got = asof_join(
+                sdf_t,
+                sdf_q,
+                on="sym",
+                left_ts="t",
+                direction=direction,
+                tolerance_seconds=tol,
+            ).collect()
+            g = {
+                (
+                    r["sym"],
+                    r["t"],
+                    r["qty"],
+                    None if r["px_right"] is None else round(r["px_right"], 4),
+                )
+                for r in got
+            }
+            want = _pd_asof(trades, quotes, direction, tolerance=tol)
+            assert g == want, (direction, tol, seed)
