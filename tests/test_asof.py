@@ -271,3 +271,44 @@ def test_asof_randomized_sweep_matches_pandas(spark, seed):
             }
             want = _pd_asof(trades, quotes, direction, tolerance=tol)
             assert g == want, (direction, tol, seed)
+
+
+@pytest.mark.parametrize("seed,bucket", [(1, 7), (2, 100), (3, 1)])
+def test_range_join_randomized_boundary_sweep(spark, seed, bucket):
+    """Seeded sweep stressing the bucket trick's edge cases: zero-length
+    intervals, intervals exactly spanning bucket boundaries, points ON
+    interval endpoints, and bucket sizes from degenerate (1) to larger
+    than most intervals."""
+    rng = np.random.default_rng(seed)
+    pts = pd.DataFrame(
+        {
+            "u": rng.choice([1, 2], size=150),
+            "t": rng.integers(0, 200, size=150).astype("int64"),
+            "pid": np.arange(150, dtype="int64"),
+        }
+    )
+    starts = rng.integers(0, 200, size=40).astype("int64")
+    lengths = rng.choice([0, 1, bucket - 1 if bucket > 1 else 0, bucket, bucket + 1, 50], size=40)
+    iv = pd.DataFrame(
+        {
+            "u": rng.choice([1, 2], size=40),
+            "s": starts,
+            "e": starts + lengths,
+            "iid": np.arange(40, dtype="int64"),
+        }
+    )
+    sp, si = spark.createDataFrame(pts), spark.createDataFrame(iv)
+    got = {
+        (r["pid"], r["iid"])
+        for r in range_join_points(
+            sp, si, point_ts="t", start_col="s", end_col="e", on="u",
+            bucket_seconds=bucket,
+        ).collect()
+    }
+    naive = {
+        (r["pid"], r["iid"])
+        for r in sp.join(si, ["u"]).where(
+            (F.col("t") >= F.col("s")) & (F.col("t") <= F.col("e"))
+        ).collect()
+    }
+    assert got == naive, (seed, bucket)
