@@ -108,3 +108,31 @@ def test_rolling_window_numeric_ts_uses_raw_units(spark):
            rolling_event_window(df, "ts", ["user_id"], "value", 20).collect()}
     # window [t-20, t]: t=0 ->1, t=10 ->2, t=25 ->2 (10,25), t=100 ->1
     assert out == {0: 1, 1: 2, 2: 2, 3: 1}
+
+
+@pytest.mark.parametrize("seed,win", [(5, 1), (6, 10), (7, 1000)])
+def test_rolling_window_randomized_numeric_sweep(spark, seed, win):
+    """Seeded random numeric-ts sweep across window widths (1 = mostly
+    self-only, 1000 = whole history): the RANGE frame must equal the O(n²)
+    python definition including duplicate timestamps — which a ROWS frame
+    would get wrong."""
+    import random
+
+    from sparkglm_spark.operators.timeseries import rolling_event_window
+
+    rng = random.Random(seed)
+    rows = [
+        (i, rng.randrange(3), rng.randrange(50), round(rng.uniform(-5, 5), 3))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, value double"
+    )
+    out = rolling_event_window(df, "ts", ["user_id"], "value", win)
+    got = {r.event_id: (r.n_window, round(r.sum_window, 9)) for r in out.collect()}
+    for eid, uid, ts, _v in rows:
+        peers = [x for x in rows if x[1] == uid and ts - win <= x[2] <= ts]
+        assert got[eid][0] == len(peers), (seed, win, eid)
+        assert got[eid][1] == pytest.approx(
+            sum(x[3] for x in peers), abs=1e-9
+        ), (seed, win, eid)
