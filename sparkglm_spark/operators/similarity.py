@@ -319,6 +319,20 @@ def _train_centroids_sample(
     return C
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    seed: int = 42,
+    sample_cap: int = 20000,
+) -> np.ndarray:
+    """Train (and return) the IVF centroid matrix separately so many
+    `ivf_topk` calls can reuse one index — the build-once/serve-many
+    workflow a real ANN deployment uses. O(n_lists·d) model state; the
+    corpus is sampled (bounded), never collected."""
+    return _train_centroids_sample(corpus, vec_col, n_lists, seed, sample_cap)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -329,6 +343,7 @@ def ivf_topk(
     n_probe: int = 4,
     seed: int = 42,
     max_collect_rows: int = 2_000_000,
+    centroids: "np.ndarray | None" = None,
 ) -> DataFrame:
     """Approximate top-k cosine via an inverted file, with ZERO corpus
     shuffle: one mapInPandas scan assigns each batch row to its nearest
@@ -341,7 +356,14 @@ def ivf_topk(
     precision is 1 (exact scoring of every emitted candidate). With
     n_probe = n_lists every pair is scored → identical to `cosine_topk`."""
     spark = corpus.sparkSession
-    C = _train_centroids_sample(corpus, vec_col, n_lists, seed)
+    # `centroids` (train_ivf_centroids output) reuses a prebuilt index —
+    # the 100 TB workflow trains once and serves many query batches; when
+    # omitted, a fresh deterministic sample-train runs per call
+    C = (
+        np.asarray(centroids, dtype=np.float64)
+        if centroids is not None
+        else _train_centroids_sample(corpus, vec_col, n_lists, seed)
+    )
     qids, Qn = _collect_query_matrix(queries, id_col, vec_col, max_collect_rows)
     qid_type = queries.schema[id_col].dataType
     nid_type = corpus.schema[id_col].dataType

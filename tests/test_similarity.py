@@ -273,3 +273,24 @@ def test_topk_query_side_collect_is_size_gated(spark, embeddings):
         cosine_topk(embeddings, q, k=3, max_collect_rows=10)
     with pytest.raises(ValueError, match="near_dup_pairs"):
         ivf_topk(embeddings, q, k=3, max_collect_rows=10)
+
+
+def test_ivf_reuses_prebuilt_centroids(spark, embeddings):
+    """train-once/serve-many: ivf_topk with a prebuilt centroid matrix
+    returns exactly the per-call-trained result (same seed), and a
+    different index changes routing without touching correctness of the
+    exact re-scoring."""
+    from sparkglm_spark.operators.similarity import ivf_topk, train_ivf_centroids
+
+    q = embeddings.limit(10)
+    C = train_ivf_centroids(embeddings, n_lists=8, seed=7)
+    a = sorted(
+        map(tuple, ivf_topk(embeddings, q, k=5, n_lists=8, seed=7).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            ivf_topk(embeddings, q, k=5, n_lists=8, seed=7, centroids=C).collect(),
+        )
+    )
+    assert a == b and len(a) > 0
