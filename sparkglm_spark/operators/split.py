@@ -174,3 +174,31 @@ def hash_sample(
     joins/groups stays consistent across tables sharing the key."""
     require_integral_id(df, key_col, "hash_sample")
     return df.where(hash_sample_expr(key_col, salt) < F.lit(int(round(fraction * _BUCKETS))))
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    scale: float = 1.0,
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic importance sampling: keep a row iff
+    hash_bucket(key) < weight·scale·_BUCKETS — i.e. per-row keep
+    probability ≈ clamp(weight·scale, 0, 1), the quality-weighted
+    curation step of a training-data pipeline (keep all of the best
+    documents, downsample the mediocre ones in proportion to score).
+
+    Same contract as the other split.py samplers: a PURE FILTER (no
+    shuffle, pushes below everything, engine-portable affine arithmetic),
+    partition-invariant and re-runnable, and keep sets are NESTED in
+    `scale` — raising the budget only adds rows, never resamples.
+    Weights outside [0, 1/scale] clamp (weight ≤ 0 keeps nothing,
+    weight·scale ≥ 1 keeps everything); NULL weights drop the row.
+    """
+    if scale <= 0:
+        raise ValueError("scale must be positive")
+    require_integral_id(df, key_col, "weighted_hash_sample")
+    b = hash_sample_expr(key_col, salt)
+    thresh = F.round(F.col(weight_col).cast("double") * F.lit(float(scale) * _BUCKETS))
+    return df.where(b < thresh)

@@ -158,3 +158,28 @@ def test_portable_paths_reject_string_keys(spark):
     # non-portable split still works on string keys (xxhash64)
     parts = hash_split(df, "doc_id", {"train": 0.5, "test": 0.5})
     assert sum(p.count() for p in parts.values()) == 1
+
+
+def test_weighted_hash_sample_properties(spark):
+    """Keep rate tracks the weight, keep sets nest in scale, weight>=1/scale
+    keeps everything, weight<=0 / NULL keeps nothing, and the filter is
+    partition-invariant."""
+    from sparkglm_spark.operators.split import weighted_hash_sample
+
+    rows = [(i, [0.0, 0.25, 0.5, 1.0, None][i % 5]) for i in range(5000)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+
+    kept = weighted_hash_sample(df, "doc_id", "w").groupBy("w").count().collect()
+    by_w = {r["w"]: r["count"] for r in kept}
+    assert None not in by_w and 0.0 not in by_w  # null / zero weight drop
+    assert by_w[1.0] == 1000  # full keep
+    # ~rate tracks weight (1000 rows per weight level)
+    assert abs(by_w[0.25] - 250) < 80
+    assert abs(by_w[0.5] - 500) < 100
+
+    a = {r["doc_id"] for r in weighted_hash_sample(df, "doc_id", "w", scale=0.5).collect()}
+    b = {r["doc_id"] for r in weighted_hash_sample(df, "doc_id", "w", scale=1.0).collect()}
+    assert a <= b  # nested in scale
+
+    c = {r["doc_id"] for r in weighted_hash_sample(df.repartition(13), "doc_id", "w").collect()}
+    assert c == b  # partition-invariant at scale=1
