@@ -2756,9 +2756,11 @@ FROM events
 
 def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 keyword search over documents (operators/text.py
-    bm25_search): one corpus pass, query-term filter BEFORE the tf shuffle,
-    broadcast idf. Score rounded to 6 (pure arithmetic over exact integer
-    tf/df/dl counts — both engines within ulps)."""
+    bm25_search): ONE tokenize pass reduces each doc to (id, dl, per-term
+    tf), idf is driver arithmetic, scoring is a joinless zero-shuffle
+    projection into a TakeOrdered top-k. Score rounded to 6 (pure
+    arithmetic over exact integer tf/df/dl counts — both engines within
+    ulps)."""
     from sparkglm_spark.operators.text import bm25_search
 
     docs = read_table(spark, sf_dir, "documents")
