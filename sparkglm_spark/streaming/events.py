@@ -203,8 +203,18 @@ def latest_state_stream(
 
     if not events.isStreaming:
         raise ValueError("input must be a streaming DataFrame (readStream)")
+    if not key_cols or not order_cols:
+        raise ValueError("key_cols and order_cols must be non-empty")
 
     in_fields = {f.name: f for f in events.schema.fields}
+    missing = [
+        c for c in key_cols + order_cols + value_cols if c not in in_fields
+    ]
+    if missing:
+        raise ValueError(
+            f"latest_state_stream: columns {missing} not in input schema "
+            f"{sorted(in_fields)}"
+        )
     out_cols = list(dict.fromkeys(key_cols + order_cols + value_cols))
     out_schema = StructType([in_fields[c] for c in out_cols])
     ts_like = (TimestampType, TimestampNTZType)

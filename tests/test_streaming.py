@@ -334,3 +334,14 @@ def test_sessionize_streaming_equals_batch(spark, sf_dir):
     g = Counter((r["user_id"], r["n_events"], round(r["value_sum"], 6)) for r in got)
     b = Counter((r["user_id"], r["n_events"], round(r["value_sum"], 6)) for r in batch)
     assert len(g) > 0 and g == b
+
+
+def test_latest_state_stream_validates_columns(spark, sf_dir):
+    from sparkglm_spark.streaming.events import latest_state_stream
+
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    s = spark.readStream.schema(raw.schema).parquet(sf_dir)
+    with pytest.raises(ValueError, match="not in input schema"):
+        latest_state_stream(s, ["user_id"], ["nope"], ["value"])
+    with pytest.raises(ValueError, match="non-empty"):
+        latest_state_stream(s, [], ["ts"], ["value"])
