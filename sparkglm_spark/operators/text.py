@@ -307,7 +307,9 @@ def bm25_search(
     the dl stats pass, once for the hit explode — that double scan was the
     whole 1.4× regression vs r1). One codegen projection reduces each doc
     to (id, dl, tf per query term) — `size(filter(tokens, = term))`, no
-    explode, no (doc, term) shuffle at all; that tiny numeric frame is
+    explode, no (doc, term) shuffle at all; that tiny numeric frame —
+    (2 + |terms|) numerics per doc, a small fraction of the corpus bytes,
+    cached MEMORY_AND_DISK so oversized corpora spill, not evict — is
     persisted and read twice:
     - N / avgdl / per-term document frequencies reduce to ONE partial-agg
       row (O(k) driver scalars), idf is then plain driver arithmetic;

@@ -201,8 +201,10 @@ def write_training_shards(
     to one directory — no small-files explosion at 1000 tasks × n_shards)
     + in-task sort; directory layout means a reader filtering on `shard`
     prunes at the directory level. Returns the manifest as a DataFrame
-    (shard, n_rows, min/max id) computed from the same projection — the
-    per-shard accounting a training job checks before reading.
+    (shard, n_rows, min/max id) aggregated from the WRITTEN output, not
+    the input plan — re-running the input pipeline for accounting would be
+    a second full scan at 100 TB, while the read-back prunes to the
+    (shard, id) columns and doubles as a write-completeness check.
 
     Deterministic end to end: same input rows → same shard membership and
     same in-file order regardless of input partitioning."""
@@ -223,8 +225,9 @@ def write_training_shards(
         .partitionBy("shard")
         .save(path)
     )
+    back = df.sparkSession.read.format(fmt).load(path)
     return (
-        sharded.groupBy("shard")
+        back.groupBy("shard")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.min(id_col).alias("min_id"),
