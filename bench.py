@@ -134,6 +134,35 @@ def main() -> None:
         ),
     )
 
+    # relational headliners
+    import __spark_entry__ as E
+
+    W("pricing_summary", lambda: force(E.q_pricing_summary(spark, SF_DIR)))
+    W("top_orders", lambda: force(E.q_top_orders(spark, SF_DIR)))
+    W("region_revenue", lambda: force(E.q_region_revenue(spark, SF_DIR)))
+    W("events_hourly", lambda: force(E.q_events_hourly(spark, SF_DIR)))
+    W("events_sessionize", lambda: force(E.q_events_sessionize(spark, SF_DIR)))
+
+    # multimodal: synth real-format payloads (BMP + WAV + RVID) →
+    # pure-python decode inside Arrow mapInPandas → feature tables
+    from sparkglm_spark.operators.multimodal import (
+        audio_features,
+        image_features,
+        synth_bmp_media_from_documents,
+        synth_video_media_from_documents,
+        synth_wav_media_from_documents,
+        video_features,
+    )
+
+    W(
+        "multimodal_decode",
+        lambda: (
+            force(image_features(synth_bmp_media_from_documents(docs))),
+            force(audio_features(synth_wav_media_from_documents(docs))),
+            force(video_features(synth_video_media_from_documents(docs))),
+        ),
+    )
+
     # r3 operator families (r3/r4 verdict ask: give each a headline so
     # round-over-round deltas are attributable)
     from sparkglm_spark.operators.cluster import near_dup_clusters
@@ -168,34 +197,6 @@ def main() -> None:
     )
     W("quantize_int8", lambda: force(quantize_int8(emb)))
 
-    # relational headliners
-    import __spark_entry__ as E
-
-    W("pricing_summary", lambda: force(E.q_pricing_summary(spark, SF_DIR)))
-    W("top_orders", lambda: force(E.q_top_orders(spark, SF_DIR)))
-    W("region_revenue", lambda: force(E.q_region_revenue(spark, SF_DIR)))
-    W("events_hourly", lambda: force(E.q_events_hourly(spark, SF_DIR)))
-    W("events_sessionize", lambda: force(E.q_events_sessionize(spark, SF_DIR)))
-
-    # multimodal: synth real-format payloads (BMP + WAV + RVID) →
-    # pure-python decode inside Arrow mapInPandas → feature tables
-    from sparkglm_spark.operators.multimodal import (
-        audio_features,
-        image_features,
-        synth_bmp_media_from_documents,
-        synth_video_media_from_documents,
-        synth_wav_media_from_documents,
-        video_features,
-    )
-
-    W(
-        "multimodal_decode",
-        lambda: (
-            force(image_features(synth_bmp_media_from_documents(docs))),
-            force(audio_features(synth_wav_media_from_documents(docs))),
-            force(video_features(synth_video_media_from_documents(docs))),
-        ),
-    )
 
     runs: dict[str, list[float]] = {name: [] for name, _ in workloads}
     for _ in range(N_RUNS):
