@@ -235,3 +235,34 @@ def test_truncated_rvid_raises_valueerror():
     for bad in (b"RVID", b"RVID\x04\x00\x02"):
         with pytest.raises(ValueError):
             MM.decode_video(bad)
+
+
+def test_bmp_roundtrip_randomized_shapes():
+    """Seeded sweep of odd widths (stride padding kicks in at w % 4 != 0),
+    1-pixel edges, and random pixel data: encode_bmp_rgb → decode_image
+    must be the identity."""
+    import numpy as np
+
+    from sparkglm_spark.operators.multimodal import decode_image, encode_bmp_rgb
+
+    rng = np.random.default_rng(23)
+    for h, w in [(1, 1), (1, 7), (5, 3), (8, 2), (3, 33), (17, 31)]:
+        rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        out = decode_image(encode_bmp_rgb(rgb))
+        assert out.shape == (h, w, 3)
+        assert np.array_equal(out, rgb), (h, w)
+
+
+def test_wav_roundtrip_randomized_lengths():
+    """Odd sample counts and sample rates survive the (mono) PCM-16
+    round-trip exactly — including the 1-sample edge."""
+    import numpy as np
+
+    from sparkglm_spark.operators.multimodal import decode_audio, encode_wav_pcm16
+
+    rng = np.random.default_rng(29)
+    for n, sr in [(1, 8000), (3, 44100), (160, 16000), (441, 22050)]:
+        pcm = rng.integers(-32768, 32767, size=n, dtype=np.int16)
+        samples, got_sr, got_ch = decode_audio(encode_wav_pcm16(pcm, sr))
+        assert got_sr == sr and got_ch == 1
+        assert np.array_equal(np.asarray(samples)[:, 0], pcm), (n, sr)
