@@ -1000,37 +1000,6 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
-def q_customer_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Window function coverage: per-customer running order-value total in
-    order-date order (rows-unbounded-preceding frame; deterministic
-    tie-break by orderkey). Decimal-exact running sums."""
-    od = read_table(spark, sf_dir, "orders")
-    from pyspark.sql import Window
-
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return od.where(F.col("o_custkey") < 200).select(
-        "o_custkey",
-        "o_orderkey",
-        F.sum(_dec("o_totalprice")).over(w).cast("decimal(38,6)").cast("string").alias("running_total"),
-        F.row_number().over(w).alias("order_seq"),
-    )
-
-
-SQL_CUSTOMER_RUNNING_TOTAL = """
-SELECT o_custkey, o_orderkey,
-       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
-           PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS VARCHAR) AS running_total,
-       row_number() OVER (
-           PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS order_seq
-FROM orders WHERE o_custkey < 200
-"""
-
-
 def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18-style: group-HAVING on an aggregate (orders whose total
     lineitem quantity exceeds a threshold)."""
@@ -2163,55 +2132,6 @@ def _sql_events_type_pivot() -> str:
 
 
 SQL_EVENTS_TYPE_PIVOT = _sql_events_type_pivot()
-
-
-def q_orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Correlated-scalar-subquery shape: orders priced above their own
-    customer's average. The Spark plan is the single-shuffle form — one
-    window AVG over o_custkey and a filter — where the naive correlated
-    subquery would re-aggregate per outer row; the oracle keeps the
-    textbook correlated form (DuckDB decorrelates it itself). A customer
-    with one order equals its average exactly in both engines (sum of
-    one), so the strict > excludes it identically."""
-    from pyspark.sql import Window
-
-    orders = read_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey")
-    # decimal-exact comparison: price·n > Σprice avoids BOTH the division
-    # and the float accumulation-order hazard (a raw double AVG can differ
-    # by an ulp between engines and flip strict-> rows on the knife edge);
-    # the displayed average divides the exact decimal sum as a double —
-    # the same IEEE operands in both engines
-    csum = F.sum(_dec("o_totalprice")).over(w).cast("decimal(38,6)")
-    cnt = F.count(F.lit(1)).over(w)
-    return (
-        orders.withColumn("__csum", csum)
-        .withColumn("__cnt", cnt)
-        .where(_dec("o_totalprice") * F.col("__cnt").cast("decimal(10,0)") > F.col("__csum"))
-        .select(
-            "o_orderkey",
-            "o_custkey",
-            "o_totalprice",
-            F.round(F.col("__csum").cast("double") / F.col("__cnt"), 6).alias("cust_avg"),
-        )
-    )
-
-
-SQL_ORDERS_ABOVE_CUSTOMER_AVG = """
-SELECT o_orderkey, o_custkey, o_totalprice,
-       ROUND(CAST((SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,6)))
-                        AS DECIMAL(38,6))
-                   FROM orders o2 WHERE o2.o_custkey = o.o_custkey) AS DOUBLE)
-             / (SELECT COUNT(*) FROM orders o2
-                WHERE o2.o_custkey = o.o_custkey), 6) AS cust_avg
-FROM orders o
-WHERE CAST(o_totalprice AS DECIMAL(18,6))
-      * CAST((SELECT COUNT(*) FROM orders o2
-              WHERE o2.o_custkey = o.o_custkey) AS DECIMAL(10,0))
-      > (SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,6)))
-              AS DECIMAL(38,6))
-         FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
-"""
 
 
 def q_events_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3367,7 +3287,9 @@ def q_customer_running_total_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window coverage on one scan: per-customer running order-value total
     (rows-unbounded frame, decimal-exact) PLUS the correlated-scalar-
     subquery shape (order priced above its own customer's average —
-    q_orders_above_customer_avg's decimal-exact knife-edge convention).
+    decimal-exact knife-edge convention: price·n > Σprice avoids both the
+    division and the float accumulation-order hazard, so the strict >
+    cannot flip on an ulp between engines).
     The filter is on the partition key itself (o_custkey % 7 < 2 — a
     SCATTERED ~2/7 slice across the whole custkey range, per r4 ADVICE:
     a low-prefix slice exercised the strict-> knife edge on only the
