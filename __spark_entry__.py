@@ -38,10 +38,6 @@ def _dec(c):
     return F.col(c).cast(DEC) if isinstance(c, str) else c.cast(DEC)
 
 
-def _sum_dec(expr) -> F.Column:
-    return F.sum(expr).cast("double")
-
-
 # ===========================================================================
 # SQL special-function fragments — DuckDB lacks erf/erfc, so the probit
 # oracles carry their own Φ/φ/Φ⁻¹: Cody's rational erfc (the classic
@@ -1442,13 +1438,6 @@ def q_events_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_EVENTS_USER_TOTALS = """
-SELECT user_id, count(*) AS n_events,
-       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS VARCHAR) AS value_sum
-FROM events GROUP BY user_id
-"""
-
-
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     from sparkglm_spark.streaming.events import sessionize
@@ -2115,23 +2104,6 @@ def q_events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             for t in types
         ],
     )
-
-
-def _sql_events_type_pivot() -> str:
-    types = ["click", "error", "purchase", "signup", "view"]
-    n_cols = ",\n".join(
-        f"       CAST(COUNT(*) FILTER (event_type = '{t}') AS BIGINT) AS {t}_n"
-        for t in types
-    )
-    v_cols = ",\n".join(
-        f"       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6)))"
-        f" FILTER (event_type = '{t}') AS DECIMAL(38,6)) AS VARCHAR) AS {t}_val"
-        for t in types
-    )
-    return f"SELECT user_id,\n{n_cols},\n{v_cols}\nFROM events GROUP BY user_id"
-
-
-SQL_EVENTS_TYPE_PIVOT = _sql_events_type_pivot()
 
 
 def q_events_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
