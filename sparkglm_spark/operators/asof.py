@@ -75,19 +75,26 @@ def asof_join(
 ) -> DataFrame:
     """For each left row, attach the nearest right row per key:
     `backward` → greatest right_ts ≤ left_ts; `forward` → least
-    right_ts ≥ left_ts (exact-timestamp matches included in both).
+    right_ts ≥ left_ts (exact-timestamp matches included in both);
+    `nearest` → whichever of the two is closer in time, ties to the
+    backward match (pandas merge_asof semantics). `nearest` keeps the
+    single-shuffle union plan — the same keyed exchange feeds TWO window
+    passes (ascending + descending sorts), then a per-row pick; no join
+    node appears in any direction (plan-asserted).
 
     `right_cols`: payload columns pulled from the matched right row
     (default: all non-key, non-ts columns), appended as `<col><suffix>`
     plus `<right_ts><suffix>`. `tolerance_seconds` drops matches farther
     than the tolerance (seconds for timestamps, plain units for numeric
-    ts). `how='left'` keeps unmatched left rows (null payload);
-    `'inner'` drops them.
+    ts); for `nearest` it masks each side before the pick. `how='left'`
+    keeps unmatched left rows (null payload); `'inner'` drops them.
 
     Deterministic: right rows tied on (key, ts) resolve by greatest
     payload struct (documented, total order)."""
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     if how not in ("left", "inner"):
         raise ValueError(f"how must be left|inner, got {how!r}")
     keys = [on] if isinstance(on, str) else list(on)
@@ -125,29 +132,75 @@ def asof_join(
     # (exact matches included): right (__p non-null) sorts first backward,
     # first in reverse forward. Ties among right rows: struct order, last
     # one wins → a total, partition-invariant order.
-    asc = direction == "backward"
-    t_order = F.col("__t").asc() if asc else F.col("__t").desc()
-    side_order = F.col("__p").isNull().cast("int").asc()  # right rows first
-    tie_order = F.col("__p").asc_nulls_first() if asc else F.col("__p").desc_nulls_first()
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(t_order, side_order, tie_order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    def match_window(asc: bool):
+        t_order = F.col("__t").asc() if asc else F.col("__t").desc()
+        side_order = F.col("__p").isNull().cast("int").asc()  # right first
+        tie_order = (
+            F.col("__p").asc_nulls_first()
+            if asc
+            else F.col("__p").desc_nulls_first()
+        )
+        return (
+            Window.partitionBy(*keys)
+            .orderBy(t_order, side_order, tie_order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+
     unioned = r_side.unionByName(l_side)
-    out = (
-        unioned.withColumn("__m", F.last("__p", ignorenulls=True).over(w))
-        .where(F.col("__l").isNotNull())
+    scale = 1e6 if isinstance(lt_type, _TS_TYPES) else 1.0
+    tol = (
+        None
+        if tolerance_seconds is None
+        else F.lit(tolerance_seconds * scale)
     )
 
-    if tolerance_seconds is not None:
-        mt = _ts_num(F.col("__m.__ts"), rt_type)
-        scale = 1e6 if isinstance(lt_type, _TS_TYPES) else 1.0
-        dist = (F.col("__t") - mt) if direction == "backward" else (mt - F.col("__t"))
+    if direction == "nearest":
+        # same keyed exchange, two sorts: the running backward and forward
+        # matches, masked by tolerance, then a per-row pick (tie→backward)
+        out = (
+            unioned.withColumn(
+                "__mb", F.last("__p", ignorenulls=True).over(match_window(True))
+            )
+            .withColumn(
+                "__mf", F.last("__p", ignorenulls=True).over(match_window(False))
+            )
+            .where(F.col("__l").isNotNull())
+        )
+        if tol is not None:
+            out = out.withColumn(
+                "__mb",
+                F.when(
+                    F.col("__t") - _ts_num(F.col("__mb.__ts"), rt_type) <= tol,
+                    F.col("__mb"),
+                ),
+            ).withColumn(
+                "__mf",
+                F.when(
+                    _ts_num(F.col("__mf.__ts"), rt_type) - F.col("__t") <= tol,
+                    F.col("__mf"),
+                ),
+            )
+        db = F.col("__t") - _ts_num(F.col("__mb.__ts"), rt_type)
+        df_ = _ts_num(F.col("__mf.__ts"), rt_type) - F.col("__t")
         out = out.withColumn(
             "__m",
-            F.when(dist <= F.lit(tolerance_seconds * scale), F.col("__m")),
+            F.when(F.col("__mb").isNull(), F.col("__mf"))
+            .when(F.col("__mf").isNull(), F.col("__mb"))
+            .when(db <= df_, F.col("__mb"))
+            .otherwise(F.col("__mf")),
+        ).drop("__mb", "__mf")
+    else:
+        asc = direction == "backward"
+        out = (
+            unioned.withColumn(
+                "__m", F.last("__p", ignorenulls=True).over(match_window(asc))
+            )
+            .where(F.col("__l").isNotNull())
         )
+        if tol is not None:
+            mt = _ts_num(F.col("__m.__ts"), rt_type)
+            dist = (F.col("__t") - mt) if asc else (mt - F.col("__t"))
+            out = out.withColumn("__m", F.when(dist <= tol, F.col("__m")))
     if how == "inner":
         out = out.where(F.col("__m").isNotNull())
     return out.select(

@@ -312,3 +312,58 @@ def test_range_join_randomized_boundary_sweep(spark, seed, bucket):
         ).collect()
     }
     assert got == naive, (seed, bucket)
+
+
+@pytest.mark.parametrize("tol", [None, 5])
+def test_asof_nearest_matches_pandas(spark, tol):
+    """direction='nearest' (ties → backward, pandas semantics) against
+    merge_asof over a seeded random frame with duplicate timestamps and
+    equidistant-tie cases."""
+    rng = np.random.default_rng(41)
+    trades = pd.DataFrame(
+        {
+            "sym": rng.choice(["A", "B"], size=100),
+            "t": rng.integers(0, 50, size=100).astype("int64"),
+            "qty": np.arange(100).astype("int64"),
+        }
+    )
+    quotes = pd.DataFrame(
+        {
+            "sym": rng.choice(["A", "B"], size=60),
+            "t": rng.integers(0, 50, size=60).astype("int64"),
+            "px": rng.uniform(1, 2, size=60).round(4),
+        }
+    ).drop_duplicates(["sym", "t"])
+    got = asof_join(
+        spark.createDataFrame(trades),
+        spark.createDataFrame(quotes),
+        on="sym",
+        left_ts="t",
+        direction="nearest",
+        tolerance_seconds=tol,
+    ).collect()
+    g = {
+        (r["sym"], r["t"], r["qty"], None if r["px_right"] is None else round(r["px_right"], 4))
+        for r in got
+    }
+    assert g == _pd_asof(trades, quotes, "nearest", tolerance=tol)
+
+
+def test_asof_nearest_single_shuffle_no_join(spark):
+    """nearest keeps the single keyed exchange (two sorts, two windows, no
+    join node) — a second shuffle or a join here would break the operator's
+    scale contract."""
+    left = spark.createDataFrame([("A", 1, 10)], ["sym", "t", "qty"])
+    right = spark.createDataFrame([("A", 1, 5.0)], ["sym", "t", "px"])
+    import contextlib
+    import io as _io
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        asof_join(left, right, on="sym", left_ts="t", direction="nearest").explain(
+            "formatted"
+        )
+    plan = buf.getvalue()
+    assert "SortMergeJoin" not in plan and "BroadcastNestedLoop" not in plan
+    assert plan.count("Exchange") == 2  # formatted lists nodes twice: ONE exchange
+    assert "hashpartitioning(sym" in plan
