@@ -1553,11 +1553,14 @@ FROM w
 
 
 def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Each click joined to the user's most recent purchase at-or-before it
-    (kdb/pandas `merge_asof` semantics). Executed as union + ONE window
-    pass — both sides shuffle once on user_id, no join explosion
+    """As-of union row set: each click joined to the user's most recent
+    purchase at-or-before it (`backward` rows — kdb/pandas `merge_asof`
+    semantics) AND to the closest purchase in either direction (`nearest`
+    rows, ties→backward, r5). Executed as union + window passes over ONE
+    keyed exchange — both sides shuffle once on user_id, no join explosion
     (operators/asof.py). Purchases are pre-deduped per (user, ts) so the
-    tie-winner is engine-independent."""
+    tie-winner is engine-independent; the oracle emulates `nearest` with
+    two DuckDB ASOF LEFT JOINs and an epoch-µs distance pick."""
     ev = read_table(spark, sf_dir, "events")
     from sparkglm_spark.operators.asof import asof_join
 
@@ -1569,13 +1572,21 @@ def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "ts")
         .agg(F.max("value").alias("purchase_value"))
     )
-    out = asof_join(clicks, purch, on="user_id", left_ts="ts", how="inner")
-    return out.select(
-        "event_id",
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
-        F.date_format("ts_right", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
-        F.round("purchase_value_right", 6).alias("purchase_value"),
-    )
+
+    def run(direction: str) -> DataFrame:
+        out = asof_join(
+            clicks, purch, on="user_id", left_ts="ts",
+            direction=direction, how="inner",
+        )
+        return out.select(
+            F.lit(direction).alias("dir"),
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+            F.date_format("ts_right", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            F.round("purchase_value_right", 6).alias("purchase_value"),
+        )
+
+    return run("backward").unionByName(run("nearest"))
 
 
 SQL_EVENTS_ASOF_JOIN = """
@@ -1583,13 +1594,43 @@ WITH clicks AS (
   SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
 purch AS (
   SELECT user_id, ts, max(value) AS purchase_value
-  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
-SELECT c.event_id,
-       strftime(date_trunc('second', c.ts), '%Y-%m-%d %H:%M:%S') AS click_ts,
-       strftime(date_trunc('second', p.ts), '%Y-%m-%d %H:%M:%S') AS purchase_ts,
-       ROUND(p.purchase_value, 6) AS purchase_value
-FROM clicks c
-ASOF JOIN purch p ON c.user_id = p.user_id AND c.ts >= p.ts
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+backward AS (
+  SELECT c.event_id, c.ts AS cts, p.ts AS pts, p.purchase_value AS pval
+  FROM clicks c
+  ASOF JOIN purch p ON c.user_id = p.user_id AND c.ts >= p.ts),
+both_sides AS (
+  SELECT c.event_id, c.ts AS cts,
+         b.ts AS b_ts, b.purchase_value AS b_val,
+         f.ts AS f_ts, f.purchase_value AS f_val
+  FROM clicks c
+  ASOF LEFT JOIN purch b ON c.user_id = b.user_id AND c.ts >= b.ts
+  ASOF LEFT JOIN purch f ON c.user_id = f.user_id AND c.ts <= f.ts),
+nearest AS (
+  SELECT event_id, cts,
+         CASE WHEN b_ts IS NULL THEN f_ts
+              WHEN f_ts IS NULL THEN b_ts
+              WHEN epoch_us(cts) - epoch_us(b_ts)
+                   <= epoch_us(f_ts) - epoch_us(cts) THEN b_ts
+              ELSE f_ts END AS pts,
+         CASE WHEN b_ts IS NULL THEN f_val
+              WHEN f_ts IS NULL THEN b_val
+              WHEN epoch_us(cts) - epoch_us(b_ts)
+                   <= epoch_us(f_ts) - epoch_us(cts) THEN b_val
+              ELSE f_val END AS pval
+  FROM both_sides
+  WHERE b_ts IS NOT NULL OR f_ts IS NOT NULL)
+SELECT 'backward' AS dir, event_id,
+       strftime(date_trunc('second', cts), '%Y-%m-%d %H:%M:%S') AS click_ts,
+       strftime(date_trunc('second', pts), '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       ROUND(pval, 6) AS purchase_value
+FROM backward
+UNION ALL
+SELECT 'nearest', event_id,
+       strftime(date_trunc('second', cts), '%Y-%m-%d %H:%M:%S'),
+       strftime(date_trunc('second', pts), '%Y-%m-%d %H:%M:%S'),
+       ROUND(pval, 6)
+FROM nearest
 """
 
 
