@@ -294,3 +294,38 @@ def test_ivf_reuses_prebuilt_centroids(spark, embeddings):
         )
     )
     assert a == b and len(a) > 0
+
+
+def test_cosine_topk_quantized_recall(spark, embeddings):
+    """Search over the int8 table: per-vector scaling cancels in cosine, so
+    the quantized ranking should match the float baseline almost everywhere
+    (recall@5 ≥ 0.95 on the testdata corpus) and score deltas stay within
+    quantization error."""
+    from sparkglm_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_quantized,
+        quantize_int8,
+    )
+
+    q = embeddings.limit(25)
+    base = cosine_topk(embeddings, q, k=5).collect()
+    corpus_q = quantize_int8(embeddings)
+    quant = cosine_topk_quantized(corpus_q, q, k=5).collect()
+
+    def by_query(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    b, g = by_query(base), by_query(quant)
+    hits = total = 0
+    for qid, neigh in b.items():
+        total += len(neigh)
+        hits += len(neigh & g.get(qid, set()))
+    assert total > 0 and hits / total >= 0.95
+    scores_b = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in base}
+    for r in quant:
+        kk = (r["query_id"], r["neighbor_id"])
+        if kk in scores_b:
+            assert abs(r["cosine"] - scores_b[kk]) < 0.02
