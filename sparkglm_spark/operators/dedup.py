@@ -875,3 +875,48 @@ def simhash_near_dup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def content_fingerprints(
+    df: DataFrame, text_col: str, key_col: str
+) -> DataFrame:
+    """(key_col, fingerprint) projection of a corpus — the persisted index
+    side of `exact_dedup_incremental`. sha2-256 (`_content_fp`), so the
+    stored index never needs the text to resolve collisions."""
+    return df.select(
+        F.col(key_col), _content_fp([F.col(text_col)]).alias("fingerprint")
+    )
+
+
+def exact_dedup_incremental(
+    new_df: DataFrame,
+    known_fps: DataFrame,
+    text_col: str,
+    key_col: str,
+    broadcast_drop_list: bool = True,
+) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING corpus without re-touching the
+    corpus — the daily-ingest pattern: drop new rows whose content
+    fingerprint is already in `known_fps` (a `content_fingerprints` table,
+    column `fingerprint`), then keep-min-key within the remaining batch.
+
+    Wire discipline matches `exact_dedup_hashed`: only (fingerprint, key)
+    projections enter keyed exchanges — the index side ships 32-byte
+    fingerprints, the new batch's text never shuffles, and the final
+    removal is a broadcast anti-join of loser keys. Returns the surviving
+    new rows; append `content_fingerprints(survivors, ...)` to the index
+    for the next batch."""
+    fp = _content_fp([F.col(text_col)])
+    proj = new_df.select(fp.alias("__fp"), F.col(key_col).alias("__k"))
+    # new rows colliding with the existing index: join on fingerprints only
+    seen = (
+        proj.join(
+            known_fps.select(F.col("fingerprint").alias("__fp")), "__fp", "left_semi"
+        )
+        .select(F.col("__k").alias(key_col))
+    )
+    # plus within-batch losers (among ALL new rows; a row colliding with
+    # the index is dropped anyway, so double-listing is harmless)
+    batch_drop = _dedup_drop_list(new_df, fp, key_col)
+    drop = seen.unionByName(batch_drop)
+    return _drop_keys(new_df, drop, key_col, broadcast_drop_list)

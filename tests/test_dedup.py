@@ -372,3 +372,38 @@ def test_exact_dedup_random_corpora_match_python_twin(spark):
         for r in D.duplicate_groups(df, ["text"], "doc_id").collect()
     )
     assert got_groups == want_groups
+
+
+def test_exact_dedup_incremental_matches_python(spark):
+    """Batch-vs-index dedup: rows colliding with the known index drop, the
+    within-batch winners are min-key, and the composition over two batches
+    equals a full-corpus dedup."""
+    from sparkglm_spark.operators.dedup import (
+        content_fingerprints,
+        exact_dedup_hashed,
+        exact_dedup_incremental,
+    )
+
+    b1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], "doc_id long, text string"
+    )
+    b2 = spark.createDataFrame(
+        [(10, "beta"), (11, "gamma"), (12, "gamma"), (13, "alpha")],
+        "doc_id long, text string",
+    )
+    s1 = exact_dedup_hashed(b1, "text", "doc_id")
+    idx = content_fingerprints(s1, "text", "doc_id")
+    s2 = exact_dedup_incremental(b2, idx, "text", "doc_id")
+    got = sorted(r["doc_id"] for r in s2.collect())
+    assert got == [11]  # beta/alpha known; gamma keeps min key 11
+
+    # composition == full dedup of the union
+    full = exact_dedup_hashed(b1.unionByName(b2), "text", "doc_id")
+    union_ids = sorted(r["doc_id"] for r in s1.collect()) + got
+    assert sorted(union_ids) == sorted(r["doc_id"] for r in full.collect())
+
+    # non-broadcast path agrees
+    nb = exact_dedup_incremental(
+        b2, idx, "text", "doc_id", broadcast_drop_list=False
+    )
+    assert sorted(r["doc_id"] for r in nb.collect()) == got
