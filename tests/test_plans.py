@@ -325,10 +325,12 @@ def test_exact_dedup_exchanges_carry_no_text(spark, documents):
     corpus rows while claiming otherwise.)"""
     from sparkglm_spark.operators import dedup as D
 
+    idx = D.content_fingerprints(documents.limit(100), "text", "doc_id")
     for df in (
         D.exact_dedup_hashed(documents, "text", "doc_id"),
         D.exact_dedup(documents, ["text"], "doc_id"),
         D.duplicate_groups(documents, ["text"], "doc_id"),
+        D.exact_dedup_incremental(documents, idx, "text", "doc_id"),
     ):
         plan = plan_of(df)
         exchanges = _exchange_inputs(plan)
