@@ -267,8 +267,11 @@ def test_bm25_is_joinless_single_tokenize_topk(spark, documents):
     assert "TakeOrderedAndProject" in plan
     for bad in ("BroadcastHashJoin", "SortMergeJoin", "Generate", "HashAggregate"):
         assert bad not in plan, f"unexpected {bad} in bm25 plan"
-    for line in _exchange_inputs(plan, skip_round_robin=True):
-        assert "text" not in line, f"text crosses the wire: {line}"
+    from sparkglm_spark.plans.inspect import assert_no_columns_in_exchanges
+
+    assert_no_columns_in_exchanges(
+        bm25_search(documents, ["spark", "join"], top_k=10), ["text"]
+    )
 
 
 def test_brute_neardup_plan_is_shuffle_free(spark, documents):
@@ -292,38 +295,17 @@ def test_brute_neardup_plan_is_shuffle_free(spark, documents):
     assert "SortMergeJoin" not in plan
 
 
-def _exchange_inputs(plan: str, skip_round_robin: bool = False) -> list[str]:
-    """The `Input [...]` line of every Exchange / BroadcastExchange node in
-    a formatted explain — i.e. the exact schemas that cross the wire. With
-    `skip_round_robin`, exchanges whose Arguments are RoundRobinPartitioning
-    are exempt: those are the tiny-input fan-outs (`ensure_parallel`) that
-    vanish at real scale, not a keyed shuffle of the data."""
-    import re
-
-    lines = plan.splitlines()
-    out = []
-    for i, line in enumerate(lines):
-        if re.match(r"^\(\d+\) (Broadcast)?Exchange\b", line.strip()):
-            inp = args = None
-            for j in range(i + 1, min(i + 6, len(lines))):
-                s = lines[j].strip()
-                if s.startswith("Input"):
-                    inp = lines[j]
-                elif s.startswith("Arguments"):
-                    args = s
-            if skip_round_robin and args and "RoundRobinPartitioning" in args:
-                continue
-            if inp is not None:
-                out.append(inp)
-    return out
-
-
 def test_exact_dedup_exchanges_carry_no_text(spark, documents):
     """100 TB contract of the exact-dedup family: every exchange moves
     (fingerprint, id) rows — the text column must never cross the wire.
     (Round-4 verdict: the old window-based keeper selection exchanged full
     corpus rows while claiming otherwise.)"""
     from sparkglm_spark.operators import dedup as D
+
+    from sparkglm_spark.plans.inspect import (
+        assert_no_columns_in_exchanges,
+        exchange_schemas,
+    )
 
     idx = D.content_fingerprints(documents.limit(100), "text", "doc_id")
     for df in (
@@ -332,11 +314,8 @@ def test_exact_dedup_exchanges_carry_no_text(spark, documents):
         D.duplicate_groups(documents, ["text"], "doc_id"),
         D.exact_dedup_incremental(documents, idx, "text", "doc_id"),
     ):
-        plan = plan_of(df)
-        exchanges = _exchange_inputs(plan)
-        assert exchanges, "expected at least one exchange in the dedup plan"
-        for line in exchanges:
-            assert "text" not in line, f"text column crosses the wire: {line}"
+        assert exchange_schemas(df), "expected at least one exchange"
+        assert_no_columns_in_exchanges(df, ["text"], skip_round_robin=False)
 
 
 def test_media_dedup_exchanges_carry_no_binary(spark, documents):
@@ -347,12 +326,15 @@ def test_media_dedup_exchanges_carry_no_binary(spark, documents):
         synth_media_from_documents,
     )
 
+    from sparkglm_spark.plans.inspect import (
+        assert_no_columns_in_exchanges,
+        exchange_schemas,
+    )
+
     media = synth_media_from_documents(documents)
-    plan = plan_of(media_content_dedup(media))
-    exchanges = _exchange_inputs(plan)
-    assert exchanges, "expected at least one exchange in the media dedup plan"
-    for line in exchanges:
-        assert "payload" not in line, f"payload bytes cross the wire: {line}"
+    out = media_content_dedup(media)
+    assert exchange_schemas(out), "expected at least one exchange"
+    assert_no_columns_in_exchanges(out, ["payload"], skip_round_robin=False)
 
 
 def test_corpus_prep_dedup_stage_carries_no_text(spark, documents):
@@ -362,10 +344,10 @@ def test_corpus_prep_dedup_stage_carries_no_text(spark, documents):
     documents."""
     from sparkglm_spark.operators.pipeline import prepare_training_corpus
 
+    from sparkglm_spark.plans.inspect import assert_no_columns_in_exchanges
+
     out = prepare_training_corpus(documents, min_quality=0.3)
-    plan = plan_of(out)
-    for line in _exchange_inputs(plan, skip_round_robin=True):
-        assert "text#" not in line, f"text column crosses the wire: {line}"
+    assert_no_columns_in_exchanges(out, ["text"])  # round-robin exempt
 
 
 def test_latest_state_is_partial_agg_no_window(spark, sf_dir):
