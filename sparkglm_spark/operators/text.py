@@ -380,3 +380,85 @@ def bm25_search(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(top_k)
     )
+
+
+# ---------------------------------------------------------------------------
+# intra-document repetition (Gopher/C4-style cleaning rules)
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition signals — the standard intra-doc quality
+    rules (repeated boilerplate lines, token-level chanting) used to gate
+    web corpora (public grounding: Gopher, Rae et al. 2021 §A1.1; C4,
+    Raffel et al. 2020): (id, n_lines, dup_line_ratio, dup_token_ratio,
+    top_token_ratio).
+
+    - dup_line_ratio: fraction of non-blank lines that are repeats of an
+      earlier line (0 = all unique).
+    - dup_token_ratio: same at whitespace-token level.
+    - top_token_ratio: share of the most frequent token — chanting /
+      keyword-stuffing detector.
+
+    One whole-stage-codegen projection (higher-order array functions), no
+    explode, no shuffle — at 100 TB this fuses into the same scan as the
+    other per-doc profiles."""
+    df = ensure_parallel(df)
+    t = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), lambda s: F.trim(s)),
+        lambda s: s != F.lit(""),
+    )
+    toks = F.filter(tokens_expr(t), lambda s: s != F.lit(""))
+
+    def dup_ratio(arr: Column) -> Column:
+        n = F.size(arr)
+        return F.when(
+            n > 0,
+            (n - F.size(F.array_distinct(arr))).cast("double") / n,
+        )
+
+    # top-token share without explode: count each distinct token's
+    # occurrences via a filter inside one transform over the distinct set
+    def top_ratio(arr: Column) -> Column:
+        n = F.size(arr)
+        counts = F.transform(
+            F.array_distinct(arr),
+            lambda d: F.size(F.filter(arr, lambda x: x == d)),
+        )
+        return F.when(n > 0, F.array_max(counts).cast("double") / n)
+
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        dup_ratio(lines).alias("dup_line_ratio"),
+        dup_ratio(toks).alias("dup_token_ratio"),
+        top_ratio(toks).alias("top_token_ratio"),
+    )
+
+
+def remove_repeated_lines(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """C4-style line dedup WITHIN each document: keep the first occurrence
+    of every line (order preserved, blank lines dropped), rewriting
+    `text_col` in place. Zero shuffle — a single codegen projection; the
+    cross-document dedup family (exact/minhash) composes after it.
+
+    O(L²) comparisons per doc in the filter (L = line count) — fine for
+    natural documents; pathological million-line rows belong to
+    chunk_documents first."""
+    t = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), lambda s: F.trim(s)),
+        lambda s: s != F.lit(""),
+    )
+    kept = F.filter(
+        lines,
+        lambda x, i: ~F.exists(
+            F.slice(lines, 1, i), lambda prev: prev == x
+        ),
+    )
+    return df.withColumn(text_col, F.array_join(kept, "\n"))

@@ -91,3 +91,62 @@ def test_language_id_null_text_is_null(spark):
     prof = {r.doc_id: r for r in text_profile(docs).collect()}
     assert prof[1].detected_lang is None
     assert prof[2].detected_lang == "en"
+
+
+def test_repetition_stats_match_python(spark):
+    """Repetition signals vs a pure-python twin over handcrafted and
+    seeded-random docs (repeats, chanting, blanks, empty)."""
+    import random
+
+    from sparkglm_spark.operators.text import repetition_stats
+
+    rng = random.Random(57)
+    rows = [
+        (0, "a b c\na b c\nunique line"),
+        (1, "spam spam spam spam ham"),
+        (2, ""),
+        (3, "\n\n\n"),
+        (4, "one\n\ntwo\nthree"),
+    ]
+    vocab = ["x", "y", "z", "lorem", "ipsum"]
+    for i in range(5, 40):
+        n = rng.randrange(1, 30)
+        toks = [rng.choice(vocab) for _ in range(n)]
+        lines = [" ".join(toks[j : j + 4]) for j in range(0, n, 4)]
+        rows.append((i, "\n".join(lines)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+
+    for did, text in rows:
+        lines = [l.strip() for l in text.split("\n") if l.strip()]
+        toks = [w for w in text.strip().split() if w]
+        r = got[did]
+        assert r["n_lines"] == len(lines), did
+        if lines:
+            assert r["dup_line_ratio"] == pytest.approx(
+                (len(lines) - len(set(lines))) / len(lines)
+            ), did
+        else:
+            assert r["dup_line_ratio"] is None
+        if toks:
+            assert r["dup_token_ratio"] == pytest.approx(
+                (len(toks) - len(set(toks))) / len(toks)
+            ), did
+            top = max(toks.count(w) for w in set(toks))
+            assert r["top_token_ratio"] == pytest.approx(top / len(toks)), did
+        else:
+            assert r["top_token_ratio"] is None
+
+
+def test_remove_repeated_lines_keeps_first_occurrence(spark):
+    from sparkglm_spark.operators.text import remove_repeated_lines
+
+    df = spark.createDataFrame(
+        [(0, "keep me\ndup\nother\ndup\nkeep me\nlast")], "doc_id long, text string"
+    )
+    out = remove_repeated_lines(df).collect()[0]["text"]
+    assert out == "keep me\ndup\nother\nlast"
+    # zero-shuffle claim
+    from sparkglm_spark.plans.inspect import exchange_schemas
+
+    assert exchange_schemas(remove_repeated_lines(df)) == []
