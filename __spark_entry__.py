@@ -1373,6 +1373,10 @@ WITH t AS (
          CASE WHEN length(text) = 0 THEN 0
               ELSE list_reduce([CAST(ord(c) AS BIGINT) FOR c IN split(text, '')],
                                (a, b) -> (a * 31 + b) % 1000000007) END AS fingerprint,
+         list_filter(list_transform(split(text, chr(10)), s -> trim(s)),
+                     s -> s <> '') AS nb_lines,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     s -> s <> '') AS nb_toks,
          {hits}
   FROM documents),
 r AS (
@@ -1393,7 +1397,17 @@ SELECT doc_id, n_chars, n_tokens,
            + 0.3 * least(coalesce(stopword_ratio, 0.0) * 5.0, 1.0), 6) AS quality_score,
        {pick} AS detected_lang,
        CAST(best AS BIGINT) AS lang_score,
-       fingerprint
+       fingerprint,
+       CASE WHEN len(nb_lines) > 0
+            THEN CAST(len(nb_lines) - len(list_distinct(nb_lines)) AS DOUBLE)
+                 / len(nb_lines) END AS dup_line_ratio,
+       CASE WHEN len(nb_toks) > 0
+            THEN CAST(len(nb_toks) - len(list_distinct(nb_toks)) AS DOUBLE)
+                 / len(nb_toks) END AS dup_token_ratio,
+       CASE WHEN len(nb_toks) > 0
+            THEN CAST(list_max(list_transform(list_distinct(nb_toks),
+                     d -> len(list_filter(nb_toks, x -> x = d)))) AS DOUBLE)
+                 / len(nb_toks) END AS top_token_ratio
 FROM r
 """
 

@@ -270,6 +270,11 @@ def text_profile(
         pick.alias("detected_lang"),
         best["h"].cast("bigint").alias("lang_score"),
         fingerprint_expr(t).alias("fingerprint"),
+        # r5: Gopher/C4 intra-doc repetition gates, fused into the same
+        # projection (see repetition_stats for the standalone op)
+        _dup_ratio_expr(_nonblank_lines_expr(t)).alias("dup_line_ratio"),
+        _dup_ratio_expr(_nonblank_tokens_expr(t)).alias("dup_token_ratio"),
+        _top_ratio_expr(_nonblank_tokens_expr(t)).alias("top_token_ratio"),
     )
 
 
@@ -387,6 +392,35 @@ def bm25_search(
 # ---------------------------------------------------------------------------
 
 
+def _nonblank_lines_expr(t: Column) -> Column:
+    return F.filter(
+        F.transform(F.split(t, "\n"), lambda s: F.trim(s)),
+        lambda s: s != F.lit(""),
+    )
+
+
+def _nonblank_tokens_expr(t: Column) -> Column:
+    return F.filter(tokens_expr(t), lambda s: s != F.lit(""))
+
+
+def _dup_ratio_expr(arr: Column) -> Column:
+    n = F.size(arr)
+    return F.when(
+        n > 0, (n - F.size(F.array_distinct(arr))).cast("double") / n
+    )
+
+
+def _top_ratio_expr(arr: Column) -> Column:
+    # top-element share without explode: count each distinct element's
+    # occurrences via a filter inside one transform over the distinct set
+    n = F.size(arr)
+    counts = F.transform(
+        F.array_distinct(arr),
+        lambda d: F.size(F.filter(arr, lambda x: x == d)),
+    )
+    return F.when(n > 0, F.array_max(counts).cast("double") / n)
+
+
 def repetition_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -407,35 +441,14 @@ def repetition_stats(
     other per-doc profiles."""
     df = ensure_parallel(df)
     t = F.col(text_col)
-    lines = F.filter(
-        F.transform(F.split(t, "\n"), lambda s: F.trim(s)),
-        lambda s: s != F.lit(""),
-    )
-    toks = F.filter(tokens_expr(t), lambda s: s != F.lit(""))
-
-    def dup_ratio(arr: Column) -> Column:
-        n = F.size(arr)
-        return F.when(
-            n > 0,
-            (n - F.size(F.array_distinct(arr))).cast("double") / n,
-        )
-
-    # top-token share without explode: count each distinct token's
-    # occurrences via a filter inside one transform over the distinct set
-    def top_ratio(arr: Column) -> Column:
-        n = F.size(arr)
-        counts = F.transform(
-            F.array_distinct(arr),
-            lambda d: F.size(F.filter(arr, lambda x: x == d)),
-        )
-        return F.when(n > 0, F.array_max(counts).cast("double") / n)
-
+    lines = _nonblank_lines_expr(t)
+    toks = _nonblank_tokens_expr(t)
     return df.select(
         F.col(id_col),
         F.size(lines).cast("bigint").alias("n_lines"),
-        dup_ratio(lines).alias("dup_line_ratio"),
-        dup_ratio(toks).alias("dup_token_ratio"),
-        top_ratio(toks).alias("top_token_ratio"),
+        _dup_ratio_expr(lines).alias("dup_line_ratio"),
+        _dup_ratio_expr(toks).alias("dup_token_ratio"),
+        _top_ratio_expr(toks).alias("top_token_ratio"),
     )
 
 
@@ -451,10 +464,7 @@ def remove_repeated_lines(
     natural documents; pathological million-line rows belong to
     chunk_documents first."""
     t = F.col(text_col)
-    lines = F.filter(
-        F.transform(F.split(t, "\n"), lambda s: F.trim(s)),
-        lambda s: s != F.lit(""),
-    )
+    lines = _nonblank_lines_expr(t)
     kept = F.filter(
         lines,
         lambda x, i: ~F.exists(
