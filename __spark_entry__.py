@@ -3480,8 +3480,27 @@ def q_sampling_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "value",
     )
-    return base.unionByName(strat)
+    # r5: weighted (importance) sampling rows — weight is a pure function
+    # of the key (doc_id%10/10) so the oracle reproduces keep decisions
+    # bit-for-bit; kept-count + exact id sum pin the kept SET, not just
+    # its size
+    from sparkglm_spark.operators.split import weighted_hash_sample
 
+    docs = read_table(spark, sf_dir, "documents")
+    wdocs = docs.withColumn(
+        "w", (F.col("doc_id") % 10).cast("double") / F.lit(10.0)
+    )
+    kept = weighted_hash_sample(wdocs, "doc_id", "w")
+    wrows = kept.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("doc_id").alias("s")
+    ).selectExpr(
+        "stack(2, 'wsample_n', cast(n as string),"
+        " 'wsample_idsum', cast(s as string)) as (stat, value)"
+    )
+    return base.unionByName(strat).unionByName(wrows)
+
+
+from sparkglm_spark.operators.split import _AFFINE_A, _AFFINE_B, _AFFINE_P
 
 SQL_SAMPLING_OPS = f"""
 WITH strat AS ({SQL_STRATIFIED_SAMPLE})
@@ -3493,6 +3512,19 @@ FROM strat s CROSS JOIN LATERAL (VALUES
     ('total_price', s.total_price),
     ('min_key', CAST(s.min_key AS VARCHAR)),
     ('max_key', CAST(s.max_key AS VARCHAR))) AS u(m, value)
+UNION ALL
+SELECT u.stat, u.value
+FROM (
+  SELECT count(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS s
+  FROM (
+    SELECT doc_id
+    FROM documents
+    WHERE ((doc_id % 4294967296) * {_AFFINE_A} + {_AFFINE_B}) % {_AFFINE_P}
+          % 1000000
+        < round(CAST(doc_id % 10 AS DOUBLE) / 10.0 * 1000000.0))
+) agg CROSS JOIN LATERAL (VALUES
+    ('wsample_n', CAST(agg.n AS VARCHAR)),
+    ('wsample_idsum', CAST(agg.s AS VARCHAR))) AS u(stat, value)
 """
 
 
