@@ -41,6 +41,7 @@ def force(df) -> None:
 
 def main() -> None:
     sf = SF_DIR.rstrip("/").split("sf")[-1]
+    load_start = round(os.getloadavg()[0], 2)
     spark = get_spark("sparkglm-bench")
 
     li = read_table(spark, SF_DIR, "lineitem")
@@ -237,6 +238,10 @@ def main() -> None:
                 "queries_min": mins,
                 "n_runs": N_RUNS,
                 "sf": float(sf),
+                # noise context: this box swings ±30-50% run-to-run (see
+                # PLANS.md "Bench protocol note"); the 1-min load average
+                # at start/end helps attribute outlier rounds
+                "load_avg": [load_start, round(os.getloadavg()[0], 2)],
             }
         )
     )
