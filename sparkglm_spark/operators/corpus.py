@@ -189,3 +189,50 @@ def contamination_scores(
             ),
         )
     )
+
+
+def corpus_summary(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The one-row corpus health report a curation run starts with —
+    computed in ONE aggregation job over one codegen projection (at 100 TB
+    this is a single pass; five separate report queries would be five):
+
+    n_docs, token totals (whitespace + BPE-ish), exact-dup signal
+    (approx distinct content fingerprints via HLL — O(1) state per
+    partition, vs a full fingerprint shuffle), per-language doc counts
+    (conditional sums over the fused language-ID expression — no groupBy),
+    and quality-score quantiles (approx_percentile sketch, mergeable).
+
+    Sketch columns are approximate BY CONTRACT (HLL ±2%, quantile sketch
+    rank error 1e-4) — the exact versions are `exact_dedup` and the
+    percentile operators; this op exists to be cheap enough to run on
+    every ingest batch."""
+    from sparkglm_spark.operators.pipeline import _quality_and_lang_cols
+    from sparkglm_spark.operators.text import token_count_expr
+
+    pre = _quality_and_lang_cols(ensure_parallel(docs), text_col)
+    from sparkglm_spark.operators.dedup import _content_fp
+
+    pre = pre.select(
+        F.col(id_col),
+        token_count_expr(F.col(text_col)).cast("long").alias("__nt"),
+        F.col("n_tokens_bpe"),
+        F.col("quality_score"),
+        F.col("detected_lang"),
+        _content_fp([F.col(text_col)]).alias("__fp"),
+    )
+    langs = ["de", "en", "es", "fr", "zh"]
+    return pre.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__nt").alias("total_tokens"),
+        F.sum("n_tokens_bpe").alias("total_tokens_bpe"),
+        F.approx_count_distinct("__fp").alias("approx_distinct_docs"),
+        *[
+            F.sum((F.col("detected_lang") == lg).cast("long")).alias(f"n_{lg}")
+            for lg in langs
+        ],
+        F.percentile_approx(
+            "quality_score", [0.1, 0.5, 0.9], 10000
+        ).alias("quality_p10_p50_p90"),
+    )

@@ -249,3 +249,42 @@ def test_ngrams_random_corpus_matches_python(spark):
         }
         for doc_id, text in rows:
             assert got[doc_id] == _py_ngrams(text, n), (doc_id, n)
+
+
+def test_corpus_summary_single_job_report(spark, documents):
+    """One-pass corpus report: exact columns match independent computations
+    and the plan is a single partial+final aggregation (no window, no
+    join)."""
+    from pyspark.sql import functions as F
+
+    from sparkglm_spark.operators.corpus import corpus_summary
+    from sparkglm_spark.operators.pipeline import _quality_and_lang_cols
+    from sparkglm_spark.operators.text import token_count_expr
+
+    row = corpus_summary(documents).collect()[0]
+    n = documents.count()
+    assert row["n_docs"] == n
+    want_tokens = documents.select(
+        F.sum(token_count_expr(F.col("text")).cast("long"))
+    ).collect()[0][0]
+    assert row["total_tokens"] == want_tokens
+    # language counts match the fused projection's own distribution
+    dist = {
+        r["detected_lang"]: r["count"]
+        for r in _quality_and_lang_cols(documents, "text")
+        .groupBy("detected_lang")
+        .count()
+        .collect()
+    }
+    for lg in ("de", "en", "es", "fr", "zh"):
+        assert row[f"n_{lg}"] == dist.get(lg, 0), lg
+    # HLL distinct within its error bound; corpus has no exact dups
+    assert abs(row["approx_distinct_docs"] - n) <= max(3, int(0.05 * n))
+    q10, q50, q90 = row["quality_p10_p50_p90"]
+    assert 0.0 <= q10 <= q50 <= q90 <= 1.0
+
+    from sparkglm_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(corpus_summary(documents))
+    assert "Window" not in plan and "Join" not in plan
+    assert "partial_" in plan  # map-side combine before the one exchange
