@@ -200,18 +200,29 @@ def main() -> None:
 
 
     runs: dict[str, list[float]] = {name: [] for name, _ in workloads}
+    errors: dict[str, str] = {}
     for _ in range(N_RUNS):
         for name, fn in workloads:
+            if name in errors:
+                continue  # failed once -> don't retry, don't kill the run
             # isolate workloads: drop caches persisted by the previous
             # operator (minhash/corpus pipelines cache intermediates) so
             # later timings don't absorb their GC/memory pressure
             spark.catalog.clearCache()
             t0 = time.perf_counter()
-            fn()
+            try:
+                fn()
+            except Exception as e:  # one broken workload must not cost
+                errors[name] = repr(e)[:200]  # the whole round's record
+                continue
             runs[name].append(time.perf_counter() - t0)
 
-    medians = {name: round(statistics.median(ts), 3) for name, ts in runs.items()}
-    mins = {name: round(min(ts), 3) for name, ts in runs.items()}
+    medians = {
+        name: round(statistics.median(ts), 3)
+        for name, ts in runs.items()
+        if ts
+    }
+    mins = {name: round(min(ts), 3) for name, ts in runs.items() if ts}
     total = round(sum(medians.values()), 3)
     # r5 added 5 headline lines (near_dup_clusters, pack_*, contamination,
     # quantize) — value_r4_set keeps an apples-to-apples e2e over the query
@@ -242,6 +253,7 @@ def main() -> None:
                 # PLANS.md "Bench protocol note"); the 1-min load average
                 # at start/end helps attribute outlier rounds
                 "load_avg": [load_start, round(os.getloadavg()[0], 2)],
+                **({"errors": errors} if errors else {}),
             }
         )
     )
