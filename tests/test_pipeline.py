@@ -46,3 +46,46 @@ def test_pipeline_survivor_columns(spark):
     assert row["doc_id"] == 7
     assert row["detected_lang"] == "en"
     assert row["n_tokens"] == len(GOOD_EN.split())
+
+
+def test_full_training_data_journey_composes(spark, documents, tmp_path):
+    """The actual user journey, end to end on real testdata: clean (line
+    dedup) → quality/language filter + exact & near dedup → repetition
+    gate → quality-weighted downsample → token-budget packing → sharded
+    parquet handoff. Proves the operators compose schema-wise and that
+    every stage's invariant holds on the composed output."""
+    from pyspark.sql import functions as F
+
+    from sparkglm_spark.operators.pack import pack_cumulative
+    from sparkglm_spark.operators.pipeline import prepare_training_corpus
+    from sparkglm_spark.operators.split import weighted_hash_sample
+    from sparkglm_spark.operators.text import remove_repeated_lines, repetition_stats
+    from sparkglm_spark.sources.io import write_training_shards
+
+    cleaned = remove_repeated_lines(documents)
+    survivors = prepare_training_corpus(cleaned, min_quality=0.3)
+    gated = survivors.join(
+        repetition_stats(survivors).where(F.col("top_token_ratio") <= 0.5).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    sampled = weighted_hash_sample(gated, "doc_id", "quality_score")
+    n_sampled = sampled.count()
+    assert 0 < n_sampled <= gated.count() <= survivors.count() <= documents.count()
+
+    packed = pack_cumulative(sampled, budget=256, n_buckets=2)
+    assert packed.count() == n_sampled  # one row per surviving doc
+    assert packed.where(F.col("n_tokens") < 0).count() == 0
+
+    out = str(tmp_path / "journey_shards")
+    manifest = write_training_shards(sampled, out, n_shards=2)
+    assert sum(r["n_rows"] for r in manifest.collect()) == n_sampled
+    back = spark.read.parquet(out)
+    assert back.count() == n_sampled
+    assert set(sampled.columns) <= set(back.columns)
+
+    # and the composed pipeline still never ships text through a keyed
+    # exchange (the whole point of the wire discipline)
+    from sparkglm_spark.plans.inspect import assert_no_columns_in_exchanges
+
+    assert_no_columns_in_exchanges(sampled, ["text"])
