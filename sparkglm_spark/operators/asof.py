@@ -135,11 +135,12 @@ def asof_join(
     def match_window(asc: bool):
         t_order = F.col("__t").asc() if asc else F.col("__t").desc()
         side_order = F.col("__p").isNull().cast("int").asc()  # right first
-        tie_order = (
-            F.col("__p").asc_nulls_first()
-            if asc
-            else F.col("__p").desc_nulls_first()
-        )
+        # tie among right rows at the same (key, ts): ALWAYS ascending, so
+        # the greatest payload struct sits last and running F.last picks
+        # it — in BOTH directions. (r5 review: the old desc tie order on
+        # the forward window made forward/nearest pick the SMALLEST
+        # payload, contradicting the documented contract.)
+        tie_order = F.col("__p").asc_nulls_first()
         return (
             Window.partitionBy(*keys)
             .orderBy(t_order, side_order, tie_order)

@@ -208,21 +208,23 @@ def corpus_summary(
     rank error 1e-4) — the exact versions are `exact_dedup` and the
     percentile operators; this op exists to be cheap enough to run on
     every ingest batch."""
-    from sparkglm_spark.operators.pipeline import _quality_and_lang_cols
-    from sparkglm_spark.operators.text import token_count_expr
-
-    pre = _quality_and_lang_cols(ensure_parallel(docs), text_col)
     from sparkglm_spark.operators.dedup import _content_fp
+    from sparkglm_spark.operators.pipeline import _quality_and_lang_cols
+    from sparkglm_spark.operators.text import LANG_PROFILES
 
-    pre = pre.select(
-        F.col(id_col),
-        token_count_expr(F.col(text_col)).cast("long").alias("__nt"),
+    # reuse the fused projection's n_tokens (computed from the shared
+    # lowered token array) instead of re-tokenizing the raw text — and
+    # project ONLY what the aggregates read (r5 review)
+    pre = _quality_and_lang_cols(ensure_parallel(docs), text_col).select(
+        F.col("n_tokens").alias("__nt"),
         F.col("n_tokens_bpe"),
         F.col("quality_score"),
         F.col("detected_lang"),
         _content_fp([F.col(text_col)]).alias("__fp"),
     )
-    langs = ["de", "en", "es", "fr", "zh"]
+    # derived, not hardcoded: a new language in LANG_PROFILES must show up
+    # here without a silent gap in the report
+    langs = sorted(LANG_PROFILES)
     return pre.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("__nt").alias("total_tokens"),

@@ -157,31 +157,23 @@ def duplicate_groups(
 # ---------------------------------------------------------------------------
 
 
-def shingles(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, lowercase: bool = True
-) -> DataFrame:
-    """Distinct character n-gram shingles per doc: (id, shingle)."""
-    # Lowercase ONCE in a projection below the transform: referencing
-    # lower(text) inside the lambda re-evaluates it per position (no CSE
-    # across lambda scopes) — O(len²) per doc, measured 3× slower.
-    from sparkglm_spark.plans.partitioning import ensure_parallel
+def _grams_expr(t: Column, n: int) -> Column:
+    """Distinct character n-gram array of an ALREADY-LOWERCASED column —
+    the ONE definition both the explode path (`shingles`) and the
+    set-keeping planner path (`_shingle_sets`) compile; two hand-kept
+    copies could silently drift the bitmap plan from the explode plan.
 
-    # tiny inputs arrive as one split → the whole shingle/signature chain
-    # would run on one core; fan out first (no-op at real scale)
-    pre = ensure_parallel(df).select(
-        F.col(id_col).alias("id"),
-        (F.lower(F.col(text_col)) if lowercase else F.col(text_col)).alias("__t"),
-    )
-    t = F.col("__t")
-    # sequence 1..len-n+1 → substr positions; transform is JVM-side.
-    # Texts shorter than n yield NO shingles (the when-guard matters:
-    # sequence(1, 0) is DESCENDING [1, 0] in Spark, which would emit
-    # partial shingles for short texts — diverging from the Python twin
-    # _py_shingle_set and the DuckDB range() oracles).
-    # Per-doc dedup happens BEFORE the explode (array_distinct) — the set is
-    # per-document, so a global .distinct() (a full shuffle of every
-    # (id, shingle) row) would be pure waste.
-    grams = F.when(
+    sequence 1..len-n+1 → substr positions; transform is JVM-side. Texts
+    shorter than n yield NO shingles (the when-guard matters:
+    sequence(1, 0) is DESCENDING [1, 0] in Spark, which would emit
+    partial shingles for short texts — diverging from the DuckDB range()
+    oracles). Per-doc dedup happens in the array (array_distinct) — the
+    set is per-document, so a global .distinct() downstream would be a
+    full shuffle for nothing. The caller must lower in its own projection
+    BELOW this transform: a lower() referenced inside the lambda
+    re-evaluates per position (no CSE across lambda scopes) — O(len²)
+    per doc, measured 3× slower."""
+    return F.when(
         F.length(t) >= n,
         F.array_distinct(
             F.transform(
@@ -190,7 +182,23 @@ def shingles(
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return pre.select("id", F.explode(grams).alias("shingle"))
+
+
+def shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, lowercase: bool = True
+) -> DataFrame:
+    """Distinct character n-gram shingles per doc: (id, shingle)."""
+    from sparkglm_spark.plans.partitioning import ensure_parallel
+
+    # tiny inputs arrive as one split → the whole shingle/signature chain
+    # would run on one core; fan out first (no-op at real scale)
+    pre = ensure_parallel(df).select(
+        F.col(id_col).alias("id"),
+        (F.lower(F.col(text_col)) if lowercase else F.col(text_col)).alias("__t"),
+    )
+    return pre.select(
+        "id", F.explode(_grams_expr(F.col("__t"), n)).alias("shingle")
+    )
 
 
 @_CACHES.scoped
@@ -437,18 +445,6 @@ def _popcount_inter_expr(L: int) -> Column:
     return F.expr(" + ".join(f"bit_count(bm_a[{i}] & bm_b[{i}])" for i in range(L)))
 
 
-def _py_shingle_set(text, n: int):
-    """Python twin of `shingles()` for the small-corpus brute path: distinct
-    character n-grams of ALREADY-LOWERCASED text. Lowercasing happens
-    JVM-side (F.lower) in the feeding projection, never here — Python
-    str.lower() and Spark's lower() disagree on Unicode edge cases
-    (İ, ẞ, locale-free full case mapping), and the planner's strategies
-    must be byte-identical."""
-    if text is None:
-        return set()
-    return {text[i : i + n] for i in range(len(text) - n + 1)}
-
-
 def _shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(id, shingles array<string>) — each doc's distinct lowercased
     n-gram set, in ONE whole-stage-codegen projection (same
@@ -466,21 +462,9 @@ def _shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
     pre = ensure_parallel(df).select(
         F.col(id_col).alias("id"), F.lower(F.col(text_col)).alias("__t")
     )
-    t = F.col("__t")
-    # see `shingles` for the when-guard (sequence(1, 0) descends) and the
-    # pre-lowered projection (no CSE across lambda scopes)
-    grams = F.when(
-        F.length(t) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.length(t) - (n - 1)),
-                lambda i: t.substr(i, F.lit(n)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return pre.select("id", F.sort_array(grams).alias("shingles")).where(
-        F.size("shingles") > 0
-    )
+    return pre.select(
+        "id", F.sort_array(_grams_expr(F.col("__t"), n)).alias("shingles")
+    ).where(F.size("shingles") > 0)
 
 
 def _vocab_from_sets(sets: DataFrame, limit: int) -> list[str] | None:

@@ -82,9 +82,17 @@ def media_content_dedup(
     payload bytes never cross the wire (plan-asserted: no BinaryType in any
     exchange, tests/test_plans.py). With media, that matters more than for
     text: payloads dominate row size."""
-    from sparkglm_spark.operators.dedup import _dedup_drop_list, _drop_keys
+    from sparkglm_spark.operators.dedup import (
+        _content_fp,
+        _dedup_drop_list,
+        _drop_keys,
+    )
 
-    drop = _dedup_drop_list(media, F.sha2(F.col("payload"), 256), "media_id")
+    # _content_fp, not raw sha2: sha2(NULL) is NULL and the drop-list
+    # equi-join would never match it, so NULL-payload duplicates (decode
+    # failures) would all survive — the same bug the text path's
+    # random-corpus twin caught
+    drop = _dedup_drop_list(media, _content_fp([F.col("payload")]), "media_id")
     return _drop_keys(media, drop, "media_id", broadcast_drop_list)
 
 

@@ -87,22 +87,18 @@ def _collect_query_matrix(
     side of a broadcast join. The corpus side is never collected.
 
     SIZE-GATED like `cosine_near_dup_pairs`: an oversized queries frame
-    raises (naming the scale alternatives) instead of OOMing the driver."""
-    from sparkglm_spark.plans.partitioning import bounded_row_probe
-
-    # max_partitions=None: this gate's contract REQUIRES the count (it
-    # must raise past the gate, not guess)
-    over = bounded_row_probe(
-        queries.select(id_col), max_collect_rows, max_partitions=None
-    )
-    if over > max_collect_rows:
+    raises (naming the scale alternatives) instead of OOMing the driver.
+    Gate and collect are ONE job — limit(cap+1).collect() — so a derived
+    queries frame pays its upstream computation once, not once for a
+    count probe and again for the collect (r5 review)."""
+    rows = queries.select(id_col, vec_col).limit(max_collect_rows + 1).collect()
+    if len(rows) > max_collect_rows:
         raise ValueError(
             f"top-k similarity: queries frame exceeds max_collect_rows="
             f"{max_collect_rows} (the query matrix is driver-collected and "
             "broadcast); batch the queries, or for corpus-vs-corpus "
             "matching use near_dup_pairs / lsh_near_dup_pairs"
         )
-    rows = queries.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows])
     if len(rows) == 0:
         return ids, np.zeros((0, 0), dtype=np.float64)

@@ -233,7 +233,9 @@ def text_profile(
     column here fuses into a single whole-stage-codegen pass."""
     # fan out single-split inputs: these are per-row compute-dense
     # projections (no-op at real scale)
-    df = ensure_parallel(df)
+    df = ensure_parallel(df).withColumn(
+        "__nbt", _nonblank_tokens_expr(F.col(text_col))
+    )
     t = F.col(text_col)
     n_chars = F.length(t)
     n_tokens = token_count_expr(t)
@@ -271,10 +273,13 @@ def text_profile(
         best["h"].cast("bigint").alias("lang_score"),
         fingerprint_expr(t).alias("fingerprint"),
         # r5: Gopher/C4 intra-doc repetition gates, fused into the same
-        # projection (see repetition_stats for the standalone op)
+        # projection (see repetition_stats for the standalone op). The
+        # token array feeds two ratios — compute it in the __nbt
+        # sub-projection below so the sharing is structural, not
+        # CSE-dependent (the same discipline as _quality_and_lang_cols)
         _dup_ratio_expr(_nonblank_lines_expr(t)).alias("dup_line_ratio"),
-        _dup_ratio_expr(_nonblank_tokens_expr(t)).alias("dup_token_ratio"),
-        _top_ratio_expr(_nonblank_tokens_expr(t)).alias("top_token_ratio"),
+        _dup_ratio_expr(F.col("__nbt")).alias("dup_token_ratio"),
+        _top_ratio_expr(F.col("__nbt")).alias("top_token_ratio"),
     )
 
 

@@ -367,3 +367,19 @@ def test_asof_nearest_single_shuffle_no_join(spark):
     assert "SortMergeJoin" not in plan and "BroadcastNestedLoop" not in plan
     assert plan.count("Exchange") == 2  # formatted lists nodes twice: ONE exchange
     assert "hashpartitioning(sym" in plan
+
+
+def test_asof_tie_break_greatest_payload_all_directions(spark):
+    """Right rows tied on (key, ts) must resolve to the GREATEST payload
+    struct in every direction — r5 review caught forward/nearest picking
+    the smallest (the fixtures' per-(key, ts) dedup had masked it)."""
+    left = spark.createDataFrame([("A", 5, 1)], ["sym", "t", "qty"])
+    right = spark.createDataFrame(
+        [("A", 7, 10.0), ("A", 7, 20.0), ("A", 3, 10.0), ("A", 3, 20.0)],
+        ["sym", "t", "px"],
+    )
+    for direction in ("backward", "forward", "nearest"):
+        row = asof_join(
+            left, right, on="sym", left_ts="t", direction=direction
+        ).collect()[0]
+        assert row["px_right"] == 20.0, direction

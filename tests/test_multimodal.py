@@ -266,3 +266,18 @@ def test_wav_roundtrip_randomized_lengths():
         samples, got_sr, got_ch = decode_audio(encode_wav_pcm16(pcm, sr))
         assert got_sr == sr and got_ch == 1
         assert np.array_equal(np.asarray(samples)[:, 0], pcm), (n, sr)
+
+
+def test_media_dedup_null_payloads_group(spark):
+    """NULL payloads (decode failures) must dedup as ONE group — r5 review
+    caught raw sha2(NULL) dropping out of the drop-list join so every
+    NULL-payload duplicate survived."""
+    rows = [
+        (1, "image", b"x"),
+        (2, "image", None),
+        (3, "image", None),
+        (4, "image", b"x"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    kept = sorted(r["media_id"] for r in MM.media_content_dedup(df).collect())
+    assert kept == [1, 2]
