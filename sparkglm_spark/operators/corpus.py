@@ -220,7 +220,7 @@ def corpus_summary(
         F.col("n_tokens_bpe"),
         F.col("quality_score"),
         F.col("detected_lang"),
-        _content_fp([F.col(text_col)]).alias("__fp"),
+        _content_fp(docs, [text_col]).alias("__fp"),
     )
     # derived, not hardcoded: a new language in LANG_PROFILES must show up
     # here without a silent gap in the report

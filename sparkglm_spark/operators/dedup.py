@@ -37,15 +37,22 @@ _op_persist = _CACHES.persist
 # ---------------------------------------------------------------------------
 
 
-def _content_fp(cols: list[Column]) -> Column:
+def _content_fp(df: DataFrame, cols: list[str]) -> Column:
     """Collision-proof 256-bit content fingerprint. sha2-256, NOT xxhash64:
     64-bit fingerprints birthday-collide near 2³² rows, which is exactly
     the regime a 100 TB corpus lives in; 256 bits make hash-equality a safe
     stand-in for value-equality, so no stage downstream ever has to touch
-    the raw content again. Multi-column inputs go through to_json(struct)
-    (injective per fixed schema: values escape, null fields drop out
-    deterministically)."""
-    payload = cols[0] if len(cols) == 1 else F.to_json(F.struct(*cols))
+    the raw content again. Single string/binary columns hash directly
+    (sha2's input domain); anything else — multi-column keys, and single
+    columns of numeric/date/complex type, which sha2 rejects with
+    DATATYPE_MISMATCH — goes through to_json(struct) (injective per fixed
+    schema: values escape, null fields drop out deterministically). The
+    dtype check is why this takes the DataFrame, not bare Columns."""
+    dtypes = dict(df.dtypes)
+    if len(cols) == 1 and dtypes.get(cols[0]) in ("string", "binary"):
+        payload = F.col(cols[0])
+    else:
+        payload = F.to_json(F.struct(*[F.col(c) for c in cols]))
     # NULL content must dedup as ONE group (GROUP BY / window-partition
     # semantics treat NULLs as equal) but sha2(NULL) is NULL and the
     # drop-list equi-join would never match it — every NULL-content
@@ -101,7 +108,7 @@ def exact_dedup(
     the driver) the anti-join becomes a shuffled join — the unavoidable
     cost of an arbitrarily large drop list; prefer re-running per
     partition-pruned slice at that scale."""
-    drop = _dedup_drop_list(df, _content_fp([F.col(c) for c in cols]), key_col)
+    drop = _dedup_drop_list(df, _content_fp(df, cols), key_col)
     return _drop_keys(df, drop, key_col, broadcast_drop_list)
 
 
@@ -116,7 +123,7 @@ def exact_dedup_hashed(
     as a broadcast anti-join — the text column never enters an exchange
     (plan-asserted in tests/test_plans.py). Same winners as `exact_dedup`
     on the text column; `key_col` must be unique."""
-    drop = _dedup_drop_list(df, _content_fp([F.col(text_col)]), key_col)
+    drop = _dedup_drop_list(df, _content_fp(df, [text_col]), key_col)
     return _drop_keys(df, drop, key_col, broadcast_drop_list)
 
 
@@ -137,7 +144,7 @@ def duplicate_groups(
     corpora whose duplicate-group list outgrows the driver (the join then
     shuffles, which is the unavoidable cost of recovering content for an
     arbitrarily large group list)."""
-    fp = _content_fp([F.col(c) for c in cols])
+    fp = _content_fp(df, cols)
     groups = (
         df.select(fp.alias("__fp"), F.col(key_col).alias("__k"))
         .groupBy("__fp")
@@ -868,7 +875,7 @@ def content_fingerprints(
     side of `exact_dedup_incremental`. sha2-256 (`_content_fp`), so the
     stored index never needs the text to resolve collisions."""
     return df.select(
-        F.col(key_col), _content_fp([F.col(text_col)]).alias("fingerprint")
+        F.col(key_col), _content_fp(df, [text_col]).alias("fingerprint")
     )
 
 
@@ -890,7 +897,7 @@ def exact_dedup_incremental(
     removal is a broadcast anti-join of loser keys. Returns the surviving
     new rows; append `content_fingerprints(survivors, ...)` to the index
     for the next batch."""
-    fp = _content_fp([F.col(text_col)])
+    fp = _content_fp(new_df, [text_col])
     proj = new_df.select(fp.alias("__fp"), F.col(key_col).alias("__k"))
     # new rows colliding with the existing index: join on fingerprints only
     seen = (

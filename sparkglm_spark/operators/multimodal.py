@@ -92,7 +92,7 @@ def media_content_dedup(
     # equi-join would never match it, so NULL-payload duplicates (decode
     # failures) would all survive — the same bug the text path's
     # random-corpus twin caught
-    drop = _dedup_drop_list(media, _content_fp([F.col("payload")]), "media_id")
+    drop = _dedup_drop_list(media, _content_fp(media, ["payload"]), "media_id")
     return _drop_keys(media, drop, "media_id", broadcast_drop_list)
 
 

@@ -146,7 +146,7 @@ def prepare_training_corpus(
     from sparkglm_spark.operators.dedup import _content_fp, _dedup_drop_list, _drop_keys
 
     exact_drop = _CACHES.persist(
-        _dedup_drop_list(q, _content_fp([F.col(text_col)]), id_col)
+        _dedup_drop_list(q, _content_fp(q, [text_col]), id_col)
     )
     d2 = _drop_keys(q, exact_drop, id_col, broadcast_drop_list=True)
     pairs = minhash_dedup_pairs(

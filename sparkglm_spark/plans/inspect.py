@@ -61,7 +61,15 @@ def assert_no_columns_in_exchanges(
 ) -> None:
     """Raise AssertionError if any of `columns` crosses an exchange — the
     mechanical form of "this pipeline never shuffles the text/payload".
-    Round-robin fan-outs are exempt by default (see exchange_schemas)."""
+    Round-robin fan-outs are exempt by default (see exchange_schemas).
+
+    Limitation — the audit is NAME-based: it matches the column names on
+    each Exchange's `Input` line, so a guarded column that crosses the
+    wire under an alias (`text AS __t`) or packed inside a struct passes
+    silently. It does not resolve Project lineage. When asserting over a
+    plan of your own, list every alias the guarded data travels under
+    (this repo's tests pass e.g. `["text", "__t", "payload"]`); the
+    guarantee is "no column by these names", not full taint tracking."""
     bad = []
     for ex in exchange_schemas(df, skip_round_robin=skip_round_robin):
         hit = sorted(set(columns) & set(ex["columns"]))

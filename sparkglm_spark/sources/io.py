@@ -197,10 +197,13 @@ def write_training_shards(
     shard assignment can be re-derived in ANY engine, not just Spark), one
     directory per shard, rows id-sorted within each shard's files.
 
-    Plan: ONE shuffle (repartition on the shard column so each task writes
-    to one directory — no small-files explosion at 1000 tasks × n_shards)
-    + in-task sort; directory layout means a reader filtering on `shard`
-    prunes at the directory level. Returns the manifest as a DataFrame
+    Plan: ONE shuffle (repartition on the shard column so each shard's
+    rows land in exactly one task — one file per directory, no small-files
+    explosion at 1000 tasks × n_shards) + in-task sort; directory layout
+    means a reader filtering on `shard` prunes at the directory level.
+    Note the hash partitioner may co-locate several shard values in one
+    task (others then idle), so write parallelism can be below n_shards —
+    the one-file-per-directory and determinism guarantees still hold. Returns the manifest as a DataFrame
     (shard, n_rows, min/max id) aggregated from the WRITTEN output, not
     the input plan — re-running the input pipeline for accounting would be
     a second full scan at 100 TB, while the read-back prunes to the

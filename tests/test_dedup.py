@@ -50,6 +50,24 @@ def test_duplicate_groups(dup_docs):
     assert out[0]["canonical_id"] == 0 and out[0]["group_size"] == 2
 
 
+def test_exact_dedup_single_nonstring_column(spark):
+    """Single numeric/date dedup keys must work: sha2 only accepts
+    string/binary, so a single non-string column has to route through the
+    to_json(struct) path like multi-column keys do (r5 regression: a bare
+    sha2(bigint) raised DATATYPE_MISMATCH at plan time)."""
+    df = spark.createDataFrame(
+        [(0, 10, None), (1, 10, None), (2, 20, 5.5), (3, 30, 5.5), (4, None, 5.5)],
+        "id long, category long, score double",
+    )
+    ids = sorted(r["id"] for r in D.exact_dedup(df, ["category"], "id").collect())
+    assert ids == [0, 2, 3, 4]  # 10-dup collapsed; NULL kept as its own group
+    groups = D.duplicate_groups(df, ["category"], "id").collect()
+    assert len(groups) == 1 and groups[0]["canonical_id"] == 0
+    # doubles too (and NULL doubles dedup as one group)
+    ids = sorted(r["id"] for r in D.exact_dedup(df, ["score"], "id").collect())
+    assert ids == [0, 2]
+
+
 def test_shingles_match_python(dup_docs):
     sh = D.shingles(dup_docs, "doc_id", "text", n=3)
     got = {}

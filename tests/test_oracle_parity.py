@@ -115,10 +115,11 @@ def test_registry_holds_the_50_query_cap():
     entries — r03 shipped 62 and the last 12 (including two previously
     driver-green queries) silently went unchecked. A 51st entry must fail
     CI loudly: merge new queries into a kin entry (the *_ops union-row-set
-    pattern) instead of appending. ≤ 50 is the safety property (fewer
-    entries are safe under the driver's first-50 cap — removing a query
-    only leaves capacity unused)."""
-    assert len(entrymod.queries()) <= 50
+    pattern) instead of appending. The assert is EXACT, not ≤ (r5 advice):
+    a refactor that silently DROPS a registered query — and its oracle
+    coverage — must fail as loudly as a 51st entry. Update the expected
+    count only as a deliberate per-round decision."""
+    assert len(entrymod.queries()) == 50
 
 
 def test_every_declared_query_has_an_oracle():
