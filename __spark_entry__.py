@@ -2068,6 +2068,53 @@ FROM tot LEFT JOIN hits USING (doc_id)
 """
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (cross-document) C4-style line dedup
+    (operators/corpus.py::remove_global_duplicate_lines): every distinct
+    line content keeps only its first occurrence corpus-wide, first by
+    (doc_id, position); every other occurrence is deleted from its
+    document, and each document's text is rewritten as the newline-join
+    of its surviving trimmed non-blank lines. The testdata corpus is
+    single-line, so the query derives a multi-line corpus first by
+    turning the literal token ' table ' into a line break — replace() is
+    left-to-right non-overlapping in both engines, so the derivation is
+    exact. Plan: the corpus text never crosses an exchange — the
+    occurrence scan ships (sha2(line), id, pos) projections and the
+    rewrite joins a broadcast (id, drop-positions) table back onto the
+    scan (plan-asserted in tests/test_plans.py)."""
+    from sparkglm_spark.operators.corpus import remove_global_duplicate_lines
+
+    docs = read_table(spark, sf_dir, "documents")
+    multi = docs.select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" table "), F.lit("\n")).alias("text"),
+    )
+    return remove_global_duplicate_lines(multi, min_line_chars=1).select(
+        "doc_id", "text"
+    )
+
+
+SQL_LINE_DEDUP = """
+WITH base AS (
+  SELECT doc_id, replace(text, ' table ', chr(10)) AS text FROM documents),
+raw AS (
+  SELECT doc_id, trim(unnest(ss)) AS line, generate_subscripts(ss, 1) AS ord
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ss FROM base)),
+nb AS (
+  SELECT doc_id, line,
+         row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS pos
+  FROM raw WHERE line <> ''),
+kept AS (
+  SELECT doc_id, pos, line FROM (
+    SELECT nb.*, row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rk
+    FROM nb) q
+  WHERE rk = 1)
+SELECT b.doc_id, coalesce(string_agg(k.line, chr(10) ORDER BY k.pos), '') AS text
+FROM base b LEFT JOIN kept k ON b.doc_id = k.doc_id
+GROUP BY b.doc_id
+"""
+
+
 def q_embeddings_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 embedding quantization (operators/similarity.py::quantize_int8)
     summarized per vector: the quantized values' exact integer sums plus
@@ -3164,11 +3211,12 @@ ORDER BY bucket
 
 def q_corpus_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus toolkit union row-set: document chunking + vocabulary top-k +
-    benchmark decontamination (operators/corpus.py — see the constituent
-    q_doc_chunks / q_vocab_topk / q_decontaminate docstrings for the plan
-    arguments; each runs unchanged). Normalized onto
-    (op, k, a, b, s, x): chunk rows key on doc:chunk, vocab rows on term,
-    decontamination rows on doc — one driver row-set covers all three."""
+    benchmark decontamination + global line dedup (operators/corpus.py —
+    see the constituent q_doc_chunks / q_vocab_topk / q_decontaminate /
+    q_line_dedup docstrings for the plan arguments; each runs unchanged).
+    Normalized onto (op, k, a, b, s, x): chunk rows key on doc:chunk,
+    vocab rows on term, decontamination and linededup rows on doc — one
+    driver row-set covers all four."""
     chunks = q_doc_chunks(spark, sf_dir).select(
         F.lit("chunk").alias("op"),
         F.concat_ws(
@@ -3195,7 +3243,17 @@ def q_corpus_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("s"),
         F.col("contamination").alias("x"),
     )
-    return chunks.unionByName(vocab).unionByName(decon)
+    # r6: global line-dedup rows — the full rewritten text rides in s, so
+    # the value hash pins every document's surviving lines byte-for-byte
+    linededup = q_line_dedup(spark, sf_dir).select(
+        F.lit("linededup").alias("op"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.length("text").cast("bigint").alias("a"),
+        F.lit(None).cast("bigint").alias("b"),
+        F.col("text").alias("s"),
+        F.lit(None).cast("double").alias("x"),
+    )
+    return chunks.unionByName(vocab).unionByName(decon).unionByName(linededup)
 
 
 SQL_CORPUS_OPS = f"""
@@ -3210,6 +3268,10 @@ FROM ({SQL_VOCAB_TOPK}) vocab
 UNION ALL
 SELECT 'decon', CAST(doc_id AS VARCHAR), n_shingles, n_hits, NULL, contamination
 FROM ({SQL_DECONTAMINATE}) decon
+UNION ALL
+SELECT 'linededup', CAST(doc_id AS VARCHAR), CAST(length(text) AS BIGINT),
+       NULL, text, NULL
+FROM ({SQL_LINE_DEDUP}) ld
 """
 
 
@@ -3497,7 +3559,35 @@ def q_sampling_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(2, 'wsample_n', cast(n as string),"
         " 'wsample_idsum', cast(s as string)) as (stat, value)"
     )
-    return base.unionByName(strat).unionByName(wrows)
+    # r6: mixture-resampling rows (operators/split.py::mixture_sample) —
+    # target-weight re-mixing of the documents sources under the max-data
+    # policy; per-source kept count + exact id sum pin the kept SET. The
+    # keep-threshold arithmetic is floor-quantized doubles in a fixed op
+    # order, so the SQL oracle lands on the identical integers.
+    from sparkglm_spark.operators.split import mixture_sample
+
+    mixed = mixture_sample(
+        docs, "doc_id", "source",
+        {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
+    )
+    mixrows = (
+        mixed.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("doc_id").alias("s"))
+        .selectExpr(
+            "source",
+            "stack(2, 'n', cast(n as string),"
+            " 'idsum', cast(s as string)) as (m, value)",
+        )
+        .select(
+            F.concat(
+                F.lit("mix_"), F.col("source"), F.lit("_"), F.col("m")
+            ).alias("stat"),
+            "value",
+        )
+    )
+    return (
+        base.unionByName(strat).unionByName(wrows).unionByName(mixrows)
+    )
 
 
 from sparkglm_spark.operators.split import _AFFINE_A, _AFFINE_B, _AFFINE_P
@@ -3525,6 +3615,37 @@ FROM (
 ) agg CROSS JOIN LATERAL (VALUES
     ('wsample_n', CAST(agg.n AS VARCHAR)),
     ('wsample_idsum', CAST(agg.s AS VARCHAR))) AS u(stat, value)
+UNION ALL
+SELECT 'mix_' || mx.source || '_' || u.m AS stat, u.value
+FROM (
+  SELECT d.source, count(*) AS n, CAST(SUM(d.doc_id) AS BIGINT) AS s
+  FROM documents d
+  JOIN (
+    SELECT j.source,
+           CAST(floor(j.wt * t.tmin / CAST(j.n AS DOUBLE) * 1000000.0)
+                AS BIGINT) AS thresh
+    FROM (
+      SELECT c.source, c.n, w.wt
+      FROM (SELECT source, count(*) AS n FROM documents GROUP BY source) c
+      JOIN (VALUES ('src0', 0.4), ('src1', 0.3), ('src2', 0.2),
+                   ('src3', 0.1)) AS w(source, wt)
+        ON c.source = w.source
+    ) j
+    CROSS JOIN (
+      SELECT min(CAST(c.n AS DOUBLE) / w.wt) AS tmin
+      FROM (SELECT source, count(*) AS n FROM documents GROUP BY source) c
+      JOIN (VALUES ('src0', 0.4), ('src1', 0.3), ('src2', 0.2),
+                   ('src3', 0.1)) AS w(source, wt)
+        ON c.source = w.source
+    ) t
+  ) fr ON d.source = fr.source
+  WHERE ((d.doc_id % 4294967296) * {_AFFINE_A} + {_AFFINE_B}) % {_AFFINE_P}
+        % 1000000
+      < fr.thresh
+  GROUP BY d.source
+) mx CROSS JOIN LATERAL (VALUES
+    ('n', CAST(mx.n AS VARCHAR)),
+    ('idsum', CAST(mx.s AS VARCHAR))) AS u(m, value)
 """
 
 

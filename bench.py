@@ -198,6 +198,15 @@ def main() -> None:
     )
     W("quantize_int8", lambda: force(quantize_int8(emb)))
 
+    # r6: global (cross-document) line dedup — the corpus is single-line,
+    # so derive a multi-line twin the same way the driver oracle does
+    from sparkglm_spark.operators.corpus import remove_global_duplicate_lines
+
+    multi = docs.select(
+        "doc_id", F.replace(F.col("text"), F.lit(" table "), F.lit("\n")).alias("text")
+    )
+    W("line_dedup_global", lambda: force(remove_global_duplicate_lines(multi)))
+
 
     runs: dict[str, list[float]] = {name: [] for name, _ in workloads}
     errors: dict[str, str] = {}
@@ -234,6 +243,7 @@ def main() -> None:
         "pack_greedy",
         "contamination_scores",
         "quantize_int8",
+        "line_dedup_global",  # r6 addition, same exclusion rationale
     }
     total_r4_set = round(
         sum(v for k, v in medians.items() if k not in r5_new), 3

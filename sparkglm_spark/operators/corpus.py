@@ -238,3 +238,104 @@ def corpus_summary(
             "quality_score", [0.1, 0.5, 0.9], 10000
         ).alias("quality_p10_p50_p90"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-document (global) line dedup — C4-style
+# ---------------------------------------------------------------------------
+
+
+def _nonblank_lines(text: Column, delimiter: str) -> Column:
+    """Trimmed, non-blank line array of `text` split on the LITERAL
+    delimiter (re.escape'd — F.split takes a regex). The same array is the
+    coordinate system for BOTH the occurrence scan and the rewrite filter,
+    so a position computed in one indexes correctly into the other."""
+    import re
+
+    return F.filter(
+        F.transform(F.split(text, re.escape(delimiter)), lambda s: F.trim(s)),
+        lambda s: s != F.lit(""),
+    )
+
+
+def remove_global_duplicate_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delimiter: str = "\n",
+    min_line_chars: int = 1,
+    broadcast_drop_list: bool = True,
+) -> DataFrame:
+    """CROSS-document line dedup, the C4 cleaning rule the intra-doc
+    `text.remove_repeated_lines` deliberately does not do (public
+    grounding: C4, Raffel et al. 2020 §2.2 — "we discarded all but one of
+    any three-sentence span occurring more than once in the data set";
+    here the span unit is a line): every distinct line content is kept
+    only at its FIRST occurrence corpus-wide — first by (id, position) —
+    and every other occurrence is deleted from its document. Output: the
+    input rows with `text_col` rewritten; every document's text is
+    normalized to the delimiter-join of its trimmed, non-blank lines
+    (minus deletions), other columns untouched, row count unchanged
+    (a document whose every line loses keeps an empty string).
+
+    Lines shorter than `min_line_chars` are EXEMPT — always kept, never
+    counted as occurrences. Real corpora are full of legitimately repeated
+    short lines ("Home", "⏎1.", nav crumbs); deduping those would shred
+    list-like documents, which is why production C4-style rules key on
+    multi-sentence spans. Raise the threshold to taste.
+
+    100 TB plan — the corpus text NEVER crosses an exchange (plan-asserted
+    in tests/test_plans.py):
+      1. posexplode the per-doc line array (same-task as the scan),
+      2. project (sha2-256(line), id, pos) — 256-bit so line-content
+         hash-equality is collision-safe at 10¹⁰⁺ lines, the same argument
+         as dedup._content_fp,
+      3. groupBy(fp) → min(struct(id, pos)) winner + count, keep >1 groups
+         (partial-aggregable; the exchange carries ~50-byte rows),
+      4. join occurrences to winner groups → loser (id, pos) list,
+         collapsed to one (id, sorted drop-positions array) row per
+         affected doc,
+      5. broadcast that (tiny) drop table back onto the corpus and rewrite
+         the text with a codegen filter over the SAME line array —
+         positions, not content, decide what survives, so the rewrite
+         needs no second look at any other document.
+    With `broadcast_drop_list=False` (an adversarially duplicate corpus
+    whose affected-doc list outgrows the driver) step 5 becomes a shuffled
+    join — text then exchanges once on the doc id; the default keeps the
+    corpus out of every exchange."""
+    if min_line_chars < 1:
+        raise ValueError("min_line_chars must be >= 1 (blank lines are dropped)")
+    t = F.col(text_col)
+    lines = _nonblank_lines(t, delimiter)
+    ex = ensure_parallel(docs).select(
+        F.col(id_col).alias("__id"), F.posexplode(lines).alias("__pos", "__line")
+    )
+    proj = ex.where(F.length("__line") >= min_line_chars).select(
+        F.sha2(F.col("__line"), 256).alias("__lfp"), "__id", "__pos"
+    )
+    winners = (
+        proj.groupBy("__lfp")
+        .agg(
+            F.min(F.struct("__id", "__pos")).alias("__w"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .where(F.col("__n") > 1)
+        .select("__lfp", "__w")
+    )
+    drops = (
+        proj.join(winners, "__lfp")
+        .where(F.struct("__id", "__pos") != F.col("__w"))
+        .select("__id", "__pos")
+    )
+    drop_per_doc = drops.groupBy("__id").agg(
+        F.sort_array(F.collect_list("__pos")).alias("__drop")
+    )
+    side = F.broadcast(drop_per_doc) if broadcast_drop_list else drop_per_doc
+    out = docs.join(side, docs[id_col] == drop_per_doc["__id"], "left")
+    kept = F.filter(
+        lines,
+        lambda x, i: ~F.coalesce(F.array_contains(F.col("__drop"), i), F.lit(False)),
+    )
+    return out.withColumn(text_col, F.array_join(kept, delimiter)).drop(
+        "__id", "__drop"
+    )

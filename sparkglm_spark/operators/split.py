@@ -202,3 +202,82 @@ def weighted_hash_sample(
     b = hash_sample_expr(key_col, salt)
     thresh = F.round(F.col(weight_col).cast("double") * F.lit(float(scale) * _BUCKETS))
     return df.where(b < thresh)
+
+
+def mixture_fractions(
+    df: DataFrame,
+    source_col: str,
+    weights: dict[str, float],
+    max_sources: int = 10_000,
+) -> dict[str, float]:
+    """Per-source keep fractions that turn the corpus into the TARGET
+    mixture `weights` (source → relative weight, any positive scale) while
+    keeping the maximum possible data: the most-underrepresented source
+    keeps ~100% and every other source downsamples to match. With counts
+    n_s and weights w_s, T = min_s(n_s / w_s) rows-per-unit-weight is the
+    largest feasible mixture; keep_s = w_s · T / n_s.
+
+    One partial-aggregable groupBy(source) count job; the driver sees one
+    row per source (bounded by `max_sources` — exceeding it raises, this
+    is a curated-source-list operator, not a group-by-arbitrary-key one).
+    Sources in `weights` with no rows are ignored with a warning (they
+    cannot supply data — the target mixture is met over present sources).
+
+    Fractions are quantized to 1e-6 by FLOOR (not round: floor is
+    half-convention-free, so the identical arithmetic in any SQL engine —
+    the DuckDB oracle — lands on the identical integer threshold)."""
+    import logging
+    import math
+
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    for s, w in weights.items():
+        if not w > 0:
+            raise ValueError(f"weight for source {s!r} must be > 0 (got {w})")
+    counts_df = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n"))
+    rows = counts_df.take(max_sources + 1)
+    if len(rows) > max_sources:
+        raise ValueError(
+            f"mixture_fractions: more than {max_sources} distinct sources — "
+            "this operator collects one row per source; raise max_sources "
+            "only if the source list is genuinely that large"
+        )
+    counts = {r[0]: r["n"] for r in rows}
+    missing = sorted(s for s in weights if not counts.get(s))
+    if missing:
+        logging.getLogger(__name__).warning(
+            "mixture_fractions: weighted sources with no rows ignored: %s",
+            missing,
+        )
+    present = {s: w for s, w in weights.items() if counts.get(s)}
+    if not present:
+        raise ValueError("no weighted source has any rows")
+    t = min(counts[s] / w for s, w in present.items())
+    return {
+        s: math.floor(w * t / counts[s] * float(_BUCKETS)) / _BUCKETS
+        for s, w in present.items()
+    }
+
+
+def mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    weights: dict[str, float],
+    salt: int = 0,
+    max_sources: int = 10_000,
+) -> DataFrame:
+    """Resample a multi-source corpus to a TARGET mixture — the dataset
+    re-weighting step of a training run ("60% web, 30% books, 10% code"):
+    derive per-source keep fractions with `mixture_fractions` (max-data
+    policy: the scarcest source keeps ~100%), then apply them as the same
+    pure-filter deterministic sampler as `stratified_hash_sample` — no
+    shuffle, pushdown-friendly, partition-invariant, engine-portable, and
+    re-runnable months later on the same data. Sources absent from
+    `weights` are dropped (fraction 0); expected output size is
+    sum_s(w_s) · min_s(n_s / w_s) rows in the exact target proportions
+    (± per-source sampling noise)."""
+    fractions = mixture_fractions(df, source_col, weights, max_sources)
+    return stratified_hash_sample(
+        df, key_col, source_col, fractions, default_fraction=0.0, salt=salt
+    )

@@ -288,3 +288,90 @@ def test_corpus_summary_single_job_report(spark, documents):
     plan = formatted_plan(corpus_summary(documents))
     assert "Window" not in plan and "Join" not in plan
     assert "partial_" in plan  # map-side combine before the one exchange
+
+
+def _py_global_line_dedup(rows, delimiter="\n", min_line_chars=1):
+    """Pure-Python twin: first occurrence (by (id, pos)) of each eligible
+    line content survives; lines shorter than min_line_chars are exempt."""
+    seen = {}
+    lines_by_doc = {}
+    for doc_id, text in sorted(rows):
+        lines = [s.strip() for s in text.split(delimiter)]
+        lines = [s for s in lines if s != ""]
+        lines_by_doc[doc_id] = lines
+        for pos, line in enumerate(lines):
+            if len(line) >= min_line_chars and line not in seen:
+                seen[line] = (doc_id, pos)
+    out = {}
+    for doc_id, lines in lines_by_doc.items():
+        kept = [
+            line
+            for pos, line in enumerate(lines)
+            if len(line) < min_line_chars or seen[line] == (doc_id, pos)
+        ]
+        out[doc_id] = delimiter.join(kept)
+    return out
+
+
+def test_remove_global_duplicate_lines_matches_python(spark):
+    from sparkglm_spark.operators.corpus import remove_global_duplicate_lines
+
+    rows = [
+        (1, "alpha beta\ncommon line here\nunique one"),
+        (2, "common line here\nsomething else\n\n  alpha beta  "),
+        (3, "common line here\ncommon line here\nok"),  # intra-doc dup too
+        (4, "x\ny\nx"),
+        (5, ""),
+        (6, "  \n\n  "),  # whitespace-only -> empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for min_chars in (1, 2):
+        got = {
+            r["doc_id"]: r["text"]
+            for r in remove_global_duplicate_lines(
+                df, min_line_chars=min_chars
+            ).collect()
+        }
+        assert got == _py_global_line_dedup(rows, min_line_chars=min_chars), min_chars
+    # non-text columns survive untouched, row count unchanged
+    df2 = df.withColumn("extra", F.col("doc_id") * 2)
+    out2 = remove_global_duplicate_lines(df2).collect()
+    assert sorted((r["doc_id"], r["extra"]) for r in out2) == [
+        (i, 2 * i) for i in range(1, 7)
+    ]
+
+
+def test_remove_global_duplicate_lines_custom_delimiter(spark):
+    from sparkglm_spark.operators.corpus import remove_global_duplicate_lines
+
+    # '|' is a regex metachar — the operator must treat it literally
+    df = spark.createDataFrame(
+        [(1, "a| b|c"), (2, "b|d")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["text"]
+        for r in remove_global_duplicate_lines(df, delimiter="|").collect()
+    }
+    assert got == {1: "a|b|c", 2: "d"}
+
+
+def test_remove_global_duplicate_lines_partition_invariant(spark):
+    from sparkglm_spark.operators.corpus import remove_global_duplicate_lines
+
+    import random
+
+    rng = random.Random(7)
+    vocab = ["lorem ipsum", "dolor sit", "amet consectetur", "adipiscing",
+             "sed do", "eiusmod tempor", "incididunt ut", "labore"]
+    rows = [
+        (i, "\n".join(rng.choice(vocab) for _ in range(rng.randint(0, 6))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    expected = _py_global_line_dedup(rows)
+    for npart in (1, 7):
+        got = {
+            r["doc_id"]: r["text"]
+            for r in remove_global_duplicate_lines(df.repartition(npart)).collect()
+        }
+        assert got == expected, npart

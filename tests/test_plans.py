@@ -367,3 +367,36 @@ def test_latest_state_is_partial_agg_no_window(spark, sf_dir):
     assert "Window" not in plan
     # exactly one exchange (formatted explain lists nodes twice)
     assert plan.count("Exchange") == 2
+
+
+def test_global_line_dedup_exchanges_carry_no_text(spark, documents):
+    """100 TB contract of cross-document line dedup: the occurrence scan
+    ships (sha2(line), id, pos) projections and the rewrite joins a
+    broadcast drop-position table back onto the corpus — neither the
+    document text nor any exploded line content crosses an exchange."""
+    from sparkglm_spark.operators.corpus import remove_global_duplicate_lines
+    from sparkglm_spark.plans.inspect import (
+        assert_no_columns_in_exchanges,
+        exchange_schemas,
+    )
+
+    out = remove_global_duplicate_lines(documents)
+    assert exchange_schemas(out), "expected at least one exchange"
+    # __line is the exploded line column — the alias the line content
+    # travels under before it is hashed (the auditor is name-based)
+    assert_no_columns_in_exchanges(out, ["text", "__line"])
+
+
+def test_mixture_sample_is_a_pure_filter(spark, documents):
+    """mixture_sample's FILTER stage adds no exchange: after the one
+    bounded counts job inside mixture_fractions, the kept-set predicate is
+    a pure pushdown-friendly filter over the scan (the split.py sampler
+    contract)."""
+    from sparkglm_spark.operators.split import mixture_sample
+    from sparkglm_spark.plans.inspect import exchange_schemas, formatted_plan
+
+    out = mixture_sample(
+        documents, "doc_id", "source", {"src0": 0.6, "src1": 0.4}
+    )
+    assert exchange_schemas(out, skip_round_robin=True) == []
+    assert "Filter" in formatted_plan(out)

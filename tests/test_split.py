@@ -183,3 +183,71 @@ def test_weighted_hash_sample_properties(spark):
 
     c = {r["doc_id"] for r in weighted_hash_sample(df.repartition(13), "doc_id", "w").collect()}
     assert c == b  # partition-invariant at scale=1
+
+
+def test_mixture_fractions_max_data_policy(spark, documents):
+    from sparkglm_spark.operators.split import mixture_fractions
+
+    w = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+    fr = mixture_fractions(documents, "source", w)
+    assert set(fr) == set(w)
+    # python twin: T = min(n/w); frac = floor(w*T/n*1e6)/1e6
+    import math
+
+    counts = {
+        r["source"]: r["count"]
+        for r in documents.groupBy("source").count().collect()
+    }
+    t = min(counts[s] / wt for s, wt in w.items())
+    for s, wt in w.items():
+        want = math.floor(wt * t / counts[s] * 1_000_000.0) / 1_000_000
+        assert fr[s] == want, s
+    # the scarcest source keeps ~everything; all fractions in (0, 1]
+    assert max(fr.values()) >= 1.0 - 1e-6
+    assert all(0 < f <= 1.0 for f in fr.values())
+
+
+def test_mixture_sample_hits_target_proportions(spark, documents):
+    from sparkglm_spark.operators.split import mixture_fractions, mixture_sample
+
+    w = {"src0": 0.5, "src1": 0.25, "src2": 0.25}
+    out = mixture_sample(documents, "doc_id", "source", w)
+    got = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+    # only weighted sources survive
+    assert set(got) <= set(w)
+    # kept counts equal the deterministic per-source expectation within
+    # hash-sampling noise (binomial; generous 5-sigma-ish bound)
+    counts = {
+        r["source"]: r["count"]
+        for r in documents.groupBy("source").count().collect()
+    }
+    fr = mixture_fractions(documents, "source", w)
+    for s, f in fr.items():
+        expect = counts[s] * f
+        slack = max(5.0 * (expect * max(1 - f, 0.05)) ** 0.5, 3)
+        assert abs(got.get(s, 0) - expect) <= slack, (s, got.get(s), expect)
+    # determinism: same call → identical kept id set
+    ids1 = sorted(r["doc_id"] for r in out.collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in mixture_sample(documents, "doc_id", "source", w).collect()
+    )
+    assert ids1 == ids2
+
+
+def test_mixture_sample_validations(spark, documents):
+    from sparkglm_spark.operators.split import mixture_fractions, mixture_sample
+
+    with pytest.raises(ValueError, match="non-empty"):
+        mixture_fractions(documents, "source", {})
+    with pytest.raises(ValueError, match="must be > 0"):
+        mixture_fractions(documents, "source", {"src0": 0.0})
+    with pytest.raises(ValueError, match="no weighted source"):
+        mixture_fractions(documents, "source", {"no_such_source": 1.0})
+    with pytest.raises(ValueError, match="distinct sources"):
+        mixture_fractions(documents, "source", {"src0": 1.0}, max_sources=2)
+    # weighted-but-absent sources are ignored (warning), present ones mix
+    fr = mixture_fractions(documents, "source", {"src0": 0.5, "ghost": 0.5})
+    assert set(fr) == {"src0"} and fr["src0"] >= 1.0 - 1e-6
+    out = mixture_sample(documents, "doc_id", "source", {"src0": 0.5, "ghost": 0.5})
+    assert out.select("source").distinct().collect()[0][0] == "src0"
