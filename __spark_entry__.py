@@ -2115,6 +2115,97 @@ GROUP BY b.doc_id
 """
 
 
+def q_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII pattern redaction (operators/text.py::redact_patterns) over a
+    corpus with deterministically injected PII (the testdata has none):
+    every doc gains a doc_id-derived email + IP, every third doc a phone
+    number — string concatenation only, so both engines derive the
+    identical input. Output: the scrubbed text plus per-pattern exact
+    counts (counted on the pre-redaction text). The default patterns stay
+    in the Java∩RE2 regex subset, so DuckDB's regexp_replace(…, 'g')
+    reproduces every replacement byte-for-byte. Zero-shuffle codegen
+    projection."""
+    from sparkglm_spark.operators.text import redact_patterns
+
+    docs = read_table(spark, sf_dir, "documents")
+    pii = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit(" call +1-555-123-4567")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return redact_patterns(pii)
+
+
+SQL_REDACT = r"""
+WITH pii AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.7'
+              || CASE WHEN doc_id % 3 = 0 THEN ' call +1-555-123-4567'
+                      ELSE '' END AS text
+  FROM documents)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IPV4>', 'g'),
+           '\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{3,4}',
+           '<PHONE>', 'g') AS text,
+       CAST(len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+         AS n_redact_email,
+       CAST(len(regexp_extract_all(text,
+           '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT)
+         AS n_redact_ipv4,
+       CAST(len(regexp_extract_all(text,
+           '\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{3,4}'))
+         AS BIGINT) AS n_redact_phone
+FROM pii
+"""
+
+
+def q_unigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality scores
+    (operators/corpus.py::unigram_logprob_scores) with the corpus as its
+    own reference model: per-doc mean token log-probability under
+    Lidstone-smoothed unigram frequencies. avg_logprob carries the repo's
+    round-6 float convention (ln + avg differ across engines in the last
+    ulps; measured max divergence 2e-15)."""
+    from sparkglm_spark.operators.corpus import unigram_logprob_scores
+
+    docs = read_table(spark, sf_dir, "documents")
+    return unigram_logprob_scores(docs).select(
+        "doc_id",
+        "n_tokens",
+        F.round("avg_logprob", 6).alias("avg_logprob"),
+    )
+
+
+SQL_UNIGRAM_SCORES = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents WHERE length(trim(text)) > 0),
+t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+tv AS (SELECT term, count(*) AS c FROM t2 GROUP BY term),
+st AS (SELECT CAST(sum(c) AS DOUBLE) AS n, count(*) AS v FROM tv)
+SELECT doc_id, count(*) AS n_tokens,
+       round(avg(ln((CAST(c AS DOUBLE) + 0.5)
+                    / (st.n + 0.5 * (st.v + 1)))), 6) AS avg_logprob
+FROM t2 JOIN tv USING (term) CROSS JOIN st
+GROUP BY doc_id
+"""
+
+
 def q_embeddings_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 embedding quantization (operators/similarity.py::quantize_int8)
     summarized per vector: the quantized values' exact integer sums plus
@@ -3211,12 +3302,13 @@ ORDER BY bucket
 
 def q_corpus_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus toolkit union row-set: document chunking + vocabulary top-k +
-    benchmark decontamination + global line dedup (operators/corpus.py —
-    see the constituent q_doc_chunks / q_vocab_topk / q_decontaminate /
-    q_line_dedup docstrings for the plan arguments; each runs unchanged).
-    Normalized onto (op, k, a, b, s, x): chunk rows key on doc:chunk,
-    vocab rows on term, decontamination and linededup rows on doc — one
-    driver row-set covers all four."""
+    benchmark decontamination + global line dedup + PII redaction +
+    unigram-LM scoring (operators/corpus.py + text.py — see the
+    constituent q_doc_chunks / q_vocab_topk / q_decontaminate /
+    q_line_dedup / q_redact / q_unigram_scores docstrings for the plan
+    arguments; each runs unchanged). Normalized onto (op, k, a, b, s, x):
+    chunk rows key on doc:chunk, vocab rows on term, the rest on doc —
+    one driver row-set covers all six."""
     chunks = q_doc_chunks(spark, sf_dir).select(
         F.lit("chunk").alias("op"),
         F.concat_ws(
@@ -3253,7 +3345,33 @@ def q_corpus_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").alias("s"),
         F.lit(None).cast("double").alias("x"),
     )
-    return chunks.unionByName(vocab).unionByName(decon).unionByName(linededup)
+    # r6: PII redaction rows (full scrubbed text + per-pattern counts
+    # under the hash) and unigram-LM quality rows (round-6 convention)
+    redact = q_redact(spark, sf_dir).select(
+        F.lit("redact").alias("op"),
+        F.col("doc_id").cast("string").alias("k"),
+        (
+            F.col("n_redact_email") + F.col("n_redact_ipv4") + F.col("n_redact_phone")
+        ).cast("bigint").alias("a"),
+        F.col("n_redact_phone").cast("bigint").alias("b"),
+        F.col("text").alias("s"),
+        F.lit(None).cast("double").alias("x"),
+    )
+    unigram = q_unigram_scores(spark, sf_dir).select(
+        F.lit("unigram").alias("op"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("n_tokens").cast("bigint").alias("a"),
+        F.lit(None).cast("bigint").alias("b"),
+        F.lit(None).cast("string").alias("s"),
+        F.col("avg_logprob").alias("x"),
+    )
+    return (
+        chunks.unionByName(vocab)
+        .unionByName(decon)
+        .unionByName(linededup)
+        .unionByName(redact)
+        .unionByName(unigram)
+    )
 
 
 SQL_CORPUS_OPS = f"""
@@ -3272,6 +3390,14 @@ UNION ALL
 SELECT 'linededup', CAST(doc_id AS VARCHAR), CAST(length(text) AS BIGINT),
        NULL, text, NULL
 FROM ({SQL_LINE_DEDUP}) ld
+UNION ALL
+SELECT 'redact', CAST(doc_id AS VARCHAR),
+       n_redact_email + n_redact_ipv4 + n_redact_phone, n_redact_phone,
+       text, NULL
+FROM ({SQL_REDACT}) rd
+UNION ALL
+SELECT 'unigram', CAST(doc_id AS VARCHAR), n_tokens, NULL, NULL, avg_logprob
+FROM ({SQL_UNIGRAM_SCORES}) ug
 """
 
 

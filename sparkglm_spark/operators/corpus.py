@@ -339,3 +339,67 @@ def remove_global_duplicate_lines(
     return out.withColumn(text_col, F.array_join(kept, delimiter)).drop(
         "__id", "__drop"
     )
+
+
+# ---------------------------------------------------------------------------
+# unigram LM quality scoring (CCNet-style)
+# ---------------------------------------------------------------------------
+
+
+def unigram_logprob_scores(
+    docs: DataFrame,
+    reference: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-document mean token log-probability under a unigram LM fit on
+    `reference` (default: the corpus itself) — the cheap LM-quality gate
+    of CCNet-style curation (public grounding: Wenzek et al. 2020 score
+    documents with a reference LM and keep the well-scoring tail; a
+    unigram model is the degenerate-but-useful baseline: gibberish,
+    keyword stuffing, and wrong-language text all score low).
+
+    Returns (id, n_tokens, avg_logprob) for docs with ≥1 token.
+    p(t) = (c_t + alpha) / (N + alpha·(V+1)) — Lidstone smoothing with one
+    shared unseen-token mass, so out-of-reference tokens score finitely.
+
+    Plan: the reference vocabulary is a (term, count) aggregate
+    (`vocab_stats` — the wire carries distinct (term, doc) rows); scoring
+    explodes the corpus tokens once and joins term→logprob (corpus-sized
+    fact vs vocab-sized dim — AQE picks broadcast when the vocab fits,
+    which natural vocabularies do), then one groupBy(doc) partial-agg sum.
+    No Python anywhere; log() is IEEE double in any engine, so the DuckDB
+    oracle matches to rounding."""
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0 (unsmoothed OOV would be -inf)")
+    ref = docs if reference is None else reference
+    vocab = vocab_stats(ref, id_col=id_col, text_col=text_col).select(
+        "term", F.col("corpus_freq").alias("__c")
+    )
+    # N and V in one tiny job; python floats (IEEE doubles) for the
+    # engine-portable denominator
+    tot = vocab.agg(
+        F.sum("__c").alias("n"), F.count(F.lit(1)).alias("v")
+    ).first()
+    n_tokens, v_size = (tot["n"] or 0), tot["v"]
+    denom = float(n_tokens) + alpha * (v_size + 1)
+    lp = F.log((F.col("__c").cast("double") + F.lit(alpha)) / F.lit(denom))
+    import math
+
+    oov_lp = F.lit(math.log(alpha / denom))
+    toks = F.split(F.trim(F.lower(F.col(text_col))), _WS)
+    exploded = (
+        ensure_parallel(docs)
+        .where(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col), F.explode(toks).alias("term"))
+        .where(F.col("term") != "")
+    )
+    return (
+        exploded.join(vocab.select("term", lp.alias("__lp")), "term", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg(F.coalesce(F.col("__lp"), oov_lp)).alias("avg_logprob"),
+        )
+    )

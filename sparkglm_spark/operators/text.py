@@ -477,3 +477,57 @@ def remove_repeated_lines(
         ),
     )
     return df.withColumn(text_col, F.array_join(kept, "\n"))
+
+
+# ---------------------------------------------------------------------------
+# pattern redaction (PII scrubbing)
+# ---------------------------------------------------------------------------
+
+# Default scrub patterns — deliberately the regex subset Java (Spark) and
+# RE2 (DuckDB/Go) agree on: no backreferences, no lookaround, \b and
+# bounded repetition only, so the oracle reproduces every replacement
+# byte-for-byte.
+DEFAULT_REDACT_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "phone": r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{3,4}",
+}
+
+
+def redact_patterns(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """PII scrubbing — the pattern-redaction pass every public-web
+    training pipeline runs before release (emails, phone numbers, IPs):
+    rewrite `text_col` with each match replaced by `<NAME>` (the
+    pattern's dict key, uppercased, in angle brackets), and append one
+    `n_redact_<name>` count column per pattern (counted on the ORIGINAL
+    text — the audit trail a compliance review asks for). Patterns apply
+    in dict order, each over the previous pattern's output — order
+    matters when patterns overlap (an email matched first can't then
+    half-match as a phone number).
+
+    Plan: a single whole-stage-codegen projection (regexp_extract_all +
+    chained regexp_replace) — zero shuffles, zero Python; at 100 TB this
+    fuses into the scan like the other per-doc text profiles. Counts are
+    exact, not capped. Patterns must stay in the Java∩RE2 regex subset
+    (see DEFAULT_REDACT_PATTERNS) for the oracle to reproduce them."""
+    pats = DEFAULT_REDACT_PATTERNS if patterns is None else patterns
+    if not pats:
+        raise ValueError("patterns must be non-empty")
+    df = ensure_parallel(df)
+    t = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(t, F.lit(p), F.lit(0)))
+        .cast("bigint")
+        .alias(f"n_redact_{name}")
+        for name, p in pats.items()
+    ]
+    redacted = t
+    for name, p in pats.items():
+        redacted = F.regexp_replace(redacted, p, f"<{name.upper()}>")
+    keep = [c for c in df.columns if c != text_col]
+    return df.select(*keep, redacted.alias(text_col), *counts)

@@ -375,3 +375,67 @@ def test_remove_global_duplicate_lines_partition_invariant(spark):
             for r in remove_global_duplicate_lines(df.repartition(npart)).collect()
         }
         assert got == expected, npart
+
+
+def test_unigram_logprob_scores_match_python(spark):
+    import math
+
+    from sparkglm_spark.operators.corpus import unigram_logprob_scores
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog"),
+        (3, "completely NOVEL words here"),
+        (4, "   "),  # blank -> no output row
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    alpha = 0.5
+    toks = {
+        i: [t for t in txt.strip().lower().split() if t]
+        for i, txt in rows
+        if txt.strip()
+    }
+    counts: dict[str, int] = {}
+    for ts in toks.values():
+        for t in ts:
+            counts[t] = counts.get(t, 0) + 1
+    n, v = sum(counts.values()), len(counts)
+    denom = float(n) + alpha * (v + 1)
+    expected = {
+        i: (len(ts), sum(math.log((counts[t] + alpha) / denom) for t in ts) / len(ts))
+        for i, ts in toks.items()
+    }
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["avg_logprob"])
+        for r in unigram_logprob_scores(docs).collect()
+    }
+    assert set(got) == set(expected)
+    for i in expected:
+        assert got[i][0] == expected[i][0]
+        assert got[i][1] == pytest.approx(expected[i][1], rel=1e-12)
+
+
+def test_unigram_logprob_scores_external_reference_oov(spark):
+    import math
+
+    from sparkglm_spark.operators.corpus import unigram_logprob_scores
+
+    ref = spark.createDataFrame(
+        [(1, "known words only"), (2, "known again")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [(10, "known unknownword")], "doc_id long, text string"
+    )
+    alpha = 0.5
+    # ref counts: known=2, words=1, only=1, again=1 -> N=5, V=4
+    denom = 5.0 + alpha * 5
+    want = (math.log((2 + alpha) / denom) + math.log(alpha / denom)) / 2
+    row = unigram_logprob_scores(docs, reference=ref).collect()[0]
+    assert row["n_tokens"] == 2
+    assert row["avg_logprob"] == pytest.approx(want, rel=1e-12)
+    # well-formed text outscores OOV gibberish under the same reference
+    good = spark.createDataFrame([(11, "known known")], "doc_id long, text string")
+    better = unigram_logprob_scores(good, reference=ref).collect()[0]
+    assert better["avg_logprob"] > row["avg_logprob"]
+    with pytest.raises(ValueError, match="alpha"):
+        unigram_logprob_scores(docs, alpha=0.0)

@@ -2,6 +2,7 @@
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from sparkglm_spark.operators import text as T
 
@@ -150,3 +151,56 @@ def test_remove_repeated_lines_keeps_first_occurrence(spark):
     from sparkglm_spark.plans.inspect import exchange_schemas
 
     assert exchange_schemas(remove_repeated_lines(df)) == []
+
+
+def test_redact_patterns_matches_python(spark):
+    import re
+
+    from sparkglm_spark.operators.text import (
+        DEFAULT_REDACT_PATTERNS,
+        redact_patterns,
+    )
+
+    rows = [
+        (1, "contact me at bob.smith@example.com or 192.168.0.1 thanks"),
+        (2, "call +1-555-123-4567 now; backup a@b.io and c@d.org"),
+        (3, "clean text no pii at all"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "extra", F.col("doc_id") * 10
+    )
+    out = {r["doc_id"]: r for r in redact_patterns(df).collect()}
+    for doc_id, text in rows:
+        # counts on the ORIGINAL text, replacement chained in dict order
+        expect_text = text
+        for name, p in DEFAULT_REDACT_PATTERNS.items():
+            assert out[doc_id][f"n_redact_{name}"] == len(re.findall(p, text)), (
+                doc_id,
+                name,
+            )
+            expect_text = re.sub(p, f"<{name.upper()}>", expect_text)
+        assert out[doc_id]["text"] == expect_text, doc_id
+        assert out[doc_id]["extra"] == doc_id * 10  # other columns survive
+
+
+def test_redact_patterns_custom_and_validation(spark):
+    from sparkglm_spark.operators.text import redact_patterns
+
+    df = spark.createDataFrame(
+        [(1, "order #1234 and #99")], "doc_id long, text string"
+    )
+    out = redact_patterns(
+        df, patterns={"order": r"#[0-9]+"}
+    ).collect()[0]
+    assert out["text"] == "order <ORDER> and <ORDER>"
+    assert out["n_redact_order"] == 2
+    with pytest.raises(ValueError, match="non-empty"):
+        redact_patterns(df, patterns={})
+
+
+def test_redact_patterns_is_zero_shuffle(spark, documents):
+    from sparkglm_spark.operators.text import redact_patterns
+    from sparkglm_spark.plans.inspect import exchange_schemas
+
+    assert exchange_schemas(redact_patterns(documents), skip_round_robin=True) == []
