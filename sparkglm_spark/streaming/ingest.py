@@ -1,0 +1,128 @@
+"""Streaming corpus ingest: micro-batch exact dedup against a persisted
+fingerprint index — the daily/continuous-ingest twin of the batch dedup
+family (`operators/dedup.py`).
+
+Pattern: `foreachBatch` + `exact_dedup_incremental`. Each micro-batch is
+deduped (a) against every fingerprint the index has accumulated and
+(b) within itself (min-key winner), then the survivors land in the
+accepted store and their fingerprints extend the index — so the NEXT
+batch sees them as known. The wire discipline is inherited from the batch
+operator: only (fingerprint, key) projections enter keyed exchanges; the
+batch text never shuffles and the index side ships 32-byte sha2-256
+digests.
+
+Idempotence (the part `foreachBatch` does NOT give you for free):
+Structured Streaming re-runs a batch after a failure, and a naive append
+sink would then double-write survivors. Both stores are therefore laid
+out as one directory PER BATCH (`batch_id=N/`), written with per-batch
+OVERWRITE — a retried batch replaces its own directory instead of
+appending next to its first attempt, making the sink effectively
+exactly-once while readers just load the parent directory. A re-run
+reads the index EXCLUDING its own `batch_id=N` directory (a
+partition-pruned != filter), so the retry deduplicates against exactly
+the state the first attempt saw and rewrites identical survivors.
+
+Reference parity: the reference (alteryx/sparkGLM) has no streaming
+surface; this extends the dedup family (SURVEY.md §2 extension ops).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _read_index(spark, index_path: str, exclude_batch_id: int) -> DataFrame | None:
+    """The accumulated fingerprint index, or None before the first batch
+    lands. Reads only the `fingerprint` column — at scale the index dir
+    holds one parquet directory per processed batch and the reader prunes
+    to the 32-byte digest column.
+
+    `exclude_batch_id` guards RETRIES: a re-run of batch N must not see
+    the fingerprints its own first attempt wrote (it would collide every
+    row with itself and overwrite the accepted dir with nothing). The
+    batch_id dirname is a partition column, so the != filter prunes that
+    directory at the scan."""
+    try:
+        idx = spark.read.parquet(index_path)
+    except Exception:  # first batch: path does not exist yet
+        return None
+    return idx.where(F.col("batch_id") != exclude_batch_id).select("fingerprint")
+
+
+def dedup_ingest_batch(
+    batch: DataFrame,
+    batch_id: int,
+    index_path: str,
+    accepted_path: str,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> None:
+    """Process ONE micro-batch: drop rows whose content fingerprint is in
+    the index or repeated within the batch (min-key winner survives),
+    write survivors to `accepted_path/batch_id=N` and their fingerprints
+    to `index_path/batch_id=N` — both with overwrite, so a Structured
+    Streaming retry of the same batch_id replaces rather than duplicates.
+    Usable directly for a batch backfill loop too (it is a plain
+    DataFrame function — nothing streaming-specific inside)."""
+    from sparkglm_spark.operators.dedup import (
+        content_fingerprints,
+        exact_dedup_hashed,
+        exact_dedup_incremental,
+    )
+
+    spark = batch.sparkSession
+    known = _read_index(spark, index_path, exclude_batch_id=int(batch_id))
+    if known is None:
+        survivors = exact_dedup_hashed(batch, text_col, key_col)
+    else:
+        survivors = exact_dedup_incremental(batch, known, text_col, key_col)
+    # survivors is consumed twice (accepted write + fingerprint write);
+    # persist so the dedup joins run once, and write accepted FIRST — a
+    # crash between the writes re-runs the batch, and the second attempt's
+    # index read predates its own batch_id dir either way
+    survivors = survivors.persist()
+    try:
+        survivors.write.mode("overwrite").parquet(
+            f"{accepted_path}/batch_id={int(batch_id)}"
+        )
+        content_fingerprints(survivors, text_col, key_col).write.mode(
+            "overwrite"
+        ).parquet(f"{index_path}/batch_id={int(batch_id)}")
+    finally:
+        survivors.unpersist()
+
+
+def dedup_ingest_writer(
+    stream: DataFrame,
+    index_path: str,
+    accepted_path: str,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> "pyspark.sql.streaming.DataStreamWriter":  # noqa: F821 (doc type)
+    """`foreachBatch` writer running `dedup_ingest_batch` per micro-batch.
+    The caller picks trigger/checkpoint and calls `.start()`:
+
+        q = (dedup_ingest_writer(stream, idx, acc)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+
+    End state: `accepted_path` holds exactly one copy of every distinct
+    content (first-arriving batch wins; min key within a batch), and
+    `index_path` holds its fingerprint — the same invariant the batch
+    `exact_dedup_incremental` composition test pins, order-invariantly."""
+    if not stream.isStreaming:
+        raise TypeError(
+            "dedup_ingest_writer needs a streaming DataFrame (readStream); "
+            "for batch corpora call operators.dedup.exact_dedup_hashed, or "
+            "dedup_ingest_batch per backfill slice"
+        )
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        dedup_ingest_batch(
+            batch, batch_id, index_path, accepted_path, text_col, key_col
+        )
+
+    return stream.writeStream.foreachBatch(_process)

@@ -345,3 +345,94 @@ def test_latest_state_stream_validates_columns(spark, sf_dir):
         latest_state_stream(s, ["user_id"], ["nope"], ["value"])
     with pytest.raises(ValueError, match="non-empty"):
         latest_state_stream(s, [], ["ts"], ["value"])
+
+
+def test_dedup_ingest_stream_invariants(spark, sf_dir):
+    """Stream the documents corpus through the foreachBatch dedup ingest
+    (one file per micro-batch) and check the order-invariant contract:
+    the accepted store holds EXACTLY one row per distinct content, every
+    accepted row is a real input row, and the index mirrors the accepted
+    fingerprints 1:1."""
+    from sparkglm_spark.streaming.ingest import dedup_ingest_writer
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    # make duplicates certain: a second copy of some docs under shifted ids
+    dup = docs.where(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    full = docs.unionByName(dup)
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        full.repartition(4).write.parquet(src)
+        stream_in = (
+            spark.readStream.schema(full.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        idx, acc = os.path.join(d, "idx"), os.path.join(d, "acc")
+        q = (
+            dedup_ingest_writer(stream_in, idx, acc)
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        accepted = spark.read.parquet(acc).collect()
+        index = spark.read.parquet(idx).collect()
+        n_batches = len({r["batch_id"] for r in accepted})
+    inputs = {(r["doc_id"], r["text"]) for r in full.collect()}
+    distinct_texts = {t for _, t in inputs}
+    got_texts = [r["text"] for r in accepted]
+    # one accepted row per distinct content, each a genuine input row
+    assert sorted(set(got_texts)) == sorted(distinct_texts)
+    assert len(got_texts) == len(distinct_texts)
+    assert all((r["doc_id"], r["text"]) in inputs for r in accepted)
+    # the index mirrors accepted 1:1 (same keys, one fingerprint each)
+    assert sorted(r["doc_id"] for r in index) == sorted(
+        r["doc_id"] for r in accepted
+    )
+    assert n_batches > 1, "maxFilesPerTrigger=1 should force multiple batches"
+
+
+def test_dedup_ingest_batch_retry_is_idempotent(spark):
+    """A Structured Streaming retry re-runs foreachBatch with the SAME
+    batch_id: the re-run must not collide the batch with its own
+    first-attempt fingerprints (that would accept nothing and overwrite
+    the accepted dir with an empty set)."""
+    from sparkglm_spark.streaming.ingest import dedup_ingest_batch
+
+    with tempfile.TemporaryDirectory() as d:
+        idx, acc = os.path.join(d, "idx"), os.path.join(d, "acc")
+        b0 = spark.createDataFrame(
+            [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+        )
+        dedup_ingest_batch(b0, 0, idx, acc)
+        b1 = spark.createDataFrame(
+            [(10, "beta"), (11, "gamma"), (12, "gamma")],
+            "doc_id long, text string",
+        )
+        dedup_ingest_batch(b1, 1, idx, acc)
+        first = sorted(
+            (r["doc_id"], r["text"])
+            for r in spark.read.parquet(acc).where(F.col("batch_id") == 1).collect()
+        )
+        assert first == [(11, "gamma")]  # beta known from batch 0
+        dedup_ingest_batch(b1, 1, idx, acc)  # the retry
+        again = sorted(
+            (r["doc_id"], r["text"])
+            for r in spark.read.parquet(acc).where(F.col("batch_id") == 1).collect()
+        )
+        assert again == first
+        # and the whole accepted store still holds one row per content
+        texts = [r["text"] for r in spark.read.parquet(acc).collect()]
+        assert sorted(texts) == ["alpha", "beta", "gamma"]
+
+
+def test_dedup_ingest_writer_requires_streaming_df(spark):
+    from sparkglm_spark.streaming.ingest import dedup_ingest_writer
+
+    batch_df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(TypeError, match="streaming DataFrame"):
+        dedup_ingest_writer(batch_df, "/tmp/i", "/tmp/a")
