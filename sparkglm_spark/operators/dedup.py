@@ -549,8 +549,15 @@ def _allpairs_by_bitmap_from_sets(
     b = bm.select(
         F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), F.col("bm").alias("bm_b")
     )
+    # EXACT size prefilter in the join condition (the similarity-join
+    # standard): jaccard ≥ t ⟹ |∩| ≤ min ⟹ min/max ≥ t, so pairs whose
+    # set sizes differ by more than t× can be rejected from two ints —
+    # the popcount projection never runs for them
+    size_ok = (
+        F.col("sz_a") * F.lit(float(threshold)) <= F.col("sz_b")
+    ) & (F.col("sz_b") * F.lit(float(threshold)) <= F.col("sz_a"))
     return (
-        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        a.join(F.broadcast(b), (F.col("id_a") < F.col("id_b")) & size_ok)
         .withColumn("inter", _popcount_inter_expr(L))
         .withColumn(
             "jaccard",
@@ -587,9 +594,15 @@ def _verify_pairs_by_bitmap(
     if broadcast_bitmaps:
         a, b = F.broadcast(a), F.broadcast(b)
     inter = _popcount_inter_expr(L)
+    size_ok = (
+        F.col("sz_a") * F.lit(float(threshold)) <= F.col("sz_b")
+    ) & (F.col("sz_b") * F.lit(float(threshold)) <= F.col("sz_a"))
     out = (
         cand.join(a, "id_a")
         .join(b, "id_b")
+        # exact size prefilter (min/max ≥ t is necessary for jaccard ≥ t):
+        # two-int reject before the popcount projection
+        .where(size_ok)
         .withColumn("inter", inter)
         .withColumn(
             "jaccard",
