@@ -382,21 +382,34 @@ def _verify_pairs_by_shingle_join(
 ) -> DataFrame:
     """Exact-Jaccard verification via the inverted index: candidate pairs ⋈
     shingles. Cost ∝ |candidates| × shingles/doc — the scalable path when
-    LSH prunes well (large-vocab corpora: candidates ≈ output)."""
+    LSH prunes well (large-vocab corpora: candidates ≈ output).
+
+    Candidates are SIZE-PREFILTERED before the expensive shingle join
+    (r6): jaccard ≥ t forces min(|A|,|B|)/max ≥ t, so joining the two
+    per-doc sizes onto each candidate and comparing two ints eliminates
+    size-mismatched pairs from the |candidates| × shingles/doc work —
+    exact, never drops an eligible pair. The sizes ride the grouping keys
+    through the intersection count, so they are joined once, not twice."""
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
+    # per-doc sizes are corpus-sized: no forced broadcast (AQE decides)
+    cand2 = (
+        cand.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
+        .where(
+            (F.col("sz_a") * F.lit(float(threshold)) <= F.col("sz_b"))
+            & (F.col("sz_b") * F.lit(float(threshold)) <= F.col("sz_a"))
+        )
+    )
     inter = (
-        cand.join(a, "id_a")
+        cand2.join(a, "id_a")
         .join(b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     return (
-        # per-doc sizes are corpus-sized: no forced broadcast (AQE decides)
-        inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.col("inter").cast("double")
             / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
