@@ -192,9 +192,19 @@ def _grams_expr(t: Column, n: int) -> Column:
 
 
 def shingles(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, lowercase: bool = True
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    lowercase: bool = True,
+    with_sizes: bool = False,
 ) -> DataFrame:
-    """Distinct character n-gram shingles per doc: (id, shingle)."""
+    """Distinct character n-gram shingles per doc: (id, shingle). With
+    `with_sizes`, each exploded row also carries the doc's shingle-set
+    size `sz` — free at generation time (the array length is known before
+    the explode), which lets pair-join consumers size-prefilter WITHOUT a
+    per-doc sizes join (at scale, that join is a corpus-sized shuffle or
+    an impossible broadcast)."""
     from sparkglm_spark.plans.partitioning import ensure_parallel
 
     # tiny inputs arrive as one split → the whole shingle/signature chain
@@ -203,8 +213,13 @@ def shingles(
         F.col(id_col).alias("id"),
         (F.lower(F.col(text_col)) if lowercase else F.col(text_col)).alias("__t"),
     )
-    return pre.select(
-        "id", F.explode(_grams_expr(F.col("__t"), n)).alias("shingle")
+    if not with_sizes:
+        return pre.select(
+            "id", F.explode(_grams_expr(F.col("__t"), n)).alias("shingle")
+        )
+    g = pre.select("id", _grams_expr(F.col("__t"), n).alias("__g"))
+    return g.select(
+        "id", F.size("__g").alias("sz"), F.explode("__g").alias("shingle")
     )
 
 
@@ -219,11 +234,14 @@ def jaccard_pairs(
 ) -> DataFrame:
     """All pairs (id_a < id_b) with n-gram Jaccard ≥ threshold.
 
-    Plan shape: explode→distinct (1 shuffle), optional hot-shingle cap,
-    self-join on shingle (AQE-skew-handled), pair-count aggregation, then
-    joins of the per-doc size table (strategy left to AQE — corpus-sized,
-    never a forced broadcast). Jaccard = |∩| / (|A|+|B|−|∩|) — exact
-    integer counts, single final division.
+    Plan shape: explode (each row carrying the doc's set size — computed
+    before the explode, so there is NO per-doc sizes join anywhere),
+    optional hot-shingle cap, self-join on shingle (AQE-skew-handled) with
+    an exact size prefilter in the join condition (jaccard ≥ t forces
+    min(|A|,|B|)/max ≥ t — size-mismatched pairs never reach the pair
+    aggregation), pair-count aggregation with the sizes riding the
+    grouping keys. Jaccard = |∩| / (|A|+|B|−|∩|) — exact integer counts,
+    single final division.
 
     `max_docs_per_shingle` (default None = exact: the contract above holds
     for EVERY pair) drops shingles shared by more docs than the cap BEFORE
@@ -233,9 +251,13 @@ def jaccard_pairs(
     approximate; callers at scale should set it (1000 is a good value) and
     accept the WARNING log emitted whenever shingles are actually dropped
     (the count costs one bounded aggregation job — you already paid for
-    the cap scan).
+    the cap scan). The per-row `sz` is the PRE-cap set size, so capped
+    jaccard = capped-|∩| / exact-union is a strict UNDERESTIMATE of exact
+    jaccard: the cap can only MISS pairs, never emit a pair whose exact
+    jaccard is below the threshold (one-sided error — the r6 rework; the
+    earlier post-cap sizes could overshoot).
     """
-    sh = shingles(df, id_col, text_col, n=n)
+    sh = shingles(df, id_col, text_col, n=n, with_sizes=True)
     if max_docs_per_shingle is not None:
         # drop shingles present in too many docs (stopword-grams): they add
         # candidate pairs but little similarity signal at scale
@@ -267,23 +289,29 @@ def jaccard_pairs(
     # of racing to recompute the shingle projection
     sh = _op_persist(sh)
     sh.count()
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
 
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id"))
+            # exact size prefilter: min/max ≥ t is necessary for
+            # jaccard ≥ t — rejected pairs never enter the aggregation
+            & (F.col("a.sz") * F.lit(float(threshold)) <= F.col("b.sz"))
+            & (F.col("b.sz") * F.lit(float(threshold)) <= F.col("a.sz")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sz_a = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
-    sz_b = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
-    out = (
-        # per-doc size tables grow with the corpus (facts, not dims):
-        # leave the join strategy to AQE instead of forcing a broadcast
-        common.join(sz_a, "id_a")
-        .join(sz_b, "id_b")
-        .withColumn(
+    return (
+        common.withColumn(
             "jaccard",
             F.col("inter").cast("double")
             / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
@@ -291,7 +319,6 @@ def jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return out
 
 
 # ---------------------------------------------------------------------------
