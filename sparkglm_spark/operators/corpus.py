@@ -35,7 +35,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from sparkglm_spark.plans.caching import CacheRegistry
 from sparkglm_spark.plans.partitioning import ensure_parallel
+
+# unigram_logprob_scores persists the reference vocabulary (consumed by
+# the N/V probe AND the scoring join); see plans/caching.py for the
+# invocation-scoped release discipline
+_CACHES = CacheRegistry()
 
 _WS = r"\s+"
 
@@ -346,6 +352,7 @@ def remove_global_duplicate_lines(
 # ---------------------------------------------------------------------------
 
 
+@_CACHES.scoped
 def unigram_logprob_scores(
     docs: DataFrame,
     reference: DataFrame | None = None,
@@ -374,11 +381,17 @@ def unigram_logprob_scores(
     if alpha <= 0:
         raise ValueError("alpha must be > 0 (unsmoothed OOV would be -inf)")
     ref = docs if reference is None else reference
-    vocab = vocab_stats(ref, id_col=id_col, text_col=text_col).select(
-        "term", F.col("corpus_freq").alias("__c")
+    # persist the vocab: it is consumed TWICE (the N/V probe below and
+    # the scoring join), and without the cache each consumer would re-run
+    # the full tokenize + two-level aggregation over the reference —
+    # a second corpus scan at 100 TB (r6 review)
+    vocab = _CACHES.persist(
+        vocab_stats(ref, id_col=id_col, text_col=text_col).select(
+            "term", F.col("corpus_freq").alias("__c")
+        )
     )
-    # N and V in one tiny job; python floats (IEEE doubles) for the
-    # engine-portable denominator
+    # N and V in one tiny job (this also materializes the cache); python
+    # floats (IEEE doubles) for the engine-portable denominator
     tot = vocab.agg(
         F.sum("__c").alias("n"), F.count(F.lit(1)).alias("v")
     ).first()

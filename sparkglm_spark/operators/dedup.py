@@ -164,6 +164,17 @@ def duplicate_groups(
 # ---------------------------------------------------------------------------
 
 
+def _size_prefilter(threshold: float, a: str = "sz_a", b: str = "sz_b") -> Column:
+    """EXACT size prefilter shared by every pair verifier: jaccard ≥ t
+    forces |∩| ≤ min(|A|,|B|) hence min/max ≥ t, so two integer
+    comparisons reject size-mismatched pairs before any popcount /
+    intersection join runs. ONE definition on purpose — four hand-kept
+    copies could silently drift (the _grams_expr lesson)."""
+    return (F.col(a) * F.lit(float(threshold)) <= F.col(b)) & (
+        F.col(b) * F.lit(float(threshold)) <= F.col(a)
+    )
+
+
 def _grams_expr(t: Column, n: int) -> Column:
     """Distinct character n-gram array of an ALREADY-LOWERCASED column —
     the ONE definition both the explode path (`shingles`) and the
@@ -297,10 +308,8 @@ def jaccard_pairs(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.id") < F.col("b.id"))
-            # exact size prefilter: min/max ≥ t is necessary for
-            # jaccard ≥ t — rejected pairs never enter the aggregation
-            & (F.col("a.sz") * F.lit(float(threshold)) <= F.col("b.sz"))
-            & (F.col("b.sz") * F.lit(float(threshold)) <= F.col("a.sz")),
+            # rejected pairs never enter the aggregation
+            & _size_prefilter(threshold, "a.sz", "b.sz"),
         )
         .groupBy(
             F.col("a.id").alias("id_a"),
@@ -424,10 +433,7 @@ def _verify_pairs_by_shingle_join(
     cand2 = (
         cand.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
         .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
-        .where(
-            (F.col("sz_a") * F.lit(float(threshold)) <= F.col("sz_b"))
-            & (F.col("sz_b") * F.lit(float(threshold)) <= F.col("sz_a"))
-        )
+        .where(_size_prefilter(threshold))
     )
     inter = (
         cand2.join(a, "id_a")
@@ -589,15 +595,13 @@ def _allpairs_by_bitmap_from_sets(
     b = bm.select(
         F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), F.col("bm").alias("bm_b")
     )
-    # EXACT size prefilter in the join condition (the similarity-join
-    # standard): jaccard ≥ t ⟹ |∩| ≤ min ⟹ min/max ≥ t, so pairs whose
-    # set sizes differ by more than t× can be rejected from two ints —
-    # the popcount projection never runs for them
-    size_ok = (
-        F.col("sz_a") * F.lit(float(threshold)) <= F.col("sz_b")
-    ) & (F.col("sz_b") * F.lit(float(threshold)) <= F.col("sz_a"))
     return (
-        a.join(F.broadcast(b), (F.col("id_a") < F.col("id_b")) & size_ok)
+        # size prefilter in the join condition (the similarity-join
+        # standard): the popcount projection never runs for rejected pairs
+        a.join(
+            F.broadcast(b),
+            (F.col("id_a") < F.col("id_b")) & _size_prefilter(threshold),
+        )
         .withColumn("inter", _popcount_inter_expr(L))
         .withColumn(
             "jaccard",
@@ -634,15 +638,11 @@ def _verify_pairs_by_bitmap(
     if broadcast_bitmaps:
         a, b = F.broadcast(a), F.broadcast(b)
     inter = _popcount_inter_expr(L)
-    size_ok = (
-        F.col("sz_a") * F.lit(float(threshold)) <= F.col("sz_b")
-    ) & (F.col("sz_b") * F.lit(float(threshold)) <= F.col("sz_a"))
     out = (
         cand.join(a, "id_a")
         .join(b, "id_b")
-        # exact size prefilter (min/max ≥ t is necessary for jaccard ≥ t):
         # two-int reject before the popcount projection
-        .where(size_ok)
+        .where(_size_prefilter(threshold))
         .withColumn("inter", inter)
         .withColumn(
             "jaccard",

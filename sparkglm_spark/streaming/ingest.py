@@ -22,16 +22,25 @@ reads the index EXCLUDING its own `batch_id=N` directory (a
 partition-pruned != filter), so the retry deduplicates against exactly
 the state the first attempt saw and rewrites identical survivors.
 
+CAUTION — batch_id is the idempotence NAMESPACE, owned by the stream's
+checkpoint: resetting/replacing `checkpointLocation` while keeping
+`index_path`/`accepted_path` restarts batch numbering at 0, and the new
+batch 0 will (by the retry rule above) exclude the OLD `batch_id=0`
+fingerprints, re-accept content already accepted there, and OVERWRITE the
+old directory — destroying committed history. One checkpoint ↔ one store
+pair, forever. Backfills via `dedup_ingest_batch` share the same
+namespace: give them ids a live stream will never reach (negative ids
+work), or run them into their own store pair before the stream starts.
+
 Reference parity: the reference (alteryx/sparkGLM) has no streaming
 surface; this extends the dedup family (SURVEY.md §2 extension ops).
 """
 
 from __future__ import annotations
 
-from typing import Callable
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
 
 
 def _read_index(spark, index_path: str, exclude_batch_id: int) -> DataFrame | None:
@@ -47,8 +56,15 @@ def _read_index(spark, index_path: str, exclude_batch_id: int) -> DataFrame | No
     directory at the scan."""
     try:
         idx = spark.read.parquet(index_path)
-    except Exception:  # first batch: path does not exist yet
-        return None
+    except AnalysisException as e:
+        # ONLY a missing path means "first batch". Anything else (storage
+        # error, corrupt footer, permissions) must propagate and fail the
+        # batch — swallowing it would silently skip dedup against every
+        # prior batch and permanently admit duplicates.
+        cond = getattr(e, "getCondition", lambda: None)() or str(e)
+        if "PATH_NOT_FOUND" in cond:
+            return None
+        raise
     return idx.where(F.col("batch_id") != exclude_batch_id).select("fingerprint")
 
 
