@@ -400,3 +400,20 @@ def test_mixture_sample_is_a_pure_filter(spark, documents):
     )
     assert exchange_schemas(out, skip_round_robin=True) == []
     assert "Filter" in formatted_plan(out)
+
+
+def test_unigram_scores_partial_agg_no_window(spark, documents):
+    """unigram_logprob_scores plan shape: vocab join + ONE partial+final
+    aggregation per side — no Window, and the document text itself never
+    crosses an exchange (only terms and per-doc partial sums do)."""
+    from sparkglm_spark.operators.corpus import unigram_logprob_scores
+    from sparkglm_spark.plans.inspect import (
+        assert_no_columns_in_exchanges,
+        formatted_plan,
+    )
+
+    out = unigram_logprob_scores(documents)
+    plan = formatted_plan(out)
+    assert "Window" not in plan
+    assert "partial_" in plan  # map-side combine before the exchanges
+    assert_no_columns_in_exchanges(out, ["text"])

@@ -118,3 +118,106 @@ def test_jaccard_matches_python(spark, batch):
         for r in jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.0).collect()
     }
     assert got == py_jaccard_pairs(docs)
+
+
+# ---------------------------------------------------------------------------
+# global line dedup vs pure-python first-occurrence twin
+# ---------------------------------------------------------------------------
+
+
+def py_global_line_dedup(rows, min_line_chars=1):
+    seen = {}
+    lines_by_doc = {}
+    for doc_id, text in sorted(rows):
+        lines = [s.strip() for s in text.split("\n") if s.strip() != ""]
+        lines_by_doc[doc_id] = lines
+        for pos, line in enumerate(lines):
+            if len(line) >= min_line_chars and line not in seen:
+                seen[line] = (doc_id, pos)
+    return {
+        doc_id: "\n".join(
+            line
+            for pos, line in enumerate(lines)
+            if len(line) < min_line_chars or seen[line] == (doc_id, pos)
+        )
+        for doc_id, lines in lines_by_doc.items()
+    }
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    batch=st.lists(
+        st.lists(
+            st.text(alphabet="ab ", min_size=0, max_size=6), min_size=0, max_size=5
+        ).map(lambda ls: "\n".join(ls)),
+        min_size=1,
+        max_size=6,
+    ),
+    min_chars=st.sampled_from([1, 2]),
+)
+def test_global_line_dedup_matches_python(spark, batch, min_chars):
+    from sparkglm_spark.operators.corpus import remove_global_duplicate_lines
+
+    rows = [(i, t) for i, t in enumerate(batch)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["text"]
+        for r in remove_global_duplicate_lines(df, min_line_chars=min_chars).collect()
+    }
+    assert got == py_global_line_dedup(rows, min_line_chars=min_chars)
+
+
+# ---------------------------------------------------------------------------
+# mixture sampling vs pure-python affine-hash twin
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=30), min_size=2, max_size=4),
+    weights=st.lists(
+        st.floats(min_value=0.05, max_value=1.0, allow_nan=False),
+        min_size=2,
+        max_size=4,
+    ),
+)
+def test_mixture_sample_matches_python(spark, counts, weights):
+    import math
+
+    from sparkglm_spark.operators.split import (
+        _AFFINE_A,
+        _AFFINE_B,
+        _AFFINE_P,
+        _BUCKETS,
+        mixture_sample,
+    )
+
+    k = min(len(counts), len(weights))
+    counts, weights = counts[:k], weights[:k]
+    rows, nid = [], 0
+    for si, n in enumerate(counts):
+        for _ in range(n):
+            rows.append((nid, f"s{si}"))
+            nid += 1
+    df = spark.createDataFrame(rows, "id long, source string")
+    w = {f"s{si}": weights[si] for si in range(k)}
+    got = sorted(r["id"] for r in mixture_sample(df, "id", "source", w).collect())
+    # python twin: fractions + affine-hash filter
+    t = min(counts[si] / weights[si] for si in range(k))
+    thresh = {
+        f"s{si}": int(
+            round(
+                math.floor(weights[si] * t / counts[si] * float(_BUCKETS))
+                / _BUCKETS
+                * _BUCKETS
+            )
+        )
+        for si in range(k)
+    }
+    want = sorted(
+        i
+        for i, src in rows
+        if ((i % (1 << 32)) * _AFFINE_A + _AFFINE_B) % _AFFINE_P % _BUCKETS
+        < thresh[src]
+    )
+    assert got == want
