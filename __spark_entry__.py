@@ -1337,10 +1337,20 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     quintuple the I/O at 100 TB). quality_score rounded to 6; every other
     column is an exact integer or a single IEEE division."""
     docs = read_table(spark, sf_dir, "documents")
-    from sparkglm_spark.operators.text import text_profile
+    from sparkglm_spark.operators.text import _gopher_flag_cols, text_profile
 
     out = text_profile(docs)
-    return out.withColumn("quality_score", F.round("quality_score", 6))
+    # r6: the Gopher-rule verdict, computed from the same profile columns
+    # (operators/text.py::gopher_quality_flags). Repetition thresholds are
+    # loosened for the synthetic small-vocab corpus so the verdict splits
+    # it (~277 pass / 223 fail at sf0.01) instead of failing everything —
+    # the oracle then pins real rule logic, not a constant.
+    gopher = _gopher_flag_cols(
+        {"max_dup_token_ratio": 0.95, "max_top_token_ratio": 0.5}
+    )[-1]
+    return out.withColumn("gopher_pass", gopher).withColumn(
+        "quality_score", F.round("quality_score", 6)
+    )
 
 
 def _sql_text_profile() -> str:
@@ -1407,7 +1417,15 @@ SELECT doc_id, n_chars, n_tokens,
        CASE WHEN len(nb_toks) > 0
             THEN CAST(list_max(list_transform(list_distinct(nb_toks),
                      d -> len(list_filter(nb_toks, x -> x = d)))) AS DOUBLE)
-                 / len(nb_toks) END AS top_token_ratio
+                 / len(nb_toks) END AS top_token_ratio,
+       coalesce(n_tokens >= 50, FALSE)
+       AND coalesce(n_tokens <= 100000, FALSE)
+       AND coalesce(avg_token_len >= 3.0, FALSE)
+       AND coalesce(avg_token_len <= 10.0, FALSE)
+       AND coalesce(alpha_ratio >= 0.6, FALSE)
+       AND coalesce(dup_line_ratio <= 0.30, FALSE)
+       AND coalesce(dup_token_ratio <= 0.95, FALSE)
+       AND coalesce(top_token_ratio <= 0.5, FALSE) AS gopher_pass
 FROM r
 """
 

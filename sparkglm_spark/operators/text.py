@@ -224,13 +224,19 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def text_profile(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep: list[str] | None = None,
 ) -> DataFrame:
     """The full per-document text profile in ONE projection (no joins, no
     shuffle): stats + BPE token count + quality score + language ID +
     fingerprint. At 100 TB this is the shape that matters — five separate
     operators each re-scanning the corpus would quintuple the I/O; every
-    column here fuses into a single whole-stage-codegen pass."""
+    column here fuses into a single whole-stage-codegen pass. `keep`
+    carries extra input columns through unchanged (the hook
+    `gopher_quality_filter` uses to hand back ORIGINAL rows after
+    filtering on profile columns — no join, no second scan)."""
     # fan out single-split inputs: these are per-row compute-dense
     # projections (no-op at real scale)
     df = ensure_parallel(df).withColumn(
@@ -260,6 +266,7 @@ def text_profile(
     pick = _lang_pick_expr(best, LANG_PROFILES)
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in (keep or [])],
         n_chars.cast("bigint").alias("n_chars"),
         n_tokens.cast("bigint").alias("n_tokens"),
         ratio(n_chars, n_tokens).alias("avg_token_len"),
@@ -531,3 +538,120 @@ def redact_patterns(
         redacted = F.regexp_replace(redacted, p, f"<{name.upper()}>")
     keep = [c for c in df.columns if c != text_col]
     return df.select(*keep, redacted.alias(text_col), *counts)
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, A1.1) over the fused profile
+# ---------------------------------------------------------------------------
+
+# Defaults follow the published Gopher filter where this engine profiles
+# the signal, adapted where it profiles a close cousin (noted inline).
+# None disables a rule.
+GOPHER_DEFAULTS: dict[str, float | None] = {
+    "min_tokens": 50,                # Gopher: 50 ≤ word count
+    "max_tokens": 100_000,           #         ≤ 100,000
+    "min_avg_token_len": 3.0,        # Gopher: mean word length in [3, 10]
+    "max_avg_token_len": 10.0,
+    "min_alpha_ratio": 0.6,          # adaptation: Gopher requires ≥80% of
+    #   WORDS to contain an alphabetic char; this engine profiles the
+    #   char-level alphabetic ratio, where natural prose sits ≥0.6
+    "min_stopword_ratio": None,      # adaptation of Gopher's ≥2-stopwords
+    #   rule; disabled by default — the profile's stopword list is
+    #   English, and a default-on rule would zero out multilingual corpora
+    "max_dup_line_ratio": 0.30,      # Gopher: duplicate line fraction
+    "max_dup_token_ratio": 0.30,     # adaptation of the n-gram family
+    "max_top_token_ratio": 0.20,     # adaptation: top-word share
+}
+
+# rule name → (profile column, bound kind) — the single source the flag
+# builder iterates, so flags/filter/docs cannot drift
+_GOPHER_RULES: list[tuple[str, str, str]] = [
+    ("min_tokens", "n_tokens", "ge"),
+    ("max_tokens", "n_tokens", "le"),
+    ("min_avg_token_len", "avg_token_len", "ge"),
+    ("max_avg_token_len", "avg_token_len", "le"),
+    ("min_alpha_ratio", "alpha_ratio", "ge"),
+    ("min_stopword_ratio", "stopword_ratio", "ge"),
+    ("max_dup_line_ratio", "dup_line_ratio", "le"),
+    ("max_dup_token_ratio", "dup_token_ratio", "le"),
+    ("max_top_token_ratio", "top_token_ratio", "le"),
+]
+
+
+def _gopher_flag_cols(thresholds: dict) -> list[Column]:
+    """One boolean per enabled rule + the conjunction `gopher_pass`.
+    NULL profile values (empty docs have null ratios) FAIL the rules that
+    read them — coalesce(cond, False), matching the SQL oracle."""
+    unknown = set(thresholds) - {name for name, _, _ in _GOPHER_RULES}
+    if unknown:
+        raise ValueError(f"unknown gopher rule(s): {sorted(unknown)}")
+    thr = {**GOPHER_DEFAULTS, **thresholds}
+    flags: list[Column] = []
+    passing = F.lit(True)
+    for name, col, kind in _GOPHER_RULES:
+        bound = thr[name]
+        if bound is None:
+            continue
+        cond = (
+            F.col(col) >= F.lit(float(bound))
+            if kind == "ge"
+            else F.col(col) <= F.lit(float(bound))
+        )
+        cond = F.coalesce(cond, F.lit(False))
+        flags.append(cond.alias(f"ok_{name}"))
+        passing = passing & cond
+    flags.append(passing.alias("gopher_pass"))
+    return flags
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **thresholds: float | None,
+) -> DataFrame:
+    """Per-document Gopher-rule verdicts: (id, ok_<rule>… for each enabled
+    rule, gopher_pass). Chained projection over `text_profile` — the whole
+    thing is still ONE codegen pass over the scan, no shuffle. Override
+    any GOPHER_DEFAULTS threshold by keyword; None disables a rule."""
+    prof = text_profile(df, text_col, id_col)
+    return prof.select(F.col(id_col), *_gopher_flag_cols(thresholds))
+
+
+def gopher_quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **thresholds: float | None,
+) -> DataFrame:
+    """The rows of `df` that pass every enabled Gopher rule — original
+    columns, original values. The profile columns exist only inside the
+    projection (via text_profile's `keep` passthrough) and are dropped
+    after the filter: one codegen projection + filter over the scan,
+    nothing joined, nothing shuffled. Original columns ride through under
+    collision-proof aliases — an input column named like a profile column
+    (the testdata's own `n_chars`) must not become ambiguous."""
+    others = [c for c in df.columns if c not in (id_col, text_col)]
+    aliased = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        *[F.col(c).alias(f"__orig_{i}") for i, c in enumerate(others)],
+    )
+    prof = text_profile(
+        aliased,
+        text_col,
+        id_col,
+        keep=[text_col] + [f"__orig_{i}" for i in range(len(others))],
+    )
+    passing = _gopher_flag_cols(thresholds)[-1]
+    restore = {
+        c: (
+            F.col(f"__orig_{others.index(c)}")
+            if c in others
+            else F.col(c)
+        )
+        for c in df.columns
+    }
+    return prof.where(passing).select(
+        *[restore[c].alias(c) for c in df.columns]
+    )

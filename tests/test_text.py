@@ -204,3 +204,91 @@ def test_redact_patterns_is_zero_shuffle(spark, documents):
     from sparkglm_spark.plans.inspect import exchange_schemas
 
     assert exchange_schemas(redact_patterns(documents), skip_round_robin=True) == []
+
+
+def _py_gopher_pass(text, thr):
+    toks = [t for t in text.strip().split() if t] if text.strip() else []
+    n_tokens = len(toks)
+    n_chars = len(text)
+    avg_len = n_chars / n_tokens if n_tokens else None
+    n_alpha = sum(1 for c in text if c.isascii() and c.isalpha())
+    alpha_ratio = n_alpha / n_chars if n_chars else None
+    lines = [s.strip() for s in text.split("\n") if s.strip()]
+    dup_line = (len(lines) - len(set(lines))) / len(lines) if lines else None
+    nb = [t for t in text.strip().split() if t]
+    dup_tok = (len(nb) - len(set(nb))) / len(nb) if nb else None
+    top_tok = max(nb.count(d) for d in set(nb)) / len(nb) if nb else None
+
+    def ok(v, bound, ge):
+        if bound is None:
+            return True
+        if v is None:
+            return False
+        return v >= bound if ge else v <= bound
+
+    return (
+        ok(n_tokens, thr.get("min_tokens", 50), True)
+        and ok(n_tokens, thr.get("max_tokens", 100_000), False)
+        and ok(avg_len, thr.get("min_avg_token_len", 3.0), True)
+        and ok(avg_len, thr.get("max_avg_token_len", 10.0), False)
+        and ok(alpha_ratio, thr.get("min_alpha_ratio", 0.6), True)
+        and ok(None if "min_stopword_ratio" not in thr else 1.0,
+               thr.get("min_stopword_ratio"), True)
+        and ok(dup_line, thr.get("max_dup_line_ratio", 0.30), False)
+        and ok(dup_tok, thr.get("max_dup_token_ratio", 0.30), False)
+        and ok(top_tok, thr.get("max_top_token_ratio", 0.20), False)
+    )
+
+
+def test_gopher_flags_match_python(spark):
+    from sparkglm_spark.operators.text import gopher_quality_flags
+
+    rows = [
+        (1, " ".join(["solid"] * 30 + ["prose", "words", "here"] * 10)),  # long, repetitive
+        (2, " ".join(f"word{i}" for i in range(60))),  # long, diverse
+        (3, "too short"),
+        (4, ""),
+        (5, "line\n" * 80),  # 80 dup lines, 80 tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    thr = {"max_dup_token_ratio": 0.95, "max_top_token_ratio": 0.5}
+    got = {
+        r["doc_id"]: r["gopher_pass"]
+        for r in gopher_quality_flags(df, **thr).collect()
+    }
+    for doc_id, text in rows:
+        assert got[doc_id] == _py_gopher_pass(text, thr), doc_id
+    # default thresholds kill the repetitive doc that loose ones let pass
+    strict = {
+        r["doc_id"]: r["gopher_pass"]
+        for r in gopher_quality_flags(df).collect()
+    }
+    assert strict[1] is False and got[1] is True
+
+
+def test_gopher_filter_returns_original_rows(spark, documents):
+    from sparkglm_spark.operators.text import (
+        gopher_quality_filter,
+        gopher_quality_flags,
+    )
+    from sparkglm_spark.plans.inspect import exchange_schemas
+
+    thr = {"max_dup_token_ratio": 0.95, "max_top_token_ratio": 0.5}
+    out = gopher_quality_filter(documents, **thr)
+    assert out.columns == documents.columns  # incl. the clashing n_chars
+    flags = gopher_quality_flags(documents, **thr)
+    want_ids = sorted(
+        r["doc_id"] for r in flags.where(F.col("gopher_pass")).collect()
+    )
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert sorted(got) == want_ids
+    orig = {r["doc_id"]: r for r in documents.collect()}
+    assert all(got[i] == orig[i] for i in got)  # values untouched
+    assert exchange_schemas(out, skip_round_robin=True) == []  # pure filter
+
+
+def test_gopher_unknown_rule_raises(spark, documents):
+    from sparkglm_spark.operators.text import gopher_quality_flags
+
+    with pytest.raises(ValueError, match="unknown gopher rule"):
+        gopher_quality_flags(documents, bogus=1.0)
