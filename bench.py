@@ -207,6 +207,25 @@ def main() -> None:
     )
     W("line_dedup_global", lambda: force(remove_global_duplicate_lines(multi)))
 
+    # r6: the curation trio — PII redaction, unigram-LM scoring, Gopher
+    # gate — one combined headline (all three are scan-shaped ops; the
+    # multimodal_decode line uses the same grouping convention)
+    from sparkglm_spark.operators.corpus import unigram_logprob_scores
+    from sparkglm_spark.operators.text import gopher_quality_filter, redact_patterns
+
+    W(
+        "text_curation",
+        lambda: (
+            force(redact_patterns(docs)),
+            force(unigram_logprob_scores(docs)),
+            force(
+                gopher_quality_filter(
+                    docs, max_dup_token_ratio=0.95, max_top_token_ratio=0.5
+                )
+            ),
+        ),
+    )
+
 
     runs: dict[str, list[float]] = {name: [] for name, _ in workloads}
     errors: dict[str, str] = {}
@@ -243,7 +262,8 @@ def main() -> None:
         "pack_greedy",
         "contamination_scores",
         "quantize_int8",
-        "line_dedup_global",  # r6 addition, same exclusion rationale
+        "line_dedup_global",  # r6 additions, same exclusion rationale
+        "text_curation",
     }
     total_r4_set = round(
         sum(v for k, v in medians.items() if k not in r5_new), 3

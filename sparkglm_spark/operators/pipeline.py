@@ -116,10 +116,24 @@ def prepare_training_corpus(
     min_quality: float = 0.5,
     languages: tuple[str, ...] | None = ("en",),
     neardup_threshold: float = 0.8,
+    gopher_rules: dict | None = None,
 ) -> DataFrame:
     """The full corpus-prep chain; returns surviving docs with
-    n_tokens / n_tokens_bpe / quality_score / detected_lang appended."""
+    n_tokens / n_tokens_bpe / quality_score / detected_lang appended.
+
+    `gopher_rules` (optional) prepends the Gopher quality gate
+    (text.gopher_quality_filter) with the given threshold overrides —
+    pass {} for the published defaults. It runs FIRST: a pure scan-side
+    filter, so everything downstream (quality projection, dedup shuffles)
+    touches only gate survivors. Like the quality filter, the gate is a
+    pure per-row function of the text, so filter-then-dedup ≡
+    dedup-then-filter holds for it too."""
     from sparkglm_spark.plans.partitioning import ensure_parallel
+
+    if gopher_rules is not None:
+        from sparkglm_spark.operators.text import gopher_quality_filter
+
+        docs = gopher_quality_filter(docs, text_col, id_col, **gopher_rules)
 
     # quality/language are pure per-row functions of the text, so every
     # member of an identical-text duplicate group passes or fails together:

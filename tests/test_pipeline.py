@@ -89,3 +89,23 @@ def test_full_training_data_journey_composes(spark, documents, tmp_path):
     from sparkglm_spark.plans.inspect import assert_no_columns_in_exchanges
 
     assert_no_columns_in_exchanges(sampled, ["text"])
+
+
+def test_prepare_training_corpus_with_gopher_gate(spark, documents):
+    from sparkglm_spark.operators.pipeline import prepare_training_corpus
+    from sparkglm_spark.operators.text import gopher_quality_filter
+
+    thr = {"max_dup_token_ratio": 0.95, "max_top_token_ratio": 0.5}
+    gated = prepare_training_corpus(
+        documents, min_quality=0.0, languages=None, gopher_rules=thr
+    )
+    # gating first ≡ running the plain chain on pre-gated input
+    plain = prepare_training_corpus(
+        gopher_quality_filter(documents, **thr), min_quality=0.0, languages=None
+    )
+    got = sorted(r["doc_id"] for r in gated.collect())
+    want = sorted(r["doc_id"] for r in plain.collect())
+    assert got == want and len(got) > 0
+    # default (None) leaves the chain untouched
+    base = prepare_training_corpus(documents, min_quality=0.0, languages=None)
+    assert base.count() >= len(got)
