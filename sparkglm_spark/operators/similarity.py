@@ -707,3 +707,191 @@ def cosine_topk_quantized(
         corpus_q.where(F.col("q").isNotNull()).select(id_col, "scale", "q")
     ).mapInPandas(gen, cand_schema)
     return _finalize_topk(cand, k)
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup: cluster, then prune within clusters)
+# ---------------------------------------------------------------------------
+
+
+def assign_clusters(
+    df: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cluster, id, unit: array<double>) — each row assigned to its
+    max-cosine centroid (ties to the lowest centroid index, numpy argmax).
+    ONE Arrow-batched mapInPandas scan, zero shuffle: assignment is a pure
+    per-row function of the vector, so it is partition-invariant and the
+    corpus never moves. The unit-normalized float64 vector rides along so
+    downstream per-cluster scoring needs no second normalization pass.
+
+    Centroid state is O(k·d) — broadcast like model coefficients. Cosine
+    assignment is scale-invariant, so `centroids` need not be normalized
+    (they are normalized here once, on the driver)."""
+    spark = df.sparkSession
+    C = np.asarray(centroids, dtype=np.float64)
+    if C.ndim != 2 or len(C) == 0:
+        raise ValueError("centroids must be a non-empty (k, d) matrix")
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    bc = spark.sparkContext.broadcast(Cn)
+    id_type = df.schema[id_col].dataType
+    schema = StructType(
+        [
+            StructField("cluster", IntegerType()),
+            StructField("id", id_type),
+            StructField("unit", ArrayType(DoubleType())),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        cents = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            assign = np.argmax(M @ cents.T, axis=1)
+            yield pd.DataFrame(
+                {
+                    "cluster": assign.astype("int32"),
+                    "id": pdf[id_col].to_numpy(),
+                    "unit": list(M),
+                }
+            )
+
+    return _ensure_parallel(df.select(id_col, vec_col)).mapInPandas(gen, schema)
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_clusters: int = 16,
+    centroids: "np.ndarray | None" = None,
+    seed: int = 42,
+    max_cluster_rows: int = 200_000,
+    block: int = 4096,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space, then find near-duplicate pairs ONLY within clusters —
+    the pair search drops from O(n²) to Σ n_c², with cross-cluster pairs
+    deliberately out of contract (a near-dup pair lands in one cluster
+    when the clustering is finer than the dup radius, the regime the
+    paper's k ≈ n/100k targets). Returns (cluster, id_a, id_b, cosine)
+    with id_a < id_b and cosine ≥ threshold.
+
+    Plan, 100 TB shape:
+      1. centroids: caller-provided (`train_ivf_centroids` — build once,
+         serve many) or a deterministic seeded sample k-means; O(k·d)
+         driver/broadcast state either way.
+      2. `assign_clusters`: one mapInPandas scan, zero shuffle.
+      3. ONE hash shuffle on `cluster` carrying (int, id, d doubles) —
+         bounded row width, no raw content; then a per-cluster blocked
+         numpy gram (`applyInPandas`): U·Uᵀ in `block`-row tiles, so peak
+         memory is |cluster|·d + block² doubles, never |cluster|². Only
+         threshold survivors are emitted (output ≈ the duplicate set).
+    A cluster larger than `max_cluster_rows` raises with the remedy
+    (raise n_clusters / retrain with a finer index) instead of silently
+    attempting an n_c² that cannot finish — size the cluster count so
+    n/k ≪ this cap (the paper's n/100k rule lands well inside it)."""
+    C = (
+        np.asarray(centroids, dtype=np.float64)
+        if centroids is not None
+        else _train_centroids_sample(df, vec_col, n_clusters, seed)
+    )
+    assigned = assign_clusters(df, C, id_col, vec_col)
+    id_type = df.schema[id_col].dataType
+    out_schema = StructType(
+        [
+            StructField("cluster", IntegerType()),
+            StructField("id_a", id_type),
+            StructField("id_b", id_type),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+    thr = float(threshold)
+    cap = int(max_cluster_rows)
+    blk = int(block)
+
+    def pairs_in_cluster(key, pdf):
+        import pandas as pd
+
+        n = len(pdf)
+        if n > cap:
+            raise ValueError(
+                f"semantic_dedup_pairs: cluster {key[0]} holds {n} rows "
+                f"(> max_cluster_rows={cap}) — the within-cluster pair "
+                "search is quadratic per cluster; raise n_clusters (or "
+                "pass finer `centroids`) so clusters stay bounded"
+            )
+        if n < 2:
+            return pd.DataFrame(
+                {"cluster": [], "id_a": [], "id_b": [], "cosine": []}
+            ).astype({"cluster": "int32"})
+        # deterministic output regardless of shuffle arrival order
+        order = np.argsort(pdf["id"].to_numpy(), kind="stable")
+        ids = pdf["id"].to_numpy()[order]
+        U = np.array([list(v) for v in pdf["unit"]], dtype=np.float64)[order]
+        out_a, out_b, out_c = [], [], []
+        for i0 in range(0, n, blk):
+            i1 = min(i0 + blk, n)
+            for j0 in range(i0, n, blk):
+                j1 = min(j0 + blk, n)
+                S = U[i0:i1] @ U[j0:j1].T
+                ai, bj = np.nonzero(S >= thr)
+                # strict upper triangle in GLOBAL indices: id_a < id_b
+                keep = (i0 + ai) < (j0 + bj)
+                ai, bj = ai[keep], bj[keep]
+                out_a.append(ids[i0 + ai])
+                out_b.append(ids[j0 + bj])
+                out_c.append(S[ai, bj])
+        if not out_a:
+            return pd.DataFrame(
+                {"cluster": [], "id_a": [], "id_b": [], "cosine": []}
+            ).astype({"cluster": "int32"})
+        return pd.DataFrame(
+            {
+                "cluster": np.full(sum(map(len, out_a)), key[0], dtype="int32"),
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cosine": np.concatenate(out_c),
+            }
+        )
+
+    return assigned.groupBy("cluster").applyInPandas(pairs_in_cluster, out_schema)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_clusters: int = 16,
+    centroids: "np.ndarray | None" = None,
+    seed: int = 42,
+    max_cluster_rows: int = 200_000,
+) -> DataFrame:
+    """Rows of `df` surviving semantic dedup: of every within-cluster pair
+    with cosine ≥ threshold, the larger id is dropped (the single-hop
+    keeper policy of `pipeline.prepare_training_corpus` — canonical docs
+    are exactly those with no smaller semantic neighbor in their cluster;
+    no transitive closure). The corpus itself never shuffles: the drop
+    list is the (tiny) distinct id_b set of `semantic_dedup_pairs`,
+    removed with a broadcast anti-join."""
+    pairs = semantic_dedup_pairs(
+        df,
+        id_col,
+        vec_col,
+        threshold=threshold,
+        n_clusters=n_clusters,
+        centroids=centroids,
+        seed=seed,
+        max_cluster_rows=max_cluster_rows,
+    )
+    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(F.broadcast(drop), id_col, "left_anti")

@@ -329,3 +329,102 @@ def test_cosine_topk_quantized_recall(spark, embeddings):
         kk = (r["query_id"], r["neighbor_id"])
         if kk in scores_b:
             assert abs(r["cosine"] - scores_b[kk]) < 0.02
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup)
+# ---------------------------------------------------------------------------
+
+
+def _np_semdedup(ids, M, C, thr):
+    """Reference: assign by max-cosine (ties → lowest centroid index),
+    then all within-cluster pairs ≥ thr on unit vectors."""
+    U = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    assign = np.argmax(U @ Cn.T, axis=1)
+    pairs = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if assign[i] == assign[j]:
+                c = float(U[i] @ U[j])
+                if c >= thr:
+                    a, b = sorted((int(ids[i]), int(ids[j])))
+                    pairs[(a, b)] = (int(assign[i]), c)
+    return assign, pairs
+
+
+def test_semantic_dedup_pairs_matches_numpy(embeddings, emb_np):
+    ids, M = emb_np
+    rng = np.random.default_rng(7)
+    C = rng.normal(size=(6, M.shape[1]))
+    thr = 0.35
+    _, expect = _np_semdedup(ids, M, C, thr)
+    got = S.semantic_dedup_pairs(embeddings, centroids=C, threshold=thr).collect()
+    got_pairs = {(r["id_a"], r["id_b"]): (r["cluster"], r["cosine"]) for r in got}
+    assert set(got_pairs) == set(expect)
+    for k, (cl, cos) in got_pairs.items():
+        assert cl == expect[k][0]
+        assert cos == pytest.approx(expect[k][1], rel=1e-9)
+
+
+def test_semantic_dedup_keeps_min_id_survivors(embeddings, emb_np):
+    ids, M = emb_np
+    rng = np.random.default_rng(7)
+    C = rng.normal(size=(6, M.shape[1]))
+    thr = 0.35
+    _, pairs = _np_semdedup(ids, M, C, thr)
+    dropped = {b for (_, b) in pairs}
+    expect_keep = set(int(i) for i in ids) - dropped
+    got = {
+        r["vec_id"]
+        for r in S.semantic_dedup(embeddings, centroids=C, threshold=thr).collect()
+    }
+    assert got == expect_keep
+    assert 0 < len(got) < len(ids)  # the threshold actually splits the corpus
+
+
+def test_semantic_dedup_pairs_partition_invariant(embeddings):
+    rng = np.random.default_rng(7)
+    C = rng.normal(size=(6, 64))
+    a = S.semantic_dedup_pairs(
+        embeddings.repartition(1), centroids=C, threshold=0.35
+    ).collect()
+    b = S.semantic_dedup_pairs(
+        embeddings.repartition(7), centroids=C, threshold=0.35
+    ).collect()
+    key = lambda r: (r["cluster"], r["id_a"], r["id_b"])
+    assert sorted(map(key, a)) == sorted(map(key, b))
+
+
+def test_semantic_dedup_trained_centroids_path(embeddings):
+    # no centroids given → deterministic seeded sample k-means; the call
+    # must produce a stable pair set across invocations
+    a = S.semantic_dedup_pairs(embeddings, threshold=0.35, n_clusters=4, seed=1)
+    b = S.semantic_dedup_pairs(embeddings, threshold=0.35, n_clusters=4, seed=1)
+    ka = sorted((r["id_a"], r["id_b"]) for r in a.collect())
+    kb = sorted((r["id_a"], r["id_b"]) for r in b.collect())
+    assert ka == kb and len(ka) > 0
+
+
+def test_semantic_dedup_cluster_cap_raises(embeddings):
+    import pyspark.errors
+
+    C = np.zeros((1, 64))
+    C[0, 0] = 1.0  # one centroid → every row in one cluster
+    with pytest.raises(pyspark.errors.PySparkException, match="max_cluster_rows"):
+        S.semantic_dedup_pairs(
+            embeddings, centroids=C, threshold=0.9, max_cluster_rows=10
+        ).collect()
+
+
+def test_semantic_dedup_blocked_gram_equals_unblocked(embeddings):
+    # tiny block size forces the tiled path across many blocks; results
+    # must be identical to one big gram
+    rng = np.random.default_rng(3)
+    C = rng.normal(size=(4, 64))
+    big = S.semantic_dedup_pairs(embeddings, centroids=C, threshold=0.35)
+    tiled = S.semantic_dedup_pairs(
+        embeddings, centroids=C, threshold=0.35, block=17
+    )
+    key = lambda r: (r["cluster"], r["id_a"], r["id_b"], round(r["cosine"], 12))
+    assert sorted(map(key, big.collect())) == sorted(map(key, tiled.collect()))
