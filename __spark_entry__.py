@@ -23,6 +23,8 @@ from __future__ import annotations
 import os
 from collections.abc import Callable
 
+import numpy as np
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1216,6 +1218,52 @@ p AS (
            / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS c
   FROM corpus a, corpus b WHERE a.vec_id < b.vec_id)
 SELECT id_a, id_b, ROUND(c, 6) AS cosine FROM p WHERE c >= 0.95
+"""
+
+
+def q_similarity_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup pairs (operators/similarity.py::semantic_dedup_pairs) with
+    DETERMINISTIC centroids so the oracle can replay the clustering: the
+    seeds are the embeddings of the 8 smallest vec_ids (collected like any
+    prebuilt `train_ivf_centroids` index — the build-once/serve-many path).
+    Assignment is max-cosine with ties to the lowest seed index, matching
+    the SQL's (cosine DESC, cl ASC) window order; within-cluster pairs at
+    the same 0.35 threshold as the global near-dup arm, so the row set
+    pins the CLUSTER-RESTRICTION semantics (global pairs minus the
+    cross-cluster ones), not just the cosine math."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    from sparkglm_spark.operators.similarity import semantic_dedup_pairs
+
+    seeds = emb.orderBy("vec_id").limit(8).select("embedding").collect()
+    C = np.array([list(r[0]) for r in seeds], dtype=np.float64)
+    out = semantic_dedup_pairs(emb, centroids=C, threshold=0.35)
+    return out.select(
+        "cluster", "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    )
+
+
+SQL_SIMILARITY_SEMDEDUP = """
+WITH s_seeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cl,
+         CAST(embedding AS DOUBLE[]) AS c
+  FROM embeddings ORDER BY vec_id LIMIT 8),
+s_assign AS (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, s.cl,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]), s.c)
+                    / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                             CAST(e.embedding AS DOUBLE[])))
+                       * sqrt(list_dot_product(s.c, s.c))) DESC, s.cl ASC
+         ) AS rn
+  FROM embeddings e CROSS JOIN s_seeds s),
+s_members AS (SELECT vec_id, v, cl FROM s_assign WHERE rn = 1)
+SELECT a.cl AS cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.v, b.v)
+         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+FROM s_members a JOIN s_members b ON a.cl = b.cl AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
 """
 
 
@@ -3659,13 +3707,27 @@ def q_similarity_neardup_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "method", F.lit("planner")
     )
     lsh = q_similarity_lsh(spark, sf_dir).withColumn("method", F.lit("lsh"))
-    return planner.unionByName(lsh).select("method", "id_a", "id_b", "cosine")
+    # r6: the SemDeDup arm carries its cluster id; the global arms have no
+    # cluster by construction (NULL, not a sentinel)
+    sem = q_similarity_semdedup(spark, sf_dir).withColumn(
+        "method", F.lit("semdedup")
+    )
+    null_cl = F.lit(None).cast("int")
+    return (
+        planner.withColumn("cluster", null_cl)
+        .unionByName(lsh.withColumn("cluster", null_cl))
+        .unionByName(sem)
+        .select("method", "cluster", "id_a", "id_b", "cosine")
+    )
 
 
 SQL_SIMILARITY_NEARDUP_OPS = f"""
-SELECT 'planner' AS method, id_a, id_b, cosine FROM ({SQL_SIMILARITY_NEARDUP}) p
+SELECT 'planner' AS method, CAST(NULL AS INTEGER) AS cluster, id_a, id_b, cosine
+FROM ({SQL_SIMILARITY_NEARDUP}) p
 UNION ALL
-SELECT 'lsh', id_a, id_b, cosine FROM ({SQL_SIMILARITY_LSH}) l
+SELECT 'lsh', CAST(NULL AS INTEGER), id_a, id_b, cosine FROM ({SQL_SIMILARITY_LSH}) l
+UNION ALL
+SELECT 'semdedup', cluster, id_a, id_b, cosine FROM ({SQL_SIMILARITY_SEMDEDUP}) s
 """
 
 
