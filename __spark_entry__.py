@@ -3791,8 +3791,34 @@ def q_sampling_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
         )
     )
+    # r6: domain-quota rows (operators/split.py::cap_per_group) — at most
+    # 30 docs per source by portable-hash priority (ties on doc_id);
+    # per-source kept count + exact id sum pin the kept SET, proving the
+    # rank-over-narrow-projection plan picks the same rows as the SQL
+    # window.
+    from sparkglm_spark.operators.split import cap_per_group
+
+    capped = cap_per_group(docs, "source", 30, "doc_id")
+    caprows = (
+        capped.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("doc_id").alias("s"))
+        .selectExpr(
+            "source",
+            "stack(2, 'n', cast(n as string),"
+            " 'idsum', cast(s as string)) as (m, value)",
+        )
+        .select(
+            F.concat(
+                F.lit("cap_"), F.col("source"), F.lit("_"), F.col("m")
+            ).alias("stat"),
+            "value",
+        )
+    )
     return (
-        base.unionByName(strat).unionByName(wrows).unionByName(mixrows)
+        base.unionByName(strat)
+        .unionByName(wrows)
+        .unionByName(mixrows)
+        .unionByName(caprows)
     )
 
 
@@ -3852,6 +3878,23 @@ FROM (
 ) mx CROSS JOIN LATERAL (VALUES
     ('n', CAST(mx.n AS VARCHAR)),
     ('idsum', CAST(mx.s AS VARCHAR))) AS u(m, value)
+UNION ALL
+SELECT 'cap_' || cp.source || '_' || u.m AS stat, u.value
+FROM (
+  SELECT source, count(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS s
+  FROM (
+    SELECT source, doc_id,
+           row_number() OVER (
+             PARTITION BY source
+             ORDER BY ((doc_id % 4294967296) * {_AFFINE_A} + {_AFFINE_B})
+                      % {_AFFINE_P} % 1000000, doc_id
+           ) AS rn
+    FROM documents) r
+  WHERE rn <= 30
+  GROUP BY source
+) cp CROSS JOIN LATERAL (VALUES
+    ('n', CAST(cp.n AS VARCHAR)),
+    ('idsum', CAST(cp.s AS VARCHAR))) AS u(m, value)
 """
 
 

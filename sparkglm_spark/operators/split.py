@@ -281,3 +281,57 @@ def mixture_sample(
     return stratified_hash_sample(
         df, key_col, source_col, fractions, default_fraction=0.0, salt=salt
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_cols: list[str] | str,
+    cap: int,
+    key_col: str,
+    order_col: str | None = None,
+    descending: bool = False,
+    salt: int = 0,
+    broadcast_drop_list: bool = True,
+) -> DataFrame:
+    """Keep at most `cap` rows per group — the domain-quota curation step
+    ("no host contributes more than N documents"), deterministic and
+    partition-invariant. Priority within a group: `order_col`
+    (asc, or desc with `descending` — e.g. keep the HIGHEST-quality N) or,
+    when omitted, the portable affine hash of `key_col` — an unbiased
+    pseudo-random N that any SQL engine reproduces. Ties (and the hash
+    variant) break on `key_col` asc, so the kept set is a pure function of
+    the data. `key_col` must be UNIQUE (an id): the drop list is keyed on
+    it, so a duplicated key would discard winner rows sharing a loser's
+    key.
+
+    Scale plan (the dedup drop-list idiom): the rank runs over a NARROW
+    projection — (group, key, priority), never the text/payload — so the
+    one rank shuffle carries ~tens of bytes per row; over-cap keys come
+    back as an anti-join (broadcast by default; set
+    `broadcast_drop_list=False` when caps bind on a large fraction of a
+    huge corpus and the loser list outgrows the driver — the anti-join
+    becomes a key-equi shuffle, still never moving content columns). A
+    single group's projection rows must fit one task's sort at rank time;
+    for degenerate skew (billions of rows in ONE group) prefer
+    `stratified_hash_sample` with fraction ≈ cap/n_group as the
+    approximate pre-pass."""
+    if cap < 0:
+        raise ValueError("cap must be >= 0")
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    if order_col is None:
+        require_integral_id(df, key_col, "cap_per_group (hash priority)")
+        prio = hash_sample_expr(key_col, salt)
+    else:
+        prio = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*groups).orderBy(prio, F.col(key_col).asc())
+    narrow = [*groups, key_col] + ([order_col] if order_col else [])
+    proj = df.select(*narrow)
+    losers = (
+        proj.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") > cap)
+        .select(key_col)
+    )
+    side = F.broadcast(losers) if broadcast_drop_list else losers
+    return df.join(side, key_col, "left_anti")

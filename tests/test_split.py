@@ -251,3 +251,72 @@ def test_mixture_sample_validations(spark, documents):
     assert set(fr) == {"src0"} and fr["src0"] >= 1.0 - 1e-6
     out = mixture_sample(documents, "doc_id", "source", {"src0": 0.5, "ghost": 0.5})
     assert out.select("source").distinct().collect()[0][0] == "src0"
+
+
+# ---------------------------------------------------------------------------
+# cap_per_group (domain quotas)
+# ---------------------------------------------------------------------------
+
+from sparkglm_spark.operators import split as SP
+
+
+def _affine_bucket(key: int, salt: int = 0) -> int:
+    a = SP._AFFINE_A + 2 * 1009 * salt
+    return ((key % (1 << 32)) * a + SP._AFFINE_B) % SP._AFFINE_P % SP._BUCKETS
+
+
+def test_cap_per_group_hash_priority(documents):
+    cap = 20
+    out = SP.cap_per_group(documents, "source", cap, "doc_id").collect()
+    rows = documents.select("doc_id", "source").collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    expect = set()
+    for src, ids in by_src.items():
+        keep = sorted(ids, key=lambda i: (_affine_bucket(i), i))[:cap]
+        expect.update(keep)
+    assert {r["doc_id"] for r in out} == expect
+    # caps actually bind on this corpus, and no group exceeds the cap
+    from collections import Counter
+
+    sizes = Counter(r["source"] for r in out)
+    assert max(sizes.values()) == cap and len(out) < len(rows)
+
+
+def test_cap_per_group_order_col_descending(documents):
+    # keep the 5 LONGEST docs per source (quality-ranked quota)
+    out = SP.cap_per_group(
+        documents, "source", 5, "doc_id", order_col="n_chars", descending=True
+    ).collect()
+    rows = documents.select("doc_id", "source", "n_chars").collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    expect = set()
+    for src, rs in by_src.items():
+        keep = sorted(rs, key=lambda r: (-r["n_chars"], r["doc_id"]))[:5]
+        expect.update(r["doc_id"] for r in keep)
+    assert {r["doc_id"] for r in out} == expect
+
+
+def test_cap_per_group_partition_invariant(documents):
+    a = SP.cap_per_group(documents.repartition(1), "source", 7, "doc_id")
+    b = SP.cap_per_group(documents.repartition(13), "source", 7, "doc_id")
+    assert sorted(r["doc_id"] for r in a.collect()) == sorted(
+        r["doc_id"] for r in b.collect()
+    )
+
+
+def test_cap_per_group_never_shuffles_text(documents):
+    from sparkglm_spark.plans.inspect import assert_no_columns_in_exchanges
+
+    out = SP.cap_per_group(documents, "source", 10, "doc_id")
+    assert_no_columns_in_exchanges(out, ["text"])
+
+
+def test_cap_per_group_validates(documents):
+    with pytest.raises(ValueError, match="cap"):
+        SP.cap_per_group(documents, "source", -1, "doc_id")
+    with pytest.raises(TypeError):
+        SP.cap_per_group(documents, "source", 3, "text")  # non-integral hash key
