@@ -2239,6 +2239,64 @@ FROM pii
 """
 
 
+def q_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization (operators/text.py::normalize_text) over a corpus
+    with deterministically injected mess (the testdata is already clean):
+    every doc gains a suffix of curly quotes, en/em dashes, tab runs,
+    space runs, a 4-newline page break, an NBSP, and every third doc a
+    C0 control byte — string concatenation only, so both engines derive
+    the identical input. Output: the normalized text byte-for-byte plus
+    the exact n_chars_removed audit count. Zero-shuffle codegen
+    projection."""
+    from sparkglm_spark.operators.text import normalize_text
+
+    docs = read_table(spark, sf_dir, "documents")
+    mess = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(
+                "  \u201cq\u201d \u2018x\u2019 \u2013a\u2014b\t\t"
+                "tabs   runs \n\n\n\nend\u00a0"
+            ),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("\x07bell")).otherwise(
+                F.lit("")
+            ),
+            F.lit("  "),
+        ).alias("text"),
+    )
+    return normalize_text(mess)
+
+
+SQL_NORMALIZE = r"""
+WITH mess AS (
+  SELECT doc_id,
+         text || '  ' || chr(8220) || 'q' || chr(8221) || ' '
+              || chr(8216) || 'x' || chr(8217) || ' '
+              || chr(8211) || 'a' || chr(8212) || 'b'
+              || chr(9) || chr(9) || 'tabs   runs '
+              || chr(10) || chr(10) || chr(10) || chr(10)
+              || 'end' || chr(160)
+              || CASE WHEN doc_id % 3 = 0 THEN chr(7) || 'bell' ELSE '' END
+              || '  ' AS text
+  FROM documents),
+norm AS (
+  SELECT doc_id, length(text) AS raw_len,
+         trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             translate(text,
+                 chr(8216)||chr(8217)||chr(8220)||chr(8221)||chr(8211)||chr(8212)||chr(160),
+                 chr(39)||chr(39)||'""--'||' '),
+             '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+             '[ \t]+', ' ', 'g'),
+             ' *\n *', chr(10), 'g'),
+             '\n{3,}', chr(10) || chr(10), 'g')) AS text
+  FROM mess)
+SELECT doc_id, text,
+       CAST(raw_len - length(text) AS BIGINT) AS n_chars_removed
+FROM norm
+"""
+
+
 def q_unigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM quality scores
     (operators/corpus.py::unigram_logprob_scores) with the corpus as its
@@ -3431,12 +3489,23 @@ def q_corpus_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("s"),
         F.col("avg_logprob").alias("x"),
     )
+    # r6: normalization rows — the normalized text rides in s (hash pins
+    # every byte of the rewrite) with the removed-char audit in a
+    norm = q_normalize(spark, sf_dir).select(
+        F.lit("normalize").alias("op"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("n_chars_removed").alias("a"),
+        F.lit(None).cast("bigint").alias("b"),
+        F.col("text").alias("s"),
+        F.lit(None).cast("double").alias("x"),
+    )
     return (
         chunks.unionByName(vocab)
         .unionByName(decon)
         .unionByName(linededup)
         .unionByName(redact)
         .unionByName(unigram)
+        .unionByName(norm)
     )
 
 
@@ -3464,6 +3533,9 @@ FROM ({SQL_REDACT}) rd
 UNION ALL
 SELECT 'unigram', CAST(doc_id AS VARCHAR), n_tokens, NULL, NULL, avg_logprob
 FROM ({SQL_UNIGRAM_SCORES}) ug
+UNION ALL
+SELECT 'normalize', CAST(doc_id AS VARCHAR), n_chars_removed, NULL, text, NULL
+FROM ({SQL_NORMALIZE}) nm
 """
 
 

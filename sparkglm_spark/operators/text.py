@@ -655,3 +655,67 @@ def gopher_quality_filter(
     return prof.where(passing).select(
         *[restore[c].alias(c) for c in df.columns]
     )
+
+
+# ---------------------------------------------------------------------------
+# Text normalization (pre-tokenization cleanup)
+# ---------------------------------------------------------------------------
+
+# typographic characters folded to ASCII: curly quotes, en/em dash, NBSP.
+# Kept to BMP single-codepoint mappings so both Spark's and any SQL
+# engine's translate() agree character-for-character.
+NORMALIZE_TRANSLATE_SRC = "\u2018\u2019\u201c\u201d\u2013\u2014\u00a0"
+NORMALIZE_TRANSLATE_DST = "''\"\"-- "
+
+# C0 control characters (minus \t\n, which the whitespace rules own) + DEL
+_CONTROL_CHARS_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+
+
+def normalize_text_expr(t: Column) -> Column:
+    """The normalized form of `t` — one expression, applied in a fixed
+    order so any engine reproduces it byte-for-byte:
+
+      1. fold typographic quotes/dashes/NBSP to ASCII (translate),
+      2. strip C0 control characters and DEL (\\t survives to rule 3,
+         \\n survives as structure),
+      3. collapse horizontal whitespace runs (spaces+tabs) to one space,
+      4. trim spaces around newlines,
+      5. collapse 3+ consecutive newlines to exactly two (paragraph
+         breaks survive, page-break noise does not),
+      6. trim both ends.
+
+    Every rule is in the Java∩RE2 regex subset (same contract as
+    DEFAULT_REDACT_PATTERNS), so a SQL oracle replays the chain
+    exactly."""
+    out = F.translate(t, NORMALIZE_TRANSLATE_SRC, NORMALIZE_TRANSLATE_DST)
+    out = F.regexp_replace(out, _CONTROL_CHARS_RE, "")
+    out = F.regexp_replace(out, r"[ \t]+", " ")
+    out = F.regexp_replace(out, r" *\n *", "\n")
+    out = F.regexp_replace(out, r"\n{3,}", "\n\n")
+    return F.trim(out)
+
+
+def normalize_text(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Pre-tokenization text cleanup — the normalization pass a web-scraped
+    corpus runs before any dedup/quality stage (mojibake punctuation,
+    control bytes, and whitespace noise otherwise split identical
+    documents into distinct fingerprints). Rewrites `text_col` with
+    `normalize_text_expr` and appends `n_chars_removed` (original minus
+    normalized length — the audit of how much was stripped; translate is
+    length-preserving, removals only shrink, so it is ≥ 0; NULL text stays
+    NULL with a NULL count).
+
+    Plan: ONE whole-stage-codegen projection over the scan — zero
+    shuffles, zero Python, same shape as `redact_patterns`; at 100 TB
+    this fuses into whatever scan feeds the next stage."""
+    df = ensure_parallel(df)
+    t = F.col(text_col)
+    norm = normalize_text_expr(t)
+    keep = [c for c in df.columns if c != text_col]
+    return df.select(
+        *keep,
+        norm.alias(text_col),
+        (F.length(t) - F.length(norm)).cast("bigint").alias("n_chars_removed"),
+    )

@@ -292,3 +292,46 @@ def test_gopher_unknown_rule_raises(spark, documents):
 
     with pytest.raises(ValueError, match="unknown gopher rule"):
         gopher_quality_flags(documents, bogus=1.0)
+
+
+# ---------------------------------------------------------------------------
+# normalize_text
+# ---------------------------------------------------------------------------
+
+
+def test_normalize_text_rules(spark):
+    from sparkglm_spark.operators.text import normalize_text
+
+    messy = (
+        "  “Smart” quotes ‘here’, an – en "
+        "and—em dash,\ttabs\t\tand   runs \n   spaced line   \n\n\n\n"
+        "after page break\x07\x00 bell  "
+    )
+    df = spark.createDataFrame([(1, messy), (2, None)], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in normalize_text(df).collect()}
+    expect = (
+        '"Smart" quotes \'here\', an - en and-em dash, tabs and runs\n'
+        "spaced line\n\nafter page break bell"
+    )
+    assert out[1]["text"] == expect
+    assert out[1]["n_chars_removed"] == len(messy) - len(expect)
+    assert out[2]["text"] is None and out[2]["n_chars_removed"] is None
+
+
+def test_normalize_text_idempotent(documents):
+    from sparkglm_spark.operators.text import normalize_text
+
+    once = normalize_text(documents).select("doc_id", "text")
+    twice = normalize_text(once).select("doc_id", "text", "n_chars_removed")
+    rows = twice.collect()
+    assert all(r["n_chars_removed"] == 0 for r in rows if r["text"] is not None)
+
+
+def test_normalize_text_zero_shuffle(documents):
+    from sparkglm_spark.operators.text import normalize_text
+    from sparkglm_spark.plans.inspect import exchange_schemas
+
+    out = normalize_text(documents)
+    # only the tiny-input round-robin fan-out may appear; no hash/range
+    # exchange — the op is a pure projection
+    assert exchange_schemas(out) == []
