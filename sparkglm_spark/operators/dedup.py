@@ -964,3 +964,132 @@ def exact_dedup_incremental(
     batch_drop = _dedup_drop_list(new_df, fp, key_col)
     drop = seen.unionByName(batch_drop)
     return _drop_keys(new_df, drop, key_col, broadcast_drop_list)
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dup: new batch vs a persisted MinHash index
+# ---------------------------------------------------------------------------
+
+
+def minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 128,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig: array<long>) — the persisted near-dup index side of
+    `minhash_match_pairs`: one compact signature row per document,
+    ~8·num_perm bytes, writable to parquet and reusable across ingest
+    batches (the `content_fingerprints` pattern, lifted to NEAR-dup). The
+    index stores signatures only — never shingles or text — so its size is
+    O(docs · num_perm), independent of document length."""
+    sh = shingles(df, id_col, text_col, n=n)
+    sig = minhash_signatures(sh, num_perm=num_perm, seed=seed)
+    return sig.select(
+        "id", F.array(*[F.col(f"mh_{i}") for i in range(num_perm)]).alias("sig")
+    )
+
+
+def _band_buckets(sig: DataFrame, num_perm: int, bands: int) -> DataFrame:
+    """(id, band, bucket) from an array-signature table — 16-byte bucket
+    keys, the same banding arithmetic as `minhash_lsh_candidates`."""
+    r = num_perm // bands
+    bb = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.xxhash64(F.slice("sig", bi * r + 1, r)).alias("bucket"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    return sig.select("id", F.explode(bb).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def minhash_match_pairs(
+    new_index: DataFrame,
+    known_index: DataFrame,
+    threshold: float = 0.8,
+    num_perm: int = 128,
+    bands: int = 32,
+) -> DataFrame:
+    """Near-dup matches between a NEW batch and an EXISTING corpus, from
+    their `minhash_index` tables alone — the daily-ingest twin of
+    `minhash_dedup_pairs` that never re-touches the reference corpus.
+    Returns (id_new, id_known, est_jaccard).
+
+    Verification is the SIGNATURE-ESTIMATED Jaccard (matching components
+    / num_perm): unbiased, std ≈ √(j(1−j)/num_perm) — 0.035 at j=0.8 with
+    128 perms; est = 1.0 iff the signatures agree on every permutation,
+    which pins identical shingle sets with error ~j^num_perm ≈ 0. This is
+    APPROXIMATE by contract (the index holds no shingles to verify
+    exactly); batch-mode `minhash_dedup_pairs` remains the exact path.
+
+    Plan: band-bucket equi-join over (id, band, bucket) projections —
+    16-byte keys, candidate pairs dedup'd BEFORE the signatures are
+    fetched, so the ~8·num_perm-byte sig rows enter only the two final
+    id-equi joins, never the banded fan-out."""
+    cand = (
+        _band_buckets(new_index, num_perm, bands)
+        .withColumnsRenamed({"id": "id_new"})
+        .join(
+            _band_buckets(known_index, num_perm, bands).withColumnsRenamed(
+                {"id": "id_known"}
+            ),
+            ["band", "bucket"],
+        )
+        .select("id_new", "id_known")
+        .distinct()
+    )
+    a = new_index.select(F.col("id").alias("id_new"), F.col("sig").alias("__sa"))
+    b = known_index.select(
+        F.col("id").alias("id_known"), F.col("sig").alias("__sb")
+    )
+    matches = F.size(
+        F.filter(F.zip_with("__sa", "__sb", lambda x, y: x == y), lambda v: v)
+    )
+    return (
+        cand.join(a, "id_new")
+        .join(b, "id_known")
+        .withColumn("est_jaccard", matches / F.lit(float(num_perm)))
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_new", "id_known", "est_jaccard")
+    )
+
+
+def minhash_dedup_against(
+    new_df: DataFrame,
+    known_index: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    n: int = 3,
+    num_perm: int = 128,
+    bands: int = 32,
+    seed: int = 42,
+    broadcast_drop_list: bool = True,
+) -> DataFrame:
+    """The surviving rows of a NEW batch after near-dup matching against an
+    existing corpus's `minhash_index` — the ingest gate: a new doc is
+    dropped iff some already-indexed doc matches it at est_jaccard ≥
+    threshold. Within-batch near-dups are NOT resolved here (run
+    `minhash_dedup_pairs` on the survivors if the batch itself needs it);
+    `n`/`num_perm`/`seed` must equal the index's build parameters or the
+    signatures are incomparable — there is no in-band way to detect a
+    mismatch, so treat them as part of the index's schema.
+
+    The batch text never shuffles: its signatures are built by the same
+    partial-aggregated groupBy as the index's, matching ships ids only,
+    and removal is a broadcast anti-join of matched ids."""
+    new_index = minhash_index(
+        new_df, id_col, text_col, n=n, num_perm=num_perm, seed=seed
+    )
+    hits = minhash_match_pairs(
+        new_index, known_index, threshold=threshold, num_perm=num_perm, bands=bands
+    )
+    drop = hits.select(F.col("id_new").alias(id_col)).distinct()
+    return _drop_keys(new_df, drop, id_col, broadcast_drop_list)

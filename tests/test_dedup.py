@@ -425,3 +425,112 @@ def test_exact_dedup_incremental_matches_python(spark):
         b2, idx, "text", "doc_id", broadcast_drop_list=False
     )
     assert sorted(r["doc_id"] for r in nb.collect()) == got
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dup (minhash index)
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_index_round_trips_signatures(documents):
+    idx = D.minhash_index(documents, "doc_id", "text")
+    rows = idx.limit(5).collect()
+    assert all(len(r["sig"]) == 128 for r in rows)
+    # deterministic: rebuilding yields identical signatures
+    again = {r["id"]: r["sig"] for r in D.minhash_index(
+        documents, "doc_id", "text").collect()}
+    for r in idx.collect():
+        assert again[r["id"]] == r["sig"]
+
+
+def test_minhash_match_pairs_recall_and_precision(documents):
+    """Cross-matching odd-id docs against an even-id index at threshold 1:
+    identical shingle sets agree on every permutation, so est = 1 pairs
+    must COVER all cross-parity set-equal pairs (recall 1, deterministic).
+    est = 1 does NOT imply set equality — a j≈0.99 pair agrees on all 128
+    mins with probability j^128 ≈ 0.28, and this small-vocab corpus has
+    such pairs — so precision is asserted as exact Jaccard ≥ 0.95 for
+    every emitted pair, not set identity."""
+    ref = documents.where(F.col("doc_id") % 2 == 0)
+    new = documents.where(F.col("doc_id") % 2 == 1)
+    idx = D.minhash_index(ref, "doc_id", "text")
+    new_idx = D.minhash_index(new, "doc_id", "text")
+    got = {
+        (r["id_new"], r["id_known"])
+        for r in D.minhash_match_pairs(new_idx, idx, threshold=1.0).collect()
+    }
+    sets = {
+        r["doc_id"]: frozenset(
+            r["text"].lower()[i : i + 3] for i in range(len(r["text"]) - 2)
+        )
+        for r in documents.select("doc_id", "text").collect()
+        if r["text"] and len(r["text"]) >= 3
+    }
+    expect = {
+        (i, j)
+        for i in sets
+        for j in sets
+        if i % 2 == 1 and j % 2 == 0 and sets[i] == sets[j]
+    }
+    # recall: every set-equal cross pair is found (vacuous at SFs where
+    # the planted duplicates never span the parity split — got > 0 still
+    # proves the near-identical pairs surface)
+    assert got >= expect and len(got) > 0
+    for i, j in got:
+        jac = len(sets[i] & sets[j]) / len(sets[i] | sets[j])
+        assert jac >= 0.95, (i, j, jac)
+
+
+def test_minhash_dedup_against_drops_matched_new_docs(documents):
+    ref = documents.where(F.col("doc_id") % 2 == 0)
+    new = documents.where(F.col("doc_id") % 2 == 1)
+    idx = D.minhash_index(ref, "doc_id", "text")
+    hits = D.minhash_match_pairs(
+        D.minhash_index(new, "doc_id", "text"), idx, threshold=1.0
+    )
+    matched = {r["id_new"] for r in hits.collect()}
+    kept = {
+        r["doc_id"]
+        for r in D.minhash_dedup_against(
+            new, idx, "doc_id", "text", threshold=1.0
+        ).collect()
+    }
+    all_new = {r["doc_id"] for r in new.select("doc_id").collect()}
+    assert kept == all_new - matched and matched
+
+
+def test_minhash_match_est_jaccard_tracks_exact(spark):
+    """Estimator sanity on non-identical near-dups: est within 4σ of the
+    exact Jaccard for a pair sharing most shingles."""
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    variant = base[:-10] + " extra tail"
+    df = spark.createDataFrame(
+        [(1, base), (2, variant)], "doc_id long, text string"
+    )
+    idx1 = D.minhash_index(df.where("doc_id = 1"), "doc_id", "text")
+    idx2 = D.minhash_index(df.where("doc_id = 2"), "doc_id", "text")
+    got = D.minhash_match_pairs(idx2, idx1, threshold=0.0, bands=32).collect()
+    assert len(got) == 1
+    s1 = {base.lower()[i : i + 3] for i in range(len(base) - 2)}
+    s2 = {variant.lower()[i : i + 3] for i in range(len(variant) - 2)}
+    exact = len(s1 & s2) / len(s1 | s2)
+    sigma = (exact * (1 - exact) / 128) ** 0.5
+    assert abs(got[0]["est_jaccard"] - exact) <= 4 * sigma + 1e-9
+
+
+def test_minhash_match_pairs_never_joins_signatures_through_bands(documents):
+    """The banded fan-out must carry (id, band, bucket) only — the
+    ~1KB signature arrays enter the two final id-equi joins, not the
+    exploded candidate join."""
+    from sparkglm_spark.plans.inspect import exchange_schemas
+
+    ref = documents.where(F.col("doc_id") % 2 == 0)
+    new = documents.where(F.col("doc_id") % 2 == 1)
+    out = D.minhash_match_pairs(
+        D.minhash_index(new, "doc_id", "text"),
+        D.minhash_index(ref, "doc_id", "text"),
+        threshold=0.9,
+    )
+    for ex in exchange_schemas(out):
+        if "band" in ex["columns"] or "bucket" in ex["columns"]:
+            assert "sig" not in ex["columns"] and "__sa" not in ex["columns"]
