@@ -1268,10 +1268,12 @@ WHERE list_dot_product(a.v, b.v)
 
 
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact inverted-index n-gram Jaccard AND MinHash-LSH near-dup in one
-    result (method column). With (128, 32) banding P(miss at j≥0.8) ≈ 5e-8,
-    so the minhash rows equal the exact rows and one exact SQL oracle
-    covers both paths."""
+    """Exact inverted-index n-gram Jaccard AND MinHash-LSH near-dup AND the
+    batch-vs-index incremental matcher in one result (method column). With
+    (128, 32) banding P(miss at j≥0.8) ≈ 5e-8, so the minhash rows equal
+    the exact rows and one exact SQL oracle covers both batch paths; the
+    incremental rows carry their own signature-replaying oracle
+    (q_dedup_incremental)."""
     docs = read_table(spark, sf_dir, "documents")
     from sparkglm_spark.operators.dedup import jaccard_pairs, minhash_dedup_pairs
 
@@ -1282,11 +1284,96 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", n=3, threshold=0.8, max_docs_per_shingle=None
     )
     m = minhash_dedup_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    # r6: the batch-vs-index arm (portable signatures; see
+    # q_dedup_incremental for the estimator/banding contract it pins)
+    inc = q_dedup_incremental(spark, sf_dir).withColumn(
+        "method", F.lit("incremental")
+    )
     return (
         j.withColumn("method", F.lit("exact"))
         .unionByName(m.withColumn("method", F.lit("minhash")))
         .select("method", "id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .unionByName(inc.select("method", "id_a", "id_b", "jaccard"))
     )
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-index near-dup matching (operators/dedup.py::minhash_index
+    + minhash_match_pairs) in the ORACLE mode: hash_fn='portable' swaps
+    xxhash64 for the char-polynomial shingle hash, making every signature
+    component — and hence the est_jaccard and the band-collision set —
+    reproducible in plain SQL. Odd-id docs are the new batch, even-id docs
+    the persisted index; a pair surfaces iff some band's 4 consecutive
+    components all agree (the LSH candidate condition, mirrored by the
+    oracle as slice equality — xxhash64 bucket collisions between unequal
+    slices are the 2⁻⁶⁴ caveat) AND the component-match fraction is ≥
+    0.8."""
+    docs = read_table(spark, sf_dir, "documents")
+    from sparkglm_spark.operators.dedup import minhash_index, minhash_match_pairs
+
+    ref = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    idx = minhash_index(ref, "doc_id", "text", hash_fn="portable")
+    nidx = minhash_index(new, "doc_id", "text", hash_fn="portable")
+    out = minhash_match_pairs(nidx, idx, threshold=0.8)
+    return out.select(
+        F.col("id_new").alias("id_a"),
+        F.col("id_known").alias("id_b"),
+        F.round("est_jaccard", 6).alias("jaccard"),
+    )
+
+
+def _sql_dedup_incremental() -> str:
+    from sparkglm_spark.operators.dedup import (
+        _MERSENNE_P,
+        _SIMHASH_M,
+        _SIMHASH_P,
+        _SIMHASH_SEED,
+        _perm_params,
+    )
+
+    a, b = _perm_params(128, 42)
+    perms = ",\n    ".join(
+        f"({i}, CAST({a[i]} AS BIGINT), CAST({b[i]} AS BIGINT))" for i in range(128)
+    )
+    # flat list-lambda forms: an explicit 128-term +/OR chain exceeds
+    # DuckDB's binder recursion limit (max depth 128)
+    est = "len(list_filter(range(1, 129), i -> n.s[i] = r.s[i]))"
+    band = (
+        "len(list_filter(range(0, 32), b -> "
+        "n.s[b*4+1] = r.s[b*4+1] AND n.s[b*4+2] = r.s[b*4+2] AND "
+        "n.s[b*4+3] = r.s[b*4+3] AND n.s[b*4+4] = r.s[b*4+4])) > 0"
+    )
+    return rf"""
+WITH sh AS (
+  SELECT doc_id,
+         unnest(list_distinct([substring(lower(text), i, 3)
+                               FOR i IN range(1, length(text) - 1)])) AS shingle
+  FROM documents),
+hh AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(CAST({_SIMHASH_SEED[0]} AS BIGINT),
+             [CAST(ord(ch) AS BIGINT) FOR ch IN split(shingle, '')]),
+             (a, b) -> (a * {_SIMHASH_M[0]} + b) % {_SIMHASH_P}) AS h
+  FROM sh),
+sigc AS (
+  SELECT doc_id, p.i, min((h * p.a + p.b) % {_MERSENNE_P}) AS mh
+  FROM hh CROSS JOIN (VALUES
+    {perms}) AS p(i, a, b)
+  GROUP BY doc_id, p.i),
+sig AS (
+  SELECT doc_id, list(mh ORDER BY i) AS s FROM sigc GROUP BY doc_id),
+scored AS (
+  SELECT n.doc_id AS id_a, r.doc_id AS id_b,
+         ({est}) / 128.0 AS est,
+         ({band}) AS banded
+  FROM sig n JOIN sig r ON n.doc_id % 2 = 1 AND r.doc_id % 2 = 0)
+SELECT id_a, id_b, ROUND(est, 6) AS jaccard
+FROM scored WHERE banded AND est >= 0.8
+"""
+
+
+SQL_DEDUP_INCREMENTAL = _sql_dedup_incremental()
 
 
 SQL_DEDUP_JACCARD = """
@@ -1309,6 +1396,14 @@ SELECT 'exact' AS method, id_a, id_b, jaccard FROM jac
 UNION ALL
 SELECT 'minhash', id_a, id_b, jaccard FROM jac
 """
+
+SQL_DEDUP_JACCARD = (
+    SQL_DEDUP_JACCARD
+    + f"""
+UNION ALL
+SELECT 'incremental', id_a, id_b, jaccard FROM ({SQL_DEDUP_INCREMENTAL}) inc
+"""
+)
 
 
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -345,21 +345,41 @@ def _perm_params(num_perm: int, seed: int) -> tuple[list[int], list[int]]:
     return a, b
 
 
+def _portable_shingle_hash(s: Column) -> Column:
+    """31-bit engine-portable shingle hash: the simhash char-polynomial
+    (channel-0 constants) WITHOUT the 16-bit fold — mod P = 2^31−1 keeps
+    enough range that shingle collisions stay negligible while every term
+    is reproducible in plain SQL (list_reduce over ord(ch))."""
+    return F.aggregate(
+        F.split(s, ""),
+        F.lit(_SIMHASH_SEED[0]).cast("bigint"),
+        lambda acc, ch: (acc * F.lit(_SIMHASH_M[0]) + F.ascii(ch))
+        % F.lit(_SIMHASH_P),
+    )
+
+
 def minhash_signatures(
-    sh: DataFrame, num_perm: int = 128, seed: int = 42
+    sh: DataFrame, num_perm: int = 128, seed: int = 42, hash_fn: str = "xxhash64"
 ) -> DataFrame:
     """MinHash signature per id from a (id, shingle) DataFrame: ONE groupBy
     with num_perm min-aggregations (partial agg map-side → tiny shuffle).
 
     h_i(s) = (a_i · h32(s) + b_i) mod p  (p = 2^61−1, h32 = xxhash64 folded
     to 32 bits), min over the doc's shingles. xxhash64 is Spark-builtin and
-    deterministic across runs/executors."""
+    deterministic across runs/executors. hash_fn='portable' swaps h32 for
+    the 31-bit char-polynomial hash (`_portable_shingle_hash`) — slower
+    per shingle but reproducible in plain SQL, the oracle mode (the
+    simhash convention); a_i·h stays < 2^60 either way (ANSI-safe)."""
+    if hash_fn == "portable":
+        h = _portable_shingle_hash(F.col("shingle"))
+    elif hash_fn == "xxhash64":
+        h = F.pmod(F.xxhash64(F.col("shingle")), F.lit(1 << 32))
+    else:
+        raise ValueError("hash_fn must be 'xxhash64' or 'portable'")
     a, b = _perm_params(num_perm, seed)
     # hash once per row in a projection; the num_perm aggs reuse the column
     # (inlining h32 into every agg re-hashes num_perm× per row)
-    pre = sh.select(
-        "id", F.pmod(F.xxhash64(F.col("shingle")), F.lit(1 << 32)).alias("__h32")
-    )
+    pre = sh.select("id", h.alias("__h32"))
     aggs = [
         F.min((F.col("__h32") * F.lit(a[i]) + F.lit(b[i])) % F.lit(_MERSENNE_P)).alias(
             f"mh_{i}"
@@ -978,15 +998,18 @@ def minhash_index(
     n: int = 3,
     num_perm: int = 128,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, sig: array<long>) — the persisted near-dup index side of
     `minhash_match_pairs`: one compact signature row per document,
     ~8·num_perm bytes, writable to parquet and reusable across ingest
     batches (the `content_fingerprints` pattern, lifted to NEAR-dup). The
     index stores signatures only — never shingles or text — so its size is
-    O(docs · num_perm), independent of document length."""
+    O(docs · num_perm), independent of document length. `hash_fn` follows
+    `minhash_signatures` ('portable' = SQL-reproducible signatures) and is
+    part of the index's schema: both sides of a match must agree."""
     sh = shingles(df, id_col, text_col, n=n)
-    sig = minhash_signatures(sh, num_perm=num_perm, seed=seed)
+    sig = minhash_signatures(sh, num_perm=num_perm, seed=seed, hash_fn=hash_fn)
     return sig.select(
         "id", F.array(*[F.col(f"mh_{i}") for i in range(num_perm)]).alias("sig")
     )
@@ -1071,6 +1094,7 @@ def minhash_dedup_against(
     num_perm: int = 128,
     bands: int = 32,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
     broadcast_drop_list: bool = True,
 ) -> DataFrame:
     """The surviving rows of a NEW batch after near-dup matching against an
@@ -1078,7 +1102,7 @@ def minhash_dedup_against(
     dropped iff some already-indexed doc matches it at est_jaccard ≥
     threshold. Within-batch near-dups are NOT resolved here (run
     `minhash_dedup_pairs` on the survivors if the batch itself needs it);
-    `n`/`num_perm`/`seed` must equal the index's build parameters or the
+    `n`/`num_perm`/`seed`/`hash_fn` must equal the index's build parameters or the
     signatures are incomparable — there is no in-band way to detect a
     mismatch, so treat them as part of the index's schema.
 
@@ -1086,7 +1110,7 @@ def minhash_dedup_against(
     partial-aggregated groupBy as the index's, matching ships ids only,
     and removal is a broadcast anti-join of matched ids."""
     new_index = minhash_index(
-        new_df, id_col, text_col, n=n, num_perm=num_perm, seed=seed
+        new_df, id_col, text_col, n=n, num_perm=num_perm, seed=seed, hash_fn=hash_fn
     )
     hits = minhash_match_pairs(
         new_index, known_index, threshold=threshold, num_perm=num_perm, bands=bands
