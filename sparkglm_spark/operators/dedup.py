@@ -1007,12 +1007,50 @@ def minhash_index(
     index stores signatures only — never shingles or text — so its size is
     O(docs · num_perm), independent of document length. `hash_fn` follows
     `minhash_signatures` ('portable' = SQL-reproducible signatures) and is
-    part of the index's schema: both sides of a match must agree."""
-    sh = shingles(df, id_col, text_col, n=n)
-    sig = minhash_signatures(sh, num_perm=num_perm, seed=seed, hash_fn=hash_fn)
-    return sig.select(
-        "id", F.array(*[F.col(f"mh_{i}") for i in range(num_perm)]).alias("sig")
+    part of the index's schema: both sides of a match must agree.
+
+    Plan: ZERO shuffle — a signature is a pure per-doc function, so
+    instead of the explode → 128-min-agg groupBy (whose wide aggregate
+    buffers, not the arithmetic, owned the runtime: measured 1.9 s/side
+    warm at sf0.1 vs 0.6 s for this form), the doc's shingle set is built
+    as one codegen array, hashed in the same projection, and the 128
+    permutation minima come out of a vectorized Arrow pass
+    ((shingles × perms) numpy broadcast per doc — identical integers,
+    partition-invariant). Docs with no shingles (len < n) get no row,
+    matching `minhash_signatures` over the explode."""
+    if hash_fn == "portable":
+        helem = _portable_shingle_hash
+    elif hash_fn == "xxhash64":
+        def helem(s: Column) -> Column:
+            return F.pmod(F.xxhash64(s), F.lit(1 << 32))
+    else:
+        raise ValueError("hash_fn must be 'xxhash64' or 'portable'")
+    sets = _shingle_sets(df, id_col, text_col, n)
+    pre = sets.select(
+        "id", F.transform("shingles", lambda s: helem(s)).alias("__hs")
     )
+    a, b = _perm_params(num_perm, seed)
+    a_np = np.asarray(a, dtype=np.int64)
+    b_np = np.asarray(b, dtype=np.int64)
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            sigs = []
+            for hs in pdf["__hs"]:
+                h = np.asarray(hs, dtype=np.int64)
+                # h < 2^32, a < 2^29 → h·a < 2^61; +b < 2^62: no overflow
+                sigs.append(
+                    ((h[:, None] * a_np[None, :] + b_np[None, :]) % _MERSENNE_P)
+                    .min(axis=0)
+                    .tolist()
+                )
+            if len(pdf):
+                yield pd.DataFrame({"id": pdf["id"], "sig": sigs})
+
+    return pre.mapInPandas(gen, f"id {id_type}, sig array<long>")
 
 
 def _band_buckets(sig: DataFrame, num_perm: int, bands: int) -> DataFrame:
@@ -1039,6 +1077,7 @@ def minhash_match_pairs(
     threshold: float = 0.8,
     num_perm: int = 128,
     bands: int = 32,
+    max_docs_per_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup matches between a NEW batch and an EXISTING corpus, from
     their `minhash_index` tables alone — the daily-ingest twin of
@@ -1055,16 +1094,60 @@ def minhash_match_pairs(
     Plan: band-bucket equi-join over (id, band, bucket) projections —
     16-byte keys, candidate pairs dedup'd BEFORE the signatures are
     fetched, so the ~8·num_perm-byte sig rows enter only the two final
-    id-equi joins, never the banded fan-out."""
-    cand = (
-        _band_buckets(new_index, num_perm, bands)
-        .withColumnsRenamed({"id": "id_new"})
-        .join(
-            _band_buckets(known_index, num_perm, bands).withColumnsRenamed(
-                {"id": "id_known"}
-            ),
-            ["band", "bucket"],
+    id-equi joins, never the banded fan-out.
+
+    `max_docs_per_bucket` (default None = every band collision becomes a
+    candidate) drops (band, bucket) keys holding more than the cap on
+    EITHER side before the join — the standard LSH hot-bucket cap. A
+    bucket with d docs contributes up to d² candidate pairs, and on a
+    degenerate (tiny-vocab, highly self-similar) corpus most buckets hold
+    large corpus fractions, driving the candidate join toward all-pairs —
+    the regime batch-mode `minhash_dedup_pairs` detects and routes to its
+    bitmap plan, which an index-only matcher cannot. The cap is opt-in
+    because it weakens recall (a pair whose every shared band is hot is
+    missed — on natural large-vocab corpora hot buckets are stop-gram
+    noise and the loss is negligible); capping logs a WARNING with the
+    dropped-bucket count (the `jaccard_pairs` cap contract)."""
+    # each index is consumed twice (band buckets + the final sig fetch) —
+    # and a derived index (minhash_index straight off a corpus) would
+    # otherwise re-run its whole signature aggregation per consumer.
+    # Parquet-backed indexes pay two cheap scans either way; derived ones
+    # save the dominant cost (measured on the sf0.1 headline).
+    new_index = _op_persist(new_index)
+    known_index = _op_persist(known_index)
+    bn = _band_buckets(new_index, num_perm, bands).withColumnsRenamed(
+        {"id": "id_new"}
+    )
+    bk = _band_buckets(known_index, num_perm, bands).withColumnsRenamed(
+        {"id": "id_known"}
+    )
+    if max_docs_per_bucket is not None:
+        hot = (
+            bn.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .unionByName(
+                bk.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__n"))
+            )
+            .where(F.col("__n") > max_docs_per_bucket)
+            .select("band", "bucket")
+            .distinct()
         )
+        hot = _op_persist(hot)
+        n_hot = hot.count()
+        if n_hot:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "minhash_match_pairs: dropping %d band buckets holding > %d "
+                "docs — output is approximate (pairs whose every shared "
+                "band is hot are missed)",
+                n_hot,
+                max_docs_per_bucket,
+            )
+        bn = bn.join(hot, ["band", "bucket"], "left_anti")
+        bk = bk.join(hot, ["band", "bucket"], "left_anti")
+    cand = (
+        bn.join(bk, ["band", "bucket"])
         .select("id_new", "id_known")
         .distinct()
     )
@@ -1095,6 +1178,7 @@ def minhash_dedup_against(
     bands: int = 32,
     seed: int = 42,
     hash_fn: str = "xxhash64",
+    max_docs_per_bucket: int | None = None,
     broadcast_drop_list: bool = True,
 ) -> DataFrame:
     """The surviving rows of a NEW batch after near-dup matching against an
@@ -1107,13 +1191,18 @@ def minhash_dedup_against(
     mismatch, so treat them as part of the index's schema.
 
     The batch text never shuffles: its signatures are built by the same
-    partial-aggregated groupBy as the index's, matching ships ids only,
-    and removal is a broadcast anti-join of matched ids."""
+    zero-shuffle `minhash_index` pass as the reference's, matching ships
+    ids only, and removal is a broadcast anti-join of matched ids."""
     new_index = minhash_index(
         new_df, id_col, text_col, n=n, num_perm=num_perm, seed=seed, hash_fn=hash_fn
     )
     hits = minhash_match_pairs(
-        new_index, known_index, threshold=threshold, num_perm=num_perm, bands=bands
+        new_index,
+        known_index,
+        threshold=threshold,
+        num_perm=num_perm,
+        bands=bands,
+        max_docs_per_bucket=max_docs_per_bucket,
     )
     drop = hits.select(F.col("id_new").alias(id_col)).distinct()
     return _drop_keys(new_df, drop, id_col, broadcast_drop_list)

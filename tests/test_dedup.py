@@ -534,3 +534,38 @@ def test_minhash_match_pairs_never_joins_signatures_through_bands(documents):
     for ex in exchange_schemas(out):
         if "band" in ex["columns"] or "bucket" in ex["columns"]:
             assert "sig" not in ex["columns"] and "__sa" not in ex["columns"]
+
+
+def test_minhash_match_hot_bucket_cap(spark, caplog):
+    """The cap drops hot buckets (WARNING) but keeps pairs whose buckets
+    stay cold: 30 identical stop-gram docs per side flood their buckets
+    past the cap, while one unique near-identical pair survives."""
+    import logging
+
+    hot_text = "xyzxyzxyzxyzxyzxyz"
+    uniq = "the unique sentinel document about spark clusters and parquet"
+    ref = spark.createDataFrame(
+        [(2 * i, hot_text) for i in range(30)] + [(998, uniq)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(2 * i + 1, hot_text) for i in range(30)] + [(999, uniq)],
+        "doc_id long, text string",
+    )
+    idx = D.minhash_index(ref, "doc_id", "text")
+    nidx = D.minhash_index(new, "doc_id", "text")
+    with caplog.at_level(logging.WARNING):
+        capped = {
+            (r["id_new"], r["id_known"])
+            for r in D.minhash_match_pairs(
+                nidx, idx, threshold=1.0, max_docs_per_bucket=5
+            ).collect()
+        }
+    assert any("band buckets" in r.message for r in caplog.records)
+    assert capped == {(999, 998)}  # hot-doc pairs capped away, cold pair kept
+    # uncapped finds the hot pairs too
+    full = {
+        (r["id_new"], r["id_known"])
+        for r in D.minhash_match_pairs(nidx, idx, threshold=1.0).collect()
+    }
+    assert (999, 998) in full and len(full) == 30 * 30 + 1
