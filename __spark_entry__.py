@@ -1644,37 +1644,112 @@ GROUP BY user_id, sess_id
 
 
 def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Typed JSON extraction from the `props` payload column (from_json
-    with an explicit schema — JVM-side parsing, codegen-friendly; the
-    reference has no JSON functions, SURVEY §2.8) aggregated per event
-    type."""
+    """Event-analytics union row-set, normalized onto (op, k, a, b, x):
+
+    - json rows — typed JSON extraction from the `props` payload
+      (from_json with an explicit schema — JVM-side parsing,
+      codegen-friendly; the reference has no JSON functions, SURVEY §2.8)
+      aggregated per event type; a=n_events, b=sum_k, x=avg_k, plus
+      json_minmax rows carrying a=min_k, b=max_k.
+    - funnel rows (r6, operators/funnel.py::funnel_counts) — users
+      completing each prefix of view→click→purchase under strict-order
+      semantics; a=step_idx, b=n_users.
+    - retention rows (r6, operators/funnel.py::retention_cohorts) —
+      weekly cohort sizes by offset; k=cohort week, a=offset, b=n_users.
+    """
     ev = read_table(spark, sf_dir, "events")
     parsed = ev.withColumn(
         "k", F.from_json(F.col("props"), "k BIGINT").getField("k")
     )
+    js = parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").alias("sum_k"),
+        F.round(F.avg("k"), 6).alias("avg_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+    null_x = F.lit(None).cast("double")
+    json_rows = js.select(
+        F.lit("json").alias("op"),
+        F.col("event_type").alias("k"),
+        F.col("n_events").cast("bigint").alias("a"),
+        F.col("sum_k").cast("bigint").alias("b"),
+        F.col("avg_k").alias("x"),
+    )
+    minmax_rows = js.select(
+        F.lit("json_minmax").alias("op"),
+        F.col("event_type").alias("k"),
+        F.col("min_k").cast("bigint").alias("a"),
+        F.col("max_k").cast("bigint").alias("b"),
+        null_x.alias("x"),
+    )
+    from sparkglm_spark.operators.funnel import funnel_counts, retention_cohorts
+
+    fun = funnel_counts(ev, ["view", "click", "purchase"]).select(
+        F.lit("funnel").alias("op"),
+        F.col("step").alias("k"),
+        F.col("step_idx").cast("bigint").alias("a"),
+        F.col("n_users").cast("bigint").alias("b"),
+        null_x.alias("x"),
+    )
+    ret = retention_cohorts(ev, unit="week").select(
+        F.lit("retention").alias("op"),
+        F.col("cohort").cast("string").alias("k"),
+        F.col("offset").cast("bigint").alias("a"),
+        F.col("n_users").cast("bigint").alias("b"),
+        null_x.alias("x"),
+    )
     return (
-        parsed.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum("k").alias("sum_k"),
-            F.round(F.avg("k"), 6).alias("avg_k"),
-            F.min("k").alias("min_k"),
-            F.max("k").alias("max_k"),
-        )
-        .orderBy("event_type")
+        json_rows.unionByName(minmax_rows).unionByName(fun).unionByName(ret)
     )
 
 
 SQL_EVENTS_JSON_PROPS = """
-SELECT event_type,
-       count(*) AS n_events,
-       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-       ROUND(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 6) AS avg_k,
-       min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
-       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
-FROM events
-GROUP BY event_type
-ORDER BY event_type
+WITH js AS (
+  SELECT event_type,
+         count(*) AS n_events,
+         CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+         ROUND(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 6) AS avg_k,
+         min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+         max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+  FROM events GROUP BY event_type),
+s1 AS (
+  SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view'
+  GROUP BY user_id),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id),
+act AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS p
+  FROM events),
+coh AS (SELECT user_id, min(p) AS cohort FROM act GROUP BY user_id),
+ret AS (
+  SELECT c.cohort,
+         CAST(datediff('day', c.cohort, a.p) / 7 AS BIGINT) AS "offset",
+         count(*) AS n_users
+  FROM act a JOIN coh c ON a.user_id = c.user_id
+  GROUP BY 1, 2)
+SELECT 'json' AS op, event_type AS k, n_events AS a, sum_k AS b, avg_k AS x
+FROM js
+UNION ALL
+SELECT 'json_minmax', event_type, min_k, max_k, CAST(NULL AS DOUBLE) FROM js
+UNION ALL
+SELECT 'funnel', s.step, s.idx, s.n, CAST(NULL AS DOUBLE)
+FROM (
+  SELECT 'view' AS step, CAST(1 AS BIGINT) AS idx,
+         CAST((SELECT count(*) FROM s1) AS BIGINT) AS n
+  UNION ALL
+  SELECT 'click', 2, CAST((SELECT count(*) FROM s2) AS BIGINT)
+  UNION ALL
+  SELECT 'purchase', 3, CAST((SELECT count(*) FROM s3) AS BIGINT)
+) s
+UNION ALL
+SELECT 'retention', CAST(cohort AS VARCHAR), "offset",
+       CAST(n_users AS BIGINT), CAST(NULL AS DOUBLE)
+FROM ret
 """
 
 

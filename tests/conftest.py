@@ -54,6 +54,11 @@ def embeddings(spark, sf_dir):
 
 
 @pytest.fixture(scope="session")
+def events(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+@pytest.fixture(scope="session")
 def iris_df(spark):
     """F6 iris fixture (FIXTURES.md): deterministic synthetic stand-in with
     the same schema/levels — 150 rows, 3 species."""
