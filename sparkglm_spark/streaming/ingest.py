@@ -75,6 +75,7 @@ def dedup_ingest_batch(
     accepted_path: str,
     text_col: str = "text",
     key_col: str = "doc_id",
+    prepare=None,
 ) -> None:
     """Process ONE micro-batch: drop rows whose content fingerprint is in
     the index or repeated within the batch (min-key winner survives),
@@ -82,13 +83,26 @@ def dedup_ingest_batch(
     to `index_path/batch_id=N` — both with overwrite, so a Structured
     Streaming retry of the same batch_id replaces rather than duplicates.
     Usable directly for a batch backfill loop too (it is a plain
-    DataFrame function — nothing streaming-specific inside)."""
+    DataFrame function — nothing streaming-specific inside).
+
+    `prepare` (optional, DataFrame → DataFrame) is the curation hook, run
+    BEFORE dedup so fingerprints see the curated text (normalize-then-
+    dedup is the pipeline standard — whitespace/punctuation variants of
+    one document must collide): e.g.
+    `lambda b: gopher_quality_filter(normalize_text(b).drop("n_chars_removed"))`.
+    It MUST be a pure per-row map/filter — deterministic, no cross-batch
+    state, no aggregation over the batch — or the store's
+    order-invariance guarantee (and retry idempotence) no longer holds;
+    batch-global curation belongs in a batch pass over the accepted
+    store."""
     from sparkglm_spark.operators.dedup import (
         content_fingerprints,
         exact_dedup_hashed,
         exact_dedup_incremental,
     )
 
+    if prepare is not None:
+        batch = prepare(batch)
     spark = batch.sparkSession
     known = _read_index(spark, index_path, exclude_batch_id=int(batch_id))
     if known is None:
@@ -117,6 +131,7 @@ def dedup_ingest_writer(
     accepted_path: str,
     text_col: str = "text",
     key_col: str = "doc_id",
+    prepare=None,
 ) -> "pyspark.sql.streaming.DataStreamWriter":  # noqa: F821 (doc type)
     """`foreachBatch` writer running `dedup_ingest_batch` per micro-batch.
     The caller picks trigger/checkpoint and calls `.start()`:
@@ -128,7 +143,9 @@ def dedup_ingest_writer(
     End state: `accepted_path` holds exactly one copy of every distinct
     content (first-arriving batch wins; min key within a batch), and
     `index_path` holds its fingerprint — the same invariant the batch
-    `exact_dedup_incremental` composition test pins, order-invariantly."""
+    `exact_dedup_incremental` composition test pins, order-invariantly.
+    `prepare` is the per-row curation hook documented on
+    `dedup_ingest_batch` (normalize/gate/redact before dedup)."""
     if not stream.isStreaming:
         raise TypeError(
             "dedup_ingest_writer needs a streaming DataFrame (readStream); "
@@ -138,7 +155,8 @@ def dedup_ingest_writer(
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         dedup_ingest_batch(
-            batch, batch_id, index_path, accepted_path, text_col, key_col
+            batch, batch_id, index_path, accepted_path, text_col, key_col,
+            prepare=prepare,
         )
 
     return stream.writeStream.foreachBatch(_process)

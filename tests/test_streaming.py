@@ -436,3 +436,35 @@ def test_dedup_ingest_writer_requires_streaming_df(spark):
     batch_df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(TypeError, match="streaming DataFrame"):
         dedup_ingest_writer(batch_df, "/tmp/i", "/tmp/a")
+
+
+def test_dedup_ingest_prepare_hook_curates_before_dedup(spark, tmp_path):
+    """The curation hook runs BEFORE fingerprinting: whitespace variants of
+    one document must collide post-normalization, and gated rows must
+    never reach the store — across batches."""
+    from sparkglm_spark.operators.text import normalize_text
+    from sparkglm_spark.streaming.ingest import dedup_ingest_batch
+
+    idx, acc = str(tmp_path / "idx"), str(tmp_path / "acc")
+
+    def prep(b):
+        # normalize, drop the audit column (schema stability across
+        # batches), and gate out short junk
+        out = normalize_text(b).drop("n_chars_removed")
+        return out.where(F.length("text") >= 10)
+
+    b0 = spark.createDataFrame(
+        [(1, "hello   world document one"), (2, "x")],  # 2 gated out
+        "doc_id long, text string",
+    )
+    # doc 3 is a whitespace/quote variant of doc 1 → same normalized text
+    b1 = spark.createDataFrame(
+        [(3, "hello \t world   document one"), (4, "another “doc” here")],
+        "doc_id long, text string",
+    )
+    dedup_ingest_batch(b0, 0, idx, acc, prepare=prep)
+    dedup_ingest_batch(b1, 1, idx, acc, prepare=prep)
+    rows = {r["doc_id"]: r["text"] for r in spark.read.parquet(acc).collect()}
+    assert set(rows) == {1, 4}  # 2 gated, 3 deduped against normalized 1
+    assert rows[1] == "hello world document one"
+    assert rows[4] == 'another "doc" here'
