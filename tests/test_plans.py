@@ -417,3 +417,57 @@ def test_unigram_scores_partial_agg_no_window(spark, documents):
     assert "Window" not in plan
     assert "partial_" in plan  # map-side combine before the exchanges
     assert_no_columns_in_exchanges(out, ["text"])
+
+
+def test_semantic_dedup_exchange_carries_only_cluster_rows(spark, embeddings):
+    """semantic_dedup_pairs has exactly ONE keyed exchange — the hash on
+    cluster feeding the per-cluster gram — and it carries (cluster, id,
+    unit) bounded-width rows, never the raw embedding column."""
+    import numpy as np
+
+    from sparkglm_spark.operators.similarity import semantic_dedup_pairs
+    from sparkglm_spark.plans.inspect import exchange_schemas
+
+    C = np.random.default_rng(0).normal(size=(4, 64))
+    out = semantic_dedup_pairs(embeddings, centroids=C, threshold=0.5)
+    keyed = exchange_schemas(out, skip_round_robin=True)
+    assert len(keyed) == 1
+    assert "embedding" not in keyed[0]["columns"]
+    assert {"cluster", "id", "unit"} <= set(keyed[0]["columns"])
+
+
+def test_funnel_and_retention_never_shuffle_payload(spark, events):
+    """Funnel/retention exchanges carry only the pruned (user, ts/period
+    [, type]) projections — props/value never move, and the scan is
+    filtered to the step types (funnel) before any exchange."""
+    from sparkglm_spark.operators.funnel import funnel_counts, retention_cohorts
+    from sparkglm_spark.plans.inspect import (
+        assert_no_columns_in_exchanges,
+        formatted_plan,
+    )
+
+    fun = funnel_counts(events, ["view", "click", "purchase"])
+    assert_no_columns_in_exchanges(fun, ["props", "value", "event_id"])
+    assert "PushedFilters" in formatted_plan(fun)
+    ret = retention_cohorts(events)
+    assert_no_columns_in_exchanges(ret, ["props", "value", "event_id", "event_type"])
+
+
+def test_normalize_text_pushes_column_pruning(spark, sf_dir):
+    """normalize_text over a projected subset reads only the needed
+    columns at the scan (ReadSchema pruning) — the zero-shuffle projection
+    composes with pushdown."""
+    import os
+
+    from sparkglm_spark.operators.text import normalize_text
+    from sparkglm_spark.plans.inspect import formatted_plan
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    # pre-fan-out so ensure_parallel no-ops (its localCheckpoint barrier
+    # would otherwise hide the scan behind an ExistingRDD at tiny SF —
+    # at real scale the barrier doesn't exist at all)
+    out = normalize_text(docs.repartition(8).select("doc_id", "text"))
+    plan = formatted_plan(out)
+    scan_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan_schema and "n_chars" not in scan_schema[0]
+    assert "text" in scan_schema[0]
