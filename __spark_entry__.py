@@ -2077,13 +2077,31 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     A~B, B~C clusters {A,B,C} even when A≁C directly. The pair graph is
     the MinHash output at threshold 0.8, which equals the exact Jaccard
     pair set on this corpus (see q_dedup_jaccard), so the oracle can
-    rebuild the same edges and close them with a recursive CTE."""
+    rebuild the same edges and close them with a recursive CTE.
+
+    r6: `kept_quality` marks the QUALITY-AWARE keeper
+    (operators/cluster.py::keep_best_per_cluster — longest text wins,
+    ties → smallest id), pinning the policy real pipelines use instead
+    of min-id when members aren't byte-identical."""
     docs = read_table(spark, sf_dir, "documents")
-    from sparkglm_spark.operators.cluster import near_dup_clusters
+    from sparkglm_spark.operators.cluster import (
+        keep_best_per_cluster,
+        near_dup_clusters,
+    )
     from sparkglm_spark.operators.dedup import minhash_dedup_pairs
 
     pairs = minhash_dedup_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
-    return near_dup_clusters(docs, pairs, "doc_id")
+    clusters = near_dup_clusters(docs, pairs, "doc_id")
+    kept = keep_best_per_cluster(
+        docs.withColumn("__len", F.length("text")), clusters, "__len"
+    ).select("doc_id", F.lit(True).alias("kept_quality"))
+    return clusters.join(kept, "doc_id", "left").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        "is_duplicate",
+        F.coalesce("kept_quality", F.lit(False)).alias("kept_quality"),
+    )
 
 
 SQL_DEDUP_CLUSTERS = r"""
@@ -2112,10 +2130,18 @@ comp AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u),
 assign AS (
   SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
   FROM documents d LEFT JOIN comp c USING (doc_id)),
-szs AS (SELECT cluster_id, count(*) AS cluster_size FROM assign GROUP BY cluster_id)
+szs AS (SELECT cluster_id, count(*) AS cluster_size FROM assign GROUP BY cluster_id),
+best AS (
+  SELECT a.doc_id,
+         row_number() OVER (
+           PARTITION BY a.cluster_id
+           ORDER BY length(d.text) DESC, a.doc_id ASC
+         ) AS rn
+  FROM assign a JOIN documents d USING (doc_id))
 SELECT a.doc_id, a.cluster_id, s.cluster_size,
-       a.doc_id <> a.cluster_id AS is_duplicate
-FROM assign a JOIN szs s USING (cluster_id)
+       a.doc_id <> a.cluster_id AS is_duplicate,
+       b.rn = 1 AS kept_quality
+FROM assign a JOIN szs s USING (cluster_id) JOIN best b USING (doc_id)
 """
 
 

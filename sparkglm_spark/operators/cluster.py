@@ -237,3 +237,43 @@ def near_dup_clusters(
             (F.col(id_col) != F.col("cluster_id")).alias("is_duplicate"),
         )
     )
+
+
+def keep_best_per_cluster(
+    docs: DataFrame,
+    clusters: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    descending: bool = True,
+    broadcast_drop_list: bool = True,
+) -> DataFrame:
+    """Quality-aware keeper selection: of each near-dup cluster keep the
+    row with the best `score_col` (highest by default; ties → smallest
+    id), not the smallest id — real pipelines keep the LONGEST or
+    highest-quality member of a duplicate cluster, and min-id is only the
+    right policy when members are byte-identical. `clusters` is a
+    (id_col, cluster_id) assignment — `near_dup_clusters` output, or the
+    `semantic_dedup_pairs` cluster column joined to ids.
+
+    Plan (the cap_per_group idiom with cap 1): the rank runs over a
+    NARROW (cluster_id, id, score) projection — one join on id + one rank
+    exchange of ~24-byte rows; losers (every non-winner of a multi-member
+    cluster, i.e. exactly the duplicate count) come back as a broadcast
+    anti-join, so document content never moves. Rows of `docs` absent
+    from `clusters` are kept (no cluster → nothing to lose to)."""
+    from pyspark.sql import Window
+
+    score = (
+        F.col("__s").desc() if descending else F.col("__s").asc()
+    )
+    proj = docs.select(
+        F.col(id_col), F.col(score_col).alias("__s")
+    ).join(clusters.select(id_col, "cluster_id"), id_col)
+    w = Window.partitionBy("cluster_id").orderBy(score, F.col(id_col).asc())
+    losers = (
+        proj.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") > 1)
+        .select(id_col)
+    )
+    side = F.broadcast(losers) if broadcast_drop_list else losers
+    return docs.join(side, id_col, "left_anti")

@@ -154,3 +154,39 @@ def test_driver_and_distributed_paths_agree(spark):
         for r in connected_components(e, nodes=nodes, driver_max_edges=0).collect()
     }
     assert fast == loop and len(fast) == 80
+
+
+def test_keep_best_per_cluster(spark):
+    from sparkglm_spark.operators.cluster import (
+        keep_best_per_cluster,
+        near_dup_clusters,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, 10.0),  # cluster {1,2,3}: 3 wins on score
+            (2, 30.0),  # tie with 3 → smaller id wins
+            (3, 30.0),
+            (4, 5.0),   # singleton
+            (5, 1.0),   # cluster {5,6}: 5 loses
+            (6, 2.0),
+            (7, 9.9),   # not in `clusters` at all → kept
+        ],
+        "doc_id long, quality double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    clusters = near_dup_clusters(docs.where("doc_id < 7"), pairs)
+    kept = keep_best_per_cluster(docs, clusters, "quality")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2, 4, 6, 7]
+    # ascending (keep the SMALLEST score)
+    low = keep_best_per_cluster(docs, clusters, "quality", descending=False)
+    assert sorted(r["doc_id"] for r in low.collect()) == [1, 4, 5, 7]
+    # content never enters an exchange
+    from sparkglm_spark.plans.inspect import assert_no_columns_in_exchanges
+
+    docs_txt = docs.withColumn("text", F.concat(F.lit("t"), "doc_id"))
+    assert_no_columns_in_exchanges(
+        keep_best_per_cluster(docs_txt, clusters, "quality"), ["text"]
+    )
