@@ -660,24 +660,42 @@ def _allpairs_by_bitmap_from_sets(
         import pandas as pd
 
         for pdf in batches:
-            ids, szs, bms = [], [], []
-            for doc_id, ss in zip(pdf["id"], pdf["shingles"]):
-                words = [0] * L
-                for s in ss:
-                    i = index.get(s)
-                    if i is None:
-                        raise ValueError(
-                            "shingle absent from the planner's vocab scan — "
-                            "the input DataFrame changed between evaluations "
-                            "(nondeterministic source?); persist it first"
-                        )
-                    words[i >> 6] |= 1 << (i & 63)
-                ids.append(doc_id)
-                szs.append(len(ss))
-                # numpy int64 is signed: fold bit 63 into the sign bit
-                bms.append([w - (1 << 64) if w >= (1 << 63) else w for w in words])
-            if ids:  # an empty frame's bm column loses its list dtype
-                yield pd.DataFrame({"id": ids, "sz": szs, "bm": bms})
+            if not len(pdf):
+                continue
+            # vectorized across the whole batch: one flat Series.map for
+            # the vocab lookup (C-level hash probes) + one bitwise_or.at
+            # scatter — the per-doc/per-shingle Python loop this replaces
+            # owned ~half the all-pairs stage's runtime
+            lens = pdf["shingles"].map(len).to_numpy()
+            flat = pd.Series(
+                np.concatenate([np.asarray(s, dtype=object) for s in pdf["shingles"]])
+                if lens.sum()
+                else [],
+                dtype=object,
+            )
+            codes = flat.map(index)
+            if codes.isna().any():
+                raise ValueError(
+                    "shingle absent from the planner's vocab scan — "
+                    "the input DataFrame changed between evaluations "
+                    "(nondeterministic source?); persist it first"
+                )
+            idx = codes.to_numpy(dtype=np.int64)
+            doc_of = np.repeat(np.arange(len(pdf)), lens)
+            words = np.zeros((len(pdf), L), dtype=np.uint64)
+            np.bitwise_or.at(
+                words,
+                (doc_of, idx >> 6),
+                np.uint64(1) << (idx & 63).astype(np.uint64),
+            )
+            # int64 view folds bit 63 into the sign bit (signed array<long>)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "sz": lens.astype("int32"),
+                    "bm": list(words.view(np.int64)),
+                }
+            )
 
     bm = sets.mapInPandas(to_bitmaps, f"id {id_type}, sz int, bm array<long>")
     a = bm.select(
