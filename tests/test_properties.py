@@ -221,3 +221,124 @@ def test_mixture_sample_matches_python(spark, counts, weights):
         < thresh[src]
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# normalize_text: python mirror + idempotence on arbitrary unicode
+# ---------------------------------------------------------------------------
+
+
+def py_normalize(t: str) -> str:
+    import re
+
+    table = str.maketrans("‘’“”–— ", "''\"\"-- ")
+    out = t.translate(table)
+    out = re.sub(r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "", out)
+    out = re.sub(r"[ \t]+", " ", out)
+    out = re.sub(r" *\n *", "\n", out)
+    out = re.sub(r"\n{3,}", "\n\n", out)
+    return out.strip(" ")
+
+
+messy_text = st.text(
+    alphabet=st.sampled_from(
+        list("ab \t\n\x07\x00") + ["‘", "“", "–", " ", "é"]
+    ),
+    max_size=40,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(batch=st.lists(messy_text, min_size=1, max_size=12))
+def test_normalize_text_matches_python_and_is_idempotent(spark, batch):
+    from sparkglm_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(batch)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["text"] for r in normalize_text(df).collect()}
+    for i, t in enumerate(batch):
+        want = py_normalize(t)
+        assert got[i] == want, (repr(t), repr(got[i]), repr(want))
+        assert py_normalize(want) == want  # mirror itself is idempotent
+
+
+# ---------------------------------------------------------------------------
+# cap_per_group: cap invariants + nesting under arbitrary group shapes
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    sizes=st.lists(st.integers(min_value=0, max_value=12), min_size=1, max_size=5),
+    cap=st.integers(min_value=0, max_value=8),
+)
+def test_cap_per_group_invariants(spark, sizes, cap):
+    from sparkglm_spark.operators.split import cap_per_group
+
+    rows, k = [], 0
+    for g, n in enumerate(sizes):
+        for _ in range(n):
+            rows.append((k, f"g{g}"))
+            k += 1
+    if not rows:
+        rows = [(0, "g0")]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    kept = cap_per_group(df, "grp", cap, "id").collect()
+    from collections import Counter
+
+    counts = Counter(r["grp"] for r in kept)
+    # never exceeds the cap; groups at/below the cap keep everything
+    assert all(v <= cap for v in counts.values())
+    full = Counter(g for _, g in rows)
+    for g, n in full.items():
+        assert counts.get(g, 0) == min(n, cap)
+    # nesting: the kept set at cap is a subset of the kept set at cap+1
+    bigger = {
+        r["id"] for r in cap_per_group(df, "grp", cap + 1, "id").collect()
+    }
+    assert {r["id"] for r in kept} <= bigger
+
+
+# ---------------------------------------------------------------------------
+# funnel: counts are monotone and bounded by users with any step event
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),   # user
+            st.integers(min_value=0, max_value=20),  # minute offset
+            st.sampled_from(["a", "b", "c"]),        # type
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_funnel_monotone_on_random_logs(spark, events):
+    import datetime
+
+    from sparkglm_spark.operators.funnel import funnel_counts
+
+    rows = [
+        (u, datetime.datetime(2024, 1, 1, 0, m), t) for u, m, t in events
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {r["step_idx"]: r["n_users"] for r in funnel_counts(df, ["a", "b", "c"]).collect()}
+    assert out[1] >= out[2] >= out[3] >= 0
+    # python replay, same strict-order semantics
+    by_user = {}
+    for u, m, t in events:
+        by_user.setdefault(u, []).append((m, t))
+    expect = {1: 0, 2: 0, 3: 0}
+    for evs in by_user.values():
+        prev = None
+        for i, s in enumerate(["a", "b", "c"]):
+            cand = [m for m, ty in evs if ty == s and (prev is None or m > prev)]
+            if not cand:
+                break
+            prev = min(cand)
+            expect[i + 1] += 1
+    assert out == expect
