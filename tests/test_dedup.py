@@ -569,3 +569,16 @@ def test_minhash_match_hot_bucket_cap(spark, caplog):
         for r in D.minhash_match_pairs(nidx, idx, threshold=1.0).collect()
     }
     assert (999, 998) in full and len(full) == 30 * 30 + 1
+
+
+def test_minhash_match_empty_sides(spark, documents):
+    """Empty new batch or empty index → empty matches, no errors."""
+    idx = D.minhash_index(documents, "doc_id", "text")
+    empty = D.minhash_index(documents.where("doc_id < 0"), "doc_id", "text")
+    assert D.minhash_match_pairs(empty, idx).count() == 0
+    assert D.minhash_match_pairs(idx, empty).count() == 0
+    # dedup against an empty index keeps everything
+    kept = D.minhash_dedup_against(
+        documents, empty, "doc_id", "text"
+    ).count()
+    assert kept == documents.count()
