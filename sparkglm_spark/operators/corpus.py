@@ -216,17 +216,33 @@ def corpus_summary(
     every ingest batch."""
     from sparkglm_spark.operators.dedup import _content_fp
     from sparkglm_spark.operators.pipeline import _quality_and_lang_cols
-    from sparkglm_spark.operators.text import LANG_PROFILES
+    from sparkglm_spark.operators.text import (
+        LANG_PROFILES,
+        _gopher_flag_cols,
+        normalize_text_expr,
+        text_profile,
+    )
 
     # reuse the fused projection's n_tokens (computed from the shared
     # lowered token array) instead of re-tokenizing the raw text — and
-    # project ONLY what the aggregates read (r5 review)
-    pre = _quality_and_lang_cols(ensure_parallel(docs), text_col).select(
+    # project ONLY what the aggregates read (r5 review). r6 appends two
+    # cheap curation-readiness signals to the same single pass: the
+    # default-Gopher pass flag (from the fused profile projection) and
+    # whether normalize_text would change the doc (normalization debt).
+    gopher_pass = _gopher_flag_cols({})[-1]
+    prof = text_profile(
+        ensure_parallel(docs), text_col, id_col, keep=[text_col]
+    ).select(
+        F.col(text_col), gopher_pass.alias("__gp")
+    )
+    pre = _quality_and_lang_cols(prof, text_col).select(
         F.col("n_tokens").alias("__nt"),
         F.col("n_tokens_bpe"),
         F.col("quality_score"),
         F.col("detected_lang"),
-        _content_fp(docs, [text_col]).alias("__fp"),
+        F.col("__gp"),
+        (normalize_text_expr(F.col(text_col)) != F.col(text_col)).alias("__dirty"),
+        _content_fp(prof, [text_col]).alias("__fp"),
     )
     # derived, not hardcoded: a new language in LANG_PROFILES must show up
     # here without a silent gap in the report
@@ -240,6 +256,8 @@ def corpus_summary(
             F.sum((F.col("detected_lang") == lg).cast("long")).alias(f"n_{lg}")
             for lg in langs
         ],
+        F.sum(F.col("__gp").cast("long")).alias("n_gopher_pass"),
+        F.sum(F.col("__dirty").cast("long")).alias("n_needs_normalize"),
         F.percentile_approx(
             "quality_score", [0.1, 0.5, 0.9], 10000
         ).alias("quality_p10_p50_p90"),

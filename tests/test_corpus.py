@@ -282,6 +282,22 @@ def test_corpus_summary_single_job_report(spark, documents):
     assert abs(row["approx_distinct_docs"] - n) <= max(3, int(0.05 * n))
     q10, q50, q90 = row["quality_p10_p50_p90"]
     assert 0.0 <= q10 <= q50 <= q90 <= 1.0
+    # r6 curation-readiness signals: default-Gopher pass count matches the
+    # filter op; the already-clean corpus has zero normalization debt
+    from sparkglm_spark.operators.text import gopher_quality_filter, normalize_text
+
+    assert row["n_gopher_pass"] == gopher_quality_filter(documents).count()
+    # changed ≠ shrunk: translate-only rewrites (curly quotes) keep length,
+    # so compare against the actual rewrite, not n_chars_removed
+    norm = normalize_text(documents).select(
+        "doc_id", F.col("text").alias("norm_text")
+    )
+    dirty = (
+        documents.join(norm, "doc_id")
+        .where(F.col("text") != F.col("norm_text"))
+        .count()
+    )
+    assert row["n_needs_normalize"] == dirty
 
     from sparkglm_spark.plans.inspect import formatted_plan
 
