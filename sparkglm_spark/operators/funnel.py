@@ -99,28 +99,31 @@ def retention_cohorts(
     every activation dashboard draws.
 
     Plan: one pruned (user, period) DISTINCT (collapses the log to at
-    most users × periods narrow rows), one groupBy(user) min for the
-    cohort assignment, one user-key equi-join of those two small
-    relations, and a final (cohort, offset) count — the event log itself
-    is touched exactly once."""
+    most users × periods narrow rows) — PERSISTED, because both the
+    cohort assignment (groupBy(user) min) and the join read it, and
+    without the cache each consumer re-scanned the log (exchange reuse
+    does not fire across the two differing aggregation plans); then one
+    user-key equi-join of those two small relations and a final
+    (cohort, offset) count. The event log itself is scanned once."""
     if unit not in ("week", "day"):
         raise ValueError("unit must be 'week' or 'day'")
     days_per = 7 if unit == "week" else 1
-    period = F.date_trunc(unit, F.col(ts_col)).cast("date")
-    act = (
-        events.select(F.col(user_col).alias("__u"), period.alias("__p"))
-        .distinct()
-    )
-    first = act.groupBy("__u").agg(F.min("__p").alias("cohort"))
-    return (
-        act.join(first, "__u")
-        .select(
-            "cohort",
-            (F.datediff(F.col("__p"), F.col("cohort")) / days_per)
-            .cast("int")
-            .alias("offset"),
-            "__u",
+    with _CACHES.invocation():
+        period = F.date_trunc(unit, F.col(ts_col)).cast("date")
+        act = _CACHES.persist(
+            events.select(F.col(user_col).alias("__u"), period.alias("__p"))
+            .distinct()
         )
-        .groupBy("cohort", "offset")
-        .agg(F.count(F.lit(1)).alias("n_users"))
-    )
+        first = act.groupBy("__u").agg(F.min("__p").alias("cohort"))
+        return (
+            act.join(first, "__u")
+            .select(
+                "cohort",
+                (F.datediff(F.col("__p"), F.col("cohort")) / days_per)
+                .cast("int")
+                .alias("offset"),
+                "__u",
+            )
+            .groupBy("cohort", "offset")
+            .agg(F.count(F.lit(1)).alias("n_users"))
+        )
