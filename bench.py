@@ -207,11 +207,16 @@ def main() -> None:
     )
     W("line_dedup_global", lambda: force(remove_global_duplicate_lines(multi)))
 
-    # r6: the curation trio — PII redaction, unigram-LM scoring, Gopher
-    # gate — one combined headline (all three are scan-shaped ops; the
-    # multimodal_decode line uses the same grouping convention)
+    # r6: the curation quartet — PII redaction, unigram-LM scoring, Gopher
+    # gate, text normalization — one combined headline (all four are
+    # scan-shaped ops; the multimodal_decode line uses the same grouping
+    # convention)
     from sparkglm_spark.operators.corpus import unigram_logprob_scores
-    from sparkglm_spark.operators.text import gopher_quality_filter, redact_patterns
+    from sparkglm_spark.operators.text import (
+        gopher_quality_filter,
+        normalize_text,
+        redact_patterns,
+    )
 
     W(
         "text_curation",
@@ -223,6 +228,7 @@ def main() -> None:
                     docs, max_dup_token_ratio=0.95, max_top_token_ratio=0.5
                 )
             ),
+            force(normalize_text(docs)),
         ),
     )
 

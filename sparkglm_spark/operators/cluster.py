@@ -263,8 +263,11 @@ def keep_best_per_cluster(
     from `clusters` are kept (no cluster → nothing to lose to)."""
     from pyspark.sql import Window
 
+    # NULLS LAST both ways: a null score must never beat a real one
     score = (
-        F.col("__s").desc() if descending else F.col("__s").asc()
+        F.col("__s").desc_nulls_last()
+        if descending
+        else F.col("__s").asc_nulls_last()
     )
     proj = docs.select(
         F.col(id_col), F.col(score_col).alias("__s")

@@ -401,6 +401,7 @@ def minhash_lsh_candidates(
     `distinct=False` skips the cross-band pair dedup shuffle — correct (and
     much cheaper) when the downstream verifier is a map-side filter that
     dedups its (tiny) output instead of its (huge) input."""
+    _require_banding(num_perm, bands)
     r = num_perm // bands
     band_structs = F.array(
         *[
@@ -1125,9 +1126,23 @@ def minhash_index(
     return _signatures_from_sets(sets, num_perm=num_perm, seed=seed, hash_fn=hash_fn)
 
 
+def _require_banding(num_perm: int, bands: int) -> None:
+    """bands must evenly divide num_perm: a non-divisor silently ignores
+    the trailing signature components (the documented recall math no
+    longer applies), and bands > num_perm makes r = 0 — an empty slice
+    hashes to one constant bucket and the candidate join degenerates to a
+    full cross product with no warning. Fail loudly instead."""
+    if bands < 1 or bands > num_perm or num_perm % bands != 0:
+        raise ValueError(
+            f"bands={bands} must be in [1, num_perm] and divide "
+            f"num_perm={num_perm} exactly (r = num_perm/bands rows per band)"
+        )
+
+
 def _band_buckets(sig: DataFrame, num_perm: int, bands: int) -> DataFrame:
     """(id, band, bucket) from an array-signature table — 16-byte bucket
     keys, the same banding arithmetic as `minhash_lsh_candidates`."""
+    _require_banding(num_perm, bands)
     r = num_perm // bands
     bb = F.array(
         *[
@@ -1143,6 +1158,7 @@ def _band_buckets(sig: DataFrame, num_perm: int, bands: int) -> DataFrame:
     )
 
 
+@_CACHES.scoped
 def minhash_match_pairs(
     new_index: DataFrame,
     known_index: DataFrame,
@@ -1239,6 +1255,7 @@ def minhash_match_pairs(
     )
 
 
+@_CACHES.scoped
 def minhash_dedup_against(
     new_df: DataFrame,
     known_index: DataFrame,

@@ -322,7 +322,14 @@ def cap_per_group(
         require_integral_id(df, key_col, "cap_per_group (hash priority)")
         prio = hash_sample_expr(key_col, salt)
     else:
-        prio = F.col(order_col).desc() if descending else F.col(order_col).asc()
+        # NULLS LAST in BOTH directions: Spark's bare asc() is NULLS
+        # FIRST, which would let null-scored rows win quota slots ahead
+        # of every real-scored row — the opposite of "keep the best N"
+        prio = (
+            F.col(order_col).desc_nulls_last()
+            if descending
+            else F.col(order_col).asc_nulls_last()
+        )
     from pyspark.sql import Window
 
     w = Window.partitionBy(*groups).orderBy(prio, F.col(key_col).asc())

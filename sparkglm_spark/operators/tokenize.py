@@ -65,9 +65,18 @@ def build_wordpiece_vocab(
         if not r[0].isspace()
     )
     base = [PAD_TOKEN, UNK_TOKEN] + chars + [f"##{c}" for c in chars]
+    if vocab_size < len(base):
+        # truncating the char fallback would silently void the zero-UNK
+        # guarantee (words containing a dropped char collapse to [UNK])
+        raise ValueError(
+            f"vocab_size={vocab_size} cannot hold the char fallback "
+            f"({len(base)} entries: specials + every corpus character in "
+            "word-initial and '##' form); raise vocab_size or pre-filter "
+            "the corpus's character set"
+        )
     room = vocab_size - len(base)
     if room <= 0:
-        return base[:vocab_size]
+        return base
     words = [
         r["term"]
         for r in stats.where(F.col("corpus_freq") >= min_freq)

@@ -582,3 +582,15 @@ def test_minhash_match_empty_sides(spark, documents):
         documents, empty, "doc_id", "text"
     ).count()
     assert kept == documents.count()
+
+
+def test_banding_validation(documents):
+    idx = D.minhash_index(documents.limit(5), "doc_id", "text")
+    for bad in (0, 48, 200):
+        with pytest.raises(ValueError, match="bands"):
+            D.minhash_match_pairs(idx, idx, bands=bad).collect()
+    with pytest.raises(ValueError, match="bands"):
+        D.minhash_lsh_candidates(
+            D.minhash_signatures(D.shingles(documents.limit(5), "doc_id", "text")),
+            bands=3,
+        )

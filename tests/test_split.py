@@ -320,3 +320,17 @@ def test_cap_per_group_validates(documents):
         SP.cap_per_group(documents, "source", -1, "doc_id")
     with pytest.raises(TypeError):
         SP.cap_per_group(documents, "source", 3, "text")  # non-integral hash key
+
+
+def test_cap_per_group_null_scores_never_win(spark):
+    df = spark.createDataFrame(
+        [(1, "g", None), (2, "g", 5.0), (3, "g", 1.0), (4, "g", None)],
+        "id long, grp string, score double",
+    )
+    top = SP.cap_per_group(df, "grp", 2, "id", order_col="score", descending=True)
+    assert sorted(r["id"] for r in top.collect()) == [2, 3]
+    low = SP.cap_per_group(df, "grp", 2, "id", order_col="score", descending=False)
+    assert sorted(r["id"] for r in low.collect()) == [2, 3]
+    # with room beyond the scored rows, nulls fill by id order
+    three = SP.cap_per_group(df, "grp", 3, "id", order_col="score")
+    assert sorted(r["id"] for r in three.collect()) == [1, 2, 3]

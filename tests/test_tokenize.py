@@ -118,3 +118,8 @@ def test_vocab_determinism_and_validation(documents, spark):
         tokenize_wordpiece(df, ["a", "b"])
     with pytest.raises(ValueError, match="unique"):
         tokenize_wordpiece(df, [UNK_TOKEN, "a", "a"])
+
+
+def test_vocab_size_below_char_fallback_raises(documents):
+    with pytest.raises(ValueError, match="char fallback"):
+        build_wordpiece_vocab(documents, vocab_size=10)
