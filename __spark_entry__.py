@@ -2493,6 +2493,32 @@ FROM norm
 """
 
 
+SQL_SUBDUP = r"""
+WITH sd_toks AS (
+  SELECT doc_id,
+         CASE WHEN text IS NOT NULL AND length(trim(text)) > 0
+              THEN regexp_split_to_array(trim(lower(text)), '\s+')
+              ELSE [] END AS t
+  FROM documents),
+sd_win AS (
+  SELECT doc_id,
+         unnest([sha256(array_to_string(t[i : i + 7], ' '))
+                 FOR i IN range(1, len(t) - 6)]) AS wh
+  FROM sd_toks WHERE len(t) >= 8),
+sd_cnt AS (SELECT wh, count(*) AS c FROM sd_win GROUP BY wh),
+sd_doc AS (
+  SELECT w.doc_id, count(*) AS nw,
+         CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS nd
+  FROM sd_win w JOIN sd_cnt USING (wh) GROUP BY w.doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(nw, 0) AS BIGINT) AS n_windows,
+       CAST(COALESCE(nd, 0) AS BIGINT) AS n_dup_windows,
+       CASE WHEN COALESCE(nw, 0) > 0
+            THEN CAST(nd AS DOUBLE) / nw END AS dup_fraction
+FROM documents d LEFT JOIN sd_doc USING (doc_id)
+"""
+
+
 def q_unigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM quality scores
     (operators/corpus.py::unigram_logprob_scores) with the corpus as its
@@ -3685,6 +3711,19 @@ def q_corpus_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("s"),
         F.col("avg_logprob").alias("x"),
     )
+    # r6: exact substring-window duplication rows
+    # (operators/corpus.py::substring_dup_stats — Lee et al. window-grain
+    # substring dedup signal; in-doc and cross-doc repetitions both count)
+    from sparkglm_spark.operators.corpus import substring_dup_stats
+
+    docs_t = read_table(spark, sf_dir, "documents")
+    subdup = substring_dup_stats(docs_t, window=8).select(
+        F.lit("subdup").alias("op"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("n_windows").cast("bigint").alias("a"),
+        F.col("n_dup_windows").cast("bigint").alias("b"),
+        F.round("dup_fraction", 6).alias("x"),
+    )
     # r6: normalization rows — the normalized text rides in s (hash pins
     # every byte of the rewrite) with the removed-char audit in a
     norm = q_normalize(spark, sf_dir).select(
@@ -3702,6 +3741,7 @@ def q_corpus_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(redact)
         .unionByName(unigram)
         .unionByName(norm)
+        .unionByName(subdup.select("op", "k", "a", "b", F.lit(None).cast("string").alias("s"), "x"))
     )
 
 
@@ -3732,6 +3772,10 @@ FROM ({SQL_UNIGRAM_SCORES}) ug
 UNION ALL
 SELECT 'normalize', CAST(doc_id AS VARCHAR), n_chars_removed, NULL, text, NULL
 FROM ({SQL_NORMALIZE}) nm
+UNION ALL
+SELECT 'subdup', CAST(doc_id AS VARCHAR), n_windows, n_dup_windows, NULL,
+       ROUND(dup_fraction, 6)
+FROM ({SQL_SUBDUP}) sd
 """
 
 

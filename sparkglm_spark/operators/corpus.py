@@ -434,3 +434,77 @@ def unigram_logprob_scores(
             F.avg(F.coalesce(F.col("__lp"), oov_lp)).alias("avg_logprob"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# exact substring-window duplication (Lee et al. 2022, window grain)
+# ---------------------------------------------------------------------------
+
+
+@_CACHES.scoped
+def substring_dup_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+) -> DataFrame:
+    """Per-document EXACT substring-duplication signal — the window-grain
+    cousin of suffix-array substring dedup (Lee et al. 2022,
+    arXiv:2107.06499): for every run of `window` consecutive tokens, does
+    that exact token sequence occur ≥2 times anywhere in the corpus
+    (another doc, or repeated within this one)? Returns
+    (id, n_windows, n_dup_windows, dup_fraction) for every doc —
+    docs shorter than `window` tokens have n_windows = 0 and NULL
+    fraction. Gate on dup_fraction to drop boilerplate-heavy docs that
+    survive document-level dedup because their unique preamble masks a
+    duplicated body.
+
+    Plan: windows come from ONE codegen transform (with multiplicity —
+    occurrence counting is the point, so no array_distinct), hashed
+    IN the projection (sha2-256, so the exchanges carry a fixed 64-char
+    digest regardless of window size — the window text itself never
+    shuffles); explode → global groupBy(hash) count (partial-agg) →
+    hash-keyed join back to the exploded (id, hash) rows → one final
+    groupBy(id). Both shuffles carry (digest, id)-width rows — the
+    inverted-index shape, linear in token count at any corpus size."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    t = F.col(text_col)
+    toks = F.split(F.trim(F.lower(t)), _WS)
+    wins = F.when(
+        (t.isNotNull()) & (F.length(F.trim(t)) > 0) & (F.size(toks) >= window),
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (window - 1)),
+            lambda i: F.sha2(
+                F.concat_ws(" ", F.slice(toks, i, F.lit(window))), 256
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = ensure_parallel(docs).select(
+        F.col(id_col).alias("__id"), wins.alias("__w")
+    )
+    base = _CACHES.persist(base)
+    exploded = base.select("__id", F.explode("__w").alias("__wh"))
+    counts = exploded.groupBy("__wh").agg(F.count(F.lit(1)).alias("__cnt"))
+    per_doc = (
+        exploded.join(counts, "__wh")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum((F.col("__cnt") >= 2).cast("long")).alias("n_dup_windows"),
+        )
+    )
+    return (
+        base.select("__id")
+        .join(per_doc, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            # explicit zero-window guard (NULL fraction) — ANSI-mode-proof
+            F.when(
+                F.col("n_windows") > 0,
+                F.col("n_dup_windows").cast("double") / F.col("n_windows"),
+            ).alias("dup_fraction"),
+        )
+    )

@@ -455,3 +455,70 @@ def test_unigram_logprob_scores_external_reference_oov(spark):
     assert better["avg_logprob"] > row["avg_logprob"]
     with pytest.raises(ValueError, match="alpha"):
         unigram_logprob_scores(docs, alpha=0.0)
+
+
+def _py_subdup(texts, window):
+    from collections import Counter
+
+    wins = {}
+    for i, t in texts.items():
+        toks = t.lower().split() if t and t.strip() else []
+        wins[i] = [
+            " ".join(toks[j : j + window])
+            for j in range(len(toks) - window + 1)
+        ]
+    global_counts = Counter(w for ws in wins.values() for w in ws)
+    out = {}
+    for i, ws in wins.items():
+        dup = sum(1 for w in ws if global_counts[w] >= 2)
+        out[i] = (len(ws), dup, (dup / len(ws)) if ws else None)
+    return out
+
+
+def test_substring_dup_stats_matches_python(spark):
+    from sparkglm_spark.operators.corpus import substring_dup_stats
+
+    boiler = "this footer text repeats across every page of the site"
+    texts = {
+        1: f"unique preamble one {boiler}",
+        2: f"different preamble here {boiler}",
+        3: "totally unrepeated content with enough tokens to window over fine",
+        4: "short",          # fewer tokens than the window
+        5: None,
+        6: "self repeat self repeat self repeat self repeat self repeat",
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"], r["dup_fraction"])
+        for r in substring_dup_stats(df, window=4).collect()
+    }
+    want = _py_subdup(texts, 4)
+    assert set(got) == set(want)
+    for i in want:
+        nw, nd, fr = want[i]
+        assert got[i][0] == nw and got[i][1] == nd, (i, got[i], want[i])
+        if fr is None:
+            assert got[i][2] is None
+        else:
+            assert got[i][2] == pytest.approx(fr, rel=1e-12)
+    # the boilerplate docs flag, the unique doc doesn't
+    assert got[1][1] > 0 and got[2][1] > 0 and got[3][1] == 0
+    assert got[6][1] > 0  # in-doc repetition counts too
+
+
+def test_substring_dup_stats_real_corpus_and_plan(documents):
+    from sparkglm_spark.operators.corpus import substring_dup_stats
+    from sparkglm_spark.plans.inspect import assert_no_columns_in_exchanges
+
+    out = substring_dup_stats(documents, window=8)
+    rows = out.collect()
+    assert len(rows) == documents.count()
+    for r in rows:
+        if r["n_windows"]:
+            assert 0 <= r["n_dup_windows"] <= r["n_windows"]
+    # the window text never shuffles — only the sha2 digest does
+    assert_no_columns_in_exchanges(out, ["text", "__w"])
+    with pytest.raises(ValueError, match="window"):
+        substring_dup_stats(documents, window=0)
