@@ -215,7 +215,6 @@ def corpus_summary(
     percentile operators; this op exists to be cheap enough to run on
     every ingest batch."""
     from sparkglm_spark.operators.dedup import _content_fp
-    from sparkglm_spark.operators.pipeline import _quality_and_lang_cols
     from sparkglm_spark.operators.text import (
         LANG_PROFILES,
         _gopher_flag_cols,
@@ -223,24 +222,26 @@ def corpus_summary(
         text_profile,
     )
 
-    # reuse the fused projection's n_tokens (computed from the shared
-    # lowered token array) instead of re-tokenizing the raw text — and
-    # project ONLY what the aggregates read (r5 review). r6 appends two
-    # cheap curation-readiness signals to the same single pass: the
-    # default-Gopher pass flag (from the fused profile projection) and
-    # whether normalize_text would change the doc (normalization debt).
+    # ONE text_profile pass supplies every per-row signal — n_tokens,
+    # BPE count, quality, language, the Gopher flags — so the text is
+    # tokenized once (r6 review: the first cut layered
+    # _quality_and_lang_cols on top and paid ~2× the per-row scan CPU on
+    # the op sold as cheap-per-ingest-batch). The r6 curation-readiness
+    # columns (default-Gopher pass, normalization debt) read the same
+    # projection. The id column is unused in the output; synthesize one
+    # when absent so id-less frames keep working (pre-r6 behavior).
+    if id_col not in docs.columns:
+        docs = docs.withColumn(id_col, F.monotonically_increasing_id())
     gopher_pass = _gopher_flag_cols({})[-1]
     prof = text_profile(
         ensure_parallel(docs), text_col, id_col, keep=[text_col]
-    ).select(
-        F.col(text_col), gopher_pass.alias("__gp")
     )
-    pre = _quality_and_lang_cols(prof, text_col).select(
+    pre = prof.select(
         F.col("n_tokens").alias("__nt"),
         F.col("n_tokens_bpe"),
         F.col("quality_score"),
         F.col("detected_lang"),
-        F.col("__gp"),
+        gopher_pass.alias("__gp"),
         (normalize_text_expr(F.col(text_col)) != F.col(text_col)).alias("__dirty"),
         _content_fp(prof, [text_col]).alias("__fp"),
     )

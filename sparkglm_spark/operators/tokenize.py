@@ -77,15 +77,20 @@ def build_wordpiece_vocab(
     room = vocab_size - len(base)
     if room <= 0:
         return base
+    # exclude base entries BEFORE the limit: a top-frequency single-char
+    # word ('a', 'i') is already in the char fallback, and letting it eat
+    # a limit slot would silently shrink the vocab below vocab_size
     words = [
         r["term"]
-        for r in stats.where(F.col("corpus_freq") >= min_freq)
+        for r in stats.where(
+            (F.col("corpus_freq") >= min_freq)
+            & ~F.col("term").isin(base)
+        )
         .orderBy(F.col("corpus_freq").desc(), F.col("term").asc())
         .limit(room)
         .collect()
     ]
-    seen = set(base)
-    return base + [w for w in words if w not in seen]
+    return base + words
 
 
 def _wordpiece_word(word: str, index: dict, max_word_chars: int) -> list[int]:
@@ -133,6 +138,12 @@ def tokenize_wordpiece(
     index = {p: i for i, p in enumerate(vocab)}
     if len(index) != len(vocab):
         raise ValueError("vocab entries must be unique")
+    clash = {"token_ids", "n_tokens_wp", "n_unk"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input already carries {sorted(clash)} — drop or rename them "
+            "before re-tokenizing (e.g. after swapping vocabs)"
+        )
     spark = df.sparkSession
     bidx = spark.sparkContext.broadcast(index)
     unk_sentinel = index[UNK_TOKEN]

@@ -522,3 +522,14 @@ def test_substring_dup_stats_real_corpus_and_plan(documents):
     assert_no_columns_in_exchanges(out, ["text", "__w"])
     with pytest.raises(ValueError, match="window"):
         substring_dup_stats(documents, window=0)
+
+
+def test_corpus_summary_works_without_id_column(spark):
+    from sparkglm_spark.operators.corpus import corpus_summary
+
+    df = spark.createDataFrame(
+        [("the quick brown fox is here",), ("another document of text",)],
+        "text string",
+    )
+    row = corpus_summary(df).collect()[0]
+    assert row["n_docs"] == 2 and row["total_tokens"] > 0

@@ -123,3 +123,23 @@ def test_vocab_determinism_and_validation(documents, spark):
 def test_vocab_size_below_char_fallback_raises(documents):
     with pytest.raises(ValueError, match="char fallback"):
         build_wordpiece_vocab(documents, vocab_size=10)
+
+
+def test_single_char_top_words_do_not_shrink_vocab(spark):
+    """'a'/'i'-style top words are already in the char fallback; they must
+    not consume limit slots (r6 review: limit-before-dedup silently
+    returned fewer than vocab_size entries)."""
+    rows = [(i, "a a a a i i i i word" + str(i % 3)) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    vocab = build_wordpiece_vocab(df, vocab_size=30, min_freq=1)
+    assert len(vocab) == min(30, len(set(vocab)))
+    assert len(vocab) == len(set(vocab))
+    # the multi-char words got the slots
+    assert {"word0", "word1", "word2"} <= set(vocab)
+
+
+def test_retokenize_collision_raises(documents):
+    vocab = build_wordpiece_vocab(documents, vocab_size=200)
+    once = tokenize_wordpiece(documents, vocab)
+    with pytest.raises(ValueError, match="re-tokenizing"):
+        tokenize_wordpiece(once, vocab)
