@@ -190,3 +190,37 @@ def test_keep_best_per_cluster(spark):
     assert_no_columns_in_exchanges(
         keep_best_per_cluster(docs_txt, clusters, "quality"), ["text"]
     )
+
+
+def test_quality_aware_semantic_dedup_composes(embeddings):
+    """The composition a curation run uses: semantic pairs → transitive
+    clusters → keep the best-scored member of each cluster."""
+    import numpy as np
+
+    from sparkglm_spark.operators.cluster import (
+        keep_best_per_cluster,
+        near_dup_clusters,
+    )
+    from sparkglm_spark.operators.similarity import semantic_dedup_pairs
+
+    C = np.random.default_rng(5).normal(size=(6, 64))
+    pairs = semantic_dedup_pairs(
+        embeddings, "vec_id", "embedding", centroids=C, threshold=0.35
+    )
+    clusters = near_dup_clusters(
+        embeddings, pairs, "vec_id", src="id_a", dst="id_b"
+    )
+    scored = embeddings.withColumn("score", (F.col("vec_id") % 7).cast("double"))
+    kept = keep_best_per_cluster(scored, clusters, "score", id_col="vec_id")
+    n_all = embeddings.count()
+    n_dupes = clusters.where("is_duplicate").count()
+    assert kept.count() == n_all - n_dupes  # exactly one survivor per cluster
+    # every multi-member cluster's survivor has the max score (tie → min id)
+    rows = clusters.join(scored, "vec_id").collect()
+    by_cl = {}
+    for r in rows:
+        by_cl.setdefault(r["cluster_id"], []).append((r["vec_id"], r["score"]))
+    kept_ids = {r["vec_id"] for r in kept.collect()}
+    for cl, members in by_cl.items():
+        best = sorted(members, key=lambda m: (-m[1], m[0]))[0][0]
+        assert best in kept_ids
