@@ -594,3 +594,19 @@ def test_banding_validation(documents):
             D.minhash_signatures(D.shingles(documents.limit(5), "doc_id", "text")),
             bands=3,
         )
+
+
+def test_index_signatures_equal_wide_signatures_portable(documents):
+    """The Arrow index path and the wide-column groupBy path must stay
+    bit-identical in BOTH hash modes — guards future refactors of either."""
+    sh = D.shingles(documents, "doc_id", "text")
+    for mode in ("xxhash64", "portable"):
+        wide = {
+            r["id"]: [r[f"mh_{i}"] for i in range(128)]
+            for r in D.minhash_signatures(sh, hash_fn=mode).collect()
+        }
+        arr = {
+            r["id"]: list(r["sig"])
+            for r in D.minhash_index(documents, "doc_id", "text", hash_fn=mode).collect()
+        }
+        assert wide == arr, mode

@@ -468,3 +468,43 @@ def test_dedup_ingest_prepare_hook_curates_before_dedup(spark, tmp_path):
     assert set(rows) == {1, 4}  # 2 gated, 3 deduped against normalized 1
     assert rows[1] == "hello world document one"
     assert rows[4] == 'another "doc" here'
+
+
+def test_dedup_ingest_stream_with_prepare_hook(spark):
+    """The prepare hook under a REAL stream: normalization runs inside
+    every micro-batch before fingerprinting, so whitespace variants
+    arriving in different batches still collapse to one accepted row."""
+    from sparkglm_spark.operators.text import normalize_text
+    from sparkglm_spark.streaming.ingest import dedup_ingest_writer
+
+    rows = [
+        (1, "hello   world document"),
+        (2, "other content entirely here"),
+        (3, "hello \t world   document"),   # variant of 1
+        (4, "other  content entirely here"),  # variant of 2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        # one file per row → one micro-batch per row
+        df.repartition(4, "doc_id").write.parquet(src)
+        stream_in = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            dedup_ingest_writer(
+                stream_in,
+                os.path.join(d, "idx"),
+                os.path.join(d, "acc"),
+                prepare=lambda b: normalize_text(b).drop("n_chars_removed"),
+            )
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        accepted = spark.read.parquet(os.path.join(d, "acc")).collect()
+    texts = sorted(r["text"] for r in accepted)
+    assert texts == ["hello world document", "other content entirely here"]
