@@ -2493,6 +2493,36 @@ FROM norm
 """
 
 
+def _sql_hashtf() -> str:
+    from sparkglm_spark.operators.dedup import (
+        _SIMHASH_M,
+        _SIMHASH_P,
+        _SIMHASH_SEED,
+    )
+
+    return rf"""
+WITH ht_toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                            t -> t <> '')) AS tok
+  FROM documents
+  WHERE text IS NOT NULL AND length(trim(text)) > 0),
+ht_b AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(CAST({_SIMHASH_SEED[0]} AS BIGINT),
+             [CAST(ord(c) AS BIGINT) FOR c IN split(tok, '')]),
+             (a, b) -> (a * {_SIMHASH_M[0]} + b) % {_SIMHASH_P}) % 32 AS b
+  FROM ht_toks),
+ht_c AS (SELECT doc_id, b, count(*) AS c FROM ht_b GROUP BY 1, 2)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS nnz,
+       CAST(SUM((b + 1) * c) AS BIGINT) AS checksum
+FROM ht_c GROUP BY doc_id
+"""
+
+
+SQL_HASHTF = _sql_hashtf()
+
+
 SQL_SUBDUP = r"""
 WITH sd_toks AS (
   SELECT doc_id,
@@ -3725,6 +3755,27 @@ def q_corpus_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_dup_windows").cast("bigint").alias("b"),
         F.round("dup_fraction", 6).alias("x"),
     )
+    # r6: hashed-TF rows (operators/text.py::hashed_tf_vectors, portable
+    # hash, raw counts): nnz + an index-weighted checksum pin every
+    # bucket count of every doc's vector exactly
+    from sparkglm_spark.operators.text import hashed_tf_vectors
+
+    vecs = hashed_tf_vectors(
+        docs_t, n_features=32, hash_fn="portable", l2_normalize=False
+    )
+    idx_seq = F.sequence(F.lit(1), F.lit(32))
+    hashtf = vecs.select(
+        F.lit("hashtf").alias("op"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.size(F.filter("vector", lambda v: v > 0)).cast("bigint").alias("a"),
+        F.aggregate(
+            F.zip_with("vector", idx_seq, lambda v, i: v * i),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).cast("bigint").alias("b"),
+        F.lit(None).cast("string").alias("s"),
+        F.lit(None).cast("double").alias("x"),
+    )
     # r6: normalization rows — the normalized text rides in s (hash pins
     # every byte of the rewrite) with the removed-char audit in a
     norm = q_normalize(spark, sf_dir).select(
@@ -3743,6 +3794,7 @@ def q_corpus_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(unigram)
         .unionByName(norm)
         .unionByName(subdup.select("op", "k", "a", "b", F.lit(None).cast("string").alias("s"), "x"))
+        .unionByName(hashtf.select("op", "k", "a", "b", "s", F.lit(None).cast("double").alias("x")))
     )
 
 
@@ -3777,6 +3829,10 @@ UNION ALL
 SELECT 'subdup', CAST(doc_id AS VARCHAR), n_windows, n_dup_windows, NULL,
        ROUND(dup_fraction, 6)
 FROM ({SQL_SUBDUP}) sd
+UNION ALL
+SELECT 'hashtf', CAST(doc_id AS VARCHAR), nnz, checksum, NULL,
+       CAST(NULL AS DOUBLE)
+FROM ({SQL_HASHTF}) ht
 """
 
 

@@ -719,3 +719,80 @@ def normalize_text(
         norm.alias(text_col),
         (F.length(t) - F.length(norm)).cast("bigint").alias("n_chars_removed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashed TF vectors (text → the similarity suite, no external embeddings)
+# ---------------------------------------------------------------------------
+
+
+def hashed_tf_vectors(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_features: int = 256,
+    hash_fn: str = "xxhash64",
+    l2_normalize: bool = True,
+) -> DataFrame:
+    """(id, vector: array<double>) — the hashing-trick term-frequency
+    vector (Weinberger et al. 2009; Spark ML's HashingTF re-expressed
+    as a declarative plan): token → bucket = hash(token) mod n_features,
+    bucket counts → a dense double array, optionally L2-normalized so the
+    vectors drop straight into `similarity.cosine_topk` /
+    `near_dup_pairs` / `semantic_dedup` — embedding-free lexical
+    similarity over raw text.
+
+    Plan: explode → groupBy(id, bucket) partial-agg count (map-side
+    combine collapses each doc's repeats before the wire) → groupBy(id)
+    collect of (bucket, count) structs → ONE projection densifies via a
+    literal-free sequence/map lookup. Both shuffles carry
+    (id, int, long) rows; the dense array (8·n_features bytes/doc)
+    exists only in the output projection. Docs with no tokens (null/blank
+    text) get no row — a vector of nothing carries no similarity signal
+    (the simhash convention).
+
+    hash_fn='portable' swaps xxhash64 for the char-polynomial hash —
+    engine-reproducible bucketing, the oracle mode (slower per token;
+    production uses the default)."""
+    if n_features < 1:
+        raise ValueError("n_features must be >= 1")
+    from sparkglm_spark.operators.dedup import _portable_shingle_hash
+
+    tok = F.col("__tok")
+    if hash_fn == "portable":
+        bucket = F.pmod(_portable_shingle_hash(tok), F.lit(n_features))
+    elif hash_fn == "xxhash64":
+        bucket = F.pmod(F.xxhash64(tok), F.lit(n_features))
+    else:
+        raise ValueError("hash_fn must be 'xxhash64' or 'portable'")
+    toks = ensure_parallel(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("__tok"),
+    )
+    counts = (
+        toks.select("id", bucket.cast("int").alias("__b"))
+        .groupBy("id", "__b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    entries = counts.groupBy("id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("__b"), F.col("__c")))
+        ).alias("__m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(n_features - 1)),
+        lambda i: F.coalesce(F.col("__m")[i], F.lit(0)).cast("double"),
+    )
+    if l2_normalize:
+        norm = F.sqrt(
+            F.aggregate(dense, F.lit(0.0), lambda acc, v: acc + v * v)
+        )
+        vec = F.transform(dense, lambda v: v / norm)
+    else:
+        vec = dense
+    return entries.select(F.col("id").alias(id_col), vec.alias("vector"))

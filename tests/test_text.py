@@ -335,3 +335,95 @@ def test_normalize_text_zero_shuffle(documents):
     # only the tiny-input round-robin fan-out may appear; no hash/range
     # exchange — the op is a pure projection
     assert exchange_schemas(out) == []
+
+
+# ---------------------------------------------------------------------------
+# hashed_tf_vectors
+# ---------------------------------------------------------------------------
+
+
+def test_hashed_tf_matches_numpy(spark):
+    import numpy as np
+
+    from sparkglm_spark.operators.dedup import (
+        _SIMHASH_M,
+        _SIMHASH_P,
+        _SIMHASH_SEED,
+    )
+    from sparkglm_spark.operators.text import hashed_tf_vectors
+
+    def py_hash(tok):
+        h = _SIMHASH_SEED[0]
+        for ch in tok:
+            h = (h * _SIMHASH_M[0] + ord(ch)) % _SIMHASH_P
+        return h
+
+    rows = [
+        (1, "The cat sat on the   mat"),
+        (2, "dog dog dog"),
+        (3, "  "),     # no tokens -> no row
+        (4, None),     # no row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: np.array(r["vector"])
+        for r in hashed_tf_vectors(
+            df, n_features=32, hash_fn="portable"
+        ).collect()
+    }
+    assert set(got) == {1, 2}
+    import re
+
+    for doc_id, text in rows[:2]:
+        v = np.zeros(32)
+        for t in re.split(r"\s+", text.strip().lower()):
+            v[py_hash(t) % 32] += 1
+        v = v / np.linalg.norm(v)
+        assert np.allclose(got[doc_id], v, atol=1e-12), doc_id
+    # unit norm
+    assert abs(np.linalg.norm(got[1]) - 1.0) < 1e-12
+
+
+def test_hashed_tf_feeds_the_similarity_suite(documents):
+    """The embedding-free lexical near-dup path: hashed TF vectors of the
+    real corpus through near_dup_pairs must recover the corpus's exact
+    text duplicates (cosine 1 pairs ⊇ identical-text pairs)."""
+    from sparkglm_spark.operators.similarity import near_dup_pairs
+    from sparkglm_spark.operators.text import hashed_tf_vectors
+
+    vecs = hashed_tf_vectors(documents, n_features=128)
+    pairs = near_dup_pairs(vecs, id_col="doc_id", vec_col="vector", threshold=0.999)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in documents.select("doc_id", "text").collect()
+        if r["text"] and r["text"].strip()
+    }
+    exact = {
+        (a, b)
+        for a in texts
+        for b in texts
+        if a < b and texts[a].lower().split() == texts[b].lower().split()
+    }
+    assert got >= exact
+    # and it is selective: nowhere near all-pairs
+    n = len(texts)
+    assert len(got) < 0.01 * n * (n - 1) / 2
+
+
+def test_hashed_tf_validation_and_partition_invariance(documents):
+    from sparkglm_spark.operators.text import hashed_tf_vectors
+
+    with pytest.raises(ValueError, match="n_features"):
+        hashed_tf_vectors(documents, n_features=0)
+    with pytest.raises(ValueError, match="hash_fn"):
+        hashed_tf_vectors(documents, hash_fn="md5")
+    a = {
+        r["doc_id"]: tuple(r["vector"])
+        for r in hashed_tf_vectors(documents.repartition(2), n_features=64).collect()
+    }
+    b = {
+        r["doc_id"]: tuple(r["vector"])
+        for r in hashed_tf_vectors(documents.repartition(9), n_features=64).collect()
+    }
+    assert a == b
