@@ -3679,13 +3679,14 @@ ORDER BY bucket
 def q_corpus_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus toolkit union row-set: document chunking + vocabulary top-k +
     benchmark decontamination + global line dedup + PII redaction +
-    unigram-LM scoring + text normalization + substring-window dup stats
-    (operators/corpus.py + text.py — see the constituent q_doc_chunks /
-    q_vocab_topk / q_decontaminate / q_line_dedup / q_redact /
-    q_unigram_scores / q_normalize / substring_dup_stats docstrings for
-    the plan arguments; each runs unchanged). Normalized onto
-    (op, k, a, b, s, x): chunk rows key on doc:chunk, vocab rows on term,
-    the rest on doc — one driver row-set covers all eight."""
+    unigram-LM scoring + text normalization + substring-window dup stats +
+    hashed-TF vectors (operators/corpus.py + text.py — see the
+    constituent q_doc_chunks / q_vocab_topk / q_decontaminate /
+    q_line_dedup / q_redact / q_unigram_scores / q_normalize /
+    substring_dup_stats / hashed_tf_vectors docstrings for the plan
+    arguments; each runs unchanged). Normalized onto (op, k, a, b, s, x):
+    chunk rows key on doc:chunk, vocab rows on term, the rest on doc —
+    one driver row-set covers all nine."""
     chunks = q_doc_chunks(spark, sf_dir).select(
         F.lit("chunk").alias("op"),
         F.concat_ws(
