@@ -232,6 +232,15 @@ def main() -> None:
         ),
     )
 
+    # r6: hashed-TF text vectors (production xxhash64 mode, L2-normalized
+    # — the embedding-free bridge into the similarity suite)
+    from sparkglm_spark.operators.text import hashed_tf_vectors
+
+    W(
+        "text_vectors",
+        lambda: force(hashed_tf_vectors(docs, n_features=256)),
+    )
+
     # r6: SemDeDup over the embeddings table (trained-centroid path: the
     # build-once/serve-many workflow pays the seeded sample k-means here)
     from sparkglm_spark.operators.similarity import semantic_dedup
@@ -303,6 +312,7 @@ def main() -> None:
         "quantize_int8",
         "line_dedup_global",  # r6 additions, same exclusion rationale
         "text_curation",
+        "text_vectors",
         "semantic_dedup",
         "dedup_incremental",
     }
