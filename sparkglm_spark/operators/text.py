@@ -780,19 +780,35 @@ def hashed_tf_vectors(
         .agg(F.count(F.lit(1)).alias("__c"))
     )
     entries = counts.groupBy("id").agg(
-        F.map_from_entries(
-            F.collect_list(F.struct(F.col("__b"), F.col("__c")))
-        ).alias("__m")
+        F.collect_list(F.struct(F.col("__b"), F.col("__c"))).alias("__e")
     )
-    dense = F.transform(
-        F.sequence(F.lit(0), F.lit(n_features - 1)),
-        lambda i: F.coalesce(F.col("__m")[i], F.lit(0)).cast("double"),
-    )
-    if l2_normalize:
-        norm = F.sqrt(
-            F.aggregate(dense, F.lit(0.0), lambda acc, v: acc + v * v)
-        )
-        vec = F.transform(dense, lambda v: v / norm)
-    else:
-        vec = dense
-    return entries.select(F.col("id").alias(id_col), vec.alias("vector"))
+    # densify in a vectorized Arrow pass, not a per-feature expression:
+    # Spark's GetMapValue is a LINEAR key scan, so a transform(sequence)
+    # over map lookups cost O(n_features · nnz) per row in an interpreted
+    # loop — measured 17 s for 5k docs at n_features=256 vs ~1 s for this
+    # numpy scatter (the similarity.py lesson: batch kernels beat giant
+    # expression trees).
+    id_type = df.schema[id_col].dataType.simpleString()
+    nf = int(n_features)
+    do_norm = bool(l2_normalize)
+
+    def densify(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = np.zeros((len(pdf), nf), dtype=np.float64)
+            for row_i, ents in enumerate(pdf["__e"]):
+                for e in ents:
+                    out[row_i, e["__b"]] = e["__c"]
+            if do_norm:
+                out /= np.maximum(
+                    np.linalg.norm(out, axis=1, keepdims=True), 1e-12
+                )
+            yield pd.DataFrame({"id": pdf["id"], "vector": list(out)})
+
+    return entries.mapInPandas(
+        densify, f"id {id_type}, vector array<double>"
+    ).withColumnsRenamed({"id": id_col})
