@@ -241,6 +241,11 @@ def main() -> None:
         lambda: force(hashed_tf_vectors(docs, n_features=256)),
     )
 
+    # r6: substring-window duplication signal (1.7 s warm at sf0.1)
+    from sparkglm_spark.operators.corpus import substring_dup_stats
+
+    W("substring_dup", lambda: force(substring_dup_stats(docs, window=8)))
+
     # r6: SemDeDup over the embeddings table (trained-centroid path: the
     # build-once/serve-many workflow pays the seeded sample k-means here)
     from sparkglm_spark.operators.similarity import semantic_dedup
@@ -313,6 +318,7 @@ def main() -> None:
         "line_dedup_global",  # r6 additions, same exclusion rationale
         "text_curation",
         "text_vectors",
+        "substring_dup",
         "semantic_dedup",
         "dedup_incremental",
     }
