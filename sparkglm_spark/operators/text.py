@@ -744,10 +744,13 @@ def hashed_tf_vectors(
 
     Plan: explode → groupBy(id, bucket) partial-agg count (map-side
     combine collapses each doc's repeats before the wire) → groupBy(id)
-    collect of (bucket, count) structs → ONE projection densifies via a
-    literal-free sequence/map lookup. Both shuffles carry
-    (id, int, long) rows; the dense array (8·n_features bytes/doc)
-    exists only in the output projection. Docs with no tokens (null/blank
+    collect of (bucket, count) structs → one vectorized Arrow
+    `mapInPandas` pass densifies each batch with a numpy scatter (and
+    applies the L2 norm there — Spark's GetMapValue is a linear key
+    scan, so an expression-tree densify is O(n_features · nnz) per row).
+    Both shuffles carry (id, int, long) rows; the dense array
+    (8·n_features bytes/doc) exists only past the Arrow stage's output.
+    Docs with no tokens (null/blank
     text) get no row — a vector of nothing carries no similarity signal
     (the simhash convention).
 
