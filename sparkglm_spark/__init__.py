@@ -29,6 +29,7 @@ from sparkglm_spark.operators.lm import (
     wls,
 )
 from sparkglm_spark.operators.glm import GLM, GLMSummary, glm, glm_grouped
+from sparkglm_spark.ml import SparkGLM, SparkGLMModel, SparkLM, SparkLMModel
 from sparkglm_spark.persist import load_model, save_model
 
 __all__ = [
@@ -50,6 +51,10 @@ __all__ = [
     "glm_grouped",
     "save_model",
     "load_model",
+    "SparkLM",
+    "SparkLMModel",
+    "SparkGLM",
+    "SparkGLMModel",
 ]
 
 __version__ = "0.1.0"

@@ -1,0 +1,392 @@
+"""pyspark.ml conformance layer: Estimator/Model wrappers for lm/glm.
+
+SURVEY §1.5 maps the reference's model objects onto "MLlib
+`Estimator/Model` params; persist via MLWriter-style JSON", and the
+reference exposes predict-as-transform (LM.scala:29-61 `predict(df)`
+returns a scored frame). This module makes that mapping literal:
+
+- `SparkLM` / `SparkGLM` are `pyspark.ml.Estimator` subclasses with
+  declared `Param`s (formula-flavored — no VectorAssembler required:
+  the formula front-end already owns encoding), so they compose with
+  `pyspark.ml.Pipeline`, `CrossValidator`, and `ParamGridBuilder`
+  exactly like built-in estimators.
+- `SparkLMModel` / `SparkGLMModel` are `pyspark.ml.Model`s whose
+  `transform()` is the existing keyed predict (append `predictionCol`,
+  input rows untouched) — the same single-projection scoring plan as
+  `LM.predict` / `GLM.predict`, nothing re-implemented.
+- Persistence is `MLWriter`/`MLReader` over the `persist.py` JSON
+  document: `model.write().save(path)` writes MLlib-style
+  `metadata/` plus a single-partition `model/` text dir holding the
+  JSON, both via the SparkContext so HDFS/S3 paths work on a cluster
+  (fitted state is O(k) — coefficients + stats — so one JSON line is
+  the right weight at any data scale).
+
+Estimators hold no fitted state, so they use the stock
+`DefaultParamsWritable` round-trip.
+
+Scale: `fit()` is the existing one-pass Gram / fused-IRLS plan (all
+reduction happens in Catalyst partial aggregation; the driver touches
+k×k matrices only), and `transform()` is one whole-stage-codegen
+projection — the wrapper adds zero per-row work and zero extra jobs.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.ml import Estimator, Model
+from pyspark.ml.param import Param, Params, TypeConverters
+from pyspark.ml.util import (
+    DefaultParamsReadable,
+    DefaultParamsReader,
+    DefaultParamsWritable,
+    DefaultParamsWriter,
+    MLReadable,
+    MLReader,
+    MLWritable,
+    MLWriter,
+)
+from pyspark.sql import DataFrame
+
+from sparkglm_spark.operators.glm import GLM, glm
+from sparkglm_spark.operators.lm import LM, lm
+from sparkglm_spark.persist import model_from_dict, model_to_dict
+
+
+# ---------------------------------------------------------------------------
+# Shared params
+# ---------------------------------------------------------------------------
+
+
+class _FormulaParams(Params):
+    """Params shared by both estimators and their models. String params
+    that are optional in the functional API use '' for "unset" (the
+    MLlib convention for optional column params)."""
+
+    formula = Param(
+        Params._dummy(),
+        "formula",
+        "R-style model formula, e.g. 'y ~ x1 + x2' or 'y ~ .'",
+        typeConverter=TypeConverters.toString,
+    )
+    predictionCol = Param(
+        Params._dummy(),
+        "predictionCol",
+        "output column appended by transform()",
+        typeConverter=TypeConverters.toString,
+    )
+    naAction = Param(
+        Params._dummy(),
+        "naAction",
+        "NA handling before fitting: 'omit' or 'keep'",
+        typeConverter=TypeConverters.toString,
+    )
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(predictionCol="prediction", naAction="omit")
+
+    def getFormula(self) -> str:
+        return self.getOrDefault(self.formula)
+
+    def getPredictionCol(self) -> str:
+        return self.getOrDefault(self.predictionCol)
+
+    def getNaAction(self) -> str:
+        return self.getOrDefault(self.naAction)
+
+
+class _SparkLMParams(_FormulaParams):
+    weightCol = Param(
+        Params._dummy(),
+        "weightCol",
+        "weight column for WLS ('' = unweighted OLS)",
+        typeConverter=TypeConverters.toString,
+    )
+    l2 = Param(
+        Params._dummy(),
+        "l2",
+        "ridge penalty lambda (0.0 = OLS); intercept unpenalized",
+        typeConverter=TypeConverters.toFloat,
+    )
+    sseMode = Param(
+        Params._dummy(),
+        "sseMode",
+        "residual-stat strategy: 'moments' (fused single pass) or 'residual'",
+        typeConverter=TypeConverters.toString,
+    )
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(weightCol="", l2=0.0, sseMode="moments")
+
+    def getWeightCol(self) -> str:
+        return self.getOrDefault(self.weightCol)
+
+    def getL2(self) -> float:
+        return self.getOrDefault(self.l2)
+
+    def getSseMode(self) -> str:
+        return self.getOrDefault(self.sseMode)
+
+
+class _SparkGLMParams(_FormulaParams):
+    family = Param(
+        Params._dummy(),
+        "family",
+        "GLM family: binomial, gaussian, poisson, gamma",
+        typeConverter=TypeConverters.toString,
+    )
+    link = Param(
+        Params._dummy(),
+        "link",
+        "link function ('' = family's canonical link)",
+        typeConverter=TypeConverters.toString,
+    )
+    mCol = Param(
+        Params._dummy(),
+        "mCol",
+        "binomial trials column ('' = Bernoulli)",
+        typeConverter=TypeConverters.toString,
+    )
+    offsetCol = Param(
+        Params._dummy(),
+        "offsetCol",
+        "offset column added to the linear predictor ('' = none)",
+        typeConverter=TypeConverters.toString,
+    )
+    tol = Param(
+        Params._dummy(),
+        "tol",
+        "IRLS absolute deviance-change stopping tolerance",
+        typeConverter=TypeConverters.toFloat,
+    )
+    maxIter = Param(
+        Params._dummy(),
+        "maxIter",
+        "maximum IRLS iterations",
+        typeConverter=TypeConverters.toInt,
+    )
+    predictionType = Param(
+        Params._dummy(),
+        "predictionType",
+        "transform() scale: 'response' (mu) or 'link' (eta)",
+        typeConverter=TypeConverters.toString,
+    )
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(
+            family="binomial",
+            link="",
+            mCol="",
+            offsetCol="",
+            tol=1e-6,
+            maxIter=50,
+            predictionType="response",
+        )
+
+    def getFamily(self) -> str:
+        return self.getOrDefault(self.family)
+
+    def getLink(self) -> str:
+        return self.getOrDefault(self.link)
+
+    def getMCol(self) -> str:
+        return self.getOrDefault(self.mCol)
+
+    def getOffsetCol(self) -> str:
+        return self.getOrDefault(self.offsetCol)
+
+    def getTol(self) -> float:
+        return self.getOrDefault(self.tol)
+
+    def getMaxIter(self) -> int:
+        return self.getOrDefault(self.maxIter)
+
+    def getPredictionType(self) -> str:
+        return self.getOrDefault(self.predictionType)
+
+
+def _kwargs_setter(obj, kwargs):
+    """setParams-style keyword init: only declared params accepted."""
+    for name, value in kwargs.items():
+        if not obj.hasParam(name):
+            raise TypeError(f"{type(obj).__name__} has no param {name!r}")
+        obj.set(obj.getParam(name), value)
+    return obj
+
+
+# ---------------------------------------------------------------------------
+# Fitted-model persistence (MLWriter/MLReader over the persist.py JSON)
+# ---------------------------------------------------------------------------
+
+
+class _ModelJSONWriter(MLWriter):
+    """MLlib-layout save: DefaultParamsWriter metadata/ + a model/ text
+    dir holding the persist.py JSON document as one line. Both writes go
+    through the SparkContext so any Hadoop-supported filesystem works."""
+
+    def __init__(self, instance):
+        super().__init__()
+        self.instance = instance
+
+    def saveImpl(self, path: str) -> None:
+        DefaultParamsWriter.saveMetadata(self.instance, path, self.sparkSession)
+        doc = json.dumps(model_to_dict(self.instance._model_obj))
+        sc = self.sparkSession.sparkContext
+        sc.parallelize([doc], 1).saveAsTextFile(path + "/model")
+
+
+class _ModelJSONReader(MLReader):
+    def __init__(self, cls):
+        super().__init__()
+        self._cls = cls
+
+    def load(self, path: str):
+        metadata = DefaultParamsReader.loadMetadata(path, self.sparkSession)
+        lines = self.sparkSession.sparkContext.textFile(path + "/model").collect()
+        inner = model_from_dict(json.loads("\n".join(lines)))
+        expected = LM if self._cls is SparkLMModel else GLM
+        if not isinstance(inner, expected):
+            raise ValueError(
+                f"{path} holds a {type(inner).__name__}, expected {expected.__name__}"
+            )
+        instance = self._cls(inner)
+        DefaultParamsReader.getAndSetParams(instance, metadata)
+        return instance
+
+
+# ---------------------------------------------------------------------------
+# LM
+# ---------------------------------------------------------------------------
+
+
+class SparkLM(Estimator, _SparkLMParams, DefaultParamsReadable, DefaultParamsWritable):
+    """`pyspark.ml.Estimator` wrapper over `lm()` (reference sparkLM,
+    R/pkg/R/LM.R:24-72 + LM.scala:29-61 predict-as-transform).
+
+    >>> est = SparkLM(formula="y ~ x1 + x2", l2=0.1)
+    >>> model = Pipeline(stages=[est]).fit(df).stages[0]
+    >>> scored = model.transform(df)   # appends 'prediction'
+
+    Grid-searchable params: formula, weightCol, l2, sseMode, naAction,
+    predictionCol."""
+
+    def __init__(self, **kwargs):
+        super().__init__()
+        _kwargs_setter(self, kwargs)
+
+    def setParams(self, **kwargs) -> "SparkLM":
+        return _kwargs_setter(self, kwargs)
+
+    def _fit(self, dataset: DataFrame) -> "SparkLMModel":
+        if not self.isDefined(self.formula):
+            raise ValueError("SparkLM requires the 'formula' param")
+        inner = lm(
+            dataset,
+            self.getFormula(),
+            na_action=self.getNaAction(),
+            sse_mode=self.getSseMode(),
+            weight_col=self.getWeightCol() or None,
+            l2=self.getL2(),
+        )
+        return self._copyValues(SparkLMModel(inner))
+
+
+class SparkLMModel(Model, _SparkLMParams, MLWritable, MLReadable):
+    """Fitted LM as a `pyspark.ml.Model`: `transform()` appends the
+    prediction as ONE codegen projection over raw columns (training-time
+    dummy encoding / intercept / zero-backfill folded into expressions —
+    same plan as `LM.predict`). `.model` exposes the underlying `LM`
+    dataclass (coefs, summary(), ...)."""
+
+    def __init__(self, model: LM | None = None):
+        super().__init__()
+        self._model_obj = model
+
+    @property
+    def model(self) -> LM:
+        return self._model_obj
+
+    def summary(self):
+        return self._model_obj.summary()
+
+    def _transform(self, dataset: DataFrame) -> DataFrame:
+        return self._model_obj.predict(dataset, output_col=self.getPredictionCol())
+
+    def write(self) -> MLWriter:
+        return _ModelJSONWriter(self)
+
+    @classmethod
+    def read(cls) -> MLReader:
+        return _ModelJSONReader(cls)
+
+
+# ---------------------------------------------------------------------------
+# GLM
+# ---------------------------------------------------------------------------
+
+
+class SparkGLM(Estimator, _SparkGLMParams, DefaultParamsReadable, DefaultParamsWritable):
+    """`pyspark.ml.Estimator` wrapper over `glm()` (reference GLM.scala
+    fit overloads, SURVEY §2.11 M7-M9, collapsed to Params).
+
+    >>> est = SparkGLM(formula="won ~ bid", family="binomial")
+    >>> model = est.fit(df)
+    >>> model.transform(df)            # appends response-scale mu
+    """
+
+    def __init__(self, **kwargs):
+        super().__init__()
+        _kwargs_setter(self, kwargs)
+
+    def setParams(self, **kwargs) -> "SparkGLM":
+        return _kwargs_setter(self, kwargs)
+
+    def _fit(self, dataset: DataFrame) -> "SparkGLMModel":
+        if not self.isDefined(self.formula):
+            raise ValueError("SparkGLM requires the 'formula' param")
+        inner = glm(
+            dataset,
+            self.getFormula(),
+            family=self.getFamily(),
+            link=self.getLink() or None,
+            m_col=self.getMCol() or None,
+            offset_col=self.getOffsetCol() or None,
+            tol=self.getTol(),
+            max_iter=self.getMaxIter(),
+            na_action=self.getNaAction(),
+        )
+        return self._copyValues(SparkGLMModel(inner))
+
+
+class SparkGLMModel(Model, _SparkGLMParams, MLWritable, MLReadable):
+    """Fitted GLM as a `pyspark.ml.Model`; `transform()` appends mu
+    (or eta when predictionType='link') as one codegen projection —
+    same plan as `GLM.predict`."""
+
+    def __init__(self, model: GLM | None = None):
+        super().__init__()
+        self._model_obj = model
+
+    @property
+    def model(self) -> GLM:
+        return self._model_obj
+
+    def summary(self):
+        return self._model_obj.summary()
+
+    def _transform(self, dataset: DataFrame) -> DataFrame:
+        return self._model_obj.predict(
+            dataset,
+            output_col=self.getPredictionCol(),
+            type=self.getPredictionType(),
+        )
+
+    def write(self) -> MLWriter:
+        return _ModelJSONWriter(self)
+
+    @classmethod
+    def read(cls) -> MLReader:
+        return _ModelJSONReader(cls)

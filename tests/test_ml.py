@@ -1,0 +1,158 @@
+"""pyspark.ml conformance: Pipeline / CrossValidator / MLWriter round-trip
+for the SparkLM / SparkGLM wrappers (SURVEY §1.5; reference
+predict-as-transform LM.scala:29-61)."""
+
+import numpy as np
+import pytest
+from pyspark.ml import Pipeline, PipelineModel
+from pyspark.ml.evaluation import RegressionEvaluator
+from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+from pyspark.sql import functions as F
+
+from sparkglm_spark import glm, lm
+from sparkglm_spark.ml import SparkGLM, SparkGLMModel, SparkLM, SparkLMModel
+
+
+@pytest.fixture(scope="module")
+def li(lineitem):
+    return lineitem.select(
+        "l_extendedprice", "l_quantity", "l_discount", "l_returnflag"
+    ).limit(4000)
+
+
+def test_pipeline_fit_matches_functional_lm(li):
+    est = SparkLM(formula="l_extendedprice ~ l_quantity + l_discount + l_returnflag")
+    pipe_model = Pipeline(stages=[est]).fit(li)
+    assert isinstance(pipe_model, PipelineModel)
+    wrapped = pipe_model.stages[0]
+    assert isinstance(wrapped, SparkLMModel)
+
+    bare = lm(li, "l_extendedprice ~ l_quantity + l_discount + l_returnflag")
+    assert wrapped.model.xnames == bare.xnames
+    np.testing.assert_allclose(wrapped.model.coefs, bare.coefs, rtol=1e-12)
+
+    scored = pipe_model.transform(li)
+    assert scored.columns == li.columns + ["prediction"]
+    a = [r.prediction for r in scored.limit(50).collect()]
+    b = [r.prediction for r in bare.predict(li).limit(50).collect()]
+    np.testing.assert_allclose(a, b, rtol=1e-12)
+
+
+def test_transform_is_single_projection(li):
+    from sparkglm_spark.plans.inspect import formatted_plan
+
+    model = SparkLM(formula="l_extendedprice ~ l_quantity").fit(li)
+    assert "Exchange" not in formatted_plan(model.transform(li))  # no shuffle
+
+
+def test_estimator_params_and_copy(li):
+    est = SparkLM(formula="l_extendedprice ~ l_quantity", l2=0.5, predictionCol="p")
+    assert est.getL2() == 0.5
+    c = est.copy({est.l2: 1.5})
+    assert c.getL2() == 1.5 and est.getL2() == 0.5  # copy doesn't mutate
+    m = est.fit(li)
+    assert m.getPredictionCol() == "p"  # params flow estimator -> model
+    assert "p" in m.transform(li).columns
+    with pytest.raises(TypeError):
+        SparkLM(nope=1)
+    with pytest.raises(ValueError):
+        SparkLM().fit(li)  # formula required
+
+
+def test_cross_validator_over_l2_grid(spark):
+    # synthetic y = 3x + eps so the grid has a real signal to rank:
+    # an absurd ridge penalty shrinks the slope to ~0 and must lose
+    rng = np.random.default_rng(11)
+    x = rng.normal(0, 2, 600)
+    y = 3.0 * x + rng.normal(0, 0.5, 600)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(x, y)], "x double, y double"
+    )
+    est = SparkLM(formula="y ~ x")
+    grid = ParamGridBuilder().addGrid(est.l2, [0.0, 1e9]).build()
+    ev = RegressionEvaluator(
+        labelCol="y", predictionCol="prediction", metricName="rmse"
+    )
+    cv = CrossValidator(
+        estimator=est, estimatorParamMaps=grid, evaluator=ev, numFolds=2, seed=7
+    )
+    cv_model = cv.fit(df)
+    assert isinstance(cv_model.bestModel, SparkLMModel)
+    assert cv_model.bestModel.getL2() == 0.0
+    assert len(cv_model.avgMetrics) == 2
+    assert cv_model.avgMetrics[0] < cv_model.avgMetrics[1]
+
+
+def test_lm_model_save_load_round_trip(li, tmp_path):
+    est = SparkLM(
+        formula="l_extendedprice ~ l_quantity + l_returnflag", predictionCol="yhat"
+    )
+    model = est.fit(li)
+    path = str(tmp_path / "lmmodel")
+    model.write().save(path)
+    loaded = SparkLMModel.load(path)
+    assert loaded.getPredictionCol() == "yhat"
+    assert loaded.model.xnames == model.model.xnames
+    np.testing.assert_allclose(loaded.model.coefs, model.model.coefs, rtol=0)
+    assert loaded.model.levels == model.model.levels  # novel-level zero-backfill intact
+    a = [r.yhat for r in model.transform(li).limit(20).collect()]
+    b = [r.yhat for r in loaded.transform(li).limit(20).collect()]
+    np.testing.assert_allclose(a, b, rtol=0)
+
+
+def test_estimator_save_load_round_trip(tmp_path):
+    est = SparkLM(formula="y ~ x", l2=2.0, weightCol="w", sseMode="moments")
+    path = str(tmp_path / "lmest")
+    est.write().save(path)
+    loaded = SparkLM.load(path)
+    assert loaded.getFormula() == "y ~ x"
+    assert loaded.getL2() == 2.0
+    assert loaded.getWeightCol() == "w"
+
+
+def test_glm_estimator_matches_functional_glm(orders):
+    df = orders.select(
+        (F.col("o_totalprice") > 150000).cast("double").alias("big"),
+        (F.col("o_custkey") % 97).cast("double").alias("ship"),
+        "o_orderpriority",
+    ).limit(3000)
+    est = SparkGLM(formula="big ~ ship + o_orderpriority", family="binomial")
+    model = est.fit(df)
+    bare = glm(df, "big ~ ship + o_orderpriority", family="binomial")
+    np.testing.assert_allclose(model.model.coefs, bare.coefs, rtol=1e-10)
+    assert model.model.iter == bare.iter
+
+    mu = model.transform(df).select("prediction").limit(20).collect()
+    assert all(0.0 <= r.prediction <= 1.0 for r in mu)
+    eta_model = model.copy({model.predictionType: "link"})
+    eta = eta_model.transform(df).select("prediction").limit(20).collect()
+    lo = [np.log(r.prediction / (1 - r.prediction)) for r in mu]
+    np.testing.assert_allclose([r.prediction for r in eta], lo, rtol=1e-9)
+
+
+def test_glm_model_save_load_round_trip(orders, tmp_path):
+    df = orders.select(
+        (F.col("o_totalprice") > 150000).cast("double").alias("big"),
+        (F.col("o_custkey") % 97).cast("double").alias("ship"),
+    ).limit(2000)
+    model = SparkGLM(formula="big ~ ship", family="binomial").fit(df)
+    path = str(tmp_path / "glmmodel")
+    model.write().save(path)
+    loaded = SparkGLMModel.load(path)
+    np.testing.assert_allclose(loaded.model.coefs, model.model.coefs, rtol=0)
+    assert loaded.model.family == "binomial"
+    assert loaded.getFamily() == "binomial"
+    # kind guard: loading a GLM path as an LM model must fail loudly
+    with pytest.raises(ValueError, match="expected LM"):
+        SparkLMModel.load(path)
+
+
+def test_pipeline_model_save_load(li, tmp_path):
+    pipe = Pipeline(stages=[SparkLM(formula="l_extendedprice ~ l_quantity")])
+    pm = pipe.fit(li)
+    path = str(tmp_path / "pipemodel")
+    pm.write().save(path)
+    loaded = PipelineModel.load(path)
+    a = [r.prediction for r in pm.transform(li).limit(10).collect()]
+    b = [r.prediction for r in loaded.transform(li).limit(10).collect()]
+    np.testing.assert_allclose(a, b, rtol=0)
