@@ -1103,27 +1103,60 @@ SELECT nationkey, 'supplier_only' AS which FROM (
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup + duplicate-group summary in one result: the content
-    winners (sha2-fingerprint groupBy-min keeper selection + broadcast
-    anti-join — exact_dedup_hashed; the text column never enters an
-    exchange) joined with each group's size (duplicate_groups; groups of 1
-    backfill as 1)."""
+    """Exact dedup + duplicate-group summary + incremental batch-vs-index
+    dedup in one result. 'full' rows: the content winners
+    (sha2-fingerprint groupBy-min keeper selection + broadcast anti-join —
+    exact_dedup_hashed; the text column never enters an exchange) joined
+    with each group's size (duplicate_groups; groups of 1 backfill as 1).
+    'incr' rows (r7): the daily-ingest pattern — even-doc_id rows play the
+    existing corpus (content_fingerprints index), odd-doc_id rows the new
+    batch; exact_dedup_incremental drops index hits on fingerprints only,
+    then keeps min-key within the batch. The oracle replays both the
+    index-hit drop and the within-batch keeper, so the green hash pins
+    incremental ≡ (anti-join + batch dedup) composition."""
     docs = read_table(spark, sf_dir, "documents")
-    from sparkglm_spark.operators.dedup import duplicate_groups, exact_dedup_hashed
+    from sparkglm_spark.operators.dedup import (
+        content_fingerprints,
+        duplicate_groups,
+        exact_dedup_hashed,
+        exact_dedup_incremental,
+    )
 
     winners = exact_dedup_hashed(docs, "text", "doc_id").select("doc_id", "source")
     groups = duplicate_groups(docs, ["text"], "doc_id").select(
         F.col("canonical_id").alias("doc_id"), "group_size"
     )
-    return winners.join(groups, "doc_id", "left").select(
-        "doc_id", "source", F.coalesce("group_size", F.lit(1)).alias("group_size")
+    full = winners.join(groups, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        F.coalesce("group_size", F.lit(1)).cast("bigint").alias("group_size"),
+        F.lit("full").alias("part"),
     )
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    index = content_fingerprints(corpus, "text", "doc_id")
+    survivors = exact_dedup_incremental(batch, index, "text", "doc_id")
+    incr = survivors.select(
+        "doc_id",
+        "source",
+        F.lit(0).cast("bigint").alias("group_size"),
+        F.lit("incr").alias("part"),
+    )
+    return full.unionByName(incr)
 
 
 SQL_DEDUP_EXACT = """
 SELECT min(doc_id) AS doc_id, arg_min(source, doc_id) AS source,
-       count(*) AS group_size
+       count(*) AS group_size, 'full' AS part
 FROM documents GROUP BY text
+UNION ALL
+SELECT min(doc_id), arg_min(source, doc_id), 0, 'incr'
+FROM documents d
+WHERE doc_id % 2 = 1
+  AND NOT EXISTS (SELECT 1 FROM documents e
+                  WHERE e.doc_id % 2 = 0
+                    AND e.text IS NOT DISTINCT FROM d.text)
+GROUP BY text
 """
 
 
@@ -3676,17 +3709,87 @@ ORDER BY bucket
 # ===========================================================================
 
 
+# r7: fixed WordPiece pinning vocab (ids = list positions, the BERT
+# vocab-file convention). Single-char fallback covers the corpus's
+# character set EXCEPT 'q', so 'query' deterministically collapses to
+# [UNK] (the whole-word-on-unseen-char rule); the multi-char tail forces
+# real greedy longest-match decisions (e.g. 'the' beats 'th' beats 't';
+# 'table' → [ta, ##ble]; 'scan' whole-word beats 'sc'+'##an').
+_WP_CHARS = "abcdefghijklmnoprstuvwy"
+WP_PIN_VOCAB = (
+    ["[PAD]", "[UNK]"]
+    + list(_WP_CHARS)
+    + [f"##{c}" for c in _WP_CHARS]
+    + ["the", "scan", "wind", "cust", "ta", "val", "sc",
+       "##ble", "##an", "##ow", "##om", "##er", "##ue", "##tch", "th"]
+)
+
+
+def _sql_tokenize_wp() -> str:
+    """DuckDB replay of greedy longest-match WordPiece under WP_PIN_VOCAB:
+    tokenize each DISTINCT word via a recursive CTE (each step consumes
+    the unique longest matching piece — NOT EXISTS a longer match; a word
+    whose chain dies mid-word never reaches pos = length and backfills as
+    [UNK], Wu et al. 2016 semantics), then reassemble per doc in word
+    order. Returns (doc_id, token_ids csv, n_tokens_wp, n_unk)."""
+    vals = ", ".join(f"({i}, '{p}')" for i, p in enumerate(WP_PIN_VOCAB))
+    return rf"""
+WITH RECURSIVE
+wp_vocab(id, piece) AS (VALUES {vals}),
+wp_v AS (
+  SELECT id,
+         CASE WHEN starts_with(piece, '##') THEN substr(piece, 3) ELSE piece END AS raw,
+         starts_with(piece, '##') AS cont
+  FROM wp_vocab WHERE piece NOT IN ('[PAD]', '[UNK]')),
+wp_words AS (
+  SELECT doc_id, unnest(l) AS word, generate_subscripts(l, 1) AS wpos
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                           t -> t <> '') AS l
+        FROM documents WHERE text IS NOT NULL)),
+wp_dw AS (SELECT DISTINCT word FROM wp_words),
+wp_tok(word, pos, ids) AS (
+  SELECT word, 0, CAST([] AS INTEGER[]) FROM wp_dw
+  UNION ALL
+  SELECT t.word, t.pos + length(v.raw), list_append(t.ids, v.id)
+  FROM wp_tok t JOIN wp_v v
+    ON v.cont = (t.pos > 0)
+   AND substr(t.word, t.pos + 1, length(v.raw)) = v.raw
+  WHERE t.pos < length(t.word)
+    AND NOT EXISTS (SELECT 1 FROM wp_v v2 WHERE v2.cont = (t.pos > 0)
+        AND length(v2.raw) > length(v.raw)
+        AND substr(t.word, t.pos + 1, length(v2.raw)) = v2.raw)),
+wp_done AS (SELECT word, ids FROM wp_tok WHERE pos = length(word)),
+wp_ids AS (
+  SELECT w.doc_id, w.wpos, COALESCE(d.ids, [1]) AS ids
+  FROM wp_words w LEFT JOIN wp_done d USING (word)),
+wp_docs AS (
+  SELECT doc_id, flatten(list(ids ORDER BY wpos)) AS token_ids
+  FROM wp_ids GROUP BY doc_id)
+SELECT d.doc_id,
+       array_to_string(COALESCE(w.token_ids, []), ',') AS token_ids,
+       COALESCE(len(w.token_ids), 0) AS n_tokens_wp,
+       COALESCE(len(list_filter(w.token_ids, i -> i = 1)), 0) AS n_unk
+FROM documents d LEFT JOIN wp_docs w USING (doc_id)
+WHERE d.text IS NOT NULL
+"""
+
+
+SQL_TOKENIZE_WP = _sql_tokenize_wp()
+
+
 def q_corpus_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus toolkit union row-set: document chunking + vocabulary top-k +
     benchmark decontamination + global line dedup + PII redaction +
     unigram-LM scoring + text normalization + substring-window dup stats +
-    hashed-TF vectors (operators/corpus.py + text.py — see the
-    constituent q_doc_chunks / q_vocab_topk / q_decontaminate /
-    q_line_dedup / q_redact / q_unigram_scores / q_normalize /
-    substring_dup_stats / hashed_tf_vectors docstrings for the plan
+    hashed-TF vectors + WordPiece tokenization (operators/corpus.py +
+    text.py + tokenize.py — see the constituent q_doc_chunks /
+    q_vocab_topk / q_decontaminate / q_line_dedup / q_redact /
+    q_unigram_scores / q_normalize / substring_dup_stats /
+    hashed_tf_vectors / tokenize_wordpiece docstrings for the plan
     arguments; each runs unchanged). Normalized onto (op, k, a, b, s, x):
     chunk rows key on doc:chunk, vocab rows on term, the rest on doc —
-    one driver row-set covers all nine."""
+    one driver row-set covers all ten."""
     chunks = q_doc_chunks(spark, sf_dir).select(
         F.lit("chunk").alias("op"),
         F.concat_ws(
@@ -3787,6 +3890,26 @@ def q_corpus_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").alias("s"),
         F.lit(None).cast("double").alias("x"),
     )
+    # r7: WordPiece tokenization rows (operators/tokenize.py::
+    # tokenize_wordpiece) under a FIXED pinning vocab (WP_PIN_VOCAB —
+    # single-char fallback minus 'q' so 'query' exercises the whole-word
+    # [UNK] collapse, plus multi-char pieces exercising greedy longest
+    # match). The full token-id sequence rides in s, so the value hash
+    # pins every id of every doc; a/b carry n_tokens_wp/n_unk. The oracle
+    # replays greedy longest-match per distinct word in a recursive CTE.
+    from sparkglm_spark.operators.tokenize import tokenize_wordpiece
+
+    wp = tokenize_wordpiece(
+        docs_t.where(F.col("text").isNotNull()).select("doc_id", "text"),
+        WP_PIN_VOCAB,
+    ).select(
+        F.lit("wp").alias("op"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("n_tokens_wp").cast("bigint").alias("a"),
+        F.col("n_unk").cast("bigint").alias("b"),
+        F.concat_ws(",", F.col("token_ids").cast("array<string>")).alias("s"),
+        F.lit(None).cast("double").alias("x"),
+    )
     return (
         chunks.unionByName(vocab)
         .unionByName(decon)
@@ -3796,6 +3919,7 @@ def q_corpus_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(norm)
         .unionByName(subdup.select("op", "k", "a", "b", F.lit(None).cast("string").alias("s"), "x"))
         .unionByName(hashtf.select("op", "k", "a", "b", "s", F.lit(None).cast("double").alias("x")))
+        .unionByName(wp)
     )
 
 
@@ -3834,6 +3958,10 @@ UNION ALL
 SELECT 'hashtf', CAST(doc_id AS VARCHAR), nnz, checksum, NULL,
        CAST(NULL AS DOUBLE)
 FROM ({SQL_HASHTF}) ht
+UNION ALL
+SELECT 'wp', CAST(doc_id AS VARCHAR), n_tokens_wp, n_unk, token_ids,
+       CAST(NULL AS DOUBLE)
+FROM ({SQL_TOKENIZE_WP}) wp
 """
 
 
