@@ -318,6 +318,56 @@ def test_exact_dedup_exchanges_carry_no_text(spark, documents):
         assert_no_columns_in_exchanges(df, ["text"], skip_round_robin=False)
 
 
+def test_exchange_audit_resolves_alias_lineage(spark, documents):
+    """r7: the audit walks Project lineage, so a guarded column crossing
+    an exchange under an alias or packed in a struct FAILS without the
+    caller enumerating aliases — while genuine reductions (sha2
+    fingerprints of the guarded column) still pass. This is the taint
+    upgrade the round-6 verdict asked for (plans/inspect.py)."""
+    from pyspark.sql import functions as F
+
+    from sparkglm_spark.plans.inspect import assert_no_columns_in_exchanges
+
+    # direct alias: text AS __t shuffled as a groupBy key
+    aliased = (
+        documents.select(F.col("text").alias("__t"), "doc_id")
+        .groupBy("__t")
+        .count()
+    )
+    with pytest.raises(AssertionError, match="lineage"):
+        assert_no_columns_in_exchanges(aliased, ["text"])
+
+    # struct packing: struct(text, source) shuffled as a key
+    packed = (
+        documents.select(F.struct("text", "source").alias("s"), "doc_id")
+        .groupBy("s")
+        .count()
+    )
+    with pytest.raises(AssertionError, match="lineage"):
+        assert_no_columns_in_exchanges(packed, ["text"])
+
+    # chained alias: the taint follows a second rename too
+    chained = (
+        documents.select(F.col("text").alias("__t"), "doc_id")
+        .select(F.col("__t").alias("__u"), "doc_id")
+        .groupBy("__u")
+        .count()
+    )
+    with pytest.raises(AssertionError, match="lineage"):
+        assert_no_columns_in_exchanges(chained, ["text"])
+
+    # reduction: sha2(text) on the wire is the engine's CONTRACT, not a
+    # leak — taint must stop at the hash
+    hashed = (
+        documents.select(
+            F.sha2(F.col("text").cast("binary"), 256).alias("fp"), "doc_id"
+        )
+        .groupBy("fp")
+        .count()
+    )
+    assert_no_columns_in_exchanges(hashed, ["text"])
+
+
 def test_media_dedup_exchanges_carry_no_binary(spark, documents):
     """Same contract for media: payload bytes (BinaryType) must never enter
     an exchange — only (sha2 hash, media_id) rows shuffle."""
