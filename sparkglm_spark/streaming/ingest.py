@@ -1,6 +1,9 @@
-"""Streaming corpus ingest: micro-batch exact dedup against a persisted
-fingerprint index — the daily/continuous-ingest twin of the batch dedup
-family (`operators/dedup.py`).
+"""Streaming corpus ingest: micro-batch dedup against a persisted index —
+the daily/continuous-ingest twin of the batch dedup family
+(`operators/dedup.py`). Two gates share one store layout and retry
+discipline: EXACT (`dedup_ingest_*` — sha2 fingerprint index) and
+NEAR-dup (`neardup_ingest_*` — MinHash signature index,
+`minhash_match_pairs` semantics).
 
 Pattern: `foreachBatch` + `exact_dedup_incremental`. Each micro-batch is
 deduped (a) against every fingerprint the index has accumulated and
@@ -123,6 +126,154 @@ def dedup_ingest_batch(
         ).parquet(f"{index_path}/batch_id={int(batch_id)}")
     finally:
         survivors.unpersist()
+
+
+def _read_sig_index(
+    spark, index_path: str, exclude_batch_id: int
+) -> DataFrame | None:
+    """The accumulated MinHash signature index (id, sig), or None before
+    the first batch lands. Same retry discipline as `_read_index`: a
+    re-run of batch N prunes its own `batch_id=N` directory at the scan,
+    and only a missing path means "first batch"."""
+    try:
+        idx = spark.read.parquet(index_path)
+    except AnalysisException as e:
+        cond = getattr(e, "getCondition", lambda: None)() or str(e)
+        if "PATH_NOT_FOUND" in cond:
+            return None
+        raise
+    return idx.where(F.col("batch_id") != exclude_batch_id).select("id", "sig")
+
+
+def neardup_ingest_batch(
+    batch: DataFrame,
+    batch_id: int,
+    index_path: str,
+    accepted_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    n: int = 3,
+    num_perm: int = 128,
+    bands: int = 32,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+    max_docs_per_bucket: int | None = None,
+    prepare=None,
+) -> None:
+    """Process ONE micro-batch through the NEAR-dup ingest gate — the
+    MinHash twin of `dedup_ingest_batch`: drop rows whose estimated
+    Jaccard against any already-indexed document is ≥ `threshold`
+    (`minhash_match_pairs` semantics: signature-estimated, approximate by
+    contract), write survivors to `accepted_path/batch_id=N` and their
+    SIGNATURES to `index_path/batch_id=N` — per-batch overwrite, so a
+    Structured Streaming retry replaces rather than duplicates.
+
+    The batch's signatures are computed ONCE (the zero-shuffle
+    `minhash_index` Arrow pass) and reused for both the match and the
+    index append — the batch text never shuffles, matching ships
+    (id, band, bucket) and signature rows only, and removal is a
+    broadcast anti-join of matched ids, so the 100 TB wire profile is the
+    batch operator's. Within-batch near-dups are NOT resolved — the
+    `minhash_dedup_against` contract (run `minhash_dedup_pairs` over the
+    accepted store if the batch itself needs resolving); replayed batches
+    therefore converge to exactly the sequential batch-mode composition
+    survivors(B_k) = minhash_dedup_against(B_k, index(B_0..B_{k-1})).
+
+    `n`/`num_perm`/`seed`/`hash_fn` are part of the index's schema (the
+    `minhash_dedup_against` caveat): every batch and backfill writing to
+    one `index_path` must use identical values — signatures built under
+    different parameters are incomparable with no in-band error.
+    `prepare` is the per-row curation hook of `dedup_ingest_batch`."""
+    from sparkglm_spark.operators.dedup import minhash_index, minhash_match_pairs
+
+    if prepare is not None:
+        batch = prepare(batch)
+    spark = batch.sparkSession
+    sig = minhash_index(
+        batch, id_col, text_col, n=n, num_perm=num_perm, seed=seed, hash_fn=hash_fn
+    ).persist()
+    drop = None
+    try:
+        known = _read_sig_index(spark, index_path, exclude_batch_id=int(batch_id))
+        if known is None:
+            survivors, surviving_sig = batch, sig
+        else:
+            hits = minhash_match_pairs(
+                sig,
+                known,
+                threshold=threshold,
+                num_perm=num_perm,
+                bands=bands,
+                max_docs_per_bucket=max_docs_per_bucket,
+            )
+            # matched ids feed TWO anti-joins (rows + signatures): persist
+            # so the banded candidate join runs once per batch
+            drop = hits.select(F.col("id_new").alias("id")).distinct().persist()
+            survivors = batch.join(
+                F.broadcast(drop.withColumnRenamed("id", id_col)),
+                id_col,
+                "left_anti",
+            )
+            surviving_sig = sig.join(F.broadcast(drop), "id", "left_anti")
+        # accepted FIRST (the dedup_ingest_batch crash-ordering argument)
+        survivors.write.mode("overwrite").parquet(
+            f"{accepted_path}/batch_id={int(batch_id)}"
+        )
+        surviving_sig.write.mode("overwrite").parquet(
+            f"{index_path}/batch_id={int(batch_id)}"
+        )
+    finally:
+        sig.unpersist()
+        if drop is not None:
+            drop.unpersist()
+
+
+def neardup_ingest_writer(
+    stream: DataFrame,
+    index_path: str,
+    accepted_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    n: int = 3,
+    num_perm: int = 128,
+    bands: int = 32,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+    max_docs_per_bucket: int | None = None,
+    prepare=None,
+) -> "pyspark.sql.streaming.DataStreamWriter":  # noqa: F821 (doc type)
+    """`foreachBatch` writer running `neardup_ingest_batch` per
+    micro-batch — the near-dup twin of `dedup_ingest_writer`, same
+    trigger/checkpoint contract and the same checkpoint↔store-pair
+    CAUTION (batch_id is the idempotence namespace)."""
+    if not stream.isStreaming:
+        raise TypeError(
+            "neardup_ingest_writer needs a streaming DataFrame (readStream); "
+            "for batch corpora call operators.dedup.minhash_dedup_against, "
+            "or neardup_ingest_batch per backfill slice"
+        )
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        neardup_ingest_batch(
+            batch,
+            batch_id,
+            index_path,
+            accepted_path,
+            id_col=id_col,
+            text_col=text_col,
+            threshold=threshold,
+            n=n,
+            num_perm=num_perm,
+            bands=bands,
+            seed=seed,
+            hash_fn=hash_fn,
+            max_docs_per_bucket=max_docs_per_bucket,
+            prepare=prepare,
+        )
+
+    return stream.writeStream.foreachBatch(_process)
 
 
 def dedup_ingest_writer(

@@ -508,3 +508,122 @@ def test_dedup_ingest_stream_with_prepare_hook(spark):
         accepted = spark.read.parquet(os.path.join(d, "acc")).collect()
     texts = sorted(r["text"] for r in accepted)
     assert texts == ["hello world document", "other content entirely here"]
+
+
+# ---------------------------------------------------------------------------
+# Near-dup (MinHash) streaming ingest — the r7 twin of the exact gate
+# ---------------------------------------------------------------------------
+
+
+def _neardup_corpus(spark):
+    """Three content families with guaranteed ≥0.8 shingle-Jaccard inside
+    each family (long shared text, one token changed) and ~0 across."""
+    base_a = "the quick brown fox jumps over the lazy dog and runs far away into the quiet green forest tonight"
+    base_b = "distributed query engines shuffle partitioned data across executor nodes to aggregate massive tables quickly"
+    base_c = "a completely unrelated third document about cooking pasta with garlic olive oil and fresh basil leaves"
+    rows = [
+        (0, base_a),
+        (1, base_a.replace("tonight", "today")),       # near-dup of 0
+        (2, base_b),
+        (3, base_b.replace("quickly", "slowly")),      # near-dup of 2
+        (4, base_c),
+        (5, base_a.replace("quiet", "silent")),        # near-dup of 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_neardup_ingest_converges_to_batch_composition(spark, tmp_path):
+    """Replayed micro-batches must converge to the sequential batch-mode
+    composition: survivors(B_k) = minhash_dedup_against(B_k,
+    minhash_index(accepted so far)) — including a RETRY of the last
+    batch, which must rewrite identical survivors."""
+    from sparkglm_spark.operators.dedup import minhash_dedup_against, minhash_index
+    from sparkglm_spark.streaming.ingest import neardup_ingest_batch
+
+    docs = _neardup_corpus(spark)
+    b0 = docs.where(F.col("doc_id") <= 2)   # 0, 1 (near-dup of 0), 2
+    b1 = docs.where(F.col("doc_id") > 2)    # 3 (~2), 4, 5 (~0)
+    idx, acc = str(tmp_path / "idx"), str(tmp_path / "acc")
+
+    neardup_ingest_batch(b0, 0, idx, acc)
+    neardup_ingest_batch(b1, 1, idx, acc)
+    got_b1 = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(acc).where(F.col("batch_id") == 1).collect()
+    )
+
+    # batch-mode composition twin: batch 0 survives whole (within-batch
+    # near-dups unresolved, the minhash_dedup_against contract), batch 1
+    # gates against the accumulated index
+    expected_b1 = sorted(
+        r["doc_id"]
+        for r in minhash_dedup_against(
+            b1, minhash_index(b0, "doc_id", "text"), "doc_id", "text"
+        ).collect()
+    )
+    assert got_b1 == expected_b1
+    # the near-dups of batch-0 content were dropped, the novel doc kept
+    assert 4 in got_b1 and 3 not in got_b1 and 5 not in got_b1
+    # batch 0 accepted whole + index mirrors accepted ids 1:1
+    accepted = spark.read.parquet(acc).collect()
+    index = spark.read.parquet(idx).collect()
+    assert sorted(r["doc_id"] for r in accepted) == sorted([0, 1, 2] + got_b1)
+    assert sorted(r["id"] for r in index) == sorted(
+        r["doc_id"] for r in accepted
+    )
+    assert all(len(r["sig"]) == 128 for r in index)
+
+    # retry of batch 1 (same batch_id): identical survivors, no dupes
+    neardup_ingest_batch(b1, 1, idx, acc)
+    again = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(acc).where(F.col("batch_id") == 1).collect()
+    )
+    assert again == got_b1
+
+
+def test_neardup_ingest_stream_replay(spark, tmp_path):
+    """Drive the foreachBatch writer under a real readStream (one file per
+    trigger): the accepted store ends with exactly one representative per
+    content family regardless of file order, and every accepted row is a
+    genuine input row."""
+    from sparkglm_spark.streaming.ingest import neardup_ingest_writer
+
+    docs = _neardup_corpus(spark)
+    src = str(tmp_path / "src")
+    docs.repartition(3).write.parquet(src)
+    stream_in = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    idx, acc = str(tmp_path / "idx"), str(tmp_path / "acc")
+    q = (
+        neardup_ingest_writer(stream_in, idx, acc)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    accepted = spark.read.parquet(acc).collect()
+    inputs = {(r["doc_id"], r["text"]) for r in docs.collect()}
+    assert all((r["doc_id"], r["text"]) in inputs for r in accepted)
+    kept = {r["doc_id"] for r in accepted}
+    # each family keeps at least one representative; the unrelated doc
+    # always survives; cross-family content is never merged
+    assert 4 in kept
+    assert kept & {0, 1, 5}, "family A lost entirely"
+    assert kept & {2, 3}, "family B lost entirely"
+    # convergence: docs landing in LATER batches than an accepted
+    # family member are gated (file order decides which member that is,
+    # so assert via the index: one signature row per accepted row)
+    index = spark.read.parquet(idx).collect()
+    assert sorted(r["id"] for r in index) == sorted(kept)
+
+
+def test_neardup_ingest_writer_requires_streaming_df(spark):
+    from sparkglm_spark.streaming.ingest import neardup_ingest_writer
+
+    batch_df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(TypeError, match="streaming DataFrame"):
+        neardup_ingest_writer(batch_df, "/tmp/i", "/tmp/a")
