@@ -29,7 +29,16 @@ from sparkglm_spark.operators.lm import (
     wls,
 )
 from sparkglm_spark.operators.glm import GLM, GLMSummary, glm, glm_grouped
-from sparkglm_spark.ml import SparkGLM, SparkGLMModel, SparkLM, SparkLMModel
+from sparkglm_spark.ml import (
+    SparkGLM,
+    SparkGLMModel,
+    SparkLM,
+    SparkLMModel,
+    SparkPCA,
+    SparkPCAModel,
+    SparkWordPiece,
+    SparkWordPieceModel,
+)
 from sparkglm_spark.persist import load_model, save_model
 
 __all__ = [
@@ -55,6 +64,10 @@ __all__ = [
     "SparkLMModel",
     "SparkGLM",
     "SparkGLMModel",
+    "SparkPCA",
+    "SparkPCAModel",
+    "SparkWordPiece",
+    "SparkWordPieceModel",
 ]
 
 __version__ = "0.1.0"

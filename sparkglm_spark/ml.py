@@ -24,6 +24,14 @@ returns a scored frame). This module makes that mapping literal:
 Estimators hold no fitted state, so they use the stock
 `DefaultParamsWritable` round-trip.
 
+The same protocol extends beyond the reference surface (r7):
+`SparkPCA`/`SparkPCAModel` (one-Gram-pass covariance, codegen
+projections) and `SparkWordPiece`/`SparkWordPieceModel` (corpus vocab
+fit, zero-shuffle Arrow tokenize) — so reduce-then-regress and
+text→token_ids chains compose as stock Pipeline stages. Each model
+implements `_payload_dict()` / `_from_payload()` for the shared
+JSON writer.
+
 Scale: `fit()` is the existing one-pass Gram / fused-IRLS plan (all
 reduction happens in Catalyst partial aggregation; the driver touches
 k×k matrices only), and `transform()` is one whole-stage-codegen
@@ -224,8 +232,9 @@ def _kwargs_setter(obj, kwargs):
 
 class _ModelJSONWriter(MLWriter):
     """MLlib-layout save: DefaultParamsWriter metadata/ + a model/ text
-    dir holding the persist.py JSON document as one line. Both writes go
-    through the SparkContext so any Hadoop-supported filesystem works."""
+    dir holding the model's `_payload_dict()` JSON document as one line.
+    Both writes go through the SparkContext so any Hadoop-supported
+    filesystem works."""
 
     def __init__(self, instance):
         super().__init__()
@@ -233,7 +242,7 @@ class _ModelJSONWriter(MLWriter):
 
     def saveImpl(self, path: str) -> None:
         DefaultParamsWriter.saveMetadata(self.instance, path, self.sparkSession)
-        doc = json.dumps(model_to_dict(self.instance._model_obj))
+        doc = json.dumps(self.instance._payload_dict())
         sc = self.sparkSession.sparkContext
         sc.parallelize([doc], 1).saveAsTextFile(path + "/model")
 
@@ -246,13 +255,7 @@ class _ModelJSONReader(MLReader):
     def load(self, path: str):
         metadata = DefaultParamsReader.loadMetadata(path, self.sparkSession)
         lines = self.sparkSession.sparkContext.textFile(path + "/model").collect()
-        inner = model_from_dict(json.loads("\n".join(lines)))
-        expected = LM if self._cls is SparkLMModel else GLM
-        if not isinstance(inner, expected):
-            raise ValueError(
-                f"{path} holds a {type(inner).__name__}, expected {expected.__name__}"
-            )
-        instance = self._cls(inner)
+        instance = self._cls._from_payload(json.loads("\n".join(lines)), path)
         DefaultParamsReader.getAndSetParams(instance, metadata)
         return instance
 
@@ -314,6 +317,18 @@ class SparkLMModel(Model, _SparkLMParams, MLWritable, MLReadable):
 
     def _transform(self, dataset: DataFrame) -> DataFrame:
         return self._model_obj.predict(dataset, output_col=self.getPredictionCol())
+
+    def _payload_dict(self) -> dict:
+        return model_to_dict(self._model_obj)
+
+    @classmethod
+    def _from_payload(cls, payload: dict, path: str) -> "SparkLMModel":
+        inner = model_from_dict(payload)
+        if not isinstance(inner, LM):
+            raise ValueError(
+                f"{path} holds a {type(inner).__name__}, expected LM"
+            )
+        return cls(inner)
 
     def write(self) -> MLWriter:
         return _ModelJSONWriter(self)
@@ -383,6 +398,272 @@ class SparkGLMModel(Model, _SparkGLMParams, MLWritable, MLReadable):
             output_col=self.getPredictionCol(),
             type=self.getPredictionType(),
         )
+
+    def _payload_dict(self) -> dict:
+        return model_to_dict(self._model_obj)
+
+    @classmethod
+    def _from_payload(cls, payload: dict, path: str) -> "SparkGLMModel":
+        inner = model_from_dict(payload)
+        if not isinstance(inner, GLM):
+            raise ValueError(
+                f"{path} holds a {type(inner).__name__}, expected GLM"
+            )
+        return cls(inner)
+
+    def write(self) -> MLWriter:
+        return _ModelJSONWriter(self)
+
+    @classmethod
+    def read(cls) -> MLReader:
+        return _ModelJSONReader(cls)
+
+
+# ---------------------------------------------------------------------------
+# PCA
+# ---------------------------------------------------------------------------
+
+
+class _SparkPCAParams(Params):
+    inputCols = Param(
+        Params._dummy(),
+        "inputCols",
+        "numeric columns to decompose",
+        typeConverter=TypeConverters.toListString,
+    )
+    k = Param(
+        Params._dummy(),
+        "k",
+        "number of principal components",
+        typeConverter=TypeConverters.toInt,
+    )
+    outputPrefix = Param(
+        Params._dummy(),
+        "outputPrefix",
+        "prefix of the appended projection columns (pc_1, pc_2, ...)",
+        typeConverter=TypeConverters.toString,
+    )
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(k=2, outputPrefix="pc_")
+
+    def getInputCols(self) -> list:
+        return self.getOrDefault(self.inputCols)
+
+    def getK(self) -> int:
+        return self.getOrDefault(self.k)
+
+    def getOutputPrefix(self) -> str:
+        return self.getOrDefault(self.outputPrefix)
+
+
+class SparkPCA(Estimator, _SparkPCAParams, DefaultParamsReadable, DefaultParamsWritable):
+    """`pyspark.ml.Estimator` wrapper over `pca_fit` (operators/pca.py):
+    covariance from ONE Gram aggregation pass, k×k `eigh` on the driver,
+    deterministic component signs. Composes with Pipeline stages before a
+    SparkLM (dimensionality-reduce then regress on pc_ columns)."""
+
+    def __init__(self, **kwargs):
+        super().__init__()
+        _kwargs_setter(self, kwargs)
+
+    def setParams(self, **kwargs) -> "SparkPCA":
+        return _kwargs_setter(self, kwargs)
+
+    def _fit(self, dataset: DataFrame) -> "SparkPCAModel":
+        if not self.isDefined(self.inputCols):
+            raise ValueError("SparkPCA requires the 'inputCols' param")
+        from sparkglm_spark.operators.pca import pca_fit
+
+        inner = pca_fit(dataset, list(self.getInputCols()), self.getK())
+        return self._copyValues(SparkPCAModel(inner))
+
+
+class SparkPCAModel(Model, _SparkPCAParams, MLWritable, MLReadable):
+    """Fitted PCA as a `pyspark.ml.Model`: `transform()` appends the
+    centered projections as codegen expression columns (no UDF, no
+    shuffle — one projection). `.model` exposes the PCAModel dataclass
+    (components, explained_variance[_ratio], means)."""
+
+    def __init__(self, model=None):
+        super().__init__()
+        self._model_obj = model
+
+    @property
+    def model(self):
+        return self._model_obj
+
+    def _transform(self, dataset: DataFrame) -> DataFrame:
+        return self._model_obj.transform(dataset, prefix=self.getOutputPrefix())
+
+    def _payload_dict(self) -> dict:
+        m = self._model_obj
+        return {
+            "kind": "pca",
+            "cols": list(m.cols),
+            "means": [float(v) for v in m.means],
+            "components": [[float(v) for v in row] for row in m.components],
+            "explained_variance": [float(v) for v in m.explained_variance],
+            "explained_variance_ratio": [
+                float(v) for v in m.explained_variance_ratio
+            ],
+        }
+
+    @classmethod
+    def _from_payload(cls, payload: dict, path: str) -> "SparkPCAModel":
+        if payload.get("kind") != "pca":
+            raise ValueError(f"{path} holds {payload.get('kind')!r}, expected pca")
+        import numpy as np
+
+        from sparkglm_spark.operators.pca import PCAModel
+
+        return cls(
+            PCAModel(
+                cols=list(payload["cols"]),
+                means=np.asarray(payload["means"], dtype=float),
+                components=np.asarray(payload["components"], dtype=float),
+                explained_variance=np.asarray(
+                    payload["explained_variance"], dtype=float
+                ),
+                explained_variance_ratio=np.asarray(
+                    payload["explained_variance_ratio"], dtype=float
+                ),
+            )
+        )
+
+    def write(self) -> MLWriter:
+        return _ModelJSONWriter(self)
+
+    @classmethod
+    def read(cls) -> MLReader:
+        return _ModelJSONReader(cls)
+
+
+# ---------------------------------------------------------------------------
+# WordPiece (vocab fit -> tokenizer transform)
+# ---------------------------------------------------------------------------
+
+
+class _SparkWordPieceParams(Params):
+    textCol = Param(
+        Params._dummy(), "textCol", "input text column",
+        typeConverter=TypeConverters.toString,
+    )
+    idCol = Param(
+        Params._dummy(), "idCol", "document id column",
+        typeConverter=TypeConverters.toString,
+    )
+    vocabSize = Param(
+        Params._dummy(), "vocabSize", "total vocab entries incl. specials + chars",
+        typeConverter=TypeConverters.toInt,
+    )
+    minFreq = Param(
+        Params._dummy(), "minFreq", "minimum corpus frequency for a whole word",
+        typeConverter=TypeConverters.toInt,
+    )
+    lowercase = Param(
+        Params._dummy(), "lowercase", "lowercase before matching",
+        typeConverter=TypeConverters.toBoolean,
+    )
+    maxWordChars = Param(
+        Params._dummy(), "maxWordChars", "words longer than this become [UNK]",
+        typeConverter=TypeConverters.toInt,
+    )
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(
+            textCol="text", idCol="doc_id", vocabSize=8000, minFreq=2,
+            lowercase=True, maxWordChars=64,
+        )
+
+    def getTextCol(self) -> str:
+        return self.getOrDefault(self.textCol)
+
+    def getIdCol(self) -> str:
+        return self.getOrDefault(self.idCol)
+
+    def getVocabSize(self) -> int:
+        return self.getOrDefault(self.vocabSize)
+
+    def getMinFreq(self) -> int:
+        return self.getOrDefault(self.minFreq)
+
+    def getLowercase(self) -> bool:
+        return self.getOrDefault(self.lowercase)
+
+    def getMaxWordChars(self) -> int:
+        return self.getOrDefault(self.maxWordChars)
+
+
+class SparkWordPiece(
+    Estimator, _SparkWordPieceParams, DefaultParamsReadable, DefaultParamsWritable
+):
+    """`pyspark.ml.Estimator` over `build_wordpiece_vocab`: fitting derives
+    the deterministic corpus vocabulary (bounded aggregations, driver
+    holds O(vocabSize) strings); the model tokenizes via the zero-shuffle
+    Arrow scan of `tokenize_wordpiece`. Lets the text→token_ids step sit
+    inside a `pyspark.ml.Pipeline` next to the modeling stages."""
+
+    def __init__(self, **kwargs):
+        super().__init__()
+        _kwargs_setter(self, kwargs)
+
+    def setParams(self, **kwargs) -> "SparkWordPiece":
+        return _kwargs_setter(self, kwargs)
+
+    def _fit(self, dataset: DataFrame) -> "SparkWordPieceModel":
+        from sparkglm_spark.operators.tokenize import build_wordpiece_vocab
+
+        vocab = build_wordpiece_vocab(
+            dataset,
+            text_col=self.getTextCol(),
+            id_col=self.getIdCol(),
+            vocab_size=self.getVocabSize(),
+            min_freq=self.getMinFreq(),
+        )
+        return self._copyValues(SparkWordPieceModel(vocab))
+
+
+class SparkWordPieceModel(Model, _SparkWordPieceParams, MLWritable, MLReadable):
+    """Fitted WordPiece vocabulary as a `pyspark.ml.Model`: `transform()`
+    appends (token_ids, n_tokens_wp, n_unk) in one Arrow-batched
+    mapInPandas scan — zero shuffle, broadcast vocab. `.vocab` exposes
+    the id-ordered piece list (BERT vocab-file convention); construct
+    directly from any externally trained vocab via
+    `SparkWordPieceModel(vocab_list)`."""
+
+    def __init__(self, vocab: list | None = None):
+        super().__init__()
+        self._vocab = list(vocab) if vocab is not None else None
+
+    @property
+    def vocab(self) -> list:
+        return self._vocab
+
+    def _transform(self, dataset: DataFrame) -> DataFrame:
+        from sparkglm_spark.operators.tokenize import tokenize_wordpiece
+
+        return tokenize_wordpiece(
+            dataset,
+            self._vocab,
+            text_col=self.getTextCol(),
+            id_col=self.getIdCol(),
+            lowercase=self.getLowercase(),
+            max_word_chars=self.getMaxWordChars(),
+        )
+
+    def _payload_dict(self) -> dict:
+        return {"kind": "wordpiece", "vocab": self._vocab}
+
+    @classmethod
+    def _from_payload(cls, payload: dict, path: str) -> "SparkWordPieceModel":
+        if payload.get("kind") != "wordpiece":
+            raise ValueError(
+                f"{path} holds {payload.get('kind')!r}, expected wordpiece"
+            )
+        return cls(list(payload["vocab"]))
 
     def write(self) -> MLWriter:
         return _ModelJSONWriter(self)

@@ -156,3 +156,100 @@ def test_pipeline_model_save_load(li, tmp_path):
     a = [r.prediction for r in pm.transform(li).limit(10).collect()]
     b = [r.prediction for r in loaded.transform(li).limit(10).collect()]
     np.testing.assert_allclose(a, b, rtol=0)
+
+
+# ---------------------------------------------------------------------------
+# r7: PCA and WordPiece Estimator/Model pairs
+# ---------------------------------------------------------------------------
+
+
+def test_pca_pipeline_composes_with_lm(li):
+    """Pipeline(SparkPCA -> SparkLM over pc_ columns): the classic
+    reduce-then-regress chain as stock pyspark.ml stages."""
+    from sparkglm_spark.ml import SparkPCA, SparkPCAModel
+    from sparkglm_spark.operators.pca import pca_fit
+
+    cols = ["l_quantity", "l_discount"]
+    pca = SparkPCA(inputCols=cols, k=2)
+    lm_stage = SparkLM(formula="l_extendedprice ~ pc_1 + pc_2")
+    pm = Pipeline(stages=[pca, lm_stage]).fit(li)
+    assert isinstance(pm.stages[0], SparkPCAModel)
+
+    bare = pca_fit(li, cols, 2)
+    np.testing.assert_allclose(
+        pm.stages[0].model.components, bare.components, rtol=1e-12
+    )
+    scored = pm.transform(li)
+    assert {"pc_1", "pc_2", "prediction"} <= set(scored.columns)
+    # projections are expression columns — no shuffle added by transform
+    from sparkglm_spark.plans.inspect import formatted_plan
+
+    assert "Exchange" not in formatted_plan(pm.stages[0].transform(li))
+
+
+def test_pca_model_save_load(li, tmp_path):
+    from sparkglm_spark.ml import SparkPCA, SparkPCAModel
+
+    model = SparkPCA(inputCols=["l_quantity", "l_discount", "l_extendedprice"], k=2).fit(li)
+    path = str(tmp_path / "pcamodel")
+    model.write().save(path)
+    loaded = SparkPCAModel.load(path)
+    np.testing.assert_allclose(loaded.model.components, model.model.components)
+    np.testing.assert_allclose(loaded.model.means, model.model.means)
+    np.testing.assert_allclose(
+        loaded.model.explained_variance_ratio,
+        model.model.explained_variance_ratio,
+    )
+    a = model.transform(li).select("pc_1").limit(10).collect()
+    b = loaded.transform(li).select("pc_1").limit(10).collect()
+    np.testing.assert_allclose([r.pc_1 for r in a], [r.pc_1 for r in b], rtol=0)
+    with pytest.raises(ValueError, match="inputCols"):
+        SparkPCA().fit(li)
+
+
+def test_wordpiece_estimator_fits_and_tokenizes(documents, tmp_path):
+    from sparkglm_spark.ml import SparkWordPiece, SparkWordPieceModel
+    from sparkglm_spark.operators.tokenize import (
+        build_wordpiece_vocab,
+        tokenize_wordpiece,
+    )
+
+    docs = documents.select("doc_id", "text").limit(200)
+    est = SparkWordPiece(vocabSize=200, minFreq=2)
+    model = est.fit(docs)
+    assert model.vocab == build_wordpiece_vocab(docs, vocab_size=200, min_freq=2)
+
+    got = model.transform(docs)
+    assert {"token_ids", "n_tokens_wp", "n_unk"} <= set(got.columns)
+    bare = tokenize_wordpiece(docs, model.vocab)
+    a = {r.doc_id: r.token_ids for r in got.collect()}
+    b = {r.doc_id: r.token_ids for r in bare.collect()}
+    assert a == b
+    # self-vocab => zero UNK on the source corpus (char fallback)
+    assert all(r.n_unk == 0 for r in bare.collect())
+
+    # save/load round-trip: identical vocab, identical ids
+    path = str(tmp_path / "wpmodel")
+    model.write().save(path)
+    loaded = SparkWordPieceModel.load(path)
+    assert loaded.vocab == model.vocab
+    c = {r.doc_id: r.token_ids for r in loaded.transform(docs).collect()}
+    assert c == b
+    # kind guard across model families
+    with pytest.raises(ValueError, match="expected pca"):
+        from sparkglm_spark.ml import SparkPCAModel
+
+        SparkPCAModel.load(path)
+
+
+def test_wordpiece_model_accepts_external_vocab(documents):
+    """BERT-style externally trained vocab drops straight in — no fit."""
+    from sparkglm_spark.ml import SparkWordPieceModel
+
+    docs = documents.select("doc_id", "text").limit(20)
+    vocab = ["[PAD]", "[UNK]"] + list("abcdefghijklmnopqrstuvwxyz") + [
+        f"##{c}" for c in "abcdefghijklmnopqrstuvwxyz"
+    ]
+    model = SparkWordPieceModel(vocab)
+    out = model.transform(docs).collect()
+    assert all(r.n_tokens_wp > 0 for r in out)
