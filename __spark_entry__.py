@@ -2556,6 +2556,46 @@ FROM ht_c GROUP BY doc_id
 SQL_HASHTF = _sql_hashtf()
 
 
+def _sql_tfidf() -> str:
+    """DuckDB replay of tfidf_vectors (portable hash, unnormalized):
+    same bucket counts as the hashtf CTE, m = docs with tokens, df(b) =
+    docs carrying bucket b, weight = c · ln((m+1)/(df+1)), checksum
+    index-weighted and rounded to 3dp (both engines — see the Spark
+    side's rounding note)."""
+    from sparkglm_spark.operators.dedup import (
+        _SIMHASH_M,
+        _SIMHASH_P,
+        _SIMHASH_SEED,
+    )
+
+    return rf"""
+WITH ti_toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                            t -> t <> '')) AS tok
+  FROM documents
+  WHERE text IS NOT NULL AND length(trim(text)) > 0),
+ti_b AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(CAST({_SIMHASH_SEED[0]} AS BIGINT),
+             [CAST(ord(c) AS BIGINT) FOR c IN split(tok, '')]),
+             (a, b) -> (a * {_SIMHASH_M[0]} + b) % {_SIMHASH_P}) % 32 AS b
+  FROM ti_toks),
+ti_c AS (SELECT doc_id, b, count(*) AS c FROM ti_b GROUP BY 1, 2),
+ti_m AS (SELECT count(DISTINCT doc_id) AS m FROM ti_c),
+ti_df AS (SELECT b, count(*) AS dfb FROM ti_c GROUP BY b)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN c * ln((m + 1.0) / (dfb + 1.0)) <> 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS nnz,
+       ROUND(SUM(c * ln((m + 1.0) / (dfb + 1.0)) * (b + 1)), 3) AS checksum
+FROM ti_c JOIN ti_df USING (b) CROSS JOIN ti_m
+GROUP BY doc_id
+"""
+
+
+SQL_TFIDF = _sql_tfidf()
+
+
 SQL_SUBDUP = r"""
 WITH sd_toks AS (
   SELECT doc_id,
@@ -3890,6 +3930,33 @@ def q_corpus_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").alias("s"),
         F.lit(None).cast("double").alias("x"),
     )
+    # r7: TF-IDF rows (operators/text.py::tfidf_vectors, portable hash,
+    # unnormalized): nnz of the WEIGHTED vector + an index-weighted
+    # checksum pin tf·idf of every bucket. Both engines round to 3dp:
+    # sum order differs across engines (ulp-level), and a 6dp boundary
+    # straddle has non-negligible odds over 500 docs — while any single
+    # bucket-count error shifts the checksum by >= idf_min·1 ≈ 4e-3, so
+    # 3dp loses no detection power
+    from sparkglm_spark.operators.text import tfidf_vectors
+
+    tvecs = tfidf_vectors(
+        docs_t, n_features=32, hash_fn="portable", l2_normalize=False
+    )
+    tfidf = tvecs.select(
+        F.lit("tfidf").alias("op"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.size(F.filter("vector", lambda v: v != 0)).cast("bigint").alias("a"),
+        F.lit(None).cast("bigint").alias("b"),
+        F.lit(None).cast("string").alias("s"),
+        F.round(
+            F.aggregate(
+                F.zip_with("vector", idx_seq, lambda v, i: v * i),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            3,
+        ).alias("x"),
+    )
     # r7: WordPiece tokenization rows (operators/tokenize.py::
     # tokenize_wordpiece) under a FIXED pinning vocab (WP_PIN_VOCAB —
     # single-char fallback minus 'q' so 'query' exercises the whole-word
@@ -3919,6 +3986,7 @@ def q_corpus_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(norm)
         .unionByName(subdup.select("op", "k", "a", "b", F.lit(None).cast("string").alias("s"), "x"))
         .unionByName(hashtf.select("op", "k", "a", "b", "s", F.lit(None).cast("double").alias("x")))
+        .unionByName(tfidf)
         .unionByName(wp)
     )
 
@@ -3958,6 +4026,9 @@ UNION ALL
 SELECT 'hashtf', CAST(doc_id AS VARCHAR), nnz, checksum, NULL,
        CAST(NULL AS DOUBLE)
 FROM ({SQL_HASHTF}) ht
+UNION ALL
+SELECT 'tfidf', CAST(doc_id AS VARCHAR), nnz, NULL, NULL, checksum
+FROM ({SQL_TFIDF}) ti
 UNION ALL
 SELECT 'wp', CAST(doc_id AS VARCHAR), n_tokens_wp, n_unk, token_ids,
        CAST(NULL AS DOUBLE)

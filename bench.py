@@ -310,6 +310,16 @@ def main() -> None:
         ),
     )
 
+    # r7: TF-IDF (hashed TF + IDF weighting — one tokenize scan, bounded
+    # idf aggs, driver-held O(n_features) weights; compare with the
+    # text_vectors line to attribute the IDF cost)
+    from sparkglm_spark.operators.text import tfidf_vectors
+
+    W(
+        "text_tfidf",
+        lambda: force(tfidf_vectors(docs, n_features=256)),
+    )
+
     # r7: the pyspark.ml wrapper must add no per-fit overhead vs bare lm()
     # (same formula as the lm_fit line — compare the two medians)
     from sparkglm_spark.ml import SparkLM
@@ -366,6 +376,7 @@ def main() -> None:
         "minhash_index_build",  # r7 additions, same exclusion rationale
         "dedup_incremental_match",
         "ml_pipeline_fit",
+        "text_tfidf",
     }
     total_r4_set = round(
         sum(v for k, v in medians.items() if k not in r5_new), 3

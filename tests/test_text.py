@@ -427,3 +427,107 @@ def test_hashed_tf_validation_and_partition_invariance(documents):
         for r in hashed_tf_vectors(documents.repartition(9), n_features=64).collect()
     }
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# tfidf_vectors (r7)
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_matches_numpy(spark):
+    """Exact parity with a python twin of the Spark ML IDF convention
+    idf(b) = ln((m+1)/(df(b)+1)), tf from the same portable hash."""
+    import math
+    import re
+
+    import numpy as np
+
+    from sparkglm_spark.operators.dedup import (
+        _SIMHASH_M,
+        _SIMHASH_P,
+        _SIMHASH_SEED,
+    )
+    from sparkglm_spark.operators.text import tfidf_vectors
+
+    def py_hash(tok):
+        h = _SIMHASH_SEED[0]
+        for ch in tok:
+            h = (h * _SIMHASH_M[0] + ord(ch)) % _SIMHASH_P
+        return h
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "dog dog dog"),
+        (3, "the dog chased the cat"),
+        (4, "  "),   # no tokens -> no row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: np.array(r["vector"])
+        for r in tfidf_vectors(df, n_features=32, hash_fn="portable").collect()
+    }
+    assert set(got) == {1, 2, 3}
+
+    tf = {}
+    for doc_id, text in rows[:3]:
+        v = np.zeros(32)
+        for t in re.split(r"\s+", text.strip().lower()):
+            v[py_hash(t) % 32] += 1
+        tf[doc_id] = v
+    m = len(tf)
+    dfb = np.zeros(32)
+    for v in tf.values():
+        dfb += (v > 0)
+    idf = np.array([math.log((m + 1) / (dfb[b] + 1)) for b in range(32)])
+    for doc_id, v in tf.items():
+        w = v * idf
+        w = w / max(np.linalg.norm(w), 1e-12)
+        assert np.allclose(got[doc_id], w, atol=1e-12), doc_id
+
+
+def test_tfidf_downweights_ubiquitous_terms(spark):
+    """A bucket present in every doc gets idf ln(1)=0 — the defining IDF
+    property — while a rare bucket keeps weight."""
+    import numpy as np
+
+    from sparkglm_spark.operators.text import tfidf_vectors
+
+    df = spark.createDataFrame(
+        [(i, "common " + ("rare" if i == 0 else "filler")) for i in range(8)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: np.array(r["vector"])
+        for r in tfidf_vectors(
+            df, n_features=64, hash_fn="portable", l2_normalize=False
+        ).collect()
+    }
+    # 'common' is in all 8 docs -> weight ~ ln(9/9) = 0 everywhere
+    from sparkglm_spark.operators.dedup import (
+        _SIMHASH_M,
+        _SIMHASH_P,
+        _SIMHASH_SEED,
+    )
+
+    def b_of(tok):
+        h = _SIMHASH_SEED[0]
+        for ch in tok:
+            h = (h * _SIMHASH_M[0] + ord(ch)) % _SIMHASH_P
+        return h % 64
+
+    assert all(abs(v[b_of("common")]) < 1e-12 for v in got.values())
+    assert got[0][b_of("rare")] > 0.5  # ln(9/2) ≈ 1.5
+
+
+def test_tfidf_partition_invariance(documents):
+    from sparkglm_spark.operators.text import tfidf_vectors
+
+    a = {
+        r["doc_id"]: tuple(r["vector"])
+        for r in tfidf_vectors(documents.repartition(2), n_features=64).collect()
+    }
+    b = {
+        r["doc_id"]: tuple(r["vector"])
+        for r in tfidf_vectors(documents.repartition(9), n_features=64).collect()
+    }
+    assert a == b
