@@ -30,6 +30,7 @@ from sparkglm_spark.operators.lm import (
 )
 from sparkglm_spark.operators.glm import GLM, GLMSummary, glm, glm_grouped
 from sparkglm_spark.ml import (
+    SparkCorpusPrep,
     SparkGLM,
     SparkGLMModel,
     SparkLM,
@@ -68,6 +69,7 @@ __all__ = [
     "SparkPCAModel",
     "SparkWordPiece",
     "SparkWordPieceModel",
+    "SparkCorpusPrep",
 ]
 
 __version__ = "0.1.0"

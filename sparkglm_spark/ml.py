@@ -42,7 +42,7 @@ from __future__ import annotations
 
 import json
 
-from pyspark.ml import Estimator, Model
+from pyspark.ml import Estimator, Model, Transformer
 from pyspark.ml.param import Param, Params, TypeConverters
 from pyspark.ml.util import (
     DefaultParamsReadable,
@@ -538,6 +538,81 @@ class SparkPCAModel(Model, _SparkPCAParams, MLWritable, MLReadable):
     @classmethod
     def read(cls) -> MLReader:
         return _ModelJSONReader(cls)
+
+
+# ---------------------------------------------------------------------------
+# Corpus prep (stateless Transformer: curate + dedup as a Pipeline stage)
+# ---------------------------------------------------------------------------
+
+
+class SparkCorpusPrep(
+    Transformer, Params, DefaultParamsReadable, DefaultParamsWritable
+):
+    """`pyspark.ml.Transformer` over `prepare_training_corpus`
+    (operators/pipeline.py): quality/language gating + exact and MinHash
+    near-dup dedup as a stateless Pipeline stage, so the full
+    curate → vocab-fit → tokenize chain is one `Pipeline`:
+
+        Pipeline(stages=[SparkCorpusPrep(), SparkWordPiece(vocabSize=...)])
+
+    `Pipeline.fit` runs the prep transform FIRST and fits the vocab on
+    the CURATED corpus — the composition order the functional chain
+    documents. Params mirror the functional keywords; `useGopher=True`
+    prepends the published Gopher gate (per-rule threshold overrides stay
+    in the functional API — dicts are not a Param type). Stateless, so
+    persistence is the stock DefaultParams round-trip."""
+
+    textCol = Param(
+        Params._dummy(), "textCol", "input text column",
+        typeConverter=TypeConverters.toString,
+    )
+    idCol = Param(
+        Params._dummy(), "idCol", "document id column",
+        typeConverter=TypeConverters.toString,
+    )
+    minQuality = Param(
+        Params._dummy(), "minQuality", "quality_score gate threshold",
+        typeConverter=TypeConverters.toFloat,
+    )
+    languages = Param(
+        Params._dummy(), "languages",
+        "detected_lang allowlist ([] = keep all languages)",
+        typeConverter=TypeConverters.toListString,
+    )
+    neardupThreshold = Param(
+        Params._dummy(), "neardupThreshold", "MinHash near-dup Jaccard gate",
+        typeConverter=TypeConverters.toFloat,
+    )
+    useGopher = Param(
+        Params._dummy(), "useGopher",
+        "prepend the published Gopher quality gate",
+        typeConverter=TypeConverters.toBoolean,
+    )
+
+    def __init__(self, **kwargs):
+        super().__init__()
+        self._setDefault(
+            textCol="text", idCol="doc_id", minQuality=0.5,
+            languages=["en"], neardupThreshold=0.8, useGopher=False,
+        )
+        _kwargs_setter(self, kwargs)
+
+    def setParams(self, **kwargs) -> "SparkCorpusPrep":
+        return _kwargs_setter(self, kwargs)
+
+    def _transform(self, dataset: DataFrame) -> DataFrame:
+        from sparkglm_spark.operators.pipeline import prepare_training_corpus
+
+        langs = self.getOrDefault(self.languages)
+        return prepare_training_corpus(
+            dataset,
+            text_col=self.getOrDefault(self.textCol),
+            id_col=self.getOrDefault(self.idCol),
+            min_quality=self.getOrDefault(self.minQuality),
+            languages=tuple(langs) if langs else None,
+            neardup_threshold=self.getOrDefault(self.neardupThreshold),
+            gopher_rules={} if self.getOrDefault(self.useGopher) else None,
+        )
 
 
 # ---------------------------------------------------------------------------

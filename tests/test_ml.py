@@ -253,3 +253,50 @@ def test_wordpiece_model_accepts_external_vocab(documents):
     model = SparkWordPieceModel(vocab)
     out = model.transform(docs).collect()
     assert all(r.n_tokens_wp > 0 for r in out)
+
+
+def test_corpus_prep_transformer_pipeline(documents):
+    """Pipeline([SparkCorpusPrep, SparkWordPiece]): Pipeline.fit runs the
+    curation transform FIRST, so the vocab fits on the curated corpus —
+    equivalent to the functional chain."""
+    from sparkglm_spark.ml import SparkCorpusPrep, SparkWordPiece
+    from sparkglm_spark.operators.pipeline import prepare_training_corpus
+    from sparkglm_spark.operators.tokenize import build_wordpiece_vocab
+
+    docs = documents.select("doc_id", "text").limit(300)
+    prep = SparkCorpusPrep(minQuality=0.3)
+    pm = Pipeline(stages=[prep, SparkWordPiece(vocabSize=200, minFreq=2)]).fit(docs)
+
+    bare_prepped = prepare_training_corpus(docs, min_quality=0.3)
+    assert pm.stages[1].vocab == build_wordpiece_vocab(
+        bare_prepped, vocab_size=200, min_freq=2
+    )
+    out = pm.transform(docs)
+    assert {"token_ids", "quality_score", "detected_lang"} <= set(out.columns)
+    got_ids = sorted(r.doc_id for r in out.select("doc_id").collect())
+    exp_ids = sorted(r.doc_id for r in bare_prepped.select("doc_id").collect())
+    assert got_ids == exp_ids
+    # stateless transformer round-trips through DefaultParams
+    c = prep.copy({prep.minQuality: 0.9})
+    assert c.getOrDefault(c.minQuality) == 0.9
+    assert prep.getOrDefault(prep.minQuality) == 0.3
+
+
+def test_glm_cross_validator_over_tol_grid(orders):
+    """CrossValidator drives SparkGLM end-to-end (binomial fit per fold,
+    RegressionEvaluator over the response-scale mu as Brier score)."""
+    df = orders.select(
+        (F.col("o_totalprice") > 150000).cast("double").alias("big"),
+        (F.col("o_custkey") % 97).cast("double").alias("ship"),
+    ).limit(1500)
+    est = SparkGLM(formula="big ~ ship", family="binomial")
+    grid = ParamGridBuilder().addGrid(est.maxIter, [1, 25]).build()
+    ev = RegressionEvaluator(labelCol="big", predictionCol="prediction",
+                             metricName="rmse")
+    cv = CrossValidator(estimator=est, estimatorParamMaps=grid,
+                        evaluator=ev, numFolds=2, seed=3)
+    cv_model = cv.fit(df)
+    assert isinstance(cv_model.bestModel, SparkGLMModel)
+    assert len(cv_model.avgMetrics) == 2
+    # a converged IRLS cannot lose to a single iteration on Brier score
+    assert cv_model.bestModel.getMaxIter() == 25
