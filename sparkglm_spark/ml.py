@@ -217,11 +217,14 @@ class _SparkGLMParams(_FormulaParams):
 
 
 def _kwargs_setter(obj, kwargs):
-    """setParams-style keyword init: only declared params accepted."""
+    """setParams-style keyword init: only declared params accepted.
+    Routes through `_set` so each Param's typeConverter applies (the
+    MLlib setParams idiom — `Params.set` would store raw values and a
+    `SparkLM(l2=1)` int would skip the float coercion)."""
     for name, value in kwargs.items():
         if not obj.hasParam(name):
             raise TypeError(f"{type(obj).__name__} has no param {name!r}")
-        obj.set(obj.getParam(name), value)
+        obj._set(**{name: value})
     return obj
 
 
