@@ -521,3 +521,49 @@ def test_normalize_text_pushes_column_pruning(spark, sf_dir):
     scan_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert scan_schema and "n_chars" not in scan_schema[0]
     assert "text" in scan_schema[0]
+
+
+def test_tfidf_exchanges_carry_compact_rows_only(spark, documents):
+    """tfidf_vectors' plan claim: both shuffles carry (id, bucket, count)
+    rows — neither the text nor the dense vector enters an exchange, and
+    the idf weighting adds no join (driver state closed over by the
+    Arrow pass)."""
+    from sparkglm_spark.operators.text import tfidf_vectors
+    from sparkglm_spark.plans.inspect import (
+        assert_no_columns_in_exchanges,
+        exchange_schemas,
+        formatted_plan,
+    )
+
+    out = tfidf_vectors(documents, n_features=64)
+    exchanges = exchange_schemas(out, skip_round_robin=True)
+    assert exchanges, "expected the two groupBy exchanges"
+    assert_no_columns_in_exchanges(out, ["text"])
+    for ex in exchanges:
+        assert "vector" not in ex["columns"], ex
+    plan = formatted_plan(out)
+    for join in ("BroadcastHashJoin", "SortMergeJoin", "BroadcastNestedLoopJoin"):
+        assert join not in plan, f"idf must be driver state, found {join}"
+
+
+def test_ml_wrapper_transforms_are_shuffle_free(spark, lineitem, documents):
+    """Every wrapper Model's transform() must stay a projection (PCA, GLM)
+    or a zero-shuffle Arrow scan (WordPiece) — the ml.py zero-plan claim."""
+    from pyspark.sql import functions as F
+
+    from sparkglm_spark.ml import SparkGLM, SparkPCA, SparkWordPieceModel
+    from sparkglm_spark.plans.inspect import formatted_plan
+
+    li = lineitem.select("l_extendedprice", "l_quantity").limit(2000)
+    pca = SparkPCA(inputCols=["l_extendedprice", "l_quantity"], k=1).fit(li)
+    assert "Exchange" not in formatted_plan(pca.transform(li))
+
+    g = SparkGLM(formula="y ~ l_quantity", family="gaussian").fit(
+        li.withColumn("y", F.col("l_extendedprice"))
+    )
+    assert "Exchange" not in formatted_plan(g.transform(li))
+
+    wp = SparkWordPieceModel(["[PAD]", "[UNK]"] + list("abcdefghijklmnopqrstuvwxyz"))
+    assert "Exchange" not in formatted_plan(
+        wp.transform(documents.select("doc_id", "text"))
+    )

@@ -342,3 +342,72 @@ def test_funnel_monotone_on_random_logs(spark, events):
             prev = min(cand)
             expect[i + 1] += 1
     assert out == expect
+
+
+# ---------------------------------------------------------------------------
+# exchange-audit taint walker (pure python — fast hypothesis loop)
+# ---------------------------------------------------------------------------
+
+
+_preserving = st.sampled_from(["cast", "struct", "coalesce", "concat", "array"])
+_reducing = st.sampled_from(["sha2", "xxhash64", "length", "min", "aggregate"])
+
+
+@st.composite
+def _wrapped_expr(draw):
+    """Build `f1(f2(...(text#2, noise#3)...))` with a known verdict: the
+    occurrence taints iff EVERY enclosing head preserves payload."""
+    heads = draw(
+        st.lists(
+            st.tuples(st.booleans(), st.integers(0, 4)), min_size=0, max_size=4
+        )
+    )
+    expr = "text#2"
+    preserving_all = True
+    for is_preserving, pick in heads:
+        name = ["cast", "struct", "coalesce", "concat", "array"][pick] if (
+            is_preserving
+        ) else ["sha2", "xxhash64", "length", "min", "aggregate"][pick]
+        preserving_all = preserving_all and is_preserving
+        expr = f"{name}({expr}, other#9)"
+    return expr, preserving_all
+
+
+@given(case=_wrapped_expr())
+def test_taint_walker_respects_head_stack(case):
+    from sparkglm_spark.plans.inspect import _taints
+
+    expr, expect = case
+    assert _taints(expr, set(), {"text"}) == expect
+
+
+@given(
+    alias_chain=st.lists(
+        st.integers(10, 99), min_size=1, max_size=5, unique=True
+    )
+)
+def test_taint_fixpoint_follows_alias_chains(alias_chain):
+    """text#2 AS a#10 AS a#11 ... — the fixpoint must taint every link of
+    an arbitrarily long rename chain, in any binding order."""
+    from sparkglm_spark.plans.inspect import tainted_expr_ids
+
+    lines = []
+    prev = "text#2"
+    for i, eid in enumerate(alias_chain):
+        lines.append(f"Output [1]: [{prev} AS c{i}#{eid}]")
+        prev = f"c{i}#{eid}"
+    # reversed order: propagation must still reach the last link
+    plan = "\n".join(reversed(lines))
+    tainted = tainted_expr_ids(plan, ["text"])
+    assert set(alias_chain) <= tainted
+
+
+@given(
+    eid=st.integers(10, 99),
+    reducer=st.sampled_from(["sha2", "xxhash64", "length"]),
+)
+def test_taint_stops_at_reductions(eid, reducer):
+    from sparkglm_spark.plans.inspect import tainted_expr_ids
+
+    plan = f"Output [1]: [{reducer}(cast(text#2 as binary), 256) AS fp#{eid}]"
+    assert eid not in tainted_expr_ids(plan, ["text"])
