@@ -2115,29 +2115,53 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     r6: `kept_quality` marks the QUALITY-AWARE keeper
     (operators/cluster.py::keep_best_per_cluster — longest text wins,
     ties → smallest id), pinning the policy real pipelines use instead
-    of min-id when members aren't byte-identical."""
+    of min-id when members aren't byte-identical.
+
+    r7: `split` is the LEAKAGE-SAFE train/test assignment
+    (operators/split.py::with_leakage_safe_split, portable hash) —
+    hashed on cluster_id, so every member of a near-dup cluster lands in
+    one split; the per-row green hash proves no cluster straddles the
+    boundary."""
     docs = read_table(spark, sf_dir, "documents")
     from sparkglm_spark.operators.cluster import (
         keep_best_per_cluster,
         near_dup_clusters,
     )
     from sparkglm_spark.operators.dedup import minhash_dedup_pairs
+    from sparkglm_spark.operators.split import with_leakage_safe_split
 
     pairs = minhash_dedup_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
     clusters = near_dup_clusters(docs, pairs, "doc_id")
     kept = keep_best_per_cluster(
         docs.withColumn("__len", F.length("text")), clusters, "__len"
     ).select("doc_id", F.lit(True).alias("kept_quality"))
-    return clusters.join(kept, "doc_id", "left").select(
-        "doc_id",
-        "cluster_id",
-        "cluster_size",
-        "is_duplicate",
-        F.coalesce("kept_quality", F.lit(False)).alias("kept_quality"),
+    splits = with_leakage_safe_split(
+        docs.select("doc_id"),
+        clusters,
+        {"train": 0.8, "test": 0.2},
+        portable=True,
+    )
+    return (
+        clusters.join(kept, "doc_id", "left")
+        .join(splits, "doc_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            "is_duplicate",
+            F.coalesce("kept_quality", F.lit(False)).alias("kept_quality"),
+            "split",
+        )
     )
 
 
-SQL_DEDUP_CLUSTERS = r"""
+def _sql_dedup_clusters() -> str:
+    from sparkglm_spark.operators.split import _AFFINE_A, _AFFINE_B, _AFFINE_P
+
+    # with_leakage_safe_split(portable=True, seed=42): salted multiplier
+    # (hash_sample_expr salt convention), 80% of the 1e6 bucket space
+    a_salt = _AFFINE_A + 2 * 1009 * 42
+    return rf"""
 WITH RECURSIVE sh AS (
   SELECT doc_id, unnest(list_distinct([substring(lower(text), i, 3) FOR i IN range(1, length(text) - 1)])) AS shingle
   FROM documents),
@@ -2173,9 +2197,15 @@ best AS (
   FROM assign a JOIN documents d USING (doc_id))
 SELECT a.doc_id, a.cluster_id, s.cluster_size,
        a.doc_id <> a.cluster_id AS is_duplicate,
-       b.rn = 1 AS kept_quality
+       b.rn = 1 AS kept_quality,
+       CASE WHEN ((a.cluster_id % 4294967296) * {a_salt} + {_AFFINE_B})
+                 % {_AFFINE_P} % 1000000 < 800000
+            THEN 'train' ELSE 'test' END AS split
 FROM assign a JOIN szs s USING (cluster_id) JOIN best b USING (doc_id)
 """
+
+
+SQL_DEDUP_CLUSTERS = _sql_dedup_clusters()
 
 
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

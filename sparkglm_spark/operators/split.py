@@ -86,6 +86,65 @@ def with_split_column(
     return df.withColumn("split", expr)
 
 
+def with_leakage_safe_split(
+    df: DataFrame,
+    clusters: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    seed: int = 42,
+    portable: bool = False,
+) -> DataFrame:
+    """`with_split_column`, but assignment hashes the near-dup CLUSTER
+    label instead of the row id — every member of a duplicate cluster
+    lands in the same split. Splitting by row id puts near-identical
+    documents on both sides of a train/test boundary, silently
+    contaminating evaluation (the same leakage decontamination guards
+    against benchmarks, applied to the corpus's own splits).
+
+    `clusters` is a (id_col, cluster_col) assignment (`near_dup_clusters`
+    output, or `semantic_dedup_pairs` clusters joined to ids); rows
+    absent from it fall back to their own id — the singleton-cluster
+    convention, so a partial cluster table degrades gracefully to the
+    plain hash split for uncovered rows.
+
+    Plan: ONE id-equi join against the (id, cluster) projection (narrow —
+    two keys per row on the wire; AQE broadcasts it when small) + the
+    same pure hash projection as `with_split_column`. Assignment stays a
+    pure function of (cluster label, seed): identical at any
+    partitioning, any cluster size, any engine (`portable=True`)."""
+    if cluster_col in df.columns:
+        raise ValueError(
+            f"input already carries {cluster_col!r} — drop or rename it"
+        )
+    keyed = df.join(
+        clusters.select(F.col(id_col), F.col(cluster_col)), id_col, "left"
+    ).withColumn("__lsk", F.coalesce(F.col(cluster_col), F.col(id_col)))
+    out = with_split_column(keyed, "__lsk", weights, seed, portable)
+    return out.drop("__lsk", cluster_col)
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    clusters: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    seed: int = 42,
+    portable: bool = False,
+) -> dict[str, DataFrame]:
+    """`hash_split` at cluster grain: dict of disjoint DataFrames covering
+    every row, no near-dup cluster straddling a boundary (see
+    `with_leakage_safe_split` for the plan)."""
+    labeled = with_leakage_safe_split(
+        df, clusters, weights, id_col, cluster_col, seed, portable
+    )
+    return {
+        name: labeled.where(F.col("split") == name).drop("split")
+        for name in weights
+    }
+
+
 def shard_and_shuffle(
     df: DataFrame, id_col: str, n_shards: int, seed: int = 42
 ) -> DataFrame:

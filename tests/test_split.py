@@ -2,6 +2,7 @@
 property (Spark's randomSplit does NOT have it)."""
 
 import pytest
+from pyspark.sql import functions as F
 
 
 def test_hash_split_disjoint_and_complete(spark, documents):
@@ -334,3 +335,74 @@ def test_cap_per_group_null_scores_never_win(spark):
     # with room beyond the scored rows, nulls fill by id order
     three = SP.cap_per_group(df, "grp", 3, "id", order_col="score")
     assert sorted(r["id"] for r in three.collect()) == [1, 2, 3]
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe (cluster-grain) splits (r7)
+# ---------------------------------------------------------------------------
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from sparkglm_spark.operators.split import (
+        leakage_safe_split,
+        with_leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id long, text string"
+    )
+    # clusters: pair up (2k, 2k+1) for the first 100 ids; rest singleton
+    clusters = spark.createDataFrame(
+        [(i, (i // 2) * 2) for i in range(100)], "doc_id long, cluster_id long"
+    )
+    labeled = with_leakage_safe_split(
+        docs, clusters, {"train": 0.7, "test": 0.3}, seed=7
+    )
+    rows = {r["doc_id"]: r["split"] for r in labeled.collect()}
+    assert set(rows) == set(range(200))          # all rows covered
+    for k in range(50):                          # no cluster straddles
+        assert rows[2 * k] == rows[2 * k + 1], k
+    # dict variant: disjoint cover, schema restored
+    parts = leakage_safe_split(docs, clusters, {"train": 0.7, "test": 0.3}, seed=7)
+    n_train = parts["train"].count()
+    n_test = parts["test"].count()
+    assert n_train + n_test == 200
+    assert parts["train"].columns == docs.columns
+    # rows not in the cluster table fall back to their own id: same
+    # assignment as the plain hash split at the same seed
+    from sparkglm_spark.operators.split import with_split_column
+
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in with_split_column(
+            docs.where(F.col("doc_id") >= 100), "doc_id",
+            {"train": 0.7, "test": 0.3}, seed=7,
+        ).collect()
+    }
+    for i in range(100, 200):
+        assert rows[i] == plain[i]
+
+
+def test_leakage_safe_split_validations_and_invariance(spark):
+    from sparkglm_spark.operators.split import with_leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, "t") for i in range(50)], "doc_id long, text string"
+    )
+    clusters = spark.createDataFrame(
+        [(i, 0) for i in range(50)], "doc_id long, cluster_id long"
+    )
+    # one giant cluster -> every row in ONE split
+    labeled = with_leakage_safe_split(docs, clusters, {"a": 0.5, "b": 0.5})
+    assert labeled.select("split").distinct().count() == 1
+    # clash guard
+    with pytest.raises(ValueError, match="cluster_id"):
+        with_leakage_safe_split(
+            docs.withColumn("cluster_id", F.lit(1)), clusters, {"a": 1.0}
+        )
+    # partition invariance (the split.py contract)
+    a = {r["doc_id"]: r["split"] for r in with_leakage_safe_split(
+        docs.repartition(2), clusters, {"a": 0.5, "b": 0.5}, seed=3).collect()}
+    b = {r["doc_id"]: r["split"] for r in with_leakage_safe_split(
+        docs.repartition(7), clusters, {"a": 0.5, "b": 0.5}, seed=3).collect()}
+    assert a == b
