@@ -3852,14 +3852,14 @@ def q_corpus_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus toolkit union row-set: document chunking + vocabulary top-k +
     benchmark decontamination + global line dedup + PII redaction +
     unigram-LM scoring + text normalization + substring-window dup stats +
-    hashed-TF vectors + WordPiece tokenization (operators/corpus.py +
-    text.py + tokenize.py — see the constituent q_doc_chunks /
-    q_vocab_topk / q_decontaminate / q_line_dedup / q_redact /
-    q_unigram_scores / q_normalize / substring_dup_stats /
-    hashed_tf_vectors / tokenize_wordpiece docstrings for the plan
-    arguments; each runs unchanged). Normalized onto (op, k, a, b, s, x):
-    chunk rows key on doc:chunk, vocab rows on term, the rest on doc —
-    one driver row-set covers all ten."""
+    hashed-TF vectors + TF-IDF vectors + WordPiece tokenization
+    (operators/corpus.py + text.py + tokenize.py — see the constituent
+    q_doc_chunks / q_vocab_topk / q_decontaminate / q_line_dedup /
+    q_redact / q_unigram_scores / q_normalize / substring_dup_stats /
+    hashed_tf_vectors / tfidf_vectors / tokenize_wordpiece docstrings for
+    the plan arguments; each runs unchanged). Normalized onto
+    (op, k, a, b, s, x): chunk rows key on doc:chunk, vocab rows on term,
+    the rest on doc — one driver row-set covers all eleven."""
     chunks = q_doc_chunks(spark, sf_dir).select(
         F.lit("chunk").alias("op"),
         F.concat_ws(

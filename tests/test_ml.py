@@ -300,3 +300,32 @@ def test_glm_cross_validator_over_tol_grid(orders):
     assert len(cv_model.avgMetrics) == 2
     # a converged IRLS cannot lose to a single iteration on Brier score
     assert cv_model.bestModel.getMaxIter() == 25
+
+
+def test_cross_validator_model_save_load(spark, tmp_path):
+    """CrossValidatorModel persistence composes with the wrappers' custom
+    MLWritable (users persist tuned models, not just bare ones)."""
+    from pyspark.ml.tuning import CrossValidatorModel
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(0, 2, 400)
+    y = 3 * x + rng.normal(0, 0.5, 400)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(x, y)], "x double, y double"
+    )
+    est = SparkLM(formula="y ~ x")
+    cv = CrossValidator(
+        estimator=est,
+        estimatorParamMaps=ParamGridBuilder().addGrid(est.l2, [0.0, 1e9]).build(),
+        evaluator=RegressionEvaluator(labelCol="y"),
+        numFolds=2,
+        seed=1,
+    )
+    cvm = cv.fit(df)
+    path = str(tmp_path / "cvm")
+    cvm.write().save(path)
+    loaded = CrossValidatorModel.load(path)
+    assert loaded.bestModel.getL2() == 0.0
+    a = [r.prediction for r in cvm.bestModel.transform(df).limit(5).collect()]
+    b = [r.prediction for r in loaded.bestModel.transform(df).limit(5).collect()]
+    np.testing.assert_allclose(a, b, rtol=0)
