@@ -2626,6 +2626,44 @@ GROUP BY doc_id
 SQL_TFIDF = _sql_tfidf()
 
 
+SQL_SUBRM = r"""
+WITH rs_tk AS (
+  SELECT doc_id,
+         CASE WHEN text IS NOT NULL AND length(trim(text)) > 0
+              THEN regexp_split_to_array(trim(text), '\s+')
+              ELSE [] END AS t
+  FROM documents),
+rs_win AS (
+  SELECT doc_id, u.p, u.wh FROM (
+    SELECT doc_id,
+           unnest([{'p': i - 1,
+                    'wh': sha256(array_to_string([lower(x) FOR x IN t[i : i + 7]], ' '))}
+                   FOR i IN range(1, len(t) - 6)]) AS u
+    FROM rs_tk WHERE len(t) >= 8)),
+rs_rank AS (
+  SELECT doc_id, p,
+         row_number() OVER (PARTITION BY wh ORDER BY doc_id, p) AS rn
+  FROM rs_win),
+rs_cover AS (
+  SELECT DISTINCT doc_id, q FROM (
+    SELECT doc_id, unnest(range(p, p + 8)) AS q
+    FROM rs_rank WHERE rn >= 2)),
+rs_tok AS (
+  SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) - 1 AS tp
+  FROM rs_tk),
+rs_keep AS (
+  SELECT k.doc_id, string_agg(k.tok, ' ' ORDER BY k.tp) AS text,
+         count(*) AS n_kept
+  FROM rs_tok k LEFT JOIN rs_cover c
+    ON k.doc_id = c.doc_id AND k.tp = c.q
+  WHERE c.q IS NULL
+  GROUP BY k.doc_id)
+SELECT tk.doc_id, COALESCE(kp.text, '') AS text,
+       CAST(len(tk.t) - COALESCE(kp.n_kept, 0) AS BIGINT) AS n_removed
+FROM rs_tk tk LEFT JOIN rs_keep kp USING (doc_id)
+"""
+
+
 SQL_SUBDUP = r"""
 WITH sd_toks AS (
   SELECT doc_id,
@@ -3852,14 +3890,15 @@ def q_corpus_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus toolkit union row-set: document chunking + vocabulary top-k +
     benchmark decontamination + global line dedup + PII redaction +
     unigram-LM scoring + text normalization + substring-window dup stats +
-    hashed-TF vectors + TF-IDF vectors + WordPiece tokenization
+    hashed-TF vectors + TF-IDF vectors + duplicate-substring removal +
+    WordPiece tokenization
     (operators/corpus.py + text.py + tokenize.py — see the constituent
     q_doc_chunks / q_vocab_topk / q_decontaminate / q_line_dedup /
     q_redact / q_unigram_scores / q_normalize / substring_dup_stats /
     hashed_tf_vectors / tfidf_vectors / tokenize_wordpiece docstrings for
     the plan arguments; each runs unchanged). Normalized onto
     (op, k, a, b, s, x): chunk rows key on doc:chunk, vocab rows on term,
-    the rest on doc — one driver row-set covers all eleven."""
+    the rest on doc — one driver row-set covers all twelve."""
     chunks = q_doc_chunks(spark, sf_dir).select(
         F.lit("chunk").alias("op"),
         F.concat_ws(
@@ -3987,6 +4026,20 @@ def q_corpus_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             3,
         ).alias("x"),
     )
+    # r7: duplicate-substring REMOVAL rows (operators/corpus.py::
+    # remove_duplicate_substrings — the rewrite cousin of subdup): the
+    # full rewritten text rides in s, so the value hash pins every
+    # surviving token of every doc; a carries the removed-token count
+    from sparkglm_spark.operators.corpus import remove_duplicate_substrings
+
+    subrm = remove_duplicate_substrings(docs_t, window=8).select(
+        F.lit("subrm").alias("op"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("n_tokens_removed").alias("a"),
+        F.lit(None).cast("bigint").alias("b"),
+        F.col("text").alias("s"),
+        F.lit(None).cast("double").alias("x"),
+    )
     # r7: WordPiece tokenization rows (operators/tokenize.py::
     # tokenize_wordpiece) under a FIXED pinning vocab (WP_PIN_VOCAB —
     # single-char fallback minus 'q' so 'query' exercises the whole-word
@@ -4017,6 +4070,7 @@ def q_corpus_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(subdup.select("op", "k", "a", "b", F.lit(None).cast("string").alias("s"), "x"))
         .unionByName(hashtf.select("op", "k", "a", "b", "s", F.lit(None).cast("double").alias("x")))
         .unionByName(tfidf)
+        .unionByName(subrm)
         .unionByName(wp)
     )
 
@@ -4059,6 +4113,10 @@ FROM ({SQL_HASHTF}) ht
 UNION ALL
 SELECT 'tfidf', CAST(doc_id AS VARCHAR), nnz, NULL, NULL, checksum
 FROM ({SQL_TFIDF}) ti
+UNION ALL
+SELECT 'subrm', CAST(doc_id AS VARCHAR), n_removed, NULL, text,
+       CAST(NULL AS DOUBLE)
+FROM ({SQL_SUBRM}) sr
 UNION ALL
 SELECT 'wp', CAST(doc_id AS VARCHAR), n_tokens_wp, n_unk, token_ids,
        CAST(NULL AS DOUBLE)

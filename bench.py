@@ -320,6 +320,16 @@ def main() -> None:
         lambda: force(tfidf_vectors(docs, n_features=256)),
     )
 
+    # r7: duplicate-substring removal (the rewrite cousin of the
+    # substring_dup line — ranking pass + Arrow interval-diff rewrite;
+    # ~1.8 s warm at sf0.1)
+    from sparkglm_spark.operators.corpus import remove_duplicate_substrings
+
+    W(
+        "substring_removal",
+        lambda: force(remove_duplicate_substrings(docs, window=8)),
+    )
+
     # r7: the pyspark.ml wrapper must add no per-fit overhead vs bare lm()
     # (same formula as the lm_fit line — compare the two medians)
     from sparkglm_spark.ml import SparkLM
@@ -377,6 +387,7 @@ def main() -> None:
         "dedup_incremental_match",
         "ml_pipeline_fit",
         "text_tfidf",
+        "substring_removal",
     }
     total_r4_set = round(
         sum(v for k, v in medians.items() if k not in r5_new), 3

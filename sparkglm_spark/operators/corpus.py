@@ -509,3 +509,120 @@ def substring_dup_stats(
             ).alias("dup_fraction"),
         )
     )
+
+
+@_CACHES.scoped
+def remove_duplicate_substrings(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    broadcast_drop_list: bool = True,
+) -> DataFrame:
+    """Window-grain duplicate-substring REMOVAL — the rewrite cousin of
+    `substring_dup_stats` (Lee et al. 2022, arXiv:2107.06499, at window
+    rather than suffix-array grain): every run of `window` consecutive
+    tokens whose exact (case-folded) sequence already occurred earlier in
+    the corpus — in (doc_id, position) order — has its tokens removed;
+    the globally FIRST occurrence of each sequence survives. Returns
+    (id_col, text, n_tokens_removed) for every doc: the rewritten text is
+    the surviving tokens joined by single spaces (whitespace
+    canonicalization is inherent to token-grain rewriting — run
+    `normalize_text` first if exact spacing matters), so document-level
+    near-dups collapse to their boilerplate-free cores while one copy of
+    every phrase survives. Docs shorter than `window` tokens pass through
+    (canonicalized, n_tokens_removed = 0).
+
+    Matching is case-insensitive (windows hash the lower-cased token run
+    — the `substring_dup_stats` convention) but the REBUILD keeps each
+    surviving token's original case: hashing and rebuilding use the same
+    split of the same trimmed text, so positions agree by construction.
+
+    Plan: ONE projection tokenizes and hashes every window in-place
+    (sha2-256 — the window text never shuffles); posexplode → one
+    window-function pass over (digest, id, pos) rows ranks occurrences
+    per digest (rank 1 = global first); duplicate occurrences collapse to
+    per-doc sorted start arrays (ints only on the wire); the rewrite is
+    one Arrow-batched pass joining those arrays back to the tokenized
+    docs — numpy interval-diff coverage, O(tokens) per doc even on
+    degenerate boilerplate corpora where nearly every window is
+    duplicated (a per-token exists() expression would be O(tokens ·
+    dup_windows)). With `broadcast_drop_list` (default) the start arrays
+    broadcast and the corpus side never shuffles; set False when
+    boilerplate dominates and the drop side outgrows the driver."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    from pyspark.sql import Window as W
+
+    t = F.col(text_col)
+    toks = F.split(F.trim(t), _WS)
+    base = ensure_parallel(docs).select(
+        F.col(id_col).alias("__id"),
+        F.when(
+            t.isNotNull() & (F.length(F.trim(t)) > 0), toks
+        ).otherwise(F.array().cast("array<string>")).alias("__t"),
+    )
+    base = _CACHES.persist(base)
+    lower_t = F.transform(F.col("__t"), F.lower)
+    wins = F.when(
+        F.size("__t") >= window,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__t") - (window - 1)),
+            lambda i: F.sha2(
+                F.concat_ws(" ", F.slice(lower_t, i, F.lit(window))), 256
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = base.select("__id", F.posexplode(wins).alias("__p", "__wh"))
+    ranked = occ.withColumn(
+        "__rn",
+        F.row_number().over(
+            W.partitionBy("__wh").orderBy(F.col("__id"), F.col("__p"))
+        ),
+    )
+    starts = (
+        ranked.where(F.col("__rn") >= 2)
+        .groupBy("__id")
+        .agg(F.sort_array(F.collect_list("__p")).alias("__starts"))
+    )
+    if broadcast_drop_list:
+        starts = F.broadcast(starts)
+    joined = base.join(starts, "__id", "left")
+
+    w = int(window)
+    id_type = docs.schema[id_col].dataType.simpleString()
+
+    def rewrite(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            texts, removed = [], []
+            for tok_arr, st in zip(pdf["__t"], pdf["__starts"]):
+                tok_list = list(tok_arr)
+                if st is None or not len(tok_list):
+                    texts.append(" ".join(tok_list))
+                    removed.append(0)
+                    continue
+                n = len(tok_list)
+                diff = np.zeros(n + 1, dtype=np.int64)
+                for s in st:
+                    diff[s] += 1
+                    diff[min(s + w, n)] -= 1
+                covered = np.cumsum(diff[:n]) > 0
+                keep = [tok for tok, c in zip(tok_list, covered) if not c]
+                texts.append(" ".join(keep))
+                removed.append(int(covered.sum()))
+            yield pd.DataFrame(
+                {"__id": pdf["__id"], "text": texts, "n_removed": removed}
+            )
+
+    return joined.select("__id", "__t", "__starts").mapInPandas(
+        rewrite, f"__id {id_type}, text string, n_removed int"
+    ).select(
+        F.col("__id").alias(id_col),
+        "text",
+        F.col("n_removed").cast("bigint").alias("n_tokens_removed"),
+    )

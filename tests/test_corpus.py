@@ -533,3 +533,84 @@ def test_corpus_summary_works_without_id_column(spark):
     )
     row = corpus_summary(df).collect()[0]
     assert row["n_docs"] == 2 and row["total_tokens"] > 0
+
+
+# ---------------------------------------------------------------------------
+# remove_duplicate_substrings (r7)
+# ---------------------------------------------------------------------------
+
+
+def _subrm_twin(rows, w):
+    """Pure-python mirror: windows of lowercased tokens, global first
+    occurrence by (doc_id, pos) survives, covered tokens removed."""
+    toks = {
+        d: (t.split() if t and t.strip() else []) for d, t in rows
+    }
+    occs = {}
+    for d in sorted(toks):
+        low = [x.lower() for x in toks[d]]
+        for p in range(len(low) - w + 1):
+            occs.setdefault(tuple(low[p : p + w]), []).append((d, p))
+    covered = {d: set() for d in toks}
+    for key, lst in occs.items():
+        for d, p in sorted(lst)[1:]:
+            covered[d].update(range(p, p + w))
+    out = {}
+    for d, tk in toks.items():
+        keep = [t for i, t in enumerate(tk) if i not in covered[d]]
+        out[d] = (" ".join(keep), len(tk) - len(keep))
+    return out
+
+
+def test_remove_duplicate_substrings_matches_python_twin(spark):
+    from sparkglm_spark.operators.corpus import remove_duplicate_substrings
+
+    rows = [
+        (1, "Alpha beta gamma delta shared run of tokens here unique tail"),
+        (2, "pre amble alpha beta gamma delta shared run of tokens here post"),
+        (3, "alpha beta gamma delta shared run of tokens here"),  # whole doc dup
+        (4, "x " * 20),           # self-repetition within one doc
+        (5, "short doc"),
+        (6, None),
+        (7, "   "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_tokens_removed"])
+        for r in remove_duplicate_substrings(df, window=8).collect()
+    }
+    exp = _subrm_twin(rows, 8)
+    assert got == exp
+    # the first occurrence keeps its ORIGINAL case
+    assert got[1][0].startswith("Alpha")
+    # the whole-doc duplicate collapses to empty
+    assert got[3] == ("", 9)
+    # in-doc repetition keeps one window's worth of tokens
+    assert got[4][1] > 0
+
+
+def test_remove_duplicate_substrings_real_corpus_and_plan(documents):
+    from sparkglm_spark.operators.corpus import remove_duplicate_substrings
+    from sparkglm_spark.plans.inspect import (
+        assert_no_columns_in_exchanges,
+        exchange_schemas,
+    )
+
+    out = remove_duplicate_substrings(documents, window=8)
+    rows = out.collect()
+    assert len(rows) == documents.count()
+    n_in = {
+        r["doc_id"]: len(r["text"].split()) if r["text"] else 0
+        for r in documents.collect()
+    }
+    for r in rows:
+        kept = len(r["text"].split()) if r["text"] else 0
+        assert kept + r["n_tokens_removed"] == n_in[r["doc_id"]]
+    # some removal must happen on this boilerplate-heavy corpus
+    assert sum(r["n_tokens_removed"] for r in rows) > 0
+    # neither raw text nor the token array crosses an exchange: digests,
+    # ids and positions only (the broadcast start arrays are exempt wire)
+    assert exchange_schemas(out), "expected the rank/agg exchanges"
+    assert_no_columns_in_exchanges(out, ["text", "__t"])
+    with pytest.raises(ValueError, match="window"):
+        remove_duplicate_substrings(documents, window=0)
