@@ -186,3 +186,96 @@ def test_convenience_readers_and_twins(spark, sf_dir):
 
     mu, m = np.array([0.2, 1.5, 4.0]), np.array([1.0, 2.0, 8.0])
     np.testing.assert_allclose(variance_binomial_np(mu, m), mu * (1 - mu / m))
+
+
+# ---------------------------------------------------------------------------
+# z-order layout (r7, plans/zorder.py)
+# ---------------------------------------------------------------------------
+
+
+def _file_ranges(path, cols):
+    """Per-parquet-file (min, max) of each col from footer statistics —
+    what a stat-based reader prunes with."""
+    import glob as g
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in sorted(g.glob(os.path.join(path, "part-*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        lo = {c: None for c in cols}
+        hi = {c: None for c in cols}
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        for rg in range(md.num_row_groups):
+            for i, name in enumerate(names):
+                if name not in cols:
+                    continue
+                st = md.row_group(rg).column(i).statistics
+                if st is None:
+                    continue
+                lo[name] = st.min if lo[name] is None else min(lo[name], st.min)
+                hi[name] = st.max if hi[name] is None else max(hi[name], st.max)
+        if all(lo[c] is not None for c in cols):
+            out.append({c: (lo[c], hi[c]) for c in cols})
+    return out
+
+
+def test_zorder_value_interleaves_and_validates(spark):
+    from sparkglm_spark.plans.inspect import formatted_plan
+    from sparkglm_spark.plans.zorder import zorder_value
+
+    df = spark.createDataFrame([(0.0, 0.0), (3.0, 3.0), (0.0, 3.0)], "x double, y double")
+    z = df.select(
+        zorder_value(["x", "y"], [0.0, 0.0], [3.0, 3.0], bits=2).alias("z")
+    ).collect()
+    # scaled to [0,3]: (0,0)->0b0000=0; (3,3)->0b1111=15; (0,3)->y bits at
+    # odd positions -> 0b1010=10
+    assert [r.z for r in z] == [0, 15, 10]
+    with pytest.raises(ValueError, match="62"):
+        zorder_value(["a", "b", "c", "d"], [0] * 4, [1] * 4, bits=16)
+    with pytest.raises(ValueError, match="non-empty"):
+        zorder_value([], [], [])
+    # pure codegen expression: projection only, no UDF nodes
+    plan = formatted_plan(
+        df.select(zorder_value(["x", "y"], [0.0, 0.0], [3.0, 3.0]))
+    )
+    assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_zorder_layout_tightens_file_stats_on_both_columns(spark, tmp_path):
+    """The point of z-order: every file's parquet min/max bounding box is
+    small in BOTH filter columns, so stat-based skipping prunes on either
+    — vs a single-column sort, whose files span the full range of the
+    other column."""
+    import numpy as np
+
+    from sparkglm_spark.plans.zorder import write_zordered
+
+    rng = np.random.default_rng(9)
+    n = 20_000
+    rows = [(float(a), float(b)) for a, b in rng.uniform(0, 1000, (n, 2))]
+    df = spark.createDataFrame(rows, "x double, y double")
+
+    zpath, spath = str(tmp_path / "zord"), str(tmp_path / "xsort")
+    meta = write_zordered(df, zpath, ["x", "y"], n_files=16, bits=10)
+    assert meta["cols"] == ["x", "y"] and meta["bits"] == 10
+    # baseline: range-partition + sort on x alone
+    (df.repartitionByRange(16, "x").sortWithinPartitions("x")
+       .write.mode("overwrite").parquet(spath))
+
+    def mean_fraction(path, col):
+        ranges = _file_ranges(path, ["x", "y"])
+        assert len(ranges) >= 8
+        return sum(r[col][1] - r[col][0] for r in ranges) / len(ranges) / 1000.0
+
+    # x-sorted layout: tight on x, useless on y (each file ~ full range)
+    assert mean_fraction(spath, "x") < 0.15
+    assert mean_fraction(spath, "y") > 0.8
+    # z-ordered layout: tight on BOTH (16 files ~ 4x4 cells -> ~1/4 range
+    # per axis; allow slack for cell-boundary files)
+    assert mean_fraction(zpath, "x") < 0.45
+    assert mean_fraction(zpath, "y") < 0.45
+    # and the data round-trips exactly
+    got = spark.read.parquet(zpath)
+    assert got.count() == n
+    assert got.columns == ["x", "y"]
