@@ -2626,6 +2626,44 @@ GROUP BY doc_id
 SQL_TFIDF = _sql_tfidf()
 
 
+SQL_BIGRAM = r"""
+WITH bg_tk AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+  WHERE text IS NOT NULL AND length(trim(text)) > 0),
+bg_pairs AS (
+  SELECT doc_id, u.a, u.b FROM (
+    SELECT doc_id,
+           unnest([{'a': CASE WHEN i = 1 THEN NULL ELSE t[i - 1] END,
+                    'b': t[i]} FOR i IN range(1, len(t) + 1)]) AS u
+    FROM bg_tk) q
+  WHERE u.b <> ''),
+bg_counts AS (SELECT a, b, count(*) AS c FROM bg_pairs GROUP BY 1, 2),
+bg_tot AS (SELECT sum(c) AS n, count(DISTINCT b) AS v FROM bg_counts),
+bg_uni AS (SELECT b AS u, sum(c) AS cb FROM bg_counts GROUP BY b),
+bg_ctx AS (SELECT a AS ctx, sum(c) AS c1
+           FROM bg_counts WHERE a IS NOT NULL GROUP BY a),
+bg_scored AS (
+  SELECT p.doc_id, p.a,
+         ln(CASE WHEN p.a IS NULL OR cx.c1 IS NULL
+              THEN (COALESCE(un.cb, 0) + 0.5) / (t.n + 0.5 * (t.v + 1))
+              ELSE 0.7 * (COALESCE(bgm.c, 0) * 1.0 / cx.c1)
+                   + (1.0 - 0.7) * (COALESCE(un.cb, 0) + 0.5)
+                     / (t.n + 0.5 * (t.v + 1)) END) AS lp
+  FROM bg_pairs p
+  CROSS JOIN bg_tot t
+  LEFT JOIN bg_uni un ON p.b = un.u
+  LEFT JOIN bg_ctx cx ON p.a = cx.ctx
+  LEFT JOIN (SELECT a, b, c FROM bg_counts WHERE a IS NOT NULL) bgm
+    ON p.a = bgm.a AND p.b = bgm.b)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bigrams,
+       avg(lp) AS avg_logprob
+FROM bg_scored GROUP BY doc_id
+"""
+
+
 SQL_SUBRM = r"""
 WITH rs_tk AS (
   SELECT doc_id,
@@ -3891,14 +3929,14 @@ def q_corpus_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark decontamination + global line dedup + PII redaction +
     unigram-LM scoring + text normalization + substring-window dup stats +
     hashed-TF vectors + TF-IDF vectors + duplicate-substring removal +
-    WordPiece tokenization
+    bigram-LM scoring + WordPiece tokenization
     (operators/corpus.py + text.py + tokenize.py — see the constituent
     q_doc_chunks / q_vocab_topk / q_decontaminate / q_line_dedup /
     q_redact / q_unigram_scores / q_normalize / substring_dup_stats /
     hashed_tf_vectors / tfidf_vectors / tokenize_wordpiece docstrings for
     the plan arguments; each runs unchanged). Normalized onto
     (op, k, a, b, s, x): chunk rows key on doc:chunk, vocab rows on term,
-    the rest on doc — one driver row-set covers all twelve."""
+    the rest on doc — one driver row-set covers all thirteen."""
     chunks = q_doc_chunks(spark, sf_dir).select(
         F.lit("chunk").alias("op"),
         F.concat_ws(
@@ -4026,6 +4064,23 @@ def q_corpus_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             3,
         ).alias("x"),
     )
+    # r7: bigram-LM quality rows (operators/corpus.py::
+    # bigram_logprob_scores — interpolated Jelinek-Mercer bigram model,
+    # corpus as its own reference): n_tokens/n_bigrams exact; avg_logprob
+    # rounded to 9dp on BOTH engines — unlike the unigram arm (a few
+    # dozen distinct ln inputs, bit-stable), the bigram model feeds ln
+    # thousands of distinct values and JVM Math.log vs libm disagree at
+    # 1 ulp on ~5% of them (measured 352/7455 rows)
+    from sparkglm_spark.operators.corpus import bigram_logprob_scores
+
+    bigram = bigram_logprob_scores(docs_t).select(
+        F.lit("bigram").alias("op"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("n_tokens").cast("bigint").alias("a"),
+        F.col("n_bigrams").cast("bigint").alias("b"),
+        F.lit(None).cast("string").alias("s"),
+        F.round("avg_logprob", 9).alias("x"),
+    )
     # r7: duplicate-substring REMOVAL rows (operators/corpus.py::
     # remove_duplicate_substrings — the rewrite cousin of subdup): the
     # full rewritten text rides in s, so the value hash pins every
@@ -4071,6 +4126,7 @@ def q_corpus_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(hashtf.select("op", "k", "a", "b", "s", F.lit(None).cast("double").alias("x")))
         .unionByName(tfidf)
         .unionByName(subrm)
+        .unionByName(bigram)
         .unionByName(wp)
     )
 
@@ -4117,6 +4173,10 @@ UNION ALL
 SELECT 'subrm', CAST(doc_id AS VARCHAR), n_removed, NULL, text,
        CAST(NULL AS DOUBLE)
 FROM ({SQL_SUBRM}) sr
+UNION ALL
+SELECT 'bigram', CAST(doc_id AS VARCHAR), n_tokens, n_bigrams, NULL,
+       ROUND(avg_logprob, 9)
+FROM ({SQL_BIGRAM}) bg
 UNION ALL
 SELECT 'wp', CAST(doc_id AS VARCHAR), n_tokens_wp, n_unk, token_ids,
        CAST(NULL AS DOUBLE)

@@ -330,6 +330,12 @@ def main() -> None:
         lambda: force(remove_duplicate_substrings(docs, window=8)),
     )
 
+    # r7: bigram-LM quality scoring (model = one nullable-prev pair agg,
+    # scoring = three dim joins + partial-agg groupBy; ~2.3 s warm sf0.1)
+    from sparkglm_spark.operators.corpus import bigram_logprob_scores
+
+    W("text_bigram_lm", lambda: force(bigram_logprob_scores(docs)))
+
     # r7: the pyspark.ml wrapper must add no per-fit overhead vs bare lm()
     # (same formula as the lm_fit line — compare the two medians)
     from sparkglm_spark.ml import SparkLM
@@ -388,6 +394,7 @@ def main() -> None:
         "ml_pipeline_fit",
         "text_tfidf",
         "substring_removal",
+        "text_bigram_lm",
     }
     total_r4_set = round(
         sum(v for k, v in medians.items() if k not in r5_new), 3

@@ -626,3 +626,116 @@ def remove_duplicate_substrings(
         "text",
         F.col("n_removed").cast("bigint").alias("n_tokens_removed"),
     )
+
+
+@_CACHES.scoped
+def bigram_logprob_scores(
+    docs: DataFrame,
+    reference: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+    lam: float = 0.7,
+    min_count: int = 1,
+) -> DataFrame:
+    """Per-document mean token log-probability under an interpolated
+    BIGRAM LM fit on `reference` (default: the corpus itself) — one rung
+    up from `unigram_logprob_scores` toward CCNet's n-gram perplexity
+    gate (Wenzek et al. 2020): word-salad whose unigrams look fine
+    (shuffled text, keyword stuffing) scores low once order matters.
+
+    Scoring (Jelinek-Mercer interpolation, engine-portable arithmetic):
+      p(b | a) = lam · c(a,b)/c(a,·)  +  (1 − lam) · p_uni(b)
+    with p_uni(b) = (c(b) + alpha) / (N + alpha·(V+1)) — the unigram
+    scorer's Lidstone form — and pure-unigram fallback for a doc's first
+    token and for contexts the reference never saw. Always finite: the
+    (1−lam)·p_uni term never vanishes. `min_count` prunes rare bigrams
+    from the model (they fall back to the interpolated-unseen case).
+    Returns (id, n_tokens, n_bigrams, avg_logprob) for docs with ≥1
+    token; avg is over ALL tokens (first token included via p_uni).
+
+    Plan: the model is ONE aggregation over the reference's (prev, cur)
+    pair stream — groupBy with a nullable prev, so token counts c(b),
+    context totals c(a,·), N and V all derive from that single
+    vocab²-bounded count table (persisted; no second reference scan).
+    Scoring explodes each doc's (prev, cur) pairs once and joins the
+    bigram and unigram tables ((id, term, term) rows on the wire — the
+    inverted-index shape; AQE broadcasts the tables when they fit, which
+    natural vocabularies do), then one partial-agg groupBy(doc). No
+    Python anywhere; ln/division are IEEE doubles in any engine, so the
+    DuckDB oracle matches to the unigram scorer's rounding convention."""
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0 (unsmoothed OOV would be -inf)")
+    if not 0.0 < lam < 1.0:
+        raise ValueError("lam must be in (0, 1) — lam=1 loses the backoff")
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    ref = docs if reference is None else reference
+
+    def pair_stream(frame: DataFrame) -> DataFrame:
+        t = F.col(text_col)
+        toks = F.split(F.trim(F.lower(t)), _WS)
+        prevs = F.concat(
+            F.array(F.lit(None).cast("string")),
+            F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        )
+        pairs = F.arrays_zip(prevs.alias("prev"), toks.alias("cur"))
+        return (
+            ensure_parallel(frame)
+            .where(t.isNotNull() & (F.length(F.trim(t)) > 0))
+            .select(F.col(id_col), F.explode(pairs).alias("__pc"))
+            .select(
+                id_col,
+                F.col("__pc.prev").alias("__a"),
+                F.col("__pc.cur").alias("__b"),
+            )
+            .where(F.col("__b") != "")
+        )
+
+    # ---- model: one aggregation over the reference pair stream --------
+    counts = _CACHES.persist(
+        pair_stream(ref).groupBy("__a", "__b").agg(F.count(F.lit(1)).alias("__c"))
+    )
+    tot = counts.agg(
+        F.sum("__c").alias("n"), F.count_distinct("__b").alias("v")
+    ).first()
+    n_tok, v_size = (tot["n"] or 0), tot["v"]
+    denom = float(n_tok) + alpha * (v_size + 1)
+    uni = counts.groupBy(F.col("__b").alias("__u")).agg(
+        F.sum("__c").alias("__cb")
+    )
+    ctx = (
+        counts.where(F.col("__a").isNotNull())
+        .groupBy(F.col("__a").alias("__ctx"))
+        .agg(F.sum("__c").alias("__c1"))
+    )
+    big = counts.where(
+        F.col("__a").isNotNull() & (F.col("__c") >= min_count)
+    ).select(F.col("__a").alias("__ba"), F.col("__b").alias("__bb"), "__c")
+
+    # ---- score ---------------------------------------------------------
+    pairs = pair_stream(docs)
+    p_uni = (F.coalesce(F.col("__cb"), F.lit(0)).cast("double") + F.lit(alpha)) / F.lit(denom)
+    p_big = F.when(
+        F.col("__a").isNull() | F.col("__c1").isNull(),
+        p_uni,
+    ).otherwise(
+        F.lit(lam)
+        * (F.coalesce(F.col("__c"), F.lit(0)).cast("double") / F.col("__c1"))
+        + F.lit(1.0 - lam) * p_uni
+    )
+    scored = (
+        pairs.join(uni, pairs["__b"] == uni["__u"], "left")
+        .join(ctx, pairs["__a"] == ctx["__ctx"], "left")
+        .join(
+            big,
+            (pairs["__a"] == big["__ba"]) & (pairs["__b"] == big["__bb"]),
+            "left",
+        )
+        .select(id_col, F.col("__a"), F.log(p_big).alias("__lp"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.col("__a").isNotNull().cast("long")).alias("n_bigrams"),
+        F.avg("__lp").alias("avg_logprob"),
+    )

@@ -614,3 +614,93 @@ def test_remove_duplicate_substrings_real_corpus_and_plan(documents):
     assert_no_columns_in_exchanges(out, ["text", "__t"])
     with pytest.raises(ValueError, match="window"):
         remove_duplicate_substrings(documents, window=0)
+
+
+# ---------------------------------------------------------------------------
+# bigram_logprob_scores (r7)
+# ---------------------------------------------------------------------------
+
+
+def _bigram_twin(rows, alpha=0.5, lam=0.7):
+    import math
+    from collections import Counter
+
+    toks = {d: (t.lower().split() if t and t.strip() else []) for d, t in rows}
+    uni, big, ctx = Counter(), Counter(), Counter()
+    for tk in toks.values():
+        uni.update(tk)
+        for a, b in zip(tk, tk[1:]):
+            big[(a, b)] += 1
+            ctx[a] += 1
+    n = sum(uni.values())
+    denom = float(n) + alpha * (len(uni) + 1)
+
+    def pu(b):
+        return (uni.get(b, 0) + alpha) / denom
+
+    out = {}
+    for d, tk in toks.items():
+        if not tk:
+            continue
+        lps = [math.log(pu(tk[0]))]
+        for a, b in zip(tk, tk[1:]):
+            if a in ctx:
+                lps.append(
+                    math.log(lam * big.get((a, b), 0) / ctx[a] + (1 - lam) * pu(b))
+                )
+            else:
+                lps.append(math.log(pu(b)))
+        out[d] = (len(tk), len(tk) - 1, sum(lps) / len(lps))
+    return out
+
+
+def test_bigram_scores_match_python_twin(spark):
+    from sparkglm_spark.operators.corpus import bigram_logprob_scores
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat"),
+        (3, "mat the on sat cat the"),
+        (4, "purely novel tokens entirely"),
+        (5, None),
+        (6, "   "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_bigrams"], r["avg_logprob"])
+        for r in bigram_logprob_scores(df).collect()
+    }
+    exp = _bigram_twin(rows)
+    assert set(got) == set(exp)
+    for d in exp:
+        assert got[d][:2] == exp[d][:2]
+        assert got[d][2] == pytest.approx(exp[d][2], rel=1e-12)
+    # word order matters: the scrambled twin of doc 1 scores strictly lower
+    assert got[3][2] < got[1][2]
+
+
+def test_bigram_scores_external_reference_and_validation(spark, documents):
+    from sparkglm_spark.operators.corpus import bigram_logprob_scores
+    from sparkglm_spark.plans.inspect import assert_no_columns_in_exchanges
+
+    ref = documents.select("doc_id", "text").limit(300)
+    probe = spark.createDataFrame(
+        [(1, "key agg row scan slow fast table value"),   # in-domain order
+         (2, "qqq www eee rrr ttt yyy uuu iii")],         # fully OOV
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in bigram_logprob_scores(probe, reference=ref).collect()
+    }
+    assert got[1] > got[2]  # in-domain text outscores OOV gibberish
+    with pytest.raises(ValueError, match="lam"):
+        bigram_logprob_scores(probe, lam=1.0)
+    with pytest.raises(ValueError, match="alpha"):
+        bigram_logprob_scores(probe, alpha=0.0)
+    with pytest.raises(ValueError, match="min_count"):
+        bigram_logprob_scores(probe, min_count=0)
+    # the document text never crosses an exchange — terms/ids only
+    assert_no_columns_in_exchanges(
+        bigram_logprob_scores(documents.limit(100)), ["text"]
+    )
