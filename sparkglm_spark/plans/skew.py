@@ -33,3 +33,39 @@ def salted_join(
     s = skewed.withColumn("__salt", salt)
     r = small.withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)])))
     return s.join(r, [*on, "__salt"], how).drop("__salt")
+
+
+def key_skew_report(
+    df: DataFrame, key_cols: list[str], top_n: int = 20
+) -> DataFrame:
+    """The measurement half of skew mitigation: per-key row counts for the
+    `top_n` heaviest join/aggregation keys, with each key's share of all
+    rows and its ratio to the MEAN key size — the number that predicts
+    shuffle-partition blowup (a key at ratio r occupies ~r partitions'
+    worth of one task). Run this before choosing between AQE's skew
+    handling and `salted_join`; a top key under ~5× mean is AQE
+    territory, orders of magnitude above it wants salting (and appears
+    here long before the stage straggles).
+
+    One partial-agg groupBy + a bounded top-n sort: the report is
+    `top_n` rows regardless of corpus size — safe to `.collect()`."""
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    if top_n < 1:
+        raise ValueError("top_n must be >= 1")
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    tot = counts.agg(
+        F.sum("n_rows").alias("__t"), F.count(F.lit(1)).alias("__k")
+    ).first()
+    total, n_keys = (tot["__t"] or 0), (tot["__k"] or 0)
+    mean = (total / n_keys) if n_keys else 0.0
+    return (
+        counts.orderBy(F.col("n_rows").desc(), *key_cols)
+        .limit(int(top_n))
+        .select(
+            *key_cols,
+            "n_rows",
+            (F.col("n_rows") / F.lit(float(total or 1))).alias("share"),
+            (F.col("n_rows") / F.lit(float(mean or 1))).alias("ratio_to_mean"),
+        )
+    )

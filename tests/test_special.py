@@ -76,3 +76,23 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     a = sorted(map(tuple, plain.collect()))
     b = sorted(map(tuple, salted.collect()))
     assert a == b and len(a) > 0
+
+
+def test_key_skew_report_ranks_hot_keys(spark):
+    from sparkglm_spark.plans.skew import key_skew_report
+
+    rows = [("hot", i) for i in range(900)] + [
+        (f"k{i % 20}", i) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "k string, v long")
+    rep = key_skew_report(df, ["k"], top_n=3).collect()
+    assert rep[0]["k"] == "hot"
+    assert rep[0]["n_rows"] == 900
+    assert rep[0]["share"] == pytest.approx(0.9)
+    # 21 keys, 1000 rows -> mean ~47.6; hot is ~18.9x the mean
+    assert rep[0]["ratio_to_mean"] == pytest.approx(900 / (1000 / 21))
+    assert len(rep) == 3
+    with pytest.raises(ValueError, match="key_cols"):
+        key_skew_report(df, [])
+    with pytest.raises(ValueError, match="top_n"):
+        key_skew_report(df, ["k"], top_n=0)
