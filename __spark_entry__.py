@@ -4531,12 +4531,69 @@ def q_sampling_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
         )
     )
+    # r7: Z-order rows (plans/zorder.py::zorder_value) — the Morton
+    # interleave is a pure integer function of the scaled inputs, so
+    # FIXED bounds (literals on both engines, no min/max agg to replay)
+    # make per-row z-values engine-exact; sum + max + count pin the whole
+    # column. bits=8 keeps the SQL replay at 16 terms.
+    from sparkglm_spark.plans.zorder import zorder_value
+
+    orders_t = read_table(spark, sf_dir, "orders")
+    zv = zorder_value(
+        ["o_totalprice", "o_custkey"], [0.0, 0.0], [600000.0, 200000.0], bits=8
+    )
+    zrows = (
+        orders_t.select(zv.alias("__z"))
+        .agg(
+            F.sum("__z").alias("zs"),
+            F.max("__z").alias("zm"),
+            F.count(F.lit(1)).alias("zn"),
+        )
+        .selectExpr(
+            "stack(3, 'zorder_sum', cast(zs as string),"
+            " 'zorder_max', cast(zm as string),"
+            " 'zorder_n', cast(zn as string)) as (stat, value)"
+        )
+    )
     return (
         base.unionByName(strat)
         .unionByName(wrows)
         .unionByName(mixrows)
         .unionByName(caprows)
+        .unionByName(zrows)
     )
+
+
+def _sql_zorder_rows() -> str:
+    """DuckDB replay of zorder_value over orders with the same fixed
+    bounds: scale to [0, 255], clamp, floor via CAST (Spark's long cast
+    truncates toward zero; values are non-negative so trunc == floor),
+    then interleave bit i of column j to output bit 2i + j."""
+    # DuckDB gives user operators EQUAL left-to-right precedence (the
+    # PostgreSQL rule), so `a << i | b << j` parses as ((a << i) | b)
+    # << j — every interleave term must be fully parenthesized
+    terms = []
+    for i in range(8):
+        for j, col in enumerate(("s0", "s1")):
+            terms.append(f"((({col} >> {i}) & 1) << {2 * i + j})")
+    z = " | ".join(terms)
+    return f"""
+SELECT u.stat, u.value FROM (
+  SELECT CAST(SUM(z) AS BIGINT) AS zs, CAST(MAX(z) AS BIGINT) AS zm,
+         count(*) AS zn
+  FROM (
+    SELECT ({z}) AS z FROM (
+      SELECT
+        CAST(FLOOR(LEAST(GREATEST(CAST(o_totalprice AS DOUBLE) / 600000.0
+                                  * 255.0, 0.0), 255.0)) AS BIGINT) AS s0,
+        CAST(FLOOR(LEAST(GREATEST(CAST(o_custkey AS DOUBLE) / 200000.0
+                                  * 255.0, 0.0), 255.0)) AS BIGINT) AS s1
+      FROM orders))
+) agg CROSS JOIN LATERAL (VALUES
+    ('zorder_sum', CAST(agg.zs AS VARCHAR)),
+    ('zorder_max', CAST(agg.zm AS VARCHAR)),
+    ('zorder_n', CAST(agg.zn AS VARCHAR))) AS u(stat, value)
+"""
 
 
 from sparkglm_spark.operators.split import _AFFINE_A, _AFFINE_B, _AFFINE_P
@@ -4612,6 +4669,8 @@ FROM (
 ) cp CROSS JOIN LATERAL (VALUES
     ('n', CAST(cp.n AS VARCHAR)),
     ('idsum', CAST(cp.s AS VARCHAR))) AS u(m, value)
+UNION ALL
+{_sql_zorder_rows()}
 """
 
 
