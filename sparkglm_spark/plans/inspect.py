@@ -173,6 +173,45 @@ def tainted_expr_ids(plan: str, columns: list[str]) -> set[int]:
     return tainted
 
 
+def wire_report(
+    df: DataFrame, guarded: list[str] | None = None, skip_round_robin: bool = True
+) -> str:
+    """Human-readable audit of what the plan ships across the wire: one
+    block per Exchange with its partitioning and column list, flagging
+    any guarded column (or lineage-tainted alias/struct packing of one)
+    with `!`. The `explain` companion for the engine's wire discipline —
+    run it on a new pipeline before trusting its 100 TB cost profile:
+
+        print(wire_report(my_df, guarded=["text", "payload"]))
+
+    Purely driver-side string formatting over `exchange_schemas` /
+    `tainted_expr_ids`; triggers no job."""
+    guarded = list(guarded or [])
+    tainted = (
+        tainted_expr_ids(formatted_plan(df), guarded) if guarded else set()
+    )
+    exchanges = exchange_schemas(df, skip_round_robin=skip_round_robin)
+    if not exchanges:
+        return "no exchanges — the plan is shuffle-free"
+    gset = set(guarded)
+    lines = []
+    for ex in exchanges:
+        args = ex["arguments"].removeprefix("Arguments: ").strip()
+        cols = []
+        flagged = False
+        for n, i in zip(ex["columns"], ex["ids"]):
+            if n in gset or i in tainted:
+                cols.append(f"!{n}")
+                flagged = True
+            else:
+                cols.append(n)
+        mark = "  <-- guarded payload on the wire" if flagged else ""
+        lines.append(f"{ex['node']}{mark}")
+        lines.append(f"  partitioning: {args}")
+        lines.append(f"  columns: {', '.join(cols)}")
+    return "\n".join(lines)
+
+
 def assert_no_columns_in_exchanges(
     df: DataFrame, columns: list[str], skip_round_robin: bool = True
 ) -> None:

@@ -567,3 +567,29 @@ def test_ml_wrapper_transforms_are_shuffle_free(spark, lineitem, documents):
     assert "Exchange" not in formatted_plan(
         wp.transform(documents.select("doc_id", "text"))
     )
+
+
+def test_wire_report_flags_guarded_payload(spark, documents):
+    from pyspark.sql import functions as F
+
+    from sparkglm_spark.operators.dedup import exact_dedup_hashed
+    from sparkglm_spark.plans.inspect import wire_report
+
+    # a clean plan: fingerprints-only dedup — no flags anywhere
+    clean = wire_report(exact_dedup_hashed(documents, "text", "doc_id"),
+                        guarded=["text"])
+    assert "Exchange" in clean
+    assert "!" not in clean and "guarded payload" not in clean
+
+    # a dirty plan: text shuffles under an alias — flagged via lineage
+    dirty_df = (
+        documents.select(F.col("text").alias("__t"), "doc_id")
+        .groupBy("__t").count()
+    )
+    dirty = wire_report(dirty_df, guarded=["text"])
+    assert "!__t" in dirty and "guarded payload on the wire" in dirty
+
+    # shuffle-free plans say so
+    assert wire_report(documents.select("doc_id"), guarded=["text"]).startswith(
+        "no exchanges"
+    )
