@@ -536,6 +536,8 @@ _SQL_VAR = {
     "binomial": lambda mu: f"(({mu}) * (1.0 - ({mu})))",
     "poisson": lambda mu: f"({mu})",
     "gamma": lambda mu: f"(({mu}) * ({mu}))",
+    # tweedie at the default p = 1.5 (exact binary constants: 0.5/-0.25)
+    "tweedie15": lambda mu: f"(power({mu}, 1.5))",
 }
 _SQL_DEVTERM = {
     "binomial": lambda y, mu: (
@@ -546,6 +548,14 @@ _SQL_DEVTERM = {
         f"(CASE WHEN ({y}) = 0 THEN ({mu}) ELSE ({y}) * ln(({y}) / ({mu})) - (({y}) - ({mu})) END)"
     ),
     "gamma": lambda y, mu: f"(-ln(({y}) / ({mu})) + (({y}) - ({mu})) / ({mu}))",
+    # ½·unit deviance at p = 1.5: y^0.5/-0.25 - y·mu^-0.5/-0.5 + mu^0.5/0.5,
+    # y = 0 -> the mu^0.5/0.5 limit (matches families.Tweedie exactly —
+    # same power/divide shapes, constants exact in binary)
+    "tweedie15": lambda y, mu: (
+        f"(CASE WHEN ({y}) = 0 THEN power({mu}, 0.5) / 0.5 "
+        f"ELSE power({y}, 0.5) / -0.25 - ({y}) * power({mu}, -0.5) / -0.5 "
+        f"+ power({mu}, 0.5) / 0.5 END)"
+    ),
 }
 
 
@@ -733,9 +743,10 @@ ORDER BY term
 
 def q_glm_families_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Family plug-in surface (SURVEY §2.13.1): gaussian/identity (≡ OLS in
-    one solve — closed-form Cramer oracle), poisson/log and gamma/log at
-    exactly 4 IRLS iterations (unrolled-WLS oracle). One stat table keyed
-    by family."""
+    one solve — closed-form Cramer oracle), poisson/log, gamma/log and
+    tweedie(p=1.5)/log (r7 — zero-mass response derived as
+    greatest(l_quantity − 25, 0)) at exactly 4 IRLS iterations
+    (unrolled-WLS oracle). One stat table keyed by family."""
     from sparkglm_spark.operators.glm import glm
 
     li = read_table(spark, sf_dir, "lineitem")
@@ -763,6 +774,18 @@ def q_glm_families_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("gamma", "deviance", round(m.deviance, 2)),
         ("gamma", "iterations", float(m.iter)),
     ]
+    tw = li.select(
+        F.greatest(F.col("l_quantity") - 25, F.lit(0)).cast("double").alias("y_tw"),
+        "l_discount",
+    )
+    m = glm(tw, "y_tw ~ l_discount", family="tweedie", var_power=1.5,
+            exact_iterations=_GLM_ITERS)
+    rows += [
+        ("tweedie", "coef_intercept", round(float(m.coefs[0]), 6)),
+        ("tweedie", "coef_l_discount", round(float(m.coefs[1]), 6)),
+        ("tweedie", "deviance", round(m.deviance, 2)),
+        ("tweedie", "iterations", float(m.iter)),
+    ]
     return spark.createDataFrame(
         rows, "family string, stat string, value double"
     ).orderBy("family", "stat")
@@ -773,12 +796,18 @@ def _sql_glm_families_fit() -> str:
         "pbase AS (SELECT CAST(l_quantity AS DOUBLE) AS y, CAST(l_discount AS DOUBLE) AS x FROM lineitem)",
         "gbase AS (SELECT CAST(l_extendedprice AS DOUBLE) AS y, CAST(l_quantity AS DOUBLE) AS x FROM lineitem)",
     ]
+    ctes.append(
+        "twbase AS (SELECT CAST(greatest(l_quantity - 25, 0) AS DOUBLE) AS y, "
+        "CAST(l_discount AS DOUBLE) AS x FROM lineitem)"
+    )
     p_ctes, p_fin = _sql_irls_ctes("po_", "pbase", "poisson", "log")
     g_ctes, g_fin = _sql_irls_ctes("ga_", "gbase", "gamma", "log")
-    ctes += p_ctes + g_ctes
+    t_ctes, t_fin = _sql_irls_ctes("tw_", "twbase", "tweedie15", "log")
+    ctes += p_ctes + g_ctes + t_ctes
     for fam, base, fin, pfx in (
         ("poisson", "pbase", p_fin, "po_"),
         ("gamma", "gbase", g_fin, "ga_"),
+        ("tweedie15", "twbase", t_fin, "tw_"),
     ):
         dev = _SQL_DEVTERM[fam]("y", "mu")
         mu = _SQL_UNLINK["log"]("(b0 + b1 * x)")
@@ -809,6 +838,10 @@ def _sql_glm_families_fit() -> str:
         f"SELECT 'gamma', 'coef_l_quantity', ROUND(b1, 6) FROM {g_fin}",
         "SELECT 'gamma', 'deviance', ROUND(dev, 2) FROM ga_f",
         f"SELECT 'gamma', 'iterations', {float(_GLM_ITERS)} FROM {g_fin}",
+        f"SELECT 'tweedie', 'coef_intercept', ROUND(b0, 6) FROM {t_fin}",
+        f"SELECT 'tweedie', 'coef_l_discount', ROUND(b1, 6) FROM {t_fin}",
+        "SELECT 'tweedie', 'deviance', ROUND(dev, 2) FROM tw_f",
+        f"SELECT 'tweedie', 'iterations', {float(_GLM_ITERS)} FROM {t_fin}",
     ]
     return (
         "WITH " + ",\n".join(ctes) + "\n"

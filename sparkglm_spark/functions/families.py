@@ -86,17 +86,68 @@ class Gamma:
         return -F.log(y / mu) + (y - mu) / mu
 
 
+class Tweedie:
+    """Compound Poisson–gamma (1 < p < 2): continuous positive mass PLUS
+    an exact point mass at zero — the standard family for insurance
+    claim totals and any "usually zero, occasionally heavy" response
+    that gaussian/poisson/gamma all fit badly (gamma can't take y = 0,
+    poisson can't take continuous y). Variance μ^p interpolates between
+    them; log link keeps μ > 0.
+
+    Loglik/AIC are NaN by convention: the Tweedie density has no closed
+    form (the Dunn–Smyth series is a numerical evaluation outside this
+    engine's scope) and statsmodels' Tweedie reports NaN the same way —
+    deviance/Pearson carry the goodness-of-fit duty."""
+
+    links = ("log",)
+    default_link = "log"
+    supports_m = False
+    name = "tweedie"
+
+    def __init__(self, var_power: float = 1.5):
+        if not 1.0 < var_power < 2.0:
+            raise ValueError(
+                f"var_power must be in (1, 2) — p={var_power!r}; p=1 is "
+                "poisson, p=2 is gamma (use those families directly)"
+            )
+        self.var_power = float(var_power)
+
+    def variance(self, mu: Column, m: Column) -> Column:
+        return F.pow(mu, F.lit(self.var_power))
+
+    def deviance_term(self, y: Column, mu: Column, m: Column) -> Column:
+        # ½·unit deviance for p ∉ {1,2}:
+        #   y^(2−p)/((1−p)(2−p)) − y·μ^(1−p)/(1−p) + μ^(2−p)/(2−p)
+        # y = 0 → the first two terms vanish (2−p > 0), leaving the limit
+        # μ^(2−p)/(2−p); spelled as a when() so pow(0, ·) never feeds a
+        # log-form rewrite.
+        p = self.var_power
+        tail = F.pow(mu, F.lit(2.0 - p)) / F.lit(2.0 - p)
+        full = (
+            F.pow(y, F.lit(2.0 - p)) / F.lit((1.0 - p) * (2.0 - p))
+            - y * F.pow(mu, F.lit(1.0 - p)) / F.lit(1.0 - p)
+            + tail
+        )
+        return F.when(y == 0, tail).otherwise(full)
+
+
 FAMILIES = {
     "binomial": Binomial(),
     "gaussian": Gaussian(),
     "poisson": Poisson(),
     "gamma": Gamma(),
+    "tweedie": Tweedie(),
 }
 
 
-def get_family(name: str):
+def get_family(name: str, var_power: float | None = None):
+    """`var_power` applies to (and is only meaningful for) the tweedie
+    family; other families ignore it."""
+    key = name.lower()
+    if key == "tweedie" and var_power is not None:
+        return Tweedie(var_power)
     try:
-        return FAMILIES[name.lower()]
+        return FAMILIES[key]
     except KeyError:
         raise ValueError(
             f"unknown family {name!r}; supported: {sorted(FAMILIES)}"

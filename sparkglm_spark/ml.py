@@ -142,7 +142,7 @@ class _SparkGLMParams(_FormulaParams):
     family = Param(
         Params._dummy(),
         "family",
-        "GLM family: binomial, gaussian, poisson, gamma",
+        "GLM family: binomial, gaussian, poisson, gamma, tweedie",
         typeConverter=TypeConverters.toString,
     )
     link = Param(
@@ -181,6 +181,12 @@ class _SparkGLMParams(_FormulaParams):
         "transform() scale: 'response' (mu) or 'link' (eta)",
         typeConverter=TypeConverters.toString,
     )
+    varPower = Param(
+        Params._dummy(),
+        "varPower",
+        "tweedie variance exponent p in (1, 2); other families ignore it",
+        typeConverter=TypeConverters.toFloat,
+    )
 
     def __init__(self):
         super().__init__()
@@ -192,6 +198,7 @@ class _SparkGLMParams(_FormulaParams):
             tol=1e-6,
             maxIter=50,
             predictionType="response",
+            varPower=1.5,
         )
 
     def getFamily(self) -> str:
@@ -214,6 +221,9 @@ class _SparkGLMParams(_FormulaParams):
 
     def getPredictionType(self) -> str:
         return self.getOrDefault(self.predictionType)
+
+    def getVarPower(self) -> float:
+        return self.getOrDefault(self.varPower)
 
 
 def _kwargs_setter(obj, kwargs):
@@ -375,6 +385,7 @@ class SparkGLM(Estimator, _SparkGLMParams, DefaultParamsReadable, DefaultParamsW
             tol=self.getTol(),
             max_iter=self.getMaxIter(),
             na_action=self.getNaAction(),
+            var_power=self.getVarPower(),
         )
         return self._copyValues(SparkGLMModel(inner))
 

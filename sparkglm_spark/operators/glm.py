@@ -81,12 +81,15 @@ class GLM:
         max_iter: int = 50,
         verbose: bool = False,
         exact_iterations: int | None = None,
+        var_power: float = 1.5,
     ) -> "GLM":
         """`exact_iterations`: run EXACTLY that many IRLS solves (no
         convergence test, no warning) — makes the whole trajectory a
         deterministic closed-form function of the data, which is what the
-        driver's fixed-iteration SQL oracles replay (VERDICT r01 #1)."""
-        fam = get_family(family)
+        driver's fixed-iteration SQL oracles replay (VERDICT r01 #1).
+        `var_power`: the tweedie variance exponent p in (1, 2) — ignored
+        by every other family."""
+        fam = get_family(family, var_power)
         if link is None:
             link = fam.default_link
         if link.lower() not in fam.links:
@@ -319,6 +322,12 @@ class GLM:
             ).collect()[0]
             ll = float(ll_row["llp"]) - n * math.lgamma(shape)
             aic = -2.0 * ll + 2.0 * (k + 1)  # dispersion counts as a param
+        elif fam.name == "tweedie":
+            # no closed-form density (Dunn-Smyth series out of scope);
+            # statsmodels' Tweedie reports NaN the same way — deviance
+            # and Pearson carry goodness-of-fit
+            ll = float("nan")
+            aic = float("nan")
         else:
             ll = float(stat_row["ll"])
             aic = -2.0 * ll + 2.0 * k  # GLM.scala:70
@@ -440,6 +449,7 @@ def glm(
     max_iter: int = 50,
     na_action: str = "omit",
     exact_iterations: int | None = None,
+    var_power: float = 1.5,
 ) -> GLM:
     """Formula front-end mirroring the LM one (reference overload explosion
     GLM.scala:475-995 collapses to keyword args — SURVEY §2.11 M7)."""
@@ -470,9 +480,14 @@ def glm(
         tol=tol,
         max_iter=max_iter,
         exact_iterations=exact_iterations,
+        var_power=var_power,
     )
     model.levels = levels
-    model.call = f"glm({formula}, family={family}, link={link})"
+    model.call = (
+        f"glm({formula}, family={family}, link={link}"
+        + (f", var_power={var_power}" if family.lower() == "tweedie" else "")
+        + ")"
+    )
     return model
 
 

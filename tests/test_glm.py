@@ -251,7 +251,7 @@ def test_glm_family_link_validation(spark):
     with pytest.raises(ValueError, match="not valid for family"):
         GLM.fit(df, y_col="y", x_cols=["intercept"], family="poisson", link="logit")
     with pytest.raises(ValueError, match="unknown family"):
-        GLM.fit(df, y_col="y", x_cols=["intercept"], family="tweedie")
+        GLM.fit(df, y_col="y", x_cols=["intercept"], family="negbin")
     with pytest.raises(ValueError, match="m_col"):
         GLM.fit(df, y_col="y", x_cols=["intercept"], family="gaussian", m_col="y")
 
@@ -373,3 +373,78 @@ def test_glm_grouped_poisson(spark, lineitem):
         ref = numpy_irls_poisson(X, sub.l_quantity.to_numpy())
         mine = got[got.l_returnflag == g]
         np.testing.assert_allclose(mine.estimate.to_numpy(), ref["coef"], rtol=1e-5)
+
+
+def numpy_irls_tweedie(X, y, p=1.5, tol=1e-6, max_iter=50):
+    """log-link Tweedie IRLS twin: var = mu^p."""
+    n, k = X.shape
+    mu = np.full(n, y.mean())
+    eta = np.log(mu)
+
+    def dev(mu):
+        tail = mu ** (2 - p) / (2 - p)
+        full = (
+            y ** (2 - p) / ((1 - p) * (2 - p))
+            - y * mu ** (1 - p) / (1 - p)
+            + tail
+        )
+        return 2.0 * float(np.sum(np.where(y == 0, tail, full)))
+
+    d_prev, it = None, 0
+    for it in range(1, max_iter + 1):
+        w = mu ** (2 - p)                   # 1/(var * g'^2), g' = 1/mu
+        z = eta + (y - mu) / mu * 1.0       # z = eta + (y-mu)*g'
+        WX = X * w[:, None]
+        xtwxi = np.linalg.inv(X.T @ WX)
+        beta = xtwxi @ (WX.T @ z)
+        eta = X @ beta
+        mu = np.exp(eta)
+        d = dev(mu)
+        if d_prev is not None and abs(d - d_prev) < tol:
+            break
+        d_prev = d
+    return {
+        "coef": beta,
+        "se": np.sqrt(np.diag(xtwxi)),
+        "deviance": dev(mu),
+        "iter": it,
+        "mu": mu,
+    }
+
+
+def test_glm_tweedie_matches_numpy_irls(spark):
+    rng = np.random.default_rng(21)
+    n = 500
+    x = rng.normal(0, 1, n)
+    mu_true = np.exp(0.4 + 0.6 * x)
+    # compound Poisson-gamma draw: exact zeros + heavy positive tail
+    counts = rng.poisson(mu_true)
+    y = np.array([rng.gamma(2.0, m / 4.0 + 0.25, c).sum() for m, c in zip(mu_true, counts)])
+    assert (y == 0).sum() > 20  # the point of tweedie: real zero mass
+    df = spark.createDataFrame(
+        [(float(a), 1.0, float(b)) for a, b in zip(y, x)],
+        "y double, intercept double, x double",
+    ).repartition(4)
+    model = GLM.fit(
+        df, y_col="y", x_cols=["intercept", "x"], family="tweedie", var_power=1.5
+    )
+    oracle = numpy_irls_tweedie(np.column_stack([np.ones(n), x]), y, p=1.5)
+    np.testing.assert_allclose(model.coefs, oracle["coef"], rtol=1e-8)
+    np.testing.assert_allclose(model.std_err, oracle["se"], rtol=1e-6)
+    assert model.deviance == pytest.approx(oracle["deviance"], rel=1e-8)
+    assert model.iter == oracle["iter"]
+    assert model.family == "tweedie"
+    import math
+
+    assert math.isnan(model.loglik) and math.isnan(model.aic)  # documented
+    # predictions are positive (log link) and finite
+    mu = [r.prediction for r in model.predict(df).limit(20).collect()]
+    assert all(v > 0 and np.isfinite(v) for v in mu)
+
+
+def test_glm_tweedie_validation(spark):
+    df = spark.createDataFrame([(1.0, 1.0)], "y double, intercept double")
+    with pytest.raises(ValueError, match="var_power"):
+        GLM.fit(df, y_col="y", x_cols=["intercept"], family="tweedie", var_power=2.5)
+    with pytest.raises(ValueError, match="not valid for family"):
+        GLM.fit(df, y_col="y", x_cols=["intercept"], family="tweedie", link="logit")
