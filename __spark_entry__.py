@@ -374,16 +374,22 @@ def q_lm_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     path — coefficients, R² and n in one stat table. Oracle: closed-form
     Cramer from exact decimal sums; coefs rounded to 1 decimal (double-sum
     vs decimal-sum Gram divergence ≲1e-4 abs at this conditioning), R² to 5
-    (divergence ≲1e-9)."""
-    from sparkglm_spark.operators.lm import lm
+    (divergence ≲1e-9). r7: HC1 sandwich standard errors
+    (operators/lm.py::robust_standard_errors — one extra meat+bread
+    aggregation pass) rounded to 2 (the β divergence enters e² at
+    relative ≲1e-8)."""
+    from sparkglm_spark.operators.lm import lm, robust_standard_errors
 
     li = read_table(spark, sf_dir, "lineitem")
     model = lm(li, "l_extendedprice ~ l_quantity")
+    hc1 = robust_standard_errors(li, model, kind="HC1")
     rows = [
         (name, round(float(c), 1)) for name, c in zip(model.xnames, model.coefs)
     ] + [
         ("r2", round(model.r2, 5)),
         ("n_rows", float(model.nrow)),
+        ("se_hc1_intercept", round(float(hc1[0]), 2)),
+        ("se_hc1_l_quantity", round(float(hc1[1]), 2)),
     ]
     return spark.createDataFrame(rows, "stat string, value double").orderBy("stat")
 
@@ -405,6 +411,30 @@ SELECT 'r2', ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
                    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 5) FROM s
 UNION ALL
 SELECT 'n_rows', n FROM s
+UNION ALL
+SELECT 'se_hc1_' || u.nm, u.v FROM (
+  SELECT sqrt((b.sxx * b.sxx * m.m0 - 2.0 * b.sxx * b.sx * m.m1
+               + b.sx * b.sx * m.m2) / (b.det * b.det)
+              * b.n / (b.n - 2.0)) AS se0,
+         sqrt((b.sx * b.sx * m.m0 - 2.0 * b.n * b.sx * m.m1
+               + b.n * b.n * m.m2) / (b.det * b.det)
+              * b.n / (b.n - 2.0)) AS se1
+  FROM (SELECT n, sx, sxx, (n * sxx - sx * sx) AS det,
+               (sy * sxx - sx * sxy) / (n * sxx - sx * sx) AS b0,
+               (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b1
+        FROM s) b
+  CROSS JOIN (
+    SELECT SUM(e2) AS m0, SUM(e2 * x) AS m1, SUM(e2 * x * x) AS m2
+    FROM (
+      SELECT x, (y - bb.b0 - bb.b1 * x) * (y - bb.b0 - bb.b1 * x) AS e2
+      FROM (SELECT CAST(l_quantity AS DOUBLE) AS x,
+                   CAST(l_extendedprice AS DOUBLE) AS y FROM lineitem) r
+      CROSS JOIN (SELECT (sy * sxx - sx * sxy) / (n * sxx - sx * sx) AS b0,
+                         (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b1
+                  FROM s) bb)) m
+) q CROSS JOIN LATERAL (VALUES
+    ('intercept', ROUND(q.se0, 2)),
+    ('l_quantity', ROUND(q.se1, 2))) AS u(nm, v)
 ORDER BY stat
 """
 

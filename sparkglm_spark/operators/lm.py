@@ -607,3 +607,85 @@ def lm_cross_validate(
         "fold int, n_train bigint, n_val bigint, "
         "rmse_train double, rmse_val double, r2_val double",
     )
+
+
+def robust_standard_errors(
+    df: DataFrame, model: LM, kind: str = "HC1"
+) -> np.ndarray:
+    """Heteroskedasticity-consistent (sandwich) standard errors for a
+    fitted OLS model over its training data — the Eicker-Huber-White
+    estimator family (public convention set: MacKinnon & White 1985):
+
+      V = (X'X)⁻¹ · Σ uᵢ·xᵢxᵢ' · (X'X)⁻¹
+      HC0: u = e²            HC1: u = e² · n/(n−k)
+      HC2: u = e²/(1−hᵢ)     HC3: u = e²/(1−hᵢ)²   (hᵢ = xᵢ'(X'X)⁻¹xᵢ)
+
+    The classical stdErr (LM.std_err) assumes constant error variance;
+    with heteroskedastic errors it is biased in either direction, and
+    HC1 is the regression-software default remedy (R sandwich / Stata
+    `robust`).
+
+    Plan: features re-derive from RAW columns exactly like `LM.predict`
+    (dummies/intercept/zero-backfill as expressions), the residual is the
+    same codegen linear combination, and the meat's k(k+1)/2 weighted
+    sums ride ONE aggregation job together with X'X — the `gram_aggregate`
+    shape, driver math k×k. HC2/HC3 need the leverage hᵢ, whose
+    (X'X)⁻¹ quadratic form must come from a FIRST pass — they cost two
+    aggregation jobs, HC0/HC1 one. Unweighted OLS only (WLS sandwiches
+    need the W-weighted meat — not implemented)."""
+    kinds = ("HC0", "HC1", "HC2", "HC3")
+    if kind not in kinds:
+        raise ValueError(f"kind must be one of {kinds}")
+    k = len(model.xnames)
+    n = model.nrow
+    feats = scoring_feature_exprs(model.xnames, model.levels, df.columns)
+    fcols = [f.alias(f"__f{i}") for i, f in enumerate(feats)]
+    base = df.select(F.col(model.yname).alias("__y"), *fcols)
+    pred = F.lit(float(model.coefs[0])) * F.col("__f0")
+    for i in range(1, k):
+        pred = pred + F.lit(float(model.coefs[i])) * F.col(f"__f{i}")
+    e2 = (F.col("__y") - pred) * (F.col("__y") - pred)
+
+    def gram_sums(weight: Column | None) -> list[Column]:
+        out = []
+        for i in range(k):
+            for j in range(i, k):
+                prod = F.col(f"__f{i}") * F.col(f"__f{j}")
+                out.append(
+                    F.sum(prod if weight is None else weight * prod).alias(
+                        f"{'m' if weight is not None else 'g'}_{i}_{j}"
+                    )
+                )
+        return out
+
+    if kind in ("HC2", "HC3"):
+        # pass 1: X'X alone -> (X'X)^-1 enters the leverage expression
+        row = base.agg(*gram_sums(None)).collect()[0]
+        xtx = np.zeros((k, k))
+        for i in range(k):
+            for j in range(i, k):
+                xtx[i, j] = xtx[j, i] = float(row[f"g_{i}_{j}"])
+        xtxi = np.linalg.inv(xtx)
+        h = F.lit(0.0)
+        for i in range(k):
+            for j in range(k):
+                h = h + F.lit(float(xtxi[i, j])) * F.col(f"__f{i}") * F.col(f"__f{j}")
+        u = e2 / (F.lit(1.0) - h)
+        if kind == "HC3":
+            u = u / (F.lit(1.0) - h)
+        row = base.agg(*gram_sums(u)).collect()[0]
+    else:
+        row = base.agg(*gram_sums(None), *gram_sums(e2)).collect()[0]
+        xtx = np.zeros((k, k))
+        for i in range(k):
+            for j in range(i, k):
+                xtx[i, j] = xtx[j, i] = float(row[f"g_{i}_{j}"])
+        xtxi = np.linalg.inv(xtx)
+    meat = np.zeros((k, k))
+    for i in range(k):
+        for j in range(i, k):
+            meat[i, j] = meat[j, i] = float(row[f"m_{i}_{j}"])
+    if kind == "HC1":
+        meat *= n / (n - k)
+    v = xtxi @ meat @ xtxi
+    return np.sqrt(np.diag(v))

@@ -337,3 +337,52 @@ def test_lm_cross_validate_matches_numpy(spark, lineitem):
         assert row.rmse_val == pytest.approx(rmse_v, rel=1e-6)
         assert row.rmse_train == pytest.approx(rmse_t, rel=1e-6)
         assert row.r2_val == pytest.approx(r2_v, rel=1e-6, abs=1e-9)
+
+
+def test_robust_standard_errors_match_numpy_sandwich(spark):
+    """HC0-HC3 vs the direct numpy sandwich on heteroskedastic data, where
+    they must DIFFER from the classical stdErr materially."""
+    from sparkglm_spark.operators.lm import lm, robust_standard_errors
+
+    rng = np.random.default_rng(17)
+    n = 800
+    x = rng.uniform(1, 10, n)
+    y = 2.0 + 3.0 * x + rng.normal(0, 0.5 * x * x, n)  # variance grows with x
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(x, y)], "x double, y double"
+    ).repartition(4)
+    model = lm(df, "y ~ x")
+    X = np.column_stack([np.ones(n), x])
+    beta = np.asarray(model.coefs)
+    e = y - X @ beta
+    xtxi = np.linalg.inv(X.T @ X)
+    h = np.einsum("ij,jk,ik->i", X, xtxi, X)
+    for kind, u in (
+        ("HC0", e**2),
+        ("HC1", e**2 * n / (n - 2)),
+        ("HC2", e**2 / (1 - h)),
+        ("HC3", e**2 / (1 - h) ** 2),
+    ):
+        want = np.sqrt(np.diag(xtxi @ (X.T * u) @ X @ xtxi))
+        got = robust_standard_errors(df, model, kind=kind)
+        np.testing.assert_allclose(got, want, rtol=1e-9, err_msg=kind)
+    # heteroskedastic data: robust and classical must genuinely differ
+    hc1 = robust_standard_errors(df, model, kind="HC1")
+    assert abs(hc1[1] - model.std_err[1]) / model.std_err[1] > 0.10
+    with pytest.raises(ValueError, match="kind"):
+        robust_standard_errors(df, model, kind="HC9")
+
+
+def test_robust_se_works_on_raw_df_with_categoricals(lineitem):
+    """The sandwich re-derives dummies from RAW columns like predict —
+    no pre-encoding needed; homoskedastic-ish data keeps robust within a
+    sane factor of classical."""
+    from sparkglm_spark.operators.lm import lm, robust_standard_errors
+
+    li = lineitem.select("l_extendedprice", "l_quantity", "l_returnflag").limit(3000)
+    model = lm(li, "l_extendedprice ~ l_quantity + l_returnflag")
+    se = robust_standard_errors(li, model, kind="HC1")
+    assert se.shape == (len(model.xnames),)
+    assert np.all(np.isfinite(se)) and np.all(se > 0)
+    ratio = se / np.asarray(model.std_err)
+    assert np.all(ratio > 0.2) and np.all(ratio < 5.0)
