@@ -568,6 +568,8 @@ _SQL_VAR = {
     "gamma": lambda mu: f"(({mu}) * ({mu}))",
     # tweedie at the default p = 1.5 (exact binary constants: 0.5/-0.25)
     "tweedie15": lambda mu: f"(power({mu}, 1.5))",
+    # NB2 at alpha = 1 (exact integer constants)
+    "negbin1": lambda mu: f"(({mu}) + ({mu}) * ({mu}))",
 }
 _SQL_DEVTERM = {
     "binomial": lambda y, mu: (
@@ -585,6 +587,13 @@ _SQL_DEVTERM = {
         f"(CASE WHEN ({y}) = 0 THEN power({mu}, 0.5) / 0.5 "
         f"ELSE power({y}, 0.5) / -0.25 - ({y}) * power({mu}, -0.5) / -0.5 "
         f"+ power({mu}, 0.5) / 0.5 END)"
+    ),
+    # ½·unit deviance at alpha = 1: y·ln(y/mu) - (y+1)·ln((1+y)/(1+mu));
+    # y = 0 -> ln(1+mu)
+    "negbin1": lambda y, mu: (
+        f"(CASE WHEN ({y}) = 0 THEN ln(1.0 + ({mu})) "
+        f"ELSE ({y}) * ln(({y}) / ({mu})) "
+        f"- (({y}) + 1.0) * ln((1.0 + ({y})) / (1.0 + ({mu}))) END)"
     ),
 }
 
@@ -775,7 +784,8 @@ def q_glm_families_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Family plug-in surface (SURVEY §2.13.1): gaussian/identity (≡ OLS in
     one solve — closed-form Cramer oracle), poisson/log, gamma/log and
     tweedie(p=1.5)/log (r7 — zero-mass response derived as
-    greatest(l_quantity − 25, 0)) at exactly 4 IRLS iterations
+    greatest(l_quantity − 25, 0)) and negbinomial(α=1)/log (r7) at
+    exactly 4 IRLS iterations
     (unrolled-WLS oracle). One stat table keyed by family."""
     from sparkglm_spark.operators.glm import glm
 
@@ -787,6 +797,14 @@ def q_glm_families_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("gaussian", "coef_intercept", round(float(m.coefs[0]), 1)),
         ("gaussian", "coef_l_quantity", round(float(m.coefs[1]), 1)),
         ("gaussian", "iterations", float(m.iter)),
+    ]
+    m = glm(li, "l_quantity ~ l_discount", family="negbinomial", nb_alpha=1.0,
+            exact_iterations=_GLM_ITERS)
+    rows += [
+        ("negbinomial", "coef_intercept", round(float(m.coefs[0]), 6)),
+        ("negbinomial", "coef_l_discount", round(float(m.coefs[1]), 6)),
+        ("negbinomial", "deviance", round(m.deviance, 2)),
+        ("negbinomial", "iterations", float(m.iter)),
     ]
     m = glm(li, "l_quantity ~ l_discount", family="poisson",
             exact_iterations=_GLM_ITERS)
@@ -833,11 +851,13 @@ def _sql_glm_families_fit() -> str:
     p_ctes, p_fin = _sql_irls_ctes("po_", "pbase", "poisson", "log")
     g_ctes, g_fin = _sql_irls_ctes("ga_", "gbase", "gamma", "log")
     t_ctes, t_fin = _sql_irls_ctes("tw_", "twbase", "tweedie15", "log")
-    ctes += p_ctes + g_ctes + t_ctes
+    n_ctes, n_fin = _sql_irls_ctes("nb_", "pbase", "negbin1", "log")
+    ctes += p_ctes + g_ctes + t_ctes + n_ctes
     for fam, base, fin, pfx in (
         ("poisson", "pbase", p_fin, "po_"),
         ("gamma", "gbase", g_fin, "ga_"),
         ("tweedie15", "twbase", t_fin, "tw_"),
+        ("negbin1", "pbase", n_fin, "nb_"),
     ):
         dev = _SQL_DEVTERM[fam]("y", "mu")
         mu = _SQL_UNLINK["log"]("(b0 + b1 * x)")
@@ -872,6 +892,10 @@ def _sql_glm_families_fit() -> str:
         f"SELECT 'tweedie', 'coef_l_discount', ROUND(b1, 6) FROM {t_fin}",
         "SELECT 'tweedie', 'deviance', ROUND(dev, 2) FROM tw_f",
         f"SELECT 'tweedie', 'iterations', {float(_GLM_ITERS)} FROM {t_fin}",
+        f"SELECT 'negbinomial', 'coef_intercept', ROUND(b0, 6) FROM {n_fin}",
+        f"SELECT 'negbinomial', 'coef_l_discount', ROUND(b1, 6) FROM {n_fin}",
+        "SELECT 'negbinomial', 'deviance', ROUND(dev, 2) FROM nb_f",
+        f"SELECT 'negbinomial', 'iterations', {float(_GLM_ITERS)} FROM {n_fin}",
     ]
     return (
         "WITH " + ",\n".join(ctes) + "\n"

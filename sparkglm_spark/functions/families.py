@@ -131,21 +131,63 @@ class Tweedie:
         return F.when(y == 0, tail).otherwise(full)
 
 
+class NegativeBinomial:
+    """NB2 with FIXED dispersion alpha (variance μ + α·μ², log link) —
+    overdispersed counts that poisson (variance = μ) underfits; the
+    fixed-α flavor matches statsmodels' `NegativeBinomial(alpha=...)`
+    used when α is profiled separately or known. α → 0 recovers poisson.
+
+    Loglik uses the exact NB2 pmf (lgamma via the Arrow pandas UDF path —
+    the poisson precedent); AIC counts only the k mean parameters, the
+    R/statsmodels convention when α is supplied rather than estimated."""
+
+    links = ("log",)
+    default_link = "log"
+    supports_m = False
+    name = "negbinomial"
+
+    def __init__(self, alpha: float = 1.0):
+        if alpha <= 0:
+            raise ValueError(
+                f"alpha must be > 0 — alpha={alpha!r}; alpha→0 is poisson "
+                "(use that family directly)"
+            )
+        self.alpha = float(alpha)
+
+    def variance(self, mu: Column, m: Column) -> Column:
+        return mu + F.lit(self.alpha) * mu * mu
+
+    def deviance_term(self, y: Column, mu: Column, m: Column) -> Column:
+        # ½·unit deviance: y·ln(y/μ) − (y + 1/α)·ln((1+αy)/(1+αμ));
+        # y = 0 → the (1/α)·ln(1+αμ) limit
+        a = self.alpha
+        ia = F.lit(1.0 / a)
+        ratio = (F.lit(1.0) + F.lit(a) * y) / (F.lit(1.0) + F.lit(a) * mu)
+        full = y * F.log(y / mu) - (y + ia) * F.log(ratio)
+        zero = ia * F.log(F.lit(1.0) + F.lit(a) * mu)
+        return F.when(y == 0, zero).otherwise(full)
+
+
 FAMILIES = {
     "binomial": Binomial(),
     "gaussian": Gaussian(),
     "poisson": Poisson(),
     "gamma": Gamma(),
     "tweedie": Tweedie(),
+    "negbinomial": NegativeBinomial(),
 }
 
 
-def get_family(name: str, var_power: float | None = None):
-    """`var_power` applies to (and is only meaningful for) the tweedie
-    family; other families ignore it."""
+def get_family(
+    name: str, var_power: float | None = None, alpha: float | None = None
+):
+    """`var_power` applies to the tweedie family, `alpha` to negbinomial;
+    other families ignore them."""
     key = name.lower()
     if key == "tweedie" and var_power is not None:
         return Tweedie(var_power)
+    if key == "negbinomial" and alpha is not None:
+        return NegativeBinomial(alpha)
     try:
         return FAMILIES[key]
     except KeyError:

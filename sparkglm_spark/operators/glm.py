@@ -82,14 +82,16 @@ class GLM:
         verbose: bool = False,
         exact_iterations: int | None = None,
         var_power: float = 1.5,
+        nb_alpha: float = 1.0,
     ) -> "GLM":
         """`exact_iterations`: run EXACTLY that many IRLS solves (no
         convergence test, no warning) — makes the whole trajectory a
         deterministic closed-form function of the data, which is what the
         driver's fixed-iteration SQL oracles replay (VERDICT r01 #1).
-        `var_power`: the tweedie variance exponent p in (1, 2) — ignored
-        by every other family."""
-        fam = get_family(family, var_power)
+        `var_power`: the tweedie variance exponent p in (1, 2); `nb_alpha`:
+        the negbinomial dispersion α > 0 — each ignored by every other
+        family."""
+        fam = get_family(family, var_power, alpha=nb_alpha)
         if link is None:
             link = fam.default_link
         if link.lower() not in fam.links:
@@ -288,6 +290,26 @@ class GLM:
                 )
 
             ll_e = _pois_ll(y, mu)
+        elif fam.name == "negbinomial":
+            # exact NB2 pmf with fixed alpha: lnΓ(y+1/α) − lnΓ(1/α)
+            # − lnΓ(y+1) + y·ln(αμ/(1+αμ)) − (1/α)·ln(1+αμ)
+            from pyspark.sql.functions import pandas_udf
+
+            a = fam.alpha
+
+            @pandas_udf("double")
+            def _nb_ll(yv: pd.Series, muv: pd.Series) -> pd.Series:
+                yv, muv = yv.to_numpy(), muv.to_numpy()
+                ia = 1.0 / a
+                return pd.Series(
+                    special.lgamma(yv + ia)
+                    - special.lgamma(np.full_like(yv, ia))
+                    - special.lgamma(yv + 1.0)
+                    + np.where(yv > 0, yv * np.log(a * muv / (1.0 + a * muv)), 0.0)
+                    - ia * np.log(1.0 + a * muv)
+                )
+
+            ll_e = _nb_ll(y, mu)
         else:  # gaussian/gamma: ll derives from the deviance (driver side /
             # one extra SQL pass with the estimated dispersion)
             ll_e = F.lit(0.0)
@@ -450,6 +472,7 @@ def glm(
     na_action: str = "omit",
     exact_iterations: int | None = None,
     var_power: float = 1.5,
+    nb_alpha: float = 1.0,
 ) -> GLM:
     """Formula front-end mirroring the LM one (reference overload explosion
     GLM.scala:475-995 collapses to keyword args — SURVEY §2.11 M7)."""
@@ -481,11 +504,13 @@ def glm(
         max_iter=max_iter,
         exact_iterations=exact_iterations,
         var_power=var_power,
+        nb_alpha=nb_alpha,
     )
     model.levels = levels
     model.call = (
         f"glm({formula}, family={family}, link={link}"
         + (f", var_power={var_power}" if family.lower() == "tweedie" else "")
+        + (f", nb_alpha={nb_alpha}" if family.lower() == "negbinomial" else "")
         + ")"
     )
     return model

@@ -448,3 +448,80 @@ def test_glm_tweedie_validation(spark):
         GLM.fit(df, y_col="y", x_cols=["intercept"], family="tweedie", var_power=2.5)
     with pytest.raises(ValueError, match="not valid for family"):
         GLM.fit(df, y_col="y", x_cols=["intercept"], family="tweedie", link="logit")
+
+
+def numpy_irls_negbin(X, y, alpha=1.0, tol=1e-6, max_iter=50):
+    """log-link NB2 IRLS twin with fixed alpha: var = mu + alpha*mu^2."""
+    n, k = X.shape
+    mu = np.full(n, y.mean())
+    eta = np.log(mu)
+
+    def dev(mu):
+        ia = 1.0 / alpha
+        zero = ia * np.log(1.0 + alpha * mu)
+        full = y * np.log(np.where(y > 0, y, 1.0) / mu) - (y + ia) * np.log(
+            (1.0 + alpha * y) / (1.0 + alpha * mu)
+        )
+        return 2.0 * float(np.sum(np.where(y == 0, zero, full)))
+
+    d_prev, it = None, 0
+    for it in range(1, max_iter + 1):
+        var = mu + alpha * mu * mu
+        w = mu * mu / var                   # 1/(var * (1/mu)^2)
+        z = eta + (y - mu) / mu
+        WX = X * w[:, None]
+        xtwxi = np.linalg.inv(X.T @ WX)
+        beta = xtwxi @ (WX.T @ z)
+        eta = X @ beta
+        mu = np.exp(eta)
+        d = dev(mu)
+        if d_prev is not None and abs(d - d_prev) < tol:
+            break
+        d_prev = d
+    return {"coef": beta, "se": np.sqrt(np.diag(xtwxi)), "deviance": dev(mu),
+            "iter": it, "mu": mu}
+
+
+def test_glm_negbinomial_matches_numpy_irls(spark):
+    rng = np.random.default_rng(29)
+    n = 600
+    x = rng.normal(0, 1, n)
+    mu_true = np.exp(1.0 + 0.5 * x)
+    # NB2 draw with alpha=1: gamma-mixed poisson (overdispersed, has zeros)
+    lam = rng.gamma(1.0, mu_true)          # shape 1/alpha, scale alpha*mu
+    y = rng.poisson(lam).astype(float)
+    assert (y == 0).sum() > 50 and y.var() > y.mean() * 1.5  # overdispersion
+    df = spark.createDataFrame(
+        [(float(a), 1.0, float(b)) for a, b in zip(y, x)],
+        "y double, intercept double, x double",
+    ).repartition(4)
+    model = GLM.fit(
+        df, y_col="y", x_cols=["intercept", "x"], family="negbinomial", nb_alpha=1.0
+    )
+    oracle = numpy_irls_negbin(np.column_stack([np.ones(n), x]), y, alpha=1.0)
+    np.testing.assert_allclose(model.coefs, oracle["coef"], rtol=1e-8)
+    np.testing.assert_allclose(model.std_err, oracle["se"], rtol=1e-6)
+    assert model.deviance == pytest.approx(oracle["deviance"], rel=1e-8)
+    assert model.iter == oracle["iter"]
+    # exact NB2 loglik vs numpy twin
+    from sparkglm_spark.functions.special import lgamma
+
+    mu = oracle["mu"]
+    ia = 1.0
+    ll = float(np.sum(
+        lgamma(y + ia) - lgamma(np.full_like(y, ia)) - lgamma(y + 1.0)
+        + np.where(y > 0, y * np.log(1.0 * mu / (1.0 + mu)), 0.0)
+        - ia * np.log(1.0 + mu)
+    ))
+    assert model.loglik == pytest.approx(ll, rel=1e-8)
+    assert model.aic == pytest.approx(-2 * ll + 2 * 2, rel=1e-8)
+
+
+def test_glm_negbinomial_validation(spark):
+    df = spark.createDataFrame([(1.0, 1.0)], "y double, intercept double")
+    with pytest.raises(ValueError, match="alpha"):
+        GLM.fit(df, y_col="y", x_cols=["intercept"], family="negbinomial",
+                nb_alpha=0.0)
+    with pytest.raises(ValueError, match="not valid for family"):
+        GLM.fit(df, y_col="y", x_cols=["intercept"], family="negbinomial",
+                link="identity")
