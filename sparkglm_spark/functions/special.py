@@ -187,3 +187,37 @@ def binom_logpmf(y, m, p):
         lp = np.where(y > 0, y * np.log(p), 0.0)
         lq = np.where(m - y > 0, (m - y) * np.log1p(-p), 0.0)
     return comb + lp + lq
+
+
+def t_ppf(p: float, df: float) -> float:
+    """Student-t quantile (inverse CDF) for p ∈ (0, 1) — bisection on the
+    existing `t_sf` survival function (driver-side scalar; interval
+    construction calls it once per fit, so a 200-step bisection to
+    ~1e-13 relative is the simple correct tool here, not a perf path).
+    Symmetric: t_ppf(1−p) = −t_ppf(p)."""
+    import math
+
+    if not 0.0 < p < 1.0:
+        raise ValueError("p must be in (0, 1)")
+    if df <= 0:
+        raise ValueError("df must be > 0")
+    if p == 0.5:
+        return 0.0
+    if p < 0.5:
+        return -t_ppf(1.0 - p, df)
+    # target: P(T <= t) = p  <=>  t_sf(t) = 1 - p, t > 0
+    target = 1.0 - p
+    lo, hi = 0.0, 1.0
+    while t_sf(hi, df) > target:
+        hi *= 2.0
+        if hi > 1e12:
+            break
+    for _ in range(200):
+        mid = 0.5 * (lo + hi)
+        if t_sf(mid, df) > target:
+            lo = mid
+        else:
+            hi = mid
+        if hi - lo <= 1e-13 * max(1.0, hi):
+            break
+    return 0.5 * (lo + hi)

@@ -121,6 +121,7 @@ class LM:
     nrow: int
     levels: dict[str, list[str]] = field(default_factory=dict)
     call: str = ""
+    cov_params: np.ndarray | None = None  # σ̂²(X'X)⁻¹ — interval construction
 
     # ---- fitting ----------------------------------------------------------
 
@@ -207,6 +208,7 @@ class LM:
             r2=float(r2),
             f_stat=float(f_stat),
             nrow=n,
+            cov_params=sig2 * xtxi,
         )
 
     # ---- scoring ----------------------------------------------------------
@@ -214,13 +216,54 @@ class LM:
     def prediction_expr(self) -> Column:
         return linear_combination(self.xnames, self.coefs)
 
-    def predict(self, df: DataFrame, output_col: str = "prediction") -> DataFrame:
+    def predict(
+        self,
+        df: DataFrame,
+        output_col: str = "prediction",
+        interval: str | None = None,
+        level: float = 0.95,
+    ) -> DataFrame:
         """Score: keep input rows untouched, append the prediction column.
         Training-time encoding (dummies, intercept, zero-backfill) is applied
         inline as expressions over only the needed source columns (reference
-        predict + matchCols semantics, LM.scala:29-37, utils.scala:21-33)."""
+        predict + matchCols semantics, LM.scala:29-37, utils.scala:21-33).
+
+        `interval='confidence'` additionally appends (se_fit, lo, hi) for
+        the MEAN response at each row — se_fit² = x'·Cov(β)·x, a pure
+        codegen quadratic form over the k² stored covariance entries;
+        `interval='prediction'` widens by the residual variance (+σ̂²) for
+        a NEW observation. Bounds use the Student-t quantile at
+        df = n − k (driver scalar). Still ONE projection, no shuffle."""
         expr = prediction_over_raw(self.xnames, self.coefs, self.levels, df.columns)
-        return df.withColumn(output_col, expr)
+        out = df.withColumn(output_col, expr)
+        if interval is None:
+            return out
+        if interval not in ("confidence", "prediction"):
+            raise ValueError("interval must be None, 'confidence' or 'prediction'")
+        if self.cov_params is None:
+            raise ValueError(
+                "this model carries no cov_params (older persisted file?) — "
+                "refit to enable intervals"
+            )
+        if not 0.0 < level < 1.0:
+            raise ValueError("level must be in (0, 1)")
+        feats = scoring_feature_exprs(self.xnames, self.levels, df.columns)
+        k = len(self.xnames)
+        var = F.lit(0.0)
+        for i in range(k):
+            for j in range(k):
+                var = var + F.lit(float(self.cov_params[i, j])) * feats[i] * feats[j]
+        if interval == "prediction":
+            var = var + F.lit(float(self.sigma) ** 2)
+        from sparkglm_spark.functions.special import t_ppf
+
+        tq = t_ppf(0.5 + level / 2.0, self.nrow - k)
+        se = F.sqrt(var)
+        return (
+            out.withColumn("se_fit", se)
+            .withColumn("lo", F.col(output_col) - F.lit(tq) * se)
+            .withColumn("hi", F.col(output_col) + F.lit(tq) * se)
+        )
 
     def predict_indexed(self, df: DataFrame) -> DataFrame:
         """Reference-parity output shape: (index, value) with a positional

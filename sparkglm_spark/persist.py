@@ -38,6 +38,11 @@ def model_to_dict(model: LM | GLM) -> dict:
     }
     if kind == "lm":
         d.update(sigma=model.sigma, r2=model.r2, f_stat=model.f_stat)
+        if model.cov_params is not None:
+            # k×k — tiny; enables predict(interval=...) after a round-trip
+            d["cov_params"] = [
+                [float(v) for v in row] for row in np.asarray(model.cov_params)
+            ]
     else:
         d.update(
             family=model.family,
@@ -68,7 +73,12 @@ def model_from_dict(d: dict) -> LM | GLM:
         call=d.get("call", ""),
     )
     if d["kind"] == "lm":
-        return LM(sigma=d["sigma"], r2=d["r2"], f_stat=d["f_stat"], **common)
+        cov = d.get("cov_params")
+        return LM(
+            sigma=d["sigma"], r2=d["r2"], f_stat=d["f_stat"],
+            cov_params=None if cov is None else np.asarray(cov, dtype=np.float64),
+            **common,
+        )
     if d["kind"] == "glm":
         return GLM(
             family=d["family"],

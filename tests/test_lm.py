@@ -386,3 +386,66 @@ def test_robust_se_works_on_raw_df_with_categoricals(lineitem):
     assert np.all(np.isfinite(se)) and np.all(se > 0)
     ratio = se / np.asarray(model.std_err)
     assert np.all(ratio > 0.2) and np.all(ratio < 5.0)
+
+
+def test_predict_intervals_match_closed_form(spark):
+    """Confidence/prediction intervals vs the simple-regression closed
+    form se_fit² = σ²(1/n + (x−x̄)²/Sxx); bounds use the t quantile."""
+    from sparkglm_spark.functions.special import t_ppf
+    from sparkglm_spark.operators.lm import lm
+
+    rng = np.random.default_rng(23)
+    n = 300
+    x = rng.uniform(0, 10, n)
+    y = 1.5 + 2.0 * x + rng.normal(0, 1.2, n)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(x, y)], "x double, y double"
+    )
+    model = lm(df, "y ~ x")
+    got = {
+        r["x"]: (r["prediction"], r["se_fit"], r["lo"], r["hi"])
+        for r in model.predict(df, interval="confidence").limit(2000).collect()
+    }
+    s2 = model.sigma**2
+    xbar, sxx = x.mean(), float(np.sum((x - x.mean()) ** 2))
+    tq = t_ppf(0.975, n - 2)
+    for xi in list(got)[:25]:
+        pred, se, lo, hi = got[xi]
+        want_se = np.sqrt(s2 * (1.0 / n + (xi - xbar) ** 2 / sxx))
+        assert se == pytest.approx(want_se, rel=1e-9)
+        assert lo == pytest.approx(pred - tq * se, rel=1e-12)
+        assert hi == pytest.approx(pred + tq * se, rel=1e-12)
+    # prediction interval: variance widened by σ²
+    gp = {
+        r["x"]: r["se_fit"]
+        for r in model.predict(df, interval="prediction").limit(2000).collect()
+    }
+    for xi in list(got)[:10]:
+        assert gp[xi] == pytest.approx(
+            np.sqrt(got[xi][1] ** 2 + s2), rel=1e-9
+        )
+    # ~95% of training rows inside their own prediction interval
+    inside = sum(
+        1
+        for r in model.predict(df, interval="prediction").collect()
+        if r["lo"] <= r[model.yname] <= r["hi"]
+    )
+    assert inside / n > 0.9
+    with pytest.raises(ValueError, match="interval"):
+        model.predict(df, interval="nope")
+
+
+def test_intervals_survive_persist_round_trip(spark, tmp_path):
+    from sparkglm_spark import lm, load_model, save_model
+
+    df = spark.createDataFrame(
+        [(float(i), float(2 * i + 1)) for i in range(50)], "x double, y double"
+    )
+    model = lm(df, "y ~ x")
+    p = str(tmp_path / "m.json")
+    save_model(model, p)
+    loaded = load_model(p)
+    np.testing.assert_allclose(loaded.cov_params, model.cov_params, rtol=0)
+    a = [(r["se_fit"], r["lo"]) for r in model.predict(df, interval="confidence").limit(5).collect()]
+    b = [(r["se_fit"], r["lo"]) for r in loaded.predict(df, interval="confidence").limit(5).collect()]
+    assert a == b
