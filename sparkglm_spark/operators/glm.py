@@ -67,6 +67,7 @@ class GLM:
     nrow: int
     levels: dict[str, list[str]] = field(default_factory=dict)
     call: str = ""
+    cov_params: np.ndarray | None = None  # (X'WX)⁻¹ — Wald intervals
 
     @staticmethod
     def fit(
@@ -374,19 +375,71 @@ class GLM:
             aic=aic,
             iter=n_iter,
             nrow=n,
+            cov_params=np.asarray(xtwxi, dtype=np.float64),
         )
 
     # ---- scoring ----------------------------------------------------------
 
     def predict(
-        self, df: DataFrame, output_col: str = "prediction", type: str = "response"
+        self,
+        df: DataFrame,
+        output_col: str = "prediction",
+        type: str = "response",
+        interval: str | None = None,
+        level: float = 0.95,
     ) -> DataFrame:
         """Score new data; type='response' gives μ, 'link' gives η. Keeps
-        input rows untouched; encoding applied inline (see LM.predict)."""
+        input rows untouched; encoding applied inline (see LM.predict).
+
+        `interval='confidence'` appends (se_link, lo, hi): the Wald
+        interval η ± z·√(x'(X'WX)⁻¹x) built on the LINK scale (where the
+        normal approximation lives) and, for type='response', mapped
+        through the inverse link — least/greatest of the two mapped
+        bounds, so decreasing links (gamma's inverse) keep lo ≤ hi.
+        se_link always reports the link-scale SE (the R predict.glm
+        `se.fit` convention). One codegen projection, no shuffle."""
         lnk = get_link(self.link)
         eta = prediction_over_raw(self.xnames, self.coefs, self.levels, df.columns)
         out = eta if type == "link" else lnk.unlink(eta, F.lit(1.0))
-        return df.withColumn(output_col, out)
+        scored = df.withColumn(output_col, out)
+        if interval is None:
+            return scored
+        if interval != "confidence":
+            raise ValueError(
+                "interval must be None or 'confidence' (response-scale "
+                "prediction intervals need a dispersion model per family)"
+            )
+        if self.cov_params is None:
+            raise ValueError(
+                "this model carries no cov_params (older persisted file?) — "
+                "refit to enable intervals"
+            )
+        if not 0.0 < level < 1.0:
+            raise ValueError("level must be in (0, 1)")
+        from sparkglm_spark.functions.special import norm_ppf
+        from sparkglm_spark.operators.lm import scoring_feature_exprs
+
+        feats = scoring_feature_exprs(self.xnames, self.levels, df.columns)
+        k = len(self.xnames)
+        var = F.lit(0.0)
+        for i in range(k):
+            for j in range(k):
+                var = var + F.lit(float(self.cov_params[i, j])) * feats[i] * feats[j]
+        se = F.sqrt(var)
+        zq = float(norm_ppf(0.5 + level / 2.0))
+        lo_eta = eta - F.lit(zq) * se
+        hi_eta = eta + F.lit(zq) * se
+        if type == "link":
+            lo, hi = lo_eta, hi_eta
+        else:
+            a = lnk.unlink(lo_eta, F.lit(1.0))
+            b = lnk.unlink(hi_eta, F.lit(1.0))
+            lo, hi = F.least(a, b), F.greatest(a, b)
+        return (
+            scored.withColumn("se_link", se)
+            .withColumn("lo", lo)
+            .withColumn("hi", hi)
+        )
 
     def summary(self) -> "GLMSummary":
         return GLMSummary(self)

@@ -57,6 +57,10 @@ def model_to_dict(model: LM | GLM) -> dict:
             aic=model.aic,
             iter=int(model.iter),
         )
+        if model.cov_params is not None:
+            d["cov_params"] = [
+                [float(v) for v in row] for row in np.asarray(model.cov_params)
+            ]
     return d
 
 
@@ -80,7 +84,9 @@ def model_from_dict(d: dict) -> LM | GLM:
             **common,
         )
     if d["kind"] == "glm":
+        cov = d.get("cov_params")
         return GLM(
+            cov_params=None if cov is None else np.asarray(cov, dtype=np.float64),
             family=d["family"],
             link=d["link"],
             deviance=d["deviance"],

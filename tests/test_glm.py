@@ -525,3 +525,70 @@ def test_glm_negbinomial_validation(spark):
     with pytest.raises(ValueError, match="not valid for family"):
         GLM.fit(df, y_col="y", x_cols=["intercept"], family="negbinomial",
                 link="identity")
+
+
+def test_glm_confidence_intervals_wald(spark):
+    """Wald CI on the link scale vs the numpy quadratic form; response
+    bounds map through the inverse link and stay ordered/in-range."""
+    from sparkglm_spark.functions.special import norm_ppf
+    from sparkglm_spark.operators.glm import GLM
+
+    rng = np.random.default_rng(31)
+    n = 400
+    x = rng.normal(0, 1, n)
+    p = 1.0 / (1.0 + np.exp(-(0.3 + 0.9 * x)))
+    y = (rng.uniform(size=n) < p).astype(float)
+    df = spark.createDataFrame(
+        [(float(a), 1.0, float(b)) for a, b in zip(y, x)],
+        "y double, intercept double, x double",
+    )
+    model = GLM.fit(df, y_col="y", x_cols=["intercept", "x"], family="binomial")
+    got = model.predict(
+        df, type="response", interval="confidence"
+    ).select("x", "prediction", "se_link", "lo", "hi").limit(2000).collect()
+    cov = model.cov_params
+    zq = float(norm_ppf(0.975))
+    b = np.asarray(model.coefs)
+    for r in got[:25]:
+        xv = np.array([1.0, r["x"]])
+        want_se = float(np.sqrt(xv @ cov @ xv))
+        assert r["se_link"] == pytest.approx(want_se, rel=1e-9)
+        eta = float(b @ xv)
+        lo = 1.0 / (1.0 + np.exp(-(eta - zq * want_se)))
+        hi = 1.0 / (1.0 + np.exp(-(eta + zq * want_se)))
+        assert r["lo"] == pytest.approx(lo, rel=1e-9)
+        assert r["hi"] == pytest.approx(hi, rel=1e-9)
+        assert 0.0 <= r["lo"] <= r["prediction"] <= r["hi"] <= 1.0
+    # link-scale variant returns symmetric bounds around eta
+    lr = model.predict(df, type="link", interval="confidence").first()
+    assert lr["hi"] - lr["prediction"] == pytest.approx(
+        lr["prediction"] - lr["lo"], rel=1e-9
+    )
+    # decreasing link (gamma/inverse): bounds stay ordered
+    gdf = spark.createDataFrame(
+        [(float(v), 1.0) for v in rng.gamma(4.0, 2.0, 200)],
+        "y double, intercept double",
+    )
+    gm = GLM.fit(gdf, y_col="y", x_cols=["intercept"], family="gamma",
+                 link="inverse")
+    gr = gm.predict(gdf, interval="confidence").first()
+    assert gr["lo"] <= gr["prediction"] <= gr["hi"]
+    with pytest.raises(ValueError, match="interval"):
+        model.predict(df, interval="prediction")
+
+
+def test_glm_intervals_survive_persist(spark, tmp_path):
+    from sparkglm_spark import glm, load_model, save_model
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(float(i % 2), float(i)) for i in range(60)], "y double, x double"
+    )
+    m = glm(df, "y ~ x", family="binomial")
+    p = str(tmp_path / "g.json")
+    save_model(m, p)
+    loaded = load_model(p)
+    np.testing.assert_allclose(loaded.cov_params, m.cov_params, rtol=0)
+    a = [r["se_link"] for r in m.predict(df, interval="confidence").limit(5).collect()]
+    b = [r["se_link"] for r in loaded.predict(df, interval="confidence").limit(5).collect()]
+    assert a == b
