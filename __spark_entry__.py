@@ -377,12 +377,25 @@ def q_lm_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (divergence ≲1e-9). r7: HC1 sandwich standard errors
     (operators/lm.py::robust_standard_errors — one extra meat+bread
     aggregation pass) rounded to 2 (the β divergence enters e² at
-    relative ≲1e-8)."""
-    from sparkglm_spark.operators.lm import lm, robust_standard_errors
+    relative ≲1e-8). r7b: influence-diagnostics aggregates
+    (operators/lm.py::influence_diagnostics — leverage/Cook's D in ONE
+    codegen projection; Σh replays the trace-of-hat identity, max/Σ Cook's D
+    replay the closed-form simple-regression hat values; cross-engine
+    divergence measured ≲2e-13 relative at sf0.01)."""
+    from sparkglm_spark.operators.lm import (
+        influence_diagnostics,
+        lm,
+        robust_standard_errors,
+    )
 
     li = read_table(spark, sf_dir, "lineitem")
     model = lm(li, "l_extendedprice ~ l_quantity")
     hc1 = robust_standard_errors(li, model, kind="HC1")
+    diag = influence_diagnostics(li, model).agg(
+        F.sum("leverage").alias("sl"),
+        F.max("cooks_d").alias("mc"),
+        F.sum("cooks_d").alias("sc"),
+    ).collect()[0]
     rows = [
         (name, round(float(c), 1)) for name, c in zip(model.xnames, model.coefs)
     ] + [
@@ -390,6 +403,9 @@ def q_lm_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("n_rows", float(model.nrow)),
         ("se_hc1_intercept", round(float(hc1[0]), 2)),
         ("se_hc1_l_quantity", round(float(hc1[1]), 2)),
+        ("sum_leverage", round(float(diag["sl"]), 6)),
+        ("max_cooks", round(float(diag["mc"]), 8)),
+        ("sum_cooks", round(float(diag["sc"]), 6)),
     ]
     return spark.createDataFrame(rows, "stat string, value double").orderBy("stat")
 
@@ -435,6 +451,31 @@ SELECT 'se_hc1_' || u.nm, u.v FROM (
 ) q CROSS JOIN LATERAL (VALUES
     ('intercept', ROUND(q.se0, 2)),
     ('l_quantity', ROUND(q.se1, 2))) AS u(nm, v)
+UNION ALL
+SELECT d.stat, d.value FROM (
+  WITH b AS (
+    SELECT n, sx, sxx,
+           (sy * sxx - sx * sxy) / (n * sxx - sx * sx) AS b0,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b1
+    FROM s),
+  d0 AS (
+    SELECT 1.0 / b.n + (r.x - b.sx / b.n) * (r.x - b.sx / b.n)
+             / (b.sxx - b.sx * b.sx / b.n) AS h,
+           (r.y - b.b0 - b.b1 * r.x) * (r.y - b.b0 - b.b1 * r.x) AS e2
+    FROM (SELECT CAST(l_quantity AS DOUBLE) AS x,
+                 CAST(l_extendedprice AS DOUBLE) AS y FROM lineitem) r
+    CROSS JOIN b),
+  sig AS (SELECT SUM(e2) / ((SELECT n FROM b) - 2.0) AS s2 FROM d0)
+  SELECT 'sum_leverage' AS stat, ROUND(SUM(h), 6) AS value FROM d0
+  UNION ALL
+  SELECT 'max_cooks',
+         ROUND(MAX(e2 * h / (2.0 * sig.s2 * (1.0 - h) * (1.0 - h))), 8)
+  FROM d0, sig GROUP BY sig.s2
+  UNION ALL
+  SELECT 'sum_cooks',
+         ROUND(SUM(e2 * h / (2.0 * sig.s2 * (1.0 - h) * (1.0 - h))), 6)
+  FROM d0, sig GROUP BY sig.s2
+) d
 ORDER BY stat
 """
 

@@ -732,3 +732,79 @@ def robust_standard_errors(
         meat *= n / (n - k)
     v = xtxi @ meat @ xtxi
     return np.sqrt(np.diag(v))
+
+
+def influence_diagnostics(df: DataFrame, model: LM) -> DataFrame:
+    """Per-row regression influence diagnostics for a fitted OLS model over
+    (any frame with) its raw training columns — the classical leave-one-out
+    measures (public convention set: Belsley, Kuh & Welsch 1980; R's
+    `influence.measures`):
+
+      leverage        hᵢ  = xᵢ'(X'X)⁻¹xᵢ            (Σhᵢ = k on the
+                                                      training data)
+      std_resid       rᵢ  = eᵢ / (σ̂·√(1−hᵢ))        (internally studentized)
+      student_resid   tᵢ  = rᵢ·√((n−k−1)/(n−k−rᵢ²)) (externally studentized —
+                                                      the exact leave-one-out
+                                                      identity, no refits)
+      cooks_d         Dᵢ  = rᵢ²·hᵢ / (k·(1−hᵢ))
+      dffits              = tᵢ·√(hᵢ/(1−hᵢ))
+
+    Reference surface: the predict-as-projection contract (LM.scala:29-61);
+    the reference has no diagnostics — this extends M3/M4 the way R's
+    `influence.lm` extends `lm`.
+
+    Plan: (X'X)⁻¹ is k² DRIVER literals (cov_params/σ̂² — the quadratic-form
+    convention `LM.predict(interval=...)` set); features re-derive from RAW
+    columns exactly like predict (dummies/intercept/zero-backfill inline).
+    Everything is ONE whole-stage-codegen projection over the scan — no
+    join, no aggregation, no exchange (plan-asserted). At 100 TB this scores
+    at scan speed; nothing is collected.
+
+    Appends (prediction, residual, leverage, std_resid, student_resid,
+    cooks_d, dffits) to the input rows."""
+    if model.cov_params is None:
+        raise ValueError(
+            "this model carries no cov_params (older persisted file?) — "
+            "refit to enable influence diagnostics"
+        )
+    if not model.sigma > 0.0:
+        raise ValueError("influence diagnostics need sigma > 0 (non-degenerate fit)")
+    k = len(model.xnames)
+    n = model.nrow
+    if n <= k + 1:
+        raise ValueError(f"need n > k+1 rows (n={n}, k={k})")
+    xtxi = model.cov_params / (model.sigma**2)
+    feats = scoring_feature_exprs(model.xnames, model.levels, df.columns)
+    pred = F.lit(float(model.coefs[0])) * feats[0]
+    for f_expr, b in zip(feats[1:], model.coefs[1:]):
+        pred = pred + F.lit(float(b)) * f_expr
+    h = F.lit(0.0)
+    for i in range(k):
+        for j in range(k):
+            h = h + F.lit(float(xtxi[i, j])) * feats[i] * feats[j]
+    out = df.withColumn("prediction", pred)
+    out = out.withColumn(
+        "residual", F.col(model.yname).cast("double") - F.col("prediction")
+    )
+    out = out.withColumn("leverage", h)
+    r = F.col("residual") / (
+        F.lit(float(model.sigma)) * F.sqrt(F.lit(1.0) - F.col("leverage"))
+    )
+    out = out.withColumn("std_resid", r)
+    t = F.col("std_resid") * F.sqrt(
+        F.lit(float(n - k - 1))
+        / (F.lit(float(n - k)) - F.col("std_resid") * F.col("std_resid"))
+    )
+    out = out.withColumn("student_resid", t)
+    out = out.withColumn(
+        "cooks_d",
+        F.col("std_resid")
+        * F.col("std_resid")
+        * F.col("leverage")
+        / (F.lit(float(k)) * (F.lit(1.0) - F.col("leverage"))),
+    )
+    return out.withColumn(
+        "dffits",
+        F.col("student_resid")
+        * F.sqrt(F.col("leverage") / (F.lit(1.0) - F.col("leverage"))),
+    )

@@ -449,3 +449,61 @@ def test_intervals_survive_persist_round_trip(spark, tmp_path):
     a = [(r["se_fit"], r["lo"]) for r in model.predict(df, interval="confidence").limit(5).collect()]
     b = [(r["se_fit"], r["lo"]) for r in loaded.predict(df, interval="confidence").limit(5).collect()]
     assert a == b
+
+
+def test_influence_diagnostics_match_numpy_hat_matrix(simple_reg):
+    """leverage/std/studentized residuals, Cook's D and DFFITS against the
+    dense hat-matrix closed forms on the 50-row fixture."""
+    from sparkglm_spark.operators.lm import influence_diagnostics
+
+    df, X, y = simple_reg
+    model = LM.fit(df, y_col="y", x_cols=["intercept", "x"])
+    got = (
+        influence_diagnostics(df, model)
+        .orderBy("x")
+        .select("leverage", "std_resid", "student_resid", "cooks_d", "dffits")
+        .collect()
+    )
+    n, k = X.shape
+    xtxi = np.linalg.inv(X.T @ X)
+    H = X @ xtxi @ X.T
+    h = np.diag(H)
+    e = y - X @ np.linalg.lstsq(X, y, rcond=None)[0]
+    sig = np.sqrt(float(e @ e) / (n - k))
+    r = e / (sig * np.sqrt(1.0 - h))
+    t = r * np.sqrt((n - k - 1) / (n - k - r * r))
+    cooks = r * r * h / (k * (1.0 - h))
+    dffits = t * np.sqrt(h / (1.0 - h))
+    order = np.argsort(X[:, 1])
+    np.testing.assert_allclose([row.leverage for row in got], h[order], rtol=1e-8)
+    np.testing.assert_allclose([row.std_resid for row in got], r[order], rtol=1e-7)
+    np.testing.assert_allclose(
+        [row.student_resid for row in got], t[order], rtol=1e-7
+    )
+    np.testing.assert_allclose([row.cooks_d for row in got], cooks[order], rtol=1e-7)
+    np.testing.assert_allclose([row.dffits for row in got], dffits[order], rtol=1e-7)
+    # Σ hᵢ = k on the training data — the trace-of-hat identity
+    assert sum(row.leverage for row in got) == pytest.approx(k, rel=1e-9)
+
+
+def test_influence_diagnostics_single_projection_no_exchange(simple_reg):
+    """The whole diagnostic set is one codegen projection — no exchange
+    anywhere in the plan (the operator's own 100 TB claim)."""
+    from sparkglm_spark.operators.lm import influence_diagnostics
+    from sparkglm_spark.plans.inspect import exchange_schemas
+
+    df, _, _ = simple_reg
+    model = LM.fit(df, y_col="y", x_cols=["intercept", "x"])
+    assert exchange_schemas(influence_diagnostics(df, model)) == []
+
+
+def test_influence_diagnostics_guards(simple_reg):
+    from sparkglm_spark.operators.lm import influence_diagnostics
+
+    df, _, _ = simple_reg
+    model = LM.fit(df, y_col="y", x_cols=["intercept", "x"])
+    import dataclasses
+
+    stale = dataclasses.replace(model, cov_params=None)
+    with pytest.raises(ValueError, match="cov_params"):
+        influence_diagnostics(df, stale)
