@@ -221,3 +221,65 @@ def t_ppf(p: float, df: float) -> float:
         if hi - lo <= 1e-13 * max(1.0, hi):
             break
     return 0.5 * (lo + hi)
+
+
+def _gamma_p(a: float, x: float, max_iter: int = 500, eps: float = 3e-16) -> float:
+    """Regularized lower incomplete gamma P(a, x) — series for x < a+1,
+    Lentz continued fraction for the complement otherwise (the classical
+    split; public convention set: Abramowitz & Stegun §6.5)."""
+    if x < 0.0 or a <= 0.0:
+        raise ValueError("need x >= 0 and a > 0")
+    if x == 0.0:
+        return 0.0
+    ln_front = a * math.log(x) - x - math.lgamma(a)
+    if x < a + 1.0:
+        # series: P = front · Σ x^n / (a·(a+1)···(a+n))
+        ap = a
+        s = 1.0 / a
+        term = s
+        for _ in range(max_iter):
+            ap += 1.0
+            term *= x / ap
+            s += term
+            if abs(term) < abs(s) * eps:
+                break
+        return s * math.exp(ln_front)
+    # continued fraction for Q, then P = 1 − Q
+    b = x + 1.0 - a
+    c = 1e300
+    d = 1.0 / b
+    h = d
+    for i in range(1, max_iter + 1):
+        an = -i * (i - a)
+        b += 2.0
+        d = an * d + b
+        if abs(d) < 1e-300:
+            d = 1e-300
+        c = b + an / c
+        if abs(c) < 1e-300:
+            c = 1e-300
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < eps:
+            break
+    return 1.0 - math.exp(ln_front) * h
+
+
+def chisq_sf(x: float, df: float) -> float:
+    """P(χ²_df > x). Scalar (driver-side LRT p-values)."""
+    if math.isnan(x):
+        return float("nan")
+    if x <= 0.0:
+        return 1.0
+    return max(0.0, min(1.0, 1.0 - _gamma_p(df / 2.0, x / 2.0)))
+
+
+def f_sf(f: float, df1: float, df2: float) -> float:
+    """P(F_{df1,df2} > f) via the incomplete beta identity
+    I_{d2/(d2+d1·f)}(d2/2, d1/2). Scalar (driver-side anova p-values)."""
+    if math.isnan(f):
+        return float("nan")
+    if f <= 0.0:
+        return 1.0
+    return betainc(df2 / 2.0, df1 / 2.0, df2 / (df2 + df1 * f))

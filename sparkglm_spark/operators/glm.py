@@ -696,3 +696,46 @@ def glm_grouped(
         return pd.DataFrame(cols)
 
     return encoded.groupBy(*gcols).applyInPandas(fit_group, out_schema)
+
+
+def likelihood_ratio_test(reduced: GLM, full: GLM) -> dict:
+    """Nested-model deviance test (the `anova(glm1, glm2, test="Chisq")`
+    surface): LR = deviance_reduced − deviance_full is asymptotically
+    χ²_{Δk} under the null that the extra coefficients are zero.
+
+    Pure driver math over the stored deviances — no Spark job runs.
+    Family/link must match (the deviance scale must be shared); same
+    response, same rows, strict column nesting — all checked. For
+    families fit with a free dispersion (gaussian/gamma/tweedie) the
+    χ² form uses the UNSCALED deviance difference, the R
+    `anova.glm(test="Chisq")` convention; prefer fitting both models
+    with the same fixed auxiliary parameters (var_power, nb_alpha)."""
+    from sparkglm_spark.functions.special import chisq_sf
+
+    if (reduced.family, reduced.link) != (full.family, full.link):
+        raise ValueError(
+            f"models must share family/link: {(reduced.family, reduced.link)}"
+            f" vs {(full.family, full.link)}"
+        )
+    if reduced.yname != full.yname:
+        raise ValueError(
+            f"models fit different responses: {reduced.yname!r} vs {full.yname!r}"
+        )
+    if reduced.nrow != full.nrow:
+        raise ValueError(
+            f"models fit different row sets: n={reduced.nrow} vs {full.nrow}"
+        )
+    if not set(reduced.xnames) < set(full.xnames):
+        raise ValueError(
+            "reduced model's columns must be a strict subset of the full "
+            f"model's: {reduced.xnames} vs {full.xnames}"
+        )
+    df = float(len(full.xnames) - len(reduced.xnames))
+    lr = float(reduced.deviance - full.deviance)
+    return {
+        "deviance_reduced": float(reduced.deviance),
+        "deviance_full": float(full.deviance),
+        "df": df,
+        "lr_stat": lr,
+        "p_value": chisq_sf(lr, df),
+    }

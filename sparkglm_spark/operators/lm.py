@@ -808,3 +808,46 @@ def influence_diagnostics(df: DataFrame, model: LM) -> DataFrame:
         F.col("student_resid")
         * F.sqrt(F.col("leverage") / (F.lit(1.0) - F.col("leverage"))),
     )
+
+
+def anova_lm(reduced: LM, full: LM) -> dict:
+    """Nested-model F-test (the `anova(lm1, lm2)` surface R puts next to
+    the reference's summary tables):
+
+      F = ((SSE_r − SSE_f)/(df_r − df_f)) / (SSE_f/df_f),
+      p = P(F_{df_r−df_f, df_f} > F)
+
+    Pure driver math — both models already carry SSE as σ̂²·(n−k); no
+    Spark job runs. Models must be fit on the same response and the same
+    rows (checked by yname/nrow; column-subset nesting is checked by
+    name)."""
+    from sparkglm_spark.functions.special import f_sf
+
+    if reduced.yname != full.yname:
+        raise ValueError(
+            f"models fit different responses: {reduced.yname!r} vs {full.yname!r}"
+        )
+    if reduced.nrow != full.nrow:
+        raise ValueError(
+            f"models fit different row sets: n={reduced.nrow} vs {full.nrow}"
+        )
+    if not set(reduced.xnames) < set(full.xnames):
+        raise ValueError(
+            "reduced model's columns must be a strict subset of the full "
+            f"model's: {reduced.xnames} vs {full.xnames}"
+        )
+    n = full.nrow
+    df_r = n - len(reduced.xnames)
+    df_f = n - len(full.xnames)
+    sse_r = reduced.sigma**2 * df_r
+    sse_f = full.sigma**2 * df_f
+    df_num = df_r - df_f
+    f_stat = ((sse_r - sse_f) / df_num) / (sse_f / df_f)
+    return {
+        "sse_reduced": sse_r,
+        "sse_full": sse_f,
+        "df_num": float(df_num),
+        "df_den": float(df_f),
+        "f_stat": float(f_stat),
+        "p_value": f_sf(float(f_stat), float(df_num), float(df_f)),
+    }

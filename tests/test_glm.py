@@ -592,3 +592,35 @@ def test_glm_intervals_survive_persist(spark, tmp_path):
     a = [r["se_link"] for r in m.predict(df, interval="confidence").limit(5).collect()]
     b = [r["se_link"] for r in loaded.predict(df, interval="confidence").limit(5).collect()]
     assert a == b
+
+
+def test_likelihood_ratio_test_nested_glms(orders):
+    """LRT over nested logistic models: the deviance drop from adding a
+    real predictor matches the driver formula and a recomputed fit; the
+    guards reject family and nesting mismatches."""
+    from sparkglm_spark.functions.special import chisq_sf
+    from sparkglm_spark.operators.glm import GLM, likelihood_ratio_test
+    from pyspark.sql import functions as F
+
+    df = orders.withColumn(
+        "y", F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0)
+    ).withColumn("intercept", F.lit(1.0)).withColumn(
+        "x", (F.col("o_totalprice") / 100000.0).cast("double")
+    )
+    reduced = GLM.fit(df, "y", ["intercept"], family="binomial")
+    full = GLM.fit(df, "y", ["intercept", "x"], family="binomial")
+    out = likelihood_ratio_test(reduced, full)
+    lr = reduced.deviance - full.deviance
+    assert out["lr_stat"] == pytest.approx(lr, rel=1e-12)
+    assert out["df"] == 1.0
+    assert out["p_value"] == pytest.approx(chisq_sf(lr, 1.0), rel=1e-12)
+    # deviance-based LR must agree with the loglik form for binomial
+    assert lr == pytest.approx(2.0 * (full.loglik - reduced.loglik), rel=1e-6)
+    gamma_like = GLM.fit(
+        df.withColumn("yy", F.col("o_totalprice").cast("double")),
+        "yy", ["intercept"], family="gamma",
+    )
+    with pytest.raises(ValueError, match="family"):
+        likelihood_ratio_test(gamma_like, full)
+    with pytest.raises(ValueError, match="subset"):
+        likelihood_ratio_test(full, full)

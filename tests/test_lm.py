@@ -507,3 +507,44 @@ def test_influence_diagnostics_guards(simple_reg):
     stale = dataclasses.replace(model, cov_params=None)
     with pytest.raises(ValueError, match="cov_params"):
         influence_diagnostics(df, stale)
+
+
+def test_anova_lm_matches_numpy_f_test(lineitem):
+    """Nested F-test against the dense closed form on collected data."""
+    from sparkglm_spark.functions.special import f_sf
+    from sparkglm_spark.operators.lm import anova_lm, lm
+
+    reduced = lm(lineitem, "l_extendedprice ~ l_quantity")
+    full = lm(lineitem, "l_extendedprice ~ l_quantity + l_discount + l_tax")
+    out = anova_lm(reduced, full)
+    pdf = lineitem.select(
+        "l_extendedprice", "l_quantity", "l_discount", "l_tax"
+    ).toPandas()
+    y = pdf["l_extendedprice"].to_numpy(dtype=float)
+    n = len(y)
+    Xr = np.column_stack([np.ones(n), pdf["l_quantity"].to_numpy(dtype=float)])
+    Xf = np.column_stack(
+        [Xr, pdf["l_discount"].to_numpy(dtype=float), pdf["l_tax"].to_numpy(dtype=float)]
+    )
+
+    def sse(X):
+        b = np.linalg.lstsq(X, y, rcond=None)[0]
+        e = y - X @ b
+        return float(e @ e)
+
+    sse_r, sse_f = sse(Xr), sse(Xf)
+    f_ref = ((sse_r - sse_f) / 2.0) / (sse_f / (n - 4))
+    assert out["f_stat"] == pytest.approx(f_ref, rel=1e-6)
+    assert out["p_value"] == pytest.approx(f_sf(f_ref, 2.0, float(n - 4)), rel=1e-6)
+    assert out["df_num"] == 2.0 and out["df_den"] == float(n - 4)
+
+
+def test_anova_lm_rejects_non_nested(lineitem):
+    from sparkglm_spark.operators.lm import anova_lm, lm
+
+    a = lm(lineitem, "l_extendedprice ~ l_quantity")
+    b = lm(lineitem, "l_extendedprice ~ l_discount")
+    with pytest.raises(ValueError, match="subset"):
+        anova_lm(a, b)
+    with pytest.raises(ValueError, match="subset"):
+        anova_lm(a, a)

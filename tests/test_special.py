@@ -96,3 +96,37 @@ def test_key_skew_report_ranks_hot_keys(spark):
         key_skew_report(df, [])
     with pytest.raises(ValueError, match="top_n"):
         key_skew_report(df, ["k"], top_n=0)
+
+
+def test_chisq_sf_closed_form_goldens():
+    """Even-df χ² survival has exact closed forms (Poisson-sum identity);
+    df=1 reduces to erfc — independent of the series/Lentz implementation."""
+    import math
+
+    from sparkglm_spark.functions.special import chisq_sf
+
+    for x in (0.3, 1.0, 3.84, 10.0, 40.0):
+        assert chisq_sf(x, 2) == pytest.approx(math.exp(-x / 2), rel=1e-13)
+        assert chisq_sf(x, 1) == pytest.approx(
+            math.erfc(math.sqrt(x / 2)), rel=1e-11
+        )
+        assert chisq_sf(x, 4) == pytest.approx(
+            (1 + x / 2) * math.exp(-x / 2), rel=1e-13
+        )
+        assert chisq_sf(x, 6) == pytest.approx(
+            (1 + x / 2 + x * x / 8) * math.exp(-x / 2), rel=1e-13
+        )
+    assert chisq_sf(0.0, 3) == 1.0
+    assert chisq_sf(-1.0, 3) == 1.0
+
+
+def test_f_sf_matches_t_squared_identity():
+    """F(1, d) is T(d)² — ties f_sf to the betainc t_sf path exactly."""
+    from sparkglm_spark.functions.special import f_sf, t_sf
+
+    for t in (0.25, 1.0, 2.0, 3.5):
+        for d2 in (3.0, 10.0, 120.0):
+            assert f_sf(t * t, 1.0, d2) == pytest.approx(
+                2.0 * t_sf(t, d2), rel=1e-11
+            )
+    assert f_sf(0.0, 2.0, 10.0) == 1.0
