@@ -855,6 +855,19 @@ def q_glm_families_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("poisson", "deviance", round(m.deviance, 2)),
         ("poisson", "iterations", float(m.iter)),
     ]
+    # r7b quasipoisson: β is poisson's bit-for-bit; the pinned value-add is
+    # the √φ̂-scaled SEs — the oracle rebuilds (X'WX)⁻¹ from the iteration-4
+    # weight sums (the SAME Gram the engine's final solve inverted) and φ̂
+    # from the Pearson sum at the final β
+    m = glm(li, "l_quantity ~ l_discount", family="quasipoisson",
+            exact_iterations=_GLM_ITERS)
+    rows += [
+        ("quasipoisson", "coef_intercept", round(float(m.coefs[0]), 6)),
+        ("quasipoisson", "coef_l_discount", round(float(m.coefs[1]), 6)),
+        ("quasipoisson", "dispersion", round(m.p_dispersion, 6)),
+        ("quasipoisson", "se_intercept", round(float(m.std_err[0]), 6)),
+        ("quasipoisson", "se_l_discount", round(float(m.std_err[1]), 6)),
+    ]
     m = glm(li, "l_extendedprice ~ l_quantity", family="gamma",
             exact_iterations=_GLM_ITERS)
     rows += [
@@ -906,6 +919,14 @@ def _sql_glm_families_fit() -> str:
             f"{pfx}f AS (SELECT 2.0 * SUM({dev}) AS dev FROM "
             f"(SELECT y, {mu} AS mu FROM {base} CROSS JOIN {fin}))"
         )
+    # quasipoisson: Pearson sum at the FINAL β (po_t4); the bread reuses
+    # po_a4's weight sums — the exact Gram the engine's last solve inverted
+    mu4 = _SQL_UNLINK["log"]("(b0 + b1 * x)")
+    ctes.append(
+        f"qp_p AS (SELECT SUM((y - mu) * (y - mu) / mu) AS pear, "
+        f"CAST(COUNT(*) AS DOUBLE) AS n FROM "
+        f"(SELECT y, {mu4} AS mu FROM pbase CROSS JOIN {p_fin}))"
+    )
     # gaussian ≡ OLS: closed-form Cramer from exact decimal sums (same
     # margin analysis as the lm_fit oracle; coefs rounded to 1)
     ctes.append(
@@ -933,6 +954,13 @@ def _sql_glm_families_fit() -> str:
         f"SELECT 'tweedie', 'coef_l_discount', ROUND(b1, 6) FROM {t_fin}",
         "SELECT 'tweedie', 'deviance', ROUND(dev, 2) FROM tw_f",
         f"SELECT 'tweedie', 'iterations', {float(_GLM_ITERS)} FROM {t_fin}",
+        f"SELECT 'quasipoisson', 'coef_intercept', ROUND(b0, 6) FROM {p_fin}",
+        f"SELECT 'quasipoisson', 'coef_l_discount', ROUND(b1, 6) FROM {p_fin}",
+        "SELECT 'quasipoisson', 'dispersion', ROUND(pear / (n - 2.0), 6) FROM qp_p",
+        "SELECT 'quasipoisson', 'se_intercept', ROUND(sqrt(pear / (n - 2.0) "
+        "* swxx / (sw * swxx - swx * swx)), 6) FROM qp_p, po_a4",
+        "SELECT 'quasipoisson', 'se_l_discount', ROUND(sqrt(pear / (n - 2.0) "
+        "* sw / (sw * swxx - swx * swx)), 6) FROM qp_p, po_a4",
         f"SELECT 'negbinomial', 'coef_intercept', ROUND(b0, 6) FROM {n_fin}",
         f"SELECT 'negbinomial', 'coef_l_discount', ROUND(b1, 6) FROM {n_fin}",
         "SELECT 'negbinomial', 'deviance', ROUND(dev, 2) FROM nb_f",

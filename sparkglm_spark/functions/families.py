@@ -168,6 +168,28 @@ class NegativeBinomial:
         return F.when(y == 0, zero).otherwise(full)
 
 
+class Quasipoisson(Poisson):
+    """Quasi-likelihood counts: the poisson mean/variance RELATION
+    (var = φ·μ) with a free dispersion φ estimated by Pearson χ²/(n−k) —
+    the standard remedy for overdispersed counts when a full NB2 model
+    is not wanted (R's `quasipoisson`). IRLS is IDENTICAL to poisson
+    (φ cancels from the working weights), so β matches poisson exactly;
+    only the standard errors scale by √φ̂, and loglik/AIC are NaN (no
+    true likelihood exists — McCullagh & Nelder ch. 9)."""
+
+    name = "quasipoisson"
+    quasi = True
+
+
+class Quasibinomial(Binomial):
+    """Quasi-likelihood proportions: binomial variance scaled by a free
+    dispersion φ (R's `quasibinomial`). Same IRLS/β as binomial; SEs
+    scale by √φ̂ = √(Pearson χ²/(n−k)); loglik/AIC NaN."""
+
+    name = "quasibinomial"
+    quasi = True
+
+
 FAMILIES = {
     "binomial": Binomial(),
     "gaussian": Gaussian(),
@@ -175,6 +197,8 @@ FAMILIES = {
     "gamma": Gamma(),
     "tweedie": Tweedie(),
     "negbinomial": NegativeBinomial(),
+    "quasipoisson": Quasipoisson(),
+    "quasibinomial": Quasibinomial(),
 }
 
 

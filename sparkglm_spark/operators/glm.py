@@ -67,7 +67,7 @@ class GLM:
     nrow: int
     levels: dict[str, list[str]] = field(default_factory=dict)
     call: str = ""
-    cov_params: np.ndarray | None = None  # (X'WX)⁻¹ — Wald intervals
+    cov_params: np.ndarray | None = None  # (X'WX)⁻¹ (·φ̂ for quasi) — Wald
 
     @staticmethod
     def fit(
@@ -151,8 +151,10 @@ class GLM:
                     m - y > 0, (m - y) * F.log(F.lit(1.0) - p)
                 ).otherwise(F.lit(0.0))
 
-        elif fam.name in ("gaussian", "gamma"):
-
+        elif fam.name in ("gaussian", "gamma") or getattr(fam, "quasi", False):
+            # gaussian/gamma derive ll from the deviance; quasi families
+            # have no likelihood at all (ll/AIC are NaN) — a zero
+            # placeholder keeps the piggybacked stats row reusable
             def sql_ll_expr(mu: Column) -> Column:
                 return F.lit(0.0)
 
@@ -323,7 +325,11 @@ class GLM:
         pearson = float(stat_row["pearson"])
         deviance = float(stat_row["dev"])
 
-        if fam.name == "gaussian":
+        if getattr(fam, "quasi", False):
+            # quasi-likelihood: no density → no loglik/AIC (R reports NA)
+            ll = float("nan")
+            aic = float("nan")
+        elif fam.name == "gaussian":
             # MLE σ² = deviance/n; R's logLik.glm convention; σ counts as a
             # parameter in the AIC
             ll = -0.5 * n * (np.log(2.0 * np.pi * deviance / n) + 1.0)
@@ -358,6 +364,13 @@ class GLM:
 
         std_err = np.sqrt(np.diag(xtwxi))  # utils.scala:78,110 (unscaled)
         df_residual = n - k  # GLM.scala:67
+        if getattr(fam, "quasi", False):
+            # the quasi point: SE and Wald covariance scale by the Pearson
+            # dispersion φ̂ = χ²/(n−k) (β itself is the base family's —
+            # φ cancels from the IRLS weights)
+            phi = pearson / df_residual
+            std_err = std_err * float(np.sqrt(phi))
+            xtwxi = xtwxi * phi
         return GLM(
             xnames=list(x_cols),
             yname=y_col,

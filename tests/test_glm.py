@@ -624,3 +624,50 @@ def test_likelihood_ratio_test_nested_glms(orders):
         likelihood_ratio_test(gamma_like, full)
     with pytest.raises(ValueError, match="subset"):
         likelihood_ratio_test(full, full)
+
+
+def test_quasipoisson_matches_poisson_beta_scaled_se(lineitem):
+    """quasipoisson: identical β to poisson (φ cancels from IRLS), SEs
+    scaled by √(Pearson χ²/(n−k)), loglik/AIC NaN, cov_params scaled so
+    Wald intervals widen by the same factor."""
+    import math
+
+    from sparkglm_spark.operators.glm import glm
+
+    base = glm(lineitem, "l_quantity ~ l_discount", family="poisson",
+               exact_iterations=4)
+    quasi = glm(lineitem, "l_quantity ~ l_discount", family="quasipoisson",
+                exact_iterations=4)
+    np.testing.assert_allclose(quasi.coefs, base.coefs, rtol=1e-12)
+    assert quasi.deviance == pytest.approx(base.deviance, rel=1e-12)
+    phi = base.pearson / base.df_residual
+    np.testing.assert_allclose(
+        quasi.std_err, base.std_err * math.sqrt(phi), rtol=1e-10
+    )
+    np.testing.assert_allclose(
+        quasi.cov_params, base.cov_params * phi, rtol=1e-10
+    )
+    assert math.isnan(quasi.loglik) and math.isnan(quasi.aic)
+    assert quasi.p_dispersion == pytest.approx(phi, rel=1e-12)
+    assert quasi.family == "quasipoisson"
+
+
+def test_quasibinomial_matches_binomial_beta_scaled_se(orders):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from sparkglm_spark.operators.glm import glm
+
+    df = orders.withColumn(
+        "y", F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0)
+    )
+    base = glm(df, "y ~ o_totalprice", family="binomial", exact_iterations=4)
+    quasi = glm(df, "y ~ o_totalprice", family="quasibinomial",
+                exact_iterations=4)
+    np.testing.assert_allclose(quasi.coefs, base.coefs, rtol=1e-12)
+    phi = base.pearson / base.df_residual
+    np.testing.assert_allclose(
+        quasi.std_err, base.std_err * math.sqrt(phi), rtol=1e-10
+    )
+    assert math.isnan(quasi.aic)
