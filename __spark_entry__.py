@@ -4851,7 +4851,43 @@ def q_orders_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("max_price").alias("v2"),
         F.lit(None).cast("double").alias("v3"),
     )
-    return pct.unionByName(hist)
+    # r7b: classifier evaluation + calibration over a FIXED logistic score
+    # (deterministic, so the tie-aware Mann-Whitney AUC, log-loss/Brier,
+    # the 0.5-threshold confusion metrics and the reliability bins are all
+    # exactly replayable in SQL; operators/evaluate.py — AUC rides the
+    # range-partitioned global prefix sum, never a single-partition window).
+    # Tie groups are identical across engines (grouping is per-engine on its
+    # own doubles); cross-engine value drift is ≲1e-12 → ROUND 6.
+    from sparkglm_spark.operators.evaluate import (
+        binary_classification_eval,
+        calibration_bins,
+    )
+
+    od = read_table(spark, sf_dir, "orders")
+    scored = od.select(
+        F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0).alias("y"),
+        (
+            F.lit(1.0)
+            / (F.lit(1.0) + F.exp(-(F.lit(_GB0) + F.lit(_GB1) * F.col("o_totalprice"))))
+        ).alias("p"),
+    )
+    clf = binary_classification_eval(scored, "y", "p").select(
+        F.lit("clf_metric").alias("op"),
+        F.col("metric").alias("key"),
+        F.lit(None).cast("bigint").alias("n"),
+        F.round("value", 6).alias("v1"),
+        F.lit(None).cast("double").alias("v2"),
+        F.lit(None).cast("double").alias("v3"),
+    )
+    calib = calibration_bins(scored, "y", "p", n_bins=10).select(
+        F.lit("calib_bin").alias("op"),
+        F.col("bin").cast("string").alias("key"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round("mean_score", 6).alias("v1"),
+        F.round("frac_pos", 6).alias("v2"),
+        F.lit(None).cast("double").alias("v3"),
+    )
+    return pct.unionByName(hist).unionByName(clf).unionByName(calib)
 
 
 SQL_ORDERS_DISTRIBUTIONS = f"""
@@ -4862,6 +4898,54 @@ UNION ALL
 SELECT 'price_hist', CAST(bucket AS VARCHAR), n_orders,
        min_price, max_price, NULL
 FROM ({SQL_TOTALPRICE_HISTOGRAM}) h
+UNION ALL
+SELECT 'clf_metric', q.key, CAST(NULL AS BIGINT), q.v1,
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM (
+  WITH sc AS (
+    SELECT CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y,
+           1.0 / (1.0 + exp(-({_GB0} + {_GB1} * o_totalprice))) AS p
+    FROM orders),
+  ag AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(y) AS np, SUM(1.0 - y) AS nn,
+           -AVG(y * ln(LEAST(GREATEST(p, 1e-15), 1.0 - 1e-15))
+                + (1.0 - y) * ln(1.0 - LEAST(GREATEST(p, 1e-15), 1.0 - 1e-15))) AS ll,
+           AVG((p - y) * (p - y)) AS brier,
+           SUM(CASE WHEN p >= 0.5 THEN y ELSE 0.0 END) AS tp,
+           SUM(CASE WHEN p >= 0.5 THEN 1.0 - y ELSE 0.0 END) AS fp,
+           SUM(CASE WHEN p < 0.5 THEN y ELSE 0.0 END) AS fn,
+           SUM(CASE WHEN p < 0.5 THEN 1.0 - y ELSE 0.0 END) AS tn
+    FROM sc),
+  r AS (SELECT p, SUM(y) AS pos, SUM(1.0 - y) AS neg FROM sc GROUP BY p),
+  c AS (SELECT pos, neg,
+               SUM(neg) OVER (ORDER BY p ROWS UNBOUNDED PRECEDING) AS cumneg
+        FROM r),
+  uu AS (SELECT SUM(pos * (cumneg - neg + neg / 2.0)) AS u FROM c)
+  SELECT 'n' AS key, ROUND(n, 6) AS v1 FROM ag
+  UNION ALL SELECT 'n_pos', ROUND(np, 6) FROM ag
+  UNION ALL SELECT 'n_neg', ROUND(nn, 6) FROM ag
+  UNION ALL SELECT 'pos_rate', ROUND(np / n, 6) FROM ag
+  UNION ALL SELECT 'auc', ROUND(u / (np * nn), 6) FROM uu, ag
+  UNION ALL SELECT 'log_loss', ROUND(ll, 6) FROM ag
+  UNION ALL SELECT 'brier', ROUND(brier, 6) FROM ag
+  UNION ALL SELECT 'accuracy', ROUND((tp + tn) / n, 6) FROM ag
+  UNION ALL SELECT 'precision', ROUND(tp / (tp + fp), 6) FROM ag
+  UNION ALL SELECT 'recall', ROUND(tp / np, 6) FROM ag
+  UNION ALL SELECT 'f1', ROUND(2.0 * (tp / (tp + fp)) * (tp / np)
+                               / (tp / (tp + fp) + tp / np), 6) FROM ag
+) q
+UNION ALL
+SELECT 'calib_bin', CAST(b.bin AS VARCHAR), b.n, b.v1, b.v2,
+       CAST(NULL AS DOUBLE)
+FROM (
+  SELECT LEAST(CAST(FLOOR(p * 10.0) AS INT), 9) AS bin,
+         COUNT(*) AS n, ROUND(AVG(p), 6) AS v1, ROUND(AVG(y), 6) AS v2
+  FROM (
+    SELECT CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y,
+           1.0 / (1.0 + exp(-({_GB0} + {_GB1} * o_totalprice))) AS p
+    FROM orders) s
+  GROUP BY 1
+) b
 """
 
 

@@ -348,6 +348,28 @@ def main() -> None:
         ).fit(li),
     )
 
+    # r7b: classifier evaluation (tie-aware Mann-Whitney AUC via the
+    # range-partitioned prefix sum + one fused confusion/log-loss agg +
+    # calibration bins; ~2 s warm at sf0.1 over 150k orders)
+    from sparkglm_spark.operators.evaluate import (
+        binary_classification_eval,
+        calibration_bins,
+    )
+
+    clf_scored = orders.select(
+        F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0).alias("y"),
+        (
+            F.lit(1.0)
+            / (F.lit(1.0) + F.exp(-(F.lit(-0.4) + F.lit(2e-6) * F.col("o_totalprice"))))
+        ).alias("p"),
+    )
+
+    def run_clf_eval():
+        binary_classification_eval(clf_scored, "y", "p").collect()
+        calibration_bins(clf_scored, "y", "p", 10).collect()
+
+    W("classification_eval", run_clf_eval)
+
     runs: dict[str, list[float]] = {name: [] for name, _ in workloads}
     errors: dict[str, str] = {}
     for _ in range(N_RUNS):
@@ -395,6 +417,7 @@ def main() -> None:
         "text_tfidf",
         "substring_removal",
         "text_bigram_lm",
+        "classification_eval",
     }
     total_r4_set = round(
         sum(v for k, v in medians.items() if k not in r5_new), 3

@@ -1,0 +1,150 @@
+"""Binary-classification evaluation over scored frames.
+
+The reference stops at the fitted GLM (GLM.scala:35-51 exposes coefficients
+and deviance; predict yields μ) — any user of its logistic models evaluates
+them elsewhere. This module closes that loop Spark-side: threshold metrics,
+proper scoring rules, tie-aware ROC-AUC, and calibration bins, all over a
+(label, score) projection of an arbitrarily large scored frame.
+
+Scale design:
+- counts / confusion / log-loss / Brier ride ONE partial+final aggregation
+  (no wide shuffle — 12 scalar sums).
+- AUC uses the Mann-Whitney rank identity, NOT an all-pairs join:
+  group by DISTINCT score (bounded by the score expression's domain; at
+  worst one shuffle of (score, 2 longs)), then a global running sum via
+  `plans.prefix.global_running_sum` — range-partitioned, per-partition
+  windows only, never a single-partition Window.orderBy.
+- nothing row-level is ever collected; the driver sees k scalar metrics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sparkglm_spark.plans.prefix import global_running_sum
+
+# probability clamp for log-loss: scores at exactly 0/1 with the opposite
+# label would yield -inf (the sklearn log_loss eps convention)
+_EPS = 1e-15
+
+
+def binary_classification_eval(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Evaluate scores in [0, 1] against binary labels; returns a
+    (metric string, value double) table:
+
+      n, n_pos, n_neg, pos_rate
+      auc                      — tie-aware Mann-Whitney:
+                                 U = Σ_s pos_s·(neg_below(s) + neg_s/2),
+                                 AUC = U/(P·N); NaN when P·N = 0
+      log_loss                 — −mean(y·ln p + (1−y)·ln(1−p)), p clamped
+                                 to [1e-15, 1−1e-15]
+      brier                    — mean((p − y)²)
+      accuracy/precision/recall/f1 at `threshold` (score ≥ t ⇒ positive;
+      precision/f1 NaN when nothing is predicted positive, recall NaN
+      when P = 0 — the undefined cases, not silent zeros)
+
+    Labels must be 0/1 (checked: any other value raises)."""
+    y = F.col("__y")
+    p = F.col("__p")
+    base = df.select(
+        F.col(label_col).cast("double").alias("__y"),
+        F.col(score_col).cast("double").alias("__p"),
+    )
+    pc = F.least(F.greatest(p, F.lit(_EPS)), F.lit(1.0 - _EPS))
+    pred_pos = (p >= F.lit(float(threshold))).cast("double")
+    row = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(y).alias("n_pos"),
+        F.sum(F.lit(1.0) - y).alias("n_neg"),
+        F.sum((y != 0.0).cast("int") * (y != 1.0).cast("int")).alias("bad"),
+        F.sum(F.when(y.isNull() | p.isNull(), 1).otherwise(0)).alias("nulls"),
+        (-F.avg(y * F.log(pc) + (F.lit(1.0) - y) * F.log(F.lit(1.0) - pc))).alias(
+            "log_loss"
+        ),
+        F.avg((p - y) * (p - y)).alias("brier"),
+        F.sum(pred_pos * y).alias("tp"),
+        F.sum(pred_pos * (F.lit(1.0) - y)).alias("fp"),
+        F.sum((F.lit(1.0) - pred_pos) * y).alias("fn"),
+        F.sum((F.lit(1.0) - pred_pos) * (F.lit(1.0) - y)).alias("tn"),
+    ).collect()[0]
+    if row["nulls"]:
+        raise ValueError(f"{row['nulls']} rows have null label/score")
+    if row["bad"]:
+        raise ValueError(f"labels must be 0/1 — {row['bad']} other values found")
+    n = float(row["n"])
+    n_pos, n_neg = float(row["n_pos"]), float(row["n_neg"])
+    tp, fp, fn, tn = (float(row[c]) for c in ("tp", "fp", "fn", "tn"))
+    nan = float("nan")
+    precision = tp / (tp + fp) if tp + fp > 0 else nan
+    recall = tp / n_pos if n_pos > 0 else nan
+    f1 = (
+        2.0 * precision * recall / (precision + recall)
+        if precision == precision and recall == recall and precision + recall > 0
+        else nan
+    )
+
+    if n_pos > 0 and n_neg > 0:
+        # Mann-Whitney over distinct scores: |S| rows carry (score, P_s, N_s)
+        sc = base.groupBy("__p").agg(
+            F.sum(y).alias("pos"), F.sum(F.lit(1.0) - y).alias("neg")
+        )
+        cum = global_running_sum(sc, "__p", ["neg"])
+        u_row = cum.agg(
+            F.sum(
+                F.col("pos") * (F.col("neg_cum") - F.col("neg") + F.col("neg") / 2.0)
+            ).alias("u")
+        ).collect()[0]
+        auc = float(u_row["u"]) / (n_pos * n_neg)
+    else:
+        auc = nan
+
+    rows = [
+        ("n", n),
+        ("n_pos", n_pos),
+        ("n_neg", n_neg),
+        ("pos_rate", n_pos / n if n > 0 else nan),
+        ("auc", auc),
+        ("log_loss", float(row["log_loss"])),
+        ("brier", float(row["brier"])),
+        ("accuracy", (tp + tn) / n if n > 0 else nan),
+        ("precision", precision),
+        ("recall", recall),
+        ("f1", f1),
+    ]
+    return df.sparkSession.createDataFrame(rows, "metric string, value double")
+
+
+def calibration_bins(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins over scores in [0, 1]: equal-width bins
+    (score 1.0 folds into the top bin), each with its row count, mean
+    score and empirical positive rate. One groupBy on an int key —
+    `n_bins` groups, partial-agg map-side. A calibrated model has
+    mean_score ≈ frac_pos per bin."""
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    y = F.col(label_col).cast("double")
+    p = F.col(score_col).cast("double")
+    bin_c = F.least(
+        F.floor(p * F.lit(float(n_bins))).cast("int"), F.lit(n_bins - 1)
+    )
+    return (
+        df.select(bin_c.alias("bin"), p.alias("__p"), y.alias("__y"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("__p").alias("mean_score"),
+            F.avg("__y").alias("frac_pos"),
+        )
+        .orderBy("bin")
+    )

@@ -1,0 +1,140 @@
+"""Binary classification eval + the distributed prefix-sum plan."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sparkglm_spark.operators.evaluate import (
+    binary_classification_eval,
+    calibration_bins,
+)
+from sparkglm_spark.plans.prefix import global_running_sum
+
+
+def _auc_numpy(y, p):
+    """Tie-aware Mann-Whitney via average ranks (no scipy)."""
+    y = np.asarray(y, float)
+    p = np.asarray(p, float)
+    order = np.argsort(p, kind="mergesort")
+    sp = p[order]
+    ranks = np.empty(len(p), float)
+    i = 0
+    while i < len(sp):
+        j = i
+        while j < len(sp) and sp[j] == sp[i]:
+            j += 1
+        ranks[order[i:j]] = 0.5 * (i + 1 + j)  # average rank, 1-based
+        i = j
+    npos = y.sum()
+    nneg = len(y) - npos
+    u = ranks[y == 1].sum() - npos * (npos + 1) / 2.0
+    return u / (npos * nneg)
+
+
+@pytest.fixture(scope="module")
+def scored(spark):
+    rng = np.random.default_rng(11)
+    n = 400
+    y = (rng.random(n) < 0.4).astype(float)
+    # scores correlated with labels + deliberate TIES (quantized to 2dp)
+    p = np.clip(0.25 * y + 0.55 * rng.random(n), 0.0, 1.0).round(2)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(y, p)], "y double, p double"
+    ).repartition(7)
+    return df, y, p
+
+
+def test_metrics_match_numpy(scored):
+    df, y, p = scored
+    got = {r.metric: r.value for r in binary_classification_eval(df, "y", "p").collect()}
+    assert got["n"] == len(y)
+    assert got["n_pos"] == y.sum()
+    assert got["auc"] == pytest.approx(_auc_numpy(y, p), rel=1e-12)
+    pc = np.clip(p, 1e-15, 1 - 1e-15)
+    ll = -(y * np.log(pc) + (1 - y) * np.log(1 - pc)).mean()
+    assert got["log_loss"] == pytest.approx(ll, rel=1e-12)
+    assert got["brier"] == pytest.approx(((p - y) ** 2).mean(), rel=1e-12)
+    pred = (p >= 0.5).astype(float)
+    tp = ((pred == 1) & (y == 1)).sum()
+    fp = ((pred == 1) & (y == 0)).sum()
+    fn = ((pred == 0) & (y == 1)).sum()
+    assert got["accuracy"] == pytest.approx((pred == y).mean(), rel=1e-12)
+    assert got["precision"] == pytest.approx(tp / (tp + fp), rel=1e-12)
+    assert got["recall"] == pytest.approx(tp / (tp + fn), rel=1e-12)
+
+
+def test_auc_edge_cases(spark):
+    # perfect separation -> 1.0; reversed -> 0.0; one class -> NaN
+    perfect = spark.createDataFrame(
+        [(1.0, 0.9), (1.0, 0.8), (0.0, 0.2), (0.0, 0.1)], "y double, p double"
+    )
+    got = {r.metric: r.value for r in binary_classification_eval(perfect, "y", "p").collect()}
+    assert got["auc"] == 1.0
+    rev = perfect.withColumn("p", 1.0 - F.col("p"))
+    got = {r.metric: r.value for r in binary_classification_eval(rev, "y", "p").collect()}
+    assert got["auc"] == 0.0
+    mono = perfect.withColumn("y", F.lit(1.0))
+    got = {r.metric: r.value for r in binary_classification_eval(mono, "y", "p").collect()}
+    assert math.isnan(got["auc"]) and math.isnan(got["recall"]) is False
+    with pytest.raises(ValueError, match="0/1"):
+        binary_classification_eval(
+            spark.createDataFrame([(2.0, 0.5)], "y double, p double"), "y", "p"
+        ).collect()
+
+
+def test_all_ties_auc_is_half(spark):
+    df = spark.createDataFrame(
+        [(1.0, 0.5), (0.0, 0.5), (1.0, 0.5), (0.0, 0.5)], "y double, p double"
+    )
+    got = {r.metric: r.value for r in binary_classification_eval(df, "y", "p").collect()}
+    assert got["auc"] == pytest.approx(0.5, abs=1e-12)
+
+
+def test_calibration_bins(scored):
+    df, y, p = scored
+    rows = calibration_bins(df, "y", "p", n_bins=10).collect()
+    assert sum(r.n for r in rows) == len(y)
+    for r in rows:
+        sel = (np.minimum((p * 10).astype(int), 9)) == r.bin
+        assert r.n == sel.sum()
+        assert r.frac_pos == pytest.approx(y[sel].mean(), rel=1e-12)
+    # score exactly 1.0 folds into the top bin
+    one = df.sparkSession.createDataFrame([(1.0, 1.0)], "y double, p double")
+    assert calibration_bins(one, "y", "p", 10).collect()[0].bin == 9
+
+
+def test_global_running_sum_matches_pandas(spark):
+    rng = np.random.default_rng(3)
+    keys = rng.integers(0, 50, 300)  # heavy ties
+    vals = rng.random(300)
+    df = spark.createDataFrame(
+        [(int(k), float(v)) for k, v in zip(keys, vals)], "k int, v double"
+    ).repartition(11)
+    for n_part in (1, 4, 32):
+        got = (
+            global_running_sum(df, "k", ["v"], num_partitions=n_part)
+            .select("k", "v_cum")
+            .collect()
+        )
+        # range semantics: every row of a tie group carries the group total
+        import pandas as pd
+
+        pdf = pd.DataFrame({"k": keys, "v": vals})
+        totals = pdf.groupby("k")["v"].sum().sort_index().cumsum()
+        for r in got:
+            assert r.v_cum == pytest.approx(totals[r.k], rel=1e-9), (n_part, r.k)
+
+
+def test_global_running_sum_no_single_partition_window(spark):
+    """The plan must not contain a partition-less window (the Spark
+    single-partition trap this helper exists to avoid): every Window
+    should be keyed by the prefix pid, and the exchange set should be a
+    range partitioning + the tiny broadcast, never SinglePartition."""
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 97).cast("double").alias("k"), F.lit(1.0).alias("v")
+    )
+    out = global_running_sum(df, "k", ["v"], num_partitions=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
