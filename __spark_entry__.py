@@ -4887,7 +4887,32 @@ def q_orders_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("frac_pos", 6).alias("v2"),
         F.lit(None).cast("double").alias("v3"),
     )
-    return pct.unionByName(hist).unionByName(clf).unionByName(calib)
+    from sparkglm_spark.operators.evaluate import grouped_auc
+
+    seg = grouped_auc(
+        od.select(
+            F.col("o_orderpriority").alias("seg"),
+            F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0).alias("y"),
+            (
+                F.lit(1.0)
+                / (
+                    F.lit(1.0)
+                    + F.exp(-(F.lit(_GB0) + F.lit(_GB1) * F.col("o_totalprice")))
+                )
+            ).alias("p"),
+        ),
+        "seg",
+        "y",
+        "p",
+    ).select(
+        F.lit("seg_auc").alias("op"),
+        F.col("seg").alias("key"),
+        F.col("n").alias("n"),
+        F.round("auc", 6).alias("v1"),
+        F.col("n_pos").alias("v2"),
+        F.col("n_neg").alias("v3"),
+    )
+    return pct.unionByName(hist).unionByName(clf).unionByName(calib).unionByName(seg)
 
 
 SQL_ORDERS_DISTRIBUTIONS = f"""
@@ -4946,6 +4971,24 @@ FROM (
     FROM orders) s
   GROUP BY 1
 ) b
+UNION ALL
+SELECT 'seg_auc', g.seg, g.n, ROUND(g.u / (g.np * g.nn), 6), g.np, g.nn
+FROM (
+  SELECT seg, CAST(SUM(pos) + SUM(neg) AS BIGINT) AS n,
+         SUM(pos) AS np, SUM(neg) AS nn,
+         SUM(pos * (cumneg - neg + neg / 2.0)) AS u
+  FROM (
+    SELECT seg, pos, neg,
+           SUM(neg) OVER (PARTITION BY seg ORDER BY p ROWS UNBOUNDED PRECEDING)
+             AS cumneg
+    FROM (
+      SELECT o_orderpriority AS seg,
+             1.0 / (1.0 + exp(-({_GB0} + {_GB1} * o_totalprice))) AS p,
+             SUM(CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END) AS pos,
+             SUM(CASE WHEN o_orderstatus = 'F' THEN 0.0 ELSE 1.0 END) AS neg
+      FROM orders GROUP BY 1, 2)
+  ) w GROUP BY seg
+) g
 """
 
 

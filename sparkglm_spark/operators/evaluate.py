@@ -148,3 +148,89 @@ def calibration_bins(
         )
         .orderBy("bin")
     )
+
+
+def grouped_auc(
+    df: DataFrame,
+    group_col: str,
+    label_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Tie-aware ROC-AUC per group (per-segment model monitoring):
+    (group, n, n_pos, n_neg, auc). Degenerate groups (one class only)
+    report NULL auc rather than a silent 0/1.
+
+    Plan: ONE shuffle on (group, score) for the distinct-score counts,
+    then a window PARTITIONED BY GROUP — there is no global order here,
+    so the single-partition trap doesn't apply; every group cumulates in
+    its own frame. The final per-group aggregate is partial-agg. Skewed
+    groups cost what their distinct-score count costs — bounded by group
+    size, never by the table."""
+    from pyspark.sql import Window
+
+    y = F.col(label_col).cast("double")
+    sc = (
+        df.select(F.col(group_col).alias("__g"), y.alias("__y"),
+                  F.col(score_col).cast("double").alias("__p"))
+        .groupBy("__g", "__p")
+        .agg(F.sum("__y").alias("pos"), F.sum(F.lit(1.0) - F.col("__y")).alias("neg"))
+    )
+    w = Window.partitionBy("__g").orderBy("__p").rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = sc.withColumn("cumneg", F.sum("neg").over(w))
+    out = cum.groupBy("__g").agg(
+        (F.sum("pos") + F.sum("neg")).cast("bigint").alias("n"),
+        F.sum("pos").alias("n_pos"),
+        F.sum("neg").alias("n_neg"),
+        F.sum(F.col("pos") * (F.col("cumneg") - F.col("neg") + F.col("neg") / 2.0)).alias("__u"),
+    )
+    auc = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        F.col("__u") / (F.col("n_pos") * F.col("n_neg")),
+    )
+    return (
+        out.select(
+            F.col("__g").alias(group_col), "n", "n_pos", "n_neg",
+            auc.alias("auc"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def roc_points(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Exact ROC curve: one point per DISTINCT score s — the operating
+    point of the classifier "predict positive iff score ≥ s":
+    (score, tpr, fpr, precision). Rows ordered by descending score (the
+    curve from (0,0) toward (1,1)).
+
+    Plan: the same grouped-by-score frame as the AUC, with DESCENDING
+    global prefix sums (cum pos/neg at-or-above each score) via the
+    range-partitioned prefix plan on the negated score. |distinct scores|
+    rows come back — cap downstream with a filter/sample if the score is
+    continuous and the table is 100 TB; nothing here collects them."""
+    y = F.col(label_col).cast("double")
+    base = df.select(y.alias("__y"), F.col(score_col).cast("double").alias("__p"))
+    sc = base.groupBy("__p").agg(
+        F.sum("__y").alias("pos"), F.sum(F.lit(1.0) - F.col("__y")).alias("neg")
+    ).withColumn("__np", -F.col("__p"))
+    cum = global_running_sum(sc, "__np", ["pos", "neg"])
+    totals = sc.agg(F.sum("pos").alias("P"), F.sum("neg").alias("N")).collect()[0]
+    P, N = float(totals["P"]), float(totals["N"])
+    if P == 0 or N == 0:
+        raise ValueError("roc_points needs both classes present")
+    return (
+        cum.select(
+            F.col("__p").alias("score"),
+            (F.col("pos_cum") / F.lit(P)).alias("tpr"),
+            (F.col("neg_cum") / F.lit(N)).alias("fpr"),
+            (F.col("pos_cum") / (F.col("pos_cum") + F.col("neg_cum"))).alias(
+                "precision"
+            ),
+        )
+        .orderBy(F.col("score").desc())
+    )

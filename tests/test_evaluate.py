@@ -138,3 +138,65 @@ def test_global_running_sum_no_single_partition_window(spark):
     out = global_running_sum(df, "k", ["v"], num_partitions=8)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_grouped_auc_matches_per_group_numpy(spark):
+    rng = np.random.default_rng(5)
+    rows = []
+    for g in ("a", "b", "c"):
+        n = 120
+        y = (rng.random(n) < 0.5).astype(float)
+        p = np.clip(0.3 * y + 0.5 * rng.random(n), 0, 1).round(2)
+        rows += [(g, float(a), float(b)) for a, b in zip(y, p)]
+    rows += [("mono", 1.0, 0.3), ("mono", 1.0, 0.7)]  # one-class group
+    df = spark.createDataFrame(rows, "g string, y double, p double").repartition(5)
+    from sparkglm_spark.operators.evaluate import grouped_auc
+
+    got = {r.g: r for r in grouped_auc(df, "g", "y", "p").collect()}
+    pdf = {(g): ([], []) for g in ("a", "b", "c")}
+    for g, y, p in rows:
+        if g in pdf:
+            pdf[g][0].append(y)
+            pdf[g][1].append(p)
+    for g, (ys, ps) in pdf.items():
+        assert got[g].auc == pytest.approx(_auc_numpy(ys, ps), rel=1e-12), g
+        assert got[g].n == len(ys)
+    assert got["mono"].auc is None
+    assert got["mono"].n_pos == 2.0
+
+
+def test_roc_points_match_numpy(scored):
+    df, y, p = scored
+    from sparkglm_spark.operators.evaluate import roc_points
+
+    pts = roc_points(df, "y", "p").collect()
+    P, N = y.sum(), (1 - y).sum()
+    uniq = np.unique(p)[::-1]  # descending
+    assert len(pts) == len(uniq)
+    for r, s in zip(pts, uniq):
+        assert r.score == pytest.approx(s)
+        sel = p >= s
+        assert r.tpr == pytest.approx(y[sel].sum() / P, rel=1e-12)
+        assert r.fpr == pytest.approx((1 - y)[sel].sum() / N, rel=1e-12)
+        assert r.precision == pytest.approx(y[sel].mean(), rel=1e-12)
+    # curve ends at (1,1)
+    assert pts[-1].tpr == pytest.approx(1.0) and pts[-1].fpr == pytest.approx(1.0)
+
+
+def test_roc_auc_consistency_via_trapezoid(scored):
+    """∫ tpr d(fpr) over the exact ROC staircase (trapezoid, which equals
+    the tie-aware Mann-Whitney AUC) must reproduce the AUC metric."""
+    df, y, p = scored
+    from sparkglm_spark.operators.evaluate import (
+        binary_classification_eval,
+        roc_points,
+    )
+
+    pts = roc_points(df, "y", "p").collect()
+    xs = [0.0] + [r.fpr for r in pts]
+    ys_ = [0.0] + [r.tpr for r in pts]
+    trap = sum(
+        (xs[i + 1] - xs[i]) * (ys_[i + 1] + ys_[i]) / 2.0 for i in range(len(pts))
+    )
+    got = {r.metric: r.value for r in binary_classification_eval(df, "y", "p").collect()}
+    assert got["auc"] == pytest.approx(trap, rel=1e-10)
