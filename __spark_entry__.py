@@ -4383,7 +4383,32 @@ def q_events_timeseries_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_window").alias("v1"),
         F.lit(None).cast("double").alias("x"),
     )
-    return resample.unionByName(latest).unionByName(rolling)
+    # r7b: per-user adjusted-EWMA state (operators/timeseries.py::
+    # ewma_latest — one hash exchange, groupBy reuses the window's
+    # partitioning). Deterministic: ties broken by event_id; weights are
+    # pow(0.7, rank) in both engines (divergence ≲1e-15 rel → ROUND 6).
+    from sparkglm_spark.operators.timeseries import ewma_latest
+
+    ev = read_table(spark, sf_dir, "events")
+    last_micros = F.timestamp_diff(
+        "MICROSECOND",
+        F.expr("TIMESTAMP_NTZ '1970-01-01 00:00:00'"),
+        F.col("last_ts"),
+    )
+    ewma = ewma_latest(
+        ev, "user_id", "ts", "value", alpha=0.3, tiebreak_col="event_id"
+    ).select(
+        F.lit("ewma").alias("op"),
+        F.col("user_id").cast("string").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.col("n_events").cast("bigint").alias("n1"),
+        last_micros.alias("n2"),
+        F.lit(None).cast("string").alias("v1"),
+        F.round("ewma", 6).alias("x"),
+    )
+    return (
+        resample.unionByName(latest).unionByName(rolling).unionByName(ewma)
+    )
 
 
 SQL_EVENTS_TIMESERIES_OPS = f"""
@@ -4399,6 +4424,16 @@ UNION ALL
 SELECT 'rolling7d', CAST(user_id AS VARCHAR), CAST(event_id AS VARCHAR),
        n_window, epoch_us(ts), sum_window, NULL
 FROM ({SQL_EVENTS_ROLLING_7D}) w
+UNION ALL
+SELECT 'ewma', CAST(user_id AS VARCHAR), NULL,
+       CAST(COUNT(*) AS BIGINT), epoch_us(MAX(ts)), NULL,
+       ROUND(SUM(w * value) / SUM(w), 6)
+FROM (
+  SELECT user_id, ts, value,
+         POWER(0.7, ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC) - 1) AS w
+  FROM events) e
+GROUP BY user_id
 """
 
 

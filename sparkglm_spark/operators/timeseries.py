@@ -177,3 +177,101 @@ def rolling_event_window(
         F.count(F.lit(1)).over(w).alias("n_window"),
         F.sum(value_col).over(w).alias("sum_window"),
     )
+
+
+def ewma_latest(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-key CURRENT exponentially-weighted moving average — the
+    "adjusted" EWMA (pandas `ewm(adjust=True)` convention):
+
+        s = Σᵢ (1−α)^(rankᵢ) · xᵢ  /  Σᵢ (1−α)^(rankᵢ)
+
+    with rank 0 = the key's newest event. Output: (key, n_events, ewma,
+    last_ts). The state every online feature store keeps per entity,
+    computed batch-side.
+
+    Plan: ONE hash shuffle on the key (the row_number window); the
+    follow-up groupBy(key) reuses that partitioning — Catalyst inserts no
+    second exchange (plan-asserted). Weights (1−α)^rank UNDERFLOW to zero
+    for ancient events (harmless — they contribute nothing), never
+    overflow. Ancient history costs nothing numerically but still scans;
+    pre-filter by a ts horizon when the table is truly unbounded.
+
+    Ordering ties: same-key same-ts rows get an arbitrary rank order.
+    Pass `tiebreak_col` (e.g. an event id) for a total order — required
+    for deterministic results when duplicate timestamps exist."""
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha!r}")
+    order = [F.col(ts_col).desc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).desc())
+    w = Window.partitionBy(key_col).orderBy(*order)
+    decay = F.pow(F.lit(1.0 - alpha), F.row_number().over(w) - F.lit(1))
+    ranked = df.select(
+        F.col(key_col),
+        F.col(ts_col).alias("__ts"),
+        F.col(value_col).cast("double").alias("__x"),
+        decay.alias("__w"),
+    )
+    return (
+        ranked.groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.col("__w") * F.col("__x")) / F.sum("__w")).alias("ewma"),
+            F.max("__ts").alias("last_ts"),
+        )
+        .orderBy(key_col)
+    )
+
+
+def ewma_series(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float,
+    adjust: bool = False,
+    output_col: str = "ewma",
+) -> DataFrame:
+    """Full per-row EWMA trajectory per key — the recursive form
+    s_t = α·x_t + (1−α)·s_{t−1} (adjust=False, s_1 = x_1), or the
+    adjusted weighted-mean form (pandas `ewm` semantics for either flag).
+
+    The recursion is inherently sequential PER KEY, so this runs as an
+    Arrow-batched `applyInPandas` per key — the standard shape for
+    per-entity stateful passes (each key's history must fit one executor's
+    Arrow batch; keys are independent, so 100 TB of keys parallelizes).
+    Appends `output_col` to (key, ts, value) rows."""
+    import pandas as pd
+
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha!r}")
+    base = df.select(
+        F.col(key_col),
+        F.col(ts_col).alias("__ts"),
+        F.col(value_col).cast("double").alias("__x"),
+    )
+    schema = (
+        f"{key_col} {base.schema[key_col].dataType.simpleString()}, "
+        f"__ts {base.schema['__ts'].dataType.simpleString()}, "
+        f"__x double, {output_col} double"
+    )
+
+    def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__ts", kind="mergesort")
+        pdf[output_col] = pdf["__x"].ewm(alpha=alpha, adjust=adjust).mean()
+        return pdf
+
+    out = base.groupBy(key_col).applyInPandas(per_key, schema)
+    return out.select(
+        F.col(key_col),
+        F.col("__ts").alias(ts_col),
+        F.col("__x").alias(value_col),
+        F.col(output_col),
+    )

@@ -136,3 +136,81 @@ def test_rolling_window_randomized_numeric_sweep(spark, seed, win):
         assert got[eid][1] == pytest.approx(
             sum(x[3] for x in peers), abs=1e-9
         ), (seed, win, eid)
+
+
+def test_ewma_latest_matches_pandas(changelog):
+    """adjusted EWMA state per key == pandas ewm(adjust=True).mean() tail."""
+    import pandas as pd
+
+    from sparkglm_spark.operators.timeseries import ewma_latest
+
+    got = {
+        r.user_id: r
+        for r in ewma_latest(
+            changelog, "user_id", "ts", "value", alpha=0.3, tiebreak_col="event_id"
+        ).collect()
+    }
+    pdf = changelog.toPandas().sort_values(["ts", "event_id"], kind="mergesort")
+    for user, grp in pdf.groupby("user_id"):
+        want = grp["value"].ewm(alpha=0.3, adjust=True).mean().iloc[-1]
+        assert got[user].ewma == pytest.approx(want, rel=1e-12), user
+        assert got[user].n_events == len(grp)
+        assert got[user].last_ts == grp["ts"].max()
+
+
+def test_ewma_latest_single_shuffle(changelog):
+    """the groupBy(key) must reuse the window's hash partitioning — exactly
+    ONE exchange in the whole plan."""
+    from sparkglm_spark.operators.timeseries import ewma_latest
+    from sparkglm_spark.plans.inspect import exchange_schemas
+
+    out = ewma_latest(changelog, "user_id", "ts", "value", 0.5, "event_id")
+    exch = exchange_schemas(out)
+    # window hash exchange + final presentation range-sort only — the
+    # groupBy(key) must NOT add a third
+    assert len(exch) == 2
+    hash_exch = [e for e in exch if "hashpartitioning" in e["arguments"]]
+    assert len(hash_exch) == 1
+    assert "user_id" in hash_exch[0]["arguments"]
+
+
+def test_ewma_series_matches_recursion(changelog):
+    """applyInPandas trajectory == the hand-rolled recursion, both flags."""
+    import numpy as np
+
+    from sparkglm_spark.operators.timeseries import ewma_series
+
+    for adjust in (False, True):
+        got = ewma_series(
+            changelog, "user_id", "ts", "value", alpha=0.4, adjust=adjust
+        ).collect()
+        by_key: dict = {}
+        for r in sorted(got, key=lambda r: (r.user_id, r.ts)):
+            by_key.setdefault(r.user_id, []).append(r)
+        pdf = changelog.toPandas().sort_values(["ts"], kind="mergesort")
+        for user, grp in pdf.groupby("user_id"):
+            xs = grp["value"].to_numpy()
+            if adjust:
+                want = []
+                for t in range(len(xs)):
+                    w = (1 - 0.4) ** np.arange(t, -1, -1)
+                    want.append((w * xs[: t + 1]).sum() / w.sum())
+            else:
+                s = xs[0]
+                want = [s]
+                for x in xs[1:]:
+                    s = 0.4 * x + 0.6 * s
+                    want.append(s)
+            rows = by_key[user]
+            assert len(rows) == len(xs)
+            for r, wv in zip(rows, want):
+                assert r.ewma == pytest.approx(wv, rel=1e-12), (user, adjust)
+
+
+def test_ewma_alpha_guard(changelog):
+    from sparkglm_spark.operators.timeseries import ewma_latest, ewma_series
+
+    with pytest.raises(ValueError, match="alpha"):
+        ewma_latest(changelog, "user_id", "ts", "value", 1.0)
+    with pytest.raises(ValueError, match="alpha"):
+        ewma_series(changelog, "user_id", "ts", "value", 0.0)
