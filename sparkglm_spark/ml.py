@@ -43,6 +43,7 @@ from __future__ import annotations
 import json
 
 from pyspark.ml import Estimator, Model, Transformer
+from pyspark.ml.evaluation import Evaluator
 from pyspark.ml.param import Param, Params, TypeConverters
 from pyspark.ml.util import (
     DefaultParamsReadable,
@@ -760,3 +761,75 @@ class SparkWordPieceModel(Model, _SparkWordPieceParams, MLWritable, MLReadable):
     @classmethod
     def read(cls) -> MLReader:
         return _ModelJSONReader(cls)
+
+
+class SparkBinaryEvaluator(Evaluator):
+    """Real `pyspark.ml.evaluation.Evaluator` subclass over the engine's
+    `binary_classification_eval` metrics — plugs the distributed
+    tie-aware AUC / log-loss / Brier / F1 into `CrossValidator` /
+    `TrainValidationSplit` model selection (MLlib's own
+    BinaryClassificationEvaluator wants an ML-Vector rawPrediction
+    column; this one reads the plain double probability column the
+    SparkGLMModel.transform projection emits).
+
+    >>> ev = SparkBinaryEvaluator(labelCol="won", scoreCol="prediction",
+    ...                           metricName="auc")
+    >>> CrossValidator(estimator=SparkGLM(formula="won ~ bid",
+    ...                                   family="binomial"),
+    ...                estimatorParamMaps=grid, evaluator=ev).fit(df)
+    """
+
+    labelCol = Param(
+        Params._dummy(), "labelCol", "0/1 label column",
+        typeConverter=TypeConverters.toString,
+    )
+    scoreCol = Param(
+        Params._dummy(), "scoreCol",
+        "probability column (plain double in [0, 1])",
+        typeConverter=TypeConverters.toString,
+    )
+    metricName = Param(
+        Params._dummy(), "metricName",
+        "auc | log_loss | brier | accuracy | precision | recall | f1",
+        typeConverter=TypeConverters.toString,
+    )
+    threshold = Param(
+        Params._dummy(), "threshold",
+        "decision threshold for the confusion metrics",
+        typeConverter=TypeConverters.toFloat,
+    )
+
+    _LOWER_IS_BETTER = {"log_loss", "brier"}
+    _METRICS = {
+        "auc", "log_loss", "brier", "accuracy", "precision", "recall", "f1"
+    }
+
+    def __init__(self, **kwargs):
+        super().__init__()
+        self._setDefault(
+            labelCol="label", scoreCol="prediction", metricName="auc",
+            threshold=0.5,
+        )
+        _kwargs_setter(self, kwargs)
+
+    def setParams(self, **kwargs) -> "SparkBinaryEvaluator":
+        return _kwargs_setter(self, kwargs)
+
+    def _evaluate(self, dataset: DataFrame) -> float:
+        name = self.getOrDefault(self.metricName)
+        if name not in self._METRICS:
+            raise ValueError(
+                f"metricName must be one of {sorted(self._METRICS)}, got {name!r}"
+            )
+        from sparkglm_spark.operators.evaluate import binary_classification_eval
+
+        rows = binary_classification_eval(
+            dataset,
+            self.getOrDefault(self.labelCol),
+            self.getOrDefault(self.scoreCol),
+            threshold=self.getOrDefault(self.threshold),
+        ).collect()
+        return float({r["metric"]: r["value"] for r in rows}[name])
+
+    def isLargerBetter(self) -> bool:
+        return self.getOrDefault(self.metricName) not in self._LOWER_IS_BETTER

@@ -329,3 +329,52 @@ def test_cross_validator_model_save_load(spark, tmp_path):
     a = [r.prediction for r in cvm.bestModel.transform(df).limit(5).collect()]
     b = [r.prediction for r in loaded.bestModel.transform(df).limit(5).collect()]
     np.testing.assert_allclose(a, b, rtol=0)
+
+
+def test_spark_binary_evaluator_in_cross_validator(orders):
+    """The engine's own Evaluator drives CrossValidator selection by AUC:
+    the real predictor must beat the junk predictor; log_loss flips
+    isLargerBetter; the standalone evaluate() matches the operator."""
+    from sparkglm_spark.ml import SparkBinaryEvaluator
+    from sparkglm_spark.operators.evaluate import binary_classification_eval
+
+    # ~9% deterministic label flips — keeps the signal predictive but
+    # breaks perfect separation (separable data drives the IRLS binomial
+    # variance to exactly 0 → DIVIDE_BY_ZERO under ANSI mode)
+    df = orders.select(
+        (
+            (F.col("o_totalprice") > 150000) != (F.col("o_orderkey") % 11 == 0)
+        ).cast("double").alias("big"),
+        (F.col("o_totalprice") / 100000.0).alias("signal"),
+        (F.col("o_custkey") % 7).cast("double").alias("junk"),
+    ).limit(2000)
+    ev = SparkBinaryEvaluator(labelCol="big", scoreCol="prediction",
+                              metricName="auc")
+    assert ev.isLargerBetter()
+    est = SparkGLM(formula="big ~ signal", family="binomial")
+    grid = (
+        ParamGridBuilder()
+        .addGrid(est.formula, ["big ~ signal", "big ~ junk"])
+        .build()
+    )
+    cv = CrossValidator(estimator=est, estimatorParamMaps=grid,
+                        evaluator=ev, numFolds=2, seed=9)
+    cv_model = cv.fit(df)
+    assert cv_model.bestModel.getFormula() == "big ~ signal"
+    auc_signal, auc_junk = cv_model.avgMetrics
+    assert auc_signal > 0.8
+    assert auc_junk < 0.6
+
+    # standalone evaluate() ≡ the operator row
+    scored = cv_model.bestModel.transform(df)
+    want = {
+        r.metric: r.value
+        for r in binary_classification_eval(scored, "big", "prediction").collect()
+    }
+    assert ev.evaluate(scored) == pytest.approx(want["auc"], rel=1e-12)
+    ll = SparkBinaryEvaluator(labelCol="big", scoreCol="prediction",
+                              metricName="log_loss")
+    assert not ll.isLargerBetter()
+    assert ll.evaluate(scored) == pytest.approx(want["log_loss"], rel=1e-12)
+    with pytest.raises(ValueError, match="metricName"):
+        SparkBinaryEvaluator(metricName="nope").evaluate(scored)
