@@ -358,3 +358,119 @@ def stream_from_events_table(spark, sf_dir: str):
 
     batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     return spark.readStream.schema(batch.schema).parquet(sf_dir + "/events.parquet")
+
+
+def ewma_state_stream(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Streaming twin of `operators.timeseries.ewma_latest` (adjusted
+    EWMA state per key) via applyInPandasWithState.
+
+    The adjusted EWMA is exactly incrementally maintainable: with state
+    (num, den) where s = num/den,
+
+        fold x (newest):  num ← x + (1−α)·num,   den ← 1 + (1−α)·den
+
+    so a micro-batch of m ordered rows folds VECTORIZED (batch partial
+    weighted sums + one (1−α)^m decay of the carried state) — state per
+    key is 2 doubles + 2 longs, O(1) forever, no eviction needed. Each
+    batch EMITS the key's updated (n_events, ewma, last_ts) (output mode
+    'update'); the last update per key equals the batch `ewma_latest`
+    once the stream drains — asserted in tests/test_streaming.py over a
+    multi-micro-batch replay.
+
+    ORDER CONTRACT: rows are folded in (ts[, tiebreak]) order WITHIN each
+    micro-batch, and in arrival order across batches. A row arriving
+    after a later-ts row already folded is folded late (weighted as
+    newest) — the standard streaming-EWMA caveat; use the batch
+    `ewma_latest` for out-of-order backfills."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    if not events.isStreaming:
+        raise ValueError("input must be a streaming DataFrame (readStream)")
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha!r}")
+    in_fields = {f.name: f for f in events.schema.fields}
+    need = [key_col, ts_col, value_col] + (
+        [tiebreak_col] if tiebreak_col else []
+    )
+    missing = [c for c in need if c not in in_fields]
+    if missing:
+        raise ValueError(
+            f"ewma_state_stream: columns {missing} not in input schema "
+            f"{sorted(in_fields)}"
+        )
+    out_schema = StructType(
+        [
+            in_fields[key_col],
+            StructField("n_events", LongType()),
+            StructField("ewma", DoubleType()),
+            StructField("last_ts_micros", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("num", DoubleType()),
+            StructField("den", DoubleType()),
+            StructField("n", LongType()),
+            StructField("last", LongType()),
+        ]
+    )
+    decay = 1.0 - alpha
+    sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+
+    def update(key, pdfs, state: GroupState):
+        num, den, n, last = (
+            tuple(state.get) if state.exists else (0.0, 0.0, 0, None)
+        )
+        folded = 0
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(sort_cols, kind="mergesort")
+            x = pdf[value_col].to_numpy(dtype=np.float64)
+            m = len(x)
+            w = decay ** np.arange(m - 1, -1, -1, dtype=np.float64)
+            carry = decay**m
+            num = float((w * x).sum()) + carry * num
+            den = float(w.sum()) + carry * den
+            n += m
+            folded += m
+            bt = int(pd.Timestamp(pdf[ts_col].iloc[-1]).value // 1000)
+            last = bt if last is None else max(last, bt)
+        if folded == 0:
+            return
+        state.update((num, den, n, last))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n_events": [n],
+                "ewma": [num / den],
+                "last_ts_micros": [last],
+            }
+        )
+
+    return (
+        events.select(*dict.fromkeys(need))
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -627,3 +627,69 @@ def test_neardup_ingest_writer_requires_streaming_df(spark):
     batch_df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(TypeError, match="streaming DataFrame"):
         neardup_ingest_writer(batch_df, "/tmp/i", "/tmp/a")
+
+
+def test_ewma_state_stream_equals_batch(spark, sf_dir):
+    """ewma_state_stream over a 3-micro-batch ts-ordered replay (disjoint
+    ts tertiles, maxFilesPerTrigger=1): the LAST update per key must equal
+    the batch `ewma_latest` — the incremental (num, den) fold is exact,
+    not approximate."""
+    from sparkglm_spark.operators.timeseries import ewma_latest
+    from sparkglm_spark.streaming.events import ewma_state_stream
+
+    raw = read_table(spark, sf_dir, "events")
+    alpha = 0.25
+    # tertile split by ts → batches arrive in time order
+    ts_sorted = raw.select("ts").orderBy("ts").collect()
+    n = len(ts_sorted)
+    t1, t2 = ts_sorted[n // 3].ts, ts_sorted[2 * n // 3].ts
+    parts = [
+        raw.where(F.col("ts") <= F.lit(t1)),
+        raw.where((F.col("ts") > F.lit(t1)) & (F.col("ts") <= F.lit(t2))),
+        raw.where(F.col("ts") > F.lit(t2)),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        os.makedirs(src)
+        for i, p in enumerate(parts):
+            p.coalesce(1).write.parquet(os.path.join(src, f"b{i}.parquet"))
+        stream_in = (
+            spark.readStream.schema(raw.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*.parquet"))
+        )
+        out = ewma_state_stream(
+            stream_in, "user_id", "ts", "value", alpha, tiebreak_col="event_id"
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("ewma_updates")
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = spark.sql(
+            "SELECT user_id, max_by(named_struct('n', n_events, 'e', ewma,"
+            " 'l', last_ts_micros), n_events) AS w"
+            " FROM ewma_updates GROUP BY user_id"
+        ).collect()
+    batch = {
+        r.user_id: r
+        for r in ewma_latest(
+            raw, "user_id", "ts", "value", alpha, tiebreak_col="event_id"
+        ).collect()
+    }
+    assert len(got) == len(batch) > 0
+    for r in got:
+        b = batch[r.user_id]
+        assert r.w["n"] == b.n_events, r.user_id
+        assert r.w["e"] == pytest.approx(b.ewma, rel=1e-9), r.user_id
+
+
+def test_ewma_state_stream_guards(spark, events):
+    from sparkglm_spark.streaming.events import ewma_state_stream
+
+    with pytest.raises(ValueError, match="streaming"):
+        ewma_state_stream(events, "user_id", "ts", "value", 0.5)
