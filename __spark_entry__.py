@@ -3817,14 +3817,47 @@ def q_lineitem_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Pearson correlation of 4 measures from ONE Gram pass
     (operators/stats.py::corr_matrix). Oracle: closed form from exact
     decimal sums; rounded to 6 (cancellation analysis: divergence ≲1e-10)."""
-    from sparkglm_spark.operators.stats import corr_matrix
+    from sparkglm_spark.operators.stats import (
+        chi2_independence,
+        corr_matrix,
+        welch_ttest,
+    )
 
     li = read_table(spark, sf_dir, "lineitem")
     cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     out = corr_matrix(li, cols)
-    return out.select(
+    corr = out.select(
         "col_a", "col_b", F.round("corr", 6).alias("corr")
-    ).orderBy("col_a", "col_b")
+    )
+    # r7b hypothesis tests: Welch t (l_extendedprice by l_linestatus — the
+    # two-level column) and the o_orderpriority × o_orderstatus χ².
+    # Statistics are pinned, p-values are driver-side special functions
+    # (pytest-verified) — the SQL replays the aggregation, not betainc.
+    wt = welch_ttest(
+        li.select(
+            "l_linestatus", F.col("l_extendedprice").cast("double").alias("x")
+        ),
+        "l_linestatus",
+        "x",
+    )
+    ch = chi2_independence(
+        read_table(spark, sf_dir, "orders"), "o_orderpriority", "o_orderstatus"
+    )
+    extra = spark.createDataFrame(
+        [
+            ("welch_t", "t_stat", round(wt["t_stat"], 6)),
+            ("welch_t", "df", round(wt["df"], 2)),
+            ("welch_t", "mean_a", round(wt["mean_a"], 4)),
+            ("welch_t", "mean_b", round(wt["mean_b"], 4)),
+            ("welch_t", "n_a", float(wt["n_a"])),
+            ("welch_t", "n_b", float(wt["n_b"])),
+            ("chi2_ind", "stat", round(ch["chi2"], 6)),
+            ("chi2_ind", "df", ch["df"]),
+            ("chi2_ind", "n", float(ch["n"])),
+        ],
+        "col_a string, col_b string, corr double",
+    )
+    return corr.unionByName(extra).orderBy("col_a", "col_b")
 
 
 def _corr_sql_pair(a: str, b: str, ia: int, ib: int) -> str:
@@ -3857,7 +3890,52 @@ SQL_LINEITEM_CORR = (
         for i in range(4)
         for j in range(i + 1, 4)
     )
-    + " ORDER BY col_a, col_b"
+    + """
+UNION ALL
+SELECT t.col_a, t.col_b, t.corr FROM (
+  WITH w AS (
+    SELECT l_linestatus AS g, CAST(COUNT(*) AS DOUBLE) AS n,
+           AVG(CAST(l_extendedprice AS DOUBLE)) AS m,
+           VAR_SAMP(CAST(l_extendedprice AS DOUBLE)) AS v
+    FROM lineitem GROUP BY 1),
+  w2 AS (
+    SELECT MAX(CASE WHEN g = 'F' THEN n END) AS n1,
+           MAX(CASE WHEN g = 'F' THEN m END) AS m1,
+           MAX(CASE WHEN g = 'F' THEN v END) AS v1,
+           MAX(CASE WHEN g = 'O' THEN n END) AS n2,
+           MAX(CASE WHEN g = 'O' THEN m END) AS m2,
+           MAX(CASE WHEN g = 'O' THEN v END) AS v2
+    FROM w),
+  cells AS (
+    SELECT o_orderpriority AS a, o_orderstatus AS b,
+           CAST(COUNT(*) AS DOUBLE) AS o
+    FROM orders GROUP BY 1, 2),
+  ra AS (SELECT a, SUM(o) AS ra FROM cells GROUP BY 1),
+  cb AS (SELECT b, SUM(o) AS cb FROM cells GROUP BY 1),
+  tot AS (SELECT SUM(o) AS n, COUNT(DISTINCT a) AS ka,
+                 COUNT(DISTINCT b) AS kb FROM cells),
+  chi AS (
+    SELECT SUM(POWER(COALESCE(c.o, 0.0) - ra.ra * cb.cb / tot.n, 2)
+               / (ra.ra * cb.cb / tot.n)) AS stat
+    FROM ra CROSS JOIN cb CROSS JOIN tot
+    LEFT JOIN cells c ON c.a = ra.a AND c.b = cb.b)
+  SELECT 'welch_t' AS col_a, 't_stat' AS col_b,
+         ROUND((m1 - m2) / SQRT(v1 / n1 + v2 / n2), 6) AS corr FROM w2
+  UNION ALL
+  SELECT 'welch_t', 'df',
+         ROUND(POWER(v1 / n1 + v2 / n2, 2)
+               / (POWER(v1 / n1, 2) / (n1 - 1.0)
+                  + POWER(v2 / n2, 2) / (n2 - 1.0)), 2) FROM w2
+  UNION ALL SELECT 'welch_t', 'mean_a', ROUND(m1, 4) FROM w2
+  UNION ALL SELECT 'welch_t', 'mean_b', ROUND(m2, 4) FROM w2
+  UNION ALL SELECT 'welch_t', 'n_a', n1 FROM w2
+  UNION ALL SELECT 'welch_t', 'n_b', n2 FROM w2
+  UNION ALL SELECT 'chi2_ind', 'stat', ROUND(chi.stat, 6) FROM chi
+  UNION ALL
+  SELECT 'chi2_ind', 'df', (tot.ka - 1.0) * (tot.kb - 1.0) FROM tot
+  UNION ALL SELECT 'chi2_ind', 'n', tot.n FROM tot
+) t
+ORDER BY col_a, col_b"""
 )
 
 

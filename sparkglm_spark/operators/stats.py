@@ -102,3 +102,163 @@ def standardize(
         if not sd > 0:
             raise ValueError(f"column {c!r} has zero variance; cannot standardize")
     return df.select("*", *standardize_exprs(stats, suffix))
+
+
+def welch_ttest(
+    df: DataFrame, group_col: str, value_col: str
+) -> dict:
+    """Welch's unequal-variance two-sample t-test (the A/B-test default;
+    public convention: Welch 1947 / R `t.test`):
+
+      t  = (x̄₁ − x̄₂) / √(s₁²/n₁ + s₂²/n₂)
+      df = Welch–Satterthwaite approximation
+      p  = two-sided via the engine's `t_sf`
+
+    `group_col` must take EXACTLY two distinct non-null values (checked);
+    the whole test is ONE two-row aggregation (count/mean/var_samp per
+    group) — driver math after that, no second job at any data scale.
+    Groups are ordered by their value so the sign of `t` is deterministic."""
+    from sparkglm_spark.functions.special import t_pvalue_two_sided
+
+    rows = (
+        df.where(F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.count(value_col).alias("n"),
+            F.avg(value_col).alias("mean"),
+            F.var_samp(value_col).alias("var"),
+        )
+        .orderBy(group_col)
+        .collect()
+    )
+    if len(rows) != 2:
+        raise ValueError(
+            f"welch_ttest needs exactly 2 groups, found {len(rows)}: "
+            f"{[r[group_col] for r in rows][:5]}"
+        )
+    (g1, n1, m1, v1), (g2, n2, m2, v2) = (
+        (r[group_col], int(r["n"]), float(r["mean"]), float(r["var"])) for r in rows
+    )
+    if min(n1, n2) < 2:
+        raise ValueError("each group needs n >= 2")
+    se2 = v1 / n1 + v2 / n2
+    t = (m1 - m2) / se2**0.5
+    dof = se2**2 / ((v1 / n1) ** 2 / (n1 - 1) + (v2 / n2) ** 2 / (n2 - 1))
+    return {
+        "group_a": g1, "group_b": g2,
+        "n_a": n1, "n_b": n2,
+        "mean_a": m1, "mean_b": m2,
+        "var_a": v1, "var_b": v2,
+        "t_stat": float(t), "df": float(dof),
+        "p_value": float(t_pvalue_two_sided(t, dof)),
+    }
+
+
+def chi2_independence(
+    df: DataFrame, col_a: str, col_b: str
+) -> dict:
+    """Pearson χ² test of independence over the (col_a, col_b) contingency
+    table: Σ (observed − expected)²/expected with expected =
+    row_total·col_total/n.
+
+    Plan: one groupBy(a, b) count (the contingency cells), marginals
+    re-aggregate FROM THE CELLS (cells ≪ rows; the raw table is scanned
+    once), and the statistic sums over the FULL ka×kb marginal grid
+    (tiny crossJoin of the two marginal aggregates) left-joined with the
+    observed cells — a cell with observed 0 but expected > 0 still
+    contributes (the classic sparse-contingency mistake). Nothing
+    row-level is collected; the driver sees 4 scalars. p via the
+    engine's `chisq_sf`."""
+    from sparkglm_spark.functions.special import chisq_sf
+
+    cells = (
+        df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(col_a, col_b)
+        .agg(F.count(F.lit(1)).cast("double").alias("o"))
+    ).persist()
+    try:
+        ra = cells.groupBy(col_a).agg(F.sum("o").alias("ra"))
+        cb = cells.groupBy(col_b).agg(F.sum("o").alias("cb"))
+        tot = cells.agg(
+            F.sum("o").alias("n"),
+            F.countDistinct(col_a).alias("ka"),
+            F.countDistinct(col_b).alias("kb"),
+        ).collect()[0]
+        n, ka, kb = float(tot["n"]), int(tot["ka"]), int(tot["kb"])
+        if ka < 2 or kb < 2:
+            raise ValueError(
+                f"need >= 2 levels per column, found {ka}x{kb}"
+            )
+        # the FULL ka×kb grid, not just observed cells: a cell with
+        # observed = 0 but expected > 0 still contributes expected to the
+        # statistic (the classic sparse-contingency mistake)
+        grid = ra.crossJoin(cb)
+        stat_row = (
+            grid.join(F.broadcast(cells), [col_a, col_b], "left")
+            .select(
+                (
+                    (
+                        F.coalesce(F.col("o"), F.lit(0.0))
+                        - F.col("ra") * F.col("cb") / F.lit(n)
+                    )
+                    ** 2
+                    / (F.col("ra") * F.col("cb") / F.lit(n))
+                ).alias("term")
+            )
+            .agg(F.sum("term").alias("chi2"))
+            .collect()[0]
+        )
+    finally:
+        cells.unpersist()
+    chi2 = float(stat_row["chi2"])
+    dof = float((ka - 1) * (kb - 1))
+    return {
+        "chi2": chi2, "df": dof, "n": int(n),
+        "levels_a": ka, "levels_b": kb,
+        "p_value": float(chisq_sf(chi2, dof)),
+    }
+
+
+def proportions_ztest(
+    df: DataFrame, group_col: str, success_col: str
+) -> dict:
+    """Two-proportion pooled z-test (A/B conversion-rate comparison):
+    z = (p̂₁ − p̂₂)/√(p̂(1−p̂)(1/n₁+1/n₂)), p̂ pooled. `success_col`
+    must be 0/1 (checked in the same single aggregation). One two-row
+    aggregation job; groups ordered by value for a deterministic sign."""
+    from sparkglm_spark.functions.special import norm_pvalue_two_sided
+
+    s = F.col(success_col).cast("double")
+    rows = (
+        df.where(F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(s).alias("succ"),
+            F.sum((s != 0.0).cast("int") * (s != 1.0).cast("int")).alias("bad"),
+        )
+        .orderBy(group_col)
+        .collect()
+    )
+    if len(rows) != 2:
+        raise ValueError(
+            f"proportions_ztest needs exactly 2 groups, found {len(rows)}"
+        )
+    if any(r["bad"] for r in rows):
+        raise ValueError("success_col must be 0/1")
+    (g1, n1, s1), (g2, n2, s2) = (
+        (r[group_col], int(r["n"]), float(r["succ"])) for r in rows
+    )
+    if min(n1, n2) < 1:
+        raise ValueError("each group needs n >= 1")
+    p1, p2 = s1 / n1, s2 / n2
+    pooled = (s1 + s2) / (n1 + n2)
+    denom = (pooled * (1.0 - pooled) * (1.0 / n1 + 1.0 / n2)) ** 0.5
+    z = float("nan") if denom == 0.0 else (p1 - p2) / denom
+    return {
+        "group_a": g1, "group_b": g2,
+        "n_a": n1, "n_b": n2,
+        "rate_a": p1, "rate_b": p2,
+        "z_stat": float(z),
+        "p_value": float(norm_pvalue_two_sided(z)) if z == z else float("nan"),
+    }

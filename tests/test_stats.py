@@ -59,3 +59,89 @@ def test_distinct_count_salted_validates(spark, orders):
 
     with pytest.raises(ValueError):
         distinct_count_salted(orders, ["o_orderpriority"], "o_custkey", n_salts=0)
+
+
+def test_welch_ttest_matches_numpy(spark):
+    import numpy as np
+
+    from sparkglm_spark.operators.stats import welch_ttest
+
+    rng = np.random.default_rng(13)
+    a = rng.normal(10.0, 2.0, 80)
+    b = rng.normal(10.8, 3.5, 55)
+    rows = [("a", float(v)) for v in a] + [("b", float(v)) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double").repartition(6)
+    out = welch_ttest(df, "g", "v")
+    v1, v2 = a.var(ddof=1), b.var(ddof=1)
+    se2 = v1 / 80 + v2 / 55
+    t = (a.mean() - b.mean()) / se2**0.5
+    dof = se2**2 / ((v1 / 80) ** 2 / 79 + (v2 / 55) ** 2 / 54)
+    assert out["t_stat"] == pytest.approx(t, rel=1e-10)
+    assert out["df"] == pytest.approx(dof, rel=1e-10)
+    assert out["mean_a"] == pytest.approx(a.mean(), rel=1e-12)
+    assert 0.0 < out["p_value"] < 1.0
+    from sparkglm_spark.functions.special import t_pvalue_two_sided
+
+    assert out["p_value"] == pytest.approx(t_pvalue_two_sided(t, dof), rel=1e-10)
+    with pytest.raises(ValueError, match="exactly 2"):
+        welch_ttest(df.where("g = 'a'"), "g", "v")
+
+
+def test_chi2_independence_matches_numpy(spark):
+    import numpy as np
+
+    from sparkglm_spark.operators.stats import chi2_independence
+
+    rng = np.random.default_rng(17)
+    # dependent pair: b correlated with a
+    a = rng.integers(0, 3, 500)
+    b = (a + (rng.random(500) < 0.35).astype(int)) % 4
+    rows = [(f"a{x}", f"b{y}") for x, y in zip(a, b)]
+    df = spark.createDataFrame(rows, "x string, y string").repartition(5)
+    out = chi2_independence(df, "x", "y")
+    obs = np.zeros((3, 4))
+    for x, y in zip(a, b):
+        obs[x, y % 4] += 1
+    exp = obs.sum(1, keepdims=True) * obs.sum(0, keepdims=True) / obs.sum()
+    mask = exp > 0
+    chi2 = (((obs - exp) ** 2)[mask] / exp[mask]).sum()
+    assert out["chi2"] == pytest.approx(chi2, rel=1e-10)
+    assert out["df"] == (3 - 1) * (out["levels_b"] - 1)
+    assert out["n"] == 500
+    assert out["p_value"] < 0.05  # strongly dependent by construction
+
+
+def test_chi2_independence_independent_is_insignificant(spark):
+    import numpy as np
+
+    from sparkglm_spark.operators.stats import chi2_independence
+
+    rng = np.random.default_rng(19)
+    rows = [
+        (f"a{int(x)}", f"b{int(y)}")
+        for x, y in zip(rng.integers(0, 3, 2000), rng.integers(0, 3, 2000))
+    ]
+    df = spark.createDataFrame(rows, "x string, y string")
+    out = chi2_independence(df, "x", "y")
+    assert out["p_value"] > 0.01
+
+
+def test_proportions_ztest(spark):
+    from sparkglm_spark.operators.stats import proportions_ztest
+
+    rows = [("a", 1.0)] * 120 + [("a", 0.0)] * 80 + [("b", 1.0)] * 90 + [
+        ("b", 0.0)
+    ] * 110
+    df = spark.createDataFrame(rows, "g string, s double").repartition(4)
+    out = proportions_ztest(df, "g", "s")
+    p1, p2 = 120 / 200, 90 / 200
+    pooled = 210 / 400
+    z = (p1 - p2) / (pooled * (1 - pooled) * (1 / 200 + 1 / 200)) ** 0.5
+    assert out["z_stat"] == pytest.approx(z, rel=1e-12)
+    assert out["rate_a"] == pytest.approx(p1) and out["rate_b"] == pytest.approx(p2)
+    assert out["p_value"] < 0.01
+    with pytest.raises(ValueError, match="0/1"):
+        proportions_ztest(
+            spark.createDataFrame([("a", 2.0), ("b", 1.0)], "g string, s double"),
+            "g", "s",
+        )
