@@ -5025,7 +5025,27 @@ def q_orders_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_pos").alias("v2"),
         F.col("n_neg").alias("v3"),
     )
-    return pct.unionByName(hist).unionByName(clf).unionByName(calib).unionByName(seg)
+    # r7b: one-pass numeric profile (exact quantile_cont percentiles).
+    # mean/std pin at 3dp: cross-engine double-sum drift is ~1e-12 REL,
+    # which at |value| ~ 1e5 is ~1e-7 ABS — a 6dp pin would sit inside
+    # the rounding boundary ~20% of the time (the FLOAT ORACLE RULE).
+    from sparkglm_spark.operators.stats import numeric_profile
+
+    prof = numeric_profile(od, ["o_totalprice", "o_custkey"]).select(
+        F.lit("num_profile").alias("op"),
+        F.col("column").alias("key"),
+        F.col("n").alias("n"),
+        F.round("mean", 3).alias("v1"),
+        F.round("std", 3).alias("v2"),
+        F.round("p90", 6).alias("v3"),
+    )
+    return (
+        pct.unionByName(hist)
+        .unionByName(clf)
+        .unionByName(calib)
+        .unionByName(seg)
+        .unionByName(prof)
+    )
 
 
 SQL_ORDERS_DISTRIBUTIONS = f"""
@@ -5084,6 +5104,21 @@ FROM (
     FROM orders) s
   GROUP BY 1
 ) b
+UNION ALL
+SELECT 'num_profile', p.key, p.n, p.v1, p.v2, p.v3
+FROM (
+  SELECT 'o_totalprice' AS key, CAST(COUNT(o_totalprice) AS BIGINT) AS n,
+         ROUND(AVG(CAST(o_totalprice AS DOUBLE)), 3) AS v1,
+         ROUND(STDDEV_SAMP(CAST(o_totalprice AS DOUBLE)), 3) AS v2,
+         ROUND(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.9), 6) AS v3
+  FROM orders
+  UNION ALL
+  SELECT 'o_custkey', CAST(COUNT(o_custkey) AS BIGINT),
+         ROUND(AVG(CAST(o_custkey AS DOUBLE)), 3),
+         ROUND(STDDEV_SAMP(CAST(o_custkey AS DOUBLE)), 3),
+         ROUND(quantile_cont(CAST(o_custkey AS DOUBLE), 0.9), 6)
+  FROM orders
+) p
 UNION ALL
 SELECT 'seg_auc', g.seg, g.n, ROUND(g.u / (g.np * g.nn), 6), g.np, g.nn
 FROM (

@@ -262,3 +262,54 @@ def proportions_ztest(
         "z_stat": float(z),
         "p_value": float(norm_pvalue_two_sided(z)) if z == z else float("nan"),
     }
+
+
+def numeric_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """`describe()` that scales and is engine-exact: per column —
+    (column, n, n_null, mean, std, min, max, p25, p50, p75, p90) — in ONE
+    aggregation pass over the table (k columns → one job, partial-agg
+    map-side; exact linear-interpolation percentiles, the DuckDB
+    quantile_cont definition, NOT approx_percentile — swap in
+    `approx_mode=True` for the sketch when the exact sort-based
+    percentile is too heavy at the tail of a 100 TB scan).
+
+    std is the SAMPLE standard deviation (stddev_samp). Long format so
+    downstream code joins/filters on the column name."""
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    aggs: list[Column] = []
+    for c in cols:
+        col = F.col(c).cast("double")
+        aggs += [
+            F.count(col).alias(f"__n_{c}"),
+            F.sum(col.isNull().cast("long")).alias(f"__nn_{c}"),
+            F.avg(col).alias(f"__mean_{c}"),
+            F.stddev_samp(col).alias(f"__std_{c}"),
+            F.min(col).alias(f"__min_{c}"),
+            F.max(col).alias(f"__max_{c}"),
+            F.expr(f"percentile(CAST({c} AS DOUBLE), array(0.25, 0.5, 0.75, 0.9))").alias(
+                f"__pct_{c}"
+            ),
+        ]
+    row = df.agg(*aggs).collect()[0]
+    out = []
+    for c in cols:
+        pct = row[f"__pct_{c}"] or [None] * 4
+        out.append(
+            (
+                c,
+                int(row[f"__n_{c}"]),
+                int(row[f"__nn_{c}"] or 0),
+                float(row[f"__mean_{c}"]) if row[f"__mean_{c}"] is not None else None,
+                float(row[f"__std_{c}"]) if row[f"__std_{c}"] is not None else None,
+                float(row[f"__min_{c}"]) if row[f"__min_{c}"] is not None else None,
+                float(row[f"__max_{c}"]) if row[f"__max_{c}"] is not None else None,
+                *[float(p) if p is not None else None for p in pct],
+            )
+        )
+    return df.sparkSession.createDataFrame(
+        out,
+        "column string, n bigint, n_null bigint, mean double, std double, "
+        "min double, max double, p25 double, p50 double, p75 double, "
+        "p90 double",
+    )

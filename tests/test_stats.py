@@ -145,3 +145,33 @@ def test_proportions_ztest(spark):
             spark.createDataFrame([("a", 2.0), ("b", 1.0)], "g string, s double"),
             "g", "s",
         )
+
+
+def test_numeric_profile_matches_numpy(spark):
+    import numpy as np
+
+    from sparkglm_spark.operators.stats import numeric_profile
+
+    rng = np.random.default_rng(23)
+    a = rng.normal(5, 2, 301)
+    b = rng.exponential(3, 301)
+    rows = [(float(x), float(y), None if i % 7 == 0 else float(x + y))
+            for i, (x, y) in enumerate(zip(a, b))]
+    df = spark.createDataFrame(rows, "a double, b double, c double").repartition(9)
+    got = {r.column: r for r in numeric_profile(df, ["a", "b", "c"]).collect()}
+    for name, vals in (("a", a), ("b", b)):
+        r = got[name]
+        assert r.n == 301 and r.n_null == 0
+        assert r.mean == pytest.approx(vals.mean(), rel=1e-10)
+        assert r.std == pytest.approx(vals.std(ddof=1), rel=1e-10)
+        assert r.min == pytest.approx(vals.min()) and r.max == pytest.approx(vals.max())
+        for q, field in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75"), (0.9, "p90")):
+            assert getattr(r, field) == pytest.approx(
+                np.quantile(vals, q), rel=1e-10
+            ), (name, q)
+    c_vals = np.array([x + y for i, (x, y) in enumerate(zip(a, b)) if i % 7 != 0])
+    assert got["c"].n == len(c_vals)
+    assert got["c"].n_null == 301 - len(c_vals)
+    assert got["c"].p50 == pytest.approx(np.quantile(c_vals, 0.5), rel=1e-10)
+    with pytest.raises(ValueError, match="non-empty"):
+        numeric_profile(df, [])
