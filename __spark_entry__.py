@@ -796,11 +796,25 @@ def q_wls_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M5/M6: weighted least squares (utils.wlsSingle/wlsMultiple,
     utils.scala:70-80,103-112), weight = l_quantity. Oracle: closed-form
     weighted Cramer from exact decimal sums; both rounded to 1 decimal."""
-    from sparkglm_spark.operators.lm import wls
+    from sparkglm_spark.operators.lm import huber_lm, wls
 
     li = read_table(spark, sf_dir, "lineitem")
     model = wls(li, "l_extendedprice ~ l_discount", weight_col="l_quantity")
     rows = [(name, round(float(c), 1)) for name, c in zip(model.xnames, model.coefs)]
+    # r7b: Huber robust regression at exactly 2 reweighted solves after the
+    # OLS start — the trajectory is deterministic, so the oracle unrolls
+    # OLS → (median|e|/0.6745, weights) → WLS twice in closed form. The
+    # Huber weight is CONTINUOUS at |e| = c·s (1 = cs/|e| there), so the
+    # engine/oracle β divergence stays smooth (same 1dp margin as lm_fit).
+    hub = huber_lm(li, "l_extendedprice ~ l_quantity", c=1.345,
+                   exact_iterations=2)
+    rows += [
+        (f"huber_{name}", round(float(b), 1))
+        for name, b in zip(hub.xnames, hub.coefs)
+    ] + [
+        ("huber_scale", round(hub.scale, 1)),
+        ("huber_iterations", float(hub.iter)),
+    ]
     return spark.createDataFrame(rows, "term string, coef double").orderBy("term")
 
 
@@ -817,6 +831,54 @@ SELECT 'intercept' AS term,
 UNION ALL
 SELECT 'l_discount' AS term,
        ROUND((sw * swxy - swx * swy) / (sw * swxx - swx * swx), 1) AS coef FROM s
+UNION ALL
+SELECT h.term, h.coef FROM (
+  WITH hbase AS (
+    SELECT CAST(l_quantity AS DOUBLE) AS x,
+           CAST(l_extendedprice AS DOUBLE) AS y FROM lineitem),
+  hs AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS sxy
+    FROM lineitem),
+  b0 AS (
+    SELECT (sy * sxx - sx * sxy) / (n * sxx - sx * sx) AS a,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b FROM hs),
+  s1 AS (
+    SELECT quantile_cont(abs(y - b0.a - b0.b * x), 0.5) / 0.6745 AS s
+    FROM hbase CROSS JOIN b0),
+  w1 AS (
+    SELECT SUM(w) AS sw, SUM(w * x) AS swx, SUM(w * x * x) AS swxx,
+           SUM(w * y) AS swy, SUM(w * x * y) AS swxy
+    FROM (
+      SELECT x, y,
+             CASE WHEN abs(y - b0.a - b0.b * x) <= 1.345 * s1.s THEN 1.0
+                  ELSE 1.345 * s1.s / abs(y - b0.a - b0.b * x) END AS w
+      FROM hbase CROSS JOIN b0 CROSS JOIN s1)),
+  b1 AS (
+    SELECT (swy * swxx - swx * swxy) / (sw * swxx - swx * swx) AS a,
+           (sw * swxy - swx * swy) / (sw * swxx - swx * swx) AS b FROM w1),
+  s2 AS (
+    SELECT quantile_cont(abs(y - b1.a - b1.b * x), 0.5) / 0.6745 AS s
+    FROM hbase CROSS JOIN b1),
+  w2 AS (
+    SELECT SUM(w) AS sw, SUM(w * x) AS swx, SUM(w * x * x) AS swxx,
+           SUM(w * y) AS swy, SUM(w * x * y) AS swxy
+    FROM (
+      SELECT x, y,
+             CASE WHEN abs(y - b1.a - b1.b * x) <= 1.345 * s2.s THEN 1.0
+                  ELSE 1.345 * s2.s / abs(y - b1.a - b1.b * x) END AS w
+      FROM hbase CROSS JOIN b1 CROSS JOIN s2)),
+  b2 AS (
+    SELECT (swy * swxx - swx * swxy) / (sw * swxx - swx * swx) AS a,
+           (sw * swxy - swx * swy) / (sw * swxx - swx * swx) AS b FROM w2)
+  SELECT 'huber_intercept' AS term, ROUND(a, 1) AS coef FROM b2
+  UNION ALL SELECT 'huber_l_quantity', ROUND(b, 1) FROM b2
+  UNION ALL SELECT 'huber_scale', ROUND(s2.s, 1) FROM s2
+  UNION ALL SELECT 'huber_iterations', 2.0
+) h
 ORDER BY term
 """
 

@@ -851,3 +851,142 @@ def anova_lm(reduced: LM, full: LM) -> dict:
         "f_stat": float(f_stat),
         "p_value": f_sf(float(f_stat), float(df_num), float(df_f)),
     }
+
+
+@dataclass
+class HuberLM:
+    """Huber M-estimated robust regression fit (`huber_lm`). Carries only
+    what the robust fit defines: coefficients, the robust scale, and the
+    iteration trace — no R²/F (they are OLS constructs) and no classical
+    SEs (use `robust_standard_errors` on an OLS fit, or bootstrap, for
+    inference)."""
+
+    xnames: list[str]
+    yname: str
+    coefs: np.ndarray
+    scale: float
+    c: float
+    iter: int
+    nrow: int
+    converged: bool
+    levels: dict[str, list[str]] = field(default_factory=dict)
+    call: str = ""
+
+    def predict(self, df: DataFrame, output_col: str = "prediction") -> DataFrame:
+        """Same keyed scoring projection as LM.predict (raw columns in,
+        rows untouched, one codegen pass)."""
+        expr = prediction_over_raw(self.xnames, self.coefs, self.levels, df.columns)
+        return df.withColumn(output_col, expr)
+
+
+def huber_lm(
+    df: DataFrame,
+    formula: str,
+    c: float = 1.345,
+    max_iter: int = 30,
+    tol: float = 1e-8,
+    exact_iterations: int | None = None,
+    na_action: str = "omit",
+) -> HuberLM:
+    """Huber M-estimator robust regression via IRLS (public convention:
+    Huber 1964; R MASS `rlm(psi = psi.huber)`), resistant to outliers in
+    the RESPONSE that wreck OLS:
+
+        w(e) = 1                if |e| ≤ c·s
+             = c·s/|e|          otherwise        (c = 1.345 ⇒ 95%
+                                                  efficiency at the normal)
+
+    with the robust scale s re-estimated each iteration as
+    median(|e|)/0.6745 (the uncentered MAD — the regression residual
+    already absorbs location; documented difference from the centered
+    MAD some texts use). Starting point is the OLS fit.
+
+    Plan: each iteration is TWO jobs over the encoded frame — an exact
+    median of |e| (percentile aggregate) and the SAME weighted-Gram
+    aggregation WLS uses, with the weight a pure codegen expression of
+    the residual (no intermediate materialization; the frame is persisted
+    once). Driver math stays k×k. `exact_iterations=N` runs exactly N
+    reweighted solves after the OLS start (no convergence test) — the
+    deterministic trajectory the SQL oracle replays.
+
+    Convergence: max|Δβ| ≤ tol·max(1, max|β|). A zero robust scale
+    (≥ half the rows fit exactly) stops with the current β."""
+    if c <= 0:
+        raise ValueError(f"c must be > 0, got {c!r}")
+    from sparkglm_spark.formula import expand_dot, parse_formula
+    from sparkglm_spark.functions.encoding import (
+        model_matrix,
+        model_matrix_levels,
+        omit_na,
+    )
+    from sparkglm_spark.plans.gram import gram_aggregate
+    from sparkglm_spark.plans.partitioning import ensure_parallel
+
+    parsed = expand_dot(parse_formula(formula), df.columns)
+    data = df.select(parsed.target, *parsed.predictors)
+    if na_action == "omit":
+        data = omit_na(data)
+    levels = model_matrix_levels(data.select(*parsed.predictors))
+    encoded = model_matrix(data, levels=levels)
+    x_cols: list[str] = []
+    if parsed.intercept:
+        encoded = encoded.withColumn("intercept", F.lit(1.0))
+        x_cols.append("intercept")
+    for p in parsed.predictors:
+        if p in levels:
+            x_cols.extend(f"{p}_{lvl}" for lvl in levels[p][1:])
+        else:
+            x_cols.append(p)
+    y = F.col(parsed.target).cast("double")
+    work = ensure_parallel(encoded.select(parsed.target, *x_cols)).persist()
+    try:
+        start = LM.fit(work, y_col=parsed.target, x_cols=x_cols)
+        beta = np.asarray(start.coefs, dtype=np.float64)
+        n = start.nrow
+        n_iter = 0
+        converged = False
+        scale = float("nan")
+        iters = exact_iterations if exact_iterations is not None else max_iter
+        for _ in range(iters):
+            resid = y - linear_combination(x_cols, beta)
+            srow = work.agg(
+                F.expr(
+                    f"percentile(abs({parsed.target} - ("
+                    + " + ".join(
+                        f"{float(b)!r} * {name}" for name, b in zip(x_cols, beta)
+                    )
+                    + ")), 0.5)"
+                ).alias("mad")
+            ).collect()[0]
+            scale = float(srow["mad"]) / 0.6745
+            if not scale > 0.0:
+                break
+            cs = c * scale
+            w = F.when(F.abs(resid) <= cs, 1.0).otherwise(F.lit(cs) / F.abs(resid))
+            g = gram_aggregate(
+                work.withColumn("__w", w), x_cols, y_col=parsed.target,
+                weight_col="__w",
+            )
+            new_beta, _ = solve_normal(g.xtx, g.xty)
+            delta = float(np.max(np.abs(new_beta - beta)))
+            beta = np.asarray(new_beta, dtype=np.float64)
+            n_iter += 1
+            if exact_iterations is None and delta <= tol * max(
+                1.0, float(np.max(np.abs(beta)))
+            ):
+                converged = True
+                break
+    finally:
+        work.unpersist()
+    return HuberLM(
+        xnames=list(x_cols),
+        yname=parsed.target,
+        coefs=beta,
+        scale=scale,
+        c=float(c),
+        iter=n_iter,
+        nrow=n,
+        converged=converged or exact_iterations is not None,
+        levels=levels,
+        call=f"huber_lm({formula}, c={c})",
+    )

@@ -548,3 +548,55 @@ def test_anova_lm_rejects_non_nested(lineitem):
         anova_lm(a, b)
     with pytest.raises(ValueError, match="subset"):
         anova_lm(a, a)
+
+
+def test_huber_lm_downweights_outliers(spark):
+    """Huber IRLS vs a numpy twin on a line with planted gross outliers:
+    the twin must match exactly (same trajectory), and the robust fit must
+    sit far closer to the clean truth than OLS does."""
+    from sparkglm_spark.operators.lm import huber_lm, lm
+
+    rng = np.random.default_rng(29)
+    x = np.linspace(0, 10, 200)
+    y = 4.0 + 1.5 * x + rng.normal(0, 0.5, 200)
+    y[::20] += 80.0  # 10 gross outliers
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(x, y)], "x double, y double"
+    ).repartition(7)
+
+    model = huber_lm(df, "y ~ x", c=1.345, exact_iterations=5)
+
+    # numpy twin of the exact trajectory
+    X = np.column_stack([np.ones(200), x])
+    beta = np.linalg.lstsq(X, y, rcond=None)[0]
+    for _ in range(5):
+        e = y - X @ beta
+        s = np.quantile(np.abs(e), 0.5) / 0.6745
+        cs = 1.345 * s
+        w = np.where(np.abs(e) <= cs, 1.0, cs / np.abs(e))
+        beta = np.linalg.solve((X * w[:, None]).T @ X, (X * w[:, None]).T @ y)
+    np.testing.assert_allclose(model.coefs, beta, rtol=1e-7)
+    assert model.scale == pytest.approx(s, rel=1e-7)
+
+    ols = lm(df, "y ~ x")
+    truth = np.array([4.0, 1.5])
+    assert np.abs(model.coefs - truth).max() < 0.2
+    assert np.abs(ols.coefs - truth).max() > 1.0  # OLS dragged by outliers
+
+    scored = model.predict(df)
+    assert scored.columns == ["x", "y", "prediction"]
+
+
+def test_huber_lm_converges_and_large_c_matches_ols(lineitem):
+    from sparkglm_spark.operators.lm import huber_lm, lm
+
+    robust = huber_lm(lineitem, "l_extendedprice ~ l_quantity", c=1e9)
+    ols = lm(lineitem, "l_extendedprice ~ l_quantity")
+    # with c -> inf every weight is 1: the first reweighted solve IS OLS
+    np.testing.assert_allclose(robust.coefs, ols.coefs, rtol=1e-9)
+    assert robust.converged
+
+    small = huber_lm(lineitem, "l_extendedprice ~ l_quantity", c=1.345)
+    assert small.converged and small.iter <= 30
+    with pytest.raises(ValueError, match="c must be"):
+        huber_lm(lineitem, "l_extendedprice ~ l_quantity", c=0.0)
