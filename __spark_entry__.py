@@ -5101,14 +5101,100 @@ def q_orders_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("std", 3).alias("v2"),
         F.round("p90", 6).alias("v3"),
     )
+    # r7b: Cox proportional hazards at exactly 3 Newton steps from β = 0
+    # (operators/survival.py — risk-set suffix sums via the prefix plan;
+    # Breslow ties). time = o_totalprice, event = (status = 'F'),
+    # x = (custkey % 100)/100 — x takes 100 distinct values so the exp()
+    # surface is tiny; trajectory divergence ≲1e-9 → ROUND 6.
+    from sparkglm_spark.operators.survival import coxph
+
+    cox_in = od.select(
+        F.col("o_totalprice").cast("double").alias("t"),
+        F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0).alias("ev"),
+        ((F.col("o_custkey") % 100) / 100.0).alias("x"),
+    )
+    cm = coxph(cox_in, "t", "ev", ["x"], exact_iterations=3)
+    cox = spark.createDataFrame(
+        [
+            ("coxph", "beta", None, round(float(cm.coefs[0]), 6), None, None),
+            ("coxph", "se", None, round(float(cm.se[0]), 6), None, None),
+            ("coxph", "loglik", None, round(cm.loglik, 4), None, None),
+            ("coxph", "n_events", cm.n_events, None, None, None),
+        ],
+        "op string, key string, n bigint, v1 double, v2 double, v3 double",
+    )
     return (
         pct.unionByName(hist)
         .unionByName(clf)
         .unionByName(calib)
         .unionByName(seg)
         .unionByName(prof)
+        .unionByName(cox)
     )
 
+
+def _sql_cox_ctes(iters: int) -> str:
+    """Unroll `coxph(exact_iterations=iters)` (k = 1, Breslow) as CTEs:
+    per-time totals → suffix sums (window over t DESC; per-time rows are
+    distinct so ROWS ≡ RANGE) → Newton update. Mirrors
+    operators/survival.py::_risk_set_stats exactly. The final stats CTE
+    (cxf_g) evaluates at the RETURNED β — the engine's post-loop recompute."""
+    ctes = [
+        "cbase AS (SELECT CAST(o_totalprice AS DOUBLE) AS t, "
+        "CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS ev, "
+        "CAST(o_custkey % 100 AS DOUBLE) / 100.0 AS x FROM orders)",
+        "cx0 AS (SELECT 0.0 AS b)",
+    ]
+    for i in range(1, iters + 1):
+        prev = f"cx{i - 1}"
+        ctes += [
+            f"cx{i}_t AS (SELECT t, SUM(exp(b * x)) AS e0, "
+            f"SUM(x * exp(b * x)) AS e1, SUM(x * x * exp(b * x)) AS e2, "
+            f"SUM(ev) AS d, SUM(ev * x) AS dx "
+            f"FROM cbase CROSS JOIN {prev} GROUP BY t)",
+            f"cx{i}_c AS (SELECT d, dx, "
+            f"SUM(e0) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS e0c, "
+            f"SUM(e1) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS e1c, "
+            f"SUM(e2) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS e2c "
+            f"FROM cx{i}_t)",
+            f"cx{i}_g AS (SELECT SUM(dx) AS sdx, SUM(d * ln(e0c)) AS dl, "
+            f"SUM(d * e1c / e0c) AS gs, "
+            f"SUM(d * (e2c / e0c - e1c * e1c / (e0c * e0c))) AS h "
+            f"FROM cx{i}_c WHERE d > 0)",
+            f"cx{i} AS (SELECT {prev}.b + (g.sdx - g.gs) / g.h AS b "
+            f"FROM cx{i}_g g CROSS JOIN {prev})",
+        ]
+    fin = f"cx{iters}"
+    ctes += [
+        f"cxf_t AS (SELECT t, SUM(exp(b * x)) AS e0, "
+        f"SUM(x * exp(b * x)) AS e1, SUM(x * x * exp(b * x)) AS e2, "
+        f"SUM(ev) AS d, SUM(ev * x) AS dx "
+        f"FROM cbase CROSS JOIN {fin} GROUP BY t)",
+        "cxf_c AS (SELECT d, dx, "
+        "SUM(e0) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS e0c, "
+        "SUM(e1) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS e1c, "
+        "SUM(e2) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS e2c "
+        "FROM cxf_t)",
+        "cxf_g AS (SELECT SUM(dx) AS sdx, SUM(d * ln(e0c)) AS dl, "
+        "SUM(d * (e2c / e0c - e1c * e1c / (e0c * e0c))) AS h, "
+        "SUM(d) AS ne FROM cxf_c WHERE d > 0)",
+    ]
+    return "WITH " + ",\n".join(ctes) + f"""
+SELECT 'coxph' AS op, 'beta' AS key, CAST(NULL AS BIGINT) AS n,
+       ROUND({fin}.b, 6) AS v1, CAST(NULL AS DOUBLE) AS v2,
+       CAST(NULL AS DOUBLE) AS v3
+FROM {fin}
+UNION ALL
+SELECT 'coxph', 'se', NULL, ROUND(1.0 / SQRT(g.h), 6), NULL, NULL FROM cxf_g g
+UNION ALL
+SELECT 'coxph', 'loglik', NULL, ROUND({fin}.b * g.sdx - g.dl, 4), NULL, NULL
+FROM cxf_g g CROSS JOIN {fin}
+UNION ALL
+SELECT 'coxph', 'n_events', CAST(g.ne AS BIGINT), NULL, NULL, NULL FROM cxf_g g
+"""
+
+
+SQL_COX_ARM = _sql_cox_ctes(3)
 
 SQL_ORDERS_DISTRIBUTIONS = f"""
 SELECT 'quantity_pct' AS op, l_returnflag AS key, CAST(NULL AS BIGINT) AS n,
@@ -5199,6 +5285,8 @@ FROM (
       FROM orders GROUP BY 1, 2)
   ) w GROUP BY seg
 ) g
+UNION ALL
+SELECT * FROM ({SQL_COX_ARM}) cox
 """
 
 

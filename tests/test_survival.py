@@ -1,0 +1,148 @@
+"""Cox proportional hazards vs a dense numpy twin (Breslow ties,
+Newton from 0 — the R coxph trajectory)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sparkglm_spark.operators.survival import coxph
+
+
+def numpy_cox(t, e, X, iters=None, tol=1e-9, max_iter=20):
+    """Dense Breslow Newton twin."""
+    n, k = X.shape
+    beta = np.zeros(k)
+    ll_prev = None
+    n_done = 0
+    for _ in range(iters if iters is not None else max_iter):
+        w = np.exp(X @ beta)
+        # suffix sums over sorted unique times
+        order = np.argsort(-t, kind="mergesort")
+        ts, es, Xs, ws = t[order], e[order], X[order], w[order]
+        uniq = np.unique(t)[::-1]
+        s0 = {}
+        s1 = {}
+        s2 = {}
+        c0, c1, c2 = 0.0, np.zeros(k), np.zeros((k, k))
+        idx = 0
+        for ut in uniq:
+            while idx < n and ts[idx] == ut:
+                c0 += ws[idx]
+                c1 = c1 + ws[idx] * Xs[idx]
+                c2 = c2 + ws[idx] * np.outer(Xs[idx], Xs[idx])
+                idx += 1
+            s0[ut], s1[ut], s2[ut] = c0, c1.copy(), c2.copy()
+        ll = 0.0
+        grad = np.zeros(k)
+        info = np.zeros((k, k))
+        for i in range(n):
+            if e[i] == 1:
+                ll += X[i] @ beta - np.log(s0[t[i]])
+                m = s1[t[i]] / s0[t[i]]
+                grad += X[i] - m
+                info += s2[t[i]] / s0[t[i]] - np.outer(m, m)
+        beta = beta + np.linalg.solve(info, grad)
+        n_done += 1
+        if iters is None and ll_prev is not None and abs(ll - ll_prev) <= tol * (
+            abs(ll) + tol
+        ):
+            break
+        ll_prev = ll
+    # final-state ll/info at the returned beta
+    w = np.exp(X @ beta)
+    uniq = np.unique(t)[::-1]
+    order = np.argsort(-t, kind="mergesort")
+    ts, ws, Xs = t[order], w[order], X[order]
+    c0, c1, c2 = 0.0, np.zeros(k), np.zeros((k, k))
+    s0, s1, s2 = {}, {}, {}
+    idx = 0
+    for ut in uniq:
+        while idx < len(t) and ts[idx] == ut:
+            c0 += ws[idx]
+            c1 = c1 + ws[idx] * Xs[idx]
+            c2 = c2 + ws[idx] * np.outer(Xs[idx], Xs[idx])
+            idx += 1
+        s0[ut], s1[ut], s2[ut] = c0, c1.copy(), c2.copy()
+    ll = 0.0
+    info = np.zeros((k, k))
+    for i in range(len(t)):
+        if e[i] == 1:
+            ll += X[i] @ beta - np.log(s0[t[i]])
+            m = s1[t[i]] / s0[t[i]]
+            info += s2[t[i]] / s0[t[i]] - np.outer(m, m)
+    return beta, ll, np.sqrt(np.diag(np.linalg.inv(info))), n_done
+
+
+@pytest.fixture(scope="module")
+def surv_data(spark):
+    rng = np.random.default_rng(31)
+    n = 400
+    x1 = rng.normal(0, 1, n)
+    x2 = (rng.random(n) < 0.5).astype(float)
+    # exponential survival with hazard ∝ exp(0.8·x1 − 0.5·x2), rounded to
+    # force TIES (Breslow handling must agree)
+    t = np.round(rng.exponential(1.0 / np.exp(0.8 * x1 - 0.5 * x2)), 1) + 0.1
+    cens = np.round(rng.exponential(2.0, n), 1) + 0.1
+    e = (t <= cens).astype(float)
+    time = np.minimum(t, cens)
+    df = spark.createDataFrame(
+        [
+            (float(a), float(b), float(c), float(d))
+            for a, b, c, d in zip(time, e, x1, x2)
+        ],
+        "time double, event double, x1 double, x2 double",
+    ).repartition(7)
+    return df, time, e, np.column_stack([x1, x2])
+
+
+def test_coxph_matches_numpy_trajectory(surv_data):
+    df, t, e, X = surv_data
+    got = coxph(df, "time", "event", ["x1", "x2"], exact_iterations=4)
+    beta, ll, se, _ = numpy_cox(t, e, X, iters=4)
+    np.testing.assert_allclose(got.coefs, beta, rtol=1e-9)
+    assert got.loglik == pytest.approx(ll, rel=1e-9)
+    np.testing.assert_allclose(got.se, se, rtol=1e-8)
+    assert got.n == len(t) and got.n_events == int(e.sum())
+    # the fit must recover the planted signs and be in the ballpark
+    assert 0.5 < got.coefs[0] < 1.1 and -0.8 < got.coefs[1] < -0.2
+
+
+def test_coxph_converged_matches_numpy(surv_data):
+    df, t, e, X = surv_data
+    got = coxph(df, "time", "event", ["x1", "x2"])
+    beta, ll, se, iters = numpy_cox(t, e, X)
+    np.testing.assert_allclose(got.coefs, beta, rtol=1e-8)
+    assert got.converged
+
+
+def test_coxph_partition_invariance(surv_data):
+    df, *_ = surv_data
+    a = coxph(df.coalesce(1), "time", "event", ["x1"], exact_iterations=3)
+    b = coxph(df.repartition(32), "time", "event", ["x1"], exact_iterations=3)
+    assert a.coefs[0] == pytest.approx(b.coefs[0], rel=1e-12)
+
+
+def test_coxph_predict_and_summary(surv_data):
+    df, *_ = surv_data
+    m = coxph(df, "time", "event", ["x1", "x2"])
+    scored = m.predict(df)
+    assert scored.columns == df.columns + ["risk_score"]
+    row = scored.limit(1).collect()[0]
+    assert row.risk_score == pytest.approx(
+        float(np.exp(m.coefs[0] * row.x1 + m.coefs[1] * row.x2)), rel=1e-12
+    )
+    rows = m.summary_rows()
+    assert [r[0] for r in rows] == ["x1", "x2"]
+    assert all(0 <= r[5] <= 1 for r in rows)
+    # strong planted effects should be significant
+    assert rows[0][5] < 1e-6
+
+
+def test_coxph_guards(spark, surv_data):
+    df, *_ = surv_data
+    with pytest.raises(ValueError, match="0/1"):
+        coxph(df.withColumn("event", F.lit(2.0)), "time", "event", ["x1"])
+    with pytest.raises(ValueError, match="no events"):
+        coxph(df.withColumn("event", F.lit(0.0)), "time", "event", ["x1"])
+    with pytest.raises(ValueError, match="non-empty"):
+        coxph(df, "time", "event", [])
