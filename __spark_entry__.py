@@ -5123,6 +5123,25 @@ def q_orders_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "op string, key string, n bigint, v1 double, v2 double, v3 double",
     )
+    # r7b: grouped Kaplan-Meier over bucketed "time" (floor(price/1000) —
+    # ~500 distinct times per group keeps the row set compact and forces
+    # heavy Breslow-style ties). survival = exp(Σ ln(1−d/n)) — cross-
+    # engine drift ≲1e-12 over ≤500 log terms → ROUND 6.
+    from sparkglm_spark.operators.survival import kaplan_meier
+
+    km_in = od.select(
+        F.col("o_orderpriority").alias("g"),
+        F.floor(F.col("o_totalprice") / 1000).cast("double").alias("t"),
+        F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0).alias("ev"),
+    )
+    km = kaplan_meier(km_in, "t", "ev", group_col="g").select(
+        F.lit("km").alias("op"),
+        F.col("g").alias("key"),
+        F.col("n_at_risk").alias("n"),
+        F.col("time").alias("v1"),
+        F.col("n_events").cast("double").alias("v2"),
+        F.round("survival", 6).alias("v3"),
+    )
     return (
         pct.unionByName(hist)
         .unionByName(clf)
@@ -5130,6 +5149,7 @@ def q_orders_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(seg)
         .unionByName(prof)
         .unionByName(cox)
+        .unionByName(km)
     )
 
 
@@ -5287,6 +5307,28 @@ FROM (
 ) g
 UNION ALL
 SELECT * FROM ({SQL_COX_ARM}) cox
+UNION ALL
+SELECT 'km', kc.g, CAST(kc.nr AS BIGINT), kc.t, kc.d,
+       CASE WHEN kc.dead = 1 THEN 0.0 ELSE ROUND(exp(kc.ls), 6) END
+FROM (
+  WITH kb AS (
+    SELECT o_orderpriority AS g,
+           CAST(FLOOR(o_totalprice / 1000) AS DOUBLE) AS t,
+           CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS ev
+    FROM orders),
+  kt AS (SELECT g, t, CAST(COUNT(*) AS DOUBLE) AS n_t, SUM(ev) AS d
+         FROM kb GROUP BY 1, 2),
+  kr AS (SELECT g, t, d,
+                SUM(n_t) OVER (PARTITION BY g ORDER BY t DESC
+                               ROWS UNBOUNDED PRECEDING) AS nr
+         FROM kt)
+  SELECT g, t, d, nr,
+         SUM(CASE WHEN d >= nr THEN NULL ELSE ln(1.0 - d / nr) END)
+           OVER (PARTITION BY g ORDER BY t ROWS UNBOUNDED PRECEDING) AS ls,
+         MAX(CASE WHEN d >= nr THEN 1 ELSE 0 END)
+           OVER (PARTITION BY g ORDER BY t ROWS UNBOUNDED PRECEDING) AS dead
+  FROM kr
+) kc WHERE kc.d > 0
 """
 
 

@@ -251,3 +251,86 @@ def coxph(
         converged=converged or exact_iterations is not None,
         cov_params=cov,
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    time_col: str,
+    event_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Kaplan-Meier product-limit survival curve, optionally per group:
+    one row per distinct EVENT time with
+
+      n_at_risk   |{j : t_j ≥ t}|       (suffix count, censored included)
+      n_events    d_t
+      survival    Π_{s ≤ t} (1 − d_s/n_at_risk(s))
+
+    Plan: groupBy(time[, group]) collapses the table to distinct times
+    (counts only on the wire); n_at_risk is a suffix sum and the product
+    limit is exp(Σ ln(1 − d/n)) — BOTH ride one window pass per group
+    (partitioned by group when given; via the range-partitioned prefix
+    plan when global, so no single-partition sort). A time where every
+    at-risk subject dies (survival hits exactly 0) is safe: ln(0) rows
+    are clamped via a when() and survival reports 0 from there on."""
+    from pyspark.sql import Window
+
+    ev = F.col(event_col).cast("double")
+    keys = ([group_col] if group_col else []) + ["__t"]
+    per_t = (
+        df.select(
+            *( [F.col(group_col)] if group_col else [] ),
+            F.col(time_col).cast("double").alias("__t"),
+            ev.alias("__e"),
+        )
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_t"),
+            F.sum("__e").alias("d"),
+        )
+    )
+    if group_col:
+        wdesc = Window.partitionBy(group_col).orderBy(F.col("__t").desc()).rangeBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        at_risk = per_t.withColumn("n_at_risk", F.sum("n_t").over(wdesc))
+        wasc = Window.partitionBy(group_col).orderBy("__t").rangeBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        log_term = F.when(
+            F.col("d") >= F.col("n_at_risk"), F.lit(None)
+        ).otherwise(F.log(F.lit(1.0) - F.col("d") / F.col("n_at_risk")))
+        cum = at_risk.withColumn("__ls", F.sum(log_term).over(wasc)).withColumn(
+            "__dead", F.max((F.col("d") >= F.col("n_at_risk")).cast("int")).over(wasc)
+        )
+    else:
+        neg = per_t.withColumn("__nt", -F.col("__t"))
+        at_risk = global_running_sum(neg, "__nt", ["n_t"]).withColumnRenamed(
+            "n_t_cum", "n_at_risk"
+        )
+        log_term = F.when(
+            F.col("d") >= F.col("n_at_risk"), F.lit(None)
+        ).otherwise(F.log(F.lit(1.0) - F.col("d") / F.col("n_at_risk")))
+        marked = at_risk.withColumn("__lt", log_term).withColumn(
+            "__z", (F.col("d") >= F.col("n_at_risk")).cast("double")
+        )
+        cum = global_running_sum(
+            marked.withColumn("__lt0", F.coalesce(F.col("__lt"), F.lit(0.0))),
+            "__t",
+            ["__lt0", "__z"],
+        ).withColumnRenamed("__lt0_cum", "__ls").withColumn(
+            "__dead", (F.col("__z_cum") > 0).cast("int")
+        )
+    out_keys = ([group_col] if group_col else []) + [F.col("__t").alias("time")]
+    return (
+        cum.where(F.col("d") > 0)
+        .select(
+            *out_keys,
+            F.col("n_at_risk").cast("long").alias("n_at_risk"),
+            F.col("d").cast("long").alias("n_events"),
+            F.when(F.col("__dead") == 1, 0.0)
+            .otherwise(F.exp(F.col("__ls")))
+            .alias("survival"),
+        )
+        .orderBy(*(([group_col] if group_col else []) + ["time"]))
+    )

@@ -146,3 +146,60 @@ def test_coxph_guards(spark, surv_data):
         coxph(df.withColumn("event", F.lit(0.0)), "time", "event", ["x1"])
     with pytest.raises(ValueError, match="non-empty"):
         coxph(df, "time", "event", [])
+
+
+def _km_numpy(t, e):
+    """dict time -> (n_at_risk, d, survival) at event times."""
+    out = {}
+    surv = 1.0
+    for ut in np.unique(t):
+        at_risk = int((t >= ut).sum())
+        d = int(e[t == ut].sum())
+        if d > 0:
+            surv *= 1.0 - d / at_risk
+            out[float(ut)] = (at_risk, d, surv)
+    return out
+
+
+def test_kaplan_meier_matches_numpy(surv_data):
+    from sparkglm_spark.operators.survival import kaplan_meier
+
+    df, t, e, X = surv_data
+    got = kaplan_meier(df, "time", "event").collect()
+    want = _km_numpy(t, e)
+    assert len(got) == len(want)
+    for r in got:
+        n_r, d, s = want[r.time]
+        assert r.n_at_risk == n_r and r.n_events == d, r.time
+        assert r.survival == pytest.approx(s, rel=1e-10), r.time
+    # survival is non-increasing
+    vals = [r.survival for r in got]
+    assert all(a >= b - 1e-12 for a, b in zip(vals, vals[1:]))
+
+
+def test_kaplan_meier_grouped(surv_data):
+    from sparkglm_spark.operators.survival import kaplan_meier
+
+    df, t, e, X = surv_data
+    grp = df.withColumn("g", (F.col("x2") > 0.5).cast("int"))
+    got = kaplan_meier(grp, "time", "event", group_col="g").collect()
+    for gval in (0, 1):
+        sel = X[:, 1].astype(int) == gval
+        want = _km_numpy(t[sel], e[sel])
+        rows = [r for r in got if r.g == gval]
+        assert len(rows) == len(want)
+        for r in rows:
+            n_r, d, s = want[r.time]
+            assert (r.n_at_risk, r.n_events) == (n_r, d)
+            assert r.survival == pytest.approx(s, rel=1e-10)
+
+
+def test_kaplan_meier_all_die_hits_zero(spark):
+    from sparkglm_spark.operators.survival import kaplan_meier
+
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 1.0), (3.0, 1.0)], "time double, event double"
+    )
+    rows = kaplan_meier(df, "time", "event").collect()
+    assert rows[-1].survival == 0.0
+    assert rows[0].survival == pytest.approx(2.0 / 3.0)
