@@ -5142,6 +5142,30 @@ def q_orders_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("double").alias("v2"),
         F.round("survival", 6).alias("v3"),
     )
+    # r7b: two-sample log-rank over the same bucketed time axis,
+    # groups = custkey parity (group 'a' = 0, the str-sorted first)
+    from sparkglm_spark.operators.survival import logrank_test
+
+    lr = logrank_test(
+        od.select(
+            F.floor(F.col("o_totalprice") / 1000).cast("double").alias("t"),
+            F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0).alias("ev"),
+            (F.col("o_custkey") % 2).alias("g2"),
+        ),
+        "t",
+        "ev",
+        "g2",
+    )
+    lr_rows = spark.createDataFrame(
+        [
+            ("logrank", "chi2", None, round(lr["chi2"], 6), None, None),
+            ("logrank", "oe_a", None, round(lr["observed_minus_expected_a"], 6),
+             None, None),
+            ("logrank", "variance", None, round(lr["variance"], 6), None, None),
+            ("logrank", "n_events", lr["n_events"], None, None, None),
+        ],
+        "op string, key string, n bigint, v1 double, v2 double, v3 double",
+    )
     return (
         pct.unionByName(hist)
         .unionByName(clf)
@@ -5150,6 +5174,7 @@ def q_orders_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(prof)
         .unionByName(cox)
         .unionByName(km)
+        .unionByName(lr_rows)
     )
 
 
@@ -5329,6 +5354,34 @@ FROM (
            OVER (PARTITION BY g ORDER BY t ROWS UNBOUNDED PRECEDING) AS dead
   FROM kr
 ) kc WHERE kc.d > 0
+UNION ALL
+SELECT 'logrank', lr.key, lr.nn, lr.v1, CAST(NULL AS DOUBLE),
+       CAST(NULL AS DOUBLE)
+FROM (
+  WITH lb AS (
+    SELECT CAST(FLOOR(o_totalprice / 1000) AS DOUBLE) AS t,
+           CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS ev,
+           CASE WHEN o_custkey % 2 = 0 THEN 1.0 ELSE 0.0 END AS ia
+    FROM orders),
+  lt AS (SELECT t, CAST(COUNT(*) AS DOUBLE) AS n_t, SUM(ia) AS na_t,
+                SUM(ev) AS d, SUM(ev * ia) AS da
+         FROM lb GROUP BY 1),
+  lc AS (SELECT d, da,
+                SUM(n_t) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS n,
+                SUM(na_t) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS na
+         FROM lt),
+  lg AS (SELECT SUM(da - d * na / n) AS oe,
+                SUM(CASE WHEN n > 1 THEN
+                      d * (na / n) * (1.0 - na / n) * (n - d) / (n - 1.0)
+                    ELSE 0.0 END) AS v,
+                SUM(d) AS ne
+         FROM lc WHERE d > 0)
+  SELECT 'chi2' AS key, CAST(NULL AS BIGINT) AS nn,
+         ROUND(oe * oe / v, 6) AS v1 FROM lg
+  UNION ALL SELECT 'oe_a', NULL, ROUND(oe, 6) FROM lg
+  UNION ALL SELECT 'variance', NULL, ROUND(v, 6) FROM lg
+  UNION ALL SELECT 'n_events', CAST(ne AS BIGINT), NULL FROM lg
+) lr
 """
 
 

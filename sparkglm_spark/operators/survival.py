@@ -334,3 +334,83 @@ def kaplan_meier(
         )
         .orderBy(*(([group_col] if group_col else []) + ["time"]))
     )
+
+
+def logrank_test(
+    df: DataFrame,
+    time_col: str,
+    event_col: str,
+    group_col: str,
+) -> dict:
+    """Two-sample log-rank test (Mantel-Cox) — "are these two survival
+    curves the same?", the standard companion to `kaplan_meier`:
+
+      per event time t:  E_a = d_t·n_a(t)/n(t)
+                         V_t = d_t·(n_a/n)·(1−n_a/n)·(n−d_t)/(n−1)
+      χ²₁ = (Σ (d_a − E_a))² / Σ V_t,   p via `chisq_sf`
+
+    `group_col` must take exactly two distinct non-null values (checked —
+    a one-row collect of the distinct values, bounded). Plan: ONE
+    groupBy(distinct time) with the per-group event/at-risk counts as
+    conditional sums, suffix sums via the prefix plan, one final
+    aggregation → 3 driver scalars. Ties share a time row (the standard
+    discrete-time handling); times with n = 1 contribute zero variance."""
+    from sparkglm_spark.functions.special import chisq_sf
+
+    groups = [
+        r[0]
+        for r in df.where(F.col(group_col).isNotNull())
+        .select(group_col)
+        .distinct()
+        .limit(3)
+        .collect()
+    ]
+    if len(groups) != 2:
+        raise ValueError(
+            f"logrank_test needs exactly 2 groups, found {len(groups)}"
+        )
+    ga, gb = sorted(groups, key=str)
+    ev = F.col(event_col).cast("double")
+    in_a = (F.col(group_col) == ga).cast("double")
+    per_t = (
+        df.where(F.col(group_col).isNotNull())
+        .groupBy(F.col(time_col).cast("double").alias("__t"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_t"),
+            F.sum(in_a).alias("na_t"),
+            F.sum(ev).alias("d"),
+            F.sum(ev * in_a).alias("da"),
+        )
+        .withColumn("__nt", -F.col("__t"))
+    )
+    cum = global_running_sum(per_t, "__nt", ["n_t", "na_t"])
+    n, na = F.col("n_t_cum"), F.col("na_t_cum")
+    d, da = F.col("d"), F.col("da")
+    row = (
+        cum.where(d > 0)
+        .agg(
+            F.sum(da - d * na / n).alias("oe"),
+            F.sum(
+                F.when(
+                    n > 1,
+                    d * (na / n) * (1.0 - na / n) * (n - d) / (n - 1.0),
+                ).otherwise(0.0)
+            ).alias("v"),
+            F.sum(d).alias("ne"),
+        )
+        .collect()[0]
+    )
+    oe, v = float(row["oe"]), float(row["v"])
+    if not v > 0.0:
+        raise ValueError("zero log-rank variance (degenerate grouping)")
+    stat = oe * oe / v
+    return {
+        "group_a": ga,
+        "group_b": gb,
+        "observed_minus_expected_a": oe,
+        "variance": v,
+        "n_events": int(float(row["ne"])),
+        "chi2": float(stat),
+        "df": 1.0,
+        "p_value": float(chisq_sf(stat, 1.0)),
+    }

@@ -203,3 +203,31 @@ def test_kaplan_meier_all_die_hits_zero(spark):
     rows = kaplan_meier(df, "time", "event").collect()
     assert rows[-1].survival == 0.0
     assert rows[0].survival == pytest.approx(2.0 / 3.0)
+
+
+def test_logrank_matches_numpy(surv_data):
+    from sparkglm_spark.operators.survival import logrank_test
+
+    df, t, e, X = surv_data
+    grp = df.withColumn("g", (F.col("x2") > 0.5).cast("int"))
+    out = logrank_test(grp, "time", "event", "g")
+    # dense twin
+    ga = X[:, 1].astype(int) == 0
+    oe, v = 0.0, 0.0
+    for ut in np.unique(t):
+        at = t >= ut
+        n = at.sum()
+        na = (at & ga).sum()
+        d = e[t == ut].sum()
+        da = e[(t == ut) & ga].sum()
+        if d > 0:
+            oe += da - d * na / n
+            if n > 1:
+                v += d * (na / n) * (1 - na / n) * (n - d) / (n - 1)
+    assert out["observed_minus_expected_a"] == pytest.approx(oe, rel=1e-9)
+    assert out["variance"] == pytest.approx(v, rel=1e-9)
+    assert out["chi2"] == pytest.approx(oe * oe / v, rel=1e-9)
+    # x2 has a real planted effect (−0.5 log-hazard) — should be seen
+    assert out["p_value"] < 0.05
+    with pytest.raises(ValueError, match="exactly 2"):
+        logrank_test(df.withColumn("g", F.lit(1)), "time", "event", "g")
