@@ -5006,10 +5006,17 @@ UNION ALL
 
 
 def q_orders_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution union row-set: exact linear-interpolation percentiles
-    per return flag (q_quantity_percentiles) + the fixed-width
-    total-price histogram (q_totalprice_histogram — integer bucket
-    arithmetic, partial+final agg). Normalized onto (op, key, n, v1..v3)."""
+    """Distribution + evaluation + survival union row-set, normalized onto
+    (op, key, n, v1..v3): exact percentiles per return flag
+    (quantity_pct), the fixed-width total-price histogram (price_hist),
+    classifier metrics over a fixed logistic score (clf_metric —
+    tie-aware Mann-Whitney AUC via the prefix plan, log-loss/Brier/
+    confusion), reliability bins (calib_bin), per-segment AUC (seg_auc),
+    one-pass numeric profiles (num_profile), the 3-step Cox Newton
+    trajectory (coxph), per-priority Kaplan-Meier curves over bucketed
+    time (km) and the custkey-parity log-rank test (logrank). Each
+    constituent's operator docstring carries its plan + rounding
+    analysis."""
     pct = q_quantity_percentiles(spark, sf_dir).select(
         F.lit("quantity_pct").alias("op"),
         F.col("l_returnflag").alias("key"),
