@@ -20,16 +20,47 @@ from sparkglm_spark.functions.encoding import (
     model_matrix,
     omit_na,
 )
+from sparkglm_spark.operators.evaluate import (
+    binary_classification_eval,
+    calibration_bins,
+    grouped_auc,
+    roc_points,
+)
 from sparkglm_spark.operators.lm import (
     LM,
     LMSummary,
+    anova_lm,
+    huber_lm,
+    influence_diagnostics,
     lm,
     lm_cross_validate,
     lm_grouped,
+    ridge,
+    robust_standard_errors,
     wls,
 )
-from sparkglm_spark.operators.glm import GLM, GLMSummary, glm, glm_grouped
+from sparkglm_spark.operators.glm import (
+    GLM,
+    GLMSummary,
+    glm,
+    glm_grouped,
+    likelihood_ratio_test,
+)
+from sparkglm_spark.operators.stats import (
+    chi2_independence,
+    corr_matrix,
+    numeric_profile,
+    proportions_ztest,
+    welch_ttest,
+)
+from sparkglm_spark.operators.survival import (
+    coxph,
+    kaplan_meier,
+    logrank_test,
+)
+from sparkglm_spark.operators.timeseries import ewma_latest, ewma_series
 from sparkglm_spark.ml import (
+    SparkBinaryEvaluator,
     SparkCorpusPrep,
     SparkGLM,
     SparkGLMModel,
@@ -55,6 +86,27 @@ __all__ = [
     "lm_grouped",
     "lm_cross_validate",
     "wls",
+    "ridge",
+    "huber_lm",
+    "anova_lm",
+    "influence_diagnostics",
+    "robust_standard_errors",
+    "likelihood_ratio_test",
+    "coxph",
+    "kaplan_meier",
+    "logrank_test",
+    "welch_ttest",
+    "chi2_independence",
+    "proportions_ztest",
+    "corr_matrix",
+    "numeric_profile",
+    "binary_classification_eval",
+    "calibration_bins",
+    "grouped_auc",
+    "roc_points",
+    "ewma_latest",
+    "ewma_series",
+    "SparkBinaryEvaluator",
     "GLM",
     "GLMSummary",
     "glm",
