@@ -122,6 +122,11 @@ class LM:
     levels: dict[str, list[str]] = field(default_factory=dict)
     call: str = ""
     cov_params: np.ndarray | None = None  # σ̂²(X'X)⁻¹ — interval construction
+    # fit flavor — the OLS-only downstream paths (influence diagnostics,
+    # prediction intervals, sandwich SEs) check these and refuse instead of
+    # silently returning numbers whose (X'X)⁻¹ assumptions don't hold
+    weighted: bool = False   # WLS fit: cov_params is σ̂²(X'WX)⁻¹
+    l2_penalty: float = 0.0  # ridge fit: cov_params is σ̂²(X'X+λI)⁻¹, biased
 
     # ---- fitting ----------------------------------------------------------
 
@@ -209,6 +214,8 @@ class LM:
             f_stat=float(f_stat),
             nrow=n,
             cov_params=sig2 * xtxi,
+            weighted=weight_col is not None,
+            l2_penalty=float(l2),
         )
 
     # ---- scoring ----------------------------------------------------------
@@ -240,6 +247,19 @@ class LM:
             return out
         if interval not in ("confidence", "prediction"):
             raise ValueError("interval must be None, 'confidence' or 'prediction'")
+        if self.l2_penalty > 0.0:
+            raise ValueError(
+                "intervals are OLS/WLS-only: a ridge fit's stored cov_params "
+                "is σ̂²(X'X+λI)⁻¹, not the sandwich covariance of the biased "
+                "ridge estimator — refit with l2=0 for intervals"
+            )
+        if self.weighted and interval == "prediction":
+            raise ValueError(
+                "prediction intervals need the NEW observation's variance, "
+                "which under WLS is σ²/w (per-row), not the constant σ̂² this "
+                "path adds — use interval='confidence' (valid for WLS: "
+                "cov_params is σ̂²(X'WX)⁻¹) or an unweighted fit"
+            )
         if self.cov_params is None:
             raise ValueError(
                 "this model carries no cov_params (older persisted file?) — "
@@ -675,10 +695,17 @@ def robust_standard_errors(
     shape, driver math k×k. HC2/HC3 need the leverage hᵢ, whose
     (X'X)⁻¹ quadratic form must come from a FIRST pass — they cost two
     aggregation jobs, HC0/HC1 one. Unweighted OLS only (WLS sandwiches
-    need the W-weighted meat — not implemented)."""
+    need the W-weighted meat — not implemented; ridge bread is not
+    (X'X)⁻¹) — enforced via the model's fit-flavor flags."""
     kinds = ("HC0", "HC1", "HC2", "HC3")
     if kind not in kinds:
         raise ValueError(f"kind must be one of {kinds}")
+    if model.weighted or model.l2_penalty > 0.0:
+        raise ValueError(
+            "robust_standard_errors supports unweighted, unpenalized OLS "
+            "fits only (the sandwich bread must be (X'X)⁻¹); this model "
+            f"was fit with weighted={model.weighted}, l2={model.l2_penalty}"
+        )
     k = len(model.xnames)
     n = model.nrow
     feats = scoring_feature_exprs(model.xnames, model.levels, df.columns)
@@ -762,6 +789,14 @@ def influence_diagnostics(df: DataFrame, model: LM) -> DataFrame:
 
     Appends (prediction, residual, leverage, std_resid, student_resid,
     cooks_d, dffits) to the input rows."""
+    if model.weighted or model.l2_penalty > 0.0:
+        raise ValueError(
+            "influence_diagnostics supports unweighted, unpenalized OLS "
+            "only: the hat diagonal hᵢ = xᵢ'(X'X)⁻¹xᵢ and the σ̂-scaled "
+            "residuals assume cov_params/σ̂² = (X'X)⁻¹, which a WLS or "
+            f"ridge fit violates (weighted={model.weighted}, "
+            f"l2={model.l2_penalty})"
+        )
     if model.cov_params is None:
         raise ValueError(
             "this model carries no cov_params (older persisted file?) — "
@@ -887,6 +922,8 @@ def huber_lm(
     tol: float = 1e-8,
     exact_iterations: int | None = None,
     na_action: str = "omit",
+    median_mode: str = "auto",
+    accuracy: int = 10000,
 ) -> HuberLM:
     """Huber M-estimator robust regression via IRLS (public convention:
     Huber 1964; R MASS `rlm(psi = psi.huber)`), resistant to outliers in
@@ -901,18 +938,37 @@ def huber_lm(
     already absorbs location; documented difference from the centered
     MAD some texts use). Starting point is the OLS fit.
 
-    Plan: each iteration is TWO jobs over the encoded frame — an exact
-    median of |e| (percentile aggregate) and the SAME weighted-Gram
-    aggregation WLS uses, with the weight a pure codegen expression of
-    the residual (no intermediate materialization; the frame is persisted
-    once). Driver math stays k×k. `exact_iterations=N` runs exactly N
-    reweighted solves after the OLS start (no convergence test) — the
-    deterministic trajectory the SQL oracle replays.
+    Plan: each iteration is TWO jobs over the encoded frame — a median
+    of |e| and the SAME weighted-Gram aggregation WLS uses, with the
+    weight a pure codegen expression of the residual (no intermediate
+    materialization; the frame is persisted once). Driver math stays
+    k×k. `exact_iterations=N` runs exactly N reweighted solves after the
+    OLS start (no convergence test) — the deterministic trajectory the
+    SQL oracle replays.
+
+    `median_mode` governs the per-iteration median of |e|:
+      "exact"  — Spark's exact `percentile` aggregate. Its buffer holds
+                 every distinct |e| value, which is memory-unbounded over
+                 a continuous residual column at 100 TB scale.
+      "approx" — the `approx_percentile` t-digest sketch (bounded state,
+                 rank error ≤ 1/`accuracy`). Huber weights are robust to
+                 a small relative median error by construction (ψ is
+                 continuous at c·s), so the fit is insensitive to the
+                 sketch error.
+      "auto"   — (default) exact below 5M rows, approx at or above —
+                 small fits (and the SQL oracle replay) stay bit-exact
+                 while large fits never hit the unbounded buffer.
 
     Convergence: max|Δβ| ≤ tol·max(1, max|β|). A zero robust scale
     (≥ half the rows fit exactly) stops with the current β."""
     if c <= 0:
         raise ValueError(f"c must be > 0, got {c!r}")
+    if median_mode not in ("auto", "exact", "approx"):
+        raise ValueError(
+            f"median_mode must be 'auto', 'exact' or 'approx', got {median_mode!r}"
+        )
+    if accuracy < 1:
+        raise ValueError("accuracy must be >= 1")
     from sparkglm_spark.formula import expand_dot, parse_formula
     from sparkglm_spark.functions.encoding import (
         model_matrix,
@@ -943,21 +999,22 @@ def huber_lm(
         start = LM.fit(work, y_col=parsed.target, x_cols=x_cols)
         beta = np.asarray(start.coefs, dtype=np.float64)
         n = start.nrow
+        use_approx = median_mode == "approx" or (
+            median_mode == "auto" and n >= 5_000_000
+        )
         n_iter = 0
         converged = False
         scale = float("nan")
         iters = exact_iterations if exact_iterations is not None else max_iter
         for _ in range(iters):
             resid = y - linear_combination(x_cols, beta)
-            srow = work.agg(
-                F.expr(
-                    f"percentile(abs({parsed.target} - ("
-                    + " + ".join(
-                        f"{float(b)!r} * {name}" for name, b in zip(x_cols, beta)
-                    )
-                    + ")), 0.5)"
-                ).alias("mad")
-            ).collect()[0]
+            abs_e = F.abs(resid)
+            med = (
+                F.percentile_approx(abs_e, F.lit(0.5), F.lit(int(accuracy)))
+                if use_approx
+                else F.percentile(abs_e, F.lit(0.5))
+            )
+            srow = work.agg(med.alias("mad")).collect()[0]
             scale = float(srow["mad"]) / 0.6745
             if not scale > 0.0:
                 break

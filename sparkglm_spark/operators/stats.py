@@ -136,11 +136,18 @@ def welch_ttest(
             f"welch_ttest needs exactly 2 groups, found {len(rows)}: "
             f"{[r[group_col] for r in rows][:5]}"
         )
+    for r in rows:
+        # var_samp is NULL at n <= 1 (and count drops nulls), so validate
+        # BEFORE float() conversion — otherwise float(None) raises an
+        # unhelpful TypeError instead of the contract error
+        if int(r["n"]) < 2 or r["var"] is None:
+            raise ValueError(
+                f"each group needs n >= 2 non-null values; group "
+                f"{r[group_col]!r} has n={int(r['n'])}"
+            )
     (g1, n1, m1, v1), (g2, n2, m2, v2) = (
         (r[group_col], int(r["n"]), float(r["mean"]), float(r["var"])) for r in rows
     )
-    if min(n1, n2) < 2:
-        raise ValueError("each group needs n >= 2")
     se2 = v1 / n1 + v2 / n2
     t = (m1 - m2) / se2**0.5
     dof = se2**2 / ((v1 / n1) ** 2 / (n1 - 1) + (v2 / n2) ** 2 / (n2 - 1))
@@ -168,7 +175,10 @@ def chi2_independence(
     observed cells — a cell with observed 0 but expected > 0 still
     contributes (the classic sparse-contingency mistake). Nothing
     row-level is collected; the driver sees 4 scalars. p via the
-    engine's `chisq_sf`."""
+    engine's `chisq_sf`. The cells side is broadcast only when the grid
+    is provably small (ka·kb ≤ 1e6, known from the same probe row); a
+    high-cardinality pair falls back to a shuffle join rather than
+    risking the driver/broadcast limit."""
     from sparkglm_spark.functions.special import chisq_sf
 
     cells = (
@@ -193,8 +203,12 @@ def chi2_independence(
         # observed = 0 but expected > 0 still contributes expected to the
         # statistic (the classic sparse-contingency mistake)
         grid = ra.crossJoin(cb)
+        # broadcast the observed cells only when the grid bound says they
+        # fit (|cells| <= ka*kb); past 1e6 potential cells let the planner
+        # pick (AQE broadcasts at runtime if the build side turns out small)
+        cells_side = F.broadcast(cells) if ka * kb <= 1_000_000 else cells
         stat_row = (
-            grid.join(F.broadcast(cells), [col_a, col_b], "left")
+            grid.join(cells_side, [col_a, col_b], "left")
             .select(
                 (
                     (
@@ -264,22 +278,42 @@ def proportions_ztest(
     }
 
 
-def numeric_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+def numeric_profile(
+    df: DataFrame,
+    cols: list[str],
+    approx_mode: bool = False,
+    accuracy: int = 10000,
+) -> DataFrame:
     """`describe()` that scales and is engine-exact: per column —
     (column, n, n_null, mean, std, min, max, p25, p50, p75, p90) — in ONE
     aggregation pass over the table (k columns → one job, partial-agg
-    map-side; exact linear-interpolation percentiles, the DuckDB
-    quantile_cont definition, NOT approx_percentile — swap in
-    `approx_mode=True` for the sketch when the exact sort-based
-    percentile is too heavy at the tail of a 100 TB scan).
+    map-side).
+
+    Percentiles default to the EXACT linear-interpolation definition (the
+    DuckDB quantile_cont convention — what the oracle replays), but
+    Spark's exact `percentile` buffers every distinct value per
+    aggregation buffer: over a continuous column at 100 TB that is
+    memory-unbounded. `approx_mode=True` switches to the
+    `approx_percentile` t-digest sketch (bounded state, rank error
+    ≤ 1/accuracy) — use it for any profile over a large continuous
+    column; exact mode remains the default for small-data / oracle-exact
+    runs.
 
     std is the SAMPLE standard deviation (stddev_samp). Long format so
     downstream code joins/filters on the column name."""
     if not cols:
         raise ValueError("cols must be non-empty")
+    if accuracy < 1:
+        raise ValueError("accuracy must be >= 1")
+    pcts = F.lit([0.25, 0.5, 0.75, 0.9])
     aggs: list[Column] = []
     for c in cols:
         col = F.col(c).cast("double")
+        pct = (
+            F.percentile_approx(col, pcts, F.lit(int(accuracy)))
+            if approx_mode
+            else F.percentile(col, pcts)
+        )
         aggs += [
             F.count(col).alias(f"__n_{c}"),
             F.sum(col.isNull().cast("long")).alias(f"__nn_{c}"),
@@ -287,9 +321,7 @@ def numeric_profile(df: DataFrame, cols: list[str]) -> DataFrame:
             F.stddev_samp(col).alias(f"__std_{c}"),
             F.min(col).alias(f"__min_{c}"),
             F.max(col).alias(f"__max_{c}"),
-            F.expr(f"percentile(CAST({c} AS DOUBLE), array(0.25, 0.5, 0.75, 0.9))").alias(
-                f"__pct_{c}"
-            ),
+            pct.alias(f"__pct_{c}"),
         ]
     row = df.agg(*aggs).collect()[0]
     out = []

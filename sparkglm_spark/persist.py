@@ -37,7 +37,15 @@ def model_to_dict(model: LM | GLM) -> dict:
         "call": model.call,
     }
     if kind == "lm":
-        d.update(sigma=model.sigma, r2=model.r2, f_stat=model.f_stat)
+        d.update(
+            sigma=model.sigma,
+            r2=model.r2,
+            f_stat=model.f_stat,
+            # fit-flavor flags — the OLS-only paths (influence, intervals,
+            # sandwich SEs) re-check these after a round-trip
+            weighted=bool(model.weighted),
+            l2_penalty=float(model.l2_penalty),
+        )
         if model.cov_params is not None:
             # k×k — tiny; enables predict(interval=...) after a round-trip
             d["cov_params"] = [
@@ -81,6 +89,19 @@ def model_from_dict(d: dict) -> LM | GLM:
         return LM(
             sigma=d["sigma"], r2=d["r2"], f_stat=d["f_stat"],
             cov_params=None if cov is None else np.asarray(cov, dtype=np.float64),
+            # tolerant read: files written before the flavor flags existed
+            # fall back to the call-string prefix (`lm()` stamps "wls("/
+            # "ridge(" there), so an old WLS/ridge file still refuses the
+            # OLS-only downstream paths
+            weighted=bool(
+                d.get("weighted", d.get("call", "").startswith("wls("))
+            ),
+            l2_penalty=float(
+                d.get(
+                    "l2_penalty",
+                    1.0 if d.get("call", "").startswith("ridge(") else 0.0,
+                )
+            ),
             **common,
         )
     if d["kind"] == "glm":

@@ -600,3 +600,92 @@ def test_huber_lm_converges_and_large_c_matches_ols(lineitem):
     assert small.converged and small.iter <= 30
     with pytest.raises(ValueError, match="c must be"):
         huber_lm(lineitem, "l_extendedprice ~ l_quantity", c=0.0)
+
+def test_huber_lm_approx_median_agrees_with_exact(spark):
+    """The approx_percentile median mode must land on the same fit (the
+    sketch's rank error at accuracy=10000 is far below what Huber's
+    continuous ψ reacts to)."""
+    from sparkglm_spark.operators.lm import huber_lm
+
+    rng = np.random.default_rng(43)
+    x = np.linspace(0, 10, 500)
+    y = 2.0 + 0.7 * x + rng.normal(0, 0.8, 500)
+    y[::25] -= 60.0
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(x, y)], "x double, y double"
+    ).repartition(5)
+
+    exact = huber_lm(df, "y ~ x", exact_iterations=4, median_mode="exact")
+    approx = huber_lm(
+        df, "y ~ x", exact_iterations=4, median_mode="approx", accuracy=10000
+    )
+    np.testing.assert_allclose(approx.coefs, exact.coefs, rtol=1e-3)
+    assert approx.scale == pytest.approx(exact.scale, rel=1e-2)
+    # auto at small n = exact (the oracle-replay default)
+    auto = huber_lm(df, "y ~ x", exact_iterations=4)
+    np.testing.assert_allclose(auto.coefs, exact.coefs, rtol=0, atol=0)
+
+    with pytest.raises(ValueError, match="median_mode"):
+        huber_lm(df, "y ~ x", median_mode="sketchy")
+    with pytest.raises(ValueError, match="accuracy"):
+        huber_lm(df, "y ~ x", median_mode="approx", accuracy=0)
+
+
+def test_lm_fit_flavor_guards(lineitem):
+    """WLS/ridge fits must refuse the OLS-only downstream paths instead of
+    silently returning numbers whose (X'X)^-1 assumptions don't hold."""
+    from sparkglm_spark.operators.lm import (
+        influence_diagnostics,
+        lm,
+        ridge,
+        robust_standard_errors,
+        wls,
+    )
+
+    li = lineitem.withColumn("w", (F.col("l_quantity") + F.lit(1.0)))
+    w_model = wls(li, "l_extendedprice ~ l_quantity", weight_col="w")
+    assert w_model.weighted and w_model.l2_penalty == 0.0
+    r_model = ridge(lineitem, "l_extendedprice ~ l_quantity", l2=10.0)
+    assert not r_model.weighted and r_model.l2_penalty == 10.0
+    o_model = lm(lineitem, "l_extendedprice ~ l_quantity")
+    assert not o_model.weighted and o_model.l2_penalty == 0.0
+
+    with pytest.raises(ValueError, match="unweighted, unpenalized"):
+        influence_diagnostics(li, w_model)
+    with pytest.raises(ValueError, match="unweighted, unpenalized"):
+        influence_diagnostics(lineitem, r_model)
+    with pytest.raises(ValueError, match="unweighted, unpenalized"):
+        robust_standard_errors(li, w_model)
+    with pytest.raises(ValueError, match="unweighted, unpenalized"):
+        robust_standard_errors(lineitem, r_model)
+    with pytest.raises(ValueError, match="ridge"):
+        r_model.predict(lineitem, interval="confidence")
+    with pytest.raises(ValueError, match="prediction intervals"):
+        w_model.predict(li, interval="prediction")
+    # WLS confidence intervals stay valid: cov_params IS sigma^2 (X'WX)^-1
+    out = w_model.predict(li, interval="confidence")
+    assert {"se_fit", "lo", "hi"} <= set(out.columns)
+    # OLS path unaffected
+    assert "cooks_d" in influence_diagnostics(lineitem, o_model).columns
+
+
+def test_lm_flavor_flags_round_trip(lineitem, tmp_path):
+    from sparkglm_spark.operators.lm import influence_diagnostics, wls
+    from sparkglm_spark.persist import load_model, model_from_dict, save_model
+
+    li = lineitem.withColumn("w", (F.col("l_quantity") + F.lit(1.0)))
+    w_model = wls(li, "l_extendedprice ~ l_quantity", weight_col="w")
+    p = str(tmp_path / "wls.json")
+    save_model(w_model, p)
+    back = load_model(p)
+    assert back.weighted and back.l2_penalty == 0.0
+    with pytest.raises(ValueError, match="unweighted, unpenalized"):
+        influence_diagnostics(li, back)
+    # pre-flag file (no flavor keys): the call-string prefix still marks it
+    import json
+
+    with open(p) as f:
+        doc = json.load(f)
+    doc.pop("weighted"), doc.pop("l2_penalty")
+    legacy = model_from_dict(doc)
+    assert legacy.weighted  # call starts with "wls("

@@ -175,3 +175,62 @@ def test_numeric_profile_matches_numpy(spark):
     assert got["c"].p50 == pytest.approx(np.quantile(c_vals, 0.5), rel=1e-10)
     with pytest.raises(ValueError, match="non-empty"):
         numeric_profile(df, [])
+
+def test_numeric_profile_approx_mode_agrees_with_exact(spark):
+    import numpy as np
+
+    from sparkglm_spark.operators.stats import numeric_profile
+
+    rng = np.random.default_rng(31)
+    vals = rng.lognormal(1.0, 0.8, 4000)
+    df = spark.createDataFrame(
+        [(float(v),) for v in vals], "x double"
+    ).repartition(7)
+    exact = numeric_profile(df, ["x"]).collect()[0]
+    approx = numeric_profile(df, ["x"], approx_mode=True, accuracy=10000).collect()[0]
+    # non-percentile stats are identical aggregates in both modes
+    assert approx.n == exact.n and approx.n_null == exact.n_null
+    assert approx.mean == exact.mean and approx.std == exact.std
+    assert approx.min == exact.min and approx.max == exact.max
+    # sketch rank error <= 1/accuracy: at n=4000, accuracy=10000 the approx
+    # value must be an actual data value adjacent to the exact quantile
+    s = np.sort(vals)
+    for q, field in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75"), (0.9, "p90")):
+        lo_rank = max(0, int(np.floor(q * len(s))) - 2)
+        hi_rank = min(len(s) - 1, int(np.ceil(q * len(s))) + 2)
+        got = getattr(approx, field)
+        assert s[lo_rank] <= got <= s[hi_rank], (field, got)
+    with pytest.raises(ValueError, match="accuracy"):
+        numeric_profile(df, ["x"], approx_mode=True, accuracy=0)
+
+
+def test_numeric_profile_non_identifier_column_names(spark):
+    import numpy as np
+
+    from sparkglm_spark.operators.stats import numeric_profile
+
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0]
+    df = spark.createDataFrame(
+        [(v, v * 2.0) for v in vals],
+        ["unit price", "total-due"],
+    )
+    out = {r.column: r for r in numeric_profile(df, ["unit price", "total-due"]).collect()}
+    assert out["unit price"].p50 == pytest.approx(3.0)
+    assert out["total-due"].p50 == pytest.approx(6.0)
+    assert out["total-due"].mean == pytest.approx(np.mean(vals) * 2.0)
+
+
+def test_welch_ttest_single_row_group_raises_cleanly(spark):
+    from sparkglm_spark.operators.stats import welch_ttest
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 5.0)], "g string, v double"
+    )
+    with pytest.raises(ValueError, match="n >= 2"):
+        welch_ttest(df, "g", "v")
+    # all-null values in one group: count() skips nulls, same clean error
+    df2 = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", None), ("b", None)], "g string, v double"
+    )
+    with pytest.raises(ValueError, match="n >= 2"):
+        welch_ttest(df2, "g", "v")
