@@ -28,8 +28,11 @@ nested, so each S·(t) is a suffix sum of per-time totals):
 
   No all-pairs, no per-row Python, nothing row-level collected; the
   driver sees O(k²) per iteration. Distinct-time cardinality bounds the
-  intermediate — at 100 TB bucket the time axis first if it is
-  micro-timestamped.
+  intermediate — at 100 TB, micro-timestamped data should be bucketed
+  via the `time_bucket=` knob every fitter here accepts (floor the time
+  axis to fixed-width buckets BEFORE the per-time aggregation, so the
+  cardinality bound is enforced inside the plan, not left to the
+  caller).
 """
 
 from __future__ import annotations
@@ -41,6 +44,21 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from sparkglm_spark.plans.prefix import global_running_sum
+
+
+def _time_expr(time_col: str, time_bucket: float | None) -> Column:
+    """The (optionally bucketed) double time axis: with `time_bucket=w`,
+    floor(t/w)·w — every micro-timestamp in [k·w, (k+1)·w) collapses to
+    one distinct time, bounding the per-time intermediate at scale. The
+    discretization coarsens risk sets the way any tie does (Breslow);
+    pick w well below the hazard's natural time scale."""
+    t = F.col(time_col).cast("double")
+    if time_bucket is None:
+        return t
+    if not time_bucket > 0:
+        raise ValueError(f"time_bucket must be > 0, got {time_bucket!r}")
+    w = float(time_bucket)
+    return F.floor(t / F.lit(w)).cast("double") * F.lit(w)
 
 
 @dataclass
@@ -61,14 +79,116 @@ class CoxPH:
     iter: int
     converged: bool
     cov_params: np.ndarray = field(default=None, repr=False)
+    time_bucket: float | None = None
+
+    def _risk_expr(self) -> Column:
+        eta = F.lit(0.0)
+        for name, b in zip(self.xnames, self.coefs):
+            eta = eta + F.lit(float(b)) * F.col(name).cast("double")
+        return F.exp(eta)
 
     def predict(self, df: DataFrame, output_col: str = "risk_score") -> DataFrame:
         """Append the relative risk exp(x'β) (hazard ratio vs a baseline
         subject at x = 0) — one codegen projection, rows untouched."""
-        eta = F.lit(0.0)
-        for name, b in zip(self.xnames, self.coefs):
-            eta = eta + F.lit(float(b)) * F.col(name).cast("double")
-        return df.withColumn(output_col, F.exp(eta))
+        return df.withColumn(output_col, self._risk_expr())
+
+    def baseline_hazard(
+        self, df: DataFrame, num_partitions: int | None = None
+    ) -> DataFrame:
+        """Breslow baseline cumulative hazard over (typically) the training
+        frame — the `survfit(coxph)` companion (public convention: Breslow
+        1972; R survival::survfit):
+
+            h₀(tᵢ)  = dᵢ / S0(tᵢ)            S0(t) = Σ_{tⱼ≥t} exp(xⱼ'β̂)
+            H₀(t)   = Σ_{tᵢ≤t} h₀(tᵢ)
+            S₀(t)   = exp(−H₀(t))            baseline survival at x = 0
+
+        One row per distinct EVENT time: (time, n_events, s0, hazard,
+        cum_hazard, baseline_survival).
+
+        Plan: ONE groupBy(distinct time) for (Σexp(xβ), d), a suffix-sum
+        prefix pass for S0 (risk sets are nested), then an ascending
+        prefix pass over the event rows for H₀ — the same two
+        range-partitioned `global_running_sum` plans the fit uses, no
+        single-partition stage, per-time rows only on the wire. The fit's
+        `time_bucket` (stored on the model) is applied identically, so
+        the hazard steps live on the same discretized axis the β̂ was
+        estimated on."""
+        t_expr = _time_expr(self.time_col, self.time_bucket)
+        per_t = (
+            df.groupBy(t_expr.alias("__t"))
+            .agg(
+                F.sum(self._risk_expr()).alias("e0"),
+                F.sum(F.col(self.event_col).cast("double")).alias("d"),
+            )
+            .withColumn("__nt", -F.col("__t"))
+        )
+        s0 = global_running_sum(
+            per_t, "__nt", ["e0"], num_partitions=num_partitions
+        ).withColumnRenamed("e0_cum", "s0")
+        events = s0.where(F.col("d") > 0).withColumn(
+            "hazard", F.col("d") / F.col("s0")
+        )
+        cum = global_running_sum(
+            events, "__t", ["hazard"], num_partitions=num_partitions
+        )
+        return (
+            cum.select(
+                F.col("__t").alias("time"),
+                F.col("d").cast("long").alias("n_events"),
+                F.col("s0"),
+                F.col("hazard"),
+                F.col("hazard_cum").alias("cum_hazard"),
+                F.exp(-F.col("hazard_cum")).alias("baseline_survival"),
+            )
+            .orderBy("time")
+        )
+
+    def predict_survival(
+        self,
+        df: DataFrame,
+        times: list[float],
+        train_df: DataFrame | None = None,
+        baseline: DataFrame | None = None,
+        prefix: str = "surv_",
+    ) -> DataFrame:
+        """Per-subject survival probability at each requested horizon:
+
+            S(t | x) = S₀(t)^exp(x'β̂) = exp(−H₀(t)·exp(x'β̂))
+
+        Pass the training frame (`train_df`, computes the Breslow baseline)
+        or a precomputed `baseline_hazard()` frame (reuse it across many
+        scoring calls — it is per-model, not per-scoring-frame state).
+
+        H₀ is a step function; each horizon reads the step at the largest
+        event time ≤ t — ONE bounded aggregation over the baseline frame
+        (len(times) conditional maxes → len(times) driver scalars), then
+        one codegen projection appends `<prefix><t>` columns to the
+        scoring rows. A horizon before the first event has H₀ = 0 (S = 1);
+        nothing row-level is collected."""
+        if not times:
+            raise ValueError("times must be non-empty")
+        if baseline is None:
+            if train_df is None:
+                raise ValueError("pass train_df or a precomputed baseline")
+            baseline = self.baseline_hazard(train_df)
+        aggs = [
+            F.max(
+                F.when(F.col("time") <= float(t), F.col("cum_hazard"))
+            ).alias(f"__h_{i}")
+            for i, t in enumerate(times)
+        ]
+        row = baseline.agg(*aggs).collect()[0]
+        h0 = [
+            float(row[f"__h_{i}"]) if row[f"__h_{i}"] is not None else 0.0
+            for i in range(len(times))
+        ]
+        out = df
+        risk = self._risk_expr()
+        for t, h in zip(times, h0):
+            name = f"{prefix}{t:g}".replace(".", "_").replace("-", "m")
+            out = out.withColumn(name, F.exp(F.lit(-h) * risk))
+        return out
 
     def summary_rows(self) -> list[tuple]:
         """(term, coef, hazard_ratio, se, z, p) per covariate."""
@@ -157,6 +277,7 @@ def coxph(
     tol: float = 1e-9,
     exact_iterations: int | None = None,
     num_partitions: int | None = None,
+    time_bucket: float | None = None,
 ) -> CoxPH:
     """Fit the Cox model by Newton-Raphson from β = 0 (R coxph's start).
     `event_col` is 0/1 (1 = event, 0 = censored; validated). Ties are
@@ -165,7 +286,14 @@ def coxph(
 
     `exact_iterations=N`: exactly N Newton steps, no convergence test —
     the deterministic trajectory a SQL oracle can replay. Otherwise stop
-    when |Δll| ≤ tol·(|ll| + tol)."""
+    when |Δll| ≤ tol·(|ll| + tol).
+
+    `time_bucket=w` floors the time axis to width-w buckets BEFORE the
+    per-time aggregation — the knob that bounds the distinct-time
+    cardinality (and hence every per-iteration intermediate) when the
+    time column is micro-timestamped. Bucketing coarsens ties exactly
+    like Breslow ties do; the stored model re-applies the same bucketing
+    in `baseline_hazard`."""
     if not x_cols:
         raise ValueError("x_cols must be non-empty")
     k = len(x_cols)
@@ -190,7 +318,9 @@ def coxph(
     if n_events == 0:
         raise ValueError("no events (event_col all zero) — nothing to fit")
 
-    work = df.select(time_col, event_col, *x_cols).persist()
+    work = df.select(
+        _time_expr(time_col, time_bucket).alias(time_col), event_col, *x_cols
+    ).persist()
     try:
         beta = np.zeros(k)
         ll_prev: float | None = None
@@ -250,6 +380,7 @@ def coxph(
         iter=n_iter,
         converged=converged or exact_iterations is not None,
         cov_params=cov,
+        time_bucket=time_bucket,
     )
 
 
@@ -258,6 +389,7 @@ def kaplan_meier(
     time_col: str,
     event_col: str,
     group_col: str | None = None,
+    time_bucket: float | None = None,
 ) -> DataFrame:
     """Kaplan-Meier product-limit survival curve, optionally per group:
     one row per distinct EVENT time with
@@ -272,7 +404,9 @@ def kaplan_meier(
     (partitioned by group when given; via the range-partitioned prefix
     plan when global, so no single-partition sort). A time where every
     at-risk subject dies (survival hits exactly 0) is safe: ln(0) rows
-    are clamped via a when() and survival reports 0 from there on."""
+    are clamped via a when() and survival reports 0 from there on.
+    `time_bucket=w` floors the time axis to width-w buckets first — the
+    distinct-time cardinality knob for micro-timestamped data."""
     from pyspark.sql import Window
 
     ev = F.col(event_col).cast("double")
@@ -280,7 +414,7 @@ def kaplan_meier(
     per_t = (
         df.select(
             *( [F.col(group_col)] if group_col else [] ),
-            F.col(time_col).cast("double").alias("__t"),
+            _time_expr(time_col, time_bucket).alias("__t"),
             ev.alias("__e"),
         )
         .groupBy(*keys)
@@ -341,6 +475,7 @@ def logrank_test(
     time_col: str,
     event_col: str,
     group_col: str,
+    time_bucket: float | None = None,
 ) -> dict:
     """Two-sample log-rank test (Mantel-Cox) — "are these two survival
     curves the same?", the standard companion to `kaplan_meier`:
@@ -354,7 +489,9 @@ def logrank_test(
     groupBy(distinct time) with the per-group event/at-risk counts as
     conditional sums, suffix sums via the prefix plan, one final
     aggregation → 3 driver scalars. Ties share a time row (the standard
-    discrete-time handling); times with n = 1 contribute zero variance."""
+    discrete-time handling); times with n = 1 contribute zero variance.
+    `time_bucket=w` floors the time axis first (cardinality knob, as in
+    `coxph`/`kaplan_meier`)."""
     from sparkglm_spark.functions.special import chisq_sf
 
     groups = [
@@ -374,7 +511,7 @@ def logrank_test(
     in_a = (F.col(group_col) == ga).cast("double")
     per_t = (
         df.where(F.col(group_col).isNotNull())
-        .groupBy(F.col(time_col).cast("double").alias("__t"))
+        .groupBy(_time_expr(time_col, time_bucket).alias("__t"))
         .agg(
             F.count(F.lit(1)).cast("double").alias("n_t"),
             F.sum(in_a).alias("na_t"),

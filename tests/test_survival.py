@@ -231,3 +231,146 @@ def test_logrank_matches_numpy(surv_data):
     assert out["p_value"] < 0.05
     with pytest.raises(ValueError, match="exactly 2"):
         logrank_test(df.withColumn("g", F.lit(1)), "time", "event", "g")
+
+def _numpy_breslow(t, e, X, beta):
+    """dict event_time -> (d, s0, hazard, cum_hazard) — Breslow H0 twin."""
+    w = np.exp(X @ beta)
+    out = {}
+    H = 0.0
+    for ut in np.unique(t):
+        at = t >= ut
+        d = float(e[t == ut].sum())
+        if d > 0:
+            s0 = float(w[at].sum())
+            h = d / s0
+            H += h
+            out[float(ut)] = (d, s0, h, H)
+    return out
+
+
+def test_coxph_baseline_hazard_matches_numpy(surv_data):
+    df, t, e, X = surv_data
+    m = coxph(df, "time", "event", ["x1", "x2"], exact_iterations=4)
+    got = m.baseline_hazard(df).collect()
+    want = _numpy_breslow(t, e, X, m.coefs)
+    assert len(got) == len(want)
+    for r in got:
+        d, s0, h, H = want[r.time]
+        assert r.n_events == int(d), r.time
+        assert r.s0 == pytest.approx(s0, rel=1e-9)
+        assert r.hazard == pytest.approx(h, rel=1e-9)
+        assert r.cum_hazard == pytest.approx(H, rel=1e-9)
+        assert r.baseline_survival == pytest.approx(np.exp(-H), rel=1e-9)
+    # cum_hazard is non-decreasing in time (rows come back ordered)
+    cums = [r.cum_hazard for r in got]
+    assert all(a <= b + 1e-12 for a, b in zip(cums, cums[1:]))
+
+
+def test_coxph_predict_survival_matches_numpy(surv_data):
+    df, t, e, X = surv_data
+    m = coxph(df, "time", "event", ["x1", "x2"], exact_iterations=4)
+    horizons = [0.05, 0.5, 2.0, 1e9]   # before first event / interior / tail
+    scored = m.predict_survival(df, horizons, train_df=df)
+    cols = [c for c in scored.columns if c.startswith("surv_")]
+    assert len(cols) == 4 and scored.columns[: len(df.columns)] == df.columns
+    bres = _numpy_breslow(t, e, X, m.coefs)
+    ets = sorted(bres)
+
+    def H0(h):
+        past = [bres[u][3] for u in ets if u <= h]
+        return past[-1] if past else 0.0
+
+    rows = scored.limit(50).collect()
+    for r in rows:
+        risk = float(np.exp(m.coefs[0] * r.x1 + m.coefs[1] * r.x2))
+        for h, c in zip(horizons, cols):
+            assert getattr(r, c) == pytest.approx(
+                float(np.exp(-H0(h) * risk)), rel=1e-9
+            ), (h, c)
+    # horizon before any event -> survival exactly 1
+    assert all(r[cols[0]] == pytest.approx(1.0) for r in rows)
+    # survival is non-increasing across horizons for every subject
+    for r in rows:
+        vals = [getattr(r, c) for c in cols]
+        assert all(a >= b - 1e-12 for a, b in zip(vals, vals[1:]))
+    # precomputed-baseline path gives identical numbers
+    base = m.baseline_hazard(df)
+    again = m.predict_survival(df, [2.0], baseline=base).collect()
+    ref = {r.x1: r.surv_2 for r in scored.select("x1", "surv_2").collect()}
+    for r in again:
+        assert r.surv_2 == pytest.approx(ref[r.x1], rel=0)
+    with pytest.raises(ValueError, match="train_df or"):
+        m.predict_survival(df, [1.0])
+    with pytest.raises(ValueError, match="non-empty"):
+        m.predict_survival(df, [], train_df=df)
+
+
+def test_coxph_null_baseline_is_nelson_aalen_and_tracks_km(surv_data):
+    """At beta = 0 (exact_iterations=0 -> no Newton step) the Breslow
+    baseline is exactly the Nelson-Aalen estimator, and exp(-H) must
+    track the KM product-limit curve closely on moderate risk sets."""
+    from sparkglm_spark.operators.survival import kaplan_meier
+
+    df, t, e, X = surv_data
+    m0 = coxph(df, "time", "event", ["x1"], exact_iterations=0)
+    assert np.all(m0.coefs == 0.0)
+    base = {r.time: r for r in m0.baseline_hazard(df).collect()}
+    km = kaplan_meier(df, "time", "event").collect()
+    H = 0.0
+    for r in km:
+        H += r.n_events / r.n_at_risk  # Nelson-Aalen increment d/n
+        b = base[r.time]
+        assert b.s0 == pytest.approx(float(r.n_at_risk), rel=1e-12)
+        assert b.cum_hazard == pytest.approx(H, rel=1e-12)
+        # exp(-NA) vs KM: agree to ~d/n^2 per step on these risk sets
+        assert abs(b.baseline_survival - r.survival) < 0.02
+
+
+def test_survival_time_bucket(surv_data):
+    """Micro-jittered times bucketed back to the original grid must
+    reproduce the unjittered fit; the bucketed distinct-time count drops."""
+    from sparkglm_spark.operators.survival import kaplan_meier, logrank_test
+
+    df, t, e, X = surv_data
+    # integer time grid (float-safe bucketing: floor((k + eps)/1) == k),
+    # micro-jitter strictly inside each unit bucket
+    base_df = df.withColumn("time", F.round(F.col("time") * 10.0).cast("double"))
+    jit = base_df.withColumn(
+        "time",
+        F.col("time") + F.pmod(F.xxhash64("x1"), F.lit(1000)).cast("double") / 2e3,
+    )
+    ref = coxph(base_df, "time", "event", ["x1", "x2"], exact_iterations=3)
+    got = coxph(jit, "time", "event", ["x1", "x2"], exact_iterations=3,
+                time_bucket=1.0)
+    np.testing.assert_allclose(got.coefs, ref.coefs, rtol=1e-12)
+    assert got.time_bucket == 1.0
+    # baseline re-applies the model's bucketing: same event-time grid
+    bt = [r.time for r in got.baseline_hazard(jit).collect()]
+    rt = [r.time for r in ref.baseline_hazard(base_df).collect()]
+    np.testing.assert_allclose(bt, rt, rtol=1e-12)
+
+    km_j = kaplan_meier(jit, "time", "event", time_bucket=1.0).collect()
+    km_r = kaplan_meier(base_df, "time", "event").collect()
+    assert len(km_j) == len(km_r)
+    for a, b in zip(km_j, km_r):
+        assert a.n_at_risk == b.n_at_risk and a.n_events == b.n_events
+        assert a.survival == pytest.approx(b.survival, rel=1e-12)
+
+    grp = base_df.withColumn("g", (F.col("x2") > 0.5).cast("int"))
+    grp_j = jit.withColumn("g", (F.col("x2") > 0.5).cast("int"))
+    lr_r = logrank_test(grp, "time", "event", "g")
+    lr_j = logrank_test(grp_j, "time", "event", "g", time_bucket=1.0)
+    assert lr_j["chi2"] == pytest.approx(lr_r["chi2"], rel=1e-12)
+
+    with pytest.raises(ValueError, match="time_bucket"):
+        coxph(df, "time", "event", ["x1"], time_bucket=0.0)
+
+def test_baseline_hazard_no_single_partition_window(surv_data):
+    """Both prefix passes (S0 suffix sum, H0 ascending sum) must ride the
+    range-partitioned prefix plan — no partition-less window stage."""
+    df, *_ = surv_data
+    m = coxph(df, "time", "event", ["x1"], exact_iterations=1)
+    plan = (
+        m.baseline_hazard(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SinglePartition" not in plan
