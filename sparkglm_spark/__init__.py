@@ -55,6 +55,7 @@ from sparkglm_spark.operators.stats import (
 )
 from sparkglm_spark.operators.survival import (
     coxph,
+    coxph_grouped,
     kaplan_meier,
     logrank_test,
 )
@@ -93,6 +94,7 @@ __all__ = [
     "robust_standard_errors",
     "likelihood_ratio_test",
     "coxph",
+    "coxph_grouped",
     "kaplan_meier",
     "logrank_test",
     "welch_ttest",

@@ -384,6 +384,167 @@ def coxph(
     )
 
 
+def _cox_newton_dense(t, e, X, exact_iterations, tol, max_iter):
+    """Dense per-segment Breslow Newton (numpy, one worker's Arrow batch).
+    Returns (beta, se, loglik, n_iter, converged) or None when degenerate
+    (no events, singular information, non-finite trajectory)."""
+    n, k = X.shape
+    order = np.argsort(t, kind="mergesort")
+    ts, es, Xs = t[order], e[order], X[order]
+    uniq, starts = np.unique(ts, return_index=True)
+    d_t = np.add.reduceat(es, starts)
+    dx = np.add.reduceat(es[:, None] * Xs, starts, axis=0)
+    ev_mask = d_t > 0
+    if not ev_mask.any():
+        return None
+    sdx = dx[ev_mask].sum(axis=0)
+
+    def stats_at(beta):
+        w = np.exp(Xs @ beta)
+        wx = w[:, None] * Xs
+        # per-time totals -> suffix (risk-set) sums; S2 via per-row outers
+        s0 = np.cumsum(np.add.reduceat(w, starts)[::-1])[::-1]
+        s1 = np.cumsum(np.add.reduceat(wx, starts, axis=0)[::-1], axis=0)[::-1]
+        wxx = wx[:, :, None] * Xs[:, None, :]
+        s2 = np.cumsum(np.add.reduceat(wxx, starts, axis=0)[::-1], axis=0)[::-1]
+        d, S0, S1, S2 = d_t[ev_mask], s0[ev_mask], s1[ev_mask], s2[ev_mask]
+        ll = float(beta @ sdx - (d * np.log(S0)).sum())
+        m = S1 / S0[:, None]
+        grad = sdx - (d[:, None] * m).sum(axis=0)
+        info = (
+            d[:, None, None] * (S2 / S0[:, None, None] - m[:, :, None] * m[:, None, :])
+        ).sum(axis=0)
+        return ll, grad, info
+
+    beta = np.zeros(k)
+    ll_prev = None
+    n_iter = 0
+    converged = False
+    iters = exact_iterations if exact_iterations is not None else max_iter
+    try:
+        for _ in range(iters):
+            ll, grad, info = stats_at(beta)
+            step = np.linalg.solve(info, grad)
+            if not np.all(np.isfinite(step)):
+                return None
+            beta = beta + step
+            n_iter += 1
+            if (
+                exact_iterations is None
+                and ll_prev is not None
+                and abs(ll - ll_prev) <= tol * (abs(ll) + tol)
+            ):
+                converged = True
+                break
+            ll_prev = ll
+        ll, _, info = stats_at(beta)  # final-state ll/se at the returned beta
+        cov = np.linalg.inv(info)
+    except np.linalg.LinAlgError:
+        return None
+    if not np.all(np.isfinite(beta)):
+        return None
+    return beta, np.sqrt(np.diag(cov)), ll, n_iter, (
+        converged or exact_iterations is not None
+    )
+
+
+def coxph_grouped(
+    df: DataFrame,
+    time_col: str,
+    event_col: str,
+    x_cols: list[str],
+    group_cols: list[str],
+    max_iter: int = 20,
+    tol: float = 1e-9,
+    exact_iterations: int | None = None,
+    time_bucket: float | None = None,
+) -> DataFrame:
+    """One Cox model per segment — `coxph` scaled out to many groups with
+    no per-group driver work (the per-cohort / per-tenant hazard-model
+    shape; pattern set by `glm_grouped`, operators/glm.py:585).
+
+    Each group's rows materialize in its worker's Arrow batch
+    (`applyInPandas`) and fit by the same Breslow Newton-from-0 the
+    distributed `coxph` runs — for one huge segment use `coxph` itself,
+    whose per-iteration aggregation never materializes rows. The numpy
+    twin reproduces the distributed trajectory exactly (same per-time
+    suffix sums, same final-state se/loglik recompute), asserted in
+    tests against `coxph` on per-group slices.
+
+    Degenerate groups (no events, singular information, diverging
+    Newton) yield NULL estimate/se rather than garbage. `time_bucket`
+    floors the time axis inside the plan, as in `coxph`.
+
+    Returns long format: group_cols…, term, estimate, se, loglik,
+    n_rows, n_events, iterations, converged.
+    """
+    from pyspark.sql import types as T
+
+    if not x_cols:
+        raise ValueError("x_cols must be non-empty")
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    k = len(x_cols)
+    sel = (
+        [F.col(c) for c in group_cols]
+        + [
+            _time_expr(time_col, time_bucket).alias("__t"),
+            F.col(event_col).cast("double").alias("__e"),
+        ]
+        + [F.col(c).cast("double").alias(c) for c in x_cols]
+    )
+    work = df.select(*sel)
+    out_schema = T.StructType(
+        [df.schema[c] for c in group_cols]
+        + [
+            T.StructField("term", T.StringType()),
+            T.StructField("estimate", T.DoubleType()),
+            T.StructField("se", T.DoubleType()),
+            T.StructField("loglik", T.DoubleType()),
+            T.StructField("n_rows", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("iterations", T.IntegerType()),
+            T.StructField("converged", T.BooleanType()),
+        ]
+    )
+    names = list(x_cols)
+    gcols = list(group_cols)
+    n_exact = exact_iterations
+
+    def fit_group(pdf):
+        import pandas as pd
+
+        t = pdf["__t"].to_numpy(dtype=np.float64)
+        e = pdf["__e"].to_numpy(dtype=np.float64)
+        X = pdf[names].to_numpy(dtype=np.float64)
+        n = len(t)
+        res = None
+        if n >= k and np.all(np.isfinite(t)) and np.all((e == 0.0) | (e == 1.0)):
+            res = _cox_newton_dense(t, e, X, n_exact, tol, max_iter)
+        cols = {c: [] for c in gcols}
+        cols.update(
+            term=[], estimate=[], se=[], loglik=[], n_rows=[], n_events=[],
+            iterations=[], converged=[],
+        )
+        beta, se, ll, it, conv = res if res is not None else (
+            None, None, None, 0, False
+        )
+        for i, name in enumerate(names):
+            for c in gcols:
+                cols[c].append(pdf[c].iloc[0])
+            cols["term"].append(name)
+            cols["estimate"].append(float(beta[i]) if beta is not None else None)
+            cols["se"].append(float(se[i]) if se is not None else None)
+            cols["loglik"].append(ll)
+            cols["n_rows"].append(n)
+            cols["n_events"].append(int(e.sum()))
+            cols["iterations"].append(it)
+            cols["converged"].append(bool(conv))
+        return pd.DataFrame(cols)
+
+    return work.groupBy(*gcols).applyInPandas(fit_group, out_schema)
+
+
 def kaplan_meier(
     df: DataFrame,
     time_col: str,

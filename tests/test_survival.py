@@ -374,3 +374,54 @@ def test_baseline_hazard_no_single_partition_window(surv_data):
         m.baseline_hazard(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert "SinglePartition" not in plan
+
+def test_coxph_grouped_matches_per_group_coxph(surv_data):
+    """Per-segment fits must reproduce the distributed coxph on each
+    group's slice — same exact-iteration trajectory, se and loglik."""
+    from sparkglm_spark.operators.survival import coxph_grouped
+
+    df, *_ = surv_data
+    grp = df.withColumn("seg", (F.col("x2") > 0.5).cast("int"))
+    got = coxph_grouped(
+        grp, "time", "event", ["x1"], ["seg"], exact_iterations=3
+    ).collect()
+    assert len(got) == 2
+    for r in got:
+        ref = coxph(
+            grp.where(F.col("seg") == r.seg), "time", "event", ["x1"],
+            exact_iterations=3,
+        )
+        assert r.term == "x1"
+        assert r.estimate == pytest.approx(float(ref.coefs[0]), rel=1e-9)
+        assert r.se == pytest.approx(float(ref.se[0]), rel=1e-8)
+        assert r.loglik == pytest.approx(ref.loglik, rel=1e-9)
+        assert r.n_rows == ref.n and r.n_events == ref.n_events
+        assert r.iterations == 3 and r.converged
+
+
+def test_coxph_grouped_converged_and_degenerate(spark, surv_data):
+    from sparkglm_spark.operators.survival import coxph_grouped
+
+    df, *_ = surv_data
+    # one healthy segment + one with NO events -> NULL estimates
+    healthy = df.withColumn("seg", F.lit(0))
+    dead = (
+        df.withColumn("seg", F.lit(1)).withColumn("event", F.lit(0.0)).limit(50)
+    )
+    got = {
+        r.seg: r
+        for r in coxph_grouped(
+            healthy.unionByName(dead), "time", "event", ["x1", "x2"], ["seg"]
+        ).collect()
+        if r.term == "x1"
+    }
+    ref = coxph(df, "time", "event", ["x1", "x2"])
+    assert got[0].estimate == pytest.approx(float(ref.coefs[0]), rel=1e-8)
+    assert got[0].converged
+    assert got[1].estimate is None and got[1].se is None
+    assert got[1].n_events == 0 and not got[1].converged
+
+    with pytest.raises(ValueError, match="non-empty"):
+        coxph_grouped(df, "time", "event", [], ["seg"])
+    with pytest.raises(ValueError, match="non-empty"):
+        coxph_grouped(df, "time", "event", ["x1"], [])
