@@ -63,8 +63,12 @@ from sparkglm_spark.operators.timeseries import ewma_latest, ewma_series
 from sparkglm_spark.ml import (
     SparkBinaryEvaluator,
     SparkCorpusPrep,
+    SparkCoxPH,
+    SparkCoxPHModel,
     SparkGLM,
     SparkGLMModel,
+    SparkHuberLM,
+    SparkHuberLMModel,
     SparkLM,
     SparkLMModel,
     SparkPCA,
@@ -124,6 +128,10 @@ __all__ = [
     "SparkWordPiece",
     "SparkWordPieceModel",
     "SparkCorpusPrep",
+    "SparkHuberLM",
+    "SparkHuberLMModel",
+    "SparkCoxPH",
+    "SparkCoxPHModel",
 ]
 
 __version__ = "0.1.0"

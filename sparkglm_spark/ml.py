@@ -28,8 +28,10 @@ The same protocol extends beyond the reference surface (r7):
 `SparkPCA`/`SparkPCAModel` (one-Gram-pass covariance, codegen
 projections) and `SparkWordPiece`/`SparkWordPieceModel` (corpus vocab
 fit, zero-shuffle Arrow tokenize) — so reduce-then-regress and
-text→token_ids chains compose as stock Pipeline stages. Each model
-implements `_payload_dict()` / `_from_payload()` for the shared
+text→token_ids chains compose as stock Pipeline stages — and (r8)
+`SparkHuberLM` / `SparkCoxPH`, completing the rule that every fitted
+model family in the engine is Pipeline-composable and MLWritable. Each
+model implements `_payload_dict()` / `_from_payload()` for the shared
 JSON writer.
 
 Scale: `fit()` is the existing one-pass Gram / fused-IRLS plan (all
@@ -754,6 +756,244 @@ class SparkWordPieceModel(Model, _SparkWordPieceParams, MLWritable, MLReadable):
                 f"{path} holds {payload.get('kind')!r}, expected wordpiece"
             )
         return cls(list(payload["vocab"]))
+
+    def write(self) -> MLWriter:
+        return _ModelJSONWriter(self)
+
+    @classmethod
+    def read(cls) -> MLReader:
+        return _ModelJSONReader(cls)
+
+
+# ---------------------------------------------------------------------------
+# Huber robust regression
+# ---------------------------------------------------------------------------
+
+
+class _SparkHuberLMParams(_FormulaParams):
+    c = Param(
+        Params._dummy(),
+        "c",
+        "Huber tuning constant (1.345 = 95% efficiency at the normal)",
+        typeConverter=TypeConverters.toFloat,
+    )
+    maxIter = Param(
+        Params._dummy(),
+        "maxIter",
+        "maximum IRLS iterations",
+        typeConverter=TypeConverters.toInt,
+    )
+    tol = Param(
+        Params._dummy(),
+        "tol",
+        "relative max|delta beta| stopping tolerance",
+        typeConverter=TypeConverters.toFloat,
+    )
+    medianMode = Param(
+        Params._dummy(),
+        "medianMode",
+        "per-iteration median of |e|: 'auto', 'exact' or 'approx'",
+        typeConverter=TypeConverters.toString,
+    )
+    accuracy = Param(
+        Params._dummy(),
+        "accuracy",
+        "approx_percentile accuracy for medianMode approx/auto",
+        typeConverter=TypeConverters.toInt,
+    )
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(
+            c=1.345, maxIter=30, tol=1e-8, medianMode="auto", accuracy=10000
+        )
+
+
+class SparkHuberLM(
+    Estimator, _SparkHuberLMParams, DefaultParamsReadable, DefaultParamsWritable
+):
+    """`pyspark.ml.Estimator` over `huber_lm` (robust M-estimated
+    regression): same formula front-end and Params protocol as SparkLM,
+    so outlier-robust fits drop into Pipeline/CrossValidator chains
+    unchanged. Grid-searchable: formula, c, maxIter, tol, medianMode."""
+
+    def __init__(self, **kwargs):
+        super().__init__()
+        _kwargs_setter(self, kwargs)
+
+    def setParams(self, **kwargs) -> "SparkHuberLM":
+        return _kwargs_setter(self, kwargs)
+
+    def _fit(self, dataset: DataFrame) -> "SparkHuberLMModel":
+        if not self.isDefined(self.formula):
+            raise ValueError("SparkHuberLM requires the 'formula' param")
+        from sparkglm_spark.operators.lm import huber_lm
+
+        inner = huber_lm(
+            dataset,
+            self.getFormula(),
+            c=self.getOrDefault(self.c),
+            max_iter=self.getOrDefault(self.maxIter),
+            tol=self.getOrDefault(self.tol),
+            na_action=self.getNaAction(),
+            median_mode=self.getOrDefault(self.medianMode),
+            accuracy=self.getOrDefault(self.accuracy),
+        )
+        return self._copyValues(SparkHuberLMModel(inner))
+
+
+class SparkHuberLMModel(Model, _SparkHuberLMParams, MLWritable, MLReadable):
+    """Fitted Huber regression as a `pyspark.ml.Model`: `transform()` is
+    the same keyed one-projection scoring as SparkLMModel. `.model`
+    exposes the HuberLM dataclass (coefs, robust scale, iteration
+    trace)."""
+
+    def __init__(self, model=None):
+        super().__init__()
+        self._model_obj = model
+
+    @property
+    def model(self):
+        return self._model_obj
+
+    def _transform(self, dataset: DataFrame) -> DataFrame:
+        return self._model_obj.predict(dataset, output_col=self.getPredictionCol())
+
+    def _payload_dict(self) -> dict:
+        return model_to_dict(self._model_obj)
+
+    @classmethod
+    def _from_payload(cls, payload: dict, path: str) -> "SparkHuberLMModel":
+        from sparkglm_spark.operators.lm import HuberLM
+
+        inner = model_from_dict(payload)
+        if not isinstance(inner, HuberLM):
+            raise ValueError(
+                f"{path} holds a {type(inner).__name__}, expected HuberLM"
+            )
+        return cls(inner)
+
+    def write(self) -> MLWriter:
+        return _ModelJSONWriter(self)
+
+    @classmethod
+    def read(cls) -> MLReader:
+        return _ModelJSONReader(cls)
+
+
+# ---------------------------------------------------------------------------
+# Cox proportional hazards
+# ---------------------------------------------------------------------------
+
+
+class _SparkCoxPHParams(Params):
+    timeCol = Param(
+        Params._dummy(), "timeCol", "survival/censoring time column",
+        typeConverter=TypeConverters.toString,
+    )
+    eventCol = Param(
+        Params._dummy(), "eventCol", "0/1 event indicator column",
+        typeConverter=TypeConverters.toString,
+    )
+    featureCols = Param(
+        Params._dummy(), "featureCols", "numeric covariate columns",
+        typeConverter=TypeConverters.toListString,
+    )
+    maxIter = Param(
+        Params._dummy(), "maxIter", "maximum Newton iterations",
+        typeConverter=TypeConverters.toInt,
+    )
+    tol = Param(
+        Params._dummy(), "tol", "relative log-likelihood stopping tolerance",
+        typeConverter=TypeConverters.toFloat,
+    )
+    timeBucket = Param(
+        Params._dummy(), "timeBucket",
+        "floor the time axis to this bucket width (0.0 = off) — the "
+        "distinct-time cardinality knob for micro-timestamped data",
+        typeConverter=TypeConverters.toFloat,
+    )
+    predictionCol = Param(
+        Params._dummy(), "predictionCol",
+        "relative-risk column appended by transform()",
+        typeConverter=TypeConverters.toString,
+    )
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(
+            timeCol="time", eventCol="event", maxIter=20, tol=1e-9,
+            timeBucket=0.0, predictionCol="risk_score",
+        )
+
+
+class SparkCoxPH(
+    Estimator, _SparkCoxPHParams, DefaultParamsReadable, DefaultParamsWritable
+):
+    """`pyspark.ml.Estimator` over `coxph` (Breslow-tie Cox proportional
+    hazards; the survival-family analogue of SparkGLM). `transform()` of
+    the fitted model appends exp(x'β) relative risk; the underlying
+    `.model` exposes `baseline_hazard` / `predict_survival` for the
+    survfit-style surfaces (they need a data frame argument, so they stay
+    methods rather than transform flavors)."""
+
+    def __init__(self, **kwargs):
+        super().__init__()
+        _kwargs_setter(self, kwargs)
+
+    def setParams(self, **kwargs) -> "SparkCoxPH":
+        return _kwargs_setter(self, kwargs)
+
+    def _fit(self, dataset: DataFrame) -> "SparkCoxPHModel":
+        if not self.isDefined(self.featureCols):
+            raise ValueError("SparkCoxPH requires the 'featureCols' param")
+        from sparkglm_spark.operators.survival import coxph
+
+        bucket = self.getOrDefault(self.timeBucket)
+        inner = coxph(
+            dataset,
+            time_col=self.getOrDefault(self.timeCol),
+            event_col=self.getOrDefault(self.eventCol),
+            x_cols=list(self.getOrDefault(self.featureCols)),
+            max_iter=self.getOrDefault(self.maxIter),
+            tol=self.getOrDefault(self.tol),
+            time_bucket=bucket if bucket > 0.0 else None,
+        )
+        return self._copyValues(SparkCoxPHModel(inner))
+
+
+class SparkCoxPHModel(Model, _SparkCoxPHParams, MLWritable, MLReadable):
+    """Fitted Cox model as a `pyspark.ml.Model`: `transform()` appends
+    the exp(x'β) relative risk as one codegen projection. `.model`
+    exposes the CoxPH dataclass (summary_rows, baseline_hazard,
+    predict_survival)."""
+
+    def __init__(self, model=None):
+        super().__init__()
+        self._model_obj = model
+
+    @property
+    def model(self):
+        return self._model_obj
+
+    def _transform(self, dataset: DataFrame) -> DataFrame:
+        return self._model_obj.predict(
+            dataset, output_col=self.getOrDefault(self.predictionCol)
+        )
+
+    def _payload_dict(self) -> dict:
+        return model_to_dict(self._model_obj)
+
+    @classmethod
+    def _from_payload(cls, payload: dict, path: str) -> "SparkCoxPHModel":
+        from sparkglm_spark.operators.survival import CoxPH
+
+        inner = model_from_dict(payload)
+        if not isinstance(inner, CoxPH):
+            raise ValueError(
+                f"{path} holds a {type(inner).__name__}, expected CoxPH"
+            )
+        return cls(inner)
 
     def write(self) -> MLWriter:
         return _ModelJSONWriter(self)

@@ -1,4 +1,5 @@
-"""Model persistence: MLWriter-style JSON for LM/GLM (SURVEY §1.5).
+"""Model persistence: MLWriter-style JSON for LM/GLM/HuberLM/CoxPH
+(SURVEY §1.5).
 
 The reference has no persistence at all (models live as JVM objects); here
 fitted models round-trip through a single JSON document — coefficients and
@@ -14,7 +15,8 @@ import json
 import numpy as np
 
 from sparkglm_spark.operators.glm import GLM
-from sparkglm_spark.operators.lm import LM
+from sparkglm_spark.operators.lm import LM, HuberLM
+from sparkglm_spark.operators.survival import CoxPH
 
 _FORMAT_VERSION = 1
 
@@ -23,7 +25,42 @@ def _arr(x) -> list[float]:
     return [float(v) for v in np.asarray(x).ravel()]
 
 
-def model_to_dict(model: LM | GLM) -> dict:
+def model_to_dict(model: LM | GLM | HuberLM | CoxPH) -> dict:
+    if isinstance(model, HuberLM):
+        return {
+            "format_version": _FORMAT_VERSION,
+            "kind": "huber",
+            "xnames": list(model.xnames),
+            "yname": model.yname,
+            "coefs": _arr(model.coefs),
+            "scale": float(model.scale),
+            "c": float(model.c),
+            "iter": int(model.iter),
+            "nrow": int(model.nrow),
+            "converged": bool(model.converged),
+            "levels": {k: list(v) for k, v in model.levels.items()},
+            "call": model.call,
+        }
+    if isinstance(model, CoxPH):
+        return {
+            "format_version": _FORMAT_VERSION,
+            "kind": "coxph",
+            "xnames": list(model.xnames),
+            "time_col": model.time_col,
+            "event_col": model.event_col,
+            "coefs": _arr(model.coefs),
+            "se": _arr(model.se),
+            "loglik": float(model.loglik),
+            "null_loglik": float(model.null_loglik),
+            "n": int(model.n),
+            "n_events": int(model.n_events),
+            "iter": int(model.iter),
+            "converged": bool(model.converged),
+            "cov_params": None
+            if model.cov_params is None
+            else [[float(v) for v in row] for row in np.asarray(model.cov_params)],
+            "time_bucket": model.time_bucket,
+        }
     kind = "lm" if isinstance(model, LM) else "glm"
     d = {
         "format_version": _FORMAT_VERSION,
@@ -72,9 +109,39 @@ def model_to_dict(model: LM | GLM) -> dict:
     return d
 
 
-def model_from_dict(d: dict) -> LM | GLM:
+def model_from_dict(d: dict) -> LM | GLM | HuberLM | CoxPH:
     if d.get("format_version") != _FORMAT_VERSION:
         raise ValueError(f"unsupported model format {d.get('format_version')!r}")
+    if d["kind"] == "huber":
+        return HuberLM(
+            xnames=list(d["xnames"]),
+            yname=d["yname"],
+            coefs=np.asarray(d["coefs"], dtype=np.float64),
+            scale=float(d["scale"]),
+            c=float(d["c"]),
+            iter=int(d["iter"]),
+            nrow=int(d["nrow"]),
+            converged=bool(d["converged"]),
+            levels={k: list(v) for k, v in d.get("levels", {}).items()},
+            call=d.get("call", ""),
+        )
+    if d["kind"] == "coxph":
+        cov = d.get("cov_params")
+        return CoxPH(
+            xnames=list(d["xnames"]),
+            time_col=d["time_col"],
+            event_col=d["event_col"],
+            coefs=np.asarray(d["coefs"], dtype=np.float64),
+            se=np.asarray(d["se"], dtype=np.float64),
+            loglik=float(d["loglik"]),
+            null_loglik=float(d["null_loglik"]),
+            n=int(d["n"]),
+            n_events=int(d["n_events"]),
+            iter=int(d["iter"]),
+            converged=bool(d["converged"]),
+            cov_params=None if cov is None else np.asarray(cov, dtype=np.float64),
+            time_bucket=d.get("time_bucket"),
+        )
     common = dict(
         xnames=list(d["xnames"]),
         yname=d["yname"],
@@ -124,11 +191,11 @@ def model_from_dict(d: dict) -> LM | GLM:
     raise ValueError(f"unknown model kind {d['kind']!r}")
 
 
-def save_model(model: LM | GLM, path: str) -> None:
+def save_model(model: LM | GLM | HuberLM | CoxPH, path: str) -> None:
     with open(path, "w") as f:
         json.dump(model_to_dict(model), f, indent=1)
 
 
-def load_model(path: str) -> LM | GLM:
+def load_model(path: str) -> LM | GLM | HuberLM | CoxPH:
     with open(path) as f:
         return model_from_dict(json.load(f))

@@ -378,3 +378,80 @@ def test_spark_binary_evaluator_in_cross_validator(orders):
     assert ll.evaluate(scored) == pytest.approx(want["log_loss"], rel=1e-12)
     with pytest.raises(ValueError, match="metricName"):
         SparkBinaryEvaluator(metricName="nope").evaluate(scored)
+
+def test_huber_pipeline_and_save_load(li, tmp_path):
+    from sparkglm_spark.ml import SparkHuberLM, SparkHuberLMModel
+    from sparkglm_spark.operators.lm import huber_lm
+
+    est = SparkHuberLM(
+        formula="l_extendedprice ~ l_quantity", c=1.345, predictionCol="robust"
+    )
+    pipe_model = Pipeline(stages=[est]).fit(li)
+    wrapped = pipe_model.stages[0]
+    assert isinstance(wrapped, SparkHuberLMModel)
+    bare = huber_lm(li, "l_extendedprice ~ l_quantity", c=1.345)
+    np.testing.assert_allclose(wrapped.model.coefs, bare.coefs, rtol=1e-12)
+    assert wrapped.model.scale == pytest.approx(bare.scale, rel=1e-12)
+
+    scored = pipe_model.transform(li)
+    assert scored.columns == li.columns + ["robust"]
+
+    path = str(tmp_path / "hubermodel")
+    wrapped.write().save(path)
+    loaded = SparkHuberLMModel.load(path)
+    assert loaded.getPredictionCol() == "robust"
+    np.testing.assert_allclose(loaded.model.coefs, wrapped.model.coefs, rtol=0)
+    assert loaded.model.scale == wrapped.model.scale
+    assert loaded.model.converged == wrapped.model.converged
+    a = [r.robust for r in wrapped.transform(li).limit(20).collect()]
+    b = [r.robust for r in loaded.transform(li).limit(20).collect()]
+    np.testing.assert_allclose(a, b, rtol=0)
+
+
+def test_coxph_pipeline_and_save_load(spark, tmp_path):
+    from sparkglm_spark.ml import SparkCoxPH, SparkCoxPHModel
+    from sparkglm_spark.operators.survival import coxph
+
+    rng = np.random.default_rng(17)
+    n = 300
+    x = rng.normal(0, 1, n)
+    t = np.round(rng.exponential(1.0 / np.exp(0.6 * x)), 1) + 0.1
+    e = (rng.random(n) < 0.7).astype(float)
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(t, e, x)],
+        "time double, event double, x double",
+    )
+    est = SparkCoxPH(featureCols=["x"], predictionCol="hr")
+    pipe_model = Pipeline(stages=[est]).fit(df)
+    wrapped = pipe_model.stages[0]
+    assert isinstance(wrapped, SparkCoxPHModel)
+    bare = coxph(df, "time", "event", ["x"])
+    np.testing.assert_allclose(wrapped.model.coefs, bare.coefs, rtol=1e-10)
+
+    scored = pipe_model.transform(df)
+    assert scored.columns == df.columns + ["hr"]
+
+    path = str(tmp_path / "coxmodel")
+    wrapped.write().save(path)
+    loaded = SparkCoxPHModel.load(path)
+    assert loaded.getOrDefault(loaded.predictionCol) == "hr"
+    np.testing.assert_allclose(loaded.model.coefs, wrapped.model.coefs, rtol=0)
+    np.testing.assert_allclose(loaded.model.se, wrapped.model.se, rtol=0)
+    assert loaded.model.loglik == wrapped.model.loglik
+    assert loaded.model.n_events == wrapped.model.n_events
+    # cov_params + time settings survive -> baseline/survival work post-load
+    base = loaded.model.baseline_hazard(df)
+    assert base.count() > 0
+    surv = loaded.model.predict_survival(df, [1.0], baseline=base)
+    assert any(c.startswith("surv_") for c in surv.columns)
+    a = [r.hr for r in wrapped.transform(df).limit(20).collect()]
+    b = [r.hr for r in loaded.transform(df).limit(20).collect()]
+    np.testing.assert_allclose(a, b, rtol=0)
+
+
+def test_coxph_estimator_requires_features(spark):
+    from sparkglm_spark.ml import SparkCoxPH
+
+    df = spark.createDataFrame([(1.0, 1.0)], "time double, event double")
+    with pytest.raises(ValueError, match="featureCols"):
+        SparkCoxPH().fit(df)
