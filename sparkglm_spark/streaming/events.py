@@ -436,23 +436,25 @@ def ewma_state_stream(
         num, den, n, last = (
             tuple(state.get) if state.exists else (0.0, 0.0, 0, None)
         )
-        folded = 0
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            pdf = pdf.sort_values(sort_cols, kind="mergesort")
-            x = pdf[value_col].to_numpy(dtype=np.float64)
-            m = len(x)
-            w = decay ** np.arange(m - 1, -1, -1, dtype=np.float64)
-            carry = decay**m
-            num = float((w * x).sum()) + carry * num
-            den = float(w.sum()) + carry * den
-            n += m
-            folded += m
-            bt = int(pd.Timestamp(pdf[ts_col].iloc[-1]).value // 1000)
-            last = bt if last is None else max(last, bt)
-        if folded == 0:
+        # a group's micro-batch arrives as an ITERATOR of Arrow chunks
+        # (~10k rows each): concatenate before sorting, or rows that cross
+        # a chunk boundary out of (ts, tiebreak) order would fold
+        # chunk-by-chunk and be weighted as newest — violating the
+        # within-batch order contract below
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
             return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        x = pdf[value_col].to_numpy(dtype=np.float64)
+        m = len(x)
+        w = decay ** np.arange(m - 1, -1, -1, dtype=np.float64)
+        carry = decay**m
+        num = float((w * x).sum()) + carry * num
+        den = float(w.sum()) + carry * den
+        n += m
+        bt = int(pd.Timestamp(pdf[ts_col].iloc[-1]).value // 1000)
+        last = bt if last is None else max(last, bt)
         state.update((num, den, n, last))
         yield pd.DataFrame(
             {

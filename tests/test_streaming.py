@@ -693,3 +693,66 @@ def test_ewma_state_stream_guards(spark, events):
 
     with pytest.raises(ValueError, match="streaming"):
         ewma_state_stream(events, "user_id", "ts", "value", 0.5)
+
+def test_ewma_state_stream_multi_chunk_group_order(spark):
+    """A single micro-batch whose per-key rows span MULTIPLE Arrow chunks
+    and arrive ts-shuffled must still fold in (ts, tiebreak) order — the
+    per-chunk-sort regression: folding chunk-by-chunk weights cross-chunk
+    out-of-order rows as newest and diverges from batch ewma_latest."""
+    import numpy as np
+
+    from sparkglm_spark.operators.timeseries import ewma_latest
+    from sparkglm_spark.streaming.events import ewma_state_stream
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        rng = np.random.default_rng(59)
+        n = 60  # >> 7-row chunks -> ~9 chunks per group
+        order = rng.permutation(n)  # ts-shuffled arrival inside the batch
+        rows = [
+            (
+                "k1",
+                f"2024-01-01 00:{i // 60:02d}:{i % 60:02d}",
+                float(i),
+                int(i),
+            )
+            for i in order
+        ]
+        raw = spark.createDataFrame(
+            rows, "user_id string, ts_s string, value double, event_id long"
+        ).select(
+            "user_id",
+            F.col("ts_s").cast("timestamp").alias("ts"),
+            "value",
+            "event_id",
+        )
+        with tempfile.TemporaryDirectory() as d:
+            src = os.path.join(d, "src")
+            raw.coalesce(1).write.parquet(src)
+            stream_in = spark.readStream.schema(raw.schema).parquet(src)
+            out = ewma_state_stream(
+                stream_in, "user_id", "ts", "value", 0.3, tiebreak_col="event_id"
+            )
+            q = (
+                out.writeStream.format("memory")
+                .queryName("ewma_chunks")
+                .outputMode("update")
+                .option("checkpointLocation", os.path.join(d, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            got = spark.sql(
+                "SELECT ewma, n_events FROM ewma_chunks ORDER BY n_events DESC LIMIT 1"
+            ).collect()[0]
+        want = ewma_latest(
+            raw, "user_id", "ts", "value", 0.3, tiebreak_col="event_id"
+        ).collect()[0]
+        assert got.n_events == want.n_events == n
+        assert got.ewma == pytest.approx(want.ewma, rel=1e-12)
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
