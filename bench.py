@@ -370,6 +370,39 @@ def main() -> None:
 
     W("classification_eval", run_clf_eval)
 
+    # r8: Cox PH — the heaviest iterative survival operator (per Newton
+    # iteration: one groupBy over the distinct-time axis + the
+    # range-partitioned prefix pass; 3 exact iterations + the final-state
+    # recompute = 4 risk-set passes over ~150k distinct times at sf0.1,
+    # deliberately UNbucketed so the prefix plan is stressed at full
+    # cardinality — time_bucket is the production knob)
+    from sparkglm_spark.operators.survival import coxph
+
+    cox_in = orders.select(
+        (F.col("o_totalprice") / 1000.0).alias("t"),
+        (F.col("o_orderpriority") < "3").cast("double").alias("ev"),
+        (F.col("o_custkey") % 100 / 100.0).alias("x"),
+    )
+    W("coxph", lambda: coxph(cox_in, "t", "ev", ["x"], exact_iterations=3))
+
+    # r8: the hypothesis-test/profile trio as one line (each is one or two
+    # bounded aggregation jobs; profile runs the approx_percentile sketch —
+    # the at-scale mode)
+    from sparkglm_spark.operators.stats import (
+        chi2_independence,
+        numeric_profile,
+        welch_ttest,
+    )
+
+    two_status = orders.where(F.col("o_orderstatus") != "P")
+
+    def run_stats_suite():
+        welch_ttest(two_status, "o_orderstatus", "o_totalprice")
+        chi2_independence(orders, "o_orderpriority", "o_orderstatus")
+        numeric_profile(orders, ["o_totalprice"], approx_mode=True).collect()
+
+    W("stats_suite", run_stats_suite)
+
     runs: dict[str, list[float]] = {name: [] for name, _ in workloads}
     errors: dict[str, str] = {}
     for _ in range(N_RUNS):
@@ -418,6 +451,8 @@ def main() -> None:
         "substring_removal",
         "text_bigram_lm",
         "classification_eval",
+        "coxph",  # r8 additions, same exclusion rationale
+        "stats_suite",
     }
     total_r4_set = round(
         sum(v for k, v in medians.items() if k not in r5_new), 3
