@@ -5013,10 +5013,12 @@ def q_orders_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-aware Mann-Whitney AUC via the prefix plan, log-loss/Brier/
     confusion), reliability bins (calib_bin), per-segment AUC (seg_auc),
     one-pass numeric profiles (num_profile), the 3-step Cox Newton
-    trajectory (coxph), per-priority Kaplan-Meier curves over bucketed
-    time (km) and the custkey-parity log-rank test (logrank). Each
-    constituent's operator docstring carries its plan + rounding
-    analysis."""
+    trajectory (coxph), its Breslow baseline hazard + survival
+    prediction at three horizons (cox_base), per-segment Cox fits via
+    coxph_grouped over custkey parity (coxg), per-priority Kaplan-Meier
+    curves over bucketed time (km) and the custkey-parity log-rank test
+    (logrank). Each constituent's operator docstring carries its plan +
+    rounding analysis."""
     pct = q_quantity_percentiles(spark, sf_dir).select(
         F.lit("quantity_pct").alias("op"),
         F.col("l_returnflag").alias("key"),
@@ -5130,6 +5132,63 @@ def q_orders_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "op string, key string, n bigint, v1 double, v2 double, v3 double",
     )
+    # r8: Breslow baseline cumulative hazard H0 at three price horizons
+    # plus the x = 0.5 subject's predicted survival exp(−H0·exp(β/2)) —
+    # v1 drives baseline_hazard, v2 drives predict_survival (the real
+    # scoring path via a one-row frame). H0 sums thousands of d/S0 terms;
+    # cross-engine drift ≲1e-11 on O(1) values → ROUND 6 is safe.
+    horizons = [50000.0, 150000.0, 300000.0]
+    bh = cm.baseline_hazard(cox_in).persist()
+    subj = spark.createDataFrame([(0.5,)], "x double")
+    sv = cm.predict_survival(subj, horizons, baseline=bh).collect()[0]
+    hrow = bh.agg(
+        *[
+            F.max(F.when(F.col("time") <= h, F.col("cum_hazard"))).alias(f"h{i}")
+            for i, h in enumerate(horizons)
+        ],
+        F.max("cum_hazard").alias("hmax"),
+        F.count(F.lit(1)).alias("nt"),
+    ).collect()[0]
+    bh.unpersist()
+    cox_base = spark.createDataFrame(
+        [
+            (
+                "cox_base",
+                f"h{int(h)}",
+                None,
+                round(float(hrow[f"h{i}"]), 6),
+                round(float(sv[f"surv_{h:g}"]), 6),
+                None,
+            )
+            for i, h in enumerate(horizons)
+        ]
+        + [("cox_base", "total", int(hrow["nt"]), round(float(hrow["hmax"]), 6),
+            None, None)],
+        "op string, key string, n bigint, v1 double, v2 double, v3 double",
+    )
+    # r8: per-segment Cox (custkey parity) — the coxph_grouped
+    # applyInPandas numpy Newton must replay the same 3-step trajectory
+    # the SQL unrolls per segment. loglik is deliberately NOT pinned here
+    # (|ll| ~ 2e4 with ~1e-9 cross-engine relative drift straddles a 4dp
+    # rounding boundary too often); beta/se at 6dp are O(0.1) and safe.
+    from sparkglm_spark.operators.survival import coxph_grouped
+
+    gin = od.select(
+        (F.col("o_custkey") % 2).cast("string").alias("seg"),
+        F.col("o_totalprice").cast("double").alias("t"),
+        F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0).alias("ev"),
+        ((F.col("o_custkey") % 100) / 100.0).alias("x"),
+    )
+    coxg = spark.createDataFrame(
+        [
+            ("coxg", r.seg, r.n_events, round(float(r.estimate), 6),
+             round(float(r.se), 6), None)
+            for r in coxph_grouped(
+                gin, "t", "ev", ["x"], ["seg"], exact_iterations=3
+            ).collect()
+        ],
+        "op string, key string, n bigint, v1 double, v2 double, v3 double",
+    )
     # r7b: grouped Kaplan-Meier over bucketed "time" (floor(price/1000) —
     # ~500 distinct times per group keeps the row set compact and forces
     # heavy Breslow-style ties). survival = exp(Σ ln(1−d/n)) — cross-
@@ -5180,73 +5239,121 @@ def q_orders_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(seg)
         .unionByName(prof)
         .unionByName(cox)
+        .unionByName(cox_base)
+        .unionByName(coxg)
         .unionByName(km)
         .unionByName(lr_rows)
     )
 
 
-def _sql_cox_ctes(iters: int) -> str:
+def _sql_cox_ctes(
+    iters: int,
+    where: str = "",
+    prefix: str = "cx",
+    mode: str = "full",
+    seg_key: str = "",
+) -> str:
     """Unroll `coxph(exact_iterations=iters)` (k = 1, Breslow) as CTEs:
     per-time totals → suffix sums (window over t DESC; per-time rows are
     distinct so ROWS ≡ RANGE) → Newton update. Mirrors
     operators/survival.py::_risk_set_stats exactly. The final stats CTE
-    (cxf_g) evaluates at the RETURNED β — the engine's post-loop recompute."""
+    ({prefix}f_g) evaluates at the RETURNED β — the engine's post-loop
+    recompute.
+
+    mode="full": the coxph beta/se/loglik/n_events rows PLUS the Breslow
+    baseline pins (`cox_base` rows — ascending running sum of d/S0 over
+    event times at the final β, exactly
+    operators/survival.py::CoxPH.baseline_hazard, with the survival
+    prediction exp(−H₀(h)·exp(β·0.5)) for the x = 0.5 subject).
+    mode="grouped": a single `coxg` summary row (key = seg_key) with
+    beta/se/n_events — the per-segment replay for `coxph_grouped`
+    (same Newton trajectory, segment selected by `where`)."""
+    p = prefix
     ctes = [
-        "cbase AS (SELECT CAST(o_totalprice AS DOUBLE) AS t, "
+        f"{p}base AS (SELECT CAST(o_totalprice AS DOUBLE) AS t, "
         "CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS ev, "
-        "CAST(o_custkey % 100 AS DOUBLE) / 100.0 AS x FROM orders)",
-        "cx0 AS (SELECT 0.0 AS b)",
+        f"CAST(o_custkey % 100 AS DOUBLE) / 100.0 AS x FROM orders{where})",
+        f"{p}0 AS (SELECT 0.0 AS b)",
     ]
     for i in range(1, iters + 1):
-        prev = f"cx{i - 1}"
+        prev = f"{p}{i - 1}"
         ctes += [
-            f"cx{i}_t AS (SELECT t, SUM(exp(b * x)) AS e0, "
+            f"{p}{i}_t AS (SELECT t, SUM(exp(b * x)) AS e0, "
             f"SUM(x * exp(b * x)) AS e1, SUM(x * x * exp(b * x)) AS e2, "
             f"SUM(ev) AS d, SUM(ev * x) AS dx "
-            f"FROM cbase CROSS JOIN {prev} GROUP BY t)",
-            f"cx{i}_c AS (SELECT d, dx, "
+            f"FROM {p}base CROSS JOIN {prev} GROUP BY t)",
+            f"{p}{i}_c AS (SELECT d, dx, "
             f"SUM(e0) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS e0c, "
             f"SUM(e1) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS e1c, "
             f"SUM(e2) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS e2c "
-            f"FROM cx{i}_t)",
-            f"cx{i}_g AS (SELECT SUM(dx) AS sdx, SUM(d * ln(e0c)) AS dl, "
+            f"FROM {p}{i}_t)",
+            f"{p}{i}_g AS (SELECT SUM(dx) AS sdx, SUM(d * ln(e0c)) AS dl, "
             f"SUM(d * e1c / e0c) AS gs, "
             f"SUM(d * (e2c / e0c - e1c * e1c / (e0c * e0c))) AS h "
-            f"FROM cx{i}_c WHERE d > 0)",
-            f"cx{i} AS (SELECT {prev}.b + (g.sdx - g.gs) / g.h AS b "
-            f"FROM cx{i}_g g CROSS JOIN {prev})",
+            f"FROM {p}{i}_c WHERE d > 0)",
+            f"{p}{i} AS (SELECT {prev}.b + (g.sdx - g.gs) / g.h AS b "
+            f"FROM {p}{i}_g g CROSS JOIN {prev})",
         ]
-    fin = f"cx{iters}"
+    fin = f"{p}{iters}"
     ctes += [
-        f"cxf_t AS (SELECT t, SUM(exp(b * x)) AS e0, "
+        f"{p}f_t AS (SELECT t, SUM(exp(b * x)) AS e0, "
         f"SUM(x * exp(b * x)) AS e1, SUM(x * x * exp(b * x)) AS e2, "
         f"SUM(ev) AS d, SUM(ev * x) AS dx "
-        f"FROM cbase CROSS JOIN {fin} GROUP BY t)",
-        "cxf_c AS (SELECT d, dx, "
+        f"FROM {p}base CROSS JOIN {fin} GROUP BY t)",
+        f"{p}f_c AS (SELECT t, d, dx, "
         "SUM(e0) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS e0c, "
         "SUM(e1) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS e1c, "
         "SUM(e2) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS e2c "
-        "FROM cxf_t)",
-        "cxf_g AS (SELECT SUM(dx) AS sdx, SUM(d * ln(e0c)) AS dl, "
+        f"FROM {p}f_t)",
+        f"{p}f_g AS (SELECT SUM(dx) AS sdx, SUM(d * ln(e0c)) AS dl, "
         "SUM(d * (e2c / e0c - e1c * e1c / (e0c * e0c))) AS h, "
-        "SUM(d) AS ne FROM cxf_c WHERE d > 0)",
+        f"SUM(d) AS ne FROM {p}f_c WHERE d > 0)",
     ]
+    if mode == "grouped":
+        return "WITH " + ",\n".join(ctes) + f"""
+SELECT 'coxg' AS op, '{seg_key}' AS key, CAST(g.ne AS BIGINT) AS n,
+       ROUND({fin}.b, 6) AS v1, ROUND(1.0 / SQRT(g.h), 6) AS v2,
+       CAST(NULL AS DOUBLE) AS v3
+FROM {p}f_g g CROSS JOIN {fin}
+"""
+    # Breslow baseline: H0 = ascending running sum of d/S0 over event times
+    ctes.append(
+        f"{p}b AS (SELECT t, SUM(d / e0c) OVER "
+        f"(ORDER BY t ASC ROWS UNBOUNDED PRECEDING) AS hc "
+        f"FROM {p}f_c WHERE d > 0)"
+    )
+    horizon_rows = "\nUNION ALL\n".join(
+        f"SELECT 'cox_base', 'h{int(h)}', NULL, "
+        f"ROUND((SELECT MAX(CASE WHEN t <= {h:.1f} THEN hc END) FROM {p}b), 6), "
+        f"ROUND(EXP(-(SELECT MAX(CASE WHEN t <= {h:.1f} THEN hc END) FROM {p}b)"
+        f" * EXP({fin}.b * 0.5)), 6), NULL FROM {fin}"
+        for h in (50000.0, 150000.0, 300000.0)
+    )
     return "WITH " + ",\n".join(ctes) + f"""
 SELECT 'coxph' AS op, 'beta' AS key, CAST(NULL AS BIGINT) AS n,
        ROUND({fin}.b, 6) AS v1, CAST(NULL AS DOUBLE) AS v2,
        CAST(NULL AS DOUBLE) AS v3
 FROM {fin}
 UNION ALL
-SELECT 'coxph', 'se', NULL, ROUND(1.0 / SQRT(g.h), 6), NULL, NULL FROM cxf_g g
+SELECT 'coxph', 'se', NULL, ROUND(1.0 / SQRT(g.h), 6), NULL, NULL FROM {p}f_g g
 UNION ALL
 SELECT 'coxph', 'loglik', NULL, ROUND({fin}.b * g.sdx - g.dl, 4), NULL, NULL
-FROM cxf_g g CROSS JOIN {fin}
+FROM {p}f_g g CROSS JOIN {fin}
 UNION ALL
-SELECT 'coxph', 'n_events', CAST(g.ne AS BIGINT), NULL, NULL, NULL FROM cxf_g g
+SELECT 'coxph', 'n_events', CAST(g.ne AS BIGINT), NULL, NULL, NULL FROM {p}f_g g
+UNION ALL
+{horizon_rows}
+UNION ALL
+SELECT 'cox_base', 'total', (SELECT CAST(COUNT(*) AS BIGINT) FROM {p}b),
+       ROUND((SELECT MAX(hc) FROM {p}b), 6), NULL, NULL
 """
 
 
 SQL_COX_ARM = _sql_cox_ctes(3)
+SQL_COXG_ARMS = " UNION ALL ".join(
+    f"SELECT * FROM ({_sql_cox_ctes(3, where=f' WHERE o_custkey % 2 = {s}', prefix=f'cg{s}', mode='grouped', seg_key=str(s))}) a{s}"
+    for s in (0, 1)
+)
 
 SQL_ORDERS_DISTRIBUTIONS = f"""
 SELECT 'quantity_pct' AS op, l_returnflag AS key, CAST(NULL AS BIGINT) AS n,
@@ -5339,6 +5446,8 @@ FROM (
 ) g
 UNION ALL
 SELECT * FROM ({SQL_COX_ARM}) cox
+UNION ALL
+SELECT * FROM ({SQL_COXG_ARMS}) coxg
 UNION ALL
 SELECT 'km', kc.g, CAST(kc.nr AS BIGINT), kc.t, kc.d,
        CASE WHEN kc.dead = 1 THEN 0.0 ELSE ROUND(exp(kc.ls), 6) END
