@@ -5016,7 +5016,8 @@ def q_orders_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
     trajectory (coxph), its Breslow baseline hazard + survival
     prediction at three horizons (cox_base), per-segment Cox fits via
     coxph_grouped over custkey parity (coxg), per-priority Kaplan-Meier
-    curves over bucketed time (km) and the custkey-parity log-rank test
+    curves over bucketed time (km), per-priority restricted mean
+    survival time at tau=300 (rmst) and the custkey-parity log-rank test
     (logrank). Each constituent's operator docstring carries its plan +
     rounding analysis."""
     pct = q_quantity_percentiles(spark, sf_dir).select(
@@ -5208,6 +5209,20 @@ def q_orders_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("double").alias("v2"),
         F.round("survival", 6).alias("v3"),
     )
+    # r8: per-priority restricted mean survival time at tau = 300 over the
+    # same bucketed axis — the KM plan plus ONE aggregation (drop-identity
+    # integral, no extra window); engine vs DuckDB sum the same ≤500
+    # drop terms → ROUND 6 safe.
+    from sparkglm_spark.operators.survival import restricted_mean_survival
+
+    rmst = restricted_mean_survival(km_in, "t", "ev", 300.0, group_col="g").select(
+        F.lit("rmst").alias("op"),
+        F.col("g").alias("key"),
+        F.col("n_events").alias("n"),
+        F.round("rmst", 6).alias("v1"),
+        F.lit(None).cast("double").alias("v2"),
+        F.lit(None).cast("double").alias("v3"),
+    )
     # r7b: two-sample log-rank over the same bucketed time axis,
     # groups = custkey parity (group 'a' = 0, the str-sorted first)
     from sparkglm_spark.operators.survival import logrank_test
@@ -5242,6 +5257,7 @@ def q_orders_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(cox_base)
         .unionByName(coxg)
         .unionByName(km)
+        .unionByName(rmst)
         .unionByName(lr_rows)
     )
 
@@ -5470,6 +5486,33 @@ FROM (
            OVER (PARTITION BY g ORDER BY t ROWS UNBOUNDED PRECEDING) AS dead
   FROM kr
 ) kc WHERE kc.d > 0
+UNION ALL
+SELECT 'rmst', rm.g, rm.ne, rm.v1, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM (
+  WITH rb AS (
+    SELECT o_orderpriority AS g,
+           CAST(FLOOR(o_totalprice / 1000) AS DOUBLE) AS t,
+           CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS ev
+    FROM orders),
+  rt AS (SELECT g, t, CAST(COUNT(*) AS DOUBLE) AS n_t, SUM(ev) AS d
+         FROM rb GROUP BY 1, 2),
+  rr AS (SELECT g, t, d,
+                SUM(n_t) OVER (PARTITION BY g ORDER BY t DESC
+                               ROWS UNBOUNDED PRECEDING) AS nr
+         FROM rt),
+  rc AS (SELECT g, t, d, nr,
+                CASE WHEN d >= nr THEN NULL ELSE ln(1.0 - d / nr) END AS lt,
+                SUM(CASE WHEN d >= nr THEN 0.0 ELSE ln(1.0 - d / nr) END)
+                  OVER (PARTITION BY g ORDER BY t ROWS UNBOUNDED PRECEDING) AS ls
+         FROM rr)
+  SELECT g,
+         CAST(SUM(CASE WHEN d > 0 AND t <= 300.0 THEN d ELSE 0 END) AS BIGINT)
+           AS ne,
+         ROUND(300.0 - SUM(CASE WHEN d > 0 AND t <= 300.0
+             THEN exp(ls - COALESCE(lt, 0.0)) * (d / nr) * (300.0 - t)
+             ELSE 0.0 END), 6) AS v1
+  FROM rc GROUP BY g
+) rm
 UNION ALL
 SELECT 'logrank', lr.key, lr.nn, lr.v1, CAST(NULL AS DOUBLE),
        CAST(NULL AS DOUBLE)

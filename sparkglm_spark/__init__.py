@@ -58,6 +58,7 @@ from sparkglm_spark.operators.survival import (
     coxph_grouped,
     kaplan_meier,
     logrank_test,
+    restricted_mean_survival,
 )
 from sparkglm_spark.operators.timeseries import ewma_latest, ewma_series
 from sparkglm_spark.ml import (
@@ -101,6 +102,7 @@ __all__ = [
     "coxph_grouped",
     "kaplan_meier",
     "logrank_test",
+    "restricted_mean_survival",
     "welch_ttest",
     "chi2_independence",
     "proportions_ztest",

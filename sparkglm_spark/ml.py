@@ -913,6 +913,12 @@ class _SparkCoxPHParams(Params):
         "distinct-time cardinality knob for micro-timestamped data",
         typeConverter=TypeConverters.toFloat,
     )
+    strataCol = Param(
+        Params._dummy(), "strataCol",
+        "stratification column ('' = unstratified): shared beta, one "
+        "baseline hazard per stratum",
+        typeConverter=TypeConverters.toString,
+    )
     predictionCol = Param(
         Params._dummy(), "predictionCol",
         "relative-risk column appended by transform()",
@@ -923,7 +929,7 @@ class _SparkCoxPHParams(Params):
         super().__init__()
         self._setDefault(
             timeCol="time", eventCol="event", maxIter=20, tol=1e-9,
-            timeBucket=0.0, predictionCol="risk_score",
+            timeBucket=0.0, strataCol="", predictionCol="risk_score",
         )
 
 
@@ -958,6 +964,7 @@ class SparkCoxPH(
             max_iter=self.getOrDefault(self.maxIter),
             tol=self.getOrDefault(self.tol),
             time_bucket=bucket if bucket > 0.0 else None,
+            strata_col=self.getOrDefault(self.strataCol) or None,
         )
         return self._copyValues(SparkCoxPHModel(inner))
 

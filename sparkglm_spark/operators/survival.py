@@ -33,6 +33,13 @@ nested, so each S·(t) is a suffix sum of per-time totals):
   axis to fixed-width buckets BEFORE the per-time aggregation, so the
   cardinality bound is enforced inside the plan, not left to the
   caller).
+
+  Stratified fits (`strata_col=`, R's `strata()`) change only step 2:
+  risk sets never cross strata, so the suffix sums become per-stratum
+  windows (one hash exchange on the stratum key) and the partial
+  likelihood factorizes — step 3 is unchanged. Grouped fits
+  (`coxph_grouped`) are the other axis: separate β per segment via
+  applyInPandas.
 """
 
 from __future__ import annotations
@@ -80,6 +87,7 @@ class CoxPH:
     converged: bool
     cov_params: np.ndarray = field(default=None, repr=False)
     time_bucket: float | None = None
+    strata_col: str | None = None
 
     def _risk_expr(self) -> Column:
         eta = F.lit(0.0)
@@ -104,44 +112,55 @@ class CoxPH:
             S₀(t)   = exp(−H₀(t))            baseline survival at x = 0
 
         One row per distinct EVENT time: (time, n_events, s0, hazard,
-        cum_hazard, baseline_survival).
+        cum_hazard, baseline_survival) — prefixed by the stratum column
+        for a stratified fit (one independent baseline per stratum, the
+        whole point of stratification).
 
-        Plan: ONE groupBy(distinct time) for (Σexp(xβ), d), a suffix-sum
-        prefix pass for S0 (risk sets are nested), then an ascending
-        prefix pass over the event rows for H₀ — the same two
-        range-partitioned `global_running_sum` plans the fit uses, no
-        single-partition stage, per-time rows only on the wire. The fit's
-        `time_bucket` (stored on the model) is applied identically, so
-        the hazard steps live on the same discretized axis the β̂ was
-        estimated on."""
+        Plan: ONE groupBy(distinct time[, stratum]) for (Σexp(xβ), d), a
+        suffix-sum prefix pass for S0 (risk sets are nested), then an
+        ascending prefix pass over the event rows for H₀ — the same two
+        range-partitioned `global_running_sum` plans the fit uses
+        (per-stratum windows when stratified), no single-partition stage,
+        per-time rows only on the wire. The fit's `time_bucket` (stored
+        on the model) is applied identically, so the hazard steps live on
+        the same discretized axis the β̂ was estimated on."""
         t_expr = _time_expr(self.time_col, self.time_bucket)
-        per_t = (
-            df.groupBy(t_expr.alias("__t"))
-            .agg(
-                F.sum(self._risk_expr()).alias("e0"),
-                F.sum(F.col(self.event_col).cast("double")).alias("d"),
-            )
-            .withColumn("__nt", -F.col("__t"))
+        sc = self.strata_col
+        keys = ([F.col(sc)] if sc else []) + [t_expr.alias("__t")]
+        per_t = df.groupBy(*keys).agg(
+            F.sum(self._risk_expr()).alias("e0"),
+            F.sum(F.col(self.event_col).cast("double")).alias("d"),
         )
-        s0 = global_running_sum(
-            per_t, "__nt", ["e0"], num_partitions=num_partitions
-        ).withColumnRenamed("e0_cum", "s0")
+        s0 = _suffix_sums(per_t, ["e0"], sc, num_partitions).withColumnRenamed(
+            "e0_cum", "s0"
+        )
         events = s0.where(F.col("d") > 0).withColumn(
             "hazard", F.col("d") / F.col("s0")
         )
-        cum = global_running_sum(
-            events, "__t", ["hazard"], num_partitions=num_partitions
-        )
+        if sc:
+            from pyspark.sql import Window
+
+            w = (
+                Window.partitionBy(sc)
+                .orderBy("__t")
+                .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            cum = events.withColumn("hazard_cum", F.sum("hazard").over(w))
+        else:
+            cum = global_running_sum(
+                events, "__t", ["hazard"], num_partitions=num_partitions
+            )
+        out_keys = ([F.col(sc)] if sc else []) + [F.col("__t").alias("time")]
         return (
             cum.select(
-                F.col("__t").alias("time"),
+                *out_keys,
                 F.col("d").cast("long").alias("n_events"),
                 F.col("s0"),
                 F.col("hazard"),
                 F.col("hazard_cum").alias("cum_hazard"),
                 F.exp(-F.col("hazard_cum")).alias("baseline_survival"),
             )
-            .orderBy("time")
+            .orderBy(*(([sc] if sc else []) + ["time"]))
         )
 
     def predict_survival(
@@ -165,28 +184,54 @@ class CoxPH:
         (len(times) conditional maxes → len(times) driver scalars), then
         one codegen projection appends `<prefix><t>` columns to the
         scoring rows. A horizon before the first event has H₀ = 0 (S = 1);
-        nothing row-level is collected."""
+        nothing row-level is collected.
+
+        Stratified models use the per-stratum step functions: the bounded
+        per-stratum aggregate broadcast-joins onto the scoring rows by
+        the stratum column (|strata| rows on the wire). A scoring row
+        whose stratum was unseen in training gets NULL survival — its
+        baseline is genuinely unknown, unlike a known stratum with no
+        event before the horizon (S = 1)."""
         if not times:
             raise ValueError("times must be non-empty")
         if baseline is None:
             if train_df is None:
                 raise ValueError("pass train_df or a precomputed baseline")
             baseline = self.baseline_hazard(train_df)
+        risk = self._risk_expr()
+        names = [
+            f"{prefix}{t:g}".replace(".", "_").replace("-", "m") for t in times
+        ]
         aggs = [
             F.max(
                 F.when(F.col("time") <= float(t), F.col("cum_hazard"))
             ).alias(f"__h_{i}")
             for i, t in enumerate(times)
         ]
+        sc = self.strata_col
+        if sc:
+            # NULL __h_i within a SEEN stratum means "no event ≤ horizon"
+            # (H0 = 0); an unseen stratum has no per-stratum row at all,
+            # which nulls every __h_i AND the join marker
+            marker = "__h_seen"
+            per_s = baseline.groupBy(sc).agg(F.lit(1).alias(marker), *aggs)
+            out = df.join(F.broadcast(per_s), on=sc, how="left")
+            for i, name in enumerate(names):
+                out = out.withColumn(
+                    name,
+                    F.when(
+                        F.col(marker).isNotNull(),
+                        F.exp(-F.coalesce(F.col(f"__h_{i}"), F.lit(0.0)) * risk),
+                    ),
+                )
+            return out.drop(marker, *[f"__h_{i}" for i in range(len(times))])
         row = baseline.agg(*aggs).collect()[0]
         h0 = [
             float(row[f"__h_{i}"]) if row[f"__h_{i}"] is not None else 0.0
             for i in range(len(times))
         ]
         out = df
-        risk = self._risk_expr()
-        for t, h in zip(times, h0):
-            name = f"{prefix}{t:g}".replace(".", "_").replace("-", "m")
+        for name, h in zip(names, h0):
             out = out.withColumn(name, F.exp(F.lit(-h) * risk))
         return out
 
@@ -204,6 +249,36 @@ class CoxPH:
         return out
 
 
+def _suffix_sums(
+    per_t: DataFrame,
+    cum_cols: list[str],
+    strata_col: str | None,
+    num_partitions: int | None,
+) -> DataFrame:
+    """Risk-set (suffix) sums over the per-time frame: per-stratum window
+    when stratified (one hash exchange on the stratum key — strata are the
+    parallelism unit, so no single-partition stage), the range-partitioned
+    global prefix plan otherwise."""
+    if strata_col:
+        from pyspark.sql import Window
+
+        w = (
+            Window.partitionBy(strata_col)
+            .orderBy(F.col("__t").desc())
+            .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = per_t
+        for c in cum_cols:
+            out = out.withColumn(f"{c}_cum", F.sum(c).over(w))
+        return out
+    return global_running_sum(
+        per_t.withColumn("__nt", -F.col("__t")),
+        "__nt",
+        cum_cols,
+        num_partitions=num_partitions,
+    )
+
+
 def _risk_set_stats(
     df: DataFrame,
     time_col: str,
@@ -211,10 +286,14 @@ def _risk_set_stats(
     x_cols: list[str],
     beta: np.ndarray,
     num_partitions: int | None,
+    strata_col: str | None = None,
 ):
     """One Cox iteration's distributed work: per-time totals, suffix sums
-    via the prefix plan, final event-weighted aggregation. Returns
-    (ll_terms, grad vector pieces, info matrix pieces) as a driver row."""
+    via the prefix plan (per-stratum windows when stratified — the partial
+    likelihood factorizes over strata, so the final aggregation just sums
+    the per-(stratum, time) event rows), final event-weighted aggregation.
+    Returns (ll_terms, grad vector pieces, info matrix pieces) as a
+    driver row."""
     k = len(x_cols)
     xs = [F.col(c).cast("double") for c in x_cols]
     eta = F.lit(0.0)
@@ -232,17 +311,14 @@ def _risk_set_stats(
     for i in range(k):
         for j in range(i, k):
             aggs.append(F.sum(xs[i] * xs[j] * w).alias(f"e2_{i}_{j}"))
-    per_t = (
-        df.groupBy(F.col(time_col).cast("double").alias("__t"))
-        .agg(*aggs)
-        .withColumn("__nt", -F.col("__t"))
-    )
+    keys = ([F.col(strata_col)] if strata_col else []) + [
+        F.col(time_col).cast("double").alias("__t")
+    ]
+    per_t = df.groupBy(*keys).agg(*aggs)
     cum_cols = ["e0"] + [f"e1_{i}" for i in range(k)] + [
         f"e2_{i}_{j}" for i in range(k) for j in range(i, k)
     ]
-    cum = global_running_sum(
-        per_t, "__nt", cum_cols, num_partitions=num_partitions
-    )
+    cum = _suffix_sums(per_t, cum_cols, strata_col, num_partitions)
     # final aggregation over event times (d > 0): the Breslow pieces
     s0 = F.col("e0_cum")
     fin = [
@@ -278,6 +354,7 @@ def coxph(
     exact_iterations: int | None = None,
     num_partitions: int | None = None,
     time_bucket: float | None = None,
+    strata_col: str | None = None,
 ) -> CoxPH:
     """Fit the Cox model by Newton-Raphson from β = 0 (R coxph's start).
     `event_col` is 0/1 (1 = event, 0 = censored; validated). Ties are
@@ -293,7 +370,15 @@ def coxph(
     cardinality (and hence every per-iteration intermediate) when the
     time column is micro-timestamped. Bucketing coarsens ties exactly
     like Breslow ties do; the stored model re-applies the same bucketing
-    in `baseline_hazard`."""
+    in `baseline_hazard`.
+
+    `strata_col=g` fits the STRATIFIED model (R `coxph(... + strata(g))`):
+    one shared β, a separate (unconstrained) baseline hazard per stratum
+    — risk sets never cross strata, so the partial likelihood factorizes
+    and the suffix sums become per-stratum windows (one hash exchange on
+    the stratum key; strata are the parallelism unit). The go-to fix
+    when a categorical violates proportional hazards: stratify on it
+    instead of estimating a coefficient for it."""
     if not x_cols:
         raise ValueError("x_cols must be non-empty")
     k = len(x_cols)
@@ -318,8 +403,16 @@ def coxph(
     if n_events == 0:
         raise ValueError("no events (event_col all zero) — nothing to fit")
 
+    if strata_col is not None and strata_col in x_cols:
+        raise ValueError(
+            f"strata_col {strata_col!r} must not also be a covariate "
+            "(a stratum's effect lives in its baseline hazard)"
+        )
     work = df.select(
-        _time_expr(time_col, time_bucket).alias(time_col), event_col, *x_cols
+        _time_expr(time_col, time_bucket).alias(time_col),
+        event_col,
+        *x_cols,
+        *([strata_col] if strata_col else []),
     ).persist()
     try:
         beta = np.zeros(k)
@@ -332,7 +425,8 @@ def coxph(
         info = np.eye(k)
         for _ in range(iters):
             row = _risk_set_stats(
-                work, time_col, event_col, x_cols, beta, num_partitions
+                work, time_col, event_col, x_cols, beta, num_partitions,
+                strata_col=strata_col,
             )
             sdx = np.array([float(row[f"sdx_{i}"]) for i in range(k)])
             ll = float(beta @ sdx - float(row["dlogs0"]))
@@ -356,7 +450,8 @@ def coxph(
         # ll/info above are at the PRE-step β; recompute at the final β so
         # the reported loglik/se correspond to the returned coefficients
         row = _risk_set_stats(
-            work, time_col, event_col, x_cols, beta, num_partitions
+            work, time_col, event_col, x_cols, beta, num_partitions,
+            strata_col=strata_col,
         )
         sdx = np.array([float(row[f"sdx_{i}"]) for i in range(k)])
         ll = float(beta @ sdx - float(row["dlogs0"]))
@@ -381,6 +476,7 @@ def coxph(
         converged=converged or exact_iterations is not None,
         cov_params=cov,
         time_bucket=time_bucket,
+        strata_col=strata_col,
     )
 
 
@@ -545,29 +641,19 @@ def coxph_grouped(
     return work.groupBy(*gcols).applyInPandas(fit_group, out_schema)
 
 
-def kaplan_meier(
+def _km_curve(
     df: DataFrame,
     time_col: str,
     event_col: str,
-    group_col: str | None = None,
-    time_bucket: float | None = None,
+    group_col: str | None,
+    time_bucket: float | None,
 ) -> DataFrame:
-    """Kaplan-Meier product-limit survival curve, optionally per group:
-    one row per distinct EVENT time with
-
-      n_at_risk   |{j : t_j ≥ t}|       (suffix count, censored included)
-      n_events    d_t
-      survival    Π_{s ≤ t} (1 − d_s/n_at_risk(s))
-
-    Plan: groupBy(time[, group]) collapses the table to distinct times
-    (counts only on the wire); n_at_risk is a suffix sum and the product
-    limit is exp(Σ ln(1 − d/n)) — BOTH ride one window pass per group
-    (partitioned by group when given; via the range-partitioned prefix
-    plan when global, so no single-partition sort). A time where every
-    at-risk subject dies (survival hits exactly 0) is safe: ln(0) rows
-    are clamped via a when() and survival reports 0 from there on.
-    `time_bucket=w` floors the time axis to width-w buckets first — the
-    distinct-time cardinality knob for micro-timestamped data."""
+    """The KM machinery shared by `kaplan_meier` and
+    `restricted_mean_survival`: one per-(group,) distinct-time frame with
+    n_at_risk (suffix count), the per-time survival log term `__lt`
+    (NULL when everyone at risk dies — ln(0) clamp), its inclusive
+    running sum `__ls` (nulls contribute 0, so at a death-to-zero row
+    `__ls` is the PREVIOUS product's log), and the `__dead` flag."""
     from pyspark.sql import Window
 
     ev = F.col(event_col).cast("double")
@@ -595,27 +681,57 @@ def kaplan_meier(
         log_term = F.when(
             F.col("d") >= F.col("n_at_risk"), F.lit(None)
         ).otherwise(F.log(F.lit(1.0) - F.col("d") / F.col("n_at_risk")))
-        cum = at_risk.withColumn("__ls", F.sum(log_term).over(wasc)).withColumn(
-            "__dead", F.max((F.col("d") >= F.col("n_at_risk")).cast("int")).over(wasc)
+        return (
+            at_risk.withColumn("__lt", log_term)
+            .withColumn("__ls", F.sum(log_term).over(wasc))
+            .withColumn(
+                "__dead",
+                F.max((F.col("d") >= F.col("n_at_risk")).cast("int")).over(wasc),
+            )
         )
-    else:
-        neg = per_t.withColumn("__nt", -F.col("__t"))
-        at_risk = global_running_sum(neg, "__nt", ["n_t"]).withColumnRenamed(
-            "n_t_cum", "n_at_risk"
-        )
-        log_term = F.when(
-            F.col("d") >= F.col("n_at_risk"), F.lit(None)
-        ).otherwise(F.log(F.lit(1.0) - F.col("d") / F.col("n_at_risk")))
-        marked = at_risk.withColumn("__lt", log_term).withColumn(
-            "__z", (F.col("d") >= F.col("n_at_risk")).cast("double")
-        )
-        cum = global_running_sum(
-            marked.withColumn("__lt0", F.coalesce(F.col("__lt"), F.lit(0.0))),
-            "__t",
-            ["__lt0", "__z"],
-        ).withColumnRenamed("__lt0_cum", "__ls").withColumn(
-            "__dead", (F.col("__z_cum") > 0).cast("int")
-        )
+    neg = per_t.withColumn("__nt", -F.col("__t"))
+    at_risk = global_running_sum(neg, "__nt", ["n_t"]).withColumnRenamed(
+        "n_t_cum", "n_at_risk"
+    )
+    log_term = F.when(
+        F.col("d") >= F.col("n_at_risk"), F.lit(None)
+    ).otherwise(F.log(F.lit(1.0) - F.col("d") / F.col("n_at_risk")))
+    marked = at_risk.withColumn("__lt", log_term).withColumn(
+        "__z", (F.col("d") >= F.col("n_at_risk")).cast("double")
+    )
+    return global_running_sum(
+        marked.withColumn("__lt0", F.coalesce(F.col("__lt"), F.lit(0.0))),
+        "__t",
+        ["__lt0", "__z"],
+    ).withColumnRenamed("__lt0_cum", "__ls").withColumn(
+        "__dead", (F.col("__z_cum") > 0).cast("int")
+    )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    time_col: str,
+    event_col: str,
+    group_col: str | None = None,
+    time_bucket: float | None = None,
+) -> DataFrame:
+    """Kaplan-Meier product-limit survival curve, optionally per group:
+    one row per distinct EVENT time with
+
+      n_at_risk   |{j : t_j ≥ t}|       (suffix count, censored included)
+      n_events    d_t
+      survival    Π_{s ≤ t} (1 − d_s/n_at_risk(s))
+
+    Plan: groupBy(time[, group]) collapses the table to distinct times
+    (counts only on the wire); n_at_risk is a suffix sum and the product
+    limit is exp(Σ ln(1 − d/n)) — BOTH ride one window pass per group
+    (partitioned by group when given; via the range-partitioned prefix
+    plan when global, so no single-partition sort). A time where every
+    at-risk subject dies (survival hits exactly 0) is safe: ln(0) rows
+    are clamped via a when() and survival reports 0 from there on.
+    `time_bucket=w` floors the time axis to width-w buckets first — the
+    distinct-time cardinality knob for micro-timestamped data."""
+    cum = _km_curve(df, time_col, event_col, group_col, time_bucket)
     out_keys = ([group_col] if group_col else []) + [F.col("__t").alias("time")]
     return (
         cum.where(F.col("d") > 0)
@@ -629,6 +745,72 @@ def kaplan_meier(
         )
         .orderBy(*(([group_col] if group_col else []) + ["time"]))
     )
+
+
+def restricted_mean_survival(
+    df: DataFrame,
+    time_col: str,
+    event_col: str,
+    tau: float,
+    group_col: str | None = None,
+    time_bucket: float | None = None,
+) -> DataFrame:
+    """Restricted mean survival time RMST(τ) = ∫₀^τ S(t)dt over the KM
+    curve (the model-free "average event-free time over the next τ"
+    effect measure — R survival::survfit + survRM2 convention),
+    optionally per group.
+
+    Instead of integrating the step function with a next-time lookup
+    (which would need one more ordered window), RMST uses the drop
+    identity:
+
+        RMST(τ) = τ − Σ_{tᵢ ≤ τ} δᵢ·(τ − tᵢ),   δᵢ = S(tᵢ₋₁)·dᵢ/nᵢ
+
+    where δᵢ is the KM survival DROP at event time tᵢ — and
+    S(tᵢ₋₁) = exp(__ls − coalesce(__lt, 0)) falls out of the running
+    log-sum the KM plan already carries (the inclusive sum minus the
+    row's own term; at a death-to-zero row the NULL term contributes 0,
+    so the expression is exactly the previous product). So RMST is the
+    KM plan plus ONE aggregation — no extra window, no extra shuffle.
+
+    Returns one row per group: (group?, tau, rmst, n_events) with
+    n_events the event count inside [0, τ]. τ beyond the last event
+    extends the last survival level (the standard step-function tail);
+    τ before the first event gives exactly τ."""
+    if not tau > 0:
+        raise ValueError(f"tau must be > 0, got {tau!r}")
+    cum = _km_curve(df, time_col, event_col, group_col, time_bucket)
+    # __ls itself is NULL when a group's FIRST distinct time already kills
+    # everyone (grouped path: sum over only-NULL terms) — the previous
+    # product there is 1, i.e. log 0
+    s_prev = F.exp(
+        F.coalesce(F.col("__ls"), F.lit(0.0)) - F.coalesce(F.col("__lt"), F.lit(0.0))
+    )
+    drop = s_prev * F.col("d") / F.col("n_at_risk")
+    in_tau = (F.col("d") > 0) & (F.col("__t") <= F.lit(float(tau)))
+    aggs = [
+        (
+            F.lit(float(tau))
+            - F.sum(
+                F.when(in_tau, drop * (F.lit(float(tau)) - F.col("__t"))).otherwise(
+                    0.0
+                )
+            )
+        ).alias("rmst"),
+        F.sum(F.when(in_tau, F.col("d")).otherwise(0.0))
+        .cast("long")
+        .alias("n_events"),
+    ]
+    if group_col:
+        out = cum.groupBy(group_col).agg(*aggs)
+    else:
+        out = cum.agg(*aggs)
+    return out.select(
+        *([group_col] if group_col else []),
+        F.lit(float(tau)).alias("tau"),
+        "rmst",
+        "n_events",
+    ).orderBy(*([group_col] if group_col else ["tau"]))
 
 
 def logrank_test(

@@ -60,6 +60,7 @@ def model_to_dict(model: LM | GLM | HuberLM | CoxPH) -> dict:
             if model.cov_params is None
             else [[float(v) for v in row] for row in np.asarray(model.cov_params)],
             "time_bucket": model.time_bucket,
+            "strata_col": model.strata_col,
         }
     kind = "lm" if isinstance(model, LM) else "glm"
     d = {
@@ -141,6 +142,7 @@ def model_from_dict(d: dict) -> LM | GLM | HuberLM | CoxPH:
             converged=bool(d["converged"]),
             cov_params=None if cov is None else np.asarray(cov, dtype=np.float64),
             time_bucket=d.get("time_bucket"),
+            strata_col=d.get("strata_col"),
         )
     common = dict(
         xnames=list(d["xnames"]),

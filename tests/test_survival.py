@@ -425,3 +425,180 @@ def test_coxph_grouped_converged_and_degenerate(spark, surv_data):
         coxph_grouped(df, "time", "event", [], ["seg"])
     with pytest.raises(ValueError, match="non-empty"):
         coxph_grouped(df, "time", "event", ["x1"], [])
+
+def numpy_cox_stratified(t, e, X, strata, iters):
+    """Stratified Breslow Newton twin: per-stratum suffix sums, summed
+    grad/info (the partial likelihood factorizes over strata)."""
+    k = X.shape[1]
+    beta = np.zeros(k)
+    svals = np.unique(strata)
+
+    def stats_at(b):
+        ll, grad, info = 0.0, np.zeros(k), np.zeros((k, k))
+        for sv in svals:
+            m = strata == sv
+            ts, es, Xs = t[m], e[m], X[m]
+            w = np.exp(Xs @ b)
+            for ut in np.unique(ts):
+                at = ts >= ut
+                d = es[ts == ut].sum()
+                if d > 0:
+                    s0 = w[at].sum()
+                    s1 = (w[at, None] * Xs[at]).sum(axis=0)
+                    s2 = (w[at, None, None] * Xs[at, :, None] * Xs[at, None, :]).sum(axis=0)
+                    dx = (es[ts == ut, None] * Xs[ts == ut]).sum(axis=0)
+                    ll += dx @ b - d * np.log(s0)
+                    grad += dx - d * s1 / s0
+                    info += d * (s2 / s0 - np.outer(s1 / s0, s1 / s0))
+        return ll, grad, info
+
+    for _ in range(iters):
+        _, grad, info = stats_at(beta)
+        beta = beta + np.linalg.solve(info, grad)
+    ll, _, info = stats_at(beta)
+    return beta, ll, np.sqrt(np.diag(np.linalg.inv(info)))
+
+
+def test_coxph_stratified_matches_numpy(surv_data):
+    df, t, e, X = surv_data
+    grp = df.withColumn("s", (F.col("x2") > 0.5).cast("int"))
+    strata = (X[:, 1] > 0.5).astype(int)
+    got = coxph(grp, "time", "event", ["x1"], exact_iterations=3,
+                strata_col="s")
+    beta, ll, se = numpy_cox_stratified(t, e, X[:, :1], strata, 3)
+    np.testing.assert_allclose(got.coefs, beta, rtol=1e-9)
+    assert got.loglik == pytest.approx(ll, rel=1e-9)
+    np.testing.assert_allclose(got.se, se, rtol=1e-8)
+    assert got.strata_col == "s"
+    # one constant stratum == the unstratified fit
+    one = coxph(grp.withColumn("s", F.lit(0)), "time", "event", ["x1"],
+                exact_iterations=3, strata_col="s")
+    ref = coxph(df, "time", "event", ["x1"], exact_iterations=3)
+    np.testing.assert_allclose(one.coefs, ref.coefs, rtol=1e-10)
+    with pytest.raises(ValueError, match="covariate"):
+        coxph(grp, "time", "event", ["x1", "s"], strata_col="s")
+
+
+def test_coxph_stratified_baseline_and_survival(surv_data):
+    df, t, e, X = surv_data
+    grp = df.withColumn("s", (F.col("x2") > 0.5).cast("int"))
+    strata = (X[:, 1] > 0.5).astype(int)
+    m = coxph(grp, "time", "event", ["x1"], exact_iterations=3, strata_col="s")
+    base = m.baseline_hazard(grp)
+    rows = base.collect()
+    # per-stratum numpy Breslow at the fitted beta
+    for sv in (0, 1):
+        sel = strata == sv
+        want = _numpy_breslow(t[sel], e[sel], X[sel, :1], m.coefs)
+        got_s = [r for r in rows if r.s == sv]
+        assert len(got_s) == len(want)
+        for r in got_s:
+            d, s0, h, H = want[r.time]
+            assert r.s0 == pytest.approx(s0, rel=1e-9)
+            assert r.cum_hazard == pytest.approx(H, rel=1e-9)
+
+    # survival prediction uses the row's OWN stratum baseline
+    scored = m.predict_survival(grp, [2.0], baseline=base).collect()
+    bres = {
+        sv: _numpy_breslow(t[strata == sv], e[strata == sv], X[strata == sv, :1], m.coefs)
+        for sv in (0, 1)
+    }
+
+    def H0(sv, h):
+        past = [v[3] for u, v in sorted(bres[sv].items()) if u <= h]
+        return past[-1] if past else 0.0
+
+    for r in scored[:50]:
+        risk = float(np.exp(m.coefs[0] * r.x1))
+        assert r.surv_2 == pytest.approx(
+            float(np.exp(-H0(r.s, 2.0) * risk)), rel=1e-9
+        )
+    # unseen stratum -> NULL survival (baseline genuinely unknown)
+    alien = grp.limit(3).withColumn("s", F.lit(99))
+    got = m.predict_survival(alien, [2.0], baseline=base).collect()
+    assert all(r.surv_2 is None for r in got)
+
+
+def test_coxph_stratified_persist_round_trip(surv_data, tmp_path):
+    from sparkglm_spark.persist import load_model, save_model
+
+    df, *_ = surv_data
+    grp = df.withColumn("s", (F.col("x2") > 0.5).cast("int"))
+    m = coxph(grp, "time", "event", ["x1"], exact_iterations=2, strata_col="s")
+    p = str(tmp_path / "strat.json")
+    save_model(m, p)
+    back = load_model(p)
+    assert back.strata_col == "s"
+    np.testing.assert_allclose(back.coefs, m.coefs, rtol=0)
+    a = {(r.s, r.time): r.cum_hazard for r in m.baseline_hazard(grp).collect()}
+    b = {(r.s, r.time): r.cum_hazard for r in back.baseline_hazard(grp).collect()}
+    assert a == b
+
+def _rmst_numpy(t, e, tau):
+    """Integral of the step KM curve on [0, tau]."""
+    km = _km_numpy(t, e)
+    ets = sorted(km)
+    area, prev_t, prev_s = 0.0, 0.0, 1.0
+    for ut in ets:
+        if ut > tau:
+            break
+        area += prev_s * (ut - prev_t)
+        prev_t, prev_s = ut, km[ut][2]
+    area += prev_s * (tau - prev_t)
+    return area
+
+
+def test_restricted_mean_survival_matches_numpy(surv_data):
+    from sparkglm_spark.operators.survival import restricted_mean_survival
+
+    df, t, e, X = surv_data
+    for tau in (0.5, 2.0, 1e6):  # interior / wide / beyond last event
+        got = restricted_mean_survival(df, "time", "event", tau).collect()[0]
+        assert got.rmst == pytest.approx(_rmst_numpy(t, e, tau), rel=1e-10), tau
+        assert got.tau == tau
+        assert got.n_events == int(e[t <= tau].sum())
+    # tau before the first event: survival is 1 throughout -> rmst = tau
+    got = restricted_mean_survival(df, "time", "event", 0.05).collect()[0]
+    assert got.rmst == pytest.approx(0.05)
+
+    grp = df.withColumn("g", (F.col("x2") > 0.5).cast("int"))
+    strata = (X[:, 1] > 0.5).astype(int)
+    rows = restricted_mean_survival(
+        grp, "time", "event", 2.0, group_col="g"
+    ).collect()
+    assert len(rows) == 2
+    for r in rows:
+        sel = strata == r.g
+        assert r.rmst == pytest.approx(_rmst_numpy(t[sel], e[sel], 2.0), rel=1e-10)
+
+    with pytest.raises(ValueError, match="tau"):
+        restricted_mean_survival(df, "time", "event", 0.0)
+
+
+def test_restricted_mean_survival_all_die(spark):
+    """Death-to-zero rows (d = n_at_risk) must contribute the FULL
+    remaining drop S_prev, exercising the NULL-log-term path."""
+    from sparkglm_spark.operators.survival import restricted_mean_survival
+
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 1.0), (3.0, 1.0)], "time double, event double"
+    )
+    got = restricted_mean_survival(df, "time", "event", 10.0).collect()[0]
+    # S: 1 on [0,1), 2/3 on [1,2), 1/3 on [2,3), 0 after
+    assert got.rmst == pytest.approx(1.0 + 2.0 / 3.0 + 1.0 / 3.0, rel=1e-12)
+
+def test_restricted_mean_survival_instant_group_death(spark):
+    """A group whose FIRST (only) event time kills everyone: the previous
+    product is 1 (the NULL __ls edge) -> rmst = t1 exactly."""
+    from sparkglm_spark.operators.survival import restricted_mean_survival
+
+    df = spark.createDataFrame(
+        [("a", 2.0, 1.0), ("a", 2.0, 1.0), ("b", 1.0, 0.0), ("b", 4.0, 1.0)],
+        "g string, time double, event double",
+    )
+    rows = {r.g: r for r in restricted_mean_survival(
+        df, "time", "event", 10.0, group_col="g"
+    ).collect()}
+    assert rows["a"].rmst == pytest.approx(2.0, rel=1e-12)
+    # b: censored at 1, event at 4 (n_at_risk 1) -> S=1 until 4 then 0
+    assert rows["b"].rmst == pytest.approx(4.0, rel=1e-12)
