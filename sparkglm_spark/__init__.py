@@ -58,7 +58,9 @@ from sparkglm_spark.operators.survival import (
     coxph_grouped,
     kaplan_meier,
     logrank_test,
+    ph_assumption_test,
     restricted_mean_survival,
+    schoenfeld_residuals,
 )
 from sparkglm_spark.operators.timeseries import ewma_latest, ewma_series
 from sparkglm_spark.ml import (
@@ -103,6 +105,8 @@ __all__ = [
     "kaplan_meier",
     "logrank_test",
     "restricted_mean_survival",
+    "schoenfeld_residuals",
+    "ph_assumption_test",
     "welch_ttest",
     "chi2_independence",
     "proportions_ztest",

@@ -480,6 +480,142 @@ def coxph(
     )
 
 
+def schoenfeld_residuals(
+    model: CoxPH, df: DataFrame, num_partitions: int | None = None
+) -> DataFrame:
+    """Schoenfeld residuals of a fitted Cox model over (typically) its
+    training frame — the raw material of every proportional-hazards
+    diagnostic (public convention: Schoenfeld 1982; R
+    `residuals(coxph, type="schoenfeld")`):
+
+        r_k(tᵢ) = Σ_{events at tᵢ} x_k − dᵢ·S1_k(tᵢ)/S0(tᵢ)
+
+    one row per distinct EVENT time (tied events share a row whose
+    residual is their sum — the Breslow-consistent aggregation), columns
+    (time[, stratum], n_events, resid_<xname>…). At the converged β̂ the
+    residuals sum to ~0 per covariate (they ARE the score contributions).
+
+    Plan: the first two steps of a Cox iteration at the FITTED β — one
+    groupBy(distinct time[, stratum]) of (e0, e1_k, d, dx_k) compact
+    doubles, the suffix-sum pass (per-stratum windows when stratified),
+    then a pure projection. Nothing row-level is collected; the output
+    is the distinct-event-time table."""
+    k = len(model.xnames)
+    xs = [F.col(c).cast("double") for c in model.xnames]
+    w = model._risk_expr()
+    ev = F.col(model.event_col).cast("double")
+    aggs = [F.sum(w).alias("e0"), F.sum(ev).alias("d")]
+    for i in range(k):
+        aggs.append(F.sum(xs[i] * w).alias(f"e1_{i}"))
+        aggs.append(F.sum(ev * xs[i]).alias(f"dx_{i}"))
+    sc = model.strata_col
+    keys = ([F.col(sc)] if sc else []) + [
+        _time_expr(model.time_col, model.time_bucket).alias("__t")
+    ]
+    per_t = df.groupBy(*keys).agg(*aggs)
+    cum = _suffix_sums(
+        per_t, ["e0"] + [f"e1_{i}" for i in range(k)], sc, num_partitions
+    )
+    out_keys = ([F.col(sc)] if sc else []) + [F.col("__t").alias("time")]
+    return (
+        cum.where(F.col("d") > 0)
+        .select(
+            *out_keys,
+            F.col("d").cast("long").alias("n_events"),
+            *[
+                (
+                    F.col(f"dx_{i}")
+                    - F.col("d") * F.col(f"e1_{i}_cum") / F.col("e0_cum")
+                ).alias(f"resid_{name}")
+                for i, name in enumerate(model.xnames)
+            ],
+        )
+        .orderBy(*(([sc] if sc else []) + ["time"]))
+    )
+
+
+def ph_assumption_test(
+    model: CoxPH,
+    df: DataFrame,
+    transform: str = "identity",
+    num_partitions: int | None = None,
+) -> dict:
+    """Proportional-hazards assumption test (Grambsch & Therneau 1994 —
+    the `cox.zph` companion): under PH, the Schoenfeld residuals are
+    uncorrelated with (a transform of) time; a trend means the
+    covariate's effect drifts.
+
+    Per covariate (the paper's score test restricted to one component,
+    marginal V̄_kk form):
+
+        U_k  = Σ_t (g(t) − ḡ)·r_k(t)          ḡ = event-weighted mean
+        χ²₁  = U_k² / (V̄_kk · Σ_t d_t·(g(t) − ḡ)²)
+
+    and the GLOBAL k-df test with the full average information:
+        χ²_k = d·U'·I⁻¹·U / Σ_t d_t·(g − ḡ)²
+
+    where V̄ = I/d is the average per-event information, I = inverse of
+    the model's stored cov_params. (R's cox.zph scales residuals by
+    I⁻¹ before the per-covariate test — identical when covariates are
+    uncorrelated, slightly different otherwise; the convention used
+    here is the paper's marginal form, documented so the numbers are
+    reproducible.)
+
+    `transform`: "identity" (g = t) or "log" (g = ln t, requires t > 0).
+    Plan: the Schoenfeld frame (distinct event times) → ONE aggregation
+    of (d, Σdg, Σdg², Σr_k, Σg·r_k) → driver math on k scalars + one
+    k×k solve. Returns {per_covariate: {name: {chi2, p_value}},
+    global: {chi2, df, p_value}, n_events, transform}."""
+    from sparkglm_spark.functions.special import chisq_sf
+
+    if transform not in ("identity", "log"):
+        raise ValueError("transform must be 'identity' or 'log'")
+    if model.cov_params is None:
+        raise ValueError("model carries no cov_params — refit to test PH")
+    k = len(model.xnames)
+    res = schoenfeld_residuals(model, df, num_partitions=num_partitions)
+    g = F.log(F.col("time")) if transform == "log" else F.col("time")
+    d = F.col("n_events").cast("double")
+    aggs = [
+        F.sum(d).alias("d"),
+        F.sum(d * g).alias("sdg"),
+        F.sum(d * g * g).alias("sdg2"),
+    ]
+    for name in model.xnames:
+        r = F.col(f"resid_{name}")
+        aggs.append(F.sum(r).alias(f"sr_{name}"))
+        aggs.append(F.sum(g * r).alias(f"sgr_{name}"))
+    row = res.agg(*aggs).collect()[0]
+    d_tot = float(row["d"])
+    gbar = float(row["sdg"]) / d_tot
+    ssg = float(row["sdg2"]) - d_tot * gbar * gbar  # Σ d·(g − ḡ)²
+    if not ssg > 0.0:
+        raise ValueError("degenerate time transform (zero variance in g)")
+    u = np.array(
+        [
+            float(row[f"sgr_{name}"]) - gbar * float(row[f"sr_{name}"])
+            for name in model.xnames
+        ]
+    )
+    info = np.linalg.inv(np.asarray(model.cov_params, dtype=np.float64))
+    vbar_diag = np.diag(info) / d_tot
+    per = {}
+    for i, name in enumerate(model.xnames):
+        chi2 = float(u[i] ** 2 / (vbar_diag[i] * ssg))
+        per[name] = {"chi2": chi2, "p_value": float(chisq_sf(chi2, 1.0))}
+    glob = float(d_tot * u @ np.asarray(model.cov_params) @ u / ssg)
+    return {
+        "per_covariate": per,
+        "global": {
+            "chi2": glob,
+            "df": float(k),
+            "p_value": float(chisq_sf(glob, float(k))),
+        },
+        "n_events": int(d_tot),
+        "transform": transform,
+    }
+
+
 def _cox_newton_dense(t, e, X, exact_iterations, tol, max_iter):
     """Dense per-segment Breslow Newton (numpy, one worker's Arrow batch).
     Returns (beta, se, loglik, n_iter, converged) or None when degenerate

@@ -602,3 +602,75 @@ def test_restricted_mean_survival_instant_group_death(spark):
     assert rows["a"].rmst == pytest.approx(2.0, rel=1e-12)
     # b: censored at 1, event at 4 (n_at_risk 1) -> S=1 until 4 then 0
     assert rows["b"].rmst == pytest.approx(4.0, rel=1e-12)
+
+def test_schoenfeld_residuals_match_numpy(surv_data):
+    from sparkglm_spark.operators.survival import schoenfeld_residuals
+
+    df, t, e, X = surv_data
+    m = coxph(df, "time", "event", ["x1", "x2"], exact_iterations=3)
+    got = {r.time: r for r in schoenfeld_residuals(m, df).collect()}
+    w = np.exp(X @ m.coefs)
+    for ut in np.unique(t):
+        d = e[t == ut].sum()
+        if d > 0:
+            at = t >= ut
+            s0 = w[at].sum()
+            s1 = (w[at, None] * X[at]).sum(axis=0)
+            dx = (e[t == ut, None] * X[t == ut]).sum(axis=0)
+            want = dx - d * s1 / s0
+            r = got[float(ut)]
+            assert r.resid_x1 == pytest.approx(want[0], abs=1e-9), ut
+            assert r.resid_x2 == pytest.approx(want[1], abs=1e-9), ut
+    # at the CONVERGED beta the residuals are the score: they sum to ~0
+    mc = coxph(df, "time", "event", ["x1", "x2"])
+    rows = schoenfeld_residuals(mc, df).collect()
+    assert abs(sum(r.resid_x1 for r in rows)) < 1e-6
+    assert abs(sum(r.resid_x2 for r in rows)) < 1e-6
+
+
+def test_ph_assumption_test_detects_time_varying_effect(spark):
+    """Planted PH violation: x's effect flips sign at t = 1 (piecewise
+    exponential) -> small p for x; a genuinely proportional covariate in
+    the same model stays insignificant."""
+    from sparkglm_spark.operators.survival import ph_assumption_test
+
+    rng = np.random.default_rng(7)
+    n = 1500
+    x = (rng.random(n) < 0.5).astype(float)   # effect flips over time
+    z = rng.normal(0, 1, n)                   # proportional effect
+    # piecewise hazard: rate exp(+1.2x + 0.3z) on [0,1), exp(-1.2x + 0.3z) after
+    r1 = np.exp(1.2 * x + 0.3 * z)
+    r2 = np.exp(-1.2 * x + 0.3 * z)
+    t1 = rng.exponential(1.0 / r1)
+    t = np.where(t1 < 1.0, t1, 1.0 + rng.exponential(1.0 / r2))
+    cens = rng.exponential(4.0, n)
+    e = (t <= cens).astype(float)
+    tt = np.minimum(t, cens)
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c), float(dv))
+         for a, b, c, dv in zip(tt, e, x, z)],
+        "time double, event double, x double, z double",
+    ).repartition(9)
+    m = coxph(df, "time", "event", ["x", "z"])
+    out = ph_assumption_test(m, df)
+    assert out["per_covariate"]["x"]["p_value"] < 1e-4   # violation seen
+    assert out["per_covariate"]["z"]["p_value"] > 0.01   # PH holds for z
+    assert out["global"]["p_value"] < 1e-3
+    assert out["n_events"] == int(e.sum())
+    # log transform runs too
+    out_log = ph_assumption_test(m, df, transform="log")
+    assert out_log["per_covariate"]["x"]["p_value"] < 1e-3
+    with pytest.raises(ValueError, match="transform"):
+        ph_assumption_test(m, df, transform="rank")
+
+
+def test_ph_assumption_test_level_on_proportional_data(surv_data):
+    """On data generated UNDER PH the test must not reject wildly."""
+    from sparkglm_spark.operators.survival import ph_assumption_test
+
+    df, *_ = surv_data
+    m = coxph(df, "time", "event", ["x1", "x2"])
+    out = ph_assumption_test(m, df)
+    assert out["global"]["p_value"] > 0.01
+    for v in out["per_covariate"].values():
+        assert v["p_value"] > 0.005
