@@ -5399,14 +5399,20 @@ FROM (
     FROM sc),
   r AS (SELECT p, SUM(y) AS pos, SUM(1.0 - y) AS neg FROM sc GROUP BY p),
   c AS (SELECT pos, neg,
-               SUM(neg) OVER (ORDER BY p ROWS UNBOUNDED PRECEDING) AS cumneg
+               SUM(neg) OVER (ORDER BY p ROWS UNBOUNDED PRECEDING) AS cumneg,
+               SUM(pos) OVER (ORDER BY p ROWS UNBOUNDED PRECEDING) AS cumpos
         FROM r),
-  uu AS (SELECT SUM(pos * (cumneg - neg + neg / 2.0)) AS u FROM c)
+  uu AS (SELECT SUM(pos * (cumneg - neg + neg / 2.0)) AS u FROM c),
+  apq AS (SELECT SUM((c.pos / ag.np) * ((ag.np - c.cumpos + c.pos)
+                 / ((ag.np - c.cumpos + c.pos) + (ag.nn - c.cumneg + c.neg))))
+                 AS ap
+          FROM c, ag)
   SELECT 'n' AS key, ROUND(n, 6) AS v1 FROM ag
   UNION ALL SELECT 'n_pos', ROUND(np, 6) FROM ag
   UNION ALL SELECT 'n_neg', ROUND(nn, 6) FROM ag
   UNION ALL SELECT 'pos_rate', ROUND(np / n, 6) FROM ag
   UNION ALL SELECT 'auc', ROUND(u / (np * nn), 6) FROM uu, ag
+  UNION ALL SELECT 'avg_precision', ROUND(ap, 6) FROM apq
   UNION ALL SELECT 'log_loss', ROUND(ll, 6) FROM ag
   UNION ALL SELECT 'brier', ROUND(brier, 6) FROM ag
   UNION ALL SELECT 'accuracy', ROUND((tp + tn) / n, 6) FROM ag

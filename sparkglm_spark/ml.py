@@ -1037,7 +1037,8 @@ class SparkBinaryEvaluator(Evaluator):
     )
     metricName = Param(
         Params._dummy(), "metricName",
-        "auc | log_loss | brier | accuracy | precision | recall | f1",
+        "auc | avg_precision | log_loss | brier | accuracy | precision "
+        "| recall | f1",
         typeConverter=TypeConverters.toString,
     )
     threshold = Param(
@@ -1048,7 +1049,8 @@ class SparkBinaryEvaluator(Evaluator):
 
     _LOWER_IS_BETTER = {"log_loss", "brier"}
     _METRICS = {
-        "auc", "log_loss", "brier", "accuracy", "precision", "recall", "f1"
+        "auc", "avg_precision", "log_loss", "brier", "accuracy",
+        "precision", "recall", "f1",
     }
 
     def __init__(self, **kwargs):

@@ -42,6 +42,13 @@ def binary_classification_eval(
       auc                      — tie-aware Mann-Whitney:
                                  U = Σ_s pos_s·(neg_below(s) + neg_s/2),
                                  AUC = U/(P·N); NaN when P·N = 0
+      avg_precision            — PR-AUC by the step rule (the sklearn
+                                 average_precision definition, tie groups
+                                 entering together): Σ_s (pos_s/P)·
+                                 precision(≥s); rides the SAME ascending
+                                 prefix-sum pass as the AUC (counts at or
+                                 above s recovered as P − strictly-below);
+                                 NaN when P·N = 0
       log_loss                 — −mean(y·ln p + (1−y)·ln(1−p)), p clamped
                                  to [1e-15, 1−1e-15]
       brier                    — mean((p − y)²)
@@ -94,15 +101,23 @@ def binary_classification_eval(
         sc = base.groupBy("__p").agg(
             F.sum(y).alias("pos"), F.sum(F.lit(1.0) - y).alias("neg")
         )
-        cum = global_running_sum(sc, "__p", ["neg"])
+        cum = global_running_sum(sc, "__p", ["pos", "neg"])
+        # at-or-above counts from the ascending sums: ≥s = total − (<s)
+        pos_ge = F.lit(n_pos) - (F.col("pos_cum") - F.col("pos"))
+        neg_ge = F.lit(n_neg) - (F.col("neg_cum") - F.col("neg"))
         u_row = cum.agg(
             F.sum(
                 F.col("pos") * (F.col("neg_cum") - F.col("neg") + F.col("neg") / 2.0)
-            ).alias("u")
+            ).alias("u"),
+            F.sum(
+                (F.col("pos") / F.lit(n_pos)) * (pos_ge / (pos_ge + neg_ge))
+            ).alias("ap"),
         ).collect()[0]
         auc = float(u_row["u"]) / (n_pos * n_neg)
+        avg_precision = float(u_row["ap"])
     else:
         auc = nan
+        avg_precision = nan
 
     rows = [
         ("n", n),
@@ -110,6 +125,7 @@ def binary_classification_eval(
         ("n_neg", n_neg),
         ("pos_rate", n_pos / n if n > 0 else nan),
         ("auc", auc),
+        ("avg_precision", avg_precision),
         ("log_loss", float(row["log_loss"])),
         ("brier", float(row["brier"])),
         ("accuracy", (tp + tn) / n if n > 0 else nan),

@@ -200,3 +200,28 @@ def test_roc_auc_consistency_via_trapezoid(scored):
     )
     got = {r.metric: r.value for r in binary_classification_eval(df, "y", "p").collect()}
     assert got["auc"] == pytest.approx(trap, rel=1e-10)
+
+def test_average_precision_matches_numpy(scored):
+    """AP by the step rule over descending distinct thresholds (the
+    sklearn average_precision definition, tie groups entering together):
+    AP = sum over thresholds of (ΔR)·P(≥s)."""
+    df, y, p = scored
+    got = {
+        r.metric: r.value
+        for r in binary_classification_eval(df, "y", "p").collect()
+    }
+    P = y.sum()
+    ap = 0.0
+    for s in sorted(np.unique(p))[::-1]:
+        at = p >= s
+        pos_s = y[p == s].sum()  # zero-pos groups contribute exactly 0
+        prec = y[at].sum() / at.sum()
+        ap += (pos_s / P) * prec
+    assert got["avg_precision"] == pytest.approx(ap, rel=1e-10)
+    # bounded and consistent with the no-skill baseline (pos_rate)
+    assert got["pos_rate"] <= got["avg_precision"] <= 1.0
+
+    # perfect separation -> AP = 1; reversed scores -> low AP
+    perfect = df.select("y", F.col("y").alias("p"))
+    gp = {r.metric: r.value for r in binary_classification_eval(perfect, "y", "p").collect()}
+    assert gp["avg_precision"] == pytest.approx(1.0)

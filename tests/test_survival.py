@@ -674,3 +674,28 @@ def test_ph_assumption_test_level_on_proportional_data(surv_data):
     assert out["global"]["p_value"] > 0.01
     for v in out["per_covariate"].values():
         assert v["p_value"] > 0.005
+
+def test_new_survival_plans_no_partitionless_window(surv_data):
+    """schoenfeld_residuals and restricted_mean_survival (global paths)
+    must ride the range-partitioned prefix plan — no PARTITION-LESS
+    window stage (a windowspecdefinition whose first argument is the
+    order column). RMST's final global agg legitimately ends in a
+    SinglePartition exchange of partial-agg rows — that is every
+    df.agg(), not the window trap."""
+    import re
+
+    from sparkglm_spark.operators.survival import (
+        restricted_mean_survival,
+        schoenfeld_residuals,
+    )
+
+    df, *_ = surv_data
+    m = coxph(df, "time", "event", ["x1"], exact_iterations=1)
+    partitionless = re.compile(r"windowspecdefinition\(\w+#\d+ (ASC|DESC)")
+    res = schoenfeld_residuals(m, df)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan  # no global agg here at all
+    assert not partitionless.search(plan)
+    rmst = restricted_mean_survival(df, "time", "event", 2.0)
+    plan = rmst._jdf.queryExecution().executedPlan().toString()
+    assert not partitionless.search(plan)
