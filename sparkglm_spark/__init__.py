@@ -35,6 +35,7 @@ from sparkglm_spark.operators.lm import (
     lm,
     lm_cross_validate,
     lm_grouped,
+    quantile_lm,
     ridge,
     robust_standard_errors,
     wls,
@@ -76,6 +77,8 @@ from sparkglm_spark.ml import (
     SparkLMModel,
     SparkPCA,
     SparkPCAModel,
+    SparkQuantileLM,
+    SparkQuantileLMModel,
     SparkWordPiece,
     SparkWordPieceModel,
 )
@@ -96,6 +99,7 @@ __all__ = [
     "wls",
     "ridge",
     "huber_lm",
+    "quantile_lm",
     "anova_lm",
     "influence_diagnostics",
     "robust_standard_errors",
@@ -138,6 +142,8 @@ __all__ = [
     "SparkHuberLMModel",
     "SparkCoxPH",
     "SparkCoxPHModel",
+    "SparkQuantileLM",
+    "SparkQuantileLMModel",
 ]
 
 __version__ = "0.1.0"

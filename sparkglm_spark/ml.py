@@ -881,6 +881,107 @@ class SparkHuberLMModel(Model, _SparkHuberLMParams, MLWritable, MLReadable):
         return _ModelJSONReader(cls)
 
 
+class _SparkQuantileLMParams(_FormulaParams):
+    q = Param(
+        Params._dummy(),
+        "q",
+        "quantile level in (0, 1); 0.5 = median (LAD) regression",
+        typeConverter=TypeConverters.toFloat,
+    )
+    maxIter = Param(
+        Params._dummy(),
+        "maxIter",
+        "maximum IRLS iterations",
+        typeConverter=TypeConverters.toInt,
+    )
+    tol = Param(
+        Params._dummy(),
+        "tol",
+        "relative max|delta beta| stopping tolerance",
+        typeConverter=TypeConverters.toFloat,
+    )
+    delta = Param(
+        Params._dummy(),
+        "delta",
+        "check-loss smoothing floor (0.0 = auto scale probe)",
+        typeConverter=TypeConverters.toFloat,
+    )
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(q=0.5, maxIter=100, tol=1e-6, delta=0.0)
+
+
+class SparkQuantileLM(
+    Estimator, _SparkQuantileLMParams, DefaultParamsReadable, DefaultParamsWritable
+):
+    """`pyspark.ml.Estimator` over `quantile_lm` (IRLS quantile
+    regression) — grid-search q over a ParamGridBuilder to fit a family
+    of conditional-quantile models in one CrossValidator sweep."""
+
+    def __init__(self, **kwargs):
+        super().__init__()
+        _kwargs_setter(self, kwargs)
+
+    def setParams(self, **kwargs) -> "SparkQuantileLM":
+        return _kwargs_setter(self, kwargs)
+
+    def _fit(self, dataset: DataFrame) -> "SparkQuantileLMModel":
+        if not self.isDefined(self.formula):
+            raise ValueError("SparkQuantileLM requires the 'formula' param")
+        from sparkglm_spark.operators.lm import quantile_lm
+
+        d = self.getOrDefault(self.delta)
+        inner = quantile_lm(
+            dataset,
+            self.getFormula(),
+            q=self.getOrDefault(self.q),
+            max_iter=self.getOrDefault(self.maxIter),
+            tol=self.getOrDefault(self.tol),
+            delta=d if d > 0.0 else None,
+            na_action=self.getNaAction(),
+        )
+        return self._copyValues(SparkQuantileLMModel(inner))
+
+
+class SparkQuantileLMModel(Model, _SparkQuantileLMParams, MLWritable, MLReadable):
+    """Fitted quantile regression as a `pyspark.ml.Model`: `transform()`
+    appends the conditional-quantile prediction as one codegen
+    projection. `.model` exposes the QuantileLM dataclass."""
+
+    def __init__(self, model=None):
+        super().__init__()
+        self._model_obj = model
+
+    @property
+    def model(self):
+        return self._model_obj
+
+    def _transform(self, dataset: DataFrame) -> DataFrame:
+        return self._model_obj.predict(dataset, output_col=self.getPredictionCol())
+
+    def _payload_dict(self) -> dict:
+        return model_to_dict(self._model_obj)
+
+    @classmethod
+    def _from_payload(cls, payload: dict, path: str) -> "SparkQuantileLMModel":
+        from sparkglm_spark.operators.lm import QuantileLM
+
+        inner = model_from_dict(payload)
+        if not isinstance(inner, QuantileLM):
+            raise ValueError(
+                f"{path} holds a {type(inner).__name__}, expected QuantileLM"
+            )
+        return cls(inner)
+
+    def write(self) -> MLWriter:
+        return _ModelJSONWriter(self)
+
+    @classmethod
+    def read(cls) -> MLReader:
+        return _ModelJSONReader(cls)
+
+
 # ---------------------------------------------------------------------------
 # Cox proportional hazards
 # ---------------------------------------------------------------------------

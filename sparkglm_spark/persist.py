@@ -1,5 +1,5 @@
-"""Model persistence: MLWriter-style JSON for LM/GLM/HuberLM/CoxPH
-(SURVEY §1.5).
+"""Model persistence: MLWriter-style JSON for
+LM/GLM/HuberLM/QuantileLM/CoxPH (SURVEY §1.5).
 
 The reference has no persistence at all (models live as JVM objects); here
 fitted models round-trip through a single JSON document — coefficients and
@@ -15,7 +15,7 @@ import json
 import numpy as np
 
 from sparkglm_spark.operators.glm import GLM
-from sparkglm_spark.operators.lm import LM, HuberLM
+from sparkglm_spark.operators.lm import LM, HuberLM, QuantileLM
 from sparkglm_spark.operators.survival import CoxPH
 
 _FORMAT_VERSION = 1
@@ -25,7 +25,21 @@ def _arr(x) -> list[float]:
     return [float(v) for v in np.asarray(x).ravel()]
 
 
-def model_to_dict(model: LM | GLM | HuberLM | CoxPH) -> dict:
+def model_to_dict(model: LM | GLM | HuberLM | QuantileLM | CoxPH) -> dict:
+    if isinstance(model, QuantileLM):
+        return {
+            "format_version": _FORMAT_VERSION,
+            "kind": "quantile",
+            "xnames": list(model.xnames),
+            "yname": model.yname,
+            "coefs": _arr(model.coefs),
+            "q": float(model.q),
+            "iter": int(model.iter),
+            "nrow": int(model.nrow),
+            "converged": bool(model.converged),
+            "levels": {k: list(v) for k, v in model.levels.items()},
+            "call": model.call,
+        }
     if isinstance(model, HuberLM):
         return {
             "format_version": _FORMAT_VERSION,
@@ -110,9 +124,21 @@ def model_to_dict(model: LM | GLM | HuberLM | CoxPH) -> dict:
     return d
 
 
-def model_from_dict(d: dict) -> LM | GLM | HuberLM | CoxPH:
+def model_from_dict(d: dict) -> LM | GLM | HuberLM | QuantileLM | CoxPH:
     if d.get("format_version") != _FORMAT_VERSION:
         raise ValueError(f"unsupported model format {d.get('format_version')!r}")
+    if d["kind"] == "quantile":
+        return QuantileLM(
+            xnames=list(d["xnames"]),
+            yname=d["yname"],
+            coefs=np.asarray(d["coefs"], dtype=np.float64),
+            q=float(d["q"]),
+            iter=int(d["iter"]),
+            nrow=int(d["nrow"]),
+            converged=bool(d["converged"]),
+            levels={k: list(v) for k, v in d.get("levels", {}).items()},
+            call=d.get("call", ""),
+        )
     if d["kind"] == "huber":
         return HuberLM(
             xnames=list(d["xnames"]),
@@ -193,11 +219,11 @@ def model_from_dict(d: dict) -> LM | GLM | HuberLM | CoxPH:
     raise ValueError(f"unknown model kind {d['kind']!r}")
 
 
-def save_model(model: LM | GLM | HuberLM | CoxPH, path: str) -> None:
+def save_model(model: LM | GLM | HuberLM | QuantileLM | CoxPH, path: str) -> None:
     with open(path, "w") as f:
         json.dump(model_to_dict(model), f, indent=1)
 
 
-def load_model(path: str) -> LM | GLM | HuberLM | CoxPH:
+def load_model(path: str) -> LM | GLM | HuberLM | QuantileLM | CoxPH:
     with open(path) as f:
         return model_from_dict(json.load(f))

@@ -689,3 +689,63 @@ def test_lm_flavor_flags_round_trip(lineitem, tmp_path):
     doc.pop("weighted"), doc.pop("l2_penalty")
     legacy = model_from_dict(doc)
     assert legacy.weighted  # call starts with "wls("
+
+def test_quantile_lm_recovers_conditional_quantiles(spark):
+    """Heteroskedastic line: y = 2 + x + (1 + 0.5x)·eps. The conditional
+    q-quantile is 2 + x + (1+0.5x)·z_q — so the quantile-regression slope
+    must move with q (0.5 slope gap between q=.1 and q=.9 per unit z
+    spread), and the residual sign fraction must match q."""
+    from sparkglm_spark.operators.lm import quantile_lm
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    x = rng.uniform(0, 10, n)
+    eps = rng.normal(0, 1, n)
+    y = 2.0 + 1.0 * x + (1.0 + 0.5 * x) * eps
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(x, y)], "x double, y double"
+    ).repartition(7)
+
+    z = {0.1: -1.2815515655, 0.5: 0.0, 0.9: 1.2815515655}
+    models = {}
+    for q in (0.1, 0.5, 0.9):
+        m = quantile_lm(df, "y ~ x", q=q)
+        models[q] = m
+        # truth: intercept 2 + z_q, slope 1 + 0.5 z_q
+        assert m.coefs[0] == pytest.approx(2.0 + z[q], abs=0.35), q
+        assert m.coefs[1] == pytest.approx(1.0 + 0.5 * z[q], abs=0.12), q
+        # the defining property: P(y < fit) ~= q on the training data
+        frac = (
+            m.predict(df)
+            .select(F.avg((F.col("y") < F.col("prediction")).cast("double")).alias("f"))
+            .collect()[0]["f"]
+        )
+        assert frac == pytest.approx(q, abs=0.02), q
+    # slopes are ordered in q under this increasing-spread design
+    assert models[0.1].coefs[1] < models[0.5].coefs[1] < models[0.9].coefs[1]
+
+
+def test_quantile_lm_matches_numpy_trajectory_and_guards(spark):
+    from sparkglm_spark.operators.lm import quantile_lm
+
+    rng = np.random.default_rng(3)
+    x = np.linspace(0, 5, 300)
+    y = 1.0 + 2.0 * x + rng.standard_t(3, 300)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(x, y)], "x double, y double"
+    )
+    m = quantile_lm(df, "y ~ x", q=0.5, exact_iterations=4, delta=1e-4)
+
+    X = np.column_stack([np.ones(300), x])
+    beta = np.linalg.lstsq(X, y, rcond=None)[0]
+    for _ in range(4):
+        e = y - X @ beta
+        w = np.where(e < 0, 0.5, 0.5) / np.maximum(np.abs(e), 1e-4)
+        beta = np.linalg.solve((X * w[:, None]).T @ X, (X * w[:, None]).T @ y)
+    np.testing.assert_allclose(m.coefs, beta, rtol=1e-7)
+    assert m.iter == 4 and m.converged
+
+    with pytest.raises(ValueError, match="q must be"):
+        quantile_lm(df, "y ~ x", q=1.0)
+    with pytest.raises(ValueError, match="delta"):
+        quantile_lm(df, "y ~ x", delta=0.0)

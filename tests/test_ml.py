@@ -455,3 +455,30 @@ def test_coxph_estimator_requires_features(spark):
     df = spark.createDataFrame([(1.0, 1.0)], "time double, event double")
     with pytest.raises(ValueError, match="featureCols"):
         SparkCoxPH().fit(df)
+
+def test_quantile_pipeline_and_save_load(li, tmp_path):
+    from sparkglm_spark.ml import SparkQuantileLM, SparkQuantileLMModel
+    from sparkglm_spark.operators.lm import quantile_lm
+
+    est = SparkQuantileLM(
+        formula="l_extendedprice ~ l_quantity", q=0.9, predictionCol="p90"
+    )
+    pipe_model = Pipeline(stages=[est]).fit(li)
+    wrapped = pipe_model.stages[0]
+    assert isinstance(wrapped, SparkQuantileLMModel)
+    bare = quantile_lm(li, "l_extendedprice ~ l_quantity", q=0.9)
+    np.testing.assert_allclose(wrapped.model.coefs, bare.coefs, rtol=1e-10)
+    assert wrapped.model.q == 0.9
+
+    scored = pipe_model.transform(li)
+    assert scored.columns == li.columns + ["p90"]
+
+    path = str(tmp_path / "qmodel")
+    wrapped.write().save(path)
+    loaded = SparkQuantileLMModel.load(path)
+    assert loaded.getPredictionCol() == "p90"
+    np.testing.assert_allclose(loaded.model.coefs, wrapped.model.coefs, rtol=0)
+    assert loaded.model.q == 0.9 and loaded.model.converged
+    a = [r.p90 for r in wrapped.transform(li).limit(10).collect()]
+    b = [r.p90 for r in loaded.transform(li).limit(10).collect()]
+    np.testing.assert_allclose(a, b, rtol=0)
