@@ -815,6 +815,22 @@ def q_wls_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("huber_scale", round(hub.scale, 1)),
         ("huber_iterations", float(hub.iter)),
     ]
+    # r8: quantile regression (q = 0.75) at exactly 2 reweighted solves
+    # with a FIXED smoothing floor delta=1.0 (no scale probe to replay).
+    # The asymmetric weight jumps at e = 0, but a cross-engine sign flip
+    # needs |e| ~ 1e-9 (expected count ~1e-8 rows on this spread) and a
+    # single flip moves beta far below the 1dp margin.
+    from sparkglm_spark.operators.lm import quantile_lm
+
+    qm = quantile_lm(li, "l_extendedprice ~ l_quantity", q=0.75,
+                     exact_iterations=2, delta=1.0)
+    rows += [
+        (f"quantile_{name}", round(float(b), 1))
+        for name, b in zip(qm.xnames, qm.coefs)
+    ] + [
+        ("quantile_q", qm.q),
+        ("quantile_iterations", float(qm.iter)),
+    ]
     return spark.createDataFrame(rows, "term string, coef double").orderBy("term")
 
 
@@ -879,6 +895,48 @@ SELECT h.term, h.coef FROM (
   UNION ALL SELECT 'huber_scale', ROUND(s2.s, 1) FROM s2
   UNION ALL SELECT 'huber_iterations', 2.0
 ) h
+UNION ALL
+SELECT qq.term, qq.coef FROM (
+  WITH qbase AS (
+    SELECT CAST(l_quantity AS DOUBLE) AS x,
+           CAST(l_extendedprice AS DOUBLE) AS y FROM lineitem),
+  qhs AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS sxy
+    FROM lineitem),
+  qb0 AS (
+    SELECT (sy * sxx - sx * sxy) / (n * sxx - sx * sx) AS a,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b FROM qhs),
+  qw1 AS (
+    SELECT SUM(w) AS sw, SUM(w * x) AS swx, SUM(w * x * x) AS swxx,
+           SUM(w * y) AS swy, SUM(w * x * y) AS swxy
+    FROM (
+      SELECT x, y,
+             (CASE WHEN y - qb0.a - qb0.b * x < 0 THEN 0.25 ELSE 0.75 END)
+               / GREATEST(abs(y - qb0.a - qb0.b * x), 1.0) AS w
+      FROM qbase CROSS JOIN qb0)),
+  qb1 AS (
+    SELECT (swy * swxx - swx * swxy) / (sw * swxx - swx * swx) AS a,
+           (sw * swxy - swx * swy) / (sw * swxx - swx * swx) AS b FROM qw1),
+  qw2 AS (
+    SELECT SUM(w) AS sw, SUM(w * x) AS swx, SUM(w * x * x) AS swxx,
+           SUM(w * y) AS swy, SUM(w * x * y) AS swxy
+    FROM (
+      SELECT x, y,
+             (CASE WHEN y - qb1.a - qb1.b * x < 0 THEN 0.25 ELSE 0.75 END)
+               / GREATEST(abs(y - qb1.a - qb1.b * x), 1.0) AS w
+      FROM qbase CROSS JOIN qb1)),
+  qb2 AS (
+    SELECT (swy * swxx - swx * swxy) / (sw * swxx - swx * swx) AS a,
+           (sw * swxy - swx * swy) / (sw * swxx - swx * swx) AS b FROM qw2)
+  SELECT 'quantile_intercept' AS term, ROUND(a, 1) AS coef FROM qb2
+  UNION ALL SELECT 'quantile_l_quantity', ROUND(b, 1) FROM qb2
+  UNION ALL SELECT 'quantile_q', 0.75
+  UNION ALL SELECT 'quantile_iterations', 2.0
+) qq
 ORDER BY term
 """
 
