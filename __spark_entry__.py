@@ -3935,8 +3935,13 @@ ORDER BY o_orderpriority
 
 def q_lineitem_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Pearson correlation of 4 measures from ONE Gram pass
-    (operators/stats.py::corr_matrix). Oracle: closed form from exact
-    decimal sums; rounded to 6 (cancellation analysis: divergence ≲1e-10)."""
+    (operators/stats.py::corr_matrix), plus the hypothesis-test rows
+    (welch_t/chi2_ind) and the regression-metric suite over a fixed
+    linear predictor (reg_metric — operators/evaluate.py::
+    regression_eval, all closed-form sums + one exact median). Oracle:
+    closed form from exact decimal sums; rounded to 6 (cancellation
+    analysis: divergence ≲1e-10), magnitude-matched rounding for the
+    reg_metric rows (see inline comment)."""
     from sparkglm_spark.operators.stats import (
         chi2_independence,
         corr_matrix,
@@ -3963,6 +3968,29 @@ def q_lineitem_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ch = chi2_independence(
         read_table(spark, sf_dir, "orders"), "o_orderpriority", "o_orderstatus"
     )
+    # r8: regression metrics over a FIXED linear predictor (deterministic,
+    # so every metric replays in closed-form SQL). Rounding per the
+    # float-oracle rule: rmse 2dp (Σe² ~6e12 at 1e-12 rel drift → ~5e-5
+    # abs on rmse), mae/bias 4dp, ratios (r2/ev/mape) and the sort-based
+    # exact median 6dp.
+    from sparkglm_spark.operators.evaluate import regression_eval
+
+    scored = li.select(
+        F.col("l_extendedprice").cast("double").alias("y"),
+        (F.lit(1000.0) + F.lit(2000.0) * F.col("l_quantity").cast("double")).alias("p"),
+    )
+    rm = {r.metric: r.value for r in regression_eval(scored, "y", "p").collect()}
+    reg_rows = [
+        ("reg_metric", "n", rm["n"]),
+        ("reg_metric", "rmse", round(rm["rmse"], 2)),
+        ("reg_metric", "mae", round(rm["mae"], 4)),
+        ("reg_metric", "median_ae", round(rm["median_ae"], 6)),
+        ("reg_metric", "bias", round(rm["bias"], 4)),
+        ("reg_metric", "r2", round(rm["r2"], 6)),
+        ("reg_metric", "explained_variance", round(rm["explained_variance"], 6)),
+        ("reg_metric", "mape", round(rm["mape"], 6)),
+        ("reg_metric", "n_nonzero_label", rm["n_nonzero_label"]),
+    ]
     extra = spark.createDataFrame(
         [
             ("welch_t", "t_stat", round(wt["t_stat"], 6)),
@@ -3974,7 +4002,8 @@ def q_lineitem_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("chi2_ind", "stat", round(ch["chi2"], 6)),
             ("chi2_ind", "df", ch["df"]),
             ("chi2_ind", "n", float(ch["n"])),
-        ],
+        ]
+        + reg_rows,
         "col_a string, col_b string, corr double",
     )
     return corr.unionByName(extra).orderBy("col_a", "col_b")
@@ -4055,6 +4084,34 @@ SELECT t.col_a, t.col_b, t.corr FROM (
   SELECT 'chi2_ind', 'df', (tot.ka - 1.0) * (tot.kb - 1.0) FROM tot
   UNION ALL SELECT 'chi2_ind', 'n', tot.n FROM tot
 ) t
+UNION ALL
+SELECT 'reg_metric' AS col_a, m.key AS col_b, m.v AS corr FROM (
+  WITH rbase AS (
+    SELECT CAST(l_extendedprice AS DOUBLE) AS y,
+           1000.0 + 2000.0 * CAST(l_quantity AS DOUBLE) AS p
+    FROM lineitem),
+  rs AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           SUM((p - y) * (p - y)) AS se2,
+           SUM(ABS(p - y)) AS sae,
+           SUM(p - y) AS se,
+           SUM(y) AS sy, SUM(y * y) AS sy2,
+           quantile_cont(ABS(p - y), 0.5) AS med,
+           SUM(CASE WHEN y <> 0 THEN 1.0 ELSE 0.0 END) AS nnz,
+           SUM(CASE WHEN y <> 0 THEN ABS((p - y) / y) ELSE 0.0 END) AS sape
+    FROM rbase)
+  SELECT 'n' AS key, n AS v FROM rs
+  UNION ALL SELECT 'rmse', ROUND(SQRT(se2 / n), 2) FROM rs
+  UNION ALL SELECT 'mae', ROUND(sae / n, 4) FROM rs
+  UNION ALL SELECT 'median_ae', ROUND(med, 6) FROM rs
+  UNION ALL SELECT 'bias', ROUND(se / n, 4) FROM rs
+  UNION ALL SELECT 'r2', ROUND(1.0 - se2 / (sy2 - sy * sy / n), 6) FROM rs
+  UNION ALL SELECT 'explained_variance',
+                   ROUND(1.0 - (se2 - se * se / n) / (sy2 - sy * sy / n), 6)
+            FROM rs
+  UNION ALL SELECT 'mape', ROUND(sape / nnz, 6) FROM rs
+  UNION ALL SELECT 'n_nonzero_label', nnz FROM rs
+) m
 ORDER BY col_a, col_b"""
 )
 

@@ -24,6 +24,7 @@ from sparkglm_spark.operators.evaluate import (
     binary_classification_eval,
     calibration_bins,
     grouped_auc,
+    regression_eval,
     roc_points,
 )
 from sparkglm_spark.operators.lm import (
@@ -117,6 +118,7 @@ __all__ = [
     "corr_matrix",
     "numeric_profile",
     "binary_classification_eval",
+    "regression_eval",
     "calibration_bins",
     "grouped_auc",
     "roc_points",

@@ -136,6 +136,88 @@ def binary_classification_eval(
     return df.sparkSession.createDataFrame(rows, "metric string, value double")
 
 
+def regression_eval(
+    df: DataFrame,
+    label_col: str,
+    pred_col: str,
+    approx_median: bool = False,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Regression metrics over a scored frame — the `lm`/`quantile_lm`
+    counterpart of `binary_classification_eval`; returns (metric, value):
+
+      n, mse, rmse, mae
+      median_ae      — exact percentile by default; `approx_median=True`
+                       switches to the approx_percentile sketch (the exact
+                       aggregate's buffer is unbounded over a continuous
+                       error column at scale — same knob as
+                       numeric_profile)
+      bias           — mean(pred − y): systematic over/under-prediction
+      r2             — 1 − Σe²/TSS (can be negative for a bad model)
+      explained_variance — 1 − var(e)/var(y) (ignores bias, unlike r2)
+      mape           — mean |e/y| over NONZERO labels (NaN when none;
+                       the zero-label rows are excluded, the sklearn
+                       epsilon-free convention, and n_nonzero_label is
+                       reported so the exclusion is visible)
+      n_nonzero_label
+
+    ONE aggregation pass (the median rides the same job); nothing
+    row-level collected. Labels/predictions must be non-null (checked)."""
+    if accuracy < 1:
+        raise ValueError("accuracy must be >= 1")
+    y = F.col("__y")
+    p = F.col("__p")
+    base = df.select(
+        F.col(label_col).cast("double").alias("__y"),
+        F.col(pred_col).cast("double").alias("__p"),
+    )
+    e = p - y
+    abs_e = F.abs(e)
+    med = (
+        F.percentile_approx(abs_e, F.lit(0.5), F.lit(int(accuracy)))
+        if approx_median
+        else F.percentile(abs_e, F.lit(0.5))
+    )
+    nz = (y != 0.0).cast("double")
+    row = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(y.isNull() | p.isNull(), 1).otherwise(0)).alias("nulls"),
+        F.sum(e * e).alias("se2"),
+        F.sum(abs_e).alias("sae"),
+        F.sum(e).alias("se"),
+        F.sum(y).alias("sy"),
+        F.sum(y * y).alias("sy2"),
+        med.alias("med_ae"),
+        F.sum(nz).alias("n_nz"),
+        F.sum(F.when(y != 0.0, abs_e / F.abs(y)).otherwise(0.0)).alias("sape"),
+    ).collect()[0]
+    if row["nulls"]:
+        raise ValueError(f"{row['nulls']} rows have null label/prediction")
+    n = float(row["n"])
+    if n == 0:
+        raise ValueError("empty input")
+    nan = float("nan")
+    se2, sae, se = float(row["se2"]), float(row["sae"]), float(row["se"])
+    sy, sy2 = float(row["sy"]), float(row["sy2"])
+    n_nz = float(row["n_nz"])
+    mse = se2 / n
+    tss = sy2 - sy * sy / n
+    var_e = se2 - se * se / n
+    rows = [
+        ("n", n),
+        ("mse", mse),
+        ("rmse", mse**0.5),
+        ("mae", sae / n),
+        ("median_ae", float(row["med_ae"])),
+        ("bias", se / n),
+        ("r2", 1.0 - se2 / tss if tss > 0 else nan),
+        ("explained_variance", 1.0 - var_e / tss if tss > 0 else nan),
+        ("mape", float(row["sape"]) / n_nz if n_nz > 0 else nan),
+        ("n_nonzero_label", n_nz),
+    ]
+    return df.sparkSession.createDataFrame(rows, "metric string, value double")
+
+
 def calibration_bins(
     df: DataFrame,
     label_col: str,

@@ -225,3 +225,43 @@ def test_average_precision_matches_numpy(scored):
     perfect = df.select("y", F.col("y").alias("p"))
     gp = {r.metric: r.value for r in binary_classification_eval(perfect, "y", "p").collect()}
     assert gp["avg_precision"] == pytest.approx(1.0)
+
+def test_regression_eval_matches_numpy(spark):
+    from sparkglm_spark.operators.evaluate import regression_eval
+
+    rng = np.random.default_rng(13)
+    y = rng.normal(100, 20, 800)
+    p = y + rng.normal(2.0, 5.0, 800)  # biased predictor
+    y[5] = 0.0  # one zero label for the mape exclusion path
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(y, p)], "y double, p double"
+    ).repartition(7)
+    got = {r.metric: r.value for r in regression_eval(df, "y", "p").collect()}
+    e = p - y
+    assert got["n"] == 800
+    assert got["mse"] == pytest.approx(np.mean(e**2), rel=1e-10)
+    assert got["rmse"] == pytest.approx(np.sqrt(np.mean(e**2)), rel=1e-10)
+    assert got["mae"] == pytest.approx(np.mean(np.abs(e)), rel=1e-10)
+    assert got["median_ae"] == pytest.approx(np.quantile(np.abs(e), 0.5), rel=1e-10)
+    assert got["bias"] == pytest.approx(np.mean(e), rel=1e-8)
+    sse, tss = (e**2).sum(), ((y - y.mean()) ** 2).sum()
+    assert got["r2"] == pytest.approx(1 - sse / tss, rel=1e-9)
+    ve = ((e - e.mean()) ** 2).sum()
+    assert got["explained_variance"] == pytest.approx(1 - ve / tss, rel=1e-9)
+    nz = y != 0
+    assert got["n_nonzero_label"] == nz.sum()
+    assert got["mape"] == pytest.approx(
+        np.mean(np.abs(e[nz] / y[nz])), rel=1e-10
+    )
+    # approx median agrees loosely
+    ap = {r.metric: r.value for r in regression_eval(df, "y", "p",
+                                                     approx_median=True).collect()}
+    assert ap["median_ae"] == pytest.approx(got["median_ae"], rel=1e-2)
+    # perfect predictor
+    perfect = df.select("y", F.col("y").alias("p"))
+    gp = {r.metric: r.value for r in regression_eval(perfect, "y", "p").collect()}
+    assert gp["rmse"] == 0.0 and gp["r2"] == pytest.approx(1.0)
+    with pytest.raises(ValueError, match="null"):
+        regression_eval(
+            spark.createDataFrame([(1.0, None)], "y double, p double"), "y", "p"
+        )
