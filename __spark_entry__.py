@@ -4002,6 +4002,7 @@ def q_lineitem_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("chi2_ind", "stat", round(ch["chi2"], 6)),
             ("chi2_ind", "df", ch["df"]),
             ("chi2_ind", "n", float(ch["n"])),
+            ("chi2_ind", "cramers_v", round(ch["cramers_v"], 6)),
         ]
         + reg_rows,
         "col_a string, col_b string, corr double",
@@ -4083,6 +4084,9 @@ SELECT t.col_a, t.col_b, t.corr FROM (
   UNION ALL
   SELECT 'chi2_ind', 'df', (tot.ka - 1.0) * (tot.kb - 1.0) FROM tot
   UNION ALL SELECT 'chi2_ind', 'n', tot.n FROM tot
+  UNION ALL SELECT 'chi2_ind', 'cramers_v',
+            ROUND(SQRT(chi.stat / (tot.n * LEAST(tot.ka - 1, tot.kb - 1))), 6)
+            FROM chi CROSS JOIN tot
 ) t
 UNION ALL
 SELECT 'reg_metric' AS col_a, m.key AS col_b, m.v AS corr FROM (
@@ -5001,12 +5005,30 @@ def q_sampling_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 'zorder_n', cast(zn as string)) as (stat, value)"
         )
     )
+    # r8: token-budget prefix sampling (operators/split.py::
+    # sample_to_token_budget) with an EXPLICIT doc_id order (SQL-exact;
+    # the default hash order is the portable affine hash, also
+    # replayable, but the id order keeps the CTE one line). Kept count +
+    # exact id sum + realized token total pin the kept prefix SET.
+    from sparkglm_spark.operators.split import sample_to_token_budget
+
+    tb = sample_to_token_budget(docs, "n_chars", 100000.0, order_col="doc_id")
+    tbrows = tb.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").alias("s"),
+        F.sum("n_chars").alias("t"),
+    ).selectExpr(
+        "stack(3, 'tokbudget_n', cast(n as string),"
+        " 'tokbudget_idsum', cast(s as string),"
+        " 'tokbudget_tokens', cast(t as string)) as (stat, value)"
+    )
     return (
         base.unionByName(strat)
         .unionByName(wrows)
         .unionByName(mixrows)
         .unionByName(caprows)
         .unionByName(zrows)
+        .unionByName(tbrows)
     )
 
 
@@ -5117,6 +5139,21 @@ FROM (
     ('idsum', CAST(cp.s AS VARCHAR))) AS u(m, value)
 UNION ALL
 {_sql_zorder_rows()}
+UNION ALL
+SELECT u.stat, u.value
+FROM (
+  SELECT count(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS s,
+         CAST(SUM(n_chars) AS BIGINT) AS t
+  FROM (
+    SELECT doc_id, n_chars,
+           SUM(CAST(n_chars AS DOUBLE))
+             OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+    FROM documents) p
+  WHERE cum <= 100000.0
+) tb CROSS JOIN LATERAL (VALUES
+    ('tokbudget_n', CAST(tb.n AS VARCHAR)),
+    ('tokbudget_idsum', CAST(tb.s AS VARCHAR)),
+    ('tokbudget_tokens', CAST(tb.t AS VARCHAR))) AS u(stat, value)
 """
 
 

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from sparkglm_spark.plans.partitioning import require_integral_id
+from sparkglm_spark.plans.prefix import global_running_sum
 
 _BUCKETS = 1_000_000  # split resolution: 1e-6 of weight
 
@@ -401,3 +402,54 @@ def cap_per_group(
     )
     side = F.broadcast(losers) if broadcast_drop_list else losers
     return df.join(side, key_col, "left_anti")
+
+
+def sample_to_token_budget(
+    df: DataFrame,
+    token_col: str,
+    budget: float,
+    key_col: str | None = None,
+    order_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Down-sample a corpus to (at most) `budget` total tokens — the
+    "train on exactly N tokens" curation step: keep the PREFIX of a
+    deterministic order whose cumulative `token_col` stays ≤ budget.
+
+    Order: `order_col` (e.g. a quality score desc-mapped to a column, or
+    an id for a reproducible SQL oracle) or, when omitted, the portable
+    affine hash of `key_col` — an unbiased pseudo-random prefix, so the
+    kept set is a uniform sample at the token (not document) level and a
+    pure function of the data. Rows tied on the order value share their
+    fate (the RANGE prefix semantics — with a hash order a tie means a
+    64-bit collision; with a user order, give a unique column).
+
+    Plan: `plans.prefix.global_running_sum` over the order column with
+    `token_col` as the value — the range-partitioned prefix (no
+    single-partition sort), then a filter. Content columns ride ONLY the
+    range exchange; nothing is collected. Appends `cum_tokens` (the
+    inclusive running total, ≤ budget on every kept row) so the realized
+    total is `max(cum_tokens)` without another pass."""
+    if not budget > 0:
+        raise ValueError(f"budget must be > 0, got {budget!r}")
+    if order_col is None:
+        if key_col is None:
+            raise ValueError("pass order_col or key_col (hash order)")
+        require_integral_id(df, key_col, "sample_to_token_budget (hash order)")
+        work = df.withColumn("__ord", hash_sample_expr(key_col))
+        ord_name = "__ord"
+    else:
+        work = df
+        ord_name = order_col
+    cum = global_running_sum(
+        work.withColumn("__tok", F.col(token_col).cast("double")),
+        ord_name,
+        ["__tok"],
+        num_partitions=num_partitions,
+    )
+    out = (
+        cum.where(F.col("__tok_cum") <= F.lit(float(budget)))
+        .withColumnRenamed("__tok_cum", "cum_tokens")
+        .drop("__tok")
+    )
+    return out.drop("__ord") if order_col is None else out

@@ -226,9 +226,14 @@ def chi2_independence(
         cells.unpersist()
     chi2 = float(stat_row["chi2"])
     dof = float((ka - 1) * (kb - 1))
+    # Cramér's V — the effect size the raw χ² hides at large n (at 100 TB
+    # row counts EVERYTHING is "significant"; V says whether it matters):
+    # V = √(χ²/(n·min(ka−1, kb−1))), in [0, 1]
+    v = (chi2 / (n * min(ka - 1, kb - 1))) ** 0.5
     return {
         "chi2": chi2, "df": dof, "n": int(n),
         "levels_a": ka, "levels_b": kb,
+        "cramers_v": float(v),
         "p_value": float(chisq_sf(chi2, dof)),
     }
 

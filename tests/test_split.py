@@ -406,3 +406,72 @@ def test_leakage_safe_split_validations_and_invariance(spark):
     b = {r["doc_id"]: r["split"] for r in with_leakage_safe_split(
         docs.repartition(7), clusters, {"a": 0.5, "b": 0.5}, seed=3).collect()}
     assert a == b
+
+def test_sample_to_token_budget_explicit_order(spark):
+    from sparkglm_spark.operators.split import sample_to_token_budget
+
+    rows = [(i, float(10 + (i * 7) % 50)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, tok double").repartition(7)
+    budget = 1500.0
+    kept = sample_to_token_budget(df, "tok", budget, order_col="id").collect()
+    # pandas twin: prefix of the id order with cumsum <= budget
+    cum, want = 0.0, []
+    for i, t in rows:
+        cum += t
+        if cum <= budget:
+            want.append((i, cum))
+        else:
+            break
+    got = sorted((r.id, r.cum_tokens) for r in kept)
+    assert got == [(i, pytest.approx(c)) for i, c in want]
+    assert max(r.cum_tokens for r in kept) <= budget
+
+
+def test_sample_to_token_budget_hash_order(spark, documents):
+    from sparkglm_spark.operators.split import (
+        _AFFINE_A,
+        _AFFINE_B,
+        _AFFINE_P,
+        _BUCKETS,
+        sample_to_token_budget,
+    )
+
+    budget = 100_000.0
+    kept = sample_to_token_budget(documents, "n_chars", budget, key_col="doc_id")
+    a = {r.doc_id for r in kept.select("doc_id").collect()}
+    b = {
+        r.doc_id
+        for r in sample_to_token_budget(
+            documents.repartition(17), "n_chars", budget, key_col="doc_id"
+        ).select("doc_id").collect()
+    }
+    assert a == b and len(a) > 0  # deterministic, partition-invariant
+    total = (
+        kept.agg(F.sum("n_chars").alias("s")).collect()[0]["s"]
+    )
+    assert total <= budget
+    # maximality: python twin of the portable hash order — the kept set is
+    # exactly the maximal prefix (tie groups share fate)
+    rows = documents.select("doc_id", "n_chars").collect()
+    hashed = sorted(
+        rows, key=lambda r: (((r.doc_id % (1 << 32)) * _AFFINE_A + _AFFINE_B)
+                             % _AFFINE_P % _BUCKETS, )
+    )
+    import itertools
+
+    want, cum = set(), 0.0
+    keyf = lambda r: ((r.doc_id % (1 << 32)) * _AFFINE_A + _AFFINE_B) % _AFFINE_P % _BUCKETS
+    for _, grp in itertools.groupby(sorted(rows, key=keyf), key=keyf):
+        grp = list(grp)
+        gtok = sum(r.n_chars for r in grp)
+        if cum + gtok <= budget:
+            cum += gtok
+            want |= {r.doc_id for r in grp}
+        else:
+            break
+    assert a == want
+
+    with pytest.raises(ValueError, match="budget"):
+        sample_to_token_budget(documents, "n_chars", 0.0, key_col="doc_id")
+    with pytest.raises(ValueError, match="order_col or key_col"):
+        sample_to_token_budget(documents, "n_chars", 10.0)

@@ -99,6 +99,9 @@ def test_chi2_independence_matches_numpy(spark):
     rows = [(f"a{x}", f"b{y}") for x, y in zip(a, b)]
     df = spark.createDataFrame(rows, "x string, y string").repartition(5)
     out = chi2_independence(df, "x", "y")
+    v = (out["chi2"] / (out["n"] * min(out["levels_a"] - 1, out["levels_b"] - 1))) ** 0.5
+    assert out["cramers_v"] == pytest.approx(v, rel=1e-12)
+    assert 0.0 <= out["cramers_v"] <= 1.0
     obs = np.zeros((3, 4))
     for x, y in zip(a, b):
         obs[x, y % 4] += 1
