@@ -5224,6 +5224,19 @@ def q_orders_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("frac_pos", 6).alias("v2"),
         F.lit(None).cast("double").alias("v3"),
     )
+    # r8: decile lift/gains over the same fixed score (tie groups binned
+    # where their cumulative count ends — deterministic across engines
+    # since both group their own doubles); ratios → ROUND 6
+    from sparkglm_spark.operators.evaluate import lift_table
+
+    lift = lift_table(scored, "y", "p", n_bins=10).select(
+        F.lit("lift_bin").alias("op"),
+        F.col("bin").cast("string").alias("key"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round("response_rate", 6).alias("v1"),
+        F.round("lift", 6).alias("v2"),
+        F.round("cum_gain", 6).alias("v3"),
+    )
     from sparkglm_spark.operators.evaluate import grouped_auc
 
     seg = grouped_auc(
@@ -5403,6 +5416,7 @@ def q_orders_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
         pct.unionByName(hist)
         .unionByName(clf)
         .unionByName(calib)
+        .unionByName(lift)
         .unionByName(seg)
         .unionByName(prof)
         .unionByName(cox)
@@ -5585,6 +5599,34 @@ FROM (
     FROM orders) s
   GROUP BY 1
 ) b
+UNION ALL
+SELECT 'lift_bin', CAST(lf.bin AS VARCHAR), lf.n,
+       ROUND(lf.rate, 6), ROUND(lf.lift, 6), ROUND(lf.cum_gain, 6)
+FROM (
+  WITH lsc AS (
+    SELECT CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y,
+           1.0 / (1.0 + exp(-({_GB0} + {_GB1} * o_totalprice))) AS p
+    FROM orders),
+  lr0 AS (SELECT p, SUM(y) AS pos, CAST(COUNT(*) AS DOUBLE) AS cnt
+          FROM lsc GROUP BY p),
+  lt0 AS (SELECT SUM(pos) AS P, SUM(cnt) AS N FROM lr0),
+  lc0 AS (SELECT pos, cnt,
+                 SUM(cnt) OVER (ORDER BY p DESC ROWS UNBOUNDED PRECEDING)
+                   AS cumcnt
+          FROM lr0),
+  lb AS (SELECT LEAST(CAST(CEIL(cumcnt * 10.0 / t.N) AS INT), 10) AS bin,
+                SUM(pos) AS npos, SUM(cnt) AS n
+         FROM lc0 CROSS JOIN lt0 t GROUP BY 1),
+  lcum AS (SELECT bin, n, npos,
+                  SUM(npos) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+                    AS cumpos
+           FROM lb)
+  SELECT lcum.bin, CAST(lcum.n AS BIGINT) AS n,
+         lcum.npos / lcum.n AS rate,
+         (lcum.npos / lcum.n) / (t.P / t.N) AS lift,
+         lcum.cumpos / t.P AS cum_gain
+  FROM lcum CROSS JOIN lt0 t
+) lf
 UNION ALL
 SELECT 'num_profile', p.key, p.n, p.v1, p.v2, p.v3
 FROM (

@@ -24,6 +24,7 @@ from sparkglm_spark.operators.evaluate import (
     binary_classification_eval,
     calibration_bins,
     grouped_auc,
+    lift_table,
     regression_eval,
     roc_points,
 )
@@ -121,6 +122,7 @@ __all__ = [
     "regression_eval",
     "calibration_bins",
     "grouped_auc",
+    "lift_table",
     "roc_points",
     "ewma_latest",
     "ewma_series",

@@ -296,6 +296,88 @@ def grouped_auc(
     )
 
 
+def lift_table(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Decile (n_bins-ile) lift and cumulative-gains table — "target the
+    top k% by score, what fraction of responders do you reach?" (the
+    campaign-targeting classic):
+
+      bin            1 = highest scores … n_bins = lowest
+      n, n_pos       rows / positives in the bin
+      response_rate  n_pos/n
+      lift           response_rate / overall positive rate
+      cum_n, cum_pos running totals from bin 1
+      cum_gain       cum_pos/P  (the gains-curve y-axis)
+      cum_lift       cum_gain / (cum_n/N)
+
+    Tie-aware binning: scores are grouped to DISTINCT values first and a
+    whole tie group lands in the bin where its cumulative row count ends
+    (ceil(n_bins·cum_n/N)) — a tie group spanning a bin boundary is never
+    split (the deterministic convention; a huge tie group can leave
+    earlier bins empty, which is reported rather than padded).
+
+    Plan: the same distinct-score + DESCENDING range-partitioned prefix
+    pass the ROC uses, one groupBy(bin) (≤ n_bins groups), cumulative
+    columns assembled on the driver from the ≤ n_bins partial rows —
+    nothing row-level collected."""
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    base = df.select(
+        F.col(label_col).cast("double").alias("__y"),
+        F.col(score_col).cast("double").alias("__p"),
+    )
+    sc = base.groupBy("__p").agg(
+        F.sum("__y").alias("pos"),
+        F.count(F.lit(1)).cast("double").alias("cnt"),
+    ).withColumn("__np", -F.col("__p"))
+    totals = sc.agg(
+        F.sum("pos").alias("P"), F.sum("cnt").alias("N")
+    ).collect()[0]
+    p_tot, n_tot = float(totals["P"]), float(totals["N"])
+    if n_tot == 0:
+        raise ValueError("empty input")
+    cum = global_running_sum(sc, "__np", ["cnt"])
+    bin_c = F.least(
+        F.ceil(F.col("cnt_cum") * F.lit(float(n_bins)) / F.lit(n_tot)).cast("int"),
+        F.lit(n_bins),
+    )
+    parts = (
+        cum.groupBy(bin_c.alias("bin"))
+        .agg(F.sum("cnt").alias("n"), F.sum("pos").alias("n_pos"))
+        .collect()
+    )
+    overall = p_tot / n_tot
+    rows = []
+    cum_n = cum_pos = 0.0
+    for r in sorted(parts, key=lambda r: r["bin"]):
+        n, npos = float(r["n"]), float(r["n_pos"])
+        cum_n += n
+        cum_pos += npos
+        rate = npos / n
+        rows.append(
+            (
+                int(r["bin"]),
+                int(n),
+                int(npos),
+                rate,
+                rate / overall if overall > 0 else float("nan"),
+                int(cum_n),
+                int(cum_pos),
+                cum_pos / p_tot if p_tot > 0 else float("nan"),
+                (cum_pos / p_tot) / (cum_n / n_tot) if p_tot > 0 else float("nan"),
+            )
+        )
+    return df.sparkSession.createDataFrame(
+        rows,
+        "bin int, n bigint, n_pos bigint, response_rate double, lift double, "
+        "cum_n bigint, cum_pos bigint, cum_gain double, cum_lift double",
+    )
+
+
 def roc_points(
     df: DataFrame,
     label_col: str,

@@ -265,3 +265,38 @@ def test_regression_eval_matches_numpy(spark):
         regression_eval(
             spark.createDataFrame([(1.0, None)], "y double, p double"), "y", "p"
         )
+
+def test_lift_table_matches_numpy(scored):
+    from sparkglm_spark.operators.evaluate import lift_table
+
+    df, y, p = scored
+    got = lift_table(df, "y", "p", n_bins=10).collect()
+    # numpy twin with the SAME tie convention: distinct scores descending,
+    # each tie group binned by ceil(10 * cum_count / N)
+    uniq = np.unique(p)[::-1]
+    N, P = len(y), y.sum()
+    bins = {}
+    cum = 0
+    for s in uniq:
+        sel = p == s
+        cum += sel.sum()
+        b = min(int(np.ceil(10 * cum / N)), 10)
+        n0, p0 = bins.get(b, (0, 0))
+        bins[b] = (n0 + sel.sum(), p0 + y[sel].sum())
+    assert len(got) == len(bins)
+    cn = cp = 0
+    for r in got:
+        n, npos = bins[r.bin]
+        cn += n
+        cp += npos
+        assert (r.n, r.n_pos) == (n, npos), r.bin
+        assert r.response_rate == pytest.approx(npos / n, rel=1e-12)
+        assert r.lift == pytest.approx((npos / n) / (P / N), rel=1e-12)
+        assert r.cum_gain == pytest.approx(cp / P, rel=1e-12)
+        assert r.cum_lift == pytest.approx((cp / P) / (cn / N), rel=1e-12)
+    # partition sanity: bins cover all rows, gains end at 1
+    assert sum(r.n for r in got) == N and got[-1].cum_gain == pytest.approx(1.0)
+    # a decent score: top-decile lift > 1 > bottom-decile lift
+    assert got[0].lift > 1.0 > got[-1].lift
+    with pytest.raises(ValueError, match="n_bins"):
+        lift_table(df, "y", "p", 0)
