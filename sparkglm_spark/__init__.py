@@ -57,6 +57,7 @@ from sparkglm_spark.operators.stats import (
     welch_ttest,
 )
 from sparkglm_spark.operators.survival import (
+    concordance_index,
     coxph,
     coxph_grouped,
     kaplan_meier,
@@ -113,6 +114,7 @@ __all__ = [
     "restricted_mean_survival",
     "schoenfeld_residuals",
     "ph_assumption_test",
+    "concordance_index",
     "welch_ttest",
     "chi2_independence",
     "proportions_ztest",

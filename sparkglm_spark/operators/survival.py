@@ -616,6 +616,241 @@ def ph_assumption_test(
     }
 
 
+def _bucket_pair_stats(pdf_t, pdf_e, pdf_r):
+    """Within-bucket pair counts for Harrell's C (numpy, one bucket's
+    rows): over pairs with t_i < t_j STRICTLY and i an event, count
+    (concordant: r_i > r_j) and (risk ties: r_i == r_j). BIT (Fenwick)
+    over risk ranks, times processed descending so the tree always holds
+    exactly the rows with LATER time."""
+    order = np.argsort(pdf_t, kind="mergesort")
+    t, e, r = pdf_t[order], pdf_e[order], pdf_r[order]
+    # dense risk ranks 1..m (BIT is 1-indexed)
+    uniq = np.unique(r)
+    rank = np.searchsorted(uniq, r) + 1
+    m = len(uniq)
+    bit = np.zeros(m + 1, dtype=np.int64)
+
+    def bit_add(i):
+        while i <= m:
+            bit[i] += 1
+            i += i & (-i)
+
+    def bit_sum(i):  # prefix count of ranks <= i
+        s = 0
+        while i > 0:
+            s += bit[i]
+            i -= i & (-i)
+        return s
+
+    conc = ties = 0
+    n = len(t)
+    j = n  # rows with index >= j are in the BIT (strictly later times)
+    i = n - 1
+    while i >= 0:
+        k = i
+        while k >= 0 and t[k] == t[i]:
+            k -= 1
+        # rows (k, i] share time t[i]; BIT holds rows with time > t[i]
+        for q in range(k + 1, i + 1):
+            if e[q] == 1.0:
+                conc += bit_sum(rank[q] - 1)
+                ties += bit_sum(rank[q]) - bit_sum(rank[q] - 1)
+        for q in range(k + 1, i + 1):
+            bit_add(rank[q])
+        i = k
+    return conc, ties
+
+
+def concordance_index(
+    df: DataFrame,
+    time_col: str,
+    event_col: str,
+    risk_col: str,
+    n_buckets: int = 64,
+    time_bucket: float | None = None,
+) -> dict:
+    """Harrell's concordance index — the standard discrimination measure
+    for a survival model's risk score (public convention: Harrell 1982;
+    the AUC analogue under censoring):
+
+        C = (#concordant + ½·#risk-ties) / #comparable
+
+    over pairs where subject i had an EVENT and t_i < t_j STRICTLY
+    (the base Harrell definition; equal observed times are not
+    comparable — documented difference from implementations that credit
+    event-vs-censored ties at equal times). Concordant = the earlier
+    event carries the HIGHER risk.
+
+    Exact and never all-pairs. Decomposition: risk scores collapse to
+    distinct values and bucket by cumulative count (a tie group never
+    splits, so cross-bucket order is STRICT risk order); then
+      - cross-bucket pairs count from a (time, bucket) cell grid: probe
+        rows at each (event time × bucket) merge into the per-bucket
+        running count, so every event time reads every bucket's
+        #rows-with-later-time — the O(E·B) compact intermediate this
+        algorithm pays (E = distinct event times; `time_bucket` bounds
+        it), then a per-time prefix over bucket index and one final
+        aggregation;
+      - within-bucket pairs count EXACTLY inside each bucket's Arrow
+        batch (applyInPandas, Fenwick tree over risk ranks — O(n_b log)),
+        so the driver sees B partial rows;
+      - #comparable = Σ_events #(t_j > t_i) from the same probe grid.
+    `n_buckets` trades the per-task batch size (≈ n/B rows) against the
+    probe-grid width — any value gives the same exact answer.
+    `time_bucket` floors the time axis first (changes the statistic by
+    coarsening ties, exactly as in `coxph`).
+
+    Returns {c_index, n_comparable, n_concordant, n_tied_risk, n, n_events}.
+    """
+    from pyspark.sql import Window, types as T
+
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    base = df.select(
+        _time_expr(time_col, time_bucket).alias("__t"),
+        F.col(event_col).cast("double").alias("__e"),
+        F.col(risk_col).cast("double").alias("__r"),
+    )
+    chk = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__e").alias("ne"),
+        F.sum(
+            F.when(
+                F.col("__t").isNull()
+                | F.col("__e").isNull()
+                | F.col("__r").isNull(),
+                1,
+            ).otherwise(0)
+        ).alias("nulls"),
+        F.sum(
+            ((F.col("__e") != 0.0) & (F.col("__e") != 1.0)).cast("int")
+        ).alias("bad"),
+    ).collect()[0]
+    if chk["nulls"]:
+        raise ValueError(f"{chk['nulls']} rows have null time/event/risk")
+    if chk["bad"]:
+        raise ValueError("event_col must be 0/1")
+    n, n_events = int(chk["n"]), int(float(chk["ne"]))
+    if n_events == 0:
+        raise ValueError("no events — no comparable pairs")
+
+    # bucket distinct risks by cumulative count (tie groups never split)
+    rsc = base.groupBy("__r").agg(F.count(F.lit(1)).cast("double").alias("rc"))
+    rcum = global_running_sum(rsc, "__r", ["rc"])
+    bucket_of = rcum.select(
+        "__r",
+        F.least(
+            F.ceil(F.col("rc_cum") * F.lit(float(n_buckets)) / F.lit(float(n)))
+            .cast("int"),
+            F.lit(n_buckets),
+        ).alias("__b"),
+    )
+    # plain equi-join: distinct risks can approach n for a continuous
+    # score, so no broadcast hint (AQE will broadcast when it IS small).
+    # work feeds both the cell grid and the within-bucket pass; cells
+    # feeds four consumers — persist both (ReuseExchange does not fire
+    # across differing prefix plans).
+    work = base.join(bucket_of, "__r").persist()
+    try:
+
+        # (time, bucket) cell grid: rows + events per cell. A bucket's suffix
+        # count is needed at EVERY event time, not just at its own time
+        # points, so probe rows (one per event-time × bucket, the O(E·B)
+        # intermediate this algorithm pays) merge into the per-bucket
+        # running count: at a probe, the inclusive RANGE cum IS
+        # C_le(b, t) = #rows of bucket b with time ≤ t.
+        cells = work.groupBy("__t", "__b").agg(
+            F.count(F.lit(1)).cast("double").alias("c"),
+            F.sum("__e").alias("ev"),
+        ).persist()
+        ev_cells = cells.where(F.col("ev") > 0)
+        bucket_ids = cells.sparkSession.range(1, n_buckets + 1).select(
+            F.col("id").cast("int").alias("__b")
+        )
+        probes = (
+            ev_cells.select("__t").distinct()
+            .crossJoin(F.broadcast(bucket_ids))
+            .select("__t", "__b", F.lit(0.0).alias("c"), F.lit(1).alias("__probe"))
+        )
+        aug = cells.select("__t", "__b", "c", F.lit(0).alias("__probe")).unionByName(
+            probes
+        )
+        wble = (
+            Window.partitionBy("__b")
+            .orderBy("__t")
+            .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        at_probe = (
+            aug.withColumn("cle", F.sum("c").over(wble))
+            .where(F.col("__probe") == 1)
+            .select("__t", "__b", "cle")
+        )
+        # per-bucket totals: B driver scalars -> broadcast join
+        btot = cells.groupBy("__b").agg(F.sum("c").alias("cnt"))
+        with_tot = at_probe.join(F.broadcast(btot), "__b", "left").withColumn(
+            "s_excl", F.coalesce(F.col("cnt"), F.lit(0.0)) - F.col("cle")
+        )
+        wlow = (
+            Window.partitionBy("__t")
+            .orderBy("__b")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        per_probe = with_tot.withColumn(
+            "low_later", F.coalesce(F.sum("s_excl").over(wlow), F.lit(0.0))
+        ).withColumn("all_later", F.sum("s_excl").over(Window.partitionBy("__t")))
+        agg_row = (
+            ev_cells.join(per_probe, ["__t", "__b"])
+            .agg(
+                F.sum(F.col("ev") * F.col("low_later")).alias("cross_conc"),
+                F.sum(F.col("ev") * F.col("all_later")).alias("comparable"),
+            )
+            .collect()[0]
+        )
+        cross_conc = float(agg_row["cross_conc"])
+        comparable = float(agg_row["comparable"])
+        if comparable == 0:
+            raise ValueError("no comparable pairs (all times tied?)")
+
+        # within-bucket exact counts, one Arrow batch per bucket
+        out_schema = T.StructType(
+            [
+                T.StructField("conc", T.LongType()),
+                T.StructField("ties", T.LongType()),
+            ]
+        )
+
+        def bucket_counts(pdf):
+            import pandas as pd
+
+            c, s = _bucket_pair_stats(
+                pdf["__t"].to_numpy(np.float64),
+                pdf["__e"].to_numpy(np.float64),
+                pdf["__r"].to_numpy(np.float64),
+            )
+            return pd.DataFrame({"conc": [c], "ties": [s]})
+
+        wrow = (
+            work.select("__t", "__e", "__r", "__b")
+            .groupBy("__b")
+            .applyInPandas(bucket_counts, out_schema)
+            .agg(F.sum("conc").alias("wc"), F.sum("ties").alias("wt"))
+            .collect()[0]
+        )
+    finally:
+        cells.unpersist()
+        work.unpersist()
+    within_conc, tied = float(wrow["wc"]), float(wrow["wt"])
+    conc = cross_conc + within_conc
+    return {
+        "c_index": (conc + 0.5 * tied) / comparable,
+        "n_comparable": int(comparable),
+        "n_concordant": int(conc),
+        "n_tied_risk": int(tied),
+        "n": n,
+        "n_events": n_events,
+    }
+
+
 def _cox_newton_dense(t, e, X, exact_iterations, tol, max_iter):
     """Dense per-segment Breslow Newton (numpy, one worker's Arrow batch).
     Returns (beta, se, loglik, n_iter, converged) or None when degenerate

@@ -699,3 +699,70 @@ def test_new_survival_plans_no_partitionless_window(surv_data):
     rmst = restricted_mean_survival(df, "time", "event", 2.0)
     plan = rmst._jdf.queryExecution().executedPlan().toString()
     assert not partitionless.search(plan)
+
+def _cindex_numpy(t, e, r):
+    """All-pairs Harrell twin (strict t_i < t_j convention)."""
+    conc = ties = comp = 0
+    n = len(t)
+    for i in range(n):
+        if e[i] != 1:
+            continue
+        for j in range(n):
+            if t[j] > t[i]:
+                comp += 1
+                if r[i] > r[j]:
+                    conc += 1
+                elif r[i] == r[j]:
+                    ties += 1
+    return conc, ties, comp
+
+
+def test_concordance_index_matches_all_pairs(surv_data):
+    from sparkglm_spark.operators.survival import concordance_index
+
+    df, t, e, X = surv_data
+    m = coxph(df, "time", "event", ["x1", "x2"], exact_iterations=3)
+    scored = m.predict(df)
+    out = concordance_index(scored, "time", "event", "risk_score")
+    r = np.exp(X @ m.coefs)
+    conc, ties, comp = _cindex_numpy(t, e, r)
+    assert out["n_comparable"] == comp
+    assert out["n_concordant"] == conc
+    assert out["n_tied_risk"] == ties
+    assert out["c_index"] == pytest.approx((conc + 0.5 * ties) / comp, rel=1e-12)
+    # a real Cox fit discriminates: C well above 0.5
+    assert out["c_index"] > 0.6
+    # exactness is bucket-count invariant
+    for nb in (1, 3, 1000):
+        o2 = concordance_index(scored, "time", "event", "risk_score",
+                               n_buckets=nb)
+        assert o2["n_concordant"] == conc and o2["n_tied_risk"] == ties, nb
+
+
+def test_concordance_index_edges(spark):
+    from sparkglm_spark.operators.survival import concordance_index
+
+    # perfect risk ordering (risk = -time): C = 1
+    rows = [(float(i), 1.0, float(-i)) for i in range(1, 40)]
+    df = spark.createDataFrame(rows, "t double, ev double, r double")
+    out = concordance_index(df, "t", "ev", "r", n_buckets=4)
+    assert out["c_index"] == 1.0
+    assert out["n_comparable"] == 38 * 39 // 2
+    # constant risk: every comparable pair is a tie -> C = 0.5
+    const = df.withColumn("r", F.lit(1.0))
+    assert concordance_index(const, "t", "ev", "r")["c_index"] == 0.5
+    # heavy TIED TIMES: equal times are not comparable (strict convention)
+    tied = spark.createDataFrame(
+        [(1.0, 1.0, 3.0), (1.0, 1.0, 2.0), (2.0, 0.0, 1.0)],
+        "t double, ev double, r double",
+    )
+    o = concordance_index(tied, "t", "ev", "r")
+    assert o["n_comparable"] == 2 and o["c_index"] == 1.0
+    with pytest.raises(ValueError, match="no events"):
+        concordance_index(df.withColumn("ev", F.lit(0.0)), "t", "ev", "r")
+    with pytest.raises(ValueError, match="no comparable"):
+        concordance_index(
+            spark.createDataFrame([(1.0, 1.0, 1.0), (1.0, 1.0, 2.0)],
+                                  "t double, ev double, r double"),
+            "t", "ev", "r",
+        )
