@@ -5169,9 +5169,11 @@ def q_orders_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
     prediction at three horizons (cox_base), per-segment Cox fits via
     coxph_grouped over custkey parity (coxg), per-priority Kaplan-Meier
     curves over bucketed time (km), per-priority restricted mean
-    survival time at tau=300 (rmst) and the custkey-parity log-rank test
-    (logrank). Each constituent's operator docstring carries its plan +
-    rounding analysis."""
+    survival time at tau=300 (rmst), Harrell's C pair counts over a
+    deterministic 1k-row subset vs a literal all-pairs replay (cindex),
+    decile lift/gains over the fixed score (lift_bin) and the
+    custkey-parity log-rank test (logrank). Each constituent's operator
+    docstring carries its plan + rounding analysis."""
     pct = q_quantity_percentiles(spark, sf_dir).select(
         F.lit("quantity_pct").alias("op"),
         F.col("l_returnflag").alias("key"),
@@ -5402,6 +5404,28 @@ def q_orders_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ev",
         "g2",
     )
+    # r8: Harrell's C over a deterministic 1k-row subset (custkey%15) with
+    # a custkey-derived risk — the distributed bucket decomposition's
+    # integer pair counts vs DuckDB's literal all-pairs join (trivial at
+    # this subset size). Counts are exact integers; c_index is their
+    # ratio → ROUND 6 safe.
+    from sparkglm_spark.operators.survival import concordance_index
+
+    ci_in = od.where(F.col("o_custkey") % 15 == 0).select(
+        F.col("o_totalprice").cast("double").alias("t"),
+        F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0).alias("ev"),
+        ((F.col("o_custkey") % 100) / 100.0).alias("r"),
+    )
+    ci = concordance_index(ci_in, "t", "ev", "r", n_buckets=16)
+    ci_rows = spark.createDataFrame(
+        [
+            ("cindex", "c", None, round(ci["c_index"], 6), None, None),
+            ("cindex", "comparable", ci["n_comparable"], None, None, None),
+            ("cindex", "concordant", ci["n_concordant"], None, None, None),
+            ("cindex", "tied_risk", ci["n_tied_risk"], None, None, None),
+        ],
+        "op string, key string, n bigint, v1 double, v2 double, v3 double",
+    )
     lr_rows = spark.createDataFrame(
         [
             ("logrank", "chi2", None, round(lr["chi2"], 6), None, None),
@@ -5424,6 +5448,7 @@ def q_orders_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(coxg)
         .unionByName(km)
         .unionByName(rmst)
+        .unionByName(ci_rows)
         .unionByName(lr_rows)
     )
 
@@ -5713,6 +5738,28 @@ FROM (
              ELSE 0.0 END), 6) AS v1
   FROM rc GROUP BY g
 ) rm
+UNION ALL
+SELECT 'cindex', u.key, u.nn, u.v1, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM (
+  WITH cib AS (
+    SELECT CAST(o_totalprice AS DOUBLE) AS t,
+           CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS ev,
+           CAST(o_custkey % 100 AS DOUBLE) / 100.0 AS r
+    FROM orders WHERE o_custkey % 15 = 0),
+  cip AS (
+    SELECT a.r AS ra, b.r AS rb
+    FROM cib a JOIN cib b ON a.ev = 1.0 AND b.t > a.t),
+  cia AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS comp,
+           CAST(SUM(CASE WHEN ra > rb THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+           CAST(SUM(CASE WHEN ra = rb THEN 1 ELSE 0 END) AS BIGINT) AS ties
+    FROM cip)
+  SELECT 'c' AS key, CAST(NULL AS BIGINT) AS nn,
+         ROUND((conc + 0.5 * ties) / comp, 6) AS v1 FROM cia
+  UNION ALL SELECT 'comparable', comp, NULL FROM cia
+  UNION ALL SELECT 'concordant', conc, NULL FROM cia
+  UNION ALL SELECT 'tied_risk', ties, NULL FROM cia
+) u
 UNION ALL
 SELECT 'logrank', lr.key, lr.nn, lr.v1, CAST(NULL AS DOUBLE),
        CAST(NULL AS DOUBLE)
