@@ -66,7 +66,12 @@ from sparkglm_spark.operators.survival import (
     restricted_mean_survival,
     schoenfeld_residuals,
 )
-from sparkglm_spark.operators.timeseries import ewma_latest, ewma_series
+from sparkglm_spark.operators.timeseries import (
+    ewma_latest,
+    ewma_series,
+    holt_forecast,
+    holt_series,
+)
 from sparkglm_spark.ml import (
     SparkBinaryEvaluator,
     SparkCorpusPrep,
@@ -128,6 +133,8 @@ __all__ = [
     "roc_points",
     "ewma_latest",
     "ewma_series",
+    "holt_series",
+    "holt_forecast",
     "SparkBinaryEvaluator",
     "GLM",
     "GLMSummary",

@@ -275,3 +275,140 @@ def ewma_series(
         F.col("__x").alias(value_col),
         F.col(output_col),
     )
+
+
+def holt_series(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float,
+    beta: float,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Holt's linear (double exponential) smoothing per key — level AND
+    trend state, the next step up from EWMA when series drift (public
+    convention: Holt 1957; statsmodels `Holt` with the simple
+    initialization):
+
+        l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+
+    initialized l_1 = x_1, b_1 = x_2 − x_1 (a single-row key gets
+    b = 0). Appends `level`, `trend` and the one-step-ahead `fitted`
+    (= l_{t−1} + b_{t−1}, NULL for the first row — the standard
+    in-sample forecast for residual diagnostics).
+
+    The recursion is sequential PER KEY (like `ewma_series`): one
+    Arrow-batched applyInPandas pass — each key's history in one batch,
+    keys parallelize. Rows are ordered by (ts[, tiebreak]); pass the
+    tiebreaker when duplicate timestamps exist."""
+    import numpy as np
+    import pandas as pd
+
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha!r}")
+    if not 0.0 < beta < 1.0:
+        raise ValueError(f"beta must be in (0, 1), got {beta!r}")
+    sort_cols = ["__ts"] + (["__tb"] if tiebreak_col else [])
+    base = df.select(
+        F.col(key_col),
+        F.col(ts_col).alias("__ts"),
+        F.col(value_col).cast("double").alias("__x"),
+        *([F.col(tiebreak_col).alias("__tb")] if tiebreak_col else []),
+    )
+    schema = (
+        f"{key_col} {base.schema[key_col].dataType.simpleString()}, "
+        f"__ts {base.schema['__ts'].dataType.simpleString()}, "
+        "__x double, level double, trend double, fitted double"
+    )
+
+    def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        x = pdf["__x"].to_numpy(np.float64)
+        n = len(x)
+        lvl = np.empty(n)
+        trd = np.empty(n)
+        fit = np.full(n, np.nan)
+        lvl[0] = x[0]
+        trd[0] = (x[1] - x[0]) if n > 1 else 0.0
+        for i in range(1, n):
+            fit[i] = lvl[i - 1] + trd[i - 1]
+            lvl[i] = alpha * x[i] + (1.0 - alpha) * fit[i]
+            trd[i] = beta * (lvl[i] - lvl[i - 1]) + (1.0 - beta) * trd[i - 1]
+        out = pdf[[c for c in pdf.columns if c != "__tb"]].copy()
+        out["level"], out["trend"], out["fitted"] = lvl, trd, fit
+        return out
+
+    out = base.groupBy(key_col).applyInPandas(per_key, schema)
+    return out.select(
+        F.col(key_col),
+        F.col("__ts").alias(ts_col),
+        F.col("__x").alias(value_col),
+        "level",
+        "trend",
+        "fitted",
+    )
+
+
+def holt_forecast(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float,
+    beta: float,
+    horizons: list[int] = (1,),
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-key Holt END STATE + h-step-ahead forecasts
+    ŷ_{T+h} = l_T + h·b_T — one row per key with (n_events, level,
+    trend, forecast_<h>…). Same per-key sequential pass as
+    `holt_series`, reduced to the last state inside the batch so the
+    output is one compact row per key."""
+    import numpy as np
+    import pandas as pd
+
+    if not horizons:
+        raise ValueError("horizons must be non-empty")
+    if any(int(h) < 1 for h in horizons):
+        raise ValueError("horizons must be >= 1")
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha!r}")
+    if not 0.0 < beta < 1.0:
+        raise ValueError(f"beta must be in (0, 1), got {beta!r}")
+    hs = [int(h) for h in horizons]
+    sort_cols = ["__ts"] + (["__tb"] if tiebreak_col else [])
+    base = df.select(
+        F.col(key_col),
+        F.col(ts_col).alias("__ts"),
+        F.col(value_col).cast("double").alias("__x"),
+        *([F.col(tiebreak_col).alias("__tb")] if tiebreak_col else []),
+    )
+    fcols = ", ".join(f"forecast_{h} double" for h in hs)
+    schema = (
+        f"{key_col} {base.schema[key_col].dataType.simpleString()}, "
+        f"n_events bigint, level double, trend double, {fcols}"
+    )
+
+    def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        x = pdf["__x"].to_numpy(np.float64)
+        n = len(x)
+        lvl = x[0]
+        trd = (x[1] - x[0]) if n > 1 else 0.0
+        for i in range(1, n):
+            prev = lvl
+            lvl = alpha * x[i] + (1.0 - alpha) * (lvl + trd)
+            trd = beta * (lvl - prev) + (1.0 - beta) * trd
+        row = {
+            pdf.columns[0]: [pdf.iloc[0, 0]],
+            "n_events": [n],
+            "level": [lvl],
+            "trend": [trd],
+        }
+        for h in hs:
+            row[f"forecast_{h}"] = [lvl + h * trd]
+        return pd.DataFrame(row)
+
+    return base.groupBy(key_col).applyInPandas(per_key, schema).orderBy(key_col)

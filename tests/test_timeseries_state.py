@@ -214,3 +214,71 @@ def test_ewma_alpha_guard(changelog):
         ewma_latest(changelog, "user_id", "ts", "value", 1.0)
     with pytest.raises(ValueError, match="alpha"):
         ewma_series(changelog, "user_id", "ts", "value", 0.0)
+
+def test_holt_series_matches_hand_recursion(spark):
+    import numpy as np
+
+    from sparkglm_spark.operators.timeseries import holt_series
+
+    rng = np.random.default_rng(21)
+    rows = []
+    truth = {}
+    for key in ("a", "b"):
+        n = 40
+        x = np.cumsum(rng.normal(0.5, 1.0, n)) + 10  # drifting series
+        ts = [f"2024-01-01 00:00:{i:02d}" for i in range(n)]
+        rows += [(key, t, float(v), i) for i, (t, v) in enumerate(zip(ts, x))]
+        a, b = 0.4, 0.3
+        lvl = np.empty(n); trd = np.empty(n); fit = np.full(n, np.nan)
+        lvl[0], trd[0] = x[0], x[1] - x[0]
+        for i in range(1, n):
+            fit[i] = lvl[i-1] + trd[i-1]
+            lvl[i] = a * x[i] + (1-a) * fit[i]
+            trd[i] = b * (lvl[i] - lvl[i-1]) + (1-b) * trd[i-1]
+        truth[key] = (x, lvl, trd, fit)
+    df = spark.createDataFrame(
+        rows, "k string, ts_s string, v double, eid long"
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"), "v", "eid").repartition(5)
+
+    out = holt_series(df, "k", "ts", "v", 0.4, 0.3, tiebreak_col="eid")
+    for key in ("a", "b"):
+        got = [r for r in out.where(F.col("k") == key).orderBy("ts").collect()]
+        x, lvl, trd, fit = truth[key]
+        np.testing.assert_allclose([r.level for r in got], lvl, rtol=1e-12)
+        np.testing.assert_allclose([r.trend for r in got], trd, rtol=1e-12)
+        assert got[0].fitted is None or np.isnan(got[0].fitted)
+        np.testing.assert_allclose([r.fitted for r in got][1:], fit[1:], rtol=1e-12)
+
+    # forecast = level + h*trend from the end state
+    from sparkglm_spark.operators.timeseries import holt_forecast
+
+    fc = {r.k: r for r in holt_forecast(
+        df, "k", "ts", "v", 0.4, 0.3, horizons=[1, 5], tiebreak_col="eid"
+    ).collect()}
+    for key in ("a", "b"):
+        _, lvl, trd, _ = truth[key]
+        assert fc[key].level == pytest.approx(lvl[-1], rel=1e-12)
+        assert fc[key].trend == pytest.approx(trd[-1], rel=1e-12)
+        assert fc[key].forecast_1 == pytest.approx(lvl[-1] + trd[-1], rel=1e-12)
+        assert fc[key].forecast_5 == pytest.approx(lvl[-1] + 5 * trd[-1], rel=1e-12)
+        assert fc[key].n_events == 40
+    # a strongly drifting series: Holt's 5-step forecast beats the flat EWMA
+    # guard rails
+    with pytest.raises(ValueError, match="alpha"):
+        holt_series(df, "k", "ts", "v", 1.5, 0.3)
+    with pytest.raises(ValueError, match="beta"):
+        holt_forecast(df, "k", "ts", "v", 0.4, 0.0)
+    with pytest.raises(ValueError, match="horizons"):
+        holt_forecast(df, "k", "ts", "v", 0.4, 0.3, horizons=[])
+
+
+def test_holt_single_row_key(spark):
+    from sparkglm_spark.operators.timeseries import holt_forecast, holt_series
+
+    df = spark.createDataFrame(
+        [("solo", "2024-01-01 00:00:00", 7.0)], "k string, ts_s string, v double"
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"), "v")
+    r = holt_series(df, "k", "ts", "v", 0.5, 0.5).collect()[0]
+    assert r.level == 7.0 and r.trend == 0.0
+    f = holt_forecast(df, "k", "ts", "v", 0.5, 0.5, horizons=[3]).collect()[0]
+    assert f.forecast_3 == 7.0
