@@ -403,6 +403,22 @@ def main() -> None:
 
     W("stats_suite", run_stats_suite)
 
+    # r8: exact distributed Harrell's C over ~150k rows / ~75k event
+    # times — the bucket-decomposition's probe grid (E×64 compact rows
+    # through per-bucket windows) plus 64 within-bucket Fenwick passes;
+    # the heaviest new evaluation plan, benched so regressions in the
+    # probe-grid stages are attributable
+    from sparkglm_spark.operators.survival import concordance_index
+
+    ci_scored = cox_in.withColumn(
+        "risk_score", F.exp(F.lit(0.1) * F.col("x"))
+    )
+
+    def run_cindex():
+        concordance_index(ci_scored, "t", "ev", "risk_score", n_buckets=64)
+
+    W("cindex", run_cindex)
+
     runs: dict[str, list[float]] = {name: [] for name, _ in workloads}
     errors: dict[str, str] = {}
     for _ in range(N_RUNS):
@@ -453,6 +469,7 @@ def main() -> None:
         "classification_eval",
         "coxph",  # r8 additions, same exclusion rationale
         "stats_suite",
+        "cindex",
     }
     total_r4_set = round(
         sum(v for k, v in medians.items() if k not in r5_new), 3
