@@ -3999,6 +3999,7 @@ def q_lineitem_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("welch_t", "mean_b", round(wt["mean_b"], 4)),
             ("welch_t", "n_a", float(wt["n_a"])),
             ("welch_t", "n_b", float(wt["n_b"])),
+            ("welch_t", "cohens_d", round(wt["cohens_d"], 6)),
             ("chi2_ind", "stat", round(ch["chi2"], 6)),
             ("chi2_ind", "df", ch["df"]),
             ("chi2_ind", "n", float(ch["n"])),
@@ -4078,6 +4079,9 @@ SELECT t.col_a, t.col_b, t.corr FROM (
                   + POWER(v2 / n2, 2) / (n2 - 1.0)), 2) FROM w2
   UNION ALL SELECT 'welch_t', 'mean_a', ROUND(m1, 4) FROM w2
   UNION ALL SELECT 'welch_t', 'mean_b', ROUND(m2, 4) FROM w2
+  UNION ALL SELECT 'welch_t', 'cohens_d',
+            ROUND((m1 - m2) / SQRT(((n1 - 1.0) * v1 + (n2 - 1.0) * v2)
+                                   / (n1 + n2 - 2.0)), 6) FROM w2
   UNION ALL SELECT 'welch_t', 'n_a', n1 FROM w2
   UNION ALL SELECT 'welch_t', 'n_b', n2 FROM w2
   UNION ALL SELECT 'chi2_ind', 'stat', ROUND(chi.stat, 6) FROM chi

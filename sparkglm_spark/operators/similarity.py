@@ -895,3 +895,57 @@ def semantic_dedup(
     )
     drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(F.broadcast(drop), id_col, "left_anti")
+
+
+def ann_recall(
+    exact: DataFrame, approx: DataFrame, k: int | None = None
+) -> dict:
+    """Recall@k of an approximate neighbor list against the exact one —
+    the index-quality gate for `ivf_topk`/`cosine_topk_quantized`/LSH
+    tuning ("does n_probe=4 keep recall above 0.95?"):
+
+        per query:  |approx ∩ exact| / |exact|
+        macro_recall = mean over queries    (every query counts equally)
+        micro_recall = Σ hits / Σ exact     (big-result queries dominate)
+
+    Both frames are (query_id, neighbor_id[, rank, …]) as produced by
+    the top-k operators; `k` truncates BOTH to rank ≤ k first (requires
+    the rank column) — omit it to compare the lists as given. A query
+    present in `exact` but missing from `approx` counts as recall 0 (the
+    honest failure mode for an index that drops queries).
+
+    Plan: one (query_id, neighbor_id) equi-join + two bounded
+    aggregations — the frames are top-k lists (≤ k rows per query), so
+    everything downstream of the producers is small."""
+    if k is not None:
+        if k < 1:
+            raise ValueError("k must be >= 1")
+        exact = exact.where(F.col("rank") <= k)
+        approx = approx.where(F.col("rank") <= k)
+    ex = exact.select("query_id", "neighbor_id")
+    ap = approx.select("query_id", "neighbor_id").withColumn("__hit", F.lit(1))
+    per_q = (
+        ex.join(ap, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_exact"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("double").alias(
+                "hits"
+            ),
+        )
+    )
+    row = per_q.agg(
+        F.avg(F.col("hits") / F.col("n_exact")).alias("macro"),
+        F.sum("hits").alias("h"),
+        F.sum("n_exact").alias("e"),
+        F.count(F.lit(1)).alias("nq"),
+    ).collect()[0]
+    if not row["nq"]:
+        raise ValueError("exact neighbor list is empty")
+    return {
+        "macro_recall": float(row["macro"]),
+        "micro_recall": float(row["h"]) / float(row["e"]),
+        "n_queries": int(row["nq"]),
+        "n_exact_pairs": int(float(row["e"])),
+        "n_hits": int(float(row["h"])),
+    }

@@ -151,12 +151,16 @@ def welch_ttest(
     se2 = v1 / n1 + v2 / n2
     t = (m1 - m2) / se2**0.5
     dof = se2**2 / ((v1 / n1) ** 2 / (n1 - 1) + (v2 / n2) ** 2 / (n2 - 1))
+    # Cohen's d (pooled-SD effect size) — the magnitude large-n
+    # significance hides, same rationale as chi2's Cramér's V
+    pooled_sd = (((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2)) ** 0.5
     return {
         "group_a": g1, "group_b": g2,
         "n_a": n1, "n_b": n2,
         "mean_a": m1, "mean_b": m2,
         "var_a": v1, "var_b": v2,
         "t_stat": float(t), "df": float(dof),
+        "cohens_d": float((m1 - m2) / pooled_sd) if pooled_sd > 0 else float("nan"),
         "p_value": float(t_pvalue_two_sided(t, dof)),
     }
 

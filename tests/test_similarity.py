@@ -428,3 +428,36 @@ def test_semantic_dedup_blocked_gram_equals_unblocked(embeddings):
     )
     key = lambda r: (r["cluster"], r["id_a"], r["id_b"], round(r["cosine"], 12))
     assert sorted(map(key, big.collect())) == sorted(map(key, tiled.collect()))
+
+def test_ann_recall(spark, embeddings):
+    from sparkglm_spark.operators.similarity import ann_recall, cosine_topk, ivf_topk
+
+    queries = embeddings.limit(20)
+    exact = cosine_topk(embeddings, queries, k=10)
+    # identical lists -> recall 1 everywhere
+    perfect = ann_recall(exact, exact)
+    assert perfect["macro_recall"] == 1.0 and perfect["micro_recall"] == 1.0
+    assert perfect["n_queries"] == 20
+    # a real approximate index: recall in (0, 1], macro consistent with twin
+    approx = ivf_topk(embeddings, queries, k=10, n_lists=8, n_probe=2)
+    out = ann_recall(exact, approx, k=10)
+    ex = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    ap = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    hits = len(ex & ap)
+    assert out["n_hits"] == hits and out["n_exact_pairs"] == len(ex)
+    assert out["micro_recall"] == pytest.approx(hits / len(ex), rel=1e-12)
+    qs = {}
+    for q, n in ex:
+        qs.setdefault(q, [0, 0])[0] += 1
+    for q, n in ex & ap:
+        qs[q][1] += 1
+    macro = sum(h / e for e, h in qs.values()) / len(qs)
+    assert out["macro_recall"] == pytest.approx(macro, rel=1e-12)
+    assert 0.0 < out["macro_recall"] <= 1.0
+    # a query entirely missing from approx counts as zero
+    one_q = exact.select("query_id").distinct().limit(1)
+    dropped = approx.join(one_q, "query_id", "left_anti")
+    worse = ann_recall(exact, dropped)
+    assert worse["macro_recall"] < out["macro_recall"] or out["macro_recall"] == 0
+    with pytest.raises(ValueError, match="k must"):
+        ann_recall(exact, approx, k=0)

@@ -72,6 +72,11 @@ def test_welch_ttest_matches_numpy(spark):
     rows = [("a", float(v)) for v in a] + [("b", float(v)) for v in b]
     df = spark.createDataFrame(rows, "g string, v double").repartition(6)
     out = welch_ttest(df, "g", "v")
+    ps = (((out["n_a"] - 1) * out["var_a"] + (out["n_b"] - 1) * out["var_b"])
+          / (out["n_a"] + out["n_b"] - 2)) ** 0.5
+    assert out["cohens_d"] == pytest.approx(
+        (out["mean_a"] - out["mean_b"]) / ps, rel=1e-12
+    )
     v1, v2 = a.var(ddof=1), b.var(ddof=1)
     se2 = v1 / 80 + v2 / 55
     t = (a.mean() - b.mean()) / se2**0.5
