@@ -476,3 +476,126 @@ def ewma_state_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def holt_state_stream(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float,
+    beta: float,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Streaming twin of `operators.timeseries.holt_forecast`'s end state
+    (per-key Holt level + trend) via applyInPandasWithState.
+
+    Holt's recursion is sequential, so each micro-batch's rows fold in
+    (ts[, tiebreak]) order through the carried (level, trend, n) state —
+    EXACT continuation of the batch recursion, including the simple
+    initialization: after the second observation the state is identically
+    (x₂, x₂−x₁) whatever the init (the batch identity l₂ = x₂,
+    b₂ = x₂−x₁), so a key whose first two rows arrive in DIFFERENT
+    micro-batches still lands on the batch trajectory (asserted in
+    tests). State per key: 2 doubles + 2 longs, O(1) forever.
+
+    ORDER CONTRACT (same as `ewma_state_stream`): within a micro-batch
+    rows fold in (ts, tiebreak) order across Arrow chunks; across
+    batches in arrival order — late rows fold late; use the batch
+    `holt_forecast` for out-of-order backfills.
+
+    Emits the key's updated (n_events, level, trend, forecast_1 =
+    level + trend, last_ts_micros) per micro-batch ('update' mode); the
+    last update per key equals `holt_forecast` once the stream drains."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    if not events.isStreaming:
+        raise ValueError("input must be a streaming DataFrame (readStream)")
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha!r}")
+    if not 0.0 < beta < 1.0:
+        raise ValueError(f"beta must be in (0, 1), got {beta!r}")
+    in_fields = {f.name: f for f in events.schema.fields}
+    need = [key_col, ts_col, value_col] + (
+        [tiebreak_col] if tiebreak_col else []
+    )
+    missing = [c for c in need if c not in in_fields]
+    if missing:
+        raise ValueError(
+            f"holt_state_stream: columns {missing} not in input schema "
+            f"{sorted(in_fields)}"
+        )
+    out_schema = StructType(
+        [
+            in_fields[key_col],
+            StructField("n_events", LongType()),
+            StructField("level", DoubleType()),
+            StructField("trend", DoubleType()),
+            StructField("forecast_1", DoubleType()),
+            StructField("last_ts_micros", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("lvl", DoubleType()),
+            StructField("trd", DoubleType()),
+            StructField("n", LongType()),
+            StructField("last", LongType()),
+        ]
+    )
+    sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+
+    def update(key, pdfs, state: GroupState):
+        lvl, trd, n, last = (
+            tuple(state.get) if state.exists else (0.0, 0.0, 0, None)
+        )
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        x = pdf[value_col].to_numpy(dtype=np.float64)
+        for v in x:
+            if n == 0:
+                lvl, trd = float(v), 0.0
+            elif n == 1:
+                trd = float(v) - lvl   # b = x2 − x1 (batch init identity)
+                lvl = float(v)         # l2 = x2
+            else:
+                prev = lvl
+                lvl = alpha * float(v) + (1.0 - alpha) * (lvl + trd)
+                trd = beta * (lvl - prev) + (1.0 - beta) * trd
+            n += 1
+        bt = int(pd.Timestamp(pdf[ts_col].iloc[-1]).value // 1000)
+        last = bt if last is None else max(last, bt)
+        state.update((lvl, trd, n, last))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n_events": [n],
+                "level": [lvl],
+                "trend": [trd],
+                "forecast_1": [lvl + trd],
+                "last_ts_micros": [last],
+            }
+        )
+
+    return (
+        events.select(*dict.fromkeys(need))
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -756,3 +756,70 @@ def test_ewma_state_stream_multi_chunk_group_order(spark):
             spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
         else:
             spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+def test_holt_state_stream_equals_batch(spark, sf_dir):
+    """holt_state_stream over a 3-micro-batch ts-ordered replay: the LAST
+    update per key must equal the batch holt_forecast — the sequential
+    fold continues exactly across batch boundaries (incl. keys whose
+    first two rows straddle batches: the init identity (x2, x2-x1))."""
+    from sparkglm_spark.operators.timeseries import holt_forecast
+    from sparkglm_spark.streaming.events import holt_state_stream
+
+    raw = read_table(spark, sf_dir, "events")
+    a, b = 0.35, 0.25
+    ts_sorted = raw.select("ts").orderBy("ts").collect()
+    n = len(ts_sorted)
+    t1, t2 = ts_sorted[n // 3].ts, ts_sorted[2 * n // 3].ts
+    parts = [
+        raw.where(F.col("ts") <= F.lit(t1)),
+        raw.where((F.col("ts") > F.lit(t1)) & (F.col("ts") <= F.lit(t2))),
+        raw.where(F.col("ts") > F.lit(t2)),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        os.makedirs(src)
+        for i, p in enumerate(parts):
+            p.coalesce(1).write.parquet(os.path.join(src, f"b{i}.parquet"))
+        stream_in = (
+            spark.readStream.schema(raw.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*.parquet"))
+        )
+        out = holt_state_stream(
+            stream_in, "user_id", "ts", "value", a, b, tiebreak_col="event_id"
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("holt_updates")
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = spark.sql(
+            "SELECT user_id, max_by(named_struct('n', n_events, 'l', level,"
+            " 't', trend, 'f', forecast_1), n_events) AS w"
+            " FROM holt_updates GROUP BY user_id"
+        ).collect()
+    batch = {
+        r.user_id: r
+        for r in holt_forecast(
+            raw, "user_id", "ts", "value", a, b, horizons=[1],
+            tiebreak_col="event_id",
+        ).collect()
+    }
+    assert len(got) == len(batch) > 0
+    for r in got:
+        bb = batch[r.user_id]
+        assert r.w["n"] == bb.n_events, r.user_id
+        assert r.w["l"] == pytest.approx(bb.level, rel=1e-9), r.user_id
+        assert r.w["t"] == pytest.approx(bb.trend, rel=1e-9), r.user_id
+        assert r.w["f"] == pytest.approx(bb.forecast_1, rel=1e-9), r.user_id
+
+
+def test_holt_state_stream_guards(spark, events):
+    from sparkglm_spark.streaming.events import holt_state_stream
+
+    with pytest.raises(ValueError, match="streaming"):
+        holt_state_stream(events, "user_id", "ts", "value", 0.5, 0.5)
