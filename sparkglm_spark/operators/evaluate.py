@@ -333,23 +333,44 @@ def lift_table(
     sc = base.groupBy("__p").agg(
         F.sum("__y").alias("pos"),
         F.count(F.lit(1)).cast("double").alias("cnt"),
+        F.sum(F.when(F.col("__y").isNull(), 1).otherwise(0)).alias("nulls"),
     ).withColumn("__np", -F.col("__p"))
-    totals = sc.agg(
-        F.sum("pos").alias("P"), F.sum("cnt").alias("N")
-    ).collect()[0]
-    p_tot, n_tot = float(totals["P"]), float(totals["N"])
-    if n_tot == 0:
-        raise ValueError("empty input")
-    cum = global_running_sum(sc, "__np", ["cnt"])
-    bin_c = F.least(
-        F.ceil(F.col("cnt_cum") * F.lit(float(n_bins)) / F.lit(n_tot)).cast("int"),
-        F.lit(n_bins),
-    )
-    parts = (
-        cum.groupBy(bin_c.alias("bin"))
-        .agg(F.sum("cnt").alias("n"), F.sum("pos").alias("n_pos"))
-        .collect()
-    )
+    # the distinct-score frame feeds both the totals probe and the prefix
+    # pass — persist it (ReuseExchange does not fire across differing
+    # prefix plans)
+    sc = sc.persist()
+    try:
+        totals = sc.agg(
+            F.sum("pos").alias("P"),
+            F.sum("cnt").alias("N"),
+            F.sum("nulls").alias("nulls"),
+            F.sum(F.when(F.col("__p").isNull(), F.col("cnt")).otherwise(0.0)).alias(
+                "null_scores"
+            ),
+        ).collect()[0]
+        if float(totals["nulls"] or 0) or float(totals["null_scores"] or 0):
+            raise ValueError(
+                "lift_table: null labels/scores present — clean the frame "
+                "first (nulls would silently skew response rates)"
+            )
+        p_tot = float(totals["P"] or 0.0)
+        n_tot = float(totals["N"])
+        if n_tot == 0:
+            raise ValueError("empty input")
+        cum = global_running_sum(sc, "__np", ["cnt"])
+        bin_c = F.least(
+            F.ceil(F.col("cnt_cum") * F.lit(float(n_bins)) / F.lit(n_tot)).cast(
+                "int"
+            ),
+            F.lit(n_bins),
+        )
+        parts = (
+            cum.groupBy(bin_c.alias("bin"))
+            .agg(F.sum("cnt").alias("n"), F.sum("pos").alias("n_pos"))
+            .collect()
+        )
+    finally:
+        sc.unpersist()
     overall = p_tot / n_tot
     rows = []
     cum_n = cum_pos = 0.0

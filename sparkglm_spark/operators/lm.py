@@ -370,20 +370,21 @@ class LMSummary:
         return "\n".join(lines)
 
 
-def lm(
+def _encode_formula(
     df: DataFrame,
     formula: str,
     na_action: str = "omit",
-    sse_mode: str = "moments",
-    weight_col: str | None = None,
-    l2: float = 0.0,
-) -> LM:
-    """Formula front-end (reference: sparkLM, R/pkg/R/LM.R:24-72):
-    parse → drop NAs → encode categoricals → inject intercept → fit.
-    `l2 > 0` → ridge (Tikhonov) on the raw Gram, intercept unpenalized."""
+    extra_cols: list[str] | None = None,
+):
+    """The formula front-end scaffold shared by lm / huber_lm /
+    quantile_lm: parse → drop NAs → encode categoricals with GLOBAL
+    levels → inject intercept. Returns (encoded, x_cols, target, levels);
+    `extra_cols` (e.g. a weight column) pass through untouched. One
+    place, so an encoding-policy change cannot silently diverge the
+    fitters."""
     parsed = expand_dot(parse_formula(formula), df.columns)
-    cols = [parsed.target, *parsed.predictors] + ([weight_col] if weight_col else [])
-    data = df.select(*cols)
+    extra = list(extra_cols or [])
+    data = df.select(parsed.target, *parsed.predictors, *extra)
     if na_action == "omit":
         data = omit_na(data)
     levels = model_matrix_levels(data.select(*parsed.predictors))
@@ -397,9 +398,26 @@ def lm(
             x_cols.extend(f"{p}_{lvl}" for lvl in levels[p][1:])
         else:
             x_cols.append(p)
+    return encoded, x_cols, parsed.target, levels
+
+
+def lm(
+    df: DataFrame,
+    formula: str,
+    na_action: str = "omit",
+    sse_mode: str = "moments",
+    weight_col: str | None = None,
+    l2: float = 0.0,
+) -> LM:
+    """Formula front-end (reference: sparkLM, R/pkg/R/LM.R:24-72):
+    parse → drop NAs → encode categoricals → inject intercept → fit.
+    `l2 > 0` → ridge (Tikhonov) on the raw Gram, intercept unpenalized."""
+    encoded, x_cols, target, levels = _encode_formula(
+        df, formula, na_action, extra_cols=[weight_col] if weight_col else []
+    )
     model = LM.fit(
         encoded,
-        y_col=parsed.target,
+        y_col=target,
         x_cols=x_cols,
         sse_mode=sse_mode,
         weight_col=weight_col,
@@ -980,33 +998,14 @@ def quantile_lm(
     converges to ≈ q."""
     if not 0.0 < q < 1.0:
         raise ValueError(f"q must be in (0, 1), got {q!r}")
-    from sparkglm_spark.functions.encoding import (
-        model_matrix,
-        model_matrix_levels,
-        omit_na,
-    )
     from sparkglm_spark.plans.gram import gram_aggregate
     from sparkglm_spark.plans.partitioning import ensure_parallel
 
-    parsed = expand_dot(parse_formula(formula), df.columns)
-    data = df.select(parsed.target, *parsed.predictors)
-    if na_action == "omit":
-        data = omit_na(data)
-    levels = model_matrix_levels(data.select(*parsed.predictors))
-    encoded = model_matrix(data, levels=levels)
-    x_cols: list[str] = []
-    if parsed.intercept:
-        encoded = encoded.withColumn("intercept", F.lit(1.0))
-        x_cols.append("intercept")
-    for p in parsed.predictors:
-        if p in levels:
-            x_cols.extend(f"{p}_{lvl}" for lvl in levels[p][1:])
-        else:
-            x_cols.append(p)
-    y = F.col(parsed.target).cast("double")
-    work = ensure_parallel(encoded.select(parsed.target, *x_cols)).persist()
+    encoded, x_cols, target, levels = _encode_formula(df, formula, na_action)
+    y = F.col(target).cast("double")
+    work = ensure_parallel(encoded.select(target, *x_cols)).persist()
     try:
-        start = LM.fit(work, y_col=parsed.target, x_cols=x_cols)
+        start = LM.fit(work, y_col=target, x_cols=x_cols)
         beta = np.asarray(start.coefs, dtype=np.float64)
         n = start.nrow
         if delta is None:
@@ -1026,7 +1025,7 @@ def quantile_lm(
             asym = F.when(resid < 0, F.lit(1.0 - q)).otherwise(F.lit(q))
             w = asym / F.greatest(F.abs(resid), F.lit(float(delta)))
             g = gram_aggregate(
-                work.withColumn("__w", w), x_cols, y_col=parsed.target,
+                work.withColumn("__w", w), x_cols, y_col=target,
                 weight_col="__w",
             )
             new_beta, _ = solve_normal(g.xtx, g.xty)
@@ -1042,7 +1041,7 @@ def quantile_lm(
         work.unpersist()
     return QuantileLM(
         xnames=list(x_cols),
-        yname=parsed.target,
+        yname=target,
         coefs=beta,
         q=float(q),
         iter=n_iter,
@@ -1108,34 +1107,14 @@ def huber_lm(
         )
     if accuracy < 1:
         raise ValueError("accuracy must be >= 1")
-    from sparkglm_spark.formula import expand_dot, parse_formula
-    from sparkglm_spark.functions.encoding import (
-        model_matrix,
-        model_matrix_levels,
-        omit_na,
-    )
     from sparkglm_spark.plans.gram import gram_aggregate
     from sparkglm_spark.plans.partitioning import ensure_parallel
 
-    parsed = expand_dot(parse_formula(formula), df.columns)
-    data = df.select(parsed.target, *parsed.predictors)
-    if na_action == "omit":
-        data = omit_na(data)
-    levels = model_matrix_levels(data.select(*parsed.predictors))
-    encoded = model_matrix(data, levels=levels)
-    x_cols: list[str] = []
-    if parsed.intercept:
-        encoded = encoded.withColumn("intercept", F.lit(1.0))
-        x_cols.append("intercept")
-    for p in parsed.predictors:
-        if p in levels:
-            x_cols.extend(f"{p}_{lvl}" for lvl in levels[p][1:])
-        else:
-            x_cols.append(p)
-    y = F.col(parsed.target).cast("double")
-    work = ensure_parallel(encoded.select(parsed.target, *x_cols)).persist()
+    encoded, x_cols, target, levels = _encode_formula(df, formula, na_action)
+    y = F.col(target).cast("double")
+    work = ensure_parallel(encoded.select(target, *x_cols)).persist()
     try:
-        start = LM.fit(work, y_col=parsed.target, x_cols=x_cols)
+        start = LM.fit(work, y_col=target, x_cols=x_cols)
         beta = np.asarray(start.coefs, dtype=np.float64)
         n = start.nrow
         use_approx = median_mode == "approx" or (
@@ -1160,7 +1139,7 @@ def huber_lm(
             cs = c * scale
             w = F.when(F.abs(resid) <= cs, 1.0).otherwise(F.lit(cs) / F.abs(resid))
             g = gram_aggregate(
-                work.withColumn("__w", w), x_cols, y_col=parsed.target,
+                work.withColumn("__w", w), x_cols, y_col=target,
                 weight_col="__w",
             )
             new_beta, _ = solve_normal(g.xtx, g.xty)
@@ -1176,7 +1155,7 @@ def huber_lm(
         work.unpersist()
     return HuberLM(
         xnames=list(x_cols),
-        yname=parsed.target,
+        yname=target,
         coefs=beta,
         scale=scale,
         c=float(c),

@@ -922,8 +922,16 @@ def ann_recall(
             raise ValueError("k must be >= 1")
         exact = exact.where(F.col("rank") <= k)
         approx = approx.where(F.col("rank") <= k)
-    ex = exact.select("query_id", "neighbor_id")
-    ap = approx.select("query_id", "neighbor_id").withColumn("__hit", F.lit(1))
+    # distinct both pair sets: a duplicated (query, neighbor) row — an LSH
+    # candidate list emitting the same pair twice, a rank tie surviving the
+    # k-truncation — would otherwise fan the join out and inflate BOTH
+    # hits and the exact count
+    ex = exact.select("query_id", "neighbor_id").distinct()
+    ap = (
+        approx.select("query_id", "neighbor_id")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
     per_q = (
         ex.join(ap, ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")

@@ -424,14 +424,29 @@ def sample_to_token_budget(
     fate (the RANGE prefix semantics — with a hash order a tie means a
     64-bit collision; with a user order, give a unique column).
 
-    Plan: `plans.prefix.global_running_sum` over the order column with
+    Plan: one bounded validation aggregation (`token_col` must be
+    non-null and ≥ 0 — a NULL would silently ride inside the prefix with
+    an unchanged running total, and a negative count breaks the
+    prefix-≤-budget semantics), then
+    `plans.prefix.global_running_sum` over the order column with
     `token_col` as the value — the range-partitioned prefix (no
     single-partition sort), then a filter. Content columns ride ONLY the
-    range exchange; nothing is collected. Appends `cum_tokens` (the
-    inclusive running total, ≤ budget on every kept row) so the realized
-    total is `max(cum_tokens)` without another pass."""
+    range exchange; nothing row-level is collected. Appends `cum_tokens`
+    (the inclusive running total, ≤ budget on every kept row) so the
+    realized total is `max(cum_tokens)` without another pass."""
     if not budget > 0:
         raise ValueError(f"budget must be > 0, got {budget!r}")
+    chk = df.agg(
+        F.sum(F.when(F.col(token_col).isNull(), 1).otherwise(0)).alias("nulls"),
+        F.min(F.col(token_col).cast("double")).alias("mn"),
+    ).collect()[0]
+    if chk["nulls"]:
+        raise ValueError(
+            f"{chk['nulls']} rows have null {token_col!r} — a null token "
+            "count cannot participate in a token budget"
+        )
+    if chk["mn"] is not None and float(chk["mn"]) < 0:
+        raise ValueError(f"{token_col!r} has negative values (min {chk['mn']})")
     if order_col is None:
         if key_col is None:
             raise ValueError("pass order_col or key_col (hash order)")

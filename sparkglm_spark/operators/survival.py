@@ -580,12 +580,23 @@ def ph_assumption_test(
         F.sum(d).alias("d"),
         F.sum(d * g).alias("sdg"),
         F.sum(d * g * g).alias("sdg2"),
+        # log of t ≤ 0 is NULL in Spark: such event rows would silently
+        # vanish from the g-weighted sums while still counting in d —
+        # an inconsistent statistic. Count them and refuse instead.
+        F.sum(F.when(F.col("time") <= 0, d).otherwise(0.0)).alias("bad_t"),
     ]
     for name in model.xnames:
         r = F.col(f"resid_{name}")
         aggs.append(F.sum(r).alias(f"sr_{name}"))
         aggs.append(F.sum(g * r).alias(f"sgr_{name}"))
     row = res.agg(*aggs).collect()[0]
+    if transform == "log" and float(row["bad_t"]) > 0:
+        raise ValueError(
+            f"transform='log' requires event times > 0; "
+            f"{int(float(row['bad_t']))} events at t <= 0 (a time_bucket "
+            "fit can floor early times to exactly 0 — shift the axis or "
+            "use transform='identity')"
+        )
     d_tot = float(row["d"])
     gbar = float(row["sdg"]) / d_tot
     ssg = float(row["sdg2"]) - d_tot * gbar * gbar  # Σ d·(g − ḡ)²

@@ -337,7 +337,13 @@ def holt_series(
             lvl[i] = alpha * x[i] + (1.0 - alpha) * fit[i]
             trd[i] = beta * (lvl[i] - lvl[i - 1]) + (1.0 - beta) * trd[i - 1]
         out = pdf[[c for c in pdf.columns if c != "__tb"]].copy()
-        out["level"], out["trend"], out["fitted"] = lvl, trd, fit
+        out["level"], out["trend"] = lvl, trd
+        # pandas nullable Float64 so the first row's missing fitted value
+        # crosses Arrow as a real SQL NULL (a float-ndarray NaN would be a
+        # non-null double that isNull-based consumers miss)
+        out["fitted"] = pd.array(
+            [None if np.isnan(v) else v for v in fit], dtype="Float64"
+        )
         return out
 
     out = base.groupBy(key_col).applyInPandas(per_key, schema)

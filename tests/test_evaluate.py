@@ -300,3 +300,17 @@ def test_lift_table_matches_numpy(scored):
     assert got[0].lift > 1.0 > got[-1].lift
     with pytest.raises(ValueError, match="n_bins"):
         lift_table(df, "y", "p", 0)
+
+def test_lift_table_rejects_nulls(spark):
+    from sparkglm_spark.operators.evaluate import lift_table
+
+    df = spark.createDataFrame(
+        [(1.0, 0.9), (None, 0.5), (0.0, 0.2)], "y double, p double"
+    )
+    with pytest.raises(ValueError, match="null"):
+        lift_table(df, "y", "p")
+    df2 = spark.createDataFrame(
+        [(1.0, 0.9), (0.0, None)], "y double, p double"
+    )
+    with pytest.raises(ValueError, match="null"):
+        lift_table(df2, "y", "p")

@@ -461,3 +461,17 @@ def test_ann_recall(spark, embeddings):
     assert worse["macro_recall"] < out["macro_recall"] or out["macro_recall"] == 0
     with pytest.raises(ValueError, match="k must"):
         ann_recall(exact, approx, k=0)
+
+def test_ann_recall_duplicate_pairs_do_not_inflate(spark):
+    from sparkglm_spark.operators.similarity import ann_recall
+
+    exact = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)], "query_id long, neighbor_id long, rank int"
+    )
+    # the same approx pair emitted twice (LSH candidate dup)
+    approx = spark.createDataFrame(
+        [(1, 10, 1), (1, 10, 2)], "query_id long, neighbor_id long, rank int"
+    )
+    out = ann_recall(exact, approx)
+    assert out["n_exact_pairs"] == 2 and out["n_hits"] == 1
+    assert out["macro_recall"] == pytest.approx(0.5)

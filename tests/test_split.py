@@ -475,3 +475,15 @@ def test_sample_to_token_budget_hash_order(spark, documents):
         sample_to_token_budget(documents, "n_chars", 0.0, key_col="doc_id")
     with pytest.raises(ValueError, match="order_col or key_col"):
         sample_to_token_budget(documents, "n_chars", 10.0)
+
+def test_sample_to_token_budget_validates_tokens(spark):
+    from sparkglm_spark.operators.split import sample_to_token_budget
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 5.0)], "id long, tok double"
+    )
+    with pytest.raises(ValueError, match="null"):
+        sample_to_token_budget(df, "tok", 100.0, order_col="id")
+    neg = spark.createDataFrame([(1, 10.0), (2, -3.0)], "id long, tok double")
+    with pytest.raises(ValueError, match="negative"):
+        sample_to_token_budget(neg, "tok", 100.0, order_col="id")

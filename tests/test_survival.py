@@ -766,3 +766,16 @@ def test_concordance_index_edges(spark):
                                   "t double, ev double, r double"),
             "t", "ev", "r",
         )
+
+def test_ph_test_log_transform_rejects_nonpositive_times(spark, surv_data):
+    from sparkglm_spark.operators.survival import ph_assumption_test
+
+    df, *_ = surv_data
+    m = coxph(df, "time", "event", ["x1"], exact_iterations=2)
+    shifted = df.withColumn("time", F.col("time") - F.lit(0.1))  # events at 0
+    m0 = coxph(shifted, "time", "event", ["x1"], exact_iterations=2)
+    with pytest.raises(ValueError, match="t <= 0"):
+        ph_assumption_test(m0, shifted, transform="log")
+    # identity transform unaffected
+    out = ph_assumption_test(m0, shifted, transform="identity")
+    assert 0.0 <= out["global"]["p_value"] <= 1.0

@@ -246,7 +246,7 @@ def test_holt_series_matches_hand_recursion(spark):
         x, lvl, trd, fit = truth[key]
         np.testing.assert_allclose([r.level for r in got], lvl, rtol=1e-12)
         np.testing.assert_allclose([r.trend for r in got], trd, rtol=1e-12)
-        assert got[0].fitted is None or np.isnan(got[0].fitted)
+        assert got[0].fitted is None  # true SQL NULL, not NaN
         np.testing.assert_allclose([r.fitted for r in got][1:], fit[1:], rtol=1e-12)
 
     # forecast = level + h*trend from the end state
