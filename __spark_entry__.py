@@ -3968,6 +3968,26 @@ def q_lineitem_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ch = chi2_independence(
         read_table(spark, sf_dir, "orders"), "o_orderpriority", "o_orderstatus"
     )
+    # r8: two-sample KS + Mann-Whitney over l_quantity by linestatus
+    # (50 integer values -> heavy ties; D and U are count arithmetic and
+    # SQL-exact; z is a ratio -> 6dp)
+    from sparkglm_spark.operators.stats import ks_test_2samp, mannwhitney_utest
+
+    ks = ks_test_2samp(
+        li.select("l_linestatus", F.col("l_quantity").alias("q")),
+        "l_linestatus", "q",
+    )
+    mw = mannwhitney_utest(
+        li.select("l_linestatus", F.col("l_quantity").alias("q")),
+        "l_linestatus", "q",
+    )
+    ksmw_rows = [
+        ("ks_mw", "d_stat", round(ks["d_stat"], 6)),
+        ("ks_mw", "ks_n_a", float(ks["n_a"])),
+        ("ks_mw", "ks_n_b", float(ks["n_b"])),
+        ("ks_mw", "u_stat", round(mw["u_stat"], 2)),
+        ("ks_mw", "z_stat", round(mw["z_stat"], 6)),
+    ]
     # r8: regression metrics over a FIXED linear predictor (deterministic,
     # so every metric replays in closed-form SQL). Rounding per the
     # float-oracle rule: rmse 2dp (Σe² ~6e12 at 1e-12 rel drift → ~5e-5
@@ -4005,7 +4025,8 @@ def q_lineitem_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("chi2_ind", "n", float(ch["n"])),
             ("chi2_ind", "cramers_v", round(ch["cramers_v"], 6)),
         ]
-        + reg_rows,
+        + reg_rows
+        + ksmw_rows,
         "col_a string, col_b string, corr double",
     )
     return corr.unionByName(extra).orderBy("col_a", "col_b")
@@ -4120,6 +4141,39 @@ SELECT 'reg_metric' AS col_a, m.key AS col_b, m.v AS corr FROM (
   UNION ALL SELECT 'mape', ROUND(sape / nnz, 6) FROM rs
   UNION ALL SELECT 'n_nonzero_label', nnz FROM rs
 ) m
+UNION ALL
+SELECT 'ks_mw' AS col_a, km.key AS col_b, km.v AS corr FROM (
+  WITH kmb AS (
+    SELECT l_linestatus AS g, CAST(l_quantity AS DOUBLE) AS v
+    FROM lineitem
+    WHERE l_linestatus IS NOT NULL AND l_quantity IS NOT NULL),
+  kmc AS (
+    SELECT v,
+           SUM(CASE WHEN g = 'F' THEN 1.0 ELSE 0.0 END) AS c1,
+           SUM(CASE WHEN g = 'O' THEN 1.0 ELSE 0.0 END) AS c2
+    FROM kmb GROUP BY v),
+  kmt AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM kmc),
+  kmcum AS (
+    SELECT c1, c2, c1 + c2 AS t,
+           SUM(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c1c,
+           SUM(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c2c
+    FROM kmc),
+  kmagg AS (
+    SELECT MAX(ABS(c1c / t0.n1 - c2c / t0.n2)) AS d,
+           SUM(c1 * (c2c - c2 + c2 / 2.0)) AS u,
+           SUM(t * t * t - t) AS tc,
+           MAX(t0.n1) AS n1, MAX(t0.n2) AS n2
+    FROM kmcum CROSS JOIN kmt t0)
+  SELECT 'd_stat' AS key, ROUND(d, 6) AS v FROM kmagg
+  UNION ALL SELECT 'ks_n_a', n1 FROM kmagg
+  UNION ALL SELECT 'ks_n_b', n2 FROM kmagg
+  UNION ALL SELECT 'u_stat', ROUND(u, 2) FROM kmagg
+  UNION ALL SELECT 'z_stat',
+    ROUND((u - n1 * n2 / 2.0)
+          / SQRT(n1 * n2 / 12.0 * ((n1 + n2 + 1.0)
+                 - tc / ((n1 + n2) * (n1 + n2 - 1.0)))), 6)
+  FROM kmagg
+) km
 ORDER BY col_a, col_b"""
 )
 

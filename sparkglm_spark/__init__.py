@@ -52,6 +52,8 @@ from sparkglm_spark.operators.glm import (
 from sparkglm_spark.operators.stats import (
     chi2_independence,
     corr_matrix,
+    ks_test_2samp,
+    mannwhitney_utest,
     numeric_profile,
     proportions_ztest,
     welch_ttest,
@@ -123,6 +125,8 @@ __all__ = [
     "welch_ttest",
     "chi2_independence",
     "proportions_ztest",
+    "ks_test_2samp",
+    "mannwhitney_utest",
     "corr_matrix",
     "numeric_profile",
     "binary_classification_eval",

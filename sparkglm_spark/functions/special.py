@@ -283,3 +283,23 @@ def f_sf(f: float, df1: float, df2: float) -> float:
     if f <= 0.0:
         return 1.0
     return betainc(df2 / 2.0, df1 / 2.0, df2 / (df2 + df1 * f))
+
+
+def kolmogorov_sf(lam: float) -> float:
+    """Survival function of the Kolmogorov distribution,
+    Q_KS(λ) = 2 Σ_{j≥1} (−1)^{j−1} e^{−2 j² λ²} — the asymptotic
+    two-sample KS p-value at λ = √(n₁n₂/(n₁+n₂))·D (public convention:
+    Kolmogorov 1933; the Numerical Recipes probks series). The series
+    alternates with rapidly decaying terms; ≤ 100 terms with an
+    early-exit tolerance is far beyond double precision."""
+    if lam <= 0.0:
+        return 1.0
+    s = 0.0
+    sign = 1.0
+    for j in range(1, 101):
+        term = math.exp(-2.0 * j * j * lam * lam)
+        s += sign * term
+        sign = -sign
+        if term < 1e-18 * max(abs(s), 1e-300):
+            break
+    return min(max(2.0 * s, 0.0), 1.0)

@@ -287,6 +287,113 @@ def proportions_ztest(
     }
 
 
+def _two_group_value_counts(df: DataFrame, group_col: str, value_col: str):
+    """Shared scaffold for the two-sample rank/CDF tests: validate exactly
+    two non-null groups, return (per-distinct-value counts frame with
+    c1/c2 columns, group_a, group_b, n1, n2). One groupBy(value) over the
+    non-null rows — distinct values only on the wire."""
+    groups = [
+        r[0]
+        for r in df.where(F.col(group_col).isNotNull())
+        .select(group_col)
+        .distinct()
+        .limit(3)
+        .collect()
+    ]
+    if len(groups) != 2:
+        raise ValueError(f"need exactly 2 groups, found {len(groups)}")
+    ga, gb = sorted(groups, key=str)
+    in_a = (F.col(group_col) == ga).cast("double")
+    vc = (
+        df.where(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).cast("double").alias("__v"))
+        .agg(
+            F.sum(in_a).alias("c1"),
+            F.sum(F.lit(1.0) - in_a).alias("c2"),
+        )
+    )
+    tot = vc.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2")).collect()[0]
+    n1, n2 = float(tot["n1"] or 0), float(tot["n2"] or 0)
+    if n1 < 1 or n2 < 1:
+        raise ValueError(f"each group needs n >= 1 non-null values ({n1}, {n2})")
+    return vc, ga, gb, n1, n2
+
+
+def ks_test_2samp(df: DataFrame, group_col: str, value_col: str) -> dict:
+    """Two-sample Kolmogorov-Smirnov test — "do these two samples come
+    from the same distribution?", sensitive to ANY distributional
+    difference (location, scale, shape), unlike the mean-only t-test:
+
+        D = sup_x |F̂₁(x) − F̂₂(x)|,
+        p ≈ Q_KS(√(n₁n₂/(n₁+n₂))·D)   (the classical asymptotic series)
+
+    `group_col` must take exactly two non-null values (checked). Plan:
+    one groupBy(distinct value) with per-group counts, the
+    range-partitioned prefix pass for both empirical CDFs, one max
+    aggregation → 2 driver scalars — distinct values only on the wire,
+    never rows, never a sort to one partition. Ties are shared CDF steps
+    (both CDFs jump at the tied value — the standard discrete handling)."""
+    from sparkglm_spark.functions.special import kolmogorov_sf
+    from sparkglm_spark.plans.prefix import global_running_sum
+
+    vc, ga, gb, n1, n2 = _two_group_value_counts(df, group_col, value_col)
+    cum = global_running_sum(vc, "__v", ["c1", "c2"])
+    row = cum.agg(
+        F.max(
+            F.abs(F.col("c1_cum") / F.lit(n1) - F.col("c2_cum") / F.lit(n2))
+        ).alias("d")
+    ).collect()[0]
+    d = float(row["d"])
+    en = (n1 * n2 / (n1 + n2)) ** 0.5
+    return {
+        "group_a": ga, "group_b": gb,
+        "n_a": int(n1), "n_b": int(n2),
+        "d_stat": d,
+        "p_value": float(kolmogorov_sf(en * d)),
+    }
+
+
+def mannwhitney_utest(df: DataFrame, group_col: str, value_col: str) -> dict:
+    """Two-sample Mann-Whitney U (Wilcoxon rank-sum) test — the
+    nonparametric location test (no normality assumption, robust to
+    outliers; the inferential face of the AUC):
+
+        U₁  = Σ over pairs 1(x₁ > x₂) + ½·ties   (tie-aware)
+        z   = (U₁ − n₁n₂/2) / σ_U,
+        σ²_U = n₁n₂/12 · [(n+1) − Σ(t³−t)/(n(n−1))]   (tie-corrected)
+
+    two-sided p via the normal approximation (the standard large-sample
+    path; exact tables only matter below n ≈ 20 per group). Plan: the
+    AUC machinery — one groupBy(distinct value), the prefix pass, one
+    final aggregation (U and the tie correction ride together)."""
+    from sparkglm_spark.functions.special import norm_pvalue_two_sided
+    from sparkglm_spark.plans.prefix import global_running_sum
+
+    vc, ga, gb, n1, n2 = _two_group_value_counts(df, group_col, value_col)
+    cum = global_running_sum(
+        vc.withColumn("t", F.col("c1") + F.col("c2")), "__v", ["c2"]
+    )
+    row = cum.agg(
+        F.sum(
+            F.col("c1") * (F.col("c2_cum") - F.col("c2") + F.col("c2") / 2.0)
+        ).alias("u"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tc"),
+    ).collect()[0]
+    u = float(row["u"])
+    n = n1 + n2
+    var_u = n1 * n2 / 12.0 * ((n + 1.0) - float(row["tc"]) / (n * (n - 1.0)))
+    if not var_u > 0.0:
+        raise ValueError("zero rank variance (all values tied)")
+    z = (u - n1 * n2 / 2.0) / var_u**0.5
+    return {
+        "group_a": ga, "group_b": gb,
+        "n_a": int(n1), "n_b": int(n2),
+        "u_stat": u,
+        "z_stat": float(z),
+        "p_value": float(norm_pvalue_two_sided(z)),
+    }
+
+
 def numeric_profile(
     df: DataFrame,
     cols: list[str],

@@ -2,6 +2,7 @@
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from sparkglm_spark.operators.stats import corr_matrix, standardize
 
@@ -242,3 +243,77 @@ def test_welch_ttest_single_row_group_raises_cleanly(spark):
     )
     with pytest.raises(ValueError, match="n >= 2"):
         welch_ttest(df2, "g", "v")
+
+def test_ks_test_2samp_matches_numpy(spark):
+    import numpy as np
+
+    from sparkglm_spark.operators.stats import ks_test_2samp
+
+    rng = np.random.default_rng(41)
+    a = np.round(rng.normal(0, 1, 300), 1)        # ties via rounding
+    b = np.round(rng.normal(0.5, 1.3, 250), 1)    # shifted + wider
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in a] + [("b", float(v)) for v in b],
+        "g string, v double",
+    ).repartition(7)
+    out = ks_test_2samp(df, "g", "v")
+    # numpy twin over distinct values
+    vals = np.unique(np.concatenate([a, b]))
+    d = max(abs((a <= x).mean() - (b <= x).mean()) for x in vals)
+    assert out["d_stat"] == pytest.approx(d, rel=1e-12)
+    assert out["n_a"] == 300 and out["n_b"] == 250
+    assert out["p_value"] < 0.01  # real distributional difference
+    # same distribution: insignificant
+    c = np.round(rng.normal(0, 1, 250), 1)
+    df2 = spark.createDataFrame(
+        [("a", float(v)) for v in a] + [("b", float(v)) for v in c],
+        "g string, v double",
+    )
+    assert ks_test_2samp(df2, "g", "v")["p_value"] > 0.05
+    with pytest.raises(ValueError, match="exactly 2"):
+        ks_test_2samp(df.withColumn("g", F.lit("x")), "g", "v")
+
+
+def test_mannwhitney_matches_numpy(spark):
+    import numpy as np
+
+    from sparkglm_spark.operators.stats import mannwhitney_utest
+
+    rng = np.random.default_rng(43)
+    a = np.round(rng.normal(0, 1, 200), 1)
+    b = np.round(rng.normal(0.6, 1, 220), 1)
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in a] + [("b", float(v)) for v in b],
+        "g string, v double",
+    ).repartition(5)
+    out = mannwhitney_utest(df, "g", "v")
+    # numpy twin: tie-aware U1 = sum over pairs 1(a>b) + 0.5 ties
+    u = sum((a[:, None] > b[None, :]).sum() for _ in [0]) + 0.5 * (
+        a[:, None] == b[None, :]
+    ).sum()
+    assert out["u_stat"] == pytest.approx(float(u), rel=1e-12)
+    n1, n2, n = 200.0, 220.0, 420.0
+    allv = np.concatenate([a, b])
+    _, counts = np.unique(allv, return_counts=True)
+    tc = float((counts.astype(float) ** 3 - counts).sum())
+    var_u = n1 * n2 / 12.0 * ((n + 1.0) - tc / (n * (n - 1.0)))
+    z = (float(u) - n1 * n2 / 2.0) / var_u**0.5
+    assert out["z_stat"] == pytest.approx(z, rel=1e-12)
+    assert out["p_value"] < 1e-6  # planted 0.6-sigma shift over 400 rows
+    # all tied -> clean error
+    const = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("b", 1.0), ("b", 1.0)], "g string, v double"
+    )
+    with pytest.raises(ValueError, match="tied"):
+        mannwhitney_utest(const, "g", "v")
+
+
+def test_kolmogorov_sf_golden():
+    from sparkglm_spark.functions.special import kolmogorov_sf
+
+    # published critical values of the Kolmogorov distribution
+    assert kolmogorov_sf(1.2238) == pytest.approx(0.10, abs=2e-4)
+    assert kolmogorov_sf(1.3581) == pytest.approx(0.05, abs=2e-4)
+    assert kolmogorov_sf(1.6276) == pytest.approx(0.01, abs=2e-4)
+    assert kolmogorov_sf(0.0) == 1.0
+    assert kolmogorov_sf(5.0) < 1e-20
