@@ -1,10 +1,14 @@
-"""Column statistics operators: correlation matrix and standardization.
+"""Column statistics and hypothesis tests.
 
-Both reduce to the engine's one-pass Gram aggregation (plans/gram.py): the
-correlation of every column pair falls out of the same O(k²) sufficient
-statistics the model fitters use, and standardization is a two-scalar-per-
-column agg followed by a pure codegen projection. Nothing here shuffles
-rows or collects row data — at 100 TB each is one aggregation job.
+Correlation and standardization reduce to the engine's one-pass Gram
+aggregation (plans/gram.py); the hypothesis tests (Welch t, χ²
+independence, two-proportion z, two-sample KS, Mann-Whitney U) are each
+one or two BOUNDED aggregation jobs plus driver math — the rank/CDF
+tests ride the distinct-value + range-partitioned prefix machinery, so
+values (never rows) cross the wire; `numeric_profile` is the one-pass
+describe() with an approx-percentile knob for scale. Nothing here
+collects row data — at 100 TB every operator is a handful of
+aggregation jobs.
 """
 
 from __future__ import annotations
