@@ -3988,6 +3988,26 @@ def q_lineitem_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("ks_mw", "u_stat", round(mw["u_stat"], 2)),
         ("ks_mw", "z_stat", round(mw["z_stat"], 6)),
     ]
+    # r8: PSI / JS drift between the custkey-parity halves of orders'
+    # totalprice under FIXED bounds (binned counts are integers, the
+    # metrics are driver math over 10 proportions -> 6dp)
+    from sparkglm_spark.operators.stats import distribution_drift
+
+    od_t = read_table(spark, sf_dir, "orders")
+    dr = distribution_drift(
+        od_t.where(F.col("o_custkey") % 2 == 0),
+        od_t.where(F.col("o_custkey") % 2 == 1),
+        "o_totalprice",
+        n_bins=10,
+        lo=0.0,
+        hi=600000.0,
+    )
+    drift_rows = [
+        ("drift", "psi", round(dr["psi"], 6)),
+        ("drift", "js", round(dr["js_divergence"], 6)),
+        ("drift", "n_ref", float(dr["n_ref"])),
+        ("drift", "n_cur", float(dr["n_cur"])),
+    ]
     # r8: regression metrics over a FIXED linear predictor (deterministic,
     # so every metric replays in closed-form SQL). Rounding per the
     # float-oracle rule: rmse 2dp (Σe² ~6e12 at 1e-12 rel drift → ~5e-5
@@ -4026,7 +4046,8 @@ def q_lineitem_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("chi2_ind", "cramers_v", round(ch["cramers_v"], 6)),
         ]
         + reg_rows
-        + ksmw_rows,
+        + ksmw_rows
+        + drift_rows,
         "col_a string, col_b string, corr double",
     )
     return corr.unionByName(extra).orderBy("col_a", "col_b")
@@ -4174,6 +4195,44 @@ SELECT 'ks_mw' AS col_a, km.key AS col_b, km.v AS corr FROM (
                  - tc / ((n1 + n2) * (n1 + n2 - 1.0)))), 6)
   FROM kmagg
 ) km
+UNION ALL
+SELECT 'drift' AS col_a, dd.key AS col_b, dd.v AS corr FROM (
+  WITH dgrid AS (SELECT UNNEST(GENERATE_SERIES(0, 9)) AS bin),
+  dra AS (
+    SELECT LEAST(GREATEST(CAST(FLOOR(CAST(o_totalprice AS DOUBLE)
+             / 600000.0 * 10.0) AS INT), 0), 9) AS bin,
+           CAST(COUNT(*) AS DOUBLE) AS n
+    FROM orders WHERE o_custkey % 2 = 0 AND o_totalprice IS NOT NULL
+    GROUP BY 1),
+  drb AS (
+    SELECT LEAST(GREATEST(CAST(FLOOR(CAST(o_totalprice AS DOUBLE)
+             / 600000.0 * 10.0) AS INT), 0), 9) AS bin,
+           CAST(COUNT(*) AS DOUBLE) AS n
+    FROM orders WHERE o_custkey % 2 = 1 AND o_totalprice IS NOT NULL
+    GROUP BY 1),
+  dtot AS (SELECT (SELECT SUM(n) FROM dra) AS na,
+                  (SELECT SUM(n) FROM drb) AS nb),
+  dp AS (
+    SELECT g.bin,
+           COALESCE(a.n, 0.0) / t.na AS p,
+           COALESCE(b.n, 0.0) / t.nb AS q
+    FROM dgrid g
+    LEFT JOIN dra a ON a.bin = g.bin
+    LEFT JOIN drb b ON b.bin = g.bin
+    CROSS JOIN dtot t),
+  dm AS (
+    SELECT SUM((GREATEST(p, 1e-6) - GREATEST(q, 1e-6))
+               * ln(GREATEST(p, 1e-6) / GREATEST(q, 1e-6))) AS psi,
+           SUM(CASE WHEN p > 0 THEN 0.5 * p * ln(p / ((p + q) / 2.0))
+                    ELSE 0.0 END
+               + CASE WHEN q > 0 THEN 0.5 * q * ln(q / ((p + q) / 2.0))
+                      ELSE 0.0 END) AS js
+    FROM dp)
+  SELECT 'psi' AS key, ROUND(psi, 6) AS v FROM dm
+  UNION ALL SELECT 'js', ROUND(js, 6) FROM dm
+  UNION ALL SELECT 'n_ref', t.na FROM dtot t
+  UNION ALL SELECT 'n_cur', t.nb FROM dtot t
+) dd
 ORDER BY col_a, col_b"""
 )
 

@@ -52,6 +52,7 @@ from sparkglm_spark.operators.glm import (
 from sparkglm_spark.operators.stats import (
     chi2_independence,
     corr_matrix,
+    distribution_drift,
     ks_test_2samp,
     mannwhitney_utest,
     numeric_profile,
@@ -127,6 +128,7 @@ __all__ = [
     "proportions_ztest",
     "ks_test_2samp",
     "mannwhitney_utest",
+    "distribution_drift",
     "corr_matrix",
     "numeric_profile",
     "binary_classification_eval",

@@ -398,6 +398,109 @@ def mannwhitney_utest(df: DataFrame, group_col: str, value_col: str) -> dict:
     }
 
 
+def distribution_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    n_bins: int = 10,
+    lo: float | None = None,
+    hi: float | None = None,
+    eps: float = 1e-6,
+) -> dict:
+    """Distribution drift between a REFERENCE and a CURRENT sample of one
+    numeric column — the production feature/score-monitoring pair
+    (public conventions: PSI as used across credit-risk monitoring;
+    Jensen-Shannon divergence, Lin 1991):
+
+        psi   = Σ_bins (pᵢ − qᵢ)·ln(pᵢ/qᵢ)   (symmetric, unbounded;
+                 folk thresholds: <0.1 stable, 0.1–0.25 moderate, >0.25 major)
+        js    = ½·KL(p‖m) + ½·KL(q‖m), m = (p+q)/2   (bounded by ln 2)
+        kl_ref_cur / kl_cur_ref
+
+    Binning: `n_bins` equal-width bins over [lo, hi] (pass FIXED bounds
+    for reproducible monitoring and SQL replay; omitted bounds come from
+    one min/max pass over BOTH frames); values outside clamp to the edge
+    bins. PSI proportions are eps-smoothed (empty bins would give ±inf —
+    the standard PSI fix); JS/KL handle true zeros exactly (0·ln0 = 0).
+
+    Plan: one groupBy(bin) count per frame (n_bins partial-agg groups),
+    ≤ 2·n_bins rows to the driver. Returns the metric dict plus
+    per-bin proportions under "bins"."""
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    if eps <= 0:
+        raise ValueError("eps must be > 0")
+    import math
+
+    if lo is None or hi is None:
+        b1 = ref.agg(
+            F.min(F.col(col).cast("double")).alias("lo"),
+            F.max(F.col(col).cast("double")).alias("hi"),
+        ).collect()[0]
+        b2 = cur.agg(
+            F.min(F.col(col).cast("double")).alias("lo"),
+            F.max(F.col(col).cast("double")).alias("hi"),
+        ).collect()[0]
+        lo = min(float(b1["lo"]), float(b2["lo"])) if lo is None else lo
+        hi = max(float(b1["hi"]), float(b2["hi"])) if hi is None else hi
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+
+    def bin_counts(df: DataFrame) -> dict[int, float]:
+        c = F.col(col).cast("double")
+        b = F.least(
+            F.greatest(
+                F.floor((c - F.lit(float(lo))) / F.lit(float(hi - lo)) * n_bins)
+                .cast("int"),
+                F.lit(0),
+            ),
+            F.lit(n_bins - 1),
+        )
+        rows = (
+            df.where(c.isNotNull())
+            .groupBy(b.alias("bin"))
+            .agg(F.count(F.lit(1)).cast("double").alias("n"))
+            .collect()
+        )
+        return {int(r["bin"]): float(r["n"]) for r in rows}
+
+    rc, cc = bin_counts(ref), bin_counts(cur)
+    n_ref, n_cur = sum(rc.values()), sum(cc.values())
+    if n_ref == 0 or n_cur == 0:
+        raise ValueError("both frames need at least one non-null value")
+    psi = kl_pq = kl_qp = js = 0.0
+    bins = []
+    for i in range(n_bins):
+        p = rc.get(i, 0.0) / n_ref
+        q = cc.get(i, 0.0) / n_cur
+        ps, qs = max(p, eps), max(q, eps)  # PSI smoothing
+        psi += (ps - qs) * math.log(ps / qs)
+        if p > 0 and q > 0:
+            kl_pq += p * math.log(p / q)
+            kl_qp += q * math.log(q / p)
+        elif p > 0 or q > 0:
+            kl_pq = kl_pq if p == 0 else float("inf")
+            kl_qp = kl_qp if q == 0 else float("inf")
+        m = (p + q) / 2.0
+        if p > 0:
+            js += 0.5 * p * math.log(p / m)
+        if q > 0:
+            js += 0.5 * q * math.log(q / m)
+        bins.append({"bin": i, "p_ref": p, "p_cur": q})
+    return {
+        "psi": float(psi),
+        "js_divergence": float(js),
+        "kl_ref_cur": float(kl_pq),
+        "kl_cur_ref": float(kl_qp),
+        "n_ref": int(n_ref),
+        "n_cur": int(n_cur),
+        "lo": float(lo),
+        "hi": float(hi),
+        "n_bins": n_bins,
+        "bins": bins,
+    }
+
+
 def numeric_profile(
     df: DataFrame,
     cols: list[str],

@@ -317,3 +317,44 @@ def test_kolmogorov_sf_golden():
     assert kolmogorov_sf(1.6276) == pytest.approx(0.01, abs=2e-4)
     assert kolmogorov_sf(0.0) == 1.0
     assert kolmogorov_sf(5.0) < 1e-20
+
+def test_distribution_drift_matches_numpy(spark):
+    from sparkglm_spark.operators.stats import distribution_drift
+
+    rng = np.random.default_rng(47)
+    a = rng.normal(0, 1, 2000)
+    b = rng.normal(0.8, 1.4, 1500)  # real drift
+    ra = spark.createDataFrame([(float(v),) for v in a], "x double").repartition(5)
+    rb = spark.createDataFrame([(float(v),) for v in b], "x double").repartition(3)
+    out = distribution_drift(ra, rb, "x", n_bins=10, lo=-4.0, hi=6.0)
+    # numpy twin with identical binning/smoothing
+    import math
+    bins_a = np.clip(np.floor((a + 4.0) / 10.0 * 10).astype(int), 0, 9)
+    bins_b = np.clip(np.floor((b + 4.0) / 10.0 * 10).astype(int), 0, 9)
+    psi = js = 0.0
+    for i in range(10):
+        p = (bins_a == i).mean()
+        q = (bins_b == i).mean()
+        ps, qs = max(p, 1e-6), max(q, 1e-6)
+        psi += (ps - qs) * math.log(ps / qs)
+        m = (p + q) / 2
+        if p > 0: js += 0.5 * p * math.log(p / m)
+        if q > 0: js += 0.5 * q * math.log(q / m)
+    assert out["psi"] == pytest.approx(psi, rel=1e-12)
+    assert out["js_divergence"] == pytest.approx(js, rel=1e-12)
+    assert out["psi"] > 0.25              # major drift detected
+    assert 0.0 < out["js_divergence"] <= math.log(2) + 1e-12
+    assert out["n_ref"] == 2000 and out["n_cur"] == 1500
+    assert sum(r["p_ref"] for r in out["bins"]) == pytest.approx(1.0)
+    # identical samples -> ~0 everywhere (exact zeros: same proportions)
+    same = distribution_drift(ra, ra, "x", n_bins=10, lo=-4.0, hi=6.0)
+    assert same["psi"] == pytest.approx(0.0, abs=1e-12)
+    assert same["js_divergence"] == pytest.approx(0.0, abs=1e-12)
+    assert same["kl_ref_cur"] == pytest.approx(0.0, abs=1e-12)
+    # auto bounds path works
+    auto = distribution_drift(ra, rb, "x", n_bins=5)
+    assert auto["lo"] <= min(a.min(), b.min()) + 1e-12
+    with pytest.raises(ValueError, match="n_bins"):
+        distribution_drift(ra, rb, "x", n_bins=1)
+    with pytest.raises(ValueError, match="hi > lo"):
+        distribution_drift(ra, rb, "x", lo=1.0, hi=1.0)
