@@ -3936,8 +3936,11 @@ ORDER BY o_orderpriority
 def q_lineitem_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Pearson correlation of 4 measures from ONE Gram pass
     (operators/stats.py::corr_matrix), plus the hypothesis-test rows
-    (welch_t/chi2_ind) and the regression-metric suite over a fixed
-    linear predictor (reg_metric — operators/evaluate.py::
+    (welch_t/chi2_ind incl. cohens_d/cramers_v effect sizes), the
+    two-sample KS + Mann-Whitney pair over the heavy-tie
+    l_quantity×linestatus axis (ks_mw), PSI/JS drift between the
+    custkey-parity halves (drift) and the regression-metric suite over
+    a fixed linear predictor (reg_metric — operators/evaluate.py::
     regression_eval, all closed-form sums + one exact median). Oracle:
     closed form from exact decimal sums; rounded to 6 (cancellation
     analysis: divergence ≲1e-10), magnitude-matched rounding for the
