@@ -68,6 +68,7 @@ from sparkglm_spark.operators.survival import (
     ph_assumption_test,
     restricted_mean_survival,
     schoenfeld_residuals,
+    weibull_aft,
 )
 from sparkglm_spark.operators.timeseries import (
     ewma_latest,
@@ -90,6 +91,8 @@ from sparkglm_spark.ml import (
     SparkPCAModel,
     SparkQuantileLM,
     SparkQuantileLMModel,
+    SparkWeibullAFT,
+    SparkWeibullAFTModel,
     SparkWordPiece,
     SparkWordPieceModel,
 )
@@ -123,6 +126,7 @@ __all__ = [
     "schoenfeld_residuals",
     "ph_assumption_test",
     "concordance_index",
+    "weibull_aft",
     "welch_ttest",
     "chi2_independence",
     "proportions_ztest",
@@ -163,6 +167,8 @@ __all__ = [
     "SparkCoxPHModel",
     "SparkQuantileLM",
     "SparkQuantileLMModel",
+    "SparkWeibullAFT",
+    "SparkWeibullAFTModel",
 ]
 
 __version__ = "0.1.0"

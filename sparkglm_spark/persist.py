@@ -16,7 +16,7 @@ import numpy as np
 
 from sparkglm_spark.operators.glm import GLM
 from sparkglm_spark.operators.lm import LM, HuberLM, QuantileLM
-from sparkglm_spark.operators.survival import CoxPH
+from sparkglm_spark.operators.survival import CoxPH, WeibullAFT
 
 _FORMAT_VERSION = 1
 
@@ -54,6 +54,25 @@ def model_to_dict(model: LM | GLM | HuberLM | QuantileLM | CoxPH) -> dict:
             "converged": bool(model.converged),
             "levels": {k: list(v) for k, v in model.levels.items()},
             "call": model.call,
+        }
+    if isinstance(model, WeibullAFT):
+        return {
+            "format_version": _FORMAT_VERSION,
+            "kind": "weibull_aft",
+            "xnames": list(model.xnames),
+            "time_col": model.time_col,
+            "event_col": model.event_col,
+            "coefs": _arr(model.coefs),
+            "scale": float(model.scale),
+            "se": _arr(model.se),
+            "loglik": float(model.loglik),
+            "n": int(model.n),
+            "n_events": int(model.n_events),
+            "iter": int(model.iter),
+            "converged": bool(model.converged),
+            "cov_params": None
+            if model.cov_params is None
+            else [[float(v) for v in row] for row in np.asarray(model.cov_params)],
         }
     if isinstance(model, CoxPH):
         return {
@@ -151,6 +170,22 @@ def model_from_dict(d: dict) -> LM | GLM | HuberLM | QuantileLM | CoxPH:
             converged=bool(d["converged"]),
             levels={k: list(v) for k, v in d.get("levels", {}).items()},
             call=d.get("call", ""),
+        )
+    if d["kind"] == "weibull_aft":
+        cov = d.get("cov_params")
+        return WeibullAFT(
+            xnames=list(d["xnames"]),
+            time_col=d["time_col"],
+            event_col=d["event_col"],
+            coefs=np.asarray(d["coefs"], dtype=np.float64),
+            scale=float(d["scale"]),
+            se=np.asarray(d["se"], dtype=np.float64),
+            loglik=float(d["loglik"]),
+            n=int(d["n"]),
+            n_events=int(d["n_events"]),
+            iter=int(d["iter"]),
+            converged=bool(d["converged"]),
+            cov_params=None if cov is None else np.asarray(cov, dtype=np.float64),
         )
     if d["kind"] == "coxph":
         cov = d.get("cov_params")

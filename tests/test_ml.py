@@ -482,3 +482,41 @@ def test_quantile_pipeline_and_save_load(li, tmp_path):
     a = [r.p90 for r in wrapped.transform(li).limit(10).collect()]
     b = [r.p90 for r in loaded.transform(li).limit(10).collect()]
     np.testing.assert_allclose(a, b, rtol=0)
+
+def test_weibull_aft_pipeline_and_save_load(spark, tmp_path):
+    from sparkglm_spark.ml import SparkWeibullAFT, SparkWeibullAFTModel
+    from sparkglm_spark.operators.survival import weibull_aft
+
+    rng = np.random.default_rng(59)
+    n = 250
+    x = rng.normal(0, 1, n)
+    w = np.log(-np.log(rng.random(n)))
+    t = np.exp(0.5 + 0.6 * x + 0.5 * w)
+    e = (rng.random(n) < 0.8).astype(float)
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(t, e, x)],
+        "time double, event double, x double",
+    )
+    est = SparkWeibullAFT(featureCols=["x"], predictionCol="med_t")
+    pipe_model = Pipeline(stages=[est]).fit(df)
+    wrapped = pipe_model.stages[0]
+    assert isinstance(wrapped, SparkWeibullAFTModel)
+    bare = weibull_aft(df, "time", "event", ["x"])
+    np.testing.assert_allclose(wrapped.model.coefs, bare.coefs, rtol=1e-10)
+    assert wrapped.model.scale == pytest.approx(bare.scale, rel=1e-10)
+
+    scored = pipe_model.transform(df)
+    assert scored.columns == df.columns + ["med_t"]
+
+    path = str(tmp_path / "aftmodel")
+    wrapped.write().save(path)
+    loaded = SparkWeibullAFTModel.load(path)
+    np.testing.assert_allclose(loaded.model.coefs, wrapped.model.coefs, rtol=0)
+    assert loaded.model.scale == wrapped.model.scale
+    assert loaded.model.loglik == wrapped.model.loglik
+    # closed-form survival works after the round-trip
+    sv = loaded.model.predict_survival(df.limit(3), [2.0]).collect()
+    assert all(0.0 <= r.surv_2 <= 1.0 for r in sv)
+    a = [r.med_t for r in wrapped.transform(df).limit(10).collect()]
+    b = [r.med_t for r in loaded.transform(df).limit(10).collect()]
+    np.testing.assert_allclose(a, b, rtol=0)

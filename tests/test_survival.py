@@ -779,3 +779,95 @@ def test_ph_test_log_transform_rejects_nonpositive_times(spark, surv_data):
     # identity transform unaffected
     out = ph_assumption_test(m0, shifted, transform="identity")
     assert 0.0 <= out["global"]["p_value"] <= 1.0
+
+@pytest.fixture(scope="module")
+def aft_data(spark):
+    rng = np.random.default_rng(53)
+    n = 600
+    x1 = rng.normal(0, 1, n)
+    x2 = (rng.random(n) < 0.5).astype(float)
+    # log T = 1.0 + 0.5 x1 - 0.8 x2 + 0.7 W, W ~ Gumbel(min)
+    w = np.log(-np.log(rng.random(n)))  # standard extreme value (min)
+    t = np.exp(1.0 + 0.5 * x1 - 0.8 * x2 + 0.7 * w)
+    cens = np.exp(1.5 + rng.normal(0, 1, n))
+    e = (t <= cens).astype(float)
+    tt = np.minimum(t, cens)
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c), float(d))
+         for a, b, c, d in zip(tt, e, x1, x2)],
+        "time double, event double, x1 double, x2 double",
+    ).repartition(7)
+    return df, tt, e, np.column_stack([x1, x2])
+
+
+def test_weibull_aft_matches_mllib(aft_data):
+    """Golden cross-check against Spark MLlib's own AFTSurvivalRegression
+    (both maximize the same Weibull AFT likelihood — Newton here, LBFGS
+    there; the MLEs must agree to optimizer tolerance)."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import AFTSurvivalRegression
+
+    from sparkglm_spark.operators.survival import weibull_aft
+
+    df, t, e, X = aft_data
+    got = weibull_aft(df, "time", "event", ["x1", "x2"])
+    assert got.converged
+
+    va = VectorAssembler(inputCols=["x1", "x2"], outputCol="features")
+    ml = AFTSurvivalRegression(
+        labelCol="time", censorCol="event", featuresCol="features",
+        maxIter=200, tol=1e-10,
+    ).fit(va.transform(df))
+    assert got.coefs[0] == pytest.approx(float(ml.intercept), rel=1e-4)
+    assert got.coefs[1] == pytest.approx(float(ml.coefficients[0]), rel=1e-4)
+    assert got.coefs[2] == pytest.approx(float(ml.coefficients[1]), rel=1e-4)
+    assert got.scale == pytest.approx(float(ml.scale), rel=1e-4)
+    # recovers the planted parameters
+    assert got.coefs[0] == pytest.approx(1.0, abs=0.15)
+    assert got.coefs[1] == pytest.approx(0.5, abs=0.12)
+    assert got.coefs[2] == pytest.approx(-0.8, abs=0.15)
+    assert got.scale == pytest.approx(0.7, abs=0.08)
+    assert got.n == len(t) and got.n_events == int(e.sum())
+
+
+def test_weibull_aft_predictions_and_summary(aft_data):
+    from sparkglm_spark.operators.survival import weibull_aft
+
+    df, *_ = aft_data
+    m = weibull_aft(df, "time", "event", ["x1", "x2"])
+    scored = m.predict(df)
+    assert scored.columns == df.columns + ["median_survival_time"]
+    r = scored.limit(1).collect()[0]
+    eta = m.coefs[0] + m.coefs[1] * r.x1 + m.coefs[2] * r.x2
+    assert r.median_survival_time == pytest.approx(
+        float(np.exp(eta) * np.log(2.0) ** m.scale), rel=1e-10
+    )
+    # closed-form survival: S at the median is exactly 0.5
+    sv = m.predict_survival(
+        scored.limit(5), [1.0, 5.0, 25.0]
+    ).collect()
+    for row in sv:
+        vals = [row.surv_1, row.surv_5, row.surv_25]
+        assert all(0.0 <= v <= 1.0 for v in vals)
+        assert vals[0] >= vals[1] >= vals[2]
+        z = (np.log(5.0) - (m.coefs[0] + m.coefs[1] * row.x1
+                            + m.coefs[2] * row.x2)) / m.scale
+        assert row.surv_5 == pytest.approx(float(np.exp(-np.exp(z))), rel=1e-10)
+    rows = m.summary_rows()
+    assert [x[0] for x in rows] == ["intercept", "x1", "x2", "log_scale"]
+    assert rows[1][4] < 1e-6 and rows[2][4] < 1e-6  # planted effects seen
+    with pytest.raises(ValueError, match="> 0"):
+        m.predict_survival(df, [0.0])
+
+
+def test_weibull_aft_guards(spark, aft_data):
+    from sparkglm_spark.operators.survival import weibull_aft
+
+    df, *_ = aft_data
+    with pytest.raises(ValueError, match="non-positive"):
+        weibull_aft(df.withColumn("time", F.col("time") - 100.0),
+                    "time", "event", ["x1"])
+    with pytest.raises(ValueError, match="0/1"):
+        weibull_aft(df.withColumn("event", F.lit(2.0)), "time", "event", ["x1"])
+    with pytest.raises(ValueError, match="no events"):
+        weibull_aft(df.withColumn("event", F.lit(0.0)), "time", "event", ["x1"])
