@@ -289,11 +289,27 @@ def kolmogorov_sf(lam: float) -> float:
     """Survival function of the Kolmogorov distribution,
     Q_KS(λ) = 2 Σ_{j≥1} (−1)^{j−1} e^{−2 j² λ²} — the asymptotic
     two-sample KS p-value at λ = √(n₁n₂/(n₁+n₂))·D (public convention:
-    Kolmogorov 1933; the Numerical Recipes probks series). The series
-    alternates with rapidly decaying terms; ≤ 100 terms with an
-    early-exit tolerance is far beyond double precision."""
+    Kolmogorov 1933).
+
+    TWO series, switched at λ = 1.18 (the scipy/cephes convention): the
+    alternating series above converges in a few terms for large λ but
+    needs unboundedly many for small λ (a naive 100-term truncation
+    returns ~0.01 instead of ~1.0 at λ ~ 1e-3 — the huge-n
+    near-identical-samples regime); below the switch point the Jacobi
+    theta dual Q = 1 − (√(2π)/λ)·Σ_{j odd} e^{−j²π²/(8λ²)} converges in
+    ≤ 3 terms."""
     if lam <= 0.0:
         return 1.0
+    if lam < 1.18:
+        # dual (theta-transformed) series: P(K ≤ λ), 3 terms ≫ double
+        # precision in this range
+        a = math.pi * math.pi / (8.0 * lam * lam)
+        p = (
+            math.sqrt(2.0 * math.pi)
+            / lam
+            * (math.exp(-a) + math.exp(-9.0 * a) + math.exp(-25.0 * a))
+        )
+        return min(max(1.0 - p, 0.0), 1.0)
     s = 0.0
     sign = 1.0
     for j in range(1, 101):

@@ -436,14 +436,18 @@ def sample_to_token_budget(
     realized total is `max(cum_tokens)` without another pass."""
     if not budget > 0:
         raise ValueError(f"budget must be > 0, got {budget!r}")
+    tok = F.col(token_col).cast("double")
     chk = df.agg(
-        F.sum(F.when(F.col(token_col).isNull(), 1).otherwise(0)).alias("nulls"),
-        F.min(F.col(token_col).cast("double")).alias("mn"),
+        F.sum(
+            F.when(tok.isNull() | F.isnan(tok), 1).otherwise(0)
+        ).alias("nulls"),
+        F.min(tok).alias("mn"),
     ).collect()[0]
     if chk["nulls"]:
         raise ValueError(
-            f"{chk['nulls']} rows have null {token_col!r} — a null token "
-            "count cannot participate in a token budget"
+            f"{chk['nulls']} rows have null/NaN {token_col!r} — such token "
+            "counts cannot participate in a token budget (NaN would poison "
+            "every later running total)"
         )
     if chk["mn"] is not None and float(chk["mn"]) < 0:
         raise ValueError(f"{token_col!r} has negative values (min {chk['mn']})")

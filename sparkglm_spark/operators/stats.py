@@ -293,9 +293,13 @@ def proportions_ztest(
 
 def _two_group_value_counts(df: DataFrame, group_col: str, value_col: str):
     """Shared scaffold for the two-sample rank/CDF tests: validate exactly
-    two non-null groups, return (per-distinct-value counts frame with
-    c1/c2 columns, group_a, group_b, n1, n2). One groupBy(value) over the
-    non-null rows — distinct values only on the wire."""
+    two non-null groups, return (PERSISTED per-distinct-value counts
+    frame with c1/c2 columns, group_a, group_b, n1, n2). One
+    groupBy(value) over the non-null rows — distinct values only on the
+    wire. Null filtering happens on the CAST value, so a non-castable
+    string becomes a dropped null rather than a phantom NULL value group.
+    The counts frame feeds both the totals probe and the caller's prefix
+    pass — CALLERS MUST unpersist it."""
     groups = [
         r[0]
         for r in df.where(F.col(group_col).isNotNull())
@@ -308,18 +312,28 @@ def _two_group_value_counts(df: DataFrame, group_col: str, value_col: str):
         raise ValueError(f"need exactly 2 groups, found {len(groups)}")
     ga, gb = sorted(groups, key=str)
     in_a = (F.col(group_col) == ga).cast("double")
+    # try_cast: under ANSI mode a plain cast THROWS on a malformed string;
+    # here a non-castable value should be dropped like a null, not abort
+    v = F.col(value_col).try_cast("double")
     vc = (
-        df.where(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
-        .groupBy(F.col(value_col).cast("double").alias("__v"))
+        df.where(F.col(group_col).isNotNull() & v.isNotNull() & ~F.isnan(v))
+        .groupBy(v.alias("__v"))
         .agg(
             F.sum(in_a).alias("c1"),
             F.sum(F.lit(1.0) - in_a).alias("c2"),
         )
+        .persist()
     )
-    tot = vc.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2")).collect()[0]
-    n1, n2 = float(tot["n1"] or 0), float(tot["n2"] or 0)
-    if n1 < 1 or n2 < 1:
-        raise ValueError(f"each group needs n >= 1 non-null values ({n1}, {n2})")
+    try:
+        tot = vc.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2")).collect()[0]
+        n1, n2 = float(tot["n1"] or 0), float(tot["n2"] or 0)
+        if n1 < 1 or n2 < 1:
+            raise ValueError(
+                f"each group needs n >= 1 non-null values ({n1}, {n2})"
+            )
+    except Exception:
+        vc.unpersist()
+        raise
     return vc, ga, gb, n1, n2
 
 
@@ -341,12 +355,15 @@ def ks_test_2samp(df: DataFrame, group_col: str, value_col: str) -> dict:
     from sparkglm_spark.plans.prefix import global_running_sum
 
     vc, ga, gb, n1, n2 = _two_group_value_counts(df, group_col, value_col)
-    cum = global_running_sum(vc, "__v", ["c1", "c2"])
-    row = cum.agg(
-        F.max(
-            F.abs(F.col("c1_cum") / F.lit(n1) - F.col("c2_cum") / F.lit(n2))
-        ).alias("d")
-    ).collect()[0]
+    try:
+        cum = global_running_sum(vc, "__v", ["c1", "c2"])
+        row = cum.agg(
+            F.max(
+                F.abs(F.col("c1_cum") / F.lit(n1) - F.col("c2_cum") / F.lit(n2))
+            ).alias("d")
+        ).collect()[0]
+    finally:
+        vc.unpersist()
     d = float(row["d"])
     en = (n1 * n2 / (n1 + n2)) ** 0.5
     return {
@@ -374,15 +391,18 @@ def mannwhitney_utest(df: DataFrame, group_col: str, value_col: str) -> dict:
     from sparkglm_spark.plans.prefix import global_running_sum
 
     vc, ga, gb, n1, n2 = _two_group_value_counts(df, group_col, value_col)
-    cum = global_running_sum(
-        vc.withColumn("t", F.col("c1") + F.col("c2")), "__v", ["c2"]
-    )
-    row = cum.agg(
-        F.sum(
-            F.col("c1") * (F.col("c2_cum") - F.col("c2") + F.col("c2") / 2.0)
-        ).alias("u"),
-        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tc"),
-    ).collect()[0]
+    try:
+        cum = global_running_sum(
+            vc.withColumn("t", F.col("c1") + F.col("c2")), "__v", ["c2"]
+        )
+        row = cum.agg(
+            F.sum(
+                F.col("c1") * (F.col("c2_cum") - F.col("c2") + F.col("c2") / 2.0)
+            ).alias("u"),
+            F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tc"),
+        ).collect()[0]
+    finally:
+        vc.unpersist()
     u = float(row["u"])
     n = n1 + n2
     var_u = n1 * n2 / 12.0 * ((n + 1.0) - float(row["tc"]) / (n * (n - 1.0)))
@@ -441,6 +461,11 @@ def distribution_drift(
             F.min(F.col(col).cast("double")).alias("lo"),
             F.max(F.col(col).cast("double")).alias("hi"),
         ).collect()[0]
+        if b1["lo"] is None or b2["lo"] is None:
+            raise ValueError(
+                "both frames need at least one non-null value to derive "
+                "bounds — pass lo/hi explicitly or clean the frames"
+            )
         lo = min(float(b1["lo"]), float(b2["lo"])) if lo is None else lo
         hi = max(float(b1["hi"]), float(b2["hi"])) if hi is None else hi
     if not hi > lo:

@@ -1209,9 +1209,17 @@ def weibull_aft(
         raise ValueError(f"{chk['bad_t']} rows have null or non-positive time")
     if chk["bad_e"]:
         raise ValueError("event_col must be 0/1")
-    n, n_events = int(chk["n"]), int(float(chk["ne"]))
+    n = int(chk["n"])
+    if n == 0:
+        raise ValueError("empty input")
+    n_events = int(float(chk["ne"] or 0.0))
     if n_events == 0:
         raise ValueError("no events — the scale is unidentified")
+    if n_events <= k:
+        raise ValueError(
+            f"need more events than coefficients for the OLS start "
+            f"(n_events={n_events}, k={k})"
+        )
 
     exprs = [F.log(F.col(time_col).cast("double")).alias("__lt"),
              F.col(event_col).cast("double").alias("__d")]
@@ -1266,6 +1274,19 @@ def weibull_aft(
                     hess[i, j] = hess[j, i] = float(row[f"h_{i}_{j}"])
             return ll, grad, hess
 
+        def ll_at(b, ls):
+            # line-search probe: ONE scalar sum, not the full O(k²)
+            # gradient/Hessian aggregation
+            sigma = float(np.exp(ls))
+            eta = F.lit(0.0)
+            for col, bb in zip(xs, b):
+                eta = eta + F.lit(float(bb)) * col
+            z = (F.col("__lt") - eta) / F.lit(sigma)
+            row = work.agg(
+                F.sum(F.col("__d") * (z - F.lit(ls)) - F.exp(z)).alias("ll")
+            ).collect()[0]
+            return float(row["ll"])
+
         n_iter = 0
         converged = False
         ll = -np.inf
@@ -1291,7 +1312,7 @@ def weibull_aft(
                     for _ in range(10):
                         nb = beta - scale_f * step[:k]
                         nls = log_s - scale_f * step[k]
-                        ll1 = stats_at(nb, nls)[0]
+                        ll1 = ll_at(nb, nls)
                         if np.isfinite(ll1) and ll1 > ll0:
                             improved = True
                             break

@@ -317,6 +317,12 @@ def test_kolmogorov_sf_golden():
     assert kolmogorov_sf(1.6276) == pytest.approx(0.01, abs=2e-4)
     assert kolmogorov_sf(0.0) == 1.0
     assert kolmogorov_sf(5.0) < 1e-20
+    # small-lambda regime (huge-n near-identical samples): the dual
+    # theta series — a truncated alternating series here returned ~0.01
+    assert kolmogorov_sf(1e-3) == 1.0
+    assert kolmogorov_sf(0.3) == pytest.approx(0.9999907, abs=1e-6)
+    # branch continuity at the 1.18 switch (both series are exact)
+    assert abs(kolmogorov_sf(1.1799) - kolmogorov_sf(1.1801)) < 2e-4
 
 def test_distribution_drift_matches_numpy(spark):
     from sparkglm_spark.operators.stats import distribution_drift
@@ -358,3 +364,27 @@ def test_distribution_drift_matches_numpy(spark):
         distribution_drift(ra, rb, "x", n_bins=1)
     with pytest.raises(ValueError, match="hi > lo"):
         distribution_drift(ra, rb, "x", lo=1.0, hi=1.0)
+
+def test_two_sample_tests_drop_noncastable_values(spark):
+    from sparkglm_spark.operators.stats import ks_test_2samp, mannwhitney_utest
+
+    df = spark.createDataFrame(
+        [("a", "1.0"), ("a", "2.0"), ("a", "junk"), ("b", "1.5"),
+         ("b", ""), ("b", "2.5")],
+        "g string, v string",
+    )
+    # ANSI mode would abort on the malformed strings with a plain cast;
+    # try_cast drops them like nulls — counts cover castable rows only
+    ks = ks_test_2samp(df, "g", "v")
+    assert (ks["n_a"], ks["n_b"]) == (2, 2)
+    mw = mannwhitney_utest(df, "g", "v")
+    assert (mw["n_a"], mw["n_b"]) == (2, 2)
+
+
+def test_distribution_drift_allnull_auto_bounds(spark):
+    from sparkglm_spark.operators.stats import distribution_drift
+
+    ok = spark.createDataFrame([(1.0,), (2.0,)], "x double")
+    nulls = spark.createDataFrame([(None,), (None,)], "x double")
+    with pytest.raises(ValueError, match="non-null"):
+        distribution_drift(ok, nulls, "x")

@@ -871,3 +871,16 @@ def test_weibull_aft_guards(spark, aft_data):
         weibull_aft(df.withColumn("event", F.lit(2.0)), "time", "event", ["x1"])
     with pytest.raises(ValueError, match="no events"):
         weibull_aft(df.withColumn("event", F.lit(0.0)), "time", "event", ["x1"])
+
+def test_weibull_aft_few_events_and_empty_guards(spark):
+    from sparkglm_spark.operators.survival import weibull_aft
+
+    few = spark.createDataFrame(
+        [(1.0, 1.0, 0.5), (2.0, 0.0, 0.1), (3.0, 0.0, 0.9), (4.0, 1.0, 0.2)],
+        "t double, ev double, x double",
+    )
+    with pytest.raises(ValueError, match="more events than coefficients"):
+        weibull_aft(few, "t", "ev", ["x"])
+    empty = spark.createDataFrame([], "t double, ev double, x double")
+    with pytest.raises(ValueError, match="empty"):
+        weibull_aft(empty, "t", "ev", ["x"])
