@@ -53,6 +53,7 @@ from sparkglm_spark.operators.stats import (
     chi2_independence,
     corr_matrix,
     distribution_drift,
+    distribution_drift_grouped,
     ks_test_2samp,
     mannwhitney_utest,
     numeric_profile,
@@ -133,6 +134,7 @@ __all__ = [
     "ks_test_2samp",
     "mannwhitney_utest",
     "distribution_drift",
+    "distribution_drift_grouped",
     "corr_matrix",
     "numeric_profile",
     "binary_classification_eval",

@@ -526,6 +526,97 @@ def distribution_drift(
     }
 
 
+def distribution_drift_grouped(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    group_col: str,
+    n_bins: int = 10,
+    lo: float = None,
+    hi: float = None,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Per-segment `distribution_drift` — PSI/JS for EVERY group in one
+    distributed pass (per-feature-per-source monitoring), no driver loop:
+
+    one groupBy(group, bin) count per frame, a dense (group × bin) grid
+    (distinct groups ⋈ bin range — G·n_bins compact rows), both count
+    frames left-joined in, per-group metric aggregation with the PSI/JS
+    terms as codegen expressions. Returns (group, n_ref, n_cur, psi,
+    js_divergence); a group present in only ONE frame gets NULL metrics
+    (its drift is undefined, not zero or infinite). Bounds must be FIXED
+    (lo/hi) — per-group auto-bounds would make segments incomparable."""
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    if eps <= 0:
+        raise ValueError("eps must be > 0")
+    if lo is None or hi is None:
+        raise ValueError(
+            "grouped drift requires explicit lo/hi bounds (per-group "
+            "auto-bounds would make segments incomparable)"
+        )
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+
+    def bins_of(df: DataFrame, cname: str) -> DataFrame:
+        c = F.col(col).cast("double")
+        b = F.least(
+            F.greatest(
+                F.floor((c - F.lit(float(lo))) / F.lit(float(hi - lo)) * n_bins)
+                .cast("int"),
+                F.lit(0),
+            ),
+            F.lit(n_bins - 1),
+        )
+        return (
+            df.where(c.isNotNull() & F.col(group_col).isNotNull())
+            .groupBy(F.col(group_col).alias("__g"), b.alias("__b"))
+            .agg(F.count(F.lit(1)).cast("double").alias(cname))
+        )
+
+    rb = bins_of(ref, "rn")
+    cb = bins_of(cur, "cn")
+    rt = rb.groupBy("__g").agg(F.sum("rn").alias("rtot"))
+    ct = cb.groupBy("__g").agg(F.sum("cn").alias("ctot"))
+    spark = ref.sparkSession
+    bins = spark.range(0, n_bins).select(F.col("id").cast("int").alias("__b"))
+    groups = rt.select("__g").unionByName(ct.select("__g")).distinct()
+    grid = groups.crossJoin(F.broadcast(bins))
+    p = F.coalesce(F.col("rn"), F.lit(0.0)) / F.col("rtot")
+    q = F.coalesce(F.col("cn"), F.lit(0.0)) / F.col("ctot")
+    ps = F.greatest(p, F.lit(float(eps)))
+    qs = F.greatest(q, F.lit(float(eps)))
+    m = (p + q) / 2.0
+    psi_term = (ps - qs) * F.log(ps / qs)
+    js_term = F.when(p > 0, 0.5 * p * F.log(p / m)).otherwise(0.0) + F.when(
+        q > 0, 0.5 * q * F.log(q / m)
+    ).otherwise(0.0)
+    joined = (
+        grid.join(rb, ["__g", "__b"], "left")
+        .join(cb, ["__g", "__b"], "left")
+        .join(rt, "__g", "left")
+        .join(ct, "__g", "left")
+    )
+    both = F.col("rtot").isNotNull() & F.col("ctot").isNotNull()
+    return (
+        joined.groupBy("__g")
+        .agg(
+            F.max("rtot").alias("__rt"),
+            F.max("ctot").alias("__ct"),
+            F.sum(F.when(both, psi_term)).alias("psi"),
+            F.sum(F.when(both, js_term)).alias("js_divergence"),
+        )
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("__rt").cast("long").alias("n_ref"),
+            F.col("__ct").cast("long").alias("n_cur"),
+            "psi",
+            "js_divergence",
+        )
+        .orderBy(group_col)
+    )
+
+
 def numeric_profile(
     df: DataFrame,
     cols: list[str],

@@ -388,3 +388,40 @@ def test_distribution_drift_allnull_auto_bounds(spark):
     nulls = spark.createDataFrame([(None,), (None,)], "x double")
     with pytest.raises(ValueError, match="non-null"):
         distribution_drift(ok, nulls, "x")
+
+def test_distribution_drift_grouped_matches_per_slice(spark):
+    from sparkglm_spark.operators.stats import (
+        distribution_drift,
+        distribution_drift_grouped,
+    )
+
+    rng = np.random.default_rng(61)
+    rows_r, rows_c = [], []
+    for g, (mu_r, mu_c) in {"a": (0.0, 0.0), "b": (0.0, 1.5)}.items():
+        rows_r += [(g, float(v)) for v in rng.normal(mu_r, 1, 800)]
+        rows_c += [(g, float(v)) for v in rng.normal(mu_c, 1, 700)]
+    rows_c += [("only_cur", 1.0), ("only_cur", 2.0)]  # one-sided group
+    ref = spark.createDataFrame(rows_r, "g string, x double").repartition(5)
+    cur = spark.createDataFrame(rows_c, "g string, x double").repartition(3)
+
+    got = {r.g: r for r in distribution_drift_grouped(
+        ref, cur, "x", "g", n_bins=8, lo=-4.0, hi=6.0
+    ).collect()}
+    assert set(got) == {"a", "b", "only_cur"}
+    for g in ("a", "b"):
+        want = distribution_drift(
+            ref.where(F.col("g") == g), cur.where(F.col("g") == g),
+            "x", n_bins=8, lo=-4.0, hi=6.0,
+        )
+        assert got[g].psi == pytest.approx(want["psi"], rel=1e-12), g
+        assert got[g].js_divergence == pytest.approx(
+            want["js_divergence"], rel=1e-12
+        ), g
+        assert (got[g].n_ref, got[g].n_cur) == (want["n_ref"], want["n_cur"])
+    # stable segment vs drifted segment ordering
+    assert got["a"].psi < 0.1 < got["b"].psi
+    # one-sided group: NULL metrics, not zero/inf
+    assert got["only_cur"].psi is None and got["only_cur"].n_ref is None
+
+    with pytest.raises(ValueError, match="explicit lo/hi"):
+        distribution_drift_grouped(ref, cur, "x", "g")
