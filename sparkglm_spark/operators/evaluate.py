@@ -70,7 +70,11 @@ def binary_classification_eval(
         F.sum(y).alias("n_pos"),
         F.sum(F.lit(1.0) - y).alias("n_neg"),
         F.sum((y != 0.0).cast("int") * (y != 1.0).cast("int")).alias("bad"),
-        F.sum(F.when(y.isNull() | p.isNull(), 1).otherwise(0)).alias("nulls"),
+        F.sum(
+            F.when(
+                y.isNull() | p.isNull() | F.isnan(y) | F.isnan(p), 1
+            ).otherwise(0)
+        ).alias("nulls"),
         (-F.avg(y * F.log(pc) + (F.lit(1.0) - y) * F.log(F.lit(1.0) - pc))).alias(
             "log_loss"
         ),
@@ -81,7 +85,7 @@ def binary_classification_eval(
         F.sum((F.lit(1.0) - pred_pos) * (F.lit(1.0) - y)).alias("tn"),
     ).collect()[0]
     if row["nulls"]:
-        raise ValueError(f"{row['nulls']} rows have null label/score")
+        raise ValueError(f"{row['nulls']} rows have null/NaN label/score")
     if row["bad"]:
         raise ValueError(f"labels must be 0/1 — {row['bad']} other values found")
     n = float(row["n"])
@@ -181,7 +185,11 @@ def regression_eval(
     nz = (y != 0.0).cast("double")
     row = base.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.when(y.isNull() | p.isNull(), 1).otherwise(0)).alias("nulls"),
+        F.sum(
+            F.when(
+                y.isNull() | p.isNull() | F.isnan(y) | F.isnan(p), 1
+            ).otherwise(0)
+        ).alias("nulls"),
         F.sum(e * e).alias("se2"),
         F.sum(abs_e).alias("sae"),
         F.sum(e).alias("se"),
@@ -192,7 +200,7 @@ def regression_eval(
         F.sum(F.when(y != 0.0, abs_e / F.abs(y)).otherwise(0.0)).alias("sape"),
     ).collect()[0]
     if row["nulls"]:
-        raise ValueError(f"{row['nulls']} rows have null label/prediction")
+        raise ValueError(f"{row['nulls']} rows have null/NaN label/prediction")
     n = float(row["n"])
     if n == 0:
         raise ValueError("empty input")
@@ -317,8 +325,11 @@ def lift_table(
     Tie-aware binning: scores are grouped to DISTINCT values first and a
     whole tie group lands in the bin where its cumulative row count ends
     (ceil(n_bins·cum_n/N)) — a tie group spanning a bin boundary is never
-    split (the deterministic convention; a huge tie group can leave
-    earlier bins empty, which is reported rather than padded).
+    split (the deterministic convention). A huge tie group can leave
+    earlier bins EMPTY; empty bins are PADDED with n = 0 rows carrying
+    the running cumulative (so the output always has exactly n_bins rows
+    and bins can be indexed positionally) with NULL response_rate/lift
+    (0/0 is undefined, not zero).
 
     Plan: the same distinct-score + DESCENDING range-partitioned prefix
     pass the ROC uses, one groupBy(bin) (≤ n_bins groups), cumulative
@@ -333,7 +344,11 @@ def lift_table(
     sc = base.groupBy("__p").agg(
         F.sum("__y").alias("pos"),
         F.count(F.lit(1)).cast("double").alias("cnt"),
-        F.sum(F.when(F.col("__y").isNull(), 1).otherwise(0)).alias("nulls"),
+        F.sum(
+            F.when(
+                F.col("__y").isNull() | F.isnan("__y"), 1
+            ).otherwise(0)
+        ).alias("nulls"),
     ).withColumn("__np", -F.col("__p"))
     # the distinct-score frame feeds both the totals probe and the prefix
     # pass — persist it (ReuseExchange does not fire across differing
@@ -344,14 +359,16 @@ def lift_table(
             F.sum("pos").alias("P"),
             F.sum("cnt").alias("N"),
             F.sum("nulls").alias("nulls"),
-            F.sum(F.when(F.col("__p").isNull(), F.col("cnt")).otherwise(0.0)).alias(
-                "null_scores"
-            ),
+            F.sum(
+                F.when(
+                    F.col("__p").isNull() | F.isnan("__p"), F.col("cnt")
+                ).otherwise(0.0)
+            ).alias("null_scores"),
         ).collect()[0]
         if float(totals["nulls"] or 0) or float(totals["null_scores"] or 0):
             raise ValueError(
-                "lift_table: null labels/scores present — clean the frame "
-                "first (nulls would silently skew response rates)"
+                "lift_table: null/NaN labels/scores present — clean the "
+                "frame first (they would silently skew response rates)"
             )
         p_tot = float(totals["P"] or 0.0)
         n_tot = float(totals["N"])
@@ -372,24 +389,31 @@ def lift_table(
     finally:
         sc.unpersist()
     overall = p_tot / n_tot
+    by_bin = {int(r["bin"]): r for r in parts}
     rows = []
     cum_n = cum_pos = 0.0
-    for r in sorted(parts, key=lambda r: r["bin"]):
-        n, npos = float(r["n"]), float(r["n_pos"])
+    for b in range(1, n_bins + 1):
+        r = by_bin.get(b)
+        n = float(r["n"]) if r is not None else 0.0
+        npos = float(r["n_pos"]) if r is not None else 0.0
         cum_n += n
         cum_pos += npos
-        rate = npos / n
+        rate = npos / n if n > 0 else None
         rows.append(
             (
-                int(r["bin"]),
+                b,
                 int(n),
                 int(npos),
                 rate,
-                rate / overall if overall > 0 else float("nan"),
+                (rate / overall if overall > 0 else float("nan"))
+                if rate is not None
+                else None,
                 int(cum_n),
                 int(cum_pos),
                 cum_pos / p_tot if p_tot > 0 else float("nan"),
-                (cum_pos / p_tot) / (cum_n / n_tot) if p_tot > 0 else float("nan"),
+                ((cum_pos / p_tot) / (cum_n / n_tot) if p_tot > 0 else float("nan"))
+                if cum_n > 0
+                else None,
             )
         )
     return df.sparkSession.createDataFrame(

@@ -453,14 +453,12 @@ def distribution_drift(
     import math
 
     if lo is None or hi is None:
-        b1 = ref.agg(
-            F.min(F.col(col).cast("double")).alias("lo"),
-            F.max(F.col(col).cast("double")).alias("hi"),
-        ).collect()[0]
-        b2 = cur.agg(
-            F.min(F.col(col).cast("double")).alias("lo"),
-            F.max(F.col(col).cast("double")).alias("hi"),
-        ).collect()[0]
+        # NaN-exclude in the bounds probe too: NaN sorts greatest in
+        # Spark, so a single NaN would make max() return NaN
+        cd = F.col(col).cast("double")
+        cv = F.when(~F.isnan(cd), cd)
+        b1 = ref.agg(F.min(cv).alias("lo"), F.max(cv).alias("hi")).collect()[0]
+        b2 = cur.agg(F.min(cv).alias("lo"), F.max(cv).alias("hi")).collect()[0]
         if b1["lo"] is None or b2["lo"] is None:
             raise ValueError(
                 "both frames need at least one non-null value to derive "
@@ -482,7 +480,10 @@ def distribution_drift(
             F.lit(n_bins - 1),
         )
         rows = (
-            df.where(c.isNotNull())
+            # ~isnan too: NaN passes isNotNull and floor(NaN).cast('int')
+            # would silently bin it into bin 0, inflating the lowest-bin
+            # proportion — the same exclusion _two_group_value_counts uses
+            df.where(c.isNotNull() & ~F.isnan(c))
             .groupBy(b.alias("bin"))
             .agg(F.count(F.lit(1)).cast("double").alias("n"))
             .collect()
@@ -569,7 +570,8 @@ def distribution_drift_grouped(
             F.lit(n_bins - 1),
         )
         return (
-            df.where(c.isNotNull() & F.col(group_col).isNotNull())
+            # ~isnan: NaN would otherwise floor-cast into bin 0 silently
+            df.where(c.isNotNull() & ~F.isnan(c) & F.col(group_col).isNotNull())
             .groupBy(F.col(group_col).alias("__g"), b.alias("__b"))
             .agg(F.count(F.lit(1)).cast("double").alias(cname))
         )

@@ -726,10 +726,17 @@ def concordance_index(
         F.count(F.lit(1)).alias("n"),
         F.sum("__e").alias("ne"),
         F.sum(
+            # NaN too: NaN risk forms its own distinct group (NaN == NaN
+            # in Spark grouping/joins) and NaN time sorts after all
+            # values, so unchecked NaN rows would silently join the pair
+            # counts
             F.when(
                 F.col("__t").isNull()
                 | F.col("__e").isNull()
-                | F.col("__r").isNull(),
+                | F.col("__r").isNull()
+                | F.isnan("__t")
+                | F.isnan("__e")
+                | F.isnan("__r"),
                 1,
             ).otherwise(0)
         ).alias("nulls"),
@@ -738,7 +745,7 @@ def concordance_index(
         ).alias("bad"),
     ).collect()[0]
     if chk["nulls"]:
-        raise ValueError(f"{chk['nulls']} rows have null time/event/risk")
+        raise ValueError(f"{chk['nulls']} rows have null/NaN time/event/risk")
     if chk["bad"]:
         raise ValueError("event_col must be 0/1")
     n, n_events = int(chk["n"]), int(float(chk["ne"]))
@@ -997,7 +1004,18 @@ def coxph_grouped(
         X = pdf[names].to_numpy(dtype=np.float64)
         n = len(t)
         res = None
-        if n >= k and np.all(np.isfinite(t)) and np.all((e == 0.0) | (e == 1.0)):
+        # NULL/NaN events arrive as NaN through Arrow; (e == 0)|(e == 1)
+        # is False for NaN, so such groups fall through to the degenerate
+        # NULL row — but n_events below must also be NaN-safe or
+        # int(e.sum()) raises inside the executor and aborts the job
+        e_valid = e[np.isfinite(e)]
+        if (
+            n >= k
+            and len(e_valid) == n
+            and np.all(np.isfinite(t))
+            and np.all(np.isfinite(X))
+            and np.all((e == 0.0) | (e == 1.0))
+        ):
             res = _cox_newton_dense(t, e, X, n_exact, tol, max_iter)
         cols = {c: [] for c in gcols}
         cols.update(
@@ -1015,7 +1033,7 @@ def coxph_grouped(
             cols["se"].append(float(se[i]) if se is not None else None)
             cols["loglik"].append(ll)
             cols["n_rows"].append(n)
-            cols["n_events"].append(int(e.sum()))
+            cols["n_events"].append(int(e_valid.sum()))
             cols["iterations"].append(it)
             cols["converged"].append(bool(conv))
         return pd.DataFrame(cols)

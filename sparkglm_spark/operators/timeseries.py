@@ -27,6 +27,17 @@ from pyspark.sql.window import Window
 _UNIT_SECONDS = {"hour": 3600, "day": 86400, "minute": 60}
 
 
+def _drop_null_values(df: DataFrame, value_expr) -> DataFrame:
+    """Family-wide null policy for the per-key smoothing operators
+    (ewma_latest / ewma_series / holt_series / holt_forecast and their
+    streaming twins): rows whose VALUE is null or NaN are DROPPED before
+    the fold — they carry no information for the smoothing state, and
+    letting them through would either bias the weight denominator
+    (ewma_latest) or NaN-poison the rest of the key's recursion (Holt).
+    A key whose values are all null/NaN disappears from the output."""
+    return df.where(value_expr.isNotNull() & ~F.isnan(value_expr))
+
+
 def resample_counts(
     df: DataFrame,
     ts_col: str,
@@ -205,9 +216,15 @@ def ewma_latest(
 
     Ordering ties: same-key same-ts rows get an arbitrary rank order.
     Pass `tiebreak_col` (e.g. an event id) for a total order — required
-    for deterministic results when duplicate timestamps exist."""
+    for deterministic results when duplicate timestamps exist.
+
+    NULL POLICY (family-wide — see `_drop_null_values`): rows with a
+    null/NaN value are dropped before ranking; `n_events` and `last_ts`
+    count only retained rows; an all-null key is absent from the
+    output."""
     if not 0.0 < alpha < 1.0:
         raise ValueError(f"alpha must be in (0, 1), got {alpha!r}")
+    df = _drop_null_values(df, F.col(value_col).cast("double"))
     order = [F.col(ts_col).desc()]
     if tiebreak_col is not None:
         order.append(F.col(tiebreak_col).desc())
@@ -247,11 +264,17 @@ def ewma_series(
     Arrow-batched `applyInPandas` per key — the standard shape for
     per-entity stateful passes (each key's history must fit one executor's
     Arrow batch; keys are independent, so 100 TB of keys parallelizes).
-    Appends `output_col` to (key, ts, value) rows."""
+    Appends `output_col` to (key, ts, value) rows.
+
+    NULL POLICY (family-wide — see `_drop_null_values`): rows with a
+    null/NaN value are dropped before the fold (they are NOT in the
+    output and do not advance the EWMA state); an all-null key is
+    absent from the output."""
     import pandas as pd
 
     if not 0.0 < alpha < 1.0:
         raise ValueError(f"alpha must be in (0, 1), got {alpha!r}")
+    df = _drop_null_values(df, F.col(value_col).cast("double"))
     base = df.select(
         F.col(key_col),
         F.col(ts_col).alias("__ts"),
@@ -302,7 +325,13 @@ def holt_series(
     The recursion is sequential PER KEY (like `ewma_series`): one
     Arrow-batched applyInPandas pass — each key's history in one batch,
     keys parallelize. Rows are ordered by (ts[, tiebreak]); pass the
-    tiebreaker when duplicate timestamps exist."""
+    tiebreaker when duplicate timestamps exist.
+
+    NULL POLICY (family-wide — see `_drop_null_values`): rows with a
+    null/NaN value are dropped before the fold — a null no longer
+    NaN-poisons the rest of the key's level/trend trajectory; dropped
+    rows are NOT in the output, and the init (l₁ = x₁, b₁ = x₂ − x₁)
+    uses the first two RETAINED values."""
     import numpy as np
     import pandas as pd
 
@@ -310,6 +339,7 @@ def holt_series(
         raise ValueError(f"alpha must be in (0, 1), got {alpha!r}")
     if not 0.0 < beta < 1.0:
         raise ValueError(f"beta must be in (0, 1), got {beta!r}")
+    df = _drop_null_values(df, F.col(value_col).cast("double"))
     sort_cols = ["__ts"] + (["__tb"] if tiebreak_col else [])
     base = df.select(
         F.col(key_col),
@@ -371,7 +401,11 @@ def holt_forecast(
     ŷ_{T+h} = l_T + h·b_T — one row per key with (n_events, level,
     trend, forecast_<h>…). Same per-key sequential pass as
     `holt_series`, reduced to the last state inside the batch so the
-    output is one compact row per key."""
+    output is one compact row per key.
+
+    NULL POLICY (family-wide — see `_drop_null_values`): rows with a
+    null/NaN value are dropped before the fold; `n_events` counts only
+    retained rows; an all-null key is absent from the output."""
     import numpy as np
     import pandas as pd
 
@@ -383,6 +417,7 @@ def holt_forecast(
         raise ValueError(f"alpha must be in (0, 1), got {alpha!r}")
     if not 0.0 < beta < 1.0:
         raise ValueError(f"beta must be in (0, 1), got {beta!r}")
+    df = _drop_null_values(df, F.col(value_col).cast("double"))
     hs = [int(h) for h in horizons]
     sort_cols = ["__ts"] + (["__tb"] if tiebreak_col else [])
     base = df.select(

@@ -388,7 +388,11 @@ def ewma_state_stream(
     micro-batch, and in arrival order across batches. A row arriving
     after a later-ts row already folded is folded late (weighted as
     newest) — the standard streaming-EWMA caveat; use the batch
-    `ewma_latest` for out-of-order backfills."""
+    `ewma_latest` for out-of-order backfills.
+
+    NULL POLICY (family-wide — `operators.timeseries._drop_null_values`):
+    rows with a null/NaN value are dropped before the fold, exactly as
+    in the batch twin, so streaming ≡ batch holds on dirty data too."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -431,6 +435,9 @@ def ewma_state_stream(
     )
     decay = 1.0 - alpha
     sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    from sparkglm_spark.operators.timeseries import _drop_null_values
+
+    events = _drop_null_values(events, F.col(value_col).cast("double"))
 
     def update(key, pdfs, state: GroupState):
         num, den, n, last = (
@@ -506,7 +513,13 @@ def holt_state_stream(
 
     Emits the key's updated (n_events, level, trend, forecast_1 =
     level + trend, last_ts_micros) per micro-batch ('update' mode); the
-    last update per key equals `holt_forecast` once the stream drains."""
+    last update per key equals `holt_forecast` once the stream drains.
+
+    NULL POLICY (family-wide — `operators.timeseries._drop_null_values`):
+    rows with a null/NaN value are dropped before the fold — a null in
+    one micro-batch no longer NaN-poisons the key's carried (level,
+    trend) state for every later batch; streaming ≡ batch on dirty
+    data."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -552,6 +565,9 @@ def holt_state_stream(
         ]
     )
     sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    from sparkglm_spark.operators.timeseries import _drop_null_values
+
+    events = _drop_null_values(events, F.col(value_col).cast("double"))
 
     def update(key, pdfs, state: GroupState):
         lvl, trd, n, last = (

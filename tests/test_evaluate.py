@@ -314,3 +314,56 @@ def test_lift_table_rejects_nulls(spark):
     )
     with pytest.raises(ValueError, match="null"):
         lift_table(df2, "y", "p")
+
+
+def test_eval_rejects_nan(spark):
+    """ADVICE r8: NaN passed isNull and silently propagated into every
+    metric (regression_eval) / silently ranked top (classification).
+    Both evals and lift_table must reject NaN like null."""
+    from sparkglm_spark.operators.evaluate import (
+        binary_classification_eval,
+        lift_table,
+        regression_eval,
+    )
+
+    nan = float("nan")
+    reg = spark.createDataFrame(
+        [(1.0, 1.1), (2.0, nan), (3.0, 2.9)], "y double, p double"
+    )
+    with pytest.raises(ValueError, match="NaN"):
+        regression_eval(reg, "y", "p")
+    clf = spark.createDataFrame(
+        [(1.0, 0.9), (0.0, nan), (1.0, 0.7)], "y double, p double"
+    )
+    with pytest.raises(ValueError, match="NaN"):
+        binary_classification_eval(clf, "y", "p")
+    with pytest.raises(ValueError, match="NaN"):
+        lift_table(clf, "y", "p", n_bins=2)
+    lab = spark.createDataFrame(
+        [(nan, 0.9), (0.0, 0.5), (1.0, 0.7)], "y double, p double"
+    )
+    with pytest.raises(ValueError, match="NaN"):
+        lift_table(lab, "y", "p", n_bins=2)
+
+
+def test_lift_table_pads_empty_bins(spark):
+    """ADVICE r8: a huge tie group used to leave earlier bins ABSENT;
+    they must be padded with n=0 rows carrying the running cumulative so
+    the output always has exactly n_bins positionally-indexable rows."""
+    from sparkglm_spark.operators.evaluate import lift_table
+
+    # 90 rows tied at score 0.5 (30 positive) + 10 rows at 0.9 (all
+    # positive): the 0.9 group ends at cum 10 -> bin 1; the tie group
+    # ends at cum 100 -> bin 4; bins 2 and 3 are empty.
+    rows = [(1.0, 0.9)] * 10 + [(1.0, 0.5)] * 30 + [(0.0, 0.5)] * 60
+    df = spark.createDataFrame(rows, "y double, p double")
+    out = lift_table(df, "y", "p", n_bins=4).orderBy("bin").collect()
+    assert [r.bin for r in out] == [1, 2, 3, 4]
+    assert [r.n for r in out] == [10, 0, 0, 90]
+    assert [r.cum_n for r in out] == [10, 10, 10, 100]
+    assert [r.cum_pos for r in out] == [10, 10, 10, 40]
+    for r in out[1:3]:  # padded bins: NULL rate/lift, cumulative carried
+        assert r.response_rate is None and r.lift is None
+        assert r.cum_gain == pytest.approx(10 / 40)
+        assert r.cum_lift == pytest.approx((10 / 40) / (10 / 100))
+    assert out[3].cum_gain == pytest.approx(1.0)

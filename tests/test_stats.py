@@ -425,3 +425,42 @@ def test_distribution_drift_grouped_matches_per_slice(spark):
 
     with pytest.raises(ValueError, match="explicit lo/hi"):
         distribution_drift_grouped(ref, cur, "x", "g")
+
+
+def test_distribution_drift_excludes_nan(spark):
+    """ADVICE r8: NaN passed the isNotNull filter and floor(NaN) binned
+    it into bin 0, silently inflating the lowest-bin proportion. NaN
+    rows must be excluded exactly like nulls — in the bin counts AND in
+    the auto-bounds probe (NaN sorts greatest, so max() would be NaN)."""
+    from sparkglm_spark.operators.stats import (
+        distribution_drift,
+        distribution_drift_grouped,
+    )
+
+    nan = float("nan")
+    ref = spark.createDataFrame(
+        [(float(i % 10),) for i in range(100)] + [(nan,)] * 50 + [(None,)] * 5,
+        "x double",
+    )
+    cur = spark.createDataFrame(
+        [(float((i % 10) + 0.5),) for i in range(80)] + [(nan,)] * 30,
+        "x double",
+    )
+    clean_ref = ref.where(~F.isnan("x"))
+    clean_cur = cur.where(~F.isnan("x"))
+    got = distribution_drift(ref, cur, "x", n_bins=5)  # auto bounds
+    want = distribution_drift(clean_ref, clean_cur, "x", n_bins=5)
+    assert got == want
+    assert got["n_ref"] == 100 and got["n_cur"] == 80
+    assert got["hi"] == 9.5  # not NaN-poisoned
+
+    refg = ref.withColumn("g", (F.lit(1)).cast("int"))
+    curg = cur.withColumn("g", (F.lit(1)).cast("int"))
+    gg = distribution_drift_grouped(
+        refg, curg, "x", "g", n_bins=5, lo=0.0, hi=9.5
+    ).collect()[0]
+    assert gg.n_ref == 100 and gg.n_cur == 80
+    assert gg.psi == pytest.approx(
+        distribution_drift(clean_ref, clean_cur, "x", 5, lo=0.0, hi=9.5)["psi"],
+        rel=1e-12,
+    )

@@ -823,3 +823,76 @@ def test_holt_state_stream_guards(spark, events):
 
     with pytest.raises(ValueError, match="streaming"):
         holt_state_stream(events, "user_id", "ts", "value", 0.5, 0.5)
+
+
+def test_smoothing_streams_drop_null_values(spark):
+    """Family null policy in the STREAMING twins: a null/NaN value in a
+    micro-batch is dropped before the fold (it would otherwise
+    NaN-poison the key's carried state for every later batch), so the
+    final state equals the batch operator over the same dirty frame."""
+    from sparkglm_spark.operators.timeseries import ewma_latest, holt_forecast
+    from sparkglm_spark.streaming.events import (
+        ewma_state_stream,
+        holt_state_stream,
+    )
+
+    vals = [3.0, None, 7.0, float("nan"), 4.0, 9.0]
+    rows = [
+        (i, f"2024-01-01 00:00:{i:02d}", "k", v) for i, v in enumerate(vals)
+    ]
+    raw = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id string, value double"
+    ).select(
+        "event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+        "user_id", "value",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        os.makedirs(src)
+        # null lands in its own micro-batch: rows 0-1 / 2-3 / 4-5
+        for i in range(3):
+            raw.where(
+                (F.col("event_id") >= 2 * i) & (F.col("event_id") < 2 * i + 2)
+            ).coalesce(1).write.parquet(os.path.join(src, f"b{i}.parquet"))
+        stream_in = (
+            spark.readStream.schema(raw.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*.parquet"))
+        )
+        hq = (
+            holt_state_stream(
+                stream_in, "user_id", "ts", "value", 0.4, 0.3,
+                tiebreak_col="event_id",
+            )
+            .writeStream.format("memory").queryName("holt_null")
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(d, "ck1"))
+            .trigger(availableNow=True).start()
+        )
+        hq.awaitTermination(180)
+        eq = (
+            ewma_state_stream(
+                stream_in, "user_id", "ts", "value", 0.5,
+                tiebreak_col="event_id",
+            )
+            .writeStream.format("memory").queryName("ewma_null")
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(d, "ck2"))
+            .trigger(availableNow=True).start()
+        )
+        eq.awaitTermination(180)
+        h = spark.sql(
+            "SELECT max_by(named_struct('n', n_events, 'l', level, 't', trend),"
+            " n_events) AS w FROM holt_null"
+        ).collect()[0].w
+        e = spark.sql(
+            "SELECT max_by(named_struct('n', n_events, 'e', ewma), n_events)"
+            " AS w FROM ewma_null"
+        ).collect()[0].w
+    hb = holt_forecast(raw, "user_id", "ts", "value", 0.4, 0.3).collect()[0]
+    eb = ewma_latest(raw, "user_id", "ts", "value", 0.5).collect()[0]
+    assert h["n"] == hb.n_events == 4
+    assert h["l"] == pytest.approx(hb.level, rel=1e-12)
+    assert h["t"] == pytest.approx(hb.trend, rel=1e-12)
+    assert e["n"] == eb.n_events == 4
+    assert e["e"] == pytest.approx(eb.ewma, rel=1e-12)

@@ -884,3 +884,41 @@ def test_weibull_aft_few_events_and_empty_guards(spark):
     empty = spark.createDataFrame([], "t double, ev double, x double")
     with pytest.raises(ValueError, match="empty"):
         weibull_aft(empty, "t", "ev", ["x"])
+
+
+def test_survival_nan_guards(spark):
+    """ADVICE r8: NaN time/event/risk rows silently joined the
+    concordance pair counts (NaN forms its own group and sorts last);
+    and a NULL/NaN event inside coxph_grouped aborted the whole job via
+    int(nan). cindex must raise; grouped cox must emit the degenerate
+    NULL row with n_events over valid rows."""
+    import math
+
+    from sparkglm_spark.operators.survival import (
+        concordance_index,
+        coxph_grouped,
+    )
+
+    nan = float("nan")
+    bad = spark.createDataFrame(
+        [(5.0, 1.0, 0.3), (3.0, 0.0, nan), (2.0, 1.0, 0.9)],
+        "t double, e double, r double",
+    )
+    with pytest.raises(ValueError, match="NaN"):
+        concordance_index(bad, "t", "e", "r")
+
+    rng = __import__("numpy").random.default_rng(7)
+    rows = []
+    for g, dirty in (("ok", False), ("dirty", True)):
+        for i in range(40):
+            x = float(rng.normal())
+            t = float(rng.exponential(math.exp(-0.5 * x)) + 0.01)
+            e = None if (dirty and i == 0) else float(i % 2)
+            rows.append((g, t, e, x))
+    df = spark.createDataFrame(rows, "g string, t double, e double, x double")
+    out = {r.g: r for r in coxph_grouped(df, "t", "e", ["x"], ["g"]).collect()}
+    assert out["ok"].estimate is not None and out["ok"].converged
+    assert out["dirty"].estimate is None and not out["dirty"].converged
+    assert out["dirty"].n_events == sum(
+        1 for g, _, e, _ in rows if g == "dirty" and e == 1.0
+    )

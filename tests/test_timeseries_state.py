@@ -282,3 +282,57 @@ def test_holt_single_row_key(spark):
     assert r.level == 7.0 and r.trend == 0.0
     f = holt_forecast(df, "k", "ts", "v", 0.5, 0.5, horizons=[3]).collect()[0]
     assert f.forecast_3 == 7.0
+
+
+def test_smoothing_family_null_policy(spark):
+    """Family-wide null policy (VERDICT r8 defect): a null/NaN value row
+    is DROPPED before the fold — it neither appears in the output nor
+    NaN-poisons the rest of the key's recursion — consistently across
+    ewma_latest / ewma_series / holt_series / holt_forecast."""
+    import numpy as np
+
+    from sparkglm_spark.operators.timeseries import (
+        ewma_latest,
+        ewma_series,
+        holt_forecast,
+        holt_series,
+    )
+
+    vals = [3.0, None, 7.0, float("nan"), 4.0, 9.0]
+    rows = [("k", f"2024-01-01 00:00:{i:02d}", v) for i, v in enumerate(vals)]
+    rows += [("allnull", f"2024-01-01 00:00:{i:02d}", None) for i in range(3)]
+    df = spark.createDataFrame(
+        rows, "k string, ts_s string, v double"
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"), "v")
+    kept = [3.0, 7.0, 4.0, 9.0]
+
+    hs = holt_series(df, "k", "ts", "v", 0.4, 0.3).orderBy("ts").collect()
+    assert [r.k for r in hs] == ["k"] * 4  # all-null key absent, nulls gone
+    lvl = [kept[0]]
+    trd = [kept[1] - kept[0]]
+    for x in kept[1:]:
+        f = lvl[-1] + trd[-1]
+        lvl.append(0.4 * x + 0.6 * f)
+        trd.append(0.3 * (lvl[-1] - lvl[-2]) + 0.7 * trd[-1])
+    np.testing.assert_allclose([r.level for r in hs], lvl, rtol=1e-12)
+    np.testing.assert_allclose([r.trend for r in hs], trd, rtol=1e-12)
+    assert not any(np.isnan(r.level) for r in hs)  # the r8 poison bug
+
+    fc = holt_forecast(df, "k", "ts", "v", 0.4, 0.3, horizons=[2]).collect()
+    assert [r.k for r in fc] == ["k"]
+    assert fc[0].n_events == 4
+    assert fc[0].forecast_2 == pytest.approx(lvl[-1] + 2 * trd[-1], rel=1e-12)
+
+    es = ewma_series(df, "k", "ts", "v", 0.5).orderBy("ts").collect()
+    assert [r.k for r in es] == ["k"] * 4
+    s = [kept[0]]
+    for x in kept[1:]:
+        s.append(0.5 * x + 0.5 * s[-1])
+    np.testing.assert_allclose([r.ewma for r in es], s, rtol=1e-12)
+
+    el = ewma_latest(df, "k", "ts", "v", 0.5).collect()
+    assert [r.k for r in el] == ["k"]
+    assert el[0].n_events == 4
+    w = [0.5**i for i in range(4)]  # rank 0 = newest retained row
+    want = sum(wi * x for wi, x in zip(w, reversed(kept))) / sum(w)
+    assert el[0].ewma == pytest.approx(want, rel=1e-12)
