@@ -4785,12 +4785,71 @@ def q_events_timeseries_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("v1"),
         F.round("ewma", 6).alias("x"),
     )
+    # r9: per-user Holt end state + 3-step forecast (operators/timeseries
+    # ::holt_forecast). The recursion is deterministic given the
+    # (ts, event_id) total order, so DuckDB replays it exactly in a
+    # recursive CTE; α=0.5/β=0.25 are DYADIC, so every fold op
+    # (x·α, (l+b)·(1−α), …) is the same IEEE expression tree in both
+    # engines → bit-identical state, ROUND 6 is belt-and-braces.
+    from sparkglm_spark.operators.timeseries import holt_forecast
+
+    holt = (
+        holt_forecast(
+            ev, "user_id", "ts", "value", alpha=0.5, beta=0.25,
+            horizons=[3], tiebreak_col="event_id",
+        )
+        .select(
+            F.col("user_id").cast("string").alias("k1"),
+            F.col("n_events").cast("bigint").alias("n1"),
+            F.expr(
+                "stack(3, 'holt_lvl', level, 'holt_trd', trend,"
+                " 'holt_fc3', forecast_3) AS (op, xraw)"
+            ),
+        )
+        .select(
+            "op",
+            "k1",
+            F.lit(None).cast("string").alias("k2"),
+            "n1",
+            F.lit(None).cast("bigint").alias("n2"),
+            F.lit(None).cast("string").alias("v1"),
+            F.round("xraw", 6).alias("x"),
+        )
+    )
     return (
-        resample.unionByName(latest).unionByName(rolling).unionByName(ewma)
+        resample.unionByName(latest)
+        .unionByName(rolling)
+        .unionByName(ewma)
+        .unionByName(holt)
     )
 
 
 SQL_EVENTS_TIMESERIES_OPS = f"""
+WITH RECURSIVE hranked AS (
+  SELECT user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
+), hstate(user_id, rn, n, lvl, trd) AS (
+  -- Holt init identity: after x2 the state is (x2, x2 - x1)
+  SELECT r2.user_id, CAST(2 AS BIGINT), r2.n, r2.value, r2.value - r1.value
+  FROM hranked r1
+  JOIN hranked r2 ON r1.user_id = r2.user_id AND r1.rn = 1 AND r2.rn = 2
+  UNION ALL
+  -- the SAME IEEE expression tree as the operator's numpy fold
+  SELECT h.user_id, h.rn + 1, h.n,
+         0.5 * r.value + 0.5 * (h.lvl + h.trd),
+         0.25 * ((0.5 * r.value + 0.5 * (h.lvl + h.trd)) - h.lvl)
+           + 0.75 * h.trd
+  FROM hstate h
+  JOIN hranked r ON r.user_id = h.user_id AND r.rn = h.rn + 1
+), hfinal AS (
+  SELECT user_id, n, lvl, trd FROM hstate WHERE rn = n
+  UNION ALL
+  SELECT user_id, n, value, 0.0 FROM hranked WHERE n = 1
+)
 SELECT 'resample' AS op, event_type AS k1, day AS k2,
        n_events AS n1, days_in_window AS n2,
        CAST(mov_sum AS VARCHAR) AS v1, mov_avg AS x
@@ -4811,8 +4870,21 @@ FROM (
   SELECT user_id, ts, value,
          POWER(0.7, ROW_NUMBER() OVER (
            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) - 1) AS w
-  FROM events) e
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)) e
 GROUP BY user_id
+UNION ALL
+SELECT 'holt_lvl', CAST(user_id AS VARCHAR), NULL, n, NULL, NULL,
+       ROUND(lvl, 6)
+FROM hfinal
+UNION ALL
+SELECT 'holt_trd', CAST(user_id AS VARCHAR), NULL, n, NULL, NULL,
+       ROUND(trd, 6)
+FROM hfinal
+UNION ALL
+SELECT 'holt_fc3', CAST(user_id AS VARCHAR), NULL, n, NULL, NULL,
+       ROUND(lvl + 3 * trd, 6)
+FROM hfinal
 """
 
 
@@ -4970,10 +5042,98 @@ def q_similarity_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q_abs_sum").alias("n2"),
         F.col("sse").alias("x"),
     )
-    return topk.unionByName(quant)
+    # r9: ANN recall evaluation (operators/similarity.py::ann_recall) —
+    # recall@3 of the int8-quantized top-k against the float brute-force
+    # top-k over the same pinned queries. Both lists are deterministic
+    # (rank ties break by neighbor id; the int8 codes are bit-identical
+    # across engines — already pinned by the quantize arm), so the
+    # intersection COUNTS are exact integers; macro/micro recall are
+    # round-6 ratios of those integers (both engines divide the same
+    # ints — no accumulation-order hazard beyond the 50-term macro mean,
+    # whose k/150-family values sit ≥1.6e-7 from any 6dp boundary).
+    from sparkglm_spark.operators.similarity import (
+        ann_recall,
+        cosine_topk,
+        cosine_topk_quantized,
+        quantize_int8,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 50)
+    exact = cosine_topk(emb, queries, k=3)
+    approx = cosine_topk_quantized(quantize_int8(emb), queries, k=3)
+    rec = ann_recall(exact, approx)
+    annrows = spark.createDataFrame(
+        [
+            ("annrec_nq", None, None, None, rec["n_queries"], None, None),
+            ("annrec_exact", None, None, None, rec["n_exact_pairs"], None, None),
+            ("annrec_hits", None, None, None, rec["n_hits"], None, None),
+            (
+                "annrec_macro", None, None, None, None, None,
+                round(rec["macro_recall"], 6),
+            ),
+            (
+                "annrec_micro", None, None, None, None, None,
+                round(rec["micro_recall"], 6),
+            ),
+        ],
+        "op string, k1 bigint, k2 bigint, v1 double, n1 bigint, n2 bigint,"
+        " x double",
+    )
+    return topk.unionByName(quant).unionByName(annrows)
 
 
 SQL_SIMILARITY_OPS = f"""
+WITH annqc AS (
+  -- int8 quantization replay (same arithmetic as the quantize arm)
+  SELECT vec_id, x,
+         list_max(list_transform(x, a -> abs(a))) / 127.0 AS scale
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+        WHERE len(embedding) > 0)),
+annrec0 AS (
+  SELECT vec_id, scale,
+         CASE WHEN isnan(scale) OR isinf(scale) THEN NULL
+              WHEN scale > 0
+              THEN list_transform(x, a -> CAST(round(a / scale) AS TINYINT))
+              ELSE list_transform(x, a -> CAST(0 AS TINYINT)) END AS qv
+  FROM annqc),
+annrecon AS (
+  SELECT vec_id, list_transform(qv, a -> a * scale) AS r
+  FROM annrec0 WHERE qv IS NOT NULL),
+anncn AS (
+  SELECT vec_id,
+         list_transform(r, a ->
+           a / GREATEST(sqrt(list_dot_product(r, r)), 1e-12)) AS u
+  FROM annrecon),
+annqn AS (
+  SELECT vec_id,
+         list_transform(x, a ->
+           a / GREATEST(sqrt(list_dot_product(x, x)), 1e-12)) AS u
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+        WHERE vec_id < 50)),
+annatop AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_dot_product(q.u, c.u) DESC, c.vec_id ASC) AS rk
+    FROM annqn q, anncn c WHERE q.vec_id <> c.vec_id)
+  WHERE rk <= 3),
+annperq AS (
+  SELECT e.query_id, count(*) AS ne,
+         SUM(CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END) AS h
+  FROM (SELECT query_id, neighbor_id FROM ({SQL_SIMILARITY_TOPK}) b
+        WHERE method = 'brute') e
+  LEFT JOIN annatop a
+    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY e.query_id),
+annagg AS (
+  SELECT CAST(count(*) AS BIGINT) AS nq,
+         CAST(SUM(ne) AS BIGINT) AS ex_pairs,
+         CAST(SUM(h) AS BIGINT) AS hits,
+         ROUND(AVG(CAST(h AS DOUBLE) / ne), 6) AS macro,
+         ROUND(CAST(SUM(h) AS DOUBLE) / SUM(ne), 6) AS micro
+  FROM annperq)
 SELECT method AS op, query_id AS k1, neighbor_id AS k2, cosine AS v1,
        CAST(rank AS BIGINT) AS n1, CAST(NULL AS BIGINT) AS n2,
        CAST(NULL AS DOUBLE) AS x
@@ -4981,6 +5141,16 @@ FROM ({SQL_SIMILARITY_TOPK}) t
 UNION ALL
 SELECT 'quantize', vec_id, NULL, scale, q_sum, q_abs_sum, sse
 FROM ({SQL_EMBEDDINGS_QUANTIZE}) q
+UNION ALL
+SELECT 'annrec_nq', NULL, NULL, NULL, nq, NULL, NULL FROM annagg
+UNION ALL
+SELECT 'annrec_exact', NULL, NULL, NULL, ex_pairs, NULL, NULL FROM annagg
+UNION ALL
+SELECT 'annrec_hits', NULL, NULL, NULL, hits, NULL, NULL FROM annagg
+UNION ALL
+SELECT 'annrec_macro', NULL, NULL, NULL, NULL, NULL, macro FROM annagg
+UNION ALL
+SELECT 'annrec_micro', NULL, NULL, NULL, NULL, NULL, micro FROM annagg
 """
 
 
