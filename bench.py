@@ -404,10 +404,12 @@ def main() -> None:
     W("stats_suite", run_stats_suite)
 
     # r8: exact distributed Harrell's C over ~150k rows / ~75k event
-    # times — the bucket-decomposition's probe grid (E×64 compact rows
-    # through per-bucket windows) plus 64 within-bucket Fenwick passes;
+    # times — the bucket-decomposition's probe grid (E×B compact rows
+    # through per-bucket windows) plus B within-bucket Fenwick passes;
     # the heaviest new evaluation plan, benched so regressions in the
-    # probe-grid stages are attributable
+    # probe-grid stages are attributable. r9: buckets auto-size from the
+    # row count (ceil(n/50k) clamped to [16, 4096] → 16 here, a 4×
+    # narrower probe grid than the old fixed 64).
     from sparkglm_spark.operators.survival import concordance_index
 
     ci_scored = cox_in.withColumn(
@@ -415,7 +417,7 @@ def main() -> None:
     )
 
     def run_cindex():
-        concordance_index(ci_scored, "t", "ev", "risk_score", n_buckets=64)
+        concordance_index(ci_scored, "t", "ev", "risk_score")
 
     W("cindex", run_cindex)
 

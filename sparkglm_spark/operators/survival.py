@@ -672,12 +672,15 @@ def _bucket_pair_stats(pdf_t, pdf_e, pdf_r):
     return conc, ties
 
 
+_CINDEX_ROWS_PER_BUCKET = 50_000
+
+
 def concordance_index(
     df: DataFrame,
     time_col: str,
     event_col: str,
     risk_col: str,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
     time_bucket: float | None = None,
 ) -> dict:
     """Harrell's concordance index — the standard discrimination measure
@@ -707,7 +710,13 @@ def concordance_index(
         so the driver sees B partial rows;
       - #comparable = Σ_events #(t_j > t_i) from the same probe grid.
     `n_buckets` trades the per-task batch size (≈ n/B rows) against the
-    probe-grid width — any value gives the same exact answer.
+    probe-grid width — any value gives the same exact answer. The
+    default (None) SIZES ITSELF from the validation pass's row count
+    (the same data-driven-knob convention as `huber_lm`'s
+    `median_mode="auto"` and the union-find probe): B = ceil(n /
+    50k rows-per-bucket), clamped to [16, 4096] — small inputs get a
+    narrow probe grid, 1e9-row inputs still cap each within-bucket
+    Fenwick batch at a few hundred-k rows. Pass an int to override.
     `time_bucket` floors the time axis first (changes the statistic by
     coarsening ties, exactly as in `coxph`).
 
@@ -715,7 +724,7 @@ def concordance_index(
     """
     from pyspark.sql import Window, types as T
 
-    if n_buckets < 1:
+    if n_buckets is not None and n_buckets < 1:
         raise ValueError("n_buckets must be >= 1")
     base = df.select(
         _time_expr(time_col, time_bucket).alias("__t"),
@@ -751,6 +760,9 @@ def concordance_index(
     n, n_events = int(chk["n"]), int(float(chk["ne"]))
     if n_events == 0:
         raise ValueError("no events — no comparable pairs")
+    if n_buckets is None:
+        # auto-size from the count the validation agg already paid for
+        n_buckets = min(4096, max(16, -(-n // _CINDEX_ROWS_PER_BUCKET)))
 
     # bucket distinct risks by cumulative count (tie groups never split)
     rsc = base.groupBy("__r").agg(F.count(F.lit(1)).cast("double").alias("rc"))

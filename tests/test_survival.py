@@ -922,3 +922,26 @@ def test_survival_nan_guards(spark):
     assert out["dirty"].n_events == sum(
         1 for g, _, e, _ in rows if g == "dirty" and e == 1.0
     )
+
+
+def test_concordance_index_auto_buckets(spark, monkeypatch):
+    """VERDICT r8 #4: n_buckets=None sizes itself from the validation
+    count (ceil(n / rows-per-bucket), clamped to [16, 4096]); any bucket
+    count is exact, so the auto path must agree with explicit ones."""
+    import sparkglm_spark.operators.survival as sv
+
+    rows = [
+        (float(1 + (i * 7) % 97), float(i % 2), float((i * 13) % 31))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "t double, ev double, r double")
+    auto = sv.concordance_index(df, "t", "ev", "r")
+    # n=200 with the default 50k target clamps to the 16-bucket floor
+    assert auto == sv.concordance_index(df, "t", "ev", "r", n_buckets=16)
+    # shrink the target so auto lands strictly between the clamps
+    monkeypatch.setattr(sv, "_CINDEX_ROWS_PER_BUCKET", 9)
+    mid = sv.concordance_index(df, "t", "ev", "r")  # ceil(200/9) = 23
+    assert mid == sv.concordance_index(df, "t", "ev", "r", n_buckets=23)
+    assert mid["c_index"] == auto["c_index"]
+    with pytest.raises(ValueError, match="n_buckets"):
+        sv.concordance_index(df, "t", "ev", "r", n_buckets=0)
