@@ -615,3 +615,147 @@ def holt_state_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def drift_state_stream(
+    events: DataFrame,
+    value_col: str,
+    reference: dict,
+    group_col: str | None = None,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Streaming twin of `operators.stats.distribution_drift` — the
+    production drift monitor: PSI/JS of the LIVE stream's running
+    distribution against a FIXED reference histogram, updated every
+    micro-batch.
+
+    `reference` is the dict `distribution_drift` returns (its `lo`,
+    `hi`, `n_bins` and per-bin `p_ref` proportions are used), so the
+    deployment story is: profile the training/reference frame once in
+    batch, then monitor the serving stream against that snapshot.
+    Because the bins are FIXED equal-width over [lo, hi] (exactly why
+    `distribution_drift` requires fixed bounds for monitoring), the
+    fold is exact: state is one bigint count per bin, micro-batch
+    counts add (vectorized bincount per batch), and after any replay
+    the metrics equal the batch `distribution_drift` over the union of
+    the arrived data — asserted in tests. State per group: n_bins
+    longs, O(1) forever.
+
+    `group_col=None` monitors the whole stream (a single state task —
+    fine for one metric; the per-batch work is a bincount). Pass
+    `group_col` for per-segment monitors (each segment folds in
+    parallel — the streaming face of `distribution_drift_grouped`).
+
+    NULL POLICY (family-wide — `operators.timeseries._drop_null_values`):
+    null/NaN values are dropped before binning, exactly as the batch
+    operator excludes them from its bin counts.
+
+    Emits (group?, n_cur, psi, js_divergence) per micro-batch in
+    'update' mode."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    if eps <= 0:
+        raise ValueError("eps must be > 0")
+    for key in ("lo", "hi", "n_bins", "bins"):
+        if key not in reference:
+            raise ValueError(
+                "reference must be a distribution_drift() result dict "
+                f"(missing {key!r})"
+            )
+    if not events.isStreaming:
+        raise ValueError("input must be a streaming DataFrame (readStream)")
+    lo = float(reference["lo"])
+    hi = float(reference["hi"])
+    n_bins = int(reference["n_bins"])
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+    p_ref = [0.0] * n_bins
+    for b in reference["bins"]:
+        p_ref[int(b["bin"])] = float(b["p_ref"])
+    span = hi - lo
+    in_fields = {f.name: f for f in events.schema.fields}
+    need = ([group_col] if group_col else []) + [value_col]
+    missing = [c for c in need if c not in in_fields]
+    if missing:
+        raise ValueError(
+            f"drift_state_stream: columns {missing} not in input schema "
+            f"{sorted(in_fields)}"
+        )
+    out_schema = StructType(
+        ([in_fields[group_col]] if group_col else [])
+        + [
+            StructField("n_cur", LongType()),
+            StructField("psi", DoubleType()),
+            StructField("js_divergence", DoubleType()),
+        ]
+    )
+    state_schema = StructType([StructField("counts", ArrayType(LongType()))])
+
+    def update(key, pdfs, state: GroupState):
+        counts = (
+            np.array(state.get[0], dtype=np.int64)
+            if state.exists
+            else np.zeros(n_bins, dtype=np.int64)
+        )
+        got = False
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            got = True
+            x = pdf[value_col].to_numpy(dtype=np.float64)
+            # the batch operator's binning expression, replayed on the
+            # same doubles: floor((x - lo) / (hi - lo) * n_bins), clamped
+            b = np.floor((x - lo) / span * n_bins)
+            b = np.clip(b, 0, n_bins - 1).astype(np.int64)
+            counts += np.bincount(b, minlength=n_bins)
+        if not got:
+            return
+        state.update(([int(c) for c in counts],))
+        n_cur = float(counts.sum())
+        psi = js = 0.0
+        for i in range(n_bins):
+            p = p_ref[i]
+            q = counts[i] / n_cur
+            ps, qs = max(p, eps), max(q, eps)
+            psi += (ps - qs) * math.log(ps / qs)
+            m = (p + q) / 2.0
+            if p > 0:
+                js += 0.5 * p * math.log(p / m)
+            if q > 0:
+                js += 0.5 * q * math.log(q / m)
+        row = {}
+        if group_col:
+            row[group_col] = [key[0]]
+        row.update(n_cur=[int(n_cur)], psi=[psi], js_divergence=[js])
+        yield pd.DataFrame(row)
+
+    from sparkglm_spark.operators.timeseries import _drop_null_values
+
+    clean = _drop_null_values(
+        events.select(*dict.fromkeys(need)),
+        F.col(value_col).cast("double"),
+    )
+    if group_col:
+        grouped = clean.groupBy(group_col)
+    else:
+        # a literal grouping EXPRESSION doesn't resolve through
+        # applyInPandasWithState — materialize the dummy key as a column
+        grouped = clean.withColumn("__g", F.lit(0)).groupBy("__g")
+    return grouped.applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -896,3 +896,108 @@ def test_smoothing_streams_drop_null_values(spark):
     assert h["t"] == pytest.approx(hb.trend, rel=1e-12)
     assert e["n"] == eb.n_events == 4
     assert e["e"] == pytest.approx(eb.ewma, rel=1e-12)
+
+
+def test_drift_state_stream_equals_batch(spark, sf_dir):
+    """drift_state_stream over a 3-micro-batch replay: the LAST update
+    must equal batch distribution_drift(reference, all-arrived-rows) —
+    the per-bin count fold is exact because the bins are fixed. Also
+    exercises the grouped variant and the family null policy."""
+    from sparkglm_spark.operators.stats import distribution_drift
+    from sparkglm_spark.streaming.events import drift_state_stream
+
+    raw = read_table(spark, sf_dir, "events")
+    # dirty the stream: some null/NaN values must be dropped, not binned
+    cur = raw.withColumn(
+        "value",
+        F.when(F.col("event_id") % 37 == 0, None)
+        .when(F.col("event_id") % 41 == 0, float("nan"))
+        .otherwise(F.col("value")),
+    )
+    ref_frame = raw.where(F.col("event_id") % 2 == 0)
+    reference = distribution_drift(
+        ref_frame, ref_frame, "value", n_bins=8, lo=0.0, hi=500.0
+    )
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        os.makedirs(src)
+        for i in range(3):
+            cur.where(F.col("event_id") % 3 == i).coalesce(1).write.parquet(
+                os.path.join(src, f"b{i}.parquet")
+            )
+        stream_in = (
+            spark.readStream.schema(cur.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*.parquet"))
+        )
+        q = (
+            drift_state_stream(stream_in, "value", reference)
+            .writeStream.format("memory").queryName("drift_updates")
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(d, "ck"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(180)
+        got = spark.sql(
+            "SELECT max_by(named_struct('n', n_cur, 'psi', psi,"
+            " 'js', js_divergence), n_cur) AS w FROM drift_updates"
+        ).collect()[0].w
+        updates = spark.sql("SELECT count(*) AS c FROM drift_updates").collect()[0].c
+    batch = distribution_drift(ref_frame, cur, "value", n_bins=8, lo=0.0, hi=500.0)
+    assert updates == 3  # one update per micro-batch
+    assert got["n"] == batch["n_cur"]
+    assert got["psi"] == pytest.approx(batch["psi"], rel=1e-12)
+    assert got["js"] == pytest.approx(batch["js_divergence"], rel=1e-12)
+
+    # grouped monitor: per-event-type drift, final state per group equals
+    # the per-slice batch metric
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        os.makedirs(src)
+        for i in range(2):
+            cur.where(F.col("event_id") % 2 == i).coalesce(1).write.parquet(
+                os.path.join(src, f"b{i}.parquet")
+            )
+        stream_in = (
+            spark.readStream.schema(cur.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*.parquet"))
+        )
+        q = (
+            drift_state_stream(
+                stream_in, "value", reference, group_col="event_type"
+            )
+            .writeStream.format("memory").queryName("drift_grouped")
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(d, "ck"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(180)
+        per_g = {
+            r.event_type: r.w
+            for r in spark.sql(
+                "SELECT event_type, max_by(named_struct('n', n_cur,"
+                " 'psi', psi), n_cur) AS w FROM drift_grouped"
+                " GROUP BY event_type"
+            ).collect()
+        }
+    types = [r.event_type for r in cur.select("event_type").distinct().collect()]
+    assert sorted(per_g) == sorted(types)
+    for t in types:
+        b = distribution_drift(
+            ref_frame, cur.where(F.col("event_type") == t), "value",
+            n_bins=8, lo=0.0, hi=500.0,
+        )
+        assert per_g[t]["n"] == b["n_cur"], t
+        assert per_g[t]["psi"] == pytest.approx(b["psi"], rel=1e-12), t
+
+
+def test_drift_state_stream_guards(spark, events):
+    from sparkglm_spark.operators.stats import distribution_drift
+    from sparkglm_spark.streaming.events import drift_state_stream
+
+    ref = distribution_drift(events, events, "value", n_bins=4, lo=0.0, hi=1.0)
+    with pytest.raises(ValueError, match="streaming"):
+        drift_state_stream(events, "value", ref)
+    with pytest.raises(ValueError, match="reference"):
+        drift_state_stream(events, "value", {"lo": 0.0})
