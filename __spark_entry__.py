@@ -831,6 +831,30 @@ def q_wls_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("quantile_q", qm.q),
         ("quantile_iterations", float(qm.iter)),
     ]
+    # r9: GROUPED robust fits (operators/lm.py::huber_lm_grouped /
+    # quantile_lm_grouped) — one IRLS per l_linestatus segment, the
+    # per-group numpy twin of the 2-iteration trajectories pinned above;
+    # the oracle is the same unrolled chain instantiated once per
+    # segment with a WHERE (the coxg precedent). Same 1dp margins: the
+    # Huber ψ is continuous, the quantile weight's sign-flip probability
+    # is ~1e-8 rows, and the twin's float-vs-decimal OLS start drifts
+    # the trajectory ~1e-6 relative, far inside 1dp.
+    from sparkglm_spark.operators.lm import huber_lm_grouped, quantile_lm_grouped
+
+    hg = huber_lm_grouped(
+        li, "l_extendedprice ~ l_quantity", ["l_linestatus"],
+        exact_iterations=2,
+    ).collect()
+    for r in hg:
+        rows.append((f"hg_{r.l_linestatus}_{r.term}", round(r.estimate, 1)))
+        if r.term == "intercept":
+            rows.append((f"hg_{r.l_linestatus}_scale", round(r.scale, 1)))
+    qg = quantile_lm_grouped(
+        li, "l_extendedprice ~ l_quantity", ["l_linestatus"],
+        q=0.75, delta=1.0, exact_iterations=2,
+    ).collect()
+    for r in qg:
+        rows.append((f"qg_{r.l_linestatus}_{r.term}", round(r.estimate, 1)))
     return spark.createDataFrame(rows, "term string, coef double").orderBy("term")
 
 
@@ -937,8 +961,125 @@ SELECT qq.term, qq.coef FROM (
   UNION ALL SELECT 'quantile_q', 0.75
   UNION ALL SELECT 'quantile_iterations', 2.0
 ) qq
-ORDER BY term
 """
+
+
+def _sql_huber2_arm(pfx: str, label: str, where: str) -> str:
+    """One 2-iteration Huber IRLS unroll (c=1.345, uncentered-MAD scale)
+    over y=l_extendedprice ~ x=l_quantity, segment-filtered by `where` —
+    the grouped-pin generator (coxg precedent: one chain, N instances)."""
+    return f"""
+SELECT {pfx}res.term, {pfx}res.coef FROM (
+  WITH {pfx}base AS (
+    SELECT CAST(l_quantity AS DOUBLE) AS x,
+           CAST(l_extendedprice AS DOUBLE) AS y FROM lineitem {where}),
+  {pfx}hs AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS sxy
+    FROM lineitem {where}),
+  {pfx}b0 AS (
+    SELECT (sy * sxx - sx * sxy) / (n * sxx - sx * sx) AS a,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b FROM {pfx}hs),
+  {pfx}s1 AS (
+    SELECT quantile_cont(abs(y - {pfx}b0.a - {pfx}b0.b * x), 0.5) / 0.6745 AS s
+    FROM {pfx}base CROSS JOIN {pfx}b0),
+  {pfx}w1 AS (
+    SELECT SUM(w) AS sw, SUM(w * x) AS swx, SUM(w * x * x) AS swxx,
+           SUM(w * y) AS swy, SUM(w * x * y) AS swxy
+    FROM (
+      SELECT x, y,
+             CASE WHEN abs(y - {pfx}b0.a - {pfx}b0.b * x) <= 1.345 * {pfx}s1.s THEN 1.0
+                  ELSE 1.345 * {pfx}s1.s / abs(y - {pfx}b0.a - {pfx}b0.b * x) END AS w
+      FROM {pfx}base CROSS JOIN {pfx}b0 CROSS JOIN {pfx}s1)),
+  {pfx}b1 AS (
+    SELECT (swy * swxx - swx * swxy) / (sw * swxx - swx * swx) AS a,
+           (sw * swxy - swx * swy) / (sw * swxx - swx * swx) AS b FROM {pfx}w1),
+  {pfx}s2 AS (
+    SELECT quantile_cont(abs(y - {pfx}b1.a - {pfx}b1.b * x), 0.5) / 0.6745 AS s
+    FROM {pfx}base CROSS JOIN {pfx}b1),
+  {pfx}w2 AS (
+    SELECT SUM(w) AS sw, SUM(w * x) AS swx, SUM(w * x * x) AS swxx,
+           SUM(w * y) AS swy, SUM(w * x * y) AS swxy
+    FROM (
+      SELECT x, y,
+             CASE WHEN abs(y - {pfx}b1.a - {pfx}b1.b * x) <= 1.345 * {pfx}s2.s THEN 1.0
+                  ELSE 1.345 * {pfx}s2.s / abs(y - {pfx}b1.a - {pfx}b1.b * x) END AS w
+      FROM {pfx}base CROSS JOIN {pfx}b1 CROSS JOIN {pfx}s2)),
+  {pfx}b2 AS (
+    SELECT (swy * swxx - swx * swxy) / (sw * swxx - swx * swx) AS a,
+           (sw * swxy - swx * swy) / (sw * swxx - swx * swx) AS b FROM {pfx}w2)
+  SELECT '{label}_intercept' AS term, ROUND(a, 1) AS coef FROM {pfx}b2
+  UNION ALL SELECT '{label}_l_quantity', ROUND(b, 1) FROM {pfx}b2
+  UNION ALL SELECT '{label}_scale', ROUND({pfx}s2.s, 1) FROM {pfx}s2
+) {pfx}res
+"""
+
+
+def _sql_quantile2_arm(pfx: str, label: str, where: str) -> str:
+    """One 2-iteration smoothed-check-loss unroll (q=0.75, fixed δ=1)
+    over y=l_extendedprice ~ x=l_quantity, segment-filtered."""
+    return f"""
+SELECT {pfx}res.term, {pfx}res.coef FROM (
+  WITH {pfx}base AS (
+    SELECT CAST(l_quantity AS DOUBLE) AS x,
+           CAST(l_extendedprice AS DOUBLE) AS y FROM lineitem {where}),
+  {pfx}hs AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS sxy
+    FROM lineitem {where}),
+  {pfx}b0 AS (
+    SELECT (sy * sxx - sx * sxy) / (n * sxx - sx * sx) AS a,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b FROM {pfx}hs),
+  {pfx}w1 AS (
+    SELECT SUM(w) AS sw, SUM(w * x) AS swx, SUM(w * x * x) AS swxx,
+           SUM(w * y) AS swy, SUM(w * x * y) AS swxy
+    FROM (
+      SELECT x, y,
+             (CASE WHEN y - {pfx}b0.a - {pfx}b0.b * x < 0 THEN 0.25 ELSE 0.75 END)
+               / GREATEST(abs(y - {pfx}b0.a - {pfx}b0.b * x), 1.0) AS w
+      FROM {pfx}base CROSS JOIN {pfx}b0)),
+  {pfx}b1 AS (
+    SELECT (swy * swxx - swx * swxy) / (sw * swxx - swx * swx) AS a,
+           (sw * swxy - swx * swy) / (sw * swxx - swx * swx) AS b FROM {pfx}w1),
+  {pfx}w2 AS (
+    SELECT SUM(w) AS sw, SUM(w * x) AS swx, SUM(w * x * x) AS swxx,
+           SUM(w * y) AS swy, SUM(w * x * y) AS swxy
+    FROM (
+      SELECT x, y,
+             (CASE WHEN y - {pfx}b1.a - {pfx}b1.b * x < 0 THEN 0.25 ELSE 0.75 END)
+               / GREATEST(abs(y - {pfx}b1.a - {pfx}b1.b * x), 1.0) AS w
+      FROM {pfx}base CROSS JOIN {pfx}b1)),
+  {pfx}b2 AS (
+    SELECT (swy * swxx - swx * swxy) / (sw * swxx - swx * swx) AS a,
+           (sw * swxy - swx * swy) / (sw * swxx - swx * swx) AS b FROM {pfx}w2)
+  SELECT '{label}_intercept' AS term, ROUND(a, 1) AS coef FROM {pfx}b2
+  UNION ALL SELECT '{label}_l_quantity', ROUND(b, 1) FROM {pfx}b2
+) {pfx}res
+"""
+
+
+SQL_WLS_FIT = (
+    SQL_WLS_FIT
+    + "".join(
+        "UNION ALL" + _sql_huber2_arm(
+            f"hg{st.lower()}_", f"hg_{st}", f"WHERE l_linestatus = '{st}'"
+        )
+        for st in ("F", "O")
+    )
+    + "".join(
+        "UNION ALL" + _sql_quantile2_arm(
+            f"qg{st.lower()}_", f"qg_{st}", f"WHERE l_linestatus = '{st}'"
+        )
+        for st in ("F", "O")
+    )
+    + "ORDER BY term\n"
+)
 
 
 def q_glm_families_fit(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1165,3 +1165,213 @@ def huber_lm(
         levels=levels,
         call=f"huber_lm({formula}, c={c})",
     )
+
+
+def _irls_grouped(
+    df: DataFrame,
+    formula: str,
+    group_cols: list[str],
+    na_action: str,
+    extra_fields: list,
+    fit_one,
+):
+    """Shared per-segment IRLS scaffold for `huber_lm_grouped` /
+    `quantile_lm_grouped` — the `coxph_grouped` pattern: encode ONCE with
+    GLOBAL levels (every segment shares the design columns), ONE shuffle
+    on the group key, then each group's full IRLS runs as a numpy twin
+    inside its Arrow batch (applyInPandas). The twin replays the
+    distributed fitter's trajectory — same OLS start, same weight
+    formula, same convergence test — so a group's result matches the
+    whole-frame fitter run on that slice; the driver never sees data or
+    models, so the number of segments is unbounded.
+
+    Degenerate groups (n < k, non-finite values, singular Gram) emit
+    NULL estimates rather than garbage (the `lm_grouped` convention).
+    `fit_one(X, y) -> (beta|None, extras: dict, n_iter, converged)`."""
+    from pyspark.sql import types as T
+
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    encoded, x_cols, target = _design(df, formula, group_cols, na_action)
+    k = len(x_cols)
+    gcols = list(group_cols)
+    names = list(x_cols)
+    out_schema = T.StructType(
+        [df.schema[c] for c in gcols]
+        + [
+            T.StructField("term", T.StringType()),
+            T.StructField("estimate", T.DoubleType()),
+        ]
+        + extra_fields
+        + [
+            T.StructField("n_rows", T.LongType()),
+            T.StructField("iterations", T.IntegerType()),
+            T.StructField("converged", T.BooleanType()),
+        ]
+    )
+    extra_names = [f.name for f in extra_fields]
+
+    def fit_group(pdf):
+        import pandas as pd
+
+        X = pdf[names].to_numpy(dtype=np.float64)
+        yv = pdf[target].to_numpy(dtype=np.float64)
+        n = len(yv)
+        beta, extras, n_iter, conv = None, {}, 0, False
+        if n >= k and np.all(np.isfinite(X)) and np.all(np.isfinite(yv)):
+            try:
+                beta, extras, n_iter, conv = fit_one(X, yv)
+            except np.linalg.LinAlgError:
+                beta = None
+        cols = {c: [] for c in gcols}
+        cols.update(term=[], estimate=[])
+        cols.update({e: [] for e in extra_names})
+        cols.update(n_rows=[], iterations=[], converged=[])
+        for i, name in enumerate(names):
+            for c in gcols:
+                cols[c].append(pdf[c].iloc[0])
+            cols["term"].append(name)
+            cols["estimate"].append(float(beta[i]) if beta is not None else None)
+            for e in extra_names:
+                cols[e].append(extras.get(e))
+            cols["n_rows"].append(n)
+            cols["iterations"].append(n_iter)
+            cols["converged"].append(bool(conv))
+        return pd.DataFrame(cols)
+
+    return (
+        encoded.select(*gcols, target, *x_cols)
+        .groupBy(*gcols)
+        .applyInPandas(fit_group, out_schema)
+    )
+
+
+def huber_lm_grouped(
+    df: DataFrame,
+    formula: str,
+    group_cols: list[str],
+    c: float = 1.345,
+    max_iter: int = 30,
+    tol: float = 1e-8,
+    exact_iterations: int | None = None,
+    na_action: str = "omit",
+) -> DataFrame:
+    """One `huber_lm` per segment — robust regression scaled out to
+    unbounded group counts via the `_irls_grouped` numpy twin (the
+    `coxph_grouped` pattern). Each group replays the distributed
+    fitter's exact trajectory: OLS start, per iteration the uncentered
+    MAD scale median(|e|)/0.6745 (numpy's linear-interpolation median =
+    Spark's exact `percentile(0.5)`), Huber weights, weighted normal
+    equations, the same max|Δβ| ≤ tol·max(1, max|β|) stop.
+    `exact_iterations=N` pins N reweighted solves (SQL-replayable).
+
+    Returns long format: group_cols…, term, estimate, scale, n_rows,
+    iterations, converged. Degenerate groups (n < k, non-finite values,
+    singular Gram, zero robust scale before the first solve) emit NULL
+    estimates."""
+    from pyspark.sql import types as T
+
+    if c <= 0:
+        raise ValueError(f"c must be > 0, got {c!r}")
+    iters = exact_iterations if exact_iterations is not None else max_iter
+
+    def fit_one(X, yv):
+        xtx = X.T @ X
+        np.linalg.cholesky(xtx)  # raises on singular -> degenerate group
+        beta = np.linalg.solve(xtx, X.T @ yv)
+        n_iter, conv, scale = 0, False, float("nan")
+        for _ in range(iters):
+            e = yv - X @ beta
+            ae = np.abs(e)
+            scale = float(np.median(ae)) / 0.6745
+            if not scale > 0.0:
+                break
+            cs = c * scale
+            w = np.ones(len(e))
+            mask = ae > cs
+            w[mask] = cs / ae[mask]
+            Xw = X * w[:, None]
+            new_beta = np.linalg.solve(X.T @ Xw, Xw.T @ yv)
+            step = float(np.max(np.abs(new_beta - beta)))
+            beta = new_beta
+            n_iter += 1
+            if exact_iterations is None and step <= tol * max(
+                1.0, float(np.max(np.abs(beta)))
+            ):
+                conv = True
+                break
+        return (
+            beta,
+            {"scale": scale if scale == scale else None},
+            n_iter,
+            conv or exact_iterations is not None,
+        )
+
+    return _irls_grouped(
+        df, formula, group_cols, na_action,
+        [T.StructField("scale", T.DoubleType())], fit_one,
+    )
+
+
+def quantile_lm_grouped(
+    df: DataFrame,
+    formula: str,
+    group_cols: list[str],
+    q: float = 0.5,
+    max_iter: int = 100,
+    tol: float = 1e-6,
+    delta: float | None = None,
+    exact_iterations: int | None = None,
+    na_action: str = "omit",
+) -> DataFrame:
+    """One `quantile_lm` per segment (per-segment conditional quantiles —
+    p95 latency per service, median price per region) via the
+    `_irls_grouped` numpy twin. Each group replays the distributed
+    fitter's trajectory: OLS start, per-group smoothing floor
+    δ = max(1e-6·mean|OLS residual|, 1e-12) (unless `delta` is given —
+    then every group shares it, the SQL-replayable mode), the smoothed
+    check-loss weights |q − 1(e<0)| / max(|e|, δ), the same convergence
+    test. Returns long format: group_cols…, term, estimate, delta,
+    n_rows, iterations, converged; degenerate groups emit NULLs."""
+    from pyspark.sql import types as T
+
+    if not 0.0 < q < 1.0:
+        raise ValueError(f"q must be in (0, 1), got {q!r}")
+    if delta is not None and not delta > 0:
+        raise ValueError(f"delta must be > 0, got {delta!r}")
+    iters = exact_iterations if exact_iterations is not None else max_iter
+
+    def fit_one(X, yv):
+        xtx = X.T @ X
+        np.linalg.cholesky(xtx)
+        beta = np.linalg.solve(xtx, X.T @ yv)
+        if delta is None:
+            d = max(1e-6 * float(np.mean(np.abs(yv - X @ beta))), 1e-12)
+        else:
+            d = float(delta)
+        n_iter, conv = 0, False
+        for _ in range(iters):
+            e = yv - X @ beta
+            asym = np.where(e < 0, 1.0 - q, q)
+            w = asym / np.maximum(np.abs(e), d)
+            Xw = X * w[:, None]
+            new_beta = np.linalg.solve(X.T @ Xw, Xw.T @ yv)
+            step = float(np.max(np.abs(new_beta - beta)))
+            beta = new_beta
+            n_iter += 1
+            if exact_iterations is None and step <= tol * max(
+                1.0, float(np.max(np.abs(beta)))
+            ):
+                conv = True
+                break
+        return (
+            beta,
+            {"delta": d},
+            n_iter,
+            conv or exact_iterations is not None,
+        )
+
+    return _irls_grouped(
+        df, formula, group_cols, na_action,
+        [T.StructField("delta", T.DoubleType())], fit_one,
+    )

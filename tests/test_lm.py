@@ -749,3 +749,66 @@ def test_quantile_lm_matches_numpy_trajectory_and_guards(spark):
         quantile_lm(df, "y ~ x", q=1.0)
     with pytest.raises(ValueError, match="delta"):
         quantile_lm(df, "y ~ x", delta=0.0)
+
+
+def test_grouped_robust_fitters_match_per_group(spark):
+    """huber_lm_grouped / quantile_lm_grouped (VERDICT r8 #6): each
+    group's numpy twin must land on the same fit as the distributed
+    fitter run on that slice alone; degenerate groups (n < k) emit NULL
+    estimates; a group missing a categorical level still shares the
+    GLOBAL design columns."""
+    import numpy as np
+
+    from sparkglm_spark.operators.lm import (
+        huber_lm,
+        huber_lm_grouped,
+        quantile_lm,
+        quantile_lm_grouped,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for g, (b0, b1) in (("a", (2.0, 1.5)), ("b", (-1.0, 3.0))):
+        for i in range(120):
+            x = float(rng.normal())
+            noise = float(rng.standard_t(3))  # heavy tails: robust fits differ from OLS
+            rows.append((g, x, "u" if i % 3 else "v", b0 + b1 * x + noise))
+    # group c never sees level v: all-zero global dummy -> singular Gram
+    for i in range(30):
+        rows.append(("c", float(i), "u", float(i)))
+    rows.append(("tiny", 1.0, "u", 5.0))  # n=1 < k -> degenerate
+    df = spark.createDataFrame(rows, "g string, x double, cat string, y double")
+
+    hg = huber_lm_grouped(df, "y ~ x + cat", ["g"], exact_iterations=4)
+    hout = {(r.g, r.term): r for r in hg.collect()}
+    qg = quantile_lm_grouped(
+        df, "y ~ x + cat", ["g"], q=0.5, delta=0.01, exact_iterations=5
+    )
+    qout = {(r.g, r.term): r for r in qg.collect()}
+    for g in ("a", "b"):
+        sl = df.where(F.col("g") == g)
+        hm = huber_lm(sl, "y ~ x + cat", exact_iterations=4)
+        qm = quantile_lm(sl, "y ~ x + cat", delta=0.01, exact_iterations=5)
+        for i, t in enumerate(hm.xnames):
+            assert hout[(g, t)].estimate == pytest.approx(
+                float(hm.coefs[i]), rel=1e-7, abs=1e-9
+            ), (g, t)
+            assert qout[(g, t)].estimate == pytest.approx(
+                float(qm.coefs[i]), rel=1e-7, abs=1e-9
+            ), (g, t)
+        assert hout[(g, "x")].scale == pytest.approx(hm.scale, rel=1e-7)
+        assert qout[(g, "x")].delta == pytest.approx(0.01)
+        assert hout[(g, "x")].converged and qout[(g, "x")].converged
+    # group c never saw level v: the GLOBAL design keeps the cat_v
+    # column, all-zero within the group -> singular Gram -> the whole
+    # group reports degenerate NULLs (no silent least-norm fit)
+    assert hout[("c", "cat_v")].estimate is None
+    assert hout[("c", "x")].estimate is None
+    assert hout[("b", "cat_v")].estimate is not None
+    assert hout[("tiny", "x")].estimate is None
+    assert not hout[("tiny", "x")].converged
+    assert qout[("tiny", "x")].estimate is None
+    with pytest.raises(ValueError, match="group_cols"):
+        huber_lm_grouped(df, "y ~ x", [])
+    with pytest.raises(ValueError, match="q must"):
+        quantile_lm_grouped(df, "y ~ x", ["g"], q=1.5)
