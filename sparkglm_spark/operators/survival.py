@@ -1329,9 +1329,19 @@ def weibull_aft(
                 # not negative definite (far from the optimum) the Newton
                 # direction can fail to ascend — fall back to Levenberg
                 # damping (H − λI), which interpolates toward plain
-                # gradient ascent as λ grows
+                # gradient ascent as λ grows. The ladder must SCALE with
+                # the Hessian magnitude: a fixed 1e3 cap never makes
+                # H − λI negative definite when |H| ~ 1e5+ (real-data
+                # probe r9 — the fit stalled at a saddle and reported
+                # convergence with negative variances)
+                lam_cap = 100.0 * max(1.0, float(np.max(np.abs(np.diag(hess)))))
+                lams = [0.0]
+                lam = 1e-3
+                while lam <= lam_cap:
+                    lams.append(lam)
+                    lam *= 100.0
                 improved = False
-                for lam in (0.0, 1e-3, 1e-1, 1e1, 1e3):
+                for lam in lams:
                     try:
                         step = np.linalg.solve(
                             hess - lam * np.eye(k + 1), grad
@@ -1350,9 +1360,12 @@ def weibull_aft(
                     if improved:
                         break
                 if not improved:
-                    # no ascent direction found — at (or numerically at)
-                    # the maximum
-                    converged = True
+                    # no ascent direction found anywhere on the ladder —
+                    # converged ONLY if the gradient really is ~0 (a
+                    # stalled saddle must not masquerade as a maximum)
+                    converged = bool(
+                        np.linalg.norm(grad) <= 1e-6 * (1.0 + abs(ll0))
+                    )
                     break
                 beta, log_s = nb, nls
             else:
@@ -1372,13 +1385,18 @@ def weibull_aft(
     finally:
         work.unpersist()
     cov = np.linalg.inv(-hess)
+    # an unconverged stop can leave −H indefinite: report NaN se
+    # explicitly (converged=False already flags the fit) instead of a
+    # RuntimeWarning-laden sqrt of a negative variance
+    diag = np.diag(cov)
+    se = np.where(diag >= 0, np.sqrt(np.abs(diag)), np.nan)
     return WeibullAFT(
         xnames=names,
         time_col=time_col,
         event_col=event_col,
         coefs=beta,
         scale=float(np.exp(log_s)),
-        se=np.sqrt(np.diag(cov)),
+        se=se,
         loglik=ll,
         n=n,
         n_events=n_events,
@@ -1574,3 +1592,295 @@ def logrank_test(
         "df": 1.0,
         "p_value": float(chisq_sf(stat, 1.0)),
     }
+
+
+def _aft_newton_dense(t, e, X, exact_iterations, tol, max_iter):
+    """numpy twin of `weibull_aft`'s Newton-on-(β, ln σ) — the in-memory
+    engine for `weibull_aft_grouped` (the `_cox_newton_dense` pattern):
+    same OLS-on-event-rows start with the σ/1.283 residual-scale init,
+    same per-row gradient/Hessian entries, same Levenberg fallback and
+    step-halving ascent guard, same ll-change stop. Returns
+    (beta, log_s, se, loglik, n_iter, converged) or raises LinAlgError
+    on a singular start/information (caller maps to the NULL row)."""
+    n, k = X.shape
+    lt = np.log(t)
+    ev = e == 1.0
+    Xe, ye = X[ev], lt[ev]
+    xtx = Xe.T @ Xe
+    np.linalg.cholesky(xtx)  # singular event-row design -> degenerate
+    beta = np.linalg.solve(xtx, Xe.T @ ye)
+    sse = float(ye @ ye - 2.0 * beta @ (Xe.T @ ye) + beta @ xtx @ beta)
+    ne = int(ev.sum())
+    sig = np.sqrt(max(sse, 0.0) / (ne - k)) if ne > k else 1.0
+    log_s = float(np.log(max(sig / 1.283, 1e-3)))
+
+    def stats_at(b, ls):
+        sigma = float(np.exp(ls))
+        z = (lt - X @ b) / sigma
+        u = np.exp(z)
+        gz = e - u
+        ll = float((e * (z - ls) - u).sum())
+        grad = np.empty(k + 1)
+        grad[:k] = (X * (gz * (-1.0 / sigma))[:, None]).sum(axis=0)
+        grad[k] = float((-e - z * gz).sum())
+        hess = np.empty((k + 1, k + 1))
+        hess[:k, :k] = (X.T @ (X * (-u)[:, None])) / sigma**2
+        hk = (X * ((gz - u * z) / sigma)[:, None]).sum(axis=0)
+        hess[:k, k] = hess[k, :k] = hk
+        hess[k, k] = float((z * gz - z * z * u).sum())
+        return ll, grad, hess
+
+    def ll_at(b, ls):
+        sigma = float(np.exp(ls))
+        z = (lt - X @ b) / sigma
+        with np.errstate(over="ignore"):
+            return float((e * (z - ls) - np.exp(z)).sum())
+
+    n_iter = 0
+    converged = False
+    ll = -np.inf
+    iters = exact_iterations if exact_iterations is not None else max_iter
+    for _ in range(iters):
+        ll0, grad, hess = stats_at(beta, log_s)
+        if exact_iterations is None:
+            # Hessian-scaled Levenberg ladder + grad-zero convergence
+            # test — the same r9 saddle fix as the distributed fitter
+            lam_cap = 100.0 * max(1.0, float(np.max(np.abs(np.diag(hess)))))
+            lams = [0.0]
+            lam = 1e-3
+            while lam <= lam_cap:
+                lams.append(lam)
+                lam *= 100.0
+            improved = False
+            for lam in lams:
+                try:
+                    step = np.linalg.solve(hess - lam * np.eye(k + 1), grad)
+                except np.linalg.LinAlgError:
+                    continue
+                scale_f = 1.0
+                for _ in range(10):
+                    nb = beta - scale_f * step[:k]
+                    nls = log_s - scale_f * step[k]
+                    ll1 = ll_at(nb, nls)
+                    if np.isfinite(ll1) and ll1 > ll0:
+                        improved = True
+                        break
+                    scale_f *= 0.5
+                if improved:
+                    break
+            if not improved:
+                converged = bool(
+                    np.linalg.norm(grad) <= 1e-6 * (1.0 + abs(ll0))
+                )
+                break
+            beta, log_s = nb, nls
+        else:
+            step = np.linalg.solve(hess, grad)
+            beta = beta - step[:k]
+            log_s = log_s - step[k]
+        n_iter += 1
+        if (
+            exact_iterations is None
+            and np.isfinite(ll)
+            and abs(ll0 - ll) <= tol * (abs(ll0) + tol)
+        ):
+            converged = True
+            break
+        ll = ll0
+    ll, _, hess = stats_at(beta, log_s)
+    cov = np.linalg.inv(-hess)
+    diag = np.diag(cov)
+    if np.any(diag < 0):
+        raise np.linalg.LinAlgError("information not positive definite")
+    se = np.sqrt(diag)
+    return beta, log_s, se, ll, n_iter, converged or exact_iterations is not None
+
+
+def weibull_aft_grouped(
+    df: DataFrame,
+    time_col: str,
+    event_col: str,
+    x_cols: list[str],
+    group_cols: list[str],
+    fit_intercept: bool = True,
+    max_iter: int = 50,
+    tol: float = 1e-9,
+    exact_iterations: int | None = None,
+) -> DataFrame:
+    """One Weibull AFT model per segment — `weibull_aft` scaled out to
+    many groups with no per-group driver work (the `coxph_grouped`
+    pattern: each group's rows land in one Arrow batch and fit by the
+    `_aft_newton_dense` numpy twin of the distributed Newton — same
+    start, damping and stopping rule, asserted against per-slice
+    `weibull_aft` fits in tests).
+
+    Degenerate groups (n_events ≤ k, null/non-positive times, events
+    outside 0/1, non-finite covariates, singular design/information)
+    yield NULL estimate/se/scale rather than garbage or an aborted job.
+
+    Returns long format: group_cols…, term, estimate, se, scale,
+    loglik, n_rows, n_events, iterations, converged — `se` covers β
+    terms (the ln σ SE rides as the 'scale' term row's se)."""
+    from pyspark.sql import types as T
+
+    if not x_cols and not fit_intercept:
+        raise ValueError("need x_cols or fit_intercept")
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    names = (["intercept"] if fit_intercept else []) + list(x_cols)
+    k = len(names)
+    sel = (
+        [F.col(c) for c in group_cols]
+        + [
+            F.col(time_col).cast("double").alias("__t"),
+            F.col(event_col).cast("double").alias("__e"),
+        ]
+        + ([F.lit(1.0).alias("intercept")] if fit_intercept else [])
+        + [F.col(c).cast("double").alias(c) for c in x_cols]
+    )
+    work = df.select(*sel)
+    out_schema = T.StructType(
+        [df.schema[c] for c in group_cols]
+        + [
+            T.StructField("term", T.StringType()),
+            T.StructField("estimate", T.DoubleType()),
+            T.StructField("se", T.DoubleType()),
+            T.StructField("scale", T.DoubleType()),
+            T.StructField("loglik", T.DoubleType()),
+            T.StructField("n_rows", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("iterations", T.IntegerType()),
+            T.StructField("converged", T.BooleanType()),
+        ]
+    )
+    gcols = list(group_cols)
+    terms = names + ["scale"]
+
+    def fit_group(pdf):
+        import pandas as pd
+
+        t = pdf["__t"].to_numpy(dtype=np.float64)
+        e = pdf["__e"].to_numpy(dtype=np.float64)
+        X = pdf[names].to_numpy(dtype=np.float64)
+        n = len(t)
+        e_valid = e[np.isfinite(e)]
+        ne = int((e_valid == 1.0).sum())
+        res = None
+        if (
+            len(e_valid) == n
+            and ne > k
+            and np.all(np.isfinite(t))
+            and np.all(t > 0)
+            and np.all(np.isfinite(X))
+            and np.all((e == 0.0) | (e == 1.0))
+        ):
+            try:
+                res = _aft_newton_dense(t, e, X, exact_iterations, tol, max_iter)
+            except np.linalg.LinAlgError:
+                res = None
+        if res is not None:
+            beta, log_s, se, ll, it, conv = res
+            scale = float(np.exp(log_s))
+            est = [float(b) for b in beta] + [scale]
+            ses = [float(s) for s in se]  # k+1 entries: β…, ln σ
+        else:
+            ll, it, conv, scale = None, 0, False, None
+            est = [None] * (k + 1)
+            ses = [None] * (k + 1)
+        cols = {c: [pdf[c].iloc[0]] * (k + 1) for c in gcols}
+        cols.update(
+            term=terms,
+            estimate=est,
+            se=ses,
+            scale=[scale] * (k + 1),
+            loglik=[ll] * (k + 1),
+            n_rows=[n] * (k + 1),
+            n_events=[ne] * (k + 1),
+            iterations=[it] * (k + 1),
+            converged=[bool(conv)] * (k + 1),
+        )
+        return pd.DataFrame(cols)
+
+    return work.groupBy(*gcols).applyInPandas(fit_group, out_schema)
+
+
+def aft_residuals(
+    df: DataFrame,
+    model: "WeibullAFT",
+    output_prefix: str = "",
+) -> DataFrame:
+    """Per-row AFT diagnostics — the assumption-checking surface the Cox
+    side gets from `schoenfeld_residuals` (public conventions: Cox-Snell
+    1968 residuals; Collett, Modelling Survival Data ch. 7). Appends to
+    each row, all ONE codegen projection (no shuffle, no Python):
+
+      z_resid     (ln t − x'β)/σ — the standardized log-time residual
+                  (under the model: standard extreme-value distributed)
+      cox_snell   u = exp(z) — under a CORRECT model these behave as a
+                  unit-exponential censored sample (the basis of
+                  `aft_fit_diagnostic`)
+      martingale  δ − u (excess events vs model expectation; large
+                  negative = the model expected the event much earlier)
+      deviance    sign(m)·√(−2·(m + δ·ln(δ − m))) — martingale
+                  symmetrized (the standard survreg deviance residual;
+                  0·ln0 handled as 0 for censored rows)
+
+    Times must be > 0 (log); rows pass through with all input columns."""
+    z = (
+        F.log(F.col(model.time_col).cast("double")) - model._eta()
+    ) / F.lit(float(model.scale))
+    u = F.exp(z)
+    d = F.col(model.event_col).cast("double")
+    m = d - u
+    inner = m + F.when(d == 1.0, d * F.log(d - m)).otherwise(F.lit(0.0))
+    dev = F.signum(m) * F.sqrt(F.lit(-2.0) * inner)
+    p = output_prefix
+    return df.select(
+        "*",
+        z.alias(f"{p}z_resid"),
+        u.alias(f"{p}cox_snell"),
+        m.alias(f"{p}martingale"),
+        dev.alias(f"{p}deviance"),
+    )
+
+
+def aft_fit_diagnostic(
+    df: DataFrame,
+    model: "WeibullAFT",
+    time_bucket: float | None = None,
+) -> DataFrame:
+    """Cox-Snell goodness-of-fit for a fitted AFT model — the global
+    distributional check (`ph_assumption_test` is the Cox analogue):
+    under a correct Weibull model the Cox-Snell residuals u are a
+    censored UNIT-EXPONENTIAL sample, so the Kaplan-Meier cumulative
+    hazard of u should track the 45° line Ĥ(u) ≈ u.
+
+    Plan: the `aft_residuals` projection feeds the SAME `_km_curve`
+    prefix plan every KM consumer uses (one groupBy(u) + running
+    log-sum); returns one row per distinct residual value with
+    (cox_snell, n_at_risk, n_events, km_cumhaz, expected = the residual
+    itself) — plot km_cumhaz vs expected, or screen max|km_cumhaz −
+    expected| over the bulk of the distribution. `time_bucket` coarsens
+    the residual axis (bounds output cardinality at scale, exactly as
+    in `kaplan_meier`)."""
+    res = aft_residuals(df, model).select(
+        F.col("cox_snell").alias("__u"),
+        F.col(model.event_col).cast("double").alias("__e"),
+    )
+    km = _km_curve(res, "__u", "__e", None, time_bucket)
+    # everyone-at-risk-dies row: S hits 0, cumhaz is infinite — report
+    # NULL (the __lt log term is NULL exactly there)
+    cumhaz = F.when(F.col("__lt").isNull(), F.lit(None)).otherwise(
+        -F.col("__ls")
+    )
+    return (
+        km.where(F.col("d") > 0)
+        .select(
+            F.col("__t").alias("cox_snell"),
+            F.col("n_at_risk").cast("long").alias("n_at_risk"),
+            F.col("d").cast("long").alias("n_events"),
+            cumhaz.alias("km_cumhaz"),
+            F.col("__t").alias("expected"),
+        )
+        .orderBy("cox_snell")
+    )

@@ -945,3 +945,121 @@ def test_concordance_index_auto_buckets(spark, monkeypatch):
     assert mid["c_index"] == auto["c_index"]
     with pytest.raises(ValueError, match="n_buckets"):
         sv.concordance_index(df, "t", "ev", "r", n_buckets=0)
+
+
+def test_weibull_aft_grouped_matches_per_group(spark):
+    """weibull_aft_grouped (VERDICT r8 #7): each group's numpy twin must
+    land on the same MLE as the distributed weibull_aft on that slice;
+    degenerate groups (too few events / a null event) emit NULL rows."""
+    from sparkglm_spark.operators.survival import weibull_aft, weibull_aft_grouped
+
+    rng = np.random.default_rng(29)
+    rows = []
+    for g, (b0, b1, s) in (("a", (1.0, 0.5, 0.7)), ("b", (0.3, -0.6, 1.1))):
+        for _ in range(300):
+            x = float(rng.normal())
+            w = float(np.log(-np.log(rng.random())))
+            t = float(np.exp(b0 + b1 * x + s * w))
+            c = float(np.exp(1.2 + rng.normal()))
+            rows.append((g, min(t, c), float(t <= c), x))
+    rows += [("few", 1.0, 1.0, 0.5), ("few", 2.0, 0.0, -0.5)]  # n_events <= k
+    rows += [("dirty", 1.0, None, 0.1), ("dirty", 2.0, 1.0, 0.2),
+             ("dirty", 3.0, 1.0, 0.4), ("dirty", 4.0, 1.0, -0.3)]
+    df = spark.createDataFrame(rows, "g string, time double, event double, x double")
+    out = {
+        (r.g, r.term): r
+        for r in weibull_aft_grouped(df, "time", "event", ["x"], ["g"]).collect()
+    }
+    for g in ("a", "b"):
+        m = weibull_aft(df.where(F.col("g") == g), "time", "event", ["x"])
+        for i, t in enumerate(m.xnames):
+            assert out[(g, t)].estimate == pytest.approx(
+                float(m.coefs[i]), rel=1e-5, abs=1e-7
+            ), (g, t)
+            assert out[(g, t)].se == pytest.approx(float(m.se[i]), rel=1e-4), (g, t)
+        assert out[(g, "scale")].estimate == pytest.approx(m.scale, rel=1e-5)
+        assert out[(g, "scale")].se == pytest.approx(float(m.se[-1]), rel=1e-4)
+        assert out[(g, "x")].loglik == pytest.approx(m.loglik, rel=1e-8)
+        assert out[(g, "x")].converged
+        assert out[(g, "x")].n_events == m.n_events
+    for g in ("few", "dirty"):
+        assert out[(g, "x")].estimate is None, g
+        assert not out[(g, "x")].converged, g
+    assert out[("dirty", "x")].n_events == 3  # valid rows only
+    with pytest.raises(ValueError, match="group_cols"):
+        weibull_aft_grouped(df, "time", "event", ["x"], [])
+
+
+def test_aft_residuals_and_fit_diagnostic(aft_data, spark):
+    """aft_residuals: hand-checked z/cox_snell/martingale/deviance, one
+    projection. aft_fit_diagnostic: on data truly generated from the
+    fitted Weibull model the KM cumulative hazard of the Cox-Snell
+    residuals tracks the 45-degree line; a deliberately mis-scaled model
+    deviates hard (the power check, zph-style)."""
+    import dataclasses
+
+    from sparkglm_spark.operators.survival import (
+        aft_fit_diagnostic,
+        aft_residuals,
+        weibull_aft,
+    )
+
+    df, *_ = aft_data
+    m = weibull_aft(df, "time", "event", ["x1", "x2"])
+    res = aft_residuals(df, m)
+    assert res.columns == df.columns + [
+        "z_resid", "cox_snell", "martingale", "deviance"
+    ]
+    r = res.limit(5).collect()
+    for row in r:
+        eta = m.coefs[0] + m.coefs[1] * row.x1 + m.coefs[2] * row.x2
+        z = (np.log(row.time) - eta) / m.scale
+        u = np.exp(z)
+        assert row.z_resid == pytest.approx(z, rel=1e-10)
+        assert row.cox_snell == pytest.approx(u, rel=1e-10)
+        assert row.martingale == pytest.approx(row.event - u, rel=1e-10)
+        inner = (row.event - u) + (z if row.event == 1.0 else 0.0)
+        want_dev = np.sign(row.event - u) * np.sqrt(-2.0 * inner)
+        assert row.deviance == pytest.approx(want_dev, rel=1e-8)
+
+    gof = aft_fit_diagnostic(df, m).collect()
+    assert len(gof) > 100
+    # well-specified: Ĥ(u) ≈ u over the bulk (skip the sparse tail where
+    # the KM estimate has ~no subjects at risk)
+    bulk = [g for g in gof if g.n_at_risk >= 30 and g.km_cumhaz is not None]
+    dev = max(abs(g.km_cumhaz - g.expected) for g in bulk)
+    assert dev < 0.12, dev
+    # power: halve the scale -> residuals exp(2z) are NOT unit-exponential
+    bad = dataclasses.replace(m, scale=m.scale / 2.0)
+    gof_bad = aft_fit_diagnostic(df, bad).collect()
+    bulk_bad = [g for g in gof_bad if g.n_at_risk >= 30 and g.km_cumhaz is not None]
+    dev_bad = max(abs(g.km_cumhaz - g.expected) for g in bulk_bad)
+    assert dev_bad > 3 * dev, (dev, dev_bad)
+
+
+def test_weibull_aft_indefinite_hessian_start(spark):
+    """r9 real-data probe regression: on data whose OLS start sits at a
+    SADDLE (Hessian indefinite, eigenvalues ~1e5 — price-like times with
+    coin-flip censoring), the fixed λ ≤ 1e3 Levenberg ladder could not
+    make H − λI negative definite, so the fit stalled at iteration 0 and
+    reported converged=True with negative variances. The ladder now
+    scales with |diag H| and a stall only claims convergence when the
+    gradient is ~0."""
+    from sparkglm_spark.operators.survival import weibull_aft
+
+    rng = np.random.default_rng(41)
+    n = 4000
+    t = np.exp(rng.normal(5.2, 0.75, n))  # heavy lognormal times ~ e^5
+    e = (np.arange(n) % 2).astype(float)  # censoring independent of time
+    x = (np.arange(n) % 7).astype(float)
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(t, e, x)],
+        "time double, event double, x double",
+    )
+    m = weibull_aft(df, "time", "event", ["x"])
+    assert m.converged and m.iter >= 3  # not the iteration-0 stall
+    assert np.all(np.isfinite(m.se))    # a real maximum: positive variances
+    # at the MLE the scale must beat the saddle's: loglik is finite and
+    # the fitted sigma is near the generating residual spread
+    assert np.isfinite(m.loglik)
+    assert 0.4 < m.scale < 1.2
