@@ -593,3 +593,40 @@ def test_wire_report_flags_guarded_payload(spark, documents):
     assert wire_report(documents.select("doc_id"), guarded=["text"]).startswith(
         "no exchanges"
     )
+
+
+def test_grouped_irls_and_aft_single_exchange(spark, lineitem):
+    """The r9 grouped fitters' docstring claim — ONE shuffle on the group
+    key, the whole IRLS inside the Arrow batch: exactly one Exchange and
+    one FlatMapGroupsInPandas in each plan (no per-iteration jobs, no
+    second shuffle)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from sparkglm_spark.operators.lm import huber_lm_grouped, quantile_lm_grouped
+    from sparkglm_spark.operators.survival import weibull_aft_grouped
+
+    for df in (
+        huber_lm_grouped(
+            lineitem, "l_extendedprice ~ l_quantity", ["l_returnflag"],
+            exact_iterations=2,
+        ),
+        quantile_lm_grouped(
+            lineitem, "l_extendedprice ~ l_quantity", ["l_returnflag"],
+            delta=1.0, exact_iterations=2,
+        ),
+        weibull_aft_grouped(
+            lineitem.select(
+                "l_returnflag",
+                F.col("l_extendedprice").alias("t"),
+                (F.col("l_orderkey") % 2).cast("double").alias("ev"),
+                F.col("l_quantity").alias("x"),
+            ),
+            "t", "ev", ["x"], ["l_returnflag"],
+        ),
+    ):
+        plan = plan_of(df)
+        body = plan.split("===== Subqueries =====")[0]
+        assert len(re.findall(r"\(\d+\) Exchange", body)) == 1, plan
+        assert "FlatMapGroupsInPandas" in plan
