@@ -839,12 +839,17 @@ def q_wls_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Huber ψ is continuous, the quantile weight's sign-flip probability
     # is ~1e-8 rows, and the twin's float-vs-decimal OLS start drifts
     # the trajectory ~1e-6 relative, far inside 1dp.
-    from sparkglm_spark.operators.lm import huber_lm_grouped, quantile_lm_grouped
+    from sparkglm_spark.operators.lm import (
+        grouped_predict,
+        huber_lm_grouped,
+        quantile_lm_grouped,
+    )
 
-    hg = huber_lm_grouped(
+    hg_fits = huber_lm_grouped(
         li, "l_extendedprice ~ l_quantity", ["l_linestatus"],
         exact_iterations=2,
-    ).collect()
+    )
+    hg = hg_fits.collect()
     for r in hg:
         rows.append((f"hg_{r.l_linestatus}_{r.term}", round(r.estimate, 1)))
         if r.term == "intercept":
@@ -855,6 +860,17 @@ def q_wls_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()
     for r in qg:
         rows.append((f"qg_{r.l_linestatus}_{r.term}", round(r.estimate, 1)))
+    # r9: grouped SCORING (operators/lm.py::grouped_predict) — every row
+    # scored with its own segment's huber coefficients; the pinned stat
+    # is the per-segment mean prediction, which the oracle computes in
+    # closed form from the same unrolled chain: mean(a + b·x) = a + b·x̄.
+    scored = grouped_predict(
+        li, hg_fits, "l_extendedprice ~ l_quantity", ["l_linestatus"]
+    )
+    for r in scored.groupBy("l_linestatus").agg(
+        F.avg("prediction").alias("m")
+    ).collect():
+        rows.append((f"hgp_{r.l_linestatus}_mean", round(float(r.m), 1)))
     return spark.createDataFrame(rows, "term string, coef double").orderBy("term")
 
 
@@ -964,10 +980,12 @@ SELECT qq.term, qq.coef FROM (
 """
 
 
-def _sql_huber2_arm(pfx: str, label: str, where: str) -> str:
+def _sql_huber2_arm(pfx: str, label: str, where: str, seg: str) -> str:
     """One 2-iteration Huber IRLS unroll (c=1.345, uncentered-MAD scale)
     over y=l_extendedprice ~ x=l_quantity, segment-filtered by `where` —
-    the grouped-pin generator (coxg precedent: one chain, N instances)."""
+    the grouped-pin generator (coxg precedent: one chain, N instances).
+    Also emits the segment's mean grouped_predict score in closed form
+    (mean(a + b·x) = a + b·x̄)."""
     return f"""
 SELECT {pfx}res.term, {pfx}res.coef FROM (
   WITH {pfx}base AS (
@@ -1014,6 +1032,9 @@ SELECT {pfx}res.term, {pfx}res.coef FROM (
   SELECT '{label}_intercept' AS term, ROUND(a, 1) AS coef FROM {pfx}b2
   UNION ALL SELECT '{label}_l_quantity', ROUND(b, 1) FROM {pfx}b2
   UNION ALL SELECT '{label}_scale', ROUND({pfx}s2.s, 1) FROM {pfx}s2
+  UNION ALL SELECT 'hgp_{seg}_mean',
+    ROUND(a + b * (SELECT AVG(CAST(l_quantity AS DOUBLE))
+                   FROM lineitem {where}), 1) FROM {pfx}b2
 ) {pfx}res
 """
 
@@ -1068,7 +1089,7 @@ SQL_WLS_FIT = (
     SQL_WLS_FIT
     + "".join(
         "UNION ALL" + _sql_huber2_arm(
-            f"hg{st.lower()}_", f"hg_{st}", f"WHERE l_linestatus = '{st}'"
+            f"hg{st.lower()}_", f"hg_{st}", f"WHERE l_linestatus = '{st}'", st
         )
         for st in ("F", "O")
     )

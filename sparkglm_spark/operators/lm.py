@@ -1375,3 +1375,77 @@ def quantile_lm_grouped(
         df, formula, group_cols, na_action,
         [T.StructField("delta", T.DoubleType())], fit_one,
     )
+
+
+def grouped_predict(
+    df: DataFrame,
+    fits: DataFrame,
+    formula: str,
+    group_cols: list[str],
+    output_col: str = "prediction",
+    link: str | None = None,
+) -> DataFrame:
+    """Score every row with ITS OWN segment's coefficients — the serving
+    half of the grouped-fitter family (`lm_grouped`, `glm_grouped`,
+    `huber_lm_grouped`, `quantile_lm_grouped` all emit the long
+    (group…, term, estimate) format this consumes). Appends `output_col`
+    to the input rows.
+
+    Plan: the fits table pivots to one wide coefficient row per group
+    (one narrow O(G·k)→O(G) aggregation — `first(when(term=t))`
+    map-side combines), joins onto the scoring frame on the group key
+    (AQE broadcasts when G is small; at millions of segments it is a
+    plain shuffle join on the key the fact table often already groups
+    by), and the dot product is a codegen projection — no Python, one
+    pass over the fact rows. Term columns rebuild from the TERM NAMES:
+    a term matching a df column scores as that column; `pred_level`
+    dummy terms score as `(pred == 'level')` — no level table needed
+    (the dropped-first level is implicit: all its dummies are 0).
+
+    NULL semantics: a degenerate group's NULL estimates, and rows whose
+    group has NO fit row, score NULL (never a silent zero). `link` maps
+    the linear predictor through the GLM mean function ('logit', 'log',
+    … — anything in `functions.links.LINKS`) for `glm_grouped` fits;
+    None/'identity' returns the linear predictor."""
+    from sparkglm_spark.functions.links import get_link
+
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    parsed = expand_dot(
+        parse_formula(formula), [c for c in df.columns if c not in group_cols]
+    )
+    # distinct terms: model metadata, k rows — not data
+    terms = sorted(r["term"] for r in fits.select("term").distinct().collect())
+    by_len = sorted(parsed.predictors, key=len, reverse=True)
+
+    def term_expr(t: str) -> Column:
+        if t == "intercept":
+            return F.lit(1.0)
+        if t in df.columns:
+            return F.col(t).cast("double")
+        for p in by_len:  # longest predictor prefix wins ('a_b' before 'a')
+            if t.startswith(p + "_"):
+                return (F.col(p) == F.lit(t[len(p) + 1:])).cast("double")
+        raise ValueError(
+            f"term {t!r} is neither a column of the scoring frame nor a "
+            f"'<predictor>_<level>' dummy of {sorted(parsed.predictors)}"
+        )
+
+    exprs = {t: term_expr(t) for t in terms}  # validate before any job
+    wide = fits.groupBy(*group_cols).agg(
+        *[
+            F.first(
+                F.when(F.col("term") == t, F.col("estimate")), ignorenulls=True
+            ).alias(f"__b_{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    eta = None
+    for i, t in enumerate(terms):
+        contrib = F.col(f"__b_{i}") * exprs[t]
+        eta = contrib if eta is None else eta + contrib
+    out = eta if link in (None, "identity") else get_link(link).unlink(eta, F.lit(1.0))
+    return (
+        df.join(wide, list(group_cols), "left")
+        .select(*df.columns, out.alias(output_col))
+    )

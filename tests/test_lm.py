@@ -812,3 +812,69 @@ def test_grouped_robust_fitters_match_per_group(spark):
         huber_lm_grouped(df, "y ~ x", [])
     with pytest.raises(ValueError, match="q must"):
         quantile_lm_grouped(df, "y ~ x", ["g"], q=1.5)
+
+
+def test_grouped_predict_matches_per_group_models(spark):
+    """grouped_predict: each row scored with its own segment's
+    coefficients must equal the per-group LM fit's prediction; dummy
+    terms rebuild from term names; degenerate and unseen groups score
+    NULL; link='logit' maps through the sigmoid."""
+    import math
+
+    import numpy as np
+
+    from sparkglm_spark.operators.glm import glm_grouped
+    from sparkglm_spark.operators.lm import grouped_predict, lm, lm_grouped
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for g in ("a", "b"):
+        for i in range(80):
+            x = float(rng.normal())
+            cat = "u" if i % 3 else "v"
+            y = (2.0 if g == "a" else -1.0) + 1.5 * x + (0.7 if cat == "v" else 0.0)
+            rows.append((g, x, cat, y + float(rng.normal(0, 0.1))))
+    rows.append(("tiny", 1.0, "u", 5.0))  # degenerate fit -> NULL coefs
+    df = spark.createDataFrame(rows, "g string, x double, cat string, y double")
+    fits = lm_grouped(df, "y ~ x + cat", ["g"])
+    score_in = df.unionByName(
+        spark.createDataFrame([("ghost", 1.0, "u", 0.0)], df.schema)
+    )
+    scored = grouped_predict(score_in, fits, "y ~ x + cat", ["g"])
+    assert scored.columns == score_in.columns + ["prediction"]
+    got = scored.collect()
+    models = {
+        g: lm(df.where(F.col("g") == g), "y ~ x + cat") for g in ("a", "b")
+    }
+    for r in got:
+        if r.g in models:
+            m = models[r.g]
+            want = sum(
+                float(b) * (1.0 if t == "intercept"
+                            else r.x if t == "x"
+                            else float(r.cat == t.split("_", 1)[1]))
+                for t, b in zip(m.xnames, m.coefs)
+            )
+            assert r.prediction == pytest.approx(want, rel=1e-9), r.g
+        else:  # 'tiny' (degenerate) and 'ghost' (no fit row)
+            assert r.prediction is None, r.g
+
+    # GLM logit: grouped_predict(link='logit') == sigmoid of the segment
+    # eta. Label must NOT be a deterministic function of x alone —
+    # perfect separation diverges the logistic fit (the r8 ANSI trap);
+    # flipping on a hash of the row index keeps the fit finite.
+    ydf = df.where(F.col("g") != "tiny").withColumn(
+        "yb",
+        ((F.col("x") > 0) != (F.abs(F.hash("y")) % 5 == 0)).cast("double"),
+    )
+    gfits = glm_grouped(ydf, "yb ~ x", ["g"], family="binomial")
+    coefs = {
+        (r.g, r.term): r.estimate for r in gfits.collect() if r.estimate is not None
+    }
+    gs = grouped_predict(ydf, gfits, "yb ~ x", ["g"], link="logit").collect()
+    for r in gs[:20]:
+        eta = coefs[(r.g, "intercept")] + coefs[(r.g, "x")] * r.x
+        assert r.prediction == pytest.approx(1.0 / (1.0 + math.exp(-eta)), rel=1e-9)
+
+    with pytest.raises(ValueError, match="neither a column"):
+        grouped_predict(score_in.drop("cat"), fits, "y ~ x", ["g"])
