@@ -36,8 +36,11 @@ from sparkglm_spark.operators.lm import (
     influence_diagnostics,
     lm,
     lm_cross_validate,
+    grouped_predict,
+    huber_lm_grouped,
     lm_grouped,
     quantile_lm,
+    quantile_lm_grouped,
     ridge,
     robust_standard_errors,
     wls,
@@ -61,6 +64,8 @@ from sparkglm_spark.operators.stats import (
     welch_ttest,
 )
 from sparkglm_spark.operators.survival import (
+    aft_fit_diagnostic,
+    aft_residuals,
     concordance_index,
     coxph,
     coxph_grouped,
@@ -70,6 +75,7 @@ from sparkglm_spark.operators.survival import (
     restricted_mean_survival,
     schoenfeld_residuals,
     weibull_aft,
+    weibull_aft_grouped,
 )
 from sparkglm_spark.operators.timeseries import (
     ewma_latest,
@@ -114,7 +120,10 @@ __all__ = [
     "wls",
     "ridge",
     "huber_lm",
+    "huber_lm_grouped",
     "quantile_lm",
+    "quantile_lm_grouped",
+    "grouped_predict",
     "anova_lm",
     "influence_diagnostics",
     "robust_standard_errors",
@@ -128,6 +137,9 @@ __all__ = [
     "ph_assumption_test",
     "concordance_index",
     "weibull_aft",
+    "weibull_aft_grouped",
+    "aft_residuals",
+    "aft_fit_diagnostic",
     "welch_ttest",
     "chi2_independence",
     "proportions_ztest",
