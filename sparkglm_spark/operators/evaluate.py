@@ -459,3 +459,104 @@ def roc_points(
         )
         .orderBy(F.col("score").desc())
     )
+
+
+def fit_isotonic_calibration(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+) -> "IsotonicCalibration":
+    """Fit an isotonic (monotone non-decreasing) calibration map from raw
+    scores to empirical probabilities — the non-parametric recalibrator
+    (public convention: pool-adjacent-violators, Zadrozny & Elkan 2002;
+    `calibration_bins` DIAGNOSES miscalibration, this FIXES it).
+
+    Plan: scores collapse to distinct values first (one groupBy carrying
+    (Σy, n) per score — the same reduction every rank operator here
+    uses), then MLlib's `IsotonicRegression` runs its distributed
+    parallel-PAV over the weighted distinct-score table: partial PAV per
+    partition, merge at the driver — the standard scalable isotonic
+    algorithm, state O(distinct scores) worst case and O(#pools) after
+    pooling. Labels must be 0/1 and non-null/NaN (validated in the same
+    reduction).
+
+    Returns an `IsotonicCalibration` whose `transform(df)` appends
+    `calibrated` via MLlib's interpolating piecewise-linear predictor
+    (codegen-adjacent JVM path, no Python)."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import IsotonicRegression
+
+    y = F.col(label_col).cast("double")
+    p = F.col(score_col).cast("double")
+    agg = (
+        df.select(y.alias("__y"), p.alias("__p"))
+        .groupBy("__p")
+        .agg(
+            F.sum("__y").alias("sy"),
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(
+                F.when(
+                    F.col("__y").isNull() | F.isnan("__y"), 1
+                ).otherwise(0)
+            ).alias("nulls"),
+            F.sum(
+                ((F.col("__y") != 0.0) & (F.col("__y") != 1.0)).cast("int")
+            ).alias("bad"),
+        )
+    )
+    chk = agg.agg(
+        F.sum("nulls").alias("nulls"),
+        F.sum("bad").alias("bad"),
+        F.sum(F.when(F.col("__p").isNull() | F.isnan("__p"), 1).otherwise(0)).alias(
+            "badp"
+        ),
+        F.count(F.lit(1)).alias("k"),
+    ).collect()[0]
+    if chk["nulls"] or chk["badp"]:
+        raise ValueError("null/NaN labels or scores present — clean the frame")
+    if chk["bad"]:
+        raise ValueError("labels must be 0/1")
+    if not chk["k"]:
+        raise ValueError("empty input")
+    weighted = agg.select(
+        (F.col("sy") / F.col("n")).alias("rate"),
+        F.col("__p").alias("score"),
+        F.col("n").alias("w"),
+    )
+    iso = IsotonicRegression(
+        featuresCol="features", labelCol="rate", weightCol="w", isotonic=True
+    )
+    va = VectorAssembler(inputCols=["score"], outputCol="features")
+    model = iso.fit(va.transform(weighted))
+    return IsotonicCalibration(model=model, score_col=score_col)
+
+
+class IsotonicCalibration:
+    """Fitted isotonic score→probability map (`fit_isotonic_calibration`).
+    `boundaries`/`predictions` expose the pooled step-function knots
+    (numpy arrays, O(#pools))."""
+
+    def __init__(self, model, score_col: str):
+        self._model = model
+        self.score_col = score_col
+        import numpy as np
+
+        self.boundaries = np.array(model.boundaries.toArray())
+        self.predictions = np.array(model.predictions.toArray())
+
+    def transform(self, df: DataFrame, output_col: str = "calibrated") -> DataFrame:
+        """Append the calibrated probability: MLlib's piecewise-linear
+        interpolation between pool knots (scores outside the fitted range
+        clamp to the edge pools). Rows and columns pass through."""
+        from pyspark.ml.feature import VectorAssembler
+
+        va = VectorAssembler(
+            inputCols=["__iso_in"], outputCol="__iso_features"
+        )
+        staged = va.transform(
+            df.withColumn("__iso_in", F.col(self.score_col).cast("double"))
+        )
+        out = self._model.copy()._set(  # score through the fitted map
+            featuresCol="__iso_features", predictionCol=output_col
+        ).transform(staged)
+        return out.drop("__iso_in", "__iso_features")

@@ -367,3 +367,82 @@ def test_lift_table_pads_empty_bins(spark):
         assert r.cum_gain == pytest.approx(10 / 40)
         assert r.cum_lift == pytest.approx((10 / 40) / (10 / 100))
     assert out[3].cum_gain == pytest.approx(1.0)
+
+
+def test_isotonic_calibration_matches_pav(spark):
+    """fit_isotonic_calibration vs a numpy pool-adjacent-violators twin:
+    the fitted step values at the training scores must match PAV over
+    the distinct-score (rate, weight) reduction; transform is monotone,
+    clamps outside the fitted range, and fixes the planted
+    miscalibration (better Brier than the raw scores)."""
+    import numpy as np
+
+    from sparkglm_spark.operators.evaluate import (
+        binary_classification_eval,
+        fit_isotonic_calibration,
+    )
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    true_p = rng.uniform(0.05, 0.95, n)
+    y = (rng.random(n) < true_p).astype(float)
+    score = true_p**3  # systematically mis-calibrated, monotone in true_p
+    score = np.round(score, 2)  # heavy ties: the distinct-score reduction matters
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(y, score)], "y double, p double"
+    ).repartition(5)
+    cal = fit_isotonic_calibration(df, "y", "p")
+    assert np.all(np.diff(cal.predictions) >= -1e-12)  # monotone map
+
+    # numpy PAV twin over the same distinct-score reduction
+    import collections
+    agg = collections.defaultdict(lambda: [0.0, 0.0])
+    for a, b in zip(y, score):
+        agg[b][0] += a
+        agg[b][1] += 1.0
+    xs = sorted(agg)
+    vals = [agg[x][0] / agg[x][1] for x in xs]
+    ws = [agg[x][1] for x in xs]
+    pools = []  # (value, weight) stacks
+    for v, w in zip(vals, ws):
+        pools.append([v, w])
+        while len(pools) > 1 and pools[-2][0] >= pools[-1][0]:
+            v2, w2 = pools.pop()
+            pools[-1][0] = (pools[-1][0] * pools[-1][1] + v2 * w2) / (
+                pools[-1][1] + w2
+            )
+            pools[-1][1] += w2
+    pav_fit = []
+    i = 0
+    remaining = pools[0][1]
+    for v, w in zip(vals, ws):
+        pav_fit.append(pools[i][0])
+        remaining -= w
+        if remaining <= 1e-9 and i + 1 < len(pools):
+            i += 1
+            remaining = pools[i][1]
+
+    scored = cal.transform(df.select("p").distinct()).orderBy("p").collect()
+    got = {r.p: r.calibrated for r in scored}
+    for x, v in zip(xs, pav_fit):
+        assert got[x] == pytest.approx(v, abs=1e-9), x
+
+    # calibration improves the proper scoring rule
+    both = cal.transform(df)
+    raw = {r.metric: r.value for r in
+           binary_classification_eval(df, "y", "p").collect()}
+    fixed = {r.metric: r.value for r in
+             binary_classification_eval(
+                 both.select("y", F.col("calibrated").alias("p")), "y", "p"
+             ).collect()}
+    assert fixed["brier"] < raw["brier"] - 0.01
+    # clamping outside the fitted range
+    edge = cal.transform(
+        spark.createDataFrame([(-5.0,), (5.0,)], "p double")
+    ).orderBy("p").collect()
+    assert edge[0].calibrated == pytest.approx(float(cal.predictions[0]))
+    assert edge[1].calibrated == pytest.approx(float(cal.predictions[-1]))
+
+    bad = spark.createDataFrame([(2.0, 0.5)], "y double, p double")
+    with pytest.raises(ValueError, match="0/1"):
+        fit_isotonic_calibration(bad, "y", "p")
