@@ -504,30 +504,37 @@ def fit_isotonic_calibration(
             ).alias("bad"),
         )
     )
-    chk = agg.agg(
-        F.sum("nulls").alias("nulls"),
-        F.sum("bad").alias("bad"),
-        F.sum(F.when(F.col("__p").isNull() | F.isnan("__p"), 1).otherwise(0)).alias(
-            "badp"
-        ),
-        F.count(F.lit(1)).alias("k"),
-    ).collect()[0]
-    if chk["nulls"] or chk["badp"]:
-        raise ValueError("null/NaN labels or scores present — clean the frame")
-    if chk["bad"]:
-        raise ValueError("labels must be 0/1")
-    if not chk["k"]:
-        raise ValueError("empty input")
-    weighted = agg.select(
-        (F.col("sy") / F.col("n")).alias("rate"),
-        F.col("__p").alias("score"),
-        F.col("n").alias("w"),
-    )
-    iso = IsotonicRegression(
-        featuresCol="features", labelCol="rate", weightCol="w", isotonic=True
-    )
-    va = VectorAssembler(inputCols=["score"], outputCol="features")
-    model = iso.fit(va.transform(weighted))
+    # the distinct-score reduction feeds the validation probe AND the
+    # isotonic fit (both eager) — persist it for the pair (the lift_table
+    # convention: ReuseExchange does not fire across differing plans)
+    agg = agg.persist()
+    try:
+        chk = agg.agg(
+            F.sum("nulls").alias("nulls"),
+            F.sum("bad").alias("bad"),
+            F.sum(
+                F.when(F.col("__p").isNull() | F.isnan("__p"), 1).otherwise(0)
+            ).alias("badp"),
+            F.count(F.lit(1)).alias("k"),
+        ).collect()[0]
+        if chk["nulls"] or chk["badp"]:
+            raise ValueError("null/NaN labels or scores present — clean the frame")
+        if chk["bad"]:
+            raise ValueError("labels must be 0/1")
+        if not chk["k"]:
+            raise ValueError("empty input")
+        weighted = agg.select(
+            (F.col("sy") / F.col("n")).alias("rate"),
+            F.col("__p").alias("score"),
+            F.col("n").alias("w"),
+        )
+        iso = IsotonicRegression(
+            featuresCol="features", labelCol="rate", weightCol="w", isotonic=True
+        )
+        va = VectorAssembler(inputCols=["score"], outputCol="features")
+        model = iso.fit(va.transform(weighted))
+    finally:
+        agg.unpersist()
     return IsotonicCalibration(model=model, score_col=score_col)
 
 
@@ -547,16 +554,24 @@ class IsotonicCalibration:
     def transform(self, df: DataFrame, output_col: str = "calibrated") -> DataFrame:
         """Append the calibrated probability: MLlib's piecewise-linear
         interpolation between pool knots (scores outside the fitted range
-        clamp to the edge pools). Rows and columns pass through."""
+        clamp to the edge pools). Rows and columns pass through; a
+        null/NaN score calibrates to NULL (the `grouped_predict`
+        convention — VectorAssembler would otherwise ABORT the job on the
+        first null with handleInvalid='error')."""
         from pyspark.ml.feature import VectorAssembler
 
+        p = F.col(self.score_col).cast("double")
+        valid = p.isNotNull() & ~F.isnan(p)
+        # dirty rows score through a dummy knot value, then mask to NULL —
+        # deterministic, no reliance on MLlib's NaN-feature behavior
+        safe = F.when(valid, p).otherwise(F.lit(float(self.boundaries[0])))
         va = VectorAssembler(
             inputCols=["__iso_in"], outputCol="__iso_features"
         )
-        staged = va.transform(
-            df.withColumn("__iso_in", F.col(self.score_col).cast("double"))
-        )
+        staged = va.transform(df.withColumn("__iso_in", safe))
         out = self._model.copy()._set(  # score through the fitted map
             featuresCol="__iso_features", predictionCol=output_col
         ).transform(staged)
-        return out.drop("__iso_in", "__iso_features")
+        return out.withColumn(
+            output_col, F.when(valid, F.col(output_col))
+        ).drop("__iso_in", "__iso_features")

@@ -1267,8 +1267,9 @@ def huber_lm_grouped(
 
     Returns long format: group_cols…, term, estimate, scale, n_rows,
     iterations, converged. Degenerate groups (n < k, non-finite values,
-    singular Gram, zero robust scale before the first solve) emit NULL
-    estimates."""
+    singular Gram) emit NULL estimates. A zero robust scale (≥ half the
+    group's rows fit exactly) stops with the CURRENT β — the same
+    behavior as the distributed `huber_lm`, not a NULL row."""
     from pyspark.sql import types as T
 
     if c <= 0:
@@ -1377,6 +1378,12 @@ def quantile_lm_grouped(
     )
 
 
+from sparkglm_spark.plans.caching import CacheRegistry
+
+_GP_CACHES = CacheRegistry()
+
+
+@_GP_CACHES.scoped
 def grouped_predict(
     df: DataFrame,
     fits: DataFrame,
@@ -1414,6 +1421,13 @@ def grouped_predict(
     parsed = expand_dot(
         parse_formula(formula), [c for c in df.columns if c not in group_cols]
     )
+    # the fits frame feeds TWO consumers — the terms probe (a job, now)
+    # and the wide pivot (lazy, in the returned plan). A grouped fit is
+    # expensive (per-group IRLS); persist it so the pivot reuses the
+    # materialized result instead of re-running every segment's fit
+    # (invocation-scoped registry — the repo's persist-inside-lazy-return
+    # convention, see plans/caching.py)
+    fits = _GP_CACHES.persist(fits)
     # distinct terms: model metadata, k rows — not data
     terms = sorted(r["term"] for r in fits.select("term").distinct().collect())
     by_len = sorted(parsed.predictors, key=len, reverse=True)

@@ -675,6 +675,25 @@ def _bucket_pair_stats(pdf_t, pdf_e, pdf_r):
 _CINDEX_ROWS_PER_BUCKET = 50_000
 
 
+def _levenberg_lams(hess) -> list:
+    """Damping ladder for the AFT Newton: λ values up to 100·max|diag H|
+    (past the largest eigenvalue H − λI is negative definite, so the
+    damped step ascends after halving). A non-finite diagonal (an
+    overflowed exp(z) on wild start data) clamps the cap to 1e12 —
+    `100·inf` would otherwise make the `while lam <= cap` ladder loop
+    forever (inf <= inf), hanging the driver or an executor task."""
+    diag_mag = float(np.max(np.abs(np.diag(hess))))
+    if not np.isfinite(diag_mag):
+        diag_mag = 1e12
+    lam_cap = 100.0 * max(1.0, diag_mag)
+    lams = [0.0]
+    lam = 1e-3
+    while lam <= lam_cap:
+        lams.append(lam)
+        lam *= 100.0
+    return lams
+
+
 def concordance_index(
     df: DataFrame,
     time_col: str,
@@ -1045,7 +1064,9 @@ def coxph_grouped(
             cols["se"].append(float(se[i]) if se is not None else None)
             cols["loglik"].append(ll)
             cols["n_rows"].append(n)
-            cols["n_events"].append(int(e_valid.sum()))
+            # count e == 1 rows, not the raw sum: a dirty group with
+            # e = 2.0 degenerates to NULLs but must not report 2 events
+            cols["n_events"].append(int((e_valid == 1.0).sum()))
             cols["iterations"].append(it)
             cols["converged"].append(bool(conv))
         return pd.DataFrame(cols)
@@ -1334,12 +1355,7 @@ def weibull_aft(
                 # H − λI negative definite when |H| ~ 1e5+ (real-data
                 # probe r9 — the fit stalled at a saddle and reported
                 # convergence with negative variances)
-                lam_cap = 100.0 * max(1.0, float(np.max(np.abs(np.diag(hess)))))
-                lams = [0.0]
-                lam = 1e-3
-                while lam <= lam_cap:
-                    lams.append(lam)
-                    lam *= 100.0
+                lams = _levenberg_lams(hess)
                 improved = False
                 for lam in lams:
                     try:
@@ -1645,12 +1661,7 @@ def _aft_newton_dense(t, e, X, exact_iterations, tol, max_iter):
         if exact_iterations is None:
             # Hessian-scaled Levenberg ladder + grad-zero convergence
             # test — the same r9 saddle fix as the distributed fitter
-            lam_cap = 100.0 * max(1.0, float(np.max(np.abs(np.diag(hess)))))
-            lams = [0.0]
-            lam = 1e-3
-            while lam <= lam_cap:
-                lams.append(lam)
-                lam *= 100.0
+            lams = _levenberg_lams(hess)
             improved = False
             for lam in lams:
                 try:
@@ -1689,10 +1700,13 @@ def _aft_newton_dense(t, e, X, exact_iterations, tol, max_iter):
         ll = ll0
     ll, _, hess = stats_at(beta, log_s)
     cov = np.linalg.inv(-hess)
+    # the same unconverged-stop contract as the distributed fitter: an
+    # indefinite −H (stall away from the optimum, max_iter exhausted)
+    # reports the coefficients with NaN se and converged=False — NOT a
+    # LinAlgError, which the grouped caller would misreport as a
+    # degenerate-data NULL row
     diag = np.diag(cov)
-    if np.any(diag < 0):
-        raise np.linalg.LinAlgError("information not positive definite")
-    se = np.sqrt(diag)
+    se = np.where(diag >= 0, np.sqrt(np.abs(diag)), np.nan)
     return beta, log_s, se, ll, n_iter, converged or exact_iterations is not None
 
 
@@ -1863,6 +1877,25 @@ def aft_fit_diagnostic(
     expected| over the bulk of the distribution. `time_bucket` coarsens
     the residual axis (bounds output cardinality at scale, exactly as
     in `kaplan_meier`)."""
+    # validate BEFORE the KM: a t ≤ 0 row (log → NULL) or a dirty
+    # event/covariate would otherwise enter the distinct-residual grid as
+    # a NULL key and silently shift every hazard value
+    t = F.col(model.time_col).cast("double")
+    e = F.col(model.event_col).cast("double")
+    dirty = (
+        t.isNull() | (t <= 0) | F.isnan(t)
+        | e.isNull() | ((e != 0.0) & (e != 1.0))
+    )
+    for name in model.xnames:
+        if name != "intercept":
+            xc = F.col(name).cast("double")
+            dirty = dirty | xc.isNull() | F.isnan(xc)
+    chk = df.agg(F.sum(dirty.cast("int")).alias("bad")).collect()[0]
+    if chk["bad"]:
+        raise ValueError(
+            f"{chk['bad']} rows have null/non-positive time, non-0/1 "
+            "event, or null/NaN covariates — clean the frame first"
+        )
     res = aft_residuals(df, model).select(
         F.col("cox_snell").alias("__u"),
         F.col(model.event_col).cast("double").alias("__e"),

@@ -747,6 +747,9 @@ def drift_state_stream(
         F.col(value_col).cast("double"),
     )
     if group_col:
+        # NULL group keys are dropped, matching the batch twin
+        # (`distribution_drift_grouped` filters group_col.isNotNull())
+        clean = clean.where(F.col(group_col).isNotNull())
         grouped = clean.groupBy(group_col)
     else:
         # a literal grouping EXPRESSION doesn't resolve through

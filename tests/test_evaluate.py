@@ -446,3 +446,23 @@ def test_isotonic_calibration_matches_pav(spark):
     bad = spark.createDataFrame([(2.0, 0.5)], "y double, p double")
     with pytest.raises(ValueError, match="0/1"):
         fit_isotonic_calibration(bad, "y", "p")
+
+
+def test_isotonic_transform_null_scores_calibrate_null(spark):
+    """Review r9: a null/NaN score must calibrate to NULL instead of
+    aborting the job inside VectorAssembler (handleInvalid='error')."""
+    from sparkglm_spark.operators.evaluate import fit_isotonic_calibration
+
+    train = spark.createDataFrame(
+        [(0.0, 0.1), (0.0, 0.2), (1.0, 0.3), (1.0, 0.8), (1.0, 0.9)],
+        "y double, p double",
+    )
+    cal = fit_isotonic_calibration(train, "y", "p")
+    dirty = spark.createDataFrame(
+        [(0.5,), (None,), (float("nan"),)], "p double"
+    )
+    got = cal.transform(dirty).collect()
+    by = {("nan" if r.p != r.p else r.p) if r.p is not None else None:
+          r.calibrated for r in got}
+    assert by[0.5] is not None
+    assert by[None] is None and by["nan"] is None

@@ -950,7 +950,14 @@ def test_drift_state_stream_equals_batch(spark, sf_dir):
     assert got["js"] == pytest.approx(batch["js_divergence"], rel=1e-12)
 
     # grouped monitor: per-event-type drift, final state per group equals
-    # the per-slice batch metric
+    # the per-slice batch metric; NULL group keys are dropped (the batch
+    # twin's isNotNull filter — review r9)
+    cur = cur.withColumn(
+        "event_type",
+        F.when(F.col("event_id") % 13 == 0, None).otherwise(
+            F.col("event_type")
+        ),
+    )
     with tempfile.TemporaryDirectory() as d:
         src = os.path.join(d, "src")
         os.makedirs(src)
@@ -981,7 +988,12 @@ def test_drift_state_stream_equals_batch(spark, sf_dir):
                 " GROUP BY event_type"
             ).collect()
         }
-    types = [r.event_type for r in cur.select("event_type").distinct().collect()]
+    types = [
+        r.event_type
+        for r in cur.select("event_type").distinct().collect()
+        if r.event_type is not None
+    ]
+    assert None not in per_g  # NULL keys dropped, not their own segment
     assert sorted(per_g) == sorted(types)
     for t in types:
         b = distribution_drift(

@@ -1063,3 +1063,47 @@ def test_weibull_aft_indefinite_hessian_start(spark):
     # the fitted sigma is near the generating residual spread
     assert np.isfinite(m.loglik)
     assert 0.4 < m.scale < 1.2
+
+
+def test_weibull_aft_overflowed_hessian_terminates(spark):
+    """Review r9: an exact event-row OLS fit floors sigma at 1e-3, so
+    censored residuals overflow exp(z) to inf and the Hessian diagonal
+    goes non-finite — the Hessian-scaled Levenberg cap must clamp (a
+    100*inf cap made `while lam <= cap` loop forever). The fit must
+    TERMINATE and report its convergence state honestly."""
+    from sparkglm_spark.operators.survival import weibull_aft
+
+    rows = []
+    for i in range(30):  # events: ln t == 2*x exactly -> OLS sse = 0
+        x = float(i) / 10.0
+        rows.append((float(np.exp(2.0 * x)), 1.0, x))
+    for i in range(10):  # censored far off the event line
+        x = float(i) / 10.0
+        rows.append((float(np.exp(2.0 * x + 5.0)), 0.0, x))
+    df = spark.createDataFrame(rows, "time double, event double, x double")
+    m = weibull_aft(df, "time", "event", ["x"], max_iter=10)
+    assert m.iter <= 10 and np.all(np.isfinite(m.coefs))
+
+
+def test_aft_fit_diagnostic_rejects_dirty_rows(aft_data, spark):
+    from sparkglm_spark.operators.survival import aft_fit_diagnostic, weibull_aft
+
+    df, *_ = aft_data
+    m = weibull_aft(df, "time", "event", ["x1", "x2"])
+    dirty = df.unionByName(
+        spark.createDataFrame([(0.0, 1.0, 0.1, 0.2)], df.schema)
+    )
+    with pytest.raises(ValueError, match="clean the frame"):
+        aft_fit_diagnostic(dirty, m)
+
+
+def test_coxph_grouped_nonbinary_event_metadata(spark):
+    """Review r9: a dirty group with e = 2.0 degenerates to NULLs, and
+    n_events must count e == 1 rows, not sum raw event values."""
+    from sparkglm_spark.operators.survival import coxph_grouped
+
+    rows = [("d", 1.0, 0.0, 0.1), ("d", 2.0, 1.0, 0.2),
+            ("d", 3.0, 2.0, 0.4), ("d", 4.0, 1.0, -0.3)]
+    df = spark.createDataFrame(rows, "g string, t double, e double, x double")
+    r = coxph_grouped(df, "t", "e", ["x"], ["g"]).collect()[0]
+    assert r.estimate is None and r.n_events == 2
