@@ -535,43 +535,59 @@ def fit_isotonic_calibration(
         model = iso.fit(va.transform(weighted))
     finally:
         agg.unpersist()
-    return IsotonicCalibration(model=model, score_col=score_col)
+    return IsotonicCalibration(
+        boundaries=model.boundaries.toArray(),
+        predictions=model.predictions.toArray(),
+        score_col=score_col,
+    )
 
 
 class IsotonicCalibration:
     """Fitted isotonic score→probability map (`fit_isotonic_calibration`).
-    `boundaries`/`predictions` expose the pooled step-function knots
-    (numpy arrays, O(#pools))."""
+    `boundaries`/`predictions` are the pooled knots (numpy arrays,
+    O(#pools)) — the ENTIRE model state, so the calibrator persists
+    through the engine's JSON model layout (`persist.save_model`, kind
+    "isotonic") like every other fitted family."""
 
-    def __init__(self, model, score_col: str):
-        self._model = model
-        self.score_col = score_col
+    def __init__(self, boundaries, predictions, score_col: str):
         import numpy as np
 
-        self.boundaries = np.array(model.boundaries.toArray())
-        self.predictions = np.array(model.predictions.toArray())
+        self.boundaries = np.asarray(boundaries, dtype=np.float64)
+        self.predictions = np.asarray(predictions, dtype=np.float64)
+        if self.boundaries.shape != self.predictions.shape or not len(
+            self.boundaries
+        ):
+            raise ValueError("boundaries/predictions must be equal-length, non-empty")
+        self.score_col = score_col
 
     def transform(self, df: DataFrame, output_col: str = "calibrated") -> DataFrame:
-        """Append the calibrated probability: MLlib's piecewise-linear
-        interpolation between pool knots (scores outside the fitted range
-        clamp to the edge pools). Rows and columns pass through; a
-        null/NaN score calibrates to NULL (the `grouped_predict`
-        convention — VectorAssembler would otherwise ABORT the job on the
-        first null with handleInvalid='error')."""
-        from pyspark.ml.feature import VectorAssembler
+        """Append the calibrated probability: linear interpolation between
+        pool knots, clamped to the edge pools outside the fitted range —
+        np.interp over the broadcast knot arrays in ONE vectorized Arrow
+        pandas UDF (the probit-kernel pattern; knot count is unbounded by
+        pooling, so a codegen CASE chain is not an option). Identical to
+        MLlib's IsotonicRegressionModel interpolation (asserted in
+        tests). Rows and columns pass through; a null/NaN score
+        calibrates to NULL (the `grouped_predict` convention)."""
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import DoubleType
+
+        bx, by = self.boundaries, self.predictions
+
+        # no type hints: the module's `from __future__ import annotations`
+        # turns them into strings pandas_udf cannot resolve at runtime
+        @pandas_udf(DoubleType())
+        def interp(col):
+            import numpy as np
+
+            x = col.to_numpy(dtype=np.float64, na_value=np.nan)
+            out = np.interp(x, bx, by)
+            out[~np.isfinite(x)] = np.nan
+            return pd.Series(out).astype("Float64").mask(~np.isfinite(x))
 
         p = F.col(self.score_col).cast("double")
         valid = p.isNotNull() & ~F.isnan(p)
-        # dirty rows score through a dummy knot value, then mask to NULL —
-        # deterministic, no reliance on MLlib's NaN-feature behavior
-        safe = F.when(valid, p).otherwise(F.lit(float(self.boundaries[0])))
-        va = VectorAssembler(
-            inputCols=["__iso_in"], outputCol="__iso_features"
+        return df.withColumn(
+            output_col, F.when(valid, interp(p))
         )
-        staged = va.transform(df.withColumn("__iso_in", safe))
-        out = self._model.copy()._set(  # score through the fitted map
-            featuresCol="__iso_features", predictionCol=output_col
-        ).transform(staged)
-        return out.withColumn(
-            output_col, F.when(valid, F.col(output_col))
-        ).drop("__iso_in", "__iso_features")

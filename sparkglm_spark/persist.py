@@ -14,6 +14,7 @@ import json
 
 import numpy as np
 
+from sparkglm_spark.operators.evaluate import IsotonicCalibration
 from sparkglm_spark.operators.glm import GLM
 from sparkglm_spark.operators.lm import LM, HuberLM, QuantileLM
 from sparkglm_spark.operators.survival import CoxPH, WeibullAFT
@@ -26,6 +27,14 @@ def _arr(x) -> list[float]:
 
 
 def model_to_dict(model: LM | GLM | HuberLM | QuantileLM | CoxPH) -> dict:
+    if isinstance(model, IsotonicCalibration):
+        return {
+            "format_version": _FORMAT_VERSION,
+            "kind": "isotonic",
+            "score_col": model.score_col,
+            "boundaries": _arr(model.boundaries),
+            "predictions": _arr(model.predictions),
+        }
     if isinstance(model, QuantileLM):
         return {
             "format_version": _FORMAT_VERSION,
@@ -146,6 +155,12 @@ def model_to_dict(model: LM | GLM | HuberLM | QuantileLM | CoxPH) -> dict:
 def model_from_dict(d: dict) -> LM | GLM | HuberLM | QuantileLM | CoxPH:
     if d.get("format_version") != _FORMAT_VERSION:
         raise ValueError(f"unsupported model format {d.get('format_version')!r}")
+    if d["kind"] == "isotonic":
+        return IsotonicCalibration(
+            boundaries=d["boundaries"],
+            predictions=d["predictions"],
+            score_col=d["score_col"],
+        )
     if d["kind"] == "quantile":
         return QuantileLM(
             xnames=list(d["xnames"]),

@@ -466,3 +466,57 @@ def test_isotonic_transform_null_scores_calibrate_null(spark):
           r.calibrated for r in got}
     assert by[0.5] is not None
     assert by[None] is None and by["nan"] is None
+
+
+def test_isotonic_persist_roundtrip_and_mllib_parity(spark, tmp_path):
+    """IsotonicCalibration persists through the engine JSON layout like
+    every other fitted family, and its np.interp transform is identical
+    to MLlib's own IsotonicRegressionModel interpolation on a dense
+    probe grid (interior, knot-exact, and out-of-range points)."""
+    import numpy as np
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import IsotonicRegression
+
+    from sparkglm_spark.operators.evaluate import fit_isotonic_calibration
+    from sparkglm_spark.persist import load_model, save_model
+
+    rng = np.random.default_rng(17)
+    y = (rng.random(800) < np.linspace(0.1, 0.9, 800)).astype(float)
+    p = np.round(np.linspace(0, 1, 800) ** 2, 3)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(y, p)], "y double, p double"
+    )
+    cal = fit_isotonic_calibration(df, "y", "p")
+    path = str(tmp_path / "iso.json")
+    save_model(cal, path)
+    back = load_model(path)
+    np.testing.assert_array_equal(back.boundaries, cal.boundaries)
+    np.testing.assert_array_equal(back.predictions, cal.predictions)
+    assert back.score_col == "p"
+
+    # MLlib parity on a probe grid
+    grid = np.concatenate([
+        np.linspace(-0.2, 1.2, 57), cal.boundaries,
+        (cal.boundaries[:-1] + cal.boundaries[1:]) / 2.0,
+    ])
+    gdf = spark.createDataFrame([(float(v),) for v in grid], "p double")
+    ours = {r.p: r.calibrated for r in back.transform(gdf).collect()}
+    mdl = IsotonicRegression(
+        featuresCol="f", labelCol="y", weightCol="w"
+    ).fit(
+        VectorAssembler(inputCols=["p"], outputCol="f").transform(
+            df.groupBy("p").agg(
+                F.avg("y").alias("y"),
+                F.count(F.lit(1)).cast("double").alias("w"),
+            )
+        )
+    )
+    theirs = {
+        r.p: r.pred
+        for r in mdl.transform(
+            VectorAssembler(inputCols=["p"], outputCol="f")
+            .transform(gdf)
+        ).withColumnRenamed("prediction", "pred").collect()
+    }
+    for v in grid:
+        assert ours[float(v)] == pytest.approx(theirs[float(v)], abs=1e-12), v
