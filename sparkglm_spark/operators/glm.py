@@ -592,6 +592,8 @@ def glm_grouped(
     max_iter: int = 50,
     na_action: str = "omit",
     exact_iterations: int | None = None,
+    var_power: float = 1.5,
+    nb_alpha: float = 1.0,
 ) -> DataFrame:
     """One GLM per group — IRLS per segment, distributed via
     `applyInPandas` (numpy Fisher scoring inside each group's Arrow batch).
@@ -601,9 +603,13 @@ def glm_grouped(
     frame — the right trade for the "millions of medium segments" shape
     (per-ad-campaign logistic models, per-tenant rates). For one huge
     segment use `glm()` itself, whose per-iteration aggregation never
-    materializes rows. Supported: binomial/logit, poisson/log,
-    gaussian/identity. Degenerate groups (n < k, singular/non-converged
-    fits) yield NULL estimates.
+    materializes rows. Supported (r9 — the full default-link family set
+    of the distributed `glm`): binomial & quasibinomial / logit,
+    poisson & quasipoisson / log, gamma / log, tweedie(`var_power`) /
+    log, negbinomial(`nb_alpha`) / log, gaussian / identity. The quasi
+    families fit β identically to their base family (φ cancels from the
+    IRLS). Degenerate groups (n < k, singular/non-converged fits,
+    responses outside the family's domain) yield NULL estimates.
 
     Returns long format: group_cols…, term, estimate, deviance,
     iterations, n_rows.
@@ -612,15 +618,30 @@ def glm_grouped(
 
     from sparkglm_spark.operators.lm import _design
 
-    link = link or {"binomial": "logit", "poisson": "log", "gaussian": "identity"}[
-        family
-    ]
-    if (family, link) not in {
-        ("binomial", "logit"),
-        ("poisson", "log"),
-        ("gaussian", "identity"),
-    }:
-        raise ValueError(f"glm_grouped supports logit/log/identity, got {family}/{link}")
+    _defaults = {
+        "binomial": "logit",
+        "quasibinomial": "logit",
+        "poisson": "log",
+        "quasipoisson": "log",
+        "gamma": "log",
+        "tweedie": "log",
+        "negbinomial": "log",
+        "gaussian": "identity",
+    }
+    if family not in _defaults:
+        raise ValueError(
+            f"glm_grouped supports {sorted(_defaults)}, got {family!r}"
+        )
+    link = link or _defaults[family]
+    if link != _defaults[family]:
+        raise ValueError(
+            f"glm_grouped supports only the default link for each family "
+            f"({family}/{_defaults[family]}), got {family}/{link}"
+        )
+    if not 1.0 < var_power < 2.0:
+        raise ValueError(f"var_power must be in (1, 2), got {var_power!r}")
+    if nb_alpha <= 0:
+        raise ValueError(f"nb_alpha must be > 0, got {nb_alpha!r}")
 
     encoded, x_cols, target = _design(df, formula, group_cols, na_action=na_action)
     k = len(x_cols)
@@ -637,6 +658,7 @@ def glm_grouped(
     names = list(x_cols)
     gcols = list(group_cols)
     fam = family
+    p_tw, a_nb = float(var_power), float(nb_alpha)
     # fixed-iteration mode: run exactly N solves per group (deterministic
     # trajectory for the driver's SQL oracle); convergence logic disabled
     n_exact = exact_iterations
@@ -648,47 +670,100 @@ def glm_grouped(
         y = pdf[target].to_numpy(dtype=np.float64)
         n = len(y)
         beta, dev, it = None, None, 0
-        if n >= k:
+        # family response domains: out-of-domain groups degenerate to NULL
+        in_domain = (
+            np.all(y > 0)
+            if fam == "gamma"
+            else np.all(y >= 0)
+            if fam in ("poisson", "quasipoisson", "tweedie", "negbinomial")
+            else True
+        )
+        if n >= k and np.all(np.isfinite(y)) and in_domain:
             try:
                 if fam == "gaussian":
                     beta = np.linalg.solve(X.T @ X, X.T @ y)
                     dev = float(((y - X @ beta) ** 2).sum())
                     it = 1
                 else:
-                    if fam == "binomial":
+                    logit = fam in ("binomial", "quasibinomial")
+                    if logit:
                         mu = np.clip((y + 0.5) / 2.0, 1e-10, 1 - 1e-10)
+                        eta = np.log(mu / (1 - mu))
                     else:
                         mu = y + 0.5
-                    eta = (
-                        np.log(mu / (1 - mu)) if fam == "binomial" else np.log(mu)
-                    )
+                        eta = np.log(mu)
+
+                    def weights(mu):
+                        # (dμ/dη)² / V(μ) at the default link
+                        if logit:
+                            return mu * (1 - mu)
+                        if fam in ("poisson", "quasipoisson"):
+                            return mu
+                        if fam == "gamma":      # μ²/μ²
+                            return np.ones_like(mu)
+                        if fam == "tweedie":    # μ²/μ^p
+                            return mu ** (2.0 - p_tw)
+                        return mu / (1.0 + a_nb * mu)  # negbinomial
+
+                    def deviance(y, mu):
+                        with np.errstate(divide="ignore", invalid="ignore"):
+                            if logit:
+                                t1 = np.where(y > 0, y * np.log(y / mu), 0.0)
+                                t2 = np.where(
+                                    y < 1,
+                                    (1 - y) * np.log((1 - y) / (1 - mu)),
+                                    0.0,
+                                )
+                                return float(2.0 * (t1 + t2).sum())
+                            if fam in ("poisson", "quasipoisson"):
+                                t1 = np.where(y > 0, y * np.log(y / mu), 0.0)
+                                return float(2.0 * (t1 - (y - mu)).sum())
+                            if fam == "gamma":
+                                return float(
+                                    2.0 * (-np.log(y / mu) + (y - mu) / mu).sum()
+                                )
+                            if fam == "tweedie":
+                                p = p_tw
+                                tail = mu ** (2.0 - p) / (2.0 - p)
+                                full = (
+                                    np.where(y > 0, y ** (2.0 - p), 0.0)
+                                    / ((1.0 - p) * (2.0 - p))
+                                    - y * mu ** (1.0 - p) / (1.0 - p)
+                                    + tail
+                                )
+                                return float(
+                                    2.0 * np.where(y == 0, tail, full).sum()
+                                )
+                            a = a_nb  # negbinomial
+                            ratio = (1.0 + a * y) / (1.0 + a * mu)
+                            full = np.where(
+                                y > 0, y * np.log(np.where(y > 0, y, 1.0) / mu), 0.0
+                            ) - (y + 1.0 / a) * np.log(ratio)
+                            zero = (1.0 / a) * np.log(1.0 + a * mu)
+                            return float(
+                                2.0 * np.where(y == 0, zero, full).sum()
+                            )
+
                     dev_old, delta = 1e308, 1.0
                     it_cap = n_exact if n_exact is not None else max_iter
                     while (
                         n_exact is not None or abs(delta) > tol
                     ) and it < it_cap:
-                        if fam == "binomial":
-                            w = mu * (1 - mu)
-                        else:
-                            w = mu
-                        z = eta + (y - mu) / w
+                        w = weights(mu)
+                        z = eta + (y - mu) / w if logit or fam in (
+                            "poisson", "quasipoisson"
+                        ) else eta + (y - mu) / mu  # log link: dη/dμ = 1/μ
                         Xw = X * w[:, None]
                         beta = np.linalg.solve(X.T @ Xw, Xw.T @ z)
                         eta = X @ beta
-                        if fam == "binomial":
-                            mu = 1.0 / (1.0 + np.exp(-eta))
-                            mu = np.clip(mu, 1e-10, 1 - 1e-10)
-                            with np.errstate(divide="ignore", invalid="ignore"):
-                                t1 = np.where(y > 0, y * np.log(y / mu), 0.0)
-                                t2 = np.where(
-                                    y < 1, (1 - y) * np.log((1 - y) / (1 - mu)), 0.0
-                                )
-                            dev = float(2.0 * (t1 + t2).sum())
+                        if logit:
+                            mu = np.clip(1.0 / (1.0 + np.exp(-eta)), 1e-10, 1 - 1e-10)
                         else:
                             mu = np.exp(eta)
-                            with np.errstate(divide="ignore", invalid="ignore"):
-                                t1 = np.where(y > 0, y * np.log(y / mu), 0.0)
-                            dev = float(2.0 * (t1 - (y - mu)).sum())
+                        dev = deviance(y, mu)
+                        if not np.isfinite(dev):
+                            beta = None
+                            break
                         it += 1
                         delta = dev - dev_old
                         dev_old = dev

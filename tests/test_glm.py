@@ -671,3 +671,69 @@ def test_quasibinomial_matches_binomial_beta_scaled_se(orders):
         quasi.std_err, base.std_err * math.sqrt(phi), rtol=1e-10
     )
     assert math.isnan(quasi.aic)
+
+
+def test_glm_grouped_full_family_set(spark):
+    """r9: glm_grouped extended to the distributed glm's full
+    default-link family set — each group's numpy IRLS must land on the
+    same fit as the distributed glm on that slice, for gamma, tweedie,
+    negbinomial and the quasi twins; out-of-domain groups degenerate."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from sparkglm_spark.operators.glm import glm, glm_grouped
+
+    rng = np.random.default_rng(9)
+    rows = []
+    for g in ("a", "b"):
+        b0, b1 = (0.5, 0.8) if g == "a" else (1.2, -0.4)
+        for _ in range(150):
+            x = float(rng.normal())
+            mu = float(np.exp(b0 + b1 * x))
+            ygam = float(rng.gamma(2.0, mu / 2.0) + 1e-9)
+            ynb = float(rng.poisson(rng.gamma(1.0, mu)))  # NB via gamma-poisson
+            ytw = 0.0 if rng.random() < 0.3 else float(rng.gamma(2.0, mu / 2.0))
+            rows.append((g, x, ygam, ynb, ytw))
+    rows.append(("dirty", 1.0, -3.0, 2.0, 1.0))  # gamma domain violation
+    rows.append(("dirty", 2.0, -1.0, 1.0, 2.0))
+    rows.append(("dirty", 3.0, 4.0, 0.0, 0.5))
+    df = spark.createDataFrame(
+        rows, "g string, x double, ygam double, ynb double, ytw double"
+    )
+    cases = [
+        ("gamma", "ygam", {}),
+        ("negbinomial", "ynb", {"nb_alpha": 1.0}),
+        ("tweedie", "ytw", {"var_power": 1.5}),
+        ("quasipoisson", "ynb", {}),
+    ]
+    for fam, ycol, kw in cases:
+        got = {
+            (r.g, r.term): r
+            for r in glm_grouped(
+                df, f"{ycol} ~ x", ["g"], family=fam, **kw
+            ).collect()
+        }
+        for g in ("a", "b"):
+            m = glm(
+                df.where(F.col("g") == g), f"{ycol} ~ x", family=fam, **kw
+            )
+            for i, t in enumerate(m.xnames):
+                # both converge, by different stopping rules (deviance
+                # delta vs coefficient step) -> optimizer-tolerance match
+                assert got[(g, t)].estimate == pytest.approx(
+                    float(m.coefs[i]), rel=5e-4, abs=1e-6
+                ), (fam, g, t)
+            assert got[(g, "x")].deviance == pytest.approx(
+                m.deviance, rel=1e-4
+            ), (fam, g)
+        if fam == "gamma":  # negative response -> out of domain -> NULL
+            assert got[("dirty", "x")].estimate is None
+    # quasi ≡ base family β
+    qb = glm_grouped(df, "ynb ~ x", ["g"], family="quasipoisson").collect()
+    pb = glm_grouped(df, "ynb ~ x", ["g"], family="poisson").collect()
+    for a, b in zip(sorted(qb, key=lambda r: (r.g, r.term)),
+                    sorted(pb, key=lambda r: (r.g, r.term))):
+        if a.estimate is not None:
+            assert a.estimate == pytest.approx(b.estimate, rel=1e-12)
+    with pytest.raises(ValueError, match="default link"):
+        glm_grouped(df, "ygam ~ x", ["g"], family="gamma", link="inverse")
