@@ -453,3 +453,215 @@ def holt_forecast(
         return pd.DataFrame(row)
 
     return base.groupBy(key_col).applyInPandas(per_key, schema).orderBy(key_col)
+
+
+def _hw_fold(x, alpha, beta, gamma, m, state=None):
+    """Additive Holt-Winters fold shared by `holt_winters_series`,
+    `holt_winters_forecast` and the streaming twin (one definition — the
+    `_encode_formula`/`_grams_expr` no-triplication rule):
+
+        l_t = α(x_t − s_{t−m}) + (1−α)(l_{t−1} + b_{t−1})
+        b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}
+        s_t = γ(x_t − l_t) + (1−γ)s_{t−m}
+
+    Classical simple initialization over the FIRST TWO SEASONS
+    (Hyndman & Athanasopoulos, FPP §7.3 "traditional" start):
+    l = mean(x[0:m]), b = (mean(x[m:2m]) − mean(x[0:m]))/m,
+    s[i] = x[i] − l for i < m; the recursion then runs from t = m.
+
+    `state=None` initializes (requires len(x) ≥ 2m — caller guards);
+    passing `(level, trend, season_list, t_phase)` CONTINUES an existing
+    fold (the streaming path). Returns (level, trend, season, t_phase,
+    fitted, levels, trends) where the arrays cover exactly the rows
+    folded by the recursion (t ≥ m in init mode; every row in continue
+    mode); fitted[t] = l + b + s_slot BEFORE the update — the one-step
+    in-sample forecast."""
+    import numpy as np
+
+    n = len(x)
+    if state is None:
+        l = float(np.mean(x[:m]))
+        b = float((np.mean(x[m : 2 * m]) - np.mean(x[:m])) / m)
+        season = [float(v) - l for v in x[:m]]
+        start, phase = m, m
+    else:
+        l, b, season, phase = state
+        season = list(season)
+        start = 0
+    fitted = np.empty(n - start)
+    levels = np.empty(n - start)
+    trends = np.empty(n - start)
+    for i, t in enumerate(range(start, n)):
+        slot = phase % m
+        fitted[i] = l + b + season[slot]
+        l_new = alpha * (float(x[t]) - season[slot]) + (1.0 - alpha) * (l + b)
+        b = beta * (l_new - l) + (1.0 - beta) * b
+        season[slot] = gamma * (float(x[t]) - l_new) + (1.0 - gamma) * season[slot]
+        l = l_new
+        levels[i] = l
+        trends[i] = b
+        phase += 1
+    return l, b, season, phase, fitted, levels, trends
+
+
+def holt_winters_series(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float,
+    beta: float,
+    gamma: float,
+    period: int,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Additive Holt-Winters (triple exponential smoothing) per key —
+    level + trend + a `period`-slot seasonal state, the step up from
+    `holt_series` when the series has a repeating cycle (hourly/daily/
+    weekly telemetry). Appends `level`, `trend`, `seasonal` (the slot
+    value AFTER the row's update) and the one-step `fitted`; the first
+    `period` rows of each key (consumed by the classical two-season
+    initialization — see `_hw_fold`) carry NULLs there.
+
+    Same per-key-sequential applyInPandas shape as `holt_series`; keys
+    with fewer than 2·period retained rows emit all-NULL smoothing
+    columns (too short to initialize — reported, not silently dropped).
+
+    NULL POLICY (family-wide — `_drop_null_values`): null/NaN value rows
+    are dropped before the fold."""
+    import numpy as np
+    import pandas as pd
+
+    for name, v in (("alpha", alpha), ("beta", beta), ("gamma", gamma)):
+        if not 0.0 < v < 1.0:
+            raise ValueError(f"{name} must be in (0, 1), got {v!r}")
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period!r}")
+    m = int(period)
+    df = _drop_null_values(df, F.col(value_col).cast("double"))
+    sort_cols = ["__ts"] + (["__tb"] if tiebreak_col else [])
+    base = df.select(
+        F.col(key_col),
+        F.col(ts_col).alias("__ts"),
+        F.col(value_col).cast("double").alias("__x"),
+        *([F.col(tiebreak_col).alias("__tb")] if tiebreak_col else []),
+    )
+    schema = (
+        f"{key_col} {base.schema[key_col].dataType.simpleString()}, "
+        f"__ts {base.schema['__ts'].dataType.simpleString()}, "
+        "__x double, level double, trend double, seasonal double, "
+        "fitted double"
+    )
+
+    def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        x = pdf["__x"].to_numpy(np.float64)
+        n = len(x)
+        out = pdf[[c for c in pdf.columns if c != "__tb"]].copy()
+        cols = {}
+        if n >= 2 * m:
+            _, _, _, _, fitted, levels, trends = _hw_fold(
+                x, alpha, beta, gamma, m
+            )
+            # seasonal slot AFTER each row's update = x-driven recursion;
+            # recompute inline for the emitted column
+            l0 = float(np.mean(x[:m]))
+            season = [float(v) - l0 for v in x[:m]]
+            seas_rows = np.empty(n - m)
+            l, b = l0, float((np.mean(x[m : 2 * m]) - l0) / m)
+            for i, t in enumerate(range(m, n)):
+                slot = t % m
+                l_new = alpha * (x[t] - season[slot]) + (1 - alpha) * (l + b)
+                b = beta * (l_new - l) + (1 - beta) * b
+                season[slot] = gamma * (x[t] - l_new) + (1 - gamma) * season[slot]
+                l = l_new
+                seas_rows[i] = season[slot]
+            pad = [None] * m
+            cols["level"] = pad + list(levels)
+            cols["trend"] = pad + list(trends)
+            cols["seasonal"] = pad + list(seas_rows)
+            cols["fitted"] = pad + list(fitted)
+        else:
+            cols = {c: [None] * n for c in ("level", "trend", "seasonal", "fitted")}
+        for c, v in cols.items():
+            out[c] = pd.array(v, dtype="Float64")
+        return out
+
+    out = base.groupBy(key_col).applyInPandas(per_key, schema)
+    return out.select(
+        F.col(key_col),
+        F.col("__ts").alias(ts_col),
+        F.col("__x").alias(value_col),
+        "level",
+        "trend",
+        "seasonal",
+        "fitted",
+    )
+
+
+def holt_winters_forecast(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float,
+    beta: float,
+    gamma: float,
+    period: int,
+    horizons: list[int] = (1,),
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-key Holt-Winters END STATE + h-step forecasts
+    ŷ_{T+h} = l_T + h·b_T + s_{phase(T+h)} — one compact row per key
+    with (n_events, level, trend, season array, forecast_<h>…). Keys
+    shorter than 2·period emit NULL state (reported, not dropped).
+    Same conventions as `holt_winters_series` (init, ordering, the
+    family null policy)."""
+    import numpy as np
+    import pandas as pd
+
+    for name, v in (("alpha", alpha), ("beta", beta), ("gamma", gamma)):
+        if not 0.0 < v < 1.0:
+            raise ValueError(f"{name} must be in (0, 1), got {v!r}")
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period!r}")
+    if not horizons:
+        raise ValueError("horizons must be non-empty")
+    if any(int(h) < 1 for h in horizons):
+        raise ValueError("horizons must be >= 1")
+    m = int(period)
+    hs = [int(h) for h in horizons]
+    df = _drop_null_values(df, F.col(value_col).cast("double"))
+    sort_cols = ["__ts"] + (["__tb"] if tiebreak_col else [])
+    base = df.select(
+        F.col(key_col),
+        F.col(ts_col).alias("__ts"),
+        F.col(value_col).cast("double").alias("__x"),
+        *([F.col(tiebreak_col).alias("__tb")] if tiebreak_col else []),
+    )
+    fcols = ", ".join(f"forecast_{h} double" for h in hs)
+    schema = (
+        f"{key_col} {base.schema[key_col].dataType.simpleString()}, "
+        f"n_events bigint, level double, trend double, "
+        f"season array<double>, {fcols}"
+    )
+
+    def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        x = pdf["__x"].to_numpy(np.float64)
+        n = len(x)
+        row = {pdf.columns[0]: [pdf.iloc[0, 0]], "n_events": [n]}
+        if n >= 2 * m:
+            l, b, season, phase, *_ = _hw_fold(x, alpha, beta, gamma, m)
+            row["level"], row["trend"] = [l], [b]
+            row["season"] = [list(season)]
+            for h in hs:
+                row[f"forecast_{h}"] = [l + h * b + season[(phase + h - 1) % m]]
+        else:
+            row["level"] = row["trend"] = [None]
+            row["season"] = [None]
+            for h in hs:
+                row[f"forecast_{h}"] = [None]
+        return pd.DataFrame(row)
+
+    return base.groupBy(key_col).applyInPandas(per_key, schema).orderBy(key_col)

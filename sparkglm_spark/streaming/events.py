@@ -762,3 +762,151 @@ def drift_state_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def holt_winters_state_stream(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float,
+    beta: float,
+    gamma: float,
+    period: int,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Streaming twin of `operators.timeseries.holt_winters_forecast`'s
+    end state (per-key level + trend + seasonal slots) via
+    applyInPandasWithState.
+
+    The classical init consumes the first 2·period observations, so the
+    state BUFFERS values until 2·period have arrived, then initializes
+    and replays the recursion over the buffer — from that point each
+    micro-batch folds one value at a time through the carried (level,
+    trend, season[period], phase) state, an EXACT continuation of the
+    batch recursion (the same `_hw_fold` single definition runs both
+    sides; asserted against `holt_winters_forecast` over a multi-batch
+    ts-ordered replay in tests). State per key: period + a bounded
+    2·period-value init buffer, O(period) forever.
+
+    ORDER CONTRACT and NULL POLICY as `holt_state_stream` (rows fold in
+    (ts, tiebreak) order within a batch, arrival order across batches;
+    null/NaN values dropped before the fold).
+
+    Emits (key, n_events, level, trend, forecast_1, last_ts_micros) per
+    micro-batch ('update' mode); level/trend/forecast_1 are NULL until
+    the key has seen 2·period values."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        BooleanType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from sparkglm_spark.operators.timeseries import _drop_null_values, _hw_fold
+
+    for name, v in (("alpha", alpha), ("beta", beta), ("gamma", gamma)):
+        if not 0.0 < v < 1.0:
+            raise ValueError(f"{name} must be in (0, 1), got {v!r}")
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period!r}")
+    m = int(period)
+    if not events.isStreaming:
+        raise ValueError("input must be a streaming DataFrame (readStream)")
+    in_fields = {f.name: f for f in events.schema.fields}
+    need = [key_col, ts_col, value_col] + (
+        [tiebreak_col] if tiebreak_col else []
+    )
+    missing = [c for c in need if c not in in_fields]
+    if missing:
+        raise ValueError(
+            f"holt_winters_state_stream: columns {missing} not in input "
+            f"schema {sorted(in_fields)}"
+        )
+    out_schema = StructType(
+        [
+            in_fields[key_col],
+            StructField("n_events", LongType()),
+            StructField("level", DoubleType()),
+            StructField("trend", DoubleType()),
+            StructField("forecast_1", DoubleType()),
+            StructField("last_ts_micros", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("buf", ArrayType(DoubleType())),
+            StructField("lvl", DoubleType()),
+            StructField("trd", DoubleType()),
+            StructField("season", ArrayType(DoubleType())),
+            StructField("phase", LongType()),
+            StructField("n", LongType()),
+            StructField("inited", BooleanType()),
+            StructField("last", LongType()),
+        ]
+    )
+    sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    events = _drop_null_values(events, F.col(value_col).cast("double"))
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            buf, lvl, trd, season, phase, n, inited, last = state.get
+            buf = list(buf or [])
+            season = list(season or [])
+        else:
+            buf, lvl, trd, season, phase, n, inited, last = (
+                [], None, None, [], 0, 0, False, None
+            )
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        xs = pdf[value_col].to_numpy(dtype=np.float64)
+        n += len(xs)
+        if not inited:
+            buf.extend(float(v) for v in xs)
+            if len(buf) >= 2 * m:
+                lvl, trd, season, phase, *_ = _hw_fold(
+                    np.asarray(buf), alpha, beta, gamma, m
+                )
+                buf, inited = [], True
+        else:
+            lvl, trd, season, phase, *_ = _hw_fold(
+                xs, alpha, beta, gamma, m,
+                state=(lvl, trd, season, phase),
+            )
+        bt = int(pd.Timestamp(pdf[ts_col].iloc[-1]).value // 1000)
+        last = bt if last is None else max(last, bt)
+        state.update(
+            (buf, lvl, trd, [float(s) for s in season], int(phase), n,
+             inited, last)
+        )
+        fc1 = (lvl + trd + season[phase % m]) if inited else None
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n_events": [n],
+                "level": [lvl],
+                "trend": [trd],
+                "forecast_1": [fc1],
+                "last_ts_micros": [last],
+            }
+        )
+
+    return (
+        events.select(*dict.fromkeys(need))
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

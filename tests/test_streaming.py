@@ -1013,3 +1013,80 @@ def test_drift_state_stream_guards(spark, events):
         drift_state_stream(events, "value", ref)
     with pytest.raises(ValueError, match="reference"):
         drift_state_stream(events, "value", {"lo": 0.0})
+
+
+def test_holt_winters_state_stream_equals_batch(spark, sf_dir):
+    """holt_winters_state_stream over a 4-micro-batch ts-ordered replay:
+    the LAST update per key equals batch holt_winters_forecast — the
+    init buffer fills across batch boundaries and the fold continues
+    exactly (same _hw_fold on both sides). Uses a synthetic seasonal
+    frame so every key crosses the 2·period init threshold mid-stream."""
+    import numpy as np
+
+    from sparkglm_spark.operators.timeseries import holt_winters_forecast
+    from sparkglm_spark.streaming.events import holt_winters_state_stream
+
+    m, a, b, g = 3, 0.5, 0.25, 0.5
+    rng = np.random.default_rng(8)
+    rows = []
+    eid = 0
+    for k in range(4):
+        n = 9 + 4 * k  # 9, 13, 17, 21 rows; init at 6
+        for t in range(n):
+            v = 5.0 * (k + 1) + 0.2 * t + [2.0, -1.0, -1.0][t % m]
+            rows.append(
+                (eid, f"2024-01-01 00:00:{t:02d}", k, float(v + rng.normal(0, 0.1)))
+            )
+            eid += 1
+    raw = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, value double"
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+             "user_id", "value")
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        os.makedirs(src)
+        ts_sorted = sorted(r.ts for r in raw.select("ts").collect())
+        cuts = [ts_sorted[len(ts_sorted) * i // 4] for i in (1, 2, 3)]
+        parts = [
+            raw.where(F.col("ts") <= F.lit(cuts[0])),
+            raw.where((F.col("ts") > F.lit(cuts[0])) & (F.col("ts") <= F.lit(cuts[1]))),
+            raw.where((F.col("ts") > F.lit(cuts[1])) & (F.col("ts") <= F.lit(cuts[2]))),
+            raw.where(F.col("ts") > F.lit(cuts[2])),
+        ]
+        for i, p in enumerate(parts):
+            p.coalesce(1).write.parquet(os.path.join(src, f"b{i}.parquet"))
+        stream_in = (
+            spark.readStream.schema(raw.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*.parquet"))
+        )
+        q = (
+            holt_winters_state_stream(
+                stream_in, "user_id", "ts", "value", a, b, g, period=m,
+                tiebreak_col="event_id",
+            )
+            .writeStream.format("memory").queryName("hw_updates")
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(d, "ck"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(180)
+        got = spark.sql(
+            "SELECT user_id, max_by(named_struct('n', n_events, 'l', level,"
+            " 't', trend, 'f', forecast_1), n_events) AS w"
+            " FROM hw_updates GROUP BY user_id"
+        ).collect()
+    batch = {
+        r.user_id: r
+        for r in holt_winters_forecast(
+            raw, "user_id", "ts", "value", a, b, g, period=m, horizons=[1],
+            tiebreak_col="event_id",
+        ).collect()
+    }
+    assert len(got) == len(batch) == 4
+    for r in got:
+        bb = batch[r.user_id]
+        assert r.w["n"] == bb.n_events, r.user_id
+        assert r.w["l"] == pytest.approx(bb.level, rel=1e-12), r.user_id
+        assert r.w["t"] == pytest.approx(bb.trend, rel=1e-12), r.user_id
+        assert r.w["f"] == pytest.approx(bb.forecast_1, rel=1e-12), r.user_id

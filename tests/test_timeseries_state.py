@@ -336,3 +336,82 @@ def test_smoothing_family_null_policy(spark):
     w = [0.5**i for i in range(4)]  # rank 0 = newest retained row
     want = sum(wi * x for wi, x in zip(w, reversed(kept))) / sum(w)
     assert el[0].ewma == pytest.approx(want, rel=1e-12)
+
+
+def test_holt_winters_matches_hand_recursion(spark):
+    """holt_winters_series/forecast vs an independent hand recursion
+    (classical two-season init): level/trend/seasonal/fitted at 1e-12,
+    forecasts through the phase-correct seasonal slot, short keys and
+    the family null policy."""
+    import numpy as np
+
+    from sparkglm_spark.operators.timeseries import (
+        holt_winters_forecast,
+        holt_winters_series,
+    )
+
+    m, a, b, g = 4, 0.5, 0.25, 0.5
+    rng = np.random.default_rng(33)
+    season_true = [3.0, -1.0, -2.5, 0.5]
+    n = 40
+    x = np.array([
+        10.0 + 0.3 * t + season_true[t % m] + rng.normal(0, 0.2)
+        for t in range(n)
+    ])
+    rows = [("k", f"2024-01-01 00:00:{t:02d}", float(v), t)
+            for t, v in enumerate(x)]
+    rows += [("short", f"2024-01-01 00:00:{t:02d}", float(t), t)
+             for t in range(2 * m - 1)]  # too short to initialize
+    rows += [("k", "2024-01-01 00:01:40", None, 99)]  # null dropped
+    df = spark.createDataFrame(
+        rows, "k string, ts_s string, v double, eid long"
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"), "v", "eid")
+
+    # independent hand recursion
+    l = float(np.mean(x[:m]))
+    bb = float((np.mean(x[m:2 * m]) - np.mean(x[:m])) / m)
+    s = [float(v) - l for v in x[:m]]
+    want = []
+    for t in range(m, n):
+        fit = l + bb + s[t % m]
+        l_new = a * (x[t] - s[t % m]) + (1 - a) * (l + bb)
+        bb = b * (l_new - l) + (1 - b) * bb
+        s[t % m] = g * (x[t] - l_new) + (1 - g) * s[t % m]
+        l = l_new
+        want.append((l, bb, s[t % m], fit))
+
+    out = holt_winters_series(
+        df, "k", "ts", "v", a, b, g, period=m, tiebreak_col="eid"
+    )
+    got = out.where(F.col("k") == "k").orderBy("ts").collect()
+    assert len(got) == n  # the null row is gone
+    for r in got[:m]:
+        assert r.level is None and r.fitted is None
+    for r, (wl, wb, ws, wf) in zip(got[m:], want):
+        assert r.level == pytest.approx(wl, rel=1e-12)
+        assert r.trend == pytest.approx(wb, rel=1e-12)
+        assert r.seasonal == pytest.approx(ws, rel=1e-12)
+        assert r.fitted == pytest.approx(wf, rel=1e-12)
+    srows = out.where(F.col("k") == "short").collect()
+    assert len(srows) == 2 * m - 1
+    assert all(r.level is None for r in srows)
+
+    fc = {r.k: r for r in holt_winters_forecast(
+        df, "k", "ts", "v", a, b, g, period=m, horizons=[1, 2, m + 1],
+        tiebreak_col="eid",
+    ).collect()}
+    r = fc["k"]
+    assert r.level == pytest.approx(l, rel=1e-12)
+    assert r.trend == pytest.approx(bb, rel=1e-12)
+    # ŷ_{T+h} = l + h·b + s[(T+h) mod m]; T = n - 1 in 0-based phase n
+    for h in (1, 2, m + 1):
+        wf = l + h * bb + s[(n + h - 1) % m]
+        assert getattr(r, f"forecast_{h}") == pytest.approx(wf, rel=1e-12), h
+    # forecasts one period apart differ by exactly period·trend
+    assert r.forecast_5 - r.forecast_1 == pytest.approx(m * bb, rel=1e-9)
+    assert fc["short"].level is None and fc["short"].forecast_1 is None
+    assert fc["short"].n_events == 2 * m - 1
+    with pytest.raises(ValueError, match="gamma"):
+        holt_winters_series(df, "k", "ts", "v", a, b, 1.0, period=m)
+    with pytest.raises(ValueError, match="period"):
+        holt_winters_forecast(df, "k", "ts", "v", a, b, g, period=1)
