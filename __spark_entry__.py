@@ -4978,11 +4978,46 @@ def q_events_timeseries_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("xraw", 6).alias("x"),
         )
     )
+    # r9: per-user Holt-Winters end state + 3-step forecast (additive
+    # seasonal, period 4; operators/timeseries.py::holt_winters_forecast).
+    # Same bit-identical-fold argument as the holt arm — α=0.5 β=0.25
+    # γ=0.5 are dyadic and the DuckDB recursive CTE (carrying the 4
+    # seasonal slots as columns) replays the identical IEEE expression
+    # tree, incl. the classical two-season init. Keys with < 2·period
+    # retained values report NULL state and are EXCLUDED from the arm
+    # (the SQL anchor's HAVING — none exist at sf0.01, belt-and-braces).
+    from sparkglm_spark.operators.timeseries import holt_winters_forecast
+
+    hw = (
+        holt_winters_forecast(
+            ev, "user_id", "ts", "value", alpha=0.5, beta=0.25, gamma=0.5,
+            period=4, horizons=[3], tiebreak_col="event_id",
+        )
+        .where(F.col("level").isNotNull())
+        .select(
+            F.col("user_id").cast("string").alias("k1"),
+            F.col("n_events").cast("bigint").alias("n1"),
+            F.expr(
+                "stack(3, 'hw_lvl', level, 'hw_trd', trend,"
+                " 'hw_fc3', forecast_3) AS (op, xraw)"
+            ),
+        )
+        .select(
+            "op",
+            "k1",
+            F.lit(None).cast("string").alias("k2"),
+            "n1",
+            F.lit(None).cast("bigint").alias("n2"),
+            F.lit(None).cast("string").alias("v1"),
+            F.round("xraw", 6).alias("x"),
+        )
+    )
     return (
         resample.unionByName(latest)
         .unionByName(rolling)
         .unionByName(ewma)
         .unionByName(holt)
+        .unionByName(hw)
     )
 
 
@@ -5011,6 +5046,42 @@ WITH RECURSIVE hranked AS (
   SELECT user_id, n, lvl, trd FROM hstate WHERE rn = n
   UNION ALL
   SELECT user_id, n, value, 0.0 FROM hranked WHERE n = 1
+), hwranked AS (
+  SELECT user_id, value AS v,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
+), hwinit AS (
+  -- classical two-season init (period 4): l = mean of season 1,
+  -- b = (mean of season 2 - mean of season 1)/4, s_i = v_i - l
+  SELECT user_id, MAX(n) AS n,
+         (MAX(CASE WHEN rn = 1 THEN v END) + MAX(CASE WHEN rn = 2 THEN v END) + MAX(CASE WHEN rn = 3 THEN v END) + MAX(CASE WHEN rn = 4 THEN v END)) / 4.0 AS l0,
+         (MAX(CASE WHEN rn = 5 THEN v END) + MAX(CASE WHEN rn = 6 THEN v END) + MAX(CASE WHEN rn = 7 THEN v END) + MAX(CASE WHEN rn = 8 THEN v END)) / 4.0 AS l1,
+         MAX(CASE WHEN rn = 1 THEN v END) AS v1,
+         MAX(CASE WHEN rn = 2 THEN v END) AS v2,
+         MAX(CASE WHEN rn = 3 THEN v END) AS v3,
+         MAX(CASE WHEN rn = 4 THEN v END) AS v4
+  FROM hwranked WHERE rn <= 8 GROUP BY user_id HAVING MAX(n) >= 8
+), hwstate(user_id, done, n, lvl, trd, s0, s1, s2, s3) AS (
+  SELECT user_id, CAST(4 AS BIGINT), n, l0, (l1 - l0) / 4.0,
+         v1 - l0, v2 - l0, v3 - l0, v4 - l0
+  FROM hwinit
+  UNION ALL
+  -- the SAME IEEE expression tree as _hw_fold's recursion
+  SELECT h.user_id, h.done + 1, h.n,
+         (0.5 * (r.v - CASE h.done % 4 WHEN 0 THEN h.s0 WHEN 1 THEN h.s1 WHEN 2 THEN h.s2 ELSE h.s3 END) + 0.5 * (h.lvl + h.trd)),
+         0.25 * ((0.5 * (r.v - CASE h.done % 4 WHEN 0 THEN h.s0 WHEN 1 THEN h.s1 WHEN 2 THEN h.s2 ELSE h.s3 END) + 0.5 * (h.lvl + h.trd)) - h.lvl) + 0.75 * h.trd,
+         CASE WHEN h.done % 4 = 0 THEN 0.5 * (r.v - (0.5 * (r.v - CASE h.done % 4 WHEN 0 THEN h.s0 WHEN 1 THEN h.s1 WHEN 2 THEN h.s2 ELSE h.s3 END) + 0.5 * (h.lvl + h.trd))) + 0.5 * h.s0 ELSE h.s0 END,
+         CASE WHEN h.done % 4 = 1 THEN 0.5 * (r.v - (0.5 * (r.v - CASE h.done % 4 WHEN 0 THEN h.s0 WHEN 1 THEN h.s1 WHEN 2 THEN h.s2 ELSE h.s3 END) + 0.5 * (h.lvl + h.trd))) + 0.5 * h.s1 ELSE h.s1 END,
+         CASE WHEN h.done % 4 = 2 THEN 0.5 * (r.v - (0.5 * (r.v - CASE h.done % 4 WHEN 0 THEN h.s0 WHEN 1 THEN h.s1 WHEN 2 THEN h.s2 ELSE h.s3 END) + 0.5 * (h.lvl + h.trd))) + 0.5 * h.s2 ELSE h.s2 END,
+         CASE WHEN h.done % 4 = 3 THEN 0.5 * (r.v - (0.5 * (r.v - CASE h.done % 4 WHEN 0 THEN h.s0 WHEN 1 THEN h.s1 WHEN 2 THEN h.s2 ELSE h.s3 END) + 0.5 * (h.lvl + h.trd))) + 0.5 * h.s3 ELSE h.s3 END
+  FROM hwstate h
+  JOIN hwranked r ON r.user_id = h.user_id AND r.rn = h.done + 1
+), hwfinal AS (
+  SELECT user_id, n, lvl, trd, lvl + 3 * trd + CASE (n + 2) % 4 WHEN 0 THEN s0 WHEN 1 THEN s1 WHEN 2 THEN s2 ELSE s3 END AS fc3
+  FROM hwstate WHERE done = n
 )
 SELECT 'resample' AS op, event_type AS k1, day AS k2,
        n_events AS n1, days_in_window AS n2,
@@ -5047,6 +5118,18 @@ UNION ALL
 SELECT 'holt_fc3', CAST(user_id AS VARCHAR), NULL, n, NULL, NULL,
        ROUND(lvl + 3 * trd, 6)
 FROM hfinal
+UNION ALL
+SELECT 'hw_lvl', CAST(user_id AS VARCHAR), NULL, n, NULL, NULL,
+       ROUND(lvl, 6)
+FROM hwfinal
+UNION ALL
+SELECT 'hw_trd', CAST(user_id AS VARCHAR), NULL, n, NULL, NULL,
+       ROUND(trd, 6)
+FROM hwfinal
+UNION ALL
+SELECT 'hw_fc3', CAST(user_id AS VARCHAR), NULL, n, NULL, NULL,
+       ROUND(fc3, 6)
+FROM hwfinal
 """
 
 
