@@ -1295,3 +1295,95 @@ class SparkBinaryEvaluator(Evaluator):
 
     def isLargerBetter(self) -> bool:
         return self.getOrDefault(self.metricName) not in self._LOWER_IS_BETTER
+
+
+class _SparkIsotonicParams(Params):
+    labelCol = Param(
+        Params._dummy(), "labelCol", "0/1 label column",
+        typeConverter=TypeConverters.toString,
+    )
+    scoreCol = Param(
+        Params._dummy(), "scoreCol", "raw score column to calibrate",
+        typeConverter=TypeConverters.toString,
+    )
+    outputCol = Param(
+        Params._dummy(), "outputCol", "calibrated probability column",
+        typeConverter=TypeConverters.toString,
+    )
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(
+            labelCol="label", scoreCol="prediction", outputCol="calibrated"
+        )
+
+
+class SparkIsotonicCalibrator(
+    Estimator, _SparkIsotonicParams, DefaultParamsReadable, DefaultParamsWritable
+):
+    """`pyspark.ml.Estimator` over `fit_isotonic_calibration` — drop a
+    recalibration stage after any probability-emitting model in a
+    Pipeline: `Pipeline([SparkGLM("y ~ ..."), SparkIsotonicCalibrator(
+    labelCol="y")])` fits the PAV score→probability map on the upstream
+    stage's `prediction` column and scores through it at transform
+    time."""
+
+    def __init__(self, **kwargs):
+        super().__init__()
+        _kwargs_setter(self, kwargs)
+
+    def setParams(self, **kwargs) -> "SparkIsotonicCalibrator":
+        return _kwargs_setter(self, kwargs)
+
+    def _fit(self, dataset: DataFrame) -> "SparkIsotonicCalibrationModel":
+        from sparkglm_spark.operators.evaluate import fit_isotonic_calibration
+
+        inner = fit_isotonic_calibration(
+            dataset,
+            self.getOrDefault(self.labelCol),
+            self.getOrDefault(self.scoreCol),
+        )
+        return self._copyValues(SparkIsotonicCalibrationModel(inner))
+
+
+class SparkIsotonicCalibrationModel(
+    Model, _SparkIsotonicParams, MLWritable, MLReadable
+):
+    """Fitted isotonic calibration as a `pyspark.ml.Model`: `transform()`
+    appends the calibrated probability (null/NaN scores calibrate to
+    NULL). `.model` exposes the `IsotonicCalibration` (pooled knots)."""
+
+    def __init__(self, model=None):
+        super().__init__()
+        self._model_obj = model
+
+    @property
+    def model(self):
+        return self._model_obj
+
+    def _transform(self, dataset: DataFrame) -> DataFrame:
+        return self._model_obj.transform(
+            dataset, output_col=self.getOrDefault(self.outputCol)
+        )
+
+    def _payload_dict(self) -> dict:
+        return model_to_dict(self._model_obj)
+
+    @classmethod
+    def _from_payload(cls, payload: dict, path: str) -> "SparkIsotonicCalibrationModel":
+        from sparkglm_spark.operators.evaluate import IsotonicCalibration
+
+        inner = model_from_dict(payload)
+        if not isinstance(inner, IsotonicCalibration):
+            raise ValueError(
+                f"{path} holds a {type(inner).__name__}, expected "
+                "IsotonicCalibration"
+            )
+        return cls(inner)
+
+    def write(self) -> MLWriter:
+        return _ModelJSONWriter(self)
+
+    @classmethod
+    def read(cls) -> MLReader:
+        return _ModelJSONReader(cls)

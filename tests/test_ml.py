@@ -520,3 +520,50 @@ def test_weibull_aft_pipeline_and_save_load(spark, tmp_path):
     a = [r.med_t for r in wrapped.transform(df).limit(10).collect()]
     b = [r.med_t for r in loaded.transform(df).limit(10).collect()]
     np.testing.assert_allclose(a, b, rtol=0)
+
+
+def test_isotonic_calibrator_pipeline_and_save_load(li, tmp_path):
+    """SparkIsotonicCalibrator as a Pipeline recalibration stage after
+    SparkGLM: the calibrated column appears, the model round-trips
+    through the shared JSON MLWriter, and the loaded knots/scores are
+    bit-identical."""
+    from sparkglm_spark.ml import (
+        SparkGLM,
+        SparkIsotonicCalibrationModel,
+        SparkIsotonicCalibrator,
+    )
+
+    df = li.withColumn(
+        "y",
+        ((F.col("l_quantity") > 25) != (F.abs(F.hash("l_extendedprice")) % 7 == 0))
+        .cast("double"),
+    )
+    pipe = Pipeline(
+        stages=[
+            SparkGLM(formula="y ~ l_quantity", family="binomial"),
+            SparkIsotonicCalibrator(labelCol="y", scoreCol="prediction"),
+        ]
+    )
+    model = pipe.fit(df)
+    cal = model.stages[1]
+    assert isinstance(cal, SparkIsotonicCalibrationModel)
+    scored = model.transform(df)
+    assert "calibrated" in scored.columns
+    row = scored.agg(
+        F.min("calibrated"), F.max("calibrated"),
+        F.sum(F.col("calibrated").isNull().cast("int")),
+    ).collect()[0]
+    assert 0.0 <= row[0] <= row[1] <= 1.0 and row[2] == 0
+
+    path = str(tmp_path / "isomodel")
+    cal.write().save(path)
+    loaded = SparkIsotonicCalibrationModel.load(path)
+    np.testing.assert_array_equal(loaded.model.boundaries, cal.model.boundaries)
+    np.testing.assert_array_equal(loaded.model.predictions, cal.model.predictions)
+    a = [r.calibrated for r in cal.transform(
+        df.withColumn("prediction", F.col("l_quantity") / 50.0)
+    ).limit(20).collect()]
+    b = [r.calibrated for r in loaded.transform(
+        df.withColumn("prediction", F.col("l_quantity") / 50.0)
+    ).limit(20).collect()]
+    np.testing.assert_allclose(a, b, rtol=0)
