@@ -845,10 +845,12 @@ def q_wls_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantile_lm_grouped,
     )
 
+    # persist: the grouped IRLS feeds the pin collect AND grouped_predict
+    # below — without it the per-segment fit would run twice
     hg_fits = huber_lm_grouped(
         li, "l_extendedprice ~ l_quantity", ["l_linestatus"],
         exact_iterations=2,
-    )
+    ).persist()
     hg = hg_fits.collect()
     for r in hg:
         rows.append((f"hg_{r.l_linestatus}_{r.term}", round(r.estimate, 1)))
@@ -864,13 +866,16 @@ def q_wls_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scored with its own segment's huber coefficients; the pinned stat
     # is the per-segment mean prediction, which the oracle computes in
     # closed form from the same unrolled chain: mean(a + b·x) = a + b·x̄.
-    scored = grouped_predict(
-        li, hg_fits, "l_extendedprice ~ l_quantity", ["l_linestatus"]
-    )
-    for r in scored.groupBy("l_linestatus").agg(
-        F.avg("prediction").alias("m")
-    ).collect():
-        rows.append((f"hgp_{r.l_linestatus}_mean", round(float(r.m), 1)))
+    try:
+        scored = grouped_predict(
+            li, hg_fits, "l_extendedprice ~ l_quantity", ["l_linestatus"]
+        )
+        for r in scored.groupBy("l_linestatus").agg(
+            F.avg("prediction").alias("m")
+        ).collect():
+            rows.append((f"hgp_{r.l_linestatus}_mean", round(float(r.m), 1)))
+    finally:
+        hg_fits.unpersist()
     return spark.createDataFrame(rows, "term string, coef double").orderBy("term")
 
 

@@ -513,12 +513,22 @@ def fit_isotonic_calibration(
             F.sum("nulls").alias("nulls"),
             F.sum("bad").alias("bad"),
             F.sum(
-                F.when(F.col("__p").isNull() | F.isnan("__p"), 1).otherwise(0)
+                # inf too: an infinite training score would land inf in the
+                # knot table and silently break the upper edge clamp, while
+                # transform() treats non-finite scores as invalid (NULL)
+                F.when(
+                    F.col("__p").isNull()
+                    | F.isnan("__p")
+                    | (F.abs("__p") == F.lit(float("inf"))),
+                    1,
+                ).otherwise(0)
             ).alias("badp"),
             F.count(F.lit(1)).alias("k"),
         ).collect()[0]
         if chk["nulls"] or chk["badp"]:
-            raise ValueError("null/NaN labels or scores present — clean the frame")
+            raise ValueError(
+                "null/NaN labels or non-finite scores present — clean the frame"
+            )
         if chk["bad"]:
             raise ValueError("labels must be 0/1")
         if not chk["k"]:

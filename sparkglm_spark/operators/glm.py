@@ -632,7 +632,7 @@ def glm_grouped(
         raise ValueError(
             f"glm_grouped supports {sorted(_defaults)}, got {family!r}"
         )
-    link = link or _defaults[family]
+    link = (link or _defaults[family]).lower()
     if link != _defaults[family]:
         raise ValueError(
             f"glm_grouped supports only the default link for each family "
@@ -676,9 +676,16 @@ def glm_grouped(
             if fam == "gamma"
             else np.all(y >= 0)
             if fam in ("poisson", "quasipoisson", "tweedie", "negbinomial")
+            else np.all((y >= 0) & (y <= 1))
+            if fam in ("binomial", "quasibinomial")
             else True
         )
-        if n >= k and np.all(np.isfinite(y)) and in_domain:
+        if (
+            n >= k
+            and np.all(np.isfinite(y))
+            and np.all(np.isfinite(X))
+            and in_domain
+        ):
             try:
                 if fam == "gaussian":
                     beta = np.linalg.solve(X.T @ X, X.T @ y)

@@ -1430,6 +1430,10 @@ def grouped_predict(
     fits = _GP_CACHES.persist(fits)
     # distinct terms: model metadata, k rows — not data
     terms = sorted(r["term"] for r in fits.select("term").distinct().collect())
+    if not terms:
+        raise ValueError(
+            "grouped_predict: the fits frame is empty — nothing to score with"
+        )
     by_len = sorted(parsed.predictors, key=len, reverse=True)
 
     def term_expr(t: str) -> Column:
@@ -1459,7 +1463,10 @@ def grouped_predict(
         contrib = F.col(f"__b_{i}") * exprs[t]
         eta = contrib if eta is None else eta + contrib
     out = eta if link in (None, "identity") else get_link(link).unlink(eta, F.lit(1.0))
-    return (
-        df.join(wide, list(group_cols), "left")
-        .select(*df.columns, out.alias(output_col))
+    # withColumn, not select-append: replaces an existing output_col
+    # instead of emitting a duplicate-named column (the LM.predict
+    # convention)
+    joined = df.join(wide, list(group_cols), "left")
+    return joined.withColumn(output_col, out).select(
+        *[c for c in df.columns if c != output_col], output_col
     )

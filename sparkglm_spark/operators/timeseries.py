@@ -472,10 +472,11 @@ def _hw_fold(x, alpha, beta, gamma, m, state=None):
     `state=None` initializes (requires len(x) ≥ 2m — caller guards);
     passing `(level, trend, season_list, t_phase)` CONTINUES an existing
     fold (the streaming path). Returns (level, trend, season, t_phase,
-    fitted, levels, trends) where the arrays cover exactly the rows
-    folded by the recursion (t ≥ m in init mode; every row in continue
-    mode); fitted[t] = l + b + s_slot BEFORE the update — the one-step
-    in-sample forecast."""
+    fitted, levels, trends, seasonals) where the arrays cover exactly
+    the rows folded by the recursion (t ≥ m in init mode; every row in
+    continue mode); fitted[t] = l + b + s_slot BEFORE the update — the
+    one-step in-sample forecast; seasonals[t] = the row's slot value
+    AFTER its update."""
     import numpy as np
 
     n = len(x)
@@ -491,6 +492,7 @@ def _hw_fold(x, alpha, beta, gamma, m, state=None):
     fitted = np.empty(n - start)
     levels = np.empty(n - start)
     trends = np.empty(n - start)
+    seasonals = np.empty(n - start)
     for i, t in enumerate(range(start, n)):
         slot = phase % m
         fitted[i] = l + b + season[slot]
@@ -500,8 +502,9 @@ def _hw_fold(x, alpha, beta, gamma, m, state=None):
         l = l_new
         levels[i] = l
         trends[i] = b
+        seasonals[i] = season[slot]
         phase += 1
-    return l, b, season, phase, fitted, levels, trends
+    return l, b, season, phase, fitted, levels, trends, seasonals
 
 
 def holt_winters_series(
@@ -560,26 +563,13 @@ def holt_winters_series(
         out = pdf[[c for c in pdf.columns if c != "__tb"]].copy()
         cols = {}
         if n >= 2 * m:
-            _, _, _, _, fitted, levels, trends = _hw_fold(
+            _, _, _, _, fitted, levels, trends, seasonals = _hw_fold(
                 x, alpha, beta, gamma, m
             )
-            # seasonal slot AFTER each row's update = x-driven recursion;
-            # recompute inline for the emitted column
-            l0 = float(np.mean(x[:m]))
-            season = [float(v) - l0 for v in x[:m]]
-            seas_rows = np.empty(n - m)
-            l, b = l0, float((np.mean(x[m : 2 * m]) - l0) / m)
-            for i, t in enumerate(range(m, n)):
-                slot = t % m
-                l_new = alpha * (x[t] - season[slot]) + (1 - alpha) * (l + b)
-                b = beta * (l_new - l) + (1 - beta) * b
-                season[slot] = gamma * (x[t] - l_new) + (1 - gamma) * season[slot]
-                l = l_new
-                seas_rows[i] = season[slot]
             pad = [None] * m
             cols["level"] = pad + list(levels)
             cols["trend"] = pad + list(trends)
-            cols["seasonal"] = pad + list(seas_rows)
+            cols["seasonal"] = pad + list(seasonals)
             cols["fitted"] = pad + list(fitted)
         else:
             cols = {c: [None] * n for c in ("level", "trend", "seasonal", "fitted")}

@@ -520,3 +520,13 @@ def test_isotonic_persist_roundtrip_and_mllib_parity(spark, tmp_path):
     }
     for v in grid:
         assert ours[float(v)] == pytest.approx(theirs[float(v)], abs=1e-12), v
+
+
+def test_isotonic_fit_rejects_inf_scores(spark):
+    from sparkglm_spark.operators.evaluate import fit_isotonic_calibration
+
+    df = spark.createDataFrame(
+        [(0.0, 0.1), (1.0, float("inf")), (1.0, 0.9)], "y double, p double"
+    )
+    with pytest.raises(ValueError, match="non-finite"):
+        fit_isotonic_calibration(df, "y", "p")

@@ -737,3 +737,36 @@ def test_glm_grouped_full_family_set(spark):
             assert a.estimate == pytest.approx(b.estimate, rel=1e-12)
     with pytest.raises(ValueError, match="default link"):
         glm_grouped(df, "ygam ~ x", ["g"], family="gamma", link="inverse")
+
+
+def test_glm_grouped_domain_and_link_edges(spark):
+    """Second-review r9: binomial labels outside [0,1] and non-finite
+    covariates must degenerate the group to NULL (not silently fit);
+    link spellings are case-insensitive like the distributed glm."""
+    from pyspark.sql import functions as F
+
+    from sparkglm_spark.operators.glm import glm_grouped
+
+    rows = [("ok", float(i % 2), float(i) / 10.0) for i in range(40)]
+    rows += [("bady", 2.0, 0.1), ("bady", 1.0, 0.2), ("bady", 0.0, 0.3)]
+    rows += [("badx", 1.0, float("inf")), ("badx", 0.0, 0.2), ("badx", 1.0, 0.3)]
+    df = spark.createDataFrame(rows, "g string, y double, x double")
+    out = {
+        (r.g, r.term): r
+        for r in glm_grouped(df, "y ~ x", ["g"], family="binomial").collect()
+    }
+    assert out[("ok", "x")].estimate is not None
+    assert out[("bady", "x")].estimate is None
+    assert out[("badx", "x")].estimate is None
+    # gaussian + inf covariate: solve() returns NaN without raising —
+    # the finiteness guard must catch it first
+    g = {
+        (r.g, r.term): r
+        for r in glm_grouped(df, "y ~ x", ["g"], family="gaussian").collect()
+    }
+    assert g[("badx", "x")].estimate is None
+    assert g[("ok", "x")].estimate is not None
+    # case-insensitive link
+    ok = glm_grouped(df.where(F.col("g") == "ok"), "y ~ x", ["g"],
+                     family="poisson", link="Log").collect()
+    assert any(r.estimate is not None for r in ok)

@@ -878,3 +878,21 @@ def test_grouped_predict_matches_per_group_models(spark):
 
     with pytest.raises(ValueError, match="neither a column"):
         grouped_predict(score_in.drop("cat"), fits, "y ~ x", ["g"])
+
+
+def test_grouped_predict_edges(spark):
+    """Second-review r9: an existing output column is REPLACED (no
+    ambiguous duplicate), and an empty fits frame raises a clear error."""
+    from sparkglm_spark.operators.lm import grouped_predict, lm_grouped
+
+    df = spark.createDataFrame(
+        [("a", float(i), 2.0 * i + 1.0) for i in range(20)],
+        "g string, x double, y double",
+    )
+    fits = lm_grouped(df, "y ~ x", ["g"])
+    pre = df.withColumn("prediction", F.lit(-1.0))
+    out = grouped_predict(pre, fits, "y ~ x", ["g"])
+    assert out.columns.count("prediction") == 1
+    assert all(r.prediction != -1.0 for r in out.collect())
+    with pytest.raises(ValueError, match="empty"):
+        grouped_predict(df, fits.where(F.col("term") == "nope"), "y ~ x", ["g"])
