@@ -672,7 +672,88 @@ def _bucket_pair_stats(pdf_t, pdf_e, pdf_r):
     return conc, ties
 
 
+def _bucket_pair_stats_vec(pdf_t, pdf_e, pdf_r):
+    """Vectorized twin of `_bucket_pair_stats` (bit-for-bit identical
+    counts — fuzz-asserted in tests): the per-row Python Fenwick loop is
+    O(n log n) PYTHON operations, which dominates the within-bucket task
+    at the 4096-bucket clamp (~250k rows/bucket ⇒ millions of
+    interpreter ops per task). This replaces it with OFFLINE bit-plane
+    counting — pure numpy, O(bits(m) · n log n) vectorized work:
+
+    For event row q, concordant = #{j: t_j > t_q, rank_j < rank_q}
+                  = #{rank_j < rank_q} − #{t_j ≤ t_q, rank_j < rank_q}.
+    The first term is a rank-histogram prefix. The second is a 2D
+    dominance count, decomposed over the bits of rank: rank_j < rank_q
+    iff they share the binary prefix above some bit b where rank_j has
+    0 and rank_q has 1 — so per bit, group rows by the rank prefix,
+    sort (prefix, time-group, insert-before-query) with one lexsort,
+    and a segmented cumsum of bit-0 inserts answers every query at
+    once. Risk ties use the same sweep keyed on the full rank."""
+    order = np.argsort(pdf_t, kind="mergesort")
+    t, e, r = pdf_t[order], pdf_e[order], pdf_r[order]
+    _, gidx = np.unique(t, return_inverse=True)
+    uniq_r, rank = np.unique(r, return_inverse=True)
+    m = len(uniq_r)
+    n = len(t)
+    qmask = e == 1.0
+    nq = int(qmask.sum())
+    if nq == 0:
+        return 0, 0
+    # items: every row as an INSERT, plus each event row as a QUERY;
+    # at equal (segment, time-group) inserts sort first, so a query
+    # counts inserts with gidx_j <= gidx_q (same-time rows included in
+    # the ≤ side — they are then excluded from conc by the subtraction,
+    # matching the Fenwick's strict-time semantics)
+    item_rank = np.concatenate([rank, rank[qmask]])
+    item_g = np.concatenate([gidx, gidx[qmask]])
+    item_isq = np.concatenate(
+        [np.zeros(n, dtype=bool), np.ones(nq, dtype=bool)]
+    )
+    item_qid = np.concatenate(
+        [np.full(n, -1, dtype=np.int64), np.arange(nq, dtype=np.int64)]
+    )
+
+    def sweep(seg_key, ins_ind):
+        o = np.lexsort((item_isq, item_g, seg_key))
+        sseg = seg_key[o]
+        sisq = item_isq[o]
+        sqid = item_qid[o]
+        ins = ins_ind[o]
+        c = np.cumsum(ins)
+        newseg = np.empty(len(o), dtype=bool)
+        newseg[0] = True
+        newseg[1:] = sseg[1:] != sseg[:-1]
+        seg_id = np.cumsum(newseg) - 1
+        base = (c - ins)[np.flatnonzero(newseg)]
+        within = c - base[seg_id]
+        return sisq, sqid, within, o
+
+    le_smaller = np.zeros(nq, dtype=np.int64)
+    nbits = max(1, int(m - 1).bit_length())
+    for b in range(nbits):
+        seg = item_rank >> (b + 1)
+        bitb = (item_rank >> b) & 1
+        ins_bit0 = ((~item_isq) & (bitb == 0)).astype(np.int64)
+        sisq, sqid, within, o = sweep(seg, ins_bit0)
+        sbit = bitb[o]
+        qsel = sisq & (sbit == 1)
+        le_smaller[sqid[qsel]] += within[qsel]
+    # rank-equality sweep (full rank as the segment; all inserts count)
+    sisq, sqid, within, _ = sweep(
+        item_rank, (~item_isq).astype(np.int64)
+    )
+    le_eq = np.zeros(nq, dtype=np.int64)
+    le_eq[sqid[sisq]] = within[sisq]
+    cnt = np.bincount(rank, minlength=m)
+    csum = np.concatenate([[0], np.cumsum(cnt)])
+    qrank = rank[qmask]
+    conc = int((csum[qrank] - le_smaller).sum())
+    ties = int((cnt[qrank] - le_eq).sum())
+    return conc, ties
+
+
 _CINDEX_ROWS_PER_BUCKET = 50_000
+_CINDEX_VEC_THRESHOLD = 2000  # below this the Python Fenwick is cheaper
 
 
 def _levenberg_lams(hess) -> list:
@@ -871,7 +952,15 @@ def concordance_index(
         def bucket_counts(pdf):
             import pandas as pd
 
-            c, s = _bucket_pair_stats(
+            # vectorized bit-plane counter above the threshold (identical
+            # counts, fuzz-asserted); interpreter-loop Fenwick below it
+            # where numpy overhead would dominate
+            fn = (
+                _bucket_pair_stats_vec
+                if len(pdf) >= _CINDEX_VEC_THRESHOLD
+                else _bucket_pair_stats
+            )
+            c, s = fn(
                 pdf["__t"].to_numpy(np.float64),
                 pdf["__e"].to_numpy(np.float64),
                 pdf["__r"].to_numpy(np.float64),

@@ -1107,3 +1107,40 @@ def test_coxph_grouped_nonbinary_event_metadata(spark):
     df = spark.createDataFrame(rows, "g string, t double, e double, x double")
     r = coxph_grouped(df, "t", "e", ["x"], ["g"]).collect()[0]
     assert r.estimate is None and r.n_events == 2
+
+
+def test_bucket_pair_stats_vectorized_parity(spark):
+    """The vectorized bit-plane within-bucket counter must produce
+    bit-identical (conc, ties) to the Python Fenwick on adversarial tie
+    structures — all-tied times, all-tied risks, mixed, singletons —
+    and the distributed concordance_index must agree across the
+    vec/Fenwick threshold."""
+    import sparkglm_spark.operators.survival as sv
+
+    rng = np.random.default_rng(19)
+    for trial in range(60):
+        n = int(rng.integers(1, 300))
+        nt = int(rng.integers(1, max(2, n)))
+        nr = int(rng.integers(1, max(2, n)))
+        t = rng.integers(0, nt, n).astype(float)
+        e = (rng.random(n) < 0.5).astype(float)
+        r = rng.integers(0, nr, n).astype(float)
+        assert sv._bucket_pair_stats(t, e, r) == sv._bucket_pair_stats_vec(
+            t, e, r
+        ), (trial, n, nt, nr)
+    # end-to-end: force the vectorized path with a tiny threshold
+    rows = [
+        (float(1 + (i * 7) % 37), float(i % 2), float((i * 13) % 11))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "t double, ev double, r double")
+    base = sv.concordance_index(df, "t", "ev", "r", n_buckets=2)
+    orig = sv._CINDEX_VEC_THRESHOLD
+    try:
+        sv._CINDEX_VEC_THRESHOLD = 1
+        vec = sv.concordance_index(df, "t", "ev", "r", n_buckets=2)
+        sv._CINDEX_VEC_THRESHOLD = 10**9
+        fen = sv.concordance_index(df, "t", "ev", "r", n_buckets=2)
+    finally:
+        sv._CINDEX_VEC_THRESHOLD = orig
+    assert vec == fen == base
