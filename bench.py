@@ -421,6 +421,29 @@ def main() -> None:
 
     W("cindex", run_cindex)
 
+    # r9: the grouped-fitter family end-to-end — per-segment Huber IRLS
+    # (one shuffle, numpy twin per Arrow batch) + grouped_predict scoring
+    # (pivot + group-key join + codegen dot product). ~2 s warm at sf0.1;
+    # guards regressions in the fit-twice / pivot-recompute class the r9
+    # reviews caught.
+    from sparkglm_spark.operators.lm import grouped_predict, huber_lm_grouped
+
+    def run_robust_grouped():
+        fits = huber_lm_grouped(
+            li, "l_extendedprice ~ l_quantity", ["l_returnflag"],
+            exact_iterations=2,
+        ).persist()
+        try:
+            fits.collect()
+            grouped_predict(
+                li, fits, "l_extendedprice ~ l_quantity",
+                ["l_returnflag"],
+            ).groupBy("l_returnflag").agg(F.avg("prediction")).collect()
+        finally:
+            fits.unpersist()
+
+    W("robust_grouped", run_robust_grouped)
+
     runs: dict[str, list[float]] = {name: [] for name, _ in workloads}
     errors: dict[str, str] = {}
     for _ in range(N_RUNS):
