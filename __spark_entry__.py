@@ -4201,6 +4201,25 @@ def q_lineitem_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("reg_metric", "mape", round(rm["mape"], 6)),
         ("reg_metric", "n_nonzero_label", rm["n_nonzero_label"]),
     ]
+    # r9: one-way ANOVA (l_quantity across the 3 l_returnflag segments) —
+    # one k-row agg + driver math; F/eta² replay in closed-form SQL from
+    # per-group (n, Σ, Σ²). Spearman (quantity × extendedprice):
+    # midranks are EXACT half-integers in both engines (integer count
+    # prefix sums), so rho's rank sums agree bit-for-bit; 6dp.
+    from sparkglm_spark.operators.stats import oneway_anova, spearman_corr
+
+    av = oneway_anova(li, "l_returnflag", "l_quantity")
+    sp = spearman_corr(li, "l_quantity", "l_extendedprice")
+    anova_rows = [
+        ("anova", "f_stat", round(av["f_stat"], 6)),
+        ("anova", "eta2", round(av["eta_squared"], 6)),
+        ("anova", "n", float(av["n"])),
+        ("anova", "k", float(av["k_groups"])),
+    ]
+    sp_rows = [
+        ("spearman", "rho", round(sp["rho"], 6)),
+        ("spearman", "n", float(sp["n"])),
+    ]
     extra = spark.createDataFrame(
         [
             ("welch_t", "t_stat", round(wt["t_stat"], 6)),
@@ -4217,7 +4236,9 @@ def q_lineitem_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         + reg_rows
         + ksmw_rows
-        + drift_rows,
+        + drift_rows
+        + anova_rows
+        + sp_rows,
         "col_a string, col_b string, corr double",
     )
     return corr.unionByName(extra).orderBy("col_a", "col_b")
@@ -4403,6 +4424,58 @@ SELECT 'drift' AS col_a, dd.key AS col_b, dd.v AS corr FROM (
   UNION ALL SELECT 'n_ref', t.na FROM dtot t
   UNION ALL SELECT 'n_cur', t.nb FROM dtot t
 ) dd
+UNION ALL
+SELECT an.col_a, an.col_b, an.corr FROM (
+  WITH av AS (
+    SELECT l_returnflag AS g, CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS s,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))
+                    * CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS ss
+    FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1),
+  atot AS (
+    SELECT SUM(n) AS nt, SUM(s) AS st, SUM(ss) AS sst0,
+           CAST(COUNT(*) AS DOUBLE) AS k
+    FROM av),
+  acomp AS (
+    SELECT SUM(n * (s / n - st / nt) * (s / n - st / nt)) AS ssb,
+           MAX(sst0 - nt * (st / nt) * (st / nt)) AS sst,
+           MAX(nt) AS nt, MAX(k) AS k
+    FROM av CROSS JOIN atot)
+  SELECT 'anova' AS col_a, 'f_stat' AS col_b,
+         ROUND((ssb / (k - 1)) / ((sst - ssb) / (nt - k)), 6) AS corr
+  FROM acomp
+  UNION ALL SELECT 'anova', 'eta2', ROUND(ssb / sst, 6) FROM acomp
+  UNION ALL SELECT 'anova', 'n', nt FROM acomp
+  UNION ALL SELECT 'anova', 'k', k FROM acomp
+) an
+UNION ALL
+SELECT spx.col_a, spx.col_b, spx.corr FROM (
+  WITH spbase AS (
+    SELECT CAST(l_quantity AS DOUBLE) AS a,
+           CAST(l_extendedprice AS DOUBLE) AS b
+    FROM lineitem
+    WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+  sra AS (SELECT a AS v, CAST(COUNT(*) AS DOUBLE) AS c FROM spbase GROUP BY 1),
+  srac AS (
+    SELECT v, SUM(c) OVER (ORDER BY v) - c + (c + 1.0) / 2.0 AS rk FROM sra),
+  srb AS (SELECT b AS v, CAST(COUNT(*) AS DOUBLE) AS c FROM spbase GROUP BY 1),
+  srbc AS (
+    SELECT v, SUM(c) OVER (ORDER BY v) - c + (c + 1.0) / 2.0 AS rk FROM srb),
+  spr AS (
+    SELECT srac.rk AS x, srbc.rk AS y
+    FROM spbase
+    JOIN srac ON spbase.a = srac.v
+    JOIN srbc ON spbase.b = srbc.v),
+  sps AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sa, SUM(y) AS sb,
+           SUM(x * x) AS saa, SUM(y * y) AS sbb, SUM(x * y) AS sab
+    FROM spr)
+  SELECT 'spearman' AS col_a, 'rho' AS col_b,
+         ROUND((n * sab - sa * sb)
+               / SQRT((n * saa - sa * sa) * (n * sbb - sb * sb)), 6) AS corr
+  FROM sps
+  UNION ALL SELECT 'spearman', 'n', n FROM sps
+) spx
 ORDER BY col_a, col_b"""
 )
 

@@ -686,3 +686,131 @@ def numeric_profile(
         "min double, max double, p25 double, p50 double, p75 double, "
         "p90 double",
     )
+
+
+def oneway_anova(df: DataFrame, group_col: str, value_col: str) -> dict:
+    """One-way ANOVA F-test across k groups (R `oneway.test(var.equal=
+    TRUE)` / `aov`) — "do any of the segment means differ?", the k-group
+    generalization of the pooled t-test:
+
+        F = (SSB/(k−1)) / (SSW/(N−k)),  p via the engine's `f_sf`
+        eta_squared = SSB/SST (effect size — the variance share the
+        grouping explains; the magnitude large-N significance hides)
+
+    ONE k-row aggregation (count/sum/sumsq per group, partial map-side);
+    driver math after that — no second job at any data scale. Null
+    group keys and null values are excluded; every group needs n ≥ 1
+    and the test needs k ≥ 2 and N > k (checked)."""
+    from sparkglm_spark.functions.special import f_sf
+
+    v = F.col(value_col).cast("double")
+    rows = (
+        df.where(
+            F.col(group_col).isNotNull() & v.isNotNull() & ~F.isnan(v)
+        )
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(v).alias("s"),
+            F.sum(v * v).alias("ss"),
+        )
+        .collect()
+    )
+    k = len(rows)
+    if k < 2:
+        raise ValueError(f"oneway_anova needs >= 2 groups, found {k}")
+    n_tot = sum(int(r["n"]) for r in rows)
+    if n_tot <= k:
+        raise ValueError(
+            f"need N > k for the within-group variance (N={n_tot}, k={k})"
+        )
+    s_tot = sum(float(r["s"]) for r in rows)
+    ss_tot = sum(float(r["ss"]) for r in rows)
+    grand = s_tot / n_tot
+    ssb = sum(
+        int(r["n"]) * (float(r["s"]) / int(r["n"]) - grand) ** 2 for r in rows
+    )
+    sst = ss_tot - n_tot * grand * grand
+    ssw = sst - ssb
+    df1, df2 = k - 1, n_tot - k
+    f_stat = (ssb / df1) / (ssw / df2) if ssw > 0 else float("inf")
+    return {
+        "f_stat": float(f_stat),
+        "p_value": float(f_sf(f_stat, df1, df2)) if ssw > 0 else 0.0,
+        "df_between": df1,
+        "df_within": df2,
+        "n": n_tot,
+        "k_groups": k,
+        "ss_between": float(ssb),
+        "ss_within": float(ssw),
+        "eta_squared": float(ssb / sst) if sst > 0 else float("nan"),
+    }
+
+
+def _midranks(df: DataFrame, col: str, out: str) -> DataFrame:
+    """(value, midrank) for every DISTINCT value of `col` — the tie-aware
+    average rank (midrank = #smaller + (count+1)/2), built from the
+    distinct-value counts + the range-partitioned prefix plan (the same
+    machinery as the MW-U test; distinct values only on the wire)."""
+    from sparkglm_spark.plans.prefix import global_running_sum
+
+    counts = df.groupBy(F.col(col).alias("__v")).agg(
+        F.count(F.lit(1)).cast("double").alias("__c")
+    )
+    cum = global_running_sum(counts, "__v", ["__c"])
+    return cum.select(
+        F.col("__v").alias(col),
+        (
+            F.col("__c_cum") - F.col("__c") + (F.col("__c") + 1.0) / 2.0
+        ).alias(out),
+    )
+
+
+def spearman_corr(df: DataFrame, col_a: str, col_b: str) -> dict:
+    """Spearman rank correlation with TIE-AWARE midranks (the
+    `cor(method="spearman")` convention — Pearson correlation of the
+    average ranks), for monotone-but-nonlinear association where
+    Pearson's linearity assumption misleads.
+
+    Plan: rows with a null/NaN on either side are dropped; each column
+    reduces to its DISTINCT values (bounded by the value domain), gets
+    midranks from the range-partitioned prefix plan, and joins back —
+    the wire carries (value, rank) pairs and the final Pearson is ONE
+    aggregation. No full-table sort, no single-partition window.
+    p-value: the t approximation t = ρ·√((n−2)/(1−ρ²)) (two-sided, the
+    R default for n beyond the exact tables)."""
+    from sparkglm_spark.functions.special import t_pvalue_two_sided
+
+    a = F.col(col_a).cast("double")
+    b = F.col(col_b).cast("double")
+    base = df.where(
+        a.isNotNull() & ~F.isnan(a) & b.isNotNull() & ~F.isnan(b)
+    ).select(a.alias(col_a), b.alias(col_b))
+    ranked = base.join(_midranks(base, col_a, "__ra"), col_a).join(
+        _midranks(base, col_b, "__rb"), col_b
+    )
+    row = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__ra").alias("sa"),
+        F.sum("__rb").alias("sb"),
+        F.sum(F.col("__ra") * F.col("__ra")).alias("saa"),
+        F.sum(F.col("__rb") * F.col("__rb")).alias("sbb"),
+        F.sum(F.col("__ra") * F.col("__rb")).alias("sab"),
+    ).collect()[0]
+    n = int(row["n"])
+    if n < 3:
+        raise ValueError(f"spearman_corr needs n >= 3 non-null pairs, got {n}")
+    sa, sb = float(row["sa"]), float(row["sb"])
+    num = n * float(row["sab"]) - sa * sb
+    den2 = (n * float(row["saa"]) - sa * sa) * (n * float(row["sbb"]) - sb * sb)
+    if den2 <= 0:
+        raise ValueError(
+            "a side is constant (all ranks tied) — correlation undefined"
+        )
+    rho = num / den2**0.5
+    if abs(rho) >= 1.0:
+        p = 0.0
+    else:
+        t = rho * ((n - 2) / (1.0 - rho * rho)) ** 0.5
+        p = t_pvalue_two_sided(t, float(n - 2))
+    return {"rho": float(rho), "p_value": float(p), "n": n}

@@ -464,3 +464,89 @@ def test_distribution_drift_excludes_nan(spark):
         distribution_drift(clean_ref, clean_cur, "x", 5, lo=0.0, hi=9.5)["psi"],
         rel=1e-12,
     )
+
+
+def test_oneway_anova_matches_numpy(spark):
+    """One-way ANOVA vs the closed-form numpy computation; a planted
+    mean shift is detected, identical means are not; guards."""
+    import numpy as np
+
+    from sparkglm_spark.functions.special import f_sf
+    from sparkglm_spark.operators.stats import oneway_anova
+
+    rng = np.random.default_rng(13)
+    groups = {"a": 0.0, "b": 0.5, "c": 1.0}
+    rows = []
+    data = {}
+    for g, mu in groups.items():
+        x = rng.normal(mu, 1.0, 120)
+        data[g] = x
+        rows += [(g, float(v)) for v in x]
+    rows.append((None, 5.0))  # null group excluded
+    rows.append(("a", None))  # null value excluded
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = oneway_anova(df, "g", "v")
+    allv = np.concatenate(list(data.values()))
+    grand = allv.mean()
+    ssb = sum(len(x) * (x.mean() - grand) ** 2 for x in data.values())
+    ssw = sum(((x - x.mean()) ** 2).sum() for x in data.values())
+    k, n = 3, len(allv)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert got["n"] == n and got["k_groups"] == 3
+    assert got["f_stat"] == pytest.approx(f, rel=1e-10)
+    assert got["p_value"] == pytest.approx(f_sf(f, k - 1, n - k), rel=1e-10)
+    assert got["eta_squared"] == pytest.approx(ssb / (ssb + ssw), rel=1e-10)
+    assert got["p_value"] < 1e-6  # planted shift detected
+    # no shift -> non-significant at typical levels (level check)
+    same = spark.createDataFrame(
+        [("a", float(v)) for v in rng.normal(0, 1, 150)]
+        + [("b", float(v)) for v in rng.normal(0, 1, 150)],
+        "g string, v double",
+    )
+    assert oneway_anova(same, "g", "v")["p_value"] > 0.01
+    with pytest.raises(ValueError, match="2 groups"):
+        oneway_anova(df.where(F.col("g") == "a"), "g", "v")
+
+
+def test_spearman_corr_matches_scipy_convention(spark):
+    """Tie-aware Spearman vs a numpy midrank twin (the
+    cor(method='spearman') convention): exact on heavy ties, detects a
+    monotone-nonlinear association Pearson understates, sign and
+    perfect-monotone edge cases."""
+    import numpy as np
+
+    from sparkglm_spark.operators.stats import spearman_corr
+
+    def midrank(x):
+        order = np.argsort(x, kind="mergesort")
+        ranks = np.empty(len(x))
+        sx = x[order]
+        i = 0
+        while i < len(x):
+            j = i
+            while j < len(x) and sx[j] == sx[i]:
+                j += 1
+            ranks[order[i:j]] = (i + j + 1) / 2.0
+            i = j
+        return ranks
+
+    rng = np.random.default_rng(23)
+    x = rng.integers(0, 12, 400).astype(float)  # heavy ties
+    y = np.exp(x / 3.0) + rng.integers(0, 3, 400)  # monotone nonlinear, tied
+    rows = [(float(a), float(b)) for a, b in zip(x, y)]
+    rows += [(None, 1.0), (2.0, float("nan"))]  # dropped pairs
+    df = spark.createDataFrame(rows, "x double, y double").repartition(7)
+    got = spearman_corr(df, "x", "y")
+    ra, rb = midrank(x), midrank(y)
+    want = np.corrcoef(ra, rb)[0, 1]
+    assert got["n"] == 400
+    assert got["rho"] == pytest.approx(float(want), rel=1e-10)
+    assert got["p_value"] < 1e-10
+    # perfect monotone: rho exactly 1 through the tie-free path
+    mono = spark.createDataFrame(
+        [(float(i), float(i**3)) for i in range(50)], "x double, y double"
+    )
+    m = spearman_corr(mono, "x", "y")
+    assert m["rho"] == pytest.approx(1.0, abs=1e-12) and m["p_value"] == 0.0
+    with pytest.raises(ValueError, match="constant"):
+        spearman_corr(mono.withColumn("y", F.lit(1.0)), "x", "y")
