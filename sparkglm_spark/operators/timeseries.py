@@ -655,3 +655,81 @@ def holt_winters_forecast(
         return pd.DataFrame(row)
 
     return base.groupBy(key_col).applyInPandas(per_key, schema).orderBy(key_col)
+
+
+def ljung_box(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    lags: int = 10,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Ljung-Box white-noise test per key (public convention: Ljung & Box
+    1978; R `Box.test(type="Ljung-Box")`) — the residual diagnostic that
+    closes the smoothing loop: fit `holt_series`/`holt_winters_series`,
+    take `value − fitted`, and ask "is anything left?":
+
+        r_k = Σ_t (x_t − x̄)(x_{t−k} − x̄) / Σ_t (x_t − x̄)²
+        Q   = n(n+2) · Σ_{k=1..h} r_k²/(n−k),   Q ~ χ²_h under whiteness
+
+    One per-key Arrow batch (the `ewma_series` shape — each key's series
+    must fit one batch; keys parallelize), all-numpy inside; the
+    engine's `chisq_sf` supplies the p-value. Keys with fewer than
+    lags + 2 retained values report NULL statistics (too short),
+    constant series report NULL (autocorrelation undefined). Returns one
+    row per key: (key, n, q_stat, df, p_value, max_abs_acf).
+
+    NULL POLICY (family-wide — `_drop_null_values`): null/NaN value rows
+    are dropped before the computation."""
+    import numpy as np
+    import pandas as pd
+
+    from sparkglm_spark.functions.special import chisq_sf
+
+    if lags < 1:
+        raise ValueError(f"lags must be >= 1, got {lags!r}")
+    h = int(lags)
+    df = _drop_null_values(df, F.col(value_col).cast("double"))
+    sort_cols = ["__ts"] + (["__tb"] if tiebreak_col else [])
+    base = df.select(
+        F.col(key_col),
+        F.col(ts_col).alias("__ts"),
+        F.col(value_col).cast("double").alias("__x"),
+        *([F.col(tiebreak_col).alias("__tb")] if tiebreak_col else []),
+    )
+    schema = (
+        f"{key_col} {base.schema[key_col].dataType.simpleString()}, "
+        "n bigint, q_stat double, df int, p_value double, max_abs_acf double"
+    )
+
+    def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        x = pdf["__x"].to_numpy(np.float64)
+        n = len(x)
+        row = {pdf.columns[0]: [pdf.iloc[0, 0]], "n": [n]}
+        if n >= h + 2:
+            e = x - x.mean()
+            denom = float(e @ e)
+            if denom > 0:
+                acf = np.array(
+                    [float(e[k:] @ e[:-k]) / denom for k in range(1, h + 1)]
+                )
+                q = float(
+                    n * (n + 2.0) * np.sum(acf**2 / (n - np.arange(1, h + 1)))
+                )
+                row.update(
+                    q_stat=[q],
+                    df=[h],
+                    p_value=[float(chisq_sf(q, h))],
+                    max_abs_acf=[float(np.max(np.abs(acf)))],
+                )
+            else:  # constant series
+                row.update(q_stat=[None], df=[None], p_value=[None],
+                           max_abs_acf=[None])
+        else:
+            row.update(q_stat=[None], df=[None], p_value=[None],
+                       max_abs_acf=[None])
+        return pd.DataFrame(row)
+
+    return base.groupBy(key_col).applyInPandas(per_key, schema).orderBy(key_col)

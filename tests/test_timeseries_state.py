@@ -415,3 +415,58 @@ def test_holt_winters_matches_hand_recursion(spark):
         holt_winters_series(df, "k", "ts", "v", a, b, 1.0, period=m)
     with pytest.raises(ValueError, match="period"):
         holt_winters_forecast(df, "k", "ts", "v", a, b, g, period=1)
+
+
+def test_ljung_box_levels_and_power(spark):
+    """ljung_box vs a hand acf/Q computation; white noise passes, an
+    AR(1) series fails hard, residuals of a good Holt fit on a trend
+    series pass; short/constant keys report NULLs."""
+    import numpy as np
+
+    from sparkglm_spark.functions.special import chisq_sf
+    from sparkglm_spark.operators.timeseries import holt_series, ljung_box
+
+    rng = np.random.default_rng(44)
+    n = 300
+    white = rng.normal(0, 1, n)
+    ar = np.empty(n)
+    ar[0] = 0.0
+    for t in range(1, n):
+        ar[t] = 0.7 * ar[t - 1] + rng.normal(0, 1)
+    rows = [("white", f"2024-01-01 00:{t // 60:02d}:{t % 60:02d}", float(v), t)
+            for t, v in enumerate(white)]
+    rows += [("ar", f"2024-01-01 00:{t // 60:02d}:{t % 60:02d}", float(v), t)
+             for t, v in enumerate(ar)]
+    rows += [("short", "2024-01-01 00:00:01", 1.0, 0),
+             ("short", "2024-01-01 00:00:02", 2.0, 1)]
+    rows += [("const", f"2024-01-01 00:00:{t:02d}", 7.0, t) for t in range(30)]
+    df = spark.createDataFrame(
+        rows, "k string, ts_s string, v double, eid long"
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"), "v", "eid")
+    out = {r.k: r for r in ljung_box(df, "k", "ts", "v", lags=10,
+                                     tiebreak_col="eid").collect()}
+    # hand twin for the white key
+    e = white - white.mean()
+    denom = float(e @ e)
+    acf = np.array([float(e[k:] @ e[:-k]) / denom for k in range(1, 11)])
+    q = float(n * (n + 2) * np.sum(acf**2 / (n - np.arange(1, 11))))
+    assert out["white"].q_stat == pytest.approx(q, rel=1e-10)
+    assert out["white"].p_value == pytest.approx(chisq_sf(q, 10), rel=1e-10)
+    assert out["white"].p_value > 0.01          # level
+    assert out["ar"].p_value < 1e-10            # power
+    assert out["short"].q_stat is None and out["const"].q_stat is None
+    # the full loop: Holt residuals of a clean trend series are white
+    trend = 5.0 + 0.4 * np.arange(n) + rng.normal(0, 1, n)
+    tdf = spark.createDataFrame(
+        [("t", f"2024-01-01 00:{t // 60:02d}:{t % 60:02d}", float(v), t)
+         for t, v in enumerate(trend)],
+        "k string, ts_s string, v double, eid long",
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"), "v", "eid")
+    resid = holt_series(tdf, "k", "ts", "v", 0.3, 0.1, tiebreak_col="eid").select(
+        "k", "ts", (F.col("v") - F.col("fitted")).alias("r"),
+        F.monotonically_increasing_id().alias("eid"),
+    ).where(F.col("r").isNotNull())
+    lb = ljung_box(resid, "k", "ts", "r", lags=5).collect()[0]
+    assert lb.p_value > 1e-4  # no gross structure left
+    with pytest.raises(ValueError, match="lags"):
+        ljung_box(df, "k", "ts", "v", lags=0)
