@@ -5090,12 +5090,38 @@ def q_events_timeseries_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("xraw", 6).alias("x"),
         )
     )
+    # r9: per-user Ljung-Box whiteness (operators/timeseries.py::
+    # ljung_box, lags=10). Q and max|acf| are ratios of centered
+    # cross-products the SQL replays with LAG windows; drift ≲1e-12
+    # rel → 6dp. The p-value is a driver special function
+    # (pytest-verified) — the oracle pins the statistic, per the
+    # welch_t/chi2 convention.
+    from sparkglm_spark.operators.timeseries import ljung_box
+
+    lb = ljung_box(
+        ev, "user_id", "ts", "value", lags=10, tiebreak_col="event_id"
+    ).select(
+        F.col("user_id").cast("string").alias("k1"),
+        F.col("n").cast("bigint").alias("n1"),
+        F.expr(
+            "stack(2, 'lb_q', q_stat, 'lb_ma', max_abs_acf) AS (op, xraw)"
+        ),
+    ).select(
+        "op",
+        "k1",
+        F.lit(None).cast("string").alias("k2"),
+        "n1",
+        F.lit(None).cast("bigint").alias("n2"),
+        F.lit(None).cast("string").alias("v1"),
+        F.round("xraw", 6).alias("x"),
+    )
     return (
         resample.unionByName(latest)
         .unionByName(rolling)
         .unionByName(ewma)
         .unionByName(holt)
         .unionByName(hw)
+        .unionByName(lb)
     )
 
 
@@ -5124,6 +5150,42 @@ WITH RECURSIVE hranked AS (
   SELECT user_id, n, lvl, trd FROM hstate WHERE rn = n
   UNION ALL
   SELECT user_id, n, value, 0.0 FROM hranked WHERE n = 1
+), lbcent AS (
+  SELECT user_id, rn,
+         value - AVG(value) OVER (PARTITION BY user_id) AS e,
+         CAST(COUNT(*) OVER (PARTITION BY user_id) AS DOUBLE) AS n
+  FROM hranked
+), lblag AS (
+  SELECT user_id, n, e,
+         LAG(e, 1) OVER (PARTITION BY user_id ORDER BY rn) AS e1,
+         LAG(e, 2) OVER (PARTITION BY user_id ORDER BY rn) AS e2,
+         LAG(e, 3) OVER (PARTITION BY user_id ORDER BY rn) AS e3,
+         LAG(e, 4) OVER (PARTITION BY user_id ORDER BY rn) AS e4,
+         LAG(e, 5) OVER (PARTITION BY user_id ORDER BY rn) AS e5,
+         LAG(e, 6) OVER (PARTITION BY user_id ORDER BY rn) AS e6,
+         LAG(e, 7) OVER (PARTITION BY user_id ORDER BY rn) AS e7,
+         LAG(e, 8) OVER (PARTITION BY user_id ORDER BY rn) AS e8,
+         LAG(e, 9) OVER (PARTITION BY user_id ORDER BY rn) AS e9,
+         LAG(e, 10) OVER (PARTITION BY user_id ORDER BY rn) AS e10
+  FROM lbcent
+), lbagg AS (
+  SELECT user_id, MAX(n) AS n, SUM(e * e) AS d,
+         SUM(e * e1) AS c1,
+         SUM(e * e2) AS c2,
+         SUM(e * e3) AS c3,
+         SUM(e * e4) AS c4,
+         SUM(e * e5) AS c5,
+         SUM(e * e6) AS c6,
+         SUM(e * e7) AS c7,
+         SUM(e * e8) AS c8,
+         SUM(e * e9) AS c9,
+         SUM(e * e10) AS c10
+  FROM lblag GROUP BY user_id
+), lbq AS (
+  SELECT user_id, n,
+         n * (n + 2.0) * ((c1 / d) * (c1 / d) / (n - 1) + (c2 / d) * (c2 / d) / (n - 2) + (c3 / d) * (c3 / d) / (n - 3) + (c4 / d) * (c4 / d) / (n - 4) + (c5 / d) * (c5 / d) / (n - 5) + (c6 / d) * (c6 / d) / (n - 6) + (c7 / d) * (c7 / d) / (n - 7) + (c8 / d) * (c8 / d) / (n - 8) + (c9 / d) * (c9 / d) / (n - 9) + (c10 / d) * (c10 / d) / (n - 10)) AS q,
+         GREATEST(ABS(c1 / d), ABS(c2 / d), ABS(c3 / d), ABS(c4 / d), ABS(c5 / d), ABS(c6 / d), ABS(c7 / d), ABS(c8 / d), ABS(c9 / d), ABS(c10 / d)) AS ma
+  FROM lbagg WHERE n >= 12 AND d > 0
 ), hwranked AS (
   SELECT user_id, value AS v,
          ROW_NUMBER() OVER (PARTITION BY user_id
@@ -5208,6 +5270,14 @@ UNION ALL
 SELECT 'hw_fc3', CAST(user_id AS VARCHAR), NULL, n, NULL, NULL,
        ROUND(fc3, 6)
 FROM hwfinal
+UNION ALL
+SELECT 'lb_q', CAST(user_id AS VARCHAR), NULL, CAST(n AS BIGINT), NULL, NULL,
+       ROUND(q, 6)
+FROM lbq
+UNION ALL
+SELECT 'lb_ma', CAST(user_id AS VARCHAR), NULL, CAST(n AS BIGINT), NULL, NULL,
+       ROUND(ma, 6)
+FROM lbq
 """
 
 
