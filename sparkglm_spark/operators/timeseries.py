@@ -733,3 +733,91 @@ def ljung_box(
         return pd.DataFrame(row)
 
     return base.groupBy(key_col).applyInPandas(per_key, schema).orderBy(key_col)
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    period: int,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Classical additive decomposition per key (the `decompose()` /
+    statsmodels `seasonal_decompose(model="additive")` convention):
+
+        trend_t    = centered moving average over one period (for even
+                     period the standard 2×m average of two m-windows);
+                     NULL at the ⌊m/2⌋ edge rows on each side
+        seasonal_t = per-phase mean of (x − trend), re-centered to sum 0
+                     over one period (identical value every cycle)
+        resid_t    = x − trend − seasonal (NULL where trend is NULL)
+
+    The EDA complement of `holt_winters_series`: HW gives a forecastable
+    recursive state, this gives the interpretable static split (how big
+    IS the seasonal swing vs the trend?). One Arrow batch per key (the
+    family shape); keys with fewer than 2·period retained rows emit
+    all-NULL components. Family null policy (`_drop_null_values`)."""
+    import numpy as np
+    import pandas as pd
+
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period!r}")
+    m = int(period)
+    df = _drop_null_values(df, F.col(value_col).cast("double"))
+    sort_cols = ["__ts"] + (["__tb"] if tiebreak_col else [])
+    base = df.select(
+        F.col(key_col),
+        F.col(ts_col).alias("__ts"),
+        F.col(value_col).cast("double").alias("__x"),
+        *([F.col(tiebreak_col).alias("__tb")] if tiebreak_col else []),
+    )
+    schema = (
+        f"{key_col} {base.schema[key_col].dataType.simpleString()}, "
+        f"__ts {base.schema['__ts'].dataType.simpleString()}, "
+        "__x double, trend double, seasonal double, resid double"
+    )
+
+    def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        x = pdf["__x"].to_numpy(np.float64)
+        n = len(x)
+        out = pdf[[c for c in pdf.columns if c != "__tb"]].copy()
+        if n >= 2 * m:
+            s = pd.Series(x)
+            if m % 2 == 0:
+                # the standard 2×m centered MA: average of the two
+                # m-windows straddling each point (half-weights at the
+                # window ends)
+                trend = s.rolling(m + 1, center=True).apply(
+                    lambda w: (w.iloc[0] / 2 + w.iloc[1:-1].sum()
+                               + w.iloc[-1] / 2) / m,
+                    raw=False,
+                )
+            else:
+                trend = s.rolling(m, center=True).mean()
+            detr = s - trend
+            phase = np.arange(n) % m
+            smeans = np.array([
+                detr[phase == p].mean() for p in range(m)
+            ])
+            smeans = smeans - np.nanmean(smeans)  # re-center to sum 0
+            seasonal = smeans[phase]
+            resid = s - trend - seasonal
+            out["trend"] = pd.array(trend, dtype="Float64")
+            out["seasonal"] = pd.array(seasonal, dtype="Float64")
+            out["resid"] = pd.array(resid, dtype="Float64")
+        else:
+            for c in ("trend", "seasonal", "resid"):
+                out[c] = pd.array([None] * n, dtype="Float64")
+        return out
+
+    out = base.groupBy(key_col).applyInPandas(per_key, schema)
+    return out.select(
+        F.col(key_col),
+        F.col("__ts").alias(ts_col),
+        F.col("__x").alias(value_col),
+        "trend",
+        "seasonal",
+        "resid",
+    )

@@ -470,3 +470,53 @@ def test_ljung_box_levels_and_power(spark):
     assert lb.p_value > 1e-4  # no gross structure left
     with pytest.raises(ValueError, match="lags"):
         ljung_box(df, "k", "ts", "v", lags=0)
+
+
+def test_seasonal_decompose_recovers_planted_components(spark):
+    """seasonal_decompose on x = trend + seasonal: recovers the planted
+    pieces (linear trend exactly under the centered MA away from edges;
+    seasonal to the plant up to centering), components re-add to x,
+    seasonal repeats per cycle and sums to ~0; odd and even periods;
+    short keys NULL."""
+    import numpy as np
+
+    from sparkglm_spark.operators.timeseries import seasonal_decompose
+
+    for m, season in ((4, [2.0, -1.0, -2.0, 1.0]), (3, [1.5, -0.5, -1.0])):
+        n = 36
+        x = np.array([10.0 + 0.5 * t + season[t % m] for t in range(n)])
+        rows = [("k", f"2024-01-01 00:00:{t:02d}", float(v), t)
+                for t, v in enumerate(x)]
+        rows += [("short", f"2024-01-01 00:00:{t:02d}", float(t), t)
+                 for t in range(2 * m - 1)]
+        df = spark.createDataFrame(
+            rows, "k string, ts_s string, v double, eid long"
+        ).select("k", F.col("ts_s").cast("timestamp").alias("ts"), "v", "eid")
+        got = (
+            seasonal_decompose(df, "k", "ts", "v", period=m, tiebreak_col="eid")
+            .where(F.col("k") == "k").orderBy("ts").collect()
+        )
+        assert len(got) == n
+        half = m // 2
+        for t, r in enumerate(got):
+            if r.trend is not None:
+                # centered MA of a linear trend + zero-mean seasonal is the
+                # trend itself (exact — the seasonal sums to 0 per window)
+                assert r.trend == pytest.approx(10.0 + 0.5 * t, abs=1e-9), (m, t)
+                assert r.resid == pytest.approx(0.0, abs=1e-9), (m, t)
+            else:
+                assert t < half or t >= n - half, (m, t)
+        # seasonal identical every cycle, sums to ~0, matches the plant
+        svals = [r.seasonal for r in got]
+        for t in range(m, n):
+            assert svals[t] == pytest.approx(svals[t - m], abs=1e-12)
+        assert sum(svals[:m]) == pytest.approx(0.0, abs=1e-9)
+        splant = np.array(season) - np.mean(season)
+        for p in range(m):
+            assert svals[p] == pytest.approx(float(splant[p]), abs=1e-9), (m, p)
+        short = seasonal_decompose(
+            df.where(F.col("k") == "short"), "k", "ts", "v", period=m
+        ).collect()
+        assert all(r.trend is None and r.resid is None for r in short)
+    with pytest.raises(ValueError, match="period"):
+        seasonal_decompose(df, "k", "ts", "v", period=1)
