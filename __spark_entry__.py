@@ -5100,7 +5100,7 @@ def q_events_timeseries_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lb = ljung_box(
         ev, "user_id", "ts", "value", lags=10, tiebreak_col="event_id"
-    ).select(
+    ).where(F.col("q_stat").isNotNull()).select(
         F.col("user_id").cast("string").alias("k1"),
         F.col("n").cast("bigint").alias("n1"),
         F.expr(

@@ -697,10 +697,15 @@ def oneway_anova(df: DataFrame, group_col: str, value_col: str) -> dict:
         eta_squared = SSB/SST (effect size — the variance share the
         grouping explains; the magnitude large-N significance hides)
 
-    ONE k-row aggregation (count/sum/sumsq per group, partial map-side);
-    driver math after that — no second job at any data scale. Null
-    group keys and null values are excluded; every group needs n ≥ 1
-    and the test needs k ≥ 2 and N > k (checked)."""
+    ONE k-row aggregation (count/mean/var_samp per group, partial
+    map-side — var_samp's JVM implementation is the numerically STABLE
+    accumulator, so SSW = Σ(n_g−1)·var_g never cancels, unlike the
+    raw-Σx² textbook form which silently returns garbage F on
+    large-offset data like epoch timestamps); driver math after that —
+    no second job at any data scale. Null group keys and null/NaN
+    values are excluded; the test needs k ≥ 2 and N > k (checked); a
+    frame with NO within-group variance at all raises rather than
+    reporting a confident F = ∞ on possibly-degenerate input."""
     from sparkglm_spark.functions.special import f_sf
 
     v = F.col(value_col).cast("double")
@@ -711,8 +716,8 @@ def oneway_anova(df: DataFrame, group_col: str, value_col: str) -> dict:
         .groupBy(group_col)
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(v).alias("s"),
-            F.sum(v * v).alias("ss"),
+            F.avg(v).alias("m"),
+            F.var_samp(v).alias("var"),
         )
         .collect()
     )
@@ -724,26 +729,31 @@ def oneway_anova(df: DataFrame, group_col: str, value_col: str) -> dict:
         raise ValueError(
             f"need N > k for the within-group variance (N={n_tot}, k={k})"
         )
-    s_tot = sum(float(r["s"]) for r in rows)
-    ss_tot = sum(float(r["ss"]) for r in rows)
-    grand = s_tot / n_tot
-    ssb = sum(
-        int(r["n"]) * (float(r["s"]) / int(r["n"]) - grand) ** 2 for r in rows
+    grand = sum(int(r["n"]) * float(r["m"]) for r in rows) / n_tot
+    ssb = sum(int(r["n"]) * (float(r["m"]) - grand) ** 2 for r in rows)
+    # var_samp is NULL at n = 1 — a singleton group contributes 0 to SSW
+    ssw = sum(
+        (int(r["n"]) - 1) * float(r["var"])
+        for r in rows
+        if r["var"] is not None
     )
-    sst = ss_tot - n_tot * grand * grand
-    ssw = sst - ssb
     df1, df2 = k - 1, n_tot - k
-    f_stat = (ssb / df1) / (ssw / df2) if ssw > 0 else float("inf")
+    if ssw <= 0:
+        raise ValueError(
+            "no within-group variance — the F statistic is undefined "
+            "(every group is constant; check the value column)"
+        )
+    f_stat = (ssb / df1) / (ssw / df2)
     return {
         "f_stat": float(f_stat),
-        "p_value": float(f_sf(f_stat, df1, df2)) if ssw > 0 else 0.0,
+        "p_value": float(f_sf(f_stat, df1, df2)),
         "df_between": df1,
         "df_within": df2,
         "n": n_tot,
         "k_groups": k,
         "ss_between": float(ssb),
         "ss_within": float(ssw),
-        "eta_squared": float(ssb / sst) if sst > 0 else float("nan"),
+        "eta_squared": float(ssb / (ssb + ssw)),
     }
 
 
@@ -783,20 +793,26 @@ def spearman_corr(df: DataFrame, col_a: str, col_b: str) -> dict:
 
     a = F.col(col_a).cast("double")
     b = F.col(col_b).cast("double")
+    # the filtered projection feeds THREE consumers (two midrank builds
+    # + the final join/agg) — persist for the eager computation below
+    # (the _two_group_value_counts convention)
     base = df.where(
         a.isNotNull() & ~F.isnan(a) & b.isNotNull() & ~F.isnan(b)
-    ).select(a.alias(col_a), b.alias(col_b))
-    ranked = base.join(_midranks(base, col_a, "__ra"), col_a).join(
-        _midranks(base, col_b, "__rb"), col_b
-    )
-    row = ranked.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("__ra").alias("sa"),
-        F.sum("__rb").alias("sb"),
-        F.sum(F.col("__ra") * F.col("__ra")).alias("saa"),
-        F.sum(F.col("__rb") * F.col("__rb")).alias("sbb"),
-        F.sum(F.col("__ra") * F.col("__rb")).alias("sab"),
-    ).collect()[0]
+    ).select(a.alias(col_a), b.alias(col_b)).persist()
+    try:
+        ranked = base.join(_midranks(base, col_a, "__ra"), col_a).join(
+            _midranks(base, col_b, "__rb"), col_b
+        )
+        row = ranked.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__ra").alias("sa"),
+            F.sum("__rb").alias("sb"),
+            F.sum(F.col("__ra") * F.col("__ra")).alias("saa"),
+            F.sum(F.col("__rb") * F.col("__rb")).alias("sbb"),
+            F.sum(F.col("__ra") * F.col("__rb")).alias("sab"),
+        ).collect()[0]
+    finally:
+        base.unpersist()
     n = int(row["n"])
     if n < 3:
         raise ValueError(f"spearman_corr needs n >= 3 non-null pairs, got {n}")

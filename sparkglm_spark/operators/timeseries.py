@@ -786,13 +786,14 @@ def seasonal_decompose(
         if n >= 2 * m:
             s = pd.Series(x)
             if m % 2 == 0:
-                # the standard 2×m centered MA: average of the two
-                # m-windows straddling each point (half-weights at the
-                # window ends)
-                trend = s.rolling(m + 1, center=True).apply(
-                    lambda w: (w.iloc[0] / 2 + w.iloc[1:-1].sum()
-                               + w.iloc[-1] / 2) / m,
-                    raw=False,
+                # the standard 2×m centered MA (half-weights at the
+                # window ends) as two VECTORIZED rolling means: the mean
+                # of two consecutive m-window means ending at i covers
+                # x[i−m..i] with halved ends, centered at i − m/2 — a
+                # per-window Python lambda here would be O(n·m)
+                # interpreter work on the family's hot path
+                trend = (
+                    s.rolling(m).mean().rolling(2).mean().shift(-(m // 2))
                 )
             else:
                 trend = s.rolling(m, center=True).mean()

@@ -550,3 +550,30 @@ def test_spearman_corr_matches_scipy_convention(spark):
     assert m["rho"] == pytest.approx(1.0, abs=1e-12) and m["p_value"] == 0.0
     with pytest.raises(ValueError, match="constant"):
         spearman_corr(mono.withColumn("y", F.lit(1.0)), "x", "y")
+
+
+def test_oneway_anova_large_offset_stability(spark):
+    """Third-review r9: the raw-sum-of-squares SSW cancelled
+    catastrophically on large-offset data (epoch-timestamp magnitudes),
+    reporting F=inf/p=0 for IDENTICAL groups. The var_samp form must
+    return a calm, correct F."""
+    import numpy as np
+
+    from sparkglm_spark.operators.stats import oneway_anova
+
+    rng = np.random.default_rng(55)
+    base = 1.7e12  # epoch-millisecond magnitude
+    rows = []
+    for g in ("a", "b", "c"):
+        for v in rng.normal(0.0, 1e3, 200):
+            rows.append((g, float(base + v)))  # identical means
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = oneway_anova(df, "g", "v")
+    assert np.isfinite(got["f_stat"]) and got["f_stat"] < 5.0
+    assert got["p_value"] > 0.001  # identical groups: no false positive
+    # all-constant groups: undefined F must raise, not report infinity
+    const = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 2.0)], "g string, v double"
+    )
+    with pytest.raises(ValueError, match="within-group variance"):
+        oneway_anova(const, "g", "v")

@@ -1118,7 +1118,7 @@ def test_bucket_pair_stats_vectorized_parity(spark):
     import sparkglm_spark.operators.survival as sv
 
     rng = np.random.default_rng(19)
-    for trial in range(60):
+    for trial in range(200):
         n = int(rng.integers(1, 300))
         nt = int(rng.integers(1, max(2, n)))
         nr = int(rng.integers(1, max(2, n)))
