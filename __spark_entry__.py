@@ -5115,6 +5115,44 @@ def q_events_timeseries_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("v1"),
         F.round("xraw", 6).alias("x"),
     )
+    # r9: per-user seasonal decomposition checksums (operators/
+    # timeseries.py::seasonal_decompose, period 4): Σtrend (6dp),
+    # Σ|seasonal| (6dp) and Σresid² (2dp — magnitude-matched rounding)
+    # pin the whole trend/seasonal/resid split; the SQL replays the 2×m
+    # half-weight centered MA with LAG/LEAD windows and the per-phase
+    # re-centered means.
+    from sparkglm_spark.operators.timeseries import seasonal_decompose
+
+    sd = (
+        seasonal_decompose(
+            ev, "user_id", "ts", "value", period=4, tiebreak_col="event_id"
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum("trend").alias("__tr"),
+            F.sum(F.abs("seasonal")).alias("__se"),
+            F.sum(F.col("resid") * F.col("resid")).alias("__r2"),
+            F.sum(F.col("trend").isNotNull().cast("bigint")).alias("__ntr"),
+        )
+        .where(F.col("__ntr") > 0)
+        .select(
+            F.col("user_id").cast("string").alias("k1"),
+            F.col("__ntr").alias("n1"),
+            F.expr(
+                "stack(3, 'sd_tr', round(__tr, 6), 'sd_se', round(__se, 6),"
+                " 'sd_r2', round(__r2, 2)) AS (op, x)"
+            ),
+        )
+        .select(
+            "op",
+            "k1",
+            F.lit(None).cast("string").alias("k2"),
+            "n1",
+            F.lit(None).cast("bigint").alias("n2"),
+            F.lit(None).cast("string").alias("v1"),
+            "x",
+        )
+    )
     return (
         resample.unionByName(latest)
         .unionByName(rolling)
@@ -5122,6 +5160,7 @@ def q_events_timeseries_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(holt)
         .unionByName(hw)
         .unionByName(lb)
+        .unionByName(sd)
     )
 
 
@@ -5150,6 +5189,33 @@ WITH RECURSIVE hranked AS (
   SELECT user_id, n, lvl, trd FROM hstate WHERE rn = n
   UNION ALL
   SELECT user_id, n, value, 0.0 FROM hranked WHERE n = 1
+), sdt AS (
+  SELECT user_id, rn, n, value,
+         CASE WHEN rn > 2 AND rn <= n - 2 THEN
+           (LAG(value, 2) OVER sdw / 2.0 + LAG(value, 1) OVER sdw + value
+            + LEAD(value, 1) OVER sdw + LEAD(value, 2) OVER sdw / 2.0) / 4.0
+         END AS trend,
+         (rn - 1) % 4 AS ph
+  FROM hranked
+  WINDOW sdw AS (PARTITION BY user_id ORDER BY rn)
+), sdm AS (
+  SELECT user_id, ph, AVG(value - trend) AS pm
+  FROM sdt WHERE trend IS NOT NULL GROUP BY 1, 2
+), sdc AS (
+  SELECT user_id, ph, pm - AVG(pm) OVER (PARTITION BY user_id) AS sea
+  FROM sdm
+), sdrow AS (
+  SELECT t.user_id,
+         SUM(t.trend) AS str,
+         SUM(ABS(c.sea)) AS sabs,
+         SUM(CASE WHEN t.trend IS NOT NULL
+             THEN (t.value - t.trend - c.sea) * (t.value - t.trend - c.sea)
+             END) AS sr2,
+         SUM(CASE WHEN t.trend IS NOT NULL THEN 1 ELSE 0 END) AS ntr
+  FROM sdt t JOIN sdc c ON c.user_id = t.user_id AND c.ph = t.ph
+  WHERE t.n >= 8
+  GROUP BY 1
+  HAVING SUM(CASE WHEN t.trend IS NOT NULL THEN 1 ELSE 0 END) > 0
 ), lbcent AS (
   SELECT user_id, rn,
          value - AVG(value) OVER (PARTITION BY user_id) AS e,
@@ -5278,6 +5344,15 @@ UNION ALL
 SELECT 'lb_ma', CAST(user_id AS VARCHAR), NULL, CAST(n AS BIGINT), NULL, NULL,
        ROUND(ma, 6)
 FROM lbq
+UNION ALL
+SELECT 'sd_tr', CAST(user_id AS VARCHAR), NULL, CAST(ntr AS BIGINT), NULL, NULL, ROUND(str, 6)
+FROM sdrow
+UNION ALL
+SELECT 'sd_se', CAST(user_id AS VARCHAR), NULL, CAST(ntr AS BIGINT), NULL, NULL, ROUND(sabs, 6)
+FROM sdrow
+UNION ALL
+SELECT 'sd_r2', CAST(user_id AS VARCHAR), NULL, CAST(ntr AS BIGINT), NULL, NULL, ROUND(sr2, 2)
+FROM sdrow
 """
 
 
