@@ -6132,6 +6132,47 @@ def q_orders_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "op string, key string, n bigint, v1 double, v2 double, v3 double",
     )
+    # r10: Weibull AFT at exactly 3 undamped Newton steps on (β, ln σ)
+    # from the γ-corrected OLS start (operators/survival.py::weibull_aft
+    # — the last fitted family without a DuckDB pin). The input plants a
+    # genuine Weibull: ln T = 10 + 0.5·x + 0.7·ln(−ln(1−u)) with the
+    # hash-uniform u = ((orderkey % 9973)+0.5)/9974 and 20% of rows
+    # censored at their observed time, so the start lands in the Newton
+    # basin and the undamped trajectory CONTRACTS (measured |step|:
+    # 0.18 → 0.049 → 0.0047) — cross-engine drift shrinks through the
+    # iterations instead of amplifying; β/lnσ pin at 6dp with ~5e3×
+    # margin, loglik (|ll| ~ 2e4, ~1e-9 relative drift) at 2dp.
+    from sparkglm_spark.operators.survival import weibull_aft
+
+    aft_in = od.select(
+        F.exp(
+            F.lit(10.0)
+            + 0.5 * ((F.col("o_custkey") % 100) / 100.0)
+            + 0.7
+            * F.log(
+                -F.log(
+                    1.0
+                    - ((F.col("o_orderkey") % 9973).cast("double") + 0.5)
+                    / 9974.0
+                )
+            )
+        ).alias("t"),
+        F.when(F.col("o_custkey") % 5 == 0, 0.0).otherwise(1.0).alias("ev"),
+        ((F.col("o_custkey") % 100) / 100.0).alias("x"),
+    )
+    am = weibull_aft(aft_in, "t", "ev", ["x"], exact_iterations=3)
+    aft = spark.createDataFrame(
+        [
+            ("aft", "b_intercept", None, round(float(am.coefs[0]), 6), None,
+             None),
+            ("aft", "b_x", None, round(float(am.coefs[1]), 6), None, None),
+            ("aft", "ln_sigma", None,
+             round(float(np.log(am.scale)), 6), None, None),
+            ("aft", "loglik", None, round(float(am.loglik), 2), None, None),
+            ("aft", "n_events", am.n_events, None, None, None),
+        ],
+        "op string, key string, n bigint, v1 double, v2 double, v3 double",
+    )
     # r7b: grouped Kaplan-Meier over bucketed "time" (floor(price/1000) —
     # ~500 distinct times per group keeps the row set compact and forces
     # heavy Breslow-style ties). survival = exp(Σ ln(1−d/n)) — cross-
@@ -6221,6 +6262,7 @@ def q_orders_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(cox)
         .unionByName(cox_base)
         .unionByName(coxg)
+        .unionByName(aft)
         .unionByName(km)
         .unionByName(rmst)
         .unionByName(ci_rows)
@@ -6331,7 +6373,112 @@ SELECT 'cox_base', 'total', (SELECT CAST(COUNT(*) AS BIGINT) FROM {p}b),
 """
 
 
+def _sql_aft_ctes(iters: int) -> str:
+    """Unroll `weibull_aft(exact_iterations=iters)` (k = 1 covariate +
+    intercept) as CTEs — the per-iteration shape of
+    operators/survival.py::weibull_aft:
+
+    state₀ = OLS of ln t on (1, x) over EVENT rows (closed-form 2×2
+    normal equations; the engine's Cholesky differs at ulp level only),
+    σ₀ = √(SSE/(nₑ−2))/1.283 floored at 1e-3, plus the γσ₀ intercept
+    correction. Each Newton step is one aggregation of the 3 gradient +
+    6 Hessian sums (z = (ln t − β₀ − β₁x)/σ, u = eᶻ, gz = δ − u — the
+    same per-row kernels the engine codegens) and a 3×3 Cramer solve
+    (the engine's LAPACK LU differs at ulp level). The planted-Weibull
+    input makes the undamped trajectory contractive, so ulp/partial-agg
+    drift SHRINKS through the unroll — see the Spark arm's comment."""
+    ctes = [
+        # planted Weibull input — mirrors the Spark arm's aft_in exactly
+        "ab AS (SELECT"
+        " ln(exp(10.0 + 0.5 * (CAST(o_custkey % 100 AS DOUBLE) / 100.0)"
+        " + 0.7 * ln(-ln(1.0 - (CAST(o_orderkey % 9973 AS DOUBLE) + 0.5)"
+        " / 9974.0)))) AS lt,"
+        " CASE WHEN o_custkey % 5 = 0 THEN 0.0 ELSE 1.0 END AS d,"
+        " CAST(o_custkey % 100 AS DOUBLE) / 100.0 AS x FROM orders)",
+        # OLS start over event rows + residual-scale σ + γσ correction
+        "a0g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS s0, SUM(x) AS s1,"
+        " SUM(x * x) AS s2, SUM(lt) AS sy, SUM(x * lt) AS sxy,"
+        " SUM(lt * lt) AS syy FROM ab WHERE d = 1.0)",
+        "a0 AS (SELECT b0 + 0.5772156649015329 * exp(ls) AS b0, b1, ls"
+        " FROM (SELECT"
+        " (s2 * sy - s1 * sxy) / (s0 * s2 - s1 * s1) AS b0,"
+        " (s0 * sxy - s1 * sy) / (s0 * s2 - s1 * s1) AS b1,"
+        " ln(GREATEST(SQRT((syy"
+        "   - 2.0 * ((s2 * sy - s1 * sxy) / (s0 * s2 - s1 * s1) * sy"
+        "            + (s0 * sxy - s1 * sy) / (s0 * s2 - s1 * s1) * sxy)"
+        "   + ((s2 * sy - s1 * sxy) / (s0 * s2 - s1 * s1))"
+        "     * ((s2 * sy - s1 * sxy) / (s0 * s2 - s1 * s1)) * s0"
+        "   + 2.0 * ((s2 * sy - s1 * sxy) / (s0 * s2 - s1 * s1))"
+        "     * ((s0 * sxy - s1 * sy) / (s0 * s2 - s1 * s1)) * s1"
+        "   + ((s0 * sxy - s1 * sy) / (s0 * s2 - s1 * s1))"
+        "     * ((s0 * sxy - s1 * sy) / (s0 * s2 - s1 * s1)) * s2)"
+        " / (s0 - 2.0)) / 1.283, 0.001)) AS ls FROM a0g) s)",
+    ]
+    for i in range(1, iters + 1):
+        prev = f"a{i - 1}"
+        # per-row kernels under the previous state; one aggregation of
+        # the gradient (g0,g1,g2) and Hessian (h00,h01,h11,h02,h12,h22)
+        ctes.append(
+            f"a{i}g AS (SELECT"
+            " SUM(gz * (-1.0 / s)) AS g0,"
+            " SUM(x * gz * (-1.0 / s)) AS g1,"
+            " SUM(-d - z * gz) AS g2,"
+            " SUM((-u) * (1.0 / (s * s))) AS h00,"
+            " SUM(x * (-u) * (1.0 / (s * s))) AS h01,"
+            " SUM(x * x * (-u) * (1.0 / (s * s))) AS h11,"
+            " SUM((gz - u * z) * (1.0 / s)) AS h02,"
+            " SUM(x * (gz - u * z) * (1.0 / s)) AS h12,"
+            " SUM(z * gz - z * z * u) AS h22,"
+            " SUM(d * (z - ls) - u) AS ll,"
+            " SUM(d) AS ne"
+            " FROM (SELECT x, d, ls, s, z, exp(z) AS u, d - exp(z) AS gz"
+            f" FROM (SELECT ab.x, ab.d, {prev}.ls, exp({prev}.ls) AS s,"
+            f" (ab.lt - {prev}.b0 - {prev}.b1 * ab.x) / exp({prev}.ls) AS z"
+            f" FROM ab CROSS JOIN {prev}) r1) r2)"
+        )
+        # 3×3 Cramer solve of H·step = g; new state = old − step
+        ctes.append(
+            f"a{i} AS (SELECT"
+            f" {prev}.b0 - (g0 * (h11 * h22 - h12 * h12)"
+            " - h01 * (g1 * h22 - h12 * g2)"
+            " + h02 * (g1 * h12 - h11 * g2)) / det AS b0,"
+            f" {prev}.b1 - (h00 * (g1 * h22 - g2 * h12)"
+            " - g0 * (h01 * h22 - h12 * h02)"
+            " + h02 * (h01 * g2 - g1 * h02)) / det AS b1,"
+            f" {prev}.ls - (h00 * (h11 * g2 - h12 * g1)"
+            " - h01 * (h01 * g2 - g1 * h02)"
+            " + g0 * (h01 * h12 - h11 * h02)) / det AS ls"
+            f" FROM (SELECT a{i}g.*,"
+            " h00 * (h11 * h22 - h12 * h12)"
+            " - h01 * (h01 * h22 - h12 * h02)"
+            " + h02 * (h01 * h12 - h11 * h02) AS det"
+            f" FROM a{i}g) gd CROSS JOIN {prev})"
+        )
+    fin = f"a{iters}"
+    # engine's post-loop recompute evaluates ll at the returned state
+    ctes.append(
+        "af AS (SELECT SUM(d * ((lt - b0 - b1 * x) / exp(ls) - ls)"
+        " - exp((lt - b0 - b1 * x) / exp(ls))) AS ll, SUM(d) AS ne"
+        f" FROM ab CROSS JOIN {fin})"
+    )
+    return "WITH " + ",\n".join(ctes) + f"""
+SELECT 'aft' AS op, 'b_intercept' AS key, CAST(NULL AS BIGINT) AS n,
+       ROUND({fin}.b0, 6) AS v1, CAST(NULL AS DOUBLE) AS v2,
+       CAST(NULL AS DOUBLE) AS v3
+FROM {fin}
+UNION ALL
+SELECT 'aft', 'b_x', NULL, ROUND({fin}.b1, 6), NULL, NULL FROM {fin}
+UNION ALL
+SELECT 'aft', 'ln_sigma', NULL, ROUND({fin}.ls, 6), NULL, NULL FROM {fin}
+UNION ALL
+SELECT 'aft', 'loglik', NULL, ROUND(af.ll, 2), NULL, NULL FROM af
+UNION ALL
+SELECT 'aft', 'n_events', CAST(af.ne AS BIGINT), NULL, NULL, NULL FROM af
+"""
+
+
 SQL_COX_ARM = _sql_cox_ctes(3)
+SQL_AFT_ARM = _sql_aft_ctes(3)
 SQL_COXG_ARMS = " UNION ALL ".join(
     f"SELECT * FROM ({_sql_cox_ctes(3, where=f' WHERE o_custkey % 2 = {s}', prefix=f'cg{s}', mode='grouped', seg_key=str(s))}) a{s}"
     for s in (0, 1)
@@ -6464,6 +6611,8 @@ UNION ALL
 SELECT * FROM ({SQL_COX_ARM}) cox
 UNION ALL
 SELECT * FROM ({SQL_COXG_ARMS}) coxg
+UNION ALL
+SELECT * FROM ({SQL_AFT_ARM}) aft
 UNION ALL
 SELECT 'km', kc.g, CAST(kc.nr AS BIGINT), kc.t, kc.d,
        CASE WHEN kc.dead = 1 THEN 0.0 ELSE ROUND(exp(kc.ls), 6) END

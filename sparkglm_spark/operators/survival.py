@@ -52,6 +52,11 @@ from pyspark.sql import functions as F
 
 from sparkglm_spark.plans.prefix import global_running_sum
 
+# Euler–Mascheroni constant: E[W] = −γ for the standard minimum
+# extreme-value W in the Weibull AFT model — used to bias-correct the
+# OLS intercept start (the OLS intercept estimates β₀ − γσ).
+_EULER_GAMMA = 0.5772156649015329
+
 
 def _time_expr(time_col: str, time_bucket: float | None) -> Column:
     """The (optionally bucketed) double time axis: with `time_bucket=w`,
@@ -1377,6 +1382,14 @@ def weibull_aft(
         # far better conditioned than σ=1 when the true scale is small,
         # where the Hessian is not yet negative definite and Newton crawls
         log_s = float(np.log(max(start.sigma / 1.283, 1e-3)))
+        # method-of-moments intercept correction: W has mean −γ (Euler),
+        # so the OLS intercept estimates β₀ − γσ; uncorrected, the start
+        # sits ~0.6σ below the MLE — outside the quadratic basin, where
+        # plain Newton overshoots (measured: the first undamped step on
+        # planted Weibull data jumps past the optimum and diverges).
+        # Corrected, the start lands in the basin and Newton contracts.
+        if fit_intercept:
+            beta[0] += _EULER_GAMMA * float(np.exp(log_s))
         xs = [F.col(c) for c in names]
 
         def stats_at(b, ls):
@@ -1699,11 +1712,13 @@ def logrank_test(
     }
 
 
-def _aft_newton_dense(t, e, X, exact_iterations, tol, max_iter):
+def _aft_newton_dense(t, e, X, exact_iterations, tol, max_iter,
+                      intercept_idx=None):
     """numpy twin of `weibull_aft`'s Newton-on-(β, ln σ) — the in-memory
     engine for `weibull_aft_grouped` (the `_cox_newton_dense` pattern):
-    same OLS-on-event-rows start with the σ/1.283 residual-scale init,
-    same per-row gradient/Hessian entries, same Levenberg fallback and
+    same OLS-on-event-rows start with the σ/1.283 residual-scale init
+    and the γσ intercept correction (see `weibull_aft`), same per-row
+    gradient/Hessian entries, same Levenberg fallback and
     step-halving ascent guard, same ll-change stop. Returns
     (beta, log_s, se, loglik, n_iter, converged) or raises LinAlgError
     on a singular start/information (caller maps to the NULL row)."""
@@ -1718,6 +1733,8 @@ def _aft_newton_dense(t, e, X, exact_iterations, tol, max_iter):
     ne = int(ev.sum())
     sig = np.sqrt(max(sse, 0.0) / (ne - k)) if ne > k else 1.0
     log_s = float(np.log(max(sig / 1.283, 1e-3)))
+    if intercept_idx is not None:
+        beta[intercept_idx] += _EULER_GAMMA * float(np.exp(log_s))
 
     def stats_at(b, ls):
         sigma = float(np.exp(ls))
@@ -1878,7 +1895,10 @@ def weibull_aft_grouped(
             and np.all((e == 0.0) | (e == 1.0))
         ):
             try:
-                res = _aft_newton_dense(t, e, X, exact_iterations, tol, max_iter)
+                res = _aft_newton_dense(
+                    t, e, X, exact_iterations, tol, max_iter,
+                    intercept_idx=0 if fit_intercept else None,
+                )
             except np.linalg.LinAlgError:
                 res = None
         if res is not None:
