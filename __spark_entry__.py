@@ -6173,6 +6173,43 @@ def q_orders_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "op string, key string, n bigint, v1 double, v2 double, v3 double",
     )
+    # r10: isotonic calibration pin (operators/evaluate.py::
+    # fit_isotonic_calibration → IsotonicCalibration.transform). Scores
+    # are the 20 integer price buckets (exact group keys in both
+    # engines; Σy / n prefix sums stay integer), so the DuckDB replay
+    # can use the pooling-structure-independent max–min characterization
+    # ŷᵢ = max_{j≤i} min_{l≥i} avg(j,l) instead of unrolling PAV — the
+    # fitted value per training score is identical whichever way ties
+    # pool (measured bit-identical to MLlib's parallel PAV here). v1 =
+    # fitted (post-transform, so the np.interp scoring path is pinned
+    # too), v2 = raw rate; both nudged by 2^-23 before ROUND 6 (rates
+    # are small-denominator rationals that can land exactly on decimal
+    # rounding boundaries — the sd_tr lesson).
+    from sparkglm_spark.operators.evaluate import fit_isotonic_calibration
+
+    iso_in = od.select(
+        F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0).alias("y"),
+        F.least(F.floor(F.col("o_totalprice") / 25000.0), F.lit(19))
+        .cast("double")
+        .alias("s"),
+    )
+    iso_cal = fit_isotonic_calibration(iso_in, "y", "s")
+    iso_scores = iso_in.groupBy("s").agg(
+        F.sum("y").alias("sy"), F.count(F.lit(1)).alias("cnt")
+    )
+    iso = (
+        iso_cal.transform(iso_scores, output_col="fit")
+        .select(
+            F.lit("iso").alias("op"),
+            F.col("s").cast("int").cast("string").alias("key"),
+            F.col("cnt").cast("bigint").alias("n"),
+            F.round(F.col("fit") + 1.1920928955078125e-07, 6).alias("v1"),
+            F.round(
+                F.col("sy") / F.col("cnt") + 1.1920928955078125e-07, 6
+            ).alias("v2"),
+            F.lit(None).cast("double").alias("v3"),
+        )
+    )
     # r7b: grouped Kaplan-Meier over bucketed "time" (floor(price/1000) —
     # ~500 distinct times per group keeps the row set compact and forces
     # heavy Breslow-style ties). survival = exp(Σ ln(1−d/n)) — cross-
@@ -6263,6 +6300,7 @@ def q_orders_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(cox_base)
         .unionByName(coxg)
         .unionByName(aft)
+        .unionByName(iso)
         .unionByName(km)
         .unionByName(rmst)
         .unionByName(ci_rows)
@@ -6613,6 +6651,32 @@ UNION ALL
 SELECT * FROM ({SQL_COXG_ARMS}) coxg
 UNION ALL
 SELECT * FROM ({SQL_AFT_ARM}) aft
+UNION ALL
+SELECT 'iso', CAST(CAST(ifin.s AS INT) AS VARCHAR), CAST(ifin.n AS BIGINT),
+       ROUND(ifin.fit + 1.1920928955078125e-07, 6),
+       ROUND(ifin.sy / ifin.n + 1.1920928955078125e-07, 6),
+       CAST(NULL AS DOUBLE)
+FROM (
+  -- isotonic fit via the max-min characterization (see the Spark arm)
+  WITH ib AS (
+    SELECT LEAST(FLOOR(o_totalprice / 25000.0), 19) AS s,
+           CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y
+    FROM orders),
+  ig AS (SELECT s, SUM(y) AS sy, CAST(COUNT(*) AS DOUBLE) AS n
+         FROM ib GROUP BY s),
+  ipre AS (SELECT s, sy, n,
+           ROW_NUMBER() OVER (ORDER BY s) AS rn,
+           SUM(sy) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS cs,
+           SUM(n) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS cw
+    FROM ig),
+  igrid AS (
+    SELECT i.rn AS i,
+           MIN((l.cs - j.cs + j.sy) / (l.cw - j.cw + j.n)) AS mn
+    FROM ipre i JOIN ipre j ON j.rn <= i.rn JOIN ipre l ON l.rn >= i.rn
+    GROUP BY i.rn, j.rn),
+  ifit AS (SELECT i, MAX(mn) AS fit FROM igrid GROUP BY i)
+  SELECT p.s, p.sy, p.n, f.fit FROM ipre p JOIN ifit f ON f.i = p.rn
+) ifin
 UNION ALL
 SELECT 'km', kc.g, CAST(kc.nr AS BIGINT), kc.t, kc.d,
        CASE WHEN kc.dead = 1 THEN 0.0 ELSE ROUND(exp(kc.ls), 6) END

@@ -688,7 +688,12 @@ def numeric_profile(
     )
 
 
-def oneway_anova(df: DataFrame, group_col: str, value_col: str) -> dict:
+def oneway_anova(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    max_groups: int = 100_000,
+) -> dict:
     """One-way ANOVA F-test across k groups (R `oneway.test(var.equal=
     TRUE)` / `aov`) — "do any of the segment means differ?", the k-group
     generalization of the pooled t-test:
@@ -705,7 +710,14 @@ def oneway_anova(df: DataFrame, group_col: str, value_col: str) -> dict:
     no second job at any data scale. Null group keys and null/NaN
     values are excluded; the test needs k ≥ 2 and N > k (checked); a
     frame with NO within-group variance at all raises rather than
-    reporting a confident F = ∞ on possibly-degenerate input."""
+    reporting a confident F = ∞ on possibly-degenerate input.
+
+    The k-row collect is bounded: a group column with more than
+    `max_groups` distinct levels raises instead of silently pulling
+    millions of rows to the driver (the chi2 ka·kb ≤ 1e6 / top-n
+    key_skew_report convention — the LIMIT is pushed into the plan, so
+    the wire is bounded too). A grouping that wide isn't a k-segment
+    ANOVA question; pre-bucket the column first."""
     from sparkglm_spark.functions.special import f_sf
 
     v = F.col(value_col).cast("double")
@@ -719,8 +731,14 @@ def oneway_anova(df: DataFrame, group_col: str, value_col: str) -> dict:
             F.avg(v).alias("m"),
             F.var_samp(v).alias("var"),
         )
+        .limit(max_groups + 1)
         .collect()
     )
+    if len(rows) > max_groups:
+        raise ValueError(
+            f"oneway_anova: group_col has > {max_groups} distinct levels "
+            "— pre-bucket the grouping or raise max_groups explicitly"
+        )
     k = len(rows)
     if k < 2:
         raise ValueError(f"oneway_anova needs >= 2 groups, found {k}")

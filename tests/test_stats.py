@@ -552,6 +552,23 @@ def test_spearman_corr_matches_scipy_convention(spark):
         spearman_corr(mono.withColumn("y", F.lit(1.0)), "x", "y")
 
 
+def test_oneway_anova_group_cardinality_guard(spark):
+    """VERDICT r9 #5: the per-group collect is bounded — a group column
+    wider than max_groups raises (LIMIT-pushed, so the wire is bounded
+    too) instead of silently collecting millions of rows; at or under
+    the cap the statistics are computed on the FULL group set."""
+    from sparkglm_spark.operators.stats import oneway_anova
+
+    df = spark.createDataFrame(
+        [(i % 40, float(i % 7) + (i % 3)) for i in range(400)],
+        "g int, v double",
+    )
+    with pytest.raises(ValueError, match="distinct levels"):
+        oneway_anova(df, "g", "v", max_groups=10)
+    got = oneway_anova(df, "g", "v", max_groups=40)  # exactly at the cap
+    assert got["k_groups"] == 40 and got["n"] == 400
+
+
 def test_oneway_anova_large_offset_stability(spark):
     """Third-review r9: the raw-sum-of-squares SSW cancelled
     catastrophically on large-offset data (epoch-timestamp magnitudes),
