@@ -876,6 +876,36 @@ def q_wls_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows.append((f"hgp_{r.l_linestatus}_mean", round(float(r.m), 1)))
     finally:
         hg_fits.unpersist()
+    # r10: elastic net at exactly 2 coordinate-descent sweeps from θ = 0
+    # (operators/enet.py — one Gram job + driver CD). The planted target
+    # y = price/1000 + 5·qty − 300·disc gives standardized correlations
+    # (0.92, 0.11, 0.003) against the l1 threshold αλ/σ_y ≈ 0.051, so
+    # the two live coefficients and the killed l_tax one all clear the
+    # soft-threshold discontinuity by ≥ 0.05 — cross-engine Gram drift
+    # (~1e-12 relative double sums) cannot flip the support, and the
+    # smooth trajectory pins at 6dp with ~5e3× margin. The SQL replays
+    # the standardize → 2 cyclic sweeps → un-standardize chain in
+    # scalar CTEs.
+    from sparkglm_spark.operators.enet import elastic_net
+
+    enet_in = li.select(
+        (
+            F.col("l_extendedprice") / 1000.0
+            + 5.0 * F.col("l_quantity")
+            - 300.0 * F.col("l_discount")
+        ).alias("yy"),
+        F.col("l_quantity").alias("x1"),
+        F.col("l_discount").alias("x2"),
+        F.col("l_tax").alias("x3"),
+    )
+    em = elastic_net(
+        enet_in, "yy ~ x1 + x2 + x3",
+        reg_param=8.0, elastic_net_param=0.5, exact_sweeps=2,
+    )
+    rows += [
+        (f"enet_{nm}", round(float(c), 6))
+        for nm, c in zip(em.xnames, em.coefs)
+    ] + [("enet_nnz", float(em.n_nonzero))]
     return spark.createDataFrame(rows, "term string, coef double").orderBy("term")
 
 
@@ -1090,8 +1120,100 @@ SELECT {pfx}res.term, {pfx}res.coef FROM (
 """
 
 
+SQL_ENET_ARM = """
+UNION ALL
+SELECT e.term, e.coef FROM (
+  WITH eb AS (
+    SELECT CAST(l_extendedprice AS DOUBLE) / 1000.0
+           + 5.0 * CAST(l_quantity AS DOUBLE)
+           - 300.0 * CAST(l_discount AS DOUBLE) AS y,
+           CAST(l_quantity AS DOUBLE) AS x1,
+           CAST(l_discount AS DOUBLE) AS x2,
+           CAST(l_tax AS DOUBLE) AS x3
+    FROM lineitem),
+  es AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           SUM(x1) AS s1, SUM(x2) AS s2, SUM(x3) AS s3,
+           SUM(x1 * x1) AS s11, SUM(x1 * x2) AS s12, SUM(x1 * x3) AS s13,
+           SUM(x2 * x2) AS s22, SUM(x2 * x3) AS s23, SUM(x3 * x3) AS s33,
+           SUM(y) AS sy, SUM(y * y) AS syy,
+           SUM(x1 * y) AS s1y, SUM(x2 * y) AS s2y, SUM(x3 * y) AS s3y
+    FROM eb),
+  em2 AS (
+    SELECT *, s1 / n AS m1, s2 / n AS m2, s3 / n AS m3, sy / n AS my,
+           SQRT((s11 - n * (s1 / n) * (s1 / n)) / (n - 1.0)) AS sd1,
+           SQRT((s22 - n * (s2 / n) * (s2 / n)) / (n - 1.0)) AS sd2,
+           SQRT((s33 - n * (s3 / n) * (s3 / n)) / (n - 1.0)) AS sd3,
+           SQRT((syy - n * (sy / n) * (sy / n)) / (n - 1.0)) AS sdy
+    FROM es),
+  -- standardized Gram, per-coordinate penalties (lambda = 8, alpha = .5)
+  ea AS (
+    SELECT n, m1, m2, m3, my, sd1, sd2, sd3, sdy,
+           (s11 - n * m1 * m1) / (sd1 * sd1) AS a11,
+           (s12 - n * m1 * m2) / (sd1 * sd2) AS a12,
+           (s13 - n * m1 * m3) / (sd1 * sd3) AS a13,
+           (s22 - n * m2 * m2) / (sd2 * sd2) AS a22,
+           (s23 - n * m2 * m3) / (sd2 * sd3) AS a23,
+           (s33 - n * m3 * m3) / (sd3 * sd3) AS a33,
+           (s1y - m1 * sy) / (sd1 * sdy) AS b1,
+           (s2y - m2 * sy) / (sd2 * sdy) AS b2,
+           (s3y - m3 * sy) / (sd3 * sdy) AS b3,
+           0.5 * (8.0 / sdy) AS l1, 0.5 * (8.0 / sdy) AS l2
+    FROM em2),
+  -- cyclic sweep 1 from theta = 0 (soft-threshold per coordinate)
+  e1 AS (
+    SELECT ea.*, t1, t2,
+           SIGN((b3 - (a13 * t1 + a23 * t2)) / n)
+             * GREATEST(ABS((b3 - (a13 * t1 + a23 * t2)) / n) - l1, 0.0)
+             / (a33 / n + l2) AS t3
+    FROM (
+      SELECT ea.*, t1,
+             SIGN((b2 - a12 * t1) / n)
+               * GREATEST(ABS((b2 - a12 * t1) / n) - l1, 0.0)
+               / (a22 / n + l2) AS t2
+      FROM (
+        SELECT ea.*,
+               SIGN(b1 / n) * GREATEST(ABS(b1 / n) - l1, 0.0)
+                 / (a11 / n + l2) AS t1
+        FROM ea) ea) ea),
+  -- cyclic sweep 2
+  e2 AS (
+    SELECT e1.*, u1, u2,
+           SIGN((b3 - (a13 * u1 + a23 * u2)) / n)
+             * GREATEST(ABS((b3 - (a13 * u1 + a23 * u2)) / n) - l1, 0.0)
+             / (a33 / n + l2) AS u3
+    FROM (
+      SELECT e1.*, u1,
+             SIGN((b2 - (a12 * u1 + a23 * t3)) / n)
+               * GREATEST(ABS((b2 - (a12 * u1 + a23 * t3)) / n) - l1, 0.0)
+               / (a22 / n + l2) AS u2
+      FROM (
+        SELECT e1.*,
+               SIGN((b1 - (a12 * t2 + a13 * t3)) / n)
+                 * GREATEST(ABS((b1 - (a12 * t2 + a13 * t3)) / n) - l1, 0.0)
+                 / (a11 / n + l2) AS u1
+        FROM e1) e1) e1),
+  ef AS (
+    SELECT my - (m1 * (u1 * sdy / sd1) + m2 * (u2 * sdy / sd2)
+                 + m3 * (u3 * sdy / sd3)) AS bi,
+           u1 * sdy / sd1 AS bx1, u2 * sdy / sd2 AS bx2,
+           u3 * sdy / sd3 AS bx3
+    FROM e2)
+  SELECT 'enet_intercept' AS term, ROUND(bi, 6) AS coef FROM ef
+  UNION ALL SELECT 'enet_x1', ROUND(bx1, 6) FROM ef
+  UNION ALL SELECT 'enet_x2', ROUND(bx2, 6) FROM ef
+  UNION ALL SELECT 'enet_x3', ROUND(bx3, 6) FROM ef
+  UNION ALL SELECT 'enet_nnz',
+    CAST((CASE WHEN bx1 <> 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN bx2 <> 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN bx3 <> 0 THEN 1 ELSE 0 END) AS DOUBLE) FROM ef
+) e
+"""
+
+
 SQL_WLS_FIT = (
     SQL_WLS_FIT
+    + SQL_ENET_ARM
     + "".join(
         "UNION ALL" + _sql_huber2_arm(
             f"hg{st.lower()}_", f"hg_{st}", f"WHERE l_linestatus = '{st}'", st

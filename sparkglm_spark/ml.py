@@ -59,6 +59,7 @@ from pyspark.ml.util import (
 )
 from pyspark.sql import DataFrame
 
+from sparkglm_spark.operators.enet import ElasticNetLM, elastic_net
 from sparkglm_spark.operators.glm import GLM, glm
 from sparkglm_spark.operators.lm import LM, lm
 from sparkglm_spark.persist import model_from_dict, model_to_dict
@@ -126,10 +127,34 @@ class _SparkLMParams(_FormulaParams):
         "residual-stat strategy: 'moments' (fused single pass) or 'residual'",
         typeConverter=TypeConverters.toString,
     )
+    regParam = Param(
+        Params._dummy(),
+        "regParam",
+        "MLlib-convention elastic-net penalty lambda (> 0 routes the fit "
+        "through coordinate descent; mutually exclusive with l2/weightCol)",
+        typeConverter=TypeConverters.toFloat,
+    )
+    elasticNetParam = Param(
+        Params._dummy(),
+        "elasticNetParam",
+        "L1 mixing alpha in [0, 1]: 1 = lasso, 0 = ridge (MLlib "
+        "LinearRegression convention; only used when regParam > 0)",
+        typeConverter=TypeConverters.toFloat,
+    )
+    standardization = Param(
+        Params._dummy(),
+        "standardization",
+        "penalize standardized coefficients (MLlib default True); only "
+        "used when regParam > 0",
+        typeConverter=TypeConverters.toBoolean,
+    )
 
     def __init__(self):
         super().__init__()
-        self._setDefault(weightCol="", l2=0.0, sseMode="moments")
+        self._setDefault(
+            weightCol="", l2=0.0, sseMode="moments",
+            regParam=0.0, elasticNetParam=0.0, standardization=True,
+        )
 
     def getWeightCol(self) -> str:
         return self.getOrDefault(self.weightCol)
@@ -139,6 +164,15 @@ class _SparkLMParams(_FormulaParams):
 
     def getSseMode(self) -> str:
         return self.getOrDefault(self.sseMode)
+
+    def getRegParam(self) -> float:
+        return self.getOrDefault(self.regParam)
+
+    def getElasticNetParam(self) -> float:
+        return self.getOrDefault(self.elasticNetParam)
+
+    def getStandardization(self) -> bool:
+        return self.getOrDefault(self.standardization)
 
 
 class _SparkGLMParams(_FormulaParams):
@@ -290,7 +324,12 @@ class SparkLM(Estimator, _SparkLMParams, DefaultParamsReadable, DefaultParamsWri
     >>> scored = model.transform(df)   # appends 'prediction'
 
     Grid-searchable params: formula, weightCol, l2, sseMode, naAction,
-    predictionCol."""
+    predictionCol — plus the MLlib `LinearRegression` penalty pair
+    (regParam, elasticNetParam, standardization): `regParam > 0` routes
+    the fit through the elastic-net coordinate-descent path (same
+    one-job Gram plan; see operators/enet.py), so a CrossValidator grid
+    over regParam/elasticNetParam works exactly as it does for
+    LinearRegression."""
 
     def __init__(self, **kwargs):
         super().__init__()
@@ -302,14 +341,29 @@ class SparkLM(Estimator, _SparkLMParams, DefaultParamsReadable, DefaultParamsWri
     def _fit(self, dataset: DataFrame) -> "SparkLMModel":
         if not self.isDefined(self.formula):
             raise ValueError("SparkLM requires the 'formula' param")
-        inner = lm(
-            dataset,
-            self.getFormula(),
-            na_action=self.getNaAction(),
-            sse_mode=self.getSseMode(),
-            weight_col=self.getWeightCol() or None,
-            l2=self.getL2(),
-        )
+        if self.getRegParam() > 0.0:
+            if self.getL2() > 0.0 or self.getWeightCol():
+                raise ValueError(
+                    "regParam (MLlib elastic-net convention) is mutually "
+                    "exclusive with l2 (raw-Gram ridge) and weightCol"
+                )
+            inner = elastic_net(
+                dataset,
+                self.getFormula(),
+                reg_param=self.getRegParam(),
+                elastic_net_param=self.getElasticNetParam(),
+                standardize=self.getStandardization(),
+                na_action=self.getNaAction(),
+            )
+        else:
+            inner = lm(
+                dataset,
+                self.getFormula(),
+                na_action=self.getNaAction(),
+                sse_mode=self.getSseMode(),
+                weight_col=self.getWeightCol() or None,
+                l2=self.getL2(),
+            )
         return self._copyValues(SparkLMModel(inner))
 
 
@@ -317,18 +371,26 @@ class SparkLMModel(Model, _SparkLMParams, MLWritable, MLReadable):
     """Fitted LM as a `pyspark.ml.Model`: `transform()` appends the
     prediction as ONE codegen projection over raw columns (training-time
     dummy encoding / intercept / zero-backfill folded into expressions —
-    same plan as `LM.predict`). `.model` exposes the underlying `LM`
-    dataclass (coefs, summary(), ...)."""
+    same plan as `LM.predict`). `.model` exposes the underlying fitted
+    dataclass — an `LM`, or an `ElasticNetLM` when the estimator ran the
+    regParam > 0 path (both score through the same raw-column
+    projection; `summary()` is OLS/WLS-only)."""
 
-    def __init__(self, model: LM | None = None):
+    def __init__(self, model: "LM | ElasticNetLM | None" = None):
         super().__init__()
         self._model_obj = model
 
     @property
-    def model(self) -> LM:
+    def model(self) -> "LM | ElasticNetLM":
         return self._model_obj
 
     def summary(self):
+        if isinstance(self._model_obj, ElasticNetLM):
+            raise ValueError(
+                "summary() needs the OLS inference stats — the elastic-net "
+                "path does not produce std errors (penalized estimator); "
+                "read coefs / n_nonzero / sse off .model instead"
+            )
         return self._model_obj.summary()
 
     def _transform(self, dataset: DataFrame) -> DataFrame:
@@ -340,9 +402,9 @@ class SparkLMModel(Model, _SparkLMParams, MLWritable, MLReadable):
     @classmethod
     def _from_payload(cls, payload: dict, path: str) -> "SparkLMModel":
         inner = model_from_dict(payload)
-        if not isinstance(inner, LM):
+        if not isinstance(inner, (LM, ElasticNetLM)):
             raise ValueError(
-                f"{path} holds a {type(inner).__name__}, expected LM"
+                f"{path} holds a {type(inner).__name__}, expected LM/ElasticNetLM"
             )
         return cls(inner)
 

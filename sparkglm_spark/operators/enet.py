@@ -1,0 +1,405 @@
+"""Elastic-net / lasso linear regression — L1(+L2)-penalized OLS with the
+MLlib `LinearRegression(regParam, elasticNetParam)` objective, fit by
+cyclic coordinate descent over the SAME one-pass Gram statistics the OLS
+family uses (plans/gram.py).
+
+Objective (matching MLlib, `standardize=True` default):
+
+    min_β  1/(2n)·Σᵢ(yᵢ − β₀ − xᵢ'β)²  +  λ·(α·‖θ‖₁ + (1−α)/2·‖θ‖²)
+
+where θⱼ = βⱼ·σⱼ/σ_y are the coefficients of the centered/standardized
+problem (sample std, n−1) and λ is `reg_param`, α `elastic_net_param`
+(1 = lasso, 0 = ridge). With `standardize=False` the penalty applies to
+the raw β instead (MLlib's `standardization=false`):
+λ·(α·Σ|βⱼ| + (1−α)/2·Σβⱼ²). Both reduce to per-coordinate
+(λ1ⱼ, λ2ⱼ) pairs on the standardized problem — the solver is one loop.
+
+Scale story (the whole point): the DATA pass is exactly one Gram
+aggregation — k(k+1)/2 + k + 3 sums through Catalyst partial+final
+aggregation, identical to `LM.fit`'s plan at any data size. Every
+coordinate-descent sweep after that is O(k²) DRIVER arithmetic on the
+k×k Gram; λ paths and cross-validation reuse the same statistics
+(Gram additivity), so a 100-λ CV path over 100 TB still costs one
+aggregation job (per fold-grouping, see `elastic_net_cv`).
+
+The reference has no penalized fitter; this extends its LM family
+(LM.scala:16-25) the same way ridge did, toward MLlib
+`LinearRegression` parity (golden-tested against it)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sparkglm_spark.plans.gram import gram_aggregate
+from sparkglm_spark.operators.lm import (
+    _encode_formula,
+    prediction_over_raw,
+)
+
+
+def _cd_enet(
+    xtx: np.ndarray,
+    xty: np.ndarray,
+    n: int,
+    sum_y: float,
+    sum_y2: float,
+    x_cols: list[str],
+    reg_param: float,
+    elastic_net_param: float,
+    standardize: bool,
+    max_sweeps: int,
+    tol: float,
+    exact_sweeps: int | None,
+    col_sums: np.ndarray | None = None,
+) -> tuple[np.ndarray, int, bool, float]:
+    """Cyclic coordinate descent on the centered/standardized problem,
+    entirely from Gram sufficient statistics. Returns (beta in ORIGINAL
+    scale and `x_cols` order, sweeps, converged, sse).
+
+    Per-coordinate update (soft-threshold):
+        ρⱼ = (bⱼ − Σ_{k≠j} Aⱼₖθₖ)/n
+        θⱼ ← S(ρⱼ, λ1ⱼ) / (Aⱼⱼ/n + λ2ⱼ)
+    with A = X̂'X̂, b = X̂'ŷ assembled from the raw Gram via
+    Aⱼₖ = (Gⱼₖ − n·mⱼ·mₖ)/(σⱼσₖ). `exact_sweeps=N` runs exactly N
+    cyclic sweeps from θ = 0 with no convergence test (deterministic
+    trajectory — the oracle-pin hook, same convention as the GLM/Cox/AFT
+    fixed-iteration kernels)."""
+    has_int = "intercept" in x_cols
+    i0 = x_cols.index("intercept") if has_int else None
+    feats = [i for i in range(len(x_cols)) if i != i0]
+    p = len(feats)
+    lam = float(reg_param)
+    alpha = float(elastic_net_param)
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError("elastic_net_param must be in [0, 1]")
+    if lam < 0.0:
+        raise ValueError("reg_param must be >= 0")
+
+    # MLlib scales by the CENTERED sample std (n−1) and label std even
+    # when fitIntercept=false — only the centering of the DATA follows
+    # the intercept flag (golden-matched vs LinearRegression both ways)
+    y_mean = sum_y / n
+    cyy = sum_y2 - n * y_mean * y_mean
+    sig_y = float(np.sqrt(max(cyy, 0.0) / (n - 1))) if n > 1 else 0.0
+
+    if p == 0:
+        beta = np.zeros(len(x_cols))
+        if has_int:
+            beta[i0] = y_mean
+        sse = cyy if has_int else sum_y2
+        return beta, 0, True, float(sse)
+
+    G = xtx[np.ix_(feats, feats)]
+    gy = xty[feats]
+    if has_int:
+        m = xtx[i0, feats] / n  # Σ1·xⱼ / n
+    elif col_sums is not None:
+        m = col_sums[feats] / n
+    else:
+        m = np.zeros(p)
+    cvar = (np.diag(G) - n * m * m) / (n - 1) if n > 1 else np.zeros(p)
+    sig = np.sqrt(np.maximum(cvar, 0.0))
+    if has_int:
+        A = G - n * np.outer(m, m)
+        b = gy - m * sum_y
+    else:
+        A = G.copy()
+        b = gy.copy()
+    live = sig > 0.0  # constant features get θ = β = 0 (MLlib behavior)
+    if sig_y <= 0.0:
+        if not has_int:
+            raise ValueError(
+                "constant label with no intercept — the scaled problem "
+                "is undefined (the MLlib yStd == 0 refusal)"
+            )
+        # constant label: the penalized fit is β = 0, intercept = ȳ
+        beta = np.zeros(len(x_cols))
+        beta[i0] = y_mean
+        return beta, 0, True, 0.0
+
+    s_out = np.where(live, sig, 1.0)
+    A = A / np.outer(s_out, s_out)
+    b = b / (s_out * sig_y)
+    lam_t = lam / sig_y
+    if standardize:
+        l1 = np.full(p, alpha * lam_t)
+        l2 = np.full(p, (1.0 - alpha) * lam_t)
+    else:
+        # MLlib standardization=false: both penalties are un-standardized
+        # per coordinate IN θ-SPACE — L1Updater gets effectiveL1/σⱼ and
+        # L2Regularization (applyFeaturesStd path) gets effectiveL2·θⱼ²/σⱼ²,
+        # with effective* = λ·{α, 1−α}/σ_y (golden-matched vs MLlib)
+        l1 = alpha * lam_t / s_out
+        l2 = (1.0 - alpha) * lam_t / (s_out * s_out)
+
+    theta = np.zeros(p)
+    denom = np.diag(A) / n + l2
+    sweeps = 0
+    converged = False
+    n_sweeps = exact_sweeps if exact_sweeps is not None else max_sweeps
+    for _ in range(n_sweeps):
+        max_d = 0.0
+        for j in range(p):
+            if not live[j]:
+                continue
+            rho = (b[j] - A[j] @ theta + A[j, j] * theta[j]) / n
+            t_new = np.sign(rho) * max(abs(rho) - l1[j], 0.0) / denom[j]
+            max_d = max(max_d, abs(t_new - theta[j]))
+            theta[j] = t_new
+        sweeps += 1
+        if exact_sweeps is None and max_d <= tol:
+            converged = True
+            break
+    if exact_sweeps is not None:
+        converged = True
+
+    beta = np.zeros(len(x_cols))
+    bf = np.where(live, theta * sig_y / s_out, 0.0)
+    for idx, j in enumerate(feats):
+        beta[j] = bf[idx]
+    if has_int:
+        beta[i0] = y_mean - float(m @ bf)
+    # SSE from the same moments: ||y−Xβ||² = y'y − 2β'X'y + β'Gβ
+    sse = float(sum_y2 - 2.0 * beta @ xty + beta @ xtx @ beta)
+    return beta, sweeps, converged, sse
+
+
+@dataclass
+class ElasticNetLM:
+    """Fitted elastic-net linear model. Scoring is the LM path — one
+    codegen projection over raw columns via `prediction_over_raw`
+    (dummies / intercept / zero-backfill inline, no encoding pass)."""
+
+    xnames: list[str]
+    yname: str
+    coefs: np.ndarray
+    reg_param: float
+    elastic_net_param: float
+    standardize: bool
+    nrow: int
+    sse: float
+    sweeps: int
+    converged: bool
+    levels: dict[str, list[str]] = field(default_factory=dict)
+    call: str = ""
+
+    @property
+    def n_nonzero(self) -> int:
+        """Selected support size, intercept excluded — the lasso's point."""
+        return int(
+            sum(
+                1
+                for nm, c in zip(self.xnames, self.coefs)
+                if nm != "intercept" and c != 0.0
+            )
+        )
+
+    def predict(self, df: DataFrame, output_col: str = "prediction") -> DataFrame:
+        expr = prediction_over_raw(self.xnames, self.coefs, self.levels, df.columns)
+        return df.withColumn(output_col, expr)
+
+
+def elastic_net_fit(
+    x: DataFrame,
+    y_col: str,
+    x_cols: list[str],
+    reg_param: float,
+    elastic_net_param: float = 1.0,
+    standardize: bool = True,
+    max_sweeps: int = 10_000,
+    tol: float = 1e-10,
+    exact_sweeps: int | None = None,
+) -> ElasticNetLM:
+    """Low-level fit over a pre-encoded frame (the `LM.fit` contract:
+    `x` holds predictors + label; an 'intercept' column of ones marks an
+    unpenalized, centered intercept). ONE Gram aggregation job, then
+    driver-side coordinate descent — see the module docstring. Without
+    an intercept column the fit goes through the origin but still
+    scales by the CENTERED stds (the MLlib fitIntercept=false
+    convention), so the Gram carries one extra ones-column row for the
+    feature means — still a single job."""
+    has_int = "intercept" in x_cols
+    gram_cols = list(x_cols)
+    if not has_int:
+        x = x.withColumn("__one", F.lit(1.0))
+        gram_cols = gram_cols + ["__one"]
+    g = gram_aggregate(x, gram_cols, y_col=y_col)
+    if g.n <= 1:
+        raise ValueError("need more than one row")
+    p = len(x_cols)
+    col_sums = None if has_int else g.xtx[p, :p].copy()
+    beta, sweeps, converged, sse = _cd_enet(
+        g.xtx[:p, :p],
+        g.xty[:p],
+        g.n,
+        float(g.sum_y),
+        float(g.sum_y2),
+        x_cols,
+        reg_param,
+        elastic_net_param,
+        standardize,
+        max_sweeps,
+        tol,
+        exact_sweeps,
+        col_sums=col_sums,
+    )
+    return ElasticNetLM(
+        xnames=list(x_cols),
+        yname=y_col,
+        coefs=beta,
+        reg_param=float(reg_param),
+        elastic_net_param=float(elastic_net_param),
+        standardize=standardize,
+        nrow=g.n,
+        sse=sse,
+        sweeps=sweeps,
+        converged=converged,
+    )
+
+
+def elastic_net(
+    df: DataFrame,
+    formula: str,
+    reg_param: float,
+    elastic_net_param: float = 1.0,
+    standardize: bool = True,
+    na_action: str = "omit",
+    max_sweeps: int = 10_000,
+    tol: float = 1e-10,
+    exact_sweeps: int | None = None,
+) -> ElasticNetLM:
+    """Formula front-end (`lm`'s scaffold: parse → omit NAs → encode
+    categoricals with global levels → inject intercept → fit).
+    `elastic_net_param=1` is the lasso, `0` pure ridge (matching
+    `ridge()` only under `standardize=False`, since MLlib's default
+    penalizes standardized coefficients)."""
+    encoded, x_cols, target, levels = _encode_formula(df, formula, na_action)
+    model = elastic_net_fit(
+        encoded,
+        y_col=target,
+        x_cols=x_cols,
+        reg_param=reg_param,
+        elastic_net_param=elastic_net_param,
+        standardize=standardize,
+        max_sweeps=max_sweeps,
+        tol=tol,
+        exact_sweeps=exact_sweeps,
+    )
+    model.levels = levels
+    model.call = (
+        f"elastic_net({formula}, reg_param={reg_param}, "
+        f"elastic_net_param={elastic_net_param})"
+    )
+    return model
+
+
+def lasso_lm(df: DataFrame, formula: str, reg_param: float, **kwargs) -> ElasticNetLM:
+    """Pure-L1 shorthand: `elastic_net(elastic_net_param=1.0)`."""
+    return elastic_net(df, formula, reg_param, elastic_net_param=1.0, **kwargs)
+
+
+def elastic_net_cv(
+    df: DataFrame,
+    formula: str,
+    reg_params: list[float],
+    fold_expr,
+    n_folds: int = 5,
+    elastic_net_param: float = 1.0,
+    standardize: bool = True,
+    na_action: str = "omit",
+    max_sweeps: int = 10_000,
+    tol: float = 1e-10,
+) -> DataFrame:
+    """K-fold cross-validation over a λ path in ONE data pass — the
+    `lm_cross_validate` shape: Gram statistics are additive, so a single
+    `groupBy(fold)` aggregation yields every fold's (X'X, X'y, y'y, …);
+    each (fold, λ) model is a driver-side coordinate descent on
+    (total − fold) statistics and its held-out SSE evaluates from the
+    fold's own moments. A 100-λ path over any data size costs exactly
+    one aggregation job.
+
+    Returns one row per (reg_param, fold): reg_param, fold, n_train,
+    n_val, rmse_train, rmse_val, n_nonzero."""
+    if not reg_params:
+        raise ValueError("reg_params must be non-empty")
+    if isinstance(fold_expr, str):
+        fold_expr = F.col(fold_expr)
+    encoded, x_cols, target, _levels = _encode_formula(
+        df.withColumn("__fold", fold_expr.cast("int")),
+        formula,
+        na_action,
+        extra_cols=["__fold"],
+    )
+    k = len(x_cols)
+    xs = [F.col(c) for c in x_cols]
+    y = F.col(target)
+    aggs = []
+    for i in range(k):
+        for j in range(i, k):
+            aggs.append(F.sum(xs[i] * xs[j]).alias(f"g_{i}_{j}"))
+    for i in range(k):
+        aggs.append(F.sum(xs[i] * y).alias(f"xy_{i}"))
+    aggs.append(F.sum(y).alias("sy"))
+    aggs.append(F.sum(y * y).alias("syy"))
+    aggs.append(F.count(F.lit(1)).alias("n"))
+    rows = encoded.groupBy("__fold").agg(*aggs).collect()
+
+    def unpack(r):
+        xtx = np.empty((k, k))
+        for i in range(k):
+            for j in range(i, k):
+                xtx[i, j] = xtx[j, i] = r[f"g_{i}_{j}"]
+        xty = np.array([r[f"xy_{i}"] for i in range(k)])
+        return xtx, xty, float(r["sy"]), float(r["syy"]), int(r["n"])
+
+    folds = {int(r["__fold"]): unpack(r) for r in rows}
+    tot = (
+        sum(v[0] for v in folds.values()),
+        sum(v[1] for v in folds.values()),
+        sum(v[2] for v in folds.values()),
+        sum(v[3] for v in folds.values()),
+        sum(v[4] for v in folds.values()),
+    )
+    out = []
+    for lam in reg_params:
+        for f in range(n_folds):
+            if f not in folds:
+                continue
+            xtx_v, xty_v, sy_v, syy_v, n_v = folds[f]
+            xtx_t = tot[0] - xtx_v
+            xty_t = tot[1] - xty_v
+            sy_t, syy_t, n_t = tot[2] - sy_v, tot[3] - syy_v, tot[4] - n_v
+            if n_t <= 1:
+                continue
+            beta, _sw, _cv, sse_t = _cd_enet(
+                xtx_t, xty_t, n_t, sy_t, syy_t, x_cols,
+                lam, elastic_net_param, standardize, max_sweeps, tol, None,
+            )
+            sse_v = float(syy_v - 2.0 * beta @ xty_v + beta @ xtx_v @ beta)
+            nz = int(
+                sum(
+                    1
+                    for nm, c in zip(x_cols, beta)
+                    if nm != "intercept" and c != 0.0
+                )
+            )
+            out.append(
+                (
+                    float(lam),
+                    f,
+                    n_t,
+                    n_v,
+                    float(np.sqrt(max(sse_t, 0.0) / n_t)),
+                    float(np.sqrt(max(sse_v, 0.0) / n_v)),
+                    nz,
+                )
+            )
+    return df.sparkSession.createDataFrame(
+        out,
+        "reg_param double, fold int, n_train bigint, n_val bigint, "
+        "rmse_train double, rmse_val double, n_nonzero int",
+    )

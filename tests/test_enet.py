@@ -1,0 +1,264 @@
+"""Elastic-net / lasso LM (operators/enet.py) — MLlib LinearRegression
+golden parity, soft-threshold closed forms, λ=0 ≡ OLS, sparsity behavior,
+one-pass CV path, raw-frame scoring."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sparkglm_spark.operators.enet import (
+    elastic_net,
+    elastic_net_cv,
+    elastic_net_fit,
+    lasso_lm,
+)
+
+
+@pytest.fixture(scope="module")
+def enet_data(spark):
+    rng = np.random.default_rng(3)
+    n = 1500
+    X = rng.normal(size=(n, 4)) * np.array([1.0, 3.0, 0.5, 2.0])
+    y = 1.0 + X @ np.array([2.0, 0.0, -1.5, 0.0]) + rng.normal(0, 1.0, n)
+    rows = [(float(y[i]), *[float(v) for v in X[i]]) for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "y double, x1 double, x2 double, x3 double, x4 double"
+    )
+    return df, X, y
+
+
+@pytest.mark.parametrize("std", [True, False])
+@pytest.mark.parametrize("lam,alpha", [(0.1, 1.0), (0.1, 0.5), (0.5, 1.0),
+                                       (0.1, 0.0), (0.3, 0.3)])
+def test_matches_mllib_linear_regression(enet_data, std, lam, alpha):
+    """GOLDEN: MLlib LinearRegression(regParam, elasticNetParam,
+    standardization) solves the same objective with OWLQN — the
+    coordinate-descent fit must land on the same coefficients (within
+    MLlib's own convergence tolerance). This pins BOTH penalty
+    conventions: standardization=true penalizes standardized θ;
+    standardization=false un-standardizes L1 by 1/σⱼ and L2 by 1/σⱼ²
+    (the L2Regularization applyFeaturesStd path)."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import LinearRegression
+
+    df, _, _ = enet_data
+    fd = VectorAssembler(
+        inputCols=["x1", "x2", "x3", "x4"], outputCol="features"
+    ).transform(df)
+    lr = LinearRegression(
+        labelCol="y", regParam=lam, elasticNetParam=alpha,
+        standardization=std, maxIter=500, tol=1e-10,
+    ).fit(fd)
+    m = elastic_net(
+        df, "y ~ x1 + x2 + x3 + x4", reg_param=lam,
+        elastic_net_param=alpha, standardize=std,
+    )
+    want = np.array([lr.intercept] + list(lr.coefficients))
+    assert np.abs(m.coefs - want).max() < 5e-4
+    # same support (which coefficients are exactly/effectively zero)
+    assert [abs(c) < 1e-6 for c in m.coefs] == [abs(c) < 1e-6 for c in want]
+
+
+def test_zero_penalty_equals_ols(enet_data, spark):
+    from sparkglm_spark.operators.lm import lm
+
+    df, _, _ = enet_data
+    ols = lm(df, "y ~ x1 + x2 + x3 + x4")
+    m = elastic_net(df, "y ~ x1 + x2 + x3 + x4", reg_param=0.0)
+    assert np.abs(m.coefs - ols.coefs).max() < 1e-8
+    assert m.converged and m.n_nonzero == 4
+    assert m.sse == pytest.approx(ols.sigma**2 * (ols.nrow - 5), rel=1e-9)
+
+
+def test_soft_threshold_closed_form(spark):
+    """Single standardized feature: the lasso solution has the hand
+    soft-threshold closed form θ̂ = S(ρ, λ̃α)/(A/n + λ̃(1−α)) with
+    ρ = X̂'ŷ/n — computed here directly from numpy moments."""
+    rng = np.random.default_rng(11)
+    n = 400
+    x = rng.normal(2.0, 1.7, n)
+    y = 3.0 + 0.9 * x + rng.normal(0, 0.5, n)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(y, x)], "y double, x double"
+    )
+    lam, alpha = 0.2, 0.7
+    m = elastic_net(df, "y ~ x", reg_param=lam, elastic_net_param=alpha)
+    sx, sy = np.std(x, ddof=1), np.std(y, ddof=1)
+    xh, yh = (x - x.mean()) / sx, (y - y.mean()) / sy
+    rho = float(xh @ yh) / n
+    lt = lam / sy
+    theta = np.sign(rho) * max(abs(rho) - alpha * lt, 0.0) / (
+        float(xh @ xh) / n + (1.0 - alpha) * lt
+    )
+    beta = theta * sy / sx
+    assert float(m.coefs[1]) == pytest.approx(beta, rel=1e-9)
+    assert float(m.coefs[0]) == pytest.approx(y.mean() - beta * x.mean(), rel=1e-9)
+
+
+def test_lambda_max_kills_all_and_path_is_monotone(enet_data):
+    df, X, y = enet_data
+    # λ ≥ max|X̂'ŷ|/n · σ_y zeroes every lasso coefficient
+    sx = X.std(axis=0, ddof=1)
+    sy = y.std(ddof=1)
+    xh = (X - X.mean(axis=0)) / sx
+    yh = (y - y.mean()) / sy
+    lam_max = float(np.abs(xh.T @ yh).max()) / len(y) * sy
+    dead = lasso_lm(df, "y ~ x1 + x2 + x3 + x4", reg_param=lam_max * 1.01)
+    assert dead.n_nonzero == 0
+    assert float(dead.coefs[0]) == pytest.approx(float(y.mean()), rel=1e-9)
+    # support shrinks along an increasing λ path on this planted data
+    sizes = [
+        lasso_lm(df, "y ~ x1 + x2 + x3 + x4", reg_param=l).n_nonzero
+        for l in (0.01, 0.5, lam_max * 0.9)
+    ]
+    assert sizes[0] == 4 and sizes == sorted(sizes, reverse=True)
+
+
+def test_constant_feature_and_guards(spark):
+    df = spark.createDataFrame(
+        [(float(i), float(i % 5), 7.0) for i in range(50)],
+        "y double, x double, c double",
+    )
+    m = elastic_net(df, "y ~ x + c", reg_param=0.05)
+    assert float(m.coefs[m.xnames.index("c")]) == 0.0
+    assert np.all(np.isfinite(m.coefs))
+    with pytest.raises(ValueError, match="elastic_net_param"):
+        elastic_net(df, "y ~ x", reg_param=0.1, elastic_net_param=1.5)
+    with pytest.raises(ValueError, match="reg_param"):
+        elastic_net(df, "y ~ x", reg_param=-0.1)
+    # constant label: β = 0, intercept = ȳ, no NaN
+    cst = elastic_net(df.withColumn("y", F.lit(4.0)), "y ~ x", reg_param=0.1)
+    assert cst.n_nonzero == 0 and float(cst.coefs[0]) == 4.0
+
+
+def test_exact_sweeps_deterministic_and_converging(enet_data):
+    df, _, _ = enet_data
+    a = elastic_net(df, "y ~ x1 + x2 + x3 + x4", reg_param=0.1, exact_sweeps=3)
+    b = elastic_net(df, "y ~ x1 + x2 + x3 + x4", reg_param=0.1, exact_sweeps=3)
+    assert np.array_equal(a.coefs, b.coefs) and a.sweeps == 3
+    full = elastic_net(df, "y ~ x1 + x2 + x3 + x4", reg_param=0.1)
+    more = elastic_net(df, "y ~ x1 + x2 + x3 + x4", reg_param=0.1, exact_sweeps=50)
+    assert np.abs(more.coefs - full.coefs).max() < 1e-8
+
+
+def test_predict_over_raw_with_categoricals(spark):
+    """Scoring reuses the LM raw-frame path: dummies/intercept inline,
+    unknown levels zero-backfilled, non-model columns untouched."""
+    rng = np.random.default_rng(7)
+    rows = [
+        (float(2.0 + (0.5 if i % 3 == 0 else 0.0) + 0.3 * (i % 7)
+               + rng.normal(0, 0.1)),
+         "a" if i % 3 == 0 else ("b" if i % 3 == 1 else "c"),
+         float(i % 7))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "y double, g string, x double")
+    m = elastic_net(df, "y ~ g + x", reg_param=0.01)
+    score = spark.createDataFrame(
+        [("a", 2.0, "keep"), ("zz", 3.0, "keep2")],
+        "g string, x double, other string",
+    )
+    out = m.predict(score).collect()
+    assert {r.other for r in out} == {"keep", "keep2"}
+    exp_a = (m.coefs[0]
+             + sum(c for nm, c in zip(m.xnames, m.coefs) if nm == "g_a")
+             + 2.0 * m.coefs[m.xnames.index("x")])
+    assert out[0].prediction == pytest.approx(float(exp_a), rel=1e-12)
+    # novel level 'zz': all-zero dummies
+    exp_z = m.coefs[0] + 3.0 * m.coefs[m.xnames.index("x")]
+    assert out[1].prediction == pytest.approx(float(exp_z), rel=1e-12)
+
+
+def test_cv_path_one_pass_selects_true_support(enet_data, spark):
+    """elastic_net_cv: the whole (λ-path × folds) grid from ONE
+    groupBy(fold) aggregation; on planted sparse data the validation
+    RMSE at a sane λ beats the all-dead λ, and per-row counts add up."""
+    df, _, y = enet_data
+    lams = [0.01, 0.1, 5.0]
+    out = elastic_net_cv(
+        df, "y ~ x1 + x2 + x3 + x4", lams,
+        fold_expr=F.pmod(F.monotonically_increasing_id(), F.lit(3)).cast("int"),
+        n_folds=3,
+    ).toPandas()
+    assert len(out) == 9
+    assert (out.n_train + out.n_val == len(y)).all()
+    mean_rmse = out.groupby("reg_param").rmse_val.mean()
+    assert mean_rmse[0.01] < mean_rmse[5.0]
+    assert (out[out.reg_param == 0.01].n_nonzero >= 2).all()
+    with pytest.raises(ValueError, match="non-empty"):
+        elastic_net_cv(df, "y ~ x1", [], fold_expr=F.lit(0))
+
+
+def test_spark_lm_elastic_net_path_cv_and_persist(enet_data, tmp_path):
+    """SparkLM(regParam, elasticNetParam) — the MLlib LinearRegression
+    parity surface: regParam > 0 routes through coordinate descent, the
+    model transforms/persists like any SparkLMModel, a CrossValidator
+    grid over the penalty pair runs, and summary() refuses (penalized
+    fits carry no OLS inference)."""
+    from pyspark.ml.evaluation import RegressionEvaluator
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    from sparkglm_spark.ml import SparkLM, SparkLMModel
+    from sparkglm_spark.operators.enet import ElasticNetLM
+    from sparkglm_spark.persist import load_model, save_model
+
+    df, _, _ = enet_data
+    est = SparkLM(
+        formula="y ~ x1 + x2 + x3 + x4", regParam=0.1, elasticNetParam=1.0
+    )
+    m = est.fit(df)
+    assert isinstance(m.model, ElasticNetLM) and m.model.n_nonzero == 2
+    twin = lasso_lm(df, "y ~ x1 + x2 + x3 + x4", reg_param=0.1)
+    assert np.abs(m.model.coefs - twin.coefs).max() < 1e-12
+    assert "prediction" in m.transform(df).columns
+    with pytest.raises(ValueError, match="summary"):
+        m.summary()
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        SparkLM(formula="y ~ x1", regParam=0.1, l2=0.5).fit(df)
+    # functional persist round-trip (kind 'enet')
+    path = str(tmp_path / "enet.json")
+    save_model(m.model, path)
+    back = load_model(path)
+    assert isinstance(back, ElasticNetLM)
+    assert np.array_equal(back.coefs, m.model.coefs)
+    assert back.reg_param == 0.1 and back.n_nonzero == 2
+    # MLWriter round-trip through the SparkLMModel wrapper
+    mpath = str(tmp_path / "wrapped")
+    m.write().overwrite().save(mpath)
+    m2 = SparkLMModel.read().load(mpath)
+    assert np.array_equal(m2.model.coefs, m.model.coefs)
+    # CV over the penalty grid: absurd lambda must lose
+    grid = (
+        ParamGridBuilder()
+        .addGrid(est.regParam, [0.05, 1e6])
+        .addGrid(est.elasticNetParam, [1.0])
+        .build()
+    )
+    ev = RegressionEvaluator(labelCol="y", predictionCol="prediction",
+                             metricName="rmse")
+    cv = CrossValidator(estimator=est, estimatorParamMaps=grid,
+                        evaluator=ev, numFolds=2, seed=7).fit(df)
+    assert cv.bestModel.getRegParam() == 0.05
+
+
+def test_fit_intercept_false_via_no_intercept_design(spark):
+    """elastic_net_fit without an 'intercept' column: no centering, the
+    penalized fit goes through origin — cross-checked against MLlib
+    fitIntercept=False."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import LinearRegression
+
+    rng = np.random.default_rng(5)
+    n = 500
+    x = rng.normal(3.0, 1.0, n)
+    y = 1.4 * x + rng.normal(0, 0.3, n)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(y, x)], "y double, x double"
+    )
+    m = elastic_net_fit(df, "y", ["x"], reg_param=0.1, elastic_net_param=1.0)
+    fd = VectorAssembler(inputCols=["x"], outputCol="features").transform(df)
+    lr = LinearRegression(
+        labelCol="y", regParam=0.1, elasticNetParam=1.0,
+        fitIntercept=False, maxIter=500, tol=1e-10,
+    ).fit(fd)
+    assert float(m.coefs[0]) == pytest.approx(float(lr.coefficients[0]), abs=5e-4)
