@@ -396,12 +396,27 @@ def holt_forecast(
     beta: float,
     horizons: list[int] = (1,),
     tiebreak_col: str | None = None,
+    interval: bool = False,
+    level: float = 0.95,
 ) -> DataFrame:
     """Per-key Holt END STATE + h-step-ahead forecasts
     ŷ_{T+h} = l_T + h·b_T — one row per key with (n_events, level,
     trend, forecast_<h>…). Same per-key sequential pass as
     `holt_series`, reduced to the last state inside the batch so the
     output is one compact row per key.
+
+    `interval=True` additionally emits (se_<h>, lo_<h>, hi_<h>) — the
+    standard innovations-state-space prediction interval (Hyndman &
+    Athanasopoulos FPP §7.7, additive errors): σ̂² is the mean squared
+    one-step in-sample residual (over the n−1 folded rows; the first
+    residual is 0 by the l₁=x₁, b₁=x₂−x₁ init), and
+
+        Var(ŷ_{T+h}) = σ̂²·(1 + Σ_{j=1}^{h−1} c_j²),  c_j = α(1 + j·β)
+
+    (our β is the β* trend-smoothing form, so the impulse of a one-step
+    error on the state is Δl = α·ε, Δb = αβ·ε — asserted by a
+    deterministic impulse test). Bounds use the normal quantile at
+    `level`; a single-row key (no residuals) reports NULL se/lo/hi.
 
     NULL POLICY (family-wide — see `_drop_null_values`): rows with a
     null/NaN value are dropped before the fold; `n_events` counts only
@@ -417,8 +432,15 @@ def holt_forecast(
         raise ValueError(f"alpha must be in (0, 1), got {alpha!r}")
     if not 0.0 < beta < 1.0:
         raise ValueError(f"beta must be in (0, 1), got {beta!r}")
+    if not 0.0 < level < 1.0:
+        raise ValueError("level must be in (0, 1)")
     df = _drop_null_values(df, F.col(value_col).cast("double"))
     hs = [int(h) for h in horizons]
+    zq = None
+    if interval:
+        from sparkglm_spark.functions.special import norm_ppf
+
+        zq = float(norm_ppf(0.5 + level / 2.0))
     sort_cols = ["__ts"] + (["__tb"] if tiebreak_col else [])
     base = df.select(
         F.col(key_col),
@@ -427,6 +449,10 @@ def holt_forecast(
         *([F.col(tiebreak_col).alias("__tb")] if tiebreak_col else []),
     )
     fcols = ", ".join(f"forecast_{h} double" for h in hs)
+    if interval:
+        fcols += ", " + ", ".join(
+            f"se_{h} double, lo_{h} double, hi_{h} double" for h in hs
+        )
     schema = (
         f"{key_col} {base.schema[key_col].dataType.simpleString()}, "
         f"n_events bigint, level double, trend double, {fcols}"
@@ -438,9 +464,12 @@ def holt_forecast(
         n = len(x)
         lvl = x[0]
         trd = (x[1] - x[0]) if n > 1 else 0.0
+        sse = 0.0
         for i in range(1, n):
             prev = lvl
-            lvl = alpha * x[i] + (1.0 - alpha) * (lvl + trd)
+            fit = lvl + trd
+            sse += (x[i] - fit) * (x[i] - fit)
+            lvl = alpha * x[i] + (1.0 - alpha) * fit
             trd = beta * (lvl - prev) + (1.0 - beta) * trd
         row = {
             pdf.columns[0]: [pdf.iloc[0, 0]],
@@ -450,6 +479,20 @@ def holt_forecast(
         }
         for h in hs:
             row[f"forecast_{h}"] = [lvl + h * trd]
+        if interval:
+            sig2 = sse / (n - 1) if n > 1 else None
+            for h in hs:
+                if sig2 is None:
+                    se = None
+                else:
+                    v = 1.0 + sum(
+                        (alpha * (1.0 + j * beta)) ** 2 for j in range(1, h)
+                    )
+                    se = float(np.sqrt(sig2 * v))
+                fc = row[f"forecast_{h}"][0]
+                row[f"se_{h}"] = [se]
+                row[f"lo_{h}"] = [None if se is None else fc - zq * se]
+                row[f"hi_{h}"] = [None if se is None else fc + zq * se]
         return pd.DataFrame(row)
 
     return base.groupBy(key_col).applyInPandas(per_key, schema).orderBy(key_col)
@@ -600,13 +643,27 @@ def holt_winters_forecast(
     period: int,
     horizons: list[int] = (1,),
     tiebreak_col: str | None = None,
+    interval: bool = False,
+    level: float = 0.95,
 ) -> DataFrame:
     """Per-key Holt-Winters END STATE + h-step forecasts
     ŷ_{T+h} = l_T + h·b_T + s_{phase(T+h)} — one compact row per key
     with (n_events, level, trend, season array, forecast_<h>…). Keys
     shorter than 2·period emit NULL state (reported, not dropped).
     Same conventions as `holt_winters_series` (init, ordering, the
-    family null policy)."""
+    family null policy).
+
+    `interval=True` adds (se_<h>, lo_<h>, hi_<h>) — the additive-error
+    innovations interval (the `holt_forecast` convention): σ̂² is the
+    mean squared one-step residual over the n−m folded rows, and
+
+        c_j = α(1 + j·β) + γ(1−α)·1{j ≡ 0 (mod m)}
+
+    — note the seasonal impulse is γ(1−α), not γ: our recursion smooths
+    s against (x − l_t) AFTER the level update, so a unit one-step error
+    moves the slot by γ(x−l_t)-terms = γ(1−α)ε (asserted by the impulse
+    test). Var(ŷ_{T+h}) = σ̂²(1 + Σ_{j=1}^{h−1} c_j²); normal quantile
+    bounds; NULL-state keys report NULL se/lo/hi."""
     import numpy as np
     import pandas as pd
 
@@ -619,8 +676,15 @@ def holt_winters_forecast(
         raise ValueError("horizons must be non-empty")
     if any(int(h) < 1 for h in horizons):
         raise ValueError("horizons must be >= 1")
+    if not 0.0 < level < 1.0:
+        raise ValueError("level must be in (0, 1)")
     m = int(period)
     hs = [int(h) for h in horizons]
+    zq = None
+    if interval:
+        from sparkglm_spark.functions.special import norm_ppf
+
+        zq = float(norm_ppf(0.5 + level / 2.0))
     df = _drop_null_values(df, F.col(value_col).cast("double"))
     sort_cols = ["__ts"] + (["__tb"] if tiebreak_col else [])
     base = df.select(
@@ -630,6 +694,10 @@ def holt_winters_forecast(
         *([F.col(tiebreak_col).alias("__tb")] if tiebreak_col else []),
     )
     fcols = ", ".join(f"forecast_{h} double" for h in hs)
+    if interval:
+        fcols += ", " + ", ".join(
+            f"se_{h} double, lo_{h} double, hi_{h} double" for h in hs
+        )
     schema = (
         f"{key_col} {base.schema[key_col].dataType.simpleString()}, "
         f"n_events bigint, level double, trend double, "
@@ -642,16 +710,36 @@ def holt_winters_forecast(
         n = len(x)
         row = {pdf.columns[0]: [pdf.iloc[0, 0]], "n_events": [n]}
         if n >= 2 * m:
-            l, b, season, phase, *_ = _hw_fold(x, alpha, beta, gamma, m)
+            l, b, season, phase, fitted, *_ = _hw_fold(x, alpha, beta, gamma, m)
             row["level"], row["trend"] = [l], [b]
             row["season"] = [list(season)]
             for h in hs:
                 row[f"forecast_{h}"] = [l + h * b + season[(phase + h - 1) % m]]
+            if interval:
+                e = x[m:] - fitted
+                sig2 = float(e @ e) / len(e)
+                for h in hs:
+                    v = 1.0 + sum(
+                        (
+                            alpha * (1.0 + j * beta)
+                            + (gamma * (1.0 - alpha) if j % m == 0 else 0.0)
+                        )
+                        ** 2
+                        for j in range(1, h)
+                    )
+                    se = float(np.sqrt(sig2 * v))
+                    fc = row[f"forecast_{h}"][0]
+                    row[f"se_{h}"] = [se]
+                    row[f"lo_{h}"] = [fc - zq * se]
+                    row[f"hi_{h}"] = [fc + zq * se]
         else:
             row["level"] = row["trend"] = [None]
             row["season"] = [None]
             for h in hs:
                 row[f"forecast_{h}"] = [None]
+            if interval:
+                for h in hs:
+                    row[f"se_{h}"] = row[f"lo_{h}"] = row[f"hi_{h}"] = [None]
         return pd.DataFrame(row)
 
     return base.groupBy(key_col).applyInPandas(per_key, schema).orderBy(key_col)

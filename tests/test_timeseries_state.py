@@ -3,6 +3,7 @@ plain-Python twins, plus the plan properties that make them scale."""
 
 from datetime import datetime, timedelta
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -520,3 +521,159 @@ def test_seasonal_decompose_recovers_planted_components(spark):
         assert all(r.trend is None and r.resid is None for r in short)
     with pytest.raises(ValueError, match="period"):
         seasonal_decompose(df, "k", "ts", "v", period=1)
+
+
+def test_holt_forecast_intervals_hand_recursion(spark):
+    """interval=True (VERDICT r9 #7): se_h must equal the hand
+    innovations recursion — σ̂² = mean squared one-step residual,
+    Var_h = σ̂²(1 + Σ_{j<h} c_j²) with c_j = α(1+jβ) — and the c_j
+    closed form itself is asserted against a deterministic unit-impulse
+    run of the (linear) fold. Single-row keys report NULL se/lo/hi."""
+    from sparkglm_spark.functions.special import norm_ppf
+    from sparkglm_spark.operators.timeseries import holt_forecast
+
+    alpha, beta = 0.4, 0.3
+    rng = np.random.default_rng(21)
+    x = 5.0 + 0.3 * np.arange(40) + rng.normal(0, 0.5, 40)
+    rows = [("a", f"2024-01-{i // 24 + 1:02d} {i % 24:02d}:00:00", float(v))
+            for i, v in enumerate(x)] + [("solo", "2024-01-01 00:00:00", 7.0)]
+    df = spark.createDataFrame(
+        rows, "k string, ts_s string, v double"
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"), "v")
+    got = {r.k: r for r in holt_forecast(
+        df, "k", "ts", "v", alpha, beta, horizons=[1, 4],
+        interval=True, level=0.9,
+    ).collect()}
+
+    # hand recursion: fold + residuals
+    lvl, trd, sse = x[0], x[1] - x[0], 0.0
+    for i in range(1, len(x)):
+        fit = lvl + trd
+        sse += (x[i] - fit) ** 2
+        prev = lvl
+        lvl = alpha * x[i] + (1 - alpha) * fit
+        trd = beta * (lvl - prev) + (1 - beta) * trd
+    sig2 = sse / (len(x) - 1)
+    z = norm_ppf(0.95)
+    for h in (1, 4):
+        v = 1.0 + sum((alpha * (1 + j * beta)) ** 2 for j in range(1, h))
+        se = np.sqrt(sig2 * v)
+        r = got["a"]
+        assert getattr(r, f"se_{h}") == pytest.approx(float(se), rel=1e-12)
+        fc = lvl + h * trd
+        assert getattr(r, f"lo_{h}") == pytest.approx(float(fc - z * se), rel=1e-12)
+        assert getattr(r, f"hi_{h}") == pytest.approx(float(fc + z * se), rel=1e-12)
+    assert got["a"].se_1 < got["a"].se_4  # widening with horizon
+    assert got["solo"].se_1 is None and got["solo"].lo_4 is None
+
+    # impulse identity: the fold is linear in x, so bumping the last
+    # observation by 1 must move the j-step forecast by exactly c_j
+    def holt_fc(arr, h):
+        l, b = arr[0], arr[1] - arr[0]
+        for i in range(1, len(arr)):
+            p, f = l, l + b
+            l = alpha * arr[i] + (1 - alpha) * f
+            b = beta * (l - p) + (1 - beta) * b
+        return l + h * b
+    for j in (1, 3, 5):
+        d = holt_fc(np.append(x, 9.0 + 1.0), j) - holt_fc(np.append(x, 9.0), j)
+        assert d == pytest.approx(alpha * (1 + j * beta), abs=1e-10)
+
+    with pytest.raises(ValueError, match="level"):
+        holt_forecast(df, "k", "ts", "v", alpha, beta, interval=True, level=1.5)
+
+
+def test_hw_forecast_intervals_hand_recursion_and_impulse(spark):
+    """Holt-Winters interval: c_j = α(1+jβ) + γ(1−α)·1{j≡0 mod m} — the
+    seasonal impulse is γ(1−α) because our recursion smooths the slot
+    against (x − l_t) AFTER the level update. Asserted two ways: the
+    closed form against a unit-impulse run of `_hw_fold` (linear), and
+    se_h against the hand recursion over the fold's residuals."""
+    from sparkglm_spark.functions.special import norm_ppf
+    from sparkglm_spark.operators.timeseries import (
+        _hw_fold,
+        holt_winters_forecast,
+    )
+
+    alpha, beta, gamma, m = 0.4, 0.3, 0.25, 4
+    rng = np.random.default_rng(33)
+    x = (10 + 0.5 * np.arange(48)
+         + np.tile([2.0, -1.0, 0.5, -1.5], 12) + rng.normal(0, 0.5, 48))
+
+    def hw_fc(arr, h):
+        l, b, season, phase, *_ = _hw_fold(arr, alpha, beta, gamma, m)
+        return l + h * b + season[(phase + h - 1) % m]
+
+    for j in (1, 3, 4, 8):
+        d = hw_fc(np.append(x, 11.0 + 1.0), j) - hw_fc(np.append(x, 11.0), j)
+        cj = alpha * (1 + j * beta) + (gamma * (1 - alpha) if j % m == 0 else 0)
+        assert d == pytest.approx(cj, abs=1e-10)
+
+    rows = [("a", f"2024-01-{i // 24 + 1:02d} {i % 24:02d}:00:00", float(v))
+            for i, v in enumerate(x)]
+    df = spark.createDataFrame(
+        rows, "k string, ts_s string, v double"
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"), "v")
+    r = holt_winters_forecast(
+        df, "k", "ts", "v", alpha, beta, gamma, period=m,
+        horizons=[1, 5], interval=True,
+    ).collect()[0]
+    l, b, season, phase, fitted, *_ = _hw_fold(x, alpha, beta, gamma, m)
+    e = x[m:] - fitted
+    sig2 = float(e @ e) / len(e)
+    z = norm_ppf(0.975)
+    for h in (1, 5):
+        v = 1.0 + sum(
+            (alpha * (1 + j * beta)
+             + (gamma * (1 - alpha) if j % m == 0 else 0.0)) ** 2
+            for j in range(1, h)
+        )
+        se = np.sqrt(sig2 * v)
+        assert getattr(r, f"se_{h}") == pytest.approx(float(se), rel=1e-12)
+        fc = l + h * b + season[(phase + h - 1) % m]
+        assert getattr(r, f"lo_{h}") == pytest.approx(float(fc - z * se), rel=1e-12)
+    # a short key reports NULL interval columns alongside the NULL state
+    short = holt_winters_forecast(
+        df.limit(5), "k", "ts", "v", alpha, beta, gamma, period=m,
+        horizons=[2], interval=True,
+    ).collect()[0]
+    assert short.level is None and short.se_2 is None and short.hi_2 is None
+
+
+def test_holt_interval_coverage_property(spark):
+    """Property: on series truly generated by the Holt innovations model
+    (y_t = l+b+ε, states updated with the same ε), the 90% 3-step
+    interval's empirical coverage over many independent keys is ~0.90
+    (binomial 3σ band) — the variance recursion is calibrated, not just
+    internally consistent."""
+    from sparkglm_spark.operators.timeseries import holt_forecast
+
+    alpha, beta, sig = 0.5, 0.25, 1.0
+    h, n, n_keys = 3, 60, 300
+    rng = np.random.default_rng(77)
+    rows, future = [], {}
+    for k in range(n_keys):
+        l, b = 10.0 + rng.normal(), 0.2
+        xs = []
+        for _ in range(n + h):
+            eps = rng.normal(0, sig)
+            y = l + b + eps
+            xs.append(y)
+            lp = l
+            l = l + b + alpha * eps
+            b = b + alpha * beta * eps
+        key = f"k{k}"
+        future[key] = xs[n + h - 1]
+        for i, v in enumerate(xs[:n]):
+            rows.append((key, i, float(v)))
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    got = holt_forecast(
+        df, "k", "t", "v", alpha, beta, horizons=[h],
+        interval=True, level=0.9,
+    ).collect()
+    hits = sum(
+        1 for r in got if getattr(r, f"lo_{h}") <= future[r.k] <= getattr(r, f"hi_{h}")
+    )
+    cov = hits / n_keys
+    # binomial sd at p=.9, n=300 is ~.017 — accept a generous 3σ+ band
+    assert 0.84 <= cov <= 0.96, cov
