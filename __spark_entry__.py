@@ -4647,14 +4647,55 @@ def q_glm_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = glm_grouped(
         od, "is_f ~ p100k", ["o_orderpriority"], exact_iterations=_GLM_ITERS
     )
-    return out.select(
+
+    def arm(df, prefix):
+        return df.select(
+            "o_orderpriority",
+            F.concat(F.lit(prefix), F.col("term")).alias("term"),
+            F.round("estimate", 6).alias("estimate"),
+            F.round("deviance", 3).alias("deviance"),
+            "iterations",
+            "n_rows",
+        )
+
+    res = arm(out, "")
+    # r10: the full r9 grouped family set, one fixed-iteration arm each
+    # (VERDICT #8). All non-gaussian families share the grouped UDF's
+    # per-row init μ = y + ½, η = ln μ and the log-link z = η + (y−μ)/μ;
+    # the SQL replays each 4-solve trajectory per group (the binomial
+    # arm's shape with the family weight swapped in). quasipoisson /
+    # quasibinomial fit β and deviance IDENTICALLY to their base family
+    # (φ cancels from IRLS) — their arms pin the dispatch path and
+    # reuse the base CTE chain in the oracle. gaussian is the one-solve
+    # OLS short-circuit (deviance = SSE).
+    gam_in = orders.select(
         "o_orderpriority",
-        "term",
-        F.round("estimate", 6).alias("estimate"),
-        F.round("deviance", 3).alias("deviance"),
-        "iterations",
-        "n_rows",
-    ).orderBy("o_orderpriority", "term")
+        (F.col("o_totalprice") / 100000.0).alias("yy"),
+        ((F.col("o_custkey") % 100) / 100.0).alias("xx"),
+    )
+    cnt_in = orders.select(
+        "o_orderpriority",
+        (F.col("o_custkey") % 7).cast("double").alias("yy"),
+        (F.col("o_totalprice") / 100000.0).alias("xx"),
+    )
+    for prefix, fam, src in (
+        ("ga_", "gamma", gam_in),
+        ("tw_", "tweedie", cnt_in),
+        ("nb_", "negbinomial", cnt_in),
+        ("qp_", "quasipoisson", cnt_in),
+        ("gs_", "gaussian", gam_in),
+    ):
+        fit = glm_grouped(
+            src, "yy ~ xx", ["o_orderpriority"], family=fam,
+            exact_iterations=None if fam == "gaussian" else _GLM_ITERS,
+        )
+        res = res.unionByName(arm(fit, prefix))
+    qb = glm_grouped(
+        od, "is_f ~ p100k", ["o_orderpriority"], family="quasibinomial",
+        exact_iterations=_GLM_ITERS,
+    )
+    res = res.unionByName(arm(qb, "qb_"))
+    return res.orderBy("o_orderpriority", "term")
 
 
 def _sql_glm_per_segment(iters: int = _GLM_ITERS) -> str:
@@ -4697,14 +4738,102 @@ def _sql_glm_per_segment(iters: int = _GLM_ITERS) -> str:
         f" + CASE WHEN y < 1 THEN (1.0-y) * ln((1.0-y)/(1.0-mu)) ELSE 0.0 END) AS dev"
         f" FROM {prev} GROUP BY g, b0, b1)"
     )
+    selects = [
+        "SELECT g AS o_orderpriority, 'intercept' AS term, ROUND(b0, 6) AS estimate,"
+        f" ROUND(dev, 3) AS deviance, {iters} AS iterations, n_rows FROM segd",
+        f"SELECT g, 'p100k', ROUND(b1, 6), ROUND(dev, 3), {iters}, n_rows FROM segd",
+        # quasibinomial: identical trajectory/deviance, dispatch-path labels
+        f"SELECT g, 'qb_intercept', ROUND(b0, 6), ROUND(dev, 3), {iters}, n_rows FROM segd",
+        f"SELECT g, 'qb_p100k', ROUND(b1, 6), ROUND(dev, 3), {iters}, n_rows FROM segd",
+    ]
+    # r10: grouped family arms — 4-solve IRLS per group with the UDF's
+    # per-row init μ = y + ½, η = ln μ and log-link z = η + (y − μ)/μ.
+    # Family weight w swaps in per family; deviance = 2·Σ devterm at the
+    # final μ. quasipoisson reuses the poisson chain (φ cancels).
+    gam_base = (
+        "(SELECT o_orderpriority AS g, o_totalprice / 100000.0 AS y,"
+        " CAST(o_custkey % 100 AS DOUBLE) / 100.0 AS x FROM orders)"
+    )
+    cnt_base = (
+        "(SELECT o_orderpriority AS g, CAST(o_custkey % 7 AS DOUBLE) AS y,"
+        " o_totalprice / 100000.0 AS x FROM orders)"
+    )
+    fam_w = {
+        "poisson": "mu",
+        "gamma": "1.0",
+        "tweedie15": "power(mu, 0.5)",
+        "negbin1": "mu / (1.0 + mu)",
+    }
+    for p, fam, base_sql, labels in (
+        ("sga", "gamma", gam_base, ["ga_"]),
+        ("stw", "tweedie15", cnt_base, ["tw_"]),
+        ("snb", "negbin1", cnt_base, ["nb_"]),
+        ("spo", "poisson", cnt_base, ["qp_"]),
+    ):
+        ctes.append(f"{p}b AS (SELECT g, y, x FROM {base_sql} t)")
+        ctes.append(
+            f"{p}0 AS (SELECT g, y, x, y + 0.5 AS mu, ln(y + 0.5) AS eta"
+            f" FROM {p}b)"
+        )
+        prev = f"{p}0"
+        for i in range(1, iters + 1):
+            ctes.append(
+                f"{p}a{i} AS (SELECT g, SUM(w) AS sw, SUM(w*x) AS swx,"
+                f" SUM(w*x*x) AS swxx, SUM(w*z) AS swz, SUM(w*x*z) AS swxz"
+                f" FROM (SELECT g, x, {fam_w[fam]} AS w,"
+                f" eta + (y - mu) / mu AS z FROM {prev}) GROUP BY g)"
+            )
+            ctes.append(
+                f"{p}t{i} AS (SELECT g,"
+                f" (swz*swxx - swx*swxz)/(sw*swxx - swx*swx) AS b0,"
+                f" (sw*swxz - swx*swz)/(sw*swxx - swx*swx) AS b1 FROM {p}a{i})"
+            )
+            ctes.append(
+                f"{p}r{i} AS (SELECT s.g, s.y, s.x, t.b0, t.b1,"
+                f" (t.b0 + t.b1*s.x) AS eta, exp(t.b0 + t.b1*s.x) AS mu"
+                f" FROM {p}b s JOIN {p}t{i} t ON s.g = t.g)"
+            )
+            prev = f"{p}r{i}"
+        dev = _SQL_DEVTERM[fam]("y", "mu")
+        ctes.append(
+            f"{p}d AS (SELECT g, b0, b1, COUNT(*) AS n_rows,"
+            f" 2.0 * SUM({dev}) AS dev FROM {prev} GROUP BY g, b0, b1)"
+        )
+        for lab in labels:
+            selects += [
+                f"SELECT g, '{lab}intercept', ROUND(b0, 6), ROUND(dev, 3),"
+                f" {iters}, n_rows FROM {p}d",
+                f"SELECT g, '{lab}xx', ROUND(b1, 6), ROUND(dev, 3),"
+                f" {iters}, n_rows FROM {p}d",
+            ]
+    # gaussian grouped: one OLS solve per group, deviance = SSE
+    ctes.append(
+        f"sgsa AS (SELECT g, CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx,"
+        f" SUM(y) AS sy, SUM(x*x) AS sxx, SUM(x*y) AS sxy, SUM(y*y) AS syy"
+        f" FROM {gam_base} t GROUP BY g)"
+    )
+    ctes.append(
+        "sgsd AS (SELECT g, CAST(n AS BIGINT) AS n_rows,"
+        " (sy*sxx - sx*sxy)/(n*sxx - sx*sx) AS b0,"
+        " (n*sxy - sx*sy)/(n*sxx - sx*sx) AS b1,"
+        " syy - 2.0*((sy*sxx - sx*sxy)/(n*sxx - sx*sx)*sy"
+        "            + (n*sxy - sx*sy)/(n*sxx - sx*sx)*sxy)"
+        " + ((sy*sxx - sx*sxy)/(n*sxx - sx*sx))"
+        "   *((sy*sxx - sx*sxy)/(n*sxx - sx*sx))*n"
+        " + 2.0*((sy*sxx - sx*sxy)/(n*sxx - sx*sx))"
+        "      *((n*sxy - sx*sy)/(n*sxx - sx*sx))*sx"
+        " + ((n*sxy - sx*sy)/(n*sxx - sx*sx))"
+        "   *((n*sxy - sx*sy)/(n*sxx - sx*sx))*sxx AS dev"
+        " FROM sgsa)"
+    )
+    selects += [
+        "SELECT g, 'gs_intercept', ROUND(b0, 6), ROUND(dev, 3), 1, n_rows FROM sgsd",
+        "SELECT g, 'gs_xx', ROUND(b1, 6), ROUND(dev, 3), 1, n_rows FROM sgsd",
+    ]
     return (
         "WITH " + ",\n".join(ctes) + "\n"
-        "SELECT g AS o_orderpriority, 'intercept' AS term, ROUND(b0, 6) AS estimate,"
-        f" ROUND(dev, 3) AS deviance, {iters} AS iterations, n_rows FROM segd\n"
-        "UNION ALL\n"
-        "SELECT g, 'p100k', ROUND(b1, 6), ROUND(dev, 3),"
-        f" {iters}, n_rows FROM segd\n"
-        "ORDER BY o_orderpriority, term"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY o_orderpriority, term"
     )
 
 
