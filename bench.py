@@ -444,6 +444,42 @@ def main() -> None:
 
     W("robust_grouped", run_robust_grouped)
 
+    # r10: the applyInPandas smoothing/timeseries family tripwire —
+    # Holt-Winters end state + intervals, Ljung-Box and seasonal
+    # decomposition over events at sf0.1. The family is per-key-fold
+    # heavy (exactly where interpreter-bound regressions hide) and had
+    # no sf0.1 timing before this line.
+    from sparkglm_spark.operators.timeseries import (
+        holt_winters_forecast,
+        ljung_box,
+        seasonal_decompose,
+    )
+
+    events = read_table(spark, SF_DIR, "events")
+
+    def run_timeseries_suite():
+        force(
+            holt_winters_forecast(
+                events, "user_id", "ts", "value", 0.5, 0.25, 0.5,
+                period=4, horizons=[3], tiebreak_col="event_id",
+                interval=True,
+            )
+        )
+        force(
+            ljung_box(
+                events, "user_id", "ts", "value", lags=10,
+                tiebreak_col="event_id",
+            )
+        )
+        force(
+            seasonal_decompose(
+                events, "user_id", "ts", "value", period=4,
+                tiebreak_col="event_id",
+            )
+        )
+
+    W("timeseries_suite", run_timeseries_suite)
+
     runs: dict[str, list[float]] = {name: [] for name, _ in workloads}
     errors: dict[str, str] = {}
     for _ in range(N_RUNS):
@@ -495,6 +531,12 @@ def main() -> None:
         "coxph",  # r8 additions, same exclusion rationale
         "stats_suite",
         "cindex",
+        # r9/r10 additions — robust_grouped was MISSING here in r9
+        # (latent comparability bug: the driver's r9 value_r4_set
+        # silently absorbed the new ~1.4-2.2 s line; clean-box records
+        # in PLANS.md predate the line and stay comparable)
+        "robust_grouped",
+        "timeseries_suite",
     }
     total_r4_set = round(
         sum(v for k, v in medians.items() if k not in r5_new), 3
