@@ -5375,8 +5375,8 @@ def q_events_timeseries_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # r9: per-user seasonal decomposition checksums (operators/
     # timeseries.py::seasonal_decompose, period 4): Σtrend, Σ|seasonal|
-    # (3dp + a 2^-23 tie-break nudge) and Σresid² (2dp) pin the whole
-    # trend/seasonal/resid split; the SQL replays the 2×m half-weight
+    # (3dp + a 2^-23 tie-break nudge) and Σresid² (0dp — magnitude ~1e5
+    # vs ~1e-7 drift) pin the whole trend/seasonal/resid split; the SQL replays the 2×m half-weight
     # centered MA with LAG/LEAD windows and the per-phase re-centered
     # means. r10 pin-calibration fix: the event values are
     # dyadic-quantized, so these checksums land EXACTLY on decimal

@@ -322,6 +322,9 @@ def elastic_net_cv(
     fold's own moments. A 100-λ path over any data size costs exactly
     one aggregation job.
 
+    `fold_expr` must land in [0, n_folds) — an out-of-range fold id
+    raises (it would ride every training set but never be validated).
+
     Returns one row per (reg_param, fold): reg_param, fold, n_train,
     n_val, rmse_train, rmse_val, n_nonzero."""
     if not reg_params:
@@ -334,42 +337,24 @@ def elastic_net_cv(
         na_action,
         extra_cols=["__fold"],
     )
-    k = len(x_cols)
-    xs = [F.col(c) for c in x_cols]
-    y = F.col(target)
-    aggs = []
-    for i in range(k):
-        for j in range(i, k):
-            aggs.append(F.sum(xs[i] * xs[j]).alias(f"g_{i}_{j}"))
-    for i in range(k):
-        aggs.append(F.sum(xs[i] * y).alias(f"xy_{i}"))
-    aggs.append(F.sum(y).alias("sy"))
-    aggs.append(F.sum(y * y).alias("syy"))
-    aggs.append(F.count(F.lit(1)).alias("n"))
-    rows = encoded.groupBy("__fold").agg(*aggs).collect()
+    from sparkglm_spark.operators.lm import fold_gram_collect
 
-    def unpack(r):
-        xtx = np.empty((k, k))
-        for i in range(k):
-            for j in range(i, k):
-                xtx[i, j] = xtx[j, i] = r[f"g_{i}_{j}"]
-        xty = np.array([r[f"xy_{i}"] for i in range(k)])
-        return xtx, xty, float(r["sy"]), float(r["syy"]), int(r["n"])
-
-    folds = {int(r["__fold"]): unpack(r) for r in rows}
+    has_int = "intercept" in x_cols
+    folds = fold_gram_collect(encoded, x_cols, target, n_folds)
     tot = (
         sum(v[0] for v in folds.values()),
         sum(v[1] for v in folds.values()),
         sum(v[2] for v in folds.values()),
         sum(v[3] for v in folds.values()),
         sum(v[4] for v in folds.values()),
+        sum(v[5] for v in folds.values()),
     )
     out = []
     for lam in reg_params:
         for f in range(n_folds):
             if f not in folds:
                 continue
-            xtx_v, xty_v, sy_v, syy_v, n_v = folds[f]
+            xtx_v, xty_v, sy_v, syy_v, n_v, xs_v = folds[f]
             xtx_t = tot[0] - xtx_v
             xty_t = tot[1] - xty_v
             sy_t, syy_t, n_t = tot[2] - sy_v, tot[3] - syy_v, tot[4] - n_v
@@ -378,6 +363,10 @@ def elastic_net_cv(
             beta, _sw, _cv, sse_t = _cd_enet(
                 xtx_t, xty_t, n_t, sy_t, syy_t, x_cols,
                 lam, elastic_net_param, standardize, max_sweeps, tol, None,
+                # no-intercept designs still standardize by the CENTERED
+                # stds (the fit path's MLlib convention) — feed the
+                # training col sums so CV scores the model it would fit
+                col_sums=None if has_int else (tot[5] - xs_v),
             )
             sse_v = float(syy_v - 2.0 * beta @ xty_v + beta @ xtx_v @ beta)
             nz = int(

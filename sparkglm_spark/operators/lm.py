@@ -594,6 +594,54 @@ def lm_grouped(
     return gram.mapInPandas(solve_groups, out_schema)
 
 
+def fold_gram_collect(
+    encoded: DataFrame,
+    x_cols: list[str],
+    target: str,
+    n_folds: int,
+) -> dict[int, tuple]:
+    """Per-fold Gram sufficient statistics in ONE groupBy('__fold')
+    aggregation — the shared engine of `lm_cross_validate` and
+    `elastic_net_cv` (the `_encode_formula` no-triplication rule).
+    Returns {fold: (xtx, xty, sy, syy, n, col_sums)}; col_sums (Σxⱼ per
+    fold) feeds the no-intercept standardization path of the
+    elastic-net CV. Raises on fold ids outside [0, n_folds): a silently
+    dropped fold would still ride every training set while never being
+    validated — biased CV with no visible symptom."""
+    k = len(x_cols)
+    xs = [F.col(c) for c in x_cols]
+    y = F.col(target)
+    aggs: list[Column] = []
+    for i in range(k):
+        for j in range(i, k):
+            aggs.append(F.sum(xs[i] * xs[j]).alias(f"g_{i}_{j}"))
+    for i in range(k):
+        aggs.append(F.sum(xs[i] * y).alias(f"xy_{i}"))
+        aggs.append(F.sum(xs[i]).alias(f"xs_{i}"))
+    aggs.append(F.sum(y).alias("sy"))
+    aggs.append(F.sum(y * y).alias("syy"))
+    aggs.append(F.count(F.lit(1)).alias("n"))
+    rows = encoded.groupBy("__fold").agg(*aggs).collect()  # n_folds tiny rows
+
+    def unpack(r):
+        xtx = np.empty((k, k))
+        for i in range(k):
+            for j in range(i, k):
+                xtx[i, j] = xtx[j, i] = r[f"g_{i}_{j}"]
+        xty = np.array([r[f"xy_{i}"] for i in range(k)])
+        col_sums = np.array([r[f"xs_{i}"] for i in range(k)])
+        return xtx, xty, float(r["sy"]), float(r["syy"]), int(r["n"]), col_sums
+
+    folds = {int(r["__fold"]): unpack(r) for r in rows}
+    bad = sorted(f for f in folds if not 0 <= f < n_folds)
+    if bad:
+        raise ValueError(
+            f"fold ids {bad} are outside [0, {n_folds}) — fix fold_expr "
+            "or n_folds (a dropped fold would bias every training set)"
+        )
+    return folds
+
+
 def lm_cross_validate(
     df: DataFrame,
     formula: str,
@@ -630,40 +678,19 @@ def lm_cross_validate(
         ["__fold"],
         na_action=na_action,
     )
-    k = len(x_cols)
-    xs = [F.col(c) for c in x_cols]
-    y = F.col(target)
-    aggs: list[Column] = []
-    for i in range(k):
-        for j in range(i, k):
-            aggs.append(F.sum(xs[i] * xs[j]).alias(f"g_{i}_{j}"))
-    for i in range(k):
-        aggs.append(F.sum(xs[i] * y).alias(f"xy_{i}"))
-    aggs.append(F.sum(y).alias("sy"))
-    aggs.append(F.sum(y * y).alias("syy"))
-    aggs.append(F.count(F.lit(1)).alias("n"))
-    rows = encoded.groupBy("__fold").agg(*aggs).collect()  # n_folds tiny rows
-
-    def unpack(r):
-        xtx = np.empty((k, k))
-        for i in range(k):
-            for j in range(i, k):
-                xtx[i, j] = xtx[j, i] = r[f"g_{i}_{j}"]
-        xty = np.array([r[f"xy_{i}"] for i in range(k)])
-        return xtx, xty, float(r["sy"]), float(r["syy"]), int(r["n"])
-
-    folds = {int(r["__fold"]): unpack(r) for r in rows}
+    folds = fold_gram_collect(encoded, x_cols, target, n_folds)
     tot_xtx = sum(v[0] for v in folds.values())
     tot_xty = sum(v[1] for v in folds.values())
     tot_sy = sum(v[2] for v in folds.values())
     tot_syy = sum(v[3] for v in folds.values())
     tot_n = sum(v[4] for v in folds.values())
+    k = len(x_cols)
 
     out = []
     for f in range(n_folds):
         if f not in folds:
             continue
-        xtx_v, xty_v, sy_v, syy_v, n_v = folds[f]
+        xtx_v, xty_v, sy_v, syy_v, n_v, _xs_v = folds[f]
         xtx_t, xty_t = tot_xtx - xtx_v, tot_xty - xty_v
         syy_t, n_t = tot_syy - syy_v, tot_n - n_v
         if n_t < k:

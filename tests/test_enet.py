@@ -187,6 +187,40 @@ def test_cv_path_one_pass_selects_true_support(enet_data, spark):
     assert (out[out.reg_param == 0.01].n_nonzero >= 2).all()
     with pytest.raises(ValueError, match="non-empty"):
         elastic_net_cv(df, "y ~ x1", [], fold_expr=F.lit(0))
+    # review finding: a 1-indexed fold column must RAISE, not silently
+    # ride every training set while never being validated
+    with pytest.raises(ValueError, match=r"outside \[0, 3\)"):
+        elastic_net_cv(
+            df, "y ~ x1", [0.1],
+            fold_expr=F.pmod(F.monotonically_increasing_id(), F.lit(3))
+            .cast("int") + 1,
+            n_folds=3,
+        )
+
+
+def test_cv_no_intercept_matches_fit_path(spark):
+    """Review finding: the CV's no-intercept path must standardize by the
+    CENTERED stds like elastic_net_fit — a single-fold 'CV' trained on
+    folds {1,2} must reproduce elastic_net_fit on the same rows."""
+    rng = np.random.default_rng(9)
+    n = 600
+    x = rng.normal(3.0, 1.0, n)
+    y = 1.4 * x + rng.normal(0, 0.3, n)
+    df = spark.createDataFrame(
+        [(float(a), float(b), i % 3) for i, (a, b) in enumerate(zip(y, x))],
+        "y double, x double, f int",
+    )
+    out = elastic_net_cv(
+        df, "y ~ x - 1", [0.1], fold_expr="f", n_folds=3
+    ).toPandas()
+    # fold 0's training set = rows with f in {1, 2}
+    train = df.where(F.col("f") != 0)
+    m = elastic_net_fit(train, "y", ["x"], reg_param=0.1)
+    r0 = out[out.fold == 0].iloc[0]
+    sse_t = m.sse
+    assert r0.rmse_train == pytest.approx(
+        float(np.sqrt(sse_t / train.count())), rel=1e-9
+    )
 
 
 def test_spark_lm_elastic_net_path_cv_and_persist(enet_data, tmp_path):
