@@ -55,7 +55,9 @@ def _cd_enet(
     tol: float,
     exact_sweeps: int | None,
     col_sums: np.ndarray | None = None,
-) -> tuple[np.ndarray, int, bool, float]:
+    theta0: np.ndarray | None = None,
+    return_theta: bool = False,
+):
     """Cyclic coordinate descent on the centered/standardized problem,
     entirely from Gram sufficient statistics. Returns (beta in ORIGINAL
     scale and `x_cols` order, sweeps, converged, sse).
@@ -91,7 +93,8 @@ def _cd_enet(
         if has_int:
             beta[i0] = y_mean
         sse = cyy if has_int else sum_y2
-        return beta, 0, True, float(sse)
+        out = (beta, 0, True, float(sse))
+        return out + (np.zeros(0),) if return_theta else out
 
     G = xtx[np.ix_(feats, feats)]
     gy = xty[feats]
@@ -119,7 +122,8 @@ def _cd_enet(
         # constant label: the penalized fit is β = 0, intercept = ȳ
         beta = np.zeros(len(x_cols))
         beta[i0] = y_mean
-        return beta, 0, True, 0.0
+        out = (beta, 0, True, 0.0)
+        return out + (np.zeros(p),) if return_theta else out
 
     s_out = np.where(live, sig, 1.0)
     A = A / np.outer(s_out, s_out)
@@ -136,7 +140,7 @@ def _cd_enet(
         l1 = alpha * lam_t / s_out
         l2 = (1.0 - alpha) * lam_t / (s_out * s_out)
 
-    theta = np.zeros(p)
+    theta = np.zeros(p) if theta0 is None else np.asarray(theta0, float).copy()
     denom = np.diag(A) / n + l2
     sweeps = 0
     converged = False
@@ -165,6 +169,8 @@ def _cd_enet(
         beta[i0] = y_mean - float(m @ bf)
     # SSE from the same moments: ||y−Xβ||² = y'y − 2β'X'y + β'Gβ
     sse = float(sum_y2 - 2.0 * beta @ xty + beta @ xtx @ beta)
+    if return_theta:
+        return beta, sweeps, converged, sse, theta
     return beta, sweeps, converged, sse
 
 
@@ -392,3 +398,172 @@ def elastic_net_cv(
         "reg_param double, fold int, n_train bigint, n_val bigint, "
         "rmse_train double, rmse_val double, n_nonzero int",
     )
+
+
+def elastic_net_path(
+    df: DataFrame,
+    formula: str,
+    reg_params: list[float],
+    elastic_net_param: float = 1.0,
+    standardize: bool = True,
+    na_action: str = "omit",
+    max_sweeps: int = 10_000,
+    tol: float = 1e-10,
+) -> DataFrame:
+    """The whole regularization path from ONE data pass: a single Gram
+    aggregation, then one warm-started coordinate descent per λ on the
+    driver (λ sorted descending so each solution seeds the next — the
+    standard pathwise trick; identical fixed points to cold starts,
+    just fewer sweeps). Returns one row per (reg_param, term):
+    reg_param, term, estimate, n_nonzero, sweeps."""
+    if not reg_params:
+        raise ValueError("reg_params must be non-empty")
+    encoded, x_cols, target, _levels = _encode_formula(df, formula, na_action)
+    has_int = "intercept" in x_cols
+    gram_cols = list(x_cols)
+    if not has_int:
+        encoded = encoded.withColumn("__one", F.lit(1.0))
+        gram_cols = gram_cols + ["__one"]
+    g = gram_aggregate(encoded, gram_cols, y_col=target)
+    if g.n <= 1:
+        raise ValueError("need more than one row")
+    p = len(x_cols)
+    col_sums = None if has_int else g.xtx[p, :p].copy()
+    out = []
+    theta = None
+    for lam in sorted({float(v) for v in reg_params}, reverse=True):
+        beta, sweeps, _conv, _sse, theta = _cd_enet(
+            g.xtx[:p, :p], g.xty[:p], g.n, float(g.sum_y), float(g.sum_y2),
+            x_cols, lam, elastic_net_param, standardize, max_sweeps, tol,
+            None, col_sums=col_sums, theta0=theta, return_theta=True,
+        )
+        nz = int(
+            sum(1 for nm, c in zip(x_cols, beta) if nm != "intercept" and c != 0.0)
+        )
+        for nm, c in zip(x_cols, beta):
+            out.append((lam, nm, float(c), nz, sweeps))
+    return df.sparkSession.createDataFrame(
+        out,
+        "reg_param double, term string, estimate double, "
+        "n_nonzero int, sweeps int",
+    )
+
+
+def elastic_net_grouped(
+    df: DataFrame,
+    formula: str,
+    group_cols: list[str],
+    reg_param: float,
+    elastic_net_param: float = 1.0,
+    standardize: bool = True,
+    na_action: str = "omit",
+    max_sweeps: int = 10_000,
+    tol: float = 1e-10,
+    exact_sweeps: int | None = None,
+) -> DataFrame:
+    """One elastic-net model per segment — the `lm_grouped` shape, which
+    is STRONGER than the IRLS-grouped fitters' at scale: stage 1 is one
+    `groupBy(group_cols)` over the Gram sum expressions (partial
+    map-side aggregation; the wire carries O(G·k²) doubles, never rows),
+    stage 2 runs each group's coordinate descent DISTRIBUTED via
+    Arrow-batched `mapInPandas` over the G-row Gram table. No per-group
+    driver work, no row materialization — G (number of segments) is
+    unbounded.
+
+    Encoding levels are computed once on the whole input (the grouped
+    convention: groups missing a level get zero dummies). Degenerate
+    groups (n ≤ 1, or a constant label in a no-intercept design) yield
+    NULL estimates. Returns long format: group_cols…, term, estimate,
+    n_rows, n_nonzero, sweeps, converged."""
+    from pyspark.sql import types as T
+
+    from sparkglm_spark.operators.lm import _design
+
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    encoded, x_cols, target = _design(df, formula, group_cols, na_action=na_action)
+    k = len(x_cols)
+    has_int = "intercept" in x_cols
+    xs = [F.col(c) for c in x_cols]
+    y = F.col(target)
+    aggs = []
+    for i in range(k):
+        for j in range(i, k):
+            aggs.append(F.sum(xs[i] * xs[j]).alias(f"__g_{i}_{j}"))
+    for i in range(k):
+        aggs.append(F.sum(xs[i] * y).alias(f"__xy_{i}"))
+        aggs.append(F.sum(xs[i]).alias(f"__xs_{i}"))
+    aggs.append(F.sum(y).alias("__sy"))
+    aggs.append(F.sum(y * y).alias("__syy"))
+    aggs.append(F.count(F.lit(1)).alias("__n"))
+    gram = encoded.groupBy(*group_cols).agg(*aggs)
+
+    out_schema = T.StructType(
+        [df.schema[c] for c in group_cols]
+        + [
+            T.StructField("term", T.StringType()),
+            T.StructField("estimate", T.DoubleType()),
+            T.StructField("n_rows", T.LongType()),
+            T.StructField("n_nonzero", T.IntegerType()),
+            T.StructField("sweeps", T.IntegerType()),
+            T.StructField("converged", T.BooleanType()),
+        ]
+    )
+    names = list(x_cols)
+    gcols = list(group_cols)
+    lam, alpha, std = float(reg_param), float(elastic_net_param), standardize
+    msw, ctol, nex = max_sweeps, tol, exact_sweeps
+    # validate once on the driver, not per group inside the UDF
+    _cd_enet(
+        np.eye(k), np.zeros(k), 2, 0.0, 1.0, x_cols, lam, alpha, std,
+        1, ctol, None,
+    )
+
+    def solve_groups(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            cols: dict[str, list] = {c: [] for c in gcols}
+            cols.update(
+                term=[], estimate=[], n_rows=[], n_nonzero=[],
+                sweeps=[], converged=[],
+            )
+            for r in pdf.to_dict("records"):
+                n = int(r["__n"])
+                xtx = np.empty((k, k))
+                for i in range(k):
+                    for j in range(i, k):
+                        xtx[i, j] = xtx[j, i] = r[f"__g_{i}_{j}"]
+                xty = np.array([r[f"__xy_{i}"] for i in range(k)])
+                csums = np.array([r[f"__xs_{i}"] for i in range(k)])
+                beta, sweeps, conv, nz = None, 0, False, None
+                if n > 1 and np.all(np.isfinite(xtx)) and np.all(np.isfinite(xty)):
+                    try:
+                        beta, sweeps, conv, _sse = _cd_enet(
+                            xtx, xty, n, float(r["__sy"]), float(r["__syy"]),
+                            names, lam, alpha, std, msw, ctol, nex,
+                            col_sums=None if has_int else csums,
+                        )
+                        nz = int(
+                            sum(
+                                1
+                                for nm, c in zip(names, beta)
+                                if nm != "intercept" and c != 0.0
+                            )
+                        )
+                    except (ValueError, np.linalg.LinAlgError):
+                        beta = None
+                for i, name in enumerate(names):
+                    for c in gcols:
+                        cols[c].append(r[c])
+                    cols["term"].append(name)
+                    cols["estimate"].append(
+                        float(beta[i]) if beta is not None else None
+                    )
+                    cols["n_rows"].append(n)
+                    cols["n_nonzero"].append(nz)
+                    cols["sweeps"].append(sweeps)
+                    cols["converged"].append(bool(conv) if beta is not None else False)
+            yield pd.DataFrame(cols)
+
+    return gram.mapInPandas(solve_groups, out_schema)

@@ -296,3 +296,84 @@ def test_fit_intercept_false_via_no_intercept_design(spark):
         fitIntercept=False, maxIter=500, tol=1e-10,
     ).fit(fd)
     assert float(m.coefs[0]) == pytest.approx(float(lr.coefficients[0]), abs=5e-4)
+
+
+def test_elastic_net_path_matches_cold_fits(enet_data):
+    """Warm-started path fixed points == independent cold fits per λ
+    (the pathwise trick changes sweep counts, not solutions), one data
+    pass for the whole grid."""
+    from sparkglm_spark.operators.enet import elastic_net_path
+
+    df, _, _ = enet_data
+    lams = [0.02, 0.2, 2.0]
+    path = elastic_net_path(df, "y ~ x1 + x2 + x3 + x4", lams).toPandas()
+    assert len(path) == 3 * 5
+    for lam in lams:
+        cold = elastic_net(df, "y ~ x1 + x2 + x3 + x4", reg_param=lam)
+        sl = path[path.reg_param == lam].set_index("term").estimate
+        for nm, c in zip(cold.xnames, cold.coefs):
+            assert sl[nm] == pytest.approx(float(c), rel=1e-7, abs=1e-10)
+    # support is monotone along this planted path
+    nz = path.groupby("reg_param").n_nonzero.first().sort_index()
+    assert list(nz) == sorted(nz, reverse=True)
+    with pytest.raises(ValueError, match="non-empty"):
+        elastic_net_path(df, "y ~ x1", [])
+
+
+def test_elastic_net_grouped_matches_per_slice(spark):
+    """Grouped fits == per-slice elastic_net on the same segment (shared
+    global levels make designs identical here: numeric-only formula);
+    degenerate single-row groups yield NULL rows; the plan is one
+    Exchange + Gram mapInPandas, never row materialization."""
+    from sparkglm_spark.operators.enet import elastic_net_grouped
+
+    rng = np.random.default_rng(13)
+    rows = []
+    for g, (b1, b2) in (("a", (2.0, 0.0)), ("b", (0.0, -1.5))):
+        for _ in range(400):
+            x1, x2 = rng.normal(), rng.normal() * 2.0
+            y = 1.0 + b1 * x1 + b2 * x2 + rng.normal(0, 0.5)
+            rows.append((g, float(y), float(x1), float(x2)))
+    rows.append(("solo", 4.0, 1.0, 1.0))
+    df = spark.createDataFrame(rows, "g string, y double, x1 double, x2 double")
+    out = {
+        (r.g, r.term): r
+        for r in elastic_net_grouped(
+            df, "y ~ x1 + x2", ["g"], reg_param=0.1
+        ).collect()
+    }
+    for g in ("a", "b"):
+        m = elastic_net(df.where(F.col("g") == g), "y ~ x1 + x2", reg_param=0.1)
+        for nm, c in zip(m.xnames, m.coefs):
+            assert out[(g, nm)].estimate == pytest.approx(
+                float(c), rel=1e-9, abs=1e-12
+            ), (g, nm)
+        assert out[(g, "x1")].n_nonzero == m.n_nonzero
+        assert out[(g, "x1")].converged
+    assert out[("solo", "x1")].estimate is None
+    assert not out[("solo", "x1")].converged
+    with pytest.raises(ValueError, match="group_cols"):
+        elastic_net_grouped(df, "y ~ x1", [], reg_param=0.1)
+    with pytest.raises(ValueError, match="elastic_net_param"):
+        elastic_net_grouped(df, "y ~ x1", ["g"], reg_param=0.1,
+                            elastic_net_param=2.0)
+
+
+def test_elastic_net_grouped_plan_shape(spark):
+    """Plan assert: stage 1 exchanges only O(k²) Gram doubles per group
+    — the label/feature payload never crosses the wire after the
+    partial aggregation (the lm_grouped scale contract)."""
+    from sparkglm_spark.operators.enet import elastic_net_grouped
+    from sparkglm_spark.plans.inspect import formatted_plan
+
+    df = spark.createDataFrame(
+        [("a", float(i), float(i % 7)) for i in range(40)],
+        "g string, y double, x double",
+    )
+    import re
+
+    plan = formatted_plan(
+        elastic_net_grouped(df, "y ~ x", ["g"], reg_param=0.1)
+    )
+    # formatted mode lists each node in tree + detail: count detail ids
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
