@@ -567,3 +567,278 @@ def elastic_net_grouped(
             yield pd.DataFrame(cols)
 
     return gram.mapInPandas(solve_groups, out_schema)
+
+
+def _cd_wls_penalized(
+    A: np.ndarray,
+    b: np.ndarray,
+    n: int,
+    sig: np.ndarray,
+    lam: float,
+    alpha: float,
+    standardize: bool,
+    theta: np.ndarray,
+    max_sweeps: int,
+    tol: float,
+) -> np.ndarray:
+    """Inner solver of the penalized IRLS (glmnet's middle loop): cyclic
+    coordinate descent on (1/(2n))[θ'Ãθ − 2b̃'θ] + λ1ⱼ‖θ‖₁-ish with
+    Ã = A/(σσ'), b̃ = b/σ over the FIXED upfront feature stds. A/b are
+    the weighted-CENTERED raw-scale normal-equation pieces of the
+    current quadratic approximation. Updates θ in place and returns it;
+    constant features (σ = 0) stay at 0."""
+    p = len(b)
+    live = sig > 0.0
+    s = np.where(live, sig, 1.0)
+    At = A / np.outer(s, s)
+    bt = b / s
+    if standardize:
+        l1 = np.full(p, alpha * lam)
+        l2 = np.full(p, (1.0 - alpha) * lam)
+    else:
+        l1 = alpha * lam / s
+        l2 = (1.0 - alpha) * lam / (s * s)
+    denom = np.diag(At) / n + l2
+    for _ in range(max_sweeps):
+        max_d = 0.0
+        for j in range(p):
+            if not live[j]:
+                theta[j] = 0.0
+                continue
+            rho = (bt[j] - At[j] @ theta + At[j, j] * theta[j]) / n
+            t_new = np.sign(rho) * max(abs(rho) - l1[j], 0.0) / denom[j]
+            max_d = max(max_d, abs(t_new - theta[j]))
+            theta[j] = t_new
+        if max_d <= tol:
+            break
+    return theta
+
+
+@dataclass
+class GLMElasticNet:
+    """Fitted L1/L2-penalized GLM (`glm_elastic_net`). Scoring mirrors
+    `GLM.predict`: one codegen projection over raw columns, response
+    scale by default or `type='link'` for η."""
+
+    xnames: list[str]
+    yname: str
+    coefs: np.ndarray
+    family: str
+    link: str
+    reg_param: float
+    elastic_net_param: float
+    standardize: bool
+    deviance: float
+    nrow: int
+    iter: int
+    converged: bool
+    levels: dict[str, list[str]] = field(default_factory=dict)
+    call: str = ""
+
+    @property
+    def n_nonzero(self) -> int:
+        return int(
+            sum(
+                1
+                for nm, c in zip(self.xnames, self.coefs)
+                if nm != "intercept" and c != 0.0
+            )
+        )
+
+    def predict(
+        self, df: DataFrame, output_col: str = "prediction", type: str = "response"
+    ) -> DataFrame:
+        from sparkglm_spark.functions.links import get_link
+
+        eta = prediction_over_raw(self.xnames, self.coefs, self.levels, df.columns)
+        if type == "link":
+            return df.withColumn(output_col, eta)
+        if type != "response":
+            raise ValueError("type must be 'response' or 'link'")
+        lnk = get_link(self.link)
+        return df.withColumn(output_col, lnk.unlink(eta, F.lit(1.0)))
+
+
+def glm_elastic_net(
+    df: DataFrame,
+    formula: str,
+    reg_param: float,
+    elastic_net_param: float = 1.0,
+    family: str = "binomial",
+    standardize: bool = True,
+    na_action: str = "omit",
+    max_iter: int = 100,
+    tol: float = 1e-10,
+    max_sweeps: int = 1000,
+) -> GLMElasticNet:
+    """Sparse GLM — L1(+L2)-penalized logistic / Poisson regression with
+    the MLlib `LogisticRegression(regParam, elasticNetParam,
+    standardization)` objective (golden-tested for binomial; Poisson has
+    no MLlib elastic-net analog and is verified by its KKT conditions):
+
+        min_β  (1/n)·Σᵢ −ℓᵢ(β)  +  λ·(α‖θ‖₁ + (1−α)/2·‖θ‖²)
+
+    with θⱼ = βⱼ·σⱼ (upfront UNWEIGHTED sample feature stds — the MLlib
+    summarizer convention; no label scaling, unlike the linear case) and
+    the intercept unpenalized. `standardize=False` un-standardizes the
+    penalties per coordinate (L1/σⱼ, L2/σⱼ²), matching MLlib.
+
+    Algorithm — penalized IRLS (glmnet's prox-Newton): each outer
+    iteration is ONE aggregation job (the `GLM.fit` zw-Gram shape — the
+    weighted Gram over [intercept]+features carries Σw / ΣWx / X'WX /
+    X'Wz / deviance in one pass), then the quadratic subproblem solves
+    by weighted-centered coordinate descent on the DRIVER — the same
+    100 TB cost profile per iteration as the unpenalized `glm`.
+
+    Families: binomial/logit (Bernoulli y ∈ [0,1]) and poisson/log
+    (y ≥ 0). No m_col/offset on this surface (use `glm` for those,
+    unpenalized). Converges on max coefficient change ≤ `tol`."""
+    from sparkglm_spark.functions.families import get_family
+    from sparkglm_spark.functions.links import get_link
+
+    if family not in ("binomial", "poisson"):
+        raise ValueError(
+            f"glm_elastic_net supports binomial and poisson, got {family!r}"
+        )
+    lam = float(reg_param)
+    alpha = float(elastic_net_param)
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError("elastic_net_param must be in [0, 1]")
+    if lam < 0.0:
+        raise ValueError("reg_param must be >= 0")
+    fam = get_family(family)
+    lnk = get_link(fam.default_link)
+    encoded, x_cols, target, levels = _encode_formula(df, formula, na_action)
+    has_int = "intercept" in x_cols
+    i0 = x_cols.index("intercept") if has_int else None
+    feats = [i for i in range(len(x_cols)) if i != i0]
+    fnames = [x_cols[i] for i in feats]
+    k = len(x_cols)
+    p = len(feats)
+
+    from sparkglm_spark.plans.partitioning import ensure_parallel
+
+    work = ensure_parallel(encoded.select(target, *x_cols)).persist()
+    try:
+        y = F.col(target)
+        one = F.lit(1.0)
+        # upfront pass: n, ȳ, and the UNWEIGHTED feature moments for the
+        # fixed standardization (computed once — MLlib's summarizer)
+        aggs0 = [F.count(F.lit(1)).alias("n"), F.sum(y).alias("sy")]
+        for i, j in enumerate(feats):
+            c = F.col(x_cols[j])
+            aggs0.append(F.sum(c).alias(f"s_{i}"))
+            aggs0.append(F.sum(c * c).alias(f"ss_{i}"))
+        r0 = work.agg(*aggs0).collect()[0]
+        n = int(r0["n"])
+        if n <= 1:
+            raise ValueError("need more than one row")
+        y_mean = float(r0["sy"]) / n
+        ms = np.array([float(r0[f"s_{i}"]) for i in range(p)]) / n
+        sig = np.sqrt(
+            np.maximum(
+                (np.array([float(r0[f"ss_{i}"]) for i in range(p)]) - n * ms * ms)
+                / (n - 1),
+                0.0,
+            )
+        )
+
+        # family domain guards (cheap second scan avoided: trust + clamp)
+        if family == "binomial" and not 0.0 < y_mean < 1.0:
+            raise ValueError("binomial label is constant 0 or 1")
+        if family == "poisson" and y_mean <= 0.0:
+            raise ValueError("poisson label sums to 0 — no signal to fit")
+
+        beta = np.zeros(k)
+        if has_int:
+            # standard glmnet start: β = 0, intercept = link(ȳ)
+            mu0 = min(max(y_mean, 1e-10), 1 - 1e-10) if family == "binomial" else y_mean
+            beta[i0] = float(lnk.link_np(np.array([mu0]), 1.0)[0]) if hasattr(
+                lnk, "link_np"
+            ) else float(np.log(mu0 / (1 - mu0)) if family == "binomial" else np.log(mu0))
+
+        theta = np.zeros(p)
+        xs = [F.col(c) for c in x_cols]
+        dev = None
+        converged = False
+        n_iter = 0
+        for _ in range(max_iter):
+            eta = F.lit(0.0)
+            for c, bb in zip(xs, beta):
+                eta = eta + F.lit(float(bb)) * c
+            mu = lnk.unlink(eta, one)
+            if family == "binomial":
+                mu = F.least(F.greatest(mu, F.lit(1e-10)), F.lit(1.0 - 1e-10))
+            grad = lnk.lprime(mu, one)
+            w = F.lit(1.0) / (fam.variance(mu, one) * grad * grad)
+            z = eta + (y - mu) * grad
+            proj = work.select(
+                *xs, w.alias("__w"), z.alias("__z"),
+                fam.deviance_term(y, mu, one).alias("__devt"),
+            )
+            w_c, z_c = F.col("__w"), F.col("__z")
+            aggs = []
+            for i in range(k):
+                for j in range(i, k):
+                    aggs.append(F.sum(w_c * xs[i] * xs[j]).alias(f"g_{i}_{j}"))
+                aggs.append(F.sum(w_c * xs[i] * z_c).alias(f"xz_{i}"))
+            aggs.append(F.sum(w_c).alias("sw"))
+            aggs.append(F.sum(w_c * z_c).alias("swz"))
+            aggs.append((F.lit(2.0) * F.sum(F.col("__devt"))).alias("dev"))
+            r = proj.agg(*aggs).collect()[0]
+            dev = float(r["dev"])
+            Gw = np.empty((k, k))
+            for i in range(k):
+                for j in range(i, k):
+                    Gw[i, j] = Gw[j, i] = float(r[f"g_{i}_{j}"])
+            gz = np.array([float(r[f"xz_{i}"]) for i in range(k)])
+            sw = float(r["sw"])
+            swz = float(r["swz"])
+            Gf = Gw[np.ix_(feats, feats)]
+            bf = gz[feats]
+            if has_int:
+                # weighted centering against the free intercept
+                wx = Gw[i0, feats]  # Σ w·xⱼ
+                A = Gf - np.outer(wx, wx) / sw
+                bvec = bf - wx * (swz / sw)
+            else:
+                A = Gf
+                bvec = bf
+            theta = _cd_wls_penalized(
+                A, bvec, n, sig, lam, alpha, standardize, theta,
+                max_sweeps, tol * 0.01,
+            )
+            new_beta = np.zeros(k)
+            bfeat = np.where(sig > 0, theta / np.where(sig > 0, sig, 1.0), 0.0)
+            for idx, j in enumerate(feats):
+                new_beta[j] = bfeat[idx]
+            if has_int:
+                new_beta[i0] = (swz - wx @ bfeat) / sw
+            delta = float(np.max(np.abs(new_beta - beta))) if k else 0.0
+            beta = new_beta
+            n_iter += 1
+            if delta <= tol:
+                converged = True
+                break
+    finally:
+        work.unpersist()
+
+    return GLMElasticNet(
+        xnames=list(x_cols),
+        yname=target,
+        coefs=beta,
+        family=family,
+        link=fam.default_link,
+        reg_param=lam,
+        elastic_net_param=alpha,
+        standardize=standardize,
+        deviance=dev if dev is not None else float("nan"),
+        nrow=n,
+        iter=n_iter,
+        converged=converged,
+        levels=levels,
+        call=(
+            f"glm_elastic_net({formula}, family={family}, reg_param={lam}, "
+            f"elastic_net_param={alpha})"
+        ),
+    )

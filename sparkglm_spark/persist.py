@@ -14,7 +14,7 @@ import json
 
 import numpy as np
 
-from sparkglm_spark.operators.enet import ElasticNetLM
+from sparkglm_spark.operators.enet import ElasticNetLM, GLMElasticNet
 from sparkglm_spark.operators.evaluate import IsotonicCalibration
 from sparkglm_spark.operators.glm import GLM
 from sparkglm_spark.operators.lm import LM, HuberLM, QuantileLM
@@ -35,6 +35,25 @@ def model_to_dict(model: LM | GLM | HuberLM | QuantileLM | CoxPH) -> dict:
             "score_col": model.score_col,
             "boundaries": _arr(model.boundaries),
             "predictions": _arr(model.predictions),
+        }
+    if isinstance(model, GLMElasticNet):
+        return {
+            "format_version": _FORMAT_VERSION,
+            "kind": "glm_enet",
+            "xnames": list(model.xnames),
+            "yname": model.yname,
+            "coefs": _arr(model.coefs),
+            "family": model.family,
+            "link": model.link,
+            "reg_param": float(model.reg_param),
+            "elastic_net_param": float(model.elastic_net_param),
+            "standardize": bool(model.standardize),
+            "deviance": float(model.deviance),
+            "nrow": int(model.nrow),
+            "iter": int(model.iter),
+            "converged": bool(model.converged),
+            "levels": {k: list(v) for k, v in model.levels.items()},
+            "call": model.call,
         }
     if isinstance(model, ElasticNetLM):
         return {
@@ -178,6 +197,23 @@ def model_from_dict(d: dict) -> LM | GLM | HuberLM | QuantileLM | CoxPH:
             boundaries=d["boundaries"],
             predictions=d["predictions"],
             score_col=d["score_col"],
+        )
+    if d["kind"] == "glm_enet":
+        return GLMElasticNet(
+            xnames=list(d["xnames"]),
+            yname=d["yname"],
+            coefs=np.asarray(d["coefs"], dtype=np.float64),
+            family=d["family"],
+            link=d["link"],
+            reg_param=float(d["reg_param"]),
+            elastic_net_param=float(d["elastic_net_param"]),
+            standardize=bool(d["standardize"]),
+            deviance=float(d["deviance"]),
+            nrow=int(d["nrow"]),
+            iter=int(d["iter"]),
+            converged=bool(d["converged"]),
+            levels={k: list(v) for k, v in d.get("levels", {}).items()},
+            call=d.get("call", ""),
         )
     if d["kind"] == "enet":
         return ElasticNetLM(

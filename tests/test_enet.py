@@ -377,3 +377,127 @@ def test_elastic_net_grouped_plan_shape(spark):
     )
     # formatted mode lists each node in tree + detail: count detail ids
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+@pytest.fixture(scope="module")
+def logit_data(spark):
+    rng = np.random.default_rng(5)
+    n = 2500
+    X = rng.normal(size=(n, 4)) * np.array([1.0, 2.5, 0.6, 1.5])
+    eta = -0.5 + X @ np.array([0.8, 0.0, -1.2, 0.0])
+    y = (rng.random(n) < 1 / (1 + np.exp(-eta))).astype(float)
+    rows = [(float(y[i]), *[float(v) for v in X[i]]) for i in range(n)]
+    return spark.createDataFrame(
+        rows, "y double, x1 double, x2 double, x3 double, x4 double"
+    )
+
+
+@pytest.mark.parametrize("std", [True, False])
+@pytest.mark.parametrize("lam,alpha", [(0.02, 1.0), (0.02, 0.5), (0.05, 0.0)])
+def test_glm_enet_matches_mllib_logistic(logit_data, std, lam, alpha):
+    """GOLDEN: MLlib LogisticRegression(regParam, elasticNetParam,
+    standardization) — the penalized-IRLS (glmnet prox-Newton) fit must
+    land on OWLQN's optimum. Pins the logistic penalty conventions: no
+    label scaling, upfront unweighted feature stds, intercept
+    unpenalized."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    from sparkglm_spark.operators.enet import glm_elastic_net
+
+    fd = VectorAssembler(
+        inputCols=["x1", "x2", "x3", "x4"], outputCol="features"
+    ).transform(logit_data)
+    lr = LogisticRegression(
+        labelCol="y", regParam=lam, elasticNetParam=alpha,
+        standardization=std, maxIter=500, tol=1e-10,
+    ).fit(fd)
+    m = glm_elastic_net(
+        logit_data, "y ~ x1 + x2 + x3 + x4", reg_param=lam,
+        elastic_net_param=alpha, family="binomial", standardize=std,
+    )
+    want = np.array([lr.intercept] + list(lr.coefficients))
+    assert m.converged
+    assert np.abs(m.coefs - want).max() < 1e-6
+    assert [abs(c) < 1e-8 for c in m.coefs] == [abs(c) < 1e-8 for c in want]
+
+
+def test_glm_enet_zero_penalty_equals_glm(logit_data):
+    from sparkglm_spark.operators.glm import glm
+    from sparkglm_spark.operators.enet import glm_elastic_net
+
+    un = glm(logit_data, "y ~ x1 + x2 + x3 + x4", family="binomial")
+    m = glm_elastic_net(
+        logit_data, "y ~ x1 + x2 + x3 + x4", reg_param=0.0, family="binomial"
+    )
+    assert np.abs(m.coefs - un.coefs).max() < 1e-6
+    assert m.deviance == pytest.approx(un.deviance, rel=1e-8)
+
+
+def test_glm_enet_poisson_kkt(spark):
+    """Poisson lasso has no MLlib analog — verify the fit by its KKT
+    conditions on the standardized problem: for the objective
+    (1/n)Σ(μ − y·η) + λα‖θ‖₁ + λ(1−α)/2‖θ‖², at the optimum
+    (1/n)·x̂ⱼ'(μ − y) + λ(1−α)θⱼ = −λα·sign(θⱼ) for active coords and
+    |(1/n)·x̂ⱼ'(μ − y)| ≤ λα for zeroed ones (x̂ centered/scaled since
+    the unpenalized intercept absorbs means)."""
+    from sparkglm_spark.operators.enet import glm_elastic_net
+
+    rng = np.random.default_rng(19)
+    n = 2000
+    X = rng.normal(size=(n, 3)) * np.array([1.0, 2.0, 0.7])
+    mu = np.exp(0.3 + X @ np.array([0.5, 0.0, -0.4]))
+    y = rng.poisson(mu).astype(float)
+    df = spark.createDataFrame(
+        [(float(y[i]), *[float(v) for v in X[i]]) for i in range(n)],
+        "y double, x1 double, x2 double, x3 double",
+    )
+    lam, alpha = 0.05, 0.8
+    m = glm_elastic_net(
+        df, "y ~ x1 + x2 + x3", reg_param=lam, elastic_net_param=alpha,
+        family="poisson", tol=1e-12,
+    )
+    assert m.converged
+    beta = m.coefs
+    eta = beta[0] + X @ beta[1:]
+    mu_hat = np.exp(eta)
+    sig = X.std(axis=0, ddof=1)
+    xc = X - X.mean(axis=0)
+    theta = beta[1:] * sig
+    grad = (xc / sig).T @ (mu_hat - y) / n
+    for j in range(3):
+        if theta[j] != 0.0:
+            kkt = grad[j] + lam * (1 - alpha) * theta[j] + lam * alpha * np.sign(theta[j])
+            assert abs(kkt) < 1e-7, (j, kkt)
+        else:
+            assert abs(grad[j]) <= lam * alpha + 1e-9, (j, grad[j])
+    # intercept stationarity: mean residual is zero
+    assert abs((mu_hat - y).sum() / n) < 1e-8
+
+
+def test_glm_enet_predict_persist_and_guards(logit_data, tmp_path):
+    from sparkglm_spark.operators.enet import GLMElasticNet, glm_elastic_net
+    from sparkglm_spark.persist import load_model, save_model
+
+    m = glm_elastic_net(
+        logit_data, "y ~ x1 + x2 + x3 + x4", reg_param=0.05,
+        elastic_net_param=1.0,
+    )
+    assert m.n_nonzero == 2
+    out = m.predict(logit_data).select("prediction").limit(20).collect()
+    assert all(0.0 < r.prediction < 1.0 for r in out)
+    lk = m.predict(logit_data, type="link").select("prediction").first()
+    assert np.isfinite(lk.prediction)
+    with pytest.raises(ValueError, match="type"):
+        m.predict(logit_data, type="odds")
+    path = str(tmp_path / "glm_enet.json")
+    save_model(m, path)
+    back = load_model(path)
+    assert isinstance(back, GLMElasticNet)
+    assert np.array_equal(back.coefs, m.coefs) and back.family == "binomial"
+    with pytest.raises(ValueError, match="binomial and poisson"):
+        glm_elastic_net(logit_data, "y ~ x1", reg_param=0.1, family="gamma")
+    with pytest.raises(ValueError, match="constant"):
+        glm_elastic_net(
+            logit_data.withColumn("y", F.lit(1.0)), "y ~ x1", reg_param=0.1
+        )
