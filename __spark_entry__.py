@@ -1297,6 +1297,45 @@ def q_glm_families_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("tweedie", "deviance", round(m.deviance, 2)),
         ("tweedie", "iterations", float(m.iter)),
     ]
+    # r10: penalized logistic (operators/enet.py::glm_elastic_net) at
+    # exactly 3 outer IRLS solves. The label is a planted Bernoulli
+    # (hash-uniform u vs sigmoid(−1 + 2·qty/50) — the comparison's
+    # cross-engine flip risk is ~1e-11/row: u has a 1e-6 quantum, the
+    # sigmoid drifts ~1e-16), so the standardized correlation ≈ 0.3
+    # clears the soft threshold αλ = 0.01 by 30×. With ONE covariate
+    # the inner CD is exact in a single soft-threshold update, so the
+    # SQL unrolls the whole trajectory in scalar CTEs. Deviance is the
+    # 3rd aggregation's value (evaluated at β₂ — the exit convention).
+    from sparkglm_spark.operators.enet import glm_elastic_net
+
+    en_in = li.select(
+        F.when(
+            (
+                (
+                    (F.col("l_orderkey") * 8 + F.col("l_linenumber"))
+                    * F.lit(2654435761).cast("long")
+                )
+                % 1000000
+            ).cast("double")
+            / 1000000.0
+            < 1.0 / (1.0 + F.exp(1.0 - 2.0 * (F.col("l_quantity") / 50.0))),
+            1.0,
+        )
+        .otherwise(0.0)
+        .alias("yy"),
+        (F.col("l_quantity") / 50.0).alias("xx"),
+    )
+    m = glm_elastic_net(
+        en_in, "yy ~ xx", reg_param=0.02, elastic_net_param=0.5,
+        exact_iterations=3,
+    )
+    rows += [
+        ("enet_logit", "coef_intercept", round(float(m.coefs[0]), 6)),
+        ("enet_logit", "coef_xx", round(float(m.coefs[1]), 6)),
+        ("enet_logit", "deviance", round(m.deviance, 2)),
+        ("enet_logit", "iterations", float(m.iter)),
+        ("enet_logit", "n_nonzero", float(m.n_nonzero)),
+    ]
     return spark.createDataFrame(
         rows, "family string, stat string, value double"
     ).orderBy("family", "stat")
@@ -1347,7 +1386,71 @@ def _sql_glm_families_fit() -> str:
          CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS sxy
   FROM lineitem)"""
     )
+    # r10: penalized-logistic 3-outer-solve unroll — see the Spark arm's
+    # comment. State CTEs carry (b0, b1, th); with one covariate the
+    # inner CD's ρ = b̃/n exactly (the θ-dot cancels its own add-back),
+    # so each outer iteration is: weighted agg → centered/standardized
+    # scalars → one soft-threshold → intercept back-out.
+    ctes.append(
+        "enb AS (SELECT CASE WHEN CAST((l_orderkey * 8 + l_linenumber)"
+        " * 2654435761 % 1000000 AS DOUBLE) / 1000000.0"
+        " < 1.0 / (1.0 + exp(1.0 - 2.0 * (CAST(l_quantity AS DOUBLE) / 50.0)))"
+        " THEN 1.0 ELSE 0.0 END AS y,"
+        " CAST(l_quantity AS DOUBLE) / 50.0 AS x FROM lineitem)"
+    )
+    ctes.append(
+        "ens AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(y) AS sy,"
+        " SUM(x) AS sx, SUM(x * x) AS sxx FROM enb)"
+    )
+    ctes.append(
+        "ens2 AS (SELECT n, sy / n AS ym,"
+        " SQRT((sxx - n * (sx / n) * (sx / n)) / (n - 1.0)) AS sg FROM ens)"
+    )
+    ctes.append(
+        "en0 AS (SELECT n, sg,"
+        " ln(LEAST(GREATEST(ym, 1e-10), 1.0 - 1e-10)"
+        " / (1.0 - LEAST(GREATEST(ym, 1e-10), 1.0 - 1e-10))) AS b0,"
+        " 0.0 AS b1 FROM ens2)"
+    )
+    for i in range(1, 4):
+        prev = f"en{i - 1}"
+        # per-row kernels at the current state; the engine's w expression
+        # shape is 1/(V·g²) with g = 1/(μ(1−μ)) — replicated for ulp parity
+        ctes.append(
+            f"en{i}a AS (SELECT {prev}.n AS n, {prev}.sg AS sg,"
+            f" SUM(w) AS sw, SUM(w * x) AS swx, SUM(w * x * x) AS swxx,"
+            f" SUM(w * z) AS swz, SUM(w * x * z) AS swxz,"
+            f" 2.0 * SUM(CASE WHEN y > 0 THEN y * ln(GREATEST(y, 1.0) / mu)"
+            f" ELSE 0.0 END + CASE WHEN 1.0 - y > 0 THEN (1.0 - y)"
+            f" * ln(GREATEST(1.0 - y, 1.0) / (1.0 - mu)) ELSE 0.0 END) AS dev"
+            f" FROM (SELECT y, x, mu,"
+            f" 1.0 / ((mu * (1.0 - mu)) * g * g) AS w,"
+            f" eta + (y - mu) * g AS z FROM"
+            f" (SELECT y, x, eta, mu, 1.0 / (mu * (1.0 - mu)) AS g FROM"
+            f" (SELECT y, x, eta, LEAST(GREATEST(1.0 / (1.0 + exp(-eta)),"
+            f" 1e-10), 1.0 - 1e-10) AS mu FROM"
+            f" (SELECT enb.y, enb.x, {prev}.b0 + {prev}.b1 * enb.x AS eta"
+            f" FROM enb CROSS JOIN {prev}) q1) q2) q3) q4"
+            f" CROSS JOIN {prev} GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"en{i} AS (SELECT n, sg, (swz - swx * b1n) / sw AS b0,"
+            f" b1n AS b1, dev FROM (SELECT n, sg, sw, swx, swz, dev,"
+            f" CASE WHEN sg > 0 THEN"
+            f" SIGN(((swxz - swx * (swz / sw)) / sg) / n)"
+            f" * GREATEST(ABS(((swxz - swx * (swz / sw)) / sg) / n)"
+            f" - 0.5 * 0.02, 0.0)"
+            f" / (((swxx - swx * swx / sw) / (sg * sg)) / n + 0.5 * 0.02)"
+            f" / sg ELSE 0.0 END AS b1n FROM en{i}a) s)"
+        )
     selects = [
+        "SELECT 'enet_logit' AS family, 'coef_intercept' AS stat,"
+        " ROUND(b0, 6) AS value FROM en3",
+        "SELECT 'enet_logit', 'coef_xx', ROUND(b1, 6) FROM en3",
+        "SELECT 'enet_logit', 'deviance', ROUND(dev, 2) FROM en3",
+        "SELECT 'enet_logit', 'iterations', 3.0 FROM en3",
+        "SELECT 'enet_logit', 'n_nonzero',"
+        " CAST(CASE WHEN b1 <> 0 THEN 1 ELSE 0 END AS DOUBLE) FROM en3",
         "SELECT 'gaussian' AS family, 'coef_intercept' AS stat, ROUND((sy * sxx - sx * sxy) / (n * sxx - sx * sx), 1) AS value FROM gs",
         "SELECT 'gaussian', 'coef_l_quantity', ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 1) FROM gs",
         "SELECT 'gaussian', 'iterations', 2.0 FROM gs",

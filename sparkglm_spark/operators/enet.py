@@ -670,6 +670,7 @@ def glm_elastic_net(
     max_iter: int = 100,
     tol: float = 1e-10,
     max_sweeps: int = 1000,
+    exact_iterations: int | None = None,
 ) -> GLMElasticNet:
     """Sparse GLM — L1(+L2)-penalized logistic / Poisson regression with
     the MLlib `LogisticRegression(regParam, elasticNetParam,
@@ -692,7 +693,11 @@ def glm_elastic_net(
 
     Families: binomial/logit (Bernoulli y ∈ [0,1]) and poisson/log
     (y ≥ 0). No m_col/offset on this surface (use `glm` for those,
-    unpenalized). Converges on max coefficient change ≤ `tol`."""
+    unpenalized). Converges on max coefficient change ≤ `tol`;
+    `exact_iterations=N` runs exactly N outer solves with no
+    convergence test (deterministic trajectory — the oracle-pin hook;
+    with a single covariate the inner CD is exact in one update, so
+    the whole trajectory is closed-form)."""
     from sparkglm_spark.functions.families import get_family
     from sparkglm_spark.functions.links import get_link
 
@@ -762,6 +767,8 @@ def glm_elastic_net(
         dev = None
         converged = False
         n_iter = 0
+        if exact_iterations is not None:
+            max_iter = exact_iterations
         for _ in range(max_iter):
             eta = F.lit(0.0)
             for c, bb in zip(xs, beta):
@@ -817,9 +824,11 @@ def glm_elastic_net(
             delta = float(np.max(np.abs(new_beta - beta))) if k else 0.0
             beta = new_beta
             n_iter += 1
-            if delta <= tol:
+            if exact_iterations is None and delta <= tol:
                 converged = True
                 break
+        if exact_iterations is not None:
+            converged = True
     finally:
         work.unpersist()
 

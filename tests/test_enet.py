@@ -501,3 +501,20 @@ def test_glm_enet_predict_persist_and_guards(logit_data, tmp_path):
         glm_elastic_net(
             logit_data.withColumn("y", F.lit(1.0)), "y ~ x1", reg_param=0.1
         )
+
+
+def test_glm_enet_exact_iterations_deterministic(logit_data):
+    """exact_iterations: fixed outer-solve count, deterministic
+    trajectory (the oracle-pin hook); more iterations converge onto the
+    tol-converged fit."""
+    from sparkglm_spark.operators.enet import glm_elastic_net
+
+    a = glm_elastic_net(logit_data, "y ~ x1", reg_param=0.02,
+                        exact_iterations=3)
+    b = glm_elastic_net(logit_data, "y ~ x1", reg_param=0.02,
+                        exact_iterations=3)
+    assert np.array_equal(a.coefs, b.coefs) and a.iter == 3
+    full = glm_elastic_net(logit_data, "y ~ x1", reg_param=0.02)
+    more = glm_elastic_net(logit_data, "y ~ x1", reg_param=0.02,
+                           exact_iterations=25)
+    assert np.abs(more.coefs - full.coefs).max() < 1e-9
