@@ -59,7 +59,12 @@ from pyspark.ml.util import (
 )
 from pyspark.sql import DataFrame
 
-from sparkglm_spark.operators.enet import ElasticNetLM, elastic_net
+from sparkglm_spark.operators.enet import (
+    ElasticNetLM,
+    GLMElasticNet,
+    elastic_net,
+    glm_elastic_net,
+)
 from sparkglm_spark.operators.glm import GLM, glm
 from sparkglm_spark.operators.lm import LM, lm
 from sparkglm_spark.persist import model_from_dict, model_to_dict
@@ -224,6 +229,26 @@ class _SparkGLMParams(_FormulaParams):
         "tweedie variance exponent p in (1, 2); other families ignore it",
         typeConverter=TypeConverters.toFloat,
     )
+    regParam = Param(
+        Params._dummy(),
+        "regParam",
+        "elastic-net penalty lambda (> 0 routes binomial/poisson fits "
+        "through glm_elastic_net — MLlib LogisticRegression convention; "
+        "mutually exclusive with mCol/offsetCol/link overrides)",
+        typeConverter=TypeConverters.toFloat,
+    )
+    elasticNetParam = Param(
+        Params._dummy(),
+        "elasticNetParam",
+        "L1 mixing alpha in [0, 1]; only used when regParam > 0",
+        typeConverter=TypeConverters.toFloat,
+    )
+    standardization = Param(
+        Params._dummy(),
+        "standardization",
+        "penalize standardized coefficients; only used when regParam > 0",
+        typeConverter=TypeConverters.toBoolean,
+    )
 
     def __init__(self):
         super().__init__()
@@ -236,6 +261,9 @@ class _SparkGLMParams(_FormulaParams):
             maxIter=50,
             predictionType="response",
             varPower=1.5,
+            regParam=0.0,
+            elasticNetParam=0.0,
+            standardization=True,
         )
 
     def getFamily(self) -> str:
@@ -261,6 +289,15 @@ class _SparkGLMParams(_FormulaParams):
 
     def getVarPower(self) -> float:
         return self.getOrDefault(self.varPower)
+
+    def getRegParam(self) -> float:
+        return self.getOrDefault(self.regParam)
+
+    def getElasticNetParam(self) -> float:
+        return self.getOrDefault(self.elasticNetParam)
+
+    def getStandardization(self) -> bool:
+        return self.getOrDefault(self.standardization)
 
 
 def _kwargs_setter(obj, kwargs):
@@ -440,35 +477,59 @@ class SparkGLM(Estimator, _SparkGLMParams, DefaultParamsReadable, DefaultParamsW
     def _fit(self, dataset: DataFrame) -> "SparkGLMModel":
         if not self.isDefined(self.formula):
             raise ValueError("SparkGLM requires the 'formula' param")
-        inner = glm(
-            dataset,
-            self.getFormula(),
-            family=self.getFamily(),
-            link=self.getLink() or None,
-            m_col=self.getMCol() or None,
-            offset_col=self.getOffsetCol() or None,
-            tol=self.getTol(),
-            max_iter=self.getMaxIter(),
-            na_action=self.getNaAction(),
-            var_power=self.getVarPower(),
-        )
+        if self.getRegParam() > 0.0:
+            if self.getMCol() or self.getOffsetCol() or self.getLink():
+                raise ValueError(
+                    "regParam (penalized fit) supports only the default "
+                    "link and no mCol/offsetCol — use an unpenalized "
+                    "SparkGLM for those"
+                )
+            inner = glm_elastic_net(
+                dataset,
+                self.getFormula(),
+                reg_param=self.getRegParam(),
+                elastic_net_param=self.getElasticNetParam(),
+                family=self.getFamily(),
+                standardize=self.getStandardization(),
+                na_action=self.getNaAction(),
+            )
+        else:
+            inner = glm(
+                dataset,
+                self.getFormula(),
+                family=self.getFamily(),
+                link=self.getLink() or None,
+                m_col=self.getMCol() or None,
+                offset_col=self.getOffsetCol() or None,
+                tol=self.getTol(),
+                max_iter=self.getMaxIter(),
+                na_action=self.getNaAction(),
+                var_power=self.getVarPower(),
+            )
         return self._copyValues(SparkGLMModel(inner))
 
 
 class SparkGLMModel(Model, _SparkGLMParams, MLWritable, MLReadable):
     """Fitted GLM as a `pyspark.ml.Model`; `transform()` appends mu
     (or eta when predictionType='link') as one codegen projection —
-    same plan as `GLM.predict`."""
+    same plan as `GLM.predict`. `.model` is a `GLM`, or a
+    `GLMElasticNet` when the estimator ran the regParam > 0 path (same
+    response/link predict contract; `summary()` is unpenalized-only)."""
 
-    def __init__(self, model: GLM | None = None):
+    def __init__(self, model: "GLM | GLMElasticNet | None" = None):
         super().__init__()
         self._model_obj = model
 
     @property
-    def model(self) -> GLM:
+    def model(self) -> "GLM | GLMElasticNet":
         return self._model_obj
 
     def summary(self):
+        if isinstance(self._model_obj, GLMElasticNet):
+            raise ValueError(
+                "summary() needs the unpenalized inference stats — read "
+                "coefs / n_nonzero / deviance off .model instead"
+            )
         return self._model_obj.summary()
 
     def _transform(self, dataset: DataFrame) -> DataFrame:
@@ -484,9 +545,10 @@ class SparkGLMModel(Model, _SparkGLMParams, MLWritable, MLReadable):
     @classmethod
     def _from_payload(cls, payload: dict, path: str) -> "SparkGLMModel":
         inner = model_from_dict(payload)
-        if not isinstance(inner, GLM):
+        if not isinstance(inner, (GLM, GLMElasticNet)):
             raise ValueError(
-                f"{path} holds a {type(inner).__name__}, expected GLM"
+                f"{path} holds a {type(inner).__name__}, expected "
+                "GLM/GLMElasticNet"
             )
         return cls(inner)
 

@@ -300,6 +300,100 @@ def ewma_series(
     )
 
 
+def ewma_forecast(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float,
+    horizons: list[int] = (1,),
+    tiebreak_col: str | None = None,
+    interval: bool = False,
+    level: float = 0.95,
+) -> DataFrame:
+    """Per-key simple-exponential-smoothing END STATE + flat h-step
+    forecasts ŷ_{T+h} = l_T (SES forecasts are constant in h — use
+    `holt_forecast` when series drift) — completes the smoothing
+    family's forecast surface below Holt/Holt-Winters. Recursion
+    l_t = α·x_t + (1−α)·l_{t−1}, l₁ = x₁ (the `ewma_series`
+    adjust=False form).
+
+    `interval=True` adds (se_<h>, lo_<h>, hi_<h>): the innovations
+    interval with c_j = α for every lag (a one-step error moves the
+    level by α and the flat forecast carries it), so
+    Var(ŷ_{T+h}) = σ̂²·(1 + (h−1)·α²) with σ̂² the mean squared
+    one-step residual (n−1 of them); normal-quantile bounds; single-row
+    keys report NULL se/lo/hi.
+
+    NULL POLICY (family-wide — see `_drop_null_values`): null/NaN value
+    rows are dropped before the fold."""
+    import numpy as np
+    import pandas as pd
+
+    if not horizons:
+        raise ValueError("horizons must be non-empty")
+    if any(int(h) < 1 for h in horizons):
+        raise ValueError("horizons must be >= 1")
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha!r}")
+    if not 0.0 < level < 1.0:
+        raise ValueError("level must be in (0, 1)")
+    df = _drop_null_values(df, F.col(value_col).cast("double"))
+    hs = [int(h) for h in horizons]
+    zq = None
+    if interval:
+        from sparkglm_spark.functions.special import norm_ppf
+
+        zq = float(norm_ppf(0.5 + level / 2.0))
+    sort_cols = ["__ts"] + (["__tb"] if tiebreak_col else [])
+    base = df.select(
+        F.col(key_col),
+        F.col(ts_col).alias("__ts"),
+        F.col(value_col).cast("double").alias("__x"),
+        *([F.col(tiebreak_col).alias("__tb")] if tiebreak_col else []),
+    )
+    fcols = ", ".join(f"forecast_{h} double" for h in hs)
+    if interval:
+        fcols += ", " + ", ".join(
+            f"se_{h} double, lo_{h} double, hi_{h} double" for h in hs
+        )
+    schema = (
+        f"{key_col} {base.schema[key_col].dataType.simpleString()}, "
+        f"n_events bigint, level double, {fcols}"
+    )
+
+    def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        x = pdf["__x"].to_numpy(np.float64)
+        n = len(x)
+        lvl = x[0]
+        sse = 0.0
+        for i in range(1, n):
+            sse += (x[i] - lvl) * (x[i] - lvl)
+            lvl = alpha * x[i] + (1.0 - alpha) * lvl
+        row = {
+            pdf.columns[0]: [pdf.iloc[0, 0]],
+            "n_events": [n],
+            "level": [lvl],
+        }
+        for h in hs:
+            row[f"forecast_{h}"] = [lvl]
+        if interval:
+            sig2 = sse / (n - 1) if n > 1 else None
+            for h in hs:
+                se = (
+                    None
+                    if sig2 is None
+                    else float(np.sqrt(sig2 * (1.0 + (h - 1) * alpha * alpha)))
+                )
+                row[f"se_{h}"] = [se]
+                row[f"lo_{h}"] = [None if se is None else lvl - zq * se]
+                row[f"hi_{h}"] = [None if se is None else lvl + zq * se]
+        return pd.DataFrame(row)
+
+    return base.groupBy(key_col).applyInPandas(per_key, schema).orderBy(key_col)
+
+
 def holt_series(
     df: DataFrame,
     key_col: str,

@@ -518,3 +518,33 @@ def test_glm_enet_exact_iterations_deterministic(logit_data):
     more = glm_elastic_net(logit_data, "y ~ x1", reg_param=0.02,
                            exact_iterations=25)
     assert np.abs(more.coefs - full.coefs).max() < 1e-9
+
+
+def test_spark_glm_elastic_net_path(logit_data, tmp_path):
+    """SparkGLM(regParam, elasticNetParam) routes through
+    glm_elastic_net; transform scores on the configured scale; the
+    MLWriter round-trip restores the penalized model; incompatible
+    params raise."""
+    from sparkglm_spark.ml import SparkGLM, SparkGLMModel
+    from sparkglm_spark.operators.enet import GLMElasticNet, glm_elastic_net
+
+    est = SparkGLM(
+        formula="y ~ x1 + x2 + x3 + x4", regParam=0.05, elasticNetParam=1.0
+    )
+    m = est.fit(logit_data)
+    assert isinstance(m.model, GLMElasticNet) and m.model.n_nonzero == 2
+    twin = glm_elastic_net(
+        logit_data, "y ~ x1 + x2 + x3 + x4", reg_param=0.05,
+        elastic_net_param=1.0,
+    )
+    assert np.abs(m.model.coefs - twin.coefs).max() < 1e-12
+    p = m.transform(logit_data).select("prediction").first().prediction
+    assert 0.0 < p < 1.0
+    with pytest.raises(ValueError, match="summary"):
+        m.summary()
+    with pytest.raises(ValueError, match="default link"):
+        SparkGLM(formula="y ~ x1", regParam=0.1, link="probit").fit(logit_data)
+    mpath = str(tmp_path / "sglm_enet")
+    m.write().overwrite().save(mpath)
+    m2 = SparkGLMModel.read().load(mpath)
+    assert np.array_equal(m2.model.coefs, m.model.coefs)

@@ -677,3 +677,47 @@ def test_holt_interval_coverage_property(spark):
     cov = hits / n_keys
     # binomial sd at p=.9, n=300 is ~.017 — accept a generous 3σ+ band
     assert 0.84 <= cov <= 0.96, cov
+
+
+def test_ewma_forecast_matches_recursion_and_intervals(spark):
+    """ewma_forecast (r10): the SES end state equals the adjust=False
+    recursion, the forecast is flat in h, and the interval follows
+    Var_h = σ̂²(1+(h−1)α²) — hand-checked, plus the c_j = α impulse
+    identity on the linear fold."""
+    from sparkglm_spark.functions.special import norm_ppf
+    from sparkglm_spark.operators.timeseries import ewma_forecast
+
+    alpha = 0.35
+    rng = np.random.default_rng(41)
+    x = 20.0 + rng.normal(0, 1.0, 50)
+    rows = [("a", i, float(v)) for i, v in enumerate(x)]
+    rows.append(("solo", 0, 3.0))
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    got = {r.k: r for r in ewma_forecast(
+        df, "k", "t", "v", alpha, horizons=[1, 6], interval=True, level=0.8
+    ).collect()}
+    lvl, sse = x[0], 0.0
+    for i in range(1, len(x)):
+        sse += (x[i] - lvl) ** 2
+        lvl = alpha * x[i] + (1 - alpha) * lvl
+    sig2 = sse / (len(x) - 1)
+    z = norm_ppf(0.9)
+    r = got["a"]
+    assert r.level == pytest.approx(float(lvl), rel=1e-12)
+    assert r.forecast_1 == r.forecast_6 == pytest.approx(float(lvl), rel=1e-12)
+    for h in (1, 6):
+        se = np.sqrt(sig2 * (1 + (h - 1) * alpha**2))
+        assert getattr(r, f"se_{h}") == pytest.approx(float(se), rel=1e-12)
+        assert getattr(r, f"lo_{h}") == pytest.approx(float(lvl - z * se), rel=1e-12)
+    assert got["solo"].se_1 is None and got["solo"].forecast_6 == 3.0
+
+    # impulse identity: bump the last obs by 1 -> every horizon moves by α
+    def fc(arr):
+        l = arr[0]
+        for i in range(1, len(arr)):
+            l = alpha * arr[i] + (1 - alpha) * l
+        return l
+    d = fc(np.append(x, 21.0 + 1.0)) - fc(np.append(x, 21.0))
+    assert d == pytest.approx(alpha, abs=1e-12)
+    with pytest.raises(ValueError, match="alpha"):
+        ewma_forecast(df, "k", "t", "v", 0.0)
