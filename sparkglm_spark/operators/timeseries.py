@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from sparkglm_spark.plans.partitioning import fanout_groups
+
 _UNIT_SECONDS = {"hour": 3600, "day": 86400, "minute": 60}
 
 
@@ -291,7 +293,9 @@ def ewma_series(
         pdf[output_col] = pdf["__x"].ewm(alpha=alpha, adjust=adjust).mean()
         return pdf
 
-    out = base.groupBy(key_col).applyInPandas(per_key, schema)
+    out = fanout_groups(base, [key_col]).groupBy(key_col).applyInPandas(
+        per_key, schema
+    )
     return out.select(
         F.col(key_col),
         F.col("__ts").alias(ts_col),
@@ -391,7 +395,12 @@ def ewma_forecast(
                 row[f"hi_{h}"] = [None if se is None else lvl + zq * se]
         return pd.DataFrame(row)
 
-    return base.groupBy(key_col).applyInPandas(per_key, schema).orderBy(key_col)
+    return (
+        fanout_groups(base, [key_col])
+        .groupBy(key_col)
+        .applyInPandas(per_key, schema)
+        .orderBy(key_col)
+    )
 
 
 def holt_series(
@@ -470,7 +479,9 @@ def holt_series(
         )
         return out
 
-    out = base.groupBy(key_col).applyInPandas(per_key, schema)
+    out = fanout_groups(base, [key_col]).groupBy(key_col).applyInPandas(
+        per_key, schema
+    )
     return out.select(
         F.col(key_col),
         F.col("__ts").alias(ts_col),
@@ -589,7 +600,12 @@ def holt_forecast(
                 row[f"hi_{h}"] = [None if se is None else fc + zq * se]
         return pd.DataFrame(row)
 
-    return base.groupBy(key_col).applyInPandas(per_key, schema).orderBy(key_col)
+    return (
+        fanout_groups(base, [key_col])
+        .groupBy(key_col)
+        .applyInPandas(per_key, schema)
+        .orderBy(key_col)
+    )
 
 
 def _hw_fold(x, alpha, beta, gamma, m, state=None):
@@ -714,7 +730,9 @@ def holt_winters_series(
             out[c] = pd.array(v, dtype="Float64")
         return out
 
-    out = base.groupBy(key_col).applyInPandas(per_key, schema)
+    out = fanout_groups(base, [key_col]).groupBy(key_col).applyInPandas(
+        per_key, schema
+    )
     return out.select(
         F.col(key_col),
         F.col("__ts").alias(ts_col),
@@ -836,7 +854,12 @@ def holt_winters_forecast(
                     row[f"se_{h}"] = row[f"lo_{h}"] = row[f"hi_{h}"] = [None]
         return pd.DataFrame(row)
 
-    return base.groupBy(key_col).applyInPandas(per_key, schema).orderBy(key_col)
+    return (
+        fanout_groups(base, [key_col])
+        .groupBy(key_col)
+        .applyInPandas(per_key, schema)
+        .orderBy(key_col)
+    )
 
 
 def ljung_box(
@@ -914,7 +937,12 @@ def ljung_box(
                        max_abs_acf=[None])
         return pd.DataFrame(row)
 
-    return base.groupBy(key_col).applyInPandas(per_key, schema).orderBy(key_col)
+    return (
+        fanout_groups(base, [key_col])
+        .groupBy(key_col)
+        .applyInPandas(per_key, schema)
+        .orderBy(key_col)
+    )
 
 
 def seasonal_decompose(
@@ -995,7 +1023,9 @@ def seasonal_decompose(
                 out[c] = pd.array([None] * n, dtype="Float64")
         return out
 
-    out = base.groupBy(key_col).applyInPandas(per_key, schema)
+    out = fanout_groups(base, [key_col]).groupBy(key_col).applyInPandas(
+        per_key, schema
+    )
     return out.select(
         F.col(key_col),
         F.col("__ts").alias(ts_col),

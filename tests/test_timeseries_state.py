@@ -721,3 +721,28 @@ def test_ewma_forecast_matches_recursion_and_intervals(spark):
     assert d == pytest.approx(alpha, abs=1e-12)
     with pytest.raises(ValueError, match="alpha"):
         ewma_forecast(df, "k", "t", "v", 0.0)
+
+
+def test_per_key_fold_fanout_resists_aqe_coalescing(spark):
+    """r10 perf fix (caught by the timeseries_suite bench line on its
+    first clean-box run): AQE coalesces byte-small shuffles to 1-2
+    partitions, serializing the Python per-key folds onto 1-2 cores —
+    `fanout_groups` pins the exchange at the configured width
+    (explicit-numPartitions repartition is AQE-exempt) and the grouped
+    applyInPandas reuses that clustering. Assert the fold stage really
+    runs at the configured width."""
+    from sparkglm_spark.operators.timeseries import holt_forecast
+
+    df = spark.createDataFrame(
+        [(f"k{i % 40}", j, float(i + j)) for i in range(40) for j in range(30)],
+        "k string, t long, v double",
+    )
+    out = holt_forecast(df, "k", "t", "v", 0.4, 0.3, horizons=[1])
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    from sparkglm_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(out)
+    # the fold's input exchange is pinned (REPARTITION_BY_NUM is the
+    # AQE-coalescing-exempt marker) at the configured width on the key
+    assert "REPARTITION_BY_NUM" in plan
+    assert f"hashpartitioning(k#" in plan and f", {width}), REPARTITION_BY_NUM" in plan
