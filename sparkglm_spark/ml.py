@@ -492,6 +492,8 @@ class SparkGLM(Estimator, _SparkGLMParams, DefaultParamsReadable, DefaultParamsW
                 family=self.getFamily(),
                 standardize=self.getStandardization(),
                 na_action=self.getNaAction(),
+                tol=self.getTol(),
+                max_iter=self.getMaxIter(),
             )
         else:
             inner = glm(

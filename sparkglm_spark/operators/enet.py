@@ -196,17 +196,39 @@ class ElasticNetLM:
     @property
     def n_nonzero(self) -> int:
         """Selected support size, intercept excluded — the lasso's point."""
-        return int(
-            sum(
-                1
-                for nm, c in zip(self.xnames, self.coefs)
-                if nm != "intercept" and c != 0.0
-            )
-        )
+        return _count_nonzero(self.xnames, self.coefs)
 
     def predict(self, df: DataFrame, output_col: str = "prediction") -> DataFrame:
         expr = prediction_over_raw(self.xnames, self.coefs, self.levels, df.columns)
         return df.withColumn(output_col, expr)
+
+
+def _count_nonzero(x_cols: list[str], beta) -> int:
+    """Selected support size, intercept excluded — the single point of
+    truth for every surface's n_nonzero (exact-zero convention: CD's
+    soft-threshold produces literal 0.0 for dropped coordinates)."""
+    return int(
+        sum(1 for nm, c in zip(x_cols, beta) if nm != "intercept" and c != 0.0)
+    )
+
+
+def _prepare_gram(x: DataFrame, y_col: str, x_cols: list[str]):
+    """One Gram job for the CD solvers, with the no-intercept twist:
+    without an 'intercept' column the fit still scales by the CENTERED
+    stds (the MLlib fitIntercept=false convention), so the Gram carries
+    one extra ones-column row for the feature means — still a single
+    aggregation. Returns (gram_result, col_sums-or-None)."""
+    has_int = "intercept" in x_cols
+    gram_cols = list(x_cols)
+    if not has_int:
+        x = x.withColumn("__one", F.lit(1.0))
+        gram_cols = gram_cols + ["__one"]
+    g = gram_aggregate(x, gram_cols, y_col=y_col)
+    if g.n <= 1:
+        raise ValueError("need more than one row")
+    p = len(x_cols)
+    col_sums = None if has_int else g.xtx[p, :p].copy()
+    return g, col_sums
 
 
 def elastic_net_fit(
@@ -227,17 +249,11 @@ def elastic_net_fit(
     an intercept column the fit goes through the origin but still
     scales by the CENTERED stds (the MLlib fitIntercept=false
     convention), so the Gram carries one extra ones-column row for the
-    feature means — still a single job."""
-    has_int = "intercept" in x_cols
-    gram_cols = list(x_cols)
-    if not has_int:
-        x = x.withColumn("__one", F.lit(1.0))
-        gram_cols = gram_cols + ["__one"]
-    g = gram_aggregate(x, gram_cols, y_col=y_col)
-    if g.n <= 1:
-        raise ValueError("need more than one row")
+    feature means — still a single job (`_prepare_gram`)."""
+    if exact_sweeps is not None and exact_sweeps < 1:
+        raise ValueError("exact_sweeps must be >= 1")
+    g, col_sums = _prepare_gram(x, y_col, x_cols)
     p = len(x_cols)
-    col_sums = None if has_int else g.xtx[p, :p].copy()
     beta, sweeps, converged, sse = _cd_enet(
         g.xtx[:p, :p],
         g.xty[:p],
@@ -375,13 +391,7 @@ def elastic_net_cv(
                 col_sums=None if has_int else (tot[5] - xs_v),
             )
             sse_v = float(syy_v - 2.0 * beta @ xty_v + beta @ xtx_v @ beta)
-            nz = int(
-                sum(
-                    1
-                    for nm, c in zip(x_cols, beta)
-                    if nm != "intercept" and c != 0.0
-                )
-            )
+            nz = _count_nonzero(x_cols, beta)
             out.append(
                 (
                     float(lam),
@@ -419,27 +429,19 @@ def elastic_net_path(
     if not reg_params:
         raise ValueError("reg_params must be non-empty")
     encoded, x_cols, target, _levels = _encode_formula(df, formula, na_action)
-    has_int = "intercept" in x_cols
-    gram_cols = list(x_cols)
-    if not has_int:
-        encoded = encoded.withColumn("__one", F.lit(1.0))
-        gram_cols = gram_cols + ["__one"]
-    g = gram_aggregate(encoded, gram_cols, y_col=target)
-    if g.n <= 1:
-        raise ValueError("need more than one row")
+    g, col_sums = _prepare_gram(encoded, target, x_cols)
     p = len(x_cols)
-    col_sums = None if has_int else g.xtx[p, :p].copy()
     out = []
     theta = None
-    for lam in sorted({float(v) for v in reg_params}, reverse=True):
+    # duplicates are kept (one output block per input λ — the
+    # documented contract); descending order preserves the warm starts
+    for lam in sorted((float(v) for v in reg_params), reverse=True):
         beta, sweeps, _conv, _sse, theta = _cd_enet(
             g.xtx[:p, :p], g.xty[:p], g.n, float(g.sum_y), float(g.sum_y2),
             x_cols, lam, elastic_net_param, standardize, max_sweeps, tol,
             None, col_sums=col_sums, theta0=theta, return_theta=True,
         )
-        nz = int(
-            sum(1 for nm, c in zip(x_cols, beta) if nm != "intercept" and c != 0.0)
-        )
+        nz = _count_nonzero(x_cols, beta)
         for nm, c in zip(x_cols, beta):
             out.append((lam, nm, float(c), nz, sweeps))
     return df.sparkSession.createDataFrame(
@@ -544,13 +546,7 @@ def elastic_net_grouped(
                             names, lam, alpha, std, msw, ctol, nex,
                             col_sums=None if has_int else csums,
                         )
-                        nz = int(
-                            sum(
-                                1
-                                for nm, c in zip(names, beta)
-                                if nm != "intercept" and c != 0.0
-                            )
-                        )
+                        nz = _count_nonzero(names, beta)
                     except (ValueError, np.linalg.LinAlgError):
                         beta = None
                 for i, name in enumerate(names):
@@ -566,7 +562,14 @@ def elastic_net_grouped(
                     cols["converged"].append(bool(conv) if beta is not None else False)
             yield pd.DataFrame(cols)
 
-    return gram.mapInPandas(solve_groups, out_schema)
+    # the G-row Gram table is byte-small, so AQE would coalesce the
+    # solve stage onto 1-2 cores (the fanout_groups pathology) — a
+    # ROUND-ROBIN repartition of G tiny rows costs nothing and keeps
+    # the G coordinate descents CPU-parallel (a keyed repartition would
+    # match the aggregation's partitioning and be optimizer-eliminated)
+    from sparkglm_spark.plans.partitioning import fanout_groups
+
+    return fanout_groups(gram, []).mapInPandas(solve_groups, out_schema)
 
 
 def _cd_wls_penalized(
@@ -637,13 +640,7 @@ class GLMElasticNet:
 
     @property
     def n_nonzero(self) -> int:
-        return int(
-            sum(
-                1
-                for nm, c in zip(self.xnames, self.coefs)
-                if nm != "intercept" and c != 0.0
-            )
-        )
+        return _count_nonzero(self.xnames, self.coefs)
 
     def predict(
         self, df: DataFrame, output_col: str = "prediction", type: str = "response"
@@ -711,6 +708,8 @@ def glm_elastic_net(
         raise ValueError("elastic_net_param must be in [0, 1]")
     if lam < 0.0:
         raise ValueError("reg_param must be >= 0")
+    if exact_iterations is not None and exact_iterations < 1:
+        raise ValueError("exact_iterations must be >= 1")
     fam = get_family(family)
     lnk = get_link(fam.default_link)
     encoded, x_cols, target, levels = _encode_formula(df, formula, na_action)

@@ -58,12 +58,26 @@ def fanout_groups(df: DataFrame, key_cols: list[str]) -> DataFrame:
     Width = spark.sql.shuffle.partitions — the user's parallelism knob,
     already sized to the cluster; at real scale this matches what the
     exchange would have had before coalescing. Streaming frames pass
-    through untouched."""
+    through untouched.
+
+    `key_cols=[]` → round-robin: for fanning out an ALREADY-REDUCED
+    tiny table (e.g. a per-group Gram frame feeding mapInPandas solves)
+    where a keyed repartition would match the upstream aggregation's
+    output partitioning and be optimizer-eliminated — round-robin is a
+    genuinely different distribution, so the exchange survives, and the
+    downstream mapInPandas needs no clustering."""
     if df.isStreaming:
         return df
     from pyspark.sql import functions as F
 
-    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        # non-integer values exist in the wild (e.g. "auto" under
+        # auto-optimized shuffle) — fall back to the core count
+        n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n = df.sparkSession.sparkContext.defaultParallelism
+    if not key_cols:
+        return df.repartition(n)
     return df.repartition(n, *[F.col(c) for c in key_cols])
 
 

@@ -361,8 +361,10 @@ def test_elastic_net_grouped_matches_per_slice(spark):
 
 def test_elastic_net_grouped_plan_shape(spark):
     """Plan assert: stage 1 exchanges only O(k²) Gram doubles per group
-    — the label/feature payload never crosses the wire after the
-    partial aggregation (the lm_grouped scale contract)."""
+    (the lm_grouped scale contract — the label/feature payload never
+    crosses the wire after the partial aggregation), and stage 2 adds
+    exactly one more AQE-exempt fan-out exchange of the G tiny Gram
+    rows so the Python solves stay CPU-parallel."""
     from sparkglm_spark.operators.enet import elastic_net_grouped
     from sparkglm_spark.plans.inspect import formatted_plan
 
@@ -376,7 +378,8 @@ def test_elastic_net_grouped_plan_shape(spark):
         elastic_net_grouped(df, "y ~ x", ["g"], reg_param=0.1)
     )
     # formatted mode lists each node in tree + detail: count detail ids
-    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+    assert "REPARTITION_BY_NUM" in plan
 
 
 @pytest.fixture(scope="module")
