@@ -790,7 +790,11 @@ def glm_grouped(
             cols["n_rows"].append(n)
         return pd.DataFrame(cols)
 
-    return encoded.groupBy(*gcols).applyInPandas(fit_group, out_schema)
+    from sparkglm_spark.plans.partitioning import fanout_groups
+
+    return fanout_groups(encoded, gcols).groupBy(*gcols).applyInPandas(
+        fit_group, out_schema
+    )
 
 
 def likelihood_ratio_test(reduced: GLM, full: GLM) -> dict:

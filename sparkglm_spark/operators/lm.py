@@ -1266,8 +1266,10 @@ def _irls_grouped(
             cols["converged"].append(bool(conv))
         return pd.DataFrame(cols)
 
+    from sparkglm_spark.plans.partitioning import fanout_groups
+
     return (
-        encoded.select(*gcols, target, *x_cols)
+        fanout_groups(encoded.select(*gcols, target, *x_cols), gcols)
         .groupBy(*gcols)
         .applyInPandas(fit_group, out_schema)
     )

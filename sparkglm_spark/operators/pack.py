@@ -148,6 +148,8 @@ def pack_greedy(
         pdf["pack_id"] = pd.Series(pack_ids, dtype="int64")
         return pdf
 
-    return base.groupBy("bucket").applyInPandas(
+    from sparkglm_spark.plans.partitioning import fanout_groups
+
+    return fanout_groups(base, ["bucket"]).groupBy("bucket").applyInPandas(
         pack_one, schema=f"{id_col} long, n_tokens long, bucket long, pack_id long"
     )

@@ -50,6 +50,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from sparkglm_spark.plans.partitioning import fanout_groups
 from sparkglm_spark.plans.prefix import global_running_sum
 
 # Euler–Mascheroni constant: E[W] = −γ for the standard minimum
@@ -973,7 +974,7 @@ def concordance_index(
             return pd.DataFrame({"conc": [c], "ties": [s]})
 
         wrow = (
-            work.select("__t", "__e", "__r", "__b")
+            fanout_groups(work.select("__t", "__e", "__r", "__b"), ["__b"])
             .groupBy("__b")
             .applyInPandas(bucket_counts, out_schema)
             .agg(F.sum("conc").alias("wc"), F.sum("ties").alias("wt"))
@@ -1165,7 +1166,9 @@ def coxph_grouped(
             cols["converged"].append(bool(conv))
         return pd.DataFrame(cols)
 
-    return work.groupBy(*gcols).applyInPandas(fit_group, out_schema)
+    return fanout_groups(work, gcols).groupBy(*gcols).applyInPandas(
+        fit_group, out_schema
+    )
 
 
 def _km_curve(
@@ -1924,7 +1927,9 @@ def weibull_aft_grouped(
         )
         return pd.DataFrame(cols)
 
-    return work.groupBy(*gcols).applyInPandas(fit_group, out_schema)
+    return fanout_groups(work, gcols).groupBy(*gcols).applyInPandas(
+        fit_group, out_schema
+    )
 
 
 def aft_residuals(
