@@ -480,6 +480,26 @@ def main() -> None:
 
     W("timeseries_suite", run_timeseries_suite)
 
+    # r10: the elastic-net family headline — a 3-λ × 3-fold CV grid
+    # (ONE groupBy(fold) Gram job + driver coordinate descent) plus a
+    # penalized-logistic fit (one zw-Gram job per IRLS solve). Guards
+    # the one-pass-CV claim and the glmnet outer-loop cost.
+    from sparkglm_spark.operators.enet import elastic_net_cv, glm_elastic_net
+
+    def run_enet_suite():
+        elastic_net_cv(
+            li, "l_extendedprice ~ l_quantity + l_discount + l_tax",
+            [0.5, 50.0, 5000.0],
+            fold_expr=F.pmod(F.col("l_orderkey"), F.lit(3)).cast("int"),
+            n_folds=3,
+        ).collect()
+        glm_elastic_net(
+            od, "is_f ~ o_totalprice", reg_param=0.01,
+            elastic_net_param=0.5,
+        )
+
+    W("enet_suite", run_enet_suite)
+
     runs: dict[str, list[float]] = {name: [] for name, _ in workloads}
     errors: dict[str, str] = {}
     for _ in range(N_RUNS):
@@ -537,6 +557,7 @@ def main() -> None:
         # in PLANS.md predate the line and stay comparable)
         "robust_grouped",
         "timeseries_suite",
+        "enet_suite",
     }
     total_r4_set = round(
         sum(v for k, v in medians.items() if k not in r5_new), 3
