@@ -208,7 +208,9 @@ class _SparkGLMParams(_FormulaParams):
     tol = Param(
         Params._dummy(),
         "tol",
-        "IRLS absolute deviance-change stopping tolerance",
+        "stopping tolerance: absolute deviance change (unpenalized "
+        "IRLS) / max coefficient change (regParam > 0 path, default "
+        "1e-10 unless set)",
         typeConverter=TypeConverters.toFloat,
     )
     maxIter = Param(
@@ -492,8 +494,12 @@ class SparkGLM(Estimator, _SparkGLMParams, DefaultParamsReadable, DefaultParamsW
                 family=self.getFamily(),
                 standardize=self.getStandardization(),
                 na_action=self.getNaAction(),
-                tol=self.getTol(),
                 max_iter=self.getMaxIter(),
+                # the penalized path's tol is max-coefficient-change
+                # (tighter default 1e-10); forward the Param only when
+                # the USER set it — inheriting the unpenalized default
+                # 1e-6 would silently loosen convergence
+                **({"tol": self.getTol()} if self.isSet(self.tol) else {}),
             )
         else:
             inner = glm(

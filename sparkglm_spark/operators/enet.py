@@ -424,8 +424,10 @@ def elastic_net_path(
     aggregation, then one warm-started coordinate descent per λ on the
     driver (λ sorted descending so each solution seeds the next — the
     standard pathwise trick; identical fixed points to cold starts,
-    just fewer sweeps). Returns one row per (reg_param, term):
-    reg_param, term, estimate, n_nonzero, sweeps."""
+    just fewer sweeps). Returns one (reg_param, term) row block per
+    INPUT λ — duplicates in `reg_params` produce duplicate blocks
+    (differing at most in `sweeps`), so the output shape is always
+    len(reg_params) × n_terms."""
     if not reg_params:
         raise ValueError("reg_params must be non-empty")
     encoded, x_cols, target, _levels = _encode_formula(df, formula, na_action)
@@ -483,6 +485,8 @@ def elastic_net_grouped(
 
     if not group_cols:
         raise ValueError("group_cols must be non-empty")
+    if exact_sweeps is not None and exact_sweeps < 1:
+        raise ValueError("exact_sweeps must be >= 1")
     encoded, x_cols, target = _design(df, formula, group_cols, na_action=na_action)
     k = len(x_cols)
     has_int = "intercept" in x_cols

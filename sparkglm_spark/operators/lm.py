@@ -591,7 +591,11 @@ def lm_grouped(
                     cols["r2"].append(r2_val)
             yield pd.DataFrame(cols)
 
-    return gram.mapInPandas(solve_groups, out_schema)
+    # the G-row Gram table is byte-small — round-robin fan-out keeps
+    # the G Python solves CPU-parallel under AQE (see fanout_groups)
+    from sparkglm_spark.plans.partitioning import fanout_groups
+
+    return fanout_groups(gram, []).mapInPandas(solve_groups, out_schema)
 
 
 def fold_gram_collect(

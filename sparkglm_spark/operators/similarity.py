@@ -863,7 +863,13 @@ def semantic_dedup_pairs(
             }
         )
 
-    return assigned.groupBy("cluster").applyInPandas(pairs_in_cluster, out_schema)
+    from sparkglm_spark.plans.partitioning import fanout_groups
+
+    return (
+        fanout_groups(assigned, ["cluster"])
+        .groupBy("cluster")
+        .applyInPandas(pairs_in_cluster, out_schema)
+    )
 
 
 def semantic_dedup(
