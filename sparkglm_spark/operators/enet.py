@@ -427,7 +427,14 @@ def elastic_net_path(
     just fewer sweeps). Returns one (reg_param, term) row block per
     INPUT λ — duplicates in `reg_params` produce duplicate blocks
     (differing at most in `sweeps`), so the output shape is always
-    len(reg_params) × n_terms."""
+    len(reg_params) × n_terms.
+
+    Each row also carries the λ-selection criteria for the whole fit:
+    aic = n·ln(SSE/n) + 2·df and bic = n·ln(SSE/n) + ln(n)·df with
+    df = n_nonzero (+1 with an intercept) — the standard lasso
+    degrees-of-freedom estimate (Zou, Hastie & Tibshirani 2007: the
+    active-set size is unbiased for the lasso's df), so a path fit
+    selects λ with one argmin over the output, no held-out pass."""
     if not reg_params:
         raise ValueError("reg_params must be non-empty")
     encoded, x_cols, target, _levels = _encode_formula(df, formula, na_action)
@@ -444,12 +451,17 @@ def elastic_net_path(
             None, col_sums=col_sums, theta0=theta, return_theta=True,
         )
         nz = _count_nonzero(x_cols, beta)
+        dof = nz + (1 if "intercept" in x_cols else 0)
+        n = g.n
+        ll_core = n * float(np.log(max(_sse, 1e-300) / n))
+        aic = ll_core + 2.0 * dof
+        bic = ll_core + float(np.log(n)) * dof
         for nm, c in zip(x_cols, beta):
-            out.append((lam, nm, float(c), nz, sweeps))
+            out.append((lam, nm, float(c), nz, sweeps, aic, bic))
     return df.sparkSession.createDataFrame(
         out,
         "reg_param double, term string, estimate double, "
-        "n_nonzero int, sweeps int",
+        "n_nonzero int, sweeps int, aic double, bic double",
     )
 
 

@@ -500,14 +500,18 @@ def lm_grouped(
     """One OLS fit per group — LM.fit scaled out to millions of segments
     with no per-group driver work at all.
 
-    Stage 1 (the only shuffle): `groupBy(group_cols)` over the k(k+1)/2+k+3
-    Gram sum expressions — partial map-side aggregation, so the wire carries
-    O(G·k²) doubles (G = #groups), never rows.
-    Stage 2: each group's k×k normal-equation solve runs DISTRIBUTED via an
-    Arrow-batched `mapInPandas` over the G-row Gram table (numpy Cholesky
-    per group). The driver never sees data or models, so G is unbounded —
-    the pattern the reference cannot express at all (its fit is one model
-    per driver, LM.scala:241-254).
+    Stage 1 (the only data-proportional shuffle): `groupBy(group_cols)`
+    over the k(k+1)/2+k+3 Gram sum expressions — partial map-side
+    aggregation, so the wire carries O(G·k²) doubles (G = #groups),
+    never rows.
+    Stage 2: each group's k×k normal-equation solve runs DISTRIBUTED via
+    an Arrow-batched `mapInPandas` over the G-row Gram table (numpy
+    Cholesky per group), round-robin fanned out (`fanout_groups`) so
+    AQE's byte-targeted coalescing cannot serialize the G Python solves
+    — the second exchange moves only the G tiny Gram rows. The driver
+    never sees data or models, so G is unbounded — the pattern the
+    reference cannot express at all (its fit is one model per driver,
+    LM.scala:241-254).
 
     Encoding levels are computed once on the WHOLE input, so every group
     shares the same design columns (a group missing a level just gets zero

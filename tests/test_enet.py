@@ -316,6 +316,18 @@ def test_elastic_net_path_matches_cold_fits(enet_data):
     # support is monotone along this planted path
     nz = path.groupby("reg_param").n_nonzero.first().sort_index()
     assert list(nz) == sorted(nz, reverse=True)
+    # λ-selection criteria: BIC recomputes from (sse via cold fit, df)
+    # and picks the honest λ on this planted-sparse data (not the
+    # all-dead one)
+    n = 1500
+    for lam in lams:
+        cold = elastic_net(df, "y ~ x1 + x2 + x3 + x4", reg_param=lam)
+        dof = cold.n_nonzero + 1
+        want_bic = n * np.log(cold.sse / n) + np.log(n) * dof
+        got_bic = path[path.reg_param == lam].bic.iloc[0]
+        assert got_bic == pytest.approx(float(want_bic), rel=1e-6)
+    best = path.groupby("reg_param").bic.first().idxmin()
+    assert best != 2.0  # the heavy λ kills true signal; BIC rejects it
     with pytest.raises(ValueError, match="non-empty"):
         elastic_net_path(df, "y ~ x1", [])
 

@@ -201,10 +201,11 @@ def test_cosine_topk_corpus_never_shuffles(spark):
 
 
 def test_lm_grouped_single_exchange_then_arrow_solve(spark, lineitem):
-    """Grouped fit: exactly one Exchange (the Gram groupBy — O(G·k²)
-    records), partial+final agg, and the per-group solve as an Arrow
-    mapInPandas over the aggregated rows — the raw table never reaches
-    Python."""
+    """Grouped fit: the Gram groupBy is the only exchange that carries
+    data proportional to the input (O(G·k²) records, partial+final agg
+    — the raw table never reaches Python); r10 adds ONE more round-robin
+    exchange of the G-row Gram table itself (byte-tiny) so the per-group
+    Arrow solves stay CPU-parallel under AQE (see fanout_groups)."""
     from sparkglm_spark.operators.lm import lm_grouped
 
     import re
@@ -213,7 +214,8 @@ def test_lm_grouped_single_exchange_then_arrow_solve(spark, lineitem):
         lm_grouped(lineitem, "l_extendedprice ~ l_quantity", ["l_returnflag"])
     )
     body = plan.split("===== Subqueries =====")[0]
-    assert len(re.findall(r"\(\d+\) Exchange", body)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", body)) == 2
+    assert "REPARTITION_BY_NUM" in body  # the AQE-exempt fan-out
     assert "partial_sum" in plan
     assert "MapInPandas" in plan
     # Python consumes the aggregate output, not the scan: the final
