@@ -1140,11 +1140,13 @@ SELECT e.term, e.coef FROM (
            SUM(x1 * y) AS s1y, SUM(x2 * y) AS s2y, SUM(x3 * y) AS s3y
     FROM eb),
   em2 AS (
+    -- POPULATION stds (denominator n) — the MLlib LinearRegression
+    -- convention the engine's _cd_enet follows (r10 refinement)
     SELECT *, s1 / n AS m1, s2 / n AS m2, s3 / n AS m3, sy / n AS my,
-           SQRT((s11 - n * (s1 / n) * (s1 / n)) / (n - 1.0)) AS sd1,
-           SQRT((s22 - n * (s2 / n) * (s2 / n)) / (n - 1.0)) AS sd2,
-           SQRT((s33 - n * (s3 / n) * (s3 / n)) / (n - 1.0)) AS sd3,
-           SQRT((syy - n * (sy / n) * (sy / n)) / (n - 1.0)) AS sdy
+           SQRT((s11 - n * (s1 / n) * (s1 / n)) / n) AS sd1,
+           SQRT((s22 - n * (s2 / n) * (s2 / n)) / n) AS sd2,
+           SQRT((s33 - n * (s3 / n) * (s3 / n)) / n) AS sd3,
+           SQRT((syy - n * (sy / n) * (sy / n)) / n) AS sdy
     FROM es),
   -- standardized Gram, per-coordinate penalties (lambda = 8, alpha = .5)
   ea AS (

@@ -81,12 +81,15 @@ def _cd_enet(
     if lam < 0.0:
         raise ValueError("reg_param must be >= 0")
 
-    # MLlib scales by the CENTERED sample std (n−1) and label std even
-    # when fitIntercept=false — only the centering of the DATA follows
-    # the intercept flag (golden-matched vs LinearRegression both ways)
+    # MLlib LinearRegression scales by the CENTERED POPULATION std
+    # (denominator n — probed at 1e-15 agreement; its 1/weightSum
+    # normalization differs from LogisticRegression's SAMPLE-std
+    # summarizer, see _cd_wls_penalized) and the label std even when
+    # fitIntercept=false — only the centering of the DATA follows the
+    # intercept flag (golden-matched vs LinearRegression both ways)
     y_mean = sum_y / n
     cyy = sum_y2 - n * y_mean * y_mean
-    sig_y = float(np.sqrt(max(cyy, 0.0) / (n - 1))) if n > 1 else 0.0
+    sig_y = float(np.sqrt(max(cyy, 0.0) / n))
 
     if p == 0:
         beta = np.zeros(len(x_cols))
@@ -104,7 +107,7 @@ def _cd_enet(
         m = col_sums[feats] / n
     else:
         m = np.zeros(p)
-    cvar = (np.diag(G) - n * m * m) / (n - 1) if n > 1 else np.zeros(p)
+    cvar = (np.diag(G) - n * m * m) / n
     sig = np.sqrt(np.maximum(cvar, 0.0))
     if has_int:
         A = G - n * np.outer(m, m)

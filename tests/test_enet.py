@@ -54,7 +54,7 @@ def test_matches_mllib_linear_regression(enet_data, std, lam, alpha):
         elastic_net_param=alpha, standardize=std,
     )
     want = np.array([lr.intercept] + list(lr.coefficients))
-    assert np.abs(m.coefs - want).max() < 5e-4
+    assert np.abs(m.coefs - want).max() < 2e-5  # residual = OWLQN tol
     # same support (which coefficients are exactly/effectively zero)
     assert [abs(c) < 1e-6 for c in m.coefs] == [abs(c) < 1e-6 for c in want]
 
@@ -83,7 +83,7 @@ def test_soft_threshold_closed_form(spark):
     )
     lam, alpha = 0.2, 0.7
     m = elastic_net(df, "y ~ x", reg_param=lam, elastic_net_param=alpha)
-    sx, sy = np.std(x, ddof=1), np.std(y, ddof=1)
+    sx, sy = np.std(x), np.std(y)  # POPULATION — the MLlib linear convention
     xh, yh = (x - x.mean()) / sx, (y - y.mean()) / sy
     rho = float(xh @ yh) / n
     lt = lam / sy
@@ -98,8 +98,8 @@ def test_soft_threshold_closed_form(spark):
 def test_lambda_max_kills_all_and_path_is_monotone(enet_data):
     df, X, y = enet_data
     # λ ≥ max|X̂'ŷ|/n · σ_y zeroes every lasso coefficient
-    sx = X.std(axis=0, ddof=1)
-    sy = y.std(ddof=1)
+    sx = X.std(axis=0)
+    sy = y.std()
     xh = (X - X.mean(axis=0)) / sx
     yh = (y - y.mean()) / sy
     lam_max = float(np.abs(xh.T @ yh).max()) / len(y) * sy
@@ -295,7 +295,7 @@ def test_fit_intercept_false_via_no_intercept_design(spark):
         labelCol="y", regParam=0.1, elasticNetParam=1.0,
         fitIntercept=False, maxIter=500, tol=1e-10,
     ).fit(fd)
-    assert float(m.coefs[0]) == pytest.approx(float(lr.coefficients[0]), abs=5e-4)
+    assert float(m.coefs[0]) == pytest.approx(float(lr.coefficients[0]), abs=2e-5)
 
 
 def test_elastic_net_path_matches_cold_fits(enet_data):
