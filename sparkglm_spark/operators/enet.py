@@ -57,6 +57,7 @@ def _cd_enet(
     col_sums: np.ndarray | None = None,
     theta0: np.ndarray | None = None,
     return_theta: bool = False,
+    sum_w: float | None = None,
 ):
     """Cyclic coordinate descent on the centered/standardized problem,
     entirely from Gram sufficient statistics. Returns (beta in ORIGINAL
@@ -69,7 +70,10 @@ def _cd_enet(
     Aⱼₖ = (Gⱼₖ − n·mⱼ·mₖ)/(σⱼσₖ). `exact_sweeps=N` runs exactly N
     cyclic sweeps from θ = 0 with no convergence test (deterministic
     trajectory — the oracle-pin hook, same convention as the GLM/Cox/AFT
-    fixed-iteration kernels)."""
+    fixed-iteration kernels). With `sum_w` the statistics are the
+    W-weighted ones (xtx = X'WX, xty = X'Wy, sum_y = Σwy, …) and every
+    statistical n becomes Σw — the MLlib weightCol convention (probed
+    exact: population stds over Σw, objective 1/(2Σw))."""
     has_int = "intercept" in x_cols
     i0 = x_cols.index("intercept") if has_int else None
     feats = [i for i in range(len(x_cols)) if i != i0]
@@ -87,9 +91,10 @@ def _cd_enet(
     # summarizer, see _cd_wls_penalized) and the label std even when
     # fitIntercept=false — only the centering of the DATA follows the
     # intercept flag (golden-matched vs LinearRegression both ways)
-    y_mean = sum_y / n
-    cyy = sum_y2 - n * y_mean * y_mean
-    sig_y = float(np.sqrt(max(cyy, 0.0) / n))
+    nw = float(sum_w) if sum_w is not None else float(n)
+    y_mean = sum_y / nw
+    cyy = sum_y2 - nw * y_mean * y_mean
+    sig_y = float(np.sqrt(max(cyy, 0.0) / nw))
 
     if p == 0:
         beta = np.zeros(len(x_cols))
@@ -102,15 +107,15 @@ def _cd_enet(
     G = xtx[np.ix_(feats, feats)]
     gy = xty[feats]
     if has_int:
-        m = xtx[i0, feats] / n  # Σ1·xⱼ / n
+        m = xtx[i0, feats] / nw  # Σw·xⱼ / Σw
     elif col_sums is not None:
-        m = col_sums[feats] / n
+        m = col_sums[feats] / nw
     else:
         m = np.zeros(p)
-    cvar = (np.diag(G) - n * m * m) / n
+    cvar = (np.diag(G) - nw * m * m) / nw
     sig = np.sqrt(np.maximum(cvar, 0.0))
     if has_int:
-        A = G - n * np.outer(m, m)
+        A = G - nw * np.outer(m, m)
         b = gy - m * sum_y
     else:
         A = G.copy()
@@ -144,7 +149,7 @@ def _cd_enet(
         l2 = (1.0 - alpha) * lam_t / (s_out * s_out)
 
     theta = np.zeros(p) if theta0 is None else np.asarray(theta0, float).copy()
-    denom = np.diag(A) / n + l2
+    denom = np.diag(A) / nw + l2
     sweeps = 0
     converged = False
     n_sweeps = exact_sweeps if exact_sweeps is not None else max_sweeps
@@ -153,7 +158,7 @@ def _cd_enet(
         for j in range(p):
             if not live[j]:
                 continue
-            rho = (b[j] - A[j] @ theta + A[j, j] * theta[j]) / n
+            rho = (b[j] - A[j] @ theta + A[j, j] * theta[j]) / nw
             t_new = np.sign(rho) * max(abs(rho) - l1[j], 0.0) / denom[j]
             max_d = max(max_d, abs(t_new - theta[j]))
             theta[j] = t_new
@@ -215,18 +220,22 @@ def _count_nonzero(x_cols: list[str], beta) -> int:
     )
 
 
-def _prepare_gram(x: DataFrame, y_col: str, x_cols: list[str]):
+def _prepare_gram(
+    x: DataFrame, y_col: str, x_cols: list[str], weight_col: str | None = None
+):
     """One Gram job for the CD solvers, with the no-intercept twist:
     without an 'intercept' column the fit still scales by the CENTERED
     stds (the MLlib fitIntercept=false convention), so the Gram carries
     one extra ones-column row for the feature means — still a single
-    aggregation. Returns (gram_result, col_sums-or-None)."""
+    aggregation. With `weight_col` every sum is W-weighted (the ones
+    row then carries Σw·xⱼ — exactly the weighted means the solver
+    needs). Returns (gram_result, col_sums-or-None)."""
     has_int = "intercept" in x_cols
     gram_cols = list(x_cols)
     if not has_int:
         x = x.withColumn("__one", F.lit(1.0))
         gram_cols = gram_cols + ["__one"]
-    g = gram_aggregate(x, gram_cols, y_col=y_col)
+    g = gram_aggregate(x, gram_cols, y_col=y_col, weight_col=weight_col)
     if g.n <= 1:
         raise ValueError("need more than one row")
     p = len(x_cols)
@@ -244,6 +253,7 @@ def elastic_net_fit(
     max_sweeps: int = 10_000,
     tol: float = 1e-10,
     exact_sweeps: int | None = None,
+    weight_col: str | None = None,
 ) -> ElasticNetLM:
     """Low-level fit over a pre-encoded frame (the `LM.fit` contract:
     `x` holds predictors + label; an 'intercept' column of ones marks an
@@ -255,7 +265,7 @@ def elastic_net_fit(
     feature means — still a single job (`_prepare_gram`)."""
     if exact_sweeps is not None and exact_sweeps < 1:
         raise ValueError("exact_sweeps must be >= 1")
-    g, col_sums = _prepare_gram(x, y_col, x_cols)
+    g, col_sums = _prepare_gram(x, y_col, x_cols, weight_col=weight_col)
     p = len(x_cols)
     beta, sweeps, converged, sse = _cd_enet(
         g.xtx[:p, :p],
@@ -271,6 +281,7 @@ def elastic_net_fit(
         tol,
         exact_sweeps,
         col_sums=col_sums,
+        sum_w=float(g.sum_w) if weight_col else None,
     )
     return ElasticNetLM(
         xnames=list(x_cols),
@@ -296,13 +307,19 @@ def elastic_net(
     max_sweeps: int = 10_000,
     tol: float = 1e-10,
     exact_sweeps: int | None = None,
+    weight_col: str | None = None,
 ) -> ElasticNetLM:
     """Formula front-end (`lm`'s scaffold: parse → omit NAs → encode
     categoricals with global levels → inject intercept → fit).
     `elastic_net_param=1` is the lasso, `0` pure ridge (matching
     `ridge()` only under `standardize=False`, since MLlib's default
-    penalizes standardized coefficients)."""
-    encoded, x_cols, target, levels = _encode_formula(df, formula, na_action)
+    penalizes standardized coefficients). `weight_col` gives the
+    penalized-WLS fit with the MLlib weightCol convention: every
+    statistic is W-weighted and the objective is
+    1/(2Σw)·Σwᵢ(yᵢ−ŷᵢ)² + penalty (same single Gram job)."""
+    encoded, x_cols, target, levels = _encode_formula(
+        df, formula, na_action, extra_cols=[weight_col] if weight_col else []
+    )
     model = elastic_net_fit(
         encoded,
         y_col=target,
@@ -313,6 +330,7 @@ def elastic_net(
         max_sweeps=max_sweeps,
         tol=tol,
         exact_sweeps=exact_sweeps,
+        weight_col=weight_col,
     )
     model.levels = levels
     model.call = (

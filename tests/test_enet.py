@@ -563,3 +563,45 @@ def test_spark_glm_elastic_net_path(logit_data, tmp_path):
     m.write().overwrite().save(mpath)
     m2 = SparkGLMModel.read().load(mpath)
     assert np.array_equal(m2.model.coefs, m.model.coefs)
+
+
+@pytest.mark.parametrize("std", [True, False])
+@pytest.mark.parametrize("lam,alpha", [(0.1, 1.0), (0.2, 0.4)])
+def test_weighted_elastic_net_matches_mllib(spark, std, lam, alpha):
+    """GOLDEN: weight_col follows MLlib LinearRegression(weightCol) —
+    every statistic W-weighted with Σw denominators (population stds
+    over Σw; probed exact at 1e-15 before implementing)."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import LinearRegression
+
+    rng = np.random.default_rng(23)
+    n = 900
+    x1 = rng.normal(2.0, 1.5, n)
+    x2 = rng.normal(-1.0, 0.8, n)
+    w = rng.uniform(0.2, 3.0, n)
+    y = 1.0 + 0.8 * x1 + rng.normal(0, 0.5, n)  # x2 is noise
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c), float(d))
+         for a, b, c, d in zip(y, x1, x2, w)],
+        "y double, x1 double, x2 double, w double",
+    )
+    fd = VectorAssembler(inputCols=["x1", "x2"], outputCol="features").transform(df)
+    lr = LinearRegression(
+        labelCol="y", weightCol="w", regParam=lam, elasticNetParam=alpha,
+        standardization=std, maxIter=2000, tol=1e-12,
+    ).fit(fd)
+    m = elastic_net(
+        df, "y ~ x1 + x2", reg_param=lam, elastic_net_param=alpha,
+        standardize=std, weight_col="w",
+    )
+    want = np.array([lr.intercept] + list(lr.coefficients))
+    assert np.abs(m.coefs - want).max() < 2e-5
+    # unit weights reduce exactly to the unweighted fit
+    uw = elastic_net(
+        df.withColumn("w", F.lit(1.0)), "y ~ x1 + x2",
+        reg_param=lam, elastic_net_param=alpha, standardize=std,
+        weight_col="w",
+    )
+    plain = elastic_net(df, "y ~ x1 + x2", reg_param=lam,
+                        elastic_net_param=alpha, standardize=std)
+    assert np.abs(uw.coefs - plain.coefs).max() < 1e-12
