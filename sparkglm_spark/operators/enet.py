@@ -238,6 +238,25 @@ def _prepare_gram(
     g = gram_aggregate(x, gram_cols, y_col=y_col, weight_col=weight_col)
     if g.n <= 1:
         raise ValueError("need more than one row")
+    if weight_col is not None:
+        # weight-domain guards (same aggregation — min_w/n_w ride the
+        # Gram job): a negative weight silently corrupts every moment, a
+        # null weight silently DROPS its row from the sums (F.sum skips
+        # null products) while still counting in n, and Σw ≤ 0
+        # NaN-poisons the population stds. MLlib raises on all three.
+        if g.n_w is not None and g.n_w < g.n:
+            raise ValueError(
+                f"weight column {weight_col!r} has {g.n - g.n_w} null values"
+            )
+        if g.min_w is not None and g.min_w < 0.0:
+            raise ValueError(
+                f"weight column {weight_col!r} has negative values "
+                f"(min = {g.min_w})"
+            )
+        if g.sum_w is not None and g.sum_w <= 0.0:
+            raise ValueError(
+                f"weights in {weight_col!r} sum to {g.sum_w} — need Σw > 0"
+            )
     p = len(x_cols)
     col_sums = None if has_int else g.xtx[p, :p].copy()
     return g, col_sums
@@ -658,7 +677,18 @@ def _cd_wls_penalized(
 class GLMElasticNet:
     """Fitted L1/L2-penalized GLM (`glm_elastic_net`). Scoring mirrors
     `GLM.predict`: one codegen projection over raw columns, response
-    scale by default or `type='link'` for η."""
+    scale by default or `type='link'` for η.
+
+    `deviance` convention: each outer iteration aggregates deviance at
+    the CURRENT β before solving the update, so on a `converged` exit
+    the value is the deviance at the second-to-last β — within `tol` of
+    the returned coefficients' (the iteration that converged changed no
+    coefficient by more than tol). When the fit stops at `max_iter`
+    without converging, the fitter RE-AGGREGATES deviance at the
+    returned β (one extra scalar job), so `deviance` always describes
+    `coefs`. Under `exact_iterations=N` (the oracle-pin hook) the value
+    is deliberately the N-th aggregation — i.e. deviance at β_{N−1} —
+    because the pinned SQL trajectory replays exactly N aggregations."""
 
     xnames: list[str]
     yname: str
@@ -765,7 +795,12 @@ def glm_elastic_net(
         one = F.lit(1.0)
         # upfront pass: n, ȳ, and the UNWEIGHTED feature moments for the
         # fixed standardization (computed once — MLlib's summarizer)
-        aggs0 = [F.count(F.lit(1)).alias("n"), F.sum(y).alias("sy")]
+        aggs0 = [
+            F.count(F.lit(1)).alias("n"),
+            F.sum(y).alias("sy"),
+            F.min(y).alias("ymin"),
+            F.max(y).alias("ymax"),
+        ]
         for i, j in enumerate(feats):
             c = F.col(x_cols[j])
             aggs0.append(F.sum(c).alias(f"s_{i}"))
@@ -774,6 +809,20 @@ def glm_elastic_net(
         n = int(r0["n"])
         if n <= 1:
             raise ValueError("need more than one row")
+        # label-domain guards ride the same upfront aggregation: the
+        # mean-only checks below can't see individual out-of-domain rows
+        # (the IRLS clamp bounds μ, not y — a y = −3 would silently
+        # corrupt the working response/deviance). glm raises likewise.
+        ymin, ymax = float(r0["ymin"]), float(r0["ymax"])
+        if family == "binomial" and (ymin < 0.0 or ymax > 1.0):
+            raise ValueError(
+                f"binomial label must lie in [0, 1]; observed "
+                f"[{ymin}, {ymax}]"
+            )
+        if family == "poisson" and ymin < 0.0:
+            raise ValueError(
+                f"poisson label must be >= 0; observed min = {ymin}"
+            )
         y_mean = float(r0["sy"]) / n
         ms = np.array([float(r0[f"s_{i}"]) for i in range(p)]) / n
         sig = np.sqrt(
@@ -865,6 +914,21 @@ def glm_elastic_net(
                 break
         if exact_iterations is not None:
             converged = True
+        elif not converged and n_iter > 0:
+            # stopped at max_iter: the loop's deviance is one iteration
+            # stale (see GLMElasticNet.deviance) — recompute at the
+            # returned β with one scalar-only aggregation
+            eta = F.lit(0.0)
+            for c, bb in zip(xs, beta):
+                eta = eta + F.lit(float(bb)) * c
+            mu = lnk.unlink(eta, one)
+            if family == "binomial":
+                mu = F.least(F.greatest(mu, F.lit(1e-10)), F.lit(1.0 - 1e-10))
+            dev = float(
+                work.agg(
+                    (F.lit(2.0) * F.sum(fam.deviance_term(y, mu, one))).alias("dev")
+                ).collect()[0]["dev"]
+            )
     finally:
         work.unpersist()
 

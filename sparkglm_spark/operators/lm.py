@@ -577,7 +577,9 @@ def lm_grouped(
                 coefs, r2_val = None, None
                 if n >= k:
                     try:
-                        c_ = np.linalg.cholesky(xtx)
+                        # positive-definiteness probe only — LinAlgError
+                        # on a singular group routes to NULL estimates
+                        np.linalg.cholesky(xtx)
                         coefs = np.linalg.solve(xtx, xty)
                         sw = float(r["__sw"])
                         ybar = r["__sy"] / sw

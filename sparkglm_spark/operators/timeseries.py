@@ -512,16 +512,18 @@ def holt_forecast(
 
     `interval=True` additionally emits (se_<h>, lo_<h>, hi_<h>) — the
     standard innovations-state-space prediction interval (Hyndman &
-    Athanasopoulos FPP §7.7, additive errors): σ̂² is the mean squared
-    one-step in-sample residual (over the n−1 folded rows; the first
-    residual is 0 by the l₁=x₁, b₁=x₂−x₁ init), and
+    Athanasopoulos FPP §7.7, additive errors): σ̂² = SSE/(n−2) over the
+    one-step in-sample residuals — the first residual is STRUCTURALLY
+    zero under the l₁=x₁, b₁=x₂−x₁ init (the fit is exact at t=2), so
+    only n−2 residuals are informative; keys with n < 3 report NULL
+    se/lo/hi (a 2-row key has no informative residual at all) — and
 
         Var(ŷ_{T+h}) = σ̂²·(1 + Σ_{j=1}^{h−1} c_j²),  c_j = α(1 + j·β)
 
     (our β is the β* trend-smoothing form, so the impulse of a one-step
     error on the state is Δl = α·ε, Δb = αβ·ε — asserted by a
     deterministic impulse test). Bounds use the normal quantile at
-    `level`; a single-row key (no residuals) reports NULL se/lo/hi.
+    `level`.
 
     NULL POLICY (family-wide — see `_drop_null_values`): rows with a
     null/NaN value are dropped before the fold; `n_events` counts only
@@ -585,7 +587,8 @@ def holt_forecast(
         for h in hs:
             row[f"forecast_{h}"] = [lvl + h * trd]
         if interval:
-            sig2 = sse / (n - 1) if n > 1 else None
+            # n−2: the first residual is structurally zero (see docstring)
+            sig2 = sse / (n - 2) if n > 2 else None
             for h in hs:
                 if sig2 is None:
                     se = None

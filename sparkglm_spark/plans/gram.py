@@ -32,6 +32,8 @@ class GramResult:
     sum_y: float | None     # Σ w·y
     sum_y2: float | None    # Σ w·y²
     sum_w: float | None     # Σ w (None when unweighted)
+    min_w: float | None = None  # min w (weighted only — validation hook)
+    n_w: int | None = None      # count of NON-NULL weights (weighted only)
 
 
 def _weighted(expr: Column, weight: Column | None) -> Column:
@@ -66,6 +68,11 @@ def gram_aggregate(
     aggs.append(F.count(F.lit(1)).alias("n"))
     if w is not None:
         aggs.append(F.sum(w).alias("sw"))
+        # same job: the weight-domain stats callers need to validate
+        # (negative/null weights otherwise pass silently — F.sum skips
+        # null products, silently DROPPING those rows from every moment)
+        aggs.append(F.min(w).alias("minw"))
+        aggs.append(F.count(w).alias("nw"))
 
     row = df.agg(*aggs).collect()[0]
 
@@ -82,7 +89,14 @@ def gram_aggregate(
         sy = float(row["sy"])
         syy = float(row["syy"])
     sw = float(row["sw"]) if w is not None else None
-    return GramResult(xtx=xtx, xty=xty, n=int(row["n"]), sum_y=sy, sum_y2=syy, sum_w=sw)
+    minw = (
+        float(row["minw"]) if w is not None and row["minw"] is not None else None
+    )
+    nw = int(row["nw"]) if w is not None else None
+    return GramResult(
+        xtx=xtx, xty=xty, n=int(row["n"]), sum_y=sy, sum_y2=syy,
+        sum_w=sw, min_w=minw, n_w=nw,
+    )
 
 
 def gram_query(

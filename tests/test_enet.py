@@ -605,3 +605,84 @@ def test_weighted_elastic_net_matches_mllib(spark, std, lam, alpha):
     plain = elastic_net(df, "y ~ x1 + x2", reg_param=lam,
                         elastic_net_param=alpha, standardize=std)
     assert np.abs(uw.coefs - plain.coefs).max() < 1e-12
+
+
+def test_weight_domain_guards(spark):
+    """ADVICE r10: negative/null weights and Σw ≤ 0 must raise (MLlib
+    raises on negative weights; null weights silently DROP their rows
+    from the Gram sums while still counting in n). All three ride the
+    single Gram job (min_w / n_w in the same aggregation)."""
+    rows = [(1.0, 2.0, 1.0), (2.0, 3.0, 2.0), (3.0, 5.0, 0.5)]
+    df = spark.createDataFrame(rows, "y double, x double, w double")
+    with pytest.raises(ValueError, match="negative"):
+        elastic_net(
+            df.withColumn("w", F.when(F.col("x") > 2.5, -1.0).otherwise(1.0)),
+            "y ~ x", reg_param=0.1, weight_col="w",
+        )
+    # the formula front-end's na_action="omit" drops null-weight rows
+    # (weight_col rides extra_cols); the DIRECT fit path has no omit
+    # pass, so the n_w < n guard is what protects it
+    with pytest.raises(ValueError, match="null"):
+        elastic_net_fit(
+            df.withColumn("intercept", F.lit(1.0)).withColumn(
+                "w", F.when(F.col("x") > 4.0, F.lit(None)).otherwise(F.lit(1.0))
+            ),
+            y_col="y", x_cols=["intercept", "x"], reg_param=0.1,
+            weight_col="w",
+        )
+    with pytest.raises(ValueError, match="sum"):
+        elastic_net(
+            df.withColumn("w", F.lit(0.0)), "y ~ x", reg_param=0.1,
+            weight_col="w",
+        )
+    # zero weights are fine as long as Σw > 0 (the MLlib contract)
+    m = elastic_net(
+        df.withColumn("w", F.when(F.col("x") > 4.0, 0.0).otherwise(1.0)),
+        "y ~ x", reg_param=0.0, weight_col="w",
+    )
+    assert np.all(np.isfinite(m.coefs))
+
+
+def test_glm_enet_label_domain_guards(spark):
+    """ADVICE r10: out-of-domain labels must raise upfront — the IRLS
+    clamp bounds μ, not y, so a y = 2 (binomial) or y = −1 (poisson)
+    would silently corrupt the working response. min/max(y) ride the
+    existing upfront aggregation."""
+    from sparkglm_spark.operators.enet import glm_elastic_net
+
+    rows = [(float(i % 2), float(i)) for i in range(20)]
+    df = spark.createDataFrame(rows, "y double, x double")
+    bad_b = df.withColumn("y", F.when(F.col("x") > 17, 2.0).otherwise(F.col("y")))
+    with pytest.raises(ValueError, match=r"\[0, 1\]"):
+        glm_elastic_net(bad_b, "y ~ x", reg_param=0.01, family="binomial")
+    with pytest.raises(ValueError, match=r"\[0, 1\]"):
+        glm_elastic_net(
+            df.withColumn("y", F.col("y") - 1.0), "y ~ x", reg_param=0.01,
+            family="binomial",
+        )
+    bad_p = df.withColumn("y", F.when(F.col("x") > 17, -1.0).otherwise(F.col("y")))
+    with pytest.raises(ValueError, match=">= 0"):
+        glm_elastic_net(bad_p, "y ~ x", reg_param=0.01, family="poisson")
+
+
+def test_glm_enet_deviance_describes_returned_coefs(logit_data):
+    """ADVICE r10: a max_iter-truncated fit must report deviance at the
+    RETURNED β (one extra scalar aggregation), not the penultimate β's —
+    checked against a hand computation; a converged fit's deviance stays
+    the loop's (within tol of the final β's by definition)."""
+    from sparkglm_spark.operators.enet import glm_elastic_net
+
+    m = glm_elastic_net(
+        logit_data, "y ~ x1 + x2 + x3 + x4", reg_param=0.02, max_iter=2,
+    )
+    assert not m.converged and m.iter == 2
+    pdf = logit_data.toPandas()
+    X = pdf[["x1", "x2", "x3", "x4"]].to_numpy()
+    yv = pdf["y"].to_numpy()
+    eta = m.coefs[0] + X @ m.coefs[1:]
+    mu = 1.0 / (1.0 + np.exp(-eta))
+    mu = np.clip(mu, 1e-10, 1 - 1e-10)
+    dev = 2.0 * float(
+        np.sum(-yv * np.log(mu) - (1 - yv) * np.log1p(-mu))
+    )
+    assert m.deviance == pytest.approx(dev, rel=1e-10)

@@ -525,10 +525,12 @@ def test_seasonal_decompose_recovers_planted_components(spark):
 
 def test_holt_forecast_intervals_hand_recursion(spark):
     """interval=True (VERDICT r9 #7): se_h must equal the hand
-    innovations recursion — σ̂² = mean squared one-step residual,
+    innovations recursion — σ̂² = SSE/(n−2) (the first residual is
+    structurally zero under the l₁=x₁, b₁=x₂−x₁ init — ADVICE r10),
     Var_h = σ̂²(1 + Σ_{j<h} c_j²) with c_j = α(1+jβ) — and the c_j
     closed form itself is asserted against a deterministic unit-impulse
-    run of the (linear) fold. Single-row keys report NULL se/lo/hi."""
+    run of the (linear) fold. Keys with n < 3 (no informative residual)
+    report NULL se/lo/hi."""
     from sparkglm_spark.functions.special import norm_ppf
     from sparkglm_spark.operators.timeseries import holt_forecast
 
@@ -553,7 +555,7 @@ def test_holt_forecast_intervals_hand_recursion(spark):
         prev = lvl
         lvl = alpha * x[i] + (1 - alpha) * fit
         trd = beta * (lvl - prev) + (1 - beta) * trd
-    sig2 = sse / (len(x) - 1)
+    sig2 = sse / (len(x) - 2)
     z = norm_ppf(0.95)
     for h in (1, 4):
         v = 1.0 + sum((alpha * (1 + j * beta)) ** 2 for j in range(1, h))
@@ -565,6 +567,16 @@ def test_holt_forecast_intervals_hand_recursion(spark):
         assert getattr(r, f"hi_{h}") == pytest.approx(float(fc + z * se), rel=1e-12)
     assert got["a"].se_1 < got["a"].se_4  # widening with horizon
     assert got["solo"].se_1 is None and got["solo"].lo_4 is None
+
+    # a 2-row key's only residual is the structural zero — se must be
+    # NULL, not 0 (a zero-width "interval" would claim false certainty)
+    two = spark.createDataFrame(
+        [("p", 1, 4.0), ("p", 2, 9.0)], "k string, t long, v double"
+    )
+    r2 = holt_forecast(
+        two, "k", "t", "v", alpha, beta, horizons=[1], interval=True
+    ).collect()[0]
+    assert r2.forecast_1 is not None and r2.se_1 is None and r2.hi_1 is None
 
     # impulse identity: the fold is linear in x, so bumping the last
     # observation by 1 must move the j-step forecast by exactly c_j
