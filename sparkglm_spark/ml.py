@@ -136,7 +136,8 @@ class _SparkLMParams(_FormulaParams):
         Params._dummy(),
         "regParam",
         "MLlib-convention elastic-net penalty lambda (> 0 routes the fit "
-        "through coordinate descent; mutually exclusive with l2/weightCol)",
+        "through coordinate descent; composes with weightCol as in MLlib "
+        "LinearRegression; mutually exclusive with l2)",
         typeConverter=TypeConverters.toFloat,
     )
     elasticNetParam = Param(
@@ -381,11 +382,15 @@ class SparkLM(Estimator, _SparkLMParams, DefaultParamsReadable, DefaultParamsWri
         if not self.isDefined(self.formula):
             raise ValueError("SparkLM requires the 'formula' param")
         if self.getRegParam() > 0.0:
-            if self.getL2() > 0.0 or self.getWeightCol():
+            if self.getL2() > 0.0:
                 raise ValueError(
                     "regParam (MLlib elastic-net convention) is mutually "
-                    "exclusive with l2 (raw-Gram ridge) and weightCol"
+                    "exclusive with l2 (raw-Gram ridge)"
                 )
+            # weightCol composes with regParam exactly as in MLlib
+            # LinearRegression (elastic_net's Σw conventions are
+            # golden-matched) — so CrossValidator grids over weighted
+            # penalized fits work here too
             inner = elastic_net(
                 dataset,
                 self.getFormula(),
@@ -393,6 +398,7 @@ class SparkLM(Estimator, _SparkLMParams, DefaultParamsReadable, DefaultParamsWri
                 elastic_net_param=self.getElasticNetParam(),
                 standardize=self.getStandardization(),
                 na_action=self.getNaAction(),
+                weight_col=self.getWeightCol() or None,
             )
         else:
             inner = lm(

@@ -375,6 +375,7 @@ def elastic_net_cv(
     na_action: str = "omit",
     max_sweeps: int = 10_000,
     tol: float = 1e-10,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """K-fold cross-validation over a λ path in ONE data pass — the
     `lm_cross_validate` shape: Gram statistics are additive, so a single
@@ -387,6 +388,11 @@ def elastic_net_cv(
     `fold_expr` must land in [0, n_folds) — an out-of-range fold id
     raises (it would ride every training set but never be validated).
 
+    `weight_col` runs the penalized-WLS CV (the `elastic_net(weight_col=)`
+    fit applied per training set — same Σw conventions, same single
+    job): rmse_train/rmse_val become the W-weighted RMS error
+    √(Σw·e²/Σw), the natural weighted generalization.
+
     Returns one row per (reg_param, fold): reg_param, fold, n_train,
     n_val, rmse_train, rmse_val, n_nonzero."""
     if not reg_params:
@@ -397,30 +403,28 @@ def elastic_net_cv(
         df.withColumn("__fold", fold_expr.cast("int")),
         formula,
         na_action,
-        extra_cols=["__fold"],
+        extra_cols=["__fold"] + ([weight_col] if weight_col else []),
     )
     from sparkglm_spark.operators.lm import fold_gram_collect
 
     has_int = "intercept" in x_cols
-    folds = fold_gram_collect(encoded, x_cols, target, n_folds)
-    tot = (
-        sum(v[0] for v in folds.values()),
-        sum(v[1] for v in folds.values()),
-        sum(v[2] for v in folds.values()),
-        sum(v[3] for v in folds.values()),
-        sum(v[4] for v in folds.values()),
-        sum(v[5] for v in folds.values()),
+    folds = fold_gram_collect(
+        encoded, x_cols, target, n_folds, weight_col=weight_col
     )
+    tot = tuple(
+        sum(v[i] for v in folds.values()) for i in range(6)
+    ) + ((sum(v[6] for v in folds.values()),) if weight_col else (None,))
     out = []
     for lam in reg_params:
         for f in range(n_folds):
             if f not in folds:
                 continue
-            xtx_v, xty_v, sy_v, syy_v, n_v, xs_v = folds[f]
+            xtx_v, xty_v, sy_v, syy_v, n_v, xs_v, sw_v = folds[f]
             xtx_t = tot[0] - xtx_v
             xty_t = tot[1] - xty_v
             sy_t, syy_t, n_t = tot[2] - sy_v, tot[3] - syy_v, tot[4] - n_v
-            if n_t <= 1:
+            sw_t = (tot[6] - sw_v) if weight_col else None
+            if n_t <= 1 or (sw_t is not None and sw_t <= 0.0):
                 continue
             beta, _sw, _cv, sse_t = _cd_enet(
                 xtx_t, xty_t, n_t, sy_t, syy_t, x_cols,
@@ -429,17 +433,21 @@ def elastic_net_cv(
                 # stds (the fit path's MLlib convention) — feed the
                 # training col sums so CV scores the model it would fit
                 col_sums=None if has_int else (tot[5] - xs_v),
+                sum_w=sw_t,
             )
             sse_v = float(syy_v - 2.0 * beta @ xty_v + beta @ xtx_v @ beta)
             nz = _count_nonzero(x_cols, beta)
+            # weighted: RMS errors over Σw (the statistical sample size)
+            den_t = sw_t if weight_col else n_t
+            den_v = sw_v if weight_col else n_v
             out.append(
                 (
                     float(lam),
                     f,
                     n_t,
                     n_v,
-                    float(np.sqrt(max(sse_t, 0.0) / n_t)),
-                    float(np.sqrt(max(sse_v, 0.0) / n_v)),
+                    float(np.sqrt(max(sse_t, 0.0) / den_t)),
+                    float(np.sqrt(max(sse_v, 0.0) / den_v)) if den_v else None,
                     nz,
                 )
             )
@@ -459,6 +467,7 @@ def elastic_net_path(
     na_action: str = "omit",
     max_sweeps: int = 10_000,
     tol: float = 1e-10,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """The whole regularization path from ONE data pass: a single Gram
     aggregation, then one warm-started coordinate descent per λ on the
@@ -474,11 +483,19 @@ def elastic_net_path(
     df = n_nonzero (+1 with an intercept) — the standard lasso
     degrees-of-freedom estimate (Zou, Hastie & Tibshirani 2007: the
     active-set size is unbiased for the lasso's df), so a path fit
-    selects λ with one argmin over the output, no held-out pass."""
+    selects λ with one argmin over the output, no held-out pass.
+
+    `weight_col` fits the penalized-WLS path (the
+    `elastic_net(weight_col=)` conventions); SSE in the criteria is
+    then the W-weighted SSE over the raw row count n — the WLS
+    log-likelihood's σ̂² = Σw·e²/n form (the Σln wᵢ term is constant
+    across λ, so it cancels out of the argmin)."""
     if not reg_params:
         raise ValueError("reg_params must be non-empty")
-    encoded, x_cols, target, _levels = _encode_formula(df, formula, na_action)
-    g, col_sums = _prepare_gram(encoded, target, x_cols)
+    encoded, x_cols, target, _levels = _encode_formula(
+        df, formula, na_action, extra_cols=[weight_col] if weight_col else []
+    )
+    g, col_sums = _prepare_gram(encoded, target, x_cols, weight_col=weight_col)
     p = len(x_cols)
     out = []
     theta = None
@@ -489,6 +506,7 @@ def elastic_net_path(
             g.xtx[:p, :p], g.xty[:p], g.n, float(g.sum_y), float(g.sum_y2),
             x_cols, lam, elastic_net_param, standardize, max_sweeps, tol,
             None, col_sums=col_sums, theta0=theta, return_theta=True,
+            sum_w=float(g.sum_w) if weight_col else None,
         )
         nz = _count_nonzero(x_cols, beta)
         dof = nz + (1 if "intercept" in x_cols else 0)
@@ -516,6 +534,7 @@ def elastic_net_grouped(
     max_sweeps: int = 10_000,
     tol: float = 1e-10,
     exact_sweeps: int | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """One elastic-net model per segment — the `lm_grouped` shape, which
     is STRONGER than the IRLS-grouped fitters' at scale: stage 1 is one
@@ -528,9 +547,11 @@ def elastic_net_grouped(
 
     Encoding levels are computed once on the whole input (the grouped
     convention: groups missing a level get zero dummies). Degenerate
-    groups (n ≤ 1, or a constant label in a no-intercept design) yield
-    NULL estimates. Returns long format: group_cols…, term, estimate,
-    n_rows, n_nonzero, sweeps, converged."""
+    groups (n ≤ 1, a constant label in a no-intercept design, or —
+    with `weight_col` — negative/null weights or Σw ≤ 0 in the group)
+    yield NULL estimates (the grouped NULL policy; the single-fit
+    surface raises instead). Returns long format: group_cols…, term,
+    estimate, n_rows, n_nonzero, sweeps, converged."""
     from pyspark.sql import types as T
 
     from sparkglm_spark.operators.lm import _design
@@ -539,21 +560,32 @@ def elastic_net_grouped(
         raise ValueError("group_cols must be non-empty")
     if exact_sweeps is not None and exact_sweeps < 1:
         raise ValueError("exact_sweeps must be >= 1")
-    encoded, x_cols, target = _design(df, formula, group_cols, na_action=na_action)
+    encoded, x_cols, target = _design(
+        df, formula, group_cols, na_action=na_action, weight_col=weight_col
+    )
     k = len(x_cols)
     has_int = "intercept" in x_cols
     xs = [F.col(c) for c in x_cols]
     y = F.col(target)
+    w = F.col(weight_col) if weight_col else None
+
+    def wgt(e):
+        return e if w is None else e * w
+
     aggs = []
     for i in range(k):
         for j in range(i, k):
-            aggs.append(F.sum(xs[i] * xs[j]).alias(f"__g_{i}_{j}"))
+            aggs.append(F.sum(wgt(xs[i] * xs[j])).alias(f"__g_{i}_{j}"))
     for i in range(k):
-        aggs.append(F.sum(xs[i] * y).alias(f"__xy_{i}"))
-        aggs.append(F.sum(xs[i]).alias(f"__xs_{i}"))
-    aggs.append(F.sum(y).alias("__sy"))
-    aggs.append(F.sum(y * y).alias("__syy"))
+        aggs.append(F.sum(wgt(xs[i] * y)).alias(f"__xy_{i}"))
+        aggs.append(F.sum(wgt(xs[i])).alias(f"__xs_{i}"))
+    aggs.append(F.sum(wgt(y)).alias("__sy"))
+    aggs.append(F.sum(wgt(y * y)).alias("__syy"))
     aggs.append(F.count(F.lit(1)).alias("__n"))
+    if w is not None:
+        aggs.append(F.sum(w).alias("__sw"))
+        aggs.append(F.min(w).alias("__minw"))
+        aggs.append(F.count(w).alias("__nw"))
     gram = encoded.groupBy(*group_cols).agg(*aggs)
 
     out_schema = T.StructType(
@@ -571,6 +603,7 @@ def elastic_net_grouped(
     gcols = list(group_cols)
     lam, alpha, std = float(reg_param), float(elastic_net_param), standardize
     msw, ctol, nex = max_sweeps, tol, exact_sweeps
+    weighted = weight_col is not None
     # validate once on the driver, not per group inside the UDF
     _cd_enet(
         np.eye(k), np.zeros(k), 2, 0.0, 1.0, x_cols, lam, alpha, std,
@@ -594,13 +627,31 @@ def elastic_net_grouped(
                         xtx[i, j] = xtx[j, i] = r[f"__g_{i}_{j}"]
                 xty = np.array([r[f"__xy_{i}"] for i in range(k)])
                 csums = np.array([r[f"__xs_{i}"] for i in range(k)])
+                sw = None
+                ok_w = True
+                if weighted:
+                    # per-group weight-domain check — a bad group gets
+                    # NULL estimates (grouped NULL policy), never raises
+                    sw = r["__sw"]
+                    ok_w = (
+                        int(r["__nw"]) == n
+                        and r["__minw"] is not None
+                        and float(r["__minw"]) >= 0.0
+                        and sw is not None
+                        and float(sw) > 0.0
+                    )
+                    sw = float(sw) if ok_w else None
                 beta, sweeps, conv, nz = None, 0, False, None
-                if n > 1 and np.all(np.isfinite(xtx)) and np.all(np.isfinite(xty)):
+                if (
+                    n > 1 and ok_w
+                    and np.all(np.isfinite(xtx)) and np.all(np.isfinite(xty))
+                ):
                     try:
                         beta, sweeps, conv, _sse = _cd_enet(
                             xtx, xty, n, float(r["__sy"]), float(r["__syy"]),
                             names, lam, alpha, std, msw, ctol, nex,
                             col_sums=None if has_int else csums,
+                            sum_w=sw,
                         )
                         nz = _count_nonzero(names, beta)
                     except (ValueError, np.linalg.LinAlgError):

@@ -609,29 +609,58 @@ def fold_gram_collect(
     x_cols: list[str],
     target: str,
     n_folds: int,
+    weight_col: str | None = None,
 ) -> dict[int, tuple]:
     """Per-fold Gram sufficient statistics in ONE groupBy('__fold')
     aggregation — the shared engine of `lm_cross_validate` and
     `elastic_net_cv` (the `_encode_formula` no-triplication rule).
-    Returns {fold: (xtx, xty, sy, syy, n, col_sums)}; col_sums (Σxⱼ per
-    fold) feeds the no-intercept standardization path of the
-    elastic-net CV. Raises on fold ids outside [0, n_folds): a silently
-    dropped fold would still ride every training set while never being
-    validated — biased CV with no visible symptom."""
+    Returns {fold: (xtx, xty, sy, syy, n, col_sums, sw)}; col_sums
+    (Σ[w·]xⱼ per fold) feeds the no-intercept standardization path of
+    the elastic-net CV. With `weight_col` every sum is W-weighted and
+    `sw` = Σw per fold (None unweighted); n stays the raw row count.
+    Raises on fold ids outside [0, n_folds): a silently dropped fold
+    would still ride every training set while never being validated —
+    biased CV with no visible symptom. Raises on negative/null weights
+    (same silent-corruption hazard as `_prepare_gram`'s guards)."""
     k = len(x_cols)
     xs = [F.col(c) for c in x_cols]
     y = F.col(target)
+    w = F.col(weight_col) if weight_col else None
+
+    def wgt(e: Column) -> Column:
+        return e if w is None else e * w
+
     aggs: list[Column] = []
     for i in range(k):
         for j in range(i, k):
-            aggs.append(F.sum(xs[i] * xs[j]).alias(f"g_{i}_{j}"))
+            aggs.append(F.sum(wgt(xs[i] * xs[j])).alias(f"g_{i}_{j}"))
     for i in range(k):
-        aggs.append(F.sum(xs[i] * y).alias(f"xy_{i}"))
-        aggs.append(F.sum(xs[i]).alias(f"xs_{i}"))
-    aggs.append(F.sum(y).alias("sy"))
-    aggs.append(F.sum(y * y).alias("syy"))
+        aggs.append(F.sum(wgt(xs[i] * y)).alias(f"xy_{i}"))
+        aggs.append(F.sum(wgt(xs[i])).alias(f"xs_{i}"))
+    aggs.append(F.sum(wgt(y)).alias("sy"))
+    aggs.append(F.sum(wgt(y * y)).alias("syy"))
     aggs.append(F.count(F.lit(1)).alias("n"))
+    if w is not None:
+        aggs.append(F.sum(w).alias("sw"))
+        aggs.append(F.min(w).alias("minw"))
+        aggs.append(F.count(w).alias("nw"))
     rows = encoded.groupBy("__fold").agg(*aggs).collect()  # n_folds tiny rows
+
+    if w is not None:
+        n_tot = sum(int(r["n"]) for r in rows)
+        nw_tot = sum(int(r["nw"]) for r in rows)
+        if nw_tot < n_tot:
+            raise ValueError(
+                f"weight column {weight_col!r} has {n_tot - nw_tot} null values"
+            )
+        minw = min(
+            (float(r["minw"]) for r in rows if r["minw"] is not None),
+            default=0.0,
+        )
+        if minw < 0.0:
+            raise ValueError(
+                f"weight column {weight_col!r} has negative values (min = {minw})"
+            )
 
     def unpack(r):
         xtx = np.empty((k, k))
@@ -640,7 +669,11 @@ def fold_gram_collect(
                 xtx[i, j] = xtx[j, i] = r[f"g_{i}_{j}"]
         xty = np.array([r[f"xy_{i}"] for i in range(k)])
         col_sums = np.array([r[f"xs_{i}"] for i in range(k)])
-        return xtx, xty, float(r["sy"]), float(r["syy"]), int(r["n"]), col_sums
+        sw = float(r["sw"]) if w is not None else None
+        return (
+            xtx, xty, float(r["sy"]), float(r["syy"]), int(r["n"]),
+            col_sums, sw,
+        )
 
     folds = {int(r["__fold"]): unpack(r) for r in rows}
     bad = sorted(f for f in folds if not 0 <= f < n_folds)
@@ -700,7 +733,7 @@ def lm_cross_validate(
     for f in range(n_folds):
         if f not in folds:
             continue
-        xtx_v, xty_v, sy_v, syy_v, n_v, _xs_v = folds[f]
+        xtx_v, xty_v, sy_v, syy_v, n_v, _xs_v, _sw_v = folds[f]
         xtx_t, xty_t = tot_xtx - xtx_v, tot_xty - xty_v
         syy_t, n_t = tot_syy - syy_v, tot_n - n_v
         if n_t < k:

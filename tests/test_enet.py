@@ -686,3 +686,146 @@ def test_glm_enet_deviance_describes_returned_coefs(logit_data):
         np.sum(-yv * np.log(mu) - (1 - yv) * np.log1p(-mu))
     )
     assert m.deviance == pytest.approx(dev, rel=1e-10)
+
+
+def test_spark_lm_weighted_penalized_estimator(spark):
+    """VERDICT r10 #2: regParam + weightCol compose on the ESTIMATOR
+    like MLlib LinearRegression — golden through SparkLM (the function
+    -level golden is test_weighted_elastic_net_matches_mllib); the twin
+    function fit must agree exactly."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import LinearRegression
+
+    from sparkglm_spark.ml import SparkLM
+
+    rng = np.random.default_rng(29)
+    n = 800
+    x1 = rng.normal(1.0, 2.0, n)
+    x2 = rng.normal(0.0, 1.0, n)
+    w = rng.uniform(0.5, 4.0, n)
+    y = 2.0 - 0.6 * x1 + rng.normal(0, 0.7, n)
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c), float(d))
+         for a, b, c, d in zip(y, x1, x2, w)],
+        "y double, x1 double, x2 double, w double",
+    )
+    lam, alpha = 0.15, 0.7
+    m = SparkLM(
+        formula="y ~ x1 + x2", regParam=lam, elasticNetParam=alpha,
+        weightCol="w",
+    ).fit(df)
+    fd = VectorAssembler(inputCols=["x1", "x2"], outputCol="features").transform(df)
+    lr = LinearRegression(
+        labelCol="y", weightCol="w", regParam=lam, elasticNetParam=alpha,
+        maxIter=2000, tol=1e-12,
+    ).fit(fd)
+    want = np.array([lr.intercept] + list(lr.coefficients))
+    assert np.abs(m.model.coefs - want).max() < 2e-5
+    twin = elastic_net(
+        df, "y ~ x1 + x2", reg_param=lam, elastic_net_param=alpha,
+        weight_col="w",
+    )
+    assert np.abs(m.model.coefs - twin.coefs).max() < 1e-12
+    # l2 + regParam still refuses (the one REAL exclusivity)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        SparkLM(formula="y ~ x1", regParam=0.1, l2=0.5).fit(df)
+
+
+@pytest.fixture(scope="module")
+def weighted_cv_data(spark):
+    rng = np.random.default_rng(41)
+    n = 1200
+    X = rng.normal(size=(n, 3)) * np.array([1.0, 2.0, 0.8])
+    w = rng.uniform(0.2, 3.0, n)
+    y = 0.5 + X @ np.array([1.5, 0.0, -0.8]) + rng.normal(0, 1.0, n)
+    fold = np.arange(n) % 3
+    rows = [
+        (float(y[i]), *[float(v) for v in X[i]], float(w[i]), int(fold[i]))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "y double, x1 double, x2 double, x3 double, w double, f int"
+    )
+    return df
+
+
+def test_weighted_cv_matches_cold_per_fold_fits(weighted_cv_data):
+    """elastic_net_cv(weight_col=): each (fold, λ) model must equal a
+    COLD elastic_net fit on the physically filtered training rows, and
+    rmse_val must be the weighted RMS error √(Σw·e²/Σw) over the
+    held-out fold — per-fold Gram additivity carries weights exactly."""
+    df = weighted_cv_data
+    lams = [0.05, 0.4]
+    got = {
+        (r.reg_param, r.fold): r
+        for r in elastic_net_cv(
+            df, "y ~ x1 + x2 + x3", lams, "f", n_folds=3, weight_col="w"
+        ).collect()
+    }
+    assert len(got) == 6
+    for lam in lams:
+        for f in range(3):
+            train = df.where(F.col("f") != f)
+            cold = elastic_net(
+                train, "y ~ x1 + x2 + x3", reg_param=lam, weight_col="w"
+            )
+            r = got[(lam, f)]
+            # weighted validation RMSE by hand
+            vp = df.where(F.col("f") == f).toPandas()
+            Xv = vp[["x1", "x2", "x3"]].to_numpy()
+            e = vp["y"].to_numpy() - (cold.coefs[0] + Xv @ cold.coefs[1:])
+            wv = vp["w"].to_numpy()
+            want = np.sqrt(float(wv @ (e * e)) / float(wv.sum()))
+            assert r.rmse_val == pytest.approx(want, rel=1e-9), (lam, f)
+            assert r.n_nonzero == cold.n_nonzero
+
+
+def test_weighted_path_matches_cold_fits(weighted_cv_data):
+    """elastic_net_path(weight_col=): warm-started path coefficients
+    equal cold weighted fits at each λ."""
+    from sparkglm_spark.operators.enet import elastic_net_path
+
+    df = weighted_cv_data
+    lams = [0.3, 0.05, 0.8]
+    path = elastic_net_path(
+        df, "y ~ x1 + x2 + x3", lams, weight_col="w"
+    ).toPandas()
+    assert len(path) == 3 * 4
+    for lam in lams:
+        cold = elastic_net(df, "y ~ x1 + x2 + x3", reg_param=lam,
+                           weight_col="w")
+        block = path[path.reg_param == lam].set_index("term")["estimate"]
+        for nm, c in zip(cold.xnames, cold.coefs):
+            assert block[nm] == pytest.approx(c, abs=1e-9), (lam, nm)
+
+
+def test_weighted_grouped_matches_per_slice(weighted_cv_data):
+    """elastic_net_grouped(weight_col=): every segment equals its
+    per-slice weighted fit; a group with a negative weight degrades to
+    NULL estimates (grouped NULL policy) instead of raising."""
+    from sparkglm_spark.operators.enet import elastic_net_grouped
+
+    df = weighted_cv_data.withColumn(
+        "g", (F.col("f") % 2 == 0).cast("string")
+    )
+    lam = 0.1
+    out = elastic_net_grouped(
+        df, "y ~ x1 + x2 + x3", ["g"], reg_param=lam, weight_col="w"
+    ).toPandas()
+    for gval in ("true", "false"):
+        cold = elastic_net(
+            df.where(F.col("g") == gval), "y ~ x1 + x2 + x3",
+            reg_param=lam, weight_col="w",
+        )
+        block = out[out.g == gval].set_index("term")["estimate"]
+        for nm, c in zip(cold.xnames, cold.coefs):
+            assert block[nm] == pytest.approx(c, abs=1e-10), (gval, nm)
+    # poison one group's weights → that group NULL, the other unharmed
+    poisoned = df.withColumn(
+        "w", F.when(F.col("g") == "true", -1.0).otherwise(F.col("w"))
+    )
+    out2 = elastic_net_grouped(
+        poisoned, "y ~ x1 + x2 + x3", ["g"], reg_param=lam, weight_col="w"
+    ).toPandas()
+    assert out2[out2.g == "true"]["estimate"].isna().all()
+    assert out2[out2.g == "false"]["estimate"].notna().all()
