@@ -486,11 +486,11 @@ class SparkGLM(Estimator, _SparkGLMParams, DefaultParamsReadable, DefaultParamsW
         if not self.isDefined(self.formula):
             raise ValueError("SparkGLM requires the 'formula' param")
         if self.getRegParam() > 0.0:
-            if self.getMCol() or self.getOffsetCol() or self.getLink():
+            if self.getMCol() or self.getLink():
                 raise ValueError(
                     "regParam (penalized fit) supports only the default "
-                    "link and no mCol/offsetCol — use an unpenalized "
-                    "SparkGLM for those"
+                    "link and no mCol — use an unpenalized SparkGLM for "
+                    "those"
                 )
             inner = glm_elastic_net(
                 dataset,
@@ -501,6 +501,7 @@ class SparkGLM(Estimator, _SparkGLMParams, DefaultParamsReadable, DefaultParamsW
                 standardize=self.getStandardization(),
                 na_action=self.getNaAction(),
                 max_iter=self.getMaxIter(),
+                offset_col=self.getOffsetCol() or None,
                 # the penalized path's tol is max-coefficient-change
                 # (tighter default 1e-10); forward the Param only when
                 # the USER set it — inheriting the unpenalized default

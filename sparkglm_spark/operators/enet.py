@@ -786,6 +786,7 @@ def glm_elastic_net(
     tol: float = 1e-10,
     max_sweeps: int = 1000,
     exact_iterations: int | None = None,
+    offset_col: str | None = None,
 ) -> GLMElasticNet:
     """Sparse GLM — L1(+L2)-penalized logistic / Poisson regression with
     the MLlib `LogisticRegression(regParam, elasticNetParam,
@@ -807,7 +808,14 @@ def glm_elastic_net(
     100 TB cost profile per iteration as the unpenalized `glm`.
 
     Families: binomial/logit (Bernoulli y ∈ [0,1]) and poisson/log
-    (y ≥ 0). No m_col/offset on this surface (use `glm` for those,
+    (y ≥ 0). `offset_col` adds a fixed per-row term to η (the `glm`
+    offset contract: η = Xβ + offset, fit unchanged in cost — one extra
+    column in the per-iteration expressions, zero extra jobs) —
+    penalized Poisson with `offset_col=log(exposure)` is the standard
+    sparse rate model. At λ = 0 the fit matches `glm(offset_col=)`
+    (parity-tested). Scoring note: like `GLM.predict`, `predict()`
+    scores η = Xβ WITHOUT the offset — add it on the link scale when
+    scoring rate models. No m_col on this surface (use `glm`,
     unpenalized). Converges on max coefficient change ≤ `tol`;
     `exact_iterations=N` runs exactly N outer solves with no
     convergence test (deterministic trajectory — the oracle-pin hook;
@@ -830,7 +838,10 @@ def glm_elastic_net(
         raise ValueError("exact_iterations must be >= 1")
     fam = get_family(family)
     lnk = get_link(fam.default_link)
-    encoded, x_cols, target, levels = _encode_formula(df, formula, na_action)
+    encoded, x_cols, target, levels = _encode_formula(
+        df, formula, na_action,
+        extra_cols=[offset_col] if offset_col else [],
+    )
     has_int = "intercept" in x_cols
     i0 = x_cols.index("intercept") if has_int else None
     feats = [i for i in range(len(x_cols)) if i != i0]
@@ -840,10 +851,15 @@ def glm_elastic_net(
 
     from sparkglm_spark.plans.partitioning import ensure_parallel
 
-    work = ensure_parallel(encoded.select(target, *x_cols)).persist()
+    work = ensure_parallel(
+        encoded.select(
+            target, *x_cols, *([offset_col] if offset_col else [])
+        )
+    ).persist()
     try:
         y = F.col(target)
         one = F.lit(1.0)
+        off = F.col(offset_col).cast("double") if offset_col else None
         # upfront pass: n, ȳ, and the UNWEIGHTED feature moments for the
         # fixed standardization (computed once — MLlib's summarizer)
         aggs0 = [
@@ -852,6 +868,8 @@ def glm_elastic_net(
             F.min(y).alias("ymin"),
             F.max(y).alias("ymax"),
         ]
+        if off is not None:
+            aggs0.append(F.sum(off).alias("soff"))
         for i, j in enumerate(feats):
             c = F.col(x_cols[j])
             aggs0.append(F.sum(c).alias(f"s_{i}"))
@@ -892,11 +910,16 @@ def glm_elastic_net(
 
         beta = np.zeros(k)
         if has_int:
-            # standard glmnet start: β = 0, intercept = link(ȳ)
+            # standard glmnet start: β = 0, intercept = link(ȳ); with an
+            # offset, subtract its mean so the start's η ≈ link(ȳ) at
+            # the typical row (a Newton start, not a fit convention —
+            # the trajectory converges to the same optimum either way)
             mu0 = min(max(y_mean, 1e-10), 1 - 1e-10) if family == "binomial" else y_mean
             beta[i0] = float(lnk.link_np(np.array([mu0]), 1.0)[0]) if hasattr(
                 lnk, "link_np"
             ) else float(np.log(mu0 / (1 - mu0)) if family == "binomial" else np.log(mu0))
+            if off is not None:
+                beta[i0] -= float(r0["soff"]) / n
 
         theta = np.zeros(p)
         xs = [F.col(c) for c in x_cols]
@@ -906,15 +929,19 @@ def glm_elastic_net(
         if exact_iterations is not None:
             max_iter = exact_iterations
         for _ in range(max_iter):
-            eta = F.lit(0.0)
+            eta_lin = F.lit(0.0)
             for c, bb in zip(xs, beta):
-                eta = eta + F.lit(float(bb)) * c
+                eta_lin = eta_lin + F.lit(float(bb)) * c
+            eta = eta_lin if off is None else eta_lin + off
             mu = lnk.unlink(eta, one)
             if family == "binomial":
                 mu = F.least(F.greatest(mu, F.lit(1e-10)), F.lit(1.0 - 1e-10))
             grad = lnk.lprime(mu, one)
             w = F.lit(1.0) / (fam.variance(mu, one) * grad * grad)
-            z = eta + (y - mu) * grad
+            # working response for the LINEAR part only — the offset is
+            # fixed, so it drops out of the WLS subproblem (z = η−off +
+            # (y−μ)g', the glm convention at glm.py:181)
+            z = eta_lin + (y - mu) * grad
             proj = work.select(
                 *xs, w.alias("__w"), z.alias("__z"),
                 fam.deviance_term(y, mu, one).alias("__devt"),
@@ -972,6 +999,8 @@ def glm_elastic_net(
             eta = F.lit(0.0)
             for c, bb in zip(xs, beta):
                 eta = eta + F.lit(float(bb)) * c
+            if off is not None:
+                eta = eta + off
             mu = lnk.unlink(eta, one)
             if family == "binomial":
                 mu = F.least(F.greatest(mu, F.lit(1e-10)), F.lit(1.0 - 1e-10))

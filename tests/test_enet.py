@@ -829,3 +829,90 @@ def test_weighted_grouped_matches_per_slice(weighted_cv_data):
     ).toPandas()
     assert out2[out2.g == "true"]["estimate"].isna().all()
     assert out2[out2.g == "false"]["estimate"].notna().all()
+
+
+def test_glm_enet_offset_poisson_rate_model(spark):
+    """VERDICT r10 #3: offset_col on glm_elastic_net. At λ=0 the fit
+    must match glm(offset_col=) (the unpenalized IRLS twin), and at
+    λ>0 the penalized Poisson rate fit must satisfy its KKT conditions
+    with η = Xβ + log(exposure)."""
+    from sparkglm_spark.operators.enet import glm_elastic_net
+    from sparkglm_spark.operators.glm import glm
+
+    rng = np.random.default_rng(31)
+    n = 2000
+    X = rng.normal(size=(n, 3)) * np.array([1.0, 1.8, 0.6])
+    expo = rng.uniform(0.5, 8.0, n)
+    mu = expo * np.exp(0.2 + X @ np.array([0.5, 0.0, -0.4]))
+    y = rng.poisson(mu).astype(float)
+    df = spark.createDataFrame(
+        [(float(y[i]), *[float(v) for v in X[i]], float(np.log(expo[i])))
+         for i in range(n)],
+        "y double, x1 double, x2 double, x3 double, lexpo double",
+    )
+    # λ=0 parity vs glm
+    un = glm(df, "y ~ x1 + x2 + x3", family="poisson", offset_col="lexpo",
+             tol=1e-12)
+    z = glm_elastic_net(
+        df, "y ~ x1 + x2 + x3", reg_param=0.0, family="poisson",
+        offset_col="lexpo", tol=1e-12,
+    )
+    assert z.converged
+    assert np.abs(z.coefs - un.coefs).max() < 1e-7
+    assert z.deviance == pytest.approx(un.deviance, rel=1e-6)
+
+    # penalized KKT with offset (the oracle-free check for penalized fits)
+    lam, alpha = 0.05, 0.8
+    m = glm_elastic_net(
+        df, "y ~ x1 + x2 + x3", reg_param=lam, elastic_net_param=alpha,
+        family="poisson", offset_col="lexpo", tol=1e-12,
+    )
+    assert m.converged
+    beta = m.coefs
+    eta = beta[0] + X @ beta[1:] + np.log(expo)
+    mu_hat = np.exp(eta)
+    sig = X.std(axis=0, ddof=1)
+    xc = X - X.mean(axis=0)
+    theta = beta[1:] * sig
+    grad = (xc / sig).T @ (mu_hat - y) / n
+    for j in range(3):
+        if theta[j] != 0.0:
+            kkt = grad[j] + lam * (1 - alpha) * theta[j] + lam * alpha * np.sign(theta[j])
+            assert abs(kkt) < 1e-7, (j, kkt)
+        else:
+            assert abs(grad[j]) <= lam * alpha + 1e-9, (j, grad[j])
+    assert abs((mu_hat - y).sum() / n) < 1e-8
+    # exposure matters: dropping the offset shifts the intercept
+    no_off = glm_elastic_net(
+        df, "y ~ x1 + x2 + x3", reg_param=lam, elastic_net_param=alpha,
+        family="poisson",
+    )
+    assert abs(no_off.coefs[0] - m.coefs[0]) > 0.1
+
+
+def test_glm_enet_offset_binomial_and_estimator(logit_data):
+    """Binomial offset at λ=0 matches glm(offset_col=); SparkGLM
+    forwards offsetCol on the regParam > 0 path (the mCol/link guard
+    stays)."""
+    from sparkglm_spark.ml import SparkGLM
+    from sparkglm_spark.operators.enet import glm_elastic_net
+    from sparkglm_spark.operators.glm import glm
+
+    df = logit_data.withColumn("o", F.col("x4") * 0.3)
+    un = glm(df, "y ~ x1 + x3", family="binomial", offset_col="o", tol=1e-12)
+    z = glm_elastic_net(
+        df, "y ~ x1 + x3", reg_param=0.0, family="binomial",
+        offset_col="o", tol=1e-12,
+    )
+    assert np.abs(z.coefs - un.coefs).max() < 1e-7
+    # α matched explicitly: the estimator defaults elasticNetParam=0.0
+    # (MLlib), the function defaults α=1.0 (lasso) — intentional
+    est = SparkGLM(
+        formula="y ~ x1 + x3", family="binomial", regParam=0.02,
+        elasticNetParam=1.0, offsetCol="o",
+    ).fit(df)
+    twin = glm_elastic_net(
+        df, "y ~ x1 + x3", reg_param=0.02, elastic_net_param=1.0,
+        family="binomial", offset_col="o",
+    )
+    assert np.abs(est.model.coefs - twin.coefs).max() < 1e-12
