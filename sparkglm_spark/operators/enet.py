@@ -1031,3 +1031,452 @@ def glm_elastic_net(
             f"elastic_net_param={alpha})"
         ),
     )
+
+
+def _collect_fold_rows(proj, aggs) -> dict:
+    """ONE `groupBy('__fold')` aggregation job — the only data pass of a
+    pathwise-CV outer iteration (`_glm_enet_pathwise`). Split out as the
+    monkeypatch point for the job-count plan test: the lock-step design's
+    load-bearing claim is that EVERY fold model (and the λ warm-start
+    machinery) advances from this single aggregation."""
+    return {
+        int(r["__fold"]): r
+        for r in proj.groupBy("__fold").agg(*aggs).collect()
+    }
+
+
+def _glm_enet_pathwise(
+    df: DataFrame,
+    formula: str,
+    reg_params: list[float],
+    fold_expr,
+    n_folds: int,
+    elastic_net_param: float,
+    family: str,
+    standardize: bool,
+    na_action: str,
+    max_iter: int,
+    tol: float,
+    max_sweeps: int,
+    offset_col: str | None,
+    exact_iterations: int | None,
+    mode: str,
+):
+    """Shared engine of `glm_elastic_net_cv` (mode='cv') and
+    `glm_elastic_net_path` (mode='path') — pathwise penalized IRLS with
+    every model advancing in LOCK-STEP from one aggregation per outer
+    iteration:
+
+    * mode='cv': one model per fold j (trained on all rows with
+      __fold ≠ j). Each outer iteration projects every ACTIVE model's
+      (w, z, deviance-term) columns and runs ONE `groupBy(__fold)`
+      zw-Gram aggregation; model j's training Gram is the sum of the
+      other folds' blocks (Gram additivity over groups — the
+      `fold_gram_collect` idea lifted to IRLS working responses, which
+      depend on each model's own β and so need per-model blocks).
+    * mode='path': a single full-data model, same machinery with one
+      constant fold group.
+
+    λs run DESCENDING with warm starts (glmnet's pathwise design), so
+    each λ's IRLS usually converges in 1-3 iterations after the first.
+    Per-model standardization uses the model's own TRAINING sample stds
+    (assembled from per-fold Σx/Σx² — the convention a cold fit on the
+    filtered training rows would use, parity-tested at 1e-8). Total
+    jobs: 1 upfront moments pass + Σ_λ(iterations) Gram passes + a
+    final deviance pass evaluating every (λ, model) at its CONVERGED β
+    (so reported deviances describe the returned fits, not the
+    penultimate iterate — the `GLMElasticNet.deviance` lesson applied
+    from birth).
+
+    Returns (rows, x_cols, has_int, n_total) where rows is a list of
+    dicts, one per (λ, state)."""
+    from sparkglm_spark.functions.families import get_family
+    from sparkglm_spark.functions.links import get_link
+    from sparkglm_spark.plans.partitioning import ensure_parallel
+
+    if family not in ("binomial", "poisson"):
+        raise ValueError(
+            f"glm_elastic_net supports binomial and poisson, got {family!r}"
+        )
+    if not reg_params:
+        raise ValueError("reg_params must be non-empty")
+    alpha = float(elastic_net_param)
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError("elastic_net_param must be in [0, 1]")
+    if any(float(l) < 0.0 for l in reg_params):
+        raise ValueError("reg_param must be >= 0")
+    if exact_iterations is not None and exact_iterations < 1:
+        raise ValueError("exact_iterations must be >= 1")
+    fam = get_family(family)
+    lnk = get_link(fam.default_link)
+
+    if mode == "cv":
+        if isinstance(fold_expr, str):
+            fold_expr = F.col(fold_expr)
+        base = df.withColumn("__fold", fold_expr.cast("int"))
+    else:
+        base = df.withColumn("__fold", F.lit(0))
+        n_folds = 1
+    encoded, x_cols, target, _levels = _encode_formula(
+        base, formula, na_action,
+        extra_cols=["__fold"] + ([offset_col] if offset_col else []),
+    )
+    has_int = "intercept" in x_cols
+    i0 = x_cols.index("intercept") if has_int else None
+    feats = [i for i in range(len(x_cols)) if i != i0]
+    k = len(x_cols)
+    p = len(feats)
+    y = F.col(target)
+    one = F.lit(1.0)
+    off = F.col(offset_col).cast("double") if offset_col else None
+
+    work = ensure_parallel(
+        encoded.select(
+            "__fold", target, *x_cols,
+            *([offset_col] if offset_col else []),
+        )
+    ).persist()
+    try:
+        # ------ upfront pass: per-fold moments (one job) ------
+        aggs0 = [
+            F.count(F.lit(1)).alias("n"),
+            F.sum(y).alias("sy"),
+            F.min(y).alias("ymin"),
+            F.max(y).alias("ymax"),
+        ]
+        if off is not None:
+            aggs0.append(F.sum(off).alias("soff"))
+        for i, j in enumerate(feats):
+            c = F.col(x_cols[j])
+            aggs0.append(F.sum(c).alias(f"s_{i}"))
+            aggs0.append(F.sum(c * c).alias(f"ss_{i}"))
+        groups = _collect_fold_rows(work, aggs0)
+        bad = sorted(g for g in groups if not 0 <= g < n_folds)
+        if bad:
+            raise ValueError(
+                f"fold ids {bad} are outside [0, {n_folds}) — fix "
+                "fold_expr or n_folds (a dropped fold would bias every "
+                "training set)"
+            )
+        n_total = sum(int(r["n"]) for r in groups.values())
+        if n_total <= 1:
+            raise ValueError("need more than one row")
+        ymin = min(float(r["ymin"]) for r in groups.values())
+        ymax = max(float(r["ymax"]) for r in groups.values())
+        if family == "binomial" and (ymin < 0.0 or ymax > 1.0):
+            raise ValueError(
+                f"binomial label must lie in [0, 1]; observed [{ymin}, {ymax}]"
+            )
+        if family == "poisson" and ymin < 0.0:
+            raise ValueError(f"poisson label must be >= 0; observed min = {ymin}")
+
+        def link_scalar(mu0: float) -> float:
+            if family == "binomial":
+                mu0 = min(max(mu0, 1e-10), 1 - 1e-10)
+                return float(np.log(mu0 / (1 - mu0)))
+            return float(np.log(max(mu0, 1e-300)))
+
+        # ------ per-state fixed stats from group-moment additivity ------
+        states = []
+        for j in (range(n_folds) if mode == "cv" else [None]):
+            tg = [g for g in groups if g != j] if mode == "cv" else list(groups)
+            if mode == "cv" and j not in groups:
+                continue  # no validation rows — nothing to report
+            n_t = sum(int(groups[g]["n"]) for g in tg)
+            if n_t <= 1:
+                continue
+            sy_t = sum(float(groups[g]["sy"]) for g in tg)
+            ybar = sy_t / n_t
+            if family == "binomial" and not 0.0 < ybar < 1.0:
+                continue  # constant training label — degenerate fold
+            if family == "poisson" and ybar <= 0.0:
+                continue
+            ms = np.array(
+                [sum(float(groups[g][f"s_{i}"]) for g in tg) for i in range(p)]
+            ) / n_t
+            ss = np.array(
+                [sum(float(groups[g][f"ss_{i}"]) for g in tg) for i in range(p)]
+            )
+            sig = np.sqrt(np.maximum((ss - n_t * ms * ms) / (n_t - 1), 0.0))
+            beta = np.zeros(k)
+            if has_int:
+                beta[i0] = link_scalar(ybar)
+                if off is not None:
+                    soff_t = sum(float(groups[g]["soff"]) for g in tg)
+                    beta[i0] -= soff_t / n_t
+            states.append(
+                dict(
+                    j=j, train=tg, n_t=n_t, sig=sig,
+                    beta=beta, theta=np.zeros(p),
+                )
+            )
+        if not states:
+            raise ValueError("no fittable fold models (degenerate folds)")
+
+        # ------ pathwise λ loop, folds in lock-step ------
+        def state_exprs(s):
+            eta_lin = F.lit(0.0)
+            for c_name, bb in zip(x_cols, s["beta"]):
+                eta_lin = eta_lin + F.lit(float(bb)) * F.col(c_name)
+            eta = eta_lin if off is None else eta_lin + off
+            mu = lnk.unlink(eta, one)
+            if family == "binomial":
+                mu = F.least(F.greatest(mu, F.lit(1e-10)), F.lit(1.0 - 1e-10))
+            grad = lnk.lprime(mu, one)
+            w = F.lit(1.0) / (fam.variance(mu, one) * grad * grad)
+            z = eta_lin + (y - mu) * grad
+            return w, z, fam.deviance_term(y, mu, one)
+
+        results = []  # one dict per (λ, state)
+        lams = sorted((float(v) for v in reg_params), reverse=True)
+        for lam in lams:
+            for s in states:
+                s["active"] = True
+                s["iters"] = 0
+                s["conv"] = False
+            n_pass = exact_iterations if exact_iterations is not None else max_iter
+            for _ in range(n_pass):
+                live = [s for s in states if s["active"]]
+                if not live:
+                    break
+                sel = [F.col("__fold")] + [F.col(c) for c in x_cols]
+                aggs = []
+                for si, s in enumerate(live):
+                    w, z, devt = state_exprs(s)
+                    sel.append(w.alias(f"__w{si}"))
+                    sel.append(z.alias(f"__z{si}"))
+                    sel.append(devt.alias(f"__d{si}"))
+                proj = work.select(*sel)
+                xs = [F.col(c) for c in x_cols]
+                for si in range(len(live)):
+                    w_c, z_c = F.col(f"__w{si}"), F.col(f"__z{si}")
+                    for i in range(k):
+                        for j2 in range(i, k):
+                            aggs.append(
+                                F.sum(w_c * xs[i] * xs[j2]).alias(f"g{si}_{i}_{j2}")
+                            )
+                        aggs.append(F.sum(w_c * xs[i] * z_c).alias(f"xz{si}_{i}"))
+                    aggs.append(F.sum(w_c).alias(f"sw{si}"))
+                    aggs.append(F.sum(w_c * z_c).alias(f"swz{si}"))
+                    aggs.append(F.sum(F.col(f"__d{si}")).alias(f"dv{si}"))
+                rows = _collect_fold_rows(proj, aggs)
+                for si, s in enumerate(live):
+                    Gw = np.zeros((k, k))
+                    gz = np.zeros(k)
+                    sw = swz = 0.0
+                    for g in s["train"]:
+                        r = rows[g]
+                        for i in range(k):
+                            for j2 in range(i, k):
+                                v = float(r[f"g{si}_{i}_{j2}"])
+                                Gw[i, j2] += v
+                                if j2 != i:
+                                    Gw[j2, i] += v
+                            gz[i] += float(r[f"xz{si}_{i}"])
+                        sw += float(r[f"sw{si}"])
+                        swz += float(r[f"swz{si}"])
+                    Gf = Gw[np.ix_(feats, feats)]
+                    bf = gz[feats]
+                    if has_int:
+                        wx = Gw[i0, feats]
+                        A = Gf - np.outer(wx, wx) / sw
+                        bvec = bf - wx * (swz / sw)
+                    else:
+                        A = Gf
+                        bvec = bf
+                    s["theta"] = _cd_wls_penalized(
+                        A, bvec, s["n_t"], s["sig"], lam, alpha,
+                        standardize, s["theta"], max_sweeps, tol * 0.01,
+                    )
+                    new_beta = np.zeros(k)
+                    sg = s["sig"]
+                    bfeat = np.where(sg > 0, s["theta"] / np.where(sg > 0, sg, 1.0), 0.0)
+                    for idx, j2 in enumerate(feats):
+                        new_beta[j2] = bfeat[idx]
+                    if has_int:
+                        new_beta[i0] = (swz - wx @ bfeat) / sw
+                    delta = float(np.max(np.abs(new_beta - s["beta"])))
+                    s["beta"] = new_beta
+                    s["iters"] += 1
+                    if exact_iterations is None and delta <= tol:
+                        s["conv"] = True
+                        s["active"] = False
+            if exact_iterations is not None:
+                for s in states:
+                    s["conv"] = True
+            for s in states:
+                results.append(
+                    dict(
+                        lam=lam, j=s["j"], beta=s["beta"].copy(),
+                        n_t=s["n_t"], iters=s["iters"], conv=s["conv"],
+                    )
+                )
+
+        # ------ final deviance pass: every (λ, model) at its FINAL β ------
+        # (chunked if the grid is huge — ≤64 deviance columns per pass)
+        dev_cols = {}
+        chunk = 64
+        for lo in range(0, len(results), chunk):
+            part = results[lo : lo + chunk]
+            sel = [F.col("__fold")]
+            for ri, res in enumerate(part):
+                eta = F.lit(0.0)
+                for c_name, bb in zip(x_cols, res["beta"]):
+                    eta = eta + F.lit(float(bb)) * F.col(c_name)
+                if off is not None:
+                    eta = eta + off
+                mu = lnk.unlink(eta, one)
+                if family == "binomial":
+                    mu = F.least(F.greatest(mu, F.lit(1e-10)), F.lit(1.0 - 1e-10))
+                sel.append(fam.deviance_term(y, mu, one).alias(f"__fd{ri}"))
+            proj = work.select(*sel)
+            aggs = [
+                (F.lit(2.0) * F.sum(F.col(f"__fd{ri}"))).alias(f"dv{ri}")
+                for ri in range(len(part))
+            ]
+            rows = _collect_fold_rows(proj, aggs)
+            for ri, res in enumerate(part):
+                per_group = {g: float(rows[g][f"dv{ri}"]) for g in rows}
+                dev_cols[lo + ri] = per_group
+        for idx, res in enumerate(results):
+            per_group = dev_cols[idx]
+            if res["j"] is None:
+                res["dev_train"] = sum(per_group.values())
+                res["dev_val"] = None
+                res["n_v"] = 0
+            else:
+                res["dev_train"] = sum(
+                    v for g, v in per_group.items() if g != res["j"]
+                )
+                res["dev_val"] = per_group.get(res["j"])
+                res["n_v"] = int(groups[res["j"]]["n"]) if res["j"] in groups else 0
+    finally:
+        work.unpersist()
+    return results, x_cols, has_int, n_total
+
+
+def glm_elastic_net_cv(
+    df: DataFrame,
+    formula: str,
+    reg_params: list[float],
+    fold_expr,
+    n_folds: int = 5,
+    elastic_net_param: float = 1.0,
+    family: str = "binomial",
+    standardize: bool = True,
+    na_action: str = "omit",
+    max_iter: int = 100,
+    tol: float = 1e-10,
+    max_sweeps: int = 1000,
+    offset_col: str | None = None,
+    exact_iterations: int | None = None,
+) -> DataFrame:
+    """K-fold cross-validation for the penalized GLM (`glm_elastic_net`)
+    over a λ grid — the sparse-logistic λ-selection surface (VERDICT
+    r10 #1). A naive loop costs folds × λs separate IRLS fits, each
+    paying its own per-iteration aggregation; here every fold model
+    advances in LOCK-STEP from ONE `groupBy(fold)` zw-Gram aggregation
+    per outer iteration (each model's training Gram = the sum of the
+    other folds' blocks), and the λ grid runs descending with warm
+    starts so later λs converge in 1-3 iterations. Total data passes:
+    1 moments pass + Σ_λ(iterations) + 1 final deviance pass — at any
+    data size (see `_glm_enet_pathwise`).
+
+    Held-out metric: `deviance_val` is the model's deviance over its
+    OWN fold's rows, evaluated at the final converged β (the natural
+    GLM generalization of CV RMSE; select λ by the Σ over folds —
+    glmnet's cv deviance). `deviance_train` is the training-rows twin.
+
+    `fold_expr`: integer column/expression in [0, n_folds); out-of-range
+    ids raise. Degenerate folds (constant training label) are skipped.
+    `offset_col` follows the `glm_elastic_net` offset contract.
+    `exact_iterations=N` runs exactly N lock-step iterations per λ (the
+    oracle-pin hook).
+
+    Returns one row per (reg_param, fold): reg_param, fold, n_train,
+    n_val, deviance_train, deviance_val, n_nonzero, iterations,
+    converged."""
+    results, x_cols, _has_int, _n = _glm_enet_pathwise(
+        df, formula, reg_params, fold_expr, n_folds, elastic_net_param,
+        family, standardize, na_action, max_iter, tol, max_sweeps,
+        offset_col, exact_iterations, mode="cv",
+    )
+    out = [
+        (
+            float(r["lam"]),
+            int(r["j"]),
+            int(r["n_t"]),
+            int(r["n_v"]),
+            float(r["dev_train"]),
+            float(r["dev_val"]) if r["dev_val"] is not None else None,
+            _count_nonzero(x_cols, r["beta"]),
+            int(r["iters"]),
+            bool(r["conv"]),
+        )
+        for r in results
+    ]
+    return df.sparkSession.createDataFrame(
+        out,
+        "reg_param double, fold int, n_train bigint, n_val bigint, "
+        "deviance_train double, deviance_val double, n_nonzero int, "
+        "iterations int, converged boolean",
+    )
+
+
+def glm_elastic_net_path(
+    df: DataFrame,
+    formula: str,
+    reg_params: list[float],
+    elastic_net_param: float = 1.0,
+    family: str = "binomial",
+    standardize: bool = True,
+    na_action: str = "omit",
+    max_iter: int = 100,
+    tol: float = 1e-10,
+    max_sweeps: int = 1000,
+    offset_col: str | None = None,
+) -> DataFrame:
+    """The whole penalized-GLM regularization path — full-data fits for
+    every λ, descending with warm starts on the shared pathwise engine
+    (`_glm_enet_pathwise`; each outer iteration is one aggregation, the
+    `glm_elastic_net` cost shape). Coefficients per λ come back in long
+    format with the λ-selection criteria:
+
+        aic = deviance + 2·df      bic = deviance + ln(n)·df
+
+    with df = n_nonzero (+1 with an intercept) — the deviance-based
+    information criteria (they differ from −2ℓℓ + penalty by the
+    saturated-model constant, which is λ-independent and cancels out of
+    the argmin; the lasso-df estimate is the `elastic_net_path`
+    convention, Zou-Hastie-Tibshirani 2007). Deviance is evaluated at
+    the FINAL β of each λ (one chunked deviance pass).
+
+    Returns one (reg_param, term) row block per input λ: reg_param,
+    term, estimate, n_nonzero, iterations, deviance, aic, bic."""
+    results, x_cols, has_int, n_total = _glm_enet_pathwise(
+        df, formula, reg_params, None, 1, elastic_net_param,
+        family, standardize, na_action, max_iter, tol, max_sweeps,
+        offset_col, None, mode="path",
+    )
+    # one block per INPUT λ (duplicates produce duplicate blocks — the
+    # elastic_net_path contract); the engine deduplicates nothing
+    by_lam: dict[float, dict] = {}
+    for r in results:
+        by_lam.setdefault(r["lam"], r)
+    out = []
+    for lam_in in sorted((float(v) for v in reg_params), reverse=True):
+        r = by_lam[lam_in]
+        nz = _count_nonzero(x_cols, r["beta"])
+        dof = nz + (1 if has_int else 0)
+        dev = float(r["dev_train"])
+        aic = dev + 2.0 * dof
+        bic = dev + float(np.log(n_total)) * dof
+        for nm, c in zip(x_cols, r["beta"]):
+            out.append(
+                (lam_in, nm, float(c), nz, int(r["iters"]), dev, aic, bic)
+            )
+    return df.sparkSession.createDataFrame(
+        out,
+        "reg_param double, term string, estimate double, n_nonzero int, "
+        "iterations int, deviance double, aic double, bic double",
+    )

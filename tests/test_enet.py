@@ -916,3 +916,187 @@ def test_glm_enet_offset_binomial_and_estimator(logit_data):
         family="binomial", offset_col="o",
     )
     assert np.abs(est.model.coefs - twin.coefs).max() < 1e-12
+
+
+def test_glm_enet_cv_matches_cold_per_fold_fits(logit_data):
+    """VERDICT r10 #1 'done' gate: every (fold, λ) lock-step model must
+    agree with a COLD glm_elastic_net fit on the physically filtered
+    training rows at 1e-8 — deviance_val is checked against a hand
+    computation at the cold fit's coefficients, which fails unless the
+    coefficients themselves agree."""
+    from sparkglm_spark.operators.enet import glm_elastic_net, glm_elastic_net_cv
+
+    df = logit_data.withColumn(
+        "f", F.pmod(F.xxhash64("x1"), F.lit(3)).cast("int")
+    )
+    lams = [0.005, 0.05]
+    got = {
+        (r.reg_param, r.fold): r
+        for r in glm_elastic_net_cv(
+            df, "y ~ x1 + x2 + x3 + x4", lams, "f", n_folds=3,
+            family="binomial",
+        ).collect()
+    }
+    assert len(got) == 6
+    pdf = df.toPandas()
+    X = pdf[["x1", "x2", "x3", "x4"]].to_numpy()
+    yv = pdf["y"].to_numpy()
+    fv = pdf["f"].to_numpy()
+    for lam in lams:
+        for f in range(3):
+            cold = glm_elastic_net(
+                df.where(F.col("f") != f), "y ~ x1 + x2 + x3 + x4",
+                reg_param=lam, family="binomial",
+            )
+            r = got[(lam, f)]
+            assert r.converged and r.n_nonzero == cold.n_nonzero
+            mask = fv == f
+            eta = cold.coefs[0] + X[mask] @ cold.coefs[1:]
+            mu = np.clip(1 / (1 + np.exp(-eta)), 1e-10, 1 - 1e-10)
+            dev = 2.0 * float(
+                np.sum(-yv[mask] * np.log(mu) - (1 - yv[mask]) * np.log1p(-mu))
+            )
+            assert r.deviance_val == pytest.approx(dev, rel=1e-8), (lam, f)
+            assert r.n_val == int(mask.sum()) and r.n_train == int((~mask).sum())
+
+
+def test_glm_enet_cv_one_agg_per_iteration(logit_data, monkeypatch):
+    """The lock-step plan claim, asserted: with L λs and
+    exact_iterations=E, the engine runs EXACTLY 1 upfront pass + L·E
+    Gram passes + 1 final deviance pass — independent of n_folds (the
+    point: fold models do NOT multiply data passes)."""
+    import sparkglm_spark.operators.enet as enet_mod
+    from sparkglm_spark.operators.enet import glm_elastic_net_cv
+
+    calls = {"n": 0}
+    orig = enet_mod._collect_fold_rows
+
+    def counting(proj, aggs):
+        calls["n"] += 1
+        return orig(proj, aggs)
+
+    monkeypatch.setattr(enet_mod, "_collect_fold_rows", counting)
+    df = logit_data.withColumn(
+        "f", F.pmod(F.xxhash64("x2"), F.lit(4)).cast("int")
+    )
+    out = glm_elastic_net_cv(
+        df, "y ~ x1 + x3", [0.05, 0.01], "f", n_folds=4,
+        family="binomial", exact_iterations=2,
+    )
+    assert out.count() == 8
+    assert calls["n"] == 1 + 2 * 2 + 1, calls["n"]
+
+
+def test_glm_enet_cv_selects_like_mllib_crossvalidator(logit_data):
+    """Parity target (reference §1.5 mapping): λ selection agrees with
+    MLlib CrossValidator over LogisticRegression(regParam) on an
+    absurd-vs-reasonable grid (fold assignments differ — selection, not
+    per-fold metrics, is the comparable surface)."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    from sparkglm_spark.operators.enet import glm_elastic_net_cv
+
+    df = logit_data.withColumn(
+        "f", F.pmod(F.xxhash64("x3"), F.lit(3)).cast("int")
+    )
+    lams = [0.01, 1e4]
+    cv = glm_elastic_net_cv(
+        df, "y ~ x1 + x2 + x3 + x4", lams, "f", n_folds=3,
+        family="binomial", elastic_net_param=0.5,
+    ).toPandas()
+    best_ours = (
+        cv.groupby("reg_param")["deviance_val"].sum().idxmin()
+    )
+    fd = VectorAssembler(
+        inputCols=["x1", "x2", "x3", "x4"], outputCol="features"
+    ).transform(logit_data)
+    lr = LogisticRegression(labelCol="y", elasticNetParam=0.5)
+    grid = ParamGridBuilder().addGrid(lr.regParam, lams).build()
+    mcv = CrossValidator(
+        estimator=lr, estimatorParamMaps=grid,
+        evaluator=BinaryClassificationEvaluator(labelCol="y"),
+        numFolds=3, seed=11,
+    ).fit(fd)
+    assert best_ours == mcv.bestModel.getRegParam() == 0.01
+
+
+def test_glm_enet_path_matches_cold_fits_and_criteria(logit_data):
+    """glm_elastic_net_path: warm-started full-data coefficients equal
+    cold fits per λ at 1e-8; aic/bic = deviance + {2, ln n}·df with the
+    deviance evaluated at the FINAL β (hand-recomputed)."""
+    from sparkglm_spark.operators.enet import glm_elastic_net, glm_elastic_net_path
+
+    lams = [0.05, 0.005, 0.2]
+    path = glm_elastic_net_path(
+        logit_data, "y ~ x1 + x2 + x3 + x4", lams, family="binomial"
+    ).toPandas()
+    assert len(path) == 3 * 5
+    n = logit_data.count()
+    for lam in lams:
+        cold = glm_elastic_net(
+            logit_data, "y ~ x1 + x2 + x3 + x4", reg_param=lam,
+            family="binomial",
+        )
+        block = path[path.reg_param == lam]
+        est = block.set_index("term")["estimate"]
+        for nm, c in zip(cold.xnames, cold.coefs):
+            assert est[nm] == pytest.approx(c, abs=1e-8), (lam, nm)
+        nz = int(block.n_nonzero.iloc[0])
+        assert nz == cold.n_nonzero
+        dev = float(block.deviance.iloc[0])
+        dof = nz + 1
+        assert float(block.aic.iloc[0]) == pytest.approx(dev + 2 * dof, rel=1e-12)
+        assert float(block.bic.iloc[0]) == pytest.approx(
+            dev + np.log(n) * dof, rel=1e-12
+        )
+    # descending-λ AIC should bottom out at the true-support λ, not the
+    # over-penalized one
+    agg = path.groupby("reg_param")["aic"].first()
+    assert agg.idxmin() != 0.2
+
+
+def test_glm_enet_cv_poisson_offset_arm(spark):
+    """CV composes with the offset (penalized Poisson rate-model λ
+    selection): per-fold parity vs cold offset fits."""
+    from sparkglm_spark.operators.enet import glm_elastic_net, glm_elastic_net_cv
+
+    rng = np.random.default_rng(53)
+    n = 1500
+    X = rng.normal(size=(n, 2)) * np.array([1.0, 1.5])
+    expo = rng.uniform(0.5, 5.0, n)
+    mu = expo * np.exp(0.1 + X @ np.array([0.4, 0.0]))
+    yv = rng.poisson(mu).astype(float)
+    df = spark.createDataFrame(
+        [
+            (float(yv[i]), float(X[i, 0]), float(X[i, 1]),
+             float(np.log(expo[i])), int(i % 2))
+            for i in range(n)
+        ],
+        "y double, x1 double, x2 double, lexpo double, f int",
+    )
+    lam = 0.03
+    got = {
+        r.fold: r
+        for r in glm_elastic_net_cv(
+            df, "y ~ x1 + x2", [lam], "f", n_folds=2, family="poisson",
+            offset_col="lexpo",
+        ).collect()
+    }
+    pdf = df.toPandas()
+    for f in range(2):
+        cold = glm_elastic_net(
+            df.where(F.col("f") != f), "y ~ x1 + x2", reg_param=lam,
+            family="poisson", offset_col="lexpo",
+        )
+        mask = pdf["f"].to_numpy() == f
+        Xv = pdf[["x1", "x2"]].to_numpy()[mask]
+        yf = pdf["y"].to_numpy()[mask]
+        eta = cold.coefs[0] + Xv @ cold.coefs[1:] + pdf["lexpo"].to_numpy()[mask]
+        muv = np.exp(eta)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            term = np.where(yf > 0, yf * np.log(yf / muv), 0.0)
+        dev = 2.0 * float(np.sum(term - (yf - muv)))
+        assert got[f].deviance_val == pytest.approx(dev, rel=1e-8), f
