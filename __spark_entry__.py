@@ -5394,17 +5394,47 @@ def q_events_timeseries_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # here is pin calibration (widen the rounding), not operator error.
     from sparkglm_spark.operators.timeseries import holt_forecast
 
+    # r11: interval=True additionally pins the h=3 prediction-interval arm
+    # (se_3 and lo_3): σ̂² = SSE/(n−2) over the one-step residuals rides
+    # the SAME recursive CTE that replays the fold (one extra accumulator
+    # column), Var_3 = σ̂²·(1 + c₁² + c₂²) with c_j = α(1+jβ) — all-dyadic
+    # at α=0.5 β=0.25 (v = 1.953125 exactly, both engines), and IEEE sqrt
+    # is correctly rounded, so se drift is the sse drift halved. lo_3 uses
+    # the bit-identical z = norm_ppf(0.975) literal interpolated into the
+    # SQL from the same driver function the operator calls. se is a sqrt
+    # of a generically-irrational value — no decimal-boundary tie class
+    # (the r10 lesson checklist) — so plain ROUND 6 holds.
+    holt_all = holt_forecast(
+        ev, "user_id", "ts", "value", alpha=0.5, beta=0.25,
+        horizons=[3], tiebreak_col="event_id", interval=True,
+    )
     holt = (
-        holt_forecast(
-            ev, "user_id", "ts", "value", alpha=0.5, beta=0.25,
-            horizons=[3], tiebreak_col="event_id",
-        )
+        holt_all
         .select(
             F.col("user_id").cast("string").alias("k1"),
             F.col("n_events").cast("bigint").alias("n1"),
             F.expr(
                 "stack(3, 'holt_lvl', level, 'holt_trd', trend,"
                 " 'holt_fc3', forecast_3) AS (op, xraw)"
+            ),
+        )
+        .select(
+            "op",
+            "k1",
+            F.lit(None).cast("string").alias("k2"),
+            "n1",
+            F.lit(None).cast("bigint").alias("n2"),
+            F.lit(None).cast("string").alias("v1"),
+            F.round("xraw", 6).alias("x"),
+        )
+    )
+    holt_iv = (
+        holt_all.where(F.col("se_3").isNotNull())
+        .select(
+            F.col("user_id").cast("string").alias("k1"),
+            F.col("n_events").cast("bigint").alias("n1"),
+            F.expr(
+                "stack(2, 'holt_se3', se_3, 'holt_lo3', lo_3) AS (op, xraw)"
             ),
         )
         .select(
@@ -5529,10 +5559,21 @@ def q_events_timeseries_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(rolling)
         .unionByName(ewma)
         .unionByName(holt)
+        .unionByName(holt_iv)
         .unionByName(hw)
         .unionByName(lb)
         .unionByName(sd)
     )
+
+
+def _z975() -> str:
+    """The exact double the holt interval arm uses for its 95% bound,
+    as a round-trip literal — the SAME norm_ppf call holt_forecast makes
+    (functions/special.py Acklam+Halley), so Spark's zq and DuckDB's
+    parsed literal are bit-identical."""
+    from sparkglm_spark.functions.special import norm_ppf
+
+    return repr(float(norm_ppf(0.5 + 0.95 / 2.0)))
 
 
 SQL_EVENTS_TIMESERIES_OPS = f"""
@@ -5543,9 +5584,13 @@ WITH RECURSIVE hranked AS (
          COUNT(*) OVER (PARTITION BY user_id) AS n
   FROM events
   WHERE value IS NOT NULL AND NOT isnan(value)
-), hstate(user_id, rn, n, lvl, trd) AS (
-  -- Holt init identity: after x2 the state is (x2, x2 - x1)
-  SELECT r2.user_id, CAST(2 AS BIGINT), r2.n, r2.value, r2.value - r1.value
+), hstate(user_id, rn, n, lvl, trd, sse) AS (
+  -- Holt init identity: after x2 the state is (x2, x2 - x1); the t=2
+  -- one-step residual is STRUCTURALLY zero under this init (and exactly
+  -- zero in FP for dyadic-quantized values: x1 + fl(x2-x1) == x2), so
+  -- the sse accumulator seeds at 0 — matching the operator's fold
+  SELECT r2.user_id, CAST(2 AS BIGINT), r2.n, r2.value, r2.value - r1.value,
+         CAST(0.0 AS DOUBLE)
   FROM hranked r1
   JOIN hranked r2 ON r1.user_id = r2.user_id AND r1.rn = 1 AND r2.rn = 2
   UNION ALL
@@ -5553,13 +5598,14 @@ WITH RECURSIVE hranked AS (
   SELECT h.user_id, h.rn + 1, h.n,
          0.5 * r.value + 0.5 * (h.lvl + h.trd),
          0.25 * ((0.5 * r.value + 0.5 * (h.lvl + h.trd)) - h.lvl)
-           + 0.75 * h.trd
+           + 0.75 * h.trd,
+         h.sse + (r.value - (h.lvl + h.trd)) * (r.value - (h.lvl + h.trd))
   FROM hstate h
   JOIN hranked r ON r.user_id = h.user_id AND r.rn = h.rn + 1
 ), hfinal AS (
-  SELECT user_id, n, lvl, trd FROM hstate WHERE rn = n
+  SELECT user_id, n, lvl, trd, sse FROM hstate WHERE rn = n
   UNION ALL
-  SELECT user_id, n, value, 0.0 FROM hranked WHERE n = 1
+  SELECT user_id, n, value, 0.0, CAST(NULL AS DOUBLE) FROM hranked WHERE n = 1
 ), sdt AS (
   SELECT user_id, rn, n, value,
          CASE WHEN rn > 2 AND rn <= n - 2 THEN
@@ -5695,6 +5741,16 @@ UNION ALL
 SELECT 'holt_fc3', CAST(user_id AS VARCHAR), NULL, n, NULL, NULL,
        ROUND(lvl + 3 * trd, 6)
 FROM hfinal
+UNION ALL
+-- σ̂² = SSE/(n−2); Var_3 = σ̂²·(1 + c₁² + c₂²), c_j = α(1+jβ) — at
+-- α=0.5 β=0.25 the factor is EXACTLY 1.953125 (dyadic) in both engines
+SELECT 'holt_se3', CAST(user_id AS VARCHAR), NULL, n, NULL, NULL,
+       ROUND(SQRT(sse / (n - 2) * 1.953125), 6)
+FROM hfinal WHERE n > 2
+UNION ALL
+SELECT 'holt_lo3', CAST(user_id AS VARCHAR), NULL, n, NULL, NULL,
+       ROUND((lvl + 3 * trd) - {_z975()} * SQRT(sse / (n - 2) * 1.953125), 6)
+FROM hfinal WHERE n > 2
 UNION ALL
 SELECT 'hw_lvl', CAST(user_id AS VARCHAR), NULL, n, NULL, NULL,
        ROUND(lvl, 6)

@@ -1416,6 +1416,8 @@ def quantile_lm_grouped(
 
     def fit_one(X, yv):
         xtx = X.T @ X
+        # positive-definiteness probe only — LinAlgError on a singular
+        # group design routes to NULL estimates in the caller
         np.linalg.cholesky(xtx)
         beta = np.linalg.solve(xtx, X.T @ yv)
         if delta is None:
