@@ -411,18 +411,26 @@ def holt_series(
     alpha: float,
     beta: float,
     tiebreak_col: str | None = None,
+    phi: float = 1.0,
 ) -> DataFrame:
     """Holt's linear (double exponential) smoothing per key — level AND
     trend state, the next step up from EWMA when series drift (public
     convention: Holt 1957; statsmodels `Holt` with the simple
-    initialization):
+    initialization), with the optional DAMPED trend of Gardner &
+    McKenzie 1985 (`phi` < 1; statsmodels `Holt(damped_trend=True)`):
 
-        l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})
-        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+        l_t = α·x_t + (1−α)·(l_{t−1} + φ·b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·φ·b_{t−1}
+
+    `phi=1` (the default) is EXACTLY undamped Holt — the φ=1 code path
+    multiplies by 1.0, which is bit-identical, so existing pins and
+    stream continuations are unaffected. φ ∈ (0, 1] per the
+    Gardner-McKenzie convention (φ > 1 explodes; use plain Holt for
+    locally-linear growth).
 
     initialized l_1 = x_1, b_1 = x_2 − x_1 (a single-row key gets
     b = 0). Appends `level`, `trend` and the one-step-ahead `fitted`
-    (= l_{t−1} + b_{t−1}, NULL for the first row — the standard
+    (= l_{t−1} + φ·b_{t−1}, NULL for the first row — the standard
     in-sample forecast for residual diagnostics).
 
     The recursion is sequential PER KEY (like `ewma_series`): one
@@ -442,6 +450,8 @@ def holt_series(
         raise ValueError(f"alpha must be in (0, 1), got {alpha!r}")
     if not 0.0 < beta < 1.0:
         raise ValueError(f"beta must be in (0, 1), got {beta!r}")
+    if not 0.0 < phi <= 1.0:
+        raise ValueError(f"phi must be in (0, 1], got {phi!r}")
     df = _drop_null_values(df, F.col(value_col).cast("double"))
     sort_cols = ["__ts"] + (["__tb"] if tiebreak_col else [])
     base = df.select(
@@ -466,9 +476,11 @@ def holt_series(
         lvl[0] = x[0]
         trd[0] = (x[1] - x[0]) if n > 1 else 0.0
         for i in range(1, n):
-            fit[i] = lvl[i - 1] + trd[i - 1]
+            fit[i] = lvl[i - 1] + phi * trd[i - 1]
             lvl[i] = alpha * x[i] + (1.0 - alpha) * fit[i]
-            trd[i] = beta * (lvl[i] - lvl[i - 1]) + (1.0 - beta) * trd[i - 1]
+            trd[i] = beta * (lvl[i] - lvl[i - 1]) + (1.0 - beta) * (
+                phi * trd[i - 1]
+            )
         out = pdf[[c for c in pdf.columns if c != "__tb"]].copy()
         out["level"], out["trend"] = lvl, trd
         # pandas nullable Float64 so the first row's missing fitted value
@@ -503,27 +515,38 @@ def holt_forecast(
     tiebreak_col: str | None = None,
     interval: bool = False,
     level: float = 0.95,
+    phi: float = 1.0,
 ) -> DataFrame:
     """Per-key Holt END STATE + h-step-ahead forecasts
-    ŷ_{T+h} = l_T + h·b_T — one row per key with (n_events, level,
-    trend, forecast_<h>…). Same per-key sequential pass as
-    `holt_series`, reduced to the last state inside the batch so the
-    output is one compact row per key.
+    ŷ_{T+h} = l_T + φ_h·b_T with φ_h = Σ_{i=1}^{h} φ^i — one row per
+    key with (n_events, level, trend, forecast_<h>…). Same per-key
+    sequential pass as `holt_series`, reduced to the last state inside
+    the batch so the output is one compact row per key.
+
+    `phi=1` (the default, where φ_h = h) is EXACTLY undamped Holt;
+    `phi` < 1 is the Gardner-McKenzie 1985 damped trend (see
+    `holt_series`) whose forecasts flatten toward l_T + φ/(1−φ)·b_T
+    instead of growing linearly — the standard fix for Holt's
+    over-extrapolation at long horizons.
 
     `interval=True` additionally emits (se_<h>, lo_<h>, hi_<h>) — the
     standard innovations-state-space prediction interval (Hyndman &
     Athanasopoulos FPP §7.7, additive errors): σ̂² = SSE/(n−2) over the
-    one-step in-sample residuals — the first residual is STRUCTURALLY
-    zero under the l₁=x₁, b₁=x₂−x₁ init (the fit is exact at t=2), so
-    only n−2 residuals are informative; keys with n < 3 report NULL
-    se/lo/hi (a 2-row key has no informative residual at all) — and
+    one-step in-sample residuals from t=3 on — the t=2 residual is
+    INIT-SPENT under the l₁=x₁, b₁=x₂−x₁ init (b₁ is set from x₂
+    itself, so its "error" — exactly zero at φ=1, (1−φ)(x₂−x₁) when
+    damped — is no innovation and is excluded), leaving exactly n−2
+    informative residuals; keys with n < 3 report NULL se/lo/hi (a
+    2-row key has no informative residual at all) — and
 
-        Var(ŷ_{T+h}) = σ̂²·(1 + Σ_{j=1}^{h−1} c_j²),  c_j = α(1 + j·β)
+        Var(ŷ_{T+h}) = σ̂²·(1 + Σ_{j=1}^{h−1} c_j²),
+        c_j = α(1 + β·φ_j),  φ_j = Σ_{i=1}^{j} φ^i
 
     (our β is the β* trend-smoothing form, so the impulse of a one-step
-    error on the state is Δl = α·ε, Δb = αβ·ε — asserted by a
-    deterministic impulse test). Bounds use the normal quantile at
-    `level`.
+    error on the state is Δl = α·ε, Δb = αβ·ε, propagated through the
+    damped transition — asserted by a deterministic impulse test; at
+    φ=1 this is the familiar c_j = α(1 + jβ)). Bounds use the normal
+    quantile at `level`.
 
     NULL POLICY (family-wide — see `_drop_null_values`): rows with a
     null/NaN value are dropped before the fold; `n_events` counts only
@@ -539,10 +562,18 @@ def holt_forecast(
         raise ValueError(f"alpha must be in (0, 1), got {alpha!r}")
     if not 0.0 < beta < 1.0:
         raise ValueError(f"beta must be in (0, 1), got {beta!r}")
+    if not 0.0 < phi <= 1.0:
+        raise ValueError(f"phi must be in (0, 1], got {phi!r}")
     if not 0.0 < level < 1.0:
         raise ValueError("level must be in (0, 1)")
     df = _drop_null_values(df, F.col(value_col).cast("double"))
     hs = [int(h) for h in horizons]
+    # φ_j = Σ_{i=1..j} φ^i, computed by accumulation so φ=1 yields the
+    # EXACT float j (1.0 sums are exact) — keeping the default path
+    # bit-identical to the pre-phi operator (and its oracle pins)
+    phi_cum = {0: 0.0}
+    for j in range(1, max(hs) + 1):
+        phi_cum[j] = phi_cum[j - 1] + phi ** j
     zq = None
     if interval:
         from sparkglm_spark.functions.special import norm_ppf
@@ -574,10 +605,15 @@ def holt_forecast(
         sse = 0.0
         for i in range(1, n):
             prev = lvl
-            fit = lvl + trd
-            sse += (x[i] - fit) * (x[i] - fit)
+            fit = lvl + phi * trd
+            # the t=2 (i=1) residual is init-spent, not an innovation:
+            # b₁ was SET from x₂ (lookahead), so its prediction "error"
+            # — exactly 0 at φ=1, (1−φ)(x₂−x₁) under damping — carries
+            # no information; σ̂² averages the n−2 genuine residuals
+            if i > 1:
+                sse += (x[i] - fit) * (x[i] - fit)
             lvl = alpha * x[i] + (1.0 - alpha) * fit
-            trd = beta * (lvl - prev) + (1.0 - beta) * trd
+            trd = beta * (lvl - prev) + (1.0 - beta) * (phi * trd)
         row = {
             pdf.columns[0]: [pdf.iloc[0, 0]],
             "n_events": [n],
@@ -585,7 +621,7 @@ def holt_forecast(
             "trend": [trd],
         }
         for h in hs:
-            row[f"forecast_{h}"] = [lvl + h * trd]
+            row[f"forecast_{h}"] = [lvl + phi_cum[h] * trd]
         if interval:
             # n−2: the first residual is structurally zero (see docstring)
             sig2 = sse / (n - 2) if n > 2 else None
@@ -594,7 +630,8 @@ def holt_forecast(
                     se = None
                 else:
                     v = 1.0 + sum(
-                        (alpha * (1.0 + j * beta)) ** 2 for j in range(1, h)
+                        (alpha * (1.0 + beta * phi_cum[j])) ** 2
+                        for j in range(1, h)
                     )
                     se = float(np.sqrt(sig2 * v))
                 fc = row[f"forecast_{h}"][0]

@@ -493,18 +493,29 @@ def holt_state_stream(
     alpha: float,
     beta: float,
     tiebreak_col: str | None = None,
+    phi: float = 1.0,
 ) -> DataFrame:
     """Streaming twin of `operators.timeseries.holt_forecast`'s end state
     (per-key Holt level + trend) via applyInPandasWithState.
 
+    `phi` < 1 is the Gardner-McKenzie damped trend (see `holt_series`);
+    the default φ=1 path multiplies by 1.0 — bit-identical to undamped
+    Holt, so existing checkpointed streams continue exactly. The damped
+    recursion stays an O(1)-state exact continuation: x₂ folds through
+    the same one-step update as the batch loop's first iteration (with
+    b₁ = x₂ − x₁ from the carried x₁), so a key whose first two rows
+    arrive in different micro-batches lands on the batch trajectory at
+    any φ.
+
     Holt's recursion is sequential, so each micro-batch's rows fold in
     (ts[, tiebreak]) order through the carried (level, trend, n) state —
     EXACT continuation of the batch recursion, including the simple
-    initialization: after the second observation the state is identically
-    (x₂, x₂−x₁) whatever the init (the batch identity l₂ = x₂,
-    b₂ = x₂−x₁), so a key whose first two rows arrive in DIFFERENT
-    micro-batches still lands on the batch trajectory (asserted in
-    tests). State per key: 2 doubles + 2 longs, O(1) forever.
+    initialization (b₁ = x₂ − x₁ is formed when the second observation
+    arrives, then x₂ folds through the standard update — the batch
+    loop's own first step), so a key whose first two rows arrive in
+    DIFFERENT micro-batches still lands on the batch trajectory
+    (asserted in tests). State per key: 2 doubles + 2 longs, O(1)
+    forever.
 
     ORDER CONTRACT (same as `ewma_state_stream`): within a micro-batch
     rows fold in (ts, tiebreak) order across Arrow chunks; across
@@ -536,6 +547,8 @@ def holt_state_stream(
         raise ValueError(f"alpha must be in (0, 1), got {alpha!r}")
     if not 0.0 < beta < 1.0:
         raise ValueError(f"beta must be in (0, 1), got {beta!r}")
+    if not 0.0 < phi <= 1.0:
+        raise ValueError(f"phi must be in (0, 1], got {phi!r}")
     in_fields = {f.name: f for f in events.schema.fields}
     need = [key_col, ts_col, value_col] + (
         [tiebreak_col] if tiebreak_col else []
@@ -583,12 +596,18 @@ def holt_state_stream(
             if n == 0:
                 lvl, trd = float(v), 0.0
             elif n == 1:
-                trd = float(v) - lvl   # b = x2 − x1 (batch init identity)
-                lvl = float(v)         # l2 = x2
+                # simple init b₁ = x₂ − x₁ (lookahead), then x₂ folds
+                # through the SAME one-step update as the batch loop's
+                # first iteration — bitwise-equal to holt_forecast at any
+                # φ (at φ=1 this lands on the (x₂, x₂−x₁) identity)
+                b1 = float(v) - lvl
+                prev = lvl
+                lvl = alpha * float(v) + (1.0 - alpha) * (lvl + phi * b1)
+                trd = beta * (lvl - prev) + (1.0 - beta) * (phi * b1)
             else:
                 prev = lvl
-                lvl = alpha * float(v) + (1.0 - alpha) * (lvl + trd)
-                trd = beta * (lvl - prev) + (1.0 - beta) * trd
+                lvl = alpha * float(v) + (1.0 - alpha) * (lvl + phi * trd)
+                trd = beta * (lvl - prev) + (1.0 - beta) * (phi * trd)
             n += 1
         bt = int(pd.Timestamp(pdf[ts_col].iloc[-1]).value // 1000)
         last = bt if last is None else max(last, bt)
@@ -599,7 +618,7 @@ def holt_state_stream(
                 "n_events": [n],
                 "level": [lvl],
                 "trend": [trd],
-                "forecast_1": [lvl + trd],
+                "forecast_1": [lvl + phi * trd],
                 "last_ts_micros": [last],
             }
         )

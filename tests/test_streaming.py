@@ -825,6 +825,83 @@ def test_holt_state_stream_guards(spark, events):
         holt_state_stream(events, "user_id", "ts", "value", 0.5, 0.5)
 
 
+def test_holt_damped_state_stream_equals_batch(spark):
+    """Damped-trend (phi < 1) stream continuation: a 3-micro-batch
+    ts-ordered replay's last update per key equals the batch
+    holt_forecast(phi=) EXACTLY (rel 1e-12) — the carried (level, trend)
+    state folds through the same damped one-step update, including keys
+    whose first two rows straddle batches (init is phi-independent)."""
+    import numpy as np
+
+    from sparkglm_spark.operators.timeseries import holt_forecast
+    from sparkglm_spark.streaming.events import holt_state_stream
+
+    a, b, phi = 0.35, 0.25, 0.8
+    rng = np.random.default_rng(7)
+    rows = []
+    eid = 0
+    for k, n in (("u1", 7), ("u2", 1), ("u3", 11)):
+        for i in range(n):
+            rows.append(
+                (eid, f"2024-01-01 00:00:{eid:02d}", k,
+                 float(10 + i + rng.normal(0, 1))))
+            eid += 1
+    raw = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id string, value double"
+    ).select(
+        "event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+        "user_id", "value",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        os.makedirs(src)
+        # u1's first two rows straddle batches 0/1 (eid 0-5 / 6-12 / rest)
+        bounds = [(0, 6), (6, 13), (13, 99)]
+        for i, (lo, hi) in enumerate(bounds):
+            raw.where(
+                (F.col("event_id") >= lo) & (F.col("event_id") < hi)
+            ).coalesce(1).write.parquet(os.path.join(src, f"b{i}.parquet"))
+        stream_in = (
+            spark.readStream.schema(raw.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*.parquet"))
+        )
+        with pytest.raises(ValueError, match="phi"):
+            holt_state_stream(
+                stream_in, "user_id", "ts", "value", a, b, phi=0.0
+            )
+        q = (
+            holt_state_stream(
+                stream_in, "user_id", "ts", "value", a, b,
+                tiebreak_col="event_id", phi=phi,
+            )
+            .writeStream.format("memory").queryName("holt_damped")
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(180)
+        got = spark.sql(
+            "SELECT user_id, max_by(named_struct('n', n_events, 'l', level,"
+            " 't', trend, 'f', forecast_1), n_events) AS w"
+            " FROM holt_damped GROUP BY user_id"
+        ).collect()
+    batch = {
+        r.user_id: r
+        for r in holt_forecast(
+            raw, "user_id", "ts", "value", a, b, horizons=[1],
+            tiebreak_col="event_id", phi=phi,
+        ).collect()
+    }
+    assert len(got) == len(batch) == 3
+    for r in got:
+        bb = batch[r.user_id]
+        assert r.w["n"] == bb.n_events, r.user_id
+        assert r.w["l"] == pytest.approx(bb.level, rel=1e-12), r.user_id
+        assert r.w["t"] == pytest.approx(bb.trend, rel=1e-12), r.user_id
+        assert r.w["f"] == pytest.approx(bb.forecast_1, rel=1e-12), r.user_id
+
+
 def test_smoothing_streams_drop_null_values(spark):
     """Family null policy in the STREAMING twins: a null/NaN value in a
     micro-batch is dropped before the fold (it would otherwise

@@ -595,6 +595,103 @@ def test_holt_forecast_intervals_hand_recursion(spark):
         holt_forecast(df, "k", "ts", "v", alpha, beta, interval=True, level=1.5)
 
 
+def test_holt_damped_trend(spark):
+    """Gardner-McKenzie damped trend (phi < 1, VERDICT r10 #5):
+    holt_series/holt_forecast match the hand recursion at 1e-12;
+    forecasts use phi_h = sum phi^i and flatten toward
+    l + phi/(1-phi)*b; interval c_j = alpha(1 + beta*phi_j) equals a
+    deterministic unit-impulse run of the damped fold; and phi=1 is
+    BIT-identical to the phi-less call (pins unaffected)."""
+    from sparkglm_spark.functions.special import norm_ppf
+    from sparkglm_spark.operators.timeseries import holt_forecast, holt_series
+
+    alpha, beta, phi = 0.4, 0.3, 0.8
+    rng = np.random.default_rng(33)
+    x = np.cumsum(rng.normal(0.5, 1.0, 40)) + 10
+    rows = [("a", f"2024-01-01 00:00:{i:02d}", float(v), i)
+            for i, v in enumerate(x)]
+    df = spark.createDataFrame(
+        rows, "k string, ts_s string, v double, eid long"
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"), "v", "eid")
+
+    # hand recursion (damped)
+    n = len(x)
+    lvl = np.empty(n); trd = np.empty(n); fit = np.full(n, np.nan)
+    lvl[0], trd[0] = x[0], x[1] - x[0]
+    sse = 0.0
+    for i in range(1, n):
+        fit[i] = lvl[i - 1] + phi * trd[i - 1]
+        if i > 1:  # t=2 residual is init-spent ((1-phi)(x2-x1)), excluded
+            sse += (x[i] - fit[i]) ** 2
+        lvl[i] = alpha * x[i] + (1 - alpha) * fit[i]
+        trd[i] = beta * (lvl[i] - lvl[i - 1]) + (1 - beta) * phi * trd[i - 1]
+
+    got = holt_series(
+        df, "k", "ts", "v", alpha, beta, tiebreak_col="eid", phi=phi
+    ).orderBy("ts").collect()
+    np.testing.assert_allclose([r.level for r in got], lvl, rtol=1e-12)
+    np.testing.assert_allclose([r.trend for r in got], trd, rtol=1e-12)
+    np.testing.assert_allclose([r.fitted for r in got][1:], fit[1:], rtol=1e-12)
+
+    fc = holt_forecast(
+        df, "k", "ts", "v", alpha, beta, horizons=[1, 3, 50],
+        tiebreak_col="eid", phi=phi, interval=True, level=0.9,
+    ).collect()[0]
+    phis = np.cumsum([phi ** i for i in range(1, 51)])
+    assert fc.forecast_1 == pytest.approx(lvl[-1] + phi * trd[-1], rel=1e-12)
+    assert fc.forecast_3 == pytest.approx(lvl[-1] + phis[2] * trd[-1], rel=1e-12)
+    # damping: the infinite-horizon forecast is FINITE, l + phi/(1-phi)*b
+    limit = lvl[-1] + phi / (1 - phi) * trd[-1]
+    assert fc.forecast_50 == pytest.approx(limit, rel=1e-6)
+    # interval: sigma2 = SSE/(n-2), c_j = alpha(1 + beta*phi_j)
+    sig2 = sse / (n - 2)
+    z = norm_ppf(0.95)
+    for h in (1, 3):
+        v = 1.0 + sum(
+            (alpha * (1 + beta * phis[j - 1])) ** 2 for j in range(1, h)
+        )
+        se = float(np.sqrt(sig2 * v))
+        assert getattr(fc, f"se_{h}") == pytest.approx(se, rel=1e-12)
+        fch = getattr(fc, f"forecast_{h}")
+        assert getattr(fc, f"lo_{h}") == pytest.approx(fch - z * se, rel=1e-12)
+
+    # unit-impulse identity on the DAMPED fold: bumping the last
+    # observation by 1 moves the h-step forecast by exactly c_h
+    def damped_fc(arr, h):
+        l, b = arr[0], arr[1] - arr[0]
+        for i in range(1, len(arr)):
+            p, f = l, l + phi * b
+            l = alpha * arr[i] + (1 - alpha) * f
+            b = beta * (l - p) + (1 - beta) * phi * b
+        return l + sum(phi ** i for i in range(1, h + 1)) * b
+    for h in (1, 3, 5):
+        d = damped_fc(np.append(x, 9.0 + 1.0), h) - damped_fc(np.append(x, 9.0), h)
+        assert d == pytest.approx(alpha * (1 + beta * phis[h - 1]), abs=1e-10)
+
+    # phi=1 is BIT-identical to the phi-less call (oracle pins unaffected)
+    a1 = holt_forecast(
+        df, "k", "ts", "v", alpha, beta, horizons=[3],
+        tiebreak_col="eid", interval=True,
+    ).collect()[0]
+    a2 = holt_forecast(
+        df, "k", "ts", "v", alpha, beta, horizons=[3],
+        tiebreak_col="eid", interval=True, phi=1.0,
+    ).collect()[0]
+    for c in ("level", "trend", "forecast_3", "se_3", "lo_3", "hi_3"):
+        assert getattr(a1, c) == getattr(a2, c), c
+    s1 = holt_series(df, "k", "ts", "v", alpha, beta, tiebreak_col="eid")
+    s2 = holt_series(
+        df, "k", "ts", "v", alpha, beta, tiebreak_col="eid", phi=1.0
+    )
+    for r1, r2 in zip(s1.orderBy("ts").collect(), s2.orderBy("ts").collect()):
+        assert (r1.level, r1.trend, r1.fitted) == (r2.level, r2.trend, r2.fitted)
+
+    with pytest.raises(ValueError, match="phi"):
+        holt_series(df, "k", "ts", "v", alpha, beta, phi=0.0)
+    with pytest.raises(ValueError, match="phi"):
+        holt_forecast(df, "k", "ts", "v", alpha, beta, phi=1.2)
+
+
 def test_hw_forecast_intervals_hand_recursion_and_impulse(spark):
     """Holt-Winters interval: c_j = α(1+jβ) + γ(1−α)·1{j≡0 mod m} — the
     seasonal impulse is γ(1−α) because our recursion smooths the slot
