@@ -1326,10 +1326,13 @@ def q_glm_families_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0.0)
         .alias("yy"),
         (F.col("l_quantity") / 50.0).alias("xx"),
+        ((F.col("l_orderkey") + F.col("l_linenumber")) % 2)
+        .cast("int")
+        .alias("fold"),
     )
     m = glm_elastic_net(
-        en_in, "yy ~ xx", reg_param=0.02, elastic_net_param=0.5,
-        exact_iterations=3,
+        en_in.select("yy", "xx"), "yy ~ xx", reg_param=0.02,
+        elastic_net_param=0.5, exact_iterations=3,
     )
     rows += [
         ("enet_logit", "coef_intercept", round(float(m.coefs[0]), 6)),
@@ -1338,6 +1341,32 @@ def q_glm_families_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("enet_logit", "iterations", float(m.iter)),
         ("enet_logit", "n_nonzero", float(m.n_nonzero)),
     ]
+    # r11: glm_elastic_net_cv pinned end-to-end — 2 deterministic folds
+    # (fold = (l_orderkey + l_linenumber) % 2) × 1 λ at exactly 2
+    # lock-step outer solves on the same planted-Bernoulli design. Each
+    # fold model's full trajectory — training-σ standardization from the
+    # upfront moments, two weighted aggregations, the single-covariate
+    # soft-threshold (EXACT at p=1: ρ = b̃/n is θ-independent) — unrolls
+    # in scalar CTEs, and the reported deviances are the engine's
+    # final-β deviance pass split per fold (train = other fold,
+    # val = own fold). ROUND 2 on deviances (magnitude ~1e4 vs ~1e-8
+    # accumulated drift); counts/support/iterations are exact integers.
+    from sparkglm_spark.operators.enet import glm_elastic_net_cv
+
+    cvf = glm_elastic_net_cv(
+        en_in, "yy ~ xx", reg_params=[0.02], fold_expr="fold", n_folds=2,
+        elastic_net_param=0.5, exact_iterations=2,
+    )
+    for r in sorted(cvf.collect(), key=lambda r: r["fold"]):
+        fam_k = f"enetcv_f{r['fold']}"
+        rows += [
+            (fam_k, "dev_train", round(r["deviance_train"], 2)),
+            (fam_k, "dev_val", round(r["deviance_val"], 2)),
+            (fam_k, "n_train", float(r["n_train"])),
+            (fam_k, "n_val", float(r["n_val"])),
+            (fam_k, "n_nonzero", float(r["n_nonzero"])),
+            (fam_k, "iterations", float(r["iterations"])),
+        ]
     return spark.createDataFrame(
         rows, "family string, stat string, value double"
     ).orderBy("family", "stat")
@@ -1394,12 +1423,14 @@ def _sql_glm_families_fit() -> str:
     # so each outer iteration is: weighted agg → centered/standardized
     # scalars → one soft-threshold → intercept back-out.
     ctes.append(
-        "enb AS (SELECT CASE WHEN CAST((l_orderkey * 8 + l_linenumber)"
+        "cvb AS (SELECT CASE WHEN CAST((l_orderkey * 8 + l_linenumber)"
         " * 2654435761 % 1000000 AS DOUBLE) / 1000000.0"
         " < 1.0 / (1.0 + exp(1.0 - 2.0 * (CAST(l_quantity AS DOUBLE) / 50.0)))"
         " THEN 1.0 ELSE 0.0 END AS y,"
-        " CAST(l_quantity AS DOUBLE) / 50.0 AS x FROM lineitem)"
+        " CAST(l_quantity AS DOUBLE) / 50.0 AS x,"
+        " (l_orderkey + l_linenumber) % 2 AS fd FROM lineitem)"
     )
+    ctes.append("enb AS (SELECT y, x FROM cvb)")
     ctes.append(
         "ens AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(y) AS sy,"
         " SUM(x) AS sx, SUM(x * x) AS sxx FROM enb)"
@@ -1445,6 +1476,59 @@ def _sql_glm_families_fit() -> str:
             f" / (((swxx - swx * swx / sw) / (sg * sg)) / n + 0.5 * 0.02)"
             f" / sg ELSE 0.0 END AS b1n FROM en{i}a) s)"
         )
+    # r11: glm_elastic_net_cv 2-fold × 2-iteration unroll (see the Spark
+    # arm's comment): per fold model j — training moments → σ/logit-init
+    # → two [weighted agg → soft-threshold → intercept back-out] steps →
+    # final-β deviance GROUPED BY fold (train = fd<>j, val = fd=j)
+    for j in (0, 1):
+        ctes.append(
+            f"cv{j}m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(y) AS sy,"
+            f" SUM(x) AS sx, SUM(x * x) AS sxx FROM cvb WHERE fd <> {j})"
+        )
+        ctes.append(
+            f"cv{j}0 AS (SELECT n,"
+            f" SQRT((sxx - n * (sx / n) * (sx / n)) / (n - 1.0)) AS sg,"
+            f" ln(LEAST(GREATEST(sy / n, 1e-10), 1.0 - 1e-10)"
+            f" / (1.0 - LEAST(GREATEST(sy / n, 1e-10), 1.0 - 1e-10))) AS b0,"
+            f" 0.0 AS b1 FROM cv{j}m)"
+        )
+        for i in (1, 2):
+            prev = f"cv{j}{i - 1}"
+            ctes.append(
+                f"cv{j}{i}a AS (SELECT {prev}.n AS n, {prev}.sg AS sg,"
+                f" SUM(w) AS sw, SUM(w * x) AS swx, SUM(w * x * x) AS swxx,"
+                f" SUM(w * z) AS swz, SUM(w * x * z) AS swxz"
+                f" FROM (SELECT x,"
+                f" 1.0 / ((mu * (1.0 - mu)) * g * g) AS w,"
+                f" eta + (y - mu) * g AS z FROM"
+                f" (SELECT y, x, eta, mu, 1.0 / (mu * (1.0 - mu)) AS g FROM"
+                f" (SELECT y, x, eta, LEAST(GREATEST(1.0 / (1.0 + exp(-eta)),"
+                f" 1e-10), 1.0 - 1e-10) AS mu FROM"
+                f" (SELECT c.y, c.x, {prev}.b0 + {prev}.b1 * c.x AS eta"
+                f" FROM cvb c CROSS JOIN {prev} WHERE c.fd <> {j}) q1) q2) q3) q4"
+                f" CROSS JOIN {prev} GROUP BY 1, 2)"
+            )
+            ctes.append(
+                f"cv{j}{i} AS (SELECT n, sg, (swz - swx * b1n) / sw AS b0,"
+                f" b1n AS b1 FROM (SELECT n, sg, sw, swx, swz,"
+                f" CASE WHEN sg > 0 THEN"
+                f" SIGN(((swxz - swx * (swz / sw)) / sg) / n)"
+                f" * GREATEST(ABS(((swxz - swx * (swz / sw)) / sg) / n)"
+                f" - 0.5 * 0.02, 0.0)"
+                f" / (((swxx - swx * swx / sw) / (sg * sg)) / n + 0.5 * 0.02)"
+                f" / sg ELSE 0.0 END AS b1n FROM cv{j}{i}a) s)"
+            )
+        ctes.append(
+            f"cv{j}d AS (SELECT fd,"
+            f" 2.0 * SUM(CASE WHEN y > 0 THEN y * ln(GREATEST(y, 1.0) / mu)"
+            f" ELSE 0.0 END + CASE WHEN 1.0 - y > 0 THEN (1.0 - y)"
+            f" * ln(GREATEST(1.0 - y, 1.0) / (1.0 - mu)) ELSE 0.0 END) AS dv,"
+            f" CAST(COUNT(*) AS BIGINT) AS nn"
+            f" FROM (SELECT c.y, c.fd,"
+            f" LEAST(GREATEST(1.0 / (1.0 + exp(-(p.b0 + p.b1 * c.x))),"
+            f" 1e-10), 1.0 - 1e-10) AS mu"
+            f" FROM cvb c CROSS JOIN cv{j}2 p) q GROUP BY fd)"
+        )
     selects = [
         "SELECT 'enet_logit' AS family, 'coef_intercept' AS stat,"
         " ROUND(b0, 6) AS value FROM en3",
@@ -1480,6 +1564,21 @@ def _sql_glm_families_fit() -> str:
         "SELECT 'negbinomial', 'deviance', ROUND(dev, 2) FROM nb_f",
         f"SELECT 'negbinomial', 'iterations', {float(_GLM_ITERS)} FROM {n_fin}",
     ]
+    for j in (0, 1):
+        selects += [
+            f"SELECT 'enetcv_f{j}', 'dev_train', ROUND(dv, 2)"
+            f" FROM cv{j}d WHERE fd <> {j}",
+            f"SELECT 'enetcv_f{j}', 'dev_val', ROUND(dv, 2)"
+            f" FROM cv{j}d WHERE fd = {j}",
+            f"SELECT 'enetcv_f{j}', 'n_train', CAST(nn AS DOUBLE)"
+            f" FROM cv{j}d WHERE fd <> {j}",
+            f"SELECT 'enetcv_f{j}', 'n_val', CAST(nn AS DOUBLE)"
+            f" FROM cv{j}d WHERE fd = {j}",
+            f"SELECT 'enetcv_f{j}', 'n_nonzero',"
+            f" CAST(CASE WHEN b1 <> 0 THEN 1 ELSE 0 END AS DOUBLE)"
+            f" FROM cv{j}2",
+            f"SELECT 'enetcv_f{j}', 'iterations', 2.0 FROM cv{j}2",
+        ]
     return (
         "WITH " + ",\n".join(ctes) + "\n"
         + "\nUNION ALL\n".join(selects)
