@@ -5546,6 +5546,54 @@ def q_events_timeseries_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("xraw", 6).alias("x"),
         )
     )
+    # r11: DAMPED-trend Holt (phi=0.5 — dyadic like α/β) end state +
+    # 3-step forecast + se: pins the new phi surface through the same
+    # recursive-CTE replay. Everything stays dyadic-exact in both
+    # engines: φ_1..3 = 0.5/0.75/0.875 (so fc3 = lvl + 0.875·trd) and
+    # c_j = 0.5(1 + 0.25·φ_j) gives v = 1 + c₁² + c₂² = 1.6689453125
+    # EXACTLY; the damped trajectory is even more contractive than the
+    # φ=1 arm, so the 6dp magnitude-matched-pin margin only widens.
+    hd_all = holt_forecast(
+        ev, "user_id", "ts", "value", alpha=0.5, beta=0.25,
+        horizons=[3], tiebreak_col="event_id", interval=True, phi=0.5,
+    )
+    hd = (
+        hd_all
+        .select(
+            F.col("user_id").cast("string").alias("k1"),
+            F.col("n_events").cast("bigint").alias("n1"),
+            F.expr(
+                "stack(3, 'hd_lvl', level, 'hd_trd', trend,"
+                " 'hd_fc3', forecast_3) AS (op, xraw)"
+            ),
+        )
+        .select(
+            "op",
+            "k1",
+            F.lit(None).cast("string").alias("k2"),
+            "n1",
+            F.lit(None).cast("bigint").alias("n2"),
+            F.lit(None).cast("string").alias("v1"),
+            F.round("xraw", 6).alias("x"),
+        )
+    )
+    hd_iv = (
+        hd_all.where(F.col("se_3").isNotNull())
+        .select(
+            F.col("user_id").cast("string").alias("k1"),
+            F.col("n_events").cast("bigint").alias("n1"),
+            F.expr("stack(1, 'hd_se3', se_3) AS (op, xraw)"),
+        )
+        .select(
+            "op",
+            "k1",
+            F.lit(None).cast("string").alias("k2"),
+            "n1",
+            F.lit(None).cast("bigint").alias("n2"),
+            F.lit(None).cast("string").alias("v1"),
+            F.round("xraw", 6).alias("x"),
+        )
+    )
     # r9: per-user Holt-Winters end state + 3-step forecast (additive
     # seasonal, period 4; operators/timeseries.py::holt_winters_forecast).
     # Same magnitude-matched-pin argument as the holt arm — α=0.5 β=0.25
@@ -5659,6 +5707,8 @@ def q_events_timeseries_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ewma)
         .unionByName(holt)
         .unionByName(holt_iv)
+        .unionByName(hd)
+        .unionByName(hd_iv)
         .unionByName(hw)
         .unionByName(lb)
         .unionByName(sd)
@@ -5703,6 +5753,26 @@ WITH RECURSIVE hranked AS (
   JOIN hranked r ON r.user_id = h.user_id AND r.rn = h.rn + 1
 ), hfinal AS (
   SELECT user_id, n, lvl, trd, sse FROM hstate WHERE rn = n
+  UNION ALL
+  SELECT user_id, n, value, 0.0, CAST(NULL AS DOUBLE) FROM hranked WHERE n = 1
+), hdstate(user_id, rn, n, lvl, trd, sse) AS (
+  -- DAMPED Holt (phi = 0.5): same init identity; the recursion replays
+  -- the operator's damped IEEE expression tree (fit = lvl + 0.5*trd)
+  SELECT r2.user_id, CAST(2 AS BIGINT), r2.n, r2.value, r2.value - r1.value,
+         CAST(0.0 AS DOUBLE)
+  FROM hranked r1
+  JOIN hranked r2 ON r1.user_id = r2.user_id AND r1.rn = 1 AND r2.rn = 2
+  UNION ALL
+  SELECT h.user_id, h.rn + 1, h.n,
+         0.5 * r.value + 0.5 * (h.lvl + 0.5 * h.trd),
+         0.25 * ((0.5 * r.value + 0.5 * (h.lvl + 0.5 * h.trd)) - h.lvl)
+           + 0.75 * (0.5 * h.trd),
+         h.sse + (r.value - (h.lvl + 0.5 * h.trd))
+               * (r.value - (h.lvl + 0.5 * h.trd))
+  FROM hdstate h
+  JOIN hranked r ON r.user_id = h.user_id AND r.rn = h.rn + 1
+), hdfinal AS (
+  SELECT user_id, n, lvl, trd, sse FROM hdstate WHERE rn = n
   UNION ALL
   SELECT user_id, n, value, 0.0, CAST(NULL AS DOUBLE) FROM hranked WHERE n = 1
 ), sdt AS (
@@ -5850,6 +5920,24 @@ UNION ALL
 SELECT 'holt_lo3', CAST(user_id AS VARCHAR), NULL, n, NULL, NULL,
        ROUND((lvl + 3 * trd) - {_z975()} * SQRT(sse / (n - 2) * 1.953125), 6)
 FROM hfinal WHERE n > 2
+UNION ALL
+SELECT 'hd_lvl', CAST(user_id AS VARCHAR), NULL, n, NULL, NULL,
+       ROUND(lvl, 6)
+FROM hdfinal
+UNION ALL
+SELECT 'hd_trd', CAST(user_id AS VARCHAR), NULL, n, NULL, NULL,
+       ROUND(trd, 6)
+FROM hdfinal
+UNION ALL
+-- phi_3 = 0.5 + 0.25 + 0.125 = 0.875, exact in both engines
+SELECT 'hd_fc3', CAST(user_id AS VARCHAR), NULL, n, NULL, NULL,
+       ROUND(lvl + 0.875 * trd, 6)
+FROM hdfinal
+UNION ALL
+-- v = 1 + (0.5*1.125)^2 + (0.5*1.1875)^2 = 1.6689453125, dyadic-exact
+SELECT 'hd_se3', CAST(user_id AS VARCHAR), NULL, n, NULL, NULL,
+       ROUND(SQRT(sse / (n - 2) * 1.6689453125), 6)
+FROM hdfinal WHERE n > 2
 UNION ALL
 SELECT 'hw_lvl', CAST(user_id AS VARCHAR), NULL, n, NULL, NULL,
        ROUND(lvl, 6)

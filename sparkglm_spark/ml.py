@@ -252,6 +252,15 @@ class _SparkGLMParams(_FormulaParams):
         "penalize standardized coefficients; only used when regParam > 0",
         typeConverter=TypeConverters.toBoolean,
     )
+    weightCol = Param(
+        Params._dummy(),
+        "weightCol",
+        "per-row prior weight column ('' = unweighted); supported on the "
+        "regParam > 0 path (glm_elastic_net weight_col — the MLlib "
+        "LogisticRegression weightCol convention); the unpenalized glm "
+        "has no weight surface (use mCol for binomial trials)",
+        typeConverter=TypeConverters.toString,
+    )
 
     def __init__(self):
         super().__init__()
@@ -267,6 +276,7 @@ class _SparkGLMParams(_FormulaParams):
             regParam=0.0,
             elasticNetParam=0.0,
             standardization=True,
+            weightCol="",
         )
 
     def getFamily(self) -> str:
@@ -301,6 +311,9 @@ class _SparkGLMParams(_FormulaParams):
 
     def getStandardization(self) -> bool:
         return self.getOrDefault(self.standardization)
+
+    def getWeightCol(self) -> str:
+        return self.getOrDefault(self.weightCol)
 
 
 def _kwargs_setter(obj, kwargs):
@@ -502,6 +515,7 @@ class SparkGLM(Estimator, _SparkGLMParams, DefaultParamsReadable, DefaultParamsW
                 na_action=self.getNaAction(),
                 max_iter=self.getMaxIter(),
                 offset_col=self.getOffsetCol() or None,
+                weight_col=self.getWeightCol() or None,
                 # the penalized path's tol is max-coefficient-change
                 # (tighter default 1e-10); forward the Param only when
                 # the USER set it — inheriting the unpenalized default
@@ -509,6 +523,12 @@ class SparkGLM(Estimator, _SparkGLMParams, DefaultParamsReadable, DefaultParamsW
                 **({"tol": self.getTol()} if self.isSet(self.tol) else {}),
             )
         else:
+            if self.getWeightCol():
+                raise ValueError(
+                    "weightCol requires regParam > 0 (the glm_elastic_net "
+                    "path) — the unpenalized glm has no weight surface; "
+                    "use mCol for binomial trial counts"
+                )
             inner = glm(
                 dataset,
                 self.getFormula(),

@@ -787,6 +787,7 @@ def glm_elastic_net(
     max_sweeps: int = 1000,
     exact_iterations: int | None = None,
     offset_col: str | None = None,
+    weight_col: str | None = None,
 ) -> GLMElasticNet:
     """Sparse GLM — L1(+L2)-penalized logistic / Poisson regression with
     the MLlib `LogisticRegression(regParam, elasticNetParam,
@@ -799,6 +800,23 @@ def glm_elastic_net(
     summarizer convention; no label scaling, unlike the linear case) and
     the intercept unpenalized. `standardize=False` un-standardizes the
     penalties per coordinate (L1/σⱼ, L2/σⱼ²), matching MLlib.
+
+    `weight_col` gives the prior-weighted fit with the MLlib
+    `LogisticRegression(weightCol)` convention (golden-tested): every
+    statistical n becomes Σω — the objective is (1/Σω)·Σωᵢ(−ℓᵢ) + the
+    same penalty, feature stds use MLlib's weighted summarizer variance
+    (Σωx² − Σω·m²)/(Σω − Σω²/Σω) — the RELIABILITY-weights unbiased
+    denominator, PROBED at 3e-8 against candidate conventions (sample
+    Σω−1 and population Σω are each ~1e-4 off); with unit weights
+    Σω² = n so it degrades exactly to the unweighted n−1. The IRLS
+    working weights pick up the ω factor and deviance is Σω-weighted.
+    An integer weight is EXACTLY row replication ONLY in the fitted
+    objective sense (the reliability denominator W−Σω²/W ≠ the
+    replicated frame's W−1, an O(1/n) std difference the penalty
+    scaling sees — tested at the matching tolerance). Weights must be
+    non-null, ≥ 0, Σω > 0, and carry > 1 effective row
+    (Σω − Σω²/Σω > 0) — violations raise upfront on the same
+    aggregation.
 
     Algorithm — penalized IRLS (glmnet's prox-Newton): each outer
     iteration is ONE aggregation job (the `GLM.fit` zw-Gram shape — the
@@ -838,9 +856,9 @@ def glm_elastic_net(
         raise ValueError("exact_iterations must be >= 1")
     fam = get_family(family)
     lnk = get_link(fam.default_link)
+    extra = [c for c in (offset_col, weight_col) if c]
     encoded, x_cols, target, levels = _encode_formula(
-        df, formula, na_action,
-        extra_cols=[offset_col] if offset_col else [],
+        df, formula, na_action, extra_cols=extra,
     )
     has_int = "intercept" in x_cols
     i0 = x_cols.index("intercept") if has_int else None
@@ -852,32 +870,65 @@ def glm_elastic_net(
     from sparkglm_spark.plans.partitioning import ensure_parallel
 
     work = ensure_parallel(
-        encoded.select(
-            target, *x_cols, *([offset_col] if offset_col else [])
-        )
+        encoded.select(target, *x_cols, *extra)
     ).persist()
     try:
         y = F.col(target)
         one = F.lit(1.0)
         off = F.col(offset_col).cast("double") if offset_col else None
-        # upfront pass: n, ȳ, and the UNWEIGHTED feature moments for the
-        # fixed standardization (computed once — MLlib's summarizer)
+        wt = F.col(weight_col).cast("double") if weight_col else None
+        wr = wt if wt is not None else one  # per-row prior weight ω
+        # upfront pass: n, ȳ, and the (ω-weighted but IRLS-unweighted)
+        # feature moments for the fixed standardization (computed once —
+        # MLlib's summarizer, which weights by ω when weightCol is set)
         aggs0 = [
             F.count(F.lit(1)).alias("n"),
-            F.sum(y).alias("sy"),
+            F.sum(wr * y).alias("sy"),
             F.min(y).alias("ymin"),
             F.max(y).alias("ymax"),
         ]
+        if wt is not None:
+            aggs0 += [
+                F.sum(wt).alias("sw0"),
+                F.sum(wt * wt).alias("sww"),
+                F.min(wt).alias("minw"),
+                F.count(wt).alias("n_w"),
+            ]
         if off is not None:
-            aggs0.append(F.sum(off).alias("soff"))
+            aggs0.append(F.sum(wr * off).alias("soff"))
         for i, j in enumerate(feats):
             c = F.col(x_cols[j])
-            aggs0.append(F.sum(c).alias(f"s_{i}"))
-            aggs0.append(F.sum(c * c).alias(f"ss_{i}"))
+            aggs0.append(F.sum(wr * c).alias(f"s_{i}"))
+            aggs0.append(F.sum(wr * c * c).alias(f"ss_{i}"))
         r0 = work.agg(*aggs0).collect()[0]
         n = int(r0["n"])
         if n <= 1:
             raise ValueError("need more than one row")
+        if wt is not None:
+            # weight-domain guards ride the same aggregation (the linear
+            # elastic_net policy): nulls silently drop rows from sums,
+            # negatives corrupt every moment, and ≤ 1 effective row
+            # zeroes the reliability-weights std denominator
+            if int(r0["n_w"]) != n:
+                raise ValueError(
+                    f"weight column {weight_col!r} has "
+                    f"{n - int(r0['n_w'])} null values"
+                )
+            if r0["minw"] is not None and float(r0["minw"]) < 0.0:
+                raise ValueError(
+                    f"weight column {weight_col!r} has negative values "
+                    f"(min = {float(r0['minw'])})"
+                )
+            if float(r0["sw0"]) <= 0.0:
+                raise ValueError(
+                    f"weights in {weight_col!r} sum to {float(r0['sw0'])} "
+                    "— need Σw > 0"
+                )
+            if float(r0["sw0"]) - float(r0["sww"]) / float(r0["sw0"]) <= 0.0:
+                raise ValueError(
+                    f"weights in {weight_col!r} carry <= 1 effective row "
+                    "(Σw − Σw²/Σw <= 0) — the weighted std is undefined"
+                )
         # label-domain guards ride the same upfront aggregation: the
         # mean-only checks below can't see individual out-of-domain rows
         # (the IRLS clamp bounds μ, not y — a y = −3 would silently
@@ -892,12 +943,19 @@ def glm_elastic_net(
             raise ValueError(
                 f"poisson label must be >= 0; observed min = {ymin}"
             )
-        y_mean = float(r0["sy"]) / n
-        ms = np.array([float(r0[f"s_{i}"]) for i in range(p)]) / n
+        nw = float(r0["sw0"]) if wt is not None else float(n)
+        # std denominator: MLlib's weighted summarizer uses the
+        # RELIABILITY-weights form Σω − Σω²/Σω (probed — see docstring);
+        # with unit weights Σω² = n, so it IS the unweighted n−1
+        sdenom = (
+            nw - float(r0["sww"]) / nw if wt is not None else float(n - 1)
+        )
+        y_mean = float(r0["sy"]) / nw
+        ms = np.array([float(r0[f"s_{i}"]) for i in range(p)]) / nw
         sig = np.sqrt(
             np.maximum(
-                (np.array([float(r0[f"ss_{i}"]) for i in range(p)]) - n * ms * ms)
-                / (n - 1),
+                (np.array([float(r0[f"ss_{i}"]) for i in range(p)]) - nw * ms * ms)
+                / sdenom,
                 0.0,
             )
         )
@@ -919,7 +977,7 @@ def glm_elastic_net(
                 lnk, "link_np"
             ) else float(np.log(mu0 / (1 - mu0)) if family == "binomial" else np.log(mu0))
             if off is not None:
-                beta[i0] -= float(r0["soff"]) / n
+                beta[i0] -= float(r0["soff"]) / nw
 
         theta = np.zeros(p)
         xs = [F.col(c) for c in x_cols]
@@ -937,14 +995,14 @@ def glm_elastic_net(
             if family == "binomial":
                 mu = F.least(F.greatest(mu, F.lit(1e-10)), F.lit(1.0 - 1e-10))
             grad = lnk.lprime(mu, one)
-            w = F.lit(1.0) / (fam.variance(mu, one) * grad * grad)
+            w = wr / (fam.variance(mu, one) * grad * grad)
             # working response for the LINEAR part only — the offset is
             # fixed, so it drops out of the WLS subproblem (z = η−off +
             # (y−μ)g', the glm convention at glm.py:181)
             z = eta_lin + (y - mu) * grad
             proj = work.select(
                 *xs, w.alias("__w"), z.alias("__z"),
-                fam.deviance_term(y, mu, one).alias("__devt"),
+                (wr * fam.deviance_term(y, mu, one)).alias("__devt"),
             )
             w_c, z_c = F.col("__w"), F.col("__z")
             aggs = []
@@ -975,7 +1033,7 @@ def glm_elastic_net(
                 A = Gf
                 bvec = bf
             theta = _cd_wls_penalized(
-                A, bvec, n, sig, lam, alpha, standardize, theta,
+                A, bvec, nw, sig, lam, alpha, standardize, theta,
                 max_sweeps, tol * 0.01,
             )
             new_beta = np.zeros(k)
@@ -1006,7 +1064,8 @@ def glm_elastic_net(
                 mu = F.least(F.greatest(mu, F.lit(1e-10)), F.lit(1.0 - 1e-10))
             dev = float(
                 work.agg(
-                    (F.lit(2.0) * F.sum(fam.deviance_term(y, mu, one))).alias("dev")
+                    (F.lit(2.0) * F.sum(wr * fam.deviance_term(y, mu, one)))
+                    .alias("dev")
                 ).collect()[0]["dev"]
             )
     finally:
@@ -1028,7 +1087,9 @@ def glm_elastic_net(
         levels=levels,
         call=(
             f"glm_elastic_net({formula}, family={family}, reg_param={lam}, "
-            f"elastic_net_param={alpha})"
+            f"elastic_net_param={alpha}"
+            + (f", weight_col={weight_col}" if weight_col else "")
+            + ")"
         ),
     )
 
@@ -1061,11 +1122,20 @@ def _glm_enet_pathwise(
     offset_col: str | None,
     exact_iterations: int | None,
     mode: str,
+    weight_col: str | None = None,
 ):
     """Shared engine of `glm_elastic_net_cv` (mode='cv') and
     `glm_elastic_net_path` (mode='path') — pathwise penalized IRLS with
     every model advancing in LOCK-STEP from one aggregation per outer
-    iteration:
+    iteration. `weight_col` applies the `glm_elastic_net(weight_col=)`
+    convention per model: all statistical n's become the model's
+    training Σω (assembled fold-additively like the moments), feature
+    stds use the reliability-weights denominator Σω − Σω²/Σω (the
+    probed MLlib summarizer convention — see `glm_elastic_net`), IRLS
+    working weights and deviances pick up ω, and weight-domain
+    violations raise upfront; a training set with ≤ 1 effective row
+    degenerates that fold (skipped like a constant-label fold).
+    Details:
 
     * mode='cv': one model per fold j (trained on all rows with
       __fold ≠ j). Each outer iteration projects every ACTIVE model's
@@ -1117,9 +1187,9 @@ def _glm_enet_pathwise(
     else:
         base = df.withColumn("__fold", F.lit(0))
         n_folds = 1
+    extra = [c for c in (offset_col, weight_col) if c]
     encoded, x_cols, target, _levels = _encode_formula(
-        base, formula, na_action,
-        extra_cols=["__fold"] + ([offset_col] if offset_col else []),
+        base, formula, na_action, extra_cols=["__fold"] + extra,
     )
     has_int = "intercept" in x_cols
     i0 = x_cols.index("intercept") if has_int else None
@@ -1129,28 +1199,54 @@ def _glm_enet_pathwise(
     y = F.col(target)
     one = F.lit(1.0)
     off = F.col(offset_col).cast("double") if offset_col else None
+    wt = F.col(weight_col).cast("double") if weight_col else None
+    wr = wt if wt is not None else one  # per-row prior weight ω
 
     work = ensure_parallel(
-        encoded.select(
-            "__fold", target, *x_cols,
-            *([offset_col] if offset_col else []),
-        )
+        encoded.select("__fold", target, *x_cols, *extra)
     ).persist()
     try:
         # ------ upfront pass: per-fold moments (one job) ------
         aggs0 = [
             F.count(F.lit(1)).alias("n"),
-            F.sum(y).alias("sy"),
+            F.sum(wr * y).alias("sy"),
             F.min(y).alias("ymin"),
             F.max(y).alias("ymax"),
         ]
+        if wt is not None:
+            aggs0 += [
+                F.sum(wt).alias("sw0"),
+                F.sum(wt * wt).alias("sww"),
+                F.min(wt).alias("minw"),
+                F.count(wt).alias("n_w"),
+            ]
         if off is not None:
-            aggs0.append(F.sum(off).alias("soff"))
+            aggs0.append(F.sum(wr * off).alias("soff"))
         for i, j in enumerate(feats):
             c = F.col(x_cols[j])
-            aggs0.append(F.sum(c).alias(f"s_{i}"))
-            aggs0.append(F.sum(c * c).alias(f"ss_{i}"))
+            aggs0.append(F.sum(wr * c).alias(f"s_{i}"))
+            aggs0.append(F.sum(wr * c * c).alias(f"ss_{i}"))
         groups = _collect_fold_rows(work, aggs0)
+        if wt is not None:
+            # weight-domain guards over ALL rows (the glm_elastic_net
+            # policy, assembled from the same per-fold aggregation)
+            n_all = sum(int(r["n"]) for r in groups.values())
+            nw_all = sum(int(r["n_w"]) for r in groups.values())
+            if nw_all != n_all:
+                raise ValueError(
+                    f"weight column {weight_col!r} has "
+                    f"{n_all - nw_all} null values"
+                )
+            minw_all = min(
+                float(r["minw"])
+                for r in groups.values()
+                if r["minw"] is not None
+            )
+            if minw_all < 0.0:
+                raise ValueError(
+                    f"weight column {weight_col!r} has negative values "
+                    f"(min = {minw_all})"
+                )
         bad = sorted(g for g in groups if not 0 <= g < n_folds)
         if bad:
             raise ValueError(
@@ -1185,28 +1281,37 @@ def _glm_enet_pathwise(
             n_t = sum(int(groups[g]["n"]) for g in tg)
             if n_t <= 1:
                 continue
+            if wt is not None:
+                nw_t = sum(float(groups[g]["sw0"]) for g in tg)
+                sww_t = sum(float(groups[g]["sww"]) for g in tg)
+                if nw_t <= 0.0 or nw_t - sww_t / nw_t <= 0.0:
+                    continue  # ≤ 1 effective training row — degenerate
+                sdenom = nw_t - sww_t / nw_t
+            else:
+                nw_t = float(n_t)
+                sdenom = float(n_t - 1)
             sy_t = sum(float(groups[g]["sy"]) for g in tg)
-            ybar = sy_t / n_t
+            ybar = sy_t / nw_t
             if family == "binomial" and not 0.0 < ybar < 1.0:
                 continue  # constant training label — degenerate fold
             if family == "poisson" and ybar <= 0.0:
                 continue
             ms = np.array(
                 [sum(float(groups[g][f"s_{i}"]) for g in tg) for i in range(p)]
-            ) / n_t
+            ) / nw_t
             ss = np.array(
                 [sum(float(groups[g][f"ss_{i}"]) for g in tg) for i in range(p)]
             )
-            sig = np.sqrt(np.maximum((ss - n_t * ms * ms) / (n_t - 1), 0.0))
+            sig = np.sqrt(np.maximum((ss - nw_t * ms * ms) / sdenom, 0.0))
             beta = np.zeros(k)
             if has_int:
                 beta[i0] = link_scalar(ybar)
                 if off is not None:
                     soff_t = sum(float(groups[g]["soff"]) for g in tg)
-                    beta[i0] -= soff_t / n_t
+                    beta[i0] -= soff_t / nw_t
             states.append(
                 dict(
-                    j=j, train=tg, n_t=n_t, sig=sig,
+                    j=j, train=tg, n_t=n_t, nw_t=nw_t, sig=sig,
                     beta=beta, theta=np.zeros(p),
                 )
             )
@@ -1223,9 +1328,9 @@ def _glm_enet_pathwise(
             if family == "binomial":
                 mu = F.least(F.greatest(mu, F.lit(1e-10)), F.lit(1.0 - 1e-10))
             grad = lnk.lprime(mu, one)
-            w = F.lit(1.0) / (fam.variance(mu, one) * grad * grad)
+            w = wr / (fam.variance(mu, one) * grad * grad)
             z = eta_lin + (y - mu) * grad
-            return w, z, fam.deviance_term(y, mu, one)
+            return w, z, wr * fam.deviance_term(y, mu, one)
 
         results = []  # one dict per (λ, state)
         lams = sorted((float(v) for v in reg_params), reverse=True)
@@ -1285,7 +1390,7 @@ def _glm_enet_pathwise(
                         A = Gf
                         bvec = bf
                     s["theta"] = _cd_wls_penalized(
-                        A, bvec, s["n_t"], s["sig"], lam, alpha,
+                        A, bvec, s["nw_t"], s["sig"], lam, alpha,
                         standardize, s["theta"], max_sweeps, tol * 0.01,
                     )
                     new_beta = np.zeros(k)
@@ -1328,7 +1433,7 @@ def _glm_enet_pathwise(
                 mu = lnk.unlink(eta, one)
                 if family == "binomial":
                     mu = F.least(F.greatest(mu, F.lit(1e-10)), F.lit(1.0 - 1e-10))
-                sel.append(fam.deviance_term(y, mu, one).alias(f"__fd{ri}"))
+                sel.append((wr * fam.deviance_term(y, mu, one)).alias(f"__fd{ri}"))
             proj = work.select(*sel)
             aggs = [
                 (F.lit(2.0) * F.sum(F.col(f"__fd{ri}"))).alias(f"dv{ri}")
@@ -1370,6 +1475,7 @@ def glm_elastic_net_cv(
     max_sweeps: int = 1000,
     offset_col: str | None = None,
     exact_iterations: int | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """K-fold cross-validation for the penalized GLM (`glm_elastic_net`)
     over a λ grid — the sparse-logistic λ-selection surface (VERDICT
@@ -1389,7 +1495,10 @@ def glm_elastic_net_cv(
 
     `fold_expr`: integer column/expression in [0, n_folds); out-of-range
     ids raise. Degenerate folds (constant training label) are skipped.
-    `offset_col` follows the `glm_elastic_net` offset contract.
+    `offset_col` follows the `glm_elastic_net` offset contract;
+    `weight_col` the `glm_elastic_net(weight_col=)` convention (per-fold
+    training Σω as the statistical n, ω-weighted deviances — so
+    `deviance_val` is the ω-weighted held-out deviance).
     `exact_iterations=N` runs exactly N lock-step iterations per λ (the
     oracle-pin hook).
 
@@ -1399,7 +1508,7 @@ def glm_elastic_net_cv(
     results, x_cols, _has_int, _n = _glm_enet_pathwise(
         df, formula, reg_params, fold_expr, n_folds, elastic_net_param,
         family, standardize, na_action, max_iter, tol, max_sweeps,
-        offset_col, exact_iterations, mode="cv",
+        offset_col, exact_iterations, mode="cv", weight_col=weight_col,
     )
     out = [
         (
@@ -1435,6 +1544,7 @@ def glm_elastic_net_path(
     tol: float = 1e-10,
     max_sweeps: int = 1000,
     offset_col: str | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """The whole penalized-GLM regularization path — full-data fits for
     every λ, descending with warm starts on the shared pathwise engine
@@ -1449,14 +1559,16 @@ def glm_elastic_net_path(
     saturated-model constant, which is λ-independent and cancels out of
     the argmin; the lasso-df estimate is the `elastic_net_path`
     convention, Zou-Hastie-Tibshirani 2007). Deviance is evaluated at
-    the FINAL β of each λ (one chunked deviance pass).
+    the FINAL β of each λ (one chunked deviance pass). With
+    `weight_col` the deviance (hence aic/bic) is ω-weighted while
+    bic's ln(n) keeps the ROW count (the glmnet nobs convention).
 
     Returns one (reg_param, term) row block per input λ: reg_param,
     term, estimate, n_nonzero, iterations, deviance, aic, bic."""
     results, x_cols, has_int, n_total = _glm_enet_pathwise(
         df, formula, reg_params, None, 1, elastic_net_param,
         family, standardize, na_action, max_iter, tol, max_sweeps,
-        offset_col, None, mode="path",
+        offset_col, None, mode="path", weight_col=weight_col,
     )
     # one block per INPUT λ (duplicates produce duplicate blocks — the
     # elastic_net_path contract); the engine deduplicates nothing

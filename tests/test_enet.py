@@ -1100,3 +1100,161 @@ def test_glm_enet_cv_poisson_offset_arm(spark):
             term = np.where(yf > 0, yf * np.log(yf / muv), 0.0)
         dev = 2.0 * float(np.sum(term - (yf - muv)))
         assert got[f].deviance_val == pytest.approx(dev, rel=1e-8), f
+
+
+@pytest.mark.parametrize("std", [True, False])
+@pytest.mark.parametrize("lam,alpha", [(0.02, 0.5), (0.05, 1.0)])
+def test_glm_enet_weighted_matches_mllib_logistic(logit_data, std, lam, alpha):
+    """GOLDEN: MLlib LogisticRegression(weightCol, regParam,
+    elasticNetParam, standardization) — pins the WEIGHTED penalized
+    logistic conventions: statistical n = Σω (objective (1/Σω)·Σω·loss),
+    feature stds are the WEIGHTED sample stds √((Σωx² − Σω·m²)/(Σω−1))
+    (MLlib's weighted summarizer), IRLS working weights carry ω. The
+    weight is deliberately feature-correlated — a wrong Σω convention
+    cannot hide."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    from sparkglm_spark.operators.enet import glm_elastic_net
+
+    wd = logit_data.withColumn("w", 0.25 + F.abs(F.col("x2")))
+    fd = VectorAssembler(
+        inputCols=["x1", "x2", "x3", "x4"], outputCol="features"
+    ).transform(wd)
+    lr = LogisticRegression(
+        labelCol="y", weightCol="w", regParam=lam, elasticNetParam=alpha,
+        standardization=std, maxIter=500, tol=1e-10,
+    ).fit(fd)
+    m = glm_elastic_net(
+        wd, "y ~ x1 + x2 + x3 + x4", reg_param=lam,
+        elastic_net_param=alpha, family="binomial", standardize=std,
+        weight_col="w",
+    )
+    want = np.array([lr.intercept] + list(lr.coefficients))
+    assert m.converged
+    assert np.abs(m.coefs - want).max() < 1e-6
+    assert [abs(c) < 1e-8 for c in m.coefs] == [abs(c) < 1e-8 for c in want]
+
+
+def test_glm_enet_integer_weight_equals_replication(spark):
+    """At λ=0 an integer weight is EXACTLY row replication (stds cancel
+    out of the unpenalized objective; every IRLS sum coincides). At
+    λ>0 the fits differ ONLY through the std convention — the weighted
+    reliability denominator W−Σω²/W vs the replicated frame's W−1, an
+    O(1/n) gap MLlib itself exhibits — so agreement is asserted at the
+    λ·Δσ/σ scale."""
+    from sparkglm_spark.operators.enet import glm_elastic_net
+
+    rng = np.random.default_rng(11)
+    n = 400
+    x = rng.normal(size=n)
+    y = (rng.random(n) < 1 / (1 + np.exp(0.3 - 0.9 * x))).astype(float)
+    w = rng.integers(1, 4, size=n)
+    df = spark.createDataFrame(
+        [(float(y[i]), float(x[i]), int(w[i])) for i in range(n)],
+        "y double, x double, w int",
+    )
+    rep = df.withColumn("r", F.explode(F.expr("sequence(1, w)"))).drop("r", "w")
+    mw0 = glm_elastic_net(df, "y ~ x", reg_param=0.0, weight_col="w")
+    mr0 = glm_elastic_net(rep, "y ~ x", reg_param=0.0)
+    assert np.abs(mw0.coefs - mr0.coefs).max() < 1e-8
+    assert mw0.deviance == pytest.approx(mr0.deviance, rel=1e-6)
+    assert mw0.nrow == n and mr0.nrow == int(w.sum())
+    mw = glm_elastic_net(
+        df, "y ~ x", reg_param=0.03, elastic_net_param=0.5, weight_col="w"
+    )
+    mr = glm_elastic_net(rep, "y ~ x", reg_param=0.03, elastic_net_param=0.5)
+    assert np.abs(mw.coefs - mr.coefs).max() < 5e-4
+    assert np.abs(mw.coefs - mr.coefs).max() > 0.0  # genuinely different stds
+
+
+def test_glm_enet_weight_guards_and_estimator(spark):
+    """Weight-domain violations raise upfront (null / negative / Σω ≤ 1 —
+    the weighted sample-std denominator); SparkGLM forwards weightCol on
+    the penalized path and refuses it unpenalized (glm has no weight
+    surface)."""
+    from sparkglm_spark.ml import SparkGLM
+    from sparkglm_spark.operators.enet import glm_elastic_net
+
+    base = [(1.0, 0.5, 1.0), (0.0, -0.2, 1.0), (1.0, 1.3, 1.0), (0.0, 0.1, 1.0)]
+    df = spark.createDataFrame(base, "y double, x double, w double")
+    # na_action="omit" silently DROPS null-weight rows (weight_col rides
+    # extra_cols through the formula front-end); the n_w < n guard is
+    # what protects the na_action="keep" path
+    with pytest.raises(ValueError, match="null"):
+        glm_elastic_net(
+            df.withColumn("w", F.when(F.col("x") > 1, None).otherwise(F.col("w"))),
+            "y ~ x", reg_param=0.01, weight_col="w", na_action="keep",
+        )
+    with pytest.raises(ValueError, match="negative"):
+        glm_elastic_net(
+            df.withColumn("w", F.when(F.col("x") > 1, -2.0).otherwise(F.col("w"))),
+            "y ~ x", reg_param=0.01, weight_col="w",
+        )
+    with pytest.raises(ValueError, match="effective row"):
+        # all weight on ONE row: Σw − Σw²/Σw = 0 — std undefined
+        glm_elastic_net(
+            df.withColumn("w", F.when(F.col("x") > 1, 1.0).otherwise(0.0)),
+            "y ~ x", reg_param=0.01, weight_col="w",
+        )
+    with pytest.raises(ValueError, match="weightCol requires regParam"):
+        SparkGLM(formula="y ~ x", weightCol="w").fit(df)
+
+    # estimator ≡ function on a real weighted fit
+    rng = np.random.default_rng(3)
+    n = 500
+    x = rng.normal(size=n)
+    y = (rng.random(n) < 1 / (1 + np.exp(-x))).astype(float)
+    wv = 0.5 + rng.random(n)
+    wd = spark.createDataFrame(
+        [(float(y[i]), float(x[i]), float(wv[i])) for i in range(n)],
+        "y double, x double, w double",
+    )
+    est = SparkGLM(
+        formula="y ~ x", family="binomial", regParam=0.02,
+        elasticNetParam=0.5, weightCol="w",
+    ).fit(wd)
+    fn = glm_elastic_net(
+        wd, "y ~ x", reg_param=0.02, elastic_net_param=0.5, weight_col="w"
+    )
+    assert np.abs(est.model.coefs - fn.coefs).max() < 1e-12
+
+
+def test_glm_enet_cv_weighted_matches_cold_fits(logit_data):
+    """Weighted lock-step CV ≡ cold weighted per-fold fits at 1e-8;
+    deviance_val is the ω-WEIGHTED held-out deviance at the cold fit's
+    coefficients (fails unless the coefficients themselves agree)."""
+    from sparkglm_spark.operators.enet import glm_elastic_net, glm_elastic_net_cv
+
+    wd = logit_data.withColumn("w", 0.25 + F.abs(F.col("x3"))).withColumn(
+        "f", F.pmod(F.xxhash64("x1"), F.lit(2)).cast("int")
+    )
+    lam = 0.03
+    got = {
+        r.fold: r
+        for r in glm_elastic_net_cv(
+            wd, "y ~ x1 + x2 + x3 + x4", [lam], "f", n_folds=2,
+            family="binomial", weight_col="w",
+        ).collect()
+    }
+    pdf = wd.toPandas()
+    X = pdf[["x1", "x2", "x3", "x4"]].to_numpy()
+    yv = pdf["y"].to_numpy()
+    wv = pdf["w"].to_numpy()
+    fv = pdf["f"].to_numpy()
+    for f in range(2):
+        cold = glm_elastic_net(
+            wd.where(F.col("f") != f), "y ~ x1 + x2 + x3 + x4",
+            reg_param=lam, family="binomial", weight_col="w",
+        )
+        r = got[f]
+        assert r.converged and r.n_nonzero == cold.n_nonzero
+        mask = fv == f
+        eta = cold.coefs[0] + X[mask] @ cold.coefs[1:]
+        mu = np.clip(1 / (1 + np.exp(-eta)), 1e-10, 1 - 1e-10)
+        dev = 2.0 * float(
+            np.sum(wv[mask] * (-yv[mask] * np.log(mu)
+                               - (1 - yv[mask]) * np.log1p(-mu)))
+        )
+        assert r.deviance_val == pytest.approx(dev, rel=1e-8), f
+        assert r.n_val == int(mask.sum()) and r.n_train == int((~mask).sum())
