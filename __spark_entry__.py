@@ -5756,9 +5756,16 @@ WITH RECURSIVE hranked AS (
   UNION ALL
   SELECT user_id, n, value, 0.0, CAST(NULL AS DOUBLE) FROM hranked WHERE n = 1
 ), hdstate(user_id, rn, n, lvl, trd, sse) AS (
-  -- DAMPED Holt (phi = 0.5): same init identity; the recursion replays
-  -- the operator's damped IEEE expression tree (fit = lvl + 0.5*trd)
-  SELECT r2.user_id, CAST(2 AS BIGINT), r2.n, r2.value, r2.value - r1.value,
+  -- DAMPED Holt (phi = 0.5): the (x2, x2-x1) post-x2 identity is
+  -- phi=1-ONLY — here the anchor folds x2 through the damped update
+  -- from the init state (x1, x2-x1), exactly as the operator's loop
+  -- first step does (fit = x1 + 0.5*(x2-x1))
+  SELECT r2.user_id, CAST(2 AS BIGINT), r2.n,
+         0.5 * r2.value + 0.5 * (r1.value + 0.5 * (r2.value - r1.value)),
+         0.25 * ((0.5 * r2.value
+                  + 0.5 * (r1.value + 0.5 * (r2.value - r1.value)))
+                 - r1.value)
+           + 0.75 * (0.5 * (r2.value - r1.value)),
          CAST(0.0 AS DOUBLE)
   FROM hranked r1
   JOIN hranked r2 ON r1.user_id = r2.user_id AND r1.rn = 1 AND r2.rn = 2
