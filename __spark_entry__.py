@@ -5606,18 +5606,23 @@ def q_events_timeseries_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the SQL anchor's HAVING — none exist at sf0.01, belt-and-braces).
     from sparkglm_spark.operators.timeseries import holt_winters_forecast
 
+    # r11: interval=True adds the hw_se3 pin — σ̂² = SSE/(n−m) over the
+    # fold's one-step residuals (ALL folded rows, the HW convention —
+    # rides the recursive CTE as one accumulator), and the h=3 variance
+    # factor is the SAME dyadic 1.953125 as holt (j=1,2 are not
+    # season-aligned at m=4, so no γ(1−α) term enters).
     hw = (
         holt_winters_forecast(
             ev, "user_id", "ts", "value", alpha=0.5, beta=0.25, gamma=0.5,
-            period=4, horizons=[3], tiebreak_col="event_id",
+            period=4, horizons=[3], tiebreak_col="event_id", interval=True,
         )
         .where(F.col("level").isNotNull())
         .select(
             F.col("user_id").cast("string").alias("k1"),
             F.col("n_events").cast("bigint").alias("n1"),
             F.expr(
-                "stack(3, 'hw_lvl', level, 'hw_trd', trend,"
-                " 'hw_fc3', forecast_3) AS (op, xraw)"
+                "stack(4, 'hw_lvl', level, 'hw_trd', trend,"
+                " 'hw_fc3', forecast_3, 'hw_se3', se_3) AS (op, xraw)"
             ),
         )
         .select(
@@ -5863,9 +5868,9 @@ WITH RECURSIVE hranked AS (
          MAX(CASE WHEN rn = 3 THEN v END) AS v3,
          MAX(CASE WHEN rn = 4 THEN v END) AS v4
   FROM hwranked WHERE rn <= 8 GROUP BY user_id HAVING MAX(n) >= 8
-), hwstate(user_id, done, n, lvl, trd, s0, s1, s2, s3) AS (
+), hwstate(user_id, done, n, lvl, trd, s0, s1, s2, s3, sse) AS (
   SELECT user_id, CAST(4 AS BIGINT), n, l0, (l1 - l0) / 4.0,
-         v1 - l0, v2 - l0, v3 - l0, v4 - l0
+         v1 - l0, v2 - l0, v3 - l0, v4 - l0, CAST(0.0 AS DOUBLE)
   FROM hwinit
   UNION ALL
   -- the SAME IEEE expression tree as _hw_fold's recursion
@@ -5875,11 +5880,17 @@ WITH RECURSIVE hranked AS (
          CASE WHEN h.done % 4 = 0 THEN 0.5 * (r.v - (0.5 * (r.v - CASE h.done % 4 WHEN 0 THEN h.s0 WHEN 1 THEN h.s1 WHEN 2 THEN h.s2 ELSE h.s3 END) + 0.5 * (h.lvl + h.trd))) + 0.5 * h.s0 ELSE h.s0 END,
          CASE WHEN h.done % 4 = 1 THEN 0.5 * (r.v - (0.5 * (r.v - CASE h.done % 4 WHEN 0 THEN h.s0 WHEN 1 THEN h.s1 WHEN 2 THEN h.s2 ELSE h.s3 END) + 0.5 * (h.lvl + h.trd))) + 0.5 * h.s1 ELSE h.s1 END,
          CASE WHEN h.done % 4 = 2 THEN 0.5 * (r.v - (0.5 * (r.v - CASE h.done % 4 WHEN 0 THEN h.s0 WHEN 1 THEN h.s1 WHEN 2 THEN h.s2 ELSE h.s3 END) + 0.5 * (h.lvl + h.trd))) + 0.5 * h.s2 ELSE h.s2 END,
-         CASE WHEN h.done % 4 = 3 THEN 0.5 * (r.v - (0.5 * (r.v - CASE h.done % 4 WHEN 0 THEN h.s0 WHEN 1 THEN h.s1 WHEN 2 THEN h.s2 ELSE h.s3 END) + 0.5 * (h.lvl + h.trd))) + 0.5 * h.s3 ELSE h.s3 END
+         CASE WHEN h.done % 4 = 3 THEN 0.5 * (r.v - (0.5 * (r.v - CASE h.done % 4 WHEN 0 THEN h.s0 WHEN 1 THEN h.s1 WHEN 2 THEN h.s2 ELSE h.s3 END) + 0.5 * (h.lvl + h.trd))) + 0.5 * h.s3 ELSE h.s3 END,
+         -- one-step residual against the PRE-update state (fitted =
+         -- lvl + trd + s_slot) — every folded row counts (HW σ̂²
+         -- convention: SSE/(n − m))
+         h.sse + (r.v - (h.lvl + h.trd + CASE h.done % 4 WHEN 0 THEN h.s0 WHEN 1 THEN h.s1 WHEN 2 THEN h.s2 ELSE h.s3 END))
+               * (r.v - (h.lvl + h.trd + CASE h.done % 4 WHEN 0 THEN h.s0 WHEN 1 THEN h.s1 WHEN 2 THEN h.s2 ELSE h.s3 END))
   FROM hwstate h
   JOIN hwranked r ON r.user_id = h.user_id AND r.rn = h.done + 1
 ), hwfinal AS (
-  SELECT user_id, n, lvl, trd, lvl + 3 * trd + CASE (n + 2) % 4 WHEN 0 THEN s0 WHEN 1 THEN s1 WHEN 2 THEN s2 ELSE s3 END AS fc3
+  SELECT user_id, n, lvl, trd, lvl + 3 * trd + CASE (n + 2) % 4 WHEN 0 THEN s0 WHEN 1 THEN s1 WHEN 2 THEN s2 ELSE s3 END AS fc3,
+         sse
   FROM hwstate WHERE done = n
 )
 SELECT 'resample' AS op, event_type AS k1, day AS k2,
@@ -5956,6 +5967,12 @@ FROM hwfinal
 UNION ALL
 SELECT 'hw_fc3', CAST(user_id AS VARCHAR), NULL, n, NULL, NULL,
        ROUND(fc3, 6)
+FROM hwfinal
+UNION ALL
+-- sig2 = SSE/(n-4); h=3 factor = 1 + c1^2 + c2^2 = 1.953125 (no
+-- season-aligned lag below m=4 — same dyadic constant as holt)
+SELECT 'hw_se3', CAST(user_id AS VARCHAR), NULL, n, NULL, NULL,
+       ROUND(SQRT(sse / (n - 4) * 1.953125), 6)
 FROM hwfinal
 UNION ALL
 SELECT 'lb_q', CAST(user_id AS VARCHAR), NULL, CAST(n AS BIGINT), NULL, NULL,

@@ -648,14 +648,19 @@ def holt_forecast(
     )
 
 
-def _hw_fold(x, alpha, beta, gamma, m, state=None):
+def _hw_fold(x, alpha, beta, gamma, m, state=None, phi=1.0):
     """Additive Holt-Winters fold shared by `holt_winters_series`,
     `holt_winters_forecast` and the streaming twin (one definition — the
     `_encode_formula`/`_grams_expr` no-triplication rule):
 
-        l_t = α(x_t − s_{t−m}) + (1−α)(l_{t−1} + b_{t−1})
-        b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}
+        l_t = α(x_t − s_{t−m}) + (1−α)(l_{t−1} + φ·b_{t−1})
+        b_t = β(l_t − l_{t−1}) + (1−β)·φ·b_{t−1}
         s_t = γ(x_t − l_t) + (1−γ)s_{t−m}
+
+    φ=1 (the default) is the classical additive Holt-Winters — the φ=1
+    path multiplies by 1.0, bit-identical; φ < 1 is the damped-trend
+    variant (Gardner-McKenzie, the (A,Ad,·) member — same damping as
+    `holt_series`).
 
     Classical simple initialization over the FIRST TWO SEASONS
     (Hyndman & Athanasopoulos, FPP §7.3 "traditional" start):
@@ -667,7 +672,7 @@ def _hw_fold(x, alpha, beta, gamma, m, state=None):
     fold (the streaming path). Returns (level, trend, season, t_phase,
     fitted, levels, trends, seasonals) where the arrays cover exactly
     the rows folded by the recursion (t ≥ m in init mode; every row in
-    continue mode); fitted[t] = l + b + s_slot BEFORE the update — the
+    continue mode); fitted[t] = l + φ·b + s_slot BEFORE the update — the
     one-step in-sample forecast; seasonals[t] = the row's slot value
     AFTER its update."""
     import numpy as np
@@ -688,9 +693,11 @@ def _hw_fold(x, alpha, beta, gamma, m, state=None):
     seasonals = np.empty(n - start)
     for i, t in enumerate(range(start, n)):
         slot = phase % m
-        fitted[i] = l + b + season[slot]
-        l_new = alpha * (float(x[t]) - season[slot]) + (1.0 - alpha) * (l + b)
-        b = beta * (l_new - l) + (1.0 - beta) * b
+        fitted[i] = l + phi * b + season[slot]
+        l_new = alpha * (float(x[t]) - season[slot]) + (1.0 - alpha) * (
+            l + phi * b
+        )
+        b = beta * (l_new - l) + (1.0 - beta) * (phi * b)
         season[slot] = gamma * (float(x[t]) - l_new) + (1.0 - gamma) * season[slot]
         l = l_new
         levels[i] = l
@@ -710,11 +717,14 @@ def holt_winters_series(
     gamma: float,
     period: int,
     tiebreak_col: str | None = None,
+    phi: float = 1.0,
 ) -> DataFrame:
     """Additive Holt-Winters (triple exponential smoothing) per key —
     level + trend + a `period`-slot seasonal state, the step up from
     `holt_series` when the series has a repeating cycle (hourly/daily/
-    weekly telemetry). Appends `level`, `trend`, `seasonal` (the slot
+    weekly telemetry). `phi` < 1 damps the trend (Gardner-McKenzie —
+    see `_hw_fold`; φ=1, the default, is bit-identical to classical
+    additive HW). Appends `level`, `trend`, `seasonal` (the slot
     value AFTER the row's update) and the one-step `fitted`; the first
     `period` rows of each key (consumed by the classical two-season
     initialization — see `_hw_fold`) carry NULLs there.
@@ -731,6 +741,8 @@ def holt_winters_series(
     for name, v in (("alpha", alpha), ("beta", beta), ("gamma", gamma)):
         if not 0.0 < v < 1.0:
             raise ValueError(f"{name} must be in (0, 1), got {v!r}")
+    if not 0.0 < phi <= 1.0:
+        raise ValueError(f"phi must be in (0, 1], got {phi!r}")
     if period < 2:
         raise ValueError(f"period must be >= 2, got {period!r}")
     m = int(period)
@@ -757,7 +769,7 @@ def holt_winters_series(
         cols = {}
         if n >= 2 * m:
             _, _, _, _, fitted, levels, trends, seasonals = _hw_fold(
-                x, alpha, beta, gamma, m
+                x, alpha, beta, gamma, m, phi=phi
             )
             pad = [None] * m
             cols["level"] = pad + list(levels)
@@ -797,24 +809,29 @@ def holt_winters_forecast(
     tiebreak_col: str | None = None,
     interval: bool = False,
     level: float = 0.95,
+    phi: float = 1.0,
 ) -> DataFrame:
     """Per-key Holt-Winters END STATE + h-step forecasts
-    ŷ_{T+h} = l_T + h·b_T + s_{phase(T+h)} — one compact row per key
-    with (n_events, level, trend, season array, forecast_<h>…). Keys
-    shorter than 2·period emit NULL state (reported, not dropped).
-    Same conventions as `holt_winters_series` (init, ordering, the
-    family null policy).
+    ŷ_{T+h} = l_T + φ_h·b_T + s_{phase(T+h)} with φ_h = Σ_{i=1}^{h} φ^i
+    — one compact row per key with (n_events, level, trend, season
+    array, forecast_<h>…). `phi=1` (default, φ_h = h) is classical
+    additive HW; `phi` < 1 is the damped-trend (A,Ad,·) variant (see
+    `_hw_fold`). Keys shorter than 2·period emit NULL state (reported,
+    not dropped). Same conventions as `holt_winters_series` (init,
+    ordering, the family null policy).
 
     `interval=True` adds (se_<h>, lo_<h>, hi_<h>) — the additive-error
     innovations interval (the `holt_forecast` convention): σ̂² is the
     mean squared one-step residual over the n−m folded rows, and
 
-        c_j = α(1 + j·β) + γ(1−α)·1{j ≡ 0 (mod m)}
+        c_j = α(1 + β·φ_j) + γ(1−α)·1{j ≡ 0 (mod m)}
 
     — note the seasonal impulse is γ(1−α), not γ: our recursion smooths
     s against (x − l_t) AFTER the level update, so a unit one-step error
     moves the slot by γ(x−l_t)-terms = γ(1−α)ε (asserted by the impulse
-    test). Var(ŷ_{T+h}) = σ̂²(1 + Σ_{j=1}^{h−1} c_j²); normal quantile
+    test; the trend impulse αβ propagates through the damped
+    transition, giving the β·φ_j term — at φ=1 the familiar jβ).
+    Var(ŷ_{T+h}) = σ̂²(1 + Σ_{j=1}^{h−1} c_j²); normal quantile
     bounds; NULL-state keys report NULL se/lo/hi."""
     import numpy as np
     import pandas as pd
@@ -822,6 +839,8 @@ def holt_winters_forecast(
     for name, v in (("alpha", alpha), ("beta", beta), ("gamma", gamma)):
         if not 0.0 < v < 1.0:
             raise ValueError(f"{name} must be in (0, 1), got {v!r}")
+    if not 0.0 < phi <= 1.0:
+        raise ValueError(f"phi must be in (0, 1], got {phi!r}")
     if period < 2:
         raise ValueError(f"period must be >= 2, got {period!r}")
     if not horizons:
@@ -832,6 +851,10 @@ def holt_winters_forecast(
         raise ValueError("level must be in (0, 1)")
     m = int(period)
     hs = [int(h) for h in horizons]
+    # φ_j accumulated so φ=1 yields the exact float j (see holt_forecast)
+    phi_cum = {0: 0.0}
+    for j in range(1, max(hs) + 1):
+        phi_cum[j] = phi_cum[j - 1] + phi ** j
     zq = None
     if interval:
         from sparkglm_spark.functions.special import norm_ppf
@@ -862,18 +885,22 @@ def holt_winters_forecast(
         n = len(x)
         row = {pdf.columns[0]: [pdf.iloc[0, 0]], "n_events": [n]}
         if n >= 2 * m:
-            l, b, season, phase, fitted, *_ = _hw_fold(x, alpha, beta, gamma, m)
+            l, b, season, phase, fitted, *_ = _hw_fold(
+                x, alpha, beta, gamma, m, phi=phi
+            )
             row["level"], row["trend"] = [l], [b]
             row["season"] = [list(season)]
             for h in hs:
-                row[f"forecast_{h}"] = [l + h * b + season[(phase + h - 1) % m]]
+                row[f"forecast_{h}"] = [
+                    l + phi_cum[h] * b + season[(phase + h - 1) % m]
+                ]
             if interval:
                 e = x[m:] - fitted
                 sig2 = float(e @ e) / len(e)
                 for h in hs:
                     v = 1.0 + sum(
                         (
-                            alpha * (1.0 + j * beta)
+                            alpha * (1.0 + beta * phi_cum[j])
                             + (gamma * (1.0 - alpha) if j % m == 0 else 0.0)
                         )
                         ** 2

@@ -793,10 +793,13 @@ def holt_winters_state_stream(
     gamma: float,
     period: int,
     tiebreak_col: str | None = None,
+    phi: float = 1.0,
 ) -> DataFrame:
     """Streaming twin of `operators.timeseries.holt_winters_forecast`'s
     end state (per-key level + trend + seasonal slots) via
-    applyInPandasWithState.
+    applyInPandasWithState. `phi` < 1 damps the trend (`_hw_fold`); the
+    default φ=1 multiplies by 1.0 — bit-identical to classical HW, so
+    checkpointed streams continue exactly.
 
     The classical init consumes the first 2·period observations, so the
     state BUFFERS values until 2·period have arrived, then initializes
@@ -832,6 +835,8 @@ def holt_winters_state_stream(
     for name, v in (("alpha", alpha), ("beta", beta), ("gamma", gamma)):
         if not 0.0 < v < 1.0:
             raise ValueError(f"{name} must be in (0, 1), got {v!r}")
+    if not 0.0 < phi <= 1.0:
+        raise ValueError(f"phi must be in (0, 1], got {phi!r}")
     if period < 2:
         raise ValueError(f"period must be >= 2, got {period!r}")
     m = int(period)
@@ -892,13 +897,13 @@ def holt_winters_state_stream(
             buf.extend(float(v) for v in xs)
             if len(buf) >= 2 * m:
                 lvl, trd, season, phase, *_ = _hw_fold(
-                    np.asarray(buf), alpha, beta, gamma, m
+                    np.asarray(buf), alpha, beta, gamma, m, phi=phi
                 )
                 buf, inited = [], True
         else:
             lvl, trd, season, phase, *_ = _hw_fold(
                 xs, alpha, beta, gamma, m,
-                state=(lvl, trd, season, phase),
+                state=(lvl, trd, season, phase), phi=phi,
             )
         bt = int(pd.Timestamp(pdf[ts_col].iloc[-1]).value // 1000)
         last = bt if last is None else max(last, bt)
@@ -906,7 +911,7 @@ def holt_winters_state_stream(
             (buf, lvl, trd, [float(s) for s in season], int(phase), n,
              inited, last)
         )
-        fc1 = (lvl + trd + season[phase % m]) if inited else None
+        fc1 = (lvl + phi * trd + season[phase % m]) if inited else None
         yield pd.DataFrame(
             {
                 key_col: [key[0]],

@@ -1092,18 +1092,24 @@ def test_drift_state_stream_guards(spark, events):
         drift_state_stream(events, "value", {"lo": 0.0})
 
 
-def test_holt_winters_state_stream_equals_batch(spark, sf_dir):
+@pytest.mark.parametrize("phi", [None, 0.8])
+def test_holt_winters_state_stream_equals_batch(spark, sf_dir, phi):
     """holt_winters_state_stream over a 4-micro-batch ts-ordered replay:
     the LAST update per key equals batch holt_winters_forecast — the
     init buffer fills across batch boundaries and the fold continues
     exactly (same _hw_fold on both sides). Uses a synthetic seasonal
-    frame so every key crosses the 2·period init threshold mid-stream."""
+    frame so every key crosses the 2·period init threshold mid-stream.
+    The phi=0.8 arm replays the DAMPED fold (r11) — phi must be
+    forwarded through the init-buffer call, the continuation call, and
+    the forecast_1 emit alike."""
     import numpy as np
 
     from sparkglm_spark.operators.timeseries import holt_winters_forecast
     from sparkglm_spark.streaming.events import holt_winters_state_stream
 
     m, a, b, g = 3, 0.5, 0.25, 0.5
+    pk = {} if phi is None else {"phi": phi}
+    qname = "hw_updates" if phi is None else "hw_updates_damped"
     rng = np.random.default_rng(8)
     rows = []
     eid = 0
@@ -1140,9 +1146,9 @@ def test_holt_winters_state_stream_equals_batch(spark, sf_dir):
         q = (
             holt_winters_state_stream(
                 stream_in, "user_id", "ts", "value", a, b, g, period=m,
-                tiebreak_col="event_id",
+                tiebreak_col="event_id", **pk,
             )
-            .writeStream.format("memory").queryName("hw_updates")
+            .writeStream.format("memory").queryName(qname)
             .outputMode("update")
             .option("checkpointLocation", os.path.join(d, "ck"))
             .trigger(availableNow=True).start()
@@ -1150,14 +1156,14 @@ def test_holt_winters_state_stream_equals_batch(spark, sf_dir):
         q.awaitTermination(180)
         got = spark.sql(
             "SELECT user_id, max_by(named_struct('n', n_events, 'l', level,"
-            " 't', trend, 'f', forecast_1), n_events) AS w"
-            " FROM hw_updates GROUP BY user_id"
+            f" 't', trend, 'f', forecast_1), n_events) AS w"
+            f" FROM {qname} GROUP BY user_id"
         ).collect()
     batch = {
         r.user_id: r
         for r in holt_winters_forecast(
             raw, "user_id", "ts", "value", a, b, g, period=m, horizons=[1],
-            tiebreak_col="event_id",
+            tiebreak_col="event_id", **pk,
         ).collect()
     }
     assert len(got) == len(batch) == 4

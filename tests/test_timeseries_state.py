@@ -749,6 +749,97 @@ def test_hw_forecast_intervals_hand_recursion_and_impulse(spark):
     assert short.level is None and short.se_2 is None and short.hi_2 is None
 
 
+def test_hw_damped_trend(spark):
+    """Damped-trend Holt-Winters ((A,Ad,·), phi < 1 through the shared
+    _hw_fold): series/forecast match the hand recursion; forecasts use
+    phi_h = sum phi^i; interval c_j = alpha(1 + beta*phi_j) +
+    gamma(1-alpha)*1{j==0 mod m} equals a unit-impulse run of the
+    damped fold; phi=1 is BIT-identical to the phi-less call."""
+    from sparkglm_spark.functions.special import norm_ppf
+    from sparkglm_spark.operators.timeseries import (
+        _hw_fold,
+        holt_winters_forecast,
+        holt_winters_series,
+    )
+
+    alpha, beta, gamma, m, phi = 0.4, 0.3, 0.25, 4, 0.8
+    rng = np.random.default_rng(41)
+    x = (10 + 0.5 * np.arange(48)
+         + np.tile([2.0, -1.0, 0.5, -1.5], 12) + rng.normal(0, 0.5, 48))
+    phis = np.cumsum([phi ** i for i in range(1, 9)])
+
+    # hand recursion (damped, mirroring _hw_fold independently)
+    l = float(np.mean(x[:m]))
+    b = float((np.mean(x[m:2 * m]) - np.mean(x[:m])) / m)
+    season = [float(v) - l for v in x[:m]]
+    fitted = []
+    for t in range(m, len(x)):
+        slot = t % m
+        fitted.append(l + phi * b + season[slot])
+        ln = alpha * (x[t] - season[slot]) + (1 - alpha) * (l + phi * b)
+        b = beta * (ln - l) + (1 - beta) * phi * b
+        season[slot] = gamma * (x[t] - ln) + (1 - gamma) * season[slot]
+        l = ln
+    rows = [("a", i, float(v)) for i, v in enumerate(x)]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    r = holt_winters_forecast(
+        df, "k", "t", "v", alpha, beta, gamma, period=m,
+        horizons=[1, 5, 8], interval=True, phi=phi,
+    ).collect()[0]
+    assert r.level == pytest.approx(l, rel=1e-12)
+    assert r.trend == pytest.approx(b, rel=1e-12)
+    phase = len(x)
+    for h in (1, 5, 8):
+        fc = l + phis[h - 1] * b + season[(phase + h - 1) % m]
+        assert getattr(r, f"forecast_{h}") == pytest.approx(fc, rel=1e-12), h
+    e = np.array(fitted)
+    e = x[m:] - e
+    sig2 = float(e @ e) / len(e)
+    z = norm_ppf(0.975)
+    for h in (5, 8):
+        v = 1.0 + sum(
+            (alpha * (1 + beta * phis[j - 1])
+             + (gamma * (1 - alpha) if j % m == 0 else 0.0)) ** 2
+            for j in range(1, h)
+        )
+        se = np.sqrt(sig2 * v)
+        assert getattr(r, f"se_{h}") == pytest.approx(float(se), rel=1e-12), h
+
+    # unit-impulse identity on the damped fold
+    def hw_fc(arr, h):
+        l2, b2, s2, p2, *_ = _hw_fold(arr, alpha, beta, gamma, m, phi=phi)
+        return l2 + phis[h - 1] * b2 + s2[(p2 + h - 1) % m]
+    for j in (1, 3, 4, 8):
+        d = hw_fc(np.append(x, 11.0 + 1.0), j) - hw_fc(np.append(x, 11.0), j)
+        cj = (alpha * (1 + beta * phis[j - 1])
+              + (gamma * (1 - alpha) if j % m == 0 else 0))
+        assert d == pytest.approx(cj, abs=1e-10), j
+
+    # phi=1 is bitwise the phi-less call (hw oracle pins unaffected)
+    a1 = holt_winters_forecast(
+        df, "k", "t", "v", alpha, beta, gamma, period=m,
+        horizons=[3], interval=True,
+    ).collect()[0]
+    a2 = holt_winters_forecast(
+        df, "k", "t", "v", alpha, beta, gamma, period=m,
+        horizons=[3], interval=True, phi=1.0,
+    ).collect()[0]
+    for c in ("level", "trend", "forecast_3", "se_3", "lo_3", "hi_3"):
+        assert getattr(a1, c) == getattr(a2, c), c
+    s1 = holt_winters_series(df, "k", "t", "v", alpha, beta, gamma, period=m)
+    s2 = holt_winters_series(
+        df, "k", "t", "v", alpha, beta, gamma, period=m, phi=1.0
+    )
+    for r1, r2 in zip(s1.orderBy("t").collect(), s2.orderBy("t").collect()):
+        assert (r1.level, r1.trend, r1.seasonal, r1.fitted) == (
+            r2.level, r2.trend, r2.seasonal, r2.fitted
+        )
+    with pytest.raises(ValueError, match="phi"):
+        holt_winters_series(
+            df, "k", "t", "v", alpha, beta, gamma, period=m, phi=1.5
+        )
+
+
 def test_holt_interval_coverage_property(spark):
     """Property: on series truly generated by the Holt innovations model
     (y_t = l+b+ε, states updated with the same ε), the 90% 3-step
