@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from sparkglm_spark.plans.gram import gram_aggregate
 from sparkglm_spark.operators.lm import (
     _encode_formula,
+    check_weight_domain,
     prediction_over_raw,
 )
 
@@ -240,23 +241,14 @@ def _prepare_gram(
         raise ValueError("need more than one row")
     if weight_col is not None:
         # weight-domain guards (same aggregation — min_w/n_w ride the
-        # Gram job): a negative weight silently corrupts every moment, a
-        # null weight silently DROPS its row from the sums (F.sum skips
-        # null products) while still counting in n, and Σw ≤ 0
-        # NaN-poisons the population stds. MLlib raises on all three.
-        if g.n_w is not None and g.n_w < g.n:
-            raise ValueError(
-                f"weight column {weight_col!r} has {g.n - g.n_w} null values"
-            )
-        if g.min_w is not None and g.min_w < 0.0:
-            raise ValueError(
-                f"weight column {weight_col!r} has negative values "
-                f"(min = {g.min_w})"
-            )
-        if g.sum_w is not None and g.sum_w <= 0.0:
-            raise ValueError(
-                f"weights in {weight_col!r} sum to {g.sum_w} — need Σw > 0"
-            )
+        # Gram job; shared guard: operators/lm.py::check_weight_domain)
+        check_weight_domain(
+            weight_col,
+            n=g.n,
+            n_w=g.n_w if g.n_w is not None else g.n,
+            min_w=g.min_w,
+            sum_w=g.sum_w,
+        )
     p = len(x_cols)
     col_sums = None if has_int else g.xtx[p, :p].copy()
     return g, col_sums
@@ -630,8 +622,9 @@ def elastic_net_grouped(
                 sw = None
                 ok_w = True
                 if weighted:
-                    # per-group weight-domain check — a bad group gets
-                    # NULL estimates (grouped NULL policy), never raises
+                    # per-group weight-domain check — the boolean twin of
+                    # lm.py::check_weight_domain: a bad group gets NULL
+                    # estimates (grouped NULL policy), never raises
                     sw = r["__sw"]
                     ok_w = (
                         int(r["__nw"]) == n
@@ -905,30 +898,17 @@ def glm_elastic_net(
         if n <= 1:
             raise ValueError("need more than one row")
         if wt is not None:
-            # weight-domain guards ride the same aggregation (the linear
-            # elastic_net policy): nulls silently drop rows from sums,
-            # negatives corrupt every moment, and ≤ 1 effective row
-            # zeroes the reliability-weights std denominator
-            if int(r0["n_w"]) != n:
-                raise ValueError(
-                    f"weight column {weight_col!r} has "
-                    f"{n - int(r0['n_w'])} null values"
-                )
-            if r0["minw"] is not None and float(r0["minw"]) < 0.0:
-                raise ValueError(
-                    f"weight column {weight_col!r} has negative values "
-                    f"(min = {float(r0['minw'])})"
-                )
-            if float(r0["sw0"]) <= 0.0:
-                raise ValueError(
-                    f"weights in {weight_col!r} sum to {float(r0['sw0'])} "
-                    "— need Σw > 0"
-                )
-            if float(r0["sw0"]) - float(r0["sww"]) / float(r0["sw0"]) <= 0.0:
-                raise ValueError(
-                    f"weights in {weight_col!r} carry <= 1 effective row "
-                    "(Σw − Σw²/Σw <= 0) — the weighted std is undefined"
-                )
+            # weight-domain guards ride the same aggregation (shared
+            # guard: operators/lm.py::check_weight_domain; the sww term
+            # adds the ≤-1-effective-row reliability-denominator check)
+            check_weight_domain(
+                weight_col,
+                n=n,
+                n_w=int(r0["n_w"]),
+                min_w=r0["minw"],
+                sum_w=float(r0["sw0"]),
+                sum_w2=float(r0["sww"]),
+            )
         # label-domain guards ride the same upfront aggregation: the
         # mean-only checks below can't see individual out-of-domain rows
         # (the IRLS clamp bounds μ, not y — a y = −3 would silently
@@ -1139,7 +1119,7 @@ def _glm_enet_pathwise(
 
     * mode='cv': one model per fold j (trained on all rows with
       __fold ≠ j). Each outer iteration projects every ACTIVE model's
-      (w, z, deviance-term) columns and runs ONE `groupBy(__fold)`
+      (w, z) columns and runs ONE `groupBy(__fold)`
       zw-Gram aggregation; model j's training Gram is the sum of the
       other folds' blocks (Gram additivity over groups — the
       `fold_gram_collect` idea lifted to IRLS working responses, which
@@ -1227,26 +1207,26 @@ def _glm_enet_pathwise(
             aggs0.append(F.sum(wr * c).alias(f"s_{i}"))
             aggs0.append(F.sum(wr * c * c).alias(f"ss_{i}"))
         groups = _collect_fold_rows(work, aggs0)
-        if wt is not None:
-            # weight-domain guards over ALL rows (the glm_elastic_net
-            # policy, assembled from the same per-fold aggregation)
-            n_all = sum(int(r["n"]) for r in groups.values())
-            nw_all = sum(int(r["n_w"]) for r in groups.values())
-            if nw_all != n_all:
-                raise ValueError(
-                    f"weight column {weight_col!r} has "
-                    f"{n_all - nw_all} null values"
-                )
-            minw_all = min(
-                float(r["minw"])
-                for r in groups.values()
-                if r["minw"] is not None
+        if wt is not None and groups:
+            # weight-domain guards over ALL rows, assembled from the
+            # same per-fold aggregation (shared guard: operators/lm.py::
+            # check_weight_domain); an EMPTY groups dict falls through
+            # to the n_total guard below (code-review r11: the old
+            # inline min() crashed on it)
+            check_weight_domain(
+                weight_col,
+                n=sum(int(r["n"]) for r in groups.values()),
+                n_w=sum(int(r["n_w"]) for r in groups.values()),
+                min_w=min(
+                    (
+                        float(r["minw"])
+                        for r in groups.values()
+                        if r["minw"] is not None
+                    ),
+                    default=None,
+                ),
+                sum_w=sum(float(r["sw0"]) for r in groups.values()),
             )
-            if minw_all < 0.0:
-                raise ValueError(
-                    f"weight column {weight_col!r} has negative values "
-                    f"(min = {minw_all})"
-                )
         bad = sorted(g for g in groups if not 0 <= g < n_folds)
         if bad:
             raise ValueError(
@@ -1330,10 +1310,15 @@ def _glm_enet_pathwise(
             grad = lnk.lprime(mu, one)
             w = wr / (fam.variance(mu, one) * grad * grad)
             z = eta_lin + (y - mu) * grad
-            return w, z, wr * fam.deviance_term(y, mu, one)
+            return w, z
 
         results = []  # one dict per (λ, state)
-        lams = sorted((float(v) for v in reg_params), reverse=True)
+        # duplicate input λs fit ONCE (code-review r11: a duplicate
+        # re-ran the whole lock-step IRLS only for its results to be
+        # discarded); rows are re-expanded to the input multiset after
+        # the deviance pass
+        lam_in_sorted = sorted((float(v) for v in reg_params), reverse=True)
+        lams = sorted(set(lam_in_sorted), reverse=True)
         for lam in lams:
             for s in states:
                 s["active"] = True
@@ -1347,10 +1332,14 @@ def _glm_enet_pathwise(
                 sel = [F.col("__fold")] + [F.col(c) for c in x_cols]
                 aggs = []
                 for si, s in enumerate(live):
-                    w, z, devt = state_exprs(s)
+                    # no per-iteration deviance column: nothing reads it —
+                    # the FINAL chunked pass evaluates every (λ, model) at
+                    # its returned β (code-review r11: the dead dv{si}
+                    # agg cost one full-data deviance scan per live model
+                    # per iteration)
+                    w, z = state_exprs(s)
                     sel.append(w.alias(f"__w{si}"))
                     sel.append(z.alias(f"__z{si}"))
-                    sel.append(devt.alias(f"__d{si}"))
                 proj = work.select(*sel)
                 xs = [F.col(c) for c in x_cols]
                 for si in range(len(live)):
@@ -1363,7 +1352,6 @@ def _glm_enet_pathwise(
                         aggs.append(F.sum(w_c * xs[i] * z_c).alias(f"xz{si}_{i}"))
                     aggs.append(F.sum(w_c).alias(f"sw{si}"))
                     aggs.append(F.sum(w_c * z_c).alias(f"swz{si}"))
-                    aggs.append(F.sum(F.col(f"__d{si}")).alias(f"dv{si}"))
                 rows = _collect_fold_rows(proj, aggs)
                 for si, s in enumerate(live):
                     Gw = np.zeros((k, k))
@@ -1455,6 +1443,13 @@ def _glm_enet_pathwise(
                 )
                 res["dev_val"] = per_group.get(res["j"])
                 res["n_v"] = int(groups[res["j"]]["n"]) if res["j"] in groups else 0
+        if len(lams) != len(lam_in_sorted):
+            # re-expand duplicate input λs (row dicts shared read-only —
+            # both wrappers only read them)
+            by_lam_rows: dict[float, list] = {}
+            for r in results:
+                by_lam_rows.setdefault(r["lam"], []).append(r)
+            results = [r for lam in lam_in_sorted for r in by_lam_rows[lam]]
     finally:
         work.unpersist()
     return results, x_cols, has_int, n_total

@@ -604,6 +604,48 @@ def lm_grouped(
     return fanout_groups(gram, []).mapInPandas(solve_groups, out_schema)
 
 
+def check_weight_domain(
+    weight_col: str,
+    n: int,
+    n_w: int,
+    min_w: float | None,
+    sum_w: float | None,
+    sum_w2: float | None = None,
+) -> None:
+    """THE weight-domain guard (code-review r11: five hand-duplicated
+    variants had already drifted — this is now the single point of
+    truth for `_prepare_gram`, `fold_gram_collect`, `glm_elastic_net`
+    and `_glm_enet_pathwise`; `elastic_net_grouped` keeps its own
+    boolean twin because its per-group policy is NULL, not raise).
+    Raises ValueError on: null weights (they silently DROP rows from
+    F.sum while still counting in n), negative weights (corrupt every
+    moment; MLlib raises likewise), Σw ≤ 0 (no statistical mass), and —
+    when `sum_w2` is given — ≤ 1 effective row (Σw − Σw²/Σw ≤ 0, the
+    reliability-weights std denominator)."""
+    if n_w < n:
+        raise ValueError(
+            f"weight column {weight_col!r} has {n - n_w} null values"
+        )
+    if min_w is not None and float(min_w) < 0.0:
+        raise ValueError(
+            f"weight column {weight_col!r} has negative values "
+            f"(min = {float(min_w)})"
+        )
+    if sum_w is not None and float(sum_w) <= 0.0:
+        raise ValueError(
+            f"weights in {weight_col!r} sum to {float(sum_w)} — need Σw > 0"
+        )
+    if (
+        sum_w2 is not None
+        and sum_w is not None
+        and float(sum_w) - float(sum_w2) / float(sum_w) <= 0.0
+    ):
+        raise ValueError(
+            f"weights in {weight_col!r} carry <= 1 effective row "
+            "(Σw − Σw²/Σw <= 0) — the weighted std is undefined"
+        )
+
+
 def fold_gram_collect(
     encoded: DataFrame,
     x_cols: list[str],
@@ -646,21 +688,20 @@ def fold_gram_collect(
         aggs.append(F.count(w).alias("nw"))
     rows = encoded.groupBy("__fold").agg(*aggs).collect()  # n_folds tiny rows
 
-    if w is not None:
-        n_tot = sum(int(r["n"]) for r in rows)
-        nw_tot = sum(int(r["nw"]) for r in rows)
-        if nw_tot < n_tot:
-            raise ValueError(
-                f"weight column {weight_col!r} has {n_tot - nw_tot} null values"
-            )
-        minw = min(
-            (float(r["minw"]) for r in rows if r["minw"] is not None),
-            default=0.0,
+    if w is not None and rows:
+        # Σw ≤ 0 over ALL rows would silently degenerate EVERY training
+        # set (the per-fold sw_t <= 0 skip) into an empty CV frame —
+        # match the single-fit elastic_net's loud refusal
+        check_weight_domain(
+            weight_col,
+            n=sum(int(r["n"]) for r in rows),
+            n_w=sum(int(r["nw"]) for r in rows),
+            min_w=min(
+                (float(r["minw"]) for r in rows if r["minw"] is not None),
+                default=None,
+            ),
+            sum_w=sum(float(r["sw"]) for r in rows if r["sw"] is not None),
         )
-        if minw < 0.0:
-            raise ValueError(
-                f"weight column {weight_col!r} has negative values (min = {minw})"
-            )
 
     def unpack(r):
         xtx = np.empty((k, k))

@@ -1258,3 +1258,54 @@ def test_glm_enet_cv_weighted_matches_cold_fits(logit_data):
         )
         assert r.deviance_val == pytest.approx(dev, rel=1e-8), f
         assert r.n_val == int(mask.sum()) and r.n_train == int((~mask).sum())
+
+
+def test_cv_weight_and_empty_guards_and_dup_lams(logit_data, monkeypatch):
+    """Code-review r11 regressions: (1) elastic_net_cv with all-zero
+    weights raises loudly instead of returning an empty frame (every
+    fold would hit the sw_t <= 0 skip); (2) weighted glm_elastic_net_cv
+    on an input that NA-drops to nothing raises 'need more than one
+    row', not a bare min()-on-empty crash; (3) duplicate reg_params fit
+    ONCE (job-counted) while the output keeps duplicate blocks."""
+    import sparkglm_spark.operators.enet as enet_mod
+    from sparkglm_spark.operators.enet import (
+        elastic_net_cv,
+        glm_elastic_net_cv,
+    )
+
+    wd = logit_data.withColumn("f", F.pmod(F.xxhash64("x1"), F.lit(2)).cast("int"))
+    with pytest.raises(ValueError, match="need Σw > 0"):
+        elastic_net_cv(
+            wd.withColumn("w", F.lit(0.0)), "y ~ x1 + x2", [0.1], "f",
+            n_folds=2, weight_col="w",
+        )
+    empty = wd.withColumn("y", F.lit(None).cast("double")).withColumn(
+        "w", F.lit(1.0)
+    )
+    with pytest.raises(ValueError, match="more than one row"):
+        glm_elastic_net_cv(
+            empty, "y ~ x1", [0.1], "f", n_folds=2, weight_col="w",
+        )
+
+    calls = {"n": 0}
+    orig = enet_mod._collect_fold_rows
+
+    def counting(proj, aggs):
+        calls["n"] += 1
+        return orig(proj, aggs)
+
+    monkeypatch.setattr(enet_mod, "_collect_fold_rows", counting)
+    out = glm_elastic_net_cv(
+        wd, "y ~ x1 + x3", [0.05, 0.05], "f", n_folds=2,
+        family="binomial", exact_iterations=2,
+    ).collect()
+    # 1 upfront + 1 unique lambda x 2 iterations + 1 final deviance pass
+    assert calls["n"] == 1 + 2 + 1, calls["n"]
+    # ... but the OUTPUT keeps the duplicate blocks (input multiset)
+    assert len(out) == 4
+    rows_by_lam = {}
+    for r in out:
+        rows_by_lam.setdefault((r.reg_param, r.fold), []).append(r)
+    assert all(len(v) == 2 for v in rows_by_lam.values())
+    for (lam, f), (a, b) in rows_by_lam.items():
+        assert a.deviance_val == b.deviance_val
