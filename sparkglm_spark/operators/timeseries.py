@@ -648,40 +648,59 @@ def holt_forecast(
     )
 
 
-def _hw_fold(x, alpha, beta, gamma, m, state=None, phi=1.0):
-    """Additive Holt-Winters fold shared by `holt_winters_series`,
+def _hw_fold(x, alpha, beta, gamma, m, state=None, phi=1.0, seasonal="add"):
+    """Holt-Winters fold shared by `holt_winters_series`,
     `holt_winters_forecast` and the streaming twin (one definition — the
-    `_encode_formula`/`_grams_expr` no-triplication rule):
+    `_encode_formula`/`_grams_expr` no-triplication rule). Additive
+    seasonality (the default):
 
         l_t = α(x_t − s_{t−m}) + (1−α)(l_{t−1} + φ·b_{t−1})
         b_t = β(l_t − l_{t−1}) + (1−β)·φ·b_{t−1}
         s_t = γ(x_t − l_t) + (1−γ)s_{t−m}
 
-    φ=1 (the default) is the classical additive Holt-Winters — the φ=1
-    path multiplies by 1.0, bit-identical; φ < 1 is the damped-trend
-    variant (Gardner-McKenzie, the (A,Ad,·) member — same damping as
+    `seasonal="mul"` swaps the seasonal coupling to ratios — the
+    classical multiplicative Holt-Winters ((·,·,M); Winters 1960;
+    statsmodels `ExponentialSmoothing(seasonal="mul")`):
+
+        l_t = α(x_t / s_{t−m}) + (1−α)(l_{t−1} + φ·b_{t−1})
+        b_t = β(l_t − l_{t−1}) + (1−β)·φ·b_{t−1}
+        s_t = γ(x_t / l_t) + (1−γ)s_{t−m}
+
+    with fitted (l + φb)·s and init s[i] = x[i]/l — the right model
+    when the seasonal swing scales WITH the level (e.g. traffic whose
+    daily peak is a percentage, not a constant). CALLER contract for
+    "mul": values must be strictly positive and the init-season level
+    nonzero (the per-key operators degrade violating keys to NULL
+    state, the grouped NULL policy — checked there, not here).
+
+    φ=1 (the default) multiplies by 1.0 — bit-identical to the undamped
+    forms; φ < 1 is the Gardner-McKenzie damped trend (same damping as
     `holt_series`).
 
     Classical simple initialization over the FIRST TWO SEASONS
     (Hyndman & Athanasopoulos, FPP §7.3 "traditional" start):
     l = mean(x[0:m]), b = (mean(x[m:2m]) − mean(x[0:m]))/m,
-    s[i] = x[i] − l for i < m; the recursion then runs from t = m.
+    s[i] = x[i] − l (add) or x[i]/l (mul) for i < m; the recursion then
+    runs from t = m.
 
     `state=None` initializes (requires len(x) ≥ 2m — caller guards);
     passing `(level, trend, season_list, t_phase)` CONTINUES an existing
     fold (the streaming path). Returns (level, trend, season, t_phase,
     fitted, levels, trends, seasonals) where the arrays cover exactly
     the rows folded by the recursion (t ≥ m in init mode; every row in
-    continue mode); fitted[t] = l + φ·b + s_slot BEFORE the update — the
-    one-step in-sample forecast; seasonals[t] = the row's slot value
-    AFTER its update."""
+    continue mode); fitted[t] = the one-step in-sample forecast BEFORE
+    the update; seasonals[t] = the row's slot value AFTER its update."""
     import numpy as np
 
+    mul = seasonal == "mul"
     n = len(x)
     if state is None:
         l = float(np.mean(x[:m]))
         b = float((np.mean(x[m : 2 * m]) - np.mean(x[:m])) / m)
-        season = [float(v) - l for v in x[:m]]
+        if mul:
+            season = [float(v) / l for v in x[:m]]
+        else:
+            season = [float(v) - l for v in x[:m]]
         start, phase = m, m
     else:
         l, b, season, phase = state
@@ -693,12 +712,21 @@ def _hw_fold(x, alpha, beta, gamma, m, state=None, phi=1.0):
     seasonals = np.empty(n - start)
     for i, t in enumerate(range(start, n)):
         slot = phase % m
-        fitted[i] = l + phi * b + season[slot]
-        l_new = alpha * (float(x[t]) - season[slot]) + (1.0 - alpha) * (
-            l + phi * b
-        )
-        b = beta * (l_new - l) + (1.0 - beta) * (phi * b)
-        season[slot] = gamma * (float(x[t]) - l_new) + (1.0 - gamma) * season[slot]
+        lb = l + phi * b
+        if mul:
+            fitted[i] = lb * season[slot]
+            l_new = alpha * (float(x[t]) / season[slot]) + (1.0 - alpha) * lb
+            b = beta * (l_new - l) + (1.0 - beta) * (phi * b)
+            season[slot] = (
+                gamma * (float(x[t]) / l_new) + (1.0 - gamma) * season[slot]
+            )
+        else:
+            fitted[i] = lb + season[slot]
+            l_new = alpha * (float(x[t]) - season[slot]) + (1.0 - alpha) * lb
+            b = beta * (l_new - l) + (1.0 - beta) * (phi * b)
+            season[slot] = (
+                gamma * (float(x[t]) - l_new) + (1.0 - gamma) * season[slot]
+            )
         l = l_new
         levels[i] = l
         trends[i] = b
@@ -718,13 +746,18 @@ def holt_winters_series(
     period: int,
     tiebreak_col: str | None = None,
     phi: float = 1.0,
+    seasonal: str = "add",
 ) -> DataFrame:
-    """Additive Holt-Winters (triple exponential smoothing) per key —
+    """Holt-Winters (triple exponential smoothing) per key —
     level + trend + a `period`-slot seasonal state, the step up from
     `holt_series` when the series has a repeating cycle (hourly/daily/
     weekly telemetry). `phi` < 1 damps the trend (Gardner-McKenzie —
     see `_hw_fold`; φ=1, the default, is bit-identical to classical
-    additive HW). Appends `level`, `trend`, `seasonal` (the slot
+    HW). `seasonal="mul"` uses MULTIPLICATIVE seasonality (`_hw_fold` —
+    the model for swings that scale with the level); a "mul" key with
+    any non-positive value degrades to all-NULL smoothing columns (the
+    ratios are undefined — grouped NULL policy, like too-short keys).
+    Appends `level`, `trend`, `seasonal` (the slot
     value AFTER the row's update) and the one-step `fitted`; the first
     `period` rows of each key (consumed by the classical two-season
     initialization — see `_hw_fold`) carry NULLs there.
@@ -743,6 +776,8 @@ def holt_winters_series(
             raise ValueError(f"{name} must be in (0, 1), got {v!r}")
     if not 0.0 < phi <= 1.0:
         raise ValueError(f"phi must be in (0, 1], got {phi!r}")
+    if seasonal not in ("add", "mul"):
+        raise ValueError(f"seasonal must be 'add' or 'mul', got {seasonal!r}")
     if period < 2:
         raise ValueError(f"period must be >= 2, got {period!r}")
     m = int(period)
@@ -767,9 +802,10 @@ def holt_winters_series(
         n = len(x)
         out = pdf[[c for c in pdf.columns if c != "__tb"]].copy()
         cols = {}
-        if n >= 2 * m:
+        ok = n >= 2 * m and (seasonal != "mul" or bool(np.all(x > 0.0)))
+        if ok:
             _, _, _, _, fitted, levels, trends, seasonals = _hw_fold(
-                x, alpha, beta, gamma, m, phi=phi
+                x, alpha, beta, gamma, m, phi=phi, seasonal=seasonal
             )
             pad = [None] * m
             cols["level"] = pad + list(levels)
@@ -810,15 +846,21 @@ def holt_winters_forecast(
     interval: bool = False,
     level: float = 0.95,
     phi: float = 1.0,
+    seasonal: str = "add",
 ) -> DataFrame:
     """Per-key Holt-Winters END STATE + h-step forecasts
     ŷ_{T+h} = l_T + φ_h·b_T + s_{phase(T+h)} with φ_h = Σ_{i=1}^{h} φ^i
     — one compact row per key with (n_events, level, trend, season
     array, forecast_<h>…). `phi=1` (default, φ_h = h) is classical
     additive HW; `phi` < 1 is the damped-trend (A,Ad,·) variant (see
-    `_hw_fold`). Keys shorter than 2·period emit NULL state (reported,
-    not dropped). Same conventions as `holt_winters_series` (init,
-    ordering, the family null policy).
+    `_hw_fold`). `seasonal="mul"` is multiplicative HW —
+    ŷ_{T+h} = (l_T + φ_h·b_T)·s_{phase(T+h)}; "mul" keys with any
+    non-positive value degrade to NULL state (`holt_winters_series`
+    policy), and `interval=True` is additive-only (the multiplicative
+    innovations variance has no c_j closed form — Hyndman's class-2/3
+    models; raises upfront). Keys shorter than 2·period emit NULL
+    state (reported, not dropped). Same conventions as
+    `holt_winters_series` (init, ordering, the family null policy).
 
     `interval=True` adds (se_<h>, lo_<h>, hi_<h>) — the additive-error
     innovations interval (the `holt_forecast` convention): σ̂² is the
@@ -841,6 +883,13 @@ def holt_winters_forecast(
             raise ValueError(f"{name} must be in (0, 1), got {v!r}")
     if not 0.0 < phi <= 1.0:
         raise ValueError(f"phi must be in (0, 1], got {phi!r}")
+    if seasonal not in ("add", "mul"):
+        raise ValueError(f"seasonal must be 'add' or 'mul', got {seasonal!r}")
+    if interval and seasonal == "mul":
+        raise ValueError(
+            "interval=True supports additive seasonality only (no c_j "
+            "closed form for the multiplicative innovations variance)"
+        )
     if period < 2:
         raise ValueError(f"period must be >= 2, got {period!r}")
     if not horizons:
@@ -884,16 +933,19 @@ def holt_winters_forecast(
         x = pdf["__x"].to_numpy(np.float64)
         n = len(x)
         row = {pdf.columns[0]: [pdf.iloc[0, 0]], "n_events": [n]}
-        if n >= 2 * m:
+        ok = n >= 2 * m and (seasonal != "mul" or bool(np.all(x > 0.0)))
+        if ok:
             l, b, season, phase, fitted, *_ = _hw_fold(
-                x, alpha, beta, gamma, m, phi=phi
+                x, alpha, beta, gamma, m, phi=phi, seasonal=seasonal
             )
             row["level"], row["trend"] = [l], [b]
             row["season"] = [list(season)]
             for h in hs:
-                row[f"forecast_{h}"] = [
-                    l + phi_cum[h] * b + season[(phase + h - 1) % m]
-                ]
+                s_h = season[(phase + h - 1) % m]
+                if seasonal == "mul":
+                    row[f"forecast_{h}"] = [(l + phi_cum[h] * b) * s_h]
+                else:
+                    row[f"forecast_{h}"] = [l + phi_cum[h] * b + s_h]
             if interval:
                 e = x[m:] - fitted
                 sig2 = float(e @ e) / len(e)
@@ -1019,9 +1071,10 @@ def seasonal_decompose(
     value_col: str,
     period: int,
     tiebreak_col: str | None = None,
+    model: str = "additive",
 ) -> DataFrame:
-    """Classical additive decomposition per key (the `decompose()` /
-    statsmodels `seasonal_decompose(model="additive")` convention):
+    """Classical decomposition per key (the `decompose()` / statsmodels
+    `seasonal_decompose(model=...)` convention). Additive (default):
 
         trend_t    = centered moving average over one period (for even
                      period the standard 2×m average of two m-windows);
@@ -1029,6 +1082,14 @@ def seasonal_decompose(
         seasonal_t = per-phase mean of (x − trend), re-centered to sum 0
                      over one period (identical value every cycle)
         resid_t    = x − trend − seasonal (NULL where trend is NULL)
+
+    `model="multiplicative"` decomposes x = trend·seasonal·resid: the
+    SAME centered-MA trend, seasonal = per-phase mean of the RATIO
+    x/trend re-normalized to mean 1 over one period, resid =
+    x/(trend·seasonal) — the statsmodels multiplicative convention.
+    A multiplicative key with any non-positive value degrades to
+    all-NULL components (ratios undefined — the `holt_winters_series`
+    "mul" policy).
 
     The EDA complement of `holt_winters_series`: HW gives a forecastable
     recursive state, this gives the interpretable static split (how big
@@ -1040,6 +1101,11 @@ def seasonal_decompose(
 
     if period < 2:
         raise ValueError(f"period must be >= 2, got {period!r}")
+    if model not in ("additive", "multiplicative"):
+        raise ValueError(
+            f"model must be 'additive' or 'multiplicative', got {model!r}"
+        )
+    mul = model == "multiplicative"
     m = int(period)
     df = _drop_null_values(df, F.col(value_col).cast("double"))
     sort_cols = ["__ts"] + (["__tb"] if tiebreak_col else [])
@@ -1060,7 +1126,8 @@ def seasonal_decompose(
         x = pdf["__x"].to_numpy(np.float64)
         n = len(x)
         out = pdf[[c for c in pdf.columns if c != "__tb"]].copy()
-        if n >= 2 * m:
+        ok = n >= 2 * m and (not mul or bool(np.all(x > 0.0)))
+        if ok:
             s = pd.Series(x)
             if m % 2 == 0:
                 # the standard 2×m centered MA (half-weights at the
@@ -1074,14 +1141,19 @@ def seasonal_decompose(
                 )
             else:
                 trend = s.rolling(m, center=True).mean()
-            detr = s - trend
+            detr = (s / trend) if mul else (s - trend)
             phase = np.arange(n) % m
             smeans = np.array([
                 detr[phase == p].mean() for p in range(m)
             ])
-            smeans = smeans - np.nanmean(smeans)  # re-center to sum 0
-            seasonal = smeans[phase]
-            resid = s - trend - seasonal
+            if mul:
+                smeans = smeans / np.nanmean(smeans)  # re-normalize to mean 1
+                seasonal = smeans[phase]
+                resid = s / (trend * seasonal)
+            else:
+                smeans = smeans - np.nanmean(smeans)  # re-center to sum 0
+                seasonal = smeans[phase]
+                resid = s - trend - seasonal
             out["trend"] = pd.array(trend, dtype="Float64")
             out["seasonal"] = pd.array(seasonal, dtype="Float64")
             out["resid"] = pd.array(resid, dtype="Float64")

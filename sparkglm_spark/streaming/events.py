@@ -794,12 +794,15 @@ def holt_winters_state_stream(
     period: int,
     tiebreak_col: str | None = None,
     phi: float = 1.0,
+    seasonal: str = "add",
 ) -> DataFrame:
     """Streaming twin of `operators.timeseries.holt_winters_forecast`'s
     end state (per-key level + trend + seasonal slots) via
     applyInPandasWithState. `phi` < 1 damps the trend (`_hw_fold`); the
     default φ=1 multiplies by 1.0 — bit-identical to classical HW, so
-    checkpointed streams continue exactly.
+    checkpointed streams continue exactly. Additive seasonality only
+    (`seasonal="mul"` raises — its batch whole-key NULL-degrade policy
+    has no faithful streaming analog).
 
     The classical init consumes the first 2·period observations, so the
     state BUFFERS values until 2·period have arrived, then initializes
@@ -837,6 +840,15 @@ def holt_winters_state_stream(
             raise ValueError(f"{name} must be in (0, 1), got {v!r}")
     if not 0.0 < phi <= 1.0:
         raise ValueError(f"phi must be in (0, 1], got {phi!r}")
+    if seasonal != "add":
+        # batch "mul" NULL-degrades a whole key on any non-positive
+        # value — a stream has already EMITTED state when the bad row
+        # arrives, so the policy can't be honored; refuse rather than
+        # silently diverge from the batch twin
+        raise ValueError(
+            "holt_winters_state_stream supports seasonal='add' only "
+            "(use the batch holt_winters_forecast for multiplicative)"
+        )
     if period < 2:
         raise ValueError(f"period must be >= 2, got {period!r}")
     m = int(period)

@@ -1143,6 +1143,11 @@ def test_holt_winters_state_stream_equals_batch(spark, sf_dir, phi):
             .option("maxFilesPerTrigger", 1)
             .parquet(os.path.join(src, "*.parquet"))
         )
+        with pytest.raises(ValueError, match="add"):
+            holt_winters_state_stream(
+                stream_in, "user_id", "ts", "value", a, b, g, period=m,
+                seasonal="mul",
+            )
         q = (
             holt_winters_state_stream(
                 stream_in, "user_id", "ts", "value", a, b, g, period=m,

@@ -946,3 +946,123 @@ def test_per_key_fold_fanout_resists_aqe_coalescing(spark):
     # AQE-coalescing-exempt marker) at the configured width on the key
     assert "REPARTITION_BY_NUM" in plan
     assert f"hashpartitioning(k#" in plan and f", {width}), REPARTITION_BY_NUM" in plan
+
+
+def test_hw_multiplicative(spark):
+    """seasonal='mul' (Winters' multiplicative form): series/forecast
+    match an independent hand recursion at 1e-12 on level-proportional
+    planted data; forecasts are (l + phi_h*b)*s; a key with any
+    non-positive value degrades to NULL state; interval=True and the
+    streaming twin refuse 'mul'; seasonal is validated."""
+    from sparkglm_spark.operators.timeseries import (
+        holt_winters_forecast,
+        holt_winters_series,
+    )
+
+    alpha, beta, gamma, m, phi = 0.4, 0.3, 0.25, 4, 0.9
+    rng = np.random.default_rng(53)
+    sfac = np.array([1.25, 0.75, 1.125, 0.875])
+    x = (50 + 0.5 * np.arange(40)) * sfac[np.arange(40) % m]
+    x = x * np.exp(rng.normal(0, 0.01, 40))
+    rows = [("a", i, float(v)) for i, v in enumerate(x)]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+
+    # independent hand recursion (mul + damped)
+    l = float(np.mean(x[:m]))
+    b = float((np.mean(x[m:2 * m]) - np.mean(x[:m])) / m)
+    season = [float(v) / l for v in x[:m]]
+    fitted = []
+    for t in range(m, len(x)):
+        slot = t % m
+        fitted.append((l + phi * b) * season[slot])
+        ln = alpha * (x[t] / season[slot]) + (1 - alpha) * (l + phi * b)
+        b = beta * (ln - l) + (1 - beta) * phi * b
+        season[slot] = gamma * (x[t] / ln) + (1 - gamma) * season[slot]
+        l = ln
+    sr = holt_winters_series(
+        df, "k", "t", "v", alpha, beta, gamma, period=m,
+        phi=phi, seasonal="mul",
+    ).orderBy("t").collect()
+    np.testing.assert_allclose(
+        [r.fitted for r in sr][m:], fitted, rtol=1e-12
+    )
+    fc = holt_winters_forecast(
+        df, "k", "t", "v", alpha, beta, gamma, period=m,
+        horizons=[1, 6], phi=phi, seasonal="mul",
+    ).collect()[0]
+    assert fc.level == pytest.approx(l, rel=1e-12)
+    assert fc.trend == pytest.approx(b, rel=1e-12)
+    phis = np.cumsum([phi ** i for i in range(1, 7)])
+    phase = len(x)
+    for h in (1, 6):
+        want = (l + phis[h - 1] * b) * season[(phase + h - 1) % m]
+        assert getattr(fc, f"forecast_{h}") == pytest.approx(want, rel=1e-12)
+    # seasonal factors recovered: planted ratios within a few percent
+    got_s = np.array(fc.season)
+    # season list is slot-ordered by phase start; compare as ratio sets
+    assert np.allclose(sorted(got_s), sorted(sfac), rtol=0.05)
+
+    # a non-positive value NULLs the whole key (ratios undefined)
+    bad = spark.createDataFrame(
+        [("b", i, float(v)) for i, v in enumerate(x)]
+        + [("b", 99, -1.0)], "k string, t long, v double"
+    )
+    rb = holt_winters_forecast(
+        bad, "k", "t", "v", alpha, beta, gamma, period=m,
+        horizons=[1], seasonal="mul",
+    ).collect()[0]
+    assert rb.level is None and rb.forecast_1 is None
+
+    with pytest.raises(ValueError, match="additive"):
+        holt_winters_forecast(
+            df, "k", "t", "v", alpha, beta, gamma, period=m,
+            interval=True, seasonal="mul",
+        )
+    with pytest.raises(ValueError, match="seasonal"):
+        holt_winters_series(
+            df, "k", "t", "v", alpha, beta, gamma, period=m, seasonal="x"
+        )
+    # add ≡ the seasonal-less call bitwise (existing pins unaffected)
+    a1 = holt_winters_forecast(
+        df, "k", "t", "v", alpha, beta, gamma, period=m, horizons=[3]
+    ).collect()[0]
+    a2 = holt_winters_forecast(
+        df, "k", "t", "v", alpha, beta, gamma, period=m, horizons=[3],
+        seasonal="add",
+    ).collect()[0]
+    assert (a1.level, a1.trend, a1.forecast_3) == (
+        a2.level, a2.trend, a2.forecast_3
+    )
+
+
+def test_seasonal_decompose_multiplicative(spark):
+    """model='multiplicative' on planted constant-level x = T*S (S
+    dyadic mean-1 factors): trend == T and seasonal == S EXACTLY away
+    from the MA edges, resid == 1; a non-positive key NULLs out; model
+    is validated."""
+    from sparkglm_spark.operators.timeseries import seasonal_decompose
+
+    m = 4
+    sfac = [1.25, 0.75, 1.125, 0.875]  # mean exactly 1, dyadic
+    n = 24
+    rows = [("a", i, 50.0 * sfac[i % m]) for i in range(n)]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    got = seasonal_decompose(
+        df, "k", "t", "v", period=m, model="multiplicative"
+    ).orderBy("t").collect()
+    for i in range(m // 2, n - m // 2):
+        assert got[i].trend == pytest.approx(50.0, abs=1e-12), i
+        assert got[i].seasonal == pytest.approx(sfac[i % m], rel=1e-12), i
+        assert got[i].resid == pytest.approx(1.0, rel=1e-12), i
+    # edge rows: trend/resid NULL, seasonal still defined
+    assert got[0].trend is None and got[0].resid is None
+    assert got[0].seasonal == pytest.approx(sfac[0], rel=1e-12)
+
+    bad = df.union(spark.createDataFrame([("a", 99, 0.0)], df.schema))
+    rb = seasonal_decompose(
+        bad, "k", "t", "v", period=m, model="multiplicative"
+    ).orderBy("t").collect()
+    assert all(r.trend is None and r.seasonal is None for r in rb)
+
+    with pytest.raises(ValueError, match="model"):
+        seasonal_decompose(df, "k", "t", "v", period=m, model="mult")
