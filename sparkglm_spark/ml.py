@@ -255,10 +255,11 @@ class _SparkGLMParams(_FormulaParams):
     weightCol = Param(
         Params._dummy(),
         "weightCol",
-        "per-row prior weight column ('' = unweighted); supported on the "
-        "regParam > 0 path (glm_elastic_net weight_col — the MLlib "
-        "LogisticRegression weightCol convention); the unpenalized glm "
-        "has no weight surface (use mCol for binomial trials)",
+        "per-row prior weight column ('' = unweighted); forwards to "
+        "glm_elastic_net(weight_col=) when regParam > 0 (the MLlib "
+        "LogisticRegression convention) and to glm(weight_col=) "
+        "otherwise (the R glm(weights=) / MLlib "
+        "GeneralizedLinearRegression convention)",
         typeConverter=TypeConverters.toString,
     )
 
@@ -523,12 +524,6 @@ class SparkGLM(Estimator, _SparkGLMParams, DefaultParamsReadable, DefaultParamsW
                 **({"tol": self.getTol()} if self.isSet(self.tol) else {}),
             )
         else:
-            if self.getWeightCol():
-                raise ValueError(
-                    "weightCol requires regParam > 0 (the glm_elastic_net "
-                    "path) — the unpenalized glm has no weight surface; "
-                    "use mCol for binomial trial counts"
-                )
             inner = glm(
                 dataset,
                 self.getFormula(),
@@ -540,6 +535,7 @@ class SparkGLM(Estimator, _SparkGLMParams, DefaultParamsReadable, DefaultParamsW
                 max_iter=self.getMaxIter(),
                 na_action=self.getNaAction(),
                 var_power=self.getVarPower(),
+                weight_col=self.getWeightCol() or None,
             )
         return self._copyValues(SparkGLMModel(inner))
 

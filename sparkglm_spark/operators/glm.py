@@ -84,6 +84,7 @@ class GLM:
         exact_iterations: int | None = None,
         var_power: float = 1.5,
         nb_alpha: float = 1.0,
+        weight_col: str | None = None,
     ) -> "GLM":
         """`exact_iterations`: run EXACTLY that many IRLS solves (no
         convergence test, no warning) — makes the whole trajectory a
@@ -91,7 +92,19 @@ class GLM:
         driver's fixed-iteration SQL oracles replay (VERDICT r01 #1).
         `var_power`: the tweedie variance exponent p in (1, 2); `nb_alpha`:
         the negbinomial dispersion α > 0 — each ignored by every other
-        family."""
+        family.
+
+        `weight_col` (r11): per-row PRIOR weights with the R `glm(weights=)`
+        / MLlib `GeneralizedLinearRegression(weightCol)` conventions — the
+        IRLS working weights, deviance, Pearson χ² and log-likelihood all
+        carry ω; an INTEGER weight is exactly row replication for every
+        sum-statistic (coefs/deviance/Pearson identical — tested), while
+        the degrees of freedom follow R's `nobs`: rows with ω > 0 count,
+        so df_residual = #{ω>0} − k (a replicated frame reports more df —
+        the one place frequency- and replication-semantics diverge).
+        Zero weights are allowed (the row carries no information and is
+        excluded from nobs, like R); null/negative weights and Σω ≤ 0
+        raise upfront. Composes with `m_col` and `offset_col`."""
         fam = get_family(family, var_power, alpha=nb_alpha)
         if link is None:
             link = fam.default_link
@@ -108,10 +121,12 @@ class GLM:
         y = F.col(y_col)
         m = F.col(m_col) if m_col else F.lit(1.0)
         offset = F.col(offset_col) if offset_col else F.lit(0.0)
+        wt = F.col(weight_col).cast("double") if weight_col else None
+        wr = wt if wt is not None else F.lit(1.0)  # per-row prior weight ω
 
-        base_cols = [y_col, *x_cols] + ([m_col] if m_col else []) + (
-            [offset_col] if offset_col else []
-        )
+        base_cols = [y_col, *x_cols] + [
+            c for c in (m_col, offset_col, weight_col) if c
+        ]
         from sparkglm_spark.plans.partitioning import ensure_parallel
 
         # single-split inputs would otherwise run EVERY IRLS aggregation on
@@ -120,8 +135,35 @@ class GLM:
         work = ensure_parallel(df.select(*base_cols)).persist()
 
         # ---- init: μ = ȳ (GLM.scala:263,420-424), η = g(μ) --------------
-        row = work.agg(F.sum(y).alias("sy"), F.count(F.lit(1)).alias("n")).collect()[0]
-        n, y_mean = int(row["n"]), float(row["sy"]) / int(row["n"])
+        init_aggs = [F.sum(wr * y).alias("sy"), F.count(F.lit(1)).alias("n")]
+        if wt is not None:
+            init_aggs += [
+                F.sum(wt).alias("sw"),
+                F.min(wt).alias("minw"),
+                F.count(wt).alias("n_w"),
+                F.sum((wt > 0).cast("long")).alias("n_pos"),
+                # Σ log ω over ω > 0 — the R aic.gaussian/Gamma term
+                F.sum(F.when(wt > 0, F.log(wt)).otherwise(F.lit(0.0))).alias(
+                    "slogw"
+                ),
+            ]
+        row = work.agg(*init_aggs).collect()[0]
+        n = int(row["n"])
+        if wt is not None:
+            from sparkglm_spark.operators.lm import check_weight_domain
+
+            check_weight_domain(
+                weight_col, n=n, n_w=int(row["n_w"]),
+                min_w=row["minw"], sum_w=row["sw"],
+            )
+            nw = float(row["sw"])
+            n_obs = int(row["n_pos"])  # R nobs: rows with ω > 0
+            slogw = float(row["slogw"])
+        else:
+            nw = float(n)
+            n_obs = n
+            slogw = 0.0
+        y_mean = float(row["sy"]) / nw
 
         # μ as an expression given current β. None → init: the reference's
         # μ = ȳ (GLM.scala:263,424) for the Bernoulli path; with grouped m
@@ -136,7 +178,9 @@ class GLM:
             return lnk.unlink(linear_combination(x_cols, beta) + offset, m)
 
         def dev_agg_expr(beta: np.ndarray | None) -> Column:
-            return (F.lit(2.0) * F.sum(fam.deviance_term(y, mu_expr(beta), m))).alias("dev")
+            return (
+                F.lit(2.0) * F.sum(wr * fam.deviance_term(y, mu_expr(beta), m))
+            ).alias("dev")
 
         # per-row loglik as a pure-SQL function of μ, when expressible:
         # Bernoulli binomial (log C(1,y) = 0, GLM.scala:132-143); gaussian/
@@ -177,18 +221,20 @@ class GLM:
                 linear_combination(x_cols, beta) + offset
             )
             grad = lnk.lprime(mu, m)
-            w = F.lit(1.0) / (fam.variance(mu, m) * grad * grad)
+            w = wr / (fam.variance(mu, m) * grad * grad)
             z = eta + (y - mu) * grad - offset
             extra = [
-                (((y - mu) * (y - mu)) / fam.variance(mu, m)).alias("__pear")
+                (wr * (((y - mu) * (y - mu)) / fam.variance(mu, m))).alias(
+                    "__pear"
+                )
             ]
             if sql_ll_expr is not None:
-                extra.append(sql_ll_expr(mu).alias("__ll"))
+                extra.append((wr * sql_ll_expr(mu)).alias("__ll"))
             proj = work.select(
                 *[F.col(c) for c in x_cols],
                 w.alias("__w"),
                 z.alias("__z"),
-                fam.deviance_term(y, mu, m).alias("__devt"),
+                (wr * fam.deviance_term(y, mu, m)).alias("__devt"),
                 *extra,
             )
             xs = [F.col(c) for c in x_cols]
@@ -318,8 +364,8 @@ class GLM:
             ll_e = F.lit(0.0)
         if stat_row is None:
             stat_row = work.agg(
-                F.sum(pearson_e).alias("pearson"),
-                F.sum(ll_e).alias("ll"),
+                F.sum(wr * pearson_e).alias("pearson"),
+                F.sum(wr * ll_e).alias("ll"),
                 dev_agg_expr(beta),
             ).collect()[0]
         pearson = float(stat_row["pearson"])
@@ -330,26 +376,33 @@ class GLM:
             ll = float("nan")
             aic = float("nan")
         elif fam.name == "gaussian":
-            # MLE σ² = deviance/n; R's logLik.glm convention; σ counts as a
+            # MLE σ² = deviance/n_obs; R's logLik.glm convention (weighted:
+            # + ½Σlog ω, n_obs = #{ω>0} — R aic.gaussian); σ counts as a
             # parameter in the AIC
-            ll = -0.5 * n * (np.log(2.0 * np.pi * deviance / n) + 1.0)
+            ll = (
+                -0.5 * n_obs * (np.log(2.0 * np.pi * deviance / n_obs) + 1.0)
+                + 0.5 * slogw
+            )
             aic = -2.0 * ll + 2.0 * (k + 1)
         elif fam.name == "gamma":
-            # R's aic.Gamma convention: dispersion = deviance/n, then
-            # ll = Σ log dgamma(y; shape=1/disp, scale=μ·disp). lgamma(shape)
-            # is constant → the per-row part is pure SQL.
-            disp = deviance / n
+            # R's aic.Gamma convention: dispersion = deviance/n_obs, then
+            # ll = Σ ω·log dgamma(y; shape=1/disp, scale=μ·disp);
+            # lgamma(shape) is constant → the per-row part is pure SQL.
+            disp = deviance / n_obs
             shape = 1.0 / disp
             import math
 
             ll_row = work.agg(
                 F.sum(
-                    (F.lit(shape - 1.0)) * F.log(y)
-                    - y / (mu * F.lit(disp))
-                    - F.lit(shape) * F.log(mu * F.lit(disp))
+                    wr
+                    * (
+                        (F.lit(shape - 1.0)) * F.log(y)
+                        - y / (mu * F.lit(disp))
+                        - F.lit(shape) * F.log(mu * F.lit(disp))
+                    )
                 ).alias("llp")
             ).collect()[0]
-            ll = float(ll_row["llp"]) - n * math.lgamma(shape)
+            ll = float(ll_row["llp"]) - nw * math.lgamma(shape)
             aic = -2.0 * ll + 2.0 * (k + 1)  # dispersion counts as a param
         elif fam.name == "tweedie":
             # no closed-form density (Dunn-Smyth series out of scope);
@@ -363,7 +416,9 @@ class GLM:
         work.unpersist()
 
         std_err = np.sqrt(np.diag(xtwxi))  # utils.scala:78,110 (unscaled)
-        df_residual = n - k  # GLM.scala:67
+        # R nobs convention: ω = 0 rows carry no information and do not
+        # count toward the residual df (n_obs == n unweighted)
+        df_residual = n_obs - k  # GLM.scala:67
         if getattr(fam, "quasi", False):
             # the quasi point: SE and Wald covariance scale by the Pearson
             # dispersion φ̂ = χ²/(n−k) (β itself is the base family's —
@@ -377,7 +432,7 @@ class GLM:
             coefs=np.asarray(beta, dtype=np.float64),
             std_err=std_err,
             df_residual=float(df_residual),
-            df_null=float(n - 1),
+            df_null=float(n_obs - 1),
             deviance=deviance,
             null_deviance=float(null_dev),
             p_dispersion=pearson / df_residual,  # GLM.scala:69
@@ -539,11 +594,14 @@ def glm(
     exact_iterations: int | None = None,
     var_power: float = 1.5,
     nb_alpha: float = 1.0,
+    weight_col: str | None = None,
 ) -> GLM:
     """Formula front-end mirroring the LM one (reference overload explosion
-    GLM.scala:475-995 collapses to keyword args — SURVEY §2.11 M7)."""
+    GLM.scala:475-995 collapses to keyword args — SURVEY §2.11 M7).
+    `weight_col`: per-row prior weights (`GLM.fit` — the R glm(weights=) /
+    MLlib GeneralizedLinearRegression weightCol conventions)."""
     parsed = expand_dot(parse_formula(formula), df.columns)
-    extra = [c for c in (m_col, offset_col) if c]
+    extra = [c for c in (m_col, offset_col, weight_col) if c]
     data = df.select(parsed.target, *parsed.predictors, *extra)
     if na_action == "omit":
         data = omit_na(data)
@@ -571,6 +629,7 @@ def glm(
         exact_iterations=exact_iterations,
         var_power=var_power,
         nb_alpha=nb_alpha,
+        weight_col=weight_col,
     )
     model.levels = levels
     model.call = (

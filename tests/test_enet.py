@@ -1197,8 +1197,8 @@ def test_glm_enet_weight_guards_and_estimator(spark):
             df.withColumn("w", F.when(F.col("x") > 1, 1.0).otherwise(0.0)),
             "y ~ x", reg_param=0.01, weight_col="w",
         )
-    with pytest.raises(ValueError, match="weightCol requires regParam"):
-        SparkGLM(formula="y ~ x", weightCol="w").fit(df)
+    # regParam == 0 + weightCol routes to the unpenalized glm's weighted
+    # IRLS (r11 — no longer refused; parity tested in test_glm.py)
 
     # estimator ≡ function on a real weighted fit
     rng = np.random.default_rng(3)

@@ -4,6 +4,7 @@ same reference formulas (GLM.scala:254-315), run on collected data."""
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from sparkglm_spark.functions.links import LINKS
 from sparkglm_spark.operators.glm import GLM, glm
@@ -770,3 +771,150 @@ def test_glm_grouped_domain_and_link_edges(spark):
     ok = glm_grouped(df.where(F.col("g") == "ok"), "y ~ x", ["g"],
                      family="poisson", link="Log").collect()
     assert any(r.estimate is not None for r in ok)
+
+
+def test_glm_weighted_matches_mllib_glr(spark):
+    """GOLDEN (r11): glm(weight_col=) vs MLlib GeneralizedLinearRegression
+    (weightCol) for binomial, poisson and gamma — coefficients at 1e-6
+    and, where MLlib's dispersion is fixed at 1 (binomial/poisson),
+    standard errors too. Weights are feature-correlated so a wrong
+    convention cannot hide."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import GeneralizedLinearRegression
+
+    from sparkglm_spark.operators.glm import glm
+
+    rng = np.random.default_rng(19)
+    n = 1500
+    x1 = rng.normal(0, 1, n)
+    x2 = rng.normal(0, 1, n)
+    w = 0.25 + np.abs(x1)
+    rows_b = [
+        (float((rng.uniform() < 1 / (1 + np.exp(0.4 - x1[i] + 0.7 * x2[i])))),
+         float(x1[i]), float(x2[i]), float(w[i]))
+        for i in range(n)
+    ]
+    dfb = spark.createDataFrame(rows_b, "y double, x1 double, x2 double, w double")
+    rows_p = [
+        (float(rng.poisson(np.exp(0.5 + 0.4 * x1[i] - 0.3 * x2[i]))),
+         float(x1[i]), float(x2[i]), float(w[i]))
+        for i in range(n)
+    ]
+    dfp = spark.createDataFrame(rows_p, "y double, x1 double, x2 double, w double")
+    rows_g = [
+        (float(rng.gamma(2.0, np.exp(1.0 + 0.3 * x1[i]) / 2.0)),
+         float(x1[i]), float(x2[i]), float(w[i]))
+        for i in range(n)
+    ]
+    dfg = spark.createDataFrame(rows_g, "y double, x1 double, x2 double, w double")
+
+    for df, fam, check_se in ((dfb, "binomial", True), (dfp, "poisson", True),
+                              (dfg, "gamma", False)):
+        fd = VectorAssembler(
+            inputCols=["x1", "x2"], outputCol="features"
+        ).transform(df)
+        glr = GeneralizedLinearRegression(
+            labelCol="y", family=fam, weightCol="w",
+            maxIter=100, tol=1e-10,
+            **({"link": "log"} if fam == "gamma" else {}),
+        ).fit(fd)
+        m = glm(
+            df, "y ~ x1 + x2", family=fam, weight_col="w", tol=1e-12,
+            **({"link": "log"} if fam == "gamma" else {}),
+        )
+        want = np.array([glr.intercept] + list(glr.coefficients))
+        assert np.abs(m.coefs - want).max() < 1e-6, fam
+        if check_se:
+            se_want = np.array(glr.summary.coefficientStandardErrors)
+            # MLlib orders (coefficients..., intercept)
+            se_want = np.r_[se_want[-1], se_want[:-1]]
+            assert np.abs(m.std_err - se_want).max() < 1e-6, fam
+
+
+def test_glm_weighted_replication_and_zero_weights(spark):
+    """Integer ω ≡ row replication for every SUM statistic (coefs,
+    deviance, Pearson, null deviance at 1e-9) while the dfs follow R's
+    nobs (#{ω>0}); and ω = 0 rows are EXACTLY absent — the weighted fit
+    equals the fit on the physically filtered frame, df included."""
+    from sparkglm_spark.operators.glm import glm
+
+    rng = np.random.default_rng(23)
+    n = 300
+    x = rng.normal(0, 1, n)
+    y = (rng.uniform(0, 1, n) < 1 / (1 + np.exp(-0.3 - 0.9 * x))).astype(float)
+    w = rng.integers(1, 4, n)
+    df = spark.createDataFrame(
+        [(float(y[i]), float(x[i]), int(w[i])) for i in range(n)],
+        "y double, x double, w int",
+    )
+    rep = df.withColumn("r", F.explode(F.expr("sequence(1, w)"))).drop("r", "w")
+    mw = glm(df, "y ~ x", family="binomial", weight_col="w", tol=1e-12)
+    mr = glm(rep, "y ~ x", family="binomial", tol=1e-12)
+    assert np.abs(mw.coefs - mr.coefs).max() < 1e-9
+    assert mw.deviance == pytest.approx(mr.deviance, rel=1e-9)
+    assert mw.pearson == pytest.approx(mr.pearson, rel=1e-9)
+    assert mw.null_deviance == pytest.approx(mr.null_deviance, rel=1e-9)
+    assert mw.loglik == pytest.approx(mr.loglik, rel=1e-9)
+    # frequency vs replication semantics: df counts ROWS with w > 0
+    assert mw.df_residual == n - 2 and mr.df_residual == int(w.sum()) - 2
+
+    # zero-weight rows are exactly absent (R nobs convention)
+    wz = np.where(x > 1.0, 0.0, 1.0)
+    dfz = spark.createDataFrame(
+        [(float(y[i]), float(x[i]), float(wz[i])) for i in range(n)],
+        "y double, x double, w double",
+    )
+    mz = glm(dfz, "y ~ x", family="binomial", weight_col="w", tol=1e-12)
+    mf = glm(
+        dfz.where(F.col("w") > 0).drop("w"), "y ~ x", family="binomial",
+        tol=1e-12,
+    )
+    assert np.abs(mz.coefs - mf.coefs).max() < 1e-10
+    assert mz.df_residual == mf.df_residual
+    assert mz.deviance == pytest.approx(mf.deviance, rel=1e-10)
+
+
+def test_glm_weighted_guards_and_estimator(spark):
+    """Weight-domain violations raise via the shared guard; SparkGLM
+    forwards weightCol to the unpenalized glm (estimator ≡ function);
+    weighted gaussian loglik carries the R +half*sum(log w) term."""
+    from sparkglm_spark.ml import SparkGLM
+    from sparkglm_spark.operators.glm import glm
+
+    rng = np.random.default_rng(29)
+    n = 200
+    x = rng.normal(0, 1, n)
+    y = (rng.uniform(0, 1, n) < 1 / (1 + np.exp(-x))).astype(float)
+    wv = 0.5 + rng.random(n)
+    df = spark.createDataFrame(
+        [(float(y[i]), float(x[i]), float(wv[i])) for i in range(n)],
+        "y double, x double, w double",
+    )
+    with pytest.raises(ValueError, match="negative"):
+        glm(
+            df.withColumn("w", F.when(F.col("x") > 1, -1.0).otherwise(1.0)),
+            "y ~ x", weight_col="w",
+        )
+    with pytest.raises(ValueError, match="null"):
+        glm(
+            df.withColumn("w", F.when(F.col("x") > 1, None).otherwise(1.0)),
+            "y ~ x", weight_col="w", na_action="keep",
+        )
+    with pytest.raises(ValueError, match="Σw > 0"):
+        glm(df.withColumn("w", F.lit(0.0)), "y ~ x", weight_col="w")
+
+    est = SparkGLM(formula="y ~ x", family="binomial", weightCol="w").fit(df)
+    fn = glm(df, "y ~ x", family="binomial", weight_col="w")
+    assert np.abs(est.model.coefs - fn.coefs).max() < 1e-12
+
+    # weighted gaussian ll: R logLik convention (dev/n_obs MLE variance,
+    # + half*sum(log w)) — checked against the closed form
+    g = glm(df, "y ~ x", family="gaussian", weight_col="w")
+    resid_row = (
+        g.predict(df).withColumn("e", F.col("y") - F.col("prediction"))
+        .agg(F.sum(F.col("w") * F.col("e") * F.col("e")).alias("dev"),
+             F.sum(F.log("w")).alias("slw")).collect()[0]
+    )
+    dev, slw = float(resid_row["dev"]), float(resid_row["slw"])
+    want_ll = -0.5 * n * (np.log(2 * np.pi * dev / n) + 1.0) + 0.5 * slw
+    assert g.loglik == pytest.approx(want_ll, rel=1e-9)
