@@ -645,15 +645,25 @@ def _sql_irls_ctes(
     family: str,
     link: str,
     iters: int = _GLM_ITERS,
+    weighted: bool = False,
 ) -> tuple[list[str], str]:
     """CTE chain replaying GLM.fit(exact_iterations=iters) over CTE `base`
     (columns y, x). Returns (ctes, final_beta_cte) where the final CTE has
     b0/b1. Mirrors glm.py: init μ₀ = ȳ (constant), η₀ = link(μ₀); each
-    iteration aggregates w/z at the CURRENT β then solves."""
+    iteration aggregates w/z at the CURRENT β then solves.
+    `weighted=True` (r11) expects a `wq` prior-weight column on `base`
+    and replays glm(weight_col=): μ₀ = Σωy/Σω and the IRLS weight picks
+    up the ω factor — the z expression is ω-free, exactly as in
+    GLM.fit."""
     unlink, grad_f, var_f = _SQL_UNLINK[link], _SQL_GRAD[link], _SQL_VAR[family]
-    ctes = [
-        f"{prefix}s0 AS (SELECT CAST(SUM(y) AS DOUBLE)/COUNT(*) AS mu0 FROM {base})"
-    ]
+    if weighted:
+        ctes = [
+            f"{prefix}s0 AS (SELECT SUM(wq * y)/SUM(wq) AS mu0 FROM {base})"
+        ]
+    else:
+        ctes = [
+            f"{prefix}s0 AS (SELECT CAST(SUM(y) AS DOUBLE)/COUNT(*) AS mu0 FROM {base})"
+        ]
     if link == "logit":
         eta0 = "(ln(mu0 / (1.0 - mu0)))"
     elif link == "cloglog":
@@ -679,7 +689,10 @@ def _sql_irls_ctes(
             eta = "(b0 + b1 * x)"
             mu = unlink(eta)
         g = grad_f(mu, eta)
-        w = f"(1.0 / ({var_f(mu)} * {g} * {g}))"
+        if weighted:
+            w = f"(wq / ({var_f(mu)} * {g} * {g}))"
+        else:
+            w = f"(1.0 / ({var_f(mu)} * {g} * {g}))"
         z = f"({eta} + (y - {mu}) * {g} - 0.0)"
         ctes.append(
             f"{prefix}a{i} AS (SELECT SUM(w) AS sw, SUM(w*x) AS swx, "
@@ -1299,6 +1312,25 @@ def q_glm_families_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("tweedie", "deviance", round(m.deviance, 2)),
         ("tweedie", "iterations", float(m.iter)),
     ]
+    # r11: WEIGHTED poisson/log at exactly 4 IRLS solves — pins
+    # glm(weight_col=) end-to-end. w = 1 + (l_orderkey % 3): small
+    # deterministic integers, so the Σω statistics stay exact-grained
+    # and the trajectory is the same magnitude-matched 6dp/2dp pin class
+    # as the unweighted family arms (the ω factor rides the IRLS weight
+    # and the deviance; z is ω-free — GLM.fit's weighted convention).
+    wbase = li.select(
+        F.col("l_quantity").cast("double").alias("yq"),
+        F.col("l_discount").cast("double").alias("xq"),
+        (F.lit(1.0) + (F.col("l_orderkey") % 3).cast("double")).alias("wq"),
+    )
+    m = glm(wbase, "yq ~ xq", family="poisson", weight_col="wq",
+            exact_iterations=_GLM_ITERS)
+    rows += [
+        ("wpoisson", "coef_intercept", round(float(m.coefs[0]), 6)),
+        ("wpoisson", "coef_x", round(float(m.coefs[1]), 6)),
+        ("wpoisson", "deviance", round(m.deviance, 2)),
+        ("wpoisson", "iterations", float(m.iter)),
+    ]
     # r10: penalized logistic (operators/enet.py::glm_elastic_net) at
     # exactly 3 outer IRLS solves. The label is a planted Bernoulli
     # (hash-uniform u vs sigmoid(−1 + 2·qty/50) — the comparison's
@@ -1381,11 +1413,25 @@ def _sql_glm_families_fit() -> str:
         "twbase AS (SELECT CAST(greatest(l_quantity - 25, 0) AS DOUBLE) AS y, "
         "CAST(l_discount AS DOUBLE) AS x FROM lineitem)"
     )
+    ctes.append(
+        "wpbase AS (SELECT CAST(l_quantity AS DOUBLE) AS y, "
+        "CAST(l_discount AS DOUBLE) AS x, "
+        "1.0 + CAST(l_orderkey % 3 AS DOUBLE) AS wq FROM lineitem)"
+    )
     p_ctes, p_fin = _sql_irls_ctes("po_", "pbase", "poisson", "log")
     g_ctes, g_fin = _sql_irls_ctes("ga_", "gbase", "gamma", "log")
     t_ctes, t_fin = _sql_irls_ctes("tw_", "twbase", "tweedie15", "log")
     n_ctes, n_fin = _sql_irls_ctes("nb_", "pbase", "negbin1", "log")
-    ctes += p_ctes + g_ctes + t_ctes + n_ctes
+    wp_ctes, wp_fin = _sql_irls_ctes(
+        "wp_", "wpbase", "poisson", "log", weighted=True
+    )
+    ctes += p_ctes + g_ctes + t_ctes + n_ctes + wp_ctes
+    wdev = _SQL_DEVTERM["poisson"]("y", "mu")
+    wmu = _SQL_UNLINK["log"]("(b0 + b1 * x)")
+    ctes.append(
+        f"wp_f AS (SELECT 2.0 * SUM(wq * ({wdev})) AS dev FROM "
+        f"(SELECT y, wq, {wmu} AS mu FROM wpbase CROSS JOIN {wp_fin}))"
+    )
     for fam, base, fin, pfx in (
         ("poisson", "pbase", p_fin, "po_"),
         ("gamma", "gbase", g_fin, "ga_"),
@@ -1563,6 +1609,10 @@ def _sql_glm_families_fit() -> str:
         f"SELECT 'negbinomial', 'coef_l_discount', ROUND(b1, 6) FROM {n_fin}",
         "SELECT 'negbinomial', 'deviance', ROUND(dev, 2) FROM nb_f",
         f"SELECT 'negbinomial', 'iterations', {float(_GLM_ITERS)} FROM {n_fin}",
+        f"SELECT 'wpoisson', 'coef_intercept', ROUND(b0, 6) FROM {wp_fin}",
+        f"SELECT 'wpoisson', 'coef_x', ROUND(b1, 6) FROM {wp_fin}",
+        "SELECT 'wpoisson', 'deviance', ROUND(dev, 2) FROM wp_f",
+        f"SELECT 'wpoisson', 'iterations', {float(_GLM_ITERS)} FROM {wp_fin}",
     ]
     for j in (0, 1):
         selects += [
