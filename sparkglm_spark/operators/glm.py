@@ -653,9 +653,16 @@ def glm_grouped(
     exact_iterations: int | None = None,
     var_power: float = 1.5,
     nb_alpha: float = 1.0,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """One GLM per group — IRLS per segment, distributed via
     `applyInPandas` (numpy Fisher scoring inside each group's Arrow batch).
+
+    `weight_col` (r11): per-row prior weights with the `glm(weight_col=)`
+    conventions inside each group (ω-folded working weights, ω-weighted
+    deviance); a group with null/negative weights or Σω ≤ 0 degenerates
+    to NULL estimates (the grouped NULL policy — the boolean twin of
+    `check_weight_domain`, like `elastic_net_grouped`).
 
     Unlike `lm_grouped` (pure sufficient statistics), IRLS re-weights every
     iteration, so each group's rows DO materialize in its worker's pandas
@@ -702,7 +709,9 @@ def glm_grouped(
     if nb_alpha <= 0:
         raise ValueError(f"nb_alpha must be > 0, got {nb_alpha!r}")
 
-    encoded, x_cols, target = _design(df, formula, group_cols, na_action=na_action)
+    encoded, x_cols, target = _design(
+        df, formula, group_cols, na_action=na_action, weight_col=weight_col
+    )
     k = len(x_cols)
     out_schema = T.StructType(
         [df.schema[c] for c in group_cols]
@@ -722,12 +731,25 @@ def glm_grouped(
     # trajectory for the driver's SQL oracle); convergence logic disabled
     n_exact = exact_iterations
 
+    wname = weight_col
+
     def fit_group(pdf):
         import pandas as pd
 
         X = pdf[names].to_numpy(dtype=np.float64)
         y = pdf[target].to_numpy(dtype=np.float64)
         n = len(y)
+        if wname is not None:
+            wv = pdf[wname].to_numpy(dtype=np.float64)
+            # boolean twin of check_weight_domain — grouped NULL policy
+            ok_w = (
+                bool(np.all(np.isfinite(wv)))
+                and bool(np.all(wv >= 0.0))
+                and float(wv.sum()) > 0.0
+            )
+        else:
+            wv = np.ones(n)
+            ok_w = True
         beta, dev, it = None, None, 0
         # family response domains: out-of-domain groups degenerate to NULL
         in_domain = (
@@ -741,14 +763,16 @@ def glm_grouped(
         )
         if (
             n >= k
+            and ok_w
             and np.all(np.isfinite(y))
             and np.all(np.isfinite(X))
             and in_domain
         ):
             try:
                 if fam == "gaussian":
-                    beta = np.linalg.solve(X.T @ X, X.T @ y)
-                    dev = float(((y - X @ beta) ** 2).sum())
+                    Xw0 = X * wv[:, None]
+                    beta = np.linalg.solve(X.T @ Xw0, Xw0.T @ y)
+                    dev = float((wv * (y - X @ beta) ** 2).sum())
                     it = 1
                 else:
                     logit = fam in ("binomial", "quasibinomial")
@@ -772,6 +796,8 @@ def glm_grouped(
                         return mu / (1.0 + a_nb * mu)  # negbinomial
 
                     def deviance(y, mu):
+                        # every branch sums the per-row term ω-weighted
+                        # (wv is all-ones unweighted — bitwise no-op)
                         with np.errstate(divide="ignore", invalid="ignore"):
                             if logit:
                                 t1 = np.where(y > 0, y * np.log(y / mu), 0.0)
@@ -780,13 +806,14 @@ def glm_grouped(
                                     (1 - y) * np.log((1 - y) / (1 - mu)),
                                     0.0,
                                 )
-                                return float(2.0 * (t1 + t2).sum())
+                                return float(2.0 * (wv * (t1 + t2)).sum())
                             if fam in ("poisson", "quasipoisson"):
                                 t1 = np.where(y > 0, y * np.log(y / mu), 0.0)
-                                return float(2.0 * (t1 - (y - mu)).sum())
+                                return float(2.0 * (wv * (t1 - (y - mu))).sum())
                             if fam == "gamma":
                                 return float(
-                                    2.0 * (-np.log(y / mu) + (y - mu) / mu).sum()
+                                    2.0
+                                    * (wv * (-np.log(y / mu) + (y - mu) / mu)).sum()
                                 )
                             if fam == "tweedie":
                                 p = p_tw
@@ -798,7 +825,7 @@ def glm_grouped(
                                     + tail
                                 )
                                 return float(
-                                    2.0 * np.where(y == 0, tail, full).sum()
+                                    2.0 * (wv * np.where(y == 0, tail, full)).sum()
                                 )
                             a = a_nb  # negbinomial
                             ratio = (1.0 + a * y) / (1.0 + a * mu)
@@ -807,7 +834,7 @@ def glm_grouped(
                             ) - (y + 1.0 / a) * np.log(ratio)
                             zero = (1.0 / a) * np.log(1.0 + a * mu)
                             return float(
-                                2.0 * np.where(y == 0, zero, full).sum()
+                                2.0 * (wv * np.where(y == 0, zero, full)).sum()
                             )
 
                     dev_old, delta = 1e308, 1.0
@@ -819,7 +846,9 @@ def glm_grouped(
                         z = eta + (y - mu) / w if logit or fam in (
                             "poisson", "quasipoisson"
                         ) else eta + (y - mu) / mu  # log link: dη/dμ = 1/μ
-                        Xw = X * w[:, None]
+                        # z uses the LINK weight w alone; the prior ω folds
+                        # only into the normal equations (glm convention)
+                        Xw = X * (wv * w)[:, None]
                         beta = np.linalg.solve(X.T @ Xw, Xw.T @ z)
                         eta = X @ beta
                         if logit:

@@ -918,3 +918,92 @@ def test_glm_weighted_guards_and_estimator(spark):
     dev, slw = float(resid_row["dev"]), float(resid_row["slw"])
     want_ll = -0.5 * n * (np.log(2 * np.pi * dev / n) + 1.0) + 0.5 * slw
     assert g.loglik == pytest.approx(want_ll, rel=1e-9)
+
+
+def test_glm_grouped_weighted(spark):
+    """glm_grouped(weight_col=): per-slice agreement with the distributed
+    glm(weight_col=) at optimizer tolerance for binomial and poisson;
+    integer-weight replication identity per group; a group with a
+    negative weight degenerates to NULL (grouped NULL policy) while the
+    others fit."""
+    from sparkglm_spark.operators.glm import glm, glm_grouped
+
+    rng = np.random.default_rng(31)
+    rows = []
+    for g in ("a", "b", "c"):
+        n = 150
+        x = rng.normal(0, 1, n)
+        y = (rng.uniform(0, 1, n) < 1 / (1 + np.exp(-0.2 - 0.8 * x))).astype(float)
+        w = rng.integers(1, 4, n)
+        rows += [(g, float(y[i]), float(x[i]), float(w[i])) for i in range(n)]
+    df = spark.createDataFrame(rows, "g string, y double, x double, w double")
+
+    out = {
+        (r.g, r.term): r
+        for r in glm_grouped(
+            df, "y ~ x", ["g"], family="binomial", weight_col="w", tol=1e-10
+        ).collect()
+    }
+    for g in ("a", "b", "c"):
+        solo = glm(
+            df.where(F.col("g") == g), "y ~ x", family="binomial",
+            weight_col="w", tol=1e-12,
+        )
+        assert out[(g, "intercept")].estimate == pytest.approx(
+            float(solo.coefs[0]), abs=1e-7
+        ), g
+        assert out[(g, "x")].estimate == pytest.approx(
+            float(solo.coefs[1]), abs=1e-7
+        ), g
+        assert out[(g, "x")].deviance == pytest.approx(solo.deviance, rel=1e-8)
+        # integer weights ≡ replication inside the group
+        rep = (
+            df.where(F.col("g") == g)
+            .withColumn("r", F.explode(F.expr("sequence(1, CAST(w AS INT))")))
+            .drop("r", "w")
+        )
+        mrep = glm(rep, "y ~ x", family="binomial", tol=1e-12)
+        assert out[(g, "x")].estimate == pytest.approx(
+            float(mrep.coefs[1]), abs=1e-7
+        ), g
+
+    # poisson arm
+    rowsp = []
+    for g in ("a", "b"):
+        n = 120
+        x = rng.normal(0, 1, n)
+        lam = np.exp(0.4 + 0.5 * x)
+        yv = rng.poisson(lam).astype(float)
+        w = 0.5 + rng.random(n)
+        rowsp += [(g, float(yv[i]), float(x[i]), float(w[i])) for i in range(n)]
+    dfp = spark.createDataFrame(rowsp, "g string, y double, x double, w double")
+    outp = {
+        (r.g, r.term): r
+        for r in glm_grouped(
+            dfp, "y ~ x", ["g"], family="poisson", weight_col="w", tol=1e-10
+        ).collect()
+    }
+    for g in ("a", "b"):
+        solo = glm(
+            dfp.where(F.col("g") == g), "y ~ x", family="poisson",
+            weight_col="w", tol=1e-12,
+        )
+        assert outp[(g, "x")].estimate == pytest.approx(
+            float(solo.coefs[1]), abs=1e-7
+        ), g
+
+    # one bad-weight group -> NULL, others unaffected
+    bad = df.withColumn(
+        "w", F.when((F.col("g") == "b") & (F.col("x") > 1), -1.0).otherwise(F.col("w"))
+    )
+    outb = {
+        (r.g, r.term): r
+        for r in glm_grouped(
+            bad, "y ~ x", ["g"], family="binomial", weight_col="w"
+        ).collect()
+    }
+    assert outb[("b", "x")].estimate is None
+    assert outb[("a", "x")].estimate is not None
+    assert outb[("a", "x")].estimate == pytest.approx(
+        out[("a", "x")].estimate, rel=1e-12
+    )
