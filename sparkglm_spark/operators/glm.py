@@ -654,6 +654,7 @@ def glm_grouped(
     var_power: float = 1.5,
     nb_alpha: float = 1.0,
     weight_col: str | None = None,
+    offset_col: str | None = None,
 ) -> DataFrame:
     """One GLM per group — IRLS per segment, distributed via
     `applyInPandas` (numpy Fisher scoring inside each group's Arrow batch).
@@ -663,6 +664,11 @@ def glm_grouped(
     deviance); a group with null/negative weights or Σω ≤ 0 degenerates
     to NULL estimates (the grouped NULL policy — the boolean twin of
     `check_weight_domain`, like `elastic_net_grouped`).
+
+    `offset_col` (r11): fixed per-row term added to η (the `glm` offset
+    contract — η = Xβ + offset; per-segment Poisson rate models with
+    offset = log(exposure) are the standard shape). A non-finite offset
+    degenerates its group to NULL.
 
     Unlike `lm_grouped` (pure sufficient statistics), IRLS re-weights every
     iteration, so each group's rows DO materialize in its worker's pandas
@@ -710,7 +716,8 @@ def glm_grouped(
         raise ValueError(f"nb_alpha must be > 0, got {nb_alpha!r}")
 
     encoded, x_cols, target = _design(
-        df, formula, group_cols, na_action=na_action, weight_col=weight_col
+        df, formula, group_cols, na_action=na_action, weight_col=weight_col,
+        offset_col=offset_col,
     )
     k = len(x_cols)
     out_schema = T.StructType(
@@ -732,6 +739,7 @@ def glm_grouped(
     n_exact = exact_iterations
 
     wname = weight_col
+    oname = offset_col
 
     def fit_group(pdf):
         import pandas as pd
@@ -750,6 +758,11 @@ def glm_grouped(
         else:
             wv = np.ones(n)
             ok_w = True
+        if oname is not None:
+            ov = pdf[oname].to_numpy(dtype=np.float64)
+            ok_w = ok_w and bool(np.all(np.isfinite(ov)))
+        else:
+            ov = np.zeros(n)
         beta, dev, it = None, None, 0
         # family response domains: out-of-domain groups degenerate to NULL
         in_domain = (
@@ -770,18 +783,20 @@ def glm_grouped(
         ):
             try:
                 if fam == "gaussian":
+                    # identity link: the offset subtracts from the response
+                    ya = y - ov if oname is not None else y
                     Xw0 = X * wv[:, None]
-                    beta = np.linalg.solve(X.T @ Xw0, Xw0.T @ y)
-                    dev = float((wv * (y - X @ beta) ** 2).sum())
+                    beta = np.linalg.solve(X.T @ Xw0, Xw0.T @ ya)
+                    dev = float((wv * (ya - X @ beta) ** 2).sum())
                     it = 1
                 else:
                     logit = fam in ("binomial", "quasibinomial")
                     if logit:
                         mu = np.clip((y + 0.5) / 2.0, 1e-10, 1 - 1e-10)
-                        eta = np.log(mu / (1 - mu))
+                        eta = np.log(mu / (1 - mu)) - ov
                     else:
                         mu = y + 0.5
-                        eta = np.log(mu)
+                        eta = np.log(mu) - ov
 
                     def weights(mu):
                         # (dμ/dη)² / V(μ) at the default link
@@ -850,11 +865,12 @@ def glm_grouped(
                         # only into the normal equations (glm convention)
                         Xw = X * (wv * w)[:, None]
                         beta = np.linalg.solve(X.T @ Xw, Xw.T @ z)
-                        eta = X @ beta
+                        eta = X @ beta  # the LINEAR part; μ adds the offset
+                        ef = eta + ov if oname is not None else eta
                         if logit:
-                            mu = np.clip(1.0 / (1.0 + np.exp(-eta)), 1e-10, 1 - 1e-10)
+                            mu = np.clip(1.0 / (1.0 + np.exp(-ef)), 1e-10, 1 - 1e-10)
                         else:
-                            mu = np.exp(eta)
+                            mu = np.exp(ef)
                         dev = deviance(y, mu)
                         if not np.isfinite(dev):
                             beta = None

@@ -452,19 +452,22 @@ def _design(
     keep_cols: list[str],
     na_action: str = "omit",
     weight_col: str | None = None,
+    offset_col: str | None = None,
 ):
     """Shared encoding for the segmented/fold fitters: parse the formula
     (excluding `keep_cols` from `.` expansion), drop NAs on the modeling
     columns only, expand categoricals with GLOBAL levels, inject the
     intercept. Returns (encoded_df, x_cols, target) with `keep_cols`
-    passed through untouched."""
+    passed through untouched; `weight_col`/`offset_col` ride through as
+    double-cast columns."""
     parsed = expand_dot(
         parse_formula(formula),
         [c for c in df.columns if c not in keep_cols],
     )
     sel = [*keep_cols, parsed.target, *parsed.predictors]
-    if weight_col:
-        sel.append(weight_col)
+    for c in (weight_col, offset_col):
+        if c:
+            sel.append(c)
     data = df.select(*sel)
     if na_action == "omit":
         data = omit_na(data, cols=[c for c in sel if c not in keep_cols])
@@ -485,8 +488,9 @@ def _design(
             exprs.append(F.col(p).cast("double").alias(p))
             x_cols.append(p)
     exprs.append(F.col(parsed.target).cast("double").alias(parsed.target))
-    if weight_col:
-        exprs.append(F.col(weight_col).cast("double").alias(weight_col))
+    for c in (weight_col, offset_col):
+        if c:
+            exprs.append(F.col(c).cast("double").alias(c))
     return data.select(*exprs), x_cols, parsed.target
 
 

@@ -1007,3 +1007,77 @@ def test_glm_grouped_weighted(spark):
     assert outb[("a", "x")].estimate == pytest.approx(
         out[("a", "x")].estimate, rel=1e-12
     )
+
+
+def test_glm_grouped_offset(spark):
+    """glm_grouped(offset_col=): per-segment Poisson rate model (offset =
+    log exposure) agrees with glm(offset_col=) per slice at optimizer
+    tolerance; composes with weight_col; a non-finite offset NULLs its
+    group; gaussian subtracts the offset from the response."""
+    from sparkglm_spark.operators.glm import glm, glm_grouped
+
+    rng = np.random.default_rng(37)
+    rows = []
+    for g in ("a", "b"):
+        n = 150
+        x = rng.normal(0, 1, n)
+        expo = rng.uniform(0.5, 3.0, n)
+        lam = expo * np.exp(0.3 + 0.6 * x)
+        yv = rng.poisson(lam).astype(float)
+        w = 0.5 + rng.random(n)
+        rows += [
+            (g, float(yv[i]), float(x[i]), float(np.log(expo[i])), float(w[i]))
+            for i in range(n)
+        ]
+    df = spark.createDataFrame(
+        rows, "g string, y double, x double, lexpo double, w double"
+    )
+    out = {
+        (r.g, r.term): r
+        for r in glm_grouped(
+            df, "y ~ x", ["g"], family="poisson", offset_col="lexpo",
+            weight_col="w", tol=1e-10,
+        ).collect()
+    }
+    for g in ("a", "b"):
+        solo = glm(
+            df.where(F.col("g") == g), "y ~ x", family="poisson",
+            offset_col="lexpo", weight_col="w", tol=1e-12,
+        )
+        assert out[(g, "intercept")].estimate == pytest.approx(
+            float(solo.coefs[0]), abs=1e-7
+        ), g
+        assert out[(g, "x")].estimate == pytest.approx(
+            float(solo.coefs[1]), abs=1e-7
+        ), g
+        assert out[(g, "x")].deviance == pytest.approx(solo.deviance, rel=1e-8)
+
+    # non-finite offset -> NULL group, sibling untouched
+    bad = df.withColumn(
+        "lexpo",
+        F.when((F.col("g") == "b") & (F.col("x") > 1), float("inf"))
+        .otherwise(F.col("lexpo")),
+    )
+    outb = {
+        (r.g, r.term): r
+        for r in glm_grouped(
+            bad, "y ~ x", ["g"], family="poisson", offset_col="lexpo"
+        ).collect()
+    }
+    assert outb[("b", "x")].estimate is None
+    assert outb[("a", "x")].estimate is not None
+
+    # gaussian: offset subtracts from the response (identity link)
+    go = {
+        r.term: r
+        for r in glm_grouped(
+            df.where(F.col("g") == "a"), "y ~ x", ["g"], family="gaussian",
+            offset_col="lexpo",
+        ).collect()
+    }
+    pdf = df.where(F.col("g") == "a").toPandas()
+    Xd = np.column_stack([np.ones(len(pdf)), pdf["x"].to_numpy()])
+    ya = pdf["y"].to_numpy() - pdf["lexpo"].to_numpy()
+    want = np.linalg.solve(Xd.T @ Xd, Xd.T @ ya)
+    assert go["intercept"].estimate == pytest.approx(want[0], rel=1e-10)
+    assert go["x"].estimate == pytest.approx(want[1], rel=1e-10)
