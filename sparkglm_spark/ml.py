@@ -1292,12 +1292,19 @@ class _SparkCoxPHParams(Params):
         "relative-risk column appended by transform()",
         typeConverter=TypeConverters.toString,
     )
+    weightCol = Param(
+        Params._dummy(), "weightCol",
+        "per-row case-weight column ('' = unweighted) — the R "
+        "coxph(weights=) convention (coxph weight_col)",
+        typeConverter=TypeConverters.toString,
+    )
 
     def __init__(self):
         super().__init__()
         self._setDefault(
             timeCol="time", eventCol="event", maxIter=20, tol=1e-9,
             timeBucket=0.0, strataCol="", predictionCol="risk_score",
+            weightCol="",
         )
 
 
@@ -1333,6 +1340,7 @@ class SparkCoxPH(
             tol=self.getOrDefault(self.tol),
             time_bucket=bucket if bucket > 0.0 else None,
             strata_col=self.getOrDefault(self.strataCol) or None,
+            weight_col=self.getOrDefault(self.weightCol) or None,
         )
         return self._copyValues(SparkCoxPHModel(inner))
 

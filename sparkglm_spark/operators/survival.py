@@ -94,6 +94,7 @@ class CoxPH:
     cov_params: np.ndarray = field(default=None, repr=False)
     time_bucket: float | None = None
     strata_col: str | None = None
+    weight_col: str | None = None
 
     def _risk_expr(self) -> Column:
         eta = F.lit(0.0)
@@ -133,9 +134,16 @@ class CoxPH:
         t_expr = _time_expr(self.time_col, self.time_bucket)
         sc = self.strata_col
         keys = ([F.col(sc)] if sc else []) + [t_expr.alias("__t")]
+        # a weighted fit weights its baseline the same way (R survfit on
+        # a weighted coxph); unweighted multiplies by 1.0 — bitwise no-op
+        wr = (
+            F.col(self.weight_col).cast("double")
+            if self.weight_col
+            else F.lit(1.0)
+        )
         per_t = df.groupBy(*keys).agg(
-            F.sum(self._risk_expr()).alias("e0"),
-            F.sum(F.col(self.event_col).cast("double")).alias("d"),
+            F.sum(wr * self._risk_expr()).alias("e0"),
+            F.sum(wr * F.col(self.event_col).cast("double")).alias("d"),
         )
         s0 = _suffix_sums(per_t, ["e0"], sc, num_partitions).withColumnRenamed(
             "e0_cum", "s0"
@@ -160,7 +168,13 @@ class CoxPH:
         return (
             cum.select(
                 *out_keys,
-                F.col("d").cast("long").alias("n_events"),
+                # weighted fits report the (possibly fractional) event
+                # MASS — a long cast would silently truncate it
+                (
+                    F.col("d").cast("long")
+                    if self.weight_col is None
+                    else F.col("d")
+                ).alias("n_events"),
                 F.col("s0"),
                 F.col("hazard"),
                 F.col("hazard_cum").alias("cum_hazard"),
@@ -293,20 +307,24 @@ def _risk_set_stats(
     beta: np.ndarray,
     num_partitions: int | None,
     strata_col: str | None = None,
+    weight_col: str | None = None,
 ):
     """One Cox iteration's distributed work: per-time totals, suffix sums
     via the prefix plan (per-stratum windows when stratified — the partial
     likelihood factorizes over strata, so the final aggregation just sums
     the per-(stratum, time) event rows), final event-weighted aggregation.
     Returns (ll_terms, grad vector pieces, info matrix pieces) as a
-    driver row."""
+    driver row. With `weight_col` every risk term carries ω·exp(η) and
+    every event term ω·ev — the R coxph(weights=) case-weight Breslow
+    (unweighted multiplies by lit(1.0): bitwise-identical)."""
     k = len(x_cols)
     xs = [F.col(c).cast("double") for c in x_cols]
     eta = F.lit(0.0)
     for col, b in zip(xs, beta):
         eta = eta + F.lit(float(b)) * col
-    w = F.exp(eta)
-    ev = F.col(event_col).cast("double")
+    wr = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    w = wr * F.exp(eta)
+    ev = wr * F.col(event_col).cast("double")
     aggs = [
         F.sum(w).alias("e0"),
         F.sum(ev).alias("d"),
@@ -361,11 +379,21 @@ def coxph(
     num_partitions: int | None = None,
     time_bucket: float | None = None,
     strata_col: str | None = None,
+    weight_col: str | None = None,
 ) -> CoxPH:
     """Fit the Cox model by Newton-Raphson from β = 0 (R coxph's start).
     `event_col` is 0/1 (1 = event, 0 = censored; validated). Ties are
     handled by the Breslow approximation. No intercept — the baseline
     hazard absorbs it (the Cox model has no intercept by construction).
+
+    `weight_col` (r11): per-row CASE weights with the R
+    `coxph(weights=)` convention — every risk-set term carries ω·exp(η)
+    and every event term ω·ev, so an INTEGER weight is exactly row
+    replication for the whole Breslow partial likelihood (tested);
+    `n`/`n_events` keep reporting raw row/event counts. The fitted
+    model remembers the weight column and applies it in
+    `baseline_hazard` over a weighted frame. Null/negative weights and
+    Σω ≤ 0 raise upfront (shared `check_weight_domain` guard).
 
     `exact_iterations=N`: exactly N Newton steps, no convergence test —
     the deterministic trajectory a SQL oracle can replay. Otherwise stop
@@ -388,7 +416,7 @@ def coxph(
     if not x_cols:
         raise ValueError("x_cols must be non-empty")
     k = len(x_cols)
-    chk = df.agg(
+    chk_aggs = [
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col(event_col).cast("double")).alias("ne"),
         F.sum(
@@ -400,7 +428,15 @@ def coxph(
                 F.col(time_col).isNull() | F.col(event_col).isNull(), 1
             ).otherwise(0)
         ).alias("nulls"),
-    ).collect()[0]
+    ]
+    if weight_col:
+        wtc = F.col(weight_col).cast("double")
+        chk_aggs += [
+            F.sum(wtc).alias("sw"),
+            F.min(wtc).alias("minw"),
+            F.count(wtc).alias("n_w"),
+        ]
+    chk = df.agg(*chk_aggs).collect()[0]
     if chk["nulls"]:
         raise ValueError(f"{chk['nulls']} rows have null time/event")
     if chk["bad"]:
@@ -408,6 +444,13 @@ def coxph(
     n, n_events = int(chk["n"]), int(float(chk["ne"]))
     if n_events == 0:
         raise ValueError("no events (event_col all zero) — nothing to fit")
+    if weight_col:
+        from sparkglm_spark.operators.lm import check_weight_domain
+
+        check_weight_domain(
+            weight_col, n=n, n_w=int(chk["n_w"]),
+            min_w=chk["minw"], sum_w=chk["sw"],
+        )
 
     if strata_col is not None and strata_col in x_cols:
         raise ValueError(
@@ -419,6 +462,7 @@ def coxph(
         event_col,
         *x_cols,
         *([strata_col] if strata_col else []),
+        *([weight_col] if weight_col else []),
     ).persist()
     try:
         beta = np.zeros(k)
@@ -432,7 +476,7 @@ def coxph(
         for _ in range(iters):
             row = _risk_set_stats(
                 work, time_col, event_col, x_cols, beta, num_partitions,
-                strata_col=strata_col,
+                strata_col=strata_col, weight_col=weight_col,
             )
             sdx = np.array([float(row[f"sdx_{i}"]) for i in range(k)])
             ll = float(beta @ sdx - float(row["dlogs0"]))
@@ -457,7 +501,7 @@ def coxph(
         # the reported loglik/se correspond to the returned coefficients
         row = _risk_set_stats(
             work, time_col, event_col, x_cols, beta, num_partitions,
-            strata_col=strata_col,
+            strata_col=strata_col, weight_col=weight_col,
         )
         sdx = np.array([float(row[f"sdx_{i}"]) for i in range(k)])
         ll = float(beta @ sdx - float(row["dlogs0"]))
@@ -483,6 +527,7 @@ def coxph(
         cov_params=cov,
         time_bucket=time_bucket,
         strata_col=strata_col,
+        weight_col=weight_col,
     )
 
 

@@ -140,6 +140,7 @@ def model_to_dict(model: LM | GLM | HuberLM | QuantileLM | CoxPH) -> dict:
             else [[float(v) for v in row] for row in np.asarray(model.cov_params)],
             "time_bucket": model.time_bucket,
             "strata_col": model.strata_col,
+            "weight_col": model.weight_col,
         }
     kind = "lm" if isinstance(model, LM) else "glm"
     d = {
@@ -288,6 +289,7 @@ def model_from_dict(d: dict) -> LM | GLM | HuberLM | QuantileLM | CoxPH:
             cov_params=None if cov is None else np.asarray(cov, dtype=np.float64),
             time_bucket=d.get("time_bucket"),
             strata_col=d.get("strata_col"),
+            weight_col=d.get("weight_col"),
         )
     common = dict(
         xnames=list(d["xnames"]),

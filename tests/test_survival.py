@@ -1170,3 +1170,78 @@ def test_bucket_pair_stats_vectorized_parity(spark):
     finally:
         sv._CINDEX_VEC_THRESHOLD = orig
     assert vec == fen == base
+
+
+def test_coxph_weighted_replication_identity(spark):
+    """Case weights (r11, R coxph(weights=)): every Breslow term carries
+    ω, so an INTEGER weight is exactly row replication — coefs, se,
+    loglik and the weighted baseline hazard all match the replicated
+    frame; composes with strata; guards raise; persists."""
+    import tempfile
+
+    from sparkglm_spark.ml import SparkCoxPH
+    from sparkglm_spark.operators.survival import coxph
+
+    rng = np.random.default_rng(43)
+    n = 250
+    x = rng.normal(0, 1, n)
+    g = rng.integers(0, 2, n)
+    t = rng.exponential(np.exp(-(0.7 * x + 0.3 * g)))
+    c = rng.exponential(2.0, n)
+    time = np.minimum(t, c)
+    ev = (t <= c).astype(float)
+    w = rng.integers(1, 4, n)
+    df = spark.createDataFrame(
+        [(float(time[i]), float(ev[i]), float(x[i]), int(g[i]), int(w[i]))
+         for i in range(n)],
+        "t double, e double, x double, g int, w int",
+    )
+    rep = df.withColumn("r", F.explode(F.expr("sequence(1, w)"))).drop("r", "w")
+
+    mw = coxph(df, "t", "e", ["x"], weight_col="w", tol=1e-12)
+    mr = coxph(rep, "t", "e", ["x"], tol=1e-12)
+    assert np.abs(mw.coefs - mr.coefs).max() < 1e-9
+    assert np.abs(mw.se - mr.se).max() < 1e-9
+    assert mw.loglik == pytest.approx(mr.loglik, rel=1e-10)
+    assert mw.n == n and mr.n == int(w.sum())  # raw row counts
+
+    # weighted baseline == replicated baseline (event MASS as double)
+    bw = {r.time: (r.n_events, r.cum_hazard)
+          for r in mw.baseline_hazard(df).collect()}
+    br = {r.time: (r.n_events, r.cum_hazard)
+          for r in mr.baseline_hazard(rep).collect()}
+    assert set(bw) == set(br)
+    for tt in bw:
+        assert float(bw[tt][0]) == pytest.approx(float(br[tt][0]), rel=1e-12)
+        assert bw[tt][1] == pytest.approx(br[tt][1], rel=1e-9)
+
+    # stratified + weighted compose (same identity under strata)
+    sw = coxph(df, "t", "e", ["x"], strata_col="g", weight_col="w", tol=1e-12)
+    sr = coxph(rep, "t", "e", ["x"], strata_col="g", tol=1e-12)
+    assert np.abs(sw.coefs - sr.coefs).max() < 1e-9
+
+    with pytest.raises(ValueError, match="negative"):
+        coxph(
+            df.withColumn("w", F.when(F.col("x") > 1, -1.0).otherwise(1.0)),
+            "t", "e", ["x"], weight_col="w",
+        )
+    with pytest.raises(ValueError, match="null"):
+        coxph(
+            df.withColumn("w", F.when(F.col("x") > 1, None).otherwise(F.lit(1.0))),
+            "t", "e", ["x"], weight_col="w",
+        )
+
+    # estimator forwards weightCol; persist round-trips the field
+    est = SparkCoxPH(
+        featureCols=["x"], timeCol="t", eventCol="e", weightCol="w"
+    ).fit(df)
+    assert np.abs(est.model.coefs - mw.coefs).max() < 1e-12
+    assert est.model.weight_col == "w"
+    with tempfile.TemporaryDirectory() as d:
+        path = d + "/cxw"
+        est.write().overwrite().save(path)
+        from sparkglm_spark.ml import SparkCoxPHModel
+
+        back = SparkCoxPHModel.read().load(path)
+        assert back.model.weight_col == "w"
+        assert np.abs(back.model.coefs - mw.coefs).max() < 1e-12
