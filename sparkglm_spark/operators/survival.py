@@ -1222,26 +1222,37 @@ def _km_curve(
     event_col: str,
     group_col: str | None,
     time_bucket: float | None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """The KM machinery shared by `kaplan_meier` and
     `restricted_mean_survival`: one per-(group,) distinct-time frame with
     n_at_risk (suffix count), the per-time survival log term `__lt`
     (NULL when everyone at risk dies — ln(0) clamp), its inclusive
     running sum `__ls` (nulls contribute 0, so at a death-to-zero row
-    `__ls` is the PREVIOUS product's log), and the `__dead` flag."""
+    `__ls` is the PREVIOUS product's log), and the `__dead` flag.
+    With `weight_col` the at-risk and event counts become ω-MASSES
+    (the weighted product-limit estimator — survey-weighted KM); the
+    unweighted path is untouched."""
     from pyspark.sql import Window
 
     ev = F.col(event_col).cast("double")
     keys = ([group_col] if group_col else []) + ["__t"]
+    if weight_col:
+        wtc = F.col(weight_col).cast("double")
+        sel_extra = [wtc.alias("__wq"), (wtc * ev).alias("__e")]
+        nt_agg = F.sum("__wq").alias("n_t")
+    else:
+        sel_extra = [ev.alias("__e")]
+        nt_agg = F.count(F.lit(1)).cast("double").alias("n_t")
     per_t = (
         df.select(
             *( [F.col(group_col)] if group_col else [] ),
             _time_expr(time_col, time_bucket).alias("__t"),
-            ev.alias("__e"),
+            *sel_extra,
         )
         .groupBy(*keys)
         .agg(
-            F.count(F.lit(1)).cast("double").alias("n_t"),
+            nt_agg,
             F.sum("__e").alias("d"),
         )
     )
@@ -1578,6 +1589,7 @@ def kaplan_meier(
     event_col: str,
     group_col: str | None = None,
     time_bucket: float | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Kaplan-Meier product-limit survival curve, optionally per group:
     one row per distinct EVENT time with
@@ -1594,15 +1606,23 @@ def kaplan_meier(
     at-risk subject dies (survival hits exactly 0) is safe: ln(0) rows
     are clamped via a when() and survival reports 0 from there on.
     `time_bucket=w` floors the time axis to width-w buckets first — the
-    distinct-time cardinality knob for micro-timestamped data."""
-    cum = _km_curve(df, time_col, event_col, group_col, time_bucket)
+    distinct-time cardinality knob for micro-timestamped data.
+    `weight_col` (r11) gives the ω-weighted product-limit estimator
+    (survey-weighted KM: d and n_at_risk become weight MASSES and stay
+    double — a long cast would truncate them)."""
+    cum = _km_curve(df, time_col, event_col, group_col, time_bucket, weight_col)
     out_keys = ([group_col] if group_col else []) + [F.col("__t").alias("time")]
+    cnt = (
+        (lambda c: c)
+        if weight_col
+        else (lambda c: c.cast("long"))
+    )
     return (
         cum.where(F.col("d") > 0)
         .select(
             *out_keys,
-            F.col("n_at_risk").cast("long").alias("n_at_risk"),
-            F.col("d").cast("long").alias("n_events"),
+            cnt(F.col("n_at_risk")).alias("n_at_risk"),
+            cnt(F.col("d")).alias("n_events"),
             F.when(F.col("__dead") == 1, 0.0)
             .otherwise(F.exp(F.col("__ls")))
             .alias("survival"),
@@ -1618,6 +1638,7 @@ def restricted_mean_survival(
     tau: float,
     group_col: str | None = None,
     time_bucket: float | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Restricted mean survival time RMST(τ) = ∫₀^τ S(t)dt over the KM
     curve (the model-free "average event-free time over the next τ"
@@ -1640,10 +1661,12 @@ def restricted_mean_survival(
     Returns one row per group: (group?, tau, rmst, n_events) with
     n_events the event count inside [0, τ]. τ beyond the last event
     extends the last survival level (the standard step-function tail);
-    τ before the first event gives exactly τ."""
+    τ before the first event gives exactly τ. `weight_col` (r11):
+    RMST over the ω-weighted KM curve (n_events becomes the event
+    mass, double)."""
     if not tau > 0:
         raise ValueError(f"tau must be > 0, got {tau!r}")
-    cum = _km_curve(df, time_col, event_col, group_col, time_bucket)
+    cum = _km_curve(df, time_col, event_col, group_col, time_bucket, weight_col)
     # __ls itself is NULL when a group's FIRST distinct time already kills
     # everyone (grouped path: sum over only-NULL terms) — the previous
     # product there is 1, i.e. log 0
@@ -1661,9 +1684,11 @@ def restricted_mean_survival(
                 )
             )
         ).alias("rmst"),
-        F.sum(F.when(in_tau, F.col("d")).otherwise(0.0))
-        .cast("long")
-        .alias("n_events"),
+        (
+            F.sum(F.when(in_tau, F.col("d")).otherwise(0.0))
+            if weight_col
+            else F.sum(F.when(in_tau, F.col("d")).otherwise(0.0)).cast("long")
+        ).alias("n_events"),
     ]
     if group_col:
         out = cum.groupBy(group_col).agg(*aggs)

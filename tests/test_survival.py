@@ -1245,3 +1245,49 @@ def test_coxph_weighted_replication_identity(spark):
         back = SparkCoxPHModel.read().load(path)
         assert back.model.weight_col == "w"
         assert np.abs(back.model.coefs - mw.coefs).max() < 1e-12
+
+
+def test_km_rmst_weighted_replication_identity(spark):
+    """Weighted KM/RMST (r11): integer ω ≡ row replication exactly —
+    same event times, survival values, at-risk/event masses (as
+    doubles) and RMST; grouped arm included."""
+    from sparkglm_spark.operators.survival import (
+        kaplan_meier,
+        restricted_mean_survival,
+    )
+
+    rng = np.random.default_rng(47)
+    n = 200
+    t = rng.exponential(1.0, n)
+    ev = (rng.uniform(0, 1, n) < 0.7).astype(float)
+    g = rng.integers(0, 2, n)
+    w = rng.integers(1, 4, n)
+    df = spark.createDataFrame(
+        [(float(t[i]), float(ev[i]), int(g[i]), int(w[i])) for i in range(n)],
+        "t double, e double, g int, w int",
+    )
+    rep = df.withColumn("r", F.explode(F.expr("sequence(1, w)"))).drop("r", "w")
+
+    kw = {r.time: r for r in kaplan_meier(df, "t", "e", weight_col="w").collect()}
+    kr = {r.time: r for r in kaplan_meier(rep, "t", "e").collect()}
+    assert set(kw) == set(kr) and len(kw) > 50
+    for tt in kw:
+        assert float(kw[tt].n_at_risk) == pytest.approx(
+            float(kr[tt].n_at_risk), rel=1e-12
+        )
+        assert float(kw[tt].n_events) == pytest.approx(
+            float(kr[tt].n_events), rel=1e-12
+        )
+        assert kw[tt].survival == pytest.approx(kr[tt].survival, rel=1e-10)
+
+    rw = {r.g: r for r in restricted_mean_survival(
+        df, "t", "e", tau=1.5, group_col="g", weight_col="w"
+    ).collect()}
+    rr = {r.g: r for r in restricted_mean_survival(
+        rep, "t", "e", tau=1.5, group_col="g"
+    ).collect()}
+    for gg in (0, 1):
+        assert rw[gg].rmst == pytest.approx(rr[gg].rmst, rel=1e-10), gg
+        assert float(rw[gg].n_events) == pytest.approx(
+            float(rr[gg].n_events), rel=1e-12
+        )
