@@ -5685,6 +5685,43 @@ def q_events_timeseries_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("xraw", 6).alias("x"),
         )
     )
+    # r11: per-user Croston intermittent-demand state (operators/
+    # timeseries.py::croston_forecast, α=0.5 — dyadic): demand =
+    # value·1{value ≥ 50} makes the series genuinely intermittent, and
+    # the (size, interval) SES pair updates only at demand points, so
+    # the DuckDB recursive CTE replays the same conditional fold. z/p
+    # magnitudes ~1e2/1e0 with ulp-level drift → ROUND 6 as the holt
+    # arms; an all-zero key (none at sf0.01, belt-and-braces) is
+    # filtered on BOTH sides.
+    from sparkglm_spark.operators.timeseries import croston_forecast
+
+    crin = ev.select(
+        "user_id", "ts", "event_id",
+        F.when(F.col("value") < 50, 0.0).otherwise(F.col("value")).alias("dm"),
+    )
+    cr = (
+        croston_forecast(
+            crin, "user_id", "ts", "dm", alpha=0.5, tiebreak_col="event_id"
+        )
+        .where(F.col("size").isNotNull())
+        .select(
+            F.col("user_id").cast("string").alias("k1"),
+            F.col("n_demands").cast("bigint").alias("n1"),
+            F.expr(
+                "stack(3, 'cr_z', size, 'cr_p', interval,"
+                " 'cr_fc', forecast) AS (op, xraw)"
+            ),
+        )
+        .select(
+            "op",
+            "k1",
+            F.lit(None).cast("string").alias("k2"),
+            "n1",
+            F.lit(None).cast("bigint").alias("n2"),
+            F.lit(None).cast("string").alias("v1"),
+            F.round("xraw", 6).alias("x"),
+        )
+    )
     # r9: per-user Ljung-Box whiteness (operators/timeseries.py::
     # ljung_box, lags=10). Q and max|acf| are ratios of centered
     # cross-products the SQL replays with LAG windows; drift ≲1e-12
@@ -5765,6 +5802,7 @@ def q_events_timeseries_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(hd)
         .unionByName(hd_iv)
         .unionByName(hw)
+        .unionByName(cr)
         .unionByName(lb)
         .unionByName(sd)
     )
@@ -5837,6 +5875,38 @@ WITH RECURSIVE hranked AS (
   SELECT user_id, n, lvl, trd, sse FROM hdstate WHERE rn = n
   UNION ALL
   SELECT user_id, n, value, 0.0, CAST(NULL AS DOUBLE) FROM hranked WHERE n = 1
+), crd AS (
+  -- Croston demand: zero out sub-threshold values (genuine intermittency)
+  SELECT user_id, rn, n,
+         CASE WHEN value < 50 THEN 0.0 ELSE value END AS dm
+  FROM hranked
+), crstate(user_id, rn, n, z, p, q) AS (
+  -- (size, interval) SES pair updates ONLY at demand points; q counts
+  -- zero periods since the last demand; init at the first demand with
+  -- its 1-based position — croston_forecast's exact fold at alpha=0.5
+  SELECT user_id, CAST(1 AS BIGINT), n,
+         CASE WHEN dm > 0.0 THEN dm END,
+         CASE WHEN dm > 0.0 THEN CAST(1.0 AS DOUBLE) END,
+         CASE WHEN dm > 0.0 THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END
+  FROM crd WHERE rn = 1
+  UNION ALL
+  SELECT c.user_id, c.rn + 1, c.n,
+         CASE WHEN r.dm > 0.0 THEN
+           CASE WHEN c.z IS NULL THEN r.dm
+                ELSE 0.5 * r.dm + 0.5 * c.z END
+         ELSE c.z END,
+         CASE WHEN r.dm > 0.0 THEN
+           CASE WHEN c.z IS NULL THEN CAST(c.q + 1 AS DOUBLE)
+                ELSE 0.5 * CAST(c.q + 1 AS DOUBLE) + 0.5 * c.p END
+         ELSE c.p END,
+         CASE WHEN r.dm > 0.0 THEN CAST(0 AS BIGINT) ELSE c.q + 1 END
+  FROM crstate c
+  JOIN crd r ON r.user_id = c.user_id AND r.rn = c.rn + 1
+), crfinal AS (
+  SELECT s.user_id, s.z, s.p,
+         (SELECT COUNT(*) FROM crd d
+          WHERE d.user_id = s.user_id AND d.dm > 0.0) AS nd
+  FROM crstate s WHERE s.rn = s.n AND s.z IS NOT NULL
 ), sdt AS (
   SELECT user_id, rn, n, value,
          CASE WHEN rn > 2 AND rn <= n - 2 THEN
@@ -6006,6 +6076,18 @@ UNION ALL
 SELECT 'hd_se3', CAST(user_id AS VARCHAR), NULL, n, NULL, NULL,
        ROUND(SQRT(sse / (n - 2) * 1.6689453125), 6)
 FROM hdfinal WHERE n > 2
+UNION ALL
+SELECT 'cr_z', CAST(user_id AS VARCHAR), NULL, nd, NULL, NULL,
+       ROUND(z, 6)
+FROM crfinal
+UNION ALL
+SELECT 'cr_p', CAST(user_id AS VARCHAR), NULL, nd, NULL, NULL,
+       ROUND(p, 6)
+FROM crfinal
+UNION ALL
+SELECT 'cr_fc', CAST(user_id AS VARCHAR), NULL, nd, NULL, NULL,
+       ROUND(z / p, 6)
+FROM crfinal
 UNION ALL
 SELECT 'hw_lvl', CAST(user_id AS VARCHAR), NULL, n, NULL, NULL,
        ROUND(lvl, 6)

@@ -403,6 +403,109 @@ def ewma_forecast(
     )
 
 
+def croston_forecast(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.1,
+    variant: str = "classic",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Croston's method per key — the standard forecaster for
+    INTERMITTENT demand (series that are mostly zero with occasional
+    positive demands: spare parts, long-tail SKUs, rare-event counts),
+    where SES/Holt systematically lag to near-zero between demands
+    (public convention: Croston 1972; Syntetos & Boylan 2005 for the
+    "sba" bias correction; statsmodels has no Croston — R's tsintermittent
+    / forecast::croston):
+
+        at each period with demand d > 0 (q = periods since the
+        previous demand, starting at the first demand with q = its
+        1-based position):
+            z ← α·d + (1−α)·z        (demand-SIZE smoother, z₁ = d₁)
+            p ← α·q + (1−α)·p        (inter-demand INTERVAL smoother,
+                                      p₁ = q₁)
+        per-period forecast = z/p   ("classic")
+                            = (1 − α/2)·z/p   ("sba" — Syntetos-Boylan
+                              approximately-unbiased correction)
+
+    Zero periods update NOTHING (Croston's defining property). Negative
+    demands raise upfront (one cheap aggregation — intermittent demand
+    is non-negative by definition); an all-zero key reports NULL state
+    (nothing to size). Returns one compact row per key: (n_periods,
+    n_demands, size, interval, forecast).
+
+    Same per-key-sequential applyInPandas shape as `ewma_forecast`;
+    NULL POLICY (family-wide — `_drop_null_values`): null/NaN value
+    rows are dropped before the fold (they are MISSING periods, not
+    zero-demand periods)."""
+    import numpy as np
+    import pandas as pd
+
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha!r}")
+    if variant not in ("classic", "sba"):
+        raise ValueError(f"variant must be 'classic' or 'sba', got {variant!r}")
+    df = _drop_null_values(df, F.col(value_col).cast("double"))
+    neg = df.agg(
+        F.sum((F.col(value_col).cast("double") < 0).cast("long")).alias("nn")
+    ).collect()[0]
+    if neg["nn"]:
+        raise ValueError(
+            f"{neg['nn']} negative demands — Croston's method is for "
+            "non-negative intermittent demand"
+        )
+    factor = 1.0 - alpha / 2.0 if variant == "sba" else 1.0
+    sort_cols = ["__ts"] + (["__tb"] if tiebreak_col else [])
+    base = df.select(
+        F.col(key_col),
+        F.col(ts_col).alias("__ts"),
+        F.col(value_col).cast("double").alias("__x"),
+        *([F.col(tiebreak_col).alias("__tb")] if tiebreak_col else []),
+    )
+    schema = (
+        f"{key_col} {base.schema[key_col].dataType.simpleString()}, "
+        "n_periods bigint, n_demands bigint, size double, interval double, "
+        "forecast double"
+    )
+
+    def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        x = pdf["__x"].to_numpy(np.float64)
+        n = len(x)
+        z = p = None
+        nd = 0
+        q = 0
+        for v in x:
+            q += 1
+            if v > 0.0:
+                nd += 1
+                if z is None:
+                    z, p = float(v), float(q)
+                else:
+                    z = alpha * float(v) + (1.0 - alpha) * z
+                    p = alpha * float(q) + (1.0 - alpha) * p
+                q = 0
+        return pd.DataFrame(
+            {
+                pdf.columns[0]: [pdf.iloc[0, 0]],
+                "n_periods": [n],
+                "n_demands": [nd],
+                "size": [z],
+                "interval": [p],
+                "forecast": [None if z is None else factor * z / p],
+            }
+        )
+
+    return (
+        fanout_groups(base, [key_col])
+        .groupBy(key_col)
+        .applyInPandas(per_key, schema)
+        .orderBy(key_col)
+    )
+
+
 def holt_series(
     df: DataFrame,
     key_col: str,

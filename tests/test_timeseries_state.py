@@ -1066,3 +1066,59 @@ def test_seasonal_decompose_multiplicative(spark):
 
     with pytest.raises(ValueError, match="model"):
         seasonal_decompose(df, "k", "t", "v", period=m, model="mult")
+
+
+def test_croston_forecast(spark):
+    """Croston's intermittent-demand method (r11): hand-recursion twin
+    (size/interval SES updated ONLY at demand points, interval = gap
+    since last demand, init at the first demand with its 1-based
+    position), sba = (1-alpha/2)*classic, all-zero key -> NULL state,
+    negative demand raises, guards."""
+    from sparkglm_spark.operators.timeseries import croston_forecast
+
+    alpha = 0.2
+    demands = [0, 0, 5.0, 0, 0, 0, 3.0, 4.0, 0, 2.0, 0, 0]
+    rows = [("a", i, float(v)) for i, v in enumerate(demands)]
+    rows += [("zero", i, 0.0) for i in range(6)]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    got = {r.k: r for r in croston_forecast(
+        df, "k", "t", "v", alpha=alpha
+    ).collect()}
+
+    # hand recursion
+    z = p = None
+    q = 0
+    for v in demands:
+        q += 1
+        if v > 0:
+            if z is None:
+                z, p = v, float(q)
+            else:
+                z = alpha * v + (1 - alpha) * z
+                p = alpha * q + (1 - alpha) * p
+            q = 0
+    r = got["a"]
+    assert r.size == pytest.approx(z, rel=1e-12)
+    assert r.interval == pytest.approx(p, rel=1e-12)
+    assert r.forecast == pytest.approx(z / p, rel=1e-12)
+    assert r.n_periods == 12 and r.n_demands == 4
+
+    rz = got["zero"]
+    assert rz.size is None and rz.forecast is None and rz.n_demands == 0
+
+    sba = {r.k: r for r in croston_forecast(
+        df, "k", "t", "v", alpha=alpha, variant="sba"
+    ).collect()}
+    assert sba["a"].forecast == pytest.approx(
+        (1 - alpha / 2) * z / p, rel=1e-12
+    )
+
+    with pytest.raises(ValueError, match="negative"):
+        croston_forecast(
+            df.withColumn("v", F.when(F.col("t") == 3, -1.0).otherwise(F.col("v"))),
+            "k", "t", "v",
+        )
+    with pytest.raises(ValueError, match="alpha"):
+        croston_forecast(df, "k", "t", "v", alpha=0.0)
+    with pytest.raises(ValueError, match="variant"):
+        croston_forecast(df, "k", "t", "v", variant="tsb")
