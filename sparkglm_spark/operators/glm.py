@@ -385,10 +385,12 @@ class GLM:
             )
             aic = -2.0 * ll + 2.0 * (k + 1)
         elif fam.name == "gamma":
-            # R's aic.Gamma convention: dispersion = deviance/n_obs, then
+            # R's aic.Gamma convention: n <- sum(wt), dispersion =
+            # deviance/Σω (NOT the row count — code-review r11), then
             # ll = Σ ω·log dgamma(y; shape=1/disp, scale=μ·disp);
             # lgamma(shape) is constant → the per-row part is pure SQL.
-            disp = deviance / n_obs
+            # Unweighted Σω = n, so nothing moves.
+            disp = deviance / nw
             shape = 1.0 / disp
             import math
 
@@ -600,8 +602,13 @@ def glm(
     GLM.scala:475-995 collapses to keyword args — SURVEY §2.11 M7).
     `weight_col`: per-row prior weights (`GLM.fit` — the R glm(weights=) /
     MLlib GeneralizedLinearRegression weightCol conventions)."""
-    parsed = expand_dot(parse_formula(formula), df.columns)
     extra = [c for c in (m_col, offset_col, weight_col) if c]
+    # exclude the pass-through columns from '.' expansion — 'y ~ .' with
+    # a weight/m/offset column would otherwise duplicate it as a
+    # covariate AND a pass-through (ambiguous-column crash)
+    parsed = expand_dot(
+        parse_formula(formula), [c for c in df.columns if c not in extra]
+    )
     data = df.select(parsed.target, *parsed.predictors, *extra)
     if na_action == "omit":
         data = omit_na(data)

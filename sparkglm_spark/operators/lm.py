@@ -379,11 +379,14 @@ def _encode_formula(
     """The formula front-end scaffold shared by lm / huber_lm /
     quantile_lm: parse → drop NAs → encode categoricals with GLOBAL
     levels → inject intercept. Returns (encoded, x_cols, target, levels);
-    `extra_cols` (e.g. a weight column) pass through untouched. One
-    place, so an encoding-policy change cannot silently diverge the
-    fitters."""
-    parsed = expand_dot(parse_formula(formula), df.columns)
+    `extra_cols` (e.g. a weight column) pass through untouched — and
+    are EXCLUDED from '.' expansion ('y ~ .' with a weight column must
+    not also make it a covariate). One place, so an encoding-policy
+    change cannot silently diverge the fitters."""
     extra = list(extra_cols or [])
+    parsed = expand_dot(
+        parse_formula(formula), [c for c in df.columns if c not in extra]
+    )
     data = df.select(parsed.target, *parsed.predictors, *extra)
     if na_action == "omit":
         data = omit_na(data)
@@ -626,10 +629,17 @@ def check_weight_domain(
     moment; MLlib raises likewise), Σw ≤ 0 (no statistical mass), and —
     when `sum_w2` is given — ≤ 1 effective row (Σw − Σw²/Σw ≤ 0, the
     reliability-weights std denominator)."""
+    import math
+
     if n_w < n:
         raise ValueError(
             f"weight column {weight_col!r} has {n - n_w} null values"
         )
+    if sum_w is not None and math.isnan(float(sum_w)):
+        # a single NaN weight poisons every sum while passing the
+        # null/negative checks (Spark min orders NaN last, NaN <= 0 is
+        # false) — code-review r11
+        raise ValueError(f"weight column {weight_col!r} contains NaN")
     if min_w is not None and float(min_w) < 0.0:
         raise ValueError(
             f"weight column {weight_col!r} has negative values "

@@ -1231,14 +1231,28 @@ def _km_curve(
     running sum `__ls` (nulls contribute 0, so at a death-to-zero row
     `__ls` is the PREVIOUS product's log), and the `__dead` flag.
     With `weight_col` the at-risk and event counts become ω-MASSES
-    (the weighted product-limit estimator — survey-weighted KM); the
+    (the weighted product-limit estimator — survey-weighted KM;
+    null/negative/NaN weights and Σω ≤ 0 raise via the shared guard —
+    a null would silently drop its subject from the masses); the
     unweighted path is untouched."""
     from pyspark.sql import Window
 
     ev = F.col(event_col).cast("double")
     keys = ([group_col] if group_col else []) + ["__t"]
     if weight_col:
+        from sparkglm_spark.operators.lm import check_weight_domain
+
         wtc = F.col(weight_col).cast("double")
+        wchk = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(wtc).alias("n_w"),
+            F.min(wtc).alias("minw"),
+            F.sum(wtc).alias("sw"),
+        ).collect()[0]
+        check_weight_domain(
+            weight_col, n=int(wchk["n"]), n_w=int(wchk["n_w"]),
+            min_w=wchk["minw"], sum_w=wchk["sw"],
+        )
         sel_extra = [wtc.alias("__wq"), (wtc * ev).alias("__e")]
         nt_agg = F.sum("__wq").alias("n_t")
     else:

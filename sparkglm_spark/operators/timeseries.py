@@ -771,10 +771,13 @@ def _hw_fold(x, alpha, beta, gamma, m, state=None, phi=1.0, seasonal="add"):
 
     with fitted (l + φb)·s and init s[i] = x[i]/l — the right model
     when the seasonal swing scales WITH the level (e.g. traffic whose
-    daily peak is a percentage, not a constant). CALLER contract for
-    "mul": values must be strictly positive and the init-season level
-    nonzero (the per-key operators degrade violating keys to NULL
-    state, the grouped NULL policy — checked there, not here).
+    daily peak is a percentage, not a constant). In "mul" mode the fold
+    returns **None** when the model is undefined for the key — a
+    non-positive input value, OR the level collapsing to ≤ 0
+    mid-recursion (a steeply declining series whose l + φb crosses
+    zero turns the ratios into garbage — code-review r11); callers
+    degrade a None to NULL state (the grouped NULL policy, checked
+    HERE once rather than per caller).
 
     φ=1 (the default) multiplies by 1.0 — bit-identical to the undamped
     forms; φ < 1 is the Gardner-McKenzie damped trend (same damping as
@@ -797,6 +800,8 @@ def _hw_fold(x, alpha, beta, gamma, m, state=None, phi=1.0, seasonal="add"):
 
     mul = seasonal == "mul"
     n = len(x)
+    if mul and not np.all(np.asarray(x) > 0.0):
+        return None
     if state is None:
         l = float(np.mean(x[:m]))
         b = float((np.mean(x[m : 2 * m]) - np.mean(x[:m])) / m)
@@ -819,6 +824,8 @@ def _hw_fold(x, alpha, beta, gamma, m, state=None, phi=1.0, seasonal="add"):
         if mul:
             fitted[i] = lb * season[slot]
             l_new = alpha * (float(x[t]) / season[slot]) + (1.0 - alpha) * lb
+            if not l_new > 0.0:  # collapse (incl. NaN): model undefined
+                return None
             b = beta * (l_new - l) + (1.0 - beta) * (phi * b)
             season[slot] = (
                 gamma * (float(x[t]) / l_new) + (1.0 - gamma) * season[slot]
@@ -905,11 +912,14 @@ def holt_winters_series(
         n = len(x)
         out = pdf[[c for c in pdf.columns if c != "__tb"]].copy()
         cols = {}
-        ok = n >= 2 * m and (seasonal != "mul" or bool(np.all(x > 0.0)))
-        if ok:
-            _, _, _, _, fitted, levels, trends, seasonals = _hw_fold(
-                x, alpha, beta, gamma, m, phi=phi, seasonal=seasonal
-            )
+        res = (
+            _hw_fold(x, alpha, beta, gamma, m, phi=phi, seasonal=seasonal)
+            if n >= 2 * m
+            else None  # too short; mul-undefined keys return None from
+            # the fold itself (non-positive input or level collapse)
+        )
+        if res is not None:
+            _, _, _, _, fitted, levels, trends, seasonals = res
             pad = [None] * m
             cols["level"] = pad + list(levels)
             cols["trend"] = pad + list(trends)
@@ -1036,11 +1046,14 @@ def holt_winters_forecast(
         x = pdf["__x"].to_numpy(np.float64)
         n = len(x)
         row = {pdf.columns[0]: [pdf.iloc[0, 0]], "n_events": [n]}
-        ok = n >= 2 * m and (seasonal != "mul" or bool(np.all(x > 0.0)))
-        if ok:
-            l, b, season, phase, fitted, *_ = _hw_fold(
-                x, alpha, beta, gamma, m, phi=phi, seasonal=seasonal
-            )
+        res = (
+            _hw_fold(x, alpha, beta, gamma, m, phi=phi, seasonal=seasonal)
+            if n >= 2 * m
+            else None  # mul-undefined keys (non-positive input / level
+            # collapse) return None from the fold itself
+        )
+        if res is not None:
+            l, b, season, phase, fitted, *_ = res
             row["level"], row["trend"] = [l], [b]
             row["season"] = [list(season)]
             for h in hs:

@@ -1081,3 +1081,46 @@ def test_glm_grouped_offset(spark):
     want = np.linalg.solve(Xd.T @ Xd, Xd.T @ ya)
     assert go["intercept"].estimate == pytest.approx(want[0], rel=1e-10)
     assert go["x"].estimate == pytest.approx(want[1], rel=1e-10)
+
+
+def test_glm_weighted_review_regressions(spark):
+    """Code-review r11 regressions: (1) weighted GAMMA loglik follows
+    R's aic.Gamma (dispersion = deviance/sum(w)) — the integer-weight
+    replication identity now holds for gamma's loglik too; (2) a NaN
+    weight raises instead of NaN-poisoning the fit; (3) 'y ~ .' with a
+    weight column excludes it from dot expansion."""
+    from sparkglm_spark.operators.glm import glm
+
+    rng = np.random.default_rng(53)
+    n = 200
+    x = rng.normal(0, 1, n)
+    y = rng.gamma(2.0, np.exp(0.5 + 0.4 * x) / 2.0)
+    w = rng.integers(1, 4, n)
+    df = spark.createDataFrame(
+        [(float(y[i]), float(x[i]), int(w[i])) for i in range(n)],
+        "y double, x double, w int",
+    )
+    rep = df.withColumn("r", F.explode(F.expr("sequence(1, w)"))).drop("r", "w")
+    mw = glm(df, "y ~ x", family="gamma", link="log", weight_col="w", tol=1e-12)
+    mr = glm(rep, "y ~ x", family="gamma", link="log", tol=1e-12)
+    assert np.abs(mw.coefs - mr.coefs).max() < 1e-9
+    assert mw.loglik == pytest.approx(mr.loglik, rel=1e-9)
+    assert mw.aic == pytest.approx(mr.aic, rel=1e-9)
+
+    # na_action="omit" drops NaN-weight rows (Spark's na.drop treats NaN
+    # as missing); the guard protects the "keep" path
+    with pytest.raises(ValueError, match="NaN"):
+        glm(
+            df.withColumn(
+                "w", F.when(F.col("x") > 1, float("nan")).otherwise(F.col("w"))
+            ),
+            "y ~ x", family="gamma", link="log", weight_col="w",
+            na_action="keep",
+        )
+
+    # 'y ~ .' must not duplicate the weight column as a covariate
+    m = glm(
+        df.withColumn("yy", (F.col("y") > 1).cast("double")).drop("y"),
+        "yy ~ .", family="binomial", weight_col="w",
+    )
+    assert sorted(m.xnames) == ["intercept", "x"]

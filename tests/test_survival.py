@@ -1291,3 +1291,27 @@ def test_km_rmst_weighted_replication_identity(spark):
         assert float(rw[gg].n_events) == pytest.approx(
             float(rr[gg].n_events), rel=1e-12
         )
+
+
+def test_km_weight_guards(spark):
+    """Code-review r11: KM/RMST validate weights via the shared guard —
+    a null weight would silently drop its subject from the masses."""
+    from sparkglm_spark.operators.survival import (
+        kaplan_meier,
+        restricted_mean_survival,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0, 1.0, 1.0), (2.0, 0.0, 2.0), (3.0, 1.0, 1.0)],
+        "t double, e double, w double",
+    )
+    with pytest.raises(ValueError, match="null"):
+        kaplan_meier(
+            df.withColumn("w", F.when(F.col("t") > 2, None).otherwise(F.col("w"))),
+            "t", "e", weight_col="w",
+        )
+    with pytest.raises(ValueError, match="negative"):
+        restricted_mean_survival(
+            df.withColumn("w", F.when(F.col("t") > 2, -1.0).otherwise(F.col("w"))),
+            "t", "e", tau=2.0, weight_col="w",
+        )

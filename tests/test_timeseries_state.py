@@ -1122,3 +1122,28 @@ def test_croston_forecast(spark):
         croston_forecast(df, "k", "t", "v", alpha=0.0)
     with pytest.raises(ValueError, match="variant"):
         croston_forecast(df, "k", "t", "v", variant="tsb")
+
+
+def test_hw_mul_level_collapse_nulls(spark):
+    """Code-review r11: an all-positive but steeply DECLINING series
+    drives the multiplicative level through zero mid-recursion — the
+    key must degrade to NULL state (the fold detects the collapse),
+    not emit sign-flipped garbage."""
+    from sparkglm_spark.operators.timeseries import (
+        holt_winters_forecast,
+        holt_winters_series,
+    )
+
+    x = [float(2.0 ** -i * 1000.0) for i in range(16)]  # halves each step
+    df = spark.createDataFrame(
+        [("a", i, v) for i, v in enumerate(x)], "k string, t long, v double"
+    )
+    r = holt_winters_forecast(
+        df, "k", "t", "v", 0.5, 0.3, 0.4, period=2, horizons=[1],
+        seasonal="mul",
+    ).collect()[0]
+    assert r.level is None and r.forecast_1 is None
+    sr = holt_winters_series(
+        df, "k", "t", "v", 0.5, 0.3, 0.4, period=2, seasonal="mul"
+    ).collect()
+    assert all(row.level is None for row in sr)
