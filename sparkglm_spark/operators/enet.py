@@ -1587,3 +1587,235 @@ def glm_elastic_net_path(
         "reg_param double, term string, estimate double, n_nonzero int, "
         "iterations int, deviance double, aic double, bic double",
     )
+
+
+def glm_elastic_net_grouped(
+    df: DataFrame,
+    formula: str,
+    group_cols: list[str],
+    reg_param: float,
+    elastic_net_param: float = 1.0,
+    family: str = "binomial",
+    standardize: bool = True,
+    na_action: str = "omit",
+    max_iter: int = 100,
+    tol: float = 1e-10,
+    max_sweeps: int = 1000,
+    weight_col: str | None = None,
+    offset_col: str | None = None,
+) -> DataFrame:
+    """One sparse GLM per segment — the per-campaign / per-tenant
+    feature-selection shape (L1 zeroes each segment's irrelevant
+    covariates independently). Completes the grouped-fitter family:
+    LM/GLM/Huber/quantile/Cox/AFT and the LINEAR elastic net all have
+    grouped twins; this is the penalized-GLM one.
+
+    Like `glm_grouped` (and unlike `elastic_net_grouped`'s pure-Gram
+    shape) the penalized IRLS re-weights every iteration, so each
+    group's rows materialize in its worker's Arrow batch and the numpy
+    fold replicates `glm_elastic_net`'s exact conventions: upfront
+    (reliability-weighted, when `weight_col`) sample feature stds,
+    glmnet prox-Newton with the weighted-centered CD subproblem
+    (`_cd_wls_penalized` — the SAME solver the distributed fit calls),
+    unpenalized intercept, μ-clamp for binomial. `offset_col` follows
+    the `glm_elastic_net` contract (η = Xβ + offset).
+
+    Degenerate groups — n ≤ 1, out-of-domain labels, constant labels,
+    bad weights (null/negative/NaN/Σω ≤ 0/≤ 1 effective row),
+    non-finite offsets, singular subproblems — yield NULL estimates
+    (the grouped NULL policy). `deviance` is evaluated at the RETURNED
+    β (unlike the single fit's historical exit convention — a fresh
+    surface gets the clean contract). Returns long format:
+    group_cols…, term, estimate, n_rows, n_nonzero, iterations,
+    converged, deviance."""
+    from pyspark.sql import types as T
+
+    from sparkglm_spark.operators.lm import _design
+
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    if family not in ("binomial", "poisson"):
+        raise ValueError(
+            f"glm_elastic_net_grouped supports binomial and poisson, "
+            f"got {family!r}"
+        )
+    lam = float(reg_param)
+    alpha = float(elastic_net_param)
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError("elastic_net_param must be in [0, 1]")
+    if lam < 0.0:
+        raise ValueError("reg_param must be >= 0")
+    encoded, x_cols, target = _design(
+        df, formula, group_cols, na_action=na_action,
+        weight_col=weight_col, offset_col=offset_col,
+    )
+    k = len(x_cols)
+    has_int = "intercept" in x_cols
+    i0 = x_cols.index("intercept") if has_int else None
+    feats = [i for i in range(k) if i != i0]
+    out_schema = T.StructType(
+        [df.schema[c] for c in group_cols]
+        + [
+            T.StructField("term", T.StringType()),
+            T.StructField("estimate", T.DoubleType()),
+            T.StructField("n_rows", T.LongType()),
+            T.StructField("n_nonzero", T.IntegerType()),
+            T.StructField("iterations", T.IntegerType()),
+            T.StructField("converged", T.BooleanType()),
+            T.StructField("deviance", T.DoubleType()),
+        ]
+    )
+    names = list(x_cols)
+    gcols = list(group_cols)
+    fam_name, std = family, standardize
+    wname, oname = weight_col, offset_col
+
+    def fit_group(pdf):
+        import pandas as pd
+
+        X = pdf[names].to_numpy(dtype=np.float64)
+        y = pdf[target].to_numpy(dtype=np.float64)
+        n = len(y)
+        wv = (
+            pdf[wname].to_numpy(dtype=np.float64)
+            if wname is not None
+            else np.ones(n)
+        )
+        ov = (
+            pdf[oname].to_numpy(dtype=np.float64)
+            if oname is not None
+            else np.zeros(n)
+        )
+        beta, it, conv, dev, nz = None, 0, False, None, None
+        nw = float(wv.sum())
+        sdenom = nw - float((wv * wv).sum()) / nw if nw > 0 else 0.0
+        ok = (
+            n > 1
+            and np.all(np.isfinite(X))
+            and np.all(np.isfinite(y))
+            and np.all(np.isfinite(wv))
+            and np.all(np.isfinite(ov))
+            and np.all(wv >= 0.0)
+            and nw > 0.0
+            and sdenom > 0.0
+        )
+        if ok and fam_name == "binomial":
+            ok = bool(np.all((y >= 0) & (y <= 1)))
+        if ok and fam_name == "poisson":
+            ok = bool(np.all(y >= 0))
+        if ok:
+            ybar = float((wv * y).sum()) / nw
+            if fam_name == "binomial":
+                ok = 0.0 < ybar < 1.0
+            else:
+                ok = ybar > 0.0
+        if ok:
+            Xf = X[:, feats]
+            m_f = (wv[:, None] * Xf).sum(0) / nw
+            ss_f = (wv[:, None] * Xf * Xf).sum(0)
+            sig = np.sqrt(np.maximum((ss_f - nw * m_f * m_f) / sdenom, 0.0))
+            b = np.zeros(k)
+            if has_int:
+                mu0 = (
+                    min(max(ybar, 1e-10), 1 - 1e-10)
+                    if fam_name == "binomial"
+                    else ybar
+                )
+                b[i0] = (
+                    float(np.log(mu0 / (1 - mu0)))
+                    if fam_name == "binomial"
+                    else float(np.log(mu0))
+                )
+                if oname is not None:
+                    b[i0] -= float((wv * ov).sum()) / nw
+            theta = np.zeros(len(feats))
+            try:
+                for _ in range(max_iter):
+                    eta_lin = X @ b
+                    eta = eta_lin + ov
+                    if fam_name == "binomial":
+                        mu = np.clip(1 / (1 + np.exp(-eta)), 1e-10, 1 - 1e-10)
+                        wirls = wv * mu * (1 - mu)
+                        z = eta_lin + (y - mu) / (mu * (1 - mu))
+                    else:
+                        mu = np.exp(eta)
+                        wirls = wv * mu
+                        z = eta_lin + (y - mu) / mu
+                    sw = float(wirls.sum())
+                    swz = float((wirls * z).sum())
+                    Xw = X * wirls[:, None]
+                    Gw = X.T @ Xw
+                    gz = Xw.T @ z
+                    Gf = Gw[np.ix_(feats, feats)]
+                    bf = gz[feats]
+                    if has_int:
+                        wx = Gw[i0, feats]
+                        A = Gf - np.outer(wx, wx) / sw
+                        bvec = bf - wx * (swz / sw)
+                    else:
+                        A = Gf
+                        bvec = bf
+                    theta = _cd_wls_penalized(
+                        A, bvec, nw, sig, lam, alpha, std, theta,
+                        max_sweeps, tol * 0.01,
+                    )
+                    nb = np.zeros(k)
+                    bfeat = np.where(
+                        sig > 0, theta / np.where(sig > 0, sig, 1.0), 0.0
+                    )
+                    for idx, j in enumerate(feats):
+                        nb[j] = bfeat[idx]
+                    if has_int:
+                        nb[i0] = (swz - wx @ bfeat) / sw
+                    delta = float(np.max(np.abs(nb - b)))
+                    b = nb
+                    it += 1
+                    if delta <= tol:
+                        conv = True
+                        break
+                # deviance at the RETURNED beta
+                eta = X @ b + ov
+                if fam_name == "binomial":
+                    mu = np.clip(1 / (1 + np.exp(-eta)), 1e-10, 1 - 1e-10)
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        t1 = np.where(y > 0, y * np.log(y / mu), 0.0)
+                        t2 = np.where(
+                            y < 1, (1 - y) * np.log((1 - y) / (1 - mu)), 0.0
+                        )
+                    dev = float(2.0 * (wv * (t1 + t2)).sum())
+                else:
+                    mu = np.exp(eta)
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        t1 = np.where(y > 0, y * np.log(y / mu), 0.0)
+                    dev = float(2.0 * (wv * (t1 - (y - mu))).sum())
+                if not np.all(np.isfinite(b)) or not np.isfinite(dev):
+                    b, dev = None, None
+                else:
+                    beta = b
+                    nz = _count_nonzero(names, beta)
+            except (ValueError, np.linalg.LinAlgError):
+                beta = None
+        cols: dict[str, list] = {c: [] for c in gcols}
+        cols.update(
+            term=[], estimate=[], n_rows=[], n_nonzero=[], iterations=[],
+            converged=[], deviance=[],
+        )
+        for i, name in enumerate(names):
+            for c in gcols:
+                cols[c].append(pdf[c].iloc[0])
+            cols["term"].append(name)
+            cols["estimate"].append(
+                float(beta[i]) if beta is not None else None
+            )
+            cols["n_rows"].append(n)
+            cols["n_nonzero"].append(nz)
+            cols["iterations"].append(it)
+            cols["converged"].append(bool(conv) if beta is not None else False)
+            cols["deviance"].append(dev if beta is not None else None)
+        return pd.DataFrame(cols)
+
+    from sparkglm_spark.plans.partitioning import fanout_groups
+
+    return fanout_groups(encoded, gcols).groupBy(*gcols).applyInPandas(
+        fit_group, out_schema
+    )

@@ -1309,3 +1309,120 @@ def test_cv_weight_and_empty_guards_and_dup_lams(logit_data, monkeypatch):
     assert all(len(v) == 2 for v in rows_by_lam.values())
     for (lam, f), (a, b) in rows_by_lam.items():
         assert a.deviance_val == b.deviance_val
+
+
+def test_glm_enet_grouped_matches_per_slice(spark):
+    """glm_elastic_net_grouped (r11): per-slice agreement with the
+    distributed glm_elastic_net at 1e-8 (binomial, weighted binomial,
+    poisson+offset); support sets match; a degenerate group (constant
+    label) NULLs while siblings fit; deviance is at the RETURNED beta."""
+    from sparkglm_spark.operators.enet import (
+        glm_elastic_net,
+        glm_elastic_net_grouped,
+    )
+
+    rng = np.random.default_rng(61)
+    rows = []
+    for g in ("a", "b", "c"):
+        n = 200
+        x1 = rng.normal(0, 1, n)
+        x2 = rng.normal(0, 1, n)
+        y = (rng.uniform(0, 1, n) < 1 / (1 + np.exp(0.3 - x1))).astype(float)
+        w = 0.5 + rng.random(n)
+        rows += [
+            (g, float(y[i]), float(x1[i]), float(x2[i]), float(w[i]))
+            for i in range(n)
+        ]
+    df = spark.createDataFrame(
+        rows, "g string, y double, x1 double, x2 double, w double"
+    )
+    lam = 0.03
+    out = {
+        (r.g, r.term): r
+        for r in glm_elastic_net_grouped(
+            df, "y ~ x1 + x2", ["g"], reg_param=lam, elastic_net_param=0.7,
+        ).collect()
+    }
+    outw = {
+        (r.g, r.term): r
+        for r in glm_elastic_net_grouped(
+            df, "y ~ x1 + x2", ["g"], reg_param=lam, elastic_net_param=0.7,
+            weight_col="w",
+        ).collect()
+    }
+    for g in ("a", "b", "c"):
+        solo = glm_elastic_net(
+            df.where(F.col("g") == g), "y ~ x1 + x2", reg_param=lam,
+            elastic_net_param=0.7,
+        )
+        solow = glm_elastic_net(
+            df.where(F.col("g") == g), "y ~ x1 + x2", reg_param=lam,
+            elastic_net_param=0.7, weight_col="w",
+        )
+        for i, t in enumerate(["intercept", "x1", "x2"]):
+            assert out[(g, t)].estimate == pytest.approx(
+                float(solo.coefs[i]), abs=1e-8
+            ), (g, t)
+            assert outw[(g, t)].estimate == pytest.approx(
+                float(solow.coefs[i]), abs=1e-8
+            ), (g, t)
+        assert out[(g, "x1")].n_nonzero == solo.n_nonzero
+        # deviance at the returned beta: recompute by hand
+        pdf = df.where(F.col("g") == g).toPandas()
+        Xg = np.column_stack(
+            [np.ones(len(pdf)), pdf["x1"].to_numpy(), pdf["x2"].to_numpy()]
+        )
+        mu = np.clip(
+            1 / (1 + np.exp(-(Xg @ solo.coefs))), 1e-10, 1 - 1e-10
+        )
+        yv = pdf["y"].to_numpy()
+        devh = 2.0 * float(
+            np.sum(-yv * np.log(mu) - (1 - yv) * np.log1p(-mu))
+        )
+        assert out[(g, "x1")].deviance == pytest.approx(devh, rel=1e-6)
+
+    # poisson + offset slice parity
+    rowsp = []
+    for g in ("a", "b"):
+        n = 150
+        x = rng.normal(0, 1, n)
+        expo = rng.uniform(0.5, 2.0, n)
+        yv = rng.poisson(expo * np.exp(0.3 + 0.5 * x)).astype(float)
+        rowsp += [
+            (g, float(yv[i]), float(x[i]), float(np.log(expo[i])))
+            for i in range(n)
+        ]
+    dfp = spark.createDataFrame(rowsp, "g string, y double, x double, o double")
+    outp = {
+        (r.g, r.term): r
+        for r in glm_elastic_net_grouped(
+            dfp, "y ~ x", ["g"], reg_param=0.02, family="poisson",
+            offset_col="o",
+        ).collect()
+    }
+    for g in ("a", "b"):
+        solo = glm_elastic_net(
+            dfp.where(F.col("g") == g), "y ~ x", reg_param=0.02,
+            family="poisson", offset_col="o",
+        )
+        assert outp[(g, "x")].estimate == pytest.approx(
+            float(solo.coefs[1]), abs=1e-8
+        ), g
+
+    # constant-label group -> NULL, siblings unchanged
+    bad = df.withColumn(
+        "y", F.when(F.col("g") == "b", 1.0).otherwise(F.col("y"))
+    )
+    outb = {
+        (r.g, r.term): r
+        for r in glm_elastic_net_grouped(
+            bad, "y ~ x1 + x2", ["g"], reg_param=lam
+        ).collect()
+    }
+    assert outb[("b", "x1")].estimate is None
+    assert outb[("a", "x1")].estimate is not None
+
+    with pytest.raises(ValueError, match="binomial and poisson"):
+        glm_elastic_net_grouped(df, "y ~ x1", ["g"], 0.1, family="gamma")
+    with pytest.raises(ValueError, match="group_cols"):
+        glm_elastic_net_grouped(df, "y ~ x1", [], 0.1)
