@@ -506,6 +506,99 @@ def croston_forecast(
     )
 
 
+def tsb_forecast(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.1,
+    beta: float = 0.1,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Teunter-Syntetos-Babai (TSB, 2011) per key — the
+    OBSOLESCENCE-AWARE intermittent-demand forecaster. Croston's
+    interval smoother only updates at demand points, so its forecast
+    never decays during a demand pause (a discontinued SKU forecasts
+    its last rate forever); TSB smooths the demand PROBABILITY every
+    period instead:
+
+        every period:       p ← β·1{d > 0} + (1−β)·p
+        at demand periods:  z ← α·d + (1−α)·z
+        per-period forecast = p·z
+
+    Init convention (documented — R tsintermittent's `tsb` initializes
+    similarly from the first demand): at the FIRST demand with q = its
+    1-based position, z₁ = d₁ and p₁ = 1/q₁ (the reciprocal of the
+    observed first interval); the every-period p-recursion runs from
+    the NEXT period on. Same contracts as `croston_forecast`
+    otherwise: negative demands raise, all-zero keys report NULL
+    state, the family null policy drops null/NaN periods. Returns one
+    row per key: (n_periods, n_demands, size, probability, forecast)."""
+    import numpy as np
+    import pandas as pd
+
+    for nm, v in (("alpha", alpha), ("beta", beta)):
+        if not 0.0 < v < 1.0:
+            raise ValueError(f"{nm} must be in (0, 1), got {v!r}")
+    df = _drop_null_values(df, F.col(value_col).cast("double"))
+    neg = df.agg(
+        F.sum((F.col(value_col).cast("double") < 0).cast("long")).alias("nn")
+    ).collect()[0]
+    if neg["nn"]:
+        raise ValueError(
+            f"{neg['nn']} negative demands — TSB is for non-negative "
+            "intermittent demand"
+        )
+    sort_cols = ["__ts"] + (["__tb"] if tiebreak_col else [])
+    base = df.select(
+        F.col(key_col),
+        F.col(ts_col).alias("__ts"),
+        F.col(value_col).cast("double").alias("__x"),
+        *([F.col(tiebreak_col).alias("__tb")] if tiebreak_col else []),
+    )
+    schema = (
+        f"{key_col} {base.schema[key_col].dataType.simpleString()}, "
+        "n_periods bigint, n_demands bigint, size double, "
+        "probability double, forecast double"
+    )
+
+    def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        x = pdf["__x"].to_numpy(np.float64)
+        n = len(x)
+        z = p = None
+        nd = 0
+        q = 0
+        for v in x:
+            if z is None:
+                q += 1
+                if v > 0.0:
+                    nd += 1
+                    z, p = float(v), 1.0 / float(q)
+            else:
+                p = beta * (1.0 if v > 0.0 else 0.0) + (1.0 - beta) * p
+                if v > 0.0:
+                    nd += 1
+                    z = alpha * float(v) + (1.0 - alpha) * z
+        return pd.DataFrame(
+            {
+                pdf.columns[0]: [pdf.iloc[0, 0]],
+                "n_periods": [n],
+                "n_demands": [nd],
+                "size": [z],
+                "probability": [p],
+                "forecast": [None if z is None else p * z],
+            }
+        )
+
+    return (
+        fanout_groups(base, [key_col])
+        .groupBy(key_col)
+        .applyInPandas(per_key, schema)
+        .orderBy(key_col)
+    )
+
+
 def holt_series(
     df: DataFrame,
     key_col: str,

@@ -1147,3 +1147,58 @@ def test_hw_mul_level_collapse_nulls(spark):
         df, "k", "t", "v", 0.5, 0.3, 0.4, period=2, seasonal="mul"
     ).collect()
     assert all(row.level is None for row in sr)
+
+
+def test_tsb_forecast(spark):
+    """TSB (r11): hand-recursion twin (probability smoothed EVERY
+    period, size at demands only, init z=d1 p=1/q1 at the first
+    demand); the obsolescence property — trailing zeros DECAY the
+    forecast while Croston's stays frozen; all-zero NULL; guards."""
+    from sparkglm_spark.operators.timeseries import (
+        croston_forecast,
+        tsb_forecast,
+    )
+
+    a, b = 0.2, 0.15
+    demands = [0, 0, 5.0, 0, 3.0, 4.0, 0, 2.0] + [0.0] * 10  # then obsolete
+    df = spark.createDataFrame(
+        [("k", i, float(v)) for i, v in enumerate(demands)],
+        "k string, t long, v double",
+    )
+    r = tsb_forecast(df, "k", "t", "v", alpha=a, beta=b).collect()[0]
+
+    z = p = None
+    q = 0
+    for v in demands:
+        if z is None:
+            q += 1
+            if v > 0:
+                z, p = v, 1.0 / q
+        else:
+            p = b * (1.0 if v > 0 else 0.0) + (1 - b) * p
+            if v > 0:
+                z = a * v + (1 - a) * z
+    assert r.size == pytest.approx(z, rel=1e-12)
+    assert r.probability == pytest.approx(p, rel=1e-12)
+    assert r.forecast == pytest.approx(p * z, rel=1e-12)
+    assert r.n_demands == 4 and r.n_periods == 18
+
+    # obsolescence: with the 10 trailing zeros TSB's forecast decayed
+    # below Croston's frozen one (same data)
+    cr = croston_forecast(df, "k", "t", "v", alpha=a).collect()[0]
+    assert r.forecast < 0.5 * cr.forecast
+
+    # all-zero key
+    z0 = spark.createDataFrame(
+        [("z", i, 0.0) for i in range(5)], "k string, t long, v double"
+    )
+    rz = tsb_forecast(z0, "k", "t", "v").collect()[0]
+    assert rz.size is None and rz.forecast is None
+
+    with pytest.raises(ValueError, match="negative"):
+        tsb_forecast(
+            df.withColumn("v", F.when(F.col("t") == 2, -1.0).otherwise(F.col("v"))),
+            "k", "t", "v",
+        )
+    with pytest.raises(ValueError, match="beta"):
+        tsb_forecast(df, "k", "t", "v", beta=1.0)
