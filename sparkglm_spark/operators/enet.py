@@ -717,6 +717,37 @@ def _cd_wls_penalized(
     return theta
 
 
+def _penalized_irls_update(
+    Gw, gz, sw, swz, k, feats, i0, sig, nw, lam, alpha, standardize,
+    theta, max_sweeps, cd_tol,
+):
+    """ONE prox-Newton quadratic-subproblem solve from the zw-Gram
+    pieces: weighted centering against the free intercept, the
+    `_cd_wls_penalized` sweep, σ-unscaling, intercept back-solve.
+    Shared by `glm_elastic_net`, `_glm_enet_pathwise` and
+    `glm_elastic_net_grouped` (code-review r11: the block had drifted
+    into three copies). Returns (new_beta, theta)."""
+    Gf = Gw[np.ix_(feats, feats)]
+    bf = gz[feats]
+    if i0 is not None:
+        wx = Gw[i0, feats]  # Σ w·xⱼ
+        A = Gf - np.outer(wx, wx) / sw
+        bvec = bf - wx * (swz / sw)
+    else:
+        A = Gf
+        bvec = bf
+    theta = _cd_wls_penalized(
+        A, bvec, nw, sig, lam, alpha, standardize, theta, max_sweeps, cd_tol
+    )
+    new_beta = np.zeros(k)
+    bfeat = np.where(sig > 0, theta / np.where(sig > 0, sig, 1.0), 0.0)
+    for idx, j in enumerate(feats):
+        new_beta[j] = bfeat[idx]
+    if i0 is not None:
+        new_beta[i0] = (swz - wx @ bfeat) / sw
+    return new_beta, theta
+
+
 @dataclass
 class GLMElasticNet:
     """Fitted L1/L2-penalized GLM (`glm_elastic_net`). Scoring mirrors
@@ -1002,26 +1033,10 @@ def glm_elastic_net(
             gz = np.array([float(r[f"xz_{i}"]) for i in range(k)])
             sw = float(r["sw"])
             swz = float(r["swz"])
-            Gf = Gw[np.ix_(feats, feats)]
-            bf = gz[feats]
-            if has_int:
-                # weighted centering against the free intercept
-                wx = Gw[i0, feats]  # Σ w·xⱼ
-                A = Gf - np.outer(wx, wx) / sw
-                bvec = bf - wx * (swz / sw)
-            else:
-                A = Gf
-                bvec = bf
-            theta = _cd_wls_penalized(
-                A, bvec, nw, sig, lam, alpha, standardize, theta,
-                max_sweeps, tol * 0.01,
+            new_beta, theta = _penalized_irls_update(
+                Gw, gz, sw, swz, k, feats, i0, sig, nw, lam, alpha,
+                standardize, theta, max_sweeps, tol * 0.01,
             )
-            new_beta = np.zeros(k)
-            bfeat = np.where(sig > 0, theta / np.where(sig > 0, sig, 1.0), 0.0)
-            for idx, j in enumerate(feats):
-                new_beta[j] = bfeat[idx]
-            if has_int:
-                new_beta[i0] = (swz - wx @ bfeat) / sw
             delta = float(np.max(np.abs(new_beta - beta))) if k else 0.0
             beta = new_beta
             n_iter += 1
@@ -1368,26 +1383,11 @@ def _glm_enet_pathwise(
                             gz[i] += float(r[f"xz{si}_{i}"])
                         sw += float(r[f"sw{si}"])
                         swz += float(r[f"swz{si}"])
-                    Gf = Gw[np.ix_(feats, feats)]
-                    bf = gz[feats]
-                    if has_int:
-                        wx = Gw[i0, feats]
-                        A = Gf - np.outer(wx, wx) / sw
-                        bvec = bf - wx * (swz / sw)
-                    else:
-                        A = Gf
-                        bvec = bf
-                    s["theta"] = _cd_wls_penalized(
-                        A, bvec, s["nw_t"], s["sig"], lam, alpha,
-                        standardize, s["theta"], max_sweeps, tol * 0.01,
+                    new_beta, s["theta"] = _penalized_irls_update(
+                        Gw, gz, sw, swz, k, feats, i0, s["sig"], s["nw_t"],
+                        lam, alpha, standardize, s["theta"], max_sweeps,
+                        tol * 0.01,
                     )
-                    new_beta = np.zeros(k)
-                    sg = s["sig"]
-                    bfeat = np.where(sg > 0, s["theta"] / np.where(sg > 0, sg, 1.0), 0.0)
-                    for idx, j2 in enumerate(feats):
-                        new_beta[j2] = bfeat[idx]
-                    if has_int:
-                        new_beta[i0] = (swz - wx @ bfeat) / sw
                     delta = float(np.max(np.abs(new_beta - s["beta"])))
                     s["beta"] = new_beta
                     s["iters"] += 1
@@ -1746,27 +1746,10 @@ def glm_elastic_net_grouped(
                     Xw = X * wirls[:, None]
                     Gw = X.T @ Xw
                     gz = Xw.T @ z
-                    Gf = Gw[np.ix_(feats, feats)]
-                    bf = gz[feats]
-                    if has_int:
-                        wx = Gw[i0, feats]
-                        A = Gf - np.outer(wx, wx) / sw
-                        bvec = bf - wx * (swz / sw)
-                    else:
-                        A = Gf
-                        bvec = bf
-                    theta = _cd_wls_penalized(
-                        A, bvec, nw, sig, lam, alpha, std, theta,
-                        max_sweeps, tol * 0.01,
+                    nb, theta = _penalized_irls_update(
+                        Gw, gz, sw, swz, k, feats, i0, sig, nw, lam,
+                        alpha, std, theta, max_sweeps, tol * 0.01,
                     )
-                    nb = np.zeros(k)
-                    bfeat = np.where(
-                        sig > 0, theta / np.where(sig > 0, sig, 1.0), 0.0
-                    )
-                    for idx, j in enumerate(feats):
-                        nb[j] = bfeat[idx]
-                    if has_int:
-                        nb[i0] = (swz - wx @ bfeat) / sw
                     delta = float(np.max(np.abs(nb - b)))
                     b = nb
                     it += 1

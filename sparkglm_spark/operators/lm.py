@@ -462,10 +462,14 @@ def _design(
     columns only, expand categoricals with GLOBAL levels, inject the
     intercept. Returns (encoded_df, x_cols, target) with `keep_cols`
     passed through untouched; `weight_col`/`offset_col` ride through as
-    double-cast columns."""
+    double-cast columns and — like keep_cols — are EXCLUDED from '.'
+    expansion ('y ~ .' with a weight column must not duplicate it as a
+    covariate; code-review r11, the `_encode_formula` fix's grouped
+    twin)."""
+    skip = set(keep_cols) | {c for c in (weight_col, offset_col) if c}
     parsed = expand_dot(
         parse_formula(formula),
-        [c for c in df.columns if c not in keep_cols],
+        [c for c in df.columns if c not in skip],
     )
     sel = [*keep_cols, parsed.target, *parsed.predictors]
     for c in (weight_col, offset_col):

@@ -403,6 +403,32 @@ def ewma_forecast(
     )
 
 
+
+def _intermittent_base(df, key_col, ts_col, value_col, tiebreak_col, what):
+    """Shared scaffold of `croston_forecast`/`tsb_forecast`: family null
+    policy, the eager non-negative-demand guard (intermittent demand is
+    non-negative by definition), the ordered per-key base frame. Returns
+    (base, sort_cols, key_type) — the folds differ, the contract does
+    not (code-review r11: the two copies must not drift)."""
+    df = _drop_null_values(df, F.col(value_col).cast("double"))
+    neg = df.agg(
+        F.sum((F.col(value_col).cast("double") < 0).cast("long")).alias("nn")
+    ).collect()[0]
+    if neg["nn"]:
+        raise ValueError(
+            f"{neg['nn']} negative demands — {what} is for non-negative "
+            "intermittent demand"
+        )
+    sort_cols = ["__ts"] + (["__tb"] if tiebreak_col else [])
+    base = df.select(
+        F.col(key_col),
+        F.col(ts_col).alias("__ts"),
+        F.col(value_col).cast("double").alias("__x"),
+        *([F.col(tiebreak_col).alias("__tb")] if tiebreak_col else []),
+    )
+    return base, sort_cols, base.schema[key_col].dataType.simpleString()
+
+
 def croston_forecast(
     df: DataFrame,
     key_col: str,
@@ -447,25 +473,12 @@ def croston_forecast(
         raise ValueError(f"alpha must be in (0, 1), got {alpha!r}")
     if variant not in ("classic", "sba"):
         raise ValueError(f"variant must be 'classic' or 'sba', got {variant!r}")
-    df = _drop_null_values(df, F.col(value_col).cast("double"))
-    neg = df.agg(
-        F.sum((F.col(value_col).cast("double") < 0).cast("long")).alias("nn")
-    ).collect()[0]
-    if neg["nn"]:
-        raise ValueError(
-            f"{neg['nn']} negative demands — Croston's method is for "
-            "non-negative intermittent demand"
-        )
-    factor = 1.0 - alpha / 2.0 if variant == "sba" else 1.0
-    sort_cols = ["__ts"] + (["__tb"] if tiebreak_col else [])
-    base = df.select(
-        F.col(key_col),
-        F.col(ts_col).alias("__ts"),
-        F.col(value_col).cast("double").alias("__x"),
-        *([F.col(tiebreak_col).alias("__tb")] if tiebreak_col else []),
+    base, sort_cols, key_t = _intermittent_base(
+        df, key_col, ts_col, value_col, tiebreak_col, "Croston's method"
     )
+    factor = 1.0 - alpha / 2.0 if variant == "sba" else 1.0
     schema = (
-        f"{key_col} {base.schema[key_col].dataType.simpleString()}, "
+        f"{key_col} {key_t}, "
         "n_periods bigint, n_demands bigint, size double, interval double, "
         "forecast double"
     )
@@ -540,24 +553,11 @@ def tsb_forecast(
     for nm, v in (("alpha", alpha), ("beta", beta)):
         if not 0.0 < v < 1.0:
             raise ValueError(f"{nm} must be in (0, 1), got {v!r}")
-    df = _drop_null_values(df, F.col(value_col).cast("double"))
-    neg = df.agg(
-        F.sum((F.col(value_col).cast("double") < 0).cast("long")).alias("nn")
-    ).collect()[0]
-    if neg["nn"]:
-        raise ValueError(
-            f"{neg['nn']} negative demands — TSB is for non-negative "
-            "intermittent demand"
-        )
-    sort_cols = ["__ts"] + (["__tb"] if tiebreak_col else [])
-    base = df.select(
-        F.col(key_col),
-        F.col(ts_col).alias("__ts"),
-        F.col(value_col).cast("double").alias("__x"),
-        *([F.col(tiebreak_col).alias("__tb")] if tiebreak_col else []),
+    base, sort_cols, key_t = _intermittent_base(
+        df, key_col, ts_col, value_col, tiebreak_col, "TSB"
     )
     schema = (
-        f"{key_col} {base.schema[key_col].dataType.simpleString()}, "
+        f"{key_col} {key_t}, "
         "n_periods bigint, n_demands bigint, size double, "
         "probability double, forecast double"
     )

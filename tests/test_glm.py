@@ -1124,3 +1124,21 @@ def test_glm_weighted_review_regressions(spark):
         "yy ~ .", family="binomial", weight_col="w",
     )
     assert sorted(m.xnames) == ["intercept", "x"]
+
+
+def test_grouped_dot_expansion_excludes_passthrough(spark):
+    """Code-review r11 #3: _design excludes weight/offset pass-through
+    columns from '.' expansion — 'y ~ .' with weight_col in a GROUPED
+    fitter must not duplicate the column."""
+    from sparkglm_spark.operators.glm import glm_grouped
+
+    rng = np.random.default_rng(67)
+    rows = [
+        ("a" if i % 2 else "b",
+         float(rng.uniform() < 0.5), float(rng.normal()), 1.0 + i % 2)
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "g string, y double, x double, w double")
+    out = glm_grouped(df, "y ~ .", ["g"], family="binomial", weight_col="w")
+    terms = sorted({r.term for r in out.collect()})
+    assert terms == ["intercept", "x"]
