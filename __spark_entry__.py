@@ -5722,6 +5722,39 @@ def q_events_timeseries_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("xraw", 6).alias("x"),
         )
     )
+    # r12: per-user TSB obsolescence-aware state (operators/
+    # timeseries.py::tsb_forecast, α=β=0.5 — dyadic) on the SAME
+    # intermittent demand column as the Croston arm. Unlike Croston, the
+    # probability smoother p updates EVERY period after the first
+    # demand, so the DuckDB recursive CTE replays an unconditional
+    # p-step with a conditional z-step. Same ROUND 6 / all-zero-key
+    # filter conventions as the cr_* arms.
+    from sparkglm_spark.operators.timeseries import tsb_forecast
+
+    tsb = (
+        tsb_forecast(
+            crin, "user_id", "ts", "dm", alpha=0.5, beta=0.5,
+            tiebreak_col="event_id",
+        )
+        .where(F.col("size").isNotNull())
+        .select(
+            F.col("user_id").cast("string").alias("k1"),
+            F.col("n_demands").cast("bigint").alias("n1"),
+            F.expr(
+                "stack(3, 'tsb_z', size, 'tsb_p', probability,"
+                " 'tsb_fc', forecast) AS (op, xraw)"
+            ),
+        )
+        .select(
+            "op",
+            "k1",
+            F.lit(None).cast("string").alias("k2"),
+            "n1",
+            F.lit(None).cast("bigint").alias("n2"),
+            F.lit(None).cast("string").alias("v1"),
+            F.round("xraw", 6).alias("x"),
+        )
+    )
     # r9: per-user Ljung-Box whiteness (operators/timeseries.py::
     # ljung_box, lags=10). Q and max|acf| are ratios of centered
     # cross-products the SQL replays with LAG windows; drift ≲1e-12
@@ -5803,6 +5836,7 @@ def q_events_timeseries_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(hd_iv)
         .unionByName(hw)
         .unionByName(cr)
+        .unionByName(tsb)
         .unionByName(lb)
         .unionByName(sd)
     )
@@ -5907,6 +5941,36 @@ WITH RECURSIVE hranked AS (
          (SELECT COUNT(*) FROM crd d
           WHERE d.user_id = s.user_id AND d.dm > 0.0) AS nd
   FROM crstate s WHERE s.rn = s.n AND s.z IS NOT NULL
+), tsbstate(user_id, rn, n, z, p, q) AS (
+  -- TSB (Teunter-Syntetos-Babai): before the first demand q counts
+  -- periods; at the first demand z = d, p = 1/q; from the NEXT period
+  -- on p smooths the demand indicator EVERY period while z updates
+  -- only at demands — tsb_forecast's exact fold at alpha = beta = 0.5
+  SELECT user_id, CAST(1 AS BIGINT), n,
+         CASE WHEN dm > 0.0 THEN dm END,
+         CASE WHEN dm > 0.0 THEN CAST(1.0 AS DOUBLE) END,
+         CASE WHEN dm > 0.0 THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END
+  FROM crd WHERE rn = 1
+  UNION ALL
+  SELECT c.user_id, c.rn + 1, c.n,
+         CASE WHEN c.z IS NULL THEN
+                CASE WHEN r.dm > 0.0 THEN r.dm END
+              WHEN r.dm > 0.0 THEN 0.5 * r.dm + 0.5 * c.z
+              ELSE c.z END,
+         CASE WHEN c.z IS NULL THEN
+                CASE WHEN r.dm > 0.0
+                     THEN 1.0 / CAST(c.q + 1 AS DOUBLE) END
+              ELSE 0.5 * (CASE WHEN r.dm > 0.0 THEN 1.0 ELSE 0.0 END)
+                   + 0.5 * c.p END,
+         CASE WHEN c.z IS NULL AND r.dm <= 0.0 THEN c.q + 1
+              ELSE CAST(0 AS BIGINT) END
+  FROM tsbstate c
+  JOIN crd r ON r.user_id = c.user_id AND r.rn = c.rn + 1
+), tsbfinal AS (
+  SELECT s.user_id, s.z, s.p,
+         (SELECT COUNT(*) FROM crd d
+          WHERE d.user_id = s.user_id AND d.dm > 0.0) AS nd
+  FROM tsbstate s WHERE s.rn = s.n AND s.z IS NOT NULL
 ), sdt AS (
   SELECT user_id, rn, n, value,
          CASE WHEN rn > 2 AND rn <= n - 2 THEN
@@ -6088,6 +6152,18 @@ UNION ALL
 SELECT 'cr_fc', CAST(user_id AS VARCHAR), NULL, nd, NULL, NULL,
        ROUND(z / p, 6)
 FROM crfinal
+UNION ALL
+SELECT 'tsb_z', CAST(user_id AS VARCHAR), NULL, nd, NULL, NULL,
+       ROUND(z, 6)
+FROM tsbfinal
+UNION ALL
+SELECT 'tsb_p', CAST(user_id AS VARCHAR), NULL, nd, NULL, NULL,
+       ROUND(p, 6)
+FROM tsbfinal
+UNION ALL
+SELECT 'tsb_fc', CAST(user_id AS VARCHAR), NULL, nd, NULL, NULL,
+       ROUND(p * z, 6)
+FROM tsbfinal
 UNION ALL
 SELECT 'hw_lvl', CAST(user_id AS VARCHAR), NULL, n, NULL, NULL,
        ROUND(lvl, 6)
