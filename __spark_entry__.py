@@ -4949,6 +4949,23 @@ def q_glm_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_iterations=_GLM_ITERS,
     )
     res = res.unionByName(arm(qb, "qb_"))
+    # r12: grouped sparse GLM (operators/enet.py::glm_elastic_net_grouped)
+    # — the same logistic design at λ=0.02 α=0.5, exactly 2 penalized-IRLS
+    # solves per group. The SQL replays per group: moments → σ/logit init
+    # → two [IRLS agg → single-covariate soft-threshold → intercept
+    # back-out] solves → deviance at the returned β. Exact at p=1 (ρ is
+    # θ-independent — the enetcv-unroll argument applied per group).
+    from sparkglm_spark.operators.enet import glm_elastic_net_grouped
+
+    en = glm_elastic_net_grouped(
+        od, "is_f ~ p100k", ["o_orderpriority"], reg_param=0.02,
+        elastic_net_param=0.5, exact_iterations=2,
+    )
+    # + 0.0 normalizes IEEE −0.0 (the soft threshold emits sign(ρ)·0.0
+    # for a zeroed coefficient) to +0.0 — the driver hashes '-0.0' and
+    # '0.0' differently; the oracle selects add the same + 0.0
+    en = en.withColumn("estimate", F.col("estimate") + F.lit(0.0))
+    res = res.unionByName(arm(en, "en_"))
     return res.orderBy("o_orderpriority", "term")
 
 
@@ -5083,6 +5100,62 @@ def _sql_glm_per_segment(iters: int = _GLM_ITERS) -> str:
     selects += [
         "SELECT g, 'gs_intercept', ROUND(b0, 6), ROUND(dev, 3), 1, n_rows FROM sgsd",
         "SELECT g, 'gs_xx', ROUND(b1, 6), ROUND(dev, 3), 1, n_rows FROM sgsd",
+    ]
+    # r12: grouped sparse GLM — glm_elastic_net_grouped(λ=0.02, α=0.5,
+    # exact_iterations=2) per group. p = 1 makes the CD subproblem a
+    # closed-form soft-threshold: θ = S(ρ, αλ)/(Ã/n + (1−α)λ) with the
+    # weighted-CENTERED pieces from the same per-group IRLS aggregation,
+    # b1 = θ/σ, b0 backed out against the free intercept. σ is the
+    # upfront per-group sample std (n−1), init b0 = logit(clamped ȳ).
+    ctes.append(
+        "enm AS (SELECT g, CAST(COUNT(*) AS DOUBLE) AS n, SUM(y) AS sy,"
+        " SUM(x) AS sx, SUM(x*x) AS sxx FROM segbase GROUP BY g)"
+    )
+    ctes.append(
+        "ens0 AS (SELECT g, n,"
+        " SQRT(GREATEST((sxx - n*(sx/n)*(sx/n)) / (n - 1.0), 0.0)) AS sg,"
+        " ln(LEAST(GREATEST(sy/n, 1e-10), 1.0 - 1e-10)"
+        " / (1.0 - LEAST(GREATEST(sy/n, 1e-10), 1.0 - 1e-10))) AS b0,"
+        " 0.0 AS b1 FROM enm)"
+    )
+    for i in (1, 2):
+        prev = f"ens{i - 1}"
+        ctes.append(
+            f"enw{i} AS (SELECT s.g, s.x,"
+            f" mu*(1.0-mu) AS w, eta + (s.y - mu)/(mu*(1.0-mu)) AS z FROM"
+            f" (SELECT s.g, s.y, s.x, p.b0 + p.b1*s.x AS eta,"
+            f" least(greatest(1.0/(1.0 + exp(-(p.b0 + p.b1*s.x))), 1e-10),"
+            f" 1.0 - 1e-10) AS mu"
+            f" FROM segbase s JOIN {prev} p ON s.g = p.g) s)"
+        )
+        ctes.append(
+            f"ena{i} AS (SELECT q.g, p.n AS n, p.sg AS sg, SUM(w) AS sw,"
+            f" SUM(w*x) AS swx, SUM(w*x*x) AS swxx, SUM(w*z) AS swz,"
+            f" SUM(w*x*z) AS swxz FROM enw{i} q"
+            f" JOIN {prev} p ON q.g = p.g GROUP BY q.g, p.n, p.sg)"
+        )
+        ctes.append(
+            f"ens{i} AS (SELECT g, n, sg, (swz - swx*b1n)/sw AS b0,"
+            f" b1n AS b1 FROM (SELECT g, n, sg, sw, swx, swz,"
+            f" CASE WHEN sg > 0 THEN"
+            f" SIGN(((swxz - swx*(swz/sw))/sg)/n)"
+            f" * GREATEST(ABS(((swxz - swx*(swz/sw))/sg)/n) - 0.5*0.02, 0.0)"
+            f" / (((swxx - swx*swx/sw)/(sg*sg))/n + 0.5*0.02)"
+            f" / sg ELSE 0.0 END AS b1n FROM ena{i}) s)"
+        )
+    ctes.append(
+        "endv AS (SELECT r.g, r.b0, r.b1, COUNT(*) AS n_rows,"
+        " 2.0*SUM(CASE WHEN y > 0 THEN y*ln(y/mu) ELSE 0.0 END"
+        " + CASE WHEN y < 1 THEN (1.0-y)*ln((1.0-y)/(1.0-mu)) ELSE 0.0 END)"
+        " AS dev FROM"
+        " (SELECT s.g, s.y, p.b0, p.b1,"
+        " least(greatest(1.0/(1.0+exp(-(p.b0 + p.b1*s.x))), 1e-10),"
+        " 1.0-1e-10) AS mu"
+        " FROM segbase s JOIN ens2 p ON s.g = p.g) r GROUP BY r.g, r.b0, r.b1)"
+    )
+    selects += [
+        "SELECT g, 'en_intercept', ROUND(b0 + 0.0, 6), ROUND(dev, 3), 2, n_rows FROM endv",
+        "SELECT g, 'en_p100k', ROUND(b1 + 0.0, 6), ROUND(dev, 3), 2, n_rows FROM endv",
     ]
     return (
         "WITH " + ",\n".join(ctes) + "\n"

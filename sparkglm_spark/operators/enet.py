@@ -1603,6 +1603,7 @@ def glm_elastic_net_grouped(
     max_sweeps: int = 1000,
     weight_col: str | None = None,
     offset_col: str | None = None,
+    exact_iterations: int | None = None,
 ) -> DataFrame:
     """One sparse GLM per segment — the per-campaign / per-tenant
     feature-selection shape (L1 zeroes each segment's irrelevant
@@ -1625,7 +1626,11 @@ def glm_elastic_net_grouped(
     non-finite offsets, singular subproblems — yield NULL estimates
     (the grouped NULL policy). `deviance` is evaluated at the RETURNED
     β (unlike the single fit's historical exit convention — a fresh
-    surface gets the clean contract). Returns long format:
+    surface gets the clean contract; this holds under
+    `exact_iterations` too — the pinned SQL evaluates deviance at the
+    N-th β). `exact_iterations=N` runs exactly N penalized-IRLS solves
+    per group with no convergence exit (the oracle-pin hook, same
+    contract as `glm_elastic_net`). Returns long format:
     group_cols…, term, estimate, n_rows, n_nonzero, iterations,
     converged, deviance."""
     from pyspark.sql import types as T
@@ -1645,6 +1650,8 @@ def glm_elastic_net_grouped(
         raise ValueError("elastic_net_param must be in [0, 1]")
     if lam < 0.0:
         raise ValueError("reg_param must be >= 0")
+    if exact_iterations is not None and exact_iterations < 1:
+        raise ValueError("exact_iterations must be >= 1")
     encoded, x_cols, target = _design(
         df, formula, group_cols, na_action=na_action,
         weight_col=weight_col, offset_col=offset_col,
@@ -1669,6 +1676,7 @@ def glm_elastic_net_grouped(
     gcols = list(group_cols)
     fam_name, std = family, standardize
     wname, oname = weight_col, offset_col
+    exact_n = exact_iterations
 
     def fit_group(pdf):
         import pandas as pd
@@ -1729,8 +1737,9 @@ def glm_elastic_net_grouped(
                 if oname is not None:
                     b[i0] -= float((wv * ov).sum()) / nw
             theta = np.zeros(len(feats))
+            n_pass = exact_n if exact_n is not None else max_iter
             try:
-                for _ in range(max_iter):
+                for _ in range(n_pass):
                     eta_lin = X @ b
                     eta = eta_lin + ov
                     if fam_name == "binomial":
@@ -1753,9 +1762,11 @@ def glm_elastic_net_grouped(
                     delta = float(np.max(np.abs(nb - b)))
                     b = nb
                     it += 1
-                    if delta <= tol:
+                    if exact_n is None and delta <= tol:
                         conv = True
                         break
+                if exact_n is not None:
+                    conv = True
                 # deviance at the RETURNED beta
                 eta = X @ b + ov
                 if fam_name == "binomial":

@@ -1426,3 +1426,44 @@ def test_glm_enet_grouped_matches_per_slice(spark):
         glm_elastic_net_grouped(df, "y ~ x1", ["g"], 0.1, family="gamma")
     with pytest.raises(ValueError, match="group_cols"):
         glm_elastic_net_grouped(df, "y ~ x1", [], 0.1)
+
+
+def test_glm_enet_grouped_exact_iterations(spark):
+    """The r12 oracle-pin hook: exact_iterations=N runs exactly N
+    penalized-IRLS solves per group (no convergence exit), matches the
+    single-fit glm_elastic_net(exact_iterations=N) per slice at 1e-12,
+    and reports iterations=N / converged=True (the engine convention)."""
+    from sparkglm_spark.operators.enet import (
+        glm_elastic_net,
+        glm_elastic_net_grouped,
+    )
+
+    rng = np.random.default_rng(17)
+    rows = []
+    for g in ("a", "b"):
+        n = 150
+        x1 = rng.normal(0, 1, n)
+        y = (rng.uniform(0, 1, n) < 1 / (1 + np.exp(0.4 - x1))).astype(float)
+        rows += [(g, float(y[i]), float(x1[i])) for i in range(n)]
+    df = spark.createDataFrame(rows, "g string, y double, x1 double")
+    out = {
+        (r.g, r.term): r
+        for r in glm_elastic_net_grouped(
+            df, "y ~ x1", ["g"], reg_param=0.02, elastic_net_param=0.5,
+            exact_iterations=2,
+        ).collect()
+    }
+    for g in ("a", "b"):
+        solo = glm_elastic_net(
+            df.where(F.col("g") == g), "y ~ x1", reg_param=0.02,
+            elastic_net_param=0.5, exact_iterations=2,
+        )
+        for i, term in enumerate(solo.xnames):
+            assert out[(g, term)].estimate == pytest.approx(
+                float(solo.coefs[i]), abs=1e-12
+            ), (g, term)
+        assert out[(g, "x1")].iterations == 2
+        assert out[(g, "x1")].converged is True
+
+    with pytest.raises(ValueError, match="exact_iterations"):
+        glm_elastic_net_grouped(df, "y ~ x1", ["g"], 0.02, exact_iterations=0)
