@@ -1399,6 +1399,34 @@ def q_glm_families_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (fam_k, "n_nonzero", float(r["n_nonzero"])),
             (fam_k, "iterations", float(r["iterations"])),
         ]
+    # r12: glm_elastic_net_path pinned — 2 λs DESCENDING (0.05 → 0.02)
+    # warm-started, exactly 2 outer solves each, on the same planted
+    # design. The SQL chains FOUR single-covariate soft-threshold solves
+    # (the λ in the threshold/denominator switches after solve 2; β
+    # carries across — glmnet's pathwise warm start), then evaluates
+    # each λ's deviance at ITS final β; aic/bic add the lasso-df
+    # penalty (df = n_nonzero + 1 with the intercept). ROUND 2 on
+    # deviance-scale values, ROUND 6 coefs — the enetcv margins.
+    from sparkglm_spark.operators.enet import glm_elastic_net_path
+
+    pth = glm_elastic_net_path(
+        en_in.select("yy", "xx"), "yy ~ xx", reg_params=[0.05, 0.02],
+        elastic_net_param=0.5, exact_iterations=2,
+    )
+    lam_key = {0.05: "enetpath_l0", 0.02: "enetpath_l1"}
+    seen_lams: set = set()
+    for r in pth.collect():
+        pk = lam_key[r["reg_param"]]
+        rows.append((pk, f"coef_{r['term']}", round(r["estimate"], 6)))
+        if pk not in seen_lams:
+            seen_lams.add(pk)
+            rows += [
+                (pk, "deviance", round(r["deviance"], 2)),
+                (pk, "aic", round(r["aic"], 2)),
+                (pk, "bic", round(r["bic"], 2)),
+                (pk, "n_nonzero", float(r["n_nonzero"])),
+                (pk, "iterations", float(r["iterations"])),
+            ]
     return spark.createDataFrame(
         rows, "family string, stat string, value double"
     ).orderBy("family", "stat")
@@ -1522,6 +1550,50 @@ def _sql_glm_families_fit() -> str:
             f" / (((swxx - swx * swx / sw) / (sg * sg)) / n + 0.5 * 0.02)"
             f" / sg ELSE 0.0 END AS b1n FROM en{i}a) s)"
         )
+    # r12: glm_elastic_net_path 2-λ × 2-solve unroll — solves 1-2 at
+    # λ=0.05, solves 3-4 at λ=0.02 with the state chain simply
+    # continuing (glmnet warm start; p=1 keeps every solve closed-form).
+    # Each λ's deviance evaluates at ITS final β (ep2 / ep4); aic/bic
+    # add the lasso-df penalty 2·df / ln(n)·df, df = 1{b1≠0} + 1.
+    prevp = "en0"
+    for i, lam_s in ((1, "0.05"), (2, "0.05"), (3, "0.02"), (4, "0.02")):
+        ctes.append(
+            f"ep{i}a AS (SELECT {prevp}.n AS n, {prevp}.sg AS sg,"
+            f" SUM(w) AS sw, SUM(w * x) AS swx, SUM(w * x * x) AS swxx,"
+            f" SUM(w * z) AS swz, SUM(w * x * z) AS swxz"
+            f" FROM (SELECT x,"
+            f" 1.0 / ((mu * (1.0 - mu)) * g * g) AS w,"
+            f" eta + (y - mu) * g AS z FROM"
+            f" (SELECT y, x, eta, mu, 1.0 / (mu * (1.0 - mu)) AS g FROM"
+            f" (SELECT y, x, eta, LEAST(GREATEST(1.0 / (1.0 + exp(-eta)),"
+            f" 1e-10), 1.0 - 1e-10) AS mu FROM"
+            f" (SELECT enb.y, enb.x, {prevp}.b0 + {prevp}.b1 * enb.x AS eta"
+            f" FROM enb CROSS JOIN {prevp}) q1) q2) q3) q4"
+            f" CROSS JOIN {prevp} GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"ep{i} AS (SELECT n, sg, (swz - swx * b1n) / sw AS b0,"
+            f" b1n AS b1 FROM (SELECT n, sg, sw, swx, swz,"
+            f" CASE WHEN sg > 0 THEN"
+            f" SIGN(((swxz - swx * (swz / sw)) / sg) / n)"
+            f" * GREATEST(ABS(((swxz - swx * (swz / sw)) / sg) / n)"
+            f" - 0.5 * {lam_s}, 0.0)"
+            f" / (((swxx - swx * swx / sw) / (sg * sg)) / n + 0.5 * {lam_s})"
+            f" / sg ELSE 0.0 END AS b1n FROM ep{i}a) s)"
+        )
+        prevp = f"ep{i}"
+    for j, fin in ((0, "ep2"), (1, "ep4")):
+        ctes.append(
+            f"epd{j} AS (SELECT"
+            f" 2.0 * SUM(CASE WHEN y > 0 THEN y * ln(GREATEST(y, 1.0) / mu)"
+            f" ELSE 0.0 END + CASE WHEN 1.0 - y > 0 THEN (1.0 - y)"
+            f" * ln(GREATEST(1.0 - y, 1.0) / (1.0 - mu)) ELSE 0.0 END) AS dev,"
+            f" MAX(p.n) AS n, MAX(p.b1) AS b1"
+            f" FROM (SELECT enb.y, p.n, p.b1,"
+            f" LEAST(GREATEST(1.0 / (1.0 + exp(-(p.b0 + p.b1 * enb.x))),"
+            f" 1e-10), 1.0 - 1e-10) AS mu"
+            f" FROM enb CROSS JOIN {fin} p) p)"
+        )
     # r11: glm_elastic_net_cv 2-fold × 2-iteration unroll (see the Spark
     # arm's comment): per fold model j — training moments → σ/logit-init
     # → two [weighted agg → soft-threshold → intercept back-out] steps →
@@ -1614,6 +1686,21 @@ def _sql_glm_families_fit() -> str:
         "SELECT 'wpoisson', 'deviance', ROUND(dev, 2) FROM wp_f",
         f"SELECT 'wpoisson', 'iterations', {float(_GLM_ITERS)} FROM {wp_fin}",
     ]
+    for j, fin in ((0, "ep2"), (1, "ep4")):
+        selects += [
+            f"SELECT 'enetpath_l{j}', 'coef_intercept', ROUND(b0, 6)"
+            f" FROM {fin}",
+            f"SELECT 'enetpath_l{j}', 'coef_xx', ROUND(b1, 6) FROM {fin}",
+            f"SELECT 'enetpath_l{j}', 'deviance', ROUND(dev, 2) FROM epd{j}",
+            f"SELECT 'enetpath_l{j}', 'aic', ROUND(dev + 2.0 *"
+            f" (CASE WHEN b1 <> 0 THEN 2 ELSE 1 END), 2) FROM epd{j}",
+            f"SELECT 'enetpath_l{j}', 'bic', ROUND(dev + ln(n) *"
+            f" (CASE WHEN b1 <> 0 THEN 2 ELSE 1 END), 2) FROM epd{j}",
+            f"SELECT 'enetpath_l{j}', 'n_nonzero',"
+            f" CAST(CASE WHEN b1 <> 0 THEN 1 ELSE 0 END AS DOUBLE)"
+            f" FROM {fin}",
+            f"SELECT 'enetpath_l{j}', 'iterations', 2.0 FROM {fin}",
+        ]
     for j in (0, 1):
         selects += [
             f"SELECT 'enetcv_f{j}', 'dev_train', ROUND(dv, 2)"

@@ -1311,6 +1311,15 @@ def _glm_enet_pathwise(
                 )
             )
         if not states:
+            # ADVICE r11: in path mode this IS the single full-data model
+            # — fail with the single-fit vocabulary, not fold-speak (and
+            # never return an empty frame for degenerate data)
+            if mode == "path":
+                raise ValueError(
+                    "degenerate input: constant label or <= 1 effective "
+                    "row — nothing to fit (glm_elastic_net would raise on "
+                    "the same data)"
+                )
             raise ValueError("no fittable fold models (degenerate folds)")
 
         # ------ pathwise λ loop, folds in lock-step ------
@@ -1540,6 +1549,7 @@ def glm_elastic_net_path(
     max_sweeps: int = 1000,
     offset_col: str | None = None,
     weight_col: str | None = None,
+    exact_iterations: int | None = None,
 ) -> DataFrame:
     """The whole penalized-GLM regularization path — full-data fits for
     every λ, descending with warm starts on the shared pathwise engine
@@ -1558,12 +1568,16 @@ def glm_elastic_net_path(
     `weight_col` the deviance (hence aic/bic) is ω-weighted while
     bic's ln(n) keeps the ROW count (the glmnet nobs convention).
 
+    `exact_iterations=N` runs exactly N outer solves per λ (warm starts
+    still carry β across λs) with no convergence exit — the oracle-pin
+    hook, same contract as `glm_elastic_net_cv`.
+
     Returns one (reg_param, term) row block per input λ: reg_param,
     term, estimate, n_nonzero, iterations, deviance, aic, bic."""
     results, x_cols, has_int, n_total = _glm_enet_pathwise(
         df, formula, reg_params, None, 1, elastic_net_param,
         family, standardize, na_action, max_iter, tol, max_sweeps,
-        offset_col, None, mode="path", weight_col=weight_col,
+        offset_col, exact_iterations, mode="path", weight_col=weight_col,
     )
     # one block per INPUT λ (duplicates produce duplicate blocks — the
     # elastic_net_path contract); the engine deduplicates nothing

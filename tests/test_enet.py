@@ -1467,3 +1467,39 @@ def test_glm_enet_grouped_exact_iterations(spark):
 
     with pytest.raises(ValueError, match="exact_iterations"):
         glm_elastic_net_grouped(df, "y ~ x1", ["g"], 0.02, exact_iterations=0)
+
+
+def test_glm_enet_path_exact_iterations_and_degenerate_raise(spark):
+    """r12: exact_iterations on the path surface pins the warm-started
+    trajectory (each λ runs exactly N solves; iterations report N), and
+    degenerate path input raises with single-fit vocabulary instead of
+    returning an empty frame (ADVICE r11)."""
+    from sparkglm_spark.operators.enet import glm_elastic_net_path
+
+    rng = np.random.default_rng(5)
+    n = 200
+    x = rng.normal(0, 1, n)
+    y = (rng.uniform(0, 1, n) < 1 / (1 + np.exp(0.2 - x))).astype(float)
+    df = spark.createDataFrame(
+        [(float(y[i]), float(x[i])) for i in range(n)], "y double, x double"
+    )
+    out = glm_elastic_net_path(
+        df, "y ~ x", [0.05, 0.02], elastic_net_param=0.5, exact_iterations=2
+    ).collect()
+    assert {r.reg_param for r in out} == {0.05, 0.02}
+    assert all(r.iterations == 2 for r in out)
+    # warm start: λ=0.02's trajectory continues from λ=0.05's β, so a
+    # 2-solve exact run differs from a cold 2-solve fit at the same λ
+    from sparkglm_spark.operators.enet import glm_elastic_net
+
+    cold = glm_elastic_net(
+        df, "y ~ x", reg_param=0.02, elastic_net_param=0.5, exact_iterations=2
+    )
+    warm_b = {r.term: r.estimate for r in out if r.reg_param == 0.02}
+    assert warm_b["x"] != pytest.approx(float(cold.coefs[1]), abs=1e-14)
+
+    const = spark.createDataFrame(
+        [(1.0, float(i)) for i in range(20)], "y double, x double"
+    )
+    with pytest.raises(ValueError, match="degenerate input"):
+        glm_elastic_net_path(const, "y ~ x", [0.1])
