@@ -7057,12 +7057,26 @@ def q_orders_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("o_custkey") % 100) / 100.0).alias("x"),
     )
     cm = coxph(cox_in, "t", "ev", ["x"], exact_iterations=3)
+    # r12: the CASE-weighted Breslow trajectory (weight_col path of
+    # _risk_set_stats) — ω = 1 + custkey % 3 rides every risk/event term;
+    # the SQL replays the same 3 Newton steps with the ω-carrying
+    # expression trees. Same ROUND margins as the unweighted arm.
+    wcox_in = od.select(
+        F.col("o_totalprice").cast("double").alias("t"),
+        F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0).alias("ev"),
+        ((F.col("o_custkey") % 100) / 100.0).alias("x"),
+        (1.0 + (F.col("o_custkey") % 3).cast("double")).alias("wq"),
+    )
+    wcm = coxph(wcox_in, "t", "ev", ["x"], exact_iterations=3, weight_col="wq")
     cox = spark.createDataFrame(
         [
             ("coxph", "beta", None, round(float(cm.coefs[0]), 6), None, None),
             ("coxph", "se", None, round(float(cm.se[0]), 6), None, None),
             ("coxph", "loglik", None, round(cm.loglik, 4), None, None),
             ("coxph", "n_events", cm.n_events, None, None, None),
+            ("wcox", "beta", None, round(float(wcm.coefs[0]), 6), None, None),
+            ("wcox", "se", None, round(float(wcm.se[0]), 6), None, None),
+            ("wcox", "loglik", None, round(wcm.loglik, 4), None, None),
         ],
         "op string, key string, n bigint, v1 double, v2 double, v3 double",
     )
@@ -7320,20 +7334,44 @@ def _sql_cox_ctes(
     prediction exp(−H₀(h)·exp(β·0.5)) for the x = 0.5 subject).
     mode="grouped": a single `coxg` summary row (key = seg_key) with
     beta/se/n_events — the per-segment replay for `coxph_grouped`
-    (same Newton trajectory, segment selected by `where`)."""
+    (same Newton trajectory, segment selected by `where`).
+
+    mode="weighted" (r12): the CASE-weighted Breslow replay — every
+    risk term carries ω·exp(η) and every event term ω·ev with
+    ω = 1 + custkey % 3 (operators/survival.py::_risk_set_stats
+    weight_col path; the expression trees keep the engine's grouping:
+    w = ω·exp(bx) FIRST, then x·w / x·x·w). Emits `wcox`
+    beta/se/loglik rows only (baseline pins stay on the unweighted
+    arm)."""
     p = prefix
+    weighted = mode == "weighted"
+    wq = "(1.0 + CAST(o_custkey % 3 AS DOUBLE)) AS wq, " if weighted else ""
     ctes = [
         f"{p}base AS (SELECT CAST(o_totalprice AS DOUBLE) AS t, "
         "CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS ev, "
+        f"{wq}"
         f"CAST(o_custkey % 100 AS DOUBLE) / 100.0 AS x FROM orders{where})",
         f"{p}0 AS (SELECT 0.0 AS b)",
     ]
+    # per-time totals: in the weighted replay w = ω·exp(bx) multiplies
+    # FIRST (the engine's w column), then x·w / (x·x)·w
+    if weighted:
+        t_aggs = (
+            "SUM(wq * exp(b * x)) AS e0, "
+            "SUM(x * (wq * exp(b * x))) AS e1, "
+            "SUM(x * x * (wq * exp(b * x))) AS e2, "
+            "SUM(wq * ev) AS d, SUM(wq * ev * x) AS dx "
+        )
+    else:
+        t_aggs = (
+            "SUM(exp(b * x)) AS e0, "
+            "SUM(x * exp(b * x)) AS e1, SUM(x * x * exp(b * x)) AS e2, "
+            "SUM(ev) AS d, SUM(ev * x) AS dx "
+        )
     for i in range(1, iters + 1):
         prev = f"{p}{i - 1}"
         ctes += [
-            f"{p}{i}_t AS (SELECT t, SUM(exp(b * x)) AS e0, "
-            f"SUM(x * exp(b * x)) AS e1, SUM(x * x * exp(b * x)) AS e2, "
-            f"SUM(ev) AS d, SUM(ev * x) AS dx "
+            f"{p}{i}_t AS (SELECT t, {t_aggs}"
             f"FROM {p}base CROSS JOIN {prev} GROUP BY t)",
             f"{p}{i}_c AS (SELECT d, dx, "
             f"SUM(e0) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS e0c, "
@@ -7349,9 +7387,7 @@ def _sql_cox_ctes(
         ]
     fin = f"{p}{iters}"
     ctes += [
-        f"{p}f_t AS (SELECT t, SUM(exp(b * x)) AS e0, "
-        f"SUM(x * exp(b * x)) AS e1, SUM(x * x * exp(b * x)) AS e2, "
-        f"SUM(ev) AS d, SUM(ev * x) AS dx "
+        f"{p}f_t AS (SELECT t, {t_aggs}"
         f"FROM {p}base CROSS JOIN {fin} GROUP BY t)",
         f"{p}f_c AS (SELECT t, d, dx, "
         "SUM(e0) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS e0c, "
@@ -7367,6 +7403,19 @@ def _sql_cox_ctes(
 SELECT 'coxg' AS op, '{seg_key}' AS key, CAST(g.ne AS BIGINT) AS n,
        ROUND({fin}.b, 6) AS v1, ROUND(1.0 / SQRT(g.h), 6) AS v2,
        CAST(NULL AS DOUBLE) AS v3
+FROM {p}f_g g CROSS JOIN {fin}
+"""
+    if weighted:
+        return "WITH " + ",\n".join(ctes) + f"""
+SELECT 'wcox' AS op, 'beta' AS key, CAST(NULL AS BIGINT) AS n,
+       ROUND({fin}.b, 6) AS v1, CAST(NULL AS DOUBLE) AS v2,
+       CAST(NULL AS DOUBLE) AS v3
+FROM {fin}
+UNION ALL
+SELECT 'wcox', 'se', NULL, ROUND(1.0 / SQRT(g.h), 6), NULL, NULL
+FROM {p}f_g g
+UNION ALL
+SELECT 'wcox', 'loglik', NULL, ROUND({fin}.b * g.sdx - g.dl, 4), NULL, NULL
 FROM {p}f_g g CROSS JOIN {fin}
 """
     # Breslow baseline: H0 = ascending running sum of d/S0 over event times
@@ -7507,6 +7556,7 @@ SELECT 'aft', 'n_events', CAST(af.ne AS BIGINT), NULL, NULL, NULL FROM af
 
 
 SQL_COX_ARM = _sql_cox_ctes(3)
+SQL_WCOX_ARM = _sql_cox_ctes(3, prefix="wx", mode="weighted")
 SQL_AFT_ARM = _sql_aft_ctes(3)
 SQL_COXG_ARMS = " UNION ALL ".join(
     f"SELECT * FROM ({_sql_cox_ctes(3, where=f' WHERE o_custkey % 2 = {s}', prefix=f'cg{s}', mode='grouped', seg_key=str(s))}) a{s}"
@@ -7638,6 +7688,8 @@ FROM (
 ) g
 UNION ALL
 SELECT * FROM ({SQL_COX_ARM}) cox
+UNION ALL
+SELECT * FROM ({SQL_WCOX_ARM}) wcox
 UNION ALL
 SELECT * FROM ({SQL_COXG_ARMS}) coxg
 UNION ALL
