@@ -1722,6 +1722,7 @@ def logrank_test(
     event_col: str,
     group_col: str,
     time_bucket: float | None = None,
+    weight_col: str | None = None,
 ) -> dict:
     """Two-sample log-rank test (Mantel-Cox) — "are these two survival
     curves the same?", the standard companion to `kaplan_meier`:
@@ -1737,7 +1738,23 @@ def logrank_test(
     aggregation → 3 driver scalars. Ties share a time row (the standard
     discrete-time handling); times with n = 1 contribute zero variance.
     `time_bucket=w` floors the time axis first (cardinality knob, as in
-    `coxph`/`kaplan_meier`)."""
+    `coxph`/`kaplan_meier`).
+
+    `weight_col` (r12): per-row FREQUENCY (case) weights — every count
+    in the hypergeometric machinery becomes its Σω (at-risk n, n_a,
+    events d, d_a), INCLUDING the finite-population tie correction
+    (n−d)/(n−1), so an integer weight is exactly row replication for
+    the statistic, the variance and the p-value (tested). That identity
+    is what makes the substitution the correct frequency-weight
+    formula; it is NOT the survey-sampling estimator — for sampling
+    weights the variance needs ω²-terms (Xu-style, R
+    `survey::svylogrank`), and the supported route here is the robust
+    score test of `coxph(weight_col=)` on the group indicator.
+    `n_events` keeps reporting the RAW event-row count (the
+    `coxph(weight_col=)` reporting convention); weight-domain
+    violations (null/NaN/negative/Σω ≤ 0) raise via the shared
+    `check_weight_domain`, riding the same final aggregation — no
+    extra pass."""
     from sparkglm_spark.functions.special import chisq_sf
 
     groups = [
@@ -1755,34 +1772,57 @@ def logrank_test(
     ga, gb = sorted(groups, key=str)
     ev = F.col(event_col).cast("double")
     in_a = (F.col(group_col) == ga).cast("double")
+    wr = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    per_t_aggs = [
+        F.sum(wr).alias("n_t"),
+        F.sum(wr * in_a).alias("na_t"),
+        F.sum(wr * ev).alias("d"),
+        F.sum(wr * ev * in_a).alias("da"),
+        F.sum(ev).alias("ne_raw"),
+    ]
+    if weight_col:
+        per_t_aggs += [
+            F.count(F.lit(1)).alias("cnt"),
+            F.count(wr).alias("cnt_w"),
+            F.min(wr).alias("minw"),
+        ]
     per_t = (
         df.where(F.col(group_col).isNotNull())
         .groupBy(_time_expr(time_col, time_bucket).alias("__t"))
-        .agg(
-            F.count(F.lit(1)).cast("double").alias("n_t"),
-            F.sum(in_a).alias("na_t"),
-            F.sum(ev).alias("d"),
-            F.sum(ev * in_a).alias("da"),
-        )
+        .agg(*per_t_aggs)
         .withColumn("__nt", -F.col("__t"))
     )
     cum = global_running_sum(per_t, "__nt", ["n_t", "na_t"])
     n, na = F.col("n_t_cum"), F.col("na_t_cum")
     d, da = F.col("d"), F.col("da")
-    row = (
-        cum.where(d > 0)
-        .agg(
-            F.sum(da - d * na / n).alias("oe"),
-            F.sum(
-                F.when(
-                    n > 1,
-                    d * (na / n) * (1.0 - na / n) * (n - d) / (n - 1.0),
-                ).otherwise(0.0)
-            ).alias("v"),
-            F.sum(d).alias("ne"),
+    fin_aggs = [
+        F.sum(F.when(d > 0, da - d * na / n).otherwise(0.0)).alias("oe"),
+        F.sum(
+            F.when(
+                (d > 0) & (n > 1),
+                d * (na / n) * (1.0 - na / n) * (n - d) / (n - 1.0),
+            ).otherwise(0.0)
+        ).alias("v"),
+        F.sum(F.when(d > 0, F.col("ne_raw")).otherwise(0.0)).alias("ne"),
+    ]
+    if weight_col:
+        fin_aggs += [
+            F.sum("cnt").alias("n_all"),
+            F.sum("cnt_w").alias("n_w"),
+            F.min("minw").alias("minw"),
+            F.sum("n_t").alias("sw"),
+        ]
+    row = cum.agg(*fin_aggs).collect()[0]
+    if weight_col:
+        from sparkglm_spark.operators.lm import check_weight_domain
+
+        check_weight_domain(
+            weight_col,
+            n=int(row["n_all"]),
+            n_w=int(row["n_w"]),
+            min_w=row["minw"],
+            sum_w=float(row["sw"]),
         )
-        .collect()[0]
-    )
     oe, v = float(row["oe"]), float(row["v"])
     if not v > 0.0:
         raise ValueError("zero log-rank variance (degenerate grouping)")

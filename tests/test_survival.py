@@ -1315,3 +1315,40 @@ def test_km_weight_guards(spark):
             df.withColumn("w", F.when(F.col("t") > 2, -1.0).otherwise(F.col("w"))),
             "t", "e", tau=2.0, weight_col="w",
         )
+
+
+def test_logrank_weighted_replication_identity(spark):
+    """r12 weighted log-rank: integer frequency weights must equal
+    physical row replication for EVERY reported number (O−E, variance,
+    chi2, p) — the identity that makes the weighted-count substitution
+    (including the (n−d)/(n−1) tie term) the correct frequency-weight
+    formula; and the weight-domain guard raises on negative weights."""
+    from sparkglm_spark.operators.survival import logrank_test
+
+    rng = np.random.default_rng(23)
+    rows = []
+    for i in range(120):
+        g = "a" if i % 2 == 0 else "b"
+        t = float(rng.exponential(10.0 if g == "a" else 14.0)) + 0.1
+        e = float(rng.uniform() < 0.8)
+        w = float(1 + (i % 3))
+        rows.append((round(t, 1), e, g, w))
+    df = spark.createDataFrame(rows, "t double, ev double, g string, w double")
+    wres = logrank_test(df, "t", "ev", "g", weight_col="w")
+    rep_rows = [r for row in rows for r in [row[:3]] * int(row[3])]
+    rep = spark.createDataFrame(rep_rows, "t double, ev double, g string")
+    rres = logrank_test(rep, "t", "ev", "g")
+    for k in ("observed_minus_expected_a", "variance", "chi2", "p_value"):
+        assert wres[k] == pytest.approx(rres[k], rel=1e-9), k
+    # n_events reports RAW rows on the weighted frame (coxph convention)
+    assert wres["n_events"] == sum(1 for r in rows if r[1] == 1.0)
+    # unit weights == unweighted exactly
+    ures = logrank_test(df.withColumn("w", F.lit(1.0)), "t", "ev", "g",
+                        weight_col="w")
+    nres = logrank_test(df, "t", "ev", "g")
+    assert ures["chi2"] == pytest.approx(nres["chi2"], rel=1e-12)
+    with pytest.raises(ValueError, match="weight"):
+        logrank_test(
+            df.withColumn("w", F.when(F.col("ev") > 0, -1.0).otherwise(1.0)),
+            "t", "ev", "g", weight_col="w",
+        )
