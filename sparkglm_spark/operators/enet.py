@@ -1638,7 +1638,11 @@ def glm_elastic_net_grouped(
     Degenerate groups — n ≤ 1, out-of-domain labels, constant labels,
     bad weights (null/negative/NaN/Σω ≤ 0/≤ 1 effective row),
     non-finite offsets, singular subproblems — yield NULL estimates
-    (the grouped NULL policy). `deviance` is evaluated at the RETURNED
+    (the grouped NULL policy; note that under the default
+    `na_action='omit'` a SQL-NULL weight/offset drops its ROW before
+    the fit like any other modeling column — the NULL policy catches
+    what the NA drop cannot see: NaN/negative/Σω ≤ 0, ADVICE r11).
+    `deviance` is evaluated at the RETURNED
     β (unlike the single fit's historical exit convention — a fresh
     surface gets the clean contract; this holds under
     `exact_iterations` too — the pinned SQL evaluates deviance at the

@@ -156,6 +156,18 @@ class LM:
         """
         x_cols = x_cols or [c for c in x.columns if c not in (y_col, weight_col)]
         g = gram_aggregate(x, x_cols, y_col=y_col, weight_col=weight_col)
+        if weight_col is not None:
+            # weight-domain guard riding the SAME Gram job (min_w/n_w are
+            # already aggregated) — null/NaN/negative/Σw ≤ 0 would
+            # silently corrupt every weighted moment below (r12: aligns
+            # the WLS surface with the glm/coxph/enet family convention)
+            check_weight_domain(
+                weight_col,
+                n=g.n,
+                n_w=g.n_w if g.n_w is not None else g.n,
+                min_w=g.min_w,
+                sum_w=g.sum_w,
+            )
         xtx = g.xtx
         if l2 > 0.0:
             # ridge: λ on the raw (unnormalized) Gram diagonal, intercept
@@ -1093,6 +1105,7 @@ def quantile_lm(
     delta: float | None = None,
     exact_iterations: int | None = None,
     na_action: str = "omit",
+    weight_col: str | None = None,
 ) -> QuantileLM:
     """Linear quantile regression by iteratively reweighted least squares
     (the smoothed-check-loss IRLS approximation of Koenker & Bassett
@@ -1124,25 +1137,42 @@ def quantile_lm(
     no real accuracy, only iterations).
 
     Sanity property (tested): the fraction of training residuals below 0
-    converges to ≈ q."""
+    converges to ≈ q.
+
+    `weight_col` (r12): per-row CASE weights ω ≥ 0 on the check loss
+    (minimize Σ ω·ρ_q(e)) — ω folds into the WLS start, the δ scale
+    probe (ω-weighted mean |e|) and every MM re-weighting (the IRLS
+    weight becomes ω·|q−1(e<0)|/max(|e|,δ)), so an integer weight is
+    exactly row replication (tested); weight-domain violations
+    (null under `na_action='keep'`/NaN/negative/Σω ≤ 0) raise via the
+    WLS start's shared guard."""
     if not 0.0 < q < 1.0:
         raise ValueError(f"q must be in (0, 1), got {q!r}")
     from sparkglm_spark.plans.gram import gram_aggregate
     from sparkglm_spark.plans.partitioning import ensure_parallel
 
-    encoded, x_cols, target, levels = _encode_formula(df, formula, na_action)
+    encoded, x_cols, target, levels = _encode_formula(
+        df, formula, na_action,
+        extra_cols=[weight_col] if weight_col else None,
+    )
     y = F.col(target).cast("double")
-    work = ensure_parallel(encoded.select(target, *x_cols)).persist()
+    wr = F.col(weight_col).cast("double") if weight_col else None
+    keep = [target, *x_cols] + ([weight_col] if weight_col else [])
+    work = ensure_parallel(encoded.select(*keep)).persist()
     try:
-        start = LM.fit(work, y_col=target, x_cols=x_cols)
+        start = LM.fit(work, y_col=target, x_cols=x_cols, weight_col=weight_col)
         beta = np.asarray(start.coefs, dtype=np.float64)
         n = start.nrow
         if delta is None:
-            # scale probe: mean |OLS residual| — one extra aggregation,
-            # sets the smoothing floor relative to the noise magnitude
-            srow = work.agg(
-                F.avg(F.abs(y - linear_combination(x_cols, beta))).alias("s")
-            ).collect()[0]
+            # scale probe: (ω-weighted) mean |OLS residual| — one extra
+            # aggregation, sets the smoothing floor relative to the noise
+            abs_e0 = F.abs(y - linear_combination(x_cols, beta))
+            if wr is not None:
+                srow = work.agg(
+                    (F.sum(wr * abs_e0) / F.sum(wr)).alias("s")
+                ).collect()[0]
+            else:
+                srow = work.agg(F.avg(abs_e0).alias("s")).collect()[0]
             delta = max(1e-6 * float(srow["s"]), 1e-12)
         if not delta > 0:
             raise ValueError(f"delta must be > 0, got {delta!r}")
@@ -1153,6 +1183,8 @@ def quantile_lm(
             resid = y - linear_combination(x_cols, beta)
             asym = F.when(resid < 0, F.lit(1.0 - q)).otherwise(F.lit(q))
             w = asym / F.greatest(F.abs(resid), F.lit(float(delta)))
+            if wr is not None:
+                w = wr * w
             g = gram_aggregate(
                 work.withColumn("__w", w), x_cols, y_col=target,
                 weight_col="__w",
@@ -1191,6 +1223,7 @@ def huber_lm(
     na_action: str = "omit",
     median_mode: str = "auto",
     accuracy: int = 10000,
+    weight_col: str | None = None,
 ) -> HuberLM:
     """Huber M-estimator robust regression via IRLS (public convention:
     Huber 1964; R MASS `rlm(psi = psi.huber)`), resistant to outliers in
@@ -1227,7 +1260,22 @@ def huber_lm(
                  while large fits never hit the unbounded buffer.
 
     Convergence: max|Δβ| ≤ tol·max(1, max|β|). A zero robust scale
-    (≥ half the rows fit exactly) stops with the current β."""
+    (≥ half the rows fit exactly) stops with the current β.
+
+    `weight_col` (r12): per-row FREQUENCY weights — POSITIVE INTEGERS
+    (validated upfront, one cheap aggregation): ω folds into the WLS
+    start and every IRLS Gram (weight ω·ψ(e)/e), and the robust scale
+    becomes the frequency-weighted median of |e| via Spark's exact
+    `percentile(…, frequency=ω)`, whose interpolation semantics ARE
+    row replication — so an integer weight is exactly replication for
+    the whole trajectory (tested). Integrality is required because a
+    general-ω weighted quantile has no replication-pinnable definition
+    (several interpolation conventions exist); for reliability/survey
+    weights use `quantile_lm(weight_col=)` (median regression — no
+    quantile of residuals needed) or `lm(weight_col=)`. The
+    `approx_percentile` sketch has no frequency argument, so
+    `median_mode='approx'` with `weight_col` raises and 'auto' stays
+    exact at any size."""
     if c <= 0:
         raise ValueError(f"c must be > 0, got {c!r}")
     if median_mode not in ("auto", "exact", "approx"):
@@ -1236,18 +1284,44 @@ def huber_lm(
         )
     if accuracy < 1:
         raise ValueError("accuracy must be >= 1")
+    if weight_col and median_mode == "approx":
+        raise ValueError(
+            "median_mode='approx' does not support weight_col (the "
+            "t-digest sketch has no frequency argument) — use 'exact'"
+        )
     from sparkglm_spark.plans.gram import gram_aggregate
     from sparkglm_spark.plans.partitioning import ensure_parallel
 
-    encoded, x_cols, target, levels = _encode_formula(df, formula, na_action)
+    encoded, x_cols, target, levels = _encode_formula(
+        df, formula, na_action,
+        extra_cols=[weight_col] if weight_col else None,
+    )
     y = F.col(target).cast("double")
-    work = ensure_parallel(encoded.select(target, *x_cols)).persist()
+    wr = F.col(weight_col).cast("double") if weight_col else None
+    keep = [target, *x_cols] + ([weight_col] if weight_col else [])
+    work = ensure_parallel(encoded.select(*keep)).persist()
     try:
-        start = LM.fit(work, y_col=target, x_cols=x_cols)
+        if wr is not None:
+            # frequency-weight domain: positive integers (one aggregation;
+            # null/NaN/negative/Σω ≤ 0 raise via the WLS start's guard)
+            vrow = work.agg(
+                F.sum(
+                    ((wr != F.floor(wr)) | (wr < 1.0)).cast("long")
+                ).alias("bad")
+            ).collect()[0]
+            if vrow["bad"]:
+                raise ValueError(
+                    f"huber_lm weight_col {weight_col!r} must hold positive "
+                    f"INTEGER frequency weights ({int(vrow['bad'])} rows "
+                    "violate) — the robust scale is a frequency-weighted "
+                    "median; see the docstring for alternatives"
+                )
+        start = LM.fit(work, y_col=target, x_cols=x_cols, weight_col=weight_col)
         beta = np.asarray(start.coefs, dtype=np.float64)
         n = start.nrow
-        use_approx = median_mode == "approx" or (
-            median_mode == "auto" and n >= 5_000_000
+        use_approx = wr is None and (
+            median_mode == "approx"
+            or (median_mode == "auto" and n >= 5_000_000)
         )
         n_iter = 0
         converged = False
@@ -1256,17 +1330,20 @@ def huber_lm(
         for _ in range(iters):
             resid = y - linear_combination(x_cols, beta)
             abs_e = F.abs(resid)
-            med = (
-                F.percentile_approx(abs_e, F.lit(0.5), F.lit(int(accuracy)))
-                if use_approx
-                else F.percentile(abs_e, F.lit(0.5))
-            )
+            if use_approx:
+                med = F.percentile_approx(abs_e, F.lit(0.5), F.lit(int(accuracy)))
+            elif wr is not None:
+                med = F.percentile(abs_e, F.lit(0.5), wr.cast("bigint"))
+            else:
+                med = F.percentile(abs_e, F.lit(0.5))
             srow = work.agg(med.alias("mad")).collect()[0]
             scale = float(srow["mad"]) / 0.6745
             if not scale > 0.0:
                 break
             cs = c * scale
             w = F.when(F.abs(resid) <= cs, 1.0).otherwise(F.lit(cs) / F.abs(resid))
+            if wr is not None:
+                w = wr * w
             g = gram_aggregate(
                 work.withColumn("__w", w), x_cols, y_col=target,
                 weight_col="__w",
@@ -1303,6 +1380,7 @@ def _irls_grouped(
     na_action: str,
     extra_fields: list,
     fit_one,
+    weight_col: str | None = None,
 ):
     """Shared per-segment IRLS scaffold for `huber_lm_grouped` /
     `quantile_lm_grouped` — the `coxph_grouped` pattern: encode ONCE with
@@ -1314,14 +1392,18 @@ def _irls_grouped(
     whole-frame fitter run on that slice; the driver never sees data or
     models, so the number of segments is unbounded.
 
-    Degenerate groups (n < k, non-finite values, singular Gram) emit
-    NULL estimates rather than garbage (the `lm_grouped` convention).
-    `fit_one(X, y) -> (beta|None, extras: dict, n_iter, converged)`."""
+    Degenerate groups (n < k, non-finite values, singular Gram — and
+    with `weight_col`: NaN/negative ω or Σω ≤ 0, the grouped NULL
+    policy) emit NULL estimates rather than garbage (the `lm_grouped`
+    convention). `fit_one(X, y, w) -> (beta|None, extras: dict,
+    n_iter, converged)`; `w` is all-ones when no weight column."""
     from pyspark.sql import types as T
 
     if not group_cols:
         raise ValueError("group_cols must be non-empty")
-    encoded, x_cols, target = _design(df, formula, group_cols, na_action)
+    encoded, x_cols, target = _design(
+        df, formula, group_cols, na_action, weight_col=weight_col
+    )
     k = len(x_cols)
     gcols = list(group_cols)
     names = list(x_cols)
@@ -1340,16 +1422,29 @@ def _irls_grouped(
     )
     extra_names = [f.name for f in extra_fields]
 
+    wname = weight_col
+
     def fit_group(pdf):
         import pandas as pd
 
         X = pdf[names].to_numpy(dtype=np.float64)
         yv = pdf[target].to_numpy(dtype=np.float64)
         n = len(yv)
+        wv = (
+            pdf[wname].to_numpy(dtype=np.float64)
+            if wname is not None
+            else np.ones(n)
+        )
         beta, extras, n_iter, conv = None, {}, 0, False
-        if n >= k and np.all(np.isfinite(X)) and np.all(np.isfinite(yv)):
+        ok = n >= k and np.all(np.isfinite(X)) and np.all(np.isfinite(yv))
+        if ok and wname is not None:
+            # grouped NULL policy for weights (boolean twin of
+            # check_weight_domain, the glm_grouped convention)
+            ok = bool(np.all(np.isfinite(wv)) and np.all(wv >= 0.0)
+                      and wv.sum() > 0.0)
+        if ok:
             try:
-                beta, extras, n_iter, conv = fit_one(X, yv)
+                beta, extras, n_iter, conv = fit_one(X, yv, wv)
             except np.linalg.LinAlgError:
                 beta = None
         cols = {c: [] for c in gcols}
@@ -1370,11 +1465,29 @@ def _irls_grouped(
 
     from sparkglm_spark.plans.partitioning import fanout_groups
 
+    sel = [*gcols, target, *x_cols] + ([weight_col] if weight_col else [])
     return (
-        fanout_groups(encoded.select(*gcols, target, *x_cols), gcols)
+        fanout_groups(encoded.select(*sel), gcols)
         .groupBy(*gcols)
         .applyInPandas(fit_group, out_schema)
     )
+
+
+def _weighted_median_expanded(values: np.ndarray, freqs: np.ndarray) -> float:
+    """Median of `values` expanded by integer `freqs` WITHOUT
+    materializing the expansion — the exact interpolation semantics of
+    Spark's `percentile(col, 0.5, frequency)` (index p·(N−1), linear
+    between the straddling order statistics), so the grouped twin
+    matches the distributed `huber_lm(weight_col=)` bit-for-bit."""
+    order = np.argsort(values, kind="mergesort")
+    v = values[order]
+    cum = np.cumsum(freqs[order].astype(np.int64))
+    pos = 0.5 * (int(cum[-1]) - 1)
+    lo = int(np.floor(pos))
+    hi = int(np.ceil(pos))
+    vlo = float(v[np.searchsorted(cum, lo, side="right")])
+    vhi = float(v[np.searchsorted(cum, hi, side="right")])
+    return vlo + (pos - lo) * (vhi - vlo)
 
 
 def huber_lm_grouped(
@@ -1386,6 +1499,7 @@ def huber_lm_grouped(
     tol: float = 1e-8,
     exact_iterations: int | None = None,
     na_action: str = "omit",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """One `huber_lm` per segment — robust regression scaled out to
     unbounded group counts via the `_irls_grouped` numpy twin (the
@@ -1400,28 +1514,45 @@ def huber_lm_grouped(
     iterations, converged. Degenerate groups (n < k, non-finite values,
     singular Gram) emit NULL estimates. A zero robust scale (≥ half the
     group's rows fit exactly) stops with the CURRENT β — the same
-    behavior as the distributed `huber_lm`, not a NULL row."""
+    behavior as the distributed `huber_lm`, not a NULL row.
+
+    `weight_col` (r12): the `huber_lm(weight_col=)` FREQUENCY-weight
+    convention per group — positive-integer ω (a violating group emits
+    NULLs, the grouped policy, where the single fit raises), ω-weighted
+    OLS start and Gram, frequency-weighted median of |e| with Spark's
+    percentile interpolation semantics (`_weighted_median_expanded`),
+    so per-slice results match the distributed fitter and integer ω is
+    exactly replication."""
     from pyspark.sql import types as T
 
     if c <= 0:
         raise ValueError(f"c must be > 0, got {c!r}")
     iters = exact_iterations if exact_iterations is not None else max_iter
+    weighted = weight_col is not None
 
-    def fit_one(X, yv):
-        xtx = X.T @ X
+    def fit_one(X, yv, wv):
+        if weighted and not bool(np.all((wv >= 1.0) & (wv == np.floor(wv)))):
+            return None, {}, 0, False  # non-frequency weights: NULL group
+        Xw0 = X * wv[:, None] if weighted else X
+        xtx = X.T @ Xw0
         np.linalg.cholesky(xtx)  # raises on singular -> degenerate group
-        beta = np.linalg.solve(xtx, X.T @ yv)
+        beta = np.linalg.solve(xtx, Xw0.T @ yv)
         n_iter, conv, scale = 0, False, float("nan")
         for _ in range(iters):
             e = yv - X @ beta
             ae = np.abs(e)
-            scale = float(np.median(ae)) / 0.6745
+            if weighted:
+                scale = _weighted_median_expanded(ae, wv) / 0.6745
+            else:
+                scale = float(np.median(ae)) / 0.6745
             if not scale > 0.0:
                 break
             cs = c * scale
             w = np.ones(len(e))
             mask = ae > cs
             w[mask] = cs / ae[mask]
+            if weighted:
+                w = wv * w
             Xw = X * w[:, None]
             new_beta = np.linalg.solve(X.T @ Xw, Xw.T @ yv)
             step = float(np.max(np.abs(new_beta - beta)))
@@ -1442,6 +1573,7 @@ def huber_lm_grouped(
     return _irls_grouped(
         df, formula, group_cols, na_action,
         [T.StructField("scale", T.DoubleType())], fit_one,
+        weight_col=weight_col,
     )
 
 
@@ -1455,6 +1587,7 @@ def quantile_lm_grouped(
     delta: float | None = None,
     exact_iterations: int | None = None,
     na_action: str = "omit",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """One `quantile_lm` per segment (per-segment conditional quantiles —
     p95 latency per service, median price per region) via the
@@ -1464,7 +1597,12 @@ def quantile_lm_grouped(
     then every group shares it, the SQL-replayable mode), the smoothed
     check-loss weights |q − 1(e<0)| / max(|e|, δ), the same convergence
     test. Returns long format: group_cols…, term, estimate, delta,
-    n_rows, iterations, converged; degenerate groups emit NULLs."""
+    n_rows, iterations, converged; degenerate groups emit NULLs.
+
+    `weight_col` (r12): the `quantile_lm(weight_col=)` case-weight
+    convention per group — ω ≥ 0 into the WLS start, the ω-weighted
+    mean-|e| δ probe and every MM re-weighting; NaN/negative ω or
+    Σω ≤ 0 degenerate the group to NULLs (the grouped policy)."""
     from pyspark.sql import types as T
 
     if not 0.0 < q < 1.0:
@@ -1472,15 +1610,21 @@ def quantile_lm_grouped(
     if delta is not None and not delta > 0:
         raise ValueError(f"delta must be > 0, got {delta!r}")
     iters = exact_iterations if exact_iterations is not None else max_iter
+    weighted = weight_col is not None
 
-    def fit_one(X, yv):
-        xtx = X.T @ X
+    def fit_one(X, yv, wv):
+        Xw0 = X * wv[:, None] if weighted else X
+        xtx = X.T @ Xw0
         # positive-definiteness probe only — LinAlgError on a singular
         # group design routes to NULL estimates in the caller
         np.linalg.cholesky(xtx)
-        beta = np.linalg.solve(xtx, X.T @ yv)
+        beta = np.linalg.solve(xtx, Xw0.T @ yv)
         if delta is None:
-            d = max(1e-6 * float(np.mean(np.abs(yv - X @ beta))), 1e-12)
+            ae0 = np.abs(yv - X @ beta)
+            if weighted:
+                d = max(1e-6 * float((wv * ae0).sum() / wv.sum()), 1e-12)
+            else:
+                d = max(1e-6 * float(np.mean(ae0)), 1e-12)
         else:
             d = float(delta)
         n_iter, conv = 0, False
@@ -1488,6 +1632,8 @@ def quantile_lm_grouped(
             e = yv - X @ beta
             asym = np.where(e < 0, 1.0 - q, q)
             w = asym / np.maximum(np.abs(e), d)
+            if weighted:
+                w = wv * w
             Xw = X * w[:, None]
             new_beta = np.linalg.solve(X.T @ Xw, Xw.T @ yv)
             step = float(np.max(np.abs(new_beta - beta)))
@@ -1508,6 +1654,7 @@ def quantile_lm_grouped(
     return _irls_grouped(
         df, formula, group_cols, na_action,
         [T.StructField("delta", T.DoubleType())], fit_one,
+        weight_col=weight_col,
     )
 
 

@@ -896,3 +896,121 @@ def test_grouped_predict_edges(spark):
     assert all(r.prediction != -1.0 for r in out.collect())
     with pytest.raises(ValueError, match="empty"):
         grouped_predict(df, fits.where(F.col("term") == "nope"), "y ~ x", ["g"])
+
+
+def _robust_weight_fixture(spark):
+    rng = np.random.default_rng(31)
+    rows = []
+    for i in range(180):
+        g = "a" if i % 2 == 0 else "b"
+        x = float(rng.normal(0, 1))
+        y = 2.0 + 1.5 * x + float(rng.normal(0, 0.5))
+        if i % 19 == 0:
+            y += 25.0  # outliers huber must resist
+        w = float(1 + (i % 3))
+        rows.append((g, y, x, w))
+    df = spark.createDataFrame(rows, "g string, y double, x double, w double")
+    rep_rows = [r for row in rows for r in [row[:3]] * int(row[3])]
+    rep = spark.createDataFrame(rep_rows, "g string, y double, x double")
+    return df, rep
+
+
+def test_huber_weighted_replication_and_guards(spark):
+    """r12 huber_lm(weight_col=): integer frequency weights equal
+    physical replication for the whole trajectory (coefs + scale);
+    unit weights equal unweighted exactly; non-integer weights and
+    median_mode='approx' raise; the grouped twin matches the single
+    fit per slice and NULLs a violating group."""
+    from sparkglm_spark.operators.lm import huber_lm, huber_lm_grouped
+
+    df, rep = _robust_weight_fixture(spark)
+    m_w = huber_lm(df, "y ~ x", exact_iterations=3, weight_col="w")
+    m_r = huber_lm(rep, "y ~ x", exact_iterations=3)
+    assert float(m_w.coefs[0]) == pytest.approx(float(m_r.coefs[0]), rel=1e-9)
+    assert float(m_w.coefs[1]) == pytest.approx(float(m_r.coefs[1]), rel=1e-9)
+    assert m_w.scale == pytest.approx(m_r.scale, rel=1e-9)
+
+    m_u = huber_lm(df, "y ~ x", exact_iterations=3)
+    m_1 = huber_lm(
+        df.withColumn("w", F.lit(1.0)), "y ~ x", exact_iterations=3,
+        weight_col="w",
+    )
+    assert float(m_1.coefs[1]) == pytest.approx(float(m_u.coefs[1]), abs=1e-14)
+
+    with pytest.raises(ValueError, match="INTEGER frequency"):
+        huber_lm(df.withColumn("w", F.lit(1.5)), "y ~ x", weight_col="w")
+    with pytest.raises(ValueError, match="approx"):
+        huber_lm(df, "y ~ x", weight_col="w", median_mode="approx")
+
+    out = {
+        (r.g, r.term): r
+        for r in huber_lm_grouped(
+            df, "y ~ x", ["g"], exact_iterations=3, weight_col="w"
+        ).collect()
+    }
+    for g in ("a", "b"):
+        solo = huber_lm(
+            df.where(F.col("g") == g), "y ~ x", exact_iterations=3,
+            weight_col="w",
+        )
+        for i, t in enumerate(solo.xnames):
+            assert out[(g, t)].estimate == pytest.approx(
+                float(solo.coefs[i]), rel=1e-8
+            ), (g, t)
+        assert out[(g, "x")].scale == pytest.approx(solo.scale, rel=1e-8)
+    # a group with non-integer weights -> NULL, sibling unaffected
+    bad = df.withColumn(
+        "w", F.when(F.col("g") == "b", 0.5).otherwise(F.col("w"))
+    )
+    outb = {
+        (r.g, r.term): r
+        for r in huber_lm_grouped(bad, "y ~ x", ["g"], weight_col="w").collect()
+    }
+    assert outb[("b", "x")].estimate is None
+    assert outb[("a", "x")].estimate is not None
+
+
+def test_quantile_weighted_replication_and_grouped(spark):
+    """r12 quantile_lm(weight_col=): integer case weights equal
+    replication (coefs at fixed iterations); the grouped twin matches
+    the single fit per slice; negative weights raise (single) /
+    NULL-degrade (grouped)."""
+    from sparkglm_spark.operators.lm import quantile_lm, quantile_lm_grouped
+
+    df, rep = _robust_weight_fixture(spark)
+    m_w = quantile_lm(df, "y ~ x", q=0.5, exact_iterations=4, weight_col="w")
+    m_r = quantile_lm(rep, "y ~ x", q=0.5, exact_iterations=4)
+    assert float(m_w.coefs[0]) == pytest.approx(float(m_r.coefs[0]), rel=1e-9)
+    assert float(m_w.coefs[1]) == pytest.approx(float(m_r.coefs[1]), rel=1e-9)
+
+    out = {
+        (r.g, r.term): r
+        for r in quantile_lm_grouped(
+            df, "y ~ x", ["g"], q=0.7, exact_iterations=4, weight_col="w"
+        ).collect()
+    }
+    for g in ("a", "b"):
+        solo = quantile_lm(
+            df.where(F.col("g") == g), "y ~ x", q=0.7, exact_iterations=4,
+            weight_col="w",
+        )
+        for i, t in enumerate(solo.xnames):
+            assert out[(g, t)].estimate == pytest.approx(
+                float(solo.coefs[i]), rel=1e-8
+            ), (g, t)
+
+    with pytest.raises(ValueError, match="negative"):
+        quantile_lm(
+            df.withColumn("w", F.lit(-1.0)), "y ~ x", weight_col="w"
+        )
+    outb = {
+        (r.g, r.term): r
+        for r in quantile_lm_grouped(
+            df.withColumn(
+                "w", F.when(F.col("g") == "b", -1.0).otherwise(F.col("w"))
+            ),
+            "y ~ x", ["g"], weight_col="w",
+        ).collect()
+    }
+    assert outb[("b", "x")].estimate is None
+    assert outb[("a", "x")].estimate is not None

@@ -1113,11 +1113,19 @@ def test_croston_forecast(spark):
         (1 - alpha / 2) * z / p, rel=1e-12
     )
 
-    with pytest.raises(ValueError, match="negative"):
-        croston_forecast(
-            df.withColumn("v", F.when(F.col("t") == 3, -1.0).otherwise(F.col("v"))),
-            "k", "t", "v",
-        )
+    # r12: a key containing a negative demand NULL-degrades (per-key
+    # check inside the fold, no eager pre-scan); siblings unaffected
+    neg = {r.k: r for r in croston_forecast(
+        df.withColumn(
+            "v",
+            F.when((F.col("k") == "a") & (F.col("t") == 3), -1.0)
+            .otherwise(F.col("v")),
+        ),
+        "k", "t", "v", alpha=alpha,
+    ).collect()}
+    assert neg["a"].size is None and neg["a"].n_demands is None
+    assert neg["a"].n_periods == 12
+    assert neg["zero"].n_demands == 0  # sibling keeps its own state
     with pytest.raises(ValueError, match="alpha"):
         croston_forecast(df, "k", "t", "v", alpha=0.0)
     with pytest.raises(ValueError, match="variant"):
@@ -1195,10 +1203,11 @@ def test_tsb_forecast(spark):
     rz = tsb_forecast(z0, "k", "t", "v").collect()[0]
     assert rz.size is None and rz.forecast is None
 
-    with pytest.raises(ValueError, match="negative"):
-        tsb_forecast(
-            df.withColumn("v", F.when(F.col("t") == 2, -1.0).otherwise(F.col("v"))),
-            "k", "t", "v",
-        )
+    # r12: negative demand NULL-degrades the key (per-key fold check)
+    rn = tsb_forecast(
+        df.withColumn("v", F.when(F.col("t") == 2, -1.0).otherwise(F.col("v"))),
+        "k", "t", "v",
+    ).collect()[0]
+    assert rn.size is None and rn.n_demands is None and rn.forecast is None
     with pytest.raises(ValueError, match="beta"):
         tsb_forecast(df, "k", "t", "v", beta=1.0)
