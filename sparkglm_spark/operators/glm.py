@@ -376,9 +376,14 @@ class GLM:
             ll = float("nan")
             aic = float("nan")
         elif fam.name == "gaussian":
-            # MLE σ² = deviance/n_obs; R's logLik.glm convention (weighted:
-            # + ½Σlog ω, n_obs = #{ω>0} — R aic.gaussian); σ counts as a
-            # parameter in the AIC
+            # MLE σ² = deviance/n_obs; R's logLik.glm shape (+ ½Σlog ω
+            # weighted), with ONE deliberate deviation (ADVICE r11):
+            # n_obs = #{ω>0}, NOT R aic.gaussian's length(y) — R keeps
+            # zero-weight rows in nobs AND in Σlog wt, so a single ω = 0
+            # drives its aic to Inf (log 0); here a zero-weight row is
+            # exactly absent from ll/aic, consistent with this fitter's
+            # df convention (#{ω>0} − k). Unweighted: identical to R.
+            # σ counts as a parameter in the AIC.
             ll = (
                 -0.5 * n_obs * (np.log(2.0 * np.pi * deviance / n_obs) + 1.0)
                 + 0.5 * slogw

@@ -1211,3 +1211,27 @@ def test_tsb_forecast(spark):
     assert rn.size is None and rn.n_demands is None and rn.forecast is None
     with pytest.raises(ValueError, match="beta"):
         tsb_forecast(df, "k", "t", "v", beta=1.0)
+
+
+def test_hw_mul_interval_refusal_contract(spark):
+    """VERDICT r11 #7: `holt_winters_forecast(interval=True,
+    seasonal='mul')` REFUSES loudly (no c_j closed form for the
+    multiplicative innovations variance — the Hyndman-Koehler-Ord-
+    Snyder class-M variance is a state-space recursion, not the
+    additive-error polynomial); additive interval on the same data
+    still works."""
+    from sparkglm_spark.operators.timeseries import holt_winters_forecast
+
+    rows = [("a", i, 50.0 + 10.0 * ((i % 4) - 1.5) + 0.2 * i)
+            for i in range(16)]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    with pytest.raises(ValueError, match="additive seasonality only"):
+        holt_winters_forecast(
+            df, "k", "t", "v", alpha=0.5, beta=0.25, gamma=0.5, period=4,
+            seasonal="mul", interval=True,
+        )
+    ok = holt_winters_forecast(
+        df, "k", "t", "v", alpha=0.5, beta=0.25, gamma=0.5, period=4,
+        seasonal="add", interval=True, horizons=[3],
+    ).collect()[0]
+    assert ok.se_3 is not None and ok.lo_3 < ok.hi_3
