@@ -5053,6 +5053,44 @@ def q_glm_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # '0.0' differently; the oracle selects add the same + 0.0
     en = en.withColumn("estimate", F.col("estimate") + F.lit(0.0))
     res = res.unionByName(arm(en, "en_"))
+    # r12: per-segment sparse-GLM CV (glm_elastic_net_cv_grouped) — the
+    # same design, 2 deterministic folds (o_orderkey % 2) × λ=0.02 ×
+    # exactly 2 solves per fold model. The SQL replays each fold model's
+    # trajectory per group (training-only moments/σ/init, the same
+    # p=1-exact soft-threshold solves restricted to fd≠j) and splits the
+    # final-β deviance by fold. ROUND 3 deviances; counts exact.
+    from sparkglm_spark.operators.enet import glm_elastic_net_cv_grouped
+
+    enc = glm_elastic_net_cv_grouped(
+        od.withColumn("fd", F.col("o_orderkey") % 2),
+        "is_f ~ p100k", ["o_orderpriority"], [0.02], "fd", n_folds=2,
+        elastic_net_param=0.5, exact_iterations=2,
+    ).withColumn("fstr", F.col("fold").cast("string"))
+    ec_dv = enc.select(
+        "o_orderpriority",
+        F.concat(F.lit("ec"), F.col("fstr"), F.lit("_devval")).alias("term"),
+        F.lit(None).cast("double").alias("estimate"),
+        F.round("deviance_val", 3).alias("deviance"),
+        "iterations",
+        F.col("n_val").alias("n_rows"),
+    )
+    ec_dt = enc.select(
+        "o_orderpriority",
+        F.concat(F.lit("ec"), F.col("fstr"), F.lit("_devtrain")).alias("term"),
+        F.lit(None).cast("double").alias("estimate"),
+        F.round("deviance_train", 3).alias("deviance"),
+        "iterations",
+        F.col("n_train").alias("n_rows"),
+    )
+    ec_nz = enc.select(
+        "o_orderpriority",
+        F.concat(F.lit("ec"), F.col("fstr"), F.lit("_nnz")).alias("term"),
+        F.col("n_nonzero").cast("double").alias("estimate"),
+        F.lit(None).cast("double").alias("deviance"),
+        "iterations",
+        F.lit(None).cast("bigint").alias("n_rows"),
+    )
+    res = res.unionByName(ec_dv).unionByName(ec_dt).unionByName(ec_nz)
     return res.orderBy("o_orderpriority", "term")
 
 
@@ -5244,6 +5282,73 @@ def _sql_glm_per_segment(iters: int = _GLM_ITERS) -> str:
         "SELECT g, 'en_intercept', ROUND(b0 + 0.0, 6), ROUND(dev, 3), 2, n_rows FROM endv",
         "SELECT g, 'en_p100k', ROUND(b1 + 0.0, 6), ROUND(dev, 3), 2, n_rows FROM endv",
     ]
+    # r12: per-segment sparse-GLM CV — fold model j trains on fd ≠ j
+    # with the SAME per-group trajectory as the en_ chain (training-only
+    # moments → σ/logit init → two p=1-exact soft-threshold solves),
+    # then the final-β deviance splits by fold (val = fd = j).
+    ctes.append(
+        "ecb AS (SELECT o_orderpriority AS g,"
+        " CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y,"
+        " o_totalprice / 100000.0 AS x, o_orderkey % 2 AS fd FROM orders)"
+    )
+    for j in (0, 1):
+        ctes.append(
+            f"ec{j}m AS (SELECT g, CAST(COUNT(*) AS DOUBLE) AS n,"
+            f" SUM(y) AS sy, SUM(x) AS sx, SUM(x*x) AS sxx FROM ecb"
+            f" WHERE fd <> {j} GROUP BY g)"
+        )
+        ctes.append(
+            f"ec{j}s0 AS (SELECT g, n,"
+            f" SQRT(GREATEST((sxx - n*(sx/n)*(sx/n)) / (n - 1.0), 0.0)) AS sg,"
+            f" ln(LEAST(GREATEST(sy/n, 1e-10), 1.0 - 1e-10)"
+            f" / (1.0 - LEAST(GREATEST(sy/n, 1e-10), 1.0 - 1e-10))) AS b0,"
+            f" 0.0 AS b1 FROM ec{j}m)"
+        )
+        for i in (1, 2):
+            prev = f"ec{j}s{i - 1}"
+            ctes.append(
+                f"ec{j}w{i} AS (SELECT s.g, s.x,"
+                f" mu*(1.0-mu) AS w, eta + (s.y - mu)/(mu*(1.0-mu)) AS z FROM"
+                f" (SELECT s.g, s.y, s.x, p.b0 + p.b1*s.x AS eta,"
+                f" least(greatest(1.0/(1.0 + exp(-(p.b0 + p.b1*s.x))), 1e-10),"
+                f" 1.0 - 1e-10) AS mu"
+                f" FROM ecb s JOIN {prev} p ON s.g = p.g"
+                f" WHERE s.fd <> {j}) s)"
+            )
+            ctes.append(
+                f"ec{j}a{i} AS (SELECT q.g, p.n AS n, p.sg AS sg, SUM(w) AS sw,"
+                f" SUM(w*x) AS swx, SUM(w*x*x) AS swxx, SUM(w*z) AS swz,"
+                f" SUM(w*x*z) AS swxz FROM ec{j}w{i} q"
+                f" JOIN {prev} p ON q.g = p.g GROUP BY q.g, p.n, p.sg)"
+            )
+            ctes.append(
+                f"ec{j}s{i} AS (SELECT g, n, sg, (swz - swx*b1n)/sw AS b0,"
+                f" b1n AS b1 FROM (SELECT g, n, sg, sw, swx, swz,"
+                f" CASE WHEN sg > 0 THEN"
+                f" SIGN(((swxz - swx*(swz/sw))/sg)/n)"
+                f" * GREATEST(ABS(((swxz - swx*(swz/sw))/sg)/n) - 0.5 * 0.02, 0.0)"
+                f" / (((swxx - swx*swx/sw)/(sg*sg))/n + 0.5 * 0.02)"
+                f" / sg ELSE 0.0 END AS b1n FROM ec{j}a{i}) s)"
+            )
+        ctes.append(
+            f"ec{j}d AS (SELECT r.g, r.fd, r.b1, COUNT(*) AS nn,"
+            f" 2.0*SUM(CASE WHEN y > 0 THEN y*ln(y/mu) ELSE 0.0 END"
+            f" + CASE WHEN y < 1 THEN (1.0-y)*ln((1.0-y)/(1.0-mu))"
+            f" ELSE 0.0 END) AS dv FROM"
+            f" (SELECT s.g, s.fd, s.y, p.b1,"
+            f" least(greatest(1.0/(1.0+exp(-(p.b0 + p.b1*s.x))), 1e-10),"
+            f" 1.0-1e-10) AS mu"
+            f" FROM ecb s JOIN ec{j}s2 p ON s.g = p.g) r GROUP BY 1, 2, 3)"
+        )
+        selects += [
+            f"SELECT g, 'ec{j}_devval', CAST(NULL AS DOUBLE), ROUND(dv, 3),"
+            f" 2, nn FROM ec{j}d WHERE fd = {j}",
+            f"SELECT g, 'ec{j}_devtrain', CAST(NULL AS DOUBLE), ROUND(dv, 3),"
+            f" 2, nn FROM ec{j}d WHERE fd <> {j}",
+            f"SELECT g, 'ec{j}_nnz',"
+            f" CAST(CASE WHEN b1 <> 0 THEN 1 ELSE 0 END AS DOUBLE),"
+            f" CAST(NULL AS DOUBLE), 2, CAST(NULL AS BIGINT) FROM ec{j}s2",
+        ]
     return (
         "WITH " + ",\n".join(ctes) + "\n"
         + "\nUNION ALL\n".join(selects)

@@ -1503,3 +1503,73 @@ def test_glm_enet_path_exact_iterations_and_degenerate_raise(spark):
     )
     with pytest.raises(ValueError, match="degenerate input"):
         glm_elastic_net_path(const, "y ~ x", [0.1])
+
+
+def test_glm_enet_cv_grouped_matches_cold_per_group(spark):
+    """r12 (VERDICT r11 #8): glm_elastic_net_cv_grouped — each
+    (group, λ, fold) row matches glm_elastic_net_cv run cold on that
+    group's frame at 1e-8 (binomial and weighted binomial); a wholly
+    degenerate group (constant label) emits one NULL row per λ while
+    siblings fit; guards raise on bad grids."""
+    from sparkglm_spark.operators.enet import (
+        glm_elastic_net_cv,
+        glm_elastic_net_cv_grouped,
+    )
+
+    rng = np.random.default_rng(43)
+    rows = []
+    for g in ("a", "b"):
+        n = 160
+        x1 = rng.normal(0, 1, n)
+        x2 = rng.normal(0, 1, n)
+        y = (rng.uniform(0, 1, n) < 1 / (1 + np.exp(0.3 - x1))).astype(float)
+        w = 0.5 + rng.random(n)
+        rows += [
+            (g, float(y[i]), float(x1[i]), float(x2[i]), float(w[i]), i % 2)
+            for i in range(n)
+        ]
+    df = spark.createDataFrame(
+        rows, "g string, y double, x1 double, x2 double, w double, fd int"
+    )
+    lams = [0.05, 0.01]
+    for wc in (None, "w"):
+        out = {
+            (r.g, r.reg_param, r.fold): r
+            for r in glm_elastic_net_cv_grouped(
+                df, "y ~ x1 + x2", ["g"], lams, "fd", n_folds=2,
+                elastic_net_param=0.7, weight_col=wc,
+            ).collect()
+        }
+        for g in ("a", "b"):
+            cold = {
+                (r.reg_param, r.fold): r
+                for r in glm_elastic_net_cv(
+                    df.where(F.col("g") == g), "y ~ x1 + x2", lams,
+                    "fd", n_folds=2, elastic_net_param=0.7, weight_col=wc,
+                ).collect()
+            }
+            for key, cr in cold.items():
+                gr = out[(g,) + key]
+                assert gr.deviance_val == pytest.approx(
+                    cr.deviance_val, rel=1e-8
+                ), (wc, g, key)
+                assert gr.deviance_train == pytest.approx(
+                    cr.deviance_train, rel=1e-8
+                ), (wc, g, key)
+                assert gr.n_nonzero == cr.n_nonzero
+                assert (gr.n_train, gr.n_val) == (cr.n_train, cr.n_val)
+
+    bad = df.withColumn(
+        "y", F.when(F.col("g") == "b", 1.0).otherwise(F.col("y"))
+    )
+    outb = glm_elastic_net_cv_grouped(
+        bad, "y ~ x1 + x2", ["g"], lams, "fd", n_folds=2
+    ).toPandas()
+    b_rows = outb[outb.g == "b"]
+    assert len(b_rows) == len(lams) and b_rows.fold.isna().all()
+    assert (outb[outb.g == "a"].deviance_val.notna()).all()
+
+    with pytest.raises(ValueError, match="n_folds"):
+        glm_elastic_net_cv_grouped(df, "y ~ x1", ["g"], lams, "fd", n_folds=1)
+    with pytest.raises(ValueError, match="reg_params"):
+        glm_elastic_net_cv_grouped(df, "y ~ x1", ["g"], [], "fd")
