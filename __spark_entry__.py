@@ -7353,6 +7353,37 @@ def q_orders_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("v2"),
         F.lit(None).cast("double").alias("v3"),
     )
+    # r12: the survey-weighted KM/RMST arms (weight_col path of
+    # `_km_curve`) — ω = 1 + custkey % 3 makes every at-risk/event count
+    # an ω-MASS; ω is integer-valued so the masses cast to BIGINT
+    # exactly on both sides. The SQL replays the same per-(g, t)
+    # weighted sums through the identical window chain.
+    wkm_in = od.select(
+        F.col("o_orderpriority").alias("g"),
+        F.floor(F.col("o_totalprice") / 1000).cast("double").alias("t"),
+        F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0).alias("ev"),
+        (1.0 + (F.col("o_custkey") % 3).cast("double")).alias("wq"),
+    )
+    wkm = kaplan_meier(
+        wkm_in, "t", "ev", group_col="g", weight_col="wq"
+    ).select(
+        F.lit("wkm").alias("op"),
+        F.col("g").alias("key"),
+        F.col("n_at_risk").cast("bigint").alias("n"),
+        F.col("time").alias("v1"),
+        F.col("n_events").alias("v2"),
+        F.round("survival", 6).alias("v3"),
+    )
+    wrm = restricted_mean_survival(
+        wkm_in, "t", "ev", 300.0, group_col="g", weight_col="wq"
+    ).select(
+        F.lit("wrmst").alias("op"),
+        F.col("g").alias("key"),
+        F.col("n_events").cast("bigint").alias("n"),
+        F.round("rmst", 6).alias("v1"),
+        F.lit(None).cast("double").alias("v2"),
+        F.lit(None).cast("double").alias("v3"),
+    )
     # r7b: two-sample log-rank over the same bucketed time axis,
     # groups = custkey parity (group 'a' = 0, the str-sorted first)
     from sparkglm_spark.operators.survival import logrank_test
@@ -7413,6 +7444,8 @@ def q_orders_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(iso)
         .unionByName(km)
         .unionByName(rmst)
+        .unionByName(wkm)
+        .unionByName(wrm)
         .unionByName(ci_rows)
         .unionByName(lr_rows)
     )
@@ -7847,6 +7880,57 @@ FROM (
            OVER (PARTITION BY g ORDER BY t ROWS UNBOUNDED PRECEDING) AS dead
   FROM kr
 ) kc WHERE kc.d > 0
+UNION ALL
+SELECT 'wkm', wc.g, CAST(wc.nr AS BIGINT), wc.t, wc.d,
+       CASE WHEN wc.dead = 1 THEN 0.0 ELSE ROUND(exp(wc.ls), 6) END
+FROM (
+  WITH wkb AS (
+    SELECT o_orderpriority AS g,
+           CAST(FLOOR(o_totalprice / 1000) AS DOUBLE) AS t,
+           CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS ev,
+           1.0 + CAST(o_custkey % 3 AS DOUBLE) AS wq
+    FROM orders),
+  wkt AS (SELECT g, t, SUM(wq) AS n_t, SUM(wq * ev) AS d
+          FROM wkb GROUP BY 1, 2),
+  wkr AS (SELECT g, t, d,
+                 SUM(n_t) OVER (PARTITION BY g ORDER BY t DESC
+                                ROWS UNBOUNDED PRECEDING) AS nr
+          FROM wkt)
+  SELECT g, t, d, nr,
+         SUM(CASE WHEN d >= nr THEN NULL ELSE ln(1.0 - d / nr) END)
+           OVER (PARTITION BY g ORDER BY t ROWS UNBOUNDED PRECEDING) AS ls,
+         MAX(CASE WHEN d >= nr THEN 1 ELSE 0 END)
+           OVER (PARTITION BY g ORDER BY t ROWS UNBOUNDED PRECEDING) AS dead
+  FROM wkr
+) wc WHERE wc.d > 0
+UNION ALL
+SELECT 'wrmst', wm.g, wm.ne, wm.v1, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM (
+  WITH wmb AS (
+    SELECT o_orderpriority AS g,
+           CAST(FLOOR(o_totalprice / 1000) AS DOUBLE) AS t,
+           CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS ev,
+           1.0 + CAST(o_custkey % 3 AS DOUBLE) AS wq
+    FROM orders),
+  wmt AS (SELECT g, t, SUM(wq) AS n_t, SUM(wq * ev) AS d
+          FROM wmb GROUP BY 1, 2),
+  wmr AS (SELECT g, t, d,
+                 SUM(n_t) OVER (PARTITION BY g ORDER BY t DESC
+                                ROWS UNBOUNDED PRECEDING) AS nr
+          FROM wmt),
+  wmc AS (SELECT g, t, d, nr,
+                 CASE WHEN d >= nr THEN NULL ELSE ln(1.0 - d / nr) END AS lt,
+                 SUM(CASE WHEN d >= nr THEN 0.0 ELSE ln(1.0 - d / nr) END)
+                   OVER (PARTITION BY g ORDER BY t ROWS UNBOUNDED PRECEDING) AS ls
+          FROM wmr)
+  SELECT g,
+         CAST(SUM(CASE WHEN d > 0 AND t <= 300.0 THEN d ELSE 0 END) AS BIGINT)
+           AS ne,
+         ROUND(300.0 - SUM(CASE WHEN d > 0 AND t <= 300.0
+             THEN exp(ls - COALESCE(lt, 0.0)) * (d / nr) * (300.0 - t)
+             ELSE 0.0 END), 6) AS v1
+  FROM wmc GROUP BY g
+) wm
 UNION ALL
 SELECT 'rmst', rm.g, rm.ne, rm.v1, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
 FROM (
