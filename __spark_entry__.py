@@ -7420,6 +7420,21 @@ def q_orders_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "op string, key string, n bigint, v1 double, v2 double, v3 double",
     )
+    # r12: the frequency-weighted log-rank twin — ω = 1 + custkey % 3
+    # through every hypergeometric count (logrank_test weight_col path);
+    # n_events keeps the RAW event-row count (the engine convention).
+    wlr = logrank_test(
+        od.select(
+            F.floor(F.col("o_totalprice") / 1000).cast("double").alias("t"),
+            F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0).alias("ev"),
+            (F.col("o_custkey") % 2).alias("g2"),
+            (1.0 + (F.col("o_custkey") % 3).cast("double")).alias("wq"),
+        ),
+        "t",
+        "ev",
+        "g2",
+        weight_col="wq",
+    )
     lr_rows = spark.createDataFrame(
         [
             ("logrank", "chi2", None, round(lr["chi2"], 6), None, None),
@@ -7427,6 +7442,12 @@ def q_orders_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
              None, None),
             ("logrank", "variance", None, round(lr["variance"], 6), None, None),
             ("logrank", "n_events", lr["n_events"], None, None, None),
+            ("wlogrank", "chi2", None, round(wlr["chi2"], 6), None, None),
+            ("wlogrank", "oe_a", None,
+             round(wlr["observed_minus_expected_a"], 6), None, None),
+            ("wlogrank", "variance", None, round(wlr["variance"], 6), None,
+             None),
+            ("wlogrank", "n_events", wlr["n_events"], None, None, None),
         ],
         "op string, key string, n bigint, v1 double, v2 double, v3 double",
     )
@@ -8008,6 +8029,36 @@ FROM (
   UNION ALL SELECT 'variance', NULL, ROUND(v, 6) FROM lg
   UNION ALL SELECT 'n_events', CAST(ne AS BIGINT), NULL FROM lg
 ) lr
+UNION ALL
+SELECT 'wlogrank', wl.key, wl.nn, wl.v1, CAST(NULL AS DOUBLE),
+       CAST(NULL AS DOUBLE)
+FROM (
+  WITH wlb AS (
+    SELECT CAST(FLOOR(o_totalprice / 1000) AS DOUBLE) AS t,
+           CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS ev,
+           CASE WHEN o_custkey % 2 = 0 THEN 1.0 ELSE 0.0 END AS ia,
+           1.0 + CAST(o_custkey % 3 AS DOUBLE) AS wq
+    FROM orders),
+  wlt AS (SELECT t, SUM(wq) AS n_t, SUM(wq * ia) AS na_t,
+                 SUM(wq * ev) AS d, SUM(wq * ev * ia) AS da,
+                 SUM(ev) AS ne_raw
+          FROM wlb GROUP BY 1),
+  wlc AS (SELECT d, da, ne_raw,
+                 SUM(n_t) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS n,
+                 SUM(na_t) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS na
+          FROM wlt),
+  wlg AS (SELECT SUM(CASE WHEN d > 0 THEN da - d * na / n ELSE 0.0 END) AS oe,
+                 SUM(CASE WHEN d > 0 AND n > 1 THEN
+                       d * (na / n) * (1.0 - na / n) * (n - d) / (n - 1.0)
+                     ELSE 0.0 END) AS v,
+                 SUM(CASE WHEN d > 0 THEN ne_raw ELSE 0.0 END) AS ne
+          FROM wlc)
+  SELECT 'chi2' AS key, CAST(NULL AS BIGINT) AS nn,
+         ROUND(oe * oe / v, 6) AS v1 FROM wlg
+  UNION ALL SELECT 'oe_a', NULL, ROUND(oe, 6) FROM wlg
+  UNION ALL SELECT 'variance', NULL, ROUND(v, 6) FROM wlg
+  UNION ALL SELECT 'n_events', CAST(ne AS BIGINT), NULL FROM wlg
+) wl
 """
 
 

@@ -926,6 +926,14 @@ class SparkWordPieceModel(Model, _SparkWordPieceParams, MLWritable, MLReadable):
 
 
 class _SparkHuberLMParams(_FormulaParams):
+    weightCol = Param(
+        Params._dummy(),
+        "weightCol",
+        "positive-INTEGER frequency-weight column ('' = unweighted) — "
+        "forwards to huber_lm(weight_col=); the robust scale becomes "
+        "the frequency-weighted median (integer ω = exact replication)",
+        typeConverter=TypeConverters.toString,
+    )
     c = Param(
         Params._dummy(),
         "c",
@@ -960,7 +968,8 @@ class _SparkHuberLMParams(_FormulaParams):
     def __init__(self):
         super().__init__()
         self._setDefault(
-            c=1.345, maxIter=30, tol=1e-8, medianMode="auto", accuracy=10000
+            c=1.345, maxIter=30, tol=1e-8, medianMode="auto", accuracy=10000,
+            weightCol="",
         )
 
 
@@ -984,6 +993,7 @@ class SparkHuberLM(
             raise ValueError("SparkHuberLM requires the 'formula' param")
         from sparkglm_spark.operators.lm import huber_lm
 
+        wc = self.getOrDefault(self.weightCol)
         inner = huber_lm(
             dataset,
             self.getFormula(),
@@ -993,6 +1003,7 @@ class SparkHuberLM(
             na_action=self.getNaAction(),
             median_mode=self.getOrDefault(self.medianMode),
             accuracy=self.getOrDefault(self.accuracy),
+            weight_col=wc or None,
         )
         return self._copyValues(SparkHuberLMModel(inner))
 
@@ -1037,6 +1048,13 @@ class SparkHuberLMModel(Model, _SparkHuberLMParams, MLWritable, MLReadable):
 
 
 class _SparkQuantileLMParams(_FormulaParams):
+    weightCol = Param(
+        Params._dummy(),
+        "weightCol",
+        "case-weight column, omega >= 0 ('' = unweighted) — forwards to "
+        "quantile_lm(weight_col=): omega-weighted check loss",
+        typeConverter=TypeConverters.toString,
+    )
     q = Param(
         Params._dummy(),
         "q",
@@ -1064,7 +1082,7 @@ class _SparkQuantileLMParams(_FormulaParams):
 
     def __init__(self):
         super().__init__()
-        self._setDefault(q=0.5, maxIter=100, tol=1e-6, delta=0.0)
+        self._setDefault(q=0.5, maxIter=100, tol=1e-6, delta=0.0, weightCol="")
 
 
 class SparkQuantileLM(
@@ -1087,6 +1105,7 @@ class SparkQuantileLM(
         from sparkglm_spark.operators.lm import quantile_lm
 
         d = self.getOrDefault(self.delta)
+        wc = self.getOrDefault(self.weightCol)
         inner = quantile_lm(
             dataset,
             self.getFormula(),
@@ -1095,6 +1114,7 @@ class SparkQuantileLM(
             tol=self.getOrDefault(self.tol),
             delta=d if d > 0.0 else None,
             na_action=self.getNaAction(),
+            weight_col=wc or None,
         )
         return self._copyValues(SparkQuantileLMModel(inner))
 

@@ -567,3 +567,30 @@ def test_isotonic_calibrator_pipeline_and_save_load(li, tmp_path):
         df.withColumn("prediction", F.col("l_quantity") / 50.0)
     ).limit(20).collect()]
     np.testing.assert_allclose(a, b, rtol=0)
+
+
+def test_huber_quantile_estimators_weightcol(spark):
+    """r12: SparkHuberLM/SparkQuantileLM weightCol forwards to the
+    function surface — estimator fit equals the direct call."""
+    import numpy as np
+
+    from sparkglm_spark.ml import SparkHuberLM, SparkQuantileLM
+    from sparkglm_spark.operators.lm import huber_lm, quantile_lm
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (
+            float(2.0 + 1.5 * x + rng.normal(0, 0.4))
+            + (20.0 if i % 17 == 0 else 0.0),
+            float(x),
+            float(1 + (i % 2)),
+        )
+        for i, x in enumerate(rng.normal(0, 1, 120))
+    ]
+    df = spark.createDataFrame(rows, "y double, x double, w double")
+    hm = SparkHuberLM(formula="y ~ x", weightCol="w", maxIter=3).fit(df)
+    hf = huber_lm(df, "y ~ x", max_iter=3, weight_col="w")
+    assert float(hm.model.coefs[1]) == float(hf.coefs[1])
+    qm = SparkQuantileLM(formula="y ~ x", weightCol="w", maxIter=4).fit(df)
+    qf = quantile_lm(df, "y ~ x", max_iter=4, weight_col="w")
+    assert float(qm.model.coefs[1]) == float(qf.coefs[1])
