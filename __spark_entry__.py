@@ -1417,7 +1417,9 @@ def q_glm_families_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     seen_lams: set = set()
     for r in pth.collect():
         pk = lam_key[r["reg_param"]]
-        rows.append((pk, f"coef_{r['term']}", round(r["estimate"], 6)))
+        # + 0.0 normalizes a soft-thresholded −0.0 (the en_ arm lesson —
+        # the driver hashes '-0.0' ≠ '0.0'); SQL side adds the same
+        rows.append((pk, f"coef_{r['term']}", round(r["estimate"] + 0.0, 6)))
         if pk not in seen_lams:
             seen_lams.add(pk)
             rows += [
@@ -1688,9 +1690,9 @@ def _sql_glm_families_fit() -> str:
     ]
     for j, fin in ((0, "ep2"), (1, "ep4")):
         selects += [
-            f"SELECT 'enetpath_l{j}', 'coef_intercept', ROUND(b0, 6)"
+            f"SELECT 'enetpath_l{j}', 'coef_intercept', ROUND(b0 + 0.0, 6)"
             f" FROM {fin}",
-            f"SELECT 'enetpath_l{j}', 'coef_xx', ROUND(b1, 6) FROM {fin}",
+            f"SELECT 'enetpath_l{j}', 'coef_xx', ROUND(b1 + 0.0, 6) FROM {fin}",
             f"SELECT 'enetpath_l{j}', 'deviance', ROUND(dev, 2) FROM epd{j}",
             f"SELECT 'enetpath_l{j}', 'aic', ROUND(dev + 2.0 *"
             f" (CASE WHEN b1 <> 0 THEN 2 ELSE 1 END), 2) FROM epd{j}",

@@ -1611,14 +1611,17 @@ def _np_glm_irls_kernels(fam_name: str, y, eta_lin, ov):
     binomial clamps μ to [1e-10, 1−1e-10] BEFORE the weight/working
     response (the `glm_elastic_net` convention)."""
     eta = eta_lin + ov
-    if fam_name == "binomial":
-        mu = np.clip(1 / (1 + np.exp(-eta)), 1e-10, 1 - 1e-10)
-        w = mu * (1 - mu)
-        z = eta_lin + (y - mu) / (mu * (1 - mu))
-    else:
-        mu = np.exp(eta)
-        w = mu
-        z = eta_lin + (y - mu) / mu
+    # errstate: a deviance-only caller discards z, but an underflowed
+    # poisson μ = 0 would still warn on (y−μ)/μ (code-review r12)
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+        if fam_name == "binomial":
+            mu = np.clip(1 / (1 + np.exp(-eta)), 1e-10, 1 - 1e-10)
+            w = mu * (1 - mu)
+            z = eta_lin + (y - mu) / (mu * (1 - mu))
+        else:
+            mu = np.exp(eta)
+            w = mu
+            z = eta_lin + (y - mu) / mu
     return mu, w, z
 
 
@@ -1915,6 +1918,12 @@ def glm_elastic_net_cv_grouped(
     if isinstance(fold_expr, str):
         fold_expr = F.col(fold_expr)
     base = df.withColumn("__fold", fold_expr.cast("int"))
+    if na_action == "omit":
+        # engine parity (code-review r12): glm_elastic_net_cv routes
+        # '__fold' through _encode_formula's NA-omit, so a null fold id
+        # drops its ROW; _design treats keep_cols as pass-through, which
+        # would otherwise NULL the whole group on one bad row
+        base = base.where(F.col("__fold").isNotNull())
     encoded, x_cols, target = _design(
         base, formula, list(group_cols) + ["__fold"], na_action=na_action,
         weight_col=weight_col, offset_col=offset_col,
@@ -2076,8 +2085,10 @@ def glm_elastic_net_cv_grouped(
                     dev_v = _np_glm_deviance(
                         fam_name, y[va], mu_all[va], wv[va]
                     )
-                    if not (np.all(np.isfinite(b)) and np.isfinite(dev_t)):
-                        continue
+                    # emit the row even if the fit diverged (NaN/inf
+                    # deviances) — the engine does, and a silently
+                    # missing (λ, fold) cell would break the cold-parity
+                    # contract (code-review r12)
                     recs.append(
                         gkey
                         + (

@@ -404,7 +404,7 @@ def ewma_forecast(
 
 
 
-def _intermittent_base(df, key_col, ts_col, value_col, tiebreak_col, what):
+def _intermittent_base(df, key_col, ts_col, value_col, tiebreak_col):
     """Shared scaffold of `croston_forecast`/`tsb_forecast`: family null
     policy and the ordered per-key base frame. The non-negative-demand
     domain (intermittent demand is non-negative by definition) is
@@ -472,7 +472,7 @@ def croston_forecast(
     if variant not in ("classic", "sba"):
         raise ValueError(f"variant must be 'classic' or 'sba', got {variant!r}")
     base, sort_cols, key_t = _intermittent_base(
-        df, key_col, ts_col, value_col, tiebreak_col, "Croston's method"
+        df, key_col, ts_col, value_col, tiebreak_col
     )
     factor = 1.0 - alpha / 2.0 if variant == "sba" else 1.0
     schema = (
@@ -564,7 +564,7 @@ def tsb_forecast(
         if not 0.0 < v < 1.0:
             raise ValueError(f"{nm} must be in (0, 1), got {v!r}")
     base, sort_cols, key_t = _intermittent_base(
-        df, key_col, ts_col, value_col, tiebreak_col, "TSB"
+        df, key_col, ts_col, value_col, tiebreak_col
     )
     schema = (
         f"{key_col} {key_t}, "
