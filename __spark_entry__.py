@@ -844,6 +844,27 @@ def q_wls_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("quantile_q", qm.q),
         ("quantile_iterations", float(qm.iter)),
     ]
+    # r12: the WEIGHTED robust twins — ω = 1 + l_linenumber % 3 (integer
+    # frequency weights) through the same 2-solve trajectories. The
+    # huber oracle expands each row ω times (lateral range) so DuckDB's
+    # quantile_cont IS Spark's percentile(…, frequency); the quantile
+    # oracle folds ω into the decimal WLS start and every MM weight.
+    # Same 1dp margins as the unweighted arms.
+    wli = li.withColumn(
+        "wq", (1 + F.col("l_linenumber") % 3).cast("double")
+    )
+    whub = huber_lm(wli, "l_extendedprice ~ l_quantity", c=1.345,
+                    exact_iterations=2, weight_col="wq")
+    rows += [
+        (f"whuber_{name}", round(float(b), 1))
+        for name, b in zip(whub.xnames, whub.coefs)
+    ] + [("whuber_scale", round(whub.scale, 1))]
+    wqm = quantile_lm(wli, "l_extendedprice ~ l_quantity", q=0.75,
+                      exact_iterations=2, delta=1.0, weight_col="wq")
+    rows += [
+        (f"wquantile_{name}", round(float(b), 1))
+        for name, b in zip(wqm.xnames, wqm.coefs)
+    ]
     # r9: GROUPED robust fits (operators/lm.py::huber_lm_grouped /
     # quantile_lm_grouped) — one IRLS per l_linestatus segment, the
     # per-group numpy twin of the 2-iteration trajectories pinned above;
@@ -1087,6 +1108,119 @@ SELECT {pfx}res.term, {pfx}res.coef FROM (
 """
 
 
+def _sql_whuber2_arm() -> str:
+    """r12: the FREQUENCY-weighted 2-iteration Huber unroll — ω = 1 +
+    l_linenumber % 3 rides the decimal WLS start and every ψ-weighted
+    sum, and the robust scale is quantile_cont over the ω-EXPANDED
+    |e| multiset (DuckDB lateral range(ω) — literally the replication
+    semantics Spark's percentile(…, frequency) implements). Same 1dp
+    margins as the unweighted huber arm (ψ continuous, ω integer-exact
+    in both engines)."""
+    w = "(1 + l_linenumber % 3)"
+    return f"""
+SELECT wh.term, wh.coef FROM (
+  WITH whbase AS (
+    SELECT CAST(l_quantity AS DOUBLE) AS x,
+           CAST(l_extendedprice AS DOUBLE) AS y,
+           CAST({w} AS DOUBLE) AS wq FROM lineitem),
+  whs AS (
+    SELECT CAST(SUM(CAST({w} AS DECIMAL(18,6))) AS DOUBLE) AS sw,
+           CAST(SUM(CAST({w} AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST({w} AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST({w} AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
+           CAST(SUM(CAST({w} AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS sxy
+    FROM lineitem),
+  whb0 AS (
+    SELECT (sy * sxx - sx * sxy) / (sw * sxx - sx * sx) AS a,
+           (sw * sxy - sx * sy) / (sw * sxx - sx * sx) AS b FROM whs),
+  whs1 AS (
+    SELECT quantile_cont(ae, 0.5) / 0.6745 AS s
+    FROM (SELECT abs(y - whb0.a - whb0.b * x) AS ae,
+                 unnest(range(CAST(wq AS BIGINT))) AS u
+          FROM whbase CROSS JOIN whb0) e1),
+  whw1 AS (
+    SELECT SUM(w) AS sw, SUM(w * x) AS swx, SUM(w * x * x) AS swxx,
+           SUM(w * y) AS swy, SUM(w * x * y) AS swxy
+    FROM (
+      SELECT x, y,
+             wq * (CASE WHEN abs(y - whb0.a - whb0.b * x) <= 1.345 * whs1.s THEN 1.0
+                        ELSE 1.345 * whs1.s / abs(y - whb0.a - whb0.b * x) END) AS w
+      FROM whbase CROSS JOIN whb0 CROSS JOIN whs1)),
+  whb1 AS (
+    SELECT (swy * swxx - swx * swxy) / (sw * swxx - swx * swx) AS a,
+           (sw * swxy - swx * swy) / (sw * swxx - swx * swx) AS b FROM whw1),
+  whs2 AS (
+    SELECT quantile_cont(ae, 0.5) / 0.6745 AS s
+    FROM (SELECT abs(y - whb1.a - whb1.b * x) AS ae,
+                 unnest(range(CAST(wq AS BIGINT))) AS u
+          FROM whbase CROSS JOIN whb1) e2),
+  whw2 AS (
+    SELECT SUM(w) AS sw, SUM(w * x) AS swx, SUM(w * x * x) AS swxx,
+           SUM(w * y) AS swy, SUM(w * x * y) AS swxy
+    FROM (
+      SELECT x, y,
+             wq * (CASE WHEN abs(y - whb1.a - whb1.b * x) <= 1.345 * whs2.s THEN 1.0
+                        ELSE 1.345 * whs2.s / abs(y - whb1.a - whb1.b * x) END) AS w
+      FROM whbase CROSS JOIN whb1 CROSS JOIN whs2)),
+  whb2 AS (
+    SELECT (swy * swxx - swx * swxy) / (sw * swxx - swx * swx) AS a,
+           (sw * swxy - swx * swy) / (sw * swxx - swx * swx) AS b FROM whw2)
+  SELECT 'whuber_intercept' AS term, ROUND(a, 1) AS coef FROM whb2
+  UNION ALL SELECT 'whuber_l_quantity', ROUND(b, 1) FROM whb2
+  UNION ALL SELECT 'whuber_scale', ROUND(whs2.s, 1) FROM whs2
+) wh
+"""
+
+
+def _sql_wquantile2_arm() -> str:
+    """r12: the ω-weighted 2-iteration smoothed-check-loss unroll
+    (q=0.75, fixed δ=1, ω = 1 + l_linenumber % 3 into the WLS start and
+    every MM weight)."""
+    w = "(1 + l_linenumber % 3)"
+    return f"""
+SELECT wqr.term, wqr.coef FROM (
+  WITH wqbase AS (
+    SELECT CAST(l_quantity AS DOUBLE) AS x,
+           CAST(l_extendedprice AS DOUBLE) AS y,
+           CAST({w} AS DOUBLE) AS wq FROM lineitem),
+  wqs AS (
+    SELECT CAST(SUM(CAST({w} AS DECIMAL(18,6))) AS DOUBLE) AS sw,
+           CAST(SUM(CAST({w} AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST({w} AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST({w} AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
+           CAST(SUM(CAST({w} AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS sxy
+    FROM lineitem),
+  wqb0 AS (
+    SELECT (sy * sxx - sx * sxy) / (sw * sxx - sx * sx) AS a,
+           (sw * sxy - sx * sy) / (sw * sxx - sx * sx) AS b FROM wqs),
+  wqw1 AS (
+    SELECT SUM(w) AS sw, SUM(w * x) AS swx, SUM(w * x * x) AS swxx,
+           SUM(w * y) AS swy, SUM(w * x * y) AS swxy
+    FROM (
+      SELECT x, y,
+             wq * ((CASE WHEN y - wqb0.a - wqb0.b * x < 0 THEN 0.25 ELSE 0.75 END)
+               / GREATEST(abs(y - wqb0.a - wqb0.b * x), 1.0)) AS w
+      FROM wqbase CROSS JOIN wqb0)),
+  wqb1 AS (
+    SELECT (swy * swxx - swx * swxy) / (sw * swxx - swx * swx) AS a,
+           (sw * swxy - swx * swy) / (sw * swxx - swx * swx) AS b FROM wqw1),
+  wqw2 AS (
+    SELECT SUM(w) AS sw, SUM(w * x) AS swx, SUM(w * x * x) AS swxx,
+           SUM(w * y) AS swy, SUM(w * x * y) AS swxy
+    FROM (
+      SELECT x, y,
+             wq * ((CASE WHEN y - wqb1.a - wqb1.b * x < 0 THEN 0.25 ELSE 0.75 END)
+               / GREATEST(abs(y - wqb1.a - wqb1.b * x), 1.0)) AS w
+      FROM wqbase CROSS JOIN wqb1)),
+  wqb2 AS (
+    SELECT (swy * swxx - swx * swxy) / (sw * swxx - swx * swx) AS a,
+           (sw * swxy - swx * swy) / (sw * swxx - swx * swx) AS b FROM wqw2)
+  SELECT 'wquantile_intercept' AS term, ROUND(a, 1) AS coef FROM wqb2
+  UNION ALL SELECT 'wquantile_l_quantity', ROUND(b, 1) FROM wqb2
+) wqr
+"""
+
+
 def _sql_quantile2_arm(pfx: str, label: str, where: str) -> str:
     """One 2-iteration smoothed-check-loss unroll (q=0.75, fixed δ=1)
     over y=l_extendedprice ~ x=l_quantity, segment-filtered."""
@@ -1241,6 +1375,8 @@ SQL_WLS_FIT = (
         )
         for st in ("F", "O")
     )
+    + "UNION ALL" + _sql_whuber2_arm()
+    + "UNION ALL" + _sql_wquantile2_arm()
     + "ORDER BY term\n"
 )
 
