@@ -946,3 +946,208 @@ def holt_winters_state_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def _intermittent_state_stream(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    method: str,
+    alpha: float,
+    beta: float,
+    factor: float,
+    tiebreak_col: str | None,
+) -> DataFrame:
+    """Shared builder of `croston_state_stream`/`tsb_state_stream` (the
+    `_intermittent_base` lesson: one scaffold, two folds). State per key
+    is (z, p, q, n, nd, bad) — six scalars, O(1) forever: the batch
+    folds are Markov in exactly that state, so replaying micro-batches
+    in (ts[, tiebreak]) order reproduces the batch trajectory BIT-FOR-BIT
+    (the fold runs the same scalar expressions in the same order; no
+    vectorized re-association). A NEGATIVE demand permanently degrades
+    its key (bad = 1): subsequent updates emit NULL state with
+    n_periods still counting — the streaming face of the batch NULL
+    policy (a batch re-run over the landed log reports the same NULLs).
+
+    ORDER CONTRACT + NULL POLICY: as `ewma_state_stream` (within-batch
+    (ts, tiebreak) sort, arrival order across batches; null/NaN values
+    dropped before the fold)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    if not events.isStreaming:
+        raise ValueError("input must be a streaming DataFrame (readStream)")
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha!r}")
+    if not 0.0 < beta < 1.0:
+        raise ValueError(f"beta must be in (0, 1), got {beta!r}")
+    in_fields = {f.name: f for f in events.schema.fields}
+    need = [key_col, ts_col, value_col] + (
+        [tiebreak_col] if tiebreak_col else []
+    )
+    missing = [c for c in need if c not in in_fields]
+    if missing:
+        raise ValueError(
+            f"{method}_state_stream: columns {missing} not in input "
+            f"schema {sorted(in_fields)}"
+        )
+    second = "interval" if method == "croston" else "probability"
+    out_schema = StructType(
+        [
+            in_fields[key_col],
+            StructField("n_periods", LongType()),
+            StructField("n_demands", LongType()),
+            StructField("size", DoubleType()),
+            StructField(second, DoubleType()),
+            StructField("forecast", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("z", DoubleType()),
+            StructField("p", DoubleType()),
+            StructField("q", LongType()),
+            StructField("n", LongType()),
+            StructField("nd", LongType()),
+            StructField("bad", BooleanType()),
+        ]
+    )
+    sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    from sparkglm_spark.operators.timeseries import _drop_null_values
+
+    events = _drop_null_values(events, F.col(value_col).cast("double"))
+
+    def update(key, pdfs, state: GroupState):
+        z, p, q, n, nd, bad = (
+            tuple(state.get) if state.exists else (None, None, 0, 0, 0, False)
+        )
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else chunks[0]
+        )
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        import numpy as np
+
+        x = pdf[value_col].to_numpy(dtype=np.float64)
+        n += len(x)
+        if not bad and bool(np.any(x < 0.0)):
+            bad = True
+        if not bad:
+            # the batch per_key fold's exact scalar expressions — same
+            # order, bit-identical across the stream/batch boundary
+            if method == "croston":
+                for v in x:
+                    q += 1
+                    if v > 0.0:
+                        nd += 1
+                        if z is None:
+                            z, p = float(v), float(q)
+                        else:
+                            z = alpha * float(v) + (1.0 - alpha) * z
+                            p = alpha * float(q) + (1.0 - alpha) * p
+                        q = 0
+            else:
+                for v in x:
+                    if z is None:
+                        q += 1
+                        if v > 0.0:
+                            nd += 1
+                            z, p = float(v), 1.0 / float(q)
+                    else:
+                        p = beta * (1.0 if v > 0.0 else 0.0) + (1.0 - beta) * p
+                        if v > 0.0:
+                            nd += 1
+                            z = alpha * float(v) + (1.0 - alpha) * z
+        state.update((z, p, q, n, nd, bad))
+        if bad:
+            out_nd, out_z, out_p, fc = None, None, None, None
+        else:
+            out_nd, out_z, out_p = nd, z, p
+            if z is None:
+                fc = None
+            elif method == "croston":
+                fc = factor * z / p
+            else:
+                fc = p * z
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n_periods": [n],
+                "n_demands": [out_nd],
+                "size": [out_z],
+                second: [out_p],
+                "forecast": [fc],
+            }
+        )
+
+    return (
+        events.select(*dict.fromkeys(need))
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def croston_state_stream(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.1,
+    variant: str = "classic",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Streaming twin of `operators.timeseries.croston_forecast` —
+    per-key intermittent-demand state via applyInPandasWithState. The
+    Croston fold is Markov in (z, p, q), so the stream reproduces the
+    batch trajectory bit-for-bit when micro-batches arrive in time
+    order (asserted in tests/test_streaming.py); each batch emits the
+    key's updated (n_periods, n_demands, size, interval, forecast),
+    output mode 'update'. A negative demand permanently NULL-degrades
+    its key — the streaming face of the batch NULL policy."""
+    if variant not in ("classic", "sba"):
+        raise ValueError(f"variant must be 'classic' or 'sba', got {variant!r}")
+    factor = 1.0 - alpha / 2.0 if variant == "sba" else 1.0
+    # beta unused by the croston fold — pass a valid in-range dummy
+    return _intermittent_state_stream(
+        events, key_col, ts_col, value_col, "croston", alpha, 0.5,
+        factor, tiebreak_col,
+    )
+
+
+def tsb_state_stream(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.1,
+    beta: float = 0.1,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Streaming twin of `operators.timeseries.tsb_forecast`
+    (Teunter-Syntetos-Babai obsolescence-aware intermittent demand) —
+    per-key (z, p, q) state, every-period probability smoothing, output
+    mode 'update'. Same contracts as `croston_state_stream`; the
+    forecast p·z decays through a demand pause batch-by-batch, which is
+    exactly the monitoring shape TSB exists for."""
+    return _intermittent_state_stream(
+        events, key_col, ts_col, value_col, "tsb", alpha, beta,
+        1.0, tiebreak_col,
+    )

@@ -1178,3 +1178,131 @@ def test_holt_winters_state_stream_equals_batch(spark, sf_dir, phi):
         assert r.w["l"] == pytest.approx(bb.level, rel=1e-12), r.user_id
         assert r.w["t"] == pytest.approx(bb.trend, rel=1e-12), r.user_id
         assert r.w["f"] == pytest.approx(bb.forecast_1, rel=1e-12), r.user_id
+
+
+def test_intermittent_state_streams_equal_batch(spark, sf_dir):
+    """r12: croston_state_stream / tsb_state_stream over a 3-micro-batch
+    ts-ordered replay — the LAST update per key must equal the batch
+    croston_forecast / tsb_forecast EXACTLY (the folds are Markov in
+    (z, p, q); the stream runs the same scalar expressions)."""
+    from sparkglm_spark.operators.timeseries import (
+        croston_forecast,
+        tsb_forecast,
+    )
+    from sparkglm_spark.streaming.events import (
+        croston_state_stream,
+        tsb_state_stream,
+    )
+
+    raw = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.when(F.col("value") < 50, 0.0).otherwise(F.col("value")).alias("dm"),
+    )
+    ts_sorted = raw.select("ts").orderBy("ts").collect()
+    n = len(ts_sorted)
+    t1, t2 = ts_sorted[n // 3].ts, ts_sorted[2 * n // 3].ts
+    parts = [
+        raw.where(F.col("ts") <= F.lit(t1)),
+        raw.where((F.col("ts") > F.lit(t1)) & (F.col("ts") <= F.lit(t2))),
+        raw.where(F.col("ts") > F.lit(t2)),
+    ]
+    for name, mk_stream, mk_batch, second in (
+        (
+            "cr",
+            lambda s: croston_state_stream(
+                s, "user_id", "ts", "dm", alpha=0.3, variant="sba",
+                tiebreak_col="event_id",
+            ),
+            lambda: croston_forecast(
+                raw, "user_id", "ts", "dm", alpha=0.3, variant="sba",
+                tiebreak_col="event_id",
+            ),
+            "interval",
+        ),
+        (
+            "tsb",
+            lambda s: tsb_state_stream(
+                s, "user_id", "ts", "dm", alpha=0.3, beta=0.2,
+                tiebreak_col="event_id",
+            ),
+            lambda: tsb_forecast(
+                raw, "user_id", "ts", "dm", alpha=0.3, beta=0.2,
+                tiebreak_col="event_id",
+            ),
+            "probability",
+        ),
+    ):
+        with tempfile.TemporaryDirectory() as d:
+            src = os.path.join(d, "src")
+            os.makedirs(src)
+            for i, p in enumerate(parts):
+                p.coalesce(1).write.parquet(os.path.join(src, f"b{i}.parquet"))
+            stream_in = (
+                spark.readStream.schema(raw.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(os.path.join(src, "*.parquet"))
+            )
+            out = mk_stream(stream_in)
+            q = (
+                out.writeStream.format("memory")
+                .queryName(f"{name}_updates")
+                .outputMode("update")
+                .option("checkpointLocation", os.path.join(d, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+            got = {
+                r.user_id: r.w
+                for r in spark.sql(
+                    f"SELECT user_id, max_by(named_struct('n', n_periods,"
+                    f" 'nd', n_demands, 'z', size, 'p', {second},"
+                    f" 'fc', forecast), n_periods) AS w"
+                    f" FROM {name}_updates GROUP BY user_id"
+                ).collect()
+            }
+        batch = {r["user_id"]: r for r in mk_batch().collect()}
+        assert len(got) == len(batch) > 0, name
+        for uid, b in batch.items():
+            g = got[uid]
+            assert g["n"] == b["n_periods"], (name, uid)
+            assert g["nd"] == b["n_demands"], (name, uid)
+            # bit-exact: the stream runs the batch fold's own scalars
+            assert g["z"] == b["size"], (name, uid)
+            assert g["p"] == b[second], (name, uid)
+            assert g["fc"] == b["forecast"], (name, uid)
+
+
+def test_intermittent_state_stream_negative_degrades(spark):
+    """A negative demand permanently NULL-degrades its key in-stream
+    (the batch NULL policy's streaming face); sibling keys keep state."""
+    from sparkglm_spark.streaming.events import croston_state_stream
+
+    rows = [
+        ("a", i, float(v))
+        for i, v in enumerate([0.0, 5.0, 0.0, -1.0, 2.0, 0.0])
+    ] + [("b", i, float(v)) for i, v in enumerate([0.0, 3.0, 0.0, 4.0])]
+    pdf = spark.createDataFrame(rows, "k string, t long, v double")
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        os.makedirs(src)
+        pdf.coalesce(1).write.parquet(os.path.join(src, "b0.parquet"))
+        stream_in = (
+            spark.readStream.schema(pdf.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*.parquet"))
+        )
+        out = croston_state_stream(stream_in, "k", "t", "v", alpha=0.5)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("crneg_updates")
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {r.k: r for r in spark.sql("SELECT * FROM crneg_updates").collect()}
+    assert got["a"].size is None and got["a"].n_demands is None
+    assert got["a"].n_periods == 6
+    assert got["b"].size is not None and got["b"].n_demands == 2
