@@ -1553,9 +1553,9 @@ def q_glm_families_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     seen_lams: set = set()
     for r in pth.collect():
         pk = lam_key[r["reg_param"]]
-        # + 0.0 normalizes a soft-thresholded −0.0 (the en_ arm lesson —
-        # the driver hashes '-0.0' ≠ '0.0'); SQL side adds the same
-        rows.append((pk, f"coef_{r['term']}", round(r["estimate"] + 0.0, 6)))
+        # + 0.0 AFTER the round normalizes −0.0 — both an exact one and a
+        # tiny negative that rounds to it (the en_ arm lesson); SQL same
+        rows.append((pk, f"coef_{r['term']}", round(r["estimate"], 6) + 0.0))
         if pk not in seen_lams:
             seen_lams.add(pk)
             rows += [
@@ -1826,9 +1826,9 @@ def _sql_glm_families_fit() -> str:
     ]
     for j, fin in ((0, "ep2"), (1, "ep4")):
         selects += [
-            f"SELECT 'enetpath_l{j}', 'coef_intercept', ROUND(b0 + 0.0, 6)"
+            f"SELECT 'enetpath_l{j}', 'coef_intercept', ROUND(b0, 6) + 0.0"
             f" FROM {fin}",
-            f"SELECT 'enetpath_l{j}', 'coef_xx', ROUND(b1 + 0.0, 6) FROM {fin}",
+            f"SELECT 'enetpath_l{j}', 'coef_xx', ROUND(b1, 6) + 0.0 FROM {fin}",
             f"SELECT 'enetpath_l{j}', 'deviance', ROUND(dev, 2) FROM epd{j}",
             f"SELECT 'enetpath_l{j}', 'aic', ROUND(dev + 2.0 *"
             f" (CASE WHEN b1 <> 0 THEN 2 ELSE 1 END), 2) FROM epd{j}",
@@ -5186,11 +5186,13 @@ def q_glm_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         od, "is_f ~ p100k", ["o_orderpriority"], reg_param=0.02,
         elastic_net_param=0.5, exact_iterations=2,
     )
-    # + 0.0 normalizes IEEE −0.0 (the soft threshold emits sign(ρ)·0.0
-    # for a zeroed coefficient) to +0.0 — the driver hashes '-0.0' and
-    # '0.0' differently; the oracle selects add the same + 0.0
-    en = en.withColumn("estimate", F.col("estimate") + F.lit(0.0))
-    res = res.unionByName(arm(en, "en_"))
+    # + 0.0 AFTER rounding normalizes IEEE −0.0 to +0.0 — both an exact
+    # soft-thresholded −0.0 AND a tiny negative that ROUNDS to −0.0
+    # (review r12: normalizing before the round missed the latter); the
+    # driver hashes '-0.0' ≠ '0.0' and the oracle selects do the same
+    res = res.unionByName(
+        arm(en, "en_").withColumn("estimate", F.col("estimate") + F.lit(0.0))
+    )
     # r12: per-segment sparse-GLM CV (glm_elastic_net_cv_grouped) — the
     # same design, 2 deterministic folds (o_orderkey % 2) × λ=0.02 ×
     # exactly 2 solves per fold model. The SQL replays each fold model's
@@ -5417,8 +5419,8 @@ def _sql_glm_per_segment(iters: int = _GLM_ITERS) -> str:
         " FROM segbase s JOIN ens2 p ON s.g = p.g) r GROUP BY r.g, r.b0, r.b1)"
     )
     selects += [
-        "SELECT g, 'en_intercept', ROUND(b0 + 0.0, 6), ROUND(dev, 3), 2, n_rows FROM endv",
-        "SELECT g, 'en_p100k', ROUND(b1 + 0.0, 6), ROUND(dev, 3), 2, n_rows FROM endv",
+        "SELECT g, 'en_intercept', ROUND(b0, 6) + 0.0, ROUND(dev, 3), 2, n_rows FROM endv",
+        "SELECT g, 'en_p100k', ROUND(b1, 6) + 0.0, ROUND(dev, 3), 2, n_rows FROM endv",
     ]
     # r12: per-segment sparse-GLM CV — fold model j trains on fd ≠ j
     # with the SAME per-group trajectory as the en_ chain (training-only
