@@ -6160,6 +6160,43 @@ def q_events_timeseries_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("xraw", 6).alias("x"),
         )
     )
+    # r12: per-user forecast-accuracy panel (operators/timeseries.py::
+    # forecast_accuracy) against the one-step NAIVE forecast
+    # lag(value) — every metric is a ratio/mean of simple per-row
+    # kernels the SQL replays with the same LAG windows; drift ≲1e-12
+    # on O(1)-O(10²) values → ROUND 6.
+    from pyspark.sql import Window as _W
+
+    from sparkglm_spark.operators.timeseries import forecast_accuracy
+
+    fain = ev.select(
+        "user_id", "ts", "event_id", "value",
+        F.lag("value").over(
+            _W.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("fcst"),
+    )
+    fa = (
+        forecast_accuracy(
+            fain, "user_id", "ts", "value", "fcst", tiebreak_col="event_id"
+        )
+        .select(
+            F.col("user_id").cast("string").alias("k1"),
+            F.col("n").cast("bigint").alias("n1"),
+            F.expr(
+                "stack(5, 'fa_mae', mae, 'fa_rmse', rmse, 'fa_mape', mape,"
+                " 'fa_smape', smape, 'fa_mase', mase) AS (op, xraw)"
+            ),
+        )
+        .select(
+            "op",
+            "k1",
+            F.lit(None).cast("string").alias("k2"),
+            "n1",
+            F.lit(None).cast("bigint").alias("n2"),
+            F.lit(None).cast("string").alias("v1"),
+            F.round("xraw", 6).alias("x"),
+        )
+    )
     # r9: per-user Ljung-Box whiteness (operators/timeseries.py::
     # ljung_box, lags=10). Q and max|acf| are ratios of centered
     # cross-products the SQL replays with LAG windows; drift ≲1e-12
@@ -6242,6 +6279,7 @@ def q_events_timeseries_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(hw)
         .unionByName(cr)
         .unionByName(tsb)
+        .unionByName(fa)
         .unionByName(lb)
         .unionByName(sd)
     )
@@ -6481,6 +6519,29 @@ WITH RECURSIVE hranked AS (
   SELECT user_id, n, lvl, trd, lvl + 3 * trd + CASE (n + 2) % 4 WHEN 0 THEN s0 WHEN 1 THEN s1 WHEN 2 THEN s2 ELSE s3 END AS fc3,
          sse
   FROM hwstate WHERE done = n
+), faw AS (
+  -- forecast_accuracy vs the one-step naive: f = lag(value); the first
+  -- row per key has f NULL and DROPS (the operator's null policy), and
+  -- the MASE naive diff laggs over the RETAINED rows
+  SELECT user_id, ts, event_id, value AS y,
+         LAG(value) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS f
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
+), fan AS (
+  SELECT user_id, y, f,
+         ABS(y - LAG(y) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id)) AS nd
+  FROM faw WHERE f IS NOT NULL
+), faa AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+         AVG(ABS(y - f)) AS mae,
+         SQRT(AVG((y - f) * (y - f))) AS rmse,
+         AVG(CASE WHEN y <> 0 THEN ABS((y - f) / y) END) AS mape,
+         AVG(CASE WHEN ABS(y) + ABS(f) = 0 THEN 0.0
+                  ELSE 2.0 * ABS(y - f) / (ABS(y) + ABS(f)) END) AS smape,
+         AVG(nd) AS naive
+  FROM fan GROUP BY user_id
 )
 SELECT 'resample' AS op, event_type AS k1, day AS k2,
        n_events AS n1, days_in_window AS n2,
@@ -6569,6 +6630,27 @@ UNION ALL
 SELECT 'tsb_fc', CAST(user_id AS VARCHAR), NULL, nd, NULL, NULL,
        ROUND(p * z, 6)
 FROM tsbfinal
+UNION ALL
+SELECT 'fa_mae', CAST(user_id AS VARCHAR), NULL, n, NULL, NULL,
+       ROUND(mae, 6)
+FROM faa
+UNION ALL
+SELECT 'fa_rmse', CAST(user_id AS VARCHAR), NULL, n, NULL, NULL,
+       ROUND(rmse, 6)
+FROM faa
+UNION ALL
+SELECT 'fa_mape', CAST(user_id AS VARCHAR), NULL, n, NULL, NULL,
+       ROUND(mape, 6)
+FROM faa
+UNION ALL
+SELECT 'fa_smape', CAST(user_id AS VARCHAR), NULL, n, NULL, NULL,
+       ROUND(smape, 6)
+FROM faa
+UNION ALL
+SELECT 'fa_mase', CAST(user_id AS VARCHAR), NULL, n, NULL, NULL,
+       ROUND(CASE WHEN naive IS NOT NULL AND naive > 0.0
+                  THEN mae / naive END, 6)
+FROM faa
 UNION ALL
 SELECT 'hw_lvl', CAST(user_id AS VARCHAR), NULL, n, NULL, NULL,
        ROUND(lvl, 6)

@@ -1403,3 +1403,89 @@ def seasonal_decompose(
         "seasonal",
         "resid",
     )
+
+
+def forecast_accuracy(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    actual_col: str,
+    forecast_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-key forecast evaluation — the standard accuracy panel for any
+    of this family's forecasters (or an external model's scored column):
+
+      mae    mean |e|,  e = actual − forecast
+      rmse   √(mean e²)
+      mape   mean |e/y| over rows with y ≠ 0 (RATIO, not %; NULL when
+             no nonzero actuals — the divide-by-zero rows are EXCLUDED,
+             the statsmodels/sktime convention, with `n_mape` reporting
+             how many rows scored)
+      smape  mean 2|e|/(|y|+|ŷ|) with term 0 when both are zero (the
+             sktime convention; ratio in [0, 2])
+      mase   mae / (in-sample one-step naive MAE) — Hyndman-Koehler
+             2006 with seasonality m = 1: the denominator is
+             mean |y_t − y_{t−1}| over the key's (ts[, tiebreak])
+             order; NULL when the key has < 2 rows or the naive MAE is
+             0 (a constant series makes every nonzero-error forecast
+             infinitely bad — report NULL, not inf)
+
+    Plan: one window pass for the naive lag (partitioned by key) + one
+    groupBy(key) aggregation that REUSES the window's hash exchange —
+    a single shuffle, pure codegen, no UDF (the `ewma_latest` plan
+    shape). NULL POLICY (family-wide): rows where actual OR forecast
+    is null/NaN are dropped before scoring (they also don't anchor the
+    naive lag — the denominator is over RETAINED rows, matching what a
+    forecaster fit on the retained series would see)."""
+    from pyspark.sql import Window
+
+    y = F.col(actual_col).cast("double")
+    fc = F.col(forecast_col).cast("double")
+    base = df.where(
+        y.isNotNull() & ~F.isnan(y) & fc.isNotNull() & ~F.isnan(fc)
+    ).select(
+        F.col(key_col),
+        F.col(ts_col).alias("__ts"),
+        y.alias("__y"),
+        fc.alias("__f"),
+        *([F.col(tiebreak_col).alias("__tb")] if tiebreak_col else []),
+    )
+    order = [F.col("__ts")] + ([F.col("__tb")] if tiebreak_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    ylag = F.lag("__y").over(w)
+    scored = base.select(
+        key_col,
+        "__y",
+        "__f",
+        F.abs(F.col("__y") - ylag).alias("__nd"),
+    )
+    e = F.col("__y") - F.col("__f")
+    ay, af = F.abs(F.col("__y")), F.abs(F.col("__f"))
+    smape_term = F.when(ay + af == 0.0, 0.0).otherwise(
+        2.0 * F.abs(e) / (ay + af)
+    )
+    agg = scored.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.abs(e)).alias("mae"),
+        F.sqrt(F.avg(e * e)).alias("rmse"),
+        F.avg(
+            F.when(F.col("__y") != 0.0, F.abs(e / F.col("__y")))
+        ).alias("mape"),
+        F.count(F.when(F.col("__y") != 0.0, F.lit(1))).alias("n_mape"),
+        F.avg(smape_term).alias("smape"),
+        F.avg("__nd").alias("__naive"),
+    )
+    return agg.select(
+        key_col,
+        "n",
+        "mae",
+        "rmse",
+        "mape",
+        "n_mape",
+        "smape",
+        F.when(
+            F.col("__naive").isNotNull() & (F.col("__naive") > 0.0),
+            F.col("mae") / F.col("__naive"),
+        ).alias("mase"),
+    ).orderBy(key_col)

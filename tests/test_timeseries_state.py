@@ -1235,3 +1235,62 @@ def test_hw_mul_interval_refusal_contract(spark):
         seasonal="add", interval=True, horizons=[3],
     ).collect()[0]
     assert ok.se_3 is not None and ok.lo_3 < ok.hi_3
+
+
+def test_forecast_accuracy_matches_hand_computation(spark):
+    """r12 forecast_accuracy: every metric equals the hand-rolled numpy
+    twin (incl. MAPE's y≠0 exclusion, sMAPE's both-zero term, MASE's
+    ordered naive denominator); single-row keys report NULL mase;
+    constant actuals report NULL mase; null/NaN rows drop first; the
+    plan carries exactly one hash exchange."""
+    import numpy as np
+
+    from sparkglm_spark.operators.timeseries import forecast_accuracy
+
+    rows = []
+    data = {
+        "a": [(1, 10.0, 8.0), (2, 0.0, 1.0), (3, 12.0, 12.5),
+              (4, 0.0, 0.0), (5, 7.0, 9.0)],
+        "b": [(1, 5.0, 5.5)],                      # single row: mase NULL
+        "c": [(1, 4.0, 3.0), (2, 4.0, 5.0)],       # constant: mase NULL
+    }
+    for k, seq in data.items():
+        rows += [(k, t, y, f) for t, y, f in seq]
+    rows.append(("a", 6, None, 3.0))               # null actual drops
+    rows.append(("a", 7, float("nan"), 3.0))       # NaN actual drops
+    df = spark.createDataFrame(rows, "k string, t long, y double, f double")
+    got = {r.k: r for r in forecast_accuracy(df, "k", "t", "y", "f").collect()}
+
+    for k, seq in data.items():
+        y = np.array([s[1] for s in seq])
+        f = np.array([s[2] for s in seq])
+        e = y - f
+        r = got[k]
+        assert r.n == len(seq)
+        assert r.mae == pytest.approx(np.abs(e).mean(), rel=1e-12)
+        assert r.rmse == pytest.approx(np.sqrt((e * e).mean()), rel=1e-12)
+        nz = y != 0
+        if nz.any():
+            assert r.mape == pytest.approx(
+                np.abs(e[nz] / y[nz]).mean(), rel=1e-12
+            )
+        assert r.n_mape == int(nz.sum())
+        st = np.where(
+            np.abs(y) + np.abs(f) == 0, 0.0,
+            2.0 * np.abs(e) / np.where(np.abs(y) + np.abs(f) == 0, 1.0,
+                                       np.abs(y) + np.abs(f)),
+        )
+        assert r.smape == pytest.approx(st.mean(), rel=1e-12)
+        naive = np.abs(np.diff(y))
+        if len(naive) and naive.mean() > 0:
+            assert r.mase == pytest.approx(
+                np.abs(e).mean() / naive.mean(), rel=1e-12
+            )
+        else:
+            assert r.mase is None, k
+    # one hash exchange: the groupBy reuses the window's partitioning
+    from sparkglm_spark.plans.inspect import exchange_schemas
+
+    exch = exchange_schemas(forecast_accuracy(df, "k", "t", "y", "f"))
+    hash_exch = [e for e in exch if "hashpartitioning" in e["arguments"]]
+    assert len(hash_exch) == 1
