@@ -2115,3 +2115,79 @@ def glm_elastic_net_cv_grouped(
     return fanout_groups(encoded.select(*sel), gcols).groupBy(*gcols).applyInPandas(
         fit_group, out_schema
     )
+
+
+def cv_select_lambda(
+    cv: DataFrame,
+    group_cols: list[str] | None = None,
+    rule: str = "min",
+) -> DataFrame:
+    """λ selection over a CV result frame — the glmnet `lambda.min` /
+    `lambda.1se` rules, as one declarative aggregation chain (works on
+    `glm_elastic_net_cv` output and, with `group_cols`, on
+    `glm_elastic_net_cv_grouped`'s per-segment grid):
+
+      per (group?, λ):  cvm = mean over folds of deviance_val
+                        cvse = stddev_samp(deviance_val)/√k  (NULL at
+                               k = 1 — no spread estimate from one fold)
+      rule='min':  the λ minimizing cvm
+      rule='1se':  the LARGEST λ with cvm ≤ cvm(λ_min) + cvse(λ_min)
+                   (the parsimony rule; falls back to λ_min when
+                   cvse(λ_min) is NULL)
+
+    Degenerate-fold rows (fold NULL — the grouped NULL policy) and
+    diverged rows (NaN deviance) are EXCLUDED from the means; a group
+    with no scoreable row emits no output row (it already signalled via
+    its NULL CV rows). Ties on cvm break toward the LARGER λ (more
+    regularization at equal error — the glmnet direction). Returns one
+    row per group: group_cols…, reg_param, cvm, cvse, n_folds."""
+    if rule not in ("min", "1se"):
+        raise ValueError(f"rule must be 'min' or '1se', got {rule!r}")
+    gcols = list(group_cols or [])
+    dv = F.col("deviance_val")
+    ok = dv.isNotNull() & ~F.isnan(dv) & F.col("fold").isNotNull()
+    per_lam = (
+        cv.where(ok)
+        .groupBy(*gcols, "reg_param")
+        .agg(
+            F.avg(dv).alias("cvm"),
+            (F.stddev_samp(dv) / F.sqrt(F.count(F.lit(1)))).alias("cvse"),
+            F.count(F.lit(1)).alias("n_folds"),
+        )
+    )
+    if gcols:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*gcols)
+    else:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(F.lit(1))
+    best = per_lam.withColumn(
+        "__best",
+        F.min(F.struct(F.col("cvm"), (-F.col("reg_param")).alias("nl"))).over(w),
+    )
+    if rule == "min":
+        sel = best.where(
+            (F.col("cvm") == F.col("__best.cvm"))
+            & (F.col("reg_param") == -F.col("__best.nl"))
+        )
+    else:
+        # threshold = cvm(λ_min) + cvse(λ_min); cvse carried through the
+        # same struct-min trick (a second window keyed on the argmin row)
+        thr = best.withColumn(
+            "__thr",
+            F.max(
+                F.when(
+                    (F.col("cvm") == F.col("__best.cvm"))
+                    & (F.col("reg_param") == -F.col("__best.nl")),
+                    F.col("cvm") + F.coalesce(F.col("cvse"), F.lit(0.0)),
+                )
+            ).over(w),
+        )
+        sel = thr.withColumn(
+            "__pick", F.max(F.when(F.col("cvm") <= F.col("__thr"),
+                                   F.col("reg_param"))).over(w)
+        ).where(F.col("reg_param") == F.col("__pick"))
+    out = sel.select(*gcols, "reg_param", "cvm", "cvse", "n_folds")
+    return out.orderBy(*gcols) if gcols else out

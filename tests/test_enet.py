@@ -1573,3 +1573,46 @@ def test_glm_enet_cv_grouped_matches_cold_per_group(spark):
         glm_elastic_net_cv_grouped(df, "y ~ x1", ["g"], lams, "fd", n_folds=1)
     with pytest.raises(ValueError, match="reg_params"):
         glm_elastic_net_cv_grouped(df, "y ~ x1", ["g"], [], "fd")
+
+
+def test_cv_select_lambda_rules(spark):
+    """r12 cv_select_lambda: λ.min picks the arg-min mean held-out
+    deviance (ties toward MORE regularization), λ.1se picks the largest
+    λ within one SE of the min; grouped mode selects per group; NULL /
+    NaN fold rows are excluded; k=1 folds give NULL cvse and 1se ==
+    min."""
+    from sparkglm_spark.operators.enet import cv_select_lambda
+
+    rows = [
+        # group g1: lam 0.1 (cvm 10±1), lam 0.01 (cvm 9±4) -> min=0.01,
+        # 1se: thr = 9 + 4/sqrt(2) ≈ 11.83 -> largest lam with cvm<=thr = 0.1
+        ("g1", 0.1, 0, 9.0), ("g1", 0.1, 1, 11.0),
+        ("g1", 0.01, 0, 5.0), ("g1", 0.01, 1, 13.0),
+        # group g2: ties on cvm -> larger lam wins under 'min'
+        ("g2", 0.1, 0, 7.0), ("g2", 0.1, 1, 7.0),
+        ("g2", 0.01, 0, 6.0), ("g2", 0.01, 1, 8.0),
+        # a NULL-fold (degenerate) row and a NaN row must not score
+        ("g1", 0.1, None, 999.0), ("g2", 0.01, 0, float("nan")),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "g string, reg_param double, fold int, deviance_val double",
+    )
+    mn = {r.g: r for r in cv_select_lambda(df, ["g"], rule="min").collect()}
+    assert mn["g1"].reg_param == 0.01 and mn["g1"].cvm == pytest.approx(9.0)
+    assert mn["g2"].reg_param == 0.1  # tie at cvm=7 -> larger lambda
+    se = {r.g: r for r in cv_select_lambda(df, ["g"], rule="1se").collect()}
+    assert se["g1"].reg_param == 0.1
+    # ungrouped frame (glm_elastic_net_cv shape)
+    u = df.where(F.col("g") == "g1").drop("g")
+    r = cv_select_lambda(u, rule="min").collect()
+    assert len(r) == 1 and r[0].reg_param == 0.01
+    # k=1: cvse NULL, 1se falls back to the min lambda
+    one = spark.createDataFrame(
+        [(0.1, 0, 5.0), (0.01, 0, 4.0)],
+        "reg_param double, fold int, deviance_val double",
+    )
+    r1 = cv_select_lambda(one, rule="1se").collect()[0]
+    assert r1.reg_param == 0.01 and r1.cvse is None
+    with pytest.raises(ValueError, match="rule"):
+        cv_select_lambda(df, ["g"], rule="2se")
