@@ -632,3 +632,26 @@ def test_grouped_irls_and_aft_single_exchange(spark, lineitem):
         body = plan.split("===== Subqueries =====")[0]
         assert len(re.findall(r"\(\d+\) Exchange", body)) == 1, plan
         assert "FlatMapGroupsInPandas" in plan
+
+
+def test_glm_enet_cv_grouped_fanout_pinned(spark, lineitem):
+    """r12: the per-segment sparse-GLM CV keeps the grouped-fitter plan
+    contract — ONE pinned-width (AQE-exempt) fan-out exchange feeding
+    the applyInPandas stage, so per-group Arrow folds stay CPU-parallel
+    at any shuffle byte size."""
+    from pyspark.sql import functions as F
+
+    from sparkglm_spark.operators.enet import glm_elastic_net_cv_grouped
+
+    d = lineitem.select(
+        F.when(F.col("l_discount") > 0.05, 1.0).otherwise(0.0).alias("y"),
+        (F.col("l_quantity") / 50.0).alias("x"),
+        F.col("l_returnflag").alias("g"),
+        (F.col("l_orderkey") % 2).cast("int").alias("fd"),
+    )
+    plan = plan_of(
+        glm_elastic_net_cv_grouped(d, "y ~ x", ["g"], [0.02], "fd", n_folds=2)
+    )
+    body = plan.split("===== Subqueries =====")[0]
+    assert "REPARTITION_BY_NUM" in body
+    assert "FlatMapGroupsInPandas" in plan or "MapInPandas" in plan
