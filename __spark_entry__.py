@@ -6169,7 +6169,12 @@ def q_events_timeseries_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from sparkglm_spark.operators.timeseries import forecast_accuracy
 
-    fain = ev.select(
+    # the naive lag must run over the NULL-FILTERED series (review r12:
+    # the SQL faw filters pre-LAG; an unfiltered Python lag would build
+    # a different forecast series the moment a null value appears)
+    fain = ev.where(
+        F.col("value").isNotNull() & ~F.isnan(F.col("value"))
+    ).select(
         "user_id", "ts", "event_id", "value",
         F.lag("value").over(
             _W.partitionBy("user_id").orderBy("ts", "event_id")

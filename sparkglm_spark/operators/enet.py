@@ -2136,11 +2136,17 @@ def cv_select_lambda(
                    cvse(λ_min) is NULL)
 
     Degenerate-fold rows (fold NULL — the grouped NULL policy) and
-    diverged rows (NaN deviance) are EXCLUDED from the means; a group
-    with no scoreable row emits no output row (it already signalled via
-    its NULL CV rows). Ties on cvm break toward the LARGER λ (more
-    regularization at equal error — the glmnet direction). Returns one
-    row per group: group_cols…, reg_param, cvm, cvse, n_folds."""
+    diverged rows (NaN deviance) are EXCLUDED from the means, and the
+    COMPARISON is restricted to λs with the group's maximal scoreable
+    fold count — a λ that diverged on its hardest fold must not win on
+    an optimistic partial mean (glmnet compares every λ over the same
+    observation set; review r12). A group with no scoreable row emits
+    no output row (it already signalled via its NULL CV rows). Ties on
+    cvm break toward the LARGER λ (more regularization at equal error —
+    the glmnet direction). Returns one row per group: group_cols…,
+    reg_param, cvm, cvse, n_folds."""
+    from pyspark.sql import Window
+
     if rule not in ("min", "1se"):
         raise ValueError(f"rule must be 'min' or '1se', got {rule!r}")
     gcols = list(group_cols or [])
@@ -2155,14 +2161,10 @@ def cv_select_lambda(
             F.count(F.lit(1)).alias("n_folds"),
         )
     )
-    if gcols:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy(*gcols)
-    else:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy(F.lit(1))
+    w = Window.partitionBy(*gcols) if gcols else Window.partitionBy(F.lit(1))
+    per_lam = per_lam.withColumn(
+        "__maxk", F.max("n_folds").over(w)
+    ).where(F.col("n_folds") == F.col("__maxk"))
     best = per_lam.withColumn(
         "__best",
         F.min(F.struct(F.col("cvm"), (-F.col("reg_param")).alias("nl"))).over(w),

@@ -1442,9 +1442,9 @@ def forecast_accuracy(
 
     y = F.col(actual_col).cast("double")
     fc = F.col(forecast_col).cast("double")
-    base = df.where(
-        y.isNotNull() & ~F.isnan(y) & fc.isNotNull() & ~F.isnan(fc)
-    ).select(
+    # the family null filter, once per scored column (review r12: reuse
+    # _drop_null_values so a policy change cannot silently fork here)
+    base = _drop_null_values(_drop_null_values(df, y), fc).select(
         F.col(key_col),
         F.col(ts_col).alias("__ts"),
         y.alias("__y"),

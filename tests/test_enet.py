@@ -1584,8 +1584,9 @@ def test_cv_select_lambda_rules(spark):
     from sparkglm_spark.operators.enet import cv_select_lambda
 
     rows = [
-        # group g1: lam 0.1 (cvm 10±1), lam 0.01 (cvm 9±4) -> min=0.01,
-        # 1se: thr = 9 + 4/sqrt(2) ≈ 11.83 -> largest lam with cvm<=thr = 0.1
+        # group g1: lam 0.1 (cvm 10), lam 0.01 (cvm 9, sd 5.657 so
+        # cvse = sd/sqrt(2) = 4) -> min = 0.01; 1se: thr = 9 + 4 = 13
+        # -> largest lam with cvm <= 13 is 0.1
         ("g1", 0.1, 0, 9.0), ("g1", 0.1, 1, 11.0),
         ("g1", 0.01, 0, 5.0), ("g1", 0.01, 1, 13.0),
         # group g2: ties on cvm -> larger lam wins under 'min'
@@ -1601,6 +1602,17 @@ def test_cv_select_lambda_rules(spark):
     mn = {r.g: r for r in cv_select_lambda(df, ["g"], rule="min").collect()}
     assert mn["g1"].reg_param == 0.01 and mn["g1"].cvm == pytest.approx(9.0)
     assert mn["g2"].reg_param == 0.1  # tie at cvm=7 -> larger lambda
+    # review r12: a lambda that diverged on a fold (fewer scoreable
+    # folds than the group's max) must NOT win on its partial mean
+    part = df.union(
+        spark.createDataFrame(
+            [("g3", 0.1, 0, 9.0), ("g3", 0.1, 1, 10.0),
+             ("g3", 0.01, 0, 1.0), ("g3", 0.01, 1, float("nan"))],
+            df.schema,
+        )
+    )
+    mp = {r.g: r for r in cv_select_lambda(part, ["g"], rule="min").collect()}
+    assert mp["g3"].reg_param == 0.1 and mp["g3"].n_folds == 2
     se = {r.g: r for r in cv_select_lambda(df, ["g"], rule="1se").collect()}
     assert se["g1"].reg_param == 0.1
     # ungrouped frame (glm_elastic_net_cv shape)

@@ -649,9 +649,12 @@ def test_glm_enet_cv_grouped_fanout_pinned(spark, lineitem):
         F.col("l_returnflag").alias("g"),
         (F.col("l_orderkey") % 2).cast("int").alias("fd"),
     )
+    import re
+
     plan = plan_of(
         glm_elastic_net_cv_grouped(d, "y ~ x", ["g"], [0.02], "fd", n_folds=2)
     )
     body = plan.split("===== Subqueries =====")[0]
+    assert len(re.findall(r"\(\d+\) Exchange", body)) == 1
     assert "REPARTITION_BY_NUM" in body
     assert "FlatMapGroupsInPandas" in plan or "MapInPandas" in plan
