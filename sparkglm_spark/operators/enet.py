@@ -1641,7 +1641,7 @@ def glm_elastic_net_grouped(
     df: DataFrame,
     formula: str,
     group_cols: list[str],
-    reg_param: float,
+    reg_param: float | str,
     elastic_net_param: float = 1.0,
     family: str = "binomial",
     standardize: bool = True,
@@ -1682,9 +1682,17 @@ def glm_elastic_net_grouped(
     `exact_iterations` too — the pinned SQL evaluates deviance at the
     N-th β). `exact_iterations=N` runs exactly N penalized-IRLS solves
     per group with no convergence exit (the oracle-pin hook, same
-    contract as `glm_elastic_net`). Returns long format:
-    group_cols…, term, estimate, n_rows, n_nonzero, iterations,
-    converged, deviance."""
+    contract as `glm_elastic_net`).
+
+    `reg_param` may be a COLUMN NAME (r12): each group fits at ITS OWN
+    λ read from that column — the refit half of the per-tenant
+    selection workflow (`glm_elastic_net_cv_grouped` →
+    `cv_select_lambda` → join the chosen reg_param back by group →
+    refit here). The column must be constant within each group and
+    finite ≥ 0; a violating group (mixed/null/NaN/negative λ)
+    NULL-degrades like every other grouped degeneracy. Returns long
+    format: group_cols…, term, estimate, n_rows, n_nonzero,
+    iterations, converged, deviance."""
     from pyspark.sql import types as T
 
     from sparkglm_spark.operators.lm import _design
@@ -1696,16 +1704,25 @@ def glm_elastic_net_grouped(
             f"glm_elastic_net_grouped supports binomial and poisson, "
             f"got {family!r}"
         )
-    lam = float(reg_param)
+    if isinstance(reg_param, str):
+        if reg_param not in df.columns:
+            raise ValueError(
+                f"reg_param column {reg_param!r} not in the input frame"
+            )
+        lam, lam_col = None, reg_param
+    else:
+        lam, lam_col = float(reg_param), None
+        if lam < 0.0:
+            raise ValueError("reg_param must be >= 0")
     alpha = float(elastic_net_param)
     if not 0.0 <= alpha <= 1.0:
         raise ValueError("elastic_net_param must be in [0, 1]")
-    if lam < 0.0:
-        raise ValueError("reg_param must be >= 0")
     if exact_iterations is not None and exact_iterations < 1:
         raise ValueError("exact_iterations must be >= 1")
     encoded, x_cols, target = _design(
-        df, formula, group_cols, na_action=na_action,
+        df, formula,
+        list(group_cols) + ([lam_col] if lam_col else []),
+        na_action=na_action,
         weight_col=weight_col, offset_col=offset_col,
     )
     k = len(x_cols)
@@ -1728,6 +1745,7 @@ def glm_elastic_net_grouped(
     gcols = list(group_cols)
     fam_name, std = family, standardize
     wname, oname = weight_col, offset_col
+    lamname = lam_col
     exact_n = exact_iterations
 
     def fit_group(pdf):
@@ -1759,6 +1777,19 @@ def glm_elastic_net_grouped(
             and nw > 0.0
             and sdenom > 0.0
         )
+        lam_g = lam
+        if ok and lamname is not None:
+            lv = pdf[lamname].to_numpy(dtype=np.float64)
+            # per-group λ: constant within the group, finite, ≥ 0 —
+            # anything else NULL-degrades (the grouped policy)
+            if (
+                np.all(np.isfinite(lv))
+                and float(lv.min()) >= 0.0
+                and float(lv.min()) == float(lv.max())
+            ):
+                lam_g = float(lv[0])
+            else:
+                ok = False
         if ok and fam_name == "binomial":
             ok = bool(np.all((y >= 0) & (y <= 1)))
         if ok and fam_name == "poisson":
@@ -1801,7 +1832,7 @@ def glm_elastic_net_grouped(
                     Gw = X.T @ Xw
                     gz = Xw.T @ z
                     nb, theta = _penalized_irls_update(
-                        Gw, gz, sw, swz, k, feats, i0, sig, nw, lam,
+                        Gw, gz, sw, swz, k, feats, i0, sig, nw, lam_g,
                         alpha, std, theta, max_sweeps, tol * 0.01,
                     )
                     delta = float(np.max(np.abs(nb - b)))

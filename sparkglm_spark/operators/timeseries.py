@@ -1412,6 +1412,7 @@ def forecast_accuracy(
     actual_col: str,
     forecast_col: str,
     tiebreak_col: str | None = None,
+    m: int = 1,
 ) -> DataFrame:
     """Per-key forecast evaluation — the standard accuracy panel for any
     of this family's forecasters (or an external model's scored column):
@@ -1424,12 +1425,14 @@ def forecast_accuracy(
              how many rows scored)
       smape  mean 2|e|/(|y|+|ŷ|) with term 0 when both are zero (the
              sktime convention; ratio in [0, 2])
-      mase   mae / (in-sample one-step naive MAE) — Hyndman-Koehler
-             2006 with seasonality m = 1: the denominator is
-             mean |y_t − y_{t−1}| over the key's (ts[, tiebreak])
-             order; NULL when the key has < 2 rows or the naive MAE is
-             0 (a constant series makes every nonzero-error forecast
-             infinitely bad — report NULL, not inf)
+      mase   mae / (in-sample lag-m naive MAE) — Hyndman-Koehler
+             2006: the denominator is mean |y_t − y_{t−m}| over the
+             key's (ts[, tiebreak]) order (`m` = 1, the default, is
+             the one-step naive; set `m` to the season length for the
+             SEASONAL-naive scaling of seasonal data); NULL when the
+             key has ≤ m rows or the naive MAE is 0 (a constant series
+             makes every nonzero-error forecast infinitely bad —
+             report NULL, not inf)
 
     Plan: one window pass for the naive lag (partitioned by key) + one
     groupBy(key) aggregation that REUSES the window's hash exchange —
@@ -1451,9 +1454,11 @@ def forecast_accuracy(
         fc.alias("__f"),
         *([F.col(tiebreak_col).alias("__tb")] if tiebreak_col else []),
     )
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m!r}")
     order = [F.col("__ts")] + ([F.col("__tb")] if tiebreak_col else [])
     w = Window.partitionBy(key_col).orderBy(*order)
-    ylag = F.lag("__y").over(w)
+    ylag = F.lag("__y", m).over(w)
     scored = base.select(
         key_col,
         "__y",

@@ -1628,3 +1628,69 @@ def test_cv_select_lambda_rules(spark):
     assert r1.reg_param == 0.01 and r1.cvse is None
     with pytest.raises(ValueError, match="rule"):
         cv_select_lambda(df, ["g"], rule="2se")
+
+
+def test_grouped_refit_at_per_group_lambda(spark):
+    """r12: the full per-tenant workflow — cv_grouped → cv_select_lambda
+    → join the chosen λ back by group → glm_elastic_net_grouped with
+    reg_param as a COLUMN. Each group's refit matches the single-fit
+    glm_elastic_net at that group's own λ at 1e-8; a group with a
+    mixed-λ column NULL-degrades."""
+    from sparkglm_spark.operators.enet import (
+        cv_select_lambda,
+        glm_elastic_net,
+        glm_elastic_net_cv_grouped,
+        glm_elastic_net_grouped,
+    )
+
+    rng = np.random.default_rng(71)
+    rows = []
+    for gi, g in enumerate(("a", "b")):
+        n = 160
+        x1 = rng.normal(0, 1, n)
+        y = (
+            rng.uniform(0, 1, n)
+            < 1 / (1 + np.exp(0.3 - (0.5 + gi) * x1))
+        ).astype(float)
+        rows += [(g, float(y[i]), float(x1[i]), i % 2) for i in range(n)]
+    df = spark.createDataFrame(rows, "g string, y double, x1 double, fd int")
+    cv = glm_elastic_net_cv_grouped(
+        df, "y ~ x1", ["g"], [0.1, 0.01], "fd", n_folds=2,
+        elastic_net_param=0.5,
+    )
+    best = cv_select_lambda(cv, ["g"], rule="min")
+    joined = df.join(best.select("g", "reg_param"), on="g")
+    out = {
+        (r.g, r.term): r
+        for r in glm_elastic_net_grouped(
+            joined, "y ~ x1", ["g"], reg_param="reg_param",
+            elastic_net_param=0.5,
+        ).collect()
+    }
+    chosen = {r.g: r.reg_param for r in best.collect()}
+    for g in ("a", "b"):
+        solo = glm_elastic_net(
+            df.where(F.col("g") == g), "y ~ x1",
+            reg_param=chosen[g], elastic_net_param=0.5,
+        )
+        for i, t in enumerate(solo.xnames):
+            assert out[(g, t)].estimate == pytest.approx(
+                float(solo.coefs[i]), abs=1e-8
+            ), (g, t)
+    # mixed λ within a group -> NULL, sibling unaffected
+    bad = joined.withColumn(
+        "reg_param",
+        F.when(
+            (F.col("g") == "b") & (F.col("fd") == 1), 99.0
+        ).otherwise(F.col("reg_param")),
+    )
+    outb = {
+        (r.g, r.term): r
+        for r in glm_elastic_net_grouped(
+            bad, "y ~ x1", ["g"], reg_param="reg_param"
+        ).collect()
+    }
+    assert outb[("b", "x1")].estimate is None
+    assert outb[("a", "x1")].estimate is not None
+    with pytest.raises(ValueError, match="not in the input"):
+        glm_elastic_net_grouped(df, "y ~ x1", ["g"], reg_param="nope")

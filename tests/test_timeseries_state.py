@@ -1294,3 +1294,21 @@ def test_forecast_accuracy_matches_hand_computation(spark):
     exch = exchange_schemas(forecast_accuracy(df, "k", "t", "y", "f"))
     hash_exch = [e for e in exch if "hashpartitioning" in e["arguments"]]
     assert len(hash_exch) == 1
+
+
+def test_forecast_accuracy_seasonal_mase(spark):
+    """m > 1 scales by the SEASONAL-naive MAE (lag-m diffs): on a pure
+    period-2 series the seasonal naive is perfect, so mase is NULL
+    (zero denominator) while m=1 gives a finite value; m=0 raises."""
+    from sparkglm_spark.operators.timeseries import forecast_accuracy
+
+    seq = [10.0, 20.0] * 4
+    rows = [("a", t, y, y + 1.0) for t, y in enumerate(seq)]
+    df = spark.createDataFrame(rows, "k string, t long, y double, f double")
+    r1 = forecast_accuracy(df, "k", "t", "y", "f").collect()[0]
+    assert r1.mase == pytest.approx(1.0 / 10.0, rel=1e-12)  # mae 1, naive 10
+    r2 = forecast_accuracy(df, "k", "t", "y", "f", m=2).collect()[0]
+    assert r2.mase is None  # seasonal naive exact -> zero denominator
+    assert r2.mae == pytest.approx(1.0)
+    with pytest.raises(ValueError, match="m must"):
+        forecast_accuracy(df, "k", "t", "y", "f", m=0)
