@@ -1709,6 +1709,27 @@ def glm_elastic_net_grouped(
             raise ValueError(
                 f"reg_param column {reg_param!r} not in the input frame"
             )
+        # collision / type guards (review r12: a group-col or formula
+        # collision crashed mid-job with an opaque worker error, and a
+        # non-numeric column aborted every healthy group's Arrow batch)
+        if reg_param in group_cols:
+            raise ValueError(
+                f"reg_param column {reg_param!r} is also a group column"
+            )
+        from sparkglm_spark.formula import parse_formula
+
+        parsed0 = parse_formula(formula)
+        if reg_param == parsed0.target or reg_param in parsed0.predictors:
+            raise ValueError(
+                f"reg_param column {reg_param!r} is referenced by the "
+                "formula — a penalty cannot also be a modeling column"
+            )
+        t = df.schema[reg_param].dataType.simpleString()
+        if t not in ("double", "float", "int", "bigint", "smallint",
+                     "tinyint", "decimal") and not t.startswith("decimal"):
+            raise ValueError(
+                f"reg_param column {reg_param!r} must be numeric, got {t}"
+            )
         lam, lam_col = None, reg_param
     else:
         lam, lam_col = float(reg_param), None

@@ -1432,7 +1432,12 @@ def forecast_accuracy(
              SEASONAL-naive scaling of seasonal data); NULL when the
              key has ≤ m rows or the naive MAE is 0 (a constant series
              makes every nonzero-error forecast infinitely bad —
-             report NULL, not inf)
+             report NULL, not inf). CONTIGUITY: the lag-m pairing is
+             POSITIONAL over the retained rows — with m > 1 a missing
+             period (a ts gap, or a null actual dropped by the family
+             filter) phase-shifts every later seasonal pair; feed a
+             regular, gap-free grid (`resample_counts`-style) when
+             using the seasonal scaling
 
     Plan: one window pass for the naive lag (partitioned by key) + one
     groupBy(key) aggregation that REUSES the window's hash exchange —
@@ -1443,6 +1448,8 @@ def forecast_accuracy(
     forecaster fit on the retained series would see)."""
     from pyspark.sql import Window
 
+    if not isinstance(m, int) or isinstance(m, bool) or m < 1:
+        raise ValueError(f"m must be an int >= 1, got {m!r}")
     y = F.col(actual_col).cast("double")
     fc = F.col(forecast_col).cast("double")
     # the family null filter, once per scored column (review r12: reuse
@@ -1454,8 +1461,6 @@ def forecast_accuracy(
         fc.alias("__f"),
         *([F.col(tiebreak_col).alias("__tb")] if tiebreak_col else []),
     )
-    if m < 1:
-        raise ValueError(f"m must be >= 1, got {m!r}")
     order = [F.col("__ts")] + ([F.col("__tb")] if tiebreak_col else [])
     w = Window.partitionBy(key_col).orderBy(*order)
     ylag = F.lag("__y", m).over(w)

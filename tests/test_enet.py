@@ -1694,3 +1694,26 @@ def test_grouped_refit_at_per_group_lambda(spark):
     assert outb[("a", "x1")].estimate is not None
     with pytest.raises(ValueError, match="not in the input"):
         glm_elastic_net_grouped(df, "y ~ x1", ["g"], reg_param="nope")
+
+
+def test_grouped_refit_lambda_column_guards(spark):
+    """r12 review: reg_param-column collisions and bad types fail LOUDLY
+    upfront (group-col collision, formula collision, non-numeric dtype)
+    instead of an opaque mid-job Arrow crash."""
+    from sparkglm_spark.operators.enet import glm_elastic_net_grouped
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 0.5, 0.1, "x")] * 4 + [("a", 0.0, -0.5, 0.1, "x")] * 4,
+        "g string, y double, x1 double, lam double, s string",
+    )
+    with pytest.raises(ValueError, match="also a group column"):
+        glm_elastic_net_grouped(df, "y ~ x1", ["g"], reg_param="g")
+    with pytest.raises(ValueError, match="referenced by the formula"):
+        glm_elastic_net_grouped(df, "y ~ x1 + lam", ["g"], reg_param="lam")
+    with pytest.raises(ValueError, match="must be numeric"):
+        glm_elastic_net_grouped(df, "y ~ x1", ["g"], reg_param="s")
+    # a valid numeric column still fits
+    out = glm_elastic_net_grouped(
+        df, "y ~ x1", ["g"], reg_param="lam"
+    ).collect()
+    assert all(r.estimate is not None for r in out)
