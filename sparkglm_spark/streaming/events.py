@@ -1151,3 +1151,149 @@ def tsb_state_stream(
         events, key_col, ts_col, value_col, "tsb", alpha, beta,
         1.0, tiebreak_col,
     )
+
+
+def forecast_accuracy_stream(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    actual_col: str,
+    forecast_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Streaming twin of `operators.timeseries.forecast_accuracy` — the
+    LIVE model-quality monitor (each micro-batch emits every touched
+    key's updated MAE/RMSE/MAPE/sMAPE/MASE over the whole stream so
+    far; pair with `drift_state_stream` for the full scoring-health
+    panel). State per key is eight scalars + the previous actual for
+    the m = 1 naive denominator — O(1) forever; every metric is a
+    ratio of RUNNING SUMS, so the only stream-vs-batch difference is
+    float summation order (≲1e-15 relative; asserted at 1e-12 in
+    tests). Seasonal MASE (m > 1) is batch-only — the stream would
+    need an m-deep actual buffer per key; run the batch operator over
+    the landed log for seasonal scaling.
+
+    ORDER CONTRACT + NULL POLICY: as `ewma_state_stream` (within-batch
+    (ts, tiebreak) sort, arrival order across batches; rows with a
+    null/NaN actual OR forecast are dropped before scoring and do not
+    anchor the naive lag — the batch convention)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    if not events.isStreaming:
+        raise ValueError("input must be a streaming DataFrame (readStream)")
+    in_fields = {f.name: f for f in events.schema.fields}
+    need = [key_col, ts_col, actual_col, forecast_col] + (
+        [tiebreak_col] if tiebreak_col else []
+    )
+    missing = [c for c in need if c not in in_fields]
+    if missing:
+        raise ValueError(
+            f"forecast_accuracy_stream: columns {missing} not in input "
+            f"schema {sorted(in_fields)}"
+        )
+    out_schema = StructType(
+        [
+            in_fields[key_col],
+            StructField("n", LongType()),
+            StructField("mae", DoubleType()),
+            StructField("rmse", DoubleType()),
+            StructField("mape", DoubleType()),
+            StructField("n_mape", LongType()),
+            StructField("smape", DoubleType()),
+            StructField("mase", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("sae", DoubleType()),
+            StructField("sse", DoubleType()),
+            StructField("sape", DoubleType()),
+            StructField("n_mape", LongType()),
+            StructField("ssm", DoubleType()),
+            StructField("snd", DoubleType()),
+            StructField("n_nd", LongType()),
+            StructField("prev_y", DoubleType()),
+        ]
+    )
+    sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    ycol = F.col(actual_col).cast("double")
+    fcol = F.col(forecast_col).cast("double")
+    from sparkglm_spark.operators.timeseries import _drop_null_values
+
+    events = _drop_null_values(_drop_null_values(events, ycol), fcol)
+
+    def update(key, pdfs, state: GroupState):
+        n, sae, sse, sape, n_mape, ssm, snd, n_nd, prev_y = (
+            tuple(state.get)
+            if state.exists
+            else (0, 0.0, 0.0, 0.0, 0, 0.0, 0.0, 0, None)
+        )
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else chunks[0]
+        )
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        y = pdf[actual_col].to_numpy(dtype=np.float64)
+        f = pdf[forecast_col].to_numpy(dtype=np.float64)
+        e = y - f
+        m = len(y)
+        n += m
+        sae += float(np.abs(e).sum())
+        sse += float((e * e).sum())
+        nz = y != 0.0
+        sape += float(np.abs(e[nz] / y[nz]).sum())
+        n_mape += int(nz.sum())
+        den = np.abs(y) + np.abs(f)
+        ssm += float(
+            np.where(den == 0.0, 0.0, 2.0 * np.abs(e) / np.where(den == 0.0, 1.0, den)).sum()
+        )
+        ylag = np.empty(m)
+        ylag[0] = prev_y if prev_y is not None else np.nan
+        ylag[1:] = y[:-1]
+        nd = np.abs(y - ylag)
+        good = ~np.isnan(nd)
+        snd += float(nd[good].sum())
+        n_nd += int(good.sum())
+        prev_y = float(y[-1])
+        state.update((n, sae, sse, sape, n_mape, ssm, snd, n_nd, prev_y))
+        mae = sae / n
+        naive = snd / n_nd if n_nd else None
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n": [n],
+                "mae": [mae],
+                "rmse": [float(np.sqrt(sse / n))],
+                "mape": [sape / n_mape if n_mape else None],
+                "n_mape": [n_mape],
+                "smape": [ssm / n],
+                "mase": [
+                    mae / naive if naive is not None and naive > 0.0 else None
+                ],
+            }
+        )
+
+    return (
+        events.select(*dict.fromkeys(need))
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

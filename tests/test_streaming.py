@@ -1306,3 +1306,79 @@ def test_intermittent_state_stream_negative_degrades(spark):
     assert got["a"].size is None and got["a"].n_demands is None
     assert got["a"].n_periods == 6
     assert got["b"].size is not None and got["b"].n_demands == 2
+
+
+def test_forecast_accuracy_stream_equals_batch(spark, sf_dir):
+    """r12: forecast_accuracy_stream over a 3-micro-batch ts-ordered
+    replay — the LAST update per key matches the batch
+    forecast_accuracy at 1e-12 (running sums vs batch means: only float
+    association differs)."""
+    from pyspark.sql import Window
+
+    from sparkglm_spark.operators.timeseries import forecast_accuracy
+    from sparkglm_spark.streaming.events import forecast_accuracy_stream
+
+    ev = read_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & ~F.isnan(F.col("value"))
+    )
+    raw = ev.select(
+        "user_id", "ts", "event_id", "value",
+        F.lag("value").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("fcst"),
+    )
+    ts_sorted = raw.select("ts").orderBy("ts").collect()
+    n = len(ts_sorted)
+    t1, t2 = ts_sorted[n // 3].ts, ts_sorted[2 * n // 3].ts
+    parts = [
+        raw.where(F.col("ts") <= F.lit(t1)),
+        raw.where((F.col("ts") > F.lit(t1)) & (F.col("ts") <= F.lit(t2))),
+        raw.where(F.col("ts") > F.lit(t2)),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        os.makedirs(src)
+        for i, p in enumerate(parts):
+            p.coalesce(1).write.parquet(os.path.join(src, f"b{i}.parquet"))
+        stream_in = (
+            spark.readStream.schema(raw.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*.parquet"))
+        )
+        out = forecast_accuracy_stream(
+            stream_in, "user_id", "ts", "value", "fcst",
+            tiebreak_col="event_id",
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("fa_updates")
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            r.user_id: r.w
+            for r in spark.sql(
+                "SELECT user_id, max_by(named_struct('n', n, 'mae', mae,"
+                " 'rmse', rmse, 'mape', mape, 'nm', n_mape, 'sm', smape,"
+                " 'ms', mase), n) AS w FROM fa_updates GROUP BY user_id"
+            ).collect()
+        }
+    batch = {
+        r.user_id: r
+        for r in forecast_accuracy(
+            raw, "user_id", "ts", "value", "fcst", tiebreak_col="event_id"
+        ).collect()
+    }
+    assert len(got) == len(batch) > 0
+    for uid, b in batch.items():
+        g = got[uid]
+        assert g["n"] == b.n and g["nm"] == b.n_mape, uid
+        for k, bk in (("mae", b.mae), ("rmse", b.rmse), ("mape", b.mape),
+                      ("sm", b.smape), ("ms", b.mase)):
+            if bk is None:
+                assert g[k] is None, (uid, k)
+            else:
+                assert g[k] == pytest.approx(bk, rel=1e-12), (uid, k)
