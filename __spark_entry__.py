@@ -8278,7 +8278,7 @@ FROM (
                  SUM(CASE WHEN d > 0 AND n > 1 THEN
                        d * (na / n) * (1.0 - na / n) * (n - d) / (n - 1.0)
                      ELSE 0.0 END) AS v,
-                 SUM(CASE WHEN d > 0 THEN ne_raw ELSE 0.0 END) AS ne
+                 SUM(ne_raw) AS ne
           FROM wlc)
   SELECT 'chi2' AS key, CAST(NULL AS BIGINT) AS nn,
          ROUND(oe * oe / v, 6) AS v1 FROM wlg

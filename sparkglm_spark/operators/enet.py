@@ -1261,11 +1261,6 @@ def _glm_enet_pathwise(
         if family == "poisson" and ymin < 0.0:
             raise ValueError(f"poisson label must be >= 0; observed min = {ymin}")
 
-        def link_scalar(mu0: float) -> float:
-            if family == "binomial":
-                mu0 = min(max(mu0, 1e-10), 1 - 1e-10)
-                return float(np.log(mu0 / (1 - mu0)))
-            return float(np.log(max(mu0, 1e-300)))
 
         # ------ per-state fixed stats from group-moment additivity ------
         states = []
@@ -1300,7 +1295,7 @@ def _glm_enet_pathwise(
             sig = np.sqrt(np.maximum((ss - nw_t * ms * ms) / sdenom, 0.0))
             beta = np.zeros(k)
             if has_int:
-                beta[i0] = link_scalar(ybar)
+                beta[i0] = _np_link_init(family, ybar)
                 if off is not None:
                     soff_t = sum(float(groups[g]["soff"]) for g in tg)
                     beta[i0] -= soff_t / nw_t
@@ -1603,6 +1598,20 @@ def glm_elastic_net_path(
     )
 
 
+def _np_link_init(fam_name: str, mu0: float) -> float:
+    """Shared intercept-init link — binomial logit with the μ clamp,
+    poisson log with the underflow floor: ONE definition for
+    `_glm_enet_pathwise`, `glm_elastic_net_grouped` and
+    `glm_elastic_net_cv_grouped` (review r12: three copies had
+    appeared — the `_np_glm_irls_kernels` lesson again; upstream
+    ybar-domain guards make the poisson floor a no-op, so the grouped
+    paths are bitwise-unchanged)."""
+    if fam_name == "binomial":
+        mu0 = min(max(mu0, 1e-10), 1 - 1e-10)
+        return float(np.log(mu0 / (1 - mu0)))
+    return float(np.log(max(mu0, 1e-300)))
+
+
 def _np_glm_irls_kernels(fam_name: str, y, eta_lin, ov):
     """One IRLS step's per-row kernels, numpy twin of the distributed
     engine's (μ, w, z) projection — shared by `glm_elastic_net_grouped`
@@ -1673,9 +1682,11 @@ def glm_elastic_net_grouped(
     bad weights (null/negative/NaN/Σω ≤ 0/≤ 1 effective row),
     non-finite offsets, singular subproblems — yield NULL estimates
     (the grouped NULL policy; note that under the default
-    `na_action='omit'` a SQL-NULL weight/offset drops its ROW before
-    the fit like any other modeling column — the NULL policy catches
-    what the NA drop cannot see: NaN/negative/Σω ≤ 0, ADVICE r11).
+    `na_action='omit'` a null OR NaN weight/offset drops its ROW before
+    the fit like any other modeling column (na.drop treats NaN as
+    missing) — the NULL policy catches what remains:
+    negative/Σω ≤ 0, and null/NaN under 'keep'. ADVICE r11, review
+    r12).
     `deviance` is evaluated at the RETURNED
     β (unlike the single fit's historical exit convention — a fresh
     surface gets the clean contract; this holds under
@@ -1716,6 +1727,11 @@ def glm_elastic_net_grouped(
             raise ValueError(
                 f"reg_param column {reg_param!r} is also a group column"
             )
+        if reg_param in (weight_col, offset_col):
+            raise ValueError(
+                f"reg_param column {reg_param!r} is also the "
+                "weight/offset column"
+            )
         from sparkglm_spark.formula import parse_formula
 
         parsed0 = parse_formula(formula)
@@ -1746,6 +1762,12 @@ def glm_elastic_net_grouped(
         na_action=na_action,
         weight_col=weight_col, offset_col=offset_col,
     )
+    if lam_col:
+        # double-cast so EVERY numeric λ type reaches the Arrow batch as
+        # float64 (review r12: a DecimalType column ships
+        # decimal.Decimal objects whose None crashed to_numpy instead of
+        # NULL-degrading; a double NULL becomes NaN → isfinite → NULL)
+        encoded = encoded.withColumn(lam_col, F.col(lam_col).cast("double"))
     k = len(x_cols)
     has_int = "intercept" in x_cols
     i0 = x_cols.index("intercept") if has_int else None
@@ -1828,16 +1850,7 @@ def glm_elastic_net_grouped(
             sig = np.sqrt(np.maximum((ss_f - nw * m_f * m_f) / sdenom, 0.0))
             b = np.zeros(k)
             if has_int:
-                mu0 = (
-                    min(max(ybar, 1e-10), 1 - 1e-10)
-                    if fam_name == "binomial"
-                    else ybar
-                )
-                b[i0] = (
-                    float(np.log(mu0 / (1 - mu0)))
-                    if fam_name == "binomial"
-                    else float(np.log(mu0))
-                )
+                b[i0] = _np_link_init(fam_name, ybar)
                 if oname is not None:
                     b[i0] -= float((wv * ov).sum()) / nw
             theta = np.zeros(len(feats))
@@ -2007,12 +2020,6 @@ def glm_elastic_net_cv_grouped(
     nf = int(n_folds)
     exact_n = exact_iterations
 
-    def link_scalar(mu0: float) -> float:
-        if fam_name == "binomial":
-            mu0 = min(max(mu0, 1e-10), 1 - 1e-10)
-            return float(np.log(mu0 / (1 - mu0)))
-        return float(np.log(max(mu0, 1e-300)))
-
     def fit_group(pdf):
         import pandas as pd
 
@@ -2085,12 +2092,16 @@ def glm_elastic_net_cv_grouped(
             sig = np.sqrt(np.maximum((ss - nw_t * ms * ms) / sdenom, 0.0))
             beta = np.zeros(k)
             if has_int:
-                beta[i0] = link_scalar(ybar)
+                beta[i0] = _np_link_init(fam_name, ybar)
                 if oname is not None:
                     beta[i0] -= float((wt_t * ov[tr]).sum()) / nw_t
             states.append(
                 dict(j=j, tr=tr, n_t=n_t, nw_t=nw_t, sig=sig,
-                     beta=beta, theta=np.zeros(len(feats)))
+                     beta=beta, theta=np.zeros(len(feats)),
+                     # fold slices cached ONCE — re-fancy-indexing per
+                     # (λ, fold) copied the training design L·F times
+                     # per group (review r12)
+                     Xt=X[tr], yt=y[tr], wt=wt_t, ot=ov[tr])
             )
         if not states:
             return pd.DataFrame(null_rows(), columns=[f.name for f in out_schema])
@@ -2101,7 +2112,7 @@ def glm_elastic_net_cv_grouped(
                 recs = []
                 for s in states:
                     tr = s["tr"]
-                    Xt, yt, wt_t, ot = X[tr], y[tr], wv[tr], ov[tr]
+                    Xt, yt, wt_t, ot = s["Xt"], s["yt"], s["wt"], s["ot"]
                     b, theta = s["beta"], s["theta"]
                     it, conv = 0, False
                     n_pass = exact_n if exact_n is not None else max_iter

@@ -674,12 +674,13 @@ def glm_grouped(
     `weight_col` (r11): per-row prior weights with the `glm(weight_col=)`
     conventions inside each group (ω-folded working weights, ω-weighted
     deviance). Under the default `na_action='omit'` a SQL-NULL weight
-    drops its ROW before the fit (the NA policy treats the weight like
-    any other modeling column — ADVICE r11); the grouped NULL policy —
-    the boolean twin of `check_weight_domain`, like
-    `elastic_net_grouped` — degenerates a group to NULL estimates on
-    the violations the NA drop cannot see: NaN or negative weights,
-    Σω ≤ 0 (and null weights too under `na_action='keep'`).
+    drops its ROW before the fit — and so does a NaN weight (Spark's
+    na.drop treats NaN as missing; the NA policy treats the weight like
+    any other modeling column — ADVICE r11, sharpened review r12); the
+    grouped NULL policy — the boolean twin of `check_weight_domain`,
+    like `elastic_net_grouped` — degenerates a group to NULL estimates
+    on the violations that remain: negative weights, Σω ≤ 0 (and
+    null/NaN weights under `na_action='keep'`).
 
     `offset_col` (r11): fixed per-row term added to η (the `glm` offset
     contract — η = Xβ + offset; per-segment Poisson rate models with

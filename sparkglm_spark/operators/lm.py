@@ -1143,8 +1143,10 @@ def quantile_lm(
     (minimize Σ ω·ρ_q(e)) — ω folds into the WLS start, the δ scale
     probe (ω-weighted mean |e|) and every MM re-weighting (the IRLS
     weight becomes ω·|q−1(e<0)|/max(|e|,δ)), so an integer weight is
-    exactly row replication (tested); weight-domain violations
-    (null under `na_action='keep'`/NaN/negative/Σω ≤ 0) raise via the
+    exactly row replication (tested). Under the default
+    `na_action='omit'` a null/NaN weight drops its ROW (Spark's
+    na.drop treats NaN as missing — review r12); negative weights and
+    Σω ≤ 0 — and null/NaN under `na_action='keep'` — raise via the
     WLS start's shared guard."""
     if not 0.0 < q < 1.0:
         raise ValueError(f"q must be in (0, 1), got {q!r}")
@@ -1393,9 +1395,9 @@ def _irls_grouped(
     models, so the number of segments is unbounded.
 
     Degenerate groups (n < k, non-finite values, singular Gram — and
-    with `weight_col`: NaN/negative ω or Σω ≤ 0, the grouped NULL
-    policy) emit NULL estimates rather than garbage (the `lm_grouped`
-    convention). `fit_one(X, y, w) -> (beta|None, extras: dict,
+    with `weight_col`: negative ω or Σω ≤ 0, plus NaN ω under
+    `na_action='keep'`; the grouped NULL policy) emit NULL estimates
+    rather than garbage (the `lm_grouped` convention). `fit_one(X, y, w) -> (beta|None, extras: dict,
     n_iter, converged)`; `w` is all-ones when no weight column."""
     from pyspark.sql import types as T
 
@@ -1601,8 +1603,9 @@ def quantile_lm_grouped(
 
     `weight_col` (r12): the `quantile_lm(weight_col=)` case-weight
     convention per group — ω ≥ 0 into the WLS start, the ω-weighted
-    mean-|e| δ probe and every MM re-weighting; NaN/negative ω or
-    Σω ≤ 0 degenerate the group to NULLs (the grouped policy)."""
+    mean-|e| δ probe and every MM re-weighting; negative ω or Σω ≤ 0
+    (and NaN ω under `na_action='keep'` — under 'omit' those rows
+    drop first) degenerate the group to NULLs (the grouped policy)."""
     from pyspark.sql import types as T
 
     if not 0.0 < q < 1.0:

@@ -1803,7 +1803,10 @@ def logrank_test(
                 d * (na / n) * (1.0 - na / n) * (n - d) / (n - 1.0),
             ).otherwise(0.0)
         ).alias("v"),
-        F.sum(F.when(d > 0, F.col("ne_raw")).otherwise(0.0)).alias("ne"),
+        # ALL raw event rows — including ω = 0 rows at fully-zero-weight
+        # times (review r12: gating on weighted d > 0 silently dropped
+        # those from the documented raw-count convention)
+        F.sum(F.col("ne_raw")).alias("ne"),
     ]
     if weight_col:
         fin_aggs += [

@@ -1014,3 +1014,22 @@ def test_quantile_weighted_replication_and_grouped(spark):
     }
     assert outb[("b", "x")].estimate is None
     assert outb[("a", "x")].estimate is not None
+
+
+def test_nan_weight_na_policy(spark):
+    """r12 review: under the default na_action='omit' a NaN weight
+    DROPS its row (Spark's na.drop treats NaN as missing) — the fit
+    proceeds on the clean rows; under na_action='keep' the shared
+    guard raises on the NaN."""
+    from sparkglm_spark.operators.lm import quantile_lm
+
+    rows = [(float(i), float(i) * 0.5, 1.0) for i in range(30)]
+    rows.append((99.0, 1.0, float("nan")))
+    df = spark.createDataFrame(rows, "y double, x double, w double")
+    m = quantile_lm(df, "y ~ x", exact_iterations=2, weight_col="w")
+    assert m.nrow == 30  # the NaN-weight row dropped with the NA policy
+    with pytest.raises(ValueError, match="NaN"):
+        quantile_lm(
+            df, "y ~ x", exact_iterations=2, weight_col="w",
+            na_action="keep",
+        )

@@ -1352,3 +1352,29 @@ def test_logrank_weighted_replication_identity(spark):
             df.withColumn("w", F.when(F.col("ev") > 0, -1.0).otherwise(1.0)),
             "t", "ev", "g", weight_col="w",
         )
+
+
+def test_logrank_weighted_zero_weight_raw_count(spark):
+    """r12 review: n_events reports ALL raw event rows — including an
+    ω = 0 event at a time whose entire event mass is zero-weighted
+    (the coxph raw-count convention; the statistic itself ignores the
+    zero-mass row, replication-consistently)."""
+    from sparkglm_spark.operators.survival import logrank_test
+
+    rows = [
+        (1.0, 1.0, "a", 1.0), (2.0, 1.0, "b", 1.0), (3.0, 0.0, "a", 1.0),
+        (4.0, 1.0, "b", 2.0), (5.0, 1.0, "a", 1.0),
+        (2.5, 1.0, "a", 0.0),  # zero-weight event at its own unique time
+    ]
+    df = spark.createDataFrame(rows, "t double, ev double, g string, w double")
+    r = logrank_test(df, "t", "ev", "g", weight_col="w")
+    assert r["n_events"] == 5  # all raw event rows, incl. the omega=0 one
+    # the omega=0 row contributes nothing to the statistic: removing it
+    # leaves O-E and the variance unchanged
+    r2 = logrank_test(
+        df.where(F.col("w") > 0), "t", "ev", "g", weight_col="w"
+    )
+    assert r["observed_minus_expected_a"] == pytest.approx(
+        r2["observed_minus_expected_a"], rel=1e-12
+    )
+    assert r["variance"] == pytest.approx(r2["variance"], rel=1e-12)
