@@ -562,29 +562,42 @@ def main() -> None:
     total_r4_set = round(
         sum(v for k, v in medians.items() if k not in r5_new), 3
     )
-    print(
-        json.dumps(
-            {
-                "metric": "e2e_headline_seconds",
-                "value": total,
-                "value_r4_set": total_r4_set,
-                "unit": "sec",
-                "queries": medians,
-                "queries_min": mins,
-                "n_runs": N_RUNS,
-                "sf": float(sf),
-                # noise context: this box swings ±30-50% run-to-run (see
-                # PLANS.md "Bench protocol note"); the 1-min load average
-                # at start/end helps attribute outlier rounds
-                "load_avg": [load_start, round(os.getloadavg()[0], 2)],
-                **({"errors": errors} if errors else {}),
-            }
-        )
+    summary = json.dumps(
+        {
+            "metric": "e2e_headline_seconds",
+            "value": total,
+            "value_r4_set": total_r4_set,
+            "unit": "sec",
+            "queries": medians,
+            "queries_min": mins,
+            "n_runs": N_RUNS,
+            "sf": float(sf),
+            # noise context: this box swings ±30-50% run-to-run (see
+            # PLANS.md "Bench protocol note"); the 1-min load average
+            # at start/end helps attribute outlier rounds
+            "load_avg": [load_start, round(os.getloadavg()[0], 2)],
+            **({"errors": errors} if errors else {}),
+        }
     )
+    # Robustness vs tail-scraping (BENCH_r12 recorded "parsed": null —
+    # Spark shutdown chatter can trail the JSON line): (a) persist the
+    # summary to BENCH_LAST.json next to this script, (b) print it once
+    # here, and (c) re-print it as the FINAL stdout line after
+    # spark.stop() so both head- and tail-scrapes find a parseable line.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_LAST.json"), "w"
+        ) as fh:
+            fh.write(summary + "\n")
+    except OSError:
+        pass
+    print(summary, flush=True)
     import shutil
 
     shutil.rmtree(prebuilt_index_dir, ignore_errors=True)
     spark.stop()
+    print(summary, flush=True)
 
 
 if __name__ == "__main__":

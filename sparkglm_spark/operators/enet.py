@@ -1742,7 +1742,7 @@ def glm_elastic_net_grouped(
             )
         t = df.schema[reg_param].dataType.simpleString()
         if t not in ("double", "float", "int", "bigint", "smallint",
-                     "tinyint", "decimal") and not t.startswith("decimal"):
+                     "tinyint") and not t.startswith("decimal"):
             raise ValueError(
                 f"reg_param column {reg_param!r} must be numeric, got {t}"
             )
@@ -2215,8 +2215,15 @@ def cv_select_lambda(
     gcols = list(group_cols or [])
     dv = F.col("deviance_val")
     ok = dv.isNotNull() & ~F.isnan(dv) & F.col("fold").isNotNull()
+    # Duplicate reg_params in the CV grid emit duplicate (λ, fold)
+    # blocks (documented on glm_elastic_net_cv/_cv_grouped); counting
+    # those rows as extra folds would inflate n_folds for duplicated λs
+    # and evict every non-duplicated λ from the max-fold comparison
+    # (ADVICE r12). The blocks are exact replicas of a deterministic
+    # fit, so one row per (group, λ, fold) is the whole signal.
     per_lam = (
         cv.where(ok)
+        .dropDuplicates([*gcols, "reg_param", "fold"])
         .groupBy(*gcols, "reg_param")
         .agg(
             F.avg(dv).alias("cvm"),

@@ -1628,6 +1628,17 @@ def test_cv_select_lambda_rules(spark):
     assert r1.reg_param == 0.01 and r1.cvse is None
     with pytest.raises(ValueError, match="rule"):
         cv_select_lambda(df, ["g"], rule="2se")
+    # ADVICE r12: duplicate reg_params in the grid emit duplicate
+    # (lambda, fold) blocks; those replicas must not count as extra
+    # folds (which would evict every non-duplicated lambda from the
+    # max-fold comparison and understate cvse by sqrt(dup))
+    dup = df.union(df.where(F.col("reg_param") == 0.1))
+    md = {r.g: r for r in cv_select_lambda(dup, ["g"], rule="min").collect()}
+    assert md["g1"].reg_param == 0.01 and md["g1"].n_folds == 2
+    assert md["g2"].reg_param == 0.1 and md["g2"].n_folds == 2
+    sd = {r.g: r for r in cv_select_lambda(dup, ["g"], rule="1se").collect()}
+    assert sd["g1"].reg_param == 0.1
+    assert sd["g1"].cvse == pytest.approx(se["g1"].cvse)
 
 
 def test_grouped_refit_at_per_group_lambda(spark):
