@@ -5231,6 +5231,39 @@ def q_glm_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("n_rows"),
     )
     res = res.unionByName(ec_dv).unionByName(ec_dt).unionByName(ec_nz)
+    # r13: the workflow's DECISION step — cv_select_lambda over the same
+    # CV frame (glmnet lambda.min / lambda.1se; VERDICT r12 #2). The SQL
+    # replays cvm = mean and cvse = stddev_samp/√k of the two already-
+    # unrolled fold deviances (k = 2 → |Δdv|/2), keeping every component
+    # of the per-tenant λ workflow pinned. ROUND: cvm 3 (the fold-dv
+    # margin), cvse 6 (|Δdv|/2 of two ~1e-9-drift values).
+    from sparkglm_spark.operators.enet import cv_select_lambda
+
+    def sel_arm(sel, tag):
+        return sel.select(
+            "o_orderpriority",
+            F.lit(f"ecsel_{tag}").alias("term"),
+            F.round("reg_param", 6).alias("estimate"),
+            F.round("cvm", 3).alias("deviance"),
+            F.col("n_folds").cast("int").alias("iterations"),
+            F.col("n_folds").cast("bigint").alias("n_rows"),
+        )
+
+    ecsel_min = cv_select_lambda(enc, ["o_orderpriority"], rule="min")
+    ecsel_1se = cv_select_lambda(enc, ["o_orderpriority"], rule="1se")
+    ecsel_se = ecsel_min.select(
+        "o_orderpriority",
+        F.lit("ecsel_cvse").alias("term"),
+        F.round("cvse", 6).alias("estimate"),
+        F.lit(None).cast("double").alias("deviance"),
+        F.col("n_folds").cast("int").alias("iterations"),
+        F.col("n_folds").cast("bigint").alias("n_rows"),
+    )
+    res = (
+        res.unionByName(sel_arm(ecsel_min, "min"))
+        .unionByName(sel_arm(ecsel_1se, "1se"))
+        .unionByName(ecsel_se)
+    )
     return res.orderBy("o_orderpriority", "term")
 
 
@@ -5489,6 +5522,24 @@ def _sql_glm_per_segment(iters: int = _GLM_ITERS) -> str:
             f" CAST(CASE WHEN b1 <> 0 THEN 1 ELSE 0 END AS DOUBLE),"
             f" CAST(NULL AS DOUBLE), 2, CAST(NULL AS BIGINT) FROM ec{j}s2",
         ]
+    # r13: cv_select_lambda replay — per group, cvm = mean of the two
+    # fold VALIDATION deviances, cvse = stddev_samp/√2 = |Δdv|/2; with a
+    # single-λ grid both rules select it, so min/1se pin the same
+    # (reg_param, cvm, n_folds) row and cvse pins the spread estimate.
+    ctes.append(
+        "ecsel AS (SELECT d0.g, (d0.dv + d1.dv) / 2.0 AS cvm,"
+        " ABS(d0.dv - d1.dv) / 2.0 AS cvse FROM"
+        " (SELECT g, dv FROM ec0d WHERE fd = 0) d0 JOIN"
+        " (SELECT g, dv FROM ec1d WHERE fd = 1) d1 ON d0.g = d1.g)"
+    )
+    selects += [
+        "SELECT g, 'ecsel_min', 0.02, ROUND(cvm, 3), 2,"
+        " CAST(2 AS BIGINT) FROM ecsel",
+        "SELECT g, 'ecsel_1se', 0.02, ROUND(cvm, 3), 2,"
+        " CAST(2 AS BIGINT) FROM ecsel",
+        "SELECT g, 'ecsel_cvse', ROUND(cvse, 6), CAST(NULL AS DOUBLE), 2,"
+        " CAST(2 AS BIGINT) FROM ecsel",
+    ]
     return (
         "WITH " + ",\n".join(ctes) + "\n"
         + "\nUNION ALL\n".join(selects)
@@ -7498,6 +7549,31 @@ def q_orders_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("o_custkey") % 100) / 100.0).alias("x"),
     )
     am = weibull_aft(aft_in, "t", "ev", ["x"], exact_iterations=3)
+    # r13: the CASE-weighted AFT trajectory (weight_col path — ω on every
+    # likelihood sum AND the WLS start with its raw-count σ denominator,
+    # survival.py::weibull_aft). Same planted input + ω = 1 + custkey % 3;
+    # the SQL unrolls the same 3 undamped steps in weighted mode. Same
+    # ROUND margins as the unweighted arm (the contraction argument is
+    # weight-independent).
+    waft_in = od.select(
+        F.exp(
+            F.lit(10.0)
+            + 0.5 * ((F.col("o_custkey") % 100) / 100.0)
+            + 0.7
+            * F.log(
+                -F.log(
+                    1.0
+                    - ((F.col("o_orderkey") % 9973).cast("double") + 0.5)
+                    / 9974.0
+                )
+            )
+        ).alias("t"),
+        F.when(F.col("o_custkey") % 5 == 0, 0.0).otherwise(1.0).alias("ev"),
+        ((F.col("o_custkey") % 100) / 100.0).alias("x"),
+        (1.0 + (F.col("o_custkey") % 3).cast("double")).alias("wq"),
+    )
+    wam = weibull_aft(waft_in, "t", "ev", ["x"], exact_iterations=3,
+                      weight_col="wq")
     aft = spark.createDataFrame(
         [
             ("aft", "b_intercept", None, round(float(am.coefs[0]), 6), None,
@@ -7507,6 +7583,13 @@ def q_orders_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
              round(float(np.log(am.scale)), 6), None, None),
             ("aft", "loglik", None, round(float(am.loglik), 2), None, None),
             ("aft", "n_events", am.n_events, None, None, None),
+            ("waft", "b_intercept", None, round(float(wam.coefs[0]), 6),
+             None, None),
+            ("waft", "b_x", None, round(float(wam.coefs[1]), 6), None, None),
+            ("waft", "ln_sigma", None,
+             round(float(np.log(wam.scale)), 6), None, None),
+            ("waft", "loglik", None, round(float(wam.loglik), 2), None,
+             None),
         ],
         "op string, key string, n bigint, v1 double, v2 double, v3 double",
     )
@@ -7837,7 +7920,7 @@ SELECT 'cox_base', 'total', (SELECT CAST(COUNT(*) AS BIGINT) FROM {p}b),
 """
 
 
-def _sql_aft_ctes(iters: int) -> str:
+def _sql_aft_ctes(iters: int, prefix: str = "a", mode: str = "plain") -> str:
     """Unroll `weibull_aft(exact_iterations=iters)` (k = 1 covariate +
     intercept) as CTEs — the per-iteration shape of
     operators/survival.py::weibull_aft:
@@ -7850,20 +7933,47 @@ def _sql_aft_ctes(iters: int) -> str:
     same per-row kernels the engine codegens) and a 3×3 Cramer solve
     (the engine's LAPACK LU differs at ulp level). The planted-Weibull
     input makes the undamped trajectory contractive, so ulp/partial-agg
-    drift SHRINKS through the unroll — see the Spark arm's comment."""
+    drift SHRINKS through the unroll — see the Spark arm's comment.
+
+    mode='weighted' (r13) replays `weight_col=` with ω = 1 + custkey%3:
+    ω multiplies every moment of the WLS start (whose σ denominator
+    stays the RAW event-row count — the LM.fit(weight_col=) convention)
+    and every gradient/Hessian/loglik sum; the event count ne stays raw.
+    Emits op='waft'."""
+    p = prefix
+    weighted = mode == "weighted"
+    op = "waft" if weighted else "aft"
+    w_ = "w * " if weighted else ""  # per-row ω factor on each summand
+    wsel = ", 1.0 + CAST(o_custkey % 3 AS DOUBLE) AS w" if weighted else ""
+    if weighted:
+        # WLS moments carry ω; cnt (raw event rows) feeds the σ
+        # denominator exactly as the engine's LM.fit does
+        start_g = (
+            f"{p}0g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS cnt,"
+            " SUM(w) AS s0, SUM(w * x) AS s1,"
+            " SUM(w * x * x) AS s2, SUM(w * lt) AS sy,"
+            " SUM(w * x * lt) AS sxy,"
+            f" SUM(w * lt * lt) AS syy FROM {p}b WHERE d = 1.0)"
+        )
+        denom = "cnt"
+    else:
+        start_g = (
+            f"{p}0g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS s0, SUM(x) AS s1,"
+            " SUM(x * x) AS s2, SUM(lt) AS sy, SUM(x * lt) AS sxy,"
+            f" SUM(lt * lt) AS syy FROM {p}b WHERE d = 1.0)"
+        )
+        denom = "s0"
     ctes = [
         # planted Weibull input — mirrors the Spark arm's aft_in exactly
-        "ab AS (SELECT"
+        f"{p}b AS (SELECT"
         " ln(exp(10.0 + 0.5 * (CAST(o_custkey % 100 AS DOUBLE) / 100.0)"
         " + 0.7 * ln(-ln(1.0 - (CAST(o_orderkey % 9973 AS DOUBLE) + 0.5)"
         " / 9974.0)))) AS lt,"
         " CASE WHEN o_custkey % 5 = 0 THEN 0.0 ELSE 1.0 END AS d,"
-        " CAST(o_custkey % 100 AS DOUBLE) / 100.0 AS x FROM orders)",
+        f" CAST(o_custkey % 100 AS DOUBLE) / 100.0 AS x{wsel} FROM orders)",
         # OLS start over event rows + residual-scale σ + γσ correction
-        "a0g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS s0, SUM(x) AS s1,"
-        " SUM(x * x) AS s2, SUM(lt) AS sy, SUM(x * lt) AS sxy,"
-        " SUM(lt * lt) AS syy FROM ab WHERE d = 1.0)",
-        "a0 AS (SELECT b0 + 0.5772156649015329 * exp(ls) AS b0, b1, ls"
+        start_g,
+        f"{p}0 AS (SELECT b0 + 0.5772156649015329 * exp(ls) AS b0, b1, ls"
         " FROM (SELECT"
         " (s2 * sy - s1 * sxy) / (s0 * s2 - s1 * s1) AS b0,"
         " (s0 * sxy - s1 * sy) / (s0 * s2 - s1 * s1) AS b1,"
@@ -7876,33 +7986,37 @@ def _sql_aft_ctes(iters: int) -> str:
         "     * ((s0 * sxy - s1 * sy) / (s0 * s2 - s1 * s1)) * s1"
         "   + ((s0 * sxy - s1 * sy) / (s0 * s2 - s1 * s1))"
         "     * ((s0 * sxy - s1 * sy) / (s0 * s2 - s1 * s1)) * s2)"
-        " / (s0 - 2.0)) / 1.283, 0.001)) AS ls FROM a0g) s)",
+        f" / ({denom} - 2.0)) / 1.283, 0.001)) AS ls FROM {p}0g) s)",
     ]
     for i in range(1, iters + 1):
-        prev = f"a{i - 1}"
+        prev = f"{p}{i - 1}"
         # per-row kernels under the previous state; one aggregation of
         # the gradient (g0,g1,g2) and Hessian (h00,h01,h11,h02,h12,h22)
+        wcol = f", {p}b.w" if weighted else ""
+        wpass = ", w" if weighted else ""
         ctes.append(
-            f"a{i}g AS (SELECT"
-            " SUM(gz * (-1.0 / s)) AS g0,"
-            " SUM(x * gz * (-1.0 / s)) AS g1,"
-            " SUM(-d - z * gz) AS g2,"
-            " SUM((-u) * (1.0 / (s * s))) AS h00,"
-            " SUM(x * (-u) * (1.0 / (s * s))) AS h01,"
-            " SUM(x * x * (-u) * (1.0 / (s * s))) AS h11,"
-            " SUM((gz - u * z) * (1.0 / s)) AS h02,"
-            " SUM(x * (gz - u * z) * (1.0 / s)) AS h12,"
-            " SUM(z * gz - z * z * u) AS h22,"
-            " SUM(d * (z - ls) - u) AS ll,"
+            f"{p}{i}g AS (SELECT"
+            f" SUM({w_}(gz * (-1.0 / s))) AS g0,"
+            f" SUM({w_}(x * gz * (-1.0 / s))) AS g1,"
+            f" SUM({w_}(-d - z * gz)) AS g2,"
+            f" SUM({w_}((-u) * (1.0 / (s * s)))) AS h00,"
+            f" SUM({w_}(x * (-u) * (1.0 / (s * s)))) AS h01,"
+            f" SUM({w_}(x * x * (-u) * (1.0 / (s * s)))) AS h11,"
+            f" SUM({w_}((gz - u * z) * (1.0 / s))) AS h02,"
+            f" SUM({w_}(x * (gz - u * z) * (1.0 / s))) AS h12,"
+            f" SUM({w_}(z * gz - z * z * u)) AS h22,"
+            f" SUM({w_}(d * (z - ls) - u)) AS ll,"
             " SUM(d) AS ne"
-            " FROM (SELECT x, d, ls, s, z, exp(z) AS u, d - exp(z) AS gz"
-            f" FROM (SELECT ab.x, ab.d, {prev}.ls, exp({prev}.ls) AS s,"
-            f" (ab.lt - {prev}.b0 - {prev}.b1 * ab.x) / exp({prev}.ls) AS z"
-            f" FROM ab CROSS JOIN {prev}) r1) r2)"
+            f" FROM (SELECT x, d, ls, s, z{wpass}, exp(z) AS u,"
+            " d - exp(z) AS gz"
+            f" FROM (SELECT {p}b.x, {p}b.d, {prev}.ls, exp({prev}.ls) AS s,"
+            f" ({p}b.lt - {prev}.b0 - {prev}.b1 * {p}b.x) / exp({prev}.ls)"
+            f" AS z{wcol}"
+            f" FROM {p}b CROSS JOIN {prev}) r1) r2)"
         )
         # 3×3 Cramer solve of H·step = g; new state = old − step
         ctes.append(
-            f"a{i} AS (SELECT"
+            f"{p}{i} AS (SELECT"
             f" {prev}.b0 - (g0 * (h11 * h22 - h12 * h12)"
             " - h01 * (g1 * h22 - h12 * g2)"
             " + h02 * (g1 * h12 - h11 * g2)) / det AS b0,"
@@ -7912,38 +8026,45 @@ def _sql_aft_ctes(iters: int) -> str:
             f" {prev}.ls - (h00 * (h11 * g2 - h12 * g1)"
             " - h01 * (h01 * g2 - g1 * h02)"
             " + g0 * (h01 * h12 - h11 * h02)) / det AS ls"
-            f" FROM (SELECT a{i}g.*,"
+            f" FROM (SELECT {p}{i}g.*,"
             " h00 * (h11 * h22 - h12 * h12)"
             " - h01 * (h01 * h22 - h12 * h02)"
             " + h02 * (h01 * h12 - h11 * h02) AS det"
-            f" FROM a{i}g) gd CROSS JOIN {prev})"
+            f" FROM {p}{i}g) gd CROSS JOIN {prev})"
         )
-    fin = f"a{iters}"
+    fin = f"{p}{iters}"
     # engine's post-loop recompute evaluates ll at the returned state
     ctes.append(
-        "af AS (SELECT SUM(d * ((lt - b0 - b1 * x) / exp(ls) - ls)"
-        " - exp((lt - b0 - b1 * x) / exp(ls))) AS ll, SUM(d) AS ne"
-        f" FROM ab CROSS JOIN {fin})"
+        f"{p}f AS (SELECT SUM({w_}(d * ((lt - b0 - b1 * x) / exp(ls) - ls)"
+        f" - exp((lt - b0 - b1 * x) / exp(ls)))) AS ll, SUM(d) AS ne"
+        f" FROM {p}b CROSS JOIN {fin})"
     )
-    return "WITH " + ",\n".join(ctes) + f"""
-SELECT 'aft' AS op, 'b_intercept' AS key, CAST(NULL AS BIGINT) AS n,
+    tail = f"""
+SELECT '{op}' AS op, 'b_intercept' AS key, CAST(NULL AS BIGINT) AS n,
        ROUND({fin}.b0, 6) AS v1, CAST(NULL AS DOUBLE) AS v2,
        CAST(NULL AS DOUBLE) AS v3
 FROM {fin}
 UNION ALL
-SELECT 'aft', 'b_x', NULL, ROUND({fin}.b1, 6), NULL, NULL FROM {fin}
+SELECT '{op}', 'b_x', NULL, ROUND({fin}.b1, 6), NULL, NULL FROM {fin}
 UNION ALL
-SELECT 'aft', 'ln_sigma', NULL, ROUND({fin}.ls, 6), NULL, NULL FROM {fin}
+SELECT '{op}', 'ln_sigma', NULL, ROUND({fin}.ls, 6), NULL, NULL FROM {fin}
 UNION ALL
-SELECT 'aft', 'loglik', NULL, ROUND(af.ll, 2), NULL, NULL FROM af
-UNION ALL
-SELECT 'aft', 'n_events', CAST(af.ne AS BIGINT), NULL, NULL, NULL FROM af
+SELECT '{op}', 'loglik', NULL, ROUND({p}f.ll, 2), NULL, NULL FROM {p}f
 """
+    if not weighted:
+        tail += (
+            "UNION ALL\n"
+            f"SELECT '{op}', 'n_events', CAST({p}f.ne AS BIGINT),"
+            " NULL, NULL, NULL"
+            f" FROM {p}f\n"
+        )
+    return "WITH " + ",\n".join(ctes) + tail
 
 
 SQL_COX_ARM = _sql_cox_ctes(3)
 SQL_WCOX_ARM = _sql_cox_ctes(3, prefix="wx", mode="weighted")
 SQL_AFT_ARM = _sql_aft_ctes(3)
+SQL_WAFT_ARM = _sql_aft_ctes(3, prefix="wa", mode="weighted")
 SQL_COXG_ARMS = " UNION ALL ".join(
     f"SELECT * FROM ({_sql_cox_ctes(3, where=f' WHERE o_custkey % 2 = {s}', prefix=f'cg{s}', mode='grouped', seg_key=str(s))}) a{s}"
     for s in (0, 1)
@@ -8080,6 +8201,8 @@ UNION ALL
 SELECT * FROM ({SQL_COXG_ARMS}) coxg
 UNION ALL
 SELECT * FROM ({SQL_AFT_ARM}) aft
+UNION ALL
+SELECT * FROM ({SQL_WAFT_ARM}) waft
 UNION ALL
 SELECT 'iso', CAST(CAST(ifin.s AS INT) AS VARCHAR), CAST(ifin.n AS BIGINT),
        ROUND(ifin.fit + 1.1920928955078125e-07, 6),

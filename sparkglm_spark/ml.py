@@ -1187,12 +1187,19 @@ class _SparkWeibullAFTParams(Params):
         "median-survival-time column appended by transform()",
         typeConverter=TypeConverters.toString,
     )
+    weightCol = Param(
+        Params._dummy(), "weightCol",
+        "per-row case-weight column ('' = unweighted) — the R "
+        "survreg(weights=) convention (weibull_aft weight_col)",
+        typeConverter=TypeConverters.toString,
+    )
 
     def __init__(self):
         super().__init__()
         self._setDefault(
             timeCol="time", eventCol="event", fitIntercept=True,
             maxIter=50, tol=1e-9, predictionCol="median_survival_time",
+            weightCol="",
         )
 
 
@@ -1225,6 +1232,7 @@ class SparkWeibullAFT(
             fit_intercept=self.getOrDefault(self.fitIntercept),
             max_iter=self.getOrDefault(self.maxIter),
             tol=self.getOrDefault(self.tol),
+            weight_col=self.getOrDefault(self.weightCol) or None,
         )
         return self._copyValues(SparkWeibullAFTModel(inner))
 

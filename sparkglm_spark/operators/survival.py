@@ -1326,6 +1326,7 @@ class WeibullAFT:
     iter: int
     converged: bool
     cov_params: np.ndarray = field(default=None, repr=False)
+    weight_col: str | None = None
 
     def _eta(self) -> Column:
         eta = F.lit(0.0)
@@ -1383,6 +1384,7 @@ def weibull_aft(
     max_iter: int = 50,
     tol: float = 1e-9,
     exact_iterations: int | None = None,
+    weight_col: str | None = None,
 ) -> WeibullAFT:
     """Weibull accelerated-failure-time regression — the PARAMETRIC
     survival model (R `survreg(dist="weibull")`; Spark MLlib's own
@@ -1402,11 +1404,34 @@ def weibull_aft(
     keeps the log-likelihood non-decreasing (the standard Newton guard).
 
     `exact_iterations=N` runs exactly N undamped steps (deterministic
-    trajectory). Times must be > 0; events 0/1 (validated)."""
+    trajectory). Times must be > 0; events 0/1 (validated).
+
+    `weight_col` (r13): per-row CASE weights with the R
+    `survreg(weights=)` convention — the per-subject log-likelihood
+    becomes ω·ℓᵢ, so every gradient/Hessian/loglik sum carries ω and an
+    INTEGER weight equals row replication for the converged
+    β/se/scale/loglik (the `coxph(weight_col=)` identity; the Newton
+    START differs from the replicated frame's only in the residual-scale
+    denominator — raw n vs Σω, the `LM.fit(weight_col=)` convention —
+    which the contractive iteration forgets). `n`/`n_events` report RAW
+    row counts (the engine-wide weighted convention). Null/NaN/negative
+    weights and Σω ≤ 0 raise via the shared `check_weight_domain` guard,
+    riding the same validation job; an all-zero event-weight mass raises
+    (σ unidentified, like the unweighted no-events case). Unweighted
+    path multiplies by lit(1.0) — bitwise-unchanged."""
     if not x_cols and not fit_intercept:
         raise ValueError("need x_cols or fit_intercept")
     names = (["intercept"] if fit_intercept else []) + list(x_cols)
     k = len(names)
+    wchk_aggs = []
+    if weight_col:
+        wtc = F.col(weight_col).cast("double")
+        wchk_aggs = [
+            F.sum(wtc).alias("sw"),
+            F.min(wtc).alias("minw"),
+            F.count(wtc).alias("n_w"),
+            F.sum(wtc * F.col(event_col).cast("double")).alias("swe"),
+        ]
     chk = df.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col(event_col).cast("double")).alias("ne"),
@@ -1422,6 +1447,7 @@ def weibull_aft(
             ((F.col(event_col).cast("double") != 0.0)
              & (F.col(event_col).cast("double") != 1.0)).cast("int")
         ).alias("bad_e"),
+        *wchk_aggs,
     ).collect()[0]
     if chk["bad_t"]:
         raise ValueError(f"{chk['bad_t']} rows have null or non-positive time")
@@ -1438,18 +1464,33 @@ def weibull_aft(
             f"need more events than coefficients for the OLS start "
             f"(n_events={n_events}, k={k})"
         )
+    if weight_col:
+        from sparkglm_spark.operators.lm import check_weight_domain
+
+        check_weight_domain(
+            weight_col, n=n, n_w=int(chk["n_w"]),
+            min_w=chk["minw"], sum_w=chk["sw"],
+        )
+        if float(chk["swe"] or 0.0) <= 0.0:
+            raise ValueError(
+                "all event rows carry zero weight — the scale is "
+                "unidentified (no weighted event mass)"
+            )
 
     exprs = [F.log(F.col(time_col).cast("double")).alias("__lt"),
              F.col(event_col).cast("double").alias("__d")]
     if fit_intercept:
         exprs.append(F.lit(1.0).alias("intercept"))
     exprs += [F.col(c).cast("double").alias(c) for c in x_cols]
+    if weight_col:
+        exprs.append(F.col(weight_col).cast("double").alias("__w"))
     work = df.select(*exprs).persist()
     try:
         from sparkglm_spark.operators.lm import LM
 
         ev = work.where(F.col("__d") == 1.0)
-        start = LM.fit(ev, y_col="__lt", x_cols=names)
+        start = LM.fit(ev, y_col="__lt", x_cols=names,
+                       weight_col="__w" if weight_col else None)
         beta = np.asarray(start.coefs, dtype=np.float64)
         # σ start from the OLS residual scale (W has sd π/√6 ≈ 1.283) —
         # far better conditioned than σ=1 when the true scale is small,
@@ -1464,6 +1505,9 @@ def weibull_aft(
         if fit_intercept:
             beta[0] += _EULER_GAMMA * float(np.exp(log_s))
         xs = [F.col(c) for c in names]
+        # ω multiplies every per-subject likelihood term; lit(1.0)·x is
+        # IEEE-exact, so the unweighted aggregates are bitwise-unchanged
+        wv = F.col("__w") if weight_col else F.lit(1.0)
 
         def stats_at(b, ls):
             sigma = float(np.exp(ls))
@@ -1474,23 +1518,25 @@ def weibull_aft(
             u = F.exp(z)
             d = F.col("__d")
             gz = d - u                      # dℓ/dz
-            aggs = [F.sum(d * (z - F.lit(ls)) - u).alias("ll")]
+            aggs = [F.sum(wv * (d * (z - F.lit(ls)) - u)).alias("ll")]
             for i in range(k):
-                aggs.append(F.sum(xs[i] * gz * F.lit(-1.0 / sigma)).alias(f"g_{i}"))
-            aggs.append(F.sum(-d - z * gz).alias(f"g_{k}"))
+                aggs.append(
+                    F.sum(wv * (xs[i] * gz * F.lit(-1.0 / sigma))).alias(f"g_{i}")
+                )
+            aggs.append(F.sum(wv * (-d - z * gz)).alias(f"g_{k}"))
             for i in range(k):
                 for j in range(i, k):
                     aggs.append(
-                        F.sum(xs[i] * xs[j] * (-u) * F.lit(1.0 / sigma**2)).alias(
-                            f"h_{i}_{j}"
-                        )
+                        F.sum(
+                            wv * (xs[i] * xs[j] * (-u) * F.lit(1.0 / sigma**2))
+                        ).alias(f"h_{i}_{j}")
                     )
                 aggs.append(
-                    F.sum(xs[i] * (gz - u * z) * F.lit(1.0 / sigma)).alias(
+                    F.sum(wv * (xs[i] * (gz - u * z) * F.lit(1.0 / sigma))).alias(
                         f"h_{i}_{k}"
                     )
                 )
-            aggs.append(F.sum(z * gz - z * z * u).alias(f"h_{k}_{k}"))
+            aggs.append(F.sum(wv * (z * gz - z * z * u)).alias(f"h_{k}_{k}"))
             row = work.agg(*aggs).collect()[0]
             ll = float(row["ll"])
             grad = np.array([float(row[f"g_{i}"]) for i in range(k + 1)])
@@ -1509,7 +1555,7 @@ def weibull_aft(
                 eta = eta + F.lit(float(bb)) * col
             z = (F.col("__lt") - eta) / F.lit(sigma)
             row = work.agg(
-                F.sum(F.col("__d") * (z - F.lit(ls)) - F.exp(z)).alias("ll")
+                F.sum(wv * (F.col("__d") * (z - F.lit(ls)) - F.exp(z))).alias("ll")
             ).collect()[0]
             return float(row["ll"])
 
@@ -1594,6 +1640,7 @@ def weibull_aft(
         iter=n_iter,
         converged=converged or exact_iterations is not None,
         cov_params=cov,
+        weight_col=weight_col,
     )
 
 
@@ -1843,23 +1890,29 @@ def logrank_test(
 
 
 def _aft_newton_dense(t, e, X, exact_iterations, tol, max_iter,
-                      intercept_idx=None):
+                      intercept_idx=None, w=None):
     """numpy twin of `weibull_aft`'s Newton-on-(β, ln σ) — the in-memory
     engine for `weibull_aft_grouped` (the `_cox_newton_dense` pattern):
     same OLS-on-event-rows start with the σ/1.283 residual-scale init
     and the γσ intercept correction (see `weibull_aft`), same per-row
     gradient/Hessian entries, same Levenberg fallback and
-    step-halving ascent guard, same ll-change stop. Returns
-    (beta, log_s, se, loglik, n_iter, converged) or raises LinAlgError
-    on a singular start/information (caller maps to the NULL row)."""
+    step-halving ascent guard, same ll-change stop. `w` (r13): case
+    weights — ω on every likelihood sum, the WLS start over event rows
+    (raw-count σ denominator, the `LM.fit(weight_col=)` convention).
+    Returns (beta, log_s, se, loglik, n_iter, converged) or raises
+    LinAlgError on a singular start/information (caller maps to the
+    NULL row)."""
     n, k = X.shape
     lt = np.log(t)
     ev = e == 1.0
-    Xe, ye = X[ev], lt[ev]
-    xtx = Xe.T @ Xe
+    if w is None:
+        w = np.ones(n, dtype=np.float64)
+    Xe, ye, we = X[ev], lt[ev], w[ev]
+    xtx = Xe.T @ (Xe * we[:, None])
     np.linalg.cholesky(xtx)  # singular event-row design -> degenerate
-    beta = np.linalg.solve(xtx, Xe.T @ ye)
-    sse = float(ye @ ye - 2.0 * beta @ (Xe.T @ ye) + beta @ xtx @ beta)
+    xty = Xe.T @ (we * ye)
+    beta = np.linalg.solve(xtx, xty)
+    sse = float(ye @ (we * ye) - 2.0 * beta @ xty + beta @ xtx @ beta)
     ne = int(ev.sum())
     sig = np.sqrt(max(sse, 0.0) / (ne - k)) if ne > k else 1.0
     log_s = float(np.log(max(sig / 1.283, 1e-3)))
@@ -1871,22 +1924,22 @@ def _aft_newton_dense(t, e, X, exact_iterations, tol, max_iter,
         z = (lt - X @ b) / sigma
         u = np.exp(z)
         gz = e - u
-        ll = float((e * (z - ls) - u).sum())
+        ll = float((w * (e * (z - ls) - u)).sum())
         grad = np.empty(k + 1)
-        grad[:k] = (X * (gz * (-1.0 / sigma))[:, None]).sum(axis=0)
-        grad[k] = float((-e - z * gz).sum())
+        grad[:k] = (X * (w * gz * (-1.0 / sigma))[:, None]).sum(axis=0)
+        grad[k] = float((w * (-e - z * gz)).sum())
         hess = np.empty((k + 1, k + 1))
-        hess[:k, :k] = (X.T @ (X * (-u)[:, None])) / sigma**2
-        hk = (X * ((gz - u * z) / sigma)[:, None]).sum(axis=0)
+        hess[:k, :k] = (X.T @ (X * (-w * u)[:, None])) / sigma**2
+        hk = (X * (w * (gz - u * z) / sigma)[:, None]).sum(axis=0)
         hess[:k, k] = hess[k, :k] = hk
-        hess[k, k] = float((z * gz - z * z * u).sum())
+        hess[k, k] = float((w * (z * gz - z * z * u)).sum())
         return ll, grad, hess
 
     def ll_at(b, ls):
         sigma = float(np.exp(ls))
         z = (lt - X @ b) / sigma
         with np.errstate(over="ignore"):
-            return float((e * (z - ls) - np.exp(z)).sum())
+            return float((w * (e * (z - ls) - np.exp(z))).sum())
 
     n_iter = 0
     converged = False
@@ -1956,6 +2009,7 @@ def weibull_aft_grouped(
     max_iter: int = 50,
     tol: float = 1e-9,
     exact_iterations: int | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """One Weibull AFT model per segment — `weibull_aft` scaled out to
     many groups with no per-group driver work (the `coxph_grouped`
@@ -1963,6 +2017,12 @@ def weibull_aft_grouped(
     `_aft_newton_dense` numpy twin of the distributed Newton — same
     start, damping and stopping rule, asserted against per-slice
     `weibull_aft` fits in tests).
+
+    `weight_col` (r13): per-group case weights, same likelihood as
+    `weibull_aft(weight_col=)`. Weight degeneracies follow the GROUPED
+    policy — a group with null/NaN/negative weights, Σω ≤ 0, or zero
+    weighted-event mass NULL-degrades instead of raising (the
+    `glm_elastic_net_grouped` boolean-twin convention).
 
     Degenerate groups (n_events ≤ k, null/non-positive times, events
     outside 0/1, non-finite covariates, singular design/information)
@@ -1987,6 +2047,10 @@ def weibull_aft_grouped(
         ]
         + ([F.lit(1.0).alias("intercept")] if fit_intercept else [])
         + [F.col(c).cast("double").alias(c) for c in x_cols]
+        + (
+            [F.col(weight_col).cast("double").alias("__w")]
+            if weight_col else []
+        )
     )
     work = df.select(*sel)
     out_schema = T.StructType(
@@ -2015,9 +2079,23 @@ def weibull_aft_grouped(
         n = len(t)
         e_valid = e[np.isfinite(e)]
         ne = int((e_valid == 1.0).sum())
+        if weight_col:
+            # pandas maps SQL NULL to NaN in a float column, so one
+            # finiteness check covers both null and NaN weights
+            wv = pdf["__w"].to_numpy(dtype=np.float64)
+            w_ok = (
+                bool(np.all(np.isfinite(wv)))
+                and bool(np.all(wv >= 0.0))
+                and float(wv.sum()) > 0.0
+                and len(e_valid) == n
+                and float((wv * e).sum()) > 0.0
+            )
+        else:
+            wv, w_ok = None, True
         res = None
         if (
-            len(e_valid) == n
+            w_ok
+            and len(e_valid) == n
             and ne > k
             and np.all(np.isfinite(t))
             and np.all(t > 0)
@@ -2028,6 +2106,7 @@ def weibull_aft_grouped(
                 res = _aft_newton_dense(
                     t, e, X, exact_iterations, tol, max_iter,
                     intercept_idx=0 if fit_intercept else None,
+                    w=wv,
                 )
             except np.linalg.LinAlgError:
                 res = None

@@ -119,6 +119,7 @@ def model_to_dict(model: LM | GLM | HuberLM | QuantileLM | CoxPH) -> dict:
             "cov_params": None
             if model.cov_params is None
             else [[float(v) for v in row] for row in np.asarray(model.cov_params)],
+            "weight_col": model.weight_col,
         }
     if isinstance(model, CoxPH):
         return {
@@ -271,6 +272,7 @@ def model_from_dict(d: dict) -> LM | GLM | HuberLM | QuantileLM | CoxPH:
             iter=int(d["iter"]),
             converged=bool(d["converged"]),
             cov_params=None if cov is None else np.asarray(cov, dtype=np.float64),
+            weight_col=d.get("weight_col"),
         )
     if d["kind"] == "coxph":
         cov = d.get("cov_params")
