@@ -1565,6 +1565,44 @@ def q_glm_families_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (pk, "n_nonzero", float(r["n_nonzero"])),
                 (pk, "iterations", float(r["iterations"])),
             ]
+    # r13: penalized GAMMA (glm_elastic_net family='gamma', VERDICT r12
+    # #3) at exactly 3 outer solves on price ~ qty/50 — the log-link
+    # family whose working weight μ²/V(μ) = 1 is constant; the SQL
+    # still replays the engine's literal 1/(μ²·(1/μ)²) expression for
+    # ulp parity. Single covariate → the whole trajectory is the same
+    # closed-form soft-threshold chain as enet_logit; same margins.
+    # planted log-linear gamma response: y = e^(0.2+0.8x)·(0.5+u) with
+    # the same hash-uniform u as the enet_logit arm (testdata's raw
+    # price is ~independent of qty — ρ ≈ 0.002 soft-thresholded to 0, a
+    # dead pin; planted, ρ ≈ 0.2 clears αλ = 0.01 by 20×)
+    eng_in = li.select(
+        (
+            F.exp(0.2 + 0.8 * (F.col("l_quantity") / 50.0))
+            * (
+                0.5
+                + (
+                    (
+                        (F.col("l_orderkey") * 8 + F.col("l_linenumber"))
+                        * F.lit(2654435761).cast("long")
+                    )
+                    % 1000000
+                ).cast("double")
+                / 1000000.0
+            )
+        ).alias("yy"),
+        (F.col("l_quantity") / 50.0).alias("xx"),
+    )
+    m = glm_elastic_net(
+        eng_in, "yy ~ xx", reg_param=0.02, elastic_net_param=0.5,
+        family="gamma", exact_iterations=3,
+    )
+    rows += [
+        ("enet_gamma", "coef_intercept", round(float(m.coefs[0]), 6)),
+        ("enet_gamma", "coef_xx", round(float(m.coefs[1]), 6) + 0.0),
+        ("enet_gamma", "deviance", round(m.deviance, 2)),
+        ("enet_gamma", "iterations", float(m.iter)),
+        ("enet_gamma", "n_nonzero", float(m.n_nonzero)),
+    ]
     return spark.createDataFrame(
         rows, "family string, stat string, value double"
     ).orderBy("family", "stat")
@@ -1732,6 +1770,52 @@ def _sql_glm_families_fit() -> str:
             f" 1e-10), 1.0 - 1e-10) AS mu"
             f" FROM enb CROSS JOIN {fin} p) p)"
         )
+    # r13: penalized-GAMMA 3-solve unroll (see the Spark arm): log-link
+    # init b0 = ln(ȳ), per-row kernels μ = e^η, g = 1/μ, the engine's
+    # literal w = 1/(μ²·g²) (≡ 1 up to ulp), z = η + (y−μ)·g; deviance
+    # 2·Σ(−ln(y/μ) + (y−μ)/μ) rides each aggregation (the exit
+    # convention reports solve 3's value, evaluated at β₂).
+    ctes.append(
+        "egb AS (SELECT exp(0.2 + 0.8 * (CAST(l_quantity AS DOUBLE) / 50.0))"
+        " * (0.5 + CAST((l_orderkey * 8 + l_linenumber)"
+        " * 2654435761 % 1000000 AS DOUBLE) / 1000000.0) AS y,"
+        " CAST(l_quantity AS DOUBLE) / 50.0 AS x FROM lineitem)"
+    )
+    ctes.append(
+        "egs AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(y) AS sy,"
+        " SUM(x) AS sx, SUM(x * x) AS sxx FROM egb)"
+    )
+    ctes.append(
+        "eg0 AS (SELECT n,"
+        " SQRT((sxx - n * (sx / n) * (sx / n)) / (n - 1.0)) AS sg,"
+        " ln(sy / n) AS b0, 0.0 AS b1 FROM egs)"
+    )
+    for i in range(1, 4):
+        prev = f"eg{i - 1}"
+        ctes.append(
+            f"eg{i}a AS (SELECT {prev}.n AS n, {prev}.sg AS sg,"
+            f" SUM(w) AS sw, SUM(w * x) AS swx, SUM(w * x * x) AS swxx,"
+            f" SUM(w * z) AS swz, SUM(w * x * z) AS swxz,"
+            f" 2.0 * SUM(-ln(y / mu) + (y - mu) / mu) AS dev"
+            f" FROM (SELECT y, x, mu,"
+            f" 1.0 / ((mu * mu) * g * g) AS w,"
+            f" eta + (y - mu) * g AS z FROM"
+            f" (SELECT y, x, eta, mu, 1.0 / mu AS g FROM"
+            f" (SELECT y, x, eta, exp(eta) AS mu FROM"
+            f" (SELECT egb.y, egb.x, {prev}.b0 + {prev}.b1 * egb.x AS eta"
+            f" FROM egb CROSS JOIN {prev}) q1) q2) q3) q4"
+            f" CROSS JOIN {prev} GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"eg{i} AS (SELECT n, sg, (swz - swx * b1n) / sw AS b0,"
+            f" b1n AS b1, dev FROM (SELECT n, sg, sw, swx, swz, dev,"
+            f" CASE WHEN sg > 0 THEN"
+            f" SIGN(((swxz - swx * (swz / sw)) / sg) / n)"
+            f" * GREATEST(ABS(((swxz - swx * (swz / sw)) / sg) / n)"
+            f" - 0.5 * 0.02, 0.0)"
+            f" / (((swxx - swx * swx / sw) / (sg * sg)) / n + 0.5 * 0.02)"
+            f" / sg ELSE 0.0 END AS b1n FROM eg{i}a) s)"
+        )
     # r11: glm_elastic_net_cv 2-fold × 2-iteration unroll (see the Spark
     # arm's comment): per fold model j — training moments → σ/logit-init
     # → two [weighted agg → soft-threshold → intercept back-out] steps →
@@ -1793,6 +1877,13 @@ def _sql_glm_families_fit() -> str:
         "SELECT 'enet_logit', 'iterations', 3.0 FROM en3",
         "SELECT 'enet_logit', 'n_nonzero',"
         " CAST(CASE WHEN b1 <> 0 THEN 1 ELSE 0 END AS DOUBLE) FROM en3",
+        "SELECT 'enet_gamma' AS family, 'coef_intercept' AS stat,"
+        " ROUND(b0, 6) AS value FROM eg3",
+        "SELECT 'enet_gamma', 'coef_xx', ROUND(b1, 6) + 0.0 FROM eg3",
+        "SELECT 'enet_gamma', 'deviance', ROUND(dev, 2) FROM eg3",
+        "SELECT 'enet_gamma', 'iterations', 3.0 FROM eg3",
+        "SELECT 'enet_gamma', 'n_nonzero',"
+        " CAST(CASE WHEN b1 <> 0 THEN 1 ELSE 0 END AS DOUBLE) FROM eg3",
         "SELECT 'gaussian' AS family, 'coef_intercept' AS stat, ROUND((sy * sxx - sx * sxy) / (n * sxx - sx * sx), 1) AS value FROM gs",
         "SELECT 'gaussian', 'coef_l_quantity', ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 1) FROM gs",
         "SELECT 'gaussian', 'iterations', 2.0 FROM gs",

@@ -235,9 +235,10 @@ class _SparkGLMParams(_FormulaParams):
     regParam = Param(
         Params._dummy(),
         "regParam",
-        "elastic-net penalty lambda (> 0 routes binomial/poisson fits "
-        "through glm_elastic_net — MLlib LogisticRegression convention; "
-        "mutually exclusive with mCol/offsetCol/link overrides)",
+        "elastic-net penalty lambda (> 0 routes binomial/poisson/gamma/"
+        "tweedie fits through glm_elastic_net — MLlib LogisticRegression "
+        "convention; mutually exclusive with mCol/offsetCol/link "
+        "overrides)",
         typeConverter=TypeConverters.toFloat,
     )
     elasticNetParam = Param(
@@ -517,6 +518,7 @@ class SparkGLM(Estimator, _SparkGLMParams, DefaultParamsReadable, DefaultParamsW
                 max_iter=self.getMaxIter(),
                 offset_col=self.getOffsetCol() or None,
                 weight_col=self.getWeightCol() or None,
+                var_power=self.getVarPower(),
                 # the penalized path's tol is max-coefficient-change
                 # (tighter default 1e-10); forward the Param only when
                 # the USER set it — inheriting the unpenalized default

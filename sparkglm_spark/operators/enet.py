@@ -812,6 +812,7 @@ def glm_elastic_net(
     exact_iterations: int | None = None,
     offset_col: str | None = None,
     weight_col: str | None = None,
+    var_power: float = 1.5,
 ) -> GLMElasticNet:
     """Sparse GLM — L1(+L2)-penalized logistic / Poisson regression with
     the MLlib `LogisticRegression(regParam, elasticNetParam,
@@ -849,8 +850,14 @@ def glm_elastic_net(
     by weighted-centered coordinate descent on the DRIVER — the same
     100 TB cost profile per iteration as the unpenalized `glm`.
 
-    Families: binomial/logit (Bernoulli y ∈ [0,1]) and poisson/log
-    (y ≥ 0). `offset_col` adds a fixed per-row term to η (the `glm`
+    Families: binomial/logit (Bernoulli y ∈ [0,1]), poisson/log
+    (y ≥ 0), and — r13 — gamma/log (y > 0; working weight μ²/V = 1,
+    the constant-weight log-link case) and tweedie(`var_power`)/log
+    (1 < p < 2; y ≥ 0 with an exact point mass at 0 — sparse insurance
+    severity/total-cost models; w = μ^(2−p)). Both reuse the same
+    prox-Newton with the family's variance/deviance kernels swapped in
+    (families.py), golden-tested against the unpenalized `glm` at
+    λ = 0. `offset_col` adds a fixed per-row term to η (the `glm`
     offset contract: η = Xβ + offset, fit unchanged in cost — one extra
     column in the per-iteration expressions, zero extra jobs) —
     penalized Poisson with `offset_col=log(exposure)` is the standard
@@ -866,9 +873,10 @@ def glm_elastic_net(
     from sparkglm_spark.functions.families import get_family
     from sparkglm_spark.functions.links import get_link
 
-    if family not in ("binomial", "poisson"):
+    if family not in _ENET_FAMILIES:
         raise ValueError(
-            f"glm_elastic_net supports binomial and poisson, got {family!r}"
+            f"glm_elastic_net supports {'/'.join(_ENET_FAMILIES)}, "
+            f"got {family!r}"
         )
     lam = float(reg_param)
     alpha = float(elastic_net_param)
@@ -878,7 +886,7 @@ def glm_elastic_net(
         raise ValueError("reg_param must be >= 0")
     if exact_iterations is not None and exact_iterations < 1:
         raise ValueError("exact_iterations must be >= 1")
-    fam = get_family(family)
+    fam = get_family(family, var_power)  # var_power: tweedie only
     lnk = get_link(fam.default_link)
     extra = [c for c in (offset_col, weight_col) if c]
     encoded, x_cols, target, levels = _encode_formula(
@@ -945,15 +953,9 @@ def glm_elastic_net(
         # (the IRLS clamp bounds μ, not y — a y = −3 would silently
         # corrupt the working response/deviance). glm raises likewise.
         ymin, ymax = float(r0["ymin"]), float(r0["ymax"])
-        if family == "binomial" and (ymin < 0.0 or ymax > 1.0):
-            raise ValueError(
-                f"binomial label must lie in [0, 1]; observed "
-                f"[{ymin}, {ymax}]"
-            )
-        if family == "poisson" and ymin < 0.0:
-            raise ValueError(
-                f"poisson label must be >= 0; observed min = {ymin}"
-            )
+        dom_err = _enet_label_domain_error(family, ymin, ymax)
+        if dom_err:
+            raise ValueError(dom_err)
         nw = float(r0["sw0"]) if wt is not None else float(n)
         # std denominator: MLlib's weighted summarizer uses the
         # RELIABILITY-weights form Σω − Σω²/Σω (probed — see docstring);
@@ -974,8 +976,10 @@ def glm_elastic_net(
         # family domain guards (cheap second scan avoided: trust + clamp)
         if family == "binomial" and not 0.0 < y_mean < 1.0:
             raise ValueError("binomial label is constant 0 or 1")
-        if family == "poisson" and y_mean <= 0.0:
-            raise ValueError("poisson label sums to 0 — no signal to fit")
+        if family in ("poisson", "tweedie") and y_mean <= 0.0:
+            raise ValueError(
+                f"{family} label sums to 0 — no signal to fit"
+            )
 
         beta = np.zeros(k)
         if has_int:
@@ -1083,6 +1087,7 @@ def glm_elastic_net(
         call=(
             f"glm_elastic_net({formula}, family={family}, reg_param={lam}, "
             f"elastic_net_param={alpha}"
+            + (f", var_power={var_power}" if family == "tweedie" else "")
             + (f", weight_col={weight_col}" if weight_col else "")
             + ")"
         ),
@@ -1118,6 +1123,7 @@ def _glm_enet_pathwise(
     exact_iterations: int | None,
     mode: str,
     weight_col: str | None = None,
+    var_power: float = 1.5,
 ):
     """Shared engine of `glm_elastic_net_cv` (mode='cv') and
     `glm_elastic_net_path` (mode='path') — pathwise penalized IRLS with
@@ -1159,9 +1165,10 @@ def _glm_enet_pathwise(
     from sparkglm_spark.functions.links import get_link
     from sparkglm_spark.plans.partitioning import ensure_parallel
 
-    if family not in ("binomial", "poisson"):
+    if family not in _ENET_FAMILIES:
         raise ValueError(
-            f"glm_elastic_net supports binomial and poisson, got {family!r}"
+            f"glm_elastic_net supports {'/'.join(_ENET_FAMILIES)}, "
+            f"got {family!r}"
         )
     if not reg_params:
         raise ValueError("reg_params must be non-empty")
@@ -1172,7 +1179,7 @@ def _glm_enet_pathwise(
         raise ValueError("reg_param must be >= 0")
     if exact_iterations is not None and exact_iterations < 1:
         raise ValueError("exact_iterations must be >= 1")
-    fam = get_family(family)
+    fam = get_family(family, var_power)
     lnk = get_link(fam.default_link)
 
     if mode == "cv":
@@ -1254,12 +1261,9 @@ def _glm_enet_pathwise(
             raise ValueError("need more than one row")
         ymin = min(float(r["ymin"]) for r in groups.values())
         ymax = max(float(r["ymax"]) for r in groups.values())
-        if family == "binomial" and (ymin < 0.0 or ymax > 1.0):
-            raise ValueError(
-                f"binomial label must lie in [0, 1]; observed [{ymin}, {ymax}]"
-            )
-        if family == "poisson" and ymin < 0.0:
-            raise ValueError(f"poisson label must be >= 0; observed min = {ymin}")
+        dom_err = _enet_label_domain_error(family, ymin, ymax)
+        if dom_err:
+            raise ValueError(dom_err)
 
 
         # ------ per-state fixed stats from group-moment additivity ------
@@ -1284,8 +1288,8 @@ def _glm_enet_pathwise(
             ybar = sy_t / nw_t
             if family == "binomial" and not 0.0 < ybar < 1.0:
                 continue  # constant training label — degenerate fold
-            if family == "poisson" and ybar <= 0.0:
-                continue
+            if family != "binomial" and ybar <= 0.0:
+                continue  # log init needs ybar > 0 (all-zero fold)
             ms = np.array(
                 [sum(float(groups[g][f"s_{i}"]) for g in tg) for i in range(p)]
             ) / nw_t
@@ -1475,6 +1479,7 @@ def glm_elastic_net_cv(
     offset_col: str | None = None,
     exact_iterations: int | None = None,
     weight_col: str | None = None,
+    var_power: float = 1.5,
 ) -> DataFrame:
     """K-fold cross-validation for the penalized GLM (`glm_elastic_net`)
     over a λ grid — the sparse-logistic λ-selection surface (VERDICT
@@ -1508,6 +1513,7 @@ def glm_elastic_net_cv(
         df, formula, reg_params, fold_expr, n_folds, elastic_net_param,
         family, standardize, na_action, max_iter, tol, max_sweeps,
         offset_col, exact_iterations, mode="cv", weight_col=weight_col,
+        var_power=var_power,
     )
     out = [
         (
@@ -1545,6 +1551,7 @@ def glm_elastic_net_path(
     offset_col: str | None = None,
     weight_col: str | None = None,
     exact_iterations: int | None = None,
+    var_power: float = 1.5,
 ) -> DataFrame:
     """The whole penalized-GLM regularization path — full-data fits for
     every λ, descending with warm starts on the shared pathwise engine
@@ -1573,6 +1580,7 @@ def glm_elastic_net_path(
         df, formula, reg_params, None, 1, elastic_net_param,
         family, standardize, na_action, max_iter, tol, max_sweeps,
         offset_col, exact_iterations, mode="path", weight_col=weight_col,
+        var_power=var_power,
     )
     # one block per INPUT λ (duplicates produce duplicate blocks — the
     # elastic_net_path contract); the engine deduplicates nothing
@@ -1612,13 +1620,14 @@ def _np_link_init(fam_name: str, mu0: float) -> float:
     return float(np.log(max(mu0, 1e-300)))
 
 
-def _np_glm_irls_kernels(fam_name: str, y, eta_lin, ov):
+def _np_glm_irls_kernels(fam_name: str, y, eta_lin, ov, var_power: float = 1.5):
     """One IRLS step's per-row kernels, numpy twin of the distributed
     engine's (μ, w, z) projection — shared by `glm_elastic_net_grouped`
     and `glm_elastic_net_cv_grouped` (the `_penalized_irls_update`
     dedup lesson applied before a third copy could drift). η = Xβ + o;
     binomial clamps μ to [1e-10, 1−1e-10] BEFORE the weight/working
-    response (the `glm_elastic_net` convention)."""
+    response (the `glm_elastic_net` convention). Log-link working
+    weight w = μ²/V(μ): poisson μ, gamma 1, tweedie μ^(2−p) (r13)."""
     eta = eta_lin + ov
     # errstate: a deviance-only caller discards z, but an underflowed
     # poisson μ = 0 would still warn on (y−μ)/μ (code-review r12)
@@ -1629,12 +1638,19 @@ def _np_glm_irls_kernels(fam_name: str, y, eta_lin, ov):
             z = eta_lin + (y - mu) / (mu * (1 - mu))
         else:
             mu = np.exp(eta)
-            w = mu
+            if fam_name == "gamma":
+                w = np.ones_like(mu)
+            elif fam_name == "tweedie":
+                w = mu ** (2.0 - var_power)
+            else:  # poisson (quasi twins route through their base)
+                w = mu
             z = eta_lin + (y - mu) / mu
     return mu, w, z
 
 
-def _np_glm_deviance(fam_name: str, y, mu, wv) -> float:
+def _np_glm_deviance(
+    fam_name: str, y, mu, wv, var_power: float = 1.5
+) -> float:
     """ω-weighted deviance at μ, numpy twin of the engine's final
     deviance pass (binomial clamp already applied by the caller)."""
     with np.errstate(divide="ignore", invalid="ignore"):
@@ -1642,8 +1658,44 @@ def _np_glm_deviance(fam_name: str, y, mu, wv) -> float:
             t1 = np.where(y > 0, y * np.log(y / mu), 0.0)
             t2 = np.where(y < 1, (1 - y) * np.log((1 - y) / (1 - mu)), 0.0)
             return float(2.0 * (wv * (t1 + t2)).sum())
+        if fam_name == "gamma":
+            # −log(y/μ) + (y−μ)/μ (y > 0 guarded upstream)
+            return float(
+                2.0 * (wv * (-np.log(y / mu) + (y - mu) / mu)).sum()
+            )
+        if fam_name == "tweedie":
+            # ½·unit deviance for 1 < p < 2; y = 0 keeps only the tail
+            # μ^(2−p)/(2−p) (the families.py when() twin)
+            p = var_power
+            tail = mu ** (2.0 - p) / (2.0 - p)
+            full = (
+                y ** (2.0 - p) / ((1.0 - p) * (2.0 - p))
+                - y * mu ** (1.0 - p) / (1.0 - p)
+                + tail
+            )
+            return float(2.0 * (wv * np.where(y == 0, tail, full)).sum())
         t1 = np.where(y > 0, y * np.log(y / mu), 0.0)
         return float(2.0 * (wv * (t1 - (y - mu))).sum())
+
+
+_ENET_FAMILIES = ("binomial", "poisson", "gamma", "tweedie")
+
+
+def _enet_label_domain_error(family: str, ymin: float, ymax: float):
+    """Shared penalized-fitter label-domain check: None when [ymin, ymax]
+    lies in the family's support, else the raise/NULL-degrade message
+    (one definition for all four fitters — the `_np_link_init` dedup
+    lesson). binomial [0, 1]; poisson/tweedie ≥ 0; gamma STRICTLY > 0
+    (its deviance has log(y))."""
+    if family == "binomial" and (ymin < 0.0 or ymax > 1.0):
+        return (
+            f"binomial label must lie in [0, 1]; observed [{ymin}, {ymax}]"
+        )
+    if family in ("poisson", "tweedie") and ymin < 0.0:
+        return f"{family} label must be >= 0; observed min = {ymin}"
+    if family == "gamma" and ymin <= 0.0:
+        return f"gamma label must be > 0; observed min = {ymin}"
+    return None
 
 
 def glm_elastic_net_grouped(
@@ -1661,6 +1713,7 @@ def glm_elastic_net_grouped(
     weight_col: str | None = None,
     offset_col: str | None = None,
     exact_iterations: int | None = None,
+    var_power: float = 1.5,
 ) -> DataFrame:
     """One sparse GLM per segment — the per-campaign / per-tenant
     feature-selection shape (L1 zeroes each segment's irrelevant
@@ -1710,9 +1763,9 @@ def glm_elastic_net_grouped(
 
     if not group_cols:
         raise ValueError("group_cols must be non-empty")
-    if family not in ("binomial", "poisson"):
+    if family not in _ENET_FAMILIES:
         raise ValueError(
-            f"glm_elastic_net_grouped supports binomial and poisson, "
+            f"glm_elastic_net_grouped supports {'/'.join(_ENET_FAMILIES)}, "
             f"got {family!r}"
         )
     if isinstance(reg_param, str):
@@ -1787,9 +1840,11 @@ def glm_elastic_net_grouped(
     names = list(x_cols)
     gcols = list(group_cols)
     fam_name, std = family, standardize
+    vp = float(var_power)
     wname, oname = weight_col, offset_col
     lamname = lam_col
     exact_n = exact_iterations
+    vp = float(var_power)
 
     def fit_group(pdf):
         import pandas as pd
@@ -1835,8 +1890,10 @@ def glm_elastic_net_grouped(
                 ok = False
         if ok and fam_name == "binomial":
             ok = bool(np.all((y >= 0) & (y <= 1)))
-        if ok and fam_name == "poisson":
+        if ok and fam_name in ("poisson", "tweedie"):
             ok = bool(np.all(y >= 0))
+        if ok and fam_name == "gamma":
+            ok = bool(np.all(y > 0))
         if ok:
             ybar = float((wv * y).sum()) / nw
             if fam_name == "binomial":
@@ -1858,7 +1915,9 @@ def glm_elastic_net_grouped(
             try:
                 for _ in range(n_pass):
                     eta_lin = X @ b
-                    _mu, w0, z = _np_glm_irls_kernels(fam_name, y, eta_lin, ov)
+                    _mu, w0, z = _np_glm_irls_kernels(
+                        fam_name, y, eta_lin, ov, vp
+                    )
                     wirls = wv * w0
                     sw = float(wirls.sum())
                     swz = float((wirls * z).sum())
@@ -1878,8 +1937,8 @@ def glm_elastic_net_grouped(
                 if exact_n is not None:
                     conv = True
                 # deviance at the RETURNED beta
-                mu, _w0, _z = _np_glm_irls_kernels(fam_name, y, X @ b, ov)
-                dev = _np_glm_deviance(fam_name, y, mu, wv)
+                mu, _w0, _z = _np_glm_irls_kernels(fam_name, y, X @ b, ov, vp)
+                dev = _np_glm_deviance(fam_name, y, mu, wv, vp)
                 if not np.all(np.isfinite(b)) or not np.isfinite(dev):
                     b, dev = None, None
                 else:
@@ -1930,6 +1989,7 @@ def glm_elastic_net_cv_grouped(
     weight_col: str | None = None,
     offset_col: str | None = None,
     exact_iterations: int | None = None,
+    var_power: float = 1.5,
 ) -> DataFrame:
     """Per-segment λ selection for the sparse GLM — K-fold CV of
     `glm_elastic_net` inside EVERY group (the per-tenant workflow the
@@ -1964,10 +2024,10 @@ def glm_elastic_net_cv_grouped(
 
     if not group_cols:
         raise ValueError("group_cols must be non-empty")
-    if family not in ("binomial", "poisson"):
+    if family not in _ENET_FAMILIES:
         raise ValueError(
-            f"glm_elastic_net_cv_grouped supports binomial and poisson, "
-            f"got {family!r}"
+            f"glm_elastic_net_cv_grouped supports "
+            f"{'/'.join(_ENET_FAMILIES)}, got {family!r}"
         )
     if not reg_params:
         raise ValueError("reg_params must be non-empty")
@@ -2014,6 +2074,7 @@ def glm_elastic_net_cv_grouped(
     names = list(x_cols)
     gcols = list(group_cols)
     fam_name, std = family, standardize
+    vp = float(var_power)
     wname, oname = weight_col, offset_col
     lam_in_sorted = sorted((float(v) for v in reg_params), reverse=True)
     lams = sorted(set(lam_in_sorted), reverse=True)
@@ -2057,8 +2118,10 @@ def glm_elastic_net_cv_grouped(
         )
         if ok and fam_name == "binomial":
             ok = bool(np.all((y >= 0) & (y <= 1)))
-        if ok and fam_name == "poisson":
+        if ok and fam_name in ("poisson", "tweedie"):
             ok = bool(np.all(y >= 0))
+        if ok and fam_name == "gamma":
+            ok = bool(np.all(y > 0))
         if not ok:
             return pd.DataFrame(null_rows(), columns=[f.name for f in out_schema])
 
@@ -2084,7 +2147,7 @@ def glm_elastic_net_cv_grouped(
             ybar = float((wt_t * y[tr]).sum()) / nw_t
             if fam_name == "binomial" and not 0.0 < ybar < 1.0:
                 continue
-            if fam_name == "poisson" and ybar <= 0.0:
+            if fam_name != "binomial" and ybar <= 0.0:
                 continue
             Xf = X[tr][:, feats]
             ms = (wt_t[:, None] * Xf).sum(0) / nw_t
@@ -2119,7 +2182,7 @@ def glm_elastic_net_cv_grouped(
                     for _ in range(n_pass):
                         eta_lin = Xt @ b
                         _mu, w0, z = _np_glm_irls_kernels(
-                            fam_name, yt, eta_lin, ot
+                            fam_name, yt, eta_lin, ot, vp
                         )
                         wirls = wt_t * w0
                         sw = float(wirls.sum())
@@ -2142,11 +2205,13 @@ def glm_elastic_net_cv_grouped(
                         conv = True
                     s["beta"], s["theta"] = b, theta
                     # held-out split at the final beta
-                    mu_all, _w, _z = _np_glm_irls_kernels(fam_name, y, X @ b, ov)
-                    dev_t = _np_glm_deviance(fam_name, yt, mu_all[tr], wt_t)
+                    mu_all, _w, _z = _np_glm_irls_kernels(
+                        fam_name, y, X @ b, ov, vp
+                    )
+                    dev_t = _np_glm_deviance(fam_name, yt, mu_all[tr], wt_t, vp)
                     va = ~tr
                     dev_v = _np_glm_deviance(
-                        fam_name, y[va], mu_all[va], wv[va]
+                        fam_name, y[va], mu_all[va], wv[va], vp
                     )
                     # emit the row even if the fit diverged (NaN/inf
                     # deviances) — the engine does, and a silently

@@ -510,8 +510,9 @@ def test_glm_enet_predict_persist_and_guards(logit_data, tmp_path):
     back = load_model(path)
     assert isinstance(back, GLMElasticNet)
     assert np.array_equal(back.coefs, m.coefs) and back.family == "binomial"
-    with pytest.raises(ValueError, match="binomial and poisson"):
-        glm_elastic_net(logit_data, "y ~ x1", reg_param=0.1, family="gamma")
+    with pytest.raises(ValueError, match="binomial/poisson/gamma/tweedie"):
+        # gaussian routes to the LINEAR elastic_net, not this fitter
+        glm_elastic_net(logit_data, "y ~ x1", reg_param=0.1, family="gaussian")
     with pytest.raises(ValueError, match="constant"):
         glm_elastic_net(
             logit_data.withColumn("y", F.lit(1.0)), "y ~ x1", reg_param=0.1
@@ -1422,8 +1423,8 @@ def test_glm_enet_grouped_matches_per_slice(spark):
     assert outb[("b", "x1")].estimate is None
     assert outb[("a", "x1")].estimate is not None
 
-    with pytest.raises(ValueError, match="binomial and poisson"):
-        glm_elastic_net_grouped(df, "y ~ x1", ["g"], 0.1, family="gamma")
+    with pytest.raises(ValueError, match="binomial/poisson/gamma/tweedie"):
+        glm_elastic_net_grouped(df, "y ~ x1", ["g"], 0.1, family="gaussian")
     with pytest.raises(ValueError, match="group_cols"):
         glm_elastic_net_grouped(df, "y ~ x1", [], 0.1)
 
@@ -1728,3 +1729,137 @@ def test_grouped_refit_lambda_column_guards(spark):
         df, "y ~ x1", ["g"], reg_param="lam"
     ).collect()
     assert all(r.estimate is not None for r in out)
+
+
+def test_glm_elastic_net_gamma_family(spark):
+    """r13 penalized gamma (VERDICT r12 #3): at λ=0 the prox-Newton
+    lands on the unpenalized glm MLE; λ>0 shrinks/zeroes; the grouped
+    twin matches a per-slice single fit at 1e-8; y ≤ 0 raises; unit
+    weights == unweighted."""
+    from sparkglm_spark.operators.enet import (
+        glm_elastic_net,
+        glm_elastic_net_grouped,
+    )
+    from sparkglm_spark.operators.glm import glm
+
+    rng = np.random.default_rng(133)
+    n = 600
+    x1 = rng.normal(0, 1, n)
+    x2 = rng.integers(0, 3, n).astype(float)
+    mu = np.exp(0.4 + 0.6 * x1 - 0.3 * x2)
+    y = rng.gamma(shape=2.0, scale=mu / 2.0)
+    g = rng.integers(0, 2, n)
+    df = spark.createDataFrame(
+        [(float(y[i]), float(x1[i]), float(x2[i]), int(g[i]))
+         for i in range(n)],
+        "y double, x1 double, x2 double, g int",
+    )
+    m0 = glm_elastic_net(df, "y ~ x1 + x2", reg_param=0.0, family="gamma",
+                         tol=1e-13, max_iter=200)
+    g0 = glm(df, "y ~ x1 + x2", family="gamma", tol=1e-14, max_iter=100)
+    assert np.abs(m0.coefs - g0.coefs).max() < 1e-7
+    assert m0.deviance == pytest.approx(g0.deviance, rel=1e-9)
+    # heavy penalty shrinks toward the intercept-only model
+    m1 = glm_elastic_net(df, "y ~ x1 + x2", reg_param=5.0, family="gamma")
+    nz0 = sum(1 for nm, c in zip(m0.xnames, m0.coefs)
+              if nm != "intercept" and c != 0.0)
+    nz1 = sum(1 for nm, c in zip(m1.xnames, m1.coefs)
+              if nm != "intercept" and c != 0.0)
+    assert nz1 < nz0 and m1.converged
+    # unit weights == unweighted (same objective, Σω² = n degradation)
+    mw = glm_elastic_net(
+        df.withColumn("w", F.lit(1.0)), "y ~ x1 + x2", reg_param=0.3,
+        family="gamma", weight_col="w", tol=1e-13,
+    )
+    mu_ = glm_elastic_net(df, "y ~ x1 + x2", reg_param=0.3, family="gamma",
+                          tol=1e-13)
+    assert np.abs(mw.coefs - mu_.coefs).max() < 1e-10
+    # y ≤ 0 is out of the gamma domain — upfront raise, grouped NULL
+    bad = df.withColumn("y", F.when(F.col("x2") > 1, 0.0).otherwise(F.col("y")))
+    with pytest.raises(ValueError, match="gamma label must be > 0"):
+        glm_elastic_net(bad, "y ~ x1 + x2", reg_param=0.1, family="gamma")
+    out = {
+        (r.g, r.term): r
+        for r in glm_elastic_net_grouped(
+            df, "y ~ x1 + x2", ["g"], reg_param=0.1, family="gamma",
+            tol=1e-12,
+        ).collect()
+    }
+    sl = glm_elastic_net(df.where(F.col("g") == 0), "y ~ x1 + x2",
+                         reg_param=0.1, family="gamma", tol=1e-12)
+    for i, t in enumerate(sl.xnames):
+        assert out[(0, t)].estimate == pytest.approx(
+            float(sl.coefs[i]), abs=1e-8
+        ), t
+    assert out[(0, "x1")].deviance == pytest.approx(sl.deviance, rel=1e-9)
+    badg = bad.withColumn("g", F.when(F.col("x2") > 1, 7).otherwise(F.col("g")))
+    outg = {
+        (r.g, r.term): r.estimate
+        for r in glm_elastic_net_grouped(
+            badg, "y ~ x1 + x2", ["g"], reg_param=0.1, family="gamma"
+        ).collect()
+    }
+    assert outg[(7, "x1")] is None  # zero labels -> grouped NULL policy
+
+
+def test_glm_elastic_net_tweedie_family(spark):
+    """r13 penalized tweedie: λ=0 golden vs unpenalized glm on a
+    zero-inflated positive response (the family's reason to exist);
+    var_power threads through cv/grouped; p outside (1,2) and y < 0
+    raise; cv_grouped row == cold glm_elastic_net_cv on that slice."""
+    from sparkglm_spark.operators.enet import (
+        glm_elastic_net,
+        glm_elastic_net_cv,
+        glm_elastic_net_cv_grouped,
+        glm_elastic_net_path,
+    )
+    from sparkglm_spark.operators.glm import glm
+
+    rng = np.random.default_rng(134)
+    n = 500
+    x = rng.normal(0, 1, n)
+    mu = np.exp(0.3 + 0.5 * x)
+    y = np.where(rng.random(n) < 0.3, 0.0, rng.gamma(2.0, mu / 2.0))
+    g = rng.integers(0, 2, n)
+    fd = rng.integers(0, 3, n)
+    df = spark.createDataFrame(
+        [(float(y[i]), float(x[i]), int(g[i]), int(fd[i]))
+         for i in range(n)],
+        "y double, x double, g int, fd int",
+    )
+    m0 = glm_elastic_net(df, "y ~ x", reg_param=0.0, family="tweedie",
+                         var_power=1.4, tol=1e-13, max_iter=200)
+    g0 = glm(df, "y ~ x", family="tweedie", var_power=1.4, tol=1e-14,
+             max_iter=100)
+    assert np.abs(m0.coefs - g0.coefs).max() < 1e-7
+    assert m0.deviance == pytest.approx(g0.deviance, rel=1e-9)
+    with pytest.raises(ValueError, match="var_power"):
+        glm_elastic_net(df, "y ~ x", reg_param=0.1, family="tweedie",
+                        var_power=2.5)
+    with pytest.raises(ValueError, match="tweedie label must be >= 0"):
+        glm_elastic_net(
+            df.withColumn("y", F.col("y") - 1.0), "y ~ x",
+            reg_param=0.1, family="tweedie",
+        )
+    # cv_grouped parity with a cold per-group glm_elastic_net_cv at the
+    # same var_power (the grouped-fitter contract extended to tweedie)
+    cvg = {
+        (r.g, r.reg_param, r.fold): r
+        for r in glm_elastic_net_cv_grouped(
+            df, "y ~ x", ["g"], [0.1, 0.01], "fd", n_folds=3,
+            family="tweedie", var_power=1.4, tol=1e-12,
+        ).collect()
+    }
+    cold = glm_elastic_net_cv(
+        df.where(F.col("g") == 1), "y ~ x", [0.1, 0.01], F.col("fd"),
+        n_folds=3, family="tweedie", var_power=1.4, tol=1e-12,
+    ).collect()
+    for r in cold:
+        got = cvg[(1, r.reg_param, r.fold)]
+        assert got.deviance_val == pytest.approx(r.deviance_val, rel=1e-8)
+        assert got.deviance_train == pytest.approx(r.deviance_train, rel=1e-8)
+        assert got.n_nonzero == r.n_nonzero
+    # path runs with warm starts for gamma-like links
+    pth = glm_elastic_net_path(df, "y ~ x", [0.5, 0.1, 0.0],
+                               family="tweedie", var_power=1.4)
+    assert pth.count() == 6  # 3 lambdas x 2 terms
