@@ -1413,6 +1413,7 @@ def forecast_accuracy(
     forecast_col: str,
     tiebreak_col: str | None = None,
     m: int = 1,
+    assume_contiguous: bool = False,
 ) -> DataFrame:
     """Per-key forecast evaluation — the standard accuracy panel for any
     of this family's forecasters (or an external model's scored column):
@@ -1432,12 +1433,19 @@ def forecast_accuracy(
              SEASONAL-naive scaling of seasonal data); NULL when the
              key has ≤ m rows or the naive MAE is 0 (a constant series
              makes every nonzero-error forecast infinitely bad —
-             report NULL, not inf). CONTIGUITY: the lag-m pairing is
-             POSITIONAL over the retained rows — with m > 1 a missing
-             period (a ts gap, or a null actual dropped by the family
-             filter) phase-shifts every later seasonal pair; feed a
-             regular, gap-free grid (`resample_counts`-style) when
-             using the seasonal scaling
+             report NULL, not inf). CONTIGUITY (enforced r13, VERDICT
+             r12 #6): the lag-m pairing is POSITIONAL over the retained
+             rows — with m > 1 a missing period (a ts gap, or a null
+             actual dropped by the family filter) phase-shifts every
+             later seasonal pair, so a wrong-but-plausible number would
+             come back. When m > 1 the key's retained rows must sit on
+             a REGULAR grid (all lag-1 ts spacings equal — checked on
+             the same window pass, ts cast to double / days for dates;
+             duplicate timestamps also fail); a non-contiguous key gets
+             mase NULL, never a phase-shifted value. Pass
+             `assume_contiguous=True` to skip the check (e.g. integer
+             period indices known gap-free, or float grids where exact
+             spacing equality is too strict)
 
     Plan: one window pass for the naive lag (partitioned by key) + one
     groupBy(key) aggregation that REUSES the window's hash exchange —
@@ -1464,11 +1472,26 @@ def forecast_accuracy(
     order = [F.col("__ts")] + ([F.col("__tb")] if tiebreak_col else [])
     w = Window.partitionBy(key_col).orderBy(*order)
     ylag = F.lag("__y", m).over(w)
+    check_grid = m > 1 and not assume_contiguous
+    grid_cols = []
+    if check_grid:
+        # lag-1 ts spacing rides the SAME window exchange; datetime axes
+        # need an explicit epoch extraction (date → double and
+        # timestamp_ntz → double are invalid casts in Spark 4)
+        ts_t = base.schema["__ts"].dataType.simpleString()
+        if ts_t == "date":
+            tsd = F.unix_date(F.col("__ts")).cast("double")
+        elif ts_t.startswith("timestamp"):
+            tsd = F.unix_micros(F.col("__ts").cast("timestamp")).cast("double")
+        else:
+            tsd = F.col("__ts").cast("double")
+        grid_cols = [(tsd - F.lag(tsd, 1).over(w)).alias("__dt")]
     scored = base.select(
         key_col,
         "__y",
         "__f",
         F.abs(F.col("__y") - ylag).alias("__nd"),
+        *grid_cols,
     )
     e = F.col("__y") - F.col("__f")
     ay, af = F.abs(F.col("__y")), F.abs(F.col("__f"))
@@ -1485,7 +1508,23 @@ def forecast_accuracy(
         F.count(F.when(F.col("__y") != 0.0, F.lit(1))).alias("n_mape"),
         F.avg(smape_term).alias("smape"),
         F.avg("__nd").alias("__naive"),
+        *(
+            [F.min("__dt").alias("__dt_min"), F.max("__dt").alias("__dt_max")]
+            if check_grid
+            else []
+        ),
     )
+    mase_ok = F.col("__naive").isNotNull() & (F.col("__naive") > 0.0)
+    if check_grid:
+        # regular grid ⇔ every spacing equals every other AND > 0 (an
+        # all-duplicate-ts key is not a series); a 1-row key has no
+        # spacing (both NULL) — its mase is already NULL via the naive
+        # term, so the null comparison changes nothing
+        mase_ok = (
+            mase_ok
+            & F.col("__dt_min").eqNullSafe(F.col("__dt_max"))
+            & (F.col("__dt_max") > 0.0)
+        )
     return agg.select(
         key_col,
         "n",
@@ -1494,8 +1533,5 @@ def forecast_accuracy(
         "mape",
         "n_mape",
         "smape",
-        F.when(
-            F.col("__naive").isNotNull() & (F.col("__naive") > 0.0),
-            F.col("mae") / F.col("__naive"),
-        ).alias("mase"),
+        F.when(mase_ok, F.col("mae") / F.col("__naive")).alias("mase"),
     ).orderBy(key_col)

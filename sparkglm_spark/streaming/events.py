@@ -1160,6 +1160,7 @@ def forecast_accuracy_stream(
     actual_col: str,
     forecast_col: str,
     tiebreak_col: str | None = None,
+    m: int = 1,
 ) -> DataFrame:
     """Streaming twin of `operators.timeseries.forecast_accuracy` — the
     LIVE model-quality monitor (each micro-batch emits every touched
@@ -1169,9 +1170,23 @@ def forecast_accuracy_stream(
     the m = 1 naive denominator — O(1) forever; every metric is a
     ratio of RUNNING SUMS, so the only stream-vs-batch difference is
     float summation order (≲1e-15 relative; asserted at 1e-12 in
-    tests). Seasonal MASE (m > 1) is batch-only — the stream would
-    need an m-deep actual buffer per key; run the batch operator over
-    the landed log for seasonal scaling.
+    tests).
+
+    SEASONAL MASE (r13, VERDICT r12 #4): `m` > 1 scales by the lag-m
+    seasonal naive, carried as an m-deep ring buffer of the last m
+    actuals in the key state — m + 8 scalars + 3 grid trackers, still
+    O(1) in stream LENGTH. The batch operator's r13 contiguity
+    contract is replicated: the state tracks the running min/max lag-1
+    ts spacing (prev_ts + two scalars), and a key whose retained rows
+    ever leave a regular positive grid — a ts gap, a dropped-null
+    hole, a duplicate timestamp — reports mase NULL from then on,
+    never a phase-shifted number. Short keys (≤ m scored rows) are
+    NULL via the empty naive sum, the batch convention. HAZARD: the
+    spacing check sees rows in the family's processing order
+    (within-batch ts sort, ARRIVAL order across batches) — feed
+    ordered micro-batches, as every stream≡batch contract here
+    already requires; a date-typed ts axis is checked on its day
+    count like the batch twin.
 
     ORDER CONTRACT + NULL POLICY: as `ewma_state_stream` (within-batch
     (ts, tiebreak) sort, arrival order across batches; rows with a
@@ -1189,6 +1204,8 @@ def forecast_accuracy_stream(
 
     if not events.isStreaming:
         raise ValueError("input must be a streaming DataFrame (readStream)")
+    if not isinstance(m, int) or isinstance(m, bool) or m < 1:
+        raise ValueError(f"m must be an int >= 1, got {m!r}")
     in_fields = {f.name: f for f in events.schema.fields}
     need = [key_col, ts_col, actual_col, forecast_col] + (
         [tiebreak_col] if tiebreak_col else []
@@ -1224,6 +1241,29 @@ def forecast_accuracy_stream(
             StructField("prev_y", DoubleType()),
         ]
     )
+    if m > 1:
+        from pyspark.sql.types import ArrayType, BooleanType
+
+        # seasonal state: the ring buffer of the last ≤ m actuals plus
+        # the grid trackers (prev_ts, running spacing min/max, and a
+        # sticky irregular flag once min ≠ max or a non-positive
+        # spacing is seen)
+        state_schema = StructType(
+            [
+                StructField("n", LongType()),
+                StructField("sae", DoubleType()),
+                StructField("sse", DoubleType()),
+                StructField("sape", DoubleType()),
+                StructField("n_mape", LongType()),
+                StructField("ssm", DoubleType()),
+                StructField("snd", DoubleType()),
+                StructField("n_nd", LongType()),
+                StructField("tail", ArrayType(DoubleType())),
+                StructField("prev_ts", DoubleType()),
+                StructField("dt_min", DoubleType()),
+                StructField("dt_max", DoubleType()),
+            ]
+        )
     sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
     ycol = F.col(actual_col).cast("double")
     fcol = F.col(forecast_col).cast("double")
@@ -1286,11 +1326,97 @@ def forecast_accuracy_stream(
             }
         )
 
+    def update_seasonal(key, pdfs, state: GroupState):
+        if state.exists:
+            (n, sae, sse, sape, n_mape, ssm, snd, n_nd,
+             tail, prev_ts, dt_min, dt_max) = tuple(state.get)
+            tail = list(tail or [])
+        else:
+            n, sae, sse, sape, n_mape, ssm, snd, n_nd = 0, 0.0, 0.0, 0.0, 0, 0.0, 0.0, 0
+            tail, prev_ts, dt_min, dt_max = [], None, None, None
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else chunks[0]
+        )
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        y = pdf[actual_col].to_numpy(dtype=np.float64)
+        f = pdf[forecast_col].to_numpy(dtype=np.float64)
+        e = y - f
+        nb = len(y)
+        n += nb
+        sae += float(np.abs(e).sum())
+        sse += float((e * e).sum())
+        nz = y != 0.0
+        sape += float(np.abs(e[nz] / y[nz]).sum())
+        n_mape += int(nz.sum())
+        den = np.abs(y) + np.abs(f)
+        ssm += float(
+            np.where(
+                den == 0.0, 0.0,
+                2.0 * np.abs(e) / np.where(den == 0.0, 1.0, den),
+            ).sum()
+        )
+        # lag-m naive over [ring buffer ++ batch] — row i pairs with
+        # ext[len(tail) + i − m]; indices < 0 are pre-history
+        tail_arr = np.asarray(tail, dtype=np.float64)
+        ext = np.concatenate([tail_arr, y])
+        idx = len(tail_arr) + np.arange(nb) - m
+        valid = idx >= 0
+        if valid.any():
+            snd += float(np.abs(y[valid] - ext[idx[valid]]).sum())
+            n_nd += int(valid.sum())
+        tail = [float(v) for v in ext[-m:]]
+        # grid tracker: lag-1 ts spacings (within batch + the seam to
+        # the previous batch), running min/max — the batch operator's
+        # r13 contiguity check in streaming form
+        sv = pdf[ts_col]
+        if str(sv.dtype).startswith("datetime64") or sv.dtype == object:
+            ts_num = pd.to_datetime(sv).astype("int64").to_numpy(
+                dtype=np.float64
+            )
+        else:
+            ts_num = sv.to_numpy(dtype=np.float64)
+        dts = np.diff(ts_num)
+        if prev_ts is not None:
+            dts = np.concatenate([[ts_num[0] - prev_ts], dts])
+        if len(dts):
+            lo, hi = float(dts.min()), float(dts.max())
+            dt_min = lo if dt_min is None else min(dt_min, lo)
+            dt_max = hi if dt_max is None else max(dt_max, hi)
+        prev_ts = float(ts_num[-1])
+        state.update(
+            (n, sae, sse, sape, n_mape, ssm, snd, n_nd,
+             tail, prev_ts, dt_min, dt_max)
+        )
+        mae = sae / n
+        naive = snd / n_nd if n_nd else None
+        grid_ok = dt_min is not None and dt_min == dt_max and dt_max > 0.0
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n": [n],
+                "mae": [mae],
+                "rmse": [float(np.sqrt(sse / n))],
+                "mape": [sape / n_mape if n_mape else None],
+                "n_mape": [n_mape],
+                "smape": [ssm / n],
+                "mase": [
+                    mae / naive
+                    if naive is not None and naive > 0.0 and grid_ok
+                    else None
+                ],
+            }
+        )
+
     return (
         events.select(*dict.fromkeys(need))
         .groupBy(key_col)
         .applyInPandasWithState(
-            update,
+            update_seasonal if m > 1 else update,
             outputStructType=out_schema,
             stateStructType=state_schema,
             outputMode="update",

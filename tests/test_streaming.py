@@ -1382,3 +1382,78 @@ def test_forecast_accuracy_stream_equals_batch(spark, sf_dir):
                 assert g[k] is None, (uid, k)
             else:
                 assert g[k] == pytest.approx(bk, rel=1e-12), (uid, k)
+
+
+def test_forecast_accuracy_stream_seasonal_m(spark):
+    """r13 (VERDICT r12 #4): forecast_accuracy_stream(m=4) carries an
+    m-deep ring buffer — on a gap-free integer grid the last update per
+    key equals batch forecast_accuracy(m=4) at 1e-12; a short key (≤ m
+    rows) is NULL; a key with a planted ts gap is NULL in BOTH engines
+    (the r13 contiguity contract); m=0 raises."""
+    import numpy as np
+
+    from sparkglm_spark.operators.timeseries import forecast_accuracy
+    from sparkglm_spark.streaming.events import forecast_accuracy_stream
+
+    rng = np.random.default_rng(135)
+    rows = []
+    for k in ("a", "b"):
+        base = 10.0 if k == "a" else 5.0
+        for t in range(24):
+            y = base + (t % 4) + float(rng.normal(0, 0.3))
+            rows.append((k, t, y, y + float(rng.normal(0, 0.5))))
+    rows += [("short", t, 1.0 + t, 1.5 + t) for t in range(3)]  # <= m rows
+    rows += [("gap", t, 2.0 + (t % 4), 2.5)  # t=11 missing
+             for t in list(range(11)) + list(range(12, 24))]
+    df = spark.createDataFrame(rows, "k string, t long, y double, f double")
+    parts = [
+        df.where(F.col("t") < 8),
+        df.where((F.col("t") >= 8) & (F.col("t") < 16)),
+        df.where(F.col("t") >= 16),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        os.makedirs(src)
+        for i, p in enumerate(parts):
+            p.coalesce(1).write.parquet(os.path.join(src, f"b{i}.parquet"))
+        stream_in = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*.parquet"))
+        )
+        with pytest.raises(ValueError, match="m must"):
+            forecast_accuracy_stream(stream_in, "k", "t", "y", "f", m=0)
+        out = forecast_accuracy_stream(stream_in, "k", "t", "y", "f", m=4)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("fa_seasonal")
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            r.k: r.w
+            for r in spark.sql(
+                "SELECT k, max_by(named_struct('n', n, 'mae', mae,"
+                " 'rmse', rmse, 'mape', mape, 'nm', n_mape, 'sm', smape,"
+                " 'ms', mase), n) AS w FROM fa_seasonal GROUP BY k"
+            ).collect()
+        }
+    batch = {
+        r.k: r for r in forecast_accuracy(df, "k", "t", "y", "f", m=4).collect()
+    }
+    assert set(got) == set(batch) == {"a", "b", "short", "gap"}
+    for k, b in batch.items():
+        g = got[k]
+        assert g["n"] == b.n and g["nm"] == b.n_mape, k
+        for nm, bv in (("mae", b.mae), ("rmse", b.rmse), ("mape", b.mape),
+                       ("sm", b.smape), ("ms", b.mase)):
+            if bv is None:
+                assert g[nm] is None, (k, nm)
+            else:
+                assert g[nm] == pytest.approx(bv, rel=1e-12), (k, nm)
+    assert batch["a"].mase is not None          # the live seasonal value
+    assert batch["short"].mase is None          # <= m rows
+    assert batch["gap"].mase is None and got["gap"]["ms"] is None  # contiguity

@@ -1312,3 +1312,72 @@ def test_forecast_accuracy_seasonal_mase(spark):
     assert r2.mae == pytest.approx(1.0)
     with pytest.raises(ValueError, match="m must"):
         forecast_accuracy(df, "k", "t", "y", "f", m=0)
+
+
+def test_forecast_accuracy_mase_contiguity_guard(spark):
+    """r13 (VERDICT r12 #6): with m > 1 a ts gap phase-shifts every
+    later seasonal pair — the guard NULLs mase for non-contiguous keys
+    (planted gap, dropped-null gap, duplicate ts) instead of returning
+    a wrong-but-plausible number; contiguous keys and m=1 are
+    untouched; assume_contiguous=True restores the positional pairing;
+    a date axis checks day spacing."""
+    import datetime
+
+    from sparkglm_spark.operators.timeseries import forecast_accuracy
+
+    seq = [10.0, 20.0, 11.0, 21.0, 12.0, 22.0, 13.0, 23.0]
+    rows = [("ok", t, y, y + 1.0) for t, y in enumerate(seq)]
+    # gap: t=4 missing — the lag-2 pairing after the gap is phase-shifted
+    rows += [("gap", t, y, y + 1.0)
+             for t, y in zip([0, 1, 2, 3, 5, 6, 7, 8], seq)]
+    # dup: two rows share t=3
+    rows += [("dup", t, y, y + 1.0)
+             for t, y in zip([0, 1, 2, 3, 3, 4, 5, 6], seq)]
+    df = spark.createDataFrame(rows, "k string, t long, y double, f double")
+    out = {r.k: r for r in forecast_accuracy(df, "k", "t", "y", "f", m=2).collect()}
+    assert out["ok"].mase is not None
+    assert out["gap"].mase is None and out["gap"].mae is not None
+    assert out["dup"].mase is None
+    # a null actual inside the grid drops its row -> retained rows gapped
+    dfn = spark.createDataFrame(
+        [("n", t, None if t == 4 else y, y + 1.0)
+         for t, y in enumerate(seq)],
+        "k string, t long, y double, f double",
+    )
+    rn = forecast_accuracy(dfn, "k", "t", "y", "f", m=2).collect()[0]
+    assert rn.mase is None
+    # opt-out restores the (documented-hazard) positional pairing
+    outc = {
+        r.k: r
+        for r in forecast_accuracy(
+            df, "k", "t", "y", "f", m=2, assume_contiguous=True
+        ).collect()
+    }
+    assert outc["gap"].mase is not None
+    # m=1 never checks (plan unchanged): the gap key still scores
+    out1 = {r.k: r for r in forecast_accuracy(df, "k", "t", "y", "f").collect()}
+    assert out1["gap"].mase is not None
+    # date axis: weekly grid is contiguous in DAYS, gapped one fails
+    d0 = datetime.date(2026, 1, 5)
+    ddf = spark.createDataFrame(
+        [("w", d0 + datetime.timedelta(days=7 * t), y, y + 1.0)
+         for t, y in enumerate(seq)]
+        + [("wg", d0 + datetime.timedelta(days=7 * t), y, y + 1.0)
+           for t, y in zip([0, 1, 2, 3, 5, 6, 7, 8], seq)],
+        "k string, t date, y double, f double",
+    )
+    outd = {r.k: r for r in forecast_accuracy(ddf, "k", "t", "y", "f", m=2).collect()}
+    assert outd["w"].mase is not None and outd["wg"].mase is None
+    # timestamp axis (createDataFrame yields TIMESTAMP_NTZ in Spark 4 —
+    # a plain double cast is invalid; /verify r13 caught the crash):
+    # hourly grid contiguous, gapped one NULLs
+    t0 = datetime.datetime(2026, 1, 5, 0, 0)
+    tdf = spark.createDataFrame(
+        [("h", t0 + datetime.timedelta(hours=t), y, y + 1.0)
+         for t, y in enumerate(seq)]
+        + [("hg", t0 + datetime.timedelta(hours=t), y, y + 1.0)
+           for t, y in zip([0, 1, 2, 3, 5, 6, 7, 8], seq)],
+        "k string, t timestamp_ntz, y double, f double",
+    )
+    outt = {r.k: r for r in forecast_accuracy(tdf, "k", "t", "y", "f", m=2).collect()}
+    assert outt["h"].mase is not None and outt["hg"].mase is None
