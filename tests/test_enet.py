@@ -1863,3 +1863,25 @@ def test_glm_elastic_net_tweedie_family(spark):
     pth = glm_elastic_net_path(df, "y ~ x", [0.5, 0.1, 0.0],
                                family="tweedie", var_power=1.4)
     assert pth.count() == 6  # 3 lambdas x 2 terms
+
+
+def test_cv_grouped_big_grid_routing_warning(spark):
+    """r13 (VERDICT r12 #7): a >= 25-lambda grid in cv_grouped warns —
+    the whole grid serializes inside each group's Arrow batch; the
+    lock-step glm_elastic_net_cv is the few-groups x big-grid route.
+    Small grids stay silent."""
+    import warnings
+
+    from sparkglm_spark.operators.enet import glm_elastic_net_cv_grouped
+
+    df = spark.createDataFrame(
+        [("a", float(i % 2), float(i) / 10.0, i % 3) for i in range(30)],
+        "g string, y double, x double, fd int",
+    )
+    big = [0.5 / (1.3 ** i) for i in range(25)]
+    with pytest.warns(UserWarning, match="lock-step"):
+        glm_elastic_net_cv_grouped(df, "y ~ x", ["g"], big, "fd", n_folds=3)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        glm_elastic_net_cv_grouped(df, "y ~ x", ["g"], [0.1, 0.01], "fd",
+                                   n_folds=3)
