@@ -1083,9 +1083,7 @@ def holt_winters_forecast(
     `_hw_fold`). `seasonal="mul"` is multiplicative HW —
     ŷ_{T+h} = (l_T + φ_h·b_T)·s_{phase(T+h)}; "mul" keys with any
     non-positive value degrade to NULL state (`holt_winters_series`
-    policy), and `interval=True` is additive-only (the multiplicative
-    innovations variance has no c_j closed form — Hyndman's class-2/3
-    models; raises upfront). Keys shorter than 2·period emit NULL
+    policy). Keys shorter than 2·period emit NULL
     state (reported, not dropped). Same conventions as
     `holt_winters_series` (init, ordering, the family null policy).
 
@@ -1101,7 +1099,33 @@ def holt_winters_forecast(
     test; the trend impulse αβ propagates through the damped
     transition, giving the β·φ_j term — at φ=1 the familiar jβ).
     Var(ŷ_{T+h}) = σ̂²(1 + Σ_{j=1}^{h−1} c_j²); normal quantile
-    bounds; NULL-state keys report NULL se/lo/hi."""
+    bounds; NULL-state keys report NULL se/lo/hi.
+
+    `interval=True` with `seasonal="mul"` (r13, VERDICT r12 #5 —
+    replacing the r11 refusal) is the FIRST-ORDER state-space
+    innovations variance for the (A,M) model — the Hyndman-Koehler-
+    Ord-Snyder linearization for the multiplicative-seasonal classes,
+    derived by propagating each future one-step error ε_{T+i} through
+    the fold's Jacobians along the deterministic mean path. The
+    derivation collapses to a closed per-lag form because at the mean
+    path the linearized transition IS the linear HW transition
+    (∂l′/∂s = 0, ∂s′/∂s = 1 — seasonal shocks persist unmixed and
+    never feed back into level/trend; asserted against a full
+    matrix-recursion twin at 1e-12 in tests): with L_i = l_T + φ_i·b_T
+    and S_i = s_{phase(T+i)},
+
+        c_{h,i} = α(1 + β·φ_{h−i})·S_h/S_i
+                  + γ(1−α)·(L_h/L_i)·1{h−i ≡ 0 (mod m)}
+
+    Var(ŷ_{T+h}) = σ̂²(1 + Σ_{i=1}^{h−1} c_{h,i}²), σ̂² the additive
+    one-step residual variance (the model class is additive-error,
+    multiplicative-season). With flat seasonality (S ≡ const) it
+    reduces to the additive c_j exactly. A horizon whose mean-path
+    level factor L crosses ≤ 0 (steeply damped decline) has no valid
+    linearization — its se/lo/hi are NULL while the point forecast is
+    kept. Second-order (σ⁴) terms are ignored — the standard HKOS
+    first-order treatment; the coverage-property test bounds the
+    practical effect."""
     import numpy as np
     import pandas as pd
 
@@ -1112,11 +1136,6 @@ def holt_winters_forecast(
         raise ValueError(f"phi must be in (0, 1], got {phi!r}")
     if seasonal not in ("add", "mul"):
         raise ValueError(f"seasonal must be 'add' or 'mul', got {seasonal!r}")
-    if interval and seasonal == "mul":
-        raise ValueError(
-            "interval=True supports additive seasonality only (no c_j "
-            "closed form for the multiplicative innovations variance)"
-        )
     if period < 2:
         raise ValueError(f"period must be >= 2, got {period!r}")
     if not horizons:
@@ -1180,14 +1199,36 @@ def holt_winters_forecast(
                 e = x[m:] - fitted
                 sig2 = float(e @ e) / len(e)
                 for h in hs:
-                    v = 1.0 + sum(
-                        (
-                            alpha * (1.0 + beta * phi_cum[j])
-                            + (gamma * (1.0 - alpha) if j % m == 0 else 0.0)
+                    if seasonal == "mul":
+                        # (A,M) first-order innovations variance (see
+                        # docstring): ratio-weighted c's along the mean
+                        # path; an L ≤ 0 path has no linearization
+                        Ls = [l + phi_cum[i] * b for i in range(1, h + 1)]
+                        if min(Ls) <= 0.0:
+                            row[f"se_{h}"] = [None]
+                            row[f"lo_{h}"] = [None]
+                            row[f"hi_{h}"] = [None]
+                            continue
+                        Lh = Ls[h - 1]
+                        Sh = season[(phase + h - 1) % m]
+                        v = 1.0
+                        for i in range(1, h):
+                            Si = season[(phase + i - 1) % m]
+                            c = alpha * (1.0 + beta * phi_cum[h - i]) * (
+                                Sh / Si
+                            )
+                            if (h - i) % m == 0:
+                                c += gamma * (1.0 - alpha) * (Lh / Ls[i - 1])
+                            v += c * c
+                    else:
+                        v = 1.0 + sum(
+                            (
+                                alpha * (1.0 + beta * phi_cum[j])
+                                + (gamma * (1.0 - alpha) if j % m == 0 else 0.0)
+                            )
+                            ** 2
+                            for j in range(1, h)
                         )
-                        ** 2
-                        for j in range(1, h)
-                    )
                     se = float(np.sqrt(sig2 * v))
                     fc = row[f"forecast_{h}"][0]
                     row[f"se_{h}"] = [se]
