@@ -1844,7 +1844,6 @@ def glm_elastic_net_grouped(
     wname, oname = weight_col, offset_col
     lamname = lam_col
     exact_n = exact_iterations
-    vp = float(var_power)
 
     def fit_group(pdf):
         import pandas as pd
@@ -1968,6 +1967,223 @@ def glm_elastic_net_grouped(
     from sparkglm_spark.plans.partitioning import fanout_groups
 
     return fanout_groups(encoded, gcols).groupBy(*gcols).applyInPandas(
+        fit_group, out_schema
+    )
+
+
+def glm_elastic_net_path_grouped(
+    df: DataFrame,
+    formula: str,
+    group_cols: list[str],
+    reg_params: list[float],
+    elastic_net_param: float = 1.0,
+    family: str = "binomial",
+    standardize: bool = True,
+    na_action: str = "omit",
+    max_iter: int = 100,
+    tol: float = 1e-10,
+    max_sweeps: int = 1000,
+    weight_col: str | None = None,
+    offset_col: str | None = None,
+    exact_iterations: int | None = None,
+    var_power: float = 1.5,
+) -> DataFrame:
+    """Per-segment regularization PATH (VERDICT r12 #9) — the grouped
+    sibling `glm_elastic_net_path` lacked: one warm-started descending-λ
+    coefficient path per group, for per-tenant regularization
+    diagnostics (which features enter at which λ, per segment). Each
+    group's rows land in one Arrow batch and the numpy twin replays the
+    single-fit path's exact conventions: fixed upfront stds
+    (reliability-weighted under `weight_col`), glmnet prox-Newton via
+    the shared `_penalized_irls_update`/`_np_glm_irls_kernels`, λs
+    DESCENDING with warm starts (β carries across λs), deviance per λ
+    at ITS final β, and deviance-based aic/bic with the lasso-df
+    estimate (df = n_nonzero + intercept; bic's ln(n) keeps the ROW
+    count — the glmnet nobs convention). Duplicate input λs re-expand
+    to duplicate row blocks (the path contract). Families per
+    `glm_elastic_net` (binomial/poisson/gamma/tweedie(`var_power`)).
+
+    Degenerate groups (n ≤ 1, out-of-domain/constant labels, bad
+    weights/offsets, non-finite values, solver failure) emit NULL
+    estimate/deviance rows per (λ, term) — the grouped NULL policy,
+    where the single-fit path raises. `exact_iterations=N` runs exactly
+    N solves per λ (warm starts still carry β — the pin hook). Returns
+    long format: group_cols…, reg_param, term, estimate, n_nonzero,
+    iterations, deviance, aic, bic, converged."""
+    from pyspark.sql import types as T
+
+    from sparkglm_spark.operators.lm import _design
+
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    if family not in _ENET_FAMILIES:
+        raise ValueError(
+            f"glm_elastic_net_path_grouped supports "
+            f"{'/'.join(_ENET_FAMILIES)}, got {family!r}"
+        )
+    if not reg_params:
+        raise ValueError("reg_params must be non-empty")
+    if any(float(l) < 0.0 for l in reg_params):
+        raise ValueError("reg_param must be >= 0")
+    alpha = float(elastic_net_param)
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError("elastic_net_param must be in [0, 1]")
+    if exact_iterations is not None and exact_iterations < 1:
+        raise ValueError("exact_iterations must be >= 1")
+    encoded, x_cols, target = _design(
+        df, formula, list(group_cols), na_action=na_action,
+        weight_col=weight_col, offset_col=offset_col,
+    )
+    k = len(x_cols)
+    has_int = "intercept" in x_cols
+    i0 = x_cols.index("intercept") if has_int else None
+    feats = [i for i in range(k) if i != i0]
+    out_schema = T.StructType(
+        [df.schema[c] for c in group_cols]
+        + [
+            T.StructField("reg_param", T.DoubleType()),
+            T.StructField("term", T.StringType()),
+            T.StructField("estimate", T.DoubleType()),
+            T.StructField("n_nonzero", T.IntegerType()),
+            T.StructField("iterations", T.IntegerType()),
+            T.StructField("deviance", T.DoubleType()),
+            T.StructField("aic", T.DoubleType()),
+            T.StructField("bic", T.DoubleType()),
+            T.StructField("converged", T.BooleanType()),
+        ]
+    )
+    names = list(x_cols)
+    gcols = list(group_cols)
+    fam_name, std = family, standardize
+    vp = float(var_power)
+    wname, oname = weight_col, offset_col
+    lam_in_sorted = sorted((float(v) for v in reg_params), reverse=True)
+    lams = sorted(set(lam_in_sorted), reverse=True)
+    exact_n = exact_iterations
+
+    def fit_group(pdf):
+        import pandas as pd
+
+        X = pdf[names].to_numpy(dtype=np.float64)
+        y = pdf[target].to_numpy(dtype=np.float64)
+        n = len(y)
+        wv = (
+            pdf[wname].to_numpy(dtype=np.float64)
+            if wname is not None
+            else np.ones(n)
+        )
+        ov = (
+            pdf[oname].to_numpy(dtype=np.float64)
+            if oname is not None
+            else np.zeros(n)
+        )
+        gkey = tuple(pdf[c].iloc[0] for c in gcols)
+
+        def null_rows():
+            return pd.DataFrame(
+                [
+                    gkey + (lam, nm, None, None, 0, None, None, None, False)
+                    for lam in lam_in_sorted
+                    for nm in names
+                ],
+                columns=[f.name for f in out_schema],
+            )
+
+        nw = float(wv.sum())
+        sdenom = nw - float((wv * wv).sum()) / nw if nw > 0 else 0.0
+        ok = (
+            n > 1
+            and np.all(np.isfinite(X))
+            and np.all(np.isfinite(y))
+            and np.all(np.isfinite(wv))
+            and np.all(wv >= 0.0)
+            and np.all(np.isfinite(ov))
+            and nw > 0.0
+            and sdenom > 0.0
+        )
+        if ok and fam_name == "binomial":
+            ok = bool(np.all((y >= 0) & (y <= 1)))
+        if ok and fam_name in ("poisson", "tweedie"):
+            ok = bool(np.all(y >= 0))
+        if ok and fam_name == "gamma":
+            ok = bool(np.all(y > 0))
+        if ok:
+            ybar = float((wv * y).sum()) / nw
+            if fam_name == "binomial":
+                ok = 0.0 < ybar < 1.0
+            else:
+                ok = ybar > 0.0
+        if not ok:
+            return null_rows()
+        Xf = X[:, feats]
+        m_f = (wv[:, None] * Xf).sum(0) / nw
+        ss_f = (wv[:, None] * Xf * Xf).sum(0)
+        sig = np.sqrt(np.maximum((ss_f - nw * m_f * m_f) / sdenom, 0.0))
+        b = np.zeros(k)
+        if has_int:
+            b[i0] = _np_link_init(fam_name, ybar)
+            if oname is not None:
+                b[i0] -= float((wv * ov).sum()) / nw
+        theta = np.zeros(len(feats))
+        by_lam: dict[float, tuple] = {}
+        try:
+            for lam_g in lams:
+                it, conv = 0, False
+                n_pass = exact_n if exact_n is not None else max_iter
+                for _ in range(n_pass):
+                    eta_lin = X @ b
+                    _mu, w0, z = _np_glm_irls_kernels(
+                        fam_name, y, eta_lin, ov, vp
+                    )
+                    wirls = wv * w0
+                    sw = float(wirls.sum())
+                    swz = float((wirls * z).sum())
+                    Xw = X * wirls[:, None]
+                    Gw = X.T @ Xw
+                    gz = Xw.T @ z
+                    nb, theta = _penalized_irls_update(
+                        Gw, gz, sw, swz, k, feats, i0, sig, nw, lam_g,
+                        alpha, std, theta, max_sweeps, tol * 0.01,
+                    )
+                    delta = float(np.max(np.abs(nb - b)))
+                    b = nb
+                    it += 1
+                    if exact_n is None and delta <= tol:
+                        conv = True
+                        break
+                if exact_n is not None:
+                    conv = True
+                # deviance/aic/bic at THIS λ's final β (the path
+                # convention — same evaluation the single fit makes)
+                mu, _w0, _z = _np_glm_irls_kernels(fam_name, y, X @ b, ov, vp)
+                dev = _np_glm_deviance(fam_name, y, mu, wv, vp)
+                nz = _count_nonzero(names, b)
+                dof = nz + (1 if has_int else 0)
+                aic = dev + 2.0 * dof
+                bic = dev + float(np.log(n)) * dof
+                if not np.all(np.isfinite(b)) or not np.isfinite(dev):
+                    return null_rows()
+                by_lam[lam_g] = (b.copy(), nz, it, dev, aic, bic, conv)
+        except (ValueError, np.linalg.LinAlgError):
+            return null_rows()
+        rows = []
+        for lam_in in lam_in_sorted:  # duplicate input λs re-expand
+            bb, nz, it, dev, aic, bic, conv = by_lam[lam_in]
+            for j, nm in enumerate(names):
+                rows.append(
+                    gkey
+                    + (lam_in, nm, float(bb[j]), nz, it, dev, aic, bic,
+                       bool(conv))
+                )
+        return pd.DataFrame(rows, columns=[f.name for f in out_schema])
+
+    from sparkglm_spark.plans.partitioning import fanout_groups
+
+    sel = [*gcols, target, *x_cols]
+    for c in (wname, oname):
+        if c:
+            sel.append(c)
+    return fanout_groups(encoded.select(*sel), gcols).groupBy(*gcols).applyInPandas(
         fit_group, out_schema
     )
 

@@ -1885,3 +1885,58 @@ def test_cv_grouped_big_grid_routing_warning(spark):
         warnings.simplefilter("error")
         glm_elastic_net_cv_grouped(df, "y ~ x", ["g"], [0.1, 0.01], "fd",
                                    n_folds=3)
+
+
+def test_glm_enet_path_grouped_matches_per_slice(spark):
+    """r13 stretch (VERDICT r12 #9): glm_elastic_net_path_grouped ==
+    glm_elastic_net_path run cold per slice at 1e-8 (coefs, deviance,
+    aic/bic, support), including warm-start order and duplicate-lambda
+    re-expansion; degenerate groups NULL per (lambda, term); empty
+    group_cols / unknown family raise."""
+    from sparkglm_spark.operators.enet import (
+        glm_elastic_net_path,
+        glm_elastic_net_path_grouped,
+    )
+
+    rng = np.random.default_rng(137)
+    rows = []
+    for g, (b0, b1) in (("a", (-0.5, 2.0)), ("b", (0.5, -1.5))):
+        for _ in range(220):
+            x1 = float(rng.normal())
+            x2 = float(rng.normal())
+            p = 1.0 / (1.0 + np.exp(-(b0 + b1 * x1)))
+            rows.append((g, float(rng.random() < p), x1, x2))
+    rows += [("const", 1.0, 0.1, 0.2), ("const", 1.0, 0.3, 0.4)]
+    df = spark.createDataFrame(rows, "g string, y double, x1 double, x2 double")
+    lams = [0.2, 0.05, 0.05, 0.01]  # duplicate re-expands
+    out = glm_elastic_net_path_grouped(
+        df, "y ~ x1 + x2", ["g"], lams, tol=1e-12
+    )
+    got = {}
+    for r in out.collect():
+        got[(r.g, r.reg_param, r.term)] = r
+    for g in ("a", "b"):
+        cold = glm_elastic_net_path(
+            df.where(F.col("g") == g), "y ~ x1 + x2", lams, tol=1e-12
+        ).collect()
+        for r in cold:
+            gr = got[(g, r.reg_param, r.term)]
+            assert gr.estimate == pytest.approx(r.estimate, abs=1e-8), (
+                g, r.reg_param, r.term)
+            assert gr.n_nonzero == r.n_nonzero
+            assert gr.deviance == pytest.approx(r.deviance, rel=1e-8)
+            assert gr.aic == pytest.approx(r.aic, rel=1e-8)
+            assert gr.bic == pytest.approx(r.bic, rel=1e-8)
+    # 4 input lambdas x 3 terms per group (duplicate lambda re-expands
+    # to duplicate ROWS — count the frame, not the deduping dict)
+    all_rows = out.collect()
+    assert sum(1 for r in all_rows if r.g == "a") == 12
+    # constant-label group -> NULL rows, one per (lambda, term)
+    assert sum(1 for r in all_rows if r.g == "const") == 12
+    assert got[("const", 0.2, "x1")].estimate is None
+    assert got[("const", 0.2, "x1")].deviance is None
+    with pytest.raises(ValueError, match="group_cols"):
+        glm_elastic_net_path_grouped(df, "y ~ x1", [], lams)
+    with pytest.raises(ValueError, match="supports"):
+        glm_elastic_net_path_grouped(df, "y ~ x1", ["g"], lams,
+                                     family="gaussian")
