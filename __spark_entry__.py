@@ -5322,6 +5322,40 @@ def q_glm_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("n_rows"),
     )
     res = res.unionByName(ec_dv).unionByName(ec_dt).unionByName(ec_nz)
+    # r13: grouped regularization path (glm_elastic_net_path_grouped,
+    # VERDICT r12 #9) — 2 λs DESCENDING (0.05 → 0.02) × exactly 2
+    # solves per group, same logistic design. The SQL chains FOUR
+    # per-group soft-threshold solves off the SAME moments/init CTE as
+    # the en_ chain (the λ literal switches after solve 2 — glmnet warm
+    # start, grouped), evaluates each λ's deviance at ITS final β, and
+    # pins aic/bic as a crit row (lasso df = 1{b1≠0} + 1, bic's ln over
+    # the group ROW count). n_rows carries the per-λ n_nonzero.
+    from sparkglm_spark.operators.enet import glm_elastic_net_path_grouped
+
+    epg = glm_elastic_net_path_grouped(
+        od, "is_f ~ p100k", ["o_orderpriority"], [0.05, 0.02],
+        elastic_net_param=0.5, exact_iterations=2,
+    )
+    pref = F.when(
+        F.col("reg_param") == 0.05, F.lit("egp0_")
+    ).otherwise(F.lit("egp1_"))
+    ep_coef = epg.select(
+        "o_orderpriority",
+        F.concat(pref, F.col("term")).alias("term"),
+        (F.round("estimate", 6) + F.lit(0.0)).alias("estimate"),
+        F.round("deviance", 3).alias("deviance"),
+        "iterations",
+        F.col("n_nonzero").cast("bigint").alias("n_rows"),
+    )
+    ep_crit = epg.where(F.col("term") == "intercept").select(
+        "o_orderpriority",
+        F.concat(pref, F.lit("crit")).alias("term"),
+        F.round("aic", 3).alias("estimate"),
+        F.round("bic", 3).alias("deviance"),
+        "iterations",
+        F.col("n_nonzero").cast("bigint").alias("n_rows"),
+    )
+    res = res.unionByName(ep_coef).unionByName(ep_crit)
     # r13: the workflow's DECISION step — cv_select_lambda over the same
     # CV frame (glmnet lambda.min / lambda.1se; VERDICT r12 #2). The SQL
     # replays cvm = mean and cvse = stddev_samp/√k of the two already-
@@ -5546,6 +5580,59 @@ def _sql_glm_per_segment(iters: int = _GLM_ITERS) -> str:
         "SELECT g, 'en_intercept', ROUND(b0, 6) + 0.0, ROUND(dev, 3), 2, n_rows FROM endv",
         "SELECT g, 'en_p100k', ROUND(b1, 6) + 0.0, ROUND(dev, 3), 2, n_rows FROM endv",
     ]
+    # r13: grouped path replay — four solves chained off ens0 (the same
+    # per-group moments/σ/logit init), λ = 0.05 for solves 1-2 then
+    # 0.02 for 3-4 (warm start carries the state CTE), each λ's
+    # deviance at its final β; crit rows add the lasso-df aic/bic
+    prevp = "ens0"
+    for i, lam_s in ((1, "0.05"), (2, "0.05"), (3, "0.02"), (4, "0.02")):
+        ctes.append(
+            f"egw{i} AS (SELECT s.g, s.x,"
+            f" mu*(1.0-mu) AS w, eta + (s.y - mu)/(mu*(1.0-mu)) AS z FROM"
+            f" (SELECT s.g, s.y, s.x, p.b0 + p.b1*s.x AS eta,"
+            f" least(greatest(1.0/(1.0 + exp(-(p.b0 + p.b1*s.x))), 1e-10),"
+            f" 1.0 - 1e-10) AS mu"
+            f" FROM segbase s JOIN {prevp} p ON s.g = p.g) s)"
+        )
+        ctes.append(
+            f"ega{i} AS (SELECT q.g, p.n AS n, p.sg AS sg, SUM(w) AS sw,"
+            f" SUM(w*x) AS swx, SUM(w*x*x) AS swxx, SUM(w*z) AS swz,"
+            f" SUM(w*x*z) AS swxz FROM egw{i} q"
+            f" JOIN {prevp} p ON q.g = p.g GROUP BY q.g, p.n, p.sg)"
+        )
+        ctes.append(
+            f"egs{i} AS (SELECT g, n, sg, (swz - swx*b1n)/sw AS b0,"
+            f" b1n AS b1 FROM (SELECT g, n, sg, sw, swx, swz,"
+            f" CASE WHEN sg > 0 THEN"
+            f" SIGN(((swxz - swx*(swz/sw))/sg)/n)"
+            f" * GREATEST(ABS(((swxz - swx*(swz/sw))/sg)/n) - 0.5*{lam_s}, 0.0)"
+            f" / (((swxx - swx*swx/sw)/(sg*sg))/n + 0.5*{lam_s})"
+            f" / sg ELSE 0.0 END AS b1n FROM ega{i}) s)"
+        )
+        prevp = f"egs{i}"
+    for j, fin in ((0, "egs2"), (1, "egs4")):
+        ctes.append(
+            f"egd{j} AS (SELECT r.g, r.b0, r.b1, COUNT(*) AS cnt,"
+            f" 2.0*SUM(CASE WHEN y > 0 THEN y*ln(y/mu) ELSE 0.0 END"
+            f" + CASE WHEN y < 1 THEN (1.0-y)*ln((1.0-y)/(1.0-mu))"
+            f" ELSE 0.0 END) AS dev FROM"
+            f" (SELECT s.g, s.y, p.b0, p.b1,"
+            f" least(greatest(1.0/(1.0+exp(-(p.b0 + p.b1*s.x))), 1e-10),"
+            f" 1.0-1e-10) AS mu"
+            f" FROM segbase s JOIN {fin} p ON s.g = p.g) r"
+            f" GROUP BY r.g, r.b0, r.b1)"
+        )
+        nnz = "CASE WHEN b1 <> 0 THEN 1 ELSE 0 END"
+        dof = f"(CAST({nnz} AS DOUBLE) + 1.0)"
+        selects += [
+            f"SELECT g, 'egp{j}_intercept', ROUND(b0, 6) + 0.0,"
+            f" ROUND(dev, 3), 2, CAST({nnz} AS BIGINT) FROM egd{j}",
+            f"SELECT g, 'egp{j}_p100k', ROUND(b1, 6) + 0.0,"
+            f" ROUND(dev, 3), 2, CAST({nnz} AS BIGINT) FROM egd{j}",
+            f"SELECT g, 'egp{j}_crit', ROUND(dev + 2.0*{dof}, 3),"
+            f" ROUND(dev + ln(cnt)*{dof}, 3), 2,"
+            f" CAST({nnz} AS BIGINT) FROM egd{j}",
+        ]
     # r12: per-segment sparse-GLM CV — fold model j trains on fd ≠ j
     # with the SAME per-group trajectory as the en_ chain (training-only
     # moments → σ/logit init → two p=1-exact soft-threshold solves),
@@ -6232,6 +6319,40 @@ def q_events_timeseries_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("xraw", 6).alias("x"),
         )
     )
+    # r13: MULTIPLICATIVE HW + the (A,M) first-order interval (VERDICT
+    # r12 #5 pinned end-to-end). Input |value| + 1 keeps the ratio
+    # couplings defined (v ≥ 1); same dyadic α/β/γ. The DuckDB
+    # recursive CTE replays the ratio recursion (with a sticky
+    # level-collapse flag mirroring the fold's None policy) and the se
+    # formula 1 + Σ(α(1+β·φ_j)·S₃/Sᵢ)² — no γ term below m=4 — gated
+    # on the mean-path levels l+jb > 0 exactly like the operator.
+    hwm = (
+        holt_winters_forecast(
+            ev.select("user_id", "ts", "event_id",
+                      (F.abs("value") + 1.0).alias("vpos")),
+            "user_id", "ts", "vpos", alpha=0.5, beta=0.25, gamma=0.5,
+            period=4, horizons=[3], tiebreak_col="event_id",
+            interval=True, seasonal="mul",
+        )
+        .where(F.col("level").isNotNull())
+        .select(
+            F.col("user_id").cast("string").alias("k1"),
+            F.col("n_events").cast("bigint").alias("n1"),
+            F.expr(
+                "stack(4, 'hwm_lvl', level, 'hwm_trd', trend,"
+                " 'hwm_fc3', forecast_3, 'hwm_se3', se_3) AS (op, xraw)"
+            ),
+        )
+        .select(
+            "op",
+            "k1",
+            F.lit(None).cast("string").alias("k2"),
+            "n1",
+            F.lit(None).cast("bigint").alias("n2"),
+            F.lit(None).cast("string").alias("v1"),
+            F.round("xraw", 6).alias("x"),
+        )
+    )
     # r11: per-user Croston intermittent-demand state (operators/
     # timeseries.py::croston_forecast, α=0.5 — dyadic): demand =
     # value·1{value ≥ 50} makes the series genuinely intermittent, and
@@ -6424,6 +6545,7 @@ def q_events_timeseries_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(hd)
         .unionByName(hd_iv)
         .unionByName(hw)
+        .unionByName(hwm)
         .unionByName(cr)
         .unionByName(tsb)
         .unionByName(fa)
@@ -6666,6 +6788,52 @@ WITH RECURSIVE hranked AS (
   SELECT user_id, n, lvl, trd, lvl + 3 * trd + CASE (n + 2) % 4 WHEN 0 THEN s0 WHEN 1 THEN s1 WHEN 2 THEN s2 ELSE s3 END AS fc3,
          sse
   FROM hwstate WHERE done = n
+), hwmranked AS (
+  -- r13 multiplicative-HW input: v = |value| + 1 (ratios defined)
+  SELECT user_id, ABS(value) + 1.0 AS v,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
+), hwminit AS (
+  -- classical two-season init, mul flavor: s_i = v_i / l
+  SELECT user_id, MAX(n) AS n,
+         (MAX(CASE WHEN rn = 1 THEN v END) + MAX(CASE WHEN rn = 2 THEN v END) + MAX(CASE WHEN rn = 3 THEN v END) + MAX(CASE WHEN rn = 4 THEN v END)) / 4.0 AS l0,
+         (MAX(CASE WHEN rn = 5 THEN v END) + MAX(CASE WHEN rn = 6 THEN v END) + MAX(CASE WHEN rn = 7 THEN v END) + MAX(CASE WHEN rn = 8 THEN v END)) / 4.0 AS l1,
+         MAX(CASE WHEN rn = 1 THEN v END) AS v1,
+         MAX(CASE WHEN rn = 2 THEN v END) AS v2,
+         MAX(CASE WHEN rn = 3 THEN v END) AS v3,
+         MAX(CASE WHEN rn = 4 THEN v END) AS v4
+  FROM hwmranked WHERE rn <= 8 GROUP BY user_id HAVING MAX(n) >= 8
+), hwmstate(user_id, done, n, lvl, trd, s0, s1, s2, s3, sse, ok) AS (
+  SELECT user_id, CAST(4 AS BIGINT), n, l0, (l1 - l0) / 4.0,
+         v1 / l0, v2 / l0, v3 / l0, v4 / l0, CAST(0.0 AS DOUBLE), TRUE
+  FROM hwminit
+  UNION ALL
+  -- the SAME IEEE ratio-coupling tree as _hw_fold(seasonal='mul');
+  -- ok goes (and stays) FALSE on a level collapse l' <= 0 — the
+  -- fold's None policy in recursive-CTE form
+  SELECT h.user_id, h.done + 1, h.n,
+         (0.5 * (r.v / CASE h.done % 4 WHEN 0 THEN h.s0 WHEN 1 THEN h.s1 WHEN 2 THEN h.s2 ELSE h.s3 END) + 0.5 * (h.lvl + h.trd)),
+         0.25 * ((0.5 * (r.v / CASE h.done % 4 WHEN 0 THEN h.s0 WHEN 1 THEN h.s1 WHEN 2 THEN h.s2 ELSE h.s3 END) + 0.5 * (h.lvl + h.trd)) - h.lvl) + 0.75 * h.trd,
+         CASE WHEN h.done % 4 = 0 THEN 0.5 * (r.v / (0.5 * (r.v / CASE h.done % 4 WHEN 0 THEN h.s0 WHEN 1 THEN h.s1 WHEN 2 THEN h.s2 ELSE h.s3 END) + 0.5 * (h.lvl + h.trd))) + 0.5 * h.s0 ELSE h.s0 END,
+         CASE WHEN h.done % 4 = 1 THEN 0.5 * (r.v / (0.5 * (r.v / CASE h.done % 4 WHEN 0 THEN h.s0 WHEN 1 THEN h.s1 WHEN 2 THEN h.s2 ELSE h.s3 END) + 0.5 * (h.lvl + h.trd))) + 0.5 * h.s1 ELSE h.s1 END,
+         CASE WHEN h.done % 4 = 2 THEN 0.5 * (r.v / (0.5 * (r.v / CASE h.done % 4 WHEN 0 THEN h.s0 WHEN 1 THEN h.s1 WHEN 2 THEN h.s2 ELSE h.s3 END) + 0.5 * (h.lvl + h.trd))) + 0.5 * h.s2 ELSE h.s2 END,
+         CASE WHEN h.done % 4 = 3 THEN 0.5 * (r.v / (0.5 * (r.v / CASE h.done % 4 WHEN 0 THEN h.s0 WHEN 1 THEN h.s1 WHEN 2 THEN h.s2 ELSE h.s3 END) + 0.5 * (h.lvl + h.trd))) + 0.5 * h.s3 ELSE h.s3 END,
+         h.sse + (r.v - (h.lvl + h.trd) * CASE h.done % 4 WHEN 0 THEN h.s0 WHEN 1 THEN h.s1 WHEN 2 THEN h.s2 ELSE h.s3 END)
+               * (r.v - (h.lvl + h.trd) * CASE h.done % 4 WHEN 0 THEN h.s0 WHEN 1 THEN h.s1 WHEN 2 THEN h.s2 ELSE h.s3 END),
+         h.ok AND ((0.5 * (r.v / CASE h.done % 4 WHEN 0 THEN h.s0 WHEN 1 THEN h.s1 WHEN 2 THEN h.s2 ELSE h.s3 END) + 0.5 * (h.lvl + h.trd)) > 0)
+  FROM hwmstate h
+  JOIN hwmranked r ON r.user_id = h.user_id AND r.rn = h.done + 1
+), hwmfinal AS (
+  SELECT user_id, n, lvl, trd,
+         (lvl + 3 * trd) * CASE (n + 2) % 4 WHEN 0 THEN s0 WHEN 1 THEN s1 WHEN 2 THEN s2 ELSE s3 END AS fc3,
+         CASE n % 4 WHEN 0 THEN s0 WHEN 1 THEN s1 WHEN 2 THEN s2 ELSE s3 END AS sh1,
+         CASE (n + 1) % 4 WHEN 0 THEN s0 WHEN 1 THEN s1 WHEN 2 THEN s2 ELSE s3 END AS sh2,
+         CASE (n + 2) % 4 WHEN 0 THEN s0 WHEN 1 THEN s1 WHEN 2 THEN s2 ELSE s3 END AS sh3,
+         sse
+  FROM hwmstate WHERE done = n AND ok
 ), faw AS (
   -- forecast_accuracy vs the one-step naive: f = lag(value); the first
   -- row per key has f NULL and DROPS (the operator's null policy), and
@@ -6816,6 +6984,31 @@ UNION ALL
 SELECT 'hw_se3', CAST(user_id AS VARCHAR), NULL, n, NULL, NULL,
        ROUND(SQRT(sse / (n - 4) * 1.953125), 6)
 FROM hwfinal
+UNION ALL
+SELECT 'hwm_lvl', CAST(user_id AS VARCHAR), NULL, n, NULL, NULL,
+       ROUND(lvl, 6)
+FROM hwmfinal
+UNION ALL
+SELECT 'hwm_trd', CAST(user_id AS VARCHAR), NULL, n, NULL, NULL,
+       ROUND(trd, 6)
+FROM hwmfinal
+UNION ALL
+SELECT 'hwm_fc3', CAST(user_id AS VARCHAR), NULL, n, NULL, NULL,
+       ROUND(fc3, 6)
+FROM hwmfinal
+UNION ALL
+-- r13 (A,M) first-order interval: var = 1 + (α(1+2β)·S3/S1)^2
+-- + (α(1+β)·S3/S2)^2 (no γ term below m=4), gated on the mean-path
+-- levels l+jb > 0 exactly like the operator
+SELECT 'hwm_se3', CAST(user_id AS VARCHAR), NULL, n, NULL, NULL,
+       ROUND(CASE WHEN LEAST(lvl + trd, lvl + 2 * trd, lvl + 3 * trd) > 0
+                  THEN SQRT(sse / (n - 4) * (1.0
+                       + (0.5 * (1.0 + 0.25 * 2.0) * sh3 / sh1)
+                         * (0.5 * (1.0 + 0.25 * 2.0) * sh3 / sh1)
+                       + (0.5 * (1.0 + 0.25 * 1.0) * sh3 / sh2)
+                         * (0.5 * (1.0 + 0.25 * 1.0) * sh3 / sh2)))
+             END, 6)
+FROM hwmfinal
 UNION ALL
 SELECT 'lb_q', CAST(user_id AS VARCHAR), NULL, CAST(n AS BIGINT), NULL, NULL,
        ROUND(q, 6)
