@@ -1809,6 +1809,14 @@ def glm_elastic_net_grouped(
         raise ValueError("elastic_net_param must be in [0, 1]")
     if exact_iterations is not None and exact_iterations < 1:
         raise ValueError("exact_iterations must be >= 1")
+    if family == "tweedie":
+        # Tweedie.__init__ owns the (1, 2) p-domain raise (review r13:
+        # the grouped twins call the numpy kernels directly, so without
+        # this a bad p returned plausible-but-wrong deviances where the
+        # single fit raises)
+        from sparkglm_spark.functions.families import get_family
+
+        get_family(family, float(var_power))
     encoded, x_cols, target = _design(
         df, formula,
         list(group_cols) + ([lam_col] if lam_col else []),
@@ -1887,12 +1895,12 @@ def glm_elastic_net_grouped(
                 lam_g = float(lv[0])
             else:
                 ok = False
-        if ok and fam_name == "binomial":
-            ok = bool(np.all((y >= 0) & (y <= 1)))
-        if ok and fam_name in ("poisson", "tweedie"):
-            ok = bool(np.all(y >= 0))
-        if ok and fam_name == "gamma":
-            ok = bool(np.all(y > 0))
+        if ok:
+            # the shared four-fitter domain rule (one definition —
+            # review r13: three hand-written boolean twins had appeared)
+            ok = _enet_label_domain_error(
+                fam_name, float(y.min()), float(y.max())
+            ) is None
         if ok:
             ybar = float((wv * y).sum()) / nw
             if fam_name == "binomial":
@@ -2030,6 +2038,10 @@ def glm_elastic_net_path_grouped(
         raise ValueError("elastic_net_param must be in [0, 1]")
     if exact_iterations is not None and exact_iterations < 1:
         raise ValueError("exact_iterations must be >= 1")
+    if family == "tweedie":
+        from sparkglm_spark.functions.families import get_family
+
+        get_family(family, float(var_power))  # (1, 2) p-domain raise
     encoded, x_cols, target = _design(
         df, formula, list(group_cols), na_action=na_action,
         weight_col=weight_col, offset_col=offset_col,
@@ -2101,12 +2113,12 @@ def glm_elastic_net_path_grouped(
             and nw > 0.0
             and sdenom > 0.0
         )
-        if ok and fam_name == "binomial":
-            ok = bool(np.all((y >= 0) & (y <= 1)))
-        if ok and fam_name in ("poisson", "tweedie"):
-            ok = bool(np.all(y >= 0))
-        if ok and fam_name == "gamma":
-            ok = bool(np.all(y > 0))
+        if ok:
+            # the shared four-fitter domain rule (one definition —
+            # review r13: three hand-written boolean twins had appeared)
+            ok = _enet_label_domain_error(
+                fam_name, float(y.min()), float(y.max())
+            ) is None
         if ok:
             ybar = float((wv * y).sum()) / nw
             if fam_name == "binomial":
@@ -2285,6 +2297,10 @@ def glm_elastic_net_cv_grouped(
         )
     if exact_iterations is not None and exact_iterations < 1:
         raise ValueError("exact_iterations must be >= 1")
+    if family == "tweedie":
+        from sparkglm_spark.functions.families import get_family
+
+        get_family(family, float(var_power))  # (1, 2) p-domain raise
     if isinstance(fold_expr, str):
         fold_expr = F.col(fold_expr)
     base = df.withColumn("__fold", fold_expr.cast("int"))
@@ -2361,12 +2377,12 @@ def glm_elastic_net_cv_grouped(
             and np.all(np.isfinite(ov))
             and bool(np.all((fd >= 0) & (fd < nf)))
         )
-        if ok and fam_name == "binomial":
-            ok = bool(np.all((y >= 0) & (y <= 1)))
-        if ok and fam_name in ("poisson", "tweedie"):
-            ok = bool(np.all(y >= 0))
-        if ok and fam_name == "gamma":
-            ok = bool(np.all(y > 0))
+        if ok:
+            # the shared four-fitter domain rule (one definition —
+            # review r13: three hand-written boolean twins had appeared)
+            ok = _enet_label_domain_error(
+                fam_name, float(y.min()), float(y.max())
+            ) is None
         if not ok:
             return pd.DataFrame(null_rows(), columns=[f.name for f in out_schema])
 

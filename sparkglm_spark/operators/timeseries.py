@@ -1550,7 +1550,11 @@ def forecast_accuracy(
         F.avg(smape_term).alias("smape"),
         F.avg("__nd").alias("__naive"),
         *(
-            [F.min("__dt").alias("__dt_min"), F.max("__dt").alias("__dt_max")]
+            [
+                F.min("__dt").alias("__dt_min"),
+                F.max("__dt").alias("__dt_max"),
+                F.count("__dt").alias("__dt_n"),
+            ]
             if check_grid
             else []
         ),
@@ -1558,13 +1562,18 @@ def forecast_accuracy(
     mase_ok = F.col("__naive").isNotNull() & (F.col("__naive") > 0.0)
     if check_grid:
         # regular grid ⇔ every spacing equals every other AND > 0 (an
-        # all-duplicate-ts key is not a series); a 1-row key has no
-        # spacing (both NULL) — its mase is already NULL via the naive
-        # term, so the null comparison changes nothing
+        # all-duplicate-ts key is not a series) AND exactly one NULL
+        # spacing per key — the first row's missing lag. A NULL-ts row
+        # contributes TWO null spacings (its own and its successor's)
+        # while min/max silently skip it, yet it still occupies a
+        # lag-m position — the phantom-row phase shift the guard
+        # exists to catch (review r13). A 1-row key has n−count = 1
+        # but a NULL naive term, so mase stays NULL regardless.
         mase_ok = (
             mase_ok
             & F.col("__dt_min").eqNullSafe(F.col("__dt_max"))
             & (F.col("__dt_max") > 0.0)
+            & (F.col("n") - F.col("__dt_n") == 1)
         )
     return agg.select(
         key_col,

@@ -1242,12 +1242,12 @@ def forecast_accuracy_stream(
         ]
     )
     if m > 1:
-        from pyspark.sql.types import ArrayType, BooleanType
+        from pyspark.sql.types import ArrayType
 
         # seasonal state: the ring buffer of the last ≤ m actuals plus
-        # the grid trackers (prev_ts, running spacing min/max, and a
-        # sticky irregular flag once min ≠ max or a non-positive
-        # spacing is seen)
+        # the grid trackers (prev_ts and the running lag-1 spacing
+        # min/max — regularity is dt_min == dt_max > 0 at emit time,
+        # so one bad spacing poisons the key permanently)
         state_schema = StructType(
             [
                 StructField("n", LongType()),
@@ -1375,9 +1375,14 @@ def forecast_accuracy_stream(
         # r13 contiguity check in streaming form
         sv = pdf[ts_col]
         if str(sv.dtype).startswith("datetime64") or sv.dtype == object:
-            ts_num = pd.to_datetime(sv).astype("int64").to_numpy(
-                dtype=np.float64
-            )
+            # epoch MICROS, floored in int64 BEFORE the float cast:
+            # float64's ulp at 2026-era epoch NANOS is 256 ns, which
+            # would make a perfectly regular ms grid look irregular
+            # (review r13); micros stay < 2^53 and convert exactly —
+            # the batch twin's unix_micros semantics
+            ts_num = (
+                pd.to_datetime(sv).astype("int64") // 1000
+            ).to_numpy(dtype=np.float64)
         else:
             ts_num = sv.to_numpy(dtype=np.float64)
         dts = np.diff(ts_num)

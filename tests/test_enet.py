@@ -1836,6 +1836,23 @@ def test_glm_elastic_net_tweedie_family(spark):
     with pytest.raises(ValueError, match="var_power"):
         glm_elastic_net(df, "y ~ x", reg_param=0.1, family="tweedie",
                         var_power=2.5)
+    # review r13: the grouped twins call the numpy kernels directly —
+    # they must raise on a bad p too, not return plausible-wrong numbers
+    from sparkglm_spark.operators.enet import (
+        glm_elastic_net_grouped,
+        glm_elastic_net_path_grouped,
+    )
+
+    with pytest.raises(ValueError, match="var_power"):
+        glm_elastic_net_grouped(df, "y ~ x", ["g"], 0.1, family="tweedie",
+                                var_power=2.5)
+    with pytest.raises(ValueError, match="var_power"):
+        glm_elastic_net_path_grouped(df, "y ~ x", ["g"], [0.1],
+                                     family="tweedie", var_power=0.5)
+    with pytest.raises(ValueError, match="var_power"):
+        glm_elastic_net_cv_grouped(df, "y ~ x", ["g"], [0.1], "fd",
+                                   n_folds=3, family="tweedie",
+                                   var_power=2.0)
     with pytest.raises(ValueError, match="tweedie label must be >= 0"):
         glm_elastic_net(
             df.withColumn("y", F.col("y") - 1.0), "y ~ x",

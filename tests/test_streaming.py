@@ -1457,3 +1457,65 @@ def test_forecast_accuracy_stream_seasonal_m(spark):
     assert batch["a"].mase is not None          # the live seasonal value
     assert batch["short"].mase is None          # <= m rows
     assert batch["gap"].mase is None and got["gap"]["ms"] is None  # contiguity
+
+
+def test_forecast_accuracy_stream_seasonal_ms_timestamp_grid(spark):
+    """review r13: a regular MILLISECOND timestamp grid must stay
+    regular in the stream's spacing tracker — float64's ulp at 2026-era
+    epoch NANOS is 256 ns, so the ns→float conversion made exact ms
+    grids look irregular (permanent NULL mase); the int64 floor to
+    MICROS (the batch unix_micros semantics) keeps it exact and
+    stream(m=4) == batch at 1e-12."""
+    import datetime
+
+    import numpy as np
+
+    from sparkglm_spark.operators.timeseries import forecast_accuracy
+    from sparkglm_spark.streaming.events import forecast_accuracy_stream
+
+    rng = np.random.default_rng(138)
+    t0 = datetime.datetime(2026, 3, 1, 12, 0, 0)
+    rows = []
+    for t in range(24):
+        y = 10.0 + (t % 4) + float(rng.normal(0, 0.3))
+        rows.append((t0 + datetime.timedelta(milliseconds=t), y,
+                     y + float(rng.normal(0, 0.5))))
+    df = spark.createDataFrame(
+        [("a", ts, y, f) for ts, y, f in rows],
+        "k string, ts timestamp_ntz, y double, f double",
+    )
+    parts = [df.limit(0)]  # placeholder replaced below
+    srt = sorted(r[0] for r in rows)
+    cut1, cut2 = srt[8], srt[16]
+    parts = [
+        df.where(F.col("ts") < F.lit(cut1)),
+        df.where((F.col("ts") >= F.lit(cut1)) & (F.col("ts") < F.lit(cut2))),
+        df.where(F.col("ts") >= F.lit(cut2)),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        os.makedirs(src)
+        for i, p in enumerate(parts):
+            p.coalesce(1).write.parquet(os.path.join(src, f"b{i}.parquet"))
+        stream_in = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*.parquet"))
+        )
+        out = forecast_accuracy_stream(stream_in, "k", "ts", "y", "f", m=4)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("fa_msgrid")
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        g = spark.sql(
+            "SELECT max_by(mase, n) AS ms FROM fa_msgrid"
+        ).collect()[0]
+    b = forecast_accuracy(df, "k", "ts", "y", "f", m=4).collect()[0]
+    assert b.mase is not None, "batch must see the regular ms grid"
+    assert g.ms is not None, "stream must see the regular ms grid"
+    assert g.ms == pytest.approx(b.mase, rel=1e-12)

@@ -1492,3 +1492,13 @@ def test_forecast_accuracy_mase_contiguity_guard(spark):
     )
     outt = {r.k: r for r in forecast_accuracy(tdf, "k", "t", "y", "f", m=2).collect()}
     assert outt["h"].mase is not None and outt["hg"].mase is None
+    # a NULL-ts row is a phantom position: min/max skip its NULL
+    # spacings while the lag-m pairing still counts it (review r13) —
+    # the null-spacing census must NULL the key
+    ndf = spark.createDataFrame(
+        [("p", None if t == 3 else t, y, y + 1.0)
+         for t, y in enumerate(seq)],
+        "k string, t bigint, y double, f double",
+    )
+    rp = forecast_accuracy(ndf, "k", "t", "y", "f", m=2).collect()[0]
+    assert rp.mase is None and rp.mae is not None
