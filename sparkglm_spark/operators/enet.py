@@ -2510,6 +2510,7 @@ def cv_select_lambda(
     cv: DataFrame,
     group_cols: list[str] | None = None,
     rule: str = "min",
+    metric_col: str = "deviance_val",
 ) -> DataFrame:
     """λ selection over a CV result frame — the glmnet `lambda.min` /
     `lambda.1se` rules, as one declarative aggregation chain (works on
@@ -2533,13 +2534,24 @@ def cv_select_lambda(
     no output row (it already signalled via its NULL CV rows). Ties on
     cvm break toward the LARGER λ (more regularization at equal error —
     the glmnet direction). Returns one row per group: group_cols…,
-    reg_param, cvm, cvse, n_folds."""
+    reg_param, cvm, cvse, n_folds.
+
+    `metric_col` (r13) names the held-out loss column — the default
+    'deviance_val' fits the GLM CVs; pass 'rmse_val' to select over the
+    LINEAR `elastic_net_cv` frame (glmnet applies the same
+    min/1se rules to any cv loss), completing the λ workflow for both
+    penalized families."""
     from pyspark.sql import Window
 
     if rule not in ("min", "1se"):
         raise ValueError(f"rule must be 'min' or '1se', got {rule!r}")
     gcols = list(group_cols or [])
-    dv = F.col("deviance_val")
+    if metric_col not in cv.columns:
+        raise ValueError(
+            f"metric_col {metric_col!r} not in the CV frame "
+            f"{sorted(cv.columns)}"
+        )
+    dv = F.col(metric_col)
     ok = dv.isNotNull() & ~F.isnan(dv) & F.col("fold").isNotNull()
     # Duplicate reg_params in the CV grid emit duplicate (λ, fold)
     # blocks (documented on glm_elastic_net_cv/_cv_grouped); counting

@@ -1640,6 +1640,15 @@ def test_cv_select_lambda_rules(spark):
     sd = {r.g: r for r in cv_select_lambda(dup, ["g"], rule="1se").collect()}
     assert sd["g1"].reg_param == 0.1
     assert sd["g1"].cvse == pytest.approx(se["g1"].cvse)
+    # r13 metric_col: the same rules select over the LINEAR CV's
+    # rmse_val (glmnet applies min/1se to any cv loss); a frame without
+    # the metric raises
+    lin = df.withColumnRenamed("deviance_val", "rmse_val")
+    ml_ = {r.g: r for r in cv_select_lambda(
+        lin, ["g"], rule="min", metric_col="rmse_val").collect()}
+    assert ml_["g1"].reg_param == 0.01 and ml_["g1"].cvm == pytest.approx(9.0)
+    with pytest.raises(ValueError, match="metric_col"):
+        cv_select_lambda(lin, ["g"])
 
 
 def test_grouped_refit_at_per_group_lambda(spark):
