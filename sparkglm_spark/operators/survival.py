@@ -678,35 +678,41 @@ def ph_assumption_test(
     }
 
 
-def _bucket_pair_stats(pdf_t, pdf_e, pdf_r):
+def _bucket_pair_stats(pdf_t, pdf_e, pdf_r, pdf_w=None):
     """Within-bucket pair counts for Harrell's C (numpy, one bucket's
     rows): over pairs with t_i < t_j STRICTLY and i an event, count
     (concordant: r_i > r_j) and (risk ties: r_i == r_j). BIT (Fenwick)
     over risk ranks, times processed descending so the tree always holds
-    exactly the rows with LATER time."""
+    exactly the rows with LATER time. `pdf_w` (r13): case weights — the
+    tree accumulates ω MASSES and each event row contributes ω_q·(tree
+    prefix), so a pair (i, j) counts ω_i·ω_j (frequency-weight pair
+    semantics; integer ω ≡ replication EXACTLY — integer-valued float64
+    sums are exact). The unweighted branch is byte-unchanged int
+    arithmetic."""
     order = np.argsort(pdf_t, kind="mergesort")
     t, e, r = pdf_t[order], pdf_e[order], pdf_r[order]
+    w = pdf_w[order] if pdf_w is not None else None
     # dense risk ranks 1..m (BIT is 1-indexed)
     uniq = np.unique(r)
     rank = np.searchsorted(uniq, r) + 1
     m = len(uniq)
-    bit = np.zeros(m + 1, dtype=np.int64)
+    weighted = w is not None
+    bit = np.zeros(m + 1, dtype=np.float64 if weighted else np.int64)
 
-    def bit_add(i):
+    def bit_add(i, x):
         while i <= m:
-            bit[i] += 1
+            bit[i] += x
             i += i & (-i)
 
-    def bit_sum(i):  # prefix count of ranks <= i
-        s = 0
+    def bit_sum(i):  # prefix mass/count of ranks <= i
+        s = bit.dtype.type(0)
         while i > 0:
             s += bit[i]
             i -= i & (-i)
         return s
 
-    conc = ties = 0
+    conc = ties = 0.0 if weighted else 0
     n = len(t)
-    j = n  # rows with index >= j are in the BIT (strictly later times)
     i = n - 1
     while i >= 0:
         k = i
@@ -715,15 +721,16 @@ def _bucket_pair_stats(pdf_t, pdf_e, pdf_r):
         # rows (k, i] share time t[i]; BIT holds rows with time > t[i]
         for q in range(k + 1, i + 1):
             if e[q] == 1.0:
-                conc += bit_sum(rank[q] - 1)
-                ties += bit_sum(rank[q]) - bit_sum(rank[q] - 1)
+                wq = w[q] if weighted else 1
+                conc += wq * bit_sum(rank[q] - 1)
+                ties += wq * (bit_sum(rank[q]) - bit_sum(rank[q] - 1))
         for q in range(k + 1, i + 1):
-            bit_add(rank[q])
+            bit_add(rank[q], w[q] if weighted else 1)
         i = k
     return conc, ties
 
 
-def _bucket_pair_stats_vec(pdf_t, pdf_e, pdf_r):
+def _bucket_pair_stats_vec(pdf_t, pdf_e, pdf_r, pdf_w=None):
     """Vectorized twin of `_bucket_pair_stats` (bit-for-bit identical
     counts — fuzz-asserted in tests): the per-row Python Fenwick loop is
     O(n log n) PYTHON operations, which dominates the within-bucket task
@@ -739,9 +746,17 @@ def _bucket_pair_stats_vec(pdf_t, pdf_e, pdf_r):
     0 and rank_q has 1 — so per bit, group rows by the rank prefix,
     sort (prefix, time-group, insert-before-query) with one lexsort,
     and a segmented cumsum of bit-0 inserts answers every query at
-    once. Risk ties use the same sweep keyed on the full rank."""
+    once. Risk ties use the same sweep keyed on the full rank.
+
+    `pdf_w` (r13): case weights — every insert carries its ω instead of
+    1 (segmented cumsums of ω), every query scales by ω_q, so a pair
+    counts ω_i·ω_j; integer-ω float64 sums are exact (replication
+    identity holds exactly). Unweighted stays int64 — byte-identical
+    counts."""
     order = np.argsort(pdf_t, kind="mergesort")
     t, e, r = pdf_t[order], pdf_e[order], pdf_r[order]
+    weighted = pdf_w is not None
+    w = pdf_w[order] if weighted else None
     _, gidx = np.unique(t, return_inverse=True)
     uniq_r, rank = np.unique(r, return_inverse=True)
     m = len(uniq_r)
@@ -749,7 +764,12 @@ def _bucket_pair_stats_vec(pdf_t, pdf_e, pdf_r):
     qmask = e == 1.0
     nq = int(qmask.sum())
     if nq == 0:
-        return 0, 0
+        return (0.0, 0.0) if weighted else (0, 0)
+    acc_t = np.float64 if weighted else np.int64
+    item_w = (
+        np.concatenate([w, w[qmask]]) if weighted
+        else np.ones(n + nq, dtype=np.int64)
+    )
     # items: every row as an INSERT, plus each event row as a QUERY;
     # at equal (segment, time-group) inserts sort first, so a query
     # counts inserts with gidx_j <= gidx_q (same-time rows included in
@@ -779,22 +799,30 @@ def _bucket_pair_stats_vec(pdf_t, pdf_e, pdf_r):
         within = c - base[seg_id]
         return sisq, sqid, within, o
 
-    le_smaller = np.zeros(nq, dtype=np.int64)
+    le_smaller = np.zeros(nq, dtype=acc_t)
     nbits = max(1, int(m - 1).bit_length())
     for b in range(nbits):
         seg = item_rank >> (b + 1)
         bitb = (item_rank >> b) & 1
-        ins_bit0 = ((~item_isq) & (bitb == 0)).astype(np.int64)
+        ins_bit0 = ((~item_isq) & (bitb == 0)).astype(acc_t) * item_w
         sisq, sqid, within, o = sweep(seg, ins_bit0)
         sbit = bitb[o]
         qsel = sisq & (sbit == 1)
         le_smaller[sqid[qsel]] += within[qsel]
     # rank-equality sweep (full rank as the segment; all inserts count)
     sisq, sqid, within, _ = sweep(
-        item_rank, (~item_isq).astype(np.int64)
+        item_rank, (~item_isq).astype(acc_t) * item_w
     )
-    le_eq = np.zeros(nq, dtype=np.int64)
+    le_eq = np.zeros(nq, dtype=acc_t)
     le_eq[sqid[sisq]] = within[sisq]
+    if weighted:
+        cnt = np.bincount(rank, weights=w, minlength=m)
+        csum = np.concatenate([[0.0], np.cumsum(cnt)])
+        wq = w[qmask]
+        qrank = rank[qmask]
+        conc = float((wq * (csum[qrank] - le_smaller)).sum())
+        ties = float((wq * (cnt[qrank] - le_eq)).sum())
+        return conc, ties
     cnt = np.bincount(rank, minlength=m)
     csum = np.concatenate([[0], np.cumsum(cnt)])
     qrank = rank[qmask]
@@ -833,6 +861,7 @@ def concordance_index(
     risk_col: str,
     n_buckets: int | None = None,
     time_bucket: float | None = None,
+    weight_col: str | None = None,
 ) -> dict:
     """Harrell's concordance index — the standard discrimination measure
     for a survival model's risk score (public convention: Harrell 1982;
@@ -871,18 +900,45 @@ def concordance_index(
     `time_bucket` floors the time axis first (changes the statistic by
     coarsening ties, exactly as in `coxph`).
 
+    `weight_col` (r13): per-row FREQUENCY (case) weights — a pair (i, j)
+    counts ω_i·ω_j, so every grid sum and Fenwick/bit-plane accumulator
+    carries ω masses and an INTEGER weight is exactly row replication
+    for c_index AND all the pair counts (integer-valued float64 sums
+    are exact — the identity asserts equality, not approx). Weighted
+    n_comparable/n_concordant/n_tied_risk come back as float MASSES
+    (ints unweighted); n/n_events stay raw rows (the engine-wide
+    convention). Null/NaN/negative weights and Σω ≤ 0 raise via the
+    shared guard; an all-zero event-weight mass raises (no comparable
+    mass). Bucketing stays COUNT-based (any tie-respecting bucketing is
+    exact; ω only changes balance).
+
     Returns {c_index, n_comparable, n_concordant, n_tied_risk, n, n_events}.
     """
     from pyspark.sql import Window, types as T
 
     if n_buckets is not None and n_buckets < 1:
         raise ValueError("n_buckets must be >= 1")
+    weighted = weight_col is not None
     base = df.select(
         _time_expr(time_col, time_bucket).alias("__t"),
         F.col(event_col).cast("double").alias("__e"),
         F.col(risk_col).cast("double").alias("__r"),
+        *(
+            [F.col(weight_col).cast("double").alias("__w")]
+            if weighted else []
+        ),
+    )
+    wchk = (
+        [
+            F.sum("__w").alias("sw"),
+            F.min("__w").alias("minw"),
+            F.count("__w").alias("n_w"),
+            F.sum(F.col("__w") * F.col("__e")).alias("swe"),
+        ]
+        if weighted else []
     )
     chk = base.agg(
+        *wchk,
         F.count(F.lit(1)).alias("n"),
         F.sum("__e").alias("ne"),
         F.sum(
@@ -911,6 +967,17 @@ def concordance_index(
     n, n_events = int(chk["n"]), int(float(chk["ne"]))
     if n_events == 0:
         raise ValueError("no events — no comparable pairs")
+    if weighted:
+        from sparkglm_spark.operators.lm import check_weight_domain
+
+        check_weight_domain(
+            weight_col, n=n, n_w=int(chk["n_w"]),
+            min_w=chk["minw"], sum_w=chk["sw"],
+        )
+        if float(chk["swe"] or 0.0) <= 0.0:
+            raise ValueError(
+                "all event rows carry zero weight — no comparable mass"
+            )
     if n_buckets is None:
         # auto-size from the count the validation agg already paid for
         n_buckets = min(4096, max(16, -(-n // _CINDEX_ROWS_PER_BUCKET)))
@@ -940,9 +1007,11 @@ def concordance_index(
         # intermediate this algorithm pays) merge into the per-bucket
         # running count: at a probe, the inclusive RANGE cum IS
         # C_le(b, t) = #rows of bucket b with time ≤ t.
+        ww = F.col("__w") if weighted else F.lit(1.0)
         cells = work.groupBy("__t", "__b").agg(
-            F.count(F.lit(1)).cast("double").alias("c"),
-            F.sum("__e").alias("ev"),
+            (F.sum(ww) if weighted else F.count(F.lit(1)).cast("double"))
+            .alias("c"),
+            F.sum(ww * F.col("__e")).alias("ev"),
         ).persist()
         ev_cells = cells.where(F.col("ev") > 0)
         bucket_ids = cells.sparkSession.range(1, n_buckets + 1).select(
@@ -993,10 +1062,12 @@ def concordance_index(
             raise ValueError("no comparable pairs (all times tied?)")
 
         # within-bucket exact counts, one Arrow batch per bucket
+        # (weighted: ω-mass doubles — integer-ω sums stay exact)
+        cnt_t = T.DoubleType() if weighted else T.LongType()
         out_schema = T.StructType(
             [
-                T.StructField("conc", T.LongType()),
-                T.StructField("ties", T.LongType()),
+                T.StructField("conc", cnt_t),
+                T.StructField("ties", cnt_t),
             ]
         )
 
@@ -1015,11 +1086,13 @@ def concordance_index(
                 pdf["__t"].to_numpy(np.float64),
                 pdf["__e"].to_numpy(np.float64),
                 pdf["__r"].to_numpy(np.float64),
+                pdf["__w"].to_numpy(np.float64) if weighted else None,
             )
             return pd.DataFrame({"conc": [c], "ties": [s]})
 
+        wcols = ["__t", "__e", "__r", "__b"] + (["__w"] if weighted else [])
         wrow = (
-            fanout_groups(work.select("__t", "__e", "__r", "__b"), ["__b"])
+            fanout_groups(work.select(*wcols), ["__b"])
             .groupBy("__b")
             .applyInPandas(bucket_counts, out_schema)
             .agg(F.sum("conc").alias("wc"), F.sum("ties").alias("wt"))
@@ -1032,9 +1105,10 @@ def concordance_index(
     conc = cross_conc + within_conc
     return {
         "c_index": (conc + 0.5 * tied) / comparable,
-        "n_comparable": int(comparable),
-        "n_concordant": int(conc),
-        "n_tied_risk": int(tied),
+        # weighted pair stats are ω MASSES (float); unweighted stay ints
+        "n_comparable": comparable if weighted else int(comparable),
+        "n_concordant": conc if weighted else int(conc),
+        "n_tied_risk": tied if weighted else int(tied),
         "n": n,
         "n_events": n_events,
     }

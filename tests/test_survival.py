@@ -1502,3 +1502,79 @@ def test_weibull_aft_grouped_weighted(spark):
     for g in ("negw", "zev"):
         assert out[(g, "x")].estimate is None, g
         assert not out[(g, "x")].converged, g
+
+
+def test_concordance_index_weighted_replication_identity(spark):
+    """r13 weight_col on concordance_index: a pair counts ω_i·ω_j, so
+    integer case weights equal row replication EXACTLY (integer-valued
+    float64 masses are exact sums — equality, not approx) for c_index
+    and every pair mass; unit weights == unweighted exactly; both
+    within-bucket kernels agree under weights (forced via n_buckets);
+    zero-weight rows == filtered rows; guards raise."""
+    from sparkglm_spark.operators.survival import concordance_index
+
+    rng = np.random.default_rng(139)
+    n = 400
+    risk = np.round(rng.normal(0, 1, n), 1)      # heavy risk ties
+    t = np.round(rng.exponential(np.exp(-0.6 * risk)), 2)  # time ties too
+    c = rng.exponential(1.5, n)
+    time = np.minimum(t, c)
+    ev = (t <= c).astype(float)
+    w = rng.integers(1, 4, n)
+    df = spark.createDataFrame(
+        [(float(time[i]), float(ev[i]), float(risk[i]), int(w[i]))
+         for i in range(n)],
+        "t double, e double, r double, w int",
+    )
+    rep = df.withColumn("q", F.explode(F.expr("sequence(1, w)"))).drop("q", "w")
+
+    ow = concordance_index(df, "t", "e", "r", weight_col="w")
+    orp = concordance_index(rep, "t", "e", "r")
+    assert ow["c_index"] == orp["c_index"]                     # exact
+    assert float(ow["n_comparable"]) == float(orp["n_comparable"])
+    assert float(ow["n_concordant"]) == float(orp["n_concordant"])
+    assert float(ow["n_tied_risk"]) == float(orp["n_tied_risk"])
+    assert ow["n"] == n and ow["n_events"] == int(ev.sum())   # raw rows
+    assert isinstance(ow["n_comparable"], float)               # omega mass
+
+    # unit weights == unweighted exactly; kernel choice irrelevant
+    o1 = concordance_index(
+        df.withColumn("w1", F.lit(1.0)), "t", "e", "r", weight_col="w1"
+    )
+    o0 = concordance_index(df, "t", "e", "r")
+    assert o1["c_index"] == o0["c_index"]
+    assert float(o1["n_concordant"]) == float(o0["n_concordant"])
+    # force BOTH kernels across the same weighted data: many buckets
+    # (tiny batches -> Python Fenwick) vs one bucket (vectorized)
+    om = concordance_index(df, "t", "e", "r", n_buckets=64, weight_col="w")
+    o1b = concordance_index(df, "t", "e", "r", n_buckets=1, weight_col="w")
+    assert om["c_index"] == pytest.approx(o1b["c_index"], rel=1e-14)
+    assert float(om["n_concordant"]) == float(o1b["n_concordant"])
+
+    # zero-weight rows are exactly absent
+    dfz = df.withColumn(
+        "w", F.when(F.col("r") > 1.0, 0.0).otherwise(F.col("w").cast("double"))
+    )
+    oz = concordance_index(dfz, "t", "e", "r", weight_col="w")
+    of = concordance_index(
+        dfz.where(F.col("w") > 0), "t", "e", "r", weight_col="w"
+    )
+    assert oz["c_index"] == of["c_index"]
+    assert float(oz["n_comparable"]) == float(of["n_comparable"])
+
+    with pytest.raises(ValueError, match="negative"):
+        concordance_index(
+            df.withColumn("w", F.when(F.col("r") > 1, -1.0).otherwise(1.0)),
+            "t", "e", "r", weight_col="w",
+        )
+    with pytest.raises(ValueError, match="null"):
+        concordance_index(
+            df.withColumn("w", F.when(F.col("r") > 1, None)
+                          .otherwise(F.lit(1.0))),
+            "t", "e", "r", weight_col="w",
+        )
+    with pytest.raises(ValueError, match="comparable mass"):
+        concordance_index(
+            df.withColumn("w", F.lit(1.0) - F.col("e")),
+            "t", "e", "r", weight_col="w",
+        )
