@@ -8005,12 +8005,30 @@ def q_orders_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("o_custkey") % 100) / 100.0).alias("r"),
     )
     ci = concordance_index(ci_in, "t", "ev", "r", n_buckets=16)
+    # r13: the frequency-weighted twin — a pair counts ω_i·ω_j, so the
+    # DuckDB all-pairs join just sums a.w·b.w; integer-ω masses are
+    # exact in float64 → CAST AS BIGINT is lossless on both sides.
+    wci_in = od.where(F.col("o_custkey") % 15 == 0).select(
+        F.col("o_totalprice").cast("double").alias("t"),
+        F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0).alias("ev"),
+        ((F.col("o_custkey") % 100) / 100.0).alias("r"),
+        (1.0 + (F.col("o_custkey") % 3).cast("double")).alias("wq"),
+    )
+    wci = concordance_index(wci_in, "t", "ev", "r", n_buckets=16,
+                            weight_col="wq")
     ci_rows = spark.createDataFrame(
         [
             ("cindex", "c", None, round(ci["c_index"], 6), None, None),
             ("cindex", "comparable", ci["n_comparable"], None, None, None),
             ("cindex", "concordant", ci["n_concordant"], None, None, None),
             ("cindex", "tied_risk", ci["n_tied_risk"], None, None, None),
+            ("wcidx", "c", None, round(wci["c_index"], 6), None, None),
+            ("wcidx", "comparable", int(wci["n_comparable"]), None, None,
+             None),
+            ("wcidx", "concordant", int(wci["n_concordant"]), None, None,
+             None),
+            ("wcidx", "tied_risk", int(wci["n_tied_risk"]), None, None,
+             None),
         ],
         "op string, key string, n bigint, v1 double, v2 double, v3 double",
     )
@@ -8634,6 +8652,30 @@ FROM (
   UNION ALL SELECT 'comparable', comp, NULL FROM cia
   UNION ALL SELECT 'concordant', conc, NULL FROM cia
   UNION ALL SELECT 'tied_risk', ties, NULL FROM cia
+) u
+UNION ALL
+SELECT 'wcidx', u.key, u.nn, u.v1, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM (
+  -- r13 weighted C: pair mass a.w * b.w (omega = 1 + custkey % 3)
+  WITH wcib AS (
+    SELECT CAST(o_totalprice AS DOUBLE) AS t,
+           CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS ev,
+           CAST(o_custkey % 100 AS DOUBLE) / 100.0 AS r,
+           1.0 + CAST(o_custkey % 3 AS DOUBLE) AS w
+    FROM orders WHERE o_custkey % 15 = 0),
+  wcip AS (
+    SELECT a.r AS ra, b.r AS rb, a.w * b.w AS pw
+    FROM wcib a JOIN wcib b ON a.ev = 1.0 AND b.t > a.t),
+  wcia AS (
+    SELECT SUM(pw) AS comp,
+           SUM(CASE WHEN ra > rb THEN pw ELSE 0.0 END) AS conc,
+           SUM(CASE WHEN ra = rb THEN pw ELSE 0.0 END) AS ties
+    FROM wcip)
+  SELECT 'c' AS key, CAST(NULL AS BIGINT) AS nn,
+         ROUND((conc + 0.5 * ties) / comp, 6) AS v1 FROM wcia
+  UNION ALL SELECT 'comparable', CAST(comp AS BIGINT), NULL FROM wcia
+  UNION ALL SELECT 'concordant', CAST(conc AS BIGINT), NULL FROM wcia
+  UNION ALL SELECT 'tied_risk', CAST(ties AS BIGINT), NULL FROM wcia
 ) u
 UNION ALL
 SELECT 'logrank', lr.key, lr.nn, lr.v1, CAST(NULL AS DOUBLE),
