@@ -766,10 +766,7 @@ def _bucket_pair_stats_vec(pdf_t, pdf_e, pdf_r, pdf_w=None):
     if nq == 0:
         return (0.0, 0.0) if weighted else (0, 0)
     acc_t = np.float64 if weighted else np.int64
-    item_w = (
-        np.concatenate([w, w[qmask]]) if weighted
-        else np.ones(n + nq, dtype=np.int64)
-    )
+    item_w = np.concatenate([w, w[qmask]]) if weighted else None
     # items: every row as an INSERT, plus each event row as a QUERY;
     # at equal (segment, time-group) inserts sort first, so a query
     # counts inserts with gidx_j <= gidx_q (same-time rows included in
@@ -804,15 +801,18 @@ def _bucket_pair_stats_vec(pdf_t, pdf_e, pdf_r, pdf_w=None):
     for b in range(nbits):
         seg = item_rank >> (b + 1)
         bitb = (item_rank >> b) & 1
-        ins_bit0 = ((~item_isq) & (bitb == 0)).astype(acc_t) * item_w
+        ins_bit0 = ((~item_isq) & (bitb == 0)).astype(acc_t)
+        if weighted:
+            ins_bit0 = ins_bit0 * item_w
         sisq, sqid, within, o = sweep(seg, ins_bit0)
         sbit = bitb[o]
         qsel = sisq & (sbit == 1)
         le_smaller[sqid[qsel]] += within[qsel]
     # rank-equality sweep (full rank as the segment; all inserts count)
-    sisq, sqid, within, _ = sweep(
-        item_rank, (~item_isq).astype(acc_t) * item_w
-    )
+    ins_all = (~item_isq).astype(acc_t)
+    if weighted:
+        ins_all = ins_all * item_w
+    sisq, sqid, within, _ = sweep(item_rank, ins_all)
     le_eq = np.zeros(nq, dtype=acc_t)
     le_eq[sqid[sisq]] = within[sisq]
     if weighted:
