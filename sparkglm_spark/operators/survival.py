@@ -550,11 +550,23 @@ def schoenfeld_residuals(
     groupBy(distinct time[, stratum]) of (e0, e1_k, d, dx_k) compact
     doubles, the suffix-sum pass (per-stratum windows when stratified),
     then a pure projection. Nothing row-level is collected; the output
-    is the distinct-event-time table."""
+    is the distinct-event-time table.
+
+    A model fitted with `weight_col` (r13) computes the residuals of
+    ITS OWN weighted score: every risk term carries ω·exp(η) and every
+    event term ω (the R `residuals(coxph(weights=))` convention —
+    integer ω ≡ row replication, tested), reading ω from the model's
+    stored weight column in `df`. `n_events` is then the ω event MASS
+    (double; long unweighted)."""
     k = len(model.xnames)
     xs = [F.col(c).cast("double") for c in model.xnames]
-    w = model._risk_expr()
-    ev = F.col(model.event_col).cast("double")
+    om = (
+        F.col(model.weight_col).cast("double")
+        if model.weight_col
+        else F.lit(1.0)
+    )
+    w = om * model._risk_expr()
+    ev = om * F.col(model.event_col).cast("double")
     aggs = [F.sum(w).alias("e0"), F.sum(ev).alias("d")]
     for i in range(k):
         aggs.append(F.sum(xs[i] * w).alias(f"e1_{i}"))
@@ -568,11 +580,12 @@ def schoenfeld_residuals(
         per_t, ["e0"] + [f"e1_{i}" for i in range(k)], sc, num_partitions
     )
     out_keys = ([F.col(sc)] if sc else []) + [F.col("__t").alias("time")]
+    d_out = F.col("d") if model.weight_col else F.col("d").cast("long")
     return (
         cum.where(F.col("d") > 0)
         .select(
             *out_keys,
-            F.col("d").cast("long").alias("n_events"),
+            d_out.alias("n_events"),
             *[
                 (
                     F.col(f"dx_{i}")
@@ -610,7 +623,11 @@ def ph_assumption_test(
     I⁻¹ before the per-covariate test — identical when covariates are
     uncorrelated, slightly different otherwise; the convention used
     here is the paper's marginal form, documented so the numbers are
-    reproducible.)
+    reproducible.) A `weight_col` model (r13) tests ITS OWN weighted
+    score: the Schoenfeld frame carries ω masses, d becomes the ω
+    event mass (reported as a float n_events), and the stored
+    cov_params already hold the ω-information — integer ω ≡ row
+    replication end-to-end (tested).
 
     `transform`: "identity" (g = t) or "log" (g = ln t, requires t > 0).
     Plan: the Schoenfeld frame (distinct event times) → ONE aggregation
@@ -673,7 +690,7 @@ def ph_assumption_test(
             "df": float(k),
             "p_value": float(chisq_sf(glob, float(k))),
         },
-        "n_events": int(d_tot),
+        "n_events": d_tot if model.weight_col else int(d_tot),
         "transform": transform,
     }
 

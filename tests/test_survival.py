@@ -1578,3 +1578,59 @@ def test_concordance_index_weighted_replication_identity(spark):
             df.withColumn("w", F.lit(1.0) - F.col("e")),
             "t", "e", "r", weight_col="w",
         )
+
+
+def test_schoenfeld_ph_weighted_replication_identity(spark):
+    """r13: a weight_col CoxPH model's Schoenfeld residuals and
+    cox.zph-style PH test carry omega through every count — integer
+    case weights equal row replication for each residual row, the
+    per-covariate chi2 and the global test; n_events reports the omega
+    event MASS (double) on the weighted frame."""
+    from sparkglm_spark.operators.survival import (
+        coxph,
+        ph_assumption_test,
+        schoenfeld_residuals,
+    )
+
+    rng = np.random.default_rng(140)
+    n = 250
+    x = rng.normal(0, 1, n)
+    t = np.round(rng.exponential(np.exp(-0.6 * x)), 2) + 0.01
+    c = rng.exponential(1.5, n)
+    time = np.minimum(t, c)
+    ev = (t <= c).astype(float)
+    w = rng.integers(1, 4, n)
+    df = spark.createDataFrame(
+        [(float(time[i]), float(ev[i]), float(x[i]), int(w[i]))
+         for i in range(n)],
+        "t double, e double, x double, w int",
+    )
+    rep = df.withColumn("q", F.explode(F.expr("sequence(1, w)"))).drop("q", "w")
+    mw = coxph(df, "t", "e", ["x"], weight_col="w", tol=1e-12)
+    mr = coxph(rep, "t", "e", ["x"], tol=1e-12)
+
+    rw = {r.time: r for r in schoenfeld_residuals(mw, df).collect()}
+    rr = {r.time: r for r in schoenfeld_residuals(mr, rep).collect()}
+    assert set(rw) == set(rr) and len(rw) > 10
+    for tt in rw:
+        assert float(rw[tt].n_events) == pytest.approx(
+            float(rr[tt].n_events), rel=1e-12
+        )
+        assert rw[tt].resid_x == pytest.approx(rr[tt].resid_x, abs=1e-8)
+    # weighted frame reports the omega mass as double
+    assert isinstance(rw[max(rw)].n_events, float)
+
+    pw = ph_assumption_test(mw, df)
+    pr = ph_assumption_test(mr, rep)
+    assert pw["per_covariate"]["x"]["chi2"] == pytest.approx(
+        pr["per_covariate"]["x"]["chi2"], rel=1e-7
+    )
+    assert pw["global"]["chi2"] == pytest.approx(
+        pr["global"]["chi2"], rel=1e-7
+    )
+    assert float(pw["n_events"]) == pytest.approx(
+        float(pr["n_events"]), rel=1e-12
+    )
+    # residuals still sum to ~0 at the weighted MLE (they ARE the score)
+    tot = sum(r.resid_x for r in rw.values())
+    assert abs(tot) < 1e-6
