@@ -7735,6 +7735,15 @@ def q_orders_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
         (1.0 + (F.col("o_custkey") % 3).cast("double")).alias("wq"),
     )
     wcm = coxph(wcox_in, "t", "ev", ["x"], exact_iterations=3, weight_col="wq")
+    # r13: cox.zph pinned — the Grambsch-Therneau PH test at the SAME
+    # exact-3-step β (identity transform; at k = 1 the marginal and
+    # global chi2 coincide). The SQL reuses the final-state per-time
+    # CTE: r_t = dx − d·e1c/e0c, U = Σ(t−ḡ)r, chi2 = d·U²/(h·ssg); the
+    # weighted twin (wzph) flows the ω masses already in its sums.
+    from sparkglm_spark.operators.survival import ph_assumption_test
+
+    zph = ph_assumption_test(cm, cox_in)
+    wzph = ph_assumption_test(wcm, wcox_in)
     cox = spark.createDataFrame(
         [
             ("coxph", "beta", None, round(float(cm.coefs[0]), 6), None, None),
@@ -7744,6 +7753,10 @@ def q_orders_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("wcox", "beta", None, round(float(wcm.coefs[0]), 6), None, None),
             ("wcox", "se", None, round(float(wcm.se[0]), 6), None, None),
             ("wcox", "loglik", None, round(wcm.loglik, 4), None, None),
+            ("zph", "chi2", int(zph["n_events"]),
+             round(zph["per_covariate"]["x"]["chi2"], 6), None, None),
+            ("wzph", "chi2", int(wzph["n_events"]),
+             round(wzph["per_covariate"]["x"]["chi2"], 6), None, None),
         ],
         "op string, key string, n bigint, v1 double, v2 double, v3 double",
     )
@@ -8176,7 +8189,23 @@ SELECT 'coxg' AS op, '{seg_key}' AS key, CAST(g.ne AS BIGINT) AS n,
        CAST(NULL AS DOUBLE) AS v3
 FROM {p}f_g g CROSS JOIN {fin}
 """
+    # r13 cox.zph replay off the final-state per-time CTE (identity g;
+    # k = 1 marginal == global): U = Σ t·r − ḡ·Σ r with r = dx −
+    # d·e1c/e0c, chi2 = dt·U²/(h·ssg)
+    zph_cte = (
+        f"{p}z AS (SELECT SUM(d) AS dt, SUM(d * t) AS sdt,"
+        f" SUM(d * t * t) AS sdt2,"
+        f" SUM(t * (dx - d * e1c / e0c)) AS sgr,"
+        f" SUM(dx - d * e1c / e0c) AS sr"
+        f" FROM {p}f_c WHERE d > 0)"
+    )
+    zph_expr = (
+        "ROUND(z.dt * (z.sgr - (z.sdt / z.dt) * z.sr)"
+        " * (z.sgr - (z.sdt / z.dt) * z.sr)"
+        " / (g.h * (z.sdt2 - z.dt * (z.sdt / z.dt) * (z.sdt / z.dt))), 6)"
+    )
     if weighted:
+        ctes.append(zph_cte)
         return "WITH " + ",\n".join(ctes) + f"""
 SELECT 'wcox' AS op, 'beta' AS key, CAST(NULL AS BIGINT) AS n,
        ROUND({fin}.b, 6) AS v1, CAST(NULL AS DOUBLE) AS v2,
@@ -8188,6 +8217,9 @@ FROM {p}f_g g
 UNION ALL
 SELECT 'wcox', 'loglik', NULL, ROUND({fin}.b * g.sdx - g.dl, 4), NULL, NULL
 FROM {p}f_g g CROSS JOIN {fin}
+UNION ALL
+SELECT 'wzph', 'chi2', CAST(z.dt AS BIGINT), {zph_expr}, NULL, NULL
+FROM {p}z z CROSS JOIN {p}f_g g
 """
     # Breslow baseline: H0 = ascending running sum of d/S0 over event times
     ctes.append(
@@ -8195,6 +8227,7 @@ FROM {p}f_g g CROSS JOIN {fin}
         f"(ORDER BY t ASC ROWS UNBOUNDED PRECEDING) AS hc "
         f"FROM {p}f_c WHERE d > 0)"
     )
+    ctes.append(zph_cte)
     horizon_rows = "\nUNION ALL\n".join(
         f"SELECT 'cox_base', 'h{int(h)}', NULL, "
         f"ROUND((SELECT MAX(CASE WHEN t <= {h:.1f} THEN hc END) FROM {p}b), 6), "
@@ -8214,6 +8247,9 @@ SELECT 'coxph', 'loglik', NULL, ROUND({fin}.b * g.sdx - g.dl, 4), NULL, NULL
 FROM {p}f_g g CROSS JOIN {fin}
 UNION ALL
 SELECT 'coxph', 'n_events', CAST(g.ne AS BIGINT), NULL, NULL, NULL FROM {p}f_g g
+UNION ALL
+SELECT 'zph', 'chi2', CAST(z.dt AS BIGINT), {zph_expr}, NULL, NULL
+FROM {p}z z CROSS JOIN {p}f_g g
 UNION ALL
 {horizon_rows}
 UNION ALL
