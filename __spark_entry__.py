@@ -8060,8 +8060,29 @@ def q_orders_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "g2",
         weight_col="wq",
     )
+    # r13: STRATIFIED log-rank (strata = order priority) — per-stratum
+    # risk sets, O−E and V summed across strata; the SQL adds the
+    # stratum to the per-time GROUP BY and the suffix-sum PARTITION BY.
+    slr = logrank_test(
+        od.select(
+            F.floor(F.col("o_totalprice") / 1000).cast("double").alias("t"),
+            F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0).alias("ev"),
+            (F.col("o_custkey") % 2).alias("g2"),
+            F.col("o_orderpriority").alias("sp"),
+        ),
+        "t",
+        "ev",
+        "g2",
+        strata_col="sp",
+    )
     lr_rows = spark.createDataFrame(
         [
+            ("slogrank", "chi2", None, round(slr["chi2"], 6), None, None),
+            ("slogrank", "oe_a", None,
+             round(slr["observed_minus_expected_a"], 6), None, None),
+            ("slogrank", "variance", None, round(slr["variance"], 6), None,
+             None),
+            ("slogrank", "n_events", slr["n_events"], None, None, None),
             ("logrank", "chi2", None, round(lr["chi2"], 6), None, None),
             ("logrank", "oe_a", None, round(lr["observed_minus_expected_a"], 6),
              None, None),
@@ -8771,6 +8792,39 @@ FROM (
   UNION ALL SELECT 'variance', NULL, ROUND(v, 6) FROM wlg
   UNION ALL SELECT 'n_events', CAST(ne AS BIGINT), NULL FROM wlg
 ) wl
+UNION ALL
+SELECT 'slogrank', sl.key, sl.nn, sl.v1, CAST(NULL AS DOUBLE),
+       CAST(NULL AS DOUBLE)
+FROM (
+  -- r13 stratified log-rank: stratum joins the per-time key and the
+  -- suffix-sum partition; the final sums run over (stratum, time)
+  WITH slb AS (
+    SELECT o_orderpriority AS sp,
+           CAST(FLOOR(o_totalprice / 1000) AS DOUBLE) AS t,
+           CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS ev,
+           CASE WHEN o_custkey % 2 = 0 THEN 1.0 ELSE 0.0 END AS ia
+    FROM orders),
+  slt AS (SELECT sp, t, CAST(COUNT(*) AS DOUBLE) AS n_t, SUM(ia) AS na_t,
+                 SUM(ev) AS d, SUM(ev * ia) AS da, SUM(ev) AS ne_raw
+          FROM slb GROUP BY 1, 2),
+  slc AS (SELECT d, da, ne_raw,
+                 SUM(n_t) OVER (PARTITION BY sp ORDER BY t DESC
+                                ROWS UNBOUNDED PRECEDING) AS n,
+                 SUM(na_t) OVER (PARTITION BY sp ORDER BY t DESC
+                                 ROWS UNBOUNDED PRECEDING) AS na
+          FROM slt),
+  slg AS (SELECT SUM(CASE WHEN d > 0 THEN da - d * na / n ELSE 0.0 END) AS oe,
+                 SUM(CASE WHEN d > 0 AND n > 1 THEN
+                       d * (na / n) * (1.0 - na / n) * (n - d) / (n - 1.0)
+                     ELSE 0.0 END) AS v,
+                 SUM(ne_raw) AS ne
+          FROM slc)
+  SELECT 'chi2' AS key, CAST(NULL AS BIGINT) AS nn,
+         ROUND(oe * oe / v, 6) AS v1 FROM slg
+  UNION ALL SELECT 'oe_a', NULL, ROUND(oe, 6) FROM slg
+  UNION ALL SELECT 'variance', NULL, ROUND(v, 6) FROM slg
+  UNION ALL SELECT 'n_events', CAST(ne AS BIGINT), NULL FROM slg
+) sl
 """
 
 

@@ -1861,6 +1861,7 @@ def logrank_test(
     group_col: str,
     time_bucket: float | None = None,
     weight_col: str | None = None,
+    strata_col: str | None = None,
 ) -> dict:
     """Two-sample log-rank test (Mantel-Cox) — "are these two survival
     curves the same?", the standard companion to `kaplan_meier`:
@@ -1892,7 +1893,17 @@ def logrank_test(
     `coxph(weight_col=)` reporting convention); weight-domain
     violations (null/NaN/negative/Σω ≤ 0) raise via the shared
     `check_weight_domain`, riding the same final aggregation — no
-    extra pass."""
+    extra pass.
+
+    `strata_col` (r13) gives the STRATIFIED log-rank (R `survdiff(... +
+    strata(s))`): risk sets never cross strata — the per-time frame
+    keys on (stratum, time), suffix sums run per stratum (the `coxph`
+    `_suffix_sums` window — one hash exchange on the stratum key, strata
+    are the parallelism unit), and the same final aggregation sums O−E
+    and V across strata (χ²₁ = (Σ_s Σ_t (d_a − E_a))² / Σ_s Σ_t V_t).
+    Null-strata rows are DROPPED (the R `strata()` NA convention; a
+    single-group stratum contributes exactly zero to both sums).
+    Composes with `weight_col` and `time_bucket` unchanged."""
     from sparkglm_spark.functions.special import chisq_sf
 
     groups = [
@@ -1924,13 +1935,14 @@ def logrank_test(
             F.count(wr).alias("cnt_w"),
             F.min(wr).alias("minw"),
         ]
-    per_t = (
-        df.where(F.col(group_col).isNotNull())
-        .groupBy(_time_expr(time_col, time_bucket).alias("__t"))
-        .agg(*per_t_aggs)
-        .withColumn("__nt", -F.col("__t"))
-    )
-    cum = global_running_sum(per_t, "__nt", ["n_t", "na_t"])
+    base = df.where(F.col(group_col).isNotNull())
+    if strata_col:
+        base = base.where(F.col(strata_col).isNotNull())
+    keys = ([F.col(strata_col)] if strata_col else []) + [
+        _time_expr(time_col, time_bucket).alias("__t")
+    ]
+    per_t = base.groupBy(*keys).agg(*per_t_aggs)
+    cum = _suffix_sums(per_t, ["n_t", "na_t"], strata_col, None)
     n, na = F.col("n_t_cum"), F.col("na_t_cum")
     d, da = F.col("d"), F.col("da")
     fin_aggs = [

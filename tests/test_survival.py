@@ -1634,3 +1634,66 @@ def test_schoenfeld_ph_weighted_replication_identity(spark):
     # residuals still sum to ~0 at the weighted MLE (they ARE the score)
     tot = sum(r.resid_x for r in rw.values())
     assert abs(tot) < 1e-6
+
+
+def test_logrank_stratified(spark):
+    """r13 strata_col on logrank_test (R survdiff + strata()): the
+    stratified statistic sums O−E and V over per-stratum risk sets —
+    identical to summing each stratum's own unstratified test (the
+    additivity identity); composes with integer case weights
+    (replication); null-strata rows drop; a single-group stratum
+    contributes exactly zero."""
+    from sparkglm_spark.functions.special import chisq_sf
+    from sparkglm_spark.operators.survival import logrank_test
+
+    rng = np.random.default_rng(141)
+    rows = []
+    for s_id, hr in (("s1", 0.5), ("s2", 1.5), ("s3", 1.0)):
+        for _ in range(160):
+            g = int(rng.random() < 0.5)
+            t = float(rng.exponential(1.0 / (hr if g else 1.0)))
+            c = float(rng.exponential(2.0))
+            w = int(rng.integers(1, 4))
+            rows.append((s_id, "a" if g == 0 else "b",
+                         round(min(t, c), 3) + 0.001, float(t <= c), w))
+    df = spark.createDataFrame(
+        rows, "s string, g string, t double, e double, w int"
+    )
+    res = logrank_test(df, "t", "e", "g", strata_col="s")
+    # additivity: sum of per-stratum unstratified O-E and V
+    oe = v = 0.0
+    for s_id in ("s1", "s2", "s3"):
+        r = logrank_test(df.where(F.col("s") == s_id), "t", "e", "g")
+        oe += r["observed_minus_expected_a"]
+        v += r["variance"]
+    assert res["observed_minus_expected_a"] == pytest.approx(oe, rel=1e-10)
+    assert res["variance"] == pytest.approx(v, rel=1e-10)
+    assert res["chi2"] == pytest.approx(oe * oe / v, rel=1e-10)
+    assert res["p_value"] == pytest.approx(
+        float(chisq_sf(oe * oe / v, 1.0)), rel=1e-10
+    )
+    # stratified + weighted == replicated stratified
+    rw = logrank_test(df, "t", "e", "g", strata_col="s", weight_col="w")
+    rep = df.withColumn("q", F.explode(F.expr("sequence(1, w)"))).drop("q", "w")
+    rr = logrank_test(rep, "t", "e", "g", strata_col="s")
+    assert rw["chi2"] == pytest.approx(rr["chi2"], rel=1e-10)
+    assert rw["variance"] == pytest.approx(rr["variance"], rel=1e-10)
+    # null strata drop (== the filtered frame)
+    dfn = df.withColumn(
+        "s", F.when(F.col("t") > 2.0, None).otherwise(F.col("s"))
+    )
+    rn = logrank_test(dfn, "t", "e", "g", strata_col="s")
+    rf = logrank_test(dfn.where(F.col("s").isNotNull()), "t", "e", "g",
+                      strata_col="s")
+    assert rn["chi2"] == pytest.approx(rf["chi2"], rel=1e-12)
+    assert rn["n_events"] == rf["n_events"]
+    # a stratum holding only group 'a' adds zero to both sums
+    extra = spark.createDataFrame(
+        [("only_a", "a", float(i + 1), 1.0, 1) for i in range(6)],
+        df.schema,
+    )
+    rx = logrank_test(df.unionByName(extra), "t", "e", "g", strata_col="s")
+    assert rx["observed_minus_expected_a"] == pytest.approx(
+        res["observed_minus_expected_a"], rel=1e-10
+    )
+    assert rx["variance"] == pytest.approx(res["variance"], rel=1e-10)
