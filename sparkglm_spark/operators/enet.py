@@ -1681,6 +1681,18 @@ def _np_glm_deviance(
 _ENET_FAMILIES = ("binomial", "poisson", "gamma", "tweedie")
 
 
+def _check_tweedie_var_power(family: str, var_power: float) -> None:
+    """Tweedie's (1, 2) p-domain raise for entry-point guards — ONE
+    definition (review r13: the same 4-line block had appeared in all
+    three grouped fitters; the grouped twins call the numpy kernels
+    directly, so without an upfront check a bad p returns
+    plausible-but-wrong deviances where the single fit raises)."""
+    if family == "tweedie":
+        from sparkglm_spark.functions.families import get_family
+
+        get_family(family, float(var_power))
+
+
 def _enet_label_domain_error(family: str, ymin: float, ymax: float):
     """Shared penalized-fitter label-domain check: None when [ymin, ymax]
     lies in the family's support, else the raise/NULL-degrade message
@@ -1809,14 +1821,7 @@ def glm_elastic_net_grouped(
         raise ValueError("elastic_net_param must be in [0, 1]")
     if exact_iterations is not None and exact_iterations < 1:
         raise ValueError("exact_iterations must be >= 1")
-    if family == "tweedie":
-        # Tweedie.__init__ owns the (1, 2) p-domain raise (review r13:
-        # the grouped twins call the numpy kernels directly, so without
-        # this a bad p returned plausible-but-wrong deviances where the
-        # single fit raises)
-        from sparkglm_spark.functions.families import get_family
-
-        get_family(family, float(var_power))
+    _check_tweedie_var_power(family, var_power)
     encoded, x_cols, target = _design(
         df, formula,
         list(group_cols) + ([lam_col] if lam_col else []),
@@ -2038,10 +2043,7 @@ def glm_elastic_net_path_grouped(
         raise ValueError("elastic_net_param must be in [0, 1]")
     if exact_iterations is not None and exact_iterations < 1:
         raise ValueError("exact_iterations must be >= 1")
-    if family == "tweedie":
-        from sparkglm_spark.functions.families import get_family
-
-        get_family(family, float(var_power))  # (1, 2) p-domain raise
+    _check_tweedie_var_power(family, var_power)
     encoded, x_cols, target = _design(
         df, formula, list(group_cols), na_action=na_action,
         weight_col=weight_col, offset_col=offset_col,
@@ -2297,10 +2299,7 @@ def glm_elastic_net_cv_grouped(
         )
     if exact_iterations is not None and exact_iterations < 1:
         raise ValueError("exact_iterations must be >= 1")
-    if family == "tweedie":
-        from sparkglm_spark.functions.families import get_family
-
-        get_family(family, float(var_power))  # (1, 2) p-domain raise
+    _check_tweedie_var_power(family, var_power)
     if isinstance(fold_expr, str):
         fold_expr = F.col(fold_expr)
     base = df.withColumn("__fold", fold_expr.cast("int"))

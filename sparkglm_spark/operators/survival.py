@@ -1906,13 +1906,15 @@ def logrank_test(
     Composes with `weight_col` and `time_bucket` unchanged."""
     from sparkglm_spark.functions.special import chisq_sf
 
+    base = df.where(F.col(group_col).isNotNull())
+    if strata_col:
+        # the R strata() NA convention drops these rows BEFORE anything
+        # else — including the two-group census (review r13: a group
+        # value confined to null-strata rows must not fail the census)
+        base = base.where(F.col(strata_col).isNotNull())
     groups = [
         r[0]
-        for r in df.where(F.col(group_col).isNotNull())
-        .select(group_col)
-        .distinct()
-        .limit(3)
-        .collect()
+        for r in base.select(group_col).distinct().limit(3).collect()
     ]
     if len(groups) != 2:
         raise ValueError(
@@ -1935,9 +1937,6 @@ def logrank_test(
             F.count(wr).alias("cnt_w"),
             F.min(wr).alias("minw"),
         ]
-    base = df.where(F.col(group_col).isNotNull())
-    if strata_col:
-        base = base.where(F.col(strata_col).isNotNull())
     keys = ([F.col(strata_col)] if strata_col else []) + [
         _time_expr(time_col, time_bucket).alias("__t")
     ]

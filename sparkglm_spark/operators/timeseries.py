@@ -1515,15 +1515,21 @@ def forecast_accuracy(
     ylag = F.lag("__y", m).over(w)
     check_grid = m > 1 and not assume_contiguous
     grid_cols = []
+    grid_zero = F.lit(0.0)
     if check_grid:
-        # lag-1 ts spacing rides the SAME window exchange; datetime axes
-        # need an explicit epoch extraction (date → double and
-        # timestamp_ntz → double are invalid casts in Spark 4)
+        # lag-1 ts spacing rides the SAME window exchange. Timestamp
+        # axes subtract DIRECTLY (a day-time INTERVAL): NTZ−NTZ is pure
+        # wall-clock and LTZ−LTZ pure instant arithmetic — epoch
+        # extraction (timestamp_diff/unix_micros) coerces NTZ through
+        # the SESSION zone, so a regular hourly grid crossing a DST
+        # transition looked irregular (review r13, pass 2). Dates use
+        # the day count (date → double is an invalid Spark 4 cast).
         ts_t = base.schema["__ts"].dataType.simpleString()
         if ts_t == "date":
             tsd = F.unix_date(F.col("__ts")).cast("double")
         elif ts_t.startswith("timestamp"):
-            tsd = F.unix_micros(F.col("__ts").cast("timestamp")).cast("double")
+            tsd = F.col("__ts")
+            grid_zero = F.expr("INTERVAL '0' SECOND")
         else:
             tsd = F.col("__ts").cast("double")
         grid_cols = [(tsd - F.lag(tsd, 1).over(w)).alias("__dt")]
@@ -1572,7 +1578,7 @@ def forecast_accuracy(
         mase_ok = (
             mase_ok
             & F.col("__dt_min").eqNullSafe(F.col("__dt_max"))
-            & (F.col("__dt_max") > 0.0)
+            & (F.col("__dt_max") > grid_zero)
             & (F.col("n") - F.col("__dt_n") == 1)
         )
     return agg.select(

@@ -1389,9 +1389,20 @@ def forecast_accuracy_stream(
         if prev_ts is not None:
             dts = np.concatenate([[ts_num[0] - prev_ts], dts])
         if len(dts):
-            lo, hi = float(dts.min()), float(dts.max())
-            dt_min = lo if dt_min is None else min(dt_min, lo)
-            dt_max = hi if dt_max is None else max(dt_max, hi)
+            # np.min/max PROPAGATE NaN — a null-ts row (NaN after the
+            # float conversion) must poison the tracker permanently,
+            # not be swallowed by Python min/max's False NaN compares
+            # (review r13): the batch twin's null-spacing census NULLs
+            # such keys, and the ring buffer has already absorbed the
+            # phantom position
+            lo, hi = float(np.min(dts)), float(np.max(dts))
+            if dt_min is None:
+                dt_min, dt_max = lo, hi
+            elif np.isnan(lo) or np.isnan(dt_min):
+                dt_min = dt_max = float("nan")
+            else:
+                dt_min = min(dt_min, lo)
+                dt_max = max(dt_max, hi)
         prev_ts = float(ts_num[-1])
         state.update(
             (n, sae, sse, sape, n_mape, ssm, snd, n_nd,

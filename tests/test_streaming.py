@@ -1484,7 +1484,6 @@ def test_forecast_accuracy_stream_seasonal_ms_timestamp_grid(spark):
         [("a", ts, y, f) for ts, y, f in rows],
         "k string, ts timestamp_ntz, y double, f double",
     )
-    parts = [df.limit(0)]  # placeholder replaced below
     srt = sorted(r[0] for r in rows)
     cut1, cut2 = srt[8], srt[16]
     parts = [
@@ -1519,3 +1518,43 @@ def test_forecast_accuracy_stream_seasonal_ms_timestamp_grid(spark):
     assert b.mase is not None, "batch must see the regular ms grid"
     assert g.ms is not None, "stream must see the regular ms grid"
     assert g.ms == pytest.approx(b.mase, rel=1e-12)
+
+
+def test_forecast_accuracy_stream_null_ts_poisons_grid(spark):
+    """review r13 pass 2: a null-ts row arriving in a LATER micro-batch
+    becomes a NaN spacing that Python min/max would silently swallow —
+    the tracker must poison permanently (NaN propagation) so the stream
+    NULLs mase exactly like the batch twin's null-spacing census."""
+    import numpy as np
+
+    from sparkglm_spark.operators.timeseries import forecast_accuracy
+    from sparkglm_spark.streaming.events import forecast_accuracy_stream
+
+    rows = [("k", None if t == 10 else t, 10.0 + (t % 4), 10.5 + (t % 4))
+            for t in range(16)]
+    df = spark.createDataFrame(rows, "k string, t bigint, y double, f double")
+    parts = [df.where(F.col("t") < 8),
+             df.where(F.col("t").isNull() | (F.col("t") >= 8))]
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        os.makedirs(src)
+        for i, p_ in enumerate(parts):
+            p_.coalesce(1).write.parquet(os.path.join(src, f"b{i}.parquet"))
+        stream_in = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*.parquet"))
+        )
+        out = forecast_accuracy_stream(stream_in, "k", "t", "y", "f", m=4)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("fa_nullts")
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        g = spark.sql("SELECT max_by(mase, n) AS ms FROM fa_nullts").collect()[0]
+    b = forecast_accuracy(df, "k", "t", "y", "f", m=4).collect()[0]
+    assert b.mase is None and g.ms is None  # both engines NULL

@@ -1697,3 +1697,10 @@ def test_logrank_stratified(spark):
         res["observed_minus_expected_a"], rel=1e-10
     )
     assert rx["variance"] == pytest.approx(res["variance"], rel=1e-10)
+    # review r13 pass 2: a group confined to NULL-strata rows must not
+    # fail the two-group census — R drops NA strata FIRST
+    ghost = spark.createDataFrame(
+        [(None, "c", float(i + 1), 1.0, 1) for i in range(4)], df.schema
+    )
+    rg = logrank_test(df.unionByName(ghost), "t", "e", "g", strata_col="s")
+    assert rg["chi2"] == pytest.approx(res["chi2"], rel=1e-12)

@@ -1492,6 +1492,22 @@ def test_forecast_accuracy_mase_contiguity_guard(spark):
     )
     outt = {r.k: r for r in forecast_accuracy(tdf, "k", "t", "y", "f", m=2).collect()}
     assert outt["h"].mase is not None and outt["hg"].mase is None
+    # review r13 pass 2: NTZ spacing must be session-tz-INDEPENDENT (an
+    # ntz→timestamp cast reads wall time in the session zone, so a
+    # regular hourly grid crossing a DST transition looked irregular) —
+    # pin under a DST-observing zone
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        dst0 = datetime.datetime(2026, 3, 7, 23, 0)  # crosses Mar 8 02:00
+        ddst = spark.createDataFrame(
+            [("z", dst0 + datetime.timedelta(hours=t), y, y + 1.0)
+             for t, y in enumerate(seq)],
+            "k string, t timestamp_ntz, y double, f double",
+        )
+        rz = forecast_accuracy(ddst, "k", "t", "y", "f", m=2).collect()[0]
+        assert rz.mase is not None
+    finally:
+        spark.conf.unset("spark.sql.session.timeZone")
     # a NULL-ts row is a phantom position: min/max skip its NULL
     # spacings while the lag-m pairing still counts it (review r13) —
     # the null-spacing census must NULL the key
