@@ -1481,8 +1481,10 @@ def forecast_accuracy(
              later seasonal pair, so a wrong-but-plausible number would
              come back. When m > 1 the key's retained rows must sit on
              a REGULAR grid (all lag-1 ts spacings equal — checked on
-             the same window pass, ts cast to double / days for dates;
-             duplicate timestamps also fail); a non-contiguous key gets
+             the same window pass; timestamp axes subtract directly as
+             intervals, tz-independent; dates compare day counts;
+             duplicate or null ts rows also fail); a non-contiguous
+             key gets
              mase NULL, never a phase-shifted value. Pass
              `assume_contiguous=True` to skip the check (e.g. integer
              period indices known gap-free, or float grids where exact
