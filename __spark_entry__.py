@@ -7735,6 +7735,21 @@ def q_orders_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
         (1.0 + (F.col("o_custkey") % 3).cast("double")).alias("wq"),
     )
     wcm = coxph(wcox_in, "t", "ev", ["x"], exact_iterations=3, weight_col="wq")
+    # r14: the COUNTING-PROCESS trajectory (coxph(entry_col=) — the
+    # _counting_arms two-arm plan). Entry = t·(custkey % 5)/10 ∈
+    # [0, 0.4t], strictly < t (totalprice > 0), so delayed entry thins
+    # every early risk set; the SQL unions the signed arms and replays
+    # the same 3 Newton steps. Same ROUND margins as the plain arm.
+    tv_in = od.select(
+        F.col("o_totalprice").cast("double").alias("t"),
+        F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0).alias("ev"),
+        ((F.col("o_custkey") % 100) / 100.0).alias("x"),
+        (
+            F.col("o_totalprice").cast("double")
+            * ((F.col("o_custkey") % 5).cast("double") / 10.0)
+        ).alias("en"),
+    )
+    tvm = coxph(tv_in, "t", "ev", ["x"], exact_iterations=3, entry_col="en")
     # r13: cox.zph pinned — the Grambsch-Therneau PH test at the SAME
     # exact-3-step β (identity transform; at k = 1 the marginal and
     # global chi2 coincide). The SQL reuses the final-state per-time
@@ -7753,6 +7768,10 @@ def q_orders_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("wcox", "beta", None, round(float(wcm.coefs[0]), 6), None, None),
             ("wcox", "se", None, round(float(wcm.se[0]), 6), None, None),
             ("wcox", "loglik", None, round(wcm.loglik, 4), None, None),
+            ("tvcox", "beta", None, round(float(tvm.coefs[0]), 6), None, None),
+            ("tvcox", "se", None, round(float(tvm.se[0]), 6), None, None),
+            ("tvcox", "loglik", None, round(tvm.loglik, 4), None, None),
+            ("tvcox", "n_events", tvm.n_events, None, None, None),
             ("zph", "chi2", int(zph["n_events"]),
              round(zph["per_covariate"]["x"]["chi2"], 6), None, None),
             ("wzph", "chi2", int(wzph["n_events"]),
@@ -8147,25 +8166,56 @@ def _sql_cox_ctes(
     weight_col path; the expression trees keep the engine's grouping:
     w = ω·exp(bx) FIRST, then x·w / x·x·w). Emits `wcox`
     beta/se/loglik rows only (baseline pins stay on the unweighted
-    arm)."""
+    arm).
+
+    mode="entry" (r14): the COUNTING-PROCESS replay
+    (`coxph(entry_col=)`, operators/survival.py::_counting_arms) —
+    entry = t·(custkey % 5)/10 < t, and the per-time frame is the
+    two-arm union (exit +1 carrying ev, entry −1 carrying ev = 0) so
+    the DESC running sums realize the (start, stop] risk sets
+    S·(t) = Σ_{stop ≥ t} − Σ_{start ≥ t}. Emits `tvcox`
+    beta/se/loglik/n_events rows."""
     p = prefix
     weighted = mode == "weighted"
+    entry = mode == "entry"
     wq = "(1.0 + CAST(o_custkey % 3 AS DOUBLE)) AS wq, " if weighted else ""
+    en = (
+        "CAST(o_totalprice AS DOUBLE)"
+        " * (CAST(o_custkey % 5 AS DOUBLE) / 10.0) AS en, "
+        if entry
+        else ""
+    )
     ctes = [
         f"{p}base AS (SELECT CAST(o_totalprice AS DOUBLE) AS t, "
         "CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS ev, "
-        f"{wq}"
+        f"{wq}{en}"
         f"CAST(o_custkey % 100 AS DOUBLE) / 100.0 AS x FROM orders{where})",
         f"{p}0 AS (SELECT 0.0 AS b)",
     ]
+    src = f"{p}base"
+    if entry:
+        src = f"{p}arm"
+        ctes.append(
+            f"{p}arm AS (SELECT t, 1.0 AS sgn, ev, x FROM {p}base "
+            f"UNION ALL SELECT en AS t, -1.0 AS sgn, 0.0 AS ev, x "
+            f"FROM {p}base)"
+        )
     # per-time totals: in the weighted replay w = ω·exp(bx) multiplies
-    # FIRST (the engine's w column), then x·w / (x·x)·w
+    # FIRST (the engine's w column), then x·w / (x·x)·w; in the entry
+    # replay the sign multiplies first (w = sgn·exp(bx))
     if weighted:
         t_aggs = (
             "SUM(wq * exp(b * x)) AS e0, "
             "SUM(x * (wq * exp(b * x))) AS e1, "
             "SUM(x * x * (wq * exp(b * x))) AS e2, "
             "SUM(wq * ev) AS d, SUM(wq * ev * x) AS dx "
+        )
+    elif entry:
+        t_aggs = (
+            "SUM(sgn * exp(b * x)) AS e0, "
+            "SUM(x * (sgn * exp(b * x))) AS e1, "
+            "SUM(x * x * (sgn * exp(b * x))) AS e2, "
+            "SUM(ev) AS d, SUM(ev * x) AS dx "
         )
     else:
         t_aggs = (
@@ -8177,7 +8227,7 @@ def _sql_cox_ctes(
         prev = f"{p}{i - 1}"
         ctes += [
             f"{p}{i}_t AS (SELECT t, {t_aggs}"
-            f"FROM {p}base CROSS JOIN {prev} GROUP BY t)",
+            f"FROM {src} CROSS JOIN {prev} GROUP BY t)",
             f"{p}{i}_c AS (SELECT d, dx, "
             f"SUM(e0) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS e0c, "
             f"SUM(e1) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS e1c, "
@@ -8193,7 +8243,7 @@ def _sql_cox_ctes(
     fin = f"{p}{iters}"
     ctes += [
         f"{p}f_t AS (SELECT t, {t_aggs}"
-        f"FROM {p}base CROSS JOIN {fin} GROUP BY t)",
+        f"FROM {src} CROSS JOIN {fin} GROUP BY t)",
         f"{p}f_c AS (SELECT t, d, dx, "
         "SUM(e0) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS e0c, "
         "SUM(e1) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS e1c, "
@@ -8209,6 +8259,22 @@ SELECT 'coxg' AS op, '{seg_key}' AS key, CAST(g.ne AS BIGINT) AS n,
        ROUND({fin}.b, 6) AS v1, ROUND(1.0 / SQRT(g.h), 6) AS v2,
        CAST(NULL AS DOUBLE) AS v3
 FROM {p}f_g g CROSS JOIN {fin}
+"""
+    if entry:
+        return "WITH " + ",\n".join(ctes) + f"""
+SELECT 'tvcox' AS op, 'beta' AS key, CAST(NULL AS BIGINT) AS n,
+       ROUND({fin}.b, 6) AS v1, CAST(NULL AS DOUBLE) AS v2,
+       CAST(NULL AS DOUBLE) AS v3
+FROM {fin}
+UNION ALL
+SELECT 'tvcox', 'se', NULL, ROUND(1.0 / SQRT(g.h), 6), NULL, NULL
+FROM {p}f_g g
+UNION ALL
+SELECT 'tvcox', 'loglik', NULL, ROUND({fin}.b * g.sdx - g.dl, 4), NULL, NULL
+FROM {p}f_g g CROSS JOIN {fin}
+UNION ALL
+SELECT 'tvcox', 'n_events', CAST(g.ne AS BIGINT), NULL, NULL, NULL
+FROM {p}f_g g
 """
     # r13 cox.zph replay off the final-state per-time CTE (identity g;
     # k = 1 marginal == global): U = Σ t·r − ḡ·Σ r with r = dx −
@@ -8422,6 +8488,7 @@ SELECT '{op}', 'loglik', NULL, ROUND({p}f.ll, 2), NULL, NULL FROM {p}f
 
 SQL_COX_ARM = _sql_cox_ctes(3)
 SQL_WCOX_ARM = _sql_cox_ctes(3, prefix="wx", mode="weighted")
+SQL_TVCOX_ARM = _sql_cox_ctes(3, prefix="tv", mode="entry")
 SQL_AFT_ARM = _sql_aft_ctes(3)
 SQL_WAFT_ARM = _sql_aft_ctes(3, prefix="wa", mode="weighted")
 SQL_COXG_ARMS = " UNION ALL ".join(
@@ -8556,6 +8623,8 @@ UNION ALL
 SELECT * FROM ({SQL_COX_ARM}) cox
 UNION ALL
 SELECT * FROM ({SQL_WCOX_ARM}) wcox
+UNION ALL
+SELECT * FROM ({SQL_TVCOX_ARM}) tvcox
 UNION ALL
 SELECT * FROM ({SQL_COXG_ARMS}) coxg
 UNION ALL

@@ -592,12 +592,33 @@ def main() -> None:
             fh.write(summary + "\n")
     except OSError:
         pass
+    # Compact second line (≤200 bytes): the driver's tail-scrape window
+    # is smaller than the ~4 KB full summary (BENCH_r13 recorded
+    # "parsed": null despite the final-line re-print), so emit a short
+    # headline-only JSON line that fits ANY scrape window. B1-B4 gate
+    # queries + the r4-comparable set total, min-of-runs.
+    compact = json.dumps(
+        {
+            "metric": "e2e_headline_seconds",
+            "value": total,
+            "unit": "sec",
+            "sf": float(sf),
+            "b": {
+                "encode": mins.get("encode"),
+                "lm_fit": mins.get("lm_fit"),
+                "lm_predict": mins.get("lm_predict"),
+                "glm_fit": mins.get("glm_fit"),
+                "r4set": total_r4_set,
+            },
+        }
+    )
     print(summary, flush=True)
     import shutil
 
     shutil.rmtree(prebuilt_index_dir, ignore_errors=True)
     spark.stop()
     print(summary, flush=True)
+    print(compact, flush=True)
 
 
 if __name__ == "__main__":

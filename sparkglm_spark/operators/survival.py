@@ -74,6 +74,62 @@ def _time_expr(time_col: str, time_bucket: float | None) -> Column:
     return F.floor(t / F.lit(w)).cast("double") * F.lit(w)
 
 
+def _counting_arms(
+    df: DataFrame,
+    time_col: str,
+    event_col: str,
+    entry_col: str | None,
+    time_bucket: float | None,
+) -> DataFrame:
+    """The per-row (axis, sign, event-mass) columns every risk-set pass
+    aggregates: appends `__t` (bucketed double time), `__sgn`, `__ev`.
+
+    Right-censored data (`entry_col=None`): `__t` = exit time,
+    `__sgn` ≡ 1, `__ev` = event flag — no row expansion, and the lit(1.0)
+    sign multiply is exact (same policy as the unweighted ω ≡ 1 path).
+
+    Counting-process data (`entry_col` set — R `Surv(start, stop, ev)`):
+    each row explodes into an EXIT arm (t=stop, sgn=+1, ev=event) and an
+    ENTRY arm (t=start, sgn=−1, ev=0) in the SAME scan (a generator
+    projection — no join, no extra exchange; 2n compact rows feed the
+    one per-time shuffle). Suffix sums of sgn-signed risk masses then
+    give S·(t) = Σ_{stop ≥ t} − Σ_{start ≥ t}, i.e. the (start, stop]
+    risk set {j : start_j < t ≤ stop_j}: delayed entry (left truncation)
+    falls out, and multiple (start, stop] rows per subject give
+    time-varying covariates (Andersen-Gill) — the partial likelihood
+    only ever reads the covariate value of the interval at risk. The
+    strict start < t edge is automatic: an entry mass AT t sits in the
+    suffix at t and cancels its own exit mass."""
+    t = _time_expr(time_col, time_bucket)
+    ev = F.col(event_col).cast("double")
+    if entry_col is None:
+        return (
+            df.withColumn("__t", t)
+            .withColumn("__sgn", F.lit(1.0))
+            .withColumn("__ev", ev)
+        )
+    en = _time_expr(entry_col, time_bucket)
+    arm = F.explode(
+        F.array(
+            F.struct(
+                t.alias("t"), F.lit(1.0).alias("sgn"), ev.alias("ev")
+            ),
+            F.struct(
+                en.alias("t"),
+                F.lit(-1.0).alias("sgn"),
+                F.lit(0.0).alias("ev"),
+            ),
+        )
+    )
+    return (
+        df.withColumn("__arm", arm)
+        .withColumn("__t", F.col("__arm.t"))
+        .withColumn("__sgn", F.col("__arm.sgn"))
+        .withColumn("__ev", F.col("__arm.ev"))
+        .drop("__arm")
+    )
+
+
 @dataclass
 class CoxPH:
     """Fitted Cox model. `se` = √diag(info⁻¹) at the final β (the usual
@@ -95,6 +151,7 @@ class CoxPH:
     time_bucket: float | None = None
     strata_col: str | None = None
     weight_col: str | None = None
+    entry_col: str | None = None
 
     def _risk_expr(self) -> Column:
         eta = F.lit(0.0)
@@ -130,10 +187,16 @@ class CoxPH:
         (per-stratum windows when stratified), no single-partition stage,
         per-time rows only on the wire. The fit's `time_bucket` (stored
         on the model) is applied identically, so the hazard steps live on
-        the same discretized axis the β̂ was estimated on."""
-        t_expr = _time_expr(self.time_col, self.time_bucket)
+        the same discretized axis the β̂ was estimated on. A
+        counting-process fit (`entry_col`, r14) subtracts the entry-arm
+        masses from S0 through the same suffix plan (`_counting_arms`) —
+        the Breslow estimator over (start, stop] risk sets."""
         sc = self.strata_col
-        keys = ([F.col(sc)] if sc else []) + [t_expr.alias("__t")]
+        src = _counting_arms(
+            df, self.time_col, self.event_col, self.entry_col,
+            self.time_bucket,
+        )
+        keys = ([F.col(sc)] if sc else []) + [F.col("__t")]
         # a weighted fit weights its baseline the same way (R survfit on
         # a weighted coxph); unweighted multiplies by 1.0 — bitwise no-op
         wr = (
@@ -141,9 +204,9 @@ class CoxPH:
             if self.weight_col
             else F.lit(1.0)
         )
-        per_t = df.groupBy(*keys).agg(
-            F.sum(wr * self._risk_expr()).alias("e0"),
-            F.sum(wr * F.col(self.event_col).cast("double")).alias("d"),
+        per_t = src.groupBy(*keys).agg(
+            F.sum(F.col("__sgn") * wr * self._risk_expr()).alias("e0"),
+            F.sum(wr * F.col("__ev")).alias("d"),
         )
         s0 = _suffix_sums(per_t, ["e0"], sc, num_partitions).withColumnRenamed(
             "e0_cum", "s0"
@@ -308,6 +371,7 @@ def _risk_set_stats(
     num_partitions: int | None,
     strata_col: str | None = None,
     weight_col: str | None = None,
+    entry_col: str | None = None,
 ):
     """One Cox iteration's distributed work: per-time totals, suffix sums
     via the prefix plan (per-stratum windows when stratified — the partial
@@ -316,15 +380,22 @@ def _risk_set_stats(
     Returns (ll_terms, grad vector pieces, info matrix pieces) as a
     driver row. With `weight_col` every risk term carries ω·exp(η) and
     every event term ω·ev — the R coxph(weights=) case-weight Breslow
-    (unweighted multiplies by lit(1.0): bitwise-identical)."""
+    (unweighted multiplies by lit(1.0): bitwise-identical). With
+    `entry_col` the counting-process two-arm expansion
+    (`_counting_arms`) signs the risk masses so the suffix sums realize
+    the (start, stop] risk sets — same groupBy/prefix/final-agg plan,
+    only the scan side doubles rows."""
     k = len(x_cols)
     xs = [F.col(c).cast("double") for c in x_cols]
     eta = F.lit(0.0)
     for col, b in zip(xs, beta):
         eta = eta + F.lit(float(b)) * col
+    # the caller (coxph's `work` frame) has already bucketed the axes,
+    # so bucket=None here
+    src = _counting_arms(df, time_col, event_col, entry_col, None)
     wr = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
-    w = wr * F.exp(eta)
-    ev = wr * F.col(event_col).cast("double")
+    w = F.col("__sgn") * wr * F.exp(eta)
+    ev = wr * F.col("__ev")
     aggs = [
         F.sum(w).alias("e0"),
         F.sum(ev).alias("d"),
@@ -335,10 +406,8 @@ def _risk_set_stats(
     for i in range(k):
         for j in range(i, k):
             aggs.append(F.sum(xs[i] * xs[j] * w).alias(f"e2_{i}_{j}"))
-    keys = ([F.col(strata_col)] if strata_col else []) + [
-        F.col(time_col).cast("double").alias("__t")
-    ]
-    per_t = df.groupBy(*keys).agg(*aggs)
+    keys = ([F.col(strata_col)] if strata_col else []) + [F.col("__t")]
+    per_t = src.groupBy(*keys).agg(*aggs)
     cum_cols = ["e0"] + [f"e1_{i}" for i in range(k)] + [
         f"e2_{i}_{j}" for i in range(k) for j in range(i, k)
     ]
@@ -380,6 +449,7 @@ def coxph(
     time_bucket: float | None = None,
     strata_col: str | None = None,
     weight_col: str | None = None,
+    entry_col: str | None = None,
 ) -> CoxPH:
     """Fit the Cox model by Newton-Raphson from β = 0 (R coxph's start).
     `event_col` is 0/1 (1 = event, 0 = censored; validated). Ties are
@@ -412,9 +482,26 @@ def coxph(
     and the suffix sums become per-stratum windows (one hash exchange on
     the stratum key; strata are the parallelism unit). The go-to fix
     when a categorical violates proportional hazards: stratify on it
-    instead of estimating a coefficient for it."""
+    instead of estimating a coefficient for it.
+
+    `entry_col=start` (r14) fits the COUNTING-PROCESS model (R
+    `coxph(Surv(start, stop, event) ~ …)`): each row is at risk on
+    (start, stop] only, so delayed entry / left truncation is handled
+    (a subject entering the risk set late no longer inflates early risk
+    sets), and feeding multiple (start, stop] rows per subject — each
+    carrying that interval's covariate values — is the standard
+    episode-split encoding of TIME-VARYING covariates (Andersen-Gill;
+    estimates treat rows as independent, as base R `coxph` without
+    `cluster()` does). Plan impact: one generator projection doubles
+    the scan rows (exit arm +mass, entry arm −mass; `_counting_arms`);
+    the per-time shuffle, suffix plan, and final aggregation are
+    unchanged. Requires start < stop per row AFTER `time_bucket`
+    flooring (a bucket width that collapses an interval raises).
+    Composes with `strata_col`/`weight_col`/`time_bucket`."""
     if not x_cols:
         raise ValueError("x_cols must be non-empty")
+    if entry_col is not None and entry_col == time_col:
+        raise ValueError("entry_col must differ from time_col")
     k = len(x_cols)
     chk_aggs = [
         F.count(F.lit(1)).alias("n"),
@@ -425,10 +512,30 @@ def coxph(
         ).alias("bad"),
         F.sum(
             F.when(
-                F.col(time_col).isNull() | F.col(event_col).isNull(), 1
+                F.col(time_col).isNull()
+                | F.col(event_col).isNull()
+                | (
+                    F.col(entry_col).isNull()
+                    if entry_col
+                    else F.lit(False)
+                ),
+                1,
             ).otherwise(0)
         ).alias("nulls"),
     ]
+    if entry_col:
+        # validate on the BUCKETED axes: an interval the flooring
+        # collapses to zero length would silently vanish from every
+        # risk set (its arms cancel) — refuse instead
+        chk_aggs.append(
+            F.sum(
+                F.when(
+                    _time_expr(entry_col, time_bucket)
+                    >= _time_expr(time_col, time_bucket),
+                    1,
+                ).otherwise(0)
+            ).alias("badint")
+        )
     if weight_col:
         wtc = F.col(weight_col).cast("double")
         chk_aggs += [
@@ -438,9 +545,20 @@ def coxph(
         ]
     chk = df.agg(*chk_aggs).collect()[0]
     if chk["nulls"]:
-        raise ValueError(f"{chk['nulls']} rows have null time/event")
+        raise ValueError(f"{chk['nulls']} rows have null time/event/entry")
     if chk["bad"]:
         raise ValueError("event_col must be 0/1")
+    if entry_col and chk["badint"]:
+        raise ValueError(
+            f"{int(chk['badint'])} rows have entry >= time "
+            "(counting-process intervals must satisfy start < stop"
+            + (
+                " after time_bucket flooring — use a narrower bucket"
+                if time_bucket is not None
+                else ""
+            )
+            + ")"
+        )
     n, n_events = int(chk["n"]), int(float(chk["ne"]))
     if n_events == 0:
         raise ValueError("no events (event_col all zero) — nothing to fit")
@@ -461,6 +579,11 @@ def coxph(
         _time_expr(time_col, time_bucket).alias(time_col),
         event_col,
         *x_cols,
+        *(
+            [_time_expr(entry_col, time_bucket).alias(entry_col)]
+            if entry_col
+            else []
+        ),
         *([strata_col] if strata_col else []),
         *([weight_col] if weight_col else []),
     ).persist()
@@ -477,6 +600,7 @@ def coxph(
             row = _risk_set_stats(
                 work, time_col, event_col, x_cols, beta, num_partitions,
                 strata_col=strata_col, weight_col=weight_col,
+                entry_col=entry_col,
             )
             sdx = np.array([float(row[f"sdx_{i}"]) for i in range(k)])
             ll = float(beta @ sdx - float(row["dlogs0"]))
@@ -502,6 +626,7 @@ def coxph(
         row = _risk_set_stats(
             work, time_col, event_col, x_cols, beta, num_partitions,
             strata_col=strata_col, weight_col=weight_col,
+            entry_col=entry_col,
         )
         sdx = np.array([float(row[f"sdx_{i}"]) for i in range(k)])
         ll = float(beta @ sdx - float(row["dlogs0"]))
@@ -528,6 +653,7 @@ def coxph(
         time_bucket=time_bucket,
         strata_col=strata_col,
         weight_col=weight_col,
+        entry_col=entry_col,
     )
 
 
@@ -565,17 +691,21 @@ def schoenfeld_residuals(
         if model.weight_col
         else F.lit(1.0)
     )
-    w = om * model._risk_expr()
-    ev = om * F.col(model.event_col).cast("double")
+    # a counting-process model's residuals are those of ITS OWN
+    # (start, stop] score: signed arms through the same suffix plan
+    src = _counting_arms(
+        df, model.time_col, model.event_col, model.entry_col,
+        model.time_bucket,
+    )
+    w = F.col("__sgn") * om * model._risk_expr()
+    ev = om * F.col("__ev")
     aggs = [F.sum(w).alias("e0"), F.sum(ev).alias("d")]
     for i in range(k):
         aggs.append(F.sum(xs[i] * w).alias(f"e1_{i}"))
         aggs.append(F.sum(ev * xs[i]).alias(f"dx_{i}"))
     sc = model.strata_col
-    keys = ([F.col(sc)] if sc else []) + [
-        _time_expr(model.time_col, model.time_bucket).alias("__t")
-    ]
-    per_t = df.groupBy(*keys).agg(*aggs)
+    keys = ([F.col(sc)] if sc else []) + [F.col("__t")]
+    per_t = src.groupBy(*keys).agg(*aggs)
     cum = _suffix_sums(
         per_t, ["e0"] + [f"e1_{i}" for i in range(k)], sc, num_partitions
     )
@@ -1131,10 +1261,14 @@ def concordance_index(
     }
 
 
-def _cox_newton_dense(t, e, X, exact_iterations, tol, max_iter):
+def _cox_newton_dense(t, e, X, exact_iterations, tol, max_iter, entry=None):
     """Dense per-segment Breslow Newton (numpy, one worker's Arrow batch).
     Returns (beta, se, loglik, n_iter, converged) or None when degenerate
-    (no events, singular information, non-finite trajectory)."""
+    (no events, singular information, non-finite trajectory). With
+    `entry` (counting-process rows, r14) the risk sums run over the
+    COMBINED exit(+)/entry(−) signed axis — the numpy twin of
+    `_counting_arms` — and are read off at the exit event times; the
+    entry=None path is byte-unchanged."""
     n, k = X.shape
     order = np.argsort(t, kind="mergesort")
     ts, es, Xs = t[order], e[order], X[order]
@@ -1145,6 +1279,41 @@ def _cox_newton_dense(t, e, X, exact_iterations, tol, max_iter):
     if not ev_mask.any():
         return None
     sdx = dx[ev_mask].sum(axis=0)
+    if entry is not None:
+        t_comb = np.concatenate([ts, entry[order]])
+        sgn_comb = np.concatenate([np.ones(n), -np.ones(n)])
+        X_comb = np.vstack([Xs, Xs])
+        ord2 = np.argsort(t_comb, kind="mergesort")
+        tc, sgnc, Xc = t_comb[ord2], sgn_comb[ord2], X_comb[ord2]
+        uniq_c, starts_c = np.unique(tc, return_index=True)
+        # exit times are a subset of the combined axis: exact positions
+        ev_pos = np.searchsorted(uniq_c, uniq[ev_mask])
+
+        def stats_at(beta):
+            w = sgnc * np.exp(Xc @ beta)
+            wx = w[:, None] * Xc
+            s0 = np.cumsum(np.add.reduceat(w, starts_c)[::-1])[::-1]
+            s1 = np.cumsum(
+                np.add.reduceat(wx, starts_c, axis=0)[::-1], axis=0
+            )[::-1]
+            wxx = wx[:, :, None] * Xc[:, None, :]
+            s2 = np.cumsum(
+                np.add.reduceat(wxx, starts_c, axis=0)[::-1], axis=0
+            )[::-1]
+            d = d_t[ev_mask]
+            S0, S1, S2 = s0[ev_pos], s1[ev_pos], s2[ev_pos]
+            ll = float(beta @ sdx - (d * np.log(S0)).sum())
+            m = S1 / S0[:, None]
+            grad = sdx - (d[:, None] * m).sum(axis=0)
+            info = (
+                d[:, None, None]
+                * (S2 / S0[:, None, None] - m[:, :, None] * m[:, None, :])
+            ).sum(axis=0)
+            return ll, grad, info
+
+        return _cox_newton_loop(
+            stats_at, k, exact_iterations, tol, max_iter
+        )
 
     def stats_at(beta):
         w = np.exp(Xs @ beta)
@@ -1163,6 +1332,13 @@ def _cox_newton_dense(t, e, X, exact_iterations, tol, max_iter):
         ).sum(axis=0)
         return ll, grad, info
 
+    return _cox_newton_loop(stats_at, k, exact_iterations, tol, max_iter)
+
+
+def _cox_newton_loop(stats_at, k, exact_iterations, tol, max_iter):
+    """The shared Newton-from-0 driver loop over a `stats_at(beta) ->
+    (ll, grad, info)` closure — identical trajectory/stop rule to the
+    distributed `coxph`, with the final-state ll/se recompute."""
     beta = np.zeros(k)
     ll_prev = None
     n_iter = 0
@@ -1205,6 +1381,7 @@ def coxph_grouped(
     tol: float = 1e-9,
     exact_iterations: int | None = None,
     time_bucket: float | None = None,
+    entry_col: str | None = None,
 ) -> DataFrame:
     """One Cox model per segment — `coxph` scaled out to many groups with
     no per-group driver work (the per-cohort / per-tenant hazard-model
@@ -1222,6 +1399,13 @@ def coxph_grouped(
     Newton) yield NULL estimate/se rather than garbage. `time_bucket`
     floors the time axis inside the plan, as in `coxph`.
 
+    `entry_col` (r14): per-group COUNTING-PROCESS fits — same
+    (start, stop] semantics as `coxph(entry_col=)` via the dense
+    signed-axis twin in `_cox_newton_dense`. The distributed fitter
+    REFUSES invalid intervals; here, per the grouped-fitter dirty-group
+    policy, a group with any null/non-finite entry or entry ≥ time
+    degenerates to the NULL row instead of poisoning the job.
+
     Returns long format: group_cols…, term, estimate, se, loglik,
     n_rows, n_events, iterations, converged.
     """
@@ -1232,12 +1416,19 @@ def coxph_grouped(
     if not group_cols:
         raise ValueError("group_cols must be non-empty")
     k = len(x_cols)
+    if entry_col is not None and entry_col == time_col:
+        raise ValueError("entry_col must differ from time_col")
     sel = (
         [F.col(c) for c in group_cols]
         + [
             _time_expr(time_col, time_bucket).alias("__t"),
             F.col(event_col).cast("double").alias("__e"),
         ]
+        + (
+            [_time_expr(entry_col, time_bucket).alias("__en")]
+            if entry_col
+            else []
+        )
         + [F.col(c).cast("double").alias(c) for c in x_cols]
     )
     work = df.select(*sel)
@@ -1257,6 +1448,7 @@ def coxph_grouped(
     names = list(x_cols)
     gcols = list(group_cols)
     n_exact = exact_iterations
+    has_entry = entry_col is not None
 
     def fit_group(pdf):
         import pandas as pd
@@ -1264,6 +1456,7 @@ def coxph_grouped(
         t = pdf["__t"].to_numpy(dtype=np.float64)
         e = pdf["__e"].to_numpy(dtype=np.float64)
         X = pdf[names].to_numpy(dtype=np.float64)
+        en = pdf["__en"].to_numpy(dtype=np.float64) if has_entry else None
         n = len(t)
         res = None
         # NULL/NaN events arrive as NaN through Arrow; (e == 0)|(e == 1)
@@ -1277,8 +1470,13 @@ def coxph_grouped(
             and np.all(np.isfinite(t))
             and np.all(np.isfinite(X))
             and np.all((e == 0.0) | (e == 1.0))
+            and (
+                not has_entry
+                or (np.all(np.isfinite(en)) and np.all(en < t))
+            )
         ):
-            res = _cox_newton_dense(t, e, X, n_exact, tol, max_iter)
+            res = _cox_newton_dense(t, e, X, n_exact, tol, max_iter,
+                                    entry=en)
         cols = {c: [] for c in gcols}
         cols.update(
             term=[], estimate=[], se=[], loglik=[], n_rows=[], n_events=[],

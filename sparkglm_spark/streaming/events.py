@@ -800,9 +800,17 @@ def holt_winters_state_stream(
     end state (per-key level + trend + seasonal slots) via
     applyInPandasWithState. `phi` < 1 damps the trend (`_hw_fold`); the
     default φ=1 multiplies by 1.0 — bit-identical to classical HW, so
-    checkpointed streams continue exactly. Additive seasonality only
-    (`seasonal="mul"` raises — its batch whole-key NULL-degrade policy
-    has no faithful streaming analog).
+    checkpointed streams continue exactly.
+
+    `seasonal="mul"` (r14) runs the multiplicative recursion — the SAME
+    `_hw_fold` definition as batch. The batch whole-key NULL policy
+    (any non-positive value, or the level collapsing to ≤ 0, nulls the
+    key) maps to a POISON flag carried in state (the r13
+    `forecast_accuracy_stream` NaN-poison pattern): once `_hw_fold`
+    refuses, the key emits NULL level/trend/forecast_1 forever while
+    `n_events` keeps counting — a batch re-run over the landed rows
+    reports the same NULLs, so stream and batch agree on every key.
+    (State gained a `bad` field in r14 — r13 checkpoints don't resume.)
 
     The classical init consumes the first 2·period observations, so the
     state BUFFERS values until 2·period have arrived, then initializes
@@ -840,15 +848,8 @@ def holt_winters_state_stream(
             raise ValueError(f"{name} must be in (0, 1), got {v!r}")
     if not 0.0 < phi <= 1.0:
         raise ValueError(f"phi must be in (0, 1], got {phi!r}")
-    if seasonal != "add":
-        # batch "mul" NULL-degrades a whole key on any non-positive
-        # value — a stream has already EMITTED state when the bad row
-        # arrives, so the policy can't be honored; refuse rather than
-        # silently diverge from the batch twin
-        raise ValueError(
-            "holt_winters_state_stream supports seasonal='add' only "
-            "(use the batch holt_winters_forecast for multiplicative)"
-        )
+    if seasonal not in ("add", "mul"):
+        raise ValueError(f"seasonal must be 'add' or 'mul', got {seasonal!r}")
     if period < 2:
         raise ValueError(f"period must be >= 2, got {period!r}")
     m = int(period)
@@ -884,6 +885,7 @@ def holt_winters_state_stream(
             StructField("n", LongType()),
             StructField("inited", BooleanType()),
             StructField("last", LongType()),
+            StructField("bad", BooleanType()),
         ]
     )
     sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
@@ -891,12 +893,12 @@ def holt_winters_state_stream(
 
     def update(key, pdfs, state: GroupState):
         if state.exists:
-            buf, lvl, trd, season, phase, n, inited, last = state.get
+            buf, lvl, trd, season, phase, n, inited, last, bad = state.get
             buf = list(buf or [])
             season = list(season or [])
         else:
-            buf, lvl, trd, season, phase, n, inited, last = (
-                [], None, None, [], 0, 0, False, None
+            buf, lvl, trd, season, phase, n, inited, last, bad = (
+                [], None, None, [], 0, 0, False, None, False
             )
         chunks = [pdf for pdf in pdfs if len(pdf)]
         if not chunks:
@@ -905,25 +907,44 @@ def holt_winters_state_stream(
         pdf = pdf.sort_values(sort_cols, kind="mergesort")
         xs = pdf[value_col].to_numpy(dtype=np.float64)
         n += len(xs)
-        if not inited:
+        if bad:
+            pass  # poisoned key: count rows, state stays NULL forever
+        elif not inited:
             buf.extend(float(v) for v in xs)
             if len(buf) >= 2 * m:
-                lvl, trd, season, phase, *_ = _hw_fold(
-                    np.asarray(buf), alpha, beta, gamma, m, phi=phi
+                res = _hw_fold(
+                    np.asarray(buf), alpha, beta, gamma, m, phi=phi,
+                    seasonal=seasonal,
                 )
-                buf, inited = [], True
+                if res is None:  # mul refusal: poison (batch NULL policy)
+                    buf, bad = [], True
+                else:
+                    lvl, trd, season, phase, *_ = res
+                    buf, inited = [], True
         else:
-            lvl, trd, season, phase, *_ = _hw_fold(
+            res = _hw_fold(
                 xs, alpha, beta, gamma, m,
                 state=(lvl, trd, season, phase), phi=phi,
+                seasonal=seasonal,
             )
+            if res is None:
+                lvl, trd, season, phase, inited, bad = (
+                    None, None, [], 0, False, True
+                )
+            else:
+                lvl, trd, season, phase, *_ = res
         bt = int(pd.Timestamp(pdf[ts_col].iloc[-1]).value // 1000)
         last = bt if last is None else max(last, bt)
         state.update(
             (buf, lvl, trd, [float(s) for s in season], int(phase), n,
-             inited, last)
+             inited, last, bad)
         )
-        fc1 = (lvl + phi * trd + season[phase % m]) if inited else None
+        if not inited:
+            fc1 = None
+        elif seasonal == "mul":
+            fc1 = (lvl + phi * trd) * season[phase % m]
+        else:
+            fc1 = lvl + phi * trd + season[phase % m]
         yield pd.DataFrame(
             {
                 key_col: [key[0]],

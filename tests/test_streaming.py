@@ -1143,10 +1143,10 @@ def test_holt_winters_state_stream_equals_batch(spark, sf_dir, phi):
             .option("maxFilesPerTrigger", 1)
             .parquet(os.path.join(src, "*.parquet"))
         )
-        with pytest.raises(ValueError, match="add"):
+        with pytest.raises(ValueError, match="seasonal"):
             holt_winters_state_stream(
                 stream_in, "user_id", "ts", "value", a, b, g, period=m,
-                seasonal="mul",
+                seasonal="typo",
             )
         q = (
             holt_winters_state_stream(
@@ -1558,3 +1558,165 @@ def test_forecast_accuracy_stream_null_ts_poisons_grid(spark):
         g = spark.sql("SELECT max_by(mase, n) AS ms FROM fa_nullts").collect()[0]
     b = forecast_accuracy(df, "k", "t", "y", "f", m=4).collect()[0]
     assert b.mase is None and g.ms is None  # both engines NULL
+
+
+def test_holt_winters_state_stream_mul_equals_batch(spark):
+    """r14: multiplicative-seasonal stream twin. A 4-micro-batch
+    ts-ordered replay's last update per key equals batch
+    holt_winters_forecast(seasonal='mul') at 1e-12 — same _hw_fold on
+    both sides — and a key that ships a NON-POSITIVE value mid-stream is
+    POISONED: NULL level/trend/forecast_1 with n_events still counting,
+    exactly the batch whole-key NULL policy over the landed rows."""
+    import numpy as np
+
+    from sparkglm_spark.operators.timeseries import holt_winters_forecast
+    from sparkglm_spark.streaming.events import holt_winters_state_stream
+
+    m, a, b, g = 3, 0.5, 0.25, 0.5
+    rng = np.random.default_rng(11)
+    rows = []
+    eid = 0
+    for k in range(3):
+        n = 10 + 4 * k
+        for t in range(n):
+            base = (20.0 * (k + 1) + 0.5 * t) * [1.3, 0.8, 0.9][t % m]
+            v = float(base + rng.normal(0, 0.2))
+            # key 2: a zero value lands mid-stream (row 8) -> poison
+            if k == 2 and t == 8:
+                v = 0.0
+            rows.append((eid, f"2024-01-01 00:00:{t:02d}", k, v))
+            eid += 1
+    raw = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, value double"
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+             "user_id", "value")
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        os.makedirs(src)
+        ts_sorted = sorted(r.ts for r in raw.select("ts").collect())
+        cuts = [ts_sorted[len(ts_sorted) * i // 4] for i in (1, 2, 3)]
+        parts = [
+            raw.where(F.col("ts") <= F.lit(cuts[0])),
+            raw.where((F.col("ts") > F.lit(cuts[0]))
+                      & (F.col("ts") <= F.lit(cuts[1]))),
+            raw.where((F.col("ts") > F.lit(cuts[1]))
+                      & (F.col("ts") <= F.lit(cuts[2]))),
+            raw.where(F.col("ts") > F.lit(cuts[2])),
+        ]
+        for i, p in enumerate(parts):
+            p.coalesce(1).write.parquet(os.path.join(src, f"b{i}.parquet"))
+        stream_in = (
+            spark.readStream.schema(raw.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*.parquet"))
+        )
+        q = (
+            holt_winters_state_stream(
+                stream_in, "user_id", "ts", "value", a, b, g, period=m,
+                tiebreak_col="event_id", seasonal="mul",
+            )
+            .writeStream.format("memory").queryName("hw_mul")
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(d, "ck"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(180)
+        got = spark.sql(
+            "SELECT user_id, max_by(named_struct('n', n_events, 'l', level,"
+            " 't', trend, 'f', forecast_1), n_events) AS w"
+            " FROM hw_mul GROUP BY user_id"
+        ).collect()
+    batch = {
+        r.user_id: r
+        for r in holt_winters_forecast(
+            raw, "user_id", "ts", "value", a, b, g, period=m, horizons=[1],
+            tiebreak_col="event_id", seasonal="mul",
+        ).collect()
+    }
+    assert len(got) == len(batch) == 3
+    for r in got:
+        bb = batch[r.user_id]
+        assert r.w["n"] == bb.n_events, r.user_id
+        if r.user_id == 2:  # poisoned: NULL in BOTH engines
+            assert r.w["l"] is None and bb.level is None
+            assert r.w["f"] is None and bb.forecast_1 is None
+        else:
+            assert r.w["l"] == pytest.approx(bb.level, rel=1e-12), r.user_id
+            assert r.w["t"] == pytest.approx(bb.trend, rel=1e-12), r.user_id
+            assert r.w["f"] == pytest.approx(
+                bb.forecast_1, rel=1e-12
+            ), r.user_id
+
+
+def test_holt_winters_state_stream_mul_restart_continuation(spark):
+    """r14: checkpoint restart mid-stream. Run the mul stream over the
+    first half, STOP, land the second half, start a NEW query on the
+    SAME checkpoint — the carried (level, trend, season, phase, bad)
+    state continues the fold exactly (final state == one-shot batch)."""
+    import numpy as np
+
+    from sparkglm_spark.operators.timeseries import holt_winters_forecast
+    from sparkglm_spark.streaming.events import holt_winters_state_stream
+
+    m, a, b, g = 3, 0.4, 0.3, 0.35
+    rng = np.random.default_rng(23)
+    rows = []
+    for t in range(16):
+        base = (30.0 + 0.8 * t) * [1.2, 0.7, 1.1][t % m]
+        rows.append((t, f"2024-01-01 00:00:{t:02d}", "k",
+                     float(base + rng.normal(0, 0.3))))
+    raw = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id string, value double"
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+             "user_id", "value")
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        os.makedirs(src)
+        raw.where(F.col("event_id") < 8).coalesce(1).write.parquet(
+            os.path.join(src, "b0.parquet")
+        )
+        sink = os.path.join(d, "sink")
+
+        def run():
+            # memory sinks can't recover a checkpoint — land updates via
+            # foreachBatch (which can) and read the parquet back
+            stream_in = (
+                spark.readStream.schema(raw.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(os.path.join(src, "*.parquet"))
+            )
+            q = (
+                holt_winters_state_stream(
+                    stream_in, "user_id", "ts", "value", a, b, g,
+                    period=m, tiebreak_col="event_id", seasonal="mul",
+                )
+                .writeStream.foreachBatch(
+                    lambda bdf, bid: bdf.write.mode("append").parquet(sink)
+                )
+                .outputMode("update")
+                .option("checkpointLocation", os.path.join(d, "ck"))
+                .trigger(availableNow=True).start()
+            )
+            q.awaitTermination(180)
+
+        run()
+        raw.where(F.col("event_id") >= 8).coalesce(1).write.parquet(
+            os.path.join(src, "b1.parquet")
+        )
+        run()
+        got = (
+            spark.read.parquet(sink)
+            .orderBy(F.col("n_events").desc())
+            .limit(1)
+            .collect()[0]
+        )
+        got = {"n": got.n_events, "l": got.level, "t": got.trend,
+               "f": got.forecast_1}
+    bb = holt_winters_forecast(
+        raw, "user_id", "ts", "value", a, b, g, period=m, horizons=[1],
+        tiebreak_col="event_id", seasonal="mul",
+    ).collect()[0]
+    assert got["n"] == bb.n_events == 16
+    assert got["l"] == pytest.approx(bb.level, rel=1e-12)
+    assert got["t"] == pytest.approx(bb.trend, rel=1e-12)
+    assert got["f"] == pytest.approx(bb.forecast_1, rel=1e-12)

@@ -1704,3 +1704,292 @@ def test_logrank_stratified(spark):
     )
     rg = logrank_test(df.unionByName(ghost), "t", "e", "g", strata_col="s")
     assert rg["chi2"] == pytest.approx(res["chi2"], rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# r14: counting-process Cox — coxph(entry_col=), R Surv(start, stop, event)
+
+
+def _brute_cox_cp(start, stop, ev, X, w=None, strata=None):
+    """Independent brute-force (start, stop] Breslow partial likelihood:
+    explicit O(n·#events) risk-set masks (start < t <= stop), NOT the
+    engine's signed suffix-sum plan — a genuinely different derivation.
+    Returns (beta, se, loglik) from the same Newton-from-0 stop rule."""
+    n, k = X.shape
+    w = np.ones(n) if w is None else w
+    strata = np.zeros(n) if strata is None else np.asarray(strata)
+
+    def stats(beta):
+        eta = X @ beta
+        r = w * np.exp(eta)
+        ll = 0.0
+        grad = np.zeros(k)
+        info = np.zeros((k, k))
+        for s in np.unique(strata):
+            ms = strata == s
+            for t in np.unique(stop[ms & (ev == 1.0)]):
+                at = ms & (start < t) & (stop >= t)
+                evt = ms & (stop == t) & (ev == 1.0)
+                d = w[evt].sum()
+                S0 = r[at].sum()
+                S1 = (r[at, None] * X[at]).sum(axis=0)
+                S2 = (
+                    r[at, None, None] * X[at][:, :, None] * X[at][:, None, :]
+                ).sum(axis=0)
+                ll += (w[evt] * eta[evt]).sum() - d * np.log(S0)
+                grad += (w[evt, None] * X[evt]).sum(axis=0) - d * S1 / S0
+                m = S1 / S0
+                info += d * (S2 / S0 - np.outer(m, m))
+        return ll, grad, info
+
+    beta = np.zeros(k)
+    llp = None
+    for _ in range(50):
+        ll, g, info = stats(beta)
+        beta = beta + np.linalg.solve(info, g)
+        if llp is not None and abs(ll - llp) <= 1e-9 * (abs(ll) + 1e-9):
+            break
+        llp = ll
+    ll, _, info = stats(beta)
+    return beta, np.sqrt(np.diag(np.linalg.inv(info))), ll
+
+
+@pytest.fixture(scope="module")
+def cp_data(spark):
+    """Delayed-entry frame WITH TIES (rounded axes) + weights + strata."""
+    rng = np.random.default_rng(47)
+    n = 300
+    x1 = rng.normal(0, 1, n)
+    x2 = (rng.random(n) < 0.4).astype(float)
+    start = np.round(rng.uniform(0, 2, n), 1)
+    dur = np.round(
+        rng.exponential(1.0 / np.exp(0.6 * x1 - 0.4 * x2)), 1
+    ) + 0.2
+    stop = start + dur
+    ev = (rng.random(n) < 0.75).astype(float)
+    wq = (1.0 + np.arange(n) % 3).astype(float)
+    strat = np.arange(n) % 2
+    df = spark.createDataFrame(
+        [
+            (float(a), float(b), float(c), float(d), float(e_), float(f),
+             int(g))
+            for a, b, c, d, e_, f, g in zip(
+                start, stop, ev, x1, x2, wq, strat
+            )
+        ],
+        "start double, stop double, event double, x1 double, x2 double,"
+        " wq double, s int",
+    ).repartition(5)
+    return df, start, stop, ev, np.column_stack([x1, x2]), wq, strat
+
+
+def test_coxph_entry_matches_bruteforce(cp_data):
+    df, start, stop, ev, X, _, _ = cp_data
+    m = coxph(df, "stop", "event", ["x1", "x2"], entry_col="start")
+    beta, se, ll = _brute_cox_cp(start, stop, ev, X)
+    np.testing.assert_allclose(m.coefs, beta, rtol=1e-8)
+    np.testing.assert_allclose(m.se, se, rtol=1e-8)
+    assert m.loglik == pytest.approx(ll, rel=1e-10)
+    assert m.entry_col == "start"
+
+
+def test_coxph_entry_episode_split_invariance(cp_data):
+    """The Andersen-Gill property the two-arm plan must honor: splitting
+    any (start, stop] row at an interior point into (start, mid](ev=0) +
+    (mid, stop](ev) changes NOTHING — same risk sets, same fit."""
+    df, *_ = cp_data
+    base = coxph(df, "stop", "event", ["x1", "x2"], entry_col="start")
+    mid = (F.col("start") + F.col("stop")) / 2.0
+    first = df.select(
+        F.col("start"), mid.alias("stop"), F.lit(0.0).alias("event"),
+        "x1", "x2", "wq", "s",
+    )
+    second = df.select(
+        mid.alias("start"), F.col("stop"), F.col("event"),
+        "x1", "x2", "wq", "s",
+    )
+    split = coxph(
+        first.unionByName(second), "stop", "event", ["x1", "x2"],
+        entry_col="start",
+    )
+    np.testing.assert_allclose(split.coefs, base.coefs, rtol=1e-9)
+    np.testing.assert_allclose(split.se, base.se, rtol=1e-9)
+    assert split.loglik == pytest.approx(base.loglik, rel=1e-10)
+
+
+def test_coxph_entry_before_origin_equals_plain(cp_data):
+    """entry strictly before every exit time == everyone at risk from the
+    start == the plain right-censored fit."""
+    df, *_ = cp_data
+    plain = coxph(df, "stop", "event", ["x1", "x2"])
+    early = coxph(
+        df.withColumn("start0", F.lit(-1.0)),
+        "stop", "event", ["x1", "x2"], entry_col="start0",
+    )
+    np.testing.assert_allclose(early.coefs, plain.coefs, rtol=1e-9)
+    np.testing.assert_allclose(early.se, plain.se, rtol=1e-9)
+    assert early.loglik == pytest.approx(plain.loglik, rel=1e-10)
+
+
+def test_coxph_entry_weighted_replication_identity(cp_data):
+    """Integer case weights == row replication, with delayed entry."""
+    df, start, stop, ev, X, wq, _ = cp_data
+    mw = coxph(
+        df, "stop", "event", ["x1", "x2"], entry_col="start",
+        weight_col="wq",
+    )
+    rep = df.withColumn(
+        "q", F.explode(F.expr("sequence(1, CAST(wq AS INT))"))
+    ).drop("q", "wq")
+    mr = coxph(rep, "stop", "event", ["x1", "x2"], entry_col="start")
+    np.testing.assert_allclose(mw.coefs, mr.coefs, rtol=1e-9)
+    np.testing.assert_allclose(mw.se, mr.se, rtol=1e-9)
+    assert mw.loglik == pytest.approx(mr.loglik, rel=1e-10)
+    # and the weighted fit matches the weighted brute force
+    beta, se, ll = _brute_cox_cp(start, stop, ev, X, w=wq)
+    np.testing.assert_allclose(mw.coefs, beta, rtol=1e-8)
+    assert mw.loglik == pytest.approx(ll, rel=1e-10)
+
+
+def test_coxph_entry_stratified_matches_bruteforce(cp_data):
+    df, start, stop, ev, X, _, strat = cp_data
+    m = coxph(
+        df, "stop", "event", ["x1", "x2"], entry_col="start",
+        strata_col="s",
+    )
+    beta, se, ll = _brute_cox_cp(start, stop, ev, X, strata=strat)
+    np.testing.assert_allclose(m.coefs, beta, rtol=1e-8)
+    np.testing.assert_allclose(m.se, se, rtol=1e-8)
+    assert m.loglik == pytest.approx(ll, rel=1e-10)
+
+
+def test_coxph_entry_baseline_and_schoenfeld(cp_data):
+    from sparkglm_spark.operators.survival import (
+        ph_assumption_test,
+        schoenfeld_residuals,
+    )
+
+    df, start, stop, ev, X, _, _ = cp_data
+    m = coxph(df, "stop", "event", ["x1", "x2"], entry_col="start")
+    bh = m.baseline_hazard(df).toPandas()
+    # brute Breslow H0 over (start, stop] risk sets at the fitted beta
+    r = np.exp(X @ m.coefs)
+    et = np.unique(stop[ev == 1.0])
+    h0 = np.cumsum(
+        [
+            ((stop == t) & (ev == 1.0)).sum()
+            / r[(start < t) & (stop >= t)].sum()
+            for t in et
+        ]
+    )
+    np.testing.assert_allclose(
+        bh.sort_values("time")["cum_hazard"].to_numpy(), h0, rtol=1e-10
+    )
+    # Schoenfeld residuals of the counting-process score sum to ~0 at
+    # the fitted beta (they ARE the score contributions)
+    res = schoenfeld_residuals(m, df).toPandas()
+    assert abs(res["resid_x1"].sum()) < 1e-6
+    assert abs(res["resid_x2"].sum()) < 1e-6
+    zph = ph_assumption_test(m, df)
+    assert 0.0 <= zph["global"]["p_value"] <= 1.0
+    # survival prediction composes (bounded probabilities)
+    sv = m.predict_survival(
+        df.limit(5), times=[float(np.median(stop))], train_df=df
+    ).toPandas()
+    col = [c for c in sv.columns if c.startswith("surv_")][0]
+    assert ((sv[col] > 0.0) & (sv[col] <= 1.0)).all()
+
+
+def test_coxph_entry_time_bucket(cp_data):
+    """Bucketing inside the plan == pre-bucketing both axes by hand
+    (restricted to intervals the flooring does not collapse — collapsed
+    ones are the guard's job, tested in test_coxph_entry_guards)."""
+    df, *_ = cp_data
+    keep = df.where(
+        F.floor(F.col("start") / 0.5) < F.floor(F.col("stop") / 0.5)
+    )
+    m = coxph(
+        keep, "stop", "event", ["x1", "x2"], entry_col="start",
+        time_bucket=0.5,
+    )
+    pre = keep.select(
+        (F.floor(F.col("start") / 0.5).cast("double") * 0.5).alias("start"),
+        (F.floor(F.col("stop") / 0.5).cast("double") * 0.5).alias("stop"),
+        "event", "x1", "x2",
+    )
+    mp = coxph(pre, "stop", "event", ["x1", "x2"], entry_col="start")
+    np.testing.assert_allclose(m.coefs, mp.coefs, rtol=1e-10)
+    assert m.loglik == pytest.approx(mp.loglik, rel=1e-12)
+
+
+def test_coxph_entry_guards(spark, cp_data):
+    df, *_ = cp_data
+    with pytest.raises(ValueError, match="entry_col must differ"):
+        coxph(df, "stop", "event", ["x1"], entry_col="stop")
+    with pytest.raises(ValueError, match="null time/event/entry"):
+        coxph(
+            df.withColumn(
+                "start",
+                F.when(F.col("x2") > 0, None).otherwise(F.col("start")),
+            ),
+            "stop", "event", ["x1"], entry_col="start",
+        )
+    with pytest.raises(ValueError, match="entry >= time"):
+        coxph(
+            df.withColumn("bad", F.col("stop") + 1.0),
+            "stop", "event", ["x1"], entry_col="bad",
+        )
+    # a bucket wide enough to collapse intervals must refuse, and say why
+    with pytest.raises(ValueError, match="time_bucket"):
+        coxph(
+            df, "stop", "event", ["x1"], entry_col="start",
+            time_bucket=1000.0,
+        )
+
+
+def test_coxph_grouped_entry_matches_per_group(cp_data):
+    from sparkglm_spark.operators.survival import coxph_grouped
+
+    df, *_ = cp_data
+    out = (
+        coxph_grouped(
+            df, "stop", "event", ["x1", "x2"], ["s"], entry_col="start"
+        )
+        .toPandas()
+        .sort_values(["s", "term"])
+    )
+    for gv in (0, 1):
+        mg = coxph(
+            df.where(F.col("s") == gv), "stop", "event", ["x1", "x2"],
+            entry_col="start",
+        )
+        sl = out[out.s == gv].set_index("term")
+        for i, name in enumerate(["x1", "x2"]):
+            assert sl.loc[name, "estimate"] == pytest.approx(
+                float(mg.coefs[i]), rel=1e-9
+            )
+            assert sl.loc[name, "se"] == pytest.approx(
+                float(mg.se[i]), rel=1e-9
+            )
+
+
+def test_coxph_grouped_entry_dirty_group_nulls(spark):
+    """Grouped dirty-interval policy: a group with entry >= time
+    degenerates to the NULL row (the distributed fitter raises)."""
+    from sparkglm_spark.operators.survival import coxph_grouped
+
+    rows = [
+        # clean group
+        ("a", 0.0, 2.0, 1.0, 0.3), ("a", 0.5, 3.0, 1.0, -0.2),
+        ("a", 1.0, 4.0, 0.0, 0.8), ("a", 0.2, 5.0, 1.0, 0.1),
+        # dirty: one inverted interval
+        ("b", 3.0, 2.0, 1.0, 0.4), ("b", 0.0, 1.0, 1.0, -0.5),
+    ]
+    df = spark.createDataFrame(
+        rows, "g string, start double, stop double, event double, x double"
+    )
+    out = coxph_grouped(
+        df, "stop", "event", ["x"], ["g"], entry_col="start"
+    ).toPandas()
+    assert out[out.g == "a"]["estimate"].notna().all()
+    assert out[out.g == "b"]["estimate"].isna().all()
