@@ -1603,6 +1603,39 @@ def q_glm_families_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("enet_gamma", "iterations", float(m.iter)),
         ("enet_gamma", "n_nonzero", float(m.n_nonzero)),
     ]
+    # r14: penalized NEGBINOMIAL (glm_elastic_net family='negbinomial',
+    # VERDICT r13 #3) at exactly 3 outer solves — NB2 with fixed
+    # α = 0.5: working weight μ/(1+αμ) (the SQL replays the engine's
+    # literal 1/((μ+αμ²)·g²) tree), NB2 deviance with the exact y = 0
+    # zero-mass branch. Response: same hash-uniform u as the gamma arm,
+    # an EXACT point mass at 0 (u < 0.25 → y = 0 — integer arithmetic,
+    # bit-identical cross-engine) else continuous e^(0.2+0.8x)·(0.5+u).
+    enb_u = (
+        (
+            (F.col("l_orderkey") * 8 + F.col("l_linenumber"))
+            * F.lit(2654435761).cast("long")
+        )
+        % 1000000
+    ).cast("double") / 1000000.0
+    enb_in = li.select(
+        F.when(enb_u < 0.25, 0.0)
+        .otherwise(
+            F.exp(0.2 + 0.8 * (F.col("l_quantity") / 50.0)) * (0.5 + enb_u)
+        )
+        .alias("yy"),
+        (F.col("l_quantity") / 50.0).alias("xx"),
+    )
+    m = glm_elastic_net(
+        enb_in, "yy ~ xx", reg_param=0.02, elastic_net_param=0.5,
+        family="negbinomial", nb_alpha=0.5, exact_iterations=3,
+    )
+    rows += [
+        ("enet_negbin", "coef_intercept", round(float(m.coefs[0]), 6)),
+        ("enet_negbin", "coef_xx", round(float(m.coefs[1]), 6) + 0.0),
+        ("enet_negbin", "deviance", round(m.deviance, 2)),
+        ("enet_negbin", "iterations", float(m.iter)),
+        ("enet_negbin", "n_nonzero", float(m.n_nonzero)),
+    ]
     return spark.createDataFrame(
         rows, "family string, stat string, value double"
     ).orderBy("family", "stat")
@@ -1816,6 +1849,56 @@ def _sql_glm_families_fit() -> str:
             f" / (((swxx - swx * swx / sw) / (sg * sg)) / n + 0.5 * 0.02)"
             f" / sg ELSE 0.0 END AS b1n FROM eg{i}a) s)"
         )
+    # r14: penalized negbinomial 3-iteration unroll (enet_negbin arm) —
+    # the eg chain with NB2 kernels: w = 1/((μ+αμ²)·g²), g = 1/μ,
+    # α = 0.5 (1/α = 2.0); deviance has the exact y = 0 branch. The
+    # point mass at 0 comes from the SAME integer-hash u, so the zero
+    # set is bit-identical cross-engine.
+    ctes.append(
+        "enbb AS (SELECT CASE WHEN u < 0.25 THEN 0.0"
+        " ELSE exp(0.2 + 0.8 * x) * (0.5 + u) END AS y, x FROM"
+        " (SELECT CAST((l_orderkey * 8 + l_linenumber)"
+        " * 2654435761 % 1000000 AS DOUBLE) / 1000000.0 AS u,"
+        " CAST(l_quantity AS DOUBLE) / 50.0 AS x FROM lineitem) b)"
+    )
+    ctes.append(
+        "enbs AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(y) AS sy,"
+        " SUM(x) AS sx, SUM(x * x) AS sxx FROM enbb)"
+    )
+    ctes.append(
+        "enb0 AS (SELECT n,"
+        " SQRT((sxx - n * (sx / n) * (sx / n)) / (n - 1.0)) AS sg,"
+        " ln(sy / n) AS b0, 0.0 AS b1 FROM enbs)"
+    )
+    for i in range(1, 4):
+        prev = f"enb{i - 1}"
+        ctes.append(
+            f"enb{i}a AS (SELECT {prev}.n AS n, {prev}.sg AS sg,"
+            f" SUM(w) AS sw, SUM(w * x) AS swx, SUM(w * x * x) AS swxx,"
+            f" SUM(w * z) AS swz, SUM(w * x * z) AS swxz,"
+            f" 2.0 * SUM(CASE WHEN y = 0 THEN 2.0 * ln(1.0 + 0.5 * mu)"
+            f" ELSE y * ln(y / mu)"
+            f" - (y + 2.0) * ln((1.0 + 0.5 * y) / (1.0 + 0.5 * mu))"
+            f" END) AS dev"
+            f" FROM (SELECT y, x, mu,"
+            f" 1.0 / ((mu + 0.5 * mu * mu) * g * g) AS w,"
+            f" eta + (y - mu) * g AS z FROM"
+            f" (SELECT y, x, eta, mu, 1.0 / mu AS g FROM"
+            f" (SELECT y, x, eta, exp(eta) AS mu FROM"
+            f" (SELECT enbb.y, enbb.x, {prev}.b0 + {prev}.b1 * enbb.x AS eta"
+            f" FROM enbb CROSS JOIN {prev}) q1) q2) q3) q4"
+            f" CROSS JOIN {prev} GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"enb{i} AS (SELECT n, sg, (swz - swx * b1n) / sw AS b0,"
+            f" b1n AS b1, dev FROM (SELECT n, sg, sw, swx, swz, dev,"
+            f" CASE WHEN sg > 0 THEN"
+            f" SIGN(((swxz - swx * (swz / sw)) / sg) / n)"
+            f" * GREATEST(ABS(((swxz - swx * (swz / sw)) / sg) / n)"
+            f" - 0.5 * 0.02, 0.0)"
+            f" / (((swxx - swx * swx / sw) / (sg * sg)) / n + 0.5 * 0.02)"
+            f" / sg ELSE 0.0 END AS b1n FROM enb{i}a) s)"
+        )
     # r11: glm_elastic_net_cv 2-fold × 2-iteration unroll (see the Spark
     # arm's comment): per fold model j — training moments → σ/logit-init
     # → two [weighted agg → soft-threshold → intercept back-out] steps →
@@ -1884,6 +1967,13 @@ def _sql_glm_families_fit() -> str:
         "SELECT 'enet_gamma', 'iterations', 3.0 FROM eg3",
         "SELECT 'enet_gamma', 'n_nonzero',"
         " CAST(CASE WHEN b1 <> 0 THEN 1 ELSE 0 END AS DOUBLE) FROM eg3",
+        "SELECT 'enet_negbin' AS family, 'coef_intercept' AS stat,"
+        " ROUND(b0, 6) AS value FROM enb3",
+        "SELECT 'enet_negbin', 'coef_xx', ROUND(b1, 6) + 0.0 FROM enb3",
+        "SELECT 'enet_negbin', 'deviance', ROUND(dev, 2) FROM enb3",
+        "SELECT 'enet_negbin', 'iterations', 3.0 FROM enb3",
+        "SELECT 'enet_negbin', 'n_nonzero',"
+        " CAST(CASE WHEN b1 <> 0 THEN 1 ELSE 0 END AS DOUBLE) FROM enb3",
         "SELECT 'gaussian' AS family, 'coef_intercept' AS stat, ROUND((sy * sxx - sx * sxy) / (n * sxx - sx * sx), 1) AS value FROM gs",
         "SELECT 'gaussian', 'coef_l_quantity', ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 1) FROM gs",
         "SELECT 'gaussian', 'iterations', 2.0 FROM gs",

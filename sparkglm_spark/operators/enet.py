@@ -813,6 +813,7 @@ def glm_elastic_net(
     offset_col: str | None = None,
     weight_col: str | None = None,
     var_power: float = 1.5,
+    nb_alpha: float = 1.0,
 ) -> GLMElasticNet:
     """Sparse GLM — L1(+L2)-penalized logistic / Poisson regression with
     the MLlib `LogisticRegression(regParam, elasticNetParam,
@@ -851,13 +852,16 @@ def glm_elastic_net(
     100 TB cost profile per iteration as the unpenalized `glm`.
 
     Families: binomial/logit (Bernoulli y ∈ [0,1]), poisson/log
-    (y ≥ 0), and — r13 — gamma/log (y > 0; working weight μ²/V = 1,
-    the constant-weight log-link case) and tweedie(`var_power`)/log
-    (1 < p < 2; y ≥ 0 with an exact point mass at 0 — sparse insurance
-    severity/total-cost models; w = μ^(2−p)). Both reuse the same
-    prox-Newton with the family's variance/deviance kernels swapped in
-    (families.py), golden-tested against the unpenalized `glm` at
-    λ = 0. `offset_col` adds a fixed per-row term to η (the `glm`
+    (y ≥ 0), gamma/log (r13; y > 0; working weight μ²/V = 1,
+    the constant-weight log-link case), tweedie(`var_power`)/log
+    (r13; 1 < p < 2; y ≥ 0 with an exact point mass at 0 — sparse
+    insurance severity/total-cost models; w = μ^(2−p)), and
+    negbinomial(`nb_alpha`)/log (r14; NB2 with FIXED dispersion α > 0,
+    variance μ + αμ², w = μ/(1+αμ) — the sparse overdispersed-count
+    model a penalized poisson silently mis-weights; α→0 recovers
+    poisson). All reuse the same prox-Newton with the family's
+    variance/deviance kernels swapped in (families.py), golden-tested
+    against the unpenalized `glm` at λ = 0. `offset_col` adds a fixed per-row term to η (the `glm`
     offset contract: η = Xβ + offset, fit unchanged in cost — one extra
     column in the per-iteration expressions, zero extra jobs) —
     penalized Poisson with `offset_col=log(exposure)` is the standard
@@ -886,7 +890,7 @@ def glm_elastic_net(
         raise ValueError("reg_param must be >= 0")
     if exact_iterations is not None and exact_iterations < 1:
         raise ValueError("exact_iterations must be >= 1")
-    fam = get_family(family, var_power)  # var_power: tweedie only
+    fam = get_family(family, var_power, nb_alpha)  # var_power: tweedie; nb_alpha: negbinomial
     lnk = get_link(fam.default_link)
     extra = [c for c in (offset_col, weight_col) if c]
     encoded, x_cols, target, levels = _encode_formula(
@@ -976,7 +980,7 @@ def glm_elastic_net(
         # family domain guards (cheap second scan avoided: trust + clamp)
         if family == "binomial" and not 0.0 < y_mean < 1.0:
             raise ValueError("binomial label is constant 0 or 1")
-        if family in ("poisson", "tweedie") and y_mean <= 0.0:
+        if family in ("poisson", "tweedie", "negbinomial") and y_mean <= 0.0:
             raise ValueError(
                 f"{family} label sums to 0 — no signal to fit"
             )
@@ -1088,6 +1092,7 @@ def glm_elastic_net(
             f"glm_elastic_net({formula}, family={family}, reg_param={lam}, "
             f"elastic_net_param={alpha}"
             + (f", var_power={var_power}" if family == "tweedie" else "")
+            + (f", nb_alpha={nb_alpha}" if family == "negbinomial" else "")
             + (f", weight_col={weight_col}" if weight_col else "")
             + ")"
         ),
@@ -1124,6 +1129,7 @@ def _glm_enet_pathwise(
     mode: str,
     weight_col: str | None = None,
     var_power: float = 1.5,
+    nb_alpha: float = 1.0,
 ):
     """Shared engine of `glm_elastic_net_cv` (mode='cv') and
     `glm_elastic_net_path` (mode='path') — pathwise penalized IRLS with
@@ -1179,7 +1185,7 @@ def _glm_enet_pathwise(
         raise ValueError("reg_param must be >= 0")
     if exact_iterations is not None and exact_iterations < 1:
         raise ValueError("exact_iterations must be >= 1")
-    fam = get_family(family, var_power)
+    fam = get_family(family, var_power, nb_alpha)
     lnk = get_link(fam.default_link)
 
     if mode == "cv":
@@ -1480,6 +1486,7 @@ def glm_elastic_net_cv(
     exact_iterations: int | None = None,
     weight_col: str | None = None,
     var_power: float = 1.5,
+    nb_alpha: float = 1.0,
 ) -> DataFrame:
     """K-fold cross-validation for the penalized GLM (`glm_elastic_net`)
     over a λ grid — the sparse-logistic λ-selection surface (VERDICT
@@ -1514,6 +1521,7 @@ def glm_elastic_net_cv(
         family, standardize, na_action, max_iter, tol, max_sweeps,
         offset_col, exact_iterations, mode="cv", weight_col=weight_col,
         var_power=var_power,
+        nb_alpha=nb_alpha,
     )
     out = [
         (
@@ -1552,6 +1560,7 @@ def glm_elastic_net_path(
     weight_col: str | None = None,
     exact_iterations: int | None = None,
     var_power: float = 1.5,
+    nb_alpha: float = 1.0,
 ) -> DataFrame:
     """The whole penalized-GLM regularization path — full-data fits for
     every λ, descending with warm starts on the shared pathwise engine
@@ -1581,6 +1590,7 @@ def glm_elastic_net_path(
         family, standardize, na_action, max_iter, tol, max_sweeps,
         offset_col, exact_iterations, mode="path", weight_col=weight_col,
         var_power=var_power,
+        nb_alpha=nb_alpha,
     )
     # one block per INPUT λ (duplicates produce duplicate blocks — the
     # elastic_net_path contract); the engine deduplicates nothing
@@ -1620,7 +1630,10 @@ def _np_link_init(fam_name: str, mu0: float) -> float:
     return float(np.log(max(mu0, 1e-300)))
 
 
-def _np_glm_irls_kernels(fam_name: str, y, eta_lin, ov, var_power: float = 1.5):
+def _np_glm_irls_kernels(
+    fam_name: str, y, eta_lin, ov, var_power: float = 1.5,
+    nb_alpha: float = 1.0,
+):
     """One IRLS step's per-row kernels, numpy twin of the distributed
     engine's (μ, w, z) projection — shared by `glm_elastic_net_grouped`
     and `glm_elastic_net_cv_grouped` (the `_penalized_irls_update`
@@ -1642,6 +1655,9 @@ def _np_glm_irls_kernels(fam_name: str, y, eta_lin, ov, var_power: float = 1.5):
                 w = np.ones_like(mu)
             elif fam_name == "tweedie":
                 w = mu ** (2.0 - var_power)
+            elif fam_name == "negbinomial":
+                # log link, V = mu + alpha*mu^2: w = mu^2/V = mu/(1+alpha*mu)
+                w = mu / (1.0 + nb_alpha * mu)
             else:  # poisson (quasi twins route through their base)
                 w = mu
             z = eta_lin + (y - mu) / mu
@@ -1649,7 +1665,8 @@ def _np_glm_irls_kernels(fam_name: str, y, eta_lin, ov, var_power: float = 1.5):
 
 
 def _np_glm_deviance(
-    fam_name: str, y, mu, wv, var_power: float = 1.5
+    fam_name: str, y, mu, wv, var_power: float = 1.5,
+    nb_alpha: float = 1.0,
 ) -> float:
     """ω-weighted deviance at μ, numpy twin of the engine's final
     deviance pass (binomial clamp already applied by the caller)."""
@@ -1674,11 +1691,20 @@ def _np_glm_deviance(
                 + tail
             )
             return float(2.0 * (wv * np.where(y == 0, tail, full)).sum())
+        if fam_name == "negbinomial":
+            # NB2 unit deviance (families.py twin): y*ln(y/mu) -
+            # (y+1/a)*ln((1+ay)/(1+a*mu)); y = 0 keeps (1/a)*ln(1+a*mu)
+            a = nb_alpha
+            zero = (1.0 / a) * np.log(1.0 + a * mu)
+            full = np.where(y > 0, y * np.log(np.where(y > 0, y, 1.0) / mu), 0.0) - (
+                y + 1.0 / a
+            ) * np.log((1.0 + a * y) / (1.0 + a * mu))
+            return float(2.0 * (wv * np.where(y == 0, zero, full)).sum())
         t1 = np.where(y > 0, y * np.log(y / mu), 0.0)
         return float(2.0 * (wv * (t1 - (y - mu))).sum())
 
 
-_ENET_FAMILIES = ("binomial", "poisson", "gamma", "tweedie")
+_ENET_FAMILIES = ("binomial", "poisson", "gamma", "tweedie", "negbinomial")
 
 
 def _check_tweedie_var_power(family: str, var_power: float) -> None:
@@ -1693,17 +1719,28 @@ def _check_tweedie_var_power(family: str, var_power: float) -> None:
         get_family(family, float(var_power))
 
 
+def _check_nb_alpha(family: str, nb_alpha: float) -> None:
+    """negbinomial's alpha > 0 raise for entry-point guards — the
+    `_check_tweedie_var_power` twin (r14): the grouped fitters call the
+    numpy kernels directly, so a bad alpha would NULL-degrade where the
+    single fit raises."""
+    if family == "negbinomial":
+        from sparkglm_spark.functions.families import get_family
+
+        get_family(family, alpha=float(nb_alpha))
+
+
 def _enet_label_domain_error(family: str, ymin: float, ymax: float):
     """Shared penalized-fitter label-domain check: None when [ymin, ymax]
     lies in the family's support, else the raise/NULL-degrade message
     (one definition for all four fitters — the `_np_link_init` dedup
-    lesson). binomial [0, 1]; poisson/tweedie ≥ 0; gamma STRICTLY > 0
-    (its deviance has log(y))."""
+    lesson). binomial [0, 1]; poisson/tweedie/negbinomial ≥ 0; gamma
+    STRICTLY > 0 (its deviance has log(y))."""
     if family == "binomial" and (ymin < 0.0 or ymax > 1.0):
         return (
             f"binomial label must lie in [0, 1]; observed [{ymin}, {ymax}]"
         )
-    if family in ("poisson", "tweedie") and ymin < 0.0:
+    if family in ("poisson", "tweedie", "negbinomial") and ymin < 0.0:
         return f"{family} label must be >= 0; observed min = {ymin}"
     if family == "gamma" and ymin <= 0.0:
         return f"gamma label must be > 0; observed min = {ymin}"
@@ -1726,6 +1763,7 @@ def glm_elastic_net_grouped(
     offset_col: str | None = None,
     exact_iterations: int | None = None,
     var_power: float = 1.5,
+    nb_alpha: float = 1.0,
 ) -> DataFrame:
     """One sparse GLM per segment — the per-campaign / per-tenant
     feature-selection shape (L1 zeroes each segment's irrelevant
@@ -1822,6 +1860,7 @@ def glm_elastic_net_grouped(
     if exact_iterations is not None and exact_iterations < 1:
         raise ValueError("exact_iterations must be >= 1")
     _check_tweedie_var_power(family, var_power)
+    _check_nb_alpha(family, nb_alpha)
     encoded, x_cols, target = _design(
         df, formula,
         list(group_cols) + ([lam_col] if lam_col else []),
@@ -1854,6 +1893,7 @@ def glm_elastic_net_grouped(
     gcols = list(group_cols)
     fam_name, std = family, standardize
     vp = float(var_power)
+    na = float(nb_alpha)
     wname, oname = weight_col, offset_col
     lamname = lam_col
     exact_n = exact_iterations
@@ -1928,7 +1968,7 @@ def glm_elastic_net_grouped(
                 for _ in range(n_pass):
                     eta_lin = X @ b
                     _mu, w0, z = _np_glm_irls_kernels(
-                        fam_name, y, eta_lin, ov, vp
+                        fam_name, y, eta_lin, ov, vp, na
                     )
                     wirls = wv * w0
                     sw = float(wirls.sum())
@@ -1949,8 +1989,8 @@ def glm_elastic_net_grouped(
                 if exact_n is not None:
                     conv = True
                 # deviance at the RETURNED beta
-                mu, _w0, _z = _np_glm_irls_kernels(fam_name, y, X @ b, ov, vp)
-                dev = _np_glm_deviance(fam_name, y, mu, wv, vp)
+                mu, _w0, _z = _np_glm_irls_kernels(fam_name, y, X @ b, ov, vp, na)
+                dev = _np_glm_deviance(fam_name, y, mu, wv, vp, na)
                 if not np.all(np.isfinite(b)) or not np.isfinite(dev):
                     b, dev = None, None
                 else:
@@ -2000,6 +2040,7 @@ def glm_elastic_net_path_grouped(
     offset_col: str | None = None,
     exact_iterations: int | None = None,
     var_power: float = 1.5,
+    nb_alpha: float = 1.0,
 ) -> DataFrame:
     """Per-segment regularization PATH (VERDICT r12 #9) — the grouped
     sibling `glm_elastic_net_path` lacked: one warm-started descending-λ
@@ -2044,6 +2085,7 @@ def glm_elastic_net_path_grouped(
     if exact_iterations is not None and exact_iterations < 1:
         raise ValueError("exact_iterations must be >= 1")
     _check_tweedie_var_power(family, var_power)
+    _check_nb_alpha(family, nb_alpha)
     encoded, x_cols, target = _design(
         df, formula, list(group_cols), na_action=na_action,
         weight_col=weight_col, offset_col=offset_col,
@@ -2070,6 +2112,7 @@ def glm_elastic_net_path_grouped(
     gcols = list(group_cols)
     fam_name, std = family, standardize
     vp = float(var_power)
+    na = float(nb_alpha)
     wname, oname = weight_col, offset_col
     lam_in_sorted = sorted((float(v) for v in reg_params), reverse=True)
     lams = sorted(set(lam_in_sorted), reverse=True)
@@ -2147,7 +2190,7 @@ def glm_elastic_net_path_grouped(
                 for _ in range(n_pass):
                     eta_lin = X @ b
                     _mu, w0, z = _np_glm_irls_kernels(
-                        fam_name, y, eta_lin, ov, vp
+                        fam_name, y, eta_lin, ov, vp, na
                     )
                     wirls = wv * w0
                     sw = float(wirls.sum())
@@ -2169,8 +2212,8 @@ def glm_elastic_net_path_grouped(
                     conv = True
                 # deviance/aic/bic at THIS λ's final β (the path
                 # convention — same evaluation the single fit makes)
-                mu, _w0, _z = _np_glm_irls_kernels(fam_name, y, X @ b, ov, vp)
-                dev = _np_glm_deviance(fam_name, y, mu, wv, vp)
+                mu, _w0, _z = _np_glm_irls_kernels(fam_name, y, X @ b, ov, vp, na)
+                dev = _np_glm_deviance(fam_name, y, mu, wv, vp, na)
                 nz = _count_nonzero(names, b)
                 dof = nz + (1 if has_int else 0)
                 aic = dev + 2.0 * dof
@@ -2220,6 +2263,7 @@ def glm_elastic_net_cv_grouped(
     offset_col: str | None = None,
     exact_iterations: int | None = None,
     var_power: float = 1.5,
+    nb_alpha: float = 1.0,
 ) -> DataFrame:
     """Per-segment λ selection for the sparse GLM — K-fold CV of
     `glm_elastic_net` inside EVERY group (the per-tenant workflow the
@@ -2300,6 +2344,7 @@ def glm_elastic_net_cv_grouped(
     if exact_iterations is not None and exact_iterations < 1:
         raise ValueError("exact_iterations must be >= 1")
     _check_tweedie_var_power(family, var_power)
+    _check_nb_alpha(family, nb_alpha)
     if isinstance(fold_expr, str):
         fold_expr = F.col(fold_expr)
     base = df.withColumn("__fold", fold_expr.cast("int"))
@@ -2335,6 +2380,7 @@ def glm_elastic_net_cv_grouped(
     gcols = list(group_cols)
     fam_name, std = family, standardize
     vp = float(var_power)
+    na = float(nb_alpha)
     wname, oname = weight_col, offset_col
     lam_in_sorted = sorted((float(v) for v in reg_params), reverse=True)
     lams = sorted(set(lam_in_sorted), reverse=True)
@@ -2442,7 +2488,7 @@ def glm_elastic_net_cv_grouped(
                     for _ in range(n_pass):
                         eta_lin = Xt @ b
                         _mu, w0, z = _np_glm_irls_kernels(
-                            fam_name, yt, eta_lin, ot, vp
+                            fam_name, yt, eta_lin, ot, vp, na
                         )
                         wirls = wt_t * w0
                         sw = float(wirls.sum())
@@ -2466,12 +2512,12 @@ def glm_elastic_net_cv_grouped(
                     s["beta"], s["theta"] = b, theta
                     # held-out split at the final beta
                     mu_all, _w, _z = _np_glm_irls_kernels(
-                        fam_name, y, X @ b, ov, vp
+                        fam_name, y, X @ b, ov, vp, na
                     )
-                    dev_t = _np_glm_deviance(fam_name, yt, mu_all[tr], wt_t, vp)
+                    dev_t = _np_glm_deviance(fam_name, yt, mu_all[tr], wt_t, vp, na)
                     va = ~tr
                     dev_v = _np_glm_deviance(
-                        fam_name, y[va], mu_all[va], wv[va], vp
+                        fam_name, y[va], mu_all[va], wv[va], vp, na
                     )
                     # emit the row even if the fit diverged (NaN/inf
                     # deviances) — the engine does, and a silently

@@ -1966,3 +1966,109 @@ def test_glm_enet_path_grouped_matches_per_slice(spark):
     with pytest.raises(ValueError, match="supports"):
         glm_elastic_net_path_grouped(df, "y ~ x1", ["g"], lams,
                                      family="gaussian")
+
+
+def test_glm_elastic_net_negbinomial_family(spark):
+    """r14 penalized negbinomial (VERDICT r13 #3): fixed-α NB2 through
+    every enet surface. λ=0 lands on the unpenalized
+    glm(family='negbinomial') MLE; λ>0 shrinks; integer weights ==
+    replication in the objective sense; grouped == per-slice single at
+    1e-8; y < 0 raises; α ≤ 0 raises on every surface; α→0 closes on
+    the poisson fit."""
+    from sparkglm_spark.operators.enet import (
+        glm_elastic_net,
+        glm_elastic_net_cv,
+        glm_elastic_net_grouped,
+        glm_elastic_net_path,
+    )
+    from sparkglm_spark.operators.glm import glm
+
+    rng = np.random.default_rng(177)
+    n = 700
+    x1 = rng.normal(0, 1, n)
+    x2 = rng.integers(0, 3, n).astype(float)
+    mu = np.exp(0.4 + 0.5 * x1 - 0.3 * x2)
+    a = 0.6
+    y = rng.poisson(rng.gamma(shape=1.0 / a, scale=a * mu)).astype(float)
+    g = rng.integers(0, 2, n)
+    df = spark.createDataFrame(
+        [(float(y[i]), float(x1[i]), float(x2[i]), int(g[i]))
+         for i in range(n)],
+        "y double, x1 double, x2 double, g int",
+    )
+    m0 = glm_elastic_net(df, "y ~ x1 + x2", reg_param=0.0,
+                         family="negbinomial", nb_alpha=a,
+                         tol=1e-13, max_iter=200)
+    g0 = glm(df, "y ~ x1 + x2", family="negbinomial", nb_alpha=a,
+             tol=1e-14, max_iter=100)
+    assert np.abs(m0.coefs - g0.coefs).max() < 1e-7
+    assert m0.deviance == pytest.approx(g0.deviance, rel=1e-9)
+    # alpha -> 0 closes on poisson (the NB2 limit)
+    mp = glm_elastic_net(df, "y ~ x1 + x2", reg_param=0.0,
+                         family="negbinomial", nb_alpha=1e-8,
+                         tol=1e-13, max_iter=200)
+    pp = glm_elastic_net(df, "y ~ x1 + x2", reg_param=0.0,
+                         family="poisson", tol=1e-13, max_iter=200)
+    assert np.abs(mp.coefs - pp.coefs).max() < 1e-5
+    # heavy penalty shrinks; integer-weight replication identity
+    m1 = glm_elastic_net(df, "y ~ x1 + x2", reg_param=5.0,
+                         family="negbinomial", nb_alpha=a)
+    nz1 = sum(1 for nm, c in zip(m1.xnames, m1.coefs)
+              if nm != "intercept" and c != 0.0)
+    assert nz1 == 0 and m1.converged
+    wdf = df.withColumn("w", (F.col("g") + 1).cast("double"))
+    rep = wdf.withColumn(
+        "q", F.explode(F.expr("sequence(1, CAST(w AS INT))"))
+    ).drop("q")
+    mw = glm_elastic_net(wdf, "y ~ x1 + x2", reg_param=0.2,
+                         family="negbinomial", nb_alpha=a,
+                         weight_col="w", tol=1e-13)
+    mr = glm_elastic_net(rep, "y ~ x1 + x2", reg_param=0.2,
+                         family="negbinomial", nb_alpha=a, tol=1e-13)
+    # objective-sense identity: reliability-std denominators differ at
+    # O(1/n) (the glm_elastic_net weighted contract) — match at 3e-4
+    assert np.abs(mw.coefs - mr.coefs).max() < 3e-4
+    # y < 0 out of domain; alpha <= 0 raises on single AND grouped
+    bad = df.withColumn(
+        "y", F.when(F.col("x2") > 1, -1.0).otherwise(F.col("y"))
+    )
+    with pytest.raises(ValueError, match="negbinomial label must be >= 0"):
+        glm_elastic_net(bad, "y ~ x1 + x2", reg_param=0.1,
+                        family="negbinomial", nb_alpha=a)
+    with pytest.raises(ValueError, match="alpha"):
+        glm_elastic_net(df, "y ~ x1", reg_param=0.1,
+                        family="negbinomial", nb_alpha=0.0)
+    with pytest.raises(ValueError, match="alpha"):
+        glm_elastic_net_grouped(df, "y ~ x1", ["g"], reg_param=0.1,
+                                family="negbinomial", nb_alpha=-1.0)
+    # grouped == per-slice single
+    out = {
+        (r.g, r.term): r
+        for r in glm_elastic_net_grouped(
+            df, "y ~ x1 + x2", ["g"], reg_param=0.1,
+            family="negbinomial", nb_alpha=a, tol=1e-12,
+        ).collect()
+    }
+    sl = glm_elastic_net(df.where(F.col("g") == 0), "y ~ x1 + x2",
+                         reg_param=0.1, family="negbinomial", nb_alpha=a,
+                         tol=1e-12)
+    for i, t in enumerate(sl.xnames):
+        assert out[(0, t)].estimate == pytest.approx(
+            float(sl.coefs[i]), abs=1e-8
+        ), t
+    assert out[(0, "x1")].deviance == pytest.approx(sl.deviance, rel=1e-9)
+    # path + cv surfaces run and agree with cold single fits per lambda
+    pth = glm_elastic_net_path(df, "y ~ x1 + x2", reg_params=[0.3, 0.05],
+                               family="negbinomial", nb_alpha=a,
+                               tol=1e-12).collect()
+    for lam in (0.3, 0.05):
+        cold = glm_elastic_net(df, "y ~ x1 + x2", reg_param=lam,
+                               family="negbinomial", nb_alpha=a, tol=1e-12)
+        got = {r.term: r.estimate for r in pth
+               if r.reg_param == pytest.approx(lam)}
+        for i, t in enumerate(cold.xnames):
+            assert got[t] == pytest.approx(float(cold.coefs[i]), abs=1e-6), t
+    cv = glm_elastic_net_cv(df, "y ~ x1 + x2", reg_params=[0.3, 0.05],
+                            fold_expr=F.abs(F.hash("x1") % 3),
+                            n_folds=3, family="negbinomial", nb_alpha=a)
+    assert {r.reg_param for r in cv.collect()} == {0.3, 0.05}
