@@ -7849,6 +7849,11 @@ def q_orders_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     zph = ph_assumption_test(cm, cox_in)
     wzph = ph_assumption_test(wcm, wcox_in)
+    # r14: the km-axis test (R cox.zph's default transform) — the SQL
+    # twin rebuilds g = 1 − KM(t₋) via an exclusive window over the
+    # final-state per-time CTE. k = 1 ⇒ marginal ≡ scaled, one pin
+    # covers both conventions.
+    zphkm = ph_assumption_test(cm, cox_in, transform="km")
     cox = spark.createDataFrame(
         [
             ("coxph", "beta", None, round(float(cm.coefs[0]), 6), None, None),
@@ -7864,6 +7869,8 @@ def q_orders_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("tvcox", "n_events", tvm.n_events, None, None, None),
             ("zph", "chi2", int(zph["n_events"]),
              round(zph["per_covariate"]["x"]["chi2"], 6), None, None),
+            ("zphkm", "chi2", int(zphkm["n_events"]),
+             round(zphkm["per_covariate"]["x"]["chi2"], 6), None, None),
             ("wzph", "chi2", int(wzph["n_events"]),
              round(wzph["per_covariate"]["x"]["chi2"], 6), None, None),
         ],
@@ -8331,13 +8338,16 @@ def _sql_cox_ctes(
             f"FROM {p}{i}_g g CROSS JOIN {prev})",
         ]
     fin = f"{p}{iters}"
+    # final-state per-time CTE also carries c0 (raw at-risk count) for
+    # the r14 km-transform zph replay (full mode only reads it)
     ctes += [
-        f"{p}f_t AS (SELECT t, {t_aggs}"
+        f"{p}f_t AS (SELECT t, COUNT(*) AS c0, {t_aggs}"
         f"FROM {src} CROSS JOIN {fin} GROUP BY t)",
         f"{p}f_c AS (SELECT t, d, dx, "
         "SUM(e0) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS e0c, "
         "SUM(e1) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS e1c, "
-        "SUM(e2) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS e2c "
+        "SUM(e2) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS e2c, "
+        "SUM(c0) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS c0c "
         f"FROM {p}f_t)",
         f"{p}f_g AS (SELECT SUM(dx) AS sdx, SUM(d * ln(e0c)) AS dl, "
         "SUM(d * (e2c / e0c - e1c * e1c / (e0c * e0c))) AS h, "
@@ -8405,6 +8415,24 @@ FROM {p}z z CROSS JOIN {p}f_g g
         f"FROM {p}f_c WHERE d > 0)"
     )
     ctes.append(zph_cte)
+    # r14 km-axis zph replay (ph_assumption_test(transform='km')):
+    # g = 1 − exp(EXCLUSIVE ascending sum of ln(1 − d/n_at_risk) over
+    # event times) — the left-continuous pooled KM; the NULL clamp on
+    # d = n_at_risk matches the engine's _km_curve convention (empty
+    # exclusive frame → COALESCE 0 → g = 0 at the first event). At
+    # k = 1 the marginal and scaled conventions coincide.
+    ctes.append(
+        f"{p}kg AS (SELECT t, d, dx, e0c, e1c, 1.0 - EXP(COALESCE("
+        f"SUM(CASE WHEN d < c0c THEN ln(1.0 - d / c0c) END) OVER "
+        f"(ORDER BY t ASC ROWS BETWEEN UNBOUNDED PRECEDING AND"
+        f" 1 PRECEDING), 0.0)) AS g FROM {p}f_c WHERE d > 0)"
+    )
+    ctes.append(
+        f"{p}zk AS (SELECT SUM(d) AS dt, SUM(d * g) AS sdg,"
+        f" SUM(d * g * g) AS sdg2,"
+        f" SUM(g * (dx - d * e1c / e0c)) AS sgr,"
+        f" SUM(dx - d * e1c / e0c) AS sr FROM {p}kg)"
+    )
     horizon_rows = "\nUNION ALL\n".join(
         f"SELECT 'cox_base', 'h{int(h)}', NULL, "
         f"ROUND((SELECT MAX(CASE WHEN t <= {h:.1f} THEN hc END) FROM {p}b), 6), "
@@ -8427,6 +8455,13 @@ SELECT 'coxph', 'n_events', CAST(g.ne AS BIGINT), NULL, NULL, NULL FROM {p}f_g g
 UNION ALL
 SELECT 'zph', 'chi2', CAST(z.dt AS BIGINT), {zph_expr}, NULL, NULL
 FROM {p}z z CROSS JOIN {p}f_g g
+UNION ALL
+SELECT 'zphkm', 'chi2', CAST(z.dt AS BIGINT),
+       ROUND(z.dt * (z.sgr - (z.sdg / z.dt) * z.sr)
+             * (z.sgr - (z.sdg / z.dt) * z.sr)
+             / (g.h * (z.sdg2 - z.dt * (z.sdg / z.dt) * (z.sdg / z.dt))), 6),
+       NULL, NULL
+FROM {p}zk z CROSS JOIN {p}f_g g
 UNION ALL
 {horizon_rows}
 UNION ALL

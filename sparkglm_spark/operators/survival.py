@@ -658,7 +658,10 @@ def coxph(
 
 
 def schoenfeld_residuals(
-    model: CoxPH, df: DataFrame, num_partitions: int | None = None
+    model: CoxPH,
+    df: DataFrame,
+    num_partitions: int | None = None,
+    with_at_risk: bool = False,
 ) -> DataFrame:
     """Schoenfeld residuals of a fitted Cox model over (typically) its
     training frame — the raw material of every proportional-hazards
@@ -683,7 +686,12 @@ def schoenfeld_residuals(
     event term ω (the R `residuals(coxph(weights=))` convention —
     integer ω ≡ row replication, tested), reading ω from the model's
     stored weight column in `df`. `n_events` is then the ω event MASS
-    (double; long unweighted)."""
+    (double; long unweighted).
+
+    `with_at_risk=True` (r14) appends `n_at_risk` — the RAW (signed,
+    ω-mass) at-risk count at each event time, i.e. the KM denominator.
+    It rides the SAME suffix pass as one extra cum column (zero extra
+    jobs); `ph_assumption_test(transform='km')` consumes it."""
     k = len(model.xnames)
     xs = [F.col(c).cast("double") for c in model.xnames]
     om = (
@@ -700,6 +708,8 @@ def schoenfeld_residuals(
     w = F.col("__sgn") * om * model._risk_expr()
     ev = om * F.col("__ev")
     aggs = [F.sum(w).alias("e0"), F.sum(ev).alias("d")]
+    if with_at_risk:
+        aggs.append(F.sum(F.col("__sgn") * om).alias("c0"))
     for i in range(k):
         aggs.append(F.sum(xs[i] * w).alias(f"e1_{i}"))
         aggs.append(F.sum(ev * xs[i]).alias(f"dx_{i}"))
@@ -707,7 +717,12 @@ def schoenfeld_residuals(
     keys = ([F.col(sc)] if sc else []) + [F.col("__t")]
     per_t = src.groupBy(*keys).agg(*aggs)
     cum = _suffix_sums(
-        per_t, ["e0"] + [f"e1_{i}" for i in range(k)], sc, num_partitions
+        per_t,
+        ["e0"]
+        + (["c0"] if with_at_risk else [])
+        + [f"e1_{i}" for i in range(k)],
+        sc,
+        num_partitions,
     )
     out_keys = ([F.col(sc)] if sc else []) + [F.col("__t").alias("time")]
     d_out = F.col("d") if model.weight_col else F.col("d").cast("long")
@@ -716,6 +731,11 @@ def schoenfeld_residuals(
         .select(
             *out_keys,
             d_out.alias("n_events"),
+            *(
+                [F.col("c0_cum").alias("n_at_risk")]
+                if with_at_risk
+                else []
+            ),
             *[
                 (
                     F.col(f"dx_{i}")
@@ -733,6 +753,7 @@ def ph_assumption_test(
     df: DataFrame,
     transform: str = "identity",
     num_partitions: int | None = None,
+    scaled: bool = False,
 ) -> dict:
     """Proportional-hazards assumption test (Grambsch & Therneau 1994 —
     the `cox.zph` companion): under PH, the Schoenfeld residuals are
@@ -749,30 +770,83 @@ def ph_assumption_test(
         χ²_k = d·U'·I⁻¹·U / Σ_t d_t·(g − ḡ)²
 
     where V̄ = I/d is the average per-event information, I = inverse of
-    the model's stored cov_params. (R's cox.zph scales residuals by
-    I⁻¹ before the per-covariate test — identical when covariates are
-    uncorrelated, slightly different otherwise; the convention used
-    here is the paper's marginal form, documented so the numbers are
-    reproducible.) A `weight_col` model (r13) tests ITS OWN weighted
-    score: the Schoenfeld frame carries ω masses, d becomes the ω
-    event mass (reported as a float n_events), and the stored
-    cov_params already hold the ω-information — integer ω ≡ row
+    the model's stored cov_params. A `weight_col` model (r13) tests ITS
+    OWN weighted score: the Schoenfeld frame carries ω masses, d
+    becomes the ω event mass (reported as a float n_events), and the
+    stored cov_params already hold the ω-information — integer ω ≡ row
     replication end-to-end (tested).
 
-    `transform`: "identity" (g = t) or "log" (g = ln t, requires t > 0).
+    `scaled=True` (r14) switches the per-covariate statistic to R
+    `survival::cox.zph`'s SCALED-residual form (the pre-3.0 default
+    computation): residuals are scaled by d·V (V = cov_params) first,
+
+        χ²₁ = d·(V·U)_k² / (V_kk · Σ_t d_t·(g − ḡ)²)
+
+    identical to the marginal form when covariates are uncorrelated;
+    numbers then match R's per-covariate chisq exactly (the global
+    statistic is the same in both conventions). Default stays the
+    paper's marginal form (the r13 pins ride on it).
+
+    `transform`: "identity" (g = t), "log" (g = ln t, requires t > 0),
+    or — r14 — "km", R cox.zph's DEFAULT axis: g(tᵢ) = 1 − KM(tᵢ₋₁),
+    the left-continuous Kaplan-Meier survival of the whole (ω-weighted,
+    censoring-aware, counting-process-aware) sample at the PREVIOUS
+    event time (first event g = 0). Computed in-plan: the KM
+    denominator rides the Schoenfeld suffix pass as one extra cum
+    column (`with_at_risk`), the log-survival is an EXCLUSIVE
+    range-partitioned prefix sum over event times (the `_km_curve`
+    NULL-clamp convention when everyone at risk dies), so "km" costs
+    one extra prefix pass over the compact event-time frame — no
+    single-partition stage, no row-level work. Not supported for
+    stratified models (R uses the pooled KM there, which the
+    per-stratum frame does not carry — use identity/log).
+
     Plan: the Schoenfeld frame (distinct event times) → ONE aggregation
     of (d, Σdg, Σdg², Σr_k, Σg·r_k) → driver math on k scalars + one
     k×k solve. Returns {per_covariate: {name: {chi2, p_value}},
-    global: {chi2, df, p_value}, n_events, transform}."""
+    global: {chi2, df, p_value}, n_events, transform, scaled}."""
     from sparkglm_spark.functions.special import chisq_sf
 
-    if transform not in ("identity", "log"):
-        raise ValueError("transform must be 'identity' or 'log'")
+    if transform not in ("identity", "log", "km"):
+        raise ValueError("transform must be 'identity', 'log' or 'km'")
     if model.cov_params is None:
         raise ValueError("model carries no cov_params — refit to test PH")
+    km = transform == "km"
+    if km and model.strata_col:
+        raise ValueError(
+            "transform='km' is not supported for stratified models "
+            "(the per-stratum Schoenfeld frame has no pooled KM axis) — "
+            "use transform='identity' or 'log'"
+        )
     k = len(model.xnames)
-    res = schoenfeld_residuals(model, df, num_partitions=num_partitions)
-    g = F.log(F.col("time")) if transform == "log" else F.col("time")
+    res = schoenfeld_residuals(
+        model, df, num_partitions=num_partitions, with_at_risk=km
+    )
+    if km:
+        dmass = F.col("n_events").cast("double")
+        # per-event-time KM log factor; NULL when everyone at risk dies
+        # (the _km_curve clamp: the sum then carries the PREVIOUS
+        # product's log forward — that time's g never reads its own
+        # factor because the prefix is EXCLUSIVE)
+        term = F.when(
+            dmass < F.col("n_at_risk"),
+            F.log(F.lit(1.0) - dmass / F.col("n_at_risk")),
+        )
+        res = global_running_sum(
+            res.withColumn("__lt", term),
+            "time",
+            ["__lt"],
+            num_partitions=num_partitions,
+        ).withColumn(
+            "__g",
+            F.lit(1.0)
+            - F.exp(
+                F.col("__lt_cum") - F.coalesce(F.col("__lt"), F.lit(0.0))
+            ),
+        )
+        g = F.col("__g")
+    else:
+        g = F.log(F.col("time")) if transform == "log" else F.col("time")
     d = F.col("n_events").cast("double")
     aggs = [
         F.sum(d).alias("d"),
@@ -806,13 +880,24 @@ def ph_assumption_test(
             for name in model.xnames
         ]
     )
-    info = np.linalg.inv(np.asarray(model.cov_params, dtype=np.float64))
+    v = np.asarray(model.cov_params, dtype=np.float64)
+    info = np.linalg.inv(v)
     vbar_diag = np.diag(info) / d_tot
     per = {}
-    for i, name in enumerate(model.xnames):
-        chi2 = float(u[i] ** 2 / (vbar_diag[i] * ssg))
-        per[name] = {"chi2": chi2, "p_value": float(chisq_sf(chi2, 1.0))}
-    glob = float(d_tot * u @ np.asarray(model.cov_params) @ u / ssg)
+    if scaled:
+        vu = v @ u
+        for i, name in enumerate(model.xnames):
+            chi2 = float(d_tot * vu[i] ** 2 / (v[i, i] * ssg))
+            per[name] = {
+                "chi2": chi2, "p_value": float(chisq_sf(chi2, 1.0))
+            }
+    else:
+        for i, name in enumerate(model.xnames):
+            chi2 = float(u[i] ** 2 / (vbar_diag[i] * ssg))
+            per[name] = {
+                "chi2": chi2, "p_value": float(chisq_sf(chi2, 1.0))
+            }
+    glob = float(d_tot * u @ v @ u / ssg)
     return {
         "per_covariate": per,
         "global": {
@@ -822,6 +907,7 @@ def ph_assumption_test(
         },
         "n_events": d_tot if model.weight_col else int(d_tot),
         "transform": transform,
+        "scaled": bool(scaled),
     }
 
 

@@ -1993,3 +1993,143 @@ def test_coxph_grouped_entry_dirty_group_nulls(spark):
     ).toPandas()
     assert out[out.g == "a"]["estimate"].notna().all()
     assert out[out.g == "b"]["estimate"].isna().all()
+
+
+# ---------------------------------------------------------------------------
+# r14: cox.zph R-parity — transform="km" + scaled per-covariate statistic
+
+
+def test_ph_assumption_km_scaled_match_r_algorithm(surv_data):
+    """Independent numpy replication of R survival::cox.zph's (pre-3.0)
+    algorithm — per-event Schoenfeld residuals, the left-continuous
+    pooled-KM axis g = 1 − KM(t₋), scaled residuals r·V·d — must match
+    the engine's one-aggregation + prefix-plan computation at 1e-10."""
+    from sparkglm_spark.operators.survival import ph_assumption_test
+
+    df, t, e, X = surv_data
+    m = coxph(df, "time", "event", ["x1", "x2"])
+
+    # --- numpy R replication (explicit per-event loops, no suffix plans)
+    et = np.unique(t[e == 1.0])
+    # pooled KM over ALL rows at each distinct event time
+    surv, s_run = [], 1.0
+    for tk in et:
+        n_at = (t >= tk).sum()
+        d_k = ((t == tk) & (e == 1.0)).sum()
+        s_run *= 1.0 - d_k / n_at
+        surv.append(s_run)
+    km_prev = {tk: (1.0 if i == 0 else surv[i - 1]) for i, tk in enumerate(et)}
+    # per-event schoenfeld residual + g
+    r = np.exp(X @ m.coefs)
+    s_list, g_list = [], []
+    for i in np.where(e == 1.0)[0]:
+        at = t >= t[i]
+        S0 = r[at].sum()
+        S1 = (r[at, None] * X[at]).sum(axis=0)
+        s_list.append(X[i] - S1 / S0)
+        g_list.append(1.0 - km_prev[t[i]])
+    S = np.array(s_list)
+    gv = np.array(g_list)
+    xx = gv - gv.mean()
+    u = (xx[:, None] * S).sum(axis=0)
+    V = np.asarray(m.cov_params)
+    d_tot = float(e.sum())
+    ssg = float((xx ** 2).sum())
+    vu = V @ u
+    want_scaled = d_tot * vu ** 2 / (np.diag(V) * ssg)
+    info = np.linalg.inv(V)
+    want_marginal = u ** 2 / ((np.diag(info) / d_tot) * ssg)
+    want_glob = float(d_tot * u @ V @ u / ssg)
+
+    zs = ph_assumption_test(m, df, transform="km", scaled=True)
+    zm = ph_assumption_test(m, df, transform="km")
+    for i, name in enumerate(["x1", "x2"]):
+        assert zs["per_covariate"][name]["chi2"] == pytest.approx(
+            float(want_scaled[i]), rel=1e-10
+        ), name
+        assert zm["per_covariate"][name]["chi2"] == pytest.approx(
+            float(want_marginal[i]), rel=1e-10
+        ), name
+    assert zs["global"]["chi2"] == pytest.approx(want_glob, rel=1e-10)
+    assert zm["global"]["chi2"] == pytest.approx(want_glob, rel=1e-10)
+    assert zs["scaled"] is True and zm["scaled"] is False
+    # scaled also applies to the identity axis (R transform='identity')
+    zi = ph_assumption_test(m, df, transform="identity", scaled=True)
+    xx_t = t[e == 1.0] - t[e == 1.0].mean()
+    u_t = (xx_t[:, None] * S).sum(axis=0)
+    vu_t = V @ u_t
+    want_t = d_tot * vu_t ** 2 / (np.diag(V) * (xx_t ** 2).sum())
+    for i, name in enumerate(["x1", "x2"]):
+        assert zi["per_covariate"][name]["chi2"] == pytest.approx(
+            float(want_t[i]), rel=1e-10
+        ), name
+
+
+def test_ph_assumption_km_weighted_replication_and_entry(cp_data):
+    """The km axis composes with the engine's other Cox features:
+    integer case weights == row replication (the pooled KM is the
+    ω-weighted product-limit), and a counting-process model's km axis
+    uses the (start, stop] at-risk masses."""
+    from sparkglm_spark.operators.survival import ph_assumption_test
+
+    df, start, stop, ev, X, wq, _ = cp_data
+    mw = coxph(df, "stop", "event", ["x1", "x2"], weight_col="wq")
+    rep = df.withColumn(
+        "q", F.explode(F.expr("sequence(1, CAST(wq AS INT))"))
+    ).drop("q", "wq")
+    mr = coxph(rep, "stop", "event", ["x1", "x2"])
+    zw = ph_assumption_test(mw, df, transform="km", scaled=True)
+    zr = ph_assumption_test(mr, rep, transform="km", scaled=True)
+    for name in ["x1", "x2"]:
+        assert zw["per_covariate"][name]["chi2"] == pytest.approx(
+            zr["per_covariate"][name]["chi2"], rel=1e-9
+        ), name
+    assert zw["global"]["chi2"] == pytest.approx(
+        zr["global"]["chi2"], rel=1e-9
+    )
+    # counting-process: km axis from the (start, stop] risk sets — the
+    # at-risk mass at t is suffix(exits) − suffix(entries); verify
+    # against an explicit numpy KM with delayed entry
+    mcp = coxph(df, "stop", "event", ["x1", "x2"], entry_col="start")
+    z = ph_assumption_test(mcp, df, transform="km")
+    et = np.unique(stop[ev == 1.0])
+    surv, s_run = [], 1.0
+    for tk in et:
+        n_at = ((start < tk) & (stop >= tk)).sum()
+        d_k = ((stop == tk) & (ev == 1.0)).sum()
+        s_run *= 1.0 - d_k / n_at
+        surv.append(s_run)
+    km_prev = {tk: (1.0 if i == 0 else surv[i - 1])
+               for i, tk in enumerate(et)}
+    r = np.exp(X @ mcp.coefs)
+    s_list, g_list = [], []
+    for i in np.where(ev == 1.0)[0]:
+        at = (start < stop[i]) & (stop >= stop[i])
+        S0 = r[at].sum()
+        S1 = (r[at, None] * X[at]).sum(axis=0)
+        s_list.append(X[i] - S1 / S0)
+        g_list.append(1.0 - km_prev[stop[i]])
+    S = np.array(s_list)
+    gv = np.array(g_list)
+    xx = gv - gv.mean()
+    u = (xx[:, None] * S).sum(axis=0)
+    d_tot = float(ev.sum())
+    ssg = float((xx ** 2).sum())
+    info = np.linalg.inv(np.asarray(mcp.cov_params))
+    want = u ** 2 / ((np.diag(info) / d_tot) * ssg)
+    for i, name in enumerate(["x1", "x2"]):
+        assert z["per_covariate"][name]["chi2"] == pytest.approx(
+            float(want[i]), rel=1e-9
+        ), name
+
+
+def test_ph_assumption_km_guards(surv_data):
+    from sparkglm_spark.operators.survival import ph_assumption_test
+
+    df, *_ = surv_data
+    ms = coxph(df, "time", "event", ["x1"], strata_col="x2")
+    with pytest.raises(ValueError, match="stratified"):
+        ph_assumption_test(ms, df, transform="km")
+    m = coxph(df, "time", "event", ["x1"])
+    with pytest.raises(ValueError, match="transform"):
+        ph_assumption_test(m, df, transform="rank")
