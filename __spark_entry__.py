@@ -7987,6 +7987,30 @@ def q_orders_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wam = weibull_aft(waft_in, "t", "ev", ["x"], exact_iterations=3,
                       weight_col="wq")
+    # r14: the STRATIFIED-scale trajectory (weibull_aft(strata_col=) —
+    # per-stratum ln σ, shared β). Intercept-only with custkey-parity
+    # strata and PLANTED per-stratum scales (0.6 / 0.9), so the model is
+    # correctly specified and the undamped trajectory contracts; the
+    # SQL replays the groupBy(stratum) aggregation + block-elimination
+    # Newton (cross-stratum σ Hessian is exactly 0). Same margins.
+    saft_in = od.select(
+        F.exp(
+            F.lit(10.0)
+            + F.when(F.col("o_custkey") % 2 == 0, 0.6).otherwise(0.9)
+            * F.log(
+                -F.log(
+                    1.0
+                    - ((F.col("o_orderkey") % 9973).cast("double") + 0.5)
+                    / 9974.0
+                )
+            )
+        ).alias("t"),
+        F.when(F.col("o_custkey") % 5 == 0, 0.0).otherwise(1.0).alias("ev"),
+        (F.col("o_custkey") % 2).cast("int").alias("sg"),
+    )
+    sam = weibull_aft(
+        saft_in, "t", "ev", [], strata_col="sg", exact_iterations=3
+    )
     aft = spark.createDataFrame(
         [
             ("aft", "b_intercept", None, round(float(am.coefs[0]), 6), None,
@@ -8003,6 +8027,15 @@ def q_orders_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
              round(float(np.log(wam.scale)), 6), None, None),
             ("waft", "loglik", None, round(float(wam.loglik), 2), None,
              None),
+            ("saft", "b_intercept", None, round(float(sam.coefs[0]), 6),
+             None, None),
+            ("saft", "ln_sigma0", None,
+             round(float(np.log(sam.scales[0])), 6), None, None),
+            ("saft", "ln_sigma1", None,
+             round(float(np.log(sam.scales[1])), 6), None, None),
+            ("saft", "loglik", None, round(float(sam.loglik), 2), None,
+             None),
+            ("saft", "n_events", sam.n_events, None, None, None),
         ],
         "op string, key string, n bigint, v1 double, v2 double, v3 double",
     )
@@ -8611,11 +8644,113 @@ SELECT '{op}', 'loglik', NULL, ROUND({p}f.ll, 2), NULL, NULL FROM {p}f
     return "WITH " + ",\n".join(ctes) + tail
 
 
+def _sql_aft_strat_ctes(iters: int, prefix: str = "sa") -> str:
+    """Unroll `weibull_aft(strata_col=, exact_iterations=iters)` —
+    intercept-only with TWO strata (custkey parity), the r14 per-stratum
+    scale fit (operators/survival.py::weibull_aft strata path). State is
+    (β₀, ln σ₀, ln σ₁); each iteration is the engine's ONE
+    groupBy(stratum) aggregation, here a GROUP BY m + pivot, and the
+    3×3 Newton solve exploits the EXACT zero in the cross-stratum σ
+    Hessian via block elimination:
+
+        s_β = (g_β − Σ_m c_m·g_m/B_m) / (h_ββ − Σ_m c_m²/B_m)
+        s_m = (g_m − c_m·s_β)/B_m
+
+    (c_m = H_{β,lnσ_m}, B_m = H_{lnσ_m,lnσ_m}). Start: event-row mean
+    of ln t, pooled residual σ/1.283 floored at 1e-3, γσ intercept
+    correction — the engine's LM.fit start specialized to k = 1. The
+    planted input IS the fitted model (intercept + per-stratum scale:
+    σ₀ = 0.6, σ₁ = 0.9), so the trajectory contracts. Emits op='saft'."""
+    p = prefix
+    ctes = [
+        # planted per-stratum-scale Weibull — mirrors the Spark arm
+        # ln(exp(·)) mirrors the engine's t = exp(·) → lt = ln(t) round
+        # trip (NOT an identity at ulp level — same as the plain arm)
+        f"{p}b AS (SELECT"
+        " ln(exp(10.0 + (CASE WHEN o_custkey % 2 = 0 THEN 0.6 ELSE 0.9 END)"
+        " * ln(-ln(1.0 - (CAST(o_orderkey % 9973 AS DOUBLE) + 0.5)"
+        " / 9974.0)))) AS lt,"
+        " CASE WHEN o_custkey % 5 = 0 THEN 0.0 ELSE 1.0 END AS d,"
+        " CAST(o_custkey % 2 AS INT) AS m FROM orders)",
+        f"{p}0g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n0, SUM(lt) AS sy,"
+        f" SUM(lt * lt) AS syy FROM {p}b WHERE d = 1.0)",
+        f"{p}0 AS (SELECT b0 + 0.5772156649015329 * exp(ls) AS b0,"
+        " ls AS lsa, ls AS lsb FROM (SELECT sy / n0 AS b0,"
+        " ln(GREATEST(SQRT((syy - sy * sy / n0) / (n0 - 1.0)) / 1.283,"
+        f" 0.001)) AS ls FROM {p}0g) s)",
+    ]
+    for i in range(1, iters + 1):
+        prev = f"{p}{i - 1}"
+        ctes.append(
+            f"{p}{i}g AS (SELECT m,"
+            " SUM(gz * (-1.0 / s)) AS g1,"
+            " SUM(-d - z * gz) AS g2,"
+            " SUM((-u) * (1.0 / (s * s))) AS h11,"
+            " SUM((gz - u * z) * (1.0 / s)) AS h12,"
+            " SUM(z * gz - z * z * u) AS h22,"
+            " SUM(d * (z - ls) - u) AS ll, SUM(d) AS ne"
+            " FROM (SELECT m, d, ls, s, z, exp(z) AS u, d - exp(z) AS gz"
+            f" FROM (SELECT {p}b.m, {p}b.d,"
+            f" CASE WHEN {p}b.m = 0 THEN {prev}.lsa ELSE {prev}.lsb END"
+            " AS ls,"
+            f" CASE WHEN {p}b.m = 0 THEN exp({prev}.lsa)"
+            f" ELSE exp({prev}.lsb) END AS s,"
+            f" ({p}b.lt - {prev}.b0)"
+            f" / (CASE WHEN {p}b.m = 0 THEN exp({prev}.lsa)"
+            f" ELSE exp({prev}.lsb) END) AS z"
+            f" FROM {p}b CROSS JOIN {prev}) r1) r2 GROUP BY m)"
+        )
+        ctes.append(
+            f"{p}{i}p AS (SELECT SUM(g1) AS gx, SUM(h11) AS hxx,"
+            " MAX(CASE WHEN m = 0 THEN g2 END) AS ga,"
+            " MAX(CASE WHEN m = 1 THEN g2 END) AS gb,"
+            " MAX(CASE WHEN m = 0 THEN h12 END) AS ca,"
+            " MAX(CASE WHEN m = 1 THEN h12 END) AS cb,"
+            " MAX(CASE WHEN m = 0 THEN h22 END) AS qa,"
+            " MAX(CASE WHEN m = 1 THEN h22 END) AS qb"
+            f" FROM {p}{i}g)"
+        )
+        ctes.append(
+            f"{p}{i} AS (SELECT {prev}.b0 - s1 AS b0,"
+            f" {prev}.lsa - (ga - ca * s1) / qa AS lsa,"
+            f" {prev}.lsb - (gb - cb * s1) / qb AS lsb"
+            " FROM (SELECT (gx - ca * ga / qa - cb * gb / qb)"
+            " / (hxx - ca * ca / qa - cb * cb / qb) AS s1,"
+            f" ga, gb, ca, cb, qa, qb FROM {p}{i}p) e"
+            f" CROSS JOIN {prev})"
+        )
+    fin = f"{p}{iters}"
+    ctes.append(
+        f"{p}f AS (SELECT SUM(d * (z - ls) - exp(z)) AS ll, SUM(d) AS ne"
+        f" FROM (SELECT d,"
+        f" CASE WHEN m = 0 THEN {fin}.lsa ELSE {fin}.lsb END AS ls,"
+        f" (lt - {fin}.b0) / (CASE WHEN m = 0 THEN exp({fin}.lsa)"
+        f" ELSE exp({fin}.lsb) END) AS z"
+        f" FROM {p}b CROSS JOIN {fin}) r)"
+    )
+    return "WITH " + ",\n".join(ctes) + f"""
+SELECT 'saft' AS op, 'b_intercept' AS key, CAST(NULL AS BIGINT) AS n,
+       ROUND({fin}.b0, 6) AS v1, CAST(NULL AS DOUBLE) AS v2,
+       CAST(NULL AS DOUBLE) AS v3
+FROM {fin}
+UNION ALL
+SELECT 'saft', 'ln_sigma0', NULL, ROUND({fin}.lsa, 6), NULL, NULL FROM {fin}
+UNION ALL
+SELECT 'saft', 'ln_sigma1', NULL, ROUND({fin}.lsb, 6), NULL, NULL FROM {fin}
+UNION ALL
+SELECT 'saft', 'loglik', NULL, ROUND({p}f.ll, 2), NULL, NULL FROM {p}f
+UNION ALL
+SELECT 'saft', 'n_events', CAST({p}f.ne AS BIGINT), NULL, NULL, NULL
+FROM {p}f
+"""
+
+
 SQL_COX_ARM = _sql_cox_ctes(3)
 SQL_WCOX_ARM = _sql_cox_ctes(3, prefix="wx", mode="weighted")
 SQL_TVCOX_ARM = _sql_cox_ctes(3, prefix="tv", mode="entry")
 SQL_AFT_ARM = _sql_aft_ctes(3)
 SQL_WAFT_ARM = _sql_aft_ctes(3, prefix="wa", mode="weighted")
+SQL_SAFT_ARM = _sql_aft_strat_ctes(3)
 SQL_COXG_ARMS = " UNION ALL ".join(
     f"SELECT * FROM ({_sql_cox_ctes(3, where=f' WHERE o_custkey % 2 = {s}', prefix=f'cg{s}', mode='grouped', seg_key=str(s))}) a{s}"
     for s in (0, 1)
@@ -8756,6 +8891,8 @@ UNION ALL
 SELECT * FROM ({SQL_AFT_ARM}) aft
 UNION ALL
 SELECT * FROM ({SQL_WAFT_ARM}) waft
+UNION ALL
+SELECT * FROM ({SQL_SAFT_ARM}) saft
 UNION ALL
 SELECT 'iso', CAST(CAST(ifin.s AS INT) AS VARCHAR), CAST(ifin.n AS BIGINT),
        ROUND(ifin.fit + 1.1920928955078125e-07, 6),

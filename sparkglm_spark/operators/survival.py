@@ -1687,14 +1687,21 @@ def _km_curve(
 class WeibullAFT:
     """Fitted Weibull accelerated-failure-time model (`weibull_aft`):
     log T = x'β + σ·W with W standard extreme-value. `se` covers
-    (β…, log σ) from the inverse observed information."""
+    (β…, log σ) from the inverse observed information.
+
+    A STRATIFIED fit (`strata_col`, r14 — R `survreg(… + strata(g))`)
+    carries one scale per stratum in `scales` ({stratum: σ}, insertion
+    order = the fit's stratum order); `scale` is then NaN, `se` covers
+    (β…, log σ per stratum), and scoring reads each row's σ from its
+    stratum column (an unseen stratum scores NULL — its scale is
+    genuinely unknown)."""
 
     xnames: list[str]
     time_col: str
     event_col: str
     coefs: np.ndarray          # β, including 'intercept' when fitted
-    scale: float               # σ
-    se: np.ndarray             # for (β…, log σ)
+    scale: float               # σ (NaN for stratified fits — see scales)
+    se: np.ndarray             # for (β…, log σ[ per stratum])
     loglik: float
     n: int
     n_events: int
@@ -1702,6 +1709,8 @@ class WeibullAFT:
     converged: bool
     cov_params: np.ndarray = field(default=None, repr=False)
     weight_col: str | None = None
+    strata_col: str | None = None
+    scales: dict | None = None
 
     def _eta(self) -> Column:
         eta = F.lit(0.0)
@@ -1710,12 +1719,28 @@ class WeibullAFT:
             eta = eta + F.lit(float(b)) * x
         return eta
 
+    def _sigma_expr(self) -> Column:
+        """Per-row σ: a literal unstratified; a when-chain over the
+        stratum column for a stratified fit (unseen stratum → NULL)."""
+        if self.strata_col is None:
+            return F.lit(float(self.scale))
+        expr = F.lit(None).cast("double")
+        for s, sig in self.scales.items():
+            expr = F.when(F.col(self.strata_col) == F.lit(s),
+                          F.lit(float(sig))).otherwise(expr)
+        return expr
+
     def predict(
         self, df: DataFrame, output_col: str = "median_survival_time"
     ) -> DataFrame:
         """Append the predicted MEDIAN survival time
         exp(x'β)·(ln 2)^σ — one codegen projection, rows untouched."""
-        med = F.exp(self._eta()) * F.lit(float(np.log(2.0) ** self.scale))
+        if self.strata_col is None:
+            med = F.exp(self._eta()) * F.lit(float(np.log(2.0) ** self.scale))
+        else:
+            med = F.exp(self._eta()) * F.pow(
+                F.lit(float(np.log(2.0))), self._sigma_expr()
+            )
         return df.withColumn(output_col, med)
 
     def predict_survival(
@@ -1730,19 +1755,29 @@ class WeibullAFT:
             raise ValueError("horizons must be > 0")
         out = df
         eta = self._eta()
+        sig = self._sigma_expr()
         for t in times:
             name = f"{prefix}{t:g}".replace(".", "_").replace("-", "m")
-            z = (F.lit(float(np.log(t))) - eta) / F.lit(float(self.scale))
+            z = (F.lit(float(np.log(t))) - eta) / sig
             out = out.withColumn(name, F.exp(-F.exp(z)))
         return out
 
     def summary_rows(self) -> list[tuple]:
-        """(term, coef, se, z, p) per coefficient plus ('log_scale', …)."""
+        """(term, coef, se, z, p) per coefficient plus ('log_scale', …)
+        — one `log_scale[<stratum>]` row per stratum when stratified."""
         from sparkglm_spark.functions.special import norm_pvalue_two_sided
 
         out = []
-        names = list(self.xnames) + ["log_scale"]
-        vals = list(self.coefs) + [float(np.log(self.scale))]
+        if self.strata_col is None:
+            names = list(self.xnames) + ["log_scale"]
+            vals = list(self.coefs) + [float(np.log(self.scale))]
+        else:
+            names = list(self.xnames) + [
+                f"log_scale[{s}]" for s in self.scales
+            ]
+            vals = list(self.coefs) + [
+                float(np.log(sig)) for sig in self.scales.values()
+            ]
         for name, b, s in zip(names, vals, self.se):
             z = b / s if s > 0 else float("nan")
             out.append((name, float(b), float(s), float(z),
@@ -1760,6 +1795,7 @@ def weibull_aft(
     tol: float = 1e-9,
     exact_iterations: int | None = None,
     weight_col: str | None = None,
+    strata_col: str | None = None,
 ) -> WeibullAFT:
     """Weibull accelerated-failure-time regression — the PARAMETRIC
     survival model (R `survreg(dist="weibull")`; Spark MLlib's own
@@ -1793,9 +1829,28 @@ def weibull_aft(
     weights and Σω ≤ 0 raise via the shared `check_weight_domain` guard,
     riding the same validation job; an all-zero event-weight mass raises
     (σ unidentified, like the unweighted no-events case). Unweighted
-    path multiplies by lit(1.0) — bitwise-unchanged."""
+    path multiplies by lit(1.0) — bitwise-unchanged.
+
+    `strata_col=g` (r14): per-stratum SCALE σ_g with one shared β — the
+    R `survreg(… + strata(g))` semantics (each stratum gets its own
+    Weibull shape; the covariate effects stay pooled). The Newton state
+    grows to (β, ln σ_1 … ln σ_S) and each iteration stays ONE
+    aggregation job: the same per-row expressions (σ read through a
+    per-stratum literal chain) aggregated `groupBy(stratum)` — the
+    β-block sums assemble on the driver by adding the S compact rows,
+    the σ-blocks are per-stratum entries (cross-stratum σ Hessian is
+    exactly 0). Strata are the model's parameter axis, so their count
+    must be driver-bounded (one collected row and two Newton-state
+    entries per stratum). Every stratum needs events (and, weighted,
+    positive event mass) — σ_g is unidentified otherwise; nulls raise.
+    Composes with `weight_col`/`exact_iterations`."""
     if not x_cols and not fit_intercept:
         raise ValueError("need x_cols or fit_intercept")
+    if strata_col is not None and strata_col in x_cols:
+        raise ValueError(
+            f"strata_col {strata_col!r} must not also be a covariate "
+            "(a stratum's effect lives in its scale)"
+        )
     names = (["intercept"] if fit_intercept else []) + list(x_cols)
     k = len(names)
     wchk_aggs = []
@@ -1822,12 +1877,26 @@ def weibull_aft(
             ((F.col(event_col).cast("double") != 0.0)
              & (F.col(event_col).cast("double") != 1.0)).cast("int")
         ).alias("bad_e"),
+        *(
+            [
+                F.sum(
+                    F.when(F.col(strata_col).isNull(), 1).otherwise(0)
+                ).alias("bad_s")
+            ]
+            if strata_col
+            else []
+        ),
         *wchk_aggs,
     ).collect()[0]
     if chk["bad_t"]:
         raise ValueError(f"{chk['bad_t']} rows have null or non-positive time")
     if chk["bad_e"]:
         raise ValueError("event_col must be 0/1")
+    if strata_col and chk["bad_s"]:
+        raise ValueError(
+            f"{chk['bad_s']} rows have a null stratum — every row needs "
+            "a stratum (its scale)"
+        )
     n = int(chk["n"])
     if n == 0:
         raise ValueError("empty input")
@@ -1859,9 +1928,36 @@ def weibull_aft(
     exprs += [F.col(c).cast("double").alias(c) for c in x_cols]
     if weight_col:
         exprs.append(F.col(weight_col).cast("double").alias("__w"))
+    if strata_col:
+        exprs.append(F.col(strata_col).alias("__s"))
     work = df.select(*exprs).persist()
     try:
         from sparkglm_spark.operators.lm import LM
+
+        strata: list = []
+        if strata_col:
+            # per-stratum identification check + the stratum order
+            # (one bounded collect — strata are Newton-state entries)
+            srows = work.groupBy("__s").agg(
+                F.sum("__d").alias("de"),
+                *(
+                    [F.sum(F.col("__w") * F.col("__d")).alias("we")]
+                    if weight_col
+                    else []
+                ),
+            ).collect()
+            for r in srows:
+                if float(r["de"] or 0.0) == 0.0:
+                    raise ValueError(
+                        f"stratum {r['__s']!r} has no events — its scale "
+                        "is unidentified"
+                    )
+                if weight_col and float(r["we"] or 0.0) <= 0.0:
+                    raise ValueError(
+                        f"stratum {r['__s']!r} has zero event-weight "
+                        "mass — its scale is unidentified"
+                    )
+            strata = sorted(r["__s"] for r in srows)
 
         ev = work.where(F.col("__d") == 1.0)
         start = LM.fit(ev, y_col="__lt", x_cols=names,
@@ -1934,13 +2030,100 @@ def weibull_aft(
             ).collect()[0]
             return float(row["ll"])
 
+        # ---- stratified twins (r14): same per-row expressions with σ
+        # read through a per-stratum literal chain, aggregated
+        # groupBy(stratum) — STILL one job per iteration; the driver
+        # assembles the (k+S)-state gradient/Hessian from S compact
+        # rows (β-block sums add, σ-blocks are per-stratum, the
+        # cross-stratum σ Hessian is identically 0)
+        sidx = {v: i for i, v in enumerate(strata)}
+
+        def _chain(vals):
+            expr = None
+            for v, x in zip(strata, vals):
+                w_ = (F.col("__s") == F.lit(v), F.lit(float(x)))
+                expr = F.when(*w_) if expr is None else expr.when(*w_)
+            return expr.otherwise(F.lit(float("nan")))
+
+        def _strat_exprs(b, lsv):
+            sigs = np.exp(np.asarray(lsv, dtype=np.float64))
+            inv = _chain(1.0 / sigs)
+            eta = F.lit(0.0)
+            for col, bb in zip(xs, b):
+                eta = eta + F.lit(float(bb)) * col
+            z = (F.col("__lt") - eta) * inv
+            return z, inv, sigs
+
+        def stats_at_strat(b, lsv):
+            z, inv, sigs = _strat_exprs(b, lsv)
+            inv2 = _chain(1.0 / sigs ** 2)
+            lse = _chain(lsv)
+            u = F.exp(z)
+            d = F.col("__d")
+            gz = d - u
+            aggs = [F.sum(wv * (d * (z - lse) - u)).alias("ll")]
+            for i in range(k):
+                aggs.append(F.sum(wv * (xs[i] * gz * (-inv))).alias(f"g_{i}"))
+            aggs.append(F.sum(wv * (-d - z * gz)).alias("g_s"))
+            for i in range(k):
+                for j in range(i, k):
+                    aggs.append(
+                        F.sum(wv * (xs[i] * xs[j] * (-u) * inv2)).alias(
+                            f"h_{i}_{j}"
+                        )
+                    )
+                aggs.append(
+                    F.sum(wv * (xs[i] * (gz - u * z) * inv)).alias(f"h_{i}_s")
+                )
+            aggs.append(F.sum(wv * (z * gz - z * z * u)).alias("h_s_s"))
+            rows = work.groupBy("__s").agg(*aggs).collect()
+            dim = k + len(strata)
+            ll = 0.0
+            grad = np.zeros(dim)
+            hess = np.zeros((dim, dim))
+            for r in rows:
+                si = k + sidx[r["__s"]]
+                ll += float(r["ll"])
+                for i in range(k):
+                    grad[i] += float(r[f"g_{i}"])
+                    for j in range(i, k):
+                        v_ = float(r[f"h_{i}_{j}"])
+                        hess[i, j] += v_
+                        if i != j:
+                            hess[j, i] += v_
+                    hv = float(r[f"h_{i}_s"])
+                    hess[i, si] = hess[si, i] = hv
+                grad[si] = float(r["g_s"])
+                hess[si, si] = float(r["h_s_s"])
+            return ll, grad, hess
+
+        def ll_at_strat(b, lsv):
+            z, _inv, _sigs = _strat_exprs(b, lsv)
+            lse = _chain(lsv)
+            row = work.agg(
+                F.sum(
+                    wv * (F.col("__d") * (z - lse) - F.exp(z))
+                ).alias("ll")
+            ).collect()[0]
+            return float(row["ll"])
+
+        n_strata = len(strata) if strata_col else 1
+        dim = k + n_strata
+        if strata_col:
+            f_stats = lambda st: stats_at_strat(st[:k], st[k:])  # noqa: E731
+            f_ll = lambda st: ll_at_strat(st[:k], st[k:])  # noqa: E731
+        else:
+            f_stats = lambda st: stats_at(st[:k], float(st[k]))  # noqa: E731
+            f_ll = lambda st: ll_at(st[:k], float(st[k]))  # noqa: E731
+        state = np.concatenate([beta, np.full(n_strata, log_s)])
+
         n_iter = 0
         converged = False
         ll = -np.inf
-        hess = -np.eye(k + 1)
+        hess = -np.eye(dim)
         iters = exact_iterations if exact_iterations is not None else max_iter
         for _ in range(iters):
-            ll0, grad, hess = stats_at(beta, log_s)
+            ll0, grad, hess = f_stats(state)
             if exact_iterations is None:
                 # Newton direction with step-halving; when the Hessian is
                 # not negative definite (far from the optimum) the Newton
@@ -1956,15 +2139,14 @@ def weibull_aft(
                 for lam in lams:
                     try:
                         step = np.linalg.solve(
-                            hess - lam * np.eye(k + 1), grad
+                            hess - lam * np.eye(dim), grad
                         )
                     except np.linalg.LinAlgError:
                         continue
                     scale_f = 1.0
                     for _ in range(10):
-                        nb = beta - scale_f * step[:k]
-                        nls = log_s - scale_f * step[k]
-                        ll1 = ll_at(nb, nls)
+                        ns = state - scale_f * step
+                        ll1 = f_ll(ns)
                         if np.isfinite(ll1) and ll1 > ll0:
                             improved = True
                             break
@@ -1979,11 +2161,10 @@ def weibull_aft(
                         np.linalg.norm(grad) <= 1e-6 * (1.0 + abs(ll0))
                     )
                     break
-                beta, log_s = nb, nls
+                state = ns
             else:
                 step = np.linalg.solve(hess, grad)
-                beta = beta - step[:k]
-                log_s = log_s - step[k]
+                state = state - step
             n_iter += 1
             if (
                 exact_iterations is None
@@ -1993,7 +2174,8 @@ def weibull_aft(
                 converged = True
                 break
             ll = ll0
-        ll, _, hess = stats_at(beta, log_s)
+        ll, _, hess = f_stats(state)
+        beta = state[:k]
     finally:
         work.unpersist()
     cov = np.linalg.inv(-hess)
@@ -2007,7 +2189,9 @@ def weibull_aft(
         time_col=time_col,
         event_col=event_col,
         coefs=beta,
-        scale=float(np.exp(log_s)),
+        scale=(
+            float(np.exp(state[k])) if not strata_col else float("nan")
+        ),
         se=se,
         loglik=ll,
         n=n,
@@ -2016,6 +2200,12 @@ def weibull_aft(
         converged=converged or exact_iterations is not None,
         cov_params=cov,
         weight_col=weight_col,
+        strata_col=strata_col,
+        scales=(
+            {v: float(np.exp(state[k + i])) for i, v in enumerate(strata)}
+            if strata_col
+            else None
+        ),
     )
 
 

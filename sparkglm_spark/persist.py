@@ -120,6 +120,12 @@ def model_to_dict(model: LM | GLM | HuberLM | QuantileLM | CoxPH) -> dict:
             if model.cov_params is None
             else [[float(v) for v in row] for row in np.asarray(model.cov_params)],
             "weight_col": model.weight_col,
+            "strata_col": model.strata_col,
+            # pairs, not a dict: JSON coerces mapping keys to strings,
+            # which would silently retype integer strata on reload
+            "scales": None
+            if model.scales is None
+            else [[k, float(v)] for k, v in model.scales.items()],
         }
     if isinstance(model, CoxPH):
         return {
@@ -142,6 +148,7 @@ def model_to_dict(model: LM | GLM | HuberLM | QuantileLM | CoxPH) -> dict:
             "time_bucket": model.time_bucket,
             "strata_col": model.strata_col,
             "weight_col": model.weight_col,
+            "entry_col": model.entry_col,
         }
     kind = "lm" if isinstance(model, LM) else "glm"
     d = {
@@ -273,6 +280,10 @@ def model_from_dict(d: dict) -> LM | GLM | HuberLM | QuantileLM | CoxPH:
             converged=bool(d["converged"]),
             cov_params=None if cov is None else np.asarray(cov, dtype=np.float64),
             weight_col=d.get("weight_col"),
+            strata_col=d.get("strata_col"),
+            scales=None
+            if d.get("scales") is None
+            else {k: float(v) for k, v in d["scales"]},
         )
     if d["kind"] == "coxph":
         cov = d.get("cov_params")
@@ -292,6 +303,7 @@ def model_from_dict(d: dict) -> LM | GLM | HuberLM | QuantileLM | CoxPH:
             time_bucket=d.get("time_bucket"),
             strata_col=d.get("strata_col"),
             weight_col=d.get("weight_col"),
+            entry_col=d.get("entry_col"),
         )
     common = dict(
         xnames=list(d["xnames"]),
