@@ -6459,15 +6459,19 @@ def q_events_timeseries_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cr = (
         croston_forecast(
-            crin, "user_id", "ts", "dm", alpha=0.5, tiebreak_col="event_id"
+            crin, "user_id", "ts", "dm", alpha=0.5, tiebreak_col="event_id",
+            interval=True,
         )
         .where(F.col("size").isNotNull())
         .select(
             F.col("user_id").cast("string").alias("k1"),
             F.col("n_demands").cast("bigint").alias("n1"),
+            # r14: cr_se — the empirical one-step per-period interval
+            # (croston_forecast(interval=True)); the SQL recursion
+            # accumulates the same (sse, m) pair alongside the state
             F.expr(
-                "stack(3, 'cr_z', size, 'cr_p', interval,"
-                " 'cr_fc', forecast) AS (op, xraw)"
+                "stack(4, 'cr_z', size, 'cr_p', interval,"
+                " 'cr_fc', forecast, 'cr_se', se) AS (op, xraw)"
             ),
         )
         .select(
@@ -6492,15 +6496,15 @@ def q_events_timeseries_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     tsb = (
         tsb_forecast(
             crin, "user_id", "ts", "dm", alpha=0.5, beta=0.5,
-            tiebreak_col="event_id",
+            tiebreak_col="event_id", interval=True,
         )
         .where(F.col("size").isNotNull())
         .select(
             F.col("user_id").cast("string").alias("k1"),
             F.col("n_demands").cast("bigint").alias("n1"),
             F.expr(
-                "stack(3, 'tsb_z', size, 'tsb_p', probability,"
-                " 'tsb_fc', forecast) AS (op, xraw)"
+                "stack(4, 'tsb_z', size, 'tsb_p', probability,"
+                " 'tsb_fc', forecast, 'tsb_se', se) AS (op, xraw)"
             ),
         )
         .select(
@@ -6716,14 +6720,18 @@ WITH RECURSIVE hranked AS (
   SELECT user_id, rn, n,
          CASE WHEN value < 50 THEN 0.0 ELSE value END AS dm
   FROM hranked
-), crstate(user_id, rn, n, z, p, q) AS (
+), crstate(user_id, rn, n, z, p, q, sse, me) AS (
   -- (size, interval) SES pair updates ONLY at demand points; q counts
   -- zero periods since the last demand; init at the first demand with
-  -- its 1-based position — croston_forecast's exact fold at alpha=0.5
+  -- its 1-based position — croston_forecast's exact fold at alpha=0.5.
+  -- (sse, me) accumulate the one-step per-period errors
+  -- e = dm − z/p measured against the state ENTERING each period (the
+  -- interval=True pair, r14) — same accumulation order as the fold
   SELECT user_id, CAST(1 AS BIGINT), n,
          CASE WHEN dm > 0.0 THEN dm END,
          CASE WHEN dm > 0.0 THEN CAST(1.0 AS DOUBLE) END,
-         CASE WHEN dm > 0.0 THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END
+         CASE WHEN dm > 0.0 THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END,
+         CAST(0.0 AS DOUBLE), CAST(0 AS BIGINT)
   FROM crd WHERE rn = 1
   UNION ALL
   SELECT c.user_id, c.rn + 1, c.n,
@@ -6735,15 +6743,20 @@ WITH RECURSIVE hranked AS (
            CASE WHEN c.z IS NULL THEN CAST(c.q + 1 AS DOUBLE)
                 ELSE 0.5 * CAST(c.q + 1 AS DOUBLE) + 0.5 * c.p END
          ELSE c.p END,
-         CASE WHEN r.dm > 0.0 THEN CAST(0 AS BIGINT) ELSE c.q + 1 END
+         CASE WHEN r.dm > 0.0 THEN CAST(0 AS BIGINT) ELSE c.q + 1 END,
+         CASE WHEN c.z IS NOT NULL
+              THEN c.sse + (r.dm - c.z / c.p) * (r.dm - c.z / c.p)
+              ELSE c.sse END,
+         CASE WHEN c.z IS NOT NULL THEN c.me + 1 ELSE c.me END
   FROM crstate c
   JOIN crd r ON r.user_id = c.user_id AND r.rn = c.rn + 1
 ), crfinal AS (
   SELECT s.user_id, s.z, s.p,
+         CASE WHEN s.me >= 2 THEN SQRT(s.sse / (s.me - 1)) END AS se,
          (SELECT COUNT(*) FROM crd d
           WHERE d.user_id = s.user_id AND d.dm > 0.0) AS nd
   FROM crstate s WHERE s.rn = s.n AND s.z IS NOT NULL
-), tsbstate(user_id, rn, n, z, p, q) AS (
+), tsbstate(user_id, rn, n, z, p, q, sse, me) AS (
   -- TSB (Teunter-Syntetos-Babai): before the first demand q counts
   -- periods; at the first demand z = d, p = 1/q; from the NEXT period
   -- on p smooths the demand indicator EVERY period while z updates
@@ -6751,7 +6764,8 @@ WITH RECURSIVE hranked AS (
   SELECT user_id, CAST(1 AS BIGINT), n,
          CASE WHEN dm > 0.0 THEN dm END,
          CASE WHEN dm > 0.0 THEN CAST(1.0 AS DOUBLE) END,
-         CASE WHEN dm > 0.0 THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END
+         CASE WHEN dm > 0.0 THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END,
+         CAST(0.0 AS DOUBLE), CAST(0 AS BIGINT)
   FROM crd WHERE rn = 1
   UNION ALL
   SELECT c.user_id, c.rn + 1, c.n,
@@ -6765,11 +6779,16 @@ WITH RECURSIVE hranked AS (
               ELSE 0.5 * (CASE WHEN r.dm > 0.0 THEN 1.0 ELSE 0.0 END)
                    + 0.5 * c.p END,
          CASE WHEN c.z IS NULL AND r.dm <= 0.0 THEN c.q + 1
-              ELSE CAST(0 AS BIGINT) END
+              ELSE CAST(0 AS BIGINT) END,
+         CASE WHEN c.z IS NOT NULL
+              THEN c.sse + (r.dm - c.p * c.z) * (r.dm - c.p * c.z)
+              ELSE c.sse END,
+         CASE WHEN c.z IS NOT NULL THEN c.me + 1 ELSE c.me END
   FROM tsbstate c
   JOIN crd r ON r.user_id = c.user_id AND r.rn = c.rn + 1
 ), tsbfinal AS (
   SELECT s.user_id, s.z, s.p,
+         CASE WHEN s.me >= 2 THEN SQRT(s.sse / (s.me - 1)) END AS se,
          (SELECT COUNT(*) FROM crd d
           WHERE d.user_id = s.user_id AND d.dm > 0.0) AS nd
   FROM tsbstate s WHERE s.rn = s.n AND s.z IS NOT NULL
@@ -7024,6 +7043,10 @@ SELECT 'cr_fc', CAST(user_id AS VARCHAR), NULL, nd, NULL, NULL,
        ROUND(z / p, 6)
 FROM crfinal
 UNION ALL
+SELECT 'cr_se', CAST(user_id AS VARCHAR), NULL, nd, NULL, NULL,
+       ROUND(se, 6)
+FROM crfinal
+UNION ALL
 SELECT 'tsb_z', CAST(user_id AS VARCHAR), NULL, nd, NULL, NULL,
        ROUND(z, 6)
 FROM tsbfinal
@@ -7034,6 +7057,10 @@ FROM tsbfinal
 UNION ALL
 SELECT 'tsb_fc', CAST(user_id AS VARCHAR), NULL, nd, NULL, NULL,
        ROUND(p * z, 6)
+FROM tsbfinal
+UNION ALL
+SELECT 'tsb_se', CAST(user_id AS VARCHAR), NULL, nd, NULL, NULL,
+       ROUND(se, 6)
 FROM tsbfinal
 UNION ALL
 SELECT 'fa_mae', CAST(user_id AS VARCHAR), NULL, n, NULL, NULL,

@@ -614,6 +614,16 @@ def glm(
     parsed = expand_dot(
         parse_formula(formula), [c for c in df.columns if c not in extra]
     )
+    # collision guard (r14 — lm.py::_encode_formula's twin): an
+    # m/offset/weight column EXPLICITLY referenced by the formula would
+    # be selected twice → opaque mid-plan AMBIGUOUS_REFERENCE
+    bad = [c for c in extra if c == parsed.target or c in parsed.predictors]
+    if bad:
+        raise ValueError(
+            f"column(s) {bad} are both formula (modeling) columns and "
+            "auxiliary columns (m/offset/weight) — a column cannot play "
+            "both roles"
+        )
     data = df.select(parsed.target, *parsed.predictors, *extra)
     if na_action == "omit":
         data = omit_na(data)

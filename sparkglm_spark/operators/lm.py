@@ -399,6 +399,19 @@ def _encode_formula(
     parsed = expand_dot(
         parse_formula(formula), [c for c in df.columns if c not in extra]
     )
+    # collision guard (r14, the guard-matrix audit): an auxiliary column
+    # (weight/offset/fold) explicitly referenced by the formula would be
+    # selected twice, and every later F.col on it dies mid-plan with an
+    # opaque AMBIGUOUS_REFERENCE — refuse loudly up front instead.
+    # ('.'-expansion already EXCLUDES extras, so only explicit refs hit.)
+    bad = [c for c in extra
+           if c == parsed.target or c in parsed.predictors]
+    if bad:
+        raise ValueError(
+            f"column(s) {bad} are both formula (modeling) columns and "
+            "auxiliary columns (weight/offset/fold) — a column cannot "
+            "play both roles"
+        )
     data = df.select(parsed.target, *parsed.predictors, *extra)
     if na_action == "omit":
         data = omit_na(data)
@@ -483,6 +496,16 @@ def _design(
         parse_formula(formula),
         [c for c in df.columns if c not in skip],
     )
+    # collision guard (r14 — `_encode_formula`'s grouped twin): a
+    # group/weight/offset column explicitly referenced by the formula
+    # would be selected twice → opaque mid-plan AMBIGUOUS_REFERENCE
+    bad = [c for c in skip if c == parsed.target or c in parsed.predictors]
+    if bad:
+        raise ValueError(
+            f"column(s) {sorted(bad)} are both formula (modeling) "
+            "columns and group/weight/offset columns — a column cannot "
+            "play both roles"
+        )
     sel = [*keep_cols, parsed.target, *parsed.predictors]
     for c in (weight_col, offset_col):
         if c:

@@ -433,6 +433,8 @@ def croston_forecast(
     alpha: float = 0.1,
     variant: str = "classic",
     tiebreak_col: str | None = None,
+    interval: bool = False,
+    level: float = 0.95,
 ) -> DataFrame:
     """Croston's method per key — the standard forecaster for
     INTERMITTENT demand (series that are mostly zero with occasional
@@ -460,6 +462,18 @@ def croston_forecast(
     reports NULL state (nothing to size). Returns one compact row per
     key: (n_periods, n_demands, size, interval, forecast).
 
+    `interval=True` (r14) adds (se, lo, hi) — the PER-PERIOD demand
+    prediction interval, flat in h like the point forecast:
+    σ̂² is the mean squared one-step in-sample error e_t = d_t − f_{t−1}
+    measured at EVERY period once state exists (zero periods included —
+    the forecast is a per-period demand rate, so a zero is a real
+    observation of it), normal-quantile bounds forecast ± z·σ̂. This is
+    the family's empirical-residual convention (`ewma_forecast`), not
+    the parametric Syntetos-Boylan variance — under lumpy zero-inflated
+    demand the residual mix IS the uncertainty, and the in-sample MSE
+    captures it without a distributional assumption on sizes. Keys with
+    fewer than 2 measured errors (or NULL state) report NULL se/lo/hi.
+
     Same per-key-sequential applyInPandas shape as `ewma_forecast`;
     NULL POLICY (family-wide — `_drop_null_values`): null/NaN value
     rows are dropped before the fold (they are MISSING periods, not
@@ -471,6 +485,13 @@ def croston_forecast(
         raise ValueError(f"alpha must be in (0, 1), got {alpha!r}")
     if variant not in ("classic", "sba"):
         raise ValueError(f"variant must be 'classic' or 'sba', got {variant!r}")
+    if not 0.0 < level < 1.0:
+        raise ValueError("level must be in (0, 1)")
+    zq = None
+    if interval:
+        from sparkglm_spark.functions.special import norm_ppf
+
+        zq = float(norm_ppf(0.5 + level / 2.0))
     base, sort_cols, key_t = _intermittent_base(
         df, key_col, ts_col, value_col, tiebreak_col
     )
@@ -479,6 +500,7 @@ def croston_forecast(
         f"{key_col} {key_t}, "
         "n_periods bigint, n_demands bigint, size double, interval double, "
         "forecast double"
+        + (", se double, lo double, hi double" if interval else "")
     )
 
     def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -486,20 +508,27 @@ def croston_forecast(
         x = pdf["__x"].to_numpy(np.float64)
         n = len(x)
         if np.any(x < 0.0):  # negative demand: NULL-degrade this key
-            return pd.DataFrame(
-                {
-                    pdf.columns[0]: [pdf.iloc[0, 0]],
-                    "n_periods": [n],
-                    "n_demands": [None],
-                    "size": [None],
-                    "interval": [None],
-                    "forecast": [None],
-                }
-            )
+            row = {
+                pdf.columns[0]: [pdf.iloc[0, 0]],
+                "n_periods": [n],
+                "n_demands": [None],
+                "size": [None],
+                "interval": [None],
+                "forecast": [None],
+            }
+            if interval:
+                row.update({"se": [None], "lo": [None], "hi": [None]})
+            return pd.DataFrame(row)
         z = p = None
         nd = 0
         q = 0
+        sse = 0.0
+        m = 0
         for v in x:
+            if interval and z is not None:
+                e = float(v) - factor * z / p
+                sse += e * e
+                m += 1
             q += 1
             if v > 0.0:
                 nd += 1
@@ -509,16 +538,21 @@ def croston_forecast(
                     z = alpha * float(v) + (1.0 - alpha) * z
                     p = alpha * float(q) + (1.0 - alpha) * p
                 q = 0
-        return pd.DataFrame(
-            {
-                pdf.columns[0]: [pdf.iloc[0, 0]],
-                "n_periods": [n],
-                "n_demands": [nd],
-                "size": [z],
-                "interval": [p],
-                "forecast": [None if z is None else factor * z / p],
-            }
-        )
+        fc = None if z is None else factor * z / p
+        row = {
+            pdf.columns[0]: [pdf.iloc[0, 0]],
+            "n_periods": [n],
+            "n_demands": [nd],
+            "size": [z],
+            "interval": [p],
+            "forecast": [fc],
+        }
+        if interval:
+            se = float(np.sqrt(sse / (m - 1))) if (fc is not None and m >= 2) else None
+            row["se"] = [se]
+            row["lo"] = [None if se is None else fc - zq * se]
+            row["hi"] = [None if se is None else fc + zq * se]
+        return pd.DataFrame(row)
 
     return (
         fanout_groups(base, [key_col])
@@ -536,6 +570,8 @@ def tsb_forecast(
     alpha: float = 0.1,
     beta: float = 0.1,
     tiebreak_col: str | None = None,
+    interval: bool = False,
+    level: float = 0.95,
 ) -> DataFrame:
     """Teunter-Syntetos-Babai (TSB, 2011) per key — the
     OBSOLESCENCE-AWARE intermittent-demand forecaster. Croston's
@@ -556,13 +592,25 @@ def tsb_forecast(
     otherwise: a key with a negative demand NULL-degrades (per-key
     check, no extra pass — r12), all-zero keys report NULL state, the
     family null policy drops null/NaN periods. Returns one row per
-    key: (n_periods, n_demands, size, probability, forecast)."""
+    key: (n_periods, n_demands, size, probability, forecast).
+
+    `interval=True` (r14): (se, lo, hi) exactly as `croston_forecast` —
+    empirical one-step per-period MSE (errors e_t = d_t − p·z measured
+    against the state ENTERING period t, every period once state
+    exists), normal-quantile bounds, NULL below 2 measured errors."""
     import numpy as np
     import pandas as pd
 
     for nm, v in (("alpha", alpha), ("beta", beta)):
         if not 0.0 < v < 1.0:
             raise ValueError(f"{nm} must be in (0, 1), got {v!r}")
+    if not 0.0 < level < 1.0:
+        raise ValueError("level must be in (0, 1)")
+    zq = None
+    if interval:
+        from sparkglm_spark.functions.special import norm_ppf
+
+        zq = float(norm_ppf(0.5 + level / 2.0))
     base, sort_cols, key_t = _intermittent_base(
         df, key_col, ts_col, value_col, tiebreak_col
     )
@@ -570,6 +618,7 @@ def tsb_forecast(
         f"{key_col} {key_t}, "
         "n_periods bigint, n_demands bigint, size double, "
         "probability double, forecast double"
+        + (", se double, lo double, hi double" if interval else "")
     )
 
     def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -577,20 +626,27 @@ def tsb_forecast(
         x = pdf["__x"].to_numpy(np.float64)
         n = len(x)
         if np.any(x < 0.0):  # negative demand: NULL-degrade this key
-            return pd.DataFrame(
-                {
-                    pdf.columns[0]: [pdf.iloc[0, 0]],
-                    "n_periods": [n],
-                    "n_demands": [None],
-                    "size": [None],
-                    "probability": [None],
-                    "forecast": [None],
-                }
-            )
+            row = {
+                pdf.columns[0]: [pdf.iloc[0, 0]],
+                "n_periods": [n],
+                "n_demands": [None],
+                "size": [None],
+                "probability": [None],
+                "forecast": [None],
+            }
+            if interval:
+                row.update({"se": [None], "lo": [None], "hi": [None]})
+            return pd.DataFrame(row)
         z = p = None
         nd = 0
         q = 0
+        sse = 0.0
+        m = 0
         for v in x:
+            if interval and z is not None:
+                e = float(v) - p * z
+                sse += e * e
+                m += 1
             if z is None:
                 q += 1
                 if v > 0.0:
@@ -601,16 +657,21 @@ def tsb_forecast(
                 if v > 0.0:
                     nd += 1
                     z = alpha * float(v) + (1.0 - alpha) * z
-        return pd.DataFrame(
-            {
-                pdf.columns[0]: [pdf.iloc[0, 0]],
-                "n_periods": [n],
-                "n_demands": [nd],
-                "size": [z],
-                "probability": [p],
-                "forecast": [None if z is None else p * z],
-            }
-        )
+        fc = None if z is None else p * z
+        row = {
+            pdf.columns[0]: [pdf.iloc[0, 0]],
+            "n_periods": [n],
+            "n_demands": [nd],
+            "size": [z],
+            "probability": [p],
+            "forecast": [fc],
+        }
+        if interval:
+            se = float(np.sqrt(sse / (m - 1))) if (fc is not None and m >= 2) else None
+            row["se"] = [se]
+            row["lo"] = [None if se is None else fc - zq * se]
+            row["hi"] = [None if se is None else fc + zq * se]
+        return pd.DataFrame(row)
 
     return (
         fanout_groups(base, [key_col])

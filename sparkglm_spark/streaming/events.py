@@ -979,6 +979,8 @@ def _intermittent_state_stream(
     beta: float,
     factor: float,
     tiebreak_col: str | None,
+    interval: bool = False,
+    level: float = 0.95,
 ) -> DataFrame:
     """Shared builder of `croston_state_stream`/`tsb_state_stream` (the
     `_intermittent_base` lesson: one scaffold, two folds). State per key
@@ -990,6 +992,12 @@ def _intermittent_state_stream(
     its key (bad = 1): subsequent updates emit NULL state with
     n_periods still counting — the streaming face of the batch NULL
     policy (a batch re-run over the landed log reports the same NULLs).
+
+    `interval=True` (r14 — the batch twins' interval surface): the
+    state grows by the batch fold's (sse, m) error accumulators (still
+    O(1); the accumulation is Markov too, so stream ≡ batch stays
+    bit-exact) and each emit appends (se, lo, hi). The state schema
+    changes ONLY when asked — interval=False checkpoints are untouched.
 
     ORDER CONTRACT + NULL POLICY: as `ewma_state_stream` (within-batch
     (ts, tiebreak) sort, arrival order across batches; null/NaN values
@@ -1010,6 +1018,13 @@ def _intermittent_state_stream(
         raise ValueError(f"alpha must be in (0, 1), got {alpha!r}")
     if not 0.0 < beta < 1.0:
         raise ValueError(f"beta must be in (0, 1), got {beta!r}")
+    if not 0.0 < level < 1.0:
+        raise ValueError("level must be in (0, 1)")
+    zq = None
+    if interval:
+        from sparkglm_spark.functions.special import norm_ppf
+
+        zq = float(norm_ppf(0.5 + level / 2.0))
     in_fields = {f.name: f for f in events.schema.fields}
     need = [key_col, ts_col, value_col] + (
         [tiebreak_col] if tiebreak_col else []
@@ -1030,6 +1045,15 @@ def _intermittent_state_stream(
             StructField(second, DoubleType()),
             StructField("forecast", DoubleType()),
         ]
+        + (
+            [
+                StructField("se", DoubleType()),
+                StructField("lo", DoubleType()),
+                StructField("hi", DoubleType()),
+            ]
+            if interval
+            else []
+        )
     )
     state_schema = StructType(
         [
@@ -1040,6 +1064,14 @@ def _intermittent_state_stream(
             StructField("nd", LongType()),
             StructField("bad", BooleanType()),
         ]
+        + (
+            [
+                StructField("sse", DoubleType()),
+                StructField("me", LongType()),
+            ]
+            if interval
+            else []
+        )
     )
     sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
     from sparkglm_spark.operators.timeseries import _drop_null_values
@@ -1047,9 +1079,12 @@ def _intermittent_state_stream(
     events = _drop_null_values(events, F.col(value_col).cast("double"))
 
     def update(key, pdfs, state: GroupState):
-        z, p, q, n, nd, bad = (
-            tuple(state.get) if state.exists else (None, None, 0, 0, 0, False)
-        )
+        if state.exists:
+            st = tuple(state.get)
+        else:
+            st = (None, None, 0, 0, 0, False) + ((0.0, 0) if interval else ())
+        z, p, q, n, nd, bad = st[:6]
+        sse, me = (st[6], st[7]) if interval else (0.0, 0)
         chunks = [pdf for pdf in pdfs if len(pdf)]
         if not chunks:
             return
@@ -1068,8 +1103,14 @@ def _intermittent_state_stream(
         if not bad:
             # the batch per_key fold's exact scalar expressions — same
             # order, bit-identical across the stream/batch boundary
+            # (incl. the interval accumulators: error against the state
+            # ENTERING each period, before its update)
             if method == "croston":
                 for v in x:
+                    if interval and z is not None:
+                        e = float(v) - factor * z / p
+                        sse += e * e
+                        me += 1
                     q += 1
                     if v > 0.0:
                         nd += 1
@@ -1081,6 +1122,10 @@ def _intermittent_state_stream(
                         q = 0
             else:
                 for v in x:
+                    if interval and z is not None:
+                        e = float(v) - p * z
+                        sse += e * e
+                        me += 1
                     if z is None:
                         q += 1
                         if v > 0.0:
@@ -1091,7 +1136,9 @@ def _intermittent_state_stream(
                         if v > 0.0:
                             nd += 1
                             z = alpha * float(v) + (1.0 - alpha) * z
-        state.update((z, p, q, n, nd, bad))
+        state.update(
+            (z, p, q, n, nd, bad) + ((sse, me) if interval else ())
+        )
         if bad:
             out_nd, out_z, out_p, fc = None, None, None, None
         else:
@@ -1102,16 +1149,24 @@ def _intermittent_state_stream(
                 fc = factor * z / p
             else:
                 fc = p * z
-        yield pd.DataFrame(
-            {
-                key_col: [key[0]],
-                "n_periods": [n],
-                "n_demands": [out_nd],
-                "size": [out_z],
-                second: [out_p],
-                "forecast": [fc],
-            }
-        )
+        row = {
+            key_col: [key[0]],
+            "n_periods": [n],
+            "n_demands": [out_nd],
+            "size": [out_z],
+            second: [out_p],
+            "forecast": [fc],
+        }
+        if interval:
+            se = (
+                float(np.sqrt(sse / (me - 1)))
+                if (fc is not None and me >= 2)
+                else None
+            )
+            row["se"] = [se]
+            row["lo"] = [None if se is None else fc - zq * se]
+            row["hi"] = [None if se is None else fc + zq * se]
+        yield pd.DataFrame(row)
 
     return (
         events.select(*dict.fromkeys(need))
@@ -1134,6 +1189,8 @@ def croston_state_stream(
     alpha: float = 0.1,
     variant: str = "classic",
     tiebreak_col: str | None = None,
+    interval: bool = False,
+    level: float = 0.95,
 ) -> DataFrame:
     """Streaming twin of `operators.timeseries.croston_forecast` —
     per-key intermittent-demand state via applyInPandasWithState. The
@@ -1142,14 +1199,16 @@ def croston_state_stream(
     order (asserted in tests/test_streaming.py); each batch emits the
     key's updated (n_periods, n_demands, size, interval, forecast),
     output mode 'update'. A negative demand permanently NULL-degrades
-    its key — the streaming face of the batch NULL policy."""
+    its key — the streaming face of the batch NULL policy.
+    `interval=True` appends the batch twin's (se, lo, hi) — the (sse, m)
+    accumulators join the state, still O(1) and stream ≡ batch."""
     if variant not in ("classic", "sba"):
         raise ValueError(f"variant must be 'classic' or 'sba', got {variant!r}")
     factor = 1.0 - alpha / 2.0 if variant == "sba" else 1.0
     # beta unused by the croston fold — pass a valid in-range dummy
     return _intermittent_state_stream(
         events, key_col, ts_col, value_col, "croston", alpha, 0.5,
-        factor, tiebreak_col,
+        factor, tiebreak_col, interval=interval, level=level,
     )
 
 
@@ -1161,16 +1220,19 @@ def tsb_state_stream(
     alpha: float = 0.1,
     beta: float = 0.1,
     tiebreak_col: str | None = None,
+    interval: bool = False,
+    level: float = 0.95,
 ) -> DataFrame:
     """Streaming twin of `operators.timeseries.tsb_forecast`
     (Teunter-Syntetos-Babai obsolescence-aware intermittent demand) —
     per-key (z, p, q) state, every-period probability smoothing, output
-    mode 'update'. Same contracts as `croston_state_stream`; the
-    forecast p·z decays through a demand pause batch-by-batch, which is
-    exactly the monitoring shape TSB exists for."""
+    mode 'update'. Same contracts as `croston_state_stream` (incl. the
+    `interval=True` (se, lo, hi) surface); the forecast p·z decays
+    through a demand pause batch-by-batch, which is exactly the
+    monitoring shape TSB exists for."""
     return _intermittent_state_stream(
         events, key_col, ts_col, value_col, "tsb", alpha, beta,
-        1.0, tiebreak_col,
+        1.0, tiebreak_col, interval=interval, level=level,
     )
 
 

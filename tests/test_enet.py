@@ -2072,3 +2072,105 @@ def test_glm_elastic_net_negbinomial_family(spark):
                             fold_expr=F.abs(F.hash("x1") % 3),
                             n_folds=3, family="negbinomial", nb_alpha=a)
     assert {r.reg_param for r in cv.collect()} == {0.3, 0.05}
+
+
+# ---------------------------------------------------------------------------
+# r14: guard-matrix symmetry audit (VERDICT r13 #8) — the linear
+# elastic_net_* surfaces carry the same guards the GLM surfaces gained
+# over r11-r13, and the shared scaffolds refuse role collisions loudly
+
+
+def test_guard_matrix_linear_glm_symmetric(spark):
+    """Auxiliary-column/formula collisions (weight, offset, group)
+    raise a clear ValueError on EVERY formula surface instead of dying
+    mid-plan with Spark's opaque AMBIGUOUS_REFERENCE (probed: the
+    duplicate select made every later F.col ambiguous); negative λ and
+    out-of-[0,1] α raise on linear fit/cv/path exactly as on the GLM
+    twins; 'y ~ .' keeps EXCLUDING auxiliaries (no false positive)."""
+    from sparkglm_spark.operators.enet import (
+        elastic_net_grouped,
+        elastic_net_path,
+        glm_elastic_net,
+        glm_elastic_net_grouped,
+    )
+    from sparkglm_spark.operators.glm import glm
+    from sparkglm_spark.operators.lm import lm, lm_grouped
+
+    df = spark.range(60).select(
+        (F.col("id") % 7).cast("double").alias("x"),
+        (F.col("id") % 3 + 1).cast("double").alias("w"),
+        ((F.col("id") % 7) * 2.0 + 1.0).alias("y"),
+        (F.col("id") % 2).cast("int").alias("g"),
+        F.when(F.col("id") % 7 > 3, 1.0).otherwise(0.0).alias("yb"),
+    )
+
+    # weight referenced by the formula — one error across the matrix
+    for call in (
+        lambda: elastic_net(df, "y ~ x + w", 0.1, weight_col="w"),
+        lambda: elastic_net_cv(df, "y ~ x + w", [0.1], "g", n_folds=2,
+                               weight_col="w"),
+        lambda: elastic_net_path(df, "y ~ x + w", [0.1], weight_col="w"),
+        lambda: glm_elastic_net(df, "yb ~ x + w", 0.1, family="binomial",
+                                weight_col="w"),
+        lambda: lm(df, "y ~ x + w", weight_col="w"),
+        lambda: glm(df, "yb ~ x + w", family="binomial", weight_col="w"),
+    ):
+        with pytest.raises(ValueError, match="both"):
+            call()
+    # weight == target
+    with pytest.raises(ValueError, match="both"):
+        elastic_net(df, "y ~ x", 0.1, weight_col="y")
+    # grouped scaffold: group col in the formula / weight collision
+    with pytest.raises(ValueError, match="both"):
+        lm_grouped(df, "y ~ x + g", ["g"])
+    with pytest.raises(ValueError, match="both"):
+        elastic_net_grouped(df, "y ~ x + w", ["g"], 0.1, weight_col="w")
+    with pytest.raises(ValueError, match="both"):
+        glm_elastic_net_grouped(df, "yb ~ x + w", ["g"], 0.1,
+                                family="binomial", weight_col="w")
+
+    # negative λ / out-of-range α: linear matches the GLM refusals
+    with pytest.raises(ValueError, match="reg_param"):
+        elastic_net(df, "y ~ x", -0.1)
+    with pytest.raises(ValueError, match="reg_param"):
+        elastic_net_cv(df, "y ~ x", [-0.1], "g", n_folds=2)
+    with pytest.raises(ValueError, match="reg_param"):
+        elastic_net_path(df, "y ~ x", [0.1, -0.1])
+    with pytest.raises(ValueError, match="elastic_net_param"):
+        elastic_net(df, "y ~ x", 0.1, elastic_net_param=1.5)
+
+    # no false positive: '.' expansion still excludes auxiliaries
+    m = elastic_net(df.select("x", "w", "y"), "y ~ .", 0.01,
+                    weight_col="w")
+    assert set(m.xnames) == {"intercept", "x"}
+
+
+def test_linear_enet_decimal_parity(spark):
+    """Decimal label/predictor/weight through the linear surfaces equal
+    the double twin exactly (model_matrix's shared double-cast — the
+    GLM surfaces' r12 decimal-robustness convention; probed: DuckDB-ish
+    decimal(12,4) inputs reach the Gram as float64)."""
+    df = spark.range(200).select(
+        (F.col("id") % 9).cast("double").alias("x"),
+        (F.col("id") % 4 + 1).cast("double").alias("w"),
+        ((F.col("id") % 9) * 1.5 + 2.0 + (F.col("id") % 5) * 0.01).alias("y"),
+    )
+    ddf = df.select(
+        F.col("x").cast("decimal(12,4)").alias("x"),
+        F.col("w").cast("decimal(12,4)").alias("w"),
+        F.col("y").cast("decimal(12,4)").alias("y"),
+    )
+    md = elastic_net(df, "y ~ x", 0.05, weight_col="w")
+    mdec = elastic_net(ddf, "y ~ x", 0.05, weight_col="w")
+    np.testing.assert_allclose(mdec.coefs, md.coefs, rtol=0, atol=0)
+
+    cv_d = elastic_net_cv(
+        df.withColumn("f", (F.col("x") % 2).cast("int")),
+        "y ~ x", [0.05], "f", n_folds=2, weight_col="w",
+    ).orderBy("fold").collect()
+    cv_dec = elastic_net_cv(
+        ddf.withColumn("f", (F.col("x") % 2).cast("int")),
+        "y ~ x", [0.05], "f", n_folds=2, weight_col="w",
+    ).orderBy("fold").collect()
+    for a, b in zip(cv_d, cv_dec):
+        assert a == b

@@ -1184,7 +1184,9 @@ def test_intermittent_state_streams_equal_batch(spark, sf_dir):
     """r12: croston_state_stream / tsb_state_stream over a 3-micro-batch
     ts-ordered replay — the LAST update per key must equal the batch
     croston_forecast / tsb_forecast EXACTLY (the folds are Markov in
-    (z, p, q); the stream runs the same scalar expressions)."""
+    (z, p, q); the stream runs the same scalar expressions). r14: both
+    sides run interval=True — the (sse, m) accumulators are Markov too,
+    so se/lo/hi are bit-exact across the boundary as well."""
     from sparkglm_spark.operators.timeseries import (
         croston_forecast,
         tsb_forecast,
@@ -1211,11 +1213,11 @@ def test_intermittent_state_streams_equal_batch(spark, sf_dir):
             "cr",
             lambda s: croston_state_stream(
                 s, "user_id", "ts", "dm", alpha=0.3, variant="sba",
-                tiebreak_col="event_id",
+                tiebreak_col="event_id", interval=True,
             ),
             lambda: croston_forecast(
                 raw, "user_id", "ts", "dm", alpha=0.3, variant="sba",
-                tiebreak_col="event_id",
+                tiebreak_col="event_id", interval=True,
             ),
             "interval",
         ),
@@ -1223,11 +1225,11 @@ def test_intermittent_state_streams_equal_batch(spark, sf_dir):
             "tsb",
             lambda s: tsb_state_stream(
                 s, "user_id", "ts", "dm", alpha=0.3, beta=0.2,
-                tiebreak_col="event_id",
+                tiebreak_col="event_id", interval=True,
             ),
             lambda: tsb_forecast(
                 raw, "user_id", "ts", "dm", alpha=0.3, beta=0.2,
-                tiebreak_col="event_id",
+                tiebreak_col="event_id", interval=True,
             ),
             "probability",
         ),
@@ -1257,7 +1259,8 @@ def test_intermittent_state_streams_equal_batch(spark, sf_dir):
                 for r in spark.sql(
                     f"SELECT user_id, max_by(named_struct('n', n_periods,"
                     f" 'nd', n_demands, 'z', size, 'p', {second},"
-                    f" 'fc', forecast), n_periods) AS w"
+                    f" 'fc', forecast, 'se', se, 'lo', lo, 'hi', hi),"
+                    f" n_periods) AS w"
                     f" FROM {name}_updates GROUP BY user_id"
                 ).collect()
             }
@@ -1271,6 +1274,9 @@ def test_intermittent_state_streams_equal_batch(spark, sf_dir):
             assert g["z"] == b["size"], (name, uid)
             assert g["p"] == b[second], (name, uid)
             assert g["fc"] == b["forecast"], (name, uid)
+            assert g["se"] == b["se"], (name, uid)
+            assert g["lo"] == b["lo"], (name, uid)
+            assert g["hi"] == b["hi"], (name, uid)
 
 
 def test_intermittent_state_stream_negative_degrades(spark):

@@ -1518,3 +1518,139 @@ def test_forecast_accuracy_mase_contiguity_guard(spark):
     )
     rp = forecast_accuracy(ndf, "k", "t", "y", "f", m=2).collect()[0]
     assert rp.mase is None and rp.mae is not None
+
+
+# ---------------------------------------------------------------------------
+# r14: Croston/TSB prediction intervals (interval=True) — the intermittent
+# pair joins the family's interval surface (SES/Holt/HW add+mul had it)
+
+
+def test_croston_tsb_interval_hand_twin(spark):
+    """(se, lo, hi) equal an independent hand recursion: one-step
+    per-period errors e_t = d_t - f(state entering t) measured at EVERY
+    period once state exists, sigma^2 = sse/(m-1), normal-quantile
+    bounds; sba factor enters the error; keys with <2 measured errors
+    (or NULL state) report NULL; interval=False schema is unchanged."""
+    from sparkglm_spark.functions.special import norm_ppf
+    from sparkglm_spark.operators.timeseries import (
+        croston_forecast,
+        tsb_forecast,
+    )
+
+    a, b = 0.2, 0.15
+    demands = [0, 0, 5.0, 0, 0, 3.0, 4.0, 0, 2.0, 0, 1.5, 0]
+    rows = [("k", i, float(v)) for i, v in enumerate(demands)]
+    # 'late': first (and only) demand at the LAST period -> state exists
+    # but zero measured errors -> NULL se with a real forecast
+    rows += [("late", i, 0.0 if i < 4 else 7.0) for i in range(5)]
+    rows += [("zero", i, 0.0) for i in range(4)]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    zq = float(norm_ppf(0.5 + 0.95 / 2.0))
+
+    for variant in ("classic", "sba"):
+        fac = 1.0 - a / 2.0 if variant == "sba" else 1.0
+        got = {r.k: r for r in croston_forecast(
+            df, "k", "t", "v", alpha=a, variant=variant, interval=True
+        ).collect()}
+        z = p = None
+        q = 0
+        sse, m = 0.0, 0
+        for v in demands:
+            if z is not None:
+                e = v - fac * z / p
+                sse += e * e
+                m += 1
+            q += 1
+            if v > 0:
+                if z is None:
+                    z, p = v, float(q)
+                else:
+                    z = a * v + (1 - a) * z
+                    p = a * q + (1 - a) * p
+                q = 0
+        import numpy as np
+
+        se = float(np.sqrt(sse / (m - 1)))
+        r = got["k"]
+        assert r.se == pytest.approx(se, rel=1e-12)
+        assert r.lo == pytest.approx(r.forecast - zq * se, rel=1e-12)
+        assert r.hi == pytest.approx(r.forecast + zq * se, rel=1e-12)
+        assert got["late"].forecast is not None and got["late"].se is None
+        assert got["zero"].se is None and got["zero"].lo is None
+
+    # TSB twin on the same data
+    gt = {r.k: r for r in tsb_forecast(
+        df, "k", "t", "v", alpha=a, beta=b, interval=True
+    ).collect()}
+    z = p = None
+    q = 0
+    sse, m = 0.0, 0
+    for v in demands:
+        if z is not None:
+            e = v - p * z
+            sse += e * e
+            m += 1
+        if z is None:
+            q += 1
+            if v > 0:
+                z, p = v, 1.0 / q
+        else:
+            p = b * (1.0 if v > 0 else 0.0) + (1 - b) * p
+            if v > 0:
+                z = a * v + (1 - a) * z
+    import numpy as np
+
+    se = float(np.sqrt(sse / (m - 1)))
+    r = gt["k"]
+    assert r.se == pytest.approx(se, rel=1e-12)
+    assert r.lo == pytest.approx(r.forecast - zq * se, rel=1e-12)
+    assert r.hi == pytest.approx(r.forecast + zq * se, rel=1e-12)
+    assert gt["zero"].se is None
+
+    # negative-demand key: NULL everything incl. the new columns
+    neg = croston_forecast(
+        df.where(F.col("k") == "k").withColumn(
+            "v", F.when(F.col("t") == 5, -1.0).otherwise(F.col("v"))
+        ),
+        "k", "t", "v", alpha=a, interval=True,
+    ).collect()[0]
+    assert neg.se is None and neg.lo is None and neg.hi is None
+
+    # interval=False output schema is byte-unchanged (existing pins)
+    cols = croston_forecast(df, "k", "t", "v", alpha=a).columns
+    assert cols == ["k", "n_periods", "n_demands", "size", "interval",
+                    "forecast"]
+    assert "se" not in tsb_forecast(df, "k", "t", "v").columns
+    with pytest.raises(ValueError, match="level"):
+        croston_forecast(df, "k", "t", "v", interval=True, level=1.0)
+    with pytest.raises(ValueError, match="level"):
+        tsb_forecast(df, "k", "t", "v", interval=True, level=0.0)
+
+
+def test_croston_tsb_interval_coverage(spark):
+    """Coverage property: with demand at EVERY period ~ N(10, 1) (pi=1,
+    where Croston degenerates to SES and TSB's probability pins at 1)
+    the 95% interval covers the held-out next value in ~95% of 300
+    independent keys — both forecasters."""
+    import numpy as np
+
+    from sparkglm_spark.operators.timeseries import (
+        croston_forecast,
+        tsb_forecast,
+    )
+
+    rng = np.random.default_rng(41)
+    nk, n = 300, 120
+    x = rng.normal(10.0, 1.0, size=(nk, n))
+    assert (x > 0).all()
+    train = [(f"k{i:03d}", t, float(x[i, t]))
+             for i in range(nk) for t in range(n - 1)]
+    df = spark.createDataFrame(train, "k string, t long, v double")
+    held = {f"k{i:03d}": x[i, n - 1] for i in range(nk)}
+
+    for fn, kw in ((croston_forecast, {"alpha": 0.1}),
+                   (tsb_forecast, {"alpha": 0.1, "beta": 0.1})):
+        rows = fn(df, "k", "t", "v", interval=True, **kw).collect()
+        cov = np.mean([held[r.k] >= r.lo and held[r.k] <= r.hi
+                       for r in rows])
+        assert 0.90 <= cov <= 0.99, (fn.__name__, cov)
