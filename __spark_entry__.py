@@ -1636,6 +1636,27 @@ def q_glm_families_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("enet_negbin", "iterations", float(m.iter)),
         ("enet_negbin", "n_nonzero", float(m.n_nonzero)),
     ]
+    # r14: glm_nb — NB2 with the dispersion ESTIMATED by profile ML
+    # (the MASS::glm.nb surface) on the same integer count design as the
+    # fixed-α arm, pinned as the deterministic trajectory: poisson IRLS
+    # ×4 → moment θ₀ = n/Σ(y/μ−1)² → 2 θ-Newton updates → NB IRLS ×4 at
+    # α = 1/θ̂. y = l_quantity is INTEGER, so the SQL replays the ψ/ψ′
+    # sums exactly via the shift series ψ(θ+y) − ψ(θ) = Σ_{j<y} 1/(θ+j)
+    # (no digamma needed in DuckDB); the engine computes the same sums
+    # from its driver-held y-histogram at ~1e-13/value — δθ agrees to
+    # ~1e-11, far inside the 6dp pin. loglik = exact NB2 pmf at (β̂, θ̂)
+    # (lgamma exists in both engines).
+    from sparkglm_spark.operators.glm import glm_nb
+
+    m = glm_nb(li, "l_quantity ~ l_discount", exact_iterations=1,
+               irls_iterations=_GLM_ITERS, theta_iterations=2)
+    rows += [
+        ("nbml", "theta", round(float(m.theta), 6)),
+        ("nbml", "coef_intercept", round(float(m.coefs[0]), 6)),
+        ("nbml", "coef_l_discount", round(float(m.coefs[1]), 6)),
+        ("nbml", "deviance", round(m.deviance, 2)),
+        ("nbml", "loglik", round(m.loglik, 2)),
+    ]
     return spark.createDataFrame(
         rows, "family string, stat string, value double"
     ).orderBy("family", "stat")
@@ -2035,6 +2056,80 @@ def _sql_glm_families_fit() -> str:
             f" FROM cv{j}2",
             f"SELECT 'enetcv_f{j}', 'iterations', 2.0 FROM cv{j}2",
         ]
+    # r14 nbml: glm_nb's fixed trajectory — poisson β (po_t4, already
+    # built), moment θ₀, two θ-Newton updates with the EXACT integer-y
+    # shift series ψ(θ+y) − ψ(θ) = Σ_{j<y} 1/(θ+j) (ψ′ twin squares the
+    # terms; empty list at y = 0 → COALESCE 0), then 4 NB2 IRLS solves
+    # with the α = 1/θ̂ scalar threaded through every iteration's weight.
+    mu_po = _SQL_UNLINK["log"]("(b0 + b1 * x)")
+    ctes.append(
+        f"nbml_m AS (SELECT y, {mu_po} AS mu FROM pbase CROSS JOIN po_t{_GLM_ITERS})"
+    )
+    ctes.append(
+        "nbml0 AS (SELECT CAST(COUNT(*) AS DOUBLE) / "
+        "SUM((y / mu - 1.0) * (y / mu - 1.0)) AS th FROM nbml_m)"
+    )
+    for i in (1, 2):
+        ctes.append(
+            f"nbml{i} AS (SELECT CASE WHEN th + del > 0.0 THEN th + del "
+            f"ELSE th * 0.5 END AS th FROM (SELECT th, ("
+            "SUM(COALESCE(list_sum(list_transform(range(CAST(y AS BIGINT)),"
+            " j -> 1.0 / (th + j))), 0.0))"
+            " + COUNT(*) * (ln(th) + 1.0) - SUM(ln(th + mu))"
+            " - SUM((th + y) / (th + mu))"
+            ") / ("
+            "SUM(COALESCE(list_sum(list_transform(range(CAST(y AS BIGINT)),"
+            " j -> 1.0 / ((th + j) * (th + j)))), 0.0))"
+            " - COUNT(*) / th + 2.0 * SUM(1.0 / (th + mu))"
+            " - SUM((th + y) / ((th + mu) * (th + mu)))"
+            f") AS del FROM nbml_m CROSS JOIN nbml{i - 1} GROUP BY th))"
+        )
+    ctes.append("nbml_al AS (SELECT th, 1.0 / th AS al FROM nbml2)")
+    ctes.append(
+        "nbm_s0 AS (SELECT CAST(SUM(y) AS DOUBLE) / COUNT(*) AS mu0 FROM pbase)"
+    )
+    ctes.append("nbm_e0 AS (SELECT mu0, ln(mu0) AS eta0 FROM nbm_s0)")
+    for i in range(1, _GLM_ITERS + 1):
+        if i == 1:
+            src = "pbase CROSS JOIN nbm_e0 CROSS JOIN nbml_al"
+            eta, mu = "(eta0)", "(mu0)"
+        else:
+            src = f"pbase CROSS JOIN nbm_t{i - 1} CROSS JOIN nbml_al"
+            eta = "(b0 + b1 * x)"
+            mu = "(exp(b0 + b1 * x))"
+        g = f"(1.0 / {mu})"
+        w = f"(1.0 / ((({mu}) + al * ({mu}) * ({mu})) * {g} * {g}))"
+        z = f"({eta} + (y - {mu}) * {g} - 0.0)"
+        ctes.append(
+            f"nbm_a{i} AS (SELECT SUM(w) AS sw, SUM(w*x) AS swx, "
+            f"SUM(w*x*x) AS swxx, SUM(w*z) AS swz, SUM(w*x*z) AS swxz FROM "
+            f"(SELECT {w} AS w, {z} AS z, x FROM {src}))"
+        )
+        ctes.append(
+            f"nbm_t{i} AS (SELECT "
+            f"(swz*swxx - swx*swxz)/(sw*swxx - swx*swx) AS b0, "
+            f"(sw*swxz - swx*swz)/(sw*swxx - swx*swx) AS b1 FROM nbm_a{i})"
+        )
+    ctes.append(
+        "nbml_f AS (SELECT "
+        "2.0 * SUM(CASE WHEN y = 0 THEN (1.0 / al) * ln(1.0 + al * mu) "
+        "ELSE y * ln(y / mu) - (y + 1.0 / al) "
+        "* ln((1.0 + al * y) / (1.0 + al * mu)) END) AS dev, "
+        "SUM(lgamma(y + th) - lgamma(th) - lgamma(y + 1.0) "
+        "+ CASE WHEN y > 0 THEN y * ln(al * mu / (1.0 + al * mu)) "
+        "ELSE 0.0 END - th * ln(1.0 + al * mu)) AS ll "
+        f"FROM (SELECT y, exp(b0 + b1 * x) AS mu, al, th "
+        f"FROM pbase CROSS JOIN nbm_t{_GLM_ITERS} CROSS JOIN nbml_al))"
+    )
+    selects += [
+        "SELECT 'nbml', 'theta', ROUND(th, 6) FROM nbml2",
+        "SELECT 'nbml', 'coef_intercept', ROUND(b0, 6)"
+        f" FROM nbm_t{_GLM_ITERS}",
+        "SELECT 'nbml', 'coef_l_discount', ROUND(b1, 6)"
+        f" FROM nbm_t{_GLM_ITERS}",
+        "SELECT 'nbml', 'deviance', ROUND(dev, 2) FROM nbml_f",
+        "SELECT 'nbml', 'loglik', ROUND(ll, 2) FROM nbml_f",
+    ]
     return (
         "WITH " + ",\n".join(ctes) + "\n"
         + "\nUNION ALL\n".join(selects)

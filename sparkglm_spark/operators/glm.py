@@ -588,26 +588,13 @@ class GLMSummary:
         return "\n".join(lines)
 
 
-def glm(
-    df: DataFrame,
-    formula: str,
-    family: str = "binomial",
-    link: str | None = None,
-    m_col: str | None = None,
-    offset_col: str | None = None,
-    tol: float = 1e-6,
-    max_iter: int = 50,
-    na_action: str = "omit",
-    exact_iterations: int | None = None,
-    var_power: float = 1.5,
-    nb_alpha: float = 1.0,
-    weight_col: str | None = None,
-) -> GLM:
-    """Formula front-end mirroring the LM one (reference overload explosion
-    GLM.scala:475-995 collapses to keyword args — SURVEY §2.11 M7).
-    `weight_col`: per-row prior weights (`GLM.fit` — the R glm(weights=) /
-    MLlib GeneralizedLinearRegression weightCol conventions)."""
-    extra = [c for c in (m_col, offset_col, weight_col) if c]
+def _glm_design(
+    df: DataFrame, formula: str, extra: list[str], na_action: str
+) -> tuple[DataFrame, str, list[str], dict[str, list[str]]]:
+    """Shared formula → model-matrix block for the GLM front-ends
+    (`glm`, `glm_nb`): parse, '.'-expand excluding the pass-through
+    columns, collision-guard, NA-omit, encode categoricals. Returns
+    (encoded, target, x_cols, levels)."""
     # exclude the pass-through columns from '.' expansion — 'y ~ .' with
     # a weight/m/offset column would otherwise duplicate it as a
     # covariate AND a pass-through (ambiguous-column crash)
@@ -638,9 +625,33 @@ def glm(
             x_cols.extend(f"{p}_{lvl}" for lvl in levels[p][1:])
         else:
             x_cols.append(p)
+    return encoded, parsed.target, x_cols, levels
+
+
+def glm(
+    df: DataFrame,
+    formula: str,
+    family: str = "binomial",
+    link: str | None = None,
+    m_col: str | None = None,
+    offset_col: str | None = None,
+    tol: float = 1e-6,
+    max_iter: int = 50,
+    na_action: str = "omit",
+    exact_iterations: int | None = None,
+    var_power: float = 1.5,
+    nb_alpha: float = 1.0,
+    weight_col: str | None = None,
+) -> GLM:
+    """Formula front-end mirroring the LM one (reference overload explosion
+    GLM.scala:475-995 collapses to keyword args — SURVEY §2.11 M7).
+    `weight_col`: per-row prior weights (`GLM.fit` — the R glm(weights=) /
+    MLlib GeneralizedLinearRegression weightCol conventions)."""
+    extra = [c for c in (m_col, offset_col, weight_col) if c]
+    encoded, target, x_cols, levels = _glm_design(df, formula, extra, na_action)
     model = GLM.fit(
         encoded,
-        y_col=parsed.target,
+        y_col=target,
         x_cols=x_cols,
         family=family,
         link=link,
@@ -969,3 +980,596 @@ def likelihood_ratio_test(reduced: GLM, full: GLM) -> dict:
         "lr_stat": lr,
         "p_value": chisq_sf(lr, df),
     }
+
+
+# ---- negative binomial with ESTIMATED dispersion (MASS::glm.nb) ----------
+
+
+def _nb2_theta_terms(th: float, hy, hw, sw: float) -> tuple[float, float]:
+    """Driver-side ψ/ψ′ pieces of the NB2 θ-score and observed information
+    from the collected (distinct y → weight mass) histogram:
+    Σω·(ψ(θ+y) − ψ(θ)) and Σω·(ψ′(θ) − ψ′(θ+y)). Exact — the histogram is
+    a lossless regrouping of the per-row sums (y enters ψ only through
+    θ+y). O(#distinct y) numpy, no Spark job."""
+    dig = float(np.sum(hw * special.digamma(th + hy))) - sw * float(
+        special.digamma(th)
+    )
+    tri = sw * float(special.trigamma(th)) - float(
+        np.sum(hw * special.trigamma(th + hy))
+    )
+    return dig, tri
+
+
+def _nb2_theta_step_stats(
+    work: DataFrame, y, mu, wr, th: float, hist
+) -> tuple[float, float]:
+    """(score, observed info) of the NB2 profile log-likelihood in θ at
+    fixed μ — ONE aggregation job. With ℓ(θ) = Σω·[lnΓ(θ+y) − lnΓ(θ)
+    + θ·lnθ − (θ+y)·ln(θ+μ) + …]:
+
+        ∂ℓ/∂θ   = Σω·[ψ(θ+y) − ψ(θ) + lnθ + 1 − ln(θ+μ) − (θ+y)/(θ+μ)]
+        −∂²ℓ/∂θ² = Σω·[ψ′(θ) − ψ′(θ+y) − 1/θ + 2/(θ+μ) − (θ+y)/(θ+μ)²]
+
+    (MASS::theta.ml's score/info, Venables & Ripley 2002 §7.4.) The
+    μ-dependent sums are plain JVM expressions; the ψ/ψ′ sums come from
+    the driver-held y-histogram when available (`hist` ≠ None — zero
+    Python in the job), else from an Arrow-batched pandas UDF pair over
+    y riding the same aggregation."""
+    thl = F.lit(float(th))
+    ratio = (y + thl) / (mu + thl)
+    aggs = [
+        F.sum(wr).alias("sw"),
+        F.sum(wr * F.log(mu + thl)).alias("s_log"),
+        F.sum(wr * ratio).alias("s_rat"),
+        F.sum(wr * ratio / (mu + thl)).alias("s_rat2"),
+        F.sum(wr / (mu + thl)).alias("s_inv"),
+    ]
+    if hist is None:
+        from pyspark.sql.functions import pandas_udf
+
+        thv = float(th)
+
+        @pandas_udf("double")
+        def _dig(yv: pd.Series) -> pd.Series:
+            return pd.Series(special.digamma(thv + yv.to_numpy()))
+
+        @pandas_udf("double")
+        def _tri(yv: pd.Series) -> pd.Series:
+            return pd.Series(special.trigamma(thv + yv.to_numpy()))
+
+        aggs += [
+            F.sum(wr * _dig(y)).alias("s_dig"),
+            F.sum(wr * _tri(y)).alias("s_tri"),
+        ]
+    row = work.agg(*aggs).collect()[0]
+    sw = float(row["sw"])
+    if hist is None:
+        dig = float(row["s_dig"]) - sw * float(special.digamma(th))
+        tri = sw * float(special.trigamma(th)) - float(row["s_tri"])
+    else:
+        dig, tri = _nb2_theta_terms(th, hist[0], hist[1], sw)
+    import math
+
+    score = dig + sw * (math.log(th) + 1.0) - float(row["s_log"]) - float(
+        row["s_rat"]
+    )
+    info = tri - sw / th + 2.0 * float(row["s_inv"]) - float(row["s_rat2"])
+    return score, info
+
+
+def _nb2_theta_newton(
+    step_stats, th0: float, steps: int | None, tol: float, max_iter: int
+) -> tuple[float, float]:
+    """Shared θ-Newton driver (Spark and numpy paths plug their own
+    `step_stats(th) -> (score, info)`): θ ← θ + score/info, halving on a
+    non-positive proposal (a stabilizer MASS relies on its starting value
+    to avoid; documented deviation), clamped at 1e7 — past that the NB2
+    is numerically poisson (no overdispersion left to estimate).
+    `steps` set → EXACTLY that many updates (the deterministic pin mode);
+    else iterate until |δ| ≤ tol·(1 + θ) or `max_iter`. Returns
+    (θ̂, last info)."""
+    th = float(th0)
+    info = float("nan")
+    n = steps if steps is not None else max_iter
+    for _ in range(n):
+        score, info = step_stats(th)
+        if not np.isfinite(score) or not np.isfinite(info) or info <= 0.0:
+            break
+        delta = score / info
+        new = th + delta
+        th = new if new > 0.0 else th / 2.0
+        if th > 1e7:
+            import warnings
+
+            warnings.warn(
+                "theta exceeded 1e7 — no overdispersion detected "
+                "(variance ≈ mean); the NB2 fit is numerically poisson"
+            )
+            th = 1e7
+            break
+        if steps is None and abs(delta) <= tol * (1.0 + abs(th)):
+            break
+    return th, info
+
+
+def glm_nb(
+    df: DataFrame,
+    formula: str,
+    weight_col: str | None = None,
+    offset_col: str | None = None,
+    na_action: str = "omit",
+    tol: float = 1e-8,
+    max_iter: int = 25,
+    theta_tol: float = 1e-8,
+    theta_max_iter: int = 10,
+    irls_tol: float = 1e-8,
+    irls_max_iter: int = 50,
+    exact_iterations: int | None = None,
+    irls_iterations: int | None = None,
+    theta_iterations: int | None = None,
+    hist_limit: int = 65536,
+) -> GLM:
+    """NB2 regression with the dispersion ESTIMATED by maximum likelihood —
+    the `MASS::glm.nb` surface (Venables & Ripley 2002 §7.4) on top of the
+    engine's fixed-α `glm(family="negbinomial")`. Alternates
+
+      θ-step:  profile-ML Newton for θ at the current μ (MASS theta.ml) —
+               one small aggregation per Newton update;
+      β-step:  the ordinary distributed IRLS at family
+               negbinomial(α = 1/θ) — `GLM.fit`, one aggregation per
+               IRLS iteration;
+
+    until |Δ(2ℓ)| ≤ `tol` across alternations (each alternation runs the
+    θ-step first and ends on a β-fit AT the final θ, so the returned
+    model is self-consistent). Initialization follows MASS: a poisson
+    fit for the starting μ, then the moment start
+    θ₀ = Σω / Σω·(y/μ − 1)².
+
+    Scale design: the ψ/ψ′ sums in the θ-score depend on y only through
+    θ+y, so ONE up-front `groupBy(y)` histogram (counts — distinct values
+    are few; capped at `hist_limit`, falling back to an Arrow pandas-UDF
+    pair when exceeded) makes every θ-Newton update a pure-JVM
+    aggregation of four sums. No per-row data ever reaches the driver.
+
+    Conventions (all MASS): SE(θ) = 1/√info at (β̂, θ̂); coefficient SEs
+    are the fixed-θ̂ IRLS ones (θ and β are information-orthogonal in
+    NB2, Cox-Reid); aic = −2ℓ + 2k + 2 (θ counts as a parameter — the
+    fixed-α `glm` counts k only). Non-integer responses warn (the NB2
+    pmf is a count density); y < 0 raises.
+
+    Deterministic pin mode: `exact_iterations=E` runs E alternations with
+    `theta_iterations` θ-updates and `irls_iterations`-step inner fits
+    (defaults 2 and 4), no convergence tests anywhere — the driver's
+    fixed-iteration SQL oracle replays the exact trajectory.
+
+    Extra attributes on the returned GLM: `theta`, `se_theta`,
+    `nb_alpha` (= 1/θ̂), `outer_iter`."""
+    pin = exact_iterations is not None
+    if pin:
+        irls_iterations = 4 if irls_iterations is None else irls_iterations
+        theta_iterations = 2 if theta_iterations is None else theta_iterations
+    extra = [c for c in (offset_col, weight_col) if c]
+    encoded, target, x_cols, levels = _glm_design(df, formula, extra, na_action)
+    from sparkglm_spark.plans.partitioning import ensure_parallel
+
+    work = ensure_parallel(
+        encoded.select(target, *x_cols, *extra)
+    ).persist()
+    y = F.col(target)
+    wr = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    offset = F.col(offset_col) if offset_col else F.lit(0.0)
+    try:
+        # ---- domain guard (one job) ---------------------------------
+        grow = work.agg(
+            F.min(y).alias("miny"),
+            F.sum((y != F.floor(y)).cast("long")).alias("nonint"),
+        ).collect()[0]
+        if grow["miny"] is not None and float(grow["miny"]) < 0.0:
+            raise ValueError(
+                f"negbinomial requires y >= 0; min({target}) = {grow['miny']}"
+            )
+        if int(grow["nonint"] or 0) > 0:
+            import warnings
+
+            warnings.warn(
+                f"{int(grow['nonint'])} non-integer value(s) in {target!r} — "
+                "the NB2 likelihood is a count density (MASS::glm.nb warns "
+                "the same way)"
+            )
+        # ---- y histogram (one job; lossless ψ-sum regrouping) --------
+        hrows = (
+            work.groupBy(target)
+            .agg(F.sum(wr).alias("__wm"))
+            .limit(hist_limit + 1)
+            .collect()
+        )
+        if len(hrows) > hist_limit:
+            hist = None  # fall back to the pandas-UDF ψ/ψ′ aggregation
+        else:
+            hist = (
+                np.array([float(r[target]) for r in hrows]),
+                np.array([float(r["__wm"]) for r in hrows]),
+            )
+
+        def fit_at(alpha: float | None) -> GLM:
+            return GLM.fit(
+                work,
+                y_col=target,
+                x_cols=x_cols,
+                family="poisson" if alpha is None else "negbinomial",
+                link="log",
+                offset_col=offset_col,
+                weight_col=weight_col,
+                tol=irls_tol,
+                max_iter=irls_max_iter,
+                exact_iterations=irls_iterations,
+                nb_alpha=1.0 if alpha is None else alpha,
+            )
+
+        def mu_of(beta: np.ndarray):
+            return F.exp(linear_combination(x_cols, beta) + offset)
+
+        # ---- init: poisson μ, moment θ₀ (MASS theta.ml start) --------
+        pois = fit_at(None)
+        beta = pois.coefs
+        mu = mu_of(beta)
+        mrow = work.agg(
+            F.sum(wr).alias("sw"),
+            F.sum(wr * (y / mu - F.lit(1.0)) * (y / mu - F.lit(1.0))).alias(
+                "s2"
+            ),
+        ).collect()[0]
+        s2 = float(mrow["s2"])
+        th = float(mrow["sw"]) / s2 if np.isfinite(s2) and s2 > 0 else 1.0
+
+        # ---- alternate θ-Newton / β-IRLS ------------------------------
+        outer_cap = exact_iterations if pin else max_iter
+        ll_prev: float | None = None
+        fit: GLM | None = None
+        n_outer = 0
+        converged = pin
+        info = float("nan")
+        while n_outer < outer_cap:
+            mu = mu_of(beta)
+            th, info = _nb2_theta_newton(
+                lambda t: _nb2_theta_step_stats(work, y, mu, wr, t, hist),
+                th,
+                theta_iterations,
+                theta_tol,
+                theta_max_iter,
+            )
+            fit = fit_at(1.0 / th)
+            beta = fit.coefs
+            n_outer += 1
+            if (
+                not pin
+                and ll_prev is not None
+                and abs(2.0 * (fit.loglik - ll_prev)) <= tol
+            ):
+                converged = True
+                break
+            ll_prev = fit.loglik
+        if not converged:
+            import warnings
+
+            warnings.warn(f"glm_nb did not converge in {max_iter} alternations")
+        # observed info at the FINAL (β̂, θ̂) — β moved after the last
+        # θ-update, so refresh once for SE(θ) (one small job)
+        _, info = _nb2_theta_step_stats(work, y, mu_of(beta), wr, th, hist)
+    finally:
+        work.unpersist()
+    fit.levels = levels
+    fit.theta = th
+    fit.se_theta = (
+        float(1.0 / np.sqrt(info)) if np.isfinite(info) and info > 0 else None
+    )
+    fit.nb_alpha = 1.0 / th
+    fit.outer_iter = n_outer
+    # MASS glm.nb: aic = −2ℓ + 2k + 2 — θ is an estimated parameter here
+    # (the fixed-α glm's aic counts the k mean parameters only)
+    fit.aic = fit.aic + 2.0
+    fit.call = f"glm_nb({formula})"
+    return fit
+
+
+def _np_glm_nb(
+    y: np.ndarray,
+    X: np.ndarray,
+    w: np.ndarray | None = None,
+    offset: np.ndarray | None = None,
+    tol: float = 1e-8,
+    max_iter: int = 25,
+    theta_tol: float = 1e-8,
+    theta_max_iter: int = 10,
+    irls_tol: float = 1e-8,
+    irls_max_iter: int = 50,
+    exact_iterations: int | None = None,
+    irls_iterations: int | None = None,
+    theta_iterations: int | None = None,
+) -> dict | None:
+    """In-memory twin of `glm_nb` — SAME trajectory (μ₀ = ȳ IRLS init,
+    moment θ₀, θ-Newton-then-IRLS alternation, identical stabilizers), so
+    fixed-iteration runs agree with the distributed fit to float
+    round-off. Used by `glm_nb_grouped`'s per-group kernel and the test
+    twins. Returns None on a degenerate fit (singular / non-finite)."""
+    pin = exact_iterations is not None
+    if pin:
+        irls_iterations = 4 if irls_iterations is None else irls_iterations
+        theta_iterations = 2 if theta_iterations is None else theta_iterations
+    n, k = X.shape
+    w = np.ones(n) if w is None else w
+    offset = np.zeros(n) if offset is None else offset
+    sw = float(w.sum())
+
+    def irls(alpha: float | None) -> tuple | None:
+        # mirrors GLM.fit: init μ = Σωy/Σω (constant), log link
+        beta, dev_prev, it = None, None, 0
+        xtwxi = None
+        cap = irls_iterations if irls_iterations is not None else irls_max_iter
+        while it < cap:
+            if beta is None:
+                mu = np.full(n, float((w * y).sum()) / sw)
+                eta = np.log(mu)
+            else:
+                eta = X @ beta + offset
+                mu = np.exp(eta)
+            if alpha is None:  # poisson
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    t1 = np.where(y > 0, y * np.log(y / mu), 0.0)
+                dev = float(2.0 * (w * (t1 - (y - mu))).sum())
+                wk = mu
+            else:
+                a = alpha
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    ratio = (1.0 + a * y) / (1.0 + a * mu)
+                    full = np.where(
+                        y > 0, y * np.log(np.where(y > 0, y, 1.0) / mu), 0.0
+                    ) - (y + 1.0 / a) * np.log(ratio)
+                    zero = (1.0 / a) * np.log(1.0 + a * mu)
+                dev = float(2.0 * (w * np.where(y == 0, zero, full)).sum())
+                wk = mu / (1.0 + a * mu)
+            if not np.isfinite(dev):
+                return None
+            if (
+                irls_iterations is None
+                and dev_prev is not None
+                and abs(dev - dev_prev) <= irls_tol
+            ):
+                break
+            z = eta + (y - mu) / mu - offset  # log link: dη/dμ = 1/μ
+            Xw = X * (w * wk)[:, None]
+            try:
+                xtwx = X.T @ Xw
+                beta = np.linalg.solve(xtwx, Xw.T @ z)
+                xtwxi = np.linalg.inv(xtwx)
+            except np.linalg.LinAlgError:
+                return None
+            dev_prev = dev
+            it += 1
+        if beta is None:
+            return None
+        eta = X @ beta + offset
+        mu = np.exp(eta)
+        if alpha is None:
+            ll = float("nan")
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t1 = np.where(y > 0, y * np.log(y / mu), 0.0)
+            dev = float(2.0 * (w * (t1 - (y - mu))).sum())
+        else:
+            a = alpha
+            ia = 1.0 / a
+            ll = float(
+                (
+                    w
+                    * (
+                        special.lgamma(y + ia)
+                        - special.lgamma(np.full_like(y, ia))
+                        - special.lgamma(y + 1.0)
+                        + np.where(
+                            y > 0, y * np.log(a * mu / (1.0 + a * mu)), 0.0
+                        )
+                        - ia * np.log(1.0 + a * mu)
+                    )
+                ).sum()
+            )
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ratio = (1.0 + a * y) / (1.0 + a * mu)
+                full = np.where(
+                    y > 0, y * np.log(np.where(y > 0, y, 1.0) / mu), 0.0
+                ) - (y + 1.0 / a) * np.log(ratio)
+                zero = (1.0 / a) * np.log(1.0 + a * mu)
+            dev = float(2.0 * (w * np.where(y == 0, zero, full)).sum())
+        return beta, mu, dev, ll, xtwxi, it
+
+    def step_stats_at(mu):
+        def step_stats(t):
+            score = float(
+                (
+                    w
+                    * (
+                        special.digamma(t + y)
+                        - special.digamma(np.full_like(y, t))
+                        + np.log(t)
+                        + 1.0
+                        - np.log(t + mu)
+                        - (t + y) / (t + mu)
+                    )
+                ).sum()
+            )
+            info = float(
+                (
+                    w
+                    * (
+                        special.trigamma(np.full_like(y, t))
+                        - special.trigamma(t + y)
+                        - 1.0 / t
+                        + 2.0 / (t + mu)
+                        - (t + y) / (t + mu) ** 2
+                    )
+                ).sum()
+            )
+            return score, info
+
+        return step_stats
+
+    base = irls(None)
+    if base is None:
+        return None
+    beta, mu = base[0], base[1]
+    s2 = float((w * (y / mu - 1.0) ** 2).sum())
+    th = sw / s2 if np.isfinite(s2) and s2 > 0 else 1.0
+    outer_cap = exact_iterations if pin else max_iter
+    ll_prev, n_outer, res = None, 0, None
+    converged = pin
+    while n_outer < outer_cap:
+        th, info = _nb2_theta_newton(
+            step_stats_at(np.exp(X @ beta + offset)),
+            th,
+            theta_iterations,
+            theta_tol,
+            theta_max_iter,
+        )
+        res = irls(1.0 / th)
+        if res is None:
+            return None
+        beta = res[0]
+        n_outer += 1
+        if not pin and ll_prev is not None and abs(2.0 * (res[3] - ll_prev)) <= tol:
+            converged = True
+            break
+        ll_prev = res[3]
+    _, info = step_stats_at(np.exp(X @ beta + offset))(th)
+    beta, _, dev, ll, xtwxi, it = res
+    return {
+        "beta": beta,
+        "se": np.sqrt(np.diag(xtwxi)),
+        "theta": th,
+        "se_theta": float(1.0 / np.sqrt(info))
+        if np.isfinite(info) and info > 0
+        else None,
+        "loglik": ll,
+        "deviance": dev,
+        "aic": -2.0 * ll + 2.0 * k + 2.0,
+        "outer_iter": n_outer,
+        "converged": converged,
+    }
+
+
+def glm_nb_grouped(
+    df: DataFrame,
+    formula: str,
+    group_cols: list[str],
+    weight_col: str | None = None,
+    offset_col: str | None = None,
+    na_action: str = "omit",
+    tol: float = 1e-8,
+    max_iter: int = 25,
+    exact_iterations: int | None = None,
+    irls_iterations: int | None = None,
+    theta_iterations: int | None = None,
+) -> DataFrame:
+    """One `glm_nb` per group — the θ-estimating twin of `glm_grouped`
+    (same applyInPandas fan-out contract; each group's rows materialize
+    in one Arrow batch, the bounded-segment assumption shared by every
+    grouped fitter here). The per-group kernel is `_np_glm_nb`, which
+    replays the DISTRIBUTED `glm_nb` trajectory exactly (μ₀ = ȳ init —
+    deliberately NOT `glm_grouped`'s per-row y+0.5 start — so a group
+    fit here matches `glm_nb` on the slice bitwise under fixed
+    iterations). Degenerate groups (n < k, y < 0, singular, non-finite)
+    yield NULL estimates.
+
+    Returns long format: group_cols…, term, estimate, se, theta,
+    se_theta, loglik, deviance, iterations, n_rows."""
+    from pyspark.sql import types as T
+
+    from sparkglm_spark.operators.lm import _design
+
+    encoded, x_cols, target = _design(
+        df, formula, group_cols, na_action=na_action, weight_col=weight_col,
+        offset_col=offset_col,
+    )
+    k = len(x_cols)
+    out_schema = T.StructType(
+        [df.schema[c] for c in group_cols]
+        + [
+            T.StructField("term", T.StringType()),
+            T.StructField("estimate", T.DoubleType()),
+            T.StructField("se", T.DoubleType()),
+            T.StructField("theta", T.DoubleType()),
+            T.StructField("se_theta", T.DoubleType()),
+            T.StructField("loglik", T.DoubleType()),
+            T.StructField("deviance", T.DoubleType()),
+            T.StructField("iterations", T.IntegerType()),
+            T.StructField("n_rows", T.LongType()),
+        ]
+    )
+    names = list(x_cols)
+    gcols = list(group_cols)
+    wname, oname = weight_col, offset_col
+    e_it, i_it, t_it = exact_iterations, irls_iterations, theta_iterations
+    tol_, max_ = tol, max_iter
+
+    def fit_group(pdf):
+        X = pdf[names].to_numpy(dtype=np.float64)
+        yv = pdf[target].to_numpy(dtype=np.float64)
+        n = len(yv)
+        ok = n >= k and bool(np.all(np.isfinite(X)))
+        ok = ok and bool(np.all(np.isfinite(yv))) and bool(np.all(yv >= 0))
+        if wname is not None:
+            wv = pdf[wname].to_numpy(dtype=np.float64)
+            ok = (
+                ok
+                and bool(np.all(np.isfinite(wv)))
+                and bool(np.all(wv >= 0.0))
+                and float(wv.sum()) > 0.0
+            )
+        else:
+            wv = None
+        if oname is not None:
+            ov = pdf[oname].to_numpy(dtype=np.float64)
+            ok = ok and bool(np.all(np.isfinite(ov)))
+        else:
+            ov = None
+        res = None
+        if ok:
+            import warnings
+
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                res = _np_glm_nb(
+                    yv, X, wv, ov, tol=tol_, max_iter=max_,
+                    exact_iterations=e_it, irls_iterations=i_it,
+                    theta_iterations=t_it,
+                )
+        cols = {c: [] for c in gcols}
+        cols.update(
+            term=[], estimate=[], se=[], theta=[], se_theta=[], loglik=[],
+            deviance=[], iterations=[], n_rows=[],
+        )
+        for i, name in enumerate(names):
+            for c in gcols:
+                cols[c].append(pdf[c].iloc[0])
+            cols["term"].append(name)
+            cols["estimate"].append(
+                float(res["beta"][i]) if res is not None else None
+            )
+            cols["se"].append(float(res["se"][i]) if res is not None else None)
+            cols["theta"].append(res["theta"] if res is not None else None)
+            cols["se_theta"].append(
+                res["se_theta"] if res is not None else None
+            )
+            cols["loglik"].append(res["loglik"] if res is not None else None)
+            cols["deviance"].append(
+                res["deviance"] if res is not None else None
+            )
+            cols["iterations"].append(
+                int(res["outer_iter"]) if res is not None else 0
+            )
+            cols["n_rows"].append(n)
+        return pd.DataFrame(cols)
+
+    from sparkglm_spark.plans.partitioning import fanout_groups
+
+    return fanout_groups(encoded, gcols).groupBy(*gcols).applyInPandas(
+        fit_group, out_schema
+    )

@@ -1142,3 +1142,221 @@ def test_grouped_dot_expansion_excludes_passthrough(spark):
     out = glm_grouped(df, "y ~ .", ["g"], family="binomial", weight_col="w")
     terms = sorted({r.term for r in out.collect()})
     assert terms == ["intercept", "x"]
+
+
+class TestGlmNB:
+    """glm_nb — NB2 with ML-estimated dispersion (the MASS::glm.nb
+    surface, r14). Oracles: the in-memory `_np_glm_nb` twin (identical
+    trajectory), θ-recovery on simulated NB2 draws, score stationarity
+    at the reported optimum, and the engine's own fixed-α glm at α̂."""
+
+    @pytest.fixture(scope="class")
+    def nb_data(self, spark):
+        rng = np.random.default_rng(42)
+        n = 4000
+        x = rng.normal(size=n)
+        g = rng.integers(0, 2, size=n)
+        mu = np.exp(0.6 + 0.45 * x - 0.3 * g)
+        th = 1.8
+        y = rng.negative_binomial(th, th / (th + mu)).astype(float)
+        import pandas as pd
+
+        pdf = pd.DataFrame({"y": y, "x": x, "g": g.astype(float)})
+        return spark.createDataFrame(pdf).repartition(7), pdf
+
+    def test_matches_numpy_twin_converged(self, nb_data):
+        from sparkglm_spark.operators.glm import _np_glm_nb, glm_nb
+
+        df, pdf = nb_data
+        m = glm_nb(df, "y ~ x + g")
+        X = np.column_stack([np.ones(len(pdf)), pdf["x"], pdf["g"]])
+        r = _np_glm_nb(pdf["y"].to_numpy(), X)
+        assert abs(m.theta - r["theta"]) < 1e-8 * (1 + r["theta"])
+        np.testing.assert_allclose(m.coefs, r["beta"], rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(m.std_err, r["se"], rtol=1e-8)
+        assert abs(m.loglik - r["loglik"]) < 1e-6
+        assert abs(m.se_theta - r["se_theta"]) < 1e-8 * r["se_theta"]
+        assert abs(m.aic - r["aic"]) < 1e-6
+
+    def test_matches_numpy_twin_pinned(self, nb_data):
+        # fixed-iteration mode: the exact trajectory, to float round-off
+        from sparkglm_spark.operators.glm import _np_glm_nb, glm_nb
+
+        df, pdf = nb_data
+        m = glm_nb(df, "y ~ x + g", exact_iterations=2, irls_iterations=3,
+                   theta_iterations=2)
+        X = np.column_stack([np.ones(len(pdf)), pdf["x"], pdf["g"]])
+        r = _np_glm_nb(pdf["y"].to_numpy(), X, exact_iterations=2,
+                       irls_iterations=3, theta_iterations=2)
+        assert abs(m.theta - r["theta"]) < 1e-10
+        np.testing.assert_allclose(m.coefs, r["beta"], rtol=1e-12, atol=1e-14)
+
+    def test_theta_recovery_and_stationarity(self, nb_data):
+        # θ̂ near the simulation truth, and the profile score ≈ 0 at
+        # (β̂, θ̂) — the defining ML property, checked independently
+        from sparkglm_spark.functions.special import digamma
+        from sparkglm_spark.operators.glm import glm_nb
+
+        df, pdf = nb_data
+        m = glm_nb(df, "y ~ x + g")
+        assert 1.4 < m.theta < 2.3  # truth 1.8, n=4000
+        X = np.column_stack([np.ones(len(pdf)), pdf["x"], pdf["g"]])
+        y = pdf["y"].to_numpy()
+        mu = np.exp(X @ m.coefs)
+        th = m.theta
+        score = float(np.sum(
+            digamma(th + y) - digamma(np.full_like(y, th)) + np.log(th)
+            + 1.0 - np.log(th + mu) - (th + y) / (th + mu)
+        ))
+        assert abs(score) < 1e-3 * len(y) ** 0.5
+
+    def test_final_fit_consistency_with_fixed_alpha_glm(self, nb_data):
+        # the returned model IS a glm(negbinomial, nb_alpha=1/θ̂) fit:
+        # refitting at the estimated α reproduces β/SE/deviance; AIC
+        # differs by exactly 2 (θ counts as a parameter in glm_nb)
+        from sparkglm_spark.operators.glm import glm, glm_nb
+
+        df, _ = nb_data
+        m = glm_nb(df, "y ~ x + g")
+        f = glm(df, "y ~ x + g", family="negbinomial", nb_alpha=m.nb_alpha,
+                tol=1e-8)
+        np.testing.assert_allclose(m.coefs, f.coefs, rtol=1e-7)
+        np.testing.assert_allclose(m.std_err, f.std_err, rtol=1e-7)
+        assert abs(m.deviance - f.deviance) < 1e-5
+        assert abs((m.aic - 2.0) - f.aic) < 1e-5
+
+    def test_weighted_replication_identity(self, spark):
+        # integer ω ≡ row replication for every sum statistic: θ̂, β̂,
+        # loglik identical (the engine-wide frequency-weight contract)
+        import pandas as pd
+
+        from sparkglm_spark.operators.glm import glm_nb
+
+        rng = np.random.default_rng(3)
+        n = 600
+        x = rng.normal(size=n)
+        mu = np.exp(0.5 + 0.4 * x)
+        y = rng.negative_binomial(2.0, 2.0 / (2.0 + mu)).astype(float)
+        w = rng.integers(1, 4, size=n).astype(float)
+        base = pd.DataFrame({"y": y, "x": x, "w": w})
+        rep = base.loc[base.index.repeat(base["w"].astype(int))]
+        mw = glm_nb(spark.createDataFrame(base), "y ~ x", weight_col="w")
+        mr = glm_nb(spark.createDataFrame(rep[["y", "x"]]), "y ~ x")
+        assert abs(mw.theta - mr.theta) < 1e-7 * (1 + mr.theta)
+        np.testing.assert_allclose(mw.coefs, mr.coefs, rtol=1e-8)
+        assert abs(mw.loglik - mr.loglik) < 1e-5
+
+    def test_offset_composition(self, spark):
+        # η = Xβ + offset: folding a known offset into the intercept of
+        # an offset-free fit on exp-adjusted data gives the same β̂/θ̂
+        import pandas as pd
+
+        from sparkglm_spark.operators.glm import glm_nb
+
+        rng = np.random.default_rng(11)
+        n = 1500
+        x = rng.normal(size=n)
+        expo = rng.uniform(0.5, 2.0, size=n)
+        mu = expo * np.exp(0.3 + 0.5 * x)
+        y = rng.negative_binomial(3.0, 3.0 / (3.0 + mu)).astype(float)
+        pdf = pd.DataFrame({"y": y, "x": x, "lo": np.log(expo)})
+        m = glm_nb(spark.createDataFrame(pdf), "y ~ x", offset_col="lo")
+        assert 2.0 < m.theta < 4.5
+        assert abs(m.coefs[1] - 0.5) < 0.1
+
+    def test_hist_fallback_matches_histogram_path(self, nb_data):
+        # hist_limit=1 forces the pandas-UDF ψ/ψ′ aggregation — same
+        # numbers as the driver-histogram path (lossless regrouping)
+        from sparkglm_spark.operators.glm import glm_nb
+
+        df, _ = nb_data
+        a = glm_nb(df, "y ~ x + g", exact_iterations=1)
+        b = glm_nb(df, "y ~ x + g", exact_iterations=1, hist_limit=1)
+        assert abs(a.theta - b.theta) < 1e-9
+        np.testing.assert_allclose(a.coefs, b.coefs, rtol=1e-12)
+
+    def test_domain_guards(self, spark, nb_data):
+        import pandas as pd
+
+        from sparkglm_spark.operators.glm import glm_nb
+
+        neg = spark.createDataFrame(
+            pd.DataFrame({"y": [-1.0, 2.0, 3.0, 1.0], "x": [0.1, 0.2, 0.3, 0.4]})
+        )
+        with pytest.raises(ValueError, match="y >= 0"):
+            glm_nb(neg, "y ~ x")
+        frac = spark.createDataFrame(
+            pd.DataFrame({"y": [0.5, 2.0, 3.0, 1.0, 2.0, 4.0],
+                          "x": [0.1, 0.2, 0.3, 0.4, 0.5, 0.6]})
+        )
+        with pytest.warns(UserWarning, match="non-integer"):
+            glm_nb(frac, "y ~ x", max_iter=3)
+
+    def test_equidispersed_clamps_theta(self, spark):
+        # variance < mean: the θ-score is positive everywhere — Newton
+        # runs up to the 1e7 clamp and warns (the fit is ~poisson)
+        import pandas as pd
+
+        from sparkglm_spark.operators.glm import glm_nb
+
+        n = 400
+        y = np.tile([3.0, 4.0], n // 2)  # var 0.25 << mean 3.5
+        pdf = pd.DataFrame({"y": y, "x": np.linspace(-1.0, 1.0, n)})
+        with pytest.warns(UserWarning, match="overdispersion"):
+            m = glm_nb(spark.createDataFrame(pdf), "y ~ x",
+                       theta_max_iter=80, max_iter=5)
+        assert m.theta == pytest.approx(1e7)
+
+    def test_grouped_matches_per_slice(self, spark):
+        # glm_nb_grouped ≡ glm_nb per slice (pin mode, bitwise-tight) —
+        # the grouped-fitter contract every family here honors
+        import pandas as pd
+
+        from sparkglm_spark.operators.glm import glm_nb, glm_nb_grouped
+
+        rng = np.random.default_rng(19)
+        frames = []
+        for gi, (b0, b1, th) in enumerate([(0.4, 0.5, 1.5), (0.9, -0.3, 3.0)]):
+            n = 800
+            x = rng.normal(size=n)
+            mu = np.exp(b0 + b1 * x)
+            y = rng.negative_binomial(th, th / (th + mu)).astype(float)
+            frames.append(pd.DataFrame({"seg": f"s{gi}", "y": y, "x": x}))
+        pdf = pd.concat(frames, ignore_index=True)
+        df = spark.createDataFrame(pdf).repartition(5)
+        out = glm_nb_grouped(
+            df, "y ~ x", ["seg"], exact_iterations=2, irls_iterations=4,
+            theta_iterations=2,
+        ).toPandas().sort_values(["seg", "term"]).reset_index(drop=True)
+        for gi in range(2):
+            seg = f"s{gi}"
+            sl = df.filter(F.col("seg") == seg)
+            m = glm_nb(sl, "y ~ x", exact_iterations=2, irls_iterations=4,
+                       theta_iterations=2)
+            rows = out[out["seg"] == seg].set_index("term")
+            assert abs(rows["theta"].iloc[0] - m.theta) < 1e-9 * (1 + m.theta)
+            np.testing.assert_allclose(
+                [rows.loc["intercept", "estimate"], rows.loc["x", "estimate"]],
+                m.coefs, rtol=1e-9,
+            )
+            np.testing.assert_allclose(
+                [rows.loc["intercept", "se"], rows.loc["x", "se"]],
+                m.std_err, rtol=1e-8,
+            )
+            assert abs(rows["loglik"].iloc[0] - m.loglik) < 1e-6
+
+    def test_grouped_degenerate_group_nulls(self, spark):
+        import pandas as pd
+
+        from sparkglm_spark.operators.glm import glm_nb_grouped
+
+        pdf = pd.DataFrame({
+            "seg": ["a"] * 50 + ["b"] * 2,
+            "y": list(np.random.default_rng(0).poisson(3.0, 50).astype(float) * 2.0
+                      + np.random.default_rng(1).poisson(2.0, 50).astype(float))
+            + [-1.0, 2.0],
+            "x": list(np.random.default_rng(2).normal(size=50)) + [0.1, 0.2],
+        })
+        out = glm_nb_grouped(spark.createDataFrame(pdf), "y ~ x", ["seg"])
+        b = out.filter(F.col("seg") == "b").toPandas()
+        assert b["estimate"].isna().all() and b["theta"].isna().all()

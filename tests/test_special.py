@@ -130,3 +130,54 @@ def test_f_sf_matches_t_squared_identity():
                 2.0 * t_sf(t, d2), rel=1e-11
             )
     assert f_sf(0.0, 2.0, 10.0) == 1.0
+
+
+class TestDigammaTrigamma:
+    """ψ/ψ′ (r14 — the glm_nb θ-score kernels): closed-form values,
+    recurrence identities, the integer-shift series the DuckDB oracle
+    replays, and the domain guard."""
+
+    def test_known_values(self):
+        import math
+
+        from sparkglm_spark.functions.special import digamma, trigamma
+
+        g = 0.5772156649015328606
+        assert abs(float(digamma(1.0)) + g) < 1e-12
+        assert abs(float(digamma(0.5)) + g + 2.0 * math.log(2.0)) < 1e-12
+        assert abs(float(trigamma(1.0)) - math.pi**2 / 6.0) < 1e-12
+        assert abs(float(trigamma(0.5)) - math.pi**2 / 2.0) < 1e-12
+
+    def test_recurrences(self):
+        import numpy as np
+
+        from sparkglm_spark.functions.special import digamma, trigamma
+
+        x = np.linspace(0.05, 60.0, 1777)
+        assert np.max(np.abs(digamma(x + 1) - digamma(x) - 1.0 / x)) < 1e-12
+        assert np.max(np.abs(trigamma(x + 1) - trigamma(x) + 1.0 / x**2)) < 1e-12
+
+    def test_integer_shift_series(self):
+        # ψ(θ+y) − ψ(θ) = Σ_{j<y} 1/(θ+j) — the exact-series form the
+        # SQL oracle uses for integer counts
+        from sparkglm_spark.functions.special import digamma, trigamma
+
+        th, y = 3.7, 23
+        assert abs(
+            float(digamma(th + y) - digamma(th))
+            - sum(1.0 / (th + j) for j in range(y))
+        ) < 1e-12
+        assert abs(
+            float(trigamma(th) - trigamma(th + y))
+            - sum(1.0 / (th + j) ** 2 for j in range(y))
+        ) < 1e-12
+
+    def test_domain(self):
+        import pytest
+
+        from sparkglm_spark.functions.special import digamma, trigamma
+
+        with pytest.raises(ValueError):
+            digamma(0.0)
+        with pytest.raises(ValueError):
+            trigamma(-1.0)
