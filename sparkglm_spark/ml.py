@@ -65,7 +65,7 @@ from sparkglm_spark.operators.enet import (
     elastic_net,
     glm_elastic_net,
 )
-from sparkglm_spark.operators.glm import GLM, glm
+from sparkglm_spark.operators.glm import GLM, glm, glm_nb
 from sparkglm_spark.operators.lm import LM, lm
 from sparkglm_spark.persist import model_from_dict, model_to_dict
 
@@ -185,7 +185,8 @@ class _SparkGLMParams(_FormulaParams):
     family = Param(
         Params._dummy(),
         "family",
-        "GLM family: binomial, gaussian, poisson, gamma, tweedie",
+        "GLM family: binomial, gaussian, poisson, gamma, tweedie, "
+        "negbinomial",
         typeConverter=TypeConverters.toString,
     )
     link = Param(
@@ -232,6 +233,21 @@ class _SparkGLMParams(_FormulaParams):
         "tweedie variance exponent p in (1, 2); other families ignore it",
         typeConverter=TypeConverters.toFloat,
     )
+    nbAlpha = Param(
+        Params._dummy(),
+        "nbAlpha",
+        "negbinomial dispersion alpha > 0 (variance mu + alpha*mu^2); "
+        "other families ignore it; ignored when estimateDispersion",
+        typeConverter=TypeConverters.toFloat,
+    )
+    estimateDispersion = Param(
+        Params._dummy(),
+        "estimateDispersion",
+        "negbinomial only: estimate the dispersion by profile ML "
+        "(glm_nb — the MASS::glm.nb surface) instead of fixing nbAlpha; "
+        "unpenalized default-link fits only",
+        typeConverter=TypeConverters.toBoolean,
+    )
     regParam = Param(
         Params._dummy(),
         "regParam",
@@ -275,6 +291,8 @@ class _SparkGLMParams(_FormulaParams):
             maxIter=50,
             predictionType="response",
             varPower=1.5,
+            nbAlpha=1.0,
+            estimateDispersion=False,
             regParam=0.0,
             elasticNetParam=0.0,
             standardization=True,
@@ -304,6 +322,12 @@ class _SparkGLMParams(_FormulaParams):
 
     def getVarPower(self) -> float:
         return self.getOrDefault(self.varPower)
+
+    def getNbAlpha(self) -> float:
+        return self.getOrDefault(self.nbAlpha)
+
+    def getEstimateDispersion(self) -> bool:
+        return self.getOrDefault(self.estimateDispersion)
 
     def getRegParam(self) -> float:
         return self.getOrDefault(self.regParam)
@@ -500,7 +524,29 @@ class SparkGLM(Estimator, _SparkGLMParams, DefaultParamsReadable, DefaultParamsW
     def _fit(self, dataset: DataFrame) -> "SparkGLMModel":
         if not self.isDefined(self.formula):
             raise ValueError("SparkGLM requires the 'formula' param")
-        if self.getRegParam() > 0.0:
+        if self.getEstimateDispersion():
+            # glm_nb route (r14): theta by profile ML — negbinomial's
+            # canonical-log, unpenalized surface only
+            if self.getFamily() != "negbinomial":
+                raise ValueError(
+                    "estimateDispersion is negbinomial-only "
+                    f"(family={self.getFamily()!r})"
+                )
+            if self.getRegParam() > 0.0 or self.getMCol() or self.getLink():
+                raise ValueError(
+                    "estimateDispersion supports only the unpenalized "
+                    "default-link fit (no regParam/mCol/link overrides)"
+                )
+            inner = glm_nb(
+                dataset,
+                self.getFormula(),
+                offset_col=self.getOffsetCol() or None,
+                weight_col=self.getWeightCol() or None,
+                na_action=self.getNaAction(),
+                max_iter=self.getMaxIter(),
+                **({"tol": self.getTol()} if self.isSet(self.tol) else {}),
+            )
+        elif self.getRegParam() > 0.0:
             if self.getMCol() or self.getLink():
                 raise ValueError(
                     "regParam (penalized fit) supports only the default "
@@ -519,6 +565,7 @@ class SparkGLM(Estimator, _SparkGLMParams, DefaultParamsReadable, DefaultParamsW
                 offset_col=self.getOffsetCol() or None,
                 weight_col=self.getWeightCol() or None,
                 var_power=self.getVarPower(),
+                nb_alpha=self.getNbAlpha(),
                 # the penalized path's tol is max-coefficient-change
                 # (tighter default 1e-10); forward the Param only when
                 # the USER set it — inheriting the unpenalized default
@@ -537,6 +584,7 @@ class SparkGLM(Estimator, _SparkGLMParams, DefaultParamsReadable, DefaultParamsW
                 max_iter=self.getMaxIter(),
                 na_action=self.getNaAction(),
                 var_power=self.getVarPower(),
+                nb_alpha=self.getNbAlpha(),
                 weight_col=self.getWeightCol() or None,
             )
         return self._copyValues(SparkGLMModel(inner))

@@ -564,6 +564,13 @@ class GLMSummary:
             "iter": m.iter,
             "df": (m.df_null, m.df_residual),
             "n": m.nrow,
+            # glm_nb fits carry the estimated dispersion (MASS summary
+            # prints "Theta: ... Std. Err.: ..."); absent → plain glm
+            **(
+                {"theta": m.theta, "se_theta": m.se_theta}
+                if getattr(m, "theta", None) is not None
+                else {}
+            ),
         }
 
     def __str__(self) -> str:
@@ -584,6 +591,15 @@ class GLMSummary:
             f"Residual deviance: {m.deviance:.6g} on {m.df_residual:.0f} degrees of freedom",
             f"AIC: {m.aic:.6g}    Dispersion: {m.p_dispersion:.6g}",
             f"Number of Fisher Scoring iterations: {m.iter}",
+            *(
+                [
+                    f"Theta: {m.theta:.6g}    Std. Err.: {m.se_theta:.6g}"
+                    if m.se_theta is not None
+                    else f"Theta: {m.theta:.6g}"
+                ]
+                if getattr(m, "theta", None) is not None
+                else []
+            ),
         ]
         return "\n".join(lines)
 

@@ -195,6 +195,15 @@ def model_to_dict(model: LM | GLM | HuberLM | QuantileLM | CoxPH) -> dict:
             d["cov_params"] = [
                 [float(v) for v in row] for row in np.asarray(model.cov_params)
             ]
+        # glm_nb extras (r14): θ̂/SE(θ)/α̂/outer count ride as optional
+        # keys — absent for plain glm fits, restored verbatim on load
+        for extra in ("theta", "se_theta", "nb_alpha"):
+            v = getattr(model, extra, None)
+            if v is not None:
+                d[extra] = float(v)
+        v = getattr(model, "outer_iter", None)
+        if v is not None:
+            d["outer_iter"] = int(v)
     return d
 
 
@@ -336,7 +345,7 @@ def model_from_dict(d: dict) -> LM | GLM | HuberLM | QuantileLM | CoxPH:
         )
     if d["kind"] == "glm":
         cov = d.get("cov_params")
-        return GLM(
+        m = GLM(
             cov_params=None if cov is None else np.asarray(cov, dtype=np.float64),
             family=d["family"],
             link=d["link"],
@@ -351,6 +360,11 @@ def model_from_dict(d: dict) -> LM | GLM | HuberLM | QuantileLM | CoxPH:
             iter=int(d["iter"]),
             **common,
         )
+        # glm_nb extras (r14) — present only for θ-estimated fits
+        for extra in ("theta", "se_theta", "nb_alpha", "outer_iter"):
+            if extra in d:
+                setattr(m, extra, d[extra])
+        return m
     raise ValueError(f"unknown model kind {d['kind']!r}")
 
 

@@ -594,3 +594,67 @@ def test_huber_quantile_estimators_weightcol(spark):
     qm = SparkQuantileLM(formula="y ~ x", weightCol="w", maxIter=4).fit(df)
     qf = quantile_lm(df, "y ~ x", max_iter=4, weight_col="w")
     assert float(qm.model.coefs[1]) == float(qf.coefs[1])
+
+
+def test_glm_estimator_negbinomial_nb_alpha_forwarding(li):
+    # r14: nbAlpha must reach glm() — before this Param a negbinomial
+    # SparkGLM silently fit at the default alpha = 1.0
+    from sparkglm_spark import glm as bare_glm
+
+    est = SparkGLM(formula="l_quantity ~ l_discount", family="negbinomial",
+                   nbAlpha=0.4)
+    model = est.fit(li)
+    bare = bare_glm(li, "l_quantity ~ l_discount", family="negbinomial",
+                    nb_alpha=0.4)
+    np.testing.assert_allclose(model.model.coefs, bare.coefs, rtol=1e-12)
+    other = bare_glm(li, "l_quantity ~ l_discount", family="negbinomial",
+                     nb_alpha=1.0)
+    assert abs(model.model.coefs[1] - other.coefs[1]) > 0  # alpha matters
+
+
+def test_glm_estimator_estimate_dispersion(li, tmp_path):
+    # estimateDispersion routes through glm_nb; theta/se_theta survive
+    # the MLWriter round-trip (persist.py extras, r14)
+    from sparkglm_spark import glm_nb
+
+    est = SparkGLM(formula="l_quantity ~ l_discount", family="negbinomial",
+                   estimateDispersion=True)
+    model = est.fit(li)
+    bare = glm_nb(li, "l_quantity ~ l_discount")
+    np.testing.assert_allclose(model.model.coefs, bare.coefs, rtol=1e-10)
+    assert abs(model.model.theta - bare.theta) < 1e-8 * (1 + bare.theta)
+    path = str(tmp_path / "glmnbmodel")
+    model.write().save(path)
+    loaded = SparkGLMModel.load(path)
+    assert abs(loaded.model.theta - bare.theta) < 1e-12 * (1 + bare.theta)
+    assert abs(loaded.model.se_theta - bare.se_theta) < 1e-12
+    assert loaded.model.nb_alpha == pytest.approx(1.0 / bare.theta)
+    # transform still scores (a GLM like any other)
+    mu = loaded.transform(li).select("prediction").limit(5).collect()
+    assert all(r.prediction > 0 for r in mu)
+
+
+def test_glm_estimator_estimate_dispersion_guards(li):
+    with pytest.raises(ValueError, match="negbinomial-only"):
+        SparkGLM(formula="l_quantity ~ l_discount", family="poisson",
+                 estimateDispersion=True).fit(li)
+    with pytest.raises(ValueError, match="unpenalized"):
+        SparkGLM(formula="l_quantity ~ l_discount", family="negbinomial",
+                 estimateDispersion=True, regParam=0.1).fit(li)
+
+
+def test_glm_nb_functional_save_load_round_trip(li, tmp_path):
+    # save_model/load_model (persist.py) carries the glm_nb extras
+    from sparkglm_spark import glm_nb
+    from sparkglm_spark.persist import load_model, save_model
+
+    m = glm_nb(li, "l_quantity ~ l_discount", max_iter=4)
+    p = str(tmp_path / "glmnb.json")
+    save_model(m, p)
+    back = load_model(p)
+    np.testing.assert_allclose(back.coefs, m.coefs, rtol=0)
+    assert back.theta == m.theta
+    assert back.se_theta == m.se_theta
+    assert back.nb_alpha == m.nb_alpha
+    assert back.outer_iter == m.outer_iter
+    assert back.aic == m.aic
