@@ -1045,19 +1045,34 @@ def _nb2_theta_step_stats(
 
         thv = float(th)
 
+        # NULL y (na_action='keep') arrives as NaN in the Arrow batch;
+        # every JVM sum here SKIPS those rows (Spark NULL semantics), so
+        # the ψ/ψ′ sums must too — substitute 0 so the F.sum(wr * NULL)
+        # skip happens via the companion NULL product instead of a NaN
+        # poisoning the aggregate
         @pandas_udf("double")
         def _dig(yv: pd.Series) -> pd.Series:
-            return pd.Series(special.digamma(thv + yv.to_numpy()))
+            v = yv.to_numpy(dtype=np.float64)
+            bad = ~np.isfinite(v)
+            out = special.digamma(thv + np.where(bad, 0.0, v))
+            return pd.Series(np.where(bad, 0.0, out))
 
         @pandas_udf("double")
         def _tri(yv: pd.Series) -> pd.Series:
-            return pd.Series(special.trigamma(thv + yv.to_numpy()))
+            v = yv.to_numpy(dtype=np.float64)
+            bad = ~np.isfinite(v)
+            out = special.trigamma(thv + np.where(bad, 0.0, v))
+            return pd.Series(np.where(bad, 0.0, out))
 
         aggs += [
             F.sum(wr * _dig(y)).alias("s_dig"),
             F.sum(wr * _tri(y)).alias("s_tri"),
         ]
-    row = work.agg(*aggs).collect()[0]
+    # a NULL y row (na_action='keep') carries no θ information — drop it
+    # from EVERY sum of this aggregation (Spark would skip it from the
+    # y-dependent sums anyway; the filter keeps sw and the μ-only sums
+    # consistent with that, and mirrors the histogram's dropped NULL key)
+    row = work.where(y.isNotNull()).agg(*aggs).collect()[0]
     sw = float(row["sw"])
     if hist is None:
         dig = float(row["s_dig"]) - sw * float(special.digamma(th))
@@ -1161,6 +1176,10 @@ def glm_nb(
     Extra attributes on the returned GLM: `theta`, `se_theta`,
     `nb_alpha` (= 1/θ̂), `outer_iter`."""
     pin = exact_iterations is not None
+    if pin and exact_iterations < 1:
+        raise ValueError(f"exact_iterations must be >= 1, got {exact_iterations}")
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     if pin:
         irls_iterations = 4 if irls_iterations is None else irls_iterations
         theta_iterations = 2 if theta_iterations is None else theta_iterations
@@ -1175,36 +1194,44 @@ def glm_nb(
     wr = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
     offset = F.col(offset_col) if offset_col else F.lit(0.0)
     try:
-        # ---- domain guard (one job) ---------------------------------
-        grow = work.agg(
-            F.min(y).alias("miny"),
-            F.sum((y != F.floor(y)).cast("long")).alias("nonint"),
-        ).collect()[0]
-        if grow["miny"] is not None and float(grow["miny"]) < 0.0:
-            raise ValueError(
-                f"negbinomial requires y >= 0; min({target}) = {grow['miny']}"
-            )
-        if int(grow["nonint"] or 0) > 0:
-            import warnings
-
-            warnings.warn(
-                f"{int(grow['nonint'])} non-integer value(s) in {target!r} — "
-                "the NB2 likelihood is a count density (MASS::glm.nb warns "
-                "the same way)"
-            )
-        # ---- y histogram (one job; lossless ψ-sum regrouping) --------
+        # ---- y histogram (one job; lossless ψ-sum regrouping). A NULL
+        # y key (reachable under na_action='keep') is dropped — every
+        # per-row aggregation here skips NULL rows (Spark SUM), so the
+        # ψ-sums must skip them too. The y-domain guard reads off the
+        # collected keys for free; only the over-limit fallback pays a
+        # separate guard aggregation (review r14 #4).
         hrows = (
             work.groupBy(target)
             .agg(F.sum(wr).alias("__wm"))
             .limit(hist_limit + 1)
             .collect()
         )
+        hrows = [r for r in hrows if r[target] is not None]
         if len(hrows) > hist_limit:
             hist = None  # fall back to the pandas-UDF ψ/ψ′ aggregation
+            grow = work.agg(
+                F.min(y).alias("miny"),
+                F.sum((y != F.floor(y)).cast("long")).alias("nonint"),
+            ).collect()[0]
+            miny = grow["miny"]
+            n_nonint = int(grow["nonint"] or 0)
         else:
             hist = (
                 np.array([float(r[target]) for r in hrows]),
                 np.array([float(r["__wm"]) for r in hrows]),
+            )
+            miny = float(hist[0].min()) if hist[0].size else None
+            n_nonint = int(np.sum(hist[0] != np.floor(hist[0])))
+        if miny is not None and float(miny) < 0.0:
+            raise ValueError(
+                f"negbinomial requires y >= 0; min({target}) = {miny}"
+            )
+        if n_nonint > 0:
+            import warnings
+
+            warnings.warn(
+                f"non-integer value(s) in {target!r} — the NB2 likelihood "
+                "is a count density (MASS::glm.nb warns the same way)"
             )
 
         def fit_at(alpha: float | None) -> GLM:
@@ -1229,7 +1256,7 @@ def glm_nb(
         pois = fit_at(None)
         beta = pois.coefs
         mu = mu_of(beta)
-        mrow = work.agg(
+        mrow = work.where(y.isNotNull()).agg(
             F.sum(wr).alias("sw"),
             F.sum(wr * (y / mu - F.lit(1.0)) * (y / mu - F.lit(1.0))).alias(
                 "s2"
@@ -1276,8 +1303,12 @@ def glm_nb(
         work.unpersist()
     fit.levels = levels
     fit.theta = th
+    # a clamped θ (= the 1e7 ceiling) is a boundary report, not an ML
+    # optimum — its curvature-based SE would be a meaningless ~1e9
     fit.se_theta = (
-        float(1.0 / np.sqrt(info)) if np.isfinite(info) and info > 0 else None
+        float(1.0 / np.sqrt(info))
+        if np.isfinite(info) and info > 0 and th < 1e7
+        else None
     )
     fit.nb_alpha = 1.0 / th
     fit.outer_iter = n_outer
@@ -1309,12 +1340,19 @@ def _np_glm_nb(
     round-off. Used by `glm_nb_grouped`'s per-group kernel and the test
     twins. Returns None on a degenerate fit (singular / non-finite)."""
     pin = exact_iterations is not None
+    if pin and exact_iterations < 1:
+        raise ValueError(f"exact_iterations must be >= 1, got {exact_iterations}")
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     if pin:
         irls_iterations = 4 if irls_iterations is None else irls_iterations
         theta_iterations = 2 if theta_iterations is None else theta_iterations
+    # integer-dtype y would truncate θ inside np.full_like (review r14 #3)
+    y = np.asarray(y, dtype=np.float64)
+    X = np.asarray(X, dtype=np.float64)
     n, k = X.shape
-    w = np.ones(n) if w is None else w
-    offset = np.zeros(n) if offset is None else offset
+    w = np.ones(n) if w is None else np.asarray(w, dtype=np.float64)
+    offset = np.zeros(n) if offset is None else np.asarray(offset, dtype=np.float64)
     sw = float(w.sum())
 
     def irls(alpha: float | None) -> tuple | None:
@@ -1461,7 +1499,7 @@ def _np_glm_nb(
         "se": np.sqrt(np.diag(xtwxi)),
         "theta": th,
         "se_theta": float(1.0 / np.sqrt(info))
-        if np.isfinite(info) and info > 0
+        if np.isfinite(info) and info > 0 and th < 1e7
         else None,
         "loglik": ll,
         "deviance": dev,

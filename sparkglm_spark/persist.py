@@ -196,14 +196,21 @@ def model_to_dict(model: LM | GLM | HuberLM | QuantileLM | CoxPH) -> dict:
                 [float(v) for v in row] for row in np.asarray(model.cov_params)
             ]
         # glm_nb extras (r14): θ̂/SE(θ)/α̂/outer count ride as optional
-        # keys — absent for plain glm fits, restored verbatim on load
-        for extra in ("theta", "se_theta", "nb_alpha"):
-            v = getattr(model, extra, None)
+        # keys — absent for plain glm fits, restored verbatim on load.
+        # se_theta rides WHENEVER theta does, as an explicit null when
+        # the info was degenerate (θ clamped on equidispersed data) —
+        # a loaded model must expose .se_theta or the summary θ line
+        # crashes (review r14 #1)
+        if getattr(model, "theta", None) is not None:
+            d["theta"] = float(model.theta)
+            se_t = getattr(model, "se_theta", None)
+            d["se_theta"] = None if se_t is None else float(se_t)
+            v = getattr(model, "nb_alpha", None)
             if v is not None:
-                d[extra] = float(v)
-        v = getattr(model, "outer_iter", None)
-        if v is not None:
-            d["outer_iter"] = int(v)
+                d["nb_alpha"] = float(v)
+            v = getattr(model, "outer_iter", None)
+            if v is not None:
+                d["outer_iter"] = int(v)
     return d
 
 

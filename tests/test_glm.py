@@ -1360,3 +1360,75 @@ class TestGlmNB:
         out = glm_nb_grouped(spark.createDataFrame(pdf), "y ~ x", ["seg"])
         b = out.filter(F.col("seg") == "b").toPandas()
         assert b["estimate"].isna().all() and b["theta"].isna().all()
+
+    # ---- review-pass r14 regressions ---------------------------------
+
+    def test_clamped_se_theta_none_persists_and_prints(self, spark, tmp_path):
+        # θ clamped → se_theta None: the summary θ line and the persist
+        # round-trip must both survive (review r14 #1)
+        import pandas as pd
+
+        from sparkglm_spark.operators.glm import glm_nb
+        from sparkglm_spark.persist import load_model, save_model
+
+        n = 200
+        pdf = pd.DataFrame({"y": np.tile([3.0, 4.0], n // 2),
+                            "x": np.linspace(-1.0, 1.0, n)})
+        with pytest.warns(UserWarning):
+            m = glm_nb(spark.createDataFrame(pdf), "y ~ x",
+                       theta_max_iter=80, max_iter=3)
+        assert m.se_theta is None
+        assert "Theta:" in str(m.summary())
+        p = str(tmp_path / "clamped.json")
+        save_model(m, p)
+        back = load_model(p)
+        assert back.theta == m.theta and back.se_theta is None
+        assert "Theta:" in str(back.summary())
+
+    def test_na_keep_null_y_does_not_crash(self, spark):
+        # na_action='keep' with a NULL y row: the histogram drops the
+        # NULL key, the θ-step filters the row — both ψ paths agree
+        # (review r14 #2)
+        import pandas as pd
+
+        from sparkglm_spark.operators.glm import glm_nb
+
+        rng = np.random.default_rng(2)
+        pdf = pd.DataFrame({
+            "y": rng.negative_binomial(2.0, 0.4, 300).astype(float),
+            "x": rng.normal(size=300),
+        })
+        pdf.loc[5, "y"] = None
+        df = spark.createDataFrame(pdf)
+        a = glm_nb(df, "y ~ x", na_action="keep", exact_iterations=1)
+        b = glm_nb(df, "y ~ x", na_action="keep", exact_iterations=1,
+                   hist_limit=1)
+        assert np.isfinite(a.theta)
+        assert abs(a.theta - b.theta) < 1e-9
+
+    def test_np_twin_integer_dtype(self):
+        # int64 y must not truncate θ inside full_like (review r14 #3)
+        from sparkglm_spark.operators.glm import _np_glm_nb
+
+        rng = np.random.default_rng(8)
+        n = 500
+        x = rng.normal(size=n)
+        mu = np.exp(0.5 + 0.4 * x)
+        yi = rng.negative_binomial(2.0, 2.0 / (2.0 + mu))  # int64
+        X = np.column_stack([np.ones(n), x])
+        a = _np_glm_nb(yi, X, exact_iterations=1)
+        b = _np_glm_nb(yi.astype(float), X, exact_iterations=1)
+        assert a["theta"] == b["theta"]
+        np.testing.assert_array_equal(a["beta"], b["beta"])
+
+    def test_zero_iteration_args_raise(self, nb_data):
+        from sparkglm_spark.operators.glm import _np_glm_nb, glm_nb
+
+        df, pdf = nb_data
+        with pytest.raises(ValueError, match="exact_iterations"):
+            glm_nb(df, "y ~ x + g", exact_iterations=0)
+        with pytest.raises(ValueError, match="max_iter"):
+            glm_nb(df, "y ~ x + g", max_iter=0)
+        X = np.column_stack([np.ones(len(pdf)), pdf["x"], pdf["g"]])
+        with pytest.raises(ValueError, match="exact_iterations"):
+            _np_glm_nb(pdf["y"].to_numpy(), X, exact_iterations=0)
