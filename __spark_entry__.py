@@ -6725,6 +6725,51 @@ def q_events_timeseries_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             "x",
         )
     )
+    # r14: per-user AR(2)+intercept fit + 3-step forecast + interval
+    # (operators/timeseries.py::ar_forecast) on the ROW-NUMBER-indexed
+    # scaled series: idx spacing is exactly 1.0 (the contiguity guard
+    # passes by construction) and value/100 keeps every Gram sum O(10²),
+    # so the LU-solve (engine) vs cofactor-Cramer (DuckDB) drift on the
+    # 3×3 normal equations stays ≲1e-12 — ROUND 6 holds with orders of
+    # margin. The OLS is plain lag-product sums in BOTH engines; the
+    # ψ-weight h=3 variance factor is the same driver algebra.
+    from sparkglm_spark.operators.timeseries import ar_forecast
+
+    ar_in = ev.where(
+        F.col("value").isNotNull() & ~F.isnan(F.col("value"))
+    ).select(
+        "user_id",
+        F.row_number()
+        .over(_W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .cast("double")
+        .alias("idx"),
+        (F.col("value") / 100.0).alias("xv"),
+    )
+    arf = (
+        ar_forecast(
+            ar_in, "user_id", "idx", "xv", p=2, horizons=[1, 3],
+            interval=True,
+        )
+        .where(F.col("ar_1").isNotNull())
+        .select(
+            F.col("user_id").cast("string").alias("k1"),
+            F.col("n_fit").cast("bigint").alias("n1"),
+            F.expr(
+                "stack(6, 'ar_c', intercept, 'ar_1', ar_1, 'ar_2', ar_2,"
+                " 'ar_s2', sigma2, 'ar_fc3', forecast_3, 'ar_se3', se_3)"
+                " AS (op, xraw)"
+            ),
+        )
+        .select(
+            "op",
+            "k1",
+            F.lit(None).cast("string").alias("k2"),
+            "n1",
+            F.lit(None).cast("bigint").alias("n2"),
+            F.lit(None).cast("string").alias("v1"),
+            F.round("xraw", 6).alias("x"),
+        )
+    )
     return (
         resample.unionByName(latest)
         .unionByName(rolling)
@@ -6740,6 +6785,7 @@ def q_events_timeseries_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(fa)
         .unionByName(lb)
         .unionByName(sd)
+        .unionByName(arf)
     )
 
 
@@ -7061,6 +7107,67 @@ WITH RECURSIVE hranked AS (
                   ELSE 2.0 * ABS(y - f) / (ABS(y) + ABS(f)) END) AS smape,
          AVG(nd) AS naive
   FROM fan GROUP BY user_id
+), arl AS (
+  -- r14 AR(2): lag features over the rn-indexed value/100 series
+  SELECT user_id, value / 100.0 AS x,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS cnt,
+         LAG(value / 100.0, 1) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS l1,
+         LAG(value / 100.0, 2) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS l2
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
+), arg AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN l2 IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) AS nf,
+         SUM(CASE WHEN l2 IS NOT NULL THEN x END) AS sy,
+         SUM(CASE WHEN l2 IS NOT NULL THEN x * x END) AS syy,
+         SUM(CASE WHEN l2 IS NOT NULL THEN l1 END) AS s1,
+         SUM(CASE WHEN l2 IS NOT NULL THEN l2 END) AS s2,
+         SUM(CASE WHEN l2 IS NOT NULL THEN l1 * x END) AS s1y,
+         SUM(CASE WHEN l2 IS NOT NULL THEN l2 * x END) AS s2y,
+         SUM(CASE WHEN l2 IS NOT NULL THEN l1 * l1 END) AS s11,
+         SUM(CASE WHEN l2 IS NOT NULL THEN l1 * l2 END) AS s12,
+         SUM(CASE WHEN l2 IS NOT NULL THEN l2 * l2 END) AS s22,
+         MAX(CASE WHEN rn = cnt THEN x END) AS xt,
+         MAX(CASE WHEN rn = cnt - 1 THEN x END) AS xt1
+  FROM arl GROUP BY user_id
+), arsol AS (
+  -- cofactor Cramer on G = [[nf,s1,s2],[s1,s11,s12],[s2,s12,s22]]
+  SELECT *,
+         (nf * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+          + s2 * (s1 * s12 - s11 * s2)) AS det,
+         (sy * (s11 * s22 - s12 * s12) - s1y * (s1 * s22 - s2 * s12)
+          + s2y * (s1 * s12 - s2 * s11)) AS nm0,
+         (-sy * (s1 * s22 - s12 * s2) + s1y * (nf * s22 - s2 * s2)
+          - s2y * (nf * s12 - s2 * s1)) AS nm1,
+         (sy * (s1 * s12 - s2 * s11) - s1y * (nf * s12 - s1 * s2)
+          + s2y * (nf * s11 - s1 * s1)) AS nm2
+  FROM arg WHERE nf >= 3
+), arf1 AS (
+  SELECT user_id, CAST(nf AS BIGINT) AS nfi, xt, xt1,
+         nm0 / det AS c0, nm1 / det AS p1, nm2 / det AS p2,
+         GREATEST(syy
+          - 2.0 * ((nm0 / det) * sy + (nm1 / det) * s1y + (nm2 / det) * s2y)
+          + ((nm0 / det) * (nm0 / det) * nf
+             + (nm1 / det) * (nm1 / det) * s11
+             + (nm2 / det) * (nm2 / det) * s22
+             + 2.0 * (nm0 / det) * (nm1 / det) * s1
+             + 2.0 * (nm0 / det) * (nm2 / det) * s2
+             + 2.0 * (nm1 / det) * (nm2 / det) * s12), 0.0)
+         / (nf - 3.0) AS sig2
+  FROM arsol WHERE det <> 0
+), arf2 AS (
+  SELECT *, c0 + p1 * xt + p2 * xt1 AS f1 FROM arf1
+), arf3 AS (
+  SELECT *, c0 + p1 * f1 + p2 * xt AS f2 FROM arf2
+), arfin AS (
+  SELECT *, c0 + p1 * f2 + p2 * f1 AS f3,
+         SQRT(sig2
+              * (1.0 + p1 * p1 + (p1 * p1 + p2) * (p1 * p1 + p2))) AS se3
+  FROM arf3
 )
 SELECT 'resample' AS op, event_type AS k1, day AS k2,
        n_events AS n1, days_in_window AS n2,
@@ -7240,6 +7347,27 @@ FROM sdrow
 UNION ALL
 SELECT 'sd_r2', CAST(user_id AS VARCHAR), NULL, CAST(ntr AS BIGINT), NULL, NULL, ROUND(sr2, 0)
 FROM sdrow
+UNION ALL
+SELECT 'ar_c', CAST(user_id AS VARCHAR), NULL, nfi, NULL, NULL, ROUND(c0, 6)
+FROM arfin
+UNION ALL
+SELECT 'ar_1', CAST(user_id AS VARCHAR), NULL, nfi, NULL, NULL, ROUND(p1, 6)
+FROM arfin
+UNION ALL
+SELECT 'ar_2', CAST(user_id AS VARCHAR), NULL, nfi, NULL, NULL, ROUND(p2, 6)
+FROM arfin
+UNION ALL
+SELECT 'ar_s2', CAST(user_id AS VARCHAR), NULL, nfi, NULL, NULL,
+       ROUND(sig2, 6)
+FROM arfin
+UNION ALL
+SELECT 'ar_fc3', CAST(user_id AS VARCHAR), NULL, nfi, NULL, NULL,
+       ROUND(f3, 6)
+FROM arfin
+UNION ALL
+SELECT 'ar_se3', CAST(user_id AS VARCHAR), NULL, nfi, NULL, NULL,
+       ROUND(se3, 6)
+FROM arfin
 """
 
 

@@ -926,6 +926,276 @@ def holt_forecast(
     )
 
 
+def ar_forecast(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    p: int = 1,
+    horizons: list[int] = (1,),
+    tiebreak_col: str | None = None,
+    intercept: bool = True,
+    interval: bool = False,
+    level: float = 0.95,
+    assume_contiguous: bool = False,
+) -> DataFrame:
+    """Per-key AR(p) autoregression fit + h-step forecasts — the
+    conditional-least-squares convention (statsmodels `AutoReg(lags=p,
+    trend='c')` / Box-Jenkins CSS): OLS of x_t on (1, x_{t−1}, …,
+    x_{t−p}) over the t > p rows in the key's (ts[, tiebreak]) order,
+    forecasts by iterating the fitted difference equation from the last
+    p observations, prediction intervals from the ψ-weight (MA(∞))
+    expansion
+
+        Var(ŷ_{T+h}) = σ̂²·Σ_{j=0}^{h−1} ψ_j²,
+        ψ_0 = 1,  ψ_j = Σ_{i=1}^{min(j,p)} φ_i·ψ_{j−i}
+
+    with σ̂² = SSE/(n_fit − k) (k = p + intercept) and normal-quantile
+    bounds at `level` — the standard large-sample AR interval
+    (Brockwell & Davis §5.4; forecasts treat φ̂ as known).
+
+    SCALE DESIGN — this is NOT a sequential fold (unlike the
+    exponential-smoothing family): the OLS normal equations are plain
+    sums of lag products, so the whole fit is (1) ONE window pass for
+    the p lag columns, (2) ONE groupBy(key) aggregation of the
+    O(p²) Gram sums per key REUSING the window's hash exchange (pure
+    codegen — map-side partials, no UDF touches row data), then (3) a
+    `mapInPandas` solve over the ONE-ROW-PER-KEY aggregated frame
+    (k×k solve + ψ recursion per key — O(p²+h) Python per key, zero
+    extra shuffle). A key with millions of rows costs the same driver/
+    Python work as a key with ten.
+
+    CONTIGUITY (the `forecast_accuracy(m>1)` contract): the lag pairing
+    is positional, so the retained rows must sit on a REGULAR time grid
+    — lag-1 ts spacings all equal and positive, no null/duplicate ts —
+    checked on the same window pass; a non-contiguous key reports its
+    counts with NULL estimates/forecasts (never a phase-shifted fit).
+    `assume_contiguous=True` skips the check (integer period indices,
+    float axes where exact equality is too strict). NULL POLICY
+    (family-wide): null/NaN values drop before the window — a dropped
+    interior row becomes a GAP the grid check catches.
+
+    Degenerate keys keep their counts and NULL everything else: n_fit
+    < k rows, a singular normal matrix (constant series with an
+    intercept), or a failed grid. Intervals additionally need
+    n_fit > k. Output: one row per key — (key, n_events, n_fit,
+    [intercept,] ar_1…ar_p, sigma2, forecast_<h>…[, se/lo/hi_<h>…]).
+    """
+    import numpy as np
+    import pandas as pd
+
+    if p < 1:
+        raise ValueError(f"p must be >= 1, got {p!r}")
+    if not horizons:
+        raise ValueError("horizons must be non-empty")
+    if any(int(h) < 1 for h in horizons):
+        raise ValueError("horizons must be >= 1")
+    if not 0.0 < level < 1.0:
+        raise ValueError("level must be in (0, 1)")
+    hs = [int(h) for h in horizons]
+    zq = None
+    if interval:
+        from sparkglm_spark.functions.special import norm_ppf
+
+        zq = float(norm_ppf(0.5 + level / 2.0))
+    df = _drop_null_values(df, F.col(value_col).cast("double"))
+    base = df.select(
+        F.col(key_col),
+        F.col(ts_col).alias("__ts"),
+        F.col(value_col).cast("double").alias("__x"),
+        *([F.col(tiebreak_col).alias("__tb")] if tiebreak_col else []),
+    )
+    order = [F.col("__ts")] + ([F.col("__tb")] if tiebreak_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    wp = Window.partitionBy(key_col)
+    lag_cols = [F.lag("__x", j).over(w).alias(f"__l{j}") for j in range(1, p + 1)]
+    grid_cols = []
+    grid_zero = F.lit(0.0)
+    if not assume_contiguous:
+        # lag-1 ts spacing rides the SAME window exchange (the
+        # forecast_accuracy grid idiom — timestamps subtract directly
+        # as intervals, dates by day count; see its r13 DST note)
+        ts_t = base.schema["__ts"].dataType.simpleString()
+        if ts_t == "date":
+            tsd = F.unix_date(F.col("__ts")).cast("double")
+        elif ts_t.startswith("timestamp"):
+            tsd = F.col("__ts")
+            grid_zero = F.expr("INTERVAL '0' SECOND")
+        else:
+            tsd = F.col("__ts").cast("double")
+        grid_cols = [(tsd - F.lag(tsd, 1).over(w)).alias("__dt")]
+    feat = base.select(
+        key_col,
+        "__x",
+        *lag_cols,
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(wp).alias("__cnt"),
+        *grid_cols,
+    )
+    # Gram sums over the complete-lag rows (rn > p ⇔ lag_p non-null):
+    # regressor vector v = (1, l1..lp), response y = x. Everything a
+    # plain SUM — map-side partial aggregation, no row reaches Python.
+    ok = F.col(f"__l{p}").isNotNull()
+
+    def sok(e):
+        return F.sum(F.when(ok, e))
+
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(ok.cast("long")).alias("nf"),
+        sok(F.col("__x")).alias("s_y"),
+        sok(F.col("__x") * F.col("__x")).alias("s_yy"),
+    ]
+    for i in range(1, p + 1):
+        aggs.append(sok(F.col(f"__l{i}")).alias(f"s_l{i}"))
+        aggs.append(sok(F.col(f"__l{i}") * F.col("__x")).alias(f"s_l{i}y"))
+        for j in range(i, p + 1):
+            aggs.append(
+                sok(F.col(f"__l{i}") * F.col(f"__l{j}")).alias(f"s_l{i}_{j}")
+            )
+    # the last p observations (the forecast seed), smallest-to-largest:
+    # collect_list skips the NULL branch, sort_array orders by rn
+    aggs.append(
+        F.sort_array(
+            F.collect_list(
+                F.when(
+                    F.col("__rn") > F.col("__cnt") - p,
+                    F.struct(F.col("__rn").alias("rn"), F.col("__x").alias("x")),
+                )
+            )
+        ).alias("tail")
+    )
+    if not assume_contiguous:
+        aggs += [
+            F.min("__dt").alias("dt_min"),
+            F.max("__dt").alias("dt_max"),
+            F.count("__dt").alias("dt_n"),
+        ]
+    agg = feat.groupBy(key_col).agg(*aggs)
+    if not assume_contiguous:
+        # regular grid ⇔ all spacings equal AND > 0 AND exactly one
+        # missing lag (the first row) — the forecast_accuracy contract
+        agg = agg.withColumn(
+            "grid_ok",
+            F.col("dt_min").eqNullSafe(F.col("dt_max"))
+            & (F.col("dt_max") > grid_zero)
+            & (F.col("n") - F.col("dt_n") == 1),
+        )
+    else:
+        agg = agg.withColumn("grid_ok", F.lit(True))
+
+    k = p + (1 if intercept else 0)
+    fcols = "sigma2 double, " + ", ".join(f"forecast_{h} double" for h in hs)
+    if interval:
+        fcols += ", " + ", ".join(
+            f"se_{h} double, lo_{h} double, hi_{h} double" for h in hs
+        )
+    ktype = base.schema[key_col].dataType.simpleString()
+    schema = (
+        f"{key_col} {ktype}, n_events bigint, n_fit bigint, "
+        + ("intercept double, " if intercept else "")
+        + ", ".join(f"ar_{i} double" for i in range(1, p + 1))
+        + ", "
+        + fcols
+    )
+    itc, hs_, p_, iv_ = intercept, list(hs), p, interval
+
+    def solve(it):
+        for pdf in it:
+            out = {c: [] for c in
+                   [key_col, "n_events", "n_fit"]
+                   + (["intercept"] if itc else [])
+                   + [f"ar_{i}" for i in range(1, p_ + 1)]
+                   + ["sigma2"]
+                   + [f"forecast_{h}" for h in hs_]
+                   + ([c for h in hs_ for c in (f"se_{h}", f"lo_{h}", f"hi_{h}")]
+                      if iv_ else [])}
+
+            def null_row(key, n, nf):
+                out[key_col].append(key)
+                out["n_events"].append(int(n))
+                out["n_fit"].append(int(nf))
+                for c in out:
+                    if c not in (key_col, "n_events", "n_fit"):
+                        out[c].append(None)
+
+            for _, r in pdf.iterrows():
+                nf = int(r["nf"] or 0)
+                if not bool(r["grid_ok"]) or nf < k:
+                    null_row(r[key_col], r["n"], nf)
+                    continue
+                # normal equations from the sums: v = (1?, l1..lp)
+                G = np.empty((k, k))
+                cy = np.empty(k)
+                base_i = 1 if itc else 0
+                if itc:
+                    G[0, 0] = nf
+                    for i in range(1, p_ + 1):
+                        G[0, i] = G[i, 0] = float(r[f"s_l{i}"])
+                    cy[0] = float(r["s_y"])
+                for i in range(1, p_ + 1):
+                    cy[base_i + i - 1] = float(r[f"s_l{i}y"])
+                    for j in range(i, p_ + 1):
+                        v = float(r[f"s_l{i}_{j}"])
+                        G[base_i + i - 1, base_i + j - 1] = v
+                        G[base_i + j - 1, base_i + i - 1] = v
+                try:
+                    b = np.linalg.solve(G, cy)
+                except np.linalg.LinAlgError:
+                    null_row(r[key_col], r["n"], nf)
+                    continue
+                if not np.all(np.isfinite(b)):
+                    null_row(r[key_col], r["n"], nf)
+                    continue
+                c0 = float(b[0]) if itc else 0.0
+                phi = [float(v) for v in (b[1:] if itc else b)]
+                sse = float(r["s_yy"]) - 2.0 * float(b @ cy) + float(b @ G @ b)
+                sig2 = max(sse, 0.0) / (nf - k) if nf > k else None
+                tail = [d["x"] for d in r["tail"]]  # ascending time
+                out[key_col].append(r[key_col])
+                out["n_events"].append(int(r["n"]))
+                out["n_fit"].append(nf)
+                if itc:
+                    out["intercept"].append(c0)
+                for i in range(1, p_ + 1):
+                    out[f"ar_{i}"].append(phi[i - 1])
+                out["sigma2"].append(sig2)
+                hist = list(tail)
+                fcs = []
+                for _h in range(max(hs_)):
+                    nxt = c0 + sum(
+                        phi[i - 1] * hist[-i] for i in range(1, p_ + 1)
+                    )
+                    fcs.append(nxt)
+                    hist.append(nxt)
+                for h in hs_:
+                    out[f"forecast_{h}"].append(fcs[h - 1])
+                if iv_:
+                    psi = [1.0]
+                    for j in range(1, max(hs_)):
+                        psi.append(
+                            sum(
+                                phi[i - 1] * psi[j - i]
+                                for i in range(1, min(j, p_) + 1)
+                            )
+                        )
+                    for h in hs_:
+                        if sig2 is None:
+                            out[f"se_{h}"].append(None)
+                            out[f"lo_{h}"].append(None)
+                            out[f"hi_{h}"].append(None)
+                        else:
+                            se = float(
+                                np.sqrt(sig2 * sum(v * v for v in psi[:h]))
+                            )
+                            out[f"se_{h}"].append(se)
+                            out[f"lo_{h}"].append(fcs[h - 1] - zq * se)
+                            out[f"hi_{h}"].append(fcs[h - 1] + zq * se)
+            yield pd.DataFrame(out)
+
+    return agg.mapInPandas(solve, schema).orderBy(key_col)
+
+
 def _hw_fold(x, alpha, beta, gamma, m, state=None, phi=1.0, seasonal="add"):
     """Holt-Winters fold shared by `holt_winters_series`,
     `holt_winters_forecast` and the streaming twin (one definition — the

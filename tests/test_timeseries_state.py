@@ -1654,3 +1654,157 @@ def test_croston_tsb_interval_coverage(spark):
         cov = np.mean([held[r.k] >= r.lo and held[r.k] <= r.hi
                        for r in rows])
         assert 0.90 <= cov <= 0.99, (fn.__name__, cov)
+
+
+def test_ar_forecast_matches_numpy_ols(spark):
+    # AR(2)+intercept: coefs/sigma2/forecasts/se vs a hand OLS + psi
+    # recursion at 1e-10; simulation truth recovered (r14)
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    frames = []
+    for key, (c, ph) in {"a": (5.0, [0.6, -0.3]), "b": (1.0, [0.8, 0.1])}.items():
+        n = 1200
+        x = np.zeros(n)
+        x[0] = x[1] = c / (1.0 - sum(ph))
+        for t in range(2, n):
+            x[t] = c + ph[0] * x[t - 1] + ph[1] * x[t - 2] + rng.normal()
+        frames.append(pd.DataFrame(
+            {"k": key, "t": np.arange(n, dtype=float), "v": x}))
+    pdf = pd.concat(frames, ignore_index=True)
+    from sparkglm_spark.operators.timeseries import ar_forecast
+
+    out = (
+        ar_forecast(spark.createDataFrame(pdf).repartition(5), "k", "t", "v",
+                    p=2, horizons=[1, 3], interval=True)
+        .toPandas().set_index("k")
+    )
+    for key in ("a", "b"):
+        x = pdf[pdf["k"] == key]["v"].to_numpy()
+        n = len(x)
+        X = np.column_stack([np.ones(n - 2), x[1:-1], x[:-2]])
+        y = x[2:]
+        b = np.linalg.solve(X.T @ X, X.T @ y)
+        res = y - X @ b
+        sig2 = float(res @ res) / (n - 2 - 3)
+        f1 = b[0] + b[1] * x[-1] + b[2] * x[-2]
+        f2 = b[0] + b[1] * f1 + b[2] * x[-1]
+        f3 = b[0] + b[1] * f2 + b[2] * f1
+        psi1 = b[1]
+        psi2 = b[1] * psi1 + b[2]
+        se3 = float(np.sqrt(sig2 * (1 + psi1**2 + psi2**2)))
+        r = out.loc[key]
+        np.testing.assert_allclose(
+            [r["intercept"], r["ar_1"], r["ar_2"]], b, rtol=1e-10)
+        assert abs(r["sigma2"] - sig2) < 1e-9
+        assert abs(r["forecast_1"] - f1) < 1e-9
+        assert abs(r["forecast_3"] - f3) < 1e-9
+        assert abs(r["se_3"] - se3) < 1e-9
+        assert r["n_fit"] == n - 2
+    # truth recovery for key a (5.0, 0.6, -0.3) at n=1200
+    ra = out.loc["a"]
+    assert abs(ra["ar_1"] - 0.6) < 0.1 and abs(ra["ar_2"] + 0.3) < 0.1
+
+
+def test_ar_forecast_no_intercept_and_defaults(spark):
+    import pandas as pd
+
+    rng = np.random.default_rng(9)
+    n = 800
+    x = np.zeros(n)
+    for t in range(1, n):
+        x[t] = 0.7 * x[t - 1] + rng.normal()
+    pdf = pd.DataFrame({"k": "z", "t": np.arange(n, dtype=float), "v": x})
+    from sparkglm_spark.operators.timeseries import ar_forecast
+
+    out = ar_forecast(spark.createDataFrame(pdf), "k", "t", "v", p=1,
+                      intercept=False).toPandas()
+    assert "intercept" not in out.columns
+    # hand AR(1) through-origin: phi = sum(x_t x_{t-1})/sum(x_{t-1}^2)
+    phi = float((x[1:] @ x[:-1]) / (x[:-1] @ x[:-1]))
+    assert abs(out["ar_1"].iloc[0] - phi) < 1e-10
+    assert abs(out["forecast_1"].iloc[0] - phi * x[-1]) < 1e-10
+
+
+def test_ar_forecast_grid_guard_and_degenerates(spark):
+    import pandas as pd
+
+    rows = []
+    # gapped: index jumps 5 -> 7
+    for i in [0, 1, 2, 3, 4, 5, 7, 8, 9, 10]:
+        rows.append(("gap", float(i), float(i % 3)))
+    # regular but constant -> singular with intercept
+    for i in range(10):
+        rows.append(("const", float(i), 4.0))
+    # too short for p=2
+    rows.append(("tiny", 0.0, 1.0))
+    rows.append(("tiny", 1.0, 2.0))
+    # healthy
+    rng = np.random.default_rng(1)
+    for i in range(30):
+        rows.append(("okk", float(i), float(rng.normal())))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["k", "t", "v"]))
+    from sparkglm_spark.operators.timeseries import ar_forecast
+
+    out = ar_forecast(df, "k", "t", "v", p=2).toPandas().set_index("k")
+    assert out.loc["gap", "ar_1"] is None or np.isnan(out.loc["gap", "ar_1"])
+    assert out.loc["gap", "n_events"] == 10
+    assert np.isnan(out.loc["const", "ar_1"])  # singular normal matrix
+    assert np.isnan(out.loc["tiny", "forecast_1"])
+    assert np.isfinite(out.loc["okk", "forecast_1"])
+    # assume_contiguous skips the grid check: 'gap' now fits (positional)
+    out2 = ar_forecast(df, "k", "t", "v", p=2,
+                       assume_contiguous=True).toPandas().set_index("k")
+    assert np.isfinite(out2.loc["gap", "ar_1"])
+
+
+def test_ar_forecast_null_values_become_gaps(spark):
+    # a dropped interior NULL breaks the grid -> NULL fit (never a
+    # phase-shifted one); an edge-run of NULLs keeps the grid regular
+    import pandas as pd
+
+    rng = np.random.default_rng(4)
+    v = rng.normal(size=20)
+    pdf = pd.DataFrame({"k": "a", "t": np.arange(20, dtype=float), "v": v})
+    pdf.loc[10, "v"] = None  # interior
+    from sparkglm_spark.operators.timeseries import ar_forecast
+
+    out = ar_forecast(spark.createDataFrame(pdf), "k", "t", "v", p=1).toPandas()
+    assert np.isnan(out["ar_1"].iloc[0])
+    assert out["n_events"].iloc[0] == 19
+    pdf2 = pd.DataFrame({"k": "a", "t": np.arange(20, dtype=float), "v": v})
+    pdf2.loc[0, "v"] = None  # leading null: retained rows stay regular
+    out2 = ar_forecast(spark.createDataFrame(pdf2), "k", "t", "v", p=1).toPandas()
+    assert np.isfinite(out2["ar_1"].iloc[0])
+
+
+def test_ar_forecast_single_hash_exchange(spark):
+    # window + groupBy share ONE hash exchange (the ewma_latest plan
+    # contract); mapInPandas adds none
+    import pandas as pd
+
+    pdf = pd.DataFrame({"k": ["a"] * 30, "t": np.arange(30, dtype=float),
+                        "v": np.random.default_rng(0).normal(size=30)})
+    from sparkglm_spark.operators.timeseries import ar_forecast
+
+    df = spark.createDataFrame(pdf).repartition(4)
+    plan = (
+        ar_forecast(df, "k", "t", "v", p=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.lower().count("exchange hashpartitioning") == 1
+
+
+def test_ar_forecast_guards(spark):
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": ["a"], "t": [0.0], "v": [1.0]}))
+    from sparkglm_spark.operators.timeseries import ar_forecast
+
+    with pytest.raises(ValueError, match="p must"):
+        ar_forecast(df, "k", "t", "v", p=0)
+    with pytest.raises(ValueError, match="horizons"):
+        ar_forecast(df, "k", "t", "v", horizons=[])
+    with pytest.raises(ValueError, match="level"):
+        ar_forecast(df, "k", "t", "v", interval=True, level=1.5)
