@@ -1121,79 +1121,117 @@ def ar_forecast(
 
             for _, r in pdf.iterrows():
                 nf = int(r["nf"] or 0)
-                if not bool(r["grid_ok"]) or nf < k:
-                    null_row(r[key_col], r["n"], nf)
-                    continue
-                # normal equations from the sums: v = (1?, l1..lp)
-                G = np.empty((k, k))
-                cy = np.empty(k)
-                base_i = 1 if itc else 0
-                if itc:
-                    G[0, 0] = nf
+                sol = None
+                if bool(r["grid_ok"]) and nf >= k:
+                    s_l = np.array(
+                        [float(r[f"s_l{i}"]) for i in range(1, p_ + 1)]
+                    )
+                    s_ly = np.array(
+                        [float(r[f"s_l{i}y"]) for i in range(1, p_ + 1)]
+                    )
+                    s_ll = np.empty((p_, p_))
                     for i in range(1, p_ + 1):
-                        G[0, i] = G[i, 0] = float(r[f"s_l{i}"])
-                    cy[0] = float(r["s_y"])
-                for i in range(1, p_ + 1):
-                    cy[base_i + i - 1] = float(r[f"s_l{i}y"])
-                    for j in range(i, p_ + 1):
-                        v = float(r[f"s_l{i}_{j}"])
-                        G[base_i + i - 1, base_i + j - 1] = v
-                        G[base_i + j - 1, base_i + i - 1] = v
-                try:
-                    b = np.linalg.solve(G, cy)
-                except np.linalg.LinAlgError:
+                        for j in range(i, p_ + 1):
+                            s_ll[i - 1, j - 1] = s_ll[j - 1, i - 1] = float(
+                                r[f"s_l{i}_{j}"]
+                            )
+                    sol = _ar_solve_from_sums(
+                        nf, float(r["s_y"]), float(r["s_yy"]), s_l, s_ly,
+                        s_ll, [d["x"] for d in r["tail"]], p_, itc, hs_,
+                        iv_, zq,
+                    )
+                if sol is None:
                     null_row(r[key_col], r["n"], nf)
                     continue
-                if not np.all(np.isfinite(b)):
-                    null_row(r[key_col], r["n"], nf)
-                    continue
-                c0 = float(b[0]) if itc else 0.0
-                phi = [float(v) for v in (b[1:] if itc else b)]
-                sse = float(r["s_yy"]) - 2.0 * float(b @ cy) + float(b @ G @ b)
-                sig2 = max(sse, 0.0) / (nf - k) if nf > k else None
-                tail = [d["x"] for d in r["tail"]]  # ascending time
                 out[key_col].append(r[key_col])
                 out["n_events"].append(int(r["n"]))
                 out["n_fit"].append(nf)
                 if itc:
-                    out["intercept"].append(c0)
+                    out["intercept"].append(sol["c0"])
                 for i in range(1, p_ + 1):
-                    out[f"ar_{i}"].append(phi[i - 1])
-                out["sigma2"].append(sig2)
-                hist = list(tail)
-                fcs = []
-                for _h in range(max(hs_)):
-                    nxt = c0 + sum(
-                        phi[i - 1] * hist[-i] for i in range(1, p_ + 1)
-                    )
-                    fcs.append(nxt)
-                    hist.append(nxt)
+                    out[f"ar_{i}"].append(sol["phi"][i - 1])
+                out["sigma2"].append(sol["sig2"])
                 for h in hs_:
-                    out[f"forecast_{h}"].append(fcs[h - 1])
+                    out[f"forecast_{h}"].append(sol["fcs"][h - 1])
                 if iv_:
-                    psi = [1.0]
-                    for j in range(1, max(hs_)):
-                        psi.append(
-                            sum(
-                                phi[i - 1] * psi[j - i]
-                                for i in range(1, min(j, p_) + 1)
-                            )
-                        )
                     for h in hs_:
-                        if sig2 is None:
-                            out[f"se_{h}"].append(None)
-                            out[f"lo_{h}"].append(None)
-                            out[f"hi_{h}"].append(None)
-                        else:
-                            se = float(
-                                np.sqrt(sig2 * sum(v * v for v in psi[:h]))
-                            )
-                            out[f"se_{h}"].append(se)
-                            out[f"lo_{h}"].append(fcs[h - 1] - zq * se)
-                            out[f"hi_{h}"].append(fcs[h - 1] + zq * se)
+                        se, lo, hi = sol["ses"][h]
+                        out[f"se_{h}"].append(se)
+                        out[f"lo_{h}"].append(lo)
+                        out[f"hi_{h}"].append(hi)
             yield pd.DataFrame(out)
 
     return agg.mapInPandas(solve, schema).orderBy(key_col)
+
+
+def _ar_solve_from_sums(
+    nf: int,
+    s_y: float,
+    s_yy: float,
+    s_l,
+    s_ly,
+    s_ll,
+    tail: list,
+    p: int,
+    itc: bool,
+    hs: list,
+    iv: bool,
+    zq,
+) -> dict | None:
+    """The AR(p) solve shared by `ar_forecast` and the streaming twin
+    (one definition — the `_hw_fold` no-triplication rule): build the
+    k×k normal equations from the Gram sums (s_l/s_ly length-p arrays,
+    s_ll the p×p symmetric lag Gram), solve, derive σ̂² from the same
+    sums, iterate forecasts from the ascending last-p `tail`, ψ-weight
+    intervals. Returns None on a singular/non-finite solve; `ses` maps
+    horizon → (se, lo, hi) (None triple when σ̂² has no df)."""
+    import numpy as np
+
+    k = p + (1 if itc else 0)
+    G = np.empty((k, k))
+    cy = np.empty(k)
+    base_i = 1 if itc else 0
+    if itc:
+        G[0, 0] = nf
+        for i in range(p):
+            G[0, i + 1] = G[i + 1, 0] = float(s_l[i])
+        cy[0] = s_y
+    for i in range(p):
+        cy[base_i + i] = float(s_ly[i])
+        for j in range(i, p):
+            G[base_i + i, base_i + j] = G[base_i + j, base_i + i] = float(
+                s_ll[i][j] if not hasattr(s_ll, "shape") else s_ll[i, j]
+            )
+    try:
+        b = np.linalg.solve(G, cy)
+    except np.linalg.LinAlgError:
+        return None
+    if not np.all(np.isfinite(b)):
+        return None
+    c0 = float(b[0]) if itc else 0.0
+    phi = [float(v) for v in (b[1:] if itc else b)]
+    sse = s_yy - 2.0 * float(b @ cy) + float(b @ G @ b)
+    sig2 = max(sse, 0.0) / (nf - k) if nf > k else None
+    hist = list(tail)
+    fcs = []
+    for _h in range(max(hs)):
+        nxt = c0 + sum(phi[i - 1] * hist[-i] for i in range(1, p + 1))
+        fcs.append(nxt)
+        hist.append(nxt)
+    ses = {}
+    if iv:
+        psi = [1.0]
+        for j in range(1, max(hs)):
+            psi.append(
+                sum(phi[i - 1] * psi[j - i] for i in range(1, min(j, p) + 1))
+            )
+        for h in hs:
+            if sig2 is None:
+                ses[h] = (None, None, None)
+            else:
+                se = float(np.sqrt(sig2 * sum(v * v for v in psi[:h])))
+                ses[h] = (se, fcs[h - 1] - zq * se, fcs[h - 1] + zq * se)
+    return {"c0": c0, "phi": phi, "sig2": sig2, "fcs": fcs, "ses": ses}
 
 
 def _hw_fold(x, alpha, beta, gamma, m, state=None, phi=1.0, seasonal="add"):

@@ -1522,3 +1522,243 @@ def forecast_accuracy_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def ar_state_stream(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    p: int = 1,
+    horizons: list[int] = (1,),
+    tiebreak_col: str | None = None,
+    intercept: bool = True,
+    interval: bool = False,
+    level: float = 0.95,
+    assume_contiguous: bool = False,
+) -> DataFrame:
+    """Streaming twin of `operators.timeseries.ar_forecast` — a LIVE
+    per-key AR(p) model that refits from running sufficient statistics
+    on every micro-batch (applyInPandasWithState).
+
+    The batch operator's whole design carries over: the OLS normal
+    equations are plain sums of lag products, and sums are EXACTLY
+    incrementally maintainable — state per key is the O(p²) Gram sums
+    + the last-p value ring (the lag seam across batches AND the
+    forecast seed) + the 3 grid trackers, O(p²) forever regardless of
+    stream length. Each batch emits the key's refit (same columns as
+    the batch operator: n_events, n_fit, [intercept,] ar_1…ar_p,
+    sigma2, forecast_<h>…[, se/lo/hi_<h>…]) via the SHARED
+    `_ar_solve_from_sums` — one solve definition, zero logic drift.
+    Stream-vs-batch differs only in float summation order (np pairwise
+    per batch + carried state vs the batch aggregate) — asserted at
+    1e-9 in tests.
+
+    CONTIGUITY: the batch grid contract in streaming form (the
+    `forecast_accuracy_stream(m>1)` tracker): running lag-1 ts-spacing
+    min/max + the batch seam; one irregular spacing — or a null ts,
+    which NaN-poisons the tracker permanently — NULLs every later
+    estimate, exactly like the batch guard. `assume_contiguous=True`
+    skips it. ORDER CONTRACT and NULL POLICY follow the family
+    (within-batch (ts[, tiebreak]) sort; null/NaN values drop before
+    the fold — note a dropped interior row is a GAP the grid tracker
+    then catches)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from sparkglm_spark.operators.timeseries import (
+        _ar_solve_from_sums,
+        _drop_null_values,
+    )
+
+    if not events.isStreaming:
+        raise ValueError("input must be a streaming DataFrame (readStream)")
+    if p < 1:
+        raise ValueError(f"p must be >= 1, got {p!r}")
+    if not horizons:
+        raise ValueError("horizons must be non-empty")
+    if any(int(h) < 1 for h in horizons):
+        raise ValueError("horizons must be >= 1")
+    if not 0.0 < level < 1.0:
+        raise ValueError("level must be in (0, 1)")
+    hs = [int(h) for h in horizons]
+    zq = None
+    if interval:
+        from sparkglm_spark.functions.special import norm_ppf
+
+        zq = float(norm_ppf(0.5 + level / 2.0))
+    in_fields = {f.name: f for f in events.schema.fields}
+    need = [key_col, ts_col, value_col] + (
+        [tiebreak_col] if tiebreak_col else []
+    )
+    missing = [c for c in need if c not in in_fields]
+    if missing:
+        raise ValueError(
+            f"ar_state_stream: columns {missing} not in input schema "
+            f"{sorted(in_fields)}"
+        )
+    k = p + (1 if intercept else 0)
+    out_fields = [
+        in_fields[key_col],
+        StructField("n_events", LongType()),
+        StructField("n_fit", LongType()),
+    ]
+    if intercept:
+        out_fields.append(StructField("intercept", DoubleType()))
+    out_fields += [
+        StructField(f"ar_{i}", DoubleType()) for i in range(1, p + 1)
+    ]
+    out_fields.append(StructField("sigma2", DoubleType()))
+    out_fields += [
+        StructField(f"forecast_{h}", DoubleType()) for h in hs
+    ]
+    if interval:
+        for h in hs:
+            out_fields += [
+                StructField(f"se_{h}", DoubleType()),
+                StructField(f"lo_{h}", DoubleType()),
+                StructField(f"hi_{h}", DoubleType()),
+            ]
+    out_schema = StructType(out_fields)
+    # sums layout: [s_y, s_yy, s_l1..s_lp, s_l1y..s_lpy, s_ll upper
+    # triangle row-major] — 2 + 2p + p(p+1)/2 doubles
+    n_sums = 2 + 2 * p + p * (p + 1) // 2
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("nf", LongType()),
+            StructField("sums", ArrayType(DoubleType())),
+            StructField("tail", ArrayType(DoubleType())),
+            StructField("prev_ts", DoubleType()),
+            StructField("dt_min", DoubleType()),
+            StructField("dt_max", DoubleType()),
+        ]
+    )
+    sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    events = _drop_null_values(events, F.col(value_col).cast("double"))
+    p_, itc, hs_, iv_, chk = p, intercept, hs, interval, not assume_contiguous
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            n, nf, sums, tail, prev_ts, dt_min, dt_max = tuple(state.get)
+            sums = np.array(sums, dtype=np.float64)
+            tail = list(tail or [])
+        else:
+            n, nf = 0, 0
+            sums = np.zeros(n_sums)
+            tail, prev_ts, dt_min, dt_max = [], None, None, None
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else chunks[0]
+        )
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        x = pdf[value_col].to_numpy(dtype=np.float64)
+        nb = len(x)
+        # lag seam: rows see [ring ++ batch]; ext index i aligns with
+        # the GLOBAL position whenever the ring is still short (n < p),
+        # and is ≥ p for every new row once it is full — so "full lags
+        # available" is exactly ext-index ≥ p in both regimes
+        ext = np.concatenate([np.asarray(tail, dtype=np.float64), x])
+        start = len(tail)
+        idxs = np.arange(start, len(ext))
+        valid = idxs[idxs >= p_]
+        if len(valid):
+            yv = ext[valid]
+            lags = [ext[valid - j] for j in range(1, p_ + 1)]
+            nf += len(valid)
+            sums[0] += float(yv.sum())
+            sums[1] += float((yv * yv).sum())
+            for j in range(p_):
+                sums[2 + j] += float(lags[j].sum())
+                sums[2 + p_ + j] += float((lags[j] * yv).sum())
+            pos = 2 + 2 * p_
+            for i in range(p_):
+                for j in range(i, p_):
+                    sums[pos] += float((lags[i] * lags[j]).sum())
+                    pos += 1
+        n += nb
+        tail = [float(v) for v in ext[-p_:]]
+        if chk:
+            sv = pdf[ts_col]
+            if str(sv.dtype).startswith("datetime64") or sv.dtype == object:
+                # int64 epoch MICROS before the float cast (the
+                # forecast_accuracy_stream r13 ulp lesson)
+                ts_num = (
+                    pd.to_datetime(sv).astype("int64") // 1000
+                ).to_numpy(dtype=np.float64)
+            else:
+                ts_num = sv.to_numpy(dtype=np.float64)
+            dts = np.diff(ts_num)
+            if prev_ts is not None:
+                dts = np.concatenate([[ts_num[0] - prev_ts], dts])
+            if len(dts):
+                # np.min/max propagate NaN — a null-ts row poisons the
+                # tracker permanently (the batch null-spacing census)
+                lo, hi = float(np.min(dts)), float(np.max(dts))
+                if dt_min is None:
+                    dt_min, dt_max = lo, hi
+                elif np.isnan(lo) or np.isnan(dt_min):
+                    dt_min = dt_max = float("nan")
+                else:
+                    dt_min = min(dt_min, lo)
+                    dt_max = max(dt_max, hi)
+            prev_ts = float(ts_num[-1])
+        state.update(
+            (n, nf, [float(v) for v in sums], tail, prev_ts, dt_min, dt_max)
+        )
+        grid_ok = (not chk) or (
+            dt_min is not None and dt_min == dt_max and dt_max > 0.0
+        )
+        sol = None
+        if grid_ok and nf >= k:
+            s_l = sums[2:2 + p_]
+            s_ly = sums[2 + p_:2 + 2 * p_]
+            s_ll = np.empty((p_, p_))
+            pos = 2 + 2 * p_
+            for i in range(p_):
+                for j in range(i, p_):
+                    s_ll[i, j] = s_ll[j, i] = sums[pos]
+                    pos += 1
+            sol = _ar_solve_from_sums(
+                nf, float(sums[0]), float(sums[1]), s_l, s_ly, s_ll,
+                tail, p_, itc, hs_, iv_, zq,
+            )
+        row = {key_col: [key[0]], "n_events": [n], "n_fit": [nf]}
+        if itc:
+            row["intercept"] = [sol["c0"] if sol else None]
+        for i in range(1, p_ + 1):
+            row[f"ar_{i}"] = [sol["phi"][i - 1] if sol else None]
+        row["sigma2"] = [sol["sig2"] if sol else None]
+        for h in hs_:
+            row[f"forecast_{h}"] = [sol["fcs"][h - 1] if sol else None]
+        if iv_:
+            for h in hs_:
+                se, lo_, hi_ = sol["ses"][h] if sol else (None, None, None)
+                row[f"se_{h}"] = [se]
+                row[f"lo_{h}"] = [lo_]
+                row[f"hi_{h}"] = [hi_]
+        yield pd.DataFrame(row)
+
+    return (
+        events.select(*dict.fromkeys(need))
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1726,3 +1726,143 @@ def test_holt_winters_state_stream_mul_restart_continuation(spark):
     assert got["l"] == pytest.approx(bb.level, rel=1e-12)
     assert got["t"] == pytest.approx(bb.trend, rel=1e-12)
     assert got["f"] == pytest.approx(bb.forecast_1, rel=1e-12)
+
+
+def test_ar_state_stream_equals_batch(spark, sf_dir):
+    """r14: ar_state_stream over a 3-micro-batch ordered replay — the
+    LAST update per key matches batch ar_forecast at 1e-9 (running
+    sums vs batch aggregation: float association only). The series is
+    the per-user rn-INDEXED value (regular grid by construction)."""
+    from pyspark.sql import Window
+
+    from sparkglm_spark.operators.timeseries import ar_forecast
+    from sparkglm_spark.streaming.events import ar_state_stream
+
+    ev = read_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & ~F.isnan(F.col("value"))
+    )
+    raw = ev.select(
+        "user_id",
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ).cast("double").alias("idx"),
+        (F.col("value") / 100.0).alias("xv"),
+    )
+    batch = {
+        r.user_id: r
+        for r in ar_forecast(
+            raw, "user_id", "idx", "xv", p=2, horizons=[1, 3], interval=True
+        ).collect()
+    }
+    # split by idx so batches arrive in per-key time order
+    parts = [
+        raw.where(F.col("idx") <= 20),
+        raw.where((F.col("idx") > 20) & (F.col("idx") <= 45)),
+        raw.where(F.col("idx") > 45),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        os.makedirs(src)
+        for i, pt in enumerate(parts):
+            pt.coalesce(1).write.parquet(os.path.join(src, f"b{i}.parquet"))
+        stream_in = (
+            spark.readStream.schema(raw.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*.parquet"))
+        )
+        out = ar_state_stream(
+            stream_in, "user_id", "idx", "xv", p=2, horizons=[1, 3],
+            interval=True,
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("ar_updates")
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            r.user_id: r.w
+            for r in spark.sql(
+                "SELECT user_id, max_by(named_struct('n', n_events,"
+                " 'nf', n_fit, 'c', intercept, 'a1', ar_1, 'a2', ar_2,"
+                " 's2', sigma2, 'f1', forecast_1, 'f3', forecast_3,"
+                " 'se3', se_3), n_events) AS w"
+                " FROM ar_updates GROUP BY user_id"
+            ).collect()
+        }
+    assert len(got) == len(batch) > 0
+    for uid, b in batch.items():
+        g = got[uid]
+        assert g["n"] == b.n_events and g["nf"] == b.n_fit, uid
+        for k, bk in (("c", b.intercept), ("a1", b.ar_1), ("a2", b.ar_2),
+                      ("s2", b.sigma2), ("f1", b.forecast_1),
+                      ("f3", b.forecast_3), ("se3", b.se_3)):
+            assert g[k] == pytest.approx(bk, rel=1e-9, abs=1e-12), (uid, k)
+
+
+def test_ar_state_stream_gap_and_short_key_null_parity(spark):
+    """A planted grid gap NULLs the fit in BOTH engines (and stays
+    poisoned after later regular batches); a short key reports counts
+    with NULL estimates in both."""
+    import numpy as np
+    import pandas as pd
+
+    from sparkglm_spark.operators.timeseries import ar_forecast
+    from sparkglm_spark.streaming.events import ar_state_stream
+
+    rng = np.random.default_rng(6)
+    rows = []
+    for i in range(30):
+        if i == 13:
+            continue  # the gap in key 'g'
+        rows.append(("g", float(i), float(rng.normal())))
+    for i in range(30):
+        rows.append(("ok", float(i), float(rng.normal())))
+    rows += [("sh", 0.0, 1.0), ("sh", 1.0, 2.0)]
+    pdf = pd.DataFrame(rows, columns=["k", "t", "v"])
+    df = spark.createDataFrame(pdf)
+    batch = {r.k: r for r in ar_forecast(df, "k", "t", "v", p=1).collect()}
+    assert batch["g"].ar_1 is None and batch["sh"].ar_1 is None
+    assert batch["ok"].ar_1 is not None
+    parts = [df.where(F.col("t") <= 15), df.where(F.col("t") > 15)]
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        os.makedirs(src)
+        for i, pt in enumerate(parts):
+            pt.coalesce(1).write.parquet(os.path.join(src, f"b{i}.parquet"))
+        stream_in = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*.parquet"))
+        )
+        out = ar_state_stream(stream_in, "k", "t", "v", p=1)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("ar_gap")
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r.k: r.w
+            for r in spark.sql(
+                "SELECT k, max_by(named_struct('n', n_events, 'a1', ar_1),"
+                " n_events) AS w FROM ar_gap GROUP BY k"
+            ).collect()
+        }
+    assert got["g"]["a1"] is None and got["g"]["n"] == 29
+    assert got["sh"]["a1"] is None and got["sh"]["n"] == 2
+    assert got["ok"]["a1"] == pytest.approx(batch["ok"].ar_1, rel=1e-9)
+
+
+def test_ar_state_stream_guards(spark):
+    from sparkglm_spark.streaming.events import ar_state_stream
+
+    df = spark.range(1)  # not streaming
+    with pytest.raises(ValueError, match="streaming"):
+        ar_state_stream(df, "id", "id", "id")
