@@ -1194,19 +1194,21 @@ def glm_nb(
     wr = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
     offset = F.col(offset_col) if offset_col else F.lit(0.0)
     try:
-        # ---- y histogram (one job; lossless ψ-sum regrouping). A NULL
-        # y key (reachable under na_action='keep') is dropped — every
-        # per-row aggregation here skips NULL rows (Spark SUM), so the
-        # ψ-sums must skip them too. The y-domain guard reads off the
-        # collected keys for free; only the over-limit fallback pays a
-        # separate guard aggregation (review r14 #4).
+        # ---- y histogram (one job; lossless ψ-sum regrouping). NULL y
+        # rows (reachable under na_action='keep') are filtered BEFORE
+        # the groupBy — every per-row aggregation here skips NULL rows
+        # (Spark SUM), so the ψ-sums must skip them too, and a NULL
+        # group must not occupy a limit slot (it could mask a truncated
+        # histogram as under-limit — review r14 pass 2). The y-domain
+        # guard reads off the collected keys for free; only the
+        # over-limit fallback pays a separate guard aggregation.
         hrows = (
-            work.groupBy(target)
+            work.where(y.isNotNull())
+            .groupBy(target)
             .agg(F.sum(wr).alias("__wm"))
             .limit(hist_limit + 1)
             .collect()
         )
-        hrows = [r for r in hrows if r[target] is not None]
         if len(hrows) > hist_limit:
             hist = None  # fall back to the pandas-UDF ψ/ψ′ aggregation
             grow = work.agg(

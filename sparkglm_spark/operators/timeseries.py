@@ -1119,7 +1119,10 @@ def ar_forecast(
                     if c not in (key_col, "n_events", "n_fit"):
                         out[c].append(None)
 
-            for _, r in pdf.iterrows():
+            # one row per key, but row-iterate via the dict form —
+            # iterrows' per-row Series construction is the slowest
+            # pandas path at ~1M keys (review r14 pass 2)
+            for r in pdf.to_dict("records"):
                 nf = int(r["nf"] or 0)
                 sol = None
                 if bool(r["grid_ok"]) and nf >= k:
@@ -1200,7 +1203,7 @@ def _ar_solve_from_sums(
         cy[base_i + i] = float(s_ly[i])
         for j in range(i, p):
             G[base_i + i, base_i + j] = G[base_i + j, base_i + i] = float(
-                s_ll[i][j] if not hasattr(s_ll, "shape") else s_ll[i, j]
+                s_ll[i, j]
             )
     try:
         b = np.linalg.solve(G, cy)

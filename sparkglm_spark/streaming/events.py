@@ -1556,9 +1556,11 @@ def ar_state_stream(
 
     CONTIGUITY: the batch grid contract in streaming form (the
     `forecast_accuracy_stream(m>1)` tracker): running lag-1 ts-spacing
-    min/max + the batch seam; one irregular spacing — or a null ts,
-    which NaN-poisons the tracker permanently — NULLs every later
-    estimate, exactly like the batch guard. `assume_contiguous=True`
+    min/max + the batch seam; one irregular spacing permanently fails
+    the regularity check (a null datetime converts to an absurd
+    sentinel spacing, a null numeric ts to NaN that min/max propagate —
+    either way the key stays failed) and NULLs every later estimate,
+    exactly like the batch guard. `assume_contiguous=True`
     skips it. ORDER CONTRACT and NULL POLICY follow the family
     (within-batch (ts[, tiebreak]) sort; null/NaN values drop before
     the fold — note a dropped interior row is a GAP the grid tracker

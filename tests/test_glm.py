@@ -1432,3 +1432,24 @@ class TestGlmNB:
         X = np.column_stack([np.ones(len(pdf)), pdf["x"], pdf["g"]])
         with pytest.raises(ValueError, match="exact_iterations"):
             _np_glm_nb(pdf["y"].to_numpy(), X, exact_iterations=0)
+
+    def test_na_keep_null_y_never_occupies_hist_slot(self, spark):
+        # review r14 pass 2: with na_action='keep', a NULL y group must
+        # not eat a hist_limit slot — at hist_limit == #distinct-y the
+        # histogram path must survive AND agree with the UDF fallback
+        import pandas as pd
+
+        from sparkglm_spark.operators.glm import glm_nb
+
+        rng = np.random.default_rng(12)
+        yv = rng.negative_binomial(2.0, 0.4, 400).astype(float)
+        pdf = pd.DataFrame({"y": yv, "x": rng.normal(size=400)})
+        pdf.loc[3, "y"] = None
+        df = spark.createDataFrame(pdf)
+        nd = int(pdf["y"].nunique())
+        a = glm_nb(df, "y ~ x", na_action="keep", exact_iterations=1,
+                   hist_limit=nd)  # exactly at the limit: no truncation
+        b = glm_nb(df, "y ~ x", na_action="keep", exact_iterations=1,
+                   hist_limit=1)  # forced UDF fallback
+        assert abs(a.theta - b.theta) < 1e-9
+        np.testing.assert_allclose(a.coefs, b.coefs, rtol=1e-12)
