@@ -8261,6 +8261,43 @@ def q_orders_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
     sam = weibull_aft(
         saft_in, "t", "ev", [], strata_col="sg", exact_iterations=3
     )
+    # r14: the MIXED-CENSORING trajectory (weibull_aft(time2_col=) —
+    # the full R Surv code set through the (P, Q) chain-rule kernels).
+    # Same planted Weibull T; custkey%5 routes 0 → right@0.7T,
+    # 1 → LEFT@1.5T (code 2), 2 → INTERVAL (0.75T, 1.6T] (code 3),
+    # else exact. The wide planted interval keeps S(t)−S(t2) far from
+    # the cancellation regime, the start is the engine's location-row
+    # OLS, and the undamped 3-step trajectory contracts like the plain
+    # arm — 6dp/2dp pins with the same margins (the SQL's 1−e^{−u} vs
+    # the engine's expm1 differs at ulp for the planted magnitudes).
+    tt = F.exp(
+        F.lit(10.0)
+        + 0.5 * ((F.col("o_custkey") % 100) / 100.0)
+        + 0.7
+        * F.log(
+            -F.log(
+                1.0
+                - ((F.col("o_orderkey") % 9973).cast("double") + 0.5)
+                / 9974.0
+            )
+        )
+    )
+    iaft_in = od.select(
+        F.when(F.col("o_custkey") % 5 == 0, 0.7 * tt)
+        .when(F.col("o_custkey") % 5 == 1, 1.5 * tt)
+        .when(F.col("o_custkey") % 5 == 2, 0.75 * tt)
+        .otherwise(tt)
+        .alias("t"),
+        F.when(F.col("o_custkey") % 5 == 2, 1.6 * tt).alias("t2"),
+        F.when(F.col("o_custkey") % 5 == 0, 0.0)
+        .when(F.col("o_custkey") % 5 == 1, 2.0)
+        .when(F.col("o_custkey") % 5 == 2, 3.0)
+        .otherwise(1.0)
+        .alias("ev"),
+        ((F.col("o_custkey") % 100) / 100.0).alias("x"),
+    )
+    iam = weibull_aft(iaft_in, "t", "ev", ["x"], time2_col="t2",
+                      exact_iterations=3)
     aft = spark.createDataFrame(
         [
             ("aft", "b_intercept", None, round(float(am.coefs[0]), 6), None,
@@ -8286,6 +8323,14 @@ def q_orders_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("saft", "loglik", None, round(float(sam.loglik), 2), None,
              None),
             ("saft", "n_events", sam.n_events, None, None, None),
+            ("iaft", "b_intercept", None, round(float(iam.coefs[0]), 6),
+             None, None),
+            ("iaft", "b_x", None, round(float(iam.coefs[1]), 6), None, None),
+            ("iaft", "ln_sigma", None,
+             round(float(np.log(iam.scale)), 6), None, None),
+            ("iaft", "loglik", None, round(float(iam.loglik), 2), None,
+             None),
+            ("iaft", "n_events", iam.n_events, None, None, None),
         ],
         "op string, key string, n bigint, v1 double, v2 double, v3 double",
     )
@@ -8995,12 +9040,162 @@ FROM {p}f
 """
 
 
+def _sql_aft_interval_ctes(iters: int, prefix: str = "ia") -> str:
+    """Unroll `weibull_aft(time2_col=, exact_iterations=iters)` with the
+    FULL R Surv code mix (r14 — operators/survival.py mixed-censoring
+    path): planted Weibull T = exp(10 + 0.5x + 0.7W) with custkey%5
+    routing — 0 → right-censored at 0.7T, 1 → LEFT-censored at 1.5T
+    (code 2), 2 → INTERVAL (0.75T, 1.6T] (code 3), else exact.
+
+    Start: OLS of the location response (ln t; the interval rows' log
+    midpoint) over code≠0 rows — the engine's mixed start. Each Newton
+    step replays the (P, Q) chain-rule kernels exactly as the engine
+    codegens them (P = ∂ℓ/∂z_L, Q = ∂ℓ/∂z_R, cross term M = −PQ; the
+    codes-{0,1} rows reduce to the plain arm's gz expressions) in ONE
+    aggregation + the same 3×3 Cramer solve as `_sql_aft_ctes`. The
+    left tail uses (1 − e^{−u}) directly — DuckDB has no expm1; at the
+    planted magnitudes (u ~ O(1)) the engine's expm1 differs only at
+    ulp, inside the 6dp margins. Emits op='iaft'."""
+    p = prefix
+    t_expr = (
+        "exp(10.0 + 0.5 * (CAST(o_custkey % 100 AS DOUBLE) / 100.0)"
+        " + 0.7 * ln(-ln(1.0 - (CAST(o_orderkey % 9973 AS DOUBLE) + 0.5)"
+        " / 9974.0)))"
+    )
+    ctes = [
+        f"{p}b AS (SELECT"
+        f" ln(CASE WHEN o_custkey % 5 = 0 THEN 0.7 * tt"
+        " WHEN o_custkey % 5 = 1 THEN 1.5 * tt"
+        " WHEN o_custkey % 5 = 2 THEN 0.75 * tt ELSE tt END) AS lt,"
+        " CASE WHEN o_custkey % 5 = 2 THEN ln(1.6 * tt) END AS lt2,"
+        " CASE WHEN o_custkey % 5 = 0 THEN 0.0"
+        " WHEN o_custkey % 5 = 1 THEN 2.0"
+        " WHEN o_custkey % 5 = 2 THEN 3.0 ELSE 1.0 END AS d,"
+        " CAST(o_custkey % 100 AS DOUBLE) / 100.0 AS x"
+        f" FROM (SELECT o_custkey, o_orderkey, {t_expr} AS tt FROM orders) tt0)",
+        # OLS start over the location-informative rows; response = ln t,
+        # or the interval log-midpoint (the engine's mixed start)
+        f"{p}0g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS s0, SUM(x) AS s1,"
+        " SUM(x * x) AS s2, SUM(yy) AS sy, SUM(x * yy) AS sxy,"
+        " SUM(yy * yy) AS syy FROM (SELECT x,"
+        " CASE WHEN d = 3.0 THEN (lt + lt2) / 2.0 ELSE lt END AS yy"
+        f" FROM {p}b WHERE d <> 0.0) yb)",
+        f"{p}0 AS (SELECT b0 + 0.5772156649015329 * exp(ls) AS b0, b1, ls"
+        " FROM (SELECT"
+        " (s2 * sy - s1 * sxy) / (s0 * s2 - s1 * s1) AS b0,"
+        " (s0 * sxy - s1 * sy) / (s0 * s2 - s1 * s1) AS b1,"
+        " ln(GREATEST(SQRT((syy"
+        "   - 2.0 * ((s2 * sy - s1 * sxy) / (s0 * s2 - s1 * s1) * sy"
+        "            + (s0 * sxy - s1 * sy) / (s0 * s2 - s1 * s1) * sxy)"
+        "   + ((s2 * sy - s1 * sxy) / (s0 * s2 - s1 * s1))"
+        "     * ((s2 * sy - s1 * sxy) / (s0 * s2 - s1 * s1)) * s0"
+        "   + 2.0 * ((s2 * sy - s1 * sxy) / (s0 * s2 - s1 * s1))"
+        "     * ((s0 * sxy - s1 * sy) / (s0 * s2 - s1 * s1)) * s1"
+        "   + ((s0 * sxy - s1 * sy) / (s0 * s2 - s1 * s1))"
+        "     * ((s0 * sxy - s1 * sy) / (s0 * s2 - s1 * s1)) * s2)"
+        " / (s0 - 2.0)) / 1.283, 0.001)) AS ls FROM {P}0g) s)".replace(
+            "{P}", p
+        ),
+    ]
+    # per-row (P, Q) kernel SELECT shared by every iteration and the
+    # final loglik recompute — parameterized on the state CTE
+    def kern(state: str) -> str:
+        return (
+            "SELECT x, d, ls, s, zl, zr, ul, ur, sl, sr,"
+            " CASE WHEN d = 1.0 THEN 1.0 - ul WHEN d = 0.0 THEN -ul"
+            " WHEN d = 2.0 THEN 0.0"
+            " ELSE -ul * sl / (sl - sr) END AS pp,"
+            " CASE WHEN d = 2.0 THEN ur * sr / (1.0 - sr)"
+            " WHEN d = 3.0 THEN ur * sr / (sl - sr) ELSE 0.0 END AS qq,"
+            " CASE WHEN d = 1.0 THEN zl - ls - ul WHEN d = 0.0 THEN -ul"
+            " WHEN d = 2.0 THEN ln(1.0 - sr) ELSE ln(sl - sr) END AS llr"
+            " FROM (SELECT x, d, ls, s, zl, zr, exp(zl) AS ul,"
+            " exp(zr) AS ur, exp(-exp(zl)) AS sl, exp(-exp(zr)) AS sr"
+            f" FROM (SELECT {p}b.x, {p}b.d, {state}.ls,"
+            f" exp({state}.ls) AS s,"
+            f" ({p}b.lt - {state}.b0 - {state}.b1 * {p}b.x)"
+            f" / exp({state}.ls) AS zl,"
+            f" (CASE WHEN {p}b.d = 3.0 THEN {p}b.lt2 ELSE {p}b.lt END"
+            f" - {state}.b0 - {state}.b1 * {p}b.x) / exp({state}.ls) AS zr"
+            f" FROM {p}b CROSS JOIN {state}) r1) r2"
+        )
+
+    second = (
+        "SELECT *,"
+        " CASE WHEN d = 2.0 THEN 0.0"
+        " WHEN d = 3.0 THEN pp * (1.0 - ul) - pp * pp ELSE -ul END AS pll,"
+        " CASE WHEN d = 2.0 OR d = 3.0"
+        " THEN qq * (1.0 - ur) - qq * qq ELSE 0.0 END AS qrr,"
+        " CASE WHEN d = 3.0 THEN -pp * qq ELSE 0.0 END AS mm,"
+        " CASE WHEN d = 1.0 THEN -1.0 ELSE 0.0 END AS cc"
+    )
+    for i in range(1, iters + 1):
+        prev = f"{p}{i - 1}"
+        ctes.append(
+            f"{p}{i}g AS (SELECT"
+            " SUM((pp + qq) * (-1.0 / s)) AS g0,"
+            " SUM(x * (pp + qq) * (-1.0 / s)) AS g1,"
+            " SUM(cc - zl * pp - zr * qq) AS g2,"
+            " SUM((pll + 2.0 * mm + qrr) * (1.0 / (s * s))) AS h00,"
+            " SUM(x * (pll + 2.0 * mm + qrr) * (1.0 / (s * s))) AS h01,"
+            " SUM(x * x * (pll + 2.0 * mm + qrr) * (1.0 / (s * s))) AS h11,"
+            " SUM(((pp + qq) + zl * (pll + mm) + zr * (mm + qrr))"
+            " * (1.0 / s)) AS h02,"
+            " SUM(x * ((pp + qq) + zl * (pll + mm) + zr * (mm + qrr))"
+            " * (1.0 / s)) AS h12,"
+            " SUM(zl * pp + zr * qq + zl * zl * pll"
+            " + 2.0 * zl * zr * mm + zr * zr * qrr) AS h22,"
+            " SUM(llr) AS ll,"
+            " SUM(CASE WHEN d = 1.0 THEN 1.0 ELSE 0.0 END) AS ne"
+            f" FROM ({second} FROM ({kern(prev)}) k1) k2)"
+        )
+        ctes.append(
+            f"{p}{i} AS (SELECT"
+            f" {prev}.b0 - (g0 * (h11 * h22 - h12 * h12)"
+            " - h01 * (g1 * h22 - h12 * g2)"
+            " + h02 * (g1 * h12 - h11 * g2)) / det AS b0,"
+            f" {prev}.b1 - (h00 * (g1 * h22 - g2 * h12)"
+            " - g0 * (h01 * h22 - h12 * h02)"
+            " + h02 * (h01 * g2 - g1 * h02)) / det AS b1,"
+            f" {prev}.ls - (h00 * (h11 * g2 - h12 * g1)"
+            " - h01 * (h01 * g2 - g1 * h02)"
+            " + g0 * (h01 * h12 - h11 * h02)) / det AS ls"
+            f" FROM (SELECT {p}{i}g.*,"
+            " h00 * (h11 * h22 - h12 * h12)"
+            " - h01 * (h01 * h22 - h12 * h02)"
+            " + h02 * (h01 * h12 - h11 * h02) AS det"
+            f" FROM {p}{i}g) gd CROSS JOIN {prev})"
+        )
+    fin = f"{p}{iters}"
+    ctes.append(
+        f"{p}f AS (SELECT SUM(llr) AS ll,"
+        " SUM(CASE WHEN d = 1.0 THEN 1.0 ELSE 0.0 END) AS ne"
+        f" FROM ({kern(fin)}) k)"
+    )
+    return "WITH " + ",\n".join(ctes) + f"""
+SELECT 'iaft' AS op, 'b_intercept' AS key, CAST(NULL AS BIGINT) AS n,
+       ROUND({fin}.b0, 6) AS v1, CAST(NULL AS DOUBLE) AS v2,
+       CAST(NULL AS DOUBLE) AS v3
+FROM {fin}
+UNION ALL
+SELECT 'iaft', 'b_x', NULL, ROUND({fin}.b1, 6), NULL, NULL FROM {fin}
+UNION ALL
+SELECT 'iaft', 'ln_sigma', NULL, ROUND({fin}.ls, 6), NULL, NULL FROM {fin}
+UNION ALL
+SELECT 'iaft', 'loglik', NULL, ROUND({p}f.ll, 2), NULL, NULL FROM {p}f
+UNION ALL
+SELECT 'iaft', 'n_events', CAST({p}f.ne AS BIGINT), NULL, NULL, NULL
+FROM {p}f
+"""
+
+
 SQL_COX_ARM = _sql_cox_ctes(3)
 SQL_WCOX_ARM = _sql_cox_ctes(3, prefix="wx", mode="weighted")
 SQL_TVCOX_ARM = _sql_cox_ctes(3, prefix="tv", mode="entry")
 SQL_AFT_ARM = _sql_aft_ctes(3)
 SQL_WAFT_ARM = _sql_aft_ctes(3, prefix="wa", mode="weighted")
 SQL_SAFT_ARM = _sql_aft_strat_ctes(3)
+SQL_IAFT_ARM = _sql_aft_interval_ctes(3)
 SQL_COXG_ARMS = " UNION ALL ".join(
     f"SELECT * FROM ({_sql_cox_ctes(3, where=f' WHERE o_custkey % 2 = {s}', prefix=f'cg{s}', mode='grouped', seg_key=str(s))}) a{s}"
     for s in (0, 1)
@@ -9143,6 +9338,8 @@ UNION ALL
 SELECT * FROM ({SQL_WAFT_ARM}) waft
 UNION ALL
 SELECT * FROM ({SQL_SAFT_ARM}) saft
+UNION ALL
+SELECT * FROM ({SQL_IAFT_ARM}) iaft
 UNION ALL
 SELECT 'iso', CAST(CAST(ifin.s AS INT) AS VARCHAR), CAST(ifin.n AS BIGINT),
        ROUND(ifin.fit + 1.1920928955078125e-07, 6),

@@ -1796,6 +1796,7 @@ def weibull_aft(
     exact_iterations: int | None = None,
     weight_col: str | None = None,
     strata_col: str | None = None,
+    time2_col: str | None = None,
 ) -> WeibullAFT:
     """Weibull accelerated-failure-time regression — the PARAMETRIC
     survival model (R `survreg(dist="weibull")`; Spark MLlib's own
@@ -1843,7 +1844,27 @@ def weibull_aft(
     must be driver-bounded (one collected row and two Newton-state
     entries per stratum). Every stratum needs events (and, weighted,
     positive event mass) — σ_g is unidentified otherwise; nulls raise.
-    Composes with `weight_col`/`exact_iterations`."""
+    Composes with `weight_col`/`exact_iterations`.
+
+    CENSORING BEYOND RIGHT (r14 — the full R `survreg`/`Surv` status
+    vocabulary): `event_col` accepts the R interval codes
+    0 = right-censored, 1 = exact event, 2 = LEFT-censored (T ≤ t:
+    ℓ = ln F(t)), 3 = INTERVAL-censored on (t, t2] (ℓ = ln(S(t) −
+    S(t2)); requires `time2_col`, with t2 > t on code-3 rows — other
+    rows ignore it, the `Surv(type="interval")` convention). The
+    per-row contribution generalizes through ONE (P, Q) chain-rule
+    frame — P = ∂ℓ/∂z_L, Q = ∂ℓ/∂z_R with z_L = (ln t − x'β)/σ,
+    z_R = (ln t2 − x'β)/σ (left rows live entirely on the Q side,
+    interval rows on both; exact/right rows reproduce the original
+    expressions exactly) — so each Newton iteration STAYS one
+    aggregation job of CASE-kernel sums; a pure right/event input takes
+    the original code path bitwise-unchanged. The start regresses ln t
+    (ln √(t·t2) for interval rows) over the location-informative
+    (code ≠ 0) rows; identification needs more such rows than
+    coefficients. The left tail ln(1 − e^{−u}) evaluates via expm1
+    (small-u stability); n_events reports EXACT events only. Composes
+    with `weight_col`; `strata_col` with codes 2/3 is not yet
+    supported (raises)."""
     if not x_cols and not fit_intercept:
         raise ValueError("need x_cols or fit_intercept")
     if strata_col is not None and strata_col in x_cols:
@@ -1860,11 +1881,41 @@ def weibull_aft(
             F.sum(wtc).alias("sw"),
             F.min(wtc).alias("minw"),
             F.count(wtc).alias("n_w"),
-            F.sum(wtc * F.col(event_col).cast("double")).alias("swe"),
+            F.sum(
+                wtc * (F.col(event_col).cast("double") == 1.0).cast("double")
+            ).alias("swe"),
+        ]
+    ec = F.col(event_col).cast("double")
+    if weight_col:
+        # in mixed-censoring mode the identification mass lives on every
+        # location-informative row (code != 0), not just exact events
+        wchk_aggs.append(
+            F.sum(F.col(weight_col).cast("double") * (ec != 0.0).cast("double"))
+            .alias("swl")
+        )
+    t2_aggs = []
+    if time2_col:
+        t2_aggs = [
+            F.sum(
+                F.when(
+                    (ec == 3.0)
+                    & (
+                        F.col(time2_col).isNull()
+                        | (
+                            F.col(time2_col).cast("double")
+                            <= F.col(time_col).cast("double")
+                        )
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("bad_t2")
         ]
     chk = df.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col(event_col).cast("double")).alias("ne"),
+        F.sum((ec == 1.0).cast("double")).alias("ne"),
+        F.sum((ec != 0.0).cast("double")).alias("nloc"),
+        F.sum(((ec == 2.0) | (ec == 3.0)).cast("long")).alias("n_mixed"),
+        F.sum((ec == 3.0).cast("long")).alias("n_int"),
         F.sum(
             F.when(
                 F.col(time_col).isNull()
@@ -1874,8 +1925,7 @@ def weibull_aft(
             ).otherwise(0)
         ).alias("bad_t"),
         F.sum(
-            ((F.col(event_col).cast("double") != 0.0)
-             & (F.col(event_col).cast("double") != 1.0)).cast("int")
+            (~ec.isin(0.0, 1.0, 2.0, 3.0)).cast("int")
         ).alias("bad_e"),
         *(
             [
@@ -1886,12 +1936,32 @@ def weibull_aft(
             if strata_col
             else []
         ),
+        *t2_aggs,
         *wchk_aggs,
     ).collect()[0]
     if chk["bad_t"]:
         raise ValueError(f"{chk['bad_t']} rows have null or non-positive time")
     if chk["bad_e"]:
-        raise ValueError("event_col must be 0/1")
+        raise ValueError(
+            "event_col must use the R Surv codes 0 (right-censored), "
+            "1 (event), 2 (left-censored), 3 (interval-censored)"
+        )
+    mixed = bool(int(chk["n_mixed"] or 0))
+    if int(chk["n_int"] or 0) and not time2_col:
+        raise ValueError(
+            "interval-censored rows (event code 3) need time2_col "
+            "(the interval's upper bound)"
+        )
+    if time2_col and chk["bad_t2"]:
+        raise ValueError(
+            f"{chk['bad_t2']} interval rows have null time2 or "
+            "time2 <= time"
+        )
+    if mixed and strata_col:
+        raise ValueError(
+            "strata_col with left/interval censoring (codes 2/3) is not "
+            "supported yet — fit per stratum or drop the strata"
+        )
     if strata_col and chk["bad_s"]:
         raise ValueError(
             f"{chk['bad_s']} rows have a null stratum — every row needs "
@@ -1901,13 +1971,24 @@ def weibull_aft(
     if n == 0:
         raise ValueError("empty input")
     n_events = int(float(chk["ne"] or 0.0))
-    if n_events == 0:
-        raise ValueError("no events — the scale is unidentified")
-    if n_events <= k:
-        raise ValueError(
-            f"need more events than coefficients for the OLS start "
-            f"(n_events={n_events}, k={k})"
-        )
+    n_loc = int(float(chk["nloc"] or 0.0))
+    if not mixed:
+        if n_events == 0:
+            raise ValueError("no events — the scale is unidentified")
+        if n_events <= k:
+            raise ValueError(
+                f"need more events than coefficients for the OLS start "
+                f"(n_events={n_events}, k={k})"
+            )
+    else:
+        # mixed mode implies >= 1 code-2/3 row, which is itself
+        # location-informative, so nloc >= 1 always; the start needs
+        # strictly more such rows than coefficients
+        if n_loc <= k:
+            raise ValueError(
+                f"need more location-informative rows (codes 1/2/3) than "
+                f"coefficients for the start (n={n_loc}, k={k})"
+            )
     if weight_col:
         from sparkglm_spark.operators.lm import check_weight_domain
 
@@ -1915,14 +1996,27 @@ def weibull_aft(
             weight_col, n=n, n_w=int(chk["n_w"]),
             min_w=chk["minw"], sum_w=chk["sw"],
         )
-        if float(chk["swe"] or 0.0) <= 0.0:
+        mass = float(
+            (chk["swl"] if mixed else chk["swe"]) or 0.0
+        )
+        if mass <= 0.0:
             raise ValueError(
-                "all event rows carry zero weight — the scale is "
-                "unidentified (no weighted event mass)"
+                "all location-informative rows carry zero weight — the "
+                "scale is unidentified (no weighted event mass)"
             )
 
     exprs = [F.log(F.col(time_col).cast("double")).alias("__lt"),
              F.col(event_col).cast("double").alias("__d")]
+    if time2_col:
+        # ln t2 only where the interval bound is real (code 3) — other
+        # rows may carry garbage/null t2 by the Surv(type="interval")
+        # convention
+        exprs.append(
+            F.when(
+                F.col(event_col).cast("double") == 3.0,
+                F.log(F.col(time2_col).cast("double")),
+            ).alias("__lt2")
+        )
     if fit_intercept:
         exprs.append(F.lit(1.0).alias("intercept"))
     exprs += [F.col(c).cast("double").alias(c) for c in x_cols]
@@ -1959,7 +2053,23 @@ def weibull_aft(
                     )
             strata = sorted(r["__s"] for r in srows)
 
-        ev = work.where(F.col("__d") == 1.0)
+        if mixed:
+            # location-informative rows: ln t (codes 1/2), the interval's
+            # log-midpoint ln √(t·t2) (code 3) — right-censored rows
+            # carry no location and stay out of the start. Without
+            # time2_col there are no code-3 rows (validated), so __lt2
+            # must not be referenced at all
+            ev = work.where(F.col("__d") != 0.0)
+            if time2_col:
+                ev = ev.withColumn(
+                    "__lt",
+                    F.when(
+                        F.col("__d") == 3.0,
+                        (F.col("__lt") + F.col("__lt2")) / 2.0,
+                    ).otherwise(F.col("__lt")),
+                )
+        else:
+            ev = work.where(F.col("__d") == 1.0)
         start = LM.fit(ev, y_col="__lt", x_cols=names,
                        weight_col="__w" if weight_col else None)
         beta = np.asarray(start.coefs, dtype=np.float64)
@@ -2029,6 +2139,120 @@ def weibull_aft(
                 F.sum(wv * (F.col("__d") * (z - F.lit(ls)) - F.exp(z))).alias("ll")
             ).collect()[0]
             return float(row["ll"])
+
+        # ---- mixed-censoring kernels (r14): the (P, Q) chain-rule
+        # frame. P = ∂ℓ/∂z_L, Q = ∂ℓ/∂z_R; left rows are Q-side-only
+        # with z_R = z(t), interval rows carry both sides and the cross
+        # term M = ∂²ℓ/∂z_L∂z_R = −P·Q. With ∂z/∂β_i = −x_i/σ for BOTH
+        # z's and ∂z/∂ln σ = −z, the sums below are the exact chain
+        # rule; the codes-{0,1} specialization reproduces the fast
+        # path's expressions term-for-term (P = δ − u, P_LL = −u).
+        def _mixed_kernels(b, ls):
+            sigma = float(np.exp(ls))
+            eta = F.lit(0.0)
+            for col, bb in zip(xs, b):
+                eta = eta + F.lit(float(bb)) * col
+            c = F.col("__d")
+            zl = (F.col("__lt") - eta) / F.lit(sigma)
+            if time2_col:
+                zr = F.when(
+                    c == 3.0, (F.col("__lt2") - eta) / F.lit(sigma)
+                ).otherwise(zl)
+            else:
+                zr = zl
+            ul, ur = F.exp(zl), F.exp(zr)
+            sl, sr = F.exp(-ul), F.exp(-ur)
+            f2 = -F.expm1(-ur)          # 1 − e^{−u}: the left-tail mass
+            d3 = sl - sr                # the interval mass
+            P = (
+                F.when(c == 1.0, F.lit(1.0) - ul)
+                .when(c == 0.0, -ul)
+                .when(c == 2.0, F.lit(0.0))
+                .otherwise(-ul * sl / d3)
+            )
+            Q = (
+                F.when(c == 2.0, ur * sr / f2)
+                .when(c == 3.0, ur * sr / d3)
+                .otherwise(F.lit(0.0))
+            )
+            PLL = (
+                F.when(c == 2.0, F.lit(0.0))
+                .when(c == 3.0, P * (F.lit(1.0) - ul) - P * P)
+                .otherwise(-ul)
+            )
+            QRR = F.when(
+                (c == 2.0) | (c == 3.0),
+                Q * (F.lit(1.0) - ur) - Q * Q,
+            ).otherwise(F.lit(0.0))
+            M = F.when(c == 3.0, -P * Q).otherwise(F.lit(0.0))
+            # Spark's log(<=0) is NULL, which a SUM silently SKIPS — an
+            # underflowed tail mass must read −inf so the line-search
+            # rejects the state, not vanish from the likelihood
+            neg_inf = F.lit(float("-inf"))
+            llrow = (
+                F.when(c == 1.0, zl - F.lit(ls) - ul)
+                .when(c == 0.0, -ul)
+                .when(c == 2.0, F.when(f2 > 0.0, F.log(f2)).otherwise(neg_inf))
+                .otherwise(F.when(d3 > 0.0, F.log(d3)).otherwise(neg_inf))
+            )
+            return sigma, c, zl, zr, P, Q, PLL, QRR, M, llrow
+
+        def stats_at_mixed(b, ls):
+            sigma, c, zl, zr, P, Q, PLL, QRR, M, llrow = _mixed_kernels(b, ls)
+            A = P + Q
+            Cc = F.when(c == 1.0, F.lit(-1.0)).otherwise(F.lit(0.0))
+            aggs = [F.sum(wv * llrow).alias("ll")]
+            for i in range(k):
+                aggs.append(
+                    F.sum(wv * (xs[i] * A * F.lit(-1.0 / sigma))).alias(
+                        f"g_{i}"
+                    )
+                )
+            aggs.append(F.sum(wv * (Cc - zl * P - zr * Q)).alias(f"g_{k}"))
+            B2 = PLL + F.lit(2.0) * M + QRR
+            for i in range(k):
+                for j in range(i, k):
+                    aggs.append(
+                        F.sum(
+                            wv * (xs[i] * xs[j] * B2 * F.lit(1.0 / sigma**2))
+                        ).alias(f"h_{i}_{j}")
+                    )
+                aggs.append(
+                    F.sum(
+                        wv
+                        * (
+                            xs[i]
+                            * (A + zl * (PLL + M) + zr * (M + QRR))
+                            * F.lit(1.0 / sigma)
+                        )
+                    ).alias(f"h_{i}_{k}")
+                )
+            aggs.append(
+                F.sum(
+                    wv
+                    * (
+                        zl * P
+                        + zr * Q
+                        + zl * zl * PLL
+                        + F.lit(2.0) * zl * zr * M
+                        + zr * zr * QRR
+                    )
+                ).alias(f"h_{k}_{k}")
+            )
+            row = work.agg(*aggs).collect()[0]
+            ll = float(row["ll"])
+            grad = np.array([float(row[f"g_{i}"]) for i in range(k + 1)])
+            hess = np.zeros((k + 1, k + 1))
+            for i in range(k + 1):
+                for j in range(i, k + 1):
+                    hess[i, j] = hess[j, i] = float(row[f"h_{i}_{j}"])
+            return ll, grad, hess
+
+        def ll_at_mixed(b, ls):
+            *_rest, llrow = _mixed_kernels(b, ls)
+            row = work.agg(F.sum(wv * llrow).alias("ll")).collect()[0]
+            v = row["ll"]
+            return float(v) if v is not None else float("-inf")
 
         # ---- stratified twins (r14): same per-row expressions with σ
         # read through a per-stratum literal chain, aggregated
@@ -2112,6 +2336,9 @@ def weibull_aft(
         if strata_col:
             f_stats = lambda st: stats_at_strat(st[:k], st[k:])  # noqa: E731
             f_ll = lambda st: ll_at_strat(st[:k], st[k:])  # noqa: E731
+        elif mixed:
+            f_stats = lambda st: stats_at_mixed(st[:k], float(st[k]))  # noqa: E731
+            f_ll = lambda st: ll_at_mixed(st[:k], float(st[k]))  # noqa: E731
         else:
             f_stats = lambda st: stats_at(st[:k], float(st[k]))  # noqa: E731
             f_ll = lambda st: ll_at(st[:k], float(st[k]))  # noqa: E731
@@ -2466,7 +2693,7 @@ def logrank_test(
 
 
 def _aft_newton_dense(t, e, X, exact_iterations, tol, max_iter,
-                      intercept_idx=None, w=None):
+                      intercept_idx=None, w=None, t2=None):
     """numpy twin of `weibull_aft`'s Newton-on-(β, ln σ) — the in-memory
     engine for `weibull_aft_grouped` (the `_cox_newton_dense` pattern):
     same OLS-on-event-rows start with the σ/1.283 residual-scale init
@@ -2477,13 +2704,34 @@ def _aft_newton_dense(t, e, X, exact_iterations, tol, max_iter,
     (raw-count σ denominator, the `LM.fit(weight_col=)` convention).
     Returns (beta, log_s, se, loglik, n_iter, converged) or raises
     LinAlgError on a singular start/information (caller maps to the
-    NULL row)."""
+    NULL row).
+
+    `t2` (r14): interval upper bounds for code-3 rows — `e` then carries
+    the full R Surv codes {0,1,2,3} and the kernels switch to the
+    distributed fitter's (P, Q) mixed-censoring frame (see
+    `weibull_aft`); codes-{0,1} inputs keep the original expressions
+    bitwise."""
     n, k = X.shape
     lt = np.log(t)
-    ev = e == 1.0
+    e = np.asarray(e, dtype=np.float64)
+    mixed = bool(np.any((e == 2.0) | (e == 3.0)))
+    lt2 = None
+    if mixed:
+        lt2 = np.where(
+            e == 3.0,
+            np.log(np.where(np.asarray(t2 if t2 is not None else t) > 0,
+                            np.asarray(t2 if t2 is not None else t), 1.0)),
+            lt,
+        )
+    ev = (e != 0.0) if mixed else (e == 1.0)
     if w is None:
         w = np.ones(n, dtype=np.float64)
-    Xe, ye, we = X[ev], lt[ev], w[ev]
+    ye = lt[ev]
+    if mixed:
+        # interval rows regress on the log-midpoint (the distributed
+        # fitter's start)
+        ye = np.where(e[ev] == 3.0, (lt[ev] + lt2[ev]) / 2.0, ye)
+    Xe, we = X[ev], w[ev]
     xtx = Xe.T @ (Xe * we[:, None])
     np.linalg.cholesky(xtx)  # singular event-row design -> degenerate
     xty = Xe.T @ (we * ye)
@@ -2495,7 +2743,78 @@ def _aft_newton_dense(t, e, X, exact_iterations, tol, max_iter,
     if intercept_idx is not None:
         beta[intercept_idx] += _EULER_GAMMA * float(np.exp(log_s))
 
-    def stats_at(b, ls):
+    def _kernels_mixed(b, ls):
+        sigma = float(np.exp(ls))
+        zl = (lt - X @ b) / sigma
+        zr = (lt2 - X @ b) / sigma
+        with np.errstate(over="ignore", invalid="ignore", divide="ignore"):
+            ul, ur = np.exp(zl), np.exp(zr)
+            sl, sr = np.exp(-ul), np.exp(-ur)
+            f2 = -np.expm1(-ur)
+            d3 = sl - sr
+            P = np.select(
+                [e == 1.0, e == 0.0, e == 2.0],
+                [1.0 - ul, -ul, 0.0],
+                default=np.where(d3 > 0, -ul * sl / np.where(d3 > 0, d3, 1.0),
+                                 np.nan),
+            )
+            Q = np.select(
+                [e == 2.0, e == 3.0],
+                [
+                    np.where(f2 > 0, ur * sr / np.where(f2 > 0, f2, 1.0),
+                             np.nan),
+                    np.where(d3 > 0, ur * sr / np.where(d3 > 0, d3, 1.0),
+                             np.nan),
+                ],
+                default=0.0,
+            )
+            PLL = np.select(
+                [e == 2.0, e == 3.0], [0.0, P * (1.0 - ul) - P * P],
+                default=-ul,
+            )
+            QRR = np.where(
+                (e == 2.0) | (e == 3.0), Q * (1.0 - ur) - Q * Q, 0.0
+            )
+            M = np.where(e == 3.0, -P * Q, 0.0)
+            llrow = np.select(
+                [e == 1.0, e == 0.0, e == 2.0],
+                [
+                    zl - ls - ul,
+                    -ul,
+                    np.where(f2 > 0, np.log(np.where(f2 > 0, f2, 1.0)),
+                             -np.inf),
+                ],
+                default=np.where(d3 > 0, np.log(np.where(d3 > 0, d3, 1.0)),
+                                 -np.inf),
+            )
+        return sigma, zl, zr, P, Q, PLL, QRR, M, llrow
+
+    def stats_at_mixed(b, ls):
+        sigma, zl, zr, P, Q, PLL, QRR, M, llrow = _kernels_mixed(b, ls)
+        A = P + Q
+        Cc = np.where(e == 1.0, -1.0, 0.0)
+        ll = float((w * llrow).sum())
+        grad = np.empty(k + 1)
+        grad[:k] = (X * (w * A * (-1.0 / sigma))[:, None]).sum(axis=0)
+        grad[k] = float((w * (Cc - zl * P - zr * Q)).sum())
+        B2 = PLL + 2.0 * M + QRR
+        hess = np.empty((k + 1, k + 1))
+        hess[:k, :k] = (X.T @ (X * (w * B2)[:, None])) / sigma**2
+        hk = (
+            X
+            * (w * (A + zl * (PLL + M) + zr * (M + QRR)) / sigma)[:, None]
+        ).sum(axis=0)
+        hess[:k, k] = hess[k, :k] = hk
+        hess[k, k] = float(
+            (
+                w
+                * (zl * P + zr * Q + zl * zl * PLL + 2.0 * zl * zr * M
+                   + zr * zr * QRR)
+            ).sum()
+        )
+        return ll, grad, hess
+
+    def stats_at_simple(b, ls):
         sigma = float(np.exp(ls))
         z = (lt - X @ b) / sigma
         u = np.exp(z)
@@ -2511,7 +2830,12 @@ def _aft_newton_dense(t, e, X, exact_iterations, tol, max_iter,
         hess[k, k] = float((w * (z * gz - z * z * u)).sum())
         return ll, grad, hess
 
+    stats_at = stats_at_mixed if mixed else stats_at_simple
+
     def ll_at(b, ls):
+        if mixed:
+            *_r, llrow = _kernels_mixed(b, ls)
+            return float((w * llrow).sum())
         sigma = float(np.exp(ls))
         z = (lt - X @ b) / sigma
         with np.errstate(over="ignore"):

@@ -867,8 +867,10 @@ def test_weibull_aft_guards(spark, aft_data):
     with pytest.raises(ValueError, match="non-positive"):
         weibull_aft(df.withColumn("time", F.col("time") - 100.0),
                     "time", "event", ["x1"])
-    with pytest.raises(ValueError, match="0/1"):
-        weibull_aft(df.withColumn("event", F.lit(2.0)), "time", "event", ["x1"])
+    # codes 2/3 are the r14 mixed-censoring feature; anything OUTSIDE
+    # the R Surv vocabulary {0,1,2,3} still raises
+    with pytest.raises(ValueError, match="Surv codes"):
+        weibull_aft(df.withColumn("event", F.lit(5.0)), "time", "event", ["x1"])
     with pytest.raises(ValueError, match="no events"):
         weibull_aft(df.withColumn("event", F.lit(0.0)), "time", "event", ["x1"])
 
@@ -2300,3 +2302,179 @@ def test_r14_persist_round_trips(cp_data, aft_strat_data, tmp_path):
     got = am2.predict(adf.limit(5)).toPandas()["median_survival_time"]
     want = am.predict(adf.limit(5)).toPandas()["median_survival_time"]
     np.testing.assert_allclose(got.to_numpy(), want.to_numpy())
+
+
+class TestAFTMixedCensoring:
+    """r14: left/interval censoring (R Surv codes 2/3) through the
+    (P, Q) chain-rule frame. Oracles: the `_aft_newton_dense` twin
+    (identical kernels run in-memory), simulation truth recovery, and
+    the exact-event limit of a shrinking interval."""
+
+    @pytest.fixture(scope="class")
+    def mixed_data(self, spark):
+        rng = np.random.default_rng(10)
+        n = 2500
+        x = rng.uniform(0, 1, n)
+        W = np.log(-np.log(1 - rng.uniform(size=n)))
+        T = np.exp(10.0 + 0.5 * x + 0.7 * W)
+        u = rng.uniform(size=n)
+        code = np.select([u < 0.2, u < 0.4, u < 0.7], [0.0, 2.0, 3.0],
+                         default=1.0)
+        t = np.where(code == 0, T * 0.7,
+                     np.where(code == 2, T * 1.5,
+                              np.where(code == 3, T * 0.75, T)))
+        t2 = np.where(code == 3, T * 1.6, np.nan)
+        import pandas as pd
+
+        pdf = pd.DataFrame({"t": t, "t2": t2, "c": code, "x": x})
+        return spark.createDataFrame(pdf).repartition(5), pdf
+
+    def test_matches_numpy_twin_and_recovers_truth(self, mixed_data):
+        from sparkglm_spark.operators.survival import (
+            _aft_newton_dense,
+            weibull_aft,
+        )
+
+        df, pdf = mixed_data
+        m = weibull_aft(df, "t", "c", ["x"], time2_col="t2")
+        n = len(pdf)
+        X = np.column_stack([np.ones(n), pdf["x"].to_numpy()])
+        bb, ls, se, ll, _it, conv = _aft_newton_dense(
+            pdf["t"].to_numpy(), pdf["c"].to_numpy(), X, None, 1e-9, 50,
+            intercept_idx=0, t2=pdf["t2"].to_numpy(),
+        )
+        assert conv and m.converged
+        np.testing.assert_allclose(m.coefs, bb, rtol=1e-9)
+        assert abs(m.scale - float(np.exp(ls))) < 1e-9
+        assert abs(m.loglik - ll) < 1e-6
+        np.testing.assert_allclose(m.se, se, rtol=1e-7)
+        # simulation truth: beta0=10, beta1=0.5, sigma=0.7 at n=2500
+        assert abs(m.coefs[0] - 10.0) < 0.15
+        assert abs(m.coefs[1] - 0.5) < 0.2
+        assert abs(m.scale - 0.7) < 0.08
+        # n_events counts EXACT events only
+        assert m.n_events == int((pdf["c"] == 1.0).sum())
+
+    def test_pinned_trajectory_matches_twin(self, mixed_data):
+        from sparkglm_spark.operators.survival import (
+            _aft_newton_dense,
+            weibull_aft,
+        )
+
+        df, pdf = mixed_data
+        m = weibull_aft(df, "t", "c", ["x"], time2_col="t2",
+                        exact_iterations=3)
+        n = len(pdf)
+        X = np.column_stack([np.ones(n), pdf["x"].to_numpy()])
+        bb, ls, *_ = _aft_newton_dense(
+            pdf["t"].to_numpy(), pdf["c"].to_numpy(), X, 3, 1e-9, 50,
+            intercept_idx=0, t2=pdf["t2"].to_numpy(),
+        )
+        np.testing.assert_allclose(m.coefs, bb, rtol=1e-10)
+        assert abs(np.log(m.scale) - ls) < 1e-10
+
+    def test_shrinking_interval_approaches_exact_fit(self, spark):
+        # interval (t, t(1+eps)] -> the exact-event fit as eps -> 0
+        import pandas as pd
+
+        from sparkglm_spark.operators.survival import weibull_aft
+
+        rng = np.random.default_rng(4)
+        n = 1200
+        x = rng.uniform(0, 1, n)
+        W = np.log(-np.log(1 - rng.uniform(size=n)))
+        T = np.exp(5.0 + 0.8 * x + 0.5 * W)
+        exact = pd.DataFrame({"t": T, "c": np.ones(n), "t2": np.nan, "x": x})
+        m_ex = weibull_aft(spark.createDataFrame(exact), "t", "c", ["x"])
+        iv = pd.DataFrame({"t": T, "c": np.full(n, 3.0), "t2": T * 1.0001,
+                           "x": x})
+        m_iv = weibull_aft(spark.createDataFrame(iv), "t", "c", ["x"],
+                           time2_col="t2")
+        np.testing.assert_allclose(m_iv.coefs, m_ex.coefs, atol=2e-4)
+        assert abs(m_iv.scale - m_ex.scale) < 2e-4
+
+    def test_left_censored_only(self, spark):
+        # pure left-censored data: identifiable, matches the twin
+        import pandas as pd
+
+        from sparkglm_spark.operators.survival import (
+            _aft_newton_dense,
+            weibull_aft,
+        )
+
+        rng = np.random.default_rng(9)
+        n = 1500
+        x = rng.uniform(0, 1, n)
+        W = np.log(-np.log(1 - rng.uniform(size=n)))
+        T = np.exp(3.0 + 0.6 * x + 0.4 * W)
+        # observe an inspection time C; record T <= C as left-censored
+        # at C, else exact (the standard current-status-ish mix)
+        C = np.exp(3.3 + 0.6 * x)
+        code = np.where(T <= C, 2.0, 1.0)
+        t = np.where(code == 2.0, C, T)
+        pdf = pd.DataFrame({"t": t, "c": code, "x": x})
+        m = weibull_aft(spark.createDataFrame(pdf), "t", "c", ["x"])
+        X = np.column_stack([np.ones(n), x])
+        bb, ls, *_ = _aft_newton_dense(t, code, X, None, 1e-9, 50,
+                                       intercept_idx=0)
+        np.testing.assert_allclose(m.coefs, bb, rtol=1e-8)
+        assert abs(m.scale - float(np.exp(ls))) < 1e-8
+
+    def test_weighted_replication_identity(self, spark):
+        import pandas as pd
+
+        from sparkglm_spark.operators.survival import weibull_aft
+
+        rng = np.random.default_rng(3)
+        n = 500
+        x = rng.uniform(0, 1, n)
+        W = np.log(-np.log(1 - rng.uniform(size=n)))
+        T = np.exp(4.0 + 0.5 * x + 0.6 * W)
+        u = rng.uniform(size=n)
+        code = np.select([u < 0.25, u < 0.5], [0.0, 3.0], default=1.0)
+        t = np.where(code == 3.0, T * 0.8, T)
+        t2 = np.where(code == 3.0, T * 1.5, np.nan)
+        w = rng.integers(1, 4, size=n).astype(float)
+        pdf = pd.DataFrame({"t": t, "t2": t2, "c": code, "x": x, "w": w})
+        rep = pdf.loc[pdf.index.repeat(pdf["w"].astype(int))]
+        mw = weibull_aft(spark.createDataFrame(pdf), "t", "c", ["x"],
+                         time2_col="t2", weight_col="w")
+        mr = weibull_aft(spark.createDataFrame(rep.drop(columns="w")),
+                         "t", "c", ["x"], time2_col="t2")
+        np.testing.assert_allclose(mw.coefs, mr.coefs, rtol=1e-7)
+        assert abs(mw.scale - mr.scale) < 1e-7 * (1 + mr.scale)
+        assert abs(mw.loglik - mr.loglik) < 1e-5
+        np.testing.assert_allclose(mw.se, mr.se, rtol=1e-6)
+
+    def test_guards(self, spark):
+        import pandas as pd
+
+        from sparkglm_spark.operators.survival import weibull_aft
+
+        base = pd.DataFrame({
+            "t": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+            "t2": [np.nan, 4.0, np.nan, np.nan, 7.0, np.nan],
+            "c": [1.0, 3.0, 0.0, 1.0, 3.0, 1.0],
+            "x": [0.1, 0.5, 0.9, 0.3, 0.7, 0.2],
+            "g": ["a", "a", "b", "b", "a", "b"],
+        })
+        df = spark.createDataFrame(base)
+        with pytest.raises(ValueError, match="need time2_col"):
+            weibull_aft(df, "t", "c", ["x"])
+        bad = spark.createDataFrame(base.assign(t2=[np.nan, 1.5, np.nan,
+                                                    np.nan, 7.0, np.nan]))
+        with pytest.raises(ValueError, match="time2 <= time"):
+            weibull_aft(bad, "t", "c", ["x"], time2_col="t2")
+        with pytest.raises(ValueError, match="not supported yet"):
+            weibull_aft(df, "t", "c", ["x"], time2_col="t2",
+                        strata_col="g")
+        # all-right-censored with no 2/3 codes stays the classic path
+        allr = spark.createDataFrame(base.assign(c=0.0))
+        with pytest.raises(ValueError, match="no events"):
+            weibull_aft(allr, "t", "c", ["x"], time2_col="t2")
+        # mixed mode but too few location-informative rows for the start
+        few = spark.createDataFrame(
+            base.assign(c=[0.0, 3.0, 0.0, 0.0, 0.0, 0.0])
+        )
+        with pytest.raises(ValueError, match="location-informative"):
+            weibull_aft(few, "t", "c", ["x"], time2_col="t2")
