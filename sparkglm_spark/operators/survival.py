@@ -2910,6 +2910,7 @@ def weibull_aft_grouped(
     tol: float = 1e-9,
     exact_iterations: int | None = None,
     weight_col: str | None = None,
+    time2_col: str | None = None,
 ) -> DataFrame:
     """One Weibull AFT model per segment — `weibull_aft` scaled out to
     many groups with no per-group driver work (the `coxph_grouped`
@@ -2924,9 +2925,17 @@ def weibull_aft_grouped(
     weighted-event mass NULL-degrades instead of raising (the
     `glm_elastic_net_grouped` boolean-twin convention).
 
-    Degenerate groups (n_events ≤ k, null/non-positive times, events
-    outside 0/1, non-finite covariates, singular design/information)
-    yield NULL estimate/se/scale rather than garbage or an aborted job.
+    `time2_col` (r14): the mixed-censoring twin — `event_col` carries
+    the full R Surv codes {0,1,2,3} exactly as in
+    `weibull_aft(time2_col=)` (the `_aft_newton_dense` kernels are
+    SHARED, so a group fit here matches the distributed mixed fit on
+    the slice); a group whose code-3 rows lack a finite t2 > t, or
+    whose codes fall outside the vocabulary, NULL-degrades.
+
+    Degenerate groups (too few location-informative rows, null/
+    non-positive times, codes outside the Surv vocabulary, non-finite
+    covariates, singular design/information) yield NULL
+    estimate/se/scale rather than garbage or an aborted job.
 
     Returns long format: group_cols…, term, estimate, se, scale,
     loglik, n_rows, n_events, iterations, converged — `se` covers β
@@ -2950,6 +2959,10 @@ def weibull_aft_grouped(
         + (
             [F.col(weight_col).cast("double").alias("__w")]
             if weight_col else []
+        )
+        + (
+            [F.col(time2_col).cast("double").alias("__t2")]
+            if time2_col else []
         )
     )
     work = df.select(*sel)
@@ -2979,6 +2992,11 @@ def weibull_aft_grouped(
         n = len(t)
         e_valid = e[np.isfinite(e)]
         ne = int((e_valid == 1.0).sum())
+        mixed = bool(np.any((e_valid == 2.0) | (e_valid == 3.0)))
+        # identification mass: exact events (classic) or every
+        # location-informative row (mixed) — the distributed guards'
+        # boolean twin
+        n_id = int((e_valid != 0.0).sum()) if mixed else ne
         if weight_col:
             # pandas maps SQL NULL to NaN in a float column, so one
             # finiteness check covers both null and NaN weights
@@ -2988,25 +3006,37 @@ def weibull_aft_grouped(
                 and bool(np.all(wv >= 0.0))
                 and float(wv.sum()) > 0.0
                 and len(e_valid) == n
-                and float((wv * e).sum()) > 0.0
+                and float(
+                    (wv * ((e != 0.0) if mixed else (e == 1.0))).sum()
+                ) > 0.0
             )
         else:
             wv, w_ok = None, True
+        if time2_col:
+            t2v = pdf["__t2"].to_numpy(dtype=np.float64)
+            c3 = e == 3.0
+            t2_ok = bool(
+                np.all(np.isfinite(t2v[c3])) and np.all(t2v[c3] > t[c3])
+            )
+        else:
+            t2v = None
+            t2_ok = not mixed or not bool(np.any(e_valid == 3.0))
         res = None
         if (
             w_ok
+            and t2_ok
             and len(e_valid) == n
-            and ne > k
+            and n_id > k
             and np.all(np.isfinite(t))
             and np.all(t > 0)
             and np.all(np.isfinite(X))
-            and np.all((e == 0.0) | (e == 1.0))
+            and bool(np.all(np.isin(e, (0.0, 1.0, 2.0, 3.0))))
         ):
             try:
                 res = _aft_newton_dense(
                     t, e, X, exact_iterations, tol, max_iter,
                     intercept_idx=0 if fit_intercept else None,
-                    w=wv,
+                    w=wv, t2=t2v,
                 )
             except np.linalg.LinAlgError:
                 res = None

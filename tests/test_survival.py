@@ -2478,3 +2478,68 @@ class TestAFTMixedCensoring:
         )
         with pytest.raises(ValueError, match="location-informative"):
             weibull_aft(few, "t", "c", ["x"], time2_col="t2")
+
+    def test_grouped_mixed_matches_per_slice(self, spark, mixed_data):
+        from sparkglm_spark.operators.survival import (
+            weibull_aft,
+            weibull_aft_grouped,
+        )
+
+        df, pdf = mixed_data
+        import pandas as pd
+
+        pdf2 = pdf.copy()
+        pdf2["seg"] = np.where(pdf2.index % 2 == 0, "a", "b")
+        gdf = spark.createDataFrame(pdf2).repartition(4)
+        out = (
+            weibull_aft_grouped(
+                gdf, "t", "c", ["x"], ["seg"], time2_col="t2",
+                exact_iterations=3,
+            )
+            .toPandas()
+            .set_index(["seg", "term"])
+        )
+        for seg in ("a", "b"):
+            sl = gdf.where(F.col("seg") == seg)
+            m = weibull_aft(sl, "t", "c", ["x"], time2_col="t2",
+                            exact_iterations=3)
+            np.testing.assert_allclose(
+                [out.loc[(seg, "intercept"), "estimate"],
+                 out.loc[(seg, "x"), "estimate"]],
+                m.coefs, rtol=1e-9,
+            )
+            assert abs(out.loc[(seg, "scale"), "estimate"] - m.scale) < 1e-9
+            assert abs(out.loc[(seg, "scale"), "loglik"] - m.loglik) < 1e-5
+            assert out.loc[(seg, "x"), "n_events"] == m.n_events
+
+    def test_grouped_mixed_degenerate_isolation(self, spark):
+        # a group whose interval rows have t2 <= t NULL-degrades; the
+        # healthy sibling is untouched
+        import pandas as pd
+
+        from sparkglm_spark.operators.survival import weibull_aft_grouped
+
+        rng = np.random.default_rng(2)
+        n = 300
+        x = rng.uniform(0, 1, n)
+        T = np.exp(4.0 + 0.5 * x + 0.6 * np.log(
+            -np.log(1 - rng.uniform(size=n))))
+        good = pd.DataFrame({
+            "seg": "good", "t": T * 0.8, "t2": T * 1.5,
+            "c": np.full(n, 3.0), "x": x,
+        })
+        bad = good.assign(seg="bad", t2=good["t"] * 0.5)  # t2 < t
+        df = spark.createDataFrame(pd.concat([good, bad]))
+        out = (
+            weibull_aft_grouped(df, "t", "c", ["x"], ["seg"],
+                                time2_col="t2")
+            .toPandas().set_index(["seg", "term"])
+        )
+        assert np.isnan(out.loc[("bad", "x"), "estimate"])
+        assert np.isfinite(out.loc[("good", "x"), "estimate"])
+        # code-3 rows without time2_col also NULL-degrade (no bound)
+        out2 = (
+            weibull_aft_grouped(df, "t", "c", ["x"], ["seg"])
+            .toPandas().set_index(["seg", "term"])
+        )
+        assert np.isnan(out2.loc[("good", "x"), "estimate"])
