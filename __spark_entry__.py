@@ -8298,6 +8298,27 @@ def q_orders_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     iam = weibull_aft(iaft_in, "t", "ev", ["x"], time2_col="t2",
                       exact_iterations=3)
+    # r14: the LOGLOGISTIC trajectory (survreg(dist='loglogistic') —
+    # the single-z (A, B) kernel path, pure codegen: sigmoid/softplus).
+    # Planted logistic errors T = exp(10 + 0.5x + 0.7·ln(u/(1−u))),
+    # same 20% censor-at-observed-time routing as the weibull arm; the
+    # model is correctly specified so the undamped 3-step trajectory
+    # contracts. The engine's log1p(e^z) reads ln(1+e^z) in DuckDB —
+    # ulp-level at these magnitudes, inside the 6dp/2dp margins.
+    from sparkglm_spark.operators.survival import survreg
+
+    ll_u = ((F.col("o_orderkey") % 9973).cast("double") + 0.5) / 9974.0
+    llaft_in = od.select(
+        F.exp(
+            F.lit(10.0)
+            + 0.5 * ((F.col("o_custkey") % 100) / 100.0)
+            + 0.7 * F.log(ll_u / (1.0 - ll_u))
+        ).alias("t"),
+        F.when(F.col("o_custkey") % 5 == 0, 0.0).otherwise(1.0).alias("ev"),
+        ((F.col("o_custkey") % 100) / 100.0).alias("x"),
+    )
+    llm = survreg(llaft_in, "t", "ev", ["x"], dist="loglogistic",
+                  exact_iterations=3)
     aft = spark.createDataFrame(
         [
             ("aft", "b_intercept", None, round(float(am.coefs[0]), 6), None,
@@ -8331,6 +8352,15 @@ def q_orders_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("iaft", "loglik", None, round(float(iam.loglik), 2), None,
              None),
             ("iaft", "n_events", iam.n_events, None, None, None),
+            ("llaft", "b_intercept", None, round(float(llm.coefs[0]), 6),
+             None, None),
+            ("llaft", "b_x", None, round(float(llm.coefs[1]), 6), None,
+             None),
+            ("llaft", "ln_sigma", None,
+             round(float(np.log(llm.scale)), 6), None, None),
+            ("llaft", "loglik", None, round(float(llm.loglik), 2), None,
+             None),
+            ("llaft", "n_events", llm.n_events, None, None, None),
         ],
         "op string, key string, n bigint, v1 double, v2 double, v3 double",
     )
@@ -9189,6 +9219,118 @@ FROM {p}f
 """
 
 
+def _sql_aft_loglogistic_ctes(iters: int, prefix: str = "lg") -> str:
+    """Unroll `survreg(dist='loglogistic', exact_iterations=iters)` —
+    the r14 non-weibull AFT path (operators/survival.py single-z (A, B)
+    kernels: A = δ(1−2σ(z)) − (1−δ)σ(z), B = −(1+δ)·σ(z)(1−σ(z)),
+    softplus log-likelihood). Planted LOGISTIC errors
+    T = exp(10 + 0.5x + 0.7·ln(u/(1−u))) with custkey%5 == 0
+    right-censored at the observed time. Start: event-row OLS with
+    σ₀ = residual/(π/√3) (no intercept shift — logistic W has mean 0).
+    The engine's log1p(exp z) reads ln(1+exp z) here (DuckDB has no
+    log1p) — ulp-level at the planted magnitudes, inside the 6dp
+    margins. Same 3×3 Cramer as `_sql_aft_ctes`. Emits op='llaft'."""
+    p = prefix
+    sdw = "1.8137993642342178"
+    ctes = [
+        f"{p}b AS (SELECT"
+        " ln(exp(10.0 + 0.5 * (CAST(o_custkey % 100 AS DOUBLE) / 100.0)"
+        " + 0.7 * ln(((CAST(o_orderkey % 9973 AS DOUBLE) + 0.5) / 9974.0)"
+        " / (1.0 - (CAST(o_orderkey % 9973 AS DOUBLE) + 0.5) / 9974.0))))"
+        " AS lt,"
+        " CASE WHEN o_custkey % 5 = 0 THEN 0.0 ELSE 1.0 END AS d,"
+        " CAST(o_custkey % 100 AS DOUBLE) / 100.0 AS x FROM orders)",
+        f"{p}0g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS s0, SUM(x) AS s1,"
+        " SUM(x * x) AS s2, SUM(lt) AS sy, SUM(x * lt) AS sxy,"
+        f" SUM(lt * lt) AS syy FROM {p}b WHERE d = 1.0)",
+        f"{p}0 AS (SELECT b0, b1, ls FROM (SELECT"
+        " (s2 * sy - s1 * sxy) / (s0 * s2 - s1 * s1) AS b0,"
+        " (s0 * sxy - s1 * sy) / (s0 * s2 - s1 * s1) AS b1,"
+        " ln(GREATEST(SQRT((syy"
+        "   - 2.0 * ((s2 * sy - s1 * sxy) / (s0 * s2 - s1 * s1) * sy"
+        "            + (s0 * sxy - s1 * sy) / (s0 * s2 - s1 * s1) * sxy)"
+        "   + ((s2 * sy - s1 * sxy) / (s0 * s2 - s1 * s1))"
+        "     * ((s2 * sy - s1 * sxy) / (s0 * s2 - s1 * s1)) * s0"
+        "   + 2.0 * ((s2 * sy - s1 * sxy) / (s0 * s2 - s1 * s1))"
+        "     * ((s0 * sxy - s1 * sy) / (s0 * s2 - s1 * s1)) * s1"
+        "   + ((s0 * sxy - s1 * sy) / (s0 * s2 - s1 * s1))"
+        "     * ((s0 * sxy - s1 * sy) / (s0 * s2 - s1 * s1)) * s2)"
+        f" / (s0 - 2.0)) / {sdw}, 0.001)) AS ls FROM {p}0g) s)",
+    ]
+
+    def kern(state: str) -> str:
+        return (
+            "SELECT x, d, ls, s, z, sg,"
+            " CASE WHEN d = 1.0 THEN 1.0 - 2.0 * sg ELSE -sg END AS aa,"
+            " CASE WHEN d = 1.0 THEN -2.0 * sg * (1.0 - sg)"
+            " ELSE -sg * (1.0 - sg) END AS bb,"
+            " CASE WHEN z > 30.0 THEN z ELSE ln(1.0 + exp(z)) END AS sp"
+            " FROM (SELECT x, d, ls, s, z, 1.0 / (1.0 + exp(-z)) AS sg"
+            f" FROM (SELECT {p}b.x, {p}b.d, {state}.ls,"
+            f" exp({state}.ls) AS s,"
+            f" ({p}b.lt - {state}.b0 - {state}.b1 * {p}b.x)"
+            f" / exp({state}.ls) AS z"
+            f" FROM {p}b CROSS JOIN {state}) r1) r2"
+        )
+
+    for i in range(1, iters + 1):
+        prev = f"{p}{i - 1}"
+        ctes.append(
+            f"{p}{i}g AS (SELECT"
+            " SUM(aa * (-1.0 / s)) AS g0,"
+            " SUM(x * aa * (-1.0 / s)) AS g1,"
+            " SUM(-d - z * aa) AS g2,"
+            " SUM(bb * (1.0 / (s * s))) AS h00,"
+            " SUM(x * bb * (1.0 / (s * s))) AS h01,"
+            " SUM(x * x * bb * (1.0 / (s * s))) AS h11,"
+            " SUM((aa + z * bb) * (1.0 / s)) AS h02,"
+            " SUM(x * (aa + z * bb) * (1.0 / s)) AS h12,"
+            " SUM(z * aa + z * z * bb) AS h22,"
+            " SUM(CASE WHEN d = 1.0 THEN z - ls - 2.0 * sp"
+            " ELSE -sp END) AS ll, SUM(d) AS ne"
+            f" FROM ({kern(prev)}) k)"
+        )
+        ctes.append(
+            f"{p}{i} AS (SELECT"
+            f" {prev}.b0 - (g0 * (h11 * h22 - h12 * h12)"
+            " - h01 * (g1 * h22 - h12 * g2)"
+            " + h02 * (g1 * h12 - h11 * g2)) / det AS b0,"
+            f" {prev}.b1 - (h00 * (g1 * h22 - g2 * h12)"
+            " - g0 * (h01 * h22 - h12 * h02)"
+            " + h02 * (h01 * g2 - g1 * h02)) / det AS b1,"
+            f" {prev}.ls - (h00 * (h11 * g2 - h12 * g1)"
+            " - h01 * (h01 * g2 - g1 * h02)"
+            " + g0 * (h01 * h12 - h11 * h02)) / det AS ls"
+            f" FROM (SELECT {p}{i}g.*,"
+            " h00 * (h11 * h22 - h12 * h12)"
+            " - h01 * (h01 * h22 - h12 * h02)"
+            " + h02 * (h01 * h12 - h11 * h02) AS det"
+            f" FROM {p}{i}g) gd CROSS JOIN {prev})"
+        )
+    fin = f"{p}{iters}"
+    ctes.append(
+        f"{p}f AS (SELECT SUM(CASE WHEN d = 1.0 THEN z - ls - 2.0 * sp"
+        " ELSE -sp END) AS ll, SUM(d) AS ne"
+        f" FROM ({kern(fin)}) k)"
+    )
+    tail = f"""
+SELECT 'llaft' AS op, 'b_intercept' AS key, CAST(NULL AS BIGINT) AS n,
+       ROUND({fin}.b0, 6) AS v1, CAST(NULL AS DOUBLE) AS v2,
+       CAST(NULL AS DOUBLE) AS v3
+FROM {fin}
+UNION ALL
+SELECT 'llaft', 'b_x', NULL, ROUND({fin}.b1, 6), NULL, NULL FROM {fin}
+UNION ALL
+SELECT 'llaft', 'ln_sigma', NULL, ROUND({fin}.ls, 6), NULL, NULL FROM {fin}
+UNION ALL
+SELECT 'llaft', 'loglik', NULL, ROUND({p}f.ll, 2), NULL, NULL FROM {p}f
+UNION ALL
+SELECT 'llaft', 'n_events', CAST({p}f.ne AS BIGINT), NULL, NULL, NULL
+FROM {p}f
+"""
+    return "WITH " + ",\n".join(ctes) + tail
+
+
 SQL_COX_ARM = _sql_cox_ctes(3)
 SQL_WCOX_ARM = _sql_cox_ctes(3, prefix="wx", mode="weighted")
 SQL_TVCOX_ARM = _sql_cox_ctes(3, prefix="tv", mode="entry")
@@ -9196,6 +9338,7 @@ SQL_AFT_ARM = _sql_aft_ctes(3)
 SQL_WAFT_ARM = _sql_aft_ctes(3, prefix="wa", mode="weighted")
 SQL_SAFT_ARM = _sql_aft_strat_ctes(3)
 SQL_IAFT_ARM = _sql_aft_interval_ctes(3)
+SQL_LLAFT_ARM = _sql_aft_loglogistic_ctes(3)
 SQL_COXG_ARMS = " UNION ALL ".join(
     f"SELECT * FROM ({_sql_cox_ctes(3, where=f' WHERE o_custkey % 2 = {s}', prefix=f'cg{s}', mode='grouped', seg_key=str(s))}) a{s}"
     for s in (0, 1)
@@ -9340,6 +9483,8 @@ UNION ALL
 SELECT * FROM ({SQL_SAFT_ARM}) saft
 UNION ALL
 SELECT * FROM ({SQL_IAFT_ARM}) iaft
+UNION ALL
+SELECT * FROM ({SQL_LLAFT_ARM}) llaft
 UNION ALL
 SELECT 'iso', CAST(CAST(ifin.s AS INT) AS VARCHAR), CAST(ifin.n AS BIGINT),
        ROUND(ifin.fit + 1.1920928955078125e-07, 6),

@@ -1711,6 +1711,10 @@ class WeibullAFT:
     weight_col: str | None = None
     strata_col: str | None = None
     scales: dict | None = None
+    # r14: the error distribution of W (R survreg dist=) — 'weibull'
+    # (extreme value), 'loglogistic' (logistic W), 'lognormal'
+    # (normal W); scoring dispatches on it
+    dist: str = "weibull"
 
     def _eta(self) -> Column:
         eta = F.lit(0.0)
@@ -1733,9 +1737,13 @@ class WeibullAFT:
     def predict(
         self, df: DataFrame, output_col: str = "median_survival_time"
     ) -> DataFrame:
-        """Append the predicted MEDIAN survival time
-        exp(x'β)·(ln 2)^σ — one codegen projection, rows untouched."""
-        if self.strata_col is None:
+        """Append the predicted MEDIAN survival time — one codegen
+        projection, rows untouched. Weibull: exp(x'β)·(ln 2)^σ (the
+        median of the extreme-value error is ln ln 2); loglogistic and
+        lognormal: exp(x'β) exactly (their W medians are 0)."""
+        if self.dist in ("loglogistic", "lognormal"):
+            med = F.exp(self._eta())
+        elif self.strata_col is None:
             med = F.exp(self._eta()) * F.lit(float(np.log(2.0) ** self.scale))
         else:
             med = F.exp(self._eta()) * F.pow(
@@ -1746,9 +1754,11 @@ class WeibullAFT:
     def predict_survival(
         self, df: DataFrame, times: list[float], prefix: str = "surv_"
     ) -> DataFrame:
-        """S(t|x) = exp(−exp((ln t − x'β)/σ)) at each horizon — pure
-        codegen, no baseline estimation needed (the parametric payoff
-        over Cox: the survival function is closed-form)."""
+        """S(t|x) at each horizon — the parametric payoff over Cox:
+        the survival function is closed-form. Weibull exp(−e^z),
+        loglogistic 1/(1+e^z) — both pure codegen; lognormal Φ(−z)
+        through one Arrow pandas-UDF column per horizon (the probit
+        precedent — no JVM normal CDF)."""
         if not times:
             raise ValueError("times must be non-empty")
         if any(t <= 0 for t in times):
@@ -1756,10 +1766,28 @@ class WeibullAFT:
         out = df
         eta = self._eta()
         sig = self._sigma_expr()
+        if self.dist == "lognormal":
+            from pyspark.sql.functions import pandas_udf
+            from pyspark.sql.types import DoubleType
+
+            from sparkglm_spark.functions import special
+
+            @pandas_udf(DoubleType())
+            def _sf(zv):
+                import pandas as pd
+
+                return pd.Series(special.norm_sf(zv.to_numpy()))
+
         for t in times:
             name = f"{prefix}{t:g}".replace(".", "_").replace("-", "m")
             z = (F.lit(float(np.log(t))) - eta) / sig
-            out = out.withColumn(name, F.exp(-F.exp(z)))
+            if self.dist == "loglogistic":
+                sv = F.lit(1.0) / (F.lit(1.0) + F.exp(z))
+            elif self.dist == "lognormal":
+                sv = _sf(z)
+            else:
+                sv = F.exp(-F.exp(z))
+            out = out.withColumn(name, sv)
         return out
 
     def summary_rows(self) -> list[tuple]:
@@ -1797,6 +1825,7 @@ def weibull_aft(
     weight_col: str | None = None,
     strata_col: str | None = None,
     time2_col: str | None = None,
+    dist: str = "weibull",
 ) -> WeibullAFT:
     """Weibull accelerated-failure-time regression — the PARAMETRIC
     survival model (R `survreg(dist="weibull")`; Spark MLlib's own
@@ -1864,7 +1893,26 @@ def weibull_aft(
     coefficients. The left tail ln(1 − e^{−u}) evaluates via expm1
     (small-u stability); n_events reports EXACT events only. Composes
     with `weight_col`; `strata_col` with codes 2/3 is not yet
-    supported (raises)."""
+    supported (raises).
+
+    `dist` (r14 — the R `survreg(dist=)` error-distribution switch):
+    'weibull' (default — everything above), 'loglogistic' (W standard
+    logistic: proportional ODDS in time, the AFT that allows
+    non-monotone hazards) and 'lognormal' (W standard normal). The
+    Newton is the SAME single-z chain-rule frame with per-distribution
+    (ℓ, A = dℓ/dz, B = d²ℓ/dz²) kernels: loglogistic is pure codegen
+    (sigmoid/softplus), lognormal routes the censored tail's Mills
+    ratio h = φ/Φ̄ through one Arrow pandas-UDF column per aggregation
+    (the probit-link precedent) with the asymptotic h → z + 1/z guard
+    past Φ̄ underflow. σ starts from the residual scale over sd(W)
+    (π/√3 logistic, 1 normal); no intercept shift (their W means are
+    0). Non-weibull dists support right censoring only for now (codes
+    2/3 or strata raise)."""
+    dist = dist.lower()
+    if dist not in ("weibull", "loglogistic", "lognormal"):
+        raise ValueError(
+            f"dist must be weibull/loglogistic/lognormal, got {dist!r}"
+        )
     if not x_cols and not fit_intercept:
         raise ValueError("need x_cols or fit_intercept")
     if strata_col is not None and strata_col in x_cols:
@@ -1961,6 +2009,11 @@ def weibull_aft(
         raise ValueError(
             "strata_col with left/interval censoring (codes 2/3) is not "
             "supported yet — fit per stratum or drop the strata"
+        )
+    if dist != "weibull" and (mixed or strata_col):
+        raise ValueError(
+            f"dist={dist!r} supports right censoring only (codes 0/1) "
+            "and no strata — yet"
         )
     if strata_col and chk["bad_s"]:
         raise ValueError(
@@ -2073,17 +2126,25 @@ def weibull_aft(
         start = LM.fit(ev, y_col="__lt", x_cols=names,
                        weight_col="__w" if weight_col else None)
         beta = np.asarray(start.coefs, dtype=np.float64)
-        # σ start from the OLS residual scale (W has sd π/√6 ≈ 1.283) —
-        # far better conditioned than σ=1 when the true scale is small,
-        # where the Hessian is not yet negative definite and Newton crawls
-        log_s = float(np.log(max(start.sigma / 1.283, 1e-3)))
-        # method-of-moments intercept correction: W has mean −γ (Euler),
-        # so the OLS intercept estimates β₀ − γσ; uncorrected, the start
-        # sits ~0.6σ below the MLE — outside the quadratic basin, where
-        # plain Newton overshoots (measured: the first undamped step on
-        # planted Weibull data jumps past the optimum and diverges).
-        # Corrected, the start lands in the basin and Newton contracts.
-        if fit_intercept:
+        # σ start from the OLS residual scale over sd(W) (π/√6 ≈ 1.283
+        # extreme-value, π/√3 logistic, 1 normal) — far better
+        # conditioned than σ=1 when the true scale is small, where the
+        # Hessian is not yet negative definite and Newton crawls
+        sd_w = {
+            "weibull": 1.283,
+            "loglogistic": float(np.pi / np.sqrt(3.0)),
+            "lognormal": 1.0,
+        }[dist]
+        log_s = float(np.log(max(start.sigma / sd_w, 1e-3)))
+        # method-of-moments intercept correction: the extreme-value W
+        # has mean −γ (Euler), so the OLS intercept estimates β₀ − γσ;
+        # uncorrected, the start sits ~0.6σ below the MLE — outside the
+        # quadratic basin, where plain Newton overshoots (measured: the
+        # first undamped step on planted Weibull data jumps past the
+        # optimum and diverges). Corrected, the start lands in the
+        # basin and Newton contracts. Logistic/normal W have mean 0 —
+        # no shift.
+        if fit_intercept and dist == "weibull":
             beta[0] += _EULER_GAMMA * float(np.exp(log_s))
         xs = [F.col(c) for c in names]
         # ω multiplies every per-subject likelihood term; lit(1.0)·x is
@@ -2139,6 +2200,117 @@ def weibull_aft(
                 F.sum(wv * (F.col("__d") * (z - F.lit(ls)) - F.exp(z))).alias("ll")
             ).collect()[0]
             return float(row["ll"])
+
+        # ---- non-weibull error distributions (r14 — survreg dist=):
+        # the single-z chain-rule frame with per-dist (ℓ, A, B) kernels.
+        # g_i = −(1/σ)Σωx_iA, g_s = Σω(C − zA), H_ij = Σωx_ix_jB/σ²,
+        # H_is = Σωx_i(A + zB)/σ, H_ss = Σω(zA + z²B) — the weibull
+        # fast path is this frame at A = δ−u, B = −u.
+        def _dist_kernels(b, ls):
+            sigma = float(np.exp(ls))
+            eta = F.lit(0.0)
+            for col, bb in zip(xs, b):
+                eta = eta + F.lit(float(bb)) * col
+            z = (F.col("__lt") - eta) / F.lit(sigma)
+            d = F.col("__d")
+            if dist == "loglogistic":
+                sg = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))  # e^z/(1+e^z)
+                # softplus ln(1+e^z): the z > 30 branch avoids exp overflow
+                sp = F.when(z > 30.0, z).otherwise(F.log1p(F.exp(z)))
+                A = F.when(d == 1.0, F.lit(1.0) - 2.0 * sg).otherwise(-sg)
+                B = F.when(d == 1.0, -2.0 * sg * (F.lit(1.0) - sg)).otherwise(
+                    -sg * (F.lit(1.0) - sg)
+                )
+                llrow = F.when(d == 1.0, z - F.lit(ls) - 2.0 * sp).otherwise(
+                    -sp
+                )
+            else:  # lognormal — censored tail through the Mills ratio
+                from pyspark.sql.functions import pandas_udf
+                from pyspark.sql.types import DoubleType
+
+                from sparkglm_spark.functions import special as _sp
+
+                @pandas_udf(DoubleType())
+                def _hz(zv):
+                    import pandas as pd
+
+                    v = zv.to_numpy(dtype=np.float64)
+                    sf = _sp.norm_sf(v)
+                    ok = sf > 0.0
+                    # Φ̄ underflows past z ≈ 38: h(z) → z + 1/z
+                    return pd.Series(
+                        np.where(
+                            ok,
+                            _sp.norm_pdf(v) / np.where(ok, sf, 1.0),
+                            v + 1.0 / np.where(v != 0, v, 1.0),
+                        )
+                    )
+
+                @pandas_udf(DoubleType())
+                def _lsf(zv):
+                    import pandas as pd
+
+                    v = zv.to_numpy(dtype=np.float64)
+                    sf = _sp.norm_sf(v)
+                    ok = sf > 0.0
+                    # asymptotic ln Φ̄(z) ≈ −z²/2 − ln(z√(2π)) past
+                    # underflow
+                    return pd.Series(
+                        np.where(
+                            ok,
+                            np.log(np.where(ok, sf, 1.0)),
+                            -0.5 * v * v
+                            - np.log(np.abs(v) * np.sqrt(2.0 * np.pi)),
+                        )
+                    )
+
+                h = _hz(z)
+                A = F.when(d == 1.0, -z).otherwise(-h)
+                B = F.when(d == 1.0, F.lit(-1.0)).otherwise(h * (z - h))
+                llrow = F.when(
+                    d == 1.0,
+                    -0.5 * z * z - F.lit(0.5 * np.log(2.0 * np.pi)) - F.lit(ls),
+                ).otherwise(_lsf(z))
+            C = F.when(d == 1.0, F.lit(-1.0)).otherwise(F.lit(0.0))
+            return sigma, z, A, B, C, llrow
+
+        def stats_at_dist(b, ls):
+            sigma, z, A, B, C, llrow = _dist_kernels(b, ls)
+            aggs = [F.sum(wv * llrow).alias("ll")]
+            for i in range(k):
+                aggs.append(
+                    F.sum(wv * (xs[i] * A * F.lit(-1.0 / sigma))).alias(
+                        f"g_{i}"
+                    )
+                )
+            aggs.append(F.sum(wv * (C - z * A)).alias(f"g_{k}"))
+            for i in range(k):
+                for j in range(i, k):
+                    aggs.append(
+                        F.sum(
+                            wv * (xs[i] * xs[j] * B * F.lit(1.0 / sigma**2))
+                        ).alias(f"h_{i}_{j}")
+                    )
+                aggs.append(
+                    F.sum(
+                        wv * (xs[i] * (A + z * B) * F.lit(1.0 / sigma))
+                    ).alias(f"h_{i}_{k}")
+                )
+            aggs.append(F.sum(wv * (z * A + z * z * B)).alias(f"h_{k}_{k}"))
+            row = work.agg(*aggs).collect()[0]
+            ll = float(row["ll"])
+            grad = np.array([float(row[f"g_{i}"]) for i in range(k + 1)])
+            hess = np.zeros((k + 1, k + 1))
+            for i in range(k + 1):
+                for j in range(i, k + 1):
+                    hess[i, j] = hess[j, i] = float(row[f"h_{i}_{j}"])
+            return ll, grad, hess
+
+        def ll_at_dist(b, ls):
+            *_r, llrow = _dist_kernels(b, ls)
+            row = work.agg(F.sum(wv * llrow).alias("ll")).collect()[0]
+            v = row["ll"]
+            return float(v) if v is not None else float("-inf")
 
         # ---- mixed-censoring kernels (r14): the (P, Q) chain-rule
         # frame. P = ∂ℓ/∂z_L, Q = ∂ℓ/∂z_R; left rows are Q-side-only
@@ -2339,6 +2511,9 @@ def weibull_aft(
         elif mixed:
             f_stats = lambda st: stats_at_mixed(st[:k], float(st[k]))  # noqa: E731
             f_ll = lambda st: ll_at_mixed(st[:k], float(st[k]))  # noqa: E731
+        elif dist != "weibull":
+            f_stats = lambda st: stats_at_dist(st[:k], float(st[k]))  # noqa: E731
+            f_ll = lambda st: ll_at_dist(st[:k], float(st[k]))  # noqa: E731
         else:
             f_stats = lambda st: stats_at(st[:k], float(st[k]))  # noqa: E731
             f_ll = lambda st: ll_at(st[:k], float(st[k]))  # noqa: E731
@@ -2428,6 +2603,7 @@ def weibull_aft(
         cov_params=cov,
         weight_col=weight_col,
         strata_col=strata_col,
+        dist=dist,
         scales=(
             {v: float(np.exp(state[k + i])) for i, v in enumerate(strata)}
             if strata_col
@@ -2693,7 +2869,8 @@ def logrank_test(
 
 
 def _aft_newton_dense(t, e, X, exact_iterations, tol, max_iter,
-                      intercept_idx=None, w=None, t2=None):
+                      intercept_idx=None, w=None, t2=None,
+                      dist="weibull"):
     """numpy twin of `weibull_aft`'s Newton-on-(β, ln σ) — the in-memory
     engine for `weibull_aft_grouped` (the `_cox_newton_dense` pattern):
     same OLS-on-event-rows start with the σ/1.283 residual-scale init
@@ -2710,11 +2887,16 @@ def _aft_newton_dense(t, e, X, exact_iterations, tol, max_iter,
     the full R Surv codes {0,1,2,3} and the kernels switch to the
     distributed fitter's (P, Q) mixed-censoring frame (see
     `weibull_aft`); codes-{0,1} inputs keep the original expressions
-    bitwise."""
+    bitwise. `dist` (r14): 'loglogistic'/'lognormal' single-z kernels —
+    right censoring only, mirrors the distributed fitter."""
     n, k = X.shape
     lt = np.log(t)
     e = np.asarray(e, dtype=np.float64)
     mixed = bool(np.any((e == 2.0) | (e == 3.0)))
+    if mixed and dist != "weibull":
+        raise ValueError(
+            f"dist={dist!r} supports right censoring only (codes 0/1)"
+        )
     lt2 = None
     if mixed:
         lt2 = np.where(
@@ -2739,8 +2921,13 @@ def _aft_newton_dense(t, e, X, exact_iterations, tol, max_iter,
     sse = float(ye @ (we * ye) - 2.0 * beta @ xty + beta @ xtx @ beta)
     ne = int(ev.sum())
     sig = np.sqrt(max(sse, 0.0) / (ne - k)) if ne > k else 1.0
-    log_s = float(np.log(max(sig / 1.283, 1e-3)))
-    if intercept_idx is not None:
+    sd_w = {
+        "weibull": 1.283,
+        "loglogistic": float(np.pi / np.sqrt(3.0)),
+        "lognormal": 1.0,
+    }[dist]
+    log_s = float(np.log(max(sig / sd_w, 1e-3)))
+    if intercept_idx is not None and dist == "weibull":
         beta[intercept_idx] += _EULER_GAMMA * float(np.exp(log_s))
 
     def _kernels_mixed(b, ls):
@@ -2814,6 +3001,57 @@ def _aft_newton_dense(t, e, X, exact_iterations, tol, max_iter,
         )
         return ll, grad, hess
 
+    def _np_dist_ab(z):
+        # (A, B, llrow) per dist for codes {0,1} (right censoring)
+        with np.errstate(over="ignore", invalid="ignore", divide="ignore"):
+            if dist == "loglogistic":
+                sg = 1.0 / (1.0 + np.exp(-z))
+                sp = np.where(z > 30.0, z, np.log1p(np.exp(np.minimum(z, 30.0))))
+                A = np.where(e == 1.0, 1.0 - 2.0 * sg, -sg)
+                B = np.where(e == 1.0, -2.0 * sg * (1.0 - sg),
+                             -sg * (1.0 - sg))
+                llrow = np.where(e == 1.0, z - 0.0 - 2.0 * sp, -sp)
+            else:  # lognormal
+                from sparkglm_spark.functions import special as _sp
+
+                sf = _sp.norm_sf(z)
+                ok = sf > 0.0
+                h = np.where(
+                    ok,
+                    _sp.norm_pdf(z) / np.where(ok, sf, 1.0),
+                    z + 1.0 / np.where(z != 0, z, 1.0),
+                )
+                lsf = np.where(
+                    ok,
+                    np.log(np.where(ok, sf, 1.0)),
+                    -0.5 * z * z - np.log(np.abs(z) * np.sqrt(2.0 * np.pi)),
+                )
+                A = np.where(e == 1.0, -z, -h)
+                B = np.where(e == 1.0, -1.0, h * (z - h))
+                llrow = np.where(
+                    e == 1.0,
+                    -0.5 * z * z - 0.5 * np.log(2.0 * np.pi),
+                    lsf,
+                )
+        return A, B, llrow
+
+    def stats_at_distnp(b, ls):
+        sigma = float(np.exp(ls))
+        z = (lt - X @ b) / sigma
+        A, B, llrow = _np_dist_ab(z)
+        # the event rows' −ln σ explicit term
+        ll = float((w * (llrow - np.where(e == 1.0, ls, 0.0))).sum())
+        Cc = np.where(e == 1.0, -1.0, 0.0)
+        grad = np.empty(k + 1)
+        grad[:k] = (X * (w * A * (-1.0 / sigma))[:, None]).sum(axis=0)
+        grad[k] = float((w * (Cc - z * A)).sum())
+        hess = np.empty((k + 1, k + 1))
+        hess[:k, :k] = (X.T @ (X * (w * B)[:, None])) / sigma**2
+        hk = (X * (w * (A + z * B) / sigma)[:, None]).sum(axis=0)
+        hess[:k, k] = hess[k, :k] = hk
+        hess[k, k] = float((w * (z * A + z * z * B)).sum())
+        return ll, grad, hess
+
     def stats_at_simple(b, ls):
         sigma = float(np.exp(ls))
         z = (lt - X @ b) / sigma
@@ -2830,12 +3068,24 @@ def _aft_newton_dense(t, e, X, exact_iterations, tol, max_iter,
         hess[k, k] = float((w * (z * gz - z * z * u)).sum())
         return ll, grad, hess
 
-    stats_at = stats_at_mixed if mixed else stats_at_simple
+    if mixed:
+        stats_at = stats_at_mixed
+    elif dist != "weibull":
+        stats_at = stats_at_distnp
+    else:
+        stats_at = stats_at_simple
 
     def ll_at(b, ls):
         if mixed:
             *_r, llrow = _kernels_mixed(b, ls)
             return float((w * llrow).sum())
+        if dist != "weibull":
+            sigma = float(np.exp(ls))
+            z = (lt - X @ b) / sigma
+            _A, _B, llrow = _np_dist_ab(z)
+            return float(
+                (w * (llrow - np.where(e == 1.0, ls, 0.0))).sum()
+            )
         sigma = float(np.exp(ls))
         z = (lt - X @ b) / sigma
         with np.errstate(over="ignore"):
@@ -2899,6 +3149,24 @@ def _aft_newton_dense(t, e, X, exact_iterations, tol, max_iter,
     return beta, log_s, se, ll, n_iter, converged or exact_iterations is not None
 
 
+def survreg(
+    df: DataFrame,
+    time_col: str,
+    event_col: str,
+    x_cols: list[str],
+    dist: str = "weibull",
+    **kwargs,
+) -> WeibullAFT:
+    """The R `survreg` front door — parametric AFT regression with the
+    error-distribution switch: `dist` ∈ {'weibull', 'loglogistic',
+    'lognormal'} (R's `survreg(Surv(...) ~ ..., dist=)` vocabulary;
+    'exponential' is `weibull` with σ pinned — not offered, fit weibull
+    and test log σ = 0 instead). Delegates to `weibull_aft(dist=)`;
+    every keyword there (weights, strata, exact_iterations, the
+    time2/censor-code vocabulary for weibull) passes through."""
+    return weibull_aft(df, time_col, event_col, x_cols, dist=dist, **kwargs)
+
+
 def weibull_aft_grouped(
     df: DataFrame,
     time_col: str,
@@ -2911,6 +3179,7 @@ def weibull_aft_grouped(
     exact_iterations: int | None = None,
     weight_col: str | None = None,
     time2_col: str | None = None,
+    dist: str = "weibull",
 ) -> DataFrame:
     """One Weibull AFT model per segment — `weibull_aft` scaled out to
     many groups with no per-group driver work (the `coxph_grouped`
@@ -2924,6 +3193,11 @@ def weibull_aft_grouped(
     policy — a group with null/NaN/negative weights, Σω ≤ 0, or zero
     weighted-event mass NULL-degrades instead of raising (the
     `glm_elastic_net_grouped` boolean-twin convention).
+
+    `dist` (r14): 'loglogistic'/'lognormal' per-group fits (right
+    censoring only — a group with codes 2/3 under a non-weibull dist
+    NULL-degrades); the `_aft_newton_dense` kernels are shared with
+    the distributed `weibull_aft(dist=)`.
 
     `time2_col` (r14): the mixed-censoring twin — `event_col` carries
     the full R Surv codes {0,1,2,3} exactly as in
@@ -2942,6 +3216,11 @@ def weibull_aft_grouped(
     terms (the ln σ SE rides as the 'scale' term row's se)."""
     from pyspark.sql import types as T
 
+    dist = dist.lower()
+    if dist not in ("weibull", "loglogistic", "lognormal"):
+        raise ValueError(
+            f"dist must be weibull/loglogistic/lognormal, got {dist!r}"
+        )
     if not x_cols and not fit_intercept:
         raise ValueError("need x_cols or fit_intercept")
     if not group_cols:
@@ -3036,9 +3315,11 @@ def weibull_aft_grouped(
                 res = _aft_newton_dense(
                     t, e, X, exact_iterations, tol, max_iter,
                     intercept_idx=0 if fit_intercept else None,
-                    w=wv, t2=t2v,
+                    w=wv, t2=t2v, dist=dist,
                 )
-            except np.linalg.LinAlgError:
+            except (np.linalg.LinAlgError, ValueError):
+                # ValueError: codes 2/3 under a non-weibull dist — the
+                # grouped NULL policy, not an aborted job
                 res = None
         if res is not None:
             beta, log_s, se, ll, it, conv = res

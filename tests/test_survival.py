@@ -2543,3 +2543,163 @@ class TestAFTMixedCensoring:
             .toPandas().set_index(["seg", "term"])
         )
         assert np.isnan(out2.loc[("good", "x"), "estimate"])
+
+
+class TestSurvregDists:
+    """r14: survreg(dist=) — loglogistic / lognormal AFT through the
+    single-z (A, B) chain-rule frame. Oracles: the shared
+    `_aft_newton_dense(dist=)` twin, simulation truth recovery under
+    independent censoring, closed-form scoring identities."""
+
+    def _sim(self, dist, seed=31, n=3000):
+        rng = np.random.default_rng(seed)
+        x = rng.uniform(0, 1, n)
+        if dist == "loglogistic":
+            u = rng.uniform(size=n)
+            W = np.log(u / (1 - u))
+        else:
+            W = rng.normal(size=n)
+        T = np.exp(3.0 + 0.8 * x + 0.5 * W)
+        C = np.exp(rng.uniform(3.2, 5.0, size=n))  # independent censoring
+        ev = (T <= C).astype(float)
+        t = np.minimum(T, C)
+        import pandas as pd
+
+        return pd.DataFrame({"t": t, "ev": ev, "x": x})
+
+    @pytest.mark.parametrize("dist", ["loglogistic", "lognormal"])
+    def test_twin_identity_and_truth(self, spark, dist):
+        from sparkglm_spark.operators.survival import (
+            _aft_newton_dense,
+            survreg,
+        )
+
+        pdf = self._sim(dist)
+        n = len(pdf)
+        df = spark.createDataFrame(pdf).repartition(4)
+        m = survreg(df, "t", "ev", ["x"], dist=dist, exact_iterations=4)
+        X = np.column_stack([np.ones(n), pdf["x"].to_numpy()])
+        bb, ls, se, ll, _it, _cv = _aft_newton_dense(
+            pdf["t"].to_numpy(), pdf["ev"].to_numpy(), X, 4, 1e-9, 50,
+            intercept_idx=0, dist=dist,
+        )
+        np.testing.assert_allclose(m.coefs, bb, rtol=1e-9)
+        assert abs(np.log(m.scale) - ls) < 1e-9
+        assert abs(m.loglik - ll) < 1e-6
+        np.testing.assert_allclose(m.se, se, rtol=1e-7)
+        mc = survreg(df, "t", "ev", ["x"], dist=dist)
+        assert mc.converged
+        assert abs(mc.coefs[0] - 3.0) < 0.1
+        assert abs(mc.coefs[1] - 0.8) < 0.15
+        assert abs(mc.scale - 0.5) < 0.06
+        assert mc.dist == dist
+
+    def test_scoring_closed_forms(self, spark):
+        from sparkglm_spark.operators.survival import survreg
+
+        pdf = self._sim("loglogistic", seed=7, n=1200)
+        df = spark.createDataFrame(pdf)
+        m = survreg(df, "t", "ev", ["x"], dist="loglogistic")
+        row = (
+            m.predict(df.limit(1))
+            .join(
+                m.predict_survival(df.limit(1), [10.0]), on=["t", "ev", "x"]
+            )
+            .collect()[0]
+        )
+        eta = m.coefs[0] + m.coefs[1] * row["x"]
+        assert row["median_survival_time"] == pytest.approx(np.exp(eta),
+                                                            rel=1e-10)
+        z = (np.log(10.0) - eta) / m.scale
+        assert row["surv_10"] == pytest.approx(1.0 / (1.0 + np.exp(z)),
+                                               rel=1e-10)
+        # lognormal survival = Phi(-z)
+        pdn = self._sim("lognormal", seed=8, n=1200)
+        dfn = spark.createDataFrame(pdn)
+        mn = survreg(dfn, "t", "ev", ["x"], dist="lognormal")
+        rown = mn.predict_survival(dfn.limit(1), [15.0]).collect()[0]
+        from sparkglm_spark.functions.special import norm_sf
+
+        etan = mn.coefs[0] + mn.coefs[1] * rown["x"]
+        zn = (np.log(15.0) - etan) / mn.scale
+        assert rown["surv_15"] == pytest.approx(float(norm_sf(zn)), rel=1e-9)
+
+    def test_weighted_replication(self, spark):
+        from sparkglm_spark.operators.survival import survreg
+
+        pdf = self._sim("lognormal", seed=13, n=500)
+        rng = np.random.default_rng(1)
+        pdf["w"] = rng.integers(1, 4, size=len(pdf)).astype(float)
+        rep = pdf.loc[pdf.index.repeat(pdf["w"].astype(int))]
+        mw = survreg(spark.createDataFrame(pdf), "t", "ev", ["x"],
+                     dist="lognormal", weight_col="w")
+        mr = survreg(spark.createDataFrame(rep.drop(columns="w")),
+                     "t", "ev", ["x"], dist="lognormal")
+        np.testing.assert_allclose(mw.coefs, mr.coefs, rtol=1e-7)
+        assert abs(mw.scale - mr.scale) < 1e-7
+        assert abs(mw.loglik - mr.loglik) < 1e-4
+
+    def test_grouped_dist_matches_per_slice(self, spark):
+        import pandas as pd
+
+        from sparkglm_spark.operators.survival import (
+            survreg,
+            weibull_aft_grouped,
+        )
+
+        a = self._sim("loglogistic", seed=3, n=700).assign(seg="a")
+        b = self._sim("loglogistic", seed=5, n=700).assign(seg="b")
+        df = spark.createDataFrame(pd.concat([a, b])).repartition(3)
+        out = (
+            weibull_aft_grouped(
+                df, "t", "ev", ["x"], ["seg"], dist="loglogistic",
+                exact_iterations=4,
+            )
+            .toPandas().set_index(["seg", "term"])
+        )
+        for seg in ("a", "b"):
+            m = survreg(df.where(F.col("seg") == seg), "t", "ev", ["x"],
+                        dist="loglogistic", exact_iterations=4)
+            np.testing.assert_allclose(
+                [out.loc[(seg, "intercept"), "estimate"],
+                 out.loc[(seg, "x"), "estimate"]],
+                m.coefs, rtol=1e-9,
+            )
+            assert abs(out.loc[(seg, "scale"), "estimate"] - m.scale) < 1e-9
+
+    def test_guards(self, spark):
+        import pandas as pd
+
+        from sparkglm_spark.operators.survival import (
+            survreg,
+            weibull_aft_grouped,
+        )
+
+        pdf = self._sim("lognormal", seed=2, n=50)
+        df = spark.createDataFrame(pdf)
+        with pytest.raises(ValueError, match="dist must"):
+            survreg(df, "t", "ev", ["x"], dist="gamma")
+        mixed = pdf.copy()
+        mixed.loc[0, "ev"] = 2.0
+        with pytest.raises(ValueError, match="right censoring only"):
+            survreg(spark.createDataFrame(mixed), "t", "ev", ["x"],
+                    dist="lognormal")
+        pdf2 = pdf.assign(g=np.where(pdf.index % 2 == 0, "a", "b"))
+        with pytest.raises(ValueError, match="right censoring only"):
+            survreg(spark.createDataFrame(pdf2), "t", "ev", ["x"],
+                    dist="loglogistic", strata_col="g")
+        # grouped: a codes-2/3 group under a non-weibull dist NULLs,
+        # sibling untouched
+        g = pd.concat([
+            pdf.assign(seg="ok"),
+            mixed.assign(seg="bad"),
+        ])
+        out = (
+            weibull_aft_grouped(
+                spark.createDataFrame(g), "t", "ev", ["x"], ["seg"],
+                dist="loglogistic",
+            )
+            .toPandas().set_index(["seg", "term"])
+        )
+        assert np.isnan(out.loc[("bad", "x"), "estimate"])
+        assert np.isfinite(out.loc[("ok", "x"), "estimate"])
