@@ -1243,13 +1243,25 @@ class _SparkWeibullAFTParams(Params):
         "survreg(weights=) convention (weibull_aft weight_col)",
         typeConverter=TypeConverters.toString,
     )
+    dist = Param(
+        Params._dummy(), "dist",
+        "error distribution: weibull (default), loglogistic, lognormal "
+        "— the R survreg(dist=) switch (survreg/weibull_aft dist)",
+        typeConverter=TypeConverters.toString,
+    )
+    time2Col = Param(
+        Params._dummy(), "time2Col",
+        "interval upper-bound column ('' = none): eventCol then carries "
+        "the R Surv codes 0/1/2/3 (weibull dist only)",
+        typeConverter=TypeConverters.toString,
+    )
 
     def __init__(self):
         super().__init__()
         self._setDefault(
             timeCol="time", eventCol="event", fitIntercept=True,
             maxIter=50, tol=1e-9, predictionCol="median_survival_time",
-            weightCol="",
+            weightCol="", dist="weibull", time2Col="",
         )
 
 
@@ -1283,6 +1295,8 @@ class SparkWeibullAFT(
             max_iter=self.getOrDefault(self.maxIter),
             tol=self.getOrDefault(self.tol),
             weight_col=self.getOrDefault(self.weightCol) or None,
+            dist=self.getOrDefault(self.dist),
+            time2_col=self.getOrDefault(self.time2Col) or None,
         )
         return self._copyValues(SparkWeibullAFTModel(inner))
 

@@ -126,6 +126,9 @@ def model_to_dict(model: LM | GLM | HuberLM | QuantileLM | CoxPH) -> dict:
             "scales": None
             if model.scales is None
             else [[k, float(v)] for k, v in model.scales.items()],
+            # r14: the survreg error distribution — absent ⇒ weibull
+            # (pre-r14 payloads load unchanged)
+            "dist": model.dist,
         }
     if isinstance(model, CoxPH):
         return {
@@ -300,6 +303,7 @@ def model_from_dict(d: dict) -> LM | GLM | HuberLM | QuantileLM | CoxPH:
             scales=None
             if d.get("scales") is None
             else {k: float(v) for k, v in d["scales"]},
+            dist=d.get("dist", "weibull"),
         )
     if d["kind"] == "coxph":
         cov = d.get("cov_params")

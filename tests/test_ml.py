@@ -658,3 +658,40 @@ def test_glm_nb_functional_save_load_round_trip(li, tmp_path):
     assert back.nb_alpha == m.nb_alpha
     assert back.outer_iter == m.outer_iter
     assert back.aic == m.aic
+
+
+def test_aft_estimator_dist_and_interval(li, tmp_path):
+    # r14: SparkWeibullAFT(dist=, time2Col=) forwards to survreg's new
+    # surfaces; dist survives the MLWriter round-trip (persist.py)
+    import pandas as pd
+
+    from sparkglm_spark import SparkWeibullAFT, SparkWeibullAFTModel, survreg
+
+    spark = li.sparkSession
+    rng = np.random.default_rng(17)
+    n = 800
+    x = rng.uniform(0, 1, n)
+    u = rng.uniform(size=n)
+    T = np.exp(3.0 + 0.8 * x + 0.5 * np.log(u / (1 - u)))
+    ev = (rng.uniform(size=n) < 0.8).astype(float)
+    df = spark.createDataFrame(
+        pd.DataFrame({"time": T, "event": ev, "x": x}))
+    est = SparkWeibullAFT(featureCols=["x"], dist="loglogistic")
+    model = est.fit(df)
+    bare = survreg(df, "time", "event", ["x"], dist="loglogistic")
+    np.testing.assert_allclose(model.model.coefs, bare.coefs, rtol=1e-10)
+    assert model.model.dist == "loglogistic"
+    path = str(tmp_path / "llaftmodel")
+    model.write().save(path)
+    loaded = SparkWeibullAFTModel.load(path)
+    assert loaded.model.dist == "loglogistic"
+    np.testing.assert_allclose(loaded.model.coefs, bare.coefs, rtol=0)
+    # interval forwarding: a code-3 frame fits through time2Col
+    code = np.where(rng.uniform(size=n) < 0.4, 3.0, 1.0)
+    t2 = np.where(code == 3.0, T * 1.5, np.nan)
+    t1 = np.where(code == 3.0, T * 0.8, T)
+    dfi = spark.createDataFrame(
+        pd.DataFrame({"time": t1, "event": code, "t2": t2, "x": x}))
+    mi = SparkWeibullAFT(featureCols=["x"], time2Col="t2").fit(dfi)
+    bi = survreg(dfi, "time", "event", ["x"], time2_col="t2")
+    np.testing.assert_allclose(mi.model.coefs, bi.coefs, rtol=1e-10)
