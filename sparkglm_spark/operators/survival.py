@@ -58,6 +58,15 @@ from sparkglm_spark.plans.prefix import global_running_sum
 # OLS intercept start (the OLS intercept estimates β₀ − γσ).
 _EULER_GAMMA = 0.5772156649015329
 
+# sd of the AFT error distribution W — the σ-start denominator shared by
+# the distributed fitter, the dense twin and the grouped surface (r14
+# review: one table, not three copies). Keys double as the dist whitelist.
+_AFT_SD_W = {
+    "weibull": 1.283,                       # extreme value: π/√6
+    "loglogistic": 1.8137993642342178,      # logistic: π/√3
+    "lognormal": 1.0,
+}
+
 
 def _time_expr(time_col: str, time_bucket: float | None) -> Column:
     """The (optionally bucketed) double time axis: with `time_bucket=w`,
@@ -1909,9 +1918,9 @@ def weibull_aft(
     0). Non-weibull dists support right censoring only for now (codes
     2/3 or strata raise)."""
     dist = dist.lower()
-    if dist not in ("weibull", "loglogistic", "lognormal"):
+    if dist not in _AFT_SD_W:
         raise ValueError(
-            f"dist must be weibull/loglogistic/lognormal, got {dist!r}"
+            f"dist must be one of {sorted(_AFT_SD_W)}, got {dist!r}"
         )
     if not x_cols and not fit_intercept:
         raise ValueError("need x_cols or fit_intercept")
@@ -1949,6 +1958,14 @@ def weibull_aft(
                     (ec == 3.0)
                     & (
                         F.col(time2_col).isNull()
+                        # NaN compares false to everything in Spark and
+                        # +inf passes '> t' — both would silently poison
+                        # the start/gradients (review r14 pass 3)
+                        | F.isnan(F.col(time2_col).cast("double"))
+                        | (
+                            F.col(time2_col).cast("double")
+                            == F.lit(float("inf"))
+                        )
                         | (
                             F.col(time2_col).cast("double")
                             <= F.col(time_col).cast("double")
@@ -1988,7 +2005,10 @@ def weibull_aft(
         *wchk_aggs,
     ).collect()[0]
     if chk["bad_t"]:
-        raise ValueError(f"{chk['bad_t']} rows have null or non-positive time")
+        raise ValueError(
+            f"{chk['bad_t']} rows have null/non-positive time or a null "
+            "event code"
+        )
     if chk["bad_e"]:
         raise ValueError(
             "event_col must use the R Surv codes 0 (right-censored), "
@@ -2041,6 +2061,15 @@ def weibull_aft(
             raise ValueError(
                 f"need more location-informative rows (codes 1/2/3) than "
                 f"coefficients for the start (n={n_loc}, k={k})"
+            )
+        # ALL-left-censored data has a monotone likelihood (ℓ = Σ ln F →
+        # 0⁻ as the location → −∞): the MLE does not exist — raise like
+        # the all-right-censored case instead of drifting to ±∞
+        # (review r14 pass 3). Any code-0/1/3 row bounds it again.
+        if int(chk["n_mixed"] or 0) - int(chk["n_int"] or 0) == n:
+            raise ValueError(
+                "every row is left-censored — the likelihood is monotone "
+                "(no MLE); at least one event/right/interval row is needed"
             )
     if weight_col:
         from sparkglm_spark.operators.lm import check_weight_domain
@@ -2130,11 +2159,7 @@ def weibull_aft(
         # extreme-value, π/√3 logistic, 1 normal) — far better
         # conditioned than σ=1 when the true scale is small, where the
         # Hessian is not yet negative definite and Newton crawls
-        sd_w = {
-            "weibull": 1.283,
-            "loglogistic": float(np.pi / np.sqrt(3.0)),
-            "lognormal": 1.0,
-        }[dist]
+        sd_w = _AFT_SD_W[dist]
         log_s = float(np.log(max(start.sigma / sd_w, 1e-3)))
         # method-of-moments intercept correction: the extreme-value W
         # has mean −γ (Euler), so the OLS intercept estimates β₀ − γσ;
@@ -2206,6 +2231,37 @@ def weibull_aft(
         # g_i = −(1/σ)Σωx_iA, g_s = Σω(C − zA), H_ij = Σωx_ix_jB/σ²,
         # H_is = Σωx_i(A + zB)/σ, H_ss = Σω(zA + z²B) — the weibull
         # fast path is this frame at A = δ−u, B = −u.
+        if dist == "lognormal":
+            # ONE Arrow UDF per fit computing BOTH Mills-ratio pieces
+            # from a single norm_sf pass (review r14 pass 3 — was two
+            # UDFs, each re-created per iteration, each re-evaluating
+            # Φ̄); deterministic, so Spark dedupes the repeated call
+            # expression inside one aggregation
+            from pyspark.sql.functions import pandas_udf
+
+            from sparkglm_spark.functions import special as _sp
+
+            @pandas_udf("h double, lsf double")
+            def _mills(zv):
+                import pandas as pd
+
+                v = zv.to_numpy(dtype=np.float64)
+                sf = _sp.norm_sf(v)
+                ok = sf > 0.0
+                # Φ̄ underflows past z ≈ 38: h(z) → z + 1/z and
+                # ln Φ̄(z) → −z²/2 − ln(z√(2π))
+                h = np.where(
+                    ok,
+                    _sp.norm_pdf(v) / np.where(ok, sf, 1.0),
+                    v + 1.0 / np.where(v != 0, v, 1.0),
+                )
+                lsf = np.where(
+                    ok,
+                    np.log(np.where(ok, sf, 1.0)),
+                    -0.5 * v * v - np.log(np.abs(v) * np.sqrt(2.0 * np.pi)),
+                )
+                return pd.DataFrame({"h": h, "lsf": lsf})
+
         def _dist_kernels(b, ls):
             sigma = float(np.exp(ls))
             eta = F.lit(0.0)
@@ -2225,52 +2281,14 @@ def weibull_aft(
                     -sp
                 )
             else:  # lognormal — censored tail through the Mills ratio
-                from pyspark.sql.functions import pandas_udf
-                from pyspark.sql.types import DoubleType
-
-                from sparkglm_spark.functions import special as _sp
-
-                @pandas_udf(DoubleType())
-                def _hz(zv):
-                    import pandas as pd
-
-                    v = zv.to_numpy(dtype=np.float64)
-                    sf = _sp.norm_sf(v)
-                    ok = sf > 0.0
-                    # Φ̄ underflows past z ≈ 38: h(z) → z + 1/z
-                    return pd.Series(
-                        np.where(
-                            ok,
-                            _sp.norm_pdf(v) / np.where(ok, sf, 1.0),
-                            v + 1.0 / np.where(v != 0, v, 1.0),
-                        )
-                    )
-
-                @pandas_udf(DoubleType())
-                def _lsf(zv):
-                    import pandas as pd
-
-                    v = zv.to_numpy(dtype=np.float64)
-                    sf = _sp.norm_sf(v)
-                    ok = sf > 0.0
-                    # asymptotic ln Φ̄(z) ≈ −z²/2 − ln(z√(2π)) past
-                    # underflow
-                    return pd.Series(
-                        np.where(
-                            ok,
-                            np.log(np.where(ok, sf, 1.0)),
-                            -0.5 * v * v
-                            - np.log(np.abs(v) * np.sqrt(2.0 * np.pi)),
-                        )
-                    )
-
-                h = _hz(z)
+                hl = _mills(z)
+                h = hl.getField("h")
                 A = F.when(d == 1.0, -z).otherwise(-h)
                 B = F.when(d == 1.0, F.lit(-1.0)).otherwise(h * (z - h))
                 llrow = F.when(
                     d == 1.0,
                     -0.5 * z * z - F.lit(0.5 * np.log(2.0 * np.pi)) - F.lit(ls),
-                ).otherwise(_lsf(z))
+                ).otherwise(hl.getField("lsf"))
             C = F.when(d == 1.0, F.lit(-1.0)).otherwise(F.lit(0.0))
             return sigma, z, A, B, C, llrow
 
@@ -2921,11 +2939,7 @@ def _aft_newton_dense(t, e, X, exact_iterations, tol, max_iter,
     sse = float(ye @ (we * ye) - 2.0 * beta @ xty + beta @ xtx @ beta)
     ne = int(ev.sum())
     sig = np.sqrt(max(sse, 0.0) / (ne - k)) if ne > k else 1.0
-    sd_w = {
-        "weibull": 1.283,
-        "loglogistic": float(np.pi / np.sqrt(3.0)),
-        "lognormal": 1.0,
-    }[dist]
+    sd_w = _AFT_SD_W[dist]
     log_s = float(np.log(max(sig / sd_w, 1e-3)))
     if intercept_idx is not None and dist == "weibull":
         beta[intercept_idx] += _EULER_GAMMA * float(np.exp(log_s))
@@ -3217,9 +3231,9 @@ def weibull_aft_grouped(
     from pyspark.sql import types as T
 
     dist = dist.lower()
-    if dist not in ("weibull", "loglogistic", "lognormal"):
+    if dist not in _AFT_SD_W:
         raise ValueError(
-            f"dist must be weibull/loglogistic/lognormal, got {dist!r}"
+            f"dist must be one of {sorted(_AFT_SD_W)}, got {dist!r}"
         )
     if not x_cols and not fit_intercept:
         raise ValueError("need x_cols or fit_intercept")
@@ -3370,22 +3384,60 @@ def aft_residuals(
                   symmetrized (the standard survreg deviance residual;
                   0·ln0 handled as 0 for censored rows)
 
-    Times must be > 0 (log); rows pass through with all input columns."""
+    Times must be > 0 (log); rows pass through with all input columns.
+
+    DIST-AWARE (r14 review): cox_snell is the cumulative hazard of the
+    fitted error distribution −ln S(z) — e^z weibull, ln(1+e^z)
+    loglogistic (codegen softplus), −ln Φ̄(z) lognormal (one Arrow
+    pandas-UDF column — the only Python in the projection, lognormal
+    only); under a correct model each is a censored unit-exponential
+    sample, so `aft_fit_diagnostic` works unchanged for every dist.
+    Rows with the mixed-censoring codes 2/3 report NULL residuals (the
+    censored-exponential interpretation needs a single observation
+    time — NULL, not a wrong number); a stratified model reads each
+    row's σ from its stratum (was: NaN for every row)."""
     z = (
         F.log(F.col(model.time_col).cast("double")) - model._eta()
-    ) / F.lit(float(model.scale))
-    u = F.exp(z)
+    ) / model._sigma_expr()
     d = F.col(model.event_col).cast("double")
+    dist = getattr(model, "dist", "weibull")
+    if dist == "loglogistic":
+        u = F.when(z > 30.0, z).otherwise(F.log1p(F.exp(z)))
+    elif dist == "lognormal":
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import DoubleType
+
+        from sparkglm_spark.functions import special as _sp
+
+        @pandas_udf(DoubleType())
+        def _nlsf(zv):
+            import pandas as pd
+
+            v = zv.to_numpy(dtype=np.float64)
+            sf = _sp.norm_sf(v)
+            ok = sf > 0.0
+            return pd.Series(
+                np.where(
+                    ok,
+                    -np.log(np.where(ok, sf, 1.0)),
+                    0.5 * v * v + np.log(np.abs(v) * np.sqrt(2.0 * np.pi)),
+                )
+            )
+
+        u = _nlsf(z)
+    else:
+        u = F.exp(z)
     m = d - u
     inner = m + F.when(d == 1.0, d * F.log(d - m)).otherwise(F.lit(0.0))
     dev = F.signum(m) * F.sqrt(F.lit(-2.0) * inner)
+    ok01 = d.isin(0.0, 1.0)
     p = output_prefix
     return df.select(
         "*",
-        z.alias(f"{p}z_resid"),
-        u.alias(f"{p}cox_snell"),
-        m.alias(f"{p}martingale"),
-        dev.alias(f"{p}deviance"),
+        F.when(ok01, z).alias(f"{p}z_resid"),
+        F.when(ok01, u).alias(f"{p}cox_snell"),
+        F.when(ok01, m).alias(f"{p}martingale"),
+        F.when(ok01, dev).alias(f"{p}deviance"),
     )
 
 

@@ -2703,3 +2703,89 @@ class TestSurvregDists:
         )
         assert np.isnan(out.loc[("bad", "x"), "estimate"])
         assert np.isfinite(out.loc[("ok", "x"), "estimate"])
+
+    # ---- review-pass r14 regressions (pass 3) -----------------------
+
+    def test_residuals_dispatch_on_dist(self, spark):
+        import pandas as pd
+
+        from sparkglm_spark.functions.special import norm_sf
+        from sparkglm_spark.operators.survival import aft_residuals, survreg
+
+        pdf = self._sim("loglogistic", seed=23, n=600)
+        df = spark.createDataFrame(pdf)
+        m = survreg(df, "t", "ev", ["x"], dist="loglogistic")
+        r = aft_residuals(df.limit(1), m).collect()[0]
+        eta = m.coefs[0] + m.coefs[1] * r["x"]
+        z = (np.log(r["t"]) - eta) / m.scale
+        assert r["cox_snell"] == pytest.approx(np.log1p(np.exp(z)), rel=1e-10)
+        assert r["martingale"] == pytest.approx(
+            r["ev"] - np.log1p(np.exp(z)), rel=1e-9, abs=1e-12)
+        pdn = self._sim("lognormal", seed=24, n=600)
+        dfn = spark.createDataFrame(pdn)
+        mn = survreg(dfn, "t", "ev", ["x"], dist="lognormal")
+        rn = aft_residuals(dfn.limit(1), mn).collect()[0]
+        etan = mn.coefs[0] + mn.coefs[1] * rn["x"]
+        zn = (np.log(rn["t"]) - etan) / mn.scale
+        assert rn["cox_snell"] == pytest.approx(
+            -np.log(float(norm_sf(zn))), rel=1e-9)
+
+    def test_residuals_null_on_mixed_codes(self, spark):
+        import pandas as pd
+
+        from sparkglm_spark.operators.survival import (
+            aft_residuals,
+            weibull_aft,
+        )
+
+        rng = np.random.default_rng(6)
+        n = 400
+        x = rng.uniform(0, 1, n)
+        T = np.exp(4.0 + 0.5 * x + 0.6 * np.log(
+            -np.log(1 - rng.uniform(size=n))))
+        code = np.where(rng.uniform(size=n) < 0.3, 3.0, 1.0)
+        t = np.where(code == 3.0, T * 0.8, T)
+        t2 = np.where(code == 3.0, T * 1.5, np.nan)
+        pdf = pd.DataFrame({"t": t, "t2": t2, "c": code, "x": x})
+        df = spark.createDataFrame(pdf)
+        m = weibull_aft(df, "t", "c", ["x"], time2_col="t2")
+        out = aft_residuals(df, m).toPandas()
+        c3 = out["c"] == 3.0
+        assert out.loc[c3, "cox_snell"].isna().all()
+        assert out.loc[c3, "martingale"].isna().all()
+        assert out.loc[~c3, "cox_snell"].notna().all()
+
+    def test_nan_inf_time2_rejected(self, spark):
+        import pandas as pd
+
+        from sparkglm_spark.operators.survival import weibull_aft
+
+        base = pd.DataFrame({
+            "t": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+            "t2": [np.nan, np.nan, np.nan, np.nan, 7.0, np.nan],
+            "c": [1.0, 3.0, 0.0, 1.0, 3.0, 1.0],
+            "x": [0.1, 0.5, 0.9, 0.3, 0.7, 0.2],
+        })
+        # code-3 row with NaN t2: previously passed validation (NaN
+        # compares false) and poisoned the start silently
+        with pytest.raises(ValueError, match="interval rows"):
+            weibull_aft(spark.createDataFrame(base), "t", "c", ["x"],
+                        time2_col="t2")
+        inf = base.assign(t2=[np.nan, np.inf, np.nan, np.nan, 7.0, np.nan])
+        with pytest.raises(ValueError, match="interval rows"):
+            weibull_aft(spark.createDataFrame(inf), "t", "c", ["x"],
+                        time2_col="t2")
+
+    def test_all_left_censored_raises(self, spark):
+        import pandas as pd
+
+        from sparkglm_spark.operators.survival import weibull_aft
+
+        rng = np.random.default_rng(3)
+        pdf = pd.DataFrame({
+            "t": np.exp(rng.normal(2.0, 0.5, 60)),
+            "c": np.full(60, 2.0),
+            "x": rng.uniform(0, 1, 60),
+        })
+        with pytest.raises(ValueError, match="left-censored"):
+            weibull_aft(spark.createDataFrame(pdf), "t", "c", ["x"])
