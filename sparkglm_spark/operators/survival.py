@@ -3448,9 +3448,13 @@ def aft_fit_diagnostic(
 ) -> DataFrame:
     """Cox-Snell goodness-of-fit for a fitted AFT model — the global
     distributional check (`ph_assumption_test` is the Cox analogue):
-    under a correct Weibull model the Cox-Snell residuals u are a
-    censored UNIT-EXPONENTIAL sample, so the Kaplan-Meier cumulative
-    hazard of u should track the 45° line Ĥ(u) ≈ u.
+    under a correct model the Cox-Snell residuals u are a censored
+    UNIT-EXPONENTIAL sample, so the Kaplan-Meier cumulative hazard of u
+    should track the 45° line Ĥ(u) ≈ u. Works for EVERY `dist` (r14):
+    `aft_residuals` computes u = −ln S(z) under the fitted error
+    distribution, which is exactly what the unit-exponential property
+    needs — a loglogistic/lognormal fit is checked against its own
+    distributional assumption, not Weibull's.
 
     Plan: the `aft_residuals` projection feeds the SAME `_km_curve`
     prefix plan every KM consumer uses (one groupBy(u) + running
