@@ -8319,6 +8319,14 @@ def q_orders_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     llm = survreg(llaft_in, "t", "ev", ["x"], dist="loglogistic",
                   exact_iterations=3)
+    # r14: the LOGNORMAL trajectory on the SAME planted input (the pin
+    # needs a deterministic contractive trajectory, not a correctly
+    # specified model — measured step-3→4 movement ~4e-7). The censored
+    # tail's Mills ratio rides the engine's math.erfc vs the SQL's
+    # Cody erfc (~1e-15/row — the probit-pin precedent); planted
+    # |z| ≤ ~5 keeps Φ̄ ≥ 1e-7, far from either underflow branch.
+    lnm = survreg(llaft_in, "t", "ev", ["x"], dist="lognormal",
+                  exact_iterations=3)
     aft = spark.createDataFrame(
         [
             ("aft", "b_intercept", None, round(float(am.coefs[0]), 6), None,
@@ -8361,6 +8369,15 @@ def q_orders_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("llaft", "loglik", None, round(float(llm.loglik), 2), None,
              None),
             ("llaft", "n_events", llm.n_events, None, None, None),
+            ("lnaft", "b_intercept", None, round(float(lnm.coefs[0]), 6),
+             None, None),
+            ("lnaft", "b_x", None, round(float(lnm.coefs[1]), 6), None,
+             None),
+            ("lnaft", "ln_sigma", None,
+             round(float(np.log(lnm.scale)), 6), None, None),
+            ("lnaft", "loglik", None, round(float(lnm.loglik), 2), None,
+             None),
+            ("lnaft", "n_events", lnm.n_events, None, None, None),
         ],
         "op string, key string, n bigint, v1 double, v2 double, v3 double",
     )
@@ -9331,6 +9348,118 @@ FROM {p}f
     return "WITH " + ",\n".join(ctes) + tail
 
 
+def _sql_aft_lognormal_ctes(iters: int, prefix: str = "nn") -> str:
+    """Unroll `survreg(dist='lognormal', exact_iterations=iters)` — the
+    Mills-ratio kernel path (operators/survival.py: A = −δz − (1−δ)h,
+    B = −δ + (1−δ)h(z−h), h = φ(z)/Φ̄(z)). Per-row Φ̄ replays the
+    engine's 0.5·erfc(z/√2) through the Cody-erfc SQL (the probit-link
+    precedent; engine-side math.erfc vs Cody differ ~1e-15/row — the
+    planted |z| ≤ ~5 keeps Φ̄ ≥ 1e-7, far from the underflow branch).
+    SAME planted logistic-error input as the llaft arm (the pin needs a
+    deterministic contractive trajectory, not a correctly-specified
+    model — measured step-3→4 movement ~4e-7, well inside 6dp).
+    σ₀ = residual/1.0; same 3×3 Cramer. Emits op='lnaft'."""
+    p = prefix
+    ctes = [
+        f"{p}b AS (SELECT"
+        " ln(exp(10.0 + 0.5 * (CAST(o_custkey % 100 AS DOUBLE) / 100.0)"
+        " + 0.7 * ln(((CAST(o_orderkey % 9973 AS DOUBLE) + 0.5) / 9974.0)"
+        " / (1.0 - (CAST(o_orderkey % 9973 AS DOUBLE) + 0.5) / 9974.0))))"
+        " AS lt,"
+        " CASE WHEN o_custkey % 5 = 0 THEN 0.0 ELSE 1.0 END AS d,"
+        " CAST(o_custkey % 100 AS DOUBLE) / 100.0 AS x FROM orders)",
+        f"{p}0g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS s0, SUM(x) AS s1,"
+        " SUM(x * x) AS s2, SUM(lt) AS sy, SUM(x * lt) AS sxy,"
+        f" SUM(lt * lt) AS syy FROM {p}b WHERE d = 1.0)",
+        f"{p}0 AS (SELECT b0, b1, ls FROM (SELECT"
+        " (s2 * sy - s1 * sxy) / (s0 * s2 - s1 * s1) AS b0,"
+        " (s0 * sxy - s1 * sy) / (s0 * s2 - s1 * s1) AS b1,"
+        " ln(GREATEST(SQRT((syy"
+        "   - 2.0 * ((s2 * sy - s1 * sxy) / (s0 * s2 - s1 * s1) * sy"
+        "            + (s0 * sxy - s1 * sy) / (s0 * s2 - s1 * s1) * sxy)"
+        "   + ((s2 * sy - s1 * sxy) / (s0 * s2 - s1 * s1))"
+        "     * ((s2 * sy - s1 * sxy) / (s0 * s2 - s1 * s1)) * s0"
+        "   + 2.0 * ((s2 * sy - s1 * sxy) / (s0 * s2 - s1 * s1))"
+        "     * ((s0 * sxy - s1 * sy) / (s0 * s2 - s1 * s1)) * s1"
+        "   + ((s0 * sxy - s1 * sy) / (s0 * s2 - s1 * s1))"
+        "     * ((s0 * sxy - s1 * sy) / (s0 * s2 - s1 * s1)) * s2)"
+        f" / (s0 - 2.0)) / 1.0, 0.001)) AS ls FROM {p}0g) s)",
+    ]
+
+    def kern(state: str) -> str:
+        sf = _sql_norm_cdf("(-z)")  # Φ(−z) = Φ̄(z), the engine's formula
+        pdf = f"(exp(-(z * z) / 2.0) / {_SQL_SQRT2PI})"
+        return (
+            "SELECT x, d, ls, s, z,"
+            f" CASE WHEN d = 0.0 THEN {pdf} / {sf} ELSE 0.0 END AS hh,"
+            f" CASE WHEN d = 1.0 THEN -(z * z) / 2.0 - 0.9189385332046727 - ls"
+            f" ELSE ln({sf}) END AS llr"
+            f" FROM (SELECT {p}b.x, {p}b.d, {state}.ls,"
+            f" exp({state}.ls) AS s,"
+            f" ({p}b.lt - {state}.b0 - {state}.b1 * {p}b.x)"
+            f" / exp({state}.ls) AS z"
+            f" FROM {p}b CROSS JOIN {state}) r1"
+        )
+
+    for i in range(1, iters + 1):
+        prev = f"{p}{i - 1}"
+        ctes.append(
+            f"{p}{i}g AS (SELECT"
+            " SUM(aa * (-1.0 / s)) AS g0,"
+            " SUM(x * aa * (-1.0 / s)) AS g1,"
+            " SUM(-d - z * aa) AS g2,"
+            " SUM(bb * (1.0 / (s * s))) AS h00,"
+            " SUM(x * bb * (1.0 / (s * s))) AS h01,"
+            " SUM(x * x * bb * (1.0 / (s * s))) AS h11,"
+            " SUM((aa + z * bb) * (1.0 / s)) AS h02,"
+            " SUM(x * (aa + z * bb) * (1.0 / s)) AS h12,"
+            " SUM(z * aa + z * z * bb) AS h22,"
+            " SUM(llr) AS ll, SUM(d) AS ne"
+            " FROM (SELECT *,"
+            " CASE WHEN d = 1.0 THEN -z ELSE -hh END AS aa,"
+            " CASE WHEN d = 1.0 THEN -1.0 ELSE hh * (z - hh) END AS bb"
+            f" FROM ({kern(prev)}) k1) k2)"
+        )
+        ctes.append(
+            f"{p}{i} AS (SELECT"
+            f" {prev}.b0 - (g0 * (h11 * h22 - h12 * h12)"
+            " - h01 * (g1 * h22 - h12 * g2)"
+            " + h02 * (g1 * h12 - h11 * g2)) / det AS b0,"
+            f" {prev}.b1 - (h00 * (g1 * h22 - g2 * h12)"
+            " - g0 * (h01 * h22 - h12 * h02)"
+            " + h02 * (h01 * g2 - g1 * h02)) / det AS b1,"
+            f" {prev}.ls - (h00 * (h11 * g2 - h12 * g1)"
+            " - h01 * (h01 * g2 - g1 * h02)"
+            " + g0 * (h01 * h12 - h11 * h02)) / det AS ls"
+            f" FROM (SELECT {p}{i}g.*,"
+            " h00 * (h11 * h22 - h12 * h12)"
+            " - h01 * (h01 * h22 - h12 * h02)"
+            " + h02 * (h01 * h12 - h11 * h02) AS det"
+            f" FROM {p}{i}g) gd CROSS JOIN {prev})"
+        )
+    fin = f"{p}{iters}"
+    ctes.append(
+        f"{p}f AS (SELECT SUM(llr) AS ll, SUM(d) AS ne"
+        f" FROM ({kern(fin)}) k)"
+    )
+    tail = f"""
+SELECT 'lnaft' AS op, 'b_intercept' AS key, CAST(NULL AS BIGINT) AS n,
+       ROUND({fin}.b0, 6) AS v1, CAST(NULL AS DOUBLE) AS v2,
+       CAST(NULL AS DOUBLE) AS v3
+FROM {fin}
+UNION ALL
+SELECT 'lnaft', 'b_x', NULL, ROUND({fin}.b1, 6), NULL, NULL FROM {fin}
+UNION ALL
+SELECT 'lnaft', 'ln_sigma', NULL, ROUND({fin}.ls, 6), NULL, NULL FROM {fin}
+UNION ALL
+SELECT 'lnaft', 'loglik', NULL, ROUND({p}f.ll, 2), NULL, NULL FROM {p}f
+UNION ALL
+SELECT 'lnaft', 'n_events', CAST({p}f.ne AS BIGINT), NULL, NULL, NULL
+FROM {p}f
+"""
+    return "WITH " + ",\n".join(ctes) + tail
+
+
 SQL_COX_ARM = _sql_cox_ctes(3)
 SQL_WCOX_ARM = _sql_cox_ctes(3, prefix="wx", mode="weighted")
 SQL_TVCOX_ARM = _sql_cox_ctes(3, prefix="tv", mode="entry")
@@ -9339,6 +9468,7 @@ SQL_WAFT_ARM = _sql_aft_ctes(3, prefix="wa", mode="weighted")
 SQL_SAFT_ARM = _sql_aft_strat_ctes(3)
 SQL_IAFT_ARM = _sql_aft_interval_ctes(3)
 SQL_LLAFT_ARM = _sql_aft_loglogistic_ctes(3)
+SQL_LNAFT_ARM = _sql_aft_lognormal_ctes(3)
 SQL_COXG_ARMS = " UNION ALL ".join(
     f"SELECT * FROM ({_sql_cox_ctes(3, where=f' WHERE o_custkey % 2 = {s}', prefix=f'cg{s}', mode='grouped', seg_key=str(s))}) a{s}"
     for s in (0, 1)
@@ -9485,6 +9615,8 @@ UNION ALL
 SELECT * FROM ({SQL_IAFT_ARM}) iaft
 UNION ALL
 SELECT * FROM ({SQL_LLAFT_ARM}) llaft
+UNION ALL
+SELECT * FROM ({SQL_LNAFT_ARM}) lnaft
 UNION ALL
 SELECT 'iso', CAST(CAST(ifin.s AS INT) AS VARCHAR), CAST(ifin.n AS BIGINT),
        ROUND(ifin.fit + 1.1920928955078125e-07, 6),
