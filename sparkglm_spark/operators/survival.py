@@ -13,33 +13,33 @@ next member of that family (R: `coxph`). The Cox partial likelihood
     Newton: β ← β + info⁻¹·grad
 
 Scale design — the risk-set sums are DESCENDING cumulative sums over
-time, which is exactly `plans.prefix.global_running_sum` (risk sets are
-nested, so each S·(t) is a suffix sum of per-time totals):
+time (risk sets are nested, so each S·(t) is a suffix sum):
 
-  per iteration:
-    1. ONE groupBy(distinct time) computing the per-time totals of
-       exp(xβ), x·exp(xβ), xx'·exp(xβ) plus the event counts d_t and
-       event-covariate sums — (1 + k + k(k+1)/2 + 1 + k) doubles per
-       distinct time, one shuffle of those compact rows;
-    2. the range-partitioned prefix pass over the NEGATED time (suffix
-       sums; RANGE tie frames make t_j = t rows members of R(t), the
-       Breslow convention);
-    3. one final aggregation over event times → k + k² driver scalars.
+  The FIT (`coxph`, `_CoxStatsEngine`) partitions the per-row frame
+  ONCE — range-partitioned by descending time (hash by stratum when
+  stratified), partition id tagged as a column, persisted — and every
+  Newton iteration is then shuffle-free over that cache: one tiny
+  per-partition totals pass giving each partition its exclusive suffix
+  OFFSET on the driver, and one pass computing tie-aware within-
+  partition cumulative risk sums + offset and the Breslow event sums
+  (one partial row per partition). The driver sees O(n_part·k²) per
+  iteration. (r14: the previous shape re-ran a groupBy(time) exchange,
+  a range repartition + sampling job, a window exchange and a global
+  agg PER ITERATION — 4 exchanges each — for a partitioning that never
+  changes across iterations.)
 
-  No all-pairs, no per-row Python, nothing row-level collected; the
-  driver sees O(k²) per iteration. Distinct-time cardinality bounds the
-  intermediate — at 100 TB, micro-timestamped data should be bucketed
-  via the `time_bucket=` knob every fitter here accepts (floor the time
-  axis to fixed-width buckets BEFORE the per-time aggregation, so the
-  cardinality bound is enforced inside the plan, not left to the
-  caller).
+  ONE-SHOT risk-set consumers (baseline hazard, Schoenfeld residuals,
+  log-rank, KM) keep the per-time groupBy + range-partitioned
+  `global_running_sum` prefix plan (per-stratum windows when
+  stratified). Distinct-time cardinality bounds those intermediates —
+  at 100 TB, micro-timestamped data should be bucketed via the
+  `time_bucket=` knob every fitter here accepts.
 
-  Stratified fits (`strata_col=`, R's `strata()`) change only step 2:
-  risk sets never cross strata, so the suffix sums become per-stratum
-  windows (one hash exchange on the stratum key) and the partial
-  likelihood factorizes — step 3 is unchanged. Grouped fits
-  (`coxph_grouped`) are the other axis: separate β per segment via
-  applyInPandas.
+  Stratified fits (`strata_col=`, R's `strata()`): risk sets never
+  cross strata, so the partial likelihood factorizes — the engine
+  hash-partitions by stratum and skips the offsets pass entirely.
+  Grouped fits (`coxph_grouped`) are the other axis: separate β per
+  segment via applyInPandas.
 """
 
 from __future__ import annotations
@@ -371,79 +371,227 @@ def _suffix_sums(
     )
 
 
-def _risk_set_stats(
-    df: DataFrame,
-    time_col: str,
-    event_col: str,
-    x_cols: list[str],
-    beta: np.ndarray,
-    num_partitions: int | None,
-    strata_col: str | None = None,
-    weight_col: str | None = None,
-    entry_col: str | None = None,
-):
-    """One Cox iteration's distributed work: per-time totals, suffix sums
-    via the prefix plan (per-stratum windows when stratified — the partial
-    likelihood factorizes over strata, so the final aggregation just sums
-    the per-(stratum, time) event rows), final event-weighted aggregation.
-    Returns (ll_terms, grad vector pieces, info matrix pieces) as a
-    driver row. With `weight_col` every risk term carries ω·exp(η) and
-    every event term ω·ev — the R coxph(weights=) case-weight Breslow
-    (unweighted multiplies by lit(1.0): bitwise-identical). With
-    `entry_col` the counting-process two-arm expansion
-    (`_counting_arms`) signs the risk masses so the suffix sums realize
-    the (start, stop] risk sets — same groupBy/prefix/final-agg plan,
-    only the scan side doubles rows."""
-    k = len(x_cols)
-    xs = [F.col(c).cast("double") for c in x_cols]
-    eta = F.lit(0.0)
-    for col, b in zip(xs, beta):
-        eta = eta + F.lit(float(b)) * col
-    # the caller (coxph's `work` frame) has already bucketed the axes,
-    # so bucket=None here
-    src = _counting_arms(df, time_col, event_col, entry_col, None)
-    wr = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
-    w = F.col("__sgn") * wr * F.exp(eta)
-    ev = wr * F.col("__ev")
-    aggs = [
-        F.sum(w).alias("e0"),
-        F.sum(ev).alias("d"),
-    ]
-    for i in range(k):
-        aggs.append(F.sum(xs[i] * w).alias(f"e1_{i}"))
-        aggs.append(F.sum(ev * xs[i]).alias(f"dx_{i}"))
-    for i in range(k):
-        for j in range(i, k):
-            aggs.append(F.sum(xs[i] * xs[j] * w).alias(f"e2_{i}_{j}"))
-    keys = ([F.col(strata_col)] if strata_col else []) + [F.col("__t")]
-    per_t = src.groupBy(*keys).agg(*aggs)
-    cum_cols = ["e0"] + [f"e1_{i}" for i in range(k)] + [
-        f"e2_{i}_{j}" for i in range(k) for j in range(i, k)
-    ]
-    cum = _suffix_sums(per_t, cum_cols, strata_col, num_partitions)
-    # final aggregation over event times (d > 0): the Breslow pieces
-    s0 = F.col("e0_cum")
-    fin = [
-        F.sum(F.col("d") * F.log(s0)).alias("dlogs0"),
-        F.sum("d").alias("n_events"),
-    ]
-    for i in range(k):
-        fin.append(F.sum("dx_" + str(i)).alias(f"sdx_{i}"))
-        fin.append(
-            F.sum(F.col("d") * F.col(f"e1_{i}_cum") / s0).alias(f"gs_{i}")
+class _CoxStatsEngine:
+    """Per-iteration Cox sufficient statistics over a ONCE-partitioned,
+    cached per-row frame (r14 optimization; guide §2.4 "remove shuffles
+    outright"). The old per-iteration plan re-ran, PER NEWTON STEP:
+    groupBy(time) hash exchange → repartitionByRange (plus its
+    range-bounds sampling job re-executing the groupBy) → a pid-window
+    hash exchange → the final single-partition agg — 4 exchanges and
+    ~5 jobs per iteration for statistics whose PARTITIONING never
+    changes across iterations (only β does).
+
+    Setup (once per fit): the `_counting_arms` per-row frame is
+    range-partitioned by DESCENDING time — equal times never split
+    across partitions and partition p holds later times than p+1 — or
+    hash-partitioned by stratum when stratified (risk sets never cross
+    strata), tagged with its partition id as a COLUMN, and persisted.
+
+    Per iteration, over that cache:
+      unstratified — TWO shuffle-free jobs:
+        1. totals: mapInPandas partial sums of the β-weighted risk
+           masses per partition → ≤ n_part tiny rows collected; the
+           driver turns them into each partition's exclusive suffix
+           OFFSET (earlier pids hold later times);
+        2. final: mapInPandas per partition — sort by time desc,
+           tie-aware (RANGE-frame) cumulative risk sums + offset,
+           accumulate the Breslow event sums → ONE partial row per
+           partition, summed on the driver in pid order.
+      stratified — no offsets needed: ONE job (step 2 with per-stratum
+      resets inside each partition).
+
+    Identical math to the per-time plan (every row at time t reads the
+    same suffix sums, so summing event ROWS ≡ summing event TIMES with
+    d_t masses); floating-point association differs, as it already did
+    across partitionings. SQL null conventions are preserved: a row
+    whose risk mass is non-finite drops out of the risk sums (its event
+    mass still counts, its non-finite event×covariate terms are
+    skipped — F.sum over NULL products), log(S0 ≤ 0) and /0 terms are
+    skipped like Spark's NULL log/division."""
+
+    def __init__(
+        self,
+        work: DataFrame,
+        time_col: str,
+        event_col: str,
+        x_cols: list[str],
+        num_partitions: int | None,
+        strata_col: str | None = None,
+        weight_col: str | None = None,
+        entry_col: str | None = None,
+    ) -> None:
+        self.k = len(x_cols)
+        self.strata = strata_col is not None
+        src = _counting_arms(work, time_col, event_col, entry_col, None)
+        wr = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+        cols = [
+            F.col("__t"),
+            F.col("__ev"),
+            F.col("__sgn"),
+            wr.alias("__w"),
+        ] + [F.col(c).cast("double").alias(f"__x{i}") for i, c in enumerate(x_cols)]
+        n_part = (
+            num_partitions
+            or work.sparkSession.sparkContext.defaultParallelism
         )
-    for i in range(k):
-        for j in range(i, k):
-            fin.append(
-                F.sum(
-                    F.col("d")
-                    * (
-                        F.col(f"e2_{i}_{j}_cum") / s0
-                        - F.col(f"e1_{i}_cum") * F.col(f"e1_{j}_cum") / (s0 * s0)
-                    )
-                ).alias(f"h_{i}_{j}")
+        if strata_col:
+            part = (
+                src.select(*cols, F.col(strata_col).alias("__s"))
+                .repartition(n_part, F.col("__s"))
             )
-    return cum.where(F.col("d") > 0).agg(*fin).collect()[0]
+        else:
+            part = src.select(*cols).repartitionByRange(
+                n_part, F.col("__t").desc()
+            )
+        self.part = part.withColumn(
+            "__pid", F.spark_partition_id()
+        ).persist()
+        fin_names = (
+            ["dlogs0", "n_events"]
+            + [f"sdx_{i}" for i in range(self.k)]
+            + [f"gs_{i}" for i in range(self.k)]
+            + [f"h_{i}_{j}" for i in range(self.k) for j in range(i, self.k)]
+        )
+        self._fin_names = fin_names
+        self._fin_schema = "__pid int, " + ", ".join(
+            f"{c} double" for c in fin_names
+        )
+
+    def unpersist(self) -> None:
+        self.part.unpersist()
+
+    def stats_at(self, beta: np.ndarray) -> dict:
+        import pandas as pd
+
+        k, strata = self.k, self.strata
+        ncc = 1 + k + k * (k + 1) // 2
+        b = np.asarray(beta, dtype=np.float64).copy()
+
+        def _values(pdf) -> np.ndarray:
+            """(n, ncc) β-weighted risk-mass terms with SQL null-skip:
+            any non-finite η/x poisons only that row's risk terms."""
+            X = np.column_stack(
+                [pdf[f"__x{i}"].to_numpy(np.float64) for i in range(k)]
+            ) if k else np.zeros((len(pdf), 0))
+            m = (
+                pdf["__sgn"].to_numpy(np.float64)
+                * pdf["__w"].to_numpy(np.float64)
+                * np.exp(X @ b)
+            )
+            V = np.empty((len(pdf), ncc))
+            V[:, 0] = m
+            for i in range(k):
+                V[:, 1 + i] = X[:, i] * m
+            c = 1 + k
+            for i in range(k):
+                for j in range(i, k):
+                    V[:, c] = X[:, i] * X[:, j] * m
+                    c += 1
+            # NaN (SQL NULL x/η) → skip that row's risk terms; ±inf
+            # (exp overflow) propagates exactly as SQL SUM(Infinity) does
+            np.nan_to_num(
+                V, copy=False, nan=0.0, posinf=np.inf, neginf=-np.inf
+            )
+            return V, X
+
+        offsets: dict[int, np.ndarray] = {}
+        if not strata:
+            # totals stay pure codegen: partial aggregation reduces each
+            # cached partition to ONE row before the 32-row exchange — no
+            # Python boundary for this pass (guide §2.3 "aggregate before
+            # you shuffle")
+            xs = [F.col(f"__x{i}") for i in range(k)]
+            eta = F.lit(0.0)
+            for col, bv in zip(xs, b):
+                eta = eta + F.lit(float(bv)) * col
+            m = F.col("__sgn") * F.col("__w") * F.exp(eta)
+            aggs = [F.sum(m).alias("c0")]
+            ci = 1
+            for i in range(k):
+                aggs.append(F.sum(xs[i] * m).alias(f"c{ci}"))
+                ci += 1
+            for i in range(k):
+                for j in range(i, k):
+                    aggs.append(F.sum(xs[i] * xs[j] * m).alias(f"c{ci}"))
+                    ci += 1
+            rows = self.part.groupBy("__pid").agg(*aggs).collect()
+            run = np.zeros(ncc)
+            for r in sorted(rows, key=lambda r: r["__pid"]):
+                offsets[int(r["__pid"])] = run.copy()
+                run = run + np.array(
+                    [float(r[f"c{i}"] or 0.0) for i in range(ncc)]
+                )
+
+        fin_names = self._fin_names
+
+        def _accumulate(pdf, off: np.ndarray, acc: np.ndarray) -> None:
+            """Suffix-cumulate one contiguous (stratum-complete) frame
+            sorted however it arrived; add the Breslow event sums."""
+            t = pdf["__t"].to_numpy(np.float64)
+            order = np.argsort(-t, kind="stable")
+            V, X = _values(pdf)
+            ts = t[order]
+            C = np.cumsum(V[order], axis=0)
+            # RANGE-frame ties: every row of a tie run reads the cum at
+            # the run's LAST index (all tied rows included)
+            last = np.searchsorted(-ts, -ts, side="right") - 1
+            cums = C[last] + off
+            d = (pdf["__w"].to_numpy(np.float64) * pdf["__ev"].to_numpy(np.float64))[
+                order
+            ]
+            acc[1] += d.sum()  # n_events mass
+            ev_mask = d > 0
+            if not ev_mask.any():
+                return
+            de = d[ev_mask]
+            S0 = cums[ev_mask, 0]
+            Xe = X[order][ev_mask]
+            # sdx: skip non-finite x terms (SQL NULL-product skip)
+            acc[2 : 2 + k] += np.nansum(de[:, None] * Xe, axis=0)
+            ok = S0 > 0  # log(≤0) → SQL NULL → skipped
+            acc[0] += float(np.dot(de[ok], np.log(S0[ok])))
+            nz = S0 != 0.0  # x/0 → SQL NULL → skipped
+            dn, S0n = de[nz], S0[nz]
+            E1 = cums[ev_mask, 1 : 1 + k][nz]
+            gs = (dn[:, None] * E1 / S0n[:, None]).sum(axis=0)
+            acc[2 + k : 2 + 2 * k] += gs
+            c = 1 + k
+            h_at = 2 + 2 * k
+            for i in range(k):
+                for j in range(i, k):
+                    E2 = cums[ev_mask, c][nz]
+                    acc[h_at] += float(
+                        np.dot(
+                            dn,
+                            E2 / S0n - E1[:, i] * E1[:, j] / (S0n * S0n),
+                        )
+                    )
+                    c += 1
+                    h_at += 1
+
+        nfin = len(fin_names)
+
+        def final(batches):
+            pdfs = [p for p in batches if len(p)]
+            if not pdfs:
+                return
+            pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+            pid = int(pdf["__pid"].iloc[0])
+            acc = np.zeros(nfin)
+            if strata:
+                for _, g in pdf.groupby("__s", sort=False, dropna=False):
+                    _accumulate(g, np.zeros(ncc), acc)
+            else:
+                _accumulate(pdf, offsets.get(pid, np.zeros(ncc)), acc)
+            yield pd.DataFrame(
+                {"__pid": [pid], **{c: [acc[i]] for i, c in enumerate(fin_names)}}
+            )
+
+        rows = self.part.mapInPandas(final, self._fin_schema).collect()
+        out = np.zeros(nfin)
+        for r in sorted(rows, key=lambda r: r["__pid"]):
+            out += np.array([float(r[c]) for c in fin_names])
+        return dict(zip(fin_names, out))
 
 
 def coxph(
@@ -595,7 +743,11 @@ def coxph(
         ),
         *([strata_col] if strata_col else []),
         *([weight_col] if weight_col else []),
-    ).persist()
+    )
+    engine = _CoxStatsEngine(
+        work, time_col, event_col, x_cols, num_partitions,
+        strata_col=strata_col, weight_col=weight_col, entry_col=entry_col,
+    )
     try:
         beta = np.zeros(k)
         ll_prev: float | None = None
@@ -606,11 +758,7 @@ def coxph(
         ll = float("nan")
         info = np.eye(k)
         for _ in range(iters):
-            row = _risk_set_stats(
-                work, time_col, event_col, x_cols, beta, num_partitions,
-                strata_col=strata_col, weight_col=weight_col,
-                entry_col=entry_col,
-            )
+            row = engine.stats_at(beta)
             sdx = np.array([float(row[f"sdx_{i}"]) for i in range(k)])
             ll = float(beta @ sdx - float(row["dlogs0"]))
             if null_ll is None:
@@ -632,11 +780,7 @@ def coxph(
             ll_prev = ll
         # ll/info above are at the PRE-step β; recompute at the final β so
         # the reported loglik/se correspond to the returned coefficients
-        row = _risk_set_stats(
-            work, time_col, event_col, x_cols, beta, num_partitions,
-            strata_col=strata_col, weight_col=weight_col,
-            entry_col=entry_col,
-        )
+        row = engine.stats_at(beta)
         sdx = np.array([float(row[f"sdx_{i}"]) for i in range(k)])
         ll = float(beta @ sdx - float(row["dlogs0"]))
         info = np.zeros((k, k))
@@ -644,7 +788,7 @@ def coxph(
             for j in range(i, k):
                 info[i, j] = info[j, i] = float(row[f"h_{i}_{j}"])
     finally:
-        work.unpersist()
+        engine.unpersist()
     cov = np.linalg.inv(info)
     return CoxPH(
         xnames=list(x_cols),
