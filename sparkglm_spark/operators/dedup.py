@@ -1158,6 +1158,52 @@ def _band_buckets(sig: DataFrame, num_perm: int, bands: int) -> DataFrame:
     )
 
 
+def _match_pairs_broadcast_verify(
+    new_index: DataFrame,
+    known_index: DataFrame,
+    threshold: float,
+    num_perm: int,
+    bands: int,
+) -> DataFrame:
+    """`minhash_match_pairs` with every exchange but a tiny output dedup
+    removed, for cost-gated small index pairs: the band-bucket join and
+    both signature fetches run as BROADCAST hash joins (the known-side
+    buckets and both sig tables are ≈ (8·num_perm + 24) bytes/doc), the
+    candidate `distinct` is SKIPPED — each raw band collision streams
+    straight through the est_jaccard filter map-side — and the
+    (threshold-surviving, tiny) output is deduped instead. A pair
+    colliding in d bands pays d est evaluations instead of one plus a
+    millions-of-rows distinct exchange; on the degenerate corpus where
+    this matters the raw/distinct ratio is ~1.45× (measured at sf0.1)
+    while the removed exchange carried 1.69M rows. est_jaccard is
+    per-pair deterministic, so deduping by id pair keeps the exact
+    banded-plan row set and values."""
+    bn = _band_buckets(new_index, num_perm, bands).withColumnsRenamed(
+        {"id": "id_new"}
+    )
+    bk = _band_buckets(known_index, num_perm, bands).withColumnsRenamed(
+        {"id": "id_known"}
+    )
+    cand = bn.join(F.broadcast(bk), ["band", "bucket"]).select(
+        "id_new", "id_known"
+    )
+    a = new_index.select(F.col("id").alias("id_new"), F.col("sig").alias("__sa"))
+    b = known_index.select(
+        F.col("id").alias("id_known"), F.col("sig").alias("__sb")
+    )
+    matches = F.size(
+        F.filter(F.zip_with("__sa", "__sb", lambda x, y: x == y), lambda v: v)
+    )
+    return (
+        cand.join(F.broadcast(a), "id_new")
+        .join(F.broadcast(b), "id_known")
+        .withColumn("est_jaccard", matches / F.lit(float(num_perm)))
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_new", "id_known", "est_jaccard")
+        .dropDuplicates(["id_new", "id_known"])
+    )
+
+
 @_CACHES.scoped
 def minhash_match_pairs(
     new_index: DataFrame,
@@ -1203,6 +1249,51 @@ def minhash_match_pairs(
     # save the dominant cost (measured on the sf0.1 headline).
     new_index = _op_persist(new_index)
     known_index = _op_persist(known_index)
+    if max_docs_per_bucket is None:
+        # r14 cost-gated fast path (guide §2.4 "remove shuffles
+        # outright"): when BOTH index sides are small, run every join
+        # broadcast and skip the candidate distinct — on a degenerate
+        # (tiny-vocab, self-similar) corpus the band join emits
+        # candidates approaching all-pairs (measured at sf0.1: 2.46M
+        # raw / 1.69M distinct candidate pairs from 2.5k × 2.5k docs)
+        # and the distinct exchange over them dominated the operator.
+        # Output row set and values are IDENTICAL (see
+        # `_match_pairs_broadcast_verify`). Large indexes (either probe
+        # over the cap, or the pair×perm op budget exceeded) keep the
+        # exchange-based LSH plan — same bounded-probe routing pattern
+        # as minhash_dedup_pairs' brute all-pairs gate.
+        # The probe is a FULL count, not a limit-capped one: a limit
+        # probe consumes cached partitions partially, which aborts their
+        # block store — the (expensive) signature pass then re-runs for
+        # every later consumer. count() materializes the persist that
+        # EVERY downstream plan fully scans anyway, so it is never
+        # wasted work; inputs with more splits than the probe cap are
+        # certainly over the doc cap and skip the probe (and any
+        # at-scale materialization) outright.
+        cap = _BRUTE_ALLPAIRS_MAX_DOCS
+        n_new = (
+            new_index.count()
+            if new_index.rdd.getNumPartitions() <= _BRUTE_PROBE_MAX_PARTITIONS
+            else cap + 1
+        )
+        n_known = (
+            (
+                known_index.count()
+                if known_index.rdd.getNumPartitions()
+                <= _BRUTE_PROBE_MAX_PARTITIONS
+                else cap + 1
+            )
+            if n_new <= cap
+            else cap + 1
+        )
+        if (
+            n_new <= cap
+            and n_known <= cap
+            and n_new * n_known * num_perm <= _BRUTE_ALLPAIRS_OPS_BUDGET
+        ):
+            return _match_pairs_broadcast_verify(
+                new_index, known_index, threshold, num_perm, bands
+            )
     bn = _band_buckets(new_index, num_perm, bands).withColumnsRenamed(
         {"id": "id_new"}
     )
