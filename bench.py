@@ -500,6 +500,16 @@ def main() -> None:
 
     W("enet_suite", run_enet_suite)
 
+    # SPARK_GRAFT_BENCH_ONLY=a,b,c — optimization-loop convenience: time
+    # just the named workloads (the driver never sets it; default = all,
+    # so the driver's protocol is unchanged).
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        keep = {s.strip() for s in only.split(",") if s.strip()}
+        if "lm_predict" in keep:
+            keep.add("lm_fit")  # predict reads the model lm_fit produces
+        workloads = [(n, f) for n, f in workloads if n in keep]
+
     runs: dict[str, list[float]] = {name: [] for name, _ in workloads}
     errors: dict[str, str] = {}
     for _ in range(N_RUNS):
