@@ -1219,6 +1219,10 @@ def _bucket_pair_stats_vec(pdf_t, pdf_e, pdf_r, pdf_w=None):
 
 _CINDEX_ROWS_PER_BUCKET = 50_000
 _CINDEX_VEC_THRESHOLD = 2000  # below this the Python Fenwick is cheaper
+# distinct-risk cardinality under which the cumulative bucketing is
+# driver math over the collected per-risk counts (a few MB) instead of
+# the distributed prefix plan — a bounded limit-probe gates it exactly
+_CINDEX_RISK_DRIVER_MAX = 100_000
 
 
 def _levenberg_lams(hess) -> list:
@@ -1264,13 +1268,14 @@ def concordance_index(
     Exact and never all-pairs. Decomposition: risk scores collapse to
     distinct values and bucket by cumulative count (a tie group never
     splits, so cross-bucket order is STRICT risk order); then
-      - cross-bucket pairs count from a (time, bucket) cell grid: probe
-        rows at each (event time × bucket) merge into the per-bucket
-        running count, so every event time reads every bucket's
-        #rows-with-later-time — the O(E·B) compact intermediate this
-        algorithm pays (E = distinct event times; `time_bucket` bounds
-        it), then a per-time prefix over bucket index and one final
-        aggregation;
+      - cross-bucket pairs count from a (time, bucket) cell grid
+        range-partitioned once by descending time: every event time
+        reads every bucket's #rows-with-later-time — the O(E·B) compact
+        work this algorithm pays (E = distinct event times;
+        `time_bucket` bounds it) — via per-partition dense suffix
+        blocks in ONE shuffle-free mapInPandas pass, with per-partition
+        per-bucket offsets from a tiny codegen aggregate (r14; the
+        same partition-once engine as the Cox fit);
       - within-bucket pairs count EXACTLY inside each bucket's Arrow
         batch (applyInPandas, Fenwick tree over risk ranks — O(n_b log)),
         so the driver sees B partial rows;
@@ -1300,7 +1305,7 @@ def concordance_index(
 
     Returns {c_index, n_comparable, n_concordant, n_tied_risk, n, n_events}.
     """
-    from pyspark.sql import Window, types as T
+    from pyspark.sql import types as T
 
     if n_buckets is not None and n_buckets < 1:
         raise ValueError("n_buckets must be >= 1")
@@ -1368,82 +1373,161 @@ def concordance_index(
         # auto-size from the count the validation agg already paid for
         n_buckets = min(4096, max(16, -(-n // _CINDEX_ROWS_PER_BUCKET)))
 
-    # bucket distinct risks by cumulative count (tie groups never split)
+    # bucket distinct risks by cumulative count (tie groups never split).
+    # Cost-gated driver path (r14, guide §2.4): when the distinct-risk
+    # cardinality is provably small (bounded limit-probe, the repo's
+    # standard gate), the cumulative bucketing is driver math on the
+    # collected counts and `bucket_of` broadcasts — replacing the
+    # global-running-sum prefix machinery (range sampling + persist +
+    # totals + window) AND guaranteeing the join build side (AQE was
+    # measured broadcasting the 150k-row BASE side of the old plan).
+    # The ceil(cum·B/n) double arithmetic is evaluated in the same
+    # order as the SQL expression, so bucket ids are bit-identical.
     rsc = base.groupBy("__r").agg(F.count(F.lit(1)).cast("double").alias("rc"))
-    rcum = global_running_sum(rsc, "__r", ["rc"])
-    bucket_of = rcum.select(
-        "__r",
-        F.least(
-            F.ceil(F.col("rc_cum") * F.lit(float(n_buckets)) / F.lit(float(n)))
-            .cast("int"),
-            F.lit(n_buckets),
-        ).alias("__b"),
-    )
-    # plain equi-join: distinct risks can approach n for a continuous
-    # score, so no broadcast hint (AQE will broadcast when it IS small).
+    probe = rsc.limit(_CINDEX_RISK_DRIVER_MAX + 1).collect()
+    if len(probe) <= _CINDEX_RISK_DRIVER_MAX:
+        import math
+
+        cum = 0.0
+        brows = []
+        for r in sorted(probe, key=lambda r: r["__r"]):
+            cum += float(r["rc"])
+            brows.append(
+                (
+                    float(r["__r"]),
+                    min(
+                        int(math.ceil(cum * float(n_buckets) / float(n))),
+                        n_buckets,
+                    ),
+                )
+            )
+        bucket_of = F.broadcast(
+            base.sparkSession.createDataFrame(brows, "__r double, __b int")
+        )
+    else:
+        rcum = global_running_sum(rsc, "__r", ["rc"])
+        bucket_of = rcum.select(
+            "__r",
+            F.least(
+                F.ceil(
+                    F.col("rc_cum") * F.lit(float(n_buckets)) / F.lit(float(n))
+                ).cast("int"),
+                F.lit(n_buckets),
+            ).alias("__b"),
+        )
     # work feeds both the cell grid and the within-bucket pass; cells
-    # feeds four consumers — persist both (ReuseExchange does not fire
-    # across differing prefix plans).
+    # feeds the totals probe and the suffix pass — persist both.
     work = base.join(bucket_of, "__r").persist()
     try:
 
-        # (time, bucket) cell grid: rows + events per cell. A bucket's suffix
-        # count is needed at EVERY event time, not just at its own time
-        # points, so probe rows (one per event-time × bucket, the O(E·B)
-        # intermediate this algorithm pays) merge into the per-bucket
-        # running count: at a probe, the inclusive RANGE cum IS
-        # C_le(b, t) = #rows of bucket b with time ≤ t.
+        # (time, bucket) cell grid, range-partitioned ONCE by DESCENDING
+        # time (r14, guide §2.4 — the `_CoxStatsEngine` shape replacing
+        # the probe-grid plan, which unioned E×B probe rows through a
+        # per-bucket window, a per-time window pair and a join-back: four
+        # exchanges over the widened frame). RangePartitioning(__t)
+        # satisfies the (__t, __b) clustering, so the cell aggregation
+        # runs WITHOUT its own exchange on the ranged rows; partition p
+        # holds strictly later times than p+1 and ties never split.
+        # Per-bucket suffix counts at each event time then come from
+        #   S(t, b) = offset_p[b] + Σ_{cells in p: t' > t, same b} c
+        # with offset_p = per-bucket totals of partitions BEFORE p
+        # (= later times), computed from one ≤ n_part·B-row codegen
+        # aggregate; one shuffle-free mapInPandas pass reads off
+        #   comparable  += ev(t,b) · Σ_b' S(t, b')
+        #   cross_conc  += ev(t,b) · Σ_{b' < b} S(t, b')
+        # per partition. Counts are integer-valued (ω-masses integer for
+        # integer ω), so the re-association is exact.
         ww = F.col("__w") if weighted else F.lit(1.0)
-        cells = work.groupBy("__t", "__b").agg(
-            (F.sum(ww) if weighted else F.count(F.lit(1)).cast("double"))
-            .alias("c"),
-            F.sum(ww * F.col("__e")).alias("ev"),
-        ).persist()
-        ev_cells = cells.where(F.col("ev") > 0)
-        bucket_ids = cells.sparkSession.range(1, n_buckets + 1).select(
-            F.col("id").cast("int").alias("__b")
-        )
-        probes = (
-            ev_cells.select("__t").distinct()
-            .crossJoin(F.broadcast(bucket_ids))
-            .select("__t", "__b", F.lit(0.0).alias("c"), F.lit(1).alias("__probe"))
-        )
-        aug = cells.select("__t", "__b", "c", F.lit(0).alias("__probe")).unionByName(
-            probes
-        )
-        wble = (
-            Window.partitionBy("__b")
-            .orderBy("__t")
-            .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        at_probe = (
-            aug.withColumn("cle", F.sum("c").over(wble))
-            .where(F.col("__probe") == 1)
-            .select("__t", "__b", "cle")
-        )
-        # per-bucket totals: B driver scalars -> broadcast join
-        btot = cells.groupBy("__b").agg(F.sum("c").alias("cnt"))
-        with_tot = at_probe.join(F.broadcast(btot), "__b", "left").withColumn(
-            "s_excl", F.coalesce(F.col("cnt"), F.lit(0.0)) - F.col("cle")
-        )
-        wlow = (
-            Window.partitionBy("__t")
-            .orderBy("__b")
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        per_probe = with_tot.withColumn(
-            "low_later", F.coalesce(F.sum("s_excl").over(wlow), F.lit(0.0))
-        ).withColumn("all_later", F.sum("s_excl").over(Window.partitionBy("__t")))
-        agg_row = (
-            ev_cells.join(per_probe, ["__t", "__b"])
+        n_part = work.sparkSession.sparkContext.defaultParallelism
+        cells = (
+            work.repartitionByRange(n_part, F.col("__t").desc())
+            .groupBy("__t", "__b")
             .agg(
-                F.sum(F.col("ev") * F.col("low_later")).alias("cross_conc"),
-                F.sum(F.col("ev") * F.col("all_later")).alias("comparable"),
+                (F.sum(ww) if weighted else F.count(F.lit(1)).cast("double"))
+                .alias("c"),
+                F.sum(ww * F.col("__e")).alias("ev"),
             )
-            .collect()[0]
+            .withColumn("__pid", F.spark_partition_id())
+            .persist()
         )
-        cross_conc = float(agg_row["cross_conc"])
-        comparable = float(agg_row["comparable"])
+        # totals: pure-codegen partial agg -> ≤ n_part·B tiny rows; the
+        # driver turns them into each partition's exclusive suffix
+        # offsets (earlier pids hold later times) AND the per-bucket
+        # grand totals the old plan paid a separate btot job for.
+        ptot = cells.groupBy("__pid", "__b").agg(F.sum("c").alias("c")).collect()
+        by_pid: dict[int, np.ndarray] = {}
+        for r in ptot:
+            by_pid.setdefault(int(r["__pid"]), np.zeros(n_buckets))[
+                int(r["__b"]) - 1
+            ] += float(r["c"])
+        offs: dict[int, np.ndarray] = {}
+        run0 = np.zeros(n_buckets)
+        for pid in sorted(by_pid):
+            offs[pid] = run0.copy()
+            run0 = run0 + by_pid[pid]
+
+        nb = n_buckets
+        # elements-per-chunk budget bounds the dense (times × buckets)
+        # suffix block each task holds (~8 MB/array at 1e6 doubles)
+        chunk_t = max(1, 1_000_000 // nb)
+
+        def cross_kernel(batches):
+            import pandas as pd
+
+            pdfs = [p for p in batches if len(p)]
+            if not pdfs:
+                return
+            pdf = (
+                pd.concat(pdfs, ignore_index=True)
+                if len(pdfs) > 1
+                else pdfs[0]
+            )
+            pid = int(pdf["__pid"].iloc[0])
+            rsum = offs.get(pid, np.zeros(nb)).copy()
+            t = pdf["__t"].to_numpy(np.float64)
+            b = pdf["__b"].to_numpy(np.int64) - 1
+            c = pdf["c"].to_numpy(np.float64)
+            ev = pdf["ev"].to_numpy(np.float64)
+            order = np.argsort(-t, kind="stable")
+            t, b, c, ev = t[order], b[order], c[order], ev[order]
+            # cells are distinct (t, b): tinv (index into the DESC time
+            # axis) is non-decreasing after the sort
+            _, tinv = np.unique(-t, return_inverse=True)
+            nt = int(tinv[-1]) + 1 if len(tinv) else 0
+            cross = comp = 0.0
+            for s0 in range(0, nt, chunk_t):
+                s1 = min(nt, s0 + chunk_t)
+                lo = int(np.searchsorted(tinv, s0))
+                hi = int(np.searchsorted(tinv, s1))
+                M = np.zeros((s1 - s0, nb))
+                M[tinv[lo:hi] - s0, b[lo:hi]] = c[lo:hi]
+                # S[i, b] = #rows of bucket b with time STRICTLY later
+                # than the i-th distinct time of this chunk
+                S = np.cumsum(M, axis=0)
+                S -= M
+                S += rsum[None, :]
+                em = ev[lo:hi] > 0
+                if em.any():
+                    ti = tinv[lo:hi][em] - s0
+                    eb = b[lo:hi][em]
+                    evv = ev[lo:hi][em]
+                    comp += float((evv * S.sum(axis=1)[ti]).sum())
+                    low = np.cumsum(S, axis=1)
+                    cross += float(
+                        (evv * (low[ti, eb] - S[ti, eb])).sum()
+                    )
+                rsum += M.sum(axis=0)
+            yield pd.DataFrame(
+                {"__pid": [pid], "cross": [cross], "comp": [comp]}
+            )
+
+        crows = cells.mapInPandas(
+            cross_kernel, "__pid int, cross double, comp double"
+        ).collect()
+        cross_conc = comparable = 0.0
+        for r in sorted(crows, key=lambda r: r["__pid"]):
+            cross_conc += float(r["cross"])
+            comparable += float(r["comp"])
         if comparable == 0:
             raise ValueError("no comparable pairs (all times tied?)")
 

@@ -949,6 +949,30 @@ def test_concordance_index_auto_buckets(spark, monkeypatch):
         sv.concordance_index(df, "t", "ev", "r", n_buckets=0)
 
 
+def test_concordance_index_bucket_paths_agree(spark, monkeypatch):
+    """r14 cross-bucket engine: the driver bucketing path (distinct
+    risks under the limit-probe gate) and the distributed prefix-plan
+    fallback must produce IDENTICAL results — bucket ids come from the
+    same ceil(cum·B/n) double arithmetic, and the suffix engine's
+    counts are integer-exact under reassociation."""
+    import sparkglm_spark.operators.survival as sv
+
+    rows = [
+        (float(1 + (i * 7) % 97), float(i % 2), float((i * 13) % 31), 1.0 + i % 3)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "t double, ev double, r double, w double")
+    via_driver = sv.concordance_index(df, "t", "ev", "r", n_buckets=5)
+    wd = sv.concordance_index(df, "t", "ev", "r", n_buckets=5, weight_col="w")
+    # force the distributed global_running_sum fallback
+    monkeypatch.setattr(sv, "_CINDEX_RISK_DRIVER_MAX", 0)
+    assert sv.concordance_index(df, "t", "ev", "r", n_buckets=5) == via_driver
+    assert (
+        sv.concordance_index(df, "t", "ev", "r", n_buckets=5, weight_col="w")
+        == wd
+    )
+
+
 def test_weibull_aft_grouped_matches_per_group(spark):
     """weibull_aft_grouped (VERDICT r8 #7): each group's numpy twin must
     land on the same MLE as the distributed weibull_aft on that slice;
