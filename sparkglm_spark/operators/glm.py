@@ -205,21 +205,9 @@ class GLM:
         else:
             sql_ll_expr = None
 
-        def zw_gram_frame(beta: np.ndarray | None) -> DataFrame:
-            """ONE job per IRLS iteration: a projection computes z/w/μ
-            (GLM.scala:282-290,359-395) once per row, then the weighted-Gram
-            ⊕ deviance aggregation runs over those plain columns. Splitting
-            projection from aggregation keeps the link/family transcendentals
-            out of the 28 aggregate expressions — the generated code is ~k²
-            products over 3 columns instead of k² copies of the μ chain,
-            which cuts both the per-iteration codegen compile (β literals
-            change every iteration, so every iteration recompiles) and the
-            per-row work. Arithmetic per value is unchanged (w·xᵢ·xⱼ
-            associates identically), so results are bit-identical."""
-            mu = mu_expr(beta)
-            eta = lnk.link(mu_expr(None), m) if beta is None else (
-                linear_combination(x_cols, beta) + offset
-            )
+        def _proj_cols(mu: Column, eta: Column) -> list[Column]:
+            """The z/w/devt/stats projection for a given μ/η pair
+            (GLM.scala:282-290,359-395) — built once per μ-form."""
             grad = lnk.lprime(mu, m)
             w = wr / (fam.variance(mu, m) * grad * grad)
             z = eta + (y - mu) * grad - offset
@@ -230,13 +218,15 @@ class GLM:
             ]
             if sql_ll_expr is not None:
                 extra.append((wr * sql_ll_expr(mu)).alias("__ll"))
-            proj = work.select(
+            return [
                 *[F.col(c) for c in x_cols],
                 w.alias("__w"),
                 z.alias("__z"),
                 (wr * fam.deviance_term(y, mu, m)).alias("__devt"),
                 *extra,
-            )
+            ]
+
+        def _gram_aggs() -> list[Column]:
             xs = [F.col(c) for c in x_cols]
             w_c, z_c = F.col("__w"), F.col("__z")
             aggs: list[Column] = []
@@ -253,7 +243,41 @@ class GLM:
             aggs.append(F.sum(F.col("__pear")).alias("pearson"))
             if sql_ll_expr is not None:
                 aggs.append(F.sum(F.col("__ll")).alias("ll"))
-            return proj.agg(*aggs)
+            return aggs
+
+        # β-independent pieces are built ONCE and reused every iteration
+        # (r14, guide §1.2 per-task → driver work): constructing the
+        # ~k²/2+k+3 aggregate Columns and the μ/w/z trees per iteration
+        # cost ~0.4 s of py4j round-trips — as much as the job itself.
+        # Per iteration only the Σβᵢxᵢ term changes; it is injected as a
+        # single selectExpr string (`sql_linear_combination`: identical
+        # left-associated tree, bit-exact literals), so the cached trees
+        # reading `__xb` evaluate exactly what the literal form did.
+        from sparkglm_spark.operators.lm import sql_linear_combination
+
+        _it_cache: dict[str, list[Column]] = {}
+
+        def zw_gram_frame(beta: np.ndarray | None) -> DataFrame:
+            """ONE job per IRLS iteration: a projection computes z/w/μ
+            once per row, then the weighted-Gram ⊕ deviance aggregation
+            runs over those plain columns. Splitting projection from
+            aggregation keeps the link/family transcendentals out of the
+            28 aggregate expressions — the generated code is ~k² products
+            over 3 columns instead of k² copies of the μ chain.
+            Arithmetic per value is unchanged (w·xᵢ·xⱼ associates
+            identically), so results are bit-identical."""
+            if beta is None:
+                mu = mu_expr(None)
+                eta = lnk.link(mu, m)
+                return work.select(*_proj_cols(mu, eta)).agg(*_gram_aggs())
+            if not _it_cache:
+                eta_c = F.col("__xb") + offset
+                _it_cache["proj"] = _proj_cols(lnk.unlink(eta_c, m), eta_c)
+                _it_cache["aggs"] = _gram_aggs()
+            frame = work.selectExpr(
+                "*", f"({sql_linear_combination(x_cols, beta)}) AS __xb"
+            )
+            return frame.select(*_it_cache["proj"]).agg(*_it_cache["aggs"])
 
         # ---- IRLS loop: ONE job per iteration ---------------------------
         beta: np.ndarray | None = None

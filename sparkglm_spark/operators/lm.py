@@ -63,6 +63,35 @@ def linear_combination(x_cols: list[str], coefs: np.ndarray) -> Column:
     return expr
 
 
+def sql_double_lit(v: float) -> str:
+    """`v` as a Spark SQL DOUBLE literal, bit-exact: repr() is the
+    shortest round-trip form and both Python and the SQL lexer parse it
+    to the same IEEE-754 double (asserted in tests); non-finite values
+    need the string-cast spelling."""
+    v = float(v)
+    if v != v:
+        return "CAST('NaN' AS DOUBLE)"
+    if v == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if v == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
+    return f"{v!r}D"
+
+
+def sql_linear_combination(x_cols: list[str], coefs) -> str:
+    """`linear_combination` as ONE SQL string — the same left-associated
+    (β₀·x₀) + (β₁·x₁) + … tree, so values are bit-identical. Iterative
+    fitters rebuild their per-iteration plan around changing β literals;
+    constructing hundreds of Column objects per iteration costs ~0.4 s
+    of py4j round-trips (measured, r14), while a string is one call —
+    the β-independent expression trees are built once and reused."""
+    terms = [
+        f"({sql_double_lit(b)} * `{c.replace('`', '``')}`)"
+        for c, b in zip(x_cols, coefs)
+    ]
+    return " + ".join(terms)
+
+
 def scoring_feature_exprs(
     xnames: list[str], levels: dict[str, list[str]], df_columns: list[str]
 ) -> list[Column]:

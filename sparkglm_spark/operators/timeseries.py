@@ -24,9 +24,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from sparkglm_spark.plans.caching import CacheRegistry
 from sparkglm_spark.plans.partitioning import fanout_groups
 
 _UNIT_SECONDS = {"hour": 3600, "day": 86400, "minute": 60}
+
+_CACHES = CacheRegistry()
+
+
+def _sorted_output(out: DataFrame, key_col: str) -> DataFrame:
+    """The cosmetic key sort on a per-key result, without re-running its
+    producer (r14, guide §2.4/§5): `orderBy` plans a range exchange whose
+    bounds sampling executes the CHILD a second time — for the per-key
+    Arrow folds here that doubles the whole Python pass (measured ~0.7 s
+    per operator at sf0.1). Persisting the compact per-key frame first
+    (one row per key; registry-scoped so a long session stays bounded)
+    makes the sampling read the cache. Values and row set unchanged."""
+    return _CACHES.persist(out).orderBy(key_col)
 
 
 def _drop_null_values(df: DataFrame, value_expr) -> DataFrame:
@@ -304,6 +318,7 @@ def ewma_series(
     )
 
 
+@_CACHES.scoped
 def ewma_forecast(
     df: DataFrame,
     key_col: str,
@@ -399,7 +414,7 @@ def ewma_forecast(
         fanout_groups(base, [key_col])
         .groupBy(key_col)
         .applyInPandas(per_key, schema)
-        .orderBy(key_col)
+        .transform(_sorted_output, key_col)
     )
 
 
@@ -425,6 +440,7 @@ def _intermittent_base(df, key_col, ts_col, value_col, tiebreak_col):
     return base, sort_cols, base.schema[key_col].dataType.simpleString()
 
 
+@_CACHES.scoped
 def croston_forecast(
     df: DataFrame,
     key_col: str,
@@ -558,10 +574,11 @@ def croston_forecast(
         fanout_groups(base, [key_col])
         .groupBy(key_col)
         .applyInPandas(per_key, schema)
-        .orderBy(key_col)
+        .transform(_sorted_output, key_col)
     )
 
 
+@_CACHES.scoped
 def tsb_forecast(
     df: DataFrame,
     key_col: str,
@@ -677,7 +694,7 @@ def tsb_forecast(
         fanout_groups(base, [key_col])
         .groupBy(key_col)
         .applyInPandas(per_key, schema)
-        .orderBy(key_col)
+        .transform(_sorted_output, key_col)
     )
 
 
@@ -782,6 +799,7 @@ def holt_series(
     )
 
 
+@_CACHES.scoped
 def holt_forecast(
     df: DataFrame,
     key_col: str,
@@ -922,10 +940,11 @@ def holt_forecast(
         fanout_groups(base, [key_col])
         .groupBy(key_col)
         .applyInPandas(per_key, schema)
-        .orderBy(key_col)
+        .transform(_sorted_output, key_col)
     )
 
 
+@_CACHES.scoped
 def ar_forecast(
     df: DataFrame,
     key_col: str,
@@ -1164,7 +1183,7 @@ def ar_forecast(
                         out[f"hi_{h}"].append(hi)
             yield pd.DataFrame(out)
 
-    return agg.mapInPandas(solve, schema).orderBy(key_col)
+    return _sorted_output(agg.mapInPandas(solve, schema), key_col)
 
 
 def _ar_solve_from_sums(
@@ -1431,6 +1450,7 @@ def holt_winters_series(
     )
 
 
+@_CACHES.scoped
 def holt_winters_forecast(
     df: DataFrame,
     key_col: str,
@@ -1620,10 +1640,11 @@ def holt_winters_forecast(
         fanout_groups(base, [key_col])
         .groupBy(key_col)
         .applyInPandas(per_key, schema)
-        .orderBy(key_col)
+        .transform(_sorted_output, key_col)
     )
 
 
+@_CACHES.scoped
 def ljung_box(
     df: DataFrame,
     key_col: str,
@@ -1703,7 +1724,7 @@ def ljung_box(
         fanout_groups(base, [key_col])
         .groupBy(key_col)
         .applyInPandas(per_key, schema)
-        .orderBy(key_col)
+        .transform(_sorted_output, key_col)
     )
 
 
