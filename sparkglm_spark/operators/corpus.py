@@ -45,6 +45,12 @@ _CACHES = CacheRegistry()
 
 _WS = r"\s+"
 
+# vocabulary size under which unigram scoring inlines the term→count map
+# as a constant-folded literal (one corpus scan, no join); the bounded
+# limit-probe gates it exactly, and a few-MB map literal ships in the
+# task binary without a broadcast
+_UNIGRAM_MAP_VOCAB_MAX = 50_000
+
 
 def word_ngrams_expr(text: Column, n: int) -> Column:
     """DISTINCT word n-grams of lowercased, whitespace-tokenized text as an
@@ -400,35 +406,85 @@ def unigram_logprob_scores(
     if alpha <= 0:
         raise ValueError("alpha must be > 0 (unsmoothed OOV would be -inf)")
     ref = docs if reference is None else reference
-    # persist the vocab: it is consumed TWICE (the N/V probe below and
-    # the scoring join), and without the cache each consumer would re-run
-    # the full tokenize + two-level aggregation over the reference —
-    # a second corpus scan at 100 TB (r6 review)
-    vocab = _CACHES.persist(
-        vocab_stats(ref, id_col=id_col, text_col=text_col).select(
-            "term", F.col("corpus_freq").alias("__c")
+    import math
+
+    def ref_terms(frame: DataFrame) -> DataFrame:
+        toks = F.split(F.trim(F.lower(F.col(text_col))), _WS)
+        return (
+            ensure_parallel(frame)
+            .where(F.length(F.trim(F.col(text_col))) > 0)
+            .select(F.col(id_col), F.explode(toks).alias("term"))
+            .where(F.col("term") != "")
         )
+
+    # unigram needs only corpus_freq, so the vocab is ONE aggregation
+    # over the exploded reference (r14; the two-level vocab_stats shape
+    # exists to also produce doc_freq, which this scorer discards — the
+    # partial-agg wire is per-(partition, term), smaller than the
+    # distinct (term, doc) wire either way). The bounded limit-probe
+    # collects it when small: N/V/denominator become driver sums of the
+    # integer counts (exact), and scoring happens in ONE corpus scan —
+    # per-token log-probs via a constant-folded term→count map literal
+    # (Spark's own log over (c+α)/denom, identical to the join path's
+    # per-term column; OOV keeps the Python-lit log(α/denom) constant).
+    # A vocabulary over the gate keeps the explode → broadcast-join →
+    # groupBy(doc) plan (natural corpora at scale).
+    vocab_agg = ref_terms(ref).groupBy("term").agg(
+        F.count(F.lit(1)).alias("__c")
     )
-    # N and V in one tiny job (this also materializes the cache); python
-    # floats (IEEE doubles) for the engine-portable denominator
+    probe = vocab_agg.limit(_UNIGRAM_MAP_VOCAB_MAX + 1).collect()
+    if len(probe) <= _UNIGRAM_MAP_VOCAB_MAX:
+        terms = [r["term"] for r in probe]
+        counts = [int(r["__c"]) for r in probe]
+        denom = float(sum(counts)) + alpha * (len(terms) + 1)
+        oov_lp = F.lit(math.log(alpha / denom))
+        cmap = F.map_from_arrays(
+            F.lit(terms).cast("array<string>"),
+            F.lit(counts).cast("array<bigint>"),
+        )
+
+        def lp_of(t):
+            c_t = F.try_element_at(cmap, t)
+            return F.when(
+                c_t.isNotNull(),
+                F.log((c_t.cast("double") + F.lit(alpha)) / F.lit(denom)),
+            ).otherwise(oov_lp)
+
+        toks = F.split(F.trim(F.lower(F.col(text_col))), _WS)
+        tf = F.filter(toks, lambda t: t != F.lit(""))
+        return (
+            ensure_parallel(docs)
+            .where(F.length(F.trim(F.col(text_col))) > 0)
+            .select(
+                F.col(id_col),
+                tf.alias("__tf"),
+            )
+            .where(F.size("__tf") > 0)
+            .select(
+                F.col(id_col),
+                F.size("__tf").cast("bigint").alias("n_tokens"),
+                (
+                    F.aggregate(
+                        F.col("__tf"),
+                        F.lit(0.0),
+                        lambda acc, t: acc + lp_of(t),
+                    )
+                    / F.size("__tf").cast("double")
+                ).alias("avg_logprob"),
+            )
+        )
+    # large vocab: persist it — consumed by the N/V probe and the join
+    vocab = _CACHES.persist(vocab_agg)
     tot = vocab.agg(
         F.sum("__c").alias("n"), F.count(F.lit(1)).alias("v")
     ).first()
     n_tokens, v_size = (tot["n"] or 0), tot["v"]
     denom = float(n_tokens) + alpha * (v_size + 1)
     lp = F.log((F.col("__c").cast("double") + F.lit(alpha)) / F.lit(denom))
-    import math
-
     oov_lp = F.lit(math.log(alpha / denom))
-    toks = F.split(F.trim(F.lower(F.col(text_col))), _WS)
-    exploded = (
-        ensure_parallel(docs)
-        .where(F.length(F.trim(F.col(text_col))) > 0)
-        .select(F.col(id_col), F.explode(toks).alias("term"))
-        .where(F.col("term") != "")
-    )
     return (
-        exploded.join(vocab.select("term", lp.alias("__lp")), "term", "left")
+        ref_terms(docs)
+        .join(vocab.select("term", lp.alias("__lp")), "term", "left")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),

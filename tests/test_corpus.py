@@ -431,6 +431,37 @@ def test_unigram_logprob_scores_match_python(spark):
         assert got[i][1] == pytest.approx(expected[i][1], rel=1e-12)
 
 
+def test_unigram_logprob_scores_paths_agree(spark, monkeypatch):
+    """The small-vocab map-literal fast path and the large-vocab join
+    path produce the same (n_tokens, avg_logprob) rows (r14: the fast
+    path scores in one scan; rel tolerance covers the join path's
+    shuffle-order float summation)."""
+    import sparkglm_spark.operators.corpus as corpus
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog barked AT the cat"),
+            (3, "completely NOVEL words here"),
+            (4, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    fast = {
+        r["doc_id"]: (r["n_tokens"], r["avg_logprob"])
+        for r in corpus.unigram_logprob_scores(docs).collect()
+    }
+    monkeypatch.setattr(corpus, "_UNIGRAM_MAP_VOCAB_MAX", 0)
+    join = {
+        r["doc_id"]: (r["n_tokens"], r["avg_logprob"])
+        for r in corpus.unigram_logprob_scores(docs).collect()
+    }
+    assert set(fast) == set(join)
+    for i in fast:
+        assert fast[i][0] == join[i][0]
+        assert fast[i][1] == pytest.approx(join[i][1], rel=1e-14)
+
+
 def test_unigram_logprob_scores_external_reference_oov(spark):
     import math
 

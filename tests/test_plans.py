@@ -454,17 +454,35 @@ def test_mixture_sample_is_a_pure_filter(spark, documents):
     assert "Filter" in formatted_plan(out)
 
 
-def test_unigram_scores_partial_agg_no_window(spark, documents):
-    """unigram_logprob_scores plan shape: vocab join + ONE partial+final
-    aggregation per side — no Window, and the document text itself never
-    crosses an exchange (only terms and per-doc partial sums do)."""
+def test_unigram_scores_small_vocab_single_scan(spark, documents):
+    """unigram_logprob_scores fast path (vocab under the map gate, as
+    here): scoring is ONE corpus scan against a constant-folded term→count
+    map literal — no Window, no join, no exchange at all (r14)."""
     from sparkglm_spark.operators.corpus import unigram_logprob_scores
+    from sparkglm_spark.plans.inspect import exchange_schemas, formatted_plan
+
+    out = unigram_logprob_scores(documents)
+    plan = formatted_plan(out)
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert exchange_schemas(out, skip_round_robin=True) == []
+
+
+def test_unigram_scores_join_path_partial_agg_no_window(
+    spark, documents, monkeypatch
+):
+    """unigram_logprob_scores large-vocab plan shape: vocab join + ONE
+    partial+final aggregation per side — no Window, and the document text
+    itself never crosses an exchange (only terms and per-doc partial sums
+    do). Forced here by zeroing the map-literal gate."""
+    import sparkglm_spark.operators.corpus as corpus
     from sparkglm_spark.plans.inspect import (
         assert_no_columns_in_exchanges,
         formatted_plan,
     )
 
-    out = unigram_logprob_scores(documents)
+    monkeypatch.setattr(corpus, "_UNIGRAM_MAP_VOCAB_MAX", 0)
+    out = corpus.unigram_logprob_scores(documents)
     plan = formatted_plan(out)
     assert "Window" not in plan
     assert "partial_" in plan  # map-side combine before the exchanges
