@@ -742,77 +742,83 @@ def hashed_tf_vectors(
     `near_dup_pairs` / `semantic_dedup` — embedding-free lexical
     similarity over raw text.
 
-    Plan: explode → groupBy(id, bucket) partial-agg count (map-side
-    combine collapses each doc's repeats before the wire) → groupBy(id)
-    collect of (bucket, count) structs → one vectorized Arrow
-    `mapInPandas` pass densifies each batch with a numpy scatter (and
-    applies the L2 norm there — Spark's GetMapValue is a linear key
-    scan, so an expression-tree densify is O(n_features · nnz) per row).
-    Both shuffles carry (id, int, long) rows; the dense array
-    (8·n_features bytes/doc) exists only past the Arrow stage's output.
-    Docs with no tokens (null/blank
-    text) get no row — a vector of nothing carries no similarity signal
-    (the simhash convention).
+    Plan: term counting is ROW-LOCAL (each doc's tokens live in one row),
+    so no aggregation is needed at all: one whole-stage-codegen projection
+    maps the token array to a bucket array (`transform` — no explode, no
+    Generate row blow-up), then one vectorized Arrow `mapInPandas` pass
+    bincounts + densifies each batch in numpy (and applies the L2 norm
+    there — Spark's GetMapValue is a linear key scan, so an
+    expression-tree densify is O(n_features · nnz) per row). ZERO
+    exchanges: nothing shuffles, the dense array (8·n_features bytes/doc)
+    exists only past the Arrow stage's output, and the Arrow input is one
+    int per token (~4·n_tokens bytes/doc). One vector per input row — ids
+    are the doc-frame key, assumed unique per row. Docs with no tokens
+    (null/blank text) get no row — a vector of nothing carries no
+    similarity signal (the simhash convention).
 
     hash_fn='portable' swaps xxhash64 for the char-polynomial hash —
     engine-reproducible bucketing, the oracle mode (slower per token;
     production uses the default)."""
-    counts = _hashed_bucket_counts(df, text_col, id_col, n_features, hash_fn)
-    return _densify_counts(counts, df, id_col, n_features, l2_normalize)
+    rows = _hashed_bucket_arrays(df, text_col, id_col, n_features, hash_fn)
+    return _densify_bucket_arrays(rows, df, id_col, n_features, l2_normalize)
 
 
-def _hashed_bucket_counts(
+def _hashed_bucket_arrays(
     df: DataFrame, text_col: str, id_col: str, n_features: int, hash_fn: str
 ) -> DataFrame:
-    """(id, __b, __c): per-doc hashed-bucket term counts — the shared core
-    of hashed-TF and TF-IDF. Both shuffles downstream of this frame carry
-    (id, int, long) rows only."""
+    """(id, __bkts: array<int>): each doc's token→bucket array, computed
+    row-locally in the JVM — the shared core of hashed-TF and TF-IDF.
+    Rows with no tokens are dropped here (the no-signal convention).
+    Same per-token bucket expression as the old explode path (pmod of
+    the hash, cast int), just mapped over the array in place."""
     if n_features < 1:
         raise ValueError("n_features must be >= 1")
     from sparkglm_spark.operators.dedup import _portable_shingle_hash
 
-    tok = F.col("__tok")
     if hash_fn == "portable":
-        bucket = F.pmod(_portable_shingle_hash(tok), F.lit(n_features))
+        bucket = lambda t: F.pmod(  # noqa: E731
+            _portable_shingle_hash(t), F.lit(n_features)
+        ).cast("int")
     elif hash_fn == "xxhash64":
-        bucket = F.pmod(F.xxhash64(tok), F.lit(n_features))
+        bucket = lambda t: F.pmod(  # noqa: E731
+            F.xxhash64(t), F.lit(n_features)
+        ).cast("int")
     else:
         raise ValueError("hash_fn must be 'xxhash64' or 'portable'")
-    toks = ensure_parallel(df).select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.filter(
-                F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
-                lambda t: t != F.lit(""),
-            )
-        ).alias("__tok"),
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda t: t != F.lit(""),
     )
+    # filter on the TOKEN array's size (== the bucket array's size, incl.
+    # the NULL case), so the pushed-down Filter re-tokenizes but never
+    # re-hashes — transform(toks) is evaluated once, in the Project
     return (
-        toks.select("id", bucket.cast("int").alias("__b"))
-        .groupBy("id", "__b")
-        .agg(F.count(F.lit(1)).alias("__c"))
+        ensure_parallel(df)
+        .where(F.size(toks) > 0)
+        .select(
+            F.col(id_col).alias("id"),
+            F.transform(toks, bucket).alias("__bkts"),
+        )
     )
 
 
-def _densify_counts(
-    counts: DataFrame,
+def _densify_bucket_arrays(
+    rows: DataFrame,
     df: DataFrame,
     id_col: str,
     n_features: int,
     l2_normalize: bool,
     weights=None,
 ) -> DataFrame:
-    """collect_list the (bucket, count) structs per doc, then densify in a
-    vectorized Arrow pass, not a per-feature expression: Spark's
-    GetMapValue is a LINEAR key scan, so a transform(sequence) over map
-    lookups costs O(n_features · nnz) per row in an interpreted loop —
-    measured 17 s for 5k docs at n_features=256 vs ~1 s for this numpy
-    scatter (the similarity.py lesson: batch kernels beat giant
-    expression trees). `weights` (optional, length n_features) multiplies
+    """Densify per-row bucket arrays in a vectorized Arrow pass, not a
+    per-feature expression: Spark's GetMapValue is a LINEAR key scan, so
+    a transform(sequence) over map lookups costs O(n_features · nnz) per
+    row in an interpreted loop — measured 17 s for 5k docs at
+    n_features=256 vs ~1 s for this numpy kernel (the similarity.py
+    lesson: batch kernels beat giant expression trees). The whole batch
+    is ONE np.bincount over row-offset bucket ids (counts are exact
+    int64 → float64). `weights` (optional, length n_features) multiplies
     each bucket in the same pass — the TF-IDF hook."""
-    entries = counts.groupBy("id").agg(
-        F.collect_list(F.struct(F.col("__b"), F.col("__c"))).alias("__e")
-    )
     id_type = df.schema[id_col].dataType.simpleString()
     nf = int(n_features)
     do_norm = bool(l2_normalize)
@@ -824,12 +830,18 @@ def _densify_counts(
 
         wv = None if w is None else np.asarray(w, dtype=np.float64)
         for pdf in batches:
-            if not len(pdf):
+            n = len(pdf)
+            if not n:
                 continue
-            out = np.zeros((len(pdf), nf), dtype=np.float64)
-            for row_i, ents in enumerate(pdf["__e"]):
-                for e in ents:
-                    out[row_i, e["__b"]] = e["__c"]
+            bkts = [np.asarray(b, dtype=np.int64) for b in pdf["__bkts"]]
+            lens = np.fromiter((len(b) for b in bkts), dtype=np.int64, count=n)
+            flat = np.concatenate(bkts)
+            offs = np.repeat(np.arange(n, dtype=np.int64) * nf, lens)
+            out = (
+                np.bincount(flat + offs, minlength=n * nf)
+                .astype(np.float64)
+                .reshape(n, nf)
+            )
             if wv is not None:
                 out *= wv
             if do_norm:
@@ -838,7 +850,7 @@ def _densify_counts(
                 )
             yield pd.DataFrame({"id": pdf["id"], "vector": list(out)})
 
-    return entries.mapInPandas(
+    return rows.mapInPandas(
         densify, f"id {id_type}, vector array<double>"
     ).withColumnsRenamed({"id": id_col})
 
@@ -860,31 +872,39 @@ def tfidf_vectors(
     and df(b) = docs whose bucket b is non-zero, then optionally
     L2-normalized.
 
-    Plan: ONE tokenize scan builds the (id, bucket, count) frame
+    Plan: ONE tokenize scan builds the row-local (id, bucket-array) frame
     (persisted — it feeds both the IDF aggregation and the vector
-    assembly); df(b) is a groupBy(bucket) count producing ≤ n_features
-    rows, so the IDF table is DRIVER state like centroids/coefficients
-    (O(n_features) floats, collected once, closed over by the Arrow
-    densify — never a join). The dense multiply rides the same numpy
-    scatter as hashed-TF: zero extra distributed passes over the TEXT vs
-    plain TF (the counts frame is persisted), plus two bounded agg jobs
-    over it for m and df (measured 2.5 s vs 1.35 s for plain TF at sf0.1,
-    n_features=256). Docs with no tokens get no
-    row (the hashed-TF convention); a bucket present in EVERY doc gets
-    idf → ln(1) ≈ 0 — IDF's point, not an error.
+    assembly); df(b) is a groupBy(bucket) count over per-row DISTINCT
+    buckets producing ≤ n_features rows, so the IDF table is DRIVER state
+    like centroids/coefficients (O(n_features) floats, collected once,
+    closed over by the Arrow densify — never a join). The dense multiply
+    rides the same numpy bincount as hashed-TF: zero extra distributed
+    passes over the TEXT vs plain TF (the arrays frame is persisted),
+    plus two bounded agg jobs over it for m and df; the vector-assembly
+    plan itself has ZERO exchanges (InMemoryTableScan → mapInPandas).
+    Docs with no tokens get no row (the hashed-TF convention); a bucket
+    present in EVERY doc gets idf → ln(1) ≈ 0 — IDF's point, not an
+    error.
 
     `hash_fn='portable'` is the SQL-replayable oracle mode (see
     `hashed_tf_vectors`)."""
     import math
 
-    counts = _CACHES.persist(
-        _hashed_bucket_counts(df, text_col, id_col, n_features, hash_fn)
+    rows = _CACHES.persist(
+        _hashed_bucket_arrays(df, text_col, id_col, n_features, hash_fn)
     )
     # m and df(b): one bounded aggregation pass each over the compact
-    # counts frame; df_rows is capped at n_features rows by construction
-    m = counts.select(F.countDistinct("id")).first()[0]
-    df_rows = counts.groupBy("__b").agg(F.count(F.lit(1)).alias("__df")).collect()
+    # arrays frame; df_rows is capped at n_features rows by construction
+    # (array_distinct per row ⇒ each doc counts each bucket once, the
+    # same df(b) the old (id, bucket) grouping produced)
+    m = rows.select(F.countDistinct("id")).first()[0]
+    df_rows = (
+        rows.select(F.explode(F.array_distinct("__bkts")).alias("__b"))
+        .groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .collect()
+    )
     idf = [math.log(float(m + 1)) for _ in range(int(n_features))]
     for r in df_rows:
         idf[r["__b"]] = math.log((m + 1.0) / (r["__df"] + 1.0))
-    return _densify_counts(counts, df, id_col, n_features, l2_normalize, idf)
+    return _densify_bucket_arrays(rows, df, id_col, n_features, l2_normalize, idf)

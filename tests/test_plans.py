@@ -543,27 +543,29 @@ def test_normalize_text_pushes_column_pruning(spark, sf_dir):
     assert "text" in scan_schema[0]
 
 
-def test_tfidf_exchanges_carry_compact_rows_only(spark, documents):
-    """tfidf_vectors' plan claim: both shuffles carry (id, bucket, count)
-    rows — neither the text nor the dense vector enters an exchange, and
-    the idf weighting adds no join (driver state closed over by the
-    Arrow pass)."""
-    from sparkglm_spark.operators.text import tfidf_vectors
-    from sparkglm_spark.plans.inspect import (
-        assert_no_columns_in_exchanges,
-        exchange_schemas,
-        formatted_plan,
-    )
+def test_tfidf_and_hashed_tf_are_exchange_free(spark, documents):
+    """The r14 row-local claim: term counting happens inside each row
+    (transform → Arrow bincount), so the vector-assembly plan of BOTH
+    hashed_tf_vectors and tfidf_vectors has ZERO hash/range exchanges,
+    no explode (Generate), and the idf weighting adds no join (driver
+    state closed over by the Arrow pass)."""
+    from sparkglm_spark.operators.text import hashed_tf_vectors, tfidf_vectors
+    from sparkglm_spark.plans.inspect import exchange_schemas, formatted_plan
 
-    out = tfidf_vectors(documents, n_features=64)
-    exchanges = exchange_schemas(out, skip_round_robin=True)
-    assert exchanges, "expected the two groupBy exchanges"
-    assert_no_columns_in_exchanges(out, ["text"])
-    for ex in exchanges:
-        assert "vector" not in ex["columns"], ex
-    plan = formatted_plan(out)
-    for join in ("BroadcastHashJoin", "SortMergeJoin", "BroadcastNestedLoopJoin"):
-        assert join not in plan, f"idf must be driver state, found {join}"
+    for out in (
+        hashed_tf_vectors(documents, n_features=64),
+        tfidf_vectors(documents, n_features=64),
+    ):
+        assert exchange_schemas(out, skip_round_robin=True) == []
+        plan = formatted_plan(out)
+        assert "MapInPandas" in plan
+        assert "Generate" not in plan, "explode must not be back"
+        for join in (
+            "BroadcastHashJoin",
+            "SortMergeJoin",
+            "BroadcastNestedLoopJoin",
+        ):
+            assert join not in plan, f"idf must be driver state, found {join}"
 
 
 def test_ml_wrapper_transforms_are_shuffle_free(spark, lineitem, documents):
