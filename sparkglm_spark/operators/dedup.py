@@ -698,7 +698,12 @@ def _allpairs_by_bitmap_from_sets(
                 }
             )
 
-    bm = sets.mapInPandas(to_bitmaps, f"id {id_type}, sz int, bm array<long>")
+    # persist: bm feeds BOTH join sides (broadcast build + stream), so
+    # without the cache the Arrow bitmap pass runs twice per consumer
+    # (measured ~0.5 s/extra pass warm at sf0.1 — §2.4 "don't recompute")
+    bm = _op_persist(
+        sets.mapInPandas(to_bitmaps, f"id {id_type}, sz int, bm array<long>")
+    )
     a = bm.select(
         F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), F.col("bm").alias("bm_a")
     )
