@@ -51,6 +51,31 @@ _WS = r"\s+"
 # task binary without a broadcast
 _UNIGRAM_MAP_VOCAB_MAX = 50_000
 
+# count-table row budget under which bigram scoring inlines the model
+# (uni/ctx/bigram count maps) as constant-folded literals — the bigram
+# analogue of _UNIGRAM_MAP_VOCAB_MAX, gated by the same bounded
+# limit-probe on the model aggregation
+_BIGRAM_MAP_PAIRS_MAX = 50_000
+
+
+def _count_map_literal(keys: list[str], vals: list[int]) -> Column:
+    """string→bigint map literal built as ONE parsed SQL expression.
+    `F.lit(list)` constructs the array element-by-element through py4j —
+    measured 2.6 s for a 1k-key map (and linearly worse toward the 50k
+    gate); the parser ingests the same literal in milliseconds. Keys are
+    \\-escaped; the parsed tree constant-folds exactly like the F.lit
+    form (same map, same lookups)."""
+    if not keys:
+        return F.expr(
+            "map_from_arrays(cast(array() as array<string>),"
+            " cast(array() as array<bigint>))"
+        )
+    ks = ",".join(
+        "'" + k.replace("\\", "\\\\").replace("'", "\\'") + "'" for k in keys
+    )
+    vs = ",".join(f"{v}L" for v in vals)
+    return F.expr(f"map_from_arrays(array({ks}), array({vs}))")
+
 
 def word_ngrams_expr(text: Column, n: int) -> Column:
     """DISTINCT word n-grams of lowercased, whitespace-tokenized text as an
@@ -438,10 +463,7 @@ def unigram_logprob_scores(
         counts = [int(r["__c"]) for r in probe]
         denom = float(sum(counts)) + alpha * (len(terms) + 1)
         oov_lp = F.lit(math.log(alpha / denom))
-        cmap = F.map_from_arrays(
-            F.lit(terms).cast("array<string>"),
-            F.lit(counts).cast("array<bigint>"),
-        )
+        cmap = _count_map_literal(terms, counts)
 
         def lp_of(t):
             c_t = F.try_element_at(cmap, t)
@@ -749,9 +771,93 @@ def bigram_logprob_scores(
         )
 
     # ---- model: one aggregation over the reference pair stream --------
-    counts = _CACHES.persist(
-        pair_stream(ref).groupBy("__a", "__b").agg(F.count(F.lit(1)).alias("__c"))
+    counts_agg = pair_stream(ref).groupBy("__a", "__b").agg(
+        F.count(F.lit(1)).alias("__c")
     )
+    # bounded probe (the unigram-scorer gate, r14): when the count table
+    # is small, the whole model lives on the driver — N/V/denominator are
+    # exact integer sums, the uni/ctx/bigram lookups become constant-
+    # folded map literals, and scoring is ONE corpus scan with a row-local
+    # fold (no explode, no joins, no groupBy exchange). Every per-pair
+    # double is the same expression the join path evaluates (Spark's own
+    # ln/division over identical operands); the fold accumulates in token
+    # order, which is also the order the join path's partial agg sees
+    # (explode emits a doc's pairs consecutively; the dim joins broadcast).
+    # Count tables over the gate keep the distributed model + join plan.
+    probe = counts_agg.limit(_BIGRAM_MAP_PAIRS_MAX + 1).collect()
+    if len(probe) <= _BIGRAM_MAP_PAIRS_MAX:
+        uni_c: dict[str, int] = {}
+        ctx_c: dict[str, int] = {}
+        big_c: dict[str, int] = {}
+        n_tok = 0
+        for r in probe:
+            a, b, c = r["__a"], r["__b"], int(r["__c"])
+            n_tok += c
+            uni_c[b] = uni_c.get(b, 0) + c
+            if a is not None:
+                ctx_c[a] = ctx_c.get(a, 0) + c
+                if c >= min_count:
+                    # tokens come from a \s+ split, so they never contain
+                    # whitespace — ' ' joins (a, b) injectively
+                    big_c[a + " " + b] = c
+        denom = float(n_tok) + alpha * (len(uni_c) + 1)
+        uni_map = _count_map_literal(list(uni_c.keys()), list(uni_c.values()))
+        ctx_map = _count_map_literal(list(ctx_c.keys()), list(ctx_c.values()))
+        big_map = _count_map_literal(list(big_c.keys()), list(big_c.values()))
+
+        def lp_of(pair):
+            prev, cur = pair["prev"], pair["cur"]
+            p_uni = (
+                F.coalesce(F.try_element_at(uni_map, cur), F.lit(0)).cast(
+                    "double"
+                )
+                + F.lit(alpha)
+            ) / F.lit(denom)
+            c1 = F.try_element_at(ctx_map, prev)
+            c = F.try_element_at(
+                big_map, F.concat(prev, F.lit(" "), cur)
+            )
+            p_big = F.when(prev.isNull() | c1.isNull(), p_uni).otherwise(
+                F.lit(lam) * (F.coalesce(c, F.lit(0)).cast("double") / c1)
+                + F.lit(1.0 - lam) * p_uni
+            )
+            return F.log(p_big)
+
+        t = F.col(text_col)
+        toks = F.split(F.trim(F.lower(t)), _WS)
+        prevs = F.concat(
+            F.array(F.lit(None).cast("string")),
+            F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        )
+        pf = F.filter(
+            F.arrays_zip(prevs.alias("prev"), toks.alias("cur")),
+            lambda s: s["cur"] != F.lit(""),
+        )
+        return (
+            ensure_parallel(docs)
+            .where(t.isNotNull() & (F.length(F.trim(t)) > 0))
+            .select(F.col(id_col), pf.alias("__pf"))
+            .where(F.size("__pf") > 0)
+            .select(
+                id_col,
+                F.size("__pf").cast("bigint").alias("n_tokens"),
+                F.size(
+                    F.filter(F.col("__pf"), lambda s: s["prev"].isNotNull())
+                )
+                .cast("bigint")
+                .alias("n_bigrams"),
+                (
+                    F.aggregate(
+                        F.col("__pf"),
+                        F.lit(0.0),
+                        lambda acc, s: acc + lp_of(s),
+                    )
+                    / F.size("__pf").cast("double")
+                ).alias("avg_logprob"),
+            )
+        )
+
+    counts = _CACHES.persist(counts_agg)
     tot = counts.agg(
         F.sum("__c").alias("n"), F.count_distinct("__b").alias("v")
     ).first()

@@ -735,3 +735,46 @@ def test_bigram_scores_external_reference_and_validation(spark, documents):
     assert_no_columns_in_exchanges(
         bigram_logprob_scores(documents.limit(100)), ["text"]
     )
+
+
+def test_bigram_logprob_scores_paths_agree(spark, monkeypatch):
+    """The small-model map-literal fast path and the distributed join
+    path produce the same rows (r14: the fast path collects the count
+    table and scores in one row-local scan; rel tolerance covers the
+    join path's shuffle-order float summation)."""
+    import sparkglm_spark.operators.corpus as corpus
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog barked AT the cat"),
+            (3, "mat the on sat cat the"),
+            (4, "completely NOVEL words here"),
+            (5, "   "),
+            (6, None),
+            (7, "single"),
+        ],
+        "doc_id long, text string",
+    )
+    ref = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the cat ran")],
+        "doc_id long, text string",
+    )
+    for kwargs in (
+        {},
+        {"reference": ref, "min_count": 2, "alpha": 0.25, "lam": 0.5},
+    ):
+        fast = {
+            r["doc_id"]: (r["n_tokens"], r["n_bigrams"], r["avg_logprob"])
+            for r in corpus.bigram_logprob_scores(docs, **kwargs).collect()
+        }
+        monkeypatch.setattr(corpus, "_BIGRAM_MAP_PAIRS_MAX", 0)
+        join = {
+            r["doc_id"]: (r["n_tokens"], r["n_bigrams"], r["avg_logprob"])
+            for r in corpus.bigram_logprob_scores(docs, **kwargs).collect()
+        }
+        monkeypatch.undo()
+        assert set(fast) == set(join)
+        for i in fast:
+            assert fast[i][:2] == join[i][:2]
+            assert fast[i][2] == pytest.approx(join[i][2], rel=1e-14)
