@@ -29,6 +29,67 @@ from sparkglm_spark.plans.prefix import global_running_sum
 _EPS = 1e-15
 
 
+# distinct-score row budget for the driver AUC/AP path: 1M (p, pos, neg)
+# rows ≈ 24 MB on the wire — the same order as the dedup driver gate
+# (driver_max_edges); natural score columns (calibrated probabilities,
+# bounded-precision model outputs) stay far under it
+_AUC_DRIVER_MAX_SCORES = 1_000_000
+
+
+def _auc_ap_scalar(sc: DataFrame, n_pos: float, n_neg: float) -> tuple[float, float]:
+    """Mann-Whitney U and step-rule average precision over the distinct-
+    score table `sc` (__p, pos, neg) — two scalars out of a prefix scan.
+
+    Cost-gated driver path (r14, the repo's standard bounded-probe idiom):
+    a `limit(cap+1)` collect of the aggregated score table; when it fits,
+    U/AP are one numpy cumsum over the sorted (pos, neg) counts — the
+    whole computation after the groupBy is ONE job, no range exchange, no
+    window. U is exact either way (every term is a half of a bounded
+    integer, and so is every partial sum), so AUC is bit-identical to the
+    distributed plan; AP reassociates float terms (≤ ulps — the final-
+    aggregate merge order was already nondeterministic). Score tables
+    over the gate (too many distinct scores to collect) keep the
+    range-partitioned global_running_sum plan.
+
+    A partition-once mapInPandas engine (the coxph shape) was tried and
+    REJECTED here: with no iteration to amortize over, its two cache
+    materializations + Arrow pass cost 3.0 s warm vs 1.3 s for the fused
+    prefix chain at sf0.1 — the engine pays off only when the partition
+    is reused across passes."""
+    import numpy as np
+
+    # Arrow transfer, not .collect(): Row-object deserialization costs
+    # ~1 s at the 150k-score mark (the _components_driver lesson)
+    pdf = sc.limit(_AUC_DRIVER_MAX_SCORES + 1).toPandas()
+    if len(pdf) <= _AUC_DRIVER_MAX_SCORES:
+        order = np.argsort(pdf["__p"].to_numpy())
+        pos = pdf["pos"].to_numpy()[order]
+        neg = pdf["neg"].to_numpy()[order]
+        # scores are distinct per row (groupBy key) → exclusive prefix =
+        # strictly-below counts, ties stay within one term
+        neg_lt = np.concatenate(([0.0], np.cumsum(neg)[:-1]))
+        pos_lt = np.concatenate(([0.0], np.cumsum(pos)[:-1]))
+        P, N = float(n_pos), float(n_neg)
+        u = float(np.sum(pos * (neg_lt + neg / 2.0)))
+        pos_ge = P - pos_lt
+        neg_ge = N - neg_lt
+        ap = float(np.sum((pos / P) * (pos_ge / (pos_ge + neg_ge))))
+        return u, ap
+    cum = global_running_sum(sc, "__p", ["pos", "neg"])
+    # at-or-above counts from the ascending sums: ≥s = total − (<s)
+    pos_ge = F.lit(n_pos) - (F.col("pos_cum") - F.col("pos"))
+    neg_ge = F.lit(n_neg) - (F.col("neg_cum") - F.col("neg"))
+    u_row = cum.agg(
+        F.sum(
+            F.col("pos") * (F.col("neg_cum") - F.col("neg") + F.col("neg") / 2.0)
+        ).alias("u"),
+        F.sum(
+            (F.col("pos") / F.lit(n_pos)) * (pos_ge / (pos_ge + neg_ge))
+        ).alias("ap"),
+    ).collect()[0]
+    return float(u_row["u"]), float(u_row["ap"])
+
+
 def binary_classification_eval(
     df: DataFrame,
     label_col: str,
@@ -105,20 +166,8 @@ def binary_classification_eval(
         sc = base.groupBy("__p").agg(
             F.sum(y).alias("pos"), F.sum(F.lit(1.0) - y).alias("neg")
         )
-        cum = global_running_sum(sc, "__p", ["pos", "neg"])
-        # at-or-above counts from the ascending sums: ≥s = total − (<s)
-        pos_ge = F.lit(n_pos) - (F.col("pos_cum") - F.col("pos"))
-        neg_ge = F.lit(n_neg) - (F.col("neg_cum") - F.col("neg"))
-        u_row = cum.agg(
-            F.sum(
-                F.col("pos") * (F.col("neg_cum") - F.col("neg") + F.col("neg") / 2.0)
-            ).alias("u"),
-            F.sum(
-                (F.col("pos") / F.lit(n_pos)) * (pos_ge / (pos_ge + neg_ge))
-            ).alias("ap"),
-        ).collect()[0]
-        auc = float(u_row["u"]) / (n_pos * n_neg)
-        avg_precision = float(u_row["ap"])
+        u, avg_precision = _auc_ap_scalar(sc, n_pos, n_neg)
+        auc = u / (n_pos * n_neg)
     else:
         auc = nan
         avg_precision = nan

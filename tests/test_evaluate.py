@@ -84,6 +84,25 @@ def test_auc_edge_cases(spark):
         ).collect()
 
 
+def test_auc_ap_driver_and_distributed_paths_agree(spark, monkeypatch):
+    """The bounded-collect driver path and the global_running_sum
+    fallback produce the same AUC (exact — integer-half arithmetic) and
+    AP (to float reassociation) for tied and untied score tables (r14)."""
+    import sparkglm_spark.operators.evaluate as ev
+
+    rng = np.random.default_rng(7)
+    y = (rng.random(400) < 0.4).astype(float)
+    p = np.round(rng.random(400), 2)  # ties across rows
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(y, p)], "y double, p double"
+    )
+    fast = {r.metric: r.value for r in ev.binary_classification_eval(df, "y", "p").collect()}
+    monkeypatch.setattr(ev, "_AUC_DRIVER_MAX_SCORES", 0)
+    slow = {r.metric: r.value for r in ev.binary_classification_eval(df, "y", "p").collect()}
+    assert fast["auc"] == slow["auc"]
+    assert fast["avg_precision"] == pytest.approx(slow["avg_precision"], rel=1e-13)
+
+
 def test_all_ties_auc_is_half(spark):
     df = spark.createDataFrame(
         [(1.0, 0.5), (0.0, 0.5), (1.0, 0.5), (0.0, 0.5)], "y double, p double"
