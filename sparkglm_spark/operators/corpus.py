@@ -47,15 +47,19 @@ _WS = r"\s+"
 
 # vocabulary size under which unigram scoring inlines the term→count map
 # as a constant-folded literal (one corpus scan, no join); the bounded
-# limit-probe gates it exactly, and a few-MB map literal ships in the
-# task binary without a broadcast
-_UNIGRAM_MAP_VOCAB_MAX = 50_000
+# limit-probe gates it exactly. 4096, NOT larger (r14 measurement):
+# element_at on a literal map is a LINEAR key scan per lookup (a 50k-key
+# map cost 49 s over 2M probes vs 2.9 s at 10k keys over 235k), and
+# parse/optimize of the literal itself grows linearly (~5 s at 50k keys)
+# — past a few thousand keys the broadcast-join plan is strictly better.
+_UNIGRAM_MAP_VOCAB_MAX = 4096
 
 # count-table row budget under which bigram scoring inlines the model
 # (uni/ctx/bigram count maps) as constant-folded literals — the bigram
 # analogue of _UNIGRAM_MAP_VOCAB_MAX, gated by the same bounded
-# limit-probe on the model aggregation
-_BIGRAM_MAP_PAIRS_MAX = 50_000
+# limit-probe on the model aggregation and capped for the same
+# linear-scan/planning-cost reasons
+_BIGRAM_MAP_PAIRS_MAX = 4096
 
 
 def _count_map_literal(keys: list[str], vals: list[int]) -> Column:
