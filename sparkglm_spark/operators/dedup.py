@@ -1196,8 +1196,9 @@ def _match_pairs_broadcast_verify(
     b = known_index.select(
         F.col("id").alias("id_known"), F.col("sig").alias("__sb")
     )
-    matches = F.size(
-        F.filter(F.zip_with("__sa", "__sb", lambda x, y: x == y), lambda v: v)
+    matches = F.expr(
+        "aggregate(zip_with(__sa, __sb, (x, y) -> IF(x = y, 1, 0)),"
+        " 0, (a, b) -> a + b)"
     )
     return (
         cand.join(F.broadcast(a), "id_new")
@@ -1339,8 +1340,9 @@ def minhash_match_pairs(
     b = known_index.select(
         F.col("id").alias("id_known"), F.col("sig").alias("__sb")
     )
-    matches = F.size(
-        F.filter(F.zip_with("__sa", "__sb", lambda x, y: x == y), lambda v: v)
+    matches = F.expr(
+        "aggregate(zip_with(__sa, __sb, (x, y) -> IF(x = y, 1, 0)),"
+        " 0, (a, b) -> a + b)"
     )
     return (
         cand.join(a, "id_new")
