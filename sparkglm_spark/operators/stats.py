@@ -197,39 +197,45 @@ def chi2_independence(
     try:
         ra = cells.groupBy(col_a).agg(F.sum("o").alias("ra"))
         cb = cells.groupBy(col_b).agg(F.sum("o").alias("cb"))
-        tot = cells.agg(
-            F.sum("o").alias("n"),
-            F.countDistinct(col_a).alias("ka"),
-            F.countDistinct(col_b).alias("kb"),
-        ).collect()[0]
-        n, ka, kb = float(tot["n"]), int(tot["ka"]), int(tot["kb"])
+        # n/ka/kb ride the SAME job as the statistic (r14 — was a
+        # separate collect): a broadcast one-row totals frame crossJoins
+        # onto the grid, so expected counts divide by a column instead of
+        # a driver literal. Validation happens after the single job (a
+        # degenerate input pays one job before raising — same error).
+        tot = F.broadcast(
+            cells.agg(
+                F.sum("o").alias("__n"),
+                F.countDistinct(col_a).alias("__ka"),
+                F.countDistinct(col_b).alias("__kb"),
+            )
+        )
+        # the FULL ka×kb grid, not just observed cells: a cell with
+        # observed = 0 but expected > 0 still contributes expected to the
+        # statistic (the classic sparse-contingency mistake). The cells
+        # join side is unhinted — AQE broadcasts it at runtime when it
+        # fits (the old explicit gate needed the driver-side ka·kb).
+        grid = ra.crossJoin(cb).crossJoin(tot)
+        e_cell = F.col("ra") * F.col("cb") / F.col("__n")
+        stat_row = (
+            grid.join(cells, [col_a, col_b], "left")
+            .agg(
+                F.sum(
+                    (F.coalesce(F.col("o"), F.lit(0.0)) - e_cell) ** 2
+                    / e_cell
+                ).alias("chi2"),
+                F.first("__n").alias("n"),
+                F.first("__ka").alias("ka"),
+                F.first("__kb").alias("kb"),
+            )
+            .collect()[0]
+        )
+        ka = int(stat_row["ka"] or 0)
+        kb = int(stat_row["kb"] or 0)
         if ka < 2 or kb < 2:
             raise ValueError(
                 f"need >= 2 levels per column, found {ka}x{kb}"
             )
-        # the FULL ka×kb grid, not just observed cells: a cell with
-        # observed = 0 but expected > 0 still contributes expected to the
-        # statistic (the classic sparse-contingency mistake)
-        grid = ra.crossJoin(cb)
-        # broadcast the observed cells only when the grid bound says they
-        # fit (|cells| <= ka*kb); past 1e6 potential cells let the planner
-        # pick (AQE broadcasts at runtime if the build side turns out small)
-        cells_side = F.broadcast(cells) if ka * kb <= 1_000_000 else cells
-        stat_row = (
-            grid.join(cells_side, [col_a, col_b], "left")
-            .select(
-                (
-                    (
-                        F.coalesce(F.col("o"), F.lit(0.0))
-                        - F.col("ra") * F.col("cb") / F.lit(n)
-                    )
-                    ** 2
-                    / (F.col("ra") * F.col("cb") / F.lit(n))
-                ).alias("term")
-            )
-            .agg(F.sum("term").alias("chi2"))
-            .collect()[0]
-        )
+        n = float(stat_row["n"])
     finally:
         cells.unpersist()
     chi2 = float(stat_row["chi2"])
