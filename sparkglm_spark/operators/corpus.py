@@ -690,12 +690,15 @@ def remove_duplicate_substrings(
                     continue
                 n = len(tok_list)
                 diff = np.zeros(n + 1, dtype=np.int64)
-                for s in st:
-                    diff[s] += 1
-                    diff[min(s + w, n)] -= 1
+                starts = np.asarray(st, dtype=np.int64)
+                # vectorized interval-diff scatter (np.add.at handles
+                # repeated starts); the per-start Python loop it replaces
+                # was O(dup_windows) interpreter work per doc
+                np.add.at(diff, starts, 1)
+                np.add.at(diff, np.minimum(starts + w, n), -1)
                 covered = np.cumsum(diff[:n]) > 0
-                keep = [tok for tok, c in zip(tok_list, covered) if not c]
-                texts.append(" ".join(keep))
+                toks_np = np.array(tok_list, dtype=object)
+                texts.append(" ".join(toks_np[~covered].tolist()))
                 removed.append(int(covered.sum()))
             yield pd.DataFrame(
                 {"__id": pdf["__id"], "text": texts, "n_removed": removed}
