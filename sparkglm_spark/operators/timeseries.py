@@ -336,7 +336,7 @@ def ewma_series(
     adjusted weighted-mean form (pandas `ewm` semantics for either flag).
 
     The recursion is inherently sequential PER KEY, so this runs as an
-    Arrow-batched `applyInPandas` per key — the standard shape for
+    Arrow-batched per-key fold (`_fold_partitions`) — the shape for
     per-entity stateful passes (each key's history must fit one executor's
     Arrow batch; keys are independent, so 100 TB of keys parallelizes).
     Appends `output_col` to (key, ts, value) rows.
@@ -361,14 +361,18 @@ def ewma_series(
         f"__x double, {output_col} double"
     )
 
-    def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("__ts", kind="mergesort")
-        pdf[output_col] = pdf["__x"].ewm(alpha=alpha, adjust=adjust).mean()
-        return pdf
+    def make_fold(pdf: pd.DataFrame):
+        ks = pdf[pdf.columns[0]]
+        tss = pdf["__ts"]
+        xcol = pdf["__x"]
+        return lambda s, e: {
+            key_col: ks.iloc[s:e],
+            "__ts": tss.iloc[s:e],
+            "__x": xcol.iloc[s:e],
+            output_col: xcol.iloc[s:e].ewm(alpha=alpha, adjust=adjust).mean(),
+        }
 
-    out = fanout_groups(base, [key_col]).groupBy(key_col).applyInPandas(
-        per_key, schema
-    )
+    out = _fold_partitions(base, key_col, ["__ts"], make_fold, schema)
     return out.select(
         F.col(key_col),
         F.col("__ts").alias(ts_col),
@@ -440,17 +444,21 @@ def ewma_forecast(
         f"n_events bigint, level double, {fcols}"
     )
 
-    def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(sort_cols, kind="mergesort")
-        x = pdf["__x"].to_numpy(np.float64)
-        n = len(x)
+    def make_fold(pdf: pd.DataFrame):
+        ks = pdf[pdf.columns[0]].to_numpy()
+        xs = pdf["__x"].to_numpy(np.float64)
+        return lambda s, e: fold_one(ks, xs, s, e)
+
+    def fold_one(ks, xs, s, e):
+        x = xs[s:e]
+        n = e - s
         lvl = x[0]
         sse = 0.0
         for i in range(1, n):
             sse += (x[i] - lvl) * (x[i] - lvl)
             lvl = alpha * x[i] + (1.0 - alpha) * lvl
         row = {
-            pdf.columns[0]: [pdf.iloc[0, 0]],
+            key_col: [ks[s]],
             "n_events": [n],
             "level": [lvl],
         }
@@ -467,14 +475,11 @@ def ewma_forecast(
                 row[f"se_{h}"] = [se]
                 row[f"lo_{h}"] = [None if se is None else lvl - zq * se]
                 row[f"hi_{h}"] = [None if se is None else lvl + zq * se]
-        return pd.DataFrame(row)
+        return row
 
-    return (
-        fanout_groups(base, [key_col])
-        .groupBy(key_col)
-        .applyInPandas(per_key, schema)
-        .transform(_sorted_output, key_col)
-    )
+    return _fold_partitions(
+        base, key_col, sort_cols, make_fold, schema
+    ).transform(_sorted_output, key_col)
 
 
 
@@ -549,7 +554,7 @@ def croston_forecast(
     captures it without a distributional assumption on sizes. Keys with
     fewer than 2 measured errors (or NULL state) report NULL se/lo/hi.
 
-    Same per-key-sequential applyInPandas shape as `ewma_forecast`;
+    Same per-key-sequential fold shape as `ewma_forecast`;
     NULL POLICY (family-wide — `_drop_null_values`): null/NaN value
     rows are dropped before the fold (they are MISSING periods, not
     zero-demand periods)."""
@@ -578,13 +583,17 @@ def croston_forecast(
         + (", se double, lo double, hi double" if interval else "")
     )
 
-    def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(sort_cols, kind="mergesort")
-        x = pdf["__x"].to_numpy(np.float64)
-        n = len(x)
+    def make_fold(pdf: pd.DataFrame):
+        ks = pdf[pdf.columns[0]].to_numpy()
+        xs = pdf["__x"].to_numpy(np.float64)
+        return lambda s, e: fold_one(ks, xs, s, e)
+
+    def fold_one(ks, xs, s, e):
+        x = xs[s:e]
+        n = e - s
         if np.any(x < 0.0):  # negative demand: NULL-degrade this key
             row = {
-                pdf.columns[0]: [pdf.iloc[0, 0]],
+                key_col: [ks[s]],
                 "n_periods": [n],
                 "n_demands": [None],
                 "size": [None],
@@ -593,7 +602,7 @@ def croston_forecast(
             }
             if interval:
                 row.update({"se": [None], "lo": [None], "hi": [None]})
-            return pd.DataFrame(row)
+            return row
         z = p = None
         nd = 0
         q = 0
@@ -601,8 +610,8 @@ def croston_forecast(
         m = 0
         for v in x:
             if interval and z is not None:
-                e = float(v) - factor * z / p
-                sse += e * e
+                e_ = float(v) - factor * z / p
+                sse += e_ * e_
                 m += 1
             q += 1
             if v > 0.0:
@@ -615,7 +624,7 @@ def croston_forecast(
                 q = 0
         fc = None if z is None else factor * z / p
         row = {
-            pdf.columns[0]: [pdf.iloc[0, 0]],
+            key_col: [ks[s]],
             "n_periods": [n],
             "n_demands": [nd],
             "size": [z],
@@ -627,14 +636,11 @@ def croston_forecast(
             row["se"] = [se]
             row["lo"] = [None if se is None else fc - zq * se]
             row["hi"] = [None if se is None else fc + zq * se]
-        return pd.DataFrame(row)
+        return row
 
-    return (
-        fanout_groups(base, [key_col])
-        .groupBy(key_col)
-        .applyInPandas(per_key, schema)
-        .transform(_sorted_output, key_col)
-    )
+    return _fold_partitions(
+        base, key_col, sort_cols, make_fold, schema
+    ).transform(_sorted_output, key_col)
 
 
 @_CACHES.scoped
@@ -697,13 +703,17 @@ def tsb_forecast(
         + (", se double, lo double, hi double" if interval else "")
     )
 
-    def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(sort_cols, kind="mergesort")
-        x = pdf["__x"].to_numpy(np.float64)
-        n = len(x)
+    def make_fold(pdf: pd.DataFrame):
+        ks = pdf[pdf.columns[0]].to_numpy()
+        xs = pdf["__x"].to_numpy(np.float64)
+        return lambda s, e: fold_one(ks, xs, s, e)
+
+    def fold_one(ks, xs, s, e):
+        x = xs[s:e]
+        n = e - s
         if np.any(x < 0.0):  # negative demand: NULL-degrade this key
             row = {
-                pdf.columns[0]: [pdf.iloc[0, 0]],
+                key_col: [ks[s]],
                 "n_periods": [n],
                 "n_demands": [None],
                 "size": [None],
@@ -712,7 +722,7 @@ def tsb_forecast(
             }
             if interval:
                 row.update({"se": [None], "lo": [None], "hi": [None]})
-            return pd.DataFrame(row)
+            return row
         z = p = None
         nd = 0
         q = 0
@@ -720,8 +730,8 @@ def tsb_forecast(
         m = 0
         for v in x:
             if interval and z is not None:
-                e = float(v) - p * z
-                sse += e * e
+                e_ = float(v) - p * z
+                sse += e_ * e_
                 m += 1
             if z is None:
                 q += 1
@@ -735,7 +745,7 @@ def tsb_forecast(
                     z = alpha * float(v) + (1.0 - alpha) * z
         fc = None if z is None else p * z
         row = {
-            pdf.columns[0]: [pdf.iloc[0, 0]],
+            key_col: [ks[s]],
             "n_periods": [n],
             "n_demands": [nd],
             "size": [z],
@@ -747,14 +757,11 @@ def tsb_forecast(
             row["se"] = [se]
             row["lo"] = [None if se is None else fc - zq * se]
             row["hi"] = [None if se is None else fc + zq * se]
-        return pd.DataFrame(row)
+        return row
 
-    return (
-        fanout_groups(base, [key_col])
-        .groupBy(key_col)
-        .applyInPandas(per_key, schema)
-        .transform(_sorted_output, key_col)
-    )
+    return _fold_partitions(
+        base, key_col, sort_cols, make_fold, schema
+    ).transform(_sorted_output, key_col)
 
 
 def holt_series(
@@ -788,7 +795,7 @@ def holt_series(
     in-sample forecast for residual diagnostics).
 
     The recursion is sequential PER KEY (like `ewma_series`): one
-    Arrow-batched applyInPandas pass — each key's history in one batch,
+    Arrow-batched per-key fold pass — each key's history contiguous,
     keys parallelize. Rows are ordered by (ts[, tiebreak]); pass the
     tiebreaker when duplicate timestamps exist.
 
@@ -820,10 +827,16 @@ def holt_series(
         "__x double, level double, trend double, fitted double"
     )
 
-    def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(sort_cols, kind="mergesort")
-        x = pdf["__x"].to_numpy(np.float64)
-        n = len(x)
+    def make_fold(pdf: pd.DataFrame):
+        ks = pdf[pdf.columns[0]]
+        tss = pdf["__ts"]
+        xcol = pdf["__x"]
+        xs = xcol.to_numpy(np.float64)
+        return lambda s, e: fold_one(ks, tss, xcol, xs, s, e)
+
+    def fold_one(ks, tss, xcol, xs, s, e):
+        x = xs[s:e]
+        n = e - s
         lvl = np.empty(n)
         trd = np.empty(n)
         fit = np.full(n, np.nan)
@@ -835,19 +848,21 @@ def holt_series(
             trd[i] = beta * (lvl[i] - lvl[i - 1]) + (1.0 - beta) * (
                 phi * trd[i - 1]
             )
-        out = pdf[[c for c in pdf.columns if c != "__tb"]].copy()
-        out["level"], out["trend"] = lvl, trd
-        # pandas nullable Float64 so the first row's missing fitted value
-        # crosses Arrow as a real SQL NULL (a float-ndarray NaN would be a
-        # non-null double that isNull-based consumers miss)
-        out["fitted"] = pd.array(
-            [None if np.isnan(v) else v for v in fit], dtype="Float64"
-        )
-        return out
+        return {
+            key_col: ks.iloc[s:e],
+            "__ts": tss.iloc[s:e],
+            "__x": xcol.iloc[s:e],
+            "level": lvl,
+            "trend": trd,
+            # pandas nullable Float64 so the first row's missing fitted
+            # value crosses Arrow as a real SQL NULL (a float-ndarray NaN
+            # would be a non-null double that isNull consumers miss)
+            "fitted": pd.array(
+                [None if np.isnan(v) else v for v in fit], dtype="Float64"
+            ),
+        }
 
-    out = fanout_groups(base, [key_col]).groupBy(key_col).applyInPandas(
-        per_key, schema
-    )
+    out = _fold_partitions(base, key_col, sort_cols, make_fold, schema)
     return out.select(
         F.col(key_col),
         F.col("__ts").alias(ts_col),
@@ -951,10 +966,14 @@ def holt_forecast(
         f"n_events bigint, level double, trend double, {fcols}"
     )
 
-    def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(sort_cols, kind="mergesort")
-        x = pdf["__x"].to_numpy(np.float64)
-        n = len(x)
+    def make_fold(pdf: pd.DataFrame):
+        ks = pdf[pdf.columns[0]].to_numpy()
+        xs = pdf["__x"].to_numpy(np.float64)
+        return lambda s, e: fold_one(ks, xs, s, e)
+
+    def fold_one(ks, xs, s, e):
+        x = xs[s:e]
+        n = e - s
         lvl = x[0]
         trd = (x[1] - x[0]) if n > 1 else 0.0
         sse = 0.0
@@ -970,7 +989,7 @@ def holt_forecast(
             lvl = alpha * x[i] + (1.0 - alpha) * fit
             trd = beta * (lvl - prev) + (1.0 - beta) * (phi * trd)
         row = {
-            pdf.columns[0]: [pdf.iloc[0, 0]],
+            key_col: [ks[s]],
             "n_events": [n],
             "level": [lvl],
             "trend": [trd],
@@ -993,14 +1012,11 @@ def holt_forecast(
                 row[f"se_{h}"] = [se]
                 row[f"lo_{h}"] = [None if se is None else fc - zq * se]
                 row[f"hi_{h}"] = [None if se is None else fc + zq * se]
-        return pd.DataFrame(row)
+        return row
 
-    return (
-        fanout_groups(base, [key_col])
-        .groupBy(key_col)
-        .applyInPandas(per_key, schema)
-        .transform(_sorted_output, key_col)
-    )
+    return _fold_partitions(
+        base, key_col, sort_cols, make_fold, schema
+    ).transform(_sorted_output, key_col)
 
 
 @_CACHES.scoped
@@ -1436,7 +1452,7 @@ def holt_winters_series(
     `period` rows of each key (consumed by the classical two-season
     initialization — see `_hw_fold`) carry NULLs there.
 
-    Same per-key-sequential applyInPandas shape as `holt_series`; keys
+    Same per-key-sequential fold shape as `holt_series`; keys
     with fewer than 2·period retained rows emit all-NULL smoothing
     columns (too short to initialize — reported, not silently dropped).
 
@@ -1470,11 +1486,21 @@ def holt_winters_series(
         "fitted double"
     )
 
-    def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(sort_cols, kind="mergesort")
-        x = pdf["__x"].to_numpy(np.float64)
-        n = len(x)
-        out = pdf[[c for c in pdf.columns if c != "__tb"]].copy()
+    def make_fold(pdf: pd.DataFrame):
+        ks = pdf[pdf.columns[0]]
+        tss = pdf["__ts"]
+        xcol = pdf["__x"]
+        xs = xcol.to_numpy(np.float64)
+        return lambda s, e: fold_one(ks, tss, xcol, xs, s, e)
+
+    def fold_one(ks, tss, xcol, xs, s, e):
+        x = xs[s:e]
+        n = e - s
+        out = {
+            key_col: ks.iloc[s:e],
+            "__ts": tss.iloc[s:e],
+            "__x": xcol.iloc[s:e],
+        }
         cols = {}
         res = (
             _hw_fold(x, alpha, beta, gamma, m, phi=phi, seasonal=seasonal)
@@ -1495,9 +1521,7 @@ def holt_winters_series(
             out[c] = pd.array(v, dtype="Float64")
         return out
 
-    out = fanout_groups(base, [key_col]).groupBy(key_col).applyInPandas(
-        per_key, schema
-    )
+    out = _fold_partitions(base, key_col, sort_cols, make_fold, schema)
     return out.select(
         F.col(key_col),
         F.col("__ts").alias(ts_col),
