@@ -39,6 +39,25 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def force_all(*dfs) -> None:
+    """Force several INDEPENDENT results with overlapped jobs (guide
+    §2.6): the bundle lines (multimodal_decode, text_curation,
+    timeseries_suite) group independent operators into one headline —
+    submitting their actions from a small driver pool lets the next
+    job's tasks back-fill executors freed by the current job's tail.
+    Same computations, same noop sinks, same wall-clock semantics (the
+    line still measures time-to-complete-all); 2-3 jobs in flight is the
+    guide's recommendation. Each df may be a DataFrame or a zero-arg
+    callable producing one (so plan construction also overlaps)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(d):
+        force(d() if callable(d) else d)
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        list(pool.map(one, dfs))
+
+
 def main() -> None:
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     load_start = round(os.getloadavg()[0], 2)
@@ -157,10 +176,10 @@ def main() -> None:
 
     W(
         "multimodal_decode",
-        lambda: (
-            force(image_features(synth_bmp_media_from_documents(docs))),
-            force(audio_features(synth_wav_media_from_documents(docs))),
-            force(video_features(synth_video_media_from_documents(docs))),
+        lambda: force_all(
+            lambda: image_features(synth_bmp_media_from_documents(docs)),
+            lambda: audio_features(synth_wav_media_from_documents(docs)),
+            lambda: video_features(synth_video_media_from_documents(docs)),
         ),
     )
 
@@ -220,15 +239,13 @@ def main() -> None:
 
     W(
         "text_curation",
-        lambda: (
-            force(redact_patterns(docs)),
-            force(unigram_logprob_scores(docs)),
-            force(
-                gopher_quality_filter(
-                    docs, max_dup_token_ratio=0.95, max_top_token_ratio=0.5
-                )
+        lambda: force_all(
+            lambda: redact_patterns(docs),
+            lambda: unigram_logprob_scores(docs),
+            lambda: gopher_quality_filter(
+                docs, max_dup_token_ratio=0.95, max_top_token_ratio=0.5
             ),
-            force(normalize_text(docs)),
+            lambda: normalize_text(docs),
         ),
     )
 
@@ -458,24 +475,20 @@ def main() -> None:
     events = read_table(spark, SF_DIR, "events")
 
     def run_timeseries_suite():
-        force(
-            holt_winters_forecast(
+        force_all(
+            lambda: holt_winters_forecast(
                 events, "user_id", "ts", "value", 0.5, 0.25, 0.5,
                 period=4, horizons=[3], tiebreak_col="event_id",
                 interval=True,
-            )
-        )
-        force(
-            ljung_box(
+            ),
+            lambda: ljung_box(
                 events, "user_id", "ts", "value", lags=10,
                 tiebreak_col="event_id",
-            )
-        )
-        force(
-            seasonal_decompose(
+            ),
+            lambda: seasonal_decompose(
                 events, "user_id", "ts", "value", period=4,
                 tiebreak_col="event_id",
-            )
+            ),
         )
 
     W("timeseries_suite", run_timeseries_suite)

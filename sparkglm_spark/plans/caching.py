@@ -22,11 +22,16 @@ persists its survivor set and then calls minhash_dedup_pairs — with a
 shared registry the inner call would count as the outer's next
 invocation and age its cache out early.
 
-CONTRACT — single-threaded driver, collect-soon results:
-- The registry is NOT thread-safe (`_depth` and the group deque are
-  unguarded). Spark drivers submit from one thread in this engine's
-  usage; wrap registry access in a lock before sharing operators across
-  driver threads.
+CONTRACT — collect-soon results:
+- Registry state is lock-guarded (r14), so independent operator
+  invocations may be submitted from a small driver thread pool (the
+  guide §2.6 back-fill idiom — bench bundles overlap their independent
+  forces). Concurrent TOP-LEVEL invocations share one age group, and a
+  new group (hence eviction) only starts at a QUIESCENT point (no
+  invocation in flight). Overlap BOUNDED BURSTS — a bundle of a few
+  operators, then drain — not a continuously-fed pool: a pool that is
+  never idle never evicts, and the group grows until the driver drains
+  it.
 - Eviction is age-based, not ref-counted: calling a scoped operator
   `keep_last`+ more times before collecting an earlier invocation's lazy
   result silently degrades that result to full recomputation — correct,
@@ -37,6 +42,7 @@ CONTRACT — single-threaded driver, collect-soon results:
 
 from __future__ import annotations
 
+import threading
 from collections import deque
 from contextlib import contextmanager
 
@@ -59,16 +65,25 @@ class CacheRegistry:
         self._groups: deque[list[DataFrame]] = deque()
         self._keep = keep_last
         self._depth = 0
+        # r14: registry state is lock-guarded so independent operator
+        # invocations may overlap from a small driver thread pool (guide
+        # §2.6 back-filling); _depth stays a plain int — concurrent
+        # top-level invocations share one group, and eviction fires at
+        # the next quiescent begin() (see the module CONTRACT for the
+        # bounded-burst requirement)
+        self._lock = threading.RLock()
 
     @contextmanager
     def invocation(self):
-        if self._depth == 0:
-            self.begin()
-        self._depth += 1
+        with self._lock:
+            if self._depth == 0:
+                self.begin()
+            self._depth += 1
         try:
             yield
         finally:
-            self._depth -= 1
+            with self._lock:
+                self._depth -= 1
 
     def scoped(self, fn):
         """Decorator form of `invocation()` for operator entry points."""
@@ -82,23 +97,29 @@ class CacheRegistry:
         return wrapper
 
     def begin(self) -> None:
-        self._groups.append([])
-        while len(self._groups) > self._keep:
-            for cached in self._groups.popleft():
-                try:
-                    cached.unpersist()
-                except Exception:
-                    pass  # owning session already stopped — nothing to release
+        with self._lock:
+            self._groups.append([])
+            evicted: list[DataFrame] = []
+            while len(self._groups) > self._keep:
+                evicted.extend(self._groups.popleft())
+        for cached in evicted:
+            try:
+                cached.unpersist()
+            except Exception:
+                pass  # owning session already stopped — nothing to release
 
     def persist(self, df: DataFrame) -> DataFrame:
-        if not self._groups:
-            self._groups.append([])
         df = df.persist()
-        self._groups[-1].append(df)
+        with self._lock:
+            if not self._groups:
+                self._groups.append([])
+            self._groups[-1].append(df)
         return df
 
     def __len__(self) -> int:
-        return sum(len(g) for g in self._groups)
+        with self._lock:
+            return sum(len(g) for g in self._groups)
 
     def frames(self) -> list[DataFrame]:
-        return [df for g in self._groups for df in g]
+        with self._lock:
+            return [df for g in self._groups for df in g]
