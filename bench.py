@@ -605,8 +605,8 @@ def main() -> None:
     # Robustness vs tail-scraping (BENCH_r12 recorded "parsed": null —
     # Spark shutdown chatter can trail the JSON line): (a) persist the
     # summary to BENCH_LAST.json next to this script, (b) print it once
-    # here, and (c) re-print it as the FINAL stdout line after
-    # spark.stop() so both head- and tail-scrapes find a parseable line.
+    # here, and (c) print a FINAL stdout line after spark.stop() that is
+    # guaranteed to fit the driver's scrape window.
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -615,33 +615,36 @@ def main() -> None:
             fh.write(summary + "\n")
     except OSError:
         pass
-    # Compact second line (≤200 bytes): the driver's tail-scrape window
-    # is smaller than the ~4 KB full summary (BENCH_r13 recorded
-    # "parsed": null despite the final-line re-print), so emit a short
-    # headline-only JSON line that fits ANY scrape window. B1-B4 gate
-    # queries + the r4-comparable set total, min-of-runs.
-    compact = json.dumps(
-        {
-            "metric": "e2e_headline_seconds",
-            "value": total,
-            "unit": "sec",
-            "sf": float(sf),
-            "b": {
-                "encode": mins.get("encode"),
-                "lm_fit": mins.get("lm_fit"),
-                "lm_predict": mins.get("lm_predict"),
-                "glm_fit": mins.get("glm_fit"),
-                "r4set": total_r4_set,
-            },
-        }
-    )
+    # FINAL line sizing (r15 contract fix): the driver parses the last
+    # stdout line inside a 2000-BYTE tail window (measured: BENCH_r13
+    # stored a 2000-byte tail whose single truncated line failed to
+    # parse; BENCH_r14's 174-byte compact line parsed but carried no
+    # per-query data, emptying PERF_r14.per_query). The final line must
+    # therefore (a) carry the per-query maps and (b) stay under the
+    # window. Compact separators put {metric, value, unit, sf, queries,
+    # queries_min} at ~1990 bytes for the current 43 queries; if the
+    # maps ever outgrow the budget, drop queries_min first, then fall
+    # back to medians-only — "queries" is the core driver contract.
+    _FINAL_LINE_BUDGET = 1998  # +"\n" = 1999 ≤ the 2000-byte tail window
+    final_fields = {
+        "metric": "e2e_headline_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": float(sf),
+        "queries": medians,
+        "queries_min": mins,
+    }
+    final_line = json.dumps(final_fields, separators=(",", ":"))
+    if len(final_line) > _FINAL_LINE_BUDGET:
+        del final_fields["queries_min"]
+        final_line = json.dumps(final_fields, separators=(",", ":"))
     print(summary, flush=True)
     import shutil
 
     shutil.rmtree(prebuilt_index_dir, ignore_errors=True)
     spark.stop()
     print(summary, flush=True)
-    print(compact, flush=True)
+    print(final_line, flush=True)
 
 
 if __name__ == "__main__":

@@ -43,14 +43,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _components_driver(e: DataFrame) -> DataFrame:
+def _driver_label_pairs(e: DataFrame) -> list[tuple[int, int]]:
     """Transitive closure of a SMALL edge list on the driver: min-rooted
-    union-find with path compression over collected (u, v) longs. Same
-    output contract as the distributed loop (component = min member id),
-    bit-identical and trivially partition-invariant. Callers gate the
-    collect (`driver_max_edges`) — this is the broadcast-build-side
-    contract, not an unbounded collect."""
-    spark = e.sparkSession
+    union-find with path compression over collected (u, v) longs. Returns
+    (node, component) pairs with component = min member id — the same
+    contract as the distributed loop, bit-identical and trivially
+    partition-invariant. Callers gate the collect (`driver_max_edges`) —
+    this is the broadcast-build-side contract, not an unbounded collect."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -71,8 +70,14 @@ def _components_driver(e: DataFrame) -> DataFrame:
                 parent[rv] = ru
             else:
                 parent[ru] = rv
-    data = [(n, find(n)) for n in parent]
-    return spark.createDataFrame(data, "id long, label long")
+    return [(n, find(n)) for n in parent]
+
+
+def _components_driver(e: DataFrame) -> DataFrame:
+    spark = e.sparkSession
+    return spark.createDataFrame(
+        _driver_label_pairs(e), "id long, label long"
+    )
 
 
 def connected_components(
@@ -109,6 +114,25 @@ def connected_components(
     ids); string ids raise at plan time with the remedy in the message
     rather than degrading to NULL edges and an empty clustering.
     """
+    labels, driver_pairs = _labels_for(edges, src, dst, nodes, id_col,
+                                       max_iter, driver_max_edges)
+    return _components_output(labels, nodes, id_col)
+
+
+def _labels_for(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    nodes: DataFrame | None,
+    id_col: str,
+    max_iter: int,
+    driver_max_edges: int,
+) -> tuple[DataFrame, list[tuple[int, int]] | None]:
+    """Endpoint (id, label) assignments for `connected_components` /
+    `near_dup_clusters`, plus the raw driver-side pairs when the
+    cost-gated driver path fired (None on the distributed path) — the
+    pairs let `near_dup_clusters` derive component SIZES on the driver
+    instead of a sizes groupBy + join-back (r15, guide §2.4)."""
     from sparkglm_spark.plans.partitioning import (
         bounded_row_probe,
         require_integral_id,
@@ -131,9 +155,10 @@ def connected_components(
         bounded_row_probe(e.select("u"), driver_max_edges, max_partitions=None)
         <= driver_max_edges
     ):
-        labels = _components_driver(e)
+        pairs = _driver_label_pairs(e)
+        labels = e.sparkSession.createDataFrame(pairs, "id long, label long")
         e.unpersist()
-        return _components_output(labels, nodes, id_col)
+        return labels, pairs
 
     # symmetric view, deduped: multi-edges add no information, only join fanout
     sym = e.unionByName(
@@ -188,7 +213,7 @@ def connected_components(
             f"connected_components did not converge in {max_iter} rounds; "
             "refusing to return a partially-merged clustering"
         )
-    return _components_output(labels, nodes, id_col)
+    return labels, None
 
 
 def _components_output(
@@ -222,8 +247,42 @@ def near_dup_clusters(
 
     cluster_id = min doc id in the cluster; is_duplicate marks the rows a
     keep-one-per-cluster dedup would drop (everything but the minimum).
-    The size join shuffles (cluster_id, count) — O(#clusters) rows."""
-    comp = connected_components(pairs, src=src, dst=dst, nodes=docs, id_col=id_col)
+
+    Sizes: when the components took the cost-gated driver path (the usual
+    case — near-dup pair graphs are tiny next to the corpus), every
+    endpoint's component is already on the driver, so cluster sizes are a
+    driver-side count and the whole output is ONE join of the enriched
+    (id, cluster_id, cluster_size) assignment onto the docs — the sizes
+    groupBy + join-back exchanges disappear (r15, guide §2.4). Component
+    members are exactly the endpoints (backfilled nodes are their own
+    singletons, size 1), so the counts are identical to the groupBy's.
+    The distributed path keeps the sizes join: (cluster_id, count) —
+    O(#clusters) rows."""
+    labels, driver_pairs = _labels_for(
+        pairs, src, dst, docs, id_col, max_iter=50,
+        driver_max_edges=2_000_000,
+    )
+    if driver_pairs is not None:
+        from collections import Counter
+
+        csize = Counter(label for _, label in driver_pairs)
+        enriched = labels.sparkSession.createDataFrame(
+            [(i, lbl, csize[lbl]) for i, lbl in driver_pairs],
+            "id long, cluster_id long, cluster_size long",
+        )
+        return (
+            docs.select(F.col(id_col).cast("long").alias(id_col))
+            .join(enriched.withColumnRenamed("id", id_col), id_col, "left")
+            .select(
+                id_col,
+                F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+                F.coalesce("cluster_size", F.lit(1)).alias("cluster_size"),
+                (F.col(id_col) != F.coalesce("cluster_id", F.col(id_col))).alias(
+                    "is_duplicate"
+                ),
+            )
+        )
+    comp = _components_output(labels, docs, id_col)
     sizes = comp.groupBy(F.col("component").alias("cluster_id")).agg(
         F.count(F.lit(1)).alias("cluster_size")
     )

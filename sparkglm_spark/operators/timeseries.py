@@ -49,55 +49,101 @@ def _fold_partitions(base, key_col, sort_cols, make_fold, schema):
     groupBy().applyInPandas(). applyInPandas pays a Python call, a
     per-group pandas sort and a 1-row DataFrame construction per KEY —
     measured ~0.8 s of pure dispatch for the sf0.1 events table's 1500
-    keys before any fold work — while this engine pays one pandas concat
-    per PARTITION, sorts ONCE in the JVM (sortWithinPartitions rides the
-    fanout exchange; nulls-last to match pandas sort_values), and hands
-    each key a contiguous [s, e) slice. fanout_groups pins the partition
-    width exactly as the applyInPandas shape did.
+    keys before any fold work — while this engine sorts ONCE in the JVM
+    (sortWithinPartitions rides the fanout exchange; nulls-last to match
+    pandas sort_values) and hands each key a contiguous [s, e) slice.
+    fanout_groups pins the partition width exactly as the applyInPandas
+    shape did.
 
-    `make_fold(pdf)` runs once per partition (hoist .to_numpy() here) and
-    returns `fold(s, e) -> dict[col, list]` — equal-length column lists
-    for one key's output rows, keys in SCHEMA ORDER (the frame is built
-    from the first key's dict order)."""
+    MEMORY CONTRACT (r15, ADVICE r14): Arrow batches stream through a
+    carry buffer — complete keys are folded and yielded per input batch,
+    only the (possibly batch-spanning) FINAL key of each batch is held
+    back — so a task holds one Arrow batch plus the largest single key's
+    history, the same bound as the grouped-map shape it replaced, not the
+    whole partition. Output frames are per-batch too, so per-row folds
+    never emit one partition-sized record batch.
+
+    NULL vs NaN keys (ADVICE r14): for float keys, Spark NULL converts to
+    the same pandas NaN as a real NaN key, and the nulls-last sort makes
+    the two blocks adjacent — a JVM-computed null-indicator column rides
+    along (float keys only) so the boundary detection keeps them separate
+    folds, matching groupBy semantics. (The key VALUE emitted for a NULL
+    group is still pandas NaN — the same Arrow conversion artifact the
+    applyInPandas shape had.)
+
+    `make_fold(pdf)` runs once per processed slice (hoist .to_numpy()
+    here) and returns `fold(s, e) -> dict[col, list]` — equal-length
+    column lists for one key's output rows, keys in SCHEMA ORDER (the
+    frame is built from the first key's dict order)."""
     import pandas as pd
 
+    from pyspark.sql.types import DoubleType, FloatType
+
+    key_is_float = isinstance(
+        base.schema[key_col].dataType, (DoubleType, FloatType)
+    )
+    if key_is_float:
+        base = base.withColumn("__knull", F.col(key_col).isNull())
     ranged = fanout_groups(base, [key_col]).sortWithinPartitions(
         F.col(key_col).asc_nulls_last(),
         *[F.col(c).asc_nulls_last() for c in sort_cols],
     )
 
     def run(batches):
-        chunks = list(batches)
-        if not chunks:
-            return
-        pdf = pd.concat(chunks, ignore_index=True)
-        if not len(pdf):
-            return
         import numpy as np
 
-        codes = pd.factorize(pdf[pdf.columns[0]])[0]
-        starts = np.flatnonzero(
-            np.concatenate(([True], codes[1:] != codes[:-1]))
-        )
-        ends = np.append(starts[1:], len(pdf))
-        fold = make_fold(pdf)
-        pieces = [fold(int(s), int(e)) for s, e in zip(starts, ends)]
-        cols = {c: [] for c in pieces[0]}
-        for p in pieces:
-            for c, vals in p.items():
-                cols[c].append(vals)
-        # a piece may be a plain list (scalar folds), a pandas Series
-        # slice (per-row folds keeping the input dtype) or an extension
-        # array — pd.concat of fresh-indexed Series covers all three
-        # (indexes are dropped: column-wise slices must align by POSITION)
-        def col_of(vs):
-            if len(vs) == 1:
-                return pd.Series(vs[0]).reset_index(drop=True)
-            return pd.concat(
-                [pd.Series(v) for v in vs], ignore_index=True
-            )
+        def starts_of(pdf):
+            # use_na_sentinel=False: NA keys get a real code, so an
+            # all-NA block is one fold, not a -1 run merged with nothing
+            codes = pd.factorize(pdf[pdf.columns[0]], use_na_sentinel=False)[0]
+            change = codes[1:] != codes[:-1]
+            if key_is_float:
+                kn = pdf["__knull"].to_numpy()
+                change = change | (kn[1:] != kn[:-1])
+            return np.flatnonzero(np.concatenate(([True], change)))
 
-        yield pd.DataFrame({c: col_of(vs) for c, vs in cols.items()})
+        def emit(pdf):
+            starts = starts_of(pdf)
+            ends = np.append(starts[1:], len(pdf))
+            fold = make_fold(
+                pdf.drop(columns="__knull") if key_is_float else pdf
+            )
+            pieces = [fold(int(s), int(e)) for s, e in zip(starts, ends)]
+            cols = {c: [] for c in pieces[0]}
+            for p in pieces:
+                for c, vals in p.items():
+                    cols[c].append(vals)
+
+            # a piece may be a plain list (scalar folds), a pandas Series
+            # slice (per-row folds keeping the input dtype) or an extension
+            # array — pd.concat of fresh-indexed Series covers all three
+            # (indexes are dropped: column-wise slices must align by POSITION)
+            def col_of(vs):
+                if len(vs) == 1:
+                    return pd.Series(vs[0]).reset_index(drop=True)
+                return pd.concat(
+                    [pd.Series(v) for v in vs], ignore_index=True
+                )
+
+            return pd.DataFrame({c: col_of(vs) for c, vs in cols.items()})
+
+        carry = None
+        for chunk in batches:
+            if carry is not None:
+                chunk = pd.concat([carry, chunk], ignore_index=True)
+                carry = None
+            if not len(chunk):
+                continue
+            starts = starts_of(chunk)
+            last = int(starts[-1])
+            if last == 0:
+                # one key so far — it may continue into the next batch
+                carry = chunk
+                continue
+            carry = chunk.iloc[last:].reset_index(drop=True)
+            yield emit(chunk.iloc[:last].reset_index(drop=True))
+        if carry is not None and len(carry):
+            yield emit(carry)
 
     return ranged.mapInPandas(run, schema)
 
