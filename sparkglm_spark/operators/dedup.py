@@ -827,42 +827,59 @@ def minhash_dedup_pairs(
         whose cost scales with |candidates| ≈ |output| on natural corpora.
     All three produce the same pairs (candidate recall ≈ 1 at threshold,
     verification exact)."""
-    from sparkglm_spark.plans.partitioning import bounded_row_probe
+    from sparkglm_spark.plans.partitioning import (
+        _plan_size_estimate,
+        _rdd_partitions_if_free,
+    )
 
     cap = _BRUTE_ALLPAIRS_MAX_DOCS
-    n_docs = bounded_row_probe(
-        df, cap, max_partitions=_BRUTE_PROBE_MAX_PARTITIONS
-    )
-    probed = n_docs <= cap
+    # structural smallness gate, ZERO jobs (r15): partition count when
+    # reading it is free, the optimizer's size estimate otherwise —
+    # the old up-front limit(cap+1).count() cost 3 jobs per call and its
+    # row count is recovered below as a ~free count over the sets cache.
+    # The gate only picks which probing strategy runs; every strategy
+    # produces the same pairs.
+    n_parts = _rdd_partitions_if_free(df)
+    if n_parts is None:
+        structurally_small = _plan_size_estimate(
+            df
+        ) <= _BRUTE_PROBE_MAX_PARTITIONS * (128 << 20)
+    else:
+        structurally_small = n_parts <= _BRUTE_PROBE_MAX_PARTITIONS
     vocab = None
-    if probed:
+    if structurally_small:
         # one Python shingling pass, persisted: the vocab probe (JVM
         # explode+distinct over it) materializes the cache, and whichever
         # plan wins — bitmap all-pairs or LSH — reads the same cache
         # instead of re-shingling the corpus
         sets = _op_persist(_shingle_sets(df, id_col, text_col, n))
         vocab = _vocab_from_sets(sets, _BITMAP_MAX_VOCAB)
+        # one row per shingled input row, read from the cache the vocab
+        # probe just materialized — the exact count the bitmap packer and
+        # broadcast byte budget need
+        n_docs = sets.count()
         L = None if vocab is None else (len(vocab) + 63) // 64
         # all-pairs cost ≈ n²/2 · L word-ops; stay under a few-second budget
-        if vocab is not None and n_docs * n_docs * L <= _BRUTE_ALLPAIRS_OPS_BUDGET:
+        if (
+            vocab is not None
+            and n_docs <= cap
+            and n_docs * n_docs * L <= _BRUTE_ALLPAIRS_OPS_BUDGET
+        ):
             id_type = df.schema[id_col].dataType.simpleString()
             return _allpairs_by_bitmap_from_sets(sets, threshold, vocab, id_type)
         sh = _op_persist(sets.select("id", F.explode("shingles").alias("shingle")))
+        # the bounded probes already ran — reuse them instead of a stats
+        # job: vocab None ⇒ size is KNOWN to exceed _BITMAP_MAX_VOCAB,
+        # else len(vocab) is the exact size
+        vocab_size = (_BITMAP_MAX_VOCAB + 1) if vocab is None else len(vocab)
     else:
         # at-scale path: persist the EXPLODED table (the verification
         # join's working set, its historical contract); the signature pass
         # below re-derives sets in its own scan rather than persisting a
         # second corpus-sized copy
         sets = None
+        n_docs = cap + 1
         sh = _op_persist(shingles(df, id_col, text_col, n=n))
-    if probed:
-        # the bounded probes already ran — reuse them instead of a stats
-        # job: vocab None ⇒ size is KNOWN to exceed _BITMAP_MAX_VOCAB,
-        # else len(vocab) is the exact size. Probe n_docs counts ALL docs
-        # (≥ docs with ≥1 shingle), a safe over-count for the broadcast
-        # byte budget below.
-        vocab_size = (_BITMAP_MAX_VOCAB + 1) if vocab is None else len(vocab)
-    else:
         # unprobed (at-scale) corpus: one cheap HLL pass first; only a
         # bitmap-plausible estimate pays the exact fused stats job — the
         # exact vocab size is a correctness input to the bitmap packer
@@ -1276,19 +1293,26 @@ def minhash_match_pairs(
         # wasted work; inputs with more splits than the probe cap are
         # certainly over the doc cap and skip the probe (and any
         # at-scale materialization) outright.
-        cap = _BRUTE_ALLPAIRS_MAX_DOCS
-        n_new = (
-            new_index.count()
-            if new_index.rdd.getNumPartitions() <= _BRUTE_PROBE_MAX_PARTITIONS
-            else cap + 1
+        from sparkglm_spark.plans.partitioning import (
+            _plan_size_estimate,
+            _rdd_partitions_if_free,
         )
+
+        def _certainly_over_cap(idx: DataFrame) -> bool:
+            # partition count only when free (r15: .rdd under AQE
+            # EXECUTES exchange-bearing plans); otherwise the optimizer's
+            # size estimate rules huge derived indexes out of the probe
+            n_parts = _rdd_partitions_if_free(idx)
+            if n_parts is None:
+                return _plan_size_estimate(idx) > _BRUTE_PROBE_MAX_PARTITIONS * (
+                    128 << 20
+                )
+            return n_parts > _BRUTE_PROBE_MAX_PARTITIONS
+
+        cap = _BRUTE_ALLPAIRS_MAX_DOCS
+        n_new = cap + 1 if _certainly_over_cap(new_index) else new_index.count()
         n_known = (
-            (
-                known_index.count()
-                if known_index.rdd.getNumPartitions()
-                <= _BRUTE_PROBE_MAX_PARTITIONS
-                else cap + 1
-            )
+            (cap + 1 if _certainly_over_cap(known_index) else known_index.count())
             if n_new <= cap
             else cap + 1
         )

@@ -110,9 +110,15 @@ def _collect_query_matrix(
 def _ensure_parallel(df: DataFrame) -> DataFrame:
     """Tiny inputs arrive as one parquet split → one task. Fan out to the
     session's parallelism so the scan-side matmul uses every core. At real
-    scale the input has >> cores splits and this is a no-op (no shuffle)."""
+    scale the input has >> cores splits and this is a no-op (no shuffle).
+    The partition count is read only when free (r15: `.rdd` under AQE
+    EXECUTES exchange-bearing plans — see plans.partitioning); derived
+    frames keep their post-shuffle partitioning untouched."""
+    from sparkglm_spark.plans.partitioning import _rdd_partitions_if_free
+
     ncores = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < ncores:
+    n = _rdd_partitions_if_free(df)
+    if n is not None and n < ncores:
         return df.repartition(ncores)
     return df
 

@@ -13,6 +13,40 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def _rdd_partitions_if_free(df: DataFrame) -> int | None:
+    """Post-plan partition count via `.rdd`, but ONLY when converting to
+    an RDD runs no jobs. Under AQE, `df.rdd` MATERIALIZES every exchange
+    below the final stage as real Spark jobs (measured in r15: 7 jobs /
+    ~0.8 s warm just to read the partition count of the corpus-prep
+    survivor frame — the whole quality projection + drop-list aggregation
+    executed and was thrown away). Rendering the executed-plan string
+    runs nothing (the AQE wrapper prints `isFinalPlan=false`), so probe
+    that first and return None ("unknown, not free to find out") for any
+    exchange-bearing plan."""
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    except Exception:
+        return None
+    if "Exchange" in plan:
+        return None
+    return df.rdd.getNumPartitions()
+
+
+def _plan_size_estimate(df: DataFrame) -> int:
+    """The optimizer's sizeInBytes estimate for the plan — pure logical-
+    plan statistics, no execution. Used as the at-scale guard when the
+    partition count is not free to read (`_rdd_partitions_if_free` →
+    None): estimates are inexact for derived frames, but the guard only
+    decides whether a bounded probe is WORTH running, never what a query
+    computes."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return 1 << 62  # unknown → treat as huge (skip the probe)
+
+
 def ensure_parallel(df: DataFrame) -> DataFrame:
     """Repartition up to the session's default parallelism when the input
     has fewer partitions (tiny local inputs); no-op otherwise. Streaming
@@ -33,7 +67,12 @@ def ensure_parallel(df: DataFrame) -> DataFrame:
     if df.isStreaming:
         return df
     ncores = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < ncores:
+    # exchange-bearing plans: reading the partition count would EXECUTE
+    # the plan (see _rdd_partitions_if_free) — and their output already
+    # carries post-shuffle partitioning, so leave them alone; the
+    # under-split problem this function fixes is a property of raw scans
+    n = _rdd_partitions_if_free(df)
+    if n is not None and n < ncores:
         return df.repartition(ncores).localCheckpoint(eager=False)
     return df
 
@@ -115,9 +154,17 @@ def bounded_row_probe(
     callers whose contract REQUIRES the answer, e.g. a hard size gate).
     Returns the exact count when it is ≤ cap, and any value > cap means
     "larger than cap"."""
-    if (
-        max_partitions is not None
-        and df.rdd.getNumPartitions() > max_partitions
-    ):
-        return cap + 1
+    if max_partitions is not None:
+        n = _rdd_partitions_if_free(df)
+        if n is None:
+            # exchange-bearing plan: the partition count is not free to
+            # read (it would execute the plan — the very cost this gate
+            # exists to avoid), so gate on the optimizer's size estimate
+            # instead: more than max_partitions 128 MB-ish splits worth
+            # of estimated bytes ⇒ certainly over any row cap worth
+            # probing.
+            if _plan_size_estimate(df) > max_partitions * (128 << 20):
+                return cap + 1
+        elif n > max_partitions:
+            return cap + 1
     return df.limit(cap + 1).count()
