@@ -48,9 +48,14 @@ def get_levels_multi(
     # headroom absorbs HLL error (default rsd 5%); estimates between
     # max_levels and the headroom fall through to the exact check on a
     # harmlessly small collected set.
-    est = df.agg(
-        *[F.approx_count_distinct(F.col(c)).alias(c) for c in cols]
-    ).first()
+    from sparkglm_spark.plans.partitioning import no_aqe
+
+    # both probes are one-row aggregates: AQE's stage barrier doubles
+    # their job count for nothing (r15, see no_aqe)
+    with no_aqe(df.sparkSession):
+        est = df.agg(
+            *[F.approx_count_distinct(F.col(c)).alias(c) for c in cols]
+        ).first()
     too_big = {c: int(est[c]) for c in cols if est[c] > max_levels * 1.5}
     if too_big:
         raise ValueError(
@@ -59,12 +64,15 @@ def get_levels_multi(
         )
     # slice to max_levels+1 BEFORE collecting: bounds what ships to the
     # driver even when the estimate squeaked under the guard.
-    row = df.agg(
-        *[
-            F.slice(F.array_sort(F.collect_set(F.col(c))), 1, max_levels + 1).alias(c)
-            for c in cols
-        ]
-    ).first()
+    with no_aqe(df.sparkSession):
+        row = df.agg(
+            *[
+                F.slice(
+                    F.array_sort(F.collect_set(F.col(c))), 1, max_levels + 1
+                ).alias(c)
+                for c in cols
+            ]
+        ).first()
     out: dict[str, list[str]] = {}
     for c in cols:
         lv = list(row[c])

@@ -936,7 +936,13 @@ def glm_elastic_net(
             c = F.col(x_cols[j])
             aggs0.append(F.sum(wr * c).alias(f"s_{i}"))
             aggs0.append(F.sum(wr * c * c).alias(f"ss_{i}"))
-        r0 = work.agg(*aggs0).collect()[0]
+        from sparkglm_spark.plans.partitioning import no_aqe
+
+        # every collect in this fit is a one-row aggregate over the cached
+        # working frame — AQE's stage barrier doubles the job count for
+        # nothing (r15, see no_aqe)
+        with no_aqe(work.sparkSession):
+            r0 = work.agg(*aggs0).collect()[0]
         n = int(r0["n"])
         if n <= 1:
             raise ValueError("need more than one row")
@@ -1032,7 +1038,8 @@ def glm_elastic_net(
             aggs.append(F.sum(w_c).alias("sw"))
             aggs.append(F.sum(w_c * z_c).alias("swz"))
             aggs.append((F.lit(2.0) * F.sum(F.col("__devt"))).alias("dev"))
-            r = proj.agg(*aggs).collect()[0]
+            with no_aqe(work.sparkSession):
+                r = proj.agg(*aggs).collect()[0]
             dev = float(r["dev"])
             Gw = np.empty((k, k))
             for i in range(k):
@@ -1065,12 +1072,13 @@ def glm_elastic_net(
             mu = lnk.unlink(eta, one)
             if family == "binomial":
                 mu = F.least(F.greatest(mu, F.lit(1e-10)), F.lit(1.0 - 1e-10))
-            dev = float(
-                work.agg(
-                    (F.lit(2.0) * F.sum(wr * fam.deviance_term(y, mu, one)))
-                    .alias("dev")
-                ).collect()[0]["dev"]
-            )
+            with no_aqe(work.sparkSession):
+                dev = float(
+                    work.agg(
+                        (F.lit(2.0) * F.sum(wr * fam.deviance_term(y, mu, one)))
+                        .alias("dev")
+                    ).collect()[0]["dev"]
+                )
     finally:
         work.unpersist()
 
@@ -1105,10 +1113,13 @@ def _collect_fold_rows(proj, aggs) -> dict:
     monkeypatch point for the job-count plan test: the lock-step design's
     load-bearing claim is that EVERY fold model (and the λ warm-start
     machinery) advances from this single aggregation."""
-    return {
-        int(r["__fold"]): r
-        for r in proj.groupBy("__fold").agg(*aggs).collect()
-    }
+    from sparkglm_spark.plans.partitioning import no_aqe
+
+    with no_aqe(proj.sparkSession):  # n_folds tiny rows; no AQE barrier
+        return {
+            int(r["__fold"]): r
+            for r in proj.groupBy("__fold").agg(*aggs).collect()
+        }
 
 
 def _glm_enet_pathwise(

@@ -127,7 +127,12 @@ class GLM:
         base_cols = [y_col, *x_cols] + [
             c for c in (m_col, offset_col, weight_col) if c
         ]
-        from sparkglm_spark.plans.partitioning import ensure_parallel
+        from sparkglm_spark.plans.partitioning import ensure_parallel, no_aqe
+
+        # every driver collect in this fit is a ONE-ROW aggregate over the
+        # cached working frame — AQE's per-stage barrier doubles the job
+        # count for nothing (r15, see no_aqe; results bit-identical)
+        _no_aqe = lambda: no_aqe(df.sparkSession)  # noqa: E731
 
         # single-split inputs would otherwise run EVERY IRLS aggregation on
         # one core; the cached working frame is re-read each iteration, so
@@ -147,7 +152,8 @@ class GLM:
                     "slogw"
                 ),
             ]
-        row = work.agg(*init_aggs).collect()[0]
+        with _no_aqe():
+            row = work.agg(*init_aggs).collect()[0]
         n = int(row["n"])
         if wt is not None:
             from sparkglm_spark.operators.lm import check_weight_domain
@@ -289,7 +295,8 @@ class GLM:
         if exact_iterations is not None:
             max_iter = exact_iterations
         while n_iter < max_iter:
-            agg_row = zw_gram_frame(beta).collect()[0]
+            with _no_aqe():
+                agg_row = zw_gram_frame(beta).collect()[0]
             dev_cur = float(agg_row["dev"])  # deviance of CURRENT β's μ
             if null_dev is None:
                 null_dev = dev_cur  # deviance at μ = ȳ (GLM.scala:271-272,443-444)
@@ -387,11 +394,12 @@ class GLM:
             # one extra SQL pass with the estimated dispersion)
             ll_e = F.lit(0.0)
         if stat_row is None:
-            stat_row = work.agg(
-                F.sum(wr * pearson_e).alias("pearson"),
-                F.sum(wr * ll_e).alias("ll"),
-                dev_agg_expr(beta),
-            ).collect()[0]
+            with _no_aqe():
+                stat_row = work.agg(
+                    F.sum(wr * pearson_e).alias("pearson"),
+                    F.sum(wr * ll_e).alias("ll"),
+                    dev_agg_expr(beta),
+                ).collect()[0]
         pearson = float(stat_row["pearson"])
         deviance = float(stat_row["dev"])
 
@@ -423,16 +431,17 @@ class GLM:
             shape = 1.0 / disp
             import math
 
-            ll_row = work.agg(
-                F.sum(
-                    wr
-                    * (
-                        (F.lit(shape - 1.0)) * F.log(y)
-                        - y / (mu * F.lit(disp))
-                        - F.lit(shape) * F.log(mu * F.lit(disp))
-                    )
-                ).alias("llp")
-            ).collect()[0]
+            with _no_aqe():
+                ll_row = work.agg(
+                    F.sum(
+                        wr
+                        * (
+                            (F.lit(shape - 1.0)) * F.log(y)
+                            - y / (mu * F.lit(disp))
+                            - F.lit(shape) * F.log(mu * F.lit(disp))
+                        )
+                    ).alias("llp")
+                ).collect()[0]
             ll = float(ll_row["llp"]) - nw * math.lgamma(shape)
             aic = -2.0 * ll + 2.0 * (k + 1)  # dispersion counts as a param
         elif fam.name == "tweedie":

@@ -768,7 +768,10 @@ def fold_gram_collect(
         aggs.append(F.sum(w).alias("sw"))
         aggs.append(F.min(w).alias("minw"))
         aggs.append(F.count(w).alias("nw"))
-    rows = encoded.groupBy("__fold").agg(*aggs).collect()  # n_folds tiny rows
+    from sparkglm_spark.plans.partitioning import no_aqe
+
+    with no_aqe(encoded.sparkSession):  # n_folds tiny rows; no AQE barrier
+        rows = encoded.groupBy("__fold").agg(*aggs).collect()
 
     if w is not None and rows:
         # Σw ≤ 0 over ALL rows would silently degenerate EVERY training

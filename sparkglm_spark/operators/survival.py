@@ -514,7 +514,12 @@ class _CoxStatsEngine:
                 for j in range(i, k):
                     aggs.append(F.sum(xs[i] * xs[j] * m).alias(f"c{ci}"))
                     ci += 1
-            rows = self.part.groupBy("__pid").agg(*aggs).collect()
+            from sparkglm_spark.plans.partitioning import no_aqe
+
+            # per-iteration 32-row totals agg: AQE's stage barrier adds a
+            # job per Newton iteration for nothing (r15, see no_aqe)
+            with no_aqe(self.part.sparkSession):
+                rows = self.part.groupBy("__pid").agg(*aggs).collect()
             run = np.zeros(ncc)
             for r in sorted(rows, key=lambda r: r["__pid"]):
                 offsets[int(r["__pid"])] = run.copy()

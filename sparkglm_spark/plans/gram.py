@@ -74,7 +74,12 @@ def gram_aggregate(
         aggs.append(F.min(w).alias("minw"))
         aggs.append(F.count(w).alias("nw"))
 
-    row = df.agg(*aggs).collect()[0]
+    # one-row aggregate: AQE's stage barrier would double the job count
+    # for nothing (r15 — see plans.partitioning.no_aqe)
+    from sparkglm_spark.plans.partitioning import no_aqe
+
+    with no_aqe(df.sparkSession):
+        row = df.agg(*aggs).collect()[0]
 
     xtx = np.empty((k, k), dtype=np.float64)
     for i in range(k):

@@ -47,6 +47,34 @@ def _plan_size_estimate(df: DataFrame) -> int:
         return 1 << 62  # unknown → treat as huge (skip the probe)
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def no_aqe(spark):
+    """Disable adaptive query execution around an iterative fitter's
+    driver-collected one-row aggregations (r15, guide §1.2). AQE turns
+    every global aggregate into TWO jobs (map-stage materialization +
+    final read) with a scheduling barrier between them; for a fitter
+    whose per-iteration result is ONE row over an already-partitioned
+    cached frame there is nothing to adapt — the exchange carries
+    numPartitions rows regardless of data scale — so the barrier is pure
+    latency (measured: GLM IRLS 12 jobs → 5, bit-identical results, at
+    any scale the same plan runs minus the barrier). The previous value
+    is restored on exit.
+
+    PRECONDITION: not thread-safe — the flag is session-global, so a
+    caller must not run concurrent queries that NEED AQE (skew joins,
+    coalescing) while inside. The fitters using this run their
+    iteration loop single-threaded by construction."""
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
 def ensure_parallel(df: DataFrame) -> DataFrame:
     """Repartition up to the session's default parallelism when the input
     has fewer partitions (tiny local inputs); no-op otherwise. Streaming
