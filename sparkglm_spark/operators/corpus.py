@@ -66,17 +66,38 @@ def _count_map_literal(keys: list[str], vals: list[int]) -> Column:
     """string→bigint map literal built as ONE parsed SQL expression.
     `F.lit(list)` constructs the array element-by-element through py4j —
     measured 2.6 s for a 1k-key map (and linearly worse toward the 50k
-    gate); the parser ingests the same literal in milliseconds. Keys are
-    \\-escaped; the parsed tree constant-folds exactly like the F.lit
-    form (same map, same lookups)."""
+    gate); the parser ingests the same literal in milliseconds. The
+    parsed tree constant-folds exactly like the F.lit form (same map,
+    same lookups).
+
+    Escaping is parser-mode aware (ADVICE r14): quotes are doubled
+    (`''` parses to `'` in BOTH the default and the legacy
+    `spark.sql.parser.escapedStringLiterals=true` modes), and
+    backslashes are `\\`-escaped only in the default mode — the legacy
+    mode keeps them literal, so escaping there would corrupt keys
+    containing backslashes (silent score corruption)."""
     if not keys:
         return F.expr(
             "map_from_arrays(cast(array() as array<string>),"
             " cast(array() as array<bigint>))"
         )
-    ks = ",".join(
-        "'" + k.replace("\\", "\\\\").replace("'", "\\'") + "'" for k in keys
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    legacy = (
+        spark is not None
+        and str(
+            spark.conf.get("spark.sql.parser.escapedStringLiterals", "false")
+        ).lower()
+        == "true"
     )
+
+    def esc(k: str) -> str:
+        if not legacy:
+            k = k.replace("\\", "\\\\")
+        return k.replace("'", "''")
+
+    ks = ",".join("'" + esc(k) + "'" for k in keys)
     vs = ",".join(f"{v}L" for v in vals)
     return F.expr(f"map_from_arrays(array({ks}), array({vs}))")
 
@@ -458,8 +479,14 @@ def unigram_logprob_scores(
     # per-term column; OOV keeps the Python-lit log(α/denom) constant).
     # A vocabulary over the gate keeps the explode → broadcast-join →
     # groupBy(doc) plan (natural corpora at scale).
-    vocab_agg = ref_terms(ref).groupBy("term").agg(
-        F.count(F.lit(1)).alias("__c")
+    # persisted BEFORE the bounded probe (ADVICE r14): under the gate the
+    # limit consumes every partition fully (each holds < cap+1 rows), so
+    # the cache is complete and merely unused (a few thousand tiny rows);
+    # over the gate the N/V totals and the scoring join reuse whatever
+    # the probe cached instead of recomputing the whole term aggregation
+    # from scratch — the pre-r15 shape ran it twice for large references.
+    vocab_agg = _CACHES.persist(
+        ref_terms(ref).groupBy("term").agg(F.count(F.lit(1)).alias("__c"))
     )
     probe = vocab_agg.limit(_UNIGRAM_MAP_VOCAB_MAX + 1).collect()
     if len(probe) <= _UNIGRAM_MAP_VOCAB_MAX:
@@ -499,8 +526,9 @@ def unigram_logprob_scores(
                 ).alias("avg_logprob"),
             )
         )
-    # large vocab: persist it — consumed by the N/V probe and the join
-    vocab = _CACHES.persist(vocab_agg)
+    # large vocab: already persisted above — consumed by the N/V totals
+    # and the scoring join, both reading whatever the probe cached
+    vocab = vocab_agg
     tot = vocab.agg(
         F.sum("__c").alias("n"), F.count(F.lit(1)).alias("v")
     ).first()
@@ -778,8 +806,15 @@ def bigram_logprob_scores(
         )
 
     # ---- model: one aggregation over the reference pair stream --------
-    counts_agg = pair_stream(ref).groupBy("__a", "__b").agg(
-        F.count(F.lit(1)).alias("__c")
+    # persisted BEFORE the bounded probe (ADVICE r14 — the unigram-scorer
+    # convention): under the gate the limit consumes every partition
+    # fully and the tiny cache is merely unused; over the gate the
+    # totals/uni/ctx/big consumers reuse what the probe cached instead of
+    # re-running the full pair-stream aggregation.
+    counts_agg = _CACHES.persist(
+        pair_stream(ref).groupBy("__a", "__b").agg(
+            F.count(F.lit(1)).alias("__c")
+        )
     )
     # bounded probe (the unigram-scorer gate, r14): when the count table
     # is small, the whole model lives on the driver — N/V/denominator are
@@ -864,7 +899,7 @@ def bigram_logprob_scores(
             )
         )
 
-    counts = _CACHES.persist(counts_agg)
+    counts = counts_agg  # already persisted above, before the probe
     tot = counts.agg(
         F.sum("__c").alias("n"), F.count_distinct("__b").alias("v")
     ).first()

@@ -58,36 +58,45 @@ def _auc_ap_scalar(sc: DataFrame, n_pos: float, n_neg: float) -> tuple[float, fl
     is reused across passes."""
     import numpy as np
 
-    # Arrow transfer, not .collect(): Row-object deserialization costs
-    # ~1 s at the 150k-score mark (the _components_driver lesson)
-    pdf = sc.limit(_AUC_DRIVER_MAX_SCORES + 1).toPandas()
-    if len(pdf) <= _AUC_DRIVER_MAX_SCORES:
-        order = np.argsort(pdf["__p"].to_numpy())
-        pos = pdf["pos"].to_numpy()[order]
-        neg = pdf["neg"].to_numpy()[order]
-        # scores are distinct per row (groupBy key) → exclusive prefix =
-        # strictly-below counts, ties stay within one term
-        neg_lt = np.concatenate(([0.0], np.cumsum(neg)[:-1]))
-        pos_lt = np.concatenate(([0.0], np.cumsum(pos)[:-1]))
-        P, N = float(n_pos), float(n_neg)
-        u = float(np.sum(pos * (neg_lt + neg / 2.0)))
-        pos_ge = P - pos_lt
-        neg_ge = N - neg_lt
-        ap = float(np.sum((pos / P) * (pos_ge / (pos_ge + neg_ge))))
-        return u, ap
-    cum = global_running_sum(sc, "__p", ["pos", "neg"])
-    # at-or-above counts from the ascending sums: ≥s = total − (<s)
-    pos_ge = F.lit(n_pos) - (F.col("pos_cum") - F.col("pos"))
-    neg_ge = F.lit(n_neg) - (F.col("neg_cum") - F.col("neg"))
-    u_row = cum.agg(
-        F.sum(
-            F.col("pos") * (F.col("neg_cum") - F.col("neg") + F.col("neg") / 2.0)
-        ).alias("u"),
-        F.sum(
-            (F.col("pos") / F.lit(n_pos)) * (pos_ge / (pos_ge + neg_ge))
-        ).alias("ap"),
-    ).collect()[0]
-    return float(u_row["u"]), float(u_row["ap"])
+    # persisted BEFORE the bounded probe (ADVICE r14): under the gate the
+    # limit consumes every partition fully (rows < cap+1), so the cache
+    # is complete and merely unused; over the gate the prefix plan reuses
+    # what the probe cached instead of re-running the score aggregation.
+    sc = sc.persist()
+    try:
+        # Arrow transfer, not .collect(): Row-object deserialization costs
+        # ~1 s at the 150k-score mark (the _components_driver lesson)
+        pdf = sc.limit(_AUC_DRIVER_MAX_SCORES + 1).toPandas()
+        if len(pdf) <= _AUC_DRIVER_MAX_SCORES:
+            order = np.argsort(pdf["__p"].to_numpy())
+            pos = pdf["pos"].to_numpy()[order]
+            neg = pdf["neg"].to_numpy()[order]
+            # scores are distinct per row (groupBy key) → exclusive prefix =
+            # strictly-below counts, ties stay within one term
+            neg_lt = np.concatenate(([0.0], np.cumsum(neg)[:-1]))
+            pos_lt = np.concatenate(([0.0], np.cumsum(pos)[:-1]))
+            P, N = float(n_pos), float(n_neg)
+            u = float(np.sum(pos * (neg_lt + neg / 2.0)))
+            pos_ge = P - pos_lt
+            neg_ge = N - neg_lt
+            ap = float(np.sum((pos / P) * (pos_ge / (pos_ge + neg_ge))))
+            return u, ap
+        cum = global_running_sum(sc, "__p", ["pos", "neg"])
+        # at-or-above counts from the ascending sums: ≥s = total − (<s)
+        pos_ge = F.lit(n_pos) - (F.col("pos_cum") - F.col("pos"))
+        neg_ge = F.lit(n_neg) - (F.col("neg_cum") - F.col("neg"))
+        u_row = cum.agg(
+            F.sum(
+                F.col("pos")
+                * (F.col("neg_cum") - F.col("neg") + F.col("neg") / 2.0)
+            ).alias("u"),
+            F.sum(
+                (F.col("pos") / F.lit(n_pos)) * (pos_ge / (pos_ge + neg_ge))
+            ).alias("ap"),
+        ).collect()[0]
+        return float(u_row["u"]), float(u_row["ap"])
+    finally:
+        sc.unpersist()
 
 
 def binary_classification_eval(

@@ -183,10 +183,12 @@ def chi2_independence(
     observed cells — a cell with observed 0 but expected > 0 still
     contributes (the classic sparse-contingency mistake). Nothing
     row-level is collected; the driver sees 4 scalars. p via the
-    engine's `chisq_sf`. The cells side is broadcast only when the grid
-    is provably small (ka·kb ≤ 1e6, known from the same probe row); a
-    high-cardinality pair falls back to a shuffle join rather than
-    risking the driver/broadcast limit."""
+    engine's `chisq_sf`. Single-job design (r14): n/ka/kb ride the
+    statistic job as a broadcast one-row totals crossJoin, validation
+    happens after the job, and the cells join side is unhinted — AQE
+    broadcasts it at runtime when it fits, a high-cardinality pair
+    falls back to a shuffle join rather than risking the driver/
+    broadcast limit."""
     from sparkglm_spark.functions.special import chisq_sf
 
     cells = (
