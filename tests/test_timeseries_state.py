@@ -1808,3 +1808,65 @@ def test_ar_forecast_guards(spark):
         ar_forecast(df, "k", "t", "v", horizons=[])
     with pytest.raises(ValueError, match="level"):
         ar_forecast(df, "k", "t", "v", interval=True, level=1.5)
+
+
+def test_fold_engine_streams_batches_exactly(spark):
+    # r15: the fold engine streams Arrow batches through a carry buffer
+    # (memory bound = one batch + largest key, not the whole partition).
+    # Force many tiny batches so keys SPAN batch boundaries and compare
+    # bit-exactly against the pandas per-key ground truth.
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame(
+        {
+            "k": np.repeat([f"u{i:02d}" for i in range(12)], 25),
+            "t": np.tile(np.arange(25, dtype=float), 12),
+            "v": rng.normal(size=300),
+        }
+    )
+    from sparkglm_spark.operators.timeseries import ewma_series
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        out = (
+            ewma_series(spark.createDataFrame(pdf), "k", "t", "v", alpha=0.4)
+            .toPandas()
+            .sort_values(["k", "t"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    gt = []
+    for _, g in pdf.groupby("k", sort=True):
+        g = g.sort_values("t", kind="mergesort")
+        gt.append(g["v"].ewm(alpha=0.4, adjust=False).mean())
+    gt = pd.concat(gt).reset_index(drop=True)
+    assert len(out) == 300
+    assert np.array_equal(out["ewma"].to_numpy(), gt.to_numpy())
+
+
+def test_fold_engine_null_and_nan_float_keys_stay_separate(spark):
+    # r15 (ADVICE r14): NULL and NaN float keys both convert to pandas
+    # NaN and sort adjacent — the engine must keep them as TWO folds
+    # (groupBy semantics), via the JVM-computed null indicator.
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        [
+            (None, 1.0, 1.0),
+            (None, 2.0, 2.0),
+            (float("nan"), 1.0, 10.0),
+            (float("nan"), 2.0, 20.0),
+            (1.5, 1.0, 5.0),
+        ],
+        "k double, t double, v double",
+    )
+    from sparkglm_spark.operators.timeseries import ewma_series
+
+    out = ewma_series(df, "k", "t", "v", alpha=0.5).toPandas()
+    vals = sorted(out["ewma"].tolist())
+    # merged folds would chain the NULL block into the NaN block
+    # (second NaN row would read 0.5*20 + 0.5*1.5 != 15.0)
+    assert vals == [1.0, 1.5, 5.0, 10.0, 15.0]
