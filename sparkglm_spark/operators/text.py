@@ -893,18 +893,32 @@ def tfidf_vectors(
     rows = _CACHES.persist(
         _hashed_bucket_arrays(df, text_col, id_col, n_features, hash_fn)
     )
-    # m and df(b): one bounded aggregation pass each over the compact
-    # arrays frame; df_rows is capped at n_features rows by construction
-    # (array_distinct per row ⇒ each doc counts each bucket once, the
-    # same df(b) the old (id, bucket) grouping produced)
-    m = rows.select(F.countDistinct("id")).first()[0]
-    df_rows = (
-        rows.select(F.explode(F.array_distinct("__bkts")).alias("__b"))
-        .groupBy("__b")
-        .agg(F.count(F.lit(1)).alias("__df"))
-        .collect()
+    # m and df(b) in ONE bounded aggregation (r15 — was two jobs over the
+    # same cache): rollup(__b) emits the ≤ n_features per-bucket rows
+    # (count = df(b): array_distinct per row ⇒ each doc counts each
+    # bucket once, the same df the old (id, bucket) grouping produced)
+    # PLUS the grand-total row, whose countDistinct(id) is exactly m —
+    # every doc in the arrays frame has ≥1 token hence ≥1 bucket, so the
+    # exploded frame covers the same id set the old rows-frame
+    # countDistinct saw. no_aqe: one-collect aggregation, no barrier.
+    from sparkglm_spark.plans.partitioning import no_aqe
+
+    exploded = rows.select(
+        F.col("id"), F.explode(F.array_distinct("__bkts")).alias("__b")
     )
+    with no_aqe(rows.sparkSession):
+        stats = (
+            exploded.rollup("__b")
+            .agg(
+                F.count(F.lit(1)).alias("__df"),
+                F.countDistinct("id").alias("__m"),
+                F.grouping("__b").alias("__tot"),
+            )
+            .collect()
+        )
+    m = next(int(r["__m"]) for r in stats if r["__tot"] == 1)
     idf = [math.log(float(m + 1)) for _ in range(int(n_features))]
-    for r in df_rows:
-        idf[r["__b"]] = math.log((m + 1.0) / (r["__df"] + 1.0))
+    for r in stats:
+        if r["__tot"] == 0:
+            idf[r["__b"]] = math.log((m + 1.0) / (r["__df"] + 1.0))
     return _densify_bucket_arrays(rows, df, id_col, n_features, l2_normalize, idf)
