@@ -124,17 +124,20 @@ def welch_ttest(
     Groups are ordered by their value so the sign of `t` is deterministic."""
     from sparkglm_spark.functions.special import t_pvalue_two_sided
 
-    rows = (
-        df.where(F.col(group_col).isNotNull())
-        .groupBy(group_col)
-        .agg(
-            F.count(value_col).alias("n"),
-            F.avg(value_col).alias("mean"),
-            F.var_samp(value_col).alias("var"),
+    from sparkglm_spark.plans.partitioning import no_aqe
+
+    with no_aqe(df.sparkSession):  # two tiny rows, no AQE barrier (r15)
+        rows = (
+            df.where(F.col(group_col).isNotNull())
+            .groupBy(group_col)
+            .agg(
+                F.count(value_col).alias("n"),
+                F.avg(value_col).alias("mean"),
+                F.var_samp(value_col).alias("var"),
+            )
+            .orderBy(group_col)
+            .collect()
         )
-        .orderBy(group_col)
-        .collect()
-    )
     if len(rows) != 2:
         raise ValueError(
             f"welch_ttest needs exactly 2 groups, found {len(rows)}: "
@@ -672,7 +675,10 @@ def numeric_profile(
             F.max(col).alias(f"__max_{c}"),
             pct.alias(f"__pct_{c}"),
         ]
-    row = df.agg(*aggs).collect()[0]
+    from sparkglm_spark.plans.partitioning import no_aqe
+
+    with no_aqe(df.sparkSession):  # one-row aggregate, no AQE barrier (r15)
+        row = df.agg(*aggs).collect()[0]
     out = []
     for c in cols:
         pct = row[f"__pct_{c}"] or [None] * 4
