@@ -1180,51 +1180,112 @@ def _band_buckets(sig: DataFrame, num_perm: int, bands: int) -> DataFrame:
     )
 
 
-def _match_pairs_broadcast_verify(
+def _match_pairs_arrow_verify(
     new_index: DataFrame,
     known_index: DataFrame,
     threshold: float,
     num_perm: int,
     bands: int,
 ) -> DataFrame:
-    """`minhash_match_pairs` with every exchange but a tiny output dedup
-    removed, for cost-gated small index pairs: the band-bucket join and
-    both signature fetches run as BROADCAST hash joins (the known-side
-    buckets and both sig tables are ≈ (8·num_perm + 24) bytes/doc), the
-    candidate `distinct` is SKIPPED — each raw band collision streams
-    straight through the est_jaccard filter map-side — and the
-    (threshold-surviving, tiny) output is deduped instead. A pair
-    colliding in d bands pays d est evaluations instead of one plus a
-    millions-of-rows distinct exchange; on the degenerate corpus where
-    this matters the raw/distinct ratio is ~1.45× (measured at sf0.1)
-    while the removed exchange carried 1.69M rows. est_jaccard is
-    per-pair deterministic, so deduping by id pair keeps the exact
-    banded-plan row set and values."""
-    bn = _band_buckets(new_index, num_perm, bands).withColumnsRenamed(
-        {"id": "id_new"}
-    )
-    bk = _band_buckets(known_index, num_perm, bands).withColumnsRenamed(
-        {"id": "id_known"}
-    )
-    cand = bn.join(F.broadcast(bk), ["band", "bucket"]).select(
-        "id_new", "id_known"
-    )
-    a = new_index.select(F.col("id").alias("id_new"), F.col("sig").alias("__sa"))
-    b = known_index.select(
-        F.col("id").alias("id_known"), F.col("sig").alias("__sb")
-    )
-    matches = F.expr(
-        "aggregate(zip_with(__sa, __sb, (x, y) -> IF(x = y, 1, 0)),"
-        " 0, (a, b) -> a + b)"
-    )
-    return (
-        cand.join(F.broadcast(a), "id_new")
-        .join(F.broadcast(b), "id_known")
-        .withColumn("est_jaccard", matches / F.lit(float(num_perm)))
-        .where(F.col("est_jaccard") >= threshold)
-        .select("id_new", "id_known", "est_jaccard")
-        .dropDuplicates(["id_new", "id_known"])
-    )
+    """`minhash_match_pairs` for cost-gated small index pairs: the known
+    side's signatures (gate-bounded — ≤ ~33 MB at the 32k-doc cap) are
+    collected and broadcast, and ONE zero-exchange mapInPandas pass over
+    the new side does the whole band-collision + est verification in
+    numpy: per band, known-side slices are pre-sorted as structured keys
+    once per task and the new side's slices binary-search them
+    (collisions = exact r-slice equality); collision pairs dedup with
+    np.unique per batch (each new doc's pairs are complete within its
+    batch, so per-batch dedup IS the global dedup), and the est count is
+    a vectorized (pairs × num_perm) equality sum, chunked to bound the
+    temporary. est values are matches/num_perm — the identical division
+    the SQL plan computed — and the row set is the banded-collision set:
+    exact slice equality implies bucket-hash equality, so this emits
+    exactly the pairs the exchange plan's xxhash64 bucket join emits,
+    minus only phantom 2⁻⁶⁴ hash-collision candidates (which the est
+    filter would almost surely have dropped anyway).
+
+    Replaces the r14 broadcast-hash-join + aggregate(zip_with) plan:
+    per-pair HOF est evaluation is CodegenFallback (interpreted lambdas
+    — 315M evals at sf0.1's 2.46M raw collisions), while the numpy
+    equality sum is SIMD; measured 2-2.5× on the match phase with the
+    output frame exactly equal (115,816 rows at sf0.1, ids and est
+    bit-identical)."""
+    _require_banding(num_perm, bands)
+    nid_t = new_index.schema["id"].dataType.simpleString()
+    kid_t = known_index.schema["id"].dataType.simpleString()
+    schema = f"id_new {nid_t}, id_known {kid_t}, est_jaccard double"
+    r = num_perm // bands
+    pb = known_index.toPandas()
+    if not len(pb):
+        return new_index.sparkSession.createDataFrame([], schema)
+    B = np.vstack(pb["sig"].to_numpy())
+    ids_b = pb["id"].to_numpy()
+    n_b = len(B)
+    b_bcast = new_index.sparkSession.sparkContext.broadcast((B, ids_b))
+    thr = float(threshold)
+
+    def gen(batches):
+        import pandas as pd
+
+        B_, idsb = b_bcast.value
+        band_maps = []
+        for b0 in range(bands):
+            sl = np.ascontiguousarray(B_[:, b0 * r : (b0 + 1) * r])
+            keys = sl.view([("", sl.dtype)] * r).ravel()
+            order = np.argsort(keys, kind="stable")
+            band_maps.append((keys[order], order))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.vstack(pdf["sig"].to_numpy())
+            ids_a = pdf["id"].to_numpy()
+            pis, pjs = [], []
+            for b0, (skeys, order) in enumerate(band_maps):
+                sa = np.ascontiguousarray(A[:, b0 * r : (b0 + 1) * r])
+                ka = sa.view([("", sa.dtype)] * r).ravel()
+                left = np.searchsorted(skeys, ka, side="left")
+                right = np.searchsorted(skeys, ka, side="right")
+                cnt = right - left
+                hit = np.flatnonzero(cnt > 0)
+                if not len(hit):
+                    continue
+                lens = cnt[hit]
+                starts = left[hit]
+                total = int(lens.sum())
+                # flatten the [start, start+len) ranges without a loop
+                base = np.repeat(
+                    starts - np.concatenate(([0], np.cumsum(lens)[:-1])), lens
+                )
+                pjs.append(order[np.arange(total) + base])
+                pis.append(np.repeat(hit, lens))
+            if not pis:
+                continue
+            pi = np.concatenate(pis)
+            pj = np.concatenate(pjs)
+            _, idx = np.unique(pi.astype(np.int64) * n_b + pj, return_index=True)
+            pi, pj = pi[idx], pj[idx]
+            outs_i, outs_j, outs_e = [], [], []
+            CH = 65_536  # (CH × num_perm) int64 temporaries stay ~64 MB
+            for s in range(0, len(pi), CH):
+                a = A[pi[s : s + CH]]
+                b = B_[pj[s : s + CH]]
+                est = (a == b).sum(axis=1) / float(num_perm)
+                keep = est >= thr
+                outs_i.append(pi[s : s + CH][keep])
+                outs_j.append(pj[s : s + CH][keep])
+                outs_e.append(est[keep])
+            ki = np.concatenate(outs_i)
+            if not len(ki):
+                continue
+            yield pd.DataFrame(
+                {
+                    "id_new": ids_a[ki],
+                    "id_known": idsb[np.concatenate(outs_j)],
+                    "est_jaccard": np.concatenate(outs_e),
+                }
+            )
+
+    return new_index.select("id", "sig").mapInPandas(gen, schema)
 
 
 @_CACHES.scoped
@@ -1273,15 +1334,16 @@ def minhash_match_pairs(
     new_index = _op_persist(new_index)
     known_index = _op_persist(known_index)
     if max_docs_per_bucket is None:
-        # r14 cost-gated fast path (guide §2.4 "remove shuffles
-        # outright"): when BOTH index sides are small, run every join
-        # broadcast and skip the candidate distinct — on a degenerate
-        # (tiny-vocab, self-similar) corpus the band join emits
-        # candidates approaching all-pairs (measured at sf0.1: 2.46M
-        # raw / 1.69M distinct candidate pairs from 2.5k × 2.5k docs)
-        # and the distinct exchange over them dominated the operator.
-        # Output row set and values are IDENTICAL (see
-        # `_match_pairs_broadcast_verify`). Large indexes (either probe
+        # cost-gated fast path (guide §2.4/§4.2): when BOTH index sides
+        # are small, the whole band-collision + est verification runs as
+        # one zero-exchange numpy pass over the new side with the known
+        # side broadcast — on a degenerate (tiny-vocab, self-similar)
+        # corpus the band join emits candidates approaching all-pairs
+        # (measured at sf0.1: 2.46M raw / 1.69M distinct pairs from
+        # 2.5k × 2.5k docs) and first the distinct exchange (r14), then
+        # the interpreted per-pair HOF est fold (r15) dominated the
+        # operator. Output row set and values are IDENTICAL (see
+        # `_match_pairs_arrow_verify`). Large indexes (either probe
         # over the cap, or the pair×perm op budget exceeded) keep the
         # exchange-based LSH plan — same bounded-probe routing pattern
         # as minhash_dedup_pairs' brute all-pairs gate.
@@ -1321,7 +1383,7 @@ def minhash_match_pairs(
             and n_known <= cap
             and n_new * n_known * num_perm <= _BRUTE_ALLPAIRS_OPS_BUDGET
         ):
-            return _match_pairs_broadcast_verify(
+            return _match_pairs_arrow_verify(
                 new_index, known_index, threshold, num_perm, bands
             )
     bn = _band_buckets(new_index, num_perm, bands).withColumnsRenamed(

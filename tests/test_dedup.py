@@ -610,3 +610,34 @@ def test_index_signatures_equal_wide_signatures_portable(documents):
             for r in D.minhash_index(documents, "doc_id", "text", hash_fn=mode).collect()
         }
         assert wide == arr, mode
+
+
+def test_match_pairs_arrow_and_exchange_paths_agree(documents):
+    """r15: the cost-gated numpy arrow-verify path must produce the same
+    (id_new, id_known, est_jaccard) rows as the exchange-based LSH plan
+    (forced by zeroing the ops budget) — est bit-identical."""
+    odd = documents.where(documents.doc_id % 2 == 1)
+    even = documents.where(documents.doc_id % 2 == 0)
+    idx_new = D.minhash_index(odd, "doc_id", "text")
+    idx_known = D.minhash_index(even, "doc_id", "text")
+    fast = (
+        D.minhash_match_pairs(idx_new, idx_known, threshold=0.6, bands=16)
+        .toPandas()
+        .sort_values(["id_new", "id_known"])
+        .reset_index(drop=True)
+    )
+    budget = D._BRUTE_ALLPAIRS_OPS_BUDGET
+    D._BRUTE_ALLPAIRS_OPS_BUDGET = 0
+    try:
+        slow = (
+            D.minhash_match_pairs(idx_new, idx_known, threshold=0.6, bands=16)
+            .toPandas()
+            .sort_values(["id_new", "id_known"])
+            .reset_index(drop=True)
+        )
+    finally:
+        D._BRUTE_ALLPAIRS_OPS_BUDGET = budget
+    assert len(fast) == len(slow) and len(fast) > 0
+    assert fast["id_new"].tolist() == slow["id_new"].tolist()
+    assert fast["id_known"].tolist() == slow["id_known"].tolist()
+    assert fast["est_jaccard"].tolist() == slow["est_jaccard"].tolist()
