@@ -916,7 +916,10 @@ def tfidf_vectors(
             )
             .collect()
         )
-    m = next(int(r["__m"]) for r in stats if r["__tot"] == 1)
+    # rollup over an EMPTY frame emits no grand-total row (unlike a
+    # global aggregate, which emits one) — an empty/blank corpus means
+    # m = 0, matching the old countDistinct-over-empty behavior
+    m = next((int(r["__m"]) for r in stats if r["__tot"] == 1), 0)
     idf = [math.log(float(m + 1)) for _ in range(int(n_features))]
     for r in stats:
         if r["__tot"] == 0:

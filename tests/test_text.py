@@ -531,3 +531,17 @@ def test_tfidf_partition_invariance(documents):
         for r in tfidf_vectors(documents.repartition(9), n_features=64).collect()
     }
     assert a == b
+
+
+def test_tfidf_empty_and_blank_corpora(spark):
+    # r15: the fused m/df rollup emits NO grand-total row on empty input
+    # (unlike a global aggregate) — m must default to 0, the old
+    # countDistinct behavior, and the output stays an empty frame
+    from sparkglm_spark.operators.text import tfidf_vectors
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert tfidf_vectors(empty, n_features=8).count() == 0
+    blank = spark.createDataFrame(
+        [(1, ""), (2, "   ")], "doc_id long, text string"
+    )
+    assert tfidf_vectors(blank, n_features=8).count() == 0
