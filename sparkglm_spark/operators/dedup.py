@@ -1265,7 +1265,11 @@ def _match_pairs_arrow_verify(
             _, idx = np.unique(pi.astype(np.int64) * n_b + pj, return_index=True)
             pi, pj = pi[idx], pj[idx]
             outs_i, outs_j, outs_e = [], [], []
-            CH = 65_536  # (CH × num_perm) int64 temporaries stay ~64 MB
+            # chunk small: the fancy-indexed A/B copies are (CH × num_perm)
+            # int64 — 8 MB each at 8192, cache-friendly and GC-light even
+            # with 32 concurrent worker processes (65536 caused ~4 GB of
+            # transient churn per match and context-dependent 2× swings)
+            CH = 8_192
             for s in range(0, len(pi), CH):
                 a = A[pi[s : s + CH]]
                 b = B_[pj[s : s + CH]]
